@@ -1,0 +1,39 @@
+"""Geometry / tile-pyramid kernels.
+
+All tile math is pure Column arithmetic (JVM-side, whole-stage codegen) —
+faster than any UDF; numpy-in-pandas-UDF is reserved for genuinely
+shape-dependent kernels (point-in-polygon)."""
+
+from .tilemath import (
+    MERCATOR_MAX_LAT,
+    lon_to_tile_x,
+    lat_to_tile_y,
+    tile_cols,
+    tms_y,
+    xyz_y,
+    cell_encode,
+    cell_decode,
+    cell_parent,
+    cell_child_origin,
+    k_ring_cells,
+    polyfill_bbox,
+    quadkey,
+)
+from .pip import point_in_polygon_join
+
+__all__ = [
+    "MERCATOR_MAX_LAT",
+    "lon_to_tile_x",
+    "lat_to_tile_y",
+    "tile_cols",
+    "tms_y",
+    "xyz_y",
+    "cell_encode",
+    "cell_decode",
+    "cell_parent",
+    "cell_child_origin",
+    "k_ring_cells",
+    "polyfill_bbox",
+    "quadkey",
+    "point_in_polygon_join",
+]

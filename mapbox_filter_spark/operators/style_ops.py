@@ -1,0 +1,167 @@
+"""Style-driven relational operators: σ (keep / negated keep) and the map-key
+π (metadata pruning).
+
+Parity targets:
+- per-source-layer filter combination with failure recovery:
+  /root/reference/src/Mapbox/Filters.hs:99-121 (``styleToCFilters`` +
+  ``combineFilters``).  ``HMap.fromListWith combine`` folds with
+  ``combine(new, old) = if new is True then True else old`` in the failure
+  monad, so the FIRST style layer's raw filter is the fold tail and later
+  layers contribute ``coalesce(f, False)`` arms.  We reproduce that fold as a
+  Column so even the negated-filter corner (where a tail failure differs
+  from a coalesced False) matches.
+- default-drop of layers absent from the style: Filters.hs:40-43.
+- negated filter (down-copy destination): Filters.hs:59-62 —
+  ``coalesce(NOT pred, False)`` with default-KEEP for absent layers.
+- metadata pruning: Filters.hs:74-82 — keys retained iff referenced by any
+  zoom-accepted style layer of that source-layer (scraped display ∪ filter
+  attrs).  This is column pruning generalized to map keys: Catalyst cannot
+  prune map keys, so the π is an explicit ``map_filter``.
+- zoom gating: Filters.hs:116-121 — compiled as predicates on the ``z``
+  column, so when output is partitioned by z Catalyst turns them into
+  partition pruning.
+
+The whole style compiles to ONE predicate Column — the reference recompiles
+per tile (app/Main.hs:382); we compile once per job.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..style.compile import FeatureCols, compile_typed, finalize_predicate
+from ..style.model import MapboxStyle, VectorLayer
+
+
+def _zoom_gate(l: VectorLayer, z: Column) -> Column:
+    gate = F.lit(True)
+    if l.min_zoom is not None:
+        gate = gate & (z >= F.lit(int(l.min_zoom)))
+    if l.max_zoom is not None:
+        gate = gate & (z <= F.lit(int(l.max_zoom)))
+    return gate
+
+
+def _layer_filter_col(l: VectorLayer, cols: FeatureCols) -> Column:
+    """Raw (nullable) compiled filter; no filter => keep-all (Filters.hs:105)."""
+    if l.filter_typed is None:
+        return F.lit(True)
+    out = compile_typed(l.filter_typed, cols)
+    return out.col
+
+
+def _combined_raw(
+    layers: list[VectorLayer], z: Column, cols: FeatureCols
+) -> tuple[Column, Column]:
+    """(present, comb_raw) for one source-layer: the exact fromListWith fold
+    (see module docstring), with per-zoom presence decided by the z column."""
+    present = F.lit(False)
+    comb = F.lit(None).cast("boolean")
+    for l in layers:  # style order == insertion order
+        f = _layer_filter_col(l, cols)
+        gate = _zoom_gate(l, z)
+        folded = (
+            F.when(~present, f)  # first present arm: raw tail
+            .when(F.coalesce(f, F.lit(False)), F.lit(True))
+            .otherwise(comb)
+        )
+        comb = F.when(gate, folded).otherwise(comb)
+        present = present | gate
+    return present, comb
+
+
+def _by_source_layer(style: MapboxStyle) -> dict[str, list[VectorLayer]]:
+    out: dict[str, list[VectorLayer]] = {}
+    for l in style.vector_layers:
+        out.setdefault(l.source_layer, []).append(l)
+    return out
+
+
+def keep_predicate(
+    style: MapboxStyle,
+    z: Column | int,
+    layer_col: str = "layer",
+    cols: Optional[FeatureCols] = None,
+) -> Column:
+    """Finalized boolean: feature survives the style filter.
+
+    Features in source-layers the style never mentions are DROPPED
+    (Filters.hs:40-43)."""
+    cols = cols or FeatureCols()
+    zc = F.lit(int(z)) if isinstance(z, int) else z
+    lc = F.col(layer_col)
+    pred = F.lit(False)
+    for sl, layers in _by_source_layer(style).items():
+        present, comb = _combined_raw(layers, zc, cols)
+        pred = F.when(lc == sl, present & F.coalesce(comb, F.lit(False))).otherwise(pred)
+    return pred
+
+
+def neg_predicate(
+    style: MapboxStyle,
+    z: Column | int,
+    layer_col: str = "layer",
+    cols: Optional[FeatureCols] = None,
+) -> Column:
+    """Finalized boolean: feature survives the NEGATED filter (down-copy
+    destination path, Filters.hs:59-62).  Absent source-layers keep
+    everything (default True)."""
+    cols = cols or FeatureCols()
+    zc = F.lit(int(z)) if isinstance(z, int) else z
+    lc = F.col(layer_col)
+    pred = F.lit(True)
+    for sl, layers in _by_source_layer(style).items():
+        present, comb = _combined_raw(layers, zc, cols)
+        layer_neg = F.when(present, F.coalesce(~comb, F.lit(False))).otherwise(True)
+        pred = F.when(lc == sl, layer_neg).otherwise(pred)
+    return pred
+
+
+def filter_keep(df: DataFrame, style: MapboxStyle, z="z",
+                layer_col: str = "layer", cols: Optional[FeatureCols] = None) -> DataFrame:
+    zc = F.col(z) if isinstance(z, str) else z
+    return df.filter(keep_predicate(style, zc, layer_col, cols))
+
+
+def filter_neg(df: DataFrame, style: MapboxStyle, z="z",
+               layer_col: str = "layer", cols: Optional[FeatureCols] = None) -> DataFrame:
+    zc = F.col(z) if isinstance(z, str) else z
+    return df.filter(neg_predicate(style, zc, layer_col, cols))
+
+
+def retained_key_condition(
+    style: MapboxStyle, z: Column, layer_col: Column, key: Column
+) -> Column:
+    """True iff ``key`` is retained for this row's (source-layer, zoom)."""
+    cond = F.lit(False)
+    for sl, layers in _by_source_layer(style).items():
+        per_layer = F.lit(False)
+        for l in layers:
+            keys = sorted(l.meta)
+            if keys:
+                per_layer = per_layer | (_zoom_gate(l, z) & key.isin(*keys))
+        cond = F.when(layer_col == sl, per_layer).otherwise(cond)
+    return cond
+
+
+def prune_props(
+    df: DataFrame,
+    style: MapboxStyle,
+    z="z",
+    layer_col: str = "layer",
+    props_col: str = "props",
+) -> DataFrame:
+    """π over map keys: drop properties not referenced by the style
+    (display ∪ filter attrs of zoom-accepted layers)."""
+    zc = F.col(z) if isinstance(z, str) else z
+    lc = F.col(layer_col)
+    pruned = F.map_filter(
+        F.col(props_col),
+        lambda k, _v: retained_key_condition(style, zc, lc, k),
+    )
+    return df.withColumn(props_col, pruned)

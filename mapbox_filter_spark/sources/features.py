@@ -1,0 +1,96 @@
+"""Feature rows derived deterministically from the driver's TPC-H-ish
+testdata (TESTDATA.md) — the shared substrate for the DuckDB-oracle
+correctness gate.
+
+The SAME arithmetic is expressed twice: once as Spark Columns
+(``features_from_lineitem``) and once as ANSI SQL (``FEATURES_ORACLE_SQL``,
+a CTE the oracle queries prepend), so every engine operator can be checked
+value-for-value against DuckDB on identical inputs.
+
+All key-derived modulars are over positive ints, where Spark ``pmod`` and
+DuckDB ``%`` agree exactly; lon/lat use integer modular arithmetic scaled by
+1000, exact in doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_LAYERS = ("waterway", "landuse", "place", "transportation")
+_CLASSES = ("river", "stream", "lake", "canal", "drain")
+_BRUNNEL = ("tunnel", "bridge", "ford")
+_GEOMS = ("Point", "LineString", "Polygon")
+
+
+def features_from_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fid = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
+
+    def pick(arr, h):
+        return F.element_at(F.array(*[F.lit(a) for a in arr]),
+                            (F.pmod(h, F.lit(len(arr))) + 1).cast("int"))
+
+    cls = F.when(F.pmod(F.col("l_partkey"), F.lit(11)) != 0,
+                 pick(_CLASSES, F.col("l_partkey")))
+    brunnel = F.when(F.pmod(fid, F.lit(7)) != 0,
+                     pick(_BRUNNEL, F.col("l_partkey") + F.col("l_suppkey")))
+    rank = F.when(F.pmod(fid, F.lit(13)) != 0,
+                  F.pmod(F.col("l_suppkey"), F.lit(9)).cast("string"))
+    intermittent = F.when(
+        F.pmod(fid, F.lit(17)) != 0,
+        F.when(F.pmod(F.col("l_partkey"), F.lit(2)) == 0, "true").otherwise("false"),
+    )
+
+    entries = F.array(
+        F.struct(F.lit("class").alias("key"), cls.alias("value")),
+        F.struct(F.lit("brunnel").alias("key"), brunnel.alias("value")),
+        F.struct(F.lit("rank").alias("key"), rank.alias("value")),
+        F.struct(F.lit("intermittent").alias("key"), intermittent.alias("value")),
+    )
+
+    return li.select(
+        F.concat(F.lit("doc-"), F.col("l_orderkey").cast("string")).alias("doc_id"),
+        fid.alias("feature_id"),
+        pick(_LAYERS, F.col("l_orderkey")).alias("layer"),
+        pick(_GEOMS, F.col("l_suppkey")).alias("geom_kind"),
+        ((F.pmod(fid * 7919, F.lit(360000)).cast("double") / 1000.0) - 180.0).alias("lon"),
+        ((F.pmod(fid * 104729, F.lit(170000)).cast("double") / 1000.0) - 85.0).alias("lat"),
+        F.map_from_entries(
+            F.filter(entries, lambda e: e["value"].isNotNull())).alias("props"),
+        # flat mirrors for oracle-side logic
+        cls.alias("p_class"),
+        brunnel.alias("p_brunnel"),
+        rank.alias("p_rank"),
+        intermittent.alias("p_intermittent"),
+    )
+
+
+def _sql_pick(arr, h_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{v}'" for i, v in enumerate(arr)
+    )
+    return f"(CASE ({h_expr}) % {len(arr)} {whens} END)"
+
+
+FEATURES_ORACLE_SQL = f"""
+features AS (
+  SELECT
+    'doc-' || CAST(l_orderkey AS VARCHAR)                              AS doc_id,
+    (l_orderkey * 10 + l_linenumber)                                   AS feature_id,
+    {_sql_pick(_LAYERS, "l_orderkey")}                                 AS layer,
+    {_sql_pick(_GEOMS, "l_suppkey")}                                   AS geom_kind,
+    (((l_orderkey * 10 + l_linenumber) * 7919) % 360000) / 1000.0 - 180.0  AS lon,
+    (((l_orderkey * 10 + l_linenumber) * 104729) % 170000) / 1000.0 - 85.0 AS lat,
+    CASE WHEN l_partkey % 11 <> 0
+         THEN {_sql_pick(_CLASSES, "l_partkey")} END                   AS p_class,
+    CASE WHEN (l_orderkey * 10 + l_linenumber) % 7 <> 0
+         THEN {_sql_pick(_BRUNNEL, "l_partkey + l_suppkey")} END       AS p_brunnel,
+    CASE WHEN (l_orderkey * 10 + l_linenumber) % 13 <> 0
+         THEN CAST(l_suppkey % 9 AS VARCHAR) END                       AS p_rank,
+    CASE WHEN (l_orderkey * 10 + l_linenumber) % 17 <> 0
+         THEN (CASE WHEN l_partkey % 2 = 0 THEN 'true' ELSE 'false' END) END
+                                                                       AS p_intermittent
+  FROM lineitem
+)
+"""
