@@ -1,38 +1,39 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Engine: mapbox_filter_spark — see SURVEY.md §2 for the operator inventory
+each ``queries()`` entry maps to.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: lineitem-derived features -> README-style-filtered tile
+    pyramid at z ∈ {4, 6} (σ -> π -> γ with deterministic ordering)."""
+    from mapbox_filter_spark.plans.pipeline import run_filter_job_features
+    from mapbox_filter_spark.queries import README_STYLE
+    from mapbox_filter_spark.sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, "/root/testdata/sf0.001")
+    tiles = run_filter_job_features(feats, README_STYLE, zooms=[4, 6])
+    return tiles.select("z", "x", "y", "layer", "feature_count")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from mapbox_filter_spark import queries as q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mapbox_filter_spark import queries as q
+
+    return q.oracle_sql()

@@ -1,0 +1,360 @@
+"""Operator query suite + DuckDB oracle SQL (the driver correctness gate).
+
+Each entry pairs a Spark DataFrame program (the engine path) with an ANSI-SQL
+transcription (the oracle path) over the SAME derived feature substrate
+(sources/features.py — identical arithmetic both sides).  Column names are
+aliased identically so the driver's order-insensitive value-hash matches.
+
+Floating-point note: tile-math oracles recompute ln/tan in DuckDB's libm vs
+the JVM's; inputs are generic (3-decimal coords), so a boundary flip needs a
+~1-ulp coincidence — negligible at sf0.01.  Query outputs stick to
+ints/strings; no raw doubles are hashed except knn distances (rounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .geo.tilemath import MERCATOR_MAX_LAT, tile_cols, tms_y
+from .operators.assemble import assemble_tiles, assign_tiles
+from .operators.style_ops import filter_keep, prune_props
+from .sources.features import FEATURES_ORACLE_SQL, features_from_lineitem
+from .style.model import load_style
+
+# ---------------------------------------------------------------- styles
+
+README_STYLE = load_style({
+    "layers": [{
+        "id": "w", "type": "line", "source": "s", "source-layer": "waterway",
+        "filter": [
+            "all",
+            ["==", ["geometry-type"], "LineString"],
+            ["!=", ["string", ["get", "class"]], "stream"],
+            ["match", ["string", ["get", "brunnel"], ""],
+             ["tunnel", "bridge"], False, True],
+        ],
+        "layout": {"text-field": "{name}"},
+    }]
+})
+
+LEGACY_STYLE = load_style({
+    "layers": [{
+        "id": "l", "type": "line", "source": "s", "source-layer": "landuse",
+        "filter": ["all", ["==", "$type", "Point"],
+                   ["!in", "class", "lake", "drain"]],
+    }]
+}, auto_legacy=True)
+
+ZOOMGATE_STYLE = load_style({
+    "layers": [
+        {"id": "a", "type": "line", "source": "s", "source-layer": "waterway",
+         "maxzoom": 6},
+        {"id": "b", "type": "symbol", "source": "s", "source-layer": "place",
+         "minzoom": 6,
+         "filter": ["<=", ["to-number", ["get", "rank"], 99], 5]},
+    ]
+})
+
+# SQL transcription of the README filter over the flat prop mirrors.
+# Failure semantics hand-derived: missing class => assertion fails => all
+# fails => drop; missing brunnel => assertion default "" => else-branch.
+_README_KEEP_SQL = (
+    "layer = 'waterway' AND geom_kind = 'LineString' "
+    "AND p_class IS NOT NULL AND p_class <> 'stream' "
+    "AND COALESCE(p_brunnel, '') NOT IN ('tunnel', 'bridge')"
+)
+
+# tile math in SQL (mirrors geo/tilemath.py)
+def _sql_tile_x(z: int) -> str:
+    n = 1 << z
+    return (f"GREATEST(0, LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * {n}) AS BIGINT), {n - 1}))")
+
+
+def _sql_tile_y(z: int) -> str:
+    n = 1 << z
+    latc = f"GREATEST(-{MERCATOR_MAX_LAT}, LEAST(lat, {MERCATOR_MAX_LAT}))"
+    merc = f"LN(TAN(RADIANS({latc})) + 1.0 / COS(RADIANS({latc})))"
+    return (f"GREATEST(0, LEAST(CAST(FLOOR((1.0 - {merc} / PI()) / 2.0 * {n}) AS BIGINT), {n - 1}))")
+
+
+def _with_tiles(df: DataFrame, z: int) -> DataFrame:
+    x, y = tile_cols(F.col("lon"), F.col("lat"), F.lit(z))
+    return df.withColumn("z", F.lit(z)).withColumn("x", x).withColumn("y", y)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lon/lat -> ZXY at z=8; per-tile feature counts."""
+    feats = features_from_lineitem(spark, sf_dir)
+    return (
+        _with_tiles(feats, 8)
+        .groupBy("z", "x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def sql_tile_assign() -> str:
+    return f"""WITH {FEATURES_ORACLE_SQL}
+SELECT 8 AS z, {_sql_tile_x(8)} AS x, {_sql_tile_y(8)} AS y,
+       COUNT(*) AS n
+FROM features GROUP BY 1, 2, 3"""
+
+
+def q_tile_assign_tms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TMS row flip parity (2^z - y - 1, app/Types.hs:34-38)."""
+    feats = _with_tiles(features_from_lineitem(spark, sf_dir), 6)
+    return (
+        feats.withColumn("tms_y", tms_y("y", "z"))
+        .groupBy("z", "x", "tms_y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def sql_tile_assign_tms() -> str:
+    return f"""WITH {FEATURES_ORACLE_SQL}
+SELECT 6 AS z, {_sql_tile_x(6)} AS x,
+       {1 << 6} - {_sql_tile_y(6)} - 1 AS tms_y, COUNT(*) AS n
+FROM features GROUP BY 1, 2, 3"""
+
+
+def q_style_filter_readme(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README copy-down filter (README.md:50-67) compiled to a Column."""
+    feats = features_from_lineitem(spark, sf_dir).withColumn("z", F.lit(10))
+    return filter_keep(feats, README_STYLE).select("feature_id")
+
+
+def sql_style_filter_readme() -> str:
+    return f"""WITH {FEATURES_ORACLE_SQL}
+SELECT feature_id FROM features WHERE {_README_KEEP_SQL}"""
+
+
+def q_style_filter_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy old-style filter through the rewriter (OldStyleConvert.hs)."""
+    feats = features_from_lineitem(spark, sf_dir).withColumn("z", F.lit(10))
+    return filter_keep(feats, LEGACY_STYLE).select("feature_id")
+
+
+def sql_style_filter_legacy() -> str:
+    # ["==","$type","Point"] -> string(geometry-type) == 'Point'
+    # ["!in","class",...] -> match(string(get class, "")) not in list
+    return f"""WITH {FEATURES_ORACLE_SQL}
+SELECT feature_id FROM features
+WHERE layer = 'landuse' AND geom_kind = 'Point'
+  AND COALESCE(p_class, '') NOT IN ('lake', 'drain')"""
+
+
+def q_failure_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """any(fail, true) = drop — the null-strictness corner on real data."""
+    from .style.compile import compile_filter, finalize_predicate
+    feats = features_from_lineitem(spark, sf_dir)
+    pred = finalize_predicate(
+        compile_filter(["any", ["==", ["get", "rank"], 1], True]))
+    return feats.filter(pred).select("feature_id")
+
+
+def sql_failure_any() -> str:
+    # survives iff rank present (failure strict through any); the ==
+    # result itself is irrelevant because of the literal true arm
+    return f"""WITH {FEATURES_ORACLE_SQL}
+SELECT feature_id FROM features WHERE p_rank IS NOT NULL"""
+
+
+def q_failure_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """!(get == lit): failure strict through ! (drop when key missing)."""
+    from .style.compile import compile_filter, finalize_predicate
+    feats = features_from_lineitem(spark, sf_dir)
+    pred = finalize_predicate(
+        compile_filter(["!", ["==", ["get", "class"], "river"]]))
+    return feats.filter(pred).select("feature_id")
+
+
+def sql_failure_negation() -> str:
+    return f"""WITH {FEATURES_ORACLE_SQL}
+SELECT feature_id FROM features
+WHERE p_class IS NOT NULL AND p_class <> 'river'"""
+
+
+def q_zoom_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minzoom/maxzoom gating across z=4..8 (Filters.hs:116-121)."""
+    feats = features_from_lineitem(spark, sf_dir)
+    assigned = assign_tiles(feats, zooms=[4, 5, 6, 7, 8])
+    kept = filter_keep(assigned, ZOOMGATE_STYLE)
+    return kept.groupBy("z", "layer").agg(F.count(F.lit(1)).alias("n"))
+
+
+def sql_zoom_gates() -> str:
+    return f"""WITH {FEATURES_ORACLE_SQL},
+zoomed AS (
+  SELECT f.*, z.z FROM features f CROSS JOIN (VALUES (4),(5),(6),(7),(8)) AS z(z)
+)
+SELECT z, layer, COUNT(*) AS n FROM zoomed
+WHERE (layer = 'waterway' AND z <= 6)
+   OR (layer = 'place' AND z >= 6
+       AND COALESCE(TRY_CAST(p_rank AS DOUBLE), 99) <= 5)
+GROUP BY z, layer"""
+
+
+def q_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job-table scan: per (z, column) tile counts
+    (app/DbAccess.hs:165-181)."""
+    feats = _with_tiles(features_from_lineitem(spark, sf_dir), 7)
+    tiles = feats.groupBy("z", "x", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        tiles.groupBy("z", "x")
+        .agg(F.count(F.lit(1)).alias("tile_count"),
+             F.sum("cnt").alias("feature_count"))
+    )
+
+
+def sql_manifest_scan() -> str:
+    return f"""WITH {FEATURES_ORACLE_SQL},
+tiles AS (
+  SELECT 7 AS z, {_sql_tile_x(7)} AS x, {_sql_tile_y(7)} AS y, COUNT(*) AS cnt
+  FROM features GROUP BY 1, 2, 3
+)
+SELECT z, x, COUNT(*) AS tile_count, SUM(cnt) AS feature_count
+FROM tiles GROUP BY z, x"""
+
+
+def q_tile_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full σ -> π -> γ at z=6 with the README style: tile keys + counts."""
+    feats = features_from_lineitem(spark, sf_dir)
+    assigned = assign_tiles(feats, zooms=[6])
+    kept = prune_props(filter_keep(assigned, README_STYLE), README_STYLE)
+    tiles = assemble_tiles(kept, feature_struct_cols=("feature_id", "doc_id",
+                                                      "geom_kind", "props"),
+                           include_spans=False)
+    return tiles.select("z", "x", "y", "layer", "feature_count")
+
+
+def sql_tile_assembly() -> str:
+    return f"""WITH {FEATURES_ORACLE_SQL}
+SELECT 6 AS z, {_sql_tile_x(6)} AS x, {_sql_tile_y(6)} AS y,
+       layer, COUNT(*) AS feature_count
+FROM features WHERE {_README_KEEP_SQL}
+GROUP BY 1, 2, 3, 4"""
+
+
+def q_window_renumber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile sequential feature renumbering (DownCopy.hs:77-81 analogue)."""
+    feats = _with_tiles(features_from_lineitem(spark, sf_dir), 5)
+    w = W.partitionBy("z", "x", "y", "layer").orderBy("feature_id")
+    return feats.select(
+        "feature_id",
+        F.row_number().over(w).alias("new_feature_id"),
+    )
+
+
+def sql_window_renumber() -> str:
+    return f"""WITH {FEATURES_ORACLE_SQL}
+SELECT feature_id,
+       ROW_NUMBER() OVER (
+         PARTITION BY {_sql_tile_x(5)}, {_sql_tile_y(5)}, layer
+         ORDER BY feature_id) AS new_feature_id
+FROM features"""
+
+
+def q_hash_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental tile diff: md5 per tile of current vs mutated-previous
+    corpus; emit changed tile keys (Md5Worker.hs:37-55 parity).
+
+    'Previous' mutates the payload of every 20th feature; changed set =
+    exactly the tiles containing a mutated feature.
+    """
+    feats = _with_tiles(features_from_lineitem(spark, sf_dir), 6)
+    payload_cur = F.concat_ws(":", F.col("doc_id"),
+                              F.coalesce(F.col("p_class"), F.lit("")))
+    payload_prev = F.when(
+        F.pmod(F.col("feature_id"), F.lit(20)) == 0,
+        F.concat_ws(":", F.col("doc_id"), F.lit("MUTATED")),
+    ).otherwise(payload_cur)
+
+    def tile_hash(payload):
+        return (
+            feats.select("z", "x", "y", payload.alias("p"))
+            .groupBy("z", "x", "y")
+            .agg(F.md5(F.array_join(F.array_sort(F.collect_list("p")), "|"))
+                 .alias("h"))
+        )
+
+    cur, prev = tile_hash(payload_cur), tile_hash(payload_prev).withColumnRenamed("h", "h_prev")
+    joined = cur.join(prev, ["z", "x", "y"], "left")
+    return joined.filter(
+        F.col("h_prev").isNull() | (F.col("h") != F.col("h_prev"))
+    ).select("z", "x", "y")
+
+
+def sql_hash_diff() -> str:
+    tile = f"SELECT 6 AS z, {_sql_tile_x(6)} AS x, {_sql_tile_y(6)} AS y, feature_id, doc_id, p_class FROM features"
+    return f"""WITH {FEATURES_ORACLE_SQL},
+t AS ({tile}),
+cur AS (
+  SELECT z, x, y,
+         MD5(STRING_AGG(doc_id || ':' || COALESCE(p_class, ''), '|'
+             ORDER BY doc_id || ':' || COALESCE(p_class, ''))) AS h
+  FROM t GROUP BY z, x, y
+),
+prev AS (
+  SELECT z, x, y,
+         MD5(STRING_AGG(CASE WHEN feature_id % 20 = 0
+                             THEN doc_id || ':MUTATED'
+                             ELSE doc_id || ':' || COALESCE(p_class, '') END, '|'
+             ORDER BY CASE WHEN feature_id % 20 = 0
+                             THEN doc_id || ':MUTATED'
+                             ELSE doc_id || ':' || COALESCE(p_class, '') END)) AS h_prev
+  FROM t GROUP BY z, x, y
+)
+SELECT cur.z, cur.x, cur.y FROM cur LEFT JOIN prev USING (z, x, y)
+WHERE prev.h_prev IS NULL OR cur.h <> prev.h_prev"""
+
+
+def q_prune_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata pruning: retained-key histogram after π (Filters.hs:74-82).
+
+    README style retains {class, brunnel} (filter) ∪ {name} (layout) —
+    rank/intermittent must be gone."""
+    feats = features_from_lineitem(spark, sf_dir).withColumn("z", F.lit(10))
+    kept = prune_props(filter_keep(feats, README_STYLE), README_STYLE)
+    return (
+        kept.select(F.explode(F.map_keys("props")).alias("key"))
+        .groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def sql_prune_keys() -> str:
+    return f"""WITH {FEATURES_ORACLE_SQL},
+kept AS (SELECT * FROM features WHERE {_README_KEEP_SQL})
+SELECT key, COUNT(*) AS n FROM (
+  SELECT 'class' AS key FROM kept WHERE p_class IS NOT NULL
+  UNION ALL
+  SELECT 'brunnel' AS key FROM kept WHERE p_brunnel IS NOT NULL
+) GROUP BY key"""
+
+
+# ---------------------------------------------------------------- registry
+
+QUERIES = {
+    "tile_assign": (q_tile_assign, sql_tile_assign),
+    "tile_assign_tms": (q_tile_assign_tms, sql_tile_assign_tms),
+    "style_filter_readme": (q_style_filter_readme, sql_style_filter_readme),
+    "style_filter_legacy": (q_style_filter_legacy, sql_style_filter_legacy),
+    "failure_any": (q_failure_any, sql_failure_any),
+    "failure_negation": (q_failure_negation, sql_failure_negation),
+    "zoom_gates": (q_zoom_gates, sql_zoom_gates),
+    "manifest_scan": (q_manifest_scan, sql_manifest_scan),
+    "tile_assembly": (q_tile_assembly, sql_tile_assembly),
+    "window_renumber": (q_window_renumber, sql_window_renumber),
+    "hash_diff": (q_hash_diff, sql_hash_diff),
+    "prune_keys": (q_prune_keys, sql_prune_keys),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
+
+
+def oracle_sql():
+    return {name: sql() for name, (_fn, sql) in QUERIES.items() if sql is not None}
