@@ -1,0 +1,135 @@
+"""Benchmark harness.
+
+Default: run the headline suite at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "throughput": {...}}
+
+--scaling: run the flagship job at two parallelism levels (local[8] vs
+local[32] by default) in separate spawned processes (a JVM's master can't be
+changed in-process) and report throughput at both + scaling efficiency
+(the sandbox stand-in for N->4N executors; BASELINE.md).  Results are also
+appended to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def headline_queries():
+    from mapbox_filter_spark import queries as q
+
+    names = [
+        "tile_assign", "style_filter_readme", "zoom_gates", "tile_assembly",
+        "window_renumber", "hash_diff",
+    ]
+    reg = q.queries()
+    return {n: reg[n] for n in names if n in reg}
+
+
+def run_suite(cores: int, sf_dir: str) -> dict:
+    from mapbox_filter_spark.session import build_session
+    from mapbox_filter_spark.plans.pipeline import run_filter_job_features
+    from mapbox_filter_spark.queries import README_STYLE
+    from mapbox_filter_spark.sources.features import features_from_lineitem
+
+    spark = build_session(cores=cores, app_name=f"bench-{cores}")
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footer cache once
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    for name, fn in headline_queries().items():
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship pipeline throughput: features/sec through σ->π->γ and tiles/sec
+    feats = features_from_lineitem(spark, sf_dir)
+    n_features = feats.count()
+    t0 = time.perf_counter()
+    tiles = run_filter_job_features(feats, README_STYLE, zooms=[4, 6, 8])
+    n_tiles = tiles.count()
+    flagship_sec = time.perf_counter() - t0
+    timings["flagship_pipeline"] = round(flagship_sec, 3)
+
+    spark.stop()
+    return {
+        "timings": timings,
+        "n_features": n_features,
+        "n_tiles": n_tiles,
+        "flagship_sec": flagship_sec,
+        "tiles_per_sec": round(n_tiles / flagship_sec, 1),
+        "features_per_sec": round(n_features * 3 / flagship_sec, 1),  # 3 zooms
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for c in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--single", str(c)],
+                capture_output=True, text=True,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+                check=True,
+            )
+            results[c] = json.loads(out.stdout.strip().splitlines()[-1])
+        t8 = results[8]["throughput"]["tiles_per_sec"]
+        t32 = results[32]["throughput"]["tiles_per_sec"]
+        eff = round((t32 / t8) / 4.0, 3)
+        report = {
+            "tiles_per_sec_8": t8, "tiles_per_sec_32": t32,
+            "features_per_sec_8": results[8]["throughput"]["features_per_sec"],
+            "features_per_sec_32": results[32]["throughput"]["features_per_sec"],
+            "scaling_efficiency": eff, "sf": sf,
+        }
+        print(json.dumps(report))
+        _append_baseline(report, results)
+        return
+
+    if "--single" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--single") + 1])
+
+    r = run_suite(cores, sf_dir)
+    total = round(sum(r["timings"].values()), 3)
+    print(json.dumps({
+        "metric": "headline suite wall time (style-filter + tiling ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": r["timings"],
+        "sf": float(sf),
+        "cores": cores,
+        "throughput": {
+            "tiles_per_sec": r["tiles_per_sec"],
+            "features_per_sec": r["features_per_sec"],
+            "n_tiles": r["n_tiles"],
+            "n_features": r["n_features"],
+        },
+    }))
+
+
+def _append_baseline(report: dict, results: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(
+            f"\n## scaling run sf={report['sf']}\n\n"
+            f"| cores | tiles/sec | features/sec |\n|---|---|---|\n"
+            f"| 8 | {report['tiles_per_sec_8']} | {report['features_per_sec_8']} |\n"
+            f"| 32 | {report['tiles_per_sec_32']} | {report['features_per_sec_32']} |\n\n"
+            f"scaling efficiency (T32/T8)/4 = **{report['scaling_efficiency']}** "
+            f"(target >= 0.8 per BASELINE.json)\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
