@@ -1,0 +1,143 @@
+"""k-nearest-neighbor search via cell-ring expansion.
+
+BASELINE.json graft operator ("cell-ring-expansion kNN"); no reference
+file:line — the reference's only spatial index is the tile grid itself,
+which is exactly what we expand over.
+
+Metric: Euclidean distance in the unit Mercator plane
+(mx = (lon+180)/360, my = mercator(lat) in [0,1]) — the same plane the tile
+grid is uniform in, which makes the ring-expansion bound exact:
+every point within distance d of a query lies within Chebyshev cell radius
+ceil(d * 2^z) + 1 of the query's cell.  (Documented engine metric; geodesic
+kNN would swap the distance expression only.)
+
+Algorithm (driver-side loop, each step one Spark job):
+1. r := 1; candidates := join(queries x k_ring(r) cells, points on cell).
+2. For queries with >= k candidates, d_k := k-th distance; the result is
+   CERTIFIED when ceil(d_k * n) <= r (no closer point can live outside the
+   searched rings).  Uncertified queries re-run with r' = max(needed).
+3. Terminates in O(log) rounds on any density; certified results equal the
+   brute-force top-k exactly (ties broken by point id).
+
+Scale: the per-round join explodes |queries| * (2r+1)^2 cell keys against a
+cell-bucketed points table — queries are the small side (broadcast); points
+never shuffle.  Brute force (the oracle) is a cross join — kept only for
+testing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..geo.tilemath import MERCATOR_MAX_LAT, cell_encode, k_ring_cells
+
+
+def mercator_xy(lon: Column, lat: Column) -> tuple[Column, Column]:
+    import math
+
+    mx = (lon + F.lit(180.0)) / F.lit(360.0)
+    latc = F.greatest(F.lit(-MERCATOR_MAX_LAT),
+                      F.least(lat, F.lit(MERCATOR_MAX_LAT)))
+    rad = F.radians(latc)
+    my = (F.lit(1.0) - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad))
+          / F.lit(math.pi)) / F.lit(2.0)
+    return mx, my
+
+
+def _dist(mx1: Column, my1: Column, mx2: Column, my2: Column) -> Column:
+    return F.sqrt(F.pow(mx1 - mx2, 2) + F.pow(my1 - my2, 2))
+
+
+def _prep(df: DataFrame, id_col: str, zoom: int, prefix: str) -> DataFrame:
+    mx, my = mercator_xy(F.col("lon"), F.col("lat"))
+    n = 1 << zoom
+    cell = cell_encode(
+        F.lit(zoom),
+        F.least(F.floor(mx * n).cast("long"), F.lit(n - 1)),
+        F.least(F.floor(my * n).cast("long"), F.lit(n - 1)),
+    )
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        mx.alias(f"{prefix}_mx"), my.alias(f"{prefix}_my"),
+        cell.alias(f"{prefix}_cell"),
+    )
+
+
+def knn_brute_force(
+    queries: DataFrame, points: DataFrame, k: int,
+    query_id: str = "query_id", point_id: str = "point_id",
+) -> DataFrame:
+    """Cross-join top-k (the small-scale oracle)."""
+    q = _prep(queries, query_id, 1, "q")
+    p = _prep(points, point_id, 1, "p")
+    d = _dist(F.col("q_mx"), F.col("q_my"), F.col("p_mx"), F.col("p_my"))
+    joined = q.crossJoin(p).withColumn("dist", d)
+    w = W.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("p_id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("q_id").alias(query_id), "rank",
+                F.col("p_id").alias(point_id),
+                F.round("dist", 9).alias("dist"))
+    )
+
+
+def knn_ring(
+    queries: DataFrame, points: DataFrame, k: int, zoom: int = 7,
+    query_id: str = "query_id", point_id: str = "point_id",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Certified ring-expansion kNN (see module docstring)."""
+    spark = queries.sparkSession
+    n = 1 << zoom
+    q_all = _prep(queries, query_id, zoom, "q").cache()
+    p = _prep(points, point_id, zoom, "p").cache()
+    p.count()
+
+    pending = q_all
+    results = None
+    r = 1
+    for _ in range(max_rounds):
+        cand_cells = pending.withColumn(
+            "cell", F.explode(k_ring_cells(F.col("q_cell"), r)))
+        d = _dist(F.col("q_mx"), F.col("q_my"), F.col("p_mx"), F.col("p_my"))
+        cand = (
+            F.broadcast(cand_cells)
+            .join(p, cand_cells["cell"] == p["p_cell"], "left")
+            .withColumn("dist", d)
+        )
+        w = W.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("p_id").asc())
+        topk = (
+            cand.filter(F.col("p_id").isNotNull())
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        # certification: k found and floor(d_k * n) + 1 <= r — a point at
+        # distance d can straddle at most floor(d*n)+1 cell boundaries
+        stats = topk.groupBy("q_id").agg(
+            F.count(F.lit(1)).alias("found"),
+            F.max("dist").alias("d_k"),
+        ).withColumn(
+            "certified",
+            (F.col("found") >= k) & (F.floor(F.col("d_k") * n) + 1 <= r),
+        )
+        done_ids = stats.filter("certified").select("q_id")
+        got = topk.join(F.broadcast(done_ids), "q_id", "left_semi").select(
+            "q_id", "rank", "p_id", F.round("dist", 9).alias("dist"))
+        results = got if results is None else results.unionByName(got)
+        pending = pending.join(F.broadcast(done_ids), "q_id", "left_anti")
+        if pending.isEmpty():
+            break
+        # next radius: enough to certify the worst pending query
+        need = stats.filter(~F.col("certified")).agg(
+            F.max(F.when(F.col("found") >= k,
+                         F.floor(F.col("d_k") * n) + 1).otherwise(r * 2))
+        ).collect()[0][0]
+        r = max(r + 1, int(need) if need is not None else r * 2)
+
+    assert results is not None
+    return results.select(
+        F.col("q_id").alias(query_id), "rank",
+        F.col("p_id").alias(point_id), "dist",
+    )

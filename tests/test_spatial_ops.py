@@ -1,0 +1,171 @@
+"""Spatial graft operators: down-copy, salted join, kNN, point-in-polygon."""
+
+import math
+import random
+
+from pyspark.sql import Row, functions as F
+
+from mapbox_filter_spark.geo.pip import point_in_polygon_join
+from mapbox_filter_spark.operators.downcopy import DownCopySpec, copy_down
+from mapbox_filter_spark.operators.joins import raster_vector_join, salted_join
+from mapbox_filter_spark.operators.knn import knn_brute_force, knn_ring
+
+FEATURE_COLS = "z int, x long, y long, layer string, feature_id long, geom_kind string, props map<string,string>"
+
+
+def feat(z, x, y, layer, fid, geom="LineString", **props):
+    return (z, x, y, layer, fid, geom, {k: str(v) for k, v in props.items()})
+
+
+README_SPEC = {
+    "dst-zoom": 8,
+    "source-layer": "waterway",
+    "filter": ["all",
+               ["==", ["geometry-type"], "LineString"],
+               ["!=", ["string", ["get", "class"]], "stream"],
+               ["match", ["string", ["get", "brunnel"], ""],
+                ["tunnel", "bridge"], False, True]],
+}
+
+
+def test_downcopy_fixture(spark):
+    """FIXTURES.md §E: parent at z=8 + 4 children at z=9."""
+    rows = [
+        # dst tile (8, 10, 20): one matching river (replaced), one stream
+        # (kept by neg filter), one missing-class (dropped by BOTH, failure)
+        feat(8, 10, 20, "waterway", 1, **{"class": "river"}),
+        feat(8, 10, 20, "waterway", 2, **{"class": "stream"}),
+        feat(8, 10, 20, "waterway", 3),
+        # a non-spec layer at dst: kept untouched
+        feat(8, 10, 20, "landuse", 4, **{"class": "lake"}),
+        # children (z=9): (2x+bx, 2y+by)
+        feat(9, 20, 40, "waterway", 11, **{"class": "river"}),      # q (0,0)
+        feat(9, 20, 41, "waterway", 12, **{"class": "stream"}),     # q (0,1) filtered out
+        feat(9, 21, 40, "waterway", 13, **{"class": "river", "brunnel": "ford"}),  # q(1,0)
+        feat(9, 21, 41, "waterway", 14, **{"class": "river", "brunnel": "tunnel"}),  # q(1,1) filtered out
+        # child non-spec layer: dropped (simpleFilter default-False)
+        feat(9, 20, 40, "landuse", 15, **{"class": "lake"}),
+        # unrelated tile at another zoom: passthrough
+        feat(5, 1, 1, "waterway", 21, **{"class": "river"}),
+    ]
+    df = spark.createDataFrame(rows, FEATURE_COLS)
+    out = copy_down(df, DownCopySpec.from_json(README_SPEC)).cache()
+
+    dst = out.filter("z = 8 AND x = 10 AND y = 20").collect()
+    water = sorted(
+        [(r["feature_id"], r["new_feature_id"], r["quadrant"])
+         for r in dst if r["layer"] == "waterway"]
+    )
+    # kept: stream (neg filter), then child 11 at (bx,by)=(0,0) -> quadrant
+    # code 0, child 13 at (1,0) -> code 2; renumbered 1..3 in (dst-first,
+    # quadrant-order): stream=1, 11->2, 13->3 (DownCopy.hs:77-81)
+    assert water == [(2, 1, 0), (11, 2, 0), (13, 3, 2)]
+    # non-spec layer at dst untouched, NOT renumbered (no child contribution)
+    land = [(r["feature_id"], r["new_feature_id"]) for r in dst if r["layer"] == "landuse"]
+    assert land == [(4, 4)]
+    # child landuse dropped; z=9 rows gone entirely from spec layer
+    assert out.filter("z = 9").count() == 0
+    # passthrough untouched
+    assert out.filter("z = 5").count() == 1
+
+
+def test_downcopy_none_spec(spark):
+    df = spark.createDataFrame([feat(8, 1, 1, "waterway", 7, **{"class": "x"})],
+                               FEATURE_COLS)
+    out = copy_down(df, None).collect()
+    assert out[0]["new_feature_id"] == 7
+
+
+def test_salted_join_matches_plain(spark):
+    """Hot-cell skew fixture (FIXTURES.md §F): 90% of probe rows in 3 keys."""
+    rng = random.Random(7)
+    probe_rows = []
+    for i in range(5000):
+        key = rng.choice([100, 101, 102]) if rng.random() < 0.9 else rng.randrange(1000)
+        probe_rows.append((i, key))
+    probe = spark.createDataFrame(probe_rows, "id long, cell long")
+    build = spark.createDataFrame(
+        [(c, f"dim-{c}") for c in range(1000)], "cell long, dim string")
+
+    plain = probe.join(build, "cell").select("id", "cell", "dim")
+    salted = salted_join(probe, build, "cell", n_salts=4, hot_threshold=500
+                         ).select("id", "cell", "dim")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # explicit hot list path too
+    salted2 = salted_join(probe, build, "cell", n_salts=4, hot=[100, 101, 102]
+                          ).select("id", "cell", "dim")
+    assert plain.count() == salted2.count()
+
+
+def test_raster_vector_join(spark):
+    feats = spark.createDataFrame(
+        [(1, 10.05, 45.05), (2, 10.05, 45.05), (3, -170.0, -80.0)],
+        "feature_id long, lon double, lat double")
+    from mapbox_filter_spark.geo.tilemath import tile_cols
+    # build raster tiles covering the first two features at z=6
+    zz = 6
+    base = feats.select(
+        tile_cols(F.col("lon"), F.col("lat"), F.lit(zz))[0].alias("x"),
+        tile_cols(F.col("lon"), F.col("lat"), F.lit(zz))[1].alias("y"),
+    ).limit(1).collect()[0]
+    raster = spark.createDataFrame(
+        [(zz, base["x"], base["y"], 3.5)], "z int, x long, y long, band_mean double")
+    out = raster_vector_join(feats, raster, zoom=zz)
+    got = {r["feature_id"]: r["band_mean"] for r in out.collect()}
+    assert got[1] == 3.5 and got[2] == 3.5 and got[3] is None
+    # salted variant identical
+    out2 = raster_vector_join(feats, raster, zoom=zz, broadcast_raster=False,
+                              n_salts=4, hot=[])
+    got2 = {r["feature_id"]: r["band_mean"] for r in out2.collect()}
+    assert got == got2
+
+
+def test_knn_ring_matches_brute(spark):
+    """kNN fixture (FIXTURES.md §F): 1k points, 50 queries, k=5."""
+    rng = random.Random(11)
+    pts = [(i, rng.uniform(-30, 30), rng.uniform(-20, 20)) for i in range(1000)]
+    qs = [(i, rng.uniform(-30, 30), rng.uniform(-20, 20)) for i in range(50)]
+    points = spark.createDataFrame(pts, "point_id long, lon double, lat double")
+    queries = spark.createDataFrame(qs, "query_id long, lon double, lat double")
+
+    brute = knn_brute_force(queries, points, k=5)
+    ring = knn_ring(queries, points, k=5, zoom=7)
+    b = sorted(map(tuple, brute.collect()))
+    r = sorted(map(tuple, ring.collect()))
+    assert len(r) == 50 * 5
+    assert b == r
+
+
+def test_point_in_polygon(spark):
+    """PIP vs a pure-python even-odd reference on convex + concave rings."""
+    # concave "L" polygon and a triangle
+    polys = [
+        ("L", [(0.0, 0.0), (4.0, 0.0), (4.0, 1.0), (1.0, 1.0), (1.0, 4.0), (0.0, 4.0)]),
+        ("tri", [(10.0, 10.0), (14.0, 10.0), (12.0, 13.0)]),
+    ]
+    polys_df = spark.createDataFrame(
+        [(pid, [{"lon": x, "lat": y} for x, y in ring]) for pid, ring in polys],
+        "poly_id string, ring array<struct<lon double, lat double>>")
+    rng = random.Random(3)
+    pts = [(i, rng.uniform(-1, 15), rng.uniform(-1, 15)) for i in range(500)]
+    points = spark.createDataFrame(pts, "pid long, lon double, lat double")
+
+    def py_pip(x, y, ring):
+        inside = False
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[i - 1]
+            if (y1 > y) != (y2 > y) and x < (x2 - x1) * (y - y1) / (y2 - y1) + x1:
+                inside = not inside
+        return inside
+
+    expect = set()
+    for i, x, y in pts:
+        for pid, ring in polys:
+            if py_pip(x, y, ring):
+                expect.add((i, pid))
+    got = {(r["pid"], r["poly_id"])
+           for r in point_in_polygon_join(points, polys_df, zoom=10).collect()}
+    assert got == expect
+    assert expect, "fixture degenerate: no points inside"
