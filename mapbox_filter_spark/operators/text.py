@@ -1,0 +1,135 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Column expressions (regex + array folds) — SQL-mirrorable for the
+DuckDB oracle and codegen'd on the executor; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets (n-gram heuristic: function words
+# are the highest-frequency discriminators between European languages)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "that"),
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "que"),
+    "es": ("el", "los", "las", "es", "una", "que"),
+}
+
+_WORD_SPLIT = r"\s+"
+# BPE-ish token regex: words, numbers, or single non-space symbols
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _words(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), _WORD_SPLIT), lambda w: w != "")
+
+
+def lang_scores(col: Column) -> Column:
+    """map<string,int>: stopword hit count per candidate language."""
+    words = _words(col)
+    return F.map_from_arrays(
+        F.array(*[F.lit(l) for l in LANG_MARKERS]),
+        F.array(*[
+            F.size(F.filter(words, lambda w: w.isin(*marks)))
+            for marks in LANG_MARKERS.values()
+        ]),
+    )
+
+
+def lang_id(col: Column, min_hits: int = 1) -> Column:
+    """Best-scoring language code, 'und' when nothing scores >= min_hits.
+
+    Ties break by the fixed language order (en, de, fr, es) — deterministic.
+    """
+    words = _words(col)
+    best = F.lit("und")
+    best_score = F.lit(min_hits - 1)
+    for lang, marks in LANG_MARKERS.items():
+        score = F.size(F.filter(words, lambda w: w.isin(*marks)))
+        better = score > best_score
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best
+
+
+def token_count(col: Column, mode: str = "whitespace") -> Column:
+    """Token count: 'whitespace' split or 'bpe' (regex symbol-aware)."""
+    if mode == "whitespace":
+        return F.size(_words(col))
+    if mode == "bpe":
+        return F.size(
+            F.filter(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0),
+                     lambda t: t != ""))
+    raise ValueError(mode)
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality signals."""
+    n_chars = F.length(col)
+    words = _words(col)
+    n_words = F.size(words)
+    all_stop = [w for marks in LANG_MARKERS.values() for w in marks]
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*all_stop)))
+    n_punct = F.size(
+        F.filter(F.split(col, ""), lambda c: c.isin(".", ",", "!", "?", ";", ":")))
+    n_upper = F.length(F.regexp_replace(col, r"[^A-Z]", ""))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.when(
+            n_words > 0,
+            F.round((n_chars - n_words + 1) / n_words, 6)).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(
+            n_words > 0, F.round(n_stop / n_words, 6)).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(
+            n_chars > 0, F.round(n_punct / n_chars, 6)).otherwise(F.lit(0.0)),
+        "upper_ratio": F.when(
+            n_chars > 0, F.round(n_upper / n_chars, 6)).otherwise(F.lit(0.0)),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards stopword presence and
+    moderate length; penalizes punctuation soup and shouting."""
+    f = quality_features(col)
+    length_ok = F.when(
+        (f["n_words"] >= 5) & (f["n_words"] <= 100000), F.lit(0.25)
+    ).otherwise(F.lit(0.0))
+    stop_ok = F.least(f["stopword_ratio"] * 2.5, F.lit(0.25))
+    punct_ok = F.when(f["punct_ratio"] <= 0.1, F.lit(0.25)).otherwise(
+        F.greatest(F.lit(0.25) - (f["punct_ratio"] - 0.1), F.lit(0.0)))
+    upper_ok = F.when(f["upper_ratio"] <= 0.3, F.lit(0.25)).otherwise(F.lit(0.0))
+    return F.round(length_ok + stop_ok + punct_ok + upper_ok, 6)
+
+
+def doc_fingerprint(col: Column, prime: int = 1_000_003) -> Column:
+    """Order-sensitive polynomial rolling hash over words:
+    fp = fold(acc * prime + h31(word)) mod 2^31.
+
+    The 31-bit modulus keeps ``acc * prime`` below 2^52 (no ANSI long
+    overflow, exact in the DuckDB oracle's BIGINT too)."""
+    mod = F.lit(1 << 31).cast("long")
+    words = _words(col)
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(
+            F.pmod(acc * prime, mod) + F.pmod(F.xxhash64(w), mod), mod),
+    )
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach all text-analysis columns at once."""
+    c = F.col(text_col)
+    out = df.withColumn("lang_pred", lang_id(c)) \
+            .withColumn("tokens_ws", token_count(c, "whitespace")) \
+            .withColumn("tokens_bpe", token_count(c, "bpe")) \
+            .withColumn("quality", quality_score(c)) \
+            .withColumn("fingerprint", doc_fingerprint(c))
+    for name, col in quality_features(c).items():
+        out = out.withColumn(name, col)
+    return out
