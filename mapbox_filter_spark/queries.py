@@ -352,9 +352,16 @@ QUERIES = {
 }
 
 
+def _all_queries():
+    from .queries_ext import EXT_QUERIES
+
+    return {**QUERIES, **EXT_QUERIES}
+
+
 def queries():
-    return {name: fn for name, (fn, _sql) in QUERIES.items()}
+    return {name: fn for name, (fn, _sql) in _all_queries().items()}
 
 
 def oracle_sql():
-    return {name: sql() for name, (_fn, sql) in QUERIES.items() if sql is not None}
+    return {name: sql() for name, (_fn, sql) in _all_queries().items()
+            if sql is not None}

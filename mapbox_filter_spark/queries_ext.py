@@ -1,0 +1,466 @@
+"""Extended operator queries: spatial joins, kNN, down-copy, dedup, text
+analysis, similarity — with DuckDB oracles (see queries.py preamble).
+
+Derivation inputs: lineitem-based features (shared CTE) + the driver's
+documents/embeddings tables directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .geo.pip import point_in_polygon_join
+from .operators import dedup, text
+from .operators.downcopy import DownCopySpec, copy_down
+from .operators.joins import raster_vector_join
+from .operators.knn import knn_brute_force, knn_ring
+from .operators.similarity import cosine_topk
+from .queries import _sql_tile_x, _sql_tile_y, _README_KEEP_SQL, README_STYLE
+from .sources.features import FEATURES_ORACLE_SQL, features_from_lineitem
+
+# ------------------------------------------------------------------ dedup
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.dedup_exact(docs).select("doc_id", "content_hash")
+
+
+def sql_dedup_exact() -> str:
+    return """
+WITH normed AS (
+  SELECT doc_id,
+         MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS content_hash
+  FROM documents
+)
+SELECT doc_id, content_hash FROM (
+  SELECT doc_id, content_hash,
+         ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+  FROM normed
+) WHERE rn = 1"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    pairs = dedup.dedup_ngram_jaccard(docs, shingle_n=2, threshold=0.3)
+    return pairs.select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+
+
+def sql_ngram_jaccard() -> str:
+    # 2-gram shingles + first-token blocking, exact jaccard via list ops
+    return """
+WITH lim AS (SELECT * FROM documents ORDER BY doc_id LIMIT 300),
+base AS (
+  SELECT doc_id AS id,
+         list_filter(REGEXP_SPLIT_TO_ARRAY(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS words
+  FROM lim
+),
+sh AS (
+  SELECT id, words[1] AS blk,
+         list_distinct([words[i] || ' ' || words[i+1]
+                        FOR i IN RANGE(1, GREATEST(LEN(words) - 1, 1) + 1)]) AS shingles
+  FROM base
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       ROUND(CAST(LEN(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / LEN(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard_sim
+FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+WHERE CAST(LEN(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      / LEN(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.3"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (rows-only check: xxhash64 has no DuckDB
+    equivalent; exactness covered by tests/test_dataops.py recall fixture)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(500)
+    return dedup.dedup_minhash_lsh(docs, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only: same xxhash64 caveat)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(500)
+    return dedup.dedup_simhash(docs, max_hamming=8).select(
+        "id_a", "id_b", "hamming")
+
+
+# ------------------------------------------------------------- text ops
+
+
+_STOP_SQL = {
+    "en": "['the','and','of','to','is','that']",
+    "de": "['der','die','und','das','ist','nicht']",
+    "fr": "['le','la','les','et','est','que']",
+    "es": "['el','los','las','es','una','que']",
+}
+
+_WORDS_SQL = ("list_filter(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '\\s+'), "
+              "x -> x <> '')")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def sql_lang_id() -> str:
+    scores = ",\n         ".join(
+        f"LEN(list_filter({_WORDS_SQL}, x -> list_contains({arr}, x))) AS s_{l}"
+        for l, arr in _STOP_SQL.items()
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         {scores}
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) < 1 THEN 'und'
+            WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = GREATEST(s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = GREATEST(s_fr, s_es) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM scored"""
+
+
+def q_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = F.col("text")
+    feats = text.quality_features(c)
+    return docs.select(
+        "doc_id",
+        text.token_count(c, "whitespace").alias("tokens_ws"),
+        feats["n_chars"].alias("n_chars"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+    )
+
+
+def sql_token_quality() -> str:
+    all_stop = "[" + ",".join(
+        s for arr in _STOP_SQL.values() for s in arr.strip("[]").split(",")
+    ) + "]"
+    return f"""
+SELECT doc_id,
+       LEN({_WORDS_SQL}) AS tokens_ws,
+       LENGTH(text) AS n_chars,
+       CASE WHEN LEN({_WORDS_SQL}) > 0
+            THEN ROUND(CAST(LEN(list_filter({_WORDS_SQL},
+                  x -> list_contains({all_stop}, x))) AS DOUBLE)
+                 / LEN({_WORDS_SQL}), 6)
+            ELSE 0.0 END AS stopword_ratio,
+       CASE WHEN LENGTH(text) > 0
+            THEN ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                 / LENGTH(text), 6)
+            ELSE 0.0 END AS punct_ratio
+FROM documents"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprints (rows-only: xxhash64 word hashes)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id",
+                       text.doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ------------------------------------------------------- similarity / kNN
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return cosine_topk(queries, emb, k=5)
+
+
+def sql_cosine_topk() -> str:
+    return """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) DESC,
+                    e.vec_id) AS rank
+  FROM q CROSS JOIN embeddings e
+)
+SELECT query_id, rank, vec_id, sim FROM sims WHERE rank <= 5"""
+
+
+_MERC_Y = ("((1.0 - LN(TAN(RADIANS(GREATEST(-85.05112878, LEAST(lat, 85.05112878))))"
+           " + 1.0 / COS(RADIANS(GREATEST(-85.05112878, LEAST(lat, 85.05112878)))))"
+           " / PI()) / 2.0)")
+_MERC_X = "((lon + 180.0) / 360.0)"
+
+
+def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = features_from_lineitem(spark, sf_dir)
+    points = feats.select(F.col("feature_id").alias("point_id"), "lon", "lat")
+    queries = (feats.filter(F.pmod(F.col("feature_id"), F.lit(997)) == 0)
+               .select(F.col("feature_id").alias("query_id"), "lon", "lat"))
+    return knn_ring(queries, points, k=5, zoom=6)
+
+
+def sql_knn_ring() -> str:
+    return f"""WITH {FEATURES_ORACLE_SQL},
+p AS (SELECT feature_id AS point_id, {_MERC_X} AS px, {_MERC_Y} AS py FROM features),
+q AS (SELECT feature_id AS query_id, {_MERC_X} AS qx, {_MERC_Y} AS qy
+      FROM features WHERE feature_id % 997 = 0),
+d AS (
+  SELECT q.query_id, p.point_id,
+         SQRT(POW(qx - px, 2) + POW(qy - py, 2)) AS rawd,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+                            ORDER BY SQRT(POW(qx - px, 2) + POW(qy - py, 2)),
+                                     p.point_id) AS rank
+  FROM q CROSS JOIN p
+)
+SELECT query_id, rank, point_id, ROUND(rawd, 9) AS dist FROM d WHERE rank <= 5"""
+
+
+# --------------------------------------------------------- spatial joins
+
+
+def _rect_polys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30 axis-aligned rectangles derived from the part table; corners offset
+    by 0.0005 so no 3-decimal-grid feature sits exactly on a boundary."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_partkey") <= 30)
+    x0 = (F.pmod(F.col("p_partkey") * 7013, F.lit(340)) - 170 + 0.0005).cast("double")
+    y0 = (F.pmod(F.col("p_partkey") * 3571, F.lit(150)) - 75 + 0.0005).cast("double")
+    w_ = (F.pmod(F.col("p_partkey") * 37, F.lit(20)) + 2).cast("double")
+    h_ = (F.pmod(F.col("p_partkey") * 53, F.lit(14)) + 2).cast("double")
+    ring = F.array(
+        F.struct(x0.alias("lon"), y0.alias("lat")),
+        F.struct((x0 + w_).alias("lon"), y0.alias("lat")),
+        F.struct((x0 + w_).alias("lon"), (y0 + h_).alias("lat")),
+        F.struct(x0.alias("lon"), (y0 + h_).alias("lat")),
+    )
+    return part.select(F.col("p_partkey").cast("string").alias("poly_id"),
+                       ring.alias("ring"))
+
+
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = features_from_lineitem(spark, sf_dir).select("feature_id", "lon", "lat")
+    polys = _rect_polys(spark, sf_dir)
+    return point_in_polygon_join(feats, polys, zoom=6).select(
+        "feature_id", "poly_id")
+
+
+def sql_pip_join() -> str:
+    return f"""WITH {FEATURES_ORACLE_SQL},
+polys AS (
+  SELECT CAST(p_partkey AS VARCHAR) AS poly_id,
+         (p_partkey * 7013) % 340 - 170 + 0.0005 AS x0,
+         (p_partkey * 3571) % 150 - 75 + 0.0005 AS y0,
+         (p_partkey * 37) % 20 + 2 AS w,
+         (p_partkey * 53) % 14 + 2 AS h
+  FROM part WHERE p_partkey <= 30
+)
+SELECT f.feature_id, p.poly_id
+FROM features f JOIN polys p
+  ON f.lon > p.x0 AND f.lon < p.x0 + p.w
+ AND f.lat > p.y0 AND f.lat < p.y0 + p.h"""
+
+
+def q_raster_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raster<->vector broadcast join: synthetic per-cell band stats derived
+    from supplier, joined to features at z=5."""
+    feats = features_from_lineitem(spark, sf_dir)
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = 1 << 5
+    raster = supp.select(
+        F.lit(5).alias("z"),
+        F.pmod(F.col("s_suppkey") * 13, F.lit(n)).cast("long").alias("x"),
+        F.pmod(F.col("s_suppkey") * 29, F.lit(n)).cast("long").alias("y"),
+        F.pmod(F.col("s_suppkey"), F.lit(1000)).alias("band"),
+    ).groupBy("z", "x", "y").agg(F.max("band").alias("band_max"))
+    out = raster_vector_join(feats, raster, zoom=5)
+    return out.groupBy("band_max").agg(F.count(F.lit(1)).alias("n"))
+
+
+def sql_raster_join() -> str:
+    n = 1 << 5
+    return f"""WITH {FEATURES_ORACLE_SQL},
+raster AS (
+  SELECT (s_suppkey * 13) % {n} AS x, (s_suppkey * 29) % {n} AS y,
+         MAX(s_suppkey % 1000) AS band_max
+  FROM supplier GROUP BY 1, 2
+),
+j AS (
+  SELECT r.band_max
+  FROM features f LEFT JOIN raster r
+    ON {_sql_tile_x(5)} = r.x AND {_sql_tile_y(5)} = r.y
+)
+SELECT band_max, COUNT(*) AS n FROM j GROUP BY band_max"""
+
+
+# ------------------------------------------------------------- down-copy
+
+_DOWNCOPY_SPEC = {
+    "dst-zoom": 8,
+    "source-layer": "waterway",
+    "filter": ["all",
+               ["==", ["geometry-type"], "LineString"],
+               ["!=", ["string", ["get", "class"]], "stream"],
+               ["match", ["string", ["get", "brunnel"], ""],
+                ["tunnel", "bridge"], False, True]],
+}
+
+
+def q_downcopy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.assemble import assign_tiles
+
+    feats = features_from_lineitem(spark, sf_dir)
+    assigned = assign_tiles(feats, zooms=[8, 9]).select(
+        "z", "x", "y", "layer", "feature_id", "geom_kind", "props",
+        "p_class", "p_brunnel")
+    out = copy_down(assigned, DownCopySpec.from_json(_DOWNCOPY_SPEC))
+    return out.filter(F.col("z") == 8).select(
+        "z", "x", "y", "layer", "feature_id", "new_feature_id", "quadrant")
+
+
+def sql_downcopy() -> str:
+    keep = ("geom_kind = 'LineString' AND p_class IS NOT NULL AND "
+            "p_class <> 'stream' AND COALESCE(p_brunnel,'') NOT IN ('tunnel','bridge')")
+    # neg filter: FALSE (not failed): class present AND NOT keep-body
+    neg = f"p_class IS NOT NULL AND NOT ({keep})"
+    return f"""WITH {FEATURES_ORACLE_SQL},
+t8 AS (SELECT 8 AS z, {_sql_tile_x(8)} AS x, {_sql_tile_y(8)} AS y,
+              layer, feature_id, geom_kind, p_class, p_brunnel FROM features),
+t9 AS (SELECT 9 AS z, {_sql_tile_x(9)} AS x, {_sql_tile_y(9)} AS y,
+              layer, feature_id, geom_kind, p_class, p_brunnel FROM features),
+dst AS (
+  SELECT z, x, y, layer, feature_id, geom_kind, 0 AS rank, 0 AS quadrant
+  FROM t8 WHERE layer <> 'waterway' OR ({neg})
+),
+child AS (
+  SELECT 8 AS z, x // 2 AS x, y // 2 AS y, layer, feature_id, geom_kind,
+         2 * (x % 2) + (y % 2) + 1 AS rank, 2 * (x % 2) + (y % 2) AS quadrant
+  FROM t9 WHERE layer = 'waterway' AND ({keep})
+),
+merged AS (SELECT * FROM dst UNION ALL SELECT * FROM child)
+SELECT z, x, y, layer, feature_id,
+       CASE WHEN MAX(rank) OVER (PARTITION BY z, x, y, layer, geom_kind) > 0
+            THEN ROW_NUMBER() OVER (PARTITION BY z, x, y, layer, geom_kind
+                                    ORDER BY rank, feature_id)
+            ELSE feature_id END AS new_feature_id,
+       quadrant
+FROM merged"""
+
+
+# ------------------------------------------------- relational breadth
+
+
+def q_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregate (sum/avg/count over two group keys)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def sql_agg_pricing() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(),
+                                            F.col("event_id").asc())
+    return (ev.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("event_type", "rk", "event_id"))
+
+
+def sql_topk_events() -> str:
+    return """
+SELECT event_type, rk, event_id FROM (
+  SELECT event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rk
+  FROM events
+) WHERE rk <= 3"""
+
+
+def q_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim-chain join: lineitem -> orders -> customer -> nation."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    j = (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(na), c.c_nationkey == na.n_nationkey))
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("volume"))
+
+
+def sql_join_chain() -> str:
+    return """
+SELECT n_name, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name"""
+
+
+def q_media_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.media import media_ref_kind
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = F.concat(
+        F.lit("media://blob/"), F.col("doc_id").cast("string"),
+        F.element_at(F.array(F.lit(".jpg"), F.lit(".mp4"), F.lit(".mp3"),
+                             F.lit(".bin")),
+                     (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int")),
+    )
+    return (docs.select(media_ref_kind(ref).alias("kind"))
+            .groupBy("kind").agg(F.count(F.lit(1)).alias("n")))
+
+
+def sql_media_kind() -> str:
+    return """
+SELECT CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
+                       WHEN 2 THEN 'audio' ELSE 'unknown' END AS kind,
+       COUNT(*) AS n
+FROM documents GROUP BY 1"""
+
+
+EXT_QUERIES = {
+    "dedup_exact": (q_dedup_exact, sql_dedup_exact),
+    "dedup_ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard),
+    "dedup_minhash_lsh": (q_minhash_lsh, None),   # rows-only (xxhash64)
+    "dedup_simhash": (q_simhash, None),           # rows-only (xxhash64)
+    "lang_id": (q_lang_id, sql_lang_id),
+    "token_quality": (q_token_quality, sql_token_quality),
+    "doc_fingerprint": (q_fingerprint, None),     # rows-only (xxhash64)
+    "cosine_topk": (q_cosine_topk, sql_cosine_topk),
+    "knn_ring": (q_knn_ring, sql_knn_ring),
+    "pip_join": (q_pip_join, sql_pip_join),
+    "raster_join": (q_raster_join, sql_raster_join),
+    "downcopy": (q_downcopy, sql_downcopy),
+    "agg_pricing": (q_agg_pricing, sql_agg_pricing),
+    "topk_events": (q_topk_events, sql_topk_events),
+    "join_chain": (q_join_chain, sql_join_chain),
+    "media_kind": (q_media_kind, sql_media_kind),
+}
