@@ -1,0 +1,122 @@
+"""Structured Streaming surfaces.
+
+The reference is a batch pipeline — its "incremental" is hash-diffed batch
+re-runs (SURVEY.md §1.4) — so no streaming is REQUIRED for parity.  These
+operators are the engine's forward-looking ingest path:
+
+- ``incremental_tile_stream``: documents arriving as parquet files ->
+  per-micro-batch σ→π→γ tiling -> hash-diff against the tile store ->
+  publish only new/changed tiles.  ``foreachBatch`` gives exactly-once
+  batch semantics per epoch (checkpointLocation tracks consumed files), and
+  reuses the BATCH operators verbatim — one pipeline definition, two
+  execution modes.
+- ``windowed_event_counts``: watermarked sliding-window aggregation over an
+  event stream (late data bounded by the watermark) — the standard
+  streaming-agg shape on the driver ``events`` table schema.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOCS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("part_id", T.IntegerType()),
+    T.StructField("spans", T.ArrayType(T.StructType([
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+    ]))),
+])
+
+
+def incremental_tile_stream(
+    spark: SparkSession,
+    in_dir: str,
+    store_dir: str,
+    style,
+    zooms: Sequence[int],
+    checkpoint_dir: str,
+    on_batch: Optional[Callable[[DataFrame, int, int], None]] = None,
+):
+    """Stream documents (parquet file source) into an incrementally
+    maintained tile store.
+
+    Per micro-batch: tile the batch docs, diff against stored hashes, write
+    only new/changed tiles into ``store_dir/batches/<epoch>`` and update the
+    hash table.  ``on_batch(changed_df, epoch, n_changed)`` is the publish
+    hook (S3 put / fs write).  Returns the StreamingQuery (caller stops it).
+    """
+    from ..operators.incremental import (
+        changed_only, default_tile_payload, tile_content_hash)
+    from ..plans.pipeline import run_filter_job
+
+    hash_dir = os.path.join(store_dir, "_hashes")
+
+    def process(batch_docs: DataFrame, epoch: int) -> None:
+        if batch_docs.isEmpty():
+            return
+        tiles = run_filter_job(batch_docs, style, zooms).cache()
+        hashes = tile_content_hash(tiles, default_tile_payload())
+        prev = None
+        if os.path.exists(hash_dir):
+            prev = spark.read.parquet(hash_dir)
+        changed = changed_only(hashes, prev).select("z", "x", "y", "layer")
+        out = tiles.join(changed, ["z", "x", "y", "layer"], "left_semi")
+        n = out.count()
+        out.write.mode("overwrite").parquet(
+            os.path.join(store_dir, "batches", f"epoch={epoch}"))
+        # upsert hash table: previous minus batch keys, plus new hashes
+        if prev is not None:
+            keep = prev.join(hashes.select("z", "x", "y", "layer"),
+                             ["z", "x", "y", "layer"], "left_anti")
+            new_hashes = keep.unionByName(hashes)
+        else:
+            new_hashes = hashes
+        tmp = hash_dir + ".tmp"
+        new_hashes.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(hash_dir)
+        if on_batch is not None:
+            on_batch(out, epoch, n)
+        tiles.unpersist()
+
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(in_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts per event_type.
+
+    Works on both a batch DataFrame and a stream (same expression)."""
+    # event-time watermarks require TIMESTAMP (not NTZ); session TZ is UTC
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type", "n", F.round("total", 4).alias("total"),
+        )
+    )
