@@ -1,0 +1,91 @@
+"""Driver-side unit tests (no Spark needed for most): scraping, legacy
+converter, style model, serve path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapbox_filter_spark.style.legacy import LegacyConvertError, convert_legacy_filter
+from mapbox_filter_spark.style.model import load_style
+from mapbox_filter_spark.style.scrape import (
+    ScrapeError, deinterpolate, scrape_layer_attrs,
+)
+
+
+def test_deinterpolate_quirks():
+    # Style.hs:64-69 incl. the unterminated-brace quirk
+    assert deinterpolate("{name}") == {"name"}
+    assert deinterpolate("a {x} b {y} c") == {"x", "y"}
+    assert deinterpolate("no braces") == set()
+    assert deinterpolate("tail {unterminated") == {"unterminated"}
+    assert deinterpolate("{}") == {""}
+    assert deinterpolate("{a}{b}") == {"a", "b"}
+
+
+def test_scrape_layer():
+    disp, filt = scrape_layer_attrs({
+        "paint": {"line-color": "#00f", "line-opacity": {"property": "op", "stops": []}},
+        "layout": {"text-field": "{name} ({ele}m)"},
+        "filter": ["all", ["has", "cls"], ["==", ["get", "kind"], "x"]],
+    })
+    assert disp == {"op", "name", "ele"}
+    assert filt == {"cls", "kind"}
+
+
+def test_scrape_rejects_computed_get():
+    with pytest.raises(ScrapeError):
+        scrape_layer_attrs({"filter": ["has", ["to-string", 1]]})
+
+
+def test_legacy_all_forms():
+    c = convert_legacy_filter
+    assert c(["has", "k"]) == ["has", "k"]
+    assert c(["!has", "k"]) == ["!", ["has", "k"]]
+    assert c(["==", "k", "v"]) == ["==", ["string", ["get", "k"]], "v"]
+    assert c(["<=", "k", 5]) == ["<=", ["number", ["get", "k"]], 5]
+    assert c(["==", "$type", "Point"]) == ["==", ["string", ["geometry-type"]], "Point"]
+    assert c(["==", "$id", "7"]) == ["==", ["string", ["id"]], "7"]
+    assert c(["none", ["has", "a"], ["has", "b"]]) == [
+        "all", ["!", ["has", "a"]], ["!", ["has", "b"]]]
+    assert c(["in", "k", "a", "b"]) == [
+        "match", ["string", ["get", "k"], ""], ["a", "b"], True, False]
+    assert c(["!in", "k", "a"]) == [
+        "match", ["string", ["get", "k"], ""], ["a"], False, True]
+    assert c(["any", ["has", "x"]]) == ["any", ["has", "x"]]
+    with pytest.raises(LegacyConvertError):
+        c(["bogus", "k"])
+    with pytest.raises(LegacyConvertError):
+        c("not-a-filter")
+
+
+def test_style_merge_and_clamp():
+    s1 = load_style({"layers": [
+        {"id": "a", "type": "line", "source": "s", "source-layer": "l1",
+         "minzoom": 14}]})
+    s2 = load_style({"layers": [
+        {"id": "b", "type": "raster", "source": "r"},
+        {"id": "c", "type": "background"}]})
+    m = s1.merge(s2)
+    assert len(m.vector_layers) == 1 and m.n_raster == 1 and m.n_background == 1
+    clamped = m.clamp_min_zoom(10)  # Main.hs:247-259
+    assert clamped.vector_layers[0].min_zoom == 10
+    assert clamped.vector_layers[0].accepts_zoom(10)
+
+
+def test_serve_path(spark):
+    from mapbox_filter_spark.operators.assemble import assign_tiles
+    from mapbox_filter_spark.plans.serve import lookup_tile, serve_tile
+    from mapbox_filter_spark.sources.documents import explode_documents, synth_documents
+
+    style = load_style({"layers": [
+        {"id": "w", "type": "line", "source": "s", "source-layer": "waterway",
+         "filter": ["has", "class"]}]})
+    feats = assign_tiles(explode_documents(synth_documents(spark, 150)), [5]).cache()
+    some = feats.filter(F.col("layer") == "waterway").first()
+    z, x, y = some["z"], some["x"], some["y"]
+
+    raw = lookup_tile(feats, z, x, y)
+    assert raw.count() >= 1
+    tile = serve_tile(feats, style, z, x, y).collect()
+    assert all(r["layer"] == "waterway" for r in tile)  # default-drop others
+    unfiltered = serve_tile(feats, None, z, x, y).collect()
+    assert sum(r["feature_count"] for r in unfiltered) == raw.count()
