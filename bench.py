@@ -50,33 +50,44 @@ def run_suite(cores: int, sf_dir: str) -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # flagship pipeline throughput: features/sec through σ->π->γ and
-    # tiles/sec.  The scan must outweigh fixed overheads for a meaningful
-    # scaling measurement: replicate the feature set 8x (distinct feature
-    # ids per replica) and spread it over a FIXED 64 input partitions —
-    # partition count is data-proportional, not core-proportional, so the
-    # same physical work runs at every parallelism level.
+    # tiles/sec.  Scaling-measurement hygiene:
+    # - the scan must outweigh fixed overheads: replicate the feature set 8x
+    #   (distinct ids) over a FIXED 64 input partitions — partitioning is
+    #   data-proportional, not core-proportional, so every parallelism level
+    #   runs identical physical work;
+    # - materialize the substrate to parquet (a cache can silently evict and
+    #   re-run the expensive explode+repartition mid-measurement);
+    # - warm-up run, then min of N repetitions (the sandbox VM has noisy-
+    #   neighbor variance; min is the standard noise-robust estimator).
     from pyspark.sql import functions as F
 
-    feats = (
-        features_from_lineitem(spark, sf_dir)
-        .withColumn("rep", F.explode(F.array(*[F.lit(i) for i in range(8)])))
-        .withColumn("feature_id", F.col("feature_id") * 8 + F.col("rep"))
-        .drop("rep")
-        .repartition(64)
-        .cache()
-    )
-    n_features = feats.count()  # materializes the cache (excluded from timing)
-    # JVM/codegen warm-up on a small zoom, then the timed run
-    run_filter_job_features(feats, README_STYLE, zooms=[3]).count()
-    t0 = time.perf_counter()
-    tiles = run_filter_job_features(feats, README_STYLE, zooms=[4, 6, 8])
-    n_tiles = tiles.count()
-    flagship_sec = time.perf_counter() - t0
+    subst = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"bench_feats_{sf_dir.replace('/', '_')}")
+    if not os.path.exists(os.path.join(subst, "_SUCCESS")):
+        (
+            features_from_lineitem(spark, sf_dir)
+            .withColumn("rep", F.explode(F.array(*[F.lit(i) for i in range(8)])))
+            .withColumn("feature_id", F.col("feature_id") * 8 + F.col("rep"))
+            .drop("rep")
+            .repartition(64)
+            .write.mode("overwrite").parquet(subst)
+        )
+    feats = spark.read.parquet(subst)
+    n_features = feats.count()
+    run_filter_job_features(feats, README_STYLE, zooms=[3]).count()  # warm
+    reps = []
+    n_tiles = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        tiles = run_filter_job_features(feats, README_STYLE, zooms=[4, 6, 8])
+        n_tiles = tiles.count()
+        reps.append(time.perf_counter() - t0)
+    flagship_sec = min(reps)
     timings["flagship_pipeline"] = round(flagship_sec, 3)
-    feats.unpersist()
 
     spark.stop()
     return {
+        "flagship_reps": [round(r, 3) for r in reps],
         "timings": timings,
         "n_features": n_features,
         "n_tiles": n_tiles,

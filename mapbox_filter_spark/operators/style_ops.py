@@ -165,3 +165,19 @@ def prune_props(
         lambda k, _v: retained_key_condition(style, zc, lc, k),
     )
     return df.withColumn(props_col, pruned)
+
+
+def rtl_transform(df: DataFrame, props_col: str = "props",
+                  enabled: bool = False) -> DataFrame:
+    """RTL (Arabic shaping + BiDi reorder) of string property values.
+
+    The reference shells out to ICU (shapeArabic + reorderParagraphs,
+    Filters.hs:84-95).  ICU bindings are unavailable in this environment,
+    so this is a flag-gated NO-OP preserving the pipeline position and
+    signature (explicit non-goal, SURVEY.md §7); a production build swaps in
+    an Arrow-batched pandas UDF over ``map_values`` here."""
+    if not enabled:
+        return df
+    raise NotImplementedError(
+        "RTL shaping needs ICU (pyicu/arabic_reshaper), absent from this "
+        "container — see docstring")

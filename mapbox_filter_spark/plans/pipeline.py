@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..operators.assemble import assemble_tiles, assign_tiles
 from ..operators.style_ops import filter_keep, prune_props
@@ -52,3 +53,25 @@ def run_filter_job_features(
     kept = filter_keep(assigned, style)
     pruned = prune_props(kept, style)
     return assemble_tiles(pruned)
+
+
+def job_counters(features_assigned: DataFrame, style: MapboxStyle):
+    """The reference's run counters (app/Main.hs:341-344,407-421):
+    total / kept / dropped feature counts in ONE pass via ``observe``
+    (no extra job; metrics surface after the next action).
+
+    Returns (observed_df, Observation); read ``obs.get`` after an action.
+    """
+    from pyspark.sql import Observation
+
+    from ..operators.style_ops import keep_predicate
+
+    obs = Observation("job_counters")
+    pred = keep_predicate(style, F.col("z"))
+    observed = features_assigned.observe(
+        obs,
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(pred, 1).otherwise(0)).alias("kept"),
+        F.sum(F.when(pred, 0).otherwise(1)).alias("dropped"),
+    )
+    return observed, obs

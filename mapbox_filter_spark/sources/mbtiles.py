@@ -151,6 +151,46 @@ def update_mbtiles(
         con.close()
 
 
+def mbtiles_from_fs_tree(
+    tree_dir: str, path: str, metadata: Optional[dict[str, str]] = None
+) -> int:
+    """Build an .mbtiles from a published z/x/y file tree — the inverse
+    sink (app/Main.hs:605-669: create tables + unique index + y-flip,
+    directory listing sorted for scan locality app/Main.hs:649-656).
+    Driver-side by nature (single SQLite file).  Returns tile count."""
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    try:
+        con.execute("CREATE TABLE metadata (name TEXT, value TEXT)")
+        con.execute(
+            "CREATE TABLE tiles (zoom_level INTEGER, tile_column INTEGER, "
+            "tile_row INTEGER, tile_data BLOB)")
+        con.execute("CREATE UNIQUE INDEX tile_index ON tiles "
+                    "(zoom_level, tile_column, tile_row)")
+        for k, v in (metadata or {}).items():
+            con.execute("INSERT INTO metadata VALUES (?, ?)", (k, str(v)))
+        n = 0
+        for zs in sorted(d for d in os.listdir(tree_dir)
+                         if d.isdigit() and
+                         os.path.isdir(os.path.join(tree_dir, d))):
+            zdir = os.path.join(tree_dir, zs)
+            for xs in sorted(os.listdir(zdir), key=int):
+                xdir = os.path.join(zdir, xs)
+                for ys in sorted(os.listdir(xdir), key=int):
+                    with open(os.path.join(xdir, ys), "rb") as f:
+                        blob = f.read()
+                    z, x, y = int(zs), int(xs), int(ys)
+                    con.execute("INSERT INTO tiles VALUES (?,?,?,?)",
+                                (z, x, (1 << z) - y - 1, blob))
+                    n += 1
+        con.commit()
+        con.execute("VACUUM")
+        return n
+    finally:
+        con.close()
+
+
 def tilejson_metadata(
     metadata: dict[str, str], url_template: str
 ) -> dict:
