@@ -163,13 +163,16 @@ def _scaling_worker(cores: int, sf_dir: str) -> dict:
 
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .withColumn("rep", F.explode(F.array(*[F.lit(i) for i in range(8)])))
-        .withColumn("doc_id", F.col("doc_id") * 8 + F.col("rep"))
+        .withColumn("rep", F.explode(F.array(*[F.lit(i) for i in range(16)])))
+        .withColumn("doc_id", F.col("doc_id") * 16 + F.col("rep"))
         .drop("rep").repartition(64).localCheckpoint()
     )
     n_docs = docs.count()
     sig = minhash_signature(word_shingles(F.col("text"), 3), k=64)
-    mh_job = docs.select(F.sum(F.element_at(sig, 1)).alias("s"))
+    # consume the WHOLE signature — summing one element lets Catalyst prune
+    # the other 63 mixers (observed: 64x less work than intended)
+    sig_sum = F.aggregate(sig, F.lit(0).cast("long"), lambda a, x: a + x)
+    mh_job = docs.select(F.sum(sig_sum).alias("s"))
     mh_best = 1e9
     for i in range(2):
         t0 = time.perf_counter()
