@@ -167,6 +167,79 @@ def prune_props(
     return df.withColumn(props_col, pruned)
 
 
+def attach_filter_bodies(
+    df: DataFrame, style: MapboxStyle, cols: Optional[FeatureCols] = None,
+) -> tuple[DataFrame, dict[int, str]]:
+    """Evaluate every style layer's filter BODY once per feature row,
+    materializing nullable-boolean columns ``__flt{i}`` (NULL == failure).
+
+    Multi-zoom pipelines explode each feature once per zoom; recompiling the
+    predicate per zoom-row multiplies expression work by |zooms|.  Bodies
+    are z-independent (only the min/max zoom GATES depend on z —
+    Filters.hs:116-121), so they can be computed pre-explode and the
+    post-explode predicate reduces to gates over these boolean columns.
+    """
+    cols = cols or FeatureCols()
+    body_cols: dict[int, str] = {}
+    out = df
+    for i, l in enumerate(style.vector_layers):
+        name = f"__flt{i}"
+        out = out.withColumn(name, _layer_filter_col(l, cols))
+        body_cols[i] = name
+    return out, body_cols
+
+
+def keep_predicate_from_bodies(
+    style: MapboxStyle,
+    body_cols: dict[int, str],
+    z: Column,
+    layer_col: str = "layer",
+) -> Column:
+    """Exact keep predicate (same fold as :func:`keep_predicate`) reading
+    precomputed body columns instead of recompiling filters."""
+    lc = F.col(layer_col)
+    by_sl: dict[str, list[tuple[int, VectorLayer]]] = {}
+    for i, l in enumerate(style.vector_layers):
+        by_sl.setdefault(l.source_layer, []).append((i, l))
+    pred = F.lit(False)
+    for sl, layers in by_sl.items():
+        present = F.lit(False)
+        comb = F.lit(None).cast("boolean")
+        for i, l in layers:
+            f = F.col(body_cols[i])
+            gate = _zoom_gate(l, z)
+            folded = (
+                F.when(~present, f)
+                .when(F.coalesce(f, F.lit(False)), F.lit(True))
+                .otherwise(comb)
+            )
+            comb = F.when(gate, folded).otherwise(comb)
+            present = present | gate
+        pred = F.when(lc == sl, present & F.coalesce(comb, F.lit(False))).otherwise(pred)
+    return pred
+
+
+def prefilter_necessary(
+    style: MapboxStyle, body_cols: dict[int, str], layer_col: str = "layer",
+) -> Column:
+    """A z-independent NECESSARY condition for survival at ANY zoom: the
+    feature's source-layer is styled and at least one of its layers' bodies
+    holds.  Applied BEFORE the zoom explode, it prunes the explode volume
+    without changing results (the exact gated predicate still runs after)."""
+    lc = F.col(layer_col)
+    by_sl: dict[str, list[int]] = {}
+    for i, l in enumerate(style.vector_layers):
+        by_sl.setdefault(l.source_layer, []).append(i)
+    pred = F.lit(False)
+    for sl, idxs in by_sl.items():
+        any_body = functools.reduce(
+            operator.or_,
+            (F.coalesce(F.col(body_cols[i]), F.lit(False)) for i in idxs),
+        )
+        pred = F.when(lc == sl, any_body).otherwise(pred)
+    return pred
+
+
 def rtl_transform(df: DataFrame, props_col: str = "props",
                   enabled: bool = False) -> DataFrame:
     """RTL (Arabic shaping + BiDi reorder) of string property values.

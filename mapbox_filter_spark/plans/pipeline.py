@@ -48,9 +48,25 @@ def run_filter_job_features(
     style: MapboxStyle,
     zooms: Sequence[int],
 ) -> DataFrame:
-    """Same job starting from already-exploded feature rows."""
-    assigned = assign_tiles(features, zooms)
-    kept = filter_keep(assigned, style)
+    """Same job starting from already-exploded feature rows.
+
+    Plan shape (multi-zoom optimization): filter BODIES are evaluated once
+    per feature and a z-independent necessary condition prunes rows BEFORE
+    the |zooms|-way explode; the exact zoom-gated predicate then runs on
+    precomputed booleans.  Semantics identical to filter_keep per zoom
+    (asserted by tests/test_pipeline_equiv.py), expression work /= |zooms|,
+    explode volume *= survivor rate.
+    """
+    from ..operators.style_ops import (
+        attach_filter_bodies, keep_predicate_from_bodies, prefilter_necessary,
+    )
+
+    with_bodies, body_cols = attach_filter_bodies(features, style)
+    pruned_in = with_bodies.filter(prefilter_necessary(style, body_cols))
+    assigned = assign_tiles(pruned_in, zooms)
+    kept = assigned.filter(
+        keep_predicate_from_bodies(style, body_cols, F.col("z")))
+    kept = kept.drop(*body_cols.values())
     pruned = prune_props(kept, style)
     return assemble_tiles(pruned)
 

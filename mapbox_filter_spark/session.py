@@ -34,6 +34,13 @@ def build_session(
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
+        # tmpfs shuffle dir: local-mode shuffles hit one disk; ramdisk keeps
+        # them off it (the reference recommends the same trick for its hash
+        # DB, /root/reference/README.md:137-143).  Real clusters use local
+        # SSDs per executor instead.
+        .config("spark.local.dir",
+                os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+                if os.path.isdir("/dev/shm") else "/tmp")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
