@@ -161,10 +161,12 @@ def _scaling_worker(cores: int, sf_dir: str) -> dict:
         n_tiles = run_filter_job_features(feats, README_STYLE, zooms=zooms).count()
         tile_best = min(tile_best, time.perf_counter() - t0)
 
+    # 64-mixer signatures are heavy (~6 ms/doc on one core): 2x replication
+    # gives a 60-150 s job at 8 cores — saturating without being wasteful
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .withColumn("rep", F.explode(F.array(*[F.lit(i) for i in range(16)])))
-        .withColumn("doc_id", F.col("doc_id") * 16 + F.col("rep"))
+        .withColumn("rep", F.explode(F.array(*[F.lit(i) for i in range(2)])))
+        .withColumn("doc_id", F.col("doc_id") * 2 + F.col("rep"))
         .drop("rep").repartition(64).localCheckpoint()
     )
     n_docs = docs.count()
