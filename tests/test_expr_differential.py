@@ -108,8 +108,12 @@ FEATURE_SCHEMA = SqlT.StructType([
 ])
 
 
-def test_differential(spark):
-    rng = random.Random(42)
+import pytest
+
+
+@pytest.mark.parametrize("seed", [42, 20260816])
+def test_differential(spark, seed):
+    rng = random.Random(seed)
     features = [gen_feature(rng) for _ in range(40)]
 
     exprs = []
