@@ -288,10 +288,21 @@ def _compile_match(e: T.TMatch, cols: FeatureCols) -> CVal:
                      else F.when(cond, get(out)))
         return chain.otherwise(get(dflt)) if chain is not None else get(dflt)
 
+    # CAny invariant: when the node FAILS every slot must be NULL too —
+    # assertions read slots directly, so an unguarded slot would leak a
+    # branch value out of a failed match (reference: input failure fails
+    # the whole node, Interpret.hs:142-145)
     tag = F.when(inp_fail, F.lit(None).cast("string")).otherwise(
         pick(lambda o: o.tag))
-    return CAny(tag, b=pick(lambda o: o.b), n=pick(lambda o: o.n),
-                s=pick(lambda o: o.s), arr=pick(lambda o: o.arr))
+
+    def guarded(get, typ):
+        return F.when(inp_fail, _null(typ)).otherwise(pick(get))
+
+    return CAny(tag,
+                b=guarded(lambda o: o.b, "bool"),
+                n=guarded(lambda o: o.n, "num"),
+                s=guarded(lambda o: o.s, "str"),
+                arr=guarded(lambda o: o.arr, "numarray"))
 
 
 def _compile_convert(e: T.TConvert, cols: FeatureCols) -> CVal:

@@ -78,3 +78,23 @@ def test_eq_numarray_any_upcast(spark):
     # numarray literal vs Any (get) -> Any-upcast compare; props never
     # infer numarray tag -> always unequal (but != yields True, not failure)
     check(spark, ["!=", ["get", "a"], [1.0]], {"a": "[1]"}, True)
+
+
+def test_match_any_output_failed_input_fails_node(spark):
+    """Regression: match with Any outputs and FAILED input must fail the
+    whole node — an enclosing assertion falls through to its next arg, not
+    to a phantom branch value (Interpret.hs:142-145)."""
+    filt = ["==",
+            ["string",
+             ["match", ["get", "m"], "a", ["get", "p"], ["get", "q"]],
+             "fallback"],
+            "fallback"]
+    # m missing -> match fails -> string() falls through -> "fallback"
+    check(spark, filt, {"p": "x", "q": "y"}, True)
+    # m present, matches "a" -> p's value "x" != "fallback"
+    check(spark, filt, {"m": "a", "p": "x", "q": "y"}, False)
+    # m present, no match -> default q = "y" != "fallback"
+    check(spark, filt, {"m": "zzz", "p": "x", "q": "y"}, False)
+    # m present, default branch but q MISSING -> branch fails ->
+    # assertion falls through -> "fallback"
+    check(spark, filt, {"m": "zzz", "p": "x"}, True)
