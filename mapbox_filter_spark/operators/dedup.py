@@ -31,6 +31,31 @@ from pyspark.sql import functions as F
 # mode makes overflow a runtime error, and 31-bit minhash space is ample).
 _MH_PRIME = (1 << 31) - 1  # Mersenne prime 2^31-1
 
+# md5-mode hashes use the first 15 hex chars (60 bits) so the integer fits a
+# signed BIGINT exactly on BOTH engines (Spark conv / DuckDB '0x…'::BIGINT).
+MD5_HEX_CHARS = 15
+MD5_BITS = 4 * MD5_HEX_CHARS
+
+
+def word_hash64(col: Column, seed: int = 42, hash_mode: str = "xxhash64") -> Column:
+    """Deterministic 64-bit-class token hash, pluggable per engine parity.
+
+    - ``xxhash64`` (default): native JVM xxhash64 — the fast production path.
+    - ``md5``: integer of the first 15 hex chars of md5(f"{seed}:{s}") —
+      60 bits, non-negative, computable bit-identically in the DuckDB oracle
+      (``CAST('0x' || SUBSTR(MD5(seed || ':' || s), 1, 15) AS BIGINT)``), so
+      minhash/simhash/fingerprint queries get full value-hash checks.
+    """
+    if hash_mode == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    if hash_mode == "md5":
+        return F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), col)),
+                        1, MD5_HEX_CHARS),
+            16, 10,
+        ).cast("long")
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
 
 def normalize_text(col: Column) -> Column:
     """Lowercase, collapse whitespace — the canonical dedup key."""
@@ -63,13 +88,14 @@ def dedup_exact(
     )
 
 
-def minhash_signature(shingles: Column, k: int = 64, seed: int = 42) -> Column:
+def minhash_signature(shingles: Column, k: int = 64, seed: int = 42,
+                      hash_mode: str = "xxhash64") -> Column:
     """array<bigint> of k minhashes: min over shingles of affine-mixed
-    xxhash64 — entirely native (xxhash64 + transform + array_min)."""
+    base hashes — entirely native (hash + transform + array_min)."""
     base = F.transform(
         shingles,
-        lambda s: F.pmod(F.xxhash64(s, F.lit(seed)), F.lit(_MH_PRIME)))
-    mixers = [(2 * i + 1, 7919 * (i + 1)) for i in range(k)]
+        lambda s: F.pmod(word_hash64(s, seed, hash_mode), F.lit(_MH_PRIME)))
+    mixers = minhash_mixers(k)
     return F.array(*[
         F.array_min(
             F.transform(base, lambda h: F.pmod(h * a + b, F.lit(_MH_PRIME)))
@@ -78,10 +104,33 @@ def minhash_signature(shingles: Column, k: int = 64, seed: int = 42) -> Column:
     ])
 
 
+def minhash_mixers(k: int) -> list[tuple[int, int]]:
+    """The (a, b) affine mixer constants — exported so oracle SQL generators
+    can transcribe the exact same permutations."""
+    return [(2 * i + 1, 7919 * (i + 1)) for i in range(k)]
+
+
 def jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def band_hashes(sig: Column, bands: int, rows_per_band: int,
+                hash_mode: str = "xxhash64") -> Column:
+    """array of per-band bucket hashes over a minhash signature."""
+    def one(b: Column) -> Column:
+        joined = F.array_join(
+            F.slice(sig, b * rows_per_band + 1, rows_per_band), ",")
+        if hash_mode == "xxhash64":
+            return F.xxhash64(joined, b)
+        return F.conv(
+            F.substring(F.md5(F.concat_ws(":", b.cast("string"), joined)),
+                        1, MD5_HEX_CHARS),
+            16, 10,
+        ).cast("long")
+
+    return F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), one)
 
 
 def dedup_minhash_lsh(
@@ -94,91 +143,123 @@ def dedup_minhash_lsh(
     threshold: float = 0.8,
     max_bucket: int = 64,
     seed: int = 42,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate PAIRS via MinHash + banded LSH, Jaccard-verified.
 
     Returns (id_a, id_b, jaccard_sim) with id_a < id_b, sim >= threshold.
+
+    Scale shape: buckets carry DOC IDS ONLY — the wide shingle arrays never
+    ride through the bucket shuffle (a hot bucket of m docs costs O(m) ids,
+    not O(m·|shingles|) strings).  Shingles are joined back by id for the
+    Jaccard verify of the (much smaller) candidate-pair set; AQE picks
+    broadcast for the candidate side when it is small.  Pathological buckets
+    (> max_bucket members — near-identical boilerplate floods) are dropped,
+    never silently: count them with :func:`oversized_buckets`.
     """
     rows_per_band = k // bands
-    sig = minhash_signature(word_shingles(F.col(text_col), shingle_n), k, seed)
+    shingles = word_shingles(F.col(text_col), shingle_n)
     base = df.select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-        sig.alias("sig"),
-    )
-    band_hash = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
-            F.array_join(F.slice(F.col("sig"), b * rows_per_band + 1,
-                                 rows_per_band), ","),
-            b,
-        ),
+        shingles.alias("shingles"),
+        minhash_signature(shingles, k, seed, hash_mode).alias("sig"),
     )
     banded = base.select(
-        "id", "shingles",
-        F.posexplode(band_hash).alias("band_idx", "band_hash"),
+        "id",
+        F.posexplode(band_hashes(F.col("sig"), bands, rows_per_band,
+                                 hash_mode)).alias("band_idx", "band_hash"),
     )
-    # bucket aggregate; cap pathological buckets (logged by caller via count)
     buckets = (
         banded.groupBy("band_idx", "band_hash")
-        .agg(F.collect_list(F.struct("id", "shingles")).alias("members"))
-        .filter((F.size("members") > 1) & (F.size("members") <= max_bucket))
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
-    # pair within bucket: explode twice with id ordering to avoid dup pairs
-    pairs = (
-        buckets.select(F.explode("members").alias("a"), F.col("members"))
-        .select("a", F.explode("members").alias("b"))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            jaccard(F.col("a.shingles"), F.col("b.shingles")).alias("jaccard_sim"),
-        )
+    cand = (
+        buckets.select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = base.select("id", "shingles")
+    pairs = (
+        cand.join(sh.select(F.col("id").alias("id_a"),
+                            F.col("shingles").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"),
+                        F.col("shingles").alias("sh_b")), "id_b")
+        .select("id_a", "id_b",
+                jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
         .filter(F.col("jaccard_sim") >= threshold)
     )
     return pairs
 
 
-SIMHASH_BITS = 48  # bit ops via exact double arithmetic need < 2^53
-
-
-def simhash(col: Column, seed: int = 42) -> Column:
-    """48-bit SimHash of word tokens, fully native and single-pass:
-    one ``aggregate`` over tokens accumulating the 48 per-bit votes
-    (``zip_with`` of vote array + token bit array), then one fold to the
-    fingerprint.  48 bits keeps every intermediate < 2^53 so the
-    bit-extraction arithmetic (floor-div by powers of two) is exact in
-    doubles — shift operators need literal amounts, which lambda-bound bit
-    indices are not."""
-    tokens = F.split(normalize_text(col), " ")
-    # mask token hashes to the low 48 bits (exact in doubles)
-    hashes = F.transform(
-        tokens,
-        lambda t: F.pmod(F.xxhash64(t, F.lit(seed)),
-                         F.lit(1 << SIMHASH_BITS).cast("long")),
+def oversized_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket: int = 64,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(band_idx, band_hash, n) for buckets the LSH pass DROPPED — the
+    no-silent-truncation audit for :func:`dedup_minhash_lsh`."""
+    rows_per_band = k // bands
+    shingles = word_shingles(F.col(text_col), shingle_n)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(shingles, k, seed, hash_mode).alias("sig"),
     )
-    bits = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
+    banded = base.select(
+        "id",
+        F.posexplode(band_hashes(F.col("sig"), bands, rows_per_band,
+                                 hash_mode)).alias("band_idx", "band_hash"),
+    )
+    return (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+    )
+
+
+SIMHASH_BITS = 64
+# bit weights: 1<<i for i<63; the sign bit uses the negative two's-complement
+# literal (1<<63 overflows a signed long; adding -(2^63) to a sum that is at
+# most 2^63-1 never overflows, so ANSI mode stays happy)
+_BIT_WEIGHTS = [1 << i for i in range(63)] + [-(1 << 63)]
+
+
+def simhash(col: Column, seed: int = 42, hash_mode: str = "xxhash64") -> Column:
+    """64-bit SimHash of word tokens, fully native and single-pass:
+    one ``aggregate`` over tokens accumulating the 64 per-bit votes, then one
+    fold of the vote array against literal bit weights.
+
+    Bit extraction uses LITERAL-shift ``shiftright(h, i) & 1`` (the shift
+    amounts are Python ints unrolled at plan-build time, the same trick as
+    geo/tilemath.py quadkeys) — arithmetic shift + mask is correct for every
+    bit including the sign bit.  md5 hash_mode hashes are 60-bit, so bits
+    60..63 never win a vote and the fingerprint stays < 2^60 — exactly
+    reproducible in the DuckDB oracle."""
+    tokens = F.split(normalize_text(col), " ")
+    hashes = F.transform(tokens, lambda t: word_hash64(t, seed, hash_mode))
     votes = F.aggregate(
         hashes,
-        F.transform(bits, lambda i: F.lit(0)),
+        F.array(*[F.lit(0) for _ in range(SIMHASH_BITS)]),
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                bits,
-                lambda i: F.pmod(
-                    F.floor(h.cast("double") / F.pow(F.lit(2.0), i.cast("double"))).cast("long"),
-                    F.lit(2).cast("long")).cast("int"),
-            ),
+            F.array(*[
+                F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int")
+                for i in range(SIMHASH_BITS)
+            ]),
             lambda a, b: a + (b * 2 - 1),
         ),
     )
+    weights = F.array(*[F.lit(w).cast("long") for w in _BIT_WEIGHTS])
     return F.aggregate(
-        F.zip_with(
-            votes, bits,
-            lambda v, i: F.when(
-                v > 0, F.pow(F.lit(2.0), i.cast("double")).cast("long")
-            ).otherwise(F.lit(0).cast("long")),
-        ),
+        F.zip_with(votes, weights,
+                   lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long"))),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
@@ -189,32 +270,45 @@ def hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_chunks(fp: Column, n_chunks: int = 4) -> Column:
+    """array<bigint> of 16-bit fingerprint chunks (literal shifts + mask).
+
+    16-bit chunks give 65 536 distinct buckets PER chunk index (the old
+    12-bit scheme topped out at 4 096 — expected bucket size N/4096 is a
+    collect_list OOM at corpus scale)."""
+    chunk_bits = SIMHASH_BITS // n_chunks
+    mask = (1 << chunk_bits) - 1
+    return F.array(*[
+        F.shiftright(fp, i * chunk_bits).bitwiseAND(F.lit(mask)).cast("long")
+        for i in range(n_chunks)
+    ])
+
+
 def dedup_simhash(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     seed: int = 42,
+    max_bucket: int = 256,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 4 x 12-bit fingerprint chunks
+    """Near-dup pairs by SimHash: block on 4 x 16-bit fingerprint chunks
     (a pair within Hamming<=3 differs in <=3 chunks, so it shares at least
-    one exact chunk), verify Hamming within blocks."""
-    fp = simhash(F.col(text_col), seed)
+    one exact chunk), verify Hamming within blocks.
+
+    Buckets carry (id, fp) only — 16 bytes/doc.  Buckets larger than
+    ``max_bucket`` (identical-chunk floods) are dropped, never silently:
+    audit with :func:`oversized_simhash_buckets`."""
+    fp = simhash(F.col(text_col), seed, hash_mode)
     base = df.select(F.col(id_col).alias("id"), fp.alias("fp"))
-    chunk_bits = SIMHASH_BITS // 4
-    chunk = F.array(*[
-        F.pmod(
-            F.floor(F.col("fp").cast("double") / float(1 << (i * chunk_bits))).cast("long"),
-            F.lit(1 << chunk_bits).cast("long"),
-        )
-        for i in range(4)
-    ])
     blocked = base.select(
-        "id", "fp", F.posexplode(chunk).alias("chunk_idx", "chunk_val"))
+        "id", "fp",
+        F.posexplode(simhash_chunks(F.col("fp"))).alias("chunk_idx", "chunk_val"))
     buckets = (
         blocked.groupBy("chunk_idx", "chunk_val")
         .agg(F.collect_list(F.struct("id", "fp")).alias("members"))
-        .filter(F.size("members") > 1)
+        .filter((F.size("members") > 1) & (F.size("members") <= max_bucket))
     )
     return (
         buckets.select(F.explode("members").alias("a"), "members")
@@ -226,6 +320,26 @@ def dedup_simhash(
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def oversized_simhash_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    max_bucket: int = 256,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(chunk_idx, chunk_val, n) for blocks :func:`dedup_simhash` dropped."""
+    fp = simhash(F.col(text_col), seed, hash_mode)
+    blocked = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(simhash_chunks(fp)).alias("chunk_idx", "chunk_val"))
+    return (
+        blocked.groupBy("chunk_idx", "chunk_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
     )
 
 

@@ -69,9 +69,14 @@ def copy_down(
     """Apply down-copy to exploded tile-feature rows.
 
     Input: one row per (z, x, y, layer, feature) — the pre-assembly shape
-    with feature_id / geom_kind / props columns.  Rows at zooms other than
-    dst and dst+1 pass through untouched.  Output adds ``new_feature_id``
-    (the renumbered id) and ``quadrant`` (child offset code, 0 for dst rows).
+    with feature_id / geom_kind / props columns.  Rows at every zoom other
+    than dst pass through untouched — INCLUDING dst+1: the reference stores
+    the child level independently (its tiles are filtered and written by the
+    normal path; copyDown only REBUILDS the dst tile, Main.hs:385,517-522),
+    so consuming the children here would silently delete the dst+1 level
+    from a composed multi-zoom pyramid.  Matched dst+1 features are COPIED
+    (not moved) into the dst tile.  Output adds ``new_feature_id`` (the
+    renumbered id) and ``quadrant`` (child offset code, 0 for non-copies).
     """
     cols = cols or FeatureCols()
     lc = F.col(layer_col)
@@ -110,7 +115,7 @@ def copy_down(
     )
 
     passthrough = tile_features.filter(
-        (z != spec.dst_zoom) & (z != spec.dst_zoom + 1)
+        z != spec.dst_zoom
     ).withColumn("_src_rank", F.lit(0)).withColumn("quadrant", F.lit(0))
 
     merged = dst.unionByName(children).unionByName(passthrough)

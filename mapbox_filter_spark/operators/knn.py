@@ -98,7 +98,14 @@ def knn_ring(
     pending = q_all
     results = None
     r = 1
-    for _ in range(max_rounds):
+    for round_i in range(max_rounds):
+        if round_i == max_rounds - 1:
+            # final-round guarantee: radius n-1 covers the ENTIRE grid
+            # (k_ring clamps at edges), so the search is exhaustive and every
+            # remaining query certifies — including queries with fewer than k
+            # reachable points, which emit their (< k) available neighbors
+            # exactly like knn_brute_force.  No query is ever silently lost.
+            r = n - 1
         cand_cells = pending.withColumn(
             "cell", F.explode(k_ring_cells(F.col("q_cell"), r)))
         d = _dist(F.col("q_mx"), F.col("q_my"), F.col("p_mx"), F.col("p_my"))
@@ -114,13 +121,18 @@ def knn_ring(
             .filter(F.col("rank") <= k)
         )
         # certification: k found and floor(d_k * n) + 1 <= r — a point at
-        # distance d can straddle at most floor(d*n)+1 cell boundaries
-        stats = topk.groupBy("q_id").agg(
-            F.count(F.lit(1)).alias("found"),
-            F.max("dist").alias("d_k"),
+        # distance d can straddle at most floor(d*n)+1 cell boundaries.
+        # r >= n-1 searched the whole grid: exact by construction, certified
+        # regardless of found (covers the < k-reachable-points case).
+        stats = pending.select("q_id").join(
+            topk.groupBy("q_id").agg(
+                F.count(F.lit(1)).alias("found"),
+                F.max("dist").alias("d_k"),
+            ), "q_id", "left",
         ).withColumn(
             "certified",
-            (F.col("found") >= k) & (F.floor(F.col("d_k") * n) + 1 <= r),
+            ((F.coalesce(F.col("found"), F.lit(0)) >= k)
+             & (F.floor(F.col("d_k") * n) + 1 <= r)) | F.lit(r >= n - 1),
         )
         done_ids = stats.filter("certified").select("q_id")
         got = topk.join(F.broadcast(done_ids), "q_id", "left_semi").select(
@@ -134,7 +146,7 @@ def knn_ring(
             F.max(F.when(F.col("found") >= k,
                          F.floor(F.col("d_k") * n) + 1).otherwise(r * 2))
         ).collect()[0][0]
-        r = max(r + 1, int(need) if need is not None else r * 2)
+        r = min(max(r + 1, int(need) if need is not None else r * 2), n - 1)
 
     assert results is not None
     return results.select(

@@ -242,15 +242,25 @@ def prefilter_necessary(
 
 def rtl_transform(df: DataFrame, props_col: str = "props",
                   enabled: bool = False) -> DataFrame:
-    """RTL (Arabic shaping + BiDi reorder) of string property values.
+    """RTL conversion (Arabic contextual shaping + BiDi visual reorder) of
+    property values — the reference's ``stringConversion`` applied to every
+    retained metadata value AFTER pruning (Filters.hs:84-95).
 
-    The reference shells out to ICU (shapeArabic + reorderParagraphs,
-    Filters.hs:84-95).  ICU bindings are unavailable in this environment,
-    so this is a flag-gated NO-OP preserving the pipeline position and
-    signature (explicit non-goal, SURVEY.md §7); a production build swaps in
-    an Arrow-batched pandas UDF over ``map_values`` here."""
+    Implementation: pure-Python best-effort ICU replica (style/rtl.py —
+    presentation-forms shaping is complete; BiDi is simplified UAX#9, the
+    documented deviation) in ONE Arrow-batched pandas UDF over the pruned
+    props map.  Flag-gated like the reference's --rtl-convert switch
+    (Main.hs:168)."""
     if not enabled:
         return df
-    raise NotImplementedError(
-        "RTL shaping needs ICU (pyicu/arabic_reshaper), absent from this "
-        "container — see docstring")
+
+    def _rtl_map(maps):
+        from ..style.rtl import rtl_convert
+
+        return maps.apply(
+            lambda d: None if d is None
+            else {k: rtl_convert(v) if v is not None else v
+                  for k, v in d.items()})
+
+    udf = F.pandas_udf(_rtl_map, "map<string,string>")
+    return df.withColumn(props_col, udf(F.col(props_col)))

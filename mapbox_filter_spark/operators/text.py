@@ -106,19 +106,25 @@ def quality_score(col: Column) -> Column:
     return F.round(length_ok + stop_ok + punct_ok + upper_ok, 6)
 
 
-def doc_fingerprint(col: Column, prime: int = 1_000_003) -> Column:
+def doc_fingerprint(col: Column, prime: int = 1_000_003,
+                    hash_mode: str = "xxhash64") -> Column:
     """Order-sensitive polynomial rolling hash over words:
     fp = fold(acc * prime + h31(word)) mod 2^31.
 
     The 31-bit modulus keeps ``acc * prime`` below 2^52 (no ANSI long
-    overflow, exact in the DuckDB oracle's BIGINT too)."""
+    overflow, exact in the DuckDB oracle's BIGINT too).  hash_mode='md5'
+    makes the word hash DuckDB-computable (see dedup.word_hash64) so the
+    fingerprint query gets a full value-hash oracle check."""
+    from .dedup import word_hash64
+
     mod = F.lit(1 << 31).cast("long")
     words = _words(col)
     return F.aggregate(
         words,
         F.lit(0).cast("long"),
         lambda acc, w: F.pmod(
-            F.pmod(acc * prime, mod) + F.pmod(F.xxhash64(w), mod), mod),
+            F.pmod(acc * prime, mod) + F.pmod(word_hash64(w, 0, hash_mode), mod),
+            mod),
     )
 
 

@@ -178,10 +178,23 @@ WHERE p_class IS NOT NULL AND p_class <> 'river'"""
 
 
 def q_zoom_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """minzoom/maxzoom gating across z=4..8 (Filters.hs:116-121)."""
+    """minzoom/maxzoom gating across z=4..8 (Filters.hs:116-121).
+
+    Plan: filter BODIES are evaluated once per feature BEFORE the 5-way zoom
+    explode (attach_filter_bodies), a z-independent necessary condition
+    prunes pre-explode, and the exact zoom-gated predicate then runs on the
+    precomputed booleans — expression volume /= |zooms| vs the naive
+    assign-then-filter path (same results, asserted by the oracle)."""
+    from .operators.style_ops import (
+        attach_filter_bodies, keep_predicate_from_bodies, prefilter_necessary,
+    )
+
     feats = features_from_lineitem(spark, sf_dir)
-    assigned = assign_tiles(feats, zooms=[4, 5, 6, 7, 8])
-    kept = filter_keep(assigned, ZOOMGATE_STYLE)
+    with_bodies, body_cols = attach_filter_bodies(feats, ZOOMGATE_STYLE)
+    pre = with_bodies.filter(prefilter_necessary(ZOOMGATE_STYLE, body_cols))
+    assigned = assign_tiles(pre, zooms=[4, 5, 6, 7, 8])
+    kept = assigned.filter(
+        keep_predicate_from_bodies(ZOOMGATE_STYLE, body_cols, F.col("z")))
     return kept.groupBy("z", "layer").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -215,7 +228,7 @@ tiles AS (
   SELECT 7 AS z, {_sql_tile_x(7)} AS x, {_sql_tile_y(7)} AS y, COUNT(*) AS cnt
   FROM features GROUP BY 1, 2, 3
 )
-SELECT z, x, COUNT(*) AS tile_count, SUM(cnt) AS feature_count
+SELECT z, x, COUNT(*) AS tile_count, CAST(SUM(cnt) AS BIGINT) AS feature_count
 FROM tiles GROUP BY z, x"""
 
 
@@ -272,19 +285,20 @@ def q_hash_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", F.col("doc_id"), F.lit("MUTATED")),
     ).otherwise(payload_cur)
 
-    def tile_hash(payload):
-        return (
-            feats.select("z", "x", "y", payload.alias("p"))
-            .groupBy("z", "x", "y")
-            .agg(F.md5(F.array_join(F.array_sort(F.collect_list("p")), "|"))
-                 .alias("h"))
+    # ONE groupBy computes both hashes (two agg expressions) — the previous
+    # two-aggregate-then-join shape scanned and shuffled the corpus twice.
+    hashed = (
+        feats.select("z", "x", "y", payload_cur.alias("pc"),
+                     payload_prev.alias("pp"))
+        .groupBy("z", "x", "y")
+        .agg(
+            F.md5(F.array_join(F.array_sort(F.collect_list("pc")), "|"))
+            .alias("h"),
+            F.md5(F.array_join(F.array_sort(F.collect_list("pp")), "|"))
+            .alias("h_prev"),
         )
-
-    cur, prev = tile_hash(payload_cur), tile_hash(payload_prev).withColumnRenamed("h", "h_prev")
-    joined = cur.join(prev, ["z", "x", "y"], "left")
-    return joined.filter(
-        F.col("h_prev").isNull() | (F.col("h") != F.col("h_prev"))
-    ).select("z", "x", "y")
+    )
+    return hashed.filter(F.col("h") != F.col("h_prev")).select("z", "x", "y")
 
 
 def sql_hash_diff() -> str:
@@ -314,8 +328,11 @@ WHERE prev.h_prev IS NULL OR cur.h <> prev.h_prev"""
 def q_prune_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata pruning: retained-key histogram after π (Filters.hs:74-82).
 
-    README style retains {class, brunnel} (filter) ∪ {name} (layout) —
-    rank/intermittent must be gone."""
+    README style retains {class} (filter scrape) ∪ {name} (layout
+    deinterpolation); ``brunnel`` is referenced ONLY inside the match, which
+    the reference's scrapeExprMeta does NOT recurse into (Style.hs:62
+    catch-all — see scrape.py UMatch note), so brunnel/rank/intermittent
+    must all be pruned.  Only `class` exists in props, so one output row."""
     feats = features_from_lineitem(spark, sf_dir).withColumn("z", F.lit(10))
     kept = prune_props(filter_keep(feats, README_STYLE), README_STYLE)
     return (
@@ -329,8 +346,6 @@ def sql_prune_keys() -> str:
 kept AS (SELECT * FROM features WHERE {_README_KEEP_SQL})
 SELECT key, COUNT(*) AS n FROM (
   SELECT 'class' AS key FROM kept WHERE p_class IS NOT NULL
-  UNION ALL
-  SELECT 'brunnel' AS key FROM kept WHERE p_brunnel IS NOT NULL
 ) GROUP BY key"""
 
 

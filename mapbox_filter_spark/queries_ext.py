@@ -70,19 +70,116 @@ WHERE CAST(LEN(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
       / LEN(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.3"""
 
 
+# --- shared SQL fragments for the md5-keyed hash parity (dedup.word_hash64
+# hash_mode='md5': integer of the first 15 md5 hex chars, 60-bit, identical
+# on both engines — this is what retired the r1 `no_oracle` rows).
+
+def _sql_md5_60(expr: str) -> str:
+    return f"CAST('0x' || SUBSTR(MD5({expr}), 1, 15) AS BIGINT)"
+
+
+_NORM_SQL = "TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))"
+# tokens of the NORMALIZED text, split on single space, NO empty-filter
+# (mirrors dedup.normalize_text + F.split exactly, incl. the ['']-for-empty
+# corner)
+_TOKENS_SQL = f"REGEXP_SPLIT_TO_ARRAY({_NORM_SQL}, ' ')"
+
+_MH_PRIME = (1 << 31) - 1
+_MINHASH_DOCS = "SELECT * FROM documents WHERE doc_id < 500"
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (rows-only check: xxhash64 has no DuckDB
-    equivalent; exactness covered by tests/test_dataops.py recall fixture)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(500)
-    return dedup.dedup_minhash_lsh(docs, threshold=0.5).select(
+    """MinHash-LSH near-dup pairs, md5-keyed so the full pipeline (shingles
+    -> 64 minhashes -> 16 band buckets -> capped pair-gen -> Jaccard verify)
+    is value-hash-checked against the DuckDB transcription below."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 500)
+    return dedup.dedup_minhash_lsh(docs, threshold=0.5, hash_mode="md5").select(
         "id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
 
 
+def sql_minhash_lsh(k: int = 64, bands: int = 16, seed: int = 42,
+                    max_bucket: int = 64, threshold: float = 0.5) -> str:
+    rpb = k // bands
+    # 3-gram shingles over normalized words (mirrors dedup.word_shingles)
+    shingles = ("list_distinct([array_to_string(words[i:i+2], ' ') "
+                "FOR i IN RANGE(1, GREATEST(LEN(words) - 2, 1) + 1)])")
+    h_shingle = _sql_md5_60(f"'{seed}:' || s")
+    mh = ", ".join(
+        "list_min(list_transform(shingles, s -> "
+        f"(({h_shingle} % {_MH_PRIME}) * {a} + {b}) % {_MH_PRIME}))"
+        for a, b in dedup.minhash_mixers(k)
+    )
+    band_hash = _sql_md5_60(
+        f"u.b || ':' || array_to_string(sig[u.b*{rpb}+1 : u.b*{rpb}+{rpb}], ',')")
+    jac = ("CAST(LEN(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) / "
+           "LEN(list_distinct(list_concat(sa.shingles, sb.shingles)))")
+    return f"""
+WITH lim AS ({_MINHASH_DOCS}),
+base AS (SELECT doc_id AS id, {_TOKENS_SQL} AS words FROM lim),
+sh AS (SELECT id, {shingles} AS shingles FROM base),
+sig AS (SELECT id, [{mh}] AS sig FROM sh),
+banded AS (
+  SELECT id, u.b AS band_idx, {band_hash} AS band_hash
+  FROM sig, UNNEST(range(0, {bands})) AS u(b)
+),
+buckets AS (
+  SELECT band_idx, band_hash, list(id) AS ids
+  FROM banded GROUP BY 1, 2
+  HAVING COUNT(*) BETWEEN 2 AND {max_bucket}
+),
+cand AS (
+  SELECT DISTINCT a.a AS id_a, b.b AS id_b
+  FROM buckets, UNNEST(ids) AS a(a), UNNEST(ids) AS b(b)
+  WHERE a.a < b.b
+)
+SELECT id_a, id_b, ROUND({jac}, 6) AS jaccard_sim
+FROM cand JOIN sh sa ON sa.id = cand.id_a JOIN sh sb ON sb.id = cand.id_b
+WHERE {jac} >= {threshold}"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only: same xxhash64 caveat)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(500)
-    return dedup.dedup_simhash(docs, max_hamming=8).select(
-        "id_a", "id_b", "hamming")
+    """SimHash near-dup pairs, md5-keyed (full oracle check — see
+    sql_simhash): 64-bit fingerprint, 4x16-bit blocking, capped buckets."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 500)
+    return dedup.dedup_simhash(docs, max_hamming=8, hash_mode="md5").select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def sql_simhash(seed: int = 42, max_hamming: int = 8,
+                max_bucket: int = 256) -> str:
+    # md5-mode token hashes are 60-bit, so fingerprint bits 60..63 are always
+    # 0 — transcribe bits 0..59 only (the Spark side computes 64; identical).
+    fp_terms = " + ".join(
+        f"(CASE WHEN 2 * LEN(list_filter(hs, h -> (h >> {i}) & 1 = 1)) "
+        f"> LEN(hs) THEN (1::BIGINT << {i}) ELSE 0::BIGINT END)"
+        for i in range(60)
+    )
+    h_tok = _sql_md5_60(f"'{seed}:' || w")
+    return f"""
+WITH lim AS ({_MINHASH_DOCS}),
+toks AS (SELECT doc_id AS id,
+                list_transform({_TOKENS_SQL}, w -> {h_tok}) AS hs
+         FROM lim),
+fp AS (SELECT id, ({fp_terms}) AS fp FROM toks),
+blocked AS (
+  SELECT id, fp, u.ci AS chunk_idx, (fp >> (u.ci * 16)) & 65535 AS chunk_val
+  FROM fp, UNNEST(range(0, 4)) AS u(ci)
+),
+bsize AS (
+  SELECT chunk_idx, chunk_val, COUNT(*) AS c FROM blocked GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.fp AS fp_a, b.fp AS fp_b
+  FROM blocked a
+  JOIN blocked b ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+                AND a.id < b.id
+  JOIN bsize s ON s.chunk_idx = a.chunk_idx AND s.chunk_val = a.chunk_val
+  WHERE s.c BETWEEN 2 AND {max_bucket}
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}"""
 
 
 # ------------------------------------------------------------- text ops
@@ -158,10 +255,24 @@ FROM documents"""
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash fingerprints (rows-only: xxhash64 word hashes)."""
+    """Order-sensitive rolling-hash fingerprints, md5-keyed word hashes
+    (full oracle check via the list_reduce fold below)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id",
-                       text.doc_fingerprint(F.col("text")).alias("fingerprint"))
+    return docs.select(
+        "doc_id",
+        text.doc_fingerprint(F.col("text"), hash_mode="md5").alias("fingerprint"))
+
+
+def sql_fingerprint(prime: int = 1_000_003) -> str:
+    mod = 1 << 31
+    h = _sql_md5_60("'0:' || w")
+    return f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform({_WORDS_SQL}, w -> {h} % {mod})),
+         (acc, h) -> ((acc * {prime}) % {mod} + h) % {mod}) AS fingerprint
+FROM documents"""
 
 
 # ------------------------------------------------------- similarity / kNN
@@ -354,6 +465,59 @@ SELECT z, x, y, layer, feature_id,
 FROM merged"""
 
 
+# ------------------------------------------------------------- MVT codec
+
+
+def q_mvt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gzip+MVT-protobuf codec integrity through Spark: README-filtered
+    features -> encode_mvt_tiles (real gzipped MVT blobs, applyInPandas) ->
+    decode_mvt_tiles (gunzip-sniff + varint parse, mapInPandas) -> relational
+    aggregate.  The oracle computes the same aggregate with NO codec, so any
+    corruption of ids, props values (typed Value messages), or the zigzag
+    geometry stream shows up as a value mismatch."""
+    from .geo.tilemath import tile_cols
+    from .operators.style_ops import filter_keep
+    from .sources.mvt import decode_mvt_tiles, encode_mvt_tiles
+
+    feats = features_from_lineitem(spark, sf_dir).withColumn("z", F.lit(6))
+    kept = filter_keep(feats, README_STYLE)
+    x, y = tile_cols(F.col("lon"), F.col("lat"), F.lit(6))
+    px = F.pmod(F.col("feature_id"), F.lit(4096))
+    py = F.pmod(F.col("feature_id") * 7, F.lit(4096))
+    gtype = (F.when(F.col("geom_kind") == "Point", 1)
+             .when(F.col("geom_kind") == "LineString", 2)
+             .otherwise(3)).cast("long")
+    rows = kept.select(
+        F.col("z").cast("long"), x.alias("x"), y.alias("y"), "layer",
+        F.lit(4096).cast("long").alias("extent"), "feature_id",
+        gtype.alias("geom_type"), "geom_kind", "props",
+        # single-point command stream: MoveTo(1) + zigzag(px) + zigzag(py)
+        F.array(F.lit(9).cast("long"), (px * 2).cast("long"),
+                (py * 2).cast("long")).alias("geom_cmds"),
+    )
+    tiles = encode_mvt_tiles(rows)
+    decoded = decode_mvt_tiles(tiles)
+    return decoded.groupBy("z", "x", "y", "layer").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("feature_id").alias("fid_sum"),
+        F.sum(F.when(F.try_element_at(F.col("props"), F.lit("class"))
+                     == "river", 1).otherwise(0)).alias("river_n"),
+        F.sum(F.element_at(F.col("geom_cmds"), 2)).alias("gx_sum"),
+    )
+
+
+def sql_mvt_roundtrip() -> str:
+    return f"""WITH {FEATURES_ORACLE_SQL}
+SELECT 6 AS z, {_sql_tile_x(6)} AS x, {_sql_tile_y(6)} AS y, layer,
+       COUNT(*) AS n,
+       CAST(SUM(feature_id) AS BIGINT) AS fid_sum,
+       CAST(SUM(CASE WHEN p_class = 'river' THEN 1 ELSE 0 END) AS BIGINT)
+         AS river_n,
+       CAST(SUM(2 * (feature_id % 4096)) AS BIGINT) AS gx_sum
+FROM features WHERE {_README_KEEP_SQL}
+GROUP BY 1, 2, 3, 4"""
+
+
 # ------------------------------------------------- relational breadth
 
 
@@ -449,16 +613,17 @@ FROM documents GROUP BY 1"""
 EXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "dedup_ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard),
-    "dedup_minhash_lsh": (q_minhash_lsh, None),   # rows-only (xxhash64)
-    "dedup_simhash": (q_simhash, None),           # rows-only (xxhash64)
+    "dedup_minhash_lsh": (q_minhash_lsh, sql_minhash_lsh),
+    "dedup_simhash": (q_simhash, sql_simhash),
     "lang_id": (q_lang_id, sql_lang_id),
     "token_quality": (q_token_quality, sql_token_quality),
-    "doc_fingerprint": (q_fingerprint, None),     # rows-only (xxhash64)
+    "doc_fingerprint": (q_fingerprint, sql_fingerprint),
     "cosine_topk": (q_cosine_topk, sql_cosine_topk),
     "knn_ring": (q_knn_ring, sql_knn_ring),
     "pip_join": (q_pip_join, sql_pip_join),
     "raster_join": (q_raster_join, sql_raster_join),
     "downcopy": (q_downcopy, sql_downcopy),
+    "mvt_roundtrip": (q_mvt_roundtrip, sql_mvt_roundtrip),
     "agg_pricing": (q_agg_pricing, sql_agg_pricing),
     "topk_events": (q_topk_events, sql_topk_events),
     "join_chain": (q_join_chain, sql_join_chain),

@@ -31,6 +31,17 @@ def build_session(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 4)
 
+    # Python workers must be able to import THIS package (module-level
+    # pandas-UDF kernels pickle by reference): make the package root visible
+    # to worker processes regardless of the consumer's cwd.  Local mode
+    # inherits the driver env; a real cluster ships the same code via
+    # spark-submit --py-files (scripts/package.py) instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{pypath}" if pypath else pkg_root)
+
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)

@@ -51,6 +51,24 @@ def _null(typ: str) -> Column:
     return F.lit(None).cast(_SLOT_TYPES[typ])
 
 
+# Spark's cast accepts NaN/Infinity spellings ('NaN', 'inf', '-Infinity', …)
+# but the reference parses strings with Haskell ``readMaybe``
+# (Interpret.hs:25,107), which rejects them — and letting NaN into the value
+# space would also split the two engines' equality/ordering semantics
+# (Spark: NaN==NaN is TRUE and NaN sorts largest; the reference/Python:
+# IEEE).  So every string->double parse site rejects these spellings.
+# Overflow forms like '1e999' still parse to Infinity on BOTH engines
+# (readMaybe does the same), which is safe: +-Inf compare identically.
+_NONFINITE_SPELLING = r"^[+-]?(nan|inf|infinity)$"
+
+
+def _str_to_num(s: Column) -> Column:
+    """String -> double with reference parse semantics (see above)."""
+    return F.when(
+        F.lower(F.trim(s)).rlike(_NONFINITE_SPELLING), _null("num")
+    ).otherwise(s.try_cast("double"))
+
+
 @dataclass(frozen=True)
 class FeatureCols:
     """Column bindings of the feature table the expression reads."""
@@ -118,7 +136,7 @@ def _infer_any_from_string(v: Column) -> CAny:
     """Content-based tag inference for map-sourced property values
     (engine data model — see pyinterp module docstring)."""
     is_bool = v.isin("true", "false")
-    as_num = v.try_cast("double")
+    as_num = _str_to_num(v)
     tag = (
         F.when(v.isNull(), F.lit(None).cast("string"))
         .when(is_bool, F.lit("bool"))
@@ -163,7 +181,7 @@ def _any_to_num(a: CAny) -> Column:
     return (
         F.when(a.tag == "num", a.n)
         .when(a.tag == "bool", F.when(a.b, F.lit(1.0)).otherwise(F.lit(0.0)))
-        .when(a.tag == "str", a.s.try_cast("double"))
+        .when(a.tag == "str", _str_to_num(a.s))
         .otherwise(_null("num"))
     )
 
@@ -334,7 +352,7 @@ def _compile_convert(e: T.TConvert, cols: FeatureCols) -> CVal:
                 raw_null = a.col.isNull()
                 conv = F.when(a.col, F.lit(1.0)).otherwise(F.lit(0.0))
             elif a.typ == "str":
-                raw_null, conv = a.col.isNull(), a.col.try_cast("double")
+                raw_null, conv = a.col.isNull(), _str_to_num(a.col)
             else:  # numarray never converts
                 raw_null, conv = a.col.isNull(), _null("num")
             acc = (F.when(raw_null, _null("num"))

@@ -34,18 +34,18 @@ AnyVal = tuple  # (tag, value): ('bool', b) | ('num', f) | ('str', s) | ('numarr
 
 
 def str_to_num(s: str) -> float | None:
-    """Mimic Spark ``try_cast(s AS double)``: trim, standard decimal /
-    scientific forms; reject python-isms Spark rejects."""
+    """Mirror of compile._str_to_num: Spark ``try_cast(s AS double)`` parse
+    shape (trim, decimal/scientific; reject python-isms Spark rejects) MINUS
+    NaN/Infinity spellings, which BOTH paths reject for reference parity —
+    Haskell ``readMaybe`` (Interpret.hs:25,107) does not accept them, and
+    excluding them keeps Spark's NaN==NaN=TRUE semantics unreachable.
+    Overflow forms like '1e999' still yield Infinity on both paths."""
     t = s.strip()
     if not t:
         return None
     low = t.lower().lstrip("+-")
     if low in ("infinity", "inf", "nan"):
-        # Spark accepts Infinity/NaN spellings; keep them numeric
-        try:
-            return float(t)
-        except ValueError:
-            return None
+        return None
     if low.startswith("0x") or "_" in t:
         return None
     try:
@@ -65,11 +65,55 @@ def infer_tag(v: str) -> AnyVal:
     return ("str", v)
 
 
+def _shortest_digits(a: float) -> tuple[str, int]:
+    """(significant digits, decimal exponent) of a > 0 via Python's
+    shortest-round-trip repr: value = 0.D1D2... * 10^(dexp+1)."""
+    s = repr(a)
+    if "e" in s:
+        mant, exps = s.split("e")
+        exp = int(exps)
+    else:
+        mant, exp = s, 0
+    if "." in mant:
+        ip, fp = mant.split(".")
+    else:
+        ip, fp = mant, ""
+    alldig = ip + fp
+    stripped = alldig.lstrip("0")
+    lead_zeros = len(alldig) - len(stripped)
+    digits = stripped.rstrip("0") or "0"
+    dexp = len(ip) - lead_zeros + exp - 1
+    return digits, dexp
+
+
 def num_to_string(n: float) -> str:
-    """Canonical double->string, matching Spark CAST(double AS STRING)."""
-    if n == int(n) and abs(n) < 1e16 and not (n == 0 and str(n)[0] == "-"):
-        return f"{int(n)}.0"
-    return repr(n)
+    """Java ``Double.toString`` replica — what Spark CAST(double AS STRING)
+    emits: decimal form for 1e-3 <= |n| < 1e7, else ``d.dddE±x`` scientific
+    (verified against Spark: 1e7 -> '1.0E7', 0.00099 -> '9.9E-4').
+
+    Known divergence: deep-subnormal shortest digits can differ between
+    Java's legacy FloatingDecimal and Python repr (5e-324: Java '4.9E-324'
+    vs here '5.0E-324') — unreachable from realistic property strings and
+    excluded from the differential corpus."""
+    import math
+
+    if math.isnan(n):
+        return "NaN"
+    if math.isinf(n):
+        return "Infinity" if n > 0 else "-Infinity"
+    sign = "-" if math.copysign(1.0, n) < 0 else ""
+    a = abs(n)
+    if a == 0:
+        return sign + "0.0"
+    digits, dexp = _shortest_digits(a)
+    if -3 <= dexp < 7:
+        if dexp >= 0:
+            int_part = digits[:dexp + 1].ljust(dexp + 1, "0")
+            frac = digits[dexp + 1:] or "0"
+            return f"{sign}{int_part}.{frac}"
+        return sign + "0." + "0" * (-dexp - 1) + digits
+    frac = digits[1:] or "0"
+    return f"{sign}{digits[0]}.{frac}E{dexp}"
 
 
 def _to_any(typ: str, v: Any) -> AnyVal:

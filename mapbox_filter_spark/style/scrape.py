@@ -62,12 +62,37 @@ def scrape_expr_meta(e: A.UExp) -> set[str]:
         return deinterpolate(e.value)
     if isinstance(e, A.UFunction):
         return {e.property} if e.property is not None else set()
-    if isinstance(e, A.UMatch):
-        out = scrape_expr_meta(e.input) | scrape_expr_meta(e.default)
-        for _lbl, v in e.table:
-            out |= scrape_expr_meta(v)
-        return out
+    # UMatch: contributes NOTHING — reference parity.  scrapeExprMeta has no
+    # UMatch case, so it falls to the ``getMeta _ = mempty`` catch-all
+    # (Style.hs:62): keys referenced only inside a match (including every
+    # legacy in/!in filter, which the rewriter converts to match) are NOT
+    # retained and get pruned from emitted tile metadata.  Arguably a
+    # reference bug, but "byte-for-meaning" output parity wins; the r1
+    # engine recursed into match and emitted extra keys (deviation flagged
+    # by round-1 advice).  Use scrape_expr_meta_match_aware for the
+    # fixed-behavior extension.
     return set()
+
+
+def scrape_expr_meta_match_aware(e: A.UExp) -> set[str]:
+    """EXTENSION (non-parity): like scrape_expr_meta but also recursing into
+    match input/outputs/default, for styles that rely on keys referenced
+    only inside match.  Not used by default — see the UMatch note above."""
+    if isinstance(e, A.UMatch):
+        out = scrape_expr_meta_match_aware(e.input) \
+            | scrape_expr_meta_match_aware(e.default)
+        for _lbl, v in e.table:
+            out |= scrape_expr_meta_match_aware(v)
+        return out
+    if isinstance(e, A.UApp) and e.name not in ("get", "has"):
+        out = set()
+        for a in e.args:
+            out |= scrape_expr_meta_match_aware(a)
+        return out
+    if isinstance(e, A.ULet):
+        return scrape_expr_meta_match_aware(e.value) \
+            | scrape_expr_meta_match_aware(e.body)
+    return scrape_expr_meta(e)
 
 
 def scrape_json_meta(v: Any) -> set[str]:

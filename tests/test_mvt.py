@@ -1,0 +1,117 @@
+"""MVT protobuf + gzip codec: byte round-trips, value typing, gzip sniff,
+Spark encode/decode plumbing, and the mbtiles blob integration."""
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from mapbox_filter_spark.sources.mvt import (
+    DEFAULT_EXTENT, cmds_to_parts, decode_mvt_tiles, decode_tile,
+    encode_mvt_tiles, encode_tile, point_cmds,
+)
+
+LINE_CMDS = [9, 4, 6, (2 & 7) | (2 << 3), 2, 2, 4, 4]  # MoveTo + LineTo x2
+
+FIXTURE = [
+    {"layer": "waterway", "extent": 4096, "feature_id": 7, "geom_type": 2,
+     "props": {"class": "river", "rank": "5", "flag": "true",
+               "score": "2.5", "name": "Ob {x}"},
+     "geom_cmds": LINE_CMDS},
+    {"layer": "waterway", "extent": 4096, "feature_id": 8, "geom_type": 1,
+     "props": {"class": "stream"}, "geom_cmds": point_cmds(100, -200)},
+    {"layer": "place", "extent": 4096, "feature_id": 1, "geom_type": 1,
+     "props": {"neg": "-12", "noncanon": "05", "nanstr": "NaN"},
+     "geom_cmds": point_cmds(0, 0)},
+]
+
+
+def _sorted(feats):
+    return sorted(feats, key=lambda f: (f["layer"], f["feature_id"]))
+
+
+def test_codec_roundtrip_identity():
+    blob = encode_tile(FIXTURE)
+    assert blob[:2] == b"\x1f\x8b"  # gzipped (Main.hs:384-386)
+    back = decode_tile(blob)
+    assert _sorted(back) == _sorted(FIXTURE)
+    # decode∘encode is the identity -> encode(decode(blob)) == blob
+    assert encode_tile(back) == blob
+
+
+def test_gunzip_sniff_accepts_raw():
+    """autoUnzip parity (Main.hs:306-308): uncompressed blobs also decode."""
+    raw = encode_tile(FIXTURE, compress=False)
+    assert raw[:2] != b"\x1f\x8b"
+    assert _sorted(decode_tile(raw)) == _sorted(FIXTURE)
+    # and manually-gzipped raw decodes identically
+    assert _sorted(decode_tile(gzip.compress(raw))) == _sorted(FIXTURE)
+
+
+def test_value_typing_canonical():
+    """Typed Value encodings are used only when they round-trip exactly."""
+    feats = [{"layer": "l", "extent": DEFAULT_EXTENT, "feature_id": 1,
+              "geom_type": 1,
+              "props": {"i": "12", "d": "2.5", "b": "false", "s": "x",
+                        "zero_pad": "05", "trail": "5.00", "inf": "Infinity",
+                        "big": str(1 << 70)},
+              "geom_cmds": point_cmds(1, 1)}]
+    back = decode_tile(encode_tile(feats))
+    assert back[0]["props"] == feats[0]["props"]
+
+
+def test_cmds_to_parts_geometry():
+    assert cmds_to_parts(LINE_CMDS) == [[(2, 3), (3, 4), (5, 6)]]
+    # ClosePath repeats the first point
+    poly = [9, 0, 0, (2 & 7) | (2 << 3), 2, 0, 0, 2, 15]
+    assert cmds_to_parts(poly) == [[(0, 0), (1, 0), (1, 1), (0, 0)]]
+    # MoveTo starts a new part
+    multi = point_cmds(3, 4) + point_cmds(1, 1)
+    assert cmds_to_parts(multi) == [[(3, 4)], [(4, 5)]]
+
+
+def test_spark_encode_decode(spark):
+    rows = [(6, 10, 20, f["layer"], f["extent"], f["feature_id"],
+             f["geom_type"], {1: "Point", 2: "LineString"}[f["geom_type"]],
+             f["props"], f["geom_cmds"]) for f in FIXTURE]
+    rows.append((6, 11, 20, "place", 4096, 99, 1, "Point",
+                 {"class": "town"}, point_cmds(7, 7)))
+    df = spark.createDataFrame(
+        rows,
+        "z long, x long, y long, layer string, extent long, "
+        "feature_id long, geom_type long, geom_kind string, "
+        "props map<string,string>, geom_cmds array<long>")
+    tiles = encode_mvt_tiles(df)
+    assert tiles.count() == 2
+    blob = {(r.x, r.y): bytes(r.tile_data) for r in tiles.collect()}
+    assert blob[(10, 20)][:2] == b"\x1f\x8b"
+    # executor-side bytes == driver-side codec bytes (determinism)
+    assert blob[(10, 20)] == encode_tile(FIXTURE)
+
+    decoded = decode_mvt_tiles(tiles)
+    got = [r.asDict() for r in decoded.collect()]
+    assert len(got) == 4
+    by_fid = {r["feature_id"]: r for r in got}
+    assert by_fid[7]["props"] == FIXTURE[0]["props"]
+    assert by_fid[7]["geom_cmds"] == LINE_CMDS
+    assert by_fid[7]["geom_kind"] == "LineString"
+    assert by_fid[99]["x"] == 11 and by_fid[99]["props"] == {"class": "town"}
+
+
+def test_mbtiles_blob_integration(spark, tmp_path):
+    """encode -> write_mbtiles -> read_mbtiles -> decode: a real mbtiles of
+    real MVT blobs round-trips through the store."""
+    from mapbox_filter_spark.sources.mbtiles import read_mbtiles, write_mbtiles
+
+    df = spark.createDataFrame(
+        [(6, 10, 20, f["layer"], f["extent"], f["feature_id"],
+          f["geom_type"], "Point", f["props"], f["geom_cmds"])
+         for f in FIXTURE],
+        "z long, x long, y long, layer string, extent long, "
+        "feature_id long, geom_type long, geom_kind string, "
+        "props map<string,string>, geom_cmds array<long>")
+    tiles = encode_mvt_tiles(df)
+    path = str(tmp_path / "t.mbtiles")
+    write_mbtiles(tiles, path)
+    feats = decode_mvt_tiles(read_mbtiles(spark, path))
+    assert feats.count() == len(FIXTURE)
+    assert {r.feature_id for r in feats.collect()} == {1, 7, 8}

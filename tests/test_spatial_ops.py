@@ -63,8 +63,14 @@ def test_downcopy_fixture(spark):
     # non-spec layer at dst untouched, NOT renumbered (no child contribution)
     land = [(r["feature_id"], r["new_feature_id"]) for r in dst if r["layer"] == "landuse"]
     assert land == [(4, 4)]
-    # child landuse dropped; z=9 rows gone entirely from spec layer
-    assert out.filter("z = 9").count() == 0
+    # the z=9 level PASSES THROUGH untouched (round-1 advice fix): the
+    # reference stores child tiles independently — copyDown only rebuilds
+    # the dst tile (Main.hs:385,517-522); matched children are COPIED, not
+    # moved, so composing into a multi-zoom pyramid keeps every level.
+    z9 = out.filter("z = 9").collect()
+    assert sorted(r["feature_id"] for r in z9) == [11, 12, 13, 14, 15]
+    assert all(r["new_feature_id"] == r["feature_id"] and r["quadrant"] == 0
+               for r in z9)
     # passthrough untouched
     assert out.filter("z = 5").count() == 1
 
