@@ -90,8 +90,11 @@ def run_suite(cores: int, sf_dir: str) -> dict:
     flagship_sec = min(reps)
     timings["flagship_pipeline"] = round(flagship_sec, 3)
 
+    pip = None if flagship_only else pip_micro(spark, sf_dir)
+
     spark.stop()
     return {
+        "pip_micro": pip,
         "flagship_reps": [round(r, 3) for r in reps],
         "timings": timings,
         "n_features": n_features,
@@ -99,6 +102,70 @@ def run_suite(cores: int, sf_dir: str) -> dict:
         "flagship_sec": flagship_sec,
         "tiles_per_sec": round(n_tiles / flagship_sec, 1),
         "features_per_sec": round(n_features * 3 / flagship_sec, 1),  # 3 zooms
+    }
+
+
+def pip_micro(spark, sf_dir: str) -> dict:
+    """PIP kernel A/B on IDENTICAL real inputs: the shipped per-polygon
+    vectorized kernel vs the round-1 per-row Python loop, on one large
+    in-memory Arrow-batch-shaped pandas frame (real candidates from the
+    cell-pruned join, replicated to ~200k rows).  Timed as direct kernel
+    calls — sub-second Spark job overhead would otherwise swamp the
+    microseconds-per-row kernel and measure nothing."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapbox_filter_spark.geo.pip import _pip_kernel, prepare_polygons
+    from mapbox_filter_spark.geo.tilemath import cell_encode, tile_cols
+    from mapbox_filter_spark.queries_ext import _rect_polys
+    from mapbox_filter_spark.sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir).select("feature_id", "lon", "lat")
+    cover = prepare_polygons(_rect_polys(spark, sf_dir), 6)
+    x, y = tile_cols(F.col("lon"), F.col("lat"), F.lit(6))
+    pts = feats.withColumn("__cell", cell_encode(F.lit(6), x, y))
+    cand = pts.join(F.broadcast(cover), pts["__cell"] == cover["cell"]).select(
+        "poly_id", "lon", "lat", "ring_lon", "ring_lat").toPandas()
+    reps = max(1, 200_000 // max(len(cand), 1))
+    batch = pd.concat([cand] * reps, ignore_index=True)
+    n = len(batch)
+    args = (batch["poly_id"], batch["lon"], batch["lat"],
+            batch["ring_lon"], batch["ring_lat"])
+
+    def rowloop(poly_id, px, py, rlon, rlat):
+        import numpy as np
+
+        out = np.zeros(len(px), dtype=bool)
+        pxv, pyv = px.to_numpy(dtype=float), py.to_numpy(dtype=float)
+        for i in range(len(px)):
+            lon = np.asarray(rlon.iloc[i], dtype=float)
+            lat = np.asarray(rlat.iloc[i], dtype=float)
+            if lon.size < 3:
+                continue
+            lx, ly = np.roll(lon, 1), np.roll(lat, 1)
+            c = (lat > pyv[i]) != (ly > pyv[i])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = (lx - lon) * (pyv[i] - lat) / (ly - lat) + lon
+            out[i] = bool(np.count_nonzero(c & (pxv[i] < xint)) % 2)
+        return pd.Series(out)
+
+    def timed(fn) -> tuple[float, object]:
+        best, res = 1e9, None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = fn(*args)
+            best = min(best, time.perf_counter() - t0)
+        return best, res
+
+    vec, vres = timed(_pip_kernel)
+    row, rres = timed(rowloop)
+    assert list(vres) == list(rres), "kernel results diverge"
+    return {
+        "n_candidates": n,
+        "vectorized_sec": round(vec, 3),
+        "rowloop_sec": round(row, 3),
+        "candidates_per_sec": round(n / vec, 1),
+        "kernel_speedup": round(row / vec, 2),
     }
 
 
@@ -289,6 +356,7 @@ def main() -> None:
         "queries": r["timings"],
         "sf": float(sf),
         "cores": cores,
+        "pip_micro": r["pip_micro"],
         "throughput": {
             "tiles_per_sec": r["tiles_per_sec"],
             "features_per_sec": r["features_per_sec"],

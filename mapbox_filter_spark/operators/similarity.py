@@ -132,6 +132,15 @@ def ann_lsh_topk(
     )
 
 
+def _bucketed(corpus: DataFrame, tables: list, corpus_id: str,
+              vec_col: str) -> DataFrame:
+    return corpus.select(
+        F.col(corpus_id).alias("id"), F.col(vec_col).alias("vec"),
+        F.posexplode(F.array(*[_bucket_of(F.col(vec_col), p) for p in tables]))
+        .alias("table_idx", "bucket"),
+    )
+
+
 def embedding_near_dup(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -141,18 +150,32 @@ def embedding_near_dup(
     seed: int = 42,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 1024,
+    tables: list | None = None,
 ) -> DataFrame:
-    """Near-duplicate vector pairs (cosine >= threshold) via LSH buckets."""
-    tables = _hyperplanes(dim, n_planes, n_tables, seed)
-    b = corpus.select(
-        F.col(corpus_id).alias("id"), F.col(vec_col).alias("vec"),
-        F.posexplode(F.array(*[_bucket_of(F.col(vec_col), p) for p in tables]))
-        .alias("table_idx", "bucket"),
+    """Near-duplicate vector pairs (cosine >= threshold) via LSH buckets.
+
+    Scale guards (round-1 review fix): buckets larger than ``max_bucket``
+    (degenerate sign-pattern floods — the self-join on them is O(bucket²))
+    are dropped via a broadcast anti-join, never silently — audit with
+    :func:`oversized_vector_buckets`; raise ``n_planes`` with corpus size
+    (buckets per table = 2^n_planes) so expected bucket size stays bounded.
+    ``tables`` overrides the seeded gaussian hyperplanes (e.g. with
+    integer-quantized planes for the exact-arithmetic oracle path)."""
+    tables = tables if tables is not None else _hyperplanes(
+        dim, n_planes, n_tables, seed)
+    b = _bucketed(corpus, tables, corpus_id, vec_col)
+    oversized = (
+        b.groupBy("table_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > max_bucket)
+        .select("table_idx", "bucket")
     )
-    left = b.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
-                    "table_idx", "bucket")
-    right = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
-                     "table_idx", "bucket")
+    b_ok = b.join(F.broadcast(oversized), ["table_idx", "bucket"], "left_anti")
+    left = b_ok.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+                       "table_idx", "bucket")
+    right = b_ok.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+                        "table_idx", "bucket")
     return (
         left.join(right, ["table_idx", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -160,4 +183,27 @@ def embedding_near_dup(
         .withColumn("sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
+    )
+
+
+def oversized_vector_buckets(
+    corpus: DataFrame,
+    dim: int = 16,
+    n_planes: int = 10,
+    n_tables: int = 4,
+    seed: int = 42,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 1024,
+    tables: list | None = None,
+) -> DataFrame:
+    """(table_idx, bucket, n) for buckets :func:`embedding_near_dup`
+    dropped — the no-silent-truncation audit."""
+    tables = tables if tables is not None else _hyperplanes(
+        dim, n_planes, n_tables, seed)
+    return (
+        _bucketed(corpus, tables, corpus_id, vec_col)
+        .groupBy("table_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
     )

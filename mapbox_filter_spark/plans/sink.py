@@ -9,9 +9,10 @@ Parity targets:
   predicates become partition pruning, and ``sortWithinPartitions(x, y)``
   clusters row groups for tile-range scans (the analogue of the reference's
   SQLite b-tree column locality, app/Main.hs:360-363).
-- S3 publish (app/Main.hs:475-501) is out of sandbox scope by design; the
-  fs tree shares its layout so a boto3 ``foreachPartition`` uploader slots
-  in where ``_write_one`` is.
+- S3 publish (app/Main.hs:475-501): ``write_tiles_s3`` — boto3
+  ``foreachPartition`` uploader with the reference's exact object headers,
+  plus the empty-tile delete path and TileJSON PutObject; tested against a
+  local moto S3 endpoint (tests/test_sinks.py).
 """
 
 from __future__ import annotations
@@ -78,6 +79,96 @@ def delete_tiles_fs(out_dir: str, deleted: DataFrame) -> int:
             os.remove(p)
             n += 1
     return n
+
+
+def write_tiles_s3(
+    tiles: DataFrame,
+    bucket: str,
+    payload_col: str = "payload",
+    prefix: str = "tiles",
+    endpoint_url: Optional[str] = None,
+    content_type: str = "application/x-protobuf",
+    content_encoding: str = "gzip",
+    cache_control: str = "max-age=31536000",
+    client_factory=None,
+) -> int:
+    """Publish tiles to ``s3://bucket/{prefix}/{z}/{x}/{y}`` —
+    executor-parallel (foreachPartition, one client per task, the Spark
+    replacement for the reference's connection-pooled upload threads,
+    app/Main.hs:443-445,485-492).  Headers match the reference's PutObject
+    exactly (content-type x-protobuf, gzip encoding, 1-year cache,
+    Main.hs:488-492); custom ``endpoint_url`` mirrors its --s3-endpoint.
+
+    boto3 loads lazily on the EXECUTOR; ``client_factory`` injects a client
+    builder (tests use moto).  Returns the tile count."""
+    cnt = tiles.count()
+    rows = tiles.select("z", "x", "y", payload_col)
+
+    def _upload_partition(it):
+        if client_factory is not None:
+            client = client_factory()
+        else:
+            import boto3  # deferred: only needed when actually publishing
+
+            client = boto3.client("s3", endpoint_url=endpoint_url)
+        for row in it:
+            data = row[payload_col]
+            if isinstance(data, str):
+                data = data.encode()
+            client.put_object(
+                Bucket=bucket,
+                Key=f"{prefix}/{row['z']}/{row['x']}/{row['y']}",
+                Body=bytes(data or b""),
+                ContentType=content_type,
+                ContentEncoding=content_encoding,
+                CacheControl=cache_control,
+            )
+
+    rows.foreachPartition(_upload_partition)
+    return cnt
+
+
+def delete_tiles_s3(
+    deleted: DataFrame,
+    bucket: str,
+    prefix: str = "tiles",
+    endpoint_url: Optional[str] = None,
+    client_factory=None,
+) -> int:
+    """DeleteObject for tiles that became empty (Main.hs:476-479 S3 arm)."""
+    def _delete_partition(it):
+        if client_factory is not None:
+            client = client_factory()
+        else:
+            import boto3
+
+            client = boto3.client("s3", endpoint_url=endpoint_url)
+        for row in it:
+            client.delete_object(
+                Bucket=bucket,
+                Key=f"{prefix}/{row['z']}/{row['x']}/{row['y']}")
+
+    n = deleted.count()
+    deleted.select("z", "x", "y").foreachPartition(_delete_partition)
+    return n
+
+
+def write_tilejson_s3(bucket: str, meta: dict, url_template: str,
+                      endpoint_url: Optional[str] = None,
+                      client_factory=None) -> None:
+    """metadata.json PutObject (Main.hs:495-501: content-type json)."""
+    from ..sources.mbtiles import tilejson_metadata
+
+    if client_factory is not None:
+        client = client_factory()
+    else:
+        import boto3
+
+        client = boto3.client("s3", endpoint_url=endpoint_url)
+    client.put_object(
+        Bucket=bucket, Key="metadata.json",
+        Body=json.dumps(tilejson_metadata(meta, url_template)).encode(),
+        ContentType="application/json")
 
 
 def tile_payload_json(tiles: DataFrame) -> DataFrame:

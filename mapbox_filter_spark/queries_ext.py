@@ -304,6 +304,77 @@ sims AS (
 SELECT query_id, rank, vec_id, sim FROM sims WHERE rank <= 5"""
 
 
+def _quantized_planes(dim: int = 64, n_planes: int = 8, n_tables: int = 4,
+                      seed: int = 7) -> list[list[list[float]]]:
+    """Integer-valued hyperplanes (gaussian * 1000, rounded): dot products
+    against integer-quantized vectors are exact in doubles on BOTH engines,
+    so the sign-pattern bucket assignment can never flip on a fp boundary."""
+    from .operators.similarity import _hyperplanes
+
+    return [[[float(round(x * 1000)) for x in plane] for plane in table]
+            for table in _hyperplanes(dim, n_planes, n_tables, seed)]
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-duplicate vector pairs, fully oracle-checked: the corpus is
+    integer-quantized embeddings plus planted perturbed duplicates (every
+    50th vector, +1 per dim — cosine ~0.9999), bucketed by integer-quantized
+    hyperplanes; the SQL transcribes the same bucket mechanics (including
+    the max_bucket cap) so candidate generation matches exactly."""
+    from .operators.similarity import embedding_near_dup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * 1000)).alias("embedding"))
+    dups = emb.filter(F.pmod(F.col("vec_id"), F.lit(50)) == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x + 1.0).alias("embedding"))
+    corpus = emb.unionByName(dups)
+    return embedding_near_dup(corpus, threshold=0.99, max_bucket=64,
+                              tables=_quantized_planes())
+
+
+def sql_embedding_near_dup(threshold: float = 0.99, max_bucket: int = 64) -> str:
+    tables = _quantized_planes()
+    bucket_cases = []
+    for ti, table in enumerate(tables):
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {[int(x) for x in plane]}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j, plane in enumerate(table)
+        )
+        bucket_cases.append(f"WHEN {ti} THEN ({terms})")
+    bucket = "CASE u.ti " + " ".join(bucket_cases) + " END"
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> ROUND(x * 1000)) AS v
+  FROM embeddings
+),
+corpus AS (
+  SELECT vec_id, v FROM emb
+  UNION ALL
+  SELECT vec_id + 10000, list_transform(v, x -> x + 1)
+  FROM emb WHERE vec_id % 50 = 0
+),
+b AS (
+  SELECT vec_id AS id, v, u.ti AS table_idx, {bucket} AS bucket
+  FROM corpus, UNNEST(range(0, {len(tables)})) AS u(ti)
+),
+bsize AS (SELECT table_idx, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b2.id AS id_b, a.v AS va, b2.v AS vb
+  FROM b a
+  JOIN b b2 ON a.table_idx = b2.table_idx AND a.bucket = b2.bucket
+           AND a.id < b2.id
+  JOIN bsize s ON s.table_idx = a.table_idx AND s.bucket = a.bucket
+  WHERE s.c <= {max_bucket}
+)
+SELECT id_a, id_b, ROUND(list_cosine_similarity(va, vb), 6) AS sim
+FROM cand WHERE ROUND(list_cosine_similarity(va, vb), 6) >= {threshold}"""
+
+
 _MERC_Y = ("((1.0 - LN(TAN(RADIANS(GREATEST(-85.05112878, LEAST(lat, 85.05112878))))"
            " + 1.0 / COS(RADIANS(GREATEST(-85.05112878, LEAST(lat, 85.05112878)))))"
            " / PI()) / 2.0)")
@@ -619,6 +690,7 @@ EXT_QUERIES = {
     "token_quality": (q_token_quality, sql_token_quality),
     "doc_fingerprint": (q_fingerprint, sql_fingerprint),
     "cosine_topk": (q_cosine_topk, sql_cosine_topk),
+    "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup),
     "knn_ring": (q_knn_ring, sql_knn_ring),
     "pip_join": (q_pip_join, sql_pip_join),
     "raster_join": (q_raster_join, sql_raster_join),

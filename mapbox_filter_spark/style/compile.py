@@ -59,13 +59,15 @@ def _null(typ: str) -> Column:
 # IEEE).  So every string->double parse site rejects these spellings.
 # Overflow forms like '1e999' still parse to Infinity on BOTH engines
 # (readMaybe does the same), which is safe: +-Inf compare identically.
-_NONFINITE_SPELLING = r"^[+-]?(nan|inf|infinity)$"
+# \s* (not F.trim) because try_cast itself trims tabs/newlines while trim
+# only strips spaces — the rejection must cover exactly what the cast accepts
+_NONFINITE_SPELLING = r"^\s*[+-]?(nan|inf|infinity)\s*$"
 
 
 def _str_to_num(s: Column) -> Column:
     """String -> double with reference parse semantics (see above)."""
     return F.when(
-        F.lower(F.trim(s)).rlike(_NONFINITE_SPELLING), _null("num")
+        F.lower(s).rlike(_NONFINITE_SPELLING), _null("num")
     ).otherwise(s.try_cast("double"))
 
 

@@ -33,25 +33,38 @@ class EvalFailure(Exception):
 AnyVal = tuple  # (tag, value): ('bool', b) | ('num', f) | ('str', s) | ('numarray', tuple)
 
 
+# Java FloatingPointLiteral grammar (what Spark's try_cast delegates to,
+# verified empirically: '5d' -> 5.0, '0x1Ap0' -> 26.0, '1_000' -> None,
+# fullwidth digits -> None):
+_DEC_NUM_RE = __import__("re").compile(
+    r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?[dDfF]?$")
+_HEX_NUM_RE = __import__("re").compile(
+    r"^[+-]?0[xX]([0-9a-fA-F]+\.?[0-9a-fA-F]*|\.[0-9a-fA-F]+)"
+    r"[pP][+-]?\d+[dDfF]?$")
+
+
 def str_to_num(s: str) -> float | None:
     """Mirror of compile._str_to_num: Spark ``try_cast(s AS double)`` parse
-    shape (trim, decimal/scientific; reject python-isms Spark rejects) MINUS
-    NaN/Infinity spellings, which BOTH paths reject for reference parity —
-    Haskell ``readMaybe`` (Interpret.hs:25,107) does not accept them, and
-    excluding them keeps Spark's NaN==NaN=TRUE semantics unreachable.
-    Overflow forms like '1e999' still yield Infinity on both paths."""
+    (the Java parseDouble grammar — decimal/scientific with optional dDfF
+    type suffix, hex-floats with a mandatory p-exponent, ASCII only, no
+    underscores) MINUS NaN/Infinity spellings, which BOTH paths reject for
+    reference parity — Haskell ``readMaybe`` (Interpret.hs:25,107) does not
+    accept them, and excluding them keeps Spark's NaN==NaN=TRUE semantics
+    unreachable.  Overflow forms like '1e999' still yield Infinity on both
+    paths."""
+    if not s.isascii():
+        return None  # Spark rejects fullwidth/Arabic digits; Python doesn't
     t = s.strip()
     if not t:
         return None
     low = t.lower().lstrip("+-")
     if low in ("infinity", "inf", "nan"):
         return None
-    if low.startswith("0x") or "_" in t:
-        return None
-    try:
-        return float(t)
-    except ValueError:
-        return None
+    if _DEC_NUM_RE.match(t):
+        return float(t.rstrip("dDfF"))
+    if _HEX_NUM_RE.match(t):
+        return float.fromhex(t.rstrip("dDfF"))
+    return None
 
 
 def infer_tag(v: str) -> AnyVal:

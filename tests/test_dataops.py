@@ -137,3 +137,43 @@ def test_media_plumbing(spark):
     import pytest
     with pytest.raises(NotImplementedError):
         media.decode_image_real(with_blob)
+
+
+def test_simhash_bucket_cap_on_skewed_corpus(spark):
+    """Identical-text floods: every chunk bucket explodes past max_bucket;
+    the pass drops them (bounded work, no OOM) and the audit reports them —
+    no silent truncation."""
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(300)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.dedup_simhash(d, max_bucket=64)
+    assert pairs.count() == 0  # all buckets over cap -> dropped
+    audit = dedup.oversized_simhash_buckets(d, max_bucket=64).collect()
+    # one flooded bucket per chunk index, each holding the whole corpus
+    assert sorted(r["chunk_idx"] for r in audit) == [0, 1, 2, 3]
+    assert all(r["n"] == 300 for r in audit)
+    # with the cap lifted the pairs come back (sanity: cap is the only gate)
+    assert dedup.dedup_simhash(d, max_bucket=100_000).count() > 0
+
+
+def test_minhash_bucket_cap_audit(spark):
+    rows = [(i, "identical minhash corpus line") for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.dedup_minhash_lsh(d, max_bucket=64).count() == 0
+    audit = dedup.oversized_buckets(d, max_bucket=64)
+    got = audit.collect()
+    assert len(got) == 16  # every band bucket flooded
+    assert all(r["n"] == 200 for r in got)
+
+
+def test_embedding_near_dup_bucket_cap(spark):
+    # 150 identical vectors: every LSH bucket floods; cap drops them all
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(150)]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.embedding_near_dup(d, dim=4, threshold=0.5, max_bucket=64)
+    assert out.count() == 0
+    audit = similarity.oversized_vector_buckets(d, dim=4, max_bucket=64)
+    assert audit.count() == 4  # one flooded bucket per table
+    # lifted cap: all pairs found (identical vectors, sim = 1.0)
+    out2 = similarity.embedding_near_dup(d, dim=4, threshold=0.5,
+                                         max_bucket=1_000_000)
+    assert out2.count() == 150 * 149 // 2

@@ -20,8 +20,25 @@ from mapbox_filter_spark.style import pyinterp
 KEYS = ["class", "brunnel", "name", "rank", "intermittent", "level"]
 STR_VALS = ["river", "stream", "tunnel", "bridge", "", "x y", "5a"]
 NUM_VALS = [0, 1, 2, 5, -3, 2.5]
-# strings that exercise tag inference: numeric-looking, bool-looking
-TRICKY_VALS = ["5", "0", "2.5", "true", "false", "-3"]
+# strings that exercise tag inference: numeric-looking, bool-looking, plus
+# the adversarial parse corners (round-1 advice): NaN/Infinity spellings
+# (rejected on both paths), Java type suffixes and hex-floats (accepted by
+# Spark's cast), python-isms (underscores, fullwidth digits — rejected by
+# Spark), overflow-to-Infinity, and to-string boundary magnitudes (1e7 /
+# 1e-4 flip Java Double.toString into scientific notation).
+TRICKY_VALS = [
+    "5", "0", "2.5", "true", "false", "-3",
+    "NaN", "Infinity", "-Infinity", "inf", "nan",
+    "1e999", "-1e999", "5d", "-5f", "0x1Ap0", "0x1A",
+    "1_000", "５", ".5", "5.", "+5", "1E3", "00", "5 5", " 7 ",
+    "10000000", "9999999.5", "1e7", "0.001", "0.0001", "1e-4",
+    "12345678.9", "1e16", "-0.0",
+]
+# literals compared against ["to-string", get]: canonical Java Double
+# renderings on the scientific-notation boundary + bool/plain forms
+TOSTR_LITS = ["1.0E7", "10000000.0", "9999999.5", "0.001", "1.0E-4",
+              "0.0001", "1.23456789E7", "2.5", "-3.0", "Infinity", "true",
+              "river", "5", "1000.0"]
 
 
 def gen_value(rng: random.Random):
@@ -96,8 +113,11 @@ def gen_bool(rng: random.Random, depth: int):
             labels = rng.sample(pool, k=rng.randrange(1, 3))
         return ["match", inp, labels, gen_bool(rng, depth - 1),
                 gen_bool(rng, depth - 1)]
-    if r < 0.92:
+    if r < 0.87:
         return ["to-boolean", gen_get(rng)]
+    if r < 0.95:
+        # to-string canonicalization: hits the Java Double.toString replica
+        return ["==", ["to-string", gen_get(rng)], rng.choice(TOSTR_LITS)]
     return ["==", ["geometry-type"], rng.choice(["Point", "LineString", "Polygon", "bogus"])]
 
 
@@ -118,7 +138,7 @@ def test_differential(spark, seed):
 
     exprs = []
     attempts = 0
-    while len(exprs) < 80 and attempts < 2000:
+    while len(exprs) < 120 and attempts < 3000:
         attempts += 1
         fj = gen_bool(rng, 3)
         try:
@@ -126,7 +146,7 @@ def test_differential(spark, seed):
         except (TypeCheckError, Exception):
             continue
         exprs.append((fj, texp))
-    assert len(exprs) == 80
+    assert len(exprs) == 120
 
     df = spark.createDataFrame([Row(**f) for f in features], schema=FEATURE_SCHEMA)
     cols = [

@@ -73,3 +73,14 @@ def test_flagship_single_shuffle(spark):
     p = phys(df)
     exchanges = p.count("Exchange hashpartitioning")
     assert exchanges <= 1, f"unexpected extra shuffles:\n{p[:2000]}"
+
+
+def test_hash_diff_single_shuffle(spark):
+    """The cur+prev tile hashes are computed in ONE aggregation (round-1
+    review finding 5): exactly one Exchange in the physical plan — the old
+    two-aggregates-then-join shape had three."""
+    from mapbox_filter_spark.queries import q_hash_diff
+
+    df = q_hash_diff(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
