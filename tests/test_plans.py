@@ -84,3 +84,48 @@ def test_hash_diff_single_shuffle(spark):
     df = q_hash_diff(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_http_tile_server(spark):
+    """HTTP wrapper parity (Main.hs:525-569): tile route returns a gzipped
+    MVT blob with the reference's headers; filtered-away tiles return an
+    EMPTY body; metadata.json builds TileJSON from request headers."""
+    import gzip
+    import urllib.request
+
+    from mapbox_filter_spark.plans.http_serve import TileServer, make_spark_fetcher
+    from mapbox_filter_spark.sources.mvt import decode_tile
+    from mapbox_filter_spark.style.model import load_style
+
+    style = load_style({"layers": [{
+        "id": "w", "type": "line", "source": "s", "source-layer": "waterway",
+        "filter": ["==", ["string", ["get", "class"], ""], "river"]}]})
+    store = spark.createDataFrame(
+        [(6, 10, 20, "waterway", 1, "LineString", {"class": "river"}),
+         (6, 10, 20, "waterway", 2, "LineString", {"class": "stream"}),
+         (6, 11, 20, "waterway", 3, "LineString", {"class": "stream"})],
+        "z long, x long, y long, layer string, feature_id long, "
+        "geom_kind string, props map<string,string>").cache()
+
+    with TileServer(make_spark_fetcher(store, style), meta={"name": "t"}) as srv:
+        base = f"http://127.0.0.1:{srv.port}"
+        with urllib.request.urlopen(f"{base}/tiles/6/10/20") as r:
+            body = r.read()
+            assert r.headers["Content-Type"] == "application/x-protobuf"
+            assert r.headers["Content-Encoding"] == "gzip"
+            assert r.headers["Cache-Control"] == "max-age=31536000"
+            assert r.headers["Access-Control-Allow-Origin"] == "*"
+        feats = decode_tile(body)
+        assert [f["feature_id"] for f in feats] == [1]  # stream filtered out
+        assert feats[0]["props"] == {"class": "river"}
+
+        # tile that filters to empty -> empty body (raw "" parity)
+        with urllib.request.urlopen(f"{base}/tiles/6/11/20") as r:
+            assert r.read() == b""
+            assert "Content-Encoding" not in r.headers
+
+        with urllib.request.urlopen(f"{base}/tiles/metadata.json") as r:
+            import json as _json
+            meta = _json.loads(r.read())
+            assert meta["tiles"] == [
+                f"http://127.0.0.1:{srv.port}/tiles/{{z}}/{{x}}/{{y}}"]
