@@ -222,22 +222,27 @@ def keep_predicate_from_bodies(
 def prefilter_necessary(
     style: MapboxStyle, body_cols: dict[int, str], layer_col: str = "layer",
 ) -> Column:
-    """A z-independent NECESSARY condition for survival at ANY zoom: the
-    feature's source-layer is styled and at least one of its layers' bodies
-    holds.  Applied BEFORE the zoom explode, it prunes the explode volume
-    without changing results (the exact gated predicate still runs after)."""
+    """A z-independent NECESSARY condition for survival at ANY zoom,
+    deliberately CHEAP: the feature's source-layer is styled (default-drop,
+    Filters.hs:40-43).  Applied BEFORE the zoom explode it prunes the
+    explode volume without changing results (the exact gated predicate
+    still runs after).
+
+    Why not fold the body columns in (round-1 shape): Catalyst's
+    PushDownPredicate substitutes projected aliases when pushing a filter
+    toward the scan, so a body-referencing prefilter arrives at the scan
+    with EVERY compiled filter body fully inlined (measured: a 66 KB
+    predicate expression — past the codegen method limit, evaluated
+    interpreted, and redundantly with the body project).  Layer membership
+    is attribute-only, inlines for free, and is the dominant prune; rows
+    whose bodies fail die at the cheap post-explode gate filter (boolean
+    column reads) before any shuffle, so the extra explode volume costs no
+    network."""
     lc = F.col(layer_col)
-    by_sl: dict[str, list[int]] = {}
-    for i, l in enumerate(style.vector_layers):
-        by_sl.setdefault(l.source_layer, []).append(i)
-    pred = F.lit(False)
-    for sl, idxs in by_sl.items():
-        any_body = functools.reduce(
-            operator.or_,
-            (F.coalesce(F.col(body_cols[i]), F.lit(False)) for i in idxs),
-        )
-        pred = F.when(lc == sl, any_body).otherwise(pred)
-    return pred
+    styled = sorted({l.source_layer for l in style.vector_layers})
+    if not styled:
+        return F.lit(False)
+    return lc.isin(*styled)
 
 
 def rtl_transform(df: DataFrame, props_col: str = "props",

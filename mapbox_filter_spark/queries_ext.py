@@ -304,6 +304,67 @@ sims AS (
 SELECT query_id, rank, vec_id, sim FROM sims WHERE rank <= 5"""
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN, fully oracle-checked: integer-quantized vectors, the
+    coarse quantizer is a relational centroid table (every 25th vector), so
+    argmin list assignment and nprobe probing are exact arithmetic on both
+    engines; only the final cosine is floating (rounded, like cosine_topk)."""
+    from .operators.similarity import ivf_flat_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * 1000)).alias("embedding"))
+    centroids = emb.filter(F.pmod(F.col("vec_id"), F.lit(25)) == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_flat_topk(queries, emb, centroids, k=5, nprobe=3)
+
+
+def sql_ivf_topk(k: int = 5, nprobe: int = 3) -> str:
+    d2 = ("list_aggregate(list_transform(list_zip(QV, CV), "
+          "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> ROUND(x * 1000)) AS v
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id % 25 = 0),
+corpus_assign AS (
+  SELECT c_id, cvec, cent_id FROM (
+    SELECT e.vec_id AS c_id, e.v AS cvec, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {d2.replace("QV", "e.v").replace("CV", "c.cv")},
+                      c.cent_id) AS r
+    FROM emb e CROSS JOIN cent c) WHERE r = 1
+),
+probes AS (
+  SELECT q_id, qv, cent_id FROM (
+    SELECT e.vec_id AS q_id, e.v AS qv, c.cent_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {d2.replace("QV", "e.v").replace("CV", "c.cv")},
+                      c.cent_id) AS r
+    FROM emb e CROSS JOIN cent c WHERE e.vec_id < 10) WHERE r <= {nprobe}
+),
+cand AS (
+  SELECT p.q_id, p.qv, a.c_id, a.cvec
+  FROM probes p JOIN corpus_assign a USING (cent_id)
+)
+SELECT query_id, rank, vec_id, sim FROM (
+  SELECT q_id AS query_id, c_id AS vec_id,
+         ROUND(list_cosine_similarity(qv, cvec), 6) AS sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q_id
+           ORDER BY ROUND(list_cosine_similarity(qv, cvec), 6) DESC, c_id)
+           AS rank
+  FROM cand
+) WHERE rank <= {k}"""
+
+
 def _quantized_planes(dim: int = 64, n_planes: int = 8, n_tables: int = 4,
                       seed: int = 7) -> list[list[list[float]]]:
     """Integer-valued hyperplanes (gaussian * 1000, rounded): dot products
@@ -691,6 +752,7 @@ EXT_QUERIES = {
     "doc_fingerprint": (q_fingerprint, sql_fingerprint),
     "cosine_topk": (q_cosine_topk, sql_cosine_topk),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup),
+    "ivf_topk": (q_ivf_topk, sql_ivf_topk),
     "knn_ring": (q_knn_ring, sql_knn_ring),
     "pip_join": (q_pip_join, sql_pip_join),
     "raster_join": (q_raster_join, sql_raster_join),

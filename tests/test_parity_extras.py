@@ -26,11 +26,13 @@ def test_job_counters(spark):
     assert got["kept"] > 0 and got["dropped"] > 0
 
 
-def test_rtl_stub(spark):
+def test_rtl_flag(spark):
     df = spark.range(1).select(F.create_map(F.lit("k"), F.lit("v")).alias("props"))
     assert rtl_transform(df) is df  # disabled: identity, zero plan impact
-    with pytest.raises(NotImplementedError):
-        rtl_transform(df, enabled=True)
+    # enabled: real conversion now (test_rtl.py has the golden fixtures);
+    # latin text passes through unchanged
+    out = rtl_transform(df, enabled=True).collect()[0]["props"]
+    assert out == {"k": "v"}
 
 
 def test_fs_tree_to_mbtiles(spark, tmp_path):
