@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -79,6 +79,34 @@ def delete_tiles_fs(out_dir: str, deleted: DataFrame) -> int:
             os.remove(p)
             n += 1
     return n
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 16,
+    sort_cols: Optional[Sequence[str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed+sorted external table write: repeated joins/aggs on
+    ``bucket_cols`` become exchange-free (co-located, pre-sorted) — the
+    at-scale answer for iterated tile-keyed joins (hash-diff against a
+    persistent store, down-copy against a parent level) where re-shuffling
+    100 TB per run is the bottleneck.  Both sides written with the SAME
+    (cols, n_buckets) join with ZERO Exchange (asserted in
+    tests/test_plans.py::test_bucketed_join_no_exchange)."""
+    # align the write partitioning with the bucket hash -> ONE file per
+    # bucket, so readers can use the sortBy order (multi-file buckets are
+    # only per-file-sorted and would force a bucket-local re-Sort)
+    cols = [F.col(c) for c in bucket_cols]
+    w = (df.repartition(n_buckets, *cols)
+         .write.mode(mode).option("path", path)
+         .bucketBy(n_buckets, *bucket_cols))
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
 
 
 def write_tiles_s3(

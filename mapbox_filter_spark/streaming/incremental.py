@@ -100,6 +100,58 @@ def incremental_tile_stream(
     )
 
 
+def streaming_dedup_first_seen(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-micro-batch EXACT dedup: a document is emitted only the FIRST
+    time its normalized-content hash is ever seen, with one boolean of
+    per-hash state in the streaming state store — the custom stateful
+    operator (``applyInPandasWithState``) the training-data ingest path
+    needs (batch dedup_exact's semantics, unbounded input).
+
+    Scale: state is keyed by the 128-bit content hash (the same shuffle key
+    the batch operator groups on) and holds ONE boolean per distinct
+    document ever seen — the minimum possible; within a batch the min-id
+    row wins (same survivor rule as dedup_exact)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import normalize_text
+
+    keyed = docs_stream.withColumn(
+        "content_hash", F.md5(normalize_text(F.col(text_col))))
+    out_schema = f"content_hash string, {id_col} string, {text_col} string"
+    state_schema = "seen boolean"
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            return  # hash already emitted in an earlier batch
+        first = None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            cand = pdf.sort_values(id_col).iloc[0]
+            if first is None or cand[id_col] < first[id_col]:
+                first = cand
+        if first is not None:
+            state.update((True,))
+            yield pd.DataFrame([{
+                "content_hash": key[0],
+                id_col: first[id_col],
+                text_col: first[text_col],
+            }])
+
+    return (
+        keyed.groupBy("content_hash")
+        .applyInPandasWithState(
+            dedup_fn, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout)
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "5 minutes",

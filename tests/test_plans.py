@@ -129,3 +129,40 @@ def test_http_tile_server(spark):
             meta = _json.loads(r.read())
             assert meta["tiles"] == [
                 f"http://127.0.0.1:{srv.port}/tiles/{{z}}/{{x}}/{{y}}"]
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Two tables bucketed+sorted on the same tile key join with ZERO
+    Exchange (and no extra Sort): the co-located-join capability the store
+    relies on for iterated 100 TB joins (hash-diff vs a persistent level)."""
+    from mapbox_filter_spark.plans.sink import write_bucketed
+
+    cur = spark.range(0, 10_000).selectExpr(
+        "id % 64 as x", "id % 32 as y", "id as payload")
+    prev = spark.range(0, 10_000).selectExpr(
+        "id % 64 as x", "id % 32 as y", "id * 2 as prev_payload")
+    write_bucketed(cur, "t_cur", str(tmp_path / "cur"), ["x", "y"],
+                   n_buckets=8, sort_cols=["x", "y"])
+    write_bucketed(prev, "t_prev", str(tmp_path / "prev"), ["x", "y"],
+                   n_buckets=8, sort_cols=["x", "y"])
+    try:
+        # hint forces the sort-merge path (tiny test tables would broadcast;
+        # the 100 TB case this models never would) — bucketed+sorted scans
+        # must then satisfy BOTH distribution and order with no Exchange/Sort
+        # Spark 3+ ignores bucket sortBy metadata on read unless the legacy
+        # flag is on (multi-file-bucket safety); with one file per bucket
+        # (write_bucketed aligns the write partitioning) it is sound and
+        # eliminates the bucket-local Sorts too
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        j = spark.table("t_cur").hint("merge").join(
+            spark.table("t_prev"), ["x", "y"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert plan.count("Sort ") == 0, plan  # pre-sorted buckets
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        spark.sql("drop table if exists t_cur")
+        spark.sql("drop table if exists t_prev")

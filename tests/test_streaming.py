@@ -70,3 +70,43 @@ def test_windowed_event_counts_batch_and_stream(spark, tmp_path):
     # append mode emits only watermark-closed windows; with availableNow all
     # file data is consumed, final watermark closes all-but-latest windows
     assert got is None or got <= total
+
+
+def test_streaming_dedup_first_seen(spark, tmp_path):
+    """Cross-batch stateful dedup (applyInPandasWithState): a later batch's
+    duplicate of an earlier batch's content is suppressed by state; new
+    content passes; within a batch the min-id row survives."""
+    from mapbox_filter_spark.streaming.incremental import (
+        streaming_dedup_first_seen,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+    schema = "doc_id string, text string"
+
+    # batch 1: two distinct texts + an in-batch duplicate with higher id
+    spark.createDataFrame(
+        [("a1", "alpha text"), ("a9", "Alpha   TEXT"), ("b1", "beta text")],
+        schema).coalesce(1).write.parquet(f"{in_dir}/f1")
+    # batch 2: duplicate of alpha (cross-batch) + one new text
+    spark.createDataFrame(
+        [("c1", "ALPHA text"), ("d1", "delta text")],
+        schema).coalesce(1).write.parquet(f"{in_dir}/f2")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{in_dir}/f*"))
+    q = (streaming_dedup_first_seen(stream)
+         .writeStream.format("memory").queryName("dedup_sink")
+         .option("checkpointLocation", ckpt)
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = {r["doc_id"]: r["text"] for r in
+            spark.sql("select * from dedup_sink").collect()}
+    # alpha survives once with the min id of its FIRST batch; beta + delta
+    # pass; c1 (cross-batch dup) suppressed by state
+    assert set(rows) == {"a1", "b1", "d1"}
+    assert rows["a1"] == "alpha text"
