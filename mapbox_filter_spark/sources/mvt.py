@@ -362,6 +362,109 @@ def cmds_to_parts(cmds: list[int]) -> list[list[tuple[int, int]]]:
     return parts
 
 
+def ring_winding(part: list[tuple[int, int]]) -> str:
+    """'exterior' | 'interior' | 'degenerate' per MVT 2.1 §4.3.4.4: the
+    shoelace signed area with Y-DOWN screen coords — positive area (clockwise
+    on screen) opens a polygon, negative closes a hole."""
+    if len(part) < 4:  # closed ring needs >= 3 distinct points
+        return "degenerate"
+    s2 = 0  # twice the surveyor's-formula signed area
+    for (x1, y1), (x2, y2) in zip(part, part[1:]):
+        s2 += x1 * y2 - x2 * y1
+    if s2 > 0:
+        return "exterior"
+    if s2 < 0:
+        return "interior"
+    return "degenerate"
+
+
+def classify_polygon_parts(cmds: list[int]) -> list[tuple[str, list[tuple[int, int]]]]:
+    """Decode a POLYGON command stream into (winding, ring) pairs — the
+    consumer-side ring/hole classification cmds_to_parts alone can't give."""
+    return [(ring_winding(p), p) for p in cmds_to_parts(cmds)]
+
+
+def _dp_simplify(points, epsilon: float):
+    """Douglas-Peucker, iterative stack, vectorized point-to-segment
+    distances per split (numpy) — keeps first/last, drops vertices whose
+    deviation <= epsilon."""
+    import numpy as np
+
+    pts = np.asarray(points, dtype=float)
+    n = len(pts)
+    if n <= 2:
+        return list(range(n))
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        seg = pts[b] - pts[a]
+        mid = pts[a + 1:b] - pts[a]
+        seg_len2 = float(seg @ seg)
+        if seg_len2 == 0.0:
+            d = np.sqrt((mid ** 2).sum(axis=1))
+        else:
+            # perpendicular distance via 2D cross product magnitude
+            d = np.abs(mid[:, 0] * seg[1] - mid[:, 1] * seg[0]) \
+                / np.sqrt(seg_len2)
+        imax = int(np.argmax(d))
+        if d[imax] > epsilon:
+            k = a + 1 + imax
+            keep[k] = True
+            stack.append((a, k))
+            stack.append((k, b))
+    return [i for i in range(n) if keep[i]]
+
+
+def simplify_cmds(cmds: list[int], epsilon: float) -> list[int]:
+    """Douglas-Peucker simplification of a command stream (per part;
+    MoveTo/LineTo rebuilt, ClosePath preserved for rings).  epsilon is in
+    tile-local units (extent 4096 ~ 1 px at z+4)."""
+    parts = cmds_to_parts(cmds)
+    closed = [len(p) >= 2 and p[0] == p[-1] for p in parts]
+    out: list[int] = []
+    x = y = 0
+    for part, is_closed in zip(parts, closed):
+        body = part[:-1] if is_closed else part
+        idx = _dp_simplify(body, epsilon)
+        pts = [body[i] for i in idx]
+        if is_closed and len(pts) < 3:
+            continue  # ring collapsed
+        out.append((1 & 0x7) | (1 << 3))  # MoveTo 1
+        out.append(_zigzag(pts[0][0] - x))
+        out.append(_zigzag(pts[0][1] - y))
+        x, y = pts[0]
+        rest = pts[1:]
+        if rest:
+            out.append((2 & 0x7) | (len(rest) << 3))  # LineTo n
+            for px, py in rest:
+                out.append(_zigzag(px - x))
+                out.append(_zigzag(py - y))
+                x, y = px, py
+        if is_closed:
+            out.append(7 | (1 << 3))  # ClosePath
+    return out
+
+
+def simplify_geometry(features: DataFrame, epsilon: float,
+                      cmds_col: str = "geom_cmds") -> DataFrame:
+    """Arrow-batched Douglas-Peucker over the geom_cmds column — the
+    per-zoom detail-reduction stage a tiling pipeline runs before encode
+    (coarse zooms carry simplified geometry)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[cmds_col] = pdf[cmds_col].apply(
+                lambda c: simplify_cmds(list(c), epsilon)
+                if c is not None else None)
+            yield pdf
+
+    return features.mapInPandas(gen, features.schema)
+
+
 # ------------------------------------------------------------ Spark plumbing
 
 FEATURE_SCHEMA = T.StructType([

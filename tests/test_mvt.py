@@ -115,3 +115,45 @@ def test_mbtiles_blob_integration(spark, tmp_path):
     feats = decode_mvt_tiles(read_mbtiles(spark, path))
     assert feats.count() == len(FIXTURE)
     assert {r.feature_id for r in feats.collect()} == {1, 7, 8}
+
+
+def test_ring_winding_classification():
+    from mapbox_filter_spark.sources.mvt import classify_polygon_parts
+
+    # exterior: clockwise on screen (y down) per MVT 2.1 §4.3.4.4
+    # square (0,0)->(10,0)->(10,10)->(0,10) closed: shoelace y-down sign +
+    ext = [9, 0, 0, (2 | (3 << 3)), 20, 0, 0, 20, 19, 0, 15]
+    parts = classify_polygon_parts(ext)
+    assert len(parts) == 1 and parts[0][0] == "exterior"
+    # reverse walk -> interior (hole)
+    hole = [9, 0, 0, (2 | (3 << 3)), 0, 20, 20, 0, 0, 19, 15]
+    assert classify_polygon_parts(hole)[0][0] == "interior"
+
+
+def test_simplify_cmds_douglas_peucker():
+    from mapbox_filter_spark.sources.mvt import cmds_to_parts, simplify_cmds
+
+    # polyline (0,0)->(5,1)->(10,0): epsilon 2 drops the near-collinear mid
+    line = [9, 0, 0, (2 | (2 << 3)), 10, 2, 10, 1]
+    simp = simplify_cmds(line, epsilon=2.0)
+    assert cmds_to_parts(simp) == [[(0, 0), (10, 0)]]
+    # epsilon 0.1 keeps it
+    assert cmds_to_parts(simplify_cmds(line, epsilon=0.1)) == \
+        [[(0, 0), (5, 1), (10, 0)]]
+    # closed ring stays closed; collapsing ring is dropped entirely
+    ring = [9, 0, 0, (2 | (3 << 3)), 20, 0, 0, 20, 19, 0, 15]
+    out = cmds_to_parts(simplify_cmds(ring, epsilon=0.5))
+    assert out[0][0] == out[0][-1] and len(out[0]) == 5
+    flat = [9, 0, 0, (2 | (2 << 3)), 10, 0, 10, 0, 15]  # zero-area ring
+    assert simplify_cmds(flat, epsilon=1.0) == []
+
+
+def test_simplify_geometry_spark(spark):
+    from mapbox_filter_spark.sources.mvt import simplify_geometry
+
+    df = spark.createDataFrame(
+        [(1, [9, 0, 0, (2 | (2 << 3)), 10, 2, 10, 1])],
+        "feature_id long, geom_cmds array<long>")
+    out = simplify_geometry(df, epsilon=2.0).collect()
+    # MoveTo(0,0) + LineTo(delta 10,0): zigzag(10) = 20
+    assert out[0]["geom_cmds"] == [9, 0, 0, 10, 20, 0]
