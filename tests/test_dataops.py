@@ -177,3 +177,26 @@ def test_embedding_near_dup_bucket_cap(spark):
     out2 = similarity.embedding_near_dup(d, dim=4, threshold=0.5,
                                          max_bucket=1_000_000)
     assert out2.count() == 150 * 149 // 2
+
+
+def test_media_resize_and_features(spark):
+    from pyspark.sql import functions as F
+
+    d = docs(spark).limit(40).select(
+        "doc_id",
+        media.synth_media_blob(F.concat(F.lit("m://"),
+                                        F.col("doc_id").cast("string"),
+                                        F.lit(".jpg"))).alias("blob"))
+    resized = media.resize_image(d, 320, 240)
+    meta = media.decode_image_meta(resized)
+    rows = meta.select("media_meta").collect()
+    assert all(r["media_meta"]["width"] == 320
+               and r["media_meta"]["height"] == 240
+               and r["media_meta"]["ok"] for r in rows)
+
+    feats = media.media_byte_features(d).select("doc_id", "media_features")
+    got = feats.collect()
+    assert all(len(r["media_features"]) == 16 for r in got)
+    assert all(abs(sum(r["media_features"]) - 1.0) < 1e-9 for r in got)
+    # content-sensitive: not all rows identical
+    assert len({tuple(r["media_features"]) for r in got}) > 1
