@@ -170,12 +170,16 @@ def ann_lsh_topk(
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    tables: list | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH (see module doc).
 
     Output schema matches ``cosine_topk``; rank is within retrieved
-    candidates, so recall < 1 shows up as differing tail entries."""
-    tables = _hyperplanes(dim, n_planes, n_tables, seed)
+    candidates, so recall < 1 shows up as differing tail entries.
+    ``tables`` overrides the seeded gaussian hyperplanes (e.g. integer-
+    quantized planes for the exact-arithmetic oracle path)."""
+    tables = tables if tables is not None else _hyperplanes(
+        dim, n_planes, n_tables, seed)
 
     def bucket_array(vec: Column) -> Column:
         return F.array(*[_bucket_of(vec, planes) for planes in tables])

@@ -436,6 +436,60 @@ SELECT id_a, id_b, ROUND(list_cosine_similarity(va, vb), 6) AS sim
 FROM cand WHERE ROUND(list_cosine_similarity(va, vb), 6) >= {threshold}"""
 
 
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN, fully oracle-checked: integer-quantized
+    vectors + integer-quantized planes (exact sign-pattern buckets on both
+    engines); the SQL mirrors the bucket mechanics, candidate dedup, and
+    rounded-cosine ranking exactly."""
+    from .operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * 1000)).alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ann_lsh_topk(queries, emb, k=5, dim=64,
+                        tables=_quantized_planes())
+
+
+def sql_ann_topk(k: int = 5) -> str:
+    tables = _quantized_planes()
+    bucket_cases = []
+    for ti, table in enumerate(tables):
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(v, {[int(x) for x in plane]}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j, plane in enumerate(table)
+        )
+        bucket_cases.append(f"WHEN {ti} THEN ({terms})")
+    bucket = "CASE u.ti " + " ".join(bucket_cases) + " END"
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> ROUND(x * 1000)) AS v
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id AS id, v, u.ti AS table_idx, {bucket} AS bucket
+  FROM emb, UNNEST(range(0, {len(tables)})) AS u(ti)
+),
+cand AS (
+  SELECT DISTINCT q.id AS q_id, q.v AS qv, c.id AS c_id, c.v AS cv
+  FROM b q JOIN b c ON q.table_idx = c.table_idx AND q.bucket = c.bucket
+  WHERE q.id < 10
+)
+SELECT query_id, rank, vec_id, sim FROM (
+  SELECT q_id AS query_id, c_id AS vec_id,
+         ROUND(list_cosine_similarity(qv, cv), 6) AS sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q_id
+           ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC, c_id)
+           AS rank
+  FROM cand
+) WHERE rank <= {k}"""
+
+
 _MERC_Y = ("((1.0 - LN(TAN(RADIANS(GREATEST(-85.05112878, LEAST(lat, 85.05112878))))"
            " + 1.0 / COS(RADIANS(GREATEST(-85.05112878, LEAST(lat, 85.05112878)))))"
            " / PI()) / 2.0)")
@@ -753,6 +807,7 @@ EXT_QUERIES = {
     "cosine_topk": (q_cosine_topk, sql_cosine_topk),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup),
     "ivf_topk": (q_ivf_topk, sql_ivf_topk),
+    "ann_lsh_topk": (q_ann_topk, sql_ann_topk),
     "knn_ring": (q_knn_ring, sql_knn_ring),
     "pip_join": (q_pip_join, sql_pip_join),
     "raster_join": (q_raster_join, sql_raster_join),

@@ -157,3 +157,45 @@ def test_simplify_geometry_spark(spark):
     out = simplify_geometry(df, epsilon=2.0).collect()
     # MoveTo(0,0) + LineTo(delta 10,0): zigzag(10) = 20
     assert out[0]["geom_cmds"] == [9, 0, 0, 10, 20, 0]
+
+
+# ------------------------- property-based round-trip (hypothesis) ---------
+
+from hypothesis import given, settings, strategies as st
+
+_prop_val = st.one_of(
+    st.text(max_size=20),
+    st.integers(min_value=-(1 << 62), max_value=1 << 62).map(str),
+    st.from_regex(r"-?[0-9]{1,6}\.[0-9]{1,4}", fullmatch=True),
+    st.sampled_from(["true", "false", "NaN", "Infinity", "", "05", "5.00"]),
+)
+_feature = st.fixed_dictionaries({
+    "layer": st.sampled_from(["waterway", "place", "landuse"]),
+    "extent": st.just(4096),
+    "feature_id": st.integers(min_value=0, max_value=1 << 40),
+    "geom_type": st.integers(min_value=1, max_value=3),
+    "props": st.dictionaries(st.text(min_size=1, max_size=10), _prop_val,
+                             max_size=5),
+    "geom_cmds": st.lists(
+        st.integers(min_value=0, max_value=1 << 30), max_size=12),
+})
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_feature, max_size=6))
+def test_codec_roundtrip_property(feats):
+    """decode(encode(feats)) == feats for ANY canonical-string props and any
+    command stream — and encode is a fixed point (byte-identical)."""
+    # distinct (layer, feature_id) so the multiset compare is keyable
+    seen = set()
+    uniq = []
+    for i, f in enumerate(feats):
+        f = dict(f, feature_id=f["feature_id"] * 10 + i)
+        if (f["layer"], f["feature_id"]) in seen:
+            continue
+        seen.add((f["layer"], f["feature_id"]))
+        uniq.append(f)
+    blob = encode_tile(uniq)
+    back = decode_tile(blob)
+    assert _sorted(back) == _sorted(uniq)
+    assert encode_tile(back) == blob
