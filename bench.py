@@ -91,10 +91,12 @@ def run_suite(cores: int, sf_dir: str) -> dict:
     timings["flagship_pipeline"] = round(flagship_sec, 3)
 
     pip = None if flagship_only else pip_micro(spark, sf_dir)
+    mvt = None if flagship_only else mvt_micro(spark, sf_dir)
 
     spark.stop()
     return {
         "pip_micro": pip,
+        "mvt_micro": mvt,
         "flagship_reps": [round(r, 3) for r in reps],
         "timings": timings,
         "n_features": n_features,
@@ -166,6 +168,53 @@ def pip_micro(spark, sf_dir: str) -> dict:
         "rowloop_sec": round(row, 3),
         "candidates_per_sec": round(n / vec, 1),
         "kernel_speedup": round(row / vec, 2),
+    }
+
+
+def mvt_micro(spark, sf_dir: str) -> dict:
+    """MVT payload codec kernel throughput on REAL tile contents: take the
+    README-filtered z=6 features, group into per-tile feature lists, and
+    time encode_tile (gzip 9) / decode_tile directly — the per-tile cost a
+    publish run pays at the blob boundary (a 1000-executor run does this in
+    parallel per tile; single-core rate x cores = fleet rate)."""
+    from pyspark.sql import functions as F
+
+    from mapbox_filter_spark.geo.tilemath import tile_cols
+    from mapbox_filter_spark.operators.style_ops import filter_keep
+    from mapbox_filter_spark.queries import README_STYLE
+    from mapbox_filter_spark.sources.features import features_from_lineitem
+    from mapbox_filter_spark.sources.mvt import decode_tile, encode_tile
+
+    feats = features_from_lineitem(spark, sf_dir).withColumn("z", F.lit(6))
+    kept = filter_keep(feats, README_STYLE)
+    x, y = tile_cols(F.col("lon"), F.col("lat"), F.lit(6))
+    pdf = kept.select(x.alias("x"), y.alias("y"), "layer", "feature_id",
+                      "props").toPandas()
+    tiles: dict = {}
+    for r in pdf.itertuples():
+        tiles.setdefault((r.x, r.y), []).append({
+            "layer": r.layer, "extent": 4096, "feature_id": int(r.feature_id),
+            "geom_type": 2, "props": dict(r.props),
+            "geom_cmds": [9, (int(r.feature_id) % 4096) * 2,
+                          (int(r.feature_id) * 7 % 4096) * 2],
+        })
+    n_tiles, n_feats = len(tiles), len(pdf)
+
+    t0 = time.perf_counter()
+    blobs = [encode_tile(fs) for fs in tiles.values()]
+    enc_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    decoded = sum(len(decode_tile(b)) for b in blobs)
+    dec_sec = time.perf_counter() - t0
+    assert decoded == n_feats
+    return {
+        "n_tiles": n_tiles,
+        "n_features": n_feats,
+        "encode_sec": round(enc_sec, 3),
+        "decode_sec": round(dec_sec, 3),
+        "encode_tiles_per_sec_core": round(n_tiles / enc_sec, 1),
+        "decode_tiles_per_sec_core": round(n_tiles / dec_sec, 1),
+        "blob_bytes": sum(len(b) for b in blobs),
     }
 
 
@@ -357,6 +406,7 @@ def main() -> None:
         "sf": float(sf),
         "cores": cores,
         "pip_micro": r["pip_micro"],
+        "mvt_micro": r["mvt_micro"],
         "throughput": {
             "tiles_per_sec": r["tiles_per_sec"],
             "features_per_sec": r["features_per_sec"],
