@@ -774,6 +774,63 @@ JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name"""
 
 
+def q_tile_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator breadth: tiles occupied at z=6 by waterway EXCEPT those
+    occupied by place, UNION'd with the INTERSECTION tagged — exercises
+    exceptAll/intersect as tile-set algebra (which tiles need repaint when a
+    layer toggles)."""
+    from .geo.tilemath import tile_cols
+
+    feats = features_from_lineitem(spark, sf_dir)
+    x, y = tile_cols(F.col("lon"), F.col("lat"), F.lit(6))
+    t = feats.select(F.lit(6).alias("z"), x.alias("x"), y.alias("y"), "layer")
+    water = t.filter(F.col("layer") == "waterway").select("z", "x", "y").distinct()
+    place = t.filter(F.col("layer") == "place").select("z", "x", "y").distinct()
+    only_water = water.exceptAll(place).withColumn("kind", F.lit("water_only"))
+    both = water.intersect(place).withColumn("kind", F.lit("both"))
+    return only_water.unionByName(both).groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+def sql_tile_set_ops() -> str:
+    return f"""WITH {FEATURES_ORACLE_SQL},
+t AS (SELECT 6 AS z, {_sql_tile_x(6)} AS x, {_sql_tile_y(6)} AS y, layer
+      FROM features),
+water AS (SELECT DISTINCT z, x, y FROM t WHERE layer = 'waterway'),
+place AS (SELECT DISTINCT z, x, y FROM t WHERE layer = 'place'),
+tagged AS (
+  SELECT 'water_only' AS kind FROM (SELECT * FROM water EXCEPT SELECT * FROM place)
+  UNION ALL
+  SELECT 'both' AS kind FROM (SELECT * FROM water INTERSECT SELECT * FROM place)
+)
+SELECT kind, COUNT(*) AS n FROM tagged GROUP BY kind"""
+
+
+def q_manifest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP breadth: tile counts per (z, layer) with per-z and grand
+    totals in one pass — the job-manifest summary a resume UI shows."""
+    from .operators.assemble import assign_tiles
+
+    feats = features_from_lineitem(spark, sf_dir)
+    assigned = assign_tiles(feats, zooms=[5, 6])
+    return (
+        assigned.rollup("z", "layer")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.coalesce(F.col("z").cast("string"), F.lit("ALL")).alias("z"),
+                F.coalesce(F.col("layer"), F.lit("ALL")).alias("layer"), "n")
+    )
+
+
+def sql_manifest_rollup() -> str:
+    return f"""WITH {FEATURES_ORACLE_SQL},
+zoomed AS (
+  SELECT f.*, z.z FROM features f CROSS JOIN (VALUES (5),(6)) AS z(z)
+)
+SELECT COALESCE(CAST(z AS VARCHAR), 'ALL') AS z,
+       COALESCE(layer, 'ALL') AS layer, COUNT(*) AS n
+FROM zoomed GROUP BY ROLLUP (z, layer)"""
+
+
 def q_media_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.media import media_ref_kind
 
@@ -817,4 +874,6 @@ EXT_QUERIES = {
     "topk_events": (q_topk_events, sql_topk_events),
     "join_chain": (q_join_chain, sql_join_chain),
     "media_kind": (q_media_kind, sql_media_kind),
+    "tile_set_ops": (q_tile_set_ops, sql_tile_set_ops),
+    "manifest_rollup": (q_manifest_rollup, sql_manifest_rollup),
 }
