@@ -831,6 +831,49 @@ SELECT COALESCE(CAST(z AS VARCHAR), 'ALL') AS z,
 FROM zoomed GROUP BY ROLLUP (z, layer)"""
 
 
+def _serve_target_tile(z: int = 6, fid: int = 46) -> tuple[int, int]:
+    """Deterministic serve-path target: the z-tile containing feature
+    ``fid`` (same derivation as sources/features.py, computed driver-side
+    so BOTH the Spark query and the SQL oracle share the concrete key).
+    fid=46 is the first README-kept waterway feature at sf0.01, so the
+    served tile is provably non-empty at the gate's scale factor."""
+    import math
+
+    lon = ((fid * 7919) % 360000) / 1000.0 - 180.0
+    lat = ((fid * 104729) % 170000) / 1000.0 - 85.0
+    latc = max(-85.05112878, min(lat, 85.05112878))
+    n = 1 << z
+    x = max(0, min(int(math.floor((lon + 180.0) / 360.0 * n)), n - 1))
+    merc = math.log(math.tan(math.radians(latc))
+                    + 1.0 / math.cos(math.radians(latc)))
+    y = max(0, min(int(math.floor((1.0 - merc / math.pi) / 2.0 * n)), n - 1))
+    return x, y
+
+
+def q_serve_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve path in the gate: keyed point lookup -> on-the-fly README
+    filter -> π -> γ for ONE tile (runWebServer's per-request shape,
+    Main.hs:556-563) — partition-pruned fetch + assembly."""
+    from .operators.assemble import assign_tiles
+    from .plans.serve import serve_tile
+
+    x, y = _serve_target_tile()
+    feats = features_from_lineitem(spark, sf_dir)
+    store = assign_tiles(feats, zooms=[6])
+    out = serve_tile(store, README_STYLE, 6, x, y)
+    return out.select("z", "x", "y", "layer", "feature_count")
+
+
+def sql_serve_tile() -> str:
+    x, y = _serve_target_tile()
+    return f"""WITH {FEATURES_ORACLE_SQL}
+SELECT 6 AS z, {x} AS x, {y} AS y, layer, COUNT(*) AS feature_count
+FROM features
+WHERE {_README_KEEP_SQL}
+  AND {_sql_tile_x(6)} = {x} AND {_sql_tile_y(6)} = {y}
+GROUP BY layer"""
+
+
 def q_media_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.media import media_ref_kind
 
@@ -876,4 +919,5 @@ EXT_QUERIES = {
     "media_kind": (q_media_kind, sql_media_kind),
     "tile_set_ops": (q_tile_set_ops, sql_tile_set_ops),
     "manifest_rollup": (q_manifest_rollup, sql_manifest_rollup),
+    "serve_tile": (q_serve_tile, sql_serve_tile),
 }
