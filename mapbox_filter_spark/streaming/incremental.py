@@ -13,6 +13,11 @@ operators are the engine's forward-looking ingest path:
 - ``windowed_event_counts``: watermarked sliding-window aggregation over an
   event stream (late data bounded by the watermark) — the standard
   streaming-agg shape on the driver ``events`` table schema.
+- ``streaming_dedup_first_seen``: cross-micro-batch exact dedup — a custom
+  stateful operator (``applyInPandasWithState``) with optional TTL-bounded
+  state.  (``transformWithStateInPandas``, the Spark 4 successor API, is
+  unavailable in this container: its streaming python runner requires
+  google.protobuf, which is not installed.)
 """
 
 from __future__ import annotations
@@ -104,6 +109,7 @@ def streaming_dedup_first_seen(
     docs_stream: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    state_ttl_ms: Optional[int] = None,
 ) -> DataFrame:
     """Cross-micro-batch EXACT dedup: a document is emitted only the FIRST
     time its normalized-content hash is ever seen, with one boolean of
@@ -113,8 +119,12 @@ def streaming_dedup_first_seen(
 
     Scale: state is keyed by the 128-bit content hash (the same shuffle key
     the batch operator groups on) and holds ONE boolean per distinct
-    document ever seen — the minimum possible; within a batch the min-id
-    row wins (same survivor rule as dedup_exact)."""
+    document ever seen — the minimum possible.  At 10^12 docs even that is
+    ~TBs of state, so ``state_ttl_ms`` (e.g. 30 days in ms) bounds the store with
+    ProcessingTimeTimeout: a hash unseen for the TTL is evicted and a later
+    duplicate re-emits — the standard freshness/size trade for streaming
+    dedup.  Within a batch the min-id row wins (same survivor rule as
+    dedup_exact)."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -125,9 +135,16 @@ def streaming_dedup_first_seen(
         "content_hash", F.md5(normalize_text(F.col(text_col))))
     out_schema = f"content_hash string, {id_col} string, {text_col} string"
     state_schema = "seen boolean"
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout if state_ttl_ms
+                    else GroupStateTimeout.NoTimeout)
 
     def dedup_fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()  # evict; a future duplicate re-emits
+            return
         if state.exists:
+            if state_ttl_ms:
+                state.setTimeoutDuration(state_ttl_ms)  # refresh sliding TTL
             return  # hash already emitted in an earlier batch
         first = None
         for pdf in pdf_iter:
@@ -138,6 +155,8 @@ def streaming_dedup_first_seen(
                 first = cand
         if first is not None:
             state.update((True,))
+            if state_ttl_ms:
+                state.setTimeoutDuration(state_ttl_ms)
             yield pd.DataFrame([{
                 "content_hash": key[0],
                 id_col: first[id_col],
@@ -147,8 +166,7 @@ def streaming_dedup_first_seen(
     return (
         keyed.groupBy("content_hash")
         .applyInPandasWithState(
-            dedup_fn, out_schema, state_schema, "append",
-            GroupStateTimeout.NoTimeout)
+            dedup_fn, out_schema, state_schema, "append", timeout_conf)
     )
 
 

@@ -110,3 +110,31 @@ def test_streaming_dedup_first_seen(spark, tmp_path):
     # pass; c1 (cross-batch dup) suppressed by state
     assert set(rows) == {"a1", "b1", "d1"}
     assert rows["a1"] == "alpha text"
+
+
+def test_streaming_dedup_with_ttl(spark, tmp_path):
+    """TTL-bounded state: with a long TTL the dedup semantics are unchanged
+    across batches (the TTL path exercises ProcessingTimeTimeout wiring:
+    set/refresh on first-seen and on suppressed duplicates)."""
+    from mapbox_filter_spark.streaming.incremental import (
+        streaming_dedup_first_seen,
+    )
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+    schema = "doc_id string, text string"
+    spark.createDataFrame([("a1", "same text")], schema) \
+        .coalesce(1).write.parquet(f"{in_dir}/f1")
+    spark.createDataFrame([("b1", "same text"), ("c1", "other")], schema) \
+        .coalesce(1).write.parquet(f"{in_dir}/f2")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{in_dir}/f*"))
+    q = (streaming_dedup_first_seen(stream, state_ttl_ms=3_600_000)
+         .writeStream.format("memory").queryName("ttl_sink")
+         .option("checkpointLocation", ckpt).outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("select * from ttl_sink").collect()}
+    assert got == {"a1", "c1"}  # b1 suppressed within the TTL window
