@@ -46,10 +46,16 @@ def run_suite(cores: int, sf_dir: str) -> dict:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     if not flagship_only:
+        # best-of-2 with a FRESH plan per rep (each call rebuilds the
+        # DataFrame): the shared host shows multi-x noise spikes minutes
+        # apart, and a single sample would attribute them to the engine
         for name, fn in headline_queries().items():
-            t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            best = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
 
     # flagship pipeline throughput: features/sec through σ->π->γ and
     # tiles/sec.  Scaling-measurement hygiene:

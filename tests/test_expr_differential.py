@@ -131,7 +131,7 @@ FEATURE_SCHEMA = SqlT.StructType([
 import pytest
 
 
-@pytest.mark.parametrize("seed", [42, 20260816])
+@pytest.mark.parametrize("seed", [42, 20260816, 777])
 def test_differential(spark, seed):
     rng = random.Random(seed)
     features = [gen_feature(rng) for _ in range(40)]
