@@ -194,25 +194,48 @@ def mbtiles_from_fs_tree(
 def tilejson_metadata(
     metadata: dict[str, str], url_template: str
 ) -> dict:
-    """TileJSON document from mbtiles metadata + tile URL template
-    (app/Main.hs:262-289 parity)."""
-    out: dict = {
-        "tilejson": "2.0.0",
-        "tiles": [url_template],
-        "scheme": "xyz",
-    }
-    for k in ("name", "format", "attribution", "description", "version"):
+    """TileJSON document from mbtiles metadata + tile URL template —
+    key-for-key genMetadata parity (app/Main.hs:262-289):
+
+    - string keys passed through: attribution, description, name, format,
+      basename, id;
+    - integer keys (parse-or-drop): minzoom, maxzoom, pixel_scale,
+      maskLevel, planettime;
+    - the ``json`` metadata value's OBJECT FIELDS are spliced into the top
+      level (AEK.toList, Main.hs:277-278 — this is how vector_layers
+      arrives);
+    - center: list of doubles; bounds: exactly 4 doubles (parse-or-drop);
+    - plus ``tiles`` + ``tilejson: "2.0.0"`` (Main.hs:267-269)."""
+    out: dict = {}
+    for k in ("attribution", "description", "name", "format", "basename",
+              "id"):
         if k in metadata:
             out[k] = metadata[k]
+    for k in ("minzoom", "maxzoom", "pixel_scale", "maskLevel", "planettime"):
+        if k in metadata:
+            try:
+                out[k] = int(metadata[k])
+            except ValueError:
+                pass
     if "json" in metadata:
         try:
-            out["vector_layers"] = json.loads(metadata["json"]).get(
-                "vector_layers", [])
-        except (json.JSONDecodeError, AttributeError):
+            obj = json.loads(metadata["json"])
+            if isinstance(obj, dict):
+                out.update(obj)
+        except json.JSONDecodeError:
             pass
-    for k in ("minzoom", "maxzoom"):
-        if k in metadata:
-            out[k] = int(metadata[k])
+    if "center" in metadata:
+        try:
+            out["center"] = [float(v) for v in metadata["center"].split(",")]
+        except ValueError:
+            pass
     if "bounds" in metadata:
-        out["bounds"] = [float(b) for b in metadata["bounds"].split(",")]
+        try:
+            lst = [float(v) for v in metadata["bounds"].split(",")]
+            if len(lst) == 4:
+                out["bounds"] = lst
+        except ValueError:
+            pass
+    out["tiles"] = [url_template]
+    out["tilejson"] = "2.0.0"
     return out

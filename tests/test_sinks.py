@@ -213,3 +213,27 @@ def test_s3_publish_and_delete(spark):
         assert meta["ContentType"] == "application/json"
     finally:
         server.stop()
+
+
+def test_tilejson_genmetadata_parity():
+    """Key-for-key genMetadata rules (Main.hs:262-289): json-object fields
+    spliced to the top level, numeric parse-or-drop, bounds must be exactly
+    4 doubles, unknown keys dropped."""
+    meta = {
+        "name": "planet", "basename": "p.mbtiles", "id": "osm",
+        "minzoom": "0", "maxzoom": "14", "pixel_scale": "256",
+        "planettime": "notanint",            # parse fail -> dropped
+        "json": '{"vector_layers": [{"id": "water"}], "extra": 1}',
+        "center": "1.5,2.5,7",
+        "bounds": "1,2,3",                    # not 4 -> dropped
+        "unknown_key": "x",
+    }
+    tj = tilejson_metadata(meta, "http://u/{z}/{x}/{y}")
+    assert tj["name"] == "planet" and tj["basename"] == "p.mbtiles"
+    assert tj["minzoom"] == 0 and tj["pixel_scale"] == 256
+    assert "planettime" not in tj and "unknown_key" not in tj
+    assert tj["vector_layers"] == [{"id": "water"}] and tj["extra"] == 1
+    assert tj["center"] == [1.5, 2.5, 7.0]
+    assert "bounds" not in tj
+    assert tj["tiles"] == ["http://u/{z}/{x}/{y}"]
+    assert tj["tilejson"] == "2.0.0"
