@@ -94,16 +94,43 @@ def quality_features(col: Column) -> dict[str, Column]:
 
 def quality_score(col: Column) -> Column:
     """Composite [0,1] quality heuristic: rewards stopword presence and
-    moderate length; penalizes punctuation soup and shouting."""
-    f = quality_features(col)
-    length_ok = F.when(
-        (f["n_words"] >= 5) & (f["n_words"] <= 100000), F.lit(0.25)
-    ).otherwise(F.lit(0.0))
-    stop_ok = F.least(f["stopword_ratio"] * 2.5, F.lit(0.25))
-    punct_ok = F.when(f["punct_ratio"] <= 0.1, F.lit(0.25)).otherwise(
-        F.greatest(F.lit(0.25) - (f["punct_ratio"] - 0.1), F.lit(0.0)))
-    upper_ok = F.when(f["upper_ratio"] <= 0.3, F.lit(0.25)).otherwise(F.lit(0.0))
-    return F.round(length_ok + stop_ok + punct_ok + upper_ok, 6)
+    moderate length; penalizes punctuation soup and shouting.
+
+    Computed ENTIRELY in integer micro-units (1e-6) — ratios become floor
+    divisions, threshold tests become integer cross-multiplications — so
+    the score is an exact 6-decimal value with NO float rounding anywhere:
+    bit-identical across engines (float ratio rounding hits exact .5
+    boundaries whenever a 6-dp ratio is scaled by 2.5, which broke the
+    curation oracle's value-hash)."""
+    n_chars = F.length(col).cast("long")
+    words = _words(col)
+    n_words = F.size(words).cast("long")
+    all_stop = [w for marks in LANG_MARKERS.values() for w in marks]
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*all_stop))).cast("long")
+    n_punct = F.size(
+        F.filter(F.split(col, ""),
+                 lambda c: c.isin(".", ",", "!", "?", ";", ":"))).cast("long")
+    n_upper = F.length(F.regexp_replace(col, r"[^A-Z]", "")).cast("long")
+
+    length_u = F.when((n_words >= 5) & (n_words <= 100000),
+                      F.lit(250_000).cast("long")).otherwise(F.lit(0).cast("long"))
+    # stop_ratio * 2.5 capped at 0.25  ->  min(n_stop*2_500_000 // n_words, 250_000)
+    stop_u = F.when(
+        n_words > 0,
+        F.least(F.floor(n_stop * 2_500_000 / n_words).cast("long"),
+                F.lit(250_000).cast("long"))).otherwise(F.lit(0).cast("long"))
+    # punct_ratio <= 0.1  <=>  n_punct*10 <= n_chars; linear falloff beyond
+    punct_ratio_u = F.when(
+        n_chars > 0, F.floor(n_punct * 1_000_000 / n_chars).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    punct_u = F.when(n_punct * 10 <= n_chars, F.lit(250_000).cast("long")) \
+        .otherwise(F.greatest(
+            F.lit(250_000).cast("long") - (punct_ratio_u - 100_000),
+            F.lit(0).cast("long")))
+    # upper_ratio <= 0.3  <=>  n_upper*10 <= n_chars*3
+    upper_u = F.when(n_upper * 10 <= n_chars * 3,
+                     F.lit(250_000).cast("long")).otherwise(F.lit(0).cast("long"))
+    return (length_u + stop_u + punct_u + upper_u) / F.lit(1_000_000.0)
 
 
 def doc_fingerprint(col: Column, prime: int = 1_000_003,

@@ -275,6 +275,83 @@ SELECT doc_id,
 FROM documents"""
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation flow in ONE oracle-checked query:
+    exact dedup (min-id survivor) -> language ID -> quality scoring ->
+    token floor -> keep en docs with quality >= 0.5.  Exercises operator
+    COMPOSITION — each stage is also individually gated (dedup_exact,
+    lang_id, token_quality)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    survivors = dedup.dedup_exact(docs)
+    c = F.col("text")
+    enriched = survivors.select(
+        "doc_id",
+        text.lang_id(c).alias("lang_pred"),
+        text.quality_score(c).alias("quality"),
+        text.token_count(c, "whitespace").alias("tokens_ws"),
+    )
+    return enriched.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
+        & (F.col("tokens_ws") >= 5))
+
+
+def sql_curation_pipeline() -> str:
+    all_stop = "[" + ",".join(
+        s for arr in _STOP_SQL.values() for s in arr.strip("[]").split(",")
+    ) + "]"
+    scores = ",\n         ".join(
+        f"LEN(list_filter({_WORDS_SQL}, x -> list_contains({arr}, x))) AS s_{l}"
+        for l, arr in _STOP_SQL.items()
+    )
+    return f"""
+WITH survivors AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (
+             PARTITION BY MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))
+             ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+),
+enriched AS (
+  SELECT doc_id,
+         {scores},
+         LEN({_WORDS_SQL}) AS n_words,
+         LENGTH(text) AS n_chars,
+         LEN(list_filter({_WORDS_SQL},
+             x -> list_contains({all_stop}, x))) AS n_stop,
+         LENGTH(text)
+           - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         LENGTH(REGEXP_REPLACE(text, '[^A-Z]', '', 'g')) AS n_upper
+  FROM survivors
+),
+scored AS (
+  SELECT doc_id,
+         CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) < 1 THEN 'und'
+              WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+              WHEN s_de = GREATEST(s_de, s_fr, s_es) THEN 'de'
+              WHEN s_fr = GREATEST(s_fr, s_es) THEN 'fr'
+              ELSE 'es' END AS lang_pred,
+         -- exact integer micro-unit arithmetic (mirrors text.quality_score)
+         CAST(
+           (CASE WHEN n_words BETWEEN 5 AND 100000 THEN 250000 ELSE 0 END)
+           + (CASE WHEN n_words > 0
+                   THEN LEAST(n_stop * 2500000 // n_words, 250000)
+                   ELSE 0 END)
+           + (CASE WHEN n_punct * 10 <= n_chars THEN 250000
+                   ELSE GREATEST(250000 -
+                        ((CASE WHEN n_chars > 0
+                               THEN n_punct * 1000000 // n_chars
+                               ELSE 0 END) - 100000), 0) END)
+           + (CASE WHEN n_upper * 10 <= n_chars * 3 THEN 250000 ELSE 0 END)
+         AS DOUBLE) / 1000000.0 AS quality,
+         n_words AS tokens_ws
+  FROM enriched
+)
+SELECT doc_id, lang_pred, quality, tokens_ws FROM scored
+WHERE lang_pred = 'en' AND quality >= 0.5 AND tokens_ws >= 5"""
+
+
 # ------------------------------------------------------- similarity / kNN
 
 
@@ -904,6 +981,7 @@ EXT_QUERIES = {
     "lang_id": (q_lang_id, sql_lang_id),
     "token_quality": (q_token_quality, sql_token_quality),
     "doc_fingerprint": (q_fingerprint, sql_fingerprint),
+    "curation_pipeline": (q_curation_pipeline, sql_curation_pipeline),
     "cosine_topk": (q_cosine_topk, sql_cosine_topk),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup),
     "ivf_topk": (q_ivf_topk, sql_ivf_topk),
