@@ -266,6 +266,52 @@ def prefilter_necessary(
     return lc.isin(*styled)
 
 
+def prune_props_per_feature(
+    df: DataFrame,
+    style: MapboxStyle,
+    z="z",
+    layer_col: str = "layer",
+    props_col: str = "props",
+    cols: Optional[FeatureCols] = None,
+) -> DataFrame:
+    """PER-FEATURE metadata granularity — the reference's own TODO realized
+    (Filters.hs:30 "we can make the metadata selection granular on a
+    per-feature level"): a feature retains only the keys of style layers
+    that actually ACCEPT it (zoom gate passes AND filter body holds), not
+    the union over every zoom-accepted layer of its source-layer.
+
+    Strictly tighter than :func:`prune_props` (never retains more);
+    features no layer accepts keep nothing — σ drops them anyway.  Same
+    plan shape: per-layer bodies evaluated once, retained-key array
+    materialized per row, map_filter via array_contains."""
+    cols = cols or FeatureCols()
+    zc = F.col(z) if isinstance(z, str) else z
+    lc = F.col(layer_col)
+    empty = F.array().cast("array<string>")
+    keys_col = F.lit(None).cast("array<string>")
+    for sl, layers in _by_source_layer(style).items():
+        arrs = [
+            F.when(
+                _zoom_gate(l, zc)
+                & F.coalesce(_layer_filter_col(l, cols), F.lit(False)),
+                F.array(*[F.lit(k) for k in sorted(l.meta)])
+                if l.meta else empty,
+            ).otherwise(empty)
+            for l in layers
+        ]
+        layer_keys = (F.array_distinct(F.flatten(F.array(*arrs)))
+                      if arrs else empty)
+        keys_col = F.when(lc == sl, layer_keys).otherwise(keys_col)
+    out = df.withColumn("__retained_keys", keys_col)
+    out = out.withColumn(
+        props_col,
+        F.map_filter(F.col(props_col),
+                     lambda k, _v: F.array_contains(
+                         F.col("__retained_keys"), k)),
+    )
+    return out.drop("__retained_keys")
+
+
 def rtl_transform(df: DataFrame, props_col: str = "props",
                   enabled: bool = False) -> DataFrame:
     """RTL conversion (Arabic contextual shaping + BiDi visual reorder) of

@@ -175,3 +175,22 @@ def test_point_in_polygon(spark):
            for r in point_in_polygon_join(points, polys_df, zoom=10).collect()}
     assert got == expect
     assert expect, "fixture degenerate: no points inside"
+
+
+def test_knn_fewer_points_than_k(spark):
+    """Round-1 advice fix pinned: queries with fewer than k reachable points
+    emit their available neighbors exactly like brute force — never silently
+    dropped (final round searches the whole grid, which certifies)."""
+    from mapbox_filter_spark.operators.knn import knn_brute_force, knn_ring
+
+    points = spark.createDataFrame(
+        [(1, 10.0, 10.0), (2, 11.0, 11.0)], "point_id long, lon double, lat double")
+    queries = spark.createDataFrame(
+        [(100, -170.0, -80.0), (101, 10.5, 10.5)],
+        "query_id long, lon double, lat double")
+    ring = knn_ring(queries, points, k=5, zoom=4, max_rounds=3)
+    brute = knn_brute_force(queries, points, k=5)
+    r = sorted((x["query_id"], x["rank"], x["point_id"]) for x in ring.collect())
+    b = sorted((x["query_id"], x["rank"], x["point_id"]) for x in brute.collect())
+    assert r == b
+    assert len(r) == 4  # 2 queries x 2 available points each — none lost

@@ -89,3 +89,43 @@ def test_serve_path(spark):
     assert all(r["layer"] == "waterway" for r in tile)  # default-drop others
     unfiltered = serve_tile(feats, None, z, x, y).collect()
     assert sum(r["feature_count"] for r in unfiltered) == raw.count()
+
+
+def test_prune_props_per_feature(spark):
+    """Reference TODO (Filters.hs:30) realized: a feature keeps only the
+    keys of the style layers that ACCEPT it, vs prune_props' per-source-
+    layer union."""
+    from pyspark.sql import functions as F
+
+    from mapbox_filter_spark.operators.style_ops import (
+        prune_props, prune_props_per_feature,
+    )
+    from mapbox_filter_spark.style.model import load_style
+
+    style = load_style({"layers": [
+        {"id": "rivers", "type": "line", "source": "s",
+         "source-layer": "waterway",
+         "filter": ["==", ["string", ["get", "class"], ""], "river"],
+         "layout": {"text-field": "{rname}"}},
+        {"id": "canals", "type": "line", "source": "s",
+         "source-layer": "waterway",
+         "filter": ["==", ["string", ["get", "class"], ""], "canal"],
+         "layout": {"text-field": "{cname}"}},
+    ]})
+    df = spark.createDataFrame(
+        [(1, "waterway", {"class": "river", "rname": "Ob", "cname": "x",
+                          "junk": "y"}),
+         (2, "waterway", {"class": "canal", "rname": "a", "cname": "Erie"})],
+        "feature_id long, layer string, props map<string,string>"
+    ).withColumn("z", F.lit(5)).withColumn("geom_kind", F.lit("LineString"))
+
+    union_rows = {r["feature_id"]: r["props"]
+                  for r in prune_props(df, style).collect()}
+    # per-source-layer union keeps both layers' keys on every feature
+    assert set(union_rows[1]) == {"class", "rname", "cname"}
+
+    pf = {r["feature_id"]: r["props"]
+          for r in prune_props_per_feature(df, style).collect()}
+    # per-feature: the river keeps only the rivers layer's keys, etc.
+    assert set(pf[1]) == {"class", "rname"}
+    assert set(pf[2]) == {"class", "cname"}
