@@ -199,3 +199,60 @@ def test_codec_roundtrip_property(feats):
     back = decode_tile(blob)
     assert _sorted(back) == _sorted(uniq)
     assert encode_tile(back) == blob
+
+
+def test_mbtiles_filter_job_in_place(spark, tmp_path):
+    """The reference's `filter` command end to end on a real MVT mbtiles:
+    blobs decoded, style-filtered, pruned, re-encoded, updated IN PLACE;
+    tiles whose every feature is filtered away are DELETED
+    (Main.hs:380-386,475-484 semantics)."""
+    from mapbox_filter_spark.plans.mbtiles_job import run_mbtiles_filter_job
+    from mapbox_filter_spark.sources.mbtiles import read_mbtiles
+    from mapbox_filter_spark.style.model import load_style
+
+    style = load_style({"layers": [{
+        "id": "w", "type": "line", "source": "s", "source-layer": "waterway",
+        "filter": ["==", ["string", ["get", "class"], ""], "river"],
+        "layout": {"text-field": "{name}"}}]})
+
+    def f(fid, cls, extra=None):
+        props = {"class": cls, "junk": "drop-me"}
+        if extra:
+            props.update(extra)
+        return {"layer": "waterway", "extent": 4096, "feature_id": fid,
+                "geom_type": 2, "props": props, "geom_cmds": LINE_CMDS}
+
+    rows = [
+        # tile A: one river (kept), one stream (dropped)
+        (6, 10, 20, f(1, "river", {"name": "Ob"})),
+        (6, 10, 20, f(2, "stream")),
+        # tile B: only streams -> tile becomes empty -> DELETED
+        (6, 11, 20, f(3, "stream")),
+        # tile C: an unstyled layer -> dropped -> DELETED
+        (6, 12, 20, {"layer": "landuse", "extent": 4096, "feature_id": 4,
+                     "geom_type": 3, "props": {"class": "lake"},
+                     "geom_cmds": LINE_CMDS}),
+    ]
+    df = spark.createDataFrame(
+        [(z, x, y, ft["layer"], ft["extent"], ft["feature_id"],
+          ft["geom_type"], "LineString", ft["props"], ft["geom_cmds"])
+         for z, x, y, ft in rows],
+        "z long, x long, y long, layer string, extent long, "
+        "feature_id long, geom_type long, geom_kind string, "
+        "props map<string,string>, geom_cmds array<long>")
+    path = str(tmp_path / "planet.mbtiles")
+    from mapbox_filter_spark.sources.mvt import encode_mvt_tiles
+    from mapbox_filter_spark.sources.mbtiles import write_mbtiles
+    write_mbtiles(encode_mvt_tiles(df), path)
+
+    written, deleted = run_mbtiles_filter_job(spark, path, style)
+    assert (written, deleted) == (1, 2)
+
+    back = read_mbtiles(spark, path)
+    assert back.count() == 1  # only tile A survives
+    feats = decode_tile(bytes(back.collect()[0]["tile_data"]))
+    assert len(feats) == 1
+    assert feats[0]["feature_id"] == 1
+    # π: junk pruned; class (filter) + name (layout {name}) retained
+    assert feats[0]["props"] == {"class": "river", "name": "Ob"}
+    assert feats[0]["geom_cmds"] == LINE_CMDS  # geometry untouched

@@ -166,3 +166,18 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
         spark.sql("drop table if exists t_cur")
         spark.sql("drop table if exists t_prev")
+
+
+def test_flagship_plan_shape(spark):
+    """Permanent plan-regression guard: the flagship σ->π->γ at 3 zooms has
+    exactly ONE Exchange (the γ groupBy) and zero Python evaluation nodes —
+    the scale contract SCALE.md documents."""
+    from mapbox_filter_spark.plans.pipeline import run_filter_job_features
+    from mapbox_filter_spark.queries import README_STYLE
+    from mapbox_filter_spark.sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, "/root/testdata/sf0.001")
+    tiles = run_filter_job_features(feats, README_STYLE, zooms=[4, 6, 8])
+    plan = tiles._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan, plan
