@@ -69,3 +69,18 @@ def convert_legacy_filter(v: Any) -> Any:
             not keep,
         ]
     raise LegacyConvertError(f"Unknown func or params: {fname!r}, {args!r}")
+
+
+def convert_style_document(style_json: dict) -> dict:
+    """The reference's ``convert`` command (runConversion,
+    app/Main.hs:578-588): rewrite every ``layers[].filter`` from the legacy
+    syntax to expressions, leaving the rest of the document untouched.
+    Layers without a filter pass through (the lens traversal only touches
+    existing keys)."""
+    import copy
+
+    out = copy.deepcopy(style_json)
+    for layer in out.get("layers", []):
+        if isinstance(layer, dict) and "filter" in layer:
+            layer["filter"] = convert_legacy_filter(layer["filter"])
+    return out

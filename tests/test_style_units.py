@@ -129,3 +129,26 @@ def test_prune_props_per_feature(spark):
     # per-feature: the river keeps only the rivers layer's keys, etc.
     assert set(pf[1]) == {"class", "rname"}
     assert set(pf[2]) == {"class", "cname"}
+
+
+def test_convert_style_document():
+    """runConversion parity (Main.hs:578-588): only layers[].filter rewritten,
+    everything else byte-identical."""
+    from mapbox_filter_spark.style.legacy import convert_style_document
+
+    doc = {
+        "version": 8, "name": "x",
+        "layers": [
+            {"id": "a", "source-layer": "water", "type": "line",
+             "filter": ["in", "class", "lake", "drain"],
+             "paint": {"line-color": "#00f"}},
+            {"id": "b", "type": "background"},  # no filter: untouched
+        ],
+    }
+    out = convert_style_document(doc)
+    assert out["layers"][0]["filter"] == [
+        "match", ["string", ["get", "class"], ""], ["lake", "drain"],
+        True, False]
+    assert out["layers"][0]["paint"] == {"line-color": "#00f"}
+    assert out["layers"][1] == {"id": "b", "type": "background"}
+    assert out["version"] == 8 and doc["layers"][0]["filter"][0] == "in"
