@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""mapbox-filter-compatible CLI over the Spark engine.
+
+Subcommand-for-subcommand with the reference's optparse surface
+(/root/reference/app/Main.hs:218-231) so a user of the reference can run
+the same workflows unchanged in shape:
+
+    filter              run style filtering on an MBTiles database in place
+    dump                dump a tile's contents with kept/removed markers
+    web                 serve tiles over HTTP (style-filtered on the fly)
+    publish             publish an mbtiles to a z/x/y tree or S3
+    convert-old-filter  rewrite a style's legacy filters to expressions
+    create-mbtile       build an mbtiles from a published directory tree
+
+Run directly (local[N]) or through spark-submit --py-files
+dist/mapbox_filter_spark.zip for a cluster.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from mapbox_filter_spark.session import build_session
+
+    return build_session(app_name="mfs-cli")
+
+
+def _style(path: str, auto_legacy: bool = True):
+    from mapbox_filter_spark.style.model import load_style
+
+    with open(path) as f:
+        return load_style(json.load(f), auto_legacy=auto_legacy)
+
+
+def cmd_filter(args) -> int:
+    from mapbox_filter_spark.operators.downcopy import DownCopySpec
+    from mapbox_filter_spark.plans.mbtiles_job import run_mbtiles_filter_job
+
+    downcopy = None
+    if args.downcopy:
+        with open(args.downcopy) as f:
+            downcopy = DownCopySpec.from_json(json.load(f))
+    written, deleted = run_mbtiles_filter_job(
+        _spark(), args.mbtiles, _style(args.style), out_path=args.output,
+        downcopy=downcopy, rtl=args.rtl_convert)
+    print(f"tiles written: {written}, deleted: {deleted}")
+    return 0
+
+
+def cmd_dump(args) -> int:
+    from mapbox_filter_spark.operators.debug import format_dump
+    from mapbox_filter_spark.plans.mbtiles_job import filter_mbtiles_features
+    from mapbox_filter_spark.sources.mbtiles import read_mbtiles
+    from mapbox_filter_spark.sources.mvt import decode_mvt_tiles
+
+    spark = _spark()
+    tiles = read_mbtiles(spark, args.mbtiles).filter(
+        f"z = {int(args.zoom)} AND x = {int(args.x)} AND y = {int(args.y)}")
+    feats = decode_mvt_tiles(tiles)
+    print(format_dump(feats, _style(args.style), int(args.zoom),
+                      limit=args.limit))
+    return 0
+
+
+def cmd_web(args) -> int:
+    from mapbox_filter_spark.plans.http_serve import TileServer, make_spark_fetcher
+    from mapbox_filter_spark.sources.mbtiles import read_mbtiles, read_mbtiles_metadata
+    from mapbox_filter_spark.sources.mvt import decode_mvt_tiles
+
+    spark = _spark()
+    store = decode_mvt_tiles(read_mbtiles(spark, args.mbtiles)).cache()
+    store.count()  # materialize once; requests are keyed lookups
+    style = _style(args.style) if args.style else None
+    meta = read_mbtiles_metadata(args.mbtiles)
+    with TileServer(make_spark_fetcher(store, style), meta=meta,
+                    port=args.port) as srv:
+        print(f"serving on http://127.0.0.1:{srv.port}/tiles/{{z}}/{{x}}/{{y}}")
+        try:
+            import time
+
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            return 0
+
+
+def cmd_publish(args) -> int:
+    from mapbox_filter_spark.plans.sink import (
+        write_tilejson, write_tiles_fs, write_tiles_s3, write_tilejson_s3)
+    from mapbox_filter_spark.sources.mbtiles import read_mbtiles, read_mbtiles_metadata
+
+    spark = _spark()
+    tiles = read_mbtiles(spark, args.mbtiles).withColumnRenamed(
+        "tile_data", "payload")
+    meta = read_mbtiles_metadata(args.mbtiles)
+    if args.s3_bucket:
+        n = write_tiles_s3(tiles, args.s3_bucket,
+                           endpoint_url=args.s3_endpoint)
+        write_tilejson_s3(args.s3_bucket, meta, args.url_prefix,
+                          endpoint_url=args.s3_endpoint)
+    else:
+        n = write_tiles_fs(tiles, args.target)
+        write_tilejson(args.target, meta, args.url_prefix)
+    print(f"published {n} tiles")
+    return 0
+
+
+def cmd_convert(args) -> int:
+    from mapbox_filter_spark.style.legacy import convert_style_document
+
+    with open(args.style) as f:
+        doc = json.load(f)
+    print(json.dumps(convert_style_document(doc), indent=2))
+    return 0
+
+
+def cmd_create_mbtile(args) -> int:
+    from mapbox_filter_spark.sources.mbtiles import mbtiles_from_fs_tree
+
+    n = mbtiles_from_fs_tree(args.directory, args.output)
+    print(f"created {args.output} with {n} tiles")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        description="Utilities for working with Mapbox style files "
+                    "(Spark engine)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    f = sub.add_parser("filter", help="Run filtering on a MBTiles database")
+    f.add_argument("mbtiles")
+    f.add_argument("-j", "--style", required=True)
+    f.add_argument("--output", help="write to a new mbtiles instead of in place")
+    f.add_argument("--downcopy", help="down-copy spec JSON path")
+    f.add_argument("--rtl-convert", action="store_true")
+    f.set_defaults(fn=cmd_filter)
+
+    d = sub.add_parser("dump", help="Dump vector tile contents")
+    d.add_argument("mbtiles")
+    d.add_argument("-j", "--style", required=True)
+    d.add_argument("-z", "--zoom", required=True)
+    d.add_argument("-x", required=True)
+    d.add_argument("-y", required=True)
+    d.add_argument("--limit", type=int, default=100)
+    d.set_defaults(fn=cmd_dump)
+
+    w = sub.add_parser("web", help="Serve tiles over HTTP")
+    w.add_argument("mbtiles")
+    w.add_argument("-j", "--style")
+    w.add_argument("-p", "--port", type=int, default=3000)
+    w.set_defaults(fn=cmd_web)
+
+    pub = sub.add_parser("publish", help="Publish mbtiles to fs tree or S3")
+    pub.add_argument("mbtiles")
+    pub.add_argument("-t", "--target", help="output directory (fs mode)")
+    pub.add_argument("--s3-bucket")
+    pub.add_argument("--s3-endpoint")
+    pub.add_argument("-u", "--url-prefix", default="http://localhost")
+    pub.set_defaults(fn=cmd_publish)
+
+    c = sub.add_parser("convert-old-filter",
+                       help="Convert legacy style filters to expressions")
+    c.add_argument("style")
+    c.set_defaults(fn=cmd_convert)
+
+    cm = sub.add_parser("create-mbtile", help="Create mbtiles from a tree")
+    cm.add_argument("directory")
+    cm.add_argument("output")
+    cm.set_defaults(fn=cmd_create_mbtile)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

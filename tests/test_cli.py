@@ -1,0 +1,79 @@
+"""CLI surface (scripts/mfs_cli.py): subcommand-for-subcommand with the
+reference's optparse tree (Main.hs:218-231), driven end to end on a real
+MVT mbtiles fixture."""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+
+import mfs_cli  # noqa: E402
+
+from mapbox_filter_spark.sources.mbtiles import read_mbtiles, write_mbtiles
+from mapbox_filter_spark.sources.mvt import (
+    decode_tile, encode_mvt_tiles, point_cmds,
+)
+
+
+@pytest.fixture()
+def fixture_paths(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(6, 1, 1, "waterway", 4096, 1, 1, "Point",
+          {"class": "river"}, point_cmds(5, 5)),
+         (6, 1, 1, "waterway", 4096, 2, 1, "Point",
+          {"class": "stream"}, point_cmds(9, 9)),
+         (6, 2, 1, "waterway", 4096, 3, 1, "Point",
+          {"class": "stream"}, point_cmds(5, 5))],
+        "z long, x long, y long, layer string, extent long, "
+        "feature_id long, geom_type long, geom_kind string, "
+        "props map<string,string>, geom_cmds array<long>")
+    mb = str(tmp_path / "p.mbtiles")
+    write_mbtiles(encode_mvt_tiles(df), mb,
+                  metadata={"name": "p", "format": "pbf"})
+    style = str(tmp_path / "style.json")
+    with open(style, "w") as f:
+        json.dump({"layers": [{
+            "id": "w", "type": "line", "source": "s",
+            "source-layer": "waterway",
+            "filter": ["==", ["string", ["get", "class"], ""], "river"]}]}, f)
+    return mb, style, tmp_path
+
+
+def test_cli_filter_publish_roundtrip(spark, fixture_paths):
+    mb, style, tmp = fixture_paths
+    assert mfs_cli.main(["filter", mb, "-j", style]) == 0
+    back = read_mbtiles(spark, mb)
+    assert back.count() == 1  # stream-only tile deleted
+    feats = decode_tile(bytes(back.collect()[0]["tile_data"]))
+    assert [f["feature_id"] for f in feats] == [1]
+
+    pub = str(tmp / "pub")
+    assert mfs_cli.main(["publish", mb, "-t", pub]) == 0
+    assert os.path.exists(os.path.join(pub, "metadata.json"))
+    assert os.path.exists(os.path.join(pub, "6", "1", "1"))
+
+    out2 = str(tmp / "re.mbtiles")
+    assert mfs_cli.main(["create-mbtile", pub, out2]) == 0
+    assert read_mbtiles(spark, out2).count() == 1
+
+
+def test_cli_dump_and_convert(spark, fixture_paths, capsys):
+    mb, style, tmp = fixture_paths
+    assert mfs_cli.main(["dump", mb, "-j", style,
+                         "-z", "6", "-x", "1", "-y", "1"]) == 0
+    out = capsys.readouterr().out
+    assert any(line.lstrip().startswith("+") for line in out.splitlines())
+    assert any(line.lstrip().startswith("-") for line in out.splitlines())
+
+    legacy = str(tmp / "legacy.json")
+    with open(legacy, "w") as f:
+        json.dump({"layers": [{"id": "w", "type": "line", "source": "s",
+                               "source-layer": "waterway",
+                               "filter": ["in", "class", "river"]}]}, f)
+    assert mfs_cli.main(["convert-old-filter", legacy]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["layers"][0]["filter"][0] == "match"
