@@ -781,6 +781,29 @@ FROM features WHERE {_README_KEEP_SQL}
 GROUP BY 1, 2, 3, 4"""
 
 
+def q_downcopy_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-1 advice fix in the GATE: copy_down leaves the child level
+    (dst+1) untouched — children are COPIED into dst, never consumed
+    (reference stores child tiles independently, Main.hs:385,517-522)."""
+    from .operators.assemble import assign_tiles
+
+    feats = features_from_lineitem(spark, sf_dir)
+    assigned = assign_tiles(feats, zooms=[8, 9]).select(
+        "z", "x", "y", "layer", "feature_id", "geom_kind", "props",
+        "p_class", "p_brunnel")
+    out = copy_down(assigned, DownCopySpec.from_json(_DOWNCOPY_SPEC))
+    return out.filter(F.col("z") == 9).select(
+        "z", "x", "y", "layer", "feature_id", "new_feature_id", "quadrant")
+
+
+def sql_downcopy_passthrough() -> str:
+    # every z=9 row passes through unchanged: new id == id, quadrant 0
+    return f"""WITH {FEATURES_ORACLE_SQL}
+SELECT 9 AS z, {_sql_tile_x(9)} AS x, {_sql_tile_y(9)} AS y,
+       layer, feature_id, feature_id AS new_feature_id, 0 AS quadrant
+FROM features"""
+
+
 # ------------------------------------------------- relational breadth
 
 
@@ -990,6 +1013,7 @@ EXT_QUERIES = {
     "pip_join": (q_pip_join, sql_pip_join),
     "raster_join": (q_raster_join, sql_raster_join),
     "downcopy": (q_downcopy, sql_downcopy),
+    "downcopy_passthrough": (q_downcopy_passthrough, sql_downcopy_passthrough),
     "mvt_roundtrip": (q_mvt_roundtrip, sql_mvt_roundtrip),
     "agg_pricing": (q_agg_pricing, sql_agg_pricing),
     "topk_events": (q_topk_events, sql_topk_events),
