@@ -343,22 +343,38 @@ def oversized_simhash_buckets(
     )
 
 
+def _ngram_blocked(df: DataFrame, text_col: str, id_col: str,
+                   shingle_n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        F.element_at(F.split(normalize_text(F.col(text_col)), " "), 1).alias("blk"),
+    )
+
+
 def dedup_ngram_jaccard(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 2,
     threshold: float = 0.5,
+    max_block: int = 4096,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard within first-token blocks.
 
     O(block²) — blocks are natural-language first words, small in practice;
-    intended as the verifier/oracle path, with LSH as the scale path."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
-        F.element_at(F.split(normalize_text(F.col(text_col)), " "), 1).alias("blk"),
+    intended as the verifier/oracle path, with LSH as the scale path.
+    Scale guard (round-2 review fix): blocks larger than ``max_block`` (a
+    corpus where 30% of docs start with "the" makes one O((0.3N)²) block)
+    are dropped via a broadcast anti-join, never silently — audit with
+    :func:`oversized_ngram_blocks`, same discipline as every other bucketed
+    dedup operator."""
+    base = _ngram_blocked(df, text_col, id_col, shingle_n)
+    oversized = (
+        base.groupBy("blk").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > max_block).select("blk")
     )
+    base = base.join(F.broadcast(oversized), "blk", "left_anti")
     a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "blk")
     b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "blk")
     return (
@@ -367,4 +383,20 @@ def dedup_ngram_jaccard(
         .select("id_a", "id_b",
                 jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard_sim"))
         .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def oversized_ngram_blocks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    max_block: int = 4096,
+) -> DataFrame:
+    """(blk, n) for first-token blocks :func:`dedup_ngram_jaccard` dropped —
+    the no-silent-truncation audit."""
+    return (
+        _ngram_blocked(df, text_col, id_col, shingle_n)
+        .groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_block)
     )

@@ -114,22 +114,30 @@ def copy_down(
         .withColumn("z", F.lit(spec.dst_zoom))
     )
 
-    passthrough = tile_features.filter(
-        z != spec.dst_zoom
-    ).withColumn("_src_rank", F.lit(0)).withColumn("quadrant", F.lit(0))
-
-    merged = dst.unionByName(children).unionByName(passthrough)
-
     # renumber 1..n per geometry vector: dst first, then quadrant order,
     # stable on original feature_id within each source (DownCopy.hs:77-81).
     # Parity detail: addAndRenumber leaves a vector untouched when the child
     # side contributed nothing (DownCopy.hs:77-78), so renumbering applies
     # only to partitions that actually received child rows.
+    # Scale shape (round-2 review fix): ONLY the rebuilt dst-zoom slice rides
+    # the window's hash exchange — passthrough zooms are provably identity
+    # (no child rows can land there), so they union in below with
+    # new_feature_id = feature_id and never touch the window.  In a composed
+    # multi-zoom pyramid that removes a full shuffle of every other level.
+    merged = dst.unionByName(children)
     part = W.partitionBy("z", "x", "y", layer_col, cols.geom_kind)
     w = part.orderBy(F.col("_src_rank").asc(), cols.fid_col.asc())
     has_child = F.max("_src_rank").over(part) > 0
-    return merged.withColumn(
+    renumbered = merged.withColumn(
         "new_feature_id",
         F.when(has_child, F.row_number().over(w).cast("long"))
         .otherwise(cols.fid_col),
     ).drop("_src_rank")
+
+    passthrough = (
+        tile_features.filter(z != spec.dst_zoom)
+        .withColumn("quadrant", F.lit(0))
+        .withColumn("new_feature_id", cols.fid_col)
+        .select(*renumbered.columns)
+    )
+    return renumbered.unionByName(passthrough)

@@ -85,18 +85,30 @@ def ivf_assign(
     (n_lists=1 for index build, nprobe for query probing).
 
     ``centroids`` is a (cent_id, cent_vec) table — SMALL by construction
-    (sqrt-ish of corpus), so it broadcasts and the corpus never shuffles for
-    assignment; ties break on cent_id (deterministic).  Adds cent_id (and
-    keeps the input columns)."""
-    j = vectors.crossJoin(F.broadcast(centroids)).withColumn(
-        "_d2", dist2(F.col(vec_col), F.col("cent_vec")))
-    w = W.partitionBy(id_col).orderBy(F.col("_d2").asc(),
-                                      F.col("cent_id").asc())
-    return (
-        j.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_lists)
-        .drop("_d2", "_r", "cent_vec")
-    )
+    (sqrt-ish of corpus) — packed into ONE broadcast row carrying the whole
+    centroid array; the argmin is a native per-row fold over that array
+    (``transform`` + ``array_min``/``array_sort`` on (d2, cent_id) structs),
+    so the corpus side sees NO row explosion, NO window, and NO exchange —
+    only a BroadcastNestedLoopJoin against a single row.  Ties break on
+    cent_id (struct ordering is lexicographic: d2 asc, then cent_id asc).
+    Adds cent_id (and keeps the input columns)."""
+    packed = centroids.agg(
+        F.collect_list(
+            F.struct(F.col("cent_id"), F.col("cent_vec"))).alias("_cents"))
+    darr = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            dist2(F.col(vec_col), c["cent_vec"]).alias("d2"),
+            c["cent_id"].alias("cent_id")))
+    out_cols = [*vectors.columns, "cent_id"]
+    j = vectors.crossJoin(F.broadcast(packed))
+    if n_lists == 1:
+        return j.withColumn("cent_id", F.array_min(darr)["cent_id"]) \
+                .select(*out_cols)
+    top = F.slice(F.array_sort(darr), 1, n_lists)
+    return j.withColumn(
+        "cent_id",
+        F.explode(F.transform(top, lambda s: s["cent_id"]))).select(*out_cols)
 
 
 def ivf_flat_topk(

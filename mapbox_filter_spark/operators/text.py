@@ -115,13 +115,15 @@ def quality_score(col: Column) -> Column:
     length_u = F.when((n_words >= 5) & (n_words <= 100000),
                       F.lit(250_000).cast("long")).otherwise(F.lit(0).cast("long"))
     # stop_ratio * 2.5 capped at 0.25  ->  min(n_stop*2_500_000 // n_words, 250_000)
+    # true integer division (`div`), not floor-of-double-division: the
+    # exact-integer claim must hold even when the numerator nears 2^53
     stop_u = F.when(
         n_words > 0,
-        F.least(F.floor(n_stop * 2_500_000 / n_words).cast("long"),
+        F.least(F.call_function("div", n_stop * 2_500_000, n_words),
                 F.lit(250_000).cast("long"))).otherwise(F.lit(0).cast("long"))
     # punct_ratio <= 0.1  <=>  n_punct*10 <= n_chars; linear falloff beyond
     punct_ratio_u = F.when(
-        n_chars > 0, F.floor(n_punct * 1_000_000 / n_chars).cast("long")
+        n_chars > 0, F.call_function("div", n_punct * 1_000_000, n_chars)
     ).otherwise(F.lit(0).cast("long"))
     punct_u = F.when(n_punct * 10 <= n_chars, F.lit(250_000).cast("long")) \
         .otherwise(F.greatest(

@@ -43,24 +43,31 @@ SELECT doc_id, content_hash FROM (
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
-    pairs = dedup.dedup_ngram_jaccard(docs, shingle_n=2, threshold=0.3)
+    pairs = dedup.dedup_ngram_jaccard(docs, shingle_n=2, threshold=0.3,
+                                      max_block=64)
     return pairs.select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jaccard_sim"))
 
 
-def sql_ngram_jaccard() -> str:
-    # 2-gram shingles + first-token blocking, exact jaccard via list ops
-    return """
+def sql_ngram_jaccard(max_block: int = 64) -> str:
+    # 2-gram shingles + first-token blocking (blocks over max_block dropped,
+    # mirroring the operator's scale cap), exact jaccard via list ops
+    return f"""
 WITH lim AS (SELECT * FROM documents ORDER BY doc_id LIMIT 300),
 base AS (
   SELECT doc_id AS id,
          list_filter(REGEXP_SPLIT_TO_ARRAY(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS words
   FROM lim
 ),
-sh AS (
+sh0 AS (
   SELECT id, words[1] AS blk,
          list_distinct([words[i] || ' ' || words[i+1]
                         FOR i IN RANGE(1, GREATEST(LEN(words) - 1, 1) + 1)]) AS shingles
   FROM base
+),
+sh AS (
+  SELECT sh0.* FROM sh0
+  JOIN (SELECT blk FROM sh0 GROUP BY blk
+        HAVING COUNT(*) <= {max_block}) ok USING (blk)
 )
 SELECT a.id AS id_a, b.id AS id_b,
        ROUND(CAST(LEN(list_intersect(a.shingles, b.shingles)) AS DOUBLE)

@@ -200,3 +200,17 @@ def test_media_resize_and_features(spark):
     assert all(abs(sum(r["media_features"]) - 1.0) < 1e-9 for r in got)
     # content-sensitive: not all rows identical
     assert len({tuple(r["media_features"]) for r in got}) > 1
+
+
+def test_ngram_block_cap_on_skewed_corpus(spark):
+    """A "the …" flood: one first-token block holds the whole corpus; the
+    cap drops it (bounded O(block²) work) and the audit reports it — the
+    same no-silent-truncation discipline as the other bucketed dedups."""
+    rows = [(i, f"the document number {i} has words") for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.dedup_ngram_jaccard(d, threshold=0.1, max_block=64).count() == 0
+    audit = dedup.oversized_ngram_blocks(d, max_block=64).collect()
+    assert [(r["blk"], r["n"]) for r in audit] == [("the", 200)]
+    # cap lifted -> pairs come back (cap is the only gate)
+    assert dedup.dedup_ngram_jaccard(d, threshold=0.1,
+                                     max_block=100_000).count() > 0

@@ -181,3 +181,58 @@ def test_flagship_plan_shape(spark):
     plan = tiles._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_ivf_assign_no_corpus_shuffle(spark):
+    """Round-2 review fix: IVF coarse assignment must NOT shuffle (or
+    window) the corpus — centroids fold in as one broadcast row, so the
+    corpus-side plan between scan and output has zero Exchange, zero
+    Window, and zero row explosion against the centroid count."""
+    from mapbox_filter_spark.operators.similarity import ivf_assign
+
+    corpus = spark.range(1000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 97).cast("double")
+                  for i in range(8)]).alias("embedding"))
+    cents = spark.range(16).select(
+        F.col("id").cast("int").alias("cent_id"),
+        F.array(*[(F.col("id") * (i + 3) % 11).cast("double")
+                  for i in range(8)]).alias("cent_vec"))
+    assigned = ivf_assign(corpus, cents, "vec_id", "embedding", n_lists=1)
+    p = phys(assigned)
+    assert "Window" not in p, p
+    # the only exchange allowed is the 1-row centroid pack's broadcast
+    assert "Exchange hashpartitioning" not in p, p
+    assert assigned.count() == 1000  # no explosion
+    # multi-probe path: rows multiply by n_lists, still no corpus exchange
+    probed = ivf_assign(corpus, cents, "vec_id", "embedding", n_lists=3)
+    p3 = phys(probed)
+    assert "Window" not in p3, p3
+    assert "Exchange hashpartitioning" not in p3, p3
+    assert probed.count() == 3000
+
+
+def test_downcopy_passthrough_bypasses_window(spark):
+    """Round-2 review fix: only the rebuilt dst-zoom slice rides the
+    renumber window's exchange; passthrough zoom levels union in with
+    identity ids.  Plan contract: exactly ONE Window, and exactly ONE
+    hash exchange feeding it (the passthrough branch has none)."""
+    from mapbox_filter_spark.operators.downcopy import DownCopySpec, copy_down
+
+    feats = spark.createDataFrame(
+        [(z, x, y, "waterway", fid, "LineString", {"class": "river"})
+         for fid, (z, x, y) in enumerate(
+             [(8, 1, 1), (9, 2, 2), (9, 2, 3), (5, 0, 0), (6, 0, 0)])],
+        "z int, x long, y long, layer string, feature_id long, "
+        "geom_kind string, props map<string,string>")
+    spec = DownCopySpec.from_json(
+        {"dst-zoom": 8, "source-layer": "waterway",
+         "filter": ["==", ["geometry-type"], "LineString"]})
+    out = copy_down(feats, spec)
+    p = phys(out)
+    # two Window nodes (has-child max + row_number) share ONE hash exchange;
+    # the passthrough union branch contributes none
+    assert p.count("Exchange hashpartitioning") == 1, p
+    # dst row dropped by the negated filter; 2 child copies land at z=8;
+    # z=9 (2) + z=5,6 (2) pass through
+    assert out.count() == 6
