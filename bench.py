@@ -32,45 +32,58 @@ def headline_queries():
     return {n: reg[n] for n in names if n in reg}
 
 
+def _stage_totals(spark) -> tuple[float, float]:
+    """(executorRunTime sec, executorCpuTime sec) summed over completed
+    stages, via the UI REST API (the public face of AppStatusStore).
+    Spark-measured task time is the steal-robust counterpart to wall time:
+    CPU steal inflates wall clock but not executorCpuTime."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+    try:
+        with urllib.request.urlopen(url, timeout=10) as r:
+            stages = json.load(r)
+    except Exception:
+        return 0.0, 0.0
+    run_ms = sum(s.get("executorRunTime", 0) for s in stages)
+    cpu_ns = sum(s.get("executorCpuTime", 0) for s in stages)
+    return run_ms / 1e3, cpu_ns / 1e9
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def run_suite(cores: int, sf_dir: str) -> dict:
     from mapbox_filter_spark.session import build_session
     from mapbox_filter_spark.plans.pipeline import run_filter_job_features
     from mapbox_filter_spark.queries import README_STYLE
     from mapbox_filter_spark.sources.features import features_from_lineitem
 
-    spark = build_session(cores=cores, app_name=f"bench-{cores}")
-    timings: dict[str, float] = {}
+    # UI on (port 0 = any free) so the REST stages API can report
+    # executor run/CPU time per query — see _stage_totals
+    spark = build_session(cores=cores, app_name=f"bench-{cores}",
+                          extra_conf={"spark.ui.enabled": "true",
+                                      "spark.ui.port": "0",
+                                      "spark.ui.retainedStages": "20000"})
     flagship_only = os.environ.get("SPARK_GRAFT_BENCH_FLAGSHIP_ONLY") == "1"
 
     # warm the JVM + parquet footer cache once
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    if not flagship_only:
-        # best-of-2 with a FRESH plan per rep (each call rebuilds the
-        # DataFrame): the shared host shows multi-x noise spikes minutes
-        # apart, and a single sample would attribute them to the engine
-        for name, fn in headline_queries().items():
-            best = 1e9
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).count()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
-
-    # flagship pipeline throughput: features/sec through σ->π->γ and
-    # tiles/sec.  Scaling-measurement hygiene:
-    # - the scan must outweigh fixed overheads: replicate the feature set 8x
-    #   (distinct ids) over a FIXED 64 input partitions — partitioning is
-    #   data-proportional, not core-proportional, so every parallelism level
-    #   runs identical physical work;
-    # - materialize the substrate to parquet (a cache can silently evict and
-    #   re-run the expensive explode+repartition mid-measurement);
-    # - warm-up run, then min of N repetitions (the sandbox VM has noisy-
-    #   neighbor variance; min is the standard noise-robust estimator).
+    # flagship substrate: the scan must outweigh fixed overheads, so
+    # replicate the feature set 8x (distinct ids) over a FIXED 64 input
+    # partitions — partitioning is data-proportional, not core-proportional,
+    # so every parallelism level runs identical physical work; materialized
+    # to parquet (a cache can silently evict mid-measurement).
     from pyspark.sql import functions as F
 
     rep_factor = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "8"))
-    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     subst = os.path.join(
         os.environ.get("TMPDIR", "/tmp"),
         f"bench_feats_{sf_dir.replace('/', '_')}_x{rep_factor}")
@@ -86,15 +99,43 @@ def run_suite(cores: int, sf_dir: str) -> dict:
     feats = spark.read.parquet(subst)
     n_features = feats.count()
     run_filter_job_features(feats, README_STYLE, zooms=[3]).count()  # warm
-    reps = []
+
     n_tiles = 0
-    for _ in range(n_reps):
-        t0 = time.perf_counter()
-        tiles = run_filter_job_features(feats, README_STYLE, zooms=[4, 6, 8])
-        n_tiles = tiles.count()
-        reps.append(time.perf_counter() - t0)
-    flagship_sec = min(reps)
-    timings["flagship_pipeline"] = round(flagship_sec, 3)
+
+    def flagship() -> None:
+        nonlocal n_tiles
+        n_tiles = run_filter_job_features(
+            feats, README_STYLE, zooms=[4, 6, 8]).count()
+
+    jobs: dict = {}
+    if not flagship_only:
+        jobs.update({name: (lambda fn=fn: fn(spark, sf_dir).count())
+                     for name, fn in headline_queries().items()})
+    jobs["flagship_pipeline"] = flagship
+
+    # Steal-robust protocol (round-2 review): repetitions are INTERLEAVED
+    # across the whole suite — round 1 runs every query once, then round 2,
+    # ... — so a bad 5-minute steal window degrades one SAMPLE of each query
+    # instead of poisoning every sample of one query.  Headline per-query
+    # number = MEDIAN wall across rounds; Spark-measured executorRunTime /
+    # executorCpuTime per query (REST stages delta) corroborates: CPU time
+    # barely moves under steal, so wall >> cpu flags a polluted sample.
+    walls: dict[str, list[float]] = {n: [] for n in jobs}
+    runs: dict[str, list[float]] = {n: [] for n in jobs}
+    cpus: dict[str, list[float]] = {n: [] for n in jobs}
+    for _ in range(n_rounds):
+        for name, job in jobs.items():
+            r0, c0 = _stage_totals(spark)
+            t0 = time.perf_counter()
+            job()  # fresh plan per rep — each call rebuilds the DataFrame
+            walls[name].append(time.perf_counter() - t0)
+            r1, c1 = _stage_totals(spark)
+            runs[name].append(r1 - r0)
+            cpus[name].append(c1 - c0)
+
+    timings = {n: round(_median(w), 3) for n, w in walls.items()}
+    flagship_sec = timings["flagship_pipeline"]
+    reps = walls["flagship_pipeline"]
 
     pip = None if flagship_only else pip_micro(spark, sf_dir)
     mvt = None if flagship_only else mvt_micro(spark, sf_dir)
@@ -105,6 +146,9 @@ def run_suite(cores: int, sf_dir: str) -> dict:
         "mvt_micro": mvt,
         "flagship_reps": [round(r, 3) for r in reps],
         "timings": timings,
+        "wall_samples": {n: [round(x, 3) for x in w] for n, w in walls.items()},
+        "executor_run_sec": {n: round(_median(v), 3) for n, v in runs.items()},
+        "executor_cpu_sec": {n: round(_median(v), 3) for n, v in cpus.items()},
         "n_features": n_features,
         "n_tiles": n_tiles,
         "flagship_sec": flagship_sec,
@@ -411,6 +455,10 @@ def main() -> None:
         "queries": r["timings"],
         "sf": float(sf),
         "cores": cores,
+        "protocol": "interleaved rounds, median wall per query",
+        "wall_samples": r["wall_samples"],
+        "executor_run_sec": r["executor_run_sec"],
+        "executor_cpu_sec": r["executor_cpu_sec"],
         "pip_micro": r["pip_micro"],
         "mvt_micro": r["mvt_micro"],
         "throughput": {
