@@ -60,11 +60,76 @@ def _spec_pred(spec: DownCopySpec, cols: FeatureCols) -> Column:
     return compile_typed(spec.filter_typed, cols).col
 
 
+def _zig(n: Column) -> Column:
+    return F.shiftleft(n, 1).bitwiseXOR(F.shiftright(n, 63))
+
+
+def _unzig(e: Column) -> Column:
+    return F.shiftright(e, 1).bitwiseXOR(-e.bitwiseAND(F.lit(1).cast("long")))
+
+
+def shrink_cmds_col(cmds: Column, dx: Column, dy: Column,
+                    extent: int = 4096) -> Column:
+    """NATIVE down-copy geometry transform over a raw MVT command-stream
+    array (``geom_cmds: array<bigint>``): every absolute tile-local point p
+    becomes ``(d*extent + p) div 2`` per axis — quadrant (dx, dy) of the
+    parent tile (src/Mapbox/DownCopy.hs:63-70; div 2 = arithmetic shift).
+
+    One ``F.aggregate`` fold per row, whole-stage-codegen JVM expression —
+    no Python, no explode, no shuffle: the right cost model for rescaling
+    10^9 child geometries during a pyramid rebuild.  The command parser is
+    a 3-state machine in the fold accumulator (expect-command / expect-x /
+    expect-y with a remaining-point counter); command integers pass through
+    untouched, zigzag deltas are re-derived against the transformed cursor.
+    Python twin (differentially tested equal): sources.mvt.shrink_cmds."""
+    lz = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(0).alias("st"), F.lit(0).alias("rem"),
+        lz.alias("x"), lz.alias("y"), lz.alias("tx"), lz.alias("ty"),
+        F.array().cast("array<long>").alias("out"))
+    ext = F.lit(int(extent)).cast("long")
+    dxl, dyl = dx.cast("long"), dy.cast("long")
+
+    def step(acc, e):
+        op = e.bitwiseAND(F.lit(7).cast("long"))
+        cnt = F.shiftright(e, 3).cast("int")
+        # state 0 (command integer): MoveTo/LineTo with params -> expect x
+        st0_next = F.when(op.isin(1, 2) & (cnt > 0), F.lit(1)).otherwise(F.lit(0))
+        # state 1 (x param): advance cursor, transform, emit new delta
+        x1 = acc["x"] + _unzig(e)
+        nx = F.shiftright(dxl * ext + x1, 1)
+        # state 2 (y param): same on y; one point consumed
+        y1 = acc["y"] + _unzig(e)
+        ny = F.shiftright(dyl * ext + y1, 1)
+        rem1 = acc["rem"] - 1
+        return F.struct(
+            F.when(acc["st"] == 0, st0_next)
+            .when(acc["st"] == 1, F.lit(2))
+            .otherwise(F.when(rem1 > 0, F.lit(1)).otherwise(F.lit(0)))
+            .alias("st"),
+            F.when(acc["st"] == 0, cnt)
+            .when(acc["st"] == 2, rem1).otherwise(acc["rem"]).alias("rem"),
+            F.when(acc["st"] == 1, x1).otherwise(acc["x"]).alias("x"),
+            F.when(acc["st"] == 2, y1).otherwise(acc["y"]).alias("y"),
+            F.when(acc["st"] == 1, nx).otherwise(acc["tx"]).alias("tx"),
+            F.when(acc["st"] == 2, ny).otherwise(acc["ty"]).alias("ty"),
+            F.concat(acc["out"], F.array(
+                F.when(acc["st"] == 0, e)
+                .when(acc["st"] == 1, _zig(nx - acc["tx"]))
+                .otherwise(_zig(ny - acc["ty"])))).alias("out"),
+        )
+
+    return F.when(cmds.isNull(), F.lit(None).cast("array<long>")).otherwise(
+        F.aggregate(cmds, init, step, lambda a: a["out"]))
+
+
 def copy_down(
     tile_features: DataFrame,
     spec: Optional[DownCopySpec],
     layer_col: str = "layer",
     cols: Optional[FeatureCols] = None,
+    cmds_col: Optional[str] = None,
+    extent: int = 4096,
 ) -> DataFrame:
     """Apply down-copy to exploded tile-feature rows.
 
@@ -77,6 +142,14 @@ def copy_down(
     from a composed multi-zoom pyramid.  Matched dst+1 features are COPIED
     (not moved) into the dst tile.  Output adds ``new_feature_id`` (the
     renumbered id) and ``quadrant`` (child offset code, 0 for non-copies).
+
+    ``cmds_col`` (optional): name of a raw MVT command-stream column
+    (``array<bigint>``, tile-LOCAL coords as sources.mvt emits) — copied
+    children get the reference's geometry rescale
+    ``p' = (quadrant*extent + p) div 2`` (DownCopy.hs:63-70) applied
+    natively via :func:`shrink_cmds_col`.  The engine's world-coordinate
+    columns (lon/lat) need no transform (module doc); this closes the gap
+    for consumers holding tile-local ``geom_cmds``.
     """
     cols = cols or FeatureCols()
     lc = F.col(layer_col)
@@ -108,6 +181,16 @@ def copy_down(
              ).cast("int"),
         )
         .withColumn("quadrant", F.col("_src_rank") - 1)
+    )
+    if cmds_col is not None:
+        # rescale child tile-local geometry into its parent quadrant BEFORE
+        # the tile key is re-parented (dx, dy come from the child's x, y)
+        children = children.withColumn(
+            cmds_col,
+            shrink_cmds_col(F.col(cmds_col), F.pmod(F.col("x"), F.lit(2)),
+                            F.pmod(F.col("y"), F.lit(2)), extent))
+    children = (
+        children
         # child -> parent tile key (z-1, x div 2, y div 2)
         .withColumn("x", F.floor(F.col("x") / 2).cast("long"))
         .withColumn("y", F.floor(F.col("y") / 2).cast("long"))

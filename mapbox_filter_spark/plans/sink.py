@@ -71,14 +71,25 @@ def write_tiles_fs(
 
 def delete_tiles_fs(out_dir: str, deleted: DataFrame) -> int:
     """Remove files for tiles that became empty (Main.hs:475-484 delete
-    path).  ``deleted`` carries (z, x, y)."""
-    n = 0
-    for row in deleted.select("z", "x", "y").toLocalIterator():
-        p = os.path.join(out_dir, str(row["z"]), str(row["x"]), str(row["y"]))
-        if os.path.exists(p):
-            os.remove(p)
-            n += 1
-    return n
+    path).  ``deleted`` carries (z, x, y).
+
+    Executor-parallel (mapPartitions), mirroring the S3 twin (round-2
+    review fix): a style change that empties a whole zoom level would turn
+    a driver-side loop into the bottleneck.  Requires a shared filesystem
+    across executors — the same assumption write_tiles_fs already makes.
+    Returns the number of files actually removed."""
+    def _delete_partition(it):
+        n = 0
+        for row in it:
+            p = os.path.join(out_dir, str(row["z"]), str(row["x"]),
+                             str(row["y"]))
+            if os.path.exists(p):
+                os.remove(p)
+                n += 1
+        yield n
+
+    return sum(deleted.select("z", "x", "y").rdd
+               .mapPartitions(_delete_partition).collect())
 
 
 def write_bucketed(

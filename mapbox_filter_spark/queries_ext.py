@@ -735,6 +735,78 @@ SELECT z, x, y, layer, feature_id,
 FROM merged"""
 
 
+def q_downcopy_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-copy WITH the reference's geometry rescale (DownCopy.hs:63-70):
+    every feature carries a synthetic 2-point LineString command stream
+    (MoveTo + LineTo, zigzag deltas, tile-local coords); copied children
+    get ``p' = (quadrant*extent + p) div 2`` applied by the NATIVE column
+    fold (shrink_cmds_col).  Output = the six command integers as columns,
+    value-hash-checked against the DuckDB transcription below."""
+    from .operators.assemble import assign_tiles
+
+    feats = features_from_lineitem(spark, sf_dir)
+    assigned = assign_tiles(feats, zooms=[8, 9]).select(
+        "z", "x", "y", "layer", "feature_id", "geom_kind", "props",
+        "p_class", "p_brunnel")
+    fid = F.col("feature_id")
+
+    def zig(v):
+        return F.when(v >= 0, 2 * v).otherwise(-2 * v - 1).cast("long")
+
+    # coords kept positive so the oracle's // needs no floor-vs-trunc care;
+    # the negative-coord floor path is covered by the pytest differential
+    px1 = F.lit(64) + F.pmod(fid, F.lit(4000))
+    py1 = F.lit(64) + F.pmod(fid * 7, F.lit(4000))
+    dx2 = F.pmod(fid, F.lit(97)) - 48
+    dy2 = F.pmod(fid, F.lit(89)) - 44
+    assigned = assigned.withColumn(
+        "geom_cmds",
+        F.array(F.lit(9).cast("long"), zig(px1), zig(py1),
+                F.lit(10).cast("long"), zig(dx2), zig(dy2)))
+    out = copy_down(assigned, DownCopySpec.from_json(_DOWNCOPY_SPEC),
+                    cmds_col="geom_cmds")
+    g = F.col("geom_cmds")
+    return out.filter(F.col("z") == 8).select(
+        "z", "x", "y", "layer", "feature_id", "quadrant",
+        *[F.element_at(g, i + 1).alias(f"c{i + 1}") for i in range(6)])
+
+
+def sql_downcopy_geom() -> str:
+    keep = ("geom_kind = 'LineString' AND p_class IS NOT NULL AND "
+            "p_class <> 'stream' AND COALESCE(p_brunnel,'') NOT IN ('tunnel','bridge')")
+    neg = f"p_class IS NOT NULL AND NOT ({keep})"
+    zig = "CASE WHEN {v} >= 0 THEN 2*({v}) ELSE -2*({v}) - 1 END"
+    px1 = "(64 + feature_id % 4000)"
+    py1 = "(64 + (feature_id*7) % 4000)"
+    dx2 = "(feature_id % 97 - 48)"
+    dy2 = "(feature_id % 89 - 44)"
+    # child transform: absolute p1=(px1,py1), p2=p1+d2; n = (q*4096+p)//2
+    n1x = f"((x % 2) * 4096 + {px1}) // 2"
+    n1y = f"((y % 2) * 4096 + {py1}) // 2"
+    n2x = f"((x % 2) * 4096 + {px1} + {dx2}) // 2"
+    n2y = f"((y % 2) * 4096 + {py1} + {dy2}) // 2"
+    return f"""WITH {FEATURES_ORACLE_SQL},
+t8 AS (SELECT 8 AS z, {_sql_tile_x(8)} AS x, {_sql_tile_y(8)} AS y,
+              layer, feature_id, geom_kind, p_class, p_brunnel FROM features),
+t9 AS (SELECT 9 AS z, {_sql_tile_x(9)} AS x, {_sql_tile_y(9)} AS y,
+              layer, feature_id, geom_kind, p_class, p_brunnel FROM features),
+dst AS (
+  SELECT z, x, y, layer, feature_id, 0 AS quadrant,
+         9 AS c1, {zig.format(v=px1)} AS c2, {zig.format(v=py1)} AS c3,
+         10 AS c4, {zig.format(v=dx2)} AS c5, {zig.format(v=dy2)} AS c6
+  FROM t8 WHERE layer <> 'waterway' OR ({neg})
+),
+child AS (
+  SELECT 8 AS z, x // 2 AS x, y // 2 AS y, layer, feature_id,
+         2 * (x % 2) + (y % 2) AS quadrant,
+         9 AS c1, {zig.format(v=n1x)} AS c2, {zig.format(v=n1y)} AS c3,
+         10 AS c4, {zig.format(v=f"{n2x} - ({n1x})")} AS c5,
+         {zig.format(v=f"{n2y} - ({n1y})")} AS c6
+  FROM t9 WHERE layer = 'waterway' AND ({keep})
+)
+SELECT * FROM dst UNION ALL SELECT * FROM child"""
+
+
 # ------------------------------------------------------------- MVT codec
 
 
@@ -1021,6 +1093,7 @@ EXT_QUERIES = {
     "raster_join": (q_raster_join, sql_raster_join),
     "downcopy": (q_downcopy, sql_downcopy),
     "downcopy_passthrough": (q_downcopy_passthrough, sql_downcopy_passthrough),
+    "downcopy_geom": (q_downcopy_geom, sql_downcopy_geom),
     "mvt_roundtrip": (q_mvt_roundtrip, sql_mvt_roundtrip),
     "agg_pricing": (q_agg_pricing, sql_agg_pricing),
     "topk_events": (q_topk_events, sql_topk_events),

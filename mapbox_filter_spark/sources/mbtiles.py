@@ -3,8 +3,9 @@
 Parity targets:
 - classic layout ``tiles(zoom_level, tile_column, tile_row, tile_data)``
   (/root/reference/app/Main.hs:624-625,657; app/DbAccess.hs:75-81)
-- Planetiler-normalized layout ``tiles_shallow(z,x,y,tile_data_id)`` +
-  ``tiles_data(tile_data_id, tile_data)`` (app/DbAccess.hs:68-73,92-95)
+- Planetiler-normalized layout ``tiles_shallow(zoom_level, tile_column,
+  tile_row, tile_data_id)`` + ``tiles_data(tile_data_id, tile_data)``
+  (app/DbAccess.hs:92-95,205-212)
 - ``metadata(name, value)`` (app/DbAccess.hs:97-98)
 - TMS row storage with XYZ flip ``2^z - y - 1`` (app/Types.hs:34-38)
 - directory -> mbtiles builder (app/Main.hs:605-669)
@@ -56,8 +57,10 @@ def read_mbtiles(
             cur = con.execute(
                 "SELECT zoom_level, tile_column, tile_row, tile_data FROM tiles")
         else:
+            # reference column names: getColTiles, app/DbAccess.hs:93-95
             cur = con.execute(
-                "SELECT s.z, s.x, s.y, d.tile_data FROM tiles_shallow s "
+                "SELECT s.zoom_level, s.tile_column, s.tile_row, d.tile_data "
+                "FROM tiles_shallow s "
                 "JOIN tiles_data d ON s.tile_data_id = d.tile_data_id")
         rows = []
         for z, x, tms_y, blob in cur:
@@ -126,13 +129,49 @@ def update_mbtiles(
 ) -> tuple[int, int]:
     """Update-in-place: upsert changed tiles, DELETE rows whose payload is
     None (tile became empty) — app/DbAccess.hs:205-212 parity.
-    Input y is XYZ; returns (updated, deleted)."""
+
+    Dispatches on the file's layout (round-2 advice fix: ``tiles`` is a
+    read-only VIEW in the normalized layout, so classic INSERT/DELETE would
+    fail mid-write).  Normalized parity per the reference updateMbtile:
+    updates rewrite ``tiles_data`` by tile_data_id (a blob shared by
+    deduplicated tiles changes for all of them, exactly as the reference
+    does); deletes remove the ``tiles_shallow`` row and its ``tiles_data``
+    row.  Input y is XYZ; returns (updated, deleted)."""
     con = sqlite3.connect(path)
     up = dele = 0
     try:
+        normalized = _layout(con) == "normalized"
         for z, x, y, blob in changed:
             tms = (1 << z) - y - 1
-            if blob is None:
+            if normalized:
+                row = con.execute(
+                    "SELECT tile_data_id FROM tiles_shallow WHERE "
+                    "zoom_level=? AND tile_column=? AND tile_row=?",
+                    (z, x, tms)).fetchone()
+                if blob is None:
+                    con.execute(
+                        "DELETE FROM tiles_shallow WHERE zoom_level=? AND "
+                        "tile_column=? AND tile_row=?", (z, x, tms))
+                    if row is not None:
+                        con.execute(
+                            "DELETE FROM tiles_data WHERE tile_data_id=?",
+                            (row[0],))
+                    dele += 1
+                elif row is not None:
+                    con.execute(
+                        "UPDATE tiles_data SET tile_data=? WHERE "
+                        "tile_data_id=?", (blob, row[0]))
+                    up += 1
+                else:  # brand-new tile: fresh id in both tables
+                    nid = con.execute(
+                        "SELECT COALESCE(MAX(tile_data_id), 0) + 1 "
+                        "FROM tiles_data").fetchone()[0]
+                    con.execute("INSERT INTO tiles_data VALUES (?, ?)",
+                                (nid, blob))
+                    con.execute("INSERT INTO tiles_shallow VALUES (?,?,?,?)",
+                                (z, x, tms, nid))
+                    up += 1
+            elif blob is None:
                 con.execute(
                     "DELETE FROM tiles WHERE zoom_level=? AND tile_column=? "
                     "AND tile_row=?", (z, x, tms))

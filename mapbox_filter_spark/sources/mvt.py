@@ -287,13 +287,22 @@ def encode_tile(features: list[dict], compress: bool = True) -> bytes:
         for f in feats:
             tags: list[int] = []
             # sorted key order: map columns lose insertion order through
-            # Arrow, so canonical ordering is what makes bytes deterministic
+            # Arrow, so canonical ordering is what makes bytes deterministic.
+            # None values are SKIPPED: MVT has no null Value type, and
+            # map<string,string> props legitimately hold nulls (e.g.
+            # rtl_transform preserves them) — encoding a fake value would
+            # corrupt the roundtrip (round-2 advice fix).
             for k, v in sorted(f["props"].items()):
+                if v is None:
+                    continue
                 tags.append(keys.setdefault(k, len(keys)))
                 tags.append(values.setdefault(v, len(values)))
             body = bytearray()
             if f.get("feature_id") is not None:
-                body += _key(1, 0) + _uvarint(int(f["feature_id"]))
+                fid = int(f["feature_id"])
+                if fid < 0:  # uint64 field; a negative would hang _uvarint
+                    raise ValueError(f"negative feature_id {fid}")
+                body += _key(1, 0) + _uvarint(fid)
             if tags:
                 body += _packed(2, tags)
             body += _key(3, 0) + _uvarint(int(f["geom_type"]))
@@ -331,12 +340,19 @@ def point_cmds(px: int, py: int) -> list[int]:
     return [(1 & 0x7) | (1 << 3), _zigzag(px), _zigzag(py)]
 
 
-def cmds_to_parts(cmds: list[int]) -> list[list[tuple[int, int]]]:
-    """Decode a command stream into coordinate parts (cursor-relative deltas
-    resolved to absolute tile-local coords); ClosePath repeats the part's
-    first point — for consumers that rasterize."""
-    parts: list[list[tuple[int, int]]] = []
+def cmds_to_parts_closed(
+    cmds: list[int],
+) -> list[tuple[list[tuple[int, int]], bool]]:
+    """Decode a command stream into (part, closed) pairs — coordinates are
+    cursor-relative deltas resolved to absolute tile-local coords; a part is
+    ``closed`` iff an actual ClosePath command ended it (the flag
+    re-encoders need: inferring closure from coordinate equality would turn
+    a LineString loop into an invalid ClosePath, MVT 2.1 §4.3.4.3).
+    ClosePath also repeats the part's first point, for consumers that
+    rasterize."""
+    parts: list[tuple[list[tuple[int, int]], bool]] = []
     cur: list[tuple[int, int]] = []
+    closed = False
     x = y = 0
     i = 0
     while i < len(cmds):
@@ -345,8 +361,9 @@ def cmds_to_parts(cmds: list[int]) -> list[list[tuple[int, int]]]:
         i += 1
         if op in (1, 2):  # MoveTo / LineTo
             if op == 1 and cur:
-                parts.append(cur)
+                parts.append((cur, closed))
                 cur = []
+                closed = False
             for _ in range(count):
                 x += _unzigzag(cmds[i])
                 y += _unzigzag(cmds[i + 1])
@@ -355,11 +372,18 @@ def cmds_to_parts(cmds: list[int]) -> list[list[tuple[int, int]]]:
         elif op == 7:  # ClosePath
             if cur:
                 cur.append(cur[0])
+                closed = True
         else:
             raise ValueError(f"bad geometry op {op}")
     if cur:
-        parts.append(cur)
+        parts.append((cur, closed))
     return parts
+
+
+def cmds_to_parts(cmds: list[int]) -> list[list[tuple[int, int]]]:
+    """Decode a command stream into coordinate parts (see
+    :func:`cmds_to_parts_closed` for the closed-flag-preserving variant)."""
+    return [p for p, _ in cmds_to_parts_closed(cmds)]
 
 
 def ring_winding(part: list[tuple[int, int]]) -> str:
@@ -382,6 +406,55 @@ def classify_polygon_parts(cmds: list[int]) -> list[tuple[str, list[tuple[int, i
     """Decode a POLYGON command stream into (winding, ring) pairs — the
     consumer-side ring/hole classification cmds_to_parts alone can't give."""
     return [(ring_winding(p), p) for p in cmds_to_parts(cmds)]
+
+
+def polygons_from_cmds(cmds: list[int]) -> list[dict]:
+    """Decode a POLYGON command stream into renderer-faithful polygons:
+    ``[{"exterior": ring, "holes": [rings]}]`` per MVT 2.1 §4.3.4.4 — an
+    exterior (CW on screen) ring opens a polygon; each following interior
+    (CCW) ring is one of its holes.  The reference's vectortiles layer makes
+    the same split (Polygon pp inp, src/Mapbox/DownCopy.hs:70).  Degenerate
+    rings (zero signed area) are dropped, matching renderer behavior."""
+    polys: list[dict] = []
+    for winding, ring in classify_polygon_parts(cmds):
+        if winding == "exterior":
+            polys.append({"exterior": ring, "holes": []})
+        elif winding == "interior" and polys:
+            polys[-1]["holes"].append(ring)
+    return polys
+
+
+def shrink_cmds(cmds: list[int], dx: int, dy: int,
+                extent: int = DEFAULT_EXTENT) -> list[int]:
+    """Down-copy geometry transform on a command stream: every absolute
+    tile-local point p becomes ``(d*extent + p) div 2`` per axis, mapping a
+    child tile's coords into quadrant (dx, dy) of its parent
+    (src/Mapbox/DownCopy.hs:63-70; div = floor division, exactly Python
+    ``//``).  Command structure (MoveTo/LineTo counts, ClosePath) is
+    preserved; only the zigzag deltas are recomputed against the
+    transformed cursor.  The native Column twin is
+    operators.downcopy.shrink_cmds_col (differentially tested equal)."""
+    out: list[int] = []
+    x = y = tx = ty = 0
+    i = 0
+    while i < len(cmds):
+        cmd = cmds[i]
+        op, count = cmd & 0x7, cmd >> 3
+        i += 1
+        out.append(cmd)
+        if op in (1, 2):
+            for _ in range(count):
+                x += _unzigzag(cmds[i])
+                y += _unzigzag(cmds[i + 1])
+                i += 2
+                nx = (dx * extent + x) // 2
+                ny = (dy * extent + y) // 2
+                out.append(_zigzag(nx - tx))
+                out.append(_zigzag(ny - ty))
+                tx, ty = nx, ny
+        elif op != 7:
+            raise ValueError(f"bad geometry op {op}")
+    return out
 
 
 def _dp_simplify(points, epsilon: float):
@@ -422,12 +495,13 @@ def _dp_simplify(points, epsilon: float):
 def simplify_cmds(cmds: list[int], epsilon: float) -> list[int]:
     """Douglas-Peucker simplification of a command stream (per part;
     MoveTo/LineTo rebuilt, ClosePath preserved for rings).  epsilon is in
-    tile-local units (extent 4096 ~ 1 px at z+4)."""
-    parts = cmds_to_parts(cmds)
-    closed = [len(p) >= 2 and p[0] == p[-1] for p in parts]
+    tile-local units (extent 4096 ~ 1 px at z+4).  Closure comes from the
+    ACTUAL ClosePath commands (round-2 advice fix), not coordinate
+    equality — a LineString that legitimately returns to its start keeps
+    its duplicate end vertex and gets no invalid ClosePath."""
     out: list[int] = []
     x = y = 0
-    for part, is_closed in zip(parts, closed):
+    for part, is_closed in cmds_to_parts_closed(cmds):
         body = part[:-1] if is_closed else part
         idx = _dp_simplify(body, epsilon)
         pts = [body[i] for i in idx]
@@ -488,12 +562,22 @@ TILE_SCHEMA = T.StructType([
 ])
 
 
-def decode_mvt_tiles(tiles: DataFrame, blob_col: str = "tile_data") -> DataFrame:
+def decode_mvt_tiles(tiles: DataFrame, blob_col: str = "tile_data",
+                     classify_rings: bool = False) -> DataFrame:
     """(z, x, y, blob) rows -> exploded MVT feature rows (FEATURE_SCHEMA).
 
     mapInPandas: one Python decode per TILE (boundary op — per-feature work
-    downstream stays native Columns)."""
+    downstream stays native Columns).  ``classify_rings=True`` adds a
+    ``ring_roles: array<string>`` column — per-part winding classification
+    ('exterior'/'interior'/'degenerate', MVT 2.1 §4.3.4.4) for Polygon
+    features (null otherwise), so decoded polygons-with-holes are
+    renderer-faithful without re-walking the command stream downstream."""
     cols = tiles.select("z", "x", "y", F.col(blob_col).alias("tile_data"))
+    schema = FEATURE_SCHEMA
+    if classify_rings:
+        schema = T.StructType(
+            [*FEATURE_SCHEMA.fields,
+             T.StructField("ring_roles", T.ArrayType(T.StringType()))])
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -501,13 +585,19 @@ def decode_mvt_tiles(tiles: DataFrame, blob_col: str = "tile_data") -> DataFrame
             for z, x, y, blob in zip(pdf["z"], pdf["x"], pdf["y"],
                                      pdf["tile_data"]):
                 for f in decode_tile(bytes(blob)):
-                    rows.append((int(z), int(x), int(y), f["layer"],
-                                 f["extent"], f["feature_id"], f["geom_type"],
-                                 GEOM_NAMES.get(f["geom_type"], "Unknown"),
-                                 f["props"], f["geom_cmds"]))
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA])
+                    row = (int(z), int(x), int(y), f["layer"],
+                           f["extent"], f["feature_id"], f["geom_type"],
+                           GEOM_NAMES.get(f["geom_type"], "Unknown"),
+                           f["props"], f["geom_cmds"])
+                    if classify_rings:
+                        roles = ([w for w, _ in
+                                  classify_polygon_parts(f["geom_cmds"])]
+                                 if f["geom_type"] == 3 else None)
+                        row = (*row, roles)
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
 
-    return cols.mapInPandas(gen, FEATURE_SCHEMA)
+    return cols.mapInPandas(gen, schema)
 
 
 def encode_mvt_tiles(features: DataFrame, compress: bool = True) -> DataFrame:

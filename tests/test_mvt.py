@@ -256,3 +256,84 @@ def test_mbtiles_filter_job_in_place(spark, tmp_path):
     # π: junk pruned; class (filter) + name (layout {name}) retained
     assert feats[0]["props"] == {"class": "river", "name": "Ob"}
     assert feats[0]["geom_cmds"] == LINE_CMDS  # geometry untouched
+
+
+def test_shrink_cmds_reference_semantics():
+    """DownCopy.hs:63-70: p' = (quadrant*extent + p) div 2 on absolute
+    tile-local points, command structure preserved."""
+    from mapbox_filter_spark.sources.mvt import (
+        cmds_to_parts_closed, shrink_cmds, _zigzag)
+
+    # MoveTo(10,20) LineTo(2): (110,40),(111,45); ClosePath
+    cmds = [9, _zigzag(10), _zigzag(20), (2 & 7) | (2 << 3),
+            _zigzag(100), _zigzag(20), _zigzag(1), _zigzag(5), 15]
+    out = shrink_cmds(cmds, 1, 0, extent=4096)
+    parts = cmds_to_parts_closed(out)
+    assert len(parts) == 1 and parts[0][1] is True
+    ring = parts[0][0]
+    # (1*4096+10)//2=2053, (0+20)//2=10; abs pts (110,40),(111,45) follow
+    assert ring[:3] == [(2053, 10), ((4096 + 110) // 2, 20),
+                        ((4096 + 111) // 2, 45 // 2)]
+    # structure preserved: same command integers at same positions
+    assert out[0] == 9 and out[3] == cmds[3] and out[-1] == 15
+    # negative coords floor toward -inf like Haskell div
+    neg = shrink_cmds([9, _zigzag(-5), _zigzag(-7)], 0, 0)
+    from mapbox_filter_spark.sources.mvt import cmds_to_parts
+    assert cmds_to_parts(neg)[0][0] == (-3, -4)
+
+
+def test_shrink_cmds_col_matches_python(spark):
+    """Differential: the native Column fold == the Python twin on random
+    multi-part streams across all four quadrants."""
+    import random
+    from pyspark.sql import functions as F
+    from mapbox_filter_spark.operators.downcopy import shrink_cmds_col
+    from mapbox_filter_spark.sources.mvt import shrink_cmds, _zigzag
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(40):
+        cmds = []
+        for _ in range(rng.randint(1, 3)):  # parts
+            n = rng.randint(1, 4)
+            cmds.append((1 & 7) | (1 << 3))
+            cmds += [_zigzag(rng.randint(-5000, 5000)),
+                     _zigzag(rng.randint(-5000, 5000))]
+            if n > 1:
+                cmds.append((2 & 7) | ((n - 1) << 3))
+                for _ in range(n - 1):
+                    cmds += [_zigzag(rng.randint(-500, 500)),
+                             _zigzag(rng.randint(-500, 500))]
+            if rng.random() < 0.5:
+                cmds.append(15)  # ClosePath
+        rows.append((i, i % 2, (i // 2) % 2, cmds))
+    df = spark.createDataFrame(
+        rows, "id int, dx int, dy int, cmds array<long>")
+    got = df.withColumn("out", shrink_cmds_col(
+        F.col("cmds"), F.col("dx"), F.col("dy"))).collect()
+    for r in got:
+        expect = shrink_cmds(list(r["cmds"]), r["dx"], r["dy"])
+        assert list(r["out"]) == expect, (r["id"], r["cmds"])
+
+
+def test_polygons_from_cmds_holes():
+    from mapbox_filter_spark.sources.mvt import polygons_from_cmds, _zigzag
+
+    def ring(pts, start):
+        out = [9, _zigzag(pts[0][0] - start[0]), _zigzag(pts[0][1] - start[1])]
+        out.append((2 & 7) | ((len(pts) - 1) << 3))
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:]):
+            out += [_zigzag(x1 - x0), _zigzag(y1 - y0)]
+        out.append(15)
+        return out, pts[-1]
+
+    # exterior CW-on-screen (positive shoelace with y-down) + interior hole
+    ext_pts = [(0, 0), (10, 0), (10, 10), (0, 10)]
+    hole_pts = [(2, 2), (2, 6), (6, 6), (6, 2)]
+    c1, cur = ring(ext_pts, (0, 0))
+    c2, _ = ring(hole_pts, cur)
+    polys = polygons_from_cmds(c1 + c2)
+    assert len(polys) == 1
+    assert polys[0]["exterior"][0] == (0, 0)
+    assert len(polys[0]["holes"]) == 1
+    assert polys[0]["holes"][0][0] == (2, 2)

@@ -106,19 +106,60 @@ def test_mbtiles_roundtrip(spark, tmp_path):
     assert bytes(blob) == b"NEWDATA"
 
 
-def test_normalized_layout_read(spark, tmp_path):
-    mb = str(tmp_path / "norm.mbtiles")
-    con = sqlite3.connect(mb)
-    con.execute("CREATE TABLE tiles_shallow (z INTEGER, x INTEGER, y INTEGER, tile_data_id INTEGER)")
+def _make_normalized(path: str) -> None:
+    """Planetiler-normalized fixture with the REFERENCE's column names
+    (app/DbAccess.hs:93) and the `tiles` compatibility view."""
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE tiles_shallow (zoom_level INTEGER, "
+                "tile_column INTEGER, tile_row INTEGER, tile_data_id INTEGER)")
     con.execute("CREATE TABLE tiles_data (tile_data_id INTEGER, tile_data BLOB)")
     con.execute("CREATE TABLE metadata (name TEXT, value TEXT)")
+    con.execute("CREATE VIEW tiles AS SELECT zoom_level, tile_column, "
+                "tile_row, tile_data FROM tiles_shallow "
+                "JOIN tiles_data USING (tile_data_id)")
     # z=3, x=2, tms_y=1 -> xyz y = 8-1-1 = 6
     con.execute("INSERT INTO tiles_shallow VALUES (3, 2, 1, 77)")
     con.execute("INSERT INTO tiles_data VALUES (77, ?)", (b"blob77",))
+    # second tile sharing nothing: z=3 x=0 tms_y=0 -> xyz y=7
+    con.execute("INSERT INTO tiles_shallow VALUES (3, 0, 0, 78)")
+    con.execute("INSERT INTO tiles_data VALUES (78, ?)", (b"blob78",))
     con.commit(); con.close()
+
+
+def test_normalized_layout_read(spark, tmp_path):
+    mb = str(tmp_path / "norm.mbtiles")
+    _make_normalized(mb)
     df = read_mbtiles(spark, mb)
-    r = df.collect()[0]
+    r = df.filter(F.col("x") == 2).collect()[0]
     assert (r["z"], r["x"], r["y"], bytes(r["tile_data"])) == (3, 2, 6, b"blob77")
+
+
+def test_normalized_layout_update_in_place(spark, tmp_path):
+    """Round-2 advice fix: in-place update on a normalized file must write
+    tiles_data/tiles_shallow (the `tiles` view is read-only), matching the
+    reference updateMbtile (app/DbAccess.hs:205-212): update by
+    tile_data_id; delete from BOTH tables; new tiles get a fresh id."""
+    mb = str(tmp_path / "norm_up.mbtiles")
+    _make_normalized(mb)
+    up, dele = update_mbtiles(mb, iter([
+        (3, 2, 6, b"NEWDATA"),   # existing -> tiles_data rewrite
+        (3, 0, 7, None),         # delete from both tables
+        (3, 5, 5, b"FRESH"),     # brand-new tile -> fresh id
+    ]))
+    assert (up, dele) == (2, 1)
+    con = sqlite3.connect(mb)
+    assert con.execute("SELECT tile_data FROM tiles_data WHERE "
+                       "tile_data_id=77").fetchone()[0] == b"NEWDATA"
+    # deleted blob is gone (id 78 may be legitimately reused by the fresh
+    # tile inserted after the delete, so check content not id)
+    assert con.execute("SELECT COUNT(*) FROM tiles_data WHERE "
+                       "tile_data=?", (b"blob78",)).fetchone()[0] == 0
+    assert con.execute("SELECT COUNT(*) FROM tiles_shallow WHERE "
+                       "tile_column=0").fetchone()[0] == 0
+    con.close()
+    back = {(r["z"], r["x"], r["y"]): bytes(r["tile_data"])
+            for r in read_mbtiles(spark, mb).collect()}
+    assert back == {(3, 2, 6): b"NEWDATA", (3, 5, 5): b"FRESH"}
 
 
 def test_dump_operator(spark):
