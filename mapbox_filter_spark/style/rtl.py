@@ -12,12 +12,18 @@ BEST-EFFORT replica (documented deviation, COVERAGE.md):
   mapping (isolated/final/initial/medial + the four mandatory lam-alef
   ligatures, with harakat transparent to joining), equivalent to ICU
   LettersShape for unvocalized Arabic text.
-- :func:`reorder_paragraph` — a simplified UAX#9: first-strong base
-  direction, strong-run segmentation (RTL = Arabic/Hebrew blocks incl.
-  presentation forms; digits stay LTR), visual reordering for RTL base,
-  bracket mirroring inside RTL runs, bidi-control removal.  Full UAX#9
-  (explicit embeddings, weak-type resolution chains) is NOT implemented —
-  cases relying on it may differ from ICU.
+- :func:`reorder_paragraph` — the UAX#9 implicit algorithm, full
+  fidelity for text without explicit directional formatting characters:
+  P2/P3 base direction, weak-type resolution W1-W7 (classes from the
+  stdlib Unicode database, ``unicodedata.bidirectional``), bracket-pair
+  resolution N0 (BD16 stack pairing over the common bracket set),
+  neutral resolution N1/N2, implicit levels I1/I2, whitespace reset L1,
+  level-run reversal L2, and glyph mirroring L4 at odd (RTL) resolved
+  levels only.  Remaining deviation (documented, COVERAGE.md): explicit
+  directional embedding/override/isolate codes (X1-X10) are stripped as
+  bidi controls BEFORE resolution instead of being honored first — the
+  reference's RemoveBidiControls removes them from the OUTPUT after
+  processing, so strings that rely on explicit overrides may differ.
 
 All of it runs inside an Arrow-batched pandas UDF over pruned metadata
 (style_ops.rtl_transform) — the boundary-op pattern, never per-row Python
@@ -87,7 +93,9 @@ _BIDI_CONTROLS = set(
 )
 
 _MIRROR = {"(": ")", ")": "(", "[": "]", "]": "[", "{": "}", "}": "{",
-           "<": ">", ">": "<", "«": "»", "»": "«"}
+           "<": ">", ">": "<", "«": "»", "»": "«", "⟨": "⟩", "⟩": "⟨",
+           "⟦": "⟧", "⟧": "⟦", "⁅": "⁆", "⁆": "⁅", "〈": "〉", "〉": "〈",
+           "《": "》", "》": "《", "〔": "〕", "〕": "〔"}
 
 
 def _joins_next(c: str) -> bool:
@@ -152,50 +160,184 @@ def shape_arabic(text: str) -> str:
     return "".join(out)
 
 
-def _is_rtl(c: str) -> bool:
-    cp = ord(c)
-    return (0x0590 <= cp <= 0x08FF or 0xFB1D <= cp <= 0xFDFF
-            or 0xFE70 <= cp <= 0xFEFF)
+# BD16 bracket pairing set (BidiBrackets.txt common subset)
+_BRACKET_PAIRS = {"(": ")", "[": "]", "{": "}", "⟨": "⟩", "⟦": "⟧",
+                  "⁅": "⁆", "〈": "〉", "《": "》", "「": "」", "『": "』",
+                  "【": "】", "〔": "〕", "〖": "〗", "〚": "〛"}
+_BRACKET_CLOSE = {v: k for k, v in _BRACKET_PAIRS.items()}
+
+_NEUTRAL = frozenset(("B", "S", "WS", "ON"))
 
 
-def _is_ltr(c: str) -> bool:
-    return c.isalpha() and not _is_rtl(c)
+def _strong_dir(b: str) -> str | None:
+    """N0/N1 strong context: EN and AN are treated as R."""
+    if b == "L":
+        return "L"
+    if b in ("R", "EN", "AN"):
+        return "R"
+    return None
 
 
 def reorder_paragraph(text: str) -> str:
-    """Logical -> visual order (simplified UAX#9; see module docstring)."""
+    """Logical -> visual order: UAX#9 implicit algorithm (module doc).
+
+    One paragraph, no explicit formatting codes (stripped upfront), so the
+    whole text is a single isolating run sequence with sos = eos = the
+    paragraph direction."""
+    import unicodedata as ud
+
     text = "".join(c for c in text if c not in _BIDI_CONTROLS)
     if not text:
         return text
-    base_rtl = next((_is_rtl(c) for c in text if _is_rtl(c) or _is_ltr(c)),
-                    False)
-    if not base_rtl:
-        return text
+    cls = [ud.bidirectional(c) or "ON" for c in text]
+    n = len(text)
 
-    # segment into strong runs; neutrals/digits attach to the current run,
-    # leading neutrals to the first run
-    runs: list[tuple[bool, list[str]]] = []  # (is_rtl_run, chars)
-    cur_rtl: bool | None = None
-    for c in text:
-        if _is_rtl(c):
-            strong: bool | None = True
-        elif _is_ltr(c) or c.isdigit():
-            strong = False
-        else:
-            strong = cur_rtl
-        if not runs or strong != cur_rtl:
-            cur_rtl = strong if strong is not None else base_rtl
-            runs.append((cur_rtl, []))
-        runs[-1][1].append(c)
-        cur_rtl = runs[-1][0]
+    # P2/P3: first strong type sets the paragraph level
+    base = 0
+    for b in cls:
+        if b == "L":
+            break
+        if b in ("R", "AL"):
+            base = 1
+            break
+    e_dir = "R" if base else "L"
+    sos = eos = e_dir
 
-    visual: list[str] = []
-    for is_rtl_run, chars in reversed(runs):
-        if is_rtl_run:
-            visual.extend(_MIRROR.get(c, c) for c in reversed(chars))
-        else:
-            visual.extend(chars)
-    return "".join(visual)
+    # W1: NSM takes the class of the previous character (sos at start)
+    prev = sos
+    for i, b in enumerate(cls):
+        if b == "NSM":
+            cls[i] = prev
+        prev = cls[i]
+    # W2: EN after an AL context becomes AN
+    strong = sos
+    for i, b in enumerate(cls):
+        if b in ("L", "R", "AL"):
+            strong = b
+        elif b == "EN" and strong == "AL":
+            cls[i] = "AN"
+    # W3: AL -> R
+    cls = [("R" if b == "AL" else b) for b in cls]
+    # W4: ES between EN,EN -> EN; CS between same-type EN/AN -> that type
+    for i in range(1, n - 1):
+        if cls[i] == "ES" and cls[i - 1] == "EN" and cls[i + 1] == "EN":
+            cls[i] = "EN"
+        elif (cls[i] == "CS" and cls[i - 1] == cls[i + 1]
+              and cls[i - 1] in ("EN", "AN")):
+            cls[i] = cls[i - 1]
+    # W5: ET runs adjacent to EN -> EN
+    i = 0
+    while i < n:
+        if cls[i] != "ET":
+            i += 1
+            continue
+        j = i
+        while j < n and cls[j] == "ET":
+            j += 1
+        if (i > 0 and cls[i - 1] == "EN") or (j < n and cls[j] == "EN"):
+            for k in range(i, j):
+                cls[k] = "EN"
+        i = j
+    # W6: leftover separators/terminators -> ON
+    cls = [("ON" if b in ("ET", "ES", "CS") else b) for b in cls]
+    # W7: EN after an L context -> L
+    strong = sos
+    for i, b in enumerate(cls):
+        if b in ("L", "R"):
+            strong = b
+        elif b == "EN" and strong == "L":
+            cls[i] = "L"
+
+    # N0: bracket pairs (BD16 stack pairing, 63-deep)
+    stack: list[tuple[str, int]] = []
+    pairs: list[tuple[int, int]] = []
+    for i, c in enumerate(text):
+        if cls[i] != "ON":
+            continue
+        if c in _BRACKET_PAIRS:
+            if len(stack) >= 63:
+                break
+            stack.append((c, i))
+        elif c in _BRACKET_CLOSE:
+            for k in range(len(stack) - 1, -1, -1):
+                if stack[k][0] == _BRACKET_CLOSE[c]:
+                    pairs.append((stack[k][1], i))
+                    del stack[k:]
+                    break
+    opp = "L" if e_dir == "R" else "R"
+    for o, c_ in sorted(pairs):
+        inside = {_strong_dir(b) for b in cls[o + 1:c_]}
+        if e_dir in inside:
+            cls[o] = cls[c_] = e_dir
+        elif opp in inside:
+            ctx = sos
+            for k in range(o - 1, -1, -1):
+                d = _strong_dir(cls[k])
+                if d:
+                    ctx = d
+                    break
+            cls[o] = cls[c_] = opp if ctx == opp else e_dir
+        # else: no strong inside — brackets stay neutral (N1/N2 decide)
+
+    # N1/N2: neutral runs take the surrounding direction if it agrees on
+    # both sides (EN/AN count as R), else the embedding direction
+    i = 0
+    while i < n:
+        if cls[i] not in _NEUTRAL:
+            i += 1
+            continue
+        j = i
+        while j < n and cls[j] in _NEUTRAL:
+            j += 1
+        bdir = _strong_dir(cls[i - 1]) if i > 0 else sos
+        adir = _strong_dir(cls[j]) if j < n else eos
+        fill = bdir if (bdir is not None and bdir == adir) else e_dir
+        for k in range(i, j):
+            cls[k] = fill
+        i = j
+
+    # I1/I2: implicit levels
+    if base == 0:
+        levels = [0 if b == "L" else (1 if b == "R" else 2) for b in cls]
+    else:
+        levels = [1 if b == "R" else 2 for b in cls]
+
+    # L1: S/B and whitespace runs before them + trailing whitespace reset
+    # to the paragraph level (ORIGINAL classes, not resolved ones)
+    orig = [ud.bidirectional(c) or "ON" for c in text]
+    k = n - 1
+    while k >= 0 and orig[k] == "WS":
+        levels[k] = base
+        k -= 1
+    for i in range(n):
+        if orig[i] in ("S", "B"):
+            levels[i] = base
+            j = i - 1
+            while j >= 0 and orig[j] == "WS":
+                levels[j] = base
+                j -= 1
+
+    # L2: reverse contiguous runs, highest level down to lowest odd level
+    chars = list(text)
+    odd_levels = [lv for lv in levels if lv % 2]
+    if odd_levels:
+        for lev in range(max(levels), min(odd_levels) - 1, -1):
+            i = 0
+            while i < n:
+                if levels[i] < lev:
+                    i += 1
+                    continue
+                j = i
+                while j < n and levels[j] >= lev:
+                    j += 1
+                chars[i:j] = chars[i:j][::-1]
+                levels[i:j] = levels[i:j][::-1]
+                i = j
+
+    # L4: mirror glyphs whose RESOLVED direction is R (odd level)
+    return "".join(
+        _MIRROR.get(c, c) if lv % 2 else c
+        for c, lv in zip(chars, levels))
 
 
 def rtl_convert(text: str) -> str:

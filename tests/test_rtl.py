@@ -2,7 +2,8 @@
 
 Expected values hand-derived from the Presentation Forms-B tables and the
 reference's ICU pipeline shape (shapeArabic then visual reorder,
-Filters.hs:88-94); BiDi is the documented simplified-UAX#9 best effort.
+Filters.hs:88-94); BiDi is the UAX#9 implicit algorithm (weak types,
+bracket pairs N0, neutrals N1/N2, levels + L2 reversal + L4 mirroring).
 """
 
 from pyspark.sql import functions as F
@@ -39,14 +40,31 @@ def test_reorder_visual():
     shaped = shape_arabic("ابج")
     # RTL base: single run reversed into visual order
     assert reorder_paragraph(shaped) == JEEM_FIN + BEH_INI + ALEF_ISO
-    # LTR base: untouched
-    assert reorder_paragraph("hello اب") == "hello اب"
+    # LTR base: embedded RTL run is reversed (ICU reorder does this too;
+    # the old simplified path left LTR paragraphs untouched)
+    assert reorder_paragraph("hello اب") == "hello با"
     # digits form an LTR island inside RTL
     assert rtl_convert("ابج 123") == "123 " + JEEM_FIN + BEH_INI + ALEF_ISO
     # mirroring of brackets in RTL runs (unshaped input: reorder only)
     assert reorder_paragraph("(اب)") == "(با)"
     # bidi controls removed (RemoveBidiControls)
     assert reorder_paragraph("‏" + "اب") == "با"
+
+
+def test_brackets_around_ltr_in_rtl():
+    """Round-2 advice regression: balanced brackets around an LTR island in
+    an RTL paragraph survive — N0 resolves both brackets to the embedding
+    direction, the island stays LTR inside them, and mirroring happens on
+    both (so the pair still reads '(test)').  The old run-segmenter
+    attached the trailing bracket to the LTR run and mirrored only the
+    opener, yielding 'test))'."""
+    out = reorder_paragraph("اب (test)")
+    assert out == "(test) با"
+    # nested opposite-direction runs with digits (weak types + neutrals)
+    assert reorder_paragraph("اب [x 12] ج") == "ج [x 12] با"
+    # unbalanced bracket: no N0 pairing, so N2 resolves it to the RTL base
+    # and L4 mirrors it (per UAX#9; ICU does the same)
+    assert reorder_paragraph("اب (x") == "x) با"
 
 
 def test_paragraphs_rejoined():
