@@ -163,21 +163,36 @@ def prune_props(
     it is materialized ONCE per row as a literal-array column and the
     map_filter lambda reduces to ``array_contains`` per key — the previous
     shape re-evaluated the whole per-layer zoom-gate when-chain for every
-    map key (~8% on the flagship at sf0.1; grows with map width)."""
-    zc = F.col(z) if isinstance(z, str) else z
+    map key (~8% on the flagship at sf0.1; grows with map width).
+
+    When ``z`` is a PYTHON int (single-zoom stage), the zoom gates are
+    folded at plan-build time: each source-layer's retained keys collapse
+    to one literal array — no per-row gate evaluation at all, a smaller
+    expression tree per zoom in multi-zoom pipelines (asserted in
+    test_plans.py::test_prune_props_literal_zoom_plan)."""
     lc = F.col(layer_col)
     empty = F.array().cast("array<string>")
     keys_col = F.lit(None).cast("array<string>")
-    for sl, layers in _by_source_layer(style).items():
-        arrs = [
-            F.when(_zoom_gate(l, zc),
-                   F.array(*[F.lit(k) for k in sorted(l.meta)])
-                   if l.meta else empty).otherwise(empty)
-            for l in layers
-        ]
-        layer_keys = (F.array_distinct(F.flatten(F.array(*arrs)))
-                      if arrs else empty)
-        keys_col = F.when(lc == sl, layer_keys).otherwise(keys_col)
+    if isinstance(z, int):
+        for sl, layers in _by_source_layer(style).items():
+            ks = sorted({k for l in layers if l.meta
+                         and (l.min_zoom is None or z >= int(l.min_zoom))
+                         and (l.max_zoom is None or z <= int(l.max_zoom))
+                         for k in l.meta})
+            layer_keys = F.array(*[F.lit(k) for k in ks]) if ks else empty
+            keys_col = F.when(lc == sl, layer_keys).otherwise(keys_col)
+    else:
+        zc = F.col(z) if isinstance(z, str) else z
+        for sl, layers in _by_source_layer(style).items():
+            arrs = [
+                F.when(_zoom_gate(l, zc),
+                       F.array(*[F.lit(k) for k in sorted(l.meta)])
+                       if l.meta else empty).otherwise(empty)
+                for l in layers
+            ]
+            layer_keys = (F.array_distinct(F.flatten(F.array(*arrs)))
+                          if arrs else empty)
+            keys_col = F.when(lc == sl, layer_keys).otherwise(keys_col)
     out = df.withColumn("__retained_keys", keys_col)
     out = out.withColumn(
         props_col,

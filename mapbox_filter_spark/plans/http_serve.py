@@ -46,7 +46,7 @@ def make_spark_fetcher(
     def fetch(z: int, x: int, y: int) -> Optional[bytes]:
         tile = lookup_tile(features_store, z, x, y)
         if style is not None:
-            tile = prune_props(filter_keep(tile, style), style)
+            tile = prune_props(filter_keep(tile, style), style, z=z)
         cols = set(tile.columns)
         sel = [F.col("layer"), F.col("feature_id"), F.col("geom_kind"),
                F.col("props")]

@@ -44,5 +44,6 @@ def serve_tile(
     (the reference's no-style mode)."""
     tile_feats = lookup_tile(features_store, z, x, y)
     if style is not None:
-        tile_feats = prune_props(filter_keep(tile_feats, style), style)
+        # z is a request literal: the pruned-key arrays fold at plan time
+        tile_feats = prune_props(filter_keep(tile_feats, style), style, z=z)
     return assemble_tiles(tile_feats, include_spans="spans" in tile_feats.columns)

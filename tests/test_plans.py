@@ -236,3 +236,32 @@ def test_downcopy_passthrough_bypasses_window(spark):
     # dst row dropped by the negated filter; 2 child copies land at z=8;
     # z=9 (2) + z=5,6 (2) pass through
     assert out.count() == 6
+
+
+def test_prune_props_literal_zoom_plan(spark):
+    """Single-zoom stages pass a python-int z: the per-layer retained-key
+    arrays fold to literals at plan-build time (no per-row zoom-gate
+    evaluation, no flatten/array_distinct in the plan), and results match
+    the dynamic-z shape exactly."""
+    from mapbox_filter_spark.operators.style_ops import prune_props
+    from mapbox_filter_spark.style.model import load_style
+
+    style = load_style({"layers": [
+        {"id": "a", "type": "line", "source": "s", "source-layer": "waterway",
+         "minzoom": 6, "maxzoom": 10,
+         "filter": ["==", ["string", ["get", "class"], ""], "river"]},
+        {"id": "b", "type": "line", "source": "s", "source-layer": "waterway",
+         "minzoom": 9,
+         "filter": ["has", "brunnel"]}]})
+    df = spark.createDataFrame(
+        [(8, "waterway", {"class": "river", "junk": "x", "brunnel": "ford"}),
+         (8, "other", {"a": "1"})],
+        "z int, layer string, props map<string,string>")
+    lit_out = prune_props(df, style, z=8)
+    dyn_out = prune_props(df, style)  # z column
+    p_lit, p_dyn = phys(lit_out), phys(dyn_out)
+    assert "flatten" not in p_lit and "array_distinct" not in p_lit, p_lit
+    assert "flatten" in p_dyn  # the dynamic shape still gates per row
+    a = {(r["layer"], tuple(sorted(r["props"]))) for r in lit_out.collect()}
+    b = {(r["layer"], tuple(sorted(r["props"]))) for r in dyn_out.collect()}
+    assert a == b
