@@ -69,7 +69,7 @@ def _unzig(e: Column) -> Column:
 
 
 def shrink_cmds_col(cmds: Column, dx: Column, dy: Column,
-                    extent: int = 4096) -> Column:
+                    extent: "int | Column" = 4096) -> Column:
     """NATIVE down-copy geometry transform over a raw MVT command-stream
     array (``geom_cmds: array<bigint>``): every absolute tile-local point p
     becomes ``(d*extent + p) div 2`` per axis — quadrant (dx, dy) of the
@@ -87,7 +87,8 @@ def shrink_cmds_col(cmds: Column, dx: Column, dy: Column,
         F.lit(0).alias("st"), F.lit(0).alias("rem"),
         lz.alias("x"), lz.alias("y"), lz.alias("tx"), lz.alias("ty"),
         F.array().cast("array<long>").alias("out"))
-    ext = F.lit(int(extent)).cast("long")
+    ext = (F.lit(int(extent)) if isinstance(extent, int) else extent) \
+        .cast("long")
     dxl, dyl = dx.cast("long"), dy.cast("long")
 
     def step(acc, e):
@@ -129,7 +130,7 @@ def copy_down(
     layer_col: str = "layer",
     cols: Optional[FeatureCols] = None,
     cmds_col: Optional[str] = None,
-    extent: int = 4096,
+    extent: "int | str" = 4096,
 ) -> DataFrame:
     """Apply down-copy to exploded tile-feature rows.
 
@@ -184,11 +185,14 @@ def copy_down(
     )
     if cmds_col is not None:
         # rescale child tile-local geometry into its parent quadrant BEFORE
-        # the tile key is re-parented (dx, dy come from the child's x, y)
+        # the tile key is re-parented (dx, dy come from the child's x, y);
+        # extent may name a per-row column (MVT layers carry their own,
+        # like the reference's `layer ^. extent`)
+        ext = F.col(extent) if isinstance(extent, str) else extent
         children = children.withColumn(
             cmds_col,
             shrink_cmds_col(F.col(cmds_col), F.pmod(F.col("x"), F.lit(2)),
-                            F.pmod(F.col("y"), F.lit(2)), extent))
+                            F.pmod(F.col("y"), F.lit(2)), ext))
     children = (
         children
         # child -> parent tile key (z-1, x div 2, y div 2)

@@ -44,7 +44,12 @@ def filter_mbtiles_features(
     """Blob rows -> filtered/pruned feature rows ready for re-encode."""
     feats = decode_mvt_tiles(tiles)
     if downcopy is not None:
-        feats = copy_down(feats, downcopy)
+        # geom_cmds here are TILE-LOCAL (straight from the MVT decode), so
+        # copied children get the reference's geometry rescale
+        # p' = (quadrant*extent + p) div 2 (DownCopy.hs:63-70) — this is
+        # exactly the consumer the rescale exists for
+        feats = copy_down(feats, downcopy, cmds_col="geom_cmds",
+                          extent="extent")
         feats = feats.withColumn("feature_id", F.col("new_feature_id")) \
             .drop("new_feature_id", "quadrant")
     kept = filter_keep(feats, style)

@@ -20,7 +20,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# running as `python scripts/mfs_cli.py` puts scripts/ (not the repo root)
+# on sys.path — make the package importable regardless of cwd
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 
 def _spark():

@@ -337,3 +337,51 @@ def test_polygons_from_cmds_holes():
     assert polys[0]["exterior"][0] == (0, 0)
     assert len(polys[0]["holes"]) == 1
     assert polys[0]["holes"][0][0] == (2, 2)
+
+
+def test_mbtiles_filter_job_downcopy_rescales_geometry(spark, tmp_path):
+    """End-to-end: mbtiles blobs -> decode -> copy_down (WITH the geometry
+    rescale on tile-local geom_cmds, per-layer extent) -> re-encode ->
+    in-place update.  The rebuilt dst tile's copied child geometry must sit
+    in the right parent quadrant at half scale (DownCopy.hs:63-70)."""
+    from mapbox_filter_spark.operators.downcopy import DownCopySpec
+    from mapbox_filter_spark.plans.mbtiles_job import run_mbtiles_filter_job
+    from mapbox_filter_spark.sources.mbtiles import read_mbtiles, write_mbtiles
+    from mapbox_filter_spark.sources.mvt import (
+        cmds_to_parts, encode_mvt_tiles, _zigzag)
+    from mapbox_filter_spark.style.model import load_style
+
+    style = load_style({"layers": [{
+        "id": "w", "type": "line", "source": "s", "source-layer": "waterway",
+        "filter": ["==", ["string", ["get", "class"], ""], "river"]}]})
+    spec = DownCopySpec.from_json({
+        "dst-zoom": 6, "source-layer": "waterway",
+        "filter": ["==", ["string", ["get", "class"], ""], "river"]})
+
+    # child tile (7, 21, 40): quadrant (bx,by) = (1, 0) of parent (6,10,20);
+    # a 2-point line at (100,200)->(300,600), extent 512
+    child_cmds = [9, _zigzag(100), _zigzag(200), 10, _zigzag(200), _zigzag(400)]
+    rows = [
+        (6, 10, 20, "waterway", 512, 1, 2, "LineString",
+         {"class": "stream"}, [9, _zigzag(7), _zigzag(8)]),  # kept by neg
+        (7, 21, 40, "waterway", 512, 11, 2, "LineString",
+         {"class": "river"}, child_cmds),
+    ]
+    df = spark.createDataFrame(
+        rows, "z long, x long, y long, layer string, extent long, "
+        "feature_id long, geom_type long, geom_kind string, "
+        "props map<string,string>, geom_cmds array<long>")
+    path = str(tmp_path / "pyr.mbtiles")
+    write_mbtiles(encode_mvt_tiles(df), path)
+
+    run_mbtiles_filter_job(spark, path, style, downcopy=spec)
+    back = {(r["z"], r["x"], r["y"]): bytes(r["tile_data"])
+            for r in read_mbtiles(spark, path).collect()}
+    dst = decode_tile(back[(6, 10, 20)])
+    copied = [f for f in dst if f["props"].get("class") == "river"]
+    assert len(copied) == 1
+    # (1*512+100)//2=306, (0+200)//2=100; (1*512+300)//2=406, 600//2=300
+    assert cmds_to_parts(copied[0]["geom_cmds"]) == [[(306, 100), (406, 300)]]
+    # child level itself passes through untouched
+    child = decode_tile(back[(7, 21, 40)])
+    assert cmds_to_parts(child[0]["geom_cmds"]) == [[(100, 200), (300, 600)]]
