@@ -64,11 +64,19 @@ def run_mbtiles_filter_job(
     out_path: Optional[str] = None,
     downcopy: Optional[DownCopySpec] = None,
     rtl: bool = False,
+    force_full: bool = False,
 ) -> tuple[int, int]:
     """Filter an mbtiles of MVT blobs with a style.
 
     ``out_path=None`` rewrites IN PLACE (reference semantics: changed blobs
     updated, emptied tiles deleted); otherwise a new mbtiles is written.
+    In-place default is DIFFERENTIAL, the reference's hash-avoidance
+    (Md5Worker.hs:37-55) reduced to one join: a tile is rewritten only if
+    its new blob differs byte-wise from the stored one (the codec is
+    deterministic, so an engine-encoded unchanged tile produces identical
+    bytes; foreign-encoded files get a one-time full rewrite like the
+    reference's first run without a hash db).  ``force_full=True`` (the
+    reference's -f/--force-full) writes every surviving tile.
     Returns (n_written, n_deleted)."""
     tiles = read_mbtiles(spark, mbtiles_path)
     pruned = filter_mbtiles_features(tiles, style, downcopy, rtl)
@@ -82,8 +90,19 @@ def run_mbtiles_filter_job(
     emptied = tiles.select("z", "x", "y").exceptAll(
         out_tiles.select("z", "x", "y"))
 
+    if force_full:
+        writes = out_tiles
+    else:
+        orig = tiles.select("z", "x", "y", F.col("tile_data").alias("_old"))
+        writes = (
+            out_tiles.join(orig, ["z", "x", "y"], "left")
+            .filter(F.col("_old").isNull()
+                    | (F.col("tile_data") != F.col("_old")))
+            .drop("_old")
+        )
+
     def updates():
-        for r in out_tiles.toLocalIterator():  # driver-side SQLite adapter
+        for r in writes.toLocalIterator():  # driver-side SQLite adapter
             yield (r["z"], r["x"], r["y"], bytes(r["tile_data"]))
         for r in emptied.toLocalIterator():
             yield (r["z"], r["x"], r["y"], None)

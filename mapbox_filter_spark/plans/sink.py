@@ -226,3 +226,82 @@ def write_tilejson(out_dir: str, meta: dict, url_template: str) -> str:
     with open(path, "w") as f:
         json.dump(tilejson_metadata(meta, url_template), f, indent=1)
     return path
+
+
+# ---------------------------------------------------- differential publish
+
+def read_tile_hashes(spark, path: str) -> Optional[DataFrame]:
+    """Previous publish's hash db (the reference's hashes.db,
+    app/Md5Worker.hs + --hashes-db): sqlite ``tile_hashes(z, x, y, hash)``
+    with XYZ rows.  Returns None if the file does not exist."""
+    import sqlite3
+
+    if not os.path.exists(path):
+        return None
+    con = sqlite3.connect(path)
+    try:
+        rows = [(int(z), int(x), int(y), h) for z, x, y, h in
+                con.execute("SELECT z, x, y, hash FROM tile_hashes")]
+    finally:
+        con.close()
+    return spark.createDataFrame(
+        rows, "z long, x long, y long, prev_hash string")
+
+
+def write_tile_hashes(hashed: DataFrame, path: str) -> int:
+    """Persist the current run's (z, x, y, tile_hash) as the next run's
+    --hashes-db.  Driver-side SQLite edge adapter (like mbtiles)."""
+    import sqlite3
+
+    if os.path.exists(path):
+        os.remove(path)
+    con = sqlite3.connect(path)
+    try:
+        con.execute("CREATE TABLE tile_hashes "
+                    "(z INTEGER, x INTEGER, y INTEGER, hash TEXT)")
+        con.execute("CREATE UNIQUE INDEX th_idx ON tile_hashes (z, x, y)")
+        n = 0
+        batch = []
+        for r in hashed.select("z", "x", "y", "tile_hash").toLocalIterator():
+            batch.append((r["z"], r["x"], r["y"], r["tile_hash"]))
+            if len(batch) >= 10_000:
+                con.executemany("INSERT INTO tile_hashes VALUES (?,?,?,?)",
+                                batch)
+                n += len(batch)
+                batch = []
+        if batch:
+            con.executemany("INSERT INTO tile_hashes VALUES (?,?,?,?)", batch)
+            n += len(batch)
+        con.commit()
+        return n
+    finally:
+        con.close()
+
+
+def hash_tiles(tiles: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Attach the md5 ``tile_hash`` the differential publish keys on (the
+    reference hashes tile content with md5, app/Md5Worker.hs)."""
+    return tiles.withColumn("tile_hash", F.md5(F.col(payload_col)))
+
+
+def publish_diff(
+    hashed: DataFrame, prev_hashes: Optional[DataFrame]
+) -> tuple[DataFrame, DataFrame]:
+    """(changed, deleted): tiles to (re)upload — new or hash-changed — and
+    (z, x, y) keys present last run but gone now (the reference deletes
+    those objects, app/Main.hs:475-484).  One full-outer-shaped pair of
+    joins on the tile key; with no previous db everything is 'changed'."""
+    if prev_hashes is None:
+        return hashed, hashed.select("z", "x", "y").limit(0)
+    changed = (
+        hashed.join(prev_hashes, ["z", "x", "y"], "left")
+        .filter(F.col("prev_hash").isNull()
+                | (F.col("tile_hash") != F.col("prev_hash")))
+        .drop("prev_hash")
+    )
+    deleted = (
+        prev_hashes.join(hashed.select("z", "x", "y"), ["z", "x", "y"],
+                         "left_anti")
+        .select("z", "x", "y")
+    )
+    return changed, deleted

@@ -82,6 +82,38 @@ class MapboxStyle:
                 out.setdefault(l.source_layer, []).append(l)
         return out
 
+    @property
+    def sources(self) -> tuple[str, ...]:
+        """Distinct vector SOURCE names, first-seen order (checkStyle,
+        app/Main.hs:250-252)."""
+        seen: dict[str, None] = {}
+        for l in self.vector_layers:
+            seen.setdefault(l.source, None)
+        return tuple(seen)
+
+    def select_source(self, source: Optional[str] = None
+                      ) -> tuple["MapboxStyle", str]:
+        """checkStyle parity (app/Main.hs:249-266): pick the tile source —
+        the named one (must exist) or the style's only one — and drop every
+        layer belonging to a different source.  Raises StyleError exactly
+        where the reference errors."""
+        srcs = self.sources
+        if source is not None:
+            if source not in srcs:
+                raise StyleError(f"Invalid tile source specified, {source!r}"
+                                 f" (style has {list(srcs)})")
+            chosen = source
+        elif len(srcs) == 1:
+            chosen = srcs[0]
+        else:
+            raise StyleError(
+                f"Invalid tile source specified, None (style has "
+                f"{list(srcs)}; pass -s/--source)")
+        return MapboxStyle(
+            tuple(l for l in self.vector_layers if l.source == chosen),
+            self.n_raster, self.n_background,
+        ), chosen
+
     def clamp_min_zoom(self, max_zoom: int) -> "MapboxStyle":
         """Clamp layer minzooms to the pyramid's max zoom
         (app/Main.hs:247-259)."""

@@ -77,3 +77,63 @@ def test_cli_dump_and_convert(spark, fixture_paths, capsys):
     assert mfs_cli.main(["convert-old-filter", legacy]) == 0
     doc = json.loads(capsys.readouterr().out)
     assert doc["layers"][0]["filter"][0] == "match"
+
+
+def test_cli_multi_style_merge_and_source(spark, fixture_paths, tmp_path):
+    """Reference parity: -j is repeatable (styles merged, sconcat) and
+    -s/--source selects + validates the tile source (checkStyle)."""
+    mb, style, tp = fixture_paths
+    style2 = str(tp / "style2.json")
+    with open(style2, "w") as f:
+        json.dump({"layers": [{
+            "id": "w2", "type": "line", "source": "s",
+            "source-layer": "waterway",
+            "filter": ["==", ["string", ["get", "class"], ""], "stream"]}]}, f)
+    # merged styles keep river OR stream -> nothing is deleted
+    assert mfs_cli.main(["filter", mb, "-j", style, "-j", style2,
+                         "-s", "s"]) == 0
+    back = read_mbtiles(spark, mb)
+    assert back.count() == 2  # both tiles survive (stream kept by style2)
+    # invalid source errors like checkStyle
+    from mapbox_filter_spark.style.model import StyleError
+    with pytest.raises(StyleError):
+        mfs_cli.main(["filter", mb, "-j", style, "-s", "nope"])
+
+
+def test_cli_filter_differential_second_run_writes_nothing(spark, fixture_paths):
+    """In-place filter is differential: a second identical run finds every
+    re-encoded blob byte-identical (deterministic codec) and writes 0;
+    -f/--force-full rewrites all (reference's force-full switch)."""
+    from mapbox_filter_spark.plans.mbtiles_job import run_mbtiles_filter_job
+    from mapbox_filter_spark.style.model import load_style
+
+    mb, style_path, _ = fixture_paths
+    with open(style_path) as f:
+        style = load_style(json.load(f))
+    w1, d1 = run_mbtiles_filter_job(spark, mb, style)
+    assert (w1, d1) == (1, 1)  # tile(6,1,1) filtered; tile(6,2,1) emptied
+    w2, d2 = run_mbtiles_filter_job(spark, mb, style)
+    assert (w2, d2) == (0, 0)  # steady state: nothing changed
+    w3, _ = run_mbtiles_filter_job(spark, mb, style, force_full=True)
+    assert w3 == 1
+
+
+def test_cli_publish_hashes_db_differential(spark, fixture_paths, tmp_path):
+    """--hashes-db differential publish (Md5Worker parity): first run
+    uploads all + writes the hash db; unchanged rerun uploads 0; after a
+    tile vanishes the rerun deletes it from the tree."""
+    mb, style, tp = fixture_paths
+    pub = str(tp / "pub")
+    hdb = str(tp / "hashes.db")
+    assert mfs_cli.main(["publish", mb, "-t", pub, "--hashes-db", hdb]) == 0
+    assert os.path.exists(os.path.join(pub, "6", "1", "1"))
+    assert os.path.exists(hdb)
+    mtime = os.path.getmtime(os.path.join(pub, "6", "1", "1"))
+    # unchanged rerun: nothing rewritten
+    assert mfs_cli.main(["publish", mb, "-t", pub, "--hashes-db", hdb]) == 0
+    assert os.path.getmtime(os.path.join(pub, "6", "1", "1")) == mtime
+    # filter the mbtiles so tile (6,2,1) is deleted, then republish
+    assert mfs_cli.main(["filter", mb, "-j", style]) == 0
+    assert mfs_cli.main(["publish", mb, "-t", pub, "--hashes-db", hdb]) == 0
+    assert not os.path.exists(os.path.join(pub, "6", "2", "1"))
+    assert os.path.exists(os.path.join(pub, "6", "1", "1"))
