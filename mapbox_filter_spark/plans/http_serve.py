@@ -35,16 +35,41 @@ def make_spark_fetcher(
     features_store: DataFrame,
     style: Optional[MapboxStyle],
     extent: int = 4096,
+    downcopy=None,
 ) -> Fetcher:
-    """fetch(z,x,y): keyed lookup -> σ/π -> MVT+gzip blob (None if empty)."""
+    """fetch(z,x,y): keyed lookup -> (optional serve-time down-copy) ->
+    σ/π -> MVT+gzip blob (None if empty).
+
+    ``downcopy`` (a DownCopySpec) reproduces the reference web server's
+    -c/--copy-down (Main.hs:541-555 runWebServer + fetchDownTiles): a
+    request at the spec's dst zoom also fetches the four child tiles and
+    rebuilds the dst tile on the fly — geometry rescaled when the store
+    carries tile-local geom_cmds — BEFORE the style filter, matching the
+    reference's order."""
     from pyspark.sql import functions as F
 
+    from ..operators.downcopy import copy_down
     from ..operators.style_ops import filter_keep, prune_props
     from ..sources.mvt import GEOM_CODES, encode_tile
     from .serve import lookup_tile
 
     def fetch(z: int, x: int, y: int) -> Optional[bytes]:
-        tile = lookup_tile(features_store, z, x, y)
+        if downcopy is not None and z == downcopy.dst_zoom:
+            cols = set(features_store.columns)
+            sub = features_store.filter(
+                ((F.col("z") == z) & (F.col("x") == x) & (F.col("y") == y))
+                | ((F.col("z") == z + 1)
+                   & F.col("x").isin(2 * x, 2 * x + 1)
+                   & F.col("y").isin(2 * y, 2 * y + 1)))
+            merged = copy_down(
+                sub, downcopy,
+                cmds_col="geom_cmds" if "geom_cmds" in cols else None,
+                extent="extent" if "extent" in cols else 4096)
+            tile = (merged.filter(F.col("z") == z)
+                    .withColumn("feature_id", F.col("new_feature_id"))
+                    .drop("new_feature_id", "quadrant"))
+        else:
+            tile = lookup_tile(features_store, z, x, y)
         if style is not None:
             tile = prune_props(filter_keep(tile, style), style, z=z)
         cols = set(tile.columns)

@@ -91,18 +91,28 @@ def cmd_filter(args) -> int:
 
 def cmd_dump(args) -> int:
     from mapbox_filter_spark.operators.debug import format_dump
-    from mapbox_filter_spark.plans.mbtiles_job import filter_mbtiles_features
     from mapbox_filter_spark.sources.mbtiles import read_mbtiles
     from mapbox_filter_spark.sources.mvt import decode_mvt_tiles
 
     spark = _spark()
-    tiles = read_mbtiles(spark, args.mbtiles).filter(
-        f"z = {int(args.zoom)} AND x = {int(args.x)} AND y = {int(args.y)}")
+    if args.mbtiles.endswith(".mbtiles"):
+        if args.x is None or args.y is None:
+            print("dump on an .mbtiles needs -x and -y", file=sys.stderr)
+            return 2
+        tiles = read_mbtiles(spark, args.mbtiles).filter(
+            f"z = {int(args.zoom)} AND x = {int(args.x)} AND y = {int(args.y)}")
+        style = _style(args.style, source=args.source, mbtiles=args.mbtiles)
+    else:
+        # reference parity (dumpOptions SRCFILE): a single raw MVT/pbf
+        # tile file (gzipped or not), no tile coordinates needed
+        with open(args.mbtiles, "rb") as f:
+            blob = f.read()
+        tiles = spark.createDataFrame(
+            [(int(args.zoom), 0, 0, blob)],
+            "z long, x long, y long, tile_data binary")
+        style = _style(args.style, source=args.source)
     feats = decode_mvt_tiles(tiles)
-    print(format_dump(feats,
-                      _style(args.style, source=args.source,
-                             mbtiles=args.mbtiles),
-                      int(args.zoom), limit=args.limit))
+    print(format_dump(feats, style, int(args.zoom), limit=args.limit))
     return 0
 
 
@@ -116,9 +126,15 @@ def cmd_web(args) -> int:
     store.count()  # materialize once; requests are keyed lookups
     style = (_style(args.style, source=args.source, mbtiles=args.mbtiles)
              if args.style else None)
+    downcopy = None
+    if args.downcopy:
+        from mapbox_filter_spark.operators.downcopy import DownCopySpec
+
+        with open(args.downcopy) as f:
+            downcopy = DownCopySpec.from_json(json.load(f))
     meta = read_mbtiles_metadata(args.mbtiles)
-    with TileServer(make_spark_fetcher(store, style), meta=meta,
-                    port=args.port) as srv:
+    with TileServer(make_spark_fetcher(store, style, downcopy=downcopy),
+                    meta=meta, port=args.port) as srv:
         print(f"serving on http://127.0.0.1:{srv.port}/tiles/{{z}}/{{x}}/{{y}}")
         try:
             import time
@@ -216,12 +232,13 @@ def main(argv=None) -> int:
     f.set_defaults(fn=cmd_filter)
 
     d = sub.add_parser("dump", help="Dump vector tile contents")
-    d.add_argument("mbtiles")
+    d.add_argument("mbtiles",
+                   help=".mbtiles (with -x/-y) or a raw MVT tile file")
     d.add_argument("-j", "--style", required=True, action="append")
     d.add_argument("-s", "--source", help="tile source name from the style")
     d.add_argument("-z", "--zoom", required=True)
-    d.add_argument("-x", required=True)
-    d.add_argument("-y", required=True)
+    d.add_argument("-x")
+    d.add_argument("-y")
     d.add_argument("--limit", type=int, default=100)
     d.set_defaults(fn=cmd_dump)
 
@@ -229,6 +246,9 @@ def main(argv=None) -> int:
     w.add_argument("mbtiles")
     w.add_argument("-j", "--style", action="append")
     w.add_argument("-s", "--source", help="tile source name from the style")
+    w.add_argument("-c", "--downcopy",
+                   help="down-copy spec JSON: rebuild dst-zoom tiles from "
+                        "their children on the fly (reference -c)")
     w.add_argument("-p", "--port", type=int, default=3000)
     w.set_defaults(fn=cmd_web)
 

@@ -137,3 +137,52 @@ def test_cli_publish_hashes_db_differential(spark, fixture_paths, tmp_path):
     assert mfs_cli.main(["publish", mb, "-t", pub, "--hashes-db", hdb]) == 0
     assert not os.path.exists(os.path.join(pub, "6", "2", "1"))
     assert os.path.exists(os.path.join(pub, "6", "1", "1"))
+
+
+def test_cli_dump_raw_tile_file(spark, fixture_paths, tmp_path, capsys):
+    """Reference dumpOptions parity: SRCFILE may be a single raw MVT tile
+    file (gzipped), no -x/-y needed."""
+    mb, style, tp = fixture_paths
+    blob = bytes(read_mbtiles(spark, mb).filter("x = 1").collect()[0]["tile_data"])
+    raw = str(tp / "tile.pbf")
+    with open(raw, "wb") as f:
+        f.write(blob)
+    assert mfs_cli.main(["dump", raw, "-j", style, "-z", "6"]) == 0
+    out = capsys.readouterr().out
+    assert "river" in out and out.count("\n") >= 2
+    assert any(line.lstrip().startswith(("+", "-"))
+               for line in out.splitlines())
+
+
+def test_web_fetcher_serve_time_downcopy(spark, tmp_path):
+    """The reference web server's -c/--copy-down: a request at dst zoom
+    rebuilds the tile from its children on the fly, geometry rescaled."""
+    from mapbox_filter_spark.operators.downcopy import DownCopySpec
+    from mapbox_filter_spark.plans.http_serve import make_spark_fetcher
+    from mapbox_filter_spark.sources.mvt import (
+        cmds_to_parts, decode_tile, _zigzag)
+    from mapbox_filter_spark.style.model import load_style
+
+    style = load_style({"layers": [{
+        "id": "w", "type": "line", "source": "s", "source-layer": "waterway",
+        "filter": ["has", "class"]}]})
+    spec = DownCopySpec.from_json({
+        "dst-zoom": 6, "source-layer": "waterway",
+        "filter": ["==", ["string", ["get", "class"], ""], "river"]})
+    store = spark.createDataFrame(
+        [(6, 10, 20, "waterway", 4096, 1, 2, "LineString",
+          {"class": "stream"}, [9, _zigzag(3), _zigzag(4)]),
+         (7, 21, 41, "waterway", 4096, 11, 2, "LineString",  # quadrant (1,1)
+          {"class": "river"}, [9, _zigzag(100), _zigzag(200)])],
+        "z long, x long, y long, layer string, extent long, "
+        "feature_id long, geom_type long, geom_kind string, "
+        "props map<string,string>, geom_cmds array<long>").cache()
+    fetch = make_spark_fetcher(store, style, downcopy=spec)
+    feats = decode_tile(fetch(6, 10, 20))
+    by_class = {f["props"]["class"]: f for f in feats}
+    # stream kept by the negated spec filter; river copied from the child
+    assert set(by_class) == {"stream", "river"}
+    assert cmds_to_parts(by_class["river"]["geom_cmds"]) == \
+        [[((4096 + 100) // 2, (4096 + 200) // 2)]]
+    # non-dst zooms serve normally
+    assert decode_tile(fetch(7, 21, 41))[0]["props"]["class"] == "river"
