@@ -12,18 +12,23 @@ BEST-EFFORT replica (documented deviation, COVERAGE.md):
   mapping (isolated/final/initial/medial + the four mandatory lam-alef
   ligatures, with harakat transparent to joining), equivalent to ICU
   LettersShape for unvocalized Arabic text.
-- :func:`reorder_paragraph` — the UAX#9 implicit algorithm, full
-  fidelity for text without explicit directional formatting characters:
-  P2/P3 base direction, weak-type resolution W1-W7 (classes from the
-  stdlib Unicode database, ``unicodedata.bidirectional``), bracket-pair
-  resolution N0 (BD16 stack pairing over the common bracket set),
-  neutral resolution N1/N2, implicit levels I1/I2, whitespace reset L1,
+- :func:`reorder_paragraph` — the full UAX#9 algorithm: P2/P3 base
+  direction (skipping isolated scopes), explicit embedding/override/
+  isolate codes X1-X8 (directional status stack, overflow counters,
+  max depth 125), X9 removal, X10 isolating run sequences (BD13, with
+  per-sequence sos/eos), weak-type resolution W1-W7 per sequence
+  (classes from the stdlib Unicode database,
+  ``unicodedata.bidirectional``), bracket-pair resolution N0 (BD16
+  stack pairing over the common bracket set), neutral resolution
+  N1/N2, implicit levels I1/I2, whitespace/separator reset L1,
   level-run reversal L2, and glyph mirroring L4 at odd (RTL) resolved
-  levels only.  Remaining deviation (documented, COVERAGE.md): explicit
-  directional embedding/override/isolate codes (X1-X10) are stripped as
-  bidi controls BEFORE resolution instead of being honored first — the
-  reference's RemoveBidiControls removes them from the OUTPUT after
-  processing, so strings that rely on explicit overrides may differ.
+  levels only.  Bidi control characters (LRM/RLM/ALM, the
+  embedding/override/PDF codes, and the isolate codes) participate in
+  resolution and are then removed from the output — the reference's
+  ``RemoveBidiControls`` behavior.  ZWNJ/ZWJ (class BN) are removed
+  from resolution per X9 but KEPT in the output (they are not
+  Bidi_Control and ICU retains them), carried at the level of the
+  preceding character.
 
 All of it runs inside an Arrow-batched pandas UDF over pruned metadata
 (style_ops.rtl_transform) — the boundary-op pattern, never per-row Python
@@ -87,9 +92,13 @@ _TRANSPARENT = set(
     [chr(c) for c in range(0x064B, 0x0660)] + ["ٰ"]
 )
 
-_BIDI_CONTROLS = set(
-    "‌‍‎‏‪‫‬‭‮"
-    "⁦⁧⁨⁩؜"
+# Unicode Bidi_Control: ALM, LRM, RLM, LRE/RLE/PDF/LRO/RLO, LRI/RLI/FSI/PDI.
+# These take part in resolution (strong marks, explicit levels) and are then
+# dropped from the OUTPUT (the reference's RemoveBidiControls).  ZWNJ/ZWJ are
+# deliberately NOT here: they are BN, not Bidi_Control, and ICU keeps them.
+_BIDI_CONTROLS = frozenset(
+    "؜‎‏‪‫‬‭‮"
+    "⁦⁧⁨⁩"
 )
 
 _MIRROR = {"(": ")", ")": "(", "[": "]", "]": "[", "{": "}", "}": "{",
@@ -178,36 +187,172 @@ def _strong_dir(b: str) -> str | None:
     return None
 
 
-def reorder_paragraph(text: str) -> str:
-    """Logical -> visual order: UAX#9 implicit algorithm (module doc).
+_ISO_INIT = ("LRI", "RLI", "FSI")
+_X9_REMOVED = frozenset(("LRE", "RLE", "LRO", "RLO", "PDF", "BN"))
+# classes that extend an L1 whitespace-reset run (UAX#9 L1 + §5.2: isolate
+# formatting characters and removed explicit codes count as whitespace here)
+_L1_WS = frozenset(("WS",)) | _X9_REMOVED | set(_ISO_INIT) | {"PDI"}
+_MAX_DEPTH = 125
 
-    One paragraph, no explicit formatting codes (stripped upfront), so the
-    whole text is a single isolating run sequence with sos = eos = the
-    paragraph direction."""
-    import unicodedata as ud
 
-    text = "".join(c for c in text if c not in _BIDI_CONTROLS)
-    if not text:
-        return text
-    cls = [ud.bidirectional(c) or "ON" for c in text]
-    n = len(text)
+def _match_isolates(cls: list[str]) -> tuple[dict[int, int], dict[int, int]]:
+    """BD9: matching PDI per isolate initiator (and the reverse map)."""
+    stack: list[int] = []
+    m_pdi: dict[int, int] = {}
+    m_init: dict[int, int] = {}
+    for i, b in enumerate(cls):
+        if b in _ISO_INIT:
+            stack.append(i)
+        elif b == "PDI" and stack:
+            j = stack.pop()
+            m_pdi[j] = i
+            m_init[i] = j
+    return m_pdi, m_init
 
-    # P2/P3: first strong type sets the paragraph level
-    base = 0
-    for b in cls:
-        if b == "L":
-            break
-        if b in ("R", "AL"):
-            base = 1
-            break
-    e_dir = "R" if base else "L"
-    sos = eos = e_dir
 
-    # W1: NSM takes the class of the previous character (sos at start)
+def _paragraph_level(cls: list[str], lo: int = 0, hi: "int | None" = None) -> int:
+    """P2/P3: first strong type not inside an isolate scope sets the level."""
+    hi = len(cls) if hi is None else hi
+    depth = 0
+    for i in range(lo, hi):
+        b = cls[i]
+        if b in _ISO_INIT:
+            depth += 1
+        elif b == "PDI":
+            if depth:
+                depth -= 1
+        elif depth == 0:
+            if b == "L":
+                return 0
+            if b in ("R", "AL"):
+                return 1
+    return 0
+
+
+def _explicit_levels(
+    cls: list[str], base: int, m_pdi: dict[int, int],
+) -> tuple[list[int], list[str], list[bool]]:
+    """X1-X8 directional status stack + X9 removal flags.
+
+    Returns (embedding level per char, working classes with overrides
+    applied, removed-from-resolution flags)."""
+    n = len(cls)
+    levels = [base] * n
+    wcls = list(cls)
+    removed = [False] * n
+    # (embedding level, override 'L'/'R'/None, is directional isolate)
+    stack: list[tuple[int, "str | None", bool]] = [(base, None, False)]
+    o_iso = o_emb = valid_iso = 0
+    for i, b in enumerate(cls):
+        if b in ("RLE", "LRE", "RLO", "LRO"):
+            removed[i] = True
+            lvl = stack[-1][0]
+            new = ((lvl + 1) | 1) if b[0] == "R" else ((lvl + 2) & ~1)
+            if new <= _MAX_DEPTH and not o_iso and not o_emb:
+                stack.append((new, b[0] if b[2] == "O" else None, False))
+            elif not o_iso:
+                o_emb += 1
+        elif b in _ISO_INIT:
+            d = b
+            if b == "FSI":  # X5c: P2/P3 within the isolate's scope
+                d = "RLI" if _paragraph_level(
+                    cls, i + 1, m_pdi.get(i, n)) else "LRI"
+            lvl, ov, _ = stack[-1]
+            levels[i] = lvl
+            if ov:
+                wcls[i] = ov
+            new = ((lvl + 1) | 1) if d == "RLI" else ((lvl + 2) & ~1)
+            if new <= _MAX_DEPTH and not o_iso and not o_emb:
+                valid_iso += 1
+                stack.append((new, None, True))
+            else:
+                o_iso += 1
+        elif b == "PDI":  # X6a
+            if o_iso:
+                o_iso -= 1
+            elif valid_iso:
+                o_emb = 0
+                while not stack[-1][2]:
+                    stack.pop()
+                stack.pop()
+                valid_iso -= 1
+            lvl, ov, _ = stack[-1]
+            levels[i] = lvl
+            if ov:
+                wcls[i] = ov
+        elif b == "PDF":  # X7
+            removed[i] = True
+            if o_iso:
+                pass
+            elif o_emb:
+                o_emb -= 1
+            elif not stack[-1][2] and len(stack) > 1:
+                stack.pop()
+        elif b == "B":  # X8
+            levels[i] = base
+        elif b == "BN":
+            removed[i] = True
+        else:  # X6
+            lvl, ov, _ = stack[-1]
+            levels[i] = lvl
+            if ov:
+                wcls[i] = ov
+    return levels, wcls, removed
+
+
+def _run_sequences(
+    retained: list[int], levels: list[int], cls: list[str],
+    m_pdi: dict[int, int], m_init: dict[int, int],
+) -> list[list[int]]:
+    """X10/BD13: level runs chained initiator -> matching PDI."""
+    runs: list[list[int]] = []
+    cur: list[int] = []
+    for i in retained:
+        if cur and levels[i] != levels[cur[-1]]:
+            runs.append(cur)
+            cur = []
+        cur.append(i)
+    if cur:
+        runs.append(cur)
+
+    seqs: list[list[int]] = []
+    pending: dict[int, int] = {}  # initiator index -> seq position
+    for run in runs:
+        first = run[0]
+        init = m_init.get(first)
+        if cls[first] == "PDI" and init is not None and init in pending:
+            s = pending.pop(init)
+            seqs[s].extend(run)
+        else:
+            seqs.append(list(run))
+            s = len(seqs) - 1
+        last = run[-1]
+        if cls[last] in _ISO_INIT and last in m_pdi:
+            pending[last] = s
+    return seqs
+
+
+def _resolve_sequence(
+    chars: list[str], cls: list[str], orig: list[str],
+    sos: str, eos: str, e_dir: str,
+) -> None:
+    """W1-W7, N0, N1/N2 over ONE isolating run sequence (local lists,
+    mutated in place).  ``orig`` carries the original classes for the W1
+    isolate-initiator/PDI special case."""
+    n = len(cls)
+    # isolate initiators / PDI act as ON within the sequence
+    for i, b in enumerate(cls):
+        if b in _ISO_INIT or b == "PDI":
+            cls[i] = "ON"
+
+    # W1: NSM takes the class of the previous character (sos at start);
+    # after an isolate initiator or PDI it becomes ON
     prev = sos
     for i, b in enumerate(cls):
         if b == "NSM":
-            cls[i] = prev
+            cls[i] = ("ON" if i > 0
+                      and (orig[i - 1] in _ISO_INIT or orig[i - 1] == "PDI")
+                      else prev)
         prev = cls[i]
     # W2: EN after an AL context becomes AN
     strong = sos
@@ -217,7 +362,9 @@ def reorder_paragraph(text: str) -> str:
         elif b == "EN" and strong == "AL":
             cls[i] = "AN"
     # W3: AL -> R
-    cls = [("R" if b == "AL" else b) for b in cls]
+    for i, b in enumerate(cls):
+        if b == "AL":
+            cls[i] = "R"
     # W4: ES between EN,EN -> EN; CS between same-type EN/AN -> that type
     for i in range(1, n - 1):
         if cls[i] == "ES" and cls[i - 1] == "EN" and cls[i + 1] == "EN":
@@ -239,7 +386,9 @@ def reorder_paragraph(text: str) -> str:
                 cls[k] = "EN"
         i = j
     # W6: leftover separators/terminators -> ON
-    cls = [("ON" if b in ("ET", "ES", "CS") else b) for b in cls]
+    for i, b in enumerate(cls):
+        if b in ("ET", "ES", "CS"):
+            cls[i] = "ON"
     # W7: EN after an L context -> L
     strong = sos
     for i, b in enumerate(cls):
@@ -251,7 +400,7 @@ def reorder_paragraph(text: str) -> str:
     # N0: bracket pairs (BD16 stack pairing, 63-deep)
     stack: list[tuple[str, int]] = []
     pairs: list[tuple[int, int]] = []
-    for i, c in enumerate(text):
+    for i, c in enumerate(chars):
         if cls[i] != "ON":
             continue
         if c in _BRACKET_PAIRS:
@@ -296,48 +445,112 @@ def reorder_paragraph(text: str) -> str:
             cls[k] = fill
         i = j
 
-    # I1/I2: implicit levels
-    if base == 0:
-        levels = [0 if b == "L" else (1 if b == "R" else 2) for b in cls]
-    else:
-        levels = [1 if b == "R" else 2 for b in cls]
 
-    # L1: S/B and whitespace runs before them + trailing whitespace reset
-    # to the paragraph level (ORIGINAL classes, not resolved ones)
-    orig = [ud.bidirectional(c) or "ON" for c in text]
+def reorder_paragraph(text: str) -> str:
+    """Logical -> visual order: the full UAX#9 algorithm (module doc),
+    explicit directional codes included.  Output has Bidi_Control
+    characters removed (reference RemoveBidiControls parity)."""
+    import unicodedata as ud
+
+    if not text:
+        return text
+    chars = list(text)
+    n = len(chars)
+    orig = [ud.bidirectional(c) or "ON" for c in chars]
+
+    m_pdi, m_init = _match_isolates(orig)
+    base = _paragraph_level(orig)
+    levels, wcls, removed = _explicit_levels(orig, base, m_pdi)
+
+    retained = [i for i in range(n) if not removed[i]]
+    pos_of = {i: p for p, i in enumerate(retained)}
+
+    final_levels = list(levels)
+    for seq in _run_sequences(retained, levels, orig, m_pdi, m_init):
+        lvl = levels[seq[0]]
+        p0, pL = pos_of[seq[0]], pos_of[seq[-1]]
+        prev_lvl = levels[retained[p0 - 1]] if p0 > 0 else base
+        if orig[seq[-1]] in _ISO_INIT and seq[-1] not in m_pdi:
+            next_lvl = base  # initiator with no matching PDI (BD13)
+        else:
+            next_lvl = (levels[retained[pL + 1]]
+                        if pL + 1 < len(retained) else base)
+        sos = "R" if max(lvl, prev_lvl) % 2 else "L"
+        eos = "R" if max(levels[seq[-1]], next_lvl) % 2 else "L"
+        e_dir = "R" if lvl % 2 else "L"
+
+        s_chars = [chars[i] for i in seq]
+        s_cls = [wcls[i] for i in seq]
+        s_orig = [orig[i] for i in seq]
+        _resolve_sequence(s_chars, s_cls, s_orig, sos, eos, e_dir)
+        for k, i in enumerate(seq):
+            b, lv = s_cls[k], levels[i]
+            if lv % 2 == 0:  # I1
+                final_levels[i] = (lv + 1 if b == "R"
+                                   else lv + 2 if b in ("AN", "EN") else lv)
+            else:  # I2
+                final_levels[i] = lv + 1 if b in ("L", "AN", "EN") else lv
+
+    # L1: S/B reset to the paragraph level, along with any preceding run of
+    # whitespace/isolate-formatting characters, and the trailing run
+    # (ORIGINAL classes; removed explicit codes count as whitespace)
+    l1_reset = [False] * n
     k = n - 1
-    while k >= 0 and orig[k] == "WS":
-        levels[k] = base
+    while k >= 0 and orig[k] in _L1_WS:
+        final_levels[k] = base
+        l1_reset[k] = True
         k -= 1
     for i in range(n):
         if orig[i] in ("S", "B"):
-            levels[i] = base
+            final_levels[i] = base
+            l1_reset[i] = True
             j = i - 1
-            while j >= 0 and orig[j] == "WS":
-                levels[j] = base
+            while j >= 0 and orig[j] in _L1_WS:
+                final_levels[j] = base
+                l1_reset[j] = True
                 j -= 1
 
+    # output chars: X9-removed explicit codes vanish; BN (ZWNJ/ZWJ) stays,
+    # carried at the level of the preceding retained character so it travels
+    # with its run under L2
+    out_idx: list[int] = []
+    out_lvl: list[int] = []
+    carry = base
+    for i in range(n):
+        if orig[i] in ("LRE", "RLE", "LRO", "RLO", "PDF"):
+            continue
+        if removed[i]:  # BN
+            out_idx.append(i)
+            out_lvl.append(base if l1_reset[i] else carry)
+        else:
+            carry = final_levels[i]
+            out_idx.append(i)
+            out_lvl.append(carry)
+    m = len(out_idx)
+    out_chars = [chars[i] for i in out_idx]
+
     # L2: reverse contiguous runs, highest level down to lowest odd level
-    chars = list(text)
-    odd_levels = [lv for lv in levels if lv % 2]
-    if odd_levels:
-        for lev in range(max(levels), min(odd_levels) - 1, -1):
+    odd = [lv for lv in out_lvl if lv % 2]
+    if odd:
+        for lev in range(max(out_lvl), min(odd) - 1, -1):
             i = 0
-            while i < n:
-                if levels[i] < lev:
+            while i < m:
+                if out_lvl[i] < lev:
                     i += 1
                     continue
                 j = i
-                while j < n and levels[j] >= lev:
+                while j < m and out_lvl[j] >= lev:
                     j += 1
-                chars[i:j] = chars[i:j][::-1]
-                levels[i:j] = levels[i:j][::-1]
+                out_chars[i:j] = out_chars[i:j][::-1]
+                out_lvl[i:j] = out_lvl[i:j][::-1]
                 i = j
 
-    # L4: mirror glyphs whose RESOLVED direction is R (odd level)
+    # L4: mirror glyphs whose RESOLVED direction is R (odd level); then
+    # remove Bidi_Control characters from the visual result
     return "".join(
         _MIRROR.get(c, c) if lv % 2 else c
-        for c, lv in zip(chars, levels))
+        for c, lv in zip(out_chars, out_lvl)
+        if c not in _BIDI_CONTROLS)
 
 
 def rtl_convert(text: str) -> str:

@@ -67,6 +67,44 @@ def test_brackets_around_ltr_in_rtl():
     assert reorder_paragraph("اب (x") == "x) با"
 
 
+LRE, RLE, PDF = "‪", "‫", "‬"
+LRO, RLO = "‭", "‮"
+LRI, RLI, FSI, PDI = "⁦", "⁧", "⁨", "⁩"
+
+
+def test_explicit_embeddings_and_overrides():
+    """X1-X10: explicit codes are honored during resolution, then removed
+    from the output (RemoveBidiControls)."""
+    # RLO override forces Latin to render reversed; base stays LTR (P2
+    # sees the first strong char, overrides don't change the paragraph)
+    assert reorder_paragraph(RLO + "abc" + PDF) == "cba"
+    assert reorder_paragraph(RLO + "ab" + PDF + "cd") == "bacd"
+    # LRE inside an RTL paragraph: the embedded LTR island keeps its order
+    assert reorder_paragraph("اب " + LRE + "abc" + PDF) == "abc با"
+    # unmatched PDF / stray PDI are ignored, text unharmed
+    assert reorder_paragraph(PDF + "abc" + PDI) == "abc"
+
+
+def test_directional_isolates():
+    # RLI isolate inside LTR: content reordered RTL, placed as one unit
+    assert reorder_paragraph("x " + RLI + "اب" + PDI + " y") == "x با y"
+    # FSI: direction from the first strong char in its scope (Arabic -> R);
+    # the digit stays visually after the Arabic inside the isolate
+    assert reorder_paragraph("x " + FSI + "اب 1" + PDI + " y") == "x 1 با y"
+    # an isolate's content doesn't leak direction: paragraph base comes
+    # from the first strong OUTSIDE isolate scopes (P2 skips them)
+    assert reorder_paragraph(RLI + "اب" + PDI + " ab") == "با ab"
+
+
+def test_zwnj_preserved():
+    """ZWNJ/ZWJ are BN (removed from resolution per X9) but are NOT
+    Bidi_Control: they stay in the output, riding their run's level."""
+    assert reorder_paragraph("ab‌cd") == "ab‌cd"
+    # inside an RTL run the ZWNJ travels with the reversed run
+    out = reorder_paragraph("اب‌ج")
+    assert "‌" in out and out[0] == "ج"
+
+
 def test_paragraphs_rejoined():
     one = rtl_convert("ابج")
     assert rtl_convert("ابج\nابج") == one + "\n" + one
