@@ -110,6 +110,44 @@ def test_paragraphs_rejoined():
     assert rtl_convert("ابج\nابج") == one + "\n" + one
 
 
+def test_reorder_properties():
+    """Property sweep over random mixes of Latin/Arabic/digits/neutrals and
+    explicit codes: the visual string is a permutation of the input minus
+    Bidi_Control characters, and control-free LTR text is unchanged."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from mapbox_filter_spark.style.rtl import _BIDI_CONTROLS
+
+    alphabet = (
+        "ab1 .,()[]"                 # L, EN, WS, CS, ON, brackets
+        "ابج٣"                       # AL + Arabic-Indic digit (AN)
+        "‎‏"               # LRM RLM
+        "‪‫‬‭‮"  # LRE RLE PDF LRO RLO
+        "⁦⁧⁨⁩"   # LRI RLI FSI PDI
+        "‌"                     # ZWNJ (BN, kept)
+    )
+
+    @given(st.text(alphabet=alphabet, max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def check(s):
+        out = reorder_paragraph(s)
+        kept = [c for c in s if c not in _BIDI_CONTROLS]
+        # mirroring maps within the multiset's bracket pairs; normalize
+        norm = {"(": ")", "[": "]"}
+        def canon(cs):
+            return Counter(norm.get(c, c) for c in cs)
+        assert canon(out) == canon(kept)
+        assert not any(c in _BIDI_CONTROLS for c in out)
+
+    check()
+
+    # control-free pure-LTR text is a no-op
+    for s in ("hello world", "a1 b2, c3.", "x (y) [z]"):
+        assert reorder_paragraph(s) == s
+
+
 def test_operator_flag(spark):
     from mapbox_filter_spark.operators.style_ops import rtl_transform
 
