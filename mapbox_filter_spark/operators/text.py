@@ -157,6 +157,100 @@ def doc_fingerprint(col: Column, prime: int = 1_000_003,
     )
 
 
+def _lines(col: Column) -> Column:
+    return F.filter(F.split(col, "\n"), lambda l: l != "")
+
+
+def _run_fold_dup_chars(sorted_arr: Column) -> Column:
+    """Characters inside duplicated elements of a SORTED string array:
+    one linear fold — when a run reaches length 2 both occurrences count,
+    each further repeat adds its own length.  O(n log n) total (the sort),
+    NOT the O(n²) a per-element membership count would cost: a 100k-line
+    document stays tractable on the executor."""
+    zero = F.lit(0).cast("long")
+    init = F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                    zero.alias("dup"))
+
+    def step(a, x):
+        same = a["prev"] == x
+        run = F.when(same, a["run"] + 1).otherwise(F.lit(1).cast("long"))
+        add = (F.when(same & (a["run"] == F.lit(1)), F.length(x) * 2)
+               .when(same, F.length(x))
+               .otherwise(F.lit(0))).cast("long")
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        (a["dup"] + add).alias("dup"))
+
+    return F.aggregate(sorted_arr, init, step, lambda a: a["dup"])
+
+
+def top_ngram(col: Column, n: int = 2) -> Column:
+    """struct<gram:string, cnt:long>: the most frequent word n-gram (ties
+    break to the lexicographically smallest gram) — the Gopher-style
+    top-n-gram repetition signal.  Linear fold over the sorted gram array;
+    gram = words joined by single spaces; empty string / 0 when the text
+    has fewer than n words."""
+    words = _words(col)
+    nw = F.size(words)
+    grams = F.when(
+        nw >= n,
+        F.transform(
+            F.sequence(F.lit(0), nw - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j + 1) for j in range(n)])),
+    ).otherwise(F.array().cast("array<string>"))
+    zero = F.lit(0).cast("long")
+    init = F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                    zero.alias("best"), F.lit("").alias("bestg"))
+
+    def step(a, g):
+        run = F.when(a["prev"] == g, a["run"] + 1) \
+            .otherwise(F.lit(1).cast("long"))
+        better = run > a["best"]  # strict: first (smallest) gram wins ties
+        return F.struct(
+            g.alias("prev"), run.alias("run"),
+            F.when(better, run).otherwise(a["best"]).alias("best"),
+            F.when(better, g).otherwise(a["bestg"]).alias("bestg"))
+
+    return F.aggregate(
+        F.array_sort(grams), init, step,
+        lambda a: F.struct(a["bestg"].alias("gram"), a["best"].alias("cnt")))
+
+
+def repetition_features(col: Column, ngram_n: int = 2) -> dict[str, Column]:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, public):
+    duplicate-line fraction, duplicate-line character fraction, and the
+    top word-n-gram character fraction.  Fractions are exact integer
+    micro-units (1e-6, floor division) so the DuckDB oracle value-hash
+    matches bit-for-bit (same discipline as quality_score)."""
+    safe = F.coalesce(col, F.lit(""))
+    lines = _lines(safe)
+    n_lines = F.size(lines).cast("long")
+    dup_lines = (n_lines - F.size(F.array_distinct(lines))).cast("long")
+    zero = F.lit(0).cast("long")
+    dup_chars = _run_fold_dup_chars(F.array_sort(lines))
+    line_chars = F.aggregate(
+        lines, zero, lambda a, x: a + F.length(x).cast("long"))
+    top = top_ngram(safe, ngram_n)
+    n_chars = F.length(safe).cast("long")
+    u = F.lit(1_000_000).cast("long")
+    return {
+        "n_lines": n_lines,
+        "dup_line_frac_u": F.when(
+            n_lines > 0,
+            F.call_function("div", dup_lines * u, n_lines)).otherwise(zero),
+        "dup_char_frac_u": F.when(
+            line_chars > 0,
+            F.call_function("div", dup_chars * u, line_chars)).otherwise(zero),
+        "top_gram": top["gram"],
+        "top_gram_count": top["cnt"],
+        "top_gram_char_frac_u": F.when(
+            (n_chars > 0) & (top["cnt"] > 0),
+            F.call_function(
+                "div", top["cnt"] * F.length(top["gram"]).cast("long") * u,
+                n_chars)).otherwise(zero),
+    }
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach all text-analysis columns at once."""
     c = F.col(text_col)

@@ -282,6 +282,73 @@ SELECT doc_id,
 FROM documents"""
 
 
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.1, public): duplicate-line fraction, duplicate-line character
+    fraction, top word-2-gram + its character fraction.  All native
+    Column folds over sorted arrays — O(n log n) per doc, zero shuffle,
+    zero Python; fractions in exact integer micro-units so the oracle
+    value-hash holds bit-for-bit."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = text.repetition_features(F.col("text"))
+    return docs.select("doc_id", *[c.alias(k) for k, c in feats.items()])
+
+
+def sql_repetition_profile() -> str:
+    return f"""
+WITH doc AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+),
+lx AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split(text, chr(10)), x -> x <> '')) AS line
+  FROM doc
+),
+lc AS (
+  SELECT doc_id, line, COUNT(*) AS c, LENGTH(line) AS len
+  FROM lx GROUP BY doc_id, line
+),
+la AS (
+  SELECT doc_id,
+         SUM(c)::BIGINT AS n_lines,
+         (SUM(c) - COUNT(*))::BIGINT AS dup_lines,
+         SUM(CASE WHEN c >= 2 THEN c * len ELSE 0 END)::BIGINT AS dup_chars,
+         SUM(c * len)::BIGINT AS line_chars
+  FROM lc GROUP BY doc_id
+),
+gx AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, LEN(w)),
+                               i -> w[i] || ' ' || w[i + 1])) AS gram
+  FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM doc)
+),
+gc AS (
+  SELECT doc_id, gram, COUNT(*)::BIGINT AS c FROM gx GROUP BY doc_id, gram
+),
+best AS (
+  SELECT doc_id, gram, c,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, gram ASC) AS rn
+  FROM gc
+)
+SELECT d.doc_id,
+       COALESCE(la.n_lines, 0)::BIGINT AS n_lines,
+       (CASE WHEN COALESCE(la.n_lines, 0) > 0
+             THEN la.dup_lines * 1000000 // la.n_lines
+             ELSE 0 END)::BIGINT AS dup_line_frac_u,
+       (CASE WHEN COALESCE(la.line_chars, 0) > 0
+             THEN la.dup_chars * 1000000 // la.line_chars
+             ELSE 0 END)::BIGINT AS dup_char_frac_u,
+       COALESCE(b.gram, '') AS top_gram,
+       COALESCE(b.c, 0)::BIGINT AS top_gram_count,
+       (CASE WHEN LENGTH(d.text) > 0 AND COALESCE(b.c, 0) > 0
+             THEN b.c * LENGTH(b.gram) * 1000000 // LENGTH(d.text)
+             ELSE 0 END)::BIGINT AS top_gram_char_frac_u
+FROM doc d
+LEFT JOIN la USING (doc_id)
+LEFT JOIN (SELECT doc_id, gram, c FROM best WHERE rn = 1) b USING (doc_id)"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data curation flow in ONE oracle-checked query:
     exact dedup (min-id survivor) -> language ID -> quality scoring ->
@@ -1083,6 +1150,7 @@ EXT_QUERIES = {
     "lang_id": (q_lang_id, sql_lang_id),
     "token_quality": (q_token_quality, sql_token_quality),
     "doc_fingerprint": (q_fingerprint, sql_fingerprint),
+    "repetition_profile": (q_repetition_profile, sql_repetition_profile),
     "curation_pipeline": (q_curation_pipeline, sql_curation_pipeline),
     "cosine_topk": (q_cosine_topk, sql_cosine_topk),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup),

@@ -214,3 +214,65 @@ def test_ngram_block_cap_on_skewed_corpus(spark):
     # cap lifted -> pairs come back (cap is the only gate)
     assert dedup.dedup_ngram_jaccard(d, threshold=0.1,
                                      max_block=100_000).count() > 0
+
+
+def test_repetition_features_crafted(spark):
+    """Gopher repetition signals on crafted docs: duplicated lines and a
+    flooding 2-gram are detected; clean text scores zero; the Python
+    expectations mirror the integer micro-unit arithmetic exactly."""
+    rows = [
+        # 4 lines, "dup" twice -> dup_line_frac = 1/4; dup chars 6 of 12
+        (1, "dup\nab\ndup\ncde"),
+        # "la la la la" -> top gram "la la" occurs 3x (overlapping)
+        (2, "la la la la"),
+        (3, "all unique lines here\nand another one"),
+        (4, ""),               # empty text: all zeros
+        (5, None),             # null-safe
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = text.repetition_features(F.col("text"))
+    out = {r["doc_id"]: r for r in
+           df.select("doc_id", *[c.alias(k) for k, c in feats.items()])
+           .collect()}
+
+    r1 = out[1]
+    assert r1["n_lines"] == 4
+    assert r1["dup_line_frac_u"] == 1_000_000 // 4
+    assert r1["dup_char_frac_u"] == 6 * 1_000_000 // (3 + 2 + 3 + 3)
+
+    r2 = out[2]
+    assert (r2["top_gram"], r2["top_gram_count"]) == ("la la", 3)
+    assert r2["top_gram_char_frac_u"] == 3 * 5 * 1_000_000 // 11
+
+    r3 = out[3]
+    assert r3["dup_line_frac_u"] == 0 and r3["dup_char_frac_u"] == 0
+    assert r3["top_gram_count"] == 1  # every 2-gram unique
+
+    for i in (4, 5):
+        assert out[i]["n_lines"] == 0
+        assert out[i]["top_gram"] == "" and out[i]["top_gram_count"] == 0
+        assert out[i]["top_gram_char_frac_u"] == 0
+
+
+def test_repetition_oracle_parity_multiline(spark):
+    """The sf documents are single-line, so run the Spark query against the
+    DuckDB oracle SQL over a crafted MULTI-LINE corpus to cover the
+    duplicate-line branches of both transcriptions."""
+    import duckdb
+
+    from mapbox_filter_spark.queries_ext import sql_repetition_profile
+
+    rows = [(i, ("x y z\n" * (i % 4 + 1)) + f"tail {i} " + "go go " * (i % 3))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = text.repetition_features(F.col("text"))
+    got = sorted(
+        tuple(r) for r in
+        df.select("doc_id", *[c.alias(k) for k, c in feats.items()]).collect())
+
+    con = duckdb.connect()
+    con.register("docs_in", df.toPandas())
+    con.execute("CREATE VIEW documents AS SELECT doc_id, text FROM docs_in")
+    want = sorted(tuple(r) for r in
+                  con.execute(sql_repetition_profile()).fetchall())
+    assert got == want
