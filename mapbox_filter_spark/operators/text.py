@@ -251,6 +251,37 @@ def repetition_features(col: Column, ngram_n: int = 2) -> dict[str, Column]:
     }
 
 
+# PII patterns restricted to the syntax subset Java regex and RE2 share
+# (no lookaround, no backrefs) so the DuckDB oracle uses the SAME strings.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d\s().-]{7,}\d"
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Match counts per PII category (emails / IPv4 / phone-like runs)."""
+    return {
+        "n_emails": F.regexp_count(col, F.lit(PII_EMAIL)).cast("long"),
+        "n_ips": F.regexp_count(col, F.lit(PII_IPV4)).cast("long"),
+        "n_phones": F.regexp_count(
+            F.regexp_replace(F.regexp_replace(col, PII_EMAIL, "<EMAIL>"),
+                             PII_IPV4, "<IP>"),
+            F.lit(PII_PHONE)).cast("long"),
+    }
+
+
+def mask_pii(col: Column) -> Column:
+    """Replace emails, IPv4 addresses, and phone-number-like digit runs
+    with typed placeholder tokens.  Order matters: emails first (their
+    local parts can contain digits), then IPv4 (dotted quads would
+    otherwise match the phone pattern), then phones.  Placeholders are
+    digit-free so later passes never re-match earlier replacements.
+    Pure regexp_replace chain — codegen'd, no Python."""
+    out = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach all text-analysis columns at once."""
     c = F.col(text_col)

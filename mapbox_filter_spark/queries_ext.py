@@ -349,6 +349,51 @@ LEFT JOIN la USING (doc_id)
 LEFT JOIN (SELECT doc_id, gram, c FROM best WHERE rn = 1) b USING (doc_id)"""
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking + per-category counts over a deterministic synthetic
+    contact string (the corpus itself carries no PII): emails, IPv4,
+    phone-like digit runs.  Pure regexp_replace/regexp_count chain —
+    codegen'd, zero shuffle; patterns restricted to the Java-regex ∩ RE2
+    subset so the oracle runs the SAME strings."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    synth = F.concat(
+        F.lit("user"), d.cast("string"),
+        F.lit("@example.com reach +1 (555) 010-"),
+        F.lpad(F.pmod(d, F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" at 10.0."), F.pmod(d, F.lit(256)).cast("string"),
+        F.lit(".7 ok"))
+    cnts = text.pii_counts(synth)
+    return docs.select(
+        "doc_id", text.mask_pii(synth).alias("masked"),
+        *[c.alias(k) for k, c in cnts.items()])
+
+
+def sql_pii_scrub() -> str:
+    email, ip, phone = text.PII_EMAIL, text.PII_IPV4, text.PII_PHONE
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         'user' || doc_id || '@example.com reach +1 (555) 010-'
+           || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+           || ' at 10.0.' || (doc_id % 256) || '.7 ok' AS synth
+  FROM documents
+),
+m AS (
+  SELECT doc_id, synth,
+         regexp_replace(regexp_replace(synth,
+             '{email}', '<EMAIL>', 'g'),
+             '{ip}', '<IP>', 'g') AS no_addr
+  FROM s
+)
+SELECT doc_id,
+       regexp_replace(no_addr, '{phone}', '<PHONE>', 'g') AS masked,
+       len(regexp_extract_all(synth, '{email}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(synth, '{ip}'))::BIGINT AS n_ips,
+       len(regexp_extract_all(no_addr, '{phone}'))::BIGINT AS n_phones
+FROM m"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data curation flow in ONE oracle-checked query:
     exact dedup (min-id survivor) -> language ID -> quality scoring ->
@@ -1151,6 +1196,7 @@ EXT_QUERIES = {
     "token_quality": (q_token_quality, sql_token_quality),
     "doc_fingerprint": (q_fingerprint, sql_fingerprint),
     "repetition_profile": (q_repetition_profile, sql_repetition_profile),
+    "pii_scrub": (q_pii_scrub, sql_pii_scrub),
     "curation_pipeline": (q_curation_pipeline, sql_curation_pipeline),
     "cosine_topk": (q_cosine_topk, sql_cosine_topk),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup),

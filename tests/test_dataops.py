@@ -276,3 +276,47 @@ def test_repetition_oracle_parity_multiline(spark):
     want = sorted(tuple(r) for r in
                   con.execute(sql_repetition_profile()).fetchall())
     assert got == want
+
+
+def test_pii_mask_and_counts(spark):
+    rows = [
+        (1, "write to bob.smith+x@corp.example.org today"),
+        (2, "server at 192.168.0.1 rebooted"),
+        (3, "call +1 (555) 010-4242 or 555-010-9999 now"),
+        (4, "mixed: a@b.co from 10.0.0.7 dial 555 010 1234"),
+        (5, "clean text, no contact info at all"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    c = F.col("text")
+    cnts = text.pii_counts(c)
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", text.mask_pii(c).alias("masked"),
+        *[v.alias(k) for k, v in cnts.items()]).collect()}
+
+    assert out[1]["masked"] == "write to <EMAIL> today"
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 0
+    assert out[2]["masked"] == "server at <IP> rebooted"
+    assert out[2]["n_ips"] == 1 and out[2]["n_phones"] == 0
+    assert out[3]["masked"] == "call <PHONE> or <PHONE> now"
+    assert out[3]["n_phones"] == 2
+    assert out[4]["masked"] == "mixed: <EMAIL> from <IP> dial <PHONE>"
+    assert (out[4]["n_emails"], out[4]["n_ips"], out[4]["n_phones"]) == (1, 1, 1)
+    assert out[5]["masked"] == rows[4][1]
+    assert out[6]["masked"] is None
+
+
+def test_pii_scrub_oracle_parity(spark):
+    """Same synthetic-contact query on both engines (the Java-regex ∩ RE2
+    pattern subset must behave identically)."""
+    import duckdb
+
+    from mapbox_filter_spark.queries_ext import q_pii_scrub, sql_pii_scrub
+
+    got = sorted(tuple(r) for r in q_pii_scrub(spark, SF).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = sorted(tuple(r) for r in con.execute(sql_pii_scrub()).fetchall())
+    assert got == want
+    assert all(r[2] == 1 and r[3] == 1 and r[4] == 1 for r in got)
