@@ -190,3 +190,39 @@ def windowed_event_counts(
             "event_type", "n", F.round("total", 4).alias("total"),
         )
     )
+
+
+def curate_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_quality_u: int = 500_000,
+    max_dup_line_frac_u: int = 300_000,
+    max_top_gram_char_frac_u: int = 200_000,
+) -> DataFrame:
+    """Stateless curation stage for the training-data ingest path:
+    language ID, quality score, repetition signals (Gopher filters), and
+    PII masking — every signal a pure Column expression, so the SAME
+    function drives a batch DataFrame and a ``readStream`` source
+    unchanged (no watermark, no state: row-local → trivially streamable).
+
+    Thresholds are integer micro-units matching the operators' exact
+    arithmetic.  Output: surviving rows with the text PII-masked and the
+    signals attached."""
+    from ..operators import text as text_ops
+
+    c = F.col(text_col)
+    rep = text_ops.repetition_features(c)
+    out = (
+        docs
+        .withColumn("lang_pred", text_ops.lang_id(c))
+        .withColumn("quality_u",
+                    (text_ops.quality_score(c) * 1_000_000).cast("long"))
+        .withColumn("dup_line_frac_u", rep["dup_line_frac_u"])
+        .withColumn("top_gram_char_frac_u", rep["top_gram_char_frac_u"])
+        # mask LAST: the signals above are computed on the original text
+        .withColumn(text_col, text_ops.mask_pii(c))
+    )
+    return out.filter(
+        (F.col("quality_u") >= min_quality_u)
+        & (F.col("dup_line_frac_u") <= max_dup_line_frac_u)
+        & (F.col("top_gram_char_frac_u") <= max_top_gram_char_frac_u))

@@ -138,3 +138,46 @@ def test_streaming_dedup_with_ttl(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.sql("select * from ttl_sink").collect()}
     assert got == {"a1", "c1"}  # b1 suppressed within the TTL window
+
+
+def test_curate_documents_batch_stream_parity(spark, tmp_path):
+    """The stateless curation stage must yield identical rows whether it
+    runs over a batch read or a file-source stream of the same parquet."""
+    import os
+
+    from mapbox_filter_spark.streaming.incremental import curate_documents
+
+    src = str(tmp_path / "docs_in")
+    rows = [
+        (1, "the cat sat on the mat and that is that here today now ok"),
+        (2, "spam spam\nspam spam\nspam spam\nspam spam"),   # repetitive
+        (3, "reach me at alice@example.com for the report of the year"),
+        (4, "?!?!;;;:::!!!"),                                # punct soup
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(2).write.parquet(src)
+
+    # short doc 3's longest 2-gram ("alice@example.com for") is ~37% of its
+    # chars — a top-gram threshold tuned for long documents would cut it,
+    # so the test uses 40% (the signals are exact; thresholds are policy)
+    def curate(df):
+        return curate_documents(df, max_top_gram_char_frac_u=400_000)
+
+    batch = curate(spark.read.parquet(src))
+    got_batch = sorted(tuple(r) for r in batch.collect())
+
+    schema = spark.read.parquet(src).schema
+    stream = curate(spark.readStream.schema(schema).parquet(src))
+    q = (stream.writeStream.format("memory").queryName("curated")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got_stream = sorted(tuple(r) for r in spark.sql(
+        "select * from curated").collect())
+
+    assert got_batch == got_stream
+    ids = {r[0] for r in got_batch}
+    assert 1 in ids and 3 in ids          # clean docs survive
+    assert 2 not in ids and 4 not in ids  # repetitive + too-short dropped
+    masked = next(r for r in got_batch if r[0] == 3)[1]
+    assert "<EMAIL>" in masked and "alice@example.com" not in masked
