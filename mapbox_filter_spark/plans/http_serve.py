@@ -36,20 +36,24 @@ def make_spark_fetcher(
     style: Optional[MapboxStyle],
     extent: int = 4096,
     downcopy=None,
+    rtl: bool = False,
 ) -> Fetcher:
     """fetch(z,x,y): keyed lookup -> (optional serve-time down-copy) ->
-    σ/π -> MVT+gzip blob (None if empty).
+    σ/π -> (optional RTL) -> MVT+gzip blob (None if empty).
 
     ``downcopy`` (a DownCopySpec) reproduces the reference web server's
     -c/--copy-down (Main.hs:541-555 runWebServer + fetchDownTiles): a
     request at the spec's dst zoom also fetches the four child tiles and
     rebuilds the dst tile on the fly — geometry rescaled when the store
     carries tile-local geom_cmds — BEFORE the style filter, matching the
-    reference's order."""
+    reference's order.  ``rtl`` mirrors the web server's --rtl-convert
+    (Main.hs:177): Arabic shaping + BiDi reorder of retained string
+    metadata, applied AFTER pruning like the reference's filter pipeline
+    (Filters.hs:84-95)."""
     from pyspark.sql import functions as F
 
     from ..operators.downcopy import copy_down
-    from ..operators.style_ops import filter_keep, prune_props
+    from ..operators.style_ops import filter_keep, prune_props, rtl_transform
     from ..sources.mvt import GEOM_CODES, encode_tile
     from .serve import lookup_tile
 
@@ -72,6 +76,7 @@ def make_spark_fetcher(
             tile = lookup_tile(features_store, z, x, y)
         if style is not None:
             tile = prune_props(filter_keep(tile, style), style, z=z)
+        tile = rtl_transform(tile, enabled=rtl)
         cols = set(tile.columns)
         sel = [F.col("layer"), F.col("feature_id"), F.col("geom_kind"),
                F.col("props")]

@@ -133,7 +133,8 @@ def cmd_web(args) -> int:
         with open(args.downcopy) as f:
             downcopy = DownCopySpec.from_json(json.load(f))
     meta = read_mbtiles_metadata(args.mbtiles)
-    with TileServer(make_spark_fetcher(store, style, downcopy=downcopy),
+    with TileServer(make_spark_fetcher(store, style, downcopy=downcopy,
+                                       rtl=args.rtl_convert),
                     meta=meta, port=args.port) as srv:
         print(f"serving on http://127.0.0.1:{srv.port}/tiles/{{z}}/{{x}}/{{y}}")
         try:
@@ -249,6 +250,9 @@ def main(argv=None) -> int:
     w.add_argument("-c", "--downcopy",
                    help="down-copy spec JSON: rebuild dst-zoom tiles from "
                         "their children on the fly (reference -c)")
+    w.add_argument("--rtl-convert", action="store_true",
+                   help="RTL text conversion on served metadata "
+                        "(reference --rtl-convert)")
     w.add_argument("-p", "--port", type=int, default=3000)
     w.set_defaults(fn=cmd_web)
 

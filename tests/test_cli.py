@@ -186,3 +186,22 @@ def test_web_fetcher_serve_time_downcopy(spark, tmp_path):
         [[((4096 + 100) // 2, (4096 + 200) // 2)]]
     # non-dst zooms serve normally
     assert decode_tile(fetch(7, 21, 41))[0]["props"]["class"] == "river"
+
+
+def test_web_fetcher_rtl_convert(spark):
+    """The reference web server's --rtl-convert (Main.hs:177): served tiles
+    get Arabic shaping + BiDi reorder on retained string metadata."""
+    from mapbox_filter_spark.plans.http_serve import make_spark_fetcher
+    from mapbox_filter_spark.sources.mvt import decode_tile
+    from mapbox_filter_spark.style.rtl import rtl_convert
+
+    store = spark.createDataFrame(
+        [(6, 1, 1, "place", 1, "Point", {"name": "ابج"}, None)],
+        "z long, x long, y long, layer string, feature_id long, "
+        "geom_kind string, props map<string,string>, geom_cmds array<long>"
+    ).cache()
+    fetch = make_spark_fetcher(store, None, rtl=True)
+    assert decode_tile(fetch(6, 1, 1))[0]["props"]["name"] == \
+        rtl_convert("ابج")
+    fetch0 = make_spark_fetcher(store, None)
+    assert decode_tile(fetch0(6, 1, 1))[0]["props"]["name"] == "ابج"
