@@ -140,3 +140,37 @@ def explode_documents(docs: DataFrame, seed: int = 42) -> DataFrame:
         lat.alias("lat"),
         props.alias("props"),
     )
+
+
+def read_documents(
+    spark: SparkSession,
+    source: str,
+    snapshot_id: "int | None" = None,
+) -> DataFrame:
+    """Load the interleaved-documents table from a catalog table or a path.
+
+    ``source`` dispatch:
+
+    - a dotted catalog name (``catalog.db.documents``) → ``spark.read
+      .table``.  On a production cluster with an Iceberg catalog this IS
+      the Iceberg read path — snapshot isolation, partition pruning on
+      ``part_id``, hidden-partition/metadata pushdown all come from the
+      DataSourceV2 connector with no engine change here;
+      ``snapshot_id`` pins an Iceberg snapshot (time travel) when the
+      connector supports the ``snapshot-id`` read option.
+    - a filesystem path → (partitioned) parquet — the sandbox stand-in
+      (this container carries no Iceberg runtime jar; the checkpoint/
+      resume manifest emulates per-partition commit semantics, see
+      plans/manifest.py).
+
+    Either way the result is the BASELINE.json input_hint shape; every
+    downstream operator is source-agnostic.
+    """
+    looks_like_path = ("/" in source or source.endswith(".parquet")
+                      or source.startswith("file:"))
+    if not looks_like_path:
+        reader = spark.read
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", snapshot_id)
+        return reader.table(source)
+    return spark.read.parquet(source)

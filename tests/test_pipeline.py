@@ -158,3 +158,20 @@ def test_keep_neg_partition(spark):
     # a feature from BOTH σ and ¬σ — Maybe-monad semantics)
     neg_styled = neg - unstyled
     assert 0 <= neg_styled and kept + neg_styled <= styled
+
+
+def test_read_documents_dispatch(spark, tmp_path):
+    """read_documents loads a catalog table name through the session
+    catalog and a filesystem path through parquet — same rows."""
+    from mapbox_filter_spark.sources.documents import (
+        read_documents, synth_documents)
+
+    path = str(tmp_path / "docs_pq")
+    docs = synth_documents(spark, 50)
+    docs.write.parquet(path)
+    docs.createOrReplaceTempView("docs_catalog_view")
+
+    via_table = read_documents(spark, "docs_catalog_view")
+    via_path = read_documents(spark, path)
+    assert via_table.count() == via_path.count() == 50
+    assert set(via_table.columns) == set(via_path.columns)
