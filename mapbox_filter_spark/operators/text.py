@@ -28,16 +28,36 @@ def _words(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), _WORD_SPLIT), lambda w: w != "")
 
 
+def bind_once(cols: "dict[str, Column]", build) -> Column:
+    """Evaluate each named expression ONCE and pass the results to
+    ``build`` as bound lambda variables.
+
+    Higher-order-function lambdas re-evaluate any outer subexpression
+    they reference on EVERY element (there is no common-subexpression
+    elimination in interpreted eval, and HOFs never enter whole-stage
+    codegen), so e.g. a tokenizer referenced inside a per-gram lambda
+    turns O(n) work into O(n²) full re-tokenizations.  Wrapping the
+    shared subtrees in a single-element array transform binds them as
+    lambda variables — materialized once per row, referenced many times
+    for free.  Measured on the repetition operators: ~25x."""
+    keys = list(cols)
+    packed = F.array(F.struct(*[cols[k].alias(k) for k in keys]))
+    return F.element_at(
+        F.transform(packed, lambda x: build(**{k: x[k] for k in keys})), 1)
+
+
 def lang_scores(col: Column) -> Column:
     """map<string,int>: stopword hit count per candidate language."""
-    words = _words(col)
-    return F.map_from_arrays(
-        F.array(*[F.lit(l) for l in LANG_MARKERS]),
-        F.array(*[
-            F.size(F.filter(words, lambda w: w.isin(*marks)))
-            for marks in LANG_MARKERS.values()
-        ]),
-    )
+    def build(ws):
+        return F.map_from_arrays(
+            F.array(*[F.lit(l) for l in LANG_MARKERS]),
+            F.array(*[
+                F.size(F.filter(ws, lambda w: w.isin(*marks)))
+                for marks in LANG_MARKERS.values()
+            ]),
+        )
+
+    return bind_once({"ws": _words(col)}, build)
 
 
 def lang_id(col: Column, min_hits: int = 1) -> Column:
@@ -45,15 +65,17 @@ def lang_id(col: Column, min_hits: int = 1) -> Column:
 
     Ties break by the fixed language order (en, de, fr, es) — deterministic.
     """
-    words = _words(col)
-    best = F.lit("und")
-    best_score = F.lit(min_hits - 1)
-    for lang, marks in LANG_MARKERS.items():
-        score = F.size(F.filter(words, lambda w: w.isin(*marks)))
-        better = score > best_score
-        best = F.when(better, F.lit(lang)).otherwise(best)
-        best_score = F.when(better, score).otherwise(best_score)
-    return best
+    def build(ws):
+        best = F.lit("und")
+        best_score = F.lit(min_hits - 1)
+        for lang, marks in LANG_MARKERS.items():
+            score = F.size(F.filter(ws, lambda w: w.isin(*marks)))
+            better = score > best_score
+            best = F.when(better, F.lit(lang)).otherwise(best)
+            best_score = F.when(better, score).otherwise(best_score)
+        return best
+
+    return bind_once({"ws": _words(col)}, build)
 
 
 def token_count(col: Column, mode: str = "whitespace") -> Column:
@@ -101,38 +123,53 @@ def quality_score(col: Column) -> Column:
     the score is an exact 6-decimal value with NO float rounding anywhere:
     bit-identical across engines (float ratio rounding hits exact .5
     boundaries whenever a 6-dp ratio is scaled by 2.5, which broke the
-    curation oracle's value-hash)."""
-    n_chars = F.length(col).cast("long")
-    words = _words(col)
-    n_words = F.size(words).cast("long")
-    all_stop = [w for marks in LANG_MARKERS.values() for w in marks]
-    n_stop = F.size(F.filter(words, lambda w: w.isin(*all_stop))).cast("long")
-    n_punct = F.size(
-        F.filter(F.split(col, ""),
-                 lambda c: c.isin(".", ",", "!", "?", ";", ":"))).cast("long")
-    n_upper = F.length(F.regexp_replace(col, r"[^A-Z]", "")).cast("long")
+    curation oracle's value-hash).
 
-    length_u = F.when((n_words >= 5) & (n_words <= 100000),
-                      F.lit(250_000).cast("long")).otherwise(F.lit(0).cast("long"))
-    # stop_ratio * 2.5 capped at 0.25  ->  min(n_stop*2_500_000 // n_words, 250_000)
-    # true integer division (`div`), not floor-of-double-division: the
-    # exact-integer claim must hold even when the numerator nears 2^53
-    stop_u = F.when(
-        n_words > 0,
-        F.least(F.call_function("div", n_stop * 2_500_000, n_words),
-                F.lit(250_000).cast("long"))).otherwise(F.lit(0).cast("long"))
-    # punct_ratio <= 0.1  <=>  n_punct*10 <= n_chars; linear falloff beyond
-    punct_ratio_u = F.when(
-        n_chars > 0, F.call_function("div", n_punct * 1_000_000, n_chars)
-    ).otherwise(F.lit(0).cast("long"))
-    punct_u = F.when(n_punct * 10 <= n_chars, F.lit(250_000).cast("long")) \
-        .otherwise(F.greatest(
-            F.lit(250_000).cast("long") - (punct_ratio_u - 100_000),
-            F.lit(0).cast("long")))
-    # upper_ratio <= 0.3  <=>  n_upper*10 <= n_chars*3
-    upper_u = F.when(n_upper * 10 <= n_chars * 3,
-                     F.lit(250_000).cast("long")).otherwise(F.lit(0).cast("long"))
-    return (length_u + stop_u + punct_u + upper_u) / F.lit(1_000_000.0)
+    The counting subtrees (tokenize / stopword hits / punct scan) are
+    evaluated ONCE via :func:`bind_once`, not per reference — HOF-heavy
+    expressions get no CSE in interpreted eval."""
+    all_stop = [w for marks in LANG_MARKERS.values() for w in marks]
+
+    def build(n_chars, n_words, n_stop, n_punct, n_upper):
+        length_u = F.when((n_words >= 5) & (n_words <= 100000),
+                          F.lit(250_000).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        # stop_ratio * 2.5 capped at 0.25 -> min(n_stop*2_500_000 // n_words,
+        # 250_000); true integer division (`div`), not floor-of-double: the
+        # exact-integer claim must hold even when the numerator nears 2^53
+        stop_u = F.when(
+            n_words > 0,
+            F.least(F.call_function("div", n_stop * 2_500_000, n_words),
+                    F.lit(250_000).cast("long"))) \
+            .otherwise(F.lit(0).cast("long"))
+        # punct_ratio <= 0.1 <=> n_punct*10 <= n_chars; linear falloff beyond
+        punct_ratio_u = F.when(
+            n_chars > 0, F.call_function("div", n_punct * 1_000_000, n_chars)
+        ).otherwise(F.lit(0).cast("long"))
+        punct_u = F.when(n_punct * 10 <= n_chars,
+                         F.lit(250_000).cast("long")) \
+            .otherwise(F.greatest(
+                F.lit(250_000).cast("long") - (punct_ratio_u - 100_000),
+                F.lit(0).cast("long")))
+        # upper_ratio <= 0.3 <=> n_upper*10 <= n_chars*3
+        upper_u = F.when(n_upper * 10 <= n_chars * 3,
+                         F.lit(250_000).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        return (length_u + stop_u + punct_u + upper_u) / F.lit(1_000_000.0)
+
+    words = _words(col)
+    return bind_once({
+        "n_chars": F.length(col).cast("long"),
+        "n_words": F.size(words).cast("long"),
+        "n_stop": F.size(
+            F.filter(words, lambda w: w.isin(*all_stop))).cast("long"),
+        "n_punct": F.size(
+            F.filter(F.split(col, ""),
+                     lambda c: c.isin(".", ",", "!", "?", ";", ":")))
+        .cast("long"),
+        "n_upper": F.length(F.regexp_replace(col, r"[^A-Z]", ""))
+        .cast("long"),
+    }, build)
 
 
 def doc_fingerprint(col: Column, prime: int = 1_000_003,
@@ -188,32 +225,39 @@ def top_ngram(col: Column, n: int = 2) -> Column:
     break to the lexicographically smallest gram) — the Gopher-style
     top-n-gram repetition signal.  Linear fold over the sorted gram array;
     gram = words joined by single spaces; empty string / 0 when the text
-    has fewer than n words."""
-    words = _words(col)
-    nw = F.size(words)
-    grams = F.when(
-        nw >= n,
-        F.transform(
-            F.sequence(F.lit(0), nw - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, i + j + 1) for j in range(n)])),
-    ).otherwise(F.array().cast("array<string>"))
-    zero = F.lit(0).cast("long")
-    init = F.struct(F.lit("").alias("prev"), zero.alias("run"),
-                    zero.alias("best"), F.lit("").alias("bestg"))
+    has fewer than n words.
 
-    def step(a, g):
-        run = F.when(a["prev"] == g, a["run"] + 1) \
-            .otherwise(F.lit(1).cast("long"))
-        better = run > a["best"]  # strict: first (smallest) gram wins ties
-        return F.struct(
-            g.alias("prev"), run.alias("run"),
-            F.when(better, run).otherwise(a["best"]).alias("best"),
-            F.when(better, g).otherwise(a["bestg"]).alias("bestg"))
+    The token array binds ONCE (``bind_once``): referencing the tokenizer
+    inside the per-gram lambda would re-tokenize the whole document per
+    gram — O(n²) re-evaluation, the exact trap interpreted HOF eval sets."""
+    def build(ws):
+        nw = F.size(ws)
+        grams = F.when(
+            nw >= n,
+            F.transform(
+                F.sequence(F.lit(0), nw - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(ws, i + j + 1) for j in range(n)])),
+        ).otherwise(F.array().cast("array<string>"))
+        zero = F.lit(0).cast("long")
+        init = F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                        zero.alias("best"), F.lit("").alias("bestg"))
 
-    return F.aggregate(
-        F.array_sort(grams), init, step,
-        lambda a: F.struct(a["bestg"].alias("gram"), a["best"].alias("cnt")))
+        def step(a, g):
+            run = F.when(a["prev"] == g, a["run"] + 1) \
+                .otherwise(F.lit(1).cast("long"))
+            better = run > a["best"]  # strict: first (smallest) wins ties
+            return F.struct(
+                g.alias("prev"), run.alias("run"),
+                F.when(better, run).otherwise(a["best"]).alias("best"),
+                F.when(better, g).otherwise(a["bestg"]).alias("bestg"))
+
+        return F.aggregate(
+            F.array_sort(grams), init, step,
+            lambda a: F.struct(a["bestg"].alias("gram"),
+                               a["best"].alias("cnt")))
+
+    return bind_once({"ws": _words(col)}, build)
 
 
 def repetition_features(col: Column, ngram_n: int = 2) -> dict[str, Column]:
@@ -223,31 +267,41 @@ def repetition_features(col: Column, ngram_n: int = 2) -> dict[str, Column]:
     micro-units (1e-6, floor division) so the DuckDB oracle value-hash
     matches bit-for-bit (same discipline as quality_score)."""
     safe = F.coalesce(col, F.lit(""))
-    lines = _lines(safe)
-    n_lines = F.size(lines).cast("long")
-    dup_lines = (n_lines - F.size(F.array_distinct(lines))).cast("long")
     zero = F.lit(0).cast("long")
-    dup_chars = _run_fold_dup_chars(F.array_sort(lines))
-    line_chars = F.aggregate(
-        lines, zero, lambda a, x: a + F.length(x).cast("long"))
-    top = top_ngram(safe, ngram_n)
-    n_chars = F.length(safe).cast("long")
     u = F.lit(1_000_000).cast("long")
-    return {
-        "n_lines": n_lines,
-        "dup_line_frac_u": F.when(
+
+    def dup_line_frac(ls):
+        n_lines = F.size(ls).cast("long")
+        dup_lines = (n_lines - F.size(F.array_distinct(ls))).cast("long")
+        return F.when(
             n_lines > 0,
-            F.call_function("div", dup_lines * u, n_lines)).otherwise(zero),
-        "dup_char_frac_u": F.when(
+            F.call_function("div", dup_lines * u, n_lines)).otherwise(zero)
+
+    def dup_char_frac(ls):
+        dup_chars = _run_fold_dup_chars(F.array_sort(ls))
+        line_chars = F.aggregate(
+            ls, zero, lambda a, x: a + F.length(x).cast("long"))
+        return F.when(
             line_chars > 0,
-            F.call_function("div", dup_chars * u, line_chars)).otherwise(zero),
-        "top_gram": top["gram"],
-        "top_gram_count": top["cnt"],
-        "top_gram_char_frac_u": F.when(
+            F.call_function("div", dup_chars * u, line_chars)).otherwise(zero)
+
+    def top_char_frac(top, n_chars):
+        return F.when(
             (n_chars > 0) & (top["cnt"] > 0),
             F.call_function(
                 "div", top["cnt"] * F.length(top["gram"]).cast("long") * u,
-                n_chars)).otherwise(zero),
+                n_chars)).otherwise(zero)
+
+    lines = _lines(safe)
+    return {
+        "n_lines": F.size(lines).cast("long"),
+        "dup_line_frac_u": bind_once({"ls": lines}, dup_line_frac),
+        "dup_char_frac_u": bind_once({"ls": lines}, dup_char_frac),
+        "top_gram": top_ngram(safe, ngram_n)["gram"],
+        "top_gram_count": top_ngram(safe, ngram_n)["cnt"],
+        "top_gram_char_frac_u": bind_once(
+            {"top": top_ngram(safe, ngram_n),
+             "n_chars": F.length(safe).cast("long")}, top_char_frac),
     }
 
 
