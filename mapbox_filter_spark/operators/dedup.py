@@ -63,12 +63,20 @@ def normalize_text(col: Column) -> Column:
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
-    """array<string> of word n-grams (shingles) of the normalized text."""
-    words = F.split(normalize_text(col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
-    )
+    """array<string> of word n-grams (shingles) of the normalized text.
+
+    The token array binds ONCE (hof.bind_once): referencing the split
+    inside the per-shingle lambda would re-tokenize the document per
+    shingle — O(n²) interpreted re-evaluation."""
+    from .hof import bind_once
+
+    def build(ws):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx,
+                        lambda i: F.array_join(F.slice(ws, i + 1, n), " ")))
+
+    return bind_once({"ws": F.split(normalize_text(col), " ")}, build)
 
 
 def dedup_exact(
@@ -91,17 +99,28 @@ def dedup_exact(
 def minhash_signature(shingles: Column, k: int = 64, seed: int = 42,
                       hash_mode: str = "xxhash64") -> Column:
     """array<bigint> of k minhashes: min over shingles of affine-mixed
-    base hashes — entirely native (hash + transform + array_min)."""
-    base = F.transform(
-        shingles,
-        lambda s: F.pmod(word_hash64(s, seed, hash_mode), F.lit(_MH_PRIME)))
+    base hashes — entirely native (hash + transform + array_min).
+
+    The base-hash array binds ONCE (hof.bind_once): each of the k mixer
+    transforms references it, and without the bind interpreted eval would
+    re-hash every shingle k times (k=64 → 64 full md5/xxhash passes per
+    document)."""
+    from .hof import bind_once
+
     mixers = minhash_mixers(k)
-    return F.array(*[
-        F.array_min(
-            F.transform(base, lambda h: F.pmod(h * a + b, F.lit(_MH_PRIME)))
-        )
-        for a, b in mixers
-    ])
+
+    def build(base):
+        return F.array(*[
+            F.array_min(
+                F.transform(base,
+                            lambda h: F.pmod(h * a + b, F.lit(_MH_PRIME))))
+            for a, b in mixers
+        ])
+
+    return bind_once({"base": F.transform(
+        shingles,
+        lambda s: F.pmod(word_hash64(s, seed, hash_mode), F.lit(_MH_PRIME)))},
+        build)
 
 
 def minhash_mixers(k: int) -> list[tuple[int, int]]:

@@ -24,26 +24,11 @@ _WORD_SPLIT = r"\s+"
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+from .hof import bind_once  # noqa: F401  (shared HOF once-binding helper)
+
+
 def _words(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), _WORD_SPLIT), lambda w: w != "")
-
-
-def bind_once(cols: "dict[str, Column]", build) -> Column:
-    """Evaluate each named expression ONCE and pass the results to
-    ``build`` as bound lambda variables.
-
-    Higher-order-function lambdas re-evaluate any outer subexpression
-    they reference on EVERY element (there is no common-subexpression
-    elimination in interpreted eval, and HOFs never enter whole-stage
-    codegen), so e.g. a tokenizer referenced inside a per-gram lambda
-    turns O(n) work into O(n²) full re-tokenizations.  Wrapping the
-    shared subtrees in a single-element array transform binds them as
-    lambda variables — materialized once per row, referenced many times
-    for free.  Measured on the repetition operators: ~25x."""
-    keys = list(cols)
-    packed = F.array(F.struct(*[cols[k].alias(k) for k in keys]))
-    return F.element_at(
-        F.transform(packed, lambda x: build(**{k: x[k] for k in keys})), 1)
 
 
 def lang_scores(col: Column) -> Column:
