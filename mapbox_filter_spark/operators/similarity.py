@@ -139,8 +139,14 @@ def ivf_flat_topk(
         queries.select(F.col(query_id).alias("q_id"),
                        F.col(vec_col).alias("q_vec")),
         centroids, "q_id", "q_vec", n_lists=nprobe)
+    # norms once per ROW before the join — cosine's norm(a)*norm(b) would
+    # otherwise recompute the corpus norm per (query, candidate) pair;
+    # same multiplication order, so the rounded sim is bit-identical
+    c_assigned = c_assigned.withColumn("c_norm", norm(F.col("c_vec")))
+    probes = probes.withColumn("q_norm", norm(F.col("q_vec")))
     cand = F.broadcast(probes).join(c_assigned, "cent_id")
-    sim = cosine(F.col("q_vec"), F.col("c_vec"))
+    sim = (dot(F.col("q_vec"), F.col("c_vec"))
+           / (F.col("q_norm") * F.col("c_norm")))
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
     return (
         cand.withColumn("sim", F.round(sim, 6))
@@ -196,20 +202,25 @@ def ann_lsh_topk(
     def bucket_array(vec: Column) -> Column:
         return F.array(*[_bucket_of(vec, planes) for planes in tables])
 
+    # norms once per ROW pre-join (see ivf_flat_topk note): bit-identical
+    # sim, strictly less per-candidate work
     c = corpus.select(F.col(corpus_id).alias("c_id"),
                       F.col(vec_col).alias("c_vec"),
+                      norm(F.col(vec_col)).alias("c_norm"),
                       F.posexplode(bucket_array(F.col(vec_col)))
                       .alias("table_idx", "bucket"))
     q = queries.select(F.col(query_id).alias("q_id"),
                        F.col(vec_col).alias("q_vec"),
+                       norm(F.col(vec_col)).alias("q_norm"),
                        F.posexplode(bucket_array(F.col(vec_col)))
                        .alias("table_idx", "bucket"))
     cand = (
         F.broadcast(q).join(c, ["table_idx", "bucket"])
-        .select("q_id", "q_vec", "c_id", "c_vec")
+        .select("q_id", "q_vec", "q_norm", "c_id", "c_vec", "c_norm")
         .dropDuplicates(["q_id", "c_id"])
     )
-    sim = cosine(F.col("q_vec"), F.col("c_vec"))
+    sim = (dot(F.col("q_vec"), F.col("c_vec"))
+           / (F.col("q_norm") * F.col("c_norm")))
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
     return (
         cand.withColumn("sim", F.round(sim, 6))
