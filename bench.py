@@ -354,12 +354,15 @@ def _scaling_worker(cores: int, sf_dir: str) -> dict:
         n_tiles = run_filter_job_features(feats, README_STYLE, zooms=zooms).count()
         tile_best = min(tile_best, time.perf_counter() - t0)
 
-    # 64-mixer signatures are heavy (~6 ms/doc on one core): 2x replication
-    # gives a 60-150 s job at 8 cores — saturating without being wasteful
+    # after the once-binding fix signatures run ~46k docs/s on 32 cores,
+    # so the old 2x corpus finished in ~1 s and measured only fixed
+    # overhead; 128x replication (640k docs at sf0.1) keeps the job
+    # compute-bound (~10-15 s at 32 cores, ~30-60 s at 8) so the speedup
+    # reflects the engine, not job startup
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .withColumn("rep", F.explode(F.array(*[F.lit(i) for i in range(2)])))
-        .withColumn("doc_id", F.col("doc_id") * 2 + F.col("rep"))
+        .withColumn("rep", F.explode(F.array(*[F.lit(i) for i in range(128)])))
+        .withColumn("doc_id", F.col("doc_id") * 128 + F.col("rep"))
         .drop("rep").repartition(64).localCheckpoint()
     )
     n_docs = docs.count()
