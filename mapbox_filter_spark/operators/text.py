@@ -333,4 +333,8 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("fingerprint", doc_fingerprint(c))
     for name, col in quality_features(c).items():
         out = out.withColumn(name, col)
+    for name, col in repetition_features(c).items():
+        out = out.withColumn(name, col)
+    for name, col in pii_counts(c).items():
+        out = out.withColumn(name, col)
     return out
