@@ -1187,6 +1187,123 @@ SELECT CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
 FROM documents GROUP BY 1"""
 
 
+# -------------------------------------------------- span-sequence invariant
+#
+# BASELINE.json input_hint: "per-row invariant vs the reference:
+# span-sequence equality (kind, text, media_ref, order)".  The gate builds
+# the interleaved span table from `documents` with SQL-expressible
+# arithmetic (same discipline as FEATURES_ORACLE_SQL), EXPLODES it to one
+# row per span, scatters those rows through a hash exchange keyed on a
+# span-local hash (adversarial: spans of one doc land on different
+# partitions in arbitrary order), reassembles per doc, and emits a
+# canonical per-doc signature over (kind, text, media_ref, offset) IN
+# ORDER.  The oracle constructs the expected sequence directly — never
+# exploded — so a hash match proves the shuffle preserved the sequence
+# field-for-field.  Reference analogue: per-tile feature lists survive
+# untouched through mapbox-filter's filterTile (src/Mapbox/Filters.hs).
+
+_SPAN_KINDS = ("text", "geo", "text", "media", "geo", "text")
+
+
+def q_span_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    n_spans = (F.lit(2) + F.pmod(F.col("doc_id"), F.lit(5))).cast("int")
+
+    def mk_span(i):
+        h = F.col("doc_id") * 31 + i * 7
+        kind = F.element_at(
+            F.array(*[F.lit(k) for k in _SPAN_KINDS]),
+            (F.pmod(F.col("doc_id") + i, F.lit(len(_SPAN_KINDS))) + 1).cast("int"))
+        start = (F.lit(1) + F.pmod(h, F.lit(30))).cast("int")
+        # milli-degree INTEGER payload: exact cross-engine string rendering
+        # (double formatting differs between Java and DuckDB)
+        lon_m = F.pmod(h * 7919, F.lit(360000)) - 180000
+        lat_m = F.pmod(h * 104729, F.lit(170000)) - 85000
+        text = (
+            F.when(kind == "geo",
+                   F.concat_ws(",", lon_m.cast("string"), lat_m.cast("string")))
+            .when(kind == "text", F.substring(F.col("text"), start, 12))
+            .otherwise(F.lit(None).cast("string")))
+        media_ref = F.when(
+            kind == "media",
+            F.concat(F.lit("media://blob/"), F.col("doc_id").cast("string"),
+                     F.lit("-"), i.cast("string"), F.lit(".jpg")))
+        return F.struct(kind.alias("kind"), text.alias("text"),
+                        media_ref.alias("media_ref"),
+                        i.cast("int").alias("offset"))
+
+    interleaved = docs.select(
+        "doc_id",
+        F.transform(F.sequence(F.lit(0), n_spans - 1), mk_span).alias("spans"))
+
+    # decode: one row per span; scatter through an exchange keyed on a
+    # span-local hash so per-doc arrival order is arbitrary
+    span_rows = (
+        interleaved
+        .select("doc_id", F.posexplode("spans").alias("span_idx", "span"))
+        .repartition(32, F.xxhash64("doc_id", "span_idx"))
+    )
+
+    # reassemble: groupBy shuffles the spans back; sort_array on the
+    # offset-led struct restores the input order deterministically
+    return (
+        span_rows
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            F.col("span.offset").alias("offset"),
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref")))).alias("seq"))
+        .select(
+            "doc_id",
+            F.size("seq").alias("n_spans"),
+            F.concat_ws("|", F.transform(
+                F.col("seq"),
+                lambda s: F.concat_ws(
+                    ":", s["offset"].cast("string"), s["kind"],
+                    F.coalesce(s["text"], F.lit("~")),
+                    F.coalesce(s["media_ref"], F.lit("~"))))).alias("span_sig"))
+    )
+
+
+def sql_span_integrity() -> str:
+    kind_case = " ".join(
+        f"WHEN {i} THEN '{k}'" for i, k in enumerate(_SPAN_KINDS))
+    return f"""
+WITH spans AS (
+  SELECT d.doc_id, s.i,
+         CASE (d.doc_id + s.i) % {len(_SPAN_KINDS)} {kind_case} END AS kind,
+         d.text AS doc_text,
+         (d.doc_id * 31 + s.i * 7) AS h
+  FROM documents d
+  CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS i) s
+  WHERE s.i < 2 + d.doc_id % 5
+), fields AS (
+  SELECT doc_id, i, kind,
+         CASE kind
+           WHEN 'geo' THEN
+             CAST((h * 7919) % 360000 - 180000 AS VARCHAR)
+             || ',' ||
+             CAST((h * 104729) % 170000 - 85000 AS VARCHAR)
+           WHEN 'text' THEN substring(doc_text, CAST(1 + h % 30 AS INT), 12)
+         END AS text,
+         CASE kind WHEN 'media' THEN
+           'media://blob/' || CAST(doc_id AS VARCHAR) || '-'
+           || CAST(i AS VARCHAR) || '.jpg'
+         END AS media_ref
+  FROM spans
+)
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       string_agg(
+         CAST(i AS VARCHAR) || ':' || kind || ':'
+         || COALESCE(text, '~') || ':' || COALESCE(media_ref, '~'),
+         '|' ORDER BY i) AS span_sig
+FROM fields
+GROUP BY doc_id"""
+
+
 EXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "dedup_ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard),
@@ -1216,4 +1333,5 @@ EXT_QUERIES = {
     "tile_set_ops": (q_tile_set_ops, sql_tile_set_ops),
     "manifest_rollup": (q_manifest_rollup, sql_manifest_rollup),
     "serve_tile": (q_serve_tile, sql_serve_tile),
+    "span_integrity": (q_span_integrity, sql_span_integrity),
 }
