@@ -20,8 +20,26 @@ from .tilemath import (
     quadkey,
 )
 from .pip import point_in_polygon_join
+from .s2 import (
+    s2_cell,
+    s2_contains,
+    s2_face,
+    s2_level,
+    s2_parent,
+    s2_range_max,
+    s2_range_min,
+    s2_token,
+)
 
 __all__ = [
+    "s2_cell",
+    "s2_contains",
+    "s2_face",
+    "s2_level",
+    "s2_parent",
+    "s2_range_max",
+    "s2_range_min",
+    "s2_token",
     "MERCATOR_MAX_LAT",
     "lon_to_tile_x",
     "lat_to_tile_y",

@@ -1187,6 +1187,96 @@ SELECT CASE doc_id % 4 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
 FROM documents GROUP BY 1"""
 
 
+# ------------------------------------------------------ S2-style cell index
+#
+# north_rule: "H3/S2 index".  geo/s2.py implements the S2 half (cube-face
+# + Hilbert) as native columns; these gates value-hash the full pipeline
+# (trig → face → quadratic s/t → Hilbert fold → id bit-assembly → parent/
+# range arithmetic) against a DuckDB recursive-CTE transcription.
+
+
+def q_s2_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .geo import s2
+
+    feats = features_from_lineitem(spark, sf_dir)
+    # chained selects: CollapseProject keeps the (non-cheap) fold single —
+    # parent/token/face below are bit ops on the materialized cell column
+    return (
+        feats
+        .select("feature_id",
+                s2.s2_cell(F.col("lon"), F.col("lat"), 10).alias("s2_cell"))
+        .select(
+            "feature_id", "s2_cell",
+            s2.s2_face(F.col("s2_cell")).alias("s2_face"),
+            s2.s2_parent(F.col("s2_cell"), 4).alias("s2_parent4"),
+            s2.s2_token(F.col("s2_cell")).alias("s2_token"))
+    )
+
+
+def sql_s2_assign() -> str:
+    from .geo import s2
+
+    cte = s2.s2_oracle_cte(
+        "SELECT feature_id AS pkey, lon, lat, 10 AS lvl FROM features")
+    lsb4 = 1 << (2 * (s2.MAX_LEVEL - 4))
+    return f"""WITH RECURSIVE {FEATURES_ORACLE_SQL}, {cte}
+SELECT pkey AS feature_id, cell AS s2_cell,
+       cell >> {2 * s2.MAX_LEVEL + 1} AS s2_face,
+       (cell & ~({2 * lsb4} - 1)) | {lsb4} AS s2_parent4,
+       regexp_replace(lower(hex(cell)), '0+$', '') AS s2_token
+FROM s2cells"""
+
+
+def q_s2_cover_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-level covering: regions at levels 2-4 derived from customer
+    keys (a level-2 region CONTAINS its level-3/4 sub-regions, so points
+    match several regions — parent-equality can't express this; the range
+    join can).  Point corpus never shuffles: broadcast range join."""
+    from .geo import s2
+
+    feats = features_from_lineitem(spark, sf_dir).select(
+        "feature_id",
+        s2.s2_cell(F.col("lon"), F.col("lat"), 12).alias("cell"))
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    clon = (F.pmod(F.col("c_custkey") * 7919, F.lit(360000))
+            .cast("double") / 1000.0) - 180.0
+    clat = (F.pmod(F.col("c_custkey") * 104729, F.lit(170000))
+            .cast("double") / 1000.0) - 85.0
+    regions = None
+    for k, level in enumerate((2, 3, 4)):
+        part = (cust.filter(F.pmod(F.col("c_custkey"), F.lit(3)) == k)
+                .select(s2.s2_cell(clon, clat, level).alias("region_cell")))
+        regions = part if regions is None else regions.unionByName(part)
+    regions = regions.distinct()
+
+    return (s2.s2_covering_join(feats, regions)
+            .groupBy("region_cell")
+            .agg(F.count(F.lit(1)).alias("n_features")))
+
+
+def sql_s2_cover_join() -> str:
+    from .geo import s2
+
+    cte = s2.s2_oracle_cte("""
+SELECT 'f' || CAST(feature_id AS VARCHAR) AS pkey, lon, lat, 12 AS lvl
+FROM features
+UNION ALL
+SELECT 'c' || CAST(c_custkey AS VARCHAR),
+       (c_custkey * 7919) % 360000 / 1000.0 - 180.0,
+       (c_custkey * 104729) % 170000 / 1000.0 - 85.0,
+       CAST(2 + c_custkey % 3 AS INT)
+FROM customer""")
+    return f"""WITH RECURSIVE {FEATURES_ORACLE_SQL}, {cte},
+fcells AS (SELECT cell FROM s2cells WHERE lvl = 12),
+rcells AS (SELECT DISTINCT cell AS region_cell FROM s2cells WHERE lvl < 12)
+SELECT r.region_cell, COUNT(*) AS n_features
+FROM fcells f JOIN rcells r
+  ON f.cell BETWEEN r.region_cell - (r.region_cell & -r.region_cell) + 1
+                AND r.region_cell + (r.region_cell & -r.region_cell) - 1
+GROUP BY r.region_cell"""
+
+
 # -------------------------------------------------- span-sequence invariant
 #
 # BASELINE.json input_hint: "per-row invariant vs the reference:
@@ -1334,4 +1424,6 @@ EXT_QUERIES = {
     "manifest_rollup": (q_manifest_rollup, sql_manifest_rollup),
     "serve_tile": (q_serve_tile, sql_serve_tile),
     "span_integrity": (q_span_integrity, sql_span_integrity),
+    "s2_assign": (q_s2_assign, sql_s2_assign),
+    "s2_cover_join": (q_s2_cover_join, sql_s2_cover_join),
 }

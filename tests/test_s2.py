@@ -1,0 +1,147 @@
+"""S2-style cell index: Hilbert bijection, hierarchy bit-arithmetic
+(hypothesis over exact ints), and Spark/python-twin equality on a
+deterministic lon/lat lattice (fixed points, not hypothesis — a 1-ulp
+libm divergence would surface deterministically here, never flakily)."""
+
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from mapbox_filter_spark.geo import s2
+
+
+# ------------------------------------------------------------- pure ints
+
+
+@given(st.integers(min_value=1, max_value=s2.MAX_LEVEL), st.data())
+@settings(max_examples=60, deadline=None)
+def test_hilbert_roundtrip(level, data):
+    n = 1 << level
+    i = data.draw(st.integers(min_value=0, max_value=n - 1))
+    j = data.draw(st.integers(min_value=0, max_value=n - 1))
+    d = s2.py_hilbert_pos(i, j, level)
+    assert 0 <= d < n * n
+    assert s2.py_hilbert_ij(d, level) == (i, j)
+
+
+def test_hilbert_bijective_and_adjacent():
+    level = 4
+    n = 1 << level
+    seen = {}
+    for i in range(n):
+        for j in range(n):
+            seen[s2.py_hilbert_pos(i, j, level)] = (i, j)
+    assert len(seen) == n * n
+    # curve property: consecutive positions are grid neighbours
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = seen[d], seen[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+@given(st.integers(min_value=0, max_value=5),
+       st.integers(min_value=2, max_value=s2.MAX_LEVEL), st.data())
+@settings(max_examples=80, deadline=None)
+def test_hierarchy_bit_arithmetic(face, level, data):
+    pos = data.draw(st.integers(min_value=0, max_value=(1 << (2 * level)) - 1))
+    shift = 2 * (s2.MAX_LEVEL - level)
+    cell = (face << (2 * s2.MAX_LEVEL + 1)) | (pos << (shift + 1)) | (1 << shift)
+
+    parent_level = data.draw(st.integers(min_value=1, max_value=level - 1))
+    parent = s2.py_s2_parent(cell, parent_level)
+    # parent's position is the child's 2*parent_level leading bits
+    pshift = 2 * (s2.MAX_LEVEL - parent_level)
+    assert (parent >> (pshift + 1)) & ((1 << (2 * parent_level)) - 1) \
+        == pos >> (2 * (level - parent_level))
+    assert parent >> (2 * s2.MAX_LEVEL + 1) == face
+
+    lo, hi = s2.py_s2_range(parent)
+    assert lo <= cell <= hi
+    # ranges of sibling parents never overlap
+    sib = s2.py_s2_parent(
+        (face << (2 * s2.MAX_LEVEL + 1))
+        | (((pos >> (2 * (level - parent_level))) ^ 1) << (pshift + 1))
+        | (1 << pshift), parent_level)
+    slo, shi = s2.py_s2_range(sib)
+    assert shi < lo or slo > hi
+
+
+# ---------------------------------------------------------------- lattice
+
+_LATTICE = [(-179.9 + (i * 7.13) % 359.8, -84.9 + (i * 3.77) % 169.8)
+            for i in range(150)] + [
+    (45.0001, 10.0), (-135.0002, 20.0), (0.0, 35.264), (90.0, -35.264),
+    (179.999, 0.0), (0.001, 89.9), (0.001, -89.9), (-0.001, 0.001),
+]
+
+
+@pytest.fixture(scope="module")
+def lattice_df(spark):
+    return spark.createDataFrame(
+        [(k, lon, lat) for k, (lon, lat) in enumerate(_LATTICE)],
+        "pkey long, lon double, lat double")
+
+
+@pytest.mark.parametrize("level", [1, 7, 15])
+def test_spark_matches_python_twin(lattice_df, level):
+    rows = lattice_df.select(
+        "pkey", s2.s2_cell(F.col("lon"), F.col("lat"), level).alias("cell")
+    ).collect()
+    for r in rows:
+        lon, lat = _LATTICE[r["pkey"]]
+        assert r["cell"] == s2.py_s2_cell(lon, lat, level), (lon, lat)
+
+
+def test_spark_hierarchy_columns(lattice_df):
+    rows = lattice_df.select(
+        s2.s2_cell(F.col("lon"), F.col("lat"), 12).alias("c12"),
+    ).select(
+        "c12",
+        s2.s2_parent(F.col("c12"), 5).alias("c5"),
+        s2.s2_level(F.col("c12")).alias("lvl"),
+        s2.s2_face(F.col("c12")).alias("face"),
+        s2.s2_range_min(F.col("c12")).alias("lo"),
+        s2.s2_range_max(F.col("c12")).alias("hi"),
+        s2.s2_contains(s2.s2_parent(F.col("c12"), 5), F.col("c12")).alias("inp"),
+        s2.s2_token(F.col("c12")).alias("tok"),
+    ).collect()
+    for r in rows:
+        assert r["lvl"] == 12
+        assert 0 <= r["face"] <= 5
+        assert r["c5"] == s2.py_s2_parent(r["c12"], 5)
+        assert (r["lo"], r["hi"]) == s2.py_s2_range(r["c12"])
+        assert r["inp"] is True
+        # token: lowercase hex, trailing zeros stripped, round-trippable
+        assert r["tok"] == format(r["c12"], "x").rstrip("0")
+        assert int(r["tok"].ljust(len(format(r["c12"], "x")), "0"), 16) == r["c12"]
+
+
+def test_level_validation():
+    with pytest.raises(ValueError):
+        s2.s2_cell(F.lit(0.0), F.lit(0.0), 0)
+    with pytest.raises(ValueError):
+        s2.s2_cell(F.lit(0.0), F.lit(0.0), s2.MAX_LEVEL + 1)
+
+
+def test_face_coverage():
+    # cardinal directions land on the six distinct faces
+    pts = [(0.0, 0.0, 0), (90.0, 0.0, 1), (0.0, 89.9, 2),
+           (180.0, 0.0, 3), (-90.0, 0.0, 4), (0.0, -89.9, 5)]
+    for lon, lat, face in pts:
+        cell = s2.py_s2_cell(lon, lat, 8)
+        assert cell >> (2 * s2.MAX_LEVEL + 1) == face, (lon, lat)
+
+
+def test_locality_beats_random():
+    """Hilbert locality: nearby points at the same level share parents far
+    more often than far-apart points — a smoke check of WHY the index
+    exists (range scans over cell-sorted data touch contiguous spans)."""
+    near = [(10.0 + k * 0.001, 20.0 + k * 0.001) for k in range(50)]
+    far = [((k * 67.7) % 350 - 175, ((k * 31.3) % 160) - 80) for k in range(50)]
+    def n_parents(pts):
+        return len({s2.py_s2_parent(s2.py_s2_cell(lon, lat, 12), 6)
+                    for lon, lat in pts})
+    assert n_parents(near) <= 2
+    assert n_parents(far) > 20
