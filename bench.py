@@ -140,12 +140,14 @@ def run_suite(cores: int, sf_dir: str) -> dict:
     pip = None if flagship_only else pip_micro(spark, sf_dir)
     mvt = None if flagship_only else mvt_micro(spark, sf_dir)
     cur = None if flagship_only else curation_micro(spark, sf_dir)
+    s2m = None if flagship_only else s2_micro(spark, sf_dir)
 
     spark.stop()
     return {
         "pip_micro": pip,
         "mvt_micro": mvt,
         "curation_micro": cur,
+        "s2_micro": s2m,
         "flagship_reps": [round(r, 3) for r in reps],
         "timings": timings,
         "wall_samples": {n: [round(x, 3) for x in w] for n, w in walls.items()},
@@ -181,6 +183,33 @@ def curation_micro(spark, sf_dir: str) -> dict:
         "survivors": survivors,
         "sec": round(best, 3),
         "docs_per_sec": round(n_docs / best, 1),
+    }
+
+
+def s2_micro(spark, sf_dir: str) -> dict:
+    """S2 cell-assign throughput: lon/lat -> level-12 cell id (trig + face
+    projection + 12-step Hilbert fold, all native columns) over the
+    feature substrate; forced with an agg over the cell (count() would
+    prune the projection and measure nothing — NOTES_r3 PITFALL 0)."""
+    from pyspark.sql import functions as F
+
+    from mapbox_filter_spark.geo.s2 import with_s2_cell
+    from mapbox_filter_spark.sources.features import features_from_lineitem
+
+    n_rows = features_from_lineitem(spark, sf_dir).count()
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        (with_s2_cell(
+            features_from_lineitem(spark, sf_dir).select("lon", "lat"),
+            level=12, out="cell")
+         .agg(F.sum("cell")).collect())
+        sec = time.perf_counter() - t0
+        best = sec if best is None else min(best, sec)
+    return {
+        "n_rows": n_rows,
+        "sec": round(best, 3),
+        "cells_per_sec": round(n_rows / best, 1),
     }
 
 
@@ -492,6 +521,7 @@ def main() -> None:
         "pip_micro": r["pip_micro"],
         "mvt_micro": r["mvt_micro"],
         "curation_micro": r["curation_micro"],
+        "s2_micro": r["s2_micro"],
         "throughput": {
             "tiles_per_sec": r["tiles_per_sec"],
             "features_per_sec": r["features_per_sec"],

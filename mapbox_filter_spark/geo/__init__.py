@@ -22,6 +22,7 @@ from .tilemath import (
 from .pip import point_in_polygon_join
 from .s2 import (
     s2_cell,
+    s2_covering_join,
     s2_contains,
     s2_face,
     s2_level,
@@ -29,9 +30,12 @@ from .s2 import (
     s2_range_max,
     s2_range_min,
     s2_token,
+    with_s2_cell,
 )
 
 __all__ = [
+    "with_s2_cell",
+    "s2_covering_join",
     "s2_cell",
     "s2_contains",
     "s2_face",

@@ -105,7 +105,13 @@ def _st_from_u(u: Column) -> Column:
 
 
 def s2_cell(lon: Column, lat: Column, level: int) -> Column:
-    """64-bit S2-style cell id of a lon/lat point at ``level``."""
+    """64-bit S2-style cell id of a lon/lat point at ``level``.
+
+    Column form — composes anywhere, but the fold inside runs through the
+    HOF interpreter (~0.12 M cells/s measured): use it for literals,
+    small dimension frames, and expression contexts.  For corpus-wide
+    assignment use ``with_s2_cell`` (identical bits, chained-projection
+    unroll, whole-stage codegen, measured 21× faster)."""
     _check_level(level)
     lon_r, lat_r = F.radians(lon), F.radians(lat)
     xyz = {
@@ -203,6 +209,92 @@ def s2_token(cell: Column) -> Column:
     """Canonical hex token: lowercase, trailing zeros stripped (the S2
     token convention — the sentinel bit keeps tokens unambiguous)."""
     return F.regexp_replace(F.lower(F.hex(cell)), "0+$", "")
+
+
+def with_s2_cell(df, lon="lon", lat="lat", level: int = 12,
+                 out: str = "s2_cell"):
+    """Append the S2 cell id as a column — the BULK assignment path.
+
+    The Column form (``s2_cell``) evaluates its Hilbert fold through the
+    higher-order-function interpreter (HOFs never enter codegen): measured
+    ~0.12 M cells/s at level 12 — a scale-killer for corpus-wide
+    assignment.  This transformer unrolls the same math into CHAINED
+    single-step projections: each fold step is one ``select`` whose
+    expressions reference the previous step's columns as plain attribute
+    reads, so the whole pipeline stays inside one WholeStageCodegen span
+    with zero re-evaluation.  CollapseProject cannot re-inline the steps
+    (producers are non-cheap CASE expressions referenced 2-3×), so the
+    plan stays linear in ``level``.  Same bits as ``s2_cell``/the python
+    twin (asserted in tests)."""
+    _check_level(level)
+    P = "__s2tmp_"
+    lon_c = F.col(lon) if isinstance(lon, str) else lon
+    lat_c = F.col(lat) if isinstance(lat, str) else lat
+    base_cols = list(df.columns)
+
+    lon_r, lat_r = F.radians(lon_c), F.radians(lat_c)
+    df = df.select(
+        "*",
+        (F.cos(lat_r) * F.cos(lon_r)).alias(P + "x"),
+        (F.cos(lat_r) * F.sin(lon_r)).alias(P + "y"),
+        F.sin(lat_r).alias(P + "z"))
+
+    x, y, z = F.col(P + "x"), F.col(P + "y"), F.col(P + "z")
+    ax, ay, az = F.abs(x), F.abs(y), F.abs(z)
+    face = (
+        F.when((ax >= ay) & (ax >= az),
+               F.when(x >= 0, F.lit(0)).otherwise(F.lit(3)))
+        .when(ay >= az, F.when(y >= 0, F.lit(1)).otherwise(F.lit(4)))
+        .otherwise(F.when(z >= 0, F.lit(2)).otherwise(F.lit(5)))
+    ).cast("long")
+    df = df.select("*", face.alias(P + "face"))
+
+    ns = {"x": x, "y": y, "z": z}
+    fc = F.col(P + "face")
+
+    def axis_case(slot: int) -> Column:
+        expr = None
+        for f, uv in _FACE_UV.items():
+            col = _parse_uv(uv[slot], ns)
+            expr = (F.when(fc == f, col) if expr is None
+                    else expr.when(fc == f, col))
+        return expr
+
+    df = df.select("*", axis_case(0).alias(P + "u"),
+                   axis_case(1).alias(P + "v"))
+
+    n = 1 << level
+
+    def ij(src: Column) -> Column:
+        return F.greatest(F.lit(0).cast("long"), F.least(
+            F.floor(_st_from_u(src) * n).cast("long"),
+            F.lit(n - 1).cast("long")))
+
+    df = df.select("*", ij(F.col(P + "u")).alias(P + "i"),
+                   ij(F.col(P + "v")).alias(P + "j"),
+                   F.lit(0).cast("long").alias(P + "d"))
+
+    keep = base_cols + [P + "face"]
+    for k in range(level - 1, -1, -1):
+        s = 1 << k
+        cx, cy, cd = F.col(P + "i"), F.col(P + "j"), F.col(P + "d")
+        rx_on = cx.bitwiseAND(F.lit(s).cast("long")) > 0
+        ry_on = cy.bitwiseAND(F.lit(s).cast("long")) > 0
+        rx = F.when(rx_on, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ry = F.when(ry_on, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        d2 = cd + F.lit(s * s).cast("long") * (rx * 3).bitwiseXOR(ry)
+        x2 = (F.when(~ry_on, F.when(rx_on, s - 1 - cy).otherwise(cy))
+              .otherwise(cx))
+        y2 = (F.when(~ry_on, F.when(rx_on, s - 1 - cx).otherwise(cx))
+              .otherwise(cy))
+        df = df.select(*keep, x2.alias(P + "i"), y2.alias(P + "j"),
+                       d2.alias(P + "d"))
+
+    shift = 2 * (MAX_LEVEL - level)
+    cell = (F.shiftleft(F.col(P + "face"), 2 * MAX_LEVEL + 1)
+            .bitwiseOR(F.shiftleft(F.col(P + "d"), shift + 1))
+            .bitwiseOR(F.lit(1 << shift).cast("long")))
+    return df.select(*base_cols, cell.alias(out))
 
 
 def s2_covering_join(points, regions, point_cell: str = "cell",

@@ -1198,13 +1198,12 @@ FROM documents GROUP BY 1"""
 def q_s2_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .geo import s2
 
-    feats = features_from_lineitem(spark, sf_dir)
-    # chained selects: CollapseProject keeps the (non-cheap) fold single —
+    feats = features_from_lineitem(spark, sf_dir).select(
+        "feature_id", "lon", "lat")
+    # bulk path: chained-projection unroll, whole-stage codegen;
     # parent/token/face below are bit ops on the materialized cell column
     return (
-        feats
-        .select("feature_id",
-                s2.s2_cell(F.col("lon"), F.col("lat"), 10).alias("s2_cell"))
+        s2.with_s2_cell(feats, level=10, out="s2_cell")
         .select(
             "feature_id", "s2_cell",
             s2.s2_face(F.col("s2_cell")).alias("s2_face"),
@@ -1234,19 +1233,22 @@ def q_s2_cover_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join can).  Point corpus never shuffles: broadcast range join."""
     from .geo import s2
 
-    feats = features_from_lineitem(spark, sf_dir).select(
-        "feature_id",
-        s2.s2_cell(F.col("lon"), F.col("lat"), 12).alias("cell"))
+    feats = s2.with_s2_cell(
+        features_from_lineitem(spark, sf_dir).select("feature_id", "lon", "lat"),
+        level=12, out="cell").select("feature_id", "cell")
 
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    clon = (F.pmod(F.col("c_custkey") * 7919, F.lit(360000))
-            .cast("double") / 1000.0) - 180.0
-    clat = (F.pmod(F.col("c_custkey") * 104729, F.lit(170000))
-            .cast("double") / 1000.0) - 85.0
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        ((F.pmod(F.col("c_custkey") * 7919, F.lit(360000))
+          .cast("double") / 1000.0) - 180.0).alias("lon"),
+        ((F.pmod(F.col("c_custkey") * 104729, F.lit(170000))
+          .cast("double") / 1000.0) - 85.0).alias("lat"))
     regions = None
     for k, level in enumerate((2, 3, 4)):
-        part = (cust.filter(F.pmod(F.col("c_custkey"), F.lit(3)) == k)
-                .select(s2.s2_cell(clon, clat, level).alias("region_cell")))
+        part = (s2.with_s2_cell(
+            cust.filter(F.pmod(F.col("c_custkey"), F.lit(3)) == k),
+            level=level, out="region_cell")
+            .select("region_cell"))
         regions = part if regions is None else regions.unionByName(part)
     regions = regions.distinct()
 

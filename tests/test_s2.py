@@ -94,6 +94,29 @@ def test_spark_matches_python_twin(lattice_df, level):
         assert r["cell"] == s2.py_s2_cell(lon, lat, level), (lon, lat)
 
 
+@pytest.mark.parametrize("level", [1, 8, 15])
+def test_bulk_path_matches_column_path(lattice_df, level):
+    """with_s2_cell (chained-projection codegen unroll) must produce the
+    exact bits of the Column fold / python twin."""
+    from mapbox_filter_spark.geo.s2 import with_s2_cell
+
+    rows = with_s2_cell(lattice_df, level=level, out="cell").collect()
+    assert rows and all(
+        r["cell"] == s2.py_s2_cell(*_LATTICE[r["pkey"]], level) for r in rows)
+
+
+def test_bulk_path_single_codegen_span(lattice_df):
+    from mapbox_filter_spark.geo.s2 import with_s2_cell
+
+    df = with_s2_cell(lattice_df, level=12)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # every projection of the unroll lives in ONE WholeStageCodegen span
+    # ("*(1) Project" markers; no aggregate( HOF fold in the plan)
+    assert "*(1) Project" in plan
+    assert "aggregate(" not in plan
+    assert df.columns == ["pkey", "lon", "lat", "s2_cell"]
+
+
 def test_spark_hierarchy_columns(lattice_df):
     rows = lattice_df.select(
         s2.s2_cell(F.col("lon"), F.col("lat"), 12).alias("c12"),
