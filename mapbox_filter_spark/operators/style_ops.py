@@ -125,7 +125,13 @@ def neg_predicate(
 def filter_keep(df: DataFrame, style: MapboxStyle, z="z",
                 layer_col: str = "layer", cols: Optional[FeatureCols] = None) -> DataFrame:
     zc = F.col(z) if isinstance(z, str) else z
-    return df.filter(keep_predicate(style, zc, layer_col, cols))
+    # pushable companion: keep_predicate is CASE-else-false over the
+    # mentioned source-layers, so `layer IN (mentioned)` is implied — but
+    # a CASE never reaches the parquet scan, while the In() does
+    # (row-group dictionary/min-max pruning on attribute substrates)
+    sls = list(_by_source_layer(style))
+    pre = F.col(layer_col).isin(sls) if sls else F.lit(False)
+    return df.filter(pre).filter(keep_predicate(style, zc, layer_col, cols))
 
 
 def filter_neg(df: DataFrame, style: MapboxStyle, z="z",
