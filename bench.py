@@ -196,13 +196,21 @@ def s2_micro(spark, sf_dir: str) -> dict:
     from mapbox_filter_spark.geo.s2 import with_s2_cell
     from mapbox_filter_spark.sources.features import features_from_lineitem
 
-    n_rows = features_from_lineitem(spark, sf_dir).count()
+    # replicate to ~5M rows (distinct coords) so the fold outweighs the
+    # fixed per-job overhead — 600k rows at sf0.1 measure mostly startup
+    rep = max(1, 5_000_000 // max(
+        features_from_lineitem(spark, sf_dir).count(), 1))
+    pts = (features_from_lineitem(spark, sf_dir)
+           .select("feature_id", "lon", "lat")
+           .withColumn("r", F.explode(F.array(*[F.lit(i) for i in range(rep)])))
+           .select(
+               (F.col("lon") + F.col("r") * 0.001).alias("lon"),
+               (F.col("lat") - F.col("r") * 0.0007).alias("lat")))
+    n_rows = pts.count()
     best = None
     for _ in range(2):
         t0 = time.perf_counter()
-        (with_s2_cell(
-            features_from_lineitem(spark, sf_dir).select("lon", "lat"),
-            level=12, out="cell")
+        (with_s2_cell(pts, level=12, out="cell")
          .agg(F.sum("cell")).collect())
         sec = time.perf_counter() - t0
         best = sec if best is None else min(best, sec)
