@@ -74,12 +74,70 @@ def dist2(a: Column, b: Column) -> Column:
         F.lit(0.0), lambda acc, x: acc + x)
 
 
+def ivf_assign_arrow(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int = 1,
+) -> DataFrame:
+    """BLAS-batched coarse assignment — the WIDE-embedding kernel.
+
+    The Column-fold path (``ivf_assign``, kernel='column') is interpreted
+    per element: ~15 ns/multiply-add, linear in dim x K — fine at
+    dim 8 x K 16 (the gate shape), ~11 ms/row/core at a production
+    dim 768 x K 1000.  Arrays of floats against a small dense matrix is
+    exactly the kernel BLAS exists for, so this path mirrors the PIP
+    precedent (SCALE.md Python-boundary policy): centroids — small by
+    construction — are collected once and closed over as a numpy matrix;
+    each Arrow batch computes ``D2 = |x|^2 - 2 X C^T + |c|^2`` and takes
+    argmin (or the stable-sorted top-``n_lists``).  Corpus-side plan is
+    identical to the fold path: one ArrowEvalPython map, NO shuffle, NO
+    explosion beyond n_lists.
+
+    Parity: tie-breaking matches the fold (min d2, then cent_id — stable
+    argsort over cent_id-ordered centroids); floating-point association
+    differs (matmul vs sequential fold), so EXACT equality holds for
+    exactly-representable inputs (tested) while near-ties may order
+    differently at 1-ulp distances — irrelevant to an ANN contract."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents = centroids.orderBy("cent_id").collect()
+    ids = np.array([r["cent_id"] for r in cents], dtype=np.int64)
+    C = np.array([list(r["cent_vec"]) for r in cents], dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+    out_schema = StructType(
+        list(vectors.schema.fields) + [StructField("cent_id", IntegerType())])
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
+            if n_lists == 1:
+                # np.argmin returns the FIRST minimum; centroids are
+                # cent_id-ordered, so ties break to the smallest cent_id
+                out = pdf.copy()
+                out["cent_id"] = ids[np.argmin(d2, axis=1)]
+                yield out
+            else:
+                order = np.argsort(d2, axis=1, kind="stable")[:, :n_lists]
+                out = pdf.loc[pdf.index.repeat(n_lists)].copy()
+                out["cent_id"] = ids[order].ravel()
+                yield out
+
+    return vectors.mapInPandas(assign, schema=out_schema)
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
     id_col: str,
     vec_col: str,
     n_lists: int = 1,
+    kernel: str = "column",
 ) -> DataFrame:
     """IVF coarse quantization: each vector -> its n_lists nearest centroids
     (n_lists=1 for index build, nprobe for query probing).
@@ -91,7 +149,17 @@ def ivf_assign(
     so the corpus side sees NO row explosion, NO window, and NO exchange —
     only a BroadcastNestedLoopJoin against a single row.  Ties break on
     cent_id (struct ordering is lexicographic: d2 asc, then cent_id asc).
-    Adds cent_id (and keeps the input columns)."""
+    Adds cent_id (and keeps the input columns).
+
+    ``kernel``: 'column' (default — zero Python, right up to moderate
+    dim x K), 'arrow' (BLAS batches — the wide-embedding path, see
+    :func:`ivf_assign_arrow`), or 'auto' (arrow when dim x K >= 16384,
+    decided by two tiny driver lookups on the small centroid table)."""
+    if kernel == "auto":
+        d = centroids.select(F.size("cent_vec").alias("d")).first()["d"]
+        kernel = "arrow" if d * centroids.count() >= 16384 else "column"
+    if kernel == "arrow":
+        return ivf_assign_arrow(vectors, centroids, id_col, vec_col, n_lists)
     packed = centroids.agg(
         F.collect_list(
             F.struct(F.col("cent_id"), F.col("cent_vec"))).alias("_cents"))
@@ -120,6 +188,7 @@ def ivf_flat_topk(
     query_id: str = "query_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "column",
 ) -> DataFrame:
     """IVF-flat approximate cosine top-k: the inverted-list scale path next
     to the LSH one (ann_lsh_topk).
@@ -134,11 +203,11 @@ def ivf_flat_topk(
     c_assigned = ivf_assign(
         corpus.select(F.col(corpus_id).alias("c_id"),
                       F.col(vec_col).alias("c_vec")),
-        centroids, "c_id", "c_vec", n_lists=1)
+        centroids, "c_id", "c_vec", n_lists=1, kernel=kernel)
     probes = ivf_assign(
         queries.select(F.col(query_id).alias("q_id"),
                        F.col(vec_col).alias("q_vec")),
-        centroids, "q_id", "q_vec", n_lists=nprobe)
+        centroids, "q_id", "q_vec", n_lists=nprobe, kernel=kernel)
     # norms once per ROW before the join — cosine's norm(a)*norm(b) would
     # otherwise recompute the corpus norm per (query, candidate) pair;
     # same multiplication order, so the rounded sim is bit-identical

@@ -104,6 +104,47 @@ def test_cosine_topk_and_ann(spark):
     assert recall >= 0.6, recall  # tunable-recall ANN; exactness not claimed
 
 
+def test_ivf_arrow_kernel_matches_column(spark):
+    """The BLAS-batched coarse-assign (kernel='arrow') must agree with the
+    Column fold exactly on exactly-representable inputs, including ties
+    (both break to the smallest cent_id), for single and multi-probe."""
+    corpus = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[((F.col("id") * (i + 1)) % 13).cast("double")
+                  for i in range(8)]).alias("embedding"))
+    # duplicated centroids -> guaranteed exact d2 ties
+    cents = spark.range(12).select(
+        F.col("id").cast("int").alias("cent_id"),
+        F.array(*[((F.col("id") % 6) * (i + 3) % 7).cast("double")
+                  for i in range(8)]).alias("cent_vec"))
+    for nl in (1, 3):
+        col = {tuple(r) for r in similarity.ivf_assign(
+            corpus, cents, "vec_id", "embedding", nl)
+            .select("vec_id", "cent_id").collect()}
+        arr = {tuple(r) for r in similarity.ivf_assign(
+            corpus, cents, "vec_id", "embedding", nl, kernel="arrow")
+            .select("vec_id", "cent_id").collect()}
+        assert col == arr and len(col) == 500 * nl
+    # auto dispatch: tiny dim*K stays on the zero-Python column path
+    auto = similarity.ivf_assign(
+        corpus, cents, "vec_id", "embedding", 1, kernel="auto")
+    assert "EvalPython" not in \
+        auto._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ivf_flat_topk_arrow_kernel(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"),
+                                  "embedding")
+    cents = (emb.limit(6)
+             .select((F.col("vec_id") % 100).cast("int").alias("cent_id"),
+                     F.col("embedding").alias("cent_vec")))
+    a = similarity.ivf_flat_topk(queries, emb, cents, k=3, nprobe=2)
+    b = similarity.ivf_flat_topk(queries, emb, cents, k=3, nprobe=2,
+                                 kernel="arrow")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_embedding_near_dup(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(100).cache()
     dim = len(emb.first()["embedding"])
