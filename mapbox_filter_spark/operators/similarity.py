@@ -246,6 +246,44 @@ def _bucket_of(vec: Column, planes: list[list[float]]) -> Column:
     return code
 
 
+def lsh_bucket_codes_arrow(df: DataFrame, vec_col: str,
+                           tables: list, out: str = "_buckets") -> DataFrame:
+    """All-table LSH bucket codes in ONE BLAS batch — the wide-embedding
+    twin of :func:`ivf_assign_arrow` (SCALE.md Python-boundary policy).
+
+    The Column path evaluates n_tables x n_planes interpreted dot
+    products per row; here the planes stack into one (T*h, dim) matrix,
+    ``X @ P.T > 0`` gives every sign bit at once, and a weights dot packs
+    them into per-table codes.  Appends ``out`` (array<int>, one code per
+    table).  Sign parity with the fold is exact for exactly-representable
+    arithmetic (integer-quantized planes/vectors — the oracle path);
+    gaussian planes at float precision may flip a near-zero projection,
+    which moves a vector between buckets — a recall, not correctness,
+    effect (ANN contract)."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    P = np.array([p for planes in tables for p in planes], dtype=np.float64)
+    h = len(tables[0])
+    T = len(tables)
+    weights = (1 << np.arange(h, dtype=np.int64))
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(out, ArrayType(IntegerType()))])
+
+    def bucketize(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (X @ P.T) > 0                      # (n, T*h)
+            codes = bits.reshape(len(X), T, h) @ weights  # (n, T)
+            res = pdf.copy()
+            res[out] = list(codes.astype(np.int64))
+            yield res
+
+    return df.mapInPandas(bucketize, schema=out_schema)
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -258,31 +296,44 @@ def ann_lsh_topk(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     tables: list | None = None,
+    kernel: str = "column",
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH (see module doc).
 
     Output schema matches ``cosine_topk``; rank is within retrieved
     candidates, so recall < 1 shows up as differing tail entries.
     ``tables`` overrides the seeded gaussian hyperplanes (e.g. integer-
-    quantized planes for the exact-arithmetic oracle path)."""
+    quantized planes for the exact-arithmetic oracle path).
+    ``kernel``: 'column' (zero Python) or 'arrow' (BLAS bucket codes for
+    wide embeddings, :func:`lsh_bucket_codes_arrow`); 'auto' picks arrow
+    when dim x n_planes x n_tables >= 16384."""
     tables = tables if tables is not None else _hyperplanes(
         dim, n_planes, n_tables, seed)
+    if kernel == "auto":
+        kernel = ("arrow" if dim * len(tables) * len(tables[0]) >= 16384
+                  else "column")
 
     def bucket_array(vec: Column) -> Column:
         return F.array(*[_bucket_of(vec, planes) for planes in tables])
 
+    def with_buckets(df: DataFrame, id_in: str, id_out: str,
+                     vec_out: str, norm_out: str) -> DataFrame:
+        base = df.select(F.col(id_in).alias(id_out),
+                         F.col(vec_col).alias(vec_out))
+        if kernel == "arrow":
+            coded = lsh_bucket_codes_arrow(base, vec_out, tables)
+            return coded.select(
+                id_out, vec_out, norm(F.col(vec_out)).alias(norm_out),
+                F.posexplode("_buckets").alias("table_idx", "bucket"))
+        return base.select(
+            id_out, vec_out, norm(F.col(vec_out)).alias(norm_out),
+            F.posexplode(bucket_array(F.col(vec_out)))
+            .alias("table_idx", "bucket"))
+
     # norms once per ROW pre-join (see ivf_flat_topk note): bit-identical
     # sim, strictly less per-candidate work
-    c = corpus.select(F.col(corpus_id).alias("c_id"),
-                      F.col(vec_col).alias("c_vec"),
-                      norm(F.col(vec_col)).alias("c_norm"),
-                      F.posexplode(bucket_array(F.col(vec_col)))
-                      .alias("table_idx", "bucket"))
-    q = queries.select(F.col(query_id).alias("q_id"),
-                       F.col(vec_col).alias("q_vec"),
-                       norm(F.col(vec_col)).alias("q_norm"),
-                       F.posexplode(bucket_array(F.col(vec_col)))
-                       .alias("table_idx", "bucket"))
+    c = with_buckets(corpus, corpus_id, "c_id", "c_vec", "c_norm")
+    q = with_buckets(queries, query_id, "q_id", "q_vec", "q_norm")
     cand = (
         F.broadcast(q).join(c, ["table_idx", "bucket"])
         .select("q_id", "q_vec", "q_norm", "c_id", "c_vec", "c_norm")

@@ -145,6 +145,25 @@ def test_ivf_flat_topk_arrow_kernel(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_ann_lsh_arrow_kernel_matches_column(spark):
+    """BLAS bucket codes vs the Column fold: exact with integer-quantized
+    planes and integer-valued vectors (no rounding anywhere), so the full
+    top-k output must be identical."""
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[((F.col("id") * (i + 1)) % 9 - 4).cast("double")
+                  for i in range(16)]).alias("embedding"))
+    queries = emb.limit(6).select(F.col("vec_id").alias("query_id"),
+                                  "embedding")
+    rng = __import__("random").Random(7)
+    tables = [[[float(rng.randint(-3, 3)) for _ in range(16)]
+               for _ in range(4)] for _ in range(5)]
+    a = similarity.ann_lsh_topk(queries, emb, k=4, dim=16, tables=tables)
+    b = similarity.ann_lsh_topk(queries, emb, k=4, dim=16, tables=tables,
+                                kernel="arrow")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_embedding_near_dup(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(100).cache()
     dim = len(emb.first()["embedding"])
