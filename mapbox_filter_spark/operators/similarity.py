@@ -352,10 +352,18 @@ def ann_lsh_topk(
 
 
 def _bucketed(corpus: DataFrame, tables: list, corpus_id: str,
-              vec_col: str) -> DataFrame:
-    return corpus.select(
-        F.col(corpus_id).alias("id"), F.col(vec_col).alias("vec"),
-        F.posexplode(F.array(*[_bucket_of(F.col(vec_col), p) for p in tables]))
+              vec_col: str, kernel: str = "column") -> DataFrame:
+    base = corpus.select(F.col(corpus_id).alias("id"),
+                         F.col(vec_col).alias("vec"))
+    if kernel == "auto":
+        kernel = ("arrow" if len(tables[0][0]) * len(tables) * len(tables[0])
+                  >= 16384 else "column")
+    if kernel == "arrow":
+        return lsh_bucket_codes_arrow(base, "vec", tables).select(
+            "id", "vec", F.posexplode("_buckets").alias("table_idx", "bucket"))
+    return base.select(
+        "id", "vec",
+        F.posexplode(F.array(*[_bucket_of(F.col("vec"), p) for p in tables]))
         .alias("table_idx", "bucket"),
     )
 
@@ -371,6 +379,7 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     max_bucket: int = 1024,
     tables: list | None = None,
+    kernel: str = "column",
 ) -> DataFrame:
     """Near-duplicate vector pairs (cosine >= threshold) via LSH buckets.
 
@@ -380,10 +389,11 @@ def embedding_near_dup(
     :func:`oversized_vector_buckets`; raise ``n_planes`` with corpus size
     (buckets per table = 2^n_planes) so expected bucket size stays bounded.
     ``tables`` overrides the seeded gaussian hyperplanes (e.g. with
-    integer-quantized planes for the exact-arithmetic oracle path)."""
+    integer-quantized planes for the exact-arithmetic oracle path);
+    ``kernel`` as in :func:`ann_lsh_topk` (BLAS buckets for wide dims)."""
     tables = tables if tables is not None else _hyperplanes(
         dim, n_planes, n_tables, seed)
-    b = _bucketed(corpus, tables, corpus_id, vec_col)
+    b = _bucketed(corpus, tables, corpus_id, vec_col, kernel)
     oversized = (
         b.groupBy("table_idx", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))

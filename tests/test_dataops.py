@@ -173,6 +173,12 @@ def test_embedding_near_dup(spark):
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     expected = {(r["vec_id"], r["vec_id"] + 9_000_000) for r in emb.limit(8).collect()}
     assert len(expected & found) >= 6  # LSH recall on identical vectors
+    # BLAS bucket kernel: identical-vector pairs land in identical buckets
+    # regardless of summation order, so recall can only match or exceed
+    arrow = {(r["id_a"], r["id_b"]) for r in similarity.embedding_near_dup(
+        emb.unionByName(dup), threshold=0.999, dim=dim,
+        kernel="arrow").collect()}
+    assert len(expected & arrow) >= 6
 
 
 def test_media_plumbing(spark):
