@@ -518,6 +518,28 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_flat_topk(queries, emb, centroids, k=5, nprobe=3)
 
 
+def q_ivf_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME IVF job through the BLAS Arrow kernel (wide-embedding
+    path, similarity.ivf_assign_arrow) against the SAME oracle: the gate
+    vectors are integer-quantized, so matmul vs sequential-fold summation
+    order cannot diverge (exact integer-valued doubles) and the
+    assignment, probing, tie-breaks, and rounded cosines are all
+    bit-identical to the Column path — the Python-boundary kernel is in
+    the correctness gate, not just pytest."""
+    from .operators.similarity import ivf_flat_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * 1000)).alias("embedding"))
+    centroids = emb.filter(F.pmod(F.col("vec_id"), F.lit(25)) == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_flat_topk(queries, emb, centroids, k=5, nprobe=3,
+                         kernel="arrow")
+
+
 def sql_ivf_topk(k: int = 5, nprobe: int = 3) -> str:
     d2 = ("list_aggregate(list_transform(list_zip(QV, CV), "
           "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')")
@@ -1410,6 +1432,7 @@ EXT_QUERIES = {
     "cosine_topk": (q_cosine_topk, sql_cosine_topk),
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup),
     "ivf_topk": (q_ivf_topk, sql_ivf_topk),
+    "ivf_topk_arrow": (q_ivf_topk_arrow, sql_ivf_topk),
     "ann_lsh_topk": (q_ann_topk, sql_ann_topk),
     "knn_ring": (q_knn_ring, sql_knn_ring),
     "pip_join": (q_pip_join, sql_pip_join),
