@@ -357,29 +357,10 @@ def py_hilbert_ij(d: int, level: int) -> "tuple[int, int]":
 def py_s2_cell(lon: float, lat: float, level: int) -> int:
     _check_level(level)
     lon_r, lat_r = math.radians(lon), math.radians(lat)
-    x = math.cos(lat_r) * math.cos(lon_r)
-    y = math.cos(lat_r) * math.sin(lon_r)
-    z = math.sin(lat_r)
-    ax, ay, az = abs(x), abs(y), abs(z)
-    if ax >= ay and ax >= az:
-        face = 0 if x >= 0 else 3
-    elif ay >= az:
-        face = 1 if y >= 0 else 4
-    else:
-        face = 2 if z >= 0 else 5
-    u, v = [eval(e, {"x": x, "y": y, "z": z})  # tiny fixed formula table
-            for e in _FACE_UV[face]]
-
-    def st(uu: float) -> float:
-        return (0.5 * math.sqrt(1.0 + 3.0 * uu) if uu >= 0
-                else 1.0 - 0.5 * math.sqrt(1.0 - 3.0 * uu))
-
-    n = 1 << level
-    i = max(0, min(int(math.floor(st(u) * n)), n - 1))
-    j = max(0, min(int(math.floor(st(v) * n)), n - 1))
-    pos = py_hilbert_pos(i, j, level)
-    shift = 2 * (MAX_LEVEL - level)
-    return (face << (2 * MAX_LEVEL + 1)) | (pos << (shift + 1)) | (1 << shift)
+    return _py_cell_from_xyz(
+        math.cos(lat_r) * math.cos(lon_r),
+        math.cos(lat_r) * math.sin(lon_r),
+        math.sin(lat_r), level)
 
 
 def py_s2_parent(cell: int, level: int) -> int:
@@ -390,6 +371,126 @@ def py_s2_parent(cell: int, level: int) -> int:
 def py_s2_range(cell: int) -> "tuple[int, int]":
     lsb = cell & -cell
     return cell - lsb + 1, cell + lsb - 1
+
+
+# --------------------------------------------------- neighbors (python)
+
+# face (u,v) -> xyz direction, the exact inverse of _FACE_UV (consistency
+# verified in tests via corner sharing): face 0:+x 1:+y 2:+z 3:-x 4:-y 5:-z
+_FACE_XYZ = {
+    0: lambda u, v: (1.0, u, v),
+    1: lambda u, v: (-u, 1.0, v),
+    2: lambda u, v: (-u, -v, 1.0),
+    3: lambda u, v: (-1.0, -v, -u),
+    4: lambda u, v: (v, -1.0, -u),
+    5: lambda u, v: (v, u, -1.0),
+}
+
+
+def _u_from_st(s: float) -> float:
+    """Inverse quadratic transform, EXTENDED beyond [0,1]: monotone for
+    all s, which is what lets a neighbor one step past the face edge be
+    expressed in the same face plane and re-projected."""
+    if s >= 0.5:
+        return (4.0 * s * s - 1.0) / 3.0
+    return (1.0 - 4.0 * (1.0 - s) * (1.0 - s)) / 3.0
+
+
+def py_s2_decode(cell: int) -> "tuple[int, int, int, int]":
+    """cell -> (face, i, j, level)."""
+    face = cell >> (2 * MAX_LEVEL + 1)
+    lsb = cell & -cell
+    shift = lsb.bit_length() - 1
+    level = MAX_LEVEL - shift // 2
+    pos = (cell >> (shift + 1)) & ((1 << (2 * level)) - 1)
+    i, j = py_hilbert_ij(pos, level)
+    return face, i, j, level
+
+
+def _py_cell_from_face_ij(face: int, i: int, j: int, level: int) -> int:
+    pos = py_hilbert_pos(i, j, level)
+    shift = 2 * (MAX_LEVEL - level)
+    return (face << (2 * MAX_LEVEL + 1)) | (pos << (shift + 1)) | (1 << shift)
+
+
+def _py_cell_from_xyz(x: float, y: float, z: float, level: int) -> int:
+    ax, ay, az = abs(x), abs(y), abs(z)
+    if ax >= ay and ax >= az:
+        face = 0 if x >= 0 else 3
+    elif ay >= az:
+        face = 1 if y >= 0 else 4
+    else:
+        face = 2 if z >= 0 else 5
+    u, v = [eval(e, {"x": x, "y": y, "z": z}) for e in _FACE_UV[face]]
+
+    def st(uu: float) -> float:
+        return (0.5 * math.sqrt(1.0 + 3.0 * uu) if uu >= 0
+                else 1.0 - 0.5 * math.sqrt(1.0 - 3.0 * uu))
+
+    n = 1 << level
+    i = max(0, min(int(math.floor(st(u) * n)), n - 1))
+    j = max(0, min(int(math.floor(st(v) * n)), n - 1))
+    return _py_cell_from_face_ij(face, i, j, level)
+
+
+def py_s2_cell_corners(cell: int) -> "list[tuple[float, float, float]]":
+    """The 4 unit-sphere corner directions of a cell (i/j grid corners
+    through uv -> xyz, normalized) — the geometric ground truth used to
+    test adjacency."""
+    face, i, j, level = py_s2_decode(cell)
+    n = 1 << level
+    out = []
+    for di, dj in ((0, 0), (1, 0), (1, 1), (0, 1)):
+        u = _u_from_st((i + di) / n)
+        v = _u_from_st((j + dj) / n)
+        x, y, z = _FACE_XYZ[face](u, v)
+        r = math.sqrt(x * x + y * y + z * z)
+        out.append((x / r, y / r, z / r))
+    return out
+
+
+def py_s2_neighbors(cell: int) -> "list[int]":
+    """The 4 edge-adjacent cells at the same level, cross-face correct.
+
+    In-face steps are pure (i,j) arithmetic.  A step past the face edge
+    uses the EXTENDED (u,v) plane: the neighbor's center expressed in
+    this face's coordinates maps through face_uv_to_xyz to the right
+    point on the sphere (the cube projection is valid and monotone for
+    |u| > 1), and re-encoding that direction yields the neighbor cell on
+    the adjacent face.  Edge-adjacency (sharing exactly 2 corners) is
+    asserted in tests for both the in-face and cross-face arms."""
+    face, i, j, level = py_s2_decode(cell)
+    n = 1 << level
+    out = []
+    for di, dj in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        ii, jj = i + di, j + dj
+        if 0 <= ii < n and 0 <= jj < n:
+            out.append(_py_cell_from_face_ij(face, ii, jj, level))
+        else:
+            u = _u_from_st((ii + 0.5) / n)
+            v = _u_from_st((jj + 0.5) / n)
+            x, y, z = _FACE_XYZ[face](u, v)
+            out.append(_py_cell_from_xyz(x, y, z, level))
+    return out
+
+
+def py_s2_ring(cell: int, k: int) -> "list[int]":
+    """All cells within k edge-steps (BFS over neighbors, sorted) — the
+    S2 analogue of tilemath.k_ring_cells.  Intended driver-side: expand
+    the SMALL query/region side and broadcast (the engine's kNN ring
+    expansion keeps the big table unshuffled; geo/tilemath.py is the
+    bulk per-row grid)."""
+    seen = {cell}
+    frontier = [cell]
+    for _ in range(k):
+        nxt = []
+        for c in frontier:
+            for nb in py_s2_neighbors(c):
+                if nb not in seen:
+                    seen.add(nb)
+                    nxt.append(nb)
+        frontier = nxt
+    return sorted(seen)
 
 
 # ----------------------------------------------------------- DuckDB oracle

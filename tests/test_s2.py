@@ -68,6 +68,57 @@ def test_hierarchy_bit_arithmetic(face, level, data):
     assert shi < lo or slo > hi
 
 
+def test_decode_roundtrip():
+    for lon, lat in _LATTICE[:60]:
+        for level in (2, 9, 15):
+            cell = s2.py_s2_cell(lon, lat, level)
+            face, i, j, lvl = s2.py_s2_decode(cell)
+            assert lvl == level
+            assert s2._py_cell_from_face_ij(face, i, j, lvl) == cell
+
+
+def _shared_corners(a, b):
+    ca, cb = s2.py_s2_cell_corners(a), s2.py_s2_cell_corners(b)
+    n = 0
+    for p in ca:
+        for q in cb:
+            if sum((x - y) ** 2 for x, y in zip(p, q)) < 1e-18:
+                n += 1
+                break
+    return n
+
+
+def test_neighbors_edge_adjacent_including_cross_face():
+    """Each of the 4 neighbors shares EXACTLY one edge (2 corners) with
+    the cell — the geometric definition of edge adjacency — and the
+    relation is symmetric.  The sample forces every arm: face-interior
+    cells, face-edge cells (cross-face step), and cube-corner cells."""
+    samples = [
+        s2.py_s2_cell(10.0, 20.0, 6),        # interior
+        s2.py_s2_cell(44.9999, 0.0, 4),      # face edge (0 -> 1)
+        s2.py_s2_cell(0.001, 89.99, 3),      # polar face
+        s2.py_s2_cell(-135.0001, -35.26, 2), # near a cube corner
+        s2.py_s2_cell(179.99, -0.01, 5),     # antimeridian face edge
+    ]
+    for cell in samples:
+        nbs = s2.py_s2_neighbors(cell)
+        assert len(set(nbs)) == 4 and cell not in nbs
+        for nb in nbs:
+            assert s2.py_s2_decode(nb)[3] == s2.py_s2_decode(cell)[3]
+            assert _shared_corners(cell, nb) == 2, (cell, nb)
+            assert cell in s2.py_s2_neighbors(nb)  # symmetry
+
+
+def test_ring_bfs():
+    cell = s2.py_s2_cell(10.0, 20.0, 8)
+    r0 = s2.py_s2_ring(cell, 0)
+    r1 = s2.py_s2_ring(cell, 1)
+    r2 = s2.py_s2_ring(cell, 2)
+    assert r0 == [cell]
+    assert len(r1) == 5 and set(r0) < set(r1) < set(r2)
+    assert len(r2) == 13  # interior: 1 + 4 + 8
+
+
 # ---------------------------------------------------------------- lattice
 
 _LATTICE = [(-179.9 + (i * 7.13) % 359.8, -84.9 + (i * 3.77) % 169.8)
