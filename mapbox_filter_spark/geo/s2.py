@@ -294,7 +294,15 @@ def with_s2_cell(df, lon="lon", lat="lat", level: int = 12,
     cell = (F.shiftleft(F.col(P + "face"), 2 * MAX_LEVEL + 1)
             .bitwiseOR(F.shiftleft(F.col(P + "d"), shift + 1))
             .bitwiseOR(F.lit(1 << shift).cast("long")))
-    return df.select(*base_cols, cell.alias(out))
+    # explode(array(cell)) is a deliberate OPTIMIZER BARRIER, not style:
+    # PushDownPredicate substitutes projected aliases, so a downstream
+    # filter on the cell column would inline the whole unrolled chain
+    # into the predicate and re-substitute per stage — measured as a
+    # planner hang (minutes at 1000 rows).  Predicates on a GENERATOR
+    # output cannot push through the Generate, which pins them above the
+    # chain; GenerateExec itself stays in WholeStageCodegen (plan-
+    # asserted), and a 1-element explode is row-local and shuffle-free.
+    return df.select(*base_cols, F.explode(F.array(cell)).alias(out))
 
 
 def s2_covering_join(points, regions, point_cell: str = "cell",
@@ -496,15 +504,22 @@ def py_s2_ring(cell: int, k: int) -> "list[int]":
 # ----------------------------------------------------------- DuckDB oracle
 
 
-def s2_oracle_cte(points_sql: str, level_expr: str = "lvl") -> str:
+def s2_oracle_cte(points_sql: str, level_expr: str = "lvl",
+                  carry: "tuple[str, ...]" = ()) -> str:
     """Emit the whole lon/lat → cell-id pipeline as DuckDB SQL.
 
     ``points_sql`` must yield (pkey, lon, lat, lvl); the result CTE
-    ``s2cells`` yields (pkey, lvl, cell).  The Hilbert fold runs as a
+    ``s2cells`` yields (pkey, lvl, cell) plus any ``carry`` columns the
+    caller wants propagated through the fold (avoids a re-join on pkey,
+    which would FAN OUT if pkey is not unique in the source — the
+    synthetic corpus carries genuine duplicate ids and a per-row payload
+    must ride the fold, exactly like the Spark side keeps its columns).
+    The Hilbert fold runs as a
     recursive CTE — one iteration per level, all rows advance together;
     initial s = 1 << (lvl-1) is per-row data, so mixed levels fold in one
     pass.  Math is a line-for-line transcription of the Spark columns
     above; face ties resolve in the same CASE order."""
+    carry_cols = "".join(", " + c for c in carry)
     face_uv_cases_u = " ".join(
         f"WHEN {f} THEN {uv[0]}" for f, uv in _FACE_UV.items())
     face_uv_cases_v = " ".join(
@@ -512,14 +527,14 @@ def s2_oracle_cte(points_sql: str, level_expr: str = "lvl") -> str:
     return f"""
 pts AS ({points_sql}),
 xyz AS (
-  SELECT pkey, {level_expr} AS lvl,
+  SELECT pkey{carry_cols}, {level_expr} AS lvl,
          COS(RADIANS(lat)) * COS(RADIANS(lon)) AS x,
          COS(RADIANS(lat)) * SIN(RADIANS(lon)) AS y,
          SIN(RADIANS(lat)) AS z
   FROM pts
 ),
 faced AS (
-  SELECT pkey, lvl, x, y, z,
+  SELECT pkey{carry_cols}, lvl, x, y, z,
          CASE WHEN ABS(x) >= ABS(y) AND ABS(x) >= ABS(z)
               THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
               WHEN ABS(y) >= ABS(z)
@@ -528,13 +543,13 @@ faced AS (
   FROM xyz
 ),
 uv AS (
-  SELECT pkey, lvl, face,
+  SELECT pkey{carry_cols}, lvl, face,
          CASE face {face_uv_cases_u} END AS u,
          CASE face {face_uv_cases_v} END AS v
   FROM faced
 ),
 ij AS (
-  SELECT pkey, lvl, face,
+  SELECT pkey{carry_cols}, lvl, face,
          GREATEST(0, LEAST(CAST(FLOOR(
            (CASE WHEN u >= 0 THEN 0.5 * SQRT(1.0 + 3.0 * u)
                  ELSE 1.0 - 0.5 * SQRT(1.0 - 3.0 * u) END)
@@ -546,11 +561,11 @@ ij AS (
   FROM uv
 ),
 hil AS (
-  SELECT pkey, lvl, face, CAST(i AS BIGINT) AS x, CAST(j AS BIGINT) AS y,
+  SELECT pkey{carry_cols}, lvl, face, CAST(i AS BIGINT) AS x, CAST(j AS BIGINT) AS y,
          CAST(0 AS BIGINT) AS d, CAST(1 << (lvl - 1) AS BIGINT) AS s
   FROM ij
   UNION ALL
-  SELECT pkey, lvl, face,
+  SELECT pkey{carry_cols}, lvl, face,
     CASE WHEN (y & s) = 0
          THEN CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END ELSE x END,
     CASE WHEN (y & s) = 0
@@ -561,7 +576,7 @@ hil AS (
   FROM hil WHERE s > 0
 ),
 s2cells AS (
-  SELECT pkey, lvl,
+  SELECT pkey{carry_cols}, lvl,
          (CAST(face AS BIGINT) << {2 * MAX_LEVEL + 1})
          | (d << (2 * ({MAX_LEVEL} - lvl) + 1))
          | (CAST(1 AS BIGINT) << (2 * ({MAX_LEVEL} - lvl))) AS cell

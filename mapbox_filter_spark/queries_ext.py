@@ -1301,6 +1301,82 @@ FROM fcells f JOIN rcells r
 GROUP BY r.region_cell"""
 
 
+_S2_KNN_QUERIES = ((0, 10.0, 20.0), (1, -75.0, -40.0), (2, 150.0, 65.0))
+_S2_KNN_LEVEL, _S2_KNN_RADIUS, _S2_KNN_K = 8, 2, 5
+
+
+def q_s2_ring_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN by S2 ring expansion: each query's candidate set is the k-ring
+    of its cell (py_s2_ring — BFS over cross-face neighbors, computed
+    driver-side and broadcast as literals, the engine's small-side
+    pattern), exact distance re-rank on top.  The corpus never shuffles:
+    with_s2_cell (codegen unroll) + a broadcast array_contains join; only
+    the tiny candidate subset rides the top-k window."""
+    from .geo import s2
+
+    feats = s2.with_s2_cell(
+        features_from_lineitem(spark, sf_dir).select("feature_id", "lon", "lat"),
+        level=_S2_KNN_LEVEL, out="cell")
+
+    qrows = [
+        (qid, qlon, qlat,
+         s2.py_s2_ring(s2.py_s2_cell(qlon, qlat, _S2_KNN_LEVEL),
+                       _S2_KNN_RADIUS))
+        for qid, qlon, qlat in _S2_KNN_QUERIES
+    ]
+    qdf = spark.createDataFrame(
+        qrows, "query_id int, q_lon double, q_lat double, ring array<long>")
+
+    cand = feats.join(F.broadcast(qdf),
+                      F.array_contains(F.col("ring"), F.col("cell")))
+    # multiplication, not POWER(x, 2): libm pow need not equal x*x in the
+    # last ulp, and the oracle multiplies
+    dlon = F.col("lon") - F.col("q_lon")
+    dlat = F.col("lat") - F.col("q_lat")
+    d2 = dlon * dlon + dlat * dlat
+    w = W.partitionBy("query_id").orderBy(F.col("d2").asc(),
+                                          F.col("feature_id").asc())
+    return (cand.withColumn("d2", F.round(d2, 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _S2_KNN_K)
+            .select("query_id", "rank", "feature_id", "d2"))
+
+
+def sql_s2_ring_knn() -> str:
+    from .geo import s2
+
+    # carry lon/lat THROUGH the fold: re-joining s2cells on feature_id
+    # would fan out on the corpus's genuine duplicate ids (seen at
+    # sf0.01) — the Spark side never re-joins either
+    cte = s2.s2_oracle_cte(
+        f"SELECT feature_id AS pkey, lon, lat, {_S2_KNN_LEVEL} AS lvl "
+        f"FROM features", carry=("lon", "lat"))
+    arms = []
+    for qid, qlon, qlat in _S2_KNN_QUERIES:
+        ring = s2.py_s2_ring(
+            s2.py_s2_cell(qlon, qlat, _S2_KNN_LEVEL), _S2_KNN_RADIUS)
+        arms.append(
+            f"SELECT {qid} AS query_id,"
+            f" CAST({qlon!r} AS DOUBLE) AS q_lon,"
+            f" CAST({qlat!r} AS DOUBLE) AS q_lat,"
+            f" unnest(ARRAY[{', '.join(map(str, ring))}]) AS cell")
+    return f"""WITH RECURSIVE {FEATURES_ORACLE_SQL}, {cte},
+fc AS (SELECT pkey AS feature_id, lon, lat, cell FROM s2cells),
+qr AS ({' UNION ALL '.join(arms)}),
+cand AS (
+  SELECT q.query_id, fc.feature_id,
+         ROUND((fc.lon - q.q_lon) * (fc.lon - q.q_lon)
+               + (fc.lat - q.q_lat) * (fc.lat - q.q_lat), 6) AS d2
+  FROM fc JOIN qr q USING (cell)
+)
+SELECT query_id, rank, feature_id, d2 FROM (
+  SELECT query_id, feature_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d2, feature_id) AS rank
+  FROM cand)
+WHERE rank <= {_S2_KNN_K}"""
+
+
 # -------------------------------------------------- span-sequence invariant
 #
 # BASELINE.json input_hint: "per-row invariant vs the reference:
@@ -1451,4 +1527,5 @@ EXT_QUERIES = {
     "span_integrity": (q_span_integrity, sql_span_integrity),
     "s2_assign": (q_s2_assign, sql_s2_assign),
     "s2_cover_join": (q_s2_cover_join, sql_s2_cover_join),
+    "s2_ring_knn": (q_s2_ring_knn, sql_s2_ring_knn),
 }
