@@ -671,6 +671,23 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         tables=_quantized_planes())
 
 
+def q_ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same LSH job through the BLAS bucket kernel against the SAME
+    oracle: integer-quantized planes and vectors make X·Pᵀ sign bits
+    exact regardless of summation order, so buckets, candidates, and
+    rounded cosines are bit-identical to the Column path."""
+    from .operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * 1000)).alias("embedding"))
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ann_lsh_topk(queries, emb, k=5, dim=64,
+                        tables=_quantized_planes(), kernel="arrow")
+
+
 def sql_ann_topk(k: int = 5) -> str:
     tables = _quantized_planes()
     bucket_cases = []
@@ -1510,6 +1527,7 @@ EXT_QUERIES = {
     "ivf_topk": (q_ivf_topk, sql_ivf_topk),
     "ivf_topk_arrow": (q_ivf_topk_arrow, sql_ivf_topk),
     "ann_lsh_topk": (q_ann_topk, sql_ann_topk),
+    "ann_lsh_topk_arrow": (q_ann_topk_arrow, sql_ann_topk),
     "knn_ring": (q_knn_ring, sql_knn_ring),
     "pip_join": (q_pip_join, sql_pip_join),
     "raster_join": (q_raster_join, sql_raster_join),
