@@ -274,14 +274,18 @@ def q_hash_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental tile diff: md5 per tile of current vs mutated-previous
     corpus; emit changed tile keys (Md5Worker.hs:37-55 parity).
 
-    'Previous' mutates the payload of every 20th feature; changed set =
-    exactly the tiles containing a mutated feature.
+    'Previous' mutates the payload of features with feature_id ≡ 1 (mod 20);
+    changed set = exactly the tiles containing a mutated feature.  The residue
+    MUST be reachable: feature_id = 10*l_orderkey + l_linenumber with
+    l_linenumber ∈ 1..7, so residues ≡ 0 (mod 10) never occur — a `% 20 == 0`
+    mutation branch would be dead and the gate would vacuously compare two
+    identical hash sets (the round-3 verdict's finding #1).
     """
     feats = _with_tiles(features_from_lineitem(spark, sf_dir), 6)
     payload_cur = F.concat_ws(":", F.col("doc_id"),
                               F.coalesce(F.col("p_class"), F.lit("")))
     payload_prev = F.when(
-        F.pmod(F.col("feature_id"), F.lit(20)) == 0,
+        F.pmod(F.col("feature_id"), F.lit(20)) == 1,
         F.concat_ws(":", F.col("doc_id"), F.lit("MUTATED")),
     ).otherwise(payload_cur)
 
@@ -313,10 +317,10 @@ cur AS (
 ),
 prev AS (
   SELECT z, x, y,
-         MD5(STRING_AGG(CASE WHEN feature_id % 20 = 0
+         MD5(STRING_AGG(CASE WHEN feature_id % 20 = 1
                              THEN doc_id || ':MUTATED'
                              ELSE doc_id || ':' || COALESCE(p_class, '') END, '|'
-             ORDER BY CASE WHEN feature_id % 20 = 0
+             ORDER BY CASE WHEN feature_id % 20 = 1
                              THEN doc_id || ':MUTATED'
                              ELSE doc_id || ':' || COALESCE(p_class, '') END)) AS h_prev
   FROM t GROUP BY z, x, y
