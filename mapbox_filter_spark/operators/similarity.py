@@ -101,14 +101,24 @@ def ivf_assign_arrow(
     exactly-representable inputs (tested) while near-ties may order
     differently at 1-ulp distances — irrelevant to an ANN contract."""
     import numpy as np
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import StructField, StructType
 
     cents = centroids.orderBy("cent_id").collect()
     ids = np.array([r["cent_id"] for r in cents], dtype=np.int64)
     C = np.array([list(r["cent_vec"]) for r in cents], dtype=np.float64)
     c_sq = (C * C).sum(axis=1)
+    # Preserve the centroid table's id type (the column kernel does the
+    # same): hardcoding IntegerType would silently wrap cent_ids > 2^31
+    # under the default convertToArrowArraySafely=false, and the two
+    # kernels would disagree on output schema (round-3 ADVICE).
+    cent_id_type = centroids.schema["cent_id"].dataType
     out_schema = StructType(
-        list(vectors.schema.fields) + [StructField("cent_id", IntegerType())])
+        list(vectors.schema.fields) + [StructField("cent_id", cent_id_type)])
+    # argsort's [:, :k] clamps at the column count, but index.repeat does
+    # not — with n_lists > len(ids) the two lengths diverge and pandas
+    # raises.  Clamp the probe count to the centroid count (column kernel
+    # degrades the same way).
+    k_probe = min(n_lists, len(ids))
 
     def assign(batches):
         for pdf in batches:
@@ -116,15 +126,15 @@ def ivf_assign_arrow(
                 continue
             X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
-            if n_lists == 1:
+            if k_probe == 1:
                 # np.argmin returns the FIRST minimum; centroids are
                 # cent_id-ordered, so ties break to the smallest cent_id
                 out = pdf.copy()
                 out["cent_id"] = ids[np.argmin(d2, axis=1)]
                 yield out
             else:
-                order = np.argsort(d2, axis=1, kind="stable")[:, :n_lists]
-                out = pdf.loc[pdf.index.repeat(n_lists)].copy()
+                order = np.argsort(d2, axis=1, kind="stable")[:, :k_probe]
+                out = pdf.loc[pdf.index.repeat(k_probe)].copy()
                 out["cent_id"] = ids[order].ravel()
                 yield out
 

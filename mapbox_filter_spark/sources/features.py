@@ -29,6 +29,26 @@ _GEOMS = ("Point", "LineString", "Polygon")
 _FEATURES_VERSION = "v1"
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """Stable hex digest of the lineitem source identity: (relative path,
+    size, mtime_ns) of every file under lineitem.parquet (or the single
+    file itself).  Cheap — stat only, no reads."""
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    entries = []
+    if os.path.isdir(src):
+        for root, _dirs, files in os.walk(src):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                entries.append((os.path.relpath(p, src), st.st_size,
+                                st.st_mtime_ns))
+    elif os.path.exists(src):
+        st = os.stat(src)
+        entries.append(("lineitem.parquet", st.st_size, st.st_mtime_ns))
+    import hashlib
+    return hashlib.sha1(repr(sorted(entries)).encode()).hexdigest()[:12]
+
+
 def features_from_lineitem(spark: SparkSession, sf_dir: str,
                            use_cache: "bool | None" = None) -> DataFrame:
     """Feature substrate — materialized once per sf_dir to parquet.
@@ -50,8 +70,16 @@ def features_from_lineitem(spark: SparkSession, sf_dir: str,
         return _derive_features(spark, sf_dir)
 
     slug = sf_dir.strip("/").replace("/", "_")
-    cache = os.path.join(tempfile.gettempdir(),
-                         f"mfs_feats_{_FEATURES_VERSION}_{slug}")
+    # The cache key folds in a fingerprint of the SOURCE data (mtime+size of
+    # every lineitem parquet part) so regenerating lineitem.parquet in the
+    # same sf_dir (new seed / scale) invalidates the cache instead of
+    # silently serving stale features (round-3 ADVICE).  The tempdir cache is
+    # a LOCAL-MODE convenience only: on a real cluster the substrate is a
+    # managed table and this path is bypassed (use_cache=False) — documented
+    # in SCALE.md.
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        f"mfs_feats_{_FEATURES_VERSION}_{slug}_{_source_fingerprint(sf_dir)}")
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         tmp = f"{cache}.tmp.{os.getpid()}"
         try:

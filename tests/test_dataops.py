@@ -132,6 +132,34 @@ def test_ivf_arrow_kernel_matches_column(spark):
         auto._jdf.queryExecution().executedPlan().toString()
 
 
+def test_ivf_arrow_kernel_edge_cases(spark):
+    """Round-3 ADVICE regressions: (a) the arrow kernel must preserve the
+    centroid table's cent_id type — a hardcoded IntegerType would silently
+    wrap ids > 2^31 under convertToArrowArraySafely=false; (b) n_lists
+    greater than the centroid count must clamp (the column kernel's sorted
+    slice already degrades gracefully) instead of raising a pandas
+    length-mismatch."""
+    corpus = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % 5 + i).cast("double")
+                  for i in range(4)]).alias("embedding"))
+    big = 2**40
+    cents = spark.range(3).select(
+        (F.col("id") + big).alias("cent_id"),  # LongType, > 2^31
+        F.array(*[(F.col("id") * 2 + i).cast("double")
+                  for i in range(4)]).alias("cent_vec"))
+    arr = similarity.ivf_assign(corpus, cents, "vec_id", "embedding", 1,
+                                kernel="arrow")
+    assert arr.schema["cent_id"].dataType == cents.schema["cent_id"].dataType
+    got = {r["cent_id"] for r in arr.collect()}
+    assert got <= {big, big + 1, big + 2} and got  # no int32 wrap
+    # n_lists (5) > number of centroids (3): both kernels clamp to 3
+    for kern in ("column", "arrow"):
+        out = similarity.ivf_assign(corpus, cents, "vec_id", "embedding", 5,
+                                    kernel=kern)
+        assert out.count() == 40 * 3, kern
+
+
 def test_ivf_flat_topk_arrow_kernel(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
     queries = emb.limit(5).select(F.col("vec_id").alias("query_id"),
