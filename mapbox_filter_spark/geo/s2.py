@@ -23,7 +23,10 @@ once-binding discipline (operators/hof.py, NOTES_r3 PITFALL 0) is applied:
 trig + face projection are bound once per row, never re-evaluated inside
 the per-level fold.
 
-Id layout (MAX_LEVEL = 15, fits comfortably in int64)::
+Id layout (MAX_LEVEL = 29, the deepest level the int64 layout holds:
+face 3 bits + 2*29 position bits + 1 sentinel = 62 bits, always
+positive; real S2's level 30 needs the sign bit, which would break
+BETWEEN range joins on signed longs)::
 
     id = face << (2*MAX_LEVEL + 1)
        | pos  << (2*(MAX_LEVEL - level) + 1)
@@ -48,7 +51,7 @@ from pyspark.sql import functions as F
 
 from ..operators.hof import bind_once
 
-MAX_LEVEL = 15
+MAX_LEVEL = 29  # ~1 cm cells at the equator; level 15 ≈ 300 m
 
 # face numbering: 0:+x 1:+y 2:+z 3:-x 4:-y 5:-z (ties resolved in this
 # CASE order — deterministic and mirrored verbatim in the oracle SQL)

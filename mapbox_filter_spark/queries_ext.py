@@ -1240,9 +1240,12 @@ def q_s2_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = features_from_lineitem(spark, sf_dir).select(
         "feature_id", "lon", "lat")
     # bulk path: chained-projection unroll, whole-stage codegen;
-    # parent/token/face below are bit ops on the materialized cell column
+    # parent/token/face below are bit ops on the materialized cell column.
+    # Level 21 (~10 m cells) exercises the deep end of the MAX_LEVEL=29
+    # layout — the Hilbert fold runs 21 unrolled steps and the ids use
+    # high bits (face << 59).
     return (
-        s2.with_s2_cell(feats, level=10, out="s2_cell")
+        s2.with_s2_cell(feats, level=21, out="s2_cell")
         .select(
             "feature_id", "s2_cell",
             s2.s2_face(F.col("s2_cell")).alias("s2_face"),
@@ -1255,7 +1258,7 @@ def sql_s2_assign() -> str:
     from .geo import s2
 
     cte = s2.s2_oracle_cte(
-        "SELECT feature_id AS pkey, lon, lat, 10 AS lvl FROM features")
+        "SELECT feature_id AS pkey, lon, lat, 21 AS lvl FROM features")
     lsb4 = 1 << (2 * (s2.MAX_LEVEL - 4))
     return f"""WITH RECURSIVE {FEATURES_ORACLE_SQL}, {cte}
 SELECT pkey AS feature_id, cell AS s2_cell,

@@ -208,6 +208,59 @@ def test_face_coverage():
         assert cell >> (2 * s2.MAX_LEVEL + 1) == face, (lon, lat)
 
 
+_CORNER_LAT = 35.264389682754654  # degrees(atan(1/sqrt(2)))
+
+# Pinned level-20 fixtures for every geometric degeneracy: 6 face centers,
+# the 8 cube corners, the poles, and the ±180 meridian.  Tie-break rule
+# (documented, deterministic): the face CASE prefers the x axis when
+# |x| >= |y| AND |x| >= |z|, else y when |y| >= |z|, else z — evaluated on
+# the FLOATING-POINT xyz, so e.g. lat 90 has x ≈ 6.1e-17 (not 0) and the
+# z arm wins; i/j floors clamp into [0, 2^level - 1].  lon +180 and
+# lon -180 produce opposite y signs (sin(±π) ≈ ±1.2e-16) and therefore
+# DIFFERENT (pinned) cells on face 3 — a floating-point artifact shared by
+# the Spark columns, the python twin, and the DuckDB oracle alike.
+_DEGENERATE_FIXTURES = [
+    ("face0_center", 0.0, 0.0, 288230376151973888, 0),
+    ("face1_center", 90.0, 0.0, 864691128455397376, 1),
+    ("north_pole", 0.0, 90.0, 1441151880758820864, 2),
+    ("face3_center", 180.0, 0.0, 2209766217163210752, 3),
+    ("face4_center", -90.0, 0.0, 2594073385365667840, 4),
+    ("south_pole", 0.0, -90.0, 3170534137669091328, 5),
+    ("corner_ppp", 45.0, _CORNER_LAT, 384307168202194944, 0),
+    ("corner_npp", 135.0, _CORNER_LAT, 960767920505618432, 1),
+    ("corner_nnp", -135.0, _CORNER_LAT, 2305843009213956096, 4),
+    ("corner_pnp", -45.0, _CORNER_LAT, 192153584101228544, 0),
+    ("corner_ppn", 45.0, -_CORNER_LAT, 576460752303161344, 0),
+    ("corner_npn", 135.0, -_CORNER_LAT, 1152921504606584832, 1),
+    ("corner_nnn", -135.0, -_CORNER_LAT, 2882303761516855296, 4),
+    ("corner_pnn", -45.0, -_CORNER_LAT, 262144, 0),
+    ("antimeridian_pos", 180.0, 30.0, 1839766662165561344, 3),
+    ("antimeridian_neg", -180.0, 30.0, 1884616427941658624, 3),
+]
+
+
+def test_degenerate_points_pinned(spark):
+    """Poles, face centers, cube corners, antimeridian: exact pinned ids
+    from all three implementations (python twin, Column fold, bulk
+    unroll) — freezes the tie-break rule."""
+    for name, lon, lat, want, want_face in _DEGENERATE_FIXTURES:
+        got = s2.py_s2_cell(lon, lat, 20)
+        assert got == want, (name, got, want)
+        assert got >> (2 * s2.MAX_LEVEL + 1) == want_face, name
+
+    df = spark.createDataFrame(
+        [(n, lon, lat) for n, lon, lat, _, _ in _DEGENERATE_FIXTURES],
+        "name string, lon double, lat double")
+    col_rows = {r["name"]: r["c"] for r in df.select(
+        "name", s2.s2_cell(F.col("lon"), F.col("lat"), 20).alias("c"))
+        .collect()}
+    bulk_rows = {r["name"]: r["c"] for r in
+                 s2.with_s2_cell(df, level=20, out="c").collect()}
+    for name, _lon, _lat, want, _f in _DEGENERATE_FIXTURES:
+        assert col_rows[name] == want, ("column", name)
+        assert bulk_rows[name] == want, ("bulk", name)
+
+
 def test_locality_beats_random():
     """Hilbert locality: nearby points at the same level share parents far
     more often than far-apart points — a smoke check of WHY the index
