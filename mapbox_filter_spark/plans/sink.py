@@ -230,10 +230,25 @@ def write_tilejson(out_dir: str, meta: dict, url_template: str) -> str:
 
 # ---------------------------------------------------- differential publish
 
+def _is_sqlite_store(path: str) -> bool:
+    """Reference-parity SQLite store only for explicitly sqlite-ish paths
+    (the reference's ``--hashes-db hashes.db``); anything else is a parquet
+    DIRECTORY — the default, scale-safe store (executor-parallel write, no
+    driver funnel, no single-writer file)."""
+    return path.endswith((".db", ".sqlite", ".sqlite3"))
+
+
 def read_tile_hashes(spark, path: str) -> Optional[DataFrame]:
-    """Previous publish's hash db (the reference's hashes.db,
-    app/Md5Worker.hs + --hashes-db): sqlite ``tile_hashes(z, x, y, hash)``
-    with XYZ rows.  Returns None if the file does not exist."""
+    """Previous publish's hash store.  Parquet directory by default;
+    sqlite ``tile_hashes(z, x, y, hash)`` (the reference's hashes.db,
+    app/Md5Worker.hs + --hashes-db) when the path says so.  Returns None
+    if the store does not exist."""
+    if not _is_sqlite_store(path):
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return None
+        return (spark.read.parquet(path)
+                .select("z", "x", "y",
+                        F.col("tile_hash").alias("prev_hash")))
     import sqlite3
 
     if not os.path.exists(path):
@@ -250,7 +265,28 @@ def read_tile_hashes(spark, path: str) -> Optional[DataFrame]:
 
 def write_tile_hashes(hashed: DataFrame, path: str) -> int:
     """Persist the current run's (z, x, y, tile_hash) as the next run's
-    --hashes-db.  Driver-side SQLite edge adapter (like mbtiles)."""
+    hash store.  Default parquet: a distributed ``df.write`` — the 100 TB
+    path, no ``toLocalIterator`` anywhere in the plan.  SQLite only when
+    the path is explicitly a .db/.sqlite file (reference CLI parity; SQLite
+    is single-writer, so that path funnels through the driver exactly as
+    the reference serializes through its Md5Worker thread,
+    Md5Worker.hs:57-64)."""
+    if not _is_sqlite_store(path):
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        tmp = f"{path}.tmp.{os.getpid()}"
+        (hashed.select("z", "x", "y", "tile_hash")
+         .write.mode("overwrite").parquet(tmp))
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+        # row count from parquet footers — metadata only, no data read
+        return sum(
+            pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
+            for r, _, fs in os.walk(path) for f in fs
+            if f.endswith(".parquet"))
     import sqlite3
 
     if os.path.exists(path):

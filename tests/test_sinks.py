@@ -193,6 +193,42 @@ def test_incremental_publish_flow(spark, tmp_path):
     assert republished.count() == n_changed
 
 
+def test_parquet_hash_store_default(spark, tmp_path):
+    """The differential-publish hash store defaults to PARQUET (distributed
+    df.write, no driver funnel); SQLite only for explicit .db paths
+    (reference CLI parity).  Round-trip + diff semantics must match the
+    sqlite twin exactly."""
+    import os
+
+    from mapbox_filter_spark.plans.sink import (
+        hash_tiles, publish_diff, read_tile_hashes, write_tile_hashes)
+
+    t1 = spark.createDataFrame(
+        [(5, 1, 1, "a"), (5, 1, 2, "b"), (5, 2, 2, "c")],
+        "z long, x long, y long, payload string")
+    h1 = hash_tiles(t1)
+    store = str(tmp_path / "hashes_store")  # no .db suffix -> parquet
+    assert read_tile_hashes(spark, store) is None
+    n = write_tile_hashes(h1, store)
+    assert n == 3
+    # it IS a parquet directory written by executors, not a sqlite file
+    assert os.path.isdir(store) and any(
+        f.endswith(".parquet") for f in os.listdir(store))
+
+    # second run: one changed payload, one vanished tile
+    t2 = spark.createDataFrame(
+        [(5, 1, 1, "a"), (5, 1, 2, "B")],
+        "z long, x long, y long, payload string")
+    h2 = hash_tiles(t2)
+    prev = read_tile_hashes(spark, store)
+    changed, deleted = publish_diff(h2, prev)
+    assert {(r["z"], r["x"], r["y"]) for r in changed.collect()} == {(5, 1, 2)}
+    assert {(r["z"], r["x"], r["y"]) for r in deleted.collect()} == {(5, 2, 2)}
+    # overwrite in place (atomic rename path) and read back
+    assert write_tile_hashes(h2, store) == 2
+    assert read_tile_hashes(spark, store).count() == 2
+
+
 def test_s3_publish_and_delete(spark):
     """S3 publisher against a real local S3 endpoint (moto server): uploads
     with the reference's headers (Main.hs:485-492), deletes empty tiles,
