@@ -142,6 +142,44 @@ def test_knn_ring_matches_brute(spark):
     assert b == r
 
 
+def test_knn_ring_bucket_probed(spark, tmp_path):
+    """The 100 TB corpus mode: knn_ring probing a write_knn_corpus bucketed
+    table must (a) return exactly the in-memory result, and (b) BUCKET-PRUNE
+    every probe round — SelectedBucketsCount strictly below the bucket count
+    in every round's scan, i.e. no full-corpus rescan (round-3 verdict
+    finding #3)."""
+    import re
+
+    from mapbox_filter_spark.operators.knn import write_knn_corpus
+
+    rng = random.Random(23)
+    pts = [(i, rng.uniform(-30, 30), rng.uniform(-20, 20)) for i in range(1000)]
+    qs = [(i, rng.uniform(-30, 30), rng.uniform(-20, 20)) for i in range(3)]
+    points = spark.createDataFrame(pts, "point_id long, lon double, lat double")
+    queries = spark.createDataFrame(qs, "query_id long, lon double, lat double")
+
+    # few queries x many buckets so `selected < total` is the expected
+    # shape (probe cells hash over the bucket space; at 16 buckets a
+    # 20-query ring set legitimately touches all of them)
+    spark.sql("DROP TABLE IF EXISTS knn_corpus_t")
+    write_knn_corpus(points, "knn_corpus_t", str(tmp_path / "knn_corpus"),
+                     zoom=7, n_buckets=64)
+    plans: list = []
+    try:
+        got = knn_ring(queries, None, k=5, zoom=7,
+                       points_table="knn_corpus_t", plan_log=plans)
+        mem = knn_ring(queries, points, k=5, zoom=7)
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, mem.collect()))
+        assert plans  # at least one probe round was logged
+        for i, p in enumerate(plans):
+            m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", p)
+            assert m, f"round {i}: no bucket pruning in scan"
+            assert int(m.group(1)) < int(m.group(2)), f"round {i}: full scan"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS knn_corpus_t")
+
+
 def test_point_in_polygon(spark):
     """PIP vs a pure-python even-odd reference on convex + concave rings."""
     # concave "L" polygon and a triangle
