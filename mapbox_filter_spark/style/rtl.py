@@ -19,7 +19,8 @@ BEST-EFFORT replica (documented deviation, COVERAGE.md):
   per-sequence sos/eos), weak-type resolution W1-W7 per sequence
   (classes from the stdlib Unicode database,
   ``unicodedata.bidirectional``), bracket-pair resolution N0 (BD16
-  stack pairing over the common bracket set), neutral resolution
+  stack pairing over the COMPLETE BidiBrackets.txt table with
+  canonical-equivalence matching), neutral resolution
   N1/N2, implicit levels I1/I2, whitespace/separator reset L1,
   level-run reversal L2, and glyph mirroring L4 at odd (RTL) resolved
   levels only.  Bidi control characters (LRM/RLM/ALM, the
@@ -101,10 +102,12 @@ _BIDI_CONTROLS = frozenset(
     "⁦⁧⁨⁩"
 )
 
-_MIRROR = {"(": ")", ")": "(", "[": "]", "]": "[", "{": "}", "}": "{",
-           "<": ">", ">": "<", "«": "»", "»": "«", "⟨": "⟩", "⟩": "⟨",
-           "⟦": "⟧", "⟧": "⟦", "⁅": "⁆", "⁆": "⁅", "〈": "〉", "〉": "〈",
-           "《": "》", "》": "《", "〔": "〕", "〕": "〔"}
+# L4 mirror glyphs: the non-bracket common mirrors here; every
+# BidiBrackets.txt pair is added (both directions) right after
+# _BIDI_BRACKETS is defined below — BidiMirroring.txt maps each paired
+# bracket to its partner, so the bracket table doubles as its mirror slice.
+_MIRROR = {"<": ">", ">": "<", "«": "»", "»": "«", "‹": "›", "›": "‹",
+           "≤": "≥", "≥": "≤"}
 
 
 def _joins_next(c: str) -> bool:
@@ -169,11 +172,61 @@ def shape_arabic(text: str) -> str:
     return "".join(out)
 
 
-# BD16 bracket pairing set (BidiBrackets.txt common subset)
-_BRACKET_PAIRS = {"(": ")", "[": "]", "{": "}", "⟨": "⟩", "⟦": "⟧",
-                  "⁅": "⁆", "〈": "〉", "《": "》", "「": "」", "『": "』",
-                  "【": "】", "〔": "〕", "〖": "〗", "〚": "〛"}
+# BD16 bracket pairing: the COMPLETE Unicode BidiBrackets.txt table (all
+# 64 Open_Paired_Bracket entries of the public Unicode 14+ data file,
+# transcribed as open->close codepoint pairs; the pre-14 file lacks only
+# the four U+2E55..U+2E5C pairs).  Note the two tick-bracket pairs cross:
+# U+298D pairs with U+2990 and U+298F with U+298E.
+_BIDI_BRACKETS = (
+    (0x0028, 0x0029), (0x005B, 0x005D), (0x007B, 0x007D),
+    (0x0F3A, 0x0F3B), (0x0F3C, 0x0F3D), (0x169B, 0x169C),
+    (0x2045, 0x2046), (0x207D, 0x207E), (0x208D, 0x208E),
+    (0x2308, 0x2309), (0x230A, 0x230B), (0x2329, 0x232A),
+    (0x2768, 0x2769), (0x276A, 0x276B), (0x276C, 0x276D),
+    (0x276E, 0x276F), (0x2770, 0x2771), (0x2772, 0x2773),
+    (0x2774, 0x2775), (0x27C5, 0x27C6), (0x27E6, 0x27E7),
+    (0x27E8, 0x27E9), (0x27EA, 0x27EB), (0x27EC, 0x27ED),
+    (0x27EE, 0x27EF), (0x2983, 0x2984), (0x2985, 0x2986),
+    (0x2987, 0x2988), (0x2989, 0x298A), (0x298B, 0x298C),
+    (0x298D, 0x2990), (0x298F, 0x298E), (0x2991, 0x2992),
+    (0x2993, 0x2994), (0x2995, 0x2996), (0x2997, 0x2998),
+    (0x29D8, 0x29D9), (0x29DA, 0x29DB), (0x29FC, 0x29FD),
+    (0x2E22, 0x2E23), (0x2E24, 0x2E25), (0x2E26, 0x2E27),
+    (0x2E28, 0x2E29), (0x2E55, 0x2E56), (0x2E57, 0x2E58),
+    (0x2E59, 0x2E5A), (0x2E5B, 0x2E5C), (0x3008, 0x3009),
+    (0x300A, 0x300B), (0x300C, 0x300D), (0x300E, 0x300F),
+    (0x3010, 0x3011), (0x3014, 0x3015), (0x3016, 0x3017),
+    (0x3018, 0x3019), (0x301A, 0x301B), (0xFE59, 0xFE5A),
+    (0xFE5B, 0xFE5C), (0xFE5D, 0xFE5E), (0xFF08, 0xFF09),
+    (0xFF3B, 0xFF3D), (0xFF5B, 0xFF5D), (0xFF5F, 0xFF60),
+    (0xFF62, 0xFF63),
+)
+
+
+def _canon_bracket(ch: str) -> str:
+    """BD16's canonical-equivalence rule: pairing compares CANONICAL
+    codepoints, so U+2329/U+232A (singleton canonical decompositions to
+    U+3008/U+3009) match the CJK angle brackets.  Only pure canonical
+    singletons qualify — compatibility decompositions (e.g. the
+    fullwidth U+FF08 '<wide> 0028') must NOT collapse."""
+    import unicodedata
+
+    d = unicodedata.decomposition(ch)
+    if d and not d.startswith("<"):
+        cps = d.split()
+        if len(cps) == 1:
+            return chr(int(cps[0], 16))
+    return ch
+
+
+_BRACKET_PAIRS = {_canon_bracket(chr(o)): _canon_bracket(chr(c))
+                  for o, c in _BIDI_BRACKETS}
 _BRACKET_CLOSE = {v: k for k, v in _BRACKET_PAIRS.items()}
+
+for _o, _c in _BIDI_BRACKETS:  # L4 mirror slice (see _MIRROR above)
+    _MIRROR[chr(_o)] = chr(_c)
+    _MIRROR[chr(_c)] = chr(_o)
+del _o, _c
 
 _NEUTRAL = frozenset(("B", "S", "WS", "ON"))
 
@@ -403,13 +456,14 @@ def _resolve_sequence(
     for i, c in enumerate(chars):
         if cls[i] != "ON":
             continue
-        if c in _BRACKET_PAIRS:
+        cc = _canon_bracket(c)
+        if cc in _BRACKET_PAIRS:
             if len(stack) >= 63:
                 break
-            stack.append((c, i))
-        elif c in _BRACKET_CLOSE:
+            stack.append((cc, i))
+        elif cc in _BRACKET_CLOSE:
             for k in range(len(stack) - 1, -1, -1):
-                if stack[k][0] == _BRACKET_CLOSE[c]:
+                if stack[k][0] == _BRACKET_CLOSE[cc]:
                     pairs.append((stack[k][1], i))
                     del stack[k:]
                     break

@@ -78,6 +78,22 @@ VECTORS = [
     # neutrals between opposite runs resolve to para direction (N1/N2),
     # brackets pair around the L run and are NOT double-mirrored
     ("n0-brackets-ltr-word", f"{A}{B} (test) {G}", f"{G} (test) {B}{A}"),
+    # CJK corner brackets: same derivation as n0-brackets-ltr-word —
+    # brackets resolve R (level 1), L2 re-reverses the L island, L4
+    # mirrors both at odd level, so the visual pair still encloses it
+    ("n0-brackets-cjk", f"{A}{B} 【test】 {G}", f"{G} 【test】 {B}{A}"),
+    # Tibetan paired marks (U+0F3A/B) — deep BidiBrackets.txt rows
+    ("n0-brackets-tibetan", f"{A}{B} ༺test༻ {G}", f"{G} ༺test༻ {B}{A}"),
+    # canonical equivalence (BD16 note): U+2329 canonically equals U+3008,
+    # so it PAIRS with the CJK closer U+3009.  Both resolve R (level 1);
+    # L2 swaps their positions and L4 mirrors each to its BidiMirroring
+    # partner (U+3009 -> U+3008, U+2329 -> U+232A), so the visual string
+    # opens with the CJK form and closes with the deprecated angle form
+    ("n0-brackets-canonical-equiv",
+     f"{A}{B} \u2329test\u3009 {G}", f"{G} \u3008test\u232a {B}{A}"),
+    # crossed tick-bracket rows: U+298D pairs with U+2990 (not U+298E)
+    ("n0-brackets-crossed-ticks",
+     f"{A}{B} ⦍test⦐ {G}", f"{G} ⦍test⦐ {B}{A}"),
     # --- degenerate ---
     ("empty", "", ""),
     ("spaces-only", "   ", "   "),

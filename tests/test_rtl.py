@@ -158,3 +158,33 @@ def test_operator_flag(spark):
     out = rtl_transform(df, enabled=True).collect()[0]["props"]
     assert out["name"] == JEEM_FIN + BEH_INI + ALEF_ISO
     assert out["class"] == "river"
+
+
+def test_bidi_bracket_table_consistent_with_unicodedata():
+    """The transcribed BidiBrackets.txt table must agree with the stdlib
+    Unicode database: every open is category Ps, every close Pe, all are
+    bidi class ON and Bidi_Mirrored, and the pairing is bijective."""
+    import unicodedata
+
+    from mapbox_filter_spark.style.rtl import (
+        _BIDI_BRACKETS, _BRACKET_CLOSE, _BRACKET_PAIRS, _canon_bracket)
+
+    assert len(_BIDI_BRACKETS) == 64
+    closes = set()
+    for o, c in _BIDI_BRACKETS:
+        assert unicodedata.category(chr(o)) == "Ps", hex(o)
+        assert unicodedata.category(chr(c)) == "Pe", hex(c)
+        assert unicodedata.bidirectional(chr(o)) == "ON", hex(o)
+        assert unicodedata.bidirectional(chr(c)) == "ON", hex(c)
+        assert unicodedata.mirrored(chr(o)) and unicodedata.mirrored(chr(c))
+        assert c not in closes
+        closes.add(c)
+    # canonical collapse: 2329/232A fold onto 3008/3009, everything else
+    # keeps its own identity; the maps stay mutually inverse
+    assert _canon_bracket("〈") == "〈"
+    assert _canon_bracket("〉") == "〉"
+    assert _canon_bracket("（") == "（"  # compat decomp NOT folded
+    assert len(_BRACKET_PAIRS) == 63  # 64 rows, one canonical collapse
+    assert {(v, k) for k, v in _BRACKET_PAIRS.items()} == \
+        set(_BRACKET_CLOSE.items()) | set()
+    assert all(_BRACKET_CLOSE[v] == k for k, v in _BRACKET_PAIRS.items())
