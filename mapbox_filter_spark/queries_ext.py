@@ -394,13 +394,14 @@ SELECT doc_id,
 FROM m"""
 
 
-def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed training-data curation flow in ONE oracle-checked query:
-    exact dedup (min-id survivor) -> language ID -> quality scoring ->
-    token floor -> keep en docs with quality >= 0.5.  Exercises operator
-    COMPOSITION — each stage is also individually gated (dedup_exact,
-    lang_id, token_quality)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def curation_stage(docs: DataFrame) -> DataFrame:
+    """The composed curation flow over a documents frame: exact dedup
+    (min-id survivor) -> language ID -> quality scoring -> token floor ->
+    keep en docs with quality >= 0.5.  Shared by the batch gate query and
+    the streamed foreachBatch accumulation test (dedup is the only
+    non-stateless stage, so streamed runs feed it dedup-key-disjoint
+    micro-batches — the hash-partitioned shape a 100 TB dedup has
+    anyway)."""
     survivors = dedup.dedup_exact(docs)
     c = F.col("text")
     enriched = survivors.select(
@@ -412,6 +413,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.filter(
         (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
         & (F.col("tokens_ws") >= 5))
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation flow in ONE oracle-checked query
+    (see :func:`curation_stage`).  Exercises operator COMPOSITION — each
+    stage is also individually gated (dedup_exact, lang_id,
+    token_quality)."""
+    return curation_stage(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def sql_curation_pipeline() -> str:

@@ -181,3 +181,53 @@ def test_curate_documents_batch_stream_parity(spark, tmp_path):
     assert 2 not in ids and 4 not in ids  # repetitive + too-short dropped
     masked = next(r for r in got_batch if r[0] == 3)[1]
     assert "<EMAIL>" in masked and "alice@example.com" not in masked
+
+
+def test_streamed_curation_matches_gate_oracle(spark, tmp_path):
+    """VERDICT r3 item 9: run the curation_pipeline GATE flow as a stream
+    (foreachBatch over dedup-key-disjoint micro-batches) and compare the
+    accumulated output against the SAME DuckDB SQL oracle the driver gate
+    uses — row count, schema, and value multiset."""
+    import duckdb
+
+    from mapbox_filter_spark.queries_ext import (
+        curation_stage, sql_curation_pipeline)
+
+    sf_dir = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # files partitioned BY THE DEDUP KEY (normalized-text hash): each
+    # micro-batch then holds whole duplicate groups, so per-batch min-id
+    # dedup equals global dedup — the hash-partitioned 100 TB shape
+    src = str(tmp_path / "docs_by_key")
+    key = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    docs.repartition(4, key).write.parquet(src)
+
+    out = str(tmp_path / "curated_acc")
+    epochs = []
+
+    def process(batch_df, epoch):
+        epochs.append(epoch)
+        curation_stage(batch_df).write.mode("append").parquet(out)
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(process)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    assert len(epochs) >= 2  # genuinely incremental, not one big batch
+
+    sdf = spark.read.parquet(out)
+    srows = sorted(
+        (r["doc_id"], r["lang_pred"], round(r["quality"], 6), r["tokens_ws"])
+        for r in sdf.collect())
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    res = con.execute(sql_curation_pipeline())
+    ocols = [d[0] for d in res.description]
+    orows = sorted((r[0], r[1], round(r[2], 6), r[3]) for r in res.fetchall())
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert srows == orows
