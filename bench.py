@@ -137,10 +137,14 @@ def run_suite(cores: int, sf_dir: str) -> dict:
     flagship_sec = timings["flagship_pipeline"]
     reps = walls["flagship_pipeline"]
 
-    pip = None if flagship_only else pip_micro(spark, sf_dir)
-    mvt = None if flagship_only else mvt_micro(spark, sf_dir)
-    cur = None if flagship_only else curation_micro(spark, sf_dir)
-    s2m = None if flagship_only else s2_micro(spark, sf_dir)
+    no_micros = (flagship_only
+                 or os.environ.get("SPARK_GRAFT_BENCH_NO_MICROS") == "1")
+    pip = None if no_micros else pip_micro(spark, sf_dir)
+    mvt = None if no_micros else mvt_micro(spark, sf_dir)
+    cur = None if no_micros else curation_micro(spark, sf_dir)
+    s2m = None if no_micros else s2_micro(spark, sf_dir)
+    rec = None if no_micros else recall_micro(spark)
+    skw = None if no_micros else skew_micro(spark)
 
     spark.stop()
     return {
@@ -148,6 +152,8 @@ def run_suite(cores: int, sf_dir: str) -> dict:
         "mvt_micro": mvt,
         "curation_micro": cur,
         "s2_micro": s2m,
+        "recall_micro": rec,
+        "skew_micro": skw,
         "flagship_reps": [round(r, 3) for r in reps],
         "timings": timings,
         "wall_samples": {n: [round(x, 3) for x in w] for n, w in walls.items()},
@@ -207,18 +213,183 @@ def s2_micro(spark, sf_dir: str) -> dict:
                (F.col("lon") + F.col("r") * 0.001).alias("lon"),
                (F.col("lat") - F.col("r") * 0.0007).alias("lat")))
     n_rows = pts.count()
-    best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        (with_s2_cell(pts, level=12, out="cell")
-         .agg(F.sum("cell")).collect())
-        sec = time.perf_counter() - t0
-        best = sec if best is None else min(best, sec)
+
+    def run_level(level: int) -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            (with_s2_cell(pts, level=level, out="cell")
+             .agg(F.sum("cell")).collect())
+            sec = time.perf_counter() - t0
+            best = sec if best is None else min(best, sec)
+        return best
+
+    best = run_level(12)
+    # deep-index sample (MAX_LEVEL=29 layout): level 21 ≈ 10 m cells —
+    # the fold is 21 unrolled codegen steps instead of 12
+    deep = run_level(21)
     return {
         "n_rows": n_rows,
         "sec": round(best, 3),
         "cells_per_sec": round(n_rows / best, 1),
+        "sec_level21": round(deep, 3),
+        "cells_per_sec_level21": round(n_rows / deep, 1),
     }
+
+
+def recall_micro(spark) -> dict:
+    """ANN recall@10 vs brute-force cosine at realistic parameters
+    (VERDICT r3 item 3): a seeded gaussian corpus at dim 256, LSH swept
+    over (n_tables, n_planes) and IVF-flat over nprobe — the artifact that
+    proves the knobs SCALE.md promises actually buy recall.  Gates pin
+    exact value-hash on quantized fixtures; this records the recall CURVE
+    on realistic float embeddings."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mapbox_filter_spark.operators.similarity import (
+        ann_lsh_topk, cosine_topk, ivf_flat_topk)
+
+    rng = np.random.default_rng(42)
+    dim, n_corpus, n_queries, k = 256, 4000, 50, 10
+    # 40 gaussian cluster centers -> corpus with real neighborhood
+    # structure (pure iid gaussians make every neighbor equidistant and
+    # recall curves meaningless)
+    centers = rng.normal(size=(40, dim))
+    assign = rng.integers(0, 40, size=n_corpus)
+    X = centers[assign] + 0.35 * rng.normal(size=(n_corpus, dim))
+    Q = X[rng.choice(n_corpus, n_queries, replace=False)] \
+        + 0.05 * rng.normal(size=(n_queries, dim))
+
+    # localCheckpoint: createDataFrame embeds 1M doubles as plan literals
+    # (2.7 MB task binaries re-shipped per job of the sweep); checkpointing
+    # turns every consumer into a scan of materialized partitions
+    corpus = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(n_corpus)],
+        "vec_id long, embedding array<double>").localCheckpoint()
+    queries = spark.createDataFrame(
+        [(int(i), [float(v) for v in Q[i]]) for i in range(n_queries)],
+        "query_id long, embedding array<double>").localCheckpoint()
+
+    truth = {}
+    for r in cosine_topk(queries, corpus, k=k).collect():
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall_of(df) -> float:
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return round(sum(len(truth[q] & got.get(q, set())) for q in truth)
+                     / (len(truth) * k), 3)
+
+    lsh = {}
+    for n_tables, n_planes in ((8, 8), (16, 8), (32, 8), (16, 12)):
+        df = ann_lsh_topk(queries, corpus, k=k, dim=dim,
+                          n_planes=n_planes, n_tables=n_tables,
+                          kernel="arrow")
+        lsh[f"t{n_tables}_p{n_planes}"] = recall_of(df)
+
+    # IVF: 64 centroids sampled from the corpus (the index-build
+    # convention documented in SCALE.md), nprobe swept
+    cents = (corpus.orderBy(F.pmod(F.xxhash64("vec_id"), F.lit(997)))
+             .limit(64)
+             .select(F.col("vec_id").cast("int").alias("cent_id"),
+                     F.col("embedding").alias("cent_vec"))).localCheckpoint()
+    ivf = {}
+    for nprobe in (1, 2, 4, 8):
+        df = ivf_flat_topk(queries, corpus, cents, k=k, nprobe=nprobe,
+                           kernel="arrow")
+        ivf[f"nprobe{nprobe}"] = recall_of(df)
+
+    return {"dim": dim, "n_corpus": n_corpus, "n_queries": n_queries,
+            "k": k, "lsh_recall_at_10": lsh, "ivf_recall_at_10": ivf}
+
+
+def skew_micro(spark) -> dict:
+    """Adversarial-skew A/B (VERDICT r3 item 8): a 30%-hot-cell probe
+    joined to a non-broadcastable dim, plain shuffle join vs salted_join.
+    Broadcast and AQE skew-handling are disabled so the measurement shows
+    OUR explicit salt split (at 100 TB the dim side exceeds broadcast and
+    AQE's post-hoc split still reads the skewed shuffle files; the salt
+    spreads rows at MAP time).  Reports wall + max/median task time of the
+    heaviest stage from the REST API."""
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from mapbox_filter_spark.operators.joins import salted_join
+
+    HOT = 49_999
+    n = 16_000_000
+    probe = spark.range(0, n, 1, 64).select(
+        F.when(F.pmod(F.col("id"), F.lit(10)) < 3, F.lit(HOT))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(49_000)))
+        .cast("long").alias("cell"),
+        F.col("id").alias("v"))
+    build = spark.range(0, 50_000).select(
+        F.col("id").alias("cell"), (F.col("id") * 2).alias("w"))
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+
+    def _stage_ids() -> set:
+        url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+        try:
+            with urllib.request.urlopen(url, timeout=10) as r:
+                return {(s["stageId"], s["attemptId"]) for s in json.load(r)}
+        except Exception:
+            return set()
+
+    def skewest_new_stage(before: set) -> tuple[float, float]:
+        """(max_task_ms, median_task_ms) of the new stage with the LARGEST
+        max task time — the join's reduce stage is where skew lands."""
+        worst = (0.0, 0.0)
+        for sid, att in _stage_ids() - before:
+            u = (f"{base}/api/v1/applications/{app}/stages/{sid}/{att}/"
+                 f"taskSummary?quantiles=0.5,1.0")
+            try:
+                with urllib.request.urlopen(u, timeout=10) as r:
+                    q = json.load(r)
+                med, mx = q["executorRunTime"]
+            except Exception:
+                continue
+            if mx > worst[0]:
+                worst = (mx, med)
+        return worst
+
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+        "spark.sql.adaptive.skewJoin.enabled":
+            spark.conf.get("spark.sql.adaptive.skewJoin.enabled"),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    try:
+        out = {}
+        for name in ("plain", "salted"):
+            best, task_max, task_med = None, 0.0, 0.0
+            for _ in range(2):
+                df = (probe.join(build, "cell") if name == "plain" else
+                      salted_join(probe, build, "cell", n_salts=16,
+                                  hot=[HOT]))
+                before = _stage_ids()
+                t0 = time.perf_counter()
+                df.agg(F.sum(F.col("v") + F.col("w"))).collect()
+                sec = time.perf_counter() - t0
+                if best is None or sec < best:
+                    best = sec
+                    task_max, task_med = skewest_new_stage(before)
+            out[name] = {"sec": round(best, 3),
+                         "max_task_ms": task_max,
+                         "median_task_ms": task_med}
+        out["hot_fraction"] = 0.3
+        out["n_probe_rows"] = n
+        out["speedup"] = round(out["plain"]["sec"] / out["salted"]["sec"], 2)
+        return out
+    finally:
+        for kk, vv in saved.items():
+            spark.conf.set(kk, vv)
 
 
 def pip_micro(spark, sf_dir: str) -> dict:
@@ -510,6 +681,35 @@ def main() -> None:
         print(json.dumps(_scaling_worker(c, sf_dir)))
         return
 
+    if "--sf10x" in sys.argv:
+        # one ~sf1.0 sample (VERDICT r3 item 7): replicate sf0.1 lineitem
+        # 10x with shifted orderkeys into a scratch sf_dir and run the
+        # headline suite there (micros off — they have their own sizing).
+        # Memory-pressure effects (γ collect_list, renumber window) that
+        # sf0.1 cannot expose show up here.
+        big = _build_sf10x(sf_dir)
+        os.environ["SPARK_GRAFT_BENCH_NO_MICROS"] = "1"
+        os.environ.setdefault("SPARK_GRAFT_BENCH_REPEATS", "2")
+        r = run_suite(cores, big)
+        print(json.dumps({
+            "metric": "headline suite wall time at 10x sf (sf1.0 sample)",
+            "value": round(sum(r["timings"].values()), 3),
+            "unit": "sec",
+            "queries": r["timings"],
+            "sf": float(sf) * 10,
+            "cores": cores,
+            "wall_samples": r["wall_samples"],
+            "executor_run_sec": r["executor_run_sec"],
+            "executor_cpu_sec": r["executor_cpu_sec"],
+            "throughput": {
+                "tiles_per_sec": r["tiles_per_sec"],
+                "features_per_sec": r["features_per_sec"],
+                "n_tiles": r["n_tiles"],
+                "n_features": r["n_features"],
+            },
+        }))
+        return
+
     if "--single" in sys.argv:
         cores = int(sys.argv[sys.argv.index("--single") + 1])
 
@@ -530,6 +730,8 @@ def main() -> None:
         "mvt_micro": r["mvt_micro"],
         "curation_micro": r["curation_micro"],
         "s2_micro": r["s2_micro"],
+        "recall_micro": r["recall_micro"],
+        "skew_micro": r["skew_micro"],
         "throughput": {
             "tiles_per_sec": r["tiles_per_sec"],
             "features_per_sec": r["features_per_sec"],
@@ -537,6 +739,33 @@ def main() -> None:
             "n_features": r["n_features"],
         },
     }))
+
+
+def _build_sf10x(sf_dir: str) -> str:
+    """Materialize a 10x-replicated lineitem into a scratch sf_dir (the
+    headline queries derive everything from lineitem).  Orderkeys are
+    shifted per replica so feature_ids stay distinct and the tile/hash
+    distributions keep their shape."""
+    from pyspark.sql import functions as F
+
+    from mapbox_filter_spark.session import build_session
+
+    out = os.path.join(os.environ.get("TMPDIR", "/tmp"),
+                       f"sf10x_{sf_dir.strip('/').replace('/', '_')}")
+    li_out = os.path.join(out, "lineitem.parquet")
+    if not os.path.exists(os.path.join(li_out, "_SUCCESS")):
+        spark = build_session(cores=32, app_name="sf10x-build")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        max_ok = li.agg(F.max("l_orderkey")).first()[0] + 1
+        (li.withColumn("rep", F.explode(
+            F.array(*[F.lit(i) for i in range(10)])))
+         .withColumn("l_orderkey",
+                     (F.col("l_orderkey") + F.col("rep") * max_ok)
+                     .cast(li.schema["l_orderkey"].dataType))
+         .drop("rep").repartition(64)
+         .write.mode("overwrite").parquet(li_out))
+        spark.stop()
+    return out
 
 
 def _append_baseline(report: dict) -> None:
