@@ -189,9 +189,36 @@ def ivf_assign(
         F.explode(F.transform(top, lambda s: s["cent_id"]))).select(*out_cols)
 
 
+def write_ivf_corpus(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    table: str,
+    path: str,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 16,
+    kernel: str = "auto",
+) -> None:
+    """Build the persistent IVF index: the corpus assigned to its nearest
+    list (zero-shuffle broadcast argmin) and written as a table BUCKETED
+    BY cent_id with the row norm precomputed — the 100 TB substrate for
+    ``ivf_flat_topk(corpus_table=...)``.  Each query batch then probes
+    ``cent_id IN (<nprobe lists>)``: a BUCKET-PRUNED scan of only the
+    touched inverted lists, no corpus re-assignment, no full scan."""
+    from ..plans.sink import write_bucketed
+
+    assigned = ivf_assign(
+        corpus.select(F.col(corpus_id).alias("c_id"),
+                      F.col(vec_col).alias("c_vec")),
+        centroids, "c_id", "c_vec", n_lists=1, kernel=kernel)
+    assigned = assigned.withColumn("c_norm", norm(F.col("c_vec")))
+    write_bucketed(assigned, table, path, bucket_cols=("cent_id",),
+                   n_buckets=n_buckets, sort_cols=("cent_id", "c_id"))
+
+
 def ivf_flat_topk(
     queries: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     centroids: DataFrame,
     k: int,
     nprobe: int = 3,
@@ -199,41 +226,75 @@ def ivf_flat_topk(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     kernel: str = "column",
+    corpus_table: "str | None" = None,
 ) -> DataFrame:
     """IVF-flat approximate cosine top-k: the inverted-list scale path next
     to the LSH one (ann_lsh_topk).
 
     Plan: corpus assigned once to its nearest centroid list (broadcast
     argmin, no corpus shuffle); each query probes its ``nprobe`` nearest
-    lists and scores ONLY those lists' vectors.  At 100 TB the assigned
-    corpus is written bucketed by cent_id so the probe join co-locates;
-    recall tunes with (|centroids|, nprobe) — verified vs brute force in
-    tests.  Output schema matches cosine_topk; rank is within retrieved
-    candidates."""
-    c_assigned = ivf_assign(
-        corpus.select(F.col(corpus_id).alias("c_id"),
-                      F.col(vec_col).alias("c_vec")),
-        centroids, "c_id", "c_vec", n_lists=1, kernel=kernel)
-    probes = ivf_assign(
-        queries.select(F.col(query_id).alias("q_id"),
-                       F.col(vec_col).alias("q_vec")),
-        centroids, "q_id", "q_vec", n_lists=nprobe, kernel=kernel)
-    # norms once per ROW before the join — cosine's norm(a)*norm(b) would
-    # otherwise recompute the corpus norm per (query, candidate) pair;
-    # same multiplication order, so the rounded sim is bit-identical
-    c_assigned = c_assigned.withColumn("c_norm", norm(F.col("c_vec")))
-    probes = probes.withColumn("q_norm", norm(F.col("q_vec")))
-    cand = F.broadcast(probes).join(c_assigned, "cent_id")
-    sim = (dot(F.col("q_vec"), F.col("c_vec"))
-           / (F.col("q_norm") * F.col("c_norm")))
-    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
-    return (
-        cand.withColumn("sim", F.round(sim, 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("q_id").alias(query_id), "rank",
-                F.col("c_id").alias(corpus_id), "sim")
-    )
+    lists and scores ONLY those lists' vectors.  At 100 TB pass
+    ``corpus_table`` (a ``write_ivf_corpus`` table, bucketed by cent_id):
+    the probe becomes a ``cent_id IN (<lists>)`` filter on the bucketed
+    scan — bucket-pruned, assignment read not recomputed.  Recall tunes
+    with (|centroids|, nprobe) — verified vs brute force in tests and
+    recorded as a recall curve in bench recall_micro.  Output schema
+    matches cosine_topk; rank is within retrieved candidates."""
+    spark = queries.sparkSession
+    saved_abs = None
+    if corpus_table is not None:
+        # same planner pin as knn_ring's probe mode: autoBucketedScan
+        # would disable bucketed reads (and pruning) under the broadcast
+        saved_abs = spark.conf.get(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        c_assigned = spark.table(corpus_table)
+    else:
+        assert corpus is not None
+        c_assigned = ivf_assign(
+            corpus.select(F.col(corpus_id).alias("c_id"),
+                          F.col(vec_col).alias("c_vec")),
+            centroids, "c_id", "c_vec", n_lists=1, kernel=kernel)
+        c_assigned = c_assigned.withColumn("c_norm", norm(F.col("c_vec")))
+    try:
+        probes = ivf_assign(
+            queries.select(F.col(query_id).alias("q_id"),
+                           F.col(vec_col).alias("q_vec")),
+            centroids, "q_id", "q_vec", n_lists=nprobe, kernel=kernel)
+        # norms once per ROW before the join — cosine's norm(a)*norm(b)
+        # would otherwise recompute the corpus norm per (query, candidate)
+        # pair; same multiplication order, so the rounded sim is
+        # bit-identical (the bucketed table persists c_norm at build time)
+        probes = probes.withColumn("q_norm", norm(F.col("q_vec")))
+        if corpus_table is not None:
+            # driver-side probe-list collection (queries are the SMALL
+            # broadcast side by contract) -> an In predicate on the bucket
+            # column -> bucket-pruned scan of only the touched lists
+            lists = [r["cent_id"] for r in
+                     probes.select("cent_id").distinct().collect()]
+            c_assigned = c_assigned.filter(F.col("cent_id").isin(lists))
+        cand = F.broadcast(probes).join(c_assigned, "cent_id")
+        sim = (dot(F.col("q_vec"), F.col("c_vec"))
+               / (F.col("q_norm") * F.col("c_norm")))
+        w = W.partitionBy("q_id").orderBy(F.col("sim").desc(),
+                                          F.col("c_id").asc())
+        out = (
+            cand.withColumn("sim", F.round(sim, 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("q_id").alias(query_id), "rank",
+                    F.col("c_id").alias(corpus_id), "sim")
+        )
+        if corpus_table is not None:
+            # queries x k rows — materialize before the conf flips back
+            out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if saved_abs is not None:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                saved_abs)
 
 
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int):

@@ -414,3 +414,42 @@ def test_pii_scrub_oracle_parity(spark):
     want = sorted(tuple(r) for r in con.execute(sql_pii_scrub()).fetchall())
     assert got == want
     assert all(r[2] == 1 and r[3] == 1 and r[4] == 1 for r in got)
+
+
+def test_ivf_bucketed_corpus_table(spark, tmp_path):
+    """The persistent IVF index (write_ivf_corpus): probing the bucketed
+    table must return exactly the in-memory ivf_flat_topk result, and the
+    probe scan must BUCKET-PRUNE to the nprobe lists (SelectedBucketsCount
+    below total) — the SCALE.md co-located-probe claim, now in code."""
+    import re
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"),
+                                  "embedding")
+    cents = (emb.limit(40)
+             .select(F.col("vec_id").cast("int").alias("cent_id"),
+                     F.col("embedding").alias("cent_vec"))).cache()
+
+    spark.sql("DROP TABLE IF EXISTS ivf_corpus_t")
+    similarity.write_ivf_corpus(emb, cents, "ivf_corpus_t",
+                                str(tmp_path / "ivf_corpus"), n_buckets=32)
+    try:
+        mem = similarity.ivf_flat_topk(queries, emb, cents, k=3, nprobe=2)
+        tbl = similarity.ivf_flat_topk(queries, None, cents, k=3, nprobe=2,
+                                       corpus_table="ivf_corpus_t")
+        assert sorted(map(tuple, mem.collect())) == \
+            sorted(map(tuple, tbl.collect()))
+
+        # plan check: rebuild the probe under the pinned planner conf and
+        # assert bucket pruning on the bucketed scan
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        probe = spark.table("ivf_corpus_t").filter(
+            F.col("cent_id").isin([1, 2, 3]))
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and int(m.group(1)) < int(m.group(2)), plan[:800]
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+        spark.sql("DROP TABLE IF EXISTS ivf_corpus_t")
