@@ -320,12 +320,58 @@ def s2_covering_join(points, regions, point_cell: str = "cell",
     point corpus.  Regions may mix levels (overlapping ancestors each
     match — multi-resolution coverings); when every region sits at ONE
     level, prefer equality on ``s2_parent(cell, level)`` instead, which
-    compiles to a hash join.  For region sets too big to broadcast,
-    range-partition both sides by cell order (ids are curve-ordered, so
-    ranges are contiguous) — not needed at any realistic covering size."""
+    compiles to a hash join.  For region sets too big to broadcast, use
+    :func:`s2_covering_join_big` — an ancestor-chain EQUI-join that scales
+    to any region count."""
     cond = points[point_cell].between(
         s2_range_min(regions[region_cell]), s2_range_max(regions[region_cell]))
     return points.join(F.broadcast(regions), cond, how)
+
+
+def s2_ancestors(cell: Column, min_level: int = 1,
+                 max_level: int = MAX_LEVEL) -> Column:
+    """Array of ``cell``'s ancestor ids from ``min_level`` to
+    ``max_level`` INCLUSIVE of the cell's own level (levels deeper than
+    the cell are dropped — a parent op on a coarser cell would go UP, so
+    each candidate is masked to only emit when its level <= the cell's).
+    Pure bit arithmetic per level, ≤ MAX_LEVEL entries, plan-time
+    constant length before the filter."""
+    lsb = _lsb(cell)
+
+    def parent_at(k: int) -> Column:
+        lsb_k = 1 << (2 * (MAX_LEVEL - k))
+        return (cell.bitwiseAND(F.lit(~(2 * lsb_k - 1)).cast("long"))
+                .bitwiseOR(F.lit(lsb_k).cast("long")))
+
+    return F.filter(
+        F.array(*[
+            # emit the level-k ancestor only if the cell is AT level >= k
+            # (its lsb is <= level-k's lsb)
+            F.when(lsb <= F.lit(1 << (2 * (MAX_LEVEL - k))).cast("long"),
+                   parent_at(k))
+            for k in range(min_level, max_level + 1)
+        ]),
+        lambda c: c.isNotNull())
+
+
+def s2_covering_join_big(points, regions, point_cell: str = "cell",
+                         region_cell: str = "region_cell"):
+    """Containment join for region sets TOO BIG TO BROADCAST: each point
+    explodes to its ancestor chain (≤ MAX_LEVEL ids, pure bit math) and
+    EQUI-joins region cells on exact id equality — `ancestor(point) ==
+    region_cell` ⟺ `region contains point`, the same predicate the
+    broadcast range join evaluates.
+
+    Scale shape: a plain hash join, shuffled on the cell id — both sides
+    partition-parallel at any size; the point-side blowup is bounded by
+    the level count (and by ``min_level``..``max_level`` if the covering's
+    level range is known).  Results are identical to
+    :func:`s2_covering_join` (asserted in tests).  Mixed-level coverings
+    work unchanged: every ancestor level of the point is probed."""
+    anc = points.withColumn(
+        "__anc", F.explode(s2_ancestors(F.col(point_cell))))
+    joined = anc.join(regions, anc["__anc"] == regions[region_cell])
+    return joined.drop("__anc")
 
 
 # ----------------------------------------------------------- Python twins

@@ -1330,6 +1330,37 @@ FROM fcells f JOIN rcells r
 GROUP BY r.region_cell"""
 
 
+def q_s2_cover_join_big(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-broadcast covering join (region set too big to broadcast):
+    point cells explode to their ancestor chain and EQUI-join the region
+    cells — a plain hash join, partition-parallel at any region count.
+    Same inputs and oracle as s2_cover_join; identical results required."""
+    from .geo import s2
+
+    feats = s2.with_s2_cell(
+        features_from_lineitem(spark, sf_dir).select("feature_id", "lon", "lat"),
+        level=12, out="cell").select("feature_id", "cell")
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        ((F.pmod(F.col("c_custkey") * 7919, F.lit(360000))
+          .cast("double") / 1000.0) - 180.0).alias("lon"),
+        ((F.pmod(F.col("c_custkey") * 104729, F.lit(170000))
+          .cast("double") / 1000.0) - 85.0).alias("lat"))
+    regions = None
+    for k, level in enumerate((2, 3, 4)):
+        part = (s2.with_s2_cell(
+            cust.filter(F.pmod(F.col("c_custkey"), F.lit(3)) == k),
+            level=level, out="region_cell")
+            .select("region_cell"))
+        regions = part if regions is None else regions.unionByName(part)
+    regions = regions.distinct()
+
+    return (s2.s2_covering_join_big(feats, regions)
+            .groupBy("region_cell")
+            .agg(F.count(F.lit(1)).alias("n_features")))
+
+
 _S2_KNN_QUERIES = ((0, 10.0, 20.0), (1, -75.0, -40.0), (2, 150.0, 65.0))
 _S2_KNN_LEVEL, _S2_KNN_RADIUS, _S2_KNN_K = 8, 2, 5
 
@@ -1557,5 +1588,6 @@ EXT_QUERIES = {
     "span_integrity": (q_span_integrity, sql_span_integrity),
     "s2_assign": (q_s2_assign, sql_s2_assign),
     "s2_cover_join": (q_s2_cover_join, sql_s2_cover_join),
+    "s2_cover_join_big": (q_s2_cover_join_big, sql_s2_cover_join),
     "s2_ring_knn": (q_s2_ring_knn, sql_s2_ring_knn),
 }

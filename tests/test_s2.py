@@ -272,3 +272,46 @@ def test_locality_beats_random():
                     for lon, lat in pts})
     assert n_parents(near) <= 2
     assert n_parents(far) > 20
+
+
+def test_covering_join_big_matches_broadcast(spark):
+    """The ancestor-chain equi-join (region sets too big to broadcast) must
+    return exactly the broadcast range join's pairs on a mixed-level
+    covering, and its plan must contain no BroadcastNestedLoopJoin (it is
+    a plain equi-join, shuffle-partitionable at any region count)."""
+    import random
+
+    rng = random.Random(7)
+    pts = [(i, rng.uniform(-60, 60), rng.uniform(-50, 50)) for i in range(400)]
+    pdf = spark.createDataFrame(pts, "pid long, lon double, lat double")
+    points = s2.with_s2_cell(pdf, level=12, out="cell").select("pid", "cell")
+
+    # mixed-level covering derived from a subset of the points
+    regs = []
+    for i, (pid, lon, lat) in enumerate(pts[:60]):
+        regs.append((s2.py_s2_cell(lon, lat, 2 + i % 3),))
+    rdf = spark.createDataFrame(sorted(set(regs)), "region_cell long")
+
+    a = {(r["pid"], r["region_cell"]) for r in
+         s2.s2_covering_join(points, rdf).collect()}
+    b = {(r["pid"], r["region_cell"]) for r in
+         s2.s2_covering_join_big(points, rdf).collect()}
+    assert a == b and a  # identical, non-empty
+
+    plan = (s2.s2_covering_join_big(points, rdf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_s2_ancestors_chain():
+    """s2_ancestors emits exactly the parent chain levels 1..cell level."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    cell = s2.py_s2_cell(10.0, 20.0, 9)
+    row = spark.range(1).select(
+        s2.s2_ancestors(F.lit(cell).cast("long")).alias("anc")).first()
+    got = list(row["anc"])
+    want = [s2.py_s2_parent(cell, k) for k in range(1, 10)]
+    assert got == want
+    assert got[-1] == cell  # own level included (self-containment)
