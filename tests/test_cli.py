@@ -139,6 +139,22 @@ def test_cli_publish_hashes_db_differential(spark, fixture_paths, tmp_path):
     assert os.path.exists(os.path.join(pub, "6", "1", "1"))
 
 
+def test_cli_publish_parquet_hash_store(spark, fixture_paths, tmp_path):
+    """A non-.db --hashes-db path selects the DEFAULT parquet hash store
+    (distributed write, no sqlite): same differential behavior end-to-end
+    through the CLI."""
+    mb, style, tp = fixture_paths
+    pub = str(tp / "pub_pq")
+    store = str(tp / "hash_store")  # no .db suffix -> parquet directory
+    assert mfs_cli.main(["publish", mb, "-t", pub, "--hashes-db", store]) == 0
+    assert os.path.isdir(store) and any(
+        f.endswith(".parquet") for f in os.listdir(store))
+    mtime = os.path.getmtime(os.path.join(pub, "6", "1", "1"))
+    # unchanged rerun: differential skip, nothing rewritten
+    assert mfs_cli.main(["publish", mb, "-t", pub, "--hashes-db", store]) == 0
+    assert os.path.getmtime(os.path.join(pub, "6", "1", "1")) == mtime
+
+
 def test_cli_dump_raw_tile_file(spark, fixture_paths, tmp_path, capsys):
     """Reference dumpOptions parity: SRCFILE may be a single raw MVT tile
     file (gzipped), no -x/-y needed."""
