@@ -355,9 +355,46 @@ def lsh_bucket_codes_arrow(df: DataFrame, vec_col: str,
     return df.mapInPandas(bucketize, schema=out_schema)
 
 
+def write_lsh_corpus(
+    corpus: DataFrame,
+    table: str,
+    path: str,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    seed: int = 42,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: list | None = None,
+    kernel: str = "auto",
+    n_buckets: int = 32,
+) -> None:
+    """Build the persistent LSH index: the corpus coded once against every
+    hyperplane table (exploded to one row per (table_idx, bucket)) with
+    precomputed norms, written BUCKETED by the packed probe key
+    ``bkey = table_idx << 32 | bucket`` — a SINGLE column because Spark's
+    bucket pruning only engages on single-column bucket specs.
+    ``ann_lsh_topk(corpus_table=...)`` then probes ``bkey IN (<query
+    codes>)``: a bucket-pruned scan, no corpus re-coding per query batch.
+    The SAME (dim, n_planes, n_tables, seed) — or the same explicit
+    ``tables`` — must be passed at query time; codes are seed-stable."""
+    from ..plans.sink import write_bucketed
+
+    tables = tables if tables is not None else _hyperplanes(
+        dim, n_planes, n_tables, seed)
+    coded = _bucketed(corpus, tables, corpus_id, vec_col, kernel=kernel)
+    coded = coded.select(
+        F.col("id").alias("c_id"), F.col("vec").alias("c_vec"),
+        norm(F.col("vec")).alias("c_norm"), "table_idx", "bucket",
+        (F.shiftleft(F.col("table_idx").cast("long"), 32)
+         .bitwiseOR(F.col("bucket").cast("long"))).alias("bkey"))
+    write_bucketed(coded, table, path, bucket_cols=("bkey",),
+                   n_buckets=n_buckets, sort_cols=("bkey", "c_id"))
+
+
 def ann_lsh_topk(
     queries: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     k: int,
     dim: int,
     n_planes: int = 8,
@@ -368,6 +405,7 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     tables: list | None = None,
     kernel: str = "column",
+    corpus_table: "str | None" = None,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH (see module doc).
 
@@ -377,7 +415,11 @@ def ann_lsh_topk(
     quantized planes for the exact-arithmetic oracle path).
     ``kernel``: 'column' (zero Python) or 'arrow' (BLAS bucket codes for
     wide embeddings, :func:`lsh_bucket_codes_arrow`); 'auto' picks arrow
-    when dim x n_planes x n_tables >= 16384."""
+    when dim x n_planes x n_tables >= 16384.  ``corpus_table``: a
+    :func:`write_lsh_corpus` table — the persistent index; queries are
+    coded live and probe it with ``bkey IN (<codes>)``, a bucket-pruned
+    scan with no corpus re-coding (same tables/seed required)."""
+    spark = queries.sparkSession
     tables = tables if tables is not None else _hyperplanes(
         dim, n_planes, n_tables, seed)
     if kernel == "auto":
@@ -401,25 +443,50 @@ def ann_lsh_topk(
             F.posexplode(bucket_array(F.col(vec_out)))
             .alias("table_idx", "bucket"))
 
-    # norms once per ROW pre-join (see ivf_flat_topk note): bit-identical
-    # sim, strictly less per-candidate work
-    c = with_buckets(corpus, corpus_id, "c_id", "c_vec", "c_norm")
-    q = with_buckets(queries, query_id, "q_id", "q_vec", "q_norm")
-    cand = (
-        F.broadcast(q).join(c, ["table_idx", "bucket"])
-        .select("q_id", "q_vec", "q_norm", "c_id", "c_vec", "c_norm")
-        .dropDuplicates(["q_id", "c_id"])
-    )
-    sim = (dot(F.col("q_vec"), F.col("c_vec"))
-           / (F.col("q_norm") * F.col("c_norm")))
-    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id").asc())
-    return (
-        cand.withColumn("sim", F.round(sim, 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("q_id").alias(query_id), "rank",
-                F.col("c_id").alias(corpus_id), "sim")
-    )
+    saved_abs = None
+    try:
+        # norms once per ROW pre-join (see ivf_flat_topk note):
+        # bit-identical sim, strictly less per-candidate work
+        q = with_buckets(queries, query_id, "q_id", "q_vec", "q_norm")
+        if corpus_table is not None:
+            saved_abs = spark.conf.get(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "true")
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                "false")
+            keys = [(r["table_idx"] << 32) | r["bucket"] for r in
+                    q.select("table_idx", "bucket").distinct().collect()]
+            c = (spark.table(corpus_table)
+                 .filter(F.col("bkey").isin(keys))
+                 .select("c_id", "c_vec", "c_norm", "table_idx", "bucket"))
+        else:
+            assert corpus is not None
+            c = with_buckets(corpus, corpus_id, "c_id", "c_vec", "c_norm")
+        cand = (
+            F.broadcast(q).join(c, ["table_idx", "bucket"])
+            .select("q_id", "q_vec", "q_norm", "c_id", "c_vec", "c_norm")
+            .dropDuplicates(["q_id", "c_id"])
+        )
+        sim = (dot(F.col("q_vec"), F.col("c_vec"))
+               / (F.col("q_norm") * F.col("c_norm")))
+        w = W.partitionBy("q_id").orderBy(F.col("sim").desc(),
+                                          F.col("c_id").asc())
+        out = (
+            cand.withColumn("sim", F.round(sim, 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("q_id").alias(query_id), "rank",
+                    F.col("c_id").alias(corpus_id), "sim")
+        )
+        if corpus_table is not None:
+            out = out.localCheckpoint(eager=True)  # queries x k rows
+        return out
+    finally:
+        if saved_abs is not None:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+                saved_abs)
 
 
 def _bucketed(corpus: DataFrame, tables: list, corpus_id: str,

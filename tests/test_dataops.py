@@ -453,3 +453,39 @@ def test_ivf_bucketed_corpus_table(spark, tmp_path):
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
         spark.sql("DROP TABLE IF EXISTS ivf_corpus_t")
+
+
+def test_lsh_bucketed_corpus_table(spark, tmp_path):
+    """The persistent LSH index (write_lsh_corpus): probing the bkey-bucketed
+    table must return exactly the in-memory ann_lsh_topk result under the
+    same seeded hyperplanes, and the probe scan must bucket-prune."""
+    import re
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb.first()["embedding"])
+    queries = emb.limit(4).select(F.col("vec_id").alias("query_id"),
+                                  "embedding")
+    spark.sql("DROP TABLE IF EXISTS lsh_corpus_t")
+    similarity.write_lsh_corpus(emb, "lsh_corpus_t",
+                                str(tmp_path / "lsh_corpus"), dim=dim,
+                                n_planes=6, n_tables=8, n_buckets=64)
+    try:
+        mem = similarity.ann_lsh_topk(queries, emb, k=3, dim=dim,
+                                      n_planes=6, n_tables=8)
+        tbl = similarity.ann_lsh_topk(queries, None, k=3, dim=dim,
+                                      n_planes=6, n_tables=8,
+                                      corpus_table="lsh_corpus_t")
+        assert sorted(map(tuple, mem.collect())) == \
+            sorted(map(tuple, tbl.collect()))
+
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        probe = spark.table("lsh_corpus_t").filter(
+            F.col("bkey").isin([(1 << 32) | 5, (2 << 32) | 9]))
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and int(m.group(1)) < int(m.group(2)), plan[:800]
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+        spark.sql("DROP TABLE IF EXISTS lsh_corpus_t")
