@@ -329,6 +329,65 @@ SELECT cur.z, cur.x, cur.y FROM cur LEFT JOIN prev USING (z, x, y)
 WHERE prev.h_prev IS NULL OR cur.h <> prev.h_prev"""
 
 
+def q_tile_diff_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full diff CLASSIFICATION (operators/incremental.diff_tiles): tiles at
+    z=10 (mostly singleton, so every class is populated) classified
+    new/changed/deleted/unchanged between the current corpus and an
+    engineered previous run — prev lacks residue-3 features (their
+    singleton tiles are 'new' now), cur lacks residue-5 features
+    (their tiles are 'deleted'), residue-1 payloads mutate ('changed').
+    Output: per-class tile counts."""
+    feats = _with_tiles(features_from_lineitem(spark, sf_dir), 10)
+    res = F.pmod(F.col("feature_id"), F.lit(20))
+    payload_cur = F.concat_ws(":", F.col("doc_id"),
+                              F.coalesce(F.col("p_class"), F.lit("")))
+    payload_prev = F.when(
+        res == 1, F.concat_ws(":", F.col("doc_id"), F.lit("MUTATED"))
+    ).otherwise(payload_cur)
+
+    def hashed(df, payload):
+        return (df.select("z", "x", "y", "layer", payload.alias("p"))
+                .groupBy("z", "x", "y", "layer")
+                .agg(F.md5(F.array_join(F.array_sort(F.collect_list("p")),
+                                        "|")).alias("tile_hash")))
+
+    from .operators.incremental import diff_tiles
+
+    cur = hashed(feats.filter(res != 5), payload_cur)
+    prev = hashed(feats.filter(res != 3), payload_prev)
+    return (diff_tiles(cur, prev)
+            .groupBy("change").agg(F.count(F.lit(1)).alias("n_tiles")))
+
+
+def sql_tile_diff_classes() -> str:
+    tile = (f"SELECT 10 AS z, {_sql_tile_x(10)} AS x, {_sql_tile_y(10)} AS y,"
+            f" layer, feature_id % 20 AS res,"
+            f" doc_id || ':' || COALESCE(p_class, '') AS p_cur,"
+            f" CASE WHEN feature_id % 20 = 1 THEN doc_id || ':MUTATED'"
+            f"      ELSE doc_id || ':' || COALESCE(p_class, '') END AS p_prev"
+            f" FROM features")
+    return f"""WITH {FEATURES_ORACLE_SQL},
+t AS ({tile}),
+cur AS (
+  SELECT z, x, y, layer,
+         MD5(STRING_AGG(p_cur, '|' ORDER BY p_cur)) AS h
+  FROM t WHERE res <> 5 GROUP BY z, x, y, layer
+),
+prev AS (
+  SELECT z, x, y, layer,
+         MD5(STRING_AGG(p_prev, '|' ORDER BY p_prev)) AS h_prev
+  FROM t WHERE res <> 3 GROUP BY z, x, y, layer
+),
+classed AS (
+  SELECT CASE WHEN prev.h_prev IS NULL THEN 'new'
+              WHEN cur.h IS NULL THEN 'deleted'
+              WHEN cur.h <> prev.h_prev THEN 'changed'
+              ELSE 'unchanged' END AS change
+  FROM cur FULL OUTER JOIN prev USING (z, x, y, layer)
+)
+SELECT change, COUNT(*) AS n_tiles FROM classed GROUP BY change"""
+
+
 def q_prune_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata pruning: retained-key histogram after π (Filters.hs:74-82).
 
@@ -367,6 +426,7 @@ QUERIES = {
     "tile_assembly": (q_tile_assembly, sql_tile_assembly),
     "window_renumber": (q_window_renumber, sql_window_renumber),
     "hash_diff": (q_hash_diff, sql_hash_diff),
+    "tile_diff_classes": (q_tile_diff_classes, sql_tile_diff_classes),
     "prune_keys": (q_prune_keys, sql_prune_keys),
 }
 
