@@ -84,9 +84,16 @@ def run_suite(cores: int, sf_dir: str) -> dict:
 
     rep_factor = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "8"))
     n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # cache key carries the substrate version + source fingerprint (same
+    # staleness rule as the features cache, sources/features.py): a changed
+    # derivation or regenerated testdata invalidates, never silently reuses
+    from mapbox_filter_spark.sources.features import (
+        _FEATURES_VERSION, _source_fingerprint)
+
     subst = os.path.join(
         os.environ.get("TMPDIR", "/tmp"),
-        f"bench_feats_{sf_dir.replace('/', '_')}_x{rep_factor}")
+        f"bench_feats_{_FEATURES_VERSION}_{_source_fingerprint(sf_dir)}_"
+        f"{sf_dir.replace('/', '_')}_x{rep_factor}")
     if not os.path.exists(os.path.join(subst, "_SUCCESS")):
         (
             features_from_lineitem(spark, sf_dir)
@@ -545,8 +552,13 @@ def _scaling_worker(cores: int, sf_dir: str) -> dict:
     spark = build_session(cores=cores, app_name=f"scaling-{cores}")
     zooms = list(range(4, 13))
 
-    subst = os.path.join(os.environ.get("TMPDIR", "/tmp"),
-                         f"bench_feats_{sf_dir.replace('/', '_')}_x32")
+    from mapbox_filter_spark.sources.features import (
+        _FEATURES_VERSION, _source_fingerprint)
+
+    subst = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"),
+        f"bench_feats_{_FEATURES_VERSION}_{_source_fingerprint(sf_dir)}_"
+        f"{sf_dir.replace('/', '_')}_x32")
     if not os.path.exists(os.path.join(subst, "_SUCCESS")):
         (
             features_from_lineitem(spark, sf_dir)
@@ -752,8 +764,12 @@ def _build_sf10x(sf_dir: str) -> str:
 
     from mapbox_filter_spark.session import build_session
 
-    out = os.path.join(os.environ.get("TMPDIR", "/tmp"),
-                       f"sf10x_{sf_dir.strip('/').replace('/', '_')}")
+    from mapbox_filter_spark.sources.features import _source_fingerprint
+
+    out = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"),
+        f"sf10x_{_source_fingerprint(sf_dir)}_"
+        f"{sf_dir.strip('/').replace('/', '_')}")
     li_out = os.path.join(out, "lineitem.parquet")
     if not os.path.exists(os.path.join(li_out, "_SUCCESS")):
         spark = build_session(cores=32, app_name="sf10x-build")
