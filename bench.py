@@ -293,10 +293,13 @@ def recall_micro(spark) -> dict:
 
     lsh = {}
     for n_tables, n_planes in ((8, 8), (16, 8), (32, 8), (16, 12)):
+        t0 = time.perf_counter()
         df = ann_lsh_topk(queries, corpus, k=k, dim=dim,
                           n_planes=n_planes, n_tables=n_tables,
                           kernel="arrow")
-        lsh[f"t{n_tables}_p{n_planes}"] = recall_of(df)
+        r = recall_of(df)
+        lsh[f"t{n_tables}_p{n_planes}"] = {
+            "recall": r, "sec": round(time.perf_counter() - t0, 2)}
 
     # IVF: 64 centroids sampled from the corpus (the index-build
     # convention documented in SCALE.md), nprobe swept
@@ -306,9 +309,12 @@ def recall_micro(spark) -> dict:
                      F.col("embedding").alias("cent_vec"))).localCheckpoint()
     ivf = {}
     for nprobe in (1, 2, 4, 8):
+        t0 = time.perf_counter()
         df = ivf_flat_topk(queries, corpus, cents, k=k, nprobe=nprobe,
                            kernel="arrow")
-        ivf[f"nprobe{nprobe}"] = recall_of(df)
+        r = recall_of(df)
+        ivf[f"nprobe{nprobe}"] = {
+            "recall": r, "sec": round(time.perf_counter() - t0, 2)}
 
     return {"dim": dim, "n_corpus": n_corpus, "n_queries": n_queries,
             "k": k, "lsh_recall_at_10": lsh, "ivf_recall_at_10": ivf}
