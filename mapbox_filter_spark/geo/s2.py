@@ -355,7 +355,8 @@ def s2_ancestors(cell: Column, min_level: int = 1,
 
 
 def s2_covering_join_big(points, regions, point_cell: str = "cell",
-                         region_cell: str = "region_cell"):
+                         region_cell: str = "region_cell",
+                         min_level: int = 1, max_level: int = MAX_LEVEL):
     """Containment join for region sets TOO BIG TO BROADCAST: each point
     explodes to its ancestor chain (≤ MAX_LEVEL ids, pure bit math) and
     EQUI-joins region cells on exact id equality — `ancestor(point) ==
@@ -364,12 +365,14 @@ def s2_covering_join_big(points, regions, point_cell: str = "cell",
 
     Scale shape: a plain hash join, shuffled on the cell id — both sides
     partition-parallel at any size; the point-side blowup is bounded by
-    the level count (and by ``min_level``..``max_level`` if the covering's
-    level range is known).  Results are identical to
-    :func:`s2_covering_join` (asserted in tests).  Mixed-level coverings
-    work unchanged: every ancestor level of the point is probed."""
+    the level count — pass ``min_level``/``max_level`` when the covering's
+    level range is known (e.g. (2, 4) explodes 3 ancestors per point
+    instead of 29).  Results are identical to :func:`s2_covering_join`
+    restricted to those levels (asserted in tests).  Mixed-level coverings
+    work unchanged: every ancestor level in range is probed."""
     anc = points.withColumn(
-        "__anc", F.explode(s2_ancestors(F.col(point_cell))))
+        "__anc", F.explode(
+            s2_ancestors(F.col(point_cell), min_level, max_level)))
     joined = anc.join(regions, anc["__anc"] == regions[region_cell])
     return joined.drop("__anc")
 

@@ -1356,7 +1356,9 @@ def q_s2_cover_join_big(spark: SparkSession, sf_dir: str) -> DataFrame:
         regions = part if regions is None else regions.unionByName(part)
     regions = regions.distinct()
 
-    return (s2.s2_covering_join_big(feats, regions)
+    # covering levels are known (2-4): explode 3 ancestors, not 29
+    return (s2.s2_covering_join_big(feats, regions,
+                                    min_level=2, max_level=4)
             .groupBy("region_cell")
             .agg(F.count(F.lit(1)).alias("n_features")))
 
