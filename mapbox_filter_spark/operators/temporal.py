@@ -1,0 +1,351 @@
+"""Temporal operators: as-of join, interval (range) join, sessionization,
+hypertable-style time rollups.
+
+The reference engine has no time axis (SURVEY §1.4 — its dataflow is a
+one-shot tile rebuild), but a 100 TB training-data pipeline lives on one:
+joining telemetry to the most recent config change (as-of), attributing
+events to maintenance/incident windows (interval join), splitting user
+activity into sessions (gap sessionization), and maintaining continuous
+aggregates at several grains (time rollup).  Each operator here is a
+composition of built-in DataFrame ops — no UDFs, no crossJoin, no
+driver-side loops — with the shuffle structure chosen for the 100 TB case:
+
+* ``asof_join``      — ONE hash shuffle on the join key (union + ordered
+                       window carry-forward), never a range join or BNLJ.
+* ``interval_join``  — time-bucketed equi join: both sides shuffle once on
+                       (key, bucket); each interval explodes to at most
+                       ``ceil(len/bucket)+1`` buckets, so the fan-out is
+                       bounded and chosen by the caller.
+* ``sessionize``     — ONE shuffle on the session key; gap detection and
+                       session numbering are a lag + running-sum window.
+* ``time_rollup``    — aggregate once at the finest grain, then re-aggregate
+                       the *partials* to every coarser grain (sum-of-sums,
+                       min-of-mins…) — the continuous-aggregate pattern:
+                       coarse grains never rescan the raw table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "asof_join",
+    "interval_join",
+    "sessionize",
+    "session_stats",
+    "time_bucket",
+    "time_rollup",
+]
+
+_US = 1_000_000  # microseconds per second
+
+
+def _us(col: Column) -> Column:
+    # Epoch microseconds.  ``unix_micros`` rejects TIMESTAMP_NTZ (the type
+    # parquet timestamps load as), so cast first; with the engine-wide
+    # UTC session timezone (session.py) the cast is value-preserving.
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance_s: float | None = None,
+    tiebreak: str | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """For every left row, attach the nearest preceding (``backward``) or
+    following (``forward``) right row with the same key.
+
+    Implemented as the *union trick*: tag both sides, union, and run a
+    single keyed window that carries the most recent right payload forward
+    (or backward).  This is one hash shuffle on ``on`` + an in-partition
+    sort — the scalable shape; a naive range join is O(|L|·|R|) per key and
+    a broadcast range join caps the right side at driver memory.
+
+    Determinism: when several right rows share one timestamp the carried
+    row is the one greatest under ``tiebreak`` (a right column, e.g. its
+    id).  Pass ``tiebreak`` whenever right (key, ts) is not unique.
+
+    ``allow_exact_matches`` mirrors pandas ``merge_asof``: if True a right
+    row at exactly the left timestamp is eligible (``l.ts >= r.ts``),
+    matching DuckDB's ``ASOF JOIN`` inequality.
+
+    Unmatched left rows are kept with NULL right columns (left outer
+    semantics, like ``merge_asof``); apply ``tolerance_s`` to also null out
+    matches farther than that many seconds away.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+
+    lpay = [c for c in left.columns if c not in on]
+    rpay = [c for c in right.columns if c not in on]
+    rtypes = dict(zip(right.columns, [f.dataType for f in right.schema.fields]))
+    ltypes = dict(zip(left.columns, [f.dataType for f in left.schema.fields]))
+
+    lt = left.select(
+        *on,
+        _us(F.col(left_ts)).alias("_ts_us"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lpay],
+        *[F.lit(None).cast(rtypes[c]).alias(c + suffix) for c in rpay],
+    )
+    rt = right.select(
+        *on,
+        _us(F.col(right_ts)).alias("_ts_us"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lpay],
+        *[F.col(c).alias(c + suffix) for c in rpay],
+    )
+    u = lt.unionByName(rt)
+
+    # Backward: ascending time, right rows first at equal ts iff exact
+    # matches are allowed.  Forward: the mirror image.
+    asc = direction == "backward"
+    right_first = allow_exact_matches
+    ts_ord = F.col("_ts_us").asc() if asc else F.col("_ts_us").desc()
+    side_ord = (F.col("_is_left").asc() if right_first
+                else F.col("_is_left").desc())
+    order = [ts_ord, side_ord]
+    if tiebreak is not None:
+        tb = F.col(tiebreak + suffix)
+        # Among equal-ts right rows the LAST in window order wins the
+        # carry-forward, so ascending tiebreak selects the greatest.
+        order.append(tb.asc() if asc else tb.desc())
+    w = (Window.partitionBy(*on).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    carried = u.select(
+        *on, "_ts_us", "_is_left", *lpay,
+        *[F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix)
+          for c in rpay],
+        F.last(F.when(F.col("_is_left") == 0, F.col("_ts_us")),
+               ignorenulls=True).over(w).alias("_rts_us"),
+    )
+
+    out = carried.filter(F.col("_is_left") == 1)
+    gap = (F.col("_ts_us") - F.col("_rts_us") if asc
+           else F.col("_rts_us") - F.col("_ts_us"))
+    if tolerance_s is not None:
+        keep = F.col("_rts_us").isNotNull() & (gap <= int(tolerance_s * _US))
+        out = out.select(
+            *on, "_ts_us", *lpay,
+            *[F.when(keep, F.col(c + suffix)).alias(c + suffix)
+              for c in rpay],
+            F.when(keep, gap).alias("_gap_us"),
+        )
+    else:
+        out = out.select(*on, "_ts_us", *lpay,
+                         *[F.col(c + suffix) for c in rpay],
+                         gap.alias("_gap_us"))
+    return out.withColumn("asof_gap_us", F.col("_gap_us")) \
+              .drop("_gap_us", "_ts_us")
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    *,
+    ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    bucket_s: int,
+    how: str = "inner",
+    inclusive_end: bool = False,
+) -> DataFrame:
+    """Join point events to the intervals containing them: a range join
+    rewritten as a time-bucketed EQUI join.
+
+    Both sides get ``_bkt = floor(epoch_us / bucket_s·1e6)``; intervals
+    explode to every bucket they touch (``sequence`` — bounded fan-out of
+    ``ceil(len/bucket_s)+1`` rows) and the join is a plain hash join on
+    ``on + [_bkt]`` with the exact containment predicate as a residual.
+    An event has exactly one bucket and an interval lists each bucket once,
+    so no post-join dedup is needed.  Pick ``bucket_s`` near the typical
+    interval length: each interval then explodes to ≤ 2 rows while buckets
+    stay selective.  This is partition-parallel at any table size — the
+    planner never falls back to a broadcast-nested-loop over the raw range
+    predicate.
+
+    ``how='left'`` keeps empty intervals (interval cols + NULL event cols);
+    a left outer on the bucketed join yields one NULL row *per exploded
+    bucket* for an unmatched interval, which any per-interval aggregation
+    collapses (counts ignore NULLs) — callers doing row-level work should
+    aggregate or de-dup on the interval key.
+    """
+    if bucket_s <= 0:
+        raise ValueError("bucket_s must be positive")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left: {how}")
+    bu = int(bucket_s) * _US
+
+    # floor (not cast) so pre-1970 timestamps bucket correctly.
+    ev = events.withColumn(
+        "_bkt", F.floor(_us(F.col(ts)) / F.lit(bu)).cast("long"))
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(F.sequence(
+            F.floor(_us(F.col(start)) / F.lit(bu)).cast("long"),
+            F.floor(_us(F.col(end)) / F.lit(bu)).cast("long"))),
+    )
+
+    upper = (F.col(f"__iv.{end}") >= F.col(f"__ev.{ts}") if inclusive_end
+             else F.col(f"__iv.{end}") > F.col(f"__ev.{ts}"))
+    cond = F.col(f"__ev.{ts}") >= F.col(f"__iv.{start}")
+    for k in on:
+        cond = cond & (F.col(f"__ev.{k}") == F.col(f"__iv.{k}"))
+    cond = cond & (F.col("__ev._bkt") == F.col("__iv._bkt")) & upper
+
+    ev = ev.alias("__ev")
+    iv = iv.alias("__iv")
+    if how == "inner":
+        j = iv.join(ev, cond, "inner")
+    else:
+        j = iv.join(ev, cond, "left")
+    ev_cols = [F.col(f"__ev.{c}").alias(c) for c in events.columns]
+    iv_cols = [F.col(f"__iv.{c}").alias(f"iv_{c}" if c in events.columns
+                                        else c)
+               for c in intervals.columns]
+    return j.select(*iv_cols, *ev_cols)
+
+
+def sessionize(
+    events: DataFrame,
+    key: list[str],
+    *,
+    ts: str = "ts",
+    gap_s: float,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign gap-based session numbers: rows of one key whose consecutive
+    gaps are all ≤ ``gap_s`` share a ``session_id`` (1-based per key).
+
+    One shuffle on ``key``; the gap test is a ``lag`` and the numbering a
+    running sum of boundary flags over the same window — both execute in
+    a single in-partition sort pass.  Equivalent to (and tested against)
+    Spark's built-in ``session_window`` aggregation, but keeps the
+    event→session assignment, which ``session_window`` discards.
+    """
+    order = [F.col(ts).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*key).orderBy(*order)
+    prev = F.lag(_us(F.col(ts))).over(w)
+    boundary = (prev.isNull()
+                | ((_us(F.col(ts)) - prev) > int(gap_s * _US)))
+    run = (Window.partitionBy(*key).orderBy(*order)
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return events.withColumn(
+        "session_id",
+        F.sum(boundary.cast("long")).over(run))
+
+
+def session_stats(sessions: DataFrame, key: list[str],
+                  *, ts: str = "ts",
+                  value: str | None = None) -> DataFrame:
+    """Collapse ``sessionize`` output to one row per session."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        (_us(F.max(ts)) - _us(F.min(ts))).alias("duration_us"),
+    ]
+    if value is not None:
+        aggs.append(F.round(F.sum(value), 2).alias("session_value"))
+    return sessions.groupBy(*key, "session_id").agg(*aggs)
+
+
+def time_bucket(col: Column, width_s: int) -> Column:
+    """Truncate a timestamp to a ``width_s``-second grid (epoch-aligned),
+    like TimescaleDB's ``time_bucket``.  Pure column arithmetic — stays in
+    whole-stage codegen."""
+    w = int(width_s) * _US
+    return F.timestamp_micros(
+        (F.floor(_us(col) / F.lit(w)).cast("long") * F.lit(w)))
+
+
+def time_rollup(
+    events: DataFrame,
+    *,
+    ts: str = "ts",
+    value: str,
+    group: list[str],
+    grains_s: list[int],
+    reuse_partials: bool = True,
+) -> DataFrame:
+    """Continuous-aggregate rollup: aggregate the raw table ONCE at the
+    finest grain, then derive every coarser grain from those partials.
+
+    ``grains_s`` must be ascending and each coarser grain an integer
+    multiple of the finest (so fine buckets nest exactly).  The partial at
+    the finest grain carries (count, sum, min, max); coarser grains
+    re-aggregate with sum-of-counts / sum-of-sums / min-of-mins /
+    max-of-maxs, and ``avg`` is derived as sum/count at every grain (an
+    avg-of-avgs would weight buckets, not rows).  At 100 TB this is the
+    difference between one scan of the raw table and one scan per grain;
+    it is also exactly how an incremental materialized rollup refreshes —
+    recompute touched fine buckets, re-roll the coarse ones from partials.
+
+    Output: one row per (grain_s, bucket_start, *group) with n / vsum /
+    vmin / vmax / vavg.
+    """
+    if not grains_s or sorted(grains_s) != list(grains_s):
+        raise ValueError("grains_s must be ascending and non-empty")
+    fine = grains_s[0]
+    for g in grains_s[1:]:
+        if g % fine != 0:
+            raise ValueError(f"grain {g} is not a multiple of {fine}")
+
+    partial = (
+        events
+        .withColumn("_bucket", time_bucket(F.col(ts), fine))
+        .groupBy("_bucket", *group)
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(value).alias("vsum"),
+             F.min(value).alias("vmin"),
+             F.max(value).alias("vmax"))
+    )
+    if reuse_partials and len(grains_s) > 1:
+        # Without this each union branch re-executes the whole partial
+        # subtree — one RAW-TABLE SCAN PER GRAIN.  Persisting the (much
+        # smaller) fine partial makes coarse grains read it instead;
+        # tests assert exactly one FileScan in the plan.  MEMORY_AND_DISK
+        # so a partial bigger than executor memory spills, not OOMs.
+        from pyspark import StorageLevel
+
+        partial = partial.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def finish(df: DataFrame, width: int) -> DataFrame:
+        # No rounding here: feed an exact column (integer units, decimal)
+        # for bit-reproducible rollups — fp sums of raw doubles are
+        # order-dependent and engine-dependent at the last ulp.
+        return df.select(
+            F.lit(width).alias("grain_s"),
+            F.col("_bucket").alias("bucket_start"),
+            *group,
+            "n",
+            "vsum", "vmin", "vmax",
+            (F.col("vsum") / F.col("n")).alias("vavg"),
+        )
+
+    out = finish(partial, fine)
+    for g in grains_s[1:]:
+        coarse = (
+            partial
+            .withColumn("_bucket", time_bucket(F.col("_bucket"), g))
+            .groupBy("_bucket", *group)
+            .agg(F.sum("n").alias("n"),
+                 F.sum("vsum").alias("vsum"),
+                 F.min("vmin").alias("vmin"),
+                 F.max("vmax").alias("vmax"))
+        )
+        out = out.unionByName(finish(coarse, g))
+    return out

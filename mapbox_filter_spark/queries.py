@@ -433,8 +433,9 @@ QUERIES = {
 
 def _all_queries():
     from .queries_ext import EXT_QUERIES
+    from .queries_temporal import TEMPORAL_QUERIES
 
-    return {**QUERIES, **EXT_QUERIES}
+    return {**QUERIES, **EXT_QUERIES, **TEMPORAL_QUERIES}
 
 
 def queries():

@@ -1,0 +1,228 @@
+"""Gate queries for the temporal operator block (operators/temporal.py).
+
+All five run on the ``events`` table (event_id, ts, user_id, event_type,
+value, props) and have exact DuckDB oracles.  Timestamps cross the gate
+boundary as epoch microseconds (BIGINT) so the value hash never depends on
+timestamp rendering or session timezones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.temporal import (
+    asof_join,
+    interval_join,
+    session_stats,
+    sessionize,
+    time_rollup,
+)
+
+_GAP_S = 1800          # sessionization gap
+_WIN_S = 900           # incident-window length for the interval join
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ------------------------------------------------------------- as-of join
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach to every click the most recent error by the same user at or
+    before it (left outer; unmatched clicks keep NULLs) — the classic
+    trades-vs-quotes as-of shape.  The right side is deduped to one row
+    per (user_id, ts) keeping the greatest event_id so both engines are
+    deterministic even under timestamp ties."""
+    ev = _events(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id"))
+    errors = (ev.filter(F.col("event_type") == "error")
+              .groupBy("user_id", "ts")
+              .agg(F.max("event_id").alias("err_id")))
+    j = asof_join(clicks, errors, on=["user_id"],
+                  left_ts="ts", right_ts="ts", tiebreak="err_id")
+    return j.select(
+        "event_id",
+        F.col("err_id_r").alias("err_id"),
+        F.col("asof_gap_us").alias("gap_us"),
+    )
+
+
+def sql_asof_join() -> str:
+    return f"""
+WITH clk AS (SELECT user_id, ts, event_id FROM events
+             WHERE event_type = 'click'),
+err AS (SELECT user_id, ts, MAX(event_id) AS err_id FROM events
+        WHERE event_type = 'error' GROUP BY user_id, ts)
+SELECT clk.event_id,
+       err.err_id,
+       date_diff('microsecond', err.ts, clk.ts) AS gap_us
+FROM clk ASOF LEFT JOIN err
+  ON clk.user_id = err.user_id AND clk.ts >= err.ts"""
+
+
+# -------------------------------------------------------- interval join
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every error opens a [ts, ts+15min) incident window; count the same
+    user's clicks inside it (empty windows kept at zero).  Runs as the
+    time-bucketed equi join — bucket = window length, so each window
+    explodes to at most 2 bucket rows."""
+    ev = _events(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id", "value"))
+    wins = (ev.filter(F.col("event_type") == "error")
+            .select(F.col("event_id").alias("win_id"), "user_id",
+                    F.col("ts").alias("start"),
+                    (F.col("ts") + F.expr(f"INTERVAL {_WIN_S} SECONDS"))
+                    .alias("end")))
+    j = interval_join(clicks, wins, on=["user_id"],
+                      ts="ts", start="start", end="end",
+                      bucket_s=_WIN_S, how="left")
+    return j.groupBy("win_id").agg(
+        F.count("event_id").alias("n_clicks"),
+        F.coalesce(F.round(F.sum("value"), 2), F.lit(0.0))
+        .alias("click_value"),
+    )
+
+
+def sql_interval_join() -> str:
+    return f"""
+WITH wins AS (SELECT event_id AS win_id, user_id, ts AS s,
+                     ts + INTERVAL {_WIN_S} SECOND AS e
+              FROM events WHERE event_type = 'error'),
+clk AS (SELECT user_id, ts, event_id, value FROM events
+        WHERE event_type = 'click')
+SELECT wins.win_id,
+       COUNT(clk.event_id) AS n_clicks,
+       COALESCE(ROUND(SUM(clk.value), 2), 0.0) AS click_value
+FROM wins LEFT JOIN clk
+  ON clk.user_id = wins.user_id AND clk.ts >= wins.s AND clk.ts < wins.e
+GROUP BY wins.win_id"""
+
+
+# -------------------------------------------------------- sessionization
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user (gap 30 min), collapsed to per-session
+    stats.  One shuffle: lag + running-sum window, then the groupBy reuses
+    the same hash partitioning."""
+    ev = _events(spark, sf_dir)
+    s = sessionize(ev, ["user_id"], ts="ts", gap_s=_GAP_S,
+                   tiebreak="event_id")
+    st = session_stats(s, ["user_id"], ts="ts", value="value")
+    return st.select(
+        "user_id", "session_id", "n_events",
+        F.unix_micros(F.col("session_start").cast("timestamp"))
+        .alias("start_us"),
+        "duration_us",
+        "session_value",
+    )
+
+
+def sql_sessionize() -> str:
+    gap_us = _GAP_S * 1_000_000
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) > {gap_us}
+              THEN 1 ELSE 0 END AS bnd
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, value,
+         SUM(bnd) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       epoch_us(MIN(ts)) AS start_us,
+       date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us,
+       ROUND(SUM(value), 2) AS session_value
+FROM sessions GROUP BY user_id, session_id"""
+
+
+# -------------------------------------------------------- time rollup
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate at hour + day grains.  The
+    day grain is re-aggregated from the HOURLY PARTIALS (sum-of-sums,
+    min-of-mins, avg derived as sum/count); the oracle computes both
+    grains directly from the raw table, so the gate proves partial
+    re-aggregation is exact.  ``value`` is converted to integer cents
+    first: integer sums are exact in both engines and bigint/bigint
+    division is correctly-rounded IEEE, so no lossy ROUND is needed."""
+    ev = _events(spark, sf_dir).withColumn(
+        "value_c", F.round(F.col("value") * 100, 0).cast("long"))
+    r = time_rollup(ev, ts="ts", value="value_c", group=["event_type"],
+                    grains_s=[3600, 86400])
+    return r.select(
+        F.col("grain_s").cast("int").alias("grain_s"),
+        F.unix_micros("bucket_start").alias("bucket_us"),
+        "event_type", "n", "vsum", "vmin", "vmax", "vavg",
+    )
+
+
+def sql_time_rollup() -> str:
+    def grain(w_s: int) -> str:
+        w_us = w_s * 1_000_000
+        return f"""
+SELECT CAST({w_s} AS INTEGER) AS grain_s,
+       (epoch_us(ts) // {w_us}) * {w_us} AS bucket_us,
+       event_type,
+       COUNT(*) AS n,
+       SUM(value_c) AS vsum,
+       MIN(value_c) AS vmin,
+       MAX(value_c) AS vmax,
+       CAST(SUM(value_c) AS DOUBLE) / COUNT(*) AS vavg
+FROM (SELECT ts, event_type,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS value_c
+      FROM events)
+GROUP BY bucket_us, event_type"""
+
+    return grain(3600) + "\nUNION ALL" + grain(86400)
+
+
+# ----------------------------------------------------- quantile profile
+
+
+def q_quantile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value percentiles (linear interpolation — the
+    ``percentile``/``quantile_cont`` definition): one shuffle, partial
+    aggregation map-side.  The approximate path (percentile_approx /
+    KLL-style sketch) is tested against this exact result in
+    tests/test_temporal.py within rank-error bounds."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+def sql_quantile_profile() -> str:
+    return """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type"""
+
+
+TEMPORAL_QUERIES = {
+    "asof_join": (q_asof_join, sql_asof_join),
+    "interval_join": (q_interval_join, sql_interval_join),
+    "sessionize": (q_sessionize, sql_sessionize),
+    "time_rollup": (q_time_rollup, sql_time_rollup),
+    "quantile_profile": (q_quantile_profile, sql_quantile_profile),
+}

@@ -1,0 +1,324 @@
+"""Temporal operator tests (operators/temporal.py).
+
+Independent oracles, not re-derivations:
+- asof_join       vs pandas.merge_asof (backward/forward, exact-match flag,
+                  tolerance) on a seeded random fixture
+- interval_join   vs the naive crossJoin-and-filter range join
+- sessionize      vs Spark's built-in session_window aggregation
+- time_rollup     coarse grain from partials vs direct aggregation
+plus physical-plan shape guards (shuffle counts, no nested-loop join).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mapbox_filter_spark.operators.temporal import (
+    asof_join,
+    interval_join,
+    session_stats,
+    sessionize,
+    time_bucket,
+    time_rollup,
+)
+
+SEED = 20260817
+
+
+def _phys(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def tdata():
+    """Seeded event fixture: 20 keys, unique (key, ts) per side."""
+    rng = np.random.default_rng(SEED)
+    base = pd.Timestamp("2024-03-01")
+
+    def mk(n, tag):
+        ts = base + pd.to_timedelta(
+            rng.choice(10_000_000, size=n, replace=False), unit="s")
+        return pd.DataFrame({
+            "key": rng.integers(0, 20, size=n).astype("int64"),
+            "ts": ts,
+            f"{tag}_id": np.arange(n, dtype="int64"),
+            f"{tag}_v": np.round(rng.random(n) * 100, 2),
+        })
+
+    return mk(400, "l"), mk(300, "r")
+
+
+@pytest.mark.parametrize("direction,exact,tol", [
+    ("backward", True, None),
+    ("backward", False, None),
+    ("backward", True, 86_400.0),
+    ("forward", True, None),
+    ("forward", False, 3_600.0 * 48),
+])
+def test_asof_matches_pandas(spark, tdata, direction, exact, tol):
+    lpd, rpd = tdata
+    left = spark.createDataFrame(lpd)
+    right = spark.createDataFrame(rpd)
+
+    got = asof_join(
+        left, right, on=["key"], direction=direction,
+        allow_exact_matches=exact, tolerance_s=tol, tiebreak="r_id",
+    ).select("l_id", "r_id_r", "r_v_r").toPandas()
+
+    want = pd.merge_asof(
+        lpd.sort_values("ts"), rpd.sort_values("ts"),
+        on="ts", by="key", direction=direction,
+        allow_exact_matches=exact,
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+    )[["l_id", "r_id", "r_v"]]
+
+    g = got.sort_values("l_id").reset_index(drop=True)
+    w = want.sort_values("l_id").reset_index(drop=True)
+    assert len(g) == len(w) == len(lpd)
+    pd.testing.assert_series_equal(
+        g["r_id_r"], w["r_id"], check_names=False)
+    pd.testing.assert_series_equal(
+        g["r_v_r"], w["r_v"], check_names=False)
+
+
+def test_asof_gap_sign_and_null(spark, tdata):
+    lpd, rpd = tdata
+    left = spark.createDataFrame(lpd)
+    right = spark.createDataFrame(rpd)
+    for direction in ("backward", "forward"):
+        out = asof_join(left, right, on=["key"], direction=direction,
+                        tiebreak="r_id").toPandas()
+        matched = out[out["r_id_r"].notna()]
+        assert (matched["asof_gap_us"] >= 0).all()
+        unmatched = out[out["r_id_r"].isna()]
+        assert unmatched["asof_gap_us"].isna().all()
+
+
+def test_asof_equal_ts_tiebreak(spark):
+    """Three right rows at one timestamp: backward carries the greatest
+    tiebreak (pandas keeps the last sorted right row), forward the
+    smallest (pandas keeps the first)."""
+    ts = pd.Timestamp("2024-01-01 12:00:00")
+    lpd = pd.DataFrame({"key": [1, 1], "ts": [ts, ts],
+                        "l_id": np.array([0, 1], dtype="int64")})
+    rpd = pd.DataFrame({"key": [1] * 3, "ts": [ts] * 3,
+                        "r_id": np.array([7, 5, 9], dtype="int64")})
+    left = spark.createDataFrame(lpd)
+    right = spark.createDataFrame(rpd)
+    back = asof_join(left, right, on=["key"], direction="backward",
+                     tiebreak="r_id").toPandas()
+    assert set(back["r_id_r"]) == {9}
+    fwd = asof_join(left, right, on=["key"], direction="forward",
+                    tiebreak="r_id").toPandas()
+    assert set(fwd["r_id_r"]) == {5}
+    # exact matches off: nothing strictly before/after
+    none = asof_join(left, right, on=["key"], direction="backward",
+                     allow_exact_matches=False, tiebreak="r_id").toPandas()
+    assert none["r_id_r"].isna().all()
+
+
+def test_asof_single_shuffle(spark, tdata):
+    lpd, rpd = tdata
+    j = asof_join(spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+                  on=["key"], tiebreak="r_id")
+    p = _phys(j)
+    n_exchange = p.count("Exchange hashpartitioning")
+    assert n_exchange == 1, f"asof_join should shuffle once:\n{p}"
+    assert "NestedLoop" not in p and "Cartesian" not in p
+
+
+def test_interval_join_equals_naive(spark, tdata):
+    lpd, rpd = tdata
+    ev = spark.createDataFrame(lpd).withColumnRenamed("l_id", "event_id")
+    iv = (spark.createDataFrame(rpd)
+          .select(F.col("r_id").alias("win_id"), "key",
+                  F.col("ts").alias("start"),
+                  (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end")))
+    got = (interval_join(ev, iv, on=["key"], ts="ts", start="start",
+                         end="end", bucket_s=7200)
+           .select("win_id", "event_id"))
+    naive = (iv.alias("a").join(ev.alias("b"),
+                                (F.col("a.key") == F.col("b.key"))
+                                & (F.col("b.ts") >= F.col("a.start"))
+                                & (F.col("b.ts") < F.col("a.end")))
+             .select("win_id", "event_id"))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, naive.collect()))
+    assert got.count() > 0
+
+    # a bucket much smaller than the interval still gives the same rows
+    # (wider explode, same containment)
+    small = (interval_join(ev, iv, on=["key"], ts="ts", start="start",
+                           end="end", bucket_s=600)
+             .select("win_id", "event_id"))
+    assert sorted(map(tuple, small.collect())) == \
+        sorted(map(tuple, naive.collect()))
+
+
+def test_interval_join_left_keeps_empty(spark):
+    ev = spark.createDataFrame(pd.DataFrame({
+        "key": np.array([1], dtype="int64"),
+        "ts": [pd.Timestamp("2024-01-01 00:30:00")],
+        "event_id": np.array([10], dtype="int64")}))
+    iv = spark.createDataFrame(pd.DataFrame({
+        "key": np.array([1, 1], dtype="int64"),
+        "win_id": np.array([0, 1], dtype="int64"),
+        "start": [pd.Timestamp("2024-01-01 00:00:00"),
+                  pd.Timestamp("2024-01-02 00:00:00")],
+        "end": [pd.Timestamp("2024-01-01 01:00:00"),
+                pd.Timestamp("2024-01-02 01:00:00")]}))
+    out = (interval_join(ev, iv, on=["key"], bucket_s=3600, how="left")
+           .groupBy("win_id")
+           .agg(F.count("event_id").alias("n"))
+           .collect())
+    assert {(r["win_id"], r["n"]) for r in out} == {(0, 1), (1, 0)}
+
+
+def test_interval_join_no_nested_loop(spark, tdata):
+    lpd, rpd = tdata
+    ev = spark.createDataFrame(lpd)
+    iv = (spark.createDataFrame(rpd)
+          .select(F.col("r_id").alias("win_id"), "key",
+                  F.col("ts").alias("start"),
+                  (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end")))
+    p = _phys(interval_join(ev, iv, on=["key"], bucket_s=7200))
+    assert "NestedLoop" not in p and "Cartesian" not in p, p
+
+
+def test_interval_join_validations(spark, tdata):
+    lpd, rpd = tdata
+    ev = spark.createDataFrame(lpd)
+    iv = spark.createDataFrame(rpd).select(
+        "key", F.col("ts").alias("start"), F.col("ts").alias("end"))
+    with pytest.raises(ValueError, match="bucket_s"):
+        interval_join(ev, iv, on=["key"], bucket_s=0)
+    with pytest.raises(ValueError, match="how"):
+        interval_join(ev, iv, on=["key"], bucket_s=60, how="full")
+
+
+def test_sessionize_matches_session_window(spark, tdata):
+    """Hand-rolled sessions must reproduce the built-in session_window
+    boundaries: [min_ts, max_ts + gap) per session."""
+    lpd, _ = tdata
+    ev = spark.createDataFrame(lpd)
+    gap = 3600.0 * 6
+
+    mine = (session_stats(
+        sessionize(ev, ["key"], gap_s=gap, tiebreak="l_id"), ["key"])
+        .select("key", "session_start", "session_end", "n_events"))
+    builtin = (ev.groupBy("key",
+                          F.session_window("ts", f"{int(gap)} seconds"))
+               .agg(F.count(F.lit(1)).alias("n_events"))
+               .select("key",
+                       F.col("session_window.start").alias("session_start"),
+                       (F.col("session_window.end")
+                        - F.expr(f"INTERVAL {int(gap)} SECONDS"))
+                       .alias("session_end"),
+                       "n_events"))
+    a = sorted(map(tuple, mine.collect()))
+    b = sorted(map(tuple, builtin.collect()))
+    assert a == b
+    assert len(a) > len(set(r[0] for r in a))  # >1 session for some key
+
+
+def test_sessionize_gap_is_inclusive(spark):
+    """Events exactly gap_s apart stay in ONE session (documented ≤)."""
+    ts0 = pd.Timestamp("2024-01-01")
+    ev = spark.createDataFrame(pd.DataFrame({
+        "key": np.array([1, 1, 1], dtype="int64"),
+        "ts": [ts0, ts0 + pd.Timedelta(seconds=60),
+               ts0 + pd.Timedelta(seconds=121)],
+        "l_id": np.array([0, 1, 2], dtype="int64")}))
+    out = sessionize(ev, ["key"], gap_s=60, tiebreak="l_id") \
+        .select("l_id", "session_id").collect()
+    got = {r["l_id"]: r["session_id"] for r in out}
+    assert got == {0: 1, 1: 1, 2: 2}
+
+
+def test_sessionize_single_shuffle(spark, tdata):
+    lpd, _ = tdata
+    ev = spark.createDataFrame(lpd)
+    st = session_stats(
+        sessionize(ev, ["key"], gap_s=3600, tiebreak="l_id"), ["key"])
+    p = _phys(st)
+    # the groupBy(key, session_id) reuses the window's hash(key)
+    # partitioning — no second exchange
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_time_rollup_partials_equal_direct(spark, tdata):
+    lpd, _ = tdata
+    ev = spark.createDataFrame(lpd).withColumn(
+        "v_c", F.round(F.col("l_v") * 100, 0).cast("long"))
+    r = time_rollup(ev, value="v_c", group=["key"],
+                    grains_s=[3600, 86400])
+    coarse = r.filter(F.col("grain_s") == 86400) \
+        .select("bucket_start", "key", "n", "vsum", "vmin", "vmax", "vavg")
+    direct = (ev.withColumn("bucket_start", time_bucket(F.col("ts"), 86400))
+              .groupBy("bucket_start", "key")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("v_c").alias("vsum"),
+                   F.min("v_c").alias("vmin"),
+                   F.max("v_c").alias("vmax"))
+              .select("bucket_start", "key", "n", "vsum", "vmin", "vmax",
+                      (F.col("vsum") / F.col("n")).alias("vavg")))
+    assert sorted(map(tuple, coarse.collect())) == \
+        sorted(map(tuple, direct.collect()))
+
+
+def test_time_rollup_single_raw_scan(spark, tdata):
+    """The raw table is scanned once: coarse grains read the fine
+    partial, so the plan contains exactly one scan of the input."""
+    lpd, _ = tdata
+    path = "/tmp/mfs_rollup_scan_fixture"
+    spark.createDataFrame(lpd).withColumn(
+        "v_c", F.round(F.col("l_v") * 100, 0).cast("long")) \
+        .write.mode("overwrite").parquet(path)
+    ev = spark.read.parquet(path)
+    # no-reuse first: once persist() registers the partial, the cache
+    # manager substitutes it into ANY later matching plan
+    raw = time_rollup(ev, value="v_c", group=["key"],
+                      grains_s=[3600, 86400, 7 * 86400],
+                      reuse_partials=False)
+    praw = _phys(raw)
+    assert "InMemoryTableScan" not in praw
+    assert praw.count("FileScan parquet") == 3  # one raw scan per grain
+
+    r = time_rollup(ev, value="v_c", group=["key"],
+                    grains_s=[3600, 86400, 7 * 86400])
+    p = _phys(r)
+    # every grain branch reads the SHARED persisted partial (the plan
+    # prints the cached subtree under each InMemoryTableScan, so the
+    # FileScan line repeats textually but executes once)
+    assert p.count("InMemoryTableScan") == 3, p
+
+
+def test_time_rollup_validations(spark, tdata):
+    lpd, _ = tdata
+    ev = spark.createDataFrame(lpd)
+    with pytest.raises(ValueError, match="ascending"):
+        time_rollup(ev, value="l_v", group=[], grains_s=[3600, 60])
+    with pytest.raises(ValueError, match="multiple"):
+        time_rollup(ev, value="l_v", group=[], grains_s=[3600, 5000])
+
+
+def test_quantile_approx_within_rank_error(spark):
+    """percentile_approx with accuracy A has rank error ≤ n/A of the
+    exact percentile — sanity for the sketch path next to the exact
+    quantile_profile gate."""
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    rows = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.9)).alias("exact"),
+        F.percentile_approx("value", F.lit(0.9), F.lit(10_000))
+        .alias("approx"),
+        F.expr("sort_array(collect_list(value))").alias("vals"),
+    ).collect()
+    for r in rows:
+        vals = r["vals"]
+        n = len(vals)
+        # rank of the approx answer must be within n/10000 + 1 of 0.9n
+        import bisect
+        rank = bisect.bisect_right(vals, r["approx"])
+        assert abs(rank - 0.9 * n) <= n / 10_000 + 2, \
+            (r["event_type"], rank, n)
