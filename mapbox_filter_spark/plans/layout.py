@@ -1,0 +1,138 @@
+"""Clustered data layout: write tables physically ordered by a locality
+key so parquet min/max statistics prune files and row groups at read time.
+
+The reference engine controls scan locality with its mbtiles primary key
+(SURVEY §2.3 sorts — tiles are read back in index order); a 100 TB lake
+needs the same idea at the storage-format level.  Parquet keeps per
+row-group min/max for every column: if rows are *clustered* on a key,
+any range predicate on that key touches only the few row groups whose
+stat interval overlaps — the rest never leave object storage.  With a
+space-filling-curve key (the S2 Hilbert cell id, geo/s2.py) that turns
+2-D spatial locality into 1-D range locality, so bbox/region probes
+become pruned range scans.
+
+``write_clustered`` = ``repartitionByRange`` (a range shuffle over a
+sampled key distribution — files then hold DISJOINT key ranges) +
+``sortWithinPartitions`` (row groups within a file are ordered too).
+That is the full Z-ORDER-style pipeline for the single-key case; for a
+composite spatial key, cluster on the S2 cell id, which already
+interleaves lon/lat.
+
+Evidence harness: ``rowgroup_stats``/``pruning_ratio`` read the parquet
+footers (pyarrow) and measure exactly how many row groups a given cell
+range would touch — the number a 100 TB scan pays for.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "write_clustered",
+    "cluster_by_s2",
+    "s2_range_predicate",
+    "rowgroup_stats",
+    "pruning_ratio",
+]
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    order_by: list[str],
+    *,
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` to parquet clustered on ``order_by``: a range
+    repartition gives each output file a disjoint key range, and the
+    in-partition sort orders row groups inside each file.  ``n_files``
+    sizes the range shuffle — at scale pick ``total_bytes /
+    target_file_bytes`` (128-512 MB files keep footers small and S3
+    listings sane)."""
+    (df.repartitionByRange(n_files, *[F.col(c) for c in order_by])
+       .sortWithinPartitions(*order_by)
+       .write.mode(mode).parquet(path))
+
+
+def cluster_by_s2(
+    df: DataFrame,
+    path: str,
+    *,
+    lon: str = "lon",
+    lat: str = "lat",
+    level: int = 12,
+    n_files: int,
+    cell_col: str = "cell",
+    mode: str = "overwrite",
+) -> None:
+    """Attach the S2 Hilbert cell id and write clustered on it.  The
+    Hilbert curve preserves locality: nearby (lon, lat) → nearby cell
+    ids → the same or adjacent files/row groups."""
+    from ..geo.s2 import with_s2_cell
+
+    d = with_s2_cell(df, lon=lon, lat=lat, level=level, out=cell_col)
+    write_clustered(d, path, [cell_col], n_files=n_files, mode=mode)
+
+
+def s2_range_predicate(probe_cells: list[int],
+                       cell_col: str = "cell") -> Column:
+    """OR of ``cell BETWEEN range_min(c) AND range_max(c)`` over a
+    covering — plain comparisons on a long column, so Spark pushes them
+    into the parquet scan (PushedFilters) where row-group stats apply."""
+    from ..geo.s2 import py_s2_range
+
+    pred = None
+    for c in probe_cells:
+        lo, hi = py_s2_range(c)
+        term = (F.col(cell_col) >= F.lit(lo)) & (F.col(cell_col) <= F.lit(hi))
+        pred = term if pred is None else (pred | term)
+    if pred is None:
+        raise ValueError("empty covering")
+    return pred
+
+
+@dataclass
+class RowGroupStat:
+    file: str
+    n_rows: int
+    cmin: int
+    cmax: int
+
+
+def rowgroup_stats(path: str, cell_col: str = "cell") -> list[RowGroupStat]:
+    """Per-row-group (min, max) of ``cell_col`` from the parquet footers
+    — ground truth for what a stats-pruned scan would read."""
+    import pyarrow.parquet as pq
+
+    out: list[RowGroupStat] = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        f = pq.ParquetFile(os.path.join(path, name))
+        idx = f.schema_arrow.get_field_index(cell_col)
+        for g in range(f.metadata.num_row_groups):
+            col = f.metadata.row_group(g).column(idx)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                raise ValueError(f"no stats for {cell_col} in {name}")
+            out.append(RowGroupStat(name, f.metadata.row_group(g).num_rows,
+                                    st.min, st.max))
+    return out
+
+
+def pruning_ratio(path: str, ranges: list[tuple[int, int]],
+                  cell_col: str = "cell") -> float:
+    """Fraction of row groups a stats-pruned reader must touch for an OR
+    of cell ranges.  0.02 means 98 % of the table is skipped from the
+    footer alone."""
+    stats = rowgroup_stats(path, cell_col)
+    touched = sum(
+        1 for s in stats
+        if any(not (s.cmax < lo or s.cmin > hi) for lo, hi in ranges)
+    )
+    return touched / len(stats) if stats else 0.0

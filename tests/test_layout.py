@@ -1,0 +1,92 @@
+"""Clustered-layout tests (plans/layout.py): the Hilbert-clustered
+parquet layout must (a) return identical results to an unclustered
+layout, (b) push the S2 range predicate into the scan, and (c) prune a
+measurably larger fraction of row groups via footer stats."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapbox_filter_spark.geo.s2 import py_s2_parent, py_s2_range
+from mapbox_filter_spark.plans.layout import (
+    cluster_by_s2,
+    pruning_ratio,
+    rowgroup_stats,
+    s2_range_predicate,
+)
+from mapbox_filter_spark.sources.features import features_from_lineitem
+
+SF = "/root/testdata/sf0.001"
+CLUSTERED = "/tmp/mfs_layout_clustered"
+SHUFFLED = "/tmp/mfs_layout_shuffled"
+LEVEL = 12
+N_FILES = 16
+
+
+@pytest.fixture(scope="module")
+def layouts(spark):
+    from mapbox_filter_spark.geo.s2 import with_s2_cell
+
+    feats = features_from_lineitem(spark, SF).select(
+        "feature_id", "lon", "lat")
+    cluster_by_s2(feats, CLUSTERED, level=LEVEL, n_files=N_FILES,
+                  cell_col="cell")
+    # same rows, same file count, key-hash placement (no spatial order)
+    d = with_s2_cell(feats, level=LEVEL, out="cell")
+    d.repartition(N_FILES, "feature_id").write.mode("overwrite") \
+        .parquet(SHUFFLED)
+    return CLUSTERED, SHUFFLED
+
+
+@pytest.fixture(scope="module")
+def probe(spark, layouts):
+    """A level-5 ancestor of a real data cell — a region probe that holds
+    a small but non-empty slice of the table."""
+    clustered, _ = layouts
+    row = spark.read.parquet(clustered).select("cell").first()
+    parent = py_s2_parent(row["cell"], 5)
+    return [py_s2_range(parent)], parent
+
+
+def test_results_identical(spark, layouts, probe):
+    clustered, shuffled = layouts
+    ranges, parent = probe
+    pred = s2_range_predicate([parent])
+    a = sorted(r["feature_id"] for r in
+               spark.read.parquet(clustered).filter(pred).collect())
+    b = sorted(r["feature_id"] for r in
+               spark.read.parquet(shuffled).filter(pred).collect())
+    assert a == b
+    assert 0 < len(a) < spark.read.parquet(clustered).count()
+
+
+def test_range_predicate_pushed(spark, layouts, probe):
+    clustered, _ = layouts
+    _, parent = probe
+    df = spark.read.parquet(clustered).filter(s2_range_predicate([parent]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    # the range bounds must reach the scan, not sit in a post-filter only
+    scan_line = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "GreaterThanOrEqual(cell" in scan_line \
+        or "Or(And(" in scan_line, scan_line
+
+
+def test_clustering_prunes_rowgroups(layouts, probe):
+    clustered, shuffled = layouts
+    ranges, _ = probe
+    r_clustered = pruning_ratio(clustered, ranges)
+    r_shuffled = pruning_ratio(shuffled, ranges)
+    # hash placement scatters the probe range across ~every file; the
+    # clustered layout confines it to the files owning that key range
+    assert r_shuffled >= 0.9, r_shuffled
+    assert r_clustered <= 0.25, r_clustered
+
+
+def test_rowgroup_stats_sane(layouts):
+    clustered, _ = layouts
+    stats = rowgroup_stats(clustered)
+    assert stats and all(s.cmin <= s.cmax and s.n_rows > 0 for s in stats)
+    # disjoint file ranges: sort by min, maxes must not interleave
+    by_min = sorted(stats, key=lambda s: s.cmin)
+    for a, b in zip(by_min, by_min[1:]):
+        assert a.cmax <= b.cmin, (a, b)
