@@ -152,6 +152,7 @@ def run_suite(cores: int, sf_dir: str) -> dict:
     s2m = None if no_micros else s2_micro(spark, sf_dir)
     rec = None if no_micros else recall_micro(spark)
     skw = None if no_micros else skew_micro(spark)
+    tmp = None if no_micros else temporal_micro(spark, sf_dir)
 
     spark.stop()
     return {
@@ -161,6 +162,7 @@ def run_suite(cores: int, sf_dir: str) -> dict:
         "s2_micro": s2m,
         "recall_micro": rec,
         "skew_micro": skw,
+        "temporal_micro": tmp,
         "flagship_reps": [round(r, 3) for r in reps],
         "timings": timings,
         "wall_samples": {n: [round(x, 3) for x in w] for n, w in walls.items()},
@@ -243,6 +245,84 @@ def s2_micro(spark, sf_dir: str) -> dict:
         "cells_per_sec": round(n_rows / best, 1),
         "sec_level21": round(deep, 3),
         "cells_per_sec_level21": round(n_rows / deep, 1),
+    }
+
+
+def temporal_micro(spark, sf_dir: str) -> dict:
+    """Temporal-operator throughput on a replicated events corpus
+    (~4M rows, keys scaled with the data so per-key volume stays flat):
+    as-of join (union + keyed window, one shuffle) and sessionize +
+    session_stats (lag + running sum + partial agg, one shuffle).
+    Forced with an aggregate over the carried/derived columns so column
+    pruning can't skip the work; best of 2."""
+    from pyspark.sql import functions as F
+
+    from mapbox_filter_spark.operators.temporal import (
+        asof_join, session_stats, sessionize)
+
+    from mapbox_filter_spark.sources.features import _source_fingerprint
+
+    base = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_base = base.count()
+    rep = max(1, 4_000_000 // max(n_base, 1))
+    # materialize the replicated corpus once (same staleness-fingerprint
+    # rule as the feature substrate) so the micro times the OPERATOR, not
+    # the 400-way explode generator
+    subst = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"),
+        f"bench_events_{_source_fingerprint(sf_dir)}_"
+        f"{sf_dir.replace('/', '_')}_x{rep}")
+    if not os.path.exists(os.path.join(subst, "_SUCCESS")):
+        (base
+         .withColumn("r", F.explode(
+             F.array(*[F.lit(i) for i in range(rep)])))
+         .select(
+             (F.col("event_id") + F.col("r") * n_base).alias("event_id"),
+             (F.col("ts") + F.make_interval(secs=F.col("r") * 7))
+             .alias("ts"),
+             (F.col("user_id") + F.col("r") * F.lit(10_000))
+             .alias("user_id"),
+             "event_type", "value")
+         .repartition(32)
+         .write.mode("overwrite").parquet(subst))
+    ev = spark.read.parquet(subst)
+    n_rows = n_base * rep
+
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts", "event_id")
+    errors = ev.filter(F.col("event_type") == "error") \
+        .select("user_id", "ts", F.col("event_id").alias("err_id"))
+
+    def timed(fn) -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            sec = time.perf_counter() - t0
+            best = sec if best is None else min(best, sec)
+        return best
+
+    def run_asof() -> None:
+        (asof_join(clicks, errors, on=["user_id"], tiebreak="err_id")
+         .agg(F.count(F.lit(1)),
+              F.sum(F.pmod(F.coalesce("err_id_r", F.lit(0)),
+                           F.lit(1_000_003)))).collect())
+
+    def run_sessions() -> None:
+        (session_stats(
+            sessionize(ev, ["user_id"], gap_s=1800, tiebreak="event_id"),
+            ["user_id"])
+         .agg(F.count(F.lit(1)), F.sum("n_events"),
+              F.sum(F.pmod("duration_us", F.lit(1_000_003)))).collect())
+
+    asof_sec = timed(run_asof)
+    sess_sec = timed(run_sessions)
+    return {
+        "n_rows": n_rows,
+        "asof_sec": round(asof_sec, 3),
+        "asof_rows_per_sec": round(n_rows / asof_sec, 1),
+        "sessionize_sec": round(sess_sec, 3),
+        "sessionize_rows_per_sec": round(n_rows / sess_sec, 1),
     }
 
 
@@ -752,6 +832,7 @@ def main() -> None:
         "s2_micro": r["s2_micro"],
         "recall_micro": r["recall_micro"],
         "skew_micro": r["skew_micro"],
+        "temporal_micro": r["temporal_micro"],
         "throughput": {
             "tiles_per_sec": r["tiles_per_sec"],
             "features_per_sec": r["features_per_sec"],
