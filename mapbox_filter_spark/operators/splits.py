@@ -1,0 +1,173 @@
+"""Deterministic dataset splitting, sampling, and sequence packing for
+training-data pipelines.
+
+Spark's own ``randomSplit``/``sample`` are NOT reproducible artifacts: the
+split a row lands in depends on partition layout and evaluation order, so
+a repartition, a cluster resize, or AQE re-planning silently reassigns
+rows — poison for a train/val holdout that must stay fixed across
+reprocessing runs.  Everything here instead derives membership from a
+**content hash of explicit key columns**: ``u = int(md5(salt ⊕ key)[:15
+hex]) ∈ [0, 2⁶⁰)``, compared against integer thresholds.  That makes the
+assignment (a) reproducible bit-for-bit on any cluster shape, (b)
+consistent across engines (the oracle recomputes it in SQL), and (c)
+stable under incremental reprocessing — new rows join a split without
+moving old ones.
+
+All pure Column expressions — no shuffle for split/sample (row-local),
+one keyed window for packing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_u60",
+    "hash_split",
+    "group_split",
+    "stratified_sample",
+    "pack_sequences",
+    "SCALE_U60",
+]
+
+# hash domain: first 15 hex chars of md5 = 60 bits, exact in an int64
+SCALE_U60 = 1 << 60
+_SEP = "\x1f"  # unit separator — never appears in the data's keys
+
+
+def _threshold(frac: float) -> int:
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"fraction out of [0,1]: {frac}")
+    return int(frac * SCALE_U60)
+
+
+def hash_u60(cols: list[str], salt: str) -> Column:
+    """Uniform 60-bit integer from (salt, *cols): the split/sample
+    coordinate.  ``conv(hex, 16, 10)`` stays JVM-side; 15 hex chars keep
+    the value exactly representable (and positive) in a long."""
+    parts = [F.lit(salt)] + [F.col(c).cast("string") for c in cols]
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(_SEP, *parts)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    salt: str,
+    fractions: dict[str, float],
+    out: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by hash threshold.
+
+    ``fractions`` maps split name → fraction; they must sum to 1 (±1e-9).
+    Rows satisfying ``u < Σfrac·2⁶⁰`` cumulatively take the first
+    matching split, so boundaries are integer literals — no float
+    comparison ambiguity between engines.  Insertion order of the dict is
+    the boundary order (keep it fixed; it is part of the artifact's
+    identity, like the salt)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if not fractions:
+        raise ValueError("no fractions")
+    u = hash_u60(key_cols, salt)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        cond = u < F.lit(_threshold(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(names[-1]))
+    return df.withColumn(out, expr)
+
+
+def group_split(
+    df: DataFrame,
+    group_cols: list[str],
+    *,
+    salt: str,
+    fractions: dict[str, float],
+    out: str = "split",
+) -> DataFrame:
+    """Leakage-safe split: hash only the GROUP key, so every row of a
+    group (all docs of one author/source/session) lands in the same
+    split.  Identical mechanics to ``hash_split``; the distinction is the
+    contract — eval rows must never share a group with training rows."""
+    return hash_split(df, group_cols, salt=salt, fractions=fractions,
+                      out=out)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_cols: list[str],
+    *,
+    salt: str,
+    fractions: dict[tuple, float] | dict[str, float],
+    default: float = 0.0,
+) -> DataFrame:
+    """Keep a per-stratum deterministic fraction of rows (mixture
+    re-weighting: upweight rare languages, downsample boilerplate
+    sources).  Stratum membership looks up ``fractions`` by the stratum
+    value tuple (or scalar for a single column); rows hash on
+    ``key_cols`` so the SAME row survives regardless of cluster shape.
+    Row-local — no shuffle, composes with any downstream plan."""
+    u = hash_u60(key_cols, salt)
+    expr = None
+    for stratum, frac in fractions.items():
+        key = (stratum,) if not isinstance(stratum, tuple) else stratum
+        if len(key) != len(strata_cols):
+            raise ValueError(f"stratum {key} arity != {strata_cols}")
+        cond = None
+        for c, v in zip(strata_cols, key):
+            t = F.col(c) == F.lit(v)
+            cond = t if cond is None else (cond & t)
+        thr = F.lit(_threshold(frac))
+        expr = (F.when(cond, thr) if expr is None
+                else expr.when(cond, thr))
+    thr_col = (F.lit(_threshold(default)) if expr is None
+               else expr.otherwise(_threshold(default)))
+    return df.filter(u < thr_col)
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    shard_by: list[str],
+    order_by: list[str],
+    weight: str,
+    capacity: int,
+    bin_col: str = "bin_idx",
+    offset_col: str = "bin_offset",
+) -> DataFrame:
+    """Pack ordered documents into fixed-budget training shards: within
+    each ``shard_by`` group, documents are laid out in ``order_by`` order
+    and cut into bins of ``capacity`` total ``weight`` (token budget).
+    ``bin_idx = floor(cum_weight_before / capacity)`` — the streaming
+    first-fit layout a sequence-packing writer produces; ``bin_offset``
+    is the document's start position inside its bin.  A document heavier
+    than ``capacity`` still gets one bin (and overflows it): splitting
+    oversize documents is the tokenizer's job upstream, and the overflow
+    is visible as ``bin_offset + weight > capacity``.
+
+    One shuffle (hash on ``shard_by``) + an in-partition sort — the same
+    cost as writing the shards at all."""
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    w = Window.partitionBy(*shard_by).orderBy(*order_by) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum_before = (F.sum(weight).over(w) - F.col(weight)).cast("long")
+    return (df
+            .withColumn("_cum_before", cum_before)
+            .withColumn(bin_col,
+                        F.floor(F.col("_cum_before") / F.lit(capacity))
+                        .cast("long"))
+            .withColumn(offset_col,
+                        (F.col("_cum_before")
+                         - F.col(bin_col) * F.lit(capacity)).cast("long"))
+            .drop("_cum_before"))

@@ -433,9 +433,10 @@ QUERIES = {
 
 def _all_queries():
     from .queries_ext import EXT_QUERIES
+    from .queries_splits import SPLIT_QUERIES
     from .queries_temporal import TEMPORAL_QUERIES
 
-    return {**QUERIES, **EXT_QUERIES, **TEMPORAL_QUERIES}
+    return {**QUERIES, **EXT_QUERIES, **TEMPORAL_QUERIES, **SPLIT_QUERIES}
 
 
 def queries():

@@ -1,0 +1,153 @@
+"""Deterministic split/sample/pack tests (operators/splits.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapbox_filter_spark.operators.splits import (
+    SCALE_U60,
+    group_split,
+    hash_split,
+    hash_u60,
+    pack_sequences,
+    stratified_sample,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_split_stable_under_repartition(spark, docs):
+    """The property randomSplit does NOT have: partition layout must not
+    move a single row between splits."""
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(docs, ["doc_id"], salt="s", fractions=fr) \
+        .select("doc_id", "split").collect()
+    b = hash_split(docs.repartition(37, "lang"), ["doc_id"], salt="s",
+                   fractions=fr).select("doc_id", "split").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # and randomSplit genuinely lacks it (documented contrast): same seed,
+    # different partitioning -> different membership is at least possible;
+    # we only assert OUR operator's invariant above.
+
+
+def test_split_fractions_approximate(spark, docs):
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    counts = dict(
+        (r["split"], r["n"]) for r in
+        hash_split(docs, ["doc_id"], salt="s", fractions=fr)
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect())
+    n = sum(counts.values())
+    assert n == docs.count()
+    assert abs(counts.get("train", 0) / n - 0.8) < 0.08
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+
+
+def test_split_salt_changes_assignment(spark, docs):
+    fr = {"a": 0.5, "b": 0.5}
+    x = {r["doc_id"]: r["split"] for r in
+         hash_split(docs, ["doc_id"], salt="s1", fractions=fr).collect()}
+    y = {r["doc_id"]: r["split"] for r in
+         hash_split(docs, ["doc_id"], salt="s2", fractions=fr).collect()}
+    moved = sum(1 for k in x if x[k] != y[k])
+    assert moved > len(x) * 0.25  # ~half should move
+
+
+def test_split_incremental_extension(spark, docs):
+    """New rows join splits without moving old ones: assignment on a
+    subset equals assignment on the full table restricted to it."""
+    fr = {"train": 0.8, "val": 0.2}
+    full = {r["doc_id"]: r["split"] for r in
+            hash_split(docs, ["doc_id"], salt="s", fractions=fr).collect()}
+    part = {r["doc_id"]: r["split"] for r in
+            hash_split(docs.filter(F.col("doc_id") < 100), ["doc_id"],
+                       salt="s", fractions=fr).collect()}
+    assert all(full[k] == v for k, v in part.items())
+
+
+def test_group_split_no_leakage(spark, docs):
+    d = group_split(docs, ["source"], salt="s",
+                    fractions={"train": 0.7, "val": 0.3})
+    per_group = d.groupBy("source").agg(
+        F.countDistinct("split").alias("k")).collect()
+    assert all(r["k"] == 1 for r in per_group)
+
+
+def test_split_validations(spark, docs):
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, ["doc_id"], salt="s",
+                   fractions={"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="no fractions|sum to 1"):
+        hash_split(docs, ["doc_id"], salt="s", fractions={})
+
+
+def test_hash_u60_range_and_uniformity(spark, docs):
+    us = [r["u"] for r in
+          docs.select(hash_u60(["doc_id"], "s").alias("u")).collect()]
+    assert all(0 <= u < SCALE_U60 for u in us)
+    assert len(set(us)) == len(us)  # 500 distinct keys -> no collisions
+    below_half = sum(1 for u in us if u < SCALE_U60 // 2)
+    assert 0.4 < below_half / len(us) < 0.6
+
+
+def test_stratified_sample_rates(spark, docs):
+    out = stratified_sample(docs, ["lang"], ["doc_id"], salt="s",
+                            fractions={"zh": 1.0, "en": 0.25},
+                            default=0.0)
+    got = dict((r["lang"], r["n"]) for r in
+               out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+               .collect())
+    base = dict((r["lang"], r["n"]) for r in
+                docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+                .collect())
+    assert got["zh"] == base["zh"]            # fraction 1.0 keeps all
+    assert set(got) == {"zh", "en"}           # default 0.0 drops others
+    assert 0.1 < got["en"] / base["en"] < 0.45
+
+
+def test_stratified_sample_arity_check(spark, docs):
+    with pytest.raises(ValueError, match="arity"):
+        stratified_sample(docs, ["lang", "source"], ["doc_id"], salt="s",
+                          fractions={"en": 0.5})
+
+
+def test_pack_sequences_invariants(spark, docs):
+    cap = 1500
+    out = pack_sequences(docs, shard_by=["source"], order_by=["doc_id"],
+                         weight="n_chars", capacity=cap).collect()
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["source"], []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rows:
+            assert r["bin_idx"] == cum // cap
+            assert r["bin_offset"] == cum - r["bin_idx"] * cap
+            cum += r["n_chars"]
+        # bins are contiguous from 0
+        bins = sorted({r["bin_idx"] for r in rows})
+        assert bins[0] == 0 and bins == list(range(len(bins)))
+
+
+def test_pack_sequences_oversize_doc_visible(spark):
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame({
+        "src": ["a"] * 3,
+        "id": [0, 1, 2],
+        "w": [100, 5000, 100]}))
+    out = {r["id"]: r for r in
+           pack_sequences(df, shard_by=["src"], order_by=["id"],
+                          weight="w", capacity=1000).collect()}
+    assert out[1]["bin_offset"] + 5000 > 1000  # overflow is visible
+    assert out[2]["bin_idx"] == (100 + 5000) // 1000
+
+
+def test_pack_sequences_single_shuffle(spark, docs):
+    out = pack_sequences(docs, shard_by=["source"], order_by=["doc_id"],
+                         weight="n_chars", capacity=1500)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1, p
