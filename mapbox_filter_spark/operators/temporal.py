@@ -36,6 +36,12 @@ __all__ = [
     "session_stats",
     "time_bucket",
     "time_rollup",
+    "fine_partial",
+    "merge_partials",
+    "rollup_from_partial",
+    "write_rollup_partial",
+    "read_rollup_partial",
+    "refresh_rollup_partial",
 ]
 
 _US = 1_000_000  # microseconds per second
@@ -297,22 +303,11 @@ def time_rollup(
     Output: one row per (grain_s, bucket_start, *group) with n / vsum /
     vmin / vmax / vavg.
     """
-    if not grains_s or sorted(grains_s) != list(grains_s):
-        raise ValueError("grains_s must be ascending and non-empty")
+    _check_grains(grains_s)
     fine = grains_s[0]
-    for g in grains_s[1:]:
-        if g % fine != 0:
-            raise ValueError(f"grain {g} is not a multiple of {fine}")
 
-    partial = (
-        events
-        .withColumn("_bucket", time_bucket(F.col(ts), fine))
-        .groupBy("_bucket", *group)
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.sum(value).alias("vsum"),
-             F.min(value).alias("vmin"),
-             F.max(value).alias("vmax"))
-    )
+    partial = fine_partial(events, ts=ts, value=value, group=group,
+                           fine_s=fine)
     if reuse_partials and len(grains_s) > 1:
         # Without this each union branch re-executes the whole partial
         # subtree — one RAW-TABLE SCAN PER GRAIN.  Persisting the (much
@@ -322,6 +317,51 @@ def time_rollup(
         from pyspark import StorageLevel
 
         partial = partial.persist(StorageLevel.MEMORY_AND_DISK)
+    return rollup_from_partial(partial, group=group, grains_s=grains_s)
+
+
+def _check_grains(grains_s: list[int]) -> None:
+    if not grains_s or sorted(grains_s) != list(grains_s):
+        raise ValueError("grains_s must be ascending and non-empty")
+    for g in grains_s[1:]:
+        if g % grains_s[0] != 0:
+            raise ValueError(f"grain {g} is not a multiple of {grains_s[0]}")
+
+
+def fine_partial(events: DataFrame, *, ts: str = "ts", value: str,
+                 group: list[str], fine_s: int) -> DataFrame:
+    """The finest-grain partial: (bucket, *group) → count/sum/min/max.
+    The mergeable representation every coarser grain — and the
+    incremental refresh — re-aggregates."""
+    return (
+        events
+        .withColumn("_bucket", time_bucket(F.col(ts), fine_s))
+        .groupBy("_bucket", *group)
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(value).alias("vsum"),
+             F.min(value).alias("vmin"),
+             F.max(value).alias("vmax"))
+    )
+
+
+def merge_partials(a: DataFrame, b: DataFrame,
+                   group: list[str]) -> DataFrame:
+    """Combine two partial tables over the same grain: counts and sums
+    add, min/max fold — the associative merge that makes the partial
+    representation incrementally maintainable."""
+    return (a.unionByName(b)
+            .groupBy("_bucket", *group)
+            .agg(F.sum("n").alias("n"),
+                 F.sum("vsum").alias("vsum"),
+                 F.min("vmin").alias("vmin"),
+                 F.max("vmax").alias("vmax")))
+
+
+def rollup_from_partial(partial: DataFrame, *, group: list[str],
+                        grains_s: list[int]) -> DataFrame:
+    """Derive every requested grain from a finest-grain partial —
+    never touches the raw table."""
+    _check_grains(grains_s)
 
     def finish(df: DataFrame, width: int) -> DataFrame:
         # No rounding here: feed an exact column (integer units, decimal)
@@ -336,7 +376,7 @@ def time_rollup(
             (F.col("vsum") / F.col("n")).alias("vavg"),
         )
 
-    out = finish(partial, fine)
+    out = finish(partial, grains_s[0])
     for g in grains_s[1:]:
         coarse = (
             partial
@@ -349,3 +389,65 @@ def time_rollup(
         )
         out = out.unionByName(finish(coarse, g))
     return out
+
+
+_PDAY = "_pday"  # partition column of the persistent partial store
+
+
+def write_rollup_partial(events: DataFrame, path: str, *,
+                         ts: str = "ts", value: str, group: list[str],
+                         fine_s: int, mode: str = "overwrite") -> None:
+    """Materialize the finest-grain partial, partitioned by bucket DAY —
+    the unit the incremental refresh later overwrites."""
+    p = fine_partial(events, ts=ts, value=value, group=group,
+                     fine_s=fine_s)
+    (p.withColumn(_PDAY, F.to_date("_bucket"))
+     .write.mode(mode).partitionBy(_PDAY).parquet(path))
+
+
+def read_rollup_partial(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop(_PDAY)
+
+
+def refresh_rollup_partial(spark, new_events: DataFrame, path: str, *,
+                           ts: str = "ts", value: str, group: list[str],
+                           fine_s: int) -> int:
+    """Incrementally fold a new (append-only, exactly-once) event batch
+    into the persistent partial store: compute the batch's fine partials,
+    merge them with the existing partials of the TOUCHED DAYS only, and
+    dynamic-partition-overwrite just those day partitions.  History days
+    are neither read nor rewritten — the refresh cost scales with the
+    batch's time span, not the table's.  Returns the number of day
+    partitions rewritten."""
+    delta = (fine_partial(new_events, ts=ts, value=value, group=group,
+                          fine_s=fine_s)
+             .withColumn(_PDAY, F.to_date("_bucket")))
+    days = [r[_PDAY] for r in delta.select(_PDAY).distinct().collect()]
+    if not days:
+        return 0
+    existing = (spark.read.parquet(path)
+                .filter(F.col(_PDAY).isin(days)))  # partition pruning
+    merged = (merge_partials(existing.drop(_PDAY), delta.drop(_PDAY),
+                             group)
+              .withColumn(_PDAY, F.to_date("_bucket")))
+    with _dynamic_overwrite(spark):
+        merged.write.mode("overwrite").partitionBy(_PDAY).parquet(path)
+    return len(days)
+
+
+class _dynamic_overwrite:
+    """Scoped spark.sql.sources.partitionOverwriteMode=dynamic: the
+    overwrite replaces only the partitions present in the written data."""
+
+    _KEY = "spark.sql.sources.partitionOverwriteMode"
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self._KEY, "static")
+        self.spark.conf.set(self._KEY, "dynamic")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set(self._KEY, self.prev)
+        return False

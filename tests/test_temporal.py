@@ -303,6 +303,74 @@ def test_time_rollup_validations(spark, tdata):
         time_rollup(ev, value="l_v", group=[], grains_s=[3600, 5000])
 
 
+def test_incremental_rollup_refresh(spark, tdata):
+    """refresh path == full rebuild, and untouched day partitions are
+    not rewritten (dynamic partition overwrite)."""
+    import os
+
+    from mapbox_filter_spark.operators.temporal import (
+        read_rollup_partial,
+        refresh_rollup_partial,
+        rollup_from_partial,
+        write_rollup_partial,
+    )
+
+    lpd, _ = tdata
+    ev = spark.createDataFrame(lpd).withColumn(
+        "v_c", F.round(F.col("l_v") * 100, 0).cast("long"))
+    # split mid-range at an hour boundary + 30 min so the two batches
+    # SHARE a day — the refresh must merge, not just append
+    cut = lpd["ts"].quantile(0.5).floor("h") + pd.Timedelta(minutes=30)
+    first = ev.filter(F.col("ts") < F.lit(cut))
+    second = ev.filter(F.col("ts") >= F.lit(cut))
+    assert first.count() and second.count()
+
+    path = "/tmp/mfs_rollup_store"
+    write_rollup_partial(first, path, value="v_c", group=["key"],
+                         fine_s=3600)
+
+    # snapshot an early day partition that batch 2 cannot touch
+    min_day2 = second.agg(F.min(F.to_date("ts"))).first()[0]
+    untouched = [d for d in os.listdir(path)
+                 if d.startswith("_pday=") and
+                 d.split("=")[1] < str(min_day2)]
+    assert untouched, "fixture must have history days before the cut"
+    probe_dir = os.path.join(path, untouched[0])
+    before = {f: os.path.getmtime(os.path.join(probe_dir, f))
+              for f in os.listdir(probe_dir)}
+
+    n_days = refresh_rollup_partial(spark, second, path, value="v_c",
+                                    group=["key"], fine_s=3600)
+    assert n_days > 0
+
+    after = {f: os.path.getmtime(os.path.join(probe_dir, f))
+             for f in os.listdir(probe_dir)}
+    assert before == after  # history partition untouched byte-for-byte
+
+    got = rollup_from_partial(
+        read_rollup_partial(spark, path), group=["key"],
+        grains_s=[3600, 86400])
+    want = time_rollup(ev, value="v_c", group=["key"],
+                       grains_s=[3600, 86400], reuse_partials=False)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+
+
+def test_refresh_empty_batch_noop(spark, tdata):
+    from mapbox_filter_spark.operators.temporal import (
+        refresh_rollup_partial, write_rollup_partial)
+
+    lpd, _ = tdata
+    ev = spark.createDataFrame(lpd)
+    path = "/tmp/mfs_rollup_store_empty"
+    write_rollup_partial(ev, path, value="l_v", group=["key"],
+                         fine_s=3600)
+    n = refresh_rollup_partial(
+        spark, ev.filter(F.lit(False)), path,
+        value="l_v", group=["key"], fine_s=3600)
+    assert n == 0
+
+
 def test_quantile_approx_within_rank_error(spark):
     """percentile_approx with accuracy A has rank error ≤ n/A of the
     exact percentile — sanity for the sketch path next to the exact
