@@ -170,6 +170,59 @@ def streaming_dedup_first_seen(
     )
 
 
+def rollup_stream(
+    spark: SparkSession,
+    in_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: T.StructType,
+    ts: str = "ts",
+    value: str,
+    group: Sequence[str],
+    fine_s: int,
+    max_files: int = 4,
+):
+    """Streaming continuous aggregate: each micro-batch of events folds
+    into the day-partitioned rollup partial store
+    (``refresh_rollup_partial``) — the streaming face of the batch
+    ``time_rollup``.  ``foreachBatch`` + checkpointLocation give
+    exactly-once file consumption per epoch, which is precisely the
+    append-only/exactly-once precondition the refresh operator documents;
+    a crashed epoch replays its files and overwrites the same day
+    partitions it wrote before (the merge input is recomputed from the
+    store's pre-epoch state only if the epoch never committed — dynamic
+    partition overwrite makes the rewrite idempotent at the partition
+    level).  Readers at any moment see complete day partitions.
+
+    Returns the StreamingQuery (caller awaits/stops)."""
+    from ..operators.temporal import (
+        refresh_rollup_partial, write_rollup_partial)
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        if not os.path.exists(store_dir):
+            write_rollup_partial(batch, store_dir, ts=ts, value=value,
+                                 group=list(group), fine_s=fine_s)
+        else:
+            refresh_rollup_partial(spark, batch, store_dir, ts=ts,
+                                   value=value, group=list(group),
+                                   fine_s=fine_s)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(in_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "5 minutes",

@@ -231,3 +231,41 @@ def test_streamed_curation_matches_gate_oracle(spark, tmp_path):
     orows = sorted((r[0], r[1], round(r[2], 6), r[3]) for r in res.fetchall())
     assert sorted(sdf.columns) == sorted(ocols)
     assert srows == orows
+
+
+def test_rollup_stream_matches_batch(spark, tmp_path):
+    """Streamed continuous aggregate == batch time_rollup: events arrive
+    as 6 parquet files in micro-batches of 2; after the stream drains,
+    the day-partitioned partial store rolls up to exactly the batch
+    answer (same-day buckets merged across epochs)."""
+    from pyspark.sql import functions as F
+
+    from mapbox_filter_spark.operators.temporal import (
+        read_rollup_partial, rollup_from_partial, time_rollup)
+    from mapbox_filter_spark.streaming.incremental import rollup_stream
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .withColumn("value_c",
+                      F.round(F.col("value") * 100, 0).cast("long"))
+          .select("event_id", "ts", "event_type", "value_c"))
+    in_dir = str(tmp_path / "in")
+    # 6 files split by event_id residue: every file spans the whole time
+    # range, so every epoch touches the same days -> merge path exercised
+    for i in range(6):
+        ev.filter(F.pmod("event_id", F.lit(6)) == i) \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+
+    store = str(tmp_path / "store")
+    q = rollup_stream(
+        spark, in_dir, store, str(tmp_path / "ckpt"),
+        schema=ev.schema, value="value_c", group=["event_type"],
+        fine_s=3600, max_files=2)
+    q.awaitTermination(120)
+
+    got = rollup_from_partial(read_rollup_partial(spark, store),
+                              group=["event_type"],
+                              grains_s=[3600, 86400])
+    want = time_rollup(ev, value="value_c", group=["event_type"],
+                       grains_s=[3600, 86400], reuse_partials=False)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
