@@ -153,6 +153,7 @@ def run_suite(cores: int, sf_dir: str) -> dict:
     rec = None if no_micros else recall_micro(spark)
     skw = None if no_micros else skew_micro(spark)
     tmp = None if no_micros else temporal_micro(spark, sf_dir)
+    lay = None if no_micros else layout_micro(spark, sf_dir)
 
     spark.stop()
     return {
@@ -163,6 +164,7 @@ def run_suite(cores: int, sf_dir: str) -> dict:
         "recall_micro": rec,
         "skew_micro": skw,
         "temporal_micro": tmp,
+        "layout_micro": lay,
         "flagship_reps": [round(r, 3) for r in reps],
         "timings": timings,
         "wall_samples": {n: [round(x, 3) for x in w] for n, w in walls.items()},
@@ -323,6 +325,83 @@ def temporal_micro(spark, sf_dir: str) -> dict:
         "asof_rows_per_sec": round(n_rows / asof_sec, 1),
         "sessionize_sec": round(sess_sec, 3),
         "sessionize_rows_per_sec": round(n_rows / sess_sec, 1),
+    }
+
+
+def layout_micro(spark, sf_dir: str) -> dict:
+    """Clustered-layout scan pruning at ~4M rows: the same point corpus
+    written Hilbert-clustered (cluster_by_s2) vs hash-placed, probed with
+    8 level-6 S2 region predicates.  Reports the footer-stat pruning
+    ratio (fraction of row groups a stats-pruned reader touches) and the
+    measured probe wall on each layout (parquet filterPushdown prunes row
+    groups at read time).  Both layouts materialized once, fingerprinted
+    like every bench substrate."""
+    from pyspark.sql import functions as F
+
+    from mapbox_filter_spark.geo.s2 import py_s2_parent, py_s2_range, with_s2_cell
+    from mapbox_filter_spark.plans.layout import (
+        cluster_by_s2, pruning_ratio, s2_range_predicate)
+    from mapbox_filter_spark.sources.features import (
+        _source_fingerprint, features_from_lineitem)
+
+    base = features_from_lineitem(spark, sf_dir).select(
+        "feature_id", "lon", "lat")
+    n_base = base.count()
+    # big enough that SCAN cost (not per-job overhead) dominates a probe:
+    # at 4M rows the whole table is one page-cached read and wall noise
+    # swamps the pruning win that the footer ratio proves
+    rep = max(1, 24_000_000 // max(n_base, 1))
+    pts = (base
+           .withColumn("r", F.explode(
+               F.array(*[F.lit(i) for i in range(rep)])))
+           .select(
+               (F.col("feature_id") * rep + F.col("r")).alias("feature_id"),
+               (F.col("lon") + F.col("r") * 0.003).alias("lon"),
+               (F.col("lat") - F.col("r") * 0.002).alias("lat")))
+    tag = (f"{_source_fingerprint(sf_dir)}_"
+           f"{sf_dir.replace('/', '_')}_x{rep}")
+    clustered = os.path.join(os.environ.get("TMPDIR", "/tmp"),
+                             f"bench_layout_clustered_{tag}")
+    shuffled = os.path.join(os.environ.get("TMPDIR", "/tmp"),
+                            f"bench_layout_shuffled_{tag}")
+    if not os.path.exists(os.path.join(clustered, "_SUCCESS")):
+        cluster_by_s2(pts, clustered, level=12, n_files=64,
+                      cell_col="cell")
+    if not os.path.exists(os.path.join(shuffled, "_SUCCESS")):
+        with_s2_cell(pts, level=12, out="cell") \
+            .repartition(64, "feature_id") \
+            .write.mode("overwrite").parquet(shuffled)
+
+    # 8 probe regions: level-6 ancestors of sampled data cells
+    sample = (spark.read.parquet(clustered).select("cell")
+              .limit(8_000).collect())
+    parents = sorted({py_s2_parent(r["cell"], 6) for r in sample})[:8]
+    ranges = [py_s2_range(p) for p in parents]
+
+    def probe(path: str) -> tuple[float, int]:
+        # ONE job with the OR of all probe ranges — a fair scan-cost
+        # comparison (8 separate tiny jobs measure scheduler overhead)
+        df = spark.read.parquet(path)
+        best, rows = None, 0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows = df.filter(s2_range_predicate(parents)).count()
+            sec = time.perf_counter() - t0
+            best = sec if best is None else min(best, sec)
+        return best, rows
+
+    c_sec, c_rows = probe(clustered)
+    s_sec, s_rows = probe(shuffled)
+    assert c_rows == s_rows, (c_rows, s_rows)
+    return {
+        "n_rows": n_base * rep,
+        "n_probes": len(parents),
+        "probe_rows": c_rows,
+        "pruning_ratio_clustered": round(pruning_ratio(clustered, ranges), 4),
+        "pruning_ratio_shuffled": round(pruning_ratio(shuffled, ranges), 4),
+        "probe_sec_clustered": round(c_sec, 3),
+        "probe_sec_shuffled": round(s_sec, 3),
+        "probe_speedup": round(s_sec / c_sec, 2) if c_sec else None,
     }
 
 
@@ -833,6 +912,7 @@ def main() -> None:
         "recall_micro": r["recall_micro"],
         "skew_micro": r["skew_micro"],
         "temporal_micro": r["temporal_micro"],
+        "layout_micro": r["layout_micro"],
         "throughput": {
             "tiles_per_sec": r["tiles_per_sec"],
             "features_per_sec": r["features_per_sec"],
