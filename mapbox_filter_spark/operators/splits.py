@@ -27,6 +27,7 @@ __all__ = [
     "hash_split",
     "group_split",
     "stratified_sample",
+    "deterministic_oversample",
     "pack_sequences",
     "SCALE_U60",
 ]
@@ -133,6 +134,63 @@ def stratified_sample(
     thr_col = (F.lit(_threshold(default)) if expr is None
                else expr.otherwise(_threshold(default)))
     return df.filter(u < thr_col)
+
+
+def _stratum_lookup(strata_cols: list[str],
+                    mapping: "dict[tuple, float] | dict[str, float]",
+                    default: float,
+                    to_lit) -> Column:
+    """CASE chain: stratum value tuple → ``to_lit(fraction)``."""
+    expr = None
+    for stratum, frac in mapping.items():
+        key = (stratum,) if not isinstance(stratum, tuple) else stratum
+        if len(key) != len(strata_cols):
+            raise ValueError(f"stratum {key} arity != {strata_cols}")
+        cond = None
+        for c, v in zip(strata_cols, key):
+            t = F.col(c) == F.lit(v)
+            cond = t if cond is None else (cond & t)
+        expr = (F.when(cond, to_lit(frac)) if expr is None
+                else expr.when(cond, to_lit(frac)))
+    return to_lit(default) if expr is None else expr.otherwise(
+        to_lit(default))
+
+
+def deterministic_oversample(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_cols: list[str],
+    *,
+    salt: str,
+    weights: "dict[tuple, float] | dict[str, float]",
+    default: float = 1.0,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Mixture weights ABOVE 1: emit each row ``floor(w)`` times plus one
+    more with probability ``frac(w)`` — so a stratum with weight 2.5
+    contributes each row 2 or 3 times, 2.5 in expectation, decided by the
+    row's own hash (reproducible anywhere, like everything in this
+    module).  Weights below 1 degrade to ``stratified_sample`` semantics
+    (0 or 1 copies).  ``copy_col`` numbers the copies 1..n so a
+    downstream shard shuffle can separate them.
+
+    Row-local + a bounded explode (fan-out ≤ ceil(max weight)) — no
+    shuffle.  The epoch-mixture use case: upweight rare high-quality
+    sources without materializing duplicates upstream."""
+    if any(w < 0 for w in dict(weights).values()) or default < 0:
+        raise ValueError("weights must be non-negative")
+    u = hash_u60(key_cols, salt)
+    base = _stratum_lookup(strata_cols, weights, default,
+                           lambda w: F.lit(int(w)))
+    frac_thr = _stratum_lookup(strata_cols, weights, default,
+                               lambda w: F.lit(_threshold(w - int(w))))
+    n_copies = (base + (u < frac_thr).cast("int")).alias("_n_copies")
+    return (df.withColumn("_n_copies", n_copies)
+            .filter(F.col("_n_copies") >= 1)  # sequence(1,0) would step -1
+            .withColumn(copy_col,
+                        F.explode(F.sequence(F.lit(1),
+                                             F.col("_n_copies"))))
+            .drop("_n_copies"))
 
 
 def pack_sequences(

@@ -151,3 +151,43 @@ def test_pack_sequences_single_shuffle(spark, docs):
                          weight="n_chars", capacity=1500)
     p = out._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_oversample_counts_and_determinism(spark, docs):
+    from mapbox_filter_spark.operators.splits import (
+        deterministic_oversample)
+
+    w = {"zh": 2.5, "de": 1.0, "en": 0.3}
+    out = deterministic_oversample(docs, ["lang"], ["doc_id"], salt="s",
+                                   weights=w, default=0.5)
+    per_doc = out.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("copy_idx").alias("mx")).collect()
+    base = dict((r["lang"], r["n"]) for r in
+                docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+                .collect())
+    import math
+    for r in per_doc:
+        wv = w.get(r["lang"], 0.5)
+        assert r["k"] in (math.floor(wv), math.floor(wv) + 1)
+        assert r["mx"] == r["k"]  # copies numbered 1..k
+    # de weight 1.0: exactly one copy of every de doc
+    n_de = sum(r["k"] for r in per_doc if r["lang"] == "de")
+    assert n_de == base["de"]
+    # zh expectation 2.5 per doc
+    n_zh = sum(r["k"] for r in per_doc if r["lang"] == "zh")
+    assert abs(n_zh / base["zh"] - 2.5) < 0.35
+    # deterministic under repartition
+    again = deterministic_oversample(
+        docs.repartition(13, "source"), ["lang"], ["doc_id"], salt="s",
+        weights=w, default=0.5).select("doc_id", "copy_idx").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple,
+        out.select("doc_id", "copy_idx").collect()))
+
+
+def test_oversample_rejects_negative_weight(spark, docs):
+    from mapbox_filter_spark.operators.splits import (
+        deterministic_oversample)
+    with pytest.raises(ValueError, match="non-negative"):
+        deterministic_oversample(docs, ["lang"], ["doc_id"], salt="s",
+                                 weights={"en": -1.0})
