@@ -1,0 +1,139 @@
+"""Connected components over an edge list — the operator that turns
+pairwise near-duplicate MATCHES (MinHash/SimHash/embedding buckets emit
+pairs) into duplicate CLUSTERS, so a 100 TB dedup keeps one
+representative per cluster instead of per pair.
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — a public
+algorithm, re-derived here for DataFrames):
+
+- large-star: every node connects its strictly LARGER neighbors to the
+  minimum of its neighborhood (including itself);
+- small-star (on the directed big→small list): every node connects its
+  out-neighbors and itself to its minimum out-neighbor.
+
+Both rounds are expressed as ``groupBy(min) + join`` — deliberately NOT
+``collect_set``: at convergence the component minimum neighbors the
+ENTIRE component, and materializing that neighbor set as an in-row array
+is exactly the giant-cluster OOM a boilerplate flood would trigger.  The
+min-aggregate + join shape streams through map-side combine instead, so
+a 100M-member duplicate cluster costs nothing more than a skewed-key
+join (which AQE splits).
+
+Converges to a forest of height 1 (edge = node → component minimum) in
+O(log² n) rounds worst-case, a handful on real dedup graphs.
+Convergence is detected by an order-insensitive edge-set fingerprint
+(count + sum of xxhash64 pairs — no driver collect), and every round is
+``localCheckpoint``-ed to cut the iterative lineage (without it the plan
+doubles per round).  The driver loop is control only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_clusters"]
+
+
+def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected pairs → canonical directed (big → small), no
+    self-loops, distinct."""
+    a, b = F.col(src), F.col(dst)
+    return (edges
+            .select(F.greatest(a, b).alias("src"),
+                    F.least(a, b).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """(v, min(Γ(u) ∪ {u})) for every neighbor v > u.  Output keeps the
+    src > dst invariant: v > u ≥ min."""
+    nbrs = (e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .unionAll(e.select(F.col("dst").alias("u"),
+                               F.col("src").alias("v"))))
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+    m = F.least(F.col("u"), F.col("mv"))
+    return (nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("src"), m.alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """On the directed big→small list: connect each center u and its
+    out-neighbors to u's minimum out-neighbor m.  All emitted edges
+    (v, m) and (u, m) satisfy src > dst (v, u > m = min)."""
+    mins = e.groupBy("src").agg(F.min("dst").alias("m"))
+    j = e.join(mins, "src")
+    leaves = (j.filter(F.col("dst") != F.col("m"))
+              .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
+    centers = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return leaves.unionByName(centers).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; ``component`` is
+    the minimum node id of its connected component.  Isolated nodes never
+    appear in an edge list — callers union them in afterwards (see
+    ``dedup_clusters``)."""
+    e = _canon(edges, src, dst).localCheckpoint()
+
+    def fingerprint(df: DataFrame):
+        # bit_xor: order-insensitive and overflow-free (a SUM of full-
+        # range xxhash64 values overflows long under ANSI mode)
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h")).first()
+        return r["n"], r["h"]
+
+    fp = fingerprint(e)
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        fp2 = fingerprint(e)
+        if fp2 == fp:
+            break
+        fp = fp2
+    else:
+        raise RuntimeError(f"no convergence in {max_rounds} rounds")
+
+    # converged: edges are node -> component minimum.  The minima
+    # themselves appear only on the dst side; add their self rows.
+    nodes = e.select(F.col("src").alias("node"),
+                     F.col("dst").alias("component"))
+    minima = (e.select(F.col("dst").alias("node")).distinct()
+              .join(e.select(F.col("src").alias("node")).distinct(),
+                    "node", "left_anti")
+              .withColumn("component", F.col("node")))
+    return nodes.unionByName(minima)
+
+
+def dedup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Cluster ids from near-duplicate pairs: every id in ``ids`` gets a
+    ``component`` (its cluster's minimum id; singletons map to
+    themselves) and a ``is_representative`` flag — the keep-one-per-
+    cluster decision a dedup pipeline acts on."""
+    cc = connected_components(pairs, src=src, dst=dst,
+                              max_rounds=max_rounds)
+    out = (ids.select(F.col(id_col))
+           .join(cc.withColumnRenamed("node", id_col), id_col, "left")
+           .withColumn("component",
+                       F.coalesce("component", F.col(id_col))))
+    return out.withColumn("is_representative",
+                          F.col(id_col) == F.col("component"))

@@ -433,10 +433,12 @@ QUERIES = {
 
 def _all_queries():
     from .queries_ext import EXT_QUERIES
+    from .queries_graph import GRAPH_QUERIES
     from .queries_splits import SPLIT_QUERIES
     from .queries_temporal import TEMPORAL_QUERIES
 
-    return {**QUERIES, **EXT_QUERIES, **TEMPORAL_QUERIES, **SPLIT_QUERIES}
+    return {**QUERIES, **EXT_QUERIES, **TEMPORAL_QUERIES,
+            **SPLIT_QUERIES, **GRAPH_QUERIES}
 
 
 def queries():

@@ -1,0 +1,118 @@
+"""Connected-components tests (operators/graph.py): differential against
+a python union-find on seeded random graphs, structured worst-ish cases,
+and the dedup_clusters wrapper."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mapbox_filter_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min node id per component
+    comp = {}
+    for v in range(n_nodes):
+        r = find(v)
+        comp.setdefault(r, v)  # first visit in ascending order = min
+    return {v: comp[find(v)] for v in range(n_nodes)}
+
+
+@pytest.mark.parametrize("n,p,seed", [
+    (60, 0.01, 1), (200, 0.005, 2), (400, 0.002, 3), (400, 0.02, 4),
+])
+def test_cc_matches_union_find(spark, n, p, seed):
+    rng = np.random.default_rng(seed)
+    m = rng.random((n, n)) < p
+    edges = [(int(i), int(j)) for i in range(n) for j in range(i + 1, n)
+             if m[i, j]]
+    assert edges
+    want = _union_find(n, edges)
+    e = spark.createDataFrame(
+        pd.DataFrame(edges, columns=["src", "dst"]).astype("int64"))
+    got = {r["node"]: r["component"]
+           for r in connected_components(e).collect()}
+    # operator only sees nodes with edges; compare on those
+    seen = {a for ab in edges for a in ab}
+    assert set(got) == seen
+    assert all(got[v] == want[v] for v in seen)
+
+
+def test_cc_long_chain(spark):
+    """A path graph maximizes rounds for naive propagation; the star
+    algorithm contracts it in O(log n) alternations."""
+    n = 400
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": range(n - 1),
+                      "dst": range(1, n)}).astype("int64"))
+    out = connected_components(e).collect()
+    assert len(out) == n
+    assert {r["component"] for r in out} == {0}
+
+
+def test_cc_many_components_and_duplicate_edges(spark):
+    """50 separate triangles, edges duplicated both directions."""
+    rows = []
+    for k in range(50):
+        a, b, c = 3 * k, 3 * k + 1, 3 * k + 2
+        rows += [(a, b), (b, a), (b, c), (a, c), (c, a)]
+    e = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["src", "dst"]).astype("int64"))
+    out = connected_components(e).collect()
+    assert len(out) == 150
+    for r in out:
+        assert r["component"] == (r["node"] // 3) * 3
+
+
+def test_dedup_clusters_singletons_and_representatives(spark):
+    ids = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(10))}).astype("int64"))
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"src": [1, 2, 7], "dst": [2, 3, 8]}).astype("int64"))
+    out = {r["doc_id"]: (r["component"], r["is_representative"])
+           for r in dedup_clusters(ids, pairs, id_col="doc_id").collect()}
+    assert len(out) == 10
+    assert out[1] == (1, True) and out[2] == (1, False) \
+        and out[3] == (1, False)
+    assert out[7] == (7, True) and out[8] == (7, False)
+    for v in (0, 4, 5, 6, 9):                  # singletons
+        assert out[v] == (v, True)
+    n_reps = sum(1 for c, rep in out.values() if rep)
+    assert n_reps == 7  # 10 docs -> 2 multi clusters + 5 singletons
+
+
+def test_cc_empty_edges(spark):
+    e = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(e).count() == 0
+    ids = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [5, 6]}).astype("int64"))
+    out = {r["doc_id"]: (r["component"], r["is_representative"])
+           for r in dedup_clusters(ids, e, id_col="doc_id").collect()}
+    assert out == {5: (5, True), 6: (6, True)}
+
+
+def test_cc_no_collect_set_in_plan(spark):
+    """The giant-cluster guard: rounds must be min-agg + join, never a
+    materialized neighbor array."""
+    import inspect
+
+    from mapbox_filter_spark.operators import graph
+
+    src = inspect.getsource(graph)
+    assert "F.collect_set(" not in src and "F.collect_list(" not in src
