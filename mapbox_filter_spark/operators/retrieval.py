@@ -1,0 +1,181 @@
+"""Text retrieval scoring: BM25 over the documents table, with a
+persistent bucketed inverted index for the at-scale query path.
+
+A curation pipeline uses retrieval scoring to mine topical subsets
+("find me docs about X") and to grade quality against seed queries; at
+100 TB that must not rescan the corpus per query.  Shapes:
+
+- ``bm25_scores`` / ``bm25_topk`` — corpus-scan path: tokenize once,
+  filter postings to the query terms EARLY (before any aggregation
+  beyond the per-doc term counts), join the tiny per-term df/idf table
+  by broadcast.  One shuffle on doc_id for the final per-doc sum.
+- ``write_term_index`` — the postings list (term, doc_id, tf, dl)
+  written BUCKETED by term, plus a one-row stats sidecar (N, avgdl).
+  ``bm25_topk(index_path=...)`` probes it with ``term IN (query)`` —
+  a bucket-pruned scan of only the query terms' posting lists, the
+  inverted-index access path (same discipline as the IVF/LSH/kNN
+  persistent indexes in this repo).
+
+Scoring: Lucene-flavored BM25 — ``idf = ln(1 + (N - df + ½)/(df + ½))``,
+``tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl))`` — standard public formula.
+Tokenization matches operators/text.py (_words): lowercase whitespace
+split, the same stream every text gate already oracle-matches.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import _words
+
+__all__ = [
+    "doc_terms",
+    "bm25_scores",
+    "bm25_topk",
+    "write_term_index",
+    "read_term_index",
+]
+
+_STATS = "_stats"  # sidecar subdir of the term index
+
+
+def doc_terms(docs: DataFrame, *, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Postings rows: (id, term, tf, dl) — term frequency and document
+    length from ONE tokenize+explode pass."""
+    terms = (docs
+             .select(F.col(id_col), F.explode(_words(F.col(text_col)))
+                     .alias("term")))
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    return tf.join(dl, id_col)
+
+
+def _corpus_stats(postings: DataFrame, id_col: str) -> tuple[int, float]:
+    r = (postings.groupBy(id_col).agg(F.first("dl").alias("dl"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("dl").alias("s")).first())
+    return int(r["n"]), float(r["s"]) / int(r["n"])
+
+
+def _score(postings: DataFrame, query_terms: list[str], *,
+           id_col: str, n_docs: int, avgdl: float,
+           k1: float, b: float) -> DataFrame:
+    if not query_terms:
+        raise ValueError("empty query")
+    q = postings.filter(F.col("term").isin(list(query_terms)))
+    df_tbl = q.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"))  # one row per (doc,term) → count
+    idf = F.log(F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    per_term = (q.join(F.broadcast(df_tbl.withColumn("idf", idf)
+                                   .select("term", "idf")), "term")
+                .withColumn(
+                    "w",
+                    F.col("idf") * F.col("tf") * F.lit(k1 + 1.0)
+                    / (F.col("tf") + F.lit(k1)
+                       * (F.lit(1.0 - b)
+                          + F.lit(b) * F.col("dl") / F.lit(avgdl)))))
+    return per_term.groupBy(id_col).agg(F.sum("w").alias("score"))
+
+
+def bm25_scores(docs: DataFrame, query_terms: list[str], *,
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """(id, score) for every document matching ≥ 1 query term."""
+    postings = doc_terms(docs, id_col=id_col, text_col=text_col)
+    n_docs = docs.count()
+    _, avgdl = _corpus_stats(postings, id_col)
+    return _score(postings, query_terms, id_col=id_col, n_docs=n_docs,
+                  avgdl=avgdl, k1=k1, b=b)
+
+
+def bm25_topk(spark_or_docs, query_terms: list[str], *, k: int,
+              index_path: str | None = None,
+              id_col: str = "doc_id", text_col: str = "text",
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Top-k by (score desc, id asc).  With ``index_path`` the first
+    argument is the SparkSession and postings come from the bucketed
+    term index (pruned to the query terms' buckets); otherwise it is the
+    documents DataFrame and the corpus is tokenized in-flight."""
+    from pyspark.sql import SparkSession, Window
+
+    if index_path is not None:
+        spark = spark_or_docs
+        assert isinstance(spark, SparkSession)
+        # same planner pin as the IVF/LSH/kNN persistent-index probes:
+        # autoBucketedScan would silently disable the bucketed read (and
+        # with it bucket pruning on `term IN (...)`); the tiny top-k is
+        # eagerly localCheckpoint-ed below so post-return consumption
+        # never re-plans the probe with the conf restored.
+        key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        saved = spark.conf.get(key, "true")
+        spark.conf.set(key, "false")
+        try:
+            postings, n_docs, avgdl = read_term_index(spark, index_path)
+            scores = _score(postings, query_terms, id_col=id_col,
+                            n_docs=n_docs, avgdl=avgdl, k1=k1, b=b)
+            return _rank_topk(scores, id_col, k).localCheckpoint()
+        finally:
+            spark.conf.set(key, saved)
+    else:
+        scores = bm25_scores(spark_or_docs, query_terms, id_col=id_col,
+                             text_col=text_col, k1=k1, b=b)
+    return _rank_topk(scores, id_col, k)
+
+
+def _rank_topk(scores: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Distributed top-k: orderBy+limit plans as TakeOrderedAndProject
+    (per-partition heaps, no single-partition window over the full score
+    set); the rank window then runs over only the k survivors."""
+    from pyspark.sql import Window
+
+    top = scores.orderBy(F.col("score").desc(), F.col(id_col).asc()) \
+        .limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def write_term_index(docs: DataFrame, path: str, *,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n_buckets: int = 64,
+                     table_name: str | None = None) -> str:
+    """Materialize the inverted index: postings bucketed+sorted by term
+    (single-column spec — Spark bucket pruning only engages on those) +
+    a (N, avgdl) stats sidecar.  Returns the table name."""
+    spark = docs.sparkSession
+    postings = doc_terms(docs, id_col=id_col, text_col=text_col)
+    name = table_name or ("term_idx_" +
+                          os.path.basename(path.rstrip("/")))
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (postings.write.mode("overwrite")
+     .option("path", os.path.join(path, "postings"))
+     .bucketBy(n_buckets, "term").sortBy("term")
+     .format("parquet").saveAsTable(name))
+    n_docs = docs.count()
+    _, avgdl = _corpus_stats(postings, id_col)
+    spark.createDataFrame([(n_docs, avgdl)], "n_docs long, avgdl double") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(os.path.join(path, _STATS))
+    return name
+
+
+def read_term_index(spark, path: str,
+                    table_name: str | None = None):
+    """(postings DataFrame, n_docs, avgdl) from a written index."""
+    name = table_name or ("term_idx_" +
+                          os.path.basename(path.rstrip("/")))
+    postings = spark.table(name)
+    r = spark.read.parquet(os.path.join(path, _STATS)).first()
+    return postings, int(r["n_docs"]), float(r["avgdl"])
+
+
+def exact_idf(n_docs: int, df: int) -> float:
+    """Python twin of the idf expression (tests)."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
