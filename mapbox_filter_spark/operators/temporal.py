@@ -42,6 +42,7 @@ __all__ = [
     "write_rollup_partial",
     "read_rollup_partial",
     "refresh_rollup_partial",
+    "histogram_rollup",
 ]
 
 _US = 1_000_000  # microseconds per second
@@ -389,6 +390,98 @@ def rollup_from_partial(partial: DataFrame, *, group: list[str],
         )
         out = out.unionByName(finish(coarse, g))
     return out
+
+
+def histogram_rollup(
+    events: DataFrame,
+    *,
+    ts: str = "ts",
+    value: str,
+    group: list[str],
+    grains_s: list[int],
+    lo: float,
+    hi: float,
+    n_bins: int,
+    quantiles: list[float],
+) -> DataFrame:
+    """Mergeable-sketch rollup: approximate quantiles at every grain from
+    BINNED partials, the pattern for percentiles in a continuous
+    aggregate (exact percentiles are not mergeable: you cannot combine
+    two hourly p99s into a daily p99 — but histogram counts merge by
+    addition, and the quantile is derived after the merge).
+
+    The fine partial is (bucket, *group, bin) → count with
+    ``bin = clamp(floor((v - lo) · n_bins / (hi - lo)), 0, n_bins-1)``;
+    coarser grains sum the counts.  Quantile estimate: find the bin where
+    the cumulative count crosses ``q·total`` and interpolate linearly
+    inside it.  Guarantee: the estimate shares a bin with the ⌈q·n⌉-th
+    smallest value, so the error vs THAT rank is at most one bin width
+    ``(hi-lo)/n_bins`` — caller-chosen, independent of data volume.
+    (Relative to the q·(n−1)-interpolated ``percentile`` convention the
+    target rank can differ by one, which matters only in sparse tails.)
+
+    Output: (grain_s, bucket_start, *group, q, n, est).  Rows with
+    values outside [lo, hi) clamp into the edge bins (count toward the
+    estimate; the error bound then only holds for in-range data).
+    """
+    _check_grains(grains_s)
+    if n_bins <= 0 or hi <= lo:
+        raise ValueError("need n_bins > 0 and hi > lo")
+    if not quantiles or any(not 0 < q < 1 for q in quantiles):
+        raise ValueError("quantiles must be in (0,1)")
+    width = (hi - lo) / n_bins
+    fine = grains_s[0]
+
+    bin_col = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor(
+            (F.col(value) - F.lit(lo)) * F.lit(n_bins)
+            / F.lit(hi - lo)).cast("int")))
+    partial = (events
+               .withColumn("_bucket", time_bucket(F.col(ts), fine))
+               .withColumn("_bin", bin_col)
+               .groupBy("_bucket", *group, "_bin")
+               .agg(F.count(F.lit(1)).alias("n")))
+    if len(grains_s) > 1:
+        from pyspark import StorageLevel
+
+        partial = partial.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def estimate(df: DataFrame, grain: int) -> DataFrame:
+        keys = ["_bucket", *group]
+        w_cum = (Window.partitionBy(*keys).orderBy("_bin")
+                 .rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))
+        w_tot = Window.partitionBy(*keys)
+        cum = df.withColumn("_cum", F.sum("n").over(w_cum)) \
+            .withColumn("_tot", F.sum("n").over(w_tot))
+        out = None
+        for q in quantiles:
+            t = F.lit(q) * F.col("_tot")
+            hit = cum.filter((F.col("_cum") >= t)
+                             & ((F.col("_cum") - F.col("n")) < t))
+            est = (F.lit(lo)
+                   + (F.col("_bin")
+                      + (t - (F.col("_cum") - F.col("n"))) / F.col("n"))
+                   * F.lit(width))
+            sel = hit.select(
+                F.lit(grain).alias("grain_s"),
+                F.col("_bucket").alias("bucket_start"),
+                *group,
+                F.lit(q).alias("q"),
+                F.col("_tot").alias("n"),
+                est.alias("est"))
+            out = sel if out is None else out.unionByName(sel)
+        return out
+
+    result = estimate(partial, fine)
+    for g in grains_s[1:]:
+        coarse = (partial
+                  .withColumn("_bucket", time_bucket(F.col("_bucket"), g))
+                  .groupBy("_bucket", *group, "_bin")
+                  .agg(F.sum("n").alias("n")))
+        result = result.unionByName(estimate(coarse, g))
+    return result
 
 
 _PDAY = "_pday"  # partition column of the persistent partial store

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from .operators.temporal import (
     asof_join,
+    histogram_rollup,
     interval_join,
     session_stats,
     sessionize,
@@ -191,6 +192,71 @@ GROUP BY bucket_us, event_type"""
     return grain(3600) + "\nUNION ALL" + grain(86400)
 
 
+# ------------------------------------------------- histogram rollup (sketch)
+
+_H_LO, _H_HI, _H_BINS = 0.0, 600.0, 120  # covers value's range at any sf
+_H_QS = [0.5, 0.9]
+
+
+def q_histogram_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch quantiles at hour + day grains: binned counts
+    merge by addition (unlike exact percentiles), the day estimate is
+    derived from MERGED hourly bins, and the oracle recomputes both
+    grains directly — proving the sketch's merge is exact."""
+    ev = _events(spark, sf_dir)
+    r = histogram_rollup(ev, ts="ts", value="value",
+                         group=["event_type"], grains_s=[3600, 86400],
+                         lo=_H_LO, hi=_H_HI, n_bins=_H_BINS,
+                         quantiles=list(_H_QS))
+    return r.select(
+        "grain_s",
+        F.unix_micros(F.col("bucket_start").cast("timestamp"))
+        .alias("bucket_us"),
+        "event_type", "q", "n", "est",
+    )
+
+
+def sql_histogram_rollup() -> str:
+    width = (_H_HI - _H_LO) / _H_BINS
+
+    def grain(w_s: int) -> str:
+        w_us = w_s * 1_000_000
+        qs = "\nUNION ALL\n".join(f"""
+SELECT CAST({w_s} AS INTEGER) AS grain_s, bucket_us, event_type,
+       CAST({q} AS DOUBLE) AS q, tot AS n,
+       CAST({_H_LO} AS DOUBLE)
+         + (bin + (CAST({q} AS DOUBLE) * tot - (cum - n)) / n)
+           * CAST({width} AS DOUBLE) AS est
+FROM c_{w_s}
+WHERE cum >= CAST({q} AS DOUBLE) * tot
+  AND (cum - n) < CAST({q} AS DOUBLE) * tot"""
+                                  for q in _H_QS)
+        return f"""
+p_{w_s} AS (
+  SELECT (epoch_us(ts) // {w_us}) * {w_us} AS bucket_us, event_type,
+         LEAST({_H_BINS - 1}, GREATEST(0,
+           CAST(FLOOR((value - CAST({_H_LO} AS DOUBLE)) * {_H_BINS}
+                      / CAST({_H_HI - _H_LO} AS DOUBLE)) AS INT)))
+           AS bin
+  FROM events
+),
+g_{w_s} AS (SELECT bucket_us, event_type, bin,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM p_{w_s} GROUP BY 1, 2, 3),
+c_{w_s} AS (
+  SELECT bucket_us, event_type, bin, n,
+         CAST(SUM(n) OVER (PARTITION BY bucket_us, event_type
+                           ORDER BY bin ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum,
+         CAST(SUM(n) OVER (PARTITION BY bucket_us, event_type)
+              AS BIGINT) AS tot
+  FROM g_{w_s})""", qs
+
+    w1, q1 = grain(3600)
+    w2, q2 = grain(86400)
+    return f"WITH {w1},\n{w2}\n{q1}\nUNION ALL\n{q2}"
+
+
 # ----------------------------------------------------- quantile profile
 
 
@@ -224,5 +290,6 @@ TEMPORAL_QUERIES = {
     "interval_join": (q_interval_join, sql_interval_join),
     "sessionize": (q_sessionize, sql_sessionize),
     "time_rollup": (q_time_rollup, sql_time_rollup),
+    "histogram_rollup": (q_histogram_rollup, sql_histogram_rollup),
     "quantile_profile": (q_quantile_profile, sql_quantile_profile),
 }

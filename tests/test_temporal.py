@@ -390,3 +390,50 @@ def test_quantile_approx_within_rank_error(spark):
         rank = bisect.bisect_right(vals, r["approx"])
         assert abs(rank - 0.9 * n) <= n / 10_000 + 2, \
             (r["event_type"], rank, n)
+
+
+def test_histogram_rollup_error_bound(spark):
+    """The estimate shares a bin with the ⌈q·n⌉-th smallest value (the
+    rank the crossing-bin search targets), so |est − v_rank| ≤ one bin
+    width.  (It is NOT within a bin width of the q·(n−1)-interpolated
+    ``percentile`` — a sparse tail can put that one rank lower across an
+    arbitrarily wide value gap.)  Merge exactness (day from hourly bins
+    == day binned directly) is covered by the oracle gate."""
+    import math
+
+    from mapbox_filter_spark.operators.temporal import histogram_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    lo, hi, n_bins = 0.0, 600.0, 120
+    width = (hi - lo) / n_bins
+    r = histogram_rollup(ev, value="value", group=["event_type"],
+                         grains_s=[86400], lo=lo, hi=hi, n_bins=n_bins,
+                         quantiles=[0.5, 0.9])
+    vals = (ev.withColumn(
+        "bucket_start",
+        F.timestamp_micros(
+            (F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                     / F.lit(86400_000_000)).cast("long")
+             * F.lit(86400_000_000))))
+        .groupBy("bucket_start", "event_type")
+        .agg(F.sort_array(F.collect_list("value")).alias("vs")))
+    j = r.join(vals, ["bucket_start", "event_type"]).collect()
+    assert j
+    for row in j:
+        vs = row["vs"]
+        v_rank = vs[math.ceil(row["q"] * len(vs)) - 1]
+        assert abs(row["est"] - v_rank) <= width + 1e-9, \
+            (row["q"], row["est"], v_rank)
+
+
+def test_histogram_rollup_validations(spark, tdata):
+    from mapbox_filter_spark.operators.temporal import histogram_rollup
+
+    lpd, _ = tdata
+    ev = spark.createDataFrame(lpd)
+    with pytest.raises(ValueError, match="n_bins"):
+        histogram_rollup(ev, value="l_v", group=[], grains_s=[3600],
+                         lo=0, hi=0, n_bins=10, quantiles=[0.5])
+    with pytest.raises(ValueError, match="quantiles"):
+        histogram_rollup(ev, value="l_v", group=[], grains_s=[3600],
+                         lo=0, hi=1, n_bins=10, quantiles=[1.5])
