@@ -216,6 +216,77 @@ def write_ivf_corpus(
                    n_buckets=n_buckets, sort_cols=("cent_id", "c_id"))
 
 
+def train_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int,
+    max_iters: int = 10,
+    tol: float = 1e-6,
+    kernel: str = "auto",
+) -> DataFrame:
+    """Lloyd k-means over the corpus — the codebook trainer that makes
+    the IVF index self-contained (``centroids`` no longer needs to come
+    from outside).
+
+    Per iteration: coarse-assign with the ZERO-SHUFFLE ``ivf_assign``
+    (broadcast centroid pack or BLAS kernel — the corpus never moves),
+    then re-estimate each centroid as the per-dimension mean of its
+    members — ONE groupBy whose aggregate is ``dim`` avg expressions
+    (map-side combine; no posexplode of corpus × dim rows).  Empty
+    clusters keep their previous centroid.  The driver loop is control
+    only: it compares successive centroid sets (k × dim values — tiny)
+    and stops on max squared movement < ``tol`` or ``max_iters``.
+
+    Init is deterministic: the k corpus vectors with the smallest
+    ``xxhash64(id)`` — a seeded-random-without-randomness choice that is
+    reproducible on any cluster shape (the same discipline as
+    operators/splits.py).
+
+    Returns a (cent_id, cent_vec) DataFrame usable directly by
+    ``ivf_assign`` / ``ivf_flat_topk`` / ``write_ivf_corpus``.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    spark = corpus.sparkSession
+
+    init = (corpus
+            .orderBy(F.xxhash64(F.col(id_col)).asc(),
+                     F.col(id_col).asc())
+            .limit(k)
+            .select(F.col(vec_col).alias("cent_vec"))
+            .collect())
+    cents = [[float(x) for x in r["cent_vec"]] for r in init]
+    if len(cents) < k:
+        raise ValueError(f"corpus smaller than k={k}")
+
+    def to_df(vecs):
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "cent_id int, cent_vec array<double>")
+
+    mean_exprs = [F.avg(F.col(vec_col)[i]) for i in range(dim)]
+    for _ in range(max_iters):
+        cdf = to_df(cents)
+        assigned = ivf_assign(corpus, cdf, id_col, vec_col,
+                              n_lists=1, kernel=kernel)
+        rows = (assigned.groupBy("cent_id")
+                .agg(F.array(*mean_exprs).alias("m"))
+                .collect())
+        new = list(cents)
+        for r in rows:
+            new[r["cent_id"]] = [float(x) for x in r["m"]]
+        move = max(
+            sum((a - b) * (a - b) for a, b in zip(old, nw))
+            for old, nw in zip(cents, new))
+        cents = new
+        if move < tol:
+            break
+    return to_df(cents).localCheckpoint()
+
+
 def ivf_flat_topk(
     queries: DataFrame,
     corpus: DataFrame | None,

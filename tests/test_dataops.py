@@ -489,3 +489,60 @@ def test_lsh_bucketed_corpus_table(spark, tmp_path):
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
         spark.sql("DROP TABLE IF EXISTS lsh_corpus_t")
+
+
+def test_train_centroids_recovers_clusters(spark):
+    """Lloyd on a well-separated synthetic corpus: SSE decreases to near
+    the planted structure and every planted cluster maps to exactly one
+    learned centroid; deterministic across repartitioning."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapbox_filter_spark.operators.similarity import (
+        ivf_assign, train_centroids)
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 8)) * 10
+    rows = []
+    for i in range(400):
+        c = i % 4
+        rows.append((i, (centers[c] + rng.normal(size=8) * 0.1).tolist(), c))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "truth"])
+    corpus = spark.createDataFrame(pdf)
+
+    cents = train_centroids(corpus, "vec_id", "embedding", k=4,
+                            max_iters=15)
+    assert cents.count() == 4
+    assigned = ivf_assign(corpus, cents, "vec_id", "embedding",
+                          n_lists=1)
+    rows = assigned.select("truth", "cent_id").collect()
+    # each planted cluster -> one learned centroid, bijectively
+    mapping = {}
+    for r in rows:
+        mapping.setdefault(r["truth"], set()).add(r["cent_id"])
+    assert all(len(v) == 1 for v in mapping.values())
+    assert len({next(iter(v)) for v in mapping.values()}) == 4
+
+    # deterministic under repartition (init is hash-ordered, not
+    # partition-ordered)
+    again = train_centroids(corpus.repartition(17), "vec_id",
+                            "embedding", k=4, max_iters=15)
+    a = sorted(tuple(r["cent_vec"]) for r in cents.collect())
+    b = sorted(tuple(r["cent_vec"]) for r in again.collect())
+    for x, y in zip(a, b):
+        assert all(abs(p - q) < 1e-9 for p, q in zip(x, y))
+
+
+def test_train_centroids_validations(spark):
+    import pandas as pd
+
+    from mapbox_filter_spark.operators.similarity import train_centroids
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2], "embedding": [[1.0], [2.0]]}))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        train_centroids(corpus, "vec_id", "embedding", k=0)
+    with _pytest.raises(ValueError, match="smaller than k"):
+        train_centroids(corpus, "vec_id", "embedding", k=5)
