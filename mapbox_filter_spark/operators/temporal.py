@@ -43,6 +43,7 @@ __all__ = [
     "read_rollup_partial",
     "refresh_rollup_partial",
     "histogram_rollup",
+    "distinct_rollup",
 ]
 
 _US = 1_000_000  # microseconds per second
@@ -389,6 +390,56 @@ def rollup_from_partial(partial: DataFrame, *, group: list[str],
                  F.max("vmax").alias("vmax"))
         )
         out = out.unionByName(finish(coarse, g))
+    return out
+
+
+def distinct_rollup(
+    events: DataFrame,
+    *,
+    ts: str = "ts",
+    entity: str,
+    group: list[str],
+    grains_s: list[int],
+) -> DataFrame:
+    """Distinct-entity counts at every grain from a mergeable partial.
+
+    COUNT(DISTINCT) is not mergeable as a number — two hourly counts of
+    distinct users don't add — but the distinct (bucket, group, entity)
+    PAIR SET is: coarser grains re-bucket the pairs, re-distinct, and
+    count.  The raw table is scanned once; the fine pair set (bounded by
+    sum of per-bucket cardinalities, far below raw volume) is persisted
+    and reused per grain.  This is the exact path; at cardinalities
+    where even the pair set hurts, swap the partial for an HLL sketch
+    (``hll_sketch_agg`` / ``hll_union_agg`` — tested within-error in
+    tests/test_temporal.py) at the cost of exactness.
+
+    Output: (grain_s, bucket_start, *group, n_distinct).
+    """
+    _check_grains(grains_s)
+    fine = grains_s[0]
+    pairs = (events
+             .withColumn("_bucket", time_bucket(F.col(ts), fine))
+             .select("_bucket", *group, entity)
+             .distinct())
+    if len(grains_s) > 1:
+        from pyspark import StorageLevel
+
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def count_at(df: DataFrame, grain: int) -> DataFrame:
+        return (df.groupBy("_bucket", *group)
+                .agg(F.count(F.lit(1)).alias("n_distinct"))
+                .select(F.lit(grain).alias("grain_s"),
+                        F.col("_bucket").alias("bucket_start"),
+                        *group, "n_distinct"))
+
+    out = count_at(pairs, fine)
+    for g in grains_s[1:]:
+        coarse = (pairs
+                  .withColumn("_bucket", time_bucket(F.col("_bucket"), g))
+                  .select("_bucket", *group, entity)
+                  .distinct())
+        out = out.unionByName(count_at(coarse, g))
     return out
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from .operators.temporal import (
     asof_join,
+    distinct_rollup,
     histogram_rollup,
     interval_join,
     session_stats,
@@ -192,6 +193,38 @@ GROUP BY bucket_us, event_type"""
     return grain(3600) + "\nUNION ALL" + grain(86400)
 
 
+# ----------------------------------------------------- distinct rollup
+
+
+def q_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type at hour + day grains, the day grain
+    derived by re-distincting the hourly PAIR SET (COUNT(DISTINCT) is
+    not mergeable as a number; the pair set is); oracle counts both
+    grains directly from raw."""
+    ev = _events(spark, sf_dir)
+    r = distinct_rollup(ev, ts="ts", entity="user_id",
+                        group=["event_type"], grains_s=[3600, 86400])
+    return r.select(
+        "grain_s",
+        F.unix_micros(F.col("bucket_start").cast("timestamp"))
+        .alias("bucket_us"),
+        "event_type", "n_distinct",
+    )
+
+
+def sql_distinct_rollup() -> str:
+    def grain(w_s: int) -> str:
+        w_us = w_s * 1_000_000
+        return f"""
+SELECT CAST({w_s} AS INTEGER) AS grain_s,
+       (epoch_us(ts) // {w_us}) * {w_us} AS bucket_us,
+       event_type,
+       COUNT(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY bucket_us, event_type"""
+
+    return grain(3600) + "\nUNION ALL" + grain(86400)
+
+
 # ------------------------------------------------- histogram rollup (sketch)
 
 _H_LO, _H_HI, _H_BINS = 0.0, 600.0, 120  # covers value's range at any sf
@@ -291,5 +324,6 @@ TEMPORAL_QUERIES = {
     "sessionize": (q_sessionize, sql_sessionize),
     "time_rollup": (q_time_rollup, sql_time_rollup),
     "histogram_rollup": (q_histogram_rollup, sql_histogram_rollup),
+    "distinct_rollup": (q_distinct_rollup, sql_distinct_rollup),
     "quantile_profile": (q_quantile_profile, sql_quantile_profile),
 }

@@ -437,3 +437,29 @@ def test_histogram_rollup_validations(spark, tdata):
     with pytest.raises(ValueError, match="quantiles"):
         histogram_rollup(ev, value="l_v", group=[], grains_s=[3600],
                          lo=0, hi=1, n_bins=10, quantiles=[1.5])
+
+
+def test_distinct_rollup_single_raw_scan_and_hll_error(spark):
+    """Pair-set partial: one raw scan for both grains; the HLL sketch
+    path (hll_sketch_agg/hll_union_agg) estimates within 5% of exact on
+    the same data — the documented swap at extreme cardinalities."""
+    from mapbox_filter_spark.operators.temporal import distinct_rollup
+
+    path = "/tmp/mfs_distinct_fixture"
+    spark.read.parquet("/root/testdata/sf0.01/events.parquet") \
+        .write.mode("overwrite").parquet(path)
+    ev = spark.read.parquet(path)
+    r = distinct_rollup(ev, entity="user_id", group=["event_type"],
+                        grains_s=[3600, 86400])
+    p = r._jdf.queryExecution().executedPlan().toString()
+    assert p.count("InMemoryTableScan") == 2, p  # both grains read pairs
+
+    exact = {(row["event_type"]): row["n"] for row in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    hll = {(row["event_type"]): row["n"] for row in
+           ev.groupBy("event_type")
+           .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
+                .alias("n")).collect()}
+    for k, n in exact.items():
+        assert abs(hll[k] - n) / n < 0.05, (k, hll[k], n)
