@@ -44,6 +44,7 @@ __all__ = [
     "refresh_rollup_partial",
     "histogram_rollup",
     "distinct_rollup",
+    "funnel",
 ]
 
 _US = 1_000_000  # microseconds per second
@@ -391,6 +392,64 @@ def rollup_from_partial(partial: DataFrame, *, group: list[str],
         )
         out = out.unionByName(finish(coarse, g))
     return out
+
+
+def funnel(
+    events: DataFrame,
+    key: list[str],
+    *,
+    ts: str = "ts",
+    step_col: str,
+    steps: list[str],
+    within_s: float | None = None,
+) -> DataFrame:
+    """Ordered conversion funnel per key: the earliest time each step
+    can complete given the previous step happened first (step i's time =
+    the first step-i event at or after step i-1's time).
+
+    ONE shuffle: a single groupBy collects, per key, the SORTED
+    timestamp array of each step's events (arrays hold only matching
+    events — bounded by per-key step cardinality, the same bound any
+    per-entity analysis carries), and the chaining walk is a native
+    column fold over those k arrays — no k-round join chain, no window.
+
+    ``within_s`` additionally requires the whole funnel to complete
+    within that many seconds of step 1 (later steps beyond the deadline
+    are nulled).
+
+    Output: one row per key with ``step{i}_us`` epoch-micro columns
+    (NULL once the chain breaks) and ``completed``.
+    """
+    if len(steps) < 2:
+        raise ValueError("need at least 2 steps")
+    aggs = [
+        F.sort_array(F.collect_list(
+            F.when(F.col(step_col) == F.lit(s), _us(F.col(ts)))))
+        .alias(f"_a{i}")
+        for i, s in enumerate(steps)
+    ]
+    g = events.groupBy(*key).agg(*aggs)
+
+    t_prev = F.array_min(F.col("_a0"))
+    out_cols = [t_prev.alias("step0_us")]
+    cols = {"step0_us": t_prev}
+
+    def _ge(threshold):
+        # NOTE: a two-parameter lambda (even with a default) makes
+        # F.filter pass the ELEMENT INDEX as the second argument — close
+        # over the threshold instead.
+        return lambda t: t >= threshold
+
+    for i in range(1, len(steps)):
+        prev = cols[f"step{i - 1}_us"]
+        nxt = F.array_min(F.filter(F.col(f"_a{i}"), _ge(prev)))
+        if within_s is not None:
+            deadline = cols["step0_us"] + int(within_s * _US)
+            nxt = F.when(nxt <= deadline, nxt)
+        cols[f"step{i}_us"] = nxt
+        out_cols.append(nxt.alias(f"step{i}_us"))
+    completed = cols[f"step{len(steps) - 1}_us"].isNotNull()
+    return g.select(*key, *out_cols, completed.alias("completed"))
 
 
 def distinct_rollup(

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from .operators.temporal import (
     asof_join,
     distinct_rollup,
+    funnel,
     histogram_rollup,
     interval_join,
     session_stats,
@@ -193,6 +194,42 @@ GROUP BY bucket_us, event_type"""
     return grain(3600) + "\nUNION ALL" + grain(86400)
 
 
+# ------------------------------------------------------------ funnel
+
+_FUNNEL = ["view", "click", "purchase"]
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion per user: each step's time is
+    the first matching event at or after the previous step's time."""
+    ev = _events(spark, sf_dir)
+    return funnel(ev, ["user_id"], ts="ts", step_col="event_type",
+                  steps=list(_FUNNEL))
+
+
+def sql_funnel() -> str:
+    s0, s1, s2 = _FUNNEL
+    return f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t0 AS (SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+       WHERE event_type = '{s0}' GROUP BY user_id),
+t1 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+       FROM events e JOIN t0 ON e.user_id = t0.user_id
+       WHERE e.event_type = '{s1}' AND epoch_us(e.ts) >= t0.t
+       GROUP BY e.user_id),
+t2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+       FROM events e JOIN t1 ON e.user_id = t1.user_id
+       WHERE e.event_type = '{s2}' AND epoch_us(e.ts) >= t1.t
+       GROUP BY e.user_id)
+SELECT u.user_id,
+       t0.t AS step0_us, t1.t AS step1_us, t2.t AS step2_us,
+       t2.t IS NOT NULL AS completed
+FROM u
+LEFT JOIN t0 ON u.user_id = t0.user_id
+LEFT JOIN t1 ON u.user_id = t1.user_id
+LEFT JOIN t2 ON u.user_id = t2.user_id"""
+
+
 # ----------------------------------------------------- distinct rollup
 
 
@@ -325,5 +362,6 @@ TEMPORAL_QUERIES = {
     "time_rollup": (q_time_rollup, sql_time_rollup),
     "histogram_rollup": (q_histogram_rollup, sql_histogram_rollup),
     "distinct_rollup": (q_distinct_rollup, sql_distinct_rollup),
+    "funnel": (q_funnel, sql_funnel),
     "quantile_profile": (q_quantile_profile, sql_quantile_profile),
 }

@@ -463,3 +463,61 @@ def test_distinct_rollup_single_raw_scan_and_hll_error(spark):
                 .alias("n")).collect()}
     for k, n in exact.items():
         assert abs(hll[k] - n) / n < 0.05, (k, hll[k], n)
+
+
+def test_funnel_crafted_and_single_shuffle(spark):
+    """Crafted chains: completion requires order (a click before the
+    first view doesn't count), within_s nulls late steps, and the whole
+    funnel is ONE shuffle."""
+    from mapbox_filter_spark.operators.temporal import funnel
+
+    t0 = pd.Timestamp("2024-01-01")
+
+    def ev(uid, minutes, kind):
+        return (uid, t0 + pd.Timedelta(minutes=minutes), kind)
+
+    rows = [
+        # u1: clean view(0) -> click(10) -> buy(20)
+        ev(1, 0, "view"), ev(1, 10, "click"), ev(1, 20, "buy"),
+        # u2: click BEFORE view -> funnel stalls at view
+        ev(2, 0, "click"), ev(2, 5, "view"),
+        # u3: view only
+        ev(3, 0, "view"),
+        # u4: view(0), click(10), buy(5): buy precedes click -> no buy
+        ev(4, 0, "view"), ev(4, 10, "click"), ev(4, 5, "buy"),
+        # u5: two views; click sits between them (counts from view #1)
+        ev(5, 0, "view"), ev(5, 3, "click"), ev(5, 6, "view"),
+        ev(5, 9, "buy"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "ts", "kind"]))
+    out = {r["user_id"]: r for r in
+           funnel(df, ["user_id"], step_col="kind",
+                  steps=["view", "click", "buy"]).collect()}
+    assert out[1]["completed"] and out[1]["step2_us"] > out[1]["step1_us"]
+    assert out[2]["step1_us"] is None          # click was too early
+    assert out[3]["step1_us"] is None
+    assert out[4]["step2_us"] is None          # buy preceded click
+    assert out[5]["completed"]
+
+    # within 5 minutes: u1's click lands at +10 -> nulled
+    tight = {r["user_id"]: r for r in
+             funnel(df, ["user_id"], step_col="kind",
+                    steps=["view", "click", "buy"],
+                    within_s=300).collect()}
+    assert tight[1]["step1_us"] is None and not tight[1]["completed"]
+    assert not tight[5]["completed"]           # u5 spans 9 min > 5 min cap
+    assert tight[5]["step1_us"] is not None    # click at +3 min still fits
+    p = funnel(df, ["user_id"], step_col="kind",
+               steps=["view", "click", "buy"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_funnel_validations(spark, tdata):
+    from mapbox_filter_spark.operators.temporal import funnel
+
+    lpd, _ = tdata
+    ev = spark.createDataFrame(lpd)
+    with pytest.raises(ValueError, match="2 steps"):
+        funnel(ev, ["key"], step_col="l_id", steps=["a"])
