@@ -435,11 +435,13 @@ def _all_queries():
     from .queries_ext import EXT_QUERIES
     from .queries_graph import GRAPH_QUERIES
     from .queries_retrieval import RETRIEVAL_QUERIES
+    from .queries_scd import SCD_QUERIES
     from .queries_splits import SPLIT_QUERIES
     from .queries_temporal import TEMPORAL_QUERIES
 
     return {**QUERIES, **EXT_QUERIES, **TEMPORAL_QUERIES,
-            **SPLIT_QUERIES, **GRAPH_QUERIES, **RETRIEVAL_QUERIES}
+            **SPLIT_QUERIES, **GRAPH_QUERIES, **RETRIEVAL_QUERIES,
+            **SCD_QUERIES}
 
 
 def queries():
