@@ -39,11 +39,19 @@ def layouts(spark):
 
 @pytest.fixture(scope="module")
 def probe(spark, layouts):
-    """A level-5 ancestor of a real data cell — a region probe that holds
-    a small but non-empty slice of the table."""
+    """The DENSEST level-5 ancestor in the data — deterministic (unlike
+    ``first()``, whose row depends on scheduling) and guaranteed to hold
+    enough rows that the hash-placed layout touches ~every file while
+    the clustered one confines the contiguous range to a few."""
+    from mapbox_filter_spark.geo.s2 import s2_parent
+
     clustered, _ = layouts
-    row = spark.read.parquet(clustered).select("cell").first()
-    parent = py_s2_parent(row["cell"], 5)
+    row = (spark.read.parquet(clustered)
+           .groupBy(s2_parent(F.col("cell"), 5).alias("p"))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.col("n").desc(), F.col("p").asc())
+           .first())
+    parent = row["p"]
     return [py_s2_range(parent)], parent
 
 
