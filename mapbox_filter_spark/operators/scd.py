@@ -78,10 +78,15 @@ def scd2_upsert(
         order.append(F.col(tiebreak).asc())
     w = Window.partitionBy(*key).orderBy(*order)
     sig = F.struct(*[F.col(a) for a in attrs])
+    # null-safe comparison: plain != yields NULL when an attribute is
+    # NULL on either side, which would silently DROP a real change
+    # to/from NULL.  A NULL _prev_sig only occurs for the first version
+    # (lag of the struct itself is NULL only at the partition head —
+    # sig is never NULL, being a struct of columns).
     dedup = (cand
              .withColumn("_prev_sig", F.lag(sig).over(w))
              .filter(F.col("_prev_sig").isNull()
-                     | (F.col("_prev_sig") != sig)))
+                     | ~(F.col("_prev_sig").eqNullSafe(sig))))
     w2 = Window.partitionBy(*key).orderBy(*order)
     versioned = (dedup
                  .withColumn("valid_to", F.lead("valid_from").over(w2))

@@ -89,3 +89,21 @@ def test_scd2_same_ts_tiebreak_last_wins(spark):
     rows = _collect(dim)
     cur = [r for r in rows if r[4]]
     assert len(cur) == 1 and cur[0][1] == "b"
+
+
+def test_scd2_null_attribute_changes(spark):
+    """Changes to/from NULL attributes are real versions (plain struct
+    != yields NULL and silently drops them — null-safe compare used)."""
+    upd = spark.createDataFrame(
+        pd.DataFrame({
+            "k": pd.array([1, 1, 1, 1], dtype="int64"),
+            "tier": ["bronze", None, None, "gold"],
+            "ts": [T0 + pd.Timedelta(days=i) for i in range(4)],
+            "uid": pd.array([0, 1, 2, 3], dtype="int64")}))
+    dim = scd2_upsert(None, upd, key=["k"], attrs=["tier"], ts="ts",
+                      tiebreak="uid")
+    rows = sorted(((r["valid_from"], r["tier"], r["is_current"])
+                   for r in dim.collect()), key=lambda r: r[0])
+    # bronze -> NULL -> gold: the repeated NULL is suppressed
+    assert [r[1] for r in rows] == ["bronze", None, "gold"]
+    assert rows[-1][2] and not rows[0][2]
