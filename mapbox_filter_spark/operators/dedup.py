@@ -419,3 +419,75 @@ def oversized_ngram_blocks(
         .groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > max_block)
     )
+
+
+def doc_spans(col: Column, span_words: int = 10) -> Column:
+    """array<string> of NON-overlapping ``span_words``-word chunks of the
+    normalized text, in document order (last chunk may be shorter).
+
+    The span is the C4-style dedup unit ("three-sentence span" in the
+    original; a fixed word window here since the synthetic corpus is
+    single-line).  The token array binds once (hof.bind_once) — the
+    per-chunk lambda slices it; re-splitting per chunk would be O(n²).
+    """
+    from .hof import bind_once
+
+    def build(ws):
+        n_chunks = F.ceil(F.size(ws) / F.lit(span_words)).cast("int")
+        idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+        return F.transform(
+            idx,
+            lambda i: F.array_join(
+                F.slice(ws, i * span_words + 1, span_words), " "),
+        )
+
+    return bind_once({"ws": F.split(normalize_text(col), " ")}, build)
+
+
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+) -> DataFrame:
+    """C4-style duplicate-span removal: any span occurring more than once in
+    the corpus is kept only at its FIRST global occurrence (ordered by
+    ``(id, position)``); every other occurrence is dropped and the documents
+    are rebuilt from their surviving spans in order.
+
+    Returns ``(id, clean_text, n_spans, n_dropped)`` — one row per input
+    document, ``clean_text = ''`` when everything was a duplicate.
+
+    Scale shape: exactly two shuffles and no join —
+      1. explode to (id, pos, span), hash the span, ONE window over the
+         span hash assigns the global first-occurrence rank;
+      2. regroup by document, rebuilding text via in-aggregate
+         ``sort_array`` on (pos, span) structs (span order survives the
+         shuffle — the span-sequence invariant).
+    Both shuffles carry only (id, pos, hash/span) — no full-document rows.
+    Reference analogue: none (reference has no corpus-level text ops);
+    this is the training-pipeline surface mandated by the graft brief.
+    """
+    spans = (
+        df.select(F.col(id_col).alias("id"),
+                  F.posexplode(doc_spans(F.col(text_col), span_words))
+                  .alias("pos", "span"))
+        .withColumn("h", F.md5(F.col("span")))
+    )
+    w = W.partitionBy("h").orderBy(F.col("id").asc(), F.col("pos").asc())
+    marked = spans.withColumn("_rn", F.row_number().over(w))
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("_rn") == 1,
+                               F.struct(F.col("pos"), F.col("span"))))),
+                    lambda s: s["span"]),
+                " ").alias("clean_text"),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("_rn") > 1).cast("long")).alias("n_dropped"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

@@ -338,3 +338,52 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name, col in pii_counts(c).items():
         out = out.withColumn(name, col)
     return out
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word ``ngram_n``-gram with an evaluation set (the standard n-gram
+    overlap test used before training-data release).
+
+    Returns one row per training document:
+    ``(id, n_grams, n_overlap, contaminated)`` where ``n_grams`` is the
+    document's count of DISTINCT n-grams and ``n_overlap`` how many of
+    them occur anywhere in the eval set.
+
+    Scale shape: the eval side reduces to a DISTINCT set of 128-bit gram
+    hashes — tiny relative to the training corpus (eval sets are fixed
+    benchmark suites) — and is broadcast, so the training corpus is
+    touched once with no shuffle of its rows; the only wide exchange is
+    the per-doc regroup of (id, hash) pairs.  For an eval side too big to
+    broadcast, pass the same frames through a plain join by dropping the
+    broadcast hint — semantics identical.
+    """
+    from .dedup import word_shingles
+
+    ev = (
+        eval_df.select(
+            F.explode(word_shingles(F.col(text_col), ngram_n)).alias("g"))
+        .select(F.md5("g").alias("h")).distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    tr = (
+        train.select(F.col(id_col).alias("id"),
+                     F.explode(word_shingles(F.col(text_col), ngram_n))
+                     .alias("g"))
+        .withColumn("h", F.md5("g"))
+    )
+    return (
+        tr.join(F.broadcast(ev), "h", "left")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.sum(F.coalesce(F.col("_hit"), F.lit(0)).cast("long"))
+             .alias("n_overlap"))
+        .withColumn("contaminated", F.col("n_overlap") > 0)
+        .withColumnRenamed("id", id_col)
+    )

@@ -432,6 +432,7 @@ QUERIES = {
 
 
 def _all_queries():
+    from .queries_curation import CURATION_QUERIES
     from .queries_ext import EXT_QUERIES
     from .queries_graph import GRAPH_QUERIES
     from .queries_retrieval import RETRIEVAL_QUERIES
@@ -441,7 +442,7 @@ def _all_queries():
 
     return {**QUERIES, **EXT_QUERIES, **TEMPORAL_QUERIES,
             **SPLIT_QUERIES, **GRAPH_QUERIES, **RETRIEVAL_QUERIES,
-            **SCD_QUERIES}
+            **SCD_QUERIES, **CURATION_QUERIES}
 
 
 def queries():

@@ -1,0 +1,103 @@
+"""Gate queries for corpus-level curation ops: C4-style duplicate-span
+removal (operators/dedup.py:dedup_spans) and benchmark decontamination
+(operators/text.py:decontaminate).
+
+Both run over the ``documents`` table; the oracles rebuild the same
+results in plain DuckDB SQL (string_split + window / join).  Span and
+n-gram hashes are MD5 strings — bit-identical on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup
+from .operators.text import decontaminate
+
+_SPAN_W = 10
+_NGRAM_N = 3
+_EVAL_MOD = 41  # doc_id % 41 == 0 -> eval set (deterministic split)
+
+# shared normalized-words CTE fragment (same normalization every text
+# gate uses: lower, collapse whitespace, trim, split on single space)
+_WORDS_SQL = """base AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(
+             TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' '),
+           x -> x <> '') AS words
+  FROM documents
+)"""
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.dedup_spans(docs, span_words=_SPAN_W).select(
+        "doc_id", "clean_text", "n_spans", "n_dropped")
+
+
+def sql_span_dedup() -> str:
+    w = _SPAN_W
+    return f"""
+WITH {_WORDS_SQL},
+spans AS (
+  SELECT doc_id, CAST(t.i AS INT) AS pos,
+         array_to_string(words[(t.i*{w}+1):(t.i*{w}+{w})], ' ') AS span
+  FROM base, LATERAL (
+    SELECT unnest(range(GREATEST(CAST(CEIL(LEN(words)/{w}.0) AS BIGINT), 1)))
+           AS i) t
+),
+m AS (
+  SELECT doc_id, pos, span,
+         ROW_NUMBER() OVER (PARTITION BY MD5(span)
+                            ORDER BY doc_id, pos) AS rn
+  FROM spans
+)
+SELECT doc_id,
+       COALESCE(string_agg(span, ' ' ORDER BY pos) FILTER (WHERE rn = 1),
+                '') AS clean_text,
+       COUNT(*) AS n_spans,
+       COUNT(*) FILTER (WHERE rn > 1) AS n_dropped
+FROM m GROUP BY doc_id"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    tr = docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
+    return decontaminate(tr, ev, ngram_n=_NGRAM_N).select(
+        "doc_id", "n_grams", "n_overlap", "contaminated")
+
+
+def sql_decontaminate() -> str:
+    n = _NGRAM_N
+    return f"""
+WITH {_WORDS_SQL},
+grams AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(words[i:i+{n - 1}], ' ')
+                        FOR i IN RANGE(1, GREATEST(LEN(words) - {n}, 0) + 2)])
+         AS gs
+  FROM base
+),
+ev AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams
+  WHERE doc_id % {_EVAL_MOD} = 0
+),
+tr AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams
+  WHERE doc_id % {_EVAL_MOD} <> 0
+)
+SELECT tr.doc_id,
+       COUNT(*) AS n_grams,
+       COUNT(ev.g) AS n_overlap,
+       COUNT(ev.g) > 0 AS contaminated
+FROM tr LEFT JOIN ev ON tr.g = ev.g
+GROUP BY tr.doc_id"""
+
+
+CURATION_QUERIES = {
+    "span_dedup": (q_span_dedup, sql_span_dedup),
+    "decontaminate": (q_decontaminate, sql_decontaminate),
+}

@@ -546,3 +546,47 @@ def test_train_centroids_validations(spark):
         train_centroids(corpus, "vec_id", "embedding", k=0)
     with _pytest.raises(ValueError, match="smaller than k"):
         train_centroids(corpus, "vec_id", "embedding", k=5)
+
+
+def test_dedup_spans_crafted(spark):
+    # doc 1 owns spans A B; doc 2 repeats A then fresh C; doc 3 is all
+    # duplicates of A (and of itself)
+    A = " ".join(f"a{i}" for i in range(10))
+    B = " ".join(f"b{i}" for i in range(10))
+    C = " ".join(f"c{i}" for i in range(4))  # short tail chunk
+    rows = [(1, f"{A} {B}"), (2, f"{A} {C}"), (3, f"{A} {A}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.dedup_spans(df, span_words=10).collect()}
+    assert out[1]["clean_text"] == f"{A} {B}"      # first occurrence keeps all
+    assert out[1]["n_dropped"] == 0
+    assert out[2]["clean_text"] == C               # A dropped, order preserved
+    assert out[2]["n_dropped"] == 1 and out[2]["n_spans"] == 2
+    assert out[3]["clean_text"] == ""              # everything duplicated
+    assert out[3]["n_dropped"] == 2
+
+
+def test_dedup_spans_order_preserved(spark):
+    # a duplicated MIDDLE span must splice out without reordering
+    S = lambda ch: " ".join(f"{ch}{i}" for i in range(10))
+    rows = [(1, S("x")), (2, f"{S('p')} {S('x')} {S('q')}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"]
+           for r in dedup.dedup_spans(df, span_words=10).collect()}
+    assert out[2] == f"{S('p')} {S('q')}"
+
+
+def test_decontaminate_crafted(spark):
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string")
+    tr = spark.createDataFrame(
+        [(1, "the quick brown cat sat"),      # shares "the quick brown"
+         (2, "totally disjoint words here"),  # clean
+         (3, "quick brown fox jumps high")],  # shares 2 eval 3-grams
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text.decontaminate(tr, ev, ngram_n=3).collect()}
+    assert out[1]["contaminated"] and out[1]["n_overlap"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
+    assert out[3]["n_overlap"] == 2
+    assert out[1]["n_grams"] == 3  # 5 words -> 3 distinct trigrams
