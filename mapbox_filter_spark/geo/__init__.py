@@ -19,6 +19,14 @@ from .tilemath import (
     polyfill_bbox,
     quadkey,
 )
+from .geom import (
+    EARTH_RADIUS_M,
+    haversine_m,
+    polygon_bbox,
+    polygon_centroid,
+    ring_perimeter,
+    shoelace_area2,
+)
 from .pip import point_in_polygon_join
 from .s2 import (
     s2_cell,
@@ -34,6 +42,12 @@ from .s2 import (
 )
 
 __all__ = [
+    "EARTH_RADIUS_M",
+    "haversine_m",
+    "polygon_bbox",
+    "polygon_centroid",
+    "ring_perimeter",
+    "shoelace_area2",
     "with_s2_cell",
     "s2_covering_join",
     "s2_cell",

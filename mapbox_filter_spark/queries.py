@@ -434,6 +434,7 @@ QUERIES = {
 def _all_queries():
     from .queries_curation import CURATION_QUERIES
     from .queries_ext import EXT_QUERIES
+    from .queries_geom import GEOM_QUERIES
     from .queries_graph import GRAPH_QUERIES
     from .queries_retrieval import RETRIEVAL_QUERIES
     from .queries_scd import SCD_QUERIES
@@ -442,7 +443,7 @@ def _all_queries():
 
     return {**QUERIES, **EXT_QUERIES, **TEMPORAL_QUERIES,
             **SPLIT_QUERIES, **GRAPH_QUERIES, **RETRIEVAL_QUERIES,
-            **SCD_QUERIES, **CURATION_QUERIES}
+            **SCD_QUERIES, **CURATION_QUERIES, **GEOM_QUERIES}
 
 
 def queries():

@@ -1,0 +1,94 @@
+"""Polygon analytics (geo/geom.py): exact folds + haversine differential."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from mapbox_filter_spark.geo.geom import (
+    EARTH_RADIUS_M,
+    haversine_m,
+    polygon_bbox,
+    polygon_centroid,
+    ring_perimeter,
+    shoelace_area2,
+)
+
+
+def _poly_df(spark, verts):
+    rows = [(1, [{"x": x, "y": y} for x, y in verts])]
+    return spark.createDataFrame(
+        rows, "poly_id long, verts array<struct<x:long,y:long>>")
+
+
+def test_square_stats(spark):
+    df = _poly_df(spark, [(2, 3), (12, 3), (12, 13), (2, 13)])  # CCW 10x10
+    v = F.col("verts")
+    cx, cy = polygon_centroid(v)
+    minx, miny, maxx, maxy = polygon_bbox(v)
+    r = df.select(
+        shoelace_area2(v).alias("a2"), cx.alias("cx"), cy.alias("cy"),
+        ring_perimeter(v).alias("p"),
+        minx.alias("x0"), miny.alias("y0"),
+        maxx.alias("x1"), maxy.alias("y1")).first()
+    assert r["a2"] == 200
+    assert (r["cx"], r["cy"]) == (7.0, 8.0)
+    assert r["p"] == 40.0
+    assert (r["x0"], r["y0"], r["x1"], r["y1"]) == (2, 3, 12, 13)
+
+
+def test_winding_sign_and_degenerate(spark):
+    cw = _poly_df(spark, [(0, 0), (0, 10), (10, 10), (10, 0)])
+    assert cw.select(shoelace_area2(F.col("verts"))).first()[0] == -200
+    # collinear -> zero area, centroid null (no division error under ANSI)
+    line = _poly_df(spark, [(0, 0), (5, 5), (10, 10)])
+    cx, _cy = polygon_centroid(F.col("verts"))
+    row = line.select(shoelace_area2(F.col("verts")).alias("a2"),
+                      cx.alias("cx")).first()
+    assert row["a2"] == 0 and row["cx"] is None
+
+
+def test_l_shape_centroid(spark):
+    # L-shape: 2x2 square minus 1x1 corner; known centroid (area-weighted)
+    verts = [(0, 0), (2, 0), (2, 1), (1, 1), (1, 2), (0, 2)]
+    df = _poly_df(spark, verts)
+    cx, cy = polygon_centroid(F.col("verts"))
+    r = df.select(shoelace_area2(F.col("verts")).alias("a2"),
+                  cx.alias("cx"), cy.alias("cy")).first()
+    assert r["a2"] == 6  # area 3
+    assert math.isclose(r["cx"], 5.0 / 6.0, rel_tol=1e-12)
+    assert math.isclose(r["cy"], 5.0 / 6.0, rel_tol=1e-12)
+
+
+def _py_haversine(lon1, lat1, lon2, lat2):
+    rl1, rl2 = math.radians(lat1), math.radians(lat2)
+    dlat = math.radians(lat2 - lat1) / 2
+    dlon = math.radians(lon2 - lon1) / 2
+    a = (math.sin(dlat) ** 2
+         + math.cos(rl1) * math.cos(rl2) * math.sin(dlon) ** 2)
+    return 2 * EARTH_RADIUS_M * math.asin(min(math.sqrt(a), 1.0))
+
+
+def test_haversine_differential(spark):
+    pts = [(0.0, 0.0, 1.0, 0.0), (-180.0, 0.0, 180.0, 0.0),
+           (13.4, 52.5, 2.35, 48.85), (0.0, 89.9, 180.0, 89.9),
+           (-73.98, 40.75, 151.2, -33.87)]
+    df = spark.createDataFrame(
+        pts, "lon1 double, lat1 double, lon2 double, lat2 double")
+    got = df.select(haversine_m(*[F.col(c) for c in df.columns])
+                    .alias("d")).collect()
+    for (lo1, la1, lo2, la2), r in zip(pts, got):
+        assert math.isclose(r["d"], _py_haversine(lo1, la1, lo2, la2),
+                            rel_tol=1e-9, abs_tol=1e-6)
+    # one degree of longitude at the equator
+    assert math.isclose(got[0]["d"], math.pi * EARTH_RADIUS_M / 180,
+                        rel_tol=1e-12)
+    # antipodal wrap: same point, distance is fp noise (~1e-9 m), not km
+    assert got[1]["d"] < 1e-6
+
+
+def test_geom_no_python_on_hot_path(spark):
+    df = _poly_df(spark, [(0, 0), (4, 0), (4, 4)])
+    out = df.select(shoelace_area2(F.col("verts")),
+                    ring_perimeter(F.col("verts")))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
