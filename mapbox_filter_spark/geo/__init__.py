@@ -28,6 +28,7 @@ from .geom import (
     shoelace_area2,
 )
 from .pip import point_in_polygon_join
+from .simplify import rdp_keep_indices, simplify_rdp
 from .s2 import (
     s2_cell,
     s2_covering_join,
@@ -42,6 +43,8 @@ from .s2 import (
 )
 
 __all__ = [
+    "rdp_keep_indices",
+    "simplify_rdp",
     "EARTH_RADIUS_M",
     "haversine_m",
     "polygon_bbox",

@@ -111,6 +111,101 @@ SELECT poly_id, n_verts, area2,
 FROM agg"""
 
 
+_RDP_N = 16      # vertices per polyline
+_RDP_EPS = 10    # tolerance (integer grid units); decision uses eps^2 * L^2
+_RDP_LINES = 120
+
+
+def _wiggly_verts() -> F.Column:
+    """16-vertex polyline: x strictly increasing (so chords never
+    degenerate), small y noise (< eps, simplified away) plus one big
+    spike per line (kept) — non-vacuous in both directions."""
+    pk = F.col("p_partkey")
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(_RDP_N - 1)),
+        lambda i: F.struct(
+            (i.cast("long") * 256).alias("x"),
+            ((pk * 37 + i * 13) % 7
+             + F.when(i == pk % _RDP_N, F.lit(1000)).otherwise(F.lit(0)))
+            .cast("long").alias("y"),
+        ),
+    )
+
+
+def q_rdp_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .geo.simplify import simplify_rdp
+
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .filter(F.col("p_partkey") <= _RDP_LINES))
+    lines = part.select(F.col("p_partkey").alias("line_id"),
+                        _wiggly_verts().alias("verts"))
+    kept = lines.select(
+        "line_id", F.explode(simplify_rdp(F.col("verts"), _RDP_EPS))
+        .alias("v"))
+    return kept.select("line_id", F.col("v.i").alias("i"),
+                       F.col("v.x").alias("x"), F.col("v.y").alias("y"))
+
+
+def sql_rdp_simplify() -> str:
+    e2 = _RDP_EPS * _RDP_EPS
+    cross = ("((z.x-a.x)*(p.y-a.y) - (p.x-a.x)*(z.y-a.y))"
+             " * ((z.x-a.x)*(p.y-a.y) - (p.x-a.x)*(z.y-a.y))")
+    l2 = "((z.x-a.x)*(z.x-a.x) + (z.y-a.y)*(z.y-a.y))"
+    return f"""
+WITH RECURSIVE
+pts AS (
+  SELECT p_partkey AS line_id, CAST(t.i AS BIGINT) AS i,
+         CAST(t.i * 256 AS BIGINT) AS x,
+         CAST((p_partkey*37 + t.i*13) % 7
+              + CASE WHEN t.i = p_partkey % {_RDP_N} THEN 1000 ELSE 0 END
+              AS BIGINT) AS y
+  FROM part, LATERAL (SELECT unnest(range({_RDP_N})) AS i) t
+  WHERE p_partkey <= {_RDP_LINES}
+),
+seg(line_id, i0, i1) AS (
+  SELECT line_id, CAST(0 AS BIGINT), CAST({_RDP_N - 1} AS BIGINT)
+  FROM (SELECT DISTINCT line_id FROM pts)
+  UNION ALL
+  SELECT b.line_id,
+         CASE WHEN sd.s = 0 THEN b.i0 ELSE b.jmax END,
+         CASE WHEN sd.s = 0 THEN b.jmax ELSE b.i1 END
+  FROM (
+    SELECT line_id, i0, i1, jmax FROM (
+      SELECT s.line_id, s.i0, s.i1, p.i AS jmax,
+             {cross} AS m, {l2} AS lsq,
+             ROW_NUMBER() OVER (PARTITION BY s.line_id, s.i0, s.i1
+                                ORDER BY {cross} DESC, p.i ASC) AS rn
+      FROM seg s
+      JOIN pts a ON a.line_id = s.line_id AND a.i = s.i0
+      JOIN pts z ON z.line_id = s.line_id AND z.i = s.i1
+      JOIN pts p ON p.line_id = s.line_id AND p.i > s.i0 AND p.i < s.i1
+    ) WHERE rn = 1 AND m > {e2} * lsq
+  ) b, (VALUES (0), (1)) sd(s)
+),
+final AS (
+  SELECT s.line_id, s.i0, s.i1 FROM seg s
+  WHERE s.i1 - s.i0 <= 1 OR NOT EXISTS (
+    SELECT 1 FROM pts a, pts z, pts p
+    WHERE a.line_id = s.line_id AND a.i = s.i0
+      AND z.line_id = s.line_id AND z.i = s.i1
+      AND p.line_id = s.line_id AND p.i > s.i0 AND p.i < s.i1
+      AND {cross} > {e2} * {l2}
+  )
+),
+kept AS (
+  -- NOTE: a top-level UNION here would be parsed as a RECURSIVE CTE
+  -- body (this is under WITH RECURSIVE) and duplicates leak through;
+  -- nest the UNION ALL and deduplicate explicitly instead.
+  SELECT DISTINCT line_id, i FROM (
+    SELECT line_id, i0 AS i FROM final
+    UNION ALL
+    SELECT line_id, i1 AS i FROM final)
+)
+SELECT k.line_id, CAST(k.i AS INT) AS i, p.x, p.y
+FROM kept k JOIN pts p ON p.line_id = k.line_id AND p.i = k.i"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
+    "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
 }

@@ -92,3 +92,53 @@ def test_geom_no_python_on_hot_path(spark):
                     ring_perimeter(F.col("verts")))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------- RDP
+
+from mapbox_filter_spark.geo.simplify import rdp_keep_indices, simplify_rdp
+
+
+def test_rdp_twin_basics():
+    # straight line with sub-eps noise -> endpoints only
+    xs = list(range(0, 1000, 100))
+    ys = [i % 3 for i in range(10)]
+    assert rdp_keep_indices(xs, ys, 5) == [0, 9]
+    # a spike above eps is kept, and splitting keeps recursing
+    ys2 = list(ys); ys2[4] = 500
+    assert 4 in rdp_keep_indices(xs, ys2, 5)
+    # eps monotonicity: larger eps keeps a subset
+    k_small = set(rdp_keep_indices(xs, ys2, 2))
+    k_big = set(rdp_keep_indices(xs, ys2, 400))
+    assert k_big <= k_small
+    # n<=2 passthrough
+    assert rdp_keep_indices([0, 1], [0, 0], 1) == [0, 1]
+
+
+def test_rdp_degenerate_chord():
+    # closed loop: first == last vertex -> L2 == 0 branch (distance to point)
+    xs = [0, 50, 0, -50, 0]
+    ys = [0, 50, 100, 50, 0]
+    keep = rdp_keep_indices(xs, ys, 10)
+    assert keep[0] == 0 and keep[-1] == 4
+    assert 2 in keep  # farthest point from the degenerate chord
+
+
+def test_rdp_spark_matches_twin(spark):
+    import random
+    rng = random.Random(7)
+    rows = []
+    for lid in range(40):
+        n = rng.randint(2, 30)
+        pts = [{"x": i * 10 + rng.randint(0, 3), "y": rng.randint(0, 40)}
+               for i in range(n)]
+        rows.append((lid, pts))
+    df = spark.createDataFrame(
+        rows, "line_id long, verts array<struct<x:long,y:long>>")
+    got = {r["line_id"]: [v["i"] for v in r["kept"]]
+           for r in df.select("line_id",
+                              simplify_rdp(F.col("verts"), 8).alias("kept"))
+           .collect()}
+    for lid, pts in rows:
+        xs = [p["x"] for p in pts]; ys = [p["y"] for p in pts]
+        assert got[lid] == rdp_keep_indices(xs, ys, 8), lid
