@@ -205,7 +205,41 @@ SELECT k.line_id, CAST(k.i AS INT) AS i, p.x, p.y
 FROM kept k JOIN pts p ON p.line_id = k.line_id AND p.i = k.i"""
 
 
+def q_geohash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash cell keys for every feature, at two precisions.
+
+    ``gh8`` (~19 m cells) and ``gh4`` (~20 km) are encoded INDEPENDENTLY
+    by the closed-form Morton pipeline (geo/geohash.py), while the oracle
+    derives ``gh4`` as ``SUBSTR(gh8, 1, 4)`` — so a value-hash match also
+    proves the prefix-containment property (truncation = coarser cell)
+    cross-engine, which is what makes string-prefix pruning on
+    geohash-clustered layouts sound.
+    """
+    from .geo.geohash import geohash
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir)
+    return feats.select(
+        "feature_id",
+        geohash(F.col("lon"), F.col("lat"), 8).alias("gh8"),
+        geohash(F.col("lon"), F.col("lat"), 4).alias("gh4"),
+    )
+
+
+def sql_geohash_assign() -> str:
+    from .geo.geohash import sql_geohash_select
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    src = (f"WITH {FEATURES_ORACLE_SQL} "
+           "SELECT feature_id, lon, lat FROM features")
+    inner = sql_geohash_select(src, ["feature_id"], "lon", "lat",
+                               precision=8, out="gh8")
+    return (f"SELECT feature_id, gh8, SUBSTR(gh8, 1, 4) AS gh4 "
+            f"FROM ({inner})")
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
+    "geohash_assign": (q_geohash_assign, sql_geohash_assign),
 }
