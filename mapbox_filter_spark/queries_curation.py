@@ -97,7 +97,40 @@ FROM tr LEFT JOIN ev ON tr.g = ev.g
 GROUP BY tr.doc_id"""
 
 
+def q_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pair mining: nearest text span before/after each media
+    span over the interleaved-span substrate (operators/media.py
+    caption_pairs — pure in-row HOFs, zero shuffle)."""
+    from .operators.media import caption_pairs
+    from .queries_ext import interleaved_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return caption_pairs(interleaved_spans(docs))
+
+
+def sql_caption_pairs() -> str:
+    from .queries_ext import span_fields_sql
+
+    before = ("last_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)"
+              " OVER (PARTITION BY doc_id ORDER BY i"
+              " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)")
+    after = ("first_value(CASE WHEN kind = 'text' THEN text END IGNORE NULLS)"
+             " OVER (PARTITION BY doc_id ORDER BY i"
+             " ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)")
+    return f"""
+WITH {span_fields_sql()},
+ctx AS (
+  SELECT doc_id, i, kind, media_ref,
+         {before} AS cap_before,
+         {after} AS cap_after
+  FROM fields
+)
+SELECT doc_id, media_ref, CAST(i AS INT) AS offset, cap_before, cap_after
+FROM ctx WHERE kind = 'media'"""
+
+
 CURATION_QUERIES = {
     "span_dedup": (q_span_dedup, sql_span_dedup),
     "decontaminate": (q_decontaminate, sql_decontaminate),
+    "caption_pairs": (q_caption_pairs, sql_caption_pairs),
 }

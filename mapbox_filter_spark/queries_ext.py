@@ -1457,9 +1457,10 @@ WHERE rank <= {_S2_KNN_K}"""
 _SPAN_KINDS = ("text", "geo", "text", "media", "geo", "text")
 
 
-def q_span_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-
+def interleaved_spans(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, spans) with SQL-expressible span arithmetic —
+    the shared substrate of the span_integrity and caption_pairs gates
+    (mirrored CTE: SPAN_FIELDS_SQL)."""
     n_spans = (F.lit(2) + F.pmod(F.col("doc_id"), F.lit(5))).cast("int")
 
     def mk_span(i):
@@ -1485,9 +1486,14 @@ def q_span_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                         media_ref.alias("media_ref"),
                         i.cast("int").alias("offset"))
 
-    interleaved = docs.select(
+    return docs.select(
         "doc_id",
         F.transform(F.sequence(F.lit(0), n_spans - 1), mk_span).alias("spans"))
+
+
+def q_span_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    interleaved = interleaved_spans(docs)
 
     # decode: one row per span; scatter through an exchange keyed on a
     # span-local hash so per-doc arrival order is arbitrary
@@ -1519,11 +1525,11 @@ def q_span_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_span_integrity() -> str:
+def span_fields_sql() -> str:
+    """The spans+fields CTE body mirroring :func:`interleaved_spans`."""
     kind_case = " ".join(
         f"WHEN {i} THEN '{k}'" for i, k in enumerate(_SPAN_KINDS))
-    return f"""
-WITH spans AS (
+    return f"""spans AS (
   SELECT d.doc_id, s.i,
          CASE (d.doc_id + s.i) % {len(_SPAN_KINDS)} {kind_case} END AS kind,
          d.text AS doc_text,
@@ -1545,7 +1551,12 @@ WITH spans AS (
            || CAST(i AS VARCHAR) || '.jpg'
          END AS media_ref
   FROM spans
-)
+)"""
+
+
+def sql_span_integrity() -> str:
+    return f"""
+WITH {span_fields_sql()}
 SELECT doc_id,
        COUNT(*) AS n_spans,
        string_agg(
