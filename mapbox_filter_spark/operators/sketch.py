@@ -1,0 +1,120 @@
+"""Bounded-memory heavy-hitter detection (Misra–Gries + exact recount).
+
+The salted join (joins.py) needs a hot-key list.  The exact pre-scan
+(``hot_keys``: groupBy(key).count) shuffles EVERY distinct key — at 100 TB
+with a high-cardinality key the detector itself becomes the bottleneck.
+This module is the scale path, the classic two-pass heavy-hitters scheme:
+
+1. **Candidates** (``mg_candidates``): one scan, a Misra–Gries summary of
+   at most ``m`` counters PER PARTITION (Arrow-batched ``mapInPandas``,
+   O(m) state, no shuffle).  Guarantee: any key whose share of some
+   partition exceeds ``1/(m+1)`` survives that partition's summary — and a
+   key with GLOBAL share > 1/(m+1) must exceed that share in at least one
+   partition (a weighted average is bounded by its maximum), so the union
+   of the partition summaries (≤ partitions × m rows, tiny) is a SUPERSET
+   of every global heavy hitter regardless of how rows are distributed.
+2. **Exact recount** (``heavy_hitters``): second scan counts ONLY the
+   candidate keys (broadcast semi-join — the shuffle carries ≤ P·m keys),
+   then filters by the exact integer threshold ``ceil(num·n/den)``.
+
+Output = exactly the keys with true count ≥ threshold — deterministic,
+partitioning-independent, SQL-expressible (the oracle is a plain
+GROUP BY/HAVING), even though pass 1 is a sketch.
+
+Spark's built-ins (``df.stat.freqItems`` — false positives, no counts;
+``df.stat.countMinSketch`` — overestimates, driver-side query) don't give
+the exact-set semantics the salted join wants; this does, for two scans.
+
+The thresholds are integer rationals (``share=(num, den)``), never floats:
+``0.015 * 60000`` is not 900.0 in IEEE, and a boundary key must not
+flip between engines.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _mg_update(counters: dict, v, c: int, m: int) -> None:
+    """Weighted Misra–Gries: add item ``v`` with weight ``c``."""
+    if v in counters:
+        counters[v] += c
+        return
+    if len(counters) < m:
+        counters[v] = c
+        return
+    dmin = min(counters.values())
+    d = c if c < dmin else dmin
+    for k in list(counters):
+        counters[k] -= d
+        if counters[k] <= 0:
+            del counters[k]
+    if c - d > 0:
+        counters[v] = c - d  # d == dmin freed at least one slot
+
+
+def mg_candidates(df: DataFrame, key: str, m: int) -> DataFrame:
+    """Per-partition Misra–Gries summaries: ``(key, lb)`` rows, ≤ m per
+    partition; ``lb`` is the (decrement-eroded) lower-bound counter.
+    NULL keys are ignored (a NULL join key never matches anyway)."""
+    key_field = df.schema[key]
+    schema = T.StructType([key_field, T.StructField("lb", T.LongType())])
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[key].value_counts().items():  # drops NaN/None
+                _mg_update(counters, v, int(c), m)
+        if counters:
+            yield pd.DataFrame({key: list(counters.keys()),
+                                "lb": list(counters.values())})
+
+    return df.select(key).mapInPandas(summarize, schema)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key: str,
+    share: Tuple[int, int] = (1, 100),
+    min_count: Optional[int] = None,
+    total: Optional[int] = None,
+) -> DataFrame:
+    """Exact (key, cnt) for every key with count ≥ ceil(num·n/den) —
+    via an MG candidate pass and a candidate-only recount.
+
+    ``share=(num, den)`` is the integer-rational frequency threshold;
+    pass ``min_count`` to use an absolute row-count threshold instead
+    (skips the total-count job).
+    """
+    num, den = share
+    if total is None:
+        total = df.count()
+    if min_count is None:
+        min_count = -(-num * total // den)  # ceil without floats
+    min_count = max(min_count, 1)
+    # summary size with the superset guarantee: 1/(m+1) < min_count/n
+    m = max(math.ceil(total / min_count), 1)
+    cand = mg_candidates(df, key, m).select(key).distinct()
+    return (
+        df.join(F.broadcast(cand), key, "left_semi")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(min_count))
+    )
+
+
+def hot_keys_sketch(df: DataFrame, key: str, threshold: int,
+                    total: Optional[int] = None) -> list:
+    """Drop-in scale path for joins.hot_keys: keys with count > threshold,
+    discovered with bounded memory.  ``total`` (row count, exact or from
+    table stats) tightens the summary size; without it the count job runs
+    once."""
+    hh = heavy_hitters(df, key, min_count=threshold + 1, total=total)
+    return [r[0] for r in hh.select(key).collect()]

@@ -438,12 +438,14 @@ def _all_queries():
     from .queries_graph import GRAPH_QUERIES
     from .queries_retrieval import RETRIEVAL_QUERIES
     from .queries_scd import SCD_QUERIES
+    from .queries_sketch import SKETCH_QUERIES
     from .queries_splits import SPLIT_QUERIES
     from .queries_temporal import TEMPORAL_QUERIES
 
     return {**QUERIES, **EXT_QUERIES, **TEMPORAL_QUERIES,
             **SPLIT_QUERIES, **GRAPH_QUERIES, **RETRIEVAL_QUERIES,
-            **SCD_QUERIES, **CURATION_QUERIES, **GEOM_QUERIES}
+            **SCD_QUERIES, **CURATION_QUERIES, **GEOM_QUERIES,
+            **SKETCH_QUERIES}
 
 
 def queries():

@@ -1,0 +1,110 @@
+"""Heavy-hitter sketch (operators/sketch.py): MG invariants, exactness of
+the two-pass result, partitioning independence, salted-join integration."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapbox_filter_spark.operators.sketch import (
+    _mg_update, heavy_hitters, hot_keys_sketch, mg_candidates)
+from mapbox_filter_spark.operators.joins import hot_keys, salted_join
+
+
+def test_mg_update_superset_guarantee():
+    """Any item with share > 1/(m+1) of the stream survives the summary."""
+    stream = ["hot"] * 40 + [f"cold{i}" for i in range(60)]
+    for m in (2, 4, 8):
+        counters = {}
+        for v in stream:
+            _mg_update(counters, v, 1, m)
+        assert len(counters) <= m
+        assert "hot" in counters  # share 0.4 > 1/(m+1) for every m >= 2
+
+
+def test_mg_update_weighted_matches_unary():
+    import random
+    rnd = random.Random(7)
+    stream = [rnd.choice("abcdef") for _ in range(500)]
+    unary = {}
+    for v in stream:
+        _mg_update(unary, v, 1, 3)
+    batched = {}
+    # arbitrary batch split with weighted updates
+    from collections import Counter
+    i = 0
+    while i < len(stream):
+        j = min(i + rnd.randint(1, 50), len(stream))
+        for v, c in Counter(stream[i:j]).items():
+            _mg_update(batched, v, c, 3)
+        i = j
+    # not identical state (order differs), but both keep the guarantee:
+    true = Counter(stream)
+    n = len(stream)
+    for d in (unary, batched):
+        for v, c in true.items():
+            if c > n / 4:  # m=3
+                assert v in d
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # key j in 0..31 with weight ~(2j+1): linear-density skew
+    return spark.range(20000).select(
+        F.floor(F.sqrt(F.pmod(F.col("id") * 7919, F.lit(1024))))
+        .alias("key"),
+        (F.col("id") % 5).alias("payload"),
+    )
+
+
+def _exact(df, min_count):
+    return {(r["key"], r["cnt"]) for r in
+            df.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= min_count).collect()}
+
+
+def test_heavy_hitters_exact_and_partition_independent(spark, skewed):
+    expected = _exact(skewed, 800)
+    assert expected  # non-vacuous
+    for nparts in (1, 7, 32):
+        got = {(r["key"], r["cnt"]) for r in
+               heavy_hitters(skewed.repartition(nparts), "key",
+                             min_count=800).collect()}
+        assert got == expected, nparts
+
+
+def test_heavy_hitters_rational_share(spark, skewed):
+    total = skewed.count()
+    min_count = -(-3 * total // 100)
+    got = {(r["key"], r["cnt"]) for r in
+           heavy_hitters(skewed, "key", share=(3, 100)).collect()}
+    assert got == _exact(skewed, min_count)
+
+
+def test_null_keys_ignored(spark):
+    df = spark.range(100).select(
+        F.when(F.col("id") % 3 == 0, None).otherwise(F.lit(1)).alias("key"))
+    got = heavy_hitters(df, "key", min_count=5).collect()
+    assert [(r["key"], r["cnt"]) for r in got] == [(1, 66)]
+
+
+def test_candidate_volume_bounded(spark, skewed):
+    df = skewed.repartition(8)
+    m = 10
+    assert mg_candidates(df, "key", m).count() <= 8 * m
+
+
+def test_hot_keys_sketch_matches_exact_prescan(spark, skewed):
+    exact = set(hot_keys(skewed, "key", 800))
+    sketched = set(hot_keys_sketch(skewed, "key", 800))
+    assert sketched == exact
+    assert exact  # non-vacuous
+
+
+def test_salted_join_with_sketched_hot_list(spark, skewed):
+    build = spark.range(32).select(F.col("id").alias("key"),
+                                   (F.col("id") * 11).alias("dim"))
+    hot = hot_keys_sketch(skewed, "key", 800)
+    plain = skewed.join(build, "key").groupBy("key").count()
+    salted = salted_join(skewed, build, "key", n_salts=4,
+                         hot=hot).groupBy("key").count()
+    assert {tuple(r) for r in plain.collect()} == \
+        {tuple(r) for r in salted.collect()}
