@@ -29,6 +29,7 @@ __all__ = [
     "stratified_sample",
     "deterministic_oversample",
     "pack_sequences",
+    "shuffle_shards",
     "SCALE_U60",
 ]
 
@@ -229,3 +230,42 @@ def pack_sequences(
                         (F.col("_cum_before")
                          - F.col(bin_col) * F.lit(capacity)).cast("long"))
             .drop("_cum_before"))
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_cols: list[str],
+    n_shards: int,
+    salt: str = "shuffle-v1",
+    shard_col: str = "shard",
+    rank_col: str = "shard_rank",
+) -> DataFrame:
+    """Deterministic global training-order shuffle into ``n_shards``.
+
+    Every row gets the content-derived 60-bit coordinate ``u``; shards are
+    CONTIGUOUS ranges of the coordinate (``shard = u // ceil(2⁶⁰/n)``), so
+    reading shard 0..n-1 each in ``shard_rank`` order replays ONE uniform
+    global permutation of the corpus — the property epoch shuffling needs,
+    which per-shard independent ``ORDER BY rand()`` does not have.  Like
+    everything in this module the permutation is reproducible on any
+    cluster shape and stable under incremental extension (new rows
+    splice into position without moving old ones).
+
+    One shuffle (the rank window on ``shard``) — the same exchange the
+    shard writer needs anyway; a writer should repartitionByRange on
+    (shard, u) + sortWithinPartitions so each output file IS its shard in
+    order.  Rank ties (60-bit collisions) break on the key columns, so
+    the order stays total and deterministic.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    width = -(-SCALE_U60 // n_shards)  # ceil: shard ids stay < n_shards
+    u = hash_u60(key_cols, salt)
+    # integer `div`, NOT `/`: u has 60 significant bits — double division
+    # flips shard-boundary rows (the engines would disagree at the edge)
+    out = df.withColumn("_u", u).withColumn(
+        shard_col, F.expr(f"_u div {width}L"))
+    w = Window.partitionBy(shard_col).orderBy(
+        F.col("_u"), *[F.col(c) for c in key_cols])
+    return (out.withColumn(rank_col, F.row_number().over(w))
+            .drop("_u"))

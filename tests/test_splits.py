@@ -191,3 +191,55 @@ def test_oversample_rejects_negative_weight(spark, docs):
     with pytest.raises(ValueError, match="non-negative"):
         deterministic_oversample(docs, ["lang"], ["doc_id"], salt="s",
                                  weights={"en": -1.0})
+
+
+# ------------------------------------------------------- shuffle_shards
+
+from mapbox_filter_spark.operators.splits import shuffle_shards  # noqa: E402
+
+
+def _perm(df):
+    rows = df.collect()
+    by_global = sorted(rows, key=lambda r: (r["shard"], r["shard_rank"]))
+    return [r["doc_id"] for r in by_global]
+
+
+def test_shuffle_is_global_permutation(spark):
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    out = shuffle_shards(df, ["doc_id"], 8)
+    rows = out.collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(500))
+    # ranks are 1..k dense per shard
+    from collections import defaultdict
+    per = defaultdict(list)
+    for r in rows:
+        per[r["shard"]].append(r["shard_rank"])
+        assert 0 <= r["shard"] < 8
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # it's a real shuffle: shard-order differs from input order
+    assert _perm(out) != list(range(500))
+
+
+def test_shuffle_partitioning_independent(spark):
+    df = spark.range(300).select(F.col("id").alias("doc_id"))
+    a = _perm(shuffle_shards(df.repartition(1), ["doc_id"], 4))
+    b = _perm(shuffle_shards(df.repartition(17), ["doc_id"], 4))
+    assert a == b
+
+
+def test_shuffle_incremental_extension_preserves_relative_order(spark):
+    """New rows splice into position; old rows never swap."""
+    old = spark.range(200).select(F.col("id").alias("doc_id"))
+    ext = spark.range(260).select(F.col("id").alias("doc_id"))
+    p_old = _perm(shuffle_shards(old, ["doc_id"], 4))
+    p_ext = _perm(shuffle_shards(ext, ["doc_id"], 4))
+    assert [d for d in p_ext if d < 200] == p_old
+
+
+def test_shuffle_single_exchange_plan(spark):
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    plan = shuffle_shards(df, ["doc_id"], 4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "EvalPython" not in plan
