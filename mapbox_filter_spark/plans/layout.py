@@ -34,7 +34,10 @@ from pyspark.sql import functions as F
 __all__ = [
     "write_clustered",
     "cluster_by_s2",
+    "cluster_by_geohash",
     "s2_range_predicate",
+    "geohash_prefix_predicate",
+    "geohash_prefix_ranges",
     "rowgroup_stats",
     "pruning_ratio",
 ]
@@ -136,3 +139,48 @@ def pruning_ratio(path: str, ranges: list[tuple[int, int]],
         if any(not (s.cmax < lo or s.cmin > hi) for lo, hi in ranges)
     )
     return touched / len(stats) if stats else 0.0
+
+
+def cluster_by_geohash(
+    df: DataFrame,
+    path: str,
+    *,
+    lon: str = "lon",
+    lat: str = "lat",
+    precision: int = 6,
+    n_files: int,
+    gh_col: str = "gh",
+    mode: str = "overwrite",
+) -> None:
+    """Attach the base-32 geohash key and write clustered on it — the
+    STRING-keyed twin of ``cluster_by_s2``: lexicographic geohash order is
+    Morton-curve order, so nearby points share prefixes and land in the
+    same files/row groups, and a prefix probe becomes a string-range
+    pruned scan (parquet keeps string min/max stats too)."""
+    from ..geo.geohash import geohash
+
+    d = df.withColumn(gh_col, geohash(F.col(lon), F.col(lat), precision))
+    write_clustered(d, path, [gh_col], n_files=n_files, mode=mode)
+
+
+def geohash_prefix_predicate(prefixes: list[str],
+                             gh_col: str = "gh") -> Column:
+    """OR of ``startswith(prefix)`` — Catalyst pushes StringStartsWith
+    into the parquet scan (PushedFilters), where row-group string min/max
+    stats prune exactly like the S2 BETWEEN ranges on int64."""
+    pred = None
+    for p in prefixes:
+        term = F.col(gh_col).startswith(p)
+        pred = term if pred is None else (pred | term)
+    if pred is None:
+        raise ValueError("empty prefix list")
+    return pred
+
+
+def geohash_prefix_ranges(prefixes: list[str],
+                          precision: int) -> list[tuple]:
+    """[lo, hi] string intervals equivalent to each prefix at the stored
+    precision ('0' and 'z' are the geohash alphabet's extremes) — feed to
+    ``pruning_ratio`` for footer-stat evidence."""
+    return [(p.ljust(precision, "0"), p.ljust(precision, "z"))
+            for p in prefixes]

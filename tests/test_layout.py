@@ -98,3 +98,75 @@ def test_rowgroup_stats_sane(layouts):
     by_min = sorted(stats, key=lambda s: s.cmin)
     for a, b in zip(by_min, by_min[1:]):
         assert a.cmax <= b.cmin, (a, b)
+
+
+# ------------------------------------------------- geohash string layout
+
+from mapbox_filter_spark.geo.geohash import geohash  # noqa: E402
+from mapbox_filter_spark.plans.layout import (  # noqa: E402
+    cluster_by_geohash, geohash_prefix_predicate, geohash_prefix_ranges)
+
+GH_CLUSTERED = "/tmp/mfs_layout_gh_clustered"
+GH_SHUFFLED = "/tmp/mfs_layout_gh_shuffled"
+GH_PREC = 6
+
+
+@pytest.fixture(scope="module")
+def gh_layouts(spark):
+    feats = features_from_lineitem(spark, SF).select(
+        "feature_id", "lon", "lat")
+    cluster_by_geohash(feats, GH_CLUSTERED, precision=GH_PREC,
+                       n_files=N_FILES)
+    d = feats.withColumn("gh", geohash(F.col("lon"), F.col("lat"), GH_PREC))
+    d.repartition(N_FILES, "feature_id").write.mode("overwrite") \
+        .parquet(GH_SHUFFLED)
+    return GH_CLUSTERED, GH_SHUFFLED
+
+
+@pytest.fixture(scope="module")
+def gh_probe(spark, gh_layouts):
+    clustered, _ = gh_layouts
+    row = (spark.read.parquet(clustered)
+           .groupBy(F.substring("gh", 1, 2).alias("p"))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.col("n").desc(), F.col("p").asc())
+           .first())
+    return row["p"]
+
+
+def test_gh_results_identical(spark, gh_layouts, gh_probe):
+    clustered, shuffled = gh_layouts
+    pred = geohash_prefix_predicate([gh_probe])
+    a = sorted(r["feature_id"] for r in
+               spark.read.parquet(clustered).filter(pred).collect())
+    b = sorted(r["feature_id"] for r in
+               spark.read.parquet(shuffled).filter(pred).collect())
+    assert a == b
+    assert 0 < len(a) < spark.read.parquet(clustered).count()
+
+
+def test_gh_prefix_pushed_to_scan(spark, gh_layouts, gh_probe):
+    clustered, _ = gh_layouts
+    df = spark.read.parquet(clustered) \
+        .filter(geohash_prefix_predicate([gh_probe]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_line = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    assert "StringStartsWith(gh" in scan_line, scan_line
+
+
+def test_gh_clustering_prunes_rowgroups(gh_layouts, gh_probe):
+    clustered, shuffled = gh_layouts
+    ranges = geohash_prefix_ranges([gh_probe], GH_PREC)
+    r_clustered = pruning_ratio(clustered, ranges, cell_col="gh")
+    r_shuffled = pruning_ratio(shuffled, ranges, cell_col="gh")
+    assert r_shuffled >= 0.9, r_shuffled
+    assert r_clustered <= 0.3, r_clustered
+
+
+def test_gh_rowgroup_string_ranges_disjoint(gh_layouts):
+    clustered, _ = gh_layouts
+    stats = rowgroup_stats(clustered, cell_col="gh")
+    assert stats and all(s.cmin <= s.cmax for s in stats)
+    by_min = sorted(stats, key=lambda s: s.cmin)
+    for a, b in zip(by_min, by_min[1:]):
+        assert a.cmax <= b.cmin, (a, b)
