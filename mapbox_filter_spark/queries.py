@@ -437,6 +437,7 @@ def _all_queries():
     from .queries_geom import GEOM_QUERIES
     from .queries_graph import GRAPH_QUERIES
     from .queries_retrieval import RETRIEVAL_QUERIES
+    from .queries_lm import LM_QUERIES
     from .queries_scd import SCD_QUERIES
     from .queries_sketch import SKETCH_QUERIES
     from .queries_splits import SPLIT_QUERIES
@@ -445,7 +446,7 @@ def _all_queries():
     return {**QUERIES, **EXT_QUERIES, **TEMPORAL_QUERIES,
             **SPLIT_QUERIES, **GRAPH_QUERIES, **RETRIEVAL_QUERIES,
             **SCD_QUERIES, **CURATION_QUERIES, **GEOM_QUERIES,
-            **SKETCH_QUERIES}
+            **SKETCH_QUERIES, **LM_QUERIES}
 
 
 def queries():
