@@ -30,6 +30,7 @@ __all__ = [
     "deterministic_oversample",
     "pack_sequences",
     "shuffle_shards",
+    "negative_pairs",
     "SCALE_U60",
 ]
 
@@ -269,3 +270,33 @@ def shuffle_shards(
         F.col("_u"), *[F.col(c) for c in key_cols])
     return (out.withColumn(rank_col, F.row_number().over(w))
             .drop("_u"))
+
+
+def negative_pairs(
+    df: DataFrame,
+    id_col: str,
+    n_ids: int,
+    k: int,
+    salt: str = "neg-v1",
+) -> DataFrame:
+    """k deterministic contrastive negatives per row over a DENSE id
+    domain ``[0, n_ids)``: ``neg_id = u60(salt, id, j) mod n_ids``, with a
+    self-collision shifted to the next id.  Content-derived like every
+    sampler here — the same (corpus, salt) yields the same pairs on any
+    cluster shape, and the pairs regenerate instead of being stored.
+
+    Row-local Column math (an explode of k small) — ZERO shuffle; joining
+    the negatives' payloads back is the caller's join (broadcast if the
+    payload table is small, else a hash join on neg_id that AQE handles).
+    For non-dense id domains, map ids through a shuffle_shards rank first.
+    """
+    if n_ids <= 1 or k <= 0:
+        raise ValueError("need n_ids > 1 and k > 0")
+    d = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_idx"))
+    u = hash_u60([id_col, "neg_idx"], salt)
+    raw = F.pmod(u, F.lit(n_ids))
+    neg = F.when(raw == F.col(id_col),
+                 F.pmod(raw + 1, F.lit(n_ids))).otherwise(raw)
+    return d.withColumn("neg_id", neg.cast("long"))

@@ -243,3 +243,43 @@ def test_shuffle_single_exchange_plan(spark):
         .executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "EvalPython" not in plan
+
+
+# ------------------------------------------------------- negative_pairs
+
+from mapbox_filter_spark.operators.splits import negative_pairs  # noqa: E402
+
+
+def test_negative_pairs_shape_and_range(spark):
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    out = negative_pairs(df, "doc_id", n_ids=100, k=3).collect()
+    assert len(out) == 300
+    for r in out:
+        assert 0 <= r["neg_id"] < 100
+        assert r["neg_id"] != r["doc_id"]  # self-collisions shifted
+        assert 1 <= r["neg_idx"] <= 3
+
+
+def test_negative_pairs_deterministic(spark):
+    df = spark.range(50).select(F.col("id").alias("doc_id"))
+    a = sorted(map(tuple, negative_pairs(df.repartition(1), "doc_id",
+                                         50, 2).collect()))
+    b = sorted(map(tuple, negative_pairs(df.repartition(13), "doc_id",
+                                         50, 2).collect()))
+    assert a == b
+
+
+def test_negative_pairs_zero_shuffle(spark):
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    plan = negative_pairs(df, "doc_id", 10, 2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_negative_pairs_validation(spark):
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        negative_pairs(df, "doc_id", 1, 2)
+    with _pt.raises(ValueError):
+        negative_pairs(df, "doc_id", 10, 0)
