@@ -23,7 +23,9 @@ spec.loader.exec_module(entrymod)
 SF = "/root/testdata/sf0.001"
 
 # queries whose plans legitimately contain an Arrow-batched kernel
-ARROW_OK = {"pip_join"}
+# (pip: numpy crossing-count; rdp: per-line recursive Douglas-Peucker —
+# inherently divide-and-conquer, vectorized per geometry batch)
+ARROW_OK = {"pip_join", "rdp_simplify"}
 # driver-loop operators not expressible as one plan
 SKIP = {"knn_ring"}
 
