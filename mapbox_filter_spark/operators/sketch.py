@@ -118,3 +118,22 @@ def hot_keys_sketch(df: DataFrame, key: str, threshold: int,
     once."""
     hh = heavy_hitters(df, key, min_count=threshold + 1, total=total)
     return [r[0] for r in hh.select(key).collect()]
+
+
+def mg_merge(summaries: DataFrame, key: str, m: int) -> DataFrame:
+    """Merge Misra–Gries summaries into ONE summary of ≤ m counters with
+    the combined-stream guarantee (mergeable-summaries construction,
+    Agarwal et al., PODS'12): sum counters per key, then subtract the
+    (m+1)-th largest sum from everything and drop the non-positives.
+    Any key whose share of the COMBINED stream exceeds ``1/(m+1)``
+    survives the merge — so summaries can be built per batch / per day /
+    per shard and folded associatively, the property the streaming face
+    relies on.
+
+    The trim offset is fetched with a driver-side top-(m+1) collect —
+    control plane, ≤ m+1 rows."""
+    summed = summaries.groupBy(key).agg(F.sum("lb").alias("lb"))
+    top = summed.orderBy(F.col("lb").desc()).limit(m + 1).collect()
+    t = top[m]["lb"] if len(top) > m else 0
+    return (summed.filter(F.col("lb") > F.lit(t))
+            .withColumn("lb", F.col("lb") - F.lit(t)))

@@ -279,3 +279,55 @@ def curate_documents(
         (F.col("quality_u") >= min_quality_u)
         & (F.col("dup_line_frac_u") <= max_dup_line_frac_u)
         & (F.col("top_gram_char_frac_u") <= max_top_gram_char_frac_u))
+
+
+def heavy_hitter_stream(
+    spark: SparkSession,
+    in_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: T.StructType,
+    key: str,
+    m: int,
+    max_files: int = 4,
+):
+    """Cross-batch heavy-hitter candidate tracking: each micro-batch's
+    per-partition Misra–Gries summaries fold into ONE persistent ≤ m
+    counter summary (operators/sketch.py ``mg_merge`` — the mergeable-MG
+    construction, so the fold is associative and the combined-stream
+    guarantee holds across epochs).  The store stays O(m) forever while
+    the stream is unbounded — state never grows with cardinality.
+
+    Failure semantics, honestly: a crashed epoch replays its files and
+    merges them AGAIN (foreachBatch is at-least-once into an external
+    store).  For this sketch that is safe by construction — duplicate
+    merging can only inflate candidate counters, never evict a true heavy
+    hitter, and the final answer comes from an EXACT recount of the
+    candidates (sketch.heavy_hitters pattern), which is unaffected.
+
+    Returns the StreamingQuery (caller awaits/stops)."""
+    from ..operators.sketch import mg_candidates, mg_merge
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        cand = mg_candidates(batch, key, m)
+        if os.path.exists(store_dir):
+            cand = cand.unionByName(spark.read.parquet(store_dir))
+        merged = mg_merge(cand, key, m)
+        rows = merged.collect()  # ≤ m rows — breaks the read↔overwrite cycle
+        (spark.createDataFrame(rows, merged.schema)
+         .coalesce(1).write.mode("overwrite").parquet(store_dir))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(in_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

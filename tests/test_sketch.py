@@ -108,3 +108,25 @@ def test_salted_join_with_sketched_hot_list(spark, skewed):
                          hot=hot).groupBy("key").count()
     assert {tuple(r) for r in plain.collect()} == \
         {tuple(r) for r in salted.collect()}
+
+
+def test_mg_merge_combined_stream_guarantee(spark):
+    """Summaries built on disjoint halves, merged, keep every key whose
+    COMBINED share exceeds 1/(m+1)."""
+    from mapbox_filter_spark.operators.sketch import mg_merge
+    df = spark.range(20000).select(
+        F.floor(F.sqrt(F.pmod(F.col("id") * 7919, F.lit(1024))))
+        .alias("key"))
+    m = 25
+    a = mg_candidates(df.filter("id < 9000").repartition(3), "key", m)
+    b = mg_candidates(df.filter("id >= 9000").repartition(5), "key", m)
+    merged = mg_merge(a.unionByName(b), "key", m)
+    rows = merged.collect()
+    assert len(rows) <= m
+    kept = {r["key"] for r in rows}
+    total = df.count()
+    true = {r["key"] for r in
+            df.groupBy("key").count()
+            .filter(F.col("count") * (m + 1) > total).collect()}
+    assert true  # non-vacuous
+    assert true <= kept

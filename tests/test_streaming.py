@@ -269,3 +269,34 @@ def test_rollup_stream_matches_batch(spark, tmp_path):
                        grains_s=[3600, 86400], reuse_partials=False)
     assert sorted(map(tuple, got.collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_heavy_hitter_stream_matches_batch(spark, tmp_path):
+    """Micro-batched MG folding: after streaming the corpus in epochs, an
+    exact recount of the persisted O(m) candidate store returns the SAME
+    heavy-hitter set as the batch detector on the full corpus."""
+    from mapbox_filter_spark.operators.sketch import heavy_hitters
+    from mapbox_filter_spark.streaming.incremental import heavy_hitter_stream
+
+    df = spark.range(20000).select(
+        F.floor(F.sqrt(F.pmod(F.col("id") * 7919, F.lit(1024))))
+        .alias("key"))
+    src = str(tmp_path / "src")
+    df.repartition(6).write.parquet(src)  # arbitrary file placement
+
+    store = str(tmp_path / "store")
+    q = heavy_hitter_stream(
+        spark, src, store, str(tmp_path / "ckpt"),
+        schema=df.schema, key="key", m=32, max_files=2)
+    q.awaitTermination(120)
+
+    cand = spark.read.parquet(store)
+    assert cand.count() <= 32
+    recount = (df.join(F.broadcast(cand.select("key")), "key", "left_semi")
+               .groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+               .filter(F.col("cnt") >= 800))
+    batch = heavy_hitters(df, "key", min_count=800)
+    got = {(r["key"], r["cnt"]) for r in recount.collect()}
+    want = {(r["key"], r["cnt"]) for r in batch.collect()}
+    assert got == want
+    assert want  # non-vacuous
