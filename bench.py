@@ -154,9 +154,13 @@ def run_suite(cores: int, sf_dir: str) -> dict:
     skw = None if no_micros else skew_micro(spark)
     tmp = None if no_micros else temporal_micro(spark, sf_dir)
     lay = None if no_micros else layout_micro(spark, sf_dir)
+    ghm = None if no_micros else geohash_micro(spark, sf_dir)
+    dop = None if no_micros else dataops_micro(spark, sf_dir)
 
     spark.stop()
     return {
+        "geohash_micro": ghm,
+        "dataops_micro": dop,
         "pip_micro": pip,
         "mvt_micro": mvt,
         "curation_micro": cur,
@@ -247,6 +251,105 @@ def s2_micro(spark, sf_dir: str) -> dict:
         "cells_per_sec": round(n_rows / best, 1),
         "sec_level21": round(deep, 3),
         "cells_per_sec_level21": round(n_rows / deep, 1),
+    }
+
+
+def geohash_micro(spark, sf_dir: str) -> dict:
+    """Geohash encode throughput over the same replicated ~5M-point corpus
+    s2_micro uses: the 40-bit Morton interleave alone (geohash_bits — one
+    codegen'd int64 chain) and the full base-32 string key (8 element_at
+    lookups re-referencing the bits tree — codegen subexpression
+    elimination is what keeps that from costing 8x).  Direct comparison
+    row: s2_micro's level-12 Hilbert fold on identical input."""
+    from pyspark.sql import functions as F
+
+    from mapbox_filter_spark.geo.geohash import geohash, geohash_bits
+    from mapbox_filter_spark.sources.features import features_from_lineitem
+
+    rep = max(1, 5_000_000 // max(
+        features_from_lineitem(spark, sf_dir).count(), 1))
+    pts = (features_from_lineitem(spark, sf_dir)
+           .select("lon", "lat")
+           .withColumn("r", F.explode(F.array(*[F.lit(i) for i in range(rep)])))
+           .select((F.col("lon") + F.col("r") * 0.001).alias("lon"),
+                   (F.col("lat") - F.col("r") * 0.0007).alias("lat")))
+    n_rows = pts.count()
+
+    def timed(col) -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pts.agg(F.sum(F.pmod(F.xxhash64(col), F.lit(1_000_003)))) \
+               .collect()
+            sec = time.perf_counter() - t0
+            best = sec if best is None else min(best, sec)
+        return best
+
+    bits = timed(geohash_bits(F.col("lon"), F.col("lat"), 8))
+    full = timed(geohash(F.col("lon"), F.col("lat"), 8))
+    return {
+        "n_rows": n_rows,
+        "sec_bits": round(bits, 3),
+        "bits_per_sec": round(n_rows / bits, 1),
+        "sec_string": round(full, 3),
+        "strings_per_sec": round(n_rows / full, 1),
+    }
+
+
+def dataops_micro(spark, sf_dir: str) -> dict:
+    """Training-data-ops throughput: heavy-hitter detection (two-pass MG
+    sketch) on a 16M-row skewed key stream, the conditional trigram LM
+    table over a ~20x-replicated documents corpus, and caption-pair mining
+    over the interleaved span substrate."""
+    from pyspark.sql import functions as F
+
+    from mapbox_filter_spark.operators.lm import conditional_counts
+    from mapbox_filter_spark.operators.media import caption_pairs
+    from mapbox_filter_spark.operators.sketch import heavy_hitters
+    from mapbox_filter_spark.queries_ext import interleaved_spans
+
+    # heavy hitters: 1M distinct keys, linear-density skew
+    n_hh = 16_000_000
+    big = spark.range(n_hh).select(
+        F.floor(F.sqrt(F.pmod(F.col("id") * 7919, F.lit(1 << 20))))
+        .alias("key"))
+    # hottest key ~31k rows (share (2·1023+1)/2^20); threshold 25k keeps
+    # the hot tail non-vacuous (~a dozen true hitters)
+    t0 = time.perf_counter()
+    n_hot = heavy_hitters(big, "key", min_count=25_000, total=n_hh).count()
+    hh_sec = time.perf_counter() - t0
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = max(1, 100_000 // max(docs.count(), 1))
+    big_docs = (docs.select("doc_id", "text")
+                .withColumn("r", F.explode(
+                    F.array(*[F.lit(i) for i in range(rep)])))
+                .withColumn("doc_id",
+                            F.col("doc_id") * rep + F.col("r")).drop("r"))
+    n_docs = big_docs.count()
+    t0 = time.perf_counter()
+    lm = conditional_counts(big_docs, "text", n=3)
+    n_grams = lm.agg(F.sum("cnt").alias("s")).collect()[0]["s"]
+    lm_sec = time.perf_counter() - t0
+
+    spans = interleaved_spans(big_docs)
+    t0 = time.perf_counter()
+    n_pairs = caption_pairs(spans).count()
+    cap_sec = time.perf_counter() - t0
+
+    return {
+        "hh_rows": n_hh,
+        "hh_sec": round(hh_sec, 3),
+        "hh_rows_per_sec": round(n_hh / hh_sec, 1),
+        "n_hot": n_hot,
+        "lm_docs": n_docs,
+        "lm_gram_instances": int(n_grams),
+        "lm_sec": round(lm_sec, 3),
+        "lm_grams_per_sec": round(n_grams / lm_sec, 1),
+        "caption_docs": n_docs,
+        "caption_pairs": n_pairs,
+        "caption_sec": round(cap_sec, 3),
+        "caption_docs_per_sec": round(n_docs / cap_sec, 1),
     }
 
 
@@ -913,6 +1016,8 @@ def main() -> None:
         "skew_micro": r["skew_micro"],
         "temporal_micro": r["temporal_micro"],
         "layout_micro": r["layout_micro"],
+        "geohash_micro": r["geohash_micro"],
+        "dataops_micro": r["dataops_micro"],
         "throughput": {
             "tiles_per_sec": r["tiles_per_sec"],
             "features_per_sec": r["features_per_sec"],
