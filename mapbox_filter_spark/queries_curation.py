@@ -129,8 +129,50 @@ SELECT doc_id, media_ref, CAST(i AS INT) AS offset, cap_before, cap_after
 FROM ctx WHERE kind = 'media'"""
 
 
+_MAD_K = (2, 1)  # flag |dev| > 2·MAD
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rank-median/MAD outlier flags for n_chars per (lang, source)
+    stratum (operators/stats.py — integer-only, cross-multiplied cut)."""
+    from .operators.stats import robust_outliers
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "lang", "source", "n_chars"))
+    return robust_outliers(docs, ["lang", "source"], "n_chars", k=_MAD_K)
+
+
+def sql_robust_outliers() -> str:
+    num, den = _MAD_K
+    return f"""
+WITH v AS (SELECT doc_id, lang, source, n_chars FROM documents),
+r1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+                               ORDER BY n_chars) AS rn,
+         COUNT(*) OVER (PARTITION BY lang, source) AS n
+  FROM v),
+med AS (
+  SELECT lang, source, MAX(n_chars) AS med
+  FROM r1 WHERE rn = (n + 1) // 2 GROUP BY lang, source),
+d AS (
+  SELECT v.*, med.med, ABS(v.n_chars - med.med) AS dev
+  FROM v JOIN med USING (lang, source)),
+r2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+                               ORDER BY dev) AS rn,
+         COUNT(*) OVER (PARTITION BY lang, source) AS n
+  FROM d),
+mad AS (
+  SELECT lang, source, MAX(dev) AS mad
+  FROM r2 WHERE rn = (n + 1) // 2 GROUP BY lang, source)
+SELECT d.lang, d.source, d.doc_id, d.n_chars, d.med, m.mad,
+       (d.dev * {den} > m.mad * {num}) AS is_outlier
+FROM d JOIN mad m USING (lang, source)"""
+
+
 CURATION_QUERIES = {
     "span_dedup": (q_span_dedup, sql_span_dedup),
     "decontaminate": (q_decontaminate, sql_decontaminate),
     "caption_pairs": (q_caption_pairs, sql_caption_pairs),
+    "robust_outliers": (q_robust_outliers, sql_robust_outliers),
 }
