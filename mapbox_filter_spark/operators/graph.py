@@ -137,3 +137,61 @@ def dedup_clusters(
                        F.coalesce("component", F.col(id_col))))
     return out.withColumn("is_representative",
                           F.col(id_col) == F.col("component"))
+
+
+def pagerank_exact(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    alpha: tuple[int, int] = (85, 100),
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank in EXACT fixed-point integer arithmetic.
+
+    Ranks are integers in units of ``1/scale`` probability mass; every
+    step is integer (`div` truncation, fixed op order), so the result is
+    bit-identical on any partitioning, any cluster shape, and any engine
+    replaying the same arithmetic (the oracle unrolls the iterations as
+    chained SQL CTEs) — floating-point PageRank can't promise that (its
+    per-node sums re-associate across partitions).  Truncation leaks
+    ≤ 1 unit of mass per (node, iteration) — at scale 10¹² that is a
+    relative error ~n·iters/10¹², far below float64 noise; dangling
+    nodes' mass leaks too (documented standard simplification).
+
+    Per iteration: one join (contributions along edges, ``pr div
+    outdeg``), one groupBy(dst) sum, one left join back to the node set —
+    the same shapes connected_components uses, AQE-splittable on skew;
+    ``localCheckpoint`` per round keeps the plan flat.
+    """
+    num, den = alpha
+    if not (0 <= num <= den) or iters < 1:
+        raise ValueError("need 0 <= alpha <= 1 and iters >= 1")
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("empty node set")
+    base = (scale * (den - num)) // (den * n)
+    init = scale // n
+
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_d"))
+    e = (edges.select(src, dst).join(deg, src)
+         .localCheckpoint())  # degree computed once, lineage cut
+
+    pr = nodes.select(F.col(node_col).alias("node")) \
+        .withColumn("pr", F.lit(init).cast("long")).localCheckpoint()
+    for _ in range(iters):
+        contrib = (e.join(pr, e[src] == pr["node"])
+                   .select(F.col(dst).alias("node"),
+                           F.expr("pr div _d").alias("_c")))
+        summed = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
+        pr = (nodes.select(F.col(node_col).alias("node"))
+              .join(summed, "node", "left")
+              .select("node",
+                      (F.lit(base)
+                       + F.expr(f"({num} * coalesce(_s, 0L)) div {den}"))
+                      .cast("long").alias("pr"))
+              .localCheckpoint())
+    return pr

@@ -53,6 +53,65 @@ SELECT node AS doc_id,
 FROM r GROUP BY node"""
 
 
+_PR_ITERS = 5
+_PR_SALT = "mfs-r4"
+_PR_K = 3  # hashed out-links per node
+_PR_SCALE = 10**12
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point PageRank over a deterministic hashed link graph
+    (operators/graph.py pagerank_exact; edges from splits.negative_pairs
+    — every doc links to 3 content-hashed targets, dedup'd)."""
+    from .operators.graph import pagerank_exact
+    from .operators.splits import negative_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    n = docs.count()
+    edges = (negative_pairs(docs, "doc_id", n_ids=n, k=_PR_K,
+                            salt=_PR_SALT)
+             .select(F.col("doc_id").alias("src"),
+                     F.col("neg_id").alias("dst"))
+             .distinct())
+    return (pagerank_exact(docs, edges, node_col="doc_id",
+                           iters=_PR_ITERS, scale=_PR_SCALE)
+            .select(F.col("node").alias("doc_id"), "pr"))
+
+
+def sql_pagerank() -> str:
+    u = ("CAST(('0x' || substr(md5(concat_ws(chr(31), '"
+         f"{_PR_SALT}', CAST(doc_id AS VARCHAR), CAST(t.j AS VARCHAR))), "
+         "1, 15)) AS BIGINT)")
+    s = _PR_SCALE
+    ctes = [f"""nc AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT doc_id AS src,
+         CASE WHEN raw = doc_id THEN (raw + 1) % c ELSE raw END AS dst
+  FROM (
+    SELECT d.doc_id, ({u}) % nc.n AS raw, nc.n AS c
+    FROM documents d, nc,
+         LATERAL (SELECT unnest(range(1, {_PR_K + 1})) AS j) t)
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+pr0 AS (SELECT doc_id AS node, {s} // nc.n AS pr FROM documents, nc)"""]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(f"""pr{i} AS (
+  SELECT n.node,
+         ({s} * 15) // (100 * (SELECT n FROM nc))
+         + (85 * COALESCE(sm.s, 0)) // 100 AS pr
+  FROM (SELECT doc_id AS node FROM documents) n
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.pr // g.d) AS s
+    FROM edges e
+    JOIN pr{i - 1} p ON p.node = e.src
+    JOIN deg g ON g.src = e.src
+    GROUP BY e.dst) sm USING (node))""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS doc_id, pr FROM pr{_PR_ITERS}")
+
+
 GRAPH_QUERIES = {
     "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters),
+    "pagerank": (q_pagerank, sql_pagerank),
 }

@@ -116,3 +116,73 @@ def test_cc_no_collect_set_in_plan(spark):
 
     src = inspect.getsource(graph)
     assert "F.collect_set(" not in src and "F.collect_list(" not in src
+
+
+# ---------------------------------------------------------- pagerank
+
+from mapbox_filter_spark.operators.graph import pagerank_exact  # noqa: E402
+
+
+def _py_pagerank(n, edge_list, iters=5, scale=10**12):
+    """Integer twin replaying the exact arithmetic."""
+    from collections import defaultdict
+    deg = defaultdict(int)
+    for s, _ in edge_list:
+        deg[s] += 1
+    base = (scale * 15) // (100 * n)
+    pr = {v: scale // n for v in range(n)}
+    for _ in range(iters):
+        s = defaultdict(int)
+        for a, b in edge_list:
+            s[b] += pr[a] // deg[a]
+        pr = {v: base + (85 * s[v]) // 100 for v in range(n)}
+    return pr
+
+
+def test_pagerank_matches_integer_twin(spark):
+    import random
+    rnd = random.Random(11)
+    n = 60
+    edge_list = list({(rnd.randrange(n), rnd.randrange(n))
+                      for _ in range(150)})
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["node"]: r["pr"]
+           for r in pagerank_exact(nodes, edges, iters=5).collect()}
+    assert got == _py_pagerank(n, edge_list)
+
+
+def test_pagerank_partitioning_independent(spark):
+    edge_list = [(i, (i * 7 + 1) % 40) for i in range(40)] + \
+        [(i, (i * 3 + 2) % 40) for i in range(40)]
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+    nodes = spark.range(40).select(F.col("id").alias("node"))
+    e1 = spark.createDataFrame(edge_list, "src long, dst long")
+    a = sorted(map(tuple, pagerank_exact(
+        nodes.repartition(1), e1.repartition(1), iters=4).collect()))
+    b = sorted(map(tuple, pagerank_exact(
+        nodes.repartition(9), e1.repartition(13), iters=4).collect()))
+    assert a == b
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    # star: everyone links to node 0
+    n = 20
+    edge_list = [(i, 0) for i in range(1, n)]
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    pr = {r["node"]: r["pr"]
+          for r in pagerank_exact(nodes, edges, iters=5).collect()}
+    assert pr[0] == max(pr.values())
+    assert pr[0] > 10 * pr[1]
+
+
+def test_pagerank_validations(spark):
+    nodes = spark.range(3).select(F.col("id").alias("node"))
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pagerank_exact(nodes, edges, iters=0)
+    with _pt.raises(ValueError):
+        pagerank_exact(nodes.filter("node < 0"), edges)
