@@ -60,7 +60,28 @@ FROM grams
 GROUP BY token"""
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-0 BPE statistic: corpus-wide adjacent character pair counts
+    (operators/bpe.py char_pair_counts)."""
+    from .operators.bpe import char_pair_counts
+
+    return char_pair_counts(_docs(spark, sf_dir), "text")
+
+
+def sql_bpe_pair_counts() -> str:
+    return f"""
+WITH {_WORDS_SQL},
+w AS (SELECT unnest(words) AS w FROM base),
+pairs AS (
+  SELECT substr(w, CAST(t.i + 1 AS INT), 1) AS sym_a,
+         substr(w, CAST(t.i + 2 AS INT), 1) AS sym_b
+  FROM w, LATERAL (SELECT unnest(range(LEN(w) - 1)) AS i) t
+)
+SELECT sym_a, sym_b, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2"""
+
+
 LM_QUERIES = {
     "ngram_lm": (q_ngram_lm, sql_ngram_lm),
     "kn_continuation": (q_kn_continuation, sql_kn_continuation),
+    "bpe_pair_counts": (q_bpe_pair_counts, sql_bpe_pair_counts),
 }
