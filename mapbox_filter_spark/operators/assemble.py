@@ -103,3 +103,44 @@ def renumber_features(tiles_features: DataFrame) -> DataFrame:
         .orderBy(F.col("feature_id").asc(), F.col("doc_id").asc())
     )
     return tiles_features.withColumn("new_feature_id", F.row_number().over(w))
+
+
+def tile_pyramid_rollup(
+    feats: DataFrame,
+    z_fine: int,
+    coarse_zooms: Sequence[int],
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """Spatial continuous aggregate: per-tile feature counts for
+    ``z_fine`` AND every coarser zoom — from ONE scan of the corpus.
+
+    The fine-grain partial is aggregated once and persisted; each coarse
+    zoom re-aggregates the PARTIAL with the exact parent map ``(x div
+    2^Δ, y div 2^Δ)`` — bit-identical to assigning tiles at the coarse
+    zoom directly, because the Mercator quantizer nests exactly under
+    power-of-two scaling (``floor(v·2^z) div 2^Δ = floor(v·2^(z−Δ))``,
+    and the [0, 2^z) clamp maps onto the coarse clamp).  The spatial twin
+    of temporal.time_rollup: at 100 TB the pyramid costs one corpus scan
+    plus re-aggs over tile counts (≤ 4^z_fine rows), not one scan per
+    zoom level.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    if any(zc >= z_fine for zc in coarse_zooms):
+        raise ValueError("coarse zooms must be < z_fine")
+    x, y = tile_cols(F.col(lon), F.col(lat), F.lit(z_fine))
+    fine = (feats.select(x.alias("x"), y.alias("y"))
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    out = fine.select(F.lit(z_fine).alias("z"), "x", "y", "n")
+    for zc in coarse_zooms:
+        d = 1 << (z_fine - zc)
+        out = out.unionByName(
+            fine.select(F.lit(zc).alias("z"),
+                        F.expr(f"x div {d}").alias("x"),
+                        F.expr(f"y div {d}").alias("y"), "n")
+            .groupBy("z", "x", "y")
+            .agg(F.sum("n").alias("n")))
+    return out

@@ -238,8 +238,36 @@ def sql_geohash_assign() -> str:
             f"FROM ({inner})")
 
 
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial continuous aggregate (operators/assemble.py
+    tile_pyramid_rollup): z=10 counts aggregated once, z=7 derived from
+    the persisted partial via the exact parent map — while the oracle
+    computes BOTH zooms directly from lon/lat, so the value-hash match
+    proves the quantizer nests exactly under the parent division."""
+    from .operators.assemble import tile_pyramid_rollup
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir)
+    return tile_pyramid_rollup(feats, 10, [7])
+
+
+def sql_tile_pyramid() -> str:
+    from .queries import _sql_tile_x, _sql_tile_y
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    return f"""WITH {FEATURES_ORACLE_SQL}
+SELECT 10 AS z, {_sql_tile_x(10)} AS x, {_sql_tile_y(10)} AS y,
+       COUNT(*) AS n
+FROM features GROUP BY 1, 2, 3
+UNION ALL
+SELECT 7 AS z, {_sql_tile_x(7)} AS x, {_sql_tile_y(7)} AS y,
+       COUNT(*) AS n
+FROM features GROUP BY 1, 2, 3"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
     "geohash_assign": (q_geohash_assign, sql_geohash_assign),
+    "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
 }

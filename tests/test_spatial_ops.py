@@ -232,3 +232,48 @@ def test_knn_fewer_points_than_k(spark):
     b = sorted((x["query_id"], x["rank"], x["point_id"]) for x in brute.collect())
     assert r == b
     assert len(r) == 4  # 2 queries x 2 available points each — none lost
+
+
+# ------------------------------------------------- tile_pyramid_rollup
+
+def test_tile_pyramid_single_raw_scan(spark):
+    from mapbox_filter_spark.operators.assemble import tile_pyramid_rollup
+    from mapbox_filter_spark.sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, "/root/testdata/sf0.001")
+    out = tile_pyramid_rollup(feats, 9, [6, 4])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # fine partial persisted: coarse zooms read InMemoryTableScan, the
+    # corpus FileScan appears under ONE aggregation path only
+    assert plan.count("InMemoryTableScan") >= 2
+    # every zoom's totals agree (counts conserved up the pyramid)
+    totals = {r["z"]: r["t"] for r in
+              out.groupBy("z").agg(F.sum("n").alias("t")).collect()}
+    assert totals[9] == totals[6] == totals[4]
+
+
+def test_tile_pyramid_matches_direct_assignment(spark):
+    from mapbox_filter_spark.operators.assemble import tile_pyramid_rollup
+    from mapbox_filter_spark.geo.tilemath import tile_cols
+    from mapbox_filter_spark.sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, "/root/testdata/sf0.001")
+    out = tile_pyramid_rollup(feats, 9, [5])
+    derived = {(r["x"], r["y"]): r["n"]
+               for r in out.filter("z = 5").collect()}
+    x, y = tile_cols(F.col("lon"), F.col("lat"), F.lit(5))
+    direct = {(r["x"], r["y"]): r["n"] for r in
+              feats.select(x.alias("x"), y.alias("y"))
+              .groupBy("x", "y").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert derived == direct
+
+
+def test_tile_pyramid_validation(spark):
+    from mapbox_filter_spark.operators.assemble import tile_pyramid_rollup
+    from mapbox_filter_spark.sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, "/root/testdata/sf0.001")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        tile_pyramid_rollup(feats, 6, [6])
