@@ -130,3 +130,163 @@ def sql_geohash_select(src_sql: str, key_cols: list[str], lon_col: str,
         for i in range(precision)
     ]
     return f"SELECT {keys}, {' || '.join(parts)} AS {out} FROM ({q})"
+
+
+# ------------------------------------------------- decode / neighbors
+
+_COMPACT = [(1, 0x3333333333333333), (2, 0x0F0F0F0F0F0F0F0F),
+            (4, 0x00FF00FF00FF00FF), (8, 0x0000FFFF0000FFFF),
+            (16, 0x00000000FFFFFFFF)]
+
+
+def _compact_bits(x: Column) -> Column:
+    """Inverse Morton spread: keep even-position bits, pack to the low
+    half (bit 2k -> bit k)."""
+    x = x.bitwiseAND(F.lit(0x5555555555555555))
+    for shift, mask in _COMPACT:
+        x = (x.bitwiseOR(F.shiftright(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def geohash_to_bits(gh: Column, precision: int) -> Column:
+    """Base-32 string -> interleaved bit integer (inverse of geohash)."""
+    total = None
+    for i in range(precision):
+        # call_function: SQL locate() takes expression args (the python
+        # F.locate wrapper only accepts a literal substring)
+        idx = (F.call_function("locate", F.substring(gh, i + 1, 1),
+                               F.lit(_ALPHABET)) - 1).cast("long")
+        term = F.shiftleft(idx, 5 * (precision - 1 - i))
+        total = term if total is None else total.bitwiseOR(term)
+    return total
+
+
+def _axes_of_bits(bits: Column, precision: int) -> tuple:
+    """(lon_i, lat_i) integer cell coordinates from the interleave."""
+    nbits = 5 * precision
+    b_lon = (nbits + 1) // 2
+    if b_lon == nbits - b_lon:  # even: lon at odd positions
+        return _compact_bits(F.shiftright(bits, 1)), _compact_bits(bits)
+    return _compact_bits(bits), _compact_bits(F.shiftright(bits, 1))
+
+
+def _axis_masks(precision: int) -> tuple:
+    """(lon_mask, lat_mask): which bit positions of the interleave belong
+    to each axis.  Bit j (LSB-0) is stream position ``nbits-1-j``; even
+    stream positions are longitude."""
+    nbits = 5 * precision
+    lon_m = lat_m = 0
+    for j in range(nbits):
+        if (nbits - 1 - j) % 2 == 0:
+            lon_m |= 1 << j
+        else:
+            lat_m |= 1 << j
+    return lon_m, lat_m
+
+
+def geohash_neighbor(gh: Column, dlon: int, dlat: int,
+                     precision: int) -> Column:
+    """The geohash ``(dlon, dlat)`` cells away, via Morton masked
+    add/sub (the libmorton/BIGMIN trick): setting the OTHER axis's bit
+    positions to all-ones makes ``+1`` carry straight through them, so a
+    single-axis step is four int64 ops — no decode / re-encode round
+    trip (an earlier decode-based draft duplicated the input subtree
+    2^5 times per compact stage and OOM'd codegen at precision 5).
+    Longitude WRAPS at the antimeridian; stepping past a pole returns
+    NULL (there is no cell there)."""
+    lon_m, lat_m = _axis_masks(precision)
+    bits = geohash_to_bits(gh, precision)
+    valid = None
+
+    def inc(b: Column, m: int) -> Column:
+        # ~m is the two's-complement python int — a legal int64 literal
+        return ((b.bitwiseOR(F.lit(~m)) + 1).bitwiseAND(F.lit(m))
+                ).bitwiseOR(b.bitwiseAND(F.lit(~m)))
+
+    def dec(b: Column, m: int) -> Column:
+        return ((b.bitwiseAND(F.lit(m)) - 1).bitwiseAND(F.lit(m))
+                ).bitwiseOR(b.bitwiseAND(F.lit(~m)))
+
+    for _ in range(abs(dlat)):
+        at_edge = (bits.bitwiseAND(F.lit(lat_m))
+                   == F.lit(lat_m if dlat > 0 else 0))
+        valid = ~at_edge if valid is None else valid & ~at_edge
+        bits = inc(bits, lat_m) if dlat > 0 else dec(bits, lat_m)
+    for _ in range(abs(dlon)):  # masked wrap IS the antimeridian wrap
+        bits = inc(bits, lon_m) if dlon > 0 else dec(bits, lon_m)
+    chars = F.array(*[F.lit(c) for c in _ALPHABET])
+    s = F.concat(*[
+        F.element_at(
+            chars,
+            (F.shiftright(bits, 5 * (precision - 1 - i))
+             .bitwiseAND(F.lit(31)) + 1).cast("int"))
+        for i in range(precision)
+    ])
+    return s if valid is None else F.when(valid, s)
+
+
+def geohash_ring_cells(gh: Column, precision: int) -> Column:
+    """``array<string>`` of the 3×3 cell block centered on ``gh`` (self +
+    the 8 Morton-stepped neighbors; pole-clipped entries are NULL — drop
+    them after explode).  Pass a plain column reference, not a full
+    ``geohash()`` expression: each neighbor re-reads ``gh`` ``precision``
+    times, so a complex input subtree is duplicated 8·precision×."""
+    cells = [gh] + [
+        geohash_neighbor(gh, dlon, dlat, precision)
+        for dlon in (-1, 0, 1) for dlat in (-1, 0, 1)
+        if not (dlon == 0 and dlat == 0)
+    ]
+    return F.array(*cells)
+
+
+def py_geohash_neighbors(gh: str) -> "list[str]":
+    """All 8 edge/corner neighbors (python twin; pole-clipped,
+    antimeridian-wrapped)."""
+    p = len(gh)
+    nbits = 5 * p
+    b_lon = (nbits + 1) // 2
+    b_lat = nbits // 2
+    bits = 0
+    for c in gh:
+        bits = (bits << 5) | _ALPHABET.index(c)
+    lon_i, lat_i = 0, 0
+    for k in range(nbits):  # MSB-first: bit 0 of stream is lon
+        bit = (bits >> (nbits - 1 - k)) & 1
+        if k % 2 == 0:
+            lon_i = (lon_i << 1) | bit
+        else:
+            lat_i = (lat_i << 1) | bit
+    out = []
+    for dlon in (-1, 0, 1):
+        for dlat in (-1, 0, 1):
+            if dlon == dlat == 0:
+                continue
+            la = lat_i + dlat
+            if not 0 <= la < (1 << b_lat):
+                continue
+            lo = (lon_i + dlon) % (1 << b_lon)
+            nb = 0
+            for k in range(nbits):
+                if k % 2 == 0:
+                    nb = (nb << 1) | ((lo >> (b_lon - 1 - k // 2)) & 1)
+                else:
+                    nb = (nb << 1) | ((la >> (b_lat - 1 - k // 2)) & 1)
+            out.append("".join(_ALPHABET[(nb >> 5 * (p - 1 - i)) & 31]
+                               for i in range(p)))
+    return out
+
+
+def py_geohash_ring(gh: str, k: int) -> "list[str]":
+    """Cells at Chebyshev distance ≤ k (the probe list for a prefix/
+    equality pruned neighbor join) — BFS over py_geohash_neighbors."""
+    seen = {gh}
+    frontier = [gh]
+    for _ in range(k):
+        nxt = []
+        for g in frontier:
+            for nb in py_geohash_neighbors(g):
+                if nb not in seen:
+                    seen.add(nb)
+                    nxt.append(nb)
+        frontier = nxt
+    return sorted(seen)

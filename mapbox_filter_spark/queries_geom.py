@@ -265,9 +265,82 @@ SELECT 7 AS z, {_sql_tile_x(7)} AS x, {_sql_tile_y(7)} AS y,
 FROM features GROUP BY 1, 2, 3"""
 
 
+# precision 3 = 15 bits: b_lon=8 (256 cols), b_lat=7 (128 rows) — 32768
+# cells for ~60k features at sf0.01 keeps ~2 features/cell, so ring
+# counts are dominated by CROSS-CELL matches (a finer grid would leave
+# every query alone in its block and the neighbor stepping untested)
+_RING_PREC = 3
+_RING_QMOD = 997      # feature_id % 997 == 0 -> ~60 query points at sf0.01
+
+
+def q_geohash_ring_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-radius neighbor search as a cell-ring equi join.
+
+    Each query point's 3×3 geohash block is generated NATIVELY by the
+    Morton masked-add neighbor (geo/geohash.py geohash_neighbor — four
+    int64 ops per step, no decode round trip), exploded, and
+    broadcast-joined against the full feature corpus on cell-string
+    equality — the corpus never shuffles and the probe side is ~540
+    rows.  The oracle never touches geohash strings: it defines
+    adjacency directly in integer coordinate space (Chebyshev distance
+    ≤ 1, longitude wrapped mod 2^13, latitude pole-clipped by range), so
+    the value-hash match proves the bit-trick stepping IS the
+    coordinate-space neighborhood, including antimeridian wrap and pole
+    clip.  Reference parity: mapbox-filter has no neighbor search; this
+    is graft-mandated spatial-join surface (SURVEY §2.4).
+    """
+    from .geo.geohash import geohash, geohash_ring_cells
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir).select(
+        "feature_id",
+        geohash(F.col("lon"), F.col("lat"), _RING_PREC).alias("gh"))
+    queries = (feats.filter(F.col("feature_id") % _RING_QMOD == 0)
+               .select(F.col("feature_id").alias("query_id"), "gh"))
+    probes = (queries
+              .select("query_id",
+                      F.explode(geohash_ring_cells(F.col("gh"), _RING_PREC))
+                      .alias("cell"))
+              .filter(F.col("cell").isNotNull()))
+    joined = feats.join(F.broadcast(probes), feats["gh"] == probes["cell"])
+    return (joined.groupBy("query_id")
+            .agg(F.count("*").alias("n_in_ring"),
+                 F.sum("feature_id").alias("sum_fid")))
+
+
+def sql_geohash_ring_count() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    b_lon = (5 * _RING_PREC + 1) // 2
+    b_lat = 5 * _RING_PREC // 2
+    w_lon, w_lat = 1 << b_lon, 1 << b_lat
+
+    def axis(expr, lo, span, w):
+        # identical IEEE op order to geohash.py _axis_bits
+        return (f"LEAST(GREATEST(CAST(FLOOR((({expr}) - ({lo})) / {span} "
+                f"* {float(w)}) AS BIGINT), 0), {w - 1})")
+
+    return f"""WITH {FEATURES_ORACLE_SQL},
+cells AS (
+  SELECT feature_id,
+         {axis('lon', '-180.0', '360.0', w_lon)} AS lon_i,
+         {axis('lat', '-90.0', '180.0', w_lat)} AS lat_i
+  FROM features
+)
+SELECT q.feature_id AS query_id,
+       COUNT(*) AS n_in_ring,
+       CAST(SUM(f.feature_id) AS BIGINT) AS sum_fid
+FROM cells q JOIN cells f
+  ON f.lat_i BETWEEN q.lat_i - 1 AND q.lat_i + 1
+ AND ((f.lon_i - q.lon_i + {w_lon}) % {w_lon}) IN (0, 1, {w_lon - 1})
+WHERE q.feature_id % {_RING_QMOD} = 0
+GROUP BY q.feature_id"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
     "geohash_assign": (q_geohash_assign, sql_geohash_assign),
+    "geohash_ring_count": (q_geohash_ring_count, sql_geohash_ring_count),
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
 }
