@@ -1,0 +1,96 @@
+"""Trajectory analytics: per-entity path statistics in one shuffle.
+
+Graft-mandated geospatial surface (no reference analogue — the
+reference's closest notion is the per-tile feature stream,
+mapbox-filter/src/Mapbox/Filters.hs, which never orders by time).
+
+Positions are planar integer coordinates (micro-degrees or tile-local
+units): step deltas are EXACT longs, so every derived aggregate except
+the path length is exact integer math, and the path length itself is a
+pinned-order left fold of ``sqrt(exact long)`` — correctly-rounded IEEE
+ops in a fixed order, hence bit-reproducible against any engine that
+folds in the same order (the DuckDB oracle uses
+``list_reduce(list(... ORDER BY rn))``).
+
+Scale shape: ONE shuffle on the entity key — the ordering window, the
+lag window, and the final groupBy all share it, so Spark plans a single
+exchange.  The per-entity step list is materialized only inside the
+final aggregate (``collect_list`` of ``(rn, step)`` structs), bounded by
+the entity's own event count; a pathological hot entity should be capped
+upstream (heavy_hitters in operators/sketch.py is the detector).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def trajectory_stats(df: DataFrame, entity_col: str = "user_id",
+                     order_cols: "tuple[str, ...]" = ("ts", "event_id"),
+                     x_col: str = "x", y_col: str = "y",
+                     dwell_step2: "int | None" = None) -> DataFrame:
+    """Per-entity trajectory statistics.
+
+    Output columns: ``n_pts``, ``path_len`` (ordered IEEE fold),
+    ``max_step2`` (exact), ``net_dx``/``net_dy`` (exact, last-first),
+    ``minx``/``miny``/``maxx``/``maxy`` (exact bbox), and — when
+    ``dwell_step2`` is set — ``n_dwells``, the number of maximal runs of
+    consecutive steps with squared length ≤ the threshold (a planar
+    stay-point detector: gaps-and-islands via one extra ``lag``).
+    """
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    x, y = F.col(x_col), F.col(y_col)
+    dx = x - F.lag(x).over(w)
+    dy = y - F.lag(y).over(w)
+    base = df.select(
+        entity_col, *order_cols, x_col, y_col,
+        F.row_number().over(w).alias("rn"),
+        (dx * dx + dy * dy).alias("step2"),
+        dx.alias("dx"), dy.alias("dy"),
+    )
+    step2 = F.col("step2")
+    if dwell_step2 is not None:
+        prev = F.lag(step2).over(
+            Window.partitionBy(entity_col).orderBy("rn"))
+        base = base.withColumn(
+            "dwell_start",
+            F.when((step2 <= F.lit(dwell_step2))
+                   & (prev.isNull() | (prev > F.lit(dwell_step2))),
+                   F.lit(1)).otherwise(F.lit(0)))
+    steps = F.collect_list(
+        F.when(F.col("rn") > 1,
+               F.struct(F.col("rn").alias("rn"),
+                        F.sqrt(step2.cast("double")).alias("s"))))
+    aggs = [
+        F.count("*").alias("n_pts"),
+        F.aggregate(F.sort_array(steps), F.lit(0.0),
+                    lambda a, e: a + e["s"]).alias("path_len"),
+        F.max(step2).alias("max_step2"),
+        F.sum("dx").alias("net_dx"),
+        F.sum("dy").alias("net_dy"),
+        F.min(x_col).alias("minx"), F.min(y_col).alias("miny"),
+        F.max(x_col).alias("maxx"), F.max(y_col).alias("maxy"),
+    ]
+    if dwell_step2 is not None:
+        aggs.append(F.sum("dwell_start").alias("n_dwells"))
+    return base.groupBy(entity_col).agg(*aggs)
+
+
+def random_walk_positions(events: DataFrame, jump: int = 1000,
+                          entity_col: str = "user_id") -> DataFrame:
+    """Deterministic synthetic positions: each event contributes an
+    integer jump in ``[-jump, +jump]`` micro-degrees per axis (a pure
+    hash of ``event_id``), and the position is the per-entity running
+    sum in time order — a bounded random walk with EXACT integer
+    coordinates, reproducible in any engine from the same events table.
+    """
+    m = 2 * jump + 1
+    w = Window.partitionBy(entity_col).orderBy("ts", "event_id")
+    jx = (F.col("event_id") * 7919) % m - jump
+    jy = (F.col("event_id") * 104729) % m - jump
+    return events.select(
+        entity_col, "ts", "event_id",
+        F.sum(jx).over(w).alias("x"),
+        F.sum(jy).over(w).alias("y"),
+    )

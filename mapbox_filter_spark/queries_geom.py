@@ -337,10 +337,68 @@ WHERE q.feature_id % {_RING_QMOD} = 0
 GROUP BY q.feature_id"""
 
 
+_TRAJ_JUMP = 1000          # per-axis jump range (micro-degrees)
+_TRAJ_DWELL2 = 500_000     # squared step threshold for stay-point runs
+
+
+def q_traj_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory profile (operators/trajectory.py) over a
+    deterministic integer random walk derived from events: path length
+    as a pinned-order IEEE fold of exact integer step norms, exact
+    bbox/net-displacement/max-step, and gaps-and-islands stay-point runs
+    — ordering window, lag window, and final groupBy all share the
+    user_id key, so the whole profile is ONE shuffle."""
+    from .operators.trajectory import random_walk_positions, trajectory_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    return trajectory_stats(pos, dwell_step2=_TRAJ_DWELL2)
+
+
+def sql_traj_stats() -> str:
+    m = 2 * _TRAJ_JUMP + 1
+    t = _TRAJ_DWELL2
+    return f"""WITH pos AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM((event_id * 7919) % {m} - {_TRAJ_JUMP}) OVER w AS BIGINT) AS x,
+         CAST(SUM((event_id * 104729) % {m} - {_TRAJ_JUMP}) OVER w AS BIGINT) AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+st AS (
+  SELECT user_id, x, y,
+         ROW_NUMBER() OVER w2 AS rn,
+         x - lag(x) OVER w2 AS dx,
+         y - lag(y) OVER w2 AS dy
+  FROM pos
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+st2 AS (
+  SELECT user_id, rn, x, y, dx, dy, dx*dx + dy*dy AS step2,
+         lag(dx*dx + dy*dy) OVER (PARTITION BY user_id ORDER BY rn) AS prev2
+  FROM st
+)
+SELECT user_id,
+       COUNT(*) AS n_pts,
+       CASE WHEN COUNT(*) <= 1 THEN CAST(0.0 AS DOUBLE)
+            ELSE list_reduce(list(sqrt(CAST(step2 AS DOUBLE)) ORDER BY rn)
+                               FILTER (rn > 1),
+                             (a, b) -> a + b) END AS path_len,
+       CAST(MAX(step2) AS BIGINT) AS max_step2,
+       CAST(SUM(dx) AS BIGINT) AS net_dx,
+       CAST(SUM(dy) AS BIGINT) AS net_dy,
+       MIN(x) AS minx, MIN(y) AS miny, MAX(x) AS maxx, MAX(y) AS maxy,
+       CAST(SUM(CASE WHEN step2 <= {t} AND (prev2 IS NULL OR prev2 > {t})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dwells
+FROM st2 GROUP BY user_id"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
     "geohash_assign": (q_geohash_assign, sql_geohash_assign),
     "geohash_ring_count": (q_geohash_ring_count, sql_geohash_ring_count),
+    "traj_stats": (q_traj_stats, sql_traj_stats),
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
 }
