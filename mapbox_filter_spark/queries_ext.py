@@ -1567,6 +1567,78 @@ FROM fields
 GROUP BY doc_id"""
 
 
+_PQ_M, _PQ_K, _PQ_SUB = 8, 16, 8   # 64-dim → 8 subspaces × 16 codewords
+_PQ_SCALE = 50.0                   # integer codewords in the ±450 range
+_PQ_QMOD = 49                      # vec_id % 49 == 0 → 11 queries at sf0.01
+_PQ_TOPK = 10
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py), fully oracle-checked:
+    vectors integer-quantized (×1000, like the IVF gates) and the
+    codeword lattice integer-scaled, so subspace argmin encoding and
+    asymmetric (ADC) distances are exact-integer doubles — the oracle
+    recomputes codes and distances with order-free integer SUMs and must
+    match rank-for-rank, bit-for-bit.  The corpus side carries only the
+    8-byte code array (32× smaller than the float vectors — the 100 TB
+    scan body); queries broadcast."""
+    from .operators.pq import pq_codebook, pq_topk, write_pq_codes
+
+    cb = pq_codebook(_PQ_M, _PQ_K, _PQ_SUB, scale=_PQ_SCALE)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * 1000)).alias("v"))
+    codes = write_pq_codes(emb, "v", cb)
+    queries = (emb.filter(F.col("vec_id") % _PQ_QMOD == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("v").alias("qvec")))
+    out = pq_topk(codes, queries, cb, k=_PQ_TOPK)
+    return out.withColumn("adc_dist", F.col("adc_dist").cast("long"))
+
+
+def sql_pq_adc_topk() -> str:
+    scale = int(_PQ_SCALE)
+    return f"""
+WITH cb AS (
+  SELECT t1.m, t2.k, t3.d,
+         CAST((t1.m*131 + t2.k*31 + t3.d*17) % 19 - 9 AS BIGINT) * {scale} AS c
+  FROM range({_PQ_M}) t1(m), range({_PQ_K}) t2(k), range({_PQ_SUB}) t3(d)
+),
+vecs AS (
+  SELECT vec_id, CAST(t.d AS BIGINT) AS d,
+         CAST(ROUND(CAST(embedding[t.d + 1] AS DOUBLE) * 1000) AS BIGINT) AS v
+  FROM embeddings, range({_PQ_M * _PQ_SUB}) t(d)
+),
+dists AS (
+  SELECT v.vec_id, cb.m, cb.k,
+         CAST(SUM((v.v - cb.c) * (v.v - cb.c)) AS BIGINT) AS dist
+  FROM vecs v JOIN cb ON cb.m = v.d // {_PQ_SUB} AND cb.d = v.d % {_PQ_SUB}
+  GROUP BY v.vec_id, cb.m, cb.k
+),
+codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT vec_id, m, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+    FROM dists) WHERE rn = 1
+),
+lut AS (
+  SELECT d.vec_id AS query_id, d.m, d.k, d.dist AS ld
+  FROM dists d WHERE d.vec_id % {_PQ_QMOD} = 0
+),
+adc AS (
+  SELECT l.query_id, c.vec_id, CAST(SUM(l.ld) AS BIGINT) AS adc_dist
+  FROM codes c JOIN lut l ON l.m = c.m AND l.k = c.code
+  GROUP BY l.query_id, c.vec_id
+)
+SELECT query_id, rank, vec_id, adc_dist FROM (
+  SELECT query_id, vec_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, vec_id) AS rank
+  FROM adc
+) WHERE rank <= {_PQ_TOPK}"""
+
+
 EXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "dedup_ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard),
@@ -1582,6 +1654,7 @@ EXT_QUERIES = {
     "embedding_near_dup": (q_embedding_near_dup, sql_embedding_near_dup),
     "ivf_topk": (q_ivf_topk, sql_ivf_topk),
     "ivf_topk_arrow": (q_ivf_topk_arrow, sql_ivf_topk),
+    "pq_adc_topk": (q_pq_adc_topk, sql_pq_adc_topk),
     "ann_lsh_topk": (q_ann_topk, sql_ann_topk),
     "ann_lsh_topk_arrow": (q_ann_topk_arrow, sql_ann_topk),
     "knn_ring": (q_knn_ring, sql_knn_ring),
