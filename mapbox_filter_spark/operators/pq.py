@@ -117,6 +117,54 @@ def write_pq_codes(df: DataFrame, vec_col: str, codebook: list,
                      .alias("pq_codes"))
 
 
+def ivfpq_topk(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+               codebook: list, k: int = 10, nprobe: int = 3,
+               query_id: str = "query_id", corpus_id: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ: the canonical billion-scale ANN layout (Jégou et al.) —
+    coarse inverted lists (broadcast argmin, operators/similarity.py
+    ivf_assign) with RESIDUAL product-quantization inside each list.
+
+    Index side: each corpus vector is assigned to its nearest centroid
+    and only the 8-code PQ encoding of ``v − centroid`` is kept — no
+    corpus shuffle (broadcast argmin + broadcast centroid join), 32×
+    smaller scan body.  Query side: probe ``nprobe`` lists, build the
+    per-list residual query, ADC-score ONLY those lists' codes via an
+    equi join on cent_id.  Candidate volume ≈ nprobe/|lists| of the
+    corpus, each candidate touched as codes, never floats.
+    """
+    from .similarity import ivf_assign
+
+    assigned = ivf_assign(
+        corpus.select(F.col(corpus_id).alias("c_id"),
+                      F.col(vec_col).alias("c_vec")),
+        centroids, "c_id", "c_vec", n_lists=1)
+    with_cent = assigned.join(F.broadcast(centroids), "cent_id")
+    residual = F.zip_with(F.col("c_vec"), F.col("cent_vec"),
+                          lambda a, b: a - b)
+    codes = with_cent.select(
+        "c_id", "cent_id", pq_encode(residual, codebook).alias("pq_codes"))
+
+    probes = ivf_assign(
+        queries.select(F.col(query_id).alias("q_id"),
+                       F.col(vec_col).alias("q_vec")),
+        centroids, "q_id", "q_vec", n_lists=nprobe)
+    probes = probes.join(F.broadcast(centroids), "cent_id").select(
+        "q_id", "cent_id",
+        F.zip_with(F.col("q_vec"), F.col("cent_vec"),
+                   lambda a, b: a - b).alias("q_res"))
+    cand = F.broadcast(probes).join(codes, "cent_id")
+    scored = cand.select(
+        "q_id", "c_id",
+        pq_adc_dist(F.col("q_res"), F.col("pq_codes"), codebook)
+        .alias("adc_dist"))
+    w = Window.partitionBy("q_id").orderBy("adc_dist", "c_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("q_id").alias(query_id), "rank",
+                    F.col("c_id").alias(corpus_id), "adc_dist"))
+
+
 def pq_topk(codes_df: DataFrame, queries: DataFrame, codebook: list,
             k: int = 10, query_id: str = "query_id",
             query_vec: str = "qvec", corpus_id: str = "vec_id") -> DataFrame:

@@ -1639,6 +1639,106 @@ SELECT query_id, rank, vec_id, adc_dist FROM (
 ) WHERE rank <= {_PQ_TOPK}"""
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (operators/pq.py ivfpq_topk): coarse inverted lists with
+    residual product quantization, fully oracle-checked — quantized
+    vectors and integer codebooks make assignment, residual encoding,
+    probing, and ADC ranking all exact-integer arithmetic on both
+    engines."""
+    from .operators.pq import ivfpq_topk, pq_codebook
+
+    cb = pq_codebook(_PQ_M, _PQ_K, _PQ_SUB, scale=_PQ_SCALE)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * 1000)).alias("embedding"))
+    centroids = emb.filter(F.pmod(F.col("vec_id"), F.lit(25)) == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_vec"))
+    queries = (emb.filter(F.col("vec_id") % _PQ_QMOD == 0)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = ivfpq_topk(queries, emb, centroids, cb, k=_PQ_TOPK, nprobe=3)
+    return out.withColumn("adc_dist", F.col("adc_dist").cast("long"))
+
+
+def sql_ivfpq_topk(nprobe: int = 3) -> str:
+    scale = int(_PQ_SCALE)
+    dim = _PQ_M * _PQ_SUB
+    d2 = ("list_aggregate(list_transform(list_zip(QV, CV), "
+          "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> ROUND(x * 1000)) AS v
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cent_id, v AS cv FROM emb WHERE vec_id % 25 = 0),
+cb AS (
+  SELECT t1.m, t2.k, t3.d,
+         CAST((t1.m*131 + t2.k*31 + t3.d*17) % 19 - 9 AS BIGINT) * {scale} AS c
+  FROM range({_PQ_M}) t1(m), range({_PQ_K}) t2(k), range({_PQ_SUB}) t3(d)
+),
+assign AS (
+  SELECT vec_id, cent_id, cv FROM (
+    SELECT e.vec_id, c.cent_id, c.cv,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {d2.replace("QV", "e.v").replace("CV", "c.cv")},
+                      c.cent_id) AS r
+    FROM emb e CROSS JOIN cent c) WHERE r = 1
+),
+res AS (
+  SELECT a.vec_id, a.cent_id, CAST(t.d AS BIGINT) AS d,
+         CAST(e.v[t.d + 1] AS BIGINT) - CAST(a.cv[t.d + 1] AS BIGINT) AS r
+  FROM assign a JOIN emb e USING (vec_id), range({dim}) t(d)
+),
+cdists AS (
+  SELECT r.vec_id, cb.m, cb.k,
+         CAST(SUM((r.r - cb.c) * (r.r - cb.c)) AS BIGINT) AS dist
+  FROM res r JOIN cb ON cb.m = r.d // {_PQ_SUB} AND cb.d = r.d % {_PQ_SUB}
+  GROUP BY r.vec_id, cb.m, cb.k
+),
+codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT vec_id, m, k,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+    FROM cdists) WHERE rn = 1
+),
+probes AS (
+  SELECT q_id, cent_id, cv FROM (
+    SELECT e.vec_id AS q_id, c.cent_id, c.cv,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {d2.replace("QV", "e.v").replace("CV", "c.cv")},
+                      c.cent_id) AS r
+    FROM emb e CROSS JOIN cent c WHERE e.vec_id % {_PQ_QMOD} = 0)
+  WHERE r <= {nprobe}
+),
+qres AS (
+  SELECT p.q_id, p.cent_id, CAST(t.d AS BIGINT) AS d,
+         CAST(e.v[t.d + 1] AS BIGINT) - CAST(p.cv[t.d + 1] AS BIGINT) AS r
+  FROM probes p JOIN emb e ON e.vec_id = p.q_id, range({dim}) t(d)
+),
+lut AS (
+  SELECT q.q_id, q.cent_id, cb.m, cb.k,
+         CAST(SUM((q.r - cb.c) * (q.r - cb.c)) AS BIGINT) AS ld
+  FROM qres q JOIN cb ON cb.m = q.d // {_PQ_SUB} AND cb.d = q.d % {_PQ_SUB}
+  GROUP BY q.q_id, q.cent_id, cb.m, cb.k
+),
+adc AS (
+  SELECT l.q_id, a.vec_id, CAST(SUM(l.ld) AS BIGINT) AS adc_dist
+  FROM assign a
+  JOIN codes co ON co.vec_id = a.vec_id
+  JOIN lut l ON l.cent_id = a.cent_id AND l.m = co.m AND l.k = co.code
+  GROUP BY l.q_id, a.vec_id
+)
+SELECT query_id, rank, vec_id, adc_dist FROM (
+  SELECT q_id AS query_id, vec_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY adc_dist, vec_id) AS rank
+  FROM adc) WHERE rank <= {_PQ_TOPK}"""
+
+
 EXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "dedup_ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard),
@@ -1655,6 +1755,7 @@ EXT_QUERIES = {
     "ivf_topk": (q_ivf_topk, sql_ivf_topk),
     "ivf_topk_arrow": (q_ivf_topk_arrow, sql_ivf_topk),
     "pq_adc_topk": (q_pq_adc_topk, sql_pq_adc_topk),
+    "ivfpq_topk": (q_ivfpq_topk, sql_ivfpq_topk),
     "ann_lsh_topk": (q_ann_topk, sql_ann_topk),
     "ann_lsh_topk_arrow": (q_ann_topk_arrow, sql_ann_topk),
     "knn_ring": (q_knn_ring, sql_knn_ring),
