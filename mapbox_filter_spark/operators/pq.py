@@ -109,10 +109,193 @@ def pq_adc_dist(q_vec: Column, codes: Column, codebook: list) -> Column:
     return total
 
 
+def pq_encode_arrow(df: DataFrame, vec_col: str, codebook: list,
+                    out: str = "pq_codes") -> DataFrame:
+    """Arrow-batched PQ encode — the wide-dim path (mirror of
+    similarity.ivf_assign_arrow).  Spark's higher-order-function fold is
+    interpreted (no codegen), so the Column encode costs
+    O(dim·K·interpreter) per row; this kernel does the expansion
+    ``‖v_m‖² − 2·V_m·C_mᵀ + ‖c_mk‖²`` as one BLAS matmul per subspace
+    per batch.  On integer-valued inputs the expansion is exact (every
+    product < 2^53), so argmin ties break identically to the fold
+    (numpy argmin = first minimum = smallest k) — asserted in tests."""
+    import numpy as np
+
+    sub = len(codebook[0][0])
+    n_sub = len(codebook)
+    from pyspark.sql.types import (
+        ArrayType, IntegerType, StructField, StructType)
+
+    C = [np.asarray(cb_m, dtype=np.float64) for cb_m in codebook]
+    c2 = [np.sum(c * c, axis=1) for c in C]
+    # a fresh StructType — StructType.add MUTATES the receiver, and
+    # df.schema hands back the DataFrame's own instance
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out, ArrayType(IntegerType()))])
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(pdf), n_sub), dtype=np.int32)
+            for m in range(n_sub):
+                Vm = V[:, m * sub:(m + 1) * sub]
+                d = (np.sum(Vm * Vm, axis=1)[:, None]
+                     - 2.0 * (Vm @ C[m].T) + c2[m][None, :])
+                codes[:, m] = np.argmin(d, axis=1)
+            pdf = pdf.copy()
+            pdf[out] = list(codes)
+            yield pdf
+
+    return df.mapInPandas(encode, out_schema)
+
+
+def pq_topk_arrow(codes_df: DataFrame, queries: DataFrame, codebook: list,
+                  k: int = 10, query_id: str = "query_id",
+                  query_vec: str = "qvec",
+                  corpus_id: str = "vec_id") -> DataFrame:
+    """Arrow ADC top-k: the REAL asymmetric-distance design — per-query
+    lookup tables ``lut[m][k] = ‖q_m − c_mk‖²`` built once driver-side
+    (queries are the small side by contract), then each corpus batch is
+    scored by a pure numpy gather+sum over its code matrix and reduced
+    to a per-batch top-k before the global window sees anything — the
+    window input is ≤ |Q|·k rows per partition, never the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    sub = len(codebook[0][0])
+    n_sub = len(codebook)
+    C = [np.asarray(cb_m, dtype=np.float64) for cb_m in codebook]
+    q_rows = queries.select(query_id, query_vec).collect()
+    qids = np.asarray([r[query_id] for r in q_rows])
+    Q = np.stack([np.asarray(r[query_vec], dtype=np.float64)
+                  for r in q_rows])
+    luts = np.empty((len(qids), n_sub, len(codebook[0])))
+    for m in range(n_sub):
+        Qm = Q[:, m * sub:(m + 1) * sub]
+        luts[:, m, :] = (np.sum(Qm * Qm, axis=1)[:, None]
+                         - 2.0 * (Qm @ C[m].T)
+                         + np.sum(C[m] * C[m], axis=1)[None, :])
+    m_idx = np.arange(n_sub)
+    out_schema = (f"{query_id} long, {corpus_id} long, adc_dist double")
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["pq_codes"].to_numpy())          # (n, M)
+            ids = pdf[corpus_id].to_numpy()
+            frames = []
+            for qi in range(len(qids)):
+                d = luts[qi][m_idx[None, :], codes].sum(axis=1)   # (n,)
+                take = min(k, len(d))
+                part = np.argpartition(d, take - 1)[:take]
+                frames.append(pd.DataFrame({
+                    query_id: qids[qi], corpus_id: ids[part],
+                    "adc_dist": d[part]}))
+            yield pd.concat(frames, ignore_index=True)
+
+    cand = codes_df.mapInPandas(score, out_schema)
+    w = Window.partitionBy(query_id).orderBy("adc_dist", corpus_id)
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, "rank", corpus_id, "adc_dist"))
+
+
+def ivfpq_topk_arrow(queries: DataFrame, corpus: DataFrame,
+                     centroids: DataFrame, codebook: list, k: int = 10,
+                     nprobe: int = 3, query_id: str = "query_id",
+                     corpus_id: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Fully-Arrow IVF-PQ: BLAS list assignment + BLAS residual encode +
+    per-(query, probed-list) residual LUTs gathered over each batch's
+    code matrix.  The LUT dict is tiny (|Q|·nprobe·M·K doubles) and
+    ships once in the task closure; each corpus batch contributes at
+    most |Q|·k candidate rows to the global top-k window.  Same
+    structure the Column path plans — this is the wide-dim/wide-K
+    kernel swap, like ivf_assign_arrow vs ivf_assign."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import ivf_assign
+
+    sub = len(codebook[0][0])
+    n_sub = len(codebook)
+    C = [np.asarray(cb_m, dtype=np.float64) for cb_m in codebook]
+    c2 = [np.sum(c * c, axis=1) for c in C]
+
+    assigned = ivf_assign(
+        corpus.select(F.col(corpus_id).alias("c_id"),
+                      F.col(vec_col).alias("c_vec")),
+        centroids, "c_id", "c_vec", n_lists=1, kernel="arrow")
+    with_cent = assigned.join(F.broadcast(centroids), "cent_id")
+    codes = pq_encode_arrow(
+        with_cent.select(
+            "c_id", "cent_id",
+            F.zip_with(F.col("c_vec"), F.col("cent_vec"),
+                       lambda a, b: a - b).alias("res")),
+        "res", codebook).select("c_id", "cent_id", "pq_codes")
+
+    probes = ivf_assign(
+        queries.select(F.col(query_id).alias("q_id"),
+                       F.col(vec_col).alias("q_vec")),
+        centroids, "q_id", "q_vec", n_lists=nprobe, kernel="arrow")
+    cent_vecs = {r["cent_id"]: np.asarray(r["cent_vec"], dtype=np.float64)
+                 for r in centroids.collect()}
+    # per probed list: the queries probing it and their residual LUTs
+    by_cent: dict = {}
+    for r in probes.collect():
+        q_res = (np.asarray(r["q_vec"], dtype=np.float64)
+                 - cent_vecs[r["cent_id"]])
+        lut = np.empty((n_sub, len(codebook[0])))
+        for m in range(n_sub):
+            qm = q_res[m * sub:(m + 1) * sub]
+            lut[m] = np.sum(qm * qm) - 2.0 * (C[m] @ qm) + c2[m]
+        by_cent.setdefault(r["cent_id"], []).append((r["q_id"], lut))
+    m_idx = np.arange(n_sub)
+    out_schema = f"{query_id} long, {corpus_id} long, adc_dist double"
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cents_arr = pdf["cent_id"].to_numpy()
+            code_mat = np.stack(pdf["pq_codes"].to_numpy())
+            ids = pdf["c_id"].to_numpy()
+            frames = []
+            for cent in np.unique(cents_arr):
+                probers = by_cent.get(cent)
+                if not probers:
+                    continue
+                mask = cents_arr == cent
+                sub_codes, sub_ids = code_mat[mask], ids[mask]
+                for q_id, lut in probers:
+                    d = lut[m_idx[None, :], sub_codes].sum(axis=1)
+                    take = min(k, len(d))
+                    part = np.argpartition(d, take - 1)[:take]
+                    frames.append(pd.DataFrame({
+                        query_id: q_id, corpus_id: sub_ids[part],
+                        "adc_dist": d[part]}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cand = codes.mapInPandas(score, out_schema)
+    w = Window.partitionBy(query_id).orderBy("adc_dist", corpus_id)
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, "rank", corpus_id, "adc_dist"))
+
+
 def write_pq_codes(df: DataFrame, vec_col: str, codebook: list,
-                   id_col: str = "vec_id") -> DataFrame:
+                   id_col: str = "vec_id",
+                   kernel: str = "column") -> DataFrame:
     """The persisted form: ids + codes only — what a 100 TB corpus
     stores (the float vectors stay in cold storage)."""
+    if kernel == "arrow":
+        return pq_encode_arrow(df, vec_col, codebook).select(
+            id_col, "pq_codes")
     return df.select(id_col, pq_encode(F.col(vec_col), codebook)
                      .alias("pq_codes"))
 
@@ -120,7 +303,8 @@ def write_pq_codes(df: DataFrame, vec_col: str, codebook: list,
 def ivfpq_topk(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
                codebook: list, k: int = 10, nprobe: int = 3,
                query_id: str = "query_id", corpus_id: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               encode_kernel: str = "column") -> DataFrame:
     """IVF-PQ: the canonical billion-scale ANN layout (Jégou et al.) —
     coarse inverted lists (broadcast argmin, operators/similarity.py
     ivf_assign) with RESIDUAL product-quantization inside each list.
@@ -142,8 +326,14 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
     with_cent = assigned.join(F.broadcast(centroids), "cent_id")
     residual = F.zip_with(F.col("c_vec"), F.col("cent_vec"),
                           lambda a, b: a - b)
-    codes = with_cent.select(
-        "c_id", "cent_id", pq_encode(residual, codebook).alias("pq_codes"))
+    if encode_kernel == "arrow":
+        codes = pq_encode_arrow(
+            with_cent.select("c_id", "cent_id", residual.alias("res")),
+            "res", codebook).select("c_id", "cent_id", "pq_codes")
+    else:
+        codes = with_cent.select(
+            "c_id", "cent_id",
+            pq_encode(residual, codebook).alias("pq_codes"))
 
     probes = ivf_assign(
         queries.select(F.col(query_id).alias("q_id"),

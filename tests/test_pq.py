@@ -54,6 +54,52 @@ def test_exact_codeword_roundtrip(spark):
     assert row["c"] == want
 
 
+def test_arrow_kernels_match_column(spark):
+    """Integer-valued inputs: the BLAS expansion ‖v‖²−2v·c+‖c‖² is exact
+    (< 2^53), so argmin codes and ADC top-k must EQUAL the fold path."""
+    from mapbox_filter_spark.operators.pq import pq_encode_arrow, pq_topk_arrow
+
+    df = spark.createDataFrame(_vectors(60), "vec_id long, v array<double>")
+    col_codes = {r["vec_id"]: r["c"] for r in df.select(
+        "vec_id", pq_encode(F.col("v"), CB).alias("c")).collect()}
+    arr_codes = {r["vec_id"]: list(r["pq_codes"]) for r in
+                 pq_encode_arrow(df, "v", CB).collect()}
+    assert col_codes == arr_codes
+
+    codes = write_pq_codes(df, "v", CB)
+    queries = (df.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("v").alias("qvec")))
+    col_top = sorted(tuple(r) for r in pq_topk(codes, queries, CB, k=4)
+                     .collect())
+    arr_top = sorted(tuple(r) for r in pq_topk_arrow(codes, queries, CB, k=4)
+                     .collect())
+    assert col_top == arr_top
+
+
+def test_ivfpq_arrow_encode_matches_column(spark):
+    from mapbox_filter_spark.operators.pq import ivfpq_topk
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in _vectors(80)], "vec_id long, embedding array<double>")
+    cents = (df.filter(F.col("vec_id") % 20 == 0)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("embedding").alias("cent_vec")))
+    queries = (df.filter(F.col("vec_id") < 2)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    a = sorted(tuple(r) for r in ivfpq_topk(
+        queries, df, cents, CB, k=5, nprobe=2).collect())
+    b = sorted(tuple(r) for r in ivfpq_topk(
+        queries, df, cents, CB, k=5, nprobe=2,
+        encode_kernel="arrow").collect())
+    assert a == b and len(a) == 10
+
+    from mapbox_filter_spark.operators.pq import ivfpq_topk_arrow
+    c = sorted(tuple(r) for r in ivfpq_topk_arrow(
+        queries, df, cents, CB, k=5, nprobe=2).collect())
+    assert a == c
+
+
 def test_adc_topk_matches_python(spark):
     vecs = _vectors()
     df = spark.createDataFrame(vecs, "vec_id long, v array<double>")
