@@ -144,3 +144,46 @@ def tile_pyramid_rollup(
             .groupBy("z", "x", "y")
             .agg(F.sum("n").alias("n")))
     return out
+
+
+_HEAT_KERNEL = [(dx, dy, (4 if dx == dy == 0 else 2 if dx == 0 or dy == 0
+                          else 1))
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+
+def heatmap_tiles(
+    feats: DataFrame,
+    z: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    kernel: "Sequence[tuple[int, int, int]] | None" = None,
+) -> DataFrame:
+    """Kernel-density heatmap at one tile zoom: every feature splats an
+    integer 3×3 weight kernel (4/2/1 center/edge/corner by default) onto
+    its tile's neighborhood; per-tile heat is the exact integer sum.
+
+    The splat is a 9-row literal explode (bounded fan-out, not a
+    shuffle); the ONE shuffle is the final (x, y) aggregate, and integer
+    weights keep the result bit-reproducible under any partitioning —
+    the supercluster/heatmap-layer analogue of the reference's per-tile
+    feature counts.  x wraps at the antimeridian (pmod); y clips at the
+    mercator poles (rows splatted past the edge are dropped, matching
+    the nonexistent tiles).
+    """
+    kern = list(kernel) if kernel is not None else _HEAT_KERNEL
+    n = 1 << z
+    x, y = tile_cols(F.col(lon), F.col(lat), F.lit(z))
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(w).cast("long").alias("w"))
+        for dx, dy, w in kern])
+    o = F.col("o")
+    return (feats.select(x.alias("x"), y.alias("y"))
+            .select("x", "y", F.explode(offsets).alias("o"))
+            .select(F.pmod(F.col("x") + o["dx"], F.lit(n)).alias("x"),
+                    (F.col("y") + o["dy"]).alias("y"),
+                    o["w"].alias("w"))
+            .filter((F.col("y") >= 0) & (F.col("y") < n))
+            .groupBy("x", "y")
+            .agg(F.sum("w").alias("heat"))
+            .select(F.lit(z).alias("z"), "x", "y", "heat"))

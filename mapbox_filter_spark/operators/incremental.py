@@ -60,3 +60,22 @@ def changed_only(current: DataFrame, previous: DataFrame | None) -> DataFrame:
     reference's upload-avoidance win)."""
     d = diff_tiles(current, previous)
     return d.filter(F.col("change").isin("new", "changed"))
+
+
+def dirty_ancestors(changed: DataFrame, z: int) -> DataFrame:
+    """Pyramid invalidation closure: every ancestor tile (all zooms
+    ``0..z``) of a changed-tile set — what a tile CDN / overzoom cache
+    must evict after an incremental update (each parent's rendered
+    content aggregates its children).  The ancestor map is exact integer
+    division, the fan-out is a ``z+1``-row literal explode, and the ONE
+    shuffle is the final DISTINCT — at 100 TB the input here is already
+    the (small) diff output, not the corpus.
+    """
+    steps = F.array(*[
+        F.struct(F.lit(z - d).alias("az"), F.lit(1 << d).alias("dv"))
+        for d in range(z + 1)])
+    return (changed.select("x", "y", F.explode(steps).alias("s"))
+            .select(F.col("s.az").alias("z"),
+                    F.expr("x div s.dv").alias("x"),
+                    F.expr("y div s.dv").alias("y"))
+            .distinct())

@@ -414,6 +414,25 @@ SELECT key, COUNT(*) AS n FROM (
 
 # ---------------------------------------------------------------- registry
 
+def q_dirty_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pyramid invalidation (operators/incremental.dirty_ancestors):
+    the distinct ancestor closure (zooms 0..6) of the hash_diff changed
+    set — what a tile cache must evict after an incremental publish.
+    Chains the non-vacuous hash_diff output, so this inherits its
+    mutation reachability."""
+    from .operators.incremental import dirty_ancestors
+
+    return dirty_ancestors(q_hash_diff(spark, sf_dir), 6)
+
+
+def sql_dirty_ancestors() -> str:
+    vals = ", ".join(f"({6 - d}, {1 << d})" for d in range(7))
+    return f"""WITH changed AS ({sql_hash_diff()}),
+steps(az, dv) AS (VALUES {vals})
+SELECT DISTINCT s.az AS z, c.x // s.dv AS x, c.y // s.dv AS y
+FROM changed c CROSS JOIN steps s"""
+
+
 QUERIES = {
     "tile_assign": (q_tile_assign, sql_tile_assign),
     "tile_assign_tms": (q_tile_assign_tms, sql_tile_assign_tms),
@@ -426,6 +445,7 @@ QUERIES = {
     "tile_assembly": (q_tile_assembly, sql_tile_assembly),
     "window_renumber": (q_window_renumber, sql_window_renumber),
     "hash_diff": (q_hash_diff, sql_hash_diff),
+    "dirty_ancestors": (q_dirty_ancestors, sql_dirty_ancestors),
     "tile_diff_classes": (q_tile_diff_classes, sql_tile_diff_classes),
     "prune_keys": (q_prune_keys, sql_prune_keys),
 }

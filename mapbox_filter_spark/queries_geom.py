@@ -394,11 +394,39 @@ SELECT user_id,
 FROM st2 GROUP BY user_id"""
 
 
+def q_heatmap_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel-density heatmap (operators/assemble.py heatmap_tiles):
+    3×3 integer splat per feature at z=8, antimeridian-wrapped and
+    pole-clipped; exact integer heat, one shuffle."""
+    from .operators.assemble import heatmap_tiles
+    from .sources.features import features_from_lineitem
+
+    return heatmap_tiles(features_from_lineitem(spark, sf_dir), 8)
+
+
+def sql_heatmap_tiles() -> str:
+    from .operators.assemble import _HEAT_KERNEL
+    from .queries import _sql_tile_x, _sql_tile_y
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    z, n = 8, 1 << 8
+    vals = ", ".join(f"({dx}, {dy}, {w})" for dx, dy, w in _HEAT_KERNEL)
+    return f"""WITH {FEATURES_ORACLE_SQL},
+t AS (SELECT {_sql_tile_x(z)} AS x, {_sql_tile_y(z)} AS y FROM features),
+kern(dx, dy, w) AS (VALUES {vals})
+SELECT {z} AS z, (t.x + kern.dx + {n}) % {n} AS x, t.y + kern.dy AS y,
+       CAST(SUM(kern.w) AS BIGINT) AS heat
+FROM t CROSS JOIN kern
+WHERE t.y + kern.dy BETWEEN 0 AND {n - 1}
+GROUP BY 2, 3"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
     "geohash_assign": (q_geohash_assign, sql_geohash_assign),
     "geohash_ring_count": (q_geohash_ring_count, sql_geohash_ring_count),
     "traj_stats": (q_traj_stats, sql_traj_stats),
+    "heatmap_tiles": (q_heatmap_tiles, sql_heatmap_tiles),
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
 }
