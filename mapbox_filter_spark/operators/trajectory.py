@@ -94,3 +94,30 @@ def random_walk_positions(events: DataFrame, jump: int = 1000,
         F.sum(jx).over(w).alias("x"),
         F.sum(jy).over(w).alias("y"),
     )
+
+
+def od_flows(df: DataFrame, z: int, entity_col: str = "user_id",
+             order_cols: "tuple[str, ...]" = ("ts", "event_id"),
+             lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Origin→destination flow matrix at tile zoom ``z``: consecutive
+    positions per entity (time order) become directed tile transitions,
+    counted over all entities — the movement-analytics aggregate behind
+    flow maps.  Two shuffles, both irreducible: the per-entity ordering
+    window, then the global (from, to) aggregate (flows by definition
+    combine across entities).  Self-transitions (same tile) are kept —
+    dwell weight on the diagonal; filter downstream if unwanted.
+    """
+    from ..geo.tilemath import tile_cols
+
+    from pyspark.sql import Window
+    x, y = tile_cols(F.col(lon_col), F.col(lat_col), F.lit(z))
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    base = df.select(
+        entity_col, *order_cols, x.alias("tx"), y.alias("ty"))
+    hops = base.select(
+        F.lag("tx").over(w).alias("fx"), F.lag("ty").over(w).alias("fy"),
+        F.col("tx"), F.col("ty"))
+    return (hops.filter(F.col("fx").isNotNull())
+            .groupBy("fx", "fy", "tx", "ty")
+            .agg(F.count(F.lit(1)).alias("n_hops"))
+            .select(F.lit(z).alias("z"), "fx", "fy", "tx", "ty", "n_hops"))

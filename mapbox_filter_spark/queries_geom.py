@@ -421,6 +421,51 @@ WHERE t.y + kern.dy BETWEEN 0 AND {n - 1}
 GROUP BY 2, 3"""
 
 
+_OD_Z = 4
+
+
+def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin→destination tile-flow matrix (operators/trajectory.py
+    od_flows): per-user consecutive events become directed z=4 tile
+    transitions, counted globally.  Positions are a deterministic hash
+    of event_id (the features-table formula), so both engines quantize
+    identical doubles."""
+    from .operators.trajectory import od_flows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = ev.select(
+        "user_id", "ts", "event_id",
+        (((F.col("event_id") * 7919) % 360000) / 1000.0 - 180.0)
+        .alias("lon"),
+        (((F.col("event_id") * 104729) % 170000) / 1000.0 - 85.0)
+        .alias("lat"))
+    return od_flows(pos, _OD_Z)
+
+
+def sql_od_flows() -> str:
+    from .queries import _sql_tile_x, _sql_tile_y
+
+    z = _OD_Z
+    return f"""WITH pos AS (
+  SELECT user_id, ts, event_id,
+         ((event_id * 7919) % 360000) / 1000.0 - 180.0 AS lon,
+         ((event_id * 104729) % 170000) / 1000.0 - 85.0 AS lat
+  FROM events
+),
+t AS (
+  SELECT user_id, ts, event_id,
+         {_sql_tile_x(z)} AS tx, {_sql_tile_y(z)} AS ty
+  FROM pos
+),
+h AS (
+  SELECT lag(tx) OVER w AS fx, lag(ty) OVER w AS fy, tx, ty
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT {z} AS z, fx, fy, tx, ty, COUNT(*) AS n_hops
+FROM h WHERE fx IS NOT NULL
+GROUP BY 2, 3, 4, 5"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
@@ -428,5 +473,6 @@ GEOM_QUERIES = {
     "geohash_ring_count": (q_geohash_ring_count, sql_geohash_ring_count),
     "traj_stats": (q_traj_stats, sql_traj_stats),
     "heatmap_tiles": (q_heatmap_tiles, sql_heatmap_tiles),
+    "od_flows": (q_od_flows, sql_od_flows),
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
 }
