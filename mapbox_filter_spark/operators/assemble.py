@@ -187,3 +187,50 @@ def heatmap_tiles(
             .groupBy("x", "y")
             .agg(F.sum("w").alias("heat"))
             .select(F.lit(z).alias("z"), "x", "y", "heat"))
+
+
+def st_cube(
+    df: DataFrame,
+    z_fine: int,
+    z_coarse: int,
+    week_days: int = 7,
+    lon: str = "lon",
+    lat: str = "lat",
+    ts_us: str = "ts_us",
+) -> DataFrame:
+    """Space-time cube: (tile, time-bucket) counts at BOTH grains from
+    ONE scan — the composition of tile_pyramid_rollup (spatial) and
+    temporal.time_rollup (temporal) in a single partial.
+
+    Fine grain: (z_fine tile, absolute day = epoch_us div 86.4e9).
+    Coarse grain: (z_coarse tile, absolute week = day div week_days) —
+    re-aggregated from the PERSISTED fine partial, exact in both
+    dimensions at once because the tile quantizer nests under ``div 2^Δ``
+    and absolute-day buckets nest under ``div week_days`` (absolute
+    weeks-since-epoch, engine-neutral — no locale week rules).  ``grain``
+    distinguishes the levels.  At 100 TB: one corpus scan + a re-agg
+    over ≤ |fine tiles|·|days| partial rows.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    if z_coarse >= z_fine:
+        raise ValueError("z_coarse must be < z_fine")
+    day_us = 86_400_000_000
+    x, y = tile_cols(F.col(lon), F.col(lat), F.lit(z_fine))
+    fine = (df.select(x.alias("x"), y.alias("y"),
+                      F.expr(f"{ts_us} div {day_us}").alias("t"))
+            .groupBy("x", "y", "t")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    d = 1 << (z_fine - z_coarse)
+    coarse = (fine.select(F.expr(f"x div {d}").alias("x"),
+                          F.expr(f"y div {d}").alias("y"),
+                          F.expr(f"t div {week_days}").alias("t"), "n")
+              .groupBy("x", "y", "t")
+              .agg(F.sum("n").alias("n")))
+    return (fine.select(F.lit("day").alias("grain"),
+                        F.lit(z_fine).alias("z"), "x", "y", "t", "n")
+            .unionByName(
+                coarse.select(F.lit("week").alias("grain"),
+                              F.lit(z_coarse).alias("z"),
+                              "x", "y", "t", "n")))

@@ -466,6 +466,43 @@ FROM h WHERE fx IS NOT NULL
 GROUP BY 2, 3, 4, 5"""
 
 
+def q_st_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-time cube (operators/assemble.py st_cube): (z6 tile, day)
+    counts from one scan of events; (z4 tile, week) re-aggregated from
+    the persisted partial — while the oracle computes BOTH grains
+    directly from lon/lat/ts, so the value-hash match proves the
+    two-dimensional partial re-aggregation is exact."""
+    from .operators.assemble import st_cube
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = ev.select(
+        (((F.col("event_id") * 7919) % 360000) / 1000.0 - 180.0)
+        .alias("lon"),
+        (((F.col("event_id") * 104729) % 170000) / 1000.0 - 85.0)
+        .alias("lat"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    return st_cube(pos, z_fine=6, z_coarse=4)
+
+
+def sql_st_cube() -> str:
+    from .queries import _sql_tile_x, _sql_tile_y
+
+    day_us = 86_400_000_000
+    return f"""WITH pos AS (
+  SELECT ((event_id * 7919) % 360000) / 1000.0 - 180.0 AS lon,
+         ((event_id * 104729) % 170000) / 1000.0 - 85.0 AS lat,
+         epoch_us(ts) AS ts_us
+  FROM events
+)
+SELECT 'day' AS grain, 6 AS z, {_sql_tile_x(6)} AS x, {_sql_tile_y(6)} AS y,
+       ts_us // {day_us} AS t, COUNT(*) AS n
+FROM pos GROUP BY 3, 4, 5
+UNION ALL
+SELECT 'week' AS grain, 4 AS z, {_sql_tile_x(4)} AS x, {_sql_tile_y(4)} AS y,
+       ts_us // {day_us * 7} AS t, COUNT(*) AS n
+FROM pos GROUP BY 3, 4, 5"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
@@ -474,5 +511,6 @@ GEOM_QUERIES = {
     "traj_stats": (q_traj_stats, sql_traj_stats),
     "heatmap_tiles": (q_heatmap_tiles, sql_heatmap_tiles),
     "od_flows": (q_od_flows, sql_od_flows),
+    "st_cube": (q_st_cube, sql_st_cube),
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
 }

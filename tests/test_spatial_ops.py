@@ -277,3 +277,33 @@ def test_tile_pyramid_validation(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         tile_pyramid_rollup(feats, 6, [6])
+
+
+# ------------------------------------------------- st_cube
+
+def _st_positions(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    return ev.select(
+        (((F.col("event_id") * 7919) % 360000) / 1000.0 - 180.0)
+        .alias("lon"),
+        (((F.col("event_id") * 104729) % 170000) / 1000.0 - 85.0)
+        .alias("lat"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+
+
+def test_st_cube_single_raw_scan_and_conservation(spark):
+    from mapbox_filter_spark.operators.assemble import st_cube
+
+    out = st_cube(_st_positions(spark), z_fine=6, z_coarse=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 1   # coarse reads the partial
+    totals = {r["grain"]: r["t"] for r in
+              out.groupBy("grain").agg(F.sum("n").alias("t")).collect()}
+    assert totals["day"] == totals["week"] > 0
+
+
+def test_st_cube_validation(spark):
+    from mapbox_filter_spark.operators.assemble import st_cube
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        st_cube(_st_positions(spark), z_fine=4, z_coarse=4)
