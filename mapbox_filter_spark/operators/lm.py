@@ -84,3 +84,61 @@ def continuation_counts(df: DataFrame, text_col: str = "text",
             .select("context", "token").distinct()
             .groupBy("token")
             .agg(F.count(F.lit(1)).alias("n_contexts")))
+
+
+def gram_instances(df: DataFrame, text_col: str = "text", n: int = 3,
+                   id_col: str = "doc_id") -> DataFrame:
+    """One row per n-gram instance WITH provenance: (id, pos, context,
+    token) — the per-document face of ``_gram_pairs`` (same tokenizer,
+    same windowing), for joins back against the count tables."""
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    d = df.withColumn("_toks", _words(F.col(text_col)))
+    sz = F.size("_toks")
+    grams = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(0), sz - n),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.array_join(F.slice("_toks", i + 1, n - 1), " ")
+                .alias("context"),
+                F.element_at("_toks", (i + n).cast("int")).alias("token"),
+            ),
+        ),
+    ).otherwise(F.array().cast(
+        "array<struct<pos:long,context:string,token:string>>"))
+    return (d.select(id_col, F.explode(grams).alias("g"))
+            .select(id_col, "g.pos", "g.context", "g.token"))
+
+
+def doc_lm_scores(df: DataFrame, text_col: str = "text", n: int = 3,
+                  id_col: str = "doc_id",
+                  lm: "DataFrame | None" = None) -> DataFrame:
+    """Per-document LM score (the CCNet-style perplexity quality
+    signal): mean log P(token|context) under the corpus conditional
+    count table — ``ln(cnt/ctx_cnt)`` per gram, summed in DOCUMENT ORDER
+    (pinned left fold over the sorted (pos, lp) list) and divided by the
+    gram count, so the doubles are bit-reproducible cross-engine (IEEE
+    divide + libm ln on identical inputs, fixed association).
+
+    Documents shorter than ``n`` tokens have no grams and are absent
+    from the output (score undefined).  Scale: the LM table joins on the
+    gram key — a plain hash join that pre-filters to the corpus's own
+    grams; at 100 TB prune the table (``min_count``) and the join side
+    stays proportional to the pruned vocabulary, or broadcast it when it
+    fits.  Self-scoring (lm=None) derives the table from ``df`` itself.
+    """
+    inst = gram_instances(df, text_col, n, id_col)
+    if lm is None:
+        lm = conditional_counts(df, text_col, n)
+    joined = inst.join(lm, ["context", "token"])
+    lp = F.log(F.col("cnt").cast("double") / F.col("ctx_cnt").cast("double"))
+    entries = F.collect_list(F.struct(F.col("pos"), lp.alias("lp")))
+    total = F.aggregate(F.sort_array(entries), F.lit(0.0),
+                        lambda a, e: a + e["lp"])
+    return (joined.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 total.alias("sum_logprob"))
+            .withColumn("avg_logprob",
+                        F.col("sum_logprob") / F.col("n_grams")))

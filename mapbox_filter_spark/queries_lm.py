@@ -60,6 +60,46 @@ FROM grams
 GROUP BY token"""
 
 
+def q_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document LM quality score (operators/lm.py doc_lm_scores):
+    mean ln P(token|context) under the corpus's own trigram table.  The
+    ln/divide chain is bit-reproducible cross-engine because op order is
+    pinned (document-order fold); the oracle replays it with
+    list_reduce(list(... ORDER BY pos))."""
+    from .operators.lm import doc_lm_scores
+
+    return doc_lm_scores(_docs(spark, sf_dir), "text", n=_N)
+
+
+def sql_lm_doc_score() -> str:
+    return f"""
+WITH {_WORDS_SQL},
+gi AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+         array_to_string(words[(t.i + 1):(t.i + {_N - 1})], ' ') AS context,
+         words[t.i + {_N}] AS token
+  FROM base, LATERAL (
+    SELECT unnest(range(LEN(words) - {_N - 1})) AS i) t
+  WHERE LEN(words) >= {_N}
+),
+lm AS (
+  SELECT context, token, COUNT(*) AS cnt,
+         CAST(SUM(COUNT(*)) OVER (PARTITION BY context) AS BIGINT) AS ctx_cnt
+  FROM gi GROUP BY context, token
+)
+SELECT g.doc_id, COUNT(*) AS n_grams,
+       list_reduce(
+         list(ln(CAST(l.cnt AS DOUBLE) / CAST(l.ctx_cnt AS DOUBLE))
+              ORDER BY g.pos),
+         (a, b) -> a + b) AS sum_logprob,
+       list_reduce(
+         list(ln(CAST(l.cnt AS DOUBLE) / CAST(l.ctx_cnt AS DOUBLE))
+              ORDER BY g.pos),
+         (a, b) -> a + b) / COUNT(*) AS avg_logprob
+FROM gi g JOIN lm l USING (context, token)
+GROUP BY g.doc_id"""
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-0 BPE statistic: corpus-wide adjacent character pair counts
     (operators/bpe.py char_pair_counts)."""
@@ -83,5 +123,6 @@ SELECT sym_a, sym_b, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2"""
 LM_QUERIES = {
     "ngram_lm": (q_ngram_lm, sql_ngram_lm),
     "kn_continuation": (q_kn_continuation, sql_kn_continuation),
+    "lm_doc_score": (q_lm_doc_score, sql_lm_doc_score),
     "bpe_pair_counts": (q_bpe_pair_counts, sql_bpe_pair_counts),
 }
