@@ -503,6 +503,100 @@ SELECT 'week' AS grain, 4 AS z, {_sql_tile_x(4)} AS x, {_sql_tile_y(4)} AS y,
 FROM pos GROUP BY 3, 4, 5"""
 
 
+def q_idw_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted interpolation at cell centers: each
+    query cell's value is Σwᵢvᵢ/Σwᵢ over the features in its 3×3
+    geohash block, w = 1/(1+d²) in degree space.  Candidates come from
+    the Morton ring join (zero corpus shuffle, broadcast probes); both
+    weight folds run in feature_id order so every double is
+    bit-reproducible (exact coordinate deltas → IEEE mul/div/ln-free
+    chain → pinned-association sums).  The classic scattered-field →
+    raster-grid operator (spatial analytics tier)."""
+    from .geo.geohash import geohash, geohash_ring_cells
+    from .sources.features import features_from_lineitem
+
+    prec = _RING_PREC
+    nbits = 5 * prec
+    b_lon, b_lat = (nbits + 1) // 2, nbits // 2
+    step_lon, step_lat = 360.0 / (1 << b_lon), 180.0 / (1 << b_lat)
+
+    feats = features_from_lineitem(spark, sf_dir).select(
+        "feature_id", "lon", "lat",
+        (F.col("feature_id") % 97).cast("double").alias("v"),
+        geohash(F.col("lon"), F.col("lat"), prec).alias("gh"))
+    lon_i = F.floor((F.col("lon") + 180.0) / 360.0 * (1 << b_lon))
+    lat_i = F.floor((F.col("lat") + 90.0) / 180.0 * (1 << b_lat))
+    queries = (feats.filter(F.col("feature_id") % _RING_QMOD == 0)
+               .select(F.col("feature_id").alias("query_id"), "gh",
+                       (F.lit(-180.0) + (lon_i.cast("double") + 0.5)
+                        * step_lon).alias("cx"),
+                       (F.lit(-90.0) + (lat_i.cast("double") + 0.5)
+                        * step_lat).alias("cy")))
+    probes = (queries.select(
+        "query_id", "cx", "cy",
+        F.explode(geohash_ring_cells(F.col("gh"), prec)).alias("cell"))
+        .filter(F.col("cell").isNotNull()))
+    j = feats.join(F.broadcast(probes), feats["gh"] == probes["cell"])
+    dx = F.col("lon") - F.col("cx")
+    dy = F.col("lat") - F.col("cy")
+    w = F.lit(1.0) / (F.lit(1.0) + (dx * dx + dy * dy))
+    entries = F.collect_list(F.struct(
+        F.col("feature_id"), w.alias("w"), (w * F.col("v")).alias("wv")))
+    sorted_e = F.sort_array(entries)
+    sum_w = F.aggregate(sorted_e, F.lit(0.0), lambda a, e: a + e["w"])
+    sum_wv = F.aggregate(sorted_e, F.lit(0.0), lambda a, e: a + e["wv"])
+    return (j.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_src"),
+                 sum_w.alias("sum_w"), sum_wv.alias("sum_wv"))
+            .withColumn("idw", F.col("sum_wv") / F.col("sum_w")))
+
+
+def sql_idw_interpolate() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    prec = _RING_PREC
+    nbits = 5 * prec
+    b_lon, b_lat = (nbits + 1) // 2, nbits // 2
+    w_lon, w_lat = 1 << b_lon, 1 << b_lat
+    step_lon, step_lat = 360.0 / w_lon, 180.0 / w_lat
+    return f"""WITH {FEATURES_ORACLE_SQL},
+cells AS (
+  SELECT feature_id, lon, lat,
+         CAST(feature_id % 97 AS DOUBLE) AS v,
+         LEAST(GREATEST(CAST(FLOOR((lon - (-180.0)) / 360.0 * {float(w_lon)})
+               AS BIGINT), 0), {w_lon - 1}) AS lon_i,
+         LEAST(GREATEST(CAST(FLOOR((lat - (-90.0)) / 180.0 * {float(w_lat)})
+               AS BIGINT), 0), {w_lat - 1}) AS lat_i
+  FROM features
+),
+q AS (
+  SELECT feature_id AS query_id, lon_i, lat_i,
+         CAST(-180.0 AS DOUBLE)
+           + (FLOOR((lon - (-180.0)) / 360.0 * {float(w_lon)}) + 0.5)
+           * {step_lon!r} AS cx,
+         CAST(-90.0 AS DOUBLE)
+           + (FLOOR((lat - (-90.0)) / 180.0 * {float(w_lat)}) + 0.5)
+           * {step_lat!r} AS cy
+  FROM cells WHERE feature_id % {_RING_QMOD} = 0
+),
+pairs AS (
+  SELECT q.query_id, f.feature_id, q.cx, q.cy,
+         1.0 / (1.0 + ((f.lon - q.cx) * (f.lon - q.cx)
+                       + (f.lat - q.cy) * (f.lat - q.cy))) AS w,
+         (1.0 / (1.0 + ((f.lon - q.cx) * (f.lon - q.cx)
+                        + (f.lat - q.cy) * (f.lat - q.cy)))) * f.v AS wv
+  FROM q JOIN cells f
+    ON f.lat_i BETWEEN q.lat_i - 1 AND q.lat_i + 1
+   AND ((f.lon_i - q.lon_i + {w_lon}) % {w_lon}) IN (0, 1, {w_lon - 1})
+)
+SELECT query_id, COUNT(*) AS n_src,
+       list_reduce(list(w ORDER BY feature_id), (a, b) -> a + b) AS sum_w,
+       list_reduce(list(wv ORDER BY feature_id), (a, b) -> a + b) AS sum_wv,
+       list_reduce(list(wv ORDER BY feature_id), (a, b) -> a + b)
+         / list_reduce(list(w ORDER BY feature_id), (a, b) -> a + b) AS idw
+FROM pairs GROUP BY query_id"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
@@ -512,5 +606,6 @@ GEOM_QUERIES = {
     "heatmap_tiles": (q_heatmap_tiles, sql_heatmap_tiles),
     "od_flows": (q_od_flows, sql_od_flows),
     "st_cube": (q_st_cube, sql_st_cube),
+    "idw_interpolate": (q_idw_interpolate, sql_idw_interpolate),
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
 }
