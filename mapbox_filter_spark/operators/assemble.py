@@ -234,3 +234,42 @@ def st_cube(
                 coarse.select(F.lit("week").alias("grain"),
                               F.lit(z_coarse).alias("z"),
                               "x", "y", "t", "n")))
+
+
+def decayed_tile_scores(
+    df: DataFrame,
+    z: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    ts_us: str = "ts_us",
+    half_life_days: int = 7,
+    max_half_lives: int = 40,
+) -> DataFrame:
+    """Trending/hotness score per tile under exponential time decay.
+
+    The decay weight is kept EXACT: ages bucket to whole half-lives
+    (``age_days div half_life``, clamped at ``max_half_lives``) and each
+    event contributes the INTEGER ``2^(max - k)`` — i.e. the score is in
+    units of ``2^-max`` relative to a full-weight event.  Integer sums
+    are order-free and overflow-safe (≤ 2^max · n_events < 2^63), so the
+    score is bit-reproducible under any partitioning — no float pow, no
+    fold pinning.  ``t_ref`` (the "now") is the corpus max day,
+    broadcast as a single row.  One shuffle: the tile aggregate.
+    """
+    day_us = 86_400_000_000
+    x, y = tile_cols(F.col(lon), F.col(lat), F.lit(z))
+    days = df.select(x.alias("x"), y.alias("y"),
+                     F.expr(f"{ts_us} div {day_us}").alias("day"))
+    t_ref = days.agg(F.max("day").alias("t_ref"))
+    # SQL shiftleft: the python F.shiftleft wrapper only takes a literal
+    # shift amount, the SQL function takes a Column
+    w = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST({max_half_lives} - "
+        f"least((t_ref - day) div {half_life_days}, {max_half_lives}) "
+        f"AS INT))")
+    return (days.crossJoin(F.broadcast(t_ref))
+            .select("x", "y", w.alias("w"))
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("w").alias("score"))
+            .select(F.lit(z).alias("z"), "x", "y", "n_events", "score"))

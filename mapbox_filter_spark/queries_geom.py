@@ -597,6 +597,53 @@ SELECT query_id, COUNT(*) AS n_src,
 FROM pairs GROUP BY query_id"""
 
 
+def q_trending_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 trending tiles (operators/assemble.py decayed_tile_scores):
+    half-life-decayed event hotness with EXACT integer dyadic weights
+    (2^(40−half_lives), order-free sums) — the TakeOrderedAndProject
+    top-k is the scale path; ranks assigned over the 20 survivors."""
+    from pyspark.sql import Window
+
+    from .operators.assemble import decayed_tile_scores
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = ev.select(
+        (((F.col("event_id") * 7919) % 360000) / 1000.0 - 180.0)
+        .alias("lon"),
+        (((F.col("event_id") * 104729) % 170000) / 1000.0 - 85.0)
+        .alias("lat"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    scores = decayed_tile_scores(pos, z=6)
+    top = (scores.orderBy(F.col("score").desc(), "x", "y").limit(20))
+    w = Window.orderBy(F.col("score").desc(), "x", "y")
+    return top.withColumn("rank", F.row_number().over(w)) \
+              .select("rank", "z", "x", "y", "n_events", "score")
+
+
+def sql_trending_tiles() -> str:
+    from .queries import _sql_tile_x, _sql_tile_y
+
+    day_us = 86_400_000_000
+    return f"""WITH pos AS (
+  SELECT ((event_id * 7919) % 360000) / 1000.0 - 180.0 AS lon,
+         ((event_id * 104729) % 170000) / 1000.0 - 85.0 AS lat,
+         epoch_us(ts) // {day_us} AS day
+  FROM events
+),
+t AS (SELECT {_sql_tile_x(6)} AS x, {_sql_tile_y(6)} AS y, day FROM pos),
+ref AS (SELECT MAX(day) AS t_ref FROM t),
+scored AS (
+  SELECT x, y, COUNT(*) AS n_events,
+         CAST(SUM(1::BIGINT << CAST(40 - LEAST((ref.t_ref - day) // 7, 40)
+                                    AS INT)) AS BIGINT) AS score
+  FROM t, ref GROUP BY x, y
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, x, y) AS INT) AS rank,
+       6 AS z, x, y, n_events, score
+FROM scored
+ORDER BY score DESC, x, y LIMIT 20"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
@@ -607,5 +654,6 @@ GEOM_QUERIES = {
     "od_flows": (q_od_flows, sql_od_flows),
     "st_cube": (q_st_cube, sql_st_cube),
     "idw_interpolate": (q_idw_interpolate, sql_idw_interpolate),
+    "trending_tiles": (q_trending_tiles, sql_trending_tiles),
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
 }
