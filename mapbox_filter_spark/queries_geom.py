@@ -644,6 +644,56 @@ FROM scored
 ORDER BY score DESC, x, y LIMIT 20"""
 
 
+def q_polyfill_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon→tile covering (geo/tilemath.py polyfill_bbox): each
+    rectangle's bbox — derived generically from its ring via array
+    min/max — polyfills to z=6 cells (native sequence×sequence cross,
+    the H3-polyfill analogue), decoded back to (x, y) via cell_decode.
+    Arbitrary polygons bbox-polyfill then refine with the PIP kernel
+    (pip_join); this gate pins the covering itself."""
+    from .geo.tilemath import cell_decode, polyfill_bbox
+    from .queries_ext import _rect_polys
+
+    polys = _rect_polys(spark, sf_dir)
+    r = F.col("ring")
+    cells = polyfill_bbox(
+        F.array_min(F.transform(r, lambda p: p["lon"])),
+        F.array_min(F.transform(r, lambda p: p["lat"])),
+        F.array_max(F.transform(r, lambda p: p["lon"])),
+        F.array_max(F.transform(r, lambda p: p["lat"])),
+        6)
+    e = polys.select("poly_id", F.explode(cells).alias("cell"))
+    z, x, y = cell_decode(F.col("cell"))
+    return e.select("poly_id", x.alias("x"), y.alias("y"))
+
+
+def sql_polyfill_cover() -> str:
+    from .queries import _sql_tile_x, _sql_tile_y
+
+    tx = _sql_tile_x(6)
+    ty = _sql_tile_y(6)
+    return f"""WITH polys AS (
+  SELECT CAST(p_partkey AS VARCHAR) AS poly_id,
+         (p_partkey * 7013) % 340 - 170 + 0.0005 AS x0,
+         (p_partkey * 3571) % 150 - 75 + 0.0005 AS y0,
+         (p_partkey * 37) % 20 + 2 AS w,
+         (p_partkey * 53) % 14 + 2 AS h
+  FROM part WHERE p_partkey <= 30
+),
+spans AS (
+  SELECT poly_id,
+         {tx.replace("lon", "(x0)")} AS tx0,
+         {tx.replace("lon", "(x0 + w)")} AS tx1,
+         {ty.replace("lat", "(y0 + h)")} AS ty0,
+         {ty.replace("lat", "(y0)")} AS ty1
+  FROM polys
+)
+SELECT poly_id, gx.x, gy.y
+FROM spans,
+     LATERAL (SELECT unnest(range(tx0, tx1 + 1)) AS x) gx,
+     LATERAL (SELECT unnest(range(ty0, ty1 + 1)) AS y) gy"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
@@ -655,5 +705,6 @@ GEOM_QUERIES = {
     "st_cube": (q_st_cube, sql_st_cube),
     "idw_interpolate": (q_idw_interpolate, sql_idw_interpolate),
     "trending_tiles": (q_trending_tiles, sql_trending_tiles),
+    "polyfill_cover": (q_polyfill_cover, sql_polyfill_cover),
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
 }
