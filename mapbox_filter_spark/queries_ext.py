@@ -1639,6 +1639,57 @@ SELECT query_id, rank, vec_id, adc_dist FROM (
 ) WHERE rank <= {_PQ_TOPK}"""
 
 
+_PQ_SHORTLIST = 40
+
+
+def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ shortlist → exact rerank (operators/pq.py pq_rerank_topk):
+    the deploy pattern end-to-end — ADC over codes retrieves 40
+    candidates per query, ONLY those ids fetch float vectors (broadcast
+    semi-join), exact L2 reranks to top-10.  Quantized ints keep every
+    distance exact; full value-hash."""
+    from .operators.pq import pq_codebook, pq_rerank_topk, write_pq_codes
+
+    cb = pq_codebook(_PQ_M, _PQ_K, _PQ_SUB, scale=_PQ_SCALE)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * 1000)).alias("v"))
+    codes = write_pq_codes(emb, "v", cb)
+    queries = (emb.filter(F.col("vec_id") % _PQ_QMOD == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("v").alias("qvec")))
+    out = pq_rerank_topk(codes, queries, emb, cb, k=_PQ_TOPK,
+                         shortlist=_PQ_SHORTLIST, vec_col="v")
+    return out.withColumn("d2", F.col("d2").cast("long"))
+
+
+def sql_pq_rerank_topk() -> str:
+    d2 = ("list_aggregate(list_transform(list_zip(QV, CV), "
+          "p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')")
+    adc = sql_pq_adc_topk().replace(f"rank <= {_PQ_TOPK}",
+                                    f"rank <= {_PQ_SHORTLIST}")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> ROUND(x * 1000)) AS v
+  FROM embeddings
+),
+short AS (SELECT query_id, vec_id FROM ({adc})),
+scored AS (
+  SELECT s.query_id, s.vec_id,
+         CAST({d2.replace("QV", "q.v").replace("CV", "c.v")} AS BIGINT) AS d2
+  FROM short s
+  JOIN emb q ON q.vec_id = s.query_id
+  JOIN emb c ON c.vec_id = s.vec_id
+)
+SELECT query_id, rank, vec_id, d2 FROM (
+  SELECT query_id, vec_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d2, vec_id) AS rank
+  FROM scored) WHERE rank <= {_PQ_TOPK}"""
+
+
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ (operators/pq.py ivfpq_topk): coarse inverted lists with
     residual product quantization, fully oracle-checked — quantized
@@ -1756,6 +1807,7 @@ EXT_QUERIES = {
     "ivf_topk_arrow": (q_ivf_topk_arrow, sql_ivf_topk),
     "pq_adc_topk": (q_pq_adc_topk, sql_pq_adc_topk),
     "ivfpq_topk": (q_ivfpq_topk, sql_ivfpq_topk),
+    "pq_rerank_topk": (q_pq_rerank_topk, sql_pq_rerank_topk),
     "ann_lsh_topk": (q_ann_topk, sql_ann_topk),
     "ann_lsh_topk_arrow": (q_ann_topk_arrow, sql_ann_topk),
     "knn_ring": (q_knn_ring, sql_knn_ring),
