@@ -121,3 +121,53 @@ def od_flows(df: DataFrame, z: int, entity_col: str = "user_id",
             .groupBy("fx", "fy", "tx", "ty")
             .agg(F.count(F.lit(1)).alias("n_hops"))
             .select(F.lit(z).alias("z"), "fx", "fy", "tx", "ty", "n_hops"))
+
+
+def trip_segments(df: DataFrame, break_step2: int,
+                  entity_col: str = "user_id",
+                  order_cols: "tuple[str, ...]" = ("ts", "event_id"),
+                  x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Trip segmentation: split each entity's position stream where the
+    squared step exceeds ``break_step2`` (teleport/gap ⇒ new trip), then
+    profile each trip — classic telemetry sessionization in SPACE rather
+    than time (temporal.sessionize is the time twin).
+
+    ``trip_id`` is the running count of break rows (gaps-and-islands
+    cumsum over the same entity-ordered window), so the whole operator
+    is still ONE shuffle: ordering window, cumsum window, and the
+    (entity, trip) groupBy all hash on the entity key.  Per-trip path
+    length excludes the break step itself (the jump BETWEEN trips
+    belongs to neither) and folds in row order (bit-reproducible).
+    """
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    x, y = F.col(x_col), F.col(y_col)
+    dx = x - F.lag(x).over(w)
+    dy = y - F.lag(y).over(w)
+    step2 = dx * dx + dy * dy
+    base = df.select(
+        entity_col, x_col, y_col,
+        F.row_number().over(w).alias("rn"),
+        step2.alias("step2"),
+        (step2.isNull() | (step2 > F.lit(break_step2)))
+        .cast("int").alias("brk"),
+    )
+    w2 = Window.partitionBy(entity_col).orderBy("rn")
+    base = base.withColumn("trip_id", F.sum("brk").over(w2))
+    in_trip = F.col("brk") == 0
+    steps = F.collect_list(
+        F.when(in_trip,
+               F.struct(F.col("rn"),
+                        F.sqrt(F.col("step2").cast("double")).alias("s"))))
+    return (base.groupBy(entity_col, "trip_id")
+            .agg(F.count(F.lit(1)).alias("n_pts"),
+                 F.aggregate(F.sort_array(steps), F.lit(0.0),
+                             lambda a, e: a + e["s"]).alias("path_len"),
+                 F.max(F.when(in_trip, F.col("step2"))).alias("max_step2"),
+                 F.min(F.struct(F.col("rn"), x.alias("v")))["v"]
+                 .alias("start_x"),
+                 F.min(F.struct(F.col("rn"), y.alias("v")))["v"]
+                 .alias("start_y"),
+                 F.max(F.struct(F.col("rn"), x.alias("v")))["v"]
+                 .alias("end_x"),
+                 F.max(F.struct(F.col("rn"), y.alias("v")))["v"]
+                 .alias("end_y")))

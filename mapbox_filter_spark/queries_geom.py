@@ -694,6 +694,60 @@ FROM spans,
      LATERAL (SELECT unnest(range(ty0, ty1 + 1)) AS y) gy"""
 
 
+_TRIP_BREAK2 = 1_000_000
+
+
+def q_trip_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trip segmentation (operators/trajectory.py trip_segments): the
+    random walk splits where a squared step exceeds 1e6 µdeg²; per-trip
+    point count, pinned-fold path length, max in-trip step, and
+    endpoint coordinates — all on ONE entity-key shuffle."""
+    from .operators.trajectory import random_walk_positions, trip_segments
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    return trip_segments(pos, _TRIP_BREAK2)
+
+
+def sql_trip_segments() -> str:
+    m = 2 * _TRAJ_JUMP + 1
+    t = _TRIP_BREAK2
+    return f"""WITH pos AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM((event_id * 7919) % {m} - {_TRAJ_JUMP}) OVER w AS BIGINT) AS x,
+         CAST(SUM((event_id * 104729) % {m} - {_TRAJ_JUMP}) OVER w AS BIGINT) AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+st AS (
+  SELECT user_id, x, y,
+         ROW_NUMBER() OVER w2 AS rn,
+         (x - lag(x) OVER w2) * (x - lag(x) OVER w2)
+           + (y - lag(y) OVER w2) * (y - lag(y) OVER w2) AS step2
+  FROM pos
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tr AS (
+  SELECT user_id, x, y, rn, step2,
+         CASE WHEN step2 IS NULL OR step2 > {t} THEN 1 ELSE 0 END AS brk,
+         CAST(SUM(CASE WHEN step2 IS NULL OR step2 > {t} THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS trip_id
+  FROM st
+)
+SELECT user_id, trip_id, COUNT(*) AS n_pts,
+       CASE WHEN COUNT(*) FILTER (brk = 0) = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE list_reduce(list(sqrt(CAST(step2 AS DOUBLE)) ORDER BY rn)
+                               FILTER (brk = 0), (a, b) -> a + b) END
+         AS path_len,
+       CAST(MAX(CASE WHEN brk = 0 THEN step2 END) AS BIGINT) AS max_step2,
+       arg_min(x, rn) AS start_x, arg_min(y, rn) AS start_y,
+       arg_max(x, rn) AS end_x, arg_max(y, rn) AS end_y
+FROM tr GROUP BY user_id, trip_id"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
@@ -706,5 +760,6 @@ GEOM_QUERIES = {
     "idw_interpolate": (q_idw_interpolate, sql_idw_interpolate),
     "trending_tiles": (q_trending_tiles, sql_trending_tiles),
     "polyfill_cover": (q_polyfill_cover, sql_polyfill_cover),
+    "trip_segments": (q_trip_segments, sql_trip_segments),
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
 }
