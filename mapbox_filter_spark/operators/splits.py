@@ -300,3 +300,20 @@ def negative_pairs(
     neg = F.when(raw == F.col(id_col),
                  F.pmod(raw + 1, F.lit(n_ids))).otherwise(raw)
     return d.withColumn("neg_id", neg.cast("long"))
+
+
+def cap_per_group(df: DataFrame, group_cols: "Sequence[str]", k: int,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-group cap (the Gopher/RefinedWeb "cap hot
+    domains" curation stage): keep at most ``k`` rows per group, chosen
+    by md5(id) order — a uniform, cluster-shape-independent sample
+    (an unordered ``LIMIT`` per group would be nondeterministic and
+    irreproducible across partitionings).  One shuffle on the group
+    key; the md5 coordinate reuses the hash-split convention
+    (engine-identical, see _threshold)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col)
+    return (df.withColumn("cap_rank", F.row_number().over(w))
+            .filter(F.col("cap_rank") <= k))

@@ -184,3 +184,29 @@ def geohash_prefix_ranges(prefixes: list[str],
     ``pruning_ratio`` for footer-stat evidence."""
     return [(p.ljust(precision, "0"), p.ljust(precision, "z"))
             for p in prefixes]
+
+
+def compaction_plan(files: DataFrame, target: int, size_col: str = "size",
+                    order_cols: "Sequence[str]" = ("key",),
+                    partition_cols: "Sequence[str]" = ()) -> DataFrame:
+    """Small-file compaction planning: assign files to output bins of
+    ~``target`` cumulative size, walking in key order — ``bin =
+    (bytes before this file) div target``.
+
+    Key properties for a clustered store: bins are CONTIGUOUS key
+    ranges (the rewrite preserves the sort/cluster order, so min/max
+    pruning still works after compaction), the plan is deterministic
+    (pure cumsum, no packing heuristics), and no bin exceeds
+    ``target + max_file_size``.  Scoped per ``partition_cols`` when
+    given (the 100 TB shape: plan each store partition independently —
+    a global single-partition window would serialize the walk); a file
+    MANIFEST is metadata, thousands of rows per partition, so the
+    window is cheap either way."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum(size_col).over(w), F.lit(0).cast("long"))
+    return (files.withColumn("_cum_before", before)
+            .withColumn("bin", F.expr(f"_cum_before div {target}"))
+            .drop("_cum_before"))
