@@ -748,6 +748,24 @@ SELECT user_id, trip_id, COUNT(*) AS n_pts,
 FROM tr GROUP BY user_id, trip_id"""
 
 
+def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic radius join (operators/radius.py): every feature within
+    75 km of each query point.  ROWS-ONLY gate by design: the refine is
+    libm trig (haversine) whose final ulps differ across engines, so
+    boundary membership can't be value-hashed (geo/geom.py documents
+    the rule); correctness is the brute-force differential equality in
+    tests/test_radius.py."""
+    from .operators.radius import radius_join
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir).select(
+        F.col("feature_id").alias("point_id"), "lon", "lat")
+    queries = (feats.filter((F.col("point_id") % 997 == 0)
+                            & (F.abs(F.col("lat")) <= 55.0))
+               .select(F.col("point_id").alias("query_id"), "lon", "lat"))
+    return radius_join(feats, queries, 75_000.0, lat_max=60.0)
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
@@ -761,5 +779,6 @@ GEOM_QUERIES = {
     "trending_tiles": (q_trending_tiles, sql_trending_tiles),
     "polyfill_cover": (q_polyfill_cover, sql_polyfill_cover),
     "trip_segments": (q_trip_segments, sql_trip_segments),
+    "radius_join": (q_radius_join, None),
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
 }
