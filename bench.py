@@ -153,6 +153,7 @@ def run_suite(cores: int, sf_dir: str) -> dict:
     rec = None if no_micros else recall_micro(spark)
     skw = None if no_micros else skew_micro(spark)
     tmp = None if no_micros else temporal_micro(spark, sf_dir)
+    trj = None if no_micros else traj_micro(spark, sf_dir)
     lay = None if no_micros else layout_micro(spark, sf_dir)
     ghm = None if no_micros else geohash_micro(spark, sf_dir)
     dop = None if no_micros else dataops_micro(spark, sf_dir)
@@ -168,6 +169,7 @@ def run_suite(cores: int, sf_dir: str) -> dict:
         "recall_micro": rec,
         "skew_micro": skw,
         "temporal_micro": tmp,
+        "traj_micro": trj,
         "layout_micro": lay,
         "flagship_reps": [round(r, 3) for r in reps],
         "timings": timings,
@@ -353,17 +355,11 @@ def dataops_micro(spark, sf_dir: str) -> dict:
     }
 
 
-def temporal_micro(spark, sf_dir: str) -> dict:
-    """Temporal-operator throughput on a replicated events corpus
-    (~4M rows, keys scaled with the data so per-key volume stays flat):
-    as-of join (union + keyed window, one shuffle) and sessionize +
-    session_stats (lag + running sum + partial agg, one shuffle).
-    Forced with an aggregate over the carried/derived columns so column
-    pruning can't skip the work; best of 2."""
+def _events_substrate(spark, sf_dir: str):
+    """The shared ~4M-row replicated events corpus (keys scaled with the
+    data so per-key volume stays flat), materialized once per source
+    fingerprint.  Returns (df, n_rows)."""
     from pyspark.sql import functions as F
-
-    from mapbox_filter_spark.operators.temporal import (
-        asof_join, session_stats, sessionize)
 
     from mapbox_filter_spark.sources.features import _source_fingerprint
 
@@ -390,8 +386,22 @@ def temporal_micro(spark, sf_dir: str) -> dict:
              "event_type", "value")
          .repartition(32)
          .write.mode("overwrite").parquet(subst))
-    ev = spark.read.parquet(subst)
-    n_rows = n_base * rep
+    return spark.read.parquet(subst), n_base * rep
+
+
+def temporal_micro(spark, sf_dir: str) -> dict:
+    """Temporal-operator throughput on a replicated events corpus
+    (~4M rows, keys scaled with the data so per-key volume stays flat):
+    as-of join (union + keyed window, one shuffle) and sessionize +
+    session_stats (lag + running sum + partial agg, one shuffle).
+    Forced with an aggregate over the carried/derived columns so column
+    pruning can't skip the work; best of 2."""
+    from pyspark.sql import functions as F
+
+    from mapbox_filter_spark.operators.temporal import (
+        asof_join, session_stats, sessionize)
+
+    ev, n_rows = _events_substrate(spark, sf_dir)
 
     clicks = ev.filter(F.col("event_type") == "click") \
         .select("user_id", "ts", "event_id")
@@ -429,6 +439,61 @@ def temporal_micro(spark, sf_dir: str) -> dict:
         "sessionize_sec": round(sess_sec, 3),
         "sessionize_rows_per_sec": round(n_rows / sess_sec, 1),
     }
+
+
+def traj_micro(spark, sf_dir: str) -> dict:
+    """Session-5 geo-op throughput on the shared 4M-row events corpus:
+    trajectory profile (one entity-key shuffle), OD flows, heatmap
+    splat, and decayed trending — each forced with a checksum aggregate
+    so pruning can't skip the work; single run each (the corpus is
+    warm from temporal_micro)."""
+    from pyspark.sql import functions as F
+
+    from mapbox_filter_spark.operators.assemble import (
+        decayed_tile_scores, heatmap_tiles)
+    from mapbox_filter_spark.operators.trajectory import (
+        od_flows, random_walk_positions, trajectory_stats)
+
+    ev, n_rows = _events_substrate(spark, sf_dir)
+    static = ev.select(
+        "user_id", "ts", "event_id",
+        (((F.col("event_id") * 7919) % 360000) / 1000.0 - 180.0)
+        .alias("lon"),
+        (((F.col("event_id") * 104729) % 170000) / 1000.0 - 85.0)
+        .alias("lat"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+
+    out = {"n_rows": n_rows}
+
+    t0 = time.perf_counter()
+    (trajectory_stats(random_walk_positions(ev), dwell_step2=500_000)
+     .agg(F.count(F.lit(1)), F.sum("n_pts"),
+          F.sum(F.pmod("max_step2", F.lit(1_000_003)))).collect())
+    sec = time.perf_counter() - t0
+    out["traj_sec"] = round(sec, 3)
+    out["traj_rows_per_sec"] = round(n_rows / sec, 1)
+
+    t0 = time.perf_counter()
+    (od_flows(static, 6)
+     .agg(F.count(F.lit(1)), F.sum("n_hops")).collect())
+    sec = time.perf_counter() - t0
+    out["od_sec"] = round(sec, 3)
+    out["od_rows_per_sec"] = round(n_rows / sec, 1)
+
+    t0 = time.perf_counter()
+    (heatmap_tiles(static, 8)
+     .agg(F.count(F.lit(1)), F.sum("heat")).collect())
+    sec = time.perf_counter() - t0
+    out["heatmap_sec"] = round(sec, 3)
+    out["heatmap_rows_per_sec"] = round(n_rows / sec, 1)
+
+    t0 = time.perf_counter()
+    (decayed_tile_scores(static, 6)
+     .agg(F.count(F.lit(1)), F.sum("score")).collect())
+    sec = time.perf_counter() - t0
+    out["trending_sec"] = round(sec, 3)
+    out["trending_rows_per_sec"] = round(n_rows / sec, 1)
+    return out
 
 
 def layout_micro(spark, sf_dir: str) -> dict:
@@ -1108,6 +1173,7 @@ def main() -> None:
         "recall_micro": r["recall_micro"],
         "skew_micro": r["skew_micro"],
         "temporal_micro": r["temporal_micro"],
+        "traj_micro": r["traj_micro"],
         "layout_micro": r["layout_micro"],
         "geohash_micro": r["geohash_micro"],
         "dataops_micro": r["dataops_micro"],
