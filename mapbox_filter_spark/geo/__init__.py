@@ -21,6 +21,8 @@ from .tilemath import (
 )
 from .geom import (
     EARTH_RADIUS_M,
+    bearing_deg,
+    destination_point,
     haversine_m,
     polygon_bbox,
     polygon_centroid,
@@ -46,6 +48,8 @@ __all__ = [
     "rdp_keep_indices",
     "simplify_rdp",
     "EARTH_RADIUS_M",
+    "bearing_deg",
+    "destination_point",
     "haversine_m",
     "polygon_bbox",
     "polygon_centroid",

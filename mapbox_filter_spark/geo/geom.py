@@ -137,3 +137,34 @@ def haversine_m(lon1: Column, lat1: Column,
     a = (F.sin(dlat) * F.sin(dlat)
          + F.cos(rl1) * F.cos(rl2) * F.sin(dlon) * F.sin(dlon))
     return 2 * EARTH_RADIUS_M * F.asin(F.least(F.sqrt(a), F.lit(1.0)))
+
+
+def bearing_deg(lon1: Column, lat1: Column,
+                lon2: Column, lat2: Column) -> Column:
+    """Initial great-circle bearing from point 1 to point 2, degrees in
+    [0, 360).  Native trig (codegen); like haversine_m, NOT for
+    value-hash gates (libm ulps) — parity is pytest-differential."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlon = F.radians(lon2 - lon1)
+    y = F.sin(dlon) * F.cos(rl2)
+    x = (F.cos(rl1) * F.sin(rl2)
+         - F.sin(rl1) * F.cos(rl2) * F.cos(dlon))
+    return F.pmod(F.degrees(F.atan2(y, x)) + 360.0, F.lit(360.0))
+
+
+def destination_point(lon: Column, lat: Column, bearing: Column,
+                      dist_m: Column) -> Column:
+    """struct(lon, lat) reached from the start point along the initial
+    ``bearing`` (degrees) for ``dist_m`` meters on the great circle —
+    the forward geodesic on the sphere (direct problem).  Longitude
+    normalized to [-180, 180)."""
+    rl = F.radians(lat)
+    rb = F.radians(bearing)
+    ad = dist_m / F.lit(EARTH_RADIUS_M)
+    lat2 = F.asin(F.sin(rl) * F.cos(ad)
+                  + F.cos(rl) * F.sin(ad) * F.cos(rb))
+    lon2 = (F.radians(lon)
+            + F.atan2(F.sin(rb) * F.sin(ad) * F.cos(rl),
+                      F.cos(ad) - F.sin(rl) * F.sin(lat2)))
+    lon_deg = F.pmod(F.degrees(lon2) + 180.0, F.lit(360.0)) - 180.0
+    return F.struct(lon_deg.alias("lon"), F.degrees(lat2).alias("lat"))

@@ -142,3 +142,45 @@ def test_rdp_spark_matches_twin(spark):
     for lid, pts in rows:
         xs = [p["x"] for p in pts]; ys = [p["y"] for p in pts]
         assert got[lid] == rdp_keep_indices(xs, ys, 8), lid
+
+
+def _py_bearing(lon1, lat1, lon2, lat2):
+    r1, r2 = math.radians(lat1), math.radians(lat2)
+    dlon = math.radians(lon2 - lon1)
+    y = math.sin(dlon) * math.cos(r2)
+    x = (math.cos(r1) * math.sin(r2)
+         - math.sin(r1) * math.cos(r2) * math.cos(dlon))
+    return (math.degrees(math.atan2(y, x)) + 360.0) % 360.0
+
+
+def test_bearing_differential(spark):
+    from mapbox_filter_spark.geo.geom import bearing_deg
+
+    pts = [(0.0, 0.0, 10.0, 10.0), (10.0, 45.0, -120.0, -33.0),
+           (179.0, 60.0, -179.0, 59.0), (0.0, 89.0, 0.0, -89.0)]
+    df = spark.createDataFrame(
+        pts, "lon1 double, lat1 double, lon2 double, lat2 double")
+    got = df.select(bearing_deg(*[F.col(c) for c in df.columns])
+                    .alias("b")).collect()
+    for r, (lo1, la1, lo2, la2) in zip(got, pts):
+        assert math.isclose(r["b"], _py_bearing(lo1, la1, lo2, la2),
+                            rel_tol=1e-12, abs_tol=1e-9)
+
+
+def test_destination_roundtrip(spark):
+    """destination(p, bearing(p,q), haversine(p,q)) == q (inverse then
+    forward geodesic closes)."""
+    from mapbox_filter_spark.geo.geom import (
+        bearing_deg, destination_point, haversine_m)
+
+    pts = [(0.0, 0.0, 10.0, 10.0), (10.0, 45.0, 25.0, 50.0),
+           (179.0, 10.0, -179.5, 11.0)]
+    df = spark.createDataFrame(
+        pts, "lon1 double, lat1 double, lon2 double, lat2 double")
+    cols = [F.col(c) for c in df.columns]
+    d = destination_point(cols[0], cols[1],
+                          bearing_deg(*cols), haversine_m(*cols))
+    got = df.select(d.alias("d")).collect()
+    for r, (_, _, lo2, la2) in zip(got, pts):
+        assert math.isclose(r["d"]["lon"], lo2, abs_tol=1e-6)
+        assert math.isclose(r["d"]["lat"], la2, abs_tol=1e-6)
