@@ -168,3 +168,47 @@ def destination_point(lon: Column, lat: Column, bearing: Column,
                       F.cos(ad) - F.sin(rl) * F.sin(lat2)))
     lon_deg = F.pmod(F.degrees(lon2) + 180.0, F.lit(360.0)) - 180.0
     return F.struct(lon_deg.alias("lon"), F.degrees(lat2).alias("lat"))
+
+
+def line_point_at(verts: Column, frac: float) -> Column:
+    """The point at fraction ``frac`` of a polyline's length
+    (ST_LineInterpolatePoint analogue): struct(seg_i, px, py).
+
+    Entirely in-row (no shuffle): segment lengths are sqrt of exact
+    integer deltas; every cumulative sum is the LEFT FOLD of the length
+    prefix (prefix(i) recomputed per candidate — O(n²) folds, fine for
+    vertex counts that fit in a row), so an engine replaying the same
+    association reproduces the selection index and the interpolated
+    coordinates bit-for-bit.  ``seg_i`` is the 1-based segment index;
+    the crossing segment is the FIRST i with prefix(i) ≥ frac·total
+    (ties at a vertex resolve to the earlier segment, u = 1).
+    """
+    n = F.size(verts)
+
+    def seg_len(i: Column) -> Column:
+        a = F.element_at(verts, i)
+        b = F.element_at(verts, i + 1)
+        dx = (b["x"] - a["x"]).cast("double")
+        dy = (b["y"] - a["y"]).cast("double")
+        return F.sqrt(dx * dx + dy * dy)
+
+    lens = F.transform(F.sequence(F.lit(1), n - 1),
+                       lambda i: seg_len(i.cast("int")))
+
+    def prefix(cnt: Column) -> Column:
+        return F.aggregate(F.slice(lens, 1, cnt), F.lit(0.0),
+                           lambda a, b: a + b)
+
+    total = F.aggregate(lens, F.lit(0.0), lambda a, b: a + b)
+    target = total * F.lit(float(frac))
+    idx = F.element_at(
+        F.filter(F.sequence(F.lit(1), n - 1),
+                 lambda i: prefix(i) >= target), 1)
+    cum_before = F.when(idx == 1, F.lit(0.0)).otherwise(prefix(idx - 1))
+    u = (target - cum_before) / F.element_at(lens, idx)
+    a = F.element_at(verts, idx)
+    b = F.element_at(verts, idx + 1)
+    px = a["x"].cast("double") + u * (b["x"] - a["x"]).cast("double")
+    py = a["y"].cast("double") + u * (b["y"] - a["y"]).cast("double")
+    return F.struct(idx.cast("long").alias("seg_i"),
+                    px.alias("px"), py.alias("py"))

@@ -766,6 +766,82 @@ def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return radius_join(feats, queries, 75_000.0, lat_max=60.0)
 
 
+def q_line_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Midpoint-along-length of each RDP polyline (geo/geom.py
+    line_point_at): in-row pinned-fold cumulative lengths select the
+    crossing segment and lerp — the oracle replays the same left-fold
+    association through ordered window sums, so seg index and
+    interpolated doubles match bit-for-bit."""
+    from .geo.geom import line_point_at
+
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .filter(F.col("p_partkey") <= _RDP_LINES))
+    lines = part.select(F.col("p_partkey").alias("line_id"),
+                        _wiggly_verts().alias("verts"))
+    p = line_point_at(F.col("verts"), 0.5)
+    return lines.select("line_id", p["seg_i"].alias("seg_i"),
+                        p["px"].alias("px"), p["py"].alias("py"))
+
+
+def sql_line_interpolate() -> str:
+    return f"""
+WITH pts AS (
+  SELECT p_partkey AS line_id, CAST(t.i AS BIGINT) AS i,
+         CAST(t.i * 256 AS BIGINT) AS x,
+         CAST((p_partkey*37 + t.i*13) % 7
+              + CASE WHEN t.i = p_partkey % {_RDP_N} THEN 1000 ELSE 0 END
+              AS BIGINT) AS y
+  FROM part, LATERAL (SELECT unnest(range({_RDP_N})) AS i) t
+  WHERE p_partkey <= {_RDP_LINES}
+),
+seg AS (
+  SELECT line_id, i, x, y,
+         lead(x) OVER w AS nx, lead(y) OVER w AS ny
+  FROM pts WINDOW w AS (PARTITION BY line_id ORDER BY i)
+),
+lens AS (
+  SELECT line_id, i, x, y, nx, ny,
+         sqrt(CAST((nx - x) * (nx - x) + (ny - y) * (ny - y) AS DOUBLE))
+           AS len
+  FROM seg WHERE nx IS NOT NULL
+),
+lists AS (
+  -- explicit list folds, NOT window sums: a windowed SUM may aggregate
+  -- via segment tree (pairwise association) while the engine's in-row
+  -- prefix is a strict left fold — list_reduce replays the left fold
+  SELECT line_id,
+         list(len ORDER BY i) AS ll,
+         list(x ORDER BY i) AS xs, list(y ORDER BY i) AS ys,
+         list(nx ORDER BY i) AS nxs, list(ny ORDER BY i) AS nys
+  FROM lens GROUP BY line_id
+),
+m AS (
+  SELECT line_id, ll, xs, ys, nxs, nys,
+         list_reduce(ll, (a, b) -> a + b) * 0.5 AS target
+  FROM lists
+),
+cand AS (
+  SELECT m.line_id, t.k
+  FROM m, LATERAL (SELECT unnest(range(1, len(m.ll) + 1)) AS k) t
+  WHERE list_reduce(m.ll[1:CAST(t.k AS INT)], (a, b) -> a + b) >= m.target
+),
+pick AS (SELECT line_id, MIN(k) AS k FROM cand GROUP BY line_id)
+SELECT m.line_id, CAST(p.k AS BIGINT) AS seg_i,
+       m.xs[CAST(p.k AS INT)]
+         + (m.target - CASE WHEN p.k = 1 THEN CAST(0.0 AS DOUBLE)
+                            ELSE list_reduce(m.ll[1:CAST(p.k - 1 AS INT)],
+                                             (a, b) -> a + b) END)
+           / m.ll[CAST(p.k AS INT)]
+           * (m.nxs[CAST(p.k AS INT)] - m.xs[CAST(p.k AS INT)]) AS px,
+       m.ys[CAST(p.k AS INT)]
+         + (m.target - CASE WHEN p.k = 1 THEN CAST(0.0 AS DOUBLE)
+                            ELSE list_reduce(m.ll[1:CAST(p.k - 1 AS INT)],
+                                             (a, b) -> a + b) END)
+           / m.ll[CAST(p.k AS INT)]
+           * (m.nys[CAST(p.k AS INT)] - m.ys[CAST(p.k AS INT)]) AS py
+FROM pick p JOIN m USING (line_id)"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
@@ -780,5 +856,6 @@ GEOM_QUERIES = {
     "polyfill_cover": (q_polyfill_cover, sql_polyfill_cover),
     "trip_segments": (q_trip_segments, sql_trip_segments),
     "radius_join": (q_radius_join, None),
+    "line_interpolate": (q_line_interpolate, sql_line_interpolate),
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
 }
