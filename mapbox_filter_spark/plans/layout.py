@@ -210,3 +210,30 @@ def compaction_plan(files: DataFrame, target: int, size_col: str = "size",
     return (files.withColumn("_cum_before", before)
             .withColumn("bin", F.expr(f"_cum_before div {target}"))
             .drop("_cum_before"))
+
+
+def range_bounds(df: DataFrame, key_col: str, k: int,
+                 id_tiebreak: "str | None" = None) -> DataFrame:
+    """Exact equi-depth range-partition boundaries: the ``k−1`` split
+    keys that divide the input into ``k`` buckets of (near-)equal row
+    count — boundary ``j`` is the key at sorted position
+    ``floor(j·n/k)`` (1-based), i.e. what Spark's RangePartitioner
+    approximates by sampling.  This exact form is for METADATA-scale
+    inputs (manifests, cell directories — the store-layout planning
+    path); on raw data use a sample first, the exact bound computation
+    is then this same operator on the sample.  One global-order window
+    over the (small) input + a broadcast count."""
+    from pyspark.sql import Window
+
+    order = [key_col] + ([id_tiebreak] if id_tiebreak else [])
+    w = Window.orderBy(*order)
+    n = df.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = (df.select(key_col, F.row_number().over(w).alias("_rn"))
+              .crossJoin(F.broadcast(n)))
+    pos = F.expr(f"_j * _n div {k}")
+    js = F.array(*[F.lit(j) for j in range(1, k)])
+    return (ranked.select(key_col, "_rn", "_n",
+                          F.explode(js).alias("_j"))
+            .filter(F.col("_rn") == pos)
+            .select(F.col("_j").alias("bucket"),
+                    F.col(key_col).alias("boundary_key")))
