@@ -75,3 +75,59 @@ def robust_outliers(
                         F.col("_dev") * F.lit(k_den)
                         > F.col(mad_col) * F.lit(k_num))
             .drop("_dev"))
+
+
+def weighted_median(df: DataFrame, group_cols: Sequence[str],
+                    value_col: str, weight_col: str,
+                    tiebreak: str) -> DataFrame:
+    """Exact weighted median per group: the FIRST row in
+    ``(value, tiebreak)`` order whose running weight satisfies
+    ``2·cumw ≥ W`` (integer cross-multiplication — no halving, no
+    floats, deterministic on any engine).  One shuffle: both windows and
+    the implicit group key share the hash.  Weights must be positive
+    integers (quantize upstream)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(value_col, tiebreak)
+    wall = Window.partitionBy(*group_cols)
+    cum = F.sum(weight_col).over(w)
+    total = F.sum(weight_col).over(wall)
+    ranked = df.select(
+        *group_cols, value_col, weight_col, tiebreak,
+        cum.alias("_cumw"), total.alias("_w"))
+    hit = ranked.filter(2 * F.col("_cumw") >= F.col("_w"))
+    w2 = Window.partitionBy(*group_cols).orderBy(value_col, tiebreak)
+    return (hit.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") == 1)
+            .select(*group_cols,
+                    F.col(value_col).alias("wmedian"),
+                    F.col("_w").alias("total_weight")))
+
+
+def time_weighted_avg(df: DataFrame, group_cols: Sequence[str],
+                      ts_us: str, value_col: str,
+                      tiebreak: str) -> DataFrame:
+    """Hypertable-style time-weighted average per group (the
+    TimescaleDB ``time_weight('LOCF')`` aggregate): each observation
+    holds until the next one, so the mean is
+    ``Σ vᵢ·Δtᵢ / Σ Δtᵢ`` over consecutive pairs.  ``value_col`` must be
+    an integer quantization (exact products; Δt in whole seconds keeps
+    the accumulator < 2^63), so numerator and denominator are exact
+    order-free integer sums and only the final division is IEEE —
+    bit-reproducible.  The last observation of a group carries no
+    interval (standard LOCF-TWA).  ``tiebreak`` makes the ordering
+    total when timestamps repeat.  One shuffle (window + groupBy share
+    the key)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(ts_us, tiebreak)
+    hops = df.select(
+        *group_cols, F.col(value_col).alias("_v"),
+        (F.lead(ts_us).over(w) - F.col(ts_us)).alias("_dt_us"))
+    hops = hops.withColumn("_dt", F.expr("_dt_us div 1000000"))
+    return (hops.filter(F.col("_dt").isNotNull())
+            .groupBy(*group_cols)
+            .agg(F.sum(F.col("_v") * F.col("_dt")).alias("twa_num"),
+                 F.sum("_dt").alias("twa_den"))
+            .withColumn("twa", F.col("twa_num").cast("double")
+                        / F.col("twa_den").cast("double")))

@@ -654,3 +654,41 @@ class _dynamic_overwrite:
     def __exit__(self, *exc):
         self.spark.conf.set(self._KEY, self.prev)
         return False
+
+
+def gapfill_locf(
+    df: DataFrame,
+    on: "list[str]",
+    ts_us: str = "ts_us",
+    tick_us: int = 86_400_000_000,
+    tiebreak: "str | None" = None,
+) -> DataFrame:
+    """Regular-grid LOCF resample — the hypertable
+    ``time_bucket_gapfill(...) + locf()`` shape: for every key, a dense
+    tick grid spanning its own [min, max] bucket range, each tick
+    carrying the last observation at or before the tick's END.
+
+    Implemented as grid-generation (bounded ``sequence`` explode off a
+    per-key min/max aggregate) + the as-of union trick (asof_join) — so
+    the whole gap-fill is the as-of join's ONE keyed shuffle plus the
+    tiny bounds aggregate, never a per-key range join.  Right payload
+    columns come back suffixed ``_r`` (asof_join convention); ticks
+    before a key's first observation cannot exist by construction, so
+    every grid row matches.
+
+    ``ts_us`` is epoch MICROS (long).  asof_join normalizes its ts
+    columns through a timestamp cast, and a long→timestamp cast reads
+    SECONDS (overflowing on micros), so both sides are materialized as
+    real timestamps via ``timestamp_micros`` before the join — exact,
+    since unix_micros(timestamp_micros(x)) == x.
+    """
+    bounds = df.groupBy(*on).agg(
+        F.expr(f"min({ts_us}) div {tick_us}").alias("_k0"),
+        F.expr(f"max({ts_us}) div {tick_us}").alias("_k1"))
+    grid = (bounds.select(*on, F.explode(
+        F.sequence(F.col("_k0"), F.col("_k1"))).alias("tick"))
+        .withColumn("ts", F.timestamp_micros(
+            (F.col("tick") + 1) * F.lit(tick_us) - 1)))
+    right = df.withColumn("ts", F.timestamp_micros(F.col(ts_us))) \
+              .drop(ts_us)
+    return asof_join(grid, right, on=on, tiebreak=tiebreak)

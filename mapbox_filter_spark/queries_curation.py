@@ -170,9 +170,92 @@ SELECT d.lang, d.source, d.doc_id, d.n_chars, d.med, m.mad,
 FROM d JOIN mad m USING (lang, source)"""
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median of event value (cents) per event_type,
+    weight = 1 + event_id % 7 — integer cross-multiplied threshold
+    (2·cumw ≥ W), first-in-order pick, fully deterministic."""
+    from pyspark.sql import functions as F
+
+    from .operators.stats import weighted_median
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (1 + F.col("event_id") % 7).alias("wgt"))
+    return weighted_median(ev, ["event_type"], "cents", "wgt",
+                           tiebreak="event_id")
+
+
+def sql_weighted_median() -> str:
+    return """
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         1 + event_id % 7 AS wgt
+  FROM events
+),
+ranked AS (
+  SELECT event_type, cents, wgt,
+         CAST(SUM(wgt) OVER (PARTITION BY event_type
+              ORDER BY cents, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cumw,
+         CAST(SUM(wgt) OVER (PARTITION BY event_type) AS BIGINT) AS w,
+         event_id
+  FROM ev
+)
+SELECT event_type, cents AS wmedian, w AS total_weight FROM (
+  SELECT event_type, cents, w,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rn
+  FROM ranked WHERE 2 * cumw >= w
+) WHERE rn = 1"""
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted average of event value per user (the
+    TimescaleDB time_weight aggregate): exact integer cents·seconds
+    sums, one IEEE division at the end."""
+    from pyspark.sql import functions as F
+
+    from .operators.stats import time_weighted_avg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    return time_weighted_avg(ev, ["user_id"], "ts_us", "cents",
+                             tiebreak="event_id")
+
+
+def sql_time_weighted_avg() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+hops AS (
+  SELECT user_id, cents,
+         (lead(ts_us) OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) - ts_us)
+           // 1000000 AS dt
+  FROM ev
+)
+SELECT user_id,
+       CAST(SUM(cents * dt) AS BIGINT) AS twa_num,
+       CAST(SUM(dt) AS BIGINT) AS twa_den,
+       CAST(CAST(SUM(cents * dt) AS BIGINT) AS DOUBLE)
+         / CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE) AS twa
+FROM hops WHERE dt IS NOT NULL
+GROUP BY user_id"""
+
+
 CURATION_QUERIES = {
     "span_dedup": (q_span_dedup, sql_span_dedup),
     "decontaminate": (q_decontaminate, sql_decontaminate),
     "caption_pairs": (q_caption_pairs, sql_caption_pairs),
     "robust_outliers": (q_robust_outliers, sql_robust_outliers),
+    "weighted_median": (q_weighted_median, sql_weighted_median),
+    "time_weighted_avg": (q_time_weighted_avg, sql_time_weighted_avg),
 }

@@ -355,8 +355,61 @@ SELECT event_type,
 FROM events GROUP BY event_type"""
 
 
+_GF_TICK_US = 86_400_000_000
+
+
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily LOCF gap-fill per user (operators/temporal.py
+    gapfill_locf = time_bucket_gapfill + locf): every day in the user's
+    own span carries the value cents of the last event at or before the
+    day's end.  Oracle: DuckDB's NATIVE ASOF LEFT JOIN against a
+    generated grid — an independent engine's as-of semantics."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    from .operators.temporal import gapfill_locf
+
+    dedup = (ev.groupBy("user_id", "ts_us")
+             .agg(F.max("event_id").alias("event_id"),
+                  F.max_by("cents", "event_id").alias("cents")))
+    out = gapfill_locf(dedup, on=["user_id"], tick_us=_GF_TICK_US,
+                       tiebreak="event_id")
+    return out.select("user_id", "tick",
+                      F.col("cents_r").alias("locf_cents"),
+                      F.col("event_id_r").alias("src_event_id"))
+
+
+def sql_gapfill_locf() -> str:
+    t = _GF_TICK_US
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+dedup AS (
+  SELECT user_id, ts_us, MAX(event_id) AS event_id,
+         arg_max(cents, event_id) AS cents
+  FROM ev GROUP BY user_id, ts_us
+),
+b AS (
+  SELECT user_id, MIN(ts_us) // {t} AS k0, MAX(ts_us) // {t} AS k1
+  FROM dedup GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, g.tick, (g.tick + 1) * {t} - 1 AS gts
+  FROM b, LATERAL (SELECT unnest(range(k0, k1 + 1)) AS tick) g
+)
+SELECT g.user_id, g.tick, d.cents AS locf_cents,
+       d.event_id AS src_event_id
+FROM grid g ASOF LEFT JOIN dedup d
+  ON g.user_id = d.user_id AND g.gts >= d.ts_us"""
+
+
 TEMPORAL_QUERIES = {
     "asof_join": (q_asof_join, sql_asof_join),
+    "gapfill_locf": (q_gapfill_locf, sql_gapfill_locf),
     "interval_join": (q_interval_join, sql_interval_join),
     "sessionize": (q_sessionize, sql_sessionize),
     "time_rollup": (q_time_rollup, sql_time_rollup),

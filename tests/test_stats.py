@@ -65,3 +65,86 @@ def test_k_validation(spark, grouped):
         robust_outliers(grouped, ["g"], "v", k=(-1, 1))
     with pytest.raises(ValueError):
         robust_outliers(grouped, ["g"], "v", k=(1, 0))
+
+
+# ---------------------------------------------------------------- weighted
+
+
+def _py_wmedian(pairs):
+    """First value in (v, tie) order with 2*cumw >= W."""
+    total = sum(w for _, _, w in pairs)
+    cum = 0
+    for v, _t, w in sorted(pairs, key=lambda p: (p[0], p[1])):
+        cum += w
+        if 2 * cum >= total:
+            return v, total
+    raise AssertionError("empty group")
+
+
+def test_weighted_median_differential(spark):
+    import random
+
+    from mapbox_filter_spark.operators.stats import weighted_median
+
+    rng = random.Random(7)
+    rows = [(f"g{rng.randrange(5)}", i, rng.randrange(-50, 50),
+             rng.randrange(1, 9)) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, id int, v long, w long")
+    got = {r["g"]: (r["wmedian"], r["total_weight"])
+           for r in weighted_median(df, ["g"], "v", "w", "id").collect()}
+    by_g = {}
+    for g, i, v, w in rows:
+        by_g.setdefault(g, []).append((v, i, w))
+    assert got == {g: _py_wmedian(ps) for g, ps in by_g.items()}
+
+
+def test_weighted_median_unit_weights_match_rank_median(spark, grouped):
+    from mapbox_filter_spark.operators.stats import weighted_median
+
+    df = grouped.withColumn("w", F.lit(1).cast("long"))
+    wm = {r["g"]: r["wmedian"]
+          for r in weighted_median(df, ["g"], "v", "w", "id").collect()}
+    med = {r["g"]: r["med"]
+           for r in group_rank_median(grouped, ["g"], "v").collect()}
+    assert wm == med  # 2*cumw >= W is the LOWER-median rule at w == 1
+
+
+def test_weighted_median_partitioning_independent(spark, grouped):
+    from mapbox_filter_spark.operators.stats import weighted_median
+
+    df = grouped.withColumn("w", (1 + F.col("id") % 3).cast("long"))
+    a = sorted(map(tuple, weighted_median(
+        df.repartition(1), ["g"], "v", "w", "id").collect()))
+    b = sorted(map(tuple, weighted_median(
+        df.repartition(13), ["g"], "v", "w", "id").collect()))
+    assert a == b
+
+
+def test_time_weighted_avg_crafted(spark):
+    from mapbox_filter_spark.operators.stats import time_weighted_avg
+
+    us = 1_000_000
+    # key k: v=10 holds 3 s, v=20 holds 1 s, last obs carries nothing
+    rows = [("k", 1, 0 * us, 10), ("k", 2, 3 * us, 20),
+            ("k", 3, 4 * us, 99),
+            # single-observation key: no interval -> absent from output
+            ("solo", 4, 5 * us, 7)]
+    df = spark.createDataFrame(
+        rows, "g string, id long, ts_us long, v long")
+    out = {r["g"]: (r["twa_num"], r["twa_den"], r["twa"])
+           for r in time_weighted_avg(df, ["g"], "ts_us", "v", "id")
+           .collect()}
+    assert out == {"k": (10 * 3 + 20 * 1, 4, 12.5)}
+
+
+def test_time_weighted_avg_equal_ts_tiebreak(spark):
+    from mapbox_filter_spark.operators.stats import time_weighted_avg
+
+    us = 1_000_000
+    # two obs at t=0: tiebreak id orders (5 then 10); the 5->10 hop is
+    # zero-length so only v=10 accrues over [0, 2s)
+    rows = [("k", 1, 0, 5), ("k", 2, 0, 10), ("k", 3, 2 * us, 0)]
+    df = spark.createDataFrame(
+        rows, "g string, id long, ts_us long, v long")
+    row = time_weighted_avg(df, ["g"], "ts_us", "v", "id").collect()[0]
+    assert (row["twa_num"], row["twa_den"], row["twa"]) == (20, 2, 10.0)

@@ -521,3 +521,33 @@ def test_funnel_validations(spark, tdata):
     ev = spark.createDataFrame(lpd)
     with pytest.raises(ValueError, match="2 steps"):
         funnel(ev, ["key"], step_col="l_id", steps=["a"])
+
+
+def test_gapfill_locf_crafted(spark):
+    from mapbox_filter_spark.operators.temporal import gapfill_locf
+
+    tick = 10_000_000  # 10 s grid
+    # key a: obs in ticks 0 and 3 -> grid 0..3, ticks 1-2 carry v=1
+    rows = [("a", 1, 2_000_000, 1), ("a", 2, 31_000_000, 4),
+            ("b", 3, 5_000_000, 9)]
+    df = spark.createDataFrame(
+        rows, "g string, id long, ts_us long, v long")
+    out = gapfill_locf(df, on=["g"], tick_us=tick, tiebreak="id")
+    got = {(r["g"], r["tick"]): (r["v_r"], r["id_r"])
+           for r in out.collect()}
+    assert got == {
+        ("a", 0): (1, 1), ("a", 1): (1, 1), ("a", 2): (1, 1),
+        ("a", 3): (4, 2), ("b", 0): (9, 3)}
+
+
+def test_gapfill_locf_tick_boundary_inclusive(spark):
+    from mapbox_filter_spark.operators.temporal import gapfill_locf
+
+    tick = 1_000_000
+    # obs exactly at a tick END (ts = 2*tick - 1) belongs to tick 1
+    rows = [("k", 1, 0, 10), ("k", 2, 2 * tick - 1, 20)]
+    df = spark.createDataFrame(
+        rows, "g string, id long, ts_us long, v long")
+    got = {r["tick"]: r["v_r"] for r in gapfill_locf(
+        df, on=["g"], tick_us=tick, tiebreak="id").collect()}
+    assert got == {0: 10, 1: 20}
