@@ -842,6 +842,98 @@ SELECT m.line_id, CAST(p.k AS BIGINT) AS seg_i,
 FROM pick p JOIN m USING (line_id)"""
 
 
+# hex grid: 1/64 of the unit mercator square per circumradius — ~3.5k
+# occupied cells over ~60k sf0.01 features (≈17 features/cell), so the
+# cube-round fix path and multi-feature cells are both exercised.
+_HEX_SIZE = 1.0 / 64.0
+
+
+def q_hex_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hexagonal cell binning (geo/hex.py — the H3-family half of the
+    north rule's "H3/S2 index"): pointy-top axial cells on the unit
+    mercator plane via cube rounding, all whole-stage codegen.  The
+    DuckDB oracle replays the identical IEEE chain (mercator → fractional
+    axial → floor(x+0.5) round → largest-residual fix), so the
+    value-hash match proves every cell id bit-for-bit, including rows
+    that take the fix_q / fix_r correction branches."""
+    from .geo.hex import hex_axial, hex_cell_id
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir)
+    hq, hr = hex_axial(F.col("lon"), F.col("lat"), _HEX_SIZE)
+    return (feats.select(hq.alias("hq"), hr.alias("hr"), "feature_id")
+            .groupBy("hq", "hr")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("feature_id").alias("sum_fid"))
+            .withColumn("hex_id", hex_cell_id(F.col("hq"), F.col("hr"))))
+
+
+def sql_hex_assign() -> str:
+    from .geo.hex import sql_hex_axial
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    return f"""WITH {FEATURES_ORACLE_SQL},
+cells AS (
+  SELECT {sql_hex_axial(_HEX_SIZE)}, feature_id FROM features
+)
+SELECT hq, hr, COUNT(*) AS n, CAST(SUM(feature_id) AS BIGINT) AS sum_fid,
+       hq * 4294967296 + hr AS hex_id
+FROM cells GROUP BY hq, hr"""
+
+
+def q_hex_ring_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=1 hex-disk smoothing — the kernel aggregation hexagonal grids
+    exist for (uniform 6-adjacency, one neighbor distance): each
+    occupied cell splats its count/weight to its 7-cell disk via a
+    7-row literal explode, one groupBy on the target key.  Corpus
+    features shuffle ONCE (the binning agg); the splat re-aggregates
+    the ~3.5k occupied CELLS, not the rows — the same
+    aggregate-then-splat discipline as heatmap_tiles.  The oracle joins
+    the cell table against the offset VALUES list in integer coordinate
+    space, proving the splat equals the disk neighborhood sum."""
+    from .geo.hex import hex_axial, hex_disk_offsets
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir)
+    hq, hr = hex_axial(F.col("lon"), F.col("lat"), _HEX_SIZE)
+    cells = (feats.select(hq.alias("hq"), hr.alias("hr"), "feature_id")
+             .groupBy("hq", "hr")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("feature_id").alias("sum_fid")))
+    offs = F.array(*[
+        F.struct(F.lit(dq).cast("long").alias("dq"),
+                 F.lit(dr).cast("long").alias("dr"))
+        for dq, dr in hex_disk_offsets(1)])
+    splat = cells.select(
+        "n", "sum_fid", F.explode(offs).alias("o"),
+        (F.col("hq") + F.col("o.dq")).alias("thq"),
+        (F.col("hr") + F.col("o.dr")).alias("thr"))
+    return (splat.groupBy(F.col("thq").alias("hq"),
+                          F.col("thr").alias("hr"))
+            .agg(F.sum("n").alias("disk_n"),
+                 F.sum("sum_fid").alias("disk_fid")))
+
+
+def sql_hex_ring_agg() -> str:
+    from .geo.hex import hex_disk_offsets, sql_hex_axial
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    offs = ", ".join(f"({dq}, {dr})" for dq, dr in hex_disk_offsets(1))
+    return f"""WITH {FEATURES_ORACLE_SQL},
+pts AS (
+  SELECT {sql_hex_axial(_HEX_SIZE)}, feature_id FROM features
+),
+cells AS (
+  SELECT hq, hr, COUNT(*) AS n, CAST(SUM(feature_id) AS BIGINT) AS sum_fid
+  FROM pts GROUP BY hq, hr
+),
+offs(dq, dr) AS (VALUES {offs})
+SELECT c.hq + o.dq AS hq, c.hr + o.dr AS hr,
+       CAST(SUM(c.n) AS BIGINT) AS disk_n,
+       CAST(SUM(c.sum_fid) AS BIGINT) AS disk_fid
+FROM cells c, offs o GROUP BY 1, 2"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
@@ -856,6 +948,8 @@ GEOM_QUERIES = {
     "polyfill_cover": (q_polyfill_cover, sql_polyfill_cover),
     "trip_segments": (q_trip_segments, sql_trip_segments),
     "radius_join": (q_radius_join, None),
+    "hex_assign": (q_hex_assign, sql_hex_assign),
+    "hex_ring_agg": (q_hex_ring_agg, sql_hex_ring_agg),
     "line_interpolate": (q_line_interpolate, sql_line_interpolate),
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
 }
