@@ -1,0 +1,151 @@
+"""Density-based spatial clustering (DBSCAN) as a grid self-join plus
+connected components — distributed, no pairwise O(n²) stage.
+
+The reference engine has no clustering operator; this is graft-mandated
+spatial-analytics surface (SURVEY §2.4 neighborhood family): hotspot
+extraction, stay-region mining, and near-duplicate *location* grouping
+all reduce to DBSCAN over cell-indexed points.
+
+Algorithm (Ester et al., KDD'96, re-derived for DataFrames):
+
+1. **Candidate pairs** — bin points into ``eps``-sized grid cells
+   (floor division via ``pmod``, exact for any sign); the probe side
+   explodes each point to its 3×3 cell block and equi-joins the plain
+   side on the cell key.  Every neighbor pair (dist² ≤ eps²) appears in
+   exactly one cell-pair, directed both ways.  This is the ONLY place
+   the corpus shuffles: one hash exchange per side on the cell key; the
+   refine predicate is integer arithmetic in the join condition.
+2. **Cores** — neighbor counts per point (map-side combinable);
+   ``count + 1 ≥ min_pts`` (the point itself is in its own
+   ε-neighborhood, the KDD'96 convention).
+3. **Clusters** — connected components (operators/graph.py
+   large-star/small-star — min-agg + join rounds, giant-cluster-safe)
+   over the core↔core edge subset; a core with no core neighbor is its
+   own singleton cluster.  Labels are the component MINIMUM core id —
+   deterministic under any partitioning.
+4. **Borders** — non-core points with ≥1 core neighbor join the MINIMUM
+   label among their core neighbors (the deterministic tie-break for
+   the KDD'96 "first scanner wins" order-dependence; documented
+   deviation, value-hash-stable).  Everything else is noise
+   (label NULL).
+
+Coordinates must be exact integers (quantize upstream — the gate uses
+the feature lattice's own milli-degree integers) so the distance
+predicate, counts, and labels are bit-identical on any engine: the
+DuckDB oracle recomputes all four stages from the same integers,
+including the recursive-CTE component closure.
+
+At 100 TB: stage 1 is the standard spatial-grid join (cell key scatter
+×9 on one side only, id+coords payload); stages 2-4 are keyed
+aggregations and the CC loop is O(log² n) rounds of min-agg + join on
+the (much smaller) core-edge set.  Skewed cells (urban hotspots) are
+ordinary skewed join keys — AQE splits them, or pre-salt with
+operators/joins.salted_join on the cell key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .graph import connected_components
+
+__all__ = ["dbscan", "grid_neighbor_pairs"]
+
+
+def _floor_div(c: F.Column, d: int) -> F.Column:
+    # (c - pmod(c, d)) / d: true floor division for either sign —
+    # integer-exact (|c| < 2^53 through the double divide), unlike
+    # `div`'s truncation toward zero which breaks cell adjacency at 0.
+    return ((c - F.pmod(c, F.lit(d))) / F.lit(d)).cast("long")
+
+
+def grid_neighbor_pairs(
+    pts: DataFrame,
+    eps: int,
+    *,
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Directed neighbor pairs ``(i, j)`` with
+    ``0 < (xi−xj)² + (yi−yj)² ≤ eps²`` — each unordered pair emitted in
+    both directions (what neighbor counting and border attachment
+    consume).  Integer coordinates; one shuffle per side on the
+    eps-grid cell key; ×9 row expansion on the probe side only."""
+    if eps <= 0:
+        raise ValueError("eps must be a positive integer")
+    eps2 = eps * eps
+    base = pts.select(
+        F.col(id_col).alias("i"),
+        F.col(x).alias("_xi"), F.col(y).alias("_yi"),
+        _floor_div(F.col(x), eps).alias("_cx"),
+        _floor_div(F.col(y), eps).alias("_cy"))
+    offs = F.array(*[
+        F.struct(F.lit(dx).cast("long").alias("dx"),
+                 F.lit(dy).cast("long").alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    probe = (pts.select(
+        F.col(id_col).alias("j"),
+        F.col(x).alias("_xj"), F.col(y).alias("_yj"),
+        _floor_div(F.col(x), eps).alias("_jcx"),
+        _floor_div(F.col(y), eps).alias("_jcy"),
+        F.explode(offs).alias("_o"))
+        .select("j", "_xj", "_yj",
+                (F.col("_jcx") + F.col("_o.dx")).alias("_px"),
+                (F.col("_jcy") + F.col("_o.dy")).alias("_py")))
+    d2 = ((F.col("_xi") - F.col("_xj")) * (F.col("_xi") - F.col("_xj"))
+          + (F.col("_yi") - F.col("_yj")) * (F.col("_yi") - F.col("_yj")))
+    return (base.join(probe,
+                      (base["_cx"] == probe["_px"])
+                      & (base["_cy"] == probe["_py"])
+                      & (F.col("i") != F.col("j"))
+                      & (d2 <= F.lit(eps2)))
+            .select("i", "j"))
+
+
+def dbscan(
+    pts: DataFrame,
+    eps: int,
+    min_pts: int,
+    *,
+    id_col: str = "id",
+    x: str = "x",
+    y: str = "y",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """``(id, label, role)`` per input point: role ∈ core/border/noise,
+    label = cluster id (minimum member core id; NULL for noise)."""
+    if min_pts < 1:
+        raise ValueError("min_pts must be >= 1")
+    pairs = grid_neighbor_pairs(pts, eps, id_col=id_col, x=x, y=y)
+    pairs = pairs.localCheckpoint()  # consumed 3× below; cut the 9× join
+    cnt = pairs.groupBy("i").agg(F.count(F.lit(1)).alias("_nn"))
+    ids = pts.select(F.col(id_col).alias("i"))
+    cores = (ids.join(cnt, "i", "left")
+             .filter(F.coalesce(F.col("_nn"), F.lit(0)) + 1 >= min_pts)
+             .select("i"))
+
+    core_edges = (pairs
+                  .join(cores.withColumnRenamed("i", "j"), "j", "semi")
+                  .join(cores, "i", "semi"))
+    cc = connected_components(core_edges, src="i", dst="j",
+                              max_rounds=max_rounds)
+    core_labels = (cores.join(cc.withColumnRenamed("node", "i"), "i", "left")
+                   .select("i", F.coalesce("component", F.col("i"))
+                           .alias("label")))
+
+    borders = (pairs
+               .join(ids.join(cores, "i", "anti"), "i", "semi")
+               .join(core_labels.withColumnRenamed("i", "j"), "j")
+               .groupBy("i")
+               .agg(F.min("label").alias("label")))
+
+    out_core = core_labels.withColumn("role", F.lit("core"))
+    out_border = borders.withColumn("role", F.lit("border"))
+    out_noise = (ids.join(cores, "i", "anti")
+                 .join(borders.select("i"), "i", "anti")
+                 .select("i", F.lit(None).cast("long").alias("label"),
+                         F.lit("noise").alias("role")))
+    return (out_core.unionByName(out_border).unionByName(out_noise)
+            .withColumnRenamed("i", id_col))

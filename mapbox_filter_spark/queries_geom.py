@@ -934,6 +934,73 @@ SELECT c.hq + o.dq AS hq, c.hr + o.dr AS hr,
 FROM cells c, offs o GROUP BY 1, 2"""
 
 
+# DBSCAN gate: milli-degree integer lattice coords straight from the
+# feature_id hash (no doubles anywhere), eps 5000 / min_pts 4 over the
+# %23 subsample — ~35% cores, 171 clusters, borders and noise all
+# populated, and the oracle's reachability closure stays small.
+_DBSCAN_EPS = 5000
+_DBSCAN_MINPTS = 4
+_DBSCAN_QMOD = 23
+
+
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-accelerated DBSCAN (operators/cluster.py): eps-cell 3×3
+    candidate join → integer distance refine → core flags → connected
+    components over core-core edges → border attachment by minimum
+    neighbor label.  All-integer pipeline, so the DuckDB oracle — brute
+    O(n²) neighbor join + recursive-CTE reachability + the same border
+    MIN rule — matches by full value hash: every point's role AND
+    cluster label, including noise NULLs.  feature_id is NON-unique in
+    the synthetic lineitem (45832/60000 distinct), so the sample is
+    deduped by id on both sides before clustering."""
+    from .operators.cluster import dbscan
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir)
+    pts = (feats.filter(F.col("feature_id") % _DBSCAN_QMOD == 0)
+           .select(F.col("feature_id").alias("id"),
+                   F.pmod(F.col("feature_id") * 7919,
+                          F.lit(360000)).alias("x"),
+                   F.pmod(F.col("feature_id") * 104729,
+                          F.lit(170000)).alias("y"))
+           .distinct())
+    return dbscan(pts, _DBSCAN_EPS, _DBSCAN_MINPTS, id_col="id")
+
+
+def sql_dbscan_clusters() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    eps2 = _DBSCAN_EPS * _DBSCAN_EPS
+    return f"""WITH RECURSIVE {FEATURES_ORACLE_SQL},
+pts AS (SELECT DISTINCT feature_id AS id,
+        (feature_id*7919)%360000 AS x, (feature_id*104729)%170000 AS y
+        FROM features WHERE feature_id % {_DBSCAN_QMOD} = 0),
+pairs AS (SELECT a.id i, b.id j FROM pts a JOIN pts b
+          ON a.id <> b.id
+         AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= {eps2}),
+cnt AS (SELECT i, COUNT(*) n FROM pairs GROUP BY i),
+core AS (SELECT p.id FROM pts p JOIN cnt c ON c.i = p.id
+         WHERE c.n + 1 >= {_DBSCAN_MINPTS}),
+ce AS (SELECT p.i, p.j FROM pairs p
+       JOIN core a ON a.id = p.i JOIN core b ON b.id = p.j),
+r AS (SELECT id AS node, id AS comp FROM core
+      UNION
+      SELECT ce.j, r.comp FROM r JOIN ce ON ce.i = r.node),
+lab AS (SELECT node AS id, MIN(comp) AS label FROM r GROUP BY node),
+bord AS (SELECT p.i AS id, MIN(l.label) AS label
+         FROM pairs p JOIN core c ON c.id = p.j JOIN lab l ON l.id = p.j
+         LEFT JOIN core me ON me.id = p.i
+         WHERE me.id IS NULL GROUP BY p.i)
+SELECT id, label, 'core' AS role FROM lab
+UNION ALL
+SELECT id, label, 'border' AS role FROM bord
+UNION ALL
+SELECT p.id, CAST(NULL AS BIGINT) AS label, 'noise' AS role
+FROM pts p LEFT JOIN core c ON c.id = p.id
+           LEFT JOIN bord b ON b.id = p.id
+WHERE c.id IS NULL AND b.id IS NULL"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
@@ -950,6 +1017,7 @@ GEOM_QUERIES = {
     "radius_join": (q_radius_join, None),
     "hex_assign": (q_hex_assign, sql_hex_assign),
     "hex_ring_agg": (q_hex_ring_agg, sql_hex_ring_agg),
+    "dbscan_clusters": (q_dbscan_clusters, sql_dbscan_clusters),
     "line_interpolate": (q_line_interpolate, sql_line_interpolate),
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
 }

@@ -1,0 +1,139 @@
+"""operators/cluster.py — grid DBSCAN vs a brute-force python twin."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapbox_filter_spark.operators.cluster import dbscan, grid_neighbor_pairs
+
+
+def _py_dbscan(pts, eps, min_pts):
+    """Brute-force twin with the same deterministic rules: labels are
+    component-min core ids; borders take the min label among their core
+    neighbors; everything else noise (None)."""
+    eps2 = eps * eps
+    nbrs = {i: set() for i, _, _ in pts}
+    for i, xi, yi in pts:
+        for j, xj, yj in pts:
+            if i != j and (xi - xj) ** 2 + (yi - yj) ** 2 <= eps2:
+                nbrs[i].add(j)
+    cores = {i for i in nbrs if len(nbrs[i]) + 1 >= min_pts}
+    label = {}
+    for seed in sorted(cores):
+        if seed in label:
+            continue
+        comp, stack = [], [seed]
+        seen = {seed}
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in nbrs[u]:
+                if v in cores and v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        m = min(comp)
+        for u in comp:
+            label[u] = m
+    out = {}
+    for i in nbrs:
+        if i in cores:
+            out[i] = (label[i], "core")
+        else:
+            core_nb = [label[j] for j in nbrs[i] if j in cores]
+            out[i] = ((min(core_nb), "border") if core_nb
+                      else (None, "noise"))
+    return out
+
+
+def _spark_dbscan(spark, pts, eps, min_pts, parts=4):
+    df = spark.createDataFrame(pts, "id long, x long, y long") \
+              .repartition(parts)
+    return {r["id"]: (r["label"], r["role"])
+            for r in dbscan(df, eps, min_pts).collect()}
+
+
+def test_crafted_clusters(spark):
+    # two dense blobs, a bridge border point, and an outlier
+    pts = [
+        (1, 0, 0), (2, 3, 0), (3, 0, 3), (4, 3, 3),           # blob A
+        (10, 100, 100), (11, 103, 100), (12, 100, 103), (13, 103, 103),
+        (20, 8, 0),             # border: near blob A's (3,0) core only
+        (30, 500, 500),         # noise
+    ]
+    got = _spark_dbscan(spark, pts, eps=5, min_pts=4)
+    want = _py_dbscan(pts, 5, 4)
+    assert got == want
+    assert got[1] == (1, "core")
+    assert got[10] == (10, "core")
+    assert got[20] == (1, "border")
+    assert got[30] == (None, "noise")
+
+
+@pytest.mark.parametrize("seed,eps,min_pts", [(1, 40, 3), (2, 25, 4),
+                                              (3, 60, 5)])
+def test_random_differential(spark, seed, eps, min_pts):
+    rng = random.Random(seed)
+    # clustered generator: 12 centers, gaussian-ish scatter, plus noise
+    centers = [(rng.randrange(0, 2000), rng.randrange(0, 2000))
+               for _ in range(12)]
+    pts = []
+    i = 0
+    for cx, cy in centers:
+        for _ in range(rng.randrange(3, 15)):
+            pts.append((i, cx + rng.randrange(-30, 31),
+                        cy + rng.randrange(-30, 31)))
+            i += 1
+    for _ in range(40):
+        pts.append((i, rng.randrange(0, 2000), rng.randrange(0, 2000)))
+        i += 1
+    assert _spark_dbscan(spark, pts, eps, min_pts) == \
+        _py_dbscan(pts, eps, min_pts)
+
+
+def test_negative_coordinates(spark):
+    # floor-div cells must stay adjacent across 0 (truncating div would
+    # make cell 0 span 2*eps and miss neighbors at the boundary)
+    pts = [(1, -2, 0), (2, 2, 0), (3, -2, 3), (4, 2, 3), (5, -9, 0)]
+    got = _spark_dbscan(spark, pts, eps=5, min_pts=4)
+    assert got == _py_dbscan(pts, 5, 4)
+    assert got[1][1] == "core"
+
+
+def test_partitioning_independent(spark):
+    rng = random.Random(9)
+    pts = [(i, rng.randrange(0, 300), rng.randrange(0, 300))
+           for i in range(150)]
+    a = _spark_dbscan(spark, pts, 20, 4, parts=1)
+    b = _spark_dbscan(spark, pts, 20, 4, parts=13)
+    assert a == b
+
+
+def test_pair_symmetry_and_no_self(spark):
+    rng = random.Random(4)
+    pts = [(i, rng.randrange(0, 200), rng.randrange(0, 200))
+           for i in range(80)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    pairs = {(r["i"], r["j"])
+             for r in grid_neighbor_pairs(df, 30).collect()}
+    assert pairs and all((j, i) in pairs for i, j in pairs)
+    assert all(i != j for i, j in pairs)
+
+
+def test_validations(spark):
+    df = spark.createDataFrame([(1, 0, 0)], "id long, x long, y long")
+    with pytest.raises(ValueError, match="eps"):
+        grid_neighbor_pairs(df, 0)
+    with pytest.raises(ValueError, match="min_pts"):
+        dbscan(df, 5, 0)
+
+
+def test_no_cartesian_in_plan(spark):
+    df = spark.createDataFrame([(i, i * 7, i * 3) for i in range(50)],
+                               "id long, x long, y long")
+    plan = grid_neighbor_pairs(df, 10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
