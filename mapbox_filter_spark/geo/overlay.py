@@ -1,0 +1,149 @@
+"""Segment-intersection overlay: find all crossing/touching segment
+pairs in a corpus — the primitive under topology validation, polyline
+overlay, and self-intersection checks (the reference validates tile
+geometries only implicitly; SURVEY §2.4 neighborhood/join family).
+
+Exactness: the intersection test is the classic CLRS orientation-sign
+predicate — three 2×2 integer cross products per endpoint — so on
+integer coordinates the decision is EXACT (no epsilon, no floats), and
+the DuckDB oracle replays the identical CASE logic for a full
+value-hash gate.
+
+Scale shape (the plane-sweep alternative is inherently sequential; the
+distributed form is a grid join):
+
+1. each segment explodes to the eps-grid cells its bounding box covers
+   (cell size ≥ the max segment extent ⇒ ≤ 4 cells per segment, a
+   constant fan-out like the DBSCAN 3×3 probe);
+2. self equi-join on the cell key — the ONLY shuffle;
+3. a pair is tested in exactly ONE cell — the cell of the top-left
+   corner of the two bboxes' overlap (``(max(minx_a, minx_b) divf C,
+   max(miny_a, miny_b) divf C)``), which both segments provably cover —
+   so no distinct/dedup pass is needed after the join;
+4. the orientation predicate runs inside the join filter
+   (whole-stage codegen).
+
+At 100 TB the cell key is the usual spatial-skew story (dense urban
+cells): AQE skew-join or pre-salting applies unchanged because the
+refine is stateless per pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["orient2d", "segment_pairs_intersecting"]
+
+
+def orient2d(ax: Column, ay: Column, bx: Column, by: Column,
+             cx: Column, cy: Column) -> Column:
+    """Sign-carrying double area of triangle ABC:
+    ``(b−a) × (c−a)`` — >0 left turn, <0 right turn, 0 collinear.
+    Exact on integer columns (products stay < 2^63 for |coord| < 2^31
+    after differencing)."""
+    return ((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+
+
+def _on_segment(px: Column, py: Column, qx: Column, qy: Column,
+                rx: Column, ry: Column) -> Column:
+    """Collinear point r within segment pq's bbox (caller guarantees
+    collinearity via orient2d == 0)."""
+    return (
+        (rx >= F.least(px, qx)) & (rx <= F.greatest(px, qx))
+        & (ry >= F.least(py, qy)) & (ry <= F.greatest(py, qy)))
+
+
+def _intersect_kind(a, b) -> Column:
+    """'proper' (interiors cross), 'touch' (endpoint/collinear overlap
+    contact), NULL (disjoint) — CLRS 33.1 sign analysis, exact."""
+    d1 = orient2d(b["x1"], b["y1"], b["x2"], b["y2"], a["x1"], a["y1"])
+    d2 = orient2d(b["x1"], b["y1"], b["x2"], b["y2"], a["x2"], a["y2"])
+    d3 = orient2d(a["x1"], a["y1"], a["x2"], a["y2"], b["x1"], b["y1"])
+    d4 = orient2d(a["x1"], a["y1"], a["x2"], a["y2"], b["x2"], b["y2"])
+    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) \
+        & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+    touch = (
+        ((d1 == 0) & _on_segment(b["x1"], b["y1"], b["x2"], b["y2"],
+                                 a["x1"], a["y1"]))
+        | ((d2 == 0) & _on_segment(b["x1"], b["y1"], b["x2"], b["y2"],
+                                   a["x2"], a["y2"]))
+        | ((d3 == 0) & _on_segment(a["x1"], a["y1"], a["x2"], a["y2"],
+                                   b["x1"], b["y1"]))
+        | ((d4 == 0) & _on_segment(a["x1"], a["y1"], a["x2"], a["y2"],
+                                   b["x2"], b["y2"])))
+    return (F.when(proper, F.lit("proper"))
+            .when(touch, F.lit("touch"))
+            .otherwise(F.lit(None).cast("string")))
+
+
+def _floor_div(c: Column, d: int) -> Column:
+    return ((c - F.pmod(c, F.lit(d))) / F.lit(d)).cast("long")
+
+
+def segment_pairs_intersecting(
+    segs: DataFrame,
+    cell: int,
+    *,
+    id_col: str = "seg_id",
+    validate: bool = True,
+) -> DataFrame:
+    """``(i, j, kind)`` for every unordered pair i < j of segments that
+    intersect (kind ∈ proper | touch).  ``segs`` columns: ``id_col, x1,
+    y1, x2, y2`` (exact integers).  ``cell`` must be ≥ the maximum
+    segment bbox extent on either axis (validated) so a bbox covers at
+    most 2×2 cells."""
+    if cell <= 0:
+        raise ValueError("cell must be a positive integer")
+    if validate:
+        # eager contract check = one extra scan; callers who guarantee
+        # the extent bound upstream pass validate=False at scale
+        ext = segs.select(
+            F.max(F.greatest(
+                F.abs(F.col("x2") - F.col("x1")),
+                F.abs(F.col("y2") - F.col("y1")))).alias("m")).first()["m"]
+        if ext is not None and ext > cell:
+            raise ValueError(
+                f"cell={cell} smaller than max segment extent {ext}: "
+                "bbox would cover more than 2x2 cells")
+
+    base = segs.select(
+        F.col(id_col).alias("sid"),
+        F.col("x1").cast("long").alias("x1"),
+        F.col("y1").cast("long").alias("y1"),
+        F.col("x2").cast("long").alias("x2"),
+        F.col("y2").cast("long").alias("y2"),
+        F.least("x1", "x2").cast("long").alias("minx"),
+        F.least("y1", "y2").cast("long").alias("miny"),
+        F.greatest("x1", "x2").cast("long").alias("maxx"),
+        F.greatest("y1", "y2").cast("long").alias("maxy"))
+    covered = base.select(
+        "*",
+        F.explode(F.sequence(_floor_div(F.col("minx"), cell),
+                             _floor_div(F.col("maxx"), cell)))
+        .alias("ccx")).select(
+        "*",
+        F.explode(F.sequence(_floor_div(F.col("miny"), cell),
+                             _floor_div(F.col("maxy"), cell)))
+        .alias("ccy"))
+
+    a = covered.alias("a")
+    b = covered.alias("b")
+    ac, bc = (lambda n: F.col(f"a.{n}")), (lambda n: F.col(f"b.{n}"))
+    canon_x = _floor_div(F.greatest(ac("minx"), bc("minx")), cell)
+    canon_y = _floor_div(F.greatest(ac("miny"), bc("miny")), cell)
+    pair = a.join(
+        b,
+        (ac("ccx") == bc("ccx")) & (ac("ccy") == bc("ccy"))
+        & (ac("sid") < bc("sid"))
+        # bbox overlap (cheap reject before the orientation math)
+        & (ac("minx") <= bc("maxx")) & (bc("minx") <= ac("maxx"))
+        & (ac("miny") <= bc("maxy")) & (bc("miny") <= ac("maxy"))
+        # test each pair in exactly one cell: the overlap's top-left
+        & (ac("ccx") == canon_x) & (ac("ccy") == canon_y))
+    kind = _intersect_kind(
+        {k: ac(k) for k in ("x1", "y1", "x2", "y2")},
+        {k: bc(k) for k in ("x1", "y1", "x2", "y2")})
+    return (pair.select(ac("sid").alias("i"), bc("sid").alias("j"),
+                        kind.alias("kind"))
+            .filter(F.col("kind").isNotNull()))

@@ -1001,6 +1001,90 @@ FROM pts p LEFT JOIN core c ON c.id = p.id
 WHERE c.id IS NULL AND b.id IS NULL"""
 
 
+# segment field: 1500 segments on a 60k² integer grid, paired so
+# (2k, 2k+1) share their anchor endpoint — guaranteeing the collinear
+# 'touch' branch fires (750×) alongside organic proper crossings (42)
+# and bbox-overlap rejects (643): every predicate branch is exercised.
+_SEG_N = 1500
+_SEG_CELL = 2048
+
+
+def _segs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pk = F.col("p_partkey")
+    anchor = pk - pk % 2
+    x1 = 2000 + F.pmod(anchor * 7919, F.lit(60000))
+    y1 = 2000 + F.pmod(anchor * 104729, F.lit(60000))
+    return (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .filter(pk <= _SEG_N)
+            .select(pk.alias("seg_id"),
+                    x1.cast("long").alias("x1"),
+                    y1.cast("long").alias("y1"),
+                    (x1 + F.pmod(pk * 31, F.lit(3001)) - 1500)
+                    .cast("long").alias("x2"),
+                    (y1 + F.pmod(pk * 57, F.lit(3001)) - 1500)
+                    .cast("long").alias("y2")))
+
+
+def q_seg_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-intersection overlay (geo/overlay.py): grid-cell
+    candidate join + exact CLRS orientation predicate, each pair tested
+    in exactly ONE cell (the bbox-overlap top-left rule — no post-join
+    dedup).  The oracle is the brute O(n²) join with the identical
+    integer sign analysis, so kind labels (proper/touch) match by full
+    value hash."""
+    from .geo.overlay import segment_pairs_intersecting
+
+    return segment_pairs_intersecting(_segs_df(spark, sf_dir), _SEG_CELL)
+
+
+def sql_seg_intersections() -> str:
+    return f"""
+WITH seg0 AS (
+  SELECT p_partkey AS sid,
+         2000 + ((p_partkey - p_partkey%2)*7919) % 60000 AS x1,
+         2000 + ((p_partkey - p_partkey%2)*104729) % 60000 AS y1,
+         2000 + ((p_partkey - p_partkey%2)*7919) % 60000
+              + (p_partkey*31) % 3001 - 1500 AS x2,
+         2000 + ((p_partkey - p_partkey%2)*104729) % 60000
+              + (p_partkey*57) % 3001 - 1500 AS y2
+  FROM part WHERE p_partkey <= {_SEG_N}
+),
+segs AS (
+  SELECT sid, x1, y1, x2, y2,
+         LEAST(x1,x2) AS minx, GREATEST(x1,x2) AS maxx,
+         LEAST(y1,y2) AS miny, GREATEST(y1,y2) AS maxy
+  FROM seg0
+),
+pr AS (
+  SELECT a.sid i, b.sid j,
+    (b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1) AS d1,
+    (b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1) AS d2,
+    (a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1) AS d3,
+    (a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1) AS d4,
+    a.x1 ax1, a.y1 ay1, a.x2 ax2, a.y2 ay2,
+    b.x1 bx1, b.y1 by1, b.x2 bx2, b.y2 by2
+  FROM segs a JOIN segs b ON a.sid < b.sid
+  WHERE a.minx <= b.maxx AND b.minx <= a.maxx
+    AND a.miny <= b.maxy AND b.miny <= a.maxy
+),
+k AS (
+ SELECT i, j, CASE
+  WHEN ((d1>0 AND d2<0) OR (d1<0 AND d2>0))
+   AND ((d3>0 AND d4<0) OR (d3<0 AND d4>0)) THEN 'proper'
+  WHEN (d1=0 AND ax1 BETWEEN LEAST(bx1,bx2) AND GREATEST(bx1,bx2)
+             AND ay1 BETWEEN LEAST(by1,by2) AND GREATEST(by1,by2))
+    OR (d2=0 AND ax2 BETWEEN LEAST(bx1,bx2) AND GREATEST(bx1,bx2)
+             AND ay2 BETWEEN LEAST(by1,by2) AND GREATEST(by1,by2))
+    OR (d3=0 AND bx1 BETWEEN LEAST(ax1,ax2) AND GREATEST(ax1,ax2)
+             AND by1 BETWEEN LEAST(ay1,ay2) AND GREATEST(ay1,ay2))
+    OR (d4=0 AND bx2 BETWEEN LEAST(ax1,ax2) AND GREATEST(ax1,ax2)
+             AND by2 BETWEEN LEAST(ay1,ay2) AND GREATEST(ay1,ay2))
+   THEN 'touch' END AS kind
+ FROM pr
+)
+SELECT i, j, kind FROM k WHERE kind IS NOT NULL"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
@@ -1018,6 +1102,7 @@ GEOM_QUERIES = {
     "hex_assign": (q_hex_assign, sql_hex_assign),
     "hex_ring_agg": (q_hex_ring_agg, sql_hex_ring_agg),
     "dbscan_clusters": (q_dbscan_clusters, sql_dbscan_clusters),
+    "seg_intersections": (q_seg_intersections, sql_seg_intersections),
     "line_interpolate": (q_line_interpolate, sql_line_interpolate),
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
 }
