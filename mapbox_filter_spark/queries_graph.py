@@ -111,7 +111,78 @@ pr0 AS (SELECT doc_id AS node, {s} // nc.n AS pr FROM documents, nc)"""]
             + f"\nSELECT node AS doc_id, pr FROM pr{_PR_ITERS}")
 
 
+# SSSP gate: 20×15 road-grid (300 nodes from part), undirected edges
+# with weights 100..103.  The tight spread PROVES the oracle's unroll
+# bound: an optimal path's hop count can exceed the hop-minimal path's
+# (≤ 33 hops from corner 0) by at most ×103/100 < 34/33, so every
+# optimal path has ≤ 33 edges and 36 relaxation rounds are sufficient
+# — the unrolled-CTE oracle is exact, not heuristic.
+_SSSP_W, _SSSP_H = 20, 15
+_SSSP_N = _SSSP_W * _SSSP_H
+_SSSP_UNROLL = 36
+
+
+def q_sssp_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths (operators/graph.py shortest_paths):
+    frontier-pruned Bellman-Ford over the synthetic road grid, exact
+    integer distances, driver loop terminating on an empty frontier.
+    The oracle unrolls the same relaxation to the proven 36-round bound
+    — full value-hash on (node, dist)."""
+    from .operators.graph import shortest_paths
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    i = (F.col("p_partkey") - 1).cast("long")
+    nodes = (part.filter((F.col("p_partkey") >= 1)
+                         & (F.col("p_partkey") <= _SSSP_N))
+             .select(i.alias("i")))
+    right = nodes.filter(F.col("i") % _SSSP_W != _SSSP_W - 1)
+    down = nodes.filter(F.col("i") < _SSSP_N - _SSSP_W)
+    wr = (100 + F.pmod(F.col("i") * 31 + 7, F.lit(4))).cast("long")
+    wd = (100 + F.pmod(F.col("i") * 31 + 13, F.lit(4))).cast("long")
+    e = (right.select(F.col("i").alias("src"),
+                      (F.col("i") + 1).alias("dst"), wr.alias("w"))
+         .unionByName(right.select((F.col("i") + 1).alias("src"),
+                                   F.col("i").alias("dst"), wr.alias("w")))
+         .unionByName(down.select(F.col("i").alias("src"),
+                                  (F.col("i") + _SSSP_W).alias("dst"),
+                                  wd.alias("w")))
+         .unionByName(down.select((F.col("i") + _SSSP_W).alias("src"),
+                                  F.col("i").alias("dst"), wd.alias("w"))))
+    sources = nodes.filter(F.col("i") == 0)
+    return shortest_paths(e, sources, node_col="i")
+
+
+def sql_sssp_grid() -> str:
+    W, N = _SSSP_W, _SSSP_N
+    ctes = [f"""nodes AS MATERIALIZED (
+  SELECT CAST(p_partkey - 1 AS BIGINT) AS i FROM part
+  WHERE p_partkey >= 1 AND p_partkey <= {N}),
+e AS MATERIALIZED (
+  SELECT i AS s, i + 1 AS t, CAST(100 + (i*31 + 7) % 4 AS BIGINT) AS w
+  FROM nodes WHERE i % {W} <> {W - 1}
+  UNION ALL
+  SELECT i + 1, i, CAST(100 + (i*31 + 7) % 4 AS BIGINT)
+  FROM nodes WHERE i % {W} <> {W - 1}
+  UNION ALL
+  SELECT i, i + {W}, CAST(100 + (i*31 + 13) % 4 AS BIGINT)
+  FROM nodes WHERE i < {N - W}
+  UNION ALL
+  SELECT i + {W}, i, CAST(100 + (i*31 + 13) % 4 AS BIGINT)
+  FROM nodes WHERE i < {N - W}),
+d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)"""]
+    for k in range(1, _SSSP_UNROLL + 1):
+        ctes.append(f"""d{k} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{k - 1}
+    UNION ALL
+    SELECT e.t, d{k - 1}.dist + e.w FROM d{k - 1}
+    JOIN e ON e.s = d{k - 1}.node) GROUP BY node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, dist FROM d{_SSSP_UNROLL}")
+
+
 GRAPH_QUERIES = {
     "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters),
     "pagerank": (q_pagerank, sql_pagerank),
+    "sssp_grid": (q_sssp_grid, sql_sssp_grid),
 }

@@ -186,3 +186,78 @@ def test_pagerank_validations(spark):
         pagerank_exact(nodes, edges, iters=0)
     with _pt.raises(ValueError):
         pagerank_exact(nodes.filter("node < 0"), edges)
+
+
+# ------------------------------------------------------------- shortest paths
+
+
+def _py_dijkstra(edges, sources):
+    """heapq twin: exact min distances from the source set."""
+    import heapq
+    adj = {}
+    for s, t, w in edges:
+        adj.setdefault(s, []).append((t, w))
+    dist = {}
+    heap = [(0, s) for s in sources]
+    heapq.heapify(heap)
+    while heap:
+        d, u = heapq.heappop(heap)
+        if u in dist:
+            continue
+        dist[u] = d
+        for v, w in adj.get(u, []):
+            if v not in dist:
+                heapq.heappush(heap, (d + w, v))
+    return dist
+
+
+def _spark_sssp(spark, edges, sources):
+    from mapbox_filter_spark.operators.graph import shortest_paths
+
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    s = spark.createDataFrame([(x,) for x in sources], "node long")
+    return {r["node"]: r["dist"]
+            for r in shortest_paths(e, s).collect()}
+
+
+def test_sssp_crafted(spark):
+    # diamond with a cheaper long way round + an unreachable node
+    edges = [(0, 1, 10), (1, 3, 10), (0, 2, 1), (2, 4, 1), (4, 3, 1),
+             (5, 6, 1)]
+    got = _spark_sssp(spark, edges, [0])
+    assert got == {0: 0, 1: 10, 2: 1, 4: 2, 3: 3}  # 5, 6 unreachable
+
+
+def test_sssp_multi_source(spark):
+    edges = [(0, 1, 5), (10, 1, 2), (1, 2, 1)]
+    got = _spark_sssp(spark, edges, [0, 10])
+    assert got == {0: 0, 10: 0, 1: 2, 2: 3}
+
+
+def test_sssp_random_differential(spark):
+    import random
+
+    rng = random.Random(11)
+    n = 60
+    edges = []
+    for _ in range(240):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.append((a, b, rng.randrange(1, 20)))
+    got = _spark_sssp(spark, edges, [0, 7])
+    assert got == _py_dijkstra(edges, [0, 7])
+
+
+def test_sssp_zero_weight_edges(spark):
+    edges = [(0, 1, 0), (1, 2, 0), (2, 3, 4)]
+    assert _spark_sssp(spark, edges, [0]) == {0: 0, 1: 0, 2: 0, 3: 4}
+
+
+def test_sssp_max_rounds(spark):
+    edges = [(i, i + 1, 1) for i in range(10)]
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    s = spark.createDataFrame([(0,)], "node long")
+    from mapbox_filter_spark.operators.graph import shortest_paths
+
+    with pytest.raises(RuntimeError, match="convergence"):
+        shortest_paths(e, s, max_rounds=3)
