@@ -63,6 +63,7 @@ __all__ = [
     "hex_center",
     "hex_distance",
     "hex_disk_offsets",
+    "hex_gi_star",
     "hex_neighbor_offsets",
     "mercator_xy",
     "sql_hex_axial",
@@ -196,3 +197,60 @@ def hex_disk_offsets(k: int) -> list[tuple[int, int]]:
         for dr in range(max(-k, -dq - k), min(k, -dq + k) + 1):
             out.append((dq, dr))
     return out
+
+
+def hex_gi_star(cells, value: str = "n", k: int = 1):
+    """Getis-Ord Gi* hotspot statistic over a hex cell table — the
+    standard local spatial-autocorrelation z-score (Getis & Ord 1992),
+    with binary weights over the k-disk (self included, the * variant).
+
+    ``cells``: one row per OCCUPIED cell (hq, hr, <value>); the
+    occupied set is the statistical universe n (documented convention —
+    including empty cells would make n depend on an arbitrary bbox).
+
+    For each cell i with disk-neighbor count W_i and disk sum S1_i:
+
+        Gi* = (S1_i − x̄·W_i) / (s·√((n·W_i − W_i²)/(n−1)))
+
+    Shape: the disk join explodes the CELL table (already aggregated —
+    tiny vs the point corpus) ×(1+3k(k+1)) and equi-joins it against
+    itself; global moments are ONE single-row aggregate broadcast back.
+    Every input is an exact integer, the IEEE op order is pinned (and
+    mirrored by the gate's DuckDB oracle bit-for-bit), and the
+    degenerate-denominator guard is integer-only (n·W − W² > 0), so
+    hotspot z-scores are engine-reproducible.
+
+    Returns (hq, hr, w_i, s1, z).
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (module-local)
+
+    offs = F.array(*[
+        F.struct(F.lit(dq).cast("long").alias("dq"),
+                 F.lit(dr).cast("long").alias("dr"))
+        for dq, dr in hex_disk_offsets(k)])
+    probes = cells.select(
+        F.col("hq").alias("chq"), F.col("hr").alias("chr"),
+        F.explode(offs).alias("_o")).select(
+        "chq", "chr",
+        (F.col("chq") + F.col("_o.dq")).alias("thq"),
+        (F.col("chr") + F.col("_o.dr")).alias("thr"))
+    disk = (probes.join(cells,
+                        (probes["thq"] == cells["hq"])
+                        & (probes["thr"] == cells["hr"]))
+            .groupBy(F.col("chq").alias("hq"), F.col("chr").alias("hr"))
+            .agg(F.count(F.lit(1)).alias("w_i"),
+                 F.sum(value).alias("s1")))
+    glob = cells.agg(
+        F.count(F.lit(1)).alias("nc"),
+        F.sum(value).alias("sx"),
+        F.sum(F.col(value) * F.col(value)).alias("sxx"))
+    j = disk.crossJoin(F.broadcast(glob))
+    nc = F.col("nc").cast("double")
+    xbar = F.col("sx").cast("double") / nc
+    s = F.sqrt(F.col("sxx").cast("double") / nc - xbar * xbar)
+    w = F.col("w_i").cast("double")
+    num = F.col("s1").cast("double") - xbar * w
+    den = s * F.sqrt((nc * w - w * w) / (nc - F.lit(1.0)))
+    return (j.filter(F.col("nc") * F.col("w_i")
+                     - F.col("w_i") * F.col("w_i") > 0)
+            .select("hq", "hr", "w_i", "s1", (num / den).alias("z")))

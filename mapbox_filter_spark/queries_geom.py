@@ -1085,6 +1085,61 @@ k AS (
 SELECT i, j, kind FROM k WHERE kind IS NOT NULL"""
 
 
+def q_hex_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hotspot z-scores over the hex binning (geo/hex.py
+    hex_gi_star): binary 1-disk weights, occupied-cell universe, exact
+    integer moments, pinned IEEE division/sqrt order — the oracle
+    replays the identical chain so even the z DOUBLES value-hash
+    match."""
+    from .geo.hex import hex_axial, hex_gi_star
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir)
+    hq, hr = hex_axial(F.col("lon"), F.col("lat"), _HEX_SIZE)
+    cells = (feats.select(hq.alias("hq"), hr.alias("hr"))
+             .groupBy("hq", "hr")
+             .agg(F.count(F.lit(1)).alias("n")))
+    return hex_gi_star(cells, value="n", k=1)
+
+
+def sql_hex_hotspot() -> str:
+    from .geo.hex import hex_disk_offsets, sql_hex_axial
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    offs = ", ".join(f"({dq}, {dr})" for dq, dr in hex_disk_offsets(1))
+    return f"""WITH {FEATURES_ORACLE_SQL},
+pts AS (
+  SELECT {sql_hex_axial(_HEX_SIZE)} FROM features
+),
+cells AS (
+  SELECT hq, hr, COUNT(*) AS n FROM pts GROUP BY hq, hr
+),
+offs(dq, dr) AS (VALUES {offs}),
+disk AS (
+  SELECT c.hq, c.hr, COUNT(*) AS w_i, CAST(SUM(t.n) AS BIGINT) AS s1
+  FROM cells c JOIN offs o ON TRUE
+  JOIN cells t ON t.hq = c.hq + o.dq AND t.hr = c.hr + o.dr
+  GROUP BY c.hq, c.hr
+),
+gstats AS (
+  SELECT COUNT(*) AS nc, CAST(SUM(n) AS BIGINT) AS sx,
+         CAST(SUM(n*n) AS BIGINT) AS sxx
+  FROM cells
+)
+SELECT d.hq, d.hr, d.w_i, d.s1,
+       (CAST(d.s1 AS DOUBLE)
+        - (CAST(g.sx AS DOUBLE) / CAST(g.nc AS DOUBLE))
+          * CAST(d.w_i AS DOUBLE))
+       / (SQRT(CAST(g.sxx AS DOUBLE) / CAST(g.nc AS DOUBLE)
+               - (CAST(g.sx AS DOUBLE) / CAST(g.nc AS DOUBLE))
+                 * (CAST(g.sx AS DOUBLE) / CAST(g.nc AS DOUBLE)))
+          * SQRT((CAST(g.nc AS DOUBLE) * CAST(d.w_i AS DOUBLE)
+                  - CAST(d.w_i AS DOUBLE) * CAST(d.w_i AS DOUBLE))
+                 / (CAST(g.nc AS DOUBLE) - 1.0))) AS z
+FROM disk d, gstats g
+WHERE g.nc * d.w_i - d.w_i * d.w_i > 0"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
@@ -1103,6 +1158,7 @@ GEOM_QUERIES = {
     "hex_ring_agg": (q_hex_ring_agg, sql_hex_ring_agg),
     "dbscan_clusters": (q_dbscan_clusters, sql_dbscan_clusters),
     "seg_intersections": (q_seg_intersections, sql_seg_intersections),
+    "hex_hotspot": (q_hex_hotspot, sql_hex_hotspot),
     "line_interpolate": (q_line_interpolate, sql_line_interpolate),
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
 }

@@ -177,3 +177,49 @@ def test_plan_is_codegen(pts):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # "*(1)" is the WholeStageCodegen stage marker in executedPlan text
     assert plan.lstrip().startswith("*(1) Project")
+
+
+def test_gi_star_python_twin(spark):
+    import math as _m
+
+    from mapbox_filter_spark.geo.hex import hex_disk_offsets, hex_gi_star
+
+    cells = [(0, 0, 10), (1, 0, 8), (0, 1, 7), (-1, 1, 2), (5, 5, 1),
+             (6, 5, 3), (9, -9, 4)]
+    df = spark.createDataFrame(cells, "hq long, hr long, n long")
+    got = {(r["hq"], r["hr"]): (r["w_i"], r["s1"], r["z"])
+           for r in hex_gi_star(df, value="n", k=1).collect()}
+    by = {(q, r): n for q, r, n in cells}
+    disk = hex_disk_offsets(1)
+    nc = len(cells)
+    sx = sum(by.values())
+    sxx = sum(v * v for v in by.values())
+    xbar = sx / nc
+    s = _m.sqrt(sxx / nc - xbar * xbar)
+    want = {}
+    for (q, r), _n in by.items():
+        nb = [(q + dq, r + dr) for dq, dr in disk]
+        w = sum(1 for c in nb if c in by)
+        s1 = sum(by[c] for c in nb if c in by)
+        if nc * w - w * w > 0:
+            z = (s1 - xbar * w) / (s * _m.sqrt((nc * w - w * w) / (nc - 1.0)))
+            want[(q, r)] = (w, s1, z)
+    assert set(got) == set(want)
+    for k in got:
+        assert got[k][0] == want[k][0] and got[k][1] == want[k][1]
+        assert got[k][2] == pytest.approx(want[k][2], rel=1e-12)
+
+
+def test_gi_star_partitioning_independent(spark):
+    import random
+
+    from mapbox_filter_spark.geo.hex import hex_gi_star
+
+    rng = random.Random(3)
+    cells = list({(rng.randrange(0, 12), rng.randrange(0, 12))
+                  for _ in range(70)})
+    rows = [(q, r, rng.randrange(1, 30)) for q, r in cells]
+    df = spark.createDataFrame(rows, "hq long, hr long, n long")
+    a = sorted(map(tuple, hex_gi_star(df.repartition(1), "n").collect()))
+    b = sorted(map(tuple, hex_gi_star(df.repartition(13), "n").collect()))
+    assert a == b  # bit-identical z under any partitioning
