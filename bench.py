@@ -157,11 +157,13 @@ def run_suite(cores: int, sf_dir: str) -> dict:
     lay = None if no_micros else layout_micro(spark, sf_dir)
     ghm = None if no_micros else geohash_micro(spark, sf_dir)
     dop = None if no_micros else dataops_micro(spark, sf_dir)
+    spm = None if no_micros else spatial_micro(spark, sf_dir)
 
     spark.stop()
     return {
         "geohash_micro": ghm,
         "dataops_micro": dop,
+        "spatial_micro": spm,
         "pip_micro": pip,
         "mvt_micro": mvt,
         "curation_micro": cur,
@@ -295,6 +297,87 @@ def geohash_micro(spark, sf_dir: str) -> dict:
         "bits_per_sec": round(n_rows / bits, 1),
         "sec_string": round(full, 3),
         "strings_per_sec": round(n_rows / full, 1),
+    }
+
+
+
+def spatial_micro(spark, sf_dir: str) -> dict:
+    """Session-6 spatial-analytics block at working scale.
+
+    - hex_assign: axial cube-round encode over the SAME replicated ~5M
+      corpus geohash_micro/s2_micro use — direct throughput comparison
+      across the three cell families (quadkey Morton, Hilbert S2, hex).
+    - gi_star: the full bin → disk-join → z-score pipeline wall.
+    - dbscan: all 45.8k distinct feature lattice points (24× the gate
+      sample; eps shrunk to keep the neighbor regime comparable).
+    - overlay: 50k synthetic segments, grid candidate join + exact
+      orientation refine.
+    """
+    from pyspark.sql import functions as F
+
+    from mapbox_filter_spark.geo.hex import hex_axial, hex_gi_star
+    from mapbox_filter_spark.geo.overlay import segment_pairs_intersecting
+    from mapbox_filter_spark.operators.cluster import dbscan
+    from mapbox_filter_spark.sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir)
+    rep = max(1, 5_000_000 // max(feats.count(), 1))
+    pts = (feats.select("lon", "lat")
+           .withColumn("r", F.explode(F.array(*[F.lit(i) for i in range(rep)])))
+           .select((F.col("lon") + F.col("r") * 0.001).alias("lon"),
+                   (F.col("lat") - F.col("r") * 0.0007).alias("lat")))
+    n_rows = pts.count()
+
+    hq, hr = hex_axial(F.col("lon"), F.col("lat"), 1.0 / 64.0)
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pts.agg(F.sum(F.pmod(F.xxhash64(hq, hr), F.lit(1_000_003)))).collect()
+        sec = time.perf_counter() - t0
+        best = sec if best is None else min(best, sec)
+
+    t0 = time.perf_counter()
+    cells = (feats.select(hq.alias("hq"), hr.alias("hr"))
+             .groupBy("hq", "hr").agg(F.count(F.lit(1)).alias("n")))
+    n_hot = hex_gi_star(cells, value="n", k=1).count()
+    gi_sec = time.perf_counter() - t0
+
+    lattice = (feats.select(
+        F.pmod(F.col("feature_id") * 7919, F.lit(360000)).alias("x"),
+        F.pmod(F.col("feature_id") * 104729, F.lit(170000)).alias("y"),
+        F.col("feature_id").alias("id")).distinct())
+    n_pts = lattice.count()
+    t0 = time.perf_counter()
+    roles = (dbscan(lattice, 1000, 4, id_col="id")
+             .groupBy("role").count().collect())
+    db_sec = time.perf_counter() - t0
+
+    segs = spark.range(50_000).select(
+        F.col("id").alias("seg_id"),
+        (2000 + F.pmod(F.col("id") * 7919, F.lit(300000))).alias("x1"),
+        (2000 + F.pmod(F.col("id") * 104729, F.lit(300000))).alias("y1"))
+    segs = segs.select(
+        "seg_id", "x1", "y1",
+        (F.col("x1") + F.pmod(F.col("seg_id") * 31, F.lit(3001)) - 1500)
+        .alias("x2"),
+        (F.col("y1") + F.pmod(F.col("seg_id") * 57, F.lit(3001)) - 1500)
+        .alias("y2"))
+    t0 = time.perf_counter()
+    n_hits = segment_pairs_intersecting(segs, 2048, validate=False).count()
+    ov_sec = time.perf_counter() - t0
+
+    return {
+        "hex_n_rows": n_rows,
+        "hex_assign_sec": round(best, 3),
+        "hex_cells_per_sec": round(n_rows / best, 1),
+        "gi_star_sec": round(gi_sec, 3),
+        "gi_star_cells": n_hot,
+        "dbscan_n_pts": n_pts,
+        "dbscan_sec": round(db_sec, 3),
+        "dbscan_roles": {r["role"]: r["count"] for r in roles},
+        "overlay_n_segs": 50_000,
+        "overlay_sec": round(ov_sec, 3),
+        "overlay_hits": n_hits,
     }
 
 
