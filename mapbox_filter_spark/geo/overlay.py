@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["orient2d", "segment_pairs_intersecting"]
+__all__ = ["orient2d", "segment_pairs_intersecting", "snap_to_segments"]
 
 
 def orient2d(ax: Column, ay: Column, bx: Column, by: Column,
@@ -147,3 +147,100 @@ def segment_pairs_intersecting(
     return (pair.select(ac("sid").alias("i"), bc("sid").alias("j"),
                         kind.alias("kind"))
             .filter(F.col("kind").isNotNull()))
+
+
+def snap_to_segments(
+    points: DataFrame,
+    segs: DataFrame,
+    radius: int,
+    cell: int,
+    *,
+    point_id: str = "point_id",
+    seg_id: str = "seg_id",
+    x: str = "x",
+    y: str = "y",
+    validate: bool = True,
+) -> DataFrame:
+    """Map-matching: ``(point_id, seg_id, d2)`` — each point snapped to
+    its nearest segment within ``radius`` (GPS-error bound); points with
+    no segment in range are absent (off-road).
+
+    Distance is the exact point-to-segment form: integer dot products
+    decide the projection clamp; the interior case divides two exact
+    integers (cross², L²) ONCE — the only IEEE op, order-pinned, so the
+    oracle reproduces d2 bit-for-bit and the (d2, seg_id) struct-min
+    tie-break is engine-deterministic.
+
+    Coverage contract: ``radius ≤ cell`` (validated) ⇒ a point's 3×3
+    cell ring covers every cell that can contain its nearest in-range
+    segment point (which lies inside the segment's bbox cells).  A
+    (point, segment) pair surfacing through several shared cells is
+    harmless — min over a multiset — so no dedup pass exists.
+
+    Shape: segments explode to ≤ 2×2 covered cells, points to their 9
+    ring cells; ONE equi-join on the cell key carries (id, coords)
+    payloads only; the min is a map-side-combinable struct-min groupBy.
+    """
+    if radius <= 0 or radius > cell:
+        raise ValueError("need 0 < radius <= cell (ring-1 coverage)")
+    if validate:
+        ext = segs.select(
+            F.max(F.greatest(
+                F.abs(F.col("x2") - F.col("x1")),
+                F.abs(F.col("y2") - F.col("y1")))).alias("m")).first()["m"]
+        if ext is not None and ext > cell:
+            raise ValueError(
+                f"cell={cell} smaller than max segment extent {ext}")
+
+    s = segs.select(
+        F.col(seg_id).alias("sid"),
+        F.col("x1").cast("long").alias("sx1"),
+        F.col("y1").cast("long").alias("sy1"),
+        F.col("x2").cast("long").alias("sx2"),
+        F.col("y2").cast("long").alias("sy2"))
+    s = s.select(
+        "*",
+        F.explode(F.sequence(
+            _floor_div(F.least("sx1", "sx2"), cell),
+            _floor_div(F.greatest("sx1", "sx2"), cell))).alias("scx"))
+    s = s.select(
+        "*",
+        F.explode(F.sequence(
+            _floor_div(F.least("sy1", "sy2"), cell),
+            _floor_div(F.greatest("sy1", "sy2"), cell))).alias("scy"))
+
+    offs = F.array(*[
+        F.struct(F.lit(dx).cast("long").alias("dx"),
+                 F.lit(dy).cast("long").alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    p = (points.select(
+        F.col(point_id).alias("pid"),
+        F.col(x).cast("long").alias("px"),
+        F.col(y).cast("long").alias("py"),
+        F.explode(offs).alias("_o"))
+        .select("pid", "px", "py",
+                (_floor_div(F.col("px"), cell) + F.col("_o.dx")).alias("pcx"),
+                (_floor_div(F.col("py"), cell) + F.col("_o.dy")).alias("pcy")))
+
+    j = p.join(s, (p["pcx"] == s["scx"]) & (p["pcy"] == s["scy"]))
+    ax, ay = F.col("sx1"), F.col("sy1")
+    bx, by = F.col("sx2"), F.col("sy2")
+    px_, py_ = F.col("px"), F.col("py")
+    tnum = (px_ - ax) * (bx - ax) + (py_ - ay) * (by - ay)
+    l2 = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+    cross = (bx - ax) * (py_ - ay) - (by - ay) * (px_ - ax)
+    d2 = (F.when((l2 == 0) | (tnum <= 0),
+                 ((px_ - ax) * (px_ - ax)
+                  + (py_ - ay) * (py_ - ay)).cast("double"))
+          .when(tnum >= l2,
+                ((px_ - bx) * (px_ - bx)
+                 + (py_ - by) * (py_ - by)).cast("double"))
+          .otherwise((cross * cross).cast("double") / l2.cast("double")))
+    cand = (j.select("pid", F.col("sid"), d2.alias("d2"))
+            .filter(F.col("d2") <= F.lit(float(radius) * float(radius))))
+    best = (cand.groupBy("pid")
+            .agg(F.min(F.struct(F.col("d2"), F.col("sid"))).alias("_b"))
+            .select(F.col("pid").alias(point_id),
+                    F.col("_b.sid").alias(seg_id),
+                    F.col("_b.d2").alias("d2")))
+    return best

@@ -1140,6 +1140,81 @@ FROM disk d, gstats g
 WHERE g.nc * d.w_i - d.w_i * d.w_i > 0"""
 
 
+# map-matching: GPS-like lattice points snapped to the seg_intersections
+# road field within a 1500-unit error radius (cell 2048 ⇒ ring-1
+# coverage proof holds); ~2k points, most matched, some off-road.
+_MM_QMOD = 29
+_MM_RADIUS = 1500
+
+
+def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-matching (geo/overlay.py snap_to_segments): nearest-segment
+    snap via one cell equi-join; exact integer projection clamp, single
+    pinned IEEE division, (d2, seg_id) struct-min tie-break.  The
+    oracle is the brute point×segment join with the identical CASE
+    chain and ROW_NUMBER pick — d2 doubles value-hash-match."""
+    from .geo.overlay import snap_to_segments
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir)
+    pts = (feats.filter(F.col("feature_id") % _MM_QMOD == 0)
+           .select(F.col("feature_id").alias("point_id"),
+                   (1000 + F.pmod(F.col("feature_id") * 7919,
+                                  F.lit(62000))).alias("x"),
+                   (1000 + F.pmod(F.col("feature_id") * 104729,
+                                  F.lit(62000))).alias("y"))
+           .distinct())
+    return snap_to_segments(pts, _segs_df(spark, sf_dir),
+                            _MM_RADIUS, _SEG_CELL)
+
+
+def sql_map_match() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    r2 = _MM_RADIUS * _MM_RADIUS
+    return f"""WITH {FEATURES_ORACLE_SQL},
+pts AS (
+  SELECT DISTINCT feature_id AS pid,
+         1000 + (feature_id*7919) % 62000 AS px,
+         1000 + (feature_id*104729) % 62000 AS py
+  FROM features WHERE feature_id % {_MM_QMOD} = 0
+),
+segs AS (
+  SELECT p_partkey AS sid,
+         2000 + ((p_partkey - p_partkey%2)*7919) % 60000 AS x1,
+         2000 + ((p_partkey - p_partkey%2)*104729) % 60000 AS y1,
+         2000 + ((p_partkey - p_partkey%2)*7919) % 60000
+              + (p_partkey*31) % 3001 - 1500 AS x2,
+         2000 + ((p_partkey - p_partkey%2)*104729) % 60000
+              + (p_partkey*57) % 3001 - 1500 AS y2
+  FROM part WHERE p_partkey <= {_SEG_N}
+),
+cand AS (
+  SELECT p.pid, s.sid,
+    CASE
+      WHEN ((s.x2-s.x1)*(s.x2-s.x1) + (s.y2-s.y1)*(s.y2-s.y1)) = 0
+        OR ((p.px-s.x1)*(s.x2-s.x1) + (p.py-s.y1)*(s.y2-s.y1)) <= 0
+      THEN CAST((p.px-s.x1)*(p.px-s.x1) + (p.py-s.y1)*(p.py-s.y1)
+                AS DOUBLE)
+      WHEN ((p.px-s.x1)*(s.x2-s.x1) + (p.py-s.y1)*(s.y2-s.y1))
+           >= ((s.x2-s.x1)*(s.x2-s.x1) + (s.y2-s.y1)*(s.y2-s.y1))
+      THEN CAST((p.px-s.x2)*(p.px-s.x2) + (p.py-s.y2)*(p.py-s.y2)
+                AS DOUBLE)
+      ELSE CAST(((s.x2-s.x1)*(p.py-s.y1) - (s.y2-s.y1)*(p.px-s.x1))
+                * ((s.x2-s.x1)*(p.py-s.y1) - (s.y2-s.y1)*(p.px-s.x1))
+                AS DOUBLE)
+           / CAST((s.x2-s.x1)*(s.x2-s.x1) + (s.y2-s.y1)*(s.y2-s.y1)
+                  AS DOUBLE)
+    END AS d2
+  FROM pts p JOIN segs s ON TRUE
+)
+SELECT pid AS point_id, sid AS seg_id, d2 FROM (
+  SELECT pid, sid, d2,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY d2, sid) AS rn
+  FROM cand WHERE d2 <= {r2}
+) WHERE rn = 1"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
@@ -1159,6 +1234,7 @@ GEOM_QUERIES = {
     "dbscan_clusters": (q_dbscan_clusters, sql_dbscan_clusters),
     "seg_intersections": (q_seg_intersections, sql_seg_intersections),
     "hex_hotspot": (q_hex_hotspot, sql_hex_hotspot),
+    "map_match": (q_map_match, sql_map_match),
     "line_interpolate": (q_line_interpolate, sql_line_interpolate),
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
 }

@@ -119,3 +119,89 @@ def test_no_cartesian_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------------ map matching
+
+
+def _py_d2(p, s):
+    """Python twin of the snap distance — identical IEEE op order."""
+    px, py = p
+    x1, y1, x2, y2 = s
+    tnum = (px - x1) * (x2 - x1) + (py - y1) * (y2 - y1)
+    l2 = (x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)
+    if l2 == 0 or tnum <= 0:
+        return float((px - x1) ** 2 + (py - y1) ** 2)
+    if tnum >= l2:
+        return float((px - x2) ** 2 + (py - y2) ** 2)
+    cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    return float(cross * cross) / float(l2)
+
+
+def _py_snap(points, segs, radius):
+    out = {}
+    for pid, px, py in points:
+        best = None
+        for sid, *s in segs:
+            d2 = _py_d2((px, py), s)
+            if d2 <= radius * radius:
+                k = (d2, sid)
+                if best is None or k < best:
+                    best = k
+        if best is not None:
+            out[pid] = (best[1], best[0])
+    return out
+
+
+def _spark_snap(spark, points, segs, radius, cell):
+    from mapbox_filter_spark.geo.overlay import snap_to_segments
+
+    p = spark.createDataFrame(points, "point_id long, x long, y long")
+    s = spark.createDataFrame(
+        segs, "seg_id long, x1 long, y1 long, x2 long, y2 long")
+    return {r["point_id"]: (r["seg_id"], r["d2"])
+            for r in snap_to_segments(p, s, radius, cell).collect()}
+
+
+def test_snap_crafted(spark):
+    segs = [(1, 0, 0, 100, 0),      # horizontal road
+            (2, 0, 50, 100, 50),    # parallel road
+            (3, 200, 0, 200, 100)]  # vertical road
+    points = [(10, 50, 10),   # interior projection onto seg 1 (d2=100)
+              (11, 50, 25),   # equidistant 1 vs 2 -> lower sid wins
+              (12, 120, 20),  # past seg 1's endpoint -> clamp to (100,0)
+              (13, 210, 50),  # near the vertical road
+              (14, 500, 500)]  # off-road
+    got = _spark_snap(spark, points, segs, radius=60, cell=128)
+    assert got == _py_snap(points, segs, 60)
+    assert got[10] == (1, 100.0)
+    assert got[11][0] == 1  # tie-break by seg id
+    assert got[12] == (1, float(20 * 20 + 20 * 20))
+    assert 14 not in got
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_snap_random_differential(spark, seed):
+    rng = random.Random(seed)
+    cell = 64
+    segs = []
+    for i in range(80):
+        x1, y1 = rng.randrange(0, 500), rng.randrange(0, 500)
+        segs.append((i, x1, y1, x1 + rng.randrange(-cell, cell + 1),
+                     y1 + rng.randrange(-cell, cell + 1)))
+    points = [(i, rng.randrange(0, 500), rng.randrange(0, 500))
+              for i in range(200)]
+    got = _spark_snap(spark, points, segs, radius=cell, cell=cell)
+    assert got == _py_snap(points, segs, cell)
+
+
+def test_snap_validations(spark):
+    p = spark.createDataFrame([(1, 0, 0)], "point_id long, x long, y long")
+    s = spark.createDataFrame([(1, 0, 0, 5, 5)],
+                              "seg_id long, x1 long, y1 long, x2 long, y2 long")
+    from mapbox_filter_spark.geo.overlay import snap_to_segments
+
+    with pytest.raises(ValueError, match="radius"):
+        snap_to_segments(p, s, 100, 64)  # radius > cell
+    with pytest.raises(ValueError, match="radius"):
+        snap_to_segments(p, s, 0, 64)
