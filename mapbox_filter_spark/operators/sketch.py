@@ -37,7 +37,7 @@ from typing import Iterator, Optional, Tuple
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -137,3 +137,63 @@ def mg_merge(summaries: DataFrame, key: str, m: int) -> DataFrame:
     t = top[m]["lb"] if len(top) > m else 0
     return (summed.filter(F.col("lb") > F.lit(t))
             .withColumn("lb", F.col("lb") - F.lit(t)))
+
+
+# ---------------------------------------------------------------- KMV sketch
+
+
+def kmv_rows(df: DataFrame, group_cols, key_cols, k: int,
+             salt: str = "kmv") -> DataFrame:
+    """The KMV (k-minimum-values / bottom-k) distinct sketch as a TABLE:
+    per group, the k smallest 60-bit md5 coordinates over DISTINCT keys
+    (Bar-Yossef et al. 2002; the mergeable distinct-count sketch behind
+    theta sketches).  Row form ``(group..., h, rn)`` IS the sketch —
+    mergeable by union + re-bottom-k (:func:`kmv_merge`) — and, because
+    the coordinate is the repo's deterministic ``hash_u60``, the sketch
+    and its estimate are engine-exact (full value-hash oracle), unlike
+    HLL register implementations.
+
+    Shape: one distinct on (group, h) + one bottom-k window on the
+    group key.  At 100 TB the distinct is the dominant shuffle — same
+    key as the window, and the map-side partial distinct collapses
+    duplicate content before the exchange."""
+    from .splits import hash_u60
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    gc = list(group_cols)
+    h = hash_u60(list(key_cols), salt)
+    d = df.select(*gc, h.alias("h")).distinct()
+    w = Window.partitionBy(*gc).orderBy("h")
+    return (d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))
+
+
+def kmv_merge(parts: DataFrame, group_cols, k: int) -> DataFrame:
+    """Merge row-form sketches (a union of :func:`kmv_rows` outputs,
+    possibly from different partitions/epochs): distinct hashes,
+    re-bottom-k.  The result is IDENTICAL to sketching the union of the
+    raw inputs — the mergeability law the pytest proves."""
+    gc = list(group_cols)
+    d = parts.select(*gc, "h").distinct()
+    w = Window.partitionBy(*gc).orderBy("h")
+    return (d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))
+
+
+def kmv_estimate(rows: DataFrame, group_cols, k: int) -> DataFrame:
+    """(group..., n_sketch, h_k, est): distinct-count estimate
+    ``(k−1)·2⁶⁰ / h_k`` when the sketch is full, exact ``n_sketch``
+    when the domain was smaller than k.  Division order pinned (two
+    casts, one multiply, one divide) for cross-engine bit equality."""
+    from .splits import SCALE_U60
+
+    gc = list(group_cols)
+    agg = (rows.groupBy(*gc)
+           .agg(F.count(F.lit(1)).alias("n_sketch"),
+                F.max("h").alias("h_k")))
+    est = (F.when(F.col("n_sketch") < k,
+                  F.col("n_sketch").cast("double"))
+           .otherwise(F.lit(float(k - 1)) * F.lit(float(SCALE_U60))
+                      / F.col("h_k").cast("double")))
+    return agg.withColumn("est", est)

@@ -47,6 +47,67 @@ GROUP BY key, tot.n
 HAVING COUNT(*) >= ({num} * tot.n + {den - 1}) // {den}"""
 
 
+_KMV_K = 64
+_KMV_SALT = "kmv"
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct sketch (operators/sketch.py kmv_rows /
+    kmv_estimate) per event_type over the cents-value domain, alongside
+    the exact distinct count.  The sketch coordinate is the repo's
+    deterministic 60-bit md5, so sketch contents, h_k, AND the
+    (k−1)·2⁶⁰/h_k estimate are engine-exact — a value-hash-checkable
+    approximate-distinct operator (HLL can't offer that)."""
+    from .operators.sketch import kmv_estimate, kmv_rows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    rows = kmv_rows(ev, ["event_type"], ["cents"], _KMV_K, salt=_KMV_SALT)
+    est = kmv_estimate(rows, ["event_type"], _KMV_K)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("cents").alias("n_exact"))
+    return est.join(exact, "event_type")
+
+
+def sql_kmv_distinct() -> str:
+    from .operators.splits import SCALE_U60
+
+    k = _KMV_K
+    u = repr(float(SCALE_U60))
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+d AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(concat_ws(chr(31), '{_KMV_SALT}',
+              CAST(cents AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM ev
+),
+r AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM d
+),
+sk AS (
+  SELECT event_type, COUNT(*) AS n_sketch, MAX(h) AS h_k
+  FROM r WHERE rn <= {k} GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT cents) AS n_exact
+  FROM ev GROUP BY event_type
+)
+SELECT s.event_type, s.n_sketch, s.h_k,
+       CASE WHEN s.n_sketch < {k} THEN CAST(s.n_sketch AS DOUBLE)
+            ELSE {float(k - 1)!r} * {u} / CAST(s.h_k AS DOUBLE)
+       END AS est,
+       e.n_exact
+FROM sk s JOIN ex e USING (event_type)"""
+
+
 SKETCH_QUERIES = {
     "heavy_hitters": (q_heavy_hitters, sql_heavy_hitters),
+    "kmv_distinct": (q_kmv_distinct, sql_kmv_distinct),
 }

@@ -130,3 +130,63 @@ def test_mg_merge_combined_stream_guarantee(spark):
             .filter(F.col("count") * (m + 1) > total).collect()}
     assert true  # non-vacuous
     assert true <= kept
+
+
+# ---------------------------------------------------------------- KMV sketch
+
+
+def test_kmv_mergeability_law(spark):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) — exactly."""
+    from mapbox_filter_spark.operators.sketch import kmv_merge, kmv_rows
+
+    k = 16
+    a = spark.range(0, 400).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("v"))
+    b = spark.range(300, 900).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("v"))
+    whole = kmv_rows(a.unionByName(b), ["g"], ["v"], k)
+    merged = kmv_merge(
+        kmv_rows(a, ["g"], ["v"], k).unionByName(
+            kmv_rows(b, ["g"], ["v"], k)), ["g"], k)
+    assert sorted(map(tuple, whole.collect())) == \
+        sorted(map(tuple, merged.collect()))
+
+
+def test_kmv_estimate_accuracy_and_exact_path(spark):
+    from mapbox_filter_spark.operators.sketch import kmv_estimate, kmv_rows
+
+    k = 64
+    # group 0: 5000 distinct values (estimator path);
+    # group 1: 20 distinct values (exact path, n_sketch < k)
+    df = spark.range(5000).select(F.lit(0).alias("g"),
+                                  F.col("id").alias("v")) \
+        .unionByName(spark.range(20).select(F.lit(1).alias("g"),
+                                            F.col("id").alias("v")))
+    out = {r["g"]: r for r in
+           kmv_estimate(kmv_rows(df, ["g"], ["v"], k), ["g"], k).collect()}
+    assert out[1]["n_sketch"] == 20 and out[1]["est"] == 20.0
+    assert out[0]["n_sketch"] == k
+    # KMV relative error ~ 1/sqrt(k-2) ≈ 0.127; allow 4 sigma
+    assert abs(out[0]["est"] - 5000) / 5000 < 0.5
+
+
+def test_kmv_duplicates_and_partitioning_invariant(spark):
+    from mapbox_filter_spark.operators.sketch import kmv_rows
+
+    base = spark.range(500).select((F.col("id") % 100).alias("v"),
+                                   F.lit(0).alias("g"))
+
+    def sk(df):
+        return sorted(map(tuple, kmv_rows(df, ["g"], ["v"], 8).collect()))
+
+    # duplicates don't change the sketch; neither does partitioning
+    assert sk(base) == sk(base.unionByName(base)) == \
+        sk(base.repartition(13))
+
+
+def test_kmv_k_validation(spark):
+    from mapbox_filter_spark.operators.sketch import kmv_rows
+
+    df = spark.range(5).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="k"):
+        kmv_rows(df, ["g"], ["v"], 1)
