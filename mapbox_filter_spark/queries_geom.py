@@ -1215,6 +1215,130 @@ SELECT pid AS point_id, sid AS seg_id, d2 FROM (
 ) WHERE rn = 1"""
 
 
+# polygon validity: the 8-vertex stars are simple by construction;
+# every 5th polygon gets ring positions 1 and 2 swapped — a bowtie whose
+# crossing edges the overlay must flag.  Adjacent edges share an
+# endpoint (touch) and are excluded by the ring-distance test.
+_PV_SWAP_MOD = 5
+_PV_CELL = 1 << 15  # >= max star edge extent (~14k micro-deg)
+
+
+def q_polygon_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon simplicity check (OGC is-simple analogue) as a
+    composition: ring edges → segment_pairs_intersecting (geo/overlay)
+    → drop ring-adjacent touches → count per polygon.  Exact integer
+    predicate end to end; the oracle recomputes the same sign analysis
+    over the brute edge-pair join."""
+    from .geo.overlay import segment_pairs_intersecting
+
+    n = len(_DIRS)
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .filter((F.col("p_partkey") >= 1)
+                    & (F.col("p_partkey") <= _N_POLY)))
+    pk = F.col("p_partkey")
+    verts = _star_verts()
+    perm = F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda rp: F.when((pk % _PV_SWAP_MOD == 0) & (rp == 1), F.lit(2))
+        .when((pk % _PV_SWAP_MOD == 0) & (rp == 2), F.lit(1))
+        .otherwise(rp))
+    ring = F.transform(perm, lambda j: F.element_at(
+        verts, (j + 1).cast("int")))
+    polys = part.select(pk.alias("poly_id"), ring.alias("ring"))
+    edges = polys.select(
+        "poly_id",
+        F.posexplode(F.col("ring")).alias("e", "v"))
+    nxt = edges.select(
+        "poly_id",
+        F.col("e").cast("long").alias("e"),
+        F.col("v.x").alias("x1"), F.col("v.y").alias("y1"))
+    # close the ring: edge e runs vertex e -> vertex (e+1) mod n
+    nxt2 = edges.select(
+        "poly_id",
+        F.pmod(F.col("e") - 1, F.lit(n)).cast("long").alias("e"),
+        F.col("v.x").alias("x2"), F.col("v.y").alias("y2"))
+    segs = (nxt.join(nxt2, ["poly_id", "e"])
+            .select((F.col("poly_id") * n + F.col("e")).alias("seg_id"),
+                    "poly_id", "e", "x1", "y1", "x2", "y2"))
+    hits = segment_pairs_intersecting(
+        segs.select("seg_id", "x1", "y1", "x2", "y2"), _PV_CELL,
+        validate=False)
+    bad = (hits
+           .filter((F.col("i") / n).cast("long")
+                   == (F.col("j") / n).cast("long"))
+           .select((F.col("i") / n).cast("long").alias("poly_id"),
+                   F.pmod(F.col("i"), F.lit(n)).alias("ei"),
+                   F.pmod(F.col("j"), F.lit(n)).alias("ej"))
+           .filter(~F.pmod(F.col("ej") - F.col("ei"), F.lit(n))
+                   .isin(1, n - 1))
+           .groupBy("poly_id")
+           .agg(F.count(F.lit(1)).alias("n_bad")))
+    return (polys.select("poly_id").join(bad, "poly_id", "left")
+            .select("poly_id",
+                    F.coalesce("n_bad", F.lit(0)).alias("n_bad"),
+                    (F.coalesce("n_bad", F.lit(0)) == 0)
+                    .alias("is_simple")))
+
+
+def sql_polygon_validity() -> str:
+    n = len(_DIRS)
+    dirs = ", ".join(f"({i}, {dx}, {dy})" for i, (dx, dy) in enumerate(_DIRS))
+    return f"""
+WITH dirs(i, dx, dy) AS (VALUES {dirs}),
+ring AS (
+  SELECT p_partkey AS poly_id, rp.r AS rp,
+         CASE WHEN p_partkey % {_PV_SWAP_MOD} = 0 AND rp.r = 1 THEN 2
+              WHEN p_partkey % {_PV_SWAP_MOD} = 0 AND rp.r = 2 THEN 1
+              ELSE rp.r END AS j
+  FROM part, LATERAL (SELECT unnest(range({n})) AS r) rp
+  WHERE p_partkey >= 1 AND p_partkey <= {_N_POLY}
+),
+verts AS (
+  SELECT r.poly_id, r.rp,
+         ((r.poly_id*7013) % 340 - 170) * 1000000 + 500
+           + d.dx * (1000 + ((r.poly_id*31 + r.j*17) % 13) * 500) AS vx,
+         ((r.poly_id*3571) % 150 - 75) * 1000000 + 500
+           + d.dy * (1000 + ((r.poly_id*31 + r.j*17) % 13) * 500) AS vy
+  FROM ring r JOIN dirs d ON d.i = r.j
+),
+segs AS (
+  SELECT a.poly_id, a.rp AS e, a.vx AS x1, a.vy AS y1,
+         b.vx AS x2, b.vy AS y2
+  FROM verts a JOIN verts b
+    ON b.poly_id = a.poly_id AND b.rp = (a.rp + 1) % {n}
+),
+pr AS (
+  SELECT a.poly_id, a.e AS ei, b.e AS ej,
+    (b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1) AS d1,
+    (b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1) AS d2,
+    (a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1) AS d3,
+    (a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1) AS d4,
+    a.x1 ax1, a.y1 ay1, a.x2 ax2, a.y2 ay2,
+    b.x1 bx1, b.y1 by1, b.x2 bx2, b.y2 by2
+  FROM segs a JOIN segs b
+    ON b.poly_id = a.poly_id AND a.e < b.e
+   AND (b.e - a.e) % {n} NOT IN (1, {n - 1})
+),
+bad AS (
+  SELECT poly_id, COUNT(*) AS n_bad FROM pr
+  WHERE (((d1>0 AND d2<0) OR (d1<0 AND d2>0))
+         AND ((d3>0 AND d4<0) OR (d3<0 AND d4>0)))
+     OR (d1=0 AND ax1 BETWEEN LEAST(bx1,bx2) AND GREATEST(bx1,bx2)
+              AND ay1 BETWEEN LEAST(by1,by2) AND GREATEST(by1,by2))
+     OR (d2=0 AND ax2 BETWEEN LEAST(bx1,bx2) AND GREATEST(bx1,bx2)
+              AND ay2 BETWEEN LEAST(by1,by2) AND GREATEST(by1,by2))
+     OR (d3=0 AND bx1 BETWEEN LEAST(ax1,ax2) AND GREATEST(ax1,ax2)
+              AND by1 BETWEEN LEAST(ay1,ay2) AND GREATEST(ay1,ay2))
+     OR (d4=0 AND bx2 BETWEEN LEAST(ax1,ax2) AND GREATEST(ax1,ax2)
+              AND by2 BETWEEN LEAST(ay1,ay2) AND GREATEST(ay1,ay2))
+  GROUP BY poly_id
+)
+SELECT p.poly_id, COALESCE(b.n_bad, 0) AS n_bad,
+       COALESCE(b.n_bad, 0) = 0 AS is_simple
+FROM (SELECT DISTINCT poly_id FROM ring) p
+LEFT JOIN bad b USING (poly_id)"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
@@ -1235,6 +1359,7 @@ GEOM_QUERIES = {
     "seg_intersections": (q_seg_intersections, sql_seg_intersections),
     "hex_hotspot": (q_hex_hotspot, sql_hex_hotspot),
     "map_match": (q_map_match, sql_map_match),
+    "polygon_validity": (q_polygon_validity, sql_polygon_validity),
     "line_interpolate": (q_line_interpolate, sql_line_interpolate),
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
 }
