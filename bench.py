@@ -347,8 +347,11 @@ def spatial_micro(spark, sf_dir: str) -> dict:
         F.pmod(F.col("feature_id") * 104729, F.lit(170000)).alias("y"),
         F.col("feature_id").alias("id")).distinct())
     n_pts = lattice.count()
+    # hold the neighbor regime across sf: eps ~ 1/sqrt(density)
+    # (1000 units at the sf0.01 gate's 45832 points)
+    eps = max(50, int((1000.0 * 1000.0 * 45832.0 / n_pts) ** 0.5))
     t0 = time.perf_counter()
-    roles = (dbscan(lattice, 1000, 4, id_col="id")
+    roles = (dbscan(lattice, eps, 4, id_col="id")
              .groupBy("role").count().collect())
     db_sec = time.perf_counter() - t0
 
@@ -373,6 +376,7 @@ def spatial_micro(spark, sf_dir: str) -> dict:
         "gi_star_sec": round(gi_sec, 3),
         "gi_star_cells": n_hot,
         "dbscan_n_pts": n_pts,
+        "dbscan_eps": eps,
         "dbscan_sec": round(db_sec, 3),
         "dbscan_roles": {r["role"]: r["count"] for r in roles},
         "overlay_n_segs": 50_000,
@@ -1260,6 +1264,7 @@ def main() -> None:
         "layout_micro": r["layout_micro"],
         "geohash_micro": r["geohash_micro"],
         "dataops_micro": r["dataops_micro"],
+        "spatial_micro": r["spatial_micro"],
         "throughput": {
             "tiles_per_sec": r["tiles_per_sec"],
             "features_per_sec": r["features_per_sec"],
