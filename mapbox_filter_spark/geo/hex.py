@@ -254,3 +254,49 @@ def hex_gi_star(cells, value: str = "n", k: int = 1):
     return (j.filter(F.col("nc") * F.col("w_i")
                      - F.col("w_i") * F.col("w_i") > 0)
             .select("hq", "hr", "w_i", "s1", (num / den).alias("z")))
+
+
+def hex_polyfill_bbox(lon0, lat0, lon1, lat1, size: float):
+    """Covering hex cells of a lon/lat bbox — the H3-polyfill analogue
+    under this grid's center-in-region convention (a cell belongs to
+    the box iff its CENTER lies in the half-open mercator rectangle
+    [mx0, mx1) × [my0, my1) — the same convention H3 documents, which
+    makes polyfills of a partition of space a partition of cells).
+
+    Returns an array<struct<hq,hr>> Column: candidate axial ranges come
+    from the fractional transform at the bbox corners (monotone in mx
+    and my) padded by one cell, then centers are filtered exactly.
+    Bounded explode (the candidate parallelogram), all codegen —
+    mirrored bit-for-bit by the gate's SQL."""
+    mx0, myA = mercator_xy(lon0, lat0)
+    mx1, myB = mercator_xy(lon1, lat1)
+    my_lo = F.least(myA, myB)
+    my_hi = F.greatest(myA, myB)
+    s = float(size)
+    sc = F.lit(s)
+
+    def qd(mx, my):
+        return (F.lit(SQRT3_3) * mx - my / F.lit(3.0)) / sc
+
+    def rd(my):
+        return (F.lit(TWO_THIRDS) * my) / sc
+
+    qmin = F.floor(qd(mx0, my_hi)).cast("long") - 1
+    qmax = F.floor(qd(mx1, my_lo)).cast("long") + 1
+    rmin = F.floor(rd(my_lo)).cast("long") - 1
+    rmax = F.floor(rd(my_hi)).cast("long") + 1
+
+    def center_ok(hq, hr):
+        q = hq.cast("double")
+        r = hr.cast("double")
+        cx = sc * (F.lit(SQRT3) * q + F.lit(SQRT3) / F.lit(2.0) * r)
+        cy = sc * (F.lit(3.0) / F.lit(2.0) * r)
+        return (cx >= mx0) & (cx < mx1) & (cy >= my_lo) & (cy < my_hi)
+
+    return F.filter(
+        F.flatten(F.transform(
+            F.sequence(qmin, qmax),
+            lambda hq: F.transform(
+                F.sequence(rmin, rmax),
+                lambda hr: F.struct(hq.alias("hq"), hr.alias("hr"))))),
+        lambda c: center_ok(c["hq"], c["hr"]))

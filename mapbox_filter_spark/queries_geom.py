@@ -1339,6 +1339,82 @@ FROM (SELECT DISTINCT poly_id FROM ring) p
 LEFT JOIN bad b USING (poly_id)"""
 
 
+# hex polyfill: 80 deterministic lon/lat boxes (3-12° spans) from part;
+# a finer grid than the binning gates (1/256 ⇒ ~2.4° hex width) so each
+# box holds a meaningful covering rather than 0-2 centers.
+_PF_N_BOX = 80
+_PF_SIZE = 1.0 / 256.0
+
+
+def q_hex_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex covering of lon/lat bboxes (geo/hex.py hex_polyfill_bbox —
+    the H3-polyfill analogue, center-in-region convention): candidate
+    parallelogram from the corner transforms, exact center filter,
+    bounded explode.  Oracle replays the identical double chain over
+    unnested ranges — cell sets match by value hash."""
+    from .geo.hex import hex_polyfill_bbox
+
+    pk = F.col("p_partkey")
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .filter((pk >= 1) & (pk <= _PF_N_BOX)))
+    lon0 = (F.pmod(pk * 7013, F.lit(300)) - 170).cast("double")
+    lat0 = (F.pmod(pk * 3571, F.lit(130)) - 70).cast("double")
+    lon1 = lon0 + (3 + F.pmod(pk * 11, F.lit(10))).cast("double")
+    lat1 = lat0 + (3 + F.pmod(pk * 13, F.lit(8))).cast("double")
+    cells = hex_polyfill_bbox(lon0, lat0, lon1, lat1, _PF_SIZE)
+    return (part.select(pk.alias("box_id"), F.explode(cells).alias("c"))
+            .select("box_id", F.col("c.hq").alias("hq"),
+                    F.col("c.hr").alias("hr")))
+
+
+def sql_hex_polyfill() -> str:
+    from .geo.hex import SQRT3, SQRT3_3, TWO_THIRDS, sql_mercator_xy
+
+    s = repr(float(_PF_SIZE))
+    half_sqrt3 = repr(SQRT3 / 2.0)
+    mx_a, my_a = sql_mercator_xy("lon0", "lat0")
+    mx_b, my_b = sql_mercator_xy("lon1", "lat1")
+    qd = lambda mx, my: f"(({SQRT3_3!r} * ({mx}) - ({my}) / 3.0) / {s})"  # noqa: E731
+    rd = lambda my: f"(({TWO_THIRDS!r} * ({my})) / {s})"  # noqa: E731
+    return f"""
+WITH boxes AS (
+  SELECT p_partkey AS box_id,
+         CAST((p_partkey*7013) % 300 - 170 AS DOUBLE) AS lon0,
+         CAST((p_partkey*3571) % 130 - 70 AS DOUBLE) AS lat0,
+         CAST((p_partkey*7013) % 300 - 170
+              + 3 + (p_partkey*11) % 10 AS DOUBLE) AS lon1,
+         CAST((p_partkey*3571) % 130 - 70
+              + 3 + (p_partkey*13) % 8 AS DOUBLE) AS lat1
+  FROM part WHERE p_partkey >= 1 AND p_partkey <= {_PF_N_BOX}
+),
+merc AS (
+  SELECT box_id, {mx_a} AS mx0, {mx_b} AS mx1,
+         LEAST({my_a}, {my_b}) AS my_lo,
+         GREATEST({my_a}, {my_b}) AS my_hi
+  FROM boxes
+),
+rng AS (
+  SELECT box_id, mx0, mx1, my_lo, my_hi,
+         CAST(FLOOR({qd('mx0', 'my_hi')}) AS BIGINT) - 1 AS qmin,
+         CAST(FLOOR({qd('mx1', 'my_lo')}) AS BIGINT) + 1 AS qmax,
+         CAST(FLOOR({rd('my_lo')}) AS BIGINT) - 1 AS rmin,
+         CAST(FLOOR({rd('my_hi')}) AS BIGINT) + 1 AS rmax
+  FROM merc
+),
+cand AS (
+  SELECT r.box_id, r.mx0, r.mx1, r.my_lo, r.my_hi,
+         q.hq, t.hr,
+         {s} * ({SQRT3!r} * CAST(q.hq AS DOUBLE)
+                + {half_sqrt3} * CAST(t.hr AS DOUBLE)) AS cx,
+         {s} * (1.5 * CAST(t.hr AS DOUBLE)) AS cy
+  FROM rng r,
+       LATERAL (SELECT unnest(range(r.qmin, r.qmax + 1)) AS hq) q,
+       LATERAL (SELECT unnest(range(r.rmin, r.rmax + 1)) AS hr) t
+)
+SELECT box_id, hq, hr FROM cand
+WHERE cx >= mx0 AND cx < mx1 AND cy >= my_lo AND cy < my_hi"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
@@ -1360,6 +1436,7 @@ GEOM_QUERIES = {
     "hex_hotspot": (q_hex_hotspot, sql_hex_hotspot),
     "map_match": (q_map_match, sql_map_match),
     "polygon_validity": (q_polygon_validity, sql_polygon_validity),
+    "hex_polyfill": (q_hex_polyfill, sql_hex_polyfill),
     "line_interpolate": (q_line_interpolate, sql_line_interpolate),
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
 }

@@ -223,3 +223,67 @@ def test_gi_star_partitioning_independent(spark):
     a = sorted(map(tuple, hex_gi_star(df.repartition(1), "n").collect()))
     b = sorted(map(tuple, hex_gi_star(df.repartition(13), "n").collect()))
     assert a == b  # bit-identical z under any partitioning
+
+
+def _py_center(hq, hr, size):
+    cx = size * (math.sqrt(3.0) * hq + math.sqrt(3.0) / 2.0 * hr)
+    cy = size * (3.0 / 2.0 * hr)
+    return cx, cy
+
+
+def test_polyfill_matches_brute_force(spark):
+    from mapbox_filter_spark.geo.hex import hex_polyfill_bbox
+
+    boxes = [(1, -10.0, -5.0, 5.0, 8.0), (2, 100.0, 40.0, 112.0, 44.0),
+             (3, -179.0, -80.0, -170.0, -71.0)]
+    df = spark.createDataFrame(
+        boxes, "box_id long, lon0 double, lat0 double, "
+               "lon1 double, lat1 double")
+    out = df.select("box_id", F.explode(hex_polyfill_bbox(
+        F.col("lon0"), F.col("lat0"), F.col("lon1"), F.col("lat1"),
+        SIZE)).alias("c"))
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["box_id"], set()).add((r["c"]["hq"], r["c"]["hr"]))
+
+    def merc(lon, lat):
+        mx = (lon + 180.0) / 360.0
+        latc = max(-MERCATOR_MAX_LAT, min(lat, MERCATOR_MAX_LAT))
+        rad = math.radians(latc)
+        my = (1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad))
+              / math.pi) / 2.0
+        return mx, my
+
+    for box_id, lon0, lat0, lon1, lat1 in boxes:
+        mx0, mya = merc(lon0, lat0)
+        mx1, myb = merc(lon1, lat1)
+        lo, hi = min(mya, myb), max(mya, myb)
+        # brute force over a generous candidate window
+        want = set()
+        for hq in range(-80, 80):
+            for hr in range(-10, 70):
+                cx, cy = _py_center(hq, hr, SIZE)
+                if mx0 <= cx < mx1 and lo <= cy < hi:
+                    want.add((hq, hr))
+        assert got[box_id] == want
+
+
+def test_polyfill_partitions_space(spark):
+    """Two boxes sharing the split meridian partition their cells
+    (half-open center rule): no overlap, union == polyfill of union."""
+    from mapbox_filter_spark.geo.hex import hex_polyfill_bbox
+
+    rows = [(1, 0.0, 10.0, 7.0, 20.0), (2, 7.0, 10.0, 15.0, 20.0),
+            (3, 0.0, 10.0, 15.0, 20.0)]
+    df = spark.createDataFrame(
+        rows, "box_id long, lon0 double, lat0 double, "
+              "lon1 double, lat1 double")
+    out = df.select("box_id", F.explode(hex_polyfill_bbox(
+        F.col("lon0"), F.col("lat0"), F.col("lon1"), F.col("lat1"),
+        SIZE)).alias("c"))
+    cells = {}
+    for r in out.collect():
+        cells.setdefault(r["box_id"], set()).add(
+            (r["c"]["hq"], r["c"]["hr"]))
+    assert cells[1] & cells[2] == set()
+    assert cells[1] | cells[2] == cells[3]
