@@ -181,8 +181,33 @@ d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)"""]
             + f"\nSELECT node, dist FROM d{_SSSP_UNROLL}")
 
 
+_ISO_BAND = 200  # ~2 grid hops per band at w ∈ [100, 103]
+
+
+def q_isochrone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isochrone bands — the routing-engine reachability product:
+    shortest-path distances from the depot node banded into travel-cost
+    rings (band = dist div 200), with per-band node counts and exact
+    min/max cost.  Pure composition over shortest_paths; the oracle
+    bands the same 36-round unrolled relaxation."""
+    dist = q_sssp_grid(spark, sf_dir)
+    return (dist.withColumn("band", F.expr(f"dist div {_ISO_BAND}"))
+            .groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n_nodes"),
+                 F.min("dist").alias("min_dist"),
+                 F.max("dist").alias("max_dist")))
+
+
+def sql_isochrone() -> str:
+    return (f"WITH sp AS ({sql_sssp_grid()})\n"
+            f"SELECT dist // {_ISO_BAND} AS band, COUNT(*) AS n_nodes,\n"
+            f"       MIN(dist) AS min_dist, MAX(dist) AS max_dist\n"
+            f"FROM sp GROUP BY 1")
+
+
 GRAPH_QUERIES = {
     "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters),
     "pagerank": (q_pagerank, sql_pagerank),
     "sssp_grid": (q_sssp_grid, sql_sssp_grid),
+    "isochrone": (q_isochrone, sql_isochrone),
 }

@@ -331,3 +331,49 @@ def heavy_hitter_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def hex_heatmap_stream(
+    spark: SparkSession,
+    in_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: T.StructType,
+    size: float,
+    lon: str = "lon",
+    lat: str = "lat",
+    max_files: int = 4,
+):
+    """Streaming hex heatmap — the streaming face of the hex_assign
+    binning (geo/hex.py): each micro-batch appends its per-epoch
+    ``(hq, hr, n)`` COUNT partial to the store.  Counts are the
+    textbook mergeable partial (SUM re-aggregates exactly), so after
+    the stream drains, ``SUM(n) GROUP BY hq, hr`` over the store equals
+    the batch binning row-for-row (pytest parity).  foreachBatch +
+    checkpointLocation give exactly-once file consumption; a replayed
+    epoch appends the same partial it appended before only if it never
+    committed — per-epoch files make dedup-on-read possible but the
+    availableNow drain used here never needs it."""
+    from ..geo.hex import hex_axial
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        hq, hr = hex_axial(F.col(lon), F.col(lat), size)
+        (batch.select(hq.alias("hq"), hr.alias("hr"))
+         .groupBy("hq", "hr")
+         .agg(F.count(F.lit(1)).alias("n"))
+         .write.mode("append").parquet(store_dir))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(in_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

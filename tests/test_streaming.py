@@ -300,3 +300,43 @@ def test_heavy_hitter_stream_matches_batch(spark, tmp_path):
     want = {(r["key"], r["cnt"]) for r in batch.collect()}
     assert got == want
     assert want  # non-vacuous
+
+
+def test_hex_heatmap_stream_matches_batch(spark, tmp_path):
+    """Streamed hex binning == batch hex_assign: points arrive as 5
+    parquet files in micro-batches of 2; each epoch appends a count
+    partial, and the drained store re-aggregates to exactly the batch
+    cell counts (every epoch hits overlapping cells -> merge-by-SUM
+    path exercised, not just concatenation)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mapbox_filter_spark.geo.hex import hex_axial
+    from mapbox_filter_spark.streaming.incremental import hex_heatmap_stream
+
+    rng = random.Random(31)
+    rows = [(i, rng.uniform(-170.0, 170.0), rng.uniform(-80.0, 80.0))
+            for i in range(2000)]
+    pts = spark.createDataFrame(rows, "id long, lon double, lat double")
+    in_dir = str(tmp_path / "in")
+    for i in range(5):
+        pts.filter(F.pmod("id", F.lit(5)) == i) \
+            .coalesce(1).write.mode("append").parquet(in_dir)
+
+    store = str(tmp_path / "store")
+    size = 1.0 / 32.0
+    q = hex_heatmap_stream(
+        spark, in_dir, store, str(tmp_path / "ckpt"),
+        schema=pts.schema, size=size, max_files=2)
+    q.awaitTermination(120)
+
+    got = (spark.read.parquet(store)
+           .groupBy("hq", "hr").agg(F.sum("n").alias("n")))
+    hq, hr = hex_axial(F.col("lon"), F.col("lat"), size)
+    want = (pts.select(hq.alias("hq"), hr.alias("hr"))
+            .groupBy("hq", "hr").agg(F.count(F.lit(1)).alias("n")))
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, want.collect()))
+    # the merge path was real: more partial rows than final cells
+    assert spark.read.parquet(store).count() > want.count()
