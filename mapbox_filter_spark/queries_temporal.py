@@ -407,9 +407,49 @@ FROM grid g ASOF LEFT JOIN dedup d
   ON g.user_id = d.user_id AND g.gts >= d.ts_us"""
 
 
+_RC_DAY_US = 86_400_000_000
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix — the product-analytics staple: users
+    cohorted by FIRST-seen day; for each (cohort_day, age_days) cell,
+    how many distinct users were active.  Two keyed aggregations (min
+    per user, then distinct per cell — the user-day dedup rides the
+    same exchange), all integer arithmetic."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_RC_DAY_US}")
+        .alias("day"))
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = (ev.join(first, "user_id")
+           .select("user_id", "cohort_day",
+                   (F.col("day") - F.col("cohort_day")).alias("age_days"))
+           .distinct())
+    return (act.groupBy("cohort_day", "age_days")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def sql_retention_cohorts() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // {_RC_DAY_US} AS day FROM events
+),
+first AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         e.day - f.cohort_day AS age_days
+  FROM ev e JOIN first f USING (user_id)
+)
+SELECT cohort_day, age_days, COUNT(*) AS n_users
+FROM act GROUP BY cohort_day, age_days"""
+
+
 TEMPORAL_QUERIES = {
     "asof_join": (q_asof_join, sql_asof_join),
     "gapfill_locf": (q_gapfill_locf, sql_gapfill_locf),
+    "retention_cohorts": (q_retention_cohorts, sql_retention_cohorts),
     "interval_join": (q_interval_join, sql_interval_join),
     "sessionize": (q_sessionize, sql_sessionize),
     "time_rollup": (q_time_rollup, sql_time_rollup),
