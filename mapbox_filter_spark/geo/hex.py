@@ -216,9 +216,13 @@ def hex_gi_star(cells, value: str = "n", k: int = 1):
     tiny vs the point corpus) ×(1+3k(k+1)) and equi-joins it against
     itself; global moments are ONE single-row aggregate broadcast back.
     Every input is an exact integer, the IEEE op order is pinned (and
-    mirrored by the gate's DuckDB oracle bit-for-bit), and the
-    degenerate-denominator guard is integer-only (n·W − W² > 0), so
-    hotspot z-scores are engine-reproducible.
+    mirrored by the gate's DuckDB oracle bit-for-bit), and BOTH
+    degenerate-denominator guards are integer-only — n·W − W² > 0
+    (weight spread) and n·Σx² − (Σx)² > 0 (zero variance: a constant
+    field has no hotspots, and Spark's NULL-on-divide-by-zero vs
+    DuckDB's NaN would otherwise split the engines) — so hotspot
+    z-scores are engine-reproducible.  (Σx)² bounds the value domain:
+    |Σx| must stay < 2^31 for the integer guard product.
 
     Returns (hq, hr, w_i, s1, z).
     """
@@ -251,8 +255,10 @@ def hex_gi_star(cells, value: str = "n", k: int = 1):
     w = F.col("w_i").cast("double")
     num = F.col("s1").cast("double") - xbar * w
     den = s * F.sqrt((nc * w - w * w) / (nc - F.lit(1.0)))
-    return (j.filter(F.col("nc") * F.col("w_i")
-                     - F.col("w_i") * F.col("w_i") > 0)
+    return (j.filter((F.col("nc") * F.col("w_i")
+                      - F.col("w_i") * F.col("w_i") > 0)
+                     & (F.col("nc") * F.col("sxx")
+                        - F.col("sx") * F.col("sx") > 0))
             .select("hq", "hr", "w_i", "s1", (num / den).alias("z")))
 
 
@@ -287,10 +293,7 @@ def hex_polyfill_bbox(lon0, lat0, lon1, lat1, size: float):
     rmax = F.floor(rd(my_hi)).cast("long") + 1
 
     def center_ok(hq, hr):
-        q = hq.cast("double")
-        r = hr.cast("double")
-        cx = sc * (F.lit(SQRT3) * q + F.lit(SQRT3) / F.lit(2.0) * r)
-        cy = sc * (F.lit(3.0) / F.lit(2.0) * r)
+        cx, cy = hex_center(hq, hr, s)
         return (cx >= mx0) & (cx < mx1) & (cy >= my_lo) & (cy < my_hi)
 
     return F.filter(

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .tilemath import floor_div as _floor_div
+
 __all__ = ["orient2d", "segment_pairs_intersecting", "snap_to_segments"]
 
 
@@ -40,8 +42,8 @@ def orient2d(ax: Column, ay: Column, bx: Column, by: Column,
              cx: Column, cy: Column) -> Column:
     """Sign-carrying double area of triangle ABC:
     ``(b−a) × (c−a)`` — >0 left turn, <0 right turn, 0 collinear.
-    Exact on integer columns (products stay < 2^63 for |coord| < 2^31
-    after differencing)."""
+    Exact on integer columns for |coord| < 2^30: differences reach
+    2^31, each product < 2^62, and the subtraction stays < 2^63."""
     return ((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
 
 
@@ -75,10 +77,6 @@ def _intersect_kind(a, b) -> Column:
     return (F.when(proper, F.lit("proper"))
             .when(touch, F.lit("touch"))
             .otherwise(F.lit(None).cast("string")))
-
-
-def _floor_div(c: Column, d: int) -> Column:
-    return ((c - F.pmod(c, F.lit(d))) / F.lit(d)).cast("long")
 
 
 def segment_pairs_intersecting(

@@ -41,6 +41,16 @@ def _n_tiles(z: ColOrName) -> Column:
     return F.pow(F.lit(2.0), _c(z).cast("double")).cast("long")
 
 
+
+def floor_div(c: Column, d: int) -> Column:
+    """True floor division of an integer column by a positive literal —
+    ``(c - pmod(c, d)) / d`` cast long: exact through the double divide
+    for |c| < 2^53, and correct for NEGATIVE c (unlike `div`'s
+    truncation toward zero, which breaks grid-cell adjacency at 0).
+    The shared grid-cell quantizer for the eps-cell joins
+    (operators/cluster.py, geo/overlay.py)."""
+    return ((c - F.pmod(c, F.lit(d))) / F.lit(d)).cast("long")
+
 def lon_to_tile_x(lon: ColOrName, z: ColOrName) -> Column:
     """Longitude -> tile column at zoom z (clamped into [0, 2^z - 1])."""
     n = _n_tiles(z)

@@ -48,16 +48,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..geo.tilemath import floor_div as _floor_div
 from .graph import connected_components
 
 __all__ = ["dbscan", "grid_neighbor_pairs"]
-
-
-def _floor_div(c: F.Column, d: int) -> F.Column:
-    # (c - pmod(c, d)) / d: true floor division for either sign —
-    # integer-exact (|c| < 2^53 through the double divide), unlike
-    # `div`'s truncation toward zero which breaks cell adjacency at 0.
-    return ((c - F.pmod(c, F.lit(d))) / F.lit(d)).cast("long")
 
 
 def grid_neighbor_pairs(

@@ -129,5 +129,9 @@ def time_weighted_avg(df: DataFrame, group_cols: Sequence[str],
             .groupBy(*group_cols)
             .agg(F.sum(F.col("_v") * F.col("_dt")).alias("twa_num"),
                  F.sum("_dt").alias("twa_den"))
+            # a group whose gaps ALL truncate to 0 s carries no weight:
+            # drop it (Spark NULL-on-/0 vs DuckDB NaN would otherwise
+            # split the engines); integer guard, deterministic
+            .filter(F.col("twa_den") > 0)
             .withColumn("twa", F.col("twa_num").cast("double")
                         / F.col("twa_den").cast("double")))

@@ -248,7 +248,8 @@ SELECT user_id,
        CAST(CAST(SUM(cents * dt) AS BIGINT) AS DOUBLE)
          / CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE) AS twa
 FROM hops WHERE dt IS NOT NULL
-GROUP BY user_id"""
+GROUP BY user_id
+HAVING CAST(SUM(dt) AS BIGINT) > 0"""
 
 
 CURATION_QUERIES = {

@@ -1009,6 +1009,19 @@ _SEG_N = 1500
 _SEG_CELL = 2048
 
 
+# shared SQL for the synthetic road-segment field — ONE definition for
+# every oracle that replays _segs_df (seg_intersections, map_match)
+_SEGS_SQL = f"""segs0 AS (
+  SELECT p_partkey AS sid,
+         2000 + ((p_partkey - p_partkey%2)*7919) % 60000 AS x1,
+         2000 + ((p_partkey - p_partkey%2)*104729) % 60000 AS y1,
+         2000 + ((p_partkey - p_partkey%2)*7919) % 60000
+              + (p_partkey*31) % 3001 - 1500 AS x2,
+         2000 + ((p_partkey - p_partkey%2)*104729) % 60000
+              + (p_partkey*57) % 3001 - 1500 AS y2
+  FROM part WHERE p_partkey <= {_SEG_N})"""
+
+
 def _segs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     pk = F.col("p_partkey")
     anchor = pk - pk % 2
@@ -1039,21 +1052,12 @@ def q_seg_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_seg_intersections() -> str:
     return f"""
-WITH seg0 AS (
-  SELECT p_partkey AS sid,
-         2000 + ((p_partkey - p_partkey%2)*7919) % 60000 AS x1,
-         2000 + ((p_partkey - p_partkey%2)*104729) % 60000 AS y1,
-         2000 + ((p_partkey - p_partkey%2)*7919) % 60000
-              + (p_partkey*31) % 3001 - 1500 AS x2,
-         2000 + ((p_partkey - p_partkey%2)*104729) % 60000
-              + (p_partkey*57) % 3001 - 1500 AS y2
-  FROM part WHERE p_partkey <= {_SEG_N}
-),
+WITH {_SEGS_SQL},
 segs AS (
   SELECT sid, x1, y1, x2, y2,
          LEAST(x1,x2) AS minx, GREATEST(x1,x2) AS maxx,
          LEAST(y1,y2) AS miny, GREATEST(y1,y2) AS maxy
-  FROM seg0
+  FROM segs0
 ),
 pr AS (
   SELECT a.sid i, b.sid j,
@@ -1137,7 +1141,8 @@ SELECT d.hq, d.hr, d.w_i, d.s1,
                   - CAST(d.w_i AS DOUBLE) * CAST(d.w_i AS DOUBLE))
                  / (CAST(g.nc AS DOUBLE) - 1.0))) AS z
 FROM disk d, gstats g
-WHERE g.nc * d.w_i - d.w_i * d.w_i > 0"""
+WHERE g.nc * d.w_i - d.w_i * d.w_i > 0
+  AND g.nc * g.sxx - g.sx * g.sx > 0"""
 
 
 # map-matching: GPS-like lattice points snapped to the seg_intersections
@@ -1179,16 +1184,8 @@ pts AS (
          1000 + (feature_id*104729) % 62000 AS py
   FROM features WHERE feature_id % {_MM_QMOD} = 0
 ),
-segs AS (
-  SELECT p_partkey AS sid,
-         2000 + ((p_partkey - p_partkey%2)*7919) % 60000 AS x1,
-         2000 + ((p_partkey - p_partkey%2)*104729) % 60000 AS y1,
-         2000 + ((p_partkey - p_partkey%2)*7919) % 60000
-              + (p_partkey*31) % 3001 - 1500 AS x2,
-         2000 + ((p_partkey - p_partkey%2)*104729) % 60000
-              + (p_partkey*57) % 3001 - 1500 AS y2
-  FROM part WHERE p_partkey <= {_SEG_N}
-),
+{_SEGS_SQL},
+segs AS (SELECT sid, x1, y1, x2, y2 FROM segs0),
 cand AS (
   SELECT p.pid, s.sid,
     CASE

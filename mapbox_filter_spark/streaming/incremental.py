@@ -350,11 +350,12 @@ def hex_heatmap_stream(
     ``(hq, hr, n)`` COUNT partial to the store.  Counts are the
     textbook mergeable partial (SUM re-aggregates exactly), so after
     the stream drains, ``SUM(n) GROUP BY hq, hr`` over the store equals
-    the batch binning row-for-row (pytest parity).  foreachBatch +
-    checkpointLocation give exactly-once file consumption; a replayed
-    epoch appends the same partial it appended before only if it never
-    committed — per-epoch files make dedup-on-read possible but the
-    availableNow drain used here never needs it."""
+    the batch binning row-for-row (pytest parity).  Replay safety:
+    foreachBatch is at-least-once (a crash between the store write and
+    the checkpoint commit replays the epoch), so each epoch OVERWRITES
+    its own ``epoch=<id>`` subdirectory — the replayed partial replaces
+    itself instead of double-counting, making the store idempotent
+    per epoch."""
     from ..geo.hex import hex_axial
 
     def process(batch: DataFrame, epoch: int) -> None:
@@ -364,7 +365,7 @@ def hex_heatmap_stream(
         (batch.select(hq.alias("hq"), hr.alias("hr"))
          .groupBy("hq", "hr")
          .agg(F.count(F.lit(1)).alias("n"))
-         .write.mode("append").parquet(store_dir))
+         .write.mode("overwrite").parquet(f"{store_dir}/epoch={epoch}"))
 
     stream = (
         spark.readStream.schema(schema)

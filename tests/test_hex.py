@@ -287,3 +287,12 @@ def test_polyfill_partitions_space(spark):
             (r["c"]["hq"], r["c"]["hr"]))
     assert cells[1] & cells[2] == set()
     assert cells[1] | cells[2] == cells[3]
+
+
+def test_gi_star_zero_variance_guarded(spark):
+    # constant field: s == 0 -> no z is emitted (instead of NULL/NaN)
+    from mapbox_filter_spark.geo.hex import hex_gi_star
+
+    cells = [(0, 0, 5), (1, 0, 5), (0, 1, 5), (9, 9, 5)]
+    df = spark.createDataFrame(cells, "hq long, hr long, n long")
+    assert hex_gi_star(df, value="n", k=1).count() == 0

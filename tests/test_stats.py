@@ -148,3 +148,17 @@ def test_time_weighted_avg_equal_ts_tiebreak(spark):
         rows, "g string, id long, ts_us long, v long")
     row = time_weighted_avg(df, ["g"], "ts_us", "v", "id").collect()[0]
     assert (row["twa_num"], row["twa_den"], row["twa"]) == (20, 2, 10.0)
+
+
+def test_time_weighted_avg_all_subsecond_group_dropped(spark):
+    from mapbox_filter_spark.operators.stats import time_weighted_avg
+
+    # both hops truncate to 0 s -> zero total weight -> group dropped
+    rows = [("k", 1, 0, 5), ("k", 2, 400_000, 7), ("k", 3, 900_000, 9),
+            ("ok", 4, 0, 1), ("ok", 5, 2_000_000, 3)]
+    df = spark.createDataFrame(
+        rows, "g string, id long, ts_us long, v long")
+    out = {r["g"]: r["twa"]
+           for r in time_weighted_avg(df, ["g"], "ts_us", "v", "id")
+           .collect()}
+    assert out == {"ok": 1.0}
