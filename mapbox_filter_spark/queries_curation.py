@@ -252,6 +252,66 @@ GROUP BY user_id
 HAVING CAST(SUM(dt) AS BIGINT) > 0"""
 
 
+def q_span_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex-cell encoding of interleaved-document GEO SPANS — the north
+    rule's "batched H3/S2 cell encoding of span geometries" on the hex
+    half: each document carries an ordered spans array (kind, lon/lat
+    payload, offset); geo spans posexplode (offset preserved — the
+    span-sequence invariant), hex-bin (geo/hex.py), and aggregate per
+    (cell, lang).  The whole span synthesis + binning is engine-exact
+    column math, value-hash-matched."""
+    from .geo.hex import hex_axial
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang")
+    did = F.col("doc_id")
+    n_spans = (2 + F.pmod(did, F.lit(4))).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.struct(
+            F.element_at(
+                F.array(F.lit("text"), F.lit("geo"), F.lit("media")),
+                (F.pmod(did * 7 + i, F.lit(3)) + 1).cast("int"))
+            .alias("kind"),
+            ((F.pmod(did * 7919 + i * 104729, F.lit(360000)))
+             .cast("double") / 1000.0 - 180.0).alias("lon"),
+            ((F.pmod(did * 104729 + i * 7919, F.lit(170000)))
+             .cast("double") / 1000.0 - 85.0).alias("lat"),
+            i.cast("int").alias("offset")))
+    ex = (docs.select("doc_id", "lang",
+                      F.posexplode(spans).alias("span_idx", "s"))
+          .filter(F.col("s.kind") == "geo"))
+    hq, hr = hex_axial(F.col("s.lon"), F.col("s.lat"), 1.0 / 64.0)
+    return (ex.select("doc_id", "lang", hq.alias("hq"), hr.alias("hr"),
+                      F.col("s.offset").alias("off"))
+            .groupBy("hq", "hr", "lang")
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.countDistinct("doc_id").alias("n_docs"),
+                 F.sum("off").alias("sum_off")))
+
+
+def sql_span_hex_cells() -> str:
+    from .geo.hex import sql_hex_axial
+
+    return f"""
+WITH sp AS (
+  SELECT d.doc_id, d.lang, CAST(t.i AS INT) AS off,
+         ((d.doc_id*7919 + t.i*104729) % 360000) / 1000.0 - 180.0 AS lon,
+         ((d.doc_id*104729 + t.i*7919) % 170000) / 1000.0 - 85.0 AS lat,
+         (d.doc_id*7 + t.i) % 3 AS kind_i
+  FROM documents d,
+       LATERAL (SELECT unnest(range(2 + d.doc_id % 4)) AS i) t
+),
+geo AS (
+  SELECT doc_id, lang, off, {sql_hex_axial(1.0 / 64.0)}
+  FROM sp WHERE kind_i = 1
+)
+SELECT hq, hr, lang, COUNT(*) AS n_spans,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(off) AS BIGINT) AS sum_off
+FROM geo GROUP BY hq, hr, lang"""
+
+
 CURATION_QUERIES = {
     "span_dedup": (q_span_dedup, sql_span_dedup),
     "decontaminate": (q_decontaminate, sql_decontaminate),
@@ -259,4 +319,5 @@ CURATION_QUERIES = {
     "robust_outliers": (q_robust_outliers, sql_robust_outliers),
     "weighted_median": (q_weighted_median, sql_weighted_median),
     "time_weighted_avg": (q_time_weighted_avg, sql_time_weighted_avg),
+    "span_hex_cells": (q_span_hex_cells, sql_span_hex_cells),
 }
