@@ -317,3 +317,39 @@ def cap_per_group(df: DataFrame, group_cols: "Sequence[str]", k: int,
         F.md5(F.col(id_col).cast("string")), id_col)
     return (df.withColumn("cap_rank", F.row_number().over(w))
             .filter(F.col("cap_rank") <= k))
+
+
+def weighted_sample(
+    df: DataFrame,
+    group_cols: "Sequence[str]",
+    weight_col: str,
+    k: int,
+    id_cols: "Sequence[str]",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement — k rows per
+    group with inclusion odds ∝ weight (Efraimidis & Spirakis 2006
+    order sampling): rank by ``ln(u) / w`` descending, where u is the
+    row's md5-60-bit coordinate mapped into (0, 1].
+
+    ``u^(1/w)`` ordering (the paper's key) equals ``ln(u)/w`` ordering
+    (ln and /w are monotone), and ln is the libm function the repo's
+    parity rules already pin cross-engine — pow is NOT (Java allows
+    1-ulp error), which is why the log form is the one used.  Same
+    md5 coordinate as hash_split ⇒ the sample is reproducible across
+    cluster shapes, partitionings, AND engines (full value-hash gate).
+    One shuffle: the rank window on the group key."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    gc = list(group_cols)
+    u = ((hash_u60(list(id_cols), salt) + F.lit(1)).cast("double")
+         / F.lit(float(SCALE_U60)))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(*gc).orderBy(F.col("_skey").desc(),
+                                        *[F.col(c) for c in id_cols])
+    return (df.withColumn("_skey", key)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_skey", "_rn"))

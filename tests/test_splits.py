@@ -283,3 +283,58 @@ def test_negative_pairs_validation(spark):
         negative_pairs(df, "doc_id", 1, 2)
     with _pt.raises(ValueError):
         negative_pairs(df, "doc_id", 10, 0)
+
+
+# ---------------------------------------------------------- weighted sample
+
+
+def test_weighted_sample_k_and_determinism(spark):
+    from mapbox_filter_spark.operators.splits import weighted_sample
+
+    df = spark.range(500).select(
+        (F.col("id") % 5).alias("g"), F.col("id").alias("v"),
+        (1 + F.col("id") % 3).cast("long").alias("w"))
+
+    def run(d):
+        return sorted(map(tuple, weighted_sample(
+            d, ["g"], "w", 20, id_cols=["v"]).collect()))
+
+    a = run(df.repartition(1))
+    b = run(df.repartition(13))
+    assert a == b  # partition-shape independent
+    from collections import Counter
+
+    per_g = Counter(r[0] for r in a)
+    assert all(n == 20 for n in per_g.values())
+    # a group smaller than k returns whole group
+    small = spark.range(7).select(F.lit(0).alias("g"),
+                                  F.col("id").alias("v"),
+                                  F.lit(1).cast("long").alias("w"))
+    assert weighted_sample(small, ["g"], "w", 20,
+                           id_cols=["v"]).count() == 7
+
+
+def test_weighted_sample_follows_weights(spark):
+    """Inclusion frequency tracks weight: rows with w=9 should appear
+    ~9x as often as w=1 rows in k=1 samples over many groups."""
+    from mapbox_filter_spark.operators.splits import weighted_sample
+
+    # 400 groups, each with 2 rows: one w=1, one w=9
+    rows = []
+    for g in range(400):
+        rows.append((g, g * 2, 1))
+        rows.append((g, g * 2 + 1, 9))
+    df = spark.createDataFrame(rows, "g long, v long, w long")
+    picked = weighted_sample(df, ["g"], "w", 1, id_cols=["v"]).collect()
+    n_heavy = sum(1 for r in picked if r["w"] == 9)
+    # E[heavy] = 0.9 * 400 = 360, sd ≈ 6; accept ±5 sd
+    assert 330 <= n_heavy <= 390
+
+
+def test_weighted_sample_validation(spark):
+    from mapbox_filter_spark.operators.splits import weighted_sample
+
+    df = spark.range(3).select(F.lit(0).alias("g"), F.col("id").alias("v"),
+                               F.lit(1).cast("long").alias("w"))
+    with pytest.raises(ValueError, match="k"):
+        weighted_sample(df, ["g"], "w", 0, id_cols=["v"])
