@@ -135,3 +135,54 @@ def time_weighted_avg(df: DataFrame, group_cols: Sequence[str],
             .filter(F.col("twa_den") > 0)
             .withColumn("twa", F.col("twa_num").cast("double")
                         / F.col("twa_den").cast("double")))
+
+
+def gram_matrix(df: DataFrame, vec_col: str, dim: int,
+                scale: int = 1000) -> DataFrame:
+    """Exact integer Gram matrix Σ xᵢxᵢᵀ over an embedding column — the
+    mergeable sufficient statistic behind covariance/PCA/whitening: the
+    driver eigendecomposes a dim×dim matrix while the corpus is touched
+    once, shuffle payload = one partial matrix per Arrow batch (NOT per
+    row, NOT the corpus).
+
+    Embeddings are quantized to integers (``floor(v·scale + 0.5)`` —
+    the portable rounding rule the hex grid uses; Spark round() is
+    BigDecimal HALF_UP and differs from DuckDB at .5) and each batch
+    contributes its int64 ``XᵀX`` partial (numpy, exact, order-free),
+    so the summed matrix is bit-identical on any partitioning and any
+    engine — a VALUE-HASHABLE covariance, which float accumulation
+    can't give (re-association changes low bits).
+
+    Returns (i, j, g, n) for the upper triangle i ≤ j, where g is in
+    units of 1/scale² and n is the row count (for centering
+    downstream).  |v|·scale must stay ≪ 2^31 so per-batch products
+    cannot overflow int64.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if dim < 1 or scale < 1:
+        raise ValueError("dim and scale must be positive")
+    iu = np.triu_indices(dim)
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            if x.shape[1] != dim:
+                raise ValueError(
+                    f"expected dim {dim}, got {x.shape[1]}")
+            q = np.floor(x * scale + 0.5).astype("int64")
+            g = q.T @ q  # int64: exact, order-free
+            yield pd.DataFrame({
+                "i": iu[0].astype("int32"),
+                "j": iu[1].astype("int32"),
+                "g": g[iu],
+                "n": np.full(len(iu[0]), len(pdf), dtype="int64"),
+            })
+
+    part = df.mapInPandas(
+        partials, schema="i int, j int, g long, n long")
+    return (part.groupBy("i", "j")
+            .agg(F.sum("g").alias("g"), F.sum("n").alias("n")))

@@ -312,6 +312,39 @@ SELECT hq, hr, lang, COUNT(*) AS n_spans,
 FROM geo GROUP BY hq, hr, lang"""
 
 
+_GRAM_DIM = 64
+_GRAM_SCALE = 1000
+
+
+def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer Gram matrix over the embeddings corpus
+    (operators/stats.py gram_matrix): per-Arrow-batch int64 XᵀX
+    partials summed — the mergeable sufficient statistic for PCA/
+    whitening, value-hashable because integer sums are order-free
+    (float accumulation is not).  Oracle recomputes the same quantized
+    products by brute per-dimension self-join."""
+    from .operators.stats import gram_matrix
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return gram_matrix(emb, "embedding", _GRAM_DIM, scale=_GRAM_SCALE)
+
+
+def sql_gram_matrix() -> str:
+    d, s = _GRAM_DIM, _GRAM_SCALE
+    return f"""
+WITH q AS (
+  SELECT vec_id, t.i,
+         CAST(FLOOR(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE)
+                    * {float(s)!r} + 0.5) AS BIGINT) AS q
+  FROM embeddings, LATERAL (SELECT unnest(range({d})) AS i) t
+)
+SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+       CAST(SUM(a.q * b.q) AS BIGINT) AS g,
+       (SELECT COUNT(*) FROM embeddings) AS n
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i"""
+
+
 CURATION_QUERIES = {
     "span_dedup": (q_span_dedup, sql_span_dedup),
     "decontaminate": (q_decontaminate, sql_decontaminate),
@@ -320,4 +353,5 @@ CURATION_QUERIES = {
     "weighted_median": (q_weighted_median, sql_weighted_median),
     "time_weighted_avg": (q_time_weighted_avg, sql_time_weighted_avg),
     "span_hex_cells": (q_span_hex_cells, sql_span_hex_cells),
+    "gram_matrix": (q_gram_matrix, sql_gram_matrix),
 }

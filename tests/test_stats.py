@@ -162,3 +162,81 @@ def test_time_weighted_avg_all_subsecond_group_dropped(spark):
            for r in time_weighted_avg(df, ["g"], "ts_us", "v", "id")
            .collect()}
     assert out == {"ok": 1.0}
+
+
+# ---------------------------------------------------------------- gram matrix
+
+
+def _np_gram(rows, dim, scale):
+    import numpy as np
+
+    x = np.array(rows, dtype="float64")
+    q = np.floor(x * scale + 0.5).astype("int64")
+    g = q.T @ q
+    iu = np.triu_indices(dim)
+    return {(int(i), int(j)): int(g[i, j]) for i, j in zip(*iu)}
+
+
+def test_gram_matrix_exact_and_partition_independent(spark):
+    import random
+
+    from mapbox_filter_spark.operators.stats import gram_matrix
+
+    rng = random.Random(13)
+    dim = 8
+    rows = [[rng.uniform(-2, 2) for _ in range(dim)] for _ in range(300)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rows)], "id long, v array<double>")
+
+    def run(d):
+        return {(r["i"], r["j"]): (r["g"], r["n"])
+                for r in gram_matrix(d, "v", dim, scale=100).collect()}
+
+    a = run(df.repartition(1))
+    b = run(df.repartition(7))
+    assert a == b  # int64 partials are order-free
+    want = _np_gram(rows, dim, 100)
+    assert {k: v[0] for k, v in a.items()} == want
+    assert all(n == 300 for _g, n in a.values())
+
+
+def test_gram_matrix_drives_pca(spark):
+    """The driver-side PCA pattern: eigh of the centered covariance
+    assembled from (g, n) + a mean pass recovers a planted direction."""
+    import numpy as np
+
+    from mapbox_filter_spark.operators.stats import gram_matrix
+
+    rng = np.random.default_rng(5)
+    dim = 6
+    direction = np.array([3.0, 1.0, 0.0, 0.0, 0.0, 0.0])
+    direction /= np.linalg.norm(direction)
+    x = (rng.normal(size=(400, 1)) * 5.0) @ direction[None, :] \
+        + rng.normal(scale=0.1, size=(400, dim))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "id long, v array<double>")
+    scale = 10_000
+    gm = {(r["i"], r["j"]): r["g"]
+          for r in gram_matrix(df, "v", dim, scale=scale).collect()}
+    g = np.zeros((dim, dim))
+    for (i, j), v in gm.items():
+        g[i, j] = g[j, i] = v / scale**2
+    q = np.floor(x * scale + 0.5) / scale  # the operator's quantization
+    mean = q.mean(axis=0)
+    cov = g / len(x) - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    assert abs(abs(top @ direction) - 1.0) < 1e-3
+
+
+def test_gram_matrix_validations(spark):
+    from mapbox_filter_spark.operators.stats import gram_matrix
+
+    df = spark.createDataFrame([(1, [1.0])], "id long, v array<double>")
+    with pytest.raises(ValueError):
+        gram_matrix(df, "v", 0)
+    import pyspark
+
+    with pytest.raises(Exception, match="expected dim"):
+        gram_matrix(df, "v", 3).collect()
