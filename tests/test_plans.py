@@ -267,3 +267,66 @@ def test_prune_props_literal_zoom_plan(spark):
     a = {(r["layer"], tuple(sorted(r["props"]))) for r in lit_out.collect()}
     b = {(r["layer"], tuple(sorted(r["props"]))) for r in dyn_out.collect()}
     assert a == b
+
+
+# ---------------------------------------------------- session-6 plan shapes
+
+
+def test_grid_neighbor_pairs_plan_shape(spark):
+    """The DBSCAN candidate join rides the hash-join family on the
+    cell equi-key — never a cartesian/BNLJ — with the integer refine
+    inside the join condition."""
+    from mapbox_filter_spark.operators.cluster import grid_neighbor_pairs
+
+    pts = spark.range(1000).select(
+        F.col("id"), (F.col("id") * 37 % 500).alias("x"),
+        (F.col("id") * 91 % 500).alias("y"))
+    p = phys(grid_neighbor_pairs(pts, 50))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    # equi-join on the cell key: hash-join family (broadcast at this
+    # size, shuffled hash/SMJ with one exchange per side at scale)
+    assert "HashJoin" in p or "SortMergeJoin" in p, p
+
+
+def test_overlay_plan_shape(spark):
+    from mapbox_filter_spark.geo.overlay import segment_pairs_intersecting
+
+    segs = spark.range(500).select(
+        F.col("id").alias("seg_id"),
+        (F.col("id") * 37 % 2000).alias("x1"),
+        (F.col("id") * 91 % 2000).alias("y1"),
+        (F.col("id") * 37 % 2000 + 30).alias("x2"),
+        (F.col("id") * 91 % 2000 + 20).alias("y2"))
+    p = phys(segment_pairs_intersecting(segs, 64, validate=False))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p, p
+
+
+def test_gi_star_moments_are_broadcast(spark):
+    """The global-moment row joins back via broadcast (explicitly
+    marked) — the cell table is never re-shuffled for a 1-row join."""
+    from mapbox_filter_spark.geo.hex import hex_gi_star
+
+    cells = spark.range(200).select(
+        (F.col("id") % 20).alias("hq"), (F.col("id") % 10).alias("hr"),
+        F.lit(1).cast("long").alias("n"))
+    p = phys(hex_gi_star(cells, value="n", k=1))
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_snap_plan_shape(spark):
+    from mapbox_filter_spark.geo.overlay import snap_to_segments
+
+    pts = spark.range(300).select(
+        F.col("id").alias("point_id"),
+        (F.col("id") * 37 % 1000).alias("x"),
+        (F.col("id") * 91 % 1000).alias("y"))
+    segs = spark.range(100).select(
+        F.col("id").alias("seg_id"),
+        (F.col("id") * 53 % 1000).alias("x1"),
+        (F.col("id") * 29 % 1000).alias("y1"),
+        (F.col("id") * 53 % 1000 + 40).alias("x2"),
+        (F.col("id") * 29 % 1000 + 10).alias("y2"))
+    p = phys(snap_to_segments(pts, segs, 64, 64, validate=False))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
