@@ -346,7 +346,15 @@ def weighted_sample(
     gc = list(group_cols)
     u = ((hash_u60(list(id_cols), salt) + F.lit(1)).cast("double")
          / F.lit(float(SCALE_U60)))
-    key = F.log(u) / F.col(weight_col).cast("double")
+    # weights must be strictly positive: ln(u) < 0, so a NEGATIVE w
+    # flips the key positive (that row would win every sample) and a
+    # zero w yields NULL (silently never sampled) — fail loudly instead
+    w_checked = F.when(
+        F.col(weight_col) > 0, F.col(weight_col).cast("double")
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("weighted_sample: non-positive weight "),
+        F.col(weight_col).cast("string"))))
+    key = F.log(u) / w_checked
     w = Window.partitionBy(*gc).orderBy(F.col("_skey").desc(),
                                         *[F.col(c) for c in id_cols])
     return (df.withColumn("_skey", key)

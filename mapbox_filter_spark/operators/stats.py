@@ -154,8 +154,10 @@ def gram_matrix(df: DataFrame, vec_col: str, dim: int,
     can't give (re-association changes low bits).
 
     Returns (i, j, g, n) for the upper triangle i ≤ j, where g is in
-    units of 1/scale² and n is the row count (for centering
-    downstream).  |v|·scale must stay ≪ 2^31 so per-batch products
+    units of 1/scale² and n is the count of CONTRIBUTING rows — NULL
+    vectors are filtered out before the kernel (a crash-vs-skip
+    divergence otherwise; callers centering with n get the matching
+    denominator).  |v|·scale must stay ≪ 2^31 so per-batch products
     cannot overflow int64.
     """
     import numpy as np
@@ -163,6 +165,10 @@ def gram_matrix(df: DataFrame, vec_col: str, dim: int,
 
     if dim < 1 or scale < 1:
         raise ValueError("dim and scale must be positive")
+    # project + drop NULLs BEFORE the Arrow barrier: unrelated columns
+    # would be serialized into every Python batch, and np.stack would
+    # crash on a None row
+    df = df.select(vec_col).filter(F.col(vec_col).isNotNull())
     iu = np.triu_indices(dim)
 
     def partials(batches):

@@ -340,7 +340,8 @@ WITH q AS (
 )
 SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
        CAST(SUM(a.q * b.q) AS BIGINT) AS g,
-       (SELECT COUNT(*) FROM embeddings) AS n
+       (SELECT COUNT(*) FROM embeddings
+        WHERE embedding IS NOT NULL) AS n
 FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
 GROUP BY a.i, b.i"""
 

@@ -358,6 +358,15 @@ def hex_heatmap_stream(
     per epoch."""
     from ..geo.hex import hex_axial
 
+    # epoch=<id> partition dirs and legacy flat part-files cannot mix
+    # (partition discovery raises "conflicting directory structures") —
+    # refuse up front instead of corrupting the read path
+    if os.path.isdir(store_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(store_dir)):
+        raise ValueError(
+            f"store {store_dir} holds flat parquet files (pre-epoch "
+            "layout); point the stream at a fresh store directory")
+
     def process(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
             return

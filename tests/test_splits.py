@@ -338,3 +338,12 @@ def test_weighted_sample_validation(spark):
                                F.lit(1).cast("long").alias("w"))
     with pytest.raises(ValueError, match="k"):
         weighted_sample(df, ["g"], "w", 0, id_cols=["v"])
+
+
+def test_weighted_sample_rejects_bad_weights(spark):
+    from mapbox_filter_spark.operators.splits import weighted_sample
+
+    df = spark.createDataFrame([(0, 1, 2), (0, 2, -3)],
+                               "g long, v long, w long")
+    with pytest.raises(Exception, match="non-positive weight"):
+        weighted_sample(df, ["g"], "w", 1, id_cols=["v"]).collect()

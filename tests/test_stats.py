@@ -240,3 +240,16 @@ def test_gram_matrix_validations(spark):
 
     with pytest.raises(Exception, match="expected dim"):
         gram_matrix(df, "v", 3).collect()
+
+
+def test_gram_matrix_skips_null_vectors(spark):
+    from mapbox_filter_spark.operators.stats import gram_matrix
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [3.0, 4.0])],
+        "id long, v array<double>")
+    out = {(r["i"], r["j"]): (r["g"], r["n"])
+           for r in gram_matrix(df, "v", 2, scale=1).collect()}
+    # only the two non-null rows contribute; n matches
+    assert out == {(0, 0): (1 + 9, 2), (0, 1): (2 + 12, 2),
+                   (1, 1): (4 + 16, 2)}
