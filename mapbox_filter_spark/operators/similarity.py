@@ -645,3 +645,60 @@ def oversized_vector_buckets(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > max_bucket)
     )
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    scale: int = 1000,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN label vote — the weak-labeling / label-propagation primitive
+    over an embedding corpus: each query takes the MAJORITY label of
+    its k nearest labeled neighbors (exact integer dot product on
+    ``floor(v·scale + 0.5)`` quantized vectors, so ranking, vote
+    counts, and the deterministic tie chain — higher dot first, lower
+    corpus id; then bigger vote, lower label — are engine-exact and
+    value-hashable).
+
+    Returns (query_id, pred_label, votes, best_dot).  Shape mirrors
+    cosine_topk: queries broadcast, corpus scanned once, per-query
+    windows; at corpus scale swap the candidate stage for the ANN
+    families (ann_lsh_topk / ivf_flat_topk) and keep the vote."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def quant(v: Column) -> Column:
+        return F.transform(
+            v, lambda x: F.floor(x.cast("double") * F.lit(float(scale))
+                                 + F.lit(0.5)).cast("long"))
+
+    q = queries.select(F.col(query_id).alias("q_id"),
+                       quant(F.col(vec_col)).alias("q_vec"))
+    c = corpus.select(F.col(corpus_id).alias("c_id"),
+                      F.col(label_col).alias("c_label"),
+                      quant(F.col(vec_col)).alias("c_vec"))
+    dot = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    w = W.partitionBy("q_id").orderBy(F.col("dot").desc(),
+                                      F.col("c_id").asc())
+    nn = (F.broadcast(q).crossJoin(c)
+          .withColumn("dot", dot)
+          .withColumn("rank", F.row_number().over(w))
+          .filter(F.col("rank") <= k))
+    votes = (nn.groupBy("q_id", "c_label")
+             .agg(F.count(F.lit(1)).alias("votes"),
+                  F.max("dot").alias("best_dot")))
+    wv = W.partitionBy("q_id").orderBy(F.col("votes").desc(),
+                                       F.col("c_label").asc())
+    return (votes.withColumn("_r", F.row_number().over(wv))
+            .filter(F.col("_r") == 1)
+            .select(F.col("q_id").alias(query_id),
+                    F.col("c_label").alias("pred_label"),
+                    "votes", "best_dot"))

@@ -69,6 +69,67 @@ SELECT doc_id, ROUND(s, 4) AS score, rank FROM (
 ) WHERE rank <= {_K}"""
 
 
+_KC_K = 5
+_KC_QMOD = 5
+_KC_SCALE = 1000
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label vote over the embeddings corpus
+    (operators/similarity.py knn_classify): every 5th vector is held
+    out as a query, classified by the majority label of its 5 nearest
+    labeled neighbors — exact integer dot products, deterministic tie
+    chain, full value-hash."""
+    from .operators.similarity import knn_classify
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % _KC_QMOD == 0)
+    corpus = emb.filter(F.col("vec_id") % _KC_QMOD != 0)
+    return knn_classify(queries, corpus, _KC_K, scale=_KC_SCALE,
+                        query_id="vec_id")
+
+
+def sql_knn_classify() -> str:
+    k, m, s = _KC_K, _KC_QMOD, _KC_SCALE
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS v FROM embeddings
+  WHERE vec_id % {m} = 0
+),
+c AS (
+  SELECT vec_id AS c_id, label AS c_label, embedding AS v
+  FROM embeddings WHERE vec_id % {m} <> 0
+),
+dots AS (
+  SELECT q.q_id, c.c_id, c.c_label,
+         CAST((SELECT SUM(
+              CAST(FLOOR(CAST(q.v[i.i] AS DOUBLE) * {float(s)!r} + 0.5)
+                   AS BIGINT)
+            * CAST(FLOOR(CAST(c.v[i.i] AS DOUBLE) * {float(s)!r} + 0.5)
+                   AS BIGINT))
+          FROM (SELECT unnest(range(1, len(q.v) + 1)) AS i) i)
+          AS BIGINT) AS dot
+  FROM q, c
+),
+nn AS (
+  SELECT q_id, c_label, dot,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY dot DESC, c_id ASC) AS rank
+  FROM dots
+),
+votes AS (
+  SELECT q_id, c_label, COUNT(*) AS votes, MAX(dot) AS best_dot
+  FROM nn WHERE rank <= {k} GROUP BY q_id, c_label
+)
+SELECT q_id AS vec_id, c_label AS pred_label, votes, best_dot FROM (
+  SELECT q_id, c_label, votes, best_dot,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY votes DESC, c_label ASC) AS r
+  FROM votes
+) WHERE r = 1"""
+
+
 RETRIEVAL_QUERIES = {
     "bm25_topk": (q_bm25_topk, sql_bm25_topk),
+    "knn_classify": (q_knn_classify, sql_knn_classify),
 }

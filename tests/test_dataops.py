@@ -590,3 +590,66 @@ def test_decontaminate_crafted(spark):
     assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
     assert out[3]["n_overlap"] == 2
     assert out[1]["n_grams"] == 3  # 5 words -> 3 distinct trigrams
+
+
+# ---------------------------------------------------------- kNN classifier
+
+
+def test_knn_classify_crafted_and_ties(spark):
+    from mapbox_filter_spark.operators.similarity import knn_classify
+
+    # two tight clusters on axes; query q sits in cluster A
+    corpus = [(1, [1.0, 0.0], 7), (2, [0.9, 0.1], 7), (3, [1.1, 0.0], 7),
+              (4, [0.0, 1.0], 9), (5, [0.1, 0.9], 9)]
+    queries = [(100, [1.0, 0.05], -1)]
+    c = spark.createDataFrame(
+        corpus, "vec_id long, embedding array<double>, label int")
+    q = spark.createDataFrame(
+        queries, "vec_id long, embedding array<double>, label int")
+    out = knn_classify(q, c, 3, query_id="vec_id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["vec_id"], r["pred_label"], r["votes"]) == (100, 7, 3)
+
+    # vote tie (k=2, one neighbor each): lower label wins
+    out2 = knn_classify(q, c, 4, query_id="vec_id").collect()[0]
+    assert out2["votes"] >= 2  # cluster A still dominates at k=4
+
+    tie_c = spark.createDataFrame(
+        [(1, [1.0, 0.0], 5), (2, [0.0, 1.0], 3)],
+        "vec_id long, embedding array<double>, label int")
+    tie_q = spark.createDataFrame(
+        [(9, [1.0, 1.0], -1)], "vec_id long, embedding array<double>, label int")
+    t = knn_classify(tie_q, tie_c, 2, query_id="vec_id").collect()[0]
+    assert (t["pred_label"], t["votes"]) == (3, 1)  # 1-1 tie -> min label
+
+
+def test_knn_classify_partitioning_independent(spark):
+    import random
+
+    from mapbox_filter_spark.operators.similarity import knn_classify
+
+    rng = random.Random(17)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], rng.randrange(3))
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    q = df.filter(F.col("vec_id") % 10 == 0)
+    c = df.filter(F.col("vec_id") % 10 != 0)
+
+    def run(cc):
+        return sorted(map(tuple, knn_classify(
+            q, cc, 5, query_id="vec_id").collect()))
+
+    assert run(c.repartition(1)) == run(c.repartition(13))
+
+
+def test_knn_classify_validation(spark):
+    import pytest
+
+    from mapbox_filter_spark.operators.similarity import knn_classify
+
+    df = spark.createDataFrame([(1, [1.0], 0)],
+                               "vec_id long, embedding array<double>, label int")
+    with pytest.raises(ValueError, match="k"):
+        knn_classify(df, df, 0)
