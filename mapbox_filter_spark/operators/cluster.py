@@ -51,7 +51,7 @@ from pyspark.sql import functions as F
 from ..geo.tilemath import floor_div as _floor_div
 from .graph import connected_components
 
-__all__ = ["dbscan", "grid_neighbor_pairs"]
+__all__ = ["dbscan", "grid_knn_join", "grid_neighbor_pairs"]
 
 
 def grid_neighbor_pairs(
@@ -143,3 +143,67 @@ def dbscan(
                          F.lit("noise").alias("role")))
     return (out_core.unionByName(out_border).unionByName(out_noise)
             .withColumnRenamed("i", id_col))
+
+
+def grid_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    radius: int,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "point_id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Radius-bounded kNN JOIN — for EVERY query point, the k nearest
+    corpus points within ``radius`` (spatial enrichment: nearest-N POIs
+    per event; the set form of map-matching's nearest-1).  Queries with
+    fewer than k in-range neighbors return what exists; beyond-radius
+    neighbors are out of contract (bounded search is what makes the
+    join one cell pass instead of a ring-expansion loop per point).
+
+    Exact: integer d² refine, (d², corpus_id) rank tie-break — fully
+    value-hashable.  Shape: cell size = radius ⇒ the query's 3×3 ring
+    covers the radius ball; ONE equi-join on the cell key (query side
+    exploded ×9 carrying ids+coords only), then a per-query window.
+    Returns (query_id, rank, corpus_id, d2).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if radius < 1:
+        raise ValueError("radius must be a positive integer")
+    r2 = radius * radius
+    offs = F.array(*[
+        F.struct(F.lit(dx).cast("long").alias("dx"),
+                 F.lit(dy).cast("long").alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    q = (queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(x).cast("long").alias("qx"),
+        F.col(y).cast("long").alias("qy"),
+        F.explode(offs).alias("_o"))
+        .select("qid", "qx", "qy",
+                (_floor_div(F.col("qx"), radius)
+                 + F.col("_o.dx")).alias("qcx"),
+                (_floor_div(F.col("qy"), radius)
+                 + F.col("_o.dy")).alias("qcy")))
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(x).cast("long").alias("cx"),
+        F.col(y).cast("long").alias("cy"),
+        _floor_div(F.col(x), radius).alias("ccx"),
+        _floor_div(F.col(y), radius).alias("ccy"))
+    d2 = ((F.col("qx") - F.col("cx")) * (F.col("qx") - F.col("cx"))
+          + (F.col("qy") - F.col("cy")) * (F.col("qy") - F.col("cy")))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(),
+                                          F.col("cid").asc())
+    return (q.join(c, (q["qcx"] == c["ccx"]) & (q["qcy"] == c["ccy"]))
+            .select("qid", "cid", d2.alias("d2"))
+            .filter(F.col("d2") <= F.lit(r2))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("qid").alias(query_id), "rank",
+                    F.col("cid").alias(corpus_id), "d2"))

@@ -1412,6 +1412,56 @@ SELECT box_id, hq, hr FROM cand
 WHERE cx >= mx0 AND cx < mx1 AND cy >= my_lo AND cy < my_hi"""
 
 
+# radius-bounded kNN join: ~1100 queries (%41) against the deduped
+# 45.8k-point lattice, 3 nearest within 8000 milli-deg units
+_KJ_QMOD = 41
+_KJ_K = 3
+_KJ_RADIUS = 8000
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded kNN join (operators/cluster.py grid_knn_join):
+    k nearest in-range corpus points per query via ONE cell equi-join +
+    per-query window — integer d², (d², id) tie-break, full value-hash
+    against the brute oracle."""
+    from .operators.cluster import grid_knn_join
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir)
+    pts = (feats.select(F.col("feature_id").alias("id"),
+                        F.pmod(F.col("feature_id") * 7919,
+                               F.lit(360000)).alias("x"),
+                        F.pmod(F.col("feature_id") * 104729,
+                               F.lit(170000)).alias("y"))
+           .distinct())
+    qs = pts.filter(F.col("id") % _KJ_QMOD == 0)             .withColumnRenamed("id", "query_id")
+    cs = pts.withColumnRenamed("id", "point_id")
+    return grid_knn_join(qs, cs, _KJ_K, _KJ_RADIUS)
+
+
+def sql_knn_join() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    r2 = _KJ_RADIUS * _KJ_RADIUS
+    return f"""WITH {FEATURES_ORACLE_SQL},
+pts AS (SELECT DISTINCT feature_id AS id,
+        (feature_id*7919)%360000 AS x, (feature_id*104729)%170000 AS y
+        FROM features),
+cand AS (
+  SELECT q.id AS query_id, c.id AS point_id,
+         (q.x-c.x)*(q.x-c.x) + (q.y-c.y)*(q.y-c.y) AS d2
+  FROM pts q JOIN pts c
+    ON (q.x-c.x)*(q.x-c.x) + (q.y-c.y)*(q.y-c.y) <= {r2}
+  WHERE q.id % {_KJ_QMOD} = 0
+)
+SELECT query_id, rank, point_id, d2 FROM (
+  SELECT query_id, point_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d2 ASC, point_id ASC) AS rank
+  FROM cand
+) WHERE rank <= {_KJ_K}"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
@@ -1434,6 +1484,7 @@ GEOM_QUERIES = {
     "map_match": (q_map_match, sql_map_match),
     "polygon_validity": (q_polygon_validity, sql_polygon_validity),
     "hex_polyfill": (q_hex_polyfill, sql_hex_polyfill),
+    "knn_join": (q_knn_join, sql_knn_join),
     "line_interpolate": (q_line_interpolate, sql_line_interpolate),
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
 }

@@ -137,3 +137,56 @@ def test_no_cartesian_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------- bounded kNN join
+
+
+def _py_knn_join(queries, corpus, k, radius):
+    out = []
+    for qid, qx, qy in queries:
+        cands = []
+        for cid, cx, cy in corpus:
+            d2 = (qx - cx) ** 2 + (qy - cy) ** 2
+            if d2 <= radius * radius:
+                cands.append((d2, cid))
+        for rank, (d2, cid) in enumerate(sorted(cands)[:k], start=1):
+            out.append((qid, rank, cid, d2))
+    return sorted(out)
+
+
+def test_knn_join_differential(spark):
+    import random
+
+    from mapbox_filter_spark.operators.cluster import grid_knn_join
+
+    rng = random.Random(21)
+    corpus = [(i, rng.randrange(0, 600), rng.randrange(0, 600))
+              for i in range(300)]
+    queries = [(1000 + i, rng.randrange(0, 600), rng.randrange(0, 600))
+               for i in range(60)]
+    q = spark.createDataFrame(queries, "query_id long, x long, y long")
+    c = spark.createDataFrame(corpus, "point_id long, x long, y long")
+    got = sorted(map(tuple, grid_knn_join(q, c, 4, 80).collect()))
+    assert got == _py_knn_join(queries, corpus, 4, 80)
+
+
+def test_knn_join_sparse_returns_fewer(spark):
+    from mapbox_filter_spark.operators.cluster import grid_knn_join
+
+    q = spark.createDataFrame([(1, 0, 0)], "query_id long, x long, y long")
+    c = spark.createDataFrame([(10, 5, 0), (11, 500, 500)],
+                              "point_id long, x long, y long")
+    rows = grid_knn_join(q, c, 3, 50).collect()
+    assert [(r["rank"], r["point_id"], r["d2"]) for r in rows] == [(1, 10, 25)]
+
+
+def test_knn_join_validations(spark):
+    from mapbox_filter_spark.operators.cluster import grid_knn_join
+
+    df = spark.createDataFrame([(1, 0, 0)], "query_id long, x long, y long")
+    c = df.withColumnRenamed("query_id", "point_id")
+    with pytest.raises(ValueError, match="k"):
+        grid_knn_join(df, c, 0, 10)
+    with pytest.raises(ValueError, match="radius"):
+        grid_knn_join(df, c, 1, 0)
