@@ -212,3 +212,39 @@ def line_point_at(verts: Column, frac: float) -> Column:
     py = a["y"].cast("double") + u * (b["y"] - a["y"]).cast("double")
     return F.struct(idx.cast("long").alias("seg_i"),
                     px.alias("px"), py.alias("py"))
+
+
+def spherical_area_m2(verts: Column, scale: float = 1e6) -> Column:
+    """True (spherical) polygon area in m² — the Chamberlain & Duquette
+    (JPL 2007) ring-area formula the GeoJSON ecosystem uses
+    (turf.js ringArea):
+
+        A = |Σᵢ (λᵢ₊₁ − λᵢ)·(2 + sin φᵢ + sin φᵢ₊₁)| · R²/2
+
+    over the closed ring, λ/φ in radians.  ``verts`` is the repo's
+    array<struct<x,y>> in integer micro-degrees (``scale`` converts to
+    degrees); the summation is an F.aggregate LEFT FOLD in vertex
+    order, so the oracle's ordered ``list_reduce`` replays the exact
+    IEEE sequence — the true-area complement to the planar
+    ``shoelace_area2`` (exact integers, mercator-plane).  Accurate to
+    the sphere model (no ellipsoid), same as the published source."""
+    n = F.size(verts)
+    inv = 1.0 / float(scale)
+
+    def lam(i: Column) -> Column:
+        return F.radians(F.element_at(verts, i)["x"].cast("double")
+                         * F.lit(inv))
+
+    def phi(i: Column) -> Column:
+        return F.radians(F.element_at(verts, i)["y"].cast("double")
+                         * F.lit(inv))
+
+    def term(i: Column) -> Column:
+        j = F.when(i == n, F.lit(1)).otherwise(i + 1).cast("int")
+        return ((lam(j) - lam(i))
+                * (F.lit(2.0) + F.sin(phi(i)) + F.sin(phi(j))))
+
+    s = F.aggregate(F.sequence(F.lit(1), n),
+                    F.lit(0.0),
+                    lambda acc, i: acc + term(i.cast("int")))
+    return F.abs(s) * F.lit(EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0)

@@ -1462,6 +1462,62 @@ SELECT query_id, rank, point_id, d2 FROM (
 ) WHERE rank <= {_KJ_K}"""
 
 
+def _star_verts_sql() -> str:
+    """dirs+verts CTE text for the star-polygon substrate (shared by the
+    spherical-area oracle; sql_geom_stats predates the helper and keeps
+    its inline copy with extra edge logic)."""
+    dirs = ", ".join(f"({i}, {dx}, {dy})" for i, (dx, dy) in enumerate(_DIRS))
+    return f"""dirs(i, dx, dy) AS (VALUES {dirs}),
+verts AS (
+  SELECT p_partkey AS poly_id, d.i,
+         ((p_partkey*7013) % 340 - 170) * 1000000 + 500
+           + d.dx * (1000 + ((p_partkey*31 + d.i*17) % 13) * 500) AS vx,
+         ((p_partkey*3571) % 150 - 75) * 1000000 + 500
+           + d.dy * (1000 + ((p_partkey*31 + d.i*17) % 13) * 500) AS vy
+  FROM part, dirs d WHERE p_partkey <= {_N_POLY}
+)"""
+
+
+def q_spherical_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True spherical polygon area (geo/geom.py spherical_area_m2 — the
+    Chamberlain-Duquette/turf ringArea formula) for the star-polygon
+    substrate: an ordered in-row LEFT FOLD of trig terms, mirrored by
+    the oracle's list_reduce over the same vertex order — area doubles
+    bit-match (the sin/radians chain is libm-stable, per the repo's
+    parity rules)."""
+    from .geo.geom import spherical_area_m2
+
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .filter(F.col("p_partkey") <= _N_POLY))
+    df = part.select(F.col("p_partkey").alias("poly_id"),
+                     _star_verts().alias("verts"))
+    return df.select("poly_id",
+                     spherical_area_m2(F.col("verts")).alias("area_m2"))
+
+
+def sql_spherical_area() -> str:
+    from .geo.geom import EARTH_RADIUS_M
+
+    half_r2 = repr(EARTH_RADIUS_M * EARTH_RADIUS_M / 2.0)
+    inv = repr(1.0 / 1e6)
+    t = (f"(RADIANS(CAST(nx AS DOUBLE) * {inv})"
+         f" - RADIANS(CAST(vx AS DOUBLE) * {inv}))"
+         f" * (2.0 + SIN(RADIANS(CAST(vy AS DOUBLE) * {inv}))"
+         f" + SIN(RADIANS(CAST(ny AS DOUBLE) * {inv})))")
+    return f"""
+WITH {_star_verts_sql()},
+edges AS (
+  SELECT poly_id, i, vx, vy,
+         COALESCE(lead(vx) OVER w, first_value(vx) OVER w) AS nx,
+         COALESCE(lead(vy) OVER w, first_value(vy) OVER w) AS ny
+  FROM verts WINDOW w AS (PARTITION BY poly_id ORDER BY i)
+)
+SELECT poly_id,
+       ABS(list_reduce(list({t} ORDER BY i), (a, b) -> a + b))
+         * {half_r2} AS area_m2
+FROM edges GROUP BY poly_id"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
@@ -1485,6 +1541,7 @@ GEOM_QUERIES = {
     "polygon_validity": (q_polygon_validity, sql_polygon_validity),
     "hex_polyfill": (q_hex_polyfill, sql_hex_polyfill),
     "knn_join": (q_knn_join, sql_knn_join),
+    "spherical_area": (q_spherical_area, sql_spherical_area),
     "line_interpolate": (q_line_interpolate, sql_line_interpolate),
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
 }

@@ -184,3 +184,61 @@ def test_destination_roundtrip(spark):
     for r, (_, _, lo2, la2) in zip(got, pts):
         assert math.isclose(r["d"]["lon"], lo2, abs_tol=1e-6)
         assert math.isclose(r["d"]["lat"], la2, abs_tol=1e-6)
+
+
+# ------------------------------------------------------------ spherical area
+
+
+def test_spherical_area_known_square(spark):
+    """0.1°×0.1° square at the equator ≈ (0.1°·111.19 km)² within 0.1%."""
+    import math
+
+    from mapbox_filter_spark.geo.geom import EARTH_RADIUS_M, spherical_area_m2
+
+    side_deg = 0.1
+    s = int(side_deg * 1e6)
+    verts = [(0, 0), (s, 0), (s, s), (0, s)]
+    df = spark.createDataFrame(
+        [(1, [{"x": x, "y": y} for x, y in verts])],
+        "poly_id long, verts array<struct<x:long,y:long>>")
+    got = df.select(spherical_area_m2(F.col("verts")).alias("a")) \
+            .collect()[0]["a"]
+    deg_m = math.pi * EARTH_RADIUS_M / 180.0
+    want = (side_deg * deg_m) ** 2
+    assert abs(got - want) / want < 1e-3
+
+
+def test_spherical_area_rotation_and_orientation_invariant(spark):
+    from mapbox_filter_spark.geo.geom import spherical_area_m2
+
+    verts = [(0, 0), (2_000_000, 0), (2_500_000, 1_500_000),
+             (500_000, 2_000_000)]
+    rows = []
+    for start in range(4):
+        ring = verts[start:] + verts[:start]
+        rows.append((start, [{"x": x, "y": y} for x, y in ring]))
+    rows.append((9, [{"x": x, "y": y} for x, y in reversed(verts)]))
+    df = spark.createDataFrame(
+        rows, "poly_id long, verts array<struct<x:long,y:long>>")
+    areas = [r["a"] for r in df.select(
+        spherical_area_m2(F.col("verts")).alias("a")).collect()]
+    assert max(areas) - min(areas) < max(areas) * 1e-12
+
+
+def test_spherical_vs_planar_small_polygon(spark):
+    """Near the equator at small extent, spherical area converges to
+    the planar shoelace area (integer, independent formula)."""
+    import math
+
+    from mapbox_filter_spark.geo.geom import (
+        EARTH_RADIUS_M, shoelace_area2, spherical_area_m2)
+
+    verts = [(0, 0), (300_000, 0), (300_000, 200_000), (0, 200_000)]
+    df = spark.createDataFrame(
+        [(1, [{"x": x, "y": y} for x, y in verts])],
+        "poly_id long, verts array<struct<x:long,y:long>>")
+    r = df.select(spherical_area_m2(F.col("verts")).alias("a"),
+                  shoelace_area2(F.col("verts")).alias("s2")).collect()[0]
+    deg_m = math.pi * EARTH_RADIUS_M / 180.0
+    planar = r["s2"] / 2.0 * (deg_m / 1e6) ** 2
+    assert abs(r["a"] - planar) / planar < 2e-3
