@@ -51,7 +51,8 @@ from pyspark.sql import functions as F
 from ..geo.tilemath import floor_div as _floor_div
 from .graph import connected_components
 
-__all__ = ["dbscan", "grid_knn_join", "grid_neighbor_pairs"]
+__all__ = ["dbscan", "geofence_flag", "grid_knn_join",
+           "grid_neighbor_pairs"]
 
 
 def grid_neighbor_pairs(
@@ -207,3 +208,61 @@ def grid_knn_join(
             .filter(F.col("rank") <= k)
             .select(F.col("qid").alias(query_id), "rank",
                     F.col("cid").alias(corpus_id), "d2"))
+
+
+def geofence_flag(
+    points: DataFrame,
+    zones: DataFrame,
+    radius: int,
+    *,
+    point_id: str = "point_id",
+    zone_id: str = "zone_id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Geofence screening — every point flagged with whether ANY zone
+    center lies within ``radius`` (privacy scrubbing near sensitive
+    sites, restricted-area exclusion): ``(point_id, in_fence,
+    nearest_zone, d2)`` where nearest_zone/d2 are NULL outside.
+
+    The negative-join shape: same one-pass cell candidates as
+    grid_knn_join (zone side exploded ×9 — zones are the SMALL side),
+    then a left join + min-struct pick, so "no zone in range" is a NULL
+    from the join, never a second scan.  All-integer refine ⇒
+    value-hashable both ways (flag and nearest)."""
+    if radius < 1:
+        raise ValueError("radius must be a positive integer")
+    r2 = radius * radius
+    offs = F.array(*[
+        F.struct(F.lit(dx).cast("long").alias("dx"),
+                 F.lit(dy).cast("long").alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    z = (zones.select(
+        F.col(zone_id).alias("zid"),
+        F.col(x).cast("long").alias("zx"),
+        F.col(y).cast("long").alias("zy"),
+        F.explode(offs).alias("_o"))
+        .select("zid", "zx", "zy",
+                (_floor_div(F.col("zx"), radius)
+                 + F.col("_o.dx")).alias("zcx"),
+                (_floor_div(F.col("zy"), radius)
+                 + F.col("_o.dy")).alias("zcy")))
+    p = points.select(
+        F.col(point_id).alias("pid"),
+        F.col(x).cast("long").alias("px"),
+        F.col(y).cast("long").alias("py"),
+        _floor_div(F.col(x), radius).alias("pcx"),
+        _floor_div(F.col(y), radius).alias("pcy"))
+    d2 = ((F.col("px") - F.col("zx")) * (F.col("px") - F.col("zx"))
+          + (F.col("py") - F.col("zy")) * (F.col("py") - F.col("zy")))
+    hits = (p.join(z, (p["pcx"] == z["zcx"]) & (p["pcy"] == z["zcy"]))
+            .select("pid", "zid", d2.alias("d2"))
+            .filter(F.col("d2") <= F.lit(r2))
+            .groupBy("pid")
+            .agg(F.min(F.struct(F.col("d2"), F.col("zid"))).alias("_b")))
+    return (points.select(F.col(point_id).alias("pid"))
+            .join(hits, "pid", "left")
+            .select(F.col("pid").alias(point_id),
+                    F.col("_b").isNotNull().alias("in_fence"),
+                    F.col("_b.zid").alias("nearest_zone"),
+                    F.col("_b.d2").alias("d2")))

@@ -1518,6 +1518,59 @@ SELECT poly_id,
 FROM edges GROUP BY poly_id"""
 
 
+# geofence: 60 zone centers (%773 of the lattice) at radius 6000
+_GF_ZMOD = 773
+_GF_RADIUS = 6000
+
+
+def q_geofence_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence screening (operators/cluster.py geofence_flag): every
+    lattice point flagged in/out of any zone's 6000-unit ball, with the
+    nearest zone where inside — the negative-join form of the radius
+    join, one cell pass, integer-exact both ways."""
+    from .operators.cluster import geofence_flag
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir)
+    pts = (feats.select(F.col("feature_id").alias("id"),
+                        F.pmod(F.col("feature_id") * 7919,
+                               F.lit(360000)).alias("x"),
+                        F.pmod(F.col("feature_id") * 104729,
+                               F.lit(170000)).alias("y"))
+           .distinct())
+    zones = pts.filter(F.col("id") % _GF_ZMOD == 0)                .withColumnRenamed("id", "zone_id")
+    return geofence_flag(pts.withColumnRenamed("id", "point_id"),
+                         zones, _GF_RADIUS)
+
+
+def sql_geofence_flag() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    r2 = _GF_RADIUS * _GF_RADIUS
+    return f"""WITH {FEATURES_ORACLE_SQL},
+pts AS (SELECT DISTINCT feature_id AS id,
+        (feature_id*7919)%360000 AS x, (feature_id*104729)%170000 AS y
+        FROM features),
+hits AS (
+  SELECT p.id AS pid, z.id AS zid,
+         (p.x-z.x)*(p.x-z.x) + (p.y-z.y)*(p.y-z.y) AS d2
+  FROM pts p JOIN pts z
+    ON z.id % {_GF_ZMOD} = 0
+   AND (p.x-z.x)*(p.x-z.x) + (p.y-z.y)*(p.y-z.y) <= {r2}
+),
+best AS (
+  SELECT pid, zid, d2 FROM (
+    SELECT pid, zid, d2,
+           ROW_NUMBER() OVER (PARTITION BY pid
+                              ORDER BY d2 ASC, zid ASC) AS rn
+    FROM hits
+  ) WHERE rn = 1
+)
+SELECT p.id AS point_id, b.pid IS NOT NULL AS in_fence,
+       b.zid AS nearest_zone, b.d2 AS d2
+FROM pts p LEFT JOIN best b ON b.pid = p.id"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
@@ -1542,6 +1595,7 @@ GEOM_QUERIES = {
     "hex_polyfill": (q_hex_polyfill, sql_hex_polyfill),
     "knn_join": (q_knn_join, sql_knn_join),
     "spherical_area": (q_spherical_area, sql_spherical_area),
+    "geofence_flag": (q_geofence_flag, sql_geofence_flag),
     "line_interpolate": (q_line_interpolate, sql_line_interpolate),
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
 }

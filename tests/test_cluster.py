@@ -190,3 +190,43 @@ def test_knn_join_validations(spark):
         grid_knn_join(df, c, 0, 10)
     with pytest.raises(ValueError, match="radius"):
         grid_knn_join(df, c, 1, 0)
+
+
+# ---------------------------------------------------------------- geofence
+
+
+def test_geofence_flag_differential(spark):
+    import random
+
+    from mapbox_filter_spark.operators.cluster import geofence_flag
+
+    rng = random.Random(27)
+    pts = [(i, rng.randrange(0, 500), rng.randrange(0, 500))
+           for i in range(200)]
+    zones = [(100 + i, rng.randrange(0, 500), rng.randrange(0, 500))
+             for i in range(6)]
+    p = spark.createDataFrame(pts, "point_id long, x long, y long")
+    z = spark.createDataFrame(zones, "zone_id long, x long, y long")
+    r = 60
+    got = {row["point_id"]: (row["in_fence"], row["nearest_zone"], row["d2"])
+           for row in geofence_flag(p, z, r).collect()}
+    for pid, px, py in pts:
+        cands = sorted((((px - zx) ** 2 + (py - zy) ** 2), zid)
+                       for zid, zx, zy in zones
+                       if (px - zx) ** 2 + (py - zy) ** 2 <= r * r)
+        if cands:
+            assert got[pid] == (True, cands[0][1], cands[0][0])
+        else:
+            assert got[pid] == (False, None, None)
+    assert len(got) == len(pts)
+
+
+def test_geofence_validation(spark):
+    from mapbox_filter_spark.operators.cluster import geofence_flag
+
+    df = spark.createDataFrame([(1, 0, 0)], "point_id long, x long, y long")
+    z = df.withColumnRenamed("point_id", "zone_id")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="radius"):
+        geofence_flag(df, z, 0)
