@@ -692,3 +692,26 @@ def gapfill_locf(
     right = df.withColumn("ts", F.timestamp_micros(F.col(ts_us))) \
               .drop(ts_us)
     return asof_join(grid, right, on=on, tiebreak=tiebreak)
+
+
+def rolling_range_sum(
+    df: DataFrame,
+    on: "list[str]",
+    ts_us: str,
+    value_col: str,
+    window_us: int,
+) -> DataFrame:
+    """Trailing range-window aggregate per key — the "rolling 7-day
+    total" shape: for every row, the sum/count of values in
+    ``[ts − window_us, ts]``.  A RANGE frame (value-based), so rows
+    with equal timestamps are peers and share one deterministic answer
+    — no tiebreak needed, unlike ROWS frames.  Integer values ⇒ exact.
+    One shuffle (the key window)."""
+    from pyspark.sql import Window
+
+    if window_us < 0:
+        raise ValueError("window_us must be >= 0")
+    w = (Window.partitionBy(*on).orderBy(F.col(ts_us).cast("long"))
+         .rangeBetween(-window_us, 0))
+    return (df.withColumn("roll_sum", F.sum(value_col).over(w))
+            .withColumn("roll_cnt", F.count(F.lit(1)).over(w)))

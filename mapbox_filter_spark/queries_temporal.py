@@ -446,10 +446,44 @@ SELECT cohort_day, age_days, COUNT(*) AS n_users
 FROM act GROUP BY cohort_day, age_days"""
 
 
+_RW_US = 3 * 86_400_000_000  # trailing 3-day window
+
+
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-day rolling sum/count per user
+    (operators/temporal.py rolling_range_sum): RANGE frame on epoch
+    micros — value-based peers, exact integer cents."""
+    from .operators.temporal import rolling_range_sum
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    out = rolling_range_sum(ev, ["user_id"], "ts_us", "cents", _RW_US)
+    return out.select("user_id", "event_id", "ts_us",
+                      "roll_sum", "roll_cnt")
+
+
+def sql_rolling_window() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, event_id, ts_us,
+       CAST(SUM(cents) OVER w AS BIGINT) AS roll_sum,
+       COUNT(*) OVER w AS roll_cnt
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN {_RW_US} PRECEDING AND CURRENT ROW)"""
+
+
 TEMPORAL_QUERIES = {
     "asof_join": (q_asof_join, sql_asof_join),
     "gapfill_locf": (q_gapfill_locf, sql_gapfill_locf),
     "retention_cohorts": (q_retention_cohorts, sql_retention_cohorts),
+    "rolling_window": (q_rolling_window, sql_rolling_window),
     "interval_join": (q_interval_join, sql_interval_join),
     "sessionize": (q_sessionize, sql_sessionize),
     "time_rollup": (q_time_rollup, sql_time_rollup),

@@ -551,3 +551,25 @@ def test_gapfill_locf_tick_boundary_inclusive(spark):
     got = {r["tick"]: r["v_r"] for r in gapfill_locf(
         df, on=["g"], tick_us=tick, tiebreak="id").collect()}
     assert got == {0: 10, 1: 20}
+
+
+def test_rolling_range_sum_crafted(spark):
+    from mapbox_filter_spark.operators.temporal import rolling_range_sum
+
+    # window 10; equal-ts rows are PEERS (both included for both)
+    rows = [("k", 1, 0, 5), ("k", 2, 8, 7), ("k", 3, 8, 11),
+            ("k", 4, 19, 2), ("k", 5, 40, 1)]
+    df = spark.createDataFrame(rows, "g string, id long, t long, v long")
+    out = {r["id"]: (r["roll_sum"], r["roll_cnt"])
+           for r in rolling_range_sum(df, ["g"], "t", "v", 10).collect()}
+    assert out == {1: (5, 1), 2: (23, 3), 3: (23, 3),
+                   4: (2, 1), 5: (1, 1)}
+
+
+def test_rolling_range_sum_validation(spark):
+    from mapbox_filter_spark.operators.temporal import rolling_range_sum
+
+    df = spark.createDataFrame([("k", 1, 0, 5)],
+                               "g string, id long, t long, v long")
+    with pytest.raises(ValueError, match="window_us"):
+        rolling_range_sum(df, ["g"], "t", "v", -1)
