@@ -715,3 +715,36 @@ def rolling_range_sum(
          .rangeBetween(-window_us, 0))
     return (df.withColumn("roll_sum", F.sum(value_col).over(w))
             .withColumn("roll_cnt", F.count(F.lit(1)).over(w)))
+
+
+def interval_coverage(
+    df: DataFrame,
+    on: "list[str]",
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union length of (possibly overlapping) intervals per key — the
+    "total covered time" aggregate (uptime, session coverage, sensor
+    duty cycle): merge overlapping/adjacent intervals via
+    gaps-and-islands (running max of end over the start order; a new
+    island begins where start exceeds every previous end) and sum the
+    merged spans.  Exact integers; one shuffle (all three windows and
+    the final groupBy share the key).  Returns
+    (key..., covered, n_islands)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*on).orderBy(F.col(start_col), F.col(end_col))
+    prev_max = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = df.withColumn(
+        "_new", F.when(prev_max.isNull()
+                       | (F.col(start_col) > prev_max), 1).otherwise(0))
+    isl = flagged.withColumn(
+        "_isl", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    merged = (isl.groupBy(*on, "_isl")
+              .agg(F.min(start_col).alias("_s"),
+                   F.max(end_col).alias("_e")))
+    return (merged.groupBy(*on)
+            .agg(F.sum(F.col("_e") - F.col("_s")).alias("covered"),
+                 F.count(F.lit(1)).alias("n_islands")))

@@ -479,11 +479,62 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
              RANGE BETWEEN {_RW_US} PRECEDING AND CURRENT ROW)"""
 
 
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union length per user (operators/temporal.py
+    interval_coverage): deterministic event intervals
+    [ts, ts + cents·ms] merged by gaps-and-islands — exact integer
+    coverage and island counts."""
+    from .operators.temporal import interval_coverage
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        ((F.round(F.col("value") * 100).cast("long") * 1000) * 360
+         + F.unix_micros(F.col("ts").cast("timestamp"))).alias("e"))
+    return interval_coverage(ev, ["user_id"], "s", "e")
+
+
+def sql_interval_coverage() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(ROUND(value*100) AS BIGINT) * 1000 * 360
+           AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+               OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM ev
+),
+isl AS (
+  SELECT user_id, s, e,
+         SUM(new_isl) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS g
+  FROM flagged
+),
+merged AS (
+  SELECT user_id, g, MIN(s) AS ms, MAX(e) AS me
+  FROM isl GROUP BY user_id, g
+)
+SELECT user_id, CAST(SUM(me - ms) AS BIGINT) AS covered,
+       COUNT(*) AS n_islands
+FROM merged GROUP BY user_id"""
+
+
 TEMPORAL_QUERIES = {
     "asof_join": (q_asof_join, sql_asof_join),
     "gapfill_locf": (q_gapfill_locf, sql_gapfill_locf),
     "retention_cohorts": (q_retention_cohorts, sql_retention_cohorts),
     "rolling_window": (q_rolling_window, sql_rolling_window),
+    "interval_coverage": (q_interval_coverage, sql_interval_coverage),
     "interval_join": (q_interval_join, sql_interval_join),
     "sessionize": (q_sessionize, sql_sessionize),
     "time_rollup": (q_time_rollup, sql_time_rollup),

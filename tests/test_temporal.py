@@ -573,3 +573,52 @@ def test_rolling_range_sum_validation(spark):
                                "g string, id long, t long, v long")
     with pytest.raises(ValueError, match="window_us"):
         rolling_range_sum(df, ["g"], "t", "v", -1)
+
+
+def test_interval_coverage_crafted(spark):
+    from mapbox_filter_spark.operators.temporal import interval_coverage
+
+    rows = [
+        # k: [0,10] [5,20] overlap -> [0,20]; [25,30] separate;
+        #    [30,35] ADJACENT to [25,30] (start == prev end -> merged,
+        #    closed-interval convention: start > max_end breaks)
+        ("k", 0, 10), ("k", 5, 20), ("k", 25, 30), ("k", 30, 35),
+        # solo: single interval, and one fully CONTAINED interval
+        ("solo", 100, 200), ("solo", 120, 150),
+    ]
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    out = {r["g"]: (r["covered"], r["n_islands"])
+           for r in interval_coverage(df, ["g"], "s", "e").collect()}
+    assert out == {"k": (20 + 10, 2), "solo": (100, 1)}
+
+
+def test_interval_coverage_partitioning_independent(spark):
+    import random
+
+    from mapbox_filter_spark.operators.temporal import interval_coverage
+
+    rng = random.Random(33)
+    rows = []
+    for g in range(8):
+        for _ in range(60):
+            s = rng.randrange(0, 5000)
+            rows.append((g, s, s + rng.randrange(1, 400)))
+    df = spark.createDataFrame(rows, "g long, s long, e long")
+    a = sorted(map(tuple, interval_coverage(
+        df.repartition(1), ["g"], "s", "e").collect()))
+    b = sorted(map(tuple, interval_coverage(
+        df.repartition(13), ["g"], "s", "e").collect()))
+    assert a == b
+    # differential: per-group brute union
+    by_g = {}
+    for g, s, e in rows:
+        by_g.setdefault(g, []).append((s, e))
+    for g, cov, n in a:
+        ivs = sorted(by_g[g])
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        assert (cov, n) == (sum(e - s for s, e in merged), len(merged))
