@@ -1242,7 +1242,24 @@ def main() -> None:
 
     r = run_suite(cores, sf_dir)
     total = round(sum(r["timings"].values()), 3)
-    print(json.dumps({
+    # Full detail (micros, per-sample walls) goes to a file + a FIRST
+    # printed line; the FINAL printed line is a compact headline object.
+    # The driver captures only the last ~2000 chars of output and parses
+    # the final line — r4's single fat line exceeded that window and
+    # recorded `parsed: null` (VERDICT r4 item 2).
+    detail = {
+        "wall_samples": r["wall_samples"],
+        "micros": {k: r[k] for k in (
+            "pip_micro", "mvt_micro", "curation_micro", "s2_micro",
+            "recall_micro", "skew_micro", "temporal_micro", "traj_micro",
+            "layout_micro", "geohash_micro", "dataops_micro",
+            "spatial_micro") if k in r},
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/last_detail.json", "w") as f:
+        json.dump(detail, f)
+    print(json.dumps({"detail": detail}))
+    headline = {
         "metric": "headline suite wall time (style-filter + tiling ops)",
         "value": total,
         "unit": "sec",
@@ -1250,28 +1267,19 @@ def main() -> None:
         "sf": float(sf),
         "cores": cores,
         "protocol": "interleaved rounds, median wall per query",
-        "wall_samples": r["wall_samples"],
         "executor_run_sec": r["executor_run_sec"],
         "executor_cpu_sec": r["executor_cpu_sec"],
-        "pip_micro": r["pip_micro"],
-        "mvt_micro": r["mvt_micro"],
-        "curation_micro": r["curation_micro"],
-        "s2_micro": r["s2_micro"],
-        "recall_micro": r["recall_micro"],
-        "skew_micro": r["skew_micro"],
-        "temporal_micro": r["temporal_micro"],
-        "traj_micro": r["traj_micro"],
-        "layout_micro": r["layout_micro"],
-        "geohash_micro": r["geohash_micro"],
-        "dataops_micro": r["dataops_micro"],
-        "spatial_micro": r["spatial_micro"],
         "throughput": {
             "tiles_per_sec": r["tiles_per_sec"],
             "features_per_sec": r["features_per_sec"],
             "n_tiles": r["n_tiles"],
             "n_features": r["n_features"],
         },
-    }))
+        "detail_file": "BENCH/last_detail.json",
+    }
+    line = json.dumps(headline)
+    assert len(line) < 1900, f"headline line too long ({len(line)} chars)"
+    print(line)
 
 
 def _build_sf10x(sf_dir: str) -> str:

@@ -52,7 +52,7 @@ from ..geo.tilemath import floor_div as _floor_div
 from .graph import connected_components
 
 __all__ = ["dbscan", "geofence_flag", "grid_knn_join",
-           "grid_neighbor_pairs"]
+           "grid_neighbor_pairs", "grid_radius_join"]
 
 
 def grid_neighbor_pairs(
@@ -208,6 +208,58 @@ def grid_knn_join(
             .filter(F.col("rank") <= k)
             .select(F.col("qid").alias(query_id), "rank",
                     F.col("cid").alias(corpus_id), "d2"))
+
+
+def grid_radius_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    radius: int,
+    *,
+    query_id: str = "query_id",
+    corpus_id: str = "point_id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Planar radius join — EVERY corpus point within ``radius`` of each
+    query point, exact-integer refine (the unbounded-k sibling of
+    grid_knn_join; the value-hashable counterpart of the geodesic
+    operators/radius.py radius_join, whose haversine refine is libm trig
+    and therefore pytest-differential by the geo/geom.py rule).
+
+    Shape: cell size = radius ⇒ the query's 3×3 ring covers the radius
+    ball; the QUERY side explodes ×9 onto cell keys (ids+coords only),
+    ONE equi-join on the cell key — zero corpus shuffle beyond the cell
+    hash exchange — then an integer d² filter.  Returns
+    (query_id, point_id, d2)."""
+    if radius < 1:
+        raise ValueError("radius must be a positive integer")
+    r2 = radius * radius
+    offs = F.array(*[
+        F.struct(F.lit(dx).cast("long").alias("dx"),
+                 F.lit(dy).cast("long").alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    q = (queries.select(
+        F.col(query_id).alias("qid"),
+        F.col(x).cast("long").alias("qx"),
+        F.col(y).cast("long").alias("qy"),
+        F.explode(offs).alias("_o"))
+        .select("qid", "qx", "qy",
+                (_floor_div(F.col("qx"), radius)
+                 + F.col("_o.dx")).alias("qcx"),
+                (_floor_div(F.col("qy"), radius)
+                 + F.col("_o.dy")).alias("qcy")))
+    c = corpus.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(x).cast("long").alias("cx"),
+        F.col(y).cast("long").alias("cy"),
+        _floor_div(F.col(x), radius).alias("ccx"),
+        _floor_div(F.col(y), radius).alias("ccy"))
+    d2 = ((F.col("qx") - F.col("cx")) * (F.col("qx") - F.col("cx"))
+          + (F.col("qy") - F.col("cy")) * (F.col("qy") - F.col("cy")))
+    return (q.join(c, (q["qcx"] == c["ccx"]) & (q["qcy"] == c["ccy"]))
+            .select(F.col("qid").alias(query_id),
+                    F.col("cid").alias(corpus_id), d2.alias("d2"))
+            .filter(F.col("d2") <= F.lit(r2)))
 
 
 def geofence_flag(

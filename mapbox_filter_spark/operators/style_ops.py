@@ -339,11 +339,12 @@ def rtl_transform(df: DataFrame, props_col: str = "props",
     property values — the reference's ``stringConversion`` applied to every
     retained metadata value AFTER pruning (Filters.hs:84-95).
 
-    Implementation: pure-Python best-effort ICU replica (style/rtl.py —
-    presentation-forms shaping is complete; BiDi is simplified UAX#9, the
-    documented deviation) in ONE Arrow-batched pandas UDF over the pruned
-    props map.  Flag-gated like the reference's --rtl-convert switch
-    (Main.hs:168)."""
+    Implementation: pure-Python ICU replica (style/rtl.py —
+    presentation-forms shaping is complete; BiDi is the FULL UAX#9
+    algorithm including BD16 bracket pairing with the complete
+    BidiBrackets table + canonical equivalence) in ONE Arrow-batched
+    pandas UDF over the pruned props map.  Flag-gated like the
+    reference's --rtl-convert switch (Main.hs:168)."""
     if not enabled:
         return df
 

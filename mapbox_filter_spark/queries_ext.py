@@ -741,11 +741,31 @@ _MERC_X = "((lon + 180.0) / 360.0)"
 
 
 def q_knn_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring-expansion kNN through the PRODUCTION corpus mode (VERDICT r4
+    item 3): the corpus is persisted once as a cell-bucketed table
+    (write_knn_corpus) and every probe round filters ``p_cell IN (...)``
+    — a bucket-pruned scan (SelectedBucketsCount in the plan, asserted
+    in tests/test_spatial_ops.py) instead of the in-memory
+    cache-and-rescan convenience mode.  Results are identical to the
+    DataFrame mode (same oracle)."""
+    import os
+    import tempfile
+
+    from .operators.knn import write_knn_corpus
+    from .sources.features import _source_fingerprint
+
     feats = features_from_lineitem(spark, sf_dir)
     points = feats.select(F.col("feature_id").alias("point_id"), "lon", "lat")
     queries = (feats.filter(F.pmod(F.col("feature_id"), F.lit(997)) == 0)
                .select(F.col("feature_id").alias("query_id"), "lon", "lat"))
-    return knn_ring(queries, points, k=5, zoom=6)
+    tag = _source_fingerprint(sf_dir)
+    table = f"knn_corpus_{tag}"
+    path = os.path.join(tempfile.gettempdir(), f"mfs_knn_corpus_{tag}")
+    # overwrite-write every call: idempotent, immune to a stale catalog
+    # entry pointing at a cleaned scratch path (tiny at gate scale; at
+    # fleet scale the corpus is written once out-of-band)
+    write_knn_corpus(points, table, path, zoom=6)
+    return knn_ring(queries, None, k=5, zoom=6, points_table=table)
 
 
 def sql_knn_ring() -> str:

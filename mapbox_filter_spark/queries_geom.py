@@ -748,7 +748,50 @@ SELECT user_id, trip_id, COUNT(*) AS n_pts,
 FROM tr GROUP BY user_id, trip_id"""
 
 
+_RJ_QMOD = 43
+_RJ_RADIUS = 6000
+
+
 def q_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planar radius join (operators/cluster.py grid_radius_join): ALL
+    in-range corpus points per query via ONE cell equi-join, exact
+    integer d² refine — full value-hash against the brute oracle
+    (VERDICT r4 item 5: the same exact-integer recipe as
+    knn_join/geofence_flag).  The geodesic form (haversine refine,
+    libm trig) is the separate rows-only ``radius_join_geo`` gate plus
+    the brute-force differential in tests/test_radius.py."""
+    from .operators.cluster import grid_radius_join
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir)
+    pts = (feats.select(F.col("feature_id").alias("id"),
+                        F.pmod(F.col("feature_id") * 6007,
+                               F.lit(400000)).alias("x"),
+                        F.pmod(F.col("feature_id") * 9973,
+                               F.lit(200000)).alias("y"))
+           .distinct())
+    qs = (pts.filter(F.col("id") % _RJ_QMOD == 0)
+          .withColumnRenamed("id", "query_id"))
+    cs = pts.withColumnRenamed("id", "point_id")
+    return grid_radius_join(qs, cs, _RJ_RADIUS)
+
+
+def sql_radius_join() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    r2 = _RJ_RADIUS * _RJ_RADIUS
+    return f"""WITH {FEATURES_ORACLE_SQL},
+pts AS (SELECT DISTINCT feature_id AS id,
+        (feature_id*6007)%400000 AS x, (feature_id*9973)%200000 AS y
+        FROM features)
+SELECT q.id AS query_id, c.id AS point_id,
+       (q.x-c.x)*(q.x-c.x) + (q.y-c.y)*(q.y-c.y) AS d2
+FROM pts q JOIN pts c
+  ON (q.x-c.x)*(q.x-c.x) + (q.y-c.y)*(q.y-c.y) <= {r2}
+WHERE q.id % {_RJ_QMOD} = 0"""
+
+
+def q_radius_join_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodesic radius join (operators/radius.py): every feature within
     75 km of each query point.  ROWS-ONLY gate by design: the refine is
     libm trig (haversine) whose final ulps differ across engines, so
@@ -1584,7 +1627,8 @@ GEOM_QUERIES = {
     "trending_tiles": (q_trending_tiles, sql_trending_tiles),
     "polyfill_cover": (q_polyfill_cover, sql_polyfill_cover),
     "trip_segments": (q_trip_segments, sql_trip_segments),
-    "radius_join": (q_radius_join, None),
+    "radius_join": (q_radius_join, sql_radius_join),
+    "radius_join_geo": (q_radius_join_geo, None),
     "hex_assign": (q_hex_assign, sql_hex_assign),
     "hex_ring_agg": (q_hex_ring_agg, sql_hex_ring_agg),
     "dbscan_clusters": (q_dbscan_clusters, sql_dbscan_clusters),

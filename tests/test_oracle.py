@@ -83,3 +83,32 @@ def test_entry_smoke(spark):
     n = df.count()
     assert n > 0
     assert df.columns == ["z", "x", "y", "layer", "feature_count"]
+
+
+def test_driver_priority_family_coverage():
+    """The driver verifies only the FIRST ~46-50 registered gates, so the
+    head of the registration order must carry one representative of every
+    operator family (VERDICT r4 item 1)."""
+    from mapbox_filter_spark.queries import _DRIVER_PRIORITY, _all_queries
+
+    reg = list(_all_queries())
+    assert len(_DRIVER_PRIORITY) == len(set(_DRIVER_PRIORITY))
+    assert reg[:len(_DRIVER_PRIORITY)] == _DRIVER_PRIORITY
+    head = set(reg[:50])
+    family_reps = [
+        "tile_assign", "style_filter_readme", "style_filter_legacy",
+        "zoom_gates", "tile_assembly", "window_renumber", "hash_diff",
+        "manifest_scan", "prune_keys", "downcopy", "mvt_roundtrip",
+        "serve_tile", "failure_any", "agg_pricing", "topk_events",
+        "join_chain", "tile_set_ops", "manifest_rollup", "media_kind",
+        "pip_join", "raster_join", "knn_ring", "radius_join",
+        "s2_assign", "s2_cover_join", "s2_ring_knn", "hex_assign",
+        "geohash_assign", "geom_stats", "dedup_exact",
+        "dedup_minhash_lsh", "dedup_clusters", "lang_id",
+        "curation_pipeline", "cosine_topk", "ivf_topk", "pq_adc_topk",
+        "ann_lsh_topk", "asof_join", "sessionize", "funnel",
+        "dataset_split", "bm25_topk", "ngram_lm", "heavy_hitters",
+        "sssp_grid", "scd2_history", "decontaminate",
+    ]
+    missing = [n for n in family_reps if n not in head]
+    assert not missing, f"family reps outside the driver head: {missing}"

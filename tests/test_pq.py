@@ -117,3 +117,24 @@ def test_adc_topk_matches_python(spark):
         have = sorted([(r["query_id"], r["rank"], r["vec_id"], r["adc_dist"])
                        for r in got if r["query_id"] == q], key=lambda t: t[1])
         assert have == expect
+
+
+def test_ivfpq_arrow_lut_bound(spark):
+    """The driver-side LUT build validates its memory footprint BEFORE
+    collecting anything (VERDICT r4 item 7) and names the batch size
+    that would fit."""
+    import pytest
+
+    from mapbox_filter_spark.operators.pq import ivfpq_topk_arrow
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in _vectors(80)],
+        "vec_id long, embedding array<double>")
+    cents = (df.filter(F.col("vec_id") % 20 == 0)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("embedding").alias("cent_vec")))
+    queries = (df.filter(F.col("vec_id") < 4)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    with pytest.raises(ValueError, match="chunk the query batch"):
+        ivfpq_topk_arrow(queries, df, cents, CB, k=5, nprobe=2,
+                         max_lut_mb=1e-6)
