@@ -158,12 +158,14 @@ def run_suite(cores: int, sf_dir: str) -> dict:
     ghm = None if no_micros else geohash_micro(spark, sf_dir)
     dop = None if no_micros else dataops_micro(spark, sf_dir)
     spm = None if no_micros else spatial_micro(spark, sf_dir)
+    dsk = None if no_micros else dbscan_skew_micro(spark)
 
     spark.stop()
     return {
         "geohash_micro": ghm,
         "dataops_micro": dop,
         "spatial_micro": spm,
+        "dbscan_skew_micro": dsk,
         "pip_micro": pip,
         "mvt_micro": mvt,
         "curation_micro": cur,
@@ -827,6 +829,41 @@ def recall_micro(spark) -> dict:
                           "vec_bytes": dim * 4}}
 
 
+def _completed_stage_ids(spark) -> set:
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+    try:
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return {(s["stageId"], s["attemptId"]) for s in json.load(r)}
+    except Exception:
+        return set()
+
+
+def _skewest_new_stage(spark, before: set) -> tuple[float, float]:
+    """(max_task_ms, median_task_ms) of the new stage with the LARGEST
+    max task time — the join's reduce stage is where skew lands."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    worst = (0.0, 0.0)
+    for sid, att in _completed_stage_ids(spark) - before:
+        u = (f"{base}/api/v1/applications/{app}/stages/{sid}/{att}/"
+             f"taskSummary?quantiles=0.5,1.0")
+        try:
+            with urllib.request.urlopen(u, timeout=10) as r:
+                q = json.load(r)
+            med, mx = q["executorRunTime"]
+        except Exception:
+            continue
+        if mx > worst[0]:
+            worst = (mx, med)
+    return worst
+
+
 def skew_micro(spark) -> dict:
     """Adversarial-skew A/B (VERDICT r3 item 8): a 30%-hot-cell probe
     joined to a non-broadcastable dim, plain shuffle join vs salted_join.
@@ -835,8 +872,6 @@ def skew_micro(spark) -> dict:
     AQE's post-hoc split still reads the skewed shuffle files; the salt
     spreads rows at MAP time).  Reports wall + max/median task time of the
     heaviest stage from the REST API."""
-    import urllib.request
-
     from pyspark.sql import functions as F
 
     from mapbox_filter_spark.operators.joins import salted_join
@@ -851,33 +886,11 @@ def skew_micro(spark) -> dict:
     build = spark.range(0, 50_000).select(
         F.col("id").alias("cell"), (F.col("id") * 2).alias("w"))
 
-    base = spark.sparkContext.uiWebUrl
-    app = spark.sparkContext.applicationId
-
     def _stage_ids() -> set:
-        url = f"{base}/api/v1/applications/{app}/stages?status=complete"
-        try:
-            with urllib.request.urlopen(url, timeout=10) as r:
-                return {(s["stageId"], s["attemptId"]) for s in json.load(r)}
-        except Exception:
-            return set()
+        return _completed_stage_ids(spark)
 
     def skewest_new_stage(before: set) -> tuple[float, float]:
-        """(max_task_ms, median_task_ms) of the new stage with the LARGEST
-        max task time — the join's reduce stage is where skew lands."""
-        worst = (0.0, 0.0)
-        for sid, att in _stage_ids() - before:
-            u = (f"{base}/api/v1/applications/{app}/stages/{sid}/{att}/"
-                 f"taskSummary?quantiles=0.5,1.0")
-            try:
-                with urllib.request.urlopen(u, timeout=10) as r:
-                    q = json.load(r)
-                med, mx = q["executorRunTime"]
-            except Exception:
-                continue
-            if mx > worst[0]:
-                worst = (mx, med)
-        return worst
+        return _skewest_new_stage(spark, before)
 
     saved = {
         "spark.sql.autoBroadcastJoinThreshold":
@@ -907,6 +920,90 @@ def skew_micro(spark) -> dict:
                          "median_task_ms": task_med}
         out["hot_fraction"] = 0.3
         out["n_probe_rows"] = n
+        out["speedup"] = round(out["plain"]["sec"] / out["salted"]["sec"], 2)
+        return out
+    finally:
+        for kk, vv in saved.items():
+            spark.conf.set(kk, vv)
+
+
+def dbscan_skew_micro(spark) -> dict:
+    """Skewed-DBSCAN candidate-stage A/B (VERDICT r4 item 6): the
+    cluster.py docstring promises salting handles urban-hotspot cells,
+    but spatial_micro's corpus is uniform.  This corpus is power-law:
+    geometric occupancy tiers (1 cell x 16k pts, 2 x 8k, 4 x 4k, 8 x
+    2k) on top of a 200k-point uniform background — the hot cell does
+    most of the candidate volume in ONE reduce task under the plain cell
+    join (~16k^2 candidate emissions).  Measures grid_neighbor_pairs plain vs salt=16 (identical
+    output — counts asserted equal) with AQE skew-split AND broadcast
+    off (at 100 TB the base side exceeds broadcast — the shuffled cell
+    join is the regime under test), reporting wall + max/median task ms
+    of the skewest stage."""
+    from pyspark.sql import functions as F
+
+    from mapbox_filter_spark.operators.cluster import grid_neighbor_pairs
+
+    eps = 1000
+    n_bg = 200_000
+    bg = spark.range(0, n_bg, 1, 64).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64("id"), F.lit(200)) * eps
+         + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(eps))).alias("x"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(200)) * eps
+         + F.pmod(F.xxhash64("id", F.lit(3)), F.lit(eps))).alias("y"))
+    # hotspot tiers far from the background box and from each other
+    # (>= 2 cells apart so tiers don't interact): tier t has 2^t cells
+    # of 32k/2^t points each
+    tiers = []
+    next_id = n_bg
+    cell_x = 1_000  # in cell units; background occupies cells [0, 200)
+    for t in range(4):
+        occupancy = 16_000 >> t
+        for _ in range(1 << t):
+            tiers.append(spark.range(next_id, next_id + occupancy, 1, 8)
+                         .select(
+                F.col("id"),
+                (F.lit(cell_x * eps)
+                 + F.pmod(F.xxhash64("id", F.lit(4)), F.lit(eps)))
+                .alias("x"),
+                (F.lit(0) + F.pmod(F.xxhash64("id", F.lit(5)),
+                                   F.lit(eps))).alias("y")))
+            next_id += occupancy
+            cell_x += 2
+    pts = bg
+    for t in tiers:
+        pts = pts.unionByName(t)
+    pts = pts.localCheckpoint()  # freeze the corpus; time only the join
+
+    saved = {
+        "spark.sql.adaptive.skewJoin.enabled":
+            spark.conf.get("spark.sql.adaptive.skewJoin.enabled"),
+        "spark.sql.autoBroadcastJoinThreshold":
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = {}
+        counts = {}
+        for name, salt in (("plain", None), ("salted", 16)):
+            best, task_max, task_med = None, 0.0, 0.0
+            for _ in range(2):
+                before = _completed_stage_ids(spark)
+                t0 = time.perf_counter()
+                counts[name] = grid_neighbor_pairs(
+                    pts, eps, salt=salt).count()
+                sec = time.perf_counter() - t0
+                if best is None or sec < best:
+                    best = sec
+                    task_max, task_med = _skewest_new_stage(spark, before)
+            out[name] = {"sec": round(best, 3),
+                         "max_task_ms": task_max,
+                         "median_task_ms": task_med}
+        assert counts["plain"] == counts["salted"], counts
+        out["n_pts"] = next_id
+        out["n_pairs"] = counts["plain"]
+        out["hot_cell_pts"] = 16_000
         out["speedup"] = round(out["plain"]["sec"] / out["salted"]["sec"], 2)
         return out
     finally:
@@ -1253,7 +1350,7 @@ def main() -> None:
             "pip_micro", "mvt_micro", "curation_micro", "s2_micro",
             "recall_micro", "skew_micro", "temporal_micro", "traj_micro",
             "layout_micro", "geohash_micro", "dataops_micro",
-            "spatial_micro") if k in r},
+            "spatial_micro", "dbscan_skew_micro") if k in r},
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/last_detail.json", "w") as f:

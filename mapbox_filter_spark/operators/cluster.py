@@ -39,8 +39,11 @@ At 100 TB: stage 1 is the standard spatial-grid join (cell key scatter
 ×9 on one side only, id+coords payload); stages 2-4 are keyed
 aggregations and the CC loop is O(log² n) rounds of min-agg + join on
 the (much smaller) core-edge set.  Skewed cells (urban hotspots) are
-ordinary skewed join keys — AQE splits them, or pre-salt with
-operators/joins.salted_join on the cell key.
+handled by the built-in hot-cell salt (``salt=S`` on
+grid_neighbor_pairs/dbscan: occupancy pre-count → id-hash shard the hot
+cells' base rows, replicate only their probe rows ×S) — MEASURED on a
+power-law corpus in bench.py dbscan_skew_micro: max/median task 24x →
+1.8x, 2.5x wall vs the plain cell join.
 """
 
 from __future__ import annotations
@@ -62,20 +65,52 @@ def grid_neighbor_pairs(
     id_col: str = "id",
     x: str = "x",
     y: str = "y",
+    salt: "int | None" = None,
+    salt_threshold: int = 4096,
 ) -> DataFrame:
     """Directed neighbor pairs ``(i, j)`` with
     ``0 < (xi−xj)² + (yi−yj)² ≤ eps²`` — each unordered pair emitted in
     both directions (what neighbor counting and border attachment
     consume).  Integer coordinates; one shuffle per side on the
-    eps-grid cell key; ×9 row expansion on the probe side only."""
+    eps-grid cell key; ×9 row expansion on the probe side only.
+
+    ``salt=S`` is the hotspot escape hatch (urban cores, venue
+    clusters): a cell holding h points does ~h² refine work in ONE
+    reduce task under the plain cell join.  Hot cells (occupancy ≥
+    ``salt_threshold``, found by one map-side-combinable pre-count and
+    collected driver-side — ≤ n/threshold cells by construction, the
+    same explicit-hot-key shape as joins.salted_join) get their BASE
+    rows split into S id-hash shards and their probe rows replicated
+    ×S at MAP time; COLD cells pay nothing, so total probe expansion
+    stays ~×9 (AQE's post-hoc skew split would instead re-read the
+    skewed shuffle files).  Output is IDENTICAL (tested); measured A/B
+    in bench.py dbscan_skew_micro."""
     if eps <= 0:
         raise ValueError("eps must be a positive integer")
+    if salt is not None and salt < 2:
+        raise ValueError("salt must be >= 2 when given")
     eps2 = eps * eps
+    hot: list[str] = []
+    if salt:
+        occ = (pts.groupBy(_floor_div(F.col(x), eps).alias("_cx"),
+                           _floor_div(F.col(y), eps).alias("_cy"))
+               .count().filter(F.col("count") >= salt_threshold))
+        hot = [f"{r['_cx']},{r['_cy']}" for r in occ.collect()]
+
+    def _cellkey(cx, cy):
+        return F.concat_ws(",", cx.cast("string"), cy.cast("string"))
+
     base = pts.select(
         F.col(id_col).alias("i"),
         F.col(x).alias("_xi"), F.col(y).alias("_yi"),
         _floor_div(F.col(x), eps).alias("_cx"),
         _floor_div(F.col(y), eps).alias("_cy"))
+    if hot:
+        base = base.withColumn(
+            "_si",
+            F.when(_cellkey(F.col("_cx"), F.col("_cy")).isin(hot),
+                   F.pmod(F.xxhash64(F.col("i")), F.lit(salt)))
+            .otherwise(F.lit(0)))
     offs = F.array(*[
         F.struct(F.lit(dx).cast("long").alias("dx"),
                  F.lit(dy).cast("long").alias("dy"))
@@ -89,14 +124,22 @@ def grid_neighbor_pairs(
         .select("j", "_xj", "_yj",
                 (F.col("_jcx") + F.col("_o.dx")).alias("_px"),
                 (F.col("_jcy") + F.col("_o.dy")).alias("_py")))
+    if hot:
+        probe = probe.withColumn(
+            "_sj",
+            F.explode(
+                F.when(_cellkey(F.col("_px"), F.col("_py")).isin(hot),
+                       F.sequence(F.lit(0), F.lit(salt - 1)))
+                .otherwise(F.array(F.lit(0)))))
     d2 = ((F.col("_xi") - F.col("_xj")) * (F.col("_xi") - F.col("_xj"))
           + (F.col("_yi") - F.col("_yj")) * (F.col("_yi") - F.col("_yj")))
-    return (base.join(probe,
-                      (base["_cx"] == probe["_px"])
-                      & (base["_cy"] == probe["_py"])
-                      & (F.col("i") != F.col("j"))
-                      & (d2 <= F.lit(eps2)))
-            .select("i", "j"))
+    cond = ((base["_cx"] == probe["_px"])
+            & (base["_cy"] == probe["_py"])
+            & (F.col("i") != F.col("j"))
+            & (d2 <= F.lit(eps2)))
+    if hot:
+        cond = cond & (base["_si"] == probe["_sj"])
+    return base.join(probe, cond).select("i", "j")
 
 
 def dbscan(
@@ -108,12 +151,17 @@ def dbscan(
     x: str = "x",
     y: str = "y",
     max_rounds: int = 50,
+    salt: "int | None" = None,
+    salt_threshold: int = 4096,
 ) -> DataFrame:
     """``(id, label, role)`` per input point: role ∈ core/border/noise,
-    label = cluster id (minimum member core id; NULL for noise)."""
+    label = cluster id (minimum member core id; NULL for noise).
+    ``salt``/``salt_threshold`` pass through to the candidate stage for
+    hotspot-skewed corpora (grid_neighbor_pairs docstring)."""
     if min_pts < 1:
         raise ValueError("min_pts must be >= 1")
-    pairs = grid_neighbor_pairs(pts, eps, id_col=id_col, x=x, y=y)
+    pairs = grid_neighbor_pairs(pts, eps, id_col=id_col, x=x, y=y,
+                                salt=salt, salt_threshold=salt_threshold)
     pairs = pairs.localCheckpoint()  # consumed 3× below; cut the 9× join
     cnt = pairs.groupBy("i").agg(F.count(F.lit(1)).alias("_nn"))
     ids = pts.select(F.col(id_col).alias("i"))

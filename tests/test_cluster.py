@@ -230,3 +230,40 @@ def test_geofence_validation(spark):
 
     with _pt.raises(ValueError, match="radius"):
         geofence_flag(df, z, 0)
+
+
+def test_salted_pairs_identical(spark):
+    """salt=S spreads a hot cell's refine across S map-time shards with
+    IDENTICAL output — the parity contract behind dbscan_skew_micro."""
+    rng = random.Random(11)
+    # hotspot: half the points in one eps-cell, rest uniform
+    pts = [(i, rng.randrange(0, 18), rng.randrange(0, 18))
+           for i in range(60)]
+    pts += [(i, rng.randrange(0, 400), rng.randrange(0, 400))
+            for i in range(60, 140)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    plain = sorted((r["i"], r["j"])
+                   for r in grid_neighbor_pairs(df, 20).collect())
+    salted = sorted((r["i"], r["j"])
+                    for r in grid_neighbor_pairs(df, 20, salt=7,
+                                             salt_threshold=20).collect())
+    assert plain == salted and plain
+
+
+def test_salted_dbscan_identical(spark):
+    rng = random.Random(12)
+    pts = [(i, rng.randrange(0, 15), rng.randrange(0, 15))
+           for i in range(50)]
+    pts += [(i, rng.randrange(0, 300), rng.randrange(0, 300))
+            for i in range(50, 120)]
+    a = _spark_dbscan(spark, pts, 20, 4)
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    b = {r["id"]: (r["label"], r["role"])
+         for r in dbscan(df, 20, 4, salt=5, salt_threshold=20).collect()}
+    assert a == b
+
+
+def test_salt_validation(spark):
+    df = spark.createDataFrame([(1, 0, 0)], "id long, x long, y long")
+    with pytest.raises(ValueError, match="salt"):
+        grid_neighbor_pairs(df, 5, salt=1)
