@@ -1614,8 +1614,96 @@ SELECT p.id AS point_id, b.pid IS NOT NULL AS in_fence,
 FROM pts p LEFT JOIN best b ON b.pid = p.id"""
 
 
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics — the canonical PIP-then-aggregate composition
+    (land-use stats per admin polygon, POI density per zone): the
+    cell-pruned broadcast PIP join (geo/pip.py) feeding ONE groupBy on
+    poly_id.  Exact outputs only (count / bigint sum / distinct count),
+    so the gate value-hashes against the brute rectangle oracle."""
+    from .geo.pip import point_in_polygon_join
+    from .queries_ext import _rect_polys
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir).select(
+        "feature_id", "layer", "lon", "lat")
+    j = point_in_polygon_join(feats, _rect_polys(spark, sf_dir), zoom=6)
+    return j.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum("feature_id").cast("long").alias("sum_fid"),
+        F.countDistinct("layer").alias("n_layers"))
+
+
+def sql_zonal_stats() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    return f"""WITH {FEATURES_ORACLE_SQL},
+polys AS (
+  SELECT CAST(p_partkey AS VARCHAR) AS poly_id,
+         (p_partkey * 7013) % 340 - 170 + 0.0005 AS x0,
+         (p_partkey * 3571) % 150 - 75 + 0.0005 AS y0,
+         (p_partkey * 37) % 20 + 2 AS w,
+         (p_partkey * 53) % 14 + 2 AS h
+  FROM part WHERE p_partkey <= 30
+)
+SELECT p.poly_id,
+       COUNT(*) AS n_pts,
+       CAST(SUM(f.feature_id) AS BIGINT) AS sum_fid,
+       COUNT(DISTINCT f.layer) AS n_layers
+FROM features f JOIN polys p
+  ON f.lon > p.x0 AND f.lon < p.x0 + p.w
+ AND f.lat > p.y0 AND f.lat < p.y0 + p.h
+GROUP BY p.poly_id"""
+
+
+def q_st_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal as-of join — for every probe event, the LATEST
+    sensor reading in the SAME grid cell at or before it (trajectory
+    enrichment: attach last-known weather/traffic cell state to each
+    ping).  Pure composition: integer cell assignment becomes extra
+    equi-keys on operators/temporal.py asof_join, so the whole thing is
+    ONE hash shuffle on (cx, cy) + an in-partition sort — no per-cell
+    range scan.  Readings deduped per (cell, ts) by max event_id for
+    cross-engine tie determinism; DuckDB's native multi-key ASOF JOIN
+    is the independent oracle."""
+    from .operators.temporal import asof_join
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                  "user_id"))
+    cx = F.pmod(F.col("user_id") * 7919, F.lit(64)).alias("cx")
+    cy = F.pmod(F.col("user_id") * 104729, F.lit(64)).alias("cy")
+    readings = (ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == 0)
+                .select(cx, cy, "ts", "event_id")
+                .groupBy("cx", "cy", "ts")
+                .agg(F.max("event_id").alias("reading_id")))
+    probes = (ev.filter(F.pmod(F.col("event_id"), F.lit(97)) == 1)
+              .select("event_id", cx, cy, "ts"))
+    j = asof_join(probes, readings, on=["cx", "cy"],
+                  left_ts="ts", right_ts="ts", tiebreak="reading_id")
+    return j.select("event_id",
+                    F.col("reading_id_r").alias("reading_id"),
+                    F.col("asof_gap_us").alias("gap_us"))
+
+
+def sql_st_asof_join() -> str:
+    return """
+WITH ev AS (
+  SELECT event_id, ts, (user_id*7919)%64 AS cx, (user_id*104729)%64 AS cy
+  FROM events
+),
+rd AS (SELECT cx, cy, ts, MAX(event_id) AS reading_id FROM ev
+       WHERE event_id % 3 = 0 GROUP BY cx, cy, ts),
+pb AS (SELECT event_id, cx, cy, ts FROM ev WHERE event_id % 97 = 1)
+SELECT pb.event_id, rd.reading_id,
+       date_diff('microsecond', rd.ts, pb.ts) AS gap_us
+FROM pb ASOF LEFT JOIN rd
+  ON pb.cx = rd.cx AND pb.cy = rd.cy AND pb.ts >= rd.ts"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
+    "zonal_stats": (q_zonal_stats, sql_zonal_stats),
+    "st_asof_join": (q_st_asof_join, sql_st_asof_join),
     "rdp_simplify": (q_rdp_simplify, sql_rdp_simplify),
     "geohash_assign": (q_geohash_assign, sql_geohash_assign),
     "geohash_ring_count": (q_geohash_ring_count, sql_geohash_ring_count),

@@ -205,8 +205,58 @@ def sql_isochrone() -> str:
             f"FROM sp GROUP BY 1")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster representative selection — the curation op that
+    FOLLOWS clustering: within each near-dup component keep the single
+    highest-quality document (here: longest, doc_id as the deterministic
+    tie-break) and drop the rest.  One window over the component key on
+    top of the same CC labels as dedup_clusters; this is how a 100 TB
+    dedup pass actually ends (keep-best, not keep-first)."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang", "n_chars")
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                    & (F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
+                       <= _MAX_DIFF)
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("src"),
+                     F.col("b.doc_id").alias("dst")))
+    labels = dedup_clusters(docs.select("doc_id"), pairs, id_col="doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").desc())
+    return (labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+            .withColumn("rn", F.row_number().over(w))
+            .select("doc_id", "component",
+                    (F.col("rn") == 1).alias("keep")))
+
+
+def sql_dedup_keep_best() -> str:
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT a.doc_id AS x, b.doc_id AS y
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang
+   AND abs(a.n_chars - b.n_chars) <= {_MAX_DIFF}
+   AND a.doc_id <> b.doc_id
+), r AS (
+  SELECT doc_id AS node, doc_id AS comp FROM documents
+  UNION
+  SELECT e.y, r.comp FROM r JOIN e ON e.x = r.node
+), lab AS (
+  SELECT node AS doc_id, MIN(comp) AS component FROM r GROUP BY node
+)
+SELECT lab.doc_id, lab.component,
+       ROW_NUMBER() OVER (PARTITION BY lab.component
+                          ORDER BY d.n_chars DESC, lab.doc_id DESC) = 1
+         AS keep
+FROM lab JOIN documents d ON d.doc_id = lab.doc_id"""
+
+
 GRAPH_QUERIES = {
     "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters),
+    "dedup_keep_best": (q_dedup_keep_best, sql_dedup_keep_best),
     "pagerank": (q_pagerank, sql_pagerank),
     "sssp_grid": (q_sssp_grid, sql_sssp_grid),
     "isochrone": (q_isochrone, sql_isochrone),

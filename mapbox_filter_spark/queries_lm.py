@@ -120,8 +120,30 @@ pairs AS (
 SELECT sym_a, sym_b, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2"""
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: train a small merge list (operators/bpe.py
+    train_bpe — deterministic max-count/lexicographic tiebreak) on a
+    fixed document slice, then encode that slice with the Arrow-batched
+    bpe_encode mapInPandas (per-partition word memo).  ROWS-ONLY gate by
+    design: iterative merge application is not SQL-expressible in
+    DuckDB; value correctness is the py_bpe_word differential twin in
+    tests/test_bpe.py (the driver still checks rows + schema)."""
+    from .operators.bpe import bpe_encode, train_bpe
+
+    docs = (_docs(spark, sf_dir)
+            .filter(F.col("doc_id") < 200).select("doc_id", "text"))
+    merges = train_bpe(docs, "text", n_merges=20)
+    enc = bpe_encode(docs, merges, "text")
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_tokens"),
+        F.size(F.array_distinct("bpe_tokens")).alias("n_types"),
+        F.element_at("bpe_tokens", 1).alias("first_token"))
+
+
 LM_QUERIES = {
     "ngram_lm": (q_ngram_lm, sql_ngram_lm),
+    "bpe_encode": (q_bpe_encode, None),
     "kn_continuation": (q_kn_continuation, sql_kn_continuation),
     "lm_doc_score": (q_lm_doc_score, sql_lm_doc_score),
     "bpe_pair_counts": (q_bpe_pair_counts, sql_bpe_pair_counts),
