@@ -58,6 +58,15 @@ __all__ = ["dbscan", "geofence_flag", "grid_knn_join",
            "grid_neighbor_pairs", "grid_radius_join"]
 
 
+def _ring_offsets():
+    """The 3x3 neighbor-offset array literal shared by every grid
+    candidate stage in this module."""
+    return F.array(*[
+        F.struct(F.lit(dx).cast("long").alias("dx"),
+                 F.lit(dy).cast("long").alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+
+
 def grid_neighbor_pairs(
     pts: DataFrame,
     eps: int,
@@ -111,10 +120,7 @@ def grid_neighbor_pairs(
             F.when(_cellkey(F.col("_cx"), F.col("_cy")).isin(hot),
                    F.pmod(F.xxhash64(F.col("i")), F.lit(salt)))
             .otherwise(F.lit(0)))
-    offs = F.array(*[
-        F.struct(F.lit(dx).cast("long").alias("dx"),
-                 F.lit(dy).cast("long").alias("dy"))
-        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    offs = _ring_offsets()
     probe = (pts.select(
         F.col(id_col).alias("j"),
         F.col(x).alias("_xj"), F.col(y).alias("_yj"),
@@ -223,10 +229,7 @@ def grid_knn_join(
     if radius < 1:
         raise ValueError("radius must be a positive integer")
     r2 = radius * radius
-    offs = F.array(*[
-        F.struct(F.lit(dx).cast("long").alias("dx"),
-                 F.lit(dy).cast("long").alias("dy"))
-        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    offs = _ring_offsets()
     q = (queries.select(
         F.col(query_id).alias("qid"),
         F.col(x).cast("long").alias("qx"),
@@ -282,10 +285,7 @@ def grid_radius_join(
     if radius < 1:
         raise ValueError("radius must be a positive integer")
     r2 = radius * radius
-    offs = F.array(*[
-        F.struct(F.lit(dx).cast("long").alias("dx"),
-                 F.lit(dy).cast("long").alias("dy"))
-        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    offs = _ring_offsets()
     q = (queries.select(
         F.col(query_id).alias("qid"),
         F.col(x).cast("long").alias("qx"),
@@ -333,10 +333,7 @@ def geofence_flag(
     if radius < 1:
         raise ValueError("radius must be a positive integer")
     r2 = radius * radius
-    offs = F.array(*[
-        F.struct(F.lit(dx).cast("long").alias("dx"),
-                 F.lit(dy).cast("long").alias("dy"))
-        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    offs = _ring_offsets()
     z = (zones.select(
         F.col(zone_id).alias("zid"),
         F.col(x).cast("long").alias("zx"),

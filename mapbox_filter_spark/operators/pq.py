@@ -220,11 +220,12 @@ def ivfpq_topk_arrow(queries: DataFrame, corpus: DataFrame,
 
     Driver-memory contract (VERDICT r4 item 7): the LUT build is
     O(|Q|·nprobe·M·K·8) bytes on the driver, validated against
-    ``max_lut_mb`` BEFORE anything is collected — a fleet-scale query
-    batch must be chunked by the caller (the batch size that fits is
-    ``max_lut_mb·2²⁰ / (nprobe·M·K·8)`` queries; SCALE.md §ANN).  The
-    gate default (256 MB ≈ 170k queries at nprobe=3, M=32, K=256) is
-    far above any interactive batch."""
+    ``max_lut_mb`` before any LUT is allocated (right after the probe
+    collect, whose rows are ~M·K/dim smaller and needed regardless) —
+    a fleet-scale query batch must be chunked by the caller (the batch
+    size that fits is ``max_lut_mb·2²⁰ / (nprobe·M·K·8)`` queries;
+    SCALE.md §ANN).  The gate default (256 MB ≈ 170k queries at
+    nprobe=3, M=32, K=256) is far above any interactive batch."""
     import numpy as np
     import pandas as pd
 
@@ -252,19 +253,23 @@ def ivfpq_topk_arrow(queries: DataFrame, corpus: DataFrame,
                        F.col(vec_col).alias("q_vec")),
         centroids, "q_id", "q_vec", n_lists=nprobe, kernel="arrow")
     k_codes = len(codebook[0])
-    n_queries = queries.count()
-    lut_mb = n_queries * nprobe * n_sub * k_codes * 8 / 2**20
+    probe_rows = probes.collect()
+    # bound check AFTER the probe collect (it is needed anyway and its
+    # rows are ~M*K/dim smaller than the LUTs) but BEFORE any LUT numpy
+    # allocation — the dominant driver-memory term
+    lut_mb = len(probe_rows) * n_sub * k_codes * 8 / 2**20
     if lut_mb > max_lut_mb:
         max_q = int(max_lut_mb * 2**20 / (nprobe * n_sub * k_codes * 8))
         raise ValueError(
-            f"IVF-PQ driver LUT would be {lut_mb:.0f} MB for {n_queries} "
-            f"queries (bound {max_lut_mb:.0f} MB): chunk the query batch "
-            f"to <= {max_q} queries per call, or raise max_lut_mb")
+            f"IVF-PQ driver LUT would be {lut_mb:.0f} MB for "
+            f"{len(probe_rows)} probe rows (bound {max_lut_mb:.0f} MB): "
+            f"chunk the query batch to <= {max_q} queries per call, or "
+            f"raise max_lut_mb")
     cent_vecs = {r["cent_id"]: np.asarray(r["cent_vec"], dtype=np.float64)
                  for r in centroids.collect()}
     # per probed list: the queries probing it and their residual LUTs
     by_cent: dict = {}
-    for r in probes.collect():
+    for r in probe_rows:
         q_res = (np.asarray(r["q_vec"], dtype=np.float64)
                  - cent_vecs[r["cent_id"]])
         lut = np.empty((n_sub, len(codebook[0])))

@@ -138,7 +138,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("bpe_tokens").alias("n_tokens"),
         F.size(F.array_distinct("bpe_tokens")).alias("n_types"),
-        F.element_at("bpe_tokens", 1).alias("first_token"))
+        F.try_element_at("bpe_tokens", F.lit(1)).alias("first_token"))
 
 
 LM_QUERIES = {
