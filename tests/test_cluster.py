@@ -267,3 +267,31 @@ def test_salt_validation(spark):
     df = spark.createDataFrame([(1, 0, 0)], "id long, x long, y long")
     with pytest.raises(ValueError, match="salt"):
         grid_neighbor_pairs(df, 5, salt=1)
+
+
+def test_grid_radius_join_differential(spark):
+    from mapbox_filter_spark.operators.cluster import grid_radius_join
+
+    rng = random.Random(33)
+    corpus = [(i, rng.randrange(0, 600), rng.randrange(0, 600))
+              for i in range(250)]
+    queries = [(1000 + i, rng.randrange(0, 600), rng.randrange(0, 600))
+               for i in range(50)]
+    q = spark.createDataFrame(queries, "query_id long, x long, y long")
+    c = spark.createDataFrame(corpus, "point_id long, x long, y long")
+    r = 70
+    got = sorted(map(tuple, grid_radius_join(q, c, r).collect()))
+    want = sorted((qid, cid, (qx - cx) ** 2 + (qy - cy) ** 2)
+                  for qid, qx, qy in queries
+                  for cid, cx, cy in corpus
+                  if (qx - cx) ** 2 + (qy - cy) ** 2 <= r * r)
+    assert got == want and got
+
+
+def test_grid_radius_join_validation(spark):
+    from mapbox_filter_spark.operators.cluster import grid_radius_join
+
+    df = spark.createDataFrame([(1, 0, 0)], "query_id long, x long, y long")
+    c = df.withColumnRenamed("query_id", "point_id")
+    with pytest.raises(ValueError, match="radius"):
+        grid_radius_join(df, c, 0)
