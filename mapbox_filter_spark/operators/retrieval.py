@@ -34,9 +34,12 @@ from .text import _words
 
 __all__ = [
     "doc_terms",
+    "doc_trigrams",
     "bm25_scores",
     "bm25_topk",
+    "phrase_search",
     "write_term_index",
+    "write_trigram_index",
     "read_term_index",
 ]
 
@@ -179,3 +182,88 @@ def read_term_index(spark, path: str,
 def exact_idf(n_docs: int, df: int) -> float:
     """Python twin of the idf expression (tests)."""
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def doc_trigrams(docs: DataFrame, *, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(gram, doc_id): DISTINCT character trigrams per document — the
+    pg_trgm-style substring-search statistic, built with in-row HOFs
+    (sequence → substr → array_distinct) and one explode; no UDF."""
+    t = F.col(text_col)
+    tri = F.when(
+        F.length(t) >= 3,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.length(t) - 2),
+            lambda i: t.substr(i, F.lit(3)))),
+    ).otherwise(F.array().cast("array<string>"))
+    return (docs.select(F.col(id_col), F.explode(tri).alias("gram"))
+            .select("gram", id_col))
+
+
+def write_trigram_index(docs: DataFrame, path: str, *,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_buckets: int = 64,
+                        table_name: str | None = None) -> str:
+    """Materialize the substring index: trigram postings bucketed+sorted
+    by gram (single-column spec, same bucket-pruning discipline as the
+    term/IVF/LSH/kNN indexes).  Returns the table name."""
+    spark = docs.sparkSession
+    name = table_name or ("trgm_idx_" +
+                          os.path.basename(path.rstrip("/")))
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (doc_trigrams(docs, id_col=id_col, text_col=text_col)
+     .write.mode("overwrite")
+     .option("path", os.path.join(path, "postings"))
+     .bucketBy(n_buckets, "gram").sortBy("gram")
+     .format("parquet").saveAsTable(name))
+    return name
+
+
+def phrase_search(docs: DataFrame, phrase: str, *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  index_table: str | None = None) -> DataFrame:
+    """Exact substring search at corpus scale (grep over 100 TB):
+    candidate docs from the trigram postings (must contain EVERY phrase
+    trigram — postings are distinct per (gram, doc), so a count equality
+    is the ALL-grams test), then exact verification with an occurrence
+    count.  Returns (doc_id, n_hits), n_hits >= 1.
+
+    - corpus-scan path: postings built in flight and pruned to the
+      probe grams BEFORE the aggregation (the filter rides the explode).
+    - ``index_table`` (write_trigram_index) is the production path:
+      ``gram IN (<phrase grams>)`` probes the bucketed postings — a
+      bucket-pruned scan of just the phrase's posting lists; only the
+      candidate docs' texts are then touched (broadcast semi-join).
+    """
+    if len(phrase) < 3:
+        raise ValueError("phrase must be at least 3 characters")
+    grams = sorted({phrase[i:i + 3] for i in range(len(phrase) - 2)})
+
+    def _run(post):
+        cand = (post.filter(F.col("gram").isin(grams))
+                .groupBy(id_col).agg(F.count(F.lit(1)).alias("_ng"))
+                .filter(F.col("_ng") == len(grams))
+                .select(id_col))
+        t = F.col(text_col)
+        diff = (F.length(t)
+                - F.length(F.replace(t, F.lit(phrase), F.lit(""))))
+        return (docs.join(F.broadcast(cand), id_col, "left_semi")
+                .select(F.col(id_col),
+                        (diff / F.lit(len(phrase))).cast("long")
+                        .alias("n_hits"))
+                .filter(F.col("n_hits") >= 1))
+
+    if index_table is None:
+        return _run(doc_trigrams(docs, id_col=id_col, text_col=text_col))
+    # same planner pin as the other persistent-index probes: without it
+    # autoBucketedScan silently forfeits the bucket pruning on
+    # `gram IN (...)`; the tiny hit set is eagerly checkpointed so
+    # post-return consumption never re-plans the probe
+    spark = docs.sparkSession
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    saved = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        return _run(spark.table(index_table)).localCheckpoint()
+    finally:
+        spark.conf.set(key, saved)

@@ -129,7 +129,46 @@ SELECT q_id AS vec_id, c_label AS pred_label, votes, best_dot FROM (
 ) WHERE r = 1"""
 
 
+_PHRASE = "table value"
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring search through the PRODUCTION index path
+    (operators/retrieval.py phrase_search): trigram postings persisted
+    bucketed by gram (write_trigram_index), probed with
+    ``gram IN (<phrase grams>)`` — bucket-pruned posting-list scans —
+    then exact verification + occurrence count on only the candidate
+    docs.  The oracle is the direct contains() scan, so the gate proves
+    the index path finds EXACTLY the brute-force hit set."""
+    import os
+    import tempfile
+
+    from .operators.retrieval import phrase_search, write_trigram_index
+    from .sources.features import _source_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    tag = _source_fingerprint(sf_dir)
+    table = f"trgm_idx_{tag}"
+    path = os.path.join(tempfile.gettempdir(), f"mfs_trgm_{tag}")
+    # overwrite each call: idempotent, immune to stale catalog entries
+    # (at fleet scale the index is written once out-of-band)
+    write_trigram_index(docs, path, table_name=table)
+    return phrase_search(docs, _PHRASE, index_table=table)
+
+
+def sql_phrase_search() -> str:
+    ph = _PHRASE
+    return f"""
+SELECT doc_id,
+       CAST((LEN(text) - LEN(REPLACE(text, '{ph}', ''))) / {len(ph)}
+            AS BIGINT) AS n_hits
+FROM documents
+WHERE contains(text, '{ph}')"""
+
+
 RETRIEVAL_QUERIES = {
     "bm25_topk": (q_bm25_topk, sql_bm25_topk),
     "knn_classify": (q_knn_classify, sql_knn_classify),
+    "phrase_search": (q_phrase_search, sql_phrase_search),
 }

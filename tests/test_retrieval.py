@@ -101,3 +101,67 @@ def test_index_probe_prunes_buckets(spark, docs, tmp_path_factory):
 def test_bm25_empty_query_rejected(spark, docs):
     with pytest.raises(ValueError, match="empty query"):
         bm25_scores(docs, [])
+
+
+# ------------------------------------------------------- phrase search
+
+
+def test_phrase_search_matches_brute_contains(spark, docs):
+    from mapbox_filter_spark.operators.retrieval import phrase_search
+
+    phrase = "table value"
+    got = {r["doc_id"]: r["n_hits"]
+           for r in phrase_search(docs, phrase).collect()}
+    pdf = docs.select("doc_id", "text").toPandas()
+    want = {}
+    for r in pdf.itertuples():
+        n = r.text.count(phrase)
+        if n:
+            want[r.doc_id] = n
+    assert got == want and want
+
+
+def test_phrase_search_index_path_identical(spark, docs,
+                                            tmp_path_factory):
+    from mapbox_filter_spark.operators.retrieval import (
+        phrase_search, write_trigram_index)
+
+    phrase = "table value"
+    path = str(tmp_path_factory.mktemp("trgm_idx"))
+    name = write_trigram_index(docs, path, n_buckets=32,
+                               table_name="trgm_idx_test")
+    a = sorted(map(tuple, phrase_search(docs, phrase).collect()))
+    b = sorted(map(tuple,
+                   phrase_search(docs, phrase, index_table=name)
+                   .collect()))
+    assert a == b and a
+
+
+def test_trigram_probe_prunes_buckets(spark, docs, tmp_path_factory):
+    import re
+
+    path = str(tmp_path_factory.mktemp("trgm_idx2"))
+    from mapbox_filter_spark.operators.retrieval import (
+        write_trigram_index)
+
+    name = write_trigram_index(docs, path, n_buckets=32,
+                               table_name="trgm_idx_prune")
+    grams = ["tab", "abl", "ble"]
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    saved = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        probe = spark.table(name).filter(F.col("gram").isin(grams))
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(key, saved)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) < int(m.group(2)), plan
+    assert int(m.group(1)) <= len(grams)
+
+
+def test_phrase_search_validation(spark, docs):
+    from mapbox_filter_spark.operators.retrieval import phrase_search
+
+    with pytest.raises(ValueError, match="3 characters"):
+        phrase_search(docs, "ab")
