@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import math
 import os
+import re
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -44,6 +46,44 @@ __all__ = [
 ]
 
 _STATS = "_stats"  # sidecar subdir of the term index
+
+
+def _index_table_name(prefix: str, path: str) -> str:
+    """Default table name from the path basename, sanitized to a valid
+    unquoted SQL identifier (paths with '-'/'.' would otherwise crash
+    the DROP TABLE / saveAsTable statements)."""
+    base = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(path.rstrip("/")))
+    return prefix + base
+
+
+@contextmanager
+def _pinned_bucket_probe(spark):
+    """Pin autoBucketedScan OFF for a persistent-index probe: the planner
+    otherwise disables the bucketed read (and with it bucket pruning on
+    the IN-list) when no join needs the distribution.  Callers must
+    eagerly materialize (localCheckpoint) anything returned before the
+    conf is restored."""
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    saved = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, saved)
+
+
+def _write_bucketed_postings(postings: DataFrame, path: str, *,
+                             bucket_col: str, name: str,
+                             n_buckets: int) -> None:
+    """Shared index-writer scaffolding: drop + bucketed/sorted external
+    postings table (single-column spec — Spark bucket pruning only
+    engages on those)."""
+    spark = postings.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (postings.write.mode("overwrite")
+     .option("path", os.path.join(path, "postings"))
+     .bucketBy(n_buckets, bucket_col).sortBy(bucket_col)
+     .format("parquet").saveAsTable(name))
 
 
 def doc_terms(docs: DataFrame, *, id_col: str = "doc_id",
@@ -112,21 +152,15 @@ def bm25_topk(spark_or_docs, query_terms: list[str], *, k: int,
     if index_path is not None:
         spark = spark_or_docs
         assert isinstance(spark, SparkSession)
-        # same planner pin as the IVF/LSH/kNN persistent-index probes:
-        # autoBucketedScan would silently disable the bucketed read (and
-        # with it bucket pruning on `term IN (...)`); the tiny top-k is
-        # eagerly localCheckpoint-ed below so post-return consumption
-        # never re-plans the probe with the conf restored.
-        key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-        saved = spark.conf.get(key, "true")
-        spark.conf.set(key, "false")
-        try:
+        # same planner pin as the IVF/LSH/kNN persistent-index probes
+        # (_pinned_bucket_probe); the tiny top-k is eagerly
+        # localCheckpoint-ed so post-return consumption never re-plans
+        # the probe with the conf restored.
+        with _pinned_bucket_probe(spark):
             postings, n_docs, avgdl = read_term_index(spark, index_path)
             scores = _score(postings, query_terms, id_col=id_col,
                             n_docs=n_docs, avgdl=avgdl, k1=k1, b=b)
             return _rank_topk(scores, id_col, k).localCheckpoint()
-        finally:
-            spark.conf.set(key, saved)
     else:
         scores = bm25_scores(spark_or_docs, query_terms, id_col=id_col,
                              text_col=text_col, k1=k1, b=b)
@@ -154,13 +188,9 @@ def write_term_index(docs: DataFrame, path: str, *,
     a (N, avgdl) stats sidecar.  Returns the table name."""
     spark = docs.sparkSession
     postings = doc_terms(docs, id_col=id_col, text_col=text_col)
-    name = table_name or ("term_idx_" +
-                          os.path.basename(path.rstrip("/")))
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    (postings.write.mode("overwrite")
-     .option("path", os.path.join(path, "postings"))
-     .bucketBy(n_buckets, "term").sortBy("term")
-     .format("parquet").saveAsTable(name))
+    name = table_name or _index_table_name("term_idx_", path)
+    _write_bucketed_postings(postings, path, bucket_col="term",
+                             name=name, n_buckets=n_buckets)
     n_docs = docs.count()
     _, avgdl = _corpus_stats(postings, id_col)
     spark.createDataFrame([(n_docs, avgdl)], "n_docs long, avgdl double") \
@@ -172,8 +202,7 @@ def write_term_index(docs: DataFrame, path: str, *,
 def read_term_index(spark, path: str,
                     table_name: str | None = None):
     """(postings DataFrame, n_docs, avgdl) from a written index."""
-    name = table_name or ("term_idx_" +
-                          os.path.basename(path.rstrip("/")))
+    name = table_name or _index_table_name("term_idx_", path)
     postings = spark.table(name)
     r = spark.read.parquet(os.path.join(path, _STATS)).first()
     return postings, int(r["n_docs"]), float(r["avgdl"])
@@ -207,15 +236,10 @@ def write_trigram_index(docs: DataFrame, path: str, *,
     """Materialize the substring index: trigram postings bucketed+sorted
     by gram (single-column spec, same bucket-pruning discipline as the
     term/IVF/LSH/kNN indexes).  Returns the table name."""
-    spark = docs.sparkSession
-    name = table_name or ("trgm_idx_" +
-                          os.path.basename(path.rstrip("/")))
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    (doc_trigrams(docs, id_col=id_col, text_col=text_col)
-     .write.mode("overwrite")
-     .option("path", os.path.join(path, "postings"))
-     .bucketBy(n_buckets, "gram").sortBy("gram")
-     .format("parquet").saveAsTable(name))
+    name = table_name or _index_table_name("trgm_idx_", path)
+    _write_bucketed_postings(
+        doc_trigrams(docs, id_col=id_col, text_col=text_col), path,
+        bucket_col="gram", name=name, n_buckets=n_buckets)
     return name
 
 
@@ -240,14 +264,21 @@ def phrase_search(docs: DataFrame, phrase: str, *,
     grams = sorted({phrase[i:i + 3] for i in range(len(phrase) - 2)})
 
     def _run(post):
+        # countDistinct, not count: duplicate doc_id rows (or any
+        # non-distinct postings) would otherwise overshoot the ALL-grams
+        # equality and silently drop every hit for that doc
         cand = (post.filter(F.col("gram").isin(grams))
-                .groupBy(id_col).agg(F.count(F.lit(1)).alias("_ng"))
+                .groupBy(id_col)
+                .agg(F.countDistinct("gram").alias("_ng"))
                 .filter(F.col("_ng") == len(grams))
                 .select(id_col))
         t = F.col(text_col)
         diff = (F.length(t)
                 - F.length(F.replace(t, F.lit(phrase), F.lit(""))))
-        return (docs.join(F.broadcast(cand), id_col, "left_semi")
+        # no broadcast hint: the candidate set is data-dependent (a
+        # common-trigram phrase can select much of the corpus) — let
+        # AQE pick broadcast vs shuffle from the actual size
+        return (docs.join(cand, id_col, "left_semi")
                 .select(F.col(id_col),
                         (diff / F.lit(len(phrase))).cast("long")
                         .alias("n_hits"))
@@ -255,15 +286,9 @@ def phrase_search(docs: DataFrame, phrase: str, *,
 
     if index_table is None:
         return _run(doc_trigrams(docs, id_col=id_col, text_col=text_col))
-    # same planner pin as the other persistent-index probes: without it
-    # autoBucketedScan silently forfeits the bucket pruning on
-    # `gram IN (...)`; the tiny hit set is eagerly checkpointed so
-    # post-return consumption never re-plans the probe
+    # same planner pin as the other persistent-index probes
+    # (_pinned_bucket_probe); the tiny hit set is eagerly checkpointed
+    # so post-return consumption never re-plans the probe
     spark = docs.sparkSession
-    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    saved = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try:
+    with _pinned_bucket_probe(spark):
         return _run(spark.table(index_table)).localCheckpoint()
-    finally:
-        spark.conf.set(key, saved)

@@ -165,3 +165,22 @@ def test_phrase_search_validation(spark, docs):
 
     with pytest.raises(ValueError, match="3 characters"):
         phrase_search(docs, "ab")
+
+
+def test_phrase_search_duplicate_doc_ids(spark):
+    # duplicate doc_id rows must not overshoot the ALL-grams count and
+    # drop hits (review finding: count vs countDistinct)
+    from mapbox_filter_spark.operators.retrieval import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "xx table value yy"), (1, "zz table value"), (2, "no hit")],
+        "doc_id long, text string")
+    got = sorted(map(tuple, phrase_search(df, "table value").collect()))
+    assert got == [(1, 1), (1, 1)]
+
+
+def test_index_table_name_sanitized(spark):
+    from mapbox_filter_spark.operators.retrieval import _index_table_name
+
+    assert _index_table_name("trgm_idx_", "/tmp/my-index.v2") == \
+        "trgm_idx_my_index_v2"
