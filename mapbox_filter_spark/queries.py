@@ -486,8 +486,10 @@ _DRIVER_PRIORITY = [
     "dedup_exact", "dedup_minhash_lsh", "lang_id", "curation_pipeline",
     "cosine_topk", "ivf_topk", "pq_adc_topk", "ann_lsh_topk",
     "sessionize", "decontaminate",
-    # r4 driver-green second representatives (recovered if the driver
-    # samples more than 50)
+    # new round-5 families first among the overflow (driver rows if the
+    # sample grows past 50), then the r4 driver-green second
+    # representatives
+    "phrase_search", "st_asof_join", "dedup_keep_best", "zonal_stats",
     "tile_assign_tms", "dirty_ancestors", "tile_diff_classes",
     "dedup_ngram_jaccard", "dedup_simhash", "token_quality",
     "doc_fingerprint", "repetition_profile", "pii_scrub",
