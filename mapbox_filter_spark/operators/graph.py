@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "dedup_clusters", "pagerank_exact",
-           "shortest_paths"]
+           "shortest_paths", "triangle_counts"]
 
 
 def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -254,3 +254,62 @@ def shortest_paths(
                 .localCheckpoint())
         frontier = improved
     raise RuntimeError(f"no convergence in {max_rounds} rounds")
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts over an undirected graph
+    — the clustering-coefficient / community-density primitive.
+
+    Algorithm (degree-ordered wedge closure — Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11; a
+    public algorithm, re-derived for DataFrames): orient every
+    deduplicated undirected edge from its lower-(degree, id) endpoint to
+    the higher.  Each triangle then has exactly ONE vertex with two
+    out-edges (its rank-minimum), so wedges are generated only at that
+    apex and closed by a single equi-join against the oriented edge set.
+
+    Scale shape: out-degree under this orientation is O(sqrt(E)) on ANY
+    graph — a celebrity hub with 10M followers generates wedges at its
+    LOW-degree neighbors, not at itself, which is what keeps the wedge
+    stage from exploding on a power-law 100 TB graph.  Three shuffles
+    total (degree agg, wedge self-join, closing join), all
+    map-side-combinable or AQE-skew-splittable; no driver collect.
+
+    Output: ``(node, n_tri)`` for every node in ≥ 1 triangle; each
+    triangle contributes 1 to each of its three corners.  Exact
+    integers — value-hashable against a brute 3-way-join oracle.
+    """
+    e = (edges.filter(F.col(src) != F.col(dst))
+         .select(F.least(src, dst).alias("u"),
+                 F.greatest(src, dst).alias("v"))
+         .distinct())
+    deg = (e.select(F.col("u").alias("node"))
+           .unionByName(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    # orient low-rank -> high-rank; carry the head's rank key for the
+    # wedge-endpoint ordering below
+    lo_first = (F.col("du") < F.col("dv")) | \
+        ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    o = ed.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("db"))
+    o1, o2 = o.alias("o1"), o.alias("o2")
+    wedge_ord = (F.col("o1.db") < F.col("o2.db")) | \
+        ((F.col("o1.db") == F.col("o2.db"))
+         & (F.col("o1.b") < F.col("o2.b")))
+    wedges = (o1.join(o2, (F.col("o1.a") == F.col("o2.a")) & wedge_ord)
+              .select(F.col("o1.a").alias("apex"),
+                      F.col("o1.b").alias("x"),
+                      F.col("o2.b").alias("y")))
+    close = o.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedges.join(close, ["x", "y"])
+    corners = (tri.select(F.col("apex").alias("node"))
+               .unionByName(tri.select(F.col("x").alias("node")))
+               .unionByName(tri.select(F.col("y").alias("node"))))
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_tri"))

@@ -171,3 +171,51 @@ def trip_segments(df: DataFrame, break_step2: int,
                  .alias("end_x"),
                  F.max(F.struct(F.col("rn"), y.alias("v")))["v"]
                  .alias("end_y")))
+
+
+def colocation_pairs(df: DataFrame, cell: int, bucket_s: int,
+                     min_meetings: int = 1,
+                     entity_col: str = "user_id",
+                     ts_col: str = "ts",
+                     x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Spatio-temporal co-location join: pairs of entities observed in
+    the SAME space-time cell (planar grid cell of side ``cell`` ×
+    time bucket of ``bucket_s`` seconds) at least ``min_meetings``
+    distinct times — the contact-tracing / co-movement primitive.
+
+    Semantics: a "meeting" is one distinct (cell_x, cell_y, bucket)
+    both entities visited; an entity's repeated pings inside one
+    space-time cell count ONCE (the distinct pre-pass), so n_meet is a
+    count of distinct co-visits, not of ping cross-products.
+
+    Scale shape: one shuffle to distinct the visit set, one equi-join on
+    the space-time key, one groupBy on the pair.  The join is the
+    classic quadratic hazard — a stadium cell with 10k entities in one
+    bucket yields 50M pairs — so at fleet scale cap per-key occupancy
+    upstream (cap_per_group in operators/splits.py, heavy_hitters in
+    operators/sketch.py as the detector) or salt the hot space-time
+    keys; the distinct pre-pass already bounds multiplicity per entity.
+
+    Exact integers end-to-end (floor_div grid + integer epoch-us
+    bucketing) — value-hashable.
+    """
+    from ..geo.tilemath import floor_div
+
+    if cell <= 0 or bucket_s <= 0:
+        raise ValueError("cell and bucket_s must be positive")
+    visits = df.select(
+        F.col(entity_col),
+        floor_div(F.col(x_col), cell).alias("cx"),
+        floor_div(F.col(y_col), cell).alias("cy"),
+        floor_div(F.unix_micros(F.col(ts_col).cast("timestamp")),
+                  bucket_s * 1_000_000).alias("tb")).distinct()
+    a, b = visits.alias("a"), visits.alias("b")
+    pair = (a.join(b, (F.col("a.cx") == F.col("b.cx"))
+                   & (F.col("a.cy") == F.col("b.cy"))
+                   & (F.col("a.tb") == F.col("b.tb"))
+                   & (F.col(f"a.{entity_col}") < F.col(f"b.{entity_col}")))
+            .select(F.col(f"a.{entity_col}").alias("user_a"),
+                    F.col(f"b.{entity_col}").alias("user_b")))
+    return (pair.groupBy("user_a", "user_b")
+            .agg(F.count(F.lit(1)).alias("n_meet"))
+            .filter(F.col("n_meet") >= min_meetings))

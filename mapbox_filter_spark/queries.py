@@ -490,6 +490,7 @@ _DRIVER_PRIORITY = [
     # sample grows past 50), then the r4 driver-green second
     # representatives
     "phrase_search", "st_asof_join", "dedup_keep_best", "zonal_stats",
+    "triangle_count", "colocation_pairs", "hilbert_order",
     "tile_assign_tms", "dirty_ancestors", "tile_diff_classes",
     "dedup_ngram_jaccard", "dedup_simhash", "token_quality",
     "doc_fingerprint", "repetition_profile", "pii_scrub",

@@ -341,6 +341,21 @@ _TRAJ_JUMP = 1000          # per-axis jump range (micro-degrees)
 _TRAJ_DWELL2 = 500_000     # squared step threshold for stay-point runs
 
 
+def _sql_walk_pos() -> str:
+    """The integer-random-walk position CTE shared by every
+    trajectory-family oracle (mirror of
+    operators/trajectory.py random_walk_positions)."""
+    m = 2 * _TRAJ_JUMP + 1
+    return f"""pos AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM((event_id * 7919) % {m} - {_TRAJ_JUMP}) OVER w AS BIGINT) AS x,
+         CAST(SUM((event_id * 104729) % {m} - {_TRAJ_JUMP}) OVER w AS BIGINT) AS y
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)"""
+
+
 def q_traj_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user trajectory profile (operators/trajectory.py) over a
     deterministic integer random walk derived from events: path length
@@ -358,14 +373,7 @@ def q_traj_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_traj_stats() -> str:
     m = 2 * _TRAJ_JUMP + 1
     t = _TRAJ_DWELL2
-    return f"""WITH pos AS (
-  SELECT user_id, ts, event_id,
-         CAST(SUM((event_id * 7919) % {m} - {_TRAJ_JUMP}) OVER w AS BIGINT) AS x,
-         CAST(SUM((event_id * 104729) % {m} - {_TRAJ_JUMP}) OVER w AS BIGINT) AS y
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-),
+    return f"""WITH {_sql_walk_pos()},
 st AS (
   SELECT user_id, x, y,
          ROW_NUMBER() OVER w2 AS rn,
@@ -712,14 +720,7 @@ def q_trip_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_trip_segments() -> str:
     m = 2 * _TRAJ_JUMP + 1
     t = _TRIP_BREAK2
-    return f"""WITH pos AS (
-  SELECT user_id, ts, event_id,
-         CAST(SUM((event_id * 7919) % {m} - {_TRAJ_JUMP}) OVER w AS BIGINT) AS x,
-         CAST(SUM((event_id * 104729) % {m} - {_TRAJ_JUMP}) OVER w AS BIGINT) AS y
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-),
+    return f"""WITH {_sql_walk_pos()},
 st AS (
   SELECT user_id, x, y,
          ROW_NUMBER() OVER w2 AS rn,
@@ -1700,6 +1701,92 @@ FROM pb ASOF LEFT JOIN rd
   ON pb.cx = rd.cx AND pb.cy = rd.cy AND pb.ts >= rd.ts"""
 
 
+_COLOC_CELL = 500          # grid cell side (walk units)
+_COLOC_BUCKET_S = 86_400   # one-day time buckets
+_COLOC_MIN_MEET = 3        # distinct co-visits to report a pair
+
+
+def q_colocation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatio-temporal co-location join (operators/trajectory.py
+    colocation_pairs): entity pairs observed in the same (500-unit grid
+    cell x day) space-time cell on >= 3 distinct occasions along the
+    deterministic walk — the contact-tracing / co-movement primitive.
+    Distinct-visit pre-pass, one space-time equi-join, one pair groupBy;
+    exact integers end-to-end."""
+    from .operators.trajectory import colocation_pairs, random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    return colocation_pairs(pos, cell=_COLOC_CELL,
+                            bucket_s=_COLOC_BUCKET_S,
+                            min_meetings=_COLOC_MIN_MEET)
+
+
+def sql_colocation_pairs() -> str:
+    c = _COLOC_CELL
+    b_us = _COLOC_BUCKET_S * 1_000_000
+    return f"""WITH {_sql_walk_pos()},
+viz AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(x / {c}.0) AS BIGINT) AS cx,
+         CAST(floor(y / {c}.0) AS BIGINT) AS cy,
+         epoch_us(ts) // {b_us} AS tb
+  FROM pos)
+SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*) AS n_meet
+FROM viz a JOIN viz b
+  ON a.cx = b.cx AND a.cy = b.cy AND a.tb = b.tb
+ AND a.user_id < b.user_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {_COLOC_MIN_MEET}"""
+
+
+_HILBERT_ORDER = 8  # 256x256 grid (z=8 tile coords)
+
+
+def q_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert space-filling-curve index (geo/hilbert.py hilbert_encode)
+    of every feature's z=8 tile coordinate — the locality-preserving
+    clustering key for 100 TB parquet layout (sort/range-partition by h
+    before writing; bbox scans then prune to contiguous file runs).
+    Integer-only staged Column math, zero shuffle; the oracle replays
+    the identical bit-twiddle level-for-level as a DuckDB CTE chain."""
+    from .geo.hilbert import hilbert_encode
+    from .geo.tilemath import tile_cols
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir)
+    x, y = tile_cols(F.col("lon"), F.col("lat"), F.lit(_HILBERT_ORDER))
+    g = feats.select("feature_id", x.alias("hx"), y.alias("hy"))
+    return hilbert_encode(g, _HILBERT_ORDER)
+
+
+def sql_hilbert_order() -> str:
+    from .queries import _sql_tile_x, _sql_tile_y
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    o = _HILBERT_ORDER
+    ctes = [f"""g{o} AS MATERIALIZED (
+  SELECT feature_id, x AS hx, y AS hy, x, y, CAST(0 AS BIGINT) AS d
+  FROM (SELECT feature_id, {_sql_tile_x(o)} AS x, {_sql_tile_y(o)} AS y
+        FROM features))"""]
+    n = 1 << o
+    for k in range(o - 1, -1, -1):
+        s = 1 << k
+        ctes.append(f"""g{k} AS MATERIALIZED (
+  SELECT feature_id, hx, hy,
+         CASE WHEN ry = 0
+              THEN CASE WHEN rx = 1 THEN {n - 1} - y ELSE y END
+              ELSE x END AS x,
+         CASE WHEN ry = 0
+              THEN CASE WHEN rx = 1 THEN {n - 1} - x ELSE x END
+              ELSE y END AS y,
+         d + {s * s} * (CASE WHEN rx = 1 THEN 3 - ry ELSE ry END) AS d
+  FROM (SELECT *, (x // {s}) % 2 AS rx, (y // {s}) % 2 AS ry
+        FROM g{k + 1}))""")
+    return (f"WITH {FEATURES_ORACLE_SQL},\n" + ",\n".join(ctes)
+            + "\nSELECT feature_id, hx, hy, CAST(d AS BIGINT) AS h FROM g0")
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "zonal_stats": (q_zonal_stats, sql_zonal_stats),
@@ -1730,4 +1817,6 @@ GEOM_QUERIES = {
     "geofence_flag": (q_geofence_flag, sql_geofence_flag),
     "line_interpolate": (q_line_interpolate, sql_line_interpolate),
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
+    "colocation_pairs": (q_colocation_pairs, sql_colocation_pairs),
+    "hilbert_order": (q_hilbert_order, sql_hilbert_order),
 }

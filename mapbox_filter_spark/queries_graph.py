@@ -59,32 +59,14 @@ _PR_K = 3  # hashed out-links per node
 _PR_SCALE = 10**12
 
 
-def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact fixed-point PageRank over a deterministic hashed link graph
-    (operators/graph.py pagerank_exact; edges from splits.negative_pairs
-    — every doc links to 3 content-hashed targets, dedup'd)."""
-    from .operators.graph import pagerank_exact
-    from .operators.splits import negative_pairs
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id")
-    n = docs.count()
-    edges = (negative_pairs(docs, "doc_id", n_ids=n, k=_PR_K,
-                            salt=_PR_SALT)
-             .select(F.col("doc_id").alias("src"),
-                     F.col("neg_id").alias("dst"))
-             .distinct())
-    return (pagerank_exact(docs, edges, node_col="doc_id",
-                           iters=_PR_ITERS, scale=_PR_SCALE)
-            .select(F.col("node").alias("doc_id"), "pr"))
-
-
-def sql_pagerank() -> str:
+def _sql_link_edges() -> str:
+    """Oracle mirror of the deterministic hashed link graph shared by
+    the pagerank and triangle_count gates (operators/splits.py
+    negative_pairs with k=3, dedup'd)."""
     u = ("CAST(('0x' || substr(md5(concat_ws(chr(31), '"
          f"{_PR_SALT}', CAST(doc_id AS VARCHAR), CAST(t.j AS VARCHAR))), "
          "1, 15)) AS BIGINT)")
-    s = _PR_SCALE
-    ctes = [f"""nc AS (SELECT COUNT(*) AS n FROM documents),
+    return f"""nc AS (SELECT COUNT(*) AS n FROM documents),
 edges AS (
   SELECT DISTINCT doc_id AS src,
          CASE WHEN raw = doc_id THEN (raw + 1) % c ELSE raw END AS dst
@@ -92,7 +74,40 @@ edges AS (
     SELECT d.doc_id, ({u}) % nc.n AS raw, nc.n AS c
     FROM documents d, nc,
          LATERAL (SELECT unnest(range(1, {_PR_K + 1})) AS j) t)
-),
+)"""
+
+
+def _link_edges(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """Engine side of the same hashed link graph."""
+    from .operators.splits import negative_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    n = docs.count()
+    return (negative_pairs(docs, "doc_id", n_ids=n, k=_PR_K,
+                           salt=_PR_SALT)
+            .select(F.col("doc_id").alias("src"),
+                    F.col("neg_id").alias("dst"))
+            .distinct())
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point PageRank over a deterministic hashed link graph
+    (operators/graph.py pagerank_exact; edges from splits.negative_pairs
+    — every doc links to 3 content-hashed targets, dedup'd)."""
+    from .operators.graph import pagerank_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    edges = _link_edges(spark, sf_dir)
+    return (pagerank_exact(docs, edges, node_col="doc_id",
+                           iters=_PR_ITERS, scale=_PR_SCALE)
+            .select(F.col("node").alias("doc_id"), "pr"))
+
+
+def sql_pagerank() -> str:
+    s = _PR_SCALE
+    ctes = [_sql_link_edges() + f""",
 deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
 pr0 AS (SELECT doc_id AS node, {s} // nc.n AS pr FROM documents, nc)"""]
     for i in range(1, _PR_ITERS + 1):
@@ -254,10 +269,39 @@ SELECT lab.doc_id, lab.component,
 FROM lab JOIN documents d ON d.doc_id = lab.doc_id"""
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation (operators/graph.py
+    triangle_counts — degree-ordered wedge closure so hub wedges are
+    generated at their low-degree neighbors, the power-law-safe shape)
+    over the SAME deterministic hashed link graph as the pagerank gate.
+    The oracle is an independent algorithm: brute 3-way self-join on
+    the canonical undirected edge set."""
+    from .operators.graph import triangle_counts
+
+    return (triangle_counts(_link_edges(spark, sf_dir))
+            .select(F.col("node").alias("doc_id"), "n_tri"))
+
+
+def sql_triangle_count() -> str:
+    return f"""WITH {_sql_link_edges()},
+e AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM edges WHERE src <> dst),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT node AS doc_id, COUNT(*) AS n_tri FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+GROUP BY node"""
+
+
 GRAPH_QUERIES = {
     "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters),
     "dedup_keep_best": (q_dedup_keep_best, sql_dedup_keep_best),
     "pagerank": (q_pagerank, sql_pagerank),
     "sssp_grid": (q_sssp_grid, sql_sssp_grid),
     "isochrone": (q_isochrone, sql_isochrone),
+    "triangle_count": (q_triangle_count, sql_triangle_count),
 }
