@@ -1787,6 +1787,52 @@ def sql_hilbert_order() -> str:
             + "\nSELECT feature_id, hx, hy, CAST(d AS BIGINT) AS h FROM g0")
 
 
+_SETSIM_CELL = 2000        # visited-cell token grid
+_SETSIM_TAU = (1, 2)       # Jaccard threshold as an exact rational
+
+
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join (operators/setsim.py
+    set_similarity_join — prefix filtering, AllPairs/PPJoin family):
+    user pairs whose distinct visited-cell sets have Jaccard >= 1/2.
+    Completeness is the prefix-filter THEOREM (rarest-first global
+    token order), not an LSH recall curve; the oracle is the
+    independent brute token self-join, so the gate proves the filter
+    loses no pairs.  Integer cross-multiplied threshold test."""
+    from .geo.tilemath import floor_div
+    from .operators.setsim import set_similarity_join
+    from .operators.trajectory import random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    toks = pos.select(
+        "user_id",
+        (floor_div(F.col("x"), _SETSIM_CELL) * 100_000
+         + floor_div(F.col("y"), _SETSIM_CELL)).alias("tok"))
+    return set_similarity_join(toks, "user_id", "tok",
+                               tau_num=_SETSIM_TAU[0],
+                               tau_den=_SETSIM_TAU[1])
+
+
+def sql_setsim_join() -> str:
+    c = _SETSIM_CELL
+    num, den = _SETSIM_TAU
+    return f"""WITH {_sql_walk_pos()},
+s AS (
+  SELECT DISTINCT user_id AS sid,
+         CAST(floor(x / {c}.0) AS BIGINT) * 100000
+           + CAST(floor(y / {c}.0) AS BIGINT) AS tok
+  FROM pos),
+sz AS (SELECT sid, COUNT(*) AS sz FROM s GROUP BY sid),
+i AS (
+  SELECT a.sid AS id_a, b.sid AS id_b, COUNT(*) AS n_inter
+  FROM s a JOIN s b ON a.tok = b.tok AND a.sid < b.sid
+  GROUP BY 1, 2)
+SELECT id_a, id_b, n_inter, za.sz + zb.sz - n_inter AS n_union
+FROM i JOIN sz za ON za.sid = i.id_a JOIN sz zb ON zb.sid = i.id_b
+WHERE ({den} + {num}) * n_inter >= {num} * (za.sz + zb.sz)"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "zonal_stats": (q_zonal_stats, sql_zonal_stats),
@@ -1819,4 +1865,5 @@ GEOM_QUERIES = {
     "tile_pyramid": (q_tile_pyramid, sql_tile_pyramid),
     "colocation_pairs": (q_colocation_pairs, sql_colocation_pairs),
     "hilbert_order": (q_hilbert_order, sql_hilbert_order),
+    "setsim_join": (q_setsim_join, sql_setsim_join),
 }
