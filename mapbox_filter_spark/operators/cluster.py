@@ -54,7 +54,7 @@ from pyspark.sql import functions as F
 from ..geo.tilemath import floor_div as _floor_div
 from .graph import connected_components
 
-__all__ = ["dbscan", "geofence_flag", "grid_knn_join",
+__all__ = ["dbscan", "geofence_flag", "grid_knn_join", "kmeans_integer",
            "grid_neighbor_pairs", "grid_radius_join"]
 
 
@@ -363,3 +363,83 @@ def geofence_flag(
                     F.col("_b").isNotNull().alias("in_fence"),
                     F.col("_b.zid").alias("nearest_zone"),
                     F.col("_b.d2").alias("d2")))
+
+
+def kmeans_integer(df: DataFrame, x_col: str, y_col: str, *,
+                   k: int, iters: int,
+                   salt: str = "kmeans-v1") -> DataFrame:
+    """Lloyd k-means over integer planar coordinates with EXACT integer
+    arithmetic end-to-end — the deterministic, value-hashable sibling of
+    the float codebook trainer (operators/similarity.py
+    train_centroids; that one owns the high-dim ANN path).
+
+    Determinism contract (same results on any cluster shape / engine):
+
+    - seeds: the k distinct coordinates with the smallest
+      ``u60(salt, x, y)`` content hash ((x, y) as the tie-break) —
+      seeded-random-without-randomness, the splits.py discipline;
+    - assignment: argmin of integer d² with cent_id as the tie-break,
+      folded into ONE exact long ``min(d2 * k + cent_id)`` (d² < 2^57/k
+      checked by the caller's coordinate range; here ≤ ~2^38 for
+      micro-degree grids);
+    - update: per-cluster floor-div of exact coordinate sums (empty
+      clusters keep their previous centroid);
+    - a FIXED iteration count, so an unrolled-SQL oracle replays it.
+
+    Scale shape: per iteration, assignment is ZERO-shuffle (the k
+    centroids are collected driver-side — k×2 longs — and inlined as a
+    literal least-chain, the broadcast-literal pattern), followed by ONE
+    map-side-combinable groupBy of k groups.  The corpus never moves.
+
+    Returns ``(cent_id, cx, cy, n_members)`` for the final iteration.
+    """
+    if k <= 0 or iters < 0:
+        raise ValueError("need k > 0 and iters >= 0")
+    from .splits import hash_u60
+
+    pts = df.select(F.col(x_col).cast("long").alias("_kx"),
+                    F.col(y_col).cast("long").alias("_ky"))
+    seeds = (pts.distinct()
+             .withColumn("_h", hash_u60(["_kx", "_ky"], salt))
+             .orderBy("_h", "_kx", "_ky")
+             .limit(k)
+             .collect())
+    if len(seeds) < k:
+        raise ValueError(f"fewer than k={k} distinct points")
+    cents = [(i, r["_kx"], r["_ky"]) for i, r in enumerate(seeds)]
+
+    def assign_col(cs):
+        keys = [((F.col("_kx") - F.lit(cx)) * (F.col("_kx") - F.lit(cx))
+                 + (F.col("_ky") - F.lit(cy)) * (F.col("_ky") - F.lit(cy)))
+                * F.lit(k) + F.lit(cid)
+                for cid, cx, cy in cs]
+        best = keys[0] if len(keys) == 1 else F.least(*keys)
+        return F.pmod(best, F.lit(k)).cast("int")
+
+    stats = None
+    for _ in range(iters):
+        stats = (pts.withColumn("_cid", assign_col(cents))
+                 .groupBy("_cid")
+                 .agg(F.sum("_kx").alias("_sx"),
+                      F.sum("_ky").alias("_sy"),
+                      F.count(F.lit(1)).alias("_n"))
+                 .collect())
+        got = {r["_cid"]: r for r in stats}
+        new = []
+        for cid, cx, cy in cents:
+            r = got.get(cid)
+            if r is None:                      # empty cluster: keep
+                new.append((cid, cx, cy))
+            else:
+                sx, sy, n = r["_sx"], r["_sy"], r["_n"]
+                new.append((cid, (sx - sx % n) // n, (sy - sy % n) // n))
+        cents = new
+
+    final = (pts.withColumn("_cid", assign_col(cents))
+             .groupBy("_cid")
+             .agg(F.count(F.lit(1)).alias("n_members")))
+    cdf = df.sparkSession.createDataFrame(
+        cents, "cent_id int, cx long, cy long")
+    return (cdf.join(final, cdf["cent_id"] == final["_cid"], "left")
+            .select("cent_id", "cx", "cy",
+                    F.coalesce("n_members", F.lit(0)).alias("n_members")))

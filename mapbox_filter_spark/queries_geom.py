@@ -1833,6 +1833,64 @@ FROM i JOIN sz za ON za.sid = i.id_a JOIN sz zb ON zb.sid = i.id_b
 WHERE ({den} + {num}) * n_inter >= {num} * (za.sz + zb.sz)"""
 
 
+_KM_K = 8
+_KM_ITERS = 3
+_KM_SALT = "kmeans-r5"
+
+
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Lloyd k-means (operators/cluster.py kmeans_integer) over
+    the walk positions: content-hashed seeds, exact-long argmin
+    assignment (d2*k+cid fold), floor-div centroid updates, fixed 3
+    iterations — the centroid-based clustering sibling of the dbscan
+    gate, value-hashed against an unrolled-CTE replay (the pagerank
+    oracle pattern)."""
+    from .operators.cluster import kmeans_integer
+    from .operators.trajectory import random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    return kmeans_integer(pos, "x", "y", k=_KM_K, iters=_KM_ITERS,
+                          salt=_KM_SALT)
+
+
+def sql_kmeans_cells() -> str:
+    k, T = _KM_K, _KM_ITERS
+    h = ("CAST(('0x' || substr(md5(concat_ws(chr(31), '" + _KM_SALT
+         + "', CAST(x AS VARCHAR), CAST(y AS VARCHAR))), 1, 15)) "
+         "AS BIGINT)")
+    key = f"((p.x - c.cx)*(p.x - c.cx) + (p.y - c.cy)*(p.y - c.cy)) * {k} + c.cent_id"
+    ctes = [_sql_walk_pos(), f"""pts AS MATERIALIZED (
+  SELECT x, y, COUNT(*) AS w FROM pos GROUP BY x, y),
+c0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, x, y) - 1 AS INTEGER)
+           AS cent_id,
+         x AS cx, y AS cy
+  FROM (SELECT x, y, {h} AS h FROM (SELECT DISTINCT x, y FROM pts))
+  ORDER BY h, x, y LIMIT {k})"""]
+    for i in range(T):
+        ctes.append(f"""a{i} AS MATERIALIZED (
+  SELECT p.x, p.y, p.w, CAST(MIN({key}) % {k} AS INTEGER) AS cid
+  FROM pts p CROSS JOIN c{i} c GROUP BY p.x, p.y, p.w),
+c{i + 1} AS MATERIALIZED (
+  SELECT c.cent_id,
+         COALESCE((s.sx - ((s.sx % s.n) + s.n) % s.n) // s.n, c.cx)
+           AS cx,
+         COALESCE((s.sy - ((s.sy % s.n) + s.n) % s.n) // s.n, c.cy)
+           AS cy
+  FROM c{i} c LEFT JOIN (
+    SELECT cid, SUM(x * w) AS sx, SUM(y * w) AS sy, SUM(w) AS n
+    FROM a{i} GROUP BY cid) s ON s.cid = c.cent_id)""")
+    ctes.append(f"""fin AS (
+  SELECT p.w, CAST(MIN({key}) % {k} AS INTEGER) AS cid
+  FROM pts p CROSS JOIN c{T} c GROUP BY p.x, p.y, p.w)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT c.cent_id, c.cx, c.cy, CAST(COALESCE(m.n, 0) AS BIGINT)
+         AS n_members
+FROM c{T} c LEFT JOIN (SELECT cid, SUM(w) AS n FROM fin GROUP BY cid) m
+  ON m.cid = c.cent_id""")
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "zonal_stats": (q_zonal_stats, sql_zonal_stats),
@@ -1866,4 +1924,5 @@ GEOM_QUERIES = {
     "colocation_pairs": (q_colocation_pairs, sql_colocation_pairs),
     "hilbert_order": (q_hilbert_order, sql_hilbert_order),
     "setsim_join": (q_setsim_join, sql_setsim_join),
+    "kmeans_cells": (q_kmeans_cells, sql_kmeans_cells),
 }
