@@ -1,0 +1,64 @@
+"""Token co-occurrence mining with PMI ranking — the association /
+collocation primitive (market-basket on documents).
+
+Shape: distinct (doc, token) pre-pass → per-doc token self-join with
+``tok_a < tok_b`` → one map-side-combinable pair count → two small
+joins against the token document frequencies → PMI.
+
+Scale notes (the "curse of the last reducer" job):
+
+- the per-doc self-join is quadratic in the doc's DISTINCT token count
+  — cap pathological docs upstream (cap_per_group in
+  operators/splits.py) exactly as the reference-free co-occurrence
+  literature prescribes; the distinct pre-pass already collapses
+  repeated tokens so the bound is vocabulary-per-doc, not length;
+- hot PAIRS (stopword×stopword) are just counters under a
+  map-side-combinable groupBy — they never materialize a row set, so
+  pair skew is benign (unlike the setsim candidate join);
+- PMI = ln((n_ab·N) / (n_a·n_b)) is computed as one division of two
+  EXACT long products followed by one ln — the pinned op order that
+  bit-matches across engines (the BM25 discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cooccurrence_pmi"]
+
+
+def cooccurrence_pmi(docs: DataFrame, id_col: str, text_col: str, *,
+                     min_count: int = 1,
+                     min_token_len: int = 3) -> DataFrame:
+    """Token pairs co-occurring in ≥ ``min_count`` documents with their
+    PMI: ``(w_a, w_b, n_ab, n_a, n_b, pmi)``, ``w_a < w_b``.
+
+    Tokenization is the package's pinned whitespace convention
+    (operators/text.py _WORD_SPLIT) on lowercased text, tokens shorter
+    than ``min_token_len`` dropped.
+    """
+    from .text import _WORD_SPLIT
+
+    toks = (docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.lower(F.col(text_col)), _WORD_SPLIT))
+        .alias("w"))
+        .filter(F.length("w") >= min_token_len)
+        .distinct())
+    n_docs = toks.select("doc").distinct().count()
+    dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (a.join(b, (F.col("a.doc") == F.col("b.doc"))
+                    & (F.col("a.w") < F.col("b.w")))
+             .groupBy(F.col("a.w").alias("w_a"),
+                      F.col("b.w").alias("w_b"))
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .filter(F.col("n_ab") >= min_count))
+    fa = dfreq.select(F.col("w").alias("w_a"), F.col("n_w").alias("n_a"))
+    fb = dfreq.select(F.col("w").alias("w_b"), F.col("n_w").alias("n_b"))
+    return (pairs.join(fa, "w_a").join(fb, "w_b")
+            .select("w_a", "w_b", "n_ab", "n_a", "n_b",
+                    F.log((F.col("n_ab") * F.lit(n_docs)).cast("double")
+                          / (F.col("n_a") * F.col("n_b")).cast("double"))
+                    .alias("pmi")))

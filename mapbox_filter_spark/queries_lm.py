@@ -141,10 +141,48 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at("bpe_tokens", F.lit(1)).alias("first_token"))
 
 
+_PMI_MIN_COUNT = 25
+
+
+def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence with PMI (operators/cooccur.py
+    cooccurrence_pmi): the association/collocation miner — distinct
+    (doc, token) pre-pass, per-doc pair join, one map-side-combinable
+    pair count, PMI as one exact-long-ratio division + one ln (the
+    BM25 pinned-op-order discipline)."""
+    from .operators.cooccur import cooccurrence_pmi
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    return cooccurrence_pmi(docs, "doc_id", "text",
+                            min_count=_PMI_MIN_COUNT)
+
+
+def sql_cooccur_pmi() -> str:
+    return rf"""WITH toks AS (
+  SELECT DISTINCT doc_id AS doc, w
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(text), '\s+')) AS w
+        FROM documents)
+  WHERE length(w) >= 3),
+nd AS (SELECT COUNT(DISTINCT doc) AS n FROM toks),
+dfreq AS (SELECT w, COUNT(*) AS n_w FROM toks GROUP BY w),
+pairs AS (
+  SELECT a.w AS w_a, b.w AS w_b, COUNT(*) AS n_ab
+  FROM toks a JOIN toks b ON a.doc = b.doc AND a.w < b.w
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_PMI_MIN_COUNT})
+SELECT w_a, w_b, n_ab, fa.n_w AS n_a, fb.n_w AS n_b,
+       ln(CAST(n_ab * (SELECT n FROM nd) AS DOUBLE)
+          / CAST(fa.n_w * fb.n_w AS DOUBLE)) AS pmi
+FROM pairs JOIN dfreq fa ON fa.w = w_a JOIN dfreq fb ON fb.w = w_b"""
+
+
 LM_QUERIES = {
     "ngram_lm": (q_ngram_lm, sql_ngram_lm),
     "bpe_encode": (q_bpe_encode, None),
     "kn_continuation": (q_kn_continuation, sql_kn_continuation),
     "lm_doc_score": (q_lm_doc_score, sql_lm_doc_score),
     "bpe_pair_counts": (q_bpe_pair_counts, sql_bpe_pair_counts),
+    "cooccur_pmi": (q_cooccur_pmi, sql_cooccur_pmi),
 }

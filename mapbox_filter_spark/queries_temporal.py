@@ -529,6 +529,39 @@ SELECT user_id, CAST(SUM(me - ms) AS BIGINT) AS covered,
 FROM merged GROUP BY user_id"""
 
 
+_EMA_NUM, _EMA_DEN = 1, 8  # alpha = 0.125, exact binary fraction
+
+
+def q_ema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final per-user EMA of event values (operators/ema.py ema_final):
+    pinned-order left fold with an exactly-representable alpha — the
+    geometric-decay smoother the fixed-frame rolling window can't
+    express.  One key shuffle; the oracle replays the identical update
+    form with list_reduce(list(v ORDER BY rn))."""
+    from .operators.ema import ema_final
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id", "value")
+    return ema_final(ev, "user_id", ("ts_us", "event_id"), "value",
+                     alpha_num=_EMA_NUM, alpha_den=_EMA_DEN)
+
+
+def sql_ema_profile() -> str:
+    alpha = repr(_EMA_NUM / _EMA_DEN)
+    return f"""WITH s AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT user_id, COUNT(*) AS n_obs,
+       list_reduce(list(v ORDER BY rn),
+                   (a, b) -> a + CAST({alpha} AS DOUBLE) * (b - a))
+         AS ema
+FROM s GROUP BY user_id"""
+
+
 TEMPORAL_QUERIES = {
     "asof_join": (q_asof_join, sql_asof_join),
     "gapfill_locf": (q_gapfill_locf, sql_gapfill_locf),
@@ -542,4 +575,5 @@ TEMPORAL_QUERIES = {
     "distinct_rollup": (q_distinct_rollup, sql_distinct_rollup),
     "funnel": (q_funnel, sql_funnel),
     "quantile_profile": (q_quantile_profile, sql_quantile_profile),
+    "ema_profile": (q_ema_profile, sql_ema_profile),
 }
