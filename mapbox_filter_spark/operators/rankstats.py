@@ -1,0 +1,65 @@
+"""Rank statistics — Spearman correlation per group with EXACT
+tie-corrected ranks.
+
+Why ranks stay exact: the tie-corrected (average) rank of a value in a
+tie group of size c starting at dense position r is r + (c-1)/2 — a
+half-integer.  DOUBLING it gives ``2·avg = 2·RANK() + c - 1``, an exact
+long from two window functions, so every Pearson-on-ranks sum
+(Σx, Σx², Σxy over the doubled ranks) is exact integer arithmetic; the
+scale factor cancels in the correlation ratio.
+
+rho = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²) · √(nΣy²−(Σy)²)) evaluated as one
+pinned chain — long→double conversions, √, ·, / are all
+correctly-rounded IEEE ops, so the double bit-matches any engine
+running the same chain on the same exact longs.  Degenerate groups
+(a constant column ⇒ zero variance) are guarded by an INTEGER
+condition on both engines (NULL, never a NULL-vs-NaN split).
+
+Scale shape: two rank windows + one groupBy, ALL partitioned by the
+same group key — Spark plans a single exchange (the trajectory_stats
+discipline).  Ranks are per-group sorts, the unavoidable cost of rank
+statistics; a hot group is a heavy_hitters-detectable cap case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["spearman_corr"]
+
+
+def _rank2(group_cols, v):
+    w = Window.partitionBy(*group_cols).orderBy(v)
+    ties = Window.partitionBy(*group_cols, v)
+    return (F.rank().over(w) * 2 + F.count(F.lit(1)).over(ties)
+            - 1).cast("long")
+
+
+def spearman_corr(df: DataFrame, group_cols: "list[str]",
+                  x_col: str, y_col: str) -> DataFrame:
+    """Per-group Spearman rho over exact integer columns ``x_col`` /
+    ``y_col``: ``(group..., n, s_num, d_x, d_y, rho)`` where
+    ``s_num = nΣxy − ΣxΣy`` and ``d_x/d_y`` are the variance terms of
+    the doubled ranks (all exact longs), ``rho`` the IEEE ratio (NULL
+    when either variance term is zero)."""
+    rx = _rank2(group_cols, F.col(x_col)).alias("_rx")
+    ry = _rank2(group_cols, F.col(y_col)).alias("_ry")
+    r = df.select(*group_cols, rx, ry)
+    agg = r.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_rx").alias("_sx"), F.sum("_ry").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"))
+    n = F.col("n")
+    s_num = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+    d_x = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+    d_y = (n * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+    rho = F.when(
+        (d_x > 0) & (d_y > 0),
+        s_num.cast("double")
+        / (F.sqrt(d_x.cast("double")) * F.sqrt(d_y.cast("double"))))
+    return agg.select(*group_cols, "n", s_num.alias("s_num"),
+                      d_x.alias("d_x"), d_y.alias("d_y"),
+                      rho.alias("rho"))

@@ -346,6 +346,54 @@ FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
 GROUP BY a.i, b.i"""
 
 
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Spearman correlation between event value and
+    time-of-day (operators/rankstats.py spearman_corr): doubled
+    tie-corrected average ranks keep every Pearson-on-ranks sum an
+    EXACT long; rho is one pinned long→double/√/·// chain (bit-stable),
+    zero-variance groups NULL by an integer guard on both engines."""
+    from .operators.rankstats import spearman_corr
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         % (86_400 * 1_000_000)).alias("day_us"))
+    return spearman_corr(ev, ["event_type"], "cents", "day_us")
+
+
+def sql_spearman_corr() -> str:
+    return """WITH e AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         epoch_us(ts) % 86400000000 AS day_us
+  FROM events),
+r AS (
+  SELECT event_type,
+         RANK() OVER (PARTITION BY event_type ORDER BY cents) * 2
+           + COUNT(*) OVER (PARTITION BY event_type, cents) - 1 AS rx,
+         RANK() OVER (PARTITION BY event_type ORDER BY day_us) * 2
+           + COUNT(*) OVER (PARTITION BY event_type, day_us) - 1 AS ry
+  FROM e),
+a AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+         CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+         CAST(SUM(ry * ry) AS BIGINT) AS syy,
+         CAST(SUM(rx * ry) AS BIGINT) AS sxy
+  FROM r GROUP BY event_type)
+SELECT event_type, n,
+       n * sxy - sx * sy AS s_num,
+       n * sxx - sx * sx AS d_x,
+       n * syy - sy * sy AS d_y,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+            END AS rho
+FROM a"""
+
+
 CURATION_QUERIES = {
     "span_dedup": (q_span_dedup, sql_span_dedup),
     "decontaminate": (q_decontaminate, sql_decontaminate),
@@ -355,4 +403,5 @@ CURATION_QUERIES = {
     "time_weighted_avg": (q_time_weighted_avg, sql_time_weighted_avg),
     "span_hex_cells": (q_span_hex_cells, sql_span_hex_cells),
     "gram_matrix": (q_gram_matrix, sql_gram_matrix),
+    "spearman_corr": (q_spearman_corr, sql_spearman_corr),
 }
