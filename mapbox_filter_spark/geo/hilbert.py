@@ -67,8 +67,8 @@ def hilbert_encode(df: DataFrame, order: int,
         # 26 keeps s*s * 3 + d within long trivially and the plan short
         raise ValueError("order must be in [1, 26]")
     for c in ("_hsx", "_hsy", "_hrx", "_hry", out_col):
-        if c in df.columns and c != out_col:
-            raise ValueError(f"temp column {c} already present")
+        if c in df.columns:
+            raise ValueError(f"column {c} already present")
     work = df.select(
         "*",
         F.col(x_col).cast("long").alias("_hsx"),

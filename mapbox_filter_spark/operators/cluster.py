@@ -397,8 +397,12 @@ def kmeans_integer(df: DataFrame, x_col: str, y_col: str, *,
         raise ValueError("need k > 0 and iters >= 0")
     from .splits import hash_u60
 
+    # iters+2 actions reuse pts: checkpoint once so the upstream
+    # lineage (scan, walk windows, ...) is not re-executed per round
+    # (the pagerank_exact discipline)
     pts = df.select(F.col(x_col).cast("long").alias("_kx"),
-                    F.col(y_col).cast("long").alias("_ky"))
+                    F.col(y_col).cast("long").alias("_ky")) \
+        .localCheckpoint()
     seeds = (pts.distinct()
              .withColumn("_h", hash_u60(["_kx", "_ky"], salt))
              .orderBy("_h", "_kx", "_ky")

@@ -38,14 +38,17 @@ def cooccurrence_pmi(docs: DataFrame, id_col: str, text_col: str, *,
     (operators/text.py _WORD_SPLIT) on lowercased text, tokens shorter
     than ``min_token_len`` dropped.
     """
-    from .text import _WORD_SPLIT
+    from .text import _words
 
+    # checkpoint the distinct token set: it feeds THREE consumers
+    # (n_docs, dfreq, both sides of the pair self-join) — without it
+    # the corpus is re-tokenized per consumer
     toks = (docs.select(
         F.col(id_col).alias("doc"),
-        F.explode(F.split(F.lower(F.col(text_col)), _WORD_SPLIT))
-        .alias("w"))
+        F.explode(_words(F.col(text_col))).alias("w"))
         .filter(F.length("w") >= min_token_len)
-        .distinct())
+        .distinct()
+        .localCheckpoint())
     n_docs = toks.select("doc").distinct().count()
     dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
     a, b = toks.alias("a"), toks.alias("b")

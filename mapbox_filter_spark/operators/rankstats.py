@@ -19,6 +19,12 @@ Scale shape: two rank windows + one groupBy, ALL partitioned by the
 same group key — Spark plans a single exchange (the trajectory_stats
 discipline).  Ranks are per-group sorts, the unavoidable cost of rank
 statistics; a hot group is a heavy_hitters-detectable cap case.
+
+Exactness bound: n·Σ(2r)² ≤ 4n⁴ must fit int64, so groups are capped
+at ``_MAX_GROUP_ROWS`` (38,000) rows — enforced IN the plan with
+``raise_error`` (never a silent wrap).  Bigger groups should be
+pre-sampled (stratified_sample) or bucketed by a secondary key;
+rank statistics on 10⁹-row groups want a sketch, not exact ranks.
 """
 
 from __future__ import annotations
@@ -27,6 +33,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["spearman_corr"]
+
+# 4n^4 < 2^63  =>  n <= 38,000 keeps every sum exact in int64
+_MAX_GROUP_ROWS = 38_000
 
 
 def _rank2(group_cols, v):
@@ -57,6 +66,12 @@ def spearman_corr(df: DataFrame, group_cols: "list[str]",
     d_x = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
     d_y = (n * F.col("_syy") - F.col("_sy") * F.col("_sy"))
     rho = F.when(
+        n > _MAX_GROUP_ROWS,
+        F.raise_error(F.concat(
+            F.lit("spearman_corr: group exceeds exact-int64 bound "
+                  f"({_MAX_GROUP_ROWS} rows): n="), n.cast("string")))
+        .cast("double")
+    ).when(
         (d_x > 0) & (d_y > 0),
         s_num.cast("double")
         / (F.sqrt(d_x.cast("double")) * F.sqrt(d_y.cast("double"))))

@@ -57,9 +57,10 @@ def set_similarity_join(df: DataFrame, id_col: str, token_col: str,
               .select("sid", "tok",
                       F.row_number().over(w).alias("pos"),
                       F.count(F.lit(1)).over(ws).alias("sz")))
-    # prefix length |A| - ceil(tau*|A|) + 1, ceil in exact integers
-    need = ((F.col("sz") * tau_num + tau_den - 1) / tau_den) \
-        .cast("long")
+    # prefix length |A| - ceil(tau*|A|) + 1; ceil via exact integer
+    # floor division (completeness hinges on it — no double quotient)
+    from ..geo.tilemath import floor_div
+    need = floor_div(F.col("sz") * tau_num + tau_den - 1, tau_den)
     prefix = ranked.filter(F.col("pos") <= F.col("sz") - need + 1) \
         .select("sid", "tok")
     a, b = prefix.alias("a"), prefix.alias("b")

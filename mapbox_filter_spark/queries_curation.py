@@ -180,7 +180,10 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_type", "event_id",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        # portable rounding: floor(x+0.5) in BOTH engines (Spark
+        # round() is BigDecimal HALF_UP — diverges at .5-2^-54)
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"),
         (1 + F.col("event_id") % 7).alias("wgt"))
     return weighted_median(ev, ["event_type"], "cents", "wgt",
                            tiebreak="event_id")

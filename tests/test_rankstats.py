@@ -4,6 +4,8 @@ tie-corrected ranks, and the canonical ±1 / degenerate cases."""
 import math
 import random
 
+from pyspark.sql import functions as F
+
 from mapbox_filter_spark.operators.rankstats import spearman_corr
 
 
@@ -62,3 +64,19 @@ def test_perfect_and_degenerate(spark):
     down = got["down"]
     assert abs(down.rho + 1.0) < 1e-12 and down.s_num == -down.d_x
     assert got["flat"].rho is None and got["flat"].d_y == 0
+
+
+def test_group_bound_raises(spark):
+    # 38,001 rows in one group must fail loudly (raise_error branch or
+    # ANSI overflow upstream), never wrap silently
+    import pyspark.errors
+
+    from mapbox_filter_spark.operators import rankstats
+    big = spark.range(rankstats._MAX_GROUP_ROWS + 1).select(
+        F.lit("g").alias("g"), F.col("id").alias("x"),
+        (F.col("id") % 97).alias("y"))
+    try:
+        rankstats.spearman_corr(big, ["g"], "x", "y").collect()
+        raise AssertionError("expected a loud failure past the bound")
+    except pyspark.errors.PySparkException:
+        pass
