@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["spearman_corr"]
+__all__ = ["spearman_corr", "mann_whitney_u"]
 
 # 4n^4 < 2^63  =>  n <= 38,000 keeps every sum exact in int64
 _MAX_GROUP_ROWS = 38_000
@@ -78,3 +78,41 @@ def spearman_corr(df: DataFrame, group_cols: "list[str]",
     return agg.select(*group_cols, "n", s_num.alias("s_num"),
                       d_x.alias("d_x"), d_y.alias("d_y"),
                       rho.alias("rho"))
+
+
+def mann_whitney_u(df: DataFrame, group_cols: "list[str]",
+                   flag_col: str, value_col: str) -> DataFrame:
+    """Per-group Mann-Whitney U (Wilcoxon rank-sum) between the rows
+    where ``flag_col`` is true (sample 1) and false (sample 2) — the
+    distribution-shift detector that needs no normality assumption.
+
+    Exactness: combined tie-corrected doubled ranks (the spearman_corr
+    machinery) make 2·R₁ an exact long, so
+    ``u2 = 2·U₁ = 2·R₁ − n₁(n₁+1)`` is exact; the rank-biserial effect
+    size ``rbc = 1 − u2/(n₁·n₂)`` is one pinned divide.  The normal
+    z-approximation needs Σ(t³−t) tie sums that overflow int64 around
+    n ≈ 10⁵ — deliberately NOT computed here; rbc is the scale-safe
+    effect measure (compute p-values on the collected per-group rows
+    driver-side if needed: the output is O(groups)).
+
+    Same single-exchange shape and ``_MAX_GROUP_ROWS``-style bound as
+    spearman_corr: 2·R₁ ≤ 2n² stays exact far past any per-group size
+    the rank sort itself would tolerate.
+
+    Returns ``(group..., n1, n2, u2, rbc)``.
+    """
+    r2 = _rank2(group_cols, F.col(value_col))
+    flagged = df.select(*group_cols,
+                        F.col(flag_col).cast("boolean").alias("_f"),
+                        r2.alias("_r2"))
+    agg = flagged.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("_f"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~F.col("_f"), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("_f"), F.col("_r2")).otherwise(0))
+        .alias("_r1x2"))
+    u2 = (F.col("_r1x2") - F.col("n1") * (F.col("n1") + 1)).alias("u2")
+    rbc = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0),
+        F.lit(1.0) - (F.col("_r1x2") - F.col("n1") * (F.col("n1") + 1))
+        .cast("double") / (F.col("n1") * F.col("n2")).cast("double"))
+    return agg.select(*group_cols, "n1", "n2", u2, rbc.alias("rbc"))

@@ -30,7 +30,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["group_rank_median", "robust_outliers"]
+__all__ = ["group_rank_median", "robust_outliers", "benford_profile"]
 
 
 def group_rank_median(df: DataFrame, group_cols: Sequence[str],
@@ -192,3 +192,32 @@ def gram_matrix(df: DataFrame, vec_col: str, dim: int,
         partials, schema="i int, j int, g long, n long")
     return (part.groupBy("i", "j")
             .agg(F.sum("g").alias("g"), F.sum("n").alias("n")))
+
+
+def benford_profile(df: DataFrame, group_cols: Sequence[str],
+                    value_col: str) -> DataFrame:
+    """First-significant-digit profile vs Benford's law — the
+    data-quality / fraud screen for positive numeric columns.
+
+    Per (group, digit 1-9): the exact observed count, the group total,
+    and the Benford-expected count ``n · ln(1+1/d)/ln(10)`` — the
+    expected value is the only double, computed as one pinned
+    divide + two lns (the cross-engine-stable chain).  The leading
+    digit comes from the decimal string of the positive long (portable:
+    no float log10 on the value path).  One map-side-combinable
+    groupBy; rows with value ≤ 0 are excluded (Benford is undefined
+    there) — exclusion count is the caller's delta check.
+    """
+    pos = df.filter(F.col(value_col) > 0).select(
+        *group_cols,
+        F.substring(F.col(value_col).cast("long").cast("string"), 1, 1)
+        .cast("int").alias("digit"))
+    counts = pos.groupBy(*group_cols, "digit").agg(
+        F.count(F.lit(1)).alias("n_d"))
+    w_tot = Window.partitionBy(*group_cols)
+    return counts.select(
+        *group_cols, "digit", "n_d",
+        F.sum("n_d").over(w_tot).alias("n"),
+        (F.sum("n_d").over(w_tot).cast("double")
+         * (F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+            / F.log(F.lit(10.0)))).alias("exp_d"))

@@ -397,6 +397,84 @@ SELECT event_type, n,
 FROM a"""
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Mann-Whitney U, weekend vs weekday values
+    (operators/rankstats.py mann_whitney_u): exact doubled-rank U
+    statistic + rank-biserial effect size; the weekend flag is pure
+    integer epoch-day math ((day+4)%7 ∈ {0,6} — no engine-dependent
+    dayofweek conventions)."""
+    from .geo.tilemath import floor_div
+    from .operators.rankstats import mann_whitney_u
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.pmod(floor_div(
+            F.unix_micros(F.col("ts").cast("timestamp")),
+            86_400_000_000) + 4, F.lit(7)).isin(0, 6).alias("wknd"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"))
+    return mann_whitney_u(ev, ["event_type"], "wknd", "cents")
+
+
+def sql_mann_whitney() -> str:
+    return """WITH e AS (
+  SELECT event_type,
+         ((epoch_us(ts) // 86400000000 + 4) % 7) IN (0, 6) AS f,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT event_type, f,
+         RANK() OVER (PARTITION BY event_type ORDER BY cents) * 2
+           + COUNT(*) OVER (PARTITION BY event_type, cents) - 1 AS r2
+  FROM e),
+a AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN NOT f THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN f THEN r2 ELSE 0 END) AS BIGINT) AS r1x2
+  FROM r GROUP BY event_type)
+SELECT event_type, n1, n2, r1x2 - n1 * (n1 + 1) AS u2,
+       CASE WHEN n1 > 0 AND n2 > 0
+            THEN CAST(1.0 AS DOUBLE)
+                 - CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+                   / CAST(n1 * n2 AS DOUBLE) END AS rbc
+FROM a"""
+
+
+def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile of event values per type
+    (operators/stats.py benford_profile): exact digit counts from the
+    decimal string of positive cents; the expected count is the only
+    double (one pinned divide + two lns)."""
+    from .operators.stats import benford_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"))
+    return benford_profile(ev, ["event_type"], "cents")
+
+
+def sql_benford_profile() -> str:
+    return """WITH e AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+p AS (
+  SELECT event_type,
+         CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM e WHERE cents > 0),
+c AS (SELECT event_type, digit, COUNT(*) AS n_d FROM p GROUP BY 1, 2)
+SELECT event_type, digit, n_d,
+       CAST(SUM(n_d) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+       CAST(CAST(SUM(n_d) OVER (PARTITION BY event_type) AS BIGINT)
+            AS DOUBLE)
+         * (ln(CAST(1.0 AS DOUBLE)
+               + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE))
+            / ln(CAST(10.0 AS DOUBLE))) AS exp_d
+FROM c"""
+
+
 CURATION_QUERIES = {
     "span_dedup": (q_span_dedup, sql_span_dedup),
     "decontaminate": (q_decontaminate, sql_decontaminate),
@@ -407,4 +485,6 @@ CURATION_QUERIES = {
     "span_hex_cells": (q_span_hex_cells, sql_span_hex_cells),
     "gram_matrix": (q_gram_matrix, sql_gram_matrix),
     "spearman_corr": (q_spearman_corr, sql_spearman_corr),
+    "mann_whitney": (q_mann_whitney, sql_mann_whitney),
+    "benford_profile": (q_benford_profile, sql_benford_profile),
 }

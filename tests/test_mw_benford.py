@@ -1,0 +1,63 @@
+"""Unit differentials for mann_whitney_u and benford_profile."""
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from mapbox_filter_spark.operators.rankstats import mann_whitney_u
+from mapbox_filter_spark.operators.stats import benford_profile
+
+
+def _avg_ranks2(vals):
+    s = sorted(vals)
+    first, cnt = {}, {}
+    for i, v in enumerate(s):
+        first.setdefault(v, i + 1)
+        cnt[v] = cnt.get(v, 0) + 1
+    return [2 * first[v] + cnt[v] - 1 for v in vals]
+
+
+def test_mann_whitney_replay(spark):
+    random.seed(9)
+    xs = [(True, random.randrange(0, 30) + 5) for _ in range(80)]
+    xs += [(False, random.randrange(0, 30)) for _ in range(120)]
+    df = spark.createDataFrame([("g", f, v) for f, v in xs],
+                               "g string, f boolean, v long")
+    r = mann_whitney_u(df, ["g"], "f", "v").collect()[0]
+    ranks = _avg_ranks2([v for _, v in xs])
+    r1x2 = sum(rk for (f, _), rk in zip(xs, ranks) if f)
+    n1 = sum(1 for f, _ in xs if f)
+    n2 = len(xs) - n1
+    u2 = r1x2 - n1 * (n1 + 1)
+    assert (r.n1, r.n2, r.u2) == (n1, n2, u2)
+    assert r.rbc == 1.0 - float(u2) / float(n1 * n2)
+    assert r.rbc < 0  # sample 1 shifted HIGH -> U small -> rbc negative
+
+
+def test_mann_whitney_identical_samples(spark):
+    rows = [("g", f, v) for f in (True, False) for v in range(10)]
+    df = spark.createDataFrame(rows, "g string, f boolean, v long")
+    r = mann_whitney_u(df, ["g"], "f", "v").collect()[0]
+    # identical distributions: U = n1*n2/2 exactly -> rbc = 0
+    assert r.u2 == r.n1 * r.n2
+    assert r.rbc == 0.0
+
+
+def test_mann_whitney_one_empty_side(spark):
+    df = spark.createDataFrame([("g", True, 1), ("g", True, 2)],
+                               "g string, f boolean, v long")
+    r = mann_whitney_u(df, ["g"], "f", "v").collect()[0]
+    assert (r.n1, r.n2) == (2, 0) and r.rbc is None
+
+
+def test_benford_counts_and_expectation(spark):
+    vals = [1, 19, 123, 2, 25, 9, 94, 900, 17, 0, -5]  # 0/-5 excluded
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "g string, v long")
+    got = {r.digit: r for r in
+           benford_profile(df, ["g"], "v").collect()}
+    assert {d: got[d].n_d for d in got} == {1: 4, 2: 2, 9: 3}
+    assert all(got[d].n == 9 for d in got)
+    e1 = 9.0 * (math.log(1.0 + 1.0 / 1.0) / math.log(10.0))
+    assert got[1].exp_d == e1  # same pinned chain
