@@ -159,6 +159,7 @@ def run_suite(cores: int, sf_dir: str) -> dict:
     dop = None if no_micros else dataops_micro(spark, sf_dir)
     spm = None if no_micros else spatial_micro(spark, sf_dir)
     dsk = None if no_micros else dbscan_skew_micro(spark)
+    ssm = None if no_micros else setsim_micro(spark)
 
     spark.stop()
     return {
@@ -166,6 +167,7 @@ def run_suite(cores: int, sf_dir: str) -> dict:
         "dataops_micro": dop,
         "spatial_micro": spm,
         "dbscan_skew_micro": dsk,
+        "setsim_micro": ssm,
         "pip_micro": pip,
         "mvt_micro": mvt,
         "curation_micro": cur,
@@ -862,6 +864,75 @@ def _skewest_new_stage(spark, before: set) -> tuple[float, float]:
         if mx > worst[0]:
             worst = (mx, med)
     return worst
+
+
+def setsim_micro(spark) -> dict:
+    """Prefix-filter effectiveness at scale (operators/setsim.py): a
+    deterministic Zipf-ish corpus (20k sets, ~12 tokens each, vocab
+    3k with a hot head — the stopword regime), comparing the candidate
+    pairs a NAIVE token self-join would generate (sum C(df,2) over all
+    tokens, computed analytically) against the pairs the prefix filter
+    generates (sum C(pf,2) over prefix tokens), plus the wall time of
+    the full exact join.  The ratio is the scale claim: rarest-first
+    prefixes should cut candidates by orders of magnitude."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapbox_filter_spark.operators.setsim import set_similarity_join
+
+    # planted near-dup clusters (4 variants per template sharing 11/12
+    # tokens -> within-cluster Jaccard ~0.7-0.85) over a Zipf-ish vocab
+    # (hot head = the stopword regime that blows up a naive token join)
+    n_sets, k, vocab = 20_000, 12, 3_000
+    tau_num, tau_den = 7, 10
+    base = spark.range(n_sets).select(F.col("id").alias("sid"))
+    toks = base.select(
+        "sid", (F.col("sid") / 4).cast("long").alias("t"),
+        F.pmod(F.col("sid"), F.lit(4)).alias("v"),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"))
+    u = (F.pmod(F.xxhash64("t", "j"), F.lit(1000)).cast("double")
+         / 1000.0)
+    zipf = (u * u * u * vocab).cast("long")
+    # variant v>0 swaps token at position v for a set-unique token
+    tok = F.when((F.col("v") > 0) & (F.col("j") == F.col("v")),
+                 F.lit(vocab) + F.pmod(F.xxhash64("sid"),
+                                       F.lit(10_000_000))) \
+        .otherwise(zipf)
+    toks = toks.select("sid", tok.alias("tok")).distinct() \
+        .localCheckpoint()
+
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df_"))
+    naive = dfreq.agg(
+        F.sum(F.col("df_") * (F.col("df_") - 1) / 2).cast("long")
+        .alias("p")).collect()[0]["p"]
+    w = Window.partitionBy("sid").orderBy("df_", "tok")
+    ws = Window.partitionBy("sid")
+    ranked = (toks.join(dfreq, "tok")
+              .select("sid", "tok",
+                      F.row_number().over(w).alias("pos"),
+                      F.count(F.lit(1)).over(ws).alias("sz")))
+    need = ((F.col("sz") * tau_num + tau_den - 1)
+            - F.pmod(F.col("sz") * tau_num + tau_den - 1,
+                     F.lit(tau_den))) / tau_den
+    pfreq = (ranked.filter(F.col("pos") <= F.col("sz")
+                           - need.cast("long") + 1)
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("pf")))
+    pref = pfreq.agg(
+        F.sum(F.col("pf") * (F.col("pf") - 1) / 2).cast("long")
+        .alias("p")).collect()[0]["p"]
+
+    t0 = time.time()
+    n_pairs = set_similarity_join(toks, "sid", "tok",
+                                  tau_num, tau_den).count()
+    wall = time.time() - t0
+    return {
+        "n_sets": n_sets,
+        "naive_candidate_pairs": int(naive),
+        "prefix_candidate_pairs": int(pref),
+        "prune_ratio": round(naive / max(pref, 1), 1),
+        "qualifying_pairs": int(n_pairs),
+        "exact_join_wall_sec": round(wall, 3),
+    }
 
 
 def skew_micro(spark) -> dict:
