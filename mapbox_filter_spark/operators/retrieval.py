@@ -39,6 +39,7 @@ __all__ = [
     "doc_trigrams",
     "bm25_scores",
     "bm25_topk",
+    "tfidf_topk",
     "phrase_search",
     "write_term_index",
     "write_trigram_index",
@@ -292,3 +293,37 @@ def phrase_search(docs: DataFrame, phrase: str, *,
     spark = docs.sparkSession
     with _pinned_bucket_probe(spark):
         return _run(spark.table(index_table)).localCheckpoint()
+
+
+def tfidf_topk(docs: DataFrame, *, k: int, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the document
+    profiler (keyword extraction / topic labeling), complementing BM25
+    (which scores documents FOR a query; this ranks terms WITHIN a
+    document).
+
+    score = tf · ln(N/df): one exact-long ratio operand pair and one
+    ln per term — the pinned chain, so the DOUBLE sort key bit-matches
+    across engines and the (score DESC, term ASC) top-k is
+    deterministic.  Shape: the doc_terms tokenize pass, one term-keyed
+    df aggregate, one doc-keyed window — all map-side-combinable or
+    single-exchange; no vocabulary broadcast (df joins back on term).
+
+    Returns ``(id, term, tf, df_, score, rk)`` with rk ≤ k.
+    """
+    from pyspark.sql import Window
+
+    postings = doc_terms(docs, id_col=id_col, text_col=text_col)
+    n_docs = postings.select(id_col).distinct().count()
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_"))
+    scored = (postings.join(dfreq, "term")
+              .select(id_col, "term", "tf", "df_",
+                      (F.col("tf").cast("double")
+                       * F.log(F.lit(float(n_docs))
+                               / F.col("df_").cast("double")))
+                      .alias("score")))
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(),
+                                           F.col("term").asc())
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k))

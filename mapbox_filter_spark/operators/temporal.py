@@ -748,3 +748,49 @@ def interval_coverage(
     return (merged.groupBy(*on)
             .agg(F.sum(F.col("_e") - F.col("_s")).alias("covered"),
                  F.count(F.lit(1)).alias("n_islands")))
+
+
+def cusum_changepoint(df: DataFrame, key_cols: "list[str]", *,
+                      order_cols: "tuple[str, ...]",
+                      value_col: str) -> DataFrame:
+    """Offline change-point detection per key: the index maximizing the
+    scaled CUSUM statistic — EXACT integer form.
+
+    The classic CUSUM drift S_i = Σ_{j≤i}(x_j − x̄) needs the float mean;
+    multiplying through by n gives ``S'_i = n·prefix_i − i·total``
+    (prefix_i = Σ_{j≤i} x_j), an exact long that ranks identically.
+    The change point is the i maximizing |S'_i| (smallest i on ties) —
+    where the running sum deviates most from the uniform-rate line,
+    the split a binary-segmentation pass would make first.
+
+    One key shuffle: the prefix window, the count/total windows, and
+    the final pick window all share the key (the trajectory_stats
+    discipline).  Magnitude bound: n·Σ|x| must fit int64 — n·total ≤
+    2^63 holds to ~10⁶ rows × 10¹² value sums, far past any per-key
+    series that belongs in one window.
+
+    Returns ``(key..., n, cp_idx, cp_stat, total)`` — cp_stat signed
+    (S' at the change point), cp_idx 1-based.
+    """
+    order = [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    whole = Window.partitionBy(*key_cols)
+    v = F.col(value_col).cast("long")
+    staged = df.select(
+        *key_cols,
+        F.row_number().over(w).alias("_i"),
+        F.sum(v).over(run).alias("_pfx"),
+        F.sum(v).over(whole).alias("_tot"),
+        F.count(F.lit(1)).over(whole).alias("_n"))
+    s = (F.col("_n") * F.col("_pfx")
+         - F.col("_i") * F.col("_tot")).alias("_s")
+    scored = staged.select(*key_cols, "_i", "_n", "_tot", s)
+    pick = Window.partitionBy(*key_cols).orderBy(
+        F.abs(F.col("_s")).desc(), F.col("_i").asc())
+    return (scored.withColumn("_rk", F.row_number().over(pick))
+            .filter(F.col("_rk") == 1)
+            .select(*key_cols, F.col("_n").alias("n"),
+                    F.col("_i").alias("cp_idx"),
+                    F.col("_s").alias("cp_stat"),
+                    F.col("_tot").alias("total")))

@@ -167,8 +167,46 @@ FROM documents
 WHERE contains(text, '{ph}')"""
 
 
+_TFIDF_K = 3
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF
+    (operators/retrieval.py tfidf_topk): tf·ln(N/df) with the pinned
+    exact-long-ratio + ln chain, (score DESC, term ASC) window pick —
+    the keyword-extraction complement of the BM25 gate."""
+    from .operators.retrieval import tfidf_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_topk(docs, k=_TFIDF_K)
+
+
+def sql_tfidf_topk() -> str:
+    return rf"""WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+toks AS (SELECT doc_id, unnest(ws) AS term FROM words),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+dfq AS (SELECT term, COUNT(*) AS df_ FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df_,
+         CAST(tf.tf AS DOUBLE)
+           * ln(CAST((SELECT n FROM nd) AS DOUBLE)
+                / CAST(dfq.df_ AS DOUBLE)) AS score
+  FROM tf JOIN dfq USING (term)),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rk
+  FROM scored)
+SELECT doc_id, term, tf, df_, score, rk FROM r WHERE rk <= {_TFIDF_K}"""
+
+
 RETRIEVAL_QUERIES = {
     "bm25_topk": (q_bm25_topk, sql_bm25_topk),
     "knn_classify": (q_knn_classify, sql_knn_classify),
     "phrase_search": (q_phrase_search, sql_phrase_search),
+    "tfidf_topk": (q_tfidf_topk, sql_tfidf_topk),
 }

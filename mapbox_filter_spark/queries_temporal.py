@@ -562,6 +562,47 @@ SELECT user_id, COUNT(*) AS n_obs,
 FROM s GROUP BY user_id"""
 
 
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user change-point detection (operators/temporal.py
+    cusum_changepoint): exact integer scaled CUSUM
+    S'_i = n·prefix_i − i·total over value cents — argmax |S'|,
+    smallest index on ties; one key shuffle."""
+    from .operators.temporal import cusum_changepoint
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"))
+    return cusum_changepoint(ev, ["user_id"],
+                             order_cols=("ts", "event_id"),
+                             value_col="cents")
+
+
+def sql_cusum_changepoint() -> str:
+    return """WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+s AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER w AS i,
+         CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS pfx,
+         CAST(SUM(cents) OVER (PARTITION BY user_id) AS BIGINT) AS tot,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sc AS (SELECT user_id, n, i,
+              CAST(n * pfx - i * tot AS BIGINT) AS s_, tot FROM s),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY abs(s_) DESC, i ASC) AS rk
+  FROM sc)
+SELECT user_id, CAST(n AS BIGINT) AS n, CAST(i AS BIGINT) AS cp_idx,
+       s_ AS cp_stat, tot AS total
+FROM r WHERE rk = 1"""
+
+
 TEMPORAL_QUERIES = {
     "asof_join": (q_asof_join, sql_asof_join),
     "gapfill_locf": (q_gapfill_locf, sql_gapfill_locf),
@@ -576,4 +617,5 @@ TEMPORAL_QUERIES = {
     "funnel": (q_funnel, sql_funnel),
     "quantile_profile": (q_quantile_profile, sql_quantile_profile),
     "ema_profile": (q_ema_profile, sql_ema_profile),
+    "cusum_changepoint": (q_cusum_changepoint, sql_cusum_changepoint),
 }
