@@ -30,7 +30,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["group_rank_median", "robust_outliers", "benford_profile"]
+__all__ = ["group_rank_median", "robust_outliers", "benford_profile", "entropy_profile"]
 
 
 def group_rank_median(df: DataFrame, group_cols: Sequence[str],
@@ -221,3 +221,34 @@ def benford_profile(df: DataFrame, group_cols: Sequence[str],
         (F.sum("n_d").over(w_tot).cast("double")
          * (F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
             / F.log(F.lit(10.0)))).alias("exp_d"))
+
+
+def entropy_profile(df: DataFrame, group_cols: Sequence[str],
+                    cat_col: str) -> DataFrame:
+    """Shannon entropy of a categorical distribution per group — the
+    diversity / label-balance metric for dataset curation.
+
+    H = ln(n) − (Σ c·ln c)/n over category counts c: the counts are
+    exact longs from one groupBy, and the Σ c·ln c term is a
+    PINNED-ORDER fold over the category list sorted by category name
+    (a float sum under groupBy has nondeterministic addend order — the
+    path_len discipline applies).  Two stacked groupBys on the same
+    leading key = one exchange.
+
+    Returns ``(group..., n, n_cats, entropy)`` with entropy in nats
+    (0.0 for single-category groups by construction of the fold).
+    """
+    counts = df.groupBy(*group_cols, cat_col).agg(
+        F.count(F.lit(1)).alias("_c"))
+    arr = F.sort_array(F.collect_list(F.struct(
+        F.col(cat_col).alias("cat"), F.col("_c").alias("c"))))
+    per = counts.groupBy(*group_cols).agg(
+        F.sum("_c").alias("n"),
+        F.count(F.lit(1)).alias("n_cats"),
+        F.aggregate(arr, F.lit(0.0),
+                    lambda acc, s: acc + s["c"].cast("double")
+                    * F.log(s["c"].cast("double"))).alias("_clnc"))
+    return per.select(
+        *group_cols, "n", "n_cats",
+        (F.log(F.col("n").cast("double"))
+         - F.col("_clnc") / F.col("n").cast("double")).alias("entropy"))

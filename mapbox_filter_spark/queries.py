@@ -492,7 +492,7 @@ _DRIVER_PRIORITY = [
     "phrase_search", "st_asof_join", "dedup_keep_best", "zonal_stats",
     "triangle_count", "colocation_pairs", "hilbert_order",
     "setsim_join", "kmeans_cells", "cooccur_pmi", "ema_profile", "spearman_corr", "mann_whitney",
-    "benford_profile", "tfidf_topk", "cusum_changepoint",
+    "benford_profile", "tfidf_topk", "cusum_changepoint", "entropy_profile",
     "tile_assign_tms", "dirty_ancestors", "tile_diff_classes",
     "dedup_ngram_jaccard", "dedup_simhash", "token_quality",
     "doc_fingerprint", "repetition_profile", "pii_scrub",

@@ -475,6 +475,35 @@ SELECT event_type, digit, n_d,
 FROM c"""
 
 
+def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Shannon entropy of the user distribution
+    (operators/stats.py entropy_profile): exact counts, Σc·ln c as a
+    category-sorted pinned fold (float groupBy sums have
+    nondeterministic addend order), H = ln(n) − Σ/n."""
+    from .operators.stats import entropy_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_type", "user_id")
+    return entropy_profile(ev, ["event_type"], "user_id")
+
+
+def sql_entropy_profile() -> str:
+    return """WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS c
+  FROM events GROUP BY 1, 2)
+SELECT event_type,
+       CAST(SUM(c) AS BIGINT) AS n,
+       COUNT(*) AS n_cats,
+       ln(CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE))
+         - list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+                          list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                               ORDER BY user_id)),
+             (a, b) -> a + b)
+           / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS entropy
+FROM c GROUP BY event_type"""
+
+
 CURATION_QUERIES = {
     "span_dedup": (q_span_dedup, sql_span_dedup),
     "decontaminate": (q_decontaminate, sql_decontaminate),
@@ -487,4 +516,5 @@ CURATION_QUERIES = {
     "spearman_corr": (q_spearman_corr, sql_spearman_corr),
     "mann_whitney": (q_mann_whitney, sql_mann_whitney),
     "benford_profile": (q_benford_profile, sql_benford_profile),
+    "entropy_profile": (q_entropy_profile, sql_entropy_profile),
 }

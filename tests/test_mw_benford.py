@@ -61,3 +61,22 @@ def test_benford_counts_and_expectation(spark):
     assert all(got[d].n == 9 for d in got)
     e1 = 9.0 * (math.log(1.0 + 1.0 / 1.0) / math.log(10.0))
     assert got[1].exp_d == e1  # same pinned chain
+
+
+def test_entropy_profile(spark):
+    from mapbox_filter_spark.operators.stats import entropy_profile
+    rows = ([("uni", c) for c in "abcd" * 5]          # uniform over 4
+            + [("one", "x")] * 7                       # single category
+            + [("skew", "a")] * 9 + [("skew", "b")])   # 9:1
+    df = spark.createDataFrame(rows, "g string, cat string")
+    got = {r.g: r for r in entropy_profile(df, ["g"], "cat").collect()}
+    assert got["one"].entropy == 0.0 and got["one"].n_cats == 1
+    # uniform over k: H = ln(k) via the same chain ln(n) - (k*(n/k)ln(n/k))/n
+    u = got["uni"]
+    assert (u.n, u.n_cats) == (20, 4)
+    exp = math.log(20.0) - (4 * (5.0 * math.log(5.0))) / 20.0
+    assert abs(u.entropy - exp) < 1e-14 and abs(u.entropy
+                                                - math.log(4.0)) < 1e-12
+    s = got["skew"]
+    exp_s = math.log(10.0) - (9.0 * math.log(9.0) + 1.0 * math.log(1.0)) / 10.0
+    assert abs(s.entropy - exp_s) < 1e-14
