@@ -911,11 +911,9 @@ def setsim_micro(spark) -> dict:
               .select("sid", "tok",
                       F.row_number().over(w).alias("pos"),
                       F.count(F.lit(1)).over(ws).alias("sz")))
-    need = ((F.col("sz") * tau_num + tau_den - 1)
-            - F.pmod(F.col("sz") * tau_num + tau_den - 1,
-                     F.lit(tau_den))) / tau_den
-    pfreq = (ranked.filter(F.col("pos") <= F.col("sz")
-                           - need.cast("long") + 1)
+    from mapbox_filter_spark.geo.tilemath import floor_div
+    need = floor_div(F.col("sz") * tau_num + tau_den - 1, tau_den)
+    pfreq = (ranked.filter(F.col("pos") <= F.col("sz") - need + 1)
              .groupBy("tok").agg(F.count(F.lit(1)).alias("pf")))
     pref = pfreq.agg(
         F.sum(F.col("pf") * (F.col("pf") - 1) / 2).cast("long")

@@ -101,18 +101,25 @@ def mann_whitney_u(df: DataFrame, group_cols: "list[str]",
 
     Returns ``(group..., n1, n2, u2, rbc)``.
     """
+    # NULL flags/values are excluded BEFORE ranking: a null row would
+    # occupy a pooled rank while counting in neither sample, silently
+    # inflating U past the [-1,1] rbc range
+    clean = df.filter(F.col(flag_col).isNotNull()
+                      & F.col(value_col).isNotNull())
     r2 = _rank2(group_cols, F.col(value_col))
-    flagged = df.select(*group_cols,
-                        F.col(flag_col).cast("boolean").alias("_f"),
-                        r2.alias("_r2"))
+    flagged = clean.select(*group_cols,
+                           F.col(flag_col).cast("boolean").alias("_f"),
+                           r2.alias("_r2"))
     agg = flagged.groupBy(*group_cols).agg(
         F.sum(F.when(F.col("_f"), 1).otherwise(0)).alias("n1"),
         F.sum(F.when(~F.col("_f"), 1).otherwise(0)).alias("n2"),
         F.sum(F.when(F.col("_f"), F.col("_r2")).otherwise(0))
         .alias("_r1x2"))
-    u2 = (F.col("_r1x2") - F.col("n1") * (F.col("n1") + 1)).alias("u2")
+    staged = agg.withColumn(
+        "u2", F.col("_r1x2") - F.col("n1") * (F.col("n1") + 1))
     rbc = F.when(
         (F.col("n1") > 0) & (F.col("n2") > 0),
-        F.lit(1.0) - (F.col("_r1x2") - F.col("n1") * (F.col("n1") + 1))
-        .cast("double") / (F.col("n1") * F.col("n2")).cast("double"))
-    return agg.select(*group_cols, "n1", "n2", u2, rbc.alias("rbc"))
+        F.lit(1.0) - F.col("u2").cast("double")
+        / (F.col("n1") * F.col("n2")).cast("double"))
+    return staged.select(*group_cols, "n1", "n2", "u2",
+                         rbc.alias("rbc"))

@@ -313,7 +313,10 @@ def tfidf_topk(docs: DataFrame, *, k: int, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
-    postings = doc_terms(docs, id_col=id_col, text_col=text_col)
+    # three consumers (n_docs count, dfreq, the score join) — one
+    # checkpoint stops the tokenize pass re-running per consumer
+    postings = doc_terms(docs, id_col=id_col, text_col=text_col) \
+        .localCheckpoint()
     n_docs = postings.select(id_col).distinct().count()
     dfreq = postings.groupBy("term").agg(
         F.count(F.lit(1)).alias("df_"))

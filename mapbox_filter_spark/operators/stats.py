@@ -197,7 +197,9 @@ def gram_matrix(df: DataFrame, vec_col: str, dim: int,
 def benford_profile(df: DataFrame, group_cols: Sequence[str],
                     value_col: str) -> DataFrame:
     """First-significant-digit profile vs Benford's law — the
-    data-quality / fraud screen for positive numeric columns.
+    data-quality / fraud screen for positive INTEGER-VALUED columns
+    (quantize fractional units upstream — cents, micro-degrees; rows
+    whose long cast is ≤ 0 are excluded, never a digit-0 row).
 
     Per (group, digit 1-9): the exact observed count, the group total,
     and the Benford-expected count ``n · ln(1+1/d)/ln(10)`` — the
@@ -208,10 +210,16 @@ def benford_profile(df: DataFrame, group_cols: Sequence[str],
     groupBy; rows with value ≤ 0 are excluded (Benford is undefined
     there) — exclusion count is the caller's delta check.
     """
-    pos = df.filter(F.col(value_col) > 0).select(
-        *group_cols,
-        F.substring(F.col(value_col).cast("long").cast("string"), 1, 1)
-        .cast("int").alias("digit"))
+    # cast FIRST, then filter: values in (0,1) truncate to 0 and are
+    # excluded (a digit-0 row would divide by zero in exp_d under
+    # ANSI); quantize fractional units upstream (cents, micro-degrees)
+    # so the long holds the first significant digit
+    v = F.col(value_col).cast("long")
+    pos = df.select(*group_cols, v.alias("_v")) \
+        .filter(F.col("_v") > 0) \
+        .select(*group_cols,
+                F.substring(F.col("_v").cast("string"), 1, 1)
+                .cast("int").alias("digit"))
     counts = pos.groupBy(*group_cols, "digit").agg(
         F.count(F.lit(1)).alias("n_d"))
     w_tot = Window.partitionBy(*group_cols)

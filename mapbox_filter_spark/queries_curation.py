@@ -373,9 +373,11 @@ def sql_spearman_corr() -> str:
   FROM events),
 r AS (
   SELECT event_type,
-         RANK() OVER (PARTITION BY event_type ORDER BY cents) * 2
+         RANK() OVER (PARTITION BY event_type
+                      ORDER BY cents NULLS FIRST) * 2
            + COUNT(*) OVER (PARTITION BY event_type, cents) - 1 AS rx,
-         RANK() OVER (PARTITION BY event_type ORDER BY day_us) * 2
+         RANK() OVER (PARTITION BY event_type
+                      ORDER BY day_us NULLS FIRST) * 2
            + COUNT(*) OVER (PARTITION BY event_type, day_us) - 1 AS ry
   FROM e),
 a AS (
@@ -424,9 +426,10 @@ def sql_mann_whitney() -> str:
   FROM events),
 r AS (
   SELECT event_type, f,
-         RANK() OVER (PARTITION BY event_type ORDER BY cents) * 2
+         RANK() OVER (PARTITION BY event_type
+                      ORDER BY cents NULLS FIRST) * 2
            + COUNT(*) OVER (PARTITION BY event_type, cents) - 1 AS r2
-  FROM e),
+  FROM e WHERE f IS NOT NULL AND cents IS NOT NULL),
 a AS (
   SELECT event_type,
          CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n1,
@@ -498,7 +501,7 @@ SELECT event_type,
          - list_reduce(
              list_prepend(CAST(0.0 AS DOUBLE),
                           list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
-                               ORDER BY user_id)),
+                               ORDER BY user_id NULLS FIRST)),
              (a, b) -> a + b)
            / CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS entropy
 FROM c GROUP BY event_type"""

@@ -3,8 +3,6 @@
 import math
 import random
 
-from pyspark.sql import functions as F
-
 from mapbox_filter_spark.operators.rankstats import mann_whitney_u
 from mapbox_filter_spark.operators.stats import benford_profile
 
@@ -80,3 +78,25 @@ def test_entropy_profile(spark):
     s = got["skew"]
     exp_s = math.log(10.0) - (9.0 * math.log(9.0) + 1.0 * math.log(1.0)) / 10.0
     assert abs(s.entropy - exp_s) < 1e-14
+
+
+def test_benford_sub_one_values_excluded(spark):
+    # 0 < v < 1 truncates to 0 — must be EXCLUDED, never a digit-0 row
+    # (review finding: 1.0/digit divides by zero under ANSI)
+    df = spark.createDataFrame(
+        [("g", 0.42), ("g", 0.95), ("g", 7.2), ("g", 42.0)],
+        "g string, v double")
+    got = {r.digit: r for r in
+           benford_profile(df, ["g"], "v").collect()}
+    assert set(got) == {7, 4} and all(r.n == 2 for r in got.values())
+
+
+def test_mann_whitney_null_rows_excluded(spark):
+    # a NULL flag/value row must not occupy a pooled rank (review
+    # finding: it inflated U and pushed rbc outside [-1, 1])
+    rows = [("g", True, 5), ("g", False, 3), ("g", None, 1),
+            ("g", True, None)]
+    df = spark.createDataFrame(rows, "g string, f boolean, v long")
+    r = mann_whitney_u(df, ["g"], "f", "v").collect()[0]
+    # {5} vs {3}: r1x2 = 2*rank(5) = 4; u2 = 4 - 1*2 = 2; rbc = -1
+    assert (r.n1, r.n2, r.u2, r.rbc) == (1, 1, 2, -1.0)
