@@ -1413,7 +1413,8 @@ def main() -> None:
             "pip_micro", "mvt_micro", "curation_micro", "s2_micro",
             "recall_micro", "skew_micro", "temporal_micro", "traj_micro",
             "layout_micro", "geohash_micro", "dataops_micro",
-            "spatial_micro", "dbscan_skew_micro") if k in r},
+            "spatial_micro", "dbscan_skew_micro", "setsim_micro")
+            if k in r},
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/last_detail.json", "w") as f:
