@@ -480,7 +480,7 @@ _DRIVER_PRIORITY = [
     # remaining per-family primaries (driver-green in r4)
     "manifest_scan", "prune_keys", "downcopy", "mvt_roundtrip",
     "serve_tile", "span_integrity", "style_filter_legacy",
-    "failure_any", "failure_negation", "agg_pricing", "topk_events",
+    "failure_any", "setsim_join", "agg_pricing", "topk_events",
     "join_chain", "tile_set_ops", "manifest_rollup", "media_kind",
     "pip_join", "raster_join", "knn_ring", "s2_assign", "s2_cover_join",
     "dedup_exact", "dedup_minhash_lsh", "lang_id", "curation_pipeline",
@@ -489,9 +489,10 @@ _DRIVER_PRIORITY = [
     # new round-5 families first among the overflow (driver rows if the
     # sample grows past 50), then the r4 driver-green second
     # representatives
-    "phrase_search", "st_asof_join", "dedup_keep_best", "zonal_stats",
-    "triangle_count", "colocation_pairs", "hilbert_order",
-    "setsim_join", "kmeans_cells", "cooccur_pmi", "ema_profile", "spearman_corr", "mann_whitney",
+    "failure_negation", "phrase_search", "st_asof_join",
+    "dedup_keep_best", "zonal_stats", "triangle_count",
+    "colocation_pairs", "hilbert_order", "kmeans_cells", "cooccur_pmi",
+    "ema_profile", "spearman_corr", "mann_whitney",
     "benford_profile", "tfidf_topk", "cusum_changepoint", "entropy_profile",
     "tile_assign_tms", "dirty_ancestors", "tile_diff_classes",
     "dedup_ngram_jaccard", "dedup_simhash", "token_quality",

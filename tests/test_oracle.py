@@ -108,7 +108,7 @@ def test_driver_priority_family_coverage():
         "curation_pipeline", "cosine_topk", "ivf_topk", "pq_adc_topk",
         "ann_lsh_topk", "asof_join", "sessionize", "funnel",
         "dataset_split", "bm25_topk", "ngram_lm", "heavy_hitters",
-        "sssp_grid", "scd2_history", "decontaminate",
+        "sssp_grid", "scd2_history", "decontaminate", "setsim_join",
     ]
     missing = [n for n in family_reps if n not in head]
     assert not missing, f"family reps outside the driver head: {missing}"
