@@ -32,10 +32,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["spearman_corr", "mann_whitney_u"]
+__all__ = ["spearman_corr", "mann_whitney_u", "ks_2samp", "kendall_tau"]
 
 # 4n^4 < 2^63  =>  n <= 38,000 keeps every sum exact in int64
 _MAX_GROUP_ROWS = 38_000
+
+# kendall_tau materializes n(n-1)/2 pairs per group: 20k rows -> 2e8
+# pairs is the practical single-group ceiling before the pair join
+# (not int64 exactness) dominates; enforced in-plan like spearman
+_KENDALL_MAX_GROUP_ROWS = 20_000
 
 
 def _rank2(group_cols, v):
@@ -123,3 +128,122 @@ def mann_whitney_u(df: DataFrame, group_cols: "list[str]",
         / (F.col("n1") * F.col("n2")).cast("double"))
     return staged.select(*group_cols, "n1", "n2", "u2",
                          rbc.alias("rbc"))
+
+
+def ks_2samp(df: DataFrame, group_cols: "list[str]",
+             flag_col: str, value_col: str) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov statistic between the
+    rows where ``flag_col`` is true (sample 1) and false (sample 2) —
+    the strongest nonparametric distribution-shift screen (sensitive to
+    location, scale, AND shape, where Mann-Whitney only sees location).
+
+    Exactness: D = sup_x |F1(x) − F2(x)| is evaluated at the observed
+    values only (the sup of a step-function difference is attained at a
+    jump), and cross-multiplied to integers:
+    ``d_num = max_x |n2·C1(x) − n1·C2(x)|`` over cumulative counts
+    C1/C2 — every term an exact long, so d_num is exact and
+    ``d_stat = d_num / (n1·n2)`` is one pinned divide.
+
+    Scale shape: one groupBy on (group, value) collapses duplicates,
+    then a cumulative window + a total window + the final max — all
+    partitioned by the same group key, so Spark plans a SINGLE
+    exchange.  No pair join, no per-group bound needed: n1·C1 ≤ n²
+    stays exact to n ≈ 3·10⁹ rows per group.
+
+    Returns ``(group..., n1, n2, d_num, d_stat)``; d_stat NULL when
+    either sample is empty (integer guard on both engines).
+    """
+    clean = df.filter(F.col(flag_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+    per_v = clean.groupBy(*group_cols, value_col).agg(
+        F.sum(F.when(F.col(flag_col).cast("boolean"), 1).otherwise(0))
+        .alias("_c1"),
+        F.sum(F.when(~F.col(flag_col).cast("boolean"), 1).otherwise(0))
+        .alias("_c2"))
+    w_cum = (Window.partitionBy(*group_cols)
+             .orderBy(F.col(value_col))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy(*group_cols)
+    stepped = per_v.select(
+        *group_cols,
+        F.sum("_c1").over(w_all).alias("_n1"),
+        F.sum("_c2").over(w_all).alias("_n2"),
+        F.sum("_c1").over(w_cum).alias("_cum1"),
+        F.sum("_c2").over(w_cum).alias("_cum2"))
+    diff = F.abs(F.col("_n2") * F.col("_cum1")
+                 - F.col("_n1") * F.col("_cum2"))
+    agg = stepped.groupBy(*group_cols).agg(
+        F.max("_n1").alias("n1"), F.max("_n2").alias("n2"),
+        F.max(diff).alias("d_num"))
+    d_stat = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0),
+        F.col("d_num").cast("double")
+        / (F.col("n1") * F.col("n2")).cast("double"))
+    return agg.select(*group_cols, "n1", "n2", "d_num",
+                      d_stat.alias("d_stat"))
+
+
+def kendall_tau(df: DataFrame, group_cols: "list[str]",
+                x_col: str, y_col: str) -> DataFrame:
+    """Per-group Kendall tau-b over exact integer columns — the
+    concordance-based rank correlation (more robust to outlier ranks
+    than Spearman; the standard agreement measure between two rankers).
+
+    Exactness: every count is an exact long from one pair join —
+    concordant C, discordant D, x-ties n1 (xᵢ=xⱼ), y-ties n2 — and
+    ``tau = (C−D) / (√(n0−n1)·√(n0−n2))`` with ``n0 = n(n−1)/2`` is the
+    same pinned long→double/√/·// chain as spearman_corr (bit-stable
+    cross-engine).  Pairs tied in BOTH columns count in n1 and n2 and
+    in neither C nor D (the tau-b convention).
+
+    Scale shape: rows get a per-group ROW_NUMBER (any total order — the
+    unordered-pair counts are label-invariant), then ONE self
+    sort-merge join on the group key filtered to i<j: O(n²/group)
+    pairs, the inherent cost of exact tau.  Groups are capped at
+    ``_KENDALL_MAX_GROUP_ROWS`` in-plan (raise_error, never a silent
+    explosion); bigger groups want a sample (dataset_split /
+    stratified) or Spearman, whose rank windows stay O(n log n).
+
+    Returns ``(group..., n, c_minus_d, d_x, d_y, tau)`` — d_x/d_y the
+    tie-corrected pair-count denominators (exact longs), tau NULL when
+    either is zero (constant column).
+    """
+    clean = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy(F.col(x_col), F.col(y_col))
+    r = clean.select(
+        *group_cols,
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y"),
+        F.row_number().over(w).alias("_i"),
+        F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+        .alias("_n"))
+    guard = F.when(
+        F.col("_n") > _KENDALL_MAX_GROUP_ROWS,
+        F.raise_error(F.concat(
+            F.lit("kendall_tau: group exceeds pair-join bound "
+                  f"({_KENDALL_MAX_GROUP_ROWS} rows): n="),
+            F.col("_n").cast("string"))).cast("long")
+    ).otherwise(F.col("_i"))
+    r = r.withColumn("_i", guard)
+    a, b = r.alias("a"), r.alias("b")
+    pairs = a.join(b, [F.col(f"a.{c}") == F.col(f"b.{c}")
+                       for c in group_cols] + [F.col("a._i") < F.col("b._i")])
+    sx = F.signum((F.col("a._x") - F.col("b._x")).cast("double"))
+    sy = F.signum((F.col("a._y") - F.col("b._y")).cast("double"))
+    agg = pairs.groupBy(*[F.col(f"a.{c}").alias(c) for c in group_cols]).agg(
+        F.max(F.col("a._n")).alias("n"),
+        F.sum(F.when(sx * sy > 0, 1).otherwise(0)).alias("_c"),
+        F.sum(F.when(sx * sy < 0, 1).otherwise(0)).alias("_d"),
+        F.sum(F.when(sx == 0, 1).otherwise(0)).alias("_tx"),
+        F.sum(F.when(sy == 0, 1).otherwise(0)).alias("_ty"))
+    from ..geo.tilemath import floor_div
+    n0 = floor_div(F.col("n") * (F.col("n") - 1), 2)
+    d_x = (n0 - F.col("_tx"))
+    d_y = (n0 - F.col("_ty"))
+    num = (F.col("_c") - F.col("_d"))
+    tau = F.when(
+        (d_x > 0) & (d_y > 0),
+        num.cast("double")
+        / (F.sqrt(d_x.cast("double")) * F.sqrt(d_y.cast("double"))))
+    return agg.select(*group_cols, "n", num.alias("c_minus_d"),
+                      d_x.alias("d_x"), d_y.alias("d_y"),
+                      tau.alias("tau"))

@@ -260,3 +260,108 @@ def entropy_profile(df: DataFrame, group_cols: Sequence[str],
         *group_cols, "n", "n_cats",
         (F.log(F.col("n").cast("double"))
          - F.col("_clnc") / F.col("n").cast("double")).alias("entropy"))
+
+
+def gini_profile(df: DataFrame, group_cols: Sequence[str],
+                 value_col: str) -> DataFrame:
+    """Gini concentration coefficient per group over NON-NEGATIVE exact
+    integer values (quantize upstream — cents, token counts): the
+    inequality / concentration screen (spend concentration per segment,
+    token-budget skew per source).
+
+    Exactness: with values sorted ascending and i the 1-based position,
+    ``g_num = Σ (2i − n − 1)·xᵢ`` is an exact long (tie-invariant:
+    permuting equal values never changes the sum, so the arbitrary
+    order among ties is harmless), and ``gini = g_num / (n·Σx)`` is one
+    pinned divide — bit-stable cross-engine.  Negative values raise
+    IN-plan (Gini is undefined there; never a silent wrong answer);
+    NULLs are excluded.  Int64 headroom: |g_num| ≤ n²·max(x) — ANSI
+    overflow fails loudly near n·√max(x) ≈ 3·10⁹; per-group sizes far
+    past any exact-statistics use.
+
+    Scale shape: one ROW_NUMBER window + one groupBy on the same group
+    key = a single exchange (the spearman_corr discipline).
+
+    Returns ``(group..., n, sum_v, g_num, gini)``; gini NULL for
+    all-zero or empty groups (integer guard both engines).
+    """
+    v = F.col(value_col)
+    clean = df.filter(v.isNotNull())
+    checked = F.when(
+        v < 0,
+        F.raise_error(F.concat(
+            F.lit("gini_profile: negative value in "), F.lit(value_col),
+            F.lit(": "), v.cast("string"))).cast("long")
+    ).otherwise(v.cast("long"))
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_v"))
+    ranked = clean.select(*group_cols, checked.alias("_v")) \
+        .select(*group_cols, "_v",
+                F.row_number().over(w).cast("long").alias("_i"),
+                F.count(F.lit(1))
+                .over(Window.partitionBy(*group_cols)).alias("_n"))
+    agg = ranked.groupBy(*group_cols).agg(
+        F.max("_n").alias("n"),
+        F.sum("_v").alias("sum_v"),
+        F.sum((F.lit(2) * F.col("_i") - F.col("_n") - 1) * F.col("_v"))
+        .alias("g_num"))
+    gini = F.when(
+        F.col("sum_v") > 0,
+        F.col("g_num").cast("double")
+        / (F.col("n") * F.col("sum_v")).cast("double"))
+    return agg.select(*group_cols, "n", "sum_v", "g_num",
+                      gini.alias("gini"))
+
+
+def chi_square_independence(df: DataFrame, a_col: str,
+                            b_col: str) -> DataFrame:
+    """Pearson chi-square statistic of independence between two
+    categorical columns — the drift / association screen for label
+    distributions (is event mix independent of weekday? does source
+    predict language?).
+
+    Exactness: cell counts O, row totals r, column totals c and the
+    grand total n are exact longs, and each cell's contribution is the
+    algebraically identical exact-numerator form
+    ``(n·O − r·c)² / (n·r·c)`` — the ONLY doubles are one divide per
+    cell and the final sum, which is a PINNED-ORDER fold over cells
+    sorted by (a, b) (float groupBy sums have nondeterministic addend
+    order — the entropy_profile discipline).  Int64 headroom:
+    |n·O − r·c| ≤ n², exact to n ≈ 3·10⁹ rows; past that use the
+    classical O/E double form (documented, not silent).
+
+    Scale shape: one (a, b) groupBy collapses the data to the
+    contingency table (map-side combinable), then two windows + the
+    final single-row fold run on the TINY table — cells = |a|·|b|
+    distinct pairs, O(cardinality product), not O(rows).
+
+    Returns one row ``(n, n_a, n_b, dof, chi2)``; chi2 NULL when the
+    table is degenerate (dof = 0 — a constant column).
+    """
+    clean = df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+    cells = clean.groupBy(
+        F.col(a_col).alias("_a"), F.col(b_col).alias("_b")).agg(
+        F.count(F.lit(1)).alias("_o"))
+    w_a = Window.partitionBy("_a")
+    w_b = Window.partitionBy("_b")
+    w_all = Window.partitionBy()
+    with_tot = cells.select(
+        "_a", "_b", "_o",
+        F.sum("_o").over(w_a).alias("_r"),
+        F.sum("_o").over(w_b).alias("_c"),
+        F.sum("_o").over(w_all).alias("_n"))
+    dev = F.col("_n") * F.col("_o") - F.col("_r") * F.col("_c")
+    term = ((dev * dev).cast("double")
+            / (F.col("_n") * F.col("_r") * F.col("_c")).cast("double"))
+    arr = F.sort_array(F.collect_list(F.struct(
+        F.col("_a").alias("a"), F.col("_b").alias("b"),
+        term.alias("t"))))
+    agg = with_tot.groupBy().agg(
+        F.max("_n").alias("n"),
+        F.count_distinct(F.col("_a")).alias("n_a"),
+        F.count_distinct(F.col("_b")).alias("n_b"),
+        F.aggregate(arr, F.lit(0.0),
+                    lambda acc, s: acc + s["t"]).alias("_chi2"))
+    dof = ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("long")
+    return agg.select(
+        "n", "n_a", "n_b", dof.alias("dof"),
+        F.when(dof > 0, F.col("_chi2")).alias("chi2"))

@@ -494,6 +494,7 @@ _DRIVER_PRIORITY = [
     "colocation_pairs", "hilbert_order", "kmeans_cells", "cooccur_pmi",
     "ema_profile", "spearman_corr", "mann_whitney",
     "benford_profile", "tfidf_topk", "cusum_changepoint", "entropy_profile",
+    "gini_profile", "ks_test", "kendall_tau", "chi_square",
     "tile_assign_tms", "dirty_ancestors", "tile_diff_classes",
     "dedup_ngram_jaccard", "dedup_simhash", "token_quality",
     "doc_fingerprint", "repetition_profile", "pii_scrub",

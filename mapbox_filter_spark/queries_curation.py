@@ -507,6 +507,197 @@ SELECT event_type,
 FROM c GROUP BY event_type"""
 
 
+def q_gini_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Gini concentration of event values
+    (operators/stats.py gini_profile): sorted-rank numerator
+    Σ(2i−n−1)·cents is an exact long (tie-invariant), gini one pinned
+    divide; negative values would raise in-plan (none in this corpus)."""
+    from .operators.stats import gini_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"))
+    return gini_profile(ev, ["event_type"], "cents")
+
+
+def sql_gini_profile() -> str:
+    return """WITH e AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cents NULLS FIRST) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM e),
+a AS (
+  SELECT event_type,
+         CAST(MAX(n) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sum_v,
+         CAST(SUM((2 * i - n - 1) * cents) AS BIGINT) AS g_num
+  FROM r GROUP BY event_type)
+SELECT event_type, n, sum_v, g_num,
+       CASE WHEN sum_v > 0
+            THEN CAST(g_num AS DOUBLE) / CAST(n * sum_v AS DOUBLE)
+            END AS gini
+FROM a"""
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type two-sample Kolmogorov-Smirnov statistic, weekend
+    vs weekday value distributions (operators/rankstats.py ks_2samp):
+    D numerator is the exact-integer cross-multiplied sup
+    max|n2·C1 − n1·C2| over the observed step points; one pinned final
+    divide.  The shape-sensitive sibling of the mann_whitney gate."""
+    from .geo.tilemath import floor_div
+    from .operators.rankstats import ks_2samp
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.pmod(floor_div(
+            F.unix_micros(F.col("ts").cast("timestamp")),
+            86_400_000_000) + 4, F.lit(7)).isin(0, 6).alias("wknd"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"))
+    return ks_2samp(ev, ["event_type"], "wknd", "cents")
+
+
+def sql_ks_test() -> str:
+    return """WITH e AS (
+  SELECT event_type,
+         ((epoch_us(ts) // 86400000000 + 4) % 7) IN (0, 6) AS f,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+g AS (
+  SELECT event_type, cents,
+         CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN NOT f THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM e GROUP BY 1, 2),
+s AS (
+  SELECT event_type,
+         CAST(SUM(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+         CAST(SUM(c2) OVER (PARTITION BY event_type) AS BIGINT) AS n2,
+         CAST(SUM(c1) OVER (PARTITION BY event_type
+                            ORDER BY cents NULLS FIRST
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+         CAST(SUM(c2) OVER (PARTITION BY event_type
+                            ORDER BY cents NULLS FIRST
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+  FROM g)
+SELECT event_type,
+       MAX(n1) AS n1, MAX(n2) AS n2,
+       MAX(abs(n2 * cum1 - n1 * cum2)) AS d_num,
+       CASE WHEN MAX(n1) > 0 AND MAX(n2) > 0
+            THEN CAST(MAX(abs(n2 * cum1 - n1 * cum2)) AS DOUBLE)
+                 / CAST(MAX(n1) * MAX(n2) AS DOUBLE)
+            END AS d_stat
+FROM s GROUP BY event_type"""
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Kendall tau-b between event value and
+    time-of-day (operators/rankstats.py kendall_tau): exact
+    concordant/discordant/tie pair counts from ONE bounded self pair
+    join, tau the same pinned √-chain as spearman.  The concordance
+    twin of the spearman_corr gate — both correlations over the same
+    column pair, independently derived."""
+    from .operators.rankstats import kendall_tau
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         % (86_400 * 1_000_000)).alias("day_us"))
+    return kendall_tau(ev, ["event_type"], "cents", "day_us")
+
+
+def sql_kendall_tau() -> str:
+    return """WITH e AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+         epoch_us(ts) % 86400000000 AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+r AS (
+  SELECT event_type, x, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY x NULLS FIRST, y NULLS FIRST) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM e),
+p AS (
+  SELECT a.event_type AS event_type,
+         CAST(MAX(a.n) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN sign(a.x - b.x) * sign(a.y - b.y) > 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN sign(a.x - b.x) * sign(a.y - b.y) < 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
+  FROM r a JOIN r b ON a.event_type = b.event_type AND a.i < b.i
+  GROUP BY a.event_type)
+SELECT event_type, n, c - d AS c_minus_d,
+       (n * (n - 1)) // 2 - tx AS d_x,
+       (n * (n - 1)) // 2 - ty AS d_y,
+       CASE WHEN (n * (n - 1)) // 2 - tx > 0
+             AND (n * (n - 1)) // 2 - ty > 0
+            THEN CAST(c - d AS DOUBLE)
+                 / (sqrt(CAST((n * (n - 1)) // 2 - tx AS DOUBLE))
+                    * sqrt(CAST((n * (n - 1)) // 2 - ty AS DOUBLE)))
+            END AS tau
+FROM p"""
+
+
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence, event type x weekday
+    (operators/stats.py chi_square_independence): exact-numerator form
+    (n·O − r·c)²/(n·r·c) per cell, summed as a (a,b)-sorted pinned
+    fold — the only doubles are one divide per cell and the fold."""
+    from .geo.tilemath import floor_div
+    from .operators.stats import chi_square_independence
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.pmod(floor_div(
+            F.unix_micros(F.col("ts").cast("timestamp")),
+            86_400_000_000) + 4, F.lit(7)).alias("wday"))
+    return chi_square_independence(ev, "event_type", "wday")
+
+
+def sql_chi_square() -> str:
+    return """WITH e AS (
+  SELECT event_type AS a,
+         ((epoch_us(ts) // 86400000000 + 4) % 7) AS b
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
+          FROM e GROUP BY 1, 2),
+t AS (
+  SELECT a, b, o,
+         CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS r,
+         CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS c,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM cells),
+terms AS (
+  SELECT a, b, n,
+         CAST((n * o - r * c) * (n * o - r * c) AS DOUBLE)
+           / CAST(n * r * c AS DOUBLE) AS trm
+  FROM t)
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+       CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b,
+       CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1)
+            AS BIGINT) AS dof,
+       CASE WHEN (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) > 0
+            THEN list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(trm ORDER BY a NULLS FIRST,
+                                     b NULLS FIRST)),
+                   (x, y) -> x + y)
+            END AS chi2
+FROM terms"""
+
+
 CURATION_QUERIES = {
     "span_dedup": (q_span_dedup, sql_span_dedup),
     "decontaminate": (q_decontaminate, sql_decontaminate),
@@ -520,4 +711,8 @@ CURATION_QUERIES = {
     "mann_whitney": (q_mann_whitney, sql_mann_whitney),
     "benford_profile": (q_benford_profile, sql_benford_profile),
     "entropy_profile": (q_entropy_profile, sql_entropy_profile),
+    "gini_profile": (q_gini_profile, sql_gini_profile),
+    "ks_test": (q_ks_test, sql_ks_test),
+    "kendall_tau": (q_kendall_tau, sql_kendall_tau),
+    "chi_square": (q_chi_square, sql_chi_square),
 }
