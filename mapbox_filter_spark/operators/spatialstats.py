@@ -1,0 +1,160 @@
+"""Spatial autocorrelation statistics over integer grid cells —
+global Moran's I and per-cell Getis-Ord Gi* hotspot scores.
+
+These are the classic ESDA (exploratory spatial data analysis)
+statistics a tiling engine owes its users once counts-per-cell exist:
+Moran's I answers "is the field spatially clustered AT ALL?" (one
+number), Gi* answers "WHICH cells are the hot/cold spots?" (a z-score
+per cell).  Both use binary queen (8-neighbor) or rook (4-neighbor)
+contiguity weights on the integer cell grid, so the neighbor structure
+is an EQUI-join on shifted cell coordinates — no geometry predicates,
+no broadcast of the cell table, scale-free.
+
+Exactness (the engine-wide discipline): with v the exact long cell
+value, n the cell count and S1 = Σv, the n-SCALED deviation
+``z = n·v − S1`` is an exact long (no float mean), and every
+sum-of-products over z is exact int64; the scale factors cancel in the
+final ratios, which are evaluated as one pinned long→double chain —
+bit-stable cross-engine.  Overflow of the exact sums fails LOUDLY
+under ANSI (never a silent wrap); rescale the value units (e.g. counts
+not micro-cents) for corpora past |z|² · pairs ≈ 2⁶³.
+
+Scale shape: one explode(×8 or ×4 offsets) on the anchor side + one
+equi-join on the cell key + one groupBy — all hash on cell
+coordinates.  The totals row (n, S1, S2) is a single-row broadcast.
+Hot cells don't skew: each cell matches ≤ 8 neighbors by construction
+(contrast the point-level joins in cluster.py, which salt).
+
+Reference: Moran (1950) / Getis & Ord (1992, "The Analysis of Spatial
+Association by Use of Distance Statistics") — public formulas; the
+exact-integer scaled-deviation evaluation is this engine's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["morans_i", "getis_ord_gi"]
+
+_QUEEN = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+          if not (dx == 0 and dy == 0)]
+_ROOK = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+
+
+def _neighbor_pairs(cells: DataFrame, x_col: str, y_col: str,
+                    offsets: "list[tuple[int, int]]",
+                    include_self: bool = False) -> DataFrame:
+    """Ordered (anchor, neighbor) cell pairs under the offset stencil:
+    anchor rows explode to their |offsets| probe coordinates, then ONE
+    equi-join against the cell table.  Columns: anchor ``x/y/v_a`` and
+    neighbor ``v_b``."""
+    offs = list(offsets) + ([(0, 0)] if include_self else [])
+    stencil = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in offs])
+    probes = (cells.select(F.col(x_col).alias("x"),
+                           F.col(y_col).alias("y"),
+                           F.col("_v").alias("v_a"),
+                           F.explode(stencil).alias("o"))
+              .select("x", "y", "v_a",
+                      (F.col("x") + F.col("o.dx")).alias("nx"),
+                      (F.col("y") + F.col("o.dy")).alias("ny")))
+    nbrs = cells.select(F.col(x_col).alias("nx"),
+                        F.col(y_col).alias("ny"),
+                        F.col("_v").alias("v_b"))
+    return probes.join(nbrs, ["nx", "ny"])
+
+
+def _with_totals(cells: DataFrame) -> DataFrame:
+    """Cross-join the single totals row (n, S1, S2) — broadcast by
+    construction (one row)."""
+    totals = cells.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_v").alias("_s1"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_s2"))
+    return cells.crossJoin(F.broadcast(totals))
+
+
+def morans_i(cells: DataFrame, x_col: str, y_col: str, value_col: str,
+             queen: bool = True) -> DataFrame:
+    """Global Moran's I over one-row-per-cell input with exact long
+    ``value_col``.  Returns ONE row
+    ``(n_cells, w_pairs, cross_num, den, e_i, moran_i)``:
+
+    - ``cross_num = Σ_{(i,j) adjacent} zᵢ·zⱼ`` and ``den = Σ zᵢ²`` over
+      the n-scaled deviations z = n·v − S1 (exact longs; the n² scale
+      cancels in the ratio),
+    - ``moran_i = (n · cross_num) / (w_pairs · den)`` as one pinned
+      double chain, NULL for a constant field (den = 0, integer guard),
+    - ``e_i = −1/(n−1)`` the null expectation (pinned divide) — I above
+      e_i ⇒ clustering, below ⇒ dispersion.
+
+    ``w_pairs`` counts ORDERED adjacent pairs (the standard W for
+    symmetric binary weights); edge cells simply contribute fewer
+    pairs.  Duplicate (x, y) rows are a caller bug — aggregate first
+    (the gate pipes through a groupBy, which guarantees it).
+    """
+    base = cells.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+                        F.col(value_col).cast("long").alias("_v"))
+    zed = F.col("_n") * F.col("_v") - F.col("_s1")
+    # one row per cell with _v REPLACED by the n-scaled deviation z
+    zcells = _with_totals(base).select(
+        "x", "y", zed.alias("_v"), F.col("_n"))
+    pairs = _neighbor_pairs(
+        zcells, "x", "y", _QUEEN if queen else _ROOK)
+    cross = pairs.agg(
+        F.count(F.lit(1)).alias("w_pairs"),
+        F.sum(F.col("v_a") * F.col("v_b")).alias("cross_num"))
+    den = zcells.agg(F.max("_n").alias("n_cells"),
+                     F.sum(F.col("_v") * F.col("_v")).alias("den"))
+    out = den.crossJoin(F.broadcast(cross))
+    moran = F.when(
+        (F.col("den") > 0) & (F.col("w_pairs") > 0),
+        (F.col("n_cells").cast("double") * F.col("cross_num").cast("double"))
+        / (F.col("w_pairs").cast("double") * F.col("den").cast("double")))
+    e_i = F.when(F.col("n_cells") > 1,
+                 F.lit(-1.0) / (F.col("n_cells") - 1).cast("double"))
+    return out.select("n_cells", "w_pairs", "cross_num", "den",
+                      e_i.alias("e_i"), moran.alias("moran_i"))
+
+
+def getis_ord_gi(cells: DataFrame, x_col: str, y_col: str,
+                 value_col: str, queen: bool = True) -> DataFrame:
+    """Getis-Ord Gi* hotspot z-score per cell (the * variant: the
+    neighborhood INCLUDES the cell itself).  Returns one row per cell
+    ``(x, y, v, k, t_sum, g_num, gi)``:
+
+    - ``k`` = neighborhood size (≤ 9 queen / ≤ 5 rook — fewer at grid
+      edges), ``t_sum = Σ_{j ∈ N(i)∪{i}} vⱼ`` exact,
+    - ``g_num = n·t_sum − k·S1`` the exact scaled numerator,
+    - ``gi = g_num / √( (n·S2 − S1²) · (n·k − k²) / (n−1) )`` — the
+      classical Gi* with every sub-term exact int64 and ONE pinned
+      double chain (cast products, one divide, one √, one divide);
+      NULL for constant fields or k = n (degenerate variance, integer
+      guards).
+
+    |gi| ≳ 1.96 flags 5%-significant hot (positive) / cold (negative)
+    spots under the normal approximation — the per-cell complement of
+    the single-number morans_i.
+    """
+    base = cells.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+                        F.col(value_col).cast("long").alias("_v"))
+    t = _with_totals(base)
+    pairs = _neighbor_pairs(
+        t, "x", "y", _QUEEN if queen else _ROOK, include_self=True)
+    per = pairs.groupBy("x", "y").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("v_b").alias("t_sum"))
+    joined = t.join(per, ["x", "y"])
+    n, s1, s2, k = (F.col("_n"), F.col("_s1"), F.col("_s2"), F.col("k"))
+    g_num = n * F.col("t_sum") - k * s1
+    var_v = n * s2 - s1 * s1          # n² · Σ(v−v̄)² — exact
+    var_k = n * k - k * k             # n² · (k/n)(1−k/n) — exact
+    gi = F.when(
+        (var_v > 0) & (var_k > 0) & (n > 1),
+        g_num.cast("double")
+        / F.sqrt((var_v * var_k).cast("double")
+                 / (n - 1).cast("double")))
+    return joined.select("x", "y", F.col("_v").alias("v"), "k", "t_sum",
+                         g_num.alias("g_num"), gi.alias("gi"))

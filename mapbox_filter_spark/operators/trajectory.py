@@ -173,6 +173,68 @@ def trip_segments(df: DataFrame, break_step2: int,
                  .alias("end_y")))
 
 
+def stay_points(df: DataFrame, cell: int, gap_us: int,
+                min_dwell_us: int,
+                entity_col: str = "user_id", ts_col: str = "ts",
+                order_tiebreak: str = "event_id",
+                x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Stay-point (dwell) detection: maximal runs of consecutive pings
+    where an entity stays in the SAME grid cell with no time gap over
+    ``gap_us``, kept when the dwell (last − first ping) reaches
+    ``min_dwell_us`` — the home/work/POI-visit primitive of trajectory
+    mining.
+
+    This is the cell-quantized, distributed variant: the classical
+    anchor-based scan (Li et al. 2008, GIS '08) is inherently
+    sequential per trajectory; quantizing to grid cells turns the run
+    detection into gaps-and-islands (change-flag → cumsum → groupBy),
+    which is THREE windows + one groupBy all partitioned by the entity
+    key — a single exchange, no per-row Python, no trajectory length
+    limit.  A slow drift that re-crosses a cell boundary splits the
+    episode (the documented quantization deviation; choose ``cell`` ≥
+    the expected dwell wander).
+
+    Exactness: integer coordinates, integer cell ids via floor_div
+    (correct at negative coordinates), integer epoch-micros — every
+    output column an exact long.
+
+    Returns ``(entity, cx, cy, enter_us, exit_us, n_pings, dwell_us)``
+    with dwell_us = exit − enter (a 1-ping episode has dwell 0 and is
+    dropped unless min_dwell_us == 0).
+    """
+    from ..geo.tilemath import floor_div
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(entity_col).orderBy(ts_col, order_tiebreak)
+    q = df.select(
+        entity_col, ts_col, order_tiebreak,
+        floor_div(F.col(x_col), cell).alias("_cx"),
+        floor_div(F.col(y_col), cell).alias("_cy"),
+        us.alias("_us"))
+    prev_cx = F.lag("_cx").over(w)
+    prev_cy = F.lag("_cy").over(w)
+    prev_us = F.lag("_us").over(w)
+    brk = F.when(
+        prev_us.isNull()
+        | (F.col("_cx") != prev_cx) | (F.col("_cy") != prev_cy)
+        | (F.col("_us") - prev_us > gap_us), 1).otherwise(0)
+    flagged = q.select(entity_col, "_cx", "_cy", "_us",
+                       brk.alias("_brk"),
+                       F.row_number().over(w).alias("_rn"))
+    w2 = (Window.partitionBy(entity_col).orderBy("_rn")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    episodes = flagged.withColumn("_ep", F.sum("_brk").over(w2))
+    agg = episodes.groupBy(entity_col, "_ep").agg(
+        F.min("_cx").alias("cx"), F.min("_cy").alias("cy"),
+        F.min("_us").alias("enter_us"), F.max("_us").alias("exit_us"),
+        F.count(F.lit(1)).alias("n_pings"))
+    return (agg.withColumn("dwell_us",
+                           F.col("exit_us") - F.col("enter_us"))
+            .filter(F.col("dwell_us") >= min_dwell_us)
+            .select(entity_col, "cx", "cy", "enter_us", "exit_us",
+                    "n_pings", "dwell_us"))
+
+
 def colocation_pairs(df: DataFrame, cell: int, bucket_s: int,
                      min_meetings: int = 1,
                      entity_col: str = "user_id",

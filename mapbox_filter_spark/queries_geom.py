@@ -1891,6 +1891,160 @@ FROM c{T} c LEFT JOIN (SELECT cid, SUM(w) AS n FROM fin GROUP BY cid) m
   ON m.cid = c.cent_id""")
 
 
+_ESDA_STEP = 5.0    # degrees per grid cell: 72x36 grid over the globe
+_STAY_CELL = 4000          # stay-point cell side (walk units, 4x jump)
+_STAY_GAP_US = 172_800_000_000    # 48 h max inter-ping gap in a dwell
+_STAY_DWELL_US = 3_600_000_000    # keep dwells >= 1 h
+
+_SQL_ESDA_OFFS = ("offs AS (SELECT * FROM (VALUES "
+                  "(-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)"
+                  ") AS t(dx, dy))")
+
+
+def _esda_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature counts on the coarse ESDA grid — the shared input of the
+    morans_i / getis_ord gates (one row per occupied cell, exact long
+    counts)."""
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir)
+    return (feats.select(
+        F.floor(F.col("lon") / F.lit(_ESDA_STEP)).cast("long").alias("cx"),
+        F.floor(F.col("lat") / F.lit(_ESDA_STEP)).cast("long").alias("cy"))
+        .groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("n_feat")))
+
+
+def _sql_esda_cells() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+    return f"""{FEATURES_ORACLE_SQL},
+cells AS (
+  SELECT CAST(floor(lon / {_ESDA_STEP!r}) AS BIGINT) AS cx,
+         CAST(floor(lat / {_ESDA_STEP!r}) AS BIGINT) AS cy,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM features GROUP BY 1, 2)"""
+
+
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I of feature density on the 5-degree grid
+    (operators/spatialstats.py morans_i): n-scaled deviations
+    z = n·v − S1 keep the cross-product and denominator sums exact
+    longs; queen contiguity is one explode(x8) + equi-join — the
+    spatial-clustering yes/no statistic."""
+    from .operators.spatialstats import morans_i
+
+    return morans_i(_esda_cells(spark, sf_dir), "cx", "cy", "n_feat")
+
+
+def sql_morans_i() -> str:
+    return f"""WITH {_sql_esda_cells()},
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s1 FROM cells),
+z AS (SELECT cx, cy, n * v - s1 AS z, n FROM cells, tot),
+{_SQL_ESDA_OFFS},
+p AS (
+  SELECT a.z AS za, b.z AS zb
+  FROM z a CROSS JOIN offs o
+  JOIN z b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS w_pairs,
+             CAST(SUM(za * zb) AS BIGINT) AS cross_num FROM p),
+d AS (SELECT CAST(MAX(n) AS BIGINT) AS n_cells,
+             CAST(SUM(z * z) AS BIGINT) AS den FROM z)
+SELECT n_cells, w_pairs, cross_num, den,
+       CASE WHEN n_cells > 1
+            THEN CAST(-1.0 AS DOUBLE) / CAST(n_cells - 1 AS DOUBLE)
+            END AS e_i,
+       CASE WHEN den > 0 AND w_pairs > 0
+            THEN (CAST(n_cells AS DOUBLE) * CAST(cross_num AS DOUBLE))
+                 / (CAST(w_pairs AS DOUBLE) * CAST(den AS DOUBLE))
+            END AS moran_i
+FROM d, c"""
+
+
+def q_getis_ord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hotspot z-score per 5-degree cell
+    (operators/spatialstats.py getis_ord_gi): exact scaled numerator
+    n·T − k·S1 over the self-inclusive queen neighborhood, one pinned
+    √-chain per cell — the per-cell WHERE of which morans_i is the
+    whether."""
+    from .operators.spatialstats import getis_ord_gi
+
+    return getis_ord_gi(_esda_cells(spark, sf_dir), "cx", "cy", "n_feat")
+
+
+def sql_getis_ord() -> str:
+    return f"""WITH {_sql_esda_cells()},
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s1,
+               CAST(SUM(v * v) AS BIGINT) AS s2 FROM cells),
+offs AS (SELECT * FROM (VALUES
+  (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+) AS t(dx, dy)),
+nb AS (
+  SELECT a.cx, a.cy, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(b.v) AS BIGINT) AS t_sum
+  FROM cells a CROSS JOIN offs o
+  JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  GROUP BY 1, 2)
+SELECT a.cx AS x, a.cy AS y, a.v AS v, nb.k AS k, nb.t_sum AS t_sum,
+       n * nb.t_sum - nb.k * s1 AS g_num,
+       CASE WHEN n * s2 - s1 * s1 > 0 AND n * nb.k - nb.k * nb.k > 0
+             AND n > 1
+            THEN CAST(n * nb.t_sum - nb.k * s1 AS DOUBLE)
+                 / sqrt(CAST((n * s2 - s1 * s1)
+                             * (n * nb.k - nb.k * nb.k) AS DOUBLE)
+                        / CAST(n - 1 AS DOUBLE))
+            END AS gi
+FROM cells a JOIN nb ON nb.cx = a.cx AND nb.cy = a.cy, tot"""
+
+
+def q_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point (dwell) detection along the deterministic walk
+    (operators/trajectory.py stay_points): gaps-and-islands over
+    (cell, time-gap) change flags — one exchange on the entity key;
+    every output column an exact long.  The home/work/POI-visit
+    primitive."""
+    from .operators.trajectory import random_walk_positions, stay_points
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    return stay_points(pos, cell=_STAY_CELL, gap_us=_STAY_GAP_US,
+                       min_dwell_us=_STAY_DWELL_US)
+
+
+def sql_stay_points() -> str:
+    c = _STAY_CELL
+    return f"""WITH {_sql_walk_pos()},
+q AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(x / {c}.0) AS BIGINT) AS cx,
+         CAST(floor(y / {c}.0) AS BIGINT) AS cy,
+         epoch_us(ts) AS us
+  FROM pos),
+f AS (
+  SELECT user_id, cx, cy, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR cx <> lag(cx) OVER w OR cy <> lag(cy) OVER w
+                OR us - lag(us) OVER w > {_STAY_GAP_US}
+              THEN 1 ELSE 0 END AS brk,
+         ROW_NUMBER() OVER w AS rn
+  FROM q
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+e AS (
+  SELECT user_id, cx, cy, us,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS UNBOUNDED PRECEDING) AS ep
+  FROM f),
+a AS (
+  SELECT user_id, ep,
+         CAST(MIN(cx) AS BIGINT) AS cx, CAST(MIN(cy) AS BIGINT) AS cy,
+         MIN(us) AS enter_us, MAX(us) AS exit_us,
+         CAST(COUNT(*) AS BIGINT) AS n_pings
+  FROM e GROUP BY 1, 2)
+SELECT user_id, cx, cy, enter_us, exit_us, n_pings,
+       exit_us - enter_us AS dwell_us
+FROM a WHERE exit_us - enter_us >= {_STAY_DWELL_US}"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "zonal_stats": (q_zonal_stats, sql_zonal_stats),
@@ -1925,4 +2079,7 @@ GEOM_QUERIES = {
     "hilbert_order": (q_hilbert_order, sql_hilbert_order),
     "setsim_join": (q_setsim_join, sql_setsim_join),
     "kmeans_cells": (q_kmeans_cells, sql_kmeans_cells),
+    "morans_i": (q_morans_i, sql_morans_i),
+    "getis_ord": (q_getis_ord, sql_getis_ord),
+    "stay_points": (q_stay_points, sql_stay_points),
 }
