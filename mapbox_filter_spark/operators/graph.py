@@ -313,3 +313,93 @@ def triangle_counts(edges: DataFrame, src: str = "src",
                .unionByName(tri.select(F.col("y").alias("node"))))
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_tri"))
+
+
+def k_core(edges: DataFrame, k: int, src: str = "src",
+           dst: str = "dst", max_rounds: int = 200) -> DataFrame:
+    """The k-core of an undirected graph — the maximal subgraph where
+    every node keeps degree ≥ k — by parallel peeling: each round drops
+    ALL nodes of degree < k and their incident edges, until a fixpoint.
+    The standard dense-subgraph / spam-farm / community-seed filter
+    (Seidman 1983; the synchronous-peel formulation is the textbook
+    distributed variant).
+
+    Scale shape: per round, one symmetric-degree groupBy + one
+    broadcast-able anti-join of the (small, shrinking) drop set against
+    the edge list — edges only ever shrink, and every round's result is
+    ``localCheckpoint``-ed to cut lineage (the connected_components
+    discipline).  Rounds are data-bounded: each one removes ≥ 1 node or
+    terminates, and in practice peeling converges in a handful of
+    rounds (degree-k chains peel from BOTH ends simultaneously).  The
+    driver-side per-round count is a scalar control decision, same as
+    the shortest_paths frontier loop — no data collect.
+
+    Returns ``(node, deg)`` for core members — exact longs; deg is the
+    degree WITHIN the core (≥ k by construction).  Empty result = no
+    k-core.  Raises after ``max_rounds`` (never silent truncation).
+    """
+    e = _canon(edges, src, dst).localCheckpoint()
+    sym_cols = lambda d: (d.select(F.col("src").alias("u"),        # noqa: E731
+                                   F.col("dst").alias("v"))
+                          .unionByName(d.select(F.col("dst").alias("u"),
+                                                F.col("src").alias("v"))))
+    for _ in range(max_rounds):
+        deg = sym_cols(e).groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        # eager-checkpoint the (small) drop set: it feeds two anti-joins
+        # and the emptiness probe — one degree scan per round, not three
+        drop = deg.filter(F.col("deg") < k).select("u").localCheckpoint()
+        if drop.isEmpty():
+            return deg.select(F.col("u").alias("node"), "deg")
+        e = (e.join(drop.withColumnRenamed("u", "src"), "src", "left_anti")
+             .join(drop.withColumnRenamed("u", "dst"), "dst", "left_anti")
+             .select("src", "dst")
+             .localCheckpoint())
+    raise RuntimeError(f"k_core: no fixpoint in {max_rounds} rounds")
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """Newman's degree-assortativity coefficient r of an undirected
+    graph — the Pearson correlation of endpoint degrees over the edge
+    list (Newman 2002, "Assortative mixing in networks").  r > 0: hubs
+    link to hubs (social nets); r < 0: hubs link to leaves (the
+    hub-and-spoke shape that makes skew salting necessary).
+
+    Exactness: over the SYMMETRIC directed edge list (each undirected
+    edge contributes both directions, the standard convention — making
+    Σx = Σy by construction), every moment (M, Σx, Σx², Σxy) is an
+    exact long, and r is the same pinned long→double √-chain as
+    spearman_corr.  Int64 bound: Σd² ≤ M·d_max² — ANSI raises loudly
+    past ~10⁹ edge-ends × 10⁴·⁵ degree.
+
+    Scale shape: one degree groupBy + two (broadcast-able) joins of the
+    degree table onto the edge list + one global agg — no windows, no
+    driver loop.
+
+    Returns one row ``(m_ends, s_num, d_x, d_y, r)`` (m_ends = 2·|E|;
+    r NULL for degree-regular graphs, integer guard).
+    """
+    e = _canon(edges, src, dst)
+    sym = (e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+           .unionByName(e.select(F.col("dst").alias("u"),
+                                 F.col("src").alias("v"))))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dy"))
+    j = sym.join(du, "u").join(dv, "v")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("m_ends"),
+        F.sum("dx").alias("_sx"), F.sum("dy").alias("_sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("_sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("_syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("_sxy"))
+    m = F.col("m_ends")
+    s_num = m * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    d_x = m * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    d_y = m * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    r = F.when(
+        (d_x > 0) & (d_y > 0),
+        s_num.cast("double")
+        / (F.sqrt(d_x.cast("double")) * F.sqrt(d_y.cast("double"))))
+    return agg.select("m_ends", s_num.alias("s_num"), d_x.alias("d_x"),
+                      d_y.alias("d_y"), r.alias("r"))

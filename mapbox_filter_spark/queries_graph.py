@@ -297,6 +297,90 @@ SELECT node AS doc_id, COUNT(*) AS n_tri FROM (
 GROUP BY node"""
 
 
+_KCORE_K = 4
+# Oracle unroll bound: the hashed link graph peels to its 4-core in 4
+# rounds at sf0.01 (3 at sf0.1); 8 rounds is 2x margin.  SELF-CHECKING:
+# the engine runs to a TRUE fixpoint, so if 8 rounds were ever
+# insufficient the value-hash comparison fails loudly — a green gate
+# proves the unroll sufficed (the sssp_grid evidence pattern).
+_KCORE_UNROLL = 8
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators/graph.py k_core) of the hashed
+    link graph: synchronous peeling to fixpoint — per round one degree
+    groupBy + anti-join of the shrinking drop set, localCheckpoint per
+    round.  Returns core members with their in-core degree."""
+    from .operators.graph import k_core
+
+    return (k_core(_link_edges(spark, sf_dir), k=_KCORE_K)
+            .select(F.col("node").alias("doc_id"), "deg"))
+
+
+def sql_k_core() -> str:
+    k = _KCORE_K
+    ctes = [_sql_link_edges() + """,
+e0 AS MATERIALIZED (
+  SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM (SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+        FROM edges WHERE src <> dst))"""]
+    for i in range(_KCORE_UNROLL):
+        ctes.append(f"""bad{i} AS MATERIALIZED (
+  SELECT u FROM (
+    SELECT u, COUNT(*) AS c FROM (
+      SELECT u FROM e{i} UNION ALL SELECT v FROM e{i}) GROUP BY u)
+  WHERE c < {k}),
+e{i + 1} AS MATERIALIZED (
+  SELECT u, v FROM e{i}
+  WHERE u NOT IN (SELECT u FROM bad{i})
+    AND v NOT IN (SELECT u FROM bad{i}))""")
+    last = f"e{_KCORE_UNROLL}"
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT u AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+  SELECT u FROM {last} UNION ALL SELECT v FROM {last})
+GROUP BY u""")
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (operators/graph.py degree_assortativity)
+    of the hashed link graph: exact integer moments over the symmetric
+    edge list, r via the pinned spearman √-chain."""
+    from .operators.graph import degree_assortativity
+
+    return degree_assortativity(_link_edges(spark, sf_dir))
+
+
+def sql_assortativity() -> str:
+    return f"""WITH {_sql_link_edges()},
+c AS (SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM (SELECT DISTINCT LEAST(src, dst) AS src,
+                   GREATEST(src, dst) AS dst
+            FROM edges WHERE src <> dst)),
+sym AS (SELECT u, v FROM c UNION ALL SELECT v, u FROM c),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+j AS (
+  SELECT a.d AS dx, b.d AS dy
+  FROM sym JOIN deg a ON a.u = sym.u JOIN deg b ON b.u = sym.v),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m_ends,
+         CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy
+  FROM j)
+SELECT m_ends,
+       m_ends * sxy - sx * sy AS s_num,
+       m_ends * sxx - sx * sx AS d_x,
+       m_ends * syy - sy * sy AS d_y,
+       CASE WHEN m_ends * sxx - sx * sx > 0
+             AND m_ends * syy - sy * sy > 0
+            THEN CAST(m_ends * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(m_ends * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(m_ends * syy - sy * sy AS DOUBLE)))
+            END AS r
+FROM m"""
+
+
 GRAPH_QUERIES = {
     "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters),
     "dedup_keep_best": (q_dedup_keep_best, sql_dedup_keep_best),
@@ -304,4 +388,6 @@ GRAPH_QUERIES = {
     "sssp_grid": (q_sssp_grid, sql_sssp_grid),
     "isochrone": (q_isochrone, sql_isochrone),
     "triangle_count": (q_triangle_count, sql_triangle_count),
+    "k_core": (q_k_core, sql_k_core),
+    "assortativity": (q_assortativity, sql_assortativity),
 }

@@ -261,3 +261,89 @@ def test_sssp_max_rounds(spark):
 
     with pytest.raises(RuntimeError, match="convergence"):
         shortest_paths(e, s, max_rounds=3)
+
+
+def _py_kcore(edges, k):
+    import collections
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    while True:
+        bad = [n for n, s in adj.items() if len(s) < k]
+        if not bad:
+            return {n: len(s) for n, s in adj.items()}
+        for n in bad:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+
+
+def test_k_core_replay_random(spark):
+    import random
+
+    from mapbox_filter_spark.operators.graph import k_core
+
+    rng = random.Random(31)
+    edges = list({(rng.randrange(40), rng.randrange(40))
+                  for _ in range(160)})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.deg for r in k_core(e, k=3).collect()}
+    assert got == _py_kcore(edges, 3)
+
+
+def test_k_core_path_and_clique(spark):
+    from mapbox_filter_spark.operators.graph import k_core
+
+    # a path has no 2-core (peels from both ends); a clique survives
+    path = [(i, i + 1) for i in range(12)]
+    clique = [(100 + i, 100 + j) for i in range(5) for j in range(i)]
+    e = spark.createDataFrame(path + clique, "src long, dst long")
+    got = {r.node: r.deg for r in k_core(e, k=2).collect()}
+    assert got == {100 + i: 4 for i in range(5)}
+    assert k_core(e, k=5).isEmpty()          # no 5-core anywhere
+
+
+def _py_assort(edges):
+    import collections
+    import math
+    c = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    deg = collections.Counter()
+    for u, v in c:
+        deg[u] += 1
+        deg[v] += 1
+    ends = [(deg[u], deg[v]) for u, v in c] + [(deg[v], deg[u])
+                                               for u, v in c]
+    m = len(ends)
+    sx = sum(x for x, _ in ends)
+    sxx = sum(x * x for x, _ in ends)
+    sxy = sum(x * y for x, y in ends)
+    num, d = m * sxy - sx * sx, m * sxx - sx * sx
+    r = float(num) / (math.sqrt(float(d)) * math.sqrt(float(d))) \
+        if d > 0 else None
+    return m, num, d, r
+
+
+def test_assortativity_replay_and_star(spark):
+    import random
+
+    from mapbox_filter_spark.operators.graph import degree_assortativity
+
+    rng = random.Random(32)
+    edges = list({(rng.randrange(30), rng.randrange(30))
+                  for _ in range(90)})
+    e = spark.createDataFrame(edges, "src long, dst long")
+    row = degree_assortativity(e).collect()[0]
+    m, num, d, r = _py_assort(edges)
+    assert (row.m_ends, row.s_num, row.d_x, row.d_y) == (m, num, d, d)
+    assert row.r == r
+    # star graph: perfectly disassortative, r = -1
+    star = spark.createDataFrame([(0, i) for i in range(1, 9)],
+                                 "src long, dst long")
+    assert abs(degree_assortativity(star).collect()[0].r + 1.0) < 1e-12
+    # 3-regular graph (K4): zero degree variance -> NULL
+    k4 = spark.createDataFrame(
+        [(i, j) for i in range(4) for j in range(i)],
+        "src long, dst long")
+    assert degree_assortativity(k4).collect()[0].r is None
