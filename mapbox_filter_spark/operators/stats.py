@@ -312,6 +312,45 @@ def gini_profile(df: DataFrame, group_cols: Sequence[str],
                       gini.alias("gini"))
 
 
+def rank_percentiles(df: DataFrame, group_cols: Sequence[str],
+                     value_col: str,
+                     qs: Sequence[int] = (50, 90, 99)) -> DataFrame:
+    """Exact order-statistic percentiles per group: p_q is the
+    ⌈q·n/100⌉-th smallest value — the RANK convention (no
+    interpolation), so every output is an actual data value and the
+    whole operator is exact integer arithmetic end-to-end.  The
+    latency-SLO / size-budget summary (p50/p90/p99) that
+    percentile_approx sketches; this is the exact form for when the
+    numbers go in a report.
+
+    Well-defined under ties (the sorted multiset's q-th element doesn't
+    depend on tie order) and NULLs are excluded up front.  One
+    ROW_NUMBER window + one conditional groupBy on the same key = a
+    single exchange; cost is the per-group sort, same as any rank
+    statistic.
+
+    Returns ``(group..., n, p<q>...)`` e.g. ``p50, p90, p99``.
+    """
+    if not qs or any(q < 1 or q > 100 for q in qs):
+        raise ValueError(f"qs must be within 1..100: {qs}")
+    v = F.col(value_col)
+    clean = df.filter(v.isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy(v)
+    ranked = clean.select(
+        *group_cols, v.alias("_v"),
+        F.row_number().over(w).cast("long").alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+        .alias("_n"))
+    # ceil(q*n/100) without floats: (q*n + 99) floor-div 100
+    def _target(q):
+        t = F.col("_n") * q + 99
+        return ((t - F.pmod(t, F.lit(100))) / 100).cast("long")
+    return ranked.groupBy(*group_cols).agg(
+        F.max("_n").alias("n"),
+        *[F.max(F.when(F.col("_rn") == _target(q), F.col("_v")))
+          .alias(f"p{q}") for q in qs])
+
+
 def chi_square_independence(df: DataFrame, a_col: str,
                             b_col: str) -> DataFrame:
     """Pearson chi-square statistic of independence between two

@@ -794,3 +794,43 @@ def cusum_changepoint(df: DataFrame, key_cols: "list[str]", *,
                     F.col("_i").alias("cp_idx"),
                     F.col("_s").alias("cp_stat"),
                     F.col("_tot").alias("total")))
+
+
+def seasonal_anomaly(df: DataFrame, key_cols: "list[str]", *,
+                     season_col: str, value_col: str, id_col: str,
+                     top_k: int = 10) -> DataFrame:
+    """Top-k seasonal-baseline outliers per key — the monitoring
+    primitive "which observations deviate most from their
+    same-season-bucket norm" (value vs the same hour-of-day /
+    day-of-week cohort, not the global mean, so a weekend lull isn't an
+    anomaly).
+
+    EXACT form: a float z-score needs the bucket mean; multiplying
+    through by the bucket count gives ``dev = n_season·v − s_season``
+    (exact long), which ranks identically within a bucket and stays
+    comparable across same-key buckets up to the count scale — the
+    cusum_changepoint discipline.  Ranking is |dev| DESC with the
+    unique ``id_col`` ASC tiebreak, so the selected row SET is
+    deterministic and value-hashable.
+
+    Two exchanges, both irreducible: the (key, season) baseline
+    groupBy+join (co-partitioned), then the per-key top-k window.
+
+    Returns ``(key..., id, season, v, n_season, dev)`` — top_k rows per
+    key.
+    """
+    v = F.col(value_col).cast("long")
+    clean = df.filter(v.isNotNull() & F.col(season_col).isNotNull())
+    obs = clean.select(*key_cols, F.col(id_col).alias("id"),
+                       F.col(season_col).alias("season"), v.alias("v"))
+    base = obs.groupBy(*key_cols, "season").agg(
+        F.count(F.lit(1)).alias("n_season"),
+        F.sum("v").alias("_s"))
+    j = obs.join(base, [*key_cols, "season"])
+    dev = F.col("n_season") * F.col("v") - F.col("_s")
+    pick = Window.partitionBy(*key_cols).orderBy(
+        F.abs(dev).desc(), F.col("id").asc())
+    return (j.withColumn("_rk", F.row_number().over(pick))
+            .filter(F.col("_rk") <= top_k)
+            .select(*key_cols, "id", "season", "v", "n_season",
+                    dev.alias("dev")))

@@ -496,6 +496,7 @@ _DRIVER_PRIORITY = [
     "benford_profile", "tfidf_topk", "cusum_changepoint", "entropy_profile",
     "gini_profile", "ks_test", "kendall_tau", "chi_square",
     "morans_i", "getis_ord", "stay_points", "k_core", "assortativity",
+    "rank_percentiles", "seasonal_anomaly", "attribution",
     "tile_assign_tms", "dirty_ancestors", "tile_diff_classes",
     "dedup_ngram_jaccard", "dedup_simhash", "token_quality",
     "doc_fingerprint", "repetition_profile", "pii_scrub",

@@ -698,6 +698,40 @@ SELECT CAST(MAX(n) AS BIGINT) AS n,
 FROM terms"""
 
 
+def q_rank_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rank-convention percentiles of event value per type
+    (operators/stats.py rank_percentiles): p_q is the ⌈q·n/100⌉-th
+    smallest cents value — exact integers end-to-end, unlike the
+    interpolating quantile_profile gate (the two conventions are
+    deliberately distinct and both covered)."""
+    from .operators.stats import rank_percentiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"))
+    return rank_percentiles(ev, ["event_type"], "cents", qs=(50, 90, 99))
+
+
+def sql_rank_percentiles() -> str:
+    pick = "MAX(CASE WHEN rn = (n * {q} + 99) // 100 THEN cents END)"
+    return f"""WITH e AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cents NULLS FIRST) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM e)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       {pick.format(q=50)} AS p50,
+       {pick.format(q=90)} AS p90,
+       {pick.format(q=99)} AS p99
+FROM r GROUP BY event_type"""
+
+
 CURATION_QUERIES = {
     "span_dedup": (q_span_dedup, sql_span_dedup),
     "decontaminate": (q_decontaminate, sql_decontaminate),
@@ -715,4 +749,5 @@ CURATION_QUERIES = {
     "ks_test": (q_ks_test, sql_ks_test),
     "kendall_tau": (q_kendall_tau, sql_kendall_tau),
     "chi_square": (q_chi_square, sql_chi_square),
+    "rank_percentiles": (q_rank_percentiles, sql_rank_percentiles),
 }

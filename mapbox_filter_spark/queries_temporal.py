@@ -603,6 +603,111 @@ SELECT user_id, CAST(n AS BIGINT) AS n, CAST(i AS BIGINT) AS cp_idx,
 FROM r WHERE rk = 1"""
 
 
+# ------------------------------------------- seasonal anomaly + attribution
+
+_ANOM_TOP_K = 10
+_ATTR_TOL_S = 604_800      # 7-day last-touch attribution window
+
+
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 seasonal outliers per event type (operators/temporal.py
+    seasonal_anomaly): each value scored against its own hour-of-day
+    cohort via the exact scaled deviation n·v − Σ, ranked |dev| DESC
+    with the unique event_id tiebreak."""
+    from .geo.tilemath import floor_div
+    from .operators.temporal import seasonal_anomaly
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", "event_id",
+        F.pmod(floor_div(
+            F.unix_micros(F.col("ts").cast("timestamp")),
+            3_600_000_000), F.lit(24)).alias("hour"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"))
+    return seasonal_anomaly(ev, ["event_type"], season_col="hour",
+                            value_col="cents", id_col="event_id",
+                            top_k=_ANOM_TOP_K)
+
+
+def sql_seasonal_anomaly() -> str:
+    return f"""WITH e AS (
+  SELECT event_type, event_id,
+         (epoch_us(ts) // 3600000000) % 24 AS season,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+b AS (
+  SELECT event_type, season, CAST(COUNT(*) AS BIGINT) AS n_season,
+         CAST(SUM(v) AS BIGINT) AS s
+  FROM e GROUP BY 1, 2),
+d AS (
+  SELECT e.event_type, e.event_id AS id, e.season, e.v, b.n_season,
+         b.n_season * e.v - b.s AS dev
+  FROM e JOIN b ON b.event_type = e.event_type AND b.season = e.season),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY abs(dev) DESC, id ASC) AS rk
+  FROM d)
+SELECT event_type, id, season, v, n_season, dev
+FROM r WHERE rk <= {_ANOM_TOP_K}"""
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution — which touchpoint (click or
+    view) gets credit for each purchase: the user's most recent touch
+    at-or-before the purchase within a 7-day window, via the SAME
+    asof_join operator as the asof_join gate (left-outer + tolerance +
+    tiebreak all exercised at once).  Unattributed purchases roll up
+    under 'none'.  Exact cents and exact gap sums."""
+    ev = _events(spark, sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         F.floor(F.col("value") * 100 + F.lit(0.5))
+                         .cast("long").alias("cents")))
+    touches = (ev.filter(F.col("event_type").isin("click", "view"))
+               .groupBy("user_id", "ts")
+               .agg(F.max(F.struct("event_id", "event_type")).alias("s"))
+               .select("user_id", "ts",
+                       F.col("s.event_id").alias("touch_id"),
+                       F.col("s.event_type").alias("touch_type")))
+    j = asof_join(purchases, touches, on=["user_id"],
+                  left_ts="ts", right_ts="ts", tiebreak="touch_id",
+                  tolerance_s=_ATTR_TOL_S)
+    return (j.groupBy(F.coalesce(F.col("touch_type_r"), F.lit("none"))
+                      .alias("touch_type"))
+            .agg(F.count(F.lit(1)).alias("n_purch"),
+                 F.sum("cents").alias("sum_cents"),
+                 F.sum("asof_gap_us").alias("sum_gap_us")))
+
+
+def sql_attribution() -> str:
+    tol_us = _ATTR_TOL_S * 1_000_000
+    return f"""WITH p AS (
+  SELECT user_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+t AS (
+  SELECT user_id, ts, arg_max(event_type, event_id) AS touch_type
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+j AS (
+  SELECT p.cents, p.ts AS pts, t.ts AS tts, t.touch_type
+  FROM p ASOF LEFT JOIN t
+    ON p.user_id = t.user_id AND p.ts >= t.ts),
+f AS (
+  SELECT cents,
+         CASE WHEN tts IS NOT NULL
+               AND date_diff('microsecond', tts, pts) <= {tol_us}
+              THEN touch_type END AS touch_type,
+         CASE WHEN tts IS NOT NULL
+               AND date_diff('microsecond', tts, pts) <= {tol_us}
+              THEN date_diff('microsecond', tts, pts) END AS gap
+  FROM j)
+SELECT COALESCE(touch_type, 'none') AS touch_type,
+       COUNT(*) AS n_purch,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(SUM(gap) AS BIGINT) AS sum_gap_us
+FROM f GROUP BY 1"""
+
+
 TEMPORAL_QUERIES = {
     "asof_join": (q_asof_join, sql_asof_join),
     "gapfill_locf": (q_gapfill_locf, sql_gapfill_locf),
@@ -618,4 +723,6 @@ TEMPORAL_QUERIES = {
     "quantile_profile": (q_quantile_profile, sql_quantile_profile),
     "ema_profile": (q_ema_profile, sql_ema_profile),
     "cusum_changepoint": (q_cusum_changepoint, sql_cusum_changepoint),
+    "seasonal_anomaly": (q_seasonal_anomaly, sql_seasonal_anomaly),
+    "attribution": (q_attribution, sql_attribution),
 }
