@@ -48,12 +48,19 @@ def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
             .distinct())
 
 
+def _sym(e: DataFrame) -> DataFrame:
+    """Symmetric (u, v) edge-end list: every canonical edge contributes
+    both directions (duplicates preserved — callers feed _canon output,
+    which is already distinct per undirected edge)."""
+    return (e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .unionAll(e.select(F.col("dst").alias("u"),
+                               F.col("src").alias("v"))))
+
+
 def _large_star(e: DataFrame) -> DataFrame:
     """(v, min(Γ(u) ∪ {u})) for every neighbor v > u.  Output keeps the
     src > dst invariant: v > u ≥ min."""
-    nbrs = (e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-            .unionAll(e.select(F.col("dst").alias("u"),
-                               F.col("src").alias("v"))))
+    nbrs = _sym(e)
     mins = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
     m = F.least(F.col("u"), F.col("mv"))
     return (nbrs.join(mins, "u")
@@ -339,12 +346,8 @@ def k_core(edges: DataFrame, k: int, src: str = "src",
     k-core.  Raises after ``max_rounds`` (never silent truncation).
     """
     e = _canon(edges, src, dst).localCheckpoint()
-    sym_cols = lambda d: (d.select(F.col("src").alias("u"),        # noqa: E731
-                                   F.col("dst").alias("v"))
-                          .unionByName(d.select(F.col("dst").alias("u"),
-                                                F.col("src").alias("v"))))
     for _ in range(max_rounds):
-        deg = sym_cols(e).groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        deg = _sym(e).groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         # eager-checkpoint the (small) drop set: it feeds two anti-joins
         # and the emptiness probe — one degree scan per round, not three
         drop = deg.filter(F.col("deg") < k).select("u").localCheckpoint()
@@ -380,9 +383,7 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
     r NULL for degree-regular graphs, integer guard).
     """
     e = _canon(edges, src, dst)
-    sym = (e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-           .unionByName(e.select(F.col("dst").alias("u"),
-                                 F.col("src").alias("v"))))
+    sym = _sym(e)
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     du = deg.select(F.col("u"), F.col("d").alias("dx"))
     dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dy"))

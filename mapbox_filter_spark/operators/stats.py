@@ -333,6 +333,8 @@ def rank_percentiles(df: DataFrame, group_cols: Sequence[str],
     """
     if not qs or any(q < 1 or q > 100 for q in qs):
         raise ValueError(f"qs must be within 1..100: {qs}")
+    if len(set(qs)) != len(qs):
+        raise ValueError(f"duplicate qs produce ambiguous columns: {qs}")
     v = F.col(value_col)
     clean = df.filter(v.isNotNull())
     w = Window.partitionBy(*group_cols).orderBy(v)
@@ -361,12 +363,13 @@ def chi_square_independence(df: DataFrame, a_col: str,
     Exactness: cell counts O, row totals r, column totals c and the
     grand total n are exact longs, and each cell's contribution is the
     algebraically identical exact-numerator form
-    ``(n·O − r·c)² / (n·r·c)`` — the ONLY doubles are one divide per
-    cell and the final sum, which is a PINNED-ORDER fold over cells
-    sorted by (a, b) (float groupBy sums have nondeterministic addend
-    order — the entropy_profile discipline).  Int64 headroom:
-    |n·O − r·c| ≤ n², exact to n ≈ 3·10⁹ rows; past that use the
-    classical O/E double form (documented, not silent).
+    ``(n·O − r·c)² / (n·r·c)`` — the deviation ``n·O − r·c`` is the
+    exact long (|dev| ≤ n²/4 ⇒ exact to n ≈ 6·10⁹ rows); its square
+    and the ``n·r·c`` denominator are evaluated as pinned IEEE double
+    chains (both products overflow int64 far earlier — dev² at
+    n ≈ 10⁵, n·r·c at n ≈ 2·10⁶), and the final sum is a PINNED-ORDER
+    fold over cells sorted by (a, b) (float groupBy sums have
+    nondeterministic addend order — the entropy_profile discipline).
 
     Scale shape: one (a, b) groupBy collapses the data to the
     contingency table (map-side combinable), then two windows + the
@@ -388,9 +391,16 @@ def chi_square_independence(df: DataFrame, a_col: str,
         F.sum("_o").over(w_a).alias("_r"),
         F.sum("_o").over(w_b).alias("_c"),
         F.sum("_o").over(w_all).alias("_n"))
-    dev = F.col("_n") * F.col("_o") - F.col("_r") * F.col("_c")
-    term = ((dev * dev).cast("double")
-            / (F.col("_n") * F.col("_r") * F.col("_c")).cast("double"))
+    # dev stays exact int64 (|dev| ≤ n²/4 ⇒ n ≲ 6·10⁹); SQUARE in
+    # double — dev² would overflow int64 past n ≈ 10⁵ on a strongly
+    # associated table.  n·r·c likewise multiplies as doubles (the
+    # int64 product dies at n ≈ 2·10⁶); both are pinned left-to-right
+    # IEEE chains, identical in the oracle.
+    dev = (F.col("_n") * F.col("_o")
+           - F.col("_r") * F.col("_c")).cast("double")
+    term = ((dev * dev)
+            / (F.col("_n").cast("double") * F.col("_r").cast("double")
+               * F.col("_c").cast("double")))
     arr = F.sort_array(F.collect_list(F.struct(
         F.col("_a").alias("a"), F.col("_b").alias("b"),
         term.alias("t"))))

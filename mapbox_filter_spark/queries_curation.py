@@ -19,6 +19,20 @@ _SPAN_W = 10
 _NGRAM_N = 3
 _EVAL_MOD = 41  # doc_id % 41 == 0 -> eval set (deterministic split)
 
+
+def _cents(col: str = "value"):
+    """THE portable cents quantizer for NON-NEGATIVE values:
+    floor(x·100 + 0.5) cast long — floor(x+0.5) is the cross-engine
+    rounding (Spark round() is BigDecimal HALF_UP, DuckDB's double
+    round differs at .5 boundaries; see the hex cube-round note).  One
+    definition so the parity invariant can't drift; the SQL twin is
+    ``_CENTS_SQL`` and tests/test_dist_stats.py pins every SQL spelling
+    against it."""
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
+_CENTS_SQL = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+
 # shared normalized-words CTE fragment (same normalization every text
 # gate uses: lower, collapse whitespace, trim, split on single space)
 _WORDS_SQL = """base AS (
@@ -182,8 +196,7 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "event_id",
         # portable rounding: floor(x+0.5) in BOTH engines (Spark
         # round() is BigDecimal HALF_UP — diverges at .5-2^-54)
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-        .alias("cents"),
+        _cents().alias("cents"),
         (1 + F.col("event_id") % 7).alias("wgt"))
     return weighted_median(ev, ["event_type"], "cents", "wgt",
                            tiebreak="event_id")
@@ -413,8 +426,7 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(floor_div(
             F.unix_micros(F.col("ts").cast("timestamp")),
             86_400_000_000) + 4, F.lit(7)).isin(0, 6).alias("wknd"),
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-        .alias("cents"))
+        _cents().alias("cents"))
     return mann_whitney_u(ev, ["event_type"], "wknd", "cents")
 
 
@@ -453,8 +465,7 @@ def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_type",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-        .alias("cents"))
+        _cents().alias("cents"))
     return benford_profile(ev, ["event_type"], "cents")
 
 
@@ -516,8 +527,7 @@ def q_gini_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_type",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-        .alias("cents"))
+        _cents().alias("cents"))
     return gini_profile(ev, ["event_type"], "cents")
 
 
@@ -559,8 +569,7 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(floor_div(
             F.unix_micros(F.col("ts").cast("timestamp")),
             86_400_000_000) + 4, F.lit(7)).isin(0, 6).alias("wknd"),
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-        .alias("cents"))
+        _cents().alias("cents"))
     return ks_2samp(ev, ["event_type"], "wknd", "cents")
 
 
@@ -602,13 +611,19 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     concordant/discordant/tie pair counts from ONE bounded self pair
     join, tau the same pinned √-chain as spearman.  The concordance
     twin of the spearman_corr gate — both correlations over the same
-    column pair, independently derived."""
+    column pair, independently derived.
+
+    The gate pre-samples 1/16 by event_id (deterministic, identical in
+    both engines) — exact tau is O(n²/group) and the operator's 20k
+    in-plan cap would otherwise fire at sf0.1 (20,302 signup rows);
+    sample-then-tau is exactly the operator's documented guidance for
+    big groups, and the sampled gate stays in-cap through sf1.0."""
     from .operators.rankstats import kendall_tau
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.pmod(F.col("event_id"), F.lit(16)) == 0).select(
         "event_type",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-        .alias("cents"),
+        _cents().alias("cents"),
         (F.unix_micros(F.col("ts").cast("timestamp"))
          % (86_400 * 1_000_000)).alias("day_us"))
     return kendall_tau(ev, ["event_type"], "cents", "day_us")
@@ -619,7 +634,8 @@ def sql_kendall_tau() -> str:
   SELECT event_type,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
          epoch_us(ts) % 86400000000 AS y
-  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND event_id % 16 = 0),
 r AS (
   SELECT event_type, x, y,
          ROW_NUMBER() OVER (PARTITION BY event_type
@@ -679,9 +695,12 @@ t AS (
          CAST(SUM(o) OVER () AS BIGINT) AS n
   FROM cells),
 terms AS (
+  -- dev exact BIGINT; square and n*r*c as pinned DOUBLE chains (the
+  -- int64 products overflow at n ~ 1e5 / 2e6) — engine lockstep
   SELECT a, b, n,
-         CAST((n * o - r * c) * (n * o - r * c) AS DOUBLE)
-           / CAST(n * r * c AS DOUBLE) AS trm
+         (CAST(n * o - r * c AS DOUBLE) * CAST(n * o - r * c AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+           AS trm
   FROM t)
 SELECT CAST(MAX(n) AS BIGINT) AS n,
        CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
@@ -708,8 +727,7 @@ def q_rank_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_type",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-        .alias("cents"))
+        _cents().alias("cents"))
     return rank_percentiles(ev, ["event_type"], "cents", qs=(50, 90, 99))
 
 

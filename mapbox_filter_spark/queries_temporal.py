@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .queries_curation import _cents
 from .operators.temporal import (
     asof_join,
     distinct_rollup,
@@ -571,8 +572,7 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "user_id", "ts", "event_id",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-        .alias("cents"))
+        _cents().alias("cents"))
     return cusum_changepoint(ev, ["user_id"],
                              order_cols=("ts", "event_id"),
                              value_col="cents")
@@ -622,8 +622,7 @@ def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(floor_div(
             F.unix_micros(F.col("ts").cast("timestamp")),
             3_600_000_000), F.lit(24)).alias("hour"),
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-        .alias("cents"))
+        _cents().alias("cents"))
     return seasonal_anomaly(ev, ["event_type"], season_col="hour",
                             value_col="cents", id_col="event_id",
                             top_k=_ANOM_TOP_K)
@@ -660,9 +659,7 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     under 'none'.  Exact cents and exact gap sums."""
     ev = _events(spark, sf_dir)
     purchases = (ev.filter(F.col("event_type") == "purchase")
-                 .select("user_id", "ts",
-                         F.floor(F.col("value") * 100 + F.lit(0.5))
-                         .cast("long").alias("cents")))
+                 .select("user_id", "ts", _cents().alias("cents")))
     touches = (ev.filter(F.col("event_type").isin("click", "view"))
                .groupBy("user_id", "ts")
                .agg(F.max(F.struct("event_id", "event_type")).alias("s"))

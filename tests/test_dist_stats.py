@@ -155,7 +155,8 @@ def _py_chi2(pairs):
     acc = 0.0
     for (a, b) in sorted(cells):          # pinned (a, b) order
         o, r, c = cells[(a, b)], ra[a], cb[b]
-        acc += float((n * o - r * c) ** 2) / float(n * r * c)
+        dev = float(n * o - r * c)        # exact long -> double, then
+        acc += dev * dev / (float(n) * float(r) * float(c))  # IEEE chain
     dof = (len(ra) - 1) * (len(cb) - 1)
     return n, len(ra), len(cb), dof, (acc if dof > 0 else None)
 
@@ -179,3 +180,36 @@ def test_chi_square_constant_column(spark):
                                "a string, b long")
     r = chi_square_independence(df, "a", "b").collect()[0]
     assert r.dof == 0 and r.chi2 is None
+
+
+def test_cents_spelling_tripwire():
+    """Every SQL-side cents quantizer must be the one canonical
+    spelling (_CENTS_SQL or the legacy ROUND twin, which is
+    value-equal for the non-negative corpus) — a drifted copy would
+    silently split a value-hash gate."""
+    import pathlib
+    import re
+
+    import mapbox_filter_spark
+    from mapbox_filter_spark.queries_curation import _CENTS_SQL
+
+    root = pathlib.Path(mapbox_filter_spark.__file__).parent
+    ok = {_CENTS_SQL,
+          "CAST(ROUND(value * 100) AS BIGINT)",
+          "CAST(ROUND(value * 100, 0) AS BIGINT)"}
+    pat = re.compile(r"CAST\((?:floor|ROUND)\(value \* 100[^)]*\)[^)]*\)")
+    bad = []
+    for p in sorted(root.glob("queries*.py")):
+        for m in pat.finditer(p.read_text()):
+            if m.group(0) not in ok:
+                bad.append((p.name, m.group(0)))
+    assert not bad, f"drifted cents spellings: {bad}"
+
+
+def test_rank_percentiles_duplicate_qs_rejected(spark):
+    import pytest
+
+    from mapbox_filter_spark.operators.stats import rank_percentiles
+    df = spark.createDataFrame([("g", 1)], "g string, v long")
+    with pytest.raises(ValueError, match="duplicate"):
+        rank_percentiles(df, ["g"], "v", qs=(50, 50))
