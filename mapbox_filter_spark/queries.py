@@ -497,6 +497,7 @@ _DRIVER_PRIORITY = [
     "gini_profile", "ks_test", "kendall_tau", "chi_square",
     "morans_i", "getis_ord", "stay_points", "k_core", "assortativity",
     "rank_percentiles", "seasonal_anomaly", "attribution",
+    "top_orders", "regional_volume", "small_qty_revenue",
     "tile_assign_tms", "dirty_ancestors", "tile_diff_classes",
     "dedup_ngram_jaccard", "dedup_simhash", "token_quality",
     "doc_fingerprint", "repetition_profile", "pii_scrub",

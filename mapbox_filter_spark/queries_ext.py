@@ -1810,6 +1810,173 @@ SELECT query_id, rank, vec_id, adc_dist FROM (
   FROM adc) WHERE rank <= {_PQ_TOPK}"""
 
 
+# ---------------------------------------- TPC-H-shaped relational breadth
+#
+# Exact-integer revenue: price_c = floor(extendedprice·100 + 0.5) cents
+# (non-negative), disc_p = floor(discount·100 + 0.5) ∈ 0..10, so
+# revenue_u = price_c · (100 − disc_p) is an EXACT long in 10⁻⁴-dollar
+# units — no lossy ROUND anywhere, value-hash-stable cross-engine.
+
+_Q3_SEG = "BUILDING"
+_Q3_DATE = "1998-06-01"
+_Q3_K = 10
+_Q5_REGION = "ASIA"
+_Q5_LO, _Q5_HI = "1997-01-01", "1998-01-01"
+_Q17_BRAND_MOD = 7     # p_partkey % 7 == 0 stands in for the brand filter
+
+
+def _rev_u():
+    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)) \
+        .cast("long")
+    disc_p = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    return price_c * (100 - disc_p)
+
+
+_SQL_REV_U = ("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+              " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))")
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): unshipped-revenue top-10
+    orders for one market segment — big⋈big sort-merge (lineitem ⋈
+    orders, both selectively filtered BEFORE the join so the shuffles
+    carry only qualifying rows) + a broadcast customer dim, then a
+    deterministic global top-k (TakeOrdered: revenue DESC, orderkey ASC
+    tiebreak).  Revenue is the exact-integer revenue_u."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .filter(F.col("l_shipdate") > F.lit(_Q3_DATE)) \
+        .select("l_orderkey", _rev_u().alias("rev_u"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter(F.col("o_orderdate") < F.lit(_Q3_DATE)) \
+        .select("o_orderkey", "o_custkey", "o_orderdate",
+                "o_orderpriority")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .filter(F.col("c_mktsegment") == _Q3_SEG).select("c_custkey")
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    agg = j.groupBy(
+        "l_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        .alias("order_us"),
+        "o_orderpriority").agg(F.sum("rev_u").alias("revenue_u"))
+    # global top-k as sort+limit -> TakeOrderedAndProject (per-partition
+    # heaps, no single-partition window); deterministic tiebreak
+    return (agg.orderBy(F.col("revenue_u").desc(), F.col("l_orderkey"))
+            .limit(_Q3_K)
+            .select("l_orderkey", "order_us", "o_orderpriority",
+                    "revenue_u"))
+
+
+def sql_top_orders() -> str:
+    return f"""WITH j AS (
+  SELECT l.l_orderkey,
+         epoch_us(o.o_orderdate) AS order_us,
+         o.o_orderpriority,
+         CAST(SUM({_SQL_REV_U}) AS BIGINT) AS revenue_u
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE l.l_shipdate > TIMESTAMP '{_Q3_DATE} 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '{_Q3_DATE} 00:00:00'
+    AND c.c_mktsegment = '{_Q3_SEG}'
+  GROUP BY 1, 2, 3)
+SELECT l_orderkey, order_us, o_orderpriority, revenue_u FROM j
+QUALIFY ROW_NUMBER() OVER (ORDER BY revenue_u DESC, l_orderkey)
+        <= {_Q3_K}"""
+
+
+def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): the CYCLIC join graph —
+    customer ⋈ orders ⋈ lineitem ⋈ supplier with the extra
+    c_nationkey = s_nationkey equality closing the cycle, nation ⋈
+    region as broadcast dims.  One year of orders, one region, exact
+    revenue_u per nation."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_suppkey", _rev_u().alias("rev_u"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter((F.col("o_orderdate") >= F.lit(_Q5_LO))
+                & (F.col("o_orderdate") < F.lit(_Q5_HI))) \
+        .select("o_orderkey", "o_custkey")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey", "c_nationkey")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet") \
+        .select("s_suppkey", "s_nationkey")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet") \
+        .filter(F.col("r_name") == _Q5_REGION)
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+               & (c.c_nationkey == s.s_nationkey))
+         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("rev_u").alias("revenue_u"))
+
+
+def sql_regional_volume() -> str:
+    return f"""SELECT n.n_name,
+       COUNT(*) AS n_items,
+       CAST(SUM({_SQL_REV_U}) AS BIGINT) AS revenue_u
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '{_Q5_LO} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{_Q5_HI} 00:00:00'
+  AND r.r_name = '{_Q5_REGION}'
+GROUP BY 1"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems whose
+    quantity is below 20% of their part's average — the correlated
+    aggregate rewritten as groupBy + self-join, with the threshold as
+    the EXACT cross-multiplied integer test ``5·qty·n < sum_qty``
+    (l_quantity is integer-valued; no float average exists anywhere).
+    Part filter is a broadcast semi-join (p_partkey % 7, the brand
+    stand-in).  Output: one row of exact counts/cents."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        .alias("price_c"))
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .filter(F.pmod(F.col("p_partkey"), F.lit(_Q17_BRAND_MOD)) == 0) \
+        .select(F.col("p_partkey").alias("l_partkey"))
+    tot = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_part"),
+        F.sum("qty").alias("sum_qty"))
+    j = (li.join(F.broadcast(parts), "l_partkey")
+         .join(tot, "l_partkey")
+         .filter(F.lit(5) * F.col("qty") * F.col("n_part")
+                 < F.col("sum_qty")))
+    return j.agg(F.count(F.lit(1)).alias("n_small"),
+                 F.sum("price_c").alias("sum_cents"))
+
+
+def sql_small_qty_revenue() -> str:
+    return f"""WITH li AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM lineitem),
+tot AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part,
+         CAST(SUM(qty) AS BIGINT) AS sum_qty
+  FROM li GROUP BY 1)
+SELECT COUNT(*) AS n_small,
+       CAST(SUM(li.price_c) AS BIGINT) AS sum_cents
+FROM li
+JOIN part p ON p.p_partkey = li.l_partkey
+           AND p.p_partkey % {_Q17_BRAND_MOD} = 0
+JOIN tot ON tot.l_partkey = li.l_partkey
+WHERE 5 * li.qty * tot.n_part < tot.sum_qty"""
+
+
 EXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "dedup_ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard),
@@ -1840,6 +2007,9 @@ EXT_QUERIES = {
     "agg_pricing": (q_agg_pricing, sql_agg_pricing),
     "topk_events": (q_topk_events, sql_topk_events),
     "join_chain": (q_join_chain, sql_join_chain),
+    "top_orders": (q_top_orders, sql_top_orders),
+    "regional_volume": (q_regional_volume, sql_regional_volume),
+    "small_qty_revenue": (q_small_qty_revenue, sql_small_qty_revenue),
     "media_kind": (q_media_kind, sql_media_kind),
     "tile_set_ops": (q_tile_set_ops, sql_tile_set_ops),
     "manifest_rollup": (q_manifest_rollup, sql_manifest_rollup),
