@@ -218,3 +218,70 @@ def caption_pairs(docs: DataFrame, spans_col: str = "spans",
         .select(id_col, "p.media_ref", "p.offset",
                 "p.cap_before", "p.cap_after")
     )
+
+
+def span_coalesce(spans_df: DataFrame, id_col: str = "doc_id",
+                  spans_col: str = "spans",
+                  sep: str = " ") -> DataFrame:
+    """Interleave normalization: merge runs of ADJACENT text spans into
+    one span (text joined by ``sep`` in offset order) while media/geo
+    spans pass through untouched — the canonical pre-tokenization
+    cleanup for interleaved documents (BASELINE input_hint's
+    ``spans array<struct<kind,text,media_ref,offset>>``), preserving
+    the span SEQUENCE invariant (kind, text, media_ref, order) for
+    everything it doesn't merge.
+
+    Gaps-and-islands on the exploded spans: a new output span starts
+    wherever the current or previous span is non-text (three windows +
+    one groupBy, ALL on the document key — single exchange, no
+    per-row Python, no document-length limit).  Output offsets are
+    renumbered densely (0..n-1 in original order) — the same contract
+    tile renumbering keeps (operators/downcopy.py).
+
+    NULL text parts inside a merged run are skipped by the join (a
+    text span with NULL text contributes nothing but still glues the
+    run — both engines' string_agg/concat_ws semantics).
+
+    Returns exploded normalized spans
+    ``(id, new_offset, kind, text, media_ref, n_merged)``.
+    """
+    from pyspark.sql import Window
+
+    s = (spans_df.select(F.col(id_col).alias("id"),
+                         F.explode(spans_col).alias("sp"))
+         .select("id", F.col("sp.kind").alias("kind"),
+                 F.col("sp.text").alias("text"),
+                 F.col("sp.media_ref").alias("media_ref"),
+                 F.col("sp.offset").alias("offset")))
+    w = Window.partitionBy("id").orderBy("offset")
+    prev_kind = F.lag("kind").over(w)
+    brk = F.when((F.col("kind") == "text")
+                 & (prev_kind == "text"), 0).otherwise(1)
+    flagged = s.select("id", "kind", "text", "media_ref", "offset",
+                       brk.alias("_brk"))
+    w2 = (Window.partitionBy("id").orderBy("offset")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    grouped = flagged.withColumn("_grp", F.sum("_brk").over(w2))
+    parts = F.sort_array(F.collect_list(
+        F.when(F.col("text").isNotNull(),
+               F.struct(F.col("offset").alias("o"),
+                        F.col("text").alias("t")))))
+    agg = grouped.groupBy("id", "_grp").agg(
+        F.min("kind").alias("kind"),          # uniform within a run
+        F.min("offset").alias("_o0"),
+        F.count(F.lit(1)).alias("n_merged"),
+        F.min("media_ref").alias("media_ref"),
+        F.array_join(F.transform(parts, lambda p: p["t"]), sep)
+        .alias("_txt"),
+        # singleton (non-text) runs carry their original text through
+        F.min(F.struct(F.col("offset"),
+                       F.col("text").alias("t")))["t"].alias("_t1"))
+    text = F.when(
+        F.col("kind") == "text",
+        F.when(F.col("_txt") != "", F.col("_txt"))
+    ).otherwise(F.col("_t1"))
+    w3 = Window.partitionBy("id").orderBy("_o0")
+    return (agg.withColumn("new_offset",
+                           (F.row_number().over(w3) - 1).cast("int"))
+            .select(F.col("id").alias(id_col), "new_offset", "kind",
+                    text.alias("text"), "media_ref", "n_merged"))

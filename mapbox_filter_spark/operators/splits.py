@@ -361,3 +361,30 @@ def weighted_sample(
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .drop("_skey", "_rn"))
+
+
+def bottomk_sample(df: DataFrame, group_cols: "list[str]", id_col: str,
+                   k: int, salt: str = "mfs-bk") -> DataFrame:
+    """Deterministic per-group bottom-k sample: the k rows whose salted
+    60-bit md5 hash of ``id_col`` is smallest — a uniform-without-
+    replacement sample that is REPRODUCIBLE across engines, cluster
+    shapes, and retries (no rand(), no seed-per-partition drift), and
+    mergeable: the bottom-k of a union is the bottom-k of the per-part
+    bottom-ks (the KMV property — operators/sketch.py uses the same
+    trick for distinct counting).
+
+    One exchange: hash is per-row codegen, the pick is a per-group
+    window ordered by (hash, id).  Changing ``salt`` redraws the
+    sample; growing ``k`` only ADDS rows (nested samples — the
+    train-data debugging property).
+
+    Returns the sampled rows as ``(group..., id, h)``.
+    """
+    from pyspark.sql import Window
+
+    h = hash_u60([id_col], salt)
+    w = Window.partitionBy(*group_cols).orderBy("h", id_col)
+    return (df.select(*group_cols, F.col(id_col), h.alias("h"))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk"))

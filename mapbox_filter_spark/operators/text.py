@@ -387,3 +387,44 @@ def decontaminate(
         .withColumn("contaminated", F.col("n_overlap") > 0)
         .withColumnRenamed("id", id_col)
     )
+
+
+def readability(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease per document — the curation-side text
+    difficulty score (pair with token_quality's length/punct ratios).
+
+    All three inputs are EXACT integer counts from deterministic
+    regexes: words = the engine-wide whitespace split (_words),
+    sentences = runs of [.!?] (min 1 — headline-only docs divide by
+    one, not zero), syllables = vowel-group runs [aeiouy]+ per word
+    (the classic dictionary-free approximation, deterministic in any
+    engine).  The score
+    ``206.835 − 1.015·(words/sents) − 84.6·(syll/words)`` is one
+    pinned double chain over those longs — bit-stable cross-engine
+    (every literal CAST to double on the SQL side; DuckDB literals are
+    DECIMAL).
+
+    Zero-shuffle: pure per-row Column math (one in-row fold for
+    syllables).  Empty/whitespace-only docs return NULL score (integer
+    guard on words = 0, both engines).
+
+    Returns ``(id, n_words, n_sents, n_syll, flesch)``.
+    """
+    words = _words(F.col(text_col))
+    n_words = F.size(words).cast("long")
+    n_sents = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)) \
+        .cast("long")
+    n_syll = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.regexp_count(w, F.lit("[aeiouy]+"))
+        .cast("long"))
+    flesch = F.when(
+        n_words > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double")))
+    return df.select(
+        F.col(id_col), n_words.alias("n_words"), n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"), flesch.alias("flesch"))

@@ -498,6 +498,7 @@ _DRIVER_PRIORITY = [
     "morans_i", "getis_ord", "stay_points", "k_core", "assortativity",
     "rank_percentiles", "seasonal_anomaly", "attribution",
     "top_orders", "regional_volume", "small_qty_revenue",
+    "readability", "span_coalesce", "bottomk_sample",
     "tile_assign_tms", "dirty_ancestors", "tile_diff_classes",
     "dedup_ngram_jaccard", "dedup_simhash", "token_quality",
     "doc_fingerprint", "repetition_profile", "pii_scrub",

@@ -750,6 +750,38 @@ SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
 FROM r GROUP BY event_type"""
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (operators/text.py
+    readability): exact word/sentence/vowel-group counts, one pinned
+    double chain — zero shuffle."""
+    from .operators.text import readability
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return readability(docs)
+
+
+def sql_readability() -> str:
+    return f"""WITH {_WORDS_SQL},
+c AS (
+  SELECT b.doc_id,
+         CAST(LEN(b.words) AS BIGINT) AS n_words,
+         CAST(GREATEST(LEN(regexp_extract_all(d.text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sents,
+         CAST(list_sum(list_prepend(0, list_transform(b.words,
+                w -> LEN(regexp_extract_all(w, '[aeiouy]+')))))
+              AS BIGINT) AS n_syll
+  FROM base b JOIN documents d ON d.doc_id = b.doc_id)
+SELECT doc_id, n_words, n_sents, n_syll,
+       CASE WHEN n_words > 0
+            THEN CAST(206.835 AS DOUBLE)
+                 - CAST(1.015 AS DOUBLE)
+                   * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+                 - CAST(84.6 AS DOUBLE)
+                   * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE))
+            END AS flesch
+FROM c"""
+
+
 CURATION_QUERIES = {
     "span_dedup": (q_span_dedup, sql_span_dedup),
     "decontaminate": (q_decontaminate, sql_decontaminate),
@@ -768,4 +800,5 @@ CURATION_QUERIES = {
     "kendall_tau": (q_kendall_tau, sql_kendall_tau),
     "chi_square": (q_chi_square, sql_chi_square),
     "rank_percentiles": (q_rank_percentiles, sql_rank_percentiles),
+    "readability": (q_readability, sql_readability),
 }

@@ -1977,6 +1977,52 @@ JOIN tot ON tot.l_partkey = li.l_partkey
 WHERE 5 * li.qty * tot.n_part < tot.sum_qty"""
 
 
+def q_span_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleave normalization (operators/media.py span_coalesce):
+    adjacent text spans merge into one (offset-ordered, space-joined),
+    media/geo spans pass through with the sequence invariant intact,
+    offsets renumber densely — gaps-and-islands on the doc key, single
+    exchange.  The pre-tokenization cleanup for the BASELINE
+    input_hint's interleaved span documents."""
+    from .operators.media import span_coalesce
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return span_coalesce(interleaved_spans(docs))
+
+
+def sql_span_coalesce() -> str:
+    return f"""WITH {span_fields_sql()},
+flagged AS (
+  SELECT doc_id, i, kind, text, media_ref,
+         CASE WHEN kind = 'text' AND lag(kind) OVER w = 'text'
+              THEN 0 ELSE 1 END AS brk
+  FROM fields
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+grouped AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged),
+agg AS (
+  SELECT doc_id, grp,
+         MIN(kind) AS kind,
+         MIN(i) AS o0,
+         CAST(COUNT(*) AS BIGINT) AS n_merged,
+         MIN(media_ref) AS media_ref,
+         COALESCE(string_agg(text, ' ' ORDER BY i)
+                  FILTER (WHERE text IS NOT NULL), '') AS txt,
+         arg_min(text, i) AS t1
+  FROM grouped GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY o0) - 1
+            AS INT) AS new_offset,
+       kind,
+       CASE WHEN kind = 'text'
+            THEN CASE WHEN txt <> '' THEN txt END
+            ELSE t1 END AS text,
+       media_ref, n_merged
+FROM agg"""
+
+
 EXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "dedup_ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard),
@@ -2008,6 +2054,7 @@ EXT_QUERIES = {
     "topk_events": (q_topk_events, sql_topk_events),
     "join_chain": (q_join_chain, sql_join_chain),
     "top_orders": (q_top_orders, sql_top_orders),
+    "span_coalesce": (q_span_coalesce, sql_span_coalesce),
     "regional_volume": (q_regional_volume, sql_regional_volume),
     "small_qty_revenue": (q_small_qty_revenue, sql_small_qty_revenue),
     "media_kind": (q_media_kind, sql_media_kind),
