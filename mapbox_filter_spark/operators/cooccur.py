@@ -65,3 +65,48 @@ def cooccurrence_pmi(docs: DataFrame, id_col: str, text_col: str, *,
                     F.log((F.col("n_ab") * F.lit(n_docs)).cast("double")
                           / (F.col("n_a") * F.col("n_b")).cast("double"))
                     .alias("pmi")))
+
+
+def assoc_rules(df: DataFrame, basket_col: str, item_col: str,
+                min_count: int = 1) -> DataFrame:
+    """Association rules over (basket, item) pairs — the market-basket
+    classic: for every directed item pair A→B, exact support /
+    confidence / lift from exact integer counts (Agrawal-Srikant
+    support-confidence framework; PMI's linear-scale sibling with
+    directional semantics).
+
+    ``conf(A→B) = c_AB/c_A`` and ``lift = n·c_AB/(c_A·c_B)`` are single
+    pinned divides over exact longs (n = basket count; c_AB from one
+    basket self-join on DISTINCT (basket, item) rows — the same
+    distinct pre-pass as colocation_pairs, so duplicate events never
+    inflate support).
+
+    Scale shape: distinct → one basket-keyed self-join (quadratic in
+    basket SIZE, not corpus — cap giant baskets upstream like every
+    pair op) → one (A, B) groupBy; item totals and n are
+    broadcast-sized.  Hot item pairs are counters, not row sets.
+
+    Returns ``(ant, cons, n_baskets, c_a, c_b, c_ab, conf, lift)`` for
+    pairs with c_ab ≥ min_count.
+    """
+    b = df.select(F.col(basket_col).alias("bk"),
+                  F.col(item_col).alias("it")).distinct()
+    totals = b.agg(F.count_distinct("bk").alias("n_baskets"))
+    items = b.groupBy("it").agg(F.count(F.lit(1)).alias("c"))
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (l.join(r, (F.col("l.bk") == F.col("r.bk"))
+                    & (F.col("l.it") != F.col("r.it")))
+             .groupBy(F.col("l.it").alias("ant"),
+                      F.col("r.it").alias("cons"))
+             .agg(F.count(F.lit(1)).alias("c_ab"))
+             .filter(F.col("c_ab") >= min_count))
+    ca = items.select(F.col("it").alias("ant"), F.col("c").alias("c_a"))
+    cb = items.select(F.col("it").alias("cons"), F.col("c").alias("c_b"))
+    j = (pairs.join(F.broadcast(ca), "ant")
+         .join(F.broadcast(cb), "cons")
+         .crossJoin(F.broadcast(totals)))
+    conf = F.col("c_ab").cast("double") / F.col("c_a").cast("double")
+    lift = ((F.col("n_baskets") * F.col("c_ab")).cast("double")
+            / (F.col("c_a") * F.col("c_b")).cast("double"))
+    return j.select("ant", "cons", "n_baskets", "c_a", "c_b", "c_ab",
+                    conf.alias("conf"), lift.alias("lift"))

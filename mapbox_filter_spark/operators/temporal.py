@@ -796,6 +796,80 @@ def cusum_changepoint(df: DataFrame, key_cols: "list[str]", *,
                     F.col("_tot").alias("total")))
 
 
+def autocorr(df: DataFrame, key_cols: "list[str]", *,
+             order_cols: "tuple[str, ...]", value_col: str,
+             lags: "tuple[int, ...]" = (1, 2, 3)) -> DataFrame:
+    """Lag-k autocorrelation per key over an exact integer series — the
+    seasonality / burstiness detector (is the value stream self-similar
+    one step apart? k steps?).
+
+    Construction keeps determinism without demanding int64 hold the
+    full Σz² (it can't: deviations are n-scaled longs, their squares
+    overflow around n ≈ 10⁴·√var): the deviation ``z = n·x − S`` is an
+    exact long per row, and the quadratic sums Σzᵢ·zᵢ₊ₖ / Σzᵢ² are
+    PINNED-ORDER folds over index-sorted double products (the
+    entropy_profile / path_len discipline — a float groupBy sum has
+    nondeterministic addend order).  ``acf = num/den`` is the standard
+    biased estimator with the full-series mean; the n² scale cancels.
+
+    One key exchange: the ordering window, the lag windows, the totals
+    windows and the final groupBy all hash on the key.  Per-key series
+    materialize once inside the fold arrays — same memory class as the
+    rank statistics; cap hot keys upstream (heavy_hitters).
+
+    Returns one row per (key..., lag): ``(n, n_pairs, acf)`` — acf NULL
+    for constant or too-short series.  The guard is ``n_pairs > 0 AND
+    den > 0.0``: den is a fold of non-negative squares, so den > 0.0
+    branches identically in both engines on identical doubles (a
+    constant series folds to exactly 0.0 in both).
+    """
+    order = [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    whole = Window.partitionBy(*key_cols)
+    v = F.col(value_col).cast("long")
+    base = df.select(
+        *key_cols,
+        F.row_number().over(w).alias("_i"),
+        (F.count(F.lit(1)).over(whole) * v
+         - F.sum(v).over(whole)).alias("_z"))
+    lagged = base.select(
+        *key_cols, "_i", "_z",
+        *[F.lag("_z", L).over(
+            Window.partitionBy(*key_cols).orderBy("_i"))
+          .alias(f"_zl{L}") for L in lags])
+    den_arr = F.sort_array(F.collect_list(F.struct(
+        F.col("_i"), (F.col("_z").cast("double")
+                      * F.col("_z").cast("double")).alias("p"))))
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.aggregate(den_arr, F.lit(0.0),
+                        lambda a, s: a + s["p"]).alias("_den")]
+    for L in lags:
+        num_arr = F.sort_array(F.collect_list(F.when(
+            F.col(f"_zl{L}").isNotNull(),
+            F.struct(F.col("_i"),
+                     (F.col("_z").cast("double")
+                      * F.col(f"_zl{L}").cast("double")).alias("p")))))
+        aggs.append(F.aggregate(num_arr, F.lit(0.0),
+                                lambda a, s: a + s["p"])
+                    .alias(f"_num{L}"))
+        aggs.append(F.sum(F.when(F.col(f"_zl{L}").isNotNull(), 1)
+                          .otherwise(0)).alias(f"_np{L}"))
+    per = lagged.groupBy(*key_cols).agg(*aggs)
+    # one row per lag WITHOUT recomputing the aggregate per lag: pack
+    # the per-lag results into an array of structs and explode
+    rows = F.array(*[
+        F.struct(
+            F.lit(L).cast("int").alias("lag"),
+            F.col(f"_np{L}").alias("n_pairs"),
+            F.when((F.col(f"_np{L}") > 0) & (F.col("_den") > 0.0),
+                   F.col(f"_num{L}") / F.col("_den")).alias("acf"))
+        for L in lags])
+    return (per.select(*key_cols, "n", F.explode(rows).alias("_s"))
+            .select(*key_cols, F.col("_s.lag").alias("lag"), "n",
+                    F.col("_s.n_pairs").alias("n_pairs"),
+                    F.col("_s.acf").alias("acf")))
+
+
 def seasonal_anomaly(df: DataFrame, key_cols: "list[str]", *,
                      season_col: str, value_col: str, id_col: str,
                      top_k: int = 10) -> DataFrame:

@@ -499,6 +499,7 @@ _DRIVER_PRIORITY = [
     "rank_percentiles", "seasonal_anomaly", "attribution",
     "top_orders", "regional_volume", "small_qty_revenue",
     "readability", "span_coalesce", "bottomk_sample",
+    "autocorr", "assoc_rules", "pivot_counts",
     "tile_assign_tms", "dirty_ancestors", "tile_diff_classes",
     "dedup_ngram_jaccard", "dedup_simhash", "token_quality",
     "doc_fingerprint", "repetition_profile", "pii_scrub",

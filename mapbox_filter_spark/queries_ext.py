@@ -1977,6 +1977,38 @@ JOIN tot ON tot.l_partkey = li.l_partkey
 WHERE 5 * li.qty * tot.n_part < tot.sum_qty"""
 
 
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: weekday x event-type count crosstab via the
+    DataFrame pivot API (explicit value list — deterministic columns,
+    no value-discovery pass), empty cells coalesced to 0 to match the
+    oracle's conditional counts.  Exact integers."""
+    from .geo.tilemath import floor_div
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.pmod(floor_div(
+            F.unix_micros(F.col("ts").cast("timestamp")),
+            86_400_000_000) + 4, F.lit(7)).alias("wday"),
+        "event_type")
+    wide = (ev.groupBy("wday")
+            .pivot("event_type", _PIVOT_TYPES)
+            .agg(F.count(F.lit(1))))
+    return wide.select(
+        "wday", *[F.coalesce(F.col(t), F.lit(0)).alias(t)
+                  for t in _PIVOT_TYPES])
+
+
+def sql_pivot_counts() -> str:
+    cells = ",\n       ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+        f" AS {t}" for t in _PIVOT_TYPES)
+    return f"""SELECT ((epoch_us(ts) // 86400000000 + 4) % 7) AS wday,
+       {cells}
+FROM events GROUP BY 1"""
+
+
 def q_span_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleave normalization (operators/media.py span_coalesce):
     adjacent text spans merge into one (offset-ordered, space-joined),
@@ -2055,6 +2087,7 @@ EXT_QUERIES = {
     "join_chain": (q_join_chain, sql_join_chain),
     "top_orders": (q_top_orders, sql_top_orders),
     "span_coalesce": (q_span_coalesce, sql_span_coalesce),
+    "pivot_counts": (q_pivot_counts, sql_pivot_counts),
     "regional_volume": (q_regional_volume, sql_regional_volume),
     "small_qty_revenue": (q_small_qty_revenue, sql_small_qty_revenue),
     "media_kind": (q_media_kind, sql_media_kind),

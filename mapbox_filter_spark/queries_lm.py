@@ -178,6 +178,35 @@ SELECT w_a, w_b, n_ab, fa.n_w AS n_a, fb.n_w AS n_b,
 FROM pairs JOIN dfreq fa ON fa.w = w_a JOIN dfreq fb ON fb.w = w_b"""
 
 
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules, baskets = users, items = event
+    types (operators/cooccur.py assoc_rules): exact support /
+    confidence / lift from one distinct pre-pass + one basket
+    self-join; the directional, linear-scale sibling of cooccur_pmi."""
+    from .operators.cooccur import assoc_rules
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("user_id", "event_type")
+    return assoc_rules(ev, "user_id", "event_type", min_count=1)
+
+
+def sql_assoc_rules() -> str:
+    return """WITH b AS (
+  SELECT DISTINCT user_id AS bk, event_type AS it FROM events),
+n AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n_baskets FROM b),
+items AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY it),
+p AS (
+  SELECT l.it AS ant, r.it AS cons, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM b l JOIN b r ON l.bk = r.bk AND l.it <> r.it
+  GROUP BY 1, 2 HAVING COUNT(*) >= 1)
+SELECT p.ant, p.cons, n.n_baskets, a.c AS c_a, c.c AS c_b, p.c_ab,
+       CAST(p.c_ab AS DOUBLE) / CAST(a.c AS DOUBLE) AS conf,
+       CAST(n.n_baskets * p.c_ab AS DOUBLE)
+         / CAST(a.c * c.c AS DOUBLE) AS lift
+FROM p JOIN items a ON a.it = p.ant
+       JOIN items c ON c.it = p.cons, n"""
+
+
 LM_QUERIES = {
     "ngram_lm": (q_ngram_lm, sql_ngram_lm),
     "bpe_encode": (q_bpe_encode, None),
@@ -185,4 +214,5 @@ LM_QUERIES = {
     "lm_doc_score": (q_lm_doc_score, sql_lm_doc_score),
     "bpe_pair_counts": (q_bpe_pair_counts, sql_bpe_pair_counts),
     "cooccur_pmi": (q_cooccur_pmi, sql_cooccur_pmi),
+    "assoc_rules": (q_assoc_rules, sql_assoc_rules),
 }

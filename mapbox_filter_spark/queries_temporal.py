@@ -705,6 +705,67 @@ SELECT COALESCE(touch_type, 'none') AS touch_type,
 FROM f GROUP BY 1"""
 
 
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 autocorrelation of event cents per type
+    (operators/temporal.py autocorr): exact n-scaled deviations,
+    quadratic sums as index-sorted pinned double folds (the
+    entropy_profile discipline — int64 cannot hold Σz² here and a
+    float groupBy sum has nondeterministic order)."""
+    from .operators.temporal import autocorr
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull()) \
+        .select("event_type", "ts", "event_id",
+                _cents().alias("cents"))
+    return autocorr(ev, ["event_type"], order_cols=("ts", "event_id"),
+                    value_col="cents", lags=(1, 2, 3))
+
+
+def sql_autocorr() -> str:
+    def lag_block(L):
+        return (f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(CAST(z AS DOUBLE) * CAST(z{L} AS DOUBLE) ORDER BY i)
+           FILTER (WHERE z{L} IS NOT NULL)), (p, q) -> p + q) AS num{L},
+         CAST(SUM(CASE WHEN z{L} IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS np{L}""")
+
+    def out_row(L):
+        return (f"""SELECT event_type, CAST({L} AS INTEGER) AS lag, n,
+       np{L} AS n_pairs,
+       CASE WHEN np{L} > 0 AND den > 0.0 THEN num{L} / den END AS acf
+FROM a""")
+
+    return f"""WITH e AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL),
+z AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER w AS i,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) * x
+           - CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS z
+  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+l AS (
+  SELECT event_type, i, z,
+         lag(z, 1) OVER w AS z1, lag(z, 2) OVER w AS z2,
+         lag(z, 3) OVER w AS z3
+  FROM z WINDOW w AS (PARTITION BY event_type ORDER BY i)),
+a AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(CAST(z AS DOUBLE) * CAST(z AS DOUBLE) ORDER BY i)),
+           (p, q) -> p + q) AS den,
+         {lag_block(1)},
+         {lag_block(2)},
+         {lag_block(3)}
+  FROM l GROUP BY event_type)
+{out_row(1)}
+UNION ALL
+{out_row(2)}
+UNION ALL
+{out_row(3)}"""
+
+
 TEMPORAL_QUERIES = {
     "asof_join": (q_asof_join, sql_asof_join),
     "gapfill_locf": (q_gapfill_locf, sql_gapfill_locf),
@@ -722,4 +783,5 @@ TEMPORAL_QUERIES = {
     "cusum_changepoint": (q_cusum_changepoint, sql_cusum_changepoint),
     "seasonal_anomaly": (q_seasonal_anomaly, sql_seasonal_anomaly),
     "attribution": (q_attribution, sql_attribution),
+    "autocorr": (q_autocorr, sql_autocorr),
 }
