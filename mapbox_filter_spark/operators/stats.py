@@ -414,3 +414,39 @@ def chi_square_independence(df: DataFrame, a_col: str,
     return agg.select(
         "n", "n_a", "n_b", dof.alias("dof"),
         F.when(dof > 0, F.col("_chi2")).alias("chi2"))
+
+
+def null_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Column-profiling summary — the data-quality first look (fill
+    rates, cardinalities) a pipeline runs before trusting a new drop:
+    per listed column, exact ``(n, n_null, n_distinct)`` and the
+    fill-rate pinned divide.
+
+    ONE pass: a single global aggregate computes every column's counts
+    map-side-combinably (no per-column scans), then the one-row result
+    unpivots in-row (explode of a literal-keyed struct array) — cost is
+    one scan + one single-row exchange no matter how many columns.
+    n_distinct counts non-null distincts (SQL COUNT DISTINCT
+    semantics, identical in DuckDB).
+
+    Returns ``(col_name, n, n_null, n_distinct, fill_rate)``.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+    one = df.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("col_name"),
+                 (F.col("_n") - F.col(f"_nn_{c}")).alias("n_null"),
+                 F.col(f"_nd_{c}").alias("n_distinct"))
+        for c in cols])
+    return (one.select(F.col("_n").alias("n"),
+                       F.explode(rows).alias("_s"))
+            .select(F.col("_s.col_name").alias("col_name"), "n",
+                    F.col("_s.n_null").alias("n_null"),
+                    F.col("_s.n_distinct").alias("n_distinct"),
+                    F.when(F.col("n") > 0,
+                           (F.col("n") - F.col("_s.n_null"))
+                           .cast("double") / F.col("n").cast("double"))
+                    .alias("fill_rate")))

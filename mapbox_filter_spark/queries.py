@@ -500,6 +500,7 @@ _DRIVER_PRIORITY = [
     "top_orders", "regional_volume", "small_qty_revenue",
     "readability", "span_coalesce", "bottomk_sample",
     "autocorr", "assoc_rules", "pivot_counts",
+    "props_json", "null_profile", "fuzzy_match",
     "tile_assign_tms", "dirty_ancestors", "tile_diff_classes",
     "dedup_ngram_jaccard", "dedup_simhash", "token_quality",
     "doc_fingerprint", "repetition_profile", "pii_scrub",

@@ -782,6 +782,53 @@ SELECT doc_id, n_words, n_sents, n_syll,
 FROM c"""
 
 
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling of the events table (operators/stats.py
+    null_profile): exact per-column fill/cardinality from ONE scan +
+    one single-row exchange, unpivoted in-row."""
+    from .operators.stats import null_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return null_profile(
+        ev, ["event_id", "ts", "user_id", "event_type", "value", "props"])
+
+
+def sql_null_profile() -> str:
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name, COUNT(*) AS n,
+       COUNT(*) - COUNT({c}) AS n_null,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CASE WHEN COUNT(*) > 0
+            THEN CAST(COUNT({c}) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            END AS fill_rate
+FROM events""" for c in cols)
+    return rows
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join over part names (operators/text.py
+    fuzzy_match_blocked): Levenshtein ≤ 1 pairs candidate-generated by
+    first-token blocking — the near-duplicate-name screen; blocking
+    recall documented in the operator."""
+    from .operators.text import fuzzy_match_blocked
+
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .select("p_partkey", "p_name")
+    return fuzzy_match_blocked(parts, "p_partkey", "p_name", max_dist=1)
+
+
+def sql_fuzzy_match() -> str:
+    return """WITH b AS (
+  SELECT p_partkey AS id, p_name AS nm,
+         str_split(lower(p_name), ' ')[1] AS blk
+  FROM part WHERE p_name IS NOT NULL)
+SELECT l.id AS id_a, r.id AS id_b, l.nm AS name_a, r.nm AS name_b,
+       CAST(levenshtein(l.nm, r.nm) AS INTEGER) AS dist
+FROM b l JOIN b r ON l.blk = r.blk AND l.id < r.id
+WHERE levenshtein(l.nm, r.nm) <= 1"""
+
+
 CURATION_QUERIES = {
     "span_dedup": (q_span_dedup, sql_span_dedup),
     "decontaminate": (q_decontaminate, sql_decontaminate),
@@ -801,4 +848,6 @@ CURATION_QUERIES = {
     "chi_square": (q_chi_square, sql_chi_square),
     "rank_percentiles": (q_rank_percentiles, sql_rank_percentiles),
     "readability": (q_readability, sql_readability),
+    "null_profile": (q_null_profile, sql_null_profile),
+    "fuzzy_match": (q_fuzzy_match, sql_fuzzy_match),
 }

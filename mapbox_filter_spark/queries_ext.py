@@ -1977,6 +1977,38 @@ JOIN tot ON tot.l_partkey = li.l_partkey
 WHERE 5 * li.qty * tot.n_part < tot.sum_qty"""
 
 
+def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull the integer ``k`` field out of
+    the JSON ``props`` column (get_json_object — JVM-side JSONPath, no
+    UDF) and aggregate it per event type.  Exact longs; NULL-safe (rows
+    whose props lack k count in n but not n_k)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count("k").alias("n_k"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k"),
+                 F.count_distinct(F.col("k")).alias("n_distinct_k")))
+
+
+def sql_props_json() -> str:
+    return """WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(k) AS n_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM e GROUP BY 1"""
+
+
 _PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -2088,6 +2120,7 @@ EXT_QUERIES = {
     "top_orders": (q_top_orders, sql_top_orders),
     "span_coalesce": (q_span_coalesce, sql_span_coalesce),
     "pivot_counts": (q_pivot_counts, sql_pivot_counts),
+    "props_json": (q_props_json, sql_props_json),
     "regional_volume": (q_regional_volume, sql_regional_volume),
     "small_qty_revenue": (q_small_qty_revenue, sql_small_qty_revenue),
     "media_kind": (q_media_kind, sql_media_kind),

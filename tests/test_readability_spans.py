@@ -90,3 +90,32 @@ def test_bottomk_nested_and_shape_independent(spark):
     s10c = {(r.g, r.id) for r in
             bottomk_sample(df, ["g"], "id", k=10, salt="other").collect()}
     assert s10c != s10
+
+
+def test_null_profile_counts(spark):
+    from mapbox_filter_spark.operators.stats import null_profile
+    rows = [(1, "a", None), (2, "a", 5.0), (None, "b", 5.0),
+            (4, None, None)]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    got = {r.col_name: r for r in
+           null_profile(df, ["id", "s", "v"]).collect()}
+    assert (got["id"].n, got["id"].n_null, got["id"].n_distinct) == \
+        (4, 1, 3)
+    assert (got["s"].n_null, got["s"].n_distinct) == (1, 2)
+    assert (got["v"].n_null, got["v"].n_distinct) == (2, 1)
+    assert got["id"].fill_rate == 3.0 / 4.0
+
+
+def test_fuzzy_match_blocked_pairs(spark):
+    from mapbox_filter_spark.operators.text import fuzzy_match_blocked
+    rows = [(1, "small ring"), (2, "small king"), (3, "small rings"),
+            (4, "red ring"),          # different block: never a pair
+            (5, "small stone")]
+    df = spark.createDataFrame(rows, "id long, nm string")
+    got = {(r.id_a, r.id_b): r.dist for r in
+           fuzzy_match_blocked(df, "id", "nm", max_dist=1).collect()}
+    assert got == {(1, 2): 1, (1, 3): 1}
+    # max_dist=2 also reaches king<->rings (2 edits)
+    got2 = {(r.id_a, r.id_b) for r in
+            fuzzy_match_blocked(df, "id", "nm", max_dist=2).collect()}
+    assert got2 == {(1, 2), (1, 3), (2, 3)}
