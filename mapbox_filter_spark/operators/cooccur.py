@@ -89,8 +89,13 @@ def assoc_rules(df: DataFrame, basket_col: str, item_col: str,
     Returns ``(ant, cons, n_baskets, c_a, c_b, c_ab, conf, lift)`` for
     pairs with c_ab ≥ min_count.
     """
-    b = df.select(F.col(basket_col).alias("bk"),
-                  F.col(item_col).alias("it")).distinct()
+    # NULL basket ids would inflate item supports while dropping out of
+    # n_baskets and the self-join (NULL != NULL) — exclude them, and
+    # NULL items, up front
+    b = (df.filter(F.col(basket_col).isNotNull()
+                   & F.col(item_col).isNotNull())
+         .select(F.col(basket_col).alias("bk"),
+                 F.col(item_col).alias("it")).distinct())
     totals = b.agg(F.count_distinct("bk").alias("n_baskets"))
     items = b.groupBy("it").agg(F.count(F.lit(1)).alias("c"))
     l, r = b.alias("l"), b.alias("r")

@@ -819,9 +819,9 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_fuzzy_match() -> str:
-    return """WITH b AS (
+    return r"""WITH b AS (
   SELECT p_partkey AS id, p_name AS nm,
-         str_split(lower(p_name), ' ')[1] AS blk
+         regexp_split_to_array(lower(p_name), '\s+')[1] AS blk
   FROM part WHERE p_name IS NOT NULL)
 SELECT l.id AS id_a, r.id AS id_b, l.nm AS name_a, r.nm AS name_b,
        CAST(levenshtein(l.nm, r.nm) AS INTEGER) AS dist

@@ -1825,11 +1825,16 @@ _Q5_LO, _Q5_HI = "1997-01-01", "1998-01-01"
 _Q17_BRAND_MOD = 7     # p_partkey % 7 == 0 stands in for the brand filter
 
 
+def _price_c():
+    """Extended price in cents — queries_curation._cents applied to the
+    lineitem column (one spelling of the floor(x+0.5) rule)."""
+    from .queries_curation import _cents
+    return _cents("l_extendedprice")
+
+
 def _rev_u():
-    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)) \
-        .cast("long")
     disc_p = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
-    return price_c * (100 - disc_p)
+    return _price_c() * (100 - disc_p)
 
 
 _SQL_REV_U = ("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
@@ -1943,8 +1948,7 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_partkey",
         F.col("l_quantity").cast("long").alias("qty"),
-        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
-        .alias("price_c"))
+        _price_c().alias("price_c"))
     parts = spark.read.parquet(f"{sf_dir}/part.parquet") \
         .filter(F.pmod(F.col("p_partkey"), F.lit(_Q17_BRAND_MOD)) == 0) \
         .select(F.col("p_partkey").alias("l_partkey"))

@@ -3,8 +3,6 @@ q_regional_volume / q_small_qty_revenue): plan-shape guards (pushdown,
 broadcast, TakeOrdered) and an exact python replay of the Q17
 cross-multiplied threshold."""
 
-from pyspark.sql import functions as F
-
 SF = "/root/testdata/sf0.001"
 
 
@@ -38,8 +36,40 @@ def test_regional_volume_broadcast_dims(spark):
     # nation, region all broadcast — exactly one big-side shuffle join
     assert plan.count("BroadcastHashJoin") >= 4
     assert plan.count("SortMergeJoin") <= 1
-    total = df.agg(F.sum("n_items")).first()[0]
-    assert total is None or total >= 0   # sf0.001 may have no ASIA rows
+
+
+def test_regional_volume_values(spark, tmp_path):
+    from mapbox_filter_spark.queries_ext import q_regional_volume
+
+    def w(name, schema, rows):
+        spark.createDataFrame(rows, schema).write.parquet(
+            str(tmp_path / f"{name}.parquet"))
+
+    w("region", "r_regionkey int, r_name string",
+      [(1, "ASIA"), (2, "EUROPE")])
+    w("nation", "n_nationkey int, n_name string, n_regionkey int",
+      [(10, "JAPAN", 1), (11, "INDIA", 1), (20, "FRANCE", 2)])
+    w("customer", "c_custkey long, c_nationkey int",
+      [(100, 10), (101, 11), (102, 20)])
+    w("supplier", "s_suppkey long, s_nationkey int",
+      [(200, 10), (201, 11), (202, 20)])
+    w("orders", "o_orderkey long, o_custkey long, o_orderdate timestamp",
+      [(1, 100, __import__("datetime").datetime(1997, 6, 1)),   # in
+       (2, 100, __import__("datetime").datetime(1996, 6, 1)),   # out
+       (3, 101, __import__("datetime").datetime(1997, 2, 1)),   # in
+       (4, 102, __import__("datetime").datetime(1997, 6, 1))])  # EUROPE
+    w("lineitem", "l_orderkey long, l_suppkey long, "
+                  "l_extendedprice double, l_discount double",
+      [(1, 200, 100.00, 0.10),   # JAPAN local:  10000 * 90
+       (1, 201, 50.00, 0.00),    # cust JAPAN / supp INDIA: cycle drops
+       (2, 200, 77.00, 0.05),    # order outside the date range
+       (3, 201, 20.00, 0.02),    # INDIA local:  2000 * 98
+       (4, 202, 99.00, 0.00)])   # EUROPE region: filtered
+    got = {r.n_name: r for r in
+           q_regional_volume(spark, str(tmp_path)).collect()}
+    assert set(got) == {"JAPAN", "INDIA"}
+    assert (got["JAPAN"].n_items, got["JAPAN"].revenue_u) == (1, 900000)
+    assert (got["INDIA"].n_items, got["INDIA"].revenue_u) == (1, 196000)
 
 
 def _py_q17(rows, mod):
