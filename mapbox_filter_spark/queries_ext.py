@@ -1981,6 +1981,133 @@ JOIN tot ON tot.l_partkey = li.l_partkey
 WHERE 5 * li.qty * tot.n_part < tot.sum_qty"""
 
 
+_Q4_LO, _Q4_HI = "1996-01-01", "1996-04-01"
+_Q4_LATE_DAYS = 60
+
+
+def q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): per-priority counts of
+    one quarter's orders that have ≥ 1 lineitem shipped ≥ 60 days after
+    the order date — the EXISTS correlated subquery expressed as a
+    LEFT-SEMI join (plan-asserted LeftSemi in tests/test_relational.py),
+    so each qualifying order counts ONCE no matter how many late lines
+    it has.  The semi-join's non-equi residual (shipdate vs orderdate +
+    60d) rides on the orderkey equi-join; only the (filtered) quarter of
+    orders shuffles.  Exact counts."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter((F.col("o_orderdate") >= F.lit(_Q4_LO))
+                & (F.col("o_orderdate") < F.lit(_Q4_HI))) \
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_shipdate")
+    late = (F.col("l_shipdate")
+            >= F.col("o_orderdate")
+            + F.expr(f"INTERVAL {_Q4_LATE_DAYS} DAYS"))
+    sj = o.join(li, (o.o_orderkey == li.l_orderkey) & late, "left_semi")
+    return sj.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"))
+
+
+def sql_late_orders() -> str:
+    return f"""SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{_Q4_LO} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{_Q4_HI} 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate >= o.o_orderdate
+                    + INTERVAL {_Q4_LATE_DAYS} DAY)
+GROUP BY 1"""
+
+
+_Q13_EXCL = "1-URGENT"
+
+
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT join
+    customer ← (orders minus one excluded priority class), count orders
+    per customer INCLUDING the zero-order customers the outer join
+    preserves, then the distribution — how many customers placed
+    exactly k orders.  Two exact groupBys; the second one's input is
+    one row per customer, so the re-shuffle is tiny.  The orders-side
+    filter runs BEFORE the join (pushdown-friendly: only surviving
+    orders shuffle)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter(F.col("o_orderpriority") != _Q13_EXCL) \
+        .select("o_custkey", "o_orderkey")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist"))
+
+
+def sql_custdist() -> str:
+    return f"""WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '{_Q13_EXCL}'
+  GROUP BY 1)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY 1"""
+
+
+_Q22_DORMANT_SINCE = "2000-01-01"
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity): customers whose
+    balance beats the positive-balance average AND who placed no order
+    since the dormancy cutoff — the scalar AVG subquery as an exact
+    cross-multiplied integer test (bal_c · n_pos > sum_pos_c, all cents
+    — no float average exists anywhere), the NOT EXISTS as a LEFT-ANTI
+    join (plan-asserted LeftAnti).  The scalar (n_pos, sum_pos_c) pair
+    is a 1-row broadcast; the orders side is date-filtered BEFORE the
+    anti-join and ships only its custkey column.  Per-nation exact
+    counts + balance cents."""
+    from .queries_curation import _cents
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey", "c_nationkey",
+                _cents("c_acctbal").alias("bal_c"))
+    pos = c.filter(F.col("bal_c") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum("bal_c").alias("sum_pos_c"))
+    rich = (c.crossJoin(F.broadcast(pos))
+            .filter(F.col("bal_c") * F.col("n_pos")
+                    > F.col("sum_pos_c"))
+            .select("c_custkey", "c_nationkey", "bal_c"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter(F.col("o_orderdate") >= F.lit(_Q22_DORMANT_SINCE)) \
+        .select(F.col("o_custkey").alias("c_custkey"))
+    idle = rich.join(o, "c_custkey", "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("bal_c").alias("sum_bal_c"))
+
+
+def sql_idle_customers() -> str:
+    return f"""WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+  FROM customer),
+pos AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+         CAST(SUM(bal_c) AS BIGINT) AS sum_pos_c
+  FROM c WHERE bal_c > 0)
+SELECT c.c_nationkey, COUNT(*) AS n_cust,
+       CAST(SUM(c.bal_c) AS BIGINT) AS sum_bal_c
+FROM c, pos
+WHERE c.bal_c * pos.n_pos > pos.sum_pos_c
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >=
+                        TIMESTAMP '{_Q22_DORMANT_SINCE} 00:00:00')
+GROUP BY 1"""
+
+
 def q_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull the integer ``k`` field out of
     the JSON ``props`` column (get_json_object — JVM-side JSONPath, no
@@ -2127,6 +2254,9 @@ EXT_QUERIES = {
     "props_json": (q_props_json, sql_props_json),
     "regional_volume": (q_regional_volume, sql_regional_volume),
     "small_qty_revenue": (q_small_qty_revenue, sql_small_qty_revenue),
+    "late_orders": (q_late_orders, sql_late_orders),
+    "custdist": (q_custdist, sql_custdist),
+    "idle_customers": (q_idle_customers, sql_idle_customers),
     "media_kind": (q_media_kind, sql_media_kind),
     "tile_set_ops": (q_tile_set_ops, sql_tile_set_ops),
     "manifest_rollup": (q_manifest_rollup, sql_manifest_rollup),

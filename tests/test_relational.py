@@ -106,3 +106,83 @@ def test_small_qty_threshold_replay(spark, tmp_path):
     got = q_small_qty_revenue(spark, str(tmp_path)).collect()[0]
     n, s = _py_q17(rows, _Q17_BRAND_MOD)
     assert (got.n_small, got.sum_cents) == (n, s if n else None)
+
+def test_late_orders_semi_join_plan(spark):
+    from mapbox_filter_spark.queries_ext import q_late_orders
+    df = q_late_orders(spark, SF)
+    plan = _plan(df)
+    # the EXISTS runs as a LEFT-SEMI join (each order counted once) and
+    # the quarter filter reaches the orders parquet scan
+    assert "LeftSemi" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), " \
+           "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_late_orders_values(spark, tmp_path):
+    import datetime as dt
+
+    from mapbox_filter_spark.queries_ext import q_late_orders
+
+    d = dt.datetime
+    spark.createDataFrame(
+        [(1, d(1996, 1, 10), "1-URGENT"),    # two late lines -> counts ONCE
+         (2, d(1996, 2, 10), "1-URGENT"),    # on-time only
+         (3, d(1996, 3, 10), "5-LOW"),       # exactly +60d -> late (>=)
+         (4, d(1995, 6, 1), "5-LOW")],       # outside the quarter
+        "o_orderkey long, o_orderdate timestamp, o_orderpriority string"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, d(1996, 4, 1)), (1, d(1996, 5, 1)),
+         (2, d(1996, 2, 20)),
+         (3, d(1996, 5, 9)),                 # 1996-03-10 + 60d exactly
+         (4, d(1999, 1, 1))],
+        "l_orderkey long, l_shipdate timestamp"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {r.o_orderpriority: r.n_orders
+           for r in q_late_orders(spark, str(tmp_path)).collect()}
+    assert got == {"1-URGENT": 1, "5-LOW": 1}
+
+
+def test_custdist_keeps_zero_order_customers(spark, tmp_path):
+    from mapbox_filter_spark.queries_ext import q_custdist
+
+    spark.createDataFrame([(i,) for i in range(1, 6)], "c_custkey long") \
+        .write.parquet(str(tmp_path / "customer.parquet"))
+    # cust 1: two kept orders; cust 2: one kept + one excluded priority;
+    # cust 3: only an excluded order -> counts as zero; cust 4,5: none
+    spark.createDataFrame(
+        [(10, 1, "5-LOW"), (11, 1, "5-LOW"),
+         (12, 2, "5-LOW"), (13, 2, "1-URGENT"),
+         (14, 3, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderpriority string"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {r.c_count: r.custdist
+           for r in q_custdist(spark, str(tmp_path)).collect()}
+    assert got == {2: 1, 1: 1, 0: 3}
+
+
+def test_idle_customers_anti_join_plan_and_values(spark, tmp_path):
+    from mapbox_filter_spark.queries_ext import q_idle_customers
+
+    plan = _plan(q_idle_customers(spark, SF))
+    assert "LeftAnti" in plan
+
+    # positive balances: 100.00, 200.00, 300.00 -> avg 200.00; "rich"
+    # means strictly above (cross-multiplied: bal_c * 3 > 60000)
+    spark.createDataFrame(
+        [(1, 7, 100.00),    # not rich
+         (2, 7, 250.00),    # rich, recent order -> dropped by anti-join
+         (3, 7, 300.00),    # rich, only a pre-cutoff order -> kept
+         (4, 8, 200.00),    # exactly average -> not rich
+         (5, 8, -50.00)],   # negative: excluded from avg, never rich
+        "c_custkey long, c_nationkey int, c_acctbal double"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    import datetime as dt
+    spark.createDataFrame(
+        [(100, 2, dt.datetime(2001, 1, 1)),
+         (101, 3, dt.datetime(1997, 1, 1))],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    rows = q_idle_customers(spark, str(tmp_path)).collect()
+    assert [(r.c_nationkey, r.n_cust, r.sum_bal_c) for r in rows] \
+        == [(7, 1, 30000)]
