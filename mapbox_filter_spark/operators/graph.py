@@ -404,3 +404,150 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
         / (F.sqrt(d_x.cast("double")) * F.sqrt(d_y.cast("double"))))
     return agg.select("m_ends", s_num.alias("s_num"), d_x.alias("d_x"),
                       d_y.alias("d_y"), r.alias("r"))
+
+
+def label_propagation(nodes: DataFrame, edges: DataFrame,
+                      rounds: int, id_col: str = "id",
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, made
+    deterministic): every node starts with its own id as label; each
+    round it adopts the MODE of its neighbors' previous-round labels,
+    ties broken by the SMALLEST label.  Fixed round count — synchronous
+    LPA need not converge (bipartite graphs oscillate), so the operator
+    is defined as "the labeling after R rounds", which is exactly
+    value-hashable.
+
+    Community detection distinct from connected components: CC merges
+    everything reachable; LPA keeps weakly-linked regions apart because
+    a node follows its local MAJORITY, not any single path.
+
+    Scale shape per round: one equi-join (labels onto the symmetric
+    edge-end list) + one map-side-combinable (node, label) count + one
+    argmax agg — no windows; ``localCheckpoint`` per round cuts the
+    lineage (connected_components discipline).  Isolated nodes never
+    appear in the edge list and keep their own label via the final
+    left join.
+
+    Returns ``(node, label)`` for every node in ``nodes``.
+    """
+    e = _canon(edges, src, dst)
+    sym = _sym(e).localCheckpoint()
+    labels = nodes.select(F.col(id_col).alias("node"),
+                          F.col(id_col).alias("label")).localCheckpoint()
+    for _ in range(rounds):
+        nbr = (sym.join(labels.withColumnRenamed("node", "v"), "v")
+               .groupBy(F.col("u").alias("node"), "label")
+               .agg(F.count(F.lit(1)).alias("c")))
+        # argmax (count, then min label): max over struct(c, -label)
+        new = (nbr.groupBy("node")
+               .agg(F.max(F.struct(F.col("c"),
+                                   (-F.col("label")).alias("neg")))
+                    .alias("m"))
+               .select("node", (-F.col("m.neg")).alias("label")))
+        labels = (labels.select("node")
+                  .join(new, "node", "left")
+                  .join(nodes.select(F.col(id_col).alias("node"),
+                                     F.col(id_col).alias("self_label")),
+                        "node")
+                  .select("node", F.coalesce("label", "self_label")
+                          .alias("label"))
+                  .localCheckpoint())
+    return labels
+
+
+def jaccard_links(edges: DataFrame, min_common: int = 2,
+                  src: str = "src", dst: str = "dst") -> DataFrame:
+    """Common-neighbor / Jaccard link prediction (Liben-Nowell &
+    Kleinberg 2003): score non-adjacent node pairs by the Jaccard
+    similarity of their neighborhoods, |Γ(u) ∩ Γ(v)| / |Γ(u) ∪ Γ(v)| —
+    the classic "people you may know" / co-citation candidate
+    generator.
+
+    Exact path: wedges are generated AT the shared neighbor (one
+    self-join of the symmetric edge-end list with u < v), counted per
+    pair, joined to exact degrees, and EXISTING edges are removed by a
+    left-anti join (prediction = new links only).  The score double is
+    a single n/(da+db−n) bigint division.
+
+    Scale shape: the wedge stage is Σ deg(w)² — the celebrity-hub
+    hazard.  Unlike triangle counting there is no orientation trick
+    that preserves exactness (a hub's wedges ARE candidate pairs), so
+    at fleet scale cap or sample hub wedge centers (the colocation_pairs
+    cap/salt recipe) and document the recall cut; ``min_common`` ≥ 2
+    keeps the OUTPUT bounded either way.  Gate graphs are hashed k=3
+    link graphs (max degree ~2k), where the quadratic term is trivial.
+
+    Returns ``(u, v, n_common, deg_u, deg_v, jaccard)`` with u < v.
+    """
+    e = _canon(edges, src, dst)
+    sym = _sym(e)
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    pairs = (s1.join(s2, (F.col("s1.u") == F.col("s2.u"))
+                     & (F.col("s1.v") < F.col("s2.v")))
+             .groupBy(F.col("s1.v").alias("u"),
+                      F.col("s2.v").alias("v"))
+             .agg(F.count(F.lit(1)).alias("n_common"))
+             .filter(F.col("n_common") >= min_common))
+    # drop pairs already linked (canonical form is (greatest, least) —
+    # compare against both orderings of (u, v))
+    adj = e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    cand = pairs.join(adj, ["u", "v"], "left_anti")
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select("u", F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("u").alias("v"), F.col("deg").alias("deg_v"))
+    j = cand.join(du, "u").join(dv, "v")
+    return j.select(
+        "u", "v", "n_common", "deg_u", "deg_v",
+        (F.col("n_common").cast("double")
+         / (F.col("deg_u") + F.col("deg_v")
+            - F.col("n_common")).cast("double")).alias("jaccard"))
+
+
+def hash_walks(nodes: DataFrame, edges: DataFrame, steps: int,
+               salt: str, id_col: str = "id", src: str = "src",
+               dst: str = "dst") -> DataFrame:
+    """Deterministic graph walks: from every node, ``steps`` hops where
+    each hop moves to the out-neighbor minimizing a 60-bit md5 of
+    (salt, current node, step index, neighbor) — DeepWalk-style walk
+    sampling (Perozzi et al. 2014) made REPRODUCIBLE: the "random"
+    choice is a content hash, so reruns, retries, and both engines of
+    the oracle gate agree bit-for-bit.  Nodes with no out-edge absorb
+    (stay put).
+
+    Directed: walks follow ``src → dst`` as given (callers wanting
+    undirected walks pass the symmetric edge list).
+
+    Scale shape per step: one equi-join (frontier onto edges, key =
+    current node) + one argmin agg + a left join back for absorbing
+    nodes; ``localCheckpoint`` per step.  Hub fan-out is bounded by the
+    out-degree (the join is on the walk's CURRENT node, one row per
+    (walker, out-edge)); at fleet scale pre-cap out-degree per node
+    with the deterministic bottom-k sampler if hubs dominate.
+
+    Returns ``(start, node, n_moves)`` — where each walk ended and how
+    many hops actually moved.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")) \
+        .filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    walks = nodes.select(F.col(id_col).alias("start"),
+                         F.col(id_col).alias("cur"),
+                         F.lit(0).cast("long").alias("n_moves")) \
+        .localCheckpoint()
+    for i in range(steps):
+        h = F.conv(F.substring(F.md5(F.concat_ws(
+            "\x1f", F.lit(salt), F.col("cur").cast("string"),
+            F.lit(str(i)), F.col("dst").cast("string"))), 1, 15),
+            16, 10).cast("long")
+        nxt = (walks.join(e, walks.cur == e.src)
+               .select("start", h.alias("h"), "dst")
+               .groupBy("start")
+               .agg(F.min(F.struct("h", "dst")).alias("m"))
+               .select("start", F.col("m.dst").alias("nxt")))
+        walks = (walks.join(nxt, "start", "left")
+                 .select("start",
+                         F.coalesce("nxt", "cur").alias("cur"),
+                         (F.col("n_moves")
+                          + F.col("nxt").isNotNull().cast("long"))
+                         .alias("n_moves"))
+                 .localCheckpoint())
+    return walks.select("start", F.col("cur").alias("node"), "n_moves")

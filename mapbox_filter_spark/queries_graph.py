@@ -381,6 +381,131 @@ SELECT m_ends,
 FROM m"""
 
 
+_SQL_CANON_SYM = """canon AS MATERIALIZED (
+  SELECT DISTINCT greatest(src, dst) AS cu, least(src, dst) AS cv
+  FROM edges WHERE src <> dst),
+sym AS MATERIALIZED (
+  SELECT cu AS u, cv AS v FROM canon
+  UNION ALL SELECT cv AS u, cu AS v FROM canon)"""
+
+_LPA_ROUNDS = 4
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation over the hashed link
+    graph (operators/graph.py label_propagation, 4 rounds, mode labels
+    with min tiebreak)."""
+    from .operators.graph import label_propagation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    return label_propagation(
+        docs, _link_edges(spark, sf_dir), rounds=_LPA_ROUNDS,
+        id_col="doc_id").select(F.col("node").alias("doc_id"), "label")
+
+
+def sql_label_propagation() -> str:
+    parts = [_sql_link_edges() + ",", _SQL_CANON_SYM + ",",
+             "l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS label"
+             " FROM documents)"]
+    for i in range(1, _LPA_ROUNDS + 1):
+        parts.append(f""",
+c{i} AS MATERIALIZED (
+  SELECT s.u AS node, l.label, COUNT(*) AS c
+  FROM sym s JOIN l{i - 1} l ON l.node = s.v
+  GROUP BY 1, 2),
+s{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM c{i}) WHERE rn = 1),
+l{i} AS MATERIALIZED (
+  SELECT l0.node, COALESCE(s{i}.label, l0.node) AS label
+  FROM l0 LEFT JOIN s{i} ON s{i}.node = l0.node)""")
+    return ("WITH " + "".join(parts)
+            + f"\nSELECT node AS doc_id, label FROM l{_LPA_ROUNDS}")
+
+
+_JL_MIN_COMMON = 2
+
+
+def q_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor/Jaccard link prediction over the hashed link
+    graph (operators/graph.py jaccard_links — existing edges anti-joined
+    away, exact degree Jaccard)."""
+    from .operators.graph import jaccard_links
+
+    return jaccard_links(_link_edges(spark, sf_dir),
+                         min_common=_JL_MIN_COMMON)
+
+
+def sql_jaccard_links() -> str:
+    return f"""WITH {_sql_link_edges()},
+{_SQL_CANON_SYM},
+w AS (
+  SELECT a.v AS u, b.v AS v, COUNT(*) AS n_common
+  FROM sym a JOIN sym b ON a.u = b.u AND a.v < b.v
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_JL_MIN_COMMON}),
+deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY 1)
+SELECT w.u, w.v, w.n_common, du.deg AS deg_u, dv.deg AS deg_v,
+       CAST(w.n_common AS DOUBLE)
+       / CAST(du.deg + dv.deg - w.n_common AS DOUBLE) AS jaccard
+FROM w
+JOIN deg du ON du.u = w.u
+JOIN deg dv ON dv.u = w.v
+WHERE NOT EXISTS (SELECT 1 FROM canon c
+                  WHERE c.cu = w.v AND c.cv = w.u)"""
+
+
+_WALK_STEPS = 4
+_WALK_SALT = "mfs-walk-r5"
+
+
+def q_hash_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-greedy graph walks over the directed hashed
+    link graph (operators/graph.py hash_walks — DeepWalk-style sampling
+    with content-hash choices, 4 hops)."""
+    from .operators.graph import hash_walks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    return hash_walks(docs, _link_edges(spark, sf_dir),
+                      steps=_WALK_STEPS, salt=_WALK_SALT,
+                      id_col="doc_id") \
+        .select(F.col("start").alias("doc_id"), "node", "n_moves")
+
+
+def sql_hash_walks() -> str:
+    parts = [_sql_link_edges() + ",",
+             """de AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+w0 AS MATERIALIZED (
+  SELECT doc_id AS start, doc_id AS cur, CAST(0 AS BIGINT) AS n_moves
+  FROM documents)"""]
+    for i in range(_WALK_STEPS):
+        h = (f"CAST(('0x' || substr(md5(concat_ws(chr(31), "
+             f"'{_WALK_SALT}', CAST(w.cur AS VARCHAR), '{i}', "
+             f"CAST(e.dst AS VARCHAR))), 1, 15)) AS BIGINT)")
+        parts.append(f""",
+c{i} AS MATERIALIZED (
+  SELECT w.start, e.dst, {h} AS h
+  FROM w{i} w JOIN de e ON e.src = w.cur),
+x{i} AS MATERIALIZED (
+  SELECT start, dst FROM (
+    SELECT start, dst,
+           ROW_NUMBER() OVER (PARTITION BY start ORDER BY h, dst) AS rn
+    FROM c{i}) WHERE rn = 1),
+w{i + 1} AS MATERIALIZED (
+  SELECT w.start, COALESCE(x.dst, w.cur) AS cur,
+         w.n_moves + CASE WHEN x.dst IS NULL THEN 0 ELSE 1 END AS n_moves
+  FROM w{i} w LEFT JOIN x{i} x ON x.start = w.start)""")
+    return ("WITH " + "".join(parts)
+            + f"\nSELECT start AS doc_id, cur AS node, n_moves"
+            f" FROM w{_WALK_STEPS}")
+
+
 GRAPH_QUERIES = {
     "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters),
     "dedup_keep_best": (q_dedup_keep_best, sql_dedup_keep_best),
@@ -390,4 +515,7 @@ GRAPH_QUERIES = {
     "triangle_count": (q_triangle_count, sql_triangle_count),
     "k_core": (q_k_core, sql_k_core),
     "assortativity": (q_assortativity, sql_assortativity),
+    "label_propagation": (q_label_propagation, sql_label_propagation),
+    "jaccard_links": (q_jaccard_links, sql_jaccard_links),
+    "hash_walks": (q_hash_walks, sql_hash_walks),
 }
