@@ -18,7 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rfm_scores", "markov_transitions", "trend_slope"]
+__all__ = ["rfm_scores", "markov_transitions", "trend_slope",
+           "ohlc_bars", "skyline_2d", "path_ngrams"]
 
 
 def rfm_scores(orders: DataFrame, cust_col: str, date_col: str,
@@ -127,3 +128,102 @@ def trend_slope(df: DataFrame, group_col: str, x_col: str,
                    s_num.cast("double") / s_den.cast("double"))
     return agg.select(group_col, "n_pts", s_num.alias("s_num"),
                       s_den.alias("s_den"), slope.alias("slope"))
+
+
+def ohlc_bars(events: DataFrame, group_col: str, bucket_col: str,
+              ts_col: str, tiebreak_col: str,
+              cents_col: str) -> DataFrame:
+    """OHLC/VWAP bar resampling — the market-data / telemetry
+    "candlestick" aggregate: per (group, time bucket), the opening and
+    closing values plus high/low/volume/VWAP, all exact cents.
+
+    Open/close ride on ONE groupBy as ``min(struct(ts, tiebreak,
+    cents))`` / ``max(...)`` — (ts, tiebreak) is a TOTAL order, so the
+    lexicographic struct extreme IS the first/last event and the cents
+    field comes along for free.  No window, no second shuffle: this is
+    the map-side-combinable shape that survives 10⁹-row buckets (a
+    windowed row_number would sort every bucket; the struct-extreme
+    fold is O(1) state per bucket per partition).
+
+    VWAP here is the equal-weight mean price sum_c/n (the events table
+    carries no size column); with a quantity column, pass
+    ``cents·qty`` as the cents and aggregate qty alongside.
+
+    Returns ``(group, bucket, open_c, high_c, low_c, close_c, n,
+    sum_c, vwap)``.
+    """
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    first = F.min(F.struct(ts_us.alias("us"),
+                           F.col(tiebreak_col).alias("tb"),
+                           F.col(cents_col).alias("c")))
+    last = F.max(F.struct(ts_us.alias("us"),
+                          F.col(tiebreak_col).alias("tb"),
+                          F.col(cents_col).alias("c")))
+    return (events.groupBy(group_col, bucket_col).agg(
+        first.alias("_f"), last.alias("_l"),
+        F.max(cents_col).alias("high_c"),
+        F.min(cents_col).alias("low_c"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents_col).alias("sum_c"))
+        .select(group_col, bucket_col,
+                F.col("_f.c").alias("open_c"), "high_c", "low_c",
+                F.col("_l.c").alias("close_c"), "n", "sum_c",
+                (F.col("sum_c").cast("double")
+                 / F.col("n").cast("double")).alias("vwap")))
+
+
+def skyline_2d(df: DataFrame, group_col: str, x_col: str,
+               y_col: str) -> DataFrame:
+    """Per-group 2-D skyline (Pareto frontier, minimize both axes —
+    Börzsönyi et al. ICDE'01): rows not strictly dominated by any
+    same-group row (dominated = other.x ≤ x AND other.y ≤ y with at
+    least one strict).  Equal (x, y) duplicates dominate neither and
+    both survive — the standard strict-dominance convention.
+
+    One-pass exact algorithm instead of the quadratic self-join: sorted
+    by x within the group, a row is on the frontier iff (a) no strictly
+    cheaper row has y ≤ its y — a running ``min(y)`` over the RANGE
+    frame ``UNBOUNDED PRECEDING .. 1 PRECEDING`` on x — and (b) it has
+    the minimal y among its exact-x peers.  O(n log n) per group, ONE
+    shuffle (the window's partitionBy); the quadratic NOT-EXISTS form
+    exists only as the independent gate oracle.
+
+    Returns the input columns for surviving rows.
+    """
+    w_prev = (Window.partitionBy(group_col).orderBy(F.col(x_col))
+              .rangeBetween(Window.unboundedPreceding, -1))
+    w_eq = Window.partitionBy(group_col, x_col)
+    out = (df.withColumn("_min_prev", F.min(y_col).over(w_prev))
+           .withColumn("_min_eq", F.min(y_col).over(w_eq))
+           .filter((F.col("_min_prev").isNull()
+                    | (F.col("_min_prev") > F.col(y_col)))
+                   & (F.col(y_col) == F.col("_min_eq"))))
+    return out.drop("_min_prev", "_min_eq")
+
+
+def path_ngrams(events: DataFrame, key_col: str, ts_col: str,
+                state_col: str, tiebreak_col: str,
+                n: int = 3, min_support: int = 1) -> DataFrame:
+    """Frequent event-path n-grams: per-key sequences ordered by the
+    TOTAL (ts, tiebreak) order, sliding windows of ``n`` consecutive
+    states, counted globally and by distinct keys — the sequential-
+    pattern primitive behind funnel discovery and next-action models
+    (the n>2 generalization of markov_transitions' pair counts).
+
+    Scale shape: one shuffle (window partitionBy key) for the LAG
+    chain, then one map-side-combinable groupBy; output is bounded by
+    |S|ⁿ distinct paths, not by input rows.  ``min_support`` (distinct
+    keys) prunes the tail at the aggregate, exact.
+
+    Returns ``(step_1 .. step_n, n_occurrences, n_keys)``.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col), F.col(tiebreak_col))
+    cols = [F.lag(state_col, n - 1 - i).over(w).alias(f"step_{i + 1}")
+            for i in range(n)]
+    seq = events.select(F.col(key_col).alias("_k"), *cols) \
+        .filter(F.col("step_1").isNotNull())
+    return (seq.groupBy(*[f"step_{i + 1}" for i in range(n)])
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.count_distinct(F.col("_k")).alias("n_keys"))
+            .filter(F.col("n_keys") >= min_support))

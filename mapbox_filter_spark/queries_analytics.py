@@ -104,8 +104,109 @@ SELECT event_type, n_pts,
 FROM m"""
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC/VWAP bars per event type (operators/analytics.py
+    ohlc_bars — single-groupBy struct-extreme open/close, exact
+    cents)."""
+    from .operators.analytics import ohlc_bars
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "ts", "event_id",
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit(_TREND_EPOCH).cast("date")).alias("day"),
+        _cents("value").alias("val_c"))
+    return ohlc_bars(ev, "event_type", "day", "ts", "event_id", "val_c")
+
+
+def sql_ohlc_bars() -> str:
+    # independent algorithm: windowed row_number first/last instead of
+    # the engine's struct-extreme fold
+    return f"""WITH e AS (
+  SELECT event_type,
+         date_diff('day', DATE '{_TREND_EPOCH}', CAST(ts AS DATE)) AS day,
+         epoch_us(ts) AS us, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS val_c
+  FROM events),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day
+                            ORDER BY us, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day
+                            ORDER BY us DESC, event_id DESC) AS rn_d
+  FROM e)
+SELECT event_type, day,
+       MAX(CASE WHEN rn_a = 1 THEN val_c END) AS open_c,
+       MAX(val_c) AS high_c, MIN(val_c) AS low_c,
+       MAX(CASE WHEN rn_d = 1 THEN val_c END) AS close_c,
+       COUNT(*) AS n, CAST(SUM(val_c) AS BIGINT) AS sum_c,
+       CAST(SUM(val_c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS vwap
+FROM r GROUP BY 1, 2"""
+
+
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price/size Pareto frontier (operators/analytics.py
+    skyline_2d — one-pass range-frame window; the oracle is the
+    INDEPENDENT quadratic NOT-EXISTS dominance test)."""
+    from .operators.analytics import skyline_2d
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_brand", "p_partkey", "p_size",
+        _cents("p_retailprice").alias("price_c"))
+    return skyline_2d(p, "p_brand", "price_c", "p_size") \
+        .select("p_brand", "p_partkey", "price_c", "p_size")
+
+
+def sql_skyline_parts() -> str:
+    return """WITH p AS (
+  SELECT p_brand, p_partkey, p_size,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM part)
+SELECT p_brand, p_partkey, price_c, p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.p_brand = a.p_brand
+    AND b.price_c <= a.price_c AND b.p_size <= a.p_size
+    AND (b.price_c < a.price_c OR b.p_size < a.p_size))"""
+
+
+_PATH_N = 3
+_PATH_MIN_SUPPORT = 5
+
+
+def q_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-step event paths per user (operators/analytics.py
+    path_ngrams — LAG chain over the (ts, event_id) total order,
+    distinct-user support ≥ 5)."""
+    from .operators.analytics import path_ngrams
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type")
+    return path_ngrams(ev, "user_id", "ts", "event_type", "event_id",
+                       n=_PATH_N, min_support=_PATH_MIN_SUPPORT)
+
+
+def sql_user_paths() -> str:
+    return f"""WITH seq AS (
+  SELECT user_id,
+         LAG(event_type, 2) OVER w AS step_1,
+         LAG(event_type, 1) OVER w AS step_2,
+         event_type AS step_3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT step_1, step_2, step_3,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT user_id) AS n_keys
+FROM seq WHERE step_1 IS NOT NULL
+GROUP BY 1, 2, 3
+HAVING COUNT(DISTINCT user_id) >= {_PATH_MIN_SUPPORT}"""
+
+
 ANALYTICS_QUERIES = {
     "rfm_scores": (q_rfm_scores, sql_rfm_scores),
     "markov_transitions": (q_markov_transitions, sql_markov_transitions),
     "trend_slope": (q_trend_slope, sql_trend_slope),
+    "ohlc_bars": (q_ohlc_bars, sql_ohlc_bars),
+    "skyline_parts": (q_skyline_parts, sql_skyline_parts),
+    "user_paths": (q_user_paths, sql_user_paths),
 }

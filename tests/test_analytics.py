@@ -125,3 +125,84 @@ def test_trend_gate_single_groupby_chain(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ohlc_bars_fixture(spark):
+    from mapbox_filter_spark.operators.analytics import ohlc_bars
+
+    t0 = dt.datetime(2024, 3, 1, 9, 0, 0)
+    rows = [
+        # bucket 1: ids 2,1 share the open timestamp -> tiebreak id=1
+        ("s", 1, t0, 1, 500), ("s", 1, t0, 2, 900),
+        ("s", 1, t0 + dt.timedelta(minutes=5), 3, 100),
+        ("s", 1, t0 + dt.timedelta(minutes=9), 4, 700),
+        # bucket 2: single event
+        ("s", 2, t0 + dt.timedelta(days=1), 5, 42),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, b long, ts timestamp, eid long, c long")
+    got = {r.b: r for r in
+           ohlc_bars(df, "g", "b", "ts", "eid", "c").collect()}
+    b1 = got[1]
+    assert (b1.open_c, b1.close_c, b1.high_c, b1.low_c) == (500, 700, 900, 100)
+    assert (b1.n, b1.sum_c, b1.vwap) == (4, 2200, 550.0)
+    b2 = got[2]
+    assert (b2.open_c, b2.close_c, b2.n) == (42, 42, 1)
+
+
+def test_ohlc_single_groupby_no_window(spark):
+    from mapbox_filter_spark.queries_analytics import q_ohlc_bars
+    df = q_ohlc_bars(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Join" not in plan
+
+
+def _py_skyline(rows):
+    # rows: (group, key, x, y); strict dominance within group
+    out = []
+    for g, k, x, y in rows:
+        dom = any(g2 == g and x2 <= x and y2 <= y and (x2 < x or y2 < y)
+                  for g2, _, x2, y2 in rows)
+        if not dom:
+            out.append((g, k, x, y))
+    return sorted(out)
+
+
+def test_skyline_replay_with_duplicates(spark):
+    from mapbox_filter_spark.operators.analytics import skyline_2d
+
+    random.seed(56)
+    rows = [(f"g{random.randrange(3)}", i, random.randrange(12),
+             random.randrange(12)) for i in range(300)]
+    # force exact-duplicate frontier candidates: both must survive
+    rows += [("g9", 9001, 0, 0), ("g9", 9002, 0, 0), ("g9", 9003, 1, 1)]
+    df = spark.createDataFrame(rows, "g string, k long, x long, y long")
+    got = sorted((r.g, r.k, r.x, r.y) for r in
+                 skyline_2d(df, "g", "x", "y").collect())
+    assert got == _py_skyline(rows)
+    assert ("g9", 9001, 0, 0) in got and ("g9", 9002, 0, 0) in got
+    assert ("g9", 9003, 1, 1) not in got
+
+
+def test_path_ngrams_fixture_and_support(spark):
+    from mapbox_filter_spark.operators.analytics import path_ngrams
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # users 1..3 all do a->b->c->b (paths abc, bcb); user 4 does a->b
+    for u in (1, 2, 3):
+        for i, s in enumerate("abcb"):
+            rows.append((u, t0 + dt.timedelta(minutes=i), eid, s))
+            eid += 1
+    rows.append((4, t0, eid, "a"))
+    rows.append((4, t0 + dt.timedelta(minutes=1), eid + 1, "b"))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string")
+    got = {(r.step_1, r.step_2, r.step_3): (r.n_occurrences, r.n_keys)
+           for r in path_ngrams(df, "user_id", "ts", "event_type",
+                                "event_id", n=3, min_support=2).collect()}
+    assert got == {("a", "b", "c"): (3, 3), ("b", "c", "b"): (3, 3)}
+    # support filter: min_support=4 kills everything
+    assert path_ngrams(df, "user_id", "ts", "event_type", "event_id",
+                       n=3, min_support=4).count() == 0
