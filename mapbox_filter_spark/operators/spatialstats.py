@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["morans_i", "getis_ord_gi"]
+__all__ = ["morans_i", "getis_ord_gi", "local_moran"]
 
 _QUEEN = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
           if not (dx == 0 and dy == 0)]
@@ -158,3 +158,53 @@ def getis_ord_gi(cells: DataFrame, x_col: str, y_col: str,
                  / (n - 1).cast("double")))
     return joined.select("x", "y", F.col("_v").alias("v"), "k", "t_sum",
                          g_num.alias("g_num"), gi.alias("gi"))
+
+
+def local_moran(cells: DataFrame, x_col: str, y_col: str,
+                value_col: str, queen: bool = True) -> DataFrame:
+    """Per-cell local Moran's I (Anselin 1995, "Local Indicators of
+    Spatial Association") — the WHERE of which morans_i is the single
+    global number: each cell gets the sign/strength of its agreement
+    with its neighborhood, classically mapped as the HH/LL/HL/LH
+    cluster quadrants.
+
+    Same exact-integer evaluation as morans_i: over the n-scaled
+    deviations z = n·v − S1 (exact longs), the per-cell statistic is
+    the RAW numerator ``local_num = zᵢ · Σ_{j∈nbr} zⱼ`` — every global
+    normalization (1/m₂, W row-standardization) is a positive constant
+    that preserves ranking and sign, so the exact long IS the LISA map.
+    Int64 bound: 8·(n·v_max)² — ANSI raises loudly past it (rescale
+    value units, the morans_i note).
+
+    Quadrants: HH (z>0, lag>0), LL (z<0, lag<0), HL (z>0, lag<0),
+    LH (z<0, lag>0), ZERO when either side is exactly 0; cells with no
+    neighbors keep NULL lag/local/quad.
+
+    Scale shape: identical to morans_i — one explode(×8) + one
+    equi-join + one groupBy; the per-cell join-back is on the cell key.
+
+    Returns ``(x, y, z_s, n_nbrs, lag_s, local_num, quad)``.
+    """
+    base = cells.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+                        F.col(value_col).cast("long").alias("_v"))
+    zed = F.col("_n") * F.col("_v") - F.col("_s1")
+    zcells = _with_totals(base).select("x", "y", zed.alias("_v"))
+    lag = (_neighbor_pairs(zcells, "x", "y",
+                           _QUEEN if queen else _ROOK)
+           .groupBy("x", "y")
+           .agg(F.count(F.lit(1)).alias("n_nbrs"),
+                F.sum("v_b").alias("lag_s")))
+    j = (zcells.withColumnRenamed("_v", "z_s")
+         .join(lag, ["x", "y"], "left")
+         .select("x", "y", "z_s",
+                 F.coalesce("n_nbrs", F.lit(0).cast("long"))
+                 .alias("n_nbrs"),
+                 "lag_s",
+                 (F.col("z_s") * F.col("lag_s")).alias("local_num")))
+    quad = (F.when(F.col("lag_s").isNull(), F.lit(None).cast("string"))
+            .when((F.col("z_s") == 0) | (F.col("lag_s") == 0), "ZERO")
+            .when((F.col("z_s") > 0) & (F.col("lag_s") > 0), "HH")
+            .when((F.col("z_s") < 0) & (F.col("lag_s") < 0), "LL")
+            .when(F.col("z_s") > 0, "HL")
+            .otherwise("LH"))
+    return j.withColumn("quad", quad)

@@ -281,3 +281,54 @@ def colocation_pairs(df: DataFrame, cell: int, bucket_s: int,
     return (pair.groupBy("user_a", "user_b")
             .agg(F.count(F.lit(1)).alias("n_meet"))
             .filter(F.col("n_meet") >= min_meetings))
+
+
+def hausdorff_pairs(pts: DataFrame, entity_col: str, block_col: str,
+                    idx_col: str, x_col: str,
+                    y_col: str) -> DataFrame:
+    """Exact symmetric Hausdorff distance (squared) between every pair
+    of entity trajectories sharing a blocking key — the
+    trajectory-similarity join (map-matching QA, convoy/companion
+    detection, near-duplicate track dedup).
+
+    H²(A,B) = max(h²(A,B), h²(B,A)) with the directed
+    h²(A,B) = max_{a∈A} min_{b∈B} d²(a,b); d² stays an exact long on
+    integer coordinates (the knn_join/geofence recipe — no sqrt
+    anywhere), so the gate value-hashes.
+
+    Scale shape: ONE equi-join on the blocking key produces every
+    cross-trajectory point pair (localCheckpoint-ed once, then both
+    directed reductions read it); cost is Σ_block (Σ|T|)² — quadratic
+    in the BLOCK, so the blocking key (spatial cell, time bucket, or
+    hash shard) is the knob, exactly like fuzzy_match/setsim; cap
+    points-per-entity upstream with the deterministic bottom-k sampler.
+    Plain min/max groupBys thereafter — map-side-combinable, no
+    windows.
+
+    Returns ``(u, v, h2_ab, h2_ba, h2)`` per co-blocked pair (u < v).
+    """
+    a = pts.select(F.col(block_col).alias("blk"),
+                   F.col(entity_col).alias("u"),
+                   F.col(idx_col).alias("ai"),
+                   F.col(x_col).cast("long").alias("ax"),
+                   F.col(y_col).cast("long").alias("ay"))
+    b = pts.select(F.col(block_col).alias("blk"),
+                   F.col(entity_col).alias("v"),
+                   F.col(idx_col).alias("bi"),
+                   F.col(x_col).cast("long").alias("bx"),
+                   F.col(y_col).cast("long").alias("by"))
+    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    crossed = (a.join(b, "blk")
+               .filter(F.col("u") < F.col("v"))
+               .select("u", "v", "ai", "bi", d2.alias("d2"))
+               .localCheckpoint())
+    h_ab = (crossed.groupBy("u", "v", "ai")
+            .agg(F.min("d2").alias("m"))
+            .groupBy("u", "v").agg(F.max("m").alias("h2_ab")))
+    h_ba = (crossed.groupBy("u", "v", "bi")
+            .agg(F.min("d2").alias("m"))
+            .groupBy("u", "v").agg(F.max("m").alias("h2_ba")))
+    return (h_ab.join(h_ba, ["u", "v"])
+            .select("u", "v", "h2_ab", "h2_ba",
+                    F.greatest("h2_ab", "h2_ba").alias("h2")))

@@ -2045,6 +2045,135 @@ SELECT user_id, cx, cy, enter_us, exit_us, n_pings,
 FROM a WHERE exit_us - enter_us >= {_STAY_DWELL_US}"""
 
 
+_BBOX = (-60.0, -20.0, -45.0, -25.0)  # lon_lo, lon_hi, lat_lo, lat_hi
+_BBOX_ZOOM = 6
+# cover <= 9x6 = 54 cells < 64 buckets: strict bucket pruning is
+# GUARANTEED by pigeonhole (54 distinct cells select at most 54 buckets)
+_BBOX_BUCKETS = 64
+
+
+def q_bbox_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viewport (bbox) query through the PRODUCTION bucketed corpus
+    (operators/viewport.py): cell-cover IN-probe → bucket pruning
+    (SelectedBucketsCount plan-asserted in tests/test_viewport.py) →
+    exact lon/lat residual.  The oracle is the brute full-scan
+    filter."""
+    import os
+    import tempfile
+
+    from .operators.viewport import bbox_query, write_viewport_corpus
+    from .sources.features import _source_fingerprint, \
+        features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir) \
+        .select("feature_id", "lon", "lat")
+    tag = _source_fingerprint(sf_dir)
+    table = f"viewport_corpus_{tag}"
+    path = os.path.join(tempfile.gettempdir(), f"mfs_viewport_{tag}")
+    # overwrite-write per call: idempotent / stale-catalog-safe (the
+    # knn_ring recipe); fleet-scale corpora are written once out-of-band
+    write_viewport_corpus(feats, table, path, zoom=_BBOX_ZOOM,
+                          n_buckets=_BBOX_BUCKETS)
+    lon_lo, lon_hi, lat_lo, lat_hi = _BBOX
+    return bbox_query(spark, table, lon_lo, lon_hi, lat_lo, lat_hi,
+                      zoom=_BBOX_ZOOM)
+
+
+def sql_bbox_query() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    lon_lo, lon_hi, lat_lo, lat_hi = _BBOX
+    return f"""WITH {FEATURES_ORACLE_SQL}
+SELECT feature_id, lon, lat
+FROM features
+WHERE lon >= {lon_lo!r} AND lon <= {lon_hi!r}
+  AND lat >= {lat_lo!r} AND lat <= {lat_hi!r}"""
+
+
+def q_local_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell LISA quadrants of feature density on the 5-degree grid
+    (operators/spatialstats.py local_moran): exact long z·lag numerators
+    + HH/LL/HL/LH classes — the map of which morans_i is the single
+    number."""
+    from .operators.spatialstats import local_moran
+
+    return local_moran(_esda_cells(spark, sf_dir), "cx", "cy", "n_feat")
+
+
+def sql_local_moran() -> str:
+    return f"""WITH {_sql_esda_cells()},
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s1 FROM cells),
+z AS (SELECT cx, cy, n * v - s1 AS z FROM cells, tot),
+{_SQL_ESDA_OFFS},
+lg AS (
+  SELECT a.cx, a.cy, CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+         CAST(SUM(b.z) AS BIGINT) AS lag_s
+  FROM z a CROSS JOIN offs o
+  JOIN z b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  GROUP BY 1, 2)
+SELECT z.cx AS x, z.cy AS y, z.z AS z_s,
+       COALESCE(lg.n_nbrs, 0) AS n_nbrs, lg.lag_s,
+       z.z * lg.lag_s AS local_num,
+       CASE WHEN lg.lag_s IS NULL THEN NULL
+            WHEN z.z = 0 OR lg.lag_s = 0 THEN 'ZERO'
+            WHEN z.z > 0 AND lg.lag_s > 0 THEN 'HH'
+            WHEN z.z < 0 AND lg.lag_s < 0 THEN 'LL'
+            WHEN z.z > 0 THEN 'HL' ELSE 'LH' END AS quad
+FROM z LEFT JOIN lg ON lg.cx = z.cx AND lg.cy = z.cy"""
+
+
+_HD_BLOCKS = 25      # entity blocking: user_id % 25
+_HD_MAX_PTS = 24     # deterministic per-entity point cap
+
+
+def q_hausdorff_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric squared Hausdorff distance between co-blocked user
+    trajectories (operators/trajectory.py hausdorff_pairs): integer
+    milli-degree coordinates (the features formula), per-user point cap
+    via the deterministic (ts, event_id) bottom-k, hash blocking —
+    exact longs end to end."""
+    from pyspark.sql import Window
+
+    from .operators.trajectory import hausdorff_pairs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = (ev.select("user_id", "ts", "event_id")
+           .withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") <= _HD_MAX_PTS)
+           .select(F.pmod(F.col("user_id"), F.lit(_HD_BLOCKS))
+                   .alias("blk"),
+                   F.col("user_id").alias("ent"),
+                   F.col("event_id").alias("idx"),
+                   ((F.col("event_id") * 7919) % 360000).alias("x"),
+                   ((F.col("event_id") * 104729) % 170000).alias("y")))
+    return hausdorff_pairs(pts, "ent", "blk", "idx", "x", "y")
+
+
+def sql_hausdorff_pairs() -> str:
+    return f"""WITH pts AS (
+  SELECT user_id % {_HD_BLOCKS} AS blk, user_id AS ent, event_id AS idx,
+         (event_id * 7919) % 360000 AS x,
+         (event_id * 104729) % 170000 AS y
+  FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) <= {_HD_MAX_PTS}),
+c AS (
+  SELECT a.ent AS u, b.ent AS v, a.idx AS ai, b.idx AS bi,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM pts a JOIN pts b ON a.blk = b.blk AND a.ent < b.ent),
+ha AS (SELECT u, v, CAST(MAX(m) AS BIGINT) AS h2_ab FROM
+       (SELECT u, v, ai, MIN(d2) AS m FROM c GROUP BY 1, 2, 3)
+       GROUP BY 1, 2),
+hb AS (SELECT u, v, CAST(MAX(m) AS BIGINT) AS h2_ba FROM
+       (SELECT u, v, bi, MIN(d2) AS m FROM c GROUP BY 1, 2, 3)
+       GROUP BY 1, 2)
+SELECT ha.u, ha.v, ha.h2_ab, hb.h2_ba,
+       GREATEST(ha.h2_ab, hb.h2_ba) AS h2
+FROM ha JOIN hb ON ha.u = hb.u AND ha.v = hb.v"""
+
+
 GEOM_QUERIES = {
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "zonal_stats": (q_zonal_stats, sql_zonal_stats),
@@ -2082,4 +2211,7 @@ GEOM_QUERIES = {
     "morans_i": (q_morans_i, sql_morans_i),
     "getis_ord": (q_getis_ord, sql_getis_ord),
     "stay_points": (q_stay_points, sql_stay_points),
+    "bbox_query": (q_bbox_query, sql_bbox_query),
+    "local_moran": (q_local_moran, sql_local_moran),
+    "hausdorff_pairs": (q_hausdorff_pairs, sql_hausdorff_pairs),
 }
