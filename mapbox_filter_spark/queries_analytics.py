@@ -202,6 +202,133 @@ GROUP BY 1, 2, 3
 HAVING COUNT(DISTINCT user_id) >= {_PATH_MIN_SUPPORT}"""
 
 
+_DELTA_A = ("1999-01-01", "2000-01-01")
+_DELTA_B = ("2000-01-01", "2001-01-01")
+
+
+def q_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff via FULL OUTER join: per-customer revenue cents in
+    two adjacent yearly windows, joined full-outer so NEW customers
+    (no old row) and CHURNED customers (no new row) both survive, then
+    classified.  The full-outer shape is the missing fourth corner of
+    the engine's join surface (inner/semi/anti/left are gated
+    elsewhere); plan-asserted FullOuter in tests/test_analytics.py.
+    Exact cents; the two window aggregates shuffle once each on the
+    customer key and the join reuses that partitioning."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderdate", _cents("o_totalprice").alias("c"))
+
+    def win(lo, hi, out):
+        return (o.filter((F.col("o_orderdate") >= F.lit(lo))
+                         & (F.col("o_orderdate") < F.lit(hi)))
+                .groupBy("o_custkey")
+                .agg(F.sum("c").alias(out)))
+
+    a = win(*_DELTA_A, "rev_a_c")
+    b = win(*_DELTA_B, "rev_b_c")
+    j = a.join(b, "o_custkey", "full_outer")
+    delta = (F.coalesce("rev_b_c", F.lit(0))
+             - F.coalesce("rev_a_c", F.lit(0)))
+    cls = (F.when(F.col("rev_a_c").isNull(), "new")
+           .when(F.col("rev_b_c").isNull(), "churned")
+           .when(delta > 0, "up")
+           .when(delta < 0, "down")
+           .otherwise("flat"))
+    return j.select("o_custkey", "rev_a_c", "rev_b_c",
+                    delta.alias("delta_c"), cls.alias("cls"))
+
+
+def sql_revenue_delta() -> str:
+    def win(lo, hi):
+        return f"""(
+  SELECT o_custkey,
+         CAST(SUM({_SQL_TOTAL_C}) AS BIGINT) AS rev
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{lo} 00:00:00'
+    AND o_orderdate < TIMESTAMP '{hi} 00:00:00'
+  GROUP BY 1)"""
+    return f"""WITH a AS {win(*_DELTA_A)}, b AS {win(*_DELTA_B)}
+SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+       a.rev AS rev_a_c, b.rev AS rev_b_c,
+       COALESCE(b.rev, 0) - COALESCE(a.rev, 0) AS delta_c,
+       CASE WHEN a.rev IS NULL THEN 'new'
+            WHEN b.rev IS NULL THEN 'churned'
+            WHEN b.rev > a.rev THEN 'up'
+            WHEN b.rev < a.rev THEN 'down'
+            ELSE 'flat' END AS cls
+FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey"""
+
+
+def q_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id — the OLAP report shape
+    between the gated ROLLUP (manifest_rollup) and CUBE (st_cube):
+    exactly the four aggregation levels the report needs, one shuffle,
+    no superfluous cube corners.  Exact counts/cents."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .createOrReplaceTempView("_gs_orders")
+    return spark.sql(f"""
+SELECT o_orderpriority, o_orderstatus,
+       grouping_id(o_orderpriority, o_orderstatus) AS gid,
+       COUNT(*) AS n,
+       SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS sum_c
+FROM _gs_orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                        (o_orderpriority, o_orderstatus), ())""")
+
+
+def sql_grouping_sets_report() -> str:
+    return f"""SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority, o_orderstatus) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM({_SQL_TOTAL_C}) AS BIGINT) AS sum_c
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                        (o_orderpriority, o_orderstatus), ())"""
+
+
+_DECAY_SHIFT_CAP = 62
+
+
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed engagement scoring, EXACT: each event's cents
+    halve per whole day of age (arithmetic shift ``cents >> days``, cap
+    62), so the recency-weighted score is pure integer arithmetic — no
+    pow()/exp() float chain (pow is not cross-engine bit-stable; the
+    shift IS the half-life, documented granularity = 1 day).  Anchor =
+    the data's max event date (deterministic).  One groupBy; the anchor
+    is a 1-row broadcast."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.col("ts").cast("date").alias("d"),
+        _cents("value").alias("c"))
+    anchor = ev.agg(F.max("d").alias("_anchor"))
+    days = F.least(F.datediff(F.col("_anchor"), F.col("d")),
+                   F.lit(_DECAY_SHIFT_CAP))
+    # python shiftright() only takes a literal bit count — the SQL form
+    # shifts by a per-row column
+    return (ev.crossJoin(F.broadcast(anchor))
+            .select("user_id", "c", days.cast("int").alias("dd"))
+            .select("user_id", "c",
+                    F.expr("shiftright(c, dd)").alias("dec"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("c").alias("raw_c"),
+                 F.sum("dec").alias("decayed_c")))
+
+
+def sql_decayed_engagement() -> str:
+    return f"""WITH e AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events),
+anchor AS (SELECT MAX(d) AS a FROM e)
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(c) AS BIGINT) AS raw_c,
+       CAST(SUM(c >> LEAST(date_diff('day', d, a),
+                           {_DECAY_SHIFT_CAP})) AS BIGINT) AS decayed_c
+FROM e, anchor
+GROUP BY 1"""
+
+
 ANALYTICS_QUERIES = {
     "rfm_scores": (q_rfm_scores, sql_rfm_scores),
     "markov_transitions": (q_markov_transitions, sql_markov_transitions),
@@ -209,4 +336,8 @@ ANALYTICS_QUERIES = {
     "ohlc_bars": (q_ohlc_bars, sql_ohlc_bars),
     "skyline_parts": (q_skyline_parts, sql_skyline_parts),
     "user_paths": (q_user_paths, sql_user_paths),
+    "revenue_delta": (q_revenue_delta, sql_revenue_delta),
+    "grouping_sets_report": (q_grouping_sets_report,
+                             sql_grouping_sets_report),
+    "decayed_engagement": (q_decayed_engagement, sql_decayed_engagement),
 }

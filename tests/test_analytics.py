@@ -206,3 +206,102 @@ def test_path_ngrams_fixture_and_support(spark):
     # support filter: min_support=4 kills everything
     assert path_ngrams(df, "user_id", "ts", "event_type", "event_id",
                        n=3, min_support=4).count() == 0
+
+
+def test_revenue_delta_full_outer_and_classes(spark, tmp_path):
+    from mapbox_filter_spark.queries_analytics import q_revenue_delta
+
+    plan = q_revenue_delta(spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" in plan
+
+    # hand fixture: cust 1 up, 2 down, 3 flat, 4 churned, 5 new
+    rows = [
+        (1, dt.datetime(1999, 6, 1), 10.00), (1, dt.datetime(2000, 6, 1), 20.00),
+        (2, dt.datetime(1999, 6, 1), 30.00), (2, dt.datetime(2000, 6, 1), 10.00),
+        (3, dt.datetime(1999, 6, 1), 15.00), (3, dt.datetime(2000, 6, 1), 15.00),
+        (4, dt.datetime(1999, 6, 1), 99.00),
+        (5, dt.datetime(2000, 6, 1), 77.00),
+        (6, dt.datetime(1990, 1, 1), 1.00),  # outside both windows
+    ]
+    spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = {r.o_custkey: (r.rev_a_c, r.rev_b_c, r.delta_c, r.cls)
+           for r in q_revenue_delta(spark, str(tmp_path)).collect()}
+    assert got == {
+        1: (1000, 2000, 1000, "up"),
+        2: (3000, 1000, -2000, "down"),
+        3: (1500, 1500, 0, "flat"),
+        4: (9900, None, -9900, "churned"),
+        5: (None, 7700, 7700, "new"),
+    }
+
+
+def test_grouping_sets_levels(spark):
+    from mapbox_filter_spark.queries_analytics import q_grouping_sets_report
+
+    rows = q_grouping_sets_report(spark, "/root/testdata/sf0.001").collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r.gid, []).append(r)
+    # gid bitmask: 0 = (prio,status), 1 = (prio), 2 = (status), 3 = ()
+    assert set(by_gid) == {0, 1, 2, 3}
+    assert len(by_gid[3]) == 1
+    total = by_gid[3][0]
+    assert total.o_orderpriority is None and total.o_orderstatus is None
+    # every level re-aggregates to the same grand totals
+    for gid in (0, 1, 2):
+        assert sum(r.n for r in by_gid[gid]) == total.n
+        assert sum(r.sum_c for r in by_gid[gid]) == total.sum_c
+
+
+def test_decayed_engagement_exact_shift(spark, tmp_path):
+    from mapbox_filter_spark.queries_analytics import q_decayed_engagement
+
+    t = dt.datetime(2024, 1, 10, 12, 0)
+    rows = [
+        (1, t, 10.00),                      # age 0: 1000 >> 0 = 1000
+        (1, t - dt.timedelta(days=1), 10.01),   # 1001 >> 1 = 500
+        (1, t - dt.timedelta(days=3), 0.07),    # 7 >> 3 = 0
+        (2, t - dt.timedelta(days=2), 4.00),    # 400 >> 2 = 100
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.user_id: (r.n, r.raw_c, r.decayed_c) for r in
+           q_decayed_engagement(spark, str(tmp_path)).collect()}
+    assert got == {1: (3, 2008, 1500), 2: (1, 400, 100)}
+
+
+def test_selective_join_gets_runtime_bloom_filter(spark):
+    """Scale evidence: with the runtime bloom-filter optimizer enabled
+    (and thresholds met), a selective dim filter is pushed to the fact
+    side as a might_contain() pre-filter BEFORE the shuffle join — the
+    mechanism that keeps a 100 TB fact scan from shuffling rows the
+    dim side will drop anyway."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet") \
+            .filter("o_orderpriority = '1-URGENT'")
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
