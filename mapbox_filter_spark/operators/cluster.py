@@ -447,3 +447,63 @@ def kmeans_integer(df: DataFrame, x_col: str, y_col: str, *,
     return (cdf.join(final, cdf["cent_id"] == final["_cid"], "left")
             .select("cent_id", "cx", "cy",
                     F.coalesce("n_members", F.lit(0)).alias("n_members")))
+
+
+def region_dissolve(pts: DataFrame, cell: int, min_pts: int,
+                    x_col: str = "x", y_col: str = "y",
+                    pack: int = 1 << 20) -> DataFrame:
+    """Dissolve hot grid cells into contiguous REGIONS — the raster
+    analog of polygon dissolve: cells holding ≥ ``min_pts`` points are
+    kept, 8-neighborhood (queen) adjacency connects them, and each
+    connected blob becomes one region row.
+
+    Pipeline: one groupBy(cell) occupancy count → explode(×8) +
+    equi-join for adjacency (the morans_i contiguity shape — never a
+    spatial theta join) → ``connected_components`` (large-star/small-
+    star, giant-region-safe) over the hot-cell graph → one groupBy per
+    region.  Isolated hot cells are unioned back as 1-cell regions.
+
+    Cell ids pack as ``cx * pack + cy``; caller guarantees
+    ``0 ≤ cy < pack`` (raise-checked in-plan).  Returns
+    ``(region, n_cells, n_pts, min_cx, min_cy, max_cx, max_cy)`` with
+    ``region`` = the minimum packed cell id of the blob.
+    """
+    if min_pts < 1 or cell <= 0:
+        raise ValueError("need min_pts >= 1 and cell > 0")
+    cx = _floor_div(F.col(x_col).cast("long"), cell)
+    cy = _floor_div(F.col(y_col).cast("long"), cell)
+    occ = (pts.select(cx.alias("cx"), cy.alias("cy"))
+           .groupBy("cx", "cy")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .filter(F.col("n") >= min_pts))
+    bad = (F.col("cy") < 0) | (F.col("cy") >= pack)
+    occ = occ.withColumn(
+        "id",
+        F.when(bad, F.raise_error(F.concat(
+            F.lit(f"region_dissolve: cy out of [0, {pack}): "),
+            F.col("cy").cast("string"))).cast("long"))
+        .otherwise(F.col("cx") * pack + F.col("cy"))).localCheckpoint()
+
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)]
+    nbr = F.explode(F.array(*[
+        F.struct((F.col("cx") + dx).alias("nx"),
+                 (F.col("cy") + dy).alias("ny"))
+        for dx, dy in offs])).alias("o")
+    probes = occ.select("id", nbr).select(
+        "id", F.col("o.nx").alias("cx"), F.col("o.ny").alias("cy"))
+    edges = (probes.join(occ.select("cx", "cy",
+                                    F.col("id").alias("dst")),
+                         ["cx", "cy"])
+             .select(F.col("id").alias("src"), "dst")
+             .filter(F.col("src") < F.col("dst")))
+
+    comp = connected_components(edges)
+    lab = (occ.join(comp, occ["id"] == comp["node"], "left")
+           .select("cx", "cy", "n",
+                   F.coalesce("component", "id").alias("region")))
+    return (lab.groupBy("region")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("n").alias("n_pts"),
+                 F.min("cx").alias("min_cx"), F.min("cy").alias("min_cy"),
+                 F.max("cx").alias("max_cx"), F.max("cy").alias("max_cy")))

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "dedup_clusters", "pagerank_exact",
-           "shortest_paths", "triangle_counts"]
+           "shortest_paths", "triangle_counts", "hits_exact"]
 
 
 def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -551,3 +551,77 @@ def hash_walks(nodes: DataFrame, edges: DataFrame, steps: int,
                          .alias("n_moves"))
                  .localCheckpoint())
     return walks.select("start", F.col("cur").alias("node"), "n_moves")
+
+
+def hits_exact(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    scale: int = 10**9,
+) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg JACM'99) in EXACT fixed-point
+    integer arithmetic — the same determinism contract as
+    ``pagerank_exact``: scores are integers in units of ``1/scale`` of
+    the L1-normalized mass, every step is integer (fixed op order,
+    ``div`` truncation), so results are bit-identical on any
+    partitioning / cluster shape, and the oracle can unroll the
+    iterations as chained SQL CTEs.
+
+    Per round: auth(v) = Σ_{(u,v)∈E} hub(u) re-normalized to L1 mass
+    ``scale`` by one integer division; then hub(u) = Σ_{(u,v)∈E} auth(v)
+    normalized the same way.  (Classical HITS normalizes by the L2 norm
+    — irrational, so inherently inexact; L1 keeps the SAME ranking and
+    eigenvector direction at the fixpoint and admits exact arithmetic.)
+
+    Overflow bound: after normalization Σscore = scale, so a raw sum is
+    ≤ outdeg_max·scale and the re-scaling product is ≤ outdeg_max·scale².
+    The default scale 10⁹ is safe for outdeg_max ≤ 9 × 10⁹ edges of
+    mass — validated at runtime against the actual max degree.
+
+    Plan shape per round: two (join + groupBy-sum) passes over the edge
+    list plus one broadcast of the 1-row total — no driver collect in
+    the loop; ``localCheckpoint`` per round keeps the plan flat.  At
+    100 TB the joins shuffle on node id and AQE splits skewed hubs.
+    """
+    if iters < 1 or scale < 10**3:
+        raise ValueError("need iters >= 1 and scale >= 1000")
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("empty node set")
+    deg_max = edges.groupBy(src).agg(F.count(F.lit(1)).alias("d")) \
+        .agg(F.max("d")).first()[0]
+    if deg_max is None:
+        raise ValueError("empty edge set")
+    if deg_max * scale * scale >= (1 << 63):
+        raise ValueError(
+            f"outdeg_max {deg_max} * scale² {scale}² overflows int64; "
+            "lower scale")
+
+    e = edges.select(src, dst).localCheckpoint()
+    base = nodes.select(F.col(node_col).alias("node"))
+    hub = base.withColumn("hub", F.lit(scale // n).cast("long")) \
+        .localCheckpoint()
+
+    def _norm(raw: DataFrame, col: str) -> DataFrame:
+        tot = raw.agg(F.sum(col).alias("_t"))
+        return (base.join(raw, "node", "left")
+                .crossJoin(F.broadcast(tot))
+                .select("node",
+                        F.expr(f"({scale} * coalesce({col}, 0L)) div _t")
+                        .cast("long").alias(col)))
+
+    auth = None
+    for _ in range(iters):
+        raw_a = (e.join(hub, e[src] == hub["node"])
+                 .select(F.col(dst).alias("node"), "hub")
+                 .groupBy("node").agg(F.sum("hub").alias("auth")))
+        auth = _norm(raw_a, "auth").localCheckpoint()
+        raw_h = (e.join(auth, e[dst] == auth["node"])
+                 .select(F.col(src).alias("node"), "auth")
+                 .groupBy("node").agg(F.sum("auth").alias("hub")))
+        hub = _norm(raw_h, "hub").localCheckpoint()
+    return hub.join(auth, "node")

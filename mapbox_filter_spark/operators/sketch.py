@@ -197,3 +197,66 @@ def kmv_estimate(rows: DataFrame, group_cols, k: int) -> DataFrame:
            .otherwise(F.lit(float(k - 1)) * F.lit(float(SCALE_U60))
                       / F.col("h_k").cast("double")))
     return agg.withColumn("est", est)
+
+
+def hll_registers(df: DataFrame, group_cols, key_cols, *, b: int = 8,
+                  salt: str) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al., AofA'07) over the
+    repo's deterministic 60-bit md5 coordinate — so unlike library HLLs
+    (whose hash/registers are engine-private), the ENTIRE sketch is
+    value-hash comparable across engines: bucket = low ``b`` bits,
+    rho = leading-zero rank of the remaining ``60−b`` bits, register =
+    MAX(rho) per (group, bucket).
+
+    One groupBy — mergeable by construction (MAX re-aggregates), the
+    property that lets 100 TB partial sketches combine without rescans.
+    """
+    if not 4 <= b <= 16:
+        raise ValueError(f"b out of range [4,16]: {b}")
+    from .splits import hash_u60
+
+    m = 1 << b
+    width = 60 - b                      # bits of w; rho in [1, width+1]
+    h = hash_u60(list(key_cols), salt)
+    df2 = df.select(*group_cols, h.alias("_h"))
+    df2 = df2.select(
+        *group_cols,
+        F.pmod(F.col("_h"), F.lit(m)).alias("bucket"),
+        F.expr(f"_h div {m}").alias("_w"))
+    rho = F.when(F.col("_w") == 0, F.lit(width + 1)).otherwise(
+        F.lit(width + 1) - F.length(F.bin(F.col("_w"))))
+    return (df2.select(*group_cols, "bucket", rho.alias("_rho"))
+            .groupBy(*group_cols, "bucket")
+            .agg(F.max("_rho").alias("reg")))
+
+
+def hll_estimate(regs: DataFrame, group_cols, *, b: int = 8) -> DataFrame:
+    """Cardinality estimate from an ``hll_registers`` table, exactness
+    contract: the harmonic denominator is computed as the EXACT integer
+    ``S = Σ 2^(K−reg) + (m − n_used)·2^K`` (K = max rho; empty buckets
+    contribute 2^K), then exactly ONE double division forms the raw
+    estimate and the standard small-range linear-counting branch
+    (``est ≤ 2.5m`` with empty buckets → ``m·ln(m/V)``) is mirrored in
+    the oracle — both engines agree bit-for-bit (ln matches across
+    engines on identical doubles; see spark-duckdb-parity notes).
+    """
+    m = 1 << b
+    K = 60 - b + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(2 ** K)
+    g = list(group_cols)
+    agg = (regs.groupBy(*g)
+           .agg(F.count(F.lit(1)).alias("m_used"),
+                F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {K} - reg)"))
+                .alias("_s_used")))
+    v = (F.lit(m) - F.col("m_used")).alias("v_zero")
+    s = (F.col("_s_used")
+         + (F.lit(m) - F.col("m_used")) * F.lit(2 ** K)).alias("s_scaled")
+    out = agg.select(*g, "m_used", v, s)
+    raw = F.lit(num) / F.col("s_scaled").cast("double")
+    est = F.when((raw <= F.lit(2.5 * m)) & (F.col("v_zero") > 0),
+                 F.lit(float(m))
+                 * F.log(F.lit(float(m)) / F.col("v_zero").cast("double"))
+                 ).otherwise(raw)
+    return out.select(*g, "m_used", "v_zero", "s_scaled",
+                      est.alias("est_hll"))

@@ -332,3 +332,44 @@ def hausdorff_pairs(pts: DataFrame, entity_col: str, block_col: str,
     return (h_ab.join(h_ba, ["u", "v"])
             .select("u", "v", "h2_ab", "h2_ba",
                     F.greatest("h2_ab", "h2_ba").alias("h2")))
+
+
+def heading_octants(df: DataFrame, entity_col: str = "user_id",
+                    order_cols: "tuple[str, ...]" = ("ts", "event_id"),
+                    x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Heading distribution: classify every consecutive step into one of
+    the 8 compass octants by EXACT integer comparisons (sign of dx/dy
+    and |dx| vs |dy| — no atan2, whose cross-engine bit-stability is
+    not guaranteed), and aggregate per octant.
+
+    Octant ids: 0=E 1=NE 2=N 3=NW 4=W 5=SW 6=S 7=SE, −1 = zero step.
+    Tie rule (part of the artifact's identity): |dx| = |dy| ≠ 0 is the
+    diagonal, |dx| > |dy| the horizontal, |dy| > |dx| the vertical.
+
+    One window pass (lag) + one groupBy — shuffles once on the entity
+    and once on the octant; sums are exact longs (L1 step lengths).
+    Returns ``(octant, n_steps, sum_l1, n_entities)``.
+    """
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    x, y = F.col(x_col), F.col(y_col)
+    dx = (x - F.lag(x).over(w)).alias("dx")
+    dy = (y - F.lag(y).over(w)).alias("dy")
+    steps = df.select(entity_col, dx, dy).filter(F.col("dx").isNotNull())
+    adx, ady = F.abs(F.col("dx")), F.abs(F.col("dy"))
+    sdx, sdy = F.col("dx"), F.col("dy")
+    octant = (
+        F.when((sdx == 0) & (sdy == 0), F.lit(-1))
+        .when((adx > ady) & (sdx > 0), F.lit(0))
+        .when(adx > ady, F.lit(4))
+        .when((ady > adx) & (sdy > 0), F.lit(2))
+        .when(ady > adx, F.lit(6))
+        .when((sdx > 0) & (sdy > 0), F.lit(1))
+        .when((sdx < 0) & (sdy > 0), F.lit(3))
+        .when((sdx < 0) & (sdy < 0), F.lit(5))
+        .otherwise(F.lit(7)))
+    return (steps.select(entity_col, octant.alias("octant"),
+                         (adx + ady).alias("_l1"))
+            .groupBy("octant")
+            .agg(F.count(F.lit(1)).alias("n_steps"),
+                 F.sum("_l1").alias("sum_l1"),
+                 F.countDistinct(entity_col).alias("n_entities")))

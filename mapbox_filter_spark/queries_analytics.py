@@ -329,10 +329,54 @@ FROM e, anchor
 GROUP BY 1"""
 
 
+
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust Theil-Sen trend over the same per-event-type daily counts
+    as trend_slope (operators/rankstats.py theil_sen — exact rational
+    median-of-pairwise-slopes, lower-median selection)."""
+    from .operators.rankstats import theil_sen
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = (ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit(_TREND_EPOCH).cast("date")).alias("x"))
+        .agg(F.count(F.lit(1)).alias("y")))
+    return theil_sen(daily, ["event_type"], "x", "y")
+
+
+def sql_theil_sen_slope() -> str:
+    return f"""WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '{_TREND_EPOCH}', CAST(ts AS DATE)) AS x,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2),
+n AS (SELECT event_type, COUNT(*) AS n_pts FROM daily GROUP BY 1),
+p AS (
+  SELECT a.event_type, CAST(b.y - a.y AS BIGINT) AS dy,
+         CAST(b.x - a.x AS BIGINT) AS dx
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.x < b.x),
+r AS (
+  SELECT event_type, dy, dx,
+         CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS slope,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE), dy, dx)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM p)
+SELECT r.event_type, n.n_pts, r.n_pairs, r.dy AS med_dy,
+       r.dx AS med_dx, r.slope
+FROM r JOIN n USING (event_type)
+WHERE r.rn = (r.n_pairs + 1) // 2"""
+
+
 ANALYTICS_QUERIES = {
     "rfm_scores": (q_rfm_scores, sql_rfm_scores),
     "markov_transitions": (q_markov_transitions, sql_markov_transitions),
     "trend_slope": (q_trend_slope, sql_trend_slope),
+    "theil_sen_slope": (q_theil_sen_slope, sql_theil_sen_slope),
     "ohlc_bars": (q_ohlc_bars, sql_ohlc_bars),
     "skyline_parts": (q_skyline_parts, sql_skyline_parts),
     "user_paths": (q_user_paths, sql_user_paths),

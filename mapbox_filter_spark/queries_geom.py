@@ -2174,7 +2174,156 @@ SELECT ha.u, ha.v, ha.h2_ab, hb.h2_ba,
 FROM ha JOIN hb ON ha.u = hb.u AND ha.v = hb.v"""
 
 
+
+_HULL_QMOD = 5
+_HULL_CELL = 16384
+
+
+def q_convex_hull_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-grid-cell convex hull boundary points (geo/hull.py — Arrow
+    monotone chain, exact integer cross products) over the hashed
+    lineitem scatter.  The oracle is the independent O(n³) supporting-
+    line characterization, so a value-hash match proves the chain's
+    boundary set, collinear points included."""
+    from .geo.hull import convex_hull_cells
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir)
+    pts = (feats.filter(F.col("feature_id") % _HULL_QMOD == 0)
+           .select(F.pmod(F.col("feature_id") * 7919,
+                          F.lit(360000)).alias("x"),
+                   F.pmod(F.col("feature_id") * 104729,
+                          F.lit(170000)).alias("y"))
+           .distinct())
+    return convex_hull_cells(pts, _HULL_CELL)
+
+
+def sql_convex_hull_cells() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    c, q = _HULL_CELL, _HULL_QMOD
+    return f"""WITH {FEATURES_ORACLE_SQL},
+pts AS (
+  SELECT DISTINCT ((feature_id * 7919) % 360000) // {c} AS cx,
+         ((feature_id * 104729) % 170000) // {c} AS cy,
+         (feature_id * 7919) % 360000 AS x,
+         (feature_id * 104729) % 170000 AS y
+  FROM features WHERE feature_id % {q} = 0),
+cnt AS (SELECT cx, cy, COUNT(*) AS n FROM pts GROUP BY 1, 2)
+SELECT p.cx, p.cy, p.x, p.y
+FROM pts p JOIN cnt t ON t.cx = p.cx AND t.cy = p.cy
+WHERE t.n = 1 OR EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.cx = p.cx AND q.cy = p.cy AND (q.x <> p.x OR q.y <> p.y)
+    AND NOT EXISTS (
+      SELECT 1 FROM pts r
+      WHERE r.cx = p.cx AND r.cy = p.cy
+        AND (q.x - p.x) * (r.y - p.y)
+            - (q.y - p.y) * (r.x - p.x) < 0))"""
+
+
+def q_heading_octants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading histogram over the integer random walk
+    (operators/trajectory.py heading_octants — exact octant
+    classification, no atan2)."""
+    from .operators.trajectory import heading_octants, \
+        random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    return heading_octants(pos)
+
+
+def sql_heading_octants() -> str:
+    return f"""WITH {_sql_walk_pos()},
+st AS (
+  SELECT user_id, x - LAG(x) OVER w AS dx, y - LAG(y) OVER w AS dy
+  FROM pos
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+o AS (
+  SELECT user_id,
+         CASE WHEN dx = 0 AND dy = 0 THEN -1
+              WHEN abs(dx) > abs(dy) AND dx > 0 THEN 0
+              WHEN abs(dx) > abs(dy) THEN 4
+              WHEN abs(dy) > abs(dx) AND dy > 0 THEN 2
+              WHEN abs(dy) > abs(dx) THEN 6
+              WHEN dx > 0 AND dy > 0 THEN 1
+              WHEN dx < 0 AND dy > 0 THEN 3
+              WHEN dx < 0 AND dy < 0 THEN 5
+              ELSE 7 END AS octant,
+         abs(dx) + abs(dy) AS l1
+  FROM st WHERE dx IS NOT NULL)
+SELECT octant, COUNT(*) AS n_steps, CAST(SUM(l1) AS BIGINT) AS sum_l1,
+       COUNT(DISTINCT user_id) AS n_entities
+FROM o GROUP BY 1"""
+
+
+_DISSOLVE_CELL = 1024
+_DISSOLVE_PACK = 1 << 20
+
+
+def q_region_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-cell region dissolve (operators/cluster.py region_dissolve):
+    cells above the global mean occupancy merge through queen adjacency
+    into contiguous regions via connected components.  Substrate: a
+    multi-modal scatter — each user gets a hashed home on a 5×3 grid of
+    centers 40k apart, each event a ±2k jitter — so the dissolve finds
+    the 15 home blobs, not one percolated sheet.  The threshold is the
+    exact integer form of n > mean: n·C > S, resolved driver-side to
+    min_pts = S//C + 1 (equivalent for integers; the oracle states the
+    product form directly)."""
+    from .operators.cluster import region_dissolve
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        (F.pmod(F.col("user_id") * 7919, F.lit(5)) * 40000
+         + F.pmod(F.col("event_id") * 7919, F.lit(4001))).alias("x"),
+        (F.pmod(F.col("user_id") * 104729, F.lit(3)) * 40000
+         + F.pmod(F.col("event_id") * 104729, F.lit(4001))).alias("y"))
+    from .geo.tilemath import floor_div
+    tot = (pts.groupBy(floor_div(F.col("x"), _DISSOLVE_CELL),
+                       floor_div(F.col("y"), _DISSOLVE_CELL))
+           .agg(F.count(F.lit(1)).alias("n"))
+           .agg(F.count(F.lit(1)).alias("c"),
+                F.sum("n").alias("s")).first())
+    min_pts = tot["s"] // tot["c"] + 1
+    return region_dissolve(pts, _DISSOLVE_CELL,
+                           int(min_pts), pack=_DISSOLVE_PACK)
+
+
+def sql_region_dissolve() -> str:
+    c, pk = _DISSOLVE_CELL, _DISSOLVE_PACK
+    return f"""WITH RECURSIVE pts AS (
+  SELECT ((user_id * 7919) % 5) * 40000
+           + (event_id * 7919) % 4001 AS x,
+         ((user_id * 104729) % 3) * 40000
+           + (event_id * 104729) % 4001 AS y
+  FROM events),
+occ AS (
+  SELECT x // {c} AS cx, y // {c} AS cy, COUNT(*) AS n
+  FROM pts GROUP BY 1, 2),
+tot AS (SELECT COUNT(*) AS cc, CAST(SUM(n) AS BIGINT) AS ss FROM occ),
+hot AS (
+  SELECT cx, cy, n, cx * {pk} + cy AS id
+  FROM occ, tot WHERE n * tot.cc > tot.ss),
+e AS (
+  SELECT a.id AS src, b.id AS dst FROM hot a JOIN hot b
+  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 AND a.id <> b.id),
+r AS (
+  SELECT id AS node, id AS comp FROM hot
+  UNION SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.node),
+lab AS (SELECT node, MIN(comp) AS region FROM r GROUP BY 1)
+SELECT l.region, COUNT(*) AS n_cells, CAST(SUM(h.n) AS BIGINT) AS n_pts,
+       MIN(h.cx) AS min_cx, MIN(h.cy) AS min_cy,
+       MAX(h.cx) AS max_cx, MAX(h.cy) AS max_cy
+FROM hot h JOIN lab l ON l.node = h.id
+GROUP BY 1"""
+
+
 GEOM_QUERIES = {
+    "convex_hull_cells": (q_convex_hull_cells, sql_convex_hull_cells),
+    "heading_octants": (q_heading_octants, sql_heading_octants),
+    "region_dissolve": (q_region_dissolve, sql_region_dissolve),
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "zonal_stats": (q_zonal_stats, sql_zonal_stats),
     "st_asof_join": (q_st_asof_join, sql_st_asof_join),

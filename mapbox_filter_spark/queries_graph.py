@@ -506,6 +506,55 @@ w{i + 1} AS MATERIALIZED (
             f" FROM w{_WALK_STEPS}")
 
 
+
+_HITS_ITERS = 3
+_HITS_SCALE = 10**9
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the shared hashed link graph
+    (operators/graph.py hits_exact — exact fixed-point integer L1
+    normalization, same determinism contract as the pagerank gate)."""
+    from .operators.graph import hits_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    edges = _link_edges(spark, sf_dir)
+    return (hits_exact(docs, edges, node_col="doc_id",
+                       iters=_HITS_ITERS, scale=_HITS_SCALE)
+            .select(F.col("node").alias("doc_id"), "hub", "auth"))
+
+
+def sql_hits_scores() -> str:
+    # MATERIALIZED per step: each normalization references its raw CTE
+    # twice (join + scalar total); non-materialized CTEs would inline
+    # the whole chain 2x per round (see memory: DuckDB CTE inlining).
+    s = _HITS_SCALE
+    ctes = [_sql_link_edges() + f""",
+h0 AS MATERIALIZED (
+  SELECT doc_id AS node, {s} // nc.n AS hub FROM documents, nc)"""]
+    for i in range(1, _HITS_ITERS + 1):
+        ctes.append(f"""ra{i} AS MATERIALIZED (
+  SELECT e.dst AS node, CAST(SUM(h.hub) AS BIGINT) AS r
+  FROM edges e JOIN h{i - 1} h ON h.node = e.src GROUP BY 1),
+a{i} AS MATERIALIZED (
+  SELECT d.doc_id AS node,
+         ({s} * COALESCE(ra.r, 0)) // (SELECT SUM(r) FROM ra{i}) AS auth
+  FROM documents d LEFT JOIN ra{i} ra ON ra.node = d.doc_id),
+rh{i} AS MATERIALIZED (
+  SELECT e.src AS node, CAST(SUM(a.auth) AS BIGINT) AS r
+  FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY 1),
+h{i} AS MATERIALIZED (
+  SELECT d.doc_id AS node,
+         ({s} * COALESCE(rh.r, 0)) // (SELECT SUM(r) FROM rh{i}) AS hub
+  FROM documents d LEFT JOIN rh{i} rh ON rh.node = d.doc_id)""")
+    k = _HITS_ITERS
+    return ("WITH " + ",\n".join(ctes)
+            + f"""
+SELECT h.node AS doc_id, h.hub, a.auth
+FROM h{k} h JOIN a{k} a USING (node)""")
+
+
 GRAPH_QUERIES = {
     "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters),
     "dedup_keep_best": (q_dedup_keep_best, sql_dedup_keep_best),
@@ -518,4 +567,5 @@ GRAPH_QUERIES = {
     "label_propagation": (q_label_propagation, sql_label_propagation),
     "jaccard_links": (q_jaccard_links, sql_jaccard_links),
     "hash_walks": (q_hash_walks, sql_hash_walks),
+    "hits_scores": (q_hits_scores, sql_hits_scores),
 }

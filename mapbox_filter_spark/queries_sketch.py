@@ -107,7 +107,77 @@ SELECT s.event_type, s.n_sketch, s.h_k,
 FROM sk s JOIN ex e USING (event_type)"""
 
 
+
+_HLL_B = 8
+_HLL_SALT = "hll-r5"
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event_type (operators/sketch.py
+    hll_registers / hll_estimate) alongside the exact count.  Because
+    the sketch coordinate is the repo's deterministic 60-bit md5 and the
+    harmonic denominator is an exact integer, registers AND the estimate
+    (including the linear-counting branch) are engine-exact — the whole
+    sketch is value-hash checkable, like the KMV gate."""
+    from .operators.sketch import hll_estimate, hll_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id")
+    regs = hll_registers(ev, ["event_type"], ["user_id"], b=_HLL_B,
+                         salt=_HLL_SALT)
+    est = hll_estimate(regs, ["event_type"], b=_HLL_B)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"))
+    return est.join(exact, "event_type")
+
+
+def sql_hll_distinct() -> str:
+    b = _HLL_B
+    m = 1 << b
+    width = 60 - b
+    kk = width + 1
+    # the SAME python float chain as operators/sketch.hll_estimate —
+    # both engines receive the identical double literal
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(2 ** kk)
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(concat_ws(chr(31), '{_HLL_SALT}',
+              CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM events),
+rh AS (
+  SELECT event_type, h % {m} AS bucket,
+         CASE WHEN h // {m} = 0 THEN {kk}
+              ELSE {kk} - length(bin(h // {m})) END AS rho
+  FROM h),
+regs AS (
+  SELECT event_type, bucket, MAX(rho) AS reg
+  FROM rh GROUP BY 1, 2),
+agg AS (
+  SELECT event_type, COUNT(*) AS m_used,
+         CAST(SUM(CAST(1 AS BIGINT) << ({kk} - reg)) AS BIGINT) AS s_used
+  FROM regs GROUP BY 1),
+est AS (
+  SELECT event_type, m_used, {m} - m_used AS v_zero,
+         s_used + ({m} - m_used) * (CAST(1 AS BIGINT) << {kk})
+           AS s_scaled
+  FROM agg),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY 1)
+SELECT e.event_type, e.m_used, e.v_zero, e.s_scaled,
+       CASE WHEN {num!r} / CAST(e.s_scaled AS DOUBLE) <= {2.5 * m!r}
+                 AND e.v_zero > 0
+            THEN {float(m)!r} * ln({float(m)!r} / CAST(e.v_zero AS DOUBLE))
+            ELSE {num!r} / CAST(e.s_scaled AS DOUBLE)
+       END AS est_hll,
+       x.n_exact
+FROM est e JOIN ex x USING (event_type)"""
+
+
 SKETCH_QUERIES = {
     "heavy_hitters": (q_heavy_hitters, sql_heavy_hitters),
     "kmv_distinct": (q_kmv_distinct, sql_kmv_distinct),
+    "hll_distinct": (q_hll_distinct, sql_hll_distinct),
 }

@@ -25,7 +25,8 @@ SF = "/root/testdata/sf0.001"
 # queries whose plans legitimately contain an Arrow-batched kernel
 # (pip: numpy crossing-count; rdp: per-line recursive Douglas-Peucker —
 # inherently divide-and-conquer, vectorized per geometry batch)
-ARROW_OK = {"pip_join", "zonal_stats", "rdp_simplify", "gram_matrix"}
+ARROW_OK = {"pip_join", "zonal_stats", "rdp_simplify", "gram_matrix",
+            "convex_hull_cells"}
 # driver-loop operators not expressible as one plan
 SKIP = {"knn_ring"}
 
