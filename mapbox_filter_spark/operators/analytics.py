@@ -227,3 +227,37 @@ def path_ngrams(events: DataFrame, key_col: str, ts_col: str,
             .agg(F.count(F.lit(1)).alias("n_occurrences"),
                  F.count_distinct(F.col("_k")).alias("n_keys"))
             .filter(F.col("n_keys") >= min_support))
+
+
+def pareto_topk(df: DataFrame, group_cols, key_col: str, k: int,
+                other_label: str = "(other)") -> DataFrame:
+    """Pareto report: per group the top-``k`` keys by count plus one
+    ``(other)`` rollup row — the "80/20" reporting shape that keeps
+    result size bounded at |groups|·(k+1) regardless of key
+    cardinality.
+
+    Determinism: rank order is (count DESC, key ASC) — a total order,
+    so the cut is engine-stable; ``share`` is one division of exact
+    longs.  Two map-side-combinable groupBys + one window over the
+    (group, key) AGGREGATE (never the fact table).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    g = list(group_cols)
+    cnt = (df.groupBy(*g, key_col)
+           .agg(F.count(F.lit(1)).alias("_c")))
+    w = Window.partitionBy(*g).orderBy(F.col("_c").desc(),
+                                       F.col(key_col).asc())
+    tot = Window.partitionBy(*g)
+    lab = F.when(F.row_number().over(w) <= k,
+                 F.col(key_col).cast("string")) \
+        .otherwise(F.lit(other_label))
+    ranked = cnt.select(*g, lab.alias("label"), "_c",
+                        F.sum("_c").over(tot).alias("total"))
+    return (ranked.groupBy(*g, "label")
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 F.sum("_c").alias("cnt"),
+                 F.max("total").alias("total"))
+            .withColumn("share",
+                        F.col("cnt").cast("double")
+                        / F.col("total").cast("double")))

@@ -115,3 +115,63 @@ def assoc_rules(df: DataFrame, basket_col: str, item_col: str,
             / (F.col("c_a") * F.col("c_b")).cast("double"))
     return j.select("ant", "cons", "n_baskets", "c_a", "c_b", "c_ab",
                     conf.alias("conf"), lift.alias("lift"))
+
+
+def g2_collocations(docs: DataFrame, id_col: str, text_col: str, *,
+                    min_count: int = 1) -> DataFrame:
+    """Adjacent-bigram collocations ranked by Dunning's log-likelihood
+    G² (Dunning, CL'93) — the significance-aware alternative to PMI
+    (PMI over-ranks rare pairs; G² weights evidence by count).
+
+    Exactness: all 2×2 table cells are exact longs derived from ONE
+    bigram count pass (k11 = c(a,b); row a = c(a,·); col b = c(·,b);
+    N = total bigrams), each of the four ``k·ln(k·N / (row·col))``
+    terms is one division of exact long products + one ln on identical
+    doubles, and the four terms add in one pinned order — the BM25
+    bit-stability discipline.  Products stay in int64 while
+    N < ~3·10⁹ bigrams (N² < 2⁶³); shard the corpus past that.
+
+    Shape: bigrams are built IN-ROW (arrays_zip of the token array and
+    its shift — zero extra shuffle), then one map-side-combinable
+    groupBy; the row/column marginals are two more tiny groupBys joined
+    back.  No self-join at all — adjacency, unlike co-occurrence,
+    needs none.
+    """
+    from .text import _words
+
+    a = _words(F.col(text_col))
+    n1 = F.greatest(F.size(a) - 1, F.lit(0))
+    bi = docs.select(
+        F.explode(F.zip_with(
+            F.slice(a, 1, n1), F.slice(a, 2, n1),
+            lambda x, y: F.struct(x.alias("w_a"), y.alias("w_b")))
+        ).alias("p"))
+    pairs = bi.select("p.w_a", "p.w_b")
+    cnt = (pairs.groupBy("w_a", "w_b")
+           .agg(F.count(F.lit(1)).alias("n_ab")).localCheckpoint())
+    n_tot = cnt.agg(F.sum("n_ab").alias("n")).first()["n"]
+    ra = cnt.groupBy("w_a").agg(F.sum("n_ab").alias("n_a"))
+    cb = cnt.groupBy("w_b").agg(F.sum("n_ab").alias("n_b"))
+    j = (cnt.filter(F.col("n_ab") >= min_count)
+         .join(ra, "w_a").join(cb, "w_b"))
+
+    n = F.lit(int(n_tot)).cast("long")
+    k11 = F.col("n_ab")
+    k12 = F.col("n_a") - k11
+    k21 = F.col("n_b") - k11
+    k22 = n - F.col("n_a") - F.col("n_b") + k11
+
+    def term(k, row, colm):
+        return F.when(
+            k > 0,
+            k.cast("double") * F.log((k * n).cast("double")
+                                     / (row * colm).cast("double"))
+        ).otherwise(F.lit(0.0))
+
+    t11 = term(k11, F.col("n_a"), F.col("n_b"))
+    t12 = term(k12, F.col("n_a"), n - F.col("n_b"))
+    t21 = term(k21, n - F.col("n_a"), F.col("n_b"))
+    t22 = term(k22, n - F.col("n_a"), n - F.col("n_b"))
+    g2 = F.lit(2.0) * (((t11 + t12) + t21) + t22)
+    return j.select("w_a", "w_b", "n_ab", "n_a", "n_b",
+                    n.alias("n_total"), g2.alias("g2"))

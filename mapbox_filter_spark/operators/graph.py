@@ -157,8 +157,12 @@ def pagerank_exact(
     iters: int = 5,
     alpha: tuple[int, int] = (85, 100),
     scale: int = 10**12,
+    seeds: "DataFrame | None" = None,
 ) -> DataFrame:
-    """PageRank in EXACT fixed-point integer arithmetic.
+    """PageRank in EXACT fixed-point integer arithmetic.  With
+    ``seeds`` (a 1-column node DataFrame), personalized PageRank: both
+    the initial mass and the per-round teleport term concentrate
+    uniformly on the seed set instead of all nodes.
 
     Ranks are integers in units of ``1/scale`` probability mass; every
     step is integer (`div` truncation, fixed op order), so the result is
@@ -181,24 +185,45 @@ def pagerank_exact(
     n = nodes.count()
     if n == 0:
         raise ValueError("empty node set")
-    base = (scale * (den - num)) // (den * n)
-    init = scale // n
+
+    base_nodes = nodes.select(F.col(node_col).alias("node"))
+    if seeds is None:
+        base = (scale * (den - num)) // (den * n)
+        init = scale // n
+        nb = (base_nodes
+              .withColumn("_base", F.lit(base).cast("long"))
+              .withColumn("_init", F.lit(init).cast("long")))
+    else:
+        # personalized PageRank: ALL teleport mass lands on the seed
+        # set (uniformly), so scores measure proximity to the seeds
+        s_n = seeds.count()
+        if s_n == 0:
+            raise ValueError("empty seed set")
+        s_base = (scale * (den - num)) // (den * s_n)
+        s_init = scale // s_n
+        flag = seeds.select(F.col(seeds.columns[0]).alias("node"),
+                            F.lit(True).alias("_seed")).distinct()
+        nb = (base_nodes.join(flag, "node", "left")
+              .select("node",
+                      F.when(F.col("_seed"), F.lit(s_base))
+                      .otherwise(F.lit(0)).cast("long").alias("_base"),
+                      F.when(F.col("_seed"), F.lit(s_init))
+                      .otherwise(F.lit(0)).cast("long").alias("_init")))
+    nb = nb.localCheckpoint()
 
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_d"))
     e = (edges.select(src, dst).join(deg, src)
          .localCheckpoint())  # degree computed once, lineage cut
 
-    pr = nodes.select(F.col(node_col).alias("node")) \
-        .withColumn("pr", F.lit(init).cast("long")).localCheckpoint()
+    pr = nb.select("node", F.col("_init").alias("pr")).localCheckpoint()
     for _ in range(iters):
         contrib = (e.join(pr, e[src] == pr["node"])
                    .select(F.col(dst).alias("node"),
                            F.expr("pr div _d").alias("_c")))
         summed = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
-        pr = (nodes.select(F.col(node_col).alias("node"))
-              .join(summed, "node", "left")
+        pr = (nb.join(summed, "node", "left")
               .select("node",
-                      (F.lit(base)
+                      (F.col("_base")
                        + F.expr(f"({num} * coalesce(_s, 0L)) div {den}"))
                       .cast("long").alias("pr"))
               .localCheckpoint())

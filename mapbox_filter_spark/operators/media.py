@@ -285,3 +285,39 @@ def span_coalesce(spans_df: DataFrame, id_col: str = "doc_id",
                            (F.row_number().over(w3) - 1).cast("int"))
             .select(F.col("id").alias(id_col), "new_offset", "kind",
                     text.alias("text"), "media_ref", "n_merged"))
+
+
+def span_runs(spans_df: DataFrame, id_col: str = "doc_id",
+              spans_col: str = "spans") -> DataFrame:
+    """Run-length profile of the interleave pattern: how long do
+    consecutive same-kind span runs get, per kind?  The diagnostic a
+    multimodal curator reads before choosing packing / coalescing
+    policy (e.g. "media spans arrive in bursts of 3+" vs "text is
+    always singleton-interleaved").
+
+    Gaps-and-islands over the IN-ROW span order (posexplode index —
+    the input_hint's order invariant), one doc-keyed window pass, two
+    map-side-combinable groupBys.  Returns
+    ``(kind, run_len, n_runs, n_docs)`` — output bounded by
+    |kinds|·max_run, not corpus size.
+    """
+    from pyspark.sql import Window
+
+    rows = spans_df.select(
+        id_col, F.posexplode(spans_col).alias("i", "s"))
+    kind = F.col("s.kind")
+    w = Window.partitionBy(id_col).orderBy("i")
+    brk = F.when(F.lag(kind).over(w) == kind, F.lit(0)) \
+        .otherwise(F.lit(1))
+    runs = rows.select(id_col, F.col("i"), kind.alias("kind"),
+                       brk.alias("brk"))
+    grp = F.sum("brk").over(
+        Window.partitionBy(id_col).orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0))
+    per_run = (runs.withColumn("grp", grp)
+               .groupBy(id_col, "grp")
+               .agg(F.min("kind").alias("kind"),
+                    F.count(F.lit(1)).alias("run_len")))
+    return (per_run.groupBy("kind", "run_len")
+            .agg(F.count(F.lit(1)).alias("n_runs"),
+                 F.countDistinct(id_col).alias("n_docs")))

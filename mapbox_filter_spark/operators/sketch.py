@@ -260,3 +260,39 @@ def hll_estimate(regs: DataFrame, group_cols, *, b: int = 8) -> DataFrame:
                  ).otherwise(raw)
     return out.select(*g, "m_used", "v_zero", "s_scaled",
                       est.alias("est_hll"))
+
+
+def bitmap_distinct(df: DataFrame, group_cols, key_col: str) -> DataFrame:
+    """Bucketed-bitmap distinct index (the roaring-bitmap shape on
+    int64 words): per (group, key div 63) one 63-slot mask via
+    ``bit_or(1 << key mod 63)``, then exact distinct = Σ popcount.
+    63 slots, not 64: a shift into the sign bit is an overflow ERROR
+    in DuckDB and a silent wrap in Spark — 63 keeps every mask
+    positive and both engines in exact agreement.
+
+    This is the EXACT-compressed alternative to HLL/KMV for dense
+    integer key domains: masks are mergeable by bit_or (partial
+    bitmaps from 1000 executors combine losslessly), membership is one
+    shift-and-test, and storage is 1 bit/key instead of 8 bytes.  Keys
+    must be non-negative (raise-checked in-plan).
+
+    One map-side-combinable groupBy to masks + one to the per-group
+    profile: ``(group..., n_buckets, n_distinct, max_bucket_card)``.
+    """
+    g = list(group_cols)
+    k = F.col(key_col).cast("long")
+    guarded = F.when(
+        k < 0,
+        F.raise_error(F.concat(
+            F.lit("bitmap_distinct: negative key: "),
+            k.cast("string"))).cast("long")).otherwise(k)
+    b = df.select(*g, guarded.alias("_k")).select(
+        *g, F.expr("_k div 63").alias("bucket"),
+        F.pmod(F.col("_k"), F.lit(63)).cast("int").alias("slot"))
+    masks = (b.groupBy(*g, "bucket")
+             .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), slot))")
+                  .alias("mask")))
+    return (masks.groupBy(*g)
+            .agg(F.count(F.lit(1)).alias("n_buckets"),
+                 F.sum(F.bit_count("mask")).alias("n_distinct"),
+                 F.max(F.bit_count("mask")).alias("max_bucket_card")))

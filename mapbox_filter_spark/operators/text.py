@@ -466,3 +466,40 @@ def fuzzy_match_blocked(df: DataFrame, id_col: str, name_col: str,
                     F.col("l.nm").alias("name_a"),
                     F.col("r.nm").alias("name_b"),
                     d.alias("dist")))
+
+
+def kwic_contexts(docs: DataFrame, text_col: str, keyword: str,
+                  width: int = 2) -> DataFrame:
+    """Keyword-in-context concordance: for every occurrence of
+    ``keyword`` (pinned whitespace tokenization, lowercased), the
+    ``width`` tokens left and right, aggregated into context-pattern
+    counts — the corpus-linguistics view behind collocation triage.
+
+    Entirely IN-ROW until the final count: token array → match
+    positions (in-row filter over the index sequence) → neighbor
+    lookups by index (guarded element_at — positions ≤ 0 become the
+    ``^`` boundary sentinel, past-end becomes ``$``; negative indices
+    would otherwise wrap from the array END in both engines).  One
+    map-side-combinable groupBy; no join, no window, no shuffle of the
+    corpus itself.  Returns ``(l2, l1, r1, r2, n)`` for width=2.
+    """
+    if width != 2:
+        raise ValueError("kwic_contexts is pinned to width=2 "
+                         "(column contract l2,l1,r1,r2)")
+    a = _words(F.col(text_col))
+    idxs = F.filter(F.sequence(F.lit(1), F.greatest(F.size(a), F.lit(1))),
+                    lambda i: F.try_element_at(a, i) == F.lit(keyword))
+
+    def at(i):
+        # boundary sentinels; the WHEN guard keeps negative/zero
+        # indices from wrapping to the array tail
+        return F.when(i < 1, F.lit("^")).otherwise(
+            F.coalesce(F.try_element_at(a, i), F.lit("$")))
+
+    ctx = F.transform(idxs, lambda i: F.struct(
+        at(i - 2).alias("l2"), at(i - 1).alias("l1"),
+        at(i + 1).alias("r1"), at(i + 2).alias("r2")))
+    return (docs.select(F.explode(ctx).alias("c"))
+            .select("c.l2", "c.l1", "c.r1", "c.r2")
+            .groupBy("l2", "l1", "r1", "r2")
+            .agg(F.count(F.lit(1)).alias("n")))

@@ -372,11 +372,47 @@ FROM r JOIN n USING (event_type)
 WHERE r.rn = (r.n_pairs + 1) // 2"""
 
 
+
+_PARETO_K = 3
+
+
+def q_pareto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto top-k + (other) rollup per event type
+    (operators/analytics.py pareto_topk — bounded report rows, total
+    rank order (count DESC, key ASC), exact share division)."""
+    from .operators.analytics import pareto_topk
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id")
+    return pareto_topk(ev, ["event_type"], "user_id", _PARETO_K)
+
+
+def sql_pareto_topk() -> str:
+    return f"""
+WITH cnt AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT event_type,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY event_type ORDER BY c DESC, user_id ASC)
+              <= {_PARETO_K}
+              THEN CAST(user_id AS VARCHAR) ELSE '(other)' END AS label,
+         c,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM cnt)
+SELECT event_type, label, COUNT(*) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS cnt, MAX(total) AS total,
+       CAST(SUM(c) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS share
+FROM r GROUP BY 1, 2"""
+
+
 ANALYTICS_QUERIES = {
     "rfm_scores": (q_rfm_scores, sql_rfm_scores),
     "markov_transitions": (q_markov_transitions, sql_markov_transitions),
     "trend_slope": (q_trend_slope, sql_trend_slope),
     "theil_sen_slope": (q_theil_sen_slope, sql_theil_sen_slope),
+    "pareto_topk": (q_pareto_topk, sql_pareto_topk),
     "ohlc_bars": (q_ohlc_bars, sql_ohlc_bars),
     "skyline_parts": (q_skyline_parts, sql_skyline_parts),
     "user_paths": (q_user_paths, sql_user_paths),

@@ -2218,6 +2218,37 @@ SELECT doc_id,
 FROM agg"""
 
 
+
+def q_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleave run-length profile (operators/media.py span_runs):
+    gaps-and-islands over the in-row span order — how bursty is each
+    span kind in the interleaved corpus."""
+    from .operators.media import span_runs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return span_runs(interleaved_spans(docs))
+
+
+def sql_span_runs() -> str:
+    return f"""WITH {span_fields_sql()},
+flagged AS (
+  SELECT doc_id, i, kind,
+         CASE WHEN lag(kind) OVER w = kind THEN 0 ELSE 1 END AS brk
+  FROM fields
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+grouped AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagged),
+per_run AS (
+  SELECT doc_id, grp, MIN(kind) AS kind,
+         CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM grouped GROUP BY 1, 2)
+SELECT kind, run_len, CAST(COUNT(*) AS BIGINT) AS n_runs,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM per_run GROUP BY 1, 2"""
+
+
 EXT_QUERIES = {
     "dedup_exact": (q_dedup_exact, sql_dedup_exact),
     "dedup_ngram_jaccard": (q_ngram_jaccard, sql_ngram_jaccard),
@@ -2250,6 +2281,7 @@ EXT_QUERIES = {
     "join_chain": (q_join_chain, sql_join_chain),
     "top_orders": (q_top_orders, sql_top_orders),
     "span_coalesce": (q_span_coalesce, sql_span_coalesce),
+    "span_runs": (q_span_runs, sql_span_runs),
     "pivot_counts": (q_pivot_counts, sql_pivot_counts),
     "props_json": (q_props_json, sql_props_json),
     "regional_volume": (q_regional_volume, sql_regional_volume),

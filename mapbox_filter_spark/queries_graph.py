@@ -555,6 +555,53 @@ SELECT h.node AS doc_id, h.hub, a.auth
 FROM h{k} h JOIN a{k} a USING (node)""")
 
 
+
+_PPR_QMOD = 41
+
+
+def q_ppr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py pagerank_exact with
+    seeds=): teleport mass concentrated on the hashed seed docs
+    (doc_id % 41 == 0) — proximity-to-seeds scoring over the shared
+    link graph, same exact integer fixpoint as the pagerank gate."""
+    from .operators.graph import pagerank_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    seeds = docs.filter(F.col("doc_id") % _PPR_QMOD == 0)
+    edges = _link_edges(spark, sf_dir)
+    return (pagerank_exact(docs, edges, node_col="doc_id",
+                           iters=_PR_ITERS, scale=_PR_SCALE, seeds=seeds)
+            .select(F.col("node").alias("doc_id"), "pr"))
+
+
+def sql_ppr_scores() -> str:
+    s = _PR_SCALE
+    ctes = [_sql_link_edges() + f""",
+sd AS (SELECT doc_id AS node FROM documents WHERE doc_id % {_PPR_QMOD} = 0),
+sn AS (SELECT COUNT(*) AS k FROM sd),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+nb AS (
+  SELECT d.doc_id AS node,
+         CASE WHEN se.node IS NOT NULL THEN 1 ELSE 0 END AS isd
+  FROM documents d LEFT JOIN sd se ON se.node = d.doc_id),
+pr0 AS (SELECT node, isd * ({s} // (SELECT k FROM sn)) AS pr FROM nb)"""]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(f"""pr{i} AS (
+  SELECT nb.node,
+         nb.isd * (({s} * 15) // (100 * (SELECT k FROM sn)))
+         + (85 * COALESCE(sm.s, 0)) // 100 AS pr
+  FROM nb
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.pr // g.d) AS s
+    FROM edges e
+    JOIN pr{i - 1} p ON p.node = e.src
+    JOIN deg g ON g.src = e.src
+    GROUP BY e.dst) sm USING (node))""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node AS doc_id, pr FROM pr{_PR_ITERS}")
+
+
 GRAPH_QUERIES = {
     "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters),
     "dedup_keep_best": (q_dedup_keep_best, sql_dedup_keep_best),
@@ -568,4 +615,5 @@ GRAPH_QUERIES = {
     "jaccard_links": (q_jaccard_links, sql_jaccard_links),
     "hash_walks": (q_hash_walks, sql_hash_walks),
     "hits_scores": (q_hits_scores, sql_hits_scores),
+    "ppr_scores": (q_ppr_scores, sql_ppr_scores),
 }

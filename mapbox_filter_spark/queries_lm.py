@@ -207,7 +207,93 @@ FROM p JOIN items a ON a.it = p.ant
        JOIN items c ON c.it = p.cons, n"""
 
 
+
+_G2_MIN_COUNT = 25
+
+
+def q_g2_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram collocations by Dunning G² (operators/cooccur.py
+    g2_collocations): in-row arrays_zip bigrams, one pair count, exact
+    2×2 cells, four pinned k·ln(kN/(row·col)) terms summed in fixed
+    order."""
+    from .operators.cooccur import g2_collocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    return g2_collocations(docs, "doc_id", "text",
+                           min_count=_G2_MIN_COUNT)
+
+
+def sql_g2_collocations() -> str:
+    def term(k, row, col):
+        return (f"CASE WHEN {k} > 0 THEN CAST({k} AS DOUBLE) * "
+                f"ln(CAST(({k}) * n AS DOUBLE) / "
+                f"CAST(({row}) * ({col}) AS DOUBLE)) "
+                "ELSE CAST(0 AS DOUBLE) END")
+
+    t11 = term("n_ab", "n_a", "n_b")
+    t12 = term("(n_a - n_ab)", "n_a", "(n - n_b)")
+    t21 = term("(n_b - n_ab)", "(n - n_a)", "n_b")
+    t22 = term("(n - n_a - n_b + n_ab)", "(n - n_a)", "(n - n_b)")
+    return rf"""WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     w -> w <> '') AS a
+  FROM documents),
+bi AS (
+  SELECT a[i] AS w_a, a[i + 1] AS w_b
+  FROM toks, LATERAL (SELECT unnest(range(1, len(a))) AS i) t),
+cnt AS (SELECT w_a, w_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM bi GROUP BY 1, 2),
+nt AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM cnt),
+ra AS (SELECT w_a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM cnt GROUP BY 1),
+cb AS (SELECT w_b, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM cnt GROUP BY 1),
+j AS (
+  SELECT c.w_a, c.w_b, c.n_ab, ra.n_a, cb.n_b, nt.n
+  FROM cnt c JOIN ra USING (w_a) JOIN cb USING (w_b), nt
+  WHERE c.n_ab >= {_G2_MIN_COUNT})
+SELECT w_a, w_b, n_ab, n_a, n_b, n AS n_total,
+       CAST(2 AS DOUBLE) * ((({t11} + {t12}) + {t21}) + {t22}) AS g2
+FROM j"""
+
+
+
+_KWIC_KW = "merge"
+
+
+def q_kwic_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance patterns (operators/text.py
+    kwic_contexts — in-row match positions + guarded element_at
+    neighbor lookups, one groupBy)."""
+    from .operators.text import kwic_contexts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("text")
+    return kwic_contexts(docs, "text", _KWIC_KW)
+
+
+def sql_kwic_contexts() -> str:
+    def at(off):
+        return (f"CASE WHEN i + ({off}) < 1 THEN '^' "
+                f"ELSE COALESCE(a[i + ({off})], '$') END")
+
+    return rf"""WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                     w -> w <> '') AS a
+  FROM documents),
+hits AS (
+  SELECT a, i
+  FROM toks, LATERAL (SELECT unnest(range(1, len(a) + 1)) AS i) t
+  WHERE a[i] = '{_KWIC_KW}')
+SELECT {at(-2)} AS l2, {at(-1)} AS l1,
+       {at(1)} AS r1, {at(2)} AS r2,
+       COUNT(*) AS n
+FROM hits GROUP BY 1, 2, 3, 4"""
+
+
 LM_QUERIES = {
+    "g2_collocations": (q_g2_collocations, sql_g2_collocations),
+    "kwic_contexts": (q_kwic_contexts, sql_kwic_contexts),
     "ngram_lm": (q_ngram_lm, sql_ngram_lm),
     "bpe_encode": (q_bpe_encode, None),
     "kn_continuation": (q_kn_continuation, sql_kn_continuation),

@@ -176,8 +176,35 @@ SELECT e.event_type, e.m_used, e.v_zero, e.s_scaled,
 FROM est e JOIN ex x USING (event_type)"""
 
 
+
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-bitmap exact distinct (operators/sketch.py
+    bitmap_distinct): 64-bit word masks via bit_or, popcount distinct —
+    the mergeable exact-compressed index for dense integer keys."""
+    from .operators.sketch import bitmap_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id")
+    return bitmap_distinct(ev, ["event_type"], "user_id")
+
+
+def sql_bitmap_distinct() -> str:
+    return """
+WITH b AS (
+  SELECT event_type, user_id // 63 AS bucket,
+         CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT) AS bit
+  FROM events),
+m AS (SELECT event_type, bucket, bit_or(bit) AS mask
+      FROM b GROUP BY 1, 2)
+SELECT event_type, COUNT(*) AS n_buckets,
+       CAST(SUM(bit_count(mask)) AS BIGINT) AS n_distinct,
+       MAX(bit_count(mask)) AS max_bucket_card
+FROM m GROUP BY 1"""
+
+
 SKETCH_QUERIES = {
     "heavy_hitters": (q_heavy_hitters, sql_heavy_hitters),
     "kmv_distinct": (q_kmv_distinct, sql_kmv_distinct),
     "hll_distinct": (q_hll_distinct, sql_hll_distinct),
+    "bitmap_distinct": (q_bitmap_distinct, sql_bitmap_distinct),
 }

@@ -182,3 +182,114 @@ def test_hll_registers_replay(spark):
     assert est.s_scaled == s and est.v_zero == 64 - len(py)
     # estimate within HLL's expected error of the true 300
     assert abs(est.est_hll - 300) < 300 * 0.35
+
+
+def test_g2_collocations_replay(spark):
+    import math
+
+    from mapbox_filter_spark.operators.cooccur import g2_collocations
+
+    docs = [Row(doc_id=1, text="a b a b c"), Row(doc_id=2, text="a b x")]
+    out = {(r.w_a, r.w_b): r
+           for r in g2_collocations(spark.createDataFrame(docs),
+                                    "doc_id", "text").collect()}
+    # bigrams: (a,b)x3 (b,a) (b,c) (b,x) => N=6
+    bi = {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1, ("b", "x"): 1}
+    n = 6
+    ra = {"a": 3, "b": 3}
+    cb = {"b": 3, "a": 1, "c": 1, "x": 1}
+    for (wa, wb), k11 in bi.items():
+        r = out[(wa, wb)]
+        na, nb = ra[wa], cb[wb]
+        assert (r.n_ab, r.n_a, r.n_b, r.n_total) == (k11, na, nb, n)
+        k12, k21 = na - k11, nb - k11
+        k22 = n - na - nb + k11
+        exp = 0.0
+        for k, row, col in ((k11, na, nb), (k12, na, n - nb),
+                            (k21, n - na, nb), (k22, n - na, n - nb)):
+            if k > 0:
+                exp += k * math.log(k * n / (row * col))
+        assert abs(r.g2 - 2.0 * exp) < 1e-9
+
+
+def test_ppr_seeds_replay(spark):
+    from mapbox_filter_spark.operators.graph import pagerank_exact
+
+    nodes = list(range(8))
+    edges = [(i, (i + 1) % 8) for i in range(8)] + [(0, 4)]
+    ndf = spark.createDataFrame([Row(node=n) for n in nodes])
+    edf = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    seeds = spark.createDataFrame([Row(node=0)])
+    scale = 10**12
+    got = {r.node: r.pr
+           for r in pagerank_exact(ndf, edf, iters=3, scale=scale,
+                                   seeds=seeds).collect()}
+
+    deg = {}
+    for s, d in edges:
+        deg[s] = deg.get(s, 0) + 1
+    pr = {u: (scale if u == 0 else 0) for u in nodes}
+    for _ in range(3):
+        inc = {u: 0 for u in nodes}
+        for s, d in edges:
+            inc[d] += pr[s] // deg[s]
+        pr = {u: ((scale * 15) // 100 if u == 0 else 0)
+              + (85 * inc[u]) // 100 for u in nodes}
+    assert got == pr
+
+
+def test_span_runs_hand(spark):
+    from mapbox_filter_spark.operators.media import span_runs
+
+    spans = [{"kind": k, "text": None, "media_ref": None, "offset": i}
+             for i, k in enumerate(["text", "text", "media", "text"])]
+    df = spark.createDataFrame(
+        [Row(doc_id=1, spans=spans), Row(doc_id=2, spans=spans[:2])])
+    got = {(r.kind, r.run_len): (r.n_runs, r.n_docs)
+           for r in span_runs(df).collect()}
+    assert got == {("text", 2): (2, 2), ("media", 1): (1, 1),
+                   ("text", 1): (1, 1)}
+
+
+def test_kwic_hand(spark):
+    from mapbox_filter_spark.operators.text import kwic_contexts
+
+    docs = [Row(text="the old bridge stands"),
+            Row(text="bridge over water"),
+            Row(text="under the bridge")]
+    got = {(r.l2, r.l1, r.r1, r.r2): r.n
+           for r in kwic_contexts(spark.createDataFrame(docs),
+                                  "text", "bridge").collect()}
+    assert got == {("the", "old", "stands", "$"): 1,
+                   ("^", "^", "over", "water"): 1,
+                   ("under", "the", "$", "$"): 1}
+
+
+def test_bitmap_distinct_exact(spark):
+    from mapbox_filter_spark.operators.sketch import bitmap_distinct
+
+    rows = [Row(g="a", k=v) for v in [0, 1, 63, 64, 64, 200, 0]] \
+        + [Row(g="b", k=v) for v in [5, 5, 5]]
+    df = spark.createDataFrame(rows)
+    got = {r.g: (r.n_buckets, r.n_distinct, r.max_bucket_card)
+           for r in bitmap_distinct(df, ["g"], "k").collect()}
+    # 63-slot words: 0,1 -> bucket 0; 63,64 -> bucket 1; 200 -> bucket 3
+    assert got == {"a": (3, 5, 2), "b": (1, 1, 1)}
+
+    bad = spark.createDataFrame([Row(g="a", k=-1)])
+    with pytest.raises(Exception, match="negative key"):
+        bitmap_distinct(bad, ["g"], "k").collect()
+
+
+def test_pareto_topk_hand(spark):
+    from mapbox_filter_spark.operators.analytics import pareto_topk
+
+    rows = ([Row(g="t", k=1)] * 5 + [Row(g="t", k=2)] * 3
+            + [Row(g="t", k=3)] * 3 + [Row(g="t", k=4)] * 2
+            + [Row(g="t", k=5)])
+    out = {r.label: (r.n_keys, r.cnt, r.total, r.share)
+           for r in pareto_topk(spark.createDataFrame(rows),
+                                ["g"], "k", 2).collect()}
+    # ties (2,3) broken by key asc: top2 = {1, 2}
+    assert out == {"1": (1, 5, 14, 5 / 14), "2": (1, 3, 14, 3 / 14),
+                   "(other)": (3, 6, 14, 6 / 14)}
