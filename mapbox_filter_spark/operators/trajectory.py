@@ -373,3 +373,65 @@ def heading_octants(df: DataFrame, entity_col: str = "user_id",
             .agg(F.count(F.lit(1)).alias("n_steps"),
                  F.sum("_l1").alias("sum_l1"),
                  F.countDistinct(entity_col).alias("n_entities")))
+
+
+def traj_edit_distance(pts: DataFrame, entity_col: str = "user_id",
+                       order_cols: "tuple[str, ...]" = ("ts", "event_id"),
+                       x_col: str = "x", y_col: str = "y", *,
+                       cell: int = 2048, max_moves: int = 40,
+                       n_blocks: int = 100) -> DataFrame:
+    """EDR-style trajectory similarity: each track becomes a SYMBOL
+    STRING (grid cells visited in order, consecutive repeats collapsed,
+    each cell hashed to one of 26 letters, capped at ``max_moves``
+    symbols), and co-blocked pairs get the exact Levenshtein edit
+    distance between their signatures — the sequence-alignment
+    alternative to Hausdorff (order-aware where Hausdorff is
+    order-blind).
+
+    Exactness: every stage is integer/string-deterministic —
+    ``floor(x/cell)`` quantization (power-of-two cell → the double
+    divide is exact), pmod symbol hash, and both engines implement
+    classic integer Levenshtein — so the gate value-hashes.
+
+    Scale shape: two windows on the entity key (dedupe-consecutive,
+    position cap) + one groupBy to signatures — the corpus never pairs;
+    THEN one equi-join on the block key over 1-row-per-entity
+    signatures.  Pairs are quadratic in the BLOCK (the knob, like
+    hausdorff_pairs); Levenshtein cost is bounded by max_moves² per
+    pair.  Returns ``(u, v, len_u, len_v, dist)``, u < v.
+    """
+    from ..geo.tilemath import floor_div
+
+    if cell & (cell - 1) or cell <= 0:
+        raise ValueError(f"cell must be a power of two: {cell}")
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    cx = floor_div(F.col(x_col).cast("long"), cell)
+    cy = floor_div(F.col(y_col).cast("long"), cell)
+    c = pts.select(entity_col, *order_cols,
+                   cx.alias("cx"), cy.alias("cy"))
+    changed = ((F.lag("cx").over(w).isNull())
+               | (F.lag("cx").over(w) != F.col("cx"))
+               | (F.lag("cy").over(w) != F.col("cy")))
+    moves = c.withColumn("_keep", changed).filter("_keep")
+    rn = F.row_number().over(
+        Window.partitionBy(entity_col).orderBy(*order_cols))
+    sym = F.expr(
+        "char(97 + pmod(cx * 31 + cy, 26))")
+    moves = (moves.withColumn("_rn", rn)
+             .filter(F.col("_rn") <= max_moves)
+             .select(entity_col, "_rn", sym.alias("_s")))
+    sigs = (moves.groupBy(entity_col)
+            .agg(F.concat_ws("", F.transform(
+                F.sort_array(F.collect_list(F.struct("_rn", "_s"))),
+                lambda s: s["_s"])).alias("sig"))
+            .withColumn("blk", F.pmod(F.col(entity_col), F.lit(n_blocks))))
+    a = sigs.select("blk", F.col(entity_col).alias("u"),
+                    F.col("sig").alias("sig_u"))
+    b = sigs.select("blk", F.col(entity_col).alias("v"),
+                    F.col("sig").alias("sig_v"))
+    return (a.join(b, "blk")
+            .filter(F.col("u") < F.col("v"))
+            .select("u", "v",
+                    F.length("sig_u").alias("len_u"),
+                    F.length("sig_v").alias("len_v"),
+                    F.levenshtein("sig_u", "sig_v").alias("dist")))

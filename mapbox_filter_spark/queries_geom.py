@@ -2320,9 +2320,62 @@ FROM hot h JOIN lab l ON l.node = h.id
 GROUP BY 1"""
 
 
+
+_EDR_CELL = 2048
+_EDR_MAX_MOVES = 40
+_EDR_BLOCKS = 100
+
+
+def q_traj_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-aware trajectory similarity (operators/trajectory.py
+    traj_edit_distance): cell-sequence signatures (consecutive repeats
+    collapsed, 26-letter cell hash, 40-move cap) + exact Levenshtein
+    over hash-blocked pairs — the sequence-alignment sibling of
+    hausdorff_pairs."""
+    from .operators.trajectory import random_walk_positions, \
+        traj_edit_distance
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    return traj_edit_distance(pos, cell=_EDR_CELL,
+                              max_moves=_EDR_MAX_MOVES,
+                              n_blocks=_EDR_BLOCKS)
+
+
+def sql_traj_edit_distance() -> str:
+    c, mm, nb = _EDR_CELL, _EDR_MAX_MOVES, _EDR_BLOCKS
+    return f"""WITH {_sql_walk_pos()},
+cells AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(x / {c}.0) AS BIGINT) AS cx,
+         CAST(floor(y / {c}.0) AS BIGINT) AS cy
+  FROM pos),
+flagged AS (
+  SELECT *, CASE WHEN lag(cx) OVER w IS NULL
+                   OR lag(cx) OVER w <> cx
+                   OR lag(cy) OVER w <> cy THEN 1 ELSE 0 END AS keep
+  FROM cells
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+moves AS (
+  SELECT user_id,
+         chr(97 + CAST(((cx * 31 + cy) % 26 + 26) % 26 AS INT)) AS s,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM flagged WHERE keep = 1),
+sig AS (
+  SELECT user_id, string_agg(s, '' ORDER BY rn) AS sig
+  FROM moves WHERE rn <= {mm} GROUP BY 1),
+p AS (SELECT user_id, sig, user_id % {nb} AS blk FROM sig)
+SELECT a.user_id AS u, b.user_id AS v,
+       length(a.sig) AS len_u, length(b.sig) AS len_v,
+       levenshtein(a.sig, b.sig) AS dist
+FROM p a JOIN p b ON a.blk = b.blk AND a.user_id < b.user_id"""
+
+
 GEOM_QUERIES = {
     "convex_hull_cells": (q_convex_hull_cells, sql_convex_hull_cells),
     "heading_octants": (q_heading_octants, sql_heading_octants),
+    "traj_edit_distance": (q_traj_edit_distance, sql_traj_edit_distance),
     "region_dissolve": (q_region_dissolve, sql_region_dissolve),
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "zonal_stats": (q_zonal_stats, sql_zonal_stats),

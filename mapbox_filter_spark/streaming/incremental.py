@@ -387,3 +387,56 @@ def hex_heatmap_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def hll_register_stream(
+    spark: SparkSession,
+    in_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: T.StructType,
+    group_cols,
+    key_cols,
+    b: int = 8,
+    salt: str,
+    max_files: int = 4,
+):
+    """Streaming HyperLogLog: each micro-batch's registers
+    (operators/sketch.py ``hll_registers``) MAX-merge into one
+    persistent O(groups·2^b) store.  This face exists to prove the
+    sketch's mergeability claim in running code: MAX is associative,
+    commutative AND idempotent, so unlike the Misra–Gries face (where
+    at-least-once replay may inflate candidate counters), a crashed
+    epoch replaying its files changes NOTHING — the drained store is
+    bit-identical to the batch sketch over the full corpus, and the
+    estimate matches the batch gate exactly (asserted in
+    tests/test_streaming.py).
+
+    Returns the StreamingQuery (caller awaits/stops)."""
+    from ..operators.sketch import hll_registers
+
+    g = list(group_cols)
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        regs = hll_registers(batch, g, key_cols, b=b, salt=salt)
+        if os.path.exists(store_dir):
+            regs = regs.unionByName(spark.read.parquet(store_dir))
+        merged = regs.groupBy(*g, "bucket").agg(F.max("reg").alias("reg"))
+        rows = merged.collect()  # O(groups·2^b) — breaks read↔overwrite
+        (spark.createDataFrame(rows, merged.schema)
+         .coalesce(1).write.mode("overwrite").parquet(store_dir))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(in_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

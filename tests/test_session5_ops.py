@@ -293,3 +293,62 @@ def test_pareto_topk_hand(spark):
     # ties (2,3) broken by key asc: top2 = {1, 2}
     assert out == {"1": (1, 5, 14, 5 / 14), "2": (1, 3, 14, 3 / 14),
                    "(other)": (3, 6, 14, 6 / 14)}
+
+
+def test_traj_edit_distance_hand(spark):
+    from mapbox_filter_spark.operators.trajectory import traj_edit_distance
+
+    # two walkers in block 0 (ids 0 and 100 with n_blocks=100):
+    # 0 visits cells (0,0)->(1,0)->(1,1); 100 visits (0,0)->(1,1)
+    def rows(uid, cells):
+        return [Row(user_id=uid, ts=i, event_id=i,
+                    x=cx * 8 + 1, y=cy * 8 + 1)
+                for i, (cx, cy) in enumerate(cells)]
+
+    df = spark.createDataFrame(
+        rows(0, [(0, 0), (0, 0), (1, 0), (1, 1)])
+        + rows(100, [(0, 0), (1, 1)]))
+    out = traj_edit_distance(df, cell=8, max_moves=10,
+                             n_blocks=100).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.u, r.v, r.len_u, r.len_v) == (0, 100, 3, 2)
+    # signatures share prefix+suffix symbols; middle symbol deleted
+    assert r.dist == 1
+
+
+def test_hll_register_stream_matches_batch(spark, tmp_path):
+    """Streamed MAX-merged HLL registers == batch registers EXACTLY
+    (idempotent merge), and the estimates agree bit-for-bit."""
+    from mapbox_filter_spark.operators.sketch import (hll_estimate,
+                                                      hll_registers)
+    from mapbox_filter_spark.streaming.incremental import \
+        hll_register_stream
+
+    df = spark.range(8000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.pmod(F.col("id") * 7919, F.lit(1300)).cast("string").alias("k"))
+    src = str(tmp_path / "src")
+    df.repartition(6).write.parquet(src)
+
+    store = str(tmp_path / "store")
+    q = hll_register_stream(
+        spark, src, store, str(tmp_path / "ckpt"),
+        schema=df.schema, group_cols=["g"], key_cols=["k"], b=6,
+        salt="s", max_files=2)
+    q.awaitTermination(120)
+
+    got = {(r.g, r.bucket, r.reg)
+           for r in spark.read.parquet(store).collect()}
+    want = {(r.g, r.bucket, r.reg)
+            for r in hll_registers(df, ["g"], ["k"], b=6,
+                                   salt="s").collect()}
+    assert got == want
+    est_s = {(r.g, r.s_scaled, r.est_hll)
+             for r in hll_estimate(spark.read.parquet(store), ["g"],
+                                   b=6).collect()}
+    est_b = {(r.g, r.s_scaled, r.est_hll)
+             for r in hll_estimate(hll_registers(df, ["g"], ["k"], b=6,
+                                                 salt="s"), ["g"],
+                                   b=6).collect()}
+    assert est_s == est_b
