@@ -249,8 +249,17 @@ def pareto_topk(df: DataFrame, group_cols, key_col: str, k: int,
     w = Window.partitionBy(*g).orderBy(F.col("_c").desc(),
                                        F.col(key_col).asc())
     tot = Window.partitionBy(*g)
-    lab = F.when(F.row_number().over(w) <= k,
-                 F.col(key_col).cast("string")) \
+    # a real key whose string form equals the rollup label would fuse
+    # with the (other) row and corrupt its counts — refuse in-plan,
+    # on EVERY row (a beyond-k collision is just as ambiguous)
+    key_str = F.when(
+        F.col(key_col).cast("string") == other_label,
+        F.raise_error(F.lit(
+            f"pareto_topk: key collides with other_label "
+            f"{other_label!r}; pass a different other_label"))
+        .cast("string")).otherwise(F.col(key_col).cast("string"))
+    cnt = cnt.withColumn("_ks", key_str)
+    lab = F.when(F.row_number().over(w) <= k, F.col("_ks")) \
         .otherwise(F.lit(other_label))
     ranked = cnt.select(*g, lab.alias("label"), "_c",
                         F.sum("_c").over(tot).alias("total"))

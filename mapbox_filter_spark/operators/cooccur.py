@@ -150,6 +150,8 @@ def g2_collocations(docs: DataFrame, id_col: str, text_col: str, *,
     cnt = (pairs.groupBy("w_a", "w_b")
            .agg(F.count(F.lit(1)).alias("n_ab")).localCheckpoint())
     n_tot = cnt.agg(F.sum("n_ab").alias("n")).first()["n"]
+    if n_tot is None:
+        n_tot = 0  # zero bigrams: cnt is empty, result is empty too
     ra = cnt.groupBy("w_a").agg(F.sum("n_ab").alias("n_a"))
     cb = cnt.groupBy("w_b").agg(F.sum("n_ab").alias("n_b"))
     j = (cnt.filter(F.col("n_ab") >= min_count)

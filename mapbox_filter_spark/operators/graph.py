@@ -195,20 +195,24 @@ def pagerank_exact(
               .withColumn("_init", F.lit(init).cast("long")))
     else:
         # personalized PageRank: ALL teleport mass lands on the seed
-        # set (uniformly), so scores measure proximity to the seeds
-        s_n = seeds.count()
-        if s_n == 0:
-            raise ValueError("empty seed set")
-        s_base = (scale * (den - num)) // (den * s_n)
-        s_init = scale // s_n
+        # set (uniformly), so scores measure proximity to the seeds.
+        # |S| is counted AFTER dedup and AFTER intersecting with the
+        # node set — a duplicated or unknown seed row must not deflate
+        # the per-seed mass
         flag = seeds.select(F.col(seeds.columns[0]).alias("node"),
                             F.lit(True).alias("_seed")).distinct()
-        nb = (base_nodes.join(flag, "node", "left")
-              .select("node",
-                      F.when(F.col("_seed"), F.lit(s_base))
-                      .otherwise(F.lit(0)).cast("long").alias("_base"),
-                      F.when(F.col("_seed"), F.lit(s_init))
-                      .otherwise(F.lit(0)).cast("long").alias("_init")))
+        flagged = base_nodes.join(flag, "node", "left").localCheckpoint()
+        s_n = flagged.filter("_seed").count()
+        if s_n == 0:
+            raise ValueError("no seed is a member of the node set")
+        s_base = (scale * (den - num)) // (den * s_n)
+        s_init = scale // s_n
+        nb = flagged.select(
+            "node",
+            F.when(F.col("_seed"), F.lit(s_base))
+            .otherwise(F.lit(0)).cast("long").alias("_base"),
+            F.when(F.col("_seed"), F.lit(s_init))
+            .otherwise(F.lit(0)).cast("long").alias("_init"))
     nb = nb.localCheckpoint()
 
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_d"))
@@ -602,10 +606,11 @@ def hits_exact(
     — irrational, so inherently inexact; L1 keeps the SAME ranking and
     eigenvector direction at the fixpoint and admits exact arithmetic.)
 
-    Overflow bound: after normalization Σscore = scale, so a raw sum is
-    ≤ outdeg_max·scale and the re-scaling product is ≤ outdeg_max·scale².
-    The default scale 10⁹ is safe for outdeg_max ≤ 9 × 10⁹ edges of
-    mass — validated at runtime against the actual max degree.
+    Overflow bound: edges are deduplicated on entry, so a node's raw
+    sum Σ hub(u) over its in-edges (each u contributes at most once) is
+    ≤ the total L1 mass ``scale``, and the re-scaling product is
+    ≤ scale² — degree-independent.  scale ≤ 3·10⁹ keeps scale² < 2⁶³
+    (checked); the default 10⁹ has 9× headroom.
 
     Plan shape per round: two (join + groupBy-sum) passes over the edge
     list plus one broadcast of the 1-row total — no driver collect in
@@ -614,19 +619,18 @@ def hits_exact(
     """
     if iters < 1 or scale < 10**3:
         raise ValueError("need iters >= 1 and scale >= 1000")
+    if scale * scale >= (1 << 63):
+        raise ValueError(f"scale² overflows int64; need scale <= 3e9, "
+                         f"got {scale}")
     n = nodes.count()
     if n == 0:
         raise ValueError("empty node set")
-    deg_max = edges.groupBy(src).agg(F.count(F.lit(1)).alias("d")) \
-        .agg(F.max("d")).first()[0]
-    if deg_max is None:
-        raise ValueError("empty edge set")
-    if deg_max * scale * scale >= (1 << 63):
-        raise ValueError(
-            f"outdeg_max {deg_max} * scale² {scale}² overflows int64; "
-            "lower scale")
 
-    e = edges.select(src, dst).localCheckpoint()
+    # distinct: the scale² overflow bound relies on each node
+    # contributing to a given neighbor's raw sum at most once
+    e = edges.select(src, dst).distinct().localCheckpoint()
+    if e.isEmpty():
+        raise ValueError("empty edge set")
     base = nodes.select(F.col(node_col).alias("node"))
     hub = base.withColumn("hub", F.lit(scale // n).cast("long")) \
         .localCheckpoint()

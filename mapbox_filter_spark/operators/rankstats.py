@@ -279,11 +279,23 @@ def theil_sen(df: DataFrame, group_cols: "list[str]",
     dx > 0... they produce zero pairs).
     """
     clean = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+
+    def _as_long(c: str):
+        # integer-only contract enforced in-plan: a double input would
+        # otherwise silently truncate into a confidently wrong slope
+        v = F.col(c)
+        return F.when(
+            v.cast("double") != v.cast("long").cast("double"),
+            F.raise_error(F.concat(
+                F.lit(f"theil_sen: non-integer value in {c}: "),
+                v.cast("string"))).cast("long")
+        ).otherwise(v.cast("long"))
+
     n_w = Window.partitionBy(*group_cols)
     r = clean.select(
         *group_cols,
-        F.col(x_col).cast("long").alias("_x"),
-        F.col(y_col).cast("long").alias("_y"),
+        _as_long(x_col).alias("_x"),
+        _as_long(y_col).alias("_y"),
         F.count(F.lit(1)).over(n_w).alias("_n"))
     guard = F.when(
         F.col("_n") > _THEILSEN_MAX_GROUP_ROWS,

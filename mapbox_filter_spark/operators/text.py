@@ -468,8 +468,8 @@ def fuzzy_match_blocked(df: DataFrame, id_col: str, name_col: str,
                     d.alias("dist")))
 
 
-def kwic_contexts(docs: DataFrame, text_col: str, keyword: str,
-                  width: int = 2) -> DataFrame:
+def kwic_contexts(docs: DataFrame, text_col: str,
+                  keyword: str) -> DataFrame:
     """Keyword-in-context concordance: for every occurrence of
     ``keyword`` (pinned whitespace tokenization, lowercased), the
     ``width`` tokens left and right, aggregated into context-pattern
@@ -481,11 +481,9 @@ def kwic_contexts(docs: DataFrame, text_col: str, keyword: str,
     ``^`` boundary sentinel, past-end becomes ``$``; negative indices
     would otherwise wrap from the array END in both engines).  One
     map-side-combinable groupBy; no join, no window, no shuffle of the
-    corpus itself.  Returns ``(l2, l1, r1, r2, n)`` for width=2.
+    corpus itself.  The context is pinned to ±2 tokens — the
+    ``(l2, l1, r1, r2, n)`` column contract.
     """
-    if width != 2:
-        raise ValueError("kwic_contexts is pinned to width=2 "
-                         "(column contract l2,l1,r1,r2)")
     a = _words(F.col(text_col))
     idxs = F.filter(F.sequence(F.lit(1), F.greatest(F.size(a), F.lit(1))),
                     lambda i: F.try_element_at(a, i) == F.lit(keyword))

@@ -389,6 +389,38 @@ def hex_heatmap_stream(
     )
 
 
+def _hll_latest_epoch(store_dir: str, before: "int | None" = None):
+    """Largest committed (``_SUCCESS``-marked) ``epoch=N`` subdir of the
+    register store, optionally restricted to N < ``before`` (so a
+    REPLAYED epoch re-reads exactly the predecessor it read the first
+    time, never its own partial output)."""
+    if not os.path.isdir(store_dir):
+        return None
+    best = None
+    for name in os.listdir(store_dir):
+        if not name.startswith("epoch="):
+            continue
+        try:
+            n = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if before is not None and n >= before:
+            continue
+        if not os.path.exists(os.path.join(store_dir, name, "_SUCCESS")):
+            continue  # partial write from a crash — ignore
+        if best is None or n > best:
+            best = n
+    return best
+
+
+def hll_store_read(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The drained register table: the latest committed epoch dir."""
+    n = _hll_latest_epoch(store_dir)
+    if n is None:
+        raise FileNotFoundError(f"no committed epoch under {store_dir}")
+    return spark.read.parquet(os.path.join(store_dir, f"epoch={n}"))
+
+
 def hll_register_stream(
     spark: SparkSession,
     in_dir: str,
@@ -403,15 +435,22 @@ def hll_register_stream(
     max_files: int = 4,
 ):
     """Streaming HyperLogLog: each micro-batch's registers
-    (operators/sketch.py ``hll_registers``) MAX-merge into one
-    persistent O(groups·2^b) store.  This face exists to prove the
-    sketch's mergeability claim in running code: MAX is associative,
-    commutative AND idempotent, so unlike the Misra–Gries face (where
-    at-least-once replay may inflate candidate counters), a crashed
-    epoch replaying its files changes NOTHING — the drained store is
-    bit-identical to the batch sketch over the full corpus, and the
-    estimate matches the batch gate exactly (asserted in
-    tests/test_streaming.py).
+    (operators/sketch.py ``hll_registers``) MAX-merge into a persistent
+    O(groups·2^b) store.  This face exists to prove the sketch's
+    mergeability claim in running code: MAX is associative, commutative
+    AND idempotent, so an at-least-once epoch replay merges to the SAME
+    registers — the drained store is bit-identical to the batch sketch
+    over the full corpus (asserted in tests/test_streaming / the
+    session-5 suite).
+
+    Crash-safety is structural, not asserted: the store is
+    EPOCH-VERSIONED (``store_dir/epoch=N``, one dir per micro-batch).
+    An epoch writes only its OWN directory after reading the newest
+    ``_SUCCESS``-committed predecessor with M < N, so a crash mid-write
+    leaves a partial uncommitted dir that every later read ignores —
+    prior epochs are never deleted until their successor has committed.
+    (A plain mode("overwrite") store would delete the merged history
+    before the replacement commits.)
 
     Returns the StreamingQuery (caller awaits/stops)."""
     from ..operators.sketch import hll_registers
@@ -422,12 +461,25 @@ def hll_register_stream(
         if batch.isEmpty():
             return
         regs = hll_registers(batch, g, key_cols, b=b, salt=salt)
-        if os.path.exists(store_dir):
-            regs = regs.unionByName(spark.read.parquet(store_dir))
+        prev = _hll_latest_epoch(store_dir, before=epoch)
+        if prev is not None:
+            regs = regs.unionByName(spark.read.parquet(
+                os.path.join(store_dir, f"epoch={prev}")))
         merged = regs.groupBy(*g, "bucket").agg(F.max("reg").alias("reg"))
-        rows = merged.collect()  # O(groups·2^b) — breaks read↔overwrite
-        (spark.createDataFrame(rows, merged.schema)
-         .coalesce(1).write.mode("overwrite").parquet(store_dir))
+        (merged.coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(store_dir, f"epoch={epoch}")))
+        # committed: retire everything older than the predecessor we
+        # just merged from (crash during cleanup is harmless)
+        import shutil
+        for name in os.listdir(store_dir):
+            if name.startswith("epoch="):
+                try:
+                    n = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if prev is not None and n < prev:
+                    shutil.rmtree(os.path.join(store_dir, name),
+                                  ignore_errors=True)
 
     stream = (
         spark.readStream.schema(schema)

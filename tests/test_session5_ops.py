@@ -322,8 +322,8 @@ def test_hll_register_stream_matches_batch(spark, tmp_path):
     (idempotent merge), and the estimates agree bit-for-bit."""
     from mapbox_filter_spark.operators.sketch import (hll_estimate,
                                                       hll_registers)
-    from mapbox_filter_spark.streaming.incremental import \
-        hll_register_stream
+    from mapbox_filter_spark.streaming.incremental import (
+        hll_register_stream, hll_store_read)
 
     df = spark.range(8000).select(
         (F.col("id") % 3).cast("string").alias("g"),
@@ -339,16 +339,114 @@ def test_hll_register_stream_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
 
     got = {(r.g, r.bucket, r.reg)
-           for r in spark.read.parquet(store).collect()}
+           for r in hll_store_read(spark, store).collect()}
     want = {(r.g, r.bucket, r.reg)
             for r in hll_registers(df, ["g"], ["k"], b=6,
                                    salt="s").collect()}
     assert got == want
     est_s = {(r.g, r.s_scaled, r.est_hll)
-             for r in hll_estimate(spark.read.parquet(store), ["g"],
+             for r in hll_estimate(hll_store_read(spark, store), ["g"],
                                    b=6).collect()}
     est_b = {(r.g, r.s_scaled, r.est_hll)
              for r in hll_estimate(hll_registers(df, ["g"], ["k"], b=6,
                                                  salt="s"), ["g"],
                                    b=6).collect()}
     assert est_s == est_b
+
+
+# --- review-pass regression tests ---
+
+
+def test_hits_high_degree_no_spurious_overflow(spark):
+    """r5 review: the old guard rejected outdeg >= 10 at scale 1e9;
+    the true bound is scale² (degree-independent, distinct edges)."""
+    from mapbox_filter_spark.operators.graph import hits_exact
+
+    nodes = list(range(12))
+    edges = [(0, d) for d in range(1, 12)]  # star, outdeg 11
+    ndf = spark.createDataFrame([Row(node=n) for n in nodes])
+    edf = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    out = hits_exact(ndf, edf, iters=2).collect()
+    assert len(out) == 12
+    hub, auth = _hits_python(nodes, edges, 2, 10**9)
+    assert {r.node: (r.hub, r.auth) for r in out} == \
+        {n: (hub[n], auth[n]) for n in nodes}
+    with pytest.raises(ValueError, match="scale"):
+        hits_exact(ndf, edf, iters=1, scale=4 * 10**9)
+
+
+def test_hits_duplicate_edges_deduped(spark):
+    from mapbox_filter_spark.operators.graph import hits_exact
+
+    ndf = spark.createDataFrame([Row(node=n) for n in range(3)])
+    e1 = spark.createDataFrame(
+        [Row(src=0, dst=1), Row(src=1, dst=2), Row(src=2, dst=0)])
+    e2 = e1.unionAll(e1)  # duplicated edge list
+    a = {(r.node, r.hub, r.auth) for r in hits_exact(ndf, e1).collect()}
+    b = {(r.node, r.hub, r.auth) for r in hits_exact(ndf, e2).collect()}
+    assert a == b
+
+
+def test_ppr_duplicate_and_unknown_seeds(spark):
+    """r5 review: |S| must count distinct MEMBER seeds only."""
+    from mapbox_filter_spark.operators.graph import pagerank_exact
+
+    nodes = list(range(8))
+    edges = [(i, (i + 1) % 8) for i in range(8)]
+    ndf = spark.createDataFrame([Row(node=n) for n in nodes])
+    edf = spark.createDataFrame([Row(src=s, dst=d) for s, d in edges])
+    clean = spark.createDataFrame([Row(node=0)])
+    dirty = spark.createDataFrame(
+        [Row(node=0), Row(node=0), Row(node=99)])  # dup + non-member
+    a = {r.node: r.pr
+         for r in pagerank_exact(ndf, edf, iters=2,
+                                 seeds=clean).collect()}
+    b = {r.node: r.pr
+         for r in pagerank_exact(ndf, edf, iters=2,
+                                 seeds=dirty).collect()}
+    assert a == b
+    only_unknown = spark.createDataFrame([Row(node=99)])
+    with pytest.raises(ValueError, match="member"):
+        pagerank_exact(ndf, edf, iters=1, seeds=only_unknown)
+
+
+def test_pareto_label_collision_raises(spark):
+    from mapbox_filter_spark.operators.analytics import pareto_topk
+
+    df = spark.createDataFrame(
+        [Row(g="t", k="(other)"), Row(g="t", k="x")])
+    with pytest.raises(Exception, match="collides"):
+        pareto_topk(df, ["g"], "k", 1).collect()
+
+
+def test_g2_empty_corpus(spark):
+    from mapbox_filter_spark.operators.cooccur import g2_collocations
+
+    df = spark.createDataFrame([Row(doc_id=1, text="single"),
+                                Row(doc_id=2, text="  ")])
+    assert g2_collocations(df, "doc_id", "text").count() == 0
+
+
+def test_theil_sen_noninteger_raises(spark):
+    from mapbox_filter_spark.operators.rankstats import theil_sen
+
+    df = spark.createDataFrame(
+        [Row(g="a", x=1, y=0.5), Row(g="a", x=2, y=1.5)])
+    with pytest.raises(Exception, match="non-integer"):
+        theil_sen(df, ["g"], "x", "y").collect()
+
+
+def test_hll_store_ignores_uncommitted_epochs(tmp_path):
+    import os
+
+    from mapbox_filter_spark.streaming.incremental import _hll_latest_epoch
+
+    root = str(tmp_path / "store")
+    for n, ok in [(1, True), (2, True), (3, False)]:
+        d = os.path.join(root, f"epoch={n}")
+        os.makedirs(d)
+        if ok:
+            open(os.path.join(d, "_SUCCESS"), "w").close()
+    assert _hll_latest_epoch(root) == 2          # 3 is uncommitted
+    assert _hll_latest_epoch(root, before=2) == 1
+    assert _hll_latest_epoch(str(tmp_path / "nope")) is None
