@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 
 from .tilemath import floor_div as _floor_div
 
-__all__ = ["orient2d", "segment_pairs_intersecting", "snap_to_segments"]
+__all__ = ["orient2d", "segment_pairs_intersecting", "snap_to_segments",
+           "rect_overlap_join"]
 
 
 def orient2d(ax: Column, ay: Column, bx: Column, by: Column,
@@ -242,3 +243,59 @@ def snap_to_segments(
                     F.col("_b.sid").alias(seg_id),
                     F.col("_b.d2").alias("d2")))
     return best
+
+
+def rect_overlap_join(a: DataFrame, b: DataFrame, *, cell: int,
+                      a_id: str = "a_id",
+                      b_id: str = "b_id") -> DataFrame:
+    """Rectangle-intersects-rectangle spatial join on exact integer
+    boxes — the 2-D interval join (bbox pre-pass of polygon overlay,
+    raster chunk ↔ vector footprint matching).
+
+    Inputs carry ``(id, x0, y0, x1, y1)`` with x0 ≤ x1, y0 ≤ y1 (ints).
+    Candidates come from ONE equi-join on covering grid cells (each box
+    explodes to the cells it touches — bounded by (w/cell+2)(h/cell+2),
+    so pick ``cell`` ≳ the typical box edge), deduped, then the exact
+    closed-interval overlap test keeps true pairs and computes the
+    intersection box + area (exact longs).  The brute O(|A|·|B|) theta
+    join lives only in the oracle — a value-hash match proves the cell
+    candidates lost no pair.
+
+    Returns ``(a_id, b_id, ix0, iy0, ix1, iy1, inter_area)``.
+    """
+    if cell <= 0:
+        raise ValueError(f"cell must be positive: {cell}")
+
+    def cells(df: DataFrame, idc: str, tag: str) -> DataFrame:
+        cx0 = _floor_div(F.col("x0").cast("long"), cell)
+        cx1 = _floor_div(F.col("x1").cast("long"), cell)
+        cy0 = _floor_div(F.col("y0").cast("long"), cell)
+        cy1 = _floor_div(F.col("y1").cast("long"), cell)
+        return df.select(
+            F.col(idc), "x0", "y0", "x1", "y1",
+            F.explode(F.sequence(cx0, cx1)).alias("ccx"),
+            cy0.alias("_cy0"), cy1.alias("_cy1")
+        ).select(
+            F.col(idc).alias(f"{tag}id"),
+            F.col("x0").alias(f"{tag}x0"), F.col("y0").alias(f"{tag}y0"),
+            F.col("x1").alias(f"{tag}x1"), F.col("y1").alias(f"{tag}y1"),
+            "ccx", F.explode(F.sequence("_cy0", "_cy1")).alias("ccy"))
+
+    ca = cells(a, a_id, "a_")
+    cb = cells(b, b_id, "b_")
+    cand = (ca.join(cb, ["ccx", "ccy"])
+            .select("a_id", "b_id", "a_x0", "a_y0", "a_x1", "a_y1",
+                    "b_x0", "b_y0", "b_x1", "b_y1")
+            .distinct())
+    hit = cand.filter(
+        (F.col("a_x0") <= F.col("b_x1")) & (F.col("b_x0") <= F.col("a_x1"))
+        & (F.col("a_y0") <= F.col("b_y1"))
+        & (F.col("b_y0") <= F.col("a_y1")))
+    ix0 = F.greatest("a_x0", "b_x0")
+    iy0 = F.greatest("a_y0", "b_y0")
+    ix1 = F.least("a_x1", "b_x1")
+    iy1 = F.least("a_y1", "b_y1")
+    return hit.select(
+        "a_id", "b_id", ix0.alias("ix0"), iy0.alias("iy0"),
+        ix1.alias("ix1"), iy1.alias("iy1"),
+        ((ix1 - ix0) * (iy1 - iy0)).cast("long").alias("inter_area"))

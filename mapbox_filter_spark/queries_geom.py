@@ -2372,10 +2372,106 @@ SELECT a.user_id AS u, b.user_id AS v,
 FROM p a JOIN p b ON a.blk = b.blk AND a.user_id < b.user_id"""
 
 
+
+_QSPLIT_Z0, _QSPLIT_ZMAX, _QSPLIT_CAP = 3, 7, 400
+
+
+def q_adaptive_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-balanced tile pyramid (operators/quadtree.py
+    adaptive_tile_split): tiles over cap split into children until the
+    cap holds or z_max — per level one count + one broadcast semi-join
+    over a monotonically shrinking point set."""
+    from .operators.quadtree import adaptive_tile_split
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir)
+    return adaptive_tile_split(feats, _QSPLIT_Z0, _QSPLIT_ZMAX,
+                               _QSPLIT_CAP)
+
+
+def sql_adaptive_tiles() -> str:
+    from .queries import _sql_tile_x, _sql_tile_y
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    cap = _QSPLIT_CAP
+    ctes = [FEATURES_ORACLE_SQL + """,
+p3 AS MATERIALIZED (SELECT lon, lat FROM features)"""]
+    emits = []
+    for z in range(_QSPLIT_Z0, _QSPLIT_ZMAX + 1):
+        ctes.append(f"""t{z} AS MATERIALIZED (
+  SELECT lon, lat, {_sql_tile_x(z)} AS x, {_sql_tile_y(z)} AS y
+  FROM p{z}),
+c{z} AS MATERIALIZED (
+  SELECT x, y, COUNT(*) AS n FROM t{z} GROUP BY 1, 2)""")
+        if z < _QSPLIT_ZMAX:
+            emits.append(f"SELECT {z} AS z, x, y, n FROM c{z} "
+                         f"WHERE n <= {cap}")
+            ctes.append(f"""p{z + 1} AS MATERIALIZED (
+  SELECT t.lon, t.lat FROM t{z} t
+  JOIN (SELECT x, y FROM c{z} WHERE n > {cap}) h
+    ON t.x = h.x AND t.y = h.y)""")
+        else:
+            emits.append(f"SELECT {z} AS z, x, y, n FROM c{z}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(emits))
+
+
+_RECT_CELL = 8192
+
+
+def _rects_sql(table: str, key: str) -> str:
+    return (f"SELECT {key} AS id, "
+            f"({key} * 7919) % 100000 AS x0, "
+            f"({key} * 104729) % 100000 AS y0, "
+            f"({key} * 7919) % 100000 + ({key} * 31) % 4000 + 100 AS x1, "
+            f"({key} * 104729) % 100000 + ({key} * 17) % 4000 + 100 AS y1 "
+            f"FROM {table}")
+
+
+def _rects_df(df: DataFrame, key: str, idc: str) -> DataFrame:
+    k = F.col(key)
+    x0 = F.pmod(k * 7919, F.lit(100000))
+    y0 = F.pmod(k * 104729, F.lit(100000))
+    return df.select(
+        k.alias(idc), x0.alias("x0"), y0.alias("y0"),
+        (x0 + F.pmod(k * 31, F.lit(4000)) + 100).alias("x1"),
+        (y0 + F.pmod(k * 17, F.lit(4000)) + 100).alias("y1"))
+
+
+def q_rect_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle-intersection spatial join (geo/overlay.py
+    rect_overlap_join): covering-cell candidates + exact closed-interval
+    test; the brute theta join lives only in the oracle, so the
+    value-hash match proves candidate completeness."""
+    from .geo.overlay import rect_overlap_join
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    a = _rects_df(part, "p_partkey", "a_id")
+    b = _rects_df(supp, "s_suppkey", "b_id")
+    return rect_overlap_join(a, b, cell=_RECT_CELL)
+
+
+def sql_rect_overlap_join() -> str:
+    return f"""WITH a AS ({_rects_sql("part", "p_partkey")}),
+b AS ({_rects_sql("supplier", "s_suppkey")})
+SELECT a.id AS a_id, b.id AS b_id,
+       GREATEST(a.x0, b.x0) AS ix0, GREATEST(a.y0, b.y0) AS iy0,
+       LEAST(a.x1, b.x1) AS ix1, LEAST(a.y1, b.y1) AS iy1,
+       CAST((LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0))
+            * (LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0)) AS BIGINT)
+         AS inter_area
+FROM a JOIN b
+  ON a.x0 <= b.x1 AND b.x0 <= a.x1
+ AND a.y0 <= b.y1 AND b.y0 <= a.y1"""
+
+
 GEOM_QUERIES = {
     "convex_hull_cells": (q_convex_hull_cells, sql_convex_hull_cells),
     "heading_octants": (q_heading_octants, sql_heading_octants),
     "traj_edit_distance": (q_traj_edit_distance, sql_traj_edit_distance),
+    "adaptive_tiles": (q_adaptive_tiles, sql_adaptive_tiles),
+    "rect_overlap_join": (q_rect_overlap_join, sql_rect_overlap_join),
     "region_dissolve": (q_region_dissolve, sql_region_dissolve),
     "geom_stats": (q_geom_stats, sql_geom_stats),
     "zonal_stats": (q_zonal_stats, sql_zonal_stats),

@@ -450,3 +450,54 @@ def test_hll_store_ignores_uncommitted_epochs(tmp_path):
     assert _hll_latest_epoch(root) == 2          # 3 is uncommitted
     assert _hll_latest_epoch(root, before=2) == 1
     assert _hll_latest_epoch(str(tmp_path / "nope")) is None
+
+
+def test_adaptive_tile_split_invariants(spark):
+    from mapbox_filter_spark.operators.quadtree import adaptive_tile_split
+
+    # 500 points jammed into one spot + 50 scattered
+    rows = [Row(lon=10.001 + (i % 7) * 1e-4, lat=45.001 + (i % 5) * 1e-4)
+            for i in range(500)]
+    rows += [Row(lon=-150.0 + i * 5.0, lat=-60.0 + i * 2.0)
+             for i in range(50)]
+    df = spark.createDataFrame(rows)
+    leaves = adaptive_tile_split(df, 2, 6, 100).collect()
+    total = sum(r.n for r in leaves)
+    assert total == 550
+    # below z_max every leaf respects the cap
+    assert all(r.n <= 100 for r in leaves if r.z < 6)
+    # the dense spot was driven to z_max
+    assert any(r.z == 6 for r in leaves)
+    # scattered points stayed shallow
+    assert any(r.z == 2 for r in leaves)
+
+
+def test_rect_overlap_join_brute(spark):
+    from mapbox_filter_spark.geo.overlay import rect_overlap_join
+
+    rng = random.Random(11)
+
+    def mk(n, span, wmax):
+        out = []
+        for i in range(n):
+            x0, y0 = rng.randint(0, span), rng.randint(0, span)
+            out.append((i, x0, y0, x0 + rng.randint(0, wmax),
+                        y0 + rng.randint(0, wmax)))
+        return out
+
+    A, B = mk(60, 300, 80), mk(40, 300, 80)
+    a = spark.createDataFrame(A, "a_id long, x0 long, y0 long, "
+                                 "x1 long, y1 long")
+    b = spark.createDataFrame(B, "b_id long, x0 long, y0 long, "
+                                 "x1 long, y1 long")
+    got = {(r.a_id, r.b_id, r.ix0, r.iy0, r.ix1, r.iy1, r.inter_area)
+           for r in rect_overlap_join(a, b, cell=64).collect()}
+    want = set()
+    for (i, ax0, ay0, ax1, ay1) in A:
+        for (j, bx0, by0, bx1, by1) in B:
+            if ax0 <= bx1 and bx0 <= ax1 and ay0 <= by1 and by0 <= ay1:
+                ix0, iy0 = max(ax0, bx0), max(ay0, by0)
+                ix1, iy1 = min(ax1, bx1), min(ay1, by1)
+                want.add((i, j, ix0, iy0, ix1, iy1,
+                          (ix1 - ix0) * (iy1 - iy0)))
+    assert got == want and want
