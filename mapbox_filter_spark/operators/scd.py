@@ -106,3 +106,55 @@ def scd2_asof(dim: DataFrame, at) -> DataFrame:
     return dim.filter((F.col("valid_from") <= at_c)
                       & (F.col("valid_to").isNull()
                          | (F.col("valid_to") > at_c)))
+
+
+def cdc_apply(base: DataFrame, changes: DataFrame, *, key: str,
+              val_cols: "list[str]", seq: str = "seq",
+              op: str = "op") -> DataFrame:
+    """Apply an ordered change log (op ∈ I/U/D with a total-order
+    ``seq``) onto a base snapshot — the MERGE/upsert compaction every
+    CDC-fed lakehouse table needs.  Last-writer-wins per key; a final
+    D deletes the key.
+
+    Shape: base rows enter as seq = −1 inserts, then ONE window
+    (row_number DESC over (seq)) picks each key's final image — no
+    join at all, one shuffle on the key.  Ties in ``seq`` within a key
+    are refused in-plan (raise_error): a CDC log without a total order
+    per key has no deterministic answer, and silently picking one is
+    how replicas diverge.
+
+    Returns the final state ``(key, *val_cols, last_seq, n_ops)``
+    where n_ops counts applied log entries (0 = untouched base row).
+    """
+    from pyspark.sql import Window
+
+    b = base.select(
+        F.col(key).alias("_k"),
+        *[F.col(c).alias(f"_v_{c}") for c in val_cols],
+        F.lit(-1).cast("long").alias("_seq"),
+        F.lit("I").alias("_op"))
+    sq = F.col(seq).cast("long")
+    c = changes.select(
+        F.col(key).alias("_k"),
+        *[F.col(v).alias(f"_v_{v}") for v in val_cols],
+        F.when(sq < 0, F.raise_error(F.lit(
+            "cdc_apply: change seq must be >= 0 (base reserves -1)"))
+            .cast("long")).otherwise(sq).alias("_seq"),
+        F.col(op).alias("_op"))
+    allr = b.unionByName(c)
+    w = Window.partitionBy("_k").orderBy(F.col("_seq").desc())
+    dup = F.count(F.lit(1)).over(
+        Window.partitionBy("_k", "_seq"))
+    ranked = allr.select(
+        "*", F.row_number().over(w).alias("_rn"),
+        F.when(dup > 1, F.raise_error(F.concat(
+            F.lit("cdc_apply: duplicate seq for key "),
+            F.col("_k").cast("string"))).cast("long"))
+        .otherwise(F.lit(0)).alias("_dupchk"),
+        F.sum(F.when(F.col("_seq") >= 0, 1).otherwise(0)).over(
+            Window.partitionBy("_k")).alias("n_ops"))
+    return (ranked.filter((F.col("_rn") == 1) & (F.col("_op") != "D")
+                          & (F.col("_dupchk") == 0))
+            .select(F.col("_k").alias(key),
+                    *[F.col(f"_v_{c2}").alias(c2) for c2 in val_cols],
+                    F.col("_seq").alias("last_seq"), "n_ops"))

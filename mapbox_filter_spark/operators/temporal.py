@@ -908,3 +908,75 @@ def seasonal_anomaly(df: DataFrame, key_cols: "list[str]", *,
             .filter(F.col("_rk") <= top_k)
             .select(*key_cols, "id", "season", "v", "n_season",
                     dev.alias("dev")))
+
+
+def nearest_event_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: "list[str]",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_val: str,
+    tiebreak: str = "backward",
+) -> DataFrame:
+    """Nearest-neighbor temporal join: each left row gets the right row
+    with the MINIMUM |Δt| within its key — the bidirectional sibling of
+    ``asof_join`` (backward-only), used when the measurement may arrive
+    just before OR just after the event it describes.
+
+    JOINLESS shape: the two inputs union into one time-ordered stream
+    and ONE window pass computes, per left row, the previous and next
+    right value (last_value/first_value with ignoreNulls over the
+    running frames) — one shuffle on the key, no pair blow-up, immune
+    to the dense-right-side skew an interval join would hit.
+
+    Determinism: timestamps compare as exact epoch micros; an exact
+    |Δt| tie picks the ``tiebreak`` side ("backward" = earlier right
+    row, "forward" = later).  Rows sharing (key, ts) across the two
+    inputs order left-after-right, so a same-instant right row is
+    visible backward (the asof_join convention).
+
+    Returns left's (key, ts) plus ``near_val``, ``near_ts_us``,
+    ``delta_us`` (NULL when the key has no right rows).
+    """
+    if tiebreak not in ("backward", "forward"):
+        raise ValueError(f"tiebreak must be backward|forward: {tiebreak}")
+    lt = left.select(*key, _us(F.col(left_ts)).alias("_us"),
+                     F.lit(1).alias("_is_left"),
+                     F.lit(None).cast("long").alias("_rus"),
+                     F.lit(None).cast("double").alias("_rv"))
+    rt = right.select(*key, _us(F.col(right_ts)).alias("_us"),
+                      F.lit(0).alias("_is_left"),
+                      _us(F.col(right_ts)).alias("_rus"),
+                      F.col(right_val).cast("double").alias("_rv"))
+    u = lt.unionByName(rt)
+    # right rows order before left rows at the same instant; _rv breaks
+    # ties among same-instant right rows (a total order — NULLS FIRST
+    # must be pinned in any SQL mirror)
+    order = [F.col("_us").asc(), F.col("_is_left").asc(),
+             F.col("_rv").asc_nulls_first()]
+    w_back = Window.partitionBy(*key).orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    w_fwd = Window.partitionBy(*key).orderBy(*order) \
+        .rowsBetween(1, Window.unboundedFollowing)
+    enriched = u.select(
+        *key, "_us", "_is_left",
+        F.last("_rus", ignorenulls=True).over(w_back).alias("_bus"),
+        F.last("_rv", ignorenulls=True).over(w_back).alias("_bv"),
+        F.first("_rus", ignorenulls=True).over(w_fwd).alias("_fus"),
+        F.first("_rv", ignorenulls=True).over(w_fwd).alias("_fv"))
+    bd = F.col("_us") - F.col("_bus")
+    fd = F.col("_fus") - F.col("_us")
+    take_back = F.when(F.col("_bus").isNull(), F.lit(False)) \
+        .when(F.col("_fus").isNull(), F.lit(True)) \
+        .otherwise((bd < fd) | ((bd == fd)
+                                & F.lit(tiebreak == "backward")))
+    out = (enriched.filter(F.col("_is_left") == 1)
+           .select(*key, F.col("_us").alias("ts_us"),
+                   F.when(take_back, F.col("_bv"))
+                   .otherwise(F.col("_fv")).alias("near_val"),
+                   F.when(take_back, F.col("_bus"))
+                   .otherwise(F.col("_fus")).alias("near_ts_us")))
+    return out.withColumn(
+        "delta_us", F.abs(F.col("ts_us") - F.col("near_ts_us")))

@@ -766,7 +766,57 @@ UNION ALL
 {out_row(3)}"""
 
 
+
+def q_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional nearest-event temporal join (operators/temporal.py
+    nearest_event_join): every click gets its |Δt|-nearest purchase
+    value (backward tiebreak) via the joinless one-window shape; the
+    oracle is an independent brute per-user theta join with the
+    (abs Δt, earlier-first) rank."""
+    from .operators.temporal import nearest_event_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("cents"))
+    left = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "ts").distinct()
+    right = (ev.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id", "ts")
+             .agg(F.max("cents").cast("double").alias("val")))
+    return nearest_event_join(left, right, key=["user_id"],
+                              right_val="val")
+
+
+def sql_nearest_event() -> str:
+    return """
+WITH l AS (
+  SELECT DISTINCT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events WHERE event_type = 'click'),
+r AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS rus,
+         CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) AS rv
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2),
+j AS (
+  SELECT l.user_id, l.us, r.rv, r.rus,
+         ROW_NUMBER() OVER (
+           PARTITION BY l.user_id, l.us
+           ORDER BY abs(l.us - r.rus), r.rus ASC) AS rn
+  FROM l JOIN r USING (user_id)),
+best AS (SELECT * FROM j WHERE rn = 1),
+noright AS (
+  SELECT l.user_id, l.us FROM l
+  WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.user_id = l.user_id))
+SELECT user_id, us AS ts_us, rv AS near_val, rus AS near_ts_us,
+       abs(us - rus) AS delta_us
+FROM best
+UNION ALL
+SELECT user_id, us, NULL, NULL, NULL FROM noright"""
+
+
 TEMPORAL_QUERIES = {
+    "nearest_event": (q_nearest_event, sql_nearest_event),
     "asof_join": (q_asof_join, sql_asof_join),
     "gapfill_locf": (q_gapfill_locf, sql_gapfill_locf),
     "retention_cohorts": (q_retention_cohorts, sql_retention_cohorts),

@@ -501,3 +501,66 @@ def test_rect_overlap_join_brute(spark):
                 want.add((i, j, ix0, iy0, ix1, iy1,
                           (ix1 - ix0) * (iy1 - iy0)))
     assert got == want and want
+
+
+def test_cdc_apply_hand(spark):
+    from mapbox_filter_spark.operators.scd import cdc_apply
+
+    base = spark.createDataFrame(
+        [Row(k=1, v=10), Row(k=2, v=20), Row(k=3, v=30)])
+    chg = spark.createDataFrame([
+        Row(k=1, v=11, seq=5, op="U"),
+        Row(k=1, v=12, seq=9, op="U"),   # last writer wins
+        Row(k=2, v=0, seq=4, op="D"),    # delete
+        Row(k=4, v=40, seq=7, op="I"),   # insert-only key
+    ])
+    out = {r.k: (r.v, r.last_seq, r.n_ops)
+           for r in cdc_apply(base, chg, key="k",
+                              val_cols=["v"]).collect()}
+    assert out == {1: (12, 9, 2), 3: (30, -1, 0), 4: (40, 7, 1)}
+
+
+def test_cdc_apply_guards(spark):
+    from mapbox_filter_spark.operators.scd import cdc_apply
+
+    base = spark.createDataFrame([Row(k=1, v=10)])
+    dup = spark.createDataFrame(
+        [Row(k=1, v=1, seq=5, op="U"), Row(k=1, v=2, seq=5, op="U")])
+    with pytest.raises(Exception, match="duplicate seq"):
+        cdc_apply(base, dup, key="k", val_cols=["v"]).collect()
+    neg = spark.createDataFrame([Row(k=1, v=1, seq=-3, op="U")])
+    with pytest.raises(Exception, match=">= 0"):
+        cdc_apply(base, neg, key="k", val_cols=["v"]).collect()
+
+
+def test_nearest_event_join_brute(spark):
+    from mapbox_filter_spark.operators.temporal import nearest_event_join
+
+    rng = random.Random(3)
+    lrows, rrows = [], []
+    for u in range(6):
+        for t in rng.sample(range(1000), 15):
+            lrows.append(Row(user_id=u, ts=t * 1000000))
+        if u != 5:  # user 5 has no right rows -> NULLs
+            for t in rng.sample(range(1000), 8):
+                rrows.append(Row(user_id=u, ts=t * 1000000,
+                                 val=float(t)))
+    l = spark.createDataFrame(lrows).select(
+        "user_id", F.timestamp_micros(F.col("ts")).alias("ts"))
+    r = spark.createDataFrame(rrows).select(
+        "user_id", F.timestamp_micros(F.col("ts")).alias("ts"), "val")
+    got = {(x.user_id, x.ts_us): (x.near_val, x.near_ts_us, x.delta_us)
+           for x in nearest_event_join(l, r, key=["user_id"],
+                                       right_val="val").collect()}
+    rs = {}
+    for x in rrows:
+        rs.setdefault(x.user_id, []).append((x.ts, x.val))
+    want = {}
+    for x in lrows:
+        cands = rs.get(x.user_id)
+        if not cands:
+            want[(x.user_id, x.ts)] = (None, None, None)
+            continue
+        best = min(cands, key=lambda c: (abs(x.ts - c[0]), c[0]))
+        want[(x.user_id, x.ts)] = (best[1], best[0], abs(x.ts - best[0]))
+    assert got == want
