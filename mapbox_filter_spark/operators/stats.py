@@ -450,3 +450,29 @@ def null_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
                            (F.col("n") - F.col("_s.n_null"))
                            .cast("double") / F.col("n").cast("double"))
                     .alias("fill_rate")))
+
+
+def group_mode(df: DataFrame, group_cols: Sequence[str],
+               val_col: str) -> DataFrame:
+    """Per-group MODE with a deterministic tie rule: the most frequent
+    value; equal counts break to the SMALLEST value (a total order, so
+    any engine agrees).  NULLs are excluded (they are absence, not a
+    value).
+
+    Two map-side-combinable groupBys + one window over the (group,
+    value) AGGREGATE — the fact table never sorts.  Returns
+    ``(group..., mode_val, mode_cnt, n_distinct)``.
+    """
+    g = list(group_cols)
+    cnt = (df.filter(F.col(val_col).isNotNull())
+           .groupBy(*g, val_col)
+           .agg(F.count(F.lit(1)).alias("_c")))
+    w = Window.partitionBy(*g).orderBy(F.col("_c").desc(),
+                                       F.col(val_col).asc())
+    return (cnt.select(*g, val_col, "_c",
+                       F.row_number().over(w).alias("_rn"),
+                       F.count(F.lit(1)).over(
+                           Window.partitionBy(*g)).alias("n_distinct"))
+            .filter(F.col("_rn") == 1)
+            .select(*g, F.col(val_col).alias("mode_val"),
+                    F.col("_c").alias("mode_cnt"), "n_distinct"))

@@ -829,6 +829,34 @@ FROM b l JOIN b r ON l.blk = r.blk AND l.id < r.id
 WHERE levenshtein(l.nm, r.nm) <= 1"""
 
 
+def q_group_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type MODE of the user distribution (operators/stats.py
+    group_mode): most frequent user, equal counts break to the SMALLEST
+    user_id — a total order, so every engine agrees.  Two map-side-
+    combinable groupBys + one window over the (group, value) AGGREGATE;
+    the fact table never sorts."""
+    from .operators.stats import group_mode
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_type", "user_id")
+    return group_mode(ev, ["event_type"], "user_id")
+
+
+def sql_group_mode() -> str:
+    return """WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS _c
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY 1, 2),
+r AS (
+  SELECT event_type, user_id, _c,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY _c DESC, user_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_distinct
+  FROM c)
+SELECT event_type, user_id AS mode_val, _c AS mode_cnt, n_distinct
+FROM r WHERE rn = 1"""
+
+
 CURATION_QUERIES = {
     "span_dedup": (q_span_dedup, sql_span_dedup),
     "decontaminate": (q_decontaminate, sql_decontaminate),
@@ -850,4 +878,5 @@ CURATION_QUERIES = {
     "readability": (q_readability, sql_readability),
     "null_profile": (q_null_profile, sql_null_profile),
     "fuzzy_match": (q_fuzzy_match, sql_fuzzy_match),
+    "group_mode": (q_group_mode, sql_group_mode),
 }

@@ -564,3 +564,32 @@ def test_nearest_event_join_brute(spark):
         best = min(cands, key=lambda c: (abs(x.ts - c[0]), c[0]))
         want[(x.user_id, x.ts)] = (best[1], best[0], abs(x.ts - best[0]))
     assert got == want
+
+
+def test_group_mode_hand_and_replay(spark):
+    from mapbox_filter_spark.operators.stats import group_mode
+    rows = [("a", 3), ("a", 3), ("a", 1), ("a", 1), ("a", 2),
+            ("b", 9), ("b", None), ("c", None)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = {r["g"]: (r["mode_val"], r["mode_cnt"], r["n_distinct"])
+           for r in group_mode(df, ["g"], "v").collect()}
+    # tie 3 vs 1 (both x2) breaks to the SMALLEST value
+    assert got["a"] == (1, 2, 3)
+    assert got["b"] == (9, 1, 1)
+    # all-NULL group vanishes (NULL is absence, not a value)
+    assert "c" not in got
+
+    # python replay differential on a random corpus
+    import collections
+    import random
+    rng = random.Random(7)
+    data = [(rng.choice("pqr"), rng.randint(0, 5)) for _ in range(400)]
+    df2 = spark.createDataFrame(data, "g string, v int")
+    got2 = {r["g"]: (r["mode_val"], r["mode_cnt"], r["n_distinct"])
+            for r in group_mode(df2, ["g"], "v").collect()}
+    per = collections.defaultdict(collections.Counter)
+    for g, v in data:
+        per[g][v] += 1
+    for g, c in per.items():
+        best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got2[g] == (best[0], best[1], len(c))
