@@ -270,3 +270,46 @@ def pareto_topk(df: DataFrame, group_cols, key_col: str, k: int,
             .withColumn("share",
                         F.col("cnt").cast("double")
                         / F.col("total").cast("double")))
+
+
+def cohort_retention(df: DataFrame, entity_col: str,
+                     date_col: str) -> DataFrame:
+    """Cohort retention matrix: entities are cohorted by their FIRST
+    active calendar month, and each later month contributes one
+    retained-count cell at its month offset — the classic growth
+    triangle (rows = cohorts, columns = month offsets).
+
+    Months are exact integers (``year·12 + month − 1``), so offsets are
+    bigint subtraction, never date arithmetic with engine-specific
+    rounding.  ``rate`` is the one pinned divide, n_active/cohort_size;
+    the offset-0 cell always exists (the cohort month is itself
+    active), so cohort_size is never NULL.
+
+    Shape for scale: the fact table collapses to DISTINCT
+    (entity, month) first — map-side combinable, the only fact-sized
+    shuffle; the cohort min is a window on that distinct table keyed by
+    entity (same key, AQE-coalesced), and the final matrix is a
+    low-cardinality groupBy.  No fact-table window, no join.
+
+    Returns ``(cohort_month, offset_months, n_active, cohort_size,
+    rate)``.
+    """
+    mon = (F.year(F.col(date_col).cast("date")) * 12
+           + F.month(F.col(date_col).cast("date")) - 1).cast("long")
+    act = (df.select(F.col(entity_col).alias("_e"), mon.alias("_mon"))
+           .filter(F.col("_mon").isNotNull())
+           .distinct())
+    we = Window.partitionBy("_e")
+    mat = (act.withColumn("_cohort", F.min("_mon").over(we))
+           .groupBy(F.col("_cohort").alias("cohort_month"),
+                    (F.col("_mon") - F.col("_cohort"))
+                    .alias("offset_months"))
+           .agg(F.count(F.lit(1)).alias("n_active")))
+    wc = Window.partitionBy("cohort_month")
+    size = F.max(F.when(F.col("offset_months") == 0,
+                        F.col("n_active"))).over(wc)
+    return (mat.select("cohort_month", "offset_months", "n_active",
+                       size.alias("cohort_size"))
+            .withColumn("rate",
+                        F.col("n_active").cast("double")
+                        / F.col("cohort_size").cast("double")))

@@ -208,3 +208,61 @@ def local_moran(cells: DataFrame, x_col: str, y_col: str,
             .when(F.col("z_s") > 0, "HL")
             .otherwise("LH"))
     return j.withColumn("quad", quad)
+
+
+def mann_kendall_cells(pts: DataFrame, cell: int,
+                       x_col: str = "x", y_col: str = "y",
+                       ts_col: str = "ts") -> DataFrame:
+    """Emerging-hotspot detection: per-grid-cell Mann-Kendall trend
+    statistic over the cell's daily activity counts — the space-time
+    pattern behind "which areas are heating up / cooling down", and the
+    statistic ESRI's emerging-hotspot tool runs per cube bin.
+
+    Mann-Kendall S = Σ_{i<j} sign(c_j − c_i) over the day-ordered daily
+    counts is PURE integer arithmetic (sign by two comparisons, never
+    signum's double) — the whole row value-hashes cross-engine.  A cell
+    needs ≥ 2 active days for a defined pair sum; single-day cells
+    report S = 0 / 'flat' (kept, via the left join).
+
+    Scale shape: the daily rollup hashes (cell, day) — map-side
+    combinable, the only fact-sized shuffle; the pair self-join and
+    both groupBys hash the CELL key.  The quadratic term is d(d−1)/2
+    per cell where d = DISTINCT ACTIVE DAYS, calendar-bounded (d ≤ 366
+    per year regardless of row count), so pair volume grows linearly
+    in cells, never in events.
+
+    Reference: Mann (1945) / Kendall's rank-correlation S; trend label
+    by the sign of S (the variance-normalized Z needs tie-corrected
+    √VAR(S), a non-portable float chain — callers wanting Z compute it
+    downstream from the exact S and n_days).
+
+    Returns ``(cx, cy, n_days, s_stat, trend)``.
+    """
+    from ..geo.tilemath import floor_div
+
+    day = F.datediff(F.col(ts_col).cast("date"),
+                     F.lit("1970-01-01").cast("date")).cast("long")
+    daily = (pts.select(floor_div(F.col(x_col), cell).alias("cx"),
+                        floor_div(F.col(y_col), cell).alias("cy"),
+                        day.alias("_day"))
+             .groupBy("cx", "cy", "_day")
+             .agg(F.count(F.lit(1)).alias("_n")))
+    lhs = daily.alias("l")
+    rhs = daily.alias("r")
+    sg = (F.when(F.col("r._n") > F.col("l._n"), 1)
+          .when(F.col("r._n") < F.col("l._n"), -1)
+          .otherwise(0)).cast("long")
+    pairs = (lhs.join(rhs, (F.col("l.cx") == F.col("r.cx"))
+                      & (F.col("l.cy") == F.col("r.cy"))
+                      & (F.col("l._day") < F.col("r._day")))
+             .groupBy(F.col("l.cx").alias("cx"),
+                      F.col("l.cy").alias("cy"))
+             .agg(F.sum(sg).alias("s_stat")))
+    base = daily.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).alias("n_days"))
+    s = F.coalesce(F.col("s_stat"), F.lit(0).cast("long"))
+    return (base.join(pairs, ["cx", "cy"], "left")
+            .select("cx", "cy", "n_days", s.alias("s_stat"),
+                    F.when(s > 0, F.lit("up"))
+                    .when(s < 0, F.lit("down"))
+                    .otherwise(F.lit("flat")).alias("trend")))

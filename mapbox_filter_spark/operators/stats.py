@@ -476,3 +476,39 @@ def group_mode(df: DataFrame, group_cols: Sequence[str],
             .filter(F.col("_rn") == 1)
             .select(*g, F.col(val_col).alias("mode_val"),
                     F.col("_c").alias("mode_cnt"), "n_distinct"))
+
+
+def minmax_scale(df: DataFrame, group_cols: Sequence[str],
+                 val_col: str, out_col: str = "scaled",
+                 broadcast_groups: bool = True) -> DataFrame:
+    """Per-group min-max feature scaling: ``(v − min) / (max − min)``
+    into [0, 1] — the preprocessing normalizer for per-stratum quality
+    scores before mixing strata.  Constant groups (max == min) scale to
+    NULL (no information, not 0.5 — a sentinel midpoint would silently
+    weight constant features).
+
+    Exactness: min/max of exact longs, one pinned long→double divide
+    per row.  NULL values pass through as NULL scaled.
+
+    Shape for scale: the per-group extrema table is a map-side-
+    combinable groupBy (rows = |groups|, tiny) joined BACK by broadcast
+    — the fact table itself never exchanges.  Contrast a
+    ``Window.partitionBy(group)`` formulation, which repartitions every
+    fact row onto |groups| tasks and dies on low-cardinality groups.
+    Pass ``broadcast_groups=False`` when |groups| is itself huge (e.g.
+    per-document strata) — the join then hashes on the group key and
+    AQE picks the strategy.
+    """
+    g = list(group_cols)
+    ext = (df.filter(F.col(val_col).isNotNull())
+           .groupBy(*g)
+           .agg(F.min(val_col).alias("_lo"), F.max(val_col).alias("_hi")))
+    rng = F.col("_hi") - F.col("_lo")
+    scaled = F.when(
+        rng > 0,
+        (F.col(val_col) - F.col("_lo")).cast("double")
+        / rng.cast("double"))
+    dim = F.broadcast(ext) if broadcast_groups else ext
+    return (df.join(dim, g, "left")
+            .select(*df.columns, F.col("_lo").alias("lo"),
+                    F.col("_hi").alias("hi"), scaled.alias(out_col)))

@@ -407,6 +407,37 @@ SELECT event_type, label, COUNT(*) AS n_keys,
 FROM r GROUP BY 1, 2"""
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort retention triangle over orders
+    (operators/analytics.py cohort_retention): exact integer months
+    (y·12+m−1), DISTINCT (customer, month) as the only fact-sized
+    shuffle, rate as the one pinned divide."""
+    from .operators.analytics import cohort_retention
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_custkey", "o_orderdate")
+    return cohort_retention(o, "o_custkey", "o_orderdate")
+
+
+def sql_cohort_retention() -> str:
+    return """WITH act AS (
+  SELECT DISTINCT o_custkey AS e,
+         CAST(year(CAST(o_orderdate AS DATE)) * 12
+              + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS mon
+  FROM orders WHERE o_orderdate IS NOT NULL),
+m AS (SELECT e, mon, MIN(mon) OVER (PARTITION BY e) AS cohort FROM act),
+a AS (SELECT cohort AS cohort_month, mon - cohort AS offset_months,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM m GROUP BY 1, 2)
+SELECT cohort_month, offset_months, n_active,
+       CAST(MAX(CASE WHEN offset_months = 0 THEN n_active END)
+            OVER (PARTITION BY cohort_month) AS BIGINT) AS cohort_size,
+       CAST(n_active AS DOUBLE)
+         / CAST(MAX(CASE WHEN offset_months = 0 THEN n_active END)
+                OVER (PARTITION BY cohort_month) AS DOUBLE) AS rate
+FROM a"""
+
+
 ANALYTICS_QUERIES = {
     "rfm_scores": (q_rfm_scores, sql_rfm_scores),
     "markov_transitions": (q_markov_transitions, sql_markov_transitions),
@@ -420,4 +451,5 @@ ANALYTICS_QUERIES = {
     "grouping_sets_report": (q_grouping_sets_report,
                              sql_grouping_sets_report),
     "decayed_engagement": (q_decayed_engagement, sql_decayed_engagement),
+    "cohort_retention": (q_cohort_retention, sql_cohort_retention),
 }

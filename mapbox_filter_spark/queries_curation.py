@@ -857,6 +857,30 @@ SELECT event_type, user_id AS mode_val, _c AS mode_cnt, n_distinct
 FROM r WHERE rn = 1"""
 
 
+def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type min-max scaling of event cents (operators/stats.py
+    minmax_scale): broadcast extrema join back — the fact table never
+    exchanges; constant groups and NULL values scale to NULL."""
+    from .operators.stats import minmax_scale
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", _cents().alias("cents"))
+    return minmax_scale(ev, ["event_type"], "cents")
+
+
+def sql_feature_scale() -> str:
+    return f"""WITH e AS (
+  SELECT event_id, event_type, {_CENTS_SQL} AS cents FROM events),
+a AS (SELECT event_type, MIN(cents) AS lo, MAX(cents) AS hi
+      FROM e WHERE cents IS NOT NULL GROUP BY 1)
+SELECT e.event_id, e.event_type, e.cents, a.lo, a.hi,
+       CASE WHEN a.hi > a.lo AND e.cents IS NOT NULL
+            THEN CAST(e.cents - a.lo AS DOUBLE)
+                 / CAST(a.hi - a.lo AS DOUBLE)
+            END AS scaled
+FROM e LEFT JOIN a USING (event_type)"""
+
+
 CURATION_QUERIES = {
     "span_dedup": (q_span_dedup, sql_span_dedup),
     "decontaminate": (q_decontaminate, sql_decontaminate),
@@ -879,4 +903,5 @@ CURATION_QUERIES = {
     "null_profile": (q_null_profile, sql_null_profile),
     "fuzzy_match": (q_fuzzy_match, sql_fuzzy_match),
     "group_mode": (q_group_mode, sql_group_mode),
+    "feature_scale": (q_feature_scale, sql_feature_scale),
 }

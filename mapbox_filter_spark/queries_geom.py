@@ -2045,6 +2045,49 @@ SELECT user_id, cx, cy, enter_us, exit_us, n_pings,
 FROM a WHERE exit_us - enter_us >= {_STAY_DWELL_US}"""
 
 
+_MK_CELL = 8192
+
+
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell Mann-Kendall trend over daily activity counts along the
+    deterministic walk (operators/spatialstats.py mann_kendall_cells):
+    S = Σ sign(c_j − c_i) in pure integer arithmetic; the pair volume
+    is calendar-bounded (d ≤ 30 active days in this corpus), never
+    event-bounded."""
+    from .operators.spatialstats import mann_kendall_cells
+    from .operators.trajectory import random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    return mann_kendall_cells(pos, cell=_MK_CELL)
+
+
+def sql_emerging_hotspots() -> str:
+    c = _MK_CELL
+    return f"""WITH {_sql_walk_pos()},
+d AS (
+  SELECT CAST(floor(x / {c}.0) AS BIGINT) AS cx,
+         CAST(floor(y / {c}.0) AS BIGINT) AS cy,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         COUNT(*) AS n
+  FROM pos GROUP BY 1, 2, 3),
+p AS (
+  SELECT l.cx, l.cy,
+         CASE WHEN r.n > l.n THEN 1
+              WHEN r.n < l.n THEN -1 ELSE 0 END AS sg
+  FROM d l JOIN d r ON l.cx = r.cx AND l.cy = r.cy AND l.day < r.day),
+s AS (SELECT cx, cy, CAST(SUM(sg) AS BIGINT) AS s_stat
+      FROM p GROUP BY 1, 2),
+g AS (SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM d GROUP BY 1, 2)
+SELECT g.cx, g.cy, g.n_days,
+       COALESCE(s.s_stat, 0) AS s_stat,
+       CASE WHEN COALESCE(s.s_stat, 0) > 0 THEN 'up'
+            WHEN COALESCE(s.s_stat, 0) < 0 THEN 'down'
+            ELSE 'flat' END AS trend
+FROM g LEFT JOIN s ON s.cx = g.cx AND s.cy = g.cy"""
+
+
 _BBOX = (-60.0, -20.0, -45.0, -25.0)  # lon_lo, lon_hi, lat_lo, lat_hi
 _BBOX_ZOOM = 6
 # cover <= 9x6 = 54 cells < 64 buckets: strict bucket pruning is
@@ -2509,6 +2552,7 @@ GEOM_QUERIES = {
     "morans_i": (q_morans_i, sql_morans_i),
     "getis_ord": (q_getis_ord, sql_getis_ord),
     "stay_points": (q_stay_points, sql_stay_points),
+    "emerging_hotspots": (q_emerging_hotspots, sql_emerging_hotspots),
     "bbox_query": (q_bbox_query, sql_bbox_query),
     "local_moran": (q_local_moran, sql_local_moran),
     "hausdorff_pairs": (q_hausdorff_pairs, sql_hausdorff_pairs),
