@@ -35,7 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["morans_i", "getis_ord_gi", "local_moran"]
+__all__ = ["morans_i", "getis_ord_gi", "local_moran",
+           "mann_kendall_cells", "knox_pairs", "ripley_k"]
 
 _QUEEN = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
           if not (dx == 0 and dy == 0)]
@@ -266,3 +267,173 @@ def mann_kendall_cells(pts: DataFrame, cell: int,
                     F.when(s > 0, F.lit("up"))
                     .when(s < 0, F.lit("down"))
                     .otherwise(F.lit("flat")).alias("trend")))
+
+
+def _blocked_pairs(pts: DataFrame, eps: int, id_col: str,
+                   x_col: str, y_col: str,
+                   extra_cols: "tuple[str, ...]" = ()) -> DataFrame:
+    """Unordered candidate pairs ``i < j`` with exact squared distance
+    ``d2 <= eps²``, via the eps-grid block join: base keeps its own
+    cell, the probe side explodes ×9 into its neighborhood, so every
+    qualifying pair matches on EXACTLY one (base-cell == probe-cell)
+    key — counted once, no post-hoc dedup.  One shuffle per side on
+    the cell key.  ``extra_cols`` ride along as ``l_<c>`` / ``r_<c>``.
+    """
+    from ..geo.tilemath import floor_div
+
+    base = pts.select(
+        F.col(id_col).alias("i"),
+        F.col(x_col).alias("_xi"), F.col(y_col).alias("_yi"),
+        *[F.col(c).alias(f"l_{c}") for c in extra_cols],
+        floor_div(F.col(x_col), eps).alias("_cx"),
+        floor_div(F.col(y_col), eps).alias("_cy"))
+    offs = F.array(*[
+        F.struct(F.lit(dx).cast("long").alias("dx"),
+                 F.lit(dy).cast("long").alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    probe = (pts.select(
+        F.col(id_col).alias("j"),
+        F.col(x_col).alias("_xj"), F.col(y_col).alias("_yj"),
+        *[F.col(c).alias(f"r_{c}") for c in extra_cols],
+        floor_div(F.col(x_col), eps).alias("_jcx"),
+        floor_div(F.col(y_col), eps).alias("_jcy"))
+        .select("j", "_xj", "_yj", "_jcx", "_jcy",
+                *[f"r_{c}" for c in extra_cols],
+                F.explode(offs).alias("_o"))
+        .select("j", "_xj", "_yj",
+                *[f"r_{c}" for c in extra_cols],
+                (F.col("_jcx") + F.col("_o.dx")).alias("_px"),
+                (F.col("_jcy") + F.col("_o.dy")).alias("_py")))
+    d2 = ((F.col("_xi") - F.col("_xj")) * (F.col("_xi") - F.col("_xj"))
+          + (F.col("_yi") - F.col("_yj")) * (F.col("_yi") - F.col("_yj")))
+    return (base.join(probe,
+                      (base["_cx"] == probe["_px"])
+                      & (base["_cy"] == probe["_py"])
+                      & (F.col("i") < F.col("j"))
+                      & (d2 <= F.lit(eps * eps)))
+            .select("i", "j", d2.alias("d2"),
+                    *[f"l_{c}" for c in extra_cols],
+                    *[f"r_{c}" for c in extra_cols]))
+
+
+def knox_pairs(pts: DataFrame, eps: int, tau: int, *,
+               id_col: str = "i", x_col: str = "x", y_col: str = "y",
+               t_col: str = "t") -> DataFrame:
+    """Knox space-time interaction test: of all n(n−1)/2 point pairs,
+    how many are close in space (d² ≤ eps²), close in time
+    (|Δt| ≤ tau), and close in BOTH — the epidemiology / crime-analysis
+    statistic for "do events cluster in space AND time together"
+    (disease outbreaks, aftershocks, repeat victimization).  The
+    observed joint count is compared with the independence expectation
+    space·time/total (the Knox chance line; significance testing
+    permutes timestamps downstream — a Monte-Carlo concern, not an
+    engine one).
+
+    Exactness: every count is exact int64 (integer coordinates and
+    timestamps, i < j each pair once); ``expected`` is the single
+    pinned double expression space·time/total.
+
+    Scale shape: NEVER materializes the quadratic pair space — the
+    space+joint counts come from ONE eps-grid block join (×9 probe
+    explode, pairs emitted once by cell identity), the time count from
+    one tau-bucket block join (×3 probe explode), and n from a
+    map-side-combinable count; three independent shuffles, each keyed
+    on its blocking cell.  Pair volume is output-bounded (only pairs
+    actually within eps / tau), never n².
+
+    Reference: Knox (1964, "The detection of space-time interactions");
+    blocked-join evaluation is this engine's.
+
+    Returns one row ``(n_points, n_pairs, space_pairs, time_pairs,
+    joint_pairs, expected)``.
+    """
+    from ..geo.tilemath import floor_div
+
+    if eps <= 0 or tau <= 0:
+        raise ValueError("eps and tau must be positive integers")
+    sp = (_blocked_pairs(pts, eps, id_col, x_col, y_col,
+                         extra_cols=(t_col,))
+          .agg(F.count(F.lit(1)).alias("space_pairs"),
+               F.sum(F.when(F.abs(F.col(f"l_{t_col}")
+                                  - F.col(f"r_{t_col}")) <= tau, 1)
+                     .otherwise(0)).cast("long").alias("joint_pairs")))
+
+    tb = pts.select(F.col(id_col).alias("i"), F.col(t_col).alias("_ti"),
+                    floor_div(F.col(t_col), tau).alias("_b"))
+    probe = (pts.select(F.col(id_col).alias("j"),
+                        F.col(t_col).alias("_tj"),
+                        floor_div(F.col(t_col), tau).alias("_jb"))
+             .select("j", "_tj", F.explode(F.array(
+                 F.col("_jb") - 1, F.col("_jb"),
+                 F.col("_jb") + 1)).alias("_pb")))
+    tp = (tb.join(probe, (tb["_b"] == probe["_pb"])
+                  & (F.col("i") < F.col("j"))
+                  & (F.abs(F.col("_ti") - F.col("_tj")) <= tau))
+          .agg(F.count(F.lit(1)).alias("time_pairs")))
+
+    nn = pts.agg(F.count(F.lit(1)).alias("n_points"))
+    npairs = (F.col("n_points") * (F.col("n_points") - 1) / 2) \
+        .cast("long")
+    return (nn.crossJoin(sp).crossJoin(tp)
+            .select("n_points", npairs.alias("n_pairs"),
+                    "space_pairs", "time_pairs", "joint_pairs")
+            .withColumn(
+                "expected",
+                F.col("space_pairs").cast("double")
+                * F.col("time_pairs").cast("double")
+                / F.col("n_pairs").cast("double")))
+
+
+def ripley_k(pts: DataFrame, radii: "list[int]", *,
+             id_col: str = "i", x_col: str = "x",
+             y_col: str = "y") -> DataFrame:
+    """Ripley's K function over a radius ladder: K̂(r) =
+    A·2·pairs(r)/(n·(n−1)) where pairs(r) counts unordered point pairs
+    with d² ≤ r² and A is the bounding-box study area — the
+    second-moment summary distinguishing clustered / random / regular
+    point processes at each scale r (K above πr² = clustered at that
+    scale).  Border correction is the caller's choice of study frame;
+    the uncorrected estimator here is the one every correction starts
+    from.
+
+    Exactness: pair counts, n, and the bbox area are exact int64; each
+    ladder rung reuses ONE block join at cell = max(r) (a pair with
+    d² ≤ r² for small r certainly has d² ≤ r_max²), with per-rung
+    conditional integer sums — so the whole ladder costs one join, not
+    len(radii).  ``k_hat`` is the single pinned double chain
+    2·cnt · A / (n·(n−1)).
+
+    Scale shape: one ×9-probe grid join keyed on the r_max cell (pair
+    volume output-bounded), one single-row stats aggregate broadcast
+    back, and an in-row ladder unpivot (stack) — no per-radius rescan.
+    For radius ladders spanning orders of magnitude, call once per
+    decade so small rungs don't pay the big rung's candidate volume.
+
+    Reference: Ripley (1976, "The second-order analysis of stationary
+    point processes"); blocked one-join ladder is this engine's.
+
+    Returns one row per radius ``(r, pair_cnt, n_points, area, k_hat)``.
+    """
+    rs = sorted(set(int(r) for r in radii))
+    if not rs or rs[0] <= 0:
+        raise ValueError("radii must be positive integers")
+    rmax = rs[-1]
+    pairs = _blocked_pairs(pts, rmax, id_col, x_col, y_col)
+    cnt = pairs.agg(*[
+        F.sum(F.when(F.col("d2") <= r * r, 1).otherwise(0))
+        .cast("long").alias(f"_c{r}") for r in rs])
+    stats = pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        ((F.max(x_col) - F.min(x_col))
+         * (F.max(y_col) - F.min(y_col))).cast("long").alias("area"))
+    stack = F.expr("stack({}, {})".format(
+        len(rs), ", ".join(f"bigint({r}), _c{r}" for r in rs))) \
+        .alias("r", "pair_cnt")
+    return (stats.crossJoin(cnt)
+            .select("n_points", "area", stack)
+            .select("r", "pair_cnt", "n_points", "area",
+                    ((F.col("pair_cnt") * 2).cast("double")
+                     * F.col("area").cast("double")
+                     / (F.col("n_points")
+                        * (F.col("n_points") - 1)).cast("double"))
+                    .alias("k_hat")))

@@ -2088,6 +2088,91 @@ SELECT g.cx, g.cy, g.n_days,
 FROM g LEFT JOIN s ON s.cx = g.cx AND s.cy = g.cy"""
 
 
+_KNOX_EPS = 1000                       # space threshold (micro-degrees)
+_KNOX_TAU_US = 2 * 3600 * 1_000_000    # time threshold (2 h in micros)
+_RIPLEY_RADII = [250, 500, 1000, 2000]
+
+
+def q_knox_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knox space-time interaction statistic over the deterministic
+    walk (operators/spatialstats.py knox_pairs): exact int64 pair
+    counts via one eps-grid block join (space + joint) and one
+    tau-bucket block join (time) — the quadratic pair space is never
+    materialized; ``expected`` is the one pinned divide."""
+    from .operators.spatialstats import knox_pairs
+    from .operators.trajectory import random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP).select(
+        F.col("event_id").alias("i"), "x", "y",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("t"))
+    return knox_pairs(pos, eps=_KNOX_EPS, tau=_KNOX_TAU_US)
+
+
+def sql_knox_test() -> str:
+    e2 = _KNOX_EPS * _KNOX_EPS
+    tau = _KNOX_TAU_US
+    return f"""WITH {_sql_walk_pos()},
+p AS MATERIALIZED (
+  SELECT event_id AS i, x, y, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+  FROM pos),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points FROM p),
+sp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS space_pairs,
+         CAST(COALESCE(SUM(CASE WHEN abs(a.t - b.t) <= {tau}
+                                THEN 1 END), 0) AS BIGINT) AS joint_pairs
+  FROM p a JOIN p b ON a.i < b.i
+   AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {e2}),
+tp AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS time_pairs
+  FROM p a JOIN p b ON a.i < b.i AND abs(a.t - b.t) <= {tau})
+SELECT n_points,
+       CAST(n_points * (n_points - 1) / 2 AS BIGINT) AS n_pairs,
+       space_pairs, time_pairs, joint_pairs,
+       CAST(space_pairs AS DOUBLE) * CAST(time_pairs AS DOUBLE)
+         / CAST(n_points * (n_points - 1) / 2 AS DOUBLE) AS expected
+FROM c, sp, tp"""
+
+
+def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K radius ladder over the deterministic walk
+    (operators/spatialstats.py ripley_k): the whole ladder reuses ONE
+    r_max block join with per-rung conditional integer sums; bbox area
+    and counts exact int64, k_hat the one pinned double chain."""
+    from .operators.spatialstats import ripley_k
+    from .operators.trajectory import random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP).select(
+        F.col("event_id").alias("i"), "x", "y")
+    return ripley_k(pos, _RIPLEY_RADII)
+
+
+def sql_ripley_k() -> str:
+    rmax2 = _RIPLEY_RADII[-1] * _RIPLEY_RADII[-1]
+    sums = ",\n         ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN d2 <= {r * r} THEN 1 END), 0)"
+        f" AS BIGINT) AS c{r}" for r in _RIPLEY_RADII)
+    rungs = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS r, c{r} AS pair_cnt FROM c"
+        for r in _RIPLEY_RADII)
+    return f"""WITH {_sql_walk_pos()},
+p AS MATERIALIZED (SELECT event_id AS i, x, y FROM pos),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST((MAX(x) - MIN(x)) * (MAX(y) - MIN(y)) AS BIGINT)
+               AS area
+      FROM p),
+d AS (SELECT (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+      FROM p a JOIN p b ON a.i < b.i
+       AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {rmax2}),
+c AS MATERIALIZED (SELECT {sums} FROM d),
+l AS ({rungs})
+SELECT l.r, l.pair_cnt, s.n_points, s.area,
+       CAST(l.pair_cnt * 2 AS DOUBLE) * CAST(s.area AS DOUBLE)
+         / CAST(s.n_points * (s.n_points - 1) AS DOUBLE) AS k_hat
+FROM l, s"""
+
+
 _BBOX = (-60.0, -20.0, -45.0, -25.0)  # lon_lo, lon_hi, lat_lo, lat_hi
 _BBOX_ZOOM = 6
 # cover <= 9x6 = 54 cells < 64 buckets: strict bucket pruning is
@@ -2553,6 +2638,8 @@ GEOM_QUERIES = {
     "getis_ord": (q_getis_ord, sql_getis_ord),
     "stay_points": (q_stay_points, sql_stay_points),
     "emerging_hotspots": (q_emerging_hotspots, sql_emerging_hotspots),
+    "knox_test": (q_knox_test, sql_knox_test),
+    "ripley_k": (q_ripley_k, sql_ripley_k),
     "bbox_query": (q_bbox_query, sql_bbox_query),
     "local_moran": (q_local_moran, sql_local_moran),
     "hausdorff_pairs": (q_hausdorff_pairs, sql_hausdorff_pairs),
