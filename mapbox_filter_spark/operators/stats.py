@@ -512,3 +512,72 @@ def minmax_scale(df: DataFrame, group_cols: Sequence[str],
     return (df.join(dim, g, "left")
             .select(*df.columns, F.col("_lo").alias("lo"),
                     F.col("_hi").alias("hi"), scaled.alias(out_col)))
+
+
+def kaplan_meier(subjects: DataFrame, group_cols: Sequence[str],
+                 dur_col: str = "dur", event_col: str = "event",
+                 scale: int = 1_000_000_000) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve per group — the
+    survival-analysis staple behind churn / retention / reliability
+    curves: at each event time t, S(t) multiplies by (n−d)/n where n
+    is the at-risk count and d the event count (censored subjects
+    leave the risk set at their censoring time without stepping the
+    curve, the estimator's whole point).
+
+    Exactness: risk sets and event/censor counts are exact int64
+    windows over integer durations.  The product itself is carried in
+    LOG space as an exact integer: each step contributes
+    ``floor(ln((n−d)/n)·scale + 0.5)`` — the per-row ln of an
+    identical double is engine-stable, the half-up quantization makes
+    it an exact long, and the cumulative is then an ORDER-INDEPENDENT
+    integer window sum (a raw double cumsum would depend on the
+    engine's windowed-aggregation association order).
+    ``S(t) = exp(log_surv_nano / scale)`` to within the quantization
+    (1e-9 per step by default); when the curve hits exact zero (the
+    whole remaining risk set dies — only possible at a group's last
+    event time), ``log_surv_nano`` is NULL.
+
+    Shape for scale: one map-side-combinable groupBy to (group,
+    duration) — the ONLY subject-sized shuffle — then windows keyed on
+    the same group key over the collapsed table (rows = distinct
+    durations per group, calendar-bounded).  No joins, no collect.
+
+    Reference: Kaplan & Meier (1958, "Nonparametric estimation from
+    incomplete observations"); the exact-integer log carry is this
+    engine's.
+
+    Returns one row per (group, event time):
+    ``(*group_cols, dur, n_risk, n_event, n_censor, log_surv_nano)``.
+    """
+    g = list(group_cols)
+    ev = F.col(event_col).cast("long")
+    per = (subjects.groupBy(*g, F.col(dur_col).alias("dur"))
+           .agg(F.sum(ev).alias("n_event"),
+                F.sum(1 - ev).alias("n_censor")))
+    wtot = Window.partitionBy(*g)
+    wprev = (Window.partitionBy(*g).orderBy("dur")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    wrun = (Window.partitionBy(*g).orderBy("dur")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    n_risk = (F.sum(F.col("n_event") + F.col("n_censor")).over(wtot)
+              - F.coalesce(
+                  F.sum(F.col("n_event") + F.col("n_censor")).over(wprev),
+                  F.lit(0).cast("long")))
+    stepped = per.withColumn("n_risk", n_risk)
+    step = F.when(
+        F.col("n_risk") > F.col("n_event"),
+        F.floor(F.log((F.col("n_risk") - F.col("n_event")).cast("double")
+                      / F.col("n_risk").cast("double"))
+                * F.lit(float(scale)) + F.lit(0.5)))
+    hit_zero = F.max(
+        F.when(F.col("n_risk") <= F.col("n_event"), 1).otherwise(0)) \
+        .over(wrun)
+    out = (stepped
+           .withColumn("_step", step)
+           .withColumn(
+               "log_surv_nano",
+               F.when(hit_zero == 1, F.lit(None).cast("long"))
+               .otherwise(F.sum("_step").over(wrun))))
+    return (out.filter(F.col("n_event") >= 1)
+            .select(*g, "dur", "n_risk", "n_event", "n_censor",
+                    "log_surv_nano"))

@@ -835,3 +835,84 @@ TEMPORAL_QUERIES = {
     "attribution": (q_attribution, sql_attribution),
     "autocorr": (q_autocorr, sql_autocorr),
 }
+
+
+_KM_CENSOR_DAYS = 90
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival per market segment (operators/stats.py
+    kaplan_meier): subject lifetime = days between first and last
+    order, censored when the last order falls inside the trailing
+    90-day horizon; the curve's product is carried as an exact integer
+    log (order-independent windowed sum), so the whole row
+    value-hashes."""
+    from .operators.stats import kaplan_meier
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).cast("long")
+        .alias("day"))
+    per = o.groupBy("o_custkey").agg(F.min("day").alias("first_day"),
+                                     F.max("day").alias("last_day"))
+    hz = per.agg((F.max("last_day") - _KM_CENSOR_DAYS).alias("h"))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"))
+    subj = (per.crossJoin(hz)
+            .join(F.broadcast(cust),
+                  per["o_custkey"] == cust["c_custkey"])
+            .select("segment",
+                    (F.col("last_day") - F.col("first_day")).alias("dur"),
+                    F.when(F.col("last_day") <= F.col("h"), 1)
+                    .otherwise(0).alias("event")))
+    return kaplan_meier(subj, ["segment"])
+
+
+def sql_kaplan_meier() -> str:
+    return f"""WITH d AS (
+  SELECT o_custkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS day
+  FROM orders),
+per AS (SELECT o_custkey, MIN(day) AS f, MAX(day) AS l
+        FROM d GROUP BY 1),
+hz AS (SELECT MAX(l) - {_KM_CENSOR_DAYS} AS h FROM per),
+subj AS (
+  SELECT c.c_mktsegment AS segment, per.l - per.f AS dur,
+         CASE WHEN per.l <= hz.h THEN 1 ELSE 0 END AS ev
+  FROM per CROSS JOIN hz
+  JOIN customer c ON c.c_custkey = per.o_custkey),
+agg AS (
+  SELECT segment, dur,
+         CAST(SUM(ev) AS BIGINT) AS n_event,
+         CAST(SUM(1 - ev) AS BIGINT) AS n_censor
+  FROM subj GROUP BY 1, 2),
+r AS (
+  SELECT segment, dur, n_event, n_censor,
+         CAST(SUM(n_event + n_censor) OVER (PARTITION BY segment)
+              - COALESCE(SUM(n_event + n_censor) OVER (
+                  PARTITION BY segment ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM agg),
+s AS (
+  SELECT segment, dur, n_risk, n_event, n_censor,
+         CASE WHEN n_risk > n_event THEN
+           CAST(floor(ln(CAST(n_risk - n_event AS DOUBLE)
+                         / CAST(n_risk AS DOUBLE))
+                      * 1000000000.0 + 0.5) AS BIGINT) END AS step,
+         MAX(CASE WHEN n_risk <= n_event THEN 1 ELSE 0 END) OVER (
+           PARTITION BY segment ORDER BY dur
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hz0
+  FROM r)
+SELECT segment, dur, n_risk, n_event, n_censor,
+       CASE WHEN hz0 = 1 THEN NULL
+            ELSE CAST(SUM(step) OVER (
+                   PARTITION BY segment ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) END AS log_surv_nano
+FROM s WHERE n_event >= 1"""
+
+
+TEMPORAL_QUERIES["kaplan_meier"] = (q_kaplan_meier, sql_kaplan_meier)

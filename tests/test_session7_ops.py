@@ -79,3 +79,66 @@ def test_ripley_rejects_bad_radii(spark):
         ripley_k(df, [])
     with pytest.raises(ValueError):
         ripley_k(df, [0, 5])
+
+
+def _brute_km(subjects, scale=10**9):
+    """Python replay of the exact-integer log-carry KM contract."""
+    import collections
+    import math
+    out = []
+    groups = collections.defaultdict(list)
+    for g, dur, ev in subjects:
+        groups[g].append((dur, ev))
+    for g, rows in groups.items():
+        per = collections.defaultdict(lambda: [0, 0])
+        for dur, ev in rows:
+            per[dur][0 if ev else 1] += 1
+        n = len(rows)
+        cum = 0
+        dead = False
+        for dur in sorted(per):
+            d, c = per[dur]
+            n_risk = n
+            n -= d + c
+            if n_risk > d:
+                cum += math.floor(
+                    math.log((n_risk - d) / n_risk) * scale + 0.5)
+            else:
+                dead = True
+            if d >= 1:
+                out.append((g, dur, n_risk, d, c,
+                            None if dead else cum))
+    return sorted(out)
+
+
+def test_kaplan_meier_hand(spark):
+    from mapbox_filter_spark.operators.stats import kaplan_meier
+    # classic toy: durations 1,2,2,3(censored),4; group B dies out.
+    rows = [("A", 1, 1), ("A", 2, 1), ("A", 2, 1), ("A", 3, 0),
+            ("A", 4, 1),
+            ("B", 5, 1), ("B", 5, 1)]
+    df = spark.createDataFrame(rows, "segment string, dur long, event int")
+    got = sorted(
+        tuple(r) for r in
+        kaplan_meier(df, ["segment"]).collect())
+    assert got == _brute_km(rows)
+    # group B hits zero at its only event time -> NULL log survival
+    b = [r for r in got if r[0] == "B"]
+    assert b == [("B", 5, 2, 2, 0, None)]
+    # group A at dur=2: n_risk 4, 2 events
+    a2 = [r for r in got if r[0] == "A" and r[1] == 2][0]
+    assert (a2[2], a2[3], a2[4]) == (4, 2, 0)
+
+
+def test_kaplan_meier_replay(spark):
+    from mapbox_filter_spark.operators.stats import kaplan_meier
+    rng = random.Random(23)
+    rows = [(f"g{rng.randint(0, 3)}", rng.randint(0, 40),
+             rng.randint(0, 1)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "segment string, dur long, event int")
+    got = sorted(tuple(r) for r in
+                 kaplan_meier(df, ["segment"]).collect())
+    # ln quantization: spark JVM ln vs python libm can differ 1 ulp;
+    # the floor(x*1e9+0.5) quantization collapses that except exactly
+    # at a .5 boundary, which these random ratios don't hit.
+    assert got == _brute_km(rows)
