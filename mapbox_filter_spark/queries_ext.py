@@ -2299,3 +2299,52 @@ EXT_QUERIES = {
     "s2_cover_join_big": (q_s2_cover_join_big, sql_s2_cover_join),
     "s2_ring_knn": (q_s2_ring_knn, sql_s2_ring_knn),
 }
+
+
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized int8 retrieval (operators/similarity.py
+    sq8_topk): data-dependent per-dim codebook from corpus extrema,
+    half-up 8-bit codes, exact INTEGER dot ranking — zero float
+    rounding in the output row."""
+    from .operators.similarity import sq8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return sq8_topk(queries, emb, k=5)
+
+
+def sql_sq8_topk(k: int = 5) -> str:
+    code = ("list_transform(list_zip(V, l.lo, l.hi), "
+            "p -> greatest(0, least(255, "
+            "CASE WHEN p[3] > p[2] THEN "
+            "CAST(floor((p[1]-p[2])/(p[3]-p[2])*255.0 + 0.5) AS BIGINT) "
+            "ELSE 0 END)))")
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings),
+dims AS (
+  SELECT i AS dim, MIN(v[i]) AS lo, MAX(v[i]) AS hi
+  FROM emb, LATERAL (SELECT UNNEST(range(1, len(v) + 1)) AS i)
+  GROUP BY 1),
+book AS (SELECT list(lo ORDER BY dim) AS lo, list(hi ORDER BY dim) AS hi
+         FROM dims),
+cc AS (SELECT e.vec_id AS c_id,
+              {code.replace("V", "e.v")} AS c_code
+       FROM emb e CROSS JOIN book l),
+qc AS (SELECT e.vec_id AS q_id,
+              {code.replace("V", "e.v")} AS q_code
+       FROM emb e CROSS JOIN book l WHERE e.vec_id < 10),
+sc AS (
+  SELECT q.q_id, c.c_id,
+         CAST(list_aggregate(list_transform(list_zip(q.q_code, c.c_code),
+              p -> p[1]*p[2]), 'sum') AS BIGINT) AS dot
+  FROM qc q CROSS JOIN cc c)
+SELECT query_id, rank, vec_id, dot FROM (
+  SELECT q_id AS query_id, c_id AS vec_id, dot,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY dot DESC, c_id) AS rank
+  FROM sc) WHERE rank <= {k}"""
+
+
+EXT_QUERIES["sq8_topk"] = (q_sq8_topk, sql_sq8_topk)

@@ -142,3 +142,62 @@ def test_kaplan_meier_replay(spark):
     # the floor(x*1e9+0.5) quantization collapses that except exactly
     # at a .5 boundary, which these random ratios don't hit.
     assert got == _brute_km(rows)
+
+
+def _brute_sq8(queries, corpus, k, levels=255):
+    import math
+    dims = len(corpus[0][1])
+    lo = [min(v[d] for _, v in corpus) for d in range(dims)]
+    hi = [max(v[d] for _, v in corpus) for d in range(dims)]
+
+    def enc(v):
+        out = []
+        for d in range(dims):
+            if hi[d] > lo[d]:
+                c = math.floor((v[d] - lo[d]) / (hi[d] - lo[d])
+                               * levels + 0.5)
+            else:
+                c = 0
+            out.append(max(0, min(levels, c)))
+        return out
+
+    cc = [(i, enc(v)) for i, v in corpus]
+    res = []
+    for qi, qv in queries:
+        qc = enc(qv)
+        scored = sorted(
+            ((sum(a * b for a, b in zip(qc, c)), i) for i, c in cc),
+            key=lambda t: (-t[0], t[1]))
+        for rank, (dot, i) in enumerate(scored[:k], 1):
+            res.append((qi, rank, i, dot))
+    return sorted(res)
+
+
+def test_sq8_hand_clamp_and_constant_dim(spark):
+    from mapbox_filter_spark.operators.similarity import sq8_topk
+    # dim 2 is constant in the corpus (encodes to 0); the query's
+    # values fall outside the corpus range on dim 0 -> clamped.
+    corpus = [(1, [0.0, 1.0, 7.0]), (2, [2.0, 3.0, 7.0]),
+              (3, [1.0, 0.0, 7.0])]
+    queries = [(9, [-5.0, 99.0, 0.0])]
+    c = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(queries,
+                              "query_id long, embedding array<double>")
+    got = sorted(tuple(r) for r in sq8_topk(q, c, k=3).collect())
+    assert got == _brute_sq8(queries, corpus, 3)
+    # clamped query code is (0, 255, 0): dot ranks by second dim code
+    assert [g[2] for g in got] == [2, 1, 3]
+
+
+def test_sq8_replay(spark):
+    from mapbox_filter_spark.operators.similarity import sq8_topk
+    rng = random.Random(41)
+    corpus = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+              for i in range(60)]
+    queries = [(100 + i, [rng.uniform(-1.5, 1.5) for _ in range(8)])
+               for i in range(7)]
+    c = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(queries,
+                              "query_id long, embedding array<double>")
+    got = sorted(tuple(r) for r in sq8_topk(q, c, k=4).collect())
+    assert got == _brute_sq8(queries, corpus, 4)
