@@ -507,3 +507,109 @@ def region_dissolve(pts: DataFrame, cell: int, min_pts: int,
                  F.sum("n").alias("n_pts"),
                  F.min("cx").alias("min_cx"), F.min("cy").alias("min_cy"),
                  F.max("cx").alias("max_cx"), F.max("cy").alias("max_cy")))
+
+
+def lof_scores(pts: DataFrame, k: int, radius: int, *,
+               id_col: str = "i", x: str = "x", y: str = "y",
+               scale: int = 10 ** 15) -> DataFrame:
+    """Local Outlier Factor — the density-based anomaly score: LOF(p) =
+    mean(lrd of p's k neighbors) / lrd(p), where lrd is the inverse
+    mean reachability.  LOF ≈ 1 inside uniform density, ≫ 1 for points
+    whose neighborhood is much denser than they are — the standard
+    "local" outlier detector that a global z-score can't replicate.
+
+    Contract deviations, both documented and deterministic: (1) the
+    metric is the SQUARED integer distance (a monotone transform —
+    neighbor sets and ranks are identical; the score scale differs
+    from textbook LOF); (2) the search is radius-bounded like
+    grid_knn_join (points with no in-radius neighbor are absent;
+    k-distance ties truncate by (d², id) row_number, not the
+    tie-inclusive set).
+
+    Exactness: every sum is exact int64 — reachability reach²(p←o) =
+    max(kdist²(o), d²(p,o)) is an integer, and the neighbor lrd sum is
+    carried as the FLOOR-DIV scaled reciprocal ``n_o·scale // S_o``
+    (exact integer division in both engines), so no float ever enters
+    an unordered aggregation; ``lof`` is one pinned double chain
+    S_p · R_p / n_p² / scale.  Degenerate zero-reach neighborhoods
+    (≥ k+1 coincident points) yield NULL lof rather than a silent ∞.
+
+    Scale shape: LOF's inherent 3-hop dataflow — (1) ONE ×9-probe
+    grid join at cell = radius + per-point window for the kNN set,
+    (2) kdist² joined back on the NEIGHBOR key, (3) reach sums and
+    reciprocal sums as two map-side-combinable groupBys on the point
+    key.  All shuffles hash point/neighbor ids; candidate volume is
+    output-bounded by the radius ball, never n².
+
+    Reference: Breunig et al. (SIGMOD 2000, "LOF: Identifying
+    Density-Based Local Outliers"); the exact-integer carry is this
+    engine's.
+
+    Returns ``(i, n_k, kdist2, sum_reach2, sum_recip, lof)``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if radius < 1:
+        raise ValueError("radius must be a positive integer")
+    from pyspark.sql import Window
+
+    r2 = radius * radius
+    offs = _ring_offsets()
+    base = pts.select(
+        F.col(id_col).alias("i"),
+        F.col(x).cast("long").alias("_xi"),
+        F.col(y).cast("long").alias("_yi"),
+        _floor_div(F.col(x), radius).alias("_cx"),
+        _floor_div(F.col(y), radius).alias("_cy"))
+    probe = (pts.select(
+        F.col(id_col).alias("j"),
+        F.col(x).cast("long").alias("_xj"),
+        F.col(y).cast("long").alias("_yj"),
+        _floor_div(F.col(x), radius).alias("_jcx"),
+        _floor_div(F.col(y), radius).alias("_jcy"),
+        F.explode(offs).alias("_o"))
+        .select("j", "_xj", "_yj",
+                (F.col("_jcx") + F.col("_o.dx")).alias("_px"),
+                (F.col("_jcy") + F.col("_o.dy")).alias("_py")))
+    d2 = ((F.col("_xi") - F.col("_xj")) * (F.col("_xi") - F.col("_xj"))
+          + (F.col("_yi") - F.col("_yj")) * (F.col("_yi") - F.col("_yj")))
+    w = Window.partitionBy("i").orderBy(F.col("d2").asc(),
+                                        F.col("j").asc())
+    knn = (base.join(probe, (base["_cx"] == probe["_px"])
+                     & (base["_cy"] == probe["_py"])
+                     & (F.col("i") != F.col("j"))
+                     & (d2 <= F.lit(r2)))
+           .select("i", "j", d2.alias("d2"))
+           .withColumn("_r", F.row_number().over(w))
+           .filter(F.col("_r") <= k)
+           .select("i", "j", "d2"))
+    kd = knn.groupBy("i").agg(
+        F.max("d2").alias("kdist2"),
+        F.count(F.lit(1)).alias("n_k"))
+    reach = (knn.join(kd.select(F.col("i").alias("j"),
+                                F.col("kdist2").alias("_kdj")), "j")
+             .select("i", F.greatest(F.col("_kdj"), F.col("d2"))
+                     .alias("_reach2")))
+    per = reach.groupBy("i").agg(F.sum("_reach2").alias("sum_reach2"))
+    stat = kd.join(per, "i")
+    nbr = stat.select(F.col("i").alias("j"),
+                      F.col("n_k").alias("_nj"),
+                      F.col("sum_reach2").alias("_sj"))
+    rj = (knn.join(nbr, "j")
+          .select("i",
+                  F.when(F.col("_sj") > 0,
+                         F.expr(f"(_nj * CAST({scale} AS BIGINT))"
+                                " div _sj")).alias("_rj"),
+                  F.when(F.col("_sj") <= 0, 1).otherwise(0).alias("_z")))
+    ri = rj.groupBy("i").agg(F.sum("_rj").alias("_sumr"),
+                             F.max("_z").alias("_anyz"))
+    lof = F.when(
+        (F.col("sum_reach2") > 0) & (F.col("_anyz") == 0),
+        F.col("sum_reach2").cast("double") * F.col("_sumr").cast("double")
+        / (F.col("n_k") * F.col("n_k")).cast("double")
+        / F.lit(float(scale)))
+    return (stat.join(ri, "i")
+            .select("i", "n_k", "kdist2", "sum_reach2",
+                    F.when(F.col("_anyz") == 1, F.lit(None).cast("long"))
+                    .otherwise(F.col("_sumr")).alias("sum_recip"),
+                    lof.alias("lof")))

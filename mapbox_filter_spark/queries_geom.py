@@ -2644,3 +2644,70 @@ GEOM_QUERIES = {
     "local_moran": (q_local_moran, sql_local_moran),
     "hausdorff_pairs": (q_hausdorff_pairs, sql_hausdorff_pairs),
 }
+
+
+_LOF_K = 8
+_LOF_RADIUS = 1000
+_LOF_SCALE = 10 ** 15
+
+
+def q_lof_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor over the deterministic walk
+    (operators/cluster.py lof_scores): radius-bounded self-kNN on one
+    grid join, exact integer reach sums, floor-div scaled reciprocals
+    — no float enters any unordered aggregation."""
+    from .operators.cluster import lof_scores
+    from .operators.trajectory import random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP).select(
+        F.col("event_id").alias("i"), "x", "y")
+    return lof_scores(pos, k=_LOF_K, radius=_LOF_RADIUS)
+
+
+def sql_lof_scores() -> str:
+    r2 = _LOF_RADIUS * _LOF_RADIUS
+    k = _LOF_K
+    s = _LOF_SCALE
+    return f"""WITH {_sql_walk_pos()},
+p AS MATERIALIZED (SELECT event_id AS i, x, y FROM pos),
+sel AS MATERIALIZED (
+  SELECT i, j, d2 FROM (
+    SELECT i, j, d2,
+           ROW_NUMBER() OVER (PARTITION BY i ORDER BY d2, j) AS r
+    FROM (SELECT a.i AS i, b.i AS j,
+                 (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+          FROM p a JOIN p b ON a.i <> b.i
+           AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {r2}))
+  WHERE r <= {k}),
+kd AS MATERIALIZED (
+  SELECT i, CAST(MAX(d2) AS BIGINT) AS kdist2,
+         CAST(COUNT(*) AS BIGINT) AS n_k
+  FROM sel GROUP BY 1),
+reach AS (
+  SELECT s.i, greatest(kj.kdist2, s.d2) AS reach2
+  FROM sel s JOIN kd kj ON kj.i = s.j),
+per AS (SELECT i, CAST(SUM(reach2) AS BIGINT) AS sum_reach2
+        FROM reach GROUP BY 1),
+stat AS MATERIALIZED (
+  SELECT kd.i, kd.n_k, kd.kdist2, per.sum_reach2
+  FROM kd JOIN per USING (i)),
+rj AS (
+  SELECT s.i,
+         CASE WHEN st.sum_reach2 > 0
+              THEN (st.n_k * CAST({s} AS BIGINT)) // st.sum_reach2
+         END AS r_j,
+         CASE WHEN st.sum_reach2 <= 0 THEN 1 ELSE 0 END AS z
+  FROM sel s JOIN stat st ON st.i = s.j),
+ri AS (SELECT i, CAST(SUM(r_j) AS BIGINT) AS sumr, MAX(z) AS anyz
+       FROM rj GROUP BY 1)
+SELECT st.i, st.n_k, st.kdist2, st.sum_reach2,
+       CASE WHEN ri.anyz = 1 THEN NULL ELSE ri.sumr END AS sum_recip,
+       CASE WHEN st.sum_reach2 > 0 AND ri.anyz = 0 THEN
+         CAST(st.sum_reach2 AS DOUBLE) * CAST(ri.sumr AS DOUBLE)
+           / CAST(st.n_k * st.n_k AS DOUBLE) / {float(s)!r}
+       END AS lof
+FROM stat st JOIN ri USING (i)"""
+
+
+GEOM_QUERIES["lof_scores"] = (q_lof_scores, sql_lof_scores)

@@ -201,3 +201,71 @@ def test_sq8_replay(spark):
                               "query_id long, embedding array<double>")
     got = sorted(tuple(r) for r in sq8_topk(q, c, k=4).collect())
     assert got == _brute_sq8(queries, corpus, 4)
+
+
+def _brute_lof(rows, k, radius, scale=10**15):
+    r2 = radius * radius
+    ids = {i: (x, y) for i, x, y in rows}
+    knn = {}
+    for i, (xi, yi) in ids.items():
+        cand = sorted(
+            ((xi - xj) ** 2 + (yi - yj) ** 2, j)
+            for j, (xj, yj) in ids.items() if j != i)
+        cand = [(d, j) for d, j in cand if d <= r2][:k]
+        if cand:
+            knn[i] = cand
+    kd = {i: max(d for d, _ in c) for i, c in knn.items()}
+    nk = {i: len(c) for i, c in knn.items()}
+    sreach = {}
+    for i, c in knn.items():
+        sreach[i] = sum(max(kd[j], d) for d, j in c if j in kd)
+        # neighbors outside knn (isolated) can't happen: j has i in range
+    out = []
+    for i, c in knn.items():
+        anyz = any(sreach[j] == 0 for _, j in c)
+        sumr = None if anyz else sum(
+            nk[j] * scale // sreach[j] for _, j in c)
+        lof = None
+        if sreach[i] > 0 and not anyz:
+            lof = (float(sreach[i]) * float(sumr)
+                   / float(nk[i] * nk[i]) / float(scale))
+        out.append((i, nk[i], kd[i], sreach[i], sumr, lof))
+    return sorted(out)
+
+
+def test_lof_hand_outlier(spark):
+    from mapbox_filter_spark.operators.cluster import lof_scores
+    # tight 3x3 grid cluster + one point far-but-in-radius: the lone
+    # point's LOF must exceed every cluster point's.
+    rows = [(3 * r + c_ + 1, r, c_) for r in range(3) for c_ in range(3)]
+    rows.append((99, 40, 40))
+    df = spark.createDataFrame(rows, "i long, x long, y long")
+    got = sorted(tuple(r) for r in
+                 lof_scores(df, k=3, radius=100).collect())
+    assert got == _brute_lof(rows, 3, 100)
+    lofs = {r[0]: r[5] for r in got}
+    assert lofs[99] > max(v for i, v in lofs.items() if i != 99) * 5
+
+
+def test_lof_coincident_zero_reach_is_null(spark):
+    from mapbox_filter_spark.operators.cluster import lof_scores
+    # 4 coincident points with k=3: kdist2=0, reach sums 0 -> NULL lof.
+    rows = [(i, 5, 5) for i in range(1, 5)] + [(9, 8, 8)]
+    df = spark.createDataFrame(rows, "i long, x long, y long")
+    got = {r["i"]: r for r in lof_scores(df, k=3, radius=100).collect()}
+    for i in range(1, 5):
+        assert got[i]["sum_reach2"] == 0
+        assert got[i]["lof"] is None and got[i]["sum_recip"] is None
+    # the separated point's neighbors all have zero reach sums -> NULL
+    assert got[9]["lof"] is None
+
+
+def test_lof_replay(spark):
+    from mapbox_filter_spark.operators.cluster import lof_scores
+    rng = random.Random(19)
+    rows = [(i, rng.randint(-60, 60), rng.randint(-60, 60))
+            for i in range(150)]
+    df = spark.createDataFrame(rows, "i long, x long, y long")
+    got = sorted(tuple(r) for r in
+                 lof_scores(df, k=4, radius=25).collect())
+    assert got == _brute_lof(rows, 4, 25)
