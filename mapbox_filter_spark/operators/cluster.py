@@ -148,6 +148,61 @@ def grid_neighbor_pairs(
     return base.join(probe, cond).select("i", "j")
 
 
+def blocked_pairs(pts: DataFrame, cell: int, *,
+                  id_col: str = "i", x: str = "x", y: str = "y",
+                  extra_cols: "tuple[str, ...]" = (),
+                  directed: bool = False) -> DataFrame:
+    """Near-pairs with exact squared distance ``d2 <= cell²`` via the
+    shared eps-grid block join (the ONE implementation behind
+    knox_pairs, ripley_k, and lof_scores): base keeps its own cell,
+    the probe side explodes ×9 into its neighborhood, so every
+    qualifying pair matches on EXACTLY one (base-cell == probe-cell)
+    key — counted once, no post-hoc dedup.  Coordinates are cast to
+    long up front (32-bit inputs would silently wrap in d²).  One
+    shuffle per side on the cell key; pair volume is output-bounded.
+
+    ``directed=False`` (default) emits each unordered pair once as
+    ``i < j``; ``directed=True`` emits both directions (``i ≠ j``) —
+    what per-point neighborhood consumers (kNN, LOF) need.
+    ``extra_cols`` ride along as ``l_<c>`` / ``r_<c>``.
+    Returns ``(i, j, d2, *extras)``.
+    """
+    from ..geo.tilemath import floor_div
+
+    base = pts.select(
+        F.col(id_col).alias("i"),
+        F.col(x).cast("long").alias("_xi"),
+        F.col(y).cast("long").alias("_yi"),
+        *[F.col(c).alias(f"l_{c}") for c in extra_cols],
+        floor_div(F.col(x).cast("long"), cell).alias("_cx"),
+        floor_div(F.col(y).cast("long"), cell).alias("_cy"))
+    probe = (pts.select(
+        F.col(id_col).alias("j"),
+        F.col(x).cast("long").alias("_xj"),
+        F.col(y).cast("long").alias("_yj"),
+        *[F.col(c).alias(f"r_{c}") for c in extra_cols],
+        floor_div(F.col(x).cast("long"), cell).alias("_jcx"),
+        floor_div(F.col(y).cast("long"), cell).alias("_jcy"))
+        .select("j", "_xj", "_yj", "_jcx", "_jcy",
+                *[f"r_{c}" for c in extra_cols],
+                F.explode(_ring_offsets()).alias("_o"))
+        .select("j", "_xj", "_yj",
+                *[f"r_{c}" for c in extra_cols],
+                (F.col("_jcx") + F.col("_o.dx")).alias("_px"),
+                (F.col("_jcy") + F.col("_o.dy")).alias("_py")))
+    d2 = ((F.col("_xi") - F.col("_xj")) * (F.col("_xi") - F.col("_xj"))
+          + (F.col("_yi") - F.col("_yj")) * (F.col("_yi") - F.col("_yj")))
+    ids = (F.col("i") != F.col("j")) if directed \
+        else (F.col("i") < F.col("j"))
+    return (base.join(probe,
+                      (base["_cx"] == probe["_px"])
+                      & (base["_cy"] == probe["_py"])
+                      & ids & (d2 <= F.lit(cell * cell)))
+            .select("i", "j", d2.alias("d2"),
+                    *[f"l_{c}" for c in extra_cols],
+                    *[f"r_{c}" for c in extra_cols]))
+
+
 def dbscan(
     pts: DataFrame,
     eps: int,
@@ -553,33 +608,10 @@ def lof_scores(pts: DataFrame, k: int, radius: int, *,
         raise ValueError("radius must be a positive integer")
     from pyspark.sql import Window
 
-    r2 = radius * radius
-    offs = _ring_offsets()
-    base = pts.select(
-        F.col(id_col).alias("i"),
-        F.col(x).cast("long").alias("_xi"),
-        F.col(y).cast("long").alias("_yi"),
-        _floor_div(F.col(x), radius).alias("_cx"),
-        _floor_div(F.col(y), radius).alias("_cy"))
-    probe = (pts.select(
-        F.col(id_col).alias("j"),
-        F.col(x).cast("long").alias("_xj"),
-        F.col(y).cast("long").alias("_yj"),
-        _floor_div(F.col(x), radius).alias("_jcx"),
-        _floor_div(F.col(y), radius).alias("_jcy"),
-        F.explode(offs).alias("_o"))
-        .select("j", "_xj", "_yj",
-                (F.col("_jcx") + F.col("_o.dx")).alias("_px"),
-                (F.col("_jcy") + F.col("_o.dy")).alias("_py")))
-    d2 = ((F.col("_xi") - F.col("_xj")) * (F.col("_xi") - F.col("_xj"))
-          + (F.col("_yi") - F.col("_yj")) * (F.col("_yi") - F.col("_yj")))
     w = Window.partitionBy("i").orderBy(F.col("d2").asc(),
                                         F.col("j").asc())
-    knn = (base.join(probe, (base["_cx"] == probe["_px"])
-                     & (base["_cy"] == probe["_py"])
-                     & (F.col("i") != F.col("j"))
-                     & (d2 <= F.lit(r2)))
-           .select("i", "j", d2.alias("d2"))
+    knn = (blocked_pairs(pts, radius, id_col=id_col, x=x, y=y,
+                         directed=True)
            .withColumn("_r", F.row_number().over(w))
            .filter(F.col("_r") <= k)
            .select("i", "j", "d2"))

@@ -755,16 +755,21 @@ def sq8_topk(
                     lambda s: s["hi"]).alias("hi"))
 
     def encode(df: DataFrame, idc: str) -> DataFrame:
+        # NULL elements must PROPAGATE (least/greatest skip NULLs, so
+        # an unguarded clamp would encode a missing dim as max-code
+        # 255 — maximal similarity); a NULL code NULLs the dot and the
+        # row is dropped from ranking below.
         code = F.zip_with(
             F.col("v"), F.arrays_zip("lo", "hi"),
-            lambda x, s: F.greatest(
+            lambda x, s: F.when(x.isNull(), F.lit(None).cast("long"))
+            .otherwise(F.greatest(
                 F.lit(0).cast("long"),
                 F.least(
                     F.lit(levels).cast("long"),
                     F.when(s["hi"] > s["lo"],
                            F.floor((x - s["lo"]) / (s["hi"] - s["lo"])
                                    * F.lit(float(levels)) + F.lit(0.5)))
-                    .otherwise(F.lit(0)).cast("long"))))
+                    .otherwise(F.lit(0)).cast("long")))))
         return (df.crossJoin(F.broadcast(book))
                 .select(F.col(idc), code.alias("code")))
 
@@ -777,6 +782,9 @@ def sq8_topk(
                                       F.col("c_id").asc())
     return (F.broadcast(qc).crossJoin(cc)
             .withColumn("dot", dot)
+            # NULL dot = a vector with missing dims: excluded rather
+            # than ranked by engine-specific NULL ordering
+            .filter(F.col("dot").isNotNull())
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(F.col("q_id").alias(query_id), "rank",

@@ -272,48 +272,13 @@ def mann_kendall_cells(pts: DataFrame, cell: int,
 def _blocked_pairs(pts: DataFrame, eps: int, id_col: str,
                    x_col: str, y_col: str,
                    extra_cols: "tuple[str, ...]" = ()) -> DataFrame:
-    """Unordered candidate pairs ``i < j`` with exact squared distance
-    ``d2 <= eps²``, via the eps-grid block join: base keeps its own
-    cell, the probe side explodes ×9 into its neighborhood, so every
-    qualifying pair matches on EXACTLY one (base-cell == probe-cell)
-    key — counted once, no post-hoc dedup.  One shuffle per side on
-    the cell key.  ``extra_cols`` ride along as ``l_<c>`` / ``r_<c>``.
-    """
-    from ..geo.tilemath import floor_div
+    """Unordered (``i < j``) near-pairs — thin alias over the shared
+    grid block-join helper in operators/cluster.py (one implementation
+    of the ×9-probe blocking scheme for knox/ripley/LOF)."""
+    from .cluster import blocked_pairs
 
-    base = pts.select(
-        F.col(id_col).alias("i"),
-        F.col(x_col).alias("_xi"), F.col(y_col).alias("_yi"),
-        *[F.col(c).alias(f"l_{c}") for c in extra_cols],
-        floor_div(F.col(x_col), eps).alias("_cx"),
-        floor_div(F.col(y_col), eps).alias("_cy"))
-    offs = F.array(*[
-        F.struct(F.lit(dx).cast("long").alias("dx"),
-                 F.lit(dy).cast("long").alias("dy"))
-        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
-    probe = (pts.select(
-        F.col(id_col).alias("j"),
-        F.col(x_col).alias("_xj"), F.col(y_col).alias("_yj"),
-        *[F.col(c).alias(f"r_{c}") for c in extra_cols],
-        floor_div(F.col(x_col), eps).alias("_jcx"),
-        floor_div(F.col(y_col), eps).alias("_jcy"))
-        .select("j", "_xj", "_yj", "_jcx", "_jcy",
-                *[f"r_{c}" for c in extra_cols],
-                F.explode(offs).alias("_o"))
-        .select("j", "_xj", "_yj",
-                *[f"r_{c}" for c in extra_cols],
-                (F.col("_jcx") + F.col("_o.dx")).alias("_px"),
-                (F.col("_jcy") + F.col("_o.dy")).alias("_py")))
-    d2 = ((F.col("_xi") - F.col("_xj")) * (F.col("_xi") - F.col("_xj"))
-          + (F.col("_yi") - F.col("_yj")) * (F.col("_yi") - F.col("_yj")))
-    return (base.join(probe,
-                      (base["_cx"] == probe["_px"])
-                      & (base["_cy"] == probe["_py"])
-                      & (F.col("i") < F.col("j"))
-                      & (d2 <= F.lit(eps * eps)))
-            .select("i", "j", d2.alias("d2"),
-                    *[f"l_{c}" for c in extra_cols],
-                    *[f"r_{c}" for c in extra_cols]))
+    return blocked_pairs(pts, eps, id_col=id_col, x=x_col, y=y_col,
+                         extra_cols=extra_cols)
 
 
 def knox_pairs(pts: DataFrame, eps: int, tau: int, *,
@@ -351,12 +316,19 @@ def knox_pairs(pts: DataFrame, eps: int, tau: int, *,
 
     if eps <= 0 or tau <= 0:
         raise ValueError("eps and tau must be positive integers")
+    # the three aggregates below each rescan pts (and the block joins
+    # scan it twice); checkpoint the narrow projection lazily so one
+    # materialization feeds all five consumers
+    pts = pts.select(F.col(id_col), F.col(x_col), F.col(y_col),
+                     F.col(t_col)).localCheckpoint(eager=False)
     sp = (_blocked_pairs(pts, eps, id_col, x_col, y_col,
                          extra_cols=(t_col,))
           .agg(F.count(F.lit(1)).alias("space_pairs"),
-               F.sum(F.when(F.abs(F.col(f"l_{t_col}")
-                                  - F.col(f"r_{t_col}")) <= tau, 1)
-                     .otherwise(0)).cast("long").alias("joint_pairs")))
+               F.coalesce(
+                   F.sum(F.when(F.abs(F.col(f"l_{t_col}")
+                                      - F.col(f"r_{t_col}")) <= tau, 1)
+                         .otherwise(0)),
+                   F.lit(0)).cast("long").alias("joint_pairs")))
 
     tb = pts.select(F.col(id_col).alias("i"), F.col(t_col).alias("_ti"),
                     floor_div(F.col(t_col), tau).alias("_b"))
@@ -379,9 +351,12 @@ def knox_pairs(pts: DataFrame, eps: int, tau: int, *,
                     "space_pairs", "time_pairs", "joint_pairs")
             .withColumn(
                 "expected",
-                F.col("space_pairs").cast("double")
-                * F.col("time_pairs").cast("double")
-                / F.col("n_pairs").cast("double")))
+                F.when(F.col("n_pairs") > 0,   # integer-only guard:
+                       # Spark NULL vs DuckDB NaN on 0/0 would split
+                       # the value hash (both emit NULL under the CASE)
+                       F.col("space_pairs").cast("double")
+                       * F.col("time_pairs").cast("double")
+                       / F.col("n_pairs").cast("double"))))
 
 
 def ripley_k(pts: DataFrame, radii: "list[int]", *,
@@ -418,9 +393,13 @@ def ripley_k(pts: DataFrame, radii: "list[int]", *,
     if not rs or rs[0] <= 0:
         raise ValueError("radii must be positive integers")
     rmax = rs[-1]
+    # one lazy checkpoint feeds the stats aggregate + both join sides
+    pts = pts.select(F.col(id_col), F.col(x_col), F.col(y_col)) \
+        .localCheckpoint(eager=False)
     pairs = _blocked_pairs(pts, rmax, id_col, x_col, y_col)
     cnt = pairs.agg(*[
-        F.sum(F.when(F.col("d2") <= r * r, 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("d2") <= r * r, 1).otherwise(0)),
+                   F.lit(0))
         .cast("long").alias(f"_c{r}") for r in rs])
     stats = pts.agg(
         F.count(F.lit(1)).alias("n_points"),
@@ -432,8 +411,9 @@ def ripley_k(pts: DataFrame, radii: "list[int]", *,
     return (stats.crossJoin(cnt)
             .select("n_points", "area", stack)
             .select("r", "pair_cnt", "n_points", "area",
-                    ((F.col("pair_cnt") * 2).cast("double")
-                     * F.col("area").cast("double")
-                     / (F.col("n_points")
-                        * (F.col("n_points") - 1)).cast("double"))
+                    F.when(F.col("n_points") > 1,  # guard 0/0 NULL-vs-NaN
+                           (F.col("pair_cnt") * 2).cast("double")
+                           * F.col("area").cast("double")
+                           / (F.col("n_points")
+                              * (F.col("n_points") - 1)).cast("double"))
                     .alias("k_hat")))

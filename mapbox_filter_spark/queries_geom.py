@@ -2129,8 +2129,10 @@ tp AS (
 SELECT n_points,
        CAST(n_points * (n_points - 1) / 2 AS BIGINT) AS n_pairs,
        space_pairs, time_pairs, joint_pairs,
-       CAST(space_pairs AS DOUBLE) * CAST(time_pairs AS DOUBLE)
-         / CAST(n_points * (n_points - 1) / 2 AS DOUBLE) AS expected
+       CASE WHEN n_points > 1 THEN
+         CAST(space_pairs AS DOUBLE) * CAST(time_pairs AS DOUBLE)
+           / CAST(n_points * (n_points - 1) / 2 AS DOUBLE)
+       END AS expected
 FROM c, sp, tp"""
 
 
@@ -2168,8 +2170,10 @@ d AS (SELECT (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
 c AS MATERIALIZED (SELECT {sums} FROM d),
 l AS ({rungs})
 SELECT l.r, l.pair_cnt, s.n_points, s.area,
-       CAST(l.pair_cnt * 2 AS DOUBLE) * CAST(s.area AS DOUBLE)
-         / CAST(s.n_points * (s.n_points - 1) AS DOUBLE) AS k_hat
+       CASE WHEN s.n_points > 1 THEN
+         CAST(l.pair_cnt * 2 AS DOUBLE) * CAST(s.area AS DOUBLE)
+           / CAST(s.n_points * (s.n_points - 1) AS DOUBLE)
+       END AS k_hat
 FROM l, s"""
 
 

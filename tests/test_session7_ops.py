@@ -269,3 +269,53 @@ def test_lof_replay(spark):
     got = sorted(tuple(r) for r in
                  lof_scores(df, k=4, radius=25).collect())
     assert got == _brute_lof(rows, 4, 25)
+
+
+def test_knox_ripley_empty_and_degenerate(spark):
+    """Review regressions: empty pair sets must count 0 (not NULL) and
+    degenerate denominators must be NULL in BOTH engines (not 0/0)."""
+    from mapbox_filter_spark.operators.spatialstats import (
+        knox_pairs, ripley_k)
+    # two far-apart points: no space pair, one time pair
+    df = spark.createDataFrame([(1, 0, 0, 0), (2, 10**6, 10**6, 5)],
+                               "i long, x long, y long, t long")
+    r = knox_pairs(df, eps=10, tau=100).collect()[0]
+    assert (r["space_pairs"], r["joint_pairs"], r["time_pairs"]) == \
+        (0, 0, 1)
+    assert r["expected"] == 0.0
+    rk = {x["r"]: x for x in ripley_k(df.select("i", "x", "y"),
+                                      [5, 7]).collect()}
+    assert rk[5]["pair_cnt"] == 0 and rk[5]["k_hat"] == 0.0
+    # single point: n_pairs = 0 -> expected/k_hat NULL, counts 0
+    one = spark.createDataFrame([(1, 0, 0, 0)],
+                                "i long, x long, y long, t long")
+    r = knox_pairs(one, eps=10, tau=100).collect()[0]
+    assert (r["n_pairs"], r["space_pairs"], r["time_pairs"],
+            r["joint_pairs"]) == (0, 0, 0, 0)
+    assert r["expected"] is None
+    rk = ripley_k(one.select("i", "x", "y"), [5]).collect()[0]
+    assert rk["pair_cnt"] == 0 and rk["k_hat"] is None
+
+
+def test_blocked_pairs_int32_inputs_do_not_overflow(spark):
+    """Review regression: 32-bit coordinate columns are cast to long
+    before the d² arithmetic."""
+    from mapbox_filter_spark.operators.cluster import blocked_pairs
+    big = 60000
+    df = spark.createDataFrame([(1, -big, 0), (2, big, 0)],
+                               "i long, x int, y int")
+    got = blocked_pairs(df, 200000).collect()
+    assert len(got) == 1 and got[0]["d2"] == (2 * big) ** 2
+
+
+def test_sq8_null_element_excluded_not_max(spark):
+    """Review regression: a NULL vector element must NOT encode as max
+    code 255; the vector drops out of ranking instead."""
+    from mapbox_filter_spark.operators.similarity import sq8_topk
+    corpus = [(1, [0.0, 1.0]), (2, [2.0, 3.0]), (3, [None, 3.0])]
+    c = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(9, [2.0, 3.0])],
+                              "query_id long, embedding array<double>")
+    got = sorted((r["rank"], r["vec_id"]) for r in
+                 sq8_topk(q, c, k=3).collect())
+    assert got == [(1, 2), (2, 1)]       # vec 3 excluded entirely
