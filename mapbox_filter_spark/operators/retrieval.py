@@ -330,3 +330,51 @@ def tfidf_topk(docs: DataFrame, *, k: int, id_col: str = "doc_id",
                                            F.col("term").asc())
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k))
+
+
+def near_query(docs: DataFrame, term_a: str, term_b: str, window: int, *,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Proximity search ("term_a NEAR/W term_b"): documents where the
+    two terms co-occur within ``window`` token positions, with the
+    co-occurrence count and the tightest gap — the IR primitive
+    between bag-of-words BM25 (position-blind) and phrase_search
+    (exact adjacency).
+
+    Everything happens IN-ROW: tokenize once, collect each term's
+    position list with an indexed transform, and evaluate all
+    |pa|·|pb| gaps as a nested array expression — ZERO shuffles, zero
+    explode; the whole query is one map-only scan that parallelizes
+    embarrassingly and pushes (id, text) column pruning to the
+    parquet reader.  Positions are exact integers, so the row
+    value-hashes.  Per-doc cost is |pa|·|pb| — bounded by tf of the
+    two query terms, not doc length; for pathological tf (a term
+    repeated 10⁵ times in one doc) cap upstream with repetition
+    filters.  At fleet scale, run it after a term-index candidate
+    probe (write_term_index) so only docs containing BOTH terms are
+    scanned.
+
+    Tokenization matches doc_terms/_words (lowercase whitespace).
+
+    Returns ``(id, n_pairs, min_gap)`` for docs with ≥ 1 hit.
+    """
+    if not term_a or not term_b or term_a == term_b:
+        raise ValueError("need two distinct non-empty terms")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    ws = _words(F.col(text_col))
+
+    def positions(term: str):
+        return F.filter(
+            F.transform(ws, lambda w, i: F.when(w == F.lit(term), i)),
+            lambda p: p.isNotNull())
+
+    gaps = F.flatten(F.transform(F.col("_pa"), lambda x: F.transform(
+        F.col("_pb"), lambda y: F.abs(x - y))))
+    hit = F.filter(gaps, lambda g: g <= F.lit(window))
+    return (docs.select(F.col(id_col),
+                        positions(term_a).alias("_pa"),
+                        positions(term_b).alias("_pb"))
+            .select(id_col,
+                    F.size(hit).cast("long").alias("n_pairs"),
+                    F.array_min(hit).cast("long").alias("min_gap"))
+            .filter(F.col("n_pairs") >= 1))

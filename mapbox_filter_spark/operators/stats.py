@@ -581,3 +581,72 @@ def kaplan_meier(subjects: DataFrame, group_cols: Sequence[str],
     return (out.filter(F.col("n_event") >= 1)
             .select(*g, "dur", "n_risk", "n_event", "n_censor",
                     "log_surv_nano"))
+
+
+def ols2(df: DataFrame, x1_col: str, x2_col: str, y_col: str,
+         group_cols: "Sequence[str] | None" = None) -> DataFrame:
+    """Two-feature least squares with intercept, solved EXACTLY by
+    Cramer's rule on the integer normal equations — multiple
+    regression without any iterative solver or float accumulation:
+    the nine moment sums (n, Σx₁, Σx₂, Σx₁², Σx₂², Σx₁x₂, Σy, Σx₁y,
+    Σx₂y) are exact int64 from ONE map-side-combinable aggregation,
+    and the 3×3 determinants are single-row DECIMAL(38,0) arithmetic
+    (int128-exact in DuckDB's HUGEINT — the same values bit-for-bit),
+    so the coefficients are each ONE pinned integer→double division.
+
+    Inputs must be integer-valued columns (quantize upstream: cents,
+    hours, counts).  Degenerate design (det = 0: collinear or
+    constant features) yields NULL coefficients, never a crash.
+    Overflow discipline: moment sums must fit int64 (|x|³·n and
+    |x|²·|y|·n bounded — rescale units past that); determinants then
+    fit decimal(38) by construction for n < 10¹².
+
+    Shape for scale: one aggregation, one single-row projection — the
+    fact table shuffles ONCE (or zero times ungrouped: partial aggs
+    only).  Per-group mode fits millions of groups (the row per group
+    is 9 longs).
+
+    Returns ``(*group_cols, n, b0, b1, b2)`` for y ≈ b0 + b1·x1 +
+    b2·x2.
+    """
+    g = list(group_cols or [])
+    x1, x2, y = F.col(x1_col), F.col(x2_col), F.col(y_col)
+    m = df.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("s1"), F.sum(x2).alias("s2"),
+        F.sum(x1 * x1).alias("s11"), F.sum(x2 * x2).alias("s22"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * y).alias("s1y"), F.sum(x2 * y).alias("s2y"))
+    D = "decimal(38,0)"
+
+    def c(name: str):
+        return F.col(name).cast(D)
+
+    def det3(a, b, d):
+        # | a0 a1 a2 |   rows of the normal-equation matrix with one
+        # | b0 b1 b2 |   column replaced; expansion along row 1.
+        # | d0 d1 d2 |
+        return (a[0] * (b[1] * d[2] - b[2] * d[1])
+                - a[1] * (b[0] * d[2] - b[2] * d[0])
+                + a[2] * (b[0] * d[1] - b[1] * d[0]))
+
+    r0 = [c("n"), c("s1"), c("s2")]
+    r1 = [c("s1"), c("s11"), c("s12")]
+    r2 = [c("s2"), c("s12"), c("s22")]
+    ry = [c("sy"), c("s1y"), c("s2y")]
+    det = det3(r0, r1, r2)
+    # replace the column that multiplies each unknown with the y vector
+    det0 = det3([ry[0], c("s1"), c("s2")],
+                [ry[1], c("s11"), c("s12")],
+                [ry[2], c("s12"), c("s22")])
+    det1 = det3([c("n"), ry[0], c("s2")],
+                [c("s1"), ry[1], c("s12")],
+                [c("s2"), ry[2], c("s22")])
+    det2 = det3([c("n"), c("s1"), ry[0]],
+                [c("s1"), c("s11"), ry[1]],
+                [c("s2"), c("s12"), ry[2]])
+    coef = [F.when(det != 0, dd.cast("double") / det.cast("double"))
+            for dd in (det0, det1, det2)]
+    return m.select(*g, "n", coef[0].alias("b0"),
+                    coef[1].alias("b1"), coef[2].alias("b2"))

@@ -980,3 +980,54 @@ def nearest_event_join(
                    .otherwise(F.col("_fus")).alias("near_ts_us")))
     return out.withColumn(
         "delta_us", F.abs(F.col("ts_us") - F.col("near_ts_us")))
+
+
+def allen_join(left: DataFrame, right: DataFrame, keys: "list[str]", *,
+               l_start: str = "l_start", l_end: str = "l_end",
+               r_start: str = "r_start", r_end: str = "r_end",
+               touching_only: bool = True) -> DataFrame:
+    """Interval-algebra join: classify every key-matched interval pair
+    into its Allen relation (Allen 1983, "Maintaining Knowledge about
+    Temporal Intervals") — the full 13-relation vocabulary (equals,
+    before/after, meets/met_by, overlaps/overlapped_by,
+    starts/started_by, during/contains, finishes/finished_by) that
+    interval_join's boolean "intersects" collapses.  The temporal-
+    reasoning primitive behind "did the session ride through the
+    incident, straddle its start, or just graze it".
+
+    Classification is a single CASE chain over exact integer
+    endpoints — first match wins, and the branch order resolves
+    point-interval degeneracies deterministically (boundary-equality
+    relations outrank touch relations: two coincident point intervals
+    are 'equals', a point interval at another's start is 'starts', at
+    its end 'finishes' — 'meets'/'met_by' are what remains, i.e.
+    proper touch).  Fully value-hashable.
+
+    ``touching_only=True`` (default) keeps only pairs that intersect
+    or touch (le ≥ rs ∧ re ≥ ls) — output-bounded, the useful set;
+    before/after pairs are the quadratic bulk and almost never what a
+    caller wants materialized.  Shape: ONE equi-join on ``keys`` (at
+    fleet scale key by (entity, coarse time bucket) so hot entities
+    don't quadratically explode); the CASE adds no exchange.
+
+    Returns left columns + right columns + ``rel``.
+    """
+    ls, le = F.col(l_start), F.col(l_end)
+    rs, re = F.col(r_start), F.col(r_end)
+    rel = (F.when((ls == rs) & (le == re), "equals")
+           .when(le < rs, "before")
+           .when(re < ls, "after")
+           .when((ls == rs) & (le < re), "starts")
+           .when((ls == rs) & (le > re), "started_by")
+           .when((le == re) & (ls > rs), "finishes")
+           .when((le == re) & (ls < rs), "finished_by")
+           .when(le == rs, "meets")
+           .when(re == ls, "met_by")
+           .when((ls > rs) & (le < re), "during")
+           .when((ls < rs) & (le > re), "contains")
+           .when(ls < rs, "overlaps")
+           .otherwise("overlapped_by"))
+    j = left.join(right, keys)
+    if touching_only:
+        j = j.filter((le >= rs) & (re >= ls))
+    return j.withColumn("rel", rel)

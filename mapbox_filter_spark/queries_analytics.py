@@ -453,3 +453,81 @@ ANALYTICS_QUERIES = {
     "decayed_engagement": (q_decayed_engagement, sql_decayed_engagement),
     "cohort_retention": (q_cohort_retention, sql_cohort_retention),
 }
+
+
+def q_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature exact least squares (operators/stats.py ols2):
+    cents ~ hour-of-day + day-of-week over events, per event type.
+    Integer moment sums, DECIMAL(38) Cramer determinants, one pinned
+    divide per coefficient.  dow is the portable (epoch_days+4)%7 —
+    Spark's dayofweek() and DuckDB's disagree on origin."""
+    from .operators.stats import ols2
+    from .queries_curation import _cents
+
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    day = us - F.pmod(us, F.lit(86_400_000_000))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        (F.pmod(us, F.lit(86_400_000_000)) / F.lit(3_600_000_000))
+        .cast("long").alias("hour"),
+        F.pmod(day / F.lit(86_400_000_000) + 4, F.lit(7))
+        .cast("long").alias("dow"),
+        _cents().alias("cents"))
+    return ols2(ev.filter(F.col("cents").isNotNull()),
+                "hour", "dow", "cents", group_cols=["event_type"])
+
+
+def sql_ols2() -> str:
+    from .queries_curation import _CENTS_SQL
+
+    def det3(rows):
+        (a0, a1, a2), (b0, b1, b2), (d0, d1, d2) = rows
+        def m(u, v):
+            return f"CAST({u} AS HUGEINT) * CAST({v} AS HUGEINT)"
+        return (f"(CAST({a0} AS HUGEINT) * ({m(b1, d2)} - {m(b2, d1)})"
+                f" - CAST({a1} AS HUGEINT) * ({m(b0, d2)} - {m(b2, d0)})"
+                f" + CAST({a2} AS HUGEINT) * ({m(b0, d1)} - {m(b1, d0)}))")
+
+    det = det3([("n", "s1", "s2"), ("s1", "s11", "s12"),
+                ("s2", "s12", "s22")])
+    det0 = det3([("sy", "s1", "s2"), ("s1y", "s11", "s12"),
+                 ("s2y", "s12", "s22")])
+    det1 = det3([("n", "sy", "s2"), ("s1", "s1y", "s12"),
+                 ("s2", "s2y", "s22")])
+    det2 = det3([("n", "s1", "sy"), ("s1", "s11", "s1y"),
+                 ("s2", "s12", "s2y")])
+    return f"""
+WITH b AS (
+  SELECT event_type,
+         epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 // 3600000000
+           AS hour,
+         (epoch_us(CAST(ts AS TIMESTAMP))
+          - epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000)
+           // 86400000000 % 7 + 4 AS dow0,
+         {_CENTS_SQL} AS cents
+  FROM events),
+f AS (SELECT event_type, hour, dow0 % 7 AS dow, cents
+      FROM b WHERE cents IS NOT NULL),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(hour) AS BIGINT) AS s1,
+         CAST(SUM(dow) AS BIGINT) AS s2,
+         CAST(SUM(hour*hour) AS BIGINT) AS s11,
+         CAST(SUM(dow*dow) AS BIGINT) AS s22,
+         CAST(SUM(hour*dow) AS BIGINT) AS s12,
+         CAST(SUM(cents) AS BIGINT) AS sy,
+         CAST(SUM(hour*cents) AS BIGINT) AS s1y,
+         CAST(SUM(dow*cents) AS BIGINT) AS s2y
+  FROM f GROUP BY 1)
+SELECT event_type, n,
+       CASE WHEN {det} <> 0
+            THEN CAST({det0} AS DOUBLE) / CAST({det} AS DOUBLE) END AS b0,
+       CASE WHEN {det} <> 0
+            THEN CAST({det1} AS DOUBLE) / CAST({det} AS DOUBLE) END AS b1,
+       CASE WHEN {det} <> 0
+            THEN CAST({det2} AS DOUBLE) / CAST({det} AS DOUBLE) END AS b2
+FROM m"""
+
+
+ANALYTICS_QUERIES["ols2"] = (q_ols2, sql_ols2)

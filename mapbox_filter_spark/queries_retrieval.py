@@ -210,3 +210,42 @@ RETRIEVAL_QUERIES = {
     "phrase_search": (q_phrase_search, sql_phrase_search),
     "tfidf_topk": (q_tfidf_topk, sql_tfidf_topk),
 }
+
+
+_NEAR_A, _NEAR_B, _NEAR_W = "hash", "join", 2
+
+
+def q_near_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search (operators/retrieval.py near_query): in-row
+    positional gap evaluation — zero shuffles, one map-only scan."""
+    from .operators.retrieval import near_query
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    return near_query(docs, _NEAR_A, _NEAR_B, _NEAR_W)
+
+
+def sql_near_query() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x != '') AS ws
+  FROM documents),
+pos AS (
+  SELECT doc_id,
+         list_filter(range(1, len(ws)+1), i -> ws[i] = '{_NEAR_A}') AS pa,
+         list_filter(range(1, len(ws)+1), i -> ws[i] = '{_NEAR_B}') AS pb
+  FROM w),
+g AS (
+  SELECT doc_id,
+         list_filter(flatten(list_transform(pa, x ->
+             list_transform(pb, y -> abs(x - y)))),
+             d -> d <= {_NEAR_W}) AS hit
+  FROM pos)
+SELECT doc_id, CAST(len(hit) AS BIGINT) AS n_pairs,
+       CAST(list_min(hit) AS BIGINT) AS min_gap
+FROM g WHERE len(hit) >= 1"""
+
+
+RETRIEVAL_QUERIES["near_query"] = (q_near_query, sql_near_query)

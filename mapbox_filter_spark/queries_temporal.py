@@ -916,3 +916,77 @@ FROM s WHERE n_event >= 1"""
 
 
 TEMPORAL_QUERIES["kaplan_meier"] = (q_kaplan_meier, sql_kaplan_meier)
+
+
+_ALLEN_WIN_US = 900 * 1_000_000
+
+
+def q_allen_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval-algebra classification (operators/temporal.py
+    allen_join) of session intervals vs same-user error windows:
+    one equi-join on user_id + an exact-integer CASE chain; only
+    touching/intersecting pairs materialize."""
+    from .operators.temporal import allen_join, sessionize
+
+    ev = _events(spark, sf_dir)
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    sess = (sessionize(ev, ["user_id"], gap_s=_GAP_S,
+                       tiebreak="event_id")
+            .groupBy("user_id", "session_id")
+            .agg(F.min(us).alias("l_start"), F.max(us).alias("l_end")))
+    inc = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("incident_id"),
+        us.alias("r_start"), (us + _ALLEN_WIN_US).alias("r_end"))
+    return allen_join(sess, inc, ["user_id"]).select(
+        "user_id", "session_id", "incident_id",
+        "l_start", "l_end", "r_start", "r_end", "rel")
+
+
+def sql_allen_join() -> str:
+    gap_us = _GAP_S * 1_000_000
+    return f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) > {gap_us}
+              THEN 1 ELSE 0 END AS bnd
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+se AS (
+  SELECT user_id,
+         CAST(SUM(bnd) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id,
+         ts
+  FROM flagged),
+sess AS (
+  SELECT user_id, session_id,
+         epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS l_start,
+         epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS l_end
+  FROM se GROUP BY 1, 2),
+inc AS (
+  SELECT user_id, event_id AS incident_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS r_start,
+         epoch_us(CAST(ts AS TIMESTAMP)) + {_ALLEN_WIN_US} AS r_end
+  FROM events WHERE event_type = 'error')
+SELECT user_id, session_id, incident_id,
+       l_start, l_end, r_start, r_end,
+       CASE
+         WHEN l_start = r_start AND l_end = r_end THEN 'equals'
+         WHEN l_end < r_start THEN 'before'
+         WHEN r_end < l_start THEN 'after'
+         WHEN l_start = r_start AND l_end < r_end THEN 'starts'
+         WHEN l_start = r_start AND l_end > r_end THEN 'started_by'
+         WHEN l_end = r_end AND l_start > r_start THEN 'finishes'
+         WHEN l_end = r_end AND l_start < r_start THEN 'finished_by'
+         WHEN l_end = r_start THEN 'meets'
+         WHEN r_end = l_start THEN 'met_by'
+         WHEN l_start > r_start AND l_end < r_end THEN 'during'
+         WHEN l_start < r_start AND l_end > r_end THEN 'contains'
+         WHEN l_start < r_start THEN 'overlaps'
+         ELSE 'overlapped_by' END AS rel
+FROM sess JOIN inc USING (user_id)
+WHERE l_end >= r_start AND r_end >= l_start"""
+
+
+TEMPORAL_QUERIES["allen_join"] = (q_allen_join, sql_allen_join)

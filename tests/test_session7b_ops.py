@@ -1,0 +1,135 @@
+"""Unit differentials for the session-7b operator block: Allen
+interval algebra (all 13 relations pinned by hand), in-row proximity
+search (brute replay), exact 2-feature OLS (numpy lstsq differential +
+degenerate designs)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+
+_ALLEN_CASES = [
+    # (l_start, l_end, r_start, r_end, relation)
+    (0, 10, 0, 10, "equals"),
+    (0, 3, 5, 9, "before"),
+    (5, 9, 0, 3, "after"),
+    (0, 5, 5, 9, "meets"),
+    (5, 9, 0, 5, "met_by"),
+    (0, 4, 0, 9, "starts"),
+    (0, 9, 0, 4, "started_by"),
+    (5, 9, 0, 9, "finishes"),
+    (0, 9, 5, 9, "finished_by"),
+    (3, 6, 0, 9, "during"),
+    (0, 9, 3, 6, "contains"),
+    (0, 6, 3, 9, "overlaps"),
+    (3, 9, 0, 6, "overlapped_by"),
+    # point-interval degeneracies: branch order is the contract
+    # (boundary-equality relations outrank meets/met_by)
+    (5, 5, 5, 5, "equals"),
+    (5, 5, 5, 9, "starts"),
+    (9, 9, 5, 9, "finishes"),
+    (5, 5, 0, 5, "finishes"),
+    (0, 5, 5, 5, "finished_by"),
+    (5, 5, 0, 9, "during"),
+]
+
+
+def test_allen_all_13_relations(spark):
+    from mapbox_filter_spark.operators.temporal import allen_join
+    left = spark.createDataFrame(
+        [(i, ls, le) for i, (ls, le, _, _, _) in enumerate(_ALLEN_CASES)],
+        "k long, l_start long, l_end long")
+    right = spark.createDataFrame(
+        [(i, rs, re) for i, (_, _, rs, re, _) in enumerate(_ALLEN_CASES)],
+        "k long, r_start long, r_end long")
+    got = {r["k"]: r["rel"]
+           for r in allen_join(left, right, ["k"],
+                               touching_only=False).collect()}
+    for i, (_, _, _, _, want) in enumerate(_ALLEN_CASES):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_allen_touching_only_drops_disjoint(spark):
+    from mapbox_filter_spark.operators.temporal import allen_join
+    left = spark.createDataFrame([(1, 0, 3), (1, 0, 5)],
+                                 "k long, l_start long, l_end long")
+    right = spark.createDataFrame([(1, 5, 9)],
+                                  "k long, r_start long, r_end long")
+    rels = sorted(r["rel"] for r in
+                  allen_join(left, right, ["k"]).collect())
+    assert rels == ["meets"]          # the 'before' pair is dropped
+
+
+def test_near_query_hand_and_replay(spark):
+    from mapbox_filter_spark.operators.retrieval import near_query
+    rows = [
+        (1, "a b target x y anchor z"),      # gap 3
+        (2, "target anchor"),                # gap 1
+        (3, "target x x x x x anchor"),      # gap 6: out of window
+        (4, "anchor only here"),             # missing term
+        (5, "target anchor target anchor"),  # multiple pairs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_pairs"], r["min_gap"]) for r in
+           near_query(df, "target", "anchor", 3).collect()}
+    assert got == {1: (1, 3), 2: (1, 1), 5: (4, 1)}
+    # brute replay on random word soup
+    rng = random.Random(31)
+    vocab = ["target", "anchor", "x", "y", "z"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(30)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in
+                 near_query(df, "target", "anchor", 2).collect())
+    want = []
+    for i, text in rows:
+        ws = text.split()
+        pa = [k for k, w in enumerate(ws) if w == "target"]
+        pb = [k for k, w in enumerate(ws) if w == "anchor"]
+        hits = [abs(a - b) for a in pa for b in pb if abs(a - b) <= 2]
+        if hits:
+            want.append((i, len(hits), min(hits)))
+    assert got == sorted(want)
+
+
+def test_near_query_rejects_bad_args(spark):
+    import pytest
+    from mapbox_filter_spark.operators.retrieval import near_query
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        near_query(df, "a", "a", 2)
+    with pytest.raises(ValueError):
+        near_query(df, "a", "b", 0)
+
+
+def test_ols2_recovers_exact_plane(spark):
+    from mapbox_filter_spark.operators.stats import ols2
+    # y generated exactly on a plane: coefficients recover exactly
+    rng = random.Random(5)
+    rows = [(x1, x2, 7 + 3 * x1 - 2 * x2)
+            for x1, x2 in {(rng.randint(0, 23), rng.randint(0, 6))
+                           for _ in range(200)}]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+    r = ols2(df, "x1", "x2", "y").collect()[0]
+    assert (r["b0"], r["b1"], r["b2"]) == (7.0, 3.0, -2.0)
+
+
+def test_ols2_matches_numpy_and_guards_collinear(spark):
+    import numpy as np
+    from mapbox_filter_spark.operators.stats import ols2
+    rng = random.Random(13)
+    rows = [("g", rng.randint(0, 23), rng.randint(0, 6),
+             rng.randint(-500, 500)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "g string, x1 long, x2 long, y long")
+    r = ols2(df, "x1", "x2", "y", group_cols=["g"]).collect()[0]
+    a = np.array([[1.0, x1, x2] for _, x1, x2, _ in rows])
+    yv = np.array([float(y) for _, _, _, y in rows])
+    beta = np.linalg.lstsq(a, yv, rcond=None)[0]
+    for got, want in zip((r["b0"], r["b1"], r["b2"]), beta):
+        assert abs(got - want) < 1e-9 * max(1.0, abs(want))
+    # collinear design (x2 = 2*x1): det = 0 -> NULL coefficients
+    rows = [(x1, 2 * x1, x1 + 1) for x1 in range(50)]
+    df = spark.createDataFrame(rows, "x1 long, x2 long, y long")
+    r = ols2(df, "x1", "x2", "y").collect()[0]
+    assert r["b0"] is None and r["b1"] is None and r["b2"] is None
+    assert r["n"] == 50
