@@ -2715,3 +2715,44 @@ FROM stat st JOIN ri USING (i)"""
 
 
 GEOM_QUERIES["lof_scores"] = (q_lof_scores, sql_lof_scores)
+
+
+def q_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Geary's C of feature density on the 5-degree grid
+    (operators/spatialstats.py gearys_c): raw-value neighbor
+    differences (exact — differences cancel the mean) over the queen
+    join, n-scaled variance denominator, one pinned ratio — the
+    local-contrast twin of the morans_i gate on the same cells."""
+    from .operators.spatialstats import gearys_c
+
+    return gearys_c(_esda_cells(spark, sf_dir), "cx", "cy", "n_feat")
+
+
+def sql_gearys_c() -> str:
+    return f"""WITH {_sql_esda_cells()},
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s1 FROM cells),
+{_SQL_ESDA_OFFS},
+p AS (
+  SELECT a.v AS va, b.v AS vb
+  FROM cells a CROSS JOIN offs o
+  JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS w_pairs,
+             CAST(COALESCE(SUM((va - vb) * (va - vb)), 0) AS BIGINT)
+               AS diff_num
+      FROM p),
+z AS (SELECT n * v - s1 AS z, n FROM cells, tot),
+d AS (SELECT CAST(MAX(n) AS BIGINT) AS n_cells,
+             CAST(SUM(z * z) AS BIGINT) AS den FROM z)
+SELECT n_cells, w_pairs, diff_num, den,
+       CASE WHEN n_cells > 1 THEN CAST(1.0 AS DOUBLE) END AS e_c,
+       CASE WHEN den > 0 AND w_pairs > 0
+            THEN (CAST((n_cells - 1) * n_cells * n_cells AS DOUBLE)
+                  * CAST(diff_num AS DOUBLE))
+                 / (CAST(2.0 AS DOUBLE) * CAST(w_pairs AS DOUBLE)
+                    * CAST(den AS DOUBLE))
+            END AS geary_c
+FROM d, c"""
+
+
+GEOM_QUERIES["gearys_c"] = (q_gearys_c, sql_gearys_c)

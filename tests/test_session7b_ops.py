@@ -133,3 +133,32 @@ def test_ols2_matches_numpy_and_guards_collinear(spark):
     r = ols2(df, "x1", "x2", "y").collect()[0]
     assert r["b0"] is None and r["b1"] is None and r["b2"] is None
     assert r["n"] == 50
+
+
+def test_gearys_c_replay(spark):
+    from mapbox_filter_spark.operators.spatialstats import gearys_c
+    rng = random.Random(17)
+    cells = {(rng.randint(0, 8), rng.randint(0, 8)): rng.randint(0, 40)
+             for _ in range(45)}
+    rows = [(x, y, v) for (x, y), v in cells.items()]
+    df = spark.createDataFrame(rows, "cx long, cy long, v long")
+    r = gearys_c(df, "cx", "cy", "v").collect()[0]
+    n = len(cells)
+    mean = sum(cells.values()) / n
+    diff = w = 0
+    for (x, y), v in cells.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx or dy) and (x + dx, y + dy) in cells:
+                    w += 1
+                    diff += (v - cells[(x + dx, y + dy)]) ** 2
+    den = sum((v - mean) ** 2 for v in cells.values())
+    want = (n - 1) * diff / (2 * w * den)
+    assert (r["n_cells"], r["w_pairs"], r["diff_num"]) == (n, w, diff)
+    assert abs(r["geary_c"] - want) < 1e-12
+    assert r["e_c"] == 1.0
+    # constant field -> NULL C, exact zero denominator
+    df = spark.createDataFrame([(0, 0, 5), (0, 1, 5), (1, 0, 5)],
+                               "cx long, cy long, v long")
+    r = gearys_c(df, "cx", "cy", "v").collect()[0]
+    assert r["den"] == 0 and r["geary_c"] is None
