@@ -1,0 +1,138 @@
+"""Z-order (Morton) storage layout + bbox range-decomposition scans.
+
+The classic sorted-storage spatial index for columnar lakes: interleave
+the grid coordinates' bits into one ``morton`` key, write the corpus
+sorted by it (``repartitionByRange`` + ``sortWithinPartitions``), and a
+rectangle query becomes a SMALL set of contiguous key ranges — pushed
+to the parquet reader as min/max predicates, so row groups outside the
+rectangle's Z-ranges are never decompressed.  This is the layout trick
+behind Delta/Iceberg Z-ORDER clustering, here with the range
+DECOMPOSITION done explicitly (quadtree recursion, merged under a
+budget) instead of relying on file-level stats alone.
+
+Exactness: morton codes, ranges, and the residual rectangle filter are
+pure integer arithmetic — the scan output is byte-identical to a brute
+full-scan filter (the gate's oracle), the ranges only cut I/O.
+
+Reference: Morton (1966); Tropf & Herzog (1981) BIGMIN/LITMAX is the
+incremental-seek variant — the budgeted superset + residual filter
+here trades a bounded number of extra row groups for ZERO per-range
+seek logic, the right trade for columnar scans (a row group is the
+seek unit, not a row).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["morton_col", "morton_ranges", "write_zorder_corpus",
+           "zorder_bbox_scan"]
+
+_MAX_ORDER = 31          # 2·31 = 62 morton bits < int64
+
+
+def morton_col(x: Column, y: Column, order: int) -> Column:
+    """Morton/Z-order key of integer grid coords in [0, 2^order): bit k
+    of x lands at key bit 2k, bit k of y at 2k+1 (quadrant index =
+    2·y_bit + x_bit per level — the same layout morton_ranges walks).
+    A flat sum of ``order`` in-row terms: whole-stage-codegen'd, no
+    UDF, no loop-carried state."""
+    if not 1 <= order <= _MAX_ORDER:
+        raise ValueError(f"order must be in [1, {_MAX_ORDER}]")
+    xl, yl = x.cast("long"), y.cast("long")
+    terms = []
+    for k in range(order):
+        bx = F.shiftright(xl, k).bitwiseAND(F.lit(1))
+        by = F.shiftright(yl, k).bitwiseAND(F.lit(1))
+        terms.append((by * 2 + bx) * F.lit(1 << (2 * k)))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def morton_ranges(order: int, x_lo: int, x_hi: int, y_lo: int,
+                  y_hi: int, max_ranges: int = 64) -> "list[tuple[int, int]]":
+    """Decompose the inclusive rectangle [x_lo,x_hi]×[y_lo,y_hi] into
+    ≤ ``max_ranges`` contiguous morton-key ranges COVERING it (a
+    superset when the budget forces gap-merging — callers re-apply the
+    exact rectangle as a residual filter).  Pure driver-side quadtree
+    recursion: fully-inside quads emit their whole contiguous key span
+    and stop; straddling quads split; disjoint quads prune.  Adjacent
+    ranges merge; past the budget the smallest inter-range gaps merge
+    first (each merged gap admits the fewest extra keys)."""
+    if not 1 <= order <= _MAX_ORDER:
+        raise ValueError(f"order must be in [1, {_MAX_ORDER}]")
+    n = 1 << order
+    if not (0 <= x_lo <= x_hi < n and 0 <= y_lo <= y_hi < n):
+        raise ValueError("rectangle out of the [0, 2^order) domain")
+    if max_ranges < 1:
+        raise ValueError("max_ranges must be >= 1")
+    out: "list[tuple[int, int]]" = []
+
+    def rec(qx: int, qy: int, size: int, base: int) -> None:
+        if qx > x_hi or qx + size - 1 < x_lo \
+                or qy > y_hi or qy + size - 1 < y_lo:
+            return
+        if qx >= x_lo and qx + size - 1 <= x_hi \
+                and qy >= y_lo and qy + size - 1 <= y_hi:
+            out.append((base, base + size * size - 1))
+            return
+        h = size // 2
+        for q in range(4):          # quadrant index = 2·y_bit + x_bit
+            rec(qx + (q & 1) * h, qy + (q >> 1) * h, h,
+                base + q * h * h)
+
+    rec(0, 0, n, 0)
+    out.sort()
+    merged: "list[list[int]]" = []
+    for lo, hi in out:
+        if merged and lo == merged[-1][1] + 1:
+            merged[-1][1] = hi
+        else:
+            merged.append([lo, hi])
+    while len(merged) > max_ranges:
+        gi = min(range(len(merged) - 1),
+                 key=lambda i: merged[i + 1][0] - merged[i][1])
+        merged[gi][1] = merged[gi + 1][1]
+        del merged[gi + 1]
+    return [(lo, hi) for lo, hi in merged]
+
+
+def write_zorder_corpus(df: DataFrame, path: str, order: int, *,
+                        x_col: str = "x", y_col: str = "y",
+                        n_files: int = 8) -> None:
+    """Write ``df`` parquet Z-ORDER-clustered: morton key attached,
+    globally range-partitioned and sorted by it, so every file and row
+    group covers a tight contiguous morton span — the min/max stats
+    that make zorder_bbox_scan's range predicates prune.  Written once
+    out-of-band at fleet scale (same discipline as the bucketed
+    kNN/postings corpora)."""
+    zdf = df.withColumn("morton",
+                        morton_col(F.col(x_col), F.col(y_col), order))
+    (zdf.repartitionByRange(n_files, "morton")
+        .sortWithinPartitions("morton")
+        .write.mode("overwrite").parquet(path))
+
+
+def zorder_bbox_scan(spark: SparkSession, path: str,
+                     x_lo: int, x_hi: int, y_lo: int, y_hi: int,
+                     order: int, *, x_col: str = "x", y_col: str = "y",
+                     max_ranges: int = 64) -> DataFrame:
+    """Rectangle query over a write_zorder_corpus layout: the budgeted
+    morton range cover becomes an OR-of-BETWEENs pushed into the
+    parquet scan (row groups outside every range are skipped on
+    min/max stats), and the exact rectangle re-applies as the residual
+    filter — output identical to a brute full-scan filter, I/O
+    proportional to the rectangle."""
+    ranges = morton_ranges(order, x_lo, x_hi, y_lo, y_hi, max_ranges)
+    df = spark.read.parquet(path)
+    m = F.col("morton")
+    cond = None
+    for lo, hi in ranges:
+        c = m.between(F.lit(lo), F.lit(hi))
+        cond = c if cond is None else (cond | c)
+    return (df.filter(cond)
+            .filter(F.col(x_col).between(x_lo, x_hi)
+                    & F.col(y_col).between(y_lo, y_hi)))

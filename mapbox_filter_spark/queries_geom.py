@@ -2756,3 +2756,49 @@ FROM d, c"""
 
 
 GEOM_QUERIES["gearys_c"] = (q_gearys_c, sql_gearys_c)
+
+
+_Z_ORDER = 16
+_Z_SHIFT = 32768                 # walk coords are ±~16k; shift to [0, 2^16)
+_Z_BBOX = (30000, 36000, 28000, 34000)   # x_lo, x_hi, y_lo, y_hi (shifted)
+
+
+def q_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle query through the Z-ORDER-clustered corpus
+    (geo/zorder.py): morton-sorted parquet layout, budgeted quadtree
+    range cover pushed as OR-of-BETWEENs (row-group min/max pruning),
+    exact residual filter — the oracle is the brute full-scan filter,
+    so the gate proves layout + decomposition lose nothing."""
+    import os
+    import tempfile
+
+    from .geo.zorder import write_zorder_corpus, zorder_bbox_scan
+    from .operators.trajectory import random_walk_positions
+    from .sources.features import _source_fingerprint
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP).select(
+        F.col("event_id").alias("i"),
+        (F.col("x") + _Z_SHIFT).alias("x"),
+        (F.col("y") + _Z_SHIFT).alias("y"))
+    tag = _source_fingerprint(sf_dir)
+    path = os.path.join(tempfile.gettempdir(), f"mfs_zorder_{tag}")
+    # overwrite-write per call: idempotent / stale-layout-safe (the
+    # knn_ring recipe); fleet-scale corpora are written once out-of-band
+    write_zorder_corpus(pos, path, _Z_ORDER)
+    x_lo, x_hi, y_lo, y_hi = _Z_BBOX
+    return zorder_bbox_scan(spark, path, x_lo, x_hi, y_lo, y_hi,
+                            _Z_ORDER).select("i", "x", "y")
+
+
+def sql_zorder_scan() -> str:
+    x_lo, x_hi, y_lo, y_hi = _Z_BBOX
+    return f"""WITH {_sql_walk_pos()}
+SELECT event_id AS i,
+       x + {_Z_SHIFT} AS x, y + {_Z_SHIFT} AS y
+FROM pos
+WHERE x + {_Z_SHIFT} BETWEEN {x_lo} AND {x_hi}
+  AND y + {_Z_SHIFT} BETWEEN {y_lo} AND {y_hi}"""
+
+
+GEOM_QUERIES["zorder_scan"] = (q_zorder_scan, sql_zorder_scan)

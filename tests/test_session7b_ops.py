@@ -162,3 +162,72 @@ def test_gearys_c_replay(spark):
                                "cx long, cy long, v long")
     r = gearys_c(df, "cx", "cy", "v").collect()[0]
     assert r["den"] == 0 and r["geary_c"] is None
+
+
+def _py_morton(x, y, order):
+    m = 0
+    for k in range(order):
+        m |= ((x >> k) & 1) << (2 * k)
+        m |= ((y >> k) & 1) << (2 * k + 1)
+    return m
+
+
+def test_morton_encode_matches_python(spark):
+    from mapbox_filter_spark.geo.zorder import morton_col
+    rng = random.Random(3)
+    rows = [(rng.randrange(0, 1 << 16), rng.randrange(0, 1 << 16))
+            for _ in range(200)] + [(0, 0), (65535, 65535), (1, 0), (0, 1)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select("x", "y",
+                    morton_col(F.col("x"), F.col("y"), 16).alias("m")) \
+        .collect()
+    for r in got:
+        assert r["m"] == _py_morton(r["x"], r["y"], 16)
+
+
+def test_morton_ranges_cover_exactly(spark):
+    """Unbudgeted range cover contains EXACTLY the rectangle's keys."""
+    from mapbox_filter_spark.geo.zorder import morton_ranges
+    rng = random.Random(9)
+    for _ in range(25):
+        order = rng.randint(2, 6)
+        n = 1 << order
+        x_lo = rng.randrange(n); x_hi = rng.randrange(x_lo, n)
+        y_lo = rng.randrange(n); y_hi = rng.randrange(y_lo, n)
+        ranges = morton_ranges(order, x_lo, x_hi, y_lo, y_hi,
+                               max_ranges=10**9)
+        keys = set()
+        for lo, hi in ranges:
+            keys.update(range(lo, hi + 1))
+        want = {_py_morton(x, y, order)
+                for x in range(x_lo, x_hi + 1)
+                for y in range(y_lo, y_hi + 1)}
+        assert keys == want, (order, x_lo, x_hi, y_lo, y_hi)
+    # a tight budget yields a SUPERSET (gap merging), never a miss
+    ranges = morton_ranges(5, 3, 17, 2, 23, max_ranges=3)
+    assert len(ranges) <= 3
+    keys = set()
+    for lo, hi in ranges:
+        keys.update(range(lo, hi + 1))
+    want = {_py_morton(x, y, 5) for x in range(3, 18)
+            for y in range(2, 24)}
+    assert want <= keys
+
+
+def test_zorder_scan_pushes_ranges_to_parquet(spark, tmp_path):
+    from mapbox_filter_spark.geo.zorder import (
+        write_zorder_corpus, zorder_bbox_scan)
+    rng = random.Random(21)
+    rows = [(i, rng.randrange(0, 256), rng.randrange(0, 256))
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "i long, x long, y long")
+    path = str(tmp_path / "zc")
+    write_zorder_corpus(df, path, 8)
+    got = zorder_bbox_scan(spark, path, 40, 90, 100, 140, 8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "morton" in plan
+    have = sorted((r["i"], r["x"], r["y"])
+                  for r in got.select("i", "x", "y").collect())
+    want = sorted((i, x, y) for i, x, y in rows
+                  if 40 <= x <= 90 and 100 <= y <= 140)
+    assert have == want
