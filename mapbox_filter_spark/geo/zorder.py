@@ -36,20 +36,14 @@ def morton_col(x: Column, y: Column, order: int) -> Column:
     """Morton/Z-order key of integer grid coords in [0, 2^order): bit k
     of x lands at key bit 2k, bit k of y at 2k+1 (quadrant index =
     2·y_bit + x_bit per level — the same layout morton_ranges walks).
-    A flat sum of ``order`` in-row terms: whole-stage-codegen'd, no
-    UDF, no loop-carried state."""
+    Reuses geohash.py's 5-stage mask spread (~12 codegen'd bit ops,
+    not a per-bit loop); ``order`` only validates the domain."""
     if not 1 <= order <= _MAX_ORDER:
         raise ValueError(f"order must be in [1, {_MAX_ORDER}]")
-    xl, yl = x.cast("long"), y.cast("long")
-    terms = []
-    for k in range(order):
-        bx = F.shiftright(xl, k).bitwiseAND(F.lit(1))
-        by = F.shiftright(yl, k).bitwiseAND(F.lit(1))
-        terms.append((by * 2 + bx) * F.lit(1 << (2 * k)))
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out.cast("long")
+    from .geohash import _spread_bits
+
+    return _spread_bits(x.cast("long")).bitwiseOR(
+        F.shiftleft(_spread_bits(y.cast("long")), 1)).cast("long")
 
 
 def morton_ranges(order: int, x_lo: int, x_hi: int, y_lo: int,
@@ -92,11 +86,22 @@ def morton_ranges(order: int, x_lo: int, x_hi: int, y_lo: int,
             merged[-1][1] = hi
         else:
             merged.append([lo, hi])
-    while len(merged) > max_ranges:
-        gi = min(range(len(merged) - 1),
-                 key=lambda i: merged[i + 1][0] - merged[i][1])
-        merged[gi][1] = merged[gi + 1][1]
-        del merged[gi + 1]
+    if len(merged) > max_ranges:
+        # keep the (max_ranges − 1) LARGEST inter-range gaps as
+        # separators — one O(k log k) pass, result identical to the
+        # greedy smallest-gap-first merge loop (which is O(k²) and
+        # measurably stalls the driver at fine orders)
+        gaps = sorted(range(len(merged) - 1), key=lambda i: (
+            merged[i + 1][0] - merged[i][1], i))
+        keep = sorted(gaps[-(max_ranges - 1):]) if max_ranges > 1 else []
+        sep = set(keep)
+        squeezed: "list[list[int]]" = [merged[0]]
+        for i in range(1, len(merged)):
+            if i - 1 in sep:
+                squeezed.append(merged[i])
+            else:
+                squeezed[-1][1] = merged[i][1]
+        merged = squeezed
     return [(lo, hi) for lo, hi in merged]
 
 
@@ -109,8 +114,17 @@ def write_zorder_corpus(df: DataFrame, path: str, order: int, *,
     that make zorder_bbox_scan's range predicates prune.  Written once
     out-of-band at fleet scale (same discipline as the bucketed
     kNN/postings corpora)."""
-    zdf = df.withColumn("morton",
-                        morton_col(F.col(x_col), F.col(y_col), order))
+    n = 1 << order
+    in_domain = (F.col(x_col) >= 0) & (F.col(x_col) < n) \
+        & (F.col(y_col) >= 0) & (F.col(y_col) < n)
+    zdf = df.withColumn(
+        "morton",
+        # fail LOUDLY on out-of-domain coords: an aliased (mod 2^order)
+        # key would stay query-correct (the residual filter catches it)
+        # but silently scatter the sorted layout and gut the pruning
+        F.when(in_domain, morton_col(F.col(x_col), F.col(y_col), order))
+        .otherwise(F.raise_error(F.lit(
+            f"write_zorder_corpus: coordinate outside [0, 2^{order})"))))
     (zdf.repartitionByRange(n_files, "morton")
         .sortWithinPartitions("morton")
         .write.mode("overwrite").parquet(path))

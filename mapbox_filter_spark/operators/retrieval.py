@@ -357,6 +357,9 @@ def near_query(docs: DataFrame, term_a: str, term_b: str, window: int, *,
 
     Returns ``(id, n_pairs, min_gap)`` for docs with ≥ 1 hit.
     """
+    term_a, term_b = term_a.lower(), term_b.lower()  # tokens are
+    # lowercased by _words; a verbatim uppercase term would silently
+    # match nothing
     if not term_a or not term_b or term_a == term_b:
         raise ValueError("need two distinct non-empty terms")
     if window < 1:

@@ -498,15 +498,19 @@ def sql_ols2() -> str:
                  ("s2", "s12", "s2y")])
     return f"""
 WITH b AS (
+  -- ((a % m) + m) % m mirrors Spark's pmod: DuckDB's % follows the
+  -- dividend's sign, which would split the gate on pre-1970 rows
   SELECT event_type,
-         epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 // 3600000000
-           AS hour,
+         ((epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000 + 86400000000)
+          % 86400000000) // 3600000000 AS hour,
          (epoch_us(CAST(ts AS TIMESTAMP))
-          - epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000)
-           // 86400000000 % 7 + 4 AS dow0,
+          - ((epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000
+              + 86400000000) % 86400000000))
+           // 86400000000 AS days,
          {_CENTS_SQL} AS cents
   FROM events),
-f AS (SELECT event_type, hour, dow0 % 7 AS dow, cents
+f AS (SELECT event_type, hour,
+             ((days + 4) % 7 + 7) % 7 AS dow, cents
       FROM b WHERE cents IS NOT NULL),
 m AS (
   SELECT event_type,
