@@ -37,7 +37,7 @@ from typing import Iterator, Optional, Tuple
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -296,3 +296,142 @@ def bitmap_distinct(df: DataFrame, group_cols, key_col: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_buckets"),
                  F.sum(F.bit_count("mask")).alias("n_distinct"),
                  F.max(F.bit_count("mask")).alias("max_bucket_card")))
+
+
+_BLOOM_WORD = 63  # slots per word — sign-bit shifts overflow in DuckDB
+
+
+def bloom_positions(key: Column, n_bits: int, k: int, salt: str) -> list:
+    """The ``k`` bit positions of ``key`` in an ``n_bits`` Bloom filter:
+    Kirsch–Mitzenmacher double hashing ``(h1 + i·h2) mod n_bits`` over
+    two independent 60-bit md5 coordinates (one hash pair serves any
+    ``k`` — Kirsch & Mitzenmacher, ESA'06).  ``h2`` is forced non-zero
+    mod ``n_bits`` so the k probes never collapse onto one bit.  Pure
+    integer Columns: bit-identical in any engine with the same md5."""
+    from .splits import _SEP
+
+    s = key.cast("string")
+
+    def h(tag: str) -> Column:
+        return F.conv(F.substring(F.md5(F.concat_ws(
+            _SEP, F.lit(f"{salt}-{tag}"), s)), 1, 15), 16, 10).cast("long")
+
+    h1 = F.pmod(h("a"), F.lit(n_bits))
+    h2 = F.pmod(h("b"), F.lit(n_bits - 1)) + 1
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)) for i in range(k)]
+
+
+def bloom_build(dim: DataFrame, key_col: str, *, n_words: int = 8,
+                k: int = 3, salt: str = "bloom") -> DataFrame:
+    """Build a Bloom filter of ``dim``'s keys as ONE row holding a dense
+    ``n_words × 63``-bit ``array<long>`` — the broadcastable pre-filter
+    for ``bloom_prune``.  Mergeable: word masks combine by ``bit_or``,
+    so partial filters from 1000 executors union losslessly (the same
+    63-slot word contract as ``bitmap_distinct`` — a shift into the
+    sign bit is an overflow error in DuckDB and a silent wrap in
+    Spark).  The build shuffles only (word, mask) pairs — ≤ ``n_words``
+    rows regardless of dim cardinality."""
+    n_bits = n_words * _BLOOM_WORD
+    pos = F.explode(F.array(*bloom_positions(
+        F.col(key_col), n_bits, k, salt))).alias("pos")
+    bits = dim.select(F.col(key_col)).distinct().select(pos).select(
+        F.expr(f"pos div {_BLOOM_WORD}").alias("word"),
+        F.pmod(F.col("pos"), F.lit(_BLOOM_WORD)).cast("int").alias("slot"))
+    masks = bits.groupBy("word").agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), slot))").alias("mask"))
+    # densify absent words to 0 and fold into a single array row — the
+    # filter is one array<long> value built in-plan, never a driver
+    # collect
+    return masks.groupBy().agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("word", "mask"))),
+            F.array_repeat(F.lit(0).cast("long"), n_words),
+            lambda acc, wm: F.transform(
+                acc,
+                lambda v, i: F.when(i == wm["word"].cast("int"),
+                                    wm["mask"]).otherwise(v)),
+        ).alias("bloom"))
+
+
+def bloom_prune(fact: DataFrame, bloom: DataFrame, key_col: str, *,
+                n_words: int = 8, k: int = 3, salt: str = "bloom",
+                flag_col: str = "bloom_pass") -> DataFrame:
+    """Flag each fact row with its Bloom membership verdict (all ``k``
+    probed bits set → may be a member; any clear bit → definitely not).
+
+    This is the shuffle-free semi-join prefilter: at 100 TB the fact
+    side is scanned once against a broadcast single-row array and only
+    survivors (true matches plus the controlled false-positive residue,
+    ≈ (1−e^(−kn/m))^k) need reach the exact join.  The probe is pure
+    integer Column arithmetic — whole-stage codegen, no UDF, no
+    exchange on the fact side.  Filter on ``flag_col`` to prune; the
+    flag form keeps the gate's pass/fail accounting in one scan."""
+    n_bits = n_words * _BLOOM_WORD
+    probed = fact.crossJoin(F.broadcast(bloom))
+    cond = F.lit(True)
+    for i, p in enumerate(bloom_positions(
+            F.col(key_col), n_bits, k, salt)):
+        probed = probed.withColumn(f"_bp{i}", p)
+        hit = F.expr(
+            f"(element_at(bloom, CAST(_bp{i} div {_BLOOM_WORD} AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT),"
+            f"             CAST(pmod(_bp{i}, {_BLOOM_WORD}) AS INT))) != 0")
+        cond = cond & hit
+    return probed.withColumn(flag_col, cond).drop(
+        "bloom", *[f"_bp{i}" for i in range(k)])
+
+
+def cms_registers(df: DataFrame, key_col: str, *, d: int = 3,
+                  w: int = 256, salt: str = "cms",
+                  weight_col: Optional[str] = None) -> DataFrame:
+    """Count-min sketch registers (Cormode & Muthukrishnan, J.Alg'05):
+    ``d`` independent rows of ``w`` counters; every key increments one
+    counter per row at column ``md5(salt-i, key) mod w``.  One
+    map-side-combinable groupBy over ≤ d·w cells — the fixed-memory
+    frequency summary that merges across epochs/executors by plain SUM
+    (unlike Misra–Gries, whose merge needs the counter-subtract pass).
+    Integer registers: value-hash exact in any engine with md5."""
+    from .splits import hash_u60
+
+    wt = (F.col(weight_col).cast("long") if weight_col
+          else F.lit(1).cast("long"))
+    rows = [
+        df.select(
+            F.lit(i).alias("row"),
+            F.pmod(hash_u60([key_col], f"{salt}-{i}"),
+                   F.lit(w)).alias("col"),
+            wt.alias("wt"))
+        for i in range(d)
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("row", "col").agg(F.sum("wt").alias("reg"))
+
+
+def cms_query(registers: DataFrame, probes: DataFrame, key_col: str, *,
+              d: int = 3, w: int = 256, salt: str = "cms") -> DataFrame:
+    """Point-query the count-min sketch for each probe key: the
+    estimate is ``min`` over the d probed registers — an upper bound on
+    the true count (collisions only inflate).  Registers are ≤ d·w rows
+    → broadcast equi-join against the probes; output
+    ``(key, est)``."""
+    from .splits import hash_u60
+
+    cells = probes.select(F.col(key_col)).distinct()
+    for i in range(d):
+        cells = cells.withColumn(
+            f"_c{i}", F.pmod(hash_u60([key_col], f"{salt}-{i}"),
+                             F.lit(w)))
+    stacked = cells.select(
+        key_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("row"),
+                     F.col(f"_c{i}").alias("col"))
+            for i in range(d)])).alias("rc")
+    ).select(key_col, F.col("rc.row").alias("row"),
+             F.col("rc.col").alias("col"))
+    joined = stacked.join(F.broadcast(registers), ["row", "col"], "left")
+    return (joined.groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("reg"), F.lit(0).cast("long")))
+                 .alias("est")))

@@ -202,9 +202,140 @@ SELECT event_type, COUNT(*) AS n_buckets,
 FROM m GROUP BY 1"""
 
 
+_BLOOM_WORDS = 8          # 504 usable bits (63/word — sign-safe)
+_BLOOM_K = 3
+_BLOOM_SALT = "bloom-r5"
+
+
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning (operators/sketch.py bloom_build /
+    bloom_prune): the 41 p_size=15 part keys become a 504-bit broadcast
+    filter; every lineitem row is probed shuffle-free.  Per returnflag:
+    total rows, bloom survivors, true members, and surviving members —
+    a value-hash match proves the double-hash bit math AND the no-
+    false-negative invariant (n_pass_member == n_member) to the row."""
+    from .operators.sketch import bloom_build, bloom_prune
+
+    dim = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_size") == 15).select("p_partkey")
+    bloom = bloom_build(dim, "p_partkey", n_words=_BLOOM_WORDS,
+                        k=_BLOOM_K, salt=_BLOOM_SALT)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_returnflag")
+    flagged = bloom_prune(li, bloom, "l_partkey", n_words=_BLOOM_WORDS,
+                          k=_BLOOM_K, salt=_BLOOM_SALT)
+    mem = dim.distinct().withColumn("_m", F.lit(1))
+    out = flagged.join(F.broadcast(mem),
+                       flagged["l_partkey"] == mem["p_partkey"], "left")
+    one = F.lit(1).cast("long")
+    return (out.groupBy("l_returnflag")
+            .agg(F.count(one).alias("n_rows"),
+                 F.sum(F.when(F.col("bloom_pass"), one).otherwise(0))
+                  .alias("n_pass"),
+                 F.sum(F.when(F.col("_m").isNotNull(), one).otherwise(0))
+                  .alias("n_member"),
+                 F.sum(F.when(F.col("bloom_pass")
+                              & F.col("_m").isNotNull(), one).otherwise(0))
+                  .alias("n_pass_member")))
+
+
+def sql_bloom_prune() -> str:
+    nb = _BLOOM_WORDS * 63
+    s = _BLOOM_SALT
+
+    def h60(tag: str, key: str) -> str:
+        return (f"CAST(('0x' || substr(md5(concat_ws(chr(31), '{s}-{tag}',"
+                f" CAST({key} AS VARCHAR))), 1, 15)) AS BIGINT)")
+
+    def pos(key: str) -> str:
+        return (f"(({h60('a', key)} % {nb})"
+                f" + i * (({h60('b', key)} % {nb - 1}) + 1)) % {nb}")
+
+    return f"""
+WITH ks AS (SELECT DISTINCT p_partkey AS key FROM part WHERE p_size = 15),
+kpos AS (
+  SELECT {pos('key')} AS p
+  FROM ks CROSS JOIN (VALUES (0), (1), (2)) t(i)),
+words AS (
+  SELECT p // 63 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS mask
+  FROM kpos GROUP BY 1),
+fk AS (SELECT DISTINCT l_partkey AS key FROM lineitem),
+fpos AS (
+  SELECT key, {pos('key')} AS p
+  FROM fk CROSS JOIN (VALUES (0), (1), (2)) t(i)),
+probe AS (
+  SELECT fpos.key,
+         bool_and(((COALESCE(w.mask, 0) >> CAST(fpos.p % 63 AS INT))
+                   & 1) = 1) AS pass
+  FROM fpos LEFT JOIN words w ON w.word = fpos.p // 63
+  GROUP BY 1),
+mem AS (SELECT key, TRUE AS is_mem FROM ks)
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN is_mem THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_member,
+       CAST(SUM(CASE WHEN pass AND is_mem THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass_member
+FROM lineitem
+JOIN probe ON probe.key = l_partkey
+LEFT JOIN mem ON mem.key = l_partkey
+GROUP BY 1"""
+
+
+_CMS_D = 3
+_CMS_W = 256
+_CMS_SALT = "cms-r5"
+
+
+def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries (operators/sketch.py
+    cms_registers / cms_query) over a 400-key linear-skew substrate
+    (``floor(sqrt(event_id mod 160000))``) squeezed into 3×256
+    registers, joined to the exact counts.  400 keys in 256 columns
+    force collisions, so est > exact for many keys — the value hash
+    pins the whole register plane, the min-reduction, AND the
+    upper-bound invariant cross-engine."""
+    from .operators.sketch import cms_query, cms_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.floor(F.sqrt(F.pmod(F.col("event_id"), F.lit(160000))))
+        .alias("key"))
+    regs = cms_registers(ev, "key", d=_CMS_D, w=_CMS_W, salt=_CMS_SALT)
+    est = cms_query(regs, ev, "key", d=_CMS_D, w=_CMS_W, salt=_CMS_SALT)
+    exact = ev.groupBy("key").agg(F.count(F.lit(1)).alias("n_exact"))
+    return est.join(exact, "key")
+
+
+def sql_cms_estimate() -> str:
+    d, w, s = _CMS_D, _CMS_W, _CMS_SALT
+    ivals = ", ".join(f"({i})" for i in range(d))
+    return f"""
+WITH src AS (
+  SELECT CAST(FLOOR(SQRT(event_id % 160000)) AS BIGINT) AS key
+  FROM events),
+cells AS (
+  SELECT i,
+         CAST(('0x' || substr(md5(concat_ws(chr(31), '{s}-' ||
+              CAST(i AS VARCHAR), CAST(key AS VARCHAR))), 1, 15))
+              AS BIGINT) % {w} AS col,
+         key
+  FROM src CROSS JOIN (VALUES {ivals}) t(i)),
+regs AS (
+  SELECT i, col, COUNT(*) AS reg FROM cells GROUP BY 1, 2),
+pq AS (SELECT DISTINCT i, col, key FROM cells)
+SELECT pq.key, CAST(MIN(r.reg) AS BIGINT) AS est,
+       (SELECT COUNT(*) FROM src WHERE src.key = pq.key) AS n_exact
+FROM pq JOIN regs r USING (i, col)
+GROUP BY 1"""
+
+
 SKETCH_QUERIES = {
     "heavy_hitters": (q_heavy_hitters, sql_heavy_hitters),
     "kmv_distinct": (q_kmv_distinct, sql_kmv_distinct),
     "hll_distinct": (q_hll_distinct, sql_hll_distinct),
     "bitmap_distinct": (q_bitmap_distinct, sql_bitmap_distinct),
+    "bloom_prune": (q_bloom_prune, sql_bloom_prune),
+    "cms_estimate": (q_cms_estimate, sql_cms_estimate),
 }
