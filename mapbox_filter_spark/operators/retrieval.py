@@ -29,7 +29,7 @@ import os
 import re
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import _words
@@ -381,3 +381,44 @@ def near_query(docs: DataFrame, term_a: str, term_b: str, window: int, *,
                     F.size(hit).cast("long").alias("n_pairs"),
                     F.array_min(hit).cast("long").alias("min_gap"))
             .filter(F.col("n_pairs") >= 1))
+
+
+RRF_SCALE = 10 ** 15  # reciprocal weights as exact scaled integers
+
+
+def rrf_fuse(rankings: "list[DataFrame]", *, k: int, c: int = 60,
+             id_col: str = "doc_id", rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09) —
+    the hybrid-search combiner: each input ranking contributes
+    ``1/(c + rank)`` per document and the fused order is by the summed
+    weight.  Weights are carried as exact scaled integers
+    ``RRF_SCALE div (c + rank)`` so the fusion (and its tie-break: sum
+    desc, id asc) is engine-exact — no float accumulation order can
+    split engines.
+
+    Score-blind by design: only RANKS cross the fusion boundary, which
+    is what makes RRF the standard lexical+dense combiner (BM25 scores
+    and cosine scores are not calibrated against each other).  Inputs
+    are top-N lists (tiny); the union + one groupBy is the whole plan —
+    at fleet scale each ranking arrives pre-truncated by its own
+    distributed top-k, so fusion cost is O(Σ list lengths), independent
+    of corpus size.
+
+    Returns ``(id, rrf, n_lists, rank)`` for the top ``k``.
+    """
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    if k < 1 or c < 0:
+        raise ValueError("k must be >= 1 and c >= 0")
+    wgt = F.expr(f"CAST({RRF_SCALE} AS BIGINT) div"
+                 f" (CAST({c} AS BIGINT) + {rank_col})")
+    parts = [r.select(F.col(id_col), wgt.alias("_w")) for r in rankings]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionByName(p)
+    fused = un.groupBy(id_col).agg(
+        F.sum("_w").alias("rrf"),
+        F.count(F.lit(1)).alias("n_lists"))
+    top = fused.orderBy(F.col("rrf").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w))

@@ -704,6 +704,47 @@ def knn_classify(
                     "votes", "best_dot"))
 
 
+def int_dot_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    scale: int = 1000,
+    query_id: str = "query_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-integer dot-product top-k: ``(q_id, c_id, dot, rank)`` on
+    ``floor(v·scale + 0.5)`` quantized vectors with the (dot desc,
+    c_id asc) total order — the engine-exact dense ranking primitive
+    that knn_classify votes over and rrf_fuse consumes.  Queries
+    broadcast, corpus scanned once, per-query windows; at corpus scale
+    swap the candidate stage for ann_lsh_topk / ivf_flat_topk and keep
+    the rank contract."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def quant(v: Column) -> Column:
+        return F.transform(
+            v, lambda x: F.floor(x.cast("double") * F.lit(float(scale))
+                                 + F.lit(0.5)).cast("long"))
+
+    q = queries.select(F.col(query_id).alias("q_id"),
+                       quant(F.col(vec_col)).alias("q_vec"))
+    c = corpus.select(F.col(corpus_id).alias("c_id"),
+                      quant(F.col(vec_col)).alias("c_vec"))
+    dot = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c_vec"), lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    w = W.partitionBy("q_id").orderBy(F.col("dot").desc(),
+                                      F.col("c_id").asc())
+    return (F.broadcast(q).crossJoin(c)
+            .withColumn("dot", dot)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "c_id", "dot", "rank"))
+
+
 def sq8_topk(
     queries: DataFrame,
     corpus: DataFrame,

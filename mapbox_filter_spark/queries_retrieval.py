@@ -249,3 +249,105 @@ FROM g WHERE len(hit) >= 1"""
 
 
 RETRIEVAL_QUERIES["near_query"] = (q_near_query, sql_near_query)
+
+
+_RRF_DEPTH = 50
+_RRF_K = 20
+_RRF_C = 60
+_RRF_QVEC = 0          # the dense query: embedding of vec_id 0
+_RRF_SCALE_V = 1000    # int-dot quantization
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search (operators/retrieval.py rrf_fuse): BM25 lexical
+    top-50 and exact-integer-dot dense top-50 (similarity.py
+    int_dot_topk, query = embedding 0) fused by reciprocal-rank with
+    scaled-integer weights — ranks, weights, sums, and tie-breaks all
+    engine-exact.  doc_id and vec_id share the synthetic id domain, so
+    the two lists fuse on the document key."""
+    from .operators.retrieval import rrf_fuse
+    from .operators.similarity import int_dot_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lex = bm25_topk(docs, list(_QUERY), k=_RRF_DEPTH, k1=_K1, b=_B) \
+        .select("doc_id", "rank")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dense = int_dot_topk(
+        emb.filter(F.col("vec_id") == _RRF_QVEC), emb, _RRF_DEPTH,
+        scale=_RRF_SCALE_V, query_id="vec_id", corpus_id="vec_id",
+    ).select(F.col("c_id").alias("doc_id"), "rank")
+    return rrf_fuse([lex, dense], k=_RRF_K, c=_RRF_C)
+
+
+def sql_rrf_fusion() -> str:
+    terms = ", ".join(f"'{t}'" for t in _QUERY)
+    s = float(_RRF_SCALE_V)
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+toks AS (SELECT doc_id, unnest(ws) AS term FROM words),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl),
+qdf AS (
+  SELECT term, COUNT(*) AS df FROM tf
+  WHERE term IN ({terms}) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5)
+                       / (qdf.df + 0.5))
+             * tf.tf * ({_K1} + 1.0)
+             / (tf.tf + {_K1} * (1.0 - {_B}
+                                 + {_B} * dl.dl
+                                   / (SELECT avgdl FROM stats)))
+         ) AS s
+  FROM tf JOIN qdf USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id),
+lex AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
+    FROM scored) WHERE rank <= {_RRF_DEPTH}),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = {_RRF_QVEC}),
+dots AS (
+  SELECT e.vec_id AS doc_id,
+         CAST((SELECT SUM(
+              CAST(FLOOR(CAST(q.v[i.i] AS DOUBLE) * {s!r} + 0.5)
+                   AS BIGINT)
+            * CAST(FLOOR(CAST(e.embedding[i.i] AS DOUBLE) * {s!r} + 0.5)
+                   AS BIGINT))
+          FROM (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) i)
+          AS BIGINT) AS dot
+  FROM embeddings e, qv q),
+dense AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY dot DESC, doc_id) AS rank
+    FROM dots) WHERE rank <= {_RRF_DEPTH}),
+un AS (
+  SELECT doc_id,
+         CAST(1000000000000000 AS BIGINT) // (CAST({_RRF_C} AS BIGINT)
+                                              + rank) AS w
+  FROM lex
+  UNION ALL
+  SELECT doc_id,
+         CAST(1000000000000000 AS BIGINT) // (CAST({_RRF_C} AS BIGINT)
+                                              + rank) AS w
+  FROM dense),
+fused AS (
+  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS rrf,
+         COUNT(*) AS n_lists
+  FROM un GROUP BY 1)
+SELECT doc_id, rrf, n_lists, rank FROM (
+  SELECT doc_id, rrf, n_lists,
+         ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused) WHERE rank <= {_RRF_K}"""
+
+
+RETRIEVAL_QUERIES["rrf_fusion"] = (q_rrf_fusion, sql_rrf_fusion)

@@ -97,3 +97,62 @@ def test_cms_weighted(spark):
            for r in cms_query(regs, df.select("key"), "key", d=2, w=64,
                               salt="t8w").collect()}
     assert est[1] >= 12 and est[2] >= 3
+
+
+def test_rrf_fuse_hand_math(spark):
+    from mapbox_filter_spark.operators.retrieval import RRF_SCALE, rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)],
+                              "doc_id long, rank long")
+    b = spark.createDataFrame([(12, 1), (10, 2), (13, 3)],
+                              "doc_id long, rank long")
+    got = {r["doc_id"]: (r["rrf"], r["n_lists"], r["rank"])
+           for r in rrf_fuse([a, b], k=4, c=60).collect()}
+    w = lambda r: RRF_SCALE // (60 + r)
+    want = {10: w(1) + w(2), 11: w(2), 12: w(3) + w(1), 13: w(3)}
+    for d, (rrf, n, _) in got.items():
+        assert rrf == want[d], d
+        assert n == (2 if d in (10, 12) else 1)
+    # fused order: 10 (w1+w2) > 12 (w1+w3) > 11 (w2) > 13 (w3)
+    order = sorted(got, key=lambda d: got[d][2])
+    assert order == [10, 12, 11, 13]
+
+
+def test_rrf_fuse_three_lists_and_validation(spark):
+    import pytest
+    from mapbox_filter_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1)], "doc_id long, rank long")
+    got = rrf_fuse([a, a, a], k=1, c=0).collect()
+    assert got[0]["n_lists"] == 3 and got[0]["rrf"] == 3 * 10 ** 15
+    with pytest.raises(ValueError):
+        rrf_fuse([], k=1)
+    with pytest.raises(ValueError):
+        rrf_fuse([a], k=0)
+
+
+def test_int_dot_topk_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.similarity import int_dot_topk
+
+    rng = random.Random(9)
+    corpus = [(i, [rng.uniform(-1, 1) for _ in range(8)])
+              for i in range(40)]
+    queries = [(100 + j, [rng.uniform(-1, 1) for _ in range(8)])
+               for j in range(3)]
+    c = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(queries, "query_id long, embedding array<double>")
+    got = int_dot_topk(q, c, 5, scale=1000).collect()
+
+    import math
+    qz = {qid: [math.floor(x * 1000 + 0.5) for x in v]
+          for qid, v in queries}
+    cz = {cid: [math.floor(x * 1000 + 0.5) for x in v]
+          for cid, v in corpus}
+    for qid in qz:
+        dots = sorted(((sum(a * b for a, b in zip(qz[qid], cz[cid])), -cid,
+                        cid) for cid in cz), reverse=True)
+        want = [(cid, d) for d, _, cid in dots[:5]]
+        mine = sorted([(r["rank"], r["c_id"], r["dot"]) for r in got
+                       if r["q_id"] == qid])
+        assert [(c_, d_) for _, c_, d_ in mine] == want, qid
