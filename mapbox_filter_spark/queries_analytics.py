@@ -535,3 +535,117 @@ FROM m"""
 
 
 ANALYTICS_QUERIES["ols2"] = (q_ols2, sql_ols2)
+
+
+_TE_M = 20  # smoothing pseudo-count toward the global mean
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (operators/ml.py
+    target_encode_loo): per-order smoothed priority→price feature.
+    The encoding is an exact-integer rational with ONE pinned double
+    division — bit-identical cross-engine, leakage-free by the LOO
+    subtraction."""
+    from .operators.ml import target_encode_loo
+    from .queries_curation import _cents
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority",
+        _cents("o_totalprice").alias("total_c"))
+    return target_encode_loo(o, "o_orderpriority", "total_c",
+                             id_cols=["o_orderkey"], prior_weight=_TE_M)
+
+
+def sql_target_encode() -> str:
+    m = _TE_M
+    return f"""
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+  FROM orders),
+c AS (SELECT o_orderpriority, CAST(SUM(y) AS BIGINT) AS s_c,
+             COUNT(*) AS n_c
+      FROM o GROUP BY 1),
+g AS (SELECT CAST(SUM(y) AS BIGINT) AS s_g, COUNT(*) AS n_g FROM o)
+SELECT o.o_orderkey, o.o_orderpriority, o.y AS total_c,
+       CASE WHEN n_c - 1 + {m} > 0 THEN
+         CAST((s_c - o.y) * n_g + {m} * s_g AS DOUBLE)
+         / CAST((n_c - 1 + {m}) * n_g AS DOUBLE) END AS enc
+FROM o JOIN c USING (o_orderpriority) CROSS JOIN g"""
+
+
+_NB_FEATS = ["hour", "dow"]
+
+
+def _nb_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    day = us - F.pmod(us, F.lit(86_400_000_000))
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type",
+        (F.pmod(us, F.lit(86_400_000_000)) / F.lit(3_600_000_000))
+        .cast("long").alias("hour"),
+        F.pmod(day / F.lit(86_400_000_000) + 4, F.lit(7))
+        .cast("long").alias("dow"))
+
+
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical Naive Bayes confusion matrix (operators/ml.py
+    naive_bayes_train/predict): hour/dow → event_type on the 80/20
+    event_id-mod split.  Integer count model, flat ln-chain posterior
+    (bit-stable), (score desc, class asc) argmax — the whole confusion
+    matrix value-hashes cross-engine."""
+    from .operators.ml import naive_bayes_predict, naive_bayes_train
+
+    ev = _nb_events(spark, sf_dir)
+    train = ev.filter(F.pmod(F.col("event_id"), F.lit(5)) != 0)
+    test = ev.filter(F.pmod(F.col("event_id"), F.lit(5)) == 0)
+    model = naive_bayes_train(train, "event_type", _NB_FEATS)
+    pred = naive_bayes_predict(test, model, id_cols=["event_id"],
+                               feature_cols=_NB_FEATS)
+    truth = test.select("event_id", F.col("event_type").alias("truth"))
+    return (pred.join(truth, "event_id")
+            .groupBy(F.col("truth").alias("event_type"), "pred")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def sql_naive_bayes() -> str:
+    return """
+WITH ev AS (
+  SELECT event_id, event_type,
+         (epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000)
+           // 3600000000 AS hour,
+         ((epoch_us(CAST(ts AS TIMESTAMP))
+           - epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000)
+          // 86400000000 + 4) % 7 AS dow
+  FROM events),
+tr AS (SELECT * FROM ev WHERE event_id % 5 <> 0),
+te AS (SELECT * FROM ev WHERE event_id % 5 = 0),
+cls AS (SELECT event_type AS c, COUNT(*) AS n_c FROM tr GROUP BY 1),
+v AS (SELECT COUNT(*) AS n, COUNT(DISTINCT event_type) AS nc,
+             COUNT(DISTINCT hour) AS v0, COUNT(DISTINCT dow) AS v1
+      FROM tr),
+f0 AS (SELECT event_type AS c, hour AS val, COUNT(*) AS nf
+       FROM tr GROUP BY 1, 2),
+f1 AS (SELECT event_type AS c, dow AS val, COUNT(*) AS nf
+       FROM tr GROUP BY 1, 2),
+sc AS (
+  SELECT te.event_id, te.event_type AS truth, cls.c,
+         ln(CAST(cls.n_c + 1 AS DOUBLE) / CAST(v.n + v.nc AS DOUBLE))
+         + ln(CAST(COALESCE(f0.nf, 0) + 1 AS DOUBLE)
+              / CAST(cls.n_c + v.v0 AS DOUBLE))
+         + ln(CAST(COALESCE(f1.nf, 0) + 1 AS DOUBLE)
+              / CAST(cls.n_c + v.v1 AS DOUBLE)) AS score
+  FROM te CROSS JOIN cls CROSS JOIN v
+  LEFT JOIN f0 ON f0.c = cls.c AND f0.val = te.hour
+  LEFT JOIN f1 ON f1.c = cls.c AND f1.val = te.dow),
+p AS (
+  SELECT event_id, truth, c AS pred,
+         ROW_NUMBER() OVER (PARTITION BY event_id
+                            ORDER BY score DESC, c ASC) AS r
+  FROM sc)
+SELECT truth AS event_type, pred, COUNT(*) AS n
+FROM p WHERE r = 1 GROUP BY 1, 2"""
+
+
+ANALYTICS_QUERIES["target_encode"] = (q_target_encode, sql_target_encode)
+ANALYTICS_QUERIES["naive_bayes"] = (q_naive_bayes, sql_naive_bayes)

@@ -156,3 +156,67 @@ def test_int_dot_topk_differential(spark):
         mine = sorted([(r["rank"], r["c_id"], r["dot"]) for r in got
                        if r["q_id"] == qid])
         assert [(c_, d_) for _, c_, d_ in mine] == want, qid
+
+
+def test_target_encode_loo_hand_math(spark):
+    from mapbox_filter_spark.operators.ml import target_encode_loo
+
+    rows = [(1, "a", 10), (2, "a", 20), (3, "a", 30),
+            (4, "b", 100), (5, "c", 7)]
+    df = spark.createDataFrame(rows, "id long, cat string, y long")
+    got = {r["id"]: r["enc"]
+           for r in target_encode_loo(df, "cat", "y", id_cols=["id"],
+                                      prior_weight=0).collect()}
+    assert got[1] == (20 + 30) / 2
+    assert got[2] == (10 + 30) / 2
+    assert got[4] is None and got[5] is None  # singleton, m=0 → NULL
+
+    got_m = {r["id"]: r["enc"]
+             for r in target_encode_loo(df, "cat", "y", id_cols=["id"],
+                                        prior_weight=2).collect()}
+    s_g, n_g = 167, 5
+    # exact rational: ((S_c − y)·N + m·S) / ((n_c − 1 + m)·N)
+    assert got_m[4] == ((100 - 100) * n_g + 2 * s_g) / ((0 + 2) * n_g)
+    assert got_m[1] == ((60 - 10) * n_g + 2 * s_g) / ((2 + 2) * n_g)
+
+
+def test_naive_bayes_differential(spark):
+    import math
+    import random
+    from mapbox_filter_spark.operators.ml import (naive_bayes_predict,
+                                                  naive_bayes_train)
+
+    rng = random.Random(81)
+    classes = ["x", "y", "z"]
+    rows = []
+    for i in range(600):
+        c = classes[i % 3]
+        f1 = (rng.randrange(4) + (0 if c == "x" else 2)) % 6
+        f2 = (rng.randrange(3) + (2 if c == "z" else 0)) % 5
+        rows.append((i, c, f1, f2))
+    df = spark.createDataFrame(rows, "id long, c string, f1 long, f2 long")
+    train = [r for r in rows if r[0] % 4 != 0]
+    test = [r for r in rows if r[0] % 4 == 0]
+    tr = df.filter(F.pmod(F.col("id"), F.lit(4)) != 0)
+    te = df.filter(F.pmod(F.col("id"), F.lit(4)) == 0)
+    model = naive_bayes_train(tr, "c", ["f1", "f2"])
+    got = {r["id"]: r["pred"]
+           for r in naive_bayes_predict(te, model, id_cols=["id"],
+                                        feature_cols=["f1", "f2"])
+           .collect()}
+
+    n = len(train)
+    n_c = {c: sum(1 for r in train if r[1] == c) for c in classes}
+    v1 = len({r[2] for r in train})
+    v2 = len({r[3] for r in train})
+    cnt1, cnt2 = {}, {}
+    for _, c, f1, f2 in train:
+        cnt1[(c, f1)] = cnt1.get((c, f1), 0) + 1
+        cnt2[(c, f2)] = cnt2.get((c, f2), 0) + 1
+    for i, _, f1, f2 in test:
+        best = min(
+            ((-(math.log((n_c[c] + 1) / (n + 3))
+                + math.log((cnt1.get((c, f1), 0) + 1) / (n_c[c] + v1))
+                + math.log((cnt2.get((c, f2), 0) + 1) / (n_c[c] + v2))),
+              c) for c in classes))
+        assert got[i] == best[1], i
