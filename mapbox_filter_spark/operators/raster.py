@@ -1,0 +1,113 @@
+"""Sparse-raster neighborhood operators: focal statistics and D8 flow
+direction.
+
+A "raster" here is the repo's sparse grid shape — one row per occupied
+cell ``(cx, cy, value)`` (the same substrate the ESDA/Getis-Ord/Geary
+gates share); absent cells are nodata and excluded from every window,
+the standard GIS focal convention.  Both operators are ONE explode(×k)
++ equi-join on the cell key — the Moran's-I join shape — so at 100 TB
+they cost a single hash exchange of (cell, value) pairs regardless of
+raster extent, and AQE/salting handles hot cells exactly as in the
+DBSCAN candidate stage.
+
+- ``focal_stats``: (2r+1)² moving-window count/sum/min/max over
+  occupied neighbors, mean as ONE pinned double division — the map
+  smoothing / convolution primitive.
+- ``d8_flow``: steepest-descent flow direction (O'Callaghan & Mark,
+  CVGIP 1984) with ESRI power-of-two direction codes.  Slope
+  comparison is EXACT: slope² = drop²/dist² with dist² ∈ {1,2}, so
+  ranking by ``drop²·(2/dist²)`` — an integer — totally orders
+  candidates without any float; ties break on the direction code.
+  Cells with no strictly-lower occupied neighbor are sinks/flats
+  (``dir`` NULL) — the depression set a fill pass would iterate on.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ESRI D8 codes: E=1, SE=2, S=4, SW=8, W=16, NW=32, N=64, NE=128
+# (y grows north; SE is +x,-y)
+D8_DIRS = [
+    (1, 0, 1), (1, -1, 2), (0, -1, 4), (-1, -1, 8),
+    (-1, 0, 16), (-1, 1, 32), (0, 1, 64), (1, 1, 128),
+]
+
+
+def _offsets(radius: int, include_self: bool):
+    return [(dx, dy) for dx in range(-radius, radius + 1)
+            for dy in range(-radius, radius + 1)
+            if include_self or (dx, dy) != (0, 0)]
+
+
+def focal_stats(cells: DataFrame, x_col: str, y_col: str, v_col: str, *,
+                radius: int = 1, include_self: bool = True) -> DataFrame:
+    """Moving-window statistics over occupied neighbors: each occupied
+    cell receives ``(n_nb, sum_nb, min_nb, max_nb, mean_nb)`` from the
+    cells within Chebyshev distance ``radius``.  Values must be
+    integer-typed (quantize upstream) so every aggregate except the
+    final pinned mean division is exact."""
+    if radius < 1:
+        raise ValueError("radius must be >= 1")
+    offs = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in _offsets(radius, include_self)])).alias("o")
+    v = F.col(v_col).cast("long")
+    src = (cells.select(F.col(x_col).alias("_sx"),
+                        F.col(y_col).alias("_sy"), v.alias("_sv"))
+           .select("_sx", "_sy", "_sv", offs)
+           .select((F.col("_sx") + F.col("o.dx")).alias("_tx"),
+                   (F.col("_sy") + F.col("o.dy")).alias("_ty"), "_sv"))
+    tgt = cells.select(F.col(x_col), F.col(y_col), v.alias(v_col))
+    joined = tgt.join(
+        src, (tgt[x_col] == src["_tx"]) & (tgt[y_col] == src["_ty"]))
+    out = (joined.groupBy(x_col, y_col, v_col)
+           .agg(F.count(F.lit(1)).alias("n_nb"),
+                F.sum("_sv").alias("sum_nb"),
+                F.min("_sv").alias("min_nb"),
+                F.max("_sv").alias("max_nb")))
+    return out.withColumn(
+        "mean_nb",
+        F.col("sum_nb").cast("double") / F.col("n_nb").cast("double"))
+
+
+def d8_flow(cells: DataFrame, x_col: str, y_col: str,
+            z_col: str) -> DataFrame:
+    """D8 flow direction over the occupied-cell surface: per cell, the
+    ESRI code of the steepest strictly-downslope occupied neighbor
+    (exact integer slope² ranking — see module docstring), the drop to
+    it, and ``is_sink`` for cells with no such neighbor.  ``z_col``
+    must be integer-typed."""
+    z = F.col(z_col).cast("long")
+    dirs = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(code).alias("code"),
+                 F.lit(dx * dx + dy * dy).alias("d2"))
+        for dx, dy, code in D8_DIRS])).alias("o")
+    base = cells.select(F.col(x_col), F.col(y_col), z.alias(z_col))
+    cand = (base.select(x_col, y_col, z_col, dirs)
+            .select(x_col, y_col, z_col,
+                    (F.col(x_col) + F.col("o.dx")).alias("_nx"),
+                    (F.col(y_col) + F.col("o.dy")).alias("_ny"),
+                    F.col("o.code").alias("_code"),
+                    F.col("o.d2").alias("_d2")))
+    nb = base.select(F.col(x_col).alias("_nx"), F.col(y_col).alias("_ny"),
+                     F.col(z_col).alias("_nz"))
+    down = (cand.join(nb, ["_nx", "_ny"])
+            .withColumn("_drop", F.col(z_col) - F.col("_nz"))
+            .filter(F.col("_drop") > 0)
+            # slope² · 2 as an exact integer: drop²·2/d² with d² ∈ {1,2}
+            .withColumn("_key", F.col("_drop") * F.col("_drop")
+                        * F.when(F.col("_d2") == 1,
+                                 F.lit(2)).otherwise(F.lit(1))))
+    w = Window.partitionBy(x_col, y_col).orderBy(
+        F.col("_key").desc(), F.col("_code").asc())
+    best = (down.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(x_col, y_col, F.col("_code").alias("dir"),
+                    F.col("_drop").alias("zdrop")))
+    return (base.join(best, [x_col, y_col], "left")
+            .withColumn("is_sink", F.col("dir").isNull()))

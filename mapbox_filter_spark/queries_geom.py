@@ -2802,3 +2802,75 @@ WHERE x + {_Z_SHIFT} BETWEEN {x_lo} AND {x_hi}
 
 
 GEOM_QUERIES["zorder_scan"] = (q_zorder_scan, sql_zorder_scan)
+
+
+def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 focal statistics on the shared ESDA density grid
+    (operators/raster.py focal_stats): per occupied cell the moving-
+    window count/sum/min/max over occupied neighbors plus the one
+    pinned-division mean — the raster smoothing primitive, one
+    explode(x9) + equi-join."""
+    from .operators.raster import focal_stats
+
+    return focal_stats(_esda_cells(spark, sf_dir), "cx", "cy", "n_feat",
+                       radius=1, include_self=True)
+
+
+def sql_focal_mean() -> str:
+    offs9 = ", ".join(f"({dx},{dy})" for dx in (-1, 0, 1)
+                      for dy in (-1, 0, 1))
+    return f"""WITH {_sql_esda_cells()},
+offs9 AS (SELECT * FROM (VALUES {offs9}) AS t(dx, dy)),
+nb AS (
+  SELECT a.cx + dx AS tx, a.cy + dy AS ty, a.v AS sv
+  FROM cells a CROSS JOIN offs9)
+SELECT c.cx, c.cy, c.v AS n_feat,
+       COUNT(*) AS n_nb,
+       CAST(SUM(nb.sv) AS BIGINT) AS sum_nb,
+       CAST(MIN(nb.sv) AS BIGINT) AS min_nb,
+       CAST(MAX(nb.sv) AS BIGINT) AS max_nb,
+       CAST(SUM(nb.sv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_nb
+FROM cells c JOIN nb ON nb.tx = c.cx AND nb.ty = c.cy
+GROUP BY 1, 2, 3"""
+
+
+def q_d8_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow direction on the ESDA density surface
+    (operators/raster.py d8_flow): steepest strictly-downslope occupied
+    neighbor by EXACT integer slope² ranking (drop²·{2,1} for
+    cardinal/diagonal), ESRI direction codes, sinks flagged."""
+    from .operators.raster import d8_flow
+
+    return d8_flow(_esda_cells(spark, sf_dir), "cx", "cy", "n_feat")
+
+
+def sql_d8_flow() -> str:
+    from .operators.raster import D8_DIRS
+
+    dirs = ", ".join(f"({dx},{dy},{code},{dx * dx + dy * dy})"
+                     for dx, dy, code in D8_DIRS)
+    return f"""WITH {_sql_esda_cells()},
+dirs AS (SELECT * FROM (VALUES {dirs}) AS t(dx, dy, code, d2)),
+cand AS (
+  SELECT a.cx, a.cy, a.v AS z, a.cx + dx AS nx, a.cy + dy AS ny,
+         code, d2
+  FROM cells a CROSS JOIN dirs),
+down AS (
+  SELECT c.cx, c.cy, c.code, c.z - b.v AS zd,
+         (c.z - b.v) * (c.z - b.v)
+           * (CASE WHEN c.d2 = 1 THEN 2 ELSE 1 END) AS key
+  FROM cand c JOIN cells b ON b.cx = c.nx AND b.cy = c.ny
+  WHERE c.z - b.v > 0),
+best AS (
+  SELECT cx, cy, code, zd,
+         ROW_NUMBER() OVER (PARTITION BY cx, cy
+                            ORDER BY key DESC, code ASC) AS r
+  FROM down)
+SELECT c.cx, c.cy, c.v AS n_feat,
+       b.code AS dir, b.zd AS zdrop, b.code IS NULL AS is_sink
+FROM cells c
+LEFT JOIN (SELECT * FROM best WHERE r = 1) b USING (cx, cy)"""
+
+
+GEOM_QUERIES["focal_mean"] = (q_focal_mean, sql_focal_mean)
+GEOM_QUERIES["d8_flow"] = (q_d8_flow, sql_d8_flow)

@@ -220,3 +220,52 @@ def test_naive_bayes_differential(spark):
                 + math.log((cnt2.get((c, f2), 0) + 1) / (n_c[c] + v2))),
               c) for c in classes))
         assert got[i] == best[1], i
+
+
+def test_focal_stats_hand_grid(spark):
+    from mapbox_filter_spark.operators.raster import focal_stats
+
+    # 2x2 occupied block plus an isolated cell
+    rows = [(0, 0, 1), (1, 0, 2), (0, 1, 3), (1, 1, 4), (5, 5, 9)]
+    df = spark.createDataFrame(rows, "cx long, cy long, v long")
+    got = {(r["cx"], r["cy"]): r
+           for r in focal_stats(df, "cx", "cy", "v").collect()}
+    assert got[(0, 0)]["n_nb"] == 4 and got[(0, 0)]["sum_nb"] == 10
+    assert got[(0, 0)]["mean_nb"] == 2.5
+    assert got[(5, 5)]["n_nb"] == 1 and got[(5, 5)]["sum_nb"] == 9
+    ex = focal_stats(df, "cx", "cy", "v", include_self=False)
+    got2 = {(r["cx"], r["cy"]): r for r in ex.collect()}
+    assert got2[(0, 0)]["sum_nb"] == 9
+    assert (5, 5) not in got2  # no neighbors, excluded-self window empty
+
+
+def test_d8_flow_hand_grid(spark):
+    from mapbox_filter_spark.operators.raster import d8_flow
+
+    # ramp: z falls eastward; (2,0) is the pit
+    rows = [(0, 0, 10), (1, 0, 5), (2, 0, 1)]
+    df = spark.createDataFrame(rows, "cx long, cy long, z long")
+    got = {(r["cx"], r["cy"]): r
+           for r in d8_flow(df, "cx", "cy", "z").collect()}
+    assert got[(0, 0)]["dir"] == 1 and got[(0, 0)]["zdrop"] == 5  # E
+    assert got[(1, 0)]["dir"] == 1 and got[(1, 0)]["zdrop"] == 4
+    assert got[(2, 0)]["is_sink"] and got[(2, 0)]["dir"] is None
+
+
+def test_d8_flow_diagonal_vs_cardinal_exact(spark):
+    from mapbox_filter_spark.operators.raster import d8_flow
+
+    # drop 3 diagonal (slope² = 9/2 = 4.5) vs drop 2 cardinal
+    # (slope² = 4): diagonal wins; with cardinal drop 3 (9 > 4.5) the
+    # cardinal wins — the integer key must decide both correctly.
+    rows = [(0, 0, 10), (1, 1, 7), (1, 0, 8)]
+    df = spark.createDataFrame(rows, "cx long, cy long, z long")
+    got = {(r["cx"], r["cy"]): r
+           for r in d8_flow(df, "cx", "cy", "z").collect()}
+    assert got[(0, 0)]["dir"] == 128  # NE diagonal, slope² 4.5 > 4
+
+    rows2 = [(0, 0, 10), (1, 1, 7), (1, 0, 7)]
+    df2 = spark.createDataFrame(rows2, "cx long, cy long, z long")
+    got2 = {(r["cx"], r["cy"]): r
+            for r in d8_flow(df2, "cx", "cy", "z").collect()}
+    assert got2[(0, 0)]["dir"] == 1  # cardinal drop 3: 9 > 9/2
