@@ -654,3 +654,88 @@ def hits_exact(
                  .groupBy("node").agg(F.sum("auth").alias("hub")))
         hub = _norm(raw_h, "hub").localCheckpoint()
     return hub.join(auth, "node")
+
+
+def modularity(edges: DataFrame, labels: DataFrame, *,
+               src: str = "src", dst: str = "dst",
+               node_col: str = "node",
+               label_col: str = "label") -> DataFrame:
+    """Per-community Newman modularity decomposition (Newman & Girvan,
+    PRE 69, 2004) of a labeling (e.g. label_propagation's output):
+
+        Q = Σ_c [ e_c/m − (d_c/2m)² ]
+          = Σ_c (4·m·e_c − d_c²) / (4·m²)
+
+    with e_c the intra-community undirected edge count, d_c the total
+    degree in c, m the undirected edge count — every term an exact
+    int64 (bound: d_c² < 2^63 ⇔ 2m < ~3·10⁹ within one community),
+    so each community's contribution ``q_part`` is ONE pinned double
+    division and Σ q_part is Q.
+
+    Shape: canonicalize edges (one distinct), two broadcast-joins of
+    the (node, label) table onto edge endpoints, two tiny groupBys —
+    the labeling is community-cardinality-small but the label TABLE is
+    node-sized, so at fleet scale the label join is the shuffle; it
+    reuses the edge partitioning when labels come pre-hashed on node.
+    Returns (label, n_nodes, e_intra, d_tot, q_part)."""
+    e = _canon(edges, src, dst)
+    lab = labels.select(F.col(node_col).alias("_n"),
+                        F.col(label_col).alias("_l"))
+    m_df = e.groupBy().agg(F.count(F.lit(1)).alias("_m"))
+    lu = lab.select(F.col("_n").alias("_nu"), F.col("_l").alias("_lu"))
+    lv = lab.select(F.col("_n").alias("_nv"), F.col("_l").alias("_lv"))
+    tagged = (e.join(lu, e["src"] == F.col("_nu"))
+              .join(lv, e["dst"] == F.col("_nv")))
+    intra = (tagged.filter(F.col("_lu") == F.col("_lv"))
+             .groupBy(F.col("_lu").alias("label"))
+             .agg(F.count(F.lit(1)).alias("e_intra")))
+    deg = (_sym(e).join(lab, F.col("u") == F.col("_n"))
+           .groupBy(F.col("_l").alias("label"))
+           .agg(F.count(F.lit(1)).alias("d_tot")))
+    nn = lab.groupBy(F.col("_l").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_nodes"))
+    out = (nn.join(deg, "label", "left").join(intra, "label", "left")
+           .crossJoin(F.broadcast(m_df))
+           .select("label", "n_nodes",
+                   F.coalesce("d_tot", F.lit(0)).alias("d_tot"),
+                   F.coalesce("e_intra", F.lit(0)).alias("e_intra"),
+                   F.col("_m").alias("m")))
+    q = ((F.lit(4) * F.col("m") * F.col("e_intra")
+          - F.col("d_tot") * F.col("d_tot")).cast("double")
+         / (F.lit(4) * F.col("m") * F.col("m")).cast("double"))
+    return out.select("label", "n_nodes", "e_intra", "d_tot", "m",
+                      F.when(F.col("m") > 0, q).alias("q_part"))
+
+
+def quadrangle_profile(edges: DataFrame, *, src: str = "src",
+                       dst: str = "dst") -> DataFrame:
+    """4-cycle (quadrangle) census via co-degree combinatorics: every
+    unordered pair (u < v) with ``cod`` common neighbors
+    closes ``C(cod, 2)`` quadrangles at that diagonal, and each C4 has
+    exactly two diagonals, so  #C4 = Σ C(cod, 2) / 2  — exact integer
+    arithmetic end to end (chorded cycles counted, the standard
+    subgraph census convention).
+
+    Shape: wedges are generated AT THEIR CENTER (one self-join of the
+    symmetric adjacency on the center key, u < v ordering halves the
+    pair space) then one groupBy(u, v) — cost Σ_w deg(w)², the same
+    hub-quadratic profile as triangle counting; at fleet scale cap or
+    salt super-hub centers exactly as the DBSCAN candidate stage does.
+    Returns the co-degree histogram (cod, n_pairs, contrib) with the
+    global ``n_c4`` broadcast onto every row."""
+    e = _canon(edges, src, dst)
+    s = _sym(e)
+    s1 = s.select(F.col("u").alias("_w"), F.col("v").alias("_a"))
+    s2 = s.select(F.col("u").alias("_w"), F.col("v").alias("_b"))
+    cod = (s1.join(s2, "_w")
+           .filter(F.col("_a") < F.col("_b"))
+           .groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("cod"))
+           .filter(F.col("cod") >= 2))
+    hist = (cod.groupBy("cod")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .withColumn("contrib",
+                        F.col("n_pairs") * F.expr(
+                            "cod * (cod - 1) div 2")))
+    tot = hist.groupBy().agg(
+        F.expr("CAST(sum(contrib) AS BIGINT) div 2").alias("n_c4"))
+    return hist.crossJoin(F.broadcast(tot))

@@ -602,7 +602,100 @@ pr0 AS (SELECT node, isd * ({s} // (SELECT k FROM sn)) AS pr FROM nb)"""]
             + f"\nSELECT node AS doc_id, pr FROM pr{_PR_ITERS}")
 
 
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity decomposition of the 4-round LPA communities
+    on the hashed link graph (operators/graph.py modularity): per
+    community exact (n_nodes, e_intra, d_tot, m) and the one-division
+    q_part whose sum is Q."""
+    from .operators.graph import label_propagation, modularity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    edges = _link_edges(spark, sf_dir)
+    labels = label_propagation(docs, edges, rounds=_LPA_ROUNDS,
+                               id_col="doc_id")
+    return modularity(edges, labels)
+
+
+def sql_modularity() -> str:
+    parts = [_sql_link_edges() + ",", _SQL_CANON_SYM + ",",
+             "l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS label"
+             " FROM documents)"]
+    for i in range(1, _LPA_ROUNDS + 1):
+        parts.append(f""",
+c{i} AS MATERIALIZED (
+  SELECT s.u AS node, l.label, COUNT(*) AS c
+  FROM sym s JOIN l{i - 1} l ON l.node = s.v
+  GROUP BY 1, 2),
+s{i} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM c{i}) WHERE rn = 1),
+l{i} AS MATERIALIZED (
+  SELECT l0.node, COALESCE(s{i}.label, l0.node) AS label
+  FROM l0 LEFT JOIN s{i} ON s{i}.node = l0.node)""")
+    parts.append(f""",
+lab AS MATERIALIZED (SELECT node, label FROM l{_LPA_ROUNDS}),
+mm AS (SELECT COUNT(*) AS m FROM canon),
+intra AS (
+  SELECT lu.label, COUNT(*) AS e_intra
+  FROM canon
+  JOIN lab lu ON lu.node = canon.cu
+  JOIN lab lv ON lv.node = canon.cv
+  WHERE lu.label = lv.label
+  GROUP BY 1),
+deg AS (
+  SELECT lab.label, COUNT(*) AS d_tot
+  FROM sym JOIN lab ON lab.node = sym.u
+  GROUP BY 1),
+nn AS (SELECT label, COUNT(*) AS n_nodes FROM lab GROUP BY 1)
+SELECT nn.label, nn.n_nodes,
+       CAST(COALESCE(intra.e_intra, 0) AS BIGINT) AS e_intra,
+       CAST(COALESCE(deg.d_tot, 0) AS BIGINT) AS d_tot,
+       CAST(mm.m AS BIGINT) AS m,
+       CASE WHEN mm.m > 0 THEN
+         CAST(4 * mm.m * COALESCE(intra.e_intra, 0)
+              - COALESCE(deg.d_tot, 0) * COALESCE(deg.d_tot, 0)
+              AS DOUBLE)
+         / CAST(4 * mm.m * mm.m AS DOUBLE) END AS q_part
+FROM nn
+LEFT JOIN deg USING (label)
+LEFT JOIN intra USING (label)
+CROSS JOIN mm""")
+    return "WITH " + "".join(parts)
+
+
+def q_quadrangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-cycle census of the hashed link graph (operators/graph.py
+    quadrangle_profile): co-degree histogram + global C4 count by the
+    two-diagonals identity, exact integers end to end."""
+    from .operators.graph import quadrangle_profile
+
+    return quadrangle_profile(_link_edges(spark, sf_dir))
+
+
+def sql_quadrangle_count() -> str:
+    return f"""WITH {_sql_link_edges()},
+{_SQL_CANON_SYM},
+cod AS (
+  SELECT s1.v AS a, s2.v AS b, COUNT(*) AS cod
+  FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2),
+hist AS (
+  SELECT cod, COUNT(*) AS n_pairs,
+         CAST(COUNT(*) AS BIGINT) * (cod * (cod - 1) // 2) AS contrib
+  FROM cod GROUP BY 1),
+tot AS (SELECT CAST(SUM(contrib) AS BIGINT) // 2 AS n_c4 FROM hist)
+SELECT cod, n_pairs, contrib, n_c4 FROM hist, tot"""
+
+
 GRAPH_QUERIES = {
+    "modularity": (q_modularity, sql_modularity),
+    "quadrangle_count": (q_quadrangle_count, sql_quadrangle_count),
+
     "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters),
     "dedup_keep_best": (q_dedup_keep_best, sql_dedup_keep_best),
     "pagerank": (q_pagerank, sql_pagerank),

@@ -269,3 +269,40 @@ def test_d8_flow_diagonal_vs_cardinal_exact(spark):
     got2 = {(r["cx"], r["cy"]): r
             for r in d8_flow(df2, "cx", "cy", "z").collect()}
     assert got2[(0, 0)]["dir"] == 1  # cardinal drop 3: 9 > 9/2
+
+
+def test_modularity_two_cliques(spark):
+    from mapbox_filter_spark.operators.graph import modularity
+
+    # two triangles bridged by one edge: the textbook 2-community graph
+    tri1 = [(0, 1), (1, 2), (0, 2)]
+    tri2 = [(3, 4), (4, 5), (3, 5)]
+    edges = spark.createDataFrame(tri1 + tri2 + [(2, 3)],
+                                  "src long, dst long")
+    labels = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(6)], "node long, label long")
+    rows = {r["label"]: r for r in modularity(edges, labels).collect()}
+    m = 7
+    for lab in (0, 1):
+        assert rows[lab]["e_intra"] == 3 and rows[lab]["d_tot"] == 7
+        assert rows[lab]["q_part"] == (4 * m * 3 - 49) / (4 * m * m)
+    q = sum(r["q_part"] for r in rows.values())
+    assert abs(q - (6 / 7 - 2 * (7 / 14) ** 2)) < 1e-12
+
+
+def test_quadrangle_square_and_k4(spark):
+    from mapbox_filter_spark.operators.graph import quadrangle_profile
+
+    square = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long")
+    rows = quadrangle_profile(square).collect()
+    assert rows and all(r["n_c4"] == 1 for r in rows)
+    # square: diagonals (0,2) and (1,3) each have cod 2 → one C4
+    hist = {r["cod"]: r["n_pairs"] for r in rows}
+    assert hist == {2: 2}
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long")
+    rows4 = quadrangle_profile(k4).collect()
+    assert rows4 and all(r["n_c4"] == 3 for r in rows4)
