@@ -111,3 +111,53 @@ def d8_flow(cells: DataFrame, x_col: str, y_col: str,
                     F.col("_drop").alias("zdrop")))
     return (base.join(best, [x_col, y_col], "left")
             .withColumn("is_sink", F.col("dir").isNull()))
+
+
+def _dir_delta(dir_col):
+    """ESRI code → (dx, dy) as a pair of literal CASE chains."""
+    dx = F.lit(None).cast("long")
+    dy = F.lit(None).cast("long")
+    for ddx, ddy, code in D8_DIRS:
+        dx = F.when(dir_col == code, F.lit(ddx)).otherwise(dx)
+        dy = F.when(dir_col == code, F.lit(ddy)).otherwise(dy)
+    return dx, dy
+
+
+def d8_basins(cells: DataFrame, x_col: str, y_col: str, z_col: str, *,
+              rounds: int = 8) -> DataFrame:
+    """Watershed delineation over the D8 flow forest (pointer jumping /
+    path doubling — Wyllie's classic PRAM technique): every cell's
+    downstream pointer is squared ``rounds`` times, so after r rounds
+    each cell points at its 2^r-step ancestor, saturating at its basin
+    sink (sinks point to themselves).  ``rounds`` must satisfy
+    2^rounds ≥ the longest flow path; like the sssp/k-core gates the
+    oracle equality is the self-check — an insufficient unroll fails
+    the value hash loudly.
+
+    O(log path-length) self-joins on the cell key, localCheckpoint per
+    round to keep lineage flat — the scale-correct alternative to
+    driver-side chasing, and the same shape the connected-components
+    operator uses.  Returns ``(x, y, basin_x, basin_y, is_sink)``;
+    basins are keyed by their sink cell."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    flow = d8_flow(cells, x_col, y_col, z_col)
+    dx, dy = _dir_delta(F.col("dir"))
+    p = flow.select(
+        F.col(x_col), F.col(y_col),
+        F.when(F.col("is_sink"), F.col(x_col))
+         .otherwise(F.col(x_col) + dx).alias("px"),
+        F.when(F.col("is_sink"), F.col(y_col))
+         .otherwise(F.col(y_col) + dy).alias("py"),
+        "is_sink").localCheckpoint()
+    for _ in range(rounds):
+        b = p.select(F.col(x_col).alias("_jx"), F.col(y_col).alias("_jy"),
+                     F.col("px").alias("_p2x"), F.col("py").alias("_p2y"))
+        p = (p.join(b, (p["px"] == b["_jx"]) & (p["py"] == b["_jy"]))
+             .select(x_col, y_col,
+                     F.col("_p2x").alias("px"), F.col("_p2y").alias("py"),
+                     "is_sink")
+             .localCheckpoint())
+    return p.select(x_col, y_col,
+                    F.col("px").alias("basin_x"),
+                    F.col("py").alias("basin_y"), "is_sink")

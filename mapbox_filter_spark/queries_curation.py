@@ -881,7 +881,68 @@ SELECT e.event_id, e.event_type, e.cents, a.lo, a.hi,
 FROM e LEFT JOIN a USING (event_type)"""
 
 
+_ZIPF_TOP = 200
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope of the corpus vocabulary
+    (operators/text.py zipf_slope): ln-ln OLS over the top-200 tokens
+    with u-nat integer quantization before the moment sums - order-
+    independent exact aggregates, flat pinned double chain after."""
+    from .operators.text import zipf_slope
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return zipf_slope(docs, top_n=_ZIPF_TOP)
+
+
+def sql_zipf_slope() -> str:
+    from .operators.text import ZIPF_SCALE
+
+    sc = float(ZIPF_SCALE)
+    q = lambda e: (f"CAST(FLOOR(ln(CAST({e} AS DOUBLE)) * {sc!r} + 0.5)"
+                   " AS BIGINT)")
+    return f"""
+WITH words AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+toks AS (SELECT unnest(ws) AS tok FROM words),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+top AS (
+  SELECT cnt, rank FROM (
+    SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+    FROM vocab) WHERE rank <= {_ZIPF_TOP}),
+pts AS (SELECT {q('rank')} AS qx, {q('cnt')} AS qy FROM top),
+agg AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
+         CAST(SUM(qx * qx) AS BIGINT) AS sxx,
+         CAST(SUM(qy * qy) AS BIGINT) AS syy,
+         CAST(SUM(qx * qy) AS BIGINT) AS sxy
+  FROM pts),
+m AS (
+  SELECT n, sx, sy, sxx, syy, sxy,
+         CAST(n * sxx - sx * sx AS BIGINT) AS den,
+         CAST(n * sxy - sx * sy AS BIGINT) AS num,
+         CAST(n * syy - sy * sy AS BIGINT) AS deny
+  FROM agg)
+SELECT n,
+       CASE WHEN den > 0
+            THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
+       CASE WHEN den > 0
+            THEN (CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+                 / (CAST(den AS DOUBLE) * {sc!r}) END AS intercept,
+       CASE WHEN den > 0 AND deny > 0
+            THEN (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                 / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE))
+            END AS r2
+FROM m"""
+
+
 CURATION_QUERIES = {
+    "zipf_slope": (q_zipf_slope, sql_zipf_slope),
+
     "span_dedup": (q_span_dedup, sql_span_dedup),
     "decontaminate": (q_decontaminate, sql_decontaminate),
     "caption_pairs": (q_caption_pairs, sql_caption_pairs),

@@ -2874,3 +2874,65 @@ LEFT JOIN (SELECT * FROM best WHERE r = 1) b USING (cx, cy)"""
 
 GEOM_QUERIES["focal_mean"] = (q_focal_mean, sql_focal_mean)
 GEOM_QUERIES["d8_flow"] = (q_d8_flow, sql_d8_flow)
+
+
+_BASIN_ROUNDS = 8  # 2^8 = 256 >> max descending-path length at gate SFs
+
+
+def q_d8_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watershed delineation on the ESDA density surface
+    (operators/raster.py d8_basins): pointer-doubled D8 flow pointers
+    label every cell with its basin sink in O(log path) rounds; the
+    unrolled oracle replays the identical squaring, so an insufficient
+    unroll fails the value hash loudly (sssp evidence pattern)."""
+    from .operators.raster import d8_basins
+
+    return d8_basins(_esda_cells(spark, sf_dir), "cx", "cy", "n_feat",
+                     rounds=_BASIN_ROUNDS)
+
+
+def sql_d8_basins() -> str:
+    from .operators.raster import D8_DIRS
+
+    dirs = ", ".join(f"({dx},{dy},{code},{dx * dx + dy * dy})"
+                     for dx, dy, code in D8_DIRS)
+    dxc = " ".join(f"WHEN {code} THEN {dx}" for dx, _dy, code in D8_DIRS)
+    dyc = " ".join(f"WHEN {code} THEN {dy}" for _dx, dy, code in D8_DIRS)
+    parts = [f"""{_sql_esda_cells()},
+dirs AS (SELECT * FROM (VALUES {dirs}) AS t(dx, dy, code, d2)),
+cand AS (
+  SELECT a.cx, a.cy, a.v AS z, a.cx + dx AS nx, a.cy + dy AS ny,
+         code, d2
+  FROM cells a CROSS JOIN dirs),
+down AS (
+  SELECT c.cx, c.cy, c.code, c.z - b.v AS zd,
+         (c.z - b.v) * (c.z - b.v)
+           * (CASE WHEN c.d2 = 1 THEN 2 ELSE 1 END) AS key
+  FROM cand c JOIN cells b ON b.cx = c.nx AND b.cy = c.ny
+  WHERE c.z - b.v > 0),
+best AS (
+  SELECT cx, cy, code FROM (
+    SELECT cx, cy, code,
+           ROW_NUMBER() OVER (PARTITION BY cx, cy
+                              ORDER BY key DESC, code ASC) AS r
+    FROM down) WHERE r = 1),
+p0 AS MATERIALIZED (
+  SELECT c.cx, c.cy,
+         CASE WHEN b.code IS NULL THEN c.cx
+              ELSE c.cx + CASE b.code {dxc} END END AS px,
+         CASE WHEN b.code IS NULL THEN c.cy
+              ELSE c.cy + CASE b.code {dyc} END END AS py,
+         b.code IS NULL AS is_sink
+  FROM cells c LEFT JOIN best b USING (cx, cy))"""]
+    for i in range(1, _BASIN_ROUNDS + 1):
+        parts.append(f""",
+p{i} AS MATERIALIZED (
+  SELECT a.cx, a.cy, b.px, b.py, a.is_sink
+  FROM p{i - 1} a JOIN p{i - 1} b ON b.cx = a.px AND b.cy = a.py)""")
+    return ("WITH " + "".join(parts)
+            + f"""
+SELECT cx, cy, px AS basin_x, py AS basin_y, is_sink
+FROM p{_BASIN_ROUNDS}""")
+
+
+GEOM_QUERIES["d8_basins"] = (q_d8_basins, sql_d8_basins)

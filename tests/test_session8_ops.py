@@ -306,3 +306,35 @@ def test_quadrangle_square_and_k4(spark):
         "src long, dst long")
     rows4 = quadrangle_profile(k4).collect()
     assert rows4 and all(r["n_c4"] == 3 for r in rows4)
+
+
+def test_zipf_slope_exact_power_law(spark):
+    from mapbox_filter_spark.operators.text import zipf_slope
+
+    # synthetic corpus with counts ∝ rank⁻¹ exactly: token t_r appears
+    # floor(1200/r) times → slope ≈ −1 within quantization+floor noise
+    words = []
+    for r in range(1, 31):
+        words += [f"t{r:02d}"] * (1200 // r)
+    docs = spark.createDataFrame([(0, " ".join(words))],
+                                 "doc_id long, text string")
+    row = zipf_slope(docs, top_n=30).collect()[0]
+    assert row["n"] == 30
+    assert abs(row["slope"] + 1.0) < 0.02
+    assert row["r2"] > 0.999
+
+
+def test_d8_basins_two_valleys(spark):
+    from mapbox_filter_spark.operators.raster import d8_basins
+
+    # long west ramp draining to (0,0) and a separate east pit at (9,0)
+    rows = [(x, 0, x + 1) for x in range(6)] + \
+           [(8, 0, 3), (9, 0, 1)]
+    df = spark.createDataFrame(rows, "cx long, cy long, z long")
+    got = {(r["cx"], r["cy"]): (r["basin_x"], r["basin_y"], r["is_sink"])
+           for r in d8_basins(df, "cx", "cy", "z", rounds=4).collect()}
+    for x in range(6):
+        assert got[(x, 0)][:2] == (0, 0), x
+    assert got[(8, 0)][:2] == (9, 0)
+    assert got[(9, 0)] == (9, 0, True)
+    assert got[(0, 0)][2] is True
