@@ -299,3 +299,61 @@ def rect_overlap_join(a: DataFrame, b: DataFrame, *, cell: int,
         "a_id", "b_id", ix0.alias("ix0"), iy0.alias("iy0"),
         ix1.alias("ix1"), iy1.alias("iy1"),
         ((ix1 - ix0) * (iy1 - iy0)).cast("long").alias("inter_area"))
+
+
+def areal_interpolate(rects: DataFrame, *, grid: int, value_col: str,
+                      scale: int = 10 ** 8,
+                      id_col: str = "a_id") -> DataFrame:
+    """Areal interpolation (area-weighted reapportionment — Goodchild &
+    Lam, Geo-Processing 1980): redistribute each source rectangle's
+    integer value onto the ``grid``-sized target cells it overlaps,
+    proportional to overlap area.  Each contribution is the exact
+    scaled integer
+
+        term = (value · overlap_area · scale) div source_area
+
+    (all positive int64s, floor division — identical in any engine),
+    so the per-cell sum is order-independent and the final estimate is
+    ONE pinned division by ``scale``.  Quantization error is bounded by
+    n_src/scale per cell — documented contract, same recipe as the LOF
+    reciprocal carry.
+
+    int64 bound: ``max value · grid² · scale < 2^63`` — callers with
+    big cells or values lower ``scale``.
+
+    Half-open semantics: rect [x0,x1)×[y0,y1), cell
+    [gx·grid,(gx+1)·grid); degenerate rects (zero area) are rejected
+    in-plan.  One explode over the ≤(w/grid+2)(h/grid+2) touched cells
+    + one groupBy(cell) — the rect scan is the only full pass.
+    Returns ``(gx, gy, n_src, est_scaled, est)``."""
+    if grid <= 0 or scale <= 0:
+        raise ValueError("grid and scale must be positive")
+    x0, y0 = F.col("x0").cast("long"), F.col("y0").cast("long")
+    x1, y1 = F.col("x1").cast("long"), F.col("y1").cast("long")
+    area = (x1 - x0) * (y1 - y0)
+    guarded = F.when(
+        area <= 0,
+        F.raise_error(F.lit("areal_interpolate: degenerate rect"))
+        .cast("long")).otherwise(area)
+    v = F.col(value_col).cast("long")
+    exploded = (rects.select(
+        F.col(id_col), v.alias("_v"), x0.alias("_x0"), y0.alias("_y0"),
+        x1.alias("_x1"), y1.alias("_y1"), guarded.alias("_area"),
+        F.explode(F.sequence(_floor_div(x0, grid),
+                             _floor_div(x1 - 1, grid))).alias("gx"))
+        .select("*", F.explode(F.sequence(
+            _floor_div(F.col("_y0"), grid),
+            _floor_div(F.col("_y1") - 1, grid))).alias("gy")))
+    ow = (F.least(F.col("_x1"), (F.col("gx") + 1) * grid)
+          - F.greatest(F.col("_x0"), F.col("gx") * grid))
+    oh = (F.least(F.col("_y1"), (F.col("gy") + 1) * grid)
+          - F.greatest(F.col("_y0"), F.col("gy") * grid))
+    term = F.expr(f"(_v * _ov * CAST({scale} AS BIGINT)) div _area")
+    out = (exploded.withColumn("_ov", ow * oh)
+           .filter(F.col("_ov") > 0)
+           .withColumn("_term", term)
+           .groupBy("gx", "gy")
+           .agg(F.count(F.lit(1)).alias("n_src"),
+                F.sum("_term").alias("est_scaled")))
+    return out.withColumn(
+        "est", F.col("est_scaled").cast("double") / F.lit(float(scale)))

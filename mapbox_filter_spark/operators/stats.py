@@ -650,3 +650,58 @@ def ols2(df: DataFrame, x1_col: str, x2_col: str, y_col: str,
             for dd in (det0, det1, det2)]
     return m.select(*g, "n", coef[0].alias("b0"),
                     coef[1].alias("b1"), coef[2].alias("b2"))
+
+
+LNLN_SCALE = 1_000_000  # µ-nat quantization for ln-ln regressions
+
+
+def loglog_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Log-log OLS over positive integer columns: fit
+    ln(y) = intercept + slope·ln(x), the power-law estimator behind
+    Zipf slopes and gravity distance-decay fits.  Coordinates are
+    quantized to exact integers ``floor(ln(·)·10⁶ + 0.5)`` BEFORE the
+    moment sums (order-independent int64 aggregates — a double Σln
+    over a distributed groupBy would depend on reduction order); the
+    slope is ONE pinned division of exact integers and the
+    intercept/r² run as FLAT double expressions (products of moment
+    sums would overflow int64).  Quantization bounds the slope error
+    at ~1e-6 — the operator's documented contract.
+
+    Exactness bound: per-point products stay int64 (values < 10¹⁹);
+    the moment COMBINATIONS run in DECIMAL(38)/HUGEINT, exact through
+    n ≈ 10¹² points.
+
+    One scan + one single-row aggregate.  Returns
+    ``(n, slope, intercept, r2)``; NULL fit when x is degenerate."""
+    s = float(LNLN_SCALE)
+    pts = df.select(
+        F.floor(F.log(F.col(x_col).cast("double")) * F.lit(s)
+                + F.lit(0.5)).cast("long").alias("qx"),
+        F.floor(F.log(F.col(y_col).cast("double")) * F.lit(s)
+                + F.lit(0.5)).cast("long").alias("qy"))
+    agg = pts.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qx").alias("sx"), F.sum("qy").alias("sy"),
+        F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
+        F.sum(F.col("qy") * F.col("qy")).alias("syy"),
+        F.sum(F.col("qx") * F.col("qy")).alias("sxy"))
+    dec = lambda c: F.col(c).cast("decimal(20,0)")
+    n, sx, sy = dec("n"), dec("sx"), dec("sy")
+    sxx, syy, sxy = dec("sxx"), dec("syy"), dec("sxy")
+    # second-moment combinations overflow int64 past ~10³ points, so
+    # they run in DECIMAL(38) (exact; DuckDB mirrors with HUGEINT —
+    # the ols2 Cramer-determinant recipe), double only at the final
+    # pinned divisions
+    den = n * sxx - sx * sx
+    num = n * sxy - sx * sy
+    deny = n * syy - sy * sy
+    d = lambda c: c.cast("double")
+    slope = F.when(den > 0, d(num) / d(den))
+    intercept = F.when(
+        den > 0,
+        (d(sy) * d(sxx) - d(sx) * d(sxy))
+        / (d(den) * F.lit(s)))
+    r2 = F.when((den > 0) & (deny > 0),
+                (d(num) * d(num)) / (d(den) * d(deny)))
+    return agg.select("n", slope.alias("slope"),
+                      intercept.alias("intercept"), r2.alias("r2"))

@@ -503,26 +503,16 @@ def kwic_contexts(docs: DataFrame, text_col: str,
             .agg(F.count(F.lit(1)).alias("n")))
 
 
-ZIPF_SCALE = 1_000_000  # ln-coordinate quantization (µ-nat units)
+from .stats import LNLN_SCALE as ZIPF_SCALE  # shared µ-nat quantization
 
 
 def zipf_slope(docs: DataFrame, *, top_n: int = 200,
                text_col: str = "text") -> DataFrame:
     """Zipf rank–frequency slope of the corpus vocabulary: OLS fit of
     ln(count) on ln(rank) over the ``top_n`` most frequent tokens
-    (Zipf's law predicts ≈ −1).  The regression coordinates are
-    quantized to exact integers ``floor(ln(·)·10⁶ + 0.5)`` (µ-nat
-    units) BEFORE the moment sums, so the sums are order-independent
-    int64s — a double Σln over a distributed groupBy would depend on
-    the engine's reduction order — and the slope/intercept are each
-    ONE pinned double division of exact integers (the kaplan_meier
-    integer-log-carry recipe).  Quantization bounds the slope error at
-    ~1e-6, documented here as the operator's contract.
-
-    int64 bound: |qx|,|qy| ≤ ln(max)·10⁶; with counts < 10¹² and
-    top_n ≤ 10⁵, Σ|qx·qy| < top_n·(28·10⁶)² ≈ 8·10¹⁹/10⁵ — safe
-    through top_n ≈ 10⁴; raise ZIPF_SCALE awareness before going
-    beyond.
+    (Zipf's law predicts ≈ −1).  The fit is stats.loglog_fit —
+    exactness contract, quantization error bound, and int64 bounds
+    documented there.
 
     One token explode + one groupBy(token) + a top_n heap
     (TakeOrderedAndProject) + a single-row aggregate: the corpus scan
@@ -536,34 +526,7 @@ def zipf_slope(docs: DataFrame, *, top_n: int = 200,
         .limit(top_n)
     from pyspark.sql import Window
     w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
-    s = float(ZIPF_SCALE)
-    ranked = top.withColumn("rank", F.row_number().over(w)).select(
-        F.floor(F.log(F.col("rank").cast("double")) * F.lit(s)
-                + F.lit(0.5)).cast("long").alias("qx"),
-        F.floor(F.log(F.col("cnt").cast("double")) * F.lit(s)
-                + F.lit(0.5)).cast("long").alias("qy"))
-    agg = ranked.groupBy().agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("qx").alias("sx"), F.sum("qy").alias("sy"),
-        F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
-        F.sum(F.col("qy") * F.col("qy")).alias("syy"),
-        F.sum(F.col("qx") * F.col("qy")).alias("sxy"))
-    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
-    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
-    # num/den/deny stay exact int64 (bounds above); anything that
-    # multiplies two moment sums again would overflow, so those
-    # products run in double as FLAT pinned expressions (deterministic
-    # op order — both engines compute the identical rounding sequence)
-    den = n * sxx - sx * sx
-    num = n * sxy - sx * sy
-    deny = n * syy - sy * sy
-    d = lambda c: c.cast("double")
-    slope = F.when(den > 0, d(num) / d(den))
-    intercept = F.when(
-        den > 0,
-        (d(sy) * d(sxx) - d(sx) * d(sxy))
-        / (d(den) * F.lit(float(ZIPF_SCALE))))
-    r2 = F.when((den > 0) & (deny > 0),
-                (d(num) * d(num)) / (d(den) * d(deny)))
-    return agg.select("n", slope.alias("slope"),
-                      intercept.alias("intercept"), r2.alias("r2"))
+    ranked = top.withColumn("rank", F.row_number().over(w)) \
+        .select("rank", "cnt")
+    from .stats import loglog_fit
+    return loglog_fit(ranked, "rank", "cnt")

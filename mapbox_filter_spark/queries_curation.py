@@ -895,36 +895,31 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_slope(docs, top_n=_ZIPF_TOP)
 
 
-def sql_zipf_slope() -> str:
-    from .operators.text import ZIPF_SCALE
+def sql_lnln_fit_tail(pts: str = "lnpts") -> str:
+    """Oracle tail mirroring operators/stats.py loglog_fit: given a
+    CTE ``pts(x, y)`` of positive integers, quantize, aggregate exact
+    moments, and emit (n, slope, intercept, r2) with the identical
+    flat double chain.  Shared by the zipf_slope and gravity_decay
+    gates."""
+    from .operators.stats import LNLN_SCALE
 
-    sc = float(ZIPF_SCALE)
+    sc = float(LNLN_SCALE)
     q = lambda e: (f"CAST(FLOOR(ln(CAST({e} AS DOUBLE)) * {sc!r} + 0.5)"
                    " AS BIGINT)")
     return f"""
-WITH words AS (
-  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                     x -> x <> '') AS ws
-  FROM documents),
-toks AS (SELECT unnest(ws) AS tok FROM words),
-vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
-top AS (
-  SELECT cnt, rank FROM (
-    SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank
-    FROM vocab) WHERE rank <= {_ZIPF_TOP}),
-pts AS (SELECT {q('rank')} AS qx, {q('cnt')} AS qy FROM top),
+qpts AS (SELECT {q('x')} AS qx, {q('y')} AS qy FROM {pts}),
 agg AS (
   SELECT COUNT(*) AS n,
          CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
          CAST(SUM(qx * qx) AS BIGINT) AS sxx,
          CAST(SUM(qy * qy) AS BIGINT) AS syy,
          CAST(SUM(qx * qy) AS BIGINT) AS sxy
-  FROM pts),
+  FROM qpts),
 m AS (
   SELECT n, sx, sy, sxx, syy, sxy,
-         CAST(n * sxx - sx * sx AS BIGINT) AS den,
-         CAST(n * sxy - sx * sy AS BIGINT) AS num,
-         CAST(n * syy - sy * sy AS BIGINT) AS deny
+         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS deny
   FROM agg)
 SELECT n,
        CASE WHEN den > 0
@@ -938,6 +933,22 @@ SELECT n,
                  / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE))
             END AS r2
 FROM m"""
+
+
+def sql_zipf_slope() -> str:
+    return f"""
+WITH words AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+toks AS (SELECT unnest(ws) AS tok FROM words),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+top AS (
+  SELECT cnt, rank FROM (
+    SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+    FROM vocab) WHERE rank <= {_ZIPF_TOP}),
+lnpts AS (SELECT rank AS x, cnt AS y FROM top),
+{sql_lnln_fit_tail()}"""
 
 
 CURATION_QUERIES = {

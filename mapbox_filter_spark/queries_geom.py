@@ -2936,3 +2936,114 @@ FROM p{_BASIN_ROUNDS}""")
 
 
 GEOM_QUERIES["d8_basins"] = (q_d8_basins, sql_d8_basins)
+
+
+_AREAL_GRID = 4096
+_AREAL_SCALE = 10 ** 8
+
+
+def q_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal interpolation (geo/overlay.py areal_interpolate): part
+    rectangles carry a deterministic integer value redistributed onto a
+    4096-unit grid by exact scaled-integer area weights — the
+    polygon→raster reapportionment primitive."""
+    from .geo.overlay import areal_interpolate
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rects = _rects_df(part, "p_partkey", "a_id").withColumn(
+        "val", F.pmod(F.col("a_id") * 13, F.lit(1000)) + 1)
+    return areal_interpolate(rects, grid=_AREAL_GRID, value_col="val",
+                             scale=_AREAL_SCALE)
+
+
+def sql_areal_interp() -> str:
+    g, sc = _AREAL_GRID, _AREAL_SCALE
+    return f"""
+WITH a AS ({_rects_sql("part", "p_partkey")}),
+v AS (SELECT id, x0, y0, x1, y1,
+             (id * 13) % 1000 + 1 AS val,
+             CAST((x1 - x0) * (y1 - y0) AS BIGINT) AS area
+      FROM a),
+e AS (
+  SELECT v.*, gx.gx, gy.gy
+  FROM v,
+       LATERAL (SELECT unnest(range(x0 // {g}, (x1 - 1) // {g} + 1))
+                AS gx) gx,
+       LATERAL (SELECT unnest(range(y0 // {g}, (y1 - 1) // {g} + 1))
+                AS gy) gy),
+t AS (
+  SELECT gx, gy,
+         (LEAST(x1, (gx + 1) * {g}) - GREATEST(x0, gx * {g}))
+         * (LEAST(y1, (gy + 1) * {g}) - GREATEST(y0, gy * {g})) AS ov,
+         val, area
+  FROM e),
+terms AS (
+  SELECT gx, gy,
+         (val * ov * CAST({sc} AS BIGINT)) // area AS term
+  FROM t WHERE ov > 0)
+SELECT gx, gy, COUNT(*) AS n_src,
+       CAST(SUM(term) AS BIGINT) AS est_scaled,
+       CAST(CAST(SUM(term) AS BIGINT) AS DOUBLE)
+         / CAST({sc} AS DOUBLE) AS est
+FROM terms GROUP BY 1, 2"""
+
+
+def q_gravity_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gravity-model distance decay (operators/stats.py loglog_fit over
+    trajectory.od_flows): ln(flow) vs ln(tile d²) across all non-dwell
+    OD pairs — the spatial-interaction deterrence exponent, fitted with
+    the µ-nat integer-moment recipe."""
+    from .operators.stats import loglog_fit
+    from .operators.trajectory import od_flows
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = ev.select(
+        "user_id", "ts", "event_id",
+        (((F.col("event_id") * 7919) % 360000) / 1000.0 - 180.0)
+        .alias("lon"),
+        (((F.col("event_id") * 104729) % 170000) / 1000.0 - 85.0)
+        .alias("lat"))
+    flows = od_flows(pos, _OD_Z)
+    d2 = ((F.col("tx") - F.col("fx")) * (F.col("tx") - F.col("fx"))
+          + (F.col("ty") - F.col("fy")) * (F.col("ty") - F.col("fy")))
+    pts = flows.withColumn("d2", d2).filter(F.col("d2") > 0) \
+        .select("d2", "n_hops")
+    return loglog_fit(pts, "d2", "n_hops")
+
+
+def sql_gravity_decay() -> str:
+    from .queries import _sql_tile_x, _sql_tile_y
+    from .queries_curation import sql_lnln_fit_tail
+
+    z = _OD_Z
+    return f"""WITH pos AS (
+  SELECT user_id, ts, event_id,
+         ((event_id * 7919) % 360000) / 1000.0 - 180.0 AS lon,
+         ((event_id * 104729) % 170000) / 1000.0 - 85.0 AS lat
+  FROM events
+),
+t AS (
+  SELECT user_id, ts, event_id,
+         {_sql_tile_x(z)} AS tx, {_sql_tile_y(z)} AS ty
+  FROM pos
+),
+h AS (
+  SELECT lag(tx) OVER w AS fx, lag(ty) OVER w AS fy, tx, ty
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+f AS (
+  SELECT fx, fy, tx, ty, COUNT(*) AS n_hops
+  FROM h WHERE fx IS NOT NULL
+  GROUP BY 1, 2, 3, 4
+),
+lnpts AS (
+  SELECT (tx - fx) * (tx - fx) + (ty - fy) * (ty - fy) AS x,
+         n_hops AS y
+  FROM f
+  WHERE (tx - fx) * (tx - fx) + (ty - fy) * (ty - fy) > 0
+),
+{sql_lnln_fit_tail()}"""
+
+
+GEOM_QUERIES["areal_interp"] = (q_areal_interp, sql_areal_interp)
+GEOM_QUERIES["gravity_decay"] = (q_gravity_decay, sql_gravity_decay)

@@ -338,3 +338,48 @@ def test_d8_basins_two_valleys(spark):
     assert got[(8, 0)][:2] == (9, 0)
     assert got[(9, 0)] == (9, 0, True)
     assert got[(0, 0)][2] is True
+
+
+def test_areal_interpolate_hand_math(spark):
+    from mapbox_filter_spark.geo.overlay import areal_interpolate
+
+    # one 10x10 rect of value 100 straddling 4 grid-8 cells:
+    # overlap areas 4,24,16? -> x in [4,14): cells 0 ([4,8) w=4) and
+    # 1 ([8,14) w=6); y likewise. terms = 100*area*sc // 100
+    rects = spark.createDataFrame(
+        [(1, 4, 4, 14, 14, 100)],
+        "a_id long, x0 long, y0 long, x1 long, y1 long, val long")
+    got = {(r["gx"], r["gy"]): r["est_scaled"]
+           for r in areal_interpolate(rects, grid=8, value_col="val",
+                                      scale=10 ** 6).collect()}
+    sc = 10 ** 6
+    assert got[(0, 0)] == (100 * 16 * sc) // 100
+    assert got[(1, 0)] == (100 * 24 * sc) // 100
+    assert got[(0, 1)] == (100 * 24 * sc) // 100
+    assert got[(1, 1)] == (100 * 36 * sc) // 100
+    # mass conservation up to floor rounding: Σ terms ≈ val·scale
+    assert sum(got.values()) == 100 * sc
+
+
+def test_areal_interpolate_rejects_degenerate(spark):
+    import pytest
+    from mapbox_filter_spark.geo.overlay import areal_interpolate
+
+    bad = spark.createDataFrame(
+        [(1, 4, 4, 4, 14, 10)],
+        "a_id long, x0 long, y0 long, x1 long, y1 long, val long")
+    with pytest.raises(Exception, match="degenerate"):
+        areal_interpolate(bad, grid=8, value_col="val").collect()
+
+
+def test_loglog_fit_exact_power_law(spark):
+    import math
+    from mapbox_filter_spark.operators.stats import loglog_fit
+
+    # y = 7·x² exactly on powers of 2 → slope 2, intercept ln 7
+    pts = [(2 ** k, 7 * 4 ** k) for k in range(1, 11)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    row = loglog_fit(df, "x", "y").collect()[0]
+    assert abs(row["slope"] - 2.0) < 1e-5
+    assert abs(row["intercept"] - math.log(7)) < 1e-4
+    assert row["r2"] > 0.9999999
