@@ -313,3 +313,55 @@ def cohort_retention(df: DataFrame, entity_col: str,
             .withColumn("rate",
                         F.col("n_active").cast("double")
                         / F.col("cohort_size").cast("double")))
+
+
+def cuped_adjust(df: DataFrame, group_cols, x_col: str,
+                 y_col: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM'13):
+    per group, the covariate-adjustment coefficient
+    ``θ = cov(x,y)/var(x)`` and the adjusted metric variance
+    ``var(y) − cov²/var(x)`` — the experimentation primitive that
+    shrinks A/B confidence intervals using pre-period behavior, with
+    the adjusted MEAN unchanged (own-sample centering).
+
+    Exactness: x and y must be integer-valued (cents-quantize
+    upstream); per-row products stay int64, moment sums and their
+    combinations run in DECIMAL(38) (n·Σxy − Σx·Σy etc. — the
+    loglog_fit/ols2 recipe, DuckDB mirrors with HUGEINT), and θ /
+    var_y / var_adj / rho² are each ONE pinned double division.
+    Variances are the population form (divide by n²) so every
+    denominator is a product of exact integers.
+
+    One groupBy over the unit table — the moments are map-side
+    combinable, no second pass.  Returns
+    ``(group..., n, theta, var_y, var_adj, rho2)``; θ NULL when x is
+    degenerate (var_x = 0)."""
+    g = list(group_cols)
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    dec = "decimal(38,0)"
+    agg = df.groupBy(*g).agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(x.cast(dec)).alias("_sx"),
+        F.sum(y.cast(dec)).alias("_sy"),
+        F.sum((x * x).cast(dec)).alias("_sxx"),
+        F.sum((y * y).cast(dec)).alias("_syy"),
+        F.sum((x * y).cast(dec)).alias("_sxy"))
+    n = F.col("_n")
+    vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    cov = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    d = lambda c: c.cast("double")
+    n2 = d(n) * d(n)
+    theta = F.when(vx > 0, d(cov) / d(vx))
+    var_y = d(vy) / n2
+    # var_adj = (vy − cov²/vx)/n²: keep cov²/vx in double (cov² can
+    # exceed DECIMAL38), flat pinned order
+    var_adj = F.when(vx > 0, (d(vy) - d(cov) * d(cov) / d(vx)) / n2) \
+        .otherwise(d(vy) / n2)
+    rho2 = F.when((vx > 0) & (vy > 0),
+                  d(cov) * d(cov) / (d(vx) * d(vy)))
+    return agg.select(
+        *g, F.col("_n").cast("long").alias("n"),
+        theta.alias("theta"), var_y.alias("var_y"),
+        var_adj.alias("var_adj"), rho2.alias("rho2"))

@@ -41,6 +41,9 @@ __all__ = [
     "bm25_topk",
     "tfidf_topk",
     "phrase_search",
+    "near_query",
+    "rrf_fuse",
+    "prf_expansion",
     "write_term_index",
     "write_trigram_index",
     "read_term_index",
@@ -421,4 +424,40 @@ def rrf_fuse(rankings: "list[DataFrame]", *, k: int, c: int = 60,
         F.count(F.lit(1)).alias("n_lists"))
     top = fused.orderBy(F.col("rrf").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def prf_expansion(docs: DataFrame, query_terms: "list[str]", *,
+                  k_docs: int = 10, k_terms: int = 20,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio's feedback
+    step, JASIS 1971, in its integer-evidence form): take the BM25
+    top-``k_docs`` feedback set, pool its vocabulary minus the query
+    terms, and rank candidates by (feedback document frequency desc,
+    pooled tf desc, term asc) — all exact integer evidence, so the
+    expansion list is engine-deterministic (an RM1 float mixture would
+    hinge on aggregation order).
+
+    Shape: the feedback set is k rows → broadcast semi-join back onto
+    the corpus scan; one explode + one groupBy(term) over just the
+    feedback docs' tokens.  Returns ``(term, df_fb, tf_fb, rank)`` for
+    the top ``k_terms``."""
+    from .text import _words
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    fb = bm25_topk(docs, list(query_terms), k=k_docs, id_col=id_col,
+                   text_col=text_col, k1=k1, b=b).select(id_col)
+    toks = (docs.join(F.broadcast(fb), id_col)
+            .select(F.col(id_col),
+                    F.explode(_words(F.col(text_col))).alias("term"))
+            .filter(~F.col("term").isin(*query_terms)))
+    agg = toks.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df_fb"),
+        F.count(F.lit(1)).alias("tf_fb"))
+    top = agg.orderBy(F.col("df_fb").desc(), F.col("tf_fb").desc(),
+                      F.col("term").asc()).limit(k_terms)
+    w = Window.orderBy(F.col("df_fb").desc(), F.col("tf_fb").desc(),
+                       F.col("term").asc())
     return top.withColumn("rank", F.row_number().over(w))

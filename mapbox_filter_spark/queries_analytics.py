@@ -649,3 +649,82 @@ FROM p WHERE r = 1 GROUP BY 1, 2"""
 
 ANALYTICS_QUERIES["target_encode"] = (q_target_encode, sql_target_encode)
 ANALYTICS_QUERIES["naive_bayes"] = (q_naive_bayes, sql_naive_bayes)
+
+
+_CUPED_SPLIT = "1998-01-01"
+
+
+def q_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (operators/analytics.py cuped_adjust):
+    per market segment, pre-period (H1) customer spend as the covariate
+    for post-period (H2) spend — exact DECIMAL38 moments, pinned
+    double θ/var/ρ² chain."""
+    from .operators.analytics import cuped_adjust
+
+    c = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    per = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+           .select("o_custkey",
+                   F.col("o_orderdate").cast("timestamp").alias("d"),
+                   c.alias("c"))
+           .groupBy("o_custkey")
+           .agg(F.sum(F.when(F.col("d") < split, F.col("c"))
+                      .otherwise(0)).alias("x"),
+                F.sum(F.when(F.col("d") >= split, F.col("c"))
+                      .otherwise(0)).alias("y")))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment")
+    units = per.join(F.broadcast(cust),
+                     per["o_custkey"] == cust["c_custkey"])
+    return cuped_adjust(units, ["c_mktsegment"], "x", "y")
+
+
+def sql_cuped_adjust() -> str:
+    cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    return f"""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(SUM(CASE WHEN CAST(o_orderdate AS TIMESTAMP)
+                            < TIMESTAMP '{_CUPED_SPLIT}'
+                       THEN {cents} ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN CAST(o_orderdate AS TIMESTAMP)
+                            >= TIMESTAMP '{_CUPED_SPLIT}'
+                       THEN {cents} ELSE 0 END) AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+u AS (
+  SELECT c_mktsegment, x, y
+  FROM per JOIN customer ON c_custkey = o_custkey),
+agg AS (
+  SELECT c_mktsegment, COUNT(*) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx,
+         CAST(SUM(y * y) AS HUGEINT) AS syy,
+         CAST(SUM(x * y) AS HUGEINT) AS sxy
+  FROM u GROUP BY 1),
+m AS (
+  SELECT c_mktsegment, n,
+         CAST(n AS HUGEINT) * sxx - sx * sx AS vx,
+         CAST(n AS HUGEINT) * syy - sy * sy AS vy,
+         CAST(n AS HUGEINT) * sxy - sx * sy AS cov
+  FROM agg)
+SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+       CASE WHEN vx > 0
+            THEN CAST(cov AS DOUBLE) / CAST(vx AS DOUBLE) END AS theta,
+       CAST(vy AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+         AS var_y,
+       CASE WHEN vx > 0
+            THEN (CAST(vy AS DOUBLE)
+                  - CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE)
+                    / CAST(vx AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+            ELSE CAST(vy AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+       END AS var_adj,
+       CASE WHEN vx > 0 AND vy > 0
+            THEN CAST(cov AS DOUBLE) * CAST(cov AS DOUBLE)
+                 / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))
+       END AS rho2
+FROM m"""
+
+
+ANALYTICS_QUERIES["cuped_adjust"] = (q_cuped_adjust, sql_cuped_adjust)

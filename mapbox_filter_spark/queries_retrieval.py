@@ -20,34 +20,26 @@ _K = 20
 _K1, _B = 1.2, 0.75
 
 
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    top = bm25_topk(docs, list(_QUERY), k=_K, k1=_K1, b=_B)
-    return top.select("doc_id", F.round("score", 4).alias("score"),
-                      "rank")
-
-
-def sql_bm25_topk() -> str:
+def _sql_bm25_scored() -> str:
+    """Shared oracle CTE block: tokenize -> tf/dl -> BM25 ``scored``
+    (doc_id, s) for the module's query terms.  Used by the bm25_topk,
+    rrf_fusion, and query_expansion gates."""
     terms = ", ".join(f"'{t}'" for t in _QUERY)
-    return f"""
-WITH words AS (
+    return f"""words AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '\\s+'),
                      x -> x <> '') AS ws
-  FROM documents
-),
+  FROM documents),
 toks AS (SELECT doc_id, unnest(ws) AS term FROM words),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
 stats AS (
   SELECT (SELECT COUNT(*) FROM documents) AS n,
          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-  FROM dl
-),
+  FROM dl),
 qdf AS (
   SELECT term, COUNT(*) AS df FROM tf
-  WHERE term IN ({terms}) GROUP BY 1
-),
+  WHERE term IN ({terms}) GROUP BY 1),
 scored AS (
   SELECT tf.doc_id,
          SUM(ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5)
@@ -57,11 +49,20 @@ scored AS (
                                  + {_B} * dl.dl
                                    / (SELECT avgdl FROM stats)))
          ) AS s
-  FROM tf
-  JOIN qdf USING (term)
-  JOIN dl USING (doc_id)
-  GROUP BY tf.doc_id
-)
+  FROM tf JOIN qdf USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id)"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top = bm25_topk(docs, list(_QUERY), k=_K, k1=_K1, b=_B)
+    return top.select("doc_id", F.round("score", 4).alias("score"),
+                      "rank")
+
+
+def sql_bm25_topk() -> str:
+    return f"""
+WITH {_sql_bm25_scored()}
 SELECT doc_id, ROUND(s, 4) AS score, rank FROM (
   SELECT doc_id, s,
          ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
@@ -280,35 +281,9 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_rrf_fusion() -> str:
-    terms = ", ".join(f"'{t}'" for t in _QUERY)
     s = float(_RRF_SCALE_V)
     return f"""
-WITH words AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                     x -> x <> '') AS ws
-  FROM documents),
-toks AS (SELECT doc_id, unnest(ws) AS term FROM words),
-tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
-stats AS (
-  SELECT (SELECT COUNT(*) FROM documents) AS n,
-         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-  FROM dl),
-qdf AS (
-  SELECT term, COUNT(*) AS df FROM tf
-  WHERE term IN ({terms}) GROUP BY 1),
-scored AS (
-  SELECT tf.doc_id,
-         SUM(ln(1.0 + ((SELECT n FROM stats) - qdf.df + 0.5)
-                       / (qdf.df + 0.5))
-             * tf.tf * ({_K1} + 1.0)
-             / (tf.tf + {_K1} * (1.0 - {_B}
-                                 + {_B} * dl.dl
-                                   / (SELECT avgdl FROM stats)))
-         ) AS s
-  FROM tf JOIN qdf USING (term) JOIN dl USING (doc_id)
-  GROUP BY tf.doc_id),
+WITH {_sql_bm25_scored()},
 lex AS (
   SELECT doc_id, rank FROM (
     SELECT doc_id,
@@ -351,3 +326,45 @@ SELECT doc_id, rrf, n_lists, rank FROM (
 
 
 RETRIEVAL_QUERIES["rrf_fusion"] = (q_rrf_fusion, sql_rrf_fusion)
+
+
+_PRF_KDOCS = 10
+_PRF_KTERMS = 20
+
+
+def q_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRF query expansion (operators/retrieval.py prf_expansion):
+    BM25 top-10 feedback docs pool their vocabulary; candidates rank by
+    exact integer (feedback df, pooled tf, term) evidence."""
+    from .operators.retrieval import prf_expansion
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return prf_expansion(docs, list(_QUERY), k_docs=_PRF_KDOCS,
+                         k_terms=_PRF_KTERMS, k1=_K1, b=_B)
+
+
+def sql_query_expansion() -> str:
+    terms = ", ".join(f"'{t}'" for t in _QUERY)
+    return f"""
+WITH {_sql_bm25_scored()},
+fb AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
+    FROM scored) WHERE rank <= {_PRF_KDOCS}),
+pool AS (
+  SELECT t.doc_id, t.term
+  FROM toks t JOIN fb USING (doc_id)
+  WHERE t.term NOT IN ({terms})),
+agg AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df_fb, COUNT(*) AS tf_fb
+  FROM pool GROUP BY 1)
+SELECT term, df_fb, tf_fb, rank FROM (
+  SELECT term, df_fb, tf_fb,
+         ROW_NUMBER() OVER (ORDER BY df_fb DESC, tf_fb DESC,
+                            term ASC) AS rank
+  FROM agg) WHERE rank <= {_PRF_KTERMS}"""
+
+
+RETRIEVAL_QUERIES["query_expansion"] = (q_query_expansion,
+                                        sql_query_expansion)

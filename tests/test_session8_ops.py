@@ -383,3 +383,55 @@ def test_loglog_fit_exact_power_law(spark):
     assert abs(row["slope"] - 2.0) < 1e-5
     assert abs(row["intercept"] - math.log(7)) < 1e-4
     assert row["r2"] > 0.9999999
+
+
+def test_prf_expansion_hand_corpus(spark):
+    from mapbox_filter_spark.operators.retrieval import prf_expansion
+
+    docs = spark.createDataFrame([
+        (0, "query apple banana banana"),
+        (1, "query apple cherry"),
+        (2, "noise date date date"),
+    ], "doc_id long, text string")
+    got = prf_expansion(docs, ["query"], k_docs=2, k_terms=3).collect()
+    ranked = [(r["term"], r["df_fb"], r["tf_fb"]) for r in
+              sorted(got, key=lambda r: r["rank"])]
+    # feedback set = docs 0,1 (only they contain 'query'); 'query'
+    # itself excluded; apple df 2 beats banana df 1 despite tf 2
+    assert ranked == [("apple", 2, 2), ("banana", 1, 2), ("cherry", 1, 1)]
+
+
+def test_cuped_matches_numpy(spark):
+    import random
+    import numpy as np
+    from mapbox_filter_spark.operators.analytics import cuped_adjust
+
+    rng = random.Random(21)
+    rows = []
+    for i in range(400):
+        x = rng.randrange(1000, 5000)
+        y = 2 * x + rng.randrange(-500, 500)
+        rows.append(("g", i, x, y))
+    df = spark.createDataFrame(rows, "g string, i long, x long, y long")
+    r = cuped_adjust(df, ["g"], "x", "y").collect()[0]
+    xs = np.array([x for _, _, x, _ in rows], dtype=float)
+    ys = np.array([y for _, _, _, y in rows], dtype=float)
+    cov = np.cov(xs, ys, bias=True)[0, 1]
+    vx, vy = xs.var(), ys.var()
+    assert r["n"] == 400
+    assert abs(r["theta"] - cov / vx) < 1e-9 * abs(cov / vx)
+    assert abs(r["var_y"] - vy) < 1e-6 * vy
+    want_adj = vy - cov * cov / vx
+    assert abs(r["var_adj"] - want_adj) < 1e-6 * vy
+    assert r["var_adj"] < r["var_y"]  # the point of CUPED
+    assert 0.9 < r["rho2"] < 1.0
+
+
+def test_cuped_degenerate_covariate(spark):
+    from mapbox_filter_spark.operators.analytics import cuped_adjust
+
+    df = spark.createDataFrame([("g", 5, 1), ("g", 5, 9)],
+                               "g string, x long, y long")
+    r = cuped_adjust(df, ["g"], "x", "y").collect()[0]
+    assert r["theta"] is None and r["rho2"] is None
+    assert r["var_adj"] == r["var_y"] == 16.0
