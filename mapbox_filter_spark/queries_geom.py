@@ -3047,3 +3047,71 @@ lnpts AS (
 
 GEOM_QUERIES["areal_interp"] = (q_areal_interp, sql_areal_interp)
 GEOM_QUERIES["gravity_decay"] = (q_gravity_decay, sql_gravity_decay)
+
+
+_LOS_K = 12
+
+
+def q_los_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-to-peak line-of-sight on the ESDA density surface
+    (operators/raster.py los_visibility): exact integer DDA ray
+    sampling + cross-multiplied sight-line test over the top-12 density
+    peaks — the viewshed primitive, rays broadcast against one raster
+    scan."""
+    from .operators.raster import los_visibility
+
+    cells = _esda_cells(spark, sf_dir)
+    peaks = (cells.orderBy(F.col("n_feat").desc(), F.col("cx").asc(),
+                           F.col("cy").asc())
+             .limit(_LOS_K).select("cx", "cy"))
+    a = peaks.select(F.col("cx").alias("x0"), F.col("cy").alias("y0"))
+    b = peaks.select(F.col("cx").alias("x1"), F.col("cy").alias("y1"))
+    pairs = a.crossJoin(b).filter(
+        (F.col("x0") < F.col("x1"))
+        | ((F.col("x0") == F.col("x1")) & (F.col("y0") < F.col("y1"))))
+    return los_visibility(cells, pairs, "cx", "cy", "n_feat")
+
+
+def sql_los_visibility() -> str:
+    return f"""WITH {_sql_esda_cells()},
+peaks AS (
+  SELECT cx, cy FROM (
+    SELECT cx, cy,
+           ROW_NUMBER() OVER (ORDER BY v DESC, cx ASC, cy ASC) AS r
+    FROM cells) WHERE r <= {_LOS_K}),
+pairs AS (
+  SELECT a.cx AS x0, a.cy AS y0, b.cx AS x1, b.cy AS y1
+  FROM peaks a, peaks b
+  WHERE a.cx < b.cx OR (a.cx = b.cx AND a.cy < b.cy)),
+p AS (
+  SELECT pairs.*, c0.v AS z0, c1.v AS z1,
+         x1 - x0 AS dx, y1 - y0 AS dy,
+         GREATEST(abs(x1 - x0), abs(y1 - y0)) AS n
+  FROM pairs
+  JOIN cells c0 ON c0.cx = x0 AND c0.cy = y0
+  JOIN cells c1 ON c1.cx = x1 AND c1.cy = y1),
+ray AS (
+  -- DuckDB // truncates toward zero; mirror Spark's pmod-floor form
+  -- (numerator minus its positive remainder is exactly divisible)
+  SELECT p.*, t.t,
+         x0 + ((2 * t.t * dx + n)
+               - (((2 * t.t * dx + n) % (2 * n) + 2 * n) % (2 * n)))
+              // (2 * n) AS xt,
+         y0 + ((2 * t.t * dy + n)
+               - (((2 * t.t * dy + n) % (2 * n) + 2 * n) % (2 * n)))
+              // (2 * n) AS yt
+  FROM p, LATERAL (SELECT unnest(range(1, n)) AS t) t
+  WHERE n >= 2),
+hit AS (
+  SELECT x0, y0, x1, y1,
+         CAST(SUM(CASE WHEN c.v * n >= z0 * (n - t) + z1 * t
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+  FROM ray JOIN cells c ON c.cx = ray.xt AND c.cy = ray.yt
+  GROUP BY 1, 2, 3, 4)
+SELECT p.x0, p.y0, p.x1, p.y1, p.n,
+       CAST(COALESCE(h.n_blocked, 0) AS BIGINT) AS n_blocked,
+       COALESCE(h.n_blocked, 0) = 0 AS visible
+FROM p LEFT JOIN hit h USING (x0, y0, x1, y1)"""
+
+
+GEOM_QUERIES["los_visibility"] = (q_los_visibility, sql_los_visibility)

@@ -435,3 +435,40 @@ def test_cuped_degenerate_covariate(spark):
     r = cuped_adjust(df, ["g"], "x", "y").collect()[0]
     assert r["theta"] is None and r["rho2"] is None
     assert r["var_adj"] == r["var_y"] == 16.0
+
+
+def test_los_visibility_hand_terrain(spark):
+    from mapbox_filter_spark.operators.raster import los_visibility
+
+    # flat ground z=0 at x=0..4 on y=0, a wall z=10 at x=2; towers z=5
+    # at the ends
+    cells = spark.createDataFrame(
+        [(0, 0, 5), (1, 0, 0), (2, 0, 10), (3, 0, 0), (4, 0, 5),
+         (0, 2, 5), (4, 2, 5)],
+        "cx long, cy long, z long")
+    pairs = spark.createDataFrame(
+        [(0, 0, 4, 0),   # blocked by the wall
+         (0, 2, 4, 2),   # clear line (no cells between -> transparent)
+         (0, 0, 1, 0)],  # adjacent: no intermediate steps
+        "x0 long, y0 long, x1 long, y1 long")
+    got = {(r["x0"], r["y0"], r["x1"], r["y1"]): r
+           for r in los_visibility(cells, pairs, "cx", "cy",
+                                   "z").collect()}
+    assert got[(0, 0, 4, 0)]["visible"] is False
+    assert got[(0, 0, 4, 0)]["n_blocked"] == 1
+    assert got[(0, 2, 4, 2)]["visible"] is True
+    assert got[(0, 0, 1, 0)]["visible"] is True and \
+        got[(0, 0, 1, 0)]["n"] == 1
+
+
+def test_los_grazing_counts_blocked(spark):
+    from mapbox_filter_spark.operators.raster import los_visibility
+
+    # ridge exactly ON the sight line (z=5 midway between 0 and 10):
+    # grazing contact blocks by the >= convention
+    cells = spark.createDataFrame(
+        [(0, 0, 0), (1, 0, 5), (2, 0, 10)], "cx long, cy long, z long")
+    pairs = spark.createDataFrame([(0, 0, 2, 0)],
+                                  "x0 long, y0 long, x1 long, y1 long")
+    r = los_visibility(cells, pairs, "cx", "cy", "z").collect()[0]
+    assert r["visible"] is False and r["n_blocked"] == 1
