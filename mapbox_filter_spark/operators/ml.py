@@ -4,9 +4,10 @@ encoding and categorical Naive Bayes.
 Both are training-data-pipeline primitives (the encode/label stages in
 front of a model fit), built on the repo's exactness discipline:
 
-- ``target_encode_loo`` keeps the encoding a ratio of exact int64 sums
-  and performs ONE pinned double division per row, so the feature is
-  bit-identical across engines and cluster shapes.
+- ``target_encode_loo`` keeps the encoding a ratio of exact integer
+  sums (DECIMAL(38) combinations) with ONE pinned double division per
+  row, so the feature is bit-identical across engines and cluster
+  shapes.
 - ``naive_bayes_predict`` trains on integer counts and scores in ln
   space as a FLAT expression (never a float aggregate, whose
   association order is engine-dependent): with identical op order,
@@ -36,17 +37,18 @@ def target_encode_loo(df: DataFrame, cat_col: str, target_col: str, *,
 
         enc_i = (S_c − y_i + m·ȳ) / (n_c − 1 + m)
 
-    computed as the exact-integer rational
+    computed as the exact rational
     ``((S_c − y_i)·N + m·S) / ((n_c − 1 + m)·N)`` (S, N the global sum
     and count), so there is exactly ONE double division per row.  The
     leave-one-out subtraction keeps each row's own target out of its
     feature — the standard leakage guard for high-cardinality
     categoricals.
 
-    ``target_col`` must be integer-valued (cents-quantize upstream).
-    int64 bound: ``max|S_c|·N < 2^63`` — holds through ~10^9 rows of
-    cent-scale targets per category; beyond that pre-scale the target.
-    Rows with n_c == 1 and m == 0 (no leave-one-out evidence) get NULL.
+    ``target_col`` must be integer-valued (cents-quantize upstream);
+    the rational runs in DECIMAL(38)/HUGEINT (``max|S_c|·N < 10³⁸`` —
+    S_c·N alone passes 2^63 around TPC-H SF1, so int64 would silently
+    wrap where the oracle errors).  Rows with n_c == 1 and m == 0 (no
+    leave-one-out evidence) get NULL.
 
     One groupBy(cat) to a category table (broadcast back) + one global
     aggregate — the fact scan is never exchanged.
@@ -59,9 +61,14 @@ def target_encode_loo(df: DataFrame, cat_col: str, target_col: str, *,
     glob = df.groupBy().agg(F.sum(y).alias("_s_g"),
                             F.count(F.lit(1)).alias("_n_g"))
     m = int(prior_weight)
-    num = ((F.col("_s_c") - y) * F.col("_n_g")
-           + F.lit(m) * F.col("_s_g")).cast("double")
-    den = ((F.col("_n_c") - 1 + F.lit(m)) * F.col("_n_g")).cast("double")
+    dec = lambda c: c.cast("decimal(38,0)")
+    # the rational runs in DECIMAL(38): S_c·N alone passes 2^63 around
+    # TPC-H SF1 (per-category cent sums × row count) — the
+    # cuped_adjust/ols2 recipe, HUGEINT on the oracle side
+    num = ((dec(F.col("_s_c")) - dec(y)) * dec(F.col("_n_g"))
+           + F.lit(m) * dec(F.col("_s_g"))).cast("double")
+    den = ((dec(F.col("_n_c")) - 1 + F.lit(m))
+           * dec(F.col("_n_g"))).cast("double")
     enc = F.when(F.col("_n_c") - 1 + F.lit(m) > 0, num / den)
     return (df.join(F.broadcast(per_cat), cat_col)
             .crossJoin(F.broadcast(glob))

@@ -443,8 +443,6 @@ def prf_expansion(docs: DataFrame, query_terms: "list[str]", *,
     the corpus scan; one explode + one groupBy(term) over just the
     feedback docs' tokens.  Returns ``(term, df_fb, tf_fb, rank)`` for
     the top ``k_terms``."""
-    from .text import _words
-
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     fb = bm25_topk(docs, list(query_terms), k=k_docs, id_col=id_col,

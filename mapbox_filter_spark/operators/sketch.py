@@ -395,17 +395,15 @@ def cms_registers(df: DataFrame, key_col: str, *, d: int = 3,
 
     wt = (F.col(weight_col).cast("long") if weight_col
           else F.lit(1).cast("long"))
-    rows = [
-        df.select(
-            F.lit(i).alias("row"),
-            F.pmod(hash_u60([key_col], f"{salt}-{i}"),
-                   F.lit(w)).alias("col"),
-            wt.alias("wt"))
-        for i in range(d)
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
+    # ONE fact scan: the d (row, col) cells explode in-row (a d-way
+    # union of selects would re-read the input d times)
+    cells = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("row"),
+                 F.pmod(hash_u60([key_col], f"{salt}-{i}"),
+                        F.lit(w)).alias("col"))
+        for i in range(d)])).alias("rc")
+    out = df.select(wt.alias("wt"), cells).select(
+        F.col("rc.row").alias("row"), F.col("rc.col").alias("col"), "wt")
     return out.groupBy("row", "col").agg(F.sum("wt").alias("reg"))
 
 

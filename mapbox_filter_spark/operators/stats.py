@@ -667,9 +667,9 @@ def loglog_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     sums would overflow int64).  Quantization bounds the slope error
     at ~1e-6 — the operator's documented contract.
 
-    Exactness bound: per-point products stay int64 (values < 10¹⁹);
-    the moment COMBINATIONS run in DECIMAL(38)/HUGEINT, exact through
-    n ≈ 10¹² points.
+    Exactness bound: per-point products stay int64 (|q| ≤ ~3·10⁷);
+    moment sums and their combinations run in DECIMAL(38)/HUGEINT,
+    exact through n ≈ 10¹⁰ points (n·Σq² < 10³⁸).
 
     One scan + one single-row aggregate.  Returns
     ``(n, slope, intercept, r2)``; NULL fit when x is degenerate."""
@@ -679,13 +679,17 @@ def loglog_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
                 + F.lit(0.5)).cast("long").alias("qx"),
         F.floor(F.log(F.col(y_col).cast("double")) * F.lit(s)
                 + F.lit(0.5)).cast("long").alias("qy"))
+    pd_ = lambda c: c.cast("decimal(38,0)")
     agg = pts.groupBy().agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("qx").alias("sx"), F.sum("qy").alias("sy"),
-        F.sum(F.col("qx") * F.col("qx")).alias("sxx"),
-        F.sum(F.col("qy") * F.col("qy")).alias("syy"),
-        F.sum(F.col("qx") * F.col("qy")).alias("sxy"))
-    dec = lambda c: F.col(c).cast("decimal(20,0)")
+        F.sum(pd_(F.col("qx"))).alias("sx"),
+        F.sum(pd_(F.col("qy"))).alias("sy"),
+        # per-row products fit int64 (|q| ≤ ~3·10⁷) but their SUMS do
+        # not past ~10⁴ points — cast to DECIMAL(38) before the sum
+        F.sum(pd_(F.col("qx") * F.col("qx"))).alias("sxx"),
+        F.sum(pd_(F.col("qy") * F.col("qy"))).alias("syy"),
+        F.sum(pd_(F.col("qx") * F.col("qy"))).alias("sxy"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
     n, sx, sy = dec("n"), dec("sx"), dec("sy")
     sxx, syy, sxy = dec("sxx"), dec("syy"), dec("sxy")
     # second-moment combinations overflow int64 past ~10³ points, so

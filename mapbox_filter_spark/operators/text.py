@@ -503,8 +503,6 @@ def kwic_contexts(docs: DataFrame, text_col: str,
             .agg(F.count(F.lit(1)).alias("n")))
 
 
-from .stats import LNLN_SCALE as ZIPF_SCALE  # shared µ-nat quantization
-
 
 def zipf_slope(docs: DataFrame, *, top_n: int = 200,
                text_col: str = "text") -> DataFrame:

@@ -569,8 +569,10 @@ c AS (SELECT o_orderpriority, CAST(SUM(y) AS BIGINT) AS s_c,
 g AS (SELECT CAST(SUM(y) AS BIGINT) AS s_g, COUNT(*) AS n_g FROM o)
 SELECT o.o_orderkey, o.o_orderpriority, o.y AS total_c,
        CASE WHEN n_c - 1 + {m} > 0 THEN
-         CAST((s_c - o.y) * n_g + {m} * s_g AS DOUBLE)
-         / CAST((n_c - 1 + {m}) * n_g AS DOUBLE) END AS enc
+         CAST(CAST(s_c - o.y AS HUGEINT) * n_g
+              + {m} * CAST(s_g AS HUGEINT) AS DOUBLE)
+         / CAST(CAST(n_c - 1 + {m} AS HUGEINT) * n_g AS DOUBLE)
+       END AS enc
 FROM o JOIN c USING (o_orderpriority) CROSS JOIN g"""
 
 

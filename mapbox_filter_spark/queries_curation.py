@@ -910,10 +910,10 @@ def sql_lnln_fit_tail(pts: str = "lnpts") -> str:
 qpts AS (SELECT {q('x')} AS qx, {q('y')} AS qy FROM {pts}),
 agg AS (
   SELECT COUNT(*) AS n,
-         CAST(SUM(qx) AS BIGINT) AS sx, CAST(SUM(qy) AS BIGINT) AS sy,
-         CAST(SUM(qx * qx) AS BIGINT) AS sxx,
-         CAST(SUM(qy * qy) AS BIGINT) AS syy,
-         CAST(SUM(qx * qy) AS BIGINT) AS sxy
+         SUM(qx) AS sx, SUM(qy) AS sy,
+         SUM(qx * qx) AS sxx,
+         SUM(qy * qy) AS syy,
+         SUM(qx * qy) AS sxy
   FROM qpts),
 m AS (
   SELECT n, sx, sy, sxx, syy, sxy,

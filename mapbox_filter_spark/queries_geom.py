@@ -432,6 +432,35 @@ GROUP BY 2, 3"""
 _OD_Z = 4
 
 
+def _sql_od_flow_ctes() -> str:
+    """Shared oracle CTE chain for the hashed-position OD flow matrix
+    (pos -> z-tiles -> lag hops -> flows ``f``) — used by the od_flows
+    and gravity_decay gates."""
+    from .queries import _sql_tile_x, _sql_tile_y
+
+    z = _OD_Z
+    return f"""pos AS (
+  SELECT user_id, ts, event_id,
+         ((event_id * 7919) % 360000) / 1000.0 - 180.0 AS lon,
+         ((event_id * 104729) % 170000) / 1000.0 - 85.0 AS lat
+  FROM events
+),
+t AS (
+  SELECT user_id, ts, event_id,
+         {_sql_tile_x(z)} AS tx, {_sql_tile_y(z)} AS ty
+  FROM pos
+),
+h AS (
+  SELECT lag(tx) OVER w AS fx, lag(ty) OVER w AS fy, tx, ty
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+f AS (
+  SELECT fx, fy, tx, ty, COUNT(*) AS n_hops
+  FROM h WHERE fx IS NOT NULL
+  GROUP BY 1, 2, 3, 4
+)"""
+
+
 def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Origin→destination tile-flow matrix (operators/trajectory.py
     od_flows): per-user consecutive events become directed z=4 tile
@@ -451,27 +480,8 @@ def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_od_flows() -> str:
-    from .queries import _sql_tile_x, _sql_tile_y
-
-    z = _OD_Z
-    return f"""WITH pos AS (
-  SELECT user_id, ts, event_id,
-         ((event_id * 7919) % 360000) / 1000.0 - 180.0 AS lon,
-         ((event_id * 104729) % 170000) / 1000.0 - 85.0 AS lat
-  FROM events
-),
-t AS (
-  SELECT user_id, ts, event_id,
-         {_sql_tile_x(z)} AS tx, {_sql_tile_y(z)} AS ty
-  FROM pos
-),
-h AS (
-  SELECT lag(tx) OVER w AS fx, lag(ty) OVER w AS fy, tx, ty
-  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-)
-SELECT {z} AS z, fx, fy, tx, ty, COUNT(*) AS n_hops
-FROM h WHERE fx IS NOT NULL
-GROUP BY 2, 3, 4, 5"""
+    return (f"WITH {_sql_od_flow_ctes()}\n"
+            f"SELECT {_OD_Z} AS z, fx, fy, tx, ty, n_hops FROM f")
 
 
 def q_st_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3012,30 +3022,9 @@ def q_gravity_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_gravity_decay() -> str:
-    from .queries import _sql_tile_x, _sql_tile_y
     from .queries_curation import sql_lnln_fit_tail
 
-    z = _OD_Z
-    return f"""WITH pos AS (
-  SELECT user_id, ts, event_id,
-         ((event_id * 7919) % 360000) / 1000.0 - 180.0 AS lon,
-         ((event_id * 104729) % 170000) / 1000.0 - 85.0 AS lat
-  FROM events
-),
-t AS (
-  SELECT user_id, ts, event_id,
-         {_sql_tile_x(z)} AS tx, {_sql_tile_y(z)} AS ty
-  FROM pos
-),
-h AS (
-  SELECT lag(tx) OVER w AS fx, lag(ty) OVER w AS fy, tx, ty
-  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-f AS (
-  SELECT fx, fy, tx, ty, COUNT(*) AS n_hops
-  FROM h WHERE fx IS NOT NULL
-  GROUP BY 1, 2, 3, 4
-),
+    return f"""WITH {_sql_od_flow_ctes()},
 lnpts AS (
   SELECT (tx - fx) * (tx - fx) + (ty - fy) * (ty - fy) AS x,
          n_hops AS y

@@ -391,20 +391,10 @@ sym AS MATERIALIZED (
 _LPA_ROUNDS = 4
 
 
-def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic synchronous label propagation over the hashed link
-    graph (operators/graph.py label_propagation, 4 rounds, mode labels
-    with min tiebreak)."""
-    from .operators.graph import label_propagation
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id")
-    return label_propagation(
-        docs, _link_edges(spark, sf_dir), rounds=_LPA_ROUNDS,
-        id_col="doc_id").select(F.col("node").alias("doc_id"), "label")
-
-
-def sql_label_propagation() -> str:
+def _sql_lpa_ctes(final: str = "lab") -> str:
+    """Shared oracle CTE chain: hashed link graph -> canon/sym -> the
+    4-round synchronous LPA unroll, ending in ``final``(node, label).
+    Used by the label_propagation and modularity gates."""
     parts = [_sql_link_edges() + ",", _SQL_CANON_SYM + ",",
              "l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS label"
              " FROM documents)"]
@@ -423,8 +413,27 @@ s{i} AS MATERIALIZED (
 l{i} AS MATERIALIZED (
   SELECT l0.node, COALESCE(s{i}.label, l0.node) AS label
   FROM l0 LEFT JOIN s{i} ON s{i}.node = l0.node)""")
-    return ("WITH " + "".join(parts)
-            + f"\nSELECT node AS doc_id, label FROM l{_LPA_ROUNDS}")
+    parts.append(f""",
+{final} AS MATERIALIZED (SELECT node, label FROM l{_LPA_ROUNDS})""")
+    return "".join(parts)
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation over the hashed link
+    graph (operators/graph.py label_propagation, 4 rounds, mode labels
+    with min tiebreak)."""
+    from .operators.graph import label_propagation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    return label_propagation(
+        docs, _link_edges(spark, sf_dir), rounds=_LPA_ROUNDS,
+        id_col="doc_id").select(F.col("node").alias("doc_id"), "label")
+
+
+def sql_label_propagation() -> str:
+    return ("WITH " + _sql_lpa_ctes()
+            + "\nSELECT node AS doc_id, label FROM lab")
 
 
 _JL_MIN_COMMON = 2
@@ -618,26 +627,7 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_modularity() -> str:
-    parts = [_sql_link_edges() + ",", _SQL_CANON_SYM + ",",
-             "l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS label"
-             " FROM documents)"]
-    for i in range(1, _LPA_ROUNDS + 1):
-        parts.append(f""",
-c{i} AS MATERIALIZED (
-  SELECT s.u AS node, l.label, COUNT(*) AS c
-  FROM sym s JOIN l{i - 1} l ON l.node = s.v
-  GROUP BY 1, 2),
-s{i} AS MATERIALIZED (
-  SELECT node, label FROM (
-    SELECT node, label,
-           ROW_NUMBER() OVER (PARTITION BY node
-                              ORDER BY c DESC, label ASC) AS rn
-    FROM c{i}) WHERE rn = 1),
-l{i} AS MATERIALIZED (
-  SELECT l0.node, COALESCE(s{i}.label, l0.node) AS label
-  FROM l0 LEFT JOIN s{i} ON s{i}.node = l0.node)""")
-    parts.append(f""",
-lab AS MATERIALIZED (SELECT node, label FROM l{_LPA_ROUNDS}),
+    return "WITH " + _sql_lpa_ctes() + """,
 mm AS (SELECT COUNT(*) AS m FROM canon),
 intra AS (
   SELECT lu.label, COUNT(*) AS e_intra
@@ -663,8 +653,7 @@ SELECT nn.label, nn.n_nodes,
 FROM nn
 LEFT JOIN deg USING (label)
 LEFT JOIN intra USING (label)
-CROSS JOIN mm""")
-    return "WITH " + "".join(parts)
+CROSS JOIN mm"""
 
 
 def q_quadrangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
