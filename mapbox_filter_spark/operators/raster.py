@@ -237,3 +237,57 @@ def los_visibility(cells: DataFrame, pairs: DataFrame, x_col: str,
                     F.coalesce("n_blocked", F.lit(0).cast("long"))
                     .alias("n_blocked"))
             .withColumn("visible", F.col("n_blocked") == 0))
+
+
+def d8_accumulation(cells: DataFrame, x_col: str, y_col: str,
+                    z_col: str, *, max_rounds: int = 64) -> DataFrame:
+    """D8 flow accumulation: per cell the EXACT count of strictly
+    upstream cells (cells whose flow path passes through it — ESRI's
+    flow-accumulation raster, self excluded).  The recurrence
+    ``U(c) = Σ_{u: downstream(u)=c} (U(u) + 1)`` is iterated to a TRUE
+    fixpoint: U is monotone non-decreasing and bounded by the cell
+    count, so the iteration stops the first round the global ΣU stops
+    moving — a one-long control read per round (the k-core/CC
+    discipline), never a data collect.  Raises past ``max_rounds``
+    (cyclic input would mean a corrupted flow field — D8 descent is
+    acyclic by construction).
+
+    Each round is one equi-join + groupBy on the cell key with
+    localCheckpoint to keep lineage flat; rounds needed = the longest
+    flow path, so wall-clock is O(depth) exchanges of (cell, count)
+    pairs.  Returns ``(x, y, n_upstream, is_sink)``."""
+    flow = d8_flow(cells, x_col, y_col, z_col)
+    dx, dy = _dir_delta(F.col("dir"))
+    edges = (flow.filter(~F.col("is_sink"))
+             .select(F.col(x_col).alias("_ux"), F.col(y_col).alias("_uy"),
+                     (F.col(x_col) + dx).alias("_px"),
+                     (F.col(y_col) + dy).alias("_py"))
+             .localCheckpoint())
+    base = flow.select(x_col, y_col, "is_sink").localCheckpoint()
+    acc = base.select(x_col, y_col,
+                      F.lit(0).cast("long").alias("u")).localCheckpoint()
+    prev_total = -1
+    for _ in range(max_rounds):
+        child = (edges.join(
+            acc, (edges["_ux"] == acc[x_col]) & (edges["_uy"] == acc[y_col]))
+            .select(F.col("_px"), F.col("_py"),
+                    (F.col("u") + 1).alias("_c")))
+        inc = child.groupBy("_px", "_py").agg(F.sum("_c").alias("_u"))
+        acc = (base.join(
+            inc, (base[x_col] == inc["_px"]) & (base[y_col] == inc["_py"]),
+            "left")
+            .select(base[x_col], base[y_col],
+                    F.coalesce(F.col("_u"), F.lit(0).cast("long"))
+                    .alias("u"))
+            .localCheckpoint())
+        total = acc.agg(F.sum("u")).first()[0] or 0
+        if total == prev_total:
+            break
+        prev_total = total
+    else:
+        raise RuntimeError(
+            f"d8_accumulation: no fixpoint within {max_rounds} rounds "
+            "(cyclic flow field?)")
+    return (base.join(acc.withColumnRenamed("u", "n_upstream"),
+                      [x_col, y_col])
+            .select(x_col, y_col, "n_upstream", "is_sink"))

@@ -2901,14 +2901,17 @@ def q_d8_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
                      rounds=_BASIN_ROUNDS)
 
 
-def sql_d8_basins() -> str:
+def _sql_d8_parent_ctes() -> str:
+    """Shared oracle CTE chain: ESDA cells -> D8 steepest-descent best
+    neighbor -> parent pointers ``p0``(cx, cy, px, py, is_sink) (sinks
+    self-point).  Used by the d8_basins and d8_accum gates."""
     from .operators.raster import D8_DIRS
 
     dirs = ", ".join(f"({dx},{dy},{code},{dx * dx + dy * dy})"
                      for dx, dy, code in D8_DIRS)
     dxc = " ".join(f"WHEN {code} THEN {dx}" for dx, _dy, code in D8_DIRS)
     dyc = " ".join(f"WHEN {code} THEN {dy}" for _dx, dy, code in D8_DIRS)
-    parts = [f"""{_sql_esda_cells()},
+    return f"""{_sql_esda_cells()},
 dirs AS (SELECT * FROM (VALUES {dirs}) AS t(dx, dy, code, d2)),
 cand AS (
   SELECT a.cx, a.cy, a.v AS z, a.cx + dx AS nx, a.cy + dy AS ny,
@@ -2933,7 +2936,11 @@ p0 AS MATERIALIZED (
          CASE WHEN b.code IS NULL THEN c.cy
               ELSE c.cy + CASE b.code {dyc} END END AS py,
          b.code IS NULL AS is_sink
-  FROM cells c LEFT JOIN best b USING (cx, cy))"""]
+  FROM cells c LEFT JOIN best b USING (cx, cy))"""
+
+
+def sql_d8_basins() -> str:
+    parts = [_sql_d8_parent_ctes()]
     for i in range(1, _BASIN_ROUNDS + 1):
         parts.append(f""",
 p{i} AS MATERIALIZED (
@@ -3104,3 +3111,40 @@ FROM p LEFT JOIN hit h USING (x0, y0, x1, y1)"""
 
 
 GEOM_QUERIES["los_visibility"] = (q_los_visibility, sql_los_visibility)
+
+
+_ACCUM_UNROLL = 16  # oracle margin over the longest flow path
+
+
+def q_d8_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow accumulation on the ESDA density surface
+    (operators/raster.py d8_accumulation): exact upstream-cell counts
+    via the engine's TRUE-fixpoint iteration; the oracle unrolls 16
+    rounds of the same monotone recurrence, so an insufficient unroll —
+    or a non-converged engine — fails the value hash loudly."""
+    from .operators.raster import d8_accumulation
+
+    return d8_accumulation(_esda_cells(spark, sf_dir), "cx", "cy",
+                           "n_feat")
+
+
+def sql_d8_accum() -> str:
+    parts = [_sql_d8_parent_ctes() + """,
+u0 AS MATERIALIZED (SELECT cx, cy, CAST(0 AS BIGINT) AS u FROM cells)"""]
+    for i in range(1, _ACCUM_UNROLL + 1):
+        parts.append(f""",
+u{i} AS MATERIALIZED (
+  SELECT c.cx, c.cy,
+         CAST(COALESCE(SUM(prev.u + 1), 0) AS BIGINT) AS u
+  FROM cells c
+  LEFT JOIN p0 ch ON NOT ch.is_sink
+                 AND ch.px = c.cx AND ch.py = c.cy
+  LEFT JOIN u{i - 1} prev ON prev.cx = ch.cx AND prev.cy = ch.cy
+  GROUP BY 1, 2)""")
+    return ("WITH " + "".join(parts)
+            + f"""
+SELECT p0.cx, p0.cy, u.u AS n_upstream, p0.is_sink
+FROM p0 JOIN u{_ACCUM_UNROLL} u USING (cx, cy)""")
+
+
+GEOM_QUERIES["d8_accum"] = (q_d8_accum, sql_d8_accum)

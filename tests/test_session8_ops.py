@@ -472,3 +472,30 @@ def test_los_grazing_counts_blocked(spark):
                                   "x0 long, y0 long, x1 long, y1 long")
     r = los_visibility(cells, pairs, "cx", "cy", "z").collect()[0]
     assert r["visible"] is False and r["n_blocked"] == 1
+
+
+def test_d8_accumulation_ramp_and_confluence(spark):
+    from mapbox_filter_spark.operators.raster import d8_accumulation
+
+    # two branches joining: (0,1) z=5 and (0,-1) z=5 both flow into
+    # (1,0) z=3, which flows to the pit (2,0) z=1
+    rows = [(0, 1, 5), (0, -1, 5), (1, 0, 3), (2, 0, 1)]
+    df = spark.createDataFrame(rows, "cx long, cy long, z long")
+    got = {(r["cx"], r["cy"]): (r["n_upstream"], r["is_sink"])
+           for r in d8_accumulation(df, "cx", "cy", "z").collect()}
+    assert got[(0, 1)] == (0, False)
+    assert got[(0, -1)] == (0, False)
+    assert got[(1, 0)] == (2, False)
+    assert got[(2, 0)] == (3, True)
+
+
+def test_d8_accumulation_long_chain_fixpoint(spark):
+    from mapbox_filter_spark.operators.raster import d8_accumulation
+
+    # a 12-cell strictly descending chain: the fixpoint loop must run
+    # depth rounds, and the head count must be the full chain
+    rows = [(x, 0, 100 - x) for x in range(12)]
+    df = spark.createDataFrame(rows, "cx long, cy long, z long")
+    got = {r["cx"]: r["n_upstream"]
+           for r in d8_accumulation(df, "cx", "cy", "z").collect()}
+    assert got[11] == 11 and got[0] == 0 and got[5] == 5
