@@ -1,0 +1,107 @@
+"""Ranking-quality metrics: tie-corrected AUC and nDCG@k.
+
+Model-evaluation primitives for the pipeline's scoring stages (quality
+classifiers, retrieval rankers), built on the exactness discipline:
+
+- ``auc_score`` is the Mann–Whitney U form of ROC-AUC with the
+  standard average-rank tie correction, carried ENTIRELY in integers
+  (``2U`` is an exact int64) with one pinned division — no pairwise
+  join, no float rank sums.
+- ``ndcg_at_k`` quantizes the 1/log2(rank+1) gain weights to scaled
+  integer LITERALS computed once in python (both engines receive the
+  identical table), so DCG/IDCG are order-independent integer sums and
+  nDCG is one pinned division.  Quantization error ≤ k/scale — the
+  documented contract, the zipf/LOF carry recipe.
+
+Both are window/groupBy shapes on the (group | query) key — one
+exchange each, no quadratic stage.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+NDCG_SCALE = 10 ** 12
+
+
+def auc_score(df: DataFrame, group_cols: Sequence[str], score_col: str,
+              label_col: str) -> DataFrame:
+    """ROC-AUC per group via the rank-sum (Mann–Whitney U) identity
+    with average-rank tie correction:
+
+        2U = Σ_{i: pos} (2·rank_lo_i + ties_i − 1) − n_pos·(n_pos + 1)
+        AUC = 2U / (2·n_pos·n_neg)
+
+    ``rank_lo`` is SQL ``RANK()`` by score ascending and ``ties`` the
+    per-(group, score) row count, so 2U is an exact int64 (bound:
+    n² < 2^63 ⇔ n < 3·10⁹ rows per group).  ``label_col`` must be
+    0/1; scores integer.  NULL AUC for degenerate groups (a single
+    class).  One window + one groupBy on the group key.  Returns
+    ``(group..., n_pos, n_neg, u2, auc)``."""
+    g = list(group_cols)
+    lab = F.col(label_col).cast("long")
+    s = F.col(score_col).cast("long")
+    w = Window.partitionBy(*g).orderBy(s.asc())
+    ranked = df.select(*g, s.alias("_s"), lab.alias("_y")) \
+        .withColumn("_rlo", F.rank().over(w)) \
+        .withColumn("_ties", F.count(F.lit(1)).over(
+            Window.partitionBy(*g, "_s")))
+    agg = ranked.groupBy(*g).agg(
+        F.sum("_y").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("_y")).alias("n_neg"),
+        F.sum(F.when(F.col("_y") == 1,
+                     2 * F.col("_rlo") + F.col("_ties") - 1)
+              .otherwise(0)).alias("_rsum2"))
+    u2 = F.col("_rsum2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        u2.cast("double")
+        / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"))
+    return agg.select(*g, "n_pos", "n_neg", u2.alias("u2"),
+                      auc.alias("auc"))
+
+
+def ndcg_gain_weights(k: int, scale: int = NDCG_SCALE) -> "list[int]":
+    """The scaled integer gain table ``round(scale / log2(r + 1))`` for
+    ranks 1..k — computed ONCE in python so both engines consume the
+    identical literals."""
+    return [round(scale / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def ndcg_at_k(ranking: DataFrame, k: int, *,
+              query_id: str = "q_id", rank_col: str = "rank",
+              rel_col: str = "rel",
+              n_rel_col: str = "n_rel") -> DataFrame:
+    """nDCG@k over a per-query ranking: ``ranking`` carries one row per
+    (query, rank ≤ k) with binary relevance ``rel_col`` and the query's
+    TOTAL relevant-document count ``n_rel_col`` (for the ideal DCG —
+    all relevant docs ranked first).  Gains are the integer literal
+    table from :func:`ndcg_gain_weights`, so DCG/IDCG are exact integer
+    sums and nDCG is ONE pinned division; queries with no relevant
+    documents get NULL.  Returns ``(query, dcg_s, idcg_s, ndcg)``
+    (``_s`` = scaled by NDCG_SCALE)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    weights = ndcg_gain_weights(k)
+    warr = F.array(*[F.lit(w).cast("long") for w in weights])
+    gain = F.element_at(warr, F.col(rank_col).cast("int"))
+    dcg = (ranking.filter(F.col(rank_col) <= k)
+           .groupBy(query_id)
+           .agg(F.sum(F.when(F.col(rel_col).cast("long") == 1, gain)
+                      .otherwise(0)).alias("dcg_s"),
+                F.max(F.col(n_rel_col).cast("long")).alias("_nrel")))
+    # ideal DCG: prefix sum of the weight table up to min(k, n_rel) —
+    # an in-row fold over the same literals
+    idcg = F.aggregate(
+        F.slice(warr, 1, F.greatest(
+            F.least(F.col("_nrel"), F.lit(k)), F.lit(0)).cast("int")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    out = dcg.withColumn("idcg_s", idcg)
+    ndcg = F.when(F.col("idcg_s") > 0,
+                  F.col("dcg_s").cast("double")
+                  / F.col("idcg_s").cast("double"))
+    return out.select(query_id, "dcg_s", "idcg_s", ndcg.alias("ndcg"))

@@ -730,3 +730,57 @@ FROM m"""
 
 
 ANALYTICS_QUERIES["cuped_adjust"] = (q_cuped_adjust, sql_cuped_adjust)
+
+
+def q_auc_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected ROC-AUC per day-of-week (operators/metrics.py
+    auc_score): does event value predict the purchase label?  The
+    Mann-Whitney rank-sum form — exact integer 2U, one pinned
+    division, no pairwise join."""
+    from .operators.metrics import auc_score
+    from .queries_curation import _cents
+
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    day = us - F.pmod(us, F.lit(86_400_000_000))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.pmod(day / F.lit(86_400_000_000) + 4, F.lit(7))
+        .cast("long").alias("dow"),
+        _cents().alias("score"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"))
+    return auc_score(ev.filter(F.col("score").isNotNull()),
+                     ["dow"], "score", "y")
+
+
+def sql_auc_metric() -> str:
+    from .queries_curation import _CENTS_SQL
+
+    return f"""
+WITH ev AS (
+  SELECT ((epoch_us(CAST(ts AS TIMESTAMP))
+           - epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000)
+          // 86400000000 + 4) % 7 AS dow,
+         {_CENTS_SQL} AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events),
+f AS (SELECT * FROM ev WHERE score IS NOT NULL),
+r AS (
+  SELECT dow, score, y,
+         RANK() OVER (PARTITION BY dow ORDER BY score ASC) AS rlo,
+         COUNT(*) OVER (PARTITION BY dow, score) AS ties
+  FROM f),
+agg AS (
+  SELECT dow,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg,
+         CAST(SUM(CASE WHEN y = 1 THEN 2 * rlo + ties - 1
+                       ELSE 0 END) AS BIGINT) AS rsum2
+  FROM r GROUP BY 1)
+SELECT dow, n_pos, n_neg,
+       CAST(rsum2 - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN CAST(rsum2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / CAST(2 * n_pos * n_neg AS DOUBLE) END AS auc
+FROM agg"""
+
+
+ANALYTICS_QUERIES["auc_metric"] = (q_auc_metric, sql_auc_metric)

@@ -368,3 +368,93 @@ SELECT term, df_fb, tf_fb, rank FROM (
 
 RETRIEVAL_QUERIES["query_expansion"] = (q_query_expansion,
                                         sql_query_expansion)
+
+
+_NDCG_K = 10
+_NDCG_QMOD = 5
+
+
+def q_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the exact-dot dense ranking against label relevance
+    (operators/metrics.py ndcg_at_k over similarity.int_dot_topk):
+    every 5th vector queries the rest; gains are scaled-integer
+    literals, so DCG/IDCG are exact integer sums."""
+    from .operators.metrics import ndcg_at_k
+    from .operators.similarity import int_dot_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % _NDCG_QMOD == 0)
+    c = emb.filter(F.col("vec_id") % _NDCG_QMOD != 0)
+    top = int_dot_topk(q, c, _NDCG_K, scale=_KC_SCALE,
+                       query_id="vec_id", corpus_id="vec_id")
+    ql = q.select(F.col("vec_id").alias("q_id"),
+                  F.col("label").alias("_ql"))
+    cl = c.select(F.col("vec_id").alias("c_id"),
+                  F.col("label").alias("_cl"))
+    nrel = (c.groupBy(F.col("label").alias("_ql"))
+            .agg(F.count(F.lit(1)).alias("n_rel")))
+    ranking = (top.join(F.broadcast(ql), "q_id")
+               .join(F.broadcast(cl), "c_id")
+               .withColumn("rel", (F.col("_ql") == F.col("_cl"))
+                           .cast("long"))
+               .join(F.broadcast(nrel), "_ql", "left")
+               .withColumn("n_rel", F.coalesce("n_rel", F.lit(0))))
+    return ndcg_at_k(ranking, _NDCG_K)
+
+
+def sql_ndcg_at_k() -> str:
+    from .operators.metrics import ndcg_gain_weights
+
+    k, m, s = _NDCG_K, _NDCG_QMOD, _KC_SCALE
+    ws = ndcg_gain_weights(k)
+    gain_case = " ".join(f"WHEN {r + 1} THEN {w}"
+                         for r, w in enumerate(ws))
+    prefix = [0]
+    for w in ws:
+        prefix.append(prefix[-1] + w)
+    idcg_case = " ".join(f"WHEN {i} THEN {p}"
+                         for i, p in enumerate(prefix))
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, label AS ql, embedding AS v FROM embeddings
+  WHERE vec_id % {m} = 0),
+c AS (
+  SELECT vec_id AS c_id, label AS cl, embedding AS v
+  FROM embeddings WHERE vec_id % {m} <> 0),
+dots AS (
+  SELECT q.q_id, q.ql, c.c_id, c.cl,
+         CAST((SELECT SUM(
+              CAST(FLOOR(CAST(q.v[i.i] AS DOUBLE) * {float(s)!r} + 0.5)
+                   AS BIGINT)
+            * CAST(FLOOR(CAST(c.v[i.i] AS DOUBLE) * {float(s)!r} + 0.5)
+                   AS BIGINT))
+          FROM (SELECT unnest(range(1, len(q.v) + 1)) AS i) i)
+          AS BIGINT) AS dot
+  FROM q, c),
+rk AS (
+  SELECT q_id, ql, cl,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY dot DESC, c_id ASC) AS rank
+  FROM dots),
+nr AS (SELECT cl AS ql, COUNT(*) AS n_rel FROM c GROUP BY 1),
+dcg AS (
+  SELECT rk.q_id,
+         CAST(SUM(CASE WHEN rk.ql = rk.cl
+                       THEN CASE rank {gain_case} ELSE 0 END
+                       ELSE 0 END) AS BIGINT) AS dcg_s,
+         MAX(COALESCE(nr.n_rel, 0)) AS nrel
+  FROM rk LEFT JOIN nr ON nr.ql = rk.ql
+  WHERE rank <= {k}
+  GROUP BY 1)
+SELECT q_id,
+       dcg_s,
+       CAST(CASE LEAST(nrel, {k}) {idcg_case} ELSE 0 END AS BIGINT)
+         AS idcg_s,
+       CASE WHEN (CASE LEAST(nrel, {k}) {idcg_case} ELSE 0 END) > 0
+            THEN CAST(dcg_s AS DOUBLE)
+                 / CAST(CASE LEAST(nrel, {k}) {idcg_case}
+                        ELSE 0 END AS DOUBLE) END AS ndcg
+FROM dcg"""
+
+
+RETRIEVAL_QUERIES["ndcg_at_k"] = (q_ndcg_at_k, sql_ndcg_at_k)
