@@ -522,11 +522,13 @@ def _all_queries():
     from .queries_sketch import SKETCH_QUERIES
     from .queries_splits import SPLIT_QUERIES
     from .queries_temporal import TEMPORAL_QUERIES
+    from .queries_relational import RELATIONAL_QUERIES
 
     merged = {**QUERIES, **EXT_QUERIES, **TEMPORAL_QUERIES,
               **SPLIT_QUERIES, **GRAPH_QUERIES, **RETRIEVAL_QUERIES,
               **SCD_QUERIES, **CURATION_QUERIES, **GEOM_QUERIES,
-              **SKETCH_QUERIES, **LM_QUERIES, **ANALYTICS_QUERIES}
+              **SKETCH_QUERIES, **LM_QUERIES, **ANALYTICS_QUERIES,
+              **RELATIONAL_QUERIES}
     missing = [n for n in _DRIVER_PRIORITY if n not in merged]
     assert not missing, f"_DRIVER_PRIORITY names unknown gates: {missing}"
     out = {n: merged[n] for n in _DRIVER_PRIORITY}
