@@ -365,3 +365,38 @@ def cuped_adjust(df: DataFrame, group_cols, x_col: str,
         *g, F.col("_n").cast("long").alias("n"),
         theta.alias("theta"), var_y.alias("var_y"),
         var_adj.alias("var_adj"), rho2.alias("rho2"))
+
+
+def fd_profile(df: DataFrame, lhs_cols, rhs_col: str,
+               fd_name: str | None = None) -> DataFrame:
+    """Functional-dependency profiling for one candidate FD
+    ``lhs_cols → rhs_col`` (the data-quality / schema-discovery
+    primitive; g3 error per Kivinen & Mannila's classic measure —
+    minimum rows to delete so the FD holds exactly).
+
+    Exact integers from two keyed aggregates: groupBy(lhs, rhs) counts
+    (map-side-combinable over the fact table — the ONLY fact-sized
+    shuffle), then per-lhs rollup of subgroup count / row sum / max.
+    A group violates iff it maps to > 1 distinct rhs; its g3
+    contribution is rows − majority.
+
+    Output: one row — ``(fd, lhs_groups, violating_groups, n_rows,
+    g3_del)``; union several calls to profile a candidate set.
+    """
+    lhs = [lhs_cols] if isinstance(lhs_cols, str) else list(lhs_cols)
+    name = fd_name or f"{','.join(lhs)}->{rhs_col}"
+    sub = (df.groupBy(*lhs, rhs_col)
+           .agg(F.count(F.lit(1)).alias("_c")))
+    per_lhs = (sub.groupBy(*lhs)
+               .agg(F.count(F.lit(1)).alias("_n_rhs"),
+                    F.sum("_c").alias("_rows"),
+                    F.max("_c").alias("_maj")))
+    return per_lhs.agg(
+        F.count(F.lit(1)).alias("lhs_groups"),
+        F.sum(F.when(F.col("_n_rhs") > 1, 1).otherwise(0))
+        .cast("long").alias("violating_groups"),
+        F.sum("_rows").cast("long").alias("n_rows"),
+        F.sum(F.col("_rows") - F.col("_maj")).cast("long")
+        .alias("g3_del")
+    ).select(F.lit(name).alias("fd"), "lhs_groups",
+             "violating_groups", "n_rows", "g3_del")

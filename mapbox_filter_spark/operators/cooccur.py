@@ -177,3 +177,61 @@ def g2_collocations(docs: DataFrame, id_col: str, text_col: str, *,
     g2 = F.lit(2.0) * (((t11 + t12) + t21) + t22)
     return j.select("w_a", "w_b", "n_ab", "n_a", "n_b",
                     n.alias("n_total"), g2.alias("g2"))
+
+
+def item_item_topk(baskets: DataFrame, basket_col: str, item_col: str,
+                   *, k: int = 10, min_cooc: int = 2,
+                   scale: int = 10**12) -> DataFrame:
+    """Item-item collaborative filtering: top-``k`` neighbors per item
+    by cosine similarity over basket co-occurrence (the classic
+    Sarwar et al. WWW'01 item-based CF shape, re-derived for
+    DataFrames).
+
+    Exact-integer ranking: cosine(i,j) = n_ij / √(n_i·n_j) is ranked
+    by the monotone square ``score_q = (n_ij²·scale) // (n_i·n_j)`` —
+    exact int64 floor-div (numerator non-negative, so truncating and
+    flooring division agree cross-engine), zero float rounding in the
+    output.  int64 bound: n_ij ≤ 3·10³ for scale 10¹² (n_ij²·scale ≤
+    9·10¹⁸) — co-occurrence counts beyond that need a smaller scale;
+    callers at fleet scale pass scale=10⁶ for headroom to n_ij ≈ 3M.
+
+    Scale shape: one DISTINCT (basket, item) pre-pass; the per-basket
+    pair self-join is quadratic in basket WIDTH only (cap pathological
+    baskets upstream with splits.cap_per_group); pair counts are one
+    map-side-combinable groupBy; the two item-frequency joins hit the
+    AGGREGATED pair table (|pairs| rows, not |baskets·width²|); top-k
+    is a per-item window over the scored pair table.  No driver
+    collect, no full similarity matrix — only pairs that actually
+    co-occur ≥ min_cooc times materialize.
+    """
+    bi = baskets.select(F.col(basket_col).alias("b"),
+                        F.col(item_col).alias("i")).distinct()
+    left = bi.select("b", F.col("i").alias("i_a"))
+    right = bi.select("b", F.col("i").alias("i_b"))
+    pairs = (left.join(right, "b")
+             .filter(F.col("i_a") < F.col("i_b"))
+             .groupBy("i_a", "i_b")
+             .agg(F.count(F.lit(1)).alias("n_ij"))
+             .filter(F.col("n_ij") >= int(min_cooc)))
+    freq = bi.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
+    fa = freq.select(F.col("i").alias("i_a"), F.col("n_i").alias("n_a"))
+    fb = freq.select(F.col("i").alias("i_b"), F.col("n_i").alias("n_b"))
+    scored = (pairs.join(fa, "i_a").join(fb, "i_b")
+              .withColumn(
+                  "score_q",
+                  F.expr(f"(n_ij * n_ij * CAST({int(scale)} AS BIGINT))"
+                         " div (n_a * n_b)").cast("long")))
+    # symmetrize AFTER scoring (each undirected pair scored once)
+    sym = (scored.select(F.col("i_a").alias("item"),
+                         F.col("i_b").alias("neighbor"),
+                         "n_ij", "score_q")
+           .unionByName(
+               scored.select(F.col("i_b").alias("item"),
+                             F.col("i_a").alias("neighbor"),
+                             "n_ij", "score_q")))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("item").orderBy(
+        F.col("score_q").desc(), F.col("neighbor"))
+    return (sym.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k))
+            .select("item", "rank", "neighbor", "n_ij", "score_q"))

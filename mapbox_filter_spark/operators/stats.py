@@ -709,3 +709,63 @@ def loglog_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
                 (d(num) * d(num)) / (d(den) * d(deny)))
     return agg.select("n", slope.alias("slope"),
                       intercept.alias("intercept"), r2.alias("r2"))
+
+
+_ANOVA_MAX_ABS_SUM = 3_000_000_000  # |S_g| bound: S_g² must fit int64
+
+
+def anova_f(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """One-way ANOVA F statistic with exact-integer moment arithmetic.
+
+    ``value_col`` must be an integer column (quantize upstream — the
+    cents convention).  Per group g: n_g, S_g = Σx, Q_g = Σx².  The
+    between/within sums of squares are carried as EXACT int64 via the
+    per-group floor-div ``T_g = S_g² // n_g`` (numerator non-negative:
+    truncation = floor cross-engine):
+
+        ssb_q = max(0, ΣT_g − S²//N)     (quantization can dip < 0 by
+        ssw_q = Q − ΣT_g                  < k; clamped, mirrored)
+
+    F is then ONE pinned double chain over the exact ints:
+    ``(ssb·(N−k)) / (ssw·(k−1))`` with each product performed in
+    double (the int products can exceed int64; double multiply is
+    IEEE-pinned and bit-identical cross-engine).
+
+    int64 bounds enforced IN-PLAN (raise_error, never a silent wrap):
+    |S_g| ≤ 3·10⁹ (S_g² ≤ 9·10¹⁸) — e.g. 3M rows of ±1000-unit values
+    per group; shard or rescale beyond that.  Q = Σx² is int64-safe
+    whenever the S_g bound holds for x quantized to ≤ ~10⁶ units.
+
+    Output: one row — ``(n, k, ssb_q, ssw_q, f_stat)``.
+    """
+    x = F.col(value_col).cast("long")
+    g = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(x).alias("s_g"),
+        F.sum(x * x).alias("q_g"))
+    guard = F.when(
+        F.abs(F.col("s_g")) > F.lit(_ANOVA_MAX_ABS_SUM),
+        F.raise_error(F.concat(
+            F.lit("anova_f: |group sum| exceeds exact-int64 bound "
+                  f"({_ANOVA_MAX_ABS_SUM}): s_g="),
+            F.col("s_g").cast("string"))).cast("long")
+    ).otherwise(F.expr("(s_g * s_g) div n_g").cast("long"))
+    tg = g.select("n_g", "s_g", "q_g", guard.alias("t_g"))
+    tot = tg.agg(F.sum("n_g").alias("n"),
+                 F.count(F.lit(1)).alias("k"),
+                 F.sum("s_g").alias("s"),
+                 F.sum("q_g").alias("q"),
+                 F.sum("t_g").alias("t"))
+    ssb = F.greatest(
+        F.lit(0).cast("long"),
+        (F.col("t") - F.expr("(s * s) div n")).cast("long"))
+    ssw = (F.col("q") - F.col("t")).cast("long")
+    out = tot.select(
+        "n", "k", ssb.alias("ssb_q"), ssw.alias("ssw_q"))
+    f_stat = F.when(
+        (F.col("k") > 1) & (F.col("ssw_q") > 0),
+        (F.col("ssb_q").cast("double")
+         * (F.col("n") - F.col("k")).cast("double"))
+        / (F.col("ssw_q").cast("double")
+           * (F.col("k") - 1).cast("double")))
+    return out.withColumn("f_stat", f_stat)

@@ -784,3 +784,139 @@ FROM agg"""
 
 
 ANALYTICS_QUERIES["auc_metric"] = (q_auc_metric, sql_auc_metric)
+
+
+_ITEMCF_K = 5
+_ITEMCF_MIN_COOC = 2
+_ITEMCF_SCALE = 10**12
+
+
+def q_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over order baskets
+    (operators/cooccur.py item_item_topk): top-5 neighbors per part by
+    exact-integer cosine² ranking on (order, part) co-occurrence."""
+    from .operators.cooccur import item_item_topk
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_partkey")
+    return item_item_topk(li, "l_orderkey", "l_partkey",
+                          k=_ITEMCF_K, min_cooc=_ITEMCF_MIN_COOC,
+                          scale=_ITEMCF_SCALE)
+
+
+def sql_item_cf_topk() -> str:
+    return f"""WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+pairs AS (
+  SELECT a.i AS i_a, b.i AS i_b, CAST(count(*) AS BIGINT) AS n_ij
+  FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING count(*) >= {_ITEMCF_MIN_COOC}),
+freq AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM bi GROUP BY 1),
+scored AS (
+  SELECT p.i_a, p.i_b, p.n_ij,
+         (p.n_ij * p.n_ij * CAST({_ITEMCF_SCALE} AS BIGINT))
+           // (fa.n_i * fb.n_i) AS score_q
+  FROM pairs p
+  JOIN freq fa ON p.i_a = fa.i
+  JOIN freq fb ON p.i_b = fb.i),
+sym AS (
+  SELECT i_a AS item, i_b AS neighbor, n_ij, score_q FROM scored
+  UNION ALL
+  SELECT i_b, i_a, n_ij, score_q FROM scored)
+SELECT item, rank, neighbor, n_ij, score_q FROM (
+  SELECT item, neighbor, n_ij, score_q,
+         CAST(ROW_NUMBER() OVER (PARTITION BY item
+                                 ORDER BY score_q DESC, neighbor)
+              AS INT) AS rank
+  FROM sym) WHERE rank <= {_ITEMCF_K}"""
+
+
+ANALYTICS_QUERIES["item_cf_topk"] = (q_item_cf_topk, sql_item_cf_topk)
+
+
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F over customer account balances by market
+    segment (operators/stats.py anova_f): exact int64 moment sums,
+    per-group floor-div quantization, one pinned double chain."""
+    from .operators.stats import anova_f
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_mktsegment", _cents("c_acctbal").alias("bal_c"))
+    return anova_f(c, "c_mktsegment", "bal_c")
+
+
+def sql_anova_f() -> str:
+    bal = "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"
+    return f"""WITH g AS (
+  SELECT c_mktsegment,
+         CAST(count(*) AS BIGINT) AS n_g,
+         CAST(SUM({bal}) AS BIGINT) AS s_g,
+         CAST(SUM({bal} * {bal}) AS BIGINT) AS q_g
+  FROM customer GROUP BY 1),
+t AS (SELECT n_g, s_g, q_g, (s_g * s_g) // n_g AS t_g FROM g),
+tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(SUM(s_g) AS BIGINT) AS s,
+         CAST(SUM(q_g) AS BIGINT) AS q,
+         CAST(SUM(t_g) AS BIGINT) AS t
+  FROM t),
+fin AS (
+  SELECT n, k,
+         GREATEST(CAST(0 AS BIGINT), t - (s * s) // n) AS ssb_q,
+         q - t AS ssw_q
+  FROM tot)
+SELECT n, k, ssb_q, ssw_q,
+       CASE WHEN k > 1 AND ssw_q > 0
+            THEN (CAST(ssb_q AS DOUBLE) * CAST(n - k AS DOUBLE))
+                 / (CAST(ssw_q AS DOUBLE) * CAST(k - 1 AS DOUBLE))
+       END AS f_stat
+FROM fin"""
+
+
+ANALYTICS_QUERIES["anova_f"] = (q_anova_f, sql_anova_f)
+
+
+_FD_CANDIDATES = (
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("part", "p_brand", "p_type"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+)
+
+
+def q_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery profile (operators/analytics.py
+    fd_profile): g3 error + violating-group counts for four candidate
+    FDs across the relational tables, unioned into one report."""
+    from .operators.analytics import fd_profile
+
+    frames = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        frames.append(fd_profile(df, lhs, rhs))
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out
+
+
+def sql_fd_profile() -> str:
+    parts = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        parts.append(f"""
+SELECT '{lhs}->{rhs}' AS fd,
+       CAST(count(*) AS BIGINT) AS lhs_groups,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_groups,
+       CAST(SUM(rows_) AS BIGINT) AS n_rows,
+       CAST(SUM(rows_ - maj) AS BIGINT) AS g3_del
+FROM (
+  SELECT {lhs}, count(*) AS n_rhs, SUM(c) AS rows_, MAX(c) AS maj
+  FROM (SELECT {lhs}, {rhs}, CAST(count(*) AS BIGINT) AS c
+        FROM {table} GROUP BY 1, 2)
+  GROUP BY 1)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+ANALYTICS_QUERIES["fd_profile"] = (q_fd_profile, sql_fd_profile)

@@ -699,3 +699,50 @@ GRAPH_QUERIES = {
     "hits_scores": (q_hits_scores, sql_hits_scores),
     "ppr_scores": (q_ppr_scores, sql_ppr_scores),
 }
+
+
+_LCC_SCALE = 10**9
+
+
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (operators/graph.py
+    local_clustering) over the shared hashed link graph — exact
+    quantized (2·tri·10⁹)//(deg·(deg−1)), NULL below degree 2."""
+    from .operators.graph import local_clustering
+
+    return (local_clustering(_link_edges(spark, sf_dir),
+                             scale=_LCC_SCALE)
+            .select(F.col("node").alias("doc_id"), "deg", "n_tri",
+                    "coeff_q"))
+
+
+def sql_local_clustering() -> str:
+    return f"""WITH {_sql_link_edges()},
+e AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM edges WHERE src <> dst),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY 1),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+ntri AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri)
+  GROUP BY 1)
+SELECT d.node AS doc_id, d.deg,
+       COALESCE(n.n_tri, CAST(0 AS BIGINT)) AS n_tri,
+       CASE WHEN d.deg >= 2
+            THEN (2 * COALESCE(n.n_tri, CAST(0 AS BIGINT))
+                  * CAST({_LCC_SCALE} AS BIGINT))
+                 // (d.deg * (d.deg - 1))
+       END AS coeff_q
+FROM deg d LEFT JOIN ntri n ON d.node = n.node"""
+
+
+GRAPH_QUERIES["local_clustering"] = (q_local_clustering,
+                                     sql_local_clustering)

@@ -1,0 +1,106 @@
+"""Session-9 operators: item-item CF, local clustering coefficient,
+one-way ANOVA F, functional-dependency profiling — brute python
+differentials and bound-guard checks."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_item_item_topk_brute(spark):
+    from mapbox_filter_spark.operators.cooccur import item_item_topk
+    # baskets: {1,2,3}, {1,2}, {1,3}, {2,3}, {1,2}
+    rows = [(10, 1), (10, 2), (10, 3),
+            (20, 1), (20, 2),
+            (30, 1), (30, 3),
+            (40, 2), (40, 3),
+            (50, 1), (50, 2), (50, 2)]  # dup (50,2) collapses
+    df = spark.createDataFrame(rows, "b long, i long")
+    got = {(r.item, r.rank): (r.neighbor, r.n_ij, r.score_q)
+           for r in item_item_topk(df, "b", "i", k=2, min_cooc=2,
+                                   scale=10**6).collect()}
+    # counts: n_1=4, n_2=4, n_3=3; cooc 12=3, 13=2, 23=2
+    s12 = (3 * 3 * 10**6) // (4 * 4)   # 562500
+    s13 = (2 * 2 * 10**6) // (4 * 3)   # 333333
+    s23 = (2 * 2 * 10**6) // (4 * 3)   # 333333
+    assert got[(1, 1)] == (2, 3, s12)
+    assert got[(1, 2)] == (3, 2, s13)
+    assert got[(2, 1)] == (1, 3, s12)
+    assert got[(2, 2)] == (3, 2, s23)
+    assert got[(3, 1)] == (1, 2, s13)  # tie on score -> neighbor asc
+    assert got[(3, 2)] == (2, 2, s23)
+
+
+def test_local_clustering_triangle_plus_pendant(spark):
+    from mapbox_filter_spark.operators.graph import local_clustering
+    # triangle 1-2-3 plus pendant 4 hanging off 1
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4)], "src long, dst long")
+    got = {r.node: (r.deg, r.n_tri, r.coeff_q)
+           for r in local_clustering(e, scale=1000).collect()}
+    assert got[1] == (3, 1, (2 * 1 * 1000) // (3 * 2))  # 333
+    assert got[2] == (2, 1, 1000)
+    assert got[3] == (2, 1, 1000)
+    assert got[4] == (1, 0, None)
+
+
+def _py_anova(groups):
+    vals = [x for g in groups for x in g]
+    n, k = len(vals), len(groups)
+    t = sum((sum(g) ** 2) // len(g) for g in groups)
+    s, q = sum(vals), sum(x * x for x in vals)
+    ssb = max(0, t - (s * s) // n)
+    ssw = q - t
+    f = (float(ssb) * float(n - k)) / (float(ssw) * float(k - 1)) \
+        if k > 1 and ssw > 0 else None
+    return n, k, ssb, ssw, f
+
+
+def test_anova_f_replay(spark):
+    from mapbox_filter_spark.operators.stats import anova_f
+    groups = {"a": [10, 12, 11, 9], "b": [20, 22, 21], "c": [10, 21, 30]}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = anova_f(df, "g", "v").collect()[0]
+    n, k, ssb, ssw, f = _py_anova(list(groups.values()))
+    assert (r.n, r.k, r.ssb_q, r.ssw_q) == (n, k, ssb, ssw)
+    assert r.f_stat == f
+
+
+def test_anova_f_degenerate_single_group(spark):
+    from mapbox_filter_spark.operators.stats import anova_f
+    df = spark.createDataFrame([("a", 1), ("a", 5)], "g string, v long")
+    r = anova_f(df, "g", "v").collect()[0]
+    assert r.k == 1 and r.f_stat is None
+
+
+def test_anova_f_bound_guard_raises(spark):
+    from mapbox_filter_spark.operators.stats import anova_f
+    big = 2_000_000_000
+    df = spark.createDataFrame(
+        [("a", big), ("a", big), ("b", 1), ("b", 2)], "g string, v long")
+    with pytest.raises(Exception, match="exact-int64 bound"):
+        anova_f(df, "g", "v").collect()
+
+
+def test_fd_profile_g3(spark):
+    from mapbox_filter_spark.operators.analytics import fd_profile
+    # lhs=1 maps to x,x,y (violates, g3=1); lhs=2 maps to z,z (holds)
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (1, "y"), (2, "z"), (2, "z")],
+        "a long, b string")
+    r = fd_profile(df, "a", "b").collect()[0]
+    assert r.fd == "a->b"
+    assert (r.lhs_groups, r.violating_groups, r.n_rows, r.g3_del) == \
+        (2, 1, 5, 1)
+
+
+def test_fd_profile_multi_lhs(spark):
+    from mapbox_filter_spark.operators.analytics import fd_profile
+    df = spark.createDataFrame(
+        [(1, 1, "x"), (1, 1, "y"), (1, 2, "x")],
+        "a long, b long, c string")
+    r = fd_profile(df, ["a", "b"], "c", fd_name="ab->c").collect()[0]
+    assert r.fd == "ab->c"
+    assert (r.lhs_groups, r.violating_groups, r.g3_del) == (2, 1, 1)
