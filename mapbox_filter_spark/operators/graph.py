@@ -776,3 +776,34 @@ def local_clustering(edges: DataFrame, *, src: str = "src",
                F.expr(f"(2 * n_tri * CAST({int(scale)} AS BIGINT))"
                       " div (deg * (deg - 1))").cast("long"))
         .otherwise(F.lit(None).cast("long")))
+
+
+def reciprocity(edges: DataFrame, *, src: str = "src",
+                dst: str = "dst", scale: int = 10**9) -> DataFrame:
+    """Per-node edge reciprocity of a DIRECTED graph: of a node's
+    distinct out-edges, how many have the reverse edge present —
+    ``recip_q = (n_recip·scale) // out_deg`` exact (non-negative
+    floor-div).  The follower-graph mutuality primitive.
+
+    Scale shape: one distinct projection, one self-join on the
+    reversed key pair (equi-join — AQE-skew-splittable on hot hubs),
+    two keyed aggregates.  No driver collect.
+
+    Output: ``(node, out_deg, n_recip, recip_q)`` for every node with
+    ≥ 1 out-edge.
+    """
+    e = (edges.filter(F.col(src) != F.col(dst))
+         .select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .distinct())
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    mutual = (e.join(rev, ["a", "b"], "leftsemi")
+              .groupBy("a").agg(F.count(F.lit(1)).alias("n_recip")))
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("out_deg"))
+    j = deg.join(mutual, "a", "left").select(
+        F.col("a").alias("node"), "out_deg",
+        F.coalesce(F.col("n_recip"), F.lit(0)).cast("long")
+        .alias("n_recip"))
+    return j.withColumn(
+        "recip_q",
+        F.expr(f"(n_recip * CAST({int(scale)} AS BIGINT))"
+               " div out_deg").cast("long"))

@@ -459,3 +459,34 @@ def prf_expansion(docs: DataFrame, query_terms: "list[str]", *,
     w = Window.orderBy(F.col("df_fb").desc(), F.col("tf_fb").desc(),
                        F.col("term").asc())
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def prefix_topk(docs: DataFrame, text_col: str, *,
+                max_prefix: int = 4, k: int = 3,
+                min_count: int = 2) -> DataFrame:
+    """Query-autocomplete prefix index: for every token prefix of
+    length 1..``max_prefix``, the top-``k`` corpus tokens by frequency
+    (ties broken by token ASC) — the typeahead-completion primitive.
+
+    Scale shape: token counting is ONE map-side-combinable groupBy over
+    the corpus; prefix expansion then explodes the (small) VOCABULARY
+    table ×max_prefix — never the corpus; per-prefix top-k is a window
+    over (prefix) on the vocabulary-sized table.  Exact counts only.
+
+    Output: ``(prefix, rank, token, n)``.
+    """
+    from pyspark.sql import Window as W
+
+    from .text import _words
+
+    counts = (docs.select(
+        F.explode(_words(F.col(text_col))).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= int(min_count)))
+    pref = counts.select("token", "n", F.explode(F.expr(
+        f"transform(sequence(1, least(length(token), {int(max_prefix)})),"
+        " i -> substr(token, 1, i))")).alias("prefix"))
+    w = W.partitionBy("prefix").orderBy(F.col("n").desc(), "token")
+    return (pref.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k))
+            .select("prefix", "rank", "token", "n"))

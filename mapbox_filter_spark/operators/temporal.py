@@ -1031,3 +1031,21 @@ def allen_join(left: DataFrame, right: DataFrame, keys: "list[str]", *,
     if touching_only:
         j = j.filter((le >= rs) & (re >= ls))
     return j.withColumn("rel", rel)
+
+
+_BUSDAY_MONDAY = "1994-12-26"  # Monday anchor for the weekday fold
+
+
+def business_days(from_col, to_col):
+    """Exact integer business days (Mon-Fri) between two date/timestamp
+    columns: ``w(to) − w(from)`` where ``w(d) = 5·(dn div 7) +
+    least(dn mod 7, 5)`` and ``dn`` counts days since the Monday
+    anchor 1994-12-26.  Pure integer arithmetic — deterministic
+    cross-engine (both dates must be ≥ the anchor; the driver corpus
+    starts 1995-01-01).
+    """
+    def w(c):
+        dn = (f"cast(datediff(cast({c} as date), "
+              f"date'{_BUSDAY_MONDAY}') as bigint)")
+        return F.expr(f"5 * ({dn} div 7) + least({dn} % 7, 5)")
+    return (w(to_col) - w(from_col)).cast("long")

@@ -528,3 +528,66 @@ def zipf_slope(docs: DataFrame, *, top_n: int = 200,
         .select("rank", "cnt")
     from .stats import loglog_fit
     return loglog_fit(ranked, "rank", "cnt")
+
+
+def rake_phrases(docs: DataFrame, id_col: str, text_col: str, *,
+                 stopwords: tuple, k: int = 50,
+                 scale: int = 10**9) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, public algorithm):
+    candidate phrases are maximal runs of non-stopword tokens; word
+    score = degree/frequency where degree sums the lengths of phrases
+    the word occurs in; a phrase scores the sum of its member words.
+
+    Exact integers end-to-end: word score is the floor-div
+    ``(deg·scale)//freq`` (non-negative → truncation = floor
+    cross-engine) and phrase scores are int64 sums of those — no float
+    anywhere, so the full top-k value-hashes.
+
+    Scale shape: tokenization + stopword marking are in-row; phrase
+    segmentation is ONE per-doc window (running stopword count =
+    gaps-and-islands id); word stats one groupBy(word); phrase scoring
+    re-joins word scores (|words| ≪ corpus) and aggregates by phrase
+    text; global top-k is sort+limit (TakeOrdered).  No driver
+    collect.
+
+    Output: ``(phrase, n, score_q)`` — top ``k`` by (score_q DESC,
+    phrase).
+    """
+    from pyspark.sql import Window as W
+
+    words = _words(F.col(text_col))
+    pos = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(words).alias("pos", "w"))
+    marked = pos.withColumn(
+        "s", F.when(F.col("w").isin(*stopwords), 1).otherwise(0))
+    win = W.partitionBy("_doc").orderBy("pos") \
+        .rowsBetween(W.unboundedPreceding, 0)
+    pid = marked.withColumn("phrase_id", F.sum("s").over(win))
+    nw = pid.filter(F.col("s") == 0) \
+        .select("_doc", "phrase_id", "pos", "w")
+    pl = (nw.groupBy("_doc", "phrase_id")
+          .agg(F.count(F.lit(1)).alias("plen"),
+               F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("pos", "w"))),
+                       lambda st: st["w"]), " ").alias("phrase")))
+    ws = (nw.join(pl.select("_doc", "phrase_id", "plen"),
+                  ["_doc", "phrase_id"])
+          .groupBy("w")
+          .agg(F.count(F.lit(1)).alias("freq"),
+               F.sum("plen").alias("deg")))
+    wq = ws.select(
+        "w", F.expr(f"(deg * CAST({int(scale)} AS BIGINT)) div freq")
+        .cast("long").alias("wscore"))
+    ps = (nw.join(wq, "w")
+          .groupBy("_doc", "phrase_id")
+          .agg(F.sum("wscore").alias("pscore")))
+    agg = (pl.join(ps, ["_doc", "phrase_id"])
+           .groupBy("phrase")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.min("pscore").alias("score_q")))
+    return (agg.orderBy(F.col("score_q").desc(), "phrase")
+            .limit(int(k))
+            .select("phrase", "n", "score_q"))

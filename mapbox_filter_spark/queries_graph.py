@@ -746,3 +746,33 @@ FROM deg d LEFT JOIN ntri n ON d.node = n.node"""
 
 GRAPH_QUERIES["local_clustering"] = (q_local_clustering,
                                      sql_local_clustering)
+
+
+_RECIP_SCALE = 10**9
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node edge reciprocity (operators/graph.py reciprocity) of
+    the DIRECTED hashed link graph — exact (n_recip·10⁹)//out_deg."""
+    from .operators.graph import reciprocity
+
+    return (reciprocity(_link_edges(spark, sf_dir),
+                        scale=_RECIP_SCALE)
+            .select(F.col("node").alias("doc_id"), "out_deg",
+                    "n_recip", "recip_q"))
+
+
+def sql_reciprocity() -> str:
+    return f"""WITH {_sql_link_edges()},
+e AS (SELECT DISTINCT src AS a, dst AS b FROM edges WHERE src <> dst),
+m AS (SELECT e.a, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e JOIN e r ON e.a = r.b AND e.b = r.a GROUP BY 1),
+d AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS out_deg FROM e GROUP BY 1)
+SELECT d.a AS doc_id, d.out_deg,
+       COALESCE(m.n, CAST(0 AS BIGINT)) AS n_recip,
+       (COALESCE(m.n, CAST(0 AS BIGINT))
+        * CAST({_RECIP_SCALE} AS BIGINT)) // d.out_deg AS recip_q
+FROM d LEFT JOIN m ON d.a = m.a"""
+
+
+GRAPH_QUERIES["reciprocity"] = (q_reciprocity, sql_reciprocity)

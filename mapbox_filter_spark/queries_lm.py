@@ -302,3 +302,100 @@ LM_QUERIES = {
     "cooccur_pmi": (q_cooccur_pmi, sql_cooccur_pmi),
     "assoc_rules": (q_assoc_rules, sql_assoc_rules),
 }
+
+
+_RAKE_STOP = ("a", "the", "and", "of", "to", "is", "that")
+_RAKE_K = 50
+_RAKE_SCALE = 10**9
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction over the document corpus
+    (operators/text.py rake_phrases): exact-integer word scores
+    (deg·10⁹)//freq, int64 phrase sums, global top-50."""
+    from .operators.text import rake_phrases
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    return rake_phrases(docs, "doc_id", "text", stopwords=_RAKE_STOP,
+                        k=_RAKE_K, scale=_RAKE_SCALE)
+
+
+def sql_rake_keywords() -> str:
+    stop = ", ".join(f"'{s}'" for s in _RAKE_STOP)
+    return f"""WITH {_WORDS_SQL},
+pos AS (
+  SELECT doc_id, t.i AS pos, words[t.i] AS w
+  FROM base, LATERAL (SELECT unnest(range(1, len(words) + 1)) AS i) t),
+m AS (SELECT doc_id, pos, w,
+             CASE WHEN w IN ({stop}) THEN 1 ELSE 0 END AS s
+      FROM pos),
+pid AS (
+  SELECT doc_id, pos, w, s,
+         SUM(s) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS UNBOUNDED PRECEDING) AS phrase_id
+  FROM m),
+nw AS (SELECT doc_id, phrase_id, pos, w FROM pid WHERE s = 0),
+pl AS (
+  SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS plen,
+         string_agg(w, ' ' ORDER BY pos) AS phrase
+  FROM nw GROUP BY 1, 2),
+ws AS (
+  SELECT nw.w, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(pl.plen) AS BIGINT) AS deg
+  FROM nw JOIN pl USING (doc_id, phrase_id) GROUP BY 1),
+wq AS (SELECT w, (deg * CAST({_RAKE_SCALE} AS BIGINT)) // freq
+              AS wscore
+       FROM ws),
+ps AS (
+  SELECT nw.doc_id, nw.phrase_id,
+         CAST(SUM(wq.wscore) AS BIGINT) AS pscore
+  FROM nw JOIN wq USING (w) GROUP BY 1, 2),
+agg AS (
+  SELECT pl.phrase, CAST(COUNT(*) AS BIGINT) AS n,
+         MIN(ps.pscore) AS score_q
+  FROM pl JOIN ps USING (doc_id, phrase_id) GROUP BY 1)
+SELECT phrase, n, score_q FROM agg
+QUALIFY ROW_NUMBER() OVER (ORDER BY score_q DESC, phrase)
+        <= {_RAKE_K}"""
+
+
+LM_QUERIES["rake_keywords"] = (q_rake_keywords, sql_rake_keywords)
+
+
+_PREFIX_MAX = 4
+_PREFIX_K = 3
+_PREFIX_MIN_COUNT = 5
+
+
+def q_prefix_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete prefix index (operators/retrieval.py prefix_topk):
+    top-3 corpus tokens per prefix (lengths 1-4) by exact counts."""
+    from .operators.retrieval import prefix_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("text")
+    return prefix_topk(docs, "text", max_prefix=_PREFIX_MAX,
+                       k=_PREFIX_K, min_count=_PREFIX_MIN_COUNT)
+
+
+def sql_prefix_complete() -> str:
+    return f"""WITH {_WORDS_SQL},
+counts AS (
+  SELECT t.w AS token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM base, LATERAL (SELECT unnest(words) AS w) t
+  GROUP BY 1 HAVING COUNT(*) >= {_PREFIX_MIN_COUNT}),
+pref AS (
+  SELECT token, n, substr(token, 1, p.i) AS prefix
+  FROM counts, LATERAL (
+    SELECT unnest(range(1, least(length(token), {_PREFIX_MAX}) + 1))
+      AS i) p)
+SELECT prefix, rank, token, n FROM (
+  SELECT prefix, token, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY prefix
+                                 ORDER BY n DESC, token) AS INT)
+           AS rank
+  FROM pref) WHERE rank <= {_PREFIX_K}"""
+
+
+LM_QUERIES["prefix_complete"] = (q_prefix_complete, sql_prefix_complete)

@@ -990,3 +990,44 @@ WHERE l_end >= r_start AND r_end >= l_start"""
 
 
 TEMPORAL_QUERIES["allen_join"] = (q_allen_join, sql_allen_join)
+
+
+def q_busday_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship lag in exact integer BUSINESS days
+    (operators/temporal.py business_days — Monday-anchored weekday
+    fold, no calendar UDF), bucketed into 5-busday weeks per order
+    priority."""
+    from .operators.temporal import business_days
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_orderkey", "l_shipdate")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        business_days("o_orderdate", "l_shipdate").alias("lag_bd"))
+    return (j.groupBy("o_orderpriority",
+                      F.expr("lag_bd div 5").cast("long")
+                      .alias("lag_weeks"))
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum("lag_bd").alias("sum_busdays")))
+
+
+def sql_busday_lag() -> str:
+    anchor = "DATE '1994-12-26'"
+
+    def w(c):
+        dn = f"CAST(date_diff('day', {anchor}, CAST({c} AS DATE)) AS BIGINT)"
+        return f"(5 * ({dn} // 7) + least({dn} % 7, 5))"
+
+    lag = f"({w('l.l_shipdate')} - {w('o.o_orderdate')})"
+    return f"""SELECT o.o_orderpriority,
+       CAST({lag} // 5 AS BIGINT) AS lag_weeks,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM({lag}) AS BIGINT) AS sum_busdays
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2"""
+
+
+TEMPORAL_QUERIES["busday_lag"] = (q_busday_lag, sql_busday_lag)

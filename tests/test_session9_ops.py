@@ -104,3 +104,82 @@ def test_fd_profile_multi_lhs(spark):
     r = fd_profile(df, ["a", "b"], "c", fd_name="ab->c").collect()[0]
     assert r.fd == "ab->c"
     assert (r.lhs_groups, r.violating_groups, r.g3_del) == (2, 1, 1)
+
+
+def test_rake_phrases_hand_example(spark):
+    from mapbox_filter_spark.operators.text import rake_phrases
+    # doc: "deep learning of deep nets" stop={of}
+    # phrases: "deep learning" (len2), "deep nets" (len2)
+    # freq: deep=2, learning=1, nets=1; deg: deep=4, learning=2, nets=2
+    # wscore(scale=10): deep=(4*10)//2=20, learning=20, nets=20
+    # phrase scores: both 40; n=1 each
+    df = spark.createDataFrame(
+        [(1, "deep learning of deep nets")], "doc_id long, text string")
+    rows = rake_phrases(df, "doc_id", "text", stopwords=("of",),
+                        k=10, scale=10).collect()
+    got = {r.phrase: (r.n, r.score_q) for r in rows}
+    assert got == {"deep learning": (1, 40), "deep nets": (1, 40)}
+
+
+def test_rake_phrases_repeated_phrase_counts(spark):
+    from mapbox_filter_spark.operators.text import rake_phrases
+    df = spark.createDataFrame(
+        [(1, "big data the big data"), (2, "big data")],
+        "doc_id long, text string")
+    rows = rake_phrases(df, "doc_id", "text", stopwords=("the",),
+                        k=10, scale=100).collect()
+    # three identical "big data" phrases; freq(big)=3 deg=6 -> 200 each
+    assert [(r.phrase, r.n, r.score_q) for r in rows] == \
+        [("big data", 3, 400)]
+
+
+def test_prefix_topk(spark):
+    from mapbox_filter_spark.operators.retrieval import prefix_topk
+    df = spark.createDataFrame(
+        [("spark spark spark scan scan sort",)], "text string")
+    rows = prefix_topk(df, "text", max_prefix=2, k=2,
+                       min_count=1).collect()
+    got = {(r.prefix, r.rank): (r.token, r.n) for r in rows}
+    assert got[("s", 1)] == ("spark", 3)
+    assert got[("s", 2)] == ("scan", 2)
+    assert got[("sp", 1)] == ("spark", 3)
+    assert got[("sc", 1)] == ("scan", 2)
+    assert got[("so", 1)] == ("sort", 1)
+
+
+def test_reciprocity_mixed_graph(spark):
+    from mapbox_filter_spark.operators.graph import reciprocity
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 1), (1, 4), (5, 1), (2, 2)],
+        "src long, dst long")
+    got = {r.node: (r.out_deg, r.n_recip, r.recip_q)
+           for r in reciprocity(e, scale=100).collect()}
+    assert got[1] == (3, 2, (2 * 100) // 3)   # 2,3 mutual; 4 not
+    assert got[2] == (1, 1, 100)
+    assert got[3] == (1, 1, 100)
+    assert got[5] == (1, 0, 0)
+    assert 4 not in got  # no out-edges (self-loop 2->2 dropped)
+
+
+def test_business_days_exact(spark):
+    from mapbox_filter_spark.operators.temporal import business_days
+    import datetime as dt
+    cases = [
+        # Mon 1995-01-02 -> Fri 1995-01-06: 4 busdays
+        (dt.datetime(1995, 1, 2), dt.datetime(1995, 1, 6), 4),
+        # Fri -> next Mon: 1 busday
+        (dt.datetime(1995, 1, 6), dt.datetime(1995, 1, 9), 1),
+        # Sat -> Sun same weekend: 0
+        (dt.datetime(1995, 1, 7), dt.datetime(1995, 1, 8), 0),
+        # full week Mon -> next Mon: 5
+        (dt.datetime(1995, 1, 2), dt.datetime(1995, 1, 9), 5),
+        # reversed: negative
+        (dt.datetime(1995, 1, 9), dt.datetime(1995, 1, 2), -5),
+    ]
+    df = spark.createDataFrame(
+        [(a, b, exp) for a, b, exp in cases],
+        "d0 timestamp, d1 timestamp, exp long")
+    rows = df.select(business_days("d0", "d1").alias("bd"),
+                     "exp").collect()
+    for r in rows:
+        assert r.bd == r.exp
