@@ -400,3 +400,64 @@ def fd_profile(df: DataFrame, lhs_cols, rhs_col: str,
         .alias("g3_del")
     ).select(F.lit(name).alias("fd"), "lhs_groups",
              "violating_groups", "n_rows", "g3_del")
+
+
+_BURST_MAX_GAP_S = 10_000_000      # |gap| bound: n·Σg² must fit int64
+
+
+def burstiness(events: DataFrame, key_col: str, ts_col: str,
+               order_col: str, *, min_gaps: int = 2) -> DataFrame:
+    """Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of inter-event gaps,
+    per entity — the temporal-clumping signal (B→1 bursty, 0 Poisson,
+    −1 regular).
+
+    Gaps are whole seconds (``unix_micros`` difference div 10⁶ —
+    truncating div, identical cross-engine); moments n, S=Σg, Q=Σg²
+    are exact int64.  Using σ² = (nQ−S²)/n², B rearranges so every
+    pre-√ term is exact::
+
+        D = n·Q − S²;   B = (√D − S) / (√D + S)
+
+    (the n² under the radical cancels against μ's denominator) — one
+    pinned 4-op double chain.  Per-gap bound |g| ≤ 10⁷ s enforced
+    in-plan (raise_error): keeps n·Q ≤ 2⁶³ through ~10⁴ gaps/entity at
+    full seconds-scale gaps; beyond that quantize to coarser units
+    upstream.
+
+    Output: ``(key, n_gaps, s_sum, d_term, b)``; entities with fewer
+    than ``min_gaps`` gaps or S = 0 are dropped/NULL respectively.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key_col).orderBy(ts_col, order_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = (events.select(F.col(key_col).alias("key"),
+                          F.col(ts_col), F.col(order_col),
+                          (us - F.lag(us).over(w)).alias("_gus"))
+            .filter(F.col("_gus").isNotNull())
+            .select("key",
+                    F.expr("_gus div 1000000").cast("long").alias("g")))
+    guarded = gaps.withColumn(
+        "g",
+        F.when(F.abs(F.col("g")) > _BURST_MAX_GAP_S,
+               F.raise_error(F.concat(
+                   F.lit("burstiness: |gap| exceeds exact-int64 bound "
+                         f"({_BURST_MAX_GAP_S} s): g="),
+                   F.col("g").cast("string"))).cast("long"))
+        .otherwise(F.col("g")))
+    agg = (guarded.groupBy("key")
+           .agg(F.count(F.lit(1)).alias("n_gaps"),
+                F.sum("g").alias("s_sum"),
+                F.sum(F.col("g") * F.col("g")).alias("q_sum"))
+           .filter(F.col("n_gaps") >= int(min_gaps)))
+    d = (F.col("n_gaps") * F.col("q_sum")
+         - F.col("s_sum") * F.col("s_sum"))
+    out = agg.select("key", "n_gaps", "s_sum",
+                     d.cast("long").alias("d_term"))
+    b = F.when(
+        (F.col("s_sum") > 0) & (F.col("d_term") >= 0),
+        (F.sqrt(F.col("d_term").cast("double"))
+         - F.col("s_sum").cast("double"))
+        / (F.sqrt(F.col("d_term").cast("double"))
+           + F.col("s_sum").cast("double")))
+    return out.withColumn("b", b)

@@ -327,3 +327,72 @@ def theil_sen(df: DataFrame, group_cols: "list[str]",
             .select(*group_cols, "n_pts", "n_pairs",
                     F.col("dy").alias("med_dy"),
                     F.col("dx").alias("med_dx"), "slope"))
+
+
+def runs_test(df: DataFrame, group_cols: "list[str]", order_cols,
+              value_col: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for sequence randomness, per group.
+
+    Each group's values (exact integers — quantize upstream) are
+    dichotomized against the group's EXACT lower median (the
+    ``⌈n/2⌉``-th order statistic, rank with row_number over (value,
+    order) — fully deterministic); values equal to the median are
+    DROPPED (the standard treatment).  The run count R is then
+    ``1 + Σ[sign ≠ lag(sign)]`` over ``order_cols``.
+
+    Exact outputs: ``(group..., n1, n0, runs)`` plus the z statistic
+    as one pinned double chain over exact int64 terms::
+
+        z = (n·(R−1) − 2·n1·n0) · √(n−1) / √(2·n1·n0·(2·n1·n0 − n))
+
+    (algebraic rearrangement of (R−μ)/σ with μ = 1 + 2n1n0/n so every
+    pre-√ term is an exact integer; n = n1+n0).  int64 bound: 2n1n0 ≤
+    n²/2, and the radicand 2n1n0·(2n1n0−n) needs n ≤ ~55k — enforced
+    in-plan via raise_error (_MAX_GROUP_ROWS, same bound discipline as
+    spearman).  z is NULL when n1·n0 = 0 (all values on one side).
+    """
+    order_cols = [order_cols] if isinstance(order_cols, str) \
+        else list(order_cols)
+    v = F.col(value_col).cast("long")
+    # exact lower median per group
+    wrank = Window.partitionBy(*group_cols).orderBy(v, *order_cols)
+    ranked = df.select(*group_cols, *order_cols,
+                       v.alias("_v"),
+                       F.row_number().over(wrank).alias("_r"))
+    med = (ranked.groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).alias("_n_all"))
+           .select(*group_cols,
+                   ((F.col("_n_all") + 1) / 2).cast("long")
+                   .alias("_medrank")))
+    with_med = (ranked.join(med, group_cols)
+                .withColumn("_is_med", F.col("_r") == F.col("_medrank")))
+    medval = (with_med.filter(F.col("_is_med"))
+              .select(*group_cols, F.col("_v").alias("_med")))
+    signed = (ranked.join(medval, group_cols)
+              .filter(F.col("_v") != F.col("_med"))
+              .withColumn("_s", (F.col("_v") > F.col("_med"))
+                          .cast("int")))
+    wseq = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    runs = signed.withColumn(
+        "_chg",
+        F.when(F.lag("_s").over(wseq).isNull(), 1)
+        .when(F.lag("_s").over(wseq) != F.col("_s"), 1).otherwise(0))
+    agg = runs.groupBy(*group_cols).agg(
+        F.sum("_s").cast("long").alias("n1"),
+        F.sum(1 - F.col("_s")).cast("long").alias("n0"),
+        F.sum("_chg").cast("long").alias("runs"))
+    n = (F.col("n1") + F.col("n0"))
+    guard = F.when(
+        n > _MAX_GROUP_ROWS,
+        F.raise_error(F.concat(
+            F.lit("runs_test: group exceeds exact-int64 bound "
+                  f"({_MAX_GROUP_ROWS} rows): n="), n.cast("string")))
+        .cast("double"))
+    a = n * (F.col("runs") - 1) - 2 * F.col("n1") * F.col("n0")
+    rad = (2 * F.col("n1") * F.col("n0")
+           * (2 * F.col("n1") * F.col("n0") - n))
+    z = guard.otherwise(
+        F.when((F.col("n1") > 0) & (F.col("n0") > 0) & (rad > 0),
+               a.cast("double") * F.sqrt((n - 1).cast("double"))
+               / F.sqrt(rad.cast("double"))))
+    return agg.select(*group_cols, "n1", "n0", "runs", z.alias("z"))

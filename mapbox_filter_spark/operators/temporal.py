@@ -1049,3 +1049,49 @@ def business_days(from_col, to_col):
               f"date'{_BUSDAY_MONDAY}') as bigint)")
         return F.expr(f"5 * ({dn} div 7) + least({dn} % 7, 5)")
     return (w(to_col) - w(from_col)).cast("long")
+
+
+def seasonal_decompose_daily(events: DataFrame, ts_col: str,
+                             group_cols=()) -> DataFrame:
+    """Additive seasonal decomposition of a daily count series with
+    exact integer arithmetic (the classical moving-average method,
+    kept exact by NEVER dividing: trend is the centered 7-day window
+    SUM, and the day-of-week seasonal deviation is the cross-multiplied
+    ``dev_num = n·N_w − S_w`` — positive means this day beats its
+    weekday-cohort mean, same n·v−Σ discipline as seasonal_anomaly).
+
+    Day-of-week is computed as days-since-Monday-anchor mod 7 (0=Mon)
+    — pure integer math, NOT the engine dayofweek() (Spark and DuckDB
+    disagree on week-start conventions).
+
+    Scale shape: ONE map-side-combinable groupBy collapses the event
+    stream to a days×groups table; the centered window and the cohort
+    stats then run on that tiny aggregate — the fact table is touched
+    exactly once.
+
+    Output: ``(group..., day_us, dow, n, trend7_sum, n_w, s_w,
+    dev_num)`` — ``dev_num = n·n_w − s_w`` exact int64.
+    """
+    from pyspark.sql import Window as W
+
+    gcols = list(group_cols)
+    day = F.date_trunc("DAY", F.col(ts_col))
+    daily = (events.groupBy(*gcols, day.alias("_day"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    dn = (f"cast(datediff(cast(_day as date), "
+          f"date'{_BUSDAY_MONDAY}') as bigint)")
+    daily = daily.select(
+        *gcols,
+        F.unix_micros(F.col("_day").cast("timestamp")).alias("day_us"),
+        F.expr(f"{dn} % 7").cast("int").alias("dow"), "n")
+    wtrend = W.partitionBy(*gcols).orderBy("day_us") \
+        .rowsBetween(-3, 3)
+    wcohort = W.partitionBy(*gcols, F.col("dow"))
+    out = daily.select(
+        *gcols, "day_us", "dow", "n",
+        F.sum("n").over(wtrend).cast("long").alias("trend7_sum"),
+        F.count(F.lit(1)).over(wcohort).cast("long").alias("n_w"),
+        F.sum("n").over(wcohort).cast("long").alias("s_w"))
+    return out.withColumn(
+        "dev_num",
+        (F.col("n") * F.col("n_w") - F.col("s_w")).cast("long"))

@@ -977,3 +977,55 @@ CURATION_QUERIES = {
     "group_mode": (q_group_mode, sql_group_mode),
     "feature_scale": (q_feature_scale, sql_feature_scale),
 }
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the event-value sequence per event
+    type (operators/rankstats.py runs_test): exact lower-median
+    dichotomy, integer run counts, one pinned √-chain z."""
+    from .operators.rankstats import runs_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "event_id", _cents().alias("cents"))
+    return runs_test(ev, ["event_type"], "event_id", "cents")
+
+
+def sql_runs_test() -> str:
+    return f"""WITH v AS (
+  SELECT event_type AS g, event_id, {_CENTS_SQL} AS v FROM events),
+ranked AS (
+  SELECT g, event_id, v,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, event_id) AS r,
+         COUNT(*) OVER (PARTITION BY g) AS n_all
+  FROM v),
+med AS (SELECT g, v AS medv FROM ranked WHERE r = (n_all + 1) // 2),
+signed AS (
+  SELECT r.g, r.event_id,
+         CASE WHEN r.v > m.medv THEN 1 ELSE 0 END AS s
+  FROM ranked r JOIN med m ON r.g = m.g
+  WHERE r.v <> m.medv),
+seq AS (
+  SELECT g, s,
+         CASE WHEN LAG(s) OVER (PARTITION BY g ORDER BY event_id)
+                   IS NULL THEN 1
+              WHEN LAG(s) OVER (PARTITION BY g ORDER BY event_id)
+                   <> s THEN 1 ELSE 0 END AS chg
+  FROM signed),
+agg AS (
+  SELECT g AS event_type,
+         CAST(SUM(s) AS BIGINT) AS n1,
+         CAST(SUM(1 - s) AS BIGINT) AS n0,
+         CAST(SUM(chg) AS BIGINT) AS runs
+  FROM seq GROUP BY 1)
+SELECT event_type, n1, n0, runs,
+       CASE WHEN n1 > 0 AND n0 > 0
+                 AND 2 * n1 * n0 * (2 * n1 * n0 - (n1 + n0)) > 0
+            THEN CAST((n1 + n0) * (runs - 1) - 2 * n1 * n0 AS DOUBLE)
+                 * sqrt(CAST(n1 + n0 - 1 AS DOUBLE))
+                 / sqrt(CAST(2 * n1 * n0 * (2 * n1 * n0 - (n1 + n0))
+                             AS DOUBLE))
+       END AS z
+FROM agg"""
+
+
+CURATION_QUERIES["runs_test"] = (q_runs_test, sql_runs_test)

@@ -1031,3 +1031,87 @@ GROUP BY 1, 2"""
 
 
 TEMPORAL_QUERIES["busday_lag"] = (q_busday_lag, sql_busday_lag)
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event-count series
+    per event type (operators/temporal.py seasonal_decompose_daily):
+    centered 7-day trend SUM + cross-multiplied weekday deviation —
+    exact integers, no division anywhere."""
+    from .operators.temporal import seasonal_decompose_daily
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_type", "ts")
+    return seasonal_decompose_daily(ev, "ts", group_cols=("event_type",))
+
+
+def sql_seasonal_decompose() -> str:
+    dn = ("CAST(date_diff('day', DATE '1994-12-26', CAST(d AS DATE)) "
+          "AS BIGINT)")
+    return f"""WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+x AS (
+  SELECT event_type,
+         epoch_us(CAST(d AS TIMESTAMP)) AS day_us,
+         CAST({dn} % 7 AS INT) AS dow, n
+  FROM daily),
+w AS (
+  SELECT event_type, day_us, dow, n,
+         CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day_us
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+              AS BIGINT) AS trend7_sum,
+         CAST(COUNT(*) OVER (PARTITION BY event_type, dow) AS BIGINT)
+           AS n_w,
+         CAST(SUM(n) OVER (PARTITION BY event_type, dow) AS BIGINT)
+           AS s_w
+  FROM x)
+SELECT event_type, day_us, dow, n, trend7_sum, n_w, s_w,
+       CAST(n * n_w - s_w AS BIGINT) AS dev_num
+FROM w"""
+
+
+TEMPORAL_QUERIES["seasonal_decompose"] = (q_seasonal_decompose,
+                                          sql_seasonal_decompose)
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness of per-user inter-event gaps
+    (operators/analytics.py burstiness): whole-second gaps, exact
+    int64 moments, one pinned √-chain for B = (σ−μ)/(σ+μ)."""
+    from .operators.analytics import burstiness
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("user_id", "ts", "event_id")
+    return (burstiness(ev, "user_id", "ts", "event_id")
+            .select(F.col("key").alias("user_id"), "n_gaps", "s_sum",
+                    "d_term", "b"))
+
+
+def sql_burstiness() -> str:
+    return """WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gus
+  FROM events),
+gg AS (SELECT user_id, gus // 1000000 AS g FROM g
+       WHERE gus IS NOT NULL),
+agg AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(g) AS BIGINT) AS s_sum,
+         CAST(SUM(g * g) AS BIGINT) AS q_sum
+  FROM gg GROUP BY 1 HAVING COUNT(*) >= 2)
+SELECT user_id, n_gaps, s_sum,
+       CAST(n_gaps * q_sum - s_sum * s_sum AS BIGINT) AS d_term,
+       CASE WHEN s_sum > 0 AND n_gaps * q_sum - s_sum * s_sum >= 0
+            THEN (sqrt(CAST(n_gaps * q_sum - s_sum * s_sum AS DOUBLE))
+                  - CAST(s_sum AS DOUBLE))
+                 / (sqrt(CAST(n_gaps * q_sum - s_sum * s_sum AS DOUBLE))
+                    + CAST(s_sum AS DOUBLE))
+       END AS b
+FROM agg"""
+
+
+TEMPORAL_QUERIES["burstiness"] = (q_burstiness, sql_burstiness)

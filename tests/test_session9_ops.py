@@ -183,3 +183,87 @@ def test_business_days_exact(spark):
                      "exp").collect()
     for r in rows:
         assert r.bd == r.exp
+
+
+def test_runs_test_hand_sequence(spark):
+    from mapbox_filter_spark.operators.rankstats import runs_test
+    # values in order: 5 1 6 2 7 3 8 (alternating) median=5 (r4 of 7)
+    # drop the 5; signs of 1 6 2 7 3 8 -> 0 1 0 1 0 1: runs=6
+    vals = [5, 1, 6, 2, 7, 3, 8]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)],
+        "g string, seq long, v long")
+    r = runs_test(df, ["g"], "seq", "v").collect()[0]
+    assert (r.n1, r.n0, r.runs) == (3, 3, 6)
+    n, n1, n0, R = 6, 3, 3, 6
+    a = n * (R - 1) - 2 * n1 * n0
+    rad = 2 * n1 * n0 * (2 * n1 * n0 - n)
+    assert r.z == float(a) * math.sqrt(float(n - 1)) / math.sqrt(
+        float(rad))
+
+
+def test_runs_test_one_sided_null_z(spark):
+    from mapbox_filter_spark.operators.rankstats import runs_test
+    # all values equal except one above: n0=0 -> z NULL
+    df = spark.createDataFrame(
+        [("a", 0, 1), ("a", 1, 1), ("a", 2, 9)],
+        "g string, seq long, v long")
+    r = runs_test(df, ["g"], "seq", "v").collect()[0]
+    assert r.n0 == 0 and r.z is None
+
+
+def test_seasonal_decompose_daily(spark):
+    import datetime as dt
+    from mapbox_filter_spark.operators.temporal import (
+        seasonal_decompose_daily)
+    # 14 days, count = 1 except two Mondays with 3
+    rows = []
+    eid = 0
+    for d in range(14):
+        day = dt.datetime(1995, 1, 2) + dt.timedelta(days=d)
+        n = 3 if day.weekday() == 0 else 1
+        for _ in range(n):
+            rows.append((day + dt.timedelta(hours=1),))
+            eid += 1
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {r.day_us: r for r in
+           seasonal_decompose_daily(df, "ts").collect()}
+    import calendar
+    first = dt.datetime(1995, 1, 2, tzinfo=dt.timezone.utc)
+    k0 = int(first.timestamp() * 1_000_000)
+    r0 = out[k0]
+    assert r0.dow == 0 and r0.n == 3
+    # trend at day 0: days 0..3 = 3+1+1+1 = 6 (partial window)
+    assert r0.trend7_sum == 6
+    # Monday cohort: two Mondays, both 3 -> dev 3*2-6 = 0
+    assert (r0.n_w, r0.s_w, r0.dev_num) == (2, 6, 0)
+    # a Tuesday: n=1, cohort 2 days sum 2 -> dev 0; trend full window=9
+    k1 = k0 + 86_400_000_000
+    r1 = out[k1]
+    assert r1.dow == 1 and r1.trend7_sum == 3 + 1 + 1 + 1 + 1 == 7
+
+
+def test_burstiness_regular_vs_bursty(spark):
+    import datetime as dt
+    from mapbox_filter_spark.operators.analytics import burstiness
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: perfectly regular 60s gaps -> sigma=0 -> B=-1
+    for i in range(5):
+        rows.append((1, base + dt.timedelta(seconds=60 * i), i))
+    # user 2: gaps 10, 10, 1000 -> bursty, B>0
+    t = base
+    for i, g in enumerate([0, 10, 10, 1000]):
+        t = t + dt.timedelta(seconds=g)
+        rows.append((2, t, 100 + i))
+    df = spark.createDataFrame(rows, "u long, ts timestamp, eid long")
+    got = {r.key: r for r in burstiness(df, "u", "ts", "eid").collect()}
+    assert got[1].n_gaps == 4 and got[1].d_term == 0
+    assert got[1].b == -1.0
+    g2 = got[2]
+    n, s, q = 3, 1020, 10 * 10 + 10 * 10 + 1000 * 1000
+    d = n * q - s * s
+    assert (g2.n_gaps, g2.s_sum, g2.d_term) == (n, s, d)
+    exp = (math.sqrt(float(d)) - float(s)) / (math.sqrt(float(d))
+                                              + float(s))
+    assert g2.b == exp and g2.b > 0
