@@ -419,10 +419,11 @@ def burstiness(events: DataFrame, key_col: str, ts_col: str,
         D = n·Q − S²;   B = (√D − S) / (√D + S)
 
     (the n² under the radical cancels against μ's denominator) — one
-    pinned 4-op double chain.  Per-gap bound |g| ≤ 10⁷ s enforced
-    in-plan (raise_error): keeps n·Q ≤ 2⁶³ through ~10⁴ gaps/entity at
-    full seconds-scale gaps; beyond that quantize to coarser units
-    upstream.
+    pinned 4-op double chain.  int64 bounds ALL enforced in-plan
+    (raise_error, never a silent wrap): per-gap |g| ≤ 10⁷ s, and on
+    the aggregates n·Q ≤ 2⁶³−1 and |S| ≤ 3·10⁹ (S² fits int64) —
+    quantize gaps to coarser units upstream when an entity trips
+    them.
 
     Output: ``(key, n_gaps, s_sum, d_term, b)``; entities with fewer
     than ``min_gaps`` gaps or S = 0 are dropped/NULL respectively.
@@ -450,6 +451,22 @@ def burstiness(events: DataFrame, key_col: str, ts_col: str,
                 F.sum("g").alias("s_sum"),
                 F.sum(F.col("g") * F.col("g")).alias("q_sum"))
            .filter(F.col("n_gaps") >= int(min_gaps)))
+    # the MOMENT PRODUCTS square past int64 inside the per-gap bound
+    # (n·Q and S²) — enforce both in-plan, same discipline as anova_f
+    int64_max = 2**63 - 1
+    agg = agg.withColumn(
+        "q_sum",
+        F.when((F.col("q_sum") > F.expr(f"{int64_max} div n_gaps"))
+               | (F.abs(F.col("s_sum")) > F.lit(3_000_000_000)),
+               F.raise_error(F.concat(
+                   F.lit("burstiness: moment products exceed the "
+                         "exact-int64 bound (n·Q or S²); quantize "
+                         "gaps to coarser units upstream: n="),
+                   F.col("n_gaps").cast("string"),
+                   F.lit(" q="), F.col("q_sum").cast("string"),
+                   F.lit(" s="), F.col("s_sum").cast("string")))
+               .cast("long"))
+        .otherwise(F.col("q_sum")))
     d = (F.col("n_gaps") * F.col("q_sum")
          - F.col("s_sum") * F.col("s_sum"))
     out = agg.select("key", "n_gaps", "s_sum",

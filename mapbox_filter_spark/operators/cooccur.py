@@ -22,6 +22,8 @@ Scale notes (the "curse of the last reducer" job):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -191,9 +193,10 @@ def item_item_topk(baskets: DataFrame, basket_col: str, item_col: str,
     by the monotone square ``score_q = (n_ij²·scale) // (n_i·n_j)`` —
     exact int64 floor-div (numerator non-negative, so truncating and
     flooring division agree cross-engine), zero float rounding in the
-    output.  int64 bound: n_ij ≤ 3·10³ for scale 10¹² (n_ij²·scale ≤
-    9·10¹⁸) — co-occurrence counts beyond that need a smaller scale;
-    callers at fleet scale pass scale=10⁶ for headroom to n_ij ≈ 3M.
+    output.  int64 bound ENFORCED IN-PLAN (raise_error, never a
+    silent wrap): n_ij ≤ √(2⁶³/scale) — 3·10³ at the default
+    scale 10¹²; co-occurrence counts beyond that need a smaller
+    scale (10⁶ gives headroom to n_ij ≈ 3M at fleet scale).
 
     Scale shape: one DISTINCT (basket, item) pre-pass; the per-basket
     pair self-join is quadratic in basket WIDTH only (cap pathological
@@ -216,11 +219,19 @@ def item_item_topk(baskets: DataFrame, basket_col: str, item_col: str,
     freq = bi.groupBy("i").agg(F.count(F.lit(1)).alias("n_i"))
     fa = freq.select(F.col("i").alias("i_a"), F.col("n_i").alias("n_a"))
     fb = freq.select(F.col("i").alias("i_b"), F.col("n_i").alias("n_b"))
+    max_nij = math.isqrt((2**63 - 1) // int(scale))
+    score = F.when(
+        F.col("n_ij") > max_nij,
+        F.raise_error(F.concat(
+            F.lit("item_item_topk: co-occurrence count exceeds the "
+                  f"exact-int64 bound for scale={int(scale)} "
+                  f"(n_ij <= {max_nij}); lower scale: n_ij="),
+            F.col("n_ij").cast("string"))).cast("long")
+    ).otherwise(
+        F.expr(f"(n_ij * n_ij * CAST({int(scale)} AS BIGINT))"
+               " div (n_a * n_b)").cast("long"))
     scored = (pairs.join(fa, "i_a").join(fb, "i_b")
-              .withColumn(
-                  "score_q",
-                  F.expr(f"(n_ij * n_ij * CAST({int(scale)} AS BIGINT))"
-                         " div (n_a * n_b)").cast("long")))
+              .withColumn("score_q", score))
     # symmetrize AFTER scoring (each undirected pair scored once)
     sym = (scored.select(F.col("i_a").alias("item"),
                          F.col("i_b").alias("neighbor"),

@@ -732,9 +732,12 @@ def anova_f(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     IEEE-pinned and bit-identical cross-engine).
 
     int64 bounds enforced IN-PLAN (raise_error, never a silent wrap):
-    |S_g| ≤ 3·10⁹ (S_g² ≤ 9·10¹⁸) — e.g. 3M rows of ±1000-unit values
-    per group; shard or rescale beyond that.  Q = Σx² is int64-safe
-    whenever the S_g bound holds for x quantized to ≤ ~10⁶ units.
+    |S_g| ≤ 3·10⁹ per group AND |S| ≤ 3·10⁹ for the grand total (each
+    squares into int64).  F is invariant to integer shifts of x, so
+    center on an integer anchor (≈ the global mean) upstream to keep
+    both sums small at fleet scale — the gate does exactly this.
+    Q = Σx² is int64-safe whenever the bounds hold for x quantized to
+    ≤ ~10⁶ units.
 
     Output: one row — ``(n, k, ssb_q, ssw_q, f_stat)``.
     """
@@ -756,6 +759,19 @@ def anova_f(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
                  F.sum("s_g").alias("s"),
                  F.sum("q_g").alias("q"),
                  F.sum("t_g").alias("t"))
+    # the GRAND total squares too: |s| needs the same in-plan bound as
+    # each |s_g| (k same-sign groups sum to k·bound — center the values
+    # on an integer anchor upstream to keep s small; F is invariant to
+    # integer shifts of x)
+    s_guarded = F.when(
+        F.abs(F.col("s")) > F.lit(_ANOVA_MAX_ABS_SUM),
+        F.raise_error(F.concat(
+            F.lit("anova_f: |grand sum| exceeds exact-int64 bound "
+                  f"({_ANOVA_MAX_ABS_SUM}); center values on an "
+                  "integer anchor upstream: s="),
+            F.col("s").cast("string"))).cast("long")
+    ).otherwise(F.col("s"))
+    tot = tot.withColumn("s", s_guarded)
     ssb = F.greatest(
         F.lit(0).cast("long"),
         (F.col("t") - F.expr("(s * s) div n")).cast("long"))

@@ -1055,7 +1055,8 @@ def seasonal_decompose_daily(events: DataFrame, ts_col: str,
                              group_cols=()) -> DataFrame:
     """Additive seasonal decomposition of a daily count series with
     exact integer arithmetic (the classical moving-average method,
-    kept exact by NEVER dividing: trend is the centered 7-day window
+    kept exact by NEVER dividing: trend is the centered 7-CALENDAR-day
+    RANGE-window
     SUM, and the day-of-week seasonal deviation is the cross-multiplied
     ``dev_num = n·N_w − S_w`` — positive means this day beats its
     weekday-cohort mean, same n·v−Σ discipline as seasonal_anomaly).
@@ -1084,8 +1085,13 @@ def seasonal_decompose_daily(events: DataFrame, ts_col: str,
         *gcols,
         F.unix_micros(F.col("_day").cast("timestamp")).alias("day_us"),
         F.expr(f"{dn} % 7").cast("int").alias("dow"), "n")
+    # RANGE (not ROWS) over epoch-µs: the trend window is CALENDAR-true
+    # ±3 days — days with zero events do not widen the span (a ROWS
+    # window over present days would silently cover 9+ calendar days on
+    # weekday-only series)
+    day_us_3 = 3 * 86_400_000_000
     wtrend = W.partitionBy(*gcols).orderBy("day_us") \
-        .rowsBetween(-3, 3)
+        .rangeBetween(-day_us_3, day_us_3)
     wcohort = W.partitionBy(*gcols, F.col("dow"))
     out = daily.select(
         *gcols, "day_us", "dow", "n",

@@ -834,19 +834,31 @@ SELECT item, rank, neighbor, n_ij, score_q FROM (
 ANALYTICS_QUERIES["item_cf_topk"] = (q_item_cf_topk, sql_item_cf_topk)
 
 
+# F is invariant to integer shifts; centering near the corpus mean
+# balance (~4500.00) keeps |S_g| and |S| inside anova_f's enforced
+# int64 bounds at ANY scale factor (the uncentered grand sum crosses
+# 3e9 already at sf0.1)
+_ANOVA_CENTER_C = 450_000
+
+
 def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA F over customer account balances by market
     segment (operators/stats.py anova_f): exact int64 moment sums,
-    per-group floor-div quantization, one pinned double chain."""
+    per-group floor-div quantization, one pinned double chain; values
+    centered on the fixed integer anchor 450000 cents (F-invariant)
+    so the enforced sum bounds hold at every scale factor."""
     from .operators.stats import anova_f
 
     c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_mktsegment", _cents("c_acctbal").alias("bal_c"))
+        "c_mktsegment",
+        (_cents("c_acctbal") - F.lit(_ANOVA_CENTER_C)).alias("bal_c"))
     return anova_f(c, "c_mktsegment", "bal_c")
 
 
 def sql_anova_f() -> str:
-    bal = "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"
+    from .queries_curation import _CENTS_SQL
+    bal = f"({_CENTS_SQL.replace('value', 'c_acctbal')}" \
+        f" - {_ANOVA_CENTER_C})"
     return f"""WITH g AS (
   SELECT c_mktsegment,
          CAST(count(*) AS BIGINT) AS n_g,

@@ -39,10 +39,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from .queries_curation import _CENTS_SQL, _cents
 from .queries_ext import _price_c, _rev_u, _SQL_REV_U
 
-_SQL_PRICE_C = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
-_SQL_DISC_P = "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+# SQL cents spellings DERIVED from the one canonical template
+# (queries_curation._CENTS_SQL) so they cannot drift from the engine
+# quantizer — the single-definition rule that helper documents
+_SQL_PRICE_C = _CENTS_SQL.replace("value", "l_extendedprice")
+_SQL_DISC_P = _CENTS_SQL.replace("value", "l_discount")
 
 
 def _li(spark, sf_dir):
@@ -54,14 +58,15 @@ def _t(spark, sf_dir, name):
 
 
 def _bal_c(col):
-    """Signed cents: floor(x·100+0.5) — half-up toward +inf for
-    negatives too; deterministic cross-engine (floor is toward −inf in
-    both Spark and DuckDB), unlike engine-native round()."""
-    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+    """Signed cents — THE canonical quantizer (queries_curation._cents;
+    floor(x·100+0.5) is half-up toward +inf for negatives too, still
+    deterministic cross-engine since floor is toward −inf in both
+    Spark and DuckDB)."""
+    return _cents(col)
 
 
 def _sql_bal_c(col):
-    return f"CAST(floor({col} * 100 + 0.5) AS BIGINT)"
+    return _CENTS_SQL.replace("value", col)
 
 
 # ---------------------------------------------------------------- Q6

@@ -1036,7 +1036,7 @@ TEMPORAL_QUERIES["busday_lag"] = (q_busday_lag, sql_busday_lag)
 def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive seasonal decomposition of the daily event-count series
     per event type (operators/temporal.py seasonal_decompose_daily):
-    centered 7-day trend SUM + cross-multiplied weekday deviation —
+    calendar-true centered 7-day RANGE trend SUM + cross-multiplied weekday deviation —
     exact integers, no division anywhere."""
     from .operators.temporal import seasonal_decompose_daily
 
@@ -1060,7 +1060,8 @@ x AS (
 w AS (
   SELECT event_type, day_us, dow, n,
          CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY day_us
-                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                           RANGE BETWEEN 259200000000 PRECEDING
+                                 AND 259200000000 FOLLOWING)
               AS BIGINT) AS trend7_sum,
          CAST(COUNT(*) OVER (PARTITION BY event_type, dow) AS BIGINT)
            AS n_w,

@@ -5,7 +5,6 @@ differentials and bound-guard checks."""
 import math
 
 import pytest
-from pyspark.sql import functions as F
 
 
 def test_item_item_topk_brute(spark):
@@ -237,7 +236,8 @@ def test_seasonal_decompose_daily(spark):
     assert r0.trend7_sum == 6
     # Monday cohort: two Mondays, both 3 -> dev 3*2-6 = 0
     assert (r0.n_w, r0.s_w, r0.dev_num) == (2, 6, 0)
-    # a Tuesday: n=1, cohort 2 days sum 2 -> dev 0; trend full window=9
+    # a Tuesday: n=1, cohort 2 days sum 2 -> dev 0; day-1 partial
+    # calendar window spans days 0..4 = 3+1+1+1+1 = 7
     k1 = k0 + 86_400_000_000
     r1 = out[k1]
     assert r1.dow == 1 and r1.trend7_sum == 3 + 1 + 1 + 1 + 1 == 7
