@@ -478,3 +478,50 @@ def burstiness(events: DataFrame, key_col: str, ts_col: str,
         / (F.sqrt(F.col("d_term").cast("double"))
            + F.col("s_sum").cast("double")))
     return out.withColumn("b", b)
+
+
+def fellegi_weights(pairs: DataFrame, match_col: str,
+                    feature_cols) -> DataFrame:
+    """Fellegi-Sunter record-linkage weight estimation (JASA 1969,
+    public method): per comparison feature, the agreement probabilities
+    among matches (m) and non-matches (u) and the log match weight,
+    from a LABELED candidate-pair table (boolean ``match_col`` +
+    boolean agreement columns).
+
+    Exactness: one map-side-combinable aggregate produces every count;
+    the weight uses add-one/add-two (Laplace) smoothing so it is
+    defined even at zero counts and is ONE division of exact int64
+    products + one ln (the PMI/BM25 pinned-chain discipline)::
+
+        w_k = ln( (a_m+1)·(n_u+2) / ((n_m+2)·(a_u+1)) )
+
+    int64 bound: (a_m+1)·(n_u+2) needs pair counts ≤ ~3·10⁹ — sample
+    candidate pairs upstream past that (weights are ratios; a uniform
+    pair sample estimates them consistently).
+
+    Output: one row per feature — ``(feature, n_match, agree_match,
+    n_nonmatch, agree_nonmatch, weight)``.
+    """
+    feats = list(feature_cols)
+    m = F.col(match_col).cast("int")
+    aggs = [F.sum(m).cast("long").alias("n_m"),
+            F.sum(1 - m).cast("long").alias("n_u")]
+    for k in feats:
+        fk = F.col(k).cast("int")
+        aggs.append(F.sum(m * fk).cast("long").alias(f"am_{k}"))
+        aggs.append(F.sum((1 - m) * fk).cast("long").alias(f"au_{k}"))
+    tot = pairs.agg(*aggs)
+    stack = ", ".join(
+        f"'{k}', am_{k}, au_{k}" for k in feats)
+    rows = tot.select(
+        "n_m", "n_u",
+        F.expr(f"stack({len(feats)}, {stack})")
+        .alias("feature", "agree_match", "agree_nonmatch"))
+    w = F.log(
+        ((F.col("agree_match") + 1) * (F.col("n_u") + 2)).cast("double")
+        / ((F.col("n_m") + 2) * (F.col("agree_nonmatch") + 1))
+        .cast("double"))
+    return rows.select(
+        "feature", F.col("n_m").alias("n_match"), "agree_match",
+        F.col("n_u").alias("n_nonmatch"), "agree_nonmatch",
+        w.alias("weight"))

@@ -932,3 +932,153 @@ FROM (
 
 
 ANALYTICS_QUERIES["fd_profile"] = (q_fd_profile, sql_fd_profile)
+
+
+_FS_ANCHOR = "1994-12-26"           # Monday anchor (shared convention)
+_FS_PRICE_BAND_C = 100_000          # |price diff| <= $1000 "close"
+
+
+def q_er_fellegi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter link-weight calibration (operators/analytics.py
+    fellegi_weights) on week-blocked order pairs: truth = same
+    customer; features = priority equal / status equal / totalprice
+    within $1000.  Exact counts, Laplace-smoothed weights as one
+    pinned ln chain."""
+    from .operators.analytics import fellegi_weights
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus",
+        _cents("o_totalprice").alias("p"),
+        F.expr(f"cast(datediff(cast(o_orderdate as date), "
+               f"date'{_FS_ANCHOR}') as bigint) div 7").alias("wk"))
+    a, b = o.alias("a"), o.alias("b")
+    pairs = (a.join(b, (F.col("a.wk") == F.col("b.wk"))
+                    & (F.col("a.o_orderkey") < F.col("b.o_orderkey")))
+             .select(
+                 (F.col("a.o_custkey") == F.col("b.o_custkey"))
+                 .alias("match"),
+                 (F.col("a.o_orderpriority")
+                  == F.col("b.o_orderpriority")).alias("prio_eq"),
+                 (F.col("a.o_orderstatus")
+                  == F.col("b.o_orderstatus")).alias("status_eq"),
+                 (F.abs(F.col("a.p") - F.col("b.p"))
+                  <= _FS_PRICE_BAND_C).alias("price_close")))
+    return fellegi_weights(pairs, "match",
+                           ["prio_eq", "status_eq", "price_close"])
+
+
+def sql_er_fellegi() -> str:
+    from .queries_curation import _CENTS_SQL
+    p = _CENTS_SQL.replace("value", "o_totalprice")
+    return f"""WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderpriority, o_orderstatus,
+         {p} AS p,
+         CAST(date_diff('day', DATE '{_FS_ANCHOR}',
+                        CAST(o_orderdate AS DATE)) AS BIGINT) // 7
+           AS wk
+  FROM orders),
+pairs AS (
+  SELECT CASE WHEN a.o_custkey = b.o_custkey THEN 1 ELSE 0 END AS m,
+         CASE WHEN a.o_orderpriority = b.o_orderpriority
+              THEN 1 ELSE 0 END AS f_prio,
+         CASE WHEN a.o_orderstatus = b.o_orderstatus
+              THEN 1 ELSE 0 END AS f_status,
+         CASE WHEN abs(a.p - b.p) <= {_FS_PRICE_BAND_C}
+              THEN 1 ELSE 0 END AS f_price
+  FROM o a JOIN o b ON a.wk = b.wk AND a.o_orderkey < b.o_orderkey),
+tot AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS n_m,
+         CAST(COUNT(*) - SUM(m) AS BIGINT) AS n_u,
+         CAST(SUM(m * f_prio) AS BIGINT) AS am_prio,
+         CAST(SUM((1 - m) * f_prio) AS BIGINT) AS au_prio,
+         CAST(SUM(m * f_status) AS BIGINT) AS am_status,
+         CAST(SUM((1 - m) * f_status) AS BIGINT) AS au_status,
+         CAST(SUM(m * f_price) AS BIGINT) AS am_price,
+         CAST(SUM((1 - m) * f_price) AS BIGINT) AS au_price
+  FROM pairs),
+rows_ AS (
+  SELECT 'prio_eq' AS feature, n_m, am_prio AS a_m, n_u,
+         au_prio AS a_u FROM tot
+  UNION ALL
+  SELECT 'status_eq', n_m, am_status, n_u, au_status FROM tot
+  UNION ALL
+  SELECT 'price_close', n_m, am_price, n_u, au_price FROM tot)
+SELECT feature, n_m AS n_match, a_m AS agree_match,
+       n_u AS n_nonmatch, a_u AS agree_nonmatch,
+       ln(CAST((a_m + 1) * (n_u + 2) AS DOUBLE)
+          / CAST((n_m + 2) * (a_u + 1) AS DOUBLE)) AS weight
+FROM rows_"""
+
+
+ANALYTICS_QUERIES["er_fellegi"] = (q_er_fellegi, sql_er_fellegi)
+
+
+_ZM_FILES = 64
+_ZM_DAYS_PER_FILE = 30
+_ZM_LO, _ZM_HI = "1997-03-01", "1997-03-31"
+
+
+def q_zone_map_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file-skipping report (operators/zonemap.py): per-file
+    min/max of the ship day under TWO layouts — arrival-order proxy
+    (orderkey mod 64) vs time-range partitioning (30-day files) — and
+    the exact min-max skip counts for a one-month predicate.  The
+    measured counterpart of the z-order/Hilbert layout operators."""
+    import datetime as dt
+
+    from .operators.zonemap import zone_map, zone_map_prune_report
+
+    anchor = dt.date(1994, 12, 26)
+    lo = (dt.date(1997, 3, 1) - anchor).days
+    hi = (dt.date(1997, 3, 31) - anchor).days
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        F.expr("cast(datediff(cast(l_shipdate as date), "
+               "date'1994-12-26') as bigint)").alias("ship_day"))
+    out = None
+    for layout, file_col in (
+            ("hash", F.pmod(F.col("l_orderkey"), F.lit(_ZM_FILES))),
+            ("time", F.expr(f"ship_day div {_ZM_DAYS_PER_FILE}"))):
+        zm = zone_map(li.withColumn("file_id", file_col),
+                      "file_id", "ship_day")
+        rep = zone_map_prune_report(zm, lo, hi) \
+            .select(F.lit(layout).alias("layout"), "n_files",
+                    "n_pruned", "rows_total", "rows_skipped")
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+def sql_zone_map_skip() -> str:
+    import datetime as dt
+    anchor = dt.date(1994, 12, 26)
+    lo = (dt.date(1997, 3, 1) - anchor).days
+    hi = (dt.date(1997, 3, 31) - anchor).days
+    base = """
+  SELECT {file_expr} AS file_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(MIN(ship_day) AS BIGINT) AS vmin,
+         CAST(MAX(ship_day) AS BIGINT) AS vmax
+  FROM (SELECT l_orderkey,
+               CAST(date_diff('day', DATE '1994-12-26',
+                              CAST(l_shipdate AS DATE)) AS BIGINT)
+                 AS ship_day
+        FROM lineitem)
+  GROUP BY 1"""
+    rep = """
+  SELECT '{layout}' AS layout,
+         CAST(COUNT(*) AS BIGINT) AS n_files,
+         CAST(SUM(CASE WHEN vmax < {lo} OR vmin > {hi}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+         CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+         CAST(SUM(CASE WHEN vmax < {lo} OR vmin > {hi}
+                       THEN n_rows ELSE 0 END) AS BIGINT)
+           AS rows_skipped
+  FROM ({zm})"""
+    zm_hash = base.format(file_expr=f"l_orderkey % {_ZM_FILES}")
+    zm_time = base.format(file_expr=f"ship_day // {_ZM_DAYS_PER_FILE}")
+    return (rep.format(layout="hash", lo=lo, hi=hi, zm=zm_hash)
+            + "\nUNION ALL\n"
+            + rep.format(layout="time", lo=lo, hi=hi, zm=zm_time))
+
+
+ANALYTICS_QUERIES["zone_map_skip"] = (q_zone_map_skip, sql_zone_map_skip)

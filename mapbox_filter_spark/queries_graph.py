@@ -776,3 +776,67 @@ FROM d LEFT JOIN m ON d.a = m.a"""
 
 
 GRAPH_QUERIES["reciprocity"] = (q_reciprocity, sql_reciprocity)
+
+
+# sf0.01 needs 5 peel rounds (measured); 8 is margin.  SELF-CHECKING:
+# the engine peels to a TRUE fixpoint, so if 8 unrolled rounds were
+# ever insufficient the row-count/value-hash comparison fails loudly —
+# a green gate proves the unroll sufficed (the k_core / sssp evidence
+# pattern).
+_SCC_UNROLL = 8
+
+
+def q_scc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the DIRECTED hashed link graph
+    (operators/graph.py scc_labels — forward/backward min-label
+    peeling to fixpoint; matches an independent iterative Tarjan on
+    the collected graph in tests)."""
+    from .operators.graph import scc_labels
+
+    return (scc_labels(_link_edges(spark, sf_dir))
+            .select(F.col("node").alias("doc_id"), "scc", "scc_size"))
+
+
+def sql_scc_labels() -> str:
+    parts = [f"""{_sql_link_edges()},
+e0 AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS d
+                    FROM edges WHERE src <> dst),
+n0 AS MATERIALIZED (SELECT DISTINCT s AS node FROM e0
+                    UNION SELECT DISTINCT d FROM e0)"""]
+    for r in range(_SCC_UNROLL):
+        parts.append(f"""
+fc{r} AS (SELECT node, node AS lab FROM n{r}
+          UNION
+          SELECT e.d, fc{r}.lab FROM fc{r} JOIN e{r} e
+            ON e.s = fc{r}.node),
+fm{r} AS MATERIALIZED (SELECT node, MIN(lab) AS flab
+                       FROM fc{r} GROUP BY 1),
+bc{r} AS (SELECT node, node AS lab FROM n{r}
+          UNION
+          SELECT e.s, bc{r}.lab FROM bc{r} JOIN e{r} e
+            ON e.d = bc{r}.node),
+bm{r} AS MATERIALIZED (SELECT node, MIN(lab) AS blab
+                       FROM bc{r} GROUP BY 1),
+res{r} AS MATERIALIZED (
+  SELECT fm{r}.node, fm{r}.flab AS scc
+  FROM fm{r} JOIN bm{r} ON fm{r}.node = bm{r}.node
+                       AND fm{r}.flab = bm{r}.blab),
+n{r + 1} AS MATERIALIZED (
+  SELECT node FROM n{r}
+  WHERE node NOT IN (SELECT node FROM res{r})),
+e{r + 1} AS MATERIALIZED (
+  SELECT s, d FROM e{r}
+  WHERE s IN (SELECT node FROM n{r + 1})
+    AND d IN (SELECT node FROM n{r + 1}))""")
+    allres = "\nUNION ALL\n".join(
+        f"  SELECT node, scc FROM res{r}" for r in range(_SCC_UNROLL))
+    return ("WITH RECURSIVE " + ",".join(parts) + f""",
+allres AS (
+{allres}),
+sz AS (SELECT scc, CAST(COUNT(*) AS BIGINT) AS scc_size
+       FROM allres GROUP BY 1)
+SELECT a.node AS doc_id, a.scc, sz.scc_size
+FROM allres a JOIN sz ON a.scc = sz.scc""")
+
+
+GRAPH_QUERIES["scc_labels"] = (q_scc_labels, sql_scc_labels)

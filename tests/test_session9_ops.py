@@ -267,3 +267,120 @@ def test_burstiness_regular_vs_bursty(spark):
     exp = (math.sqrt(float(d)) - float(s)) / (math.sqrt(float(d))
                                               + float(s))
     assert g2.b == exp and g2.b > 0
+
+
+def _tarjan(edges):
+    from collections import defaultdict
+    g = defaultdict(list)
+    for a, b in edges:
+        g[a].append(b)
+    nodes = set(g) | {b for _, b in edges}
+    idx, low, onstk, stk, out, cnt = {}, {}, set(), [], {}, [0]
+
+    def strongconnect(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                idx[v] = low[v] = cnt[0]
+                cnt[0] += 1
+                stk.append(v)
+                onstk.add(v)
+            recurse = False
+            for i in range(pi, len(g[v])):
+                w = g[v][i]
+                if w not in idx:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in onstk:
+                    low[v] = min(low[v], idx[w])
+            if recurse:
+                continue
+            if low[v] == idx[v]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+
+    for v in list(nodes):
+        if v not in idx:
+            strongconnect(v)
+    return out
+
+
+def test_scc_labels_hand_graph(spark):
+    from mapbox_filter_spark.operators.graph import scc_labels
+    # two 3-cycles bridged one-way + a tail
+    e = [(1, 2), (2, 3), (3, 1),        # scc {1,2,3}
+         (3, 10), (10, 11), (11, 12), (12, 10),   # scc {10,11,12}
+         (12, 99)]                      # singleton 99
+    df = spark.createDataFrame(e, "src long, dst long")
+    got = {r.node: (r.scc, r.scc_size)
+           for r in scc_labels(df).collect()}
+    assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
+    assert got[10] == (10, 3) and got[12] == (10, 3)
+    assert got[99] == (99, 1)
+
+
+def test_scc_labels_random_vs_tarjan(spark):
+    import random
+    from mapbox_filter_spark.operators.graph import scc_labels
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = list({(rng.randrange(n), rng.randrange(n))
+                      for _ in range(70)})
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.scc for r in scc_labels(df).collect()}
+        assert got == _tarjan(edges), f"trial {trial}"
+
+
+def test_fellegi_weights_hand_counts(spark):
+    from mapbox_filter_spark.operators.analytics import fellegi_weights
+    rows = [
+        # match, f1, f2
+        (True, True, False),
+        (True, True, True),
+        (False, False, True),
+        (False, True, False),
+        (False, False, False),
+    ]
+    df = spark.createDataFrame(rows, "match boolean, f1 boolean, "
+                                     "f2 boolean")
+    got = {r.feature: r for r in
+           fellegi_weights(df, "match", ["f1", "f2"]).collect()}
+    r = got["f1"]
+    assert (r.n_match, r.agree_match, r.n_nonmatch,
+            r.agree_nonmatch) == (2, 2, 3, 1)
+    assert r.weight == math.log((3 * 5) / (4 * 2))
+    r2 = got["f2"]
+    assert (r2.agree_match, r2.agree_nonmatch) == (1, 1)
+    assert r2.weight == math.log((2 * 5) / (4 * 2))
+
+
+def test_zone_map_prune_report(spark):
+    from mapbox_filter_spark.operators.zonemap import (
+        zone_map, zone_map_prune_report)
+    rows = [(0, 5), (0, 9), (1, 20), (1, 30), (2, 8), (2, 25)]
+    df = spark.createDataFrame(rows, "f long, v long")
+    zm = zone_map(df, "f", "v")
+    got = {r.file_id: (r.n_rows, r.vmin, r.vmax) for r in zm.collect()}
+    assert got == {0: (2, 5, 9), 1: (2, 20, 30), 2: (2, 8, 25)}
+    # predicate [10, 15]: file0 pruned (max 9 < 10), file1 pruned
+    # (min 20 > 15), file2 overlaps -> kept
+    r = zone_map_prune_report(zm, 10, 15).collect()[0]
+    assert (r.n_files, r.n_pruned, r.rows_total, r.rows_skipped) == \
+        (3, 2, 6, 4)
