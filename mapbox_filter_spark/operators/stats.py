@@ -785,3 +785,55 @@ def anova_f(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         / (F.col("ssw_q").cast("double")
            * (F.col("k") - 1).cast("double")))
     return out.withColumn("f_stat", f_stat)
+
+
+def winsorize_profile(df: DataFrame, group_cols: Sequence[str],
+                      value_col: str, *, lo_q: int = 5,
+                      hi_q: int = 95) -> DataFrame:
+    """Winsorization report per group — the outlier-clamping step of a
+    training-data curation pipeline, measured exactly: the clamp
+    bounds are the EXACT ⌈q·n/100⌉-th order statistics (the
+    rank_percentiles convention — actual data values, no
+    interpolation) and every clipped count / sum is exact int64.
+
+    One ROW_NUMBER window + one conditional groupBy on the same key =
+    a single exchange, same cost shape as rank_percentiles.
+
+    Output: ``(group..., n, lo_c, hi_c, n_clip_lo, n_clip_hi, sum_c,
+    winsorized_sum_c)`` — winsorized_sum replaces values below lo with
+    lo and above hi with hi.
+    """
+    if not (1 <= lo_q < hi_q <= 100):
+        raise ValueError(f"need 1 <= lo_q < hi_q <= 100: {lo_q},{hi_q}")
+    v = F.col(value_col).cast("long")
+    clean = df.filter(v.isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy(v)
+    ranked = clean.select(
+        *group_cols, v.alias("_v"),
+        F.row_number().over(w).cast("long").alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+        .alias("_n"))
+
+    def _target(q):
+        t = F.col("_n") * q + 99
+        return ((t - F.pmod(t, F.lit(100))) / 100).cast("long")
+
+    bounds = ranked.groupBy(*group_cols).agg(
+        F.max("_n").alias("n"),
+        F.max(F.when(F.col("_rn") == _target(lo_q), F.col("_v")))
+        .alias("lo_c"),
+        F.max(F.when(F.col("_rn") == _target(hi_q), F.col("_v")))
+        .alias("hi_c"))
+    j = clean.select(*group_cols, v.alias("_v")).join(bounds, group_cols)
+    clipped = F.greatest(F.least(F.col("_v"), F.col("hi_c")),
+                         F.col("lo_c"))
+    return j.groupBy(*group_cols).agg(
+        F.max("n").alias("n"),
+        F.max("lo_c").alias("lo_c"),
+        F.max("hi_c").alias("hi_c"),
+        F.sum((F.col("_v") < F.col("lo_c")).cast("int")).cast("long")
+        .alias("n_clip_lo"),
+        F.sum((F.col("_v") > F.col("hi_c")).cast("int")).cast("long")
+        .alias("n_clip_hi"),
+        F.sum("_v").alias("sum_c"),
+        F.sum(clipped).alias("winsorized_sum_c"))

@@ -591,3 +591,43 @@ def rake_phrases(docs: DataFrame, id_col: str, text_col: str, *,
     return (agg.orderBy(F.col("score_q").desc(), "phrase")
             .limit(int(k))
             .select("phrase", "n", "score_q"))
+
+
+def vocab_growth(docs: DataFrame, id_col: str, text_col: str, *,
+                 deciles: int = 10) -> DataFrame:
+    """Vocabulary-growth curve (the Heaps'-law V(n) diagnostic): order
+    documents by a content hash (deterministic, corpus-shuffling), and
+    report distinct-vocabulary size after each 1/``deciles`` prefix of
+    the corpus.  Feed the curve to loglog_fit for the Heaps β.
+
+    Exactness: first-occurrence rank per token = MIN document rank;
+    V(n_k) = count of tokens whose first rank ≤ n_k = ⌊N·k/deciles⌋ —
+    pure integer arithmetic.  The doc ranking is one global sort of
+    (hash, id) pairs — ~16 bytes/doc; past ~10⁹ docs shard the rank
+    with a range-partitioned sort (documented; the curve is a corpus
+    diagnostic, not a per-row transform).
+
+    Output: ``(decile, n_docs, vocab)`` — ``deciles`` rows.
+    """
+    from pyspark.sql import Window as W
+
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+               16, 10).cast("long")
+    ranked = docs.select(
+        F.col(id_col).alias("_doc"), F.col(text_col).alias("_text"),
+        F.row_number().over(W.orderBy(h, F.col(id_col))).cast("long")
+        .alias("_rank"))
+    toks = (ranked.select(
+        "_rank", F.explode(_words(F.col("_text"))).alias("w"))
+        .groupBy("w").agg(F.min("_rank").alias("first_rank")))
+    n_total = ranked.groupBy().agg(F.max("_rank").alias("n"))
+    ks = (n_total.select(
+        F.explode(F.sequence(F.lit(1), F.lit(int(deciles))))
+        .alias("decile"), "n")
+        .select("decile",
+                F.expr(f"(n * decile) div {int(deciles)}").cast("long")
+                .alias("n_docs")))
+    return (toks.crossJoin(F.broadcast(ks))
+            .filter(F.col("first_rank") <= F.col("n_docs"))
+            .groupBy("decile", "n_docs")
+            .agg(F.count(F.lit(1)).alias("vocab")))

@@ -1029,3 +1029,50 @@ FROM agg"""
 
 
 CURATION_QUERIES["runs_test"] = (q_runs_test, sql_runs_test)
+
+
+_WINSOR_LO_Q, _WINSOR_HI_Q = 5, 95
+
+
+def q_winsorize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization report over event values per event type
+    (operators/stats.py winsorize_profile): exact order-statistic
+    clamp bounds, exact clipped counts and winsorized sums."""
+    from .operators.stats import winsorize_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", _cents().alias("cents"))
+    return winsorize_profile(ev, ["event_type"], "cents",
+                             lo_q=_WINSOR_LO_Q, hi_q=_WINSOR_HI_Q)
+
+
+def sql_winsorize_profile() -> str:
+    lo, hi = _WINSOR_LO_Q, _WINSOR_HI_Q
+    return f"""WITH v AS (
+  SELECT event_type AS g, {_CENTS_SQL} AS v FROM events
+  WHERE value IS NOT NULL),
+ranked AS (
+  SELECT g, v,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM v),
+bounds AS (
+  SELECT g, MAX(n) AS n,
+         MAX(CASE WHEN rn = (n * {lo} + 99) // 100 THEN v END) AS lo_c,
+         MAX(CASE WHEN rn = (n * {hi} + 99) // 100 THEN v END) AS hi_c
+  FROM ranked GROUP BY 1)
+SELECT v.g AS event_type, MAX(b.n) AS n,
+       MAX(b.lo_c) AS lo_c, MAX(b.hi_c) AS hi_c,
+       CAST(SUM(CASE WHEN v.v < b.lo_c THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(SUM(CASE WHEN v.v > b.hi_c THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_hi,
+       CAST(SUM(v.v) AS BIGINT) AS sum_c,
+       CAST(SUM(GREATEST(LEAST(v.v, b.hi_c), b.lo_c)) AS BIGINT)
+         AS winsorized_sum_c
+FROM v JOIN bounds b ON v.g = b.g
+GROUP BY 1"""
+
+
+CURATION_QUERIES["winsorize_profile"] = (q_winsorize_profile,
+                                         sql_winsorize_profile)

@@ -2348,3 +2348,43 @@ SELECT query_id, rank, vec_id, dot FROM (
 
 
 EXT_QUERIES["sq8_topk"] = (q_sq8_topk, sql_sq8_topk)
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled corpus lang vs the n-gram
+    heuristic's prediction (operators/text.py lang_id) — the
+    quality-control composition over the labeled documents table
+    (languages outside the marker set, e.g. zh, land in 'und'/'en'
+    cells and expose the detector's blind spots)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.select("lang",
+                        text.lang_id(F.col("text")).alias("lang_pred"))
+            .groupBy("lang", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def sql_lang_confusion() -> str:
+    scores = ",\n         ".join(
+        f"LEN(list_filter({_WORDS_SQL}, x -> list_contains({arr}, x)))"
+        f" AS s_{l}"
+        for l, arr in _STOP_SQL.items()
+    )
+    return f"""
+WITH scored AS (
+  SELECT lang,
+         {scores}
+  FROM documents
+),
+pred AS (
+  SELECT lang,
+       CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) < 1 THEN 'und'
+            WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+            WHEN s_de = GREATEST(s_de, s_fr, s_es) THEN 'de'
+            WHEN s_fr = GREATEST(s_fr, s_es) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+  FROM scored)
+SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2"""
+
+
+EXT_QUERIES["lang_confusion"] = (q_lang_confusion, sql_lang_confusion)

@@ -399,3 +399,49 @@ SELECT prefix, rank, token, n FROM (
 
 
 LM_QUERIES["prefix_complete"] = (q_prefix_complete, sql_prefix_complete)
+
+
+_VOCAB_DECILES = 10
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve (operators/text.py
+    vocab_growth): distinct vocabulary after each hash-ordered corpus
+    decile — exact first-occurrence ranks, integer thresholds."""
+    from .operators.text import vocab_growth
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    return vocab_growth(docs, "doc_id", "text",
+                        deciles=_VOCAB_DECILES)
+
+
+def sql_vocab_growth() -> str:
+    d = _VOCAB_DECILES
+    return f"""WITH {_WORDS_SQL},
+h AS (
+  SELECT doc_id, words,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM base),
+ranked AS (
+  SELECT doc_id, words,
+         CAST(ROW_NUMBER() OVER (ORDER BY hv, doc_id) AS BIGINT)
+           AS rnk
+  FROM h),
+toks AS (
+  SELECT t.w, CAST(MIN(rnk) AS BIGINT) AS first_rank
+  FROM ranked, LATERAL (SELECT unnest(words) AS w) t
+  GROUP BY 1),
+nt AS (SELECT CAST(MAX(rnk) AS BIGINT) AS n FROM ranked),
+ks AS (
+  SELECT CAST(k.k AS INT) AS decile,
+         (nt.n * k.k) // {d} AS n_docs
+  FROM nt, LATERAL (SELECT unnest(range(1, {d} + 1)) AS k) k)
+SELECT ks.decile, ks.n_docs,
+       CAST(COUNT(*) AS BIGINT) AS vocab
+FROM toks JOIN ks ON toks.first_rank <= ks.n_docs
+GROUP BY 1, 2"""
+
+
+LM_QUERIES["vocab_growth"] = (q_vocab_growth, sql_vocab_growth)

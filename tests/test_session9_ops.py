@@ -384,3 +384,33 @@ def test_zone_map_prune_report(spark):
     r = zone_map_prune_report(zm, 10, 15).collect()[0]
     assert (r.n_files, r.n_pruned, r.rows_total, r.rows_skipped) == \
         (3, 2, 6, 4)
+
+
+def test_winsorize_profile_hand(spark):
+    from mapbox_filter_spark.operators.stats import winsorize_profile
+    vals = list(range(1, 21)) + [1000]   # 21 values, one outlier
+    df = spark.createDataFrame([("a", v) for v in vals],
+                               "g string, v long")
+    r = winsorize_profile(df, ["g"], "v", lo_q=5, hi_q=95).collect()[0]
+    n = 21
+    lo_rank = (n * 5 + 99) // 100    # 2 -> value 2
+    hi_rank = (n * 95 + 99) // 100   # 20 -> value 20
+    assert (r.n, r.lo_c, r.hi_c) == (21, 2, 20)
+    assert (r.n_clip_lo, r.n_clip_hi) == (1, 1)   # value 1 and 1000
+    assert r.sum_c == sum(vals)
+    assert r.winsorized_sum_c == sum(
+        max(min(v, 20), 2) for v in vals)
+
+
+def test_vocab_growth_monotone_and_total(spark):
+    from mapbox_filter_spark.operators.text import vocab_growth
+    df = spark.createDataFrame(
+        [(i, "alpha beta" if i % 2 else "alpha gamma delta")
+         for i in range(10)], "doc_id long, text string")
+    rows = sorted(vocab_growth(df, "doc_id", "text", deciles=5)
+                  .collect())
+    assert [r.decile for r in rows] == [1, 2, 3, 4, 5]
+    vocabs = [r.vocab for r in rows]
+    assert vocabs == sorted(vocabs)          # monotone non-decreasing
+    assert vocabs[-1] == 4                   # alpha beta gamma delta
+    assert rows[-1].n_docs == 10
