@@ -525,3 +525,47 @@ def fellegi_weights(pairs: DataFrame, match_col: str,
         "feature", F.col("n_m").alias("n_match"), "agree_match",
         F.col("n_u").alias("n_nonmatch"), "agree_nonmatch",
         w.alias("weight"))
+
+
+def two_proportion_z(df: DataFrame, bucket_col: str,
+                     trials_col: str, successes_col: str) -> DataFrame:
+    """Two-proportion z-test between CONSECUTIVE buckets (the
+    week-over-week conversion-shift detector).  From exact integer
+    (trials, successes) per ordered bucket, the pooled-variance z
+    rearranges so every pre-√ term is exact int64::
+
+        z = (a1·n2 − a2·n1) · √(n1+n2)
+            / √(n1·n2·(a1+a2)·(n1+n2−a1−a2))
+
+    — one pinned 4-op double chain (the runs_test discipline); NULL
+    when either side is empty or the pooled rate is degenerate (all
+    successes / none).  int64 bound: n1·n2·a·(N−a) needs per-bucket
+    trials ≲ 50k at equal split; aggregate to coarser buckets past
+    that (documented, like the other exact tests).
+
+    Output: ``(bucket, n_prev, a_prev, n_cur, a_cur, z)`` for every
+    bucket with a predecessor.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(bucket_col)
+    cur = df.select(
+        F.col(bucket_col).alias("bucket"),
+        F.col(trials_col).cast("long").alias("n_cur"),
+        F.col(successes_col).cast("long").alias("a_cur"))
+    lagged = cur.select(
+        "bucket", "n_cur", "a_cur",
+        F.lag("n_cur").over(W.orderBy("bucket")).alias("n_prev"),
+        F.lag("a_cur").over(W.orderBy("bucket")).alias("a_prev")
+    ).filter(F.col("n_prev").isNotNull())
+    num = (F.col("a_prev") * F.col("n_cur")
+           - F.col("a_cur") * F.col("n_prev"))
+    n_tot = F.col("n_prev") + F.col("n_cur")
+    a_tot = F.col("a_prev") + F.col("a_cur")
+    rad = (F.col("n_prev") * F.col("n_cur") * a_tot
+           * (n_tot - a_tot))
+    z = F.when(rad > 0,
+               num.cast("double") * F.sqrt(n_tot.cast("double"))
+               / F.sqrt(rad.cast("double")))
+    return lagged.select("bucket", "n_prev", "a_prev", "n_cur",
+                         "a_cur", z.alias("z"))

@@ -1101,3 +1101,39 @@ def seasonal_decompose_daily(events: DataFrame, ts_col: str,
     return out.withColumn(
         "dev_num",
         (F.col("n") * F.col("n_w") - F.col("s_w")).cast("long"))
+
+
+def peak_concurrency(intervals: DataFrame, start_col: str,
+                     end_col: str, *, week_anchor: str = _BUSDAY_MONDAY
+                     ) -> DataFrame:
+    """Peak concurrent open intervals per week — the capacity-planning
+    sweep-line: +1 at each start, −1 at each end (half-open: at equal
+    timestamps closes process BEFORE opens — the (ts, delta ASC) total
+    order), running sum, max per calendar week.
+
+    Exact integers throughout.  The running sum is a GLOBAL ordered
+    window (one series — a corpus diagnostic like vocab_growth, not a
+    per-row transform); shard by a coarse time range with
+    per-shard offsets when a single sort partition won't hold the
+    2-rows-per-interval stream (documented; ~16 bytes/row).
+
+    Output: ``(week, max_open)`` — week = days-since-anchor div 7.
+    """
+    from pyspark.sql import Window as W
+
+    s = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e = F.unix_micros(F.col(end_col).cast("timestamp"))
+    deltas = (intervals.select(s.alias("us"),
+                               F.lit(1).alias("delta"))
+              .unionByName(
+                  intervals.select(e.alias("us"),
+                                   F.lit(-1).alias("delta"))))
+    w = W.orderBy("us", "delta").rowsBetween(W.unboundedPreceding, 0)
+    anchor_us = (f"unix_micros(cast(date'{week_anchor}' as "
+                 "timestamp))")
+    running = deltas.select(
+        "us", F.sum("delta").over(w).cast("long").alias("open_now"),
+        F.expr(f"((us - {anchor_us}) div 86400000000) div 7")
+        .cast("long").alias("week"))
+    return (running.groupBy("week")
+            .agg(F.max("open_now").alias("max_open")))

@@ -1116,3 +1116,92 @@ FROM agg"""
 
 
 TEMPORAL_QUERIES["burstiness"] = (q_burstiness, sql_burstiness)
+
+
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent open orders per week (operators/temporal.py
+    peak_concurrency): interval = order date → latest lineitem ship
+    date, exact sweep-line with the closes-before-opens tie rule."""
+    from .operators.temporal import peak_concurrency
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_orderdate")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close"))
+    iv = o.join(li, o.o_orderkey == li.l_orderkey) \
+        .select("o_orderdate", "close")
+    return peak_concurrency(iv, "o_orderdate", "close")
+
+
+def sql_peak_concurrency() -> str:
+    anchor = "epoch_us(CAST(DATE '1994-12-26' AS TIMESTAMP))"
+    return f"""WITH iv AS (
+  SELECT o.o_orderdate AS s, li.close AS e
+  FROM orders o
+  JOIN (SELECT l_orderkey, MAX(l_shipdate) AS close
+        FROM lineitem GROUP BY 1) li
+    ON o.o_orderkey = li.l_orderkey),
+deltas AS (
+  SELECT epoch_us(s) AS us, 1 AS delta FROM iv
+  UNION ALL
+  SELECT epoch_us(e), -1 FROM iv),
+running AS (
+  SELECT us,
+         CAST(SUM(delta) OVER (ORDER BY us, delta
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS open_now,
+         ((us - {anchor}) // 86400000000) // 7 AS week
+  FROM deltas)
+SELECT week, MAX(open_now) AS max_open
+FROM running GROUP BY 1"""
+
+
+TEMPORAL_QUERIES["peak_concurrency"] = (q_peak_concurrency,
+                                        sql_peak_concurrency)
+
+
+def q_conversion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week purchase-conversion shift detection
+    (operators/analytics.py two_proportion_z): exact weekly
+    trial/success counts from the event stream, pooled-variance z as
+    one pinned √-chain."""
+    from .operators.analytics import two_proportion_z
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.expr("cast(datediff(cast(ts as date), date'1994-12-26') "
+               "as bigint) div 7").alias("week"),
+        (F.col("event_type") == "purchase").cast("int").alias("hit"))
+    weekly = ev.groupBy("week").agg(
+        F.count(F.lit(1)).alias("trials"),
+        F.sum("hit").cast("long").alias("hits"))
+    return (two_proportion_z(weekly, "week", "trials", "hits")
+            .select(F.col("bucket").alias("week"), "n_prev", "a_prev",
+                    "n_cur", "a_cur", "z"))
+
+
+def sql_conversion_z() -> str:
+    return """WITH weekly AS (
+  SELECT CAST(date_diff('day', DATE '1994-12-26', CAST(ts AS DATE))
+              AS BIGINT) // 7 AS week,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS a
+  FROM events GROUP BY 1),
+lagged AS (
+  SELECT week, n AS n_cur, a AS a_cur,
+         LAG(n) OVER (ORDER BY week) AS n_prev,
+         LAG(a) OVER (ORDER BY week) AS a_prev
+  FROM weekly)
+SELECT week, n_prev, a_prev, n_cur, a_cur,
+       CASE WHEN n_prev * n_cur * (a_prev + a_cur)
+                 * (n_prev + n_cur - a_prev - a_cur) > 0
+            THEN CAST(a_prev * n_cur - a_cur * n_prev AS DOUBLE)
+                 * sqrt(CAST(n_prev + n_cur AS DOUBLE))
+                 / sqrt(CAST(n_prev * n_cur * (a_prev + a_cur)
+                             * (n_prev + n_cur - a_prev - a_cur)
+                             AS DOUBLE))
+       END AS z
+FROM lagged WHERE n_prev IS NOT NULL"""
+
+
+TEMPORAL_QUERIES["conversion_z"] = (q_conversion_z, sql_conversion_z)

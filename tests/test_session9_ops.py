@@ -414,3 +414,40 @@ def test_vocab_growth_monotone_and_total(spark):
     assert vocabs == sorted(vocabs)          # monotone non-decreasing
     assert vocabs[-1] == 4                   # alpha beta gamma delta
     assert rows[-1].n_docs == 10
+
+
+def test_peak_concurrency_tie_rule(spark):
+    import datetime as dt
+    from mapbox_filter_spark.operators.temporal import peak_concurrency
+    d = dt.datetime
+    # interval A [1,3), B [3,5): at t=3 the close of A processes
+    # before the open of B -> peak stays 1
+    iv = spark.createDataFrame(
+        [(d(1995, 1, 2), d(1995, 1, 4)),
+         (d(1995, 1, 4), d(1995, 1, 6)),
+         (d(1995, 1, 3), d(1995, 1, 5))],   # overlaps both -> peak 2
+        "s timestamp, e timestamp")
+    rows = {r.week: r.max_open
+            for r in peak_concurrency(iv, "s", "e").collect()}
+    assert rows == {1: 2}  # all within week 1 (anchor 1994-12-26)
+
+
+def test_two_proportion_z_hand(spark):
+    from mapbox_filter_spark.operators.analytics import two_proportion_z
+    df = spark.createDataFrame(
+        [(1, 100, 20), (2, 100, 35), (3, 50, 0)],
+        "b long, n long, a long")
+    rows = {r.bucket: r for r in
+            two_proportion_z(df, "b", "n", "a").collect()}
+    r2 = rows[2]
+    num = 20 * 100 - 35 * 100
+    n_tot, a_tot = 200, 55
+    rad = 100 * 100 * 55 * (200 - 55)
+    assert r2.z == float(num) * math.sqrt(float(n_tot)) / math.sqrt(
+        float(rad))
+    assert r2.z < 0   # conversion went UP week-over-week
+    r3 = rows[3]
+    assert (r3.n_prev, r3.a_prev, r3.n_cur, r3.a_cur) == \
+        (100, 35, 50, 0)
+    assert r3.z is not None   # pooled 35/150 not degenerate
+    assert 1 not in rows      # no predecessor
