@@ -3148,3 +3148,101 @@ FROM p0 JOIN u{_ACCUM_UNROLL} u USING (cx, cy)""")
 
 
 GEOM_QUERIES["d8_accum"] = (q_d8_accum, sql_d8_accum)
+
+
+_CL_ORDER = 8
+
+
+def q_curve_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-filling-curve locality profile: for every occupied grid
+    cell with an occupied right/down neighbor, the |key jump| to that
+    neighbor under the Hilbert curve (geo/hilbert.py) vs the Morton/Z
+    curve (geo/zorder.py).  Instructive measured result: total jump
+    mass is near-identical and Hilbert's WORST spatial-neighbor jump
+    is larger than Morton's central-seam 2/3·4^order — Hilbert's
+    guarantee runs the other way (curve-adjacent keys are always
+    spatially adjacent, so range scans touch contiguous blocks; see
+    the quadtree range-decomposition costs in zorder_scan for that
+    half of the story).  Exact integers: (curve, n_pairs, total_jump,
+    max_jump)."""
+    from .geo.hilbert import hilbert_encode
+    from .geo.tilemath import tile_cols
+    from .geo.zorder import morton_col
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir)
+    x, y = tile_cols(F.col("lon"), F.col("lat"), F.lit(_CL_ORDER))
+    cells = feats.select(x.alias("hx"), y.alias("hy")).distinct()
+    enc = hilbert_encode(cells, _CL_ORDER).withColumn(
+        "zkey", morton_col(F.col("hx"), F.col("hy"), _CL_ORDER)) \
+        .localCheckpoint()
+    pairs = None
+    for dx, dy in ((1, 0), (0, 1)):
+        b = enc.select(F.col("hx").alias("bx"), F.col("hy").alias("by"),
+                       F.col("h").alias("h2"), F.col("zkey").alias("z2"))
+        j = enc.join(b, (F.col("bx") == F.col("hx") + dx)
+                     & (F.col("by") == F.col("hy") + dy)) \
+            .select(F.abs(F.col("h2") - F.col("h")).alias("dh"),
+                    F.abs(F.col("z2") - F.col("zkey")).alias("dz"))
+        pairs = j if pairs is None else pairs.unionByName(j)
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("dh").alias("th"), F.max("dh").alias("mh"),
+        F.sum("dz").alias("tz"), F.max("dz").alias("mz"))
+    return agg.select(F.expr(
+        "stack(2, 'hilbert', n_pairs, th, mh,"
+        " 'morton', n_pairs, tz, mz)")
+        .alias("curve", "n_pairs", "total_jump", "max_jump"))
+
+
+def sql_curve_locality() -> str:
+    from .queries import _sql_tile_x, _sql_tile_y
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    o = _CL_ORDER
+    n = 1 << o
+    ctes = [f"""cells AS MATERIALIZED (
+  SELECT DISTINCT {_sql_tile_x(o)} AS hx, {_sql_tile_y(o)} AS hy
+  FROM features)""",
+            f"""g{o} AS MATERIALIZED (
+  SELECT hx, hy, hx AS x, hy AS y, CAST(0 AS BIGINT) AS d
+  FROM cells)"""]
+    for k in range(o - 1, -1, -1):
+        s = 1 << k
+        ctes.append(f"""g{k} AS MATERIALIZED (
+  SELECT hx, hy,
+         CASE WHEN ry = 0
+              THEN CASE WHEN rx = 1 THEN {n - 1} - y ELSE y END
+              ELSE x END AS x,
+         CASE WHEN ry = 0
+              THEN CASE WHEN rx = 1 THEN {n - 1} - x ELSE x END
+              ELSE y END AS y,
+         d + {s * s} * (CASE WHEN rx = 1 THEN 3 - ry ELSE ry END) AS d
+  FROM (SELECT *, (x // {s}) % 2 AS rx, (y // {s}) % 2 AS ry
+        FROM g{k + 1}))""")
+    morton = " + ".join(
+        f"((hx // {1 << k}) % 2) * {1 << (2 * k)}"
+        f" + ((hy // {1 << k}) % 2) * {1 << (2 * k + 1)}"
+        for k in range(o))
+    ctes.append(f"""enc AS MATERIALIZED (
+  SELECT g0.hx, g0.hy, CAST(g0.d AS BIGINT) AS h,
+         CAST({morton} AS BIGINT) AS zkey
+  FROM g0)""")
+    ctes.append("""jumps AS (
+  SELECT abs(b.h - a.h) AS dh, abs(b.zkey - a.zkey) AS dz
+  FROM enc a JOIN enc b ON b.hx = a.hx + 1 AND b.hy = a.hy
+  UNION ALL
+  SELECT abs(b.h - a.h), abs(b.zkey - a.zkey)
+  FROM enc a JOIN enc b ON b.hx = a.hx AND b.hy = a.hy + 1)""")
+    return (f"WITH {FEATURES_ORACLE_SQL},\n" + ",\n".join(ctes) + """
+SELECT 'hilbert' AS curve, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(dh) AS BIGINT) AS total_jump,
+       CAST(MAX(dh) AS BIGINT) AS max_jump
+FROM jumps
+UNION ALL
+SELECT 'morton', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(dz) AS BIGINT), CAST(MAX(dz) AS BIGINT)
+FROM jumps""")
+
+
+GEOM_QUERIES["curve_locality"] = (q_curve_locality, sql_curve_locality)

@@ -451,3 +451,24 @@ def test_two_proportion_z_hand(spark):
         (100, 35, 50, 0)
     assert r3.z is not None   # pooled 35/150 not degenerate
     assert 1 not in rows      # no predecessor
+
+
+def test_curve_locality_unit_square(spark):
+    from mapbox_filter_spark.geo.hilbert import py_hilbert_d
+    from mapbox_filter_spark.queries_geom import q_curve_locality  # noqa
+    # direct check of the jump math on a full 4x4 grid via the
+    # python hilbert reference
+    order = 2
+    jumps_h = []
+    for x in range(4):
+        for y in range(4):
+            for dx, dy in ((1, 0), (0, 1)):
+                nx, ny = x + dx, y + dy
+                if nx < 4 and ny < 4:
+                    jumps_h.append(abs(
+                        py_hilbert_d(nx, ny, order)
+                        - py_hilbert_d(x, y, order)))
+    # hilbert on full grid: every curve step is a spatial neighbor,
+    # so at least 15 of the 24 neighbor pairs have jump 1
+    assert sum(1 for j in jumps_h if j == 1) >= 15
+    assert max(jumps_h) <= 15
