@@ -321,3 +321,98 @@ def span_runs(spans_df: DataFrame, id_col: str = "doc_id",
     return (per_run.groupBy("kind", "run_len")
             .agg(F.count(F.lit(1)).alias("n_runs"),
                  F.countDistinct(id_col).alias("n_docs")))
+
+
+def media_context_windows(docs: DataFrame, spans_col: str = "spans",
+                          id_col: str = "doc_id", *,
+                          window: int = 2) -> DataFrame:
+    """Context-window mining for multimodal training samples: for
+    every ``media`` span, the concatenation of text spans within
+    ±``window`` offsets — the "image with surrounding text" sample
+    builder over the BASELINE input_hint's interleaved
+    ``spans array<struct<kind,text,media_ref,offset>>``.
+
+    Like caption_pairs, entirely in-row higher-order functions: one
+    Project + Generate over the document scan, ZERO shuffles — 100 TB
+    of documents mine at scan speed.  Spans are offset-sorted in-row
+    first, so upstream shuffle order cannot change the concatenation
+    order.  A media span with no text span in range emits NULL context
+    and n_ctx = 0.
+
+    Output: ``(doc_id, media_ref, offset, context_text, n_ctx)``.
+    """
+    spans = F.col(spans_col)
+    sorted_spans = F.array_sort(
+        spans,
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+                      .when(a["offset"] > b["offset"], 1).otherwise(0))
+
+    def ctx(m: Column) -> Column:
+        return F.filter(
+            F.col("_sp"),
+            lambda s: (s["kind"] == "text") & s["text"].isNotNull()
+            & (F.abs(s["offset"] - m["offset"]) <= window))
+
+    rows = F.transform(
+        F.filter(F.col("_sp"), lambda s: s["kind"] == "media"),
+        lambda m: F.struct(
+            m["media_ref"].alias("media_ref"),
+            m["offset"].alias("offset"),
+            F.when(F.size(ctx(m)) > 0,
+                   F.array_join(F.transform(ctx(m),
+                                            lambda s: s["text"]), " "))
+            .alias("context_text"),
+            F.size(ctx(m)).cast("long").alias("n_ctx"),
+        ))
+    return (docs.withColumn("_sp", sorted_spans)
+            .select(F.col(id_col), F.explode(rows).alias("p"))
+            .select(id_col, "p.media_ref", "p.offset",
+                    "p.context_text", "p.n_ctx"))
+
+
+def interleave_profile(docs: DataFrame, spans_col: str = "spans",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-document interleaving profile of a multimodal span corpus:
+    span counts by kind, modality ALTERNATIONS (adjacent kind changes
+    in offset order — the interleaved-ness signal), and total text
+    payload — the corpus-composition report a mixing/annealing
+    schedule reads.
+
+    In-row only (sort + slice/zip_with + filter HOFs): zero shuffles
+    besides the final (optional) aggregation by the caller.
+
+    Output: ``(doc_id, n_spans, n_text, n_media, n_geo, n_switches,
+    text_chars)`` — all exact int64.
+    """
+    spans = F.col(spans_col)
+    sp = F.array_sort(
+        spans,
+        lambda a, b: F.when(a["offset"] < b["offset"], -1)
+                      .when(a["offset"] > b["offset"], 1).otherwise(0))
+
+    def count_kind(k):
+        return F.size(F.filter(F.col("_sp"),
+                               lambda s: s["kind"] == k)).cast("long")
+
+    n = F.size(F.col("_sp"))
+    n1 = F.greatest(n - 1, F.lit(0))
+    switches = F.size(F.filter(
+        F.zip_with(F.slice(F.col("_sp"), 1, n1),
+                   F.slice(F.col("_sp"), 2, n1),
+                   lambda a, b: a["kind"] != b["kind"]),
+        lambda x: x)).cast("long")
+    text_chars = F.coalesce(
+        F.aggregate(
+            F.filter(F.col("_sp"), lambda s: s["kind"] == "text"),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + F.coalesce(F.length(s["text"]),
+                                            F.lit(0)).cast("long")),
+        F.lit(0).cast("long"))
+    return (docs.withColumn("_sp", sp)
+            .select(F.col(id_col),
+                    n.cast("long").alias("n_spans"),
+                    count_kind("text").alias("n_text"),
+                    count_kind("media").alias("n_media"),
+                    count_kind("geo").alias("n_geo"),
+                    switches.alias("n_switches"),
+                    text_chars.alias("text_chars")))

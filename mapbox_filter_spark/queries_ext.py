@@ -2388,3 +2388,80 @@ FROM pred GROUP BY 1, 2"""
 
 
 EXT_QUERIES["lang_confusion"] = (q_lang_confusion, sql_lang_confusion)
+
+
+_CTXW = 2
+
+
+def q_span_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal context-window mining (operators/media.py
+    media_context_windows): per media span, the ±2-offset text-span
+    context — in-row HOFs only, zero shuffles."""
+    from .operators.media import media_context_windows
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return media_context_windows(interleaved_spans(docs),
+                                 window=_CTXW)
+
+
+def sql_span_windows() -> str:
+    return f"""WITH {span_fields_sql()},
+media AS (
+  SELECT doc_id, i AS m_off, media_ref FROM fields
+  WHERE kind = 'media'),
+ctx AS (
+  SELECT m.doc_id, m.m_off, m.media_ref,
+         string_agg(t.text, ' ' ORDER BY t.i) AS context_text,
+         CAST(COUNT(t.i) AS BIGINT) AS n_ctx
+  FROM media m
+  LEFT JOIN fields t
+    ON t.doc_id = m.doc_id AND t.kind = 'text'
+   AND t.text IS NOT NULL AND abs(t.i - m.m_off) <= {_CTXW}
+  GROUP BY 1, 2, 3)
+SELECT doc_id, media_ref, m_off AS "offset", context_text, n_ctx
+FROM ctx"""
+
+
+EXT_QUERIES["span_windows"] = (q_span_windows, sql_span_windows)
+
+
+def q_interleave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document interleaving profile (operators/media.py
+    interleave_profile): modality counts, alternation count, text
+    payload — the corpus-composition report for mixing schedules."""
+    from .operators.media import interleave_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return interleave_profile(interleaved_spans(docs))
+
+
+def sql_interleave_profile() -> str:
+    return f"""WITH {span_fields_sql()},
+base_counts AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN kind = 'text' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_text,
+         CAST(SUM(CASE WHEN kind = 'media' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_media,
+         CAST(SUM(CASE WHEN kind = 'geo' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_geo,
+         CAST(SUM(CASE WHEN kind = 'text'
+                       THEN COALESCE(length(text), 0) ELSE 0 END)
+              AS BIGINT) AS text_chars
+  FROM fields GROUP BY 1),
+sw AS (
+  SELECT a.doc_id,
+         CAST(SUM(CASE WHEN a.kind <> b.kind THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_switches
+  FROM fields a JOIN fields b
+    ON a.doc_id = b.doc_id AND b.i = a.i + 1
+  GROUP BY 1)
+SELECT c.doc_id, c.n_spans, c.n_text, c.n_media, c.n_geo,
+       COALESCE(sw.n_switches, CAST(0 AS BIGINT)) AS n_switches,
+       c.text_chars
+FROM base_counts c LEFT JOIN sw ON c.doc_id = sw.doc_id"""
+
+
+EXT_QUERIES["interleave_profile"] = (q_interleave_profile,
+                                     sql_interleave_profile)

@@ -472,3 +472,54 @@ def test_curve_locality_unit_square(spark):
     # so at least 15 of the 24 neighbor pairs have jump 1
     assert sum(1 for j in jumps_h if j == 1) >= 15
     assert max(jumps_h) <= 15
+
+
+def _mk_spans(spark, spans):
+    rows = [(1, [(k, t, m, o) for (k, t, m, o) in spans])]
+    return spark.createDataFrame(
+        rows, "doc_id long, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+
+
+def test_media_context_windows(spark):
+    from mapbox_filter_spark.operators.media import media_context_windows
+    # shuffled input order; media at offset 2 with text at 0,1,4
+    df = _mk_spans(spark, [
+        ("text", "far", None, 0),
+        ("media", None, "m://a", 2),
+        ("text", "near", None, 1),
+        ("text", "after", None, 4),
+        ("geo", "1,2", None, 3),
+    ])
+    rows = media_context_windows(df, window=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # offsets 0,1,4 within +-2 of 2: 0,1,4 all qualify -> sorted order
+    assert (r.media_ref, r.offset, r.n_ctx) == ("m://a", 2, 3)
+    assert r.context_text == "far near after"
+
+
+def test_media_context_windows_empty_context(spark):
+    from mapbox_filter_spark.operators.media import media_context_windows
+    df = _mk_spans(spark, [
+        ("media", None, "m://b", 0),
+        ("text", "distant", None, 9),
+    ])
+    r = media_context_windows(df, window=2).collect()[0]
+    assert r.context_text is None and r.n_ctx == 0
+
+
+def test_interleave_profile(spark):
+    from mapbox_filter_spark.operators.media import interleave_profile
+    df = _mk_spans(spark, [
+        ("text", "ab", None, 0),
+        ("media", None, "m://a", 1),
+        ("text", "cde", None, 2),
+        ("text", None, None, 3),     # NULL text counts 0 chars
+        ("geo", "1,2", None, 4),
+    ])
+    r = interleave_profile(df).collect()[0]
+    assert (r.n_spans, r.n_text, r.n_media, r.n_geo) == (5, 3, 1, 1)
+    # kinds in order: text media text text geo -> switches at 3 spots
+    assert r.n_switches == 3
+    assert r.text_chars == 2 + 3 + 0
