@@ -569,3 +569,54 @@ def two_proportion_z(df: DataFrame, bucket_col: str,
                / F.sqrt(rad.cast("double")))
     return lagged.select("bucket", "n_prev", "a_prev", "n_cur",
                          "a_cur", z.alias("z"))
+
+
+def discrete_mi(df: DataFrame, x_col: str, y_col: str,
+                x_values, y_values, *,
+                feature_name: str | None = None) -> DataFrame:
+    """Discrete mutual information I(X;Y) in nats over ENUMERATED
+    category lists — the feature-vs-label ranking primitive for
+    feature selection.
+
+    The category lists must be passed explicitly (pinned): the cell
+    grid is then FIXED, so all |X|·|Y| cell counts ride one
+    map-side-combinable aggregate into a single row, and the MI sum
+    folds the cells in the pinned (x, y) enumeration order as one flat
+    double expression — the G²/BM25 bit-stability discipline (a SUM
+    over a cells table would re-associate differently per engine).
+    Each term is ``(c/N)·ln(c·N/(r·col))`` with c, N, r, col exact
+    int64; zero cells contribute 0.  Rows outside the enumerated
+    categories are EXCLUDED (count them upstream if that matters).
+
+    Output: one row — ``(feature, n, mi_nats)``.
+    """
+    xs, ys = list(x_values), list(y_values)
+    name = feature_name or x_col
+    x, y = F.col(x_col), F.col(y_col)
+    filt = df.filter(x.isin(*xs) & y.isin(*ys))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, xv in enumerate(xs):
+        aggs.append(F.sum((x == xv).cast("int")).cast("long")
+                    .alias(f"r_{i}"))
+    for j, yv in enumerate(ys):
+        aggs.append(F.sum((y == yv).cast("int")).cast("long")
+                    .alias(f"c_{j}"))
+    for i, xv in enumerate(xs):
+        for j, yv in enumerate(ys):
+            aggs.append(F.sum(((x == xv) & (y == yv)).cast("int"))
+                        .cast("long").alias(f"k_{i}_{j}"))
+    tot = filt.agg(*aggs)
+    n = F.col("n")
+    mi = None
+    for i in range(len(xs)):
+        for j in range(len(ys)):
+            k = F.col(f"k_{i}_{j}")
+            term = F.when(
+                k > 0,
+                (k.cast("double") / n.cast("double"))
+                * F.log((k * n).cast("double")
+                        / (F.col(f"r_{i}") * F.col(f"c_{j}"))
+                        .cast("double"))).otherwise(F.lit(0.0))
+            mi = term if mi is None else (mi + term)
+    return tot.select(F.lit(name).alias("feature"), "n",
+                      mi.alias("mi_nats"))

@@ -1082,3 +1082,79 @@ def sql_zone_map_skip() -> str:
 
 
 ANALYTICS_QUERIES["zone_map_skip"] = (q_zone_map_skip, sql_zone_map_skip)
+
+
+_MI_DOWS = tuple(range(7))
+_MI_VALBUCKETS = (0, 1, 2, 3)
+_MI_LABELS = (0, 1)
+
+
+def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-vs-label mutual information ranking
+    (operators/analytics.py discrete_mi): I(day-of-week; purchase) and
+    I(value-bucket; purchase) over the event stream — pinned category
+    enumerations, exact cell counts, one flat pinned-order double
+    fold per feature."""
+    from .operators.analytics import discrete_mi
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.expr("cast(datediff(cast(ts as date), date'1994-12-26') "
+               "as bigint) % 7").cast("int").alias("dow"),
+        F.when(_cents() < 500, 0).when(_cents() < 1000, 1)
+        .when(_cents() < 2000, 2).otherwise(3).alias("vb"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"))
+    a = discrete_mi(ev, "dow", "y", _MI_DOWS, _MI_LABELS,
+                    feature_name="dow")
+    b = discrete_mi(ev, "vb", "y", _MI_VALBUCKETS, _MI_LABELS,
+                    feature_name="value_bucket")
+    return a.unionByName(b)
+
+
+def sql_feature_mi() -> str:
+    from .queries_curation import _CENTS_SQL
+
+    def block(feature, xexpr, xs):
+        cols = [f"CAST(COUNT(*) AS BIGINT) AS n"]
+        for i, xv in enumerate(xs):
+            cols.append(f"CAST(SUM(CASE WHEN x = {xv} THEN 1 ELSE 0 "
+                        f"END) AS BIGINT) AS r_{i}")
+        for j in (0, 1):
+            cols.append(f"CAST(SUM(CASE WHEN y = {j} THEN 1 ELSE 0 "
+                        f"END) AS BIGINT) AS c_{j}")
+        for i, xv in enumerate(xs):
+            for j in (0, 1):
+                cols.append(
+                    f"CAST(SUM(CASE WHEN x = {xv} AND y = {j} THEN 1 "
+                    f"ELSE 0 END) AS BIGINT) AS k_{i}_{j}")
+        terms = []
+        for i in range(len(xs)):
+            for j in (0, 1):
+                terms.append(
+                    f"(CASE WHEN k_{i}_{j} > 0 THEN "
+                    f"(CAST(k_{i}_{j} AS DOUBLE) / CAST(n AS DOUBLE))"
+                    f" * ln(CAST(k_{i}_{j} * n AS DOUBLE)"
+                    f" / CAST(r_{i} * c_{j} AS DOUBLE)) "
+                    f"ELSE 0.0 END)")
+        # fold in the same left-to-right pinned order as the engine
+        mi = terms[0]
+        for t in terms[1:]:
+            mi = f"({mi} + {t})"
+        return f"""
+SELECT '{feature}' AS feature, n, {mi} AS mi_nats FROM (
+  SELECT {', '.join(cols)}
+  FROM (SELECT {xexpr} AS x,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                 AS y
+        FROM events) t)"""
+
+    dow = ("CAST(date_diff('day', DATE '1994-12-26', "
+           "CAST(ts AS DATE)) AS BIGINT) % 7")
+    c = _CENTS_SQL
+    vb = (f"CASE WHEN {c} < 500 THEN 0 WHEN {c} < 1000 THEN 1 "
+          f"WHEN {c} < 2000 THEN 2 ELSE 3 END")
+    return (block("dow", dow, _MI_DOWS)
+            + "\nUNION ALL\n"
+            + block("value_bucket", vb, _MI_VALBUCKETS))
+
+
+ANALYTICS_QUERIES["feature_mi"] = (q_feature_mi, sql_feature_mi)

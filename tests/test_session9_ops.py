@@ -523,3 +523,22 @@ def test_interleave_profile(spark):
     # kinds in order: text media text text geo -> switches at 3 spots
     assert r.n_switches == 3
     assert r.text_chars == 2 + 3 + 0
+
+
+def test_discrete_mi_hand(spark):
+    from mapbox_filter_spark.operators.analytics import discrete_mi
+    # perfectly dependent: x == y -> MI = H(X) = ln 2 for balanced
+    rows = [(0, 0)] * 5 + [(1, 1)] * 5
+    df = spark.createDataFrame(rows, "x int, y int")
+    r = discrete_mi(df, "x", "y", (0, 1), (0, 1)).collect()[0]
+    assert r.n == 10
+    assert abs(r.mi_nats - math.log(2)) < 1e-12
+    # independent uniform -> MI = 0
+    rows2 = [(x, y) for x in (0, 1) for y in (0, 1) for _ in range(3)]
+    df2 = spark.createDataFrame(rows2, "x int, y int")
+    r2 = discrete_mi(df2, "x", "y", (0, 1), (0, 1)).collect()[0]
+    assert abs(r2.mi_nats) < 1e-12
+    # out-of-enumeration rows excluded
+    df3 = spark.createDataFrame(rows + [(7, 0)], "x int, y int")
+    r3 = discrete_mi(df3, "x", "y", (0, 1), (0, 1)).collect()[0]
+    assert r3.n == 10
