@@ -620,3 +620,41 @@ def discrete_mi(df: DataFrame, x_col: str, y_col: str,
             mi = term if mi is None else (mi + term)
     return tot.select(F.lit(name).alias("feature"), "n",
                       mi.alias("mi_nats"))
+
+
+def cohort_ltv(orders: DataFrame, cust_col: str, date_col: str,
+               cents_col: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers cohorted by first-order
+    month, revenue accumulated by month age — the standard LTV
+    triangle, exact cents end-to-end.
+
+    Months are exact integers ``(year−1970)·12 + (month−1)`` (no
+    day-count drift); the cumulative sum is a per-cohort ordered
+    window over the (cohort × age) AGGREGATE (≤ months² rows — the
+    fact table shuffles twice: first-order groupBy and the
+    cohort-month groupBy, both map-side-combinable).
+
+    Output: ``(cohort_month, month_age, n_customers, revenue_u,
+    cum_revenue_u)`` — n_customers is the cohort's size (constant per
+    cohort row, for per-capita LTV downstream).
+    """
+    from pyspark.sql import Window as W
+
+    mo = (F.year(F.col(date_col)) - 1970) * 12 \
+        + (F.month(F.col(date_col)) - 1)
+    o = orders.select(F.col(cust_col).alias("cust"),
+                      mo.cast("long").alias("mo"),
+                      F.col(cents_col).cast("long").alias("c"))
+    first = o.groupBy("cust").agg(F.min("mo").alias("cohort"))
+    sized = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_customers"))
+    j = o.join(first, "cust").groupBy(
+        "cohort", (F.col("mo") - F.col("cohort")).alias("month_age")
+    ).agg(F.sum("c").alias("revenue_u"))
+    w = W.partitionBy("cohort").orderBy("month_age") \
+        .rowsBetween(W.unboundedPreceding, 0)
+    return (j.join(F.broadcast(sized), "cohort")
+            .select(F.col("cohort").alias("cohort_month"), "month_age",
+                    "n_customers", "revenue_u",
+                    F.sum("revenue_u").over(w).cast("long")
+                    .alias("cum_revenue_u")))

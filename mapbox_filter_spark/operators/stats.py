@@ -837,3 +837,63 @@ def winsorize_profile(df: DataFrame, group_cols: Sequence[str],
         .alias("n_clip_hi"),
         F.sum("_v").alias("sum_c"),
         F.sum(clipped).alias("winsorized_sum_c"))
+
+
+def welch_t(df: DataFrame, group_col: str, value_col: str,
+            group_a, group_b) -> DataFrame:
+    """Welch's unequal-variance t statistic between two named groups,
+    from exact integer moments (n, S=Σx, Q=Σx² per group — one
+    map-side-combinable aggregate; quantize values upstream).
+
+    d_g = n_g·Q_g − S_g² is exact int64 (|S_g| bound enforced in-plan,
+    the anova_f discipline); the t statistic is then ONE flat pinned
+    double expression over the six exact ints::
+
+        t = (S_a/n_a − S_b/n_b)
+            / √( d_a/((n_a−1)·n_a²) + d_b/((n_b−1)·n_b²) )
+
+    evaluated with fixed parenthesization (the loglog_fit
+    flat-double-expression precedent).  NULL when either group has
+    < 2 rows or both variances are zero.
+
+    Output: one row — ``(n_a, s_a, d_a, n_b, s_b, d_b, t)``.
+    """
+    x = F.col(value_col).cast("long")
+    g = F.col(group_col)
+    filt = df.filter(g.isin(group_a, group_b))
+    is_a = (g == group_a).cast("int")
+    is_b = (g == group_b).cast("int")
+    agg = filt.agg(
+        F.sum(is_a).cast("long").alias("n_a"),
+        F.sum(is_a * x).cast("long").alias("s_a"),
+        F.sum(is_a * x * x).cast("long").alias("q_a"),
+        F.sum(is_b).cast("long").alias("n_b"),
+        F.sum(is_b * x).cast("long").alias("s_b"),
+        F.sum(is_b * x * x).cast("long").alias("q_b"))
+
+    def guard(s, n):
+        return F.when(
+            F.abs(F.col(s)) > F.lit(_ANOVA_MAX_ABS_SUM),
+            F.raise_error(F.concat(
+                F.lit(f"welch_t: |{s}| exceeds exact-int64 bound "
+                      f"({_ANOVA_MAX_ABS_SUM}); center values "
+                      "upstream: "), F.col(s).cast("string")))
+            .cast("long")).otherwise(F.col(s))
+
+    agg = agg.withColumn("s_a", guard("s_a", "n_a")) \
+             .withColumn("s_b", guard("s_b", "n_b"))
+    d_a = (F.col("n_a") * F.col("q_a")
+           - F.col("s_a") * F.col("s_a")).cast("long")
+    d_b = (F.col("n_b") * F.col("q_b")
+           - F.col("s_b") * F.col("s_b")).cast("long")
+    out = agg.select("n_a", "s_a", d_a.alias("d_a"),
+                     "n_b", "s_b", d_b.alias("d_b"))
+    dd = lambda c: F.col(c).cast("double")
+    va = dd("d_a") / ((dd("n_a") - 1.0) * (dd("n_a") * dd("n_a")))
+    vb = dd("d_b") / ((dd("n_b") - 1.0) * (dd("n_b") * dd("n_b")))
+    t = F.when(
+        (F.col("n_a") > 1) & (F.col("n_b") > 1)
+        & ((F.col("d_a") > 0) | (F.col("d_b") > 0)),
+        ((dd("s_a") / dd("n_a")) - (dd("s_b") / dd("n_b")))
+        / F.sqrt(va + vb))
+    return out.withColumn("t", t)

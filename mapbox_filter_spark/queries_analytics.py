@@ -1158,3 +1158,96 @@ SELECT '{feature}' AS feature, n, {mi} AS mi_nats FROM (
 
 
 ANALYTICS_QUERIES["feature_mi"] = (q_feature_mi, sql_feature_mi)
+
+
+def q_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t between purchase and click event values
+    (operators/stats.py welch_t): exact int64 moments + one flat
+    pinned double expression."""
+    from .operators.stats import welch_t
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", _cents("value").alias("cents"))
+    return welch_t(ev, "event_type", "cents", "purchase", "click")
+
+
+def sql_welch_t() -> str:
+    from .queries_curation import _CENTS_SQL
+    return f"""WITH m AS (
+  SELECT CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                  END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN {_CENTS_SQL}
+                  ELSE 0 END) AS BIGINT) AS s_a,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN {_CENTS_SQL} * {_CENTS_SQL} ELSE 0 END)
+              AS BIGINT) AS q_a,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                  END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN {_CENTS_SQL}
+                  ELSE 0 END) AS BIGINT) AS s_b,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN {_CENTS_SQL} * {_CENTS_SQL} ELSE 0 END)
+              AS BIGINT) AS q_b
+  FROM events
+  WHERE event_type IN ('purchase', 'click')),
+d AS (
+  SELECT n_a, s_a, n_a * q_a - s_a * s_a AS d_a,
+         n_b, s_b, n_b * q_b - s_b * s_b AS d_b
+  FROM m)
+SELECT n_a, s_a, d_a, n_b, s_b, d_b,
+       CASE WHEN n_a > 1 AND n_b > 1 AND (d_a > 0 OR d_b > 0)
+            THEN ((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                  - (CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+                 / sqrt(CAST(d_a AS DOUBLE)
+                        / ((CAST(n_a AS DOUBLE) - 1.0)
+                           * (CAST(n_a AS DOUBLE)
+                              * CAST(n_a AS DOUBLE)))
+                        + CAST(d_b AS DOUBLE)
+                          / ((CAST(n_b AS DOUBLE) - 1.0)
+                             * (CAST(n_b AS DOUBLE)
+                                * CAST(n_b AS DOUBLE))))
+       END AS t
+FROM d"""
+
+
+ANALYTICS_QUERIES["welch_t"] = (q_welch_t, sql_welch_t)
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle over orders (operators/analytics.py
+    cohort_ltv): first-order-month cohorts, exact cents revenue by
+    month age with per-cohort cumulative sums."""
+    from .operators.analytics import cohort_ltv
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderdate", _cents("o_totalprice").alias("c"))
+    return cohort_ltv(o, "o_custkey", "o_orderdate", "c")
+
+
+def sql_cohort_ltv() -> str:
+    from .queries_curation import _CENTS_SQL
+    c = _CENTS_SQL.replace("value", "o_totalprice")
+    return f"""WITH o AS (
+  SELECT o_custkey AS cust,
+         CAST((year(o_orderdate) - 1970) * 12
+              + (month(o_orderdate) - 1) AS BIGINT) AS mo,
+         {c} AS c
+  FROM orders),
+first_o AS (SELECT cust, MIN(mo) AS cohort FROM o GROUP BY 1),
+sized AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_customers
+          FROM first_o GROUP BY 1),
+agg AS (
+  SELECT f.cohort, o.mo - f.cohort AS month_age,
+         CAST(SUM(o.c) AS BIGINT) AS revenue_u
+  FROM o JOIN first_o f ON o.cust = f.cust
+  GROUP BY 1, 2)
+SELECT a.cohort AS cohort_month, a.month_age, s.n_customers,
+       a.revenue_u,
+       CAST(SUM(a.revenue_u) OVER (PARTITION BY a.cohort
+                                   ORDER BY a.month_age
+                                   ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_revenue_u
+FROM agg a JOIN sized s ON a.cohort = s.cohort"""
+
+
+ANALYTICS_QUERIES["cohort_ltv"] = (q_cohort_ltv, sql_cohort_ltv)

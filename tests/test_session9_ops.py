@@ -542,3 +542,46 @@ def test_discrete_mi_hand(spark):
     df3 = spark.createDataFrame(rows + [(7, 0)], "x int, y int")
     r3 = discrete_mi(df3, "x", "y", (0, 1), (0, 1)).collect()[0]
     assert r3.n == 10
+
+
+def test_welch_t_replay(spark):
+    from mapbox_filter_spark.operators.stats import welch_t
+    a = [10, 12, 14, 16]
+    b = [9, 9, 10]
+    rows = [("a", v) for v in a] + [("b", v) for v in b] + [("c", 99)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = welch_t(df, "g", "v", "a", "b").collect()[0]
+    na, sa, qa = len(a), sum(a), sum(v * v for v in a)
+    nb, sb, qb = len(b), sum(b), sum(v * v for v in b)
+    da, db_ = na * qa - sa * sa, nb * qb - sb * sb
+    assert (r.n_a, r.s_a, r.d_a, r.n_b, r.s_b, r.d_b) == \
+        (na, sa, da, nb, sb, db_)
+    va = float(da) / ((float(na) - 1.0) * (float(na) * float(na)))
+    vb = float(db_) / ((float(nb) - 1.0) * (float(nb) * float(nb)))
+    exp = ((float(sa) / float(na)) - (float(sb) / float(nb))) \
+        / math.sqrt(va + vb)
+    assert r.t == exp and r.t > 0
+
+
+def test_cohort_ltv_triangle(spark):
+    import datetime as dt
+    from mapbox_filter_spark.operators.analytics import cohort_ltv
+    d = dt.datetime
+    rows = [
+        (1, d(1995, 1, 5), 100),    # cohort Jan-95
+        (1, d(1995, 2, 5), 50),     # age 1
+        (1, d(1995, 2, 20), 25),    # age 1 again
+        (2, d(1995, 1, 9), 10),     # same cohort
+        (3, d(1995, 3, 1), 7),      # cohort Mar-95
+    ]
+    df = spark.createDataFrame(rows, "cust long, dt timestamp, c long")
+    got = {(r.cohort_month, r.month_age): r
+           for r in cohort_ltv(df, "cust", "dt", "c").collect()}
+    jan = (1995 - 1970) * 12 + 0
+    mar = jan + 2
+    assert got[(jan, 0)].revenue_u == 110
+    assert got[(jan, 0)].n_customers == 2
+    assert got[(jan, 1)].revenue_u == 75
+    assert got[(jan, 1)].cum_revenue_u == 185
+    assert got[(mar, 0)].n_customers == 1
+    assert got[(mar, 0)].cum_revenue_u == 7
