@@ -897,3 +897,80 @@ def welch_t(df: DataFrame, group_col: str, value_col: str,
         ((dd("s_a") / dd("n_a")) - (dd("s_b") / dd("n_b")))
         / F.sqrt(va + vb))
     return out.withColumn("t", t)
+
+
+# Poisson(1) CDF thresholds scaled to 2^60 (exact integers; weight k
+# is assigned when the 60-bit hash uniform falls in [T_{k-1}, T_k))
+_POISSON1_T60 = (424136118829305344, 848272237658610688,
+                 1060340297073263360, 1131029650211480960,
+                 1148701988496035328, 1152236456152946176,
+                 1152825534095764608, 1152909688087595776)
+
+
+def poisson_bootstrap_ci(df: DataFrame, id_col: str, value_col: str, *,
+                         n_replicas: int = 40, salt: str = "boot",
+                         q_lo: int = 3, q_hi: int = 98) -> DataFrame:
+    """Distributed bootstrap confidence interval for the mean via the
+    POISSON bootstrap (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012 — the resampling scheme that
+    needs no global row count and no coordinated sampling): every row
+    enters replica b with weight w ~ Poisson(1), here DETERMINISTIC —
+    w is read off exact integer CDF thresholds against a 60-bit md5
+    uniform of (salt, id, b), so the whole interval value-hashes
+    cross-engine.
+
+    Exactness: per-replica Σw·x and Σw are exact int64 (one
+    map-side-combinable groupBy over the bounded ×B fan-out); each
+    replica mean is ONE pinned division; the interval takes the exact
+    ⌈q·B/100⌉-th order statistics of the B means (ties broken by
+    replica id).
+
+    Output: one row — ``(n, mean, b_replicas, lo_mean, hi_mean)``
+    where mean is the full-sample exact-ratio mean.
+    """
+    from pyspark.sql import Window as W
+
+    b_arr = F.sequence(F.lit(0), F.lit(int(n_replicas) - 1))
+    u = F.conv(F.substring(
+        F.md5(F.concat_ws("\x1f", F.lit(salt),
+                          F.col("_id").cast("string"),
+                          F.col("_b").cast("string"))), 1, 15),
+        16, 10).cast("long")
+    w_expr = None
+    for k, t in enumerate(_POISSON1_T60):
+        cond = u < F.lit(t)
+        w_expr = F.when(cond, k) if w_expr is None else \
+            w_expr.when(cond, k)
+    w_expr = w_expr.otherwise(len(_POISSON1_T60)).cast("long")
+    x = F.col(value_col).cast("long")
+    fan = df.select(x.alias("_x"), F.col(id_col).alias("_id"),
+                    F.explode(b_arr).alias("_b"))
+    rep = (fan.select("_b", (w_expr * F.col("_x")).alias("_wx"),
+                      w_expr.alias("_w"))
+           .groupBy("_b")
+           .agg(F.sum("_wx").alias("s"), F.sum("_w").alias("nw"))
+           .filter(F.col("nw") > 0)
+           .select("_b", (F.col("s").cast("double")
+                          / F.col("nw").cast("double")).alias("m")))
+    wr = W.orderBy(F.col("m"), F.col("_b"))
+    ranked = rep.select(
+        "m", F.row_number().over(wr).cast("long").alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("bn"))
+
+    def _target(q):
+        t = F.col("bn") * q + 99
+        return ((t - F.pmod(t, F.lit(100))) / 100).cast("long")
+
+    ci = ranked.agg(
+        F.max("bn").alias("b_replicas"),
+        F.max(F.when(F.col("r") == _target(q_lo), F.col("m")))
+        .alias("lo_mean"),
+        F.max(F.when(F.col("r") == _target(q_hi), F.col("m")))
+        .alias("hi_mean"))
+    tot = df.agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(x).alias("s_all"))
+    return (tot.crossJoin(F.broadcast(ci))
+            .select("n",
+                    (F.col("s_all").cast("double")
+                     / F.col("n").cast("double")).alias("mean"),
+                    "b_replicas", "lo_mean", "hi_mean"))

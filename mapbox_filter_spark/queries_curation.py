@@ -1076,3 +1076,69 @@ GROUP BY 1"""
 
 CURATION_QUERIES["winsorize_profile"] = (q_winsorize_profile,
                                          sql_winsorize_profile)
+
+
+_BOOT_B = 40
+_BOOT_SALT = "boot"
+_BOOT_QLO, _BOOT_QHI = 3, 98
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for the mean event value
+    (operators/stats.py poisson_bootstrap_ci): deterministic md5
+    Poisson(1) weights against exact integer CDF thresholds, exact
+    per-replica moments, exact order-statistic interval."""
+    from .operators.stats import poisson_bootstrap_ci
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", _cents().alias("cents"))
+    return poisson_bootstrap_ci(ev, "event_id", "cents",
+                                n_replicas=_BOOT_B, salt=_BOOT_SALT,
+                                q_lo=_BOOT_QLO, q_hi=_BOOT_QHI)
+
+
+def sql_bootstrap_ci() -> str:
+    from .operators.stats import _POISSON1_T60
+    w_case = " ".join(
+        f"WHEN u < {t} THEN {k}"
+        for k, t in enumerate(_POISSON1_T60))
+    return f"""WITH fan AS (
+  SELECT {_CENTS_SQL} AS x, event_id, t.b
+  FROM events, LATERAL (SELECT unnest(range(0, {_BOOT_B})) AS b) t),
+uw AS (
+  SELECT x, b,
+         CASE {w_case} ELSE {len(_POISSON1_T60)} END AS w
+  FROM (
+    SELECT x, b,
+           CAST(('0x' || substr(md5(concat_ws(chr(31), '{_BOOT_SALT}',
+                 CAST(event_id AS VARCHAR), CAST(b AS VARCHAR))),
+                 1, 15)) AS BIGINT) AS u
+    FROM fan)),
+rep AS (
+  SELECT b, CAST(SUM(w * x) AS BIGINT) AS s,
+         CAST(SUM(w) AS BIGINT) AS nw
+  FROM uw GROUP BY 1 HAVING SUM(w) > 0),
+means AS (
+  SELECT b, CAST(s AS DOUBLE) / CAST(nw AS DOUBLE) AS m FROM rep),
+ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS r,
+         COUNT(*) OVER () AS bn
+  FROM means),
+ci AS (
+  SELECT CAST(MAX(bn) AS BIGINT) AS b_replicas,
+         MAX(CASE WHEN r = (bn * {_BOOT_QLO} + 99) // 100 THEN m END)
+           AS lo_mean,
+         MAX(CASE WHEN r = (bn * {_BOOT_QHI} + 99) // 100 THEN m END)
+           AS hi_mean
+  FROM ranked),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM({_CENTS_SQL}) AS BIGINT) AS s_all
+  FROM events)
+SELECT tot.n,
+       CAST(tot.s_all AS DOUBLE) / CAST(tot.n AS DOUBLE) AS mean,
+       ci.b_replicas, ci.lo_mean, ci.hi_mean
+FROM tot CROSS JOIN ci"""
+
+
+CURATION_QUERIES["bootstrap_ci"] = (q_bootstrap_ci, sql_bootstrap_ci)

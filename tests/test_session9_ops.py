@@ -585,3 +585,19 @@ def test_cohort_ltv_triangle(spark):
     assert got[(jan, 1)].cum_revenue_u == 185
     assert got[(mar, 0)].n_customers == 1
     assert got[(mar, 0)].cum_revenue_u == 7
+
+
+def test_poisson_bootstrap_ci(spark):
+    from mapbox_filter_spark.operators.stats import poisson_bootstrap_ci
+    rows = [(i, 100 + (i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    r = poisson_bootstrap_ci(df, "id", "v", n_replicas=40).collect()[0]
+    assert r.n == 500 and r.b_replicas == 40
+    exact_mean = sum(v for _, v in rows) / 500
+    assert r.mean == exact_mean
+    # interval must bracket the mean and be tight for this variance
+    assert r.lo_mean <= exact_mean <= r.hi_mean
+    assert r.hi_mean - r.lo_mean < 2.0
+    # determinism: a second run bit-matches
+    r2 = poisson_bootstrap_ci(df, "id", "v", n_replicas=40).collect()[0]
+    assert (r.lo_mean, r.hi_mean) == (r2.lo_mean, r2.hi_mean)
