@@ -45,7 +45,7 @@ def auc_score(df: DataFrame, group_cols: Sequence[str], score_col: str,
     g = list(group_cols)
     lab = F.col(label_col).cast("long")
     s = F.col(score_col).cast("long")
-    w = Window.partitionBy(*g).orderBy(s.asc())
+    w = Window.partitionBy(*g).orderBy(F.col("_s").asc())
     ranked = df.select(*g, s.alias("_s"), lab.alias("_y")) \
         .withColumn("_rlo", F.rank().over(w)) \
         .withColumn("_ties", F.count(F.lit(1)).over(

@@ -601,3 +601,22 @@ def test_poisson_bootstrap_ci(spark):
     # determinism: a second run bit-matches
     r2 = poisson_bootstrap_ci(df, "id", "v", n_replicas=40).collect()[0]
     assert (r.lo_mean, r.hi_mean) == (r2.lo_mean, r2.hi_mean)
+
+
+def test_auc_score_hand(spark):
+    # regression: the rank window referenced the pre-rename column
+    # (session-8 latent bug caught by the full-suite oracle run)
+    from mapbox_filter_spark.operators.metrics import auc_score
+    rows = [("g", 10, 0), ("g", 20, 0), ("g", 30, 1), ("g", 40, 1),
+            ("g", 25, 0)]
+    df = spark.createDataFrame(rows, "g string, score long, y long")
+    r = auc_score(df, ["g"], "score", "y").collect()[0]
+    # positives at 30,40 beat all three negatives -> AUC = 1.0
+    assert (r.n_pos, r.n_neg) == (2, 3)
+    assert r.auc == 1.0
+    # with a tie: score 25 positive vs 25 negative contributes 0.5
+    rows2 = [("g", 25, 1), ("g", 25, 0), ("g", 10, 0)]
+    r2 = auc_score(spark.createDataFrame(
+        rows2, "g string, score long, y long"), ["g"], "score",
+        "y").collect()[0]
+    assert r2.auc == 0.75
