@@ -658,3 +658,55 @@ def cohort_ltv(orders: DataFrame, cust_col: str, date_col: str,
                     "n_customers", "revenue_u",
                     F.sum("revenue_u").over(w).cast("long")
                     .alias("cum_revenue_u")))
+
+
+_STATIONARY_SCALE = 10**12
+
+
+def markov_stationary(transitions: DataFrame, *, iters: int = 10,
+                      scale: int = _STATIONARY_SCALE) -> DataFrame:
+    """Stationary distribution of a Markov chain by EXACT fixed-point
+    power iteration over a ``(prev, cur, n, n_from)`` transition-count
+    table (markov_transitions output): π is carried as scaled int64
+    (Σπ = scale exactly at start) and each step is
+
+        π'(j) = Σ_i (π(i)·n_ij) div n_i   (floor-div per edge)
+
+    — the pagerank_exact determinism contract: no floats, so the
+    result value-hashes cross-engine and is identical on any cluster
+    shape.  Floor quantization loses < |states| units of mass per
+    iteration (bounded, deterministic, same both engines).
+
+    Scale shape: the state space bounds everything — π is |S| rows,
+    each iteration one broadcast join + one groupBy.  ``iters`` fixed
+    (mirror-unrollable); no convergence collect.
+
+    Output: ``(state, pi_q)`` — scaled stationary mass.
+    """
+    states = (transitions.select(F.col("prev").alias("state"))
+              .unionByName(transitions.select(F.col("cur")
+                                              .alias("state")))
+              .distinct().localCheckpoint())
+    n_states = states.count()
+    base = int(scale) // n_states
+    rem = int(scale) - base * n_states
+    from pyspark.sql import Window as W
+    w = W.orderBy("state")
+    pi = states.select(
+        "state",
+        (F.lit(base)
+         + F.when(F.row_number().over(w) <= rem, 1).otherwise(0))
+        .cast("long").alias("pi_q"))
+    edges = transitions.select(F.col("prev").alias("state"),
+                               F.col("cur").alias("dst"),
+                               F.col("n").cast("long").alias("n_ij"),
+                               F.col("n_from").cast("long")
+                               .alias("n_i")).localCheckpoint()
+    for _ in range(int(iters)):
+        pi = (edges.join(F.broadcast(pi), "state")
+              .select(F.col("dst").alias("state"),
+                      F.expr("(pi_q * n_ij) div n_i").cast("long")
+                      .alias("m"))
+              .groupBy("state").agg(F.sum("m").alias("pi_q"))
+              .localCheckpoint())
+    return pi.select("state", F.col("pi_q").cast("long").alias("pi_q"))

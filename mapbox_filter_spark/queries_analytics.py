@@ -1251,3 +1251,60 @@ FROM agg a JOIN sized s ON a.cohort = s.cohort"""
 
 
 ANALYTICS_QUERIES["cohort_ltv"] = (q_cohort_ltv, sql_cohort_ltv)
+
+
+_MSTAT_ITERS = 10
+_MSTAT_SCALE = 10**12
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain
+    (operators/analytics.py markov_stationary): exact scaled-integer
+    power iteration over the markov_transitions counts — the
+    pagerank determinism contract."""
+    from .operators.analytics import markov_stationary, \
+        markov_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type")
+    tr = markov_transitions(ev, "user_id", "ts", "event_type",
+                            tiebreak_col="event_id")
+    return markov_stationary(tr, iters=_MSTAT_ITERS,
+                             scale=_MSTAT_SCALE)
+
+
+def sql_markov_stationary() -> str:
+    s = _MSTAT_SCALE
+    ctes = [f"""seq AS (
+  SELECT user_id, event_type AS cur,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+c AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY 1),
+e AS MATERIALIZED (
+  SELECT c.prev AS state, c.cur AS dst, c.n AS n_ij, t.n_from AS n_i
+  FROM c JOIN t USING (prev)),
+states AS (SELECT DISTINCT state FROM (
+  SELECT state FROM e UNION ALL SELECT dst FROM e)),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM states),
+p0 AS MATERIALIZED (
+  SELECT state,
+         ({s} // ns.n)
+         + CASE WHEN ROW_NUMBER() OVER (ORDER BY state) <= {s} % ns.n
+                THEN 1 ELSE 0 END AS pi_q
+  FROM states, ns)"""]
+    for i in range(_MSTAT_ITERS):
+        ctes.append(f"""p{i + 1} AS MATERIALIZED (
+  SELECT e.dst AS state,
+         CAST(SUM((p.pi_q * e.n_ij) // e.n_i) AS BIGINT) AS pi_q
+  FROM p{i} p JOIN e ON p.state = e.state
+  GROUP BY 1)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT state, CAST(pi_q AS BIGINT) AS pi_q"
+              f" FROM p{_MSTAT_ITERS}")
+
+
+ANALYTICS_QUERIES["markov_stationary"] = (q_markov_stationary,
+                                          sql_markov_stationary)

@@ -620,3 +620,25 @@ def test_auc_score_hand(spark):
         rows2, "g string, score long, y long"), ["g"], "score",
         "y").collect()[0]
     assert r2.auc == 0.75
+
+
+def test_markov_stationary_two_state(spark):
+    from mapbox_filter_spark.operators.analytics import markov_stationary
+    # chain: A->B always, B->A always -> stationary (0.5, 0.5)
+    tr = spark.createDataFrame(
+        [("A", "B", 10, 10), ("B", "A", 7, 7)],
+        "prev string, cur string, n long, n_from long")
+    got = {r.state: r.pi_q
+           for r in markov_stationary(tr, iters=6,
+                                      scale=10**6).collect()}
+    assert got == {"A": 500000, "B": 500000}
+    # biased chain: A->A 3/4, A->B 1/4; B->A always
+    # stationary: pi_A = 4/5, pi_B = 1/5
+    tr2 = spark.createDataFrame(
+        [("A", "A", 3, 4), ("A", "B", 1, 4), ("B", "A", 5, 5)],
+        "prev string, cur string, n long, n_from long")
+    got2 = {r.state: r.pi_q
+            for r in markov_stationary(tr2, iters=40,
+                                       scale=10**6).collect()}
+    assert abs(got2["A"] - 800000) < 200   # floor-quantization drift
+    assert abs(got2["B"] - 200000) < 200
