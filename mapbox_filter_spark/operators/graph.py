@@ -906,3 +906,83 @@ def scc_labels(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     sizes = resolved.groupBy("scc").agg(
         F.count(F.lit(1)).alias("scc_size"))
     return resolved.join(sizes, "scc").select("node", "scc", "scc_size")
+
+
+def k_truss(edges: DataFrame, k: int, *, src: str = "src",
+            dst: str = "dst", max_rounds: int = 100) -> DataFrame:
+    """k-truss decomposition: the maximal subgraph where every edge is
+    supported by ≥ k−2 triangles (Cohen 2008, public algorithm) — the
+    cohesive-subgraph primitive one step stronger than k-core.
+
+    Synchronous peeling to a TRUE fixpoint (the k_core discipline):
+    per round, per-edge triangle support is recomputed on the
+    SURVIVING edge set via the degree-ordered wedge-closure join (the
+    power-law-safe triangle shape), edges under threshold drop, until
+    none do.  localCheckpoint per round cuts lineage; the only driver
+    values are the per-round drop counts.
+
+    Output: the k-truss edges ``(u, v, support)`` with their final
+    in-truss support (u < v canonical).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    thresh = k - 2
+    e = (edges.filter(F.col(src) != F.col(dst))
+         .select(F.least(src, dst).alias("u"),
+                 F.greatest(src, dst).alias("v"))
+         .distinct().localCheckpoint())
+
+    def _support(es: DataFrame) -> DataFrame:
+        deg = (es.select(F.col("u").alias("node"))
+               .unionByName(es.select(F.col("v").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+        du = deg.select(F.col("node").alias("u"),
+                        F.col("deg").alias("du"))
+        dv = deg.select(F.col("node").alias("v"),
+                        F.col("deg").alias("dv"))
+        ed = es.join(du, "u").join(dv, "v")
+        lo_first = (F.col("du") < F.col("dv")) | \
+            ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        o = ed.select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v"))
+            .alias("a"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u"))
+            .alias("b"),
+            F.when(lo_first, F.col("dv")).otherwise(F.col("du"))
+            .alias("db"))
+        o1, o2 = o.alias("o1"), o.alias("o2")
+        wedge_ord = (F.col("o1.db") < F.col("o2.db")) | \
+            ((F.col("o1.db") == F.col("o2.db"))
+             & (F.col("o1.b") < F.col("o2.b")))
+        wedges = (o1.join(o2, (F.col("o1.a") == F.col("o2.a"))
+                          & wedge_ord)
+                  .select(F.col("o1.a").alias("ta"),
+                          F.col("o1.b").alias("tb"),
+                          F.col("o2.b").alias("tc")))
+        close = o.select(F.col("a").alias("tb"),
+                         F.col("b").alias("tc"))
+        tri = wedges.join(close, ["tb", "tc"])
+        # credit each triangle to its three edges (canonical u<v)
+        sides = None
+        for x, y in (("ta", "tb"), ("ta", "tc"), ("tb", "tc")):
+            s = tri.select(F.least(F.col(x), F.col(y)).alias("u"),
+                           F.greatest(F.col(x), F.col(y)).alias("v"))
+            sides = s if sides is None else sides.unionByName(s)
+        return sides.groupBy("u", "v").agg(
+            F.count(F.lit(1)).alias("support"))
+
+    cur = e
+    for _ in range(max_rounds):
+        sup = _support(cur)
+        scored = (cur.join(sup, ["u", "v"], "left")
+                  .select("u", "v",
+                          F.coalesce(F.col("support"),
+                                     F.lit(0)).cast("long")
+                          .alias("support"))
+                  .localCheckpoint())
+        dropped = scored.filter(F.col("support") < thresh).count()
+        cur = scored.filter(F.col("support") >= thresh) \
+            .select("u", "v").localCheckpoint()
+        if dropped == 0:
+            return scored.filter(F.col("support") >= thresh)
+    raise RuntimeError(f"k_truss: no fixpoint in {max_rounds} rounds")

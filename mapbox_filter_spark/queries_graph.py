@@ -840,3 +840,57 @@ FROM allres a JOIN sz ON a.scc = sz.scc""")
 
 
 GRAPH_QUERIES["scc_labels"] = (q_scc_labels, sql_scc_labels)
+
+
+_TRUSS_K = 3
+# sf0.01 peels in 2 rounds (measured); 4 is margin.  SELF-CHECKING
+# like scc/k_core: the engine peels to a TRUE fixpoint, so an
+# insufficient unroll fails the value-hash loudly.
+_TRUSS_UNROLL = 4
+
+
+def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the hashed link graph (operators/graph.py k_truss —
+    synchronous support peel to fixpoint over degree-ordered wedge
+    closure); 73 of 1,490 canonical edges survive at sf0.01."""
+    from .operators.graph import k_truss
+
+    return (k_truss(_link_edges(spark, sf_dir), k=_TRUSS_K)
+            .select(F.col("u").alias("doc_a"),
+                    F.col("v").alias("doc_b"), "support"))
+
+
+def sql_k_truss() -> str:
+    thresh = _TRUSS_K - 2
+    ctes = [f"""{_sql_link_edges()},
+t0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM edges WHERE src <> dst)"""]
+
+    def support(r):
+        return f"""tri{r} AS MATERIALIZED (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM t{r} a JOIN t{r} b ON b.u = a.v
+              JOIN t{r} c ON c.u = a.u AND c.v = b.v),
+sup{r} AS MATERIALIZED (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS s FROM (
+    SELECT LEAST(x, y) AS u, GREATEST(x, y) AS v FROM tri{r}
+    UNION ALL SELECT LEAST(x, z), GREATEST(x, z) FROM tri{r}
+    UNION ALL SELECT LEAST(y, z), GREATEST(y, z) FROM tri{r})
+  GROUP BY 1, 2)"""
+
+    for r in range(_TRUSS_UNROLL):
+        ctes.append(support(r))
+        ctes.append(f"""t{r + 1} AS MATERIALIZED (
+  SELECT t.u, t.v FROM t{r} t
+  JOIN sup{r} s ON t.u = s.u AND t.v = s.v
+  WHERE s.s >= {thresh})""")
+    last = _TRUSS_UNROLL
+    ctes.append(support(last))
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT t.u AS doc_a, t.v AS doc_b, s.s AS support
+FROM t{last} t JOIN sup{last} s ON t.u = s.u AND t.v = s.v
+WHERE s.s >= {thresh}""")
+
+
+GRAPH_QUERIES["k_truss"] = (q_k_truss, sql_k_truss)

@@ -642,3 +642,18 @@ def test_markov_stationary_two_state(spark):
                                        scale=10**6).collect()}
     assert abs(got2["A"] - 800000) < 200   # floor-quantization drift
     assert abs(got2["B"] - 200000) < 200
+
+
+def test_k_truss_hand_graph(spark):
+    from mapbox_filter_spark.operators.graph import k_truss
+    # K4 on {1,2,3,4} plus a triangle {5,6,7} glued by edge 4-5 and
+    # a dangling edge 7-9
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    e = k4 + [(5, 6), (6, 7), (5, 7), (4, 5), (7, 9)]
+    df = spark.createDataFrame(e, "src long, dst long")
+    # 4-truss (support >= 2): only K4 survives, each edge in 2 tri
+    t4 = {(r.u, r.v): r.support for r in k_truss(df, 4).collect()}
+    assert set(t4) == set(k4) and all(s == 2 for s in t4.values())
+    # 3-truss (support >= 1): K4 + the triangle; bridge + dangle drop
+    t3 = {(r.u, r.v) for r in k_truss(df, 3).collect()}
+    assert t3 == set(k4) | {(5, 6), (6, 7), (5, 7)}
