@@ -3246,3 +3246,76 @@ FROM jumps""")
 
 
 GEOM_QUERIES["curve_locality"] = (q_curve_locality, sql_curve_locality)
+
+
+_SKEW_ZOOMS = (4, 8, 12)
+
+
+def q_tile_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zoom tile-load skew profile: exact order-statistic
+    p50/p99 and max of features-per-tile at zooms 4/8/12 — the
+    measured basis for the salted-join / AQE-skew-split decisions the
+    tiling pipeline documents (hot tiles are THE scale hazard of a
+    z/x/y pyramid).  Pure integer arithmetic (rank_percentiles
+    recipe)."""
+    from .geo.tilemath import tile_cols
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir).localCheckpoint()
+    from pyspark.sql import Window as W
+    out = None
+    for z in _SKEW_ZOOMS:
+        x, y = tile_cols(F.col("lon"), F.col("lat"), F.lit(z))
+        loads = (feats.select(x.alias("tx"), y.alias("ty"))
+                 .groupBy("tx", "ty")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n")))
+        w = W.orderBy("n", "tx", "ty")
+        ranked = loads.select(
+            "n", F.row_number().over(w).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy()).alias("nt"))
+
+        def tgt(q):
+            t = F.col("nt") * q + 99
+            return ((t - F.pmod(t, F.lit(100))) / 100).cast("long")
+
+        prof = ranked.agg(
+            F.max("nt").cast("long").alias("n_tiles"),
+            F.sum("n").cast("long").alias("total_feat"),
+            F.max("n").alias("max_feat"),
+            F.max(F.when(F.col("rn") == tgt(50), F.col("n")))
+            .alias("p50"),
+            F.max(F.when(F.col("rn") == tgt(99), F.col("n")))
+            .alias("p99")).select(
+            F.lit(z).alias("z"), "n_tiles", "total_feat", "max_feat",
+            "p50", "p99")
+        out = prof if out is None else out.unionByName(prof)
+    return out
+
+
+def sql_tile_skew_profile() -> str:
+    from .queries import _sql_tile_x, _sql_tile_y
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    blocks = []
+    for z in _SKEW_ZOOMS:
+        blocks.append(f"""
+SELECT {z} AS z,
+       CAST(MAX(nt) AS BIGINT) AS n_tiles,
+       CAST(SUM(n) AS BIGINT) AS total_feat,
+       CAST(MAX(n) AS BIGINT) AS max_feat,
+       MAX(CASE WHEN rn = (nt * 50 + 99) // 100 THEN n END) AS p50,
+       MAX(CASE WHEN rn = (nt * 99 + 99) // 100 THEN n END) AS p99
+FROM (
+  SELECT n,
+         ROW_NUMBER() OVER (ORDER BY n, tx, ty) AS rn,
+         COUNT(*) OVER () AS nt
+  FROM (
+    SELECT {_sql_tile_x(z)} AS tx, {_sql_tile_y(z)} AS ty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM features GROUP BY 1, 2))""")
+    return (f"WITH {FEATURES_ORACLE_SQL}"
+            + "\nUNION ALL\n".join(blocks))
+
+
+GEOM_QUERIES["tile_skew_profile"] = (q_tile_skew_profile,
+                                     sql_tile_skew_profile)

@@ -1205,3 +1205,50 @@ FROM lagged WHERE n_prev IS NOT NULL"""
 
 
 TEMPORAL_QUERIES["conversion_z"] = (q_conversion_z, sql_conversion_z)
+
+
+_HAAR_LEVELS = 3
+
+
+def q_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy spectrum of daily event counts per type
+    (operators/temporal.py haar_energy): exact integer detail
+    energies at 3 dyadic scales."""
+    from .operators.temporal import haar_energy
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_type", "ts")
+    return haar_energy(ev, "ts", ("event_type",), levels=_HAAR_LEVELS)
+
+
+def sql_haar_energy() -> str:
+    ctes = ["""daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+c0 AS (
+  SELECT event_type,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+              - 1 AS BIGINT) AS idx,
+         c
+  FROM daily)"""]
+    sel = []
+    for lvl in range(1, _HAAR_LEVELS + 1):
+        ctes.append(f"""p{lvl} AS (
+  SELECT event_type, idx // 2 AS j,
+         CAST(SUM(CASE WHEN idx % 2 = 0 THEN c ELSE -c END)
+              AS BIGINT) AS dcoef,
+         CAST(SUM(c) AS BIGINT) AS a
+  FROM c{lvl - 1} GROUP BY 1, 2),
+e{lvl} AS (
+  SELECT event_type, CAST({lvl} AS INT) AS level,
+         CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+         CAST(SUM(dcoef * dcoef) AS BIGINT) AS energy_u
+  FROM p{lvl} GROUP BY 1),
+c{lvl} AS (SELECT event_type, j AS idx, a AS c FROM p{lvl})""")
+        sel.append(f"SELECT * FROM e{lvl}")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(sel))
+
+
+TEMPORAL_QUERIES["haar_energy"] = (q_haar_energy, sql_haar_energy)

@@ -657,3 +657,35 @@ def test_k_truss_hand_graph(spark):
     # 3-truss (support >= 1): K4 + the triangle; bridge + dangle drop
     t3 = {(r.u, r.v) for r in k_truss(df, 3).collect()}
     assert t3 == set(k4) | {(5, 6), (6, 7), (5, 7)}
+
+
+def test_haar_energy_hand_series(spark):
+    import datetime as dt
+    from mapbox_filter_spark.operators.temporal import haar_energy
+    # 4 days with counts 3,1,4,2
+    rows = []
+    for d, n in enumerate([3, 1, 4, 2]):
+        for _ in range(n):
+            rows.append(("a", dt.datetime(2024, 1, 1 + d, 12),))
+    df = spark.createDataFrame(
+        [(g, t) for g, t in rows], "g string, ts timestamp")
+    got = {r.level: (r.n_coeffs, r.energy_u)
+           for r in haar_energy(df, "ts", ("g",), levels=2).collect()}
+    # L1 details: 3-1=2, 4-2=2 -> energy 8; approx 4,6
+    # L2 detail: 4-6=-2 -> energy 4
+    assert got[1] == (2, 8)
+    assert got[2] == (1, 4)
+
+
+def test_haar_energy_odd_tail(spark):
+    import datetime as dt
+    from mapbox_filter_spark.operators.temporal import haar_energy
+    rows = []
+    for d, n in enumerate([5, 2, 7]):   # odd length
+        for _ in range(n):
+            rows.append(("a", dt.datetime(2024, 2, 1 + d, 8)))
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    got = {r.level: (r.n_coeffs, r.energy_u)
+           for r in haar_energy(df, "ts", ("g",), levels=1).collect()}
+    # pairs: (5,2) d=3; (7, implicit 0) d=7 -> 9 + 49
+    assert got[1] == (2, 58)
