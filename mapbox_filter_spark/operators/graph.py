@@ -986,3 +986,73 @@ def k_truss(edges: DataFrame, k: int, *, src: str = "src",
         if dropped == 0:
             return scored.filter(F.col("support") >= thresh)
     raise RuntimeError(f"k_truss: no fixpoint in {max_rounds} rounds")
+
+
+def boruvka_msf(edges: DataFrame, *, src: str = "src",
+                dst: str = "dst", weight: str = "w",
+                max_rounds: int = 40) -> DataFrame:
+    """Minimum spanning forest via Borůvka's algorithm (1926; THE
+    parallel MST shape — every component picks its minimum outgoing
+    edge each round, components merge, rounds ≤ log₂ n).
+
+    Weights must give a TOTAL order per edge — ties are broken by
+    (w, u, v), so the forest is unique and deterministic even with
+    duplicate weights.  Each round: one component-labeled edge
+    projection, one per-component min (struct-extreme fold —
+    map-side-combinable), a connected-components merge over the
+    SELECTED edges' component graph (operators/graph.py
+    connected_components — the giant-cluster-safe large/small-star
+    rounds), and a label rejoin; localCheckpoint per round.
+
+    Output: the forest edges ``(u, v, w)`` (canonical u < v).
+    """
+    e = (edges.filter(F.col(src) != F.col(dst))
+         .select(F.least(src, dst).alias("u"),
+                 F.greatest(src, dst).alias("v"),
+                 F.col(weight).cast("long").alias("w"))
+         .groupBy("u", "v").agg(F.min("w").alias("w"))
+         .localCheckpoint())
+    comp = (e.select(F.col("u").alias("node"))
+            .unionByName(e.select(F.col("v").alias("node")))
+            .distinct()
+            .select("node", F.col("node").alias("comp"))
+            .localCheckpoint())
+    forest = None
+    for _ in range(max_rounds):
+        cu = comp.select(F.col("node").alias("u"),
+                         F.col("comp").alias("cu"))
+        cv = comp.select(F.col("node").alias("v"),
+                         F.col("comp").alias("cv"))
+        ec = (e.join(cu, "u").join(cv, "v")
+              .filter(F.col("cu") != F.col("cv")).localCheckpoint())
+        if ec.limit(1).count() == 0:
+            break
+        cand = (ec.select(F.col("cu").alias("c"), "w", "u", "v",
+                          "cu", "cv")
+                .unionByName(ec.select(F.col("cv").alias("c"), "w",
+                                       "u", "v", "cu", "cv")))
+        mins = (cand.groupBy("c")
+                .agg(F.min(F.struct("w", "u", "v", "cu", "cv"))
+                     .alias("m"))
+                .select("m.w", "m.u", "m.v", "m.cu", "m.cv"))
+        sel = mins.select("u", "v", "w", "cu", "cv").distinct() \
+            .localCheckpoint()
+        add = sel.select("u", "v", "w")
+        forest = add if forest is None else \
+            forest.unionByName(add).localCheckpoint()
+        cedges = sel.select(F.col("cu").alias("src"),
+                            F.col("cv").alias("dst"))
+        merged = connected_components(cedges)
+        relabel = merged.select(F.col("node").alias("comp"),
+                                F.col("component").alias("newc"))
+        comp = (comp.join(relabel, "comp", "left")
+                .select("node",
+                        F.coalesce(F.col("newc"), F.col("comp"))
+                        .alias("comp"))
+                .localCheckpoint())
+    else:
+        raise RuntimeError(
+            f"boruvka_msf: no fixpoint in {max_rounds} rounds")
+    if forest is None:
+        return e.filter(F.lit(False)).select("u", "v", "w")
+    return forest.groupBy("u", "v").agg(F.min("w").alias("w"))

@@ -689,3 +689,48 @@ def test_haar_energy_odd_tail(spark):
            for r in haar_energy(df, "ts", ("g",), levels=1).collect()}
     # pairs: (5,2) d=3; (7, implicit 0) d=7 -> 9 + 49
     assert got[1] == (2, 58)
+
+
+def test_boruvka_msf_vs_kruskal(spark):
+    import random
+
+    from mapbox_filter_spark.operators.graph import boruvka_msf
+
+    def kruskal(edges):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        forest = []
+        for w, u, v in sorted((w, u, v) for u, v, w in edges):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+                forest.append((u, v, w))
+        return sorted(forest)
+
+    rng = random.Random(23)
+    for trial in range(2):
+        n = 25
+        raw = list({(min(a, b), max(a, b))
+                    for a, b in ((rng.randrange(n), rng.randrange(n))
+                                 for _ in range(50)) if a != b})
+        edges = [(u, v, rng.randrange(10**6)) for u, v in raw]
+        df = spark.createDataFrame(edges, "src long, dst long, w long")
+        got = sorted((r.u, r.v, r.w)
+                     for r in boruvka_msf(df).collect())
+        assert got == kruskal(edges), f"trial {trial}"
+
+
+def test_boruvka_msf_forest_two_components(spark):
+    from mapbox_filter_spark.operators.graph import boruvka_msf
+    # two disjoint triangles -> forest of 2+2 edges
+    e = [(1, 2, 5), (2, 3, 1), (1, 3, 2),
+         (10, 11, 9), (11, 12, 4), (10, 12, 3)]
+    df = spark.createDataFrame(e, "src long, dst long, w long")
+    got = sorted((r.u, r.v, r.w) for r in boruvka_msf(df).collect())
+    assert got == [(1, 3, 2), (2, 3, 1), (10, 12, 3), (11, 12, 4)]
