@@ -710,3 +710,79 @@ def markov_stationary(transitions: DataFrame, *, iters: int = 10,
               .groupBy("state").agg(F.sum("m").alias("pi_q"))
               .localCheckpoint())
     return pi.select("state", F.col("pi_q").cast("long").alias("pi_q"))
+
+
+def psi_drift(df: DataFrame, period_col: str, bucket_col: str,
+              bucket_values, period_a, period_b) -> DataFrame:
+    """Population Stability Index between two periods over ENUMERATED
+    value buckets — the standard model-input drift monitor
+    (PSI = Σ (p_b − q_b)·ln(p_b/q_b)).
+
+    The bucket list is pinned (the discrete_mi discipline): all cell
+    counts ride one map-side-combinable aggregate into a single row
+    and the PSI folds cells in enumeration order as one flat double
+    expression — bit-stable cross-engine.  Add-one smoothing keeps
+    empty cells defined: p_b = (c_b+1)/(n+|B|).  Each term is pinned:
+    ((ca+1)·db − (cb+1)·da as exact int64 ratio parts) → two
+    divisions + one ln per cell, fixed parenthesization.
+
+    Output: one row — ``(n_a, n_b, psi)`` (> 0.2 conventionally =
+    major drift).
+    """
+    buckets = list(bucket_values)
+    p = F.col(period_col)
+    b = F.col(bucket_col)
+    filt = df.filter(p.isin(period_a, period_b) & b.isin(*buckets))
+    is_a = (p == period_a).cast("int")
+    is_b = (p == period_b).cast("int")
+    aggs = [F.sum(is_a).cast("long").alias("n_a"),
+            F.sum(is_b).cast("long").alias("n_b")]
+    for i, bv in enumerate(buckets):
+        hit = (b == bv).cast("int")
+        aggs.append(F.sum(is_a * hit).cast("long").alias(f"a_{i}"))
+        aggs.append(F.sum(is_b * hit).cast("long").alias(f"b_{i}"))
+    tot = filt.agg(*aggs)
+    k = len(buckets)
+    da = (F.col("n_a") + k).cast("double")
+    db_ = (F.col("n_b") + k).cast("double")
+    psi = None
+    for i in range(k):
+        pa = (F.col(f"a_{i}") + 1).cast("double") / da
+        pb = (F.col(f"b_{i}") + 1).cast("double") / db_
+        term = (pa - pb) * F.log(pa / pb)
+        psi = term if psi is None else (psi + term)
+    return tot.select("n_a", "n_b", psi.alias("psi"))
+
+
+def table_checksum(df: DataFrame, key_cols, *, n_buckets: int = 64,
+                   salt: str = "ck") -> DataFrame:
+    """Order-insensitive integrity checksum of a table — the
+    migration/replication verifier: two copies of a table are
+    row-identical (over ``key_cols``) iff their checksum tables match,
+    with NO sort and NO co-location (the comparison is |buckets| rows).
+
+    Row hash = 60-bit md5 integer of the '\\x1f'-joined key columns
+    (deterministic cross-engine); bucket = hash % n_buckets; per
+    bucket: row count and bit_xor of hashes (order-insensitive,
+    overflow-free — the connected_components fingerprint trick).  A
+    single-row root (xor of bucket xors + total count) rides along as
+    bucket −1.
+
+    Output: ``(bucket, n_rows, xor_hash)`` — n_buckets (+1 root) rows.
+    """
+    cols = [F.col(c).cast("string") for c in key_cols]
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("\x1f", F.lit(salt), *cols)), 1, 15),
+        16, 10).cast("long")
+    hashed = df.select(h.alias("h"),
+                       F.pmod(h, F.lit(int(n_buckets))).cast("long")
+                       .alias("bucket"))
+    per = hashed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("bit_xor(h)").cast("long").alias("xor_hash"))
+    root = per.agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.expr("bit_xor(xor_hash)").cast("long").alias("xor_hash")
+    ).select(F.lit(-1).cast("long").alias("bucket"), "n_rows",
+             "xor_hash")
+    return per.unionByName(root)

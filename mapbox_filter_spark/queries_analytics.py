@@ -1308,3 +1308,91 @@ p0 AS MATERIALIZED (
 
 ANALYTICS_QUERIES["markov_stationary"] = (q_markov_stationary,
                                           sql_markov_stationary)
+
+
+_PSI_BUCKETS = (0, 1, 2, 3)
+_PSI_SPLIT = "2024-01-15"
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-drift PSI between the first and second half-month of
+    events over pinned value buckets (operators/analytics.py
+    psi_drift): exact cell counts, smoothed pinned-order fold."""
+    from .operators.analytics import psi_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.when(F.col("ts") < F.lit(_PSI_SPLIT), "a").otherwise("b")
+        .alias("period"),
+        F.when(_cents() < 500, 0).when(_cents() < 1000, 1)
+        .when(_cents() < 2000, 2).otherwise(3).alias("vb"))
+    return psi_drift(ev, "period", "vb", _PSI_BUCKETS, "a", "b")
+
+
+def sql_psi_drift() -> str:
+    from .queries_curation import _CENTS_SQL
+    c = _CENTS_SQL
+    vb = (f"CASE WHEN {c} < 500 THEN 0 WHEN {c} < 1000 THEN 1 "
+          f"WHEN {c} < 2000 THEN 2 ELSE 3 END")
+    k = len(_PSI_BUCKETS)
+    cols = ["CAST(SUM(CASE WHEN period = 'a' THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_a",
+            "CAST(SUM(CASE WHEN period = 'b' THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_b"]
+    for i, bv in enumerate(_PSI_BUCKETS):
+        cols.append(f"CAST(SUM(CASE WHEN period = 'a' AND vb = {bv} "
+                    f"THEN 1 ELSE 0 END) AS BIGINT) AS a_{i}")
+        cols.append(f"CAST(SUM(CASE WHEN period = 'b' AND vb = {bv} "
+                    f"THEN 1 ELSE 0 END) AS BIGINT) AS b_{i}")
+    terms = []
+    for i in range(k):
+        pa = f"(CAST(a_{i} + 1 AS DOUBLE) / CAST(n_a + {k} AS DOUBLE))"
+        pb = f"(CAST(b_{i} + 1 AS DOUBLE) / CAST(n_b + {k} AS DOUBLE))"
+        terms.append(f"(({pa} - {pb}) * ln({pa} / {pb}))")
+    psi = terms[0]
+    for t in terms[1:]:
+        psi = f"({psi} + {t})"
+    return f"""SELECT n_a, n_b, {psi} AS psi FROM (
+  SELECT {', '.join(cols)}
+  FROM (SELECT CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT} 00:00:00'
+                    THEN 'a' ELSE 'b' END AS period,
+               {vb} AS vb
+        FROM events) t)"""
+
+
+ANALYTICS_QUERIES["psi_drift"] = (q_psi_drift, sql_psi_drift)
+
+
+_CK_BUCKETS = 64
+_CK_SALT = "ck"
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive migration checksum of the lineitem table
+    (operators/analytics.py table_checksum): 64 bucket rows + root,
+    md5 row hashes, bit_xor folding — comparable with zero sorting."""
+    from .operators.analytics import table_checksum
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return table_checksum(li, ["l_orderkey", "l_linenumber"],
+                          n_buckets=_CK_BUCKETS, salt=_CK_SALT)
+
+
+def sql_table_checksum() -> str:
+    h = (f"CAST(('0x' || substr(md5(concat_ws(chr(31), '{_CK_SALT}', "
+         "CAST(l_orderkey AS VARCHAR), "
+         "CAST(l_linenumber AS VARCHAR))), 1, 15)) AS BIGINT)")
+    return f"""WITH hashed AS (
+  SELECT {h} AS h, {h} % {_CK_BUCKETS} AS bucket FROM lineitem),
+per AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(bit_xor(h) AS BIGINT) AS xor_hash
+  FROM hashed GROUP BY 1)
+SELECT bucket, n_rows, xor_hash FROM per
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(SUM(n_rows) AS BIGINT),
+       CAST(bit_xor(xor_hash) AS BIGINT)
+FROM per"""
+
+
+ANALYTICS_QUERIES["table_checksum"] = (q_table_checksum,
+                                       sql_table_checksum)

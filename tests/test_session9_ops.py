@@ -734,3 +734,38 @@ def test_boruvka_msf_forest_two_components(spark):
     df = spark.createDataFrame(e, "src long, dst long, w long")
     got = sorted((r.u, r.v, r.w) for r in boruvka_msf(df).collect())
     assert got == [(1, 3, 2), (2, 3, 1), (10, 12, 3), (11, 12, 4)]
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    from mapbox_filter_spark.operators.analytics import psi_drift
+    # identical distributions -> PSI ~ 0 (exactly 0 with equal counts)
+    rows = [("a", b) for b in (0, 0, 1, 2)] + \
+           [("b", b) for b in (0, 0, 1, 2)]
+    df = spark.createDataFrame(rows, "p string, vb int")
+    r = psi_drift(df, "p", "vb", (0, 1, 2), "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (4, 4) and r.psi == 0.0
+    # fully shifted -> large PSI
+    rows2 = [("a", 0)] * 10 + [("b", 2)] * 10
+    r2 = psi_drift(spark.createDataFrame(rows2, "p string, vb int"),
+                   "p", "vb", (0, 1, 2), "a", "b").collect()[0]
+    assert r2.psi > 1.0
+
+
+def test_table_checksum_detects_any_change(spark):
+    from mapbox_filter_spark.operators.analytics import table_checksum
+    rows = [(i, i % 3) for i in range(200)]
+    a = spark.createDataFrame(rows, "k long, l long")
+    b = spark.createDataFrame(rows, "k long, l long").repartition(7)
+    ca = sorted(map(tuple, table_checksum(a, ["k", "l"]).collect()))
+    cb = sorted(map(tuple, table_checksum(b, ["k", "l"]).collect()))
+    assert ca == cb                      # partitioning-invariant
+    # drop one row -> root and exactly one bucket differ
+    c = spark.createDataFrame(rows[:-1], "k long, l long")
+    cc = sorted(map(tuple, table_checksum(c, ["k", "l"]).collect()))
+    assert cc != ca
+    diffs = [x for x, y in zip(ca, cc) if x != y] if len(ca) == len(cc) \
+        else None
+    root_a = [t for t in ca if t[0] == -1][0]
+    root_c = [t for t in cc if t[0] == -1][0]
+    assert root_a[1] == 200 and root_c[1] == 199
+    assert root_a[2] != root_c[2]
