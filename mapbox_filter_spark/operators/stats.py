@@ -974,3 +974,48 @@ def poisson_bootstrap_ci(df: DataFrame, id_col: str, value_col: str, *,
                     (F.col("s_all").cast("double")
                      / F.col("n").cast("double")).alias("mean"),
                     "b_replicas", "lo_mean", "hi_mean"))
+
+
+def nelson_aalen(subjects: DataFrame, group_cols: Sequence[str],
+                 dur_col: str = "dur", event_col: str = "event",
+                 scale: int = 1_000_000_000) -> DataFrame:
+    """Nelson-Aalen cumulative hazard per group — Kaplan-Meier's
+    additive sibling (H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ; Nelson 1972 / Aalen
+    1978): preferred when hazard RATES are the object, and exactly
+    exp(−H) approximates S.
+
+    Same substrate and exactness discipline as kaplan_meier: risk
+    sets from exact int64 windows over the collapsed (group,
+    duration) table; each step contributes the half-up-quantized
+    exact integer ``floor((d/n)·scale + 0.5)`` (one pinned division
+    per step — no log needed here) and the cumulative is an
+    order-independent integer window sum.  H in true units =
+    hazard_nano / scale.
+
+    Returns one row per (group, event time): ``(*group_cols, dur,
+    n_risk, n_event, n_censor, hazard_nano)``.
+    """
+    g = list(group_cols)
+    ev = F.col(event_col).cast("long")
+    per = (subjects.groupBy(*g, F.col(dur_col).alias("dur"))
+           .agg(F.sum(ev).alias("n_event"),
+                F.sum(1 - ev).alias("n_censor")))
+    wtot = Window.partitionBy(*g)
+    wprev = (Window.partitionBy(*g).orderBy("dur")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    wrun = (Window.partitionBy(*g).orderBy("dur")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    n_risk = (F.sum(F.col("n_event") + F.col("n_censor")).over(wtot)
+              - F.coalesce(
+                  F.sum(F.col("n_event")
+                        + F.col("n_censor")).over(wprev),
+                  F.lit(0).cast("long")))
+    stepped = per.withColumn("n_risk", n_risk)
+    step = F.floor(F.col("n_event").cast("double")
+                   / F.col("n_risk").cast("double")
+                   * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+    out = stepped.withColumn("_step", step).withColumn(
+        "hazard_nano", F.sum("_step").over(wrun).cast("long"))
+    return (out.filter(F.col("n_event") >= 1)
+            .select(*g, "dur", "n_risk", "n_event", "n_censor",
+                    "hazard_nano"))

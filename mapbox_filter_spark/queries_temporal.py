@@ -1252,3 +1252,75 @@ c{lvl} AS (SELECT event_type, j AS idx, a AS c FROM p{lvl})""")
 
 
 TEMPORAL_QUERIES["haar_energy"] = (q_haar_energy, sql_haar_energy)
+
+
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard per market segment
+    (operators/stats.py nelson_aalen): Kaplan-Meier's additive sibling
+    on the SAME subject substrate — per-step exact quantized d/n,
+    order-independent integer cumsum."""
+    from .operators.stats import nelson_aalen
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).cast("long")
+        .alias("day"))
+    per = o.groupBy("o_custkey").agg(F.min("day").alias("first_day"),
+                                     F.max("day").alias("last_day"))
+    hz = per.agg((F.max("last_day") - _KM_CENSOR_DAYS).alias("h"))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"))
+    subj = (per.crossJoin(hz)
+            .join(F.broadcast(cust),
+                  per["o_custkey"] == cust["c_custkey"])
+            .select("segment",
+                    (F.col("last_day") - F.col("first_day"))
+                    .alias("dur"),
+                    F.when(F.col("last_day") <= F.col("h"), 1)
+                    .otherwise(0).alias("event")))
+    return nelson_aalen(subj, ["segment"])
+
+
+def sql_nelson_aalen() -> str:
+    return f"""WITH d AS (
+  SELECT o_custkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS day
+  FROM orders),
+per AS (SELECT o_custkey, MIN(day) AS f, MAX(day) AS l
+        FROM d GROUP BY 1),
+hz AS (SELECT MAX(l) - {_KM_CENSOR_DAYS} AS h FROM per),
+subj AS (
+  SELECT c.c_mktsegment AS segment, per.l - per.f AS dur,
+         CASE WHEN per.l <= hz.h THEN 1 ELSE 0 END AS ev
+  FROM per CROSS JOIN hz
+  JOIN customer c ON c.c_custkey = per.o_custkey),
+agg AS (
+  SELECT segment, dur,
+         CAST(SUM(ev) AS BIGINT) AS n_event,
+         CAST(SUM(1 - ev) AS BIGINT) AS n_censor
+  FROM subj GROUP BY 1, 2),
+r AS (
+  SELECT segment, dur, n_event, n_censor,
+         CAST(SUM(n_event + n_censor) OVER (PARTITION BY segment)
+              - COALESCE(SUM(n_event + n_censor) OVER (
+                  PARTITION BY segment ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM agg),
+s AS (
+  SELECT segment, dur, n_risk, n_event, n_censor,
+         CAST(floor(CAST(n_event AS DOUBLE)
+                    / CAST(n_risk AS DOUBLE)
+                    * 1000000000.0 + 0.5) AS BIGINT) AS step
+  FROM r)
+SELECT segment, dur, n_risk, n_event, n_censor,
+       CAST(SUM(step) OVER (
+              PARTITION BY segment ORDER BY dur
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS hazard_nano
+FROM s WHERE n_event >= 1"""
+
+
+TEMPORAL_QUERIES["nelson_aalen"] = (q_nelson_aalen, sql_nelson_aalen)

@@ -769,3 +769,22 @@ def test_table_checksum_detects_any_change(spark):
     root_c = [t for t in cc if t[0] == -1][0]
     assert root_a[1] == 200 and root_c[1] == 199
     assert root_a[2] != root_c[2]
+
+
+def test_nelson_aalen_hand(spark):
+    from mapbox_filter_spark.operators.stats import nelson_aalen
+    # 4 subjects: events at t=1 (d=1, n=4), t=3 (d=1, n=2);
+    # censored at t=2 and t=3
+    subj = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 0), ("g", 3, 1), ("g", 3, 0)],
+        "seg string, dur long, event long")
+    rows = {r.dur: r for r in
+            nelson_aalen(subj, ["seg"], "dur", "event",
+                         scale=1000).collect()}
+    assert set(rows) == {1, 3}
+    r1 = rows[1]
+    assert (r1.n_risk, r1.n_event) == (4, 1)
+    assert r1.hazard_nano == 250      # 1/4 * 1000
+    r3 = rows[3]
+    assert (r3.n_risk, r3.n_event, r3.n_censor) == (2, 1, 1)
+    assert r3.hazard_nano == 250 + 500   # + 1/2 * 1000
