@@ -786,3 +786,77 @@ def table_checksum(df: DataFrame, key_cols, *, n_buckets: int = 64,
     ).select(F.lit(-1).cast("long").alias("bucket"), "n_rows",
              "xor_hash")
     return per.unionByName(root)
+
+
+def diff_in_diff(df: DataFrame, group_col: str, period_col: str,
+                 outcome_col: str, *, treat, pre, post) -> DataFrame:
+    """Difference-in-differences estimate from the four exact cell
+    moments (treated/control × pre/post): DiD = (ȳ_t,post − ȳ_t,pre)
+    − (ȳ_c,post − ȳ_c,pre).  The quasi-experimental workhorse.
+
+    One map-side-combinable aggregate produces all eight exact int64
+    cell sums/counts; the estimate is a flat pinned double expression
+    over them (four divisions + three subtractions, fixed
+    parenthesization — the welch_t discipline).  Outcomes must be
+    integer-quantized upstream.
+
+    Output: one row — ``(n_tpre, s_tpre, n_tpost, s_tpost, n_cpre,
+    s_cpre, n_cpost, s_cpost, did)``; NULL when any cell is empty.
+    """
+    g = F.col(group_col)
+    p = F.col(period_col)
+    y = F.col(outcome_col).cast("long")
+    filt = df.filter(p.isin(pre, post))
+    cells = {}
+    aggs = []
+    for gname, gcond in (("t", g == treat), ("c", g != treat)):
+        for pname, pcond in (("pre", p == pre), ("post", p == post)):
+            key = f"{gname}{pname}"
+            hit = (gcond & pcond).cast("int")
+            aggs.append(F.sum(hit).cast("long").alias(f"n_{key}"))
+            aggs.append(F.sum(hit * y).cast("long").alias(f"s_{key}"))
+            cells[key] = True
+    tot = filt.agg(*aggs)
+    dd = lambda c: F.col(c).cast("double")
+    mean = lambda k: dd(f"s_{k}") / dd(f"n_{k}")
+    did = F.when(
+        (F.col("n_tpre") > 0) & (F.col("n_tpost") > 0)
+        & (F.col("n_cpre") > 0) & (F.col("n_cpost") > 0),
+        (mean("tpost") - mean("tpre"))
+        - (mean("cpost") - mean("cpre")))
+    return tot.withColumn("did", did)
+
+
+def join_size_stats(left: DataFrame, right: DataFrame,
+                    left_key: str, right_key: str) -> DataFrame:
+    """Exact join-cardinality profile WITHOUT executing the join:
+    |A ⋈ B| = Σ_k d_A(k)·d_B(k) over the key-degree tables — the
+    planning primitive behind shuffle sizing and skew detection (the
+    max d_A·d_B term is the hottest key's output).
+
+    Two map-side-combinable degree aggregates + one equi-join of the
+    (small) degree tables.  All exact int64.
+
+    Output: one row — ``(keys_a, rows_a, keys_b, rows_b,
+    matching_keys, join_rows, max_key_rows)``.
+    """
+    da = left.groupBy(F.col(left_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("d_a"))
+    db_ = right.groupBy(F.col(right_key).alias("k")).agg(
+        F.count(F.lit(1)).alias("d_b"))
+    j = da.join(db_, "k")
+    tot_a = da.agg(F.count(F.lit(1)).alias("keys_a"),
+                   F.sum("d_a").alias("rows_a"))
+    tot_b = db_.agg(F.count(F.lit(1)).alias("keys_b"),
+                    F.sum("d_b").alias("rows_b"))
+    jt = j.agg(F.count(F.lit(1)).alias("matching_keys"),
+               F.sum(F.col("d_a") * F.col("d_b")).alias("join_rows"),
+               F.max(F.col("d_a") * F.col("d_b"))
+               .alias("max_key_rows"))
+    return (tot_a.crossJoin(F.broadcast(tot_b))
+            .crossJoin(F.broadcast(jt))
+            .select("keys_a", "rows_a", "keys_b", "rows_b",
+                    "matching_keys",
+                    F.col("join_rows").cast("long").alias("join_rows"),
+                    F.coalesce(F.col("max_key_rows"), F.lit(0))
+                    .cast("long").alias("max_key_rows")))

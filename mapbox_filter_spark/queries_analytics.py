@@ -1396,3 +1396,89 @@ FROM per"""
 
 ANALYTICS_QUERIES["table_checksum"] = (q_table_checksum,
                                        sql_table_checksum)
+
+
+_DID_SPLIT = "2024-01-15"
+_DID_USER_MOD = 3     # "treated" = user_id % 3 == 0 (deterministic arm)
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on event values (operators/
+    analytics.py diff_in_diff): deterministic treatment arm
+    (user_id mod 3), pre/post split mid-month, exact cell moments +
+    one pinned chain."""
+    from .operators.analytics import diff_in_diff
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.when(F.pmod(F.col("user_id"), _DID_USER_MOD) == 0, "t")
+        .otherwise("c").alias("arm"),
+        F.when(F.col("ts") < F.lit(_DID_SPLIT), "pre")
+        .otherwise("post").alias("period"),
+        _cents().alias("cents"))
+    return diff_in_diff(ev, "arm", "period", "cents",
+                        treat="t", pre="pre", post="post")
+
+
+def sql_diff_in_diff() -> str:
+    from .queries_curation import _CENTS_SQL
+    cells = []
+    for gname, gcond in (("t", f"user_id % {_DID_USER_MOD} = 0"),
+                         ("c", f"user_id % {_DID_USER_MOD} <> 0")):
+        for pname, pcond in (
+                ("pre", f"ts < TIMESTAMP '{_DID_SPLIT} 00:00:00'"),
+                ("post", f"ts >= TIMESTAMP '{_DID_SPLIT} 00:00:00'")):
+            k = f"{gname}{pname}"
+            cells.append(
+                f"CAST(SUM(CASE WHEN {gcond} AND {pcond} THEN 1 "
+                f"ELSE 0 END) AS BIGINT) AS n_{k}")
+            cells.append(
+                f"CAST(SUM(CASE WHEN {gcond} AND {pcond} THEN "
+                f"{_CENTS_SQL} ELSE 0 END) AS BIGINT) AS s_{k}")
+    m = lambda k: (f"(CAST(s_{k} AS DOUBLE) / CAST(n_{k} AS DOUBLE))")
+    return f"""SELECT *,
+       CASE WHEN n_tpre > 0 AND n_tpost > 0 AND n_cpre > 0
+                 AND n_cpost > 0
+            THEN ({m('tpost')} - {m('tpre')})
+                 - ({m('cpost')} - {m('cpre')})
+       END AS did
+FROM (SELECT {', '.join(cells)} FROM events)"""
+
+
+ANALYTICS_QUERIES["diff_in_diff"] = (q_diff_in_diff, sql_diff_in_diff)
+
+
+def q_join_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-cardinality profile for lineitem⋈orders WITHOUT
+    executing the join (operators/analytics.py join_size_stats):
+    degree-product sums — the shuffle-sizing / skew-detection
+    planner input."""
+    from .operators.analytics import join_size_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return join_size_stats(li, o, "l_orderkey", "o_orderkey")
+
+
+def sql_join_size_stats() -> str:
+    return """WITH da AS (
+  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS d_a
+  FROM lineitem GROUP BY 1),
+db_ AS (
+  SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS d_b
+  FROM orders GROUP BY 1),
+ta AS (SELECT CAST(COUNT(*) AS BIGINT) AS keys_a,
+              CAST(SUM(d_a) AS BIGINT) AS rows_a FROM da),
+tb AS (SELECT CAST(COUNT(*) AS BIGINT) AS keys_b,
+              CAST(SUM(d_b) AS BIGINT) AS rows_b FROM db_),
+jt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS matching_keys,
+         CAST(COALESCE(SUM(d_a * d_b), 0) AS BIGINT) AS join_rows,
+         CAST(COALESCE(MAX(d_a * d_b), 0) AS BIGINT) AS max_key_rows
+  FROM da JOIN db_ USING (k))
+SELECT keys_a, rows_a, keys_b, rows_b, matching_keys, join_rows,
+       max_key_rows
+FROM ta CROSS JOIN tb CROSS JOIN jt"""
+
+
+ANALYTICS_QUERIES["join_size_stats"] = (q_join_size_stats,
+                                        sql_join_size_stats)

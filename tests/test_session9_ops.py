@@ -788,3 +788,31 @@ def test_nelson_aalen_hand(spark):
     r3 = rows[3]
     assert (r3.n_risk, r3.n_event, r3.n_censor) == (2, 1, 1)
     assert r3.hazard_nano == 250 + 500   # + 1/2 * 1000
+
+
+def test_diff_in_diff_hand(spark):
+    from mapbox_filter_spark.operators.analytics import diff_in_diff
+    rows = [("t", "pre", 10), ("t", "pre", 12),    # mean 11
+            ("t", "post", 30), ("t", "post", 32),  # mean 31 (+20)
+            ("c", "pre", 5), ("c", "post", 10)]    # +5
+    df = spark.createDataFrame(rows, "g string, p string, y long")
+    r = diff_in_diff(df, "g", "p", "y",
+                     treat="t", pre="pre", post="post").collect()[0]
+    assert (r.n_tpre, r.s_tpre, r.n_tpost) == (2, 22, 2)
+    assert r.did == (31.0 - 11.0) - (10.0 - 5.0)   # 15.0
+    # empty cell -> NULL
+    df2 = spark.createDataFrame(rows[:4], "g string, p string, y long")
+    assert diff_in_diff(df2, "g", "p", "y", treat="t", pre="pre",
+                        post="post").collect()[0].did is None
+
+
+def test_join_size_stats_exact(spark):
+    from mapbox_filter_spark.operators.analytics import join_size_stats
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "k long")
+    b = spark.createDataFrame([(1,), (2,), (2,), (9,)], "k long")
+    r = join_size_stats(a, b, "k", "k").collect()[0]
+    assert (r.keys_a, r.rows_a, r.keys_b, r.rows_b) == (3, 4, 3, 4)
+    # key 1: 2*1=2; key 2: 1*2=2 -> join 4 rows, max per key 2
+    assert (r.matching_keys, r.join_rows, r.max_key_rows) == (2, 4, 2)
+    # verify against the actual join
+    assert a.join(b, "k").count() == r.join_rows
