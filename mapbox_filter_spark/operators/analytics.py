@@ -548,15 +548,15 @@ def two_proportion_z(df: DataFrame, bucket_col: str,
     """
     from pyspark.sql import Window as W
 
-    w = W.orderBy(bucket_col)
     cur = df.select(
         F.col(bucket_col).alias("bucket"),
         F.col(trials_col).cast("long").alias("n_cur"),
         F.col(successes_col).cast("long").alias("a_cur"))
+    wb = W.orderBy("bucket")
     lagged = cur.select(
         "bucket", "n_cur", "a_cur",
-        F.lag("n_cur").over(W.orderBy("bucket")).alias("n_prev"),
-        F.lag("a_cur").over(W.orderBy("bucket")).alias("a_prev")
+        F.lag("n_cur").over(wb).alias("n_prev"),
+        F.lag("a_cur").over(wb).alias("a_prev")
     ).filter(F.col("n_prev").isNotNull())
     num = (F.col("a_prev") * F.col("n_cur")
            - F.col("a_cur") * F.col("n_prev"))
@@ -674,8 +674,12 @@ def markov_stationary(transitions: DataFrame, *, iters: int = 10,
 
     — the pagerank_exact determinism contract: no floats, so the
     result value-hashes cross-engine and is identical on any cluster
-    shape.  Floor quantization loses < |states| units of mass per
-    iteration (bounded, deterministic, same both engines).
+    shape.  SINK states (appearing only as ``cur`` — e.g. a terminal
+    event type) RETAIN their mass each iteration (absorbing
+    semantics; silently dropping it would shrink total mass
+    geometrically).  Floor quantization loses < |edges| units of mass
+    per iteration (bounded, deterministic, same both engines); states
+    whose mass reaches 0 drop from the output.
 
     Scale shape: the state space bounds everything — π is |S| rows,
     each iteration one broadcast join + one groupBy.  ``iters`` fixed
@@ -702,11 +706,15 @@ def markov_stationary(transitions: DataFrame, *, iters: int = 10,
                                F.col("n").cast("long").alias("n_ij"),
                                F.col("n_from").cast("long")
                                .alias("n_i")).localCheckpoint()
+    outs = edges.select("state").distinct().localCheckpoint()
     for _ in range(int(iters)):
-        pi = (edges.join(F.broadcast(pi), "state")
-              .select(F.col("dst").alias("state"),
-                      F.expr("(pi_q * n_ij) div n_i").cast("long")
-                      .alias("m"))
+        inflow = (edges.join(F.broadcast(pi), "state")
+                  .select(F.col("dst").alias("state"),
+                          F.expr("(pi_q * n_ij) div n_i").cast("long")
+                          .alias("m")))
+        retained = (pi.join(outs, "state", "left_anti")
+                    .select("state", F.col("pi_q").alias("m")))
+        pi = (inflow.unionByName(retained)
               .groupBy("state").agg(F.sum("m").alias("pi_q"))
               .localCheckpoint())
     return pi.select("state", F.col("pi_q").cast("long").alias("pi_q"))
@@ -770,9 +778,14 @@ def table_checksum(df: DataFrame, key_cols, *, n_buckets: int = 64,
 
     Output: ``(bucket, n_rows, xor_hash)`` — n_buckets (+1 root) rows.
     """
-    cols = [F.col(c).cast("string") for c in key_cols]
+    def enc(c):
+        s = F.col(c).cast("string")
+        return F.when(s.isNull(), F.lit("N")).otherwise(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s))
+
     h = F.conv(F.substring(
-        F.md5(F.concat_ws("\x1f", F.lit(salt), *cols)), 1, 15),
+        F.md5(F.concat(F.lit(salt + "|"),
+                       *[enc(c) for c in key_cols])), 1, 15),
         16, 10).cast("long")
     hashed = df.select(h.alias("h"),
                        F.pmod(h, F.lit(int(n_buckets))).cast("long")
@@ -807,7 +820,6 @@ def diff_in_diff(df: DataFrame, group_col: str, period_col: str,
     p = F.col(period_col)
     y = F.col(outcome_col).cast("long")
     filt = df.filter(p.isin(pre, post))
-    cells = {}
     aggs = []
     for gname, gcond in (("t", g == treat), ("c", g != treat)):
         for pname, pcond in (("pre", p == pre), ("post", p == post)):
@@ -815,7 +827,6 @@ def diff_in_diff(df: DataFrame, group_col: str, period_col: str,
             hit = (gcond & pcond).cast("int")
             aggs.append(F.sum(hit).cast("long").alias(f"n_{key}"))
             aggs.append(F.sum(hit * y).cast("long").alias(f"s_{key}"))
-            cells[key] = True
     tot = filt.agg(*aggs)
     dd = lambda c: F.col(c).cast("double")
     mean = lambda k: dd(f"s_{k}") / dd(f"n_{k}")
@@ -857,6 +868,7 @@ def join_size_stats(left: DataFrame, right: DataFrame,
             .crossJoin(F.broadcast(jt))
             .select("keys_a", "rows_a", "keys_b", "rows_b",
                     "matching_keys",
-                    F.col("join_rows").cast("long").alias("join_rows"),
+                    F.coalesce(F.col("join_rows"), F.lit(0))
+                    .cast("long").alias("join_rows"),
                     F.coalesce(F.col("max_key_rows"), F.lit(0))
                     .cast("long").alias("max_key_rows")))

@@ -903,6 +903,10 @@ def scc_labels(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     else:
         raise RuntimeError(
             f"scc_labels: not resolved within {max_peels} peel rounds")
+    if resolved is None:   # empty graph (no non-self-loop edges)
+        return nodes.select(
+            "node", F.col("node").alias("scc"),
+            F.lit(0).cast("long").alias("scc_size")).filter(F.lit(False))
     sizes = resolved.groupBy("scc").agg(
         F.count(F.lit(1)).alias("scc_size"))
     return resolved.join(sizes, "scc").select("node", "scc", "scc_size")

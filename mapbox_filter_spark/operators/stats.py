@@ -871,7 +871,7 @@ def welch_t(df: DataFrame, group_col: str, value_col: str,
         F.sum(is_b * x).cast("long").alias("s_b"),
         F.sum(is_b * x * x).cast("long").alias("q_b"))
 
-    def guard(s, n):
+    def guard(s):
         return F.when(
             F.abs(F.col(s)) > F.lit(_ANOVA_MAX_ABS_SUM),
             F.raise_error(F.concat(
@@ -880,8 +880,8 @@ def welch_t(df: DataFrame, group_col: str, value_col: str,
                       "upstream: "), F.col(s).cast("string")))
             .cast("long")).otherwise(F.col(s))
 
-    agg = agg.withColumn("s_a", guard("s_a", "n_a")) \
-             .withColumn("s_b", guard("s_b", "n_b"))
+    agg = agg.withColumn("s_a", guard("s_a")) \
+             .withColumn("s_b", guard("s_b"))
     d_a = (F.col("n_a") * F.col("q_a")
            - F.col("s_a") * F.col("s_a")).cast("long")
     d_b = (F.col("n_b") * F.col("q_b")

@@ -1109,15 +1109,20 @@ def peak_concurrency(intervals: DataFrame, start_col: str,
     """Peak concurrent open intervals per week — the capacity-planning
     sweep-line: +1 at each start, −1 at each end (half-open: at equal
     timestamps closes process BEFORE opens — the (ts, delta ASC) total
-    order), running sum, max per calendar week.
+    order), running sum, max per calendar week INCLUDING the carry-in:
+    every week from the first to the last active week gets a row, and
+    a week whose intervals were all opened earlier reports the
+    carried-in open count (max(carry_in, in-week running max) — a
+    per-event-only max would understate any week that starts with
+    open intervals and drop event-less weeks entirely).
 
-    Exact integers throughout.  The running sum is a GLOBAL ordered
-    window (one series — a corpus diagnostic like vocab_growth, not a
-    per-row transform); shard by a coarse time range with
-    per-shard offsets when a single sort partition won't hold the
-    2-rows-per-interval stream (documented; ~16 bytes/row).
+    Exact integers throughout.  The in-week running sum is a GLOBAL
+    ordered window (one series — a corpus diagnostic like
+    vocab_growth); the carry-in needs only the per-week NET delta
+    cumsum over the (tiny) week spine.
 
-    Output: ``(week, max_open)`` — week = days-since-anchor div 7.
+    Output: ``(week, max_open)`` — week = days-since-anchor div 7,
+    one row per week in [first, last].
     """
     from pyspark.sql import Window as W
 
@@ -1131,22 +1136,45 @@ def peak_concurrency(intervals: DataFrame, start_col: str,
     w = W.orderBy("us", "delta").rowsBetween(W.unboundedPreceding, 0)
     anchor_us = (f"unix_micros(cast(date'{week_anchor}' as "
                  "timestamp))")
+    wk = F.expr(f"((us - {anchor_us}) div 86400000000) div 7") \
+        .cast("long")
     running = deltas.select(
         "us", F.sum("delta").over(w).cast("long").alias("open_now"),
-        F.expr(f"((us - {anchor_us}) div 86400000000) div 7")
-        .cast("long").alias("week"))
-    return (running.groupBy("week")
-            .agg(F.max("open_now").alias("max_open")))
+        wk.alias("week"))
+    evmax = running.groupBy("week").agg(
+        F.max("open_now").alias("ev_max"))
+    net = deltas.select(wk.alias("week"), "delta") \
+        .groupBy("week").agg(F.sum("delta").cast("long").alias("net"))
+    span = net.agg(F.min("week").alias("lo"), F.max("week").alias("hi"))
+    spine = span.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("week"))
+    filled = (spine.join(net, "week", "left")
+              .select("week", F.coalesce(F.col("net"), F.lit(0))
+                      .cast("long").alias("net")))
+    wcum = W.orderBy("week").rowsBetween(W.unboundedPreceding, -1)
+    carried = filled.select(
+        "week",
+        F.coalesce(F.sum("net").over(wcum), F.lit(0)).cast("long")
+        .alias("carry_in"))
+    return (carried.join(evmax, "week", "left")
+            .select("week",
+                    F.greatest(F.col("carry_in"),
+                               F.coalesce(F.col("ev_max"),
+                                          F.col("carry_in")))
+                    .cast("long").alias("max_open")))
 
 
 def haar_energy(events: DataFrame, ts_col: str, group_cols, *,
                 levels: int = 3) -> DataFrame:
     """Haar wavelet energy decomposition of the daily count series per
     group — the multi-resolution burstiness spectrum (which time scale
-    carries the variance?).  All exact int64: the series is the dense
-    day-indexed count vector; per level, detail = c_even − c_odd and
-    approx = c_even + c_odd over index pairs (odd tail pairs with an
-    implicit 0 — deterministic, mirrored), energy = Σ detail².
+    carries the variance?).  All exact int64: the series is the DENSE
+    CALENDAR day-indexed count vector (idx = days since the group's
+    first active day, so zero-count days contribute implicit 0
+    coefficients — absent rows simply don't feed the pair sums); per
+    level, detail = c_even − c_odd and approx = c_even + c_odd over
+    index pairs (missing partners = 0 — deterministic, mirrored),
+    energy = Σ detail².
 
     Scale shape: one groupBy collapses the event stream to days; each
     level is one groupBy on (group, idx div 2) over the shrinking
@@ -1162,9 +1190,12 @@ def haar_energy(events: DataFrame, ts_col: str, group_cols, *,
     day = F.date_trunc("DAY", F.col(ts_col))
     daily = (events.groupBy(*gcols, day.alias("_day"))
              .agg(F.count(F.lit(1)).cast("long").alias("c")))
-    w = W.partitionBy(*gcols).orderBy("_day")
+    wg = W.partitionBy(*gcols)
     cur = daily.select(
-        *gcols, (F.row_number().over(w) - 1).cast("long").alias("idx"),
+        *gcols,
+        F.datediff(F.col("_day").cast("date"),
+                   F.min("_day").over(wg).cast("date")).cast("long")
+        .alias("idx"),
         "c")
     out = None
     for lvl in range(1, int(levels) + 1):

@@ -607,7 +607,8 @@ def vocab_growth(docs: DataFrame, id_col: str, text_col: str, *,
     with a range-partitioned sort (documented; the curve is a corpus
     diagnostic, not a per-row transform).
 
-    Output: ``(decile, n_docs, vocab)`` — ``deciles`` rows.
+    Output: ``(decile, n_docs, vocab)`` — exactly ``deciles`` rows
+    (empty prefixes emit vocab = 0).
     """
     from pyspark.sql import Window as W
 
@@ -627,7 +628,13 @@ def vocab_growth(docs: DataFrame, id_col: str, text_col: str, *,
         .select("decile",
                 F.expr(f"(n * decile) div {int(deciles)}").cast("long")
                 .alias("n_docs")))
-    return (toks.crossJoin(F.broadcast(ks))
-            .filter(F.col("first_rank") <= F.col("n_docs"))
-            .groupBy("decile", "n_docs")
-            .agg(F.count(F.lit(1)).alias("vocab")))
+    counts = (toks.crossJoin(F.broadcast(ks))
+              .filter(F.col("first_rank") <= F.col("n_docs"))
+              .groupBy("decile", "n_docs")
+              .agg(F.count(F.lit(1)).alias("vocab")))
+    # LEFT join from the decile spine so empty prefixes emit vocab=0
+    # (the contract is exactly ``deciles`` rows)
+    return (ks.join(counts, ["decile", "n_docs"], "left")
+            .select("decile", "n_docs",
+                    F.coalesce(F.col("vocab"), F.lit(0)).cast("long")
+                    .alias("vocab")))

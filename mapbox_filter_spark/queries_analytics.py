@@ -1297,9 +1297,12 @@ p0 AS MATERIALIZED (
   FROM states, ns)"""]
     for i in range(_MSTAT_ITERS):
         ctes.append(f"""p{i + 1} AS MATERIALIZED (
-  SELECT e.dst AS state,
-         CAST(SUM((p.pi_q * e.n_ij) // e.n_i) AS BIGINT) AS pi_q
-  FROM p{i} p JOIN e ON p.state = e.state
+  SELECT state, CAST(SUM(m) AS BIGINT) AS pi_q FROM (
+    SELECT e.dst AS state, (p.pi_q * e.n_ij) // e.n_i AS m
+    FROM p{i} p JOIN e ON p.state = e.state
+    UNION ALL
+    SELECT p.state, p.pi_q FROM p{i} p
+    WHERE p.state NOT IN (SELECT DISTINCT state FROM e))
   GROUP BY 1)""")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT state, CAST(pi_q AS BIGINT) AS pi_q"
@@ -1378,9 +1381,14 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_table_checksum() -> str:
-    h = (f"CAST(('0x' || substr(md5(concat_ws(chr(31), '{_CK_SALT}', "
-         "CAST(l_orderkey AS VARCHAR), "
-         "CAST(l_linenumber AS VARCHAR))), 1, 15)) AS BIGINT)")
+    def enc(c):
+        s = f"CAST({c} AS VARCHAR)"
+        return (f"CASE WHEN {c} IS NULL THEN 'N' ELSE "
+                f"CAST(length({s}) AS VARCHAR) || ':' || {s} END")
+
+    h = (f"CAST(('0x' || substr(md5('{_CK_SALT}' || '|' || "
+         f"{enc('l_orderkey')} || {enc('l_linenumber')}), "
+         "1, 15)) AS BIGINT)")
     return f"""WITH hashed AS (
   SELECT {h} AS h, {h} % {_CK_BUCKETS} AS bucket FROM lineitem),
 per AS (

@@ -439,8 +439,8 @@ ks AS (
          (nt.n * k.k) // {d} AS n_docs
   FROM nt, LATERAL (SELECT unnest(range(1, {d} + 1)) AS k) k)
 SELECT ks.decile, ks.n_docs,
-       CAST(COUNT(*) AS BIGINT) AS vocab
-FROM toks JOIN ks ON toks.first_rank <= ks.n_docs
+       CAST(COUNT(toks.w) AS BIGINT) AS vocab
+FROM ks LEFT JOIN toks ON toks.first_rank <= ks.n_docs
 GROUP BY 1, 2"""
 
 

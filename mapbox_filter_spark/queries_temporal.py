@@ -1151,9 +1151,30 @@ running AS (
                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
            AS open_now,
          ((us - {anchor}) // 86400000000) // 7 AS week
-  FROM deltas)
-SELECT week, MAX(open_now) AS max_open
-FROM running GROUP BY 1"""
+  FROM deltas),
+evmax AS (
+  SELECT week, CAST(MAX(open_now) AS BIGINT) AS ev_max
+  FROM running GROUP BY 1),
+net AS (
+  SELECT ((us - {anchor}) // 86400000000) // 7 AS week,
+         CAST(SUM(delta) AS BIGINT) AS net
+  FROM deltas GROUP BY 1),
+spine AS (
+  SELECT unnest(range((SELECT MIN(week) FROM net),
+                      (SELECT MAX(week) FROM net) + 1)) AS week),
+filled AS (
+  SELECT s.week, COALESCE(n.net, 0) AS net
+  FROM spine s LEFT JOIN net n ON s.week = n.week),
+carried AS (
+  SELECT week,
+         CAST(COALESCE(SUM(net) OVER (ORDER BY week
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS carry_in
+  FROM filled)
+SELECT c.week,
+       CAST(GREATEST(c.carry_in, COALESCE(e.ev_max, c.carry_in))
+            AS BIGINT) AS max_open
+FROM carried c LEFT JOIN evmax e ON c.week = e.week"""
 
 
 TEMPORAL_QUERIES["peak_concurrency"] = (q_peak_concurrency,
@@ -1228,8 +1249,9 @@ def sql_haar_energy() -> str:
   FROM events GROUP BY 1, 2),
 c0 AS (
   SELECT event_type,
-         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
-              - 1 AS BIGINT) AS idx,
+         CAST(date_diff('day',
+                        MIN(d) OVER (PARTITION BY event_type),
+                        d) AS BIGINT) AS idx,
          c
   FROM daily)"""]
     sel = []

@@ -816,3 +816,86 @@ def test_join_size_stats_exact(spark):
     assert (r.matching_keys, r.join_rows, r.max_key_rows) == (2, 4, 2)
     # verify against the actual join
     assert a.join(b, "k").count() == r.join_rows
+
+
+def test_peak_concurrency_carry_in_weeks(spark):
+    import datetime as dt
+    from mapbox_filter_spark.operators.temporal import peak_concurrency
+    d = dt.datetime
+    # one interval spanning 3+ weeks: weeks with NO events must still
+    # report the carried-in open count (review regression)
+    iv = spark.createDataFrame(
+        [(d(1995, 1, 2), d(1995, 1, 20))], "s timestamp, e timestamp")
+    rows = {r.week: r.max_open
+            for r in peak_concurrency(iv, "s", "e").collect()}
+    # anchor 1994-12-26: weeks 1 (open), 2 (event-less), 3 (close)
+    assert rows == {1: 1, 2: 1, 3: 1}
+
+
+def test_markov_stationary_absorbing_sink(spark):
+    from mapbox_filter_spark.operators.analytics import markov_stationary
+    # A -> B always; B is a sink -> all mass ends in B (review
+    # regression: sink mass was silently dropped)
+    tr = spark.createDataFrame(
+        [("A", "B", 5, 5)], "prev string, cur string, n long, n_from long")
+    got = {r.state: r.pi_q
+           for r in markov_stationary(tr, iters=3,
+                                      scale=10**6).collect()}
+    assert got == {"B": 10**6}
+
+
+def test_haar_energy_calendar_gap(spark):
+    import datetime as dt
+    from mapbox_filter_spark.operators.temporal import haar_energy
+    # events on day 0 and day 2 only: calendar indexing pairs day0
+    # with the MISSING day1 (implicit 0), day2 with missing day3 —
+    # NOT day0 with day2 (review regression)
+    rows = [("a", dt.datetime(2024, 3, 1, 9))] * 3 + \
+           [("a", dt.datetime(2024, 3, 3, 9))] * 5
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    got = {r.level: (r.n_coeffs, r.energy_u)
+           for r in haar_energy(df, "ts", ("g",), levels=1).collect()}
+    # pairs: (3, 0) d=3 and (5, 0) d=5 -> 9 + 25
+    assert got[1] == (2, 34)
+
+
+def test_vocab_growth_empty_deciles_present(spark):
+    from mapbox_filter_spark.operators.text import vocab_growth
+    df = spark.createDataFrame(
+        [(i, "only word") for i in range(5)], "doc_id long, text string")
+    rows = sorted(vocab_growth(df, "doc_id", "text", deciles=10)
+                  .collect())
+    assert len(rows) == 10                      # exactly deciles rows
+    assert rows[0].decile == 1 and rows[0].n_docs == 0
+    assert rows[0].vocab == 0                   # empty prefix = 0
+    assert rows[-1].vocab == 2
+
+
+def test_table_checksum_null_injective(spark):
+    from mapbox_filter_spark.operators.analytics import table_checksum
+    # NULL-vs-value swaps must CHANGE the checksum (review regression:
+    # concat_ws silently skipped NULLs)
+    a = spark.createDataFrame([("a", None)], "x string, y string")
+    b = spark.createDataFrame([(None, "a")], "x string, y string")
+    ca = sorted(map(tuple, table_checksum(a, ["x", "y"]).collect()))
+    cb = sorted(map(tuple, table_checksum(b, ["x", "y"]).collect()))
+    assert ca != cb
+    # separator-bearing values must not collide across boundaries
+    c = spark.createDataFrame([("a:b", "c")], "x string, y string")
+    d = spark.createDataFrame([("a", "b:c")], "x string, y string")
+    assert sorted(map(tuple, table_checksum(c, ["x", "y"]).collect())) \
+        != sorted(map(tuple, table_checksum(d, ["x", "y"]).collect()))
+
+
+def test_scc_labels_empty_input(spark):
+    from mapbox_filter_spark.operators.graph import scc_labels
+    e = spark.createDataFrame([(1, 1)], "src long, dst long")
+    assert scc_labels(e).count() == 0
+
+
+def test_join_size_stats_disjoint_keys(spark):
+    from mapbox_filter_spark.operators.analytics import join_size_stats
+    a = spark.createDataFrame([(1,)], "k long")
+    b = spark.createDataFrame([(2,)], "k long")
+    r = join_size_stats(a, b, "k", "k").collect()[0]
+    assert (r.matching_keys, r.join_rows, r.max_key_rows) == (0, 0, 0)
