@@ -32,7 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["spearman_corr", "mann_whitney_u", "ks_2samp", "kendall_tau"]
+__all__ = ["spearman_corr", "mann_whitney_u", "ks_2samp", "kendall_tau",
+           "kruskal_wallis"]
 
 # 4n^4 < 2^63  =>  n <= 38,000 keeps every sum exact in int64
 _MAX_GROUP_ROWS = 38_000
@@ -396,3 +397,86 @@ def runs_test(df: DataFrame, group_cols: "list[str]", order_cols,
                a.cast("double") * F.sqrt((n - 1).cast("double"))
                / F.sqrt(rad.cast("double"))))
     return agg.select(*group_cols, "n1", "n0", "runs", z.alias("z"))
+
+
+# N³ − N must fit int64 for the tie correction: N ≤ 2·10⁶
+_KW_MAX_POOLED_ROWS = 2_000_000
+
+
+def kruskal_wallis(df: DataFrame, part_cols: "list[str]",
+                   group_col: str, value_col: str) -> DataFrame:
+    """Kruskal-Wallis H test — the k-group generalisation of
+    mann_whitney_u (does ``value_col``'s distribution differ across
+    the ``group_col`` categories?), computed independently per
+    ``part_cols`` partition.
+
+    Exactness: pooled tie-corrected DOUBLED ranks (the spearman_corr
+    ``2·RANK() + t − 1`` identity) make every per-group rank sum
+    ``R2_g = 2·R_g`` an exact long; with ties of size t each ranked
+    row contributes ``t² − 1`` to the partition's tie correction, so
+    ``Σ_rows (t²−1) = Σ_ties (t³−t)`` is ALSO one exact long per
+    partition — no counts-of-counts pass.  The statistic is then
+
+        H   = 3·Σ_g R2_g²/n_g / (N·(N+1)) − 3·(N+1)
+        H_c = H / (1 − Σ(t³−t)/(N³−N))
+
+    where the Σ_g fold runs in group-key-sorted PINNED order (the
+    chi_square discipline — a float groupBy sum has nondeterministic
+    addend order) and every division is a pinned IEEE chain over the
+    exact longs.  H_c is NULL when the partition is degenerate
+    (k < 2, N ≤ 1, or all values tied ⇒ the correction hits 0).
+
+    int64 bound: N³ − N needs N ≤ 2·10⁶ pooled rows per partition —
+    enforced IN-PLAN via raise_error (never a silent wrap);
+    pre-sample (stratified_sample / bottomk_sample) above that.
+
+    Scale shape: one rank window + one (part, group) groupBy + the
+    per-partition fold over the TINY k-row group table — all
+    partitioned by the same leading keys, a single exchange.
+
+    Returns ``(part..., n, k, tie_sum, h, h_c)``.
+    """
+    v = F.col(value_col)
+    clean = df.filter(v.isNotNull()
+                      & F.col(group_col).isNotNull())
+    w = Window.partitionBy(*part_cols).orderBy(v)
+    wt = Window.partitionBy(*part_cols, v)
+    t = F.count(F.lit(1)).over(wt)
+    ranked = clean.select(
+        *part_cols, F.col(group_col).alias("_g"),
+        (F.rank().over(w) * 2 + t - 1).cast("long").alias("_r2"),
+        (t.cast("long") * t.cast("long") - 1).alias("_tt"))
+    per_g = ranked.groupBy(*part_cols, "_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_g"),
+        F.sum("_r2").cast("long").alias("_r2_g"),
+        F.sum("_tt").cast("long").alias("_tt_g"))
+    term = ((F.col("_r2_g").cast("double")
+             * F.col("_r2_g").cast("double"))
+            / F.col("_n_g").cast("double"))
+    arr = F.sort_array(F.collect_list(F.struct(
+        F.col("_g").alias("g"), term.alias("t"))))
+    agg = per_g.groupBy(*part_cols).agg(
+        F.sum("_n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("_tt_g").cast("long").alias("tie_sum"),
+        F.aggregate(arr, F.lit(0.0),
+                    lambda acc, s: acc + s["t"]).alias("_fold"))
+    n = F.col("n")
+    guard = F.when(
+        n > _KW_MAX_POOLED_ROWS,
+        F.raise_error(F.concat(
+            F.lit("kruskal_wallis: partition exceeds exact-int64 "
+                  f"bound ({_KW_MAX_POOLED_ROWS} rows): n="),
+            n.cast("string"))).cast("double"))
+    nd = n.cast("double")
+    h = guard.otherwise(F.when(
+        (F.col("k") >= 2) & (n > 1),
+        F.lit(3.0) * F.col("_fold") / (nd * (nd + F.lit(1.0)))
+        - F.lit(3.0) * (nd + F.lit(1.0))))
+    # N³ − N exact long under the guard; correction = 1 − ties/(N³−N)
+    n3n = (n * n * n - n)
+    c = F.lit(1.0) - F.col("tie_sum").cast("double") / n3n.cast("double")
+    h_c = F.when((F.col("k") >= 2) & (n > 1) & (n3n > F.col("tie_sum")),
+                 h / c)
+    return agg.select(*part_cols, "n", "k", "tie_sum",
+                      h.alias("h"), h_c.alias("h_c"))

@@ -1019,3 +1019,88 @@ def nelson_aalen(subjects: DataFrame, group_cols: Sequence[str],
     return (out.filter(F.col("n_event") >= 1)
             .select(*g, "dur", "n_risk", "n_event", "n_censor",
                     "hazard_nano"))
+
+
+# |d| bound for jarque_bera: per-row d² must fit int64 and the
+# DECIMAL(38) fourth-moment sum must hold n·d⁴ (|d| ≤ 10⁶ keeps
+# Σd⁴ ≤ 10²⁴·n exact through n ≈ 10¹⁴ rows per group)
+_JB_MAX_ABS_DEV = 1_000_000
+
+
+def jarque_bera(df: DataFrame, group_cols: Sequence[str],
+                value_col: str) -> DataFrame:
+    """Per-group Jarque-Bera normality profile — skewness g1, excess
+    kurtosis g2 and the JB omnibus statistic ``n/6·(g1² + g2²/4)``,
+    the data-quality screen for "is this metric even remotely
+    Gaussian" before any t/z machinery is trusted.
+
+    Exactness: ``value_col`` must be integer (the cents convention).
+    Each group first computes its exact integer anchor
+    ``a = Σx div n`` (floor mean) in one tiny aggregate that
+    BROADCAST-joins back — the fact table never exchanges twice —
+    then the anchored deviations ``d = x − a`` feed exact DECIMAL(38)
+    power sums D1..D4 (D1 ∈ [0, n) by the floor-mean choice, so the
+    about-the-mean correction δ = D1/n ∈ [0,1) stays tiny).  Central
+    moments follow the standard about-a-point identities
+
+        m2 = D2/n − δ²
+        m3 = D3/n − 3δ·(D2/n) + 2δ³
+        m4 = D4/n − 4δ·(D3/n) + 6δ²·(D2/n) − 3δ⁴
+
+    as FLAT pinned double chains over the exact decimal sums (the
+    loglog_fit discipline: exact integer aggregates, IEEE-pinned
+    combination — the all-integer combination n³·D4 − … would
+    overflow DECIMAL(38) around n ≈ 10⁵ at cents scale).
+
+    int64/decimal bound: |d| ≤ 10⁶ enforced IN-PLAN via raise_error —
+    per-row d² stays int64 and Σd⁴ stays DECIMAL(38)-exact through
+    n ≈ 10¹⁴ rows per group.  Wider-spread data should be quantized
+    coarser upstream (the F-invariance note on anova_f applies: g1/g2
+    are scale-free, so unit choice only moves the guard).
+
+    Scale shape: two map-side-combinable aggregates over one scan
+    each + one broadcast join; output is O(groups).
+
+    Returns ``(group..., n, g1, g2, jb)`` — g1/g2/jb NULL when the
+    group is degenerate (n < 2 or zero variance, integer guard).
+    """
+    gcols = list(group_cols)
+    x = F.col(value_col).cast("long")
+    anchors = df.groupBy(*gcols).agg(
+        F.sum(x).alias("_s"), F.count(x).alias("_n"))
+    anchors = anchors.select(
+        *gcols, F.expr("_s div _n").cast("long").alias("_a"))
+    d = (x - F.col("_a"))
+    guard_d = F.when(
+        F.abs(d) > _JB_MAX_ABS_DEV,
+        F.raise_error(F.concat(
+            F.lit("jarque_bera: |x − anchor| exceeds exact bound "
+                  f"({_JB_MAX_ABS_DEV}): d="), d.cast("string")))
+        .cast("long")).otherwise(d)
+    with_d = (df.join(F.broadcast(anchors), gcols)
+              .select(*gcols, guard_d.alias("_d")))
+    d2 = (F.col("_d") * F.col("_d"))  # ≤ 10¹² — exact long
+    pd_ = lambda c: c.cast("decimal(38,0)")
+    agg = with_d.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(pd_(F.col("_d"))).alias("_d1"),
+        F.sum(pd_(d2)).alias("_d2"),
+        F.sum(pd_(d2) * pd_(F.col("_d"))).alias("_d3"),
+        F.sum(pd_(d2) * pd_(d2)).alias("_d4"))
+    nd = F.col("n").cast("double")
+    dd = lambda c: F.col(c).cast("double")
+    delta = dd("_d1") / nd
+    m2 = dd("_d2") / nd - delta * delta
+    m3 = (dd("_d3") / nd - F.lit(3.0) * delta * (dd("_d2") / nd)
+          + F.lit(2.0) * delta * delta * delta)
+    m4 = (dd("_d4") / nd - F.lit(4.0) * delta * (dd("_d3") / nd)
+          + F.lit(6.0) * delta * delta * (dd("_d2") / nd)
+          - F.lit(3.0) * delta * delta * delta * delta)
+    ok = (F.col("n") >= 2) & (F.col("_d2") * F.col("n")
+                              > F.col("_d1") * F.col("_d1"))
+    g1 = F.when(ok, m3 / (m2 * F.sqrt(m2)))
+    g2 = F.when(ok, m4 / (m2 * m2) - F.lit(3.0))
+    jb = F.when(ok, nd / F.lit(6.0)
+                * (g1 * g1 + g2 * g2 / F.lit(4.0)))
+    return agg.select(*gcols, "n", g1.alias("g1"), g2.alias("g2"),
+                      jb.alias("jb"))

@@ -1142,3 +1142,134 @@ FROM tot CROSS JOIN ci"""
 
 
 CURATION_QUERIES["bootstrap_ci"] = (q_bootstrap_ci, sql_bootstrap_ci)
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across event types, one test per weekend flag
+    (operators/rankstats.py kruskal_wallis): pooled doubled ranks make
+    every rank sum exact; the per-group Σ R2²/n fold runs in
+    group-sorted pinned order and the tie correction Σ(t³−t) is one
+    exact long — the k-group sibling of the mann_whitney gate."""
+    from .geo.tilemath import floor_div
+    from .operators.rankstats import kruskal_wallis
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.pmod(floor_div(
+            F.unix_micros(F.col("ts").cast("timestamp")),
+            86_400_000_000) + 4, F.lit(7)).isin(0, 6).alias("wknd"),
+        "event_type",
+        _cents().alias("cents"))
+    return kruskal_wallis(ev, ["wknd"], "event_type", "cents")
+
+
+def sql_kruskal_wallis() -> str:
+    nd = "CAST(n AS DOUBLE)"
+    h = (f"3.0 * fold / ({nd} * ({nd} + 1.0)) "
+         f"- 3.0 * ({nd} + 1.0)")
+    return f"""WITH e AS (
+  SELECT ((epoch_us(ts) // 86400000000 + 4) % 7) IN (0, 6) AS wknd,
+         event_type AS g,
+         {_CENTS_SQL} AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+r AS (
+  SELECT wknd, g,
+         RANK() OVER (PARTITION BY wknd ORDER BY v NULLS FIRST) * 2
+           + COUNT(*) OVER (PARTITION BY wknd, v) - 1 AS r2,
+         CAST(COUNT(*) OVER (PARTITION BY wknd, v) AS BIGINT) AS t
+  FROM e),
+pg AS (
+  SELECT wknd, g, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(r2) AS BIGINT) AS r2_g,
+         CAST(SUM(t * t - 1) AS BIGINT) AS tt_g
+  FROM r GROUP BY 1, 2),
+terms AS (
+  SELECT wknd, g, n_g, r2_g, tt_g,
+         (CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE))
+           / CAST(n_g AS DOUBLE) AS trm
+  FROM pg),
+a AS (
+  SELECT wknd, CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(tt_g) AS BIGINT) AS tie_sum,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(trm ORDER BY g NULLS FIRST)),
+                     (x, y) -> x + y) AS fold
+  FROM terms GROUP BY 1)
+SELECT wknd, n, k, tie_sum,
+       CASE WHEN k >= 2 AND n > 1 THEN {h} END AS h,
+       CASE WHEN k >= 2 AND n > 1 AND n * n * n - n > tie_sum
+            THEN ({h})
+                 / (1.0 - CAST(tie_sum AS DOUBLE)
+                          / CAST(n * n * n - n AS DOUBLE))
+            END AS h_c
+FROM a"""
+
+
+CURATION_QUERIES["kruskal_wallis"] = (q_kruskal_wallis,
+                                      sql_kruskal_wallis)
+
+
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality profile of event cents per type
+    (operators/stats.py jarque_bera): anchor-centered exact
+    DECIMAL(38) power sums (the floor-mean anchor keeps δ = D1/n in
+    [0,1)), central moments and g1/g2/JB as flat pinned double
+    chains — the loglog_fit exact-sums-pinned-combination
+    discipline."""
+    from .operators.stats import jarque_bera
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        _cents().alias("cents")).filter(
+        F.col("event_type").isNotNull() & F.col("cents").isNotNull())
+    return jarque_bera(ev, ["event_type"], "cents")
+
+
+def sql_jarque_bera() -> str:
+    nd = "CAST(n AS DOUBLE)"
+    delta = f"(CAST(d1 AS DOUBLE) / {nd})"
+    return f"""WITH e AS (
+  SELECT event_type AS g, {_CENTS_SQL} AS x
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+anch AS (
+  SELECT g, CAST(SUM(x) // COUNT(x) AS BIGINT) AS a
+  FROM e GROUP BY 1),
+d AS (
+  SELECT e.g, CAST(e.x - anch.a AS BIGINT) AS dd
+  FROM e JOIN anch ON e.g = anch.g),
+agg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(dd AS HUGEINT)) AS d1,
+         SUM(CAST(dd * dd AS HUGEINT)) AS d2,
+         SUM(CAST(dd * dd AS HUGEINT) * CAST(dd AS HUGEINT)) AS d3,
+         SUM(CAST(dd * dd AS HUGEINT)
+             * CAST(dd * dd AS HUGEINT)) AS d4
+  FROM d GROUP BY 1),
+m AS (
+  SELECT g, n, d1, d2,
+         CAST(d2 AS DOUBLE) / {nd} - {delta} * {delta} AS m2,
+         CAST(d3 AS DOUBLE) / {nd}
+           - 3.0 * {delta} * (CAST(d2 AS DOUBLE) / {nd})
+           + 2.0 * {delta} * {delta} * {delta} AS m3,
+         CAST(d4 AS DOUBLE) / {nd}
+           - 4.0 * {delta} * (CAST(d3 AS DOUBLE) / {nd})
+           + 6.0 * {delta} * {delta} * (CAST(d2 AS DOUBLE) / {nd})
+           - 3.0 * {delta} * {delta} * {delta} * {delta} AS m4
+  FROM agg),
+gg AS (
+  SELECT g, n,
+         CASE WHEN n >= 2 AND d2 * n > d1 * d1
+              THEN m3 / (m2 * sqrt(m2)) END AS g1,
+         CASE WHEN n >= 2 AND d2 * n > d1 * d1
+              THEN m4 / (m2 * m2) - 3.0 END AS g2
+  FROM m)
+SELECT g AS event_type, n, g1, g2,
+       CASE WHEN g1 IS NOT NULL
+            THEN CAST(n AS DOUBLE) / 6.0
+                 * (g1 * g1 + g2 * g2 / 4.0) END AS jb
+FROM gg"""
+
+
+CURATION_QUERIES["jarque_bera"] = (q_jarque_bera, sql_jarque_bera)
