@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["spearman_corr", "mann_whitney_u", "ks_2samp", "kendall_tau",
-           "kruskal_wallis"]
+           "kruskal_wallis", "pettitt_test", "friedman_test"]
 
 # 4n^4 < 2^63  =>  n <= 38,000 keeps every sum exact in int64
 _MAX_GROUP_ROWS = 38_000
@@ -480,3 +480,128 @@ def kruskal_wallis(df: DataFrame, part_cols: "list[str]",
                  h / c)
     return agg.select(*part_cols, "n", "k", "tie_sum",
                       h.alias("h"), h_c.alias("h_c"))
+
+
+def pettitt_test(df: DataFrame, group_cols: "list[str]", order_cols,
+                 value_col: str) -> DataFrame:
+    """Pettitt rank-based changepoint test per group — the
+    distribution-free "did the level shift, and when?" statistic for
+    a time-ordered series: K = max_t |U_t| with
+    U_t = Σ_{i≤t} Σ_{j>t} sgn(xᵢ − xⱼ).
+
+    Exactness: via the rank identity U_t = 2·W_t − t(n+1) (W_t the
+    cumulative sum of tie-corrected average ranks), the DOUBLED ranks
+    r2 = 2·RANK + ties − 1 give ``U_t = cumsum(r2)_t − t·(n+1)``
+    directly — every term an exact long (no halves).  The argmax is
+    resolved deterministically: max |U|, ties → smallest t; t ranges
+    over 1..n−1 (U_n ≡ 0).
+
+    Scale shape: one rank window + one cumulative window + one argmax
+    window, ALL partitioned by the same group key — a single exchange
+    (the spearman_corr discipline).  Groups are capped at
+    ``_MAX_GROUP_ROWS`` in-plan like every rank statistic here (the
+    cumsum itself is safe far beyond — 2n² fits int64 to n ≈ 2·10⁹ —
+    but the per-group sort cost is the real bound).
+
+    Reference: Pettitt (1979, Applied Statistics) — public formula;
+    the doubled-rank exact evaluation is this engine's.
+
+    Returns ``(group..., n, t_star, u_at_t, k_stat)`` — one row per
+    group with ≥ 2 rows (singletons have no interior split).
+    """
+    gcols = list(group_cols)
+    ocols = [F.col(c) for c in (order_cols if isinstance(order_cols, list)
+                                else [order_cols])]
+    v = F.col(value_col).cast("long")
+    d = df.select(*gcols, *[o.alias(f"_o{i}") for i, o in enumerate(ocols)],
+                  v.alias("_v"))
+    onames = [f"_o{i}" for i in range(len(ocols))]
+    guard = Window.partitionBy(*gcols)
+    d = d.withColumn("_n", F.count(F.lit(1)).over(guard))
+    d = d.withColumn("_n", F.when(
+        F.col("_n") > _MAX_GROUP_ROWS,
+        F.raise_error(F.concat(
+            F.lit("pettitt_test: group exceeds exact rank bound "
+                  f"({_MAX_GROUP_ROWS}): n="),
+            F.col("_n").cast("string"))).cast("long"))
+        .otherwise(F.col("_n")))
+    d = d.withColumn("_r2", _rank2(gcols, F.col("_v")))
+    wt = (Window.partitionBy(*gcols)
+          .orderBy(*[F.col(c) for c in onames])
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = d.withColumn("_t", F.row_number().over(
+        Window.partitionBy(*gcols).orderBy(*[F.col(c) for c in onames])))
+    d = d.withColumn(
+        "_u", F.sum("_r2").over(wt) - F.col("_t") * (F.col("_n") + 1))
+    interior = d.filter(F.col("_t") < F.col("_n"))
+    pick = Window.partitionBy(*gcols).orderBy(
+        F.abs(F.col("_u")).desc(), F.col("_t").asc())
+    return (interior.withColumn("_pk", F.row_number().over(pick))
+            .filter(F.col("_pk") == 1)
+            .select(*gcols, F.col("_n").alias("n"),
+                    F.col("_t").cast("long").alias("t_star"),
+                    F.col("_u").alias("u_at_t"),
+                    F.abs(F.col("_u")).alias("k_stat")))
+
+
+def friedman_test(df: DataFrame, block_col: str, treat_col: str,
+                  value_col: str) -> DataFrame:
+    """Friedman test — the k-treatment repeated-measures rank test
+    over COMPLETE blocks (every treatment observed in the block):
+    "do the treatments differ, judged within each block?"  The
+    blocked sibling of kruskal_wallis.
+
+    Exactness: only blocks containing all k global treatments enter
+    (an exact distinct-count filter); ranks within each block use the
+    doubled tie-corrected form r2 = 2·RANK + ties − 1 (exact longs).
+    With R2_j = Σ_blocks r2 the tie-corrected statistic (Conover's
+    form; the 4s cancel between numerator and denominator under
+    doubling)
+
+        Q = (k−1) · Σ_j (R2_j − n(k+1))² / (Σ r2² − n·k·(k+1)²)
+
+    has an exact int64 numerator and denominator — ONE pinned double
+    division.  A constant-in-every-block field makes the denominator
+    0 (all ranks tied) → Q NULL by integer guard.
+
+    Scale shape: one distinct-count pre-pass + one rank window (both
+    keyed by block) + one k-row aggregate; blocks are small by
+    construction (k treatments), so no group cap is needed — the
+    int64 bound Σr2² ≤ n·(2k)² holds to n ≈ 10¹⁴ blocks at k ≤ 100.
+
+    Reference: Friedman (1937, JASA); Conover ("Practical
+    Nonparametric Statistics") for the tie form — public formulas;
+    the doubled-rank exact evaluation is this engine's.
+
+    Returns ONE row ``(n_blocks, k, num, den, q_stat)``.
+    """
+    b, t = F.col(block_col), F.col(treat_col)
+    v = F.col(value_col).cast("long")
+    d = df.select(b.alias("_b"), t.alias("_t"), v.alias("_v"))
+    k_tot = d.select(F.countDistinct("_t").alias("_k"))
+    per_block = d.groupBy("_b").agg(
+        F.countDistinct("_t").alias("_kb"), F.count(F.lit(1)).alias("_c"))
+    complete = (per_block.crossJoin(F.broadcast(k_tot))
+                .filter((F.col("_kb") == F.col("_k"))
+                        & (F.col("_c") == F.col("_k")))
+                .select("_b"))
+    dd = d.join(complete, "_b")
+    dd = dd.withColumn("_r2", _rank2(["_b"], F.col("_v")))
+    per_treat = dd.groupBy("_t").agg(
+        F.sum("_r2").alias("_R2"),
+        F.sum(F.col("_r2") * F.col("_r2")).alias("_rsq"),
+        F.count(F.lit(1)).alias("_n"))
+    kk = per_treat.agg(F.count(F.lit(1)).alias("_kk"))
+    dev = F.col("_R2") - F.col("_n") * (F.col("_kk") + 1)
+    tot = (per_treat.crossJoin(F.broadcast(kk))
+           .agg(F.max("_n").alias("n_blocks"),
+                F.max("_kk").alias("k"),
+                F.sum(F.col("_rsq")).alias("_allrsq"),
+                F.sum(dev * dev).alias("_sq")))
+    num = ((F.col("k") - 1) * F.col("_sq")).alias("num")
+    den = (F.col("_allrsq") - F.col("n_blocks") * F.col("k")
+           * (F.col("k") + 1) * (F.col("k") + 1)).alias("den")
+    out = tot.select("n_blocks", "k", num, den)
+    q = F.when(F.col("den") > 0,
+               F.col("num").cast("double") / F.col("den").cast("double"))
+    return out.withColumn("q_stat", q)

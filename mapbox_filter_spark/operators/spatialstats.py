@@ -36,7 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["morans_i", "getis_ord_gi", "local_moran",
-           "mann_kendall_cells", "knox_pairs", "ripley_k", "gearys_c"]
+           "mann_kendall_cells", "knox_pairs", "ripley_k", "gearys_c",
+           "join_count_stats", "sd_ellipse"]
 
 _QUEEN = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
           if not (dx == 0 and dy == 0)]
@@ -469,3 +470,167 @@ def gearys_c(cells: DataFrame, x_col: str, y_col: str, value_col: str,
                       F.when(F.col("n_cells") > 1, F.lit(1.0))
                       .alias("e_c"),
                       geary.alias("geary_c"))
+
+
+def join_count_stats(cells: DataFrame, x_col: str, y_col: str,
+                     value_col: str, queen: bool = True) -> DataFrame:
+    """Binary join-count statistics (Cliff & Ord) — the categorical
+    sibling of morans_i on the same contiguity structure: binarize
+    each cell as Black (value strictly above the global mean, the
+    EXACT integer test n·v > S1) or White, then count BB / BW / WW
+    adjacent pairs under the queen/rook stencil.  BB far above its
+    null expectation means the hot cells clump; BW above expectation
+    means a checkerboard.
+
+    Exactness: the Black indicator is an integer comparison, the pair
+    counts are exact longs, and the nonfree-sampling (hypergeometric)
+    null expectations over ORDERED pairs
+
+        E[BB] = W · nB·(nB−1) / (n·(n−1))
+        E[BW] = W · 2·nB·nW   / (n·(n−1))
+
+    have exact int64 numerators (the ESDA grid is ≤ 72×36 cells, so
+    W·nB² ≤ ~1.4e11) evaluated as one pinned division each.
+
+    Scale shape: identical to morans_i — one explode(×8/×4) equi-join
+    on shifted cell coords + one aggregate; the totals row broadcasts.
+    All pair counts are ORDERED (each unordered join counted twice),
+    the standard W for symmetric binary weights — consistent with the
+    w_pairs convention of morans_i/gearys_c.
+
+    Reference: Cliff & Ord (1981, "Spatial Processes"), join-count
+    chapter — public formulas; exact-integer evaluation is this
+    engine's.
+
+    Returns ONE row ``(n_cells, n_hot, w_pairs, bb, bw, ww, e_bb,
+    e_bw)`` — expectations NULL when n < 2 (integer guard).
+    """
+    base = cells.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+                        F.col(value_col).cast("long").alias("_v"))
+    hot = F.when(F.col("_n") * F.col("_v") > F.col("_s1"), F.lit(1))
+    hcells = _with_totals(base).select(
+        "x", "y", hot.otherwise(F.lit(0)).cast("long").alias("_v"),
+        F.col("_n"))
+    pairs = _neighbor_pairs(hcells, "x", "y",
+                            _QUEEN if queen else _ROOK)
+    counts = pairs.agg(
+        F.count(F.lit(1)).alias("w_pairs"),
+        F.coalesce(F.sum(F.col("v_a") * F.col("v_b")), F.lit(0))
+        .alias("bb"),
+        F.coalesce(F.sum((1 - F.col("v_a")) * (1 - F.col("v_b"))),
+                   F.lit(0)).alias("ww"))
+    tots = hcells.agg(F.max("_n").alias("n_cells"),
+                      F.sum("_v").alias("n_hot"))
+    out = tots.crossJoin(F.broadcast(counts))
+    n = F.col("n_cells")
+    nb = F.col("n_hot")
+    nw = n - nb
+    den = (n * (n - 1)).cast("double")
+    e_bb = F.when(n > 1, (F.col("w_pairs") * nb * (nb - 1))
+                  .cast("double") / den)
+    e_bw = F.when(n > 1, (F.col("w_pairs") * 2 * nb * nw)
+                  .cast("double") / den)
+    return out.select(
+        "n_cells", "n_hot", "w_pairs", "bb",
+        (F.col("w_pairs") - F.col("bb") - F.col("ww")).alias("bw"),
+        "ww", e_bb.alias("e_bb"), e_bw.alias("e_bw"))
+
+
+# |x − anchor| bound keeping per-row products int64 and the DECIMAL(38)
+# power sums exact through ~1e14 rows per group (the jarque_bera bound)
+_SDE_MAX_ABS_DEV = 1_000_000
+
+
+def sd_ellipse(df: DataFrame, group_cols, x_col: str,
+               y_col: str) -> DataFrame:
+    """Standard deviational ellipse per group — the classic centrography
+    summary (mean center, dispersion axes, orientation) of a point
+    cloud, over EXACT non-negative integer coordinates (shift/scale
+    upstream; central moments are shift-invariant).
+
+    Exactness (the jarque_bera discipline): each group computes its
+    exact integer anchor (Σx div n, Σy div n) in one tiny aggregate
+    broadcast back, then anchored deviations feed exact DECIMAL(38)
+    sums Dx1, Dy1, Dx2 = Σdx², Dy2, Dxy = Σdx·dy.  Central second
+    moments follow as FLAT pinned double chains
+
+        mxx = Dx2/n − δx²   (δx = Dx1/n ∈ [0,1))
+        myy = Dy2/n − δy²
+        mxy = Dxy/n − δx·δy
+
+    and the ellipse parameters are one pinned chain each:
+    tan2θ = 2·mxy/(mxx − myy) (NULL when the moments are exactly equal
+    — the EXACT decimal test n·(Dx2−Dy2) = Dx1²−Dy1² — where the
+    orientation is degenerate: any θ+45° pair fits), and the semi-axis
+    scales σ1/σ2 = √(t ± d) with t = (mxx+myy)/2,
+    d = √(((mxx−myy)/2)² + mxy²); t − d is clamped at 0 (it is ≥ 0
+    analytically; the clamp pins the float-rounding edge identically
+    on both engines).  tan2θ is emitted instead of θ because atan2 is
+    NOT bit-stable across engines — callers wanting degrees apply
+    their own atan2 downstream.
+
+    |deviation| ≤ 1e6 is enforced IN-PLAN via raise_error (milli-degree
+    geographic coordinates fit globally); per-row products stay int64.
+
+    Scale shape: two map-side-combinable aggregates + one broadcast
+    join; output is O(groups).
+
+    Reference: Lefever (1926) / Yuill (1971), the standard SDE
+    formulas; exact-anchored evaluation is this engine's.
+
+    Returns ``(group..., n, mxx, myy, mxy, tan2theta, sigma1,
+    sigma2)`` — moment columns NULL when n < 2.
+    """
+    gcols = list(group_cols)
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    anchors = df.groupBy(*gcols).agg(
+        F.sum(x).alias("_sx"), F.sum(y).alias("_sy"),
+        F.count(F.lit(1)).alias("_n"))
+    anchors = anchors.select(
+        *gcols, F.expr("_sx div _n").cast("long").alias("_ax"),
+        F.expr("_sy div _n").cast("long").alias("_ay"))
+
+    def _guard(d):
+        return F.when(
+            F.abs(d) > _SDE_MAX_ABS_DEV,
+            F.raise_error(F.concat(
+                F.lit("sd_ellipse: |coord − anchor| exceeds exact "
+                      f"bound ({_SDE_MAX_ABS_DEV}): d="),
+                d.cast("string"))).cast("long")).otherwise(d)
+
+    with_d = (df.join(F.broadcast(anchors), gcols)
+              .select(*gcols, _guard(x - F.col("_ax")).alias("_dx"),
+                      _guard(y - F.col("_ay")).alias("_dy")))
+    pd_ = lambda c: c.cast("decimal(38,0)")
+    dx, dy = F.col("_dx"), F.col("_dy")
+    agg = with_d.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(pd_(dx)).alias("_dx1"),
+        F.sum(pd_(dy)).alias("_dy1"),
+        F.sum(pd_(dx * dx)).alias("_dx2"),
+        F.sum(pd_(dy * dy)).alias("_dy2"),
+        F.sum(pd_(dx * dy)).alias("_dxy"))
+    nd = F.col("n").cast("double")
+    dd = lambda c: F.col(c).cast("double")
+    delx = dd("_dx1") / nd
+    dely = dd("_dy1") / nd
+    mxx = dd("_dx2") / nd - delx * delx
+    myy = dd("_dy2") / nd - dely * dely
+    mxy = dd("_dxy") / nd - delx * dely
+    ok = F.col("n") >= 2
+    iso = (F.col("n").cast("decimal(38,0)")
+           * (F.col("_dx2") - F.col("_dy2"))
+           == F.col("_dx1") * F.col("_dx1")
+           - F.col("_dy1") * F.col("_dy1"))
+    tan2 = F.when(ok & ~iso,
+                  F.lit(2.0) * mxy / (mxx - myy))
+    tr = (mxx + myy) / F.lit(2.0)
+    half = (mxx - myy) / F.lit(2.0)
+    disc = F.sqrt(half * half + mxy * mxy)
+    s1 = F.when(ok, F.sqrt(tr + disc))
+    s2 = F.when(ok, F.sqrt(F.greatest(tr - disc, F.lit(0.0))))
+    return agg.select(
+        *gcols, "n", F.when(ok, mxx).alias("mxx"),
+        F.when(ok, myy).alias("myy"), F.when(ok, mxy).alias("mxy"),
+        tan2.alias("tan2theta"), s1.alias("sigma1"), s2.alias("sigma2"))

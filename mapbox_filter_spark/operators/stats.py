@@ -1104,3 +1104,59 @@ def jarque_bera(df: DataFrame, group_cols: Sequence[str],
                 * (g1 * g1 + g2 * g2 / F.lit(4.0)))
     return agg.select(*gcols, "n", g1.alias("g1"), g2.alias("g2"),
                       jb.alias("jb"))
+
+
+def brown_forsythe(df: DataFrame, group_col: str, value_col: str,
+                   dev_quant: int = 1) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test — Levene's test with
+    MEDIAN centers: the one-way ANOVA F recomputed on the absolute
+    deviations from each group's median.  The robust pre-check before
+    anova_f/welch_t conclusions are trusted (unequal spreads are
+    exactly what breaks the pooled-variance F).
+
+    ``dev_quant`` > 1 floor-divides the (non-negative) deviations by
+    that literal before the F machinery — the bound-headroom knob,
+    since |z| sums one-signed and can't be centered away like
+    anova_f's input (the F on quantized deviations is a DETERMINISTIC
+    documented statistic, mirrored exactly by the oracle; truncation
+    = floor on the non-negative z cross-engine).
+
+    Exactness: ``value_col`` must be integer (the cents convention).
+    Each group's DOUBLED median ``m2 = m_lo + m_hi`` (the two middle
+    order statistics; equal for odd n) is an exact long from one rank
+    window, broadcast back, and the deviations ``z = |2x − m2|`` are
+    exact longs — no float median, no half-units.  The F machinery is
+    anova_f itself (shared code, shared in-plan int64 bounds; note z
+    is NON-NEGATIVE so group sums approach the bound twice as fast as
+    centered data — quantize coarser upstream if a group's Σ|z|
+    nears 3·10⁹).
+
+    Scale shape: one rank window (per-group sort) + one broadcast
+    join + anova_f's two map-side-combinable aggregates.
+
+    Reference: Brown & Forsythe (1974, JASA) — public formula; the
+    doubled-median exact-integer evaluation is this engine's.
+
+    Output: one row ``(n, k, ssb_q, ssw_q, f_stat)`` over the
+    deviations (NULL f when degenerate, integer guard in anova_f).
+    """
+    x = F.col(value_col).cast("long")
+    w = Window.partitionBy(group_col).orderBy(F.col("_x").asc())
+    wg = Window.partitionBy(group_col)
+    ranked = (df.select(group_col, x.alias("_x"))
+              .withColumn("_rn", F.row_number().over(w))
+              .withColumn("_n", F.count(F.lit(1)).over(wg)))
+    mid = ranked.filter(
+        (F.col("_rn") == F.expr("(_n + 1) div 2"))
+        | (F.col("_rn") == F.expr("_n div 2 + 1")))
+    med2 = mid.groupBy(group_col).agg(
+        F.when(F.count(F.lit(1)) == 1, F.sum("_x") * 2)
+        .otherwise(F.sum("_x")).alias("_m2"))
+    z = (df.select(group_col, x.alias("_x"))
+         .join(F.broadcast(med2), group_col)
+         .select(group_col,
+                 F.abs(F.col("_x") * 2 - F.col("_m2")).alias("_zr")))
+    zq = (F.expr(f"_zr div {int(dev_quant)}") if dev_quant > 1
+          else F.col("_zr"))
+    return anova_f(z.select(group_col, zq.alias("_z")),
+                   group_col, "_z")

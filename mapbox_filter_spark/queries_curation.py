@@ -1273,3 +1273,183 @@ FROM gg"""
 
 
 CURATION_QUERIES["jarque_bera"] = (q_jarque_bera, sql_jarque_bera)
+
+
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity F across event types
+    (operators/stats.py brown_forsythe): exact doubled-median centers,
+    integer |deviations| floor-quantized to whole units (dev_quant=100
+    — the one-signed-sum headroom knob), then the shared anova_f
+    exact-moment machinery — the robust screen before anova_f/welch_t
+    spread assumptions are trusted."""
+    from .operators.stats import brown_forsythe
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", _cents().alias("cents")).filter(
+        F.col("event_type").isNotNull() & F.col("cents").isNotNull())
+    return brown_forsythe(ev, "event_type", "cents", dev_quant=100)
+
+
+def sql_brown_forsythe() -> str:
+    return f"""WITH e AS (
+  SELECT event_type AS g, {_CENTS_SQL} AS x
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+r AS (
+  SELECT g, x,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n
+  FROM e),
+m AS (
+  SELECT g,
+         CASE WHEN COUNT(*) = 1 THEN SUM(x) * 2 ELSE SUM(x) END AS m2
+  FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+  GROUP BY g),
+z AS (
+  SELECT e.g, abs(e.x * 2 - m.m2) // 100 AS z
+  FROM e JOIN m ON e.g = m.g),
+gg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(z) AS BIGINT) AS s_g,
+         CAST(SUM(z * z) AS BIGINT) AS q_g
+  FROM z GROUP BY 1),
+t AS (SELECT n_g, s_g, q_g, (s_g * s_g) // n_g AS t_g FROM gg),
+tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(s_g) AS BIGINT) AS s,
+         CAST(SUM(q_g) AS BIGINT) AS q,
+         CAST(SUM(t_g) AS BIGINT) AS t
+  FROM t),
+fin AS (
+  SELECT n, k,
+         GREATEST(CAST(0 AS BIGINT), t - (s * s) // n) AS ssb_q,
+         q - t AS ssw_q
+  FROM tot)
+SELECT n, k, ssb_q, ssw_q,
+       CASE WHEN k > 1 AND ssw_q > 0
+            THEN (CAST(ssb_q AS DOUBLE) * CAST(n - k AS DOUBLE))
+                 / (CAST(ssw_q AS DOUBLE) * CAST(k - 1 AS DOUBLE))
+       END AS f_stat
+FROM fin"""
+
+
+CURATION_QUERIES["brown_forsythe"] = (q_brown_forsythe,
+                                      sql_brown_forsythe)
+
+
+def q_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test per event type over the event stream
+    (operators/rankstats.py pettitt_test): doubled tie-corrected ranks
+    make U_t = cumsum(r2) − t(n+1) exact longs; the argmax is pinned
+    (max |U|, ties → smallest t) — "did this metric's level shift,
+    and when".  Groups past the exact rank bound pre-sample upstream
+    (the kendall_tau recipe)."""
+    from .operators.rankstats import pettitt_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        _cents().alias("cents")).filter(
+        F.col("event_type").isNotNull() & F.col("cents").isNotNull())
+    return pettitt_test(ev, ["event_type"], ["us", "event_id"], "cents")
+
+
+def sql_pettitt_test() -> str:
+    return f"""WITH e AS (
+  SELECT event_type AS g, epoch_us(ts) AS o0, event_id AS o1,
+         {_CENTS_SQL} AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+r AS (
+  SELECT g, o0, o1,
+         RANK() OVER (PARTITION BY g ORDER BY v NULLS FIRST) * 2
+           + COUNT(*) OVER (PARTITION BY g, v) - 1 AS r2,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM e),
+c AS (
+  SELECT g, n,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY o0, o1) AS t,
+         SUM(r2) OVER (PARTITION BY g ORDER BY o0, o1
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS w2
+  FROM r),
+u AS (
+  SELECT g, n, CAST(t AS BIGINT) AS t,
+         CAST(w2 - t * (n + 1) AS BIGINT) AS u
+  FROM c WHERE t < n),
+p AS (
+  SELECT g, n, t, u,
+         ROW_NUMBER() OVER (PARTITION BY g
+                            ORDER BY abs(u) DESC, t) AS pk
+  FROM u)
+SELECT g AS event_type, n, t AS t_star, u AS u_at_t, abs(u) AS k_stat
+FROM p WHERE pk = 1"""
+
+
+CURATION_QUERIES["pettitt_test"] = (q_pettitt_test, sql_pettitt_test)
+
+
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman blocked rank test — do event types differ in daily
+    revenue, judged WITHIN each day (operators/rankstats.py
+    friedman_test)?  Blocks are UTC days (all 30 complete at every
+    sf), treatments the event types, value the exact daily cents sum;
+    doubled ranks keep numerator and denominator exact int64 — the
+    repeated-measures sibling of the kruskal_wallis gate."""
+    from .geo.tilemath import floor_div
+    from .operators.rankstats import friedman_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        floor_div(F.unix_micros(F.col("ts").cast("timestamp")),
+                  86_400_000_000).alias("day"),
+        "event_type", _cents().alias("cents")).filter(
+        F.col("event_type").isNotNull() & F.col("cents").isNotNull())
+    daily = ev.groupBy("day", "event_type").agg(
+        F.sum("cents").alias("v"))
+    return friedman_test(daily, "day", "event_type", "v")
+
+
+def sql_friedman_test() -> str:
+    return f"""WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS b, event_type AS t,
+         CAST(SUM({_CENTS_SQL}) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+k AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS kk FROM e),
+cb AS (
+  SELECT b FROM e CROSS JOIN k
+  GROUP BY b, kk
+  HAVING COUNT(DISTINCT t) = kk AND COUNT(*) = kk),
+r AS (
+  SELECT e.t,
+         RANK() OVER (PARTITION BY e.b ORDER BY e.v NULLS FIRST) * 2
+           + COUNT(*) OVER (PARTITION BY e.b, e.v) - 1 AS r2
+  FROM e JOIN cb ON e.b = cb.b),
+pt AS (
+  SELECT t, CAST(SUM(r2) AS BIGINT) AS R2,
+         CAST(SUM(r2 * r2) AS BIGINT) AS rsq,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM r GROUP BY 1),
+kc AS (SELECT CAST(COUNT(*) AS BIGINT) AS kk2 FROM pt),
+tot AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_blocks,
+         CAST(MAX(kk2) AS BIGINT) AS k,
+         CAST(SUM(rsq) AS BIGINT) AS allrsq,
+         CAST(SUM((R2 - n * (kk2 + 1)) * (R2 - n * (kk2 + 1)))
+              AS BIGINT) AS sq
+  FROM pt CROSS JOIN kc)
+SELECT n_blocks, k,
+       CAST((k - 1) * sq AS BIGINT) AS num,
+       CAST(allrsq - n_blocks * k * (k + 1) * (k + 1) AS BIGINT)
+         AS den,
+       CASE WHEN allrsq - n_blocks * k * (k + 1) * (k + 1) > 0
+            THEN CAST((k - 1) * sq AS DOUBLE)
+                 / CAST(allrsq - n_blocks * k * (k + 1) * (k + 1)
+                        AS DOUBLE)
+       END AS q_stat
+FROM tot"""
+
+
+CURATION_QUERIES["friedman_test"] = (q_friedman_test, sql_friedman_test)

@@ -3319,3 +3319,130 @@ FROM (
 
 GEOM_QUERIES["tile_skew_profile"] = (q_tile_skew_profile,
                                      sql_tile_skew_profile)
+
+
+def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary join-count statistics of hot cells on the 5-degree grid
+    (operators/spatialstats.py join_count_stats): cells binarized by
+    the exact integer above-mean test n·v > S1, BB/BW/WW adjacency
+    counts under queen contiguity plus hypergeometric-null
+    expectations — the categorical member of the ESDA family sharing
+    the morans_i cells."""
+    from .operators.spatialstats import join_count_stats
+
+    return join_count_stats(_esda_cells(spark, sf_dir), "cx", "cy",
+                            "n_feat")
+
+
+def sql_join_counts() -> str:
+    return f"""WITH {_sql_esda_cells()},
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s1 FROM cells),
+h AS (SELECT cx, cy,
+             CAST(CASE WHEN n * v > s1 THEN 1 ELSE 0 END AS BIGINT)
+               AS b, n
+      FROM cells, tot),
+{_SQL_ESDA_OFFS},
+p AS (
+  SELECT a.b AS ba, nb.b AS bb
+  FROM h a CROSS JOIN offs o
+  JOIN h nb ON nb.cx = a.cx + o.dx AND nb.cy = a.cy + o.dy),
+c AS (SELECT CAST(COUNT(*) AS BIGINT) AS w_pairs,
+             CAST(COALESCE(SUM(ba * bb), 0) AS BIGINT) AS bb,
+             CAST(COALESCE(SUM((1 - ba) * (1 - bb)), 0) AS BIGINT)
+               AS ww
+      FROM p),
+t AS (SELECT CAST(MAX(n) AS BIGINT) AS n_cells,
+             CAST(SUM(b) AS BIGINT) AS n_hot FROM h)
+SELECT n_cells, n_hot, w_pairs, bb, w_pairs - bb - ww AS bw, ww,
+       CASE WHEN n_cells > 1
+            THEN CAST(w_pairs * n_hot * (n_hot - 1) AS DOUBLE)
+                 / CAST(n_cells * (n_cells - 1) AS DOUBLE)
+            END AS e_bb,
+       CASE WHEN n_cells > 1
+            THEN CAST(w_pairs * 2 * n_hot * (n_cells - n_hot)
+                      AS DOUBLE)
+                 / CAST(n_cells * (n_cells - 1) AS DOUBLE)
+            END AS e_bw
+FROM t, c"""
+
+
+GEOM_QUERIES["join_counts"] = (q_join_counts, sql_join_counts)
+
+
+def q_sde_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard deviational ellipse of feature positions per layer
+    (operators/spatialstats.py sd_ellipse): milli-degree shifted
+    integer coordinates, exact DECIMAL(38) anchored power sums,
+    pinned-chain central moments and ellipse parameters (tan2θ
+    instead of θ — atan2 is not cross-engine bit-stable) — the
+    centrography summary of where each layer's features sit."""
+    from .operators.spatialstats import sd_ellipse
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir).select(
+        "layer",
+        F.floor((F.col("lon") + F.lit(180.0)) * F.lit(1000.0))
+        .cast("long").alias("mx"),
+        F.floor((F.col("lat") + F.lit(85.0)) * F.lit(1000.0))
+        .cast("long").alias("my"))
+    return sd_ellipse(feats, ["layer"], "mx", "my")
+
+
+def sql_sde_profile() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    nd = "CAST(n AS DOUBLE)"
+    mxx = (f"CAST(dx2 AS DOUBLE) / {nd} - (CAST(dx1 AS DOUBLE) / {nd})"
+           f" * (CAST(dx1 AS DOUBLE) / {nd})")
+    myy = (f"CAST(dy2 AS DOUBLE) / {nd} - (CAST(dy1 AS DOUBLE) / {nd})"
+           f" * (CAST(dy1 AS DOUBLE) / {nd})")
+    mxy = (f"CAST(dxy AS DOUBLE) / {nd} - (CAST(dx1 AS DOUBLE) / {nd})"
+           f" * (CAST(dy1 AS DOUBLE) / {nd})")
+    return f"""WITH {FEATURES_ORACLE_SQL},
+pts AS (
+  SELECT layer AS g,
+         CAST(floor((lon + 180.0) * 1000.0) AS BIGINT) AS x,
+         CAST(floor((lat + 85.0) * 1000.0) AS BIGINT) AS y
+  FROM features),
+anch AS (
+  SELECT g, CAST(SUM(x) // COUNT(*) AS BIGINT) AS ax,
+         CAST(SUM(y) // COUNT(*) AS BIGINT) AS ay
+  FROM pts GROUP BY 1),
+d AS (
+  SELECT p.g, CAST(p.x - a.ax AS BIGINT) AS dx,
+         CAST(p.y - a.ay AS BIGINT) AS dy
+  FROM pts p JOIN anch a ON p.g = a.g),
+agg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(dx AS HUGEINT)) AS dx1,
+         SUM(CAST(dy AS HUGEINT)) AS dy1,
+         SUM(CAST(dx * dx AS HUGEINT)) AS dx2,
+         SUM(CAST(dy * dy AS HUGEINT)) AS dy2,
+         SUM(CAST(dx * dy AS HUGEINT)) AS dxy
+  FROM d GROUP BY 1),
+m AS (
+  SELECT g, n, {mxx} AS mxx, {myy} AS myy, {mxy} AS mxy,
+         (CAST(n AS HUGEINT) * (dx2 - dy2)
+          = dx1 * dx1 - dy1 * dy1) AS iso
+  FROM agg),
+e AS (
+  SELECT g, n, mxx, myy, mxy, iso,
+         (mxx + myy) / 2.0 AS tr,
+         sqrt(((mxx - myy) / 2.0) * ((mxx - myy) / 2.0)
+              + mxy * mxy) AS disc
+  FROM m)
+SELECT g AS layer, n,
+       CASE WHEN n >= 2 THEN mxx END AS mxx,
+       CASE WHEN n >= 2 THEN myy END AS myy,
+       CASE WHEN n >= 2 THEN mxy END AS mxy,
+       CASE WHEN n >= 2 AND NOT iso
+            THEN (2.0 * mxy) / (mxx - myy) END AS tan2theta,
+       CASE WHEN n >= 2 THEN sqrt(tr + disc) END AS sigma1,
+       CASE WHEN n >= 2
+            THEN sqrt(greatest(tr - disc, CAST(0.0 AS DOUBLE)))
+            END AS sigma2
+FROM e"""
+
+
+GEOM_QUERIES["sde_profile"] = (q_sde_profile, sql_sde_profile)
