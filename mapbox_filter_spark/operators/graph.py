@@ -1060,3 +1060,48 @@ def boruvka_msf(edges: DataFrame, *, src: str = "src",
     if forest is None:
         return e.filter(F.lit(False)).select("u", "v", "w")
     return forest.groupBy("u", "v").agg(F.min("w").alias("w"))
+
+
+def landmark_distances(edges: DataFrame, landmarks: DataFrame, *,
+                       rounds: int, src: str = "src",
+                       dst: str = "dst",
+                       lm_col: str = "lm") -> DataFrame:
+    """Bounded multi-landmark BFS — ``(lm, node, dist)`` for every node
+    within ``rounds`` hops of each landmark over the DIRECTED edge set
+    (unweighted; first reach = hop distance).  The substrate of
+    landmark-based centrality estimates (harmonic/closeness à la
+    Eppstein-Wang): exact distances from a small deterministic
+    landmark set stand in for the all-pairs BFS no 10¹²-node graph
+    can afford.
+
+    FIXED-round semantics (not run-to-fixpoint): nodes farther than
+    ``rounds`` hops stay absent, which makes the operator exactly
+    mirrorable as a ``rounds``-deep CTE unroll — the same contract as
+    the pagerank/SSSP oracles.  Per round: one frontier×edges join +
+    one first-reach anti-join, keyed by (lm, node) — frontier-pruned
+    like shortest_paths, localCheckpoint per round to cut lineage.
+
+    All-integer ⇒ partitioning-independent.  Landmark count is the
+    cost knob: work ≈ |landmarks| × BFS; skew-safe because each
+    frontier row fans out by out-degree only."""
+    e = (edges.select(F.col(src).alias("_es"), F.col(dst).alias("_ed"))
+         .localCheckpoint())
+    dist = (landmarks.select(F.col(lm_col).alias("lm"))
+            .distinct()
+            .select("lm", F.col("lm").alias("node"),
+                    F.lit(0).cast("long").alias("dist"))
+            .localCheckpoint())
+    frontier = dist
+    for _ in range(rounds):
+        cand = (frontier.join(e, frontier["node"] == e["_es"])
+                .select("lm", F.col("_ed").alias("node"),
+                        (F.col("dist") + 1).alias("_d"))
+                .groupBy("lm", "node").agg(F.min("_d").alias("_d")))
+        new = (cand.join(dist, ["lm", "node"], "left_anti")
+               .select("lm", "node", F.col("_d").alias("dist"))
+               .localCheckpoint())
+        if new.count() == 0:  # driver control only (early exhaustion)
+            break
+        dist = dist.unionByName(new).localCheckpoint()
+        frontier = new
+    return dist

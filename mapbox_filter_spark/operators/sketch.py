@@ -433,3 +433,46 @@ def cms_query(registers: DataFrame, probes: DataFrame, key_col: str, *,
     return (joined.groupBy(key_col)
             .agg(F.min(F.coalesce(F.col("reg"), F.lit(0).cast("long")))
                  .alias("est")))
+
+
+def ams_registers(df: DataFrame, key_col: str, *, s: int = 16,
+                  salt: str = "ams") -> DataFrame:
+    """AMS tug-of-war registers (Alon-Matias-Szegedy, STOC'96) for the
+    second frequency moment F2 = Σ_k f_k²: ``s`` independent ±1-signed
+    counters ``reg_j = Σ_rows sign_j(key)``, where ``sign_j`` is the
+    parity bit of the repo's deterministic 60-bit md5 coordinate under
+    salt ``{salt}-{j}``.  E[reg²] = F2 per seed; the registers are
+    exact integers and MERGE by plain SUM across partitions/epochs —
+    the fixed-memory skew/self-join-size probe (F2 is exactly the
+    self-join size the join_size_stats gate computes exactly).
+
+    One fact scan: the s signed cells explode in-row (the
+    cms_registers discipline), one ≤ s-row map-side-combinable
+    groupBy.  Integer registers value-hash in any engine with md5."""
+    from .splits import hash_u60
+
+    cells = F.explode(F.array(*[
+        F.struct(
+            F.lit(j).alias("seed"),
+            (1 - 2 * F.pmod(hash_u60([key_col], f"{salt}-{j}"),
+                            F.lit(2))).cast("long").alias("sgn"))
+        for j in range(s)])).alias("sc")
+    out = df.select(cells).select(
+        F.col("sc.seed").alias("seed"), F.col("sc.sgn").alias("sgn"))
+    return out.groupBy("seed").agg(
+        F.sum("sgn").cast("long").alias("reg"))
+
+
+def ams_f2_estimate(regs: DataFrame, *, s: int = 16) -> DataFrame:
+    """Collapse the s AMS registers to the classic median-of-estimates:
+    per-seed estimate reg², final value the exact LOWER MEDIAN (the
+    ⌈s/2⌉-th order statistic — selection, never averaging: the whole
+    estimate stays an exact integer and value-hashes cross-engine).
+    Returns one row ``(s_seeds, f2_est)``."""
+    est = regs.select(
+        "seed", (F.col("reg") * F.col("reg")).alias("_e"))
+    w = Window.orderBy(F.col("_e").asc(), F.col("seed").asc())
+    ranked = est.withColumn("_rn", F.row_number().over(w))
+    return (ranked.filter(F.col("_rn") == (s + 1) // 2)
+            .select(F.lit(s).cast("long").alias("s_seeds"),
+                    F.col("_e").alias("f2_est")))

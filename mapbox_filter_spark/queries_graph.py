@@ -980,3 +980,61 @@ FROM forest GROUP BY 1, 2""")
 
 
 GRAPH_QUERIES["msf_edges"] = (q_msf_edges, sql_msf_edges)
+
+
+_HC_LANDMARKS = 4
+_HC_ROUNDS = 6
+_HC_SALT = "hc"
+_HC_SCALE = 10**9
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-based harmonic centrality over the shared hashed link
+    graph (operators/graph.py landmark_distances): 4 md5-minimal
+    landmark docs, bounded 6-round BFS (fixed-round semantics — the
+    oracle unrolls exactly 6 CTEs), per-node score the exact integer
+    Σ 10⁹ // dist over reached landmarks (Eppstein-Wang style landmark
+    estimate; floor-div keeps the whole score value-hashable)."""
+    from .operators.graph import landmark_distances
+    from .operators.splits import hash_u60
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    lms = (docs.select("doc_id",
+                       hash_u60(["doc_id"], _HC_SALT).alias("_h"))
+           .orderBy("_h", "doc_id").limit(_HC_LANDMARKS)
+           .select(F.col("doc_id").alias("lm")))
+    d = landmark_distances(_link_edges(spark, sf_dir), lms,
+                           rounds=_HC_ROUNDS)
+    return (d.filter(F.col("dist") > 0)
+            .groupBy(F.col("node").alias("doc_id"))
+            .agg(F.count(F.lit(1)).alias("n_lm"),
+                 F.sum(F.expr(f"{_HC_SCALE} div dist"))
+                 .alias("h_score")))
+
+
+def sql_harmonic_centrality() -> str:
+    u = ("CAST(('0x' || substr(md5(concat_ws(chr(31), '"
+         f"{_HC_SALT}', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)")
+    ctes = [_sql_link_edges() + f""",
+lms AS (
+  SELECT doc_id AS lm FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY {u}, doc_id) AS rn
+    FROM documents) WHERE rn <= {_HC_LANDMARKS}),
+d0 AS (SELECT lm, lm AS node, CAST(0 AS BIGINT) AS dist FROM lms)"""]
+    for i in range(1, _HC_ROUNDS + 1):
+        ctes.append(f"""d{i} AS (
+  SELECT lm, node, MIN(dist) AS dist FROM (
+    SELECT lm, node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT d.lm, e.dst AS node, d.dist + 1 AS dist
+    FROM d{i - 1} d JOIN edges e ON e.src = d.node)
+  GROUP BY 1, 2)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_lm,
+       CAST(SUM({_HC_SCALE} // dist) AS BIGINT) AS h_score
+FROM d{_HC_ROUNDS} WHERE dist > 0 GROUP BY 1""")
+
+
+GRAPH_QUERIES["harmonic_centrality"] = (q_harmonic_centrality,
+                                        sql_harmonic_centrality)

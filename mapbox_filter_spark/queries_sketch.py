@@ -339,3 +339,53 @@ SKETCH_QUERIES = {
     "bloom_prune": (q_bloom_prune, sql_bloom_prune),
     "cms_estimate": (q_cms_estimate, sql_cms_estimate),
 }
+
+
+_AMS_S = 16
+_AMS_SALT = "ams"
+
+
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS tug-of-war F2 sketch over the events user-id stream
+    (operators/sketch.py ams_registers / ams_f2_estimate) next to the
+    exact second frequency moment Σf²: ±1 md5-parity signs, exact
+    integer registers mergeable by SUM, lower-median-of-squares
+    estimate — the fixed-memory self-join-size probe, value-hashable
+    end to end (same contract as the kmv_distinct gate)."""
+    from .operators.sketch import ams_f2_estimate, ams_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("k"))
+    est = ams_f2_estimate(
+        ams_registers(ev, "k", s=_AMS_S, salt=_AMS_SALT), s=_AMS_S)
+    exact = (ev.groupBy("k").agg(F.count(F.lit(1)).alias("_c"))
+             .agg(F.sum(F.col("_c") * F.col("_c")).alias("f2_exact")))
+    return est.crossJoin(F.broadcast(exact))
+
+
+def sql_ams_f2() -> str:
+    u = ("CAST(('0x' || substr(md5(concat_ws(chr(31), '"
+         f"{_AMS_SALT}-' || CAST(seed AS VARCHAR), k)), 1, 15)) "
+         "AS BIGINT)")
+    return f"""
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+seeds AS (SELECT unnest(range(0, {_AMS_S})) AS seed),
+sg AS (
+  SELECT seed, CAST(1 - 2 * ({u} % 2) AS BIGINT) AS sgn
+  FROM ev CROSS JOIN seeds),
+regs AS (
+  SELECT seed, CAST(SUM(sgn) AS BIGINT) AS reg
+  FROM sg GROUP BY 1),
+r AS (
+  SELECT reg * reg AS e,
+         ROW_NUMBER() OVER (ORDER BY reg * reg, seed) AS rn
+  FROM regs),
+ex AS (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM (
+    SELECT CAST(COUNT(*) AS BIGINT) AS c FROM ev GROUP BY k))
+SELECT CAST({_AMS_S} AS BIGINT) AS s_seeds,
+       CAST(e AS BIGINT) AS f2_est, f2_exact
+FROM r, ex WHERE rn = {(_AMS_S + 1) // 2}"""
+
+
+SKETCH_QUERIES["ams_f2"] = (q_ams_f2, sql_ams_f2)
