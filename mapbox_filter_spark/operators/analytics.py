@@ -872,3 +872,88 @@ def join_size_stats(left: DataFrame, right: DataFrame,
                     .cast("long").alias("join_rows"),
                     F.coalesce(F.col("max_key_rows"), F.lit(0))
                     .cast("long").alias("max_key_rows")))
+
+
+def inclusion_profile(child: DataFrame, child_col: str,
+                      parent: DataFrame, parent_col: str,
+                      ind_name: str | None = None) -> DataFrame:
+    """Inclusion-dependency profiling for one candidate foreign key
+    ``child.child_col ⊆ parent.parent_col`` — the schema-discovery
+    twin of fd_profile: a containment of 1.0 marks a real FK, a high
+    partial containment a dirty one worth quarantining.
+
+    Exact integers from set arithmetic over DISTINCT values only (the
+    fact tables never join each other): distinct child values LEFT
+    JOIN distinct parent values, one aggregate.  NULLs are excluded on
+    both sides (SQL FK semantics: NULL references nothing).
+
+    Scale shape: two distinct-aggregates (map-side-combinable) + one
+    equi-join on the value — the join carries |distinct| rows, not
+    fact rows; a dimension-sized parent side broadcasts under AQE.
+
+    Output: one row ``(ind, n_child, n_matched, n_orphans,
+    containment)`` — containment the pinned double n_matched/n_child
+    (NULL when the child side is empty); union several calls to
+    profile a candidate set.
+    """
+    name = ind_name or f"{child_col}->{parent_col}"
+    c = (child.select(F.col(child_col).alias("_v"))
+         .filter(F.col("_v").isNotNull()).distinct())
+    p = (parent.select(F.col(parent_col).alias("_v"),
+                       F.lit(1).alias("_hit"))
+         .filter(F.col("_v").isNotNull()).distinct())
+    j = c.join(p, "_v", "left")
+    return j.agg(
+        F.lit(name).alias("ind"),
+        F.count(F.lit(1)).alias("n_child"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long")
+        .alias("n_matched"),
+        F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_orphans"),
+    ).withColumn(
+        "containment",
+        F.when(F.col("n_child") > 0,
+               F.col("n_matched").cast("double")
+               / F.col("n_child").cast("double")))
+
+
+def key_profile(df: DataFrame, cols, key_name: str | None = None
+                ) -> DataFrame:
+    """Candidate-key profiling for one column combination — is
+    ``cols`` unique, and if not, how badly?  The uniqueness member of
+    the data-quality family (fd_profile / inclusion_profile /
+    null_profile).
+
+    Exact integers from one groupBy over the candidate columns:
+    group count, duplicated-row excess (Σc − groups), the worst
+    group's multiplicity, and the exact uniqueness verdict
+    ``is_key = (dup_rows = 0)``.  Rows with a NULL in any key column
+    are excluded first (a candidate key must be NULL-free) and
+    reported as ``null_rows``.
+
+    Scale shape: one map-side-combinable groupBy (the only fact-sized
+    shuffle) + one tiny rollup.
+
+    Output: one row ``(key, n_rows, null_rows, n_groups, dup_rows,
+    max_group, is_key)``; union several calls to profile a set.
+    """
+    kcols = [cols] if isinstance(cols, str) else list(cols)
+    name = key_name or ",".join(kcols)
+    nn = df.filter(F.expr(" AND ".join(
+        f"`{c}` IS NOT NULL" for c in kcols)))
+    base = df.select(*kcols)
+    total = base.agg(F.count(F.lit(1)).alias("_all"))
+    g = (nn.groupBy(*kcols).agg(F.count(F.lit(1)).alias("_c")))
+    prof = g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("_c").cast("long").alias("_nn_rows"),
+        F.max("_c").cast("long").alias("max_group"))
+    out = prof.crossJoin(F.broadcast(total))
+    return out.select(
+        F.lit(name).alias("key"),
+        F.col("_all").alias("n_rows"),
+        (F.col("_all") - F.col("_nn_rows")).alias("null_rows"),
+        "n_groups",
+        (F.col("_nn_rows") - F.col("n_groups")).alias("dup_rows"),
+        "max_group",
+        (F.col("_nn_rows") == F.col("n_groups")).alias("is_key"))

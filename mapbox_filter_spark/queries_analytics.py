@@ -1490,3 +1490,116 @@ FROM ta CROSS JOIN tb CROSS JOIN jt"""
 
 ANALYTICS_QUERIES["join_size_stats"] = (q_join_size_stats,
                                         sql_join_size_stats)
+
+
+# (child table, child col, parent table, parent col) — three true FKs
+# of the star schema plus one deliberate NON-key reference (custkey
+# against suppkey overlaps only where the id ranges intersect)
+_IND_CANDIDATES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "supplier", "s_suppkey"),
+)
+
+
+def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (foreign-key) discovery profile
+    (operators/analytics.py inclusion_profile): distinct-set
+    containment for four candidate references across the relational
+    tables — the three true FKs read 1.0, the planted non-key reads
+    its true partial overlap.  Exact counts; one distinct-sized join
+    per candidate."""
+    from .operators.analytics import inclusion_profile
+
+    frames = []
+    for ct, cc, pt, pc in _IND_CANDIDATES:
+        child = spark.read.parquet(f"{sf_dir}/{ct}.parquet")
+        parent = spark.read.parquet(f"{sf_dir}/{pt}.parquet")
+        frames.append(inclusion_profile(
+            child, cc, parent, pc, ind_name=f"{ct}.{cc}->{pt}.{pc}"))
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out
+
+
+def sql_fk_discovery() -> str:
+    parts = []
+    for ct, cc, pt, pc in _IND_CANDIDATES:
+        parts.append(f"""
+SELECT '{ct}.{cc}->{pt}.{pc}' AS ind,
+       CAST(COUNT(*) AS BIGINT) AS n_child,
+       CAST(SUM(CASE WHEN hit IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_matched,
+       CAST(SUM(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       CASE WHEN COUNT(*) > 0
+            THEN CAST(SUM(CASE WHEN hit IS NULL THEN 0 ELSE 1 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       END AS containment
+FROM (
+  SELECT c.v, p.hit FROM
+    (SELECT DISTINCT {cc} AS v FROM {ct} WHERE {cc} IS NOT NULL) c
+  LEFT JOIN
+    (SELECT DISTINCT {pc} AS v, 1 AS hit FROM {pt}
+     WHERE {pc} IS NOT NULL) p
+  ON c.v = p.v)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+ANALYTICS_QUERIES["fk_discovery"] = (q_fk_discovery, sql_fk_discovery)
+
+
+# (table, columns) — two true keys, two non-keys, one composite
+_KEY_CANDIDATES = (
+    ("orders", ("o_orderkey",)),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("lineitem", ("l_orderkey",)),
+    ("customer", ("c_nationkey",)),
+    ("events", ("user_id",)),
+)
+
+
+def q_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery profile (operators/analytics.py
+    key_profile): exact uniqueness verdicts plus duplication volume
+    and worst-group multiplicity for five column combinations — the
+    schema-discovery sibling of fd_profile/fk_discovery on one
+    map-side-combinable groupBy per candidate."""
+    from .operators.analytics import key_profile
+
+    frames = []
+    for table, cols in _KEY_CANDIDATES:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        frames.append(key_profile(
+            df, list(cols), key_name=f"{table}({','.join(cols)})"))
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out
+
+
+def sql_key_discovery() -> str:
+    parts = []
+    for table, cols in _KEY_CANDIDATES:
+        name = f"{table}({','.join(cols)})"
+        notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+        collist = ", ".join(cols)
+        parts.append(f"""
+SELECT '{name}' AS key,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {table}) AS n_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {table})
+         - CAST(SUM(c) AS BIGINT) AS null_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(c) - COUNT(*) AS BIGINT) AS dup_rows,
+       CAST(MAX(c) AS BIGINT) AS max_group,
+       SUM(c) = COUNT(*) AS is_key
+FROM (
+  SELECT {collist}, CAST(COUNT(*) AS BIGINT) AS c
+  FROM {table} WHERE {notnull} GROUP BY {collist})""")
+    return "\nUNION ALL\n".join(parts)
+
+
+ANALYTICS_QUERIES["key_discovery"] = (q_key_discovery,
+                                      sql_key_discovery)

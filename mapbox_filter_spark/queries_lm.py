@@ -9,7 +9,7 @@ count arithmetic agree instance-for-instance.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators.lm import conditional_counts, continuation_counts
@@ -445,3 +445,86 @@ GROUP BY 1, 2"""
 
 
 LM_QUERIES["vocab_growth"] = (q_vocab_growth, sql_vocab_growth)
+
+
+_TR_MIN_COUNT = 5
+_TR_ITERS = 4
+_TR_SCALE = 10**12
+_TR_TOPK = 25
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04):
+    exact-integer PageRank (operators/graph.py pagerank_exact — the
+    same fixed-point arithmetic as the pagerank gate) over the
+    adjacent-word co-occurrence graph from the shared tokenizer
+    (operators/lm.py _gram_pairs at n=2, symmetrized + dedup'd,
+    vocabulary pruned by exact corpus count >= _TR_MIN_COUNT), then
+    the deterministic top-k by (pr desc, word) — corpus-level
+    keywording reusing two proven substrates."""
+    from .operators.graph import pagerank_exact
+    from .operators.lm import _gram_pairs
+    from .operators.text import _words
+
+    docs = _docs(spark, sf_dir).select("text")
+    occ = docs.select(F.explode(_words(F.col("text"))).alias("w"))
+    vocab = (occ.groupBy("w").agg(F.count(F.lit(1)).alias("_c"))
+             .filter(F.col("_c") >= _TR_MIN_COUNT).select("w"))
+    bp = (_gram_pairs(docs, "text", 2)
+          .select(F.col("context").alias("a"), F.col("token").alias("b"))
+          .filter(F.col("a") != F.col("b")).distinct())
+    ev = (bp.join(vocab.withColumnRenamed("w", "a"), "a")
+          .join(vocab.withColumnRenamed("w", "b"), "b"))
+    sym = (ev.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+           .unionByName(ev.select(F.col("b").alias("src"),
+                                  F.col("a").alias("dst")))
+           .distinct())
+    pr = pagerank_exact(vocab.select(F.col("w").alias("node")), sym,
+                        iters=_TR_ITERS, scale=_TR_SCALE)
+    w = Window.orderBy(F.col("pr").desc(), F.col("node").asc())
+    return (pr.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= _TR_TOPK)
+            .select(F.col("node").alias("word"), "pr", "rank"))
+
+
+def sql_textrank_keywords() -> str:
+    s = _TR_SCALE
+    ctes = [f"""{_WORDS_SQL},
+occ AS (SELECT unnest(words) AS w FROM base),
+vocab AS (SELECT w FROM occ GROUP BY w
+          HAVING COUNT(*) >= {_TR_MIN_COUNT}),
+bp AS (
+  SELECT DISTINCT words[t.i + 1] AS a, words[t.i + 2] AS b
+  FROM base, LATERAL (SELECT unnest(range(LEN(words) - 1)) AS i) t
+  WHERE LEN(words) >= 2 AND words[t.i + 1] <> words[t.i + 2]),
+ev AS (
+  SELECT bp.a, bp.b FROM bp
+  JOIN vocab va ON va.w = bp.a
+  JOIN vocab vb ON vb.w = bp.b),
+edges AS (SELECT a AS src, b AS dst FROM ev
+          UNION SELECT b, a FROM ev),
+nc AS (SELECT COUNT(*) AS n FROM vocab),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+pr0 AS (SELECT w AS node, {s} // nc.n AS pr FROM vocab, nc)"""]
+    for i in range(1, _TR_ITERS + 1):
+        ctes.append(f"""pr{i} AS (
+  SELECT n.node,
+         ({s} * 15) // (100 * (SELECT n FROM nc))
+         + (85 * COALESCE(sm.s, 0)) // 100 AS pr
+  FROM (SELECT w AS node FROM vocab) n
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.pr // g.d) AS s
+    FROM edges e
+    JOIN pr{i - 1} p ON p.node = e.src
+    JOIN deg g ON g.src = e.src
+    GROUP BY e.dst) sm USING (node))""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT node AS word, pr, rn AS rank FROM (
+  SELECT node, pr,
+         ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rn
+  FROM pr{_TR_ITERS})
+WHERE rn <= {_TR_TOPK}""")
+
+
+LM_QUERIES["textrank_keywords"] = (q_textrank_keywords,
+                                   sql_textrank_keywords)
