@@ -1160,3 +1160,165 @@ def brown_forsythe(df: DataFrame, group_col: str, value_col: str,
           else F.col("_zr"))
     return anova_f(z.select(group_col, zq.alias("_z")),
                    group_col, "_z")
+
+
+# n_risk^4 must fit int64 for the log-rank variance numerator
+# d·n1·n0·(n−d) ≤ n^4; 38,000^4 < 2^63 (the rankstats bound, shared
+# discipline)
+_SURV_MAX_GROUP_ROWS = 38_000
+
+# concordance_index materializes O(n²/group) pairs — same practical
+# ceiling as kendall_tau's pair join
+_CINDEX_MAX_GROUP_ROWS = 20_000
+
+
+def logrank_test(subjects: DataFrame, group_cols: Sequence[str],
+                 flag_col: str, dur_col: str = "dur",
+                 event_col: str = "event") -> DataFrame:
+    """Two-sample log-rank (Mantel-Cox) test per group — "do these two
+    survival curves differ?", the hypothesis test that pairs with the
+    kaplan_meier estimator (same subjects schema: integer duration +
+    0/1 event flag, plus a boolean ``flag_col`` naming the treatment
+    arm).
+
+    At each pooled event time t: observed treatment deaths d1_t
+    (exact), expected under the null e1_t = d_t·n1_t/n_t, and the
+    hypergeometric variance v_t = d_t·n1_t·n0_t·(n_t−d_t) /
+    (n_t²·(n_t−1)).  O₁ = Σd1_t is an exact long; E₁ and V are sums of
+    per-time rationals, each evaluated as ONE pinned integer→double
+    division (numerators ≤ n⁴ — exact int64 under the in-plan
+    ``_SURV_MAX_GROUP_ROWS`` guard) and summed by a PINNED-ORDER fold
+    over the time-sorted list (the entropy_profile discipline — a
+    float groupBy sum has nondeterministic addend order).
+    χ² = (O₁−E₁)²/V on one degree of freedom.
+
+    Scale shape: one subject-sized map-side-combinable groupBy to
+    (group, dur) — everything after runs on the collapsed event-time
+    table (windows + one fold, all keyed on the same group columns =
+    one exchange).  No joins, no collect.
+
+    Reference: Mantel (1966); Peto & Peto (1972, JRSS A) for the
+    O/E/V form.  Pairs with kaplan_meier (operators/stats.py) the way
+    the reference's style filters pair with its tile diff — test +
+    estimator over one substrate.
+
+    Returns one row per group:
+    ``(*group_cols, n1_subj, n0_subj, o1, e1, v, chi2)`` — chi2 NULL
+    when V = 0 (no comparable event times).
+    """
+    g = list(group_cols)
+    f1 = F.col(flag_col).cast("long")
+    ev = F.col(event_col).cast("long")
+    per = (subjects.groupBy(*g, F.col(dur_col).alias("dur"))
+           .agg(F.sum(ev * f1).alias("d1"),
+                F.sum(ev * (1 - f1)).alias("d0"),
+                F.sum((1 - ev) * f1).alias("c1"),
+                F.sum((1 - ev) * (1 - f1)).alias("c0")))
+    wtot = Window.partitionBy(*g)
+    wprev = (Window.partitionBy(*g).orderBy("dur")
+             .rowsBetween(Window.unboundedPreceding, -1))
+
+    def _risk(dcol, ccol):
+        total = F.sum(F.col(dcol) + F.col(ccol)).over(wtot)
+        gone = F.coalesce(F.sum(F.col(dcol) + F.col(ccol)).over(wprev),
+                          F.lit(0).cast("long"))
+        return (total - gone).cast("long")
+
+    r = (per.withColumn("n1", _risk("d1", "c1"))
+         .withColumn("n0", _risk("d0", "c0"))
+         .withColumn("n1_subj", F.sum(F.col("d1") + F.col("c1"))
+                     .over(wtot))
+         .withColumn("n0_subj", F.sum(F.col("d0") + F.col("c0"))
+                     .over(wtot))
+         .filter(F.col("d1") + F.col("d0") >= 1))
+    n = (F.col("n1") + F.col("n0"))
+    d = (F.col("d1") + F.col("d0"))
+    guard = F.when(
+        n > _SURV_MAX_GROUP_ROWS,
+        F.raise_error(F.concat(
+            F.lit("logrank_test: risk set exceeds exact-int64 bound "
+                  f"({_SURV_MAX_GROUP_ROWS}): n="), n.cast("string")))
+        .cast("double"))
+    e1t = guard.otherwise(
+        (d * F.col("n1")).cast("double") / n.cast("double"))
+    vt = F.when(
+        n > 1,
+        (d * F.col("n1") * F.col("n0") * (n - d)).cast("double")
+        / (n * n * (n - 1)).cast("double")).otherwise(F.lit(0.0))
+    terms = r.select(*g, "dur", "d1", "n1_subj", "n0_subj",
+                     e1t.alias("_e1t"), vt.alias("_vt"))
+    arr = F.sort_array(F.collect_list(F.struct(
+        F.col("dur"), F.col("_e1t").alias("e1t"),
+        F.col("_vt").alias("vt"))))
+    agg = terms.groupBy(*g).agg(
+        F.max("n1_subj").alias("n1_subj"),
+        F.max("n0_subj").alias("n0_subj"),
+        F.sum("d1").alias("o1"),
+        F.aggregate(arr, F.lit(0.0),
+                    lambda acc, s: acc + s["e1t"]).alias("e1"),
+        F.aggregate(arr, F.lit(0.0),
+                    lambda acc, s: acc + s["vt"]).alias("v"))
+    diff = F.col("o1").cast("double") - F.col("e1")
+    chi2 = F.when(F.col("v") > 0.0, diff * diff / F.col("v"))
+    return agg.select(*g, "n1_subj", "n0_subj", "o1", "e1", "v",
+                      chi2.alias("chi2"))
+
+
+def concordance_index(subjects: DataFrame, group_cols: Sequence[str],
+                      score_col: str, dur_col: str = "dur",
+                      event_col: str = "event") -> DataFrame:
+    """Harrell's concordance index per group — "does a higher risk
+    score actually mean an earlier event?", THE discrimination metric
+    for survival / churn models (C = P(score_i > score_j | subject i
+    failed first)).
+
+    Convention (pinned, the lifelines default): comparable pairs are
+    ``dur_i < dur_j AND event_i = 1`` (strict — pairs tied in duration
+    are not comparable); a concordant pair (score_i > score_j) counts
+    2 half-units, a score tie counts 1, discordant 0, so
+    ``units2 = 2C + T`` is an exact long and
+    ``c_index = units2 / (2·n_pairs)`` is ONE pinned division.
+
+    Scale shape: one self equi-join on the group key filtered to
+    comparable pairs — O(n²/group), the inherent cost of the exact
+    statistic, capped in-plan at ``_CINDEX_MAX_GROUP_ROWS`` subjects
+    (raise_error, never a silent explosion); bigger groups want a
+    stratified sample or the rank-inversion O(n log n) sketch.
+
+    Returns ``(*group_cols, n_subj, n_pairs, units2, c_index)`` —
+    c_index NULL when no comparable pairs exist.
+    """
+    g = list(group_cols)
+    clean = subjects.filter(
+        F.col(dur_col).isNotNull() & F.col(score_col).isNotNull())
+    n_w = F.count(F.lit(1)).over(Window.partitionBy(*g))
+    base = clean.select(
+        *g, F.col(dur_col).alias("_t"),
+        F.col(event_col).cast("long").alias("_ev"),
+        F.col(score_col).alias("_s"), n_w.alias("_n"))
+    guard = F.when(
+        F.col("_n") > _CINDEX_MAX_GROUP_ROWS,
+        F.raise_error(F.concat(
+            F.lit("concordance_index: group exceeds pair-join bound "
+                  f"({_CINDEX_MAX_GROUP_ROWS}): n="),
+            F.col("_n").cast("string"))).cast("long")
+    ).otherwise(F.col("_n"))
+    base = base.withColumn("_n", guard)
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(b, [F.col(f"a.{c}") == F.col(f"b.{c}")
+                       for c in g]
+                   + [F.col("a._t") < F.col("b._t"),
+                      F.col("a._ev") == 1])
+    units2 = (F.when(F.col("a._s") > F.col("b._s"), 2)
+              .when(F.col("a._s") == F.col("b._s"), 1)
+              .otherwise(0))
+    agg = pairs.groupBy(*[F.col(f"a.{c}").alias(c) for c in g]).agg(
+        F.max(F.col("a._n")).alias("n_subj"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(units2).alias("units2"))
+    c = F.when(
+        F.col("n_pairs") > 0,
+        F.col("units2").cast("double")
+        / (F.lit(2.0) * F.col("n_pairs").cast("double")))
+    return agg.select(*g, "n_subj", "n_pairs", "units2",
+                      c.alias("c_index"))

@@ -1346,3 +1346,167 @@ FROM s WHERE n_event >= 1"""
 
 
 TEMPORAL_QUERIES["nelson_aalen"] = (q_nelson_aalen, sql_nelson_aalen)
+
+
+def _km_subjects(spark: SparkSession, sf_dir: str,
+                 segments: "tuple[str, ...] | None" = None) -> DataFrame:
+    """Shared survival-subject substrate (the kaplan_meier recipe):
+    one row per ordering customer with integer lifetime in days,
+    censored inside the trailing 90-day horizon, cohorted by
+    ``c_custkey % 3``, carrying the market segment."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).cast("long")
+        .alias("day"))
+    per = o.groupBy("o_custkey").agg(F.min("day").alias("first_day"),
+                                     F.max("day").alias("last_day"),
+                                     F.count(F.lit(1)).alias("n_orders"))
+    hz = per.agg((F.max("last_day") - _KM_CENSOR_DAYS).alias("h"))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"))
+    if segments is not None:
+        cust = cust.filter(F.col("segment").isin(*segments))
+    return (per.crossJoin(hz)
+            .join(F.broadcast(cust),
+                  per["o_custkey"] == cust["c_custkey"])
+            .select(F.pmod(F.col("c_custkey"), F.lit(3)).cast("long")
+                    .alias("cohort"),
+                    F.col("segment"),
+                    F.col("n_orders"),
+                    (F.col("last_day") - F.col("first_day")).alias("dur"),
+                    F.when(F.col("last_day") <= F.col("h"), 1)
+                    .otherwise(0).alias("event")))
+
+
+def _sql_km_subjects(seg_filter: str = "") -> str:
+    return f"""d AS (
+  SELECT o_custkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS day
+  FROM orders),
+per AS (SELECT o_custkey, MIN(day) AS f, MAX(day) AS l,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM d GROUP BY 1),
+hz AS (SELECT MAX(l) - {_KM_CENSOR_DAYS} AS h FROM per),
+subj AS (
+  SELECT CAST(c.c_custkey % 3 AS BIGINT) AS cohort,
+         c.c_mktsegment AS segment, per.n_orders,
+         per.l - per.f AS dur,
+         CASE WHEN per.l <= hz.h THEN 1 ELSE 0 END AS ev
+  FROM per CROSS JOIN hz
+  JOIN customer c ON c.c_custkey = per.o_custkey{seg_filter})"""
+
+
+_LOGRANK_SEGS = ("BUILDING", "MACHINERY")
+
+
+def q_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test per customer cohort (operators/stats.py
+    logrank_test): BUILDING vs MACHINERY survival curves over the
+    kaplan_meier subject substrate — exact O₁, pinned-fold E₁/V, one
+    χ² division."""
+    from .operators.stats import logrank_test
+
+    subj = _km_subjects(spark, sf_dir, _LOGRANK_SEGS).select(
+        "cohort", (F.col("segment") == _LOGRANK_SEGS[0]).alias("flag"),
+        "dur", "event")
+    return logrank_test(subj, ["cohort"], "flag")
+
+
+def sql_logrank_test() -> str:
+    seg = (" AND c.c_mktsegment IN ('" + _LOGRANK_SEGS[0] + "', '"
+           + _LOGRANK_SEGS[1] + "')")
+    return f"""WITH {_sql_km_subjects(seg)},
+agg AS (
+  SELECT cohort, dur,
+         CAST(SUM(ev * CASE WHEN segment = '{_LOGRANK_SEGS[0]}'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(ev * CASE WHEN segment = '{_LOGRANK_SEGS[0]}'
+                            THEN 0 ELSE 1 END) AS BIGINT) AS d0,
+         CAST(SUM((1 - ev) * CASE WHEN segment = '{_LOGRANK_SEGS[0]}'
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM((1 - ev) * CASE WHEN segment = '{_LOGRANK_SEGS[0]}'
+                                  THEN 0 ELSE 1 END) AS BIGINT) AS c0
+  FROM subj GROUP BY 1, 2),
+r AS (
+  SELECT cohort, dur, d1, d0,
+         CAST(SUM(d1 + c1) OVER (PARTITION BY cohort)
+              - COALESCE(SUM(d1 + c1) OVER (
+                  PARTITION BY cohort ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n1,
+         CAST(SUM(d0 + c0) OVER (PARTITION BY cohort)
+              - COALESCE(SUM(d0 + c0) OVER (
+                  PARTITION BY cohort ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n0,
+         CAST(SUM(d1 + c1) OVER (PARTITION BY cohort) AS BIGINT)
+           AS n1_subj,
+         CAST(SUM(d0 + c0) OVER (PARTITION BY cohort) AS BIGINT)
+           AS n0_subj
+  FROM agg),
+t AS (
+  SELECT cohort, dur, d1, n1_subj, n0_subj,
+         CAST((d1 + d0) * n1 AS DOUBLE)
+           / CAST(n1 + n0 AS DOUBLE) AS e1t,
+         CASE WHEN n1 + n0 > 1 THEN
+           CAST((d1 + d0) * n1 * n0 * (n1 + n0 - d1 - d0) AS DOUBLE)
+             / CAST((n1 + n0) * (n1 + n0) * (n1 + n0 - 1) AS DOUBLE)
+         ELSE CAST(0.0 AS DOUBLE) END AS vt
+  FROM r WHERE d1 + d0 >= 1),
+s AS (
+  SELECT cohort, MAX(n1_subj) AS n1_subj, MAX(n0_subj) AS n0_subj,
+         CAST(SUM(d1) AS BIGINT) AS o1,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(e1t ORDER BY dur)),
+                     (a, b) -> a + b) AS e1,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(vt ORDER BY dur)),
+                     (a, b) -> a + b) AS v
+  FROM t GROUP BY cohort)
+SELECT cohort, n1_subj, n0_subj, o1, e1, v,
+       CASE WHEN v > 0.0 THEN
+         (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v
+       END AS chi2
+FROM s"""
+
+
+TEMPORAL_QUERIES["logrank_test"] = (q_logrank_test, sql_logrank_test)
+
+
+def q_c_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harrell's concordance per customer cohort (operators/stats.py
+    concordance_index): does order-count activity predict a LONGER
+    observed lifetime?  Score = n_orders, exact 2C+T half-units over
+    the strict comparable-pair convention."""
+    from .operators.stats import concordance_index
+
+    subj = _km_subjects(spark, sf_dir).select(
+        "cohort", "n_orders", "dur", "event")
+    return concordance_index(subj, ["cohort"], "n_orders")
+
+
+def sql_c_index() -> str:
+    return f"""WITH {_sql_km_subjects()},
+p AS (
+  SELECT a.cohort,
+         CASE WHEN a.n_orders > b.n_orders THEN 2
+              WHEN a.n_orders = b.n_orders THEN 1
+              ELSE 0 END AS u2
+  FROM subj a JOIN subj b
+    ON a.cohort = b.cohort AND a.dur < b.dur AND a.ev = 1),
+n AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_subj
+      FROM subj GROUP BY 1)
+SELECT p.cohort, n.n_subj,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(u2) AS BIGINT) AS units2,
+       CASE WHEN COUNT(*) > 0 THEN
+         CAST(SUM(u2) AS DOUBLE)
+           / (CAST(2.0 AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)) END
+         AS c_index
+FROM p JOIN n ON n.cohort = p.cohort
+GROUP BY p.cohort, n.n_subj"""
+
+
+TEMPORAL_QUERIES["c_index"] = (q_c_index, sql_c_index)
