@@ -1322,3 +1322,131 @@ def concordance_index(subjects: DataFrame, group_cols: Sequence[str],
         / (F.lit(2.0) * F.col("n_pairs").cast("double")))
     return agg.select(*g, "n_subj", "n_pairs", "units2",
                       c.alias("c_index"))
+
+
+def mcnemar_test(df: DataFrame, group_cols: Sequence[str],
+                 a_col: str, b_col: str) -> DataFrame:
+    """McNemar's test per group — marginal homogeneity of two PAIRED
+    binary readings on the same subjects ("did the flag flip between
+    condition A and condition B more often one way than the other?"),
+    the paired sibling of the chi-square independence screen.
+
+    Only the discordant cells matter: b01 = #(a ∧ ¬b), b10 = #(¬a ∧ b)
+    are exact longs from one aggregation, and the statistic is the
+    classic ``(b01−b10)²/(b01+b10)`` — the difference stays an exact
+    long, squared in double (the chi_square_independence overflow
+    discipline), one pinned division.  No continuity correction (the
+    convention is pinned and documented; apply |diff|−1 upstream if
+    the Edwards form is wanted).
+
+    Scale shape: ONE map-side-combinable groupBy over subject rows —
+    no windows, no joins.
+
+    Returns ``(*group_cols, n, b01, b10, chi2)`` — chi2 NULL when no
+    discordant pairs exist.
+    """
+    g = list(group_cols)
+    a = F.col(a_col).cast("boolean")
+    b = F.col(b_col).cast("boolean")
+    clean = df.filter(a.isNotNull() & b.isNotNull())
+    agg = clean.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(a & ~b, 1).otherwise(0)).alias("b01"),
+        F.sum(F.when(~a & b, 1).otherwise(0)).alias("b10"))
+    diff = (F.col("b01") - F.col("b10")).cast("double")
+    tot = (F.col("b01") + F.col("b10"))
+    chi2 = F.when(tot > 0, diff * diff / tot.cast("double"))
+    return agg.select(*g, "n", "b01", "b10", chi2.alias("chi2"))
+
+
+def cochran_q(presence: DataFrame, group_cols: Sequence[str],
+              block_col: str, treat_col: str) -> DataFrame:
+    """Cochran's Q per group — the k-treatment repeated-measures test
+    for BINARY outcomes (friedman_test's 0/1 sibling): do the k
+    treatments succeed at different rates, judged within blocks?
+
+    Input is the sparse presence relation — one row per (block,
+    treatment) where the outcome is 1; absent combinations are the
+    0s.  The statistic is invariant to all-0 and all-1 blocks (their
+    contributions cancel algebraically in both numerator and
+    denominator), so the sparse encoding loses nothing.
+
+    With column totals Cⱼ, block totals Rᵢ, grand total T = ΣCⱼ = ΣRᵢ:
+
+        Q = (k−1)·(k·ΣCⱼ² − T²) / (k·T − ΣRᵢ²)
+
+    — numerator and denominator are exact int64 (bound: k·T² must fit
+    int64 ⇒ T ≲ 10⁹/√k, far past any per-group gate scale), ONE
+    pinned division.  k is the number of distinct treatments observed
+    in the group.
+
+    Scale shape: one distinct + two map-side-combinable groupBys (by
+    treatment and by block), all keyed under the same group columns —
+    collapsed tables only, no windows over subject rows.
+
+    Reference: Cochran (1950, Biometrika); the sparse-invariance note
+    and exact-integer evaluation are this engine's.
+
+    Returns ``(*group_cols, n_blocks, k, t, num, den, q_stat)`` —
+    q_stat NULL when den = 0 (every block all-0/all-1).
+    """
+    g = list(group_cols)
+    d = presence.select(
+        *g, F.col(block_col).alias("_b"),
+        F.col(treat_col).alias("_t")).distinct()
+    per_treat = d.groupBy(*g, "_t").agg(F.count(F.lit(1)).alias("_cj"))
+    by_g_t = per_treat.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_cj").alias("t"),
+        F.sum(F.col("_cj") * F.col("_cj")).alias("_scj2"))
+    per_block = d.groupBy(*g, "_b").agg(F.count(F.lit(1)).alias("_ri"))
+    by_g_b = per_block.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.col("_ri") * F.col("_ri")).alias("_sri2"))
+    j = by_g_t.join(by_g_b, g) if g else by_g_t.crossJoin(by_g_b)
+    num = ((F.col("k") - 1)
+           * (F.col("k") * F.col("_scj2") - F.col("t") * F.col("t")))
+    den = (F.col("k") * F.col("t") - F.col("_sri2"))
+    q = F.when(den > 0, num.cast("double") / den.cast("double"))
+    return j.select(*g, "n_blocks", "k", "t", num.alias("num"),
+                    den.alias("den"), q.alias("q_stat"))
+
+
+def mood_median(df: DataFrame, sample_col: str,
+                value_col: str) -> DataFrame:
+    """Mood's median test — k-sample location test via the pooled
+    median: flag every observation above the GRAND median and
+    chi-square the sample × flag table (the robust screen when
+    kruskal_wallis' rank windows are too heavy or distributions are
+    wild).
+
+    The grand median is the exact lower median (rank ⌈n/2⌉) computed
+    on the collapsed distinct-value table — one groupBy + one window
+    over rows bounded by VALUE CARDINALITY, not data size — and the
+    test statistic reuses chi_square_independence's exact-numerator
+    pinned-fold chain verbatim.
+
+    Returns ONE row ``(median, n, n_samples, dof, chi2)``.
+    """
+    clean = df.filter(
+        F.col(sample_col).isNotNull() & F.col(value_col).isNotNull())
+    counts = clean.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c"))
+    wcum = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    cum = counts.select(
+        "_v", F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wall).alias("_n"))
+    med = cum.filter(
+        F.col("_cum") * 2 >= F.col("_n") + F.pmod(F.col("_n"), F.lit(2))
+    ).agg(F.min("_v").alias("median"))
+    flagged = clean.crossJoin(F.broadcast(med)).select(
+        F.col(sample_col).alias("_s"),
+        F.when(F.col(value_col) > F.col("median"), 1).otherwise(0)
+        .alias("_above"),
+        F.col("median"))
+    chi = chi_square_independence(flagged, "_s", "_above")
+    m = flagged.agg(F.max("median").alias("median"))
+    return chi.crossJoin(F.broadcast(m)).select(
+        "median", "n", F.col("n_a").alias("n_samples"), "dof", "chi2")

@@ -1453,3 +1453,168 @@ FROM tot"""
 
 
 CURATION_QUERIES["friedman_test"] = (q_friedman_test, sql_friedman_test)
+
+
+def q_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired-binary test per user cohort (operators/stats.py
+    mcnemar_test): subject = user-WEEK (whole-history presence is
+    degenerate — every user eventually fires every type), paired
+    readings = "purchased that week" vs "hit an error that week" —
+    only the discordant counts b01/b10 enter, one exact aggregation +
+    one pinned division."""
+    from .geo.tilemath import floor_div
+    from .operators.stats import mcnemar_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_subj = ev.groupBy(
+        "user_id",
+        floor_div(F.unix_micros(F.col("ts").cast("timestamp")),
+                  604_800_000_000).alias("wk")).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("a"),
+        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .alias("b"))
+    subj = per_subj.select(
+        F.pmod(F.col("user_id"), F.lit(3)).cast("long").alias("cohort"),
+        "a", "b")
+    return mcnemar_test(subj, ["cohort"], "a", "b")
+
+
+def sql_mcnemar_test() -> str:
+    return """WITH per_subj AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS a,
+         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS b
+  FROM events GROUP BY 1, 2),
+agg AS (
+  SELECT CAST(user_id % 3 AS BIGINT) AS cohort,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b01,
+         CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b10
+  FROM per_subj GROUP BY 1)
+SELECT cohort, n, b01, b10,
+       CASE WHEN b01 + b10 > 0 THEN
+         CAST(b01 - b10 AS DOUBLE) * CAST(b01 - b10 AS DOUBLE)
+           / CAST(b01 + b10 AS DOUBLE) END AS chi2
+FROM agg"""
+
+
+CURATION_QUERIES["mcnemar_test"] = (q_mcnemar_test, sql_mcnemar_test)
+
+
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q per user cohort (operators/stats.py cochran_q):
+    blocks = user-WEEKS (whole-history presence is all-ones —
+    degenerate), treatments = event types, outcome = "user fired that
+    type that week" — the sparse presence relation straight from one
+    distinct, exact int64 numerator/denominator, one pinned divide."""
+    from .geo.tilemath import floor_div
+    from .operators.stats import cochran_q
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.pmod(F.col("user_id"), F.lit(3)).cast("long").alias("cohort"),
+        F.concat_ws(
+            "#", F.col("user_id").cast("string"),
+            floor_div(F.unix_micros(F.col("ts").cast("timestamp")),
+                      604_800_000_000).cast("string")).alias("blk"),
+        "event_type")
+    return cochran_q(ev, ["cohort"], "blk", "event_type")
+
+
+def sql_cochran_q() -> str:
+    return """WITH d AS (
+  SELECT DISTINCT CAST(user_id % 3 AS BIGINT) AS cohort,
+         CAST(user_id AS VARCHAR) || '#'
+           || CAST(epoch_us(ts) // 604800000000 AS VARCHAR) AS b,
+         event_type AS t
+  FROM events),
+bt AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(cj) AS BIGINT) AS t,
+         CAST(SUM(cj * cj) AS BIGINT) AS scj2
+  FROM (SELECT cohort, t, CAST(COUNT(*) AS BIGINT) AS cj
+        FROM d GROUP BY 1, 2) GROUP BY cohort),
+bb AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(ri * ri) AS BIGINT) AS sri2
+  FROM (SELECT cohort, b, CAST(COUNT(*) AS BIGINT) AS ri
+        FROM d GROUP BY 1, 2) GROUP BY cohort)
+SELECT bt.cohort, bb.n_blocks, bt.k, bt.t,
+       CAST((bt.k - 1) * (bt.k * bt.scj2 - bt.t * bt.t) AS BIGINT)
+         AS num,
+       CAST(bt.k * bt.t - bb.sri2 AS BIGINT) AS den,
+       CASE WHEN bt.k * bt.t - bb.sri2 > 0 THEN
+         CAST((bt.k - 1) * (bt.k * bt.scj2 - bt.t * bt.t) AS DOUBLE)
+           / CAST(bt.k * bt.t - bb.sri2 AS DOUBLE) END AS q_stat
+FROM bt JOIN bb ON bb.cohort = bt.cohort"""
+
+
+CURATION_QUERIES["cochran_q"] = (q_cochran_q, sql_cochran_q)
+
+
+def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's k-sample median test over event values (operators/stats.py
+    mood_median): exact lower grand median from the distinct-cents
+    table, then the chi_square_independence exact-numerator pinned
+    chain on the event_type × above-median table."""
+    from .operators.stats import mood_median
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", _cents().alias("cents"))
+    return mood_median(ev, "event_type", "cents")
+
+
+def sql_mood_median() -> str:
+    return """WITH e AS (
+  SELECT event_type AS s,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+cnt AS (SELECT cents AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM e GROUP BY 1),
+cum AS (
+  SELECT v,
+         CAST(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cm,
+         CAST(SUM(c) OVER () AS BIGINT) AS n
+  FROM cnt),
+med AS (SELECT MIN(v) AS median FROM cum
+        WHERE cm * 2 >= n + (n % 2)),
+f AS (
+  SELECT e.s, CASE WHEN e.cents > med.median THEN 1 ELSE 0 END AS ab
+  FROM e CROSS JOIN med),
+cells AS (SELECT s, ab, CAST(COUNT(*) AS BIGINT) AS o
+          FROM f GROUP BY 1, 2),
+t AS (
+  SELECT s, ab, o,
+         CAST(SUM(o) OVER (PARTITION BY s) AS BIGINT) AS r,
+         CAST(SUM(o) OVER (PARTITION BY ab) AS BIGINT) AS c,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM cells),
+terms AS (
+  SELECT s, ab, n,
+         (CAST(n * o - r * c AS DOUBLE) * CAST(n * o - r * c AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+           AS trm
+  FROM t),
+chi AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT s) AS BIGINT) AS n_samples,
+         CAST((COUNT(DISTINCT s) - 1) * (COUNT(DISTINCT ab) - 1)
+              AS BIGINT) AS dof,
+         CASE WHEN (COUNT(DISTINCT s) - 1)
+                   * (COUNT(DISTINCT ab) - 1) > 0
+              THEN list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(trm ORDER BY s NULLS FIRST,
+                                       ab NULLS FIRST)),
+                     (x, y) -> x + y)
+              END AS chi2
+  FROM terms)
+SELECT med.median, chi.n, chi.n_samples, chi.dof, chi.chi2
+FROM chi CROSS JOIN med"""
+
+
+CURATION_QUERIES["mood_median"] = (q_mood_median, sql_mood_median)

@@ -165,3 +165,104 @@ def test_cindex_group_bound_raises(spark):
             concordance_index(df, ["g"], "score").collect()
     finally:
         stats_mod._CINDEX_MAX_GROUP_ROWS = old
+
+
+# ---------------------------------------------------------------- block 2
+from mapbox_filter_spark.operators.stats import (cochran_q, mcnemar_test,
+                                                 mood_median)
+
+
+def test_mcnemar_differential(spark):
+    rng = random.Random(421)
+    rows = [("a", rng.random() < 0.5, rng.random() < 0.4)
+            for _ in range(200)]
+    df = spark.createDataFrame(rows, "g string, a boolean, b boolean")
+    r = mcnemar_test(df, ["g"], "a", "b").collect()[0]
+    b01 = sum(1 for _, a, b in rows if a and not b)
+    b10 = sum(1 for _, a, b in rows if not a and b)
+    assert (r["n"], r["b01"], r["b10"]) == (200, b01, b10)
+    assert r["chi2"] == pytest.approx(
+        (b01 - b10) ** 2 / (b01 + b10), rel=1e-15)
+
+
+def test_mcnemar_no_discordant_null(spark):
+    rows = [("a", True, True), ("a", False, False)] * 5
+    df = spark.createDataFrame(rows, "g string, a boolean, b boolean")
+    r = mcnemar_test(df, ["g"], "a", "b").collect()[0]
+    assert r["chi2"] is None and r["b01"] == 0 and r["b10"] == 0
+
+
+def _py_cochran(pres):
+    """pres: set of (block, treat).  Returns (n_blocks, k, t, num,
+    den, q)."""
+    from collections import Counter
+    cj = Counter(t for _, t in pres)
+    ri = Counter(b for b, _ in pres)
+    k = len(cj)
+    t = len(pres)
+    num = (k - 1) * (k * sum(c * c for c in cj.values()) - t * t)
+    den = k * t - sum(r * r for r in ri.values())
+    q = num / den if den > 0 else None
+    return len(ri), k, t, num, den, q
+
+
+def test_cochran_differential(spark):
+    rng = random.Random(422)
+    pres = {(b, t) for b in range(40) for t in "ABCD"
+            if rng.random() < 0.3 + 0.15 * (ord(t) - ord("A"))}
+    rows = [("g", b, t) for b, t in pres] + [("g", 0, "A")]  # dup row
+    df = spark.createDataFrame(rows, "g string, blk long, trt string")
+    pres = pres | {(0, "A")}
+    r = cochran_q(df, ["g"], "blk", "trt").collect()[0]
+    n_blocks, k, t, num, den, q = _py_cochran(pres)
+    assert (r["n_blocks"], r["k"], r["t"]) == (n_blocks, k, t)
+    assert (r["num"], r["den"]) == (num, den)
+    assert r["q_stat"] == pytest.approx(q, rel=1e-15)
+
+
+def test_cochran_all_ones_invariant(spark):
+    # adding an all-1 block must not change Q (documented invariance)
+    pres = [(0, "A"), (0, "B"), (1, "A"), (2, "B"), (2, "C"), (3, "C")]
+    base = [("g", b, t) for b, t in pres]
+    full = base + [("g", 9, t) for t in "ABC"]
+    df1 = spark.createDataFrame(base, "g string, blk long, trt string")
+    df2 = spark.createDataFrame(full, "g string, blk long, trt string")
+    q1 = cochran_q(df1, ["g"], "blk", "trt").collect()[0]["q_stat"]
+    q2 = cochran_q(df2, ["g"], "blk", "trt").collect()[0]["q_stat"]
+    assert q1 == pytest.approx(q2, rel=1e-12)
+
+
+def test_mood_median_differential(spark):
+    rng = random.Random(423)
+    rows = ([("s1", rng.randrange(0, 50)) for _ in range(101)]
+            + [("s2", rng.randrange(20, 80)) for _ in range(97)])
+    df = spark.createDataFrame(rows, "s string, v long")
+    r = mood_median(df, "s", "v").collect()[0]
+    vals = sorted(v for _, v in rows)
+    med = vals[(len(vals) + 1) // 2 - 1]  # lower median
+    assert r["median"] == med
+    # brute chi-square on the 2x2 table with the same pinned chain
+    cells = {}
+    for s, v in rows:
+        key = (s, 1 if v > med else 0)
+        cells[key] = cells.get(key, 0) + 1
+    n = len(rows)
+    rtot = {s: sum(c for (ss, _), c in cells.items() if ss == s)
+            for s in ("s1", "s2")}
+    ctot = {a: sum(c for (_, aa), c in cells.items() if aa == a)
+            for a in (0, 1)}
+    chi = 0.0
+    for key in sorted(cells):
+        s, a = key
+        o = cells[key]
+        dev = float(n * o - rtot[s] * ctot[a])
+        chi += dev * dev / (float(n) * float(rtot[s]) * float(ctot[a]))
+    assert r["chi2"] == pytest.approx(chi, rel=1e-12)
+    assert r["n"] == n and r["n_samples"] == 2 and r["dof"] == 1
+
+
+def test_mood_median_even_n_lower_median(spark):
+    rows = [("a", v) for v in (1, 2, 3, 4)] + [("b", v) for v in (5, 6)]
+    r = mood_median(spark.createDataFrame(rows, "s string, v long"),
+                    "s", "v").collect()[0]
+    assert r["median"] == 3  # lower median of 6 values
