@@ -1105,3 +1105,105 @@ def landmark_distances(edges: DataFrame, landmarks: DataFrame, *,
         dist = dist.unionByName(new).localCheckpoint()
         frontier = new
     return dist
+
+
+def adamic_adar(edges: DataFrame, min_common: int = 1,
+                src: str = "src", dst: str = "dst") -> DataFrame:
+    """Adamic-Adar link prediction — score non-adjacent pairs by
+    Σ_{w ∈ Γ(u)∩Γ(v)} 1/ln(deg(w)): common neighbors weighted DOWN by
+    their degree, so a shared obscure neighbor says more than a shared
+    celebrity (Adamic & Adar 2003, "Friends and neighbors on the
+    Web").  The degree-aware sibling of jaccard_links.
+
+    Exactness: wedges are generated AT the shared neighbor (u < v),
+    each carrying the center's exact long degree; a wedge center has
+    ≥ 2 neighbors by construction, so ln(deg) > 0 always and each
+    term is ONE pinned long→double ln + divide.  The per-pair sum is
+    a PINNED-ORDER fold over the common-neighbor list sorted by
+    center id (the entropy_profile discipline — groupBy float sums
+    have nondeterministic addend order).
+
+    Scale shape: same as jaccard_links — Σ deg(w)² wedge generation
+    (cap or sample hub centers at fleet scale; 1/ln(deg) means the
+    dropped hub terms are the SMALLEST contributions, which is what
+    makes capping defensible here), one anti-join against existing
+    edges, one fold.
+
+    Returns ``(u, v, n_common, aa)`` with u < v, non-adjacent pairs
+    only, n_common ≥ ``min_common``.
+    """
+    e = _canon(edges, src, dst)
+    sym = _sym(e)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    cen = sym.join(deg, "u")
+    s1, s2 = cen.alias("s1"), cen.alias("s2")
+    wedges = (s1.join(s2, (F.col("s1.u") == F.col("s2.u"))
+                      & (F.col("s1.v") < F.col("s2.v")))
+              .select(F.col("s1.v").alias("u"),
+                      F.col("s2.v").alias("v"),
+                      F.col("s1.u").alias("w"),
+                      F.col("s1.deg").alias("wdeg")))
+    term = F.lit(1.0) / F.log(F.col("wdeg").cast("double"))
+    arr = F.sort_array(F.collect_list(F.struct(
+        F.col("w"), term.alias("t"))))
+    pairs = (wedges.groupBy("u", "v")
+             .agg(F.count(F.lit(1)).alias("n_common"),
+                  F.aggregate(arr, F.lit(0.0),
+                              lambda acc, s: acc + s["t"]).alias("aa"))
+             .filter(F.col("n_common") >= min_common))
+    adj = e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    return pairs.join(adj, ["u", "v"], "left_anti") \
+        .select("u", "v", "n_common", "aa")
+
+
+def rich_club(edges: DataFrame, ks: "tuple[int, ...]" = (2, 3, 4, 6, 8),
+              src: str = "src", dst: str = "dst") -> DataFrame:
+    """Rich-club coefficient φ(k) — do high-degree nodes link to EACH
+    OTHER more densely than chance?  φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1))
+    over the subgraph induced by nodes of degree > k (Zhou & Mondragón
+    2004; Colizza et al. 2006 for the null-model normalization, which
+    callers apply against a degree-preserving rewire).
+
+    Exactness without a per-k pass: every edge's membership in EVERY
+    club is determined by min(deg_u, deg_v), and every node's by its
+    degree — so ONE degree histogram and ONE min-degree edge histogram
+    answer all k thresholds as conditional sums over the TINY collapsed
+    tables (rows = distinct degrees, not nodes).  All counts exact
+    longs; φ is one pinned divide.
+
+    Scale shape: one symmetric-degree groupBy + one edge join to
+    degrees + two histogram groupBys; the k fan-out happens on
+    histogram rows only.
+
+    Returns one row per k: ``(k, n_nodes, n_edges, phi)`` — phi NULL
+    when the club has < 2 nodes.
+    """
+    e = _canon(edges, src, dst)
+    sym = _sym(e)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    node_hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("nc"))
+    du = deg.select(F.col("u").alias("_n1"), F.col("deg").alias("d1"))
+    dv = deg.select(F.col("u").alias("_n2"), F.col("deg").alias("d2"))
+    emin = (e.join(du, e["src"] == du["_n1"])
+            .join(dv, e["dst"] == dv["_n2"])
+            .select(F.least(F.col("d1"), F.col("d2")).alias("mindeg")))
+    edge_hist = emin.groupBy("mindeg").agg(
+        F.count(F.lit(1)).alias("ec"))
+    ks_df = e.sparkSession.createDataFrame(
+        [(int(k),) for k in ks], "k long")
+    n_k = (ks_df.join(F.broadcast(node_hist),
+                      node_hist["deg"] > ks_df["k"], "left")
+           .groupBy("k").agg(
+               F.coalesce(F.sum("nc"), F.lit(0).cast("long"))
+               .alias("n_nodes")))
+    e_k = (ks_df.join(F.broadcast(edge_hist),
+                      edge_hist["mindeg"] > ks_df["k"], "left")
+           .groupBy("k").agg(
+               F.coalesce(F.sum("ec"), F.lit(0).cast("long"))
+               .alias("n_edges")))
+    out = n_k.join(e_k, "k")
+    phi = F.when(
+        F.col("n_nodes") >= 2,
+        (F.lit(2.0) * F.col("n_edges").cast("double"))
+        / (F.col("n_nodes") * (F.col("n_nodes") - 1)).cast("double"))
+    return out.select("k", "n_nodes", "n_edges", phi.alias("phi"))

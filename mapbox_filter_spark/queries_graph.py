@@ -1038,3 +1038,91 @@ FROM d{_HC_ROUNDS} WHERE dist > 0 GROUP BY 1""")
 
 GRAPH_QUERIES["harmonic_centrality"] = (q_harmonic_centrality,
                                         sql_harmonic_centrality)
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the shared hashed link graph
+    (operators/graph.py adamic_adar): wedge generation at the shared
+    neighbor carrying its exact degree, 1/ln(deg) terms summed by a
+    center-sorted pinned fold, existing edges anti-joined away."""
+    from .operators.graph import adamic_adar
+
+    return (adamic_adar(_link_edges(spark, sf_dir), min_common=2)
+            .select(F.col("u").alias("doc_u"),
+                    F.col("v").alias("doc_v"), "n_common", "aa"))
+
+
+def sql_adamic_adar() -> str:
+    return f"""WITH {_sql_link_edges()},
+e AS (SELECT DISTINCT GREATEST(src, dst) AS gs, LEAST(src, dst) AS ls
+      FROM edges WHERE src <> dst),
+sym AS (SELECT gs AS u, ls AS v FROM e
+        UNION ALL SELECT ls AS u, gs AS v FROM e),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+w AS (
+  SELECT s1.v AS u, s2.v AS v, s1.u AS w, d.deg
+  FROM sym s1 JOIN sym s2 ON s2.u = s1.u AND s1.v < s2.v
+  JOIN deg d ON d.u = s1.u),
+p AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list(CAST(1.0 AS DOUBLE)
+                             / ln(CAST(deg AS DOUBLE)) ORDER BY w)),
+           (a, b) -> a + b) AS aa
+  FROM w GROUP BY 1, 2)
+SELECT p.u AS doc_u, p.v AS doc_v, p.n_common, p.aa
+FROM p
+WHERE p.n_common >= 2
+  AND NOT EXISTS (SELECT 1 FROM e WHERE e.gs = p.v AND e.ls = p.u)"""
+
+
+GRAPH_QUERIES["adamic_adar"] = (q_adamic_adar, sql_adamic_adar)
+
+
+_RICH_CLUB_KS = (2, 3, 4, 6, 8)
+
+
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficients φ(k) of the hashed link graph
+    (operators/graph.py rich_club): one degree histogram + one
+    min-degree edge histogram answer every k threshold — no per-k
+    pass over the graph."""
+    from .operators.graph import rich_club
+
+    return rich_club(_link_edges(spark, sf_dir), ks=_RICH_CLUB_KS)
+
+
+def sql_rich_club() -> str:
+    ks = ", ".join(str(k) for k in _RICH_CLUB_KS)
+    return f"""WITH {_sql_link_edges()},
+e AS (SELECT DISTINCT GREATEST(src, dst) AS gs, LEAST(src, dst) AS ls
+      FROM edges WHERE src <> dst),
+sym AS (SELECT gs AS u FROM e UNION ALL SELECT ls AS u FROM e),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+nh AS (SELECT deg, CAST(COUNT(*) AS BIGINT) AS nc FROM deg GROUP BY 1),
+eh AS (
+  SELECT LEAST(d1.deg, d2.deg) AS mindeg,
+         CAST(COUNT(*) AS BIGINT) AS ec
+  FROM e JOIN deg d1 ON d1.u = e.gs JOIN deg d2 ON d2.u = e.ls
+  GROUP BY 1),
+ks AS (SELECT CAST(unnest([{ks}]) AS BIGINT) AS k)
+SELECT ks.k,
+       CAST(COALESCE((SELECT SUM(nc) FROM nh WHERE nh.deg > ks.k), 0)
+            AS BIGINT) AS n_nodes,
+       CAST(COALESCE((SELECT SUM(ec) FROM eh WHERE eh.mindeg > ks.k), 0)
+            AS BIGINT) AS n_edges,
+       CASE WHEN COALESCE((SELECT SUM(nc) FROM nh
+                           WHERE nh.deg > ks.k), 0) >= 2 THEN
+         CAST(2.0 AS DOUBLE)
+           * CAST(COALESCE((SELECT SUM(ec) FROM eh
+                            WHERE eh.mindeg > ks.k), 0) AS DOUBLE)
+           / CAST(COALESCE((SELECT SUM(nc) FROM nh
+                            WHERE nh.deg > ks.k), 0)
+                  * (COALESCE((SELECT SUM(nc) FROM nh
+                               WHERE nh.deg > ks.k), 0) - 1)
+                  AS DOUBLE) END AS phi
+FROM ks"""
+
+
+GRAPH_QUERIES["rich_club"] = (q_rich_club, sql_rich_club)

@@ -266,3 +266,86 @@ def test_mood_median_even_n_lower_median(spark):
     r = mood_median(spark.createDataFrame(rows, "s string, v long"),
                     "s", "v").collect()[0]
     assert r["median"] == 3  # lower median of 6 values
+
+
+# ---------------------------------------------------------------- block 3
+from mapbox_filter_spark.operators.graph import adamic_adar, rich_club
+
+
+def _rand_graph(rng, n=30, m=70):
+    edges = set()
+    while len(edges) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((max(a, b), min(a, b)))
+    return sorted(edges)
+
+
+def test_adamic_adar_differential(spark):
+    rng = random.Random(431)
+    edges = _rand_graph(rng)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {(r["u"], r["v"]): (r["n_common"], r["aa"])
+           for r in adamic_adar(df).collect()}
+    # brute: neighborhoods + existing-edge exclusion
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    expected = {}
+    nodes = sorted(nbrs)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if (max(u, v), min(u, v)) in edges:
+                continue
+            common = sorted(nbrs[u] & nbrs[v])
+            if not common:
+                continue
+            aa = 0.0
+            for w in common:
+                aa += 1.0 / math.log(float(len(nbrs[w])))
+            expected[(u, v)] = (len(common), aa)
+    assert set(out) == set(expected)
+    for k in expected:
+        assert out[k][0] == expected[k][0]
+        assert out[k][1] == pytest.approx(expected[k][1], rel=1e-12)
+
+
+def test_adamic_adar_weights_rare_neighbors_higher(spark):
+    # hub (deg 4) vs rare (deg 2) shared neighbor: AA must rank the
+    # rare-neighbor pair higher while raw common-count ties them
+    edges = [(10, 1), (10, 2), (10, 3), (10, 4),  # hub 10
+             (20, 5), (20, 6)]                    # rare 20
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = {(r["u"], r["v"]): r["aa"] for r in adamic_adar(df).collect()}
+    assert rows[(5, 6)] > rows[(1, 2)]
+
+
+def test_rich_club_differential(spark):
+    rng = random.Random(432)
+    edges = _rand_graph(rng, n=25, m=60)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["k"]: (r["n_nodes"], r["n_edges"], r["phi"])
+           for r in rich_club(df, ks=(1, 2, 3, 4, 6)).collect()}
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    for k in (1, 2, 3, 4, 6):
+        club = {n for n, d in deg.items() if d > k}
+        ek = sum(1 for a, b in edges if a in club and b in club)
+        nk = len(club)
+        phi = (2.0 * ek) / (nk * (nk - 1)) if nk >= 2 else None
+        assert out[k][0] == nk and out[k][1] == ek
+        if phi is None:
+            assert out[k][2] is None
+        else:
+            assert out[k][2] == pytest.approx(phi, rel=1e-15)
+
+
+def test_rich_club_empty_club(spark):
+    edges = [(1, 0), (2, 0)]  # max degree 2
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["k"]: r for r in rich_club(df, ks=(5,)).collect()}
+    assert out[5]["n_nodes"] == 0 and out[5]["n_edges"] == 0
+    assert out[5]["phi"] is None
