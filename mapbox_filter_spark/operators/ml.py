@@ -146,3 +146,123 @@ def naive_bayes_predict(test: DataFrame, model, *, id_cols: Sequence[str],
             .withColumn("_r", F.row_number().over(w))
             .filter(F.col("_r") == 1)
             .select(*ids, F.col("_cls").alias(out_col), "_score"))
+
+
+def decision_stump(df: DataFrame, feature_cols: Sequence[str],
+                   label_col: str) -> DataFrame:
+    """Exact best-split search for a one-level decision tree (the 1R /
+    decision-stump baseline, and the inner loop of every boosted-tree
+    fit): for each integer feature, find the threshold minimizing the
+    weighted Gini impurity of the ``x ≤ thr`` split against a binary
+    label.
+
+    Exactness: candidate thresholds are the feature's DISTINCT values
+    (the collapsed (value, count, positives) table), prefix sums give
+    exact long (n_left, pos_left) per threshold, and minimizing the
+    weighted Gini is equivalent to maximizing
+
+        S(thr) = (posL² + negL²)/nL + (posR² + negR²)/nR
+
+    — two pinned long→double divisions + one add per candidate, a flat
+    bit-stable chain.  The argmax window orders by (S DESC, thr ASC):
+    S values are bit-identical across engines, so the deterministic
+    tiebreak pins the winner.  ``gini_split = (N − S)/N`` and the root
+    impurity ``gini_root = 1 − (P² + (N−P)²)/N²`` are emitted on the
+    same discipline.  Overflow: pos² ≤ n² needs n ≲ 3·10⁹ rows per
+    feature — int64-safe at any gate scale (the anova_f bound note).
+
+    Scale shape: ONE fact scan (stack unpivots features in-row), one
+    map-side-combinable groupBy to distinct values, windows keyed by
+    feature over the tiny collapsed table.  This is the standard
+    histogram-based split search every distributed GBDT uses — here
+    exact because the features are already integer-quantized.
+
+    Returns one row per feature:
+    ``(feature, thr, n_left, pos_left, n_right, pos_right, gini_split,
+    gini_root)``.
+    """
+    k = len(feature_cols)
+    pairs = ", ".join(f"'{c}', `{c}`" for c in feature_cols)
+    lab = F.col(label_col).cast("long")
+    long_df = df.select(
+        lab.alias("_y"),
+        F.expr(f"stack({k}, {pairs}) AS (_f, _x)")).filter(
+        F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    vals = long_df.groupBy("_f", "_x").agg(
+        F.count(F.lit(1)).alias("_c"), F.sum("_y").alias("_p"))
+    wcum = (Window.partitionBy("_f").orderBy("_x")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wtot = Window.partitionBy("_f")
+    cand = vals.select(
+        "_f", F.col("_x").alias("thr"),
+        F.sum("_c").over(wcum).alias("n_left"),
+        F.sum("_p").over(wcum).alias("pos_left"),
+        F.sum("_c").over(wtot).alias("_n"),
+        F.sum("_p").over(wtot).alias("_ptot"),
+        F.max("_x").over(wtot).alias("_xmax"))
+    cand = cand.filter(F.col("thr") < F.col("_xmax"))
+    n_r = (F.col("_n") - F.col("n_left"))
+    pos_r = (F.col("_ptot") - F.col("pos_left"))
+    neg_l = (F.col("n_left") - F.col("pos_left"))
+    neg_r = (n_r - pos_r)
+
+    def _side(pos, neg, n):
+        return ((pos * pos + neg * neg).cast("double")
+                / n.cast("double"))
+
+    s = (_side(F.col("pos_left"), neg_l, F.col("n_left"))
+         + _side(pos_r, neg_r, n_r))
+    scored = cand.select(
+        "_f", "thr", "n_left", "pos_left",
+        n_r.alias("n_right"), pos_r.alias("pos_right"),
+        "_n", "_ptot", s.alias("_s"))
+    wbest = Window.partitionBy("_f").orderBy(
+        F.col("_s").desc(), F.col("thr").asc())
+    best = (scored.withColumn("_rn", F.row_number().over(wbest))
+            .filter(F.col("_rn") == 1))
+    n_d = F.col("_n").cast("double")
+    gini_split = (n_d - F.col("_s")) / n_d
+    neg_tot = (F.col("_n") - F.col("_ptot"))
+    gini_root = (F.lit(1.0)
+                 - (F.col("_ptot") * F.col("_ptot")
+                    + neg_tot * neg_tot).cast("double") / (n_d * n_d))
+    return best.select(
+        F.col("_f").alias("feature"), "thr", "n_left", "pos_left",
+        "n_right", "pos_right", gini_split.alias("gini_split"),
+        gini_root.alias("gini_root"))
+
+
+def calibration_bins(df: DataFrame, score_col: str, label_col: str, *,
+                     n_bins: int = 10, scale: int = 1000) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier — "when
+    the model says 0.7, does it happen 70% of the time?" — the
+    calibration companion to the auc_metric/ndcg_at_k ranking gates.
+
+    ``score_col`` is an INTEGER score in [0, scale) (quantize upstream
+    — a raw double score would need a float groupBy sum, which is
+    order-nondeterministic); bin = ⌊score·n_bins/scale⌋ via exact
+    integer floor-div.  Per bin: exact long n, positives and score
+    sum; mean score and the empirical positive rate are ONE pinned
+    division each, so every row value-hashes.
+
+    Scale shape: one map-side-combinable groupBy onto ≤ n_bins rows.
+
+    Returns ``(bin, n, pos, sum_score, mean_score, frac_pos)`` sorted
+    by construction key (bin) at the consumer's discretion.
+    """
+    from ..geo.tilemath import floor_div
+
+    s = F.col(score_col).cast("long")
+    y = F.col(label_col).cast("long")
+    clean = df.filter(s.isNotNull() & y.isNotNull())
+    b = floor_div(s * n_bins, scale).alias("bin")
+    agg = clean.groupBy(b).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("pos"),
+        F.sum(s).alias("sum_score"))
+    mean_score = (F.col("sum_score").cast("double")
+                  / (F.col("n") * scale).cast("double"))
+    frac = F.col("pos").cast("double") / F.col("n").cast("double")
+    return agg.select("bin", "n", "pos", "sum_score",
+                      mean_score.alias("mean_score"),
+                      frac.alias("frac_pos"))

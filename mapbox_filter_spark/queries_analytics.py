@@ -1603,3 +1603,111 @@ FROM (
 
 ANALYTICS_QUERIES["key_discovery"] = (q_key_discovery,
                                       sql_key_discovery)
+
+
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact one-level decision-tree split search (operators/ml.py
+    decision_stump): label = purchase event, integer features = hour
+    of day and kilocent value bucket; per feature the best Gini
+    threshold from prefix sums over the distinct-value table, argmax
+    pinned by (S DESC, thr ASC)."""
+    from .geo.tilemath import floor_div
+    from .operators.ml import decision_stump
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        floor_div(F.pmod(us, F.lit(86_400_000_000)),
+                  3_600_000_000).alias("hour"),
+        floor_div(_cents(), F.lit(1000)).alias("centsk"))
+    return decision_stump(ev, ["hour", "centsk"], "y")
+
+
+def sql_decision_stump() -> str:
+    return """WITH e AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) // 1000 AS centsk
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+lng AS (
+  SELECT 'hour' AS f, hour AS x, y FROM e
+  UNION ALL SELECT 'centsk' AS f, centsk AS x, y FROM e),
+vals AS (
+  SELECT f, x, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(y) AS BIGINT) AS p
+  FROM lng GROUP BY 1, 2),
+cand AS (
+  SELECT f, x AS thr,
+         CAST(SUM(c) OVER (PARTITION BY f ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n_left,
+         CAST(SUM(p) OVER (PARTITION BY f ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS pos_left,
+         CAST(SUM(c) OVER (PARTITION BY f) AS BIGINT) AS n,
+         CAST(SUM(p) OVER (PARTITION BY f) AS BIGINT) AS ptot,
+         MAX(x) OVER (PARTITION BY f) AS xmax
+  FROM vals),
+scored AS (
+  SELECT f, thr, n_left, pos_left,
+         n - n_left AS n_right, ptot - pos_left AS pos_right,
+         n, ptot,
+         CAST(pos_left * pos_left
+              + (n_left - pos_left) * (n_left - pos_left) AS DOUBLE)
+           / CAST(n_left AS DOUBLE)
+         + CAST((ptot - pos_left) * (ptot - pos_left)
+                + ((n - n_left) - (ptot - pos_left))
+                  * ((n - n_left) - (ptot - pos_left)) AS DOUBLE)
+           / CAST(n - n_left AS DOUBLE) AS s
+  FROM cand WHERE thr < xmax),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY f
+                               ORDER BY s DESC, thr ASC) AS rn
+  FROM scored)
+SELECT f AS feature, thr, n_left, pos_left, n_right, pos_right,
+       (CAST(n AS DOUBLE) - s) / CAST(n AS DOUBLE) AS gini_split,
+       CAST(1.0 AS DOUBLE)
+         - CAST(ptot * ptot + (n - ptot) * (n - ptot) AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS gini_root
+FROM best WHERE rn = 1"""
+
+
+ANALYTICS_QUERIES["decision_stump"] = (q_decision_stump,
+                                       sql_decision_stump)
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (operators/ml.py calibration_bins):
+    integer milli-score from the value magnitude, label = purchase —
+    exact long bin counts/positives/score sums, two pinned divides per
+    bin."""
+    from .geo.tilemath import floor_div
+    from .operators.ml import calibration_bins
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.least(F.lit(999),
+                floor_div(_cents(), F.lit(49))).alias("score_milli"))
+    return calibration_bins(ev, "score_milli", "y")
+
+
+def sql_calibration_bins() -> str:
+    return """WITH e AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         LEAST(999, CAST(floor(value * 100 + 0.5) AS BIGINT) // 49)
+           AS s
+  FROM events WHERE value IS NOT NULL),
+agg AS (
+  SELECT (s * 10) // 1000 AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(SUM(s) AS BIGINT) AS sum_score
+  FROM e GROUP BY 1)
+SELECT bin, n, pos, sum_score,
+       CAST(sum_score AS DOUBLE) / CAST(n * 1000 AS DOUBLE)
+         AS mean_score,
+       CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
+FROM agg"""
+
+
+ANALYTICS_QUERIES["calibration_bins"] = (q_calibration_bins,
+                                         sql_calibration_bins)

@@ -349,3 +349,100 @@ def test_rich_club_empty_club(spark):
     out = {r["k"]: r for r in rich_club(df, ks=(5,)).collect()}
     assert out[5]["n_nodes"] == 0 and out[5]["n_edges"] == 0
     assert out[5]["phi"] is None
+
+
+# ---------------------------------------------------------------- block 4
+from mapbox_filter_spark.operators.ml import calibration_bins, decision_stump
+
+
+def _py_stump(rows, feats):
+    """rows: dicts with feature values + 'y'.  Returns {feature:
+    (thr, n_left, pos_left, n_right, pos_right, gini_split,
+    gini_root)} with the operator's pinned chain."""
+    out = {}
+    for f in feats:
+        from collections import Counter
+        cnt, pos = Counter(), Counter()
+        for r in rows:
+            cnt[r[f]] += 1
+            pos[r[f]] += r["y"]
+        n = sum(cnt.values())
+        ptot = sum(pos.values())
+        xs = sorted(cnt)
+        best = None
+        nl = pl = 0
+        for x in xs[:-1]:
+            nl += cnt[x]
+            pl += pos[x]
+            nr, pr = n - nl, ptot - pl
+            s = (float(pl * pl + (nl - pl) * (nl - pl)) / float(nl)
+                 + float(pr * pr + (nr - pr) * (nr - pr)) / float(nr))
+            if best is None or s > best[0]:
+                best = (s, x, nl, pl, nr, pr)
+        s, x, nl, pl, nr, pr = best
+        gini_split = (float(n) - s) / float(n)
+        gini_root = 1.0 - float(ptot * ptot + (n - ptot) * (n - ptot)) \
+            / (float(n) * float(n))
+        out[f] = (x, nl, pl, nr, pr, gini_split, gini_root)
+    return out
+
+
+def test_decision_stump_differential(spark):
+    rng = random.Random(441)
+    rows = [{"h": rng.randrange(0, 8),
+             "c": rng.randrange(0, 5),
+             "y": 0} for _ in range(400)]
+    for r in rows:  # plant signal on h
+        r["y"] = int(rng.random() < (0.8 if r["h"] >= 5 else 0.1))
+    df = spark.createDataFrame(
+        [(r["h"], r["c"], r["y"]) for r in rows],
+        "h long, c long, y int")
+    got = {r["feature"]: r for r in
+           decision_stump(df, ["h", "c"], "y").collect()}
+    exp = _py_stump(rows, ["h", "c"])
+    for f in ("h", "c"):
+        e = exp[f]
+        g = got[f]
+        assert (g["thr"], g["n_left"], g["pos_left"],
+                g["n_right"], g["pos_right"]) == e[:5]
+        assert g["gini_split"] == pytest.approx(e[5], rel=1e-15)
+        assert g["gini_root"] == pytest.approx(e[6], rel=1e-15)
+    # the planted split must be found: threshold 4 on h
+    assert got["h"]["thr"] == 4
+    # and h must beat the noise feature on impurity decrease
+    assert (got["h"]["gini_root"] - got["h"]["gini_split"]
+            > got["c"]["gini_root"] - got["c"]["gini_split"])
+
+
+def test_decision_stump_pure_labels(spark):
+    # perfectly separable: gini_split == 0
+    rows = [(x, int(x > 3)) for x in range(8) for _ in range(5)]
+    df = spark.createDataFrame(rows, "x long, y int")
+    r = decision_stump(df, ["x"], "y").collect()[0]
+    assert r["thr"] == 3 and r["gini_split"] == 0.0
+
+
+def test_calibration_bins_differential(spark):
+    rng = random.Random(442)
+    rows = [(rng.randrange(0, 1000),) for _ in range(500)]
+    rows = [(s, int(rng.random() < s / 1000.0)) for (s,) in rows]
+    df = spark.createDataFrame(rows, "s long, y int")
+    got = {r["bin"]: r for r in
+           calibration_bins(df, "s", "y").collect()}
+    from collections import defaultdict
+    agg = defaultdict(lambda: [0, 0, 0])
+    for s, y in rows:
+        b = s * 10 // 1000
+        agg[b][0] += 1
+        agg[b][1] += y
+        agg[b][2] += s
+    assert set(got) == set(agg)
+    for b, (n, pos, ss) in agg.items():
+        r = got[b]
+        assert (r["n"], r["pos"], r["sum_score"]) == (n, pos, ss)
+        assert r["mean_score"] == pytest.approx(ss / (n * 1000.0),
+                                                rel=1e-15)
+        assert r["frac_pos"] == pytest.approx(pos / n, rel=1e-15)
+    # a score drawn calibrated must produce a roughly monotone curve
+    fracs = [got[b]["frac_pos"] for b in sorted(got)]
+    assert fracs[-1] > fracs[0]
