@@ -1213,3 +1213,117 @@ def haar_energy(events: DataFrame, ts_col: str, group_cols, *,
         cur = paired.select(*gcols, F.col("j").alias("idx"),
                             F.col("a").alias("c"))
     return out
+
+
+def durbin_watson(df: DataFrame, group_cols: "list[str]", order_cols,
+                  value_col: str) -> DataFrame:
+    """Durbin-Watson statistic per group — first-order serial
+    correlation of an ordered integer series (DW ≈ 2(1−ρ₁): ≈2 means
+    independent steps, →0 positive autocorrelation, →4 alternation).
+    The residual-diagnostics companion to the autocorr gate, computed
+    on deviations from the group mean without ever forming them:
+    DW = Σ(xₜ−xₜ₋₁)² / Σ(xₜ−x̄)² and the numerator is mean-invariant,
+    so num = Σd² (exact int64 over lag diffs) and the denominator is
+    the moment identity (nΣx² − (Σx)²)/n — hence
+
+        dw = n·num / (n·Σx² − (Σx)²)
+
+    with the combination in DECIMAL(38,0) (the ols2 discipline; the
+    int64 products die at n·Σx² ≈ 2⁶³) and ONE pinned double divide.
+
+    Scale shape: one lag window + one map-side-combinable groupBy,
+    both keyed on the group columns — single exchange.
+
+    Returns ``(*group_cols, n, num, dw)`` — dw NULL for constant
+    series (zero variance) or n < 2.
+    """
+    g = list(group_cols)
+    order = order_cols if isinstance(order_cols, (list, tuple)) \
+        else [order_cols]
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy(*g).orderBy(*[F.col(c) for c in order])
+    d = (v - F.lag(v).over(w))
+    rows = df.select(*g, v.alias("_x"), d.alias("_d"))
+    agg = rows.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_d") * F.col("_d")).alias("num"))
+    D = "decimal(38,0)"
+    nn = F.col("n").cast(D) * F.col("num").cast(D)
+    den = (F.col("n").cast(D) * F.col("_sxx").cast(D)
+           - F.col("_sx").cast(D) * F.col("_sx").cast(D))
+    dw = F.when((F.col("n") >= 2) & (den != 0),
+                nn.cast("double") / den.cast("double"))
+    return agg.select(*g, "n", "num", dw.alias("dw"))
+
+
+def forecast_accuracy(df: DataFrame, group_cols: "list[str]",
+                      tick_col: str, value_col: str, *,
+                      season: int = 7) -> DataFrame:
+    """Forecast-accuracy metrics per group for the SEASONAL-NAIVE
+    forecast (ŷₜ = yₜ₋ₛ) on a dense integer series — MASE and sMAPE,
+    the scale-free pair every forecasting benchmark reports
+    (Hyndman & Koehler 2006, "Another look at measures of forecast
+    accuracy").  Grade a model by beating this floor.
+
+    Exactness: the series must be dense in ``tick_col`` (gapfill
+    upstream); forecast joins are lag windows over exact longs.
+    MASE = (Σ|yₜ−ŷₜ|/n_f) / (Σ|yₜ−yₜ₋₁|/n_d) is evaluated by integer
+    cross-multiplication — ``(Σ|e_f|·n_d) / (n_f·Σ|Δ|)`` — ONE pinned
+    divide of two exact int64 products.  sMAPE's per-term rational
+    2|e|/(y+ŷ) (positive series) cannot share a denominator, so it is
+    a PINNED-ORDER fold over the tick-sorted list, one divide per
+    term (the entropy_profile discipline).
+
+    Scale shape: two lag windows + one groupBy, all keyed on the
+    group columns — single exchange.
+
+    Returns ``(*group_cols, n_f, sum_abs_err, sum_abs_naive, mase,
+    smape)`` — NULLs when the in-sample naive error is zero (constant
+    series) or no forecastable ticks exist.
+    """
+    g = list(group_cols)
+    t = F.col(tick_col).cast("long")
+    v = F.col(value_col).cast("long")
+    w = Window.partitionBy(*g).orderBy(t)
+    yhat = F.lag(v, season).over(w)
+    y1 = F.lag(v, 1).over(w)
+    rows = df.select(
+        *g, t.alias("_t"), v.alias("_y"),
+        yhat.alias("_yh"), y1.alias("_y1"))
+    e_f = F.when(F.col("_yh").isNotNull(),
+                 F.abs(F.col("_y") - F.col("_yh")))
+    e_d = F.when(F.col("_y1").isNotNull(),
+                 F.abs(F.col("_y") - F.col("_y1")))
+    sm_t = F.when(
+        F.col("_yh").isNotNull()
+        & ((F.col("_y") + F.col("_yh")) > 0),
+        F.lit(2.0) * F.abs(F.col("_y") - F.col("_yh")).cast("double")
+        / (F.col("_y") + F.col("_yh")).cast("double"))
+    terms = rows.select(*g, "_t", e_f.alias("_ef"), e_d.alias("_ed"),
+                        sm_t.alias("_sm"))
+    # a NULL sm inside a non-null struct would poison the fold —
+    # collect only the defined terms (collect_list drops null entries)
+    arr = F.sort_array(F.collect_list(F.when(
+        F.col("_sm").isNotNull(),
+        F.struct(F.col("_t"), F.col("_sm").alias("sm")))))
+    agg = terms.groupBy(*g).agg(
+        F.count("_ef").alias("n_f"),
+        F.sum("_ef").alias("sum_abs_err"),
+        F.count("_ed").alias("_nd"),
+        F.sum("_ed").alias("sum_abs_naive"),
+        F.count("_sm").alias("_nsm"),
+        F.aggregate(arr, F.lit(0.0),
+                    lambda acc, s: acc + s["sm"]).alias("_smsum"))
+    D = "decimal(38,0)"
+    mase = F.when(
+        (F.col("n_f") > 0) & (F.col("sum_abs_naive") > 0),
+        (F.col("sum_abs_err").cast(D) * F.col("_nd").cast(D))
+        .cast("double")
+        / (F.col("n_f").cast(D) * F.col("sum_abs_naive").cast(D))
+        .cast("double"))
+    smape = F.when(F.col("_nsm") > 0,
+                   F.col("_smsum") / F.col("_nsm").cast("double"))
+    return agg.select(*g, "n_f", "sum_abs_err", "sum_abs_naive",
+                      mase.alias("mase"), smape.alias("smape"))

@@ -1510,3 +1510,114 @@ GROUP BY p.cohort, n.n_subj"""
 
 
 TEMPORAL_QUERIES["c_index"] = (q_c_index, sql_c_index)
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation statistic per event type
+    (operators/temporal.py durbin_watson) over the (ts, event_id)-
+    ordered cents series: exact int64 lag-diff numerator, DECIMAL38
+    moment denominator, one pinned divide."""
+    from .operators.temporal import durbin_watson
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        _cents().alias("cents"))
+    return durbin_watson(ev, ["event_type"], ["us", "event_id"],
+                         "cents")
+
+
+def sql_durbin_watson() -> str:
+    return """WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events),
+l AS (
+  SELECT event_type, x,
+         x - LAG(x) OVER (PARTITION BY event_type
+                          ORDER BY us, event_id) AS d
+  FROM e),
+a AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(d * d) AS BIGINT) AS num
+  FROM l GROUP BY 1)
+SELECT event_type, n, num,
+       CASE WHEN n >= 2 AND CAST(n AS HUGEINT) * sxx
+                            - CAST(sx AS HUGEINT) * sx <> 0 THEN
+         CAST(CAST(n AS HUGEINT) * num AS DOUBLE)
+           / CAST(CAST(n AS HUGEINT) * sxx
+                  - CAST(sx AS HUGEINT) * sx AS DOUBLE) END AS dw
+FROM a"""
+
+
+TEMPORAL_QUERIES["durbin_watson"] = (q_durbin_watson,
+                                     sql_durbin_watson)
+
+
+def q_forecast_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive MASE + sMAPE per event type (operators/temporal.py
+    forecast_accuracy) over the dense daily cents totals: exact
+    cross-multiplied MASE, tick-sorted pinned sMAPE fold."""
+    from .geo.tilemath import floor_div
+    from .operators.temporal import forecast_accuracy
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        floor_div(F.unix_micros(F.col("ts").cast("timestamp")),
+                  86_400_000_000).alias("day"),
+        _cents().alias("cents"))
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("cents").alias("total"))
+    return forecast_accuracy(daily, ["event_type"], "day", "total",
+                             season=7)
+
+
+def sql_forecast_accuracy() -> str:
+    return """WITH e AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+daily AS (
+  SELECT event_type, day, CAST(SUM(cents) AS BIGINT) AS y
+  FROM e GROUP BY 1, 2),
+l AS (
+  SELECT event_type, day, y,
+         LAG(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS yh,
+         LAG(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1
+  FROM daily),
+t AS (
+  SELECT event_type, day,
+         CASE WHEN yh IS NOT NULL THEN abs(y - yh) END AS ef,
+         CASE WHEN y1 IS NOT NULL THEN abs(y - y1) END AS ed,
+         CASE WHEN yh IS NOT NULL AND y + yh > 0 THEN
+           CAST(2.0 AS DOUBLE) * CAST(abs(y - yh) AS DOUBLE)
+             / CAST(y + yh AS DOUBLE) END AS sm
+  FROM l),
+base AS (
+  SELECT event_type,
+         CAST(COUNT(ef) AS BIGINT) AS n_f,
+         CAST(SUM(ef) AS BIGINT) AS sum_abs_err,
+         CAST(COUNT(ed) AS BIGINT) AS nd,
+         CAST(SUM(ed) AS BIGINT) AS sum_abs_naive,
+         CAST(COUNT(sm) AS BIGINT) AS nsm
+  FROM t GROUP BY 1),
+folds AS (
+  SELECT event_type,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(sm ORDER BY day)),
+                     (a, b) -> a + b) AS smsum
+  FROM t WHERE sm IS NOT NULL GROUP BY 1)
+SELECT b.event_type, b.n_f, b.sum_abs_err, b.sum_abs_naive,
+       CASE WHEN b.n_f > 0 AND b.sum_abs_naive > 0 THEN
+         CAST(CAST(b.sum_abs_err AS HUGEINT) * b.nd AS DOUBLE)
+           / CAST(CAST(b.n_f AS HUGEINT) * b.sum_abs_naive AS DOUBLE)
+       END AS mase,
+       CASE WHEN b.nsm > 0 THEN f.smsum / CAST(b.nsm AS DOUBLE)
+       END AS smape
+FROM base b LEFT JOIN folds f ON f.event_type = b.event_type"""
+
+
+TEMPORAL_QUERIES["forecast_accuracy"] = (q_forecast_accuracy,
+                                         sql_forecast_accuracy)

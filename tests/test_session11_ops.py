@@ -446,3 +446,95 @@ def test_calibration_bins_differential(spark):
     # a score drawn calibrated must produce a roughly monotone curve
     fracs = [got[b]["frac_pos"] for b in sorted(got)]
     assert fracs[-1] > fracs[0]
+
+
+# ---------------------------------------------------------------- block 5
+from mapbox_filter_spark.operators.temporal import (durbin_watson,
+                                                    forecast_accuracy)
+
+
+def test_durbin_watson_differential(spark):
+    rng = random.Random(451)
+    rows = [("a", i, rng.randrange(0, 1000)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    r = durbin_watson(df, ["g"], ["t"], "x").collect()[0]
+    xs = [x for _, _, x in rows]
+    num = sum((xs[i] - xs[i - 1]) ** 2 for i in range(1, len(xs)))
+    n = len(xs)
+    den = n * sum(x * x for x in xs) - sum(xs) ** 2
+    assert (r["n"], r["num"]) == (n, num)
+    assert r["dw"] == pytest.approx(float(n * num) / float(den),
+                                    rel=1e-15)
+
+
+def test_durbin_watson_alternating_near_four(spark):
+    rows = [("a", i, 100 if i % 2 else 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    r = durbin_watson(df, ["g"], ["t"], "x").collect()[0]
+    assert r["dw"] > 3.8  # alternation drives DW toward 4
+
+
+def test_durbin_watson_trending_near_zero(spark):
+    rows = [("a", i, i * 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    r = durbin_watson(df, ["g"], ["t"], "x").collect()[0]
+    assert r["dw"] < 0.01  # smooth trend: tiny steps vs huge variance
+
+
+def test_durbin_watson_constant_null(spark):
+    rows = [("a", i, 7) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    assert durbin_watson(df, ["g"], ["t"], "x").collect()[0]["dw"] is None
+
+
+def _py_forecast(ys, season=7):
+    n_f = 0
+    se = 0
+    nd = 0
+    sn = 0
+    sm = 0.0
+    nsm = 0
+    for i, y in enumerate(ys):
+        if i >= season:
+            yh = ys[i - season]
+            n_f += 1
+            se += abs(y - yh)
+            if y + yh > 0:
+                sm += 2.0 * float(abs(y - yh)) / float(y + yh)
+                nsm += 1
+        if i >= 1:
+            nd += 1
+            sn += abs(y - ys[i - 1])
+    mase = float(se * nd) / float(n_f * sn) if n_f and sn else None
+    smape = sm / float(nsm) if nsm else None
+    return n_f, se, sn, mase, smape
+
+
+def test_forecast_accuracy_differential(spark):
+    rng = random.Random(452)
+    ys = [rng.randrange(50, 150) for _ in range(40)]
+    rows = [("a", i, y) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g string, t long, y long")
+    r = forecast_accuracy(df, ["g"], "t", "y").collect()[0]
+    n_f, se, sn, mase, smape = _py_forecast(ys)
+    assert (r["n_f"], r["sum_abs_err"], r["sum_abs_naive"]) \
+        == (n_f, se, sn)
+    assert r["mase"] == pytest.approx(mase, rel=1e-15)
+    assert r["smape"] == pytest.approx(smape, rel=1e-12)
+
+
+def test_forecast_accuracy_perfect_weekly_cycle(spark):
+    # exact period-7 signal: seasonal-naive is perfect, MASE = 0
+    ys = [(i % 7) * 10 + 5 for i in range(35)]
+    rows = [("a", i, y) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g string, t long, y long")
+    r = forecast_accuracy(df, ["g"], "t", "y").collect()[0]
+    assert r["sum_abs_err"] == 0 and r["mase"] == 0.0 and r["smape"] == 0.0
+
+
+def test_forecast_accuracy_constant_series_null_mase(spark):
+    ys = [9] * 20
+    rows = [("a", i, y) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g string, t long, y long")
+    r = forecast_accuracy(df, ["g"], "t", "y").collect()[0]
+    assert r["mase"] is None and r["smape"] == 0.0
