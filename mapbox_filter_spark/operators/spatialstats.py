@@ -634,3 +634,68 @@ def sd_ellipse(df: DataFrame, group_cols, x_col: str,
         *gcols, "n", F.when(ok, mxx).alias("mxx"),
         F.when(ok, myy).alias("myy"), F.when(ok, mxy).alias("mxy"),
         tan2.alias("tan2theta"), s1.alias("sigma1"), s2.alias("sigma2"))
+
+
+def kde_surface(pts: DataFrame, cell: int, radius: int,
+                x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Kernel-density-estimate surface on a regular grid — the
+    continuous heat surface behind every "density map" tile layer
+    (Silverman 1986 §4.ЗК; the quartic/biweight kernel is the QGIS /
+    ArcGIS heatmap default).  Evaluates the KDE at CELL CENTERS with
+    the quartic kernel K(d) = (1 − (d/r)²)² for d < r.
+
+    Exactness: everything runs in DOUBLED integer coordinates so cell
+    centers are integral ((2g+1)·cell); the kernel numerator
+    (r₂² − d₂²)² is then an exact int64 per contribution and the
+    per-cell sum ``kde_num`` is an exact long — the density is ONE
+    pinned divide by the constant r₂⁴.  Bound: contributions ≤
+    (2r)⁴ each ⇒ Σ fits int64 while n_in_radius·(2r)⁴ < 2⁶³ (r = 2000
+    doubles to 4000 ⇒ 2.6·10¹⁴ per point — ~35k points per disc, the
+    heavy_hitters-detectable hot-cell case; raise ``cell`` or
+    pre-aggregate).
+
+    Scale shape: the DBSCAN discipline — each point explodes to its
+    3×3 neighbor cells (ring 1 covers every center within r because
+    r ≤ 1.5·cell is ENFORCED; the nearest excluded center sits
+    ≥ 1.5·cell away) and ONE map-side-combinable groupBy on the cell
+    key aggregates.  No pair joins, no windows.
+
+    Returns ``(gx, gy, n_contrib, kde_num, density)`` for cells with
+    ≥ 1 in-radius contribution.
+    """
+    if radius > 1.5 * cell:
+        raise ValueError(
+            f"kde_surface: radius {radius} exceeds 1.5*cell "
+            f"({1.5 * cell:.0f}) — ring-1 coverage would miss "
+            "contributions; raise cell or generalize the ring")
+    from ..geo.tilemath import floor_div
+
+    r2d = 2 * radius
+    r2d2 = r2d * r2d
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    off_arr = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in offs])
+    p = pts.select(
+        floor_div(F.col(x_col), cell).alias("_gx"),
+        floor_div(F.col(y_col), cell).alias("_gy"),
+        (F.col(x_col).cast("long") * 2).alias("_x2"),
+        (F.col(y_col).cast("long") * 2).alias("_y2"),
+        F.explode(off_arr).alias("_o"))
+    gx = (F.col("_gx") + F.col("_o.dx"))
+    gy = (F.col("_gy") + F.col("_o.dy"))
+    cx = (gx * 2 * cell + cell)   # doubled center coordinate
+    cy = (gy * 2 * cell + cell)
+    d2 = ((F.col("_x2") - cx) * (F.col("_x2") - cx)
+          + (F.col("_y2") - cy) * (F.col("_y2") - cy))
+    contrib = p.select(
+        gx.alias("gx"), gy.alias("gy"), d2.alias("_d2")).filter(
+        F.col("_d2") < F.lit(r2d2))
+    num = (F.lit(r2d2) - F.col("_d2"))
+    agg = contrib.groupBy("gx", "gy").agg(
+        F.count(F.lit(1)).alias("n_contrib"),
+        F.sum(num * num).alias("kde_num"))
+    dens = (F.col("kde_num").cast("double")
+            / F.lit(float(r2d2) * float(r2d2)))
+    return agg.select("gx", "gy", "n_contrib", "kde_num",
+                      dens.alias("density"))

@@ -3446,3 +3446,53 @@ FROM e"""
 
 
 GEOM_QUERIES["sde_profile"] = (q_sde_profile, sql_sde_profile)
+
+
+def q_kde_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartic-kernel density surface of feature positions on a 0.4°
+    grid (operators/spatialstats.py kde_surface): milli-degree shifted
+    integer coordinates, doubled-integer cell centers, exact int64
+    kernel numerators, one pinned divide for the density — the heat
+    surface behind a density-map tile layer."""
+    from .operators.spatialstats import kde_surface
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir).select(
+        F.floor((F.col("lon") + F.lit(180.0)) * F.lit(1000.0))
+        .cast("long").alias("mx"),
+        F.floor((F.col("lat") + F.lit(85.0)) * F.lit(1000.0))
+        .cast("long").alias("my"))
+    return kde_surface(feats, cell=400, radius=600,
+                       x_col="mx", y_col="my")
+
+
+def sql_kde_surface() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    # cell=400, radius=600 -> doubled radius 1200, r2d2 = 1_440_000;
+    # density divisor r2d2^2 = 2_073_600_000_000 (exactly representable).
+    return f"""WITH {FEATURES_ORACLE_SQL},
+pts AS (
+  SELECT CAST(floor((lon + 180.0) * 1000.0) AS BIGINT) AS x,
+         CAST(floor((lat + 85.0) * 1000.0) AS BIGINT) AS y
+  FROM features),
+offs AS (SELECT * FROM (VALUES
+  (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1))
+  t(dx, dy)),
+c AS (
+  SELECT (x // 400) + dx AS gx, (y // 400) + dy AS gy,
+         2 * x - (((x // 400) + dx) * 800 + 400) AS ddx,
+         2 * y - (((y // 400) + dy) * 800 + 400) AS ddy
+  FROM pts CROSS JOIN offs),
+f AS (
+  SELECT gx, gy,
+         CAST(1440000 - (ddx * ddx + ddy * ddy) AS BIGINT) AS num
+  FROM c WHERE ddx * ddx + ddy * ddy < 1440000)
+SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n_contrib,
+       CAST(SUM(num * num) AS BIGINT) AS kde_num,
+       CAST(CAST(SUM(num * num) AS BIGINT) AS DOUBLE)
+         / 2073600000000.0 AS density
+FROM f GROUP BY gx, gy"""
+
+
+GEOM_QUERIES["kde_surface"] = (q_kde_surface, sql_kde_surface)

@@ -160,3 +160,79 @@ def test_sde_deviation_bound_raises(spark):
     with pytest.raises(Exception) as exc:
         sd_ellipse(df, ["g"], "x", "y").collect()
     assert "exceeds exact bound" in str(exc.value)
+
+
+# --- kde_surface ------------------------------------------------------
+
+def _py_kde(pts, cell, radius):
+    """Brute replay of kde_surface: same doubled-integer chain."""
+    r2d = 2 * radius
+    r2d2 = r2d * r2d
+    agg = {}
+    for x, y in pts:
+        gx0, gy0 = x // cell, y // cell
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                gx, gy = gx0 + dx, gy0 + dy
+                cx, cy = gx * 2 * cell + cell, gy * 2 * cell + cell
+                d2 = (2 * x - cx) ** 2 + (2 * y - cy) ** 2
+                if d2 < r2d2:
+                    a = agg.setdefault((gx, gy), [0, 0])
+                    a[0] += 1
+                    a[1] += (r2d2 - d2) ** 2
+    return {k: (v[0], v[1], v[1] / (float(r2d2) * float(r2d2)))
+            for k, v in agg.items()}
+
+
+def _run_kde(spark, pts, cell, radius):
+    from mapbox_filter_spark.operators.spatialstats import kde_surface
+    df = spark.createDataFrame(list(pts), "x long, y long")
+    rows = kde_surface(df, cell=cell, radius=radius).collect()
+    return {(r.gx, r.gy): (r.n_contrib, r.kde_num, r.density)
+            for r in rows}
+
+
+def test_kde_random_cloud(spark):
+    rng = random.Random(23)
+    pts = [(rng.randrange(-5_000, 5_000), rng.randrange(-5_000, 5_000))
+           for _ in range(600)]
+    got = _run_kde(spark, pts, cell=400, radius=600)
+    exp = _py_kde(pts, 400, 600)
+    assert got == exp
+
+
+def test_kde_single_point_disc(spark):
+    # one point dead-center of cell (0,0): full kernel at the center
+    # (d=0 -> num = r2d2, density exactly 1.0); rook neighbors at
+    # distance cell=400 and corner neighbors at 400*sqrt(2)~565.7 are
+    # all inside radius 600 -> all 9 ring-1 cells receive mass.
+    cell, radius = 400, 600
+    pts = [(200, 200)]
+    got = _run_kde(spark, pts, cell, radius)
+    exp = _py_kde(pts, cell, radius)
+    assert got == exp
+    r2d2 = (2 * radius) ** 2
+    assert got[(0, 0)] == (1, r2d2 * r2d2, 1.0)
+    assert len(got) == 9
+
+
+def test_kde_ring1_coverage_at_bound(spark):
+    # radius == 1.5*cell exactly: the nearest ring-2 center sits at
+    # exactly radius -> kernel is zero there and the strict < filter
+    # drops it in BOTH the brute replay and the operator.
+    cell, radius = 400, 600
+    rng = random.Random(7)
+    pts = [(rng.randrange(0, 1200), rng.randrange(0, 1200))
+           for _ in range(200)]
+    # include exact edge points that sit 1.5*cell from a ring-2 center
+    pts += [(0, 200), (1200, 200), (200, 0)]
+    assert _run_kde(spark, pts, cell, radius) == _py_kde(
+        pts, cell, radius)
+
+
+def test_kde_radius_bound_raises(spark):
+    from mapbox_filter_spark.operators.spatialstats import kde_surface
+    df = spark.createDataFrame([(0, 0)], "x long, y long")
+    with pytest.raises(ValueError) as exc:
+        kde_surface(df, cell=400, radius=601)
+    assert "ring-1 coverage" in str(exc.value)
