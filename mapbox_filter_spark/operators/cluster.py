@@ -645,3 +645,157 @@ def lof_scores(pts: DataFrame, k: int, radius: int, *,
                     F.when(F.col("_anyz") == 1, F.lit(None).cast("long"))
                     .otherwise(F.col("_sumr")).alias("sum_recip"),
                     lof.alias("lof")))
+
+
+def label_suppress(labels: DataFrame, radius: int, *,
+                   id_col: str = "i", x: str = "x", y: str = "y",
+                   prio_col: str = "prio",
+                   max_rounds: int = 64) -> DataFrame:
+    """Greedy collision-free label placement — the label set a tile
+    renderer actually draws: process labels in strictly increasing
+    ``prio`` order (smaller = more important, an exact TOTAL order —
+    ties within ``radius`` raise in-plan, never a silent engine-
+    dependent pick) and KEEP a label iff no already-kept label lies
+    within ``radius``.  This sequential greedy is exactly maximal-
+    independent-set by fixed priority on the proximity graph
+    (collision-resolution in mapbox-gl's placement pass; the
+    rank-greedy MIS formulation is the textbook distributed variant),
+    computed here WITHOUT the sequence as a synchronous fixpoint:
+
+    round: an undecided label whose higher-priority neighbors are all
+    SUPPRESSED becomes KEPT; one with ANY kept higher-priority
+    neighbor becomes SUPPRESSED.  The minimum-priority undecided label
+    always decides, so every round makes progress; rounds are bounded
+    by the longest suppression chain (dense cliques settle in 2).
+    Raises after ``max_rounds`` — never silent truncation.
+
+    Scale shape: candidate pairs come from the shared eps-grid block
+    join (``blocked_pairs`` — one shuffle per side, ×9 probe
+    expansion, hot-cell salt available upstream); per round ONE join
+    of the shrinking edge set against the status table + one groupBy,
+    both ``localCheckpoint``-ed (the k_core discipline).  The
+    quadratic pair space is never materialized.
+
+    Returns the input columns plus ``kept`` (boolean).
+    """
+    if radius <= 0:
+        raise ValueError("radius must be a positive integer")
+    ids = labels.select(
+        F.col(id_col).alias("id"),
+        F.col(prio_col).cast("long").alias("_p"))
+    pr = blocked_pairs(
+        labels.select(F.col(id_col).alias("_lid"),
+                      F.col(x).alias("_lx"), F.col(y).alias("_ly"),
+                      F.col(prio_col).cast("long").alias("_lp")),
+        cell=radius, id_col="_lid", x="_lx", y="_ly",
+        extra_cols=("_lp",), directed=False)
+    tie = F.when(
+        F.col("l__lp") == F.col("r__lp"),
+        F.raise_error(F.concat(
+            F.lit("label_suppress: prio ties within radius at ids "),
+            F.col("i").cast("string"), F.lit("/"),
+            F.col("j").cast("string"))).cast("long"))
+    # directed edge suppressor a -> target b (prio_a < prio_b)
+    e = (pr.select(
+        F.when(F.col("l__lp") < F.col("r__lp"), F.col("i"))
+        .otherwise(tie.otherwise(F.col("j"))).alias("a"),
+        F.when(F.col("l__lp") < F.col("r__lp"), F.col("j"))
+        .otherwise(F.col("i")).alias("b"))
+        .localCheckpoint())
+
+    # st: 0 undecided, 1 kept, -1 suppressed
+    st = ids.select("id", F.lit(0).alias("st")).localCheckpoint()
+    for _ in range(max_rounds):
+        if st.filter(F.col("st") == 0).isEmpty():
+            out = labels.join(
+                st.select(F.col("id").alias(id_col),
+                          (F.col("st") == 1).alias("kept")),
+                id_col)
+            return out.select(*labels.columns, "kept")
+        sa = st.select(F.col("id").alias("a"), F.col("st").alias("_sa"))
+        ag = (e.join(sa, "a")
+              .groupBy("b")
+              .agg(F.max((F.col("_sa") == 1).cast("int")).alias("_ak"),
+                   F.max((F.col("_sa") == 0).cast("int")).alias("_au")))
+        st = (st.join(ag, st["id"] == ag["b"], "left")
+              .select(
+                  "id",
+                  F.when(F.col("st") != 0, F.col("st"))
+                  .when(F.coalesce(F.col("_ak"), F.lit(0)) == 1,
+                        F.lit(-1))
+                  .when(F.coalesce(F.col("_au"), F.lit(0)) == 0,
+                        F.lit(1))
+                  .otherwise(F.lit(0)).alias("st"))
+              .localCheckpoint())
+        # edges from suppressed suppressors or to decided targets are dead
+        alive_a = st.filter(F.col("st") >= 0).select(
+            F.col("id").alias("a"))
+        und_b = st.filter(F.col("st") == 0).select(
+            F.col("id").alias("b"))
+        e = e.join(alive_a, "a", "left_semi") \
+             .join(und_b, "b", "left_semi").localCheckpoint()
+    raise RuntimeError(
+        f"label_suppress: no fixpoint in {max_rounds} rounds")
+
+
+def voronoi_assign(pts: DataFrame, seeds: DataFrame, *,
+                   x: str = "x", y: str = "y",
+                   sx: str = "sx", sy: str = "sy",
+                   seed_id: str = "seed_id",
+                   coord_bound: int = 1 << 20) -> DataFrame:
+    """Discrete Voronoi allocation — assign every point to its nearest
+    seed site (facility, hub, depot) by EXACT integer squared distance
+    with the deterministic ``d²·k + seed_id`` argmin fold (the kmeans
+    assignment tie-break: equal distances resolve to the smallest seed
+    id on any engine).
+
+    ``seeds`` is a driver-side CONTROL TABLE (the kmeans-centroid
+    convention): it is collected (must be small — facilities, hubs;
+    raise past 1024) and unrolled into a zero-shuffle ``least`` chain,
+    so the point table never exchanges and never joins — assignment
+    runs entirely inside whole-stage codegen.  ``seed_id`` must be a
+    dense 0..k-1 rank (validated driver-side).
+
+    Exactness bound: |coords| ≤ ``coord_bound`` (default 2²⁰,
+    raise-checked in-plan) keeps d² ≤ 8·2⁴⁰ and the fold key
+    d²·k + id < 2⁶³ for k ≤ 1024.
+
+    Returns the input columns plus ``(seed_id, d2)``.
+    """
+    rows = seeds.select(seed_id, sx, sy).collect()
+    k = len(rows)
+    if k == 0:
+        raise ValueError("voronoi_assign: empty seed table")
+    if k > 1024:
+        raise ValueError(f"voronoi_assign: {k} seeds exceed the "
+                         "broadcast-literal bound (1024)")
+    got = sorted(r[seed_id] for r in rows)
+    if got != list(range(k)):
+        raise ValueError("voronoi_assign: seed_id must be a dense "
+                         f"0..{k - 1} rank, got {got[:5]}...")
+    for r in rows:
+        if abs(r[sx]) > coord_bound or abs(r[sy]) > coord_bound:
+            raise ValueError("voronoi_assign: seed coords exceed "
+                             f"bound {coord_bound}")
+    bad = ((F.abs(F.col(x).cast("long")) > coord_bound)
+           | (F.abs(F.col(y).cast("long")) > coord_bound))
+    px = F.when(bad, F.raise_error(F.lit(
+        f"voronoi_assign: point coords exceed bound {coord_bound}"))
+        .cast("long")).otherwise(F.col(x).cast("long"))
+    py = F.col(y).cast("long")
+
+    def _key(r):
+        d2 = ((px - F.lit(int(r[sx]))) * (px - F.lit(int(r[sx])))
+              + (py - F.lit(int(r[sy]))) * (py - F.lit(int(r[sy]))))
+        return d2 * k + int(r[seed_id])
+
+    keys = [_key(r) for r in rows]
+    key = keys[0] if k == 1 else F.least(*keys)
+    return (pts.withColumn("_vkey", key)
+            .select(*pts.columns,
+                    F.pmod(F.col("_vkey"), F.lit(k)).cast("int")
+                    .alias("seed_id"),
+                    (F.col("_vkey") - F.pmod(F.col("_vkey"), F.lit(k)))
+                    .cast("long").alias("_num"))
+            .withColumn("d2", (F.col("_num") / k).cast("long"))
+            .drop("_num"))

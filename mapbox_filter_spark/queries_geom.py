@@ -3496,3 +3496,151 @@ FROM f GROUP BY gx, gy"""
 
 
 GEOM_QUERIES["kde_surface"] = (q_kde_surface, sql_kde_surface)
+
+
+_LBL_RADIUS = 7500          # suppression radius, milli-degrees (1.5 cells)
+# Oracle unroll bound: the greedy-MIS fixpoint settles in 8 rounds at
+# sf0.01 (7 at sf0.1); 16 is 2x margin.  SELF-CHECKING: the engine runs
+# to a TRUE fixpoint, so if 16 rounds were ever insufficient some label
+# would still read st=0 -> kept=false and the value-hash comparison
+# fails loudly — a green gate proves the unroll sufficed (the k_core
+# evidence pattern).
+_LBL_UNROLL = 16
+
+
+def _label_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label candidates on the 5° ESDA grid: one label per occupied
+    cell at the cell center (shifted milli-degree integers), priority
+    = exact total order (denser cells first, then cx, cy — packed as
+    -v*2^16 + (cx+40)*2^8 + (cy+40); cx ∈ [-36,36], cy ∈ [-17,17] by
+    the feature substrate's lon/lat bounds, so the low 16 bits are a
+    collision-free cell id)."""
+    cells = _esda_cells(spark, sf_dir)
+    return cells.select(
+        "cx", "cy", "n_feat",
+        (F.col("cx") * 5000 + 182500).alias("lx"),
+        (F.col("cy") * 5000 + 87500).alias("ly"),
+        ((-F.col("n_feat")) * 65536
+         + (F.col("cx") + 40) * 256 + F.col("cy") + 40).alias("prio"))
+
+
+def q_label_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy collision-free label placement (operators/cluster.py
+    label_suppress) over 5°-cell label candidates: keep a label iff no
+    higher-priority label sits within 7.5° — the renderer's placement
+    pass as a synchronous greedy-MIS fixpoint (per round one join of
+    the shrinking suppressor-edge set + one groupBy)."""
+    from .operators.cluster import label_suppress
+
+    out = label_suppress(_label_cells(spark, sf_dir), _LBL_RADIUS,
+                         id_col="prio", x="lx", y="ly",
+                         prio_col="prio")
+    return out.select("cx", "cy", F.col("n_feat").cast("long")
+                      .alias("n_feat"), "kept")
+
+
+def sql_label_suppress() -> str:
+    r2 = _LBL_RADIUS * _LBL_RADIUS
+    ctes = [f"""{_sql_esda_cells()},
+lab AS MATERIALIZED (
+  SELECT cx, cy, v, cx * 5000 + 182500 AS x, cy * 5000 + 87500 AS y,
+         (-v) * 65536 + (cx + 40) * 256 + (cy + 40) AS p
+  FROM cells),
+e AS MATERIALIZED (
+  SELECT a.p AS pa, b.p AS pb
+  FROM lab a JOIN lab b
+    ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {r2}
+   AND a.p < b.p),
+st0 AS (SELECT p, 0 AS st FROM lab)"""]
+    for i in range(_LBL_UNROLL):
+        ctes.append(f"""ag{i} AS MATERIALIZED (
+  SELECT e.pb AS p,
+         MAX(CASE WHEN s.st = 1 THEN 1 ELSE 0 END) AS ak,
+         MAX(CASE WHEN s.st = 0 THEN 1 ELSE 0 END) AS au
+  FROM e JOIN st{i} s ON s.p = e.pa GROUP BY e.pb),
+st{i + 1} AS MATERIALIZED (
+  SELECT t.p, CASE WHEN t.st <> 0 THEN t.st
+                   WHEN COALESCE(g.ak, 0) = 1 THEN -1
+                   WHEN COALESCE(g.au, 0) = 0 THEN 1
+                   ELSE 0 END AS st
+  FROM st{i} t LEFT JOIN ag{i} g ON g.p = t.p)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT l.cx, l.cy, CAST(l.v AS BIGINT) AS n_feat, s.st = 1 AS kept
+FROM lab l JOIN st{_LBL_UNROLL} s ON s.p = l.p""")
+
+
+GEOM_QUERIES["label_suppress"] = (q_label_suppress, sql_label_suppress)
+
+
+_VOR_K = 25
+
+
+def q_voronoi_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Voronoi allocation (operators/cluster.py
+    voronoi_assign): every feature assigned to the nearest of the 25
+    densest 5°-cell hubs by exact integer d² with the d²·k + seed_id
+    tie-break fold — the seed table is a driver-side control table
+    unrolled into a zero-shuffle least-chain, so the fact table never
+    exchanges.  Returns per-hub allocation mass and exact total d²."""
+    from pyspark.sql import Window
+
+    from .operators.cluster import voronoi_assign
+    from .sources.features import features_from_lineitem
+
+    cells = _esda_cells(spark, sf_dir)
+    w = Window.orderBy(F.col("n_feat").desc(), "cx", "cy")
+    seeds = (cells.orderBy(F.col("n_feat").desc(), "cx", "cy")
+             .limit(_VOR_K)
+             .select((F.row_number().over(w) - 1).alias("seed_id"),
+                     (F.col("cx") * 5000 + 182500).alias("sx"),
+                     (F.col("cy") * 5000 + 87500).alias("sy")))
+    pts = features_from_lineitem(spark, sf_dir).select(
+        F.floor((F.col("lon") + F.lit(180.0)) * F.lit(1000.0))
+        .cast("long").alias("mx"),
+        F.floor((F.col("lat") + F.lit(85.0)) * F.lit(1000.0))
+        .cast("long").alias("my"))
+    va = voronoi_assign(pts, seeds, x="mx", y="my")
+    agg = va.groupBy("seed_id").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.sum("d2").alias("sum_d2"))
+    return (seeds.join(agg, "seed_id", "left")
+            .select("seed_id", "sx", "sy",
+                    F.coalesce("n_assigned", F.lit(0)).cast("long")
+                    .alias("n_assigned"),
+                    F.coalesce("sum_d2", F.lit(0)).cast("long")
+                    .alias("sum_d2")))
+
+
+def sql_voronoi_assign() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+    k = _VOR_K
+    return f"""WITH {FEATURES_ORACLE_SQL},
+cells AS (
+  SELECT CAST(floor(lon / 5.0) AS BIGINT) AS cx,
+         CAST(floor(lat / 5.0) AS BIGINT) AS cy,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM features GROUP BY 1, 2),
+seeds AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY v DESC, cx, cy) - 1
+              AS INTEGER) AS seed_id,
+         cx * 5000 + 182500 AS sx, cy * 5000 + 87500 AS sy
+  FROM cells ORDER BY v DESC, cx, cy LIMIT {k}),
+pts AS (
+  SELECT CAST(floor((lon + 180.0) * 1000.0) AS BIGINT) AS x,
+         CAST(floor((lat + 85.0) * 1000.0) AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM features GROUP BY 1, 2),
+a AS (
+  SELECT x, y, w,
+         MIN(((x - sx) * (x - sx) + (y - sy) * (y - sy)) * {k}
+             + seed_id) AS key
+  FROM pts CROSS JOIN seeds GROUP BY x, y, w)
+SELECT s.seed_id, s.sx, s.sy,
+       CAST(COALESCE(SUM(a.w), 0) AS BIGINT) AS n_assigned,
+       CAST(COALESCE(SUM(a.w * ((a.key - a.key % {k}) // {k})), 0)
+            AS BIGINT) AS sum_d2
+FROM seeds s LEFT JOIN a ON a.key % {k} = s.seed_id
+GROUP BY 1, 2, 3"""
+
+
+GEOM_QUERIES["voronoi_assign"] = (q_voronoi_assign, sql_voronoi_assign)
