@@ -1327,3 +1327,139 @@ def forecast_accuracy(df: DataFrame, group_cols: "list[str]",
                    F.col("_smsum") / F.col("_nsm").cast("double"))
     return agg.select(*g, "n_f", "sum_abs_err", "sum_abs_naive",
                       mase.alias("mase"), smape.alias("smape"))
+
+
+def allen_pairs(intervals: DataFrame, on: "list[str]", *,
+                id_col: str = "id", start: str = "s", end: str = "e",
+                bucket_s: int) -> DataFrame:
+    """Classify every touching pair of same-key intervals into its
+    Allen interval-algebra relation (Allen, CACM 1983) — the temporal
+    topology audit behind overlap detection, schedule conflict checks
+    and span-containment mining.  Pairs are canonically ordered
+    a ≤ b by (start, end, id), so each unordered pair appears once and
+    the six left-hand relations cover the algebra (the six inverses
+    are the same rows read right-to-left; `before`/`after` — disjoint,
+    non-touching — are excluded by construction, they are the
+    quadratic bulk nobody audits):
+
+      equals       sa = sb, ea = eb
+      starts       sa = sb, ea < eb        (a starts b)
+      meets        sa < sb, ea = sb
+      overlaps     sa < sb < ea < eb
+      finished_by  sa < sb, ea = eb        (b finishes a)
+      contains     sa < sb, eb < ea        (b during a)
+
+    Timestamps are exact long microseconds; ``e >= s`` is raise-checked
+    in-plan.  Scale shape: the interval_join discipline — ONLY the
+    left side explodes to its ``ceil(len/bucket)+1`` time buckets, the
+    right side keeps its single start bucket, and the equi-join on
+    (key, bucket) matches each qualifying pair EXACTLY once (b's start
+    bucket lies in a's bucket range iff the pair touches — no post-join
+    dedup).  One hash shuffle per side.
+
+    Returns ``(*on, id_a, id_b, relation)``.
+    """
+    if bucket_s <= 0:
+        raise ValueError("bucket_s must be positive")
+    b_us = bucket_s * 1_000_000
+    bad = F.col(end) < F.col(start)
+    base = intervals.select(
+        *on,
+        F.col(id_col).alias("_id"),
+        F.when(bad, F.raise_error(F.lit(
+            "allen_pairs: interval end < start"))
+            .cast("long")).otherwise(F.col(start).cast("long"))
+        .alias("_s"),
+        F.col(end).cast("long").alias("_e"))
+    from ..geo.tilemath import floor_div
+    a = base.select(
+        *on, F.col("_id").alias("_ida"), F.col("_s").alias("_sa"),
+        F.col("_e").alias("_ea"),
+        F.explode(F.sequence(floor_div(F.col("_s"), b_us),
+                             floor_div(F.col("_e"), b_us)))
+        .alias("_bkt"))
+    b = base.select(
+        *[F.col(c).alias(f"_r_{c}") for c in on],
+        F.col("_id").alias("_idb"), F.col("_s").alias("_sb"),
+        F.col("_e").alias("_eb"),
+        floor_div(F.col("_s"), b_us).alias("_bkt"))
+    cond = F.lit(True)
+    for c in on:
+        cond = cond & (F.col(c) == F.col(f"_r_{c}"))
+    ordered = (F.struct("_sa", "_ea", "_ida")
+               < F.struct(F.col("_sb").alias("_sa"),
+                          F.col("_eb").alias("_ea"),
+                          F.col("_idb").alias("_ida")))
+    touch = F.col("_sb") <= F.col("_ea")
+    j = a.join(b, ["_bkt"]).filter(cond & ordered & touch)
+    rel = (F.when((F.col("_sa") == F.col("_sb"))
+                  & (F.col("_ea") == F.col("_eb")), "equals")
+           .when(F.col("_sa") == F.col("_sb"), "starts")
+           .when(F.col("_ea") == F.col("_sb"), "meets")
+           .when(F.col("_ea") < F.col("_eb"), "overlaps")
+           .when(F.col("_ea") == F.col("_eb"), "finished_by")
+           .otherwise("contains"))
+    return j.select(*on, F.col("_ida").alias("id_a"),
+                    F.col("_idb").alias("id_b"), rel.alias("relation"))
+
+
+def ltob_downsample(df: DataFrame, keys: "list[str]", *,
+                    ts: str, val: str, bucket_us: int,
+                    tiebreak: str) -> DataFrame:
+    """Largest-Triangle-One-Bucket downsampling (Steinarsson 2013,
+    §4.2) — the chart-rendering reduction that keeps the visually
+    dominant point of every time bucket: the point maximizing the
+    triangle area spanned with its immediate neighbors.  The
+    THREE-bucket variant (LTTB) conditions each pick on the previous
+    bucket's pick — inherently sequential; LTOB is its bucket-parallel
+    sibling and the documented deviation.
+
+    Exactness: 2·area = |(x₋−x₊)(y−y₋) − (x₋−x)(y₊−y₋)| is an exact
+    int64 cross product (ts in long micros, values exact longs —
+    quantize upstream); the per-bucket argmax uses the deterministic
+    (area2 DESC, ts, tiebreak) order.  Both products are raise-checked
+    against 2⁶¹ in-plan — never a silent wrap.  Series endpoints (no
+    neighbor on one side) are always kept, per the LTTB contract.
+
+    Scale shape: ONE hash shuffle on ``keys`` feeds both the
+    neighbor window and the per-(key, bucket) argmax window — the
+    second window reuses the first's partitioning (same leading key).
+
+    Returns ``(*keys, ts, val, bucket, area2, endpoint)`` for the
+    selected points.
+    """
+    if bucket_us <= 0:
+        raise ValueError("bucket_us must be positive")
+    from ..geo.tilemath import floor_div
+    w = Window.partitionBy(*keys).orderBy(ts, tiebreak)
+    x = F.col(ts).cast("long")
+    y = F.col(val).cast("long")
+    d = (df.withColumn("_xp", F.lag(x).over(w))
+         .withColumn("_yp", F.lag(y).over(w))
+         .withColumn("_xn", F.lead(x).over(w))
+         .withColumn("_yn", F.lead(y).over(w)))
+    p1 = F.try_multiply(F.col("_xp") - F.col("_xn"), y - F.col("_yp"))
+    p2 = F.try_multiply(F.col("_xp") - x,
+                        F.col("_yn") - F.col("_yp"))
+    lim = F.lit(1 << 61)
+    # try_multiply -> NULL on int64 overflow; bound each term at 2^61
+    # so the subtraction can't overflow either.  Raise, never wrap.
+    guard = (p1.isNull() | p2.isNull()
+             | (F.greatest(F.abs(p1), F.abs(p2)) > lim))
+    area2 = F.when(
+        guard, F.raise_error(F.lit(
+            "ltob_downsample: cross-product term exceeds 2^61 — "
+            "rescale ts or val")).cast("long")
+    ).otherwise(F.abs(p1 - p2))
+    endpoint = F.col("_xp").isNull() | F.col("_xn").isNull()
+    d = (d.withColumn("_a2", F.when(endpoint, F.lit(None)).otherwise(area2))
+         .withColumn("_ep", endpoint)
+         .withColumn("_bkt", floor_div(x, bucket_us)))
+    wb = (Window.partitionBy(*keys, "_bkt")
+          .orderBy(F.col("_a2").desc_nulls_last(), ts, tiebreak))
+    return (d.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_ep") | (F.col("_rn") == 1))
+            .select(*keys, F.col(ts), F.col(val).cast("long").alias(val),
+                    F.col("_bkt").alias("bucket"),
+                    F.col("_a2").alias("area2"),
+                    F.col("_ep").alias("endpoint")))

@@ -1621,3 +1621,124 @@ FROM base b LEFT JOIN folds f ON f.event_type = b.event_type"""
 
 TEMPORAL_QUERIES["forecast_accuracy"] = (q_forecast_accuracy,
                                          sql_forecast_accuracy)
+
+
+_ALLEN_BKT_S = 3600      # bucket = max interval length (6 x 10 min)
+_ALLEN_Q_US = 600_000_000       # 10-minute quantization grid
+
+
+def q_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval-algebra census (operators/temporal.py
+    allen_pairs): every event opens a window on the 10-minute grid
+    (start snapped down, md5-hash duration of 1-6 grid steps — the
+    quantization makes ALL SIX relation classes occur, including the
+    exact-coincidence ones: 13 equals / 59 starts / 134 meets at
+    sf0.01), same-user touching pairs classified and counted per
+    relation.  Left side explodes ≤2 time buckets; the right side
+    keeps its single start bucket."""
+    from .geo.tilemath import floor_div
+    from .operators.temporal import allen_pairs
+
+    ev = _events(spark, sf_dir)
+    sq = (floor_div(F.unix_micros(F.col("ts").cast("timestamp")),
+                    _ALLEN_Q_US) * _ALLEN_Q_US)
+    dur_us = ((F.conv(F.substring(
+        F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 6 + 1) * _ALLEN_Q_US)
+    iv = ev.select(
+        "user_id", F.col("event_id").alias("id"),
+        sq.alias("s"), (sq + dur_us).alias("e"))
+    pairs = allen_pairs(iv, ["user_id"], id_col="id",
+                        start="s", end="e", bucket_s=_ALLEN_BKT_S)
+    return (pairs.groupBy("relation")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+def sql_allen_relations() -> str:
+    # INDEPENDENT quadratic per-user self-join (not a blocking mirror)
+    q = _ALLEN_Q_US
+    return f"""WITH iv AS (
+  SELECT user_id, event_id AS id,
+         (epoch_us(ts) // {q}) * {q} AS s,
+         (epoch_us(ts) // {q}) * {q}
+           + (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                   1, 15)) AS BIGINT) % 6 + 1)
+             * {q} AS e
+  FROM events),
+p AS (
+  SELECT a.user_id, a.id AS id_a, b.id AS id_b,
+         CASE WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+              WHEN a.s = b.s THEN 'starts'
+              WHEN a.e = b.s THEN 'meets'
+              WHEN a.e < b.e THEN 'overlaps'
+              WHEN a.e = b.e THEN 'finished_by'
+              ELSE 'contains' END AS relation
+  FROM iv a JOIN iv b
+    ON a.user_id = b.user_id
+   AND (a.s, a.e, a.id) < (b.s, b.e, b.id)
+   AND b.s <= a.e)
+SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM p GROUP BY 1"""
+
+
+TEMPORAL_QUERIES["allen_relations"] = (q_allen_relations,
+                                       sql_allen_relations)
+
+
+_LTOB_BKT_US = 86_400_000_000      # one-day buckets
+
+
+def q_ltob_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-One-Bucket chart downsampling
+    (operators/temporal.py ltob_downsample): per user, keep the
+    visually dominant event of each day — exact int64 cross-product
+    areas over (ts µs, cents), endpoints always kept, deterministic
+    (area DESC, ts, event_id) argmax.  One shuffle feeds both
+    windows."""
+    from .operators.temporal import ltob_downsample
+    from .queries_curation import _cents
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        _cents().alias("cents"))
+    out = ltob_downsample(ev, ["user_id"], ts="ts_us", val="cents",
+                          bucket_us=_LTOB_BKT_US, tiebreak="event_id")
+    return out.select("user_id", "ts_us", "cents", "bucket",
+                      "area2", "endpoint")
+
+
+def sql_ltob_downsample() -> str:
+    from .queries_curation import _CENTS_SQL
+    b = _LTOB_BKT_US
+    return f"""WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         {_CENTS_SQL} AS cents
+  FROM events),
+n AS (
+  SELECT user_id, event_id, ts_us, cents,
+         LAG(ts_us) OVER w AS xp, LAG(cents) OVER w AS yp,
+         LEAD(ts_us) OVER w AS xn, LEAD(cents) OVER w AS yn
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+a AS (
+  SELECT user_id, event_id, ts_us, cents,
+         (xp IS NULL OR xn IS NULL) AS endpoint,
+         CASE WHEN xp IS NOT NULL AND xn IS NOT NULL THEN
+           abs((xp - xn) * (cents - yp) - (xp - ts_us) * (yn - yp))
+         END AS area2,
+         ts_us // {b} AS bkt
+  FROM n),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id, bkt
+    ORDER BY area2 DESC NULLS LAST, ts_us, event_id) AS rn
+  FROM a)
+SELECT user_id, ts_us, cents, bkt AS bucket, area2, endpoint
+FROM r WHERE endpoint OR rn = 1"""
+
+
+TEMPORAL_QUERIES["ltob_downsample"] = (q_ltob_downsample,
+                                       sql_ltob_downsample)
