@@ -105,3 +105,50 @@ def ndcg_at_k(ranking: DataFrame, k: int, *,
                   F.col("dcg_s").cast("double")
                   / F.col("idcg_s").cast("double"))
     return out.select(query_id, "dcg_s", "idcg_s", ndcg.alias("ndcg"))
+
+
+def map_mrr_at_k(ranking: DataFrame, k: int, *,
+                 query_id: str = "q_id", rank_col: str = "rank",
+                 rel_col: str = "rel") -> DataFrame:
+    """MAP@k and MRR@k over a per-query ranking — the other two
+    standard retrieval-eval numbers next to nDCG, carried as ONE exact
+    integer aggregate: with L = lcm(1..k), precision contributions
+    cumrel_r·(L/r) and reciprocal ranks L/r are exact integers, so the
+    corpus totals are exact int64 sums and each metric is one pinned
+    division.  AP is the k-NORMALIZED variant (denominator k, not
+    min(k, R) — documented choice: it keeps the corpus aggregate an
+    exact integer ratio instead of an order-dependent double sum).
+
+    ``ranking``: one row per (query, rank ≤ k) with binary ``rel``;
+    ranks must be unique within a query (a top-k output).  Queries
+    with no relevant document contribute 0 to both sums.  One window +
+    two groupBys on the query key.  Returns a single row
+    ``(n_q, sum_ap_l, sum_rr_l, map_at_k, mrr_at_k)`` (``_l`` = scaled
+    by L·k and L respectively)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    L = math.lcm(*range(1, k + 1))
+    warr = F.array(*[F.lit(L // r).cast("long") for r in range(1, k + 1)])
+    w = (Window.partitionBy(query_id).orderBy(rank_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rel = F.col(rel_col).cast("long")
+    r = (ranking.filter(F.col(rank_col) <= k)
+         .withColumn("_cum", F.sum(rel).over(w))
+         .withColumn("_w", F.element_at(warr, F.col(rank_col)
+                                        .cast("int"))))
+    per_q = r.groupBy(query_id).agg(
+        F.sum(F.when(rel == 1, F.col("_cum") * F.col("_w"))
+              .otherwise(F.lit(0).cast("long"))).alias("_ap_l"),
+        F.max(F.when(rel == 1, F.col("_w"))
+              .otherwise(F.lit(0).cast("long"))).alias("_rr_l"))
+    tot = per_q.agg(
+        F.count(F.lit(1)).alias("n_q"),
+        F.sum("_ap_l").alias("sum_ap_l"),
+        F.sum("_rr_l").alias("sum_rr_l"))
+    nq = F.col("n_q")
+    mp = F.when(nq > 0, F.col("sum_ap_l").cast("double")
+                / (nq * L * k).cast("double"))
+    mrr = F.when(nq > 0, F.col("sum_rr_l").cast("double")
+                 / (nq * L).cast("double"))
+    return tot.select("n_q", "sum_ap_l", "sum_rr_l",
+                      mp.alias("map_at_k"), mrr.alias("mrr_at_k"))

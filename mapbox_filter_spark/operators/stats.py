@@ -1450,3 +1450,113 @@ def mood_median(df: DataFrame, sample_col: str,
     m = flagged.agg(F.max("median").alias("median"))
     return chi.crossJoin(F.broadcast(m)).select(
         "median", "n", F.col("n_a").alias("n_samples"), "dof", "chi2")
+
+
+def partial_corr(df: DataFrame, group_cols: Sequence[str],
+                 x_col: str, y_col: str, z_col: str) -> DataFrame:
+    """First-order partial correlation r_xy·z — the x↔y association
+    with the confounder z regressed out (Fisher 1924; the screening
+    statistic behind "is price↔quantity real or is discount driving
+    both"):
+
+        r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²))
+
+    Exactness: inputs must be integer-valued (cents-quantize
+    upstream); per-row products stay int64, the nine moment sums and
+    the n-scaled covariances S_ab = n·Σab − Σa·Σb run in DECIMAL(38)
+    (the cuped_adjust recipe — DuckDB mirrors with HUGEINT), and each
+    correlation is ONE pinned chain: r_ab = S_ab / √(S_aa·S_bb) with
+    the √ taken over the double PRODUCT (one spelling, both engines).
+
+    ONE map-side-combinable groupBy.  Returns
+    ``(group..., n, r_xy, r_xz, r_yz, r_xy_z)`` — r_ab NULL when
+    either variable is constant, r_xy_z NULL when additionally
+    |r_xz| = 1 or |r_yz| = 1 (z explains a variable exactly)."""
+    g = list(group_cols)
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    z = F.col(z_col).cast("long")
+    dec = "decimal(38,0)"
+    agg = df.groupBy(*g).agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(x.cast(dec)).alias("_sx"),
+        F.sum(y.cast(dec)).alias("_sy"),
+        F.sum(z.cast(dec)).alias("_sz"),
+        F.sum((x * x).cast(dec)).alias("_sxx"),
+        F.sum((y * y).cast(dec)).alias("_syy"),
+        F.sum((z * z).cast(dec)).alias("_szz"),
+        F.sum((x * y).cast(dec)).alias("_sxy"),
+        F.sum((x * z).cast(dec)).alias("_sxz"),
+        F.sum((y * z).cast(dec)).alias("_syz"))
+    n = F.col("_n")
+    d = lambda c: c.cast("double")
+
+    def s(ab, a, b):
+        return n * F.col(ab) - F.col(a) * F.col(b)
+
+    sxx, syy, szz = (s("_sxx", "_sx", "_sx"), s("_syy", "_sy", "_sy"),
+                     s("_szz", "_sz", "_sz"))
+    sxy, sxz, syz = (s("_sxy", "_sx", "_sy"), s("_sxz", "_sx", "_sz"),
+                     s("_syz", "_sy", "_sz"))
+
+    def r(sab, saa, sbb):
+        return F.when((saa > 0) & (sbb > 0),
+                      d(sab) / F.sqrt(d(saa) * d(sbb)))
+
+    rxy, rxz, ryz = r(sxy, sxx, syy), r(sxz, sxx, szz), r(syz, syy, szz)
+    out = agg.select(
+        *g, F.col("_n").cast("long").alias("n"),
+        rxy.alias("r_xy"), rxz.alias("r_xz"), ryz.alias("r_yz"))
+    den = ((F.lit(1.0) - F.col("r_xz") * F.col("r_xz"))
+           * (F.lit(1.0) - F.col("r_yz") * F.col("r_yz")))
+    pc = F.when(
+        F.col("r_xy").isNotNull() & F.col("r_xz").isNotNull()
+        & F.col("r_yz").isNotNull() & (den > 0),
+        (F.col("r_xy") - F.col("r_xz") * F.col("r_yz")) / F.sqrt(den))
+    return out.select(*g, "n", "r_xy", "r_xz", "r_yz",
+                      pc.alias("r_xy_z"))
+
+
+def grubbs_test(df: DataFrame, group_cols: Sequence[str],
+                value_col: str, tiebreak: str) -> DataFrame:
+    """Grubbs' maximum-deviation outlier statistic per group
+    (Grubbs 1950): G = max|x − x̄| / s, the single-outlier screen run
+    before trusting a group mean.  Carried exactly:
+
+        G = max|n·x − Σx| / √(ss · n / (n − 1)),  ss = n·Σx² − (Σx)²
+
+    — the deviation |n·x − Σx| is an exact DECIMAL(38) per row, the
+    argmax resolves by the deterministic (dev, value, tiebreak)
+    struct-max (documented tie-break: the LARGER value wins), and G is
+    one pinned double chain (the welch_t discipline).
+
+    Shape: one moments groupBy, a broadcast join of the (small) group
+    table back onto the rows, one struct-max groupBy.  Returns
+    ``(group..., n, x_out, g_stat)`` — NULL when n < 3 or the group
+    is constant."""
+    g = list(group_cols)
+    x = F.col(value_col).cast("long")
+    dec = "decimal(38,0)"
+    mom = df.groupBy(*g).agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(x.cast(dec)).alias("_sx"),
+        F.sum((x * x).cast(dec)).alias("_sxx"))
+    rows = df.select(*g, x.alias("_x"), F.col(tiebreak).alias("_tb"))
+    jj = rows.join(F.broadcast(mom), g)
+    dev = F.abs(F.col("_n") * F.col("_x").cast(dec) - F.col("_sx"))
+    best = jj.groupBy(*g).agg(
+        F.max(F.struct(dev.alias("_dev"), F.col("_x"),
+                       F.col("_tb"))).alias("_m"),
+        F.max(F.col("_n")).alias("_n2"),
+        F.max(F.col("_sx")).alias("_sx2"),
+        F.max(F.col("_sxx")).alias("_sxx2"))
+    n = F.col("_n2")
+    ss = n * F.col("_sxx2") - F.col("_sx2") * F.col("_sx2")
+    d = lambda c: c.cast("double")
+    gstat = F.when(
+        (n >= 3) & (ss > 0),
+        d(F.col("_m._dev"))
+        / F.sqrt(d(ss) * d(n) / d(n - F.lit(1).cast(dec))))
+    return best.select(
+        *g, n.cast("long").alias("n"),
+        F.col("_m._x").alias("x_out"), gstat.alias("g_stat"))

@@ -1711,3 +1711,112 @@ FROM agg"""
 
 ANALYTICS_QUERIES["calibration_bins"] = (q_calibration_bins,
                                          sql_calibration_bins)
+
+
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of price↔quantity controlling for discount,
+    per return flag (operators/stats.py partial_corr): DECIMAL(38)
+    n-scaled moments, each r one pinned √-of-product chain — the
+    "is the association real or confounded" screen."""
+    from .operators.stats import partial_corr
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long").alias("price_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long").alias("disc_pts"))
+    return partial_corr(li, ["l_returnflag"], "price_c", "qty",
+                        "disc_pts")
+
+
+def sql_partial_corr() -> str:
+    corr = ("CASE WHEN {aa} > 0 AND {bb} > 0 THEN CAST({ab} AS DOUBLE)"
+            " / sqrt(CAST({aa} AS DOUBLE) * CAST({bb} AS DOUBLE)) END")
+    rxy = corr.format(ab="sxy", aa="sxx", bb="syy")
+    rxz = corr.format(ab="sxz", aa="sxx", bb="szz")
+    ryz = corr.format(ab="syz", aa="syy", bb="szz")
+    return f"""
+WITH r AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS y,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS z
+  FROM lineitem),
+agg AS (
+  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         CAST(SUM(z) AS HUGEINT) AS sz,
+         CAST(SUM(x * x) AS HUGEINT) AS xx,
+         CAST(SUM(y * y) AS HUGEINT) AS yy,
+         CAST(SUM(z * z) AS HUGEINT) AS zz,
+         CAST(SUM(x * y) AS HUGEINT) AS xy,
+         CAST(SUM(x * z) AS HUGEINT) AS xz,
+         CAST(SUM(y * z) AS HUGEINT) AS yz
+  FROM r GROUP BY 1),
+m AS (
+  SELECT g, n,
+         n * xx - sx * sx AS sxx, n * yy - sy * sy AS syy,
+         n * zz - sz * sz AS szz, n * xy - sx * sy AS sxy,
+         n * xz - sx * sz AS sxz, n * yz - sy * sz AS syz
+  FROM agg),
+c AS (
+  SELECT g, CAST(n AS BIGINT) AS n,
+         {rxy} AS r_xy, {rxz} AS r_xz, {ryz} AS r_yz
+  FROM m)
+SELECT g AS l_returnflag, n, r_xy, r_xz, r_yz,
+       CASE WHEN r_xy IS NOT NULL AND r_xz IS NOT NULL
+             AND r_yz IS NOT NULL
+             AND (1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz) > 0
+            THEN (r_xy - r_xz * r_yz)
+                 / sqrt((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz))
+            END AS r_xy_z
+FROM c"""
+
+
+ANALYTICS_QUERIES["partial_corr"] = (q_partial_corr, sql_partial_corr)
+
+
+def q_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' max-deviation outlier statistic of event value cents
+    per event type (operators/stats.py grubbs_test): exact DECIMAL(38)
+    deviations |n·x − Σx|, deterministic (dev, value, id) argmax, one
+    pinned √-chain for G."""
+    from .operators.stats import grubbs_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "event_id", _cents().alias("cents"))
+    return grubbs_test(ev, ["event_type"], "cents", "event_id")
+
+
+def sql_grubbs_outlier() -> str:
+    from .queries_curation import _CENTS_SQL
+
+    return f"""
+WITH e AS (
+  SELECT event_type AS g, event_id, {_CENTS_SQL} AS x FROM events),
+mom AS (
+  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx,
+         CAST(SUM(x * x) AS HUGEINT) AS sxx
+  FROM e GROUP BY 1),
+j AS (
+  SELECT e.g, abs(mom.n * CAST(e.x AS HUGEINT) - mom.sx) AS dev,
+         e.x, e.event_id, mom.n, mom.sx, mom.sxx
+  FROM e JOIN mom ON mom.g = e.g),
+best AS (
+  SELECT g, MAX(struct_pack(dev := dev, x := x, tb := event_id)) AS m,
+         MAX(n) AS n, MAX(sx) AS sx, MAX(sxx) AS sxx
+  FROM j GROUP BY 1)
+SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+       CAST(m.x AS BIGINT) AS x_out,
+       CASE WHEN n >= 3 AND n * sxx - sx * sx > 0 THEN
+         CAST(m.dev AS DOUBLE)
+           / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n AS DOUBLE)
+                  / CAST(n - 1 AS DOUBLE)) END AS g_stat
+FROM best"""
+
+
+ANALYTICS_QUERIES["grubbs_outlier"] = (q_grubbs_outlier,
+                                       sql_grubbs_outlier)

@@ -458,3 +458,84 @@ FROM dcg"""
 
 
 RETRIEVAL_QUERIES["ndcg_at_k"] = (q_ndcg_at_k, sql_ndcg_at_k)
+
+
+def q_map_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 + MRR@10 of the exact-dot dense ranking
+    (operators/metrics.py map_mrr_at_k over the ndcg_at_k substrate):
+    with L = lcm(1..10) = 2520, precision terms cumrel·(L/rank) and
+    reciprocal ranks L/rank are exact integers — both corpus metrics
+    are exact integer ratios, one pinned division each."""
+    from .operators.metrics import map_mrr_at_k
+    from .operators.similarity import int_dot_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % _NDCG_QMOD == 0)
+    c = emb.filter(F.col("vec_id") % _NDCG_QMOD != 0)
+    top = int_dot_topk(q, c, _NDCG_K, scale=_KC_SCALE,
+                       query_id="vec_id", corpus_id="vec_id")
+    ql = q.select(F.col("vec_id").alias("q_id"),
+                  F.col("label").alias("_ql"))
+    cl = c.select(F.col("vec_id").alias("c_id"),
+                  F.col("label").alias("_cl"))
+    ranking = (top.join(F.broadcast(ql), "q_id")
+               .join(F.broadcast(cl), "c_id")
+               .withColumn("rel", (F.col("_ql") == F.col("_cl"))
+                           .cast("long")))
+    return map_mrr_at_k(ranking, _NDCG_K)
+
+
+def sql_map_mrr() -> str:
+    import math
+
+    k, m, s = _NDCG_K, _NDCG_QMOD, _KC_SCALE
+    L = math.lcm(*range(1, k + 1))
+    w_case = " ".join(f"WHEN {r} THEN {L // r}" for r in range(1, k + 1))
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, label AS ql, embedding AS v FROM embeddings
+  WHERE vec_id % {m} = 0),
+c AS (
+  SELECT vec_id AS c_id, label AS cl, embedding AS v
+  FROM embeddings WHERE vec_id % {m} <> 0),
+dots AS (
+  SELECT q.q_id, q.ql, c.c_id, c.cl,
+         CAST((SELECT SUM(
+              CAST(FLOOR(CAST(q.v[i.i] AS DOUBLE) * {float(s)!r} + 0.5)
+                   AS BIGINT)
+            * CAST(FLOOR(CAST(c.v[i.i] AS DOUBLE) * {float(s)!r} + 0.5)
+                   AS BIGINT))
+          FROM (SELECT unnest(range(1, len(q.v) + 1)) AS i) i)
+          AS BIGINT) AS dot
+  FROM q, c),
+rk AS (
+  SELECT q_id, CASE WHEN ql = cl THEN 1 ELSE 0 END AS rel,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY dot DESC, c_id ASC) AS rank
+  FROM dots),
+t AS (
+  SELECT q_id, rel, rank,
+         SUM(rel) OVER (PARTITION BY q_id ORDER BY rank
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         CASE rank {w_case} ELSE 0 END AS w
+  FROM rk WHERE rank <= {k}),
+per_q AS (
+  SELECT q_id,
+         CAST(SUM(CASE WHEN rel = 1 THEN cum * w ELSE 0 END)
+              AS BIGINT) AS ap_l,
+         CAST(MAX(CASE WHEN rel = 1 THEN w ELSE 0 END)
+              AS BIGINT) AS rr_l
+  FROM t GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_q,
+       CAST(SUM(ap_l) AS BIGINT) AS sum_ap_l,
+       CAST(SUM(rr_l) AS BIGINT) AS sum_rr_l,
+       CASE WHEN COUNT(*) > 0 THEN
+         CAST(SUM(ap_l) AS DOUBLE)
+           / CAST(COUNT(*) * {L} * {k} AS DOUBLE) END AS map_at_k,
+       CASE WHEN COUNT(*) > 0 THEN
+         CAST(SUM(rr_l) AS DOUBLE)
+           / CAST(COUNT(*) * {L} AS DOUBLE) END AS mrr_at_k
+FROM per_q"""
+
+
+RETRIEVAL_QUERIES["map_mrr"] = (q_map_mrr, sql_map_mrr)
