@@ -3644,3 +3644,81 @@ GROUP BY 1, 2, 3"""
 
 
 GEOM_QUERIES["voronoi_assign"] = (q_voronoi_assign, sql_voronoi_assign)
+
+
+_COMPACT_Z = 7
+
+
+def _z7_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries import _with_tiles
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir)
+    return _with_tiles(feats, _COMPACT_Z).select("z", "x", "y").distinct()
+
+
+def _sql_z7_tiles() -> str:
+    from .queries import _sql_tile_x, _sql_tile_y
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    z = _COMPACT_Z
+    return f"""{FEATURES_ORACLE_SQL},
+t{z} AS MATERIALIZED (
+  SELECT DISTINCT {_sql_tile_x(z)} AS x, {_sql_tile_y(z)} AS y
+  FROM features)"""
+
+
+def q_tile_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal-covering normalization of the z=7 occupied-tile set
+    (operators/quadtree.py tile_compact — the ZXY analog of S2
+    CellUnion::Normalize / H3 compact): complete sibling quads
+    collapse to parents recursively (13,988 z7 tiles → 4,442 tiles
+    across z3-z7 at sf0.01).  One count-4 groupBy + anti-join per
+    level."""
+    from .operators.quadtree import tile_compact
+
+    return tile_compact(_z7_tiles(spark, sf_dir), 0)
+
+
+def sql_tile_compact() -> str:
+    z0 = _COMPACT_Z
+    ctes = [_sql_z7_tiles()]
+    sels = []
+    for lvl in range(z0, 0, -1):
+        ctes.append(f"""p{lvl} AS MATERIALIZED (
+  SELECT x // 2 AS px, y // 2 AS py, COUNT(*) AS c
+  FROM t{lvl} GROUP BY 1, 2),
+k{lvl} AS (
+  SELECT t.x, t.y FROM t{lvl} t JOIN p{lvl} p
+    ON p.px = t.x // 2 AND p.py = t.y // 2
+  WHERE p.c < 4),
+t{lvl - 1} AS MATERIALIZED (
+  SELECT px AS x, py AS y FROM p{lvl} WHERE c = 4)""")
+        sels.append(f"SELECT {lvl} AS z, x, y FROM k{lvl}")
+    sels.append("SELECT 0 AS z, x, y FROM t0")
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(sels))
+
+
+GEOM_QUERIES["tile_compact"] = (q_tile_compact, sql_tile_compact)
+
+
+def q_tile_uncompact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compact → uncompact roundtrip (operators/quadtree.py
+    tile_uncompact): the minimal z3-z7 covering explodes back to the
+    uniform z=7 set via two bounded sequences — value-hashed against
+    the INDEPENDENT direct tile derivation (no compaction in the
+    oracle at all), proving uncompact ∘ compact = identity."""
+    from .operators.quadtree import tile_compact, tile_uncompact
+
+    return tile_uncompact(tile_compact(_z7_tiles(spark, sf_dir), 0),
+                          _COMPACT_Z)
+
+
+def sql_tile_uncompact() -> str:
+    z = _COMPACT_Z
+    return f"""WITH {_sql_z7_tiles()}
+SELECT {z} AS z, x, y FROM t{z}"""
+
+
+GEOM_QUERIES["tile_uncompact"] = (q_tile_uncompact, sql_tile_uncompact)
