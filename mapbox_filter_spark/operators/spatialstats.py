@@ -699,3 +699,94 @@ def kde_surface(pts: DataFrame, cell: int, radius: int,
             / F.lit(float(r2d2) * float(r2d2)))
     return agg.select("gx", "gy", "n_contrib", "kde_num",
                       dens.alias("density"))
+
+
+# marching-squares segment table, midpoint rule.  Corner bits:
+# BL=1, BR=2, TR=4, TL=8 (bit set when value >= threshold).  Edge
+# midpoints in DOUBLED block-relative coordinates: L=(0,1) B=(1,0)
+# T=(1,2) R=(2,1); endpoints ordered lexicographically so the segment
+# set hashes canonically.  Saddles use the FIXED disconnected
+# convention (no center sampling): case 5 = {L-B, T-R}, case 10 =
+# {B-R, L-T} — each inside corner isolated.
+_MS_SEGS = {
+    1: [((0, 1), (1, 0))],                       # L-B
+    2: [((1, 0), (2, 1))],                       # B-R
+    3: [((0, 1), (2, 1))],                       # L-R
+    4: [((1, 2), (2, 1))],                       # T-R
+    5: [((0, 1), (1, 0)), ((1, 2), (2, 1))],     # L-B + T-R
+    6: [((1, 0), (1, 2))],                       # B-T
+    7: [((0, 1), (1, 2))],                       # L-T
+    8: [((0, 1), (1, 2))],                       # L-T
+    9: [((1, 0), (1, 2))],                       # B-T
+    10: [((1, 0), (2, 1)), ((0, 1), (1, 2))],    # B-R + L-T
+    11: [((1, 2), (2, 1))],                      # T-R
+    12: [((0, 1), (2, 1))],                      # L-R
+    13: [((1, 0), (2, 1))],                      # B-R
+    14: [((0, 1), (1, 0))],                      # L-B
+}
+
+
+def contour_segments(grid: DataFrame, threshold: int,
+                     x_col: str = "gx", y_col: str = "gy",
+                     v_col: str = "v") -> DataFrame:
+    """Marching-squares isoline extraction (midpoint rule) over an
+    integer-valued sparse grid — the contour layer every density /
+    elevation tile renderer draws on top of a surface like
+    :func:`kde_surface` (Lorensen & Cline's 2-D ancestor; the midpoint
+    variant skips interpolation so EVERY coordinate is an exact
+    integer in doubled grid units).
+
+    Semantics: a grid square (bx, by) spans corners (bx,by)..(bx+1,
+    by+1); missing cells read as 0 (< threshold, outside).  Corner
+    bits BL=1 BR=2 TR=4 TL=8 form the classic 16-case index; cases
+    1-14 emit 1-2 segments whose endpoints are edge midpoints at
+    doubled coordinates (so bottom = (2bx+1, 2by) is integral).
+    Saddles (5, 10) use the fixed disconnected convention — each
+    inside corner isolated — documented rather than resolved by
+    center sampling, so the output is a pure function of the corner
+    bits.
+
+    Scale shape: each grid cell explodes to the ≤4 squares it corners
+    (×4, no pair join) and ONE map-side-combinable groupBy on the
+    square key ORs the bits; the segment table is an in-row literal
+    lookup + explode.  Single shuffle, exact integers end-to-end.
+
+    Returns ``(bx, by, mcase, x0, y0, x1, y1)`` — one row per emitted
+    segment, endpoints lexicographic.
+    """
+    v = F.col(v_col).cast("long")
+    corner = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(bit).alias("bit"))
+        for dx, dy, bit in ((0, 0, 1), (1, 0, 2), (1, 1, 4),
+                            (0, 1, 8))])).alias("_c")
+    pts = grid.select(
+        F.col(x_col).cast("long").alias("_gx"),
+        F.col(y_col).cast("long").alias("_gy"),
+        F.when(v >= F.lit(int(threshold)), F.lit(1))
+        .otherwise(F.lit(0)).alias("_in"), corner)
+    blocks = (pts.select(
+        (F.col("_gx") - F.col("_c.dx")).alias("bx"),
+        (F.col("_gy") - F.col("_c.dy")).alias("by"),
+        (F.col("_in") * F.col("_c.bit")).alias("_b"))
+        .groupBy("bx", "by")
+        .agg(F.sum("_b").cast("int").alias("mcase"))
+        .filter((F.col("mcase") >= 1) & (F.col("mcase") <= 14)))
+    seg_lut = F.array(*[
+        F.array(*[F.struct(F.lit(a[0]).alias("x0"),
+                           F.lit(a[1]).alias("y0"),
+                           F.lit(b[0]).alias("x1"),
+                           F.lit(b[1]).alias("y1"))
+                  for a, b in _MS_SEGS[c]])
+        for c in range(1, 15)])
+    segs = blocks.select(
+        "bx", "by", "mcase",
+        F.explode(F.element_at(seg_lut, F.col("mcase"))).alias("_s"))
+    bx2 = F.col("bx") * 2
+    by2 = F.col("by") * 2
+    return segs.select(
+        "bx", "by", "mcase",
+        (bx2 + F.col("_s.x0")).alias("x0"),
+        (by2 + F.col("_s.y0")).alias("y0"),
+        (bx2 + F.col("_s.x1")).alias("x1"),
+        (by2 + F.col("_s.y1")).alias("y1"))

@@ -3722,3 +3722,48 @@ SELECT {z} AS z, x, y FROM t{z}"""
 
 
 GEOM_QUERIES["tile_uncompact"] = (q_tile_uncompact, sql_tile_uncompact)
+
+
+_MS_T = 4_000_000_000_000
+
+
+def q_contour_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares isolines of the quartic-KDE surface
+    (operators/spatialstats.py contour_segments): the exact-int64
+    kde_num grid thresholded at 4e12, corner bits ORed by ONE
+    explode-x4 groupBy, midpoint-rule segments in doubled grid
+    coordinates — every output column an exact integer, saddles on
+    the fixed disconnected convention."""
+    from .operators.spatialstats import contour_segments
+
+    grid = q_kde_surface(spark, sf_dir).select(
+        "gx", "gy", F.col("kde_num").alias("v"))
+    return contour_segments(grid, _MS_T)
+
+
+def sql_contour_segments() -> str:
+    kde = sql_kde_surface()
+    t = _MS_T
+    return f"""WITH kde AS MATERIALIZED ({kde}),
+corners AS (
+  SELECT gx - dx AS bx, gy - dy AS by,
+         CASE WHEN kde_num >= {t} THEN bit ELSE 0 END AS b
+  FROM kde CROSS JOIN (VALUES (0,0,1),(1,0,2),(1,1,4),(0,1,8))
+    o(dx, dy, bit)),
+blocks AS (
+  SELECT bx, by, CAST(SUM(b) AS INT) AS mcase
+  FROM corners GROUP BY 1, 2
+  HAVING SUM(b) BETWEEN 1 AND 14),
+lut(mcase, ox0, oy0, ox1, oy1) AS (VALUES
+  (1,0,1,1,0),(2,1,0,2,1),(3,0,1,2,1),(4,1,2,2,1),
+  (5,0,1,1,0),(5,1,2,2,1),(6,1,0,1,2),(7,0,1,1,2),
+  (8,0,1,1,2),(9,1,0,1,2),(10,1,0,2,1),(10,0,1,1,2),
+  (11,1,2,2,1),(12,0,1,2,1),(13,1,0,2,1),(14,0,1,1,0))
+SELECT b.bx, b.by, b.mcase,
+       2 * b.bx + l.ox0 AS x0, 2 * b.by + l.oy0 AS y0,
+       2 * b.bx + l.ox1 AS x1, 2 * b.by + l.oy1 AS y1
+FROM blocks b JOIN lut l ON l.mcase = b.mcase"""
+
+
+GEOM_QUERIES["contour_segments"] = (q_contour_segments,
+                                    sql_contour_segments)

@@ -60,3 +60,64 @@ def test_uncompact_bounds_raise(spark):
     with pytest.raises(Exception) as exc:
         tile_uncompact(df, 2).collect()
     assert "tile_uncompact" in str(exc.value)
+
+
+from mapbox_filter_spark.operators.spatialstats import contour_segments
+
+
+def _grid(spark, cells):
+    return spark.createDataFrame([(x, y, v) for x, y, v in cells],
+                                 "gx long, gy long, v long")
+
+
+def test_contour_single_inside_cell(spark):
+    # one cell >= T at (0,0): its 4 corner-squares each get exactly
+    # one inside corner (cases 1/2/4/8), forming a closed diamond of
+    # 4 segments around the cell
+    out = contour_segments(_grid(spark, [(0, 0, 10)]), 10).collect()
+    segs = {(r.x0, r.y0, r.x1, r.y1) for r in out}
+    assert len(out) == 4
+    # diamond through the 4 edge midpoints around (0,0)
+    assert segs == {(-1, 0, 0, -1),   # square (-1,-1): case 4 T-R
+                    (0, -1, 1, 0),    # square (0,-1):  case 8 L-T
+                    (-1, 0, 0, 1),    # square (-1,0):  case 2 B-R
+                    (0, 1, 1, 0)}     # square (0,0):   case 1 L-B
+
+
+def test_contour_case_index_and_missing_is_outside(spark):
+    # square (0,0) with BL and TR inside and BR/TL missing -> saddle
+    # case 5 -> the fixed disconnected pair {L-B, T-R}
+    out = contour_segments(
+        _grid(spark, [(0, 0, 99), (1, 1, 99)]), 50)
+    rows = [r for r in out.collect() if (r.bx, r.by) == (0, 0)]
+    assert {r.mcase for r in rows} == {5}
+    assert {(r.x0, r.y0, r.x1, r.y1) for r in rows} == {
+        (0, 1, 1, 0), (1, 2, 2, 1)}
+
+
+def test_contour_full_square_emits_nothing(spark):
+    # all four corners inside -> case 15 -> no segment for (0,0)
+    cells = [(0, 0, 9), (1, 0, 9), (0, 1, 9), (1, 1, 9)]
+    out = contour_segments(_grid(spark, cells), 5).collect()
+    assert all((r.bx, r.by) != (0, 0) for r in out)
+
+
+def test_contour_segments_form_closed_loops(spark):
+    # a 2x2 inside blob: every midpoint vertex must have even degree
+    # (isolines of a binary field close)
+    cells = [(x, y, 7) for x in (0, 1) for y in (0, 1)]
+    out = contour_segments(_grid(spark, cells), 7).collect()
+    from collections import Counter
+    deg = Counter()
+    for r in out:
+        deg[(r.x0, r.y0)] += 1
+        deg[(r.x1, r.y1)] += 1
+    assert deg and all(d % 2 == 0 for d in deg.values())
+
+
+def test_contour_single_shuffle_plan(spark):
+    out = contour_segments(_grid(spark, [(0, 0, 1)]), 1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2      # partial+final agg only
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
