@@ -416,3 +416,62 @@ def interleave_profile(docs: DataFrame, spans_col: str = "spans",
                     count_kind("geo").alias("n_geo"),
                     switches.alias("n_switches"),
                     text_chars.alias("text_chars")))
+
+
+def span_schedule(docs: DataFrame, id_col: str = "doc_id",
+                  spans_col: str = "spans",
+                  start_field: str = "start",
+                  end_field: str = "end") -> DataFrame:
+    """Maximum non-overlapping span selection per document — classic
+    activity selection (greedy earliest-end, which is provably
+    OPTIMAL for the max-cardinality objective): the conflict
+    resolver a span-annotation pipeline runs when overlapping
+    char-range annotations (NER spans, PII hits, quality flags) must
+    be reduced to a consistent non-overlapping set before masking or
+    extraction.
+
+    Intervals are half-open ``[start, end)``; ties broken
+    deterministically by (end, start, input index) so the selected
+    set is a pure function of the multiset of intervals.  Degenerate
+    spans (end <= start) are dropped before selection.
+
+    Scale shape: ENTIRELY in-row — ``array_sort`` by the tie-break
+    key then ONE ``F.aggregate`` fold carrying ``(last_end, chosen)``
+    through the sorted array.  Zero shuffles, zero Python, bounded by
+    the per-document span count (the input_hint's array model), so
+    the operator is embarrassingly parallel at any corpus size.
+
+    Returns exploded ``(id, rank, start, end)`` — rank 1-based in
+    selection order (== ascending end among chosen).
+    """
+    spans = F.col(spans_col)
+    iv = F.filter(
+        F.transform(spans, lambda s, i: F.struct(
+            s[end_field].cast("long").alias("e"),
+            s[start_field].cast("long").alias("s"),
+            i.cast("long").alias("i"))),
+        lambda t: t["e"] > t["s"])
+    key = lambda t: F.struct(t["e"].alias("e"), t["s"].alias("s"),
+                             t["i"].alias("i"))
+    srt = F.array_sort(iv, lambda a, b:
+                       F.when(key(a) < key(b), -1)
+                       .when(key(a) > key(b), 1).otherwise(0))
+    chosen = F.aggregate(
+        srt,
+        F.struct(F.lit(None).cast("long").alias("last_e"),
+                 F.array().cast(
+                     "array<struct<s:long,e:long>>").alias("sel")),
+        lambda acc, t: F.when(
+            acc["last_e"].isNull() | (t["s"] >= acc["last_e"]),
+            F.struct(
+                t["e"].alias("last_e"),
+                F.concat(acc["sel"], F.array(F.struct(
+                    t["s"].alias("s"),
+                    t["e"].alias("e")))).alias("sel"))
+        ).otherwise(acc))["sel"]
+    return (docs.select(F.col(id_col),
+                        F.posexplode(chosen).alias("_r", "_c"))
+            .select(id_col,
+                    (F.col("_r") + 1).cast("int").alias("rank"),
+                    F.col("_c.s").alias("start"),
+                    F.col("_c.e").alias("end")))

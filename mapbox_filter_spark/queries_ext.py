@@ -2465,3 +2465,63 @@ FROM base_counts c LEFT JOIN sw ON c.doc_id = sw.doc_id"""
 
 EXT_QUERIES["interleave_profile"] = (q_interleave_profile,
                                      sql_interleave_profile)
+
+
+def _charspan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, spans array<struct<start,end>>): the
+    deterministic overlapping char-range annotation set the
+    span_schedule gate resolves (mirrored CTE in sql_span_schedule)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = (F.lit(3) + F.pmod(F.col("doc_id"), F.lit(6))).cast("int")
+
+    def mk(i):
+        h = F.col("doc_id") * 31 + i * 7
+        s = F.pmod(h * 7919, F.lit(240))
+        ln = F.lit(3) + F.pmod(h * 104729, F.lit(60))
+        return F.struct(s.cast("int").alias("start"),
+                        (s + ln).cast("int").alias("end"))
+
+    return docs.select(
+        "doc_id",
+        F.transform(F.sequence(F.lit(0), n - 1), mk).alias("spans"))
+
+
+def q_span_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-annotation conflict resolution (operators/media.py
+    span_schedule): per document the maximum non-overlapping set of
+    char-range spans, greedy earliest-end (provably optimal), picked
+    by ONE in-row array_sort + F.aggregate fold — zero shuffles; the
+    oracle replays the greedy as a recursive CTE."""
+    from .operators.media import span_schedule
+
+    return span_schedule(_charspan_docs(spark, sf_dir))
+
+
+def sql_span_schedule() -> str:
+    return """WITH RECURSIVE iv AS (
+  SELECT d.doc_id, s.i,
+         CAST(((d.doc_id * 31 + s.i * 7) * 7919) % 240 AS BIGINT) AS s,
+         CAST(((d.doc_id * 31 + s.i * 7) * 7919) % 240
+              + 3 + ((d.doc_id * 31 + s.i * 7) * 104729) % 60
+              AS BIGINT) AS e
+  FROM documents d
+  CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS i) s
+  WHERE s.i < 3 + d.doc_id % 6),
+sel AS (
+  SELECT doc_id, s, e, 1 AS rnk
+  FROM (SELECT doc_id, i, s, e,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY e, s, i) rn
+        FROM iv WHERE e > s) WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, s, e, rnk + 1 FROM (
+    SELECT iv.doc_id, iv.s, iv.e, sel.rnk,
+           ROW_NUMBER() OVER (PARTITION BY iv.doc_id
+                              ORDER BY iv.e, iv.s, iv.i) rn
+    FROM sel JOIN iv ON iv.doc_id = sel.doc_id AND iv.s >= sel.e)
+  WHERE rn = 1)
+SELECT doc_id, CAST(rnk AS INT) AS rank, s AS start, e AS "end"
+FROM sel"""
+
+
+EXT_QUERIES["span_schedule"] = (q_span_schedule, sql_span_schedule)

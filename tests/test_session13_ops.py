@@ -121,3 +121,67 @@ def test_contour_single_shuffle_plan(spark):
     assert plan.count("Exchange") <= 2      # partial+final agg only
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+from mapbox_filter_spark.operators.media import span_schedule
+
+
+def _docs(spark, spans_by_doc):
+    rows = [(d, [{"start": s, "end": e} for s, e in sp])
+            for d, sp in spans_by_doc.items()]
+    return spark.createDataFrame(
+        rows, "doc_id long, spans array<struct<start:int,end:int>>")
+
+
+def test_span_schedule_basic_greedy(spark):
+    out = span_schedule(_docs(spark, {
+        1: [(1, 4), (3, 5), (4, 7), (6, 9)],
+        2: [(0, 10), (1, 2), (2, 3)]}))
+    got = {(r.doc_id, r.rank, r.start, r.end) for r in out.collect()}
+    assert got == {(1, 1, 1, 4), (1, 2, 4, 7),
+                   (2, 1, 1, 2), (2, 2, 2, 3)}
+
+
+def test_span_schedule_matches_bruteforce_optimum(spark):
+    # greedy earliest-end is optimal for max cardinality: check the
+    # SIZE against exhaustive search on 40 deterministic random docs
+    import itertools
+    import random
+    rng = random.Random(13)
+    cases = {}
+    for d in range(40):
+        cases[d] = [(s, s + rng.randint(1, 6))
+                    for s in (rng.randint(0, 20)
+                              for _ in range(rng.randint(1, 7)))]
+
+    def brute(iv):
+        best = 0
+        for r in range(len(iv), 0, -1):
+            for sub in itertools.combinations(iv, r):
+                ss = sorted(sub)
+                if all(ss[k][1] <= ss[k + 1][0]
+                       for k in range(len(ss) - 1)):
+                    return r
+        return best
+
+    out = span_schedule(_docs(spark, cases))
+    sizes = {r["doc_id"]: r["n"] for r in
+             out.groupBy("doc_id").count()
+             .withColumnRenamed("count", "n").collect()}
+    for d, iv in cases.items():
+        assert sizes.get(d, 0) == brute(iv), (d, iv)
+
+
+def test_span_schedule_drops_degenerate_and_is_deterministic(spark):
+    # zero/negative-length spans never selected; duplicate intervals
+    # resolve by input index so output is stable
+    out = span_schedule(_docs(spark, {
+        5: [(3, 3), (4, 2), (1, 2), (1, 2)]})).collect()
+    assert [(r.rank, r.start, r.end) for r in out] == [(1, 1, 2)]
+
+
+def test_span_schedule_zero_shuffle_plan(spark):
+    out = span_schedule(_docs(spark, {1: [(0, 1)]}))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
