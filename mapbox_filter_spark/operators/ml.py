@@ -266,3 +266,83 @@ def calibration_bins(df: DataFrame, score_col: str, label_col: str, *,
     return agg.select("bin", "n", "pos", "sum_score",
                       mean_score.alias("mean_score"),
                       frac.alias("frac_pos"))
+
+
+def isotonic_fit(df: DataFrame, group_col: str, x_col: str,
+                 y_col: str, *, max_bins: int = 64) -> DataFrame:
+    """Per-group isotonic (non-decreasing) least-squares calibration —
+    the PAVA fit that turns a reliability diagram
+    (:func:`calibration_bins`) into a monotone score→probability map
+    (Zadrozny & Elkan KDD'02; Barlow et al. 1972).  Computed through
+    the exact minimax characterization of the weighted PAVA solution
+
+        fit(k) = max_{i<=k} min_{j>=k}  (S_j − S_{i−1}) / (C_j − C_{i−1})
+
+    (Robertson-Wright-Dykstra Thm 1.4.4) rather than the sequential
+    pool stack, so the whole fit is PURE integer prefix sums + one
+    correctly-rounded double divide per candidate — bit-identical
+    across engines, no Python, no iteration.
+
+    ``y_col`` must be integral (labels / counts); per (group, x) the
+    operator first reduces to exact ``(n, sum_y)``.  The per-group
+    bin count is bounded by ``max_bins`` (in-plan raise_error, never
+    silent) because the in-row minimax is O(bins³) — bins are model
+    score quantiles, inherently small; rows per bin are unbounded.
+
+    Scale shape: ONE map-side-combinable groupBy (group, x) → ONE
+    groupBy group with a sorted bounded collect_list → in-row HOF
+    minimax → posexplode.  Two exchanges total, both on the group
+    key.
+
+    Returns ``(group, x, n, sum_y, rate, fit)`` — ``fit`` is the
+    isotonic calibrated probability, non-decreasing in ``x`` within
+    every group (property-tested), preserving each group's weighted
+    mean.
+    """
+    g = F.col(group_col)
+    binned = (df.groupBy(g.alias("grp"), F.col(x_col).alias("x"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col(y_col).cast("long")).alias("sum_y")))
+    arr = F.sort_array(F.collect_list(
+        F.struct(F.col("x"), F.col("n"), F.col("sum_y"))))
+    per_g = binned.groupBy("grp").agg(arr.alias("_b"))
+    nb = F.size("_b")
+    guard = F.when(
+        nb > max_bins,
+        F.raise_error(F.concat(
+            F.lit(f"isotonic_fit: group exceeds max_bins={max_bins}: "),
+            nb.cast("string")))).otherwise(F.col("_b"))
+    per_g = per_g.select("grp", guard.alias("_b"))
+    # prefix sums P[j] = sum of sum_y over bins 1..j (P[0] = 0); same
+    # for counts Q — O(n^2) slice-folds over a <=max_bins array
+    pre = lambda field: F.transform(
+        F.sequence(F.lit(0), F.size("_b")),
+        lambda j: F.aggregate(
+            F.slice("_b", F.lit(1), j), F.lit(0).cast("long"),
+            lambda acc, t: acc + t[field]))
+    per_g = per_g.select("grp", "_b", pre("sum_y").alias("_P"),
+                         pre("n").alias("_Q"))
+    P = lambda j: F.element_at("_P", (j + 1).cast("int"))
+    Q = lambda j: F.element_at("_Q", (j + 1).cast("int"))
+    avg = lambda i, j: ((P(j) - P(i - 1)).cast("double")
+                        / (Q(j) - Q(i - 1)).cast("double"))
+    n_ = F.size("_b")
+    fit = F.transform(
+        F.sequence(F.lit(1), n_),
+        lambda k: F.array_max(F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_min(F.transform(
+                F.sequence(k, n_), lambda j: avg(i, j))))))
+    out = per_g.select(
+        "grp", F.posexplode(F.zip_with(
+            "_b", fit,
+            lambda b, f: F.struct(b["x"].alias("x"),
+                                  b["n"].alias("n"),
+                                  b["sum_y"].alias("sum_y"),
+                                  f.alias("fit")))).alias("_i", "_r"))
+    return out.select(
+        F.col("grp").alias(group_col), F.col("_r.x").alias(x_col),
+        F.col("_r.n").alias("n"), F.col("_r.sum_y").alias("sum_y"),
+        (F.col("_r.sum_y").cast("double")
+         / F.col("_r.n").cast("double")).alias("rate"),
+        F.col("_r.fit").alias("fit"))

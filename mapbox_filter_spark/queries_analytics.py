@@ -1820,3 +1820,59 @@ FROM best"""
 
 ANALYTICS_QUERIES["grubbs_outlier"] = (q_grubbs_outlier,
                                        sql_grubbs_outlier)
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment isotonic (PAVA) calibration curve (operators/ml.py
+    isotonic_fit): P(returnflag = R) vs quantity bin per supplier
+    segment, fitted through the exact minimax characterization —
+    integer prefix sums, one correctly-rounded divide per candidate,
+    bit-identical to the oracle's pair-table + two-window replay."""
+    from .operators.ml import isotonic_fit
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.select(
+        F.pmod(F.col("l_suppkey"), F.lit(6)).cast("int").alias("seg"),
+        F.col("l_quantity").cast("int").alias("qty"),
+        (F.col("l_returnflag") == "R").cast("int").alias("flag"))
+    return isotonic_fit(df, "seg", "qty", "flag")
+
+
+def sql_isotonic_calibration() -> str:
+    return """WITH b AS (
+  SELECT CAST(l_suppkey % 6 AS INT) AS seg,
+         CAST(l_quantity AS INT) AS qty,
+         COUNT(*) AS n,
+         SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS sum_y
+  FROM lineitem GROUP BY 1, 2),
+o AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY qty) AS k,
+         SUM(sum_y) OVER (PARTITION BY seg ORDER BY qty) AS s,
+         SUM(n) OVER (PARTITION BY seg ORDER BY qty) AS c
+  FROM b),
+pairs AS (
+  SELECT a.seg, a.k AS i, p.k AS j,
+         CAST(p.s - a.s + a.sum_y AS DOUBLE)
+           / CAST(p.c - a.c + a.n AS DOUBLE) AS v
+  FROM o a JOIN o p ON p.seg = a.seg AND p.k >= a.k),
+rmin AS (
+  SELECT seg, i, j,
+         MIN(v) OVER (PARTITION BY seg, i ORDER BY j DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS m
+  FROM pairs),
+f2 AS (
+  SELECT seg, j AS k, i,
+         MAX(m) OVER (PARTITION BY seg, j ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS f
+  FROM rmin)
+SELECT o.seg, o.qty, o.n, o.sum_y,
+       CAST(o.sum_y AS DOUBLE) / CAST(o.n AS DOUBLE) AS rate,
+       f2.f AS fit
+FROM f2 JOIN o ON o.seg = f2.seg AND o.k = f2.k
+WHERE f2.i = f2.k"""
+
+
+ANALYTICS_QUERIES["isotonic_calibration"] = (q_isotonic_calibration,
+                                             sql_isotonic_calibration)

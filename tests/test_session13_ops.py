@@ -185,3 +185,58 @@ def test_span_schedule_zero_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+from mapbox_filter_spark.operators.ml import isotonic_fit
+
+
+def test_isotonic_classic_pava_example(spark):
+    rows = [("a", i, y) for i, y in enumerate([1, 0, 1, 1, 0, 0, 1, 1])]
+    df = spark.createDataFrame(rows, "g string, x int, y int")
+    out = sorted((r.x, r.fit) for r in
+                 isotonic_fit(df, "g", "x", "y").collect())
+    assert [f for _, f in out] == [0.5] * 6 + [1.0] * 2
+
+
+def test_isotonic_monotone_and_mean_preserving(spark):
+    # deterministic pseudo-random labels over 3 groups x 20 bins
+    rows = [(g, x, 1 if (g * 37 + x * x * 13) % 7 < 3 else 0)
+            for g in range(3) for x in range(20) for _ in range(4)]
+    df = spark.createDataFrame(rows, "g int, x int, y int")
+    out = isotonic_fit(df, "g", "x", "y").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, []).append(r)
+    for g, rs in by_g.items():
+        rs.sort(key=lambda r: r.x)
+        fits = [r.fit for r in rs]
+        assert all(a <= b + 1e-12 for a, b in zip(fits, fits[1:])), g
+        # weighted mean preserved: sum(fit*n) == sum(y)
+        assert abs(sum(r.fit * r.n for r in rs)
+                   - sum(r.sum_y for r in rs)) < 1e-9
+
+
+def test_isotonic_identity_when_already_monotone(spark):
+    rows = []
+    for x in range(5):
+        rows += [("g", x, 1)] * x + [("g", x, 0)] * (5 - x)
+    df = spark.createDataFrame(rows, "g string, x int, y int")
+    out = sorted((r.x, r.fit) for r in
+                 isotonic_fit(df, "g", "x", "y").collect())
+    assert [f for _, f in out] == [x / 5 for x in range(5)]
+
+
+def test_isotonic_max_bins_guard(spark):
+    df = spark.createDataFrame([("g", x, 0) for x in range(9)],
+                               "g string, x int, y int")
+    with pytest.raises(Exception) as exc:
+        isotonic_fit(df, "g", "x", "y", max_bins=8).collect()
+    assert "max_bins" in str(exc.value)
+
+
+def test_isotonic_two_exchange_plan(spark):
+    df = spark.createDataFrame([("g", 0, 0)], "g string, x int, y int")
+    out = isotonic_fit(df, "g", "x", "y")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
