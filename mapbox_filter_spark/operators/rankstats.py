@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["spearman_corr", "mann_whitney_u", "ks_2samp", "kendall_tau",
-           "kruskal_wallis", "pettitt_test", "friedman_test"]
+           "kruskal_wallis", "pettitt_test", "friedman_test", "bh_fdr"]
 
 # 4n^4 < 2^63  =>  n <= 38,000 keeps every sum exact in int64
 _MAX_GROUP_ROWS = 38_000
@@ -605,3 +605,52 @@ def friedman_test(df: DataFrame, block_col: str, treat_col: str,
     q = F.when(F.col("den") > 0,
                F.col("num").cast("double") / F.col("den").cast("double"))
     return out.withColumn("q_stat", q)
+
+
+def bh_fdr(df: DataFrame, group_cols: "list[str]", id_col: str,
+           p_num_col: str, p_den: int, *,
+           alpha_num: int = 5, alpha_den: int = 100) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR control per group — the
+    multiple-testing gate a hotspot scan (getis_ord, local_moran,
+    knox_test) or an A/B sweep (welch_t, conversion_z) runs before
+    declaring any cell "significant" (Benjamini & Hochberg 1995):
+    sort the m p-values ascending, find the largest k with
+    p_(k) <= α·k/m, reject hypotheses 1..k.
+
+    p-values arrive as EXACT RATIONALS ``p = p_num / p_den`` (the
+    repo-wide integer discipline), so the step-up comparison
+
+        p_num · α_den · m  <=  α_num · k · p_den
+
+    is pure int64 arithmetic — no float thresholds, no cross-engine
+    rounding (overflow bound: p_num·α_den·m < 2^63 ⇒ m ≲ 9·10^13 /
+    p_den at α_den = 100).  Ties in p break deterministically by
+    ``id_col``.
+
+    Scale shape: every pass is keyed on the GROUP (the experiment /
+    scan id): one rank window, one count window, one max window, all
+    on the same key — a single exchange, no global sort, no driver
+    collect.  The step-up coupling (k <= K*) is the windowed max of
+    the passing ranks, not an iterative scan.
+
+    Returns ``(*group_cols, id, p_num, k, m, rejected)`` with
+    ``rejected`` int 0/1.
+    """
+    from pyspark.sql import Window
+
+    p = F.col(p_num_col).cast("long")
+    w = (Window.partitionBy(*group_cols)
+         .orderBy(p.asc(), F.col(id_col).asc()))
+    wg = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        *group_cols, F.col(id_col).alias("id"),
+        p.alias("p_num"),
+        F.row_number().over(w).cast("long").alias("k"),
+        F.count(F.lit(1)).over(wg).cast("long").alias("m"))
+    passing = (F.col("p_num") * alpha_den * F.col("m")
+               <= F.lit(alpha_num) * F.col("k") * F.lit(p_den))
+    kstar = F.max(F.when(passing, F.col("k"))).over(wg)
+    return ranked.select(
+        *group_cols, "id", "p_num", "k", "m",
+        F.when(F.col("k") <= F.coalesce(kstar, F.lit(0)),
+               F.lit(1)).otherwise(F.lit(0)).alias("rejected"))

@@ -1618,3 +1618,46 @@ FROM chi CROSS JOIN med"""
 
 
 CURATION_QUERIES["mood_median"] = (q_mood_median, sql_mood_median)
+
+
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control per document source
+    (operators/rankstats.py bh_fdr): micro-scaled rational p-values
+    (planted signals on doc_id % 7 == 0, uniform nulls elsewhere),
+    step-up threshold decided by pure int64 cross-multiplication —
+    one group-keyed exchange, three windows, zero floats."""
+    from .operators.rankstats import bh_fdr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.pmod(F.col("doc_id") * 48271, F.lit(1_000_000))
+    sig = F.pmod(F.col("doc_id") * 31, F.lit(2_000))
+    tests = docs.select(
+        "source", "doc_id",
+        F.when(F.pmod(F.col("doc_id"), F.lit(7)) == 0, sig)
+        .otherwise(h).alias("p_micro"))
+    return bh_fdr(tests, ["source"], "doc_id", "p_micro", 1_000_000)
+
+
+def sql_bh_fdr() -> str:
+    return """WITH tests AS (
+  SELECT source, doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN (doc_id * 31) % 2000
+              ELSE (doc_id * 48271) % 1000000 END AS p_num
+  FROM documents),
+ranked AS (
+  SELECT source, doc_id AS id, p_num,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY p_num, doc_id) AS k,
+         COUNT(*) OVER (PARTITION BY source) AS m
+  FROM tests),
+flagged AS (
+  SELECT *, MAX(CASE WHEN p_num * 100 * m <= 5 * k * 1000000
+                     THEN k END)
+              OVER (PARTITION BY source) AS kstar
+  FROM ranked)
+SELECT source, id, p_num, k, m,
+       CASE WHEN k <= COALESCE(kstar, 0) THEN 1 ELSE 0 END AS rejected
+FROM flagged"""
+
+
+CURATION_QUERIES["bh_fdr"] = (q_bh_fdr, sql_bh_fdr)

@@ -240,3 +240,58 @@ def test_isotonic_two_exchange_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Join" not in plan
+
+
+from mapbox_filter_spark.operators.rankstats import bh_fdr
+
+
+def _pvals(spark, vals, den=100):
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    return spark.createDataFrame(rows, "g string, id int, p int")
+
+
+def test_bh_fdr_textbook_example(spark):
+    # p = .01 .02 .03 .04 .05 over m=5 at alpha=.05:
+    # p_(k) <= .05k/5 = .01k holds for ALL k -> all rejected
+    out = bh_fdr(_pvals(spark, [1, 2, 3, 4, 5]), ["g"], "id", "p",
+                 100).collect()
+    assert all(r.rejected == 1 for r in out)
+
+
+def test_bh_fdr_step_up_rescues_interior(spark):
+    # p/100 = .01 .04 .03 .50: sorted .01 .03 .04 .50, bounds
+    # .0125 .025 .0375 .05 -> k=1 passes, k=2,3 fail, k=4 fails;
+    # kstar=1 -> only the .01 test rejected
+    out = {r.id: r.rejected for r in
+           bh_fdr(_pvals(spark, [1, 4, 3, 50]), ["g"], "id", "p",
+                  100, alpha_num=5, alpha_den=100).collect()}
+    assert out == {0: 1, 1: 0, 2: 0, 3: 0}
+    # step-up rejects k=1..3 when k=3 passes, even though k=2's own
+    # bound also holds here: p .01 .02 .03 .50
+    out2 = {r.id: r.rejected for r in
+            bh_fdr(_pvals(spark, [1, 2, 3, 50]), ["g"], "id", "p",
+                   100).collect()}
+    assert out2 == {0: 1, 1: 1, 2: 1, 3: 0}
+    # true step-up rescue: p .020 .021 .030, m=3, bounds .0167
+    # .0333 .05 — k=1 FAILS its own bound (.020 > .0167) but k=3
+    # passes, so kstar=3 rejects all three
+    out3 = {r.id: r.rejected for r in
+            bh_fdr(_pvals(spark, [20, 21, 30], den=1000), ["g"],
+                   "id", "p", 1000).collect()}
+    assert out3 == {0: 1, 1: 1, 2: 1}
+
+
+def test_bh_fdr_no_rejections_and_group_isolation(spark):
+    rows = [("a", 0, 90), ("a", 1, 95), ("b", 2, 1)]
+    df = spark.createDataFrame(rows, "g string, id int, p int")
+    out = {r.id: r.rejected for r in
+           bh_fdr(df, ["g"], "id", "p", 100).collect()}
+    assert out == {0: 0, 1: 0, 2: 1}
+
+
+def test_bh_fdr_single_exchange_plan(spark):
+    df = _pvals(spark, [1, 2])
+    out = bh_fdr(df, ["g"], "id", "p", 100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+    assert "EvalPython" not in plan
