@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["morans_i", "getis_ord_gi", "local_moran",
            "mann_kendall_cells", "knox_pairs", "ripley_k", "gearys_c",
-           "join_count_stats", "sd_ellipse"]
+           "join_count_stats", "sd_ellipse", "clark_evans",
+           "quadrat_test"]
 
 _QUEEN = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
           if not (dx == 0 and dy == 0)]
@@ -790,3 +791,126 @@ def contour_segments(grid: DataFrame, threshold: int,
         (by2 + F.col("_s.y0")).alias("y0"),
         (bx2 + F.col("_s.x1")).alias("x1"),
         (by2 + F.col("_s.y1")).alias("y1"))
+
+
+def clark_evans(pts: DataFrame, radius: int, *, id_col: str = "i",
+                x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Clark-Evans nearest-neighbour index R with its normal-approx
+    z-score — the one-number answer to "is this point pattern
+    clustered (R<1), random (R≈1) or dispersed (R>1)?" (Clark & Evans
+    1954).  R = D̄_obs / D̄_exp with D̄_exp = ½·√(A/n) under CSR on the
+    bounding-box area A; z = (D̄_obs − D̄_exp) / SE,
+    SE = √((4−π)/(4π)) · √A / n.
+
+    Radius-bounded NN (the scale contract): the nearest neighbour is
+    searched within ``radius`` via the one-pass eps-grid join
+    (cluster.grid_radius_join shape) — a point with NO in-radius
+    neighbour is EXCLUDED from D̄_obs and reported in
+    ``n_points − n_with_nn`` (the bounded search is what keeps this
+    one cell-key exchange instead of a ring-expansion loop; choose
+    radius ≳ a few × the CSR mean spacing so exclusions are border
+    noise, and read the exclusion count before trusting R).
+
+    Exactness: per-point NN distance is µ-quantized —
+    ``floor(√d² · 10⁶)`` is one correctly-rounded IEEE √ + one
+    rounded × + an exact floor (result < 2⁵³), bit-identical
+    cross-engine — so ``sum_nn_micro``, the bbox area and the counts
+    are exact longs; R and z are the one pinned double chain.
+
+    Returns a single row ``(n_points, n_with_nn, area, sum_nn_micro,
+    r_index, z_score)``.
+    """
+    from .cluster import grid_radius_join
+
+    if radius < 1:
+        raise ValueError("radius must be a positive integer")
+    p = pts.select(F.col(id_col).alias("i"),
+                   F.col(x_col).cast("long").alias("x"),
+                   F.col(y_col).cast("long").alias("y"))
+    c = p.select(F.col("i").alias("j"), "x", "y")
+    nn = (grid_radius_join(p, c, radius, query_id="i",
+                           corpus_id="j", x="x", y="y")
+          .filter(F.col("i") != F.col("j"))
+          .groupBy("i").agg(F.min("d2").alias("nn_d2")))
+    nn_micro = F.floor(F.sqrt(F.col("nn_d2").cast("double"))
+                       * F.lit(1_000_000.0)).cast("long")
+    obs = nn.agg(
+        F.count(F.lit(1)).cast("long").alias("n_with_nn"),
+        F.sum(nn_micro).alias("sum_nn_micro"))
+    tot = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        ((F.max("x") - F.min("x"))
+         * (F.max("y") - F.min("y"))).cast("long").alias("area"))
+    j = tot.crossJoin(obs)
+    n = F.col("n_points").cast("double")
+    a = F.col("area").cast("double")
+    d_obs = (F.col("sum_nn_micro").cast("double")
+             / (F.col("n_with_nn").cast("double") * F.lit(1e6)))
+    d_exp = F.lit(0.5) * F.sqrt(a / n)
+    pi = F.lit(3.141592653589793)
+    se = (F.sqrt((F.lit(4.0) - pi) / (F.lit(4.0) * pi))
+          * F.sqrt(a) / n)
+    return j.select(
+        "n_points", "n_with_nn", "area", "sum_nn_micro",
+        F.when(F.col("n_with_nn") > 0, d_obs / d_exp).alias("r_index"),
+        F.when(F.col("n_with_nn") > 0,
+               (d_obs - d_exp) / se).alias("z_score"))
+
+
+def quadrat_test(pts: DataFrame, cell: int, *,
+                 x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Quadrat-count CSR test: tile the point pattern's bounding box
+    into ``cell``-sized quadrats (EMPTY quadrats included — the
+    classic statistic is over the full study frame) and report the
+    variance-to-mean ratio with its χ² statistic
+    (χ² = (N_q − 1)·VMR, df = N_q − 1): VMR ≈ 1 under CSR, > 1
+    clustered, < 1 regular — the grid-census complement of the
+    distance-based :func:`clark_evans`.
+
+    Exactness: empty quadrats never materialize — with c the occupied
+    counts, Σc = n and Σc² exact longs, and N_q the exact bbox grid
+    size, VMR is the exact rational
+    ``(N_q·Σc² − n²) / (n·(N_q − 1))`` — emitted as integer
+    numerator/denominator (the value-hash substance) plus the pinned
+    double VMR and χ².
+
+    Scale shape: one map-side-combinable groupBy on the quadrat key +
+    a single-row bbox aggregate — no joins, no pair work, hot cells
+    are just big longs.
+
+    Returns ``(n_points, n_quadrats, n_occupied, sum_c2, vmr_num,
+    vmr_den, vmr, chi2)``.
+    """
+    from ..geo.tilemath import floor_div
+
+    if cell < 1:
+        raise ValueError("cell must be a positive integer")
+    q = pts.select(
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+        floor_div(F.col(x_col).cast("long"), cell).alias("qx"),
+        floor_div(F.col(y_col).cast("long"), cell).alias("qy"))
+    occ = q.groupBy("qx", "qy").agg(F.count(F.lit(1)).alias("c"))
+    sums = occ.agg(
+        F.sum("c").cast("long").alias("n_points"),
+        F.count(F.lit(1)).cast("long").alias("n_occupied"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"))
+    ext = q.agg(
+        (floor_div(F.max("x"), cell) - floor_div(F.min("x"), cell)
+         + 1).alias("_nx"),
+        (floor_div(F.max("y"), cell) - floor_div(F.min("y"), cell)
+         + 1).alias("_ny"))
+    j = sums.crossJoin(ext).withColumn(
+        "n_quadrats", (F.col("_nx") * F.col("_ny")).cast("long"))
+    num = (F.col("n_quadrats") * F.col("sum_c2")
+           - F.col("n_points") * F.col("n_points"))
+    den = F.col("n_points") * (F.col("n_quadrats") - 1)
+    return j.select(
+        "n_points", "n_quadrats", "n_occupied", "sum_c2",
+        num.alias("vmr_num"), den.alias("vmr_den"),
+        F.when(den > 0, num.cast("double") / den.cast("double"))
+        .alias("vmr"),
+        F.when((den > 0) & (F.col("n_points") > 0),
+               (F.col("n_quadrats") - 1).cast("double")
+               * num.cast("double") / den.cast("double"))
+        .alias("chi2"))

@@ -3767,3 +3767,111 @@ FROM blocks b JOIN lut l ON l.mcase = b.mcase"""
 
 GEOM_QUERIES["contour_segments"] = (q_contour_segments,
                                     sql_contour_segments)
+
+
+_CE_QMOD = 20              # every 20th event -> 500 sample points
+_CE_RADIUS = 16384         # NN search bound (≫ CSR mean spacing)
+_QUAD_CELL = 4096          # quadrat edge (micro-degrees)
+
+
+def q_clark_evans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clark-Evans nearest-neighbour index over a 500-point sample of
+    the deterministic walk (operators/spatialstats.py clark_evans):
+    radius-bounded NN via ONE eps-grid cell join, per-point distances
+    µ-quantized (floor(√d²·10⁶)) so the sums value-hash; R and z are
+    the one pinned double chain — clustered (R<1) vs dispersed (R>1)
+    in one row."""
+    from .operators.spatialstats import clark_evans
+    from .operators.trajectory import random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = (random_walk_positions(ev, jump=_TRAJ_JUMP)
+           .filter(F.pmod(F.col("event_id"), F.lit(_CE_QMOD)) == 0)
+           .select(F.col("event_id").alias("i"), "x", "y"))
+    return clark_evans(pts, _CE_RADIUS)
+
+
+def sql_clark_evans() -> str:
+    r2 = _CE_RADIUS * _CE_RADIUS
+    return f"""WITH {_sql_walk_pos()},
+p AS MATERIALIZED (SELECT event_id AS i, x, y FROM pos
+                   WHERE event_id % {_CE_QMOD} = 0),
+nn AS (SELECT a.i,
+              MIN((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) AS nn_d2
+       FROM p a JOIN p b ON a.i <> b.i
+        AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= {r2}
+       GROUP BY a.i),
+obs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_with_nn,
+               CAST(SUM(CAST(floor(sqrt(CAST(nn_d2 AS DOUBLE))
+                                   * 1000000.0) AS BIGINT))
+                    AS BIGINT) AS sum_nn_micro
+        FROM nn),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST((MAX(x)-MIN(x))*(MAX(y)-MIN(y)) AS BIGINT) AS area
+        FROM p)
+SELECT n_points, n_with_nn, area, sum_nn_micro,
+       CASE WHEN n_with_nn > 0 THEN
+         (CAST(sum_nn_micro AS DOUBLE)
+          / (CAST(n_with_nn AS DOUBLE) * 1000000.0))
+         / (0.5 * sqrt(CAST(area AS DOUBLE) / CAST(n_points AS DOUBLE)))
+       END AS r_index,
+       CASE WHEN n_with_nn > 0 THEN
+         ((CAST(sum_nn_micro AS DOUBLE)
+           / (CAST(n_with_nn AS DOUBLE) * 1000000.0))
+          - 0.5 * sqrt(CAST(area AS DOUBLE) / CAST(n_points AS DOUBLE)))
+         / (sqrt((4.0 - 3.141592653589793)
+                 / (4.0 * 3.141592653589793))
+            * sqrt(CAST(area AS DOUBLE)) / CAST(n_points AS DOUBLE))
+       END AS z_score
+FROM tot, obs"""
+
+
+GEOM_QUERIES["clark_evans"] = (q_clark_evans, sql_clark_evans)
+
+
+def q_quadrat_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadrat-count CSR census over ALL walk positions
+    (operators/spatialstats.py quadrat_test): empty quadrats enter the
+    variance through the exact bbox grid size — VMR as an exact
+    integer rational (vmr_num/vmr_den) plus the pinned χ²; one
+    map-side-combinable groupBy, zero joins."""
+    from .operators.spatialstats import quadrat_test
+    from .operators.trajectory import random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    return quadrat_test(pos, _QUAD_CELL)
+
+
+def sql_quadrat_test() -> str:
+    c = _QUAD_CELL
+    fd = (lambda e: f"(({e}) - ((({e}) % {c}) + {c}) % {c}) // {c}")
+    return f"""WITH {_sql_walk_pos()},
+q AS (SELECT x, y, {fd('x')} AS qx, {fd('y')} AS qy FROM pos),
+occ AS (SELECT qx, qy, COUNT(*) AS cnt FROM q GROUP BY 1, 2),
+sums AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_points,
+                CAST(COUNT(*) AS BIGINT) AS n_occupied,
+                CAST(SUM(cnt * cnt) AS BIGINT) AS sum_c2
+         FROM occ),
+ext AS (SELECT ({fd('MAX(x)')}) - ({fd('MIN(x)')}) + 1 AS nx,
+               ({fd('MAX(y)')}) - ({fd('MIN(y)')}) + 1 AS ny
+        FROM q)
+SELECT n_points,
+       CAST(nx * ny AS BIGINT) AS n_quadrats,
+       n_occupied, sum_c2,
+       CAST(nx * ny * sum_c2 - n_points * n_points AS BIGINT)
+         AS vmr_num,
+       CAST(n_points * (nx * ny - 1) AS BIGINT) AS vmr_den,
+       CASE WHEN n_points * (nx * ny - 1) > 0 THEN
+         CAST(nx * ny * sum_c2 - n_points * n_points AS DOUBLE)
+         / CAST(n_points * (nx * ny - 1) AS DOUBLE)
+       END AS vmr,
+       CASE WHEN n_points > 0 AND n_points * (nx * ny - 1) > 0 THEN
+         CAST(nx * ny - 1 AS DOUBLE)
+         * CAST(nx * ny * sum_c2 - n_points * n_points AS DOUBLE)
+         / CAST(n_points * (nx * ny - 1) AS DOUBLE)
+       END AS chi2
+FROM sums, ext"""
+
+
+GEOM_QUERIES["quadrat_test"] = (q_quadrat_test, sql_quadrat_test)

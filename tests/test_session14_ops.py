@@ -1,0 +1,108 @@
+"""Unit differentials for the session-14 operator block (point-pattern
+statistics: Clark-Evans NN index, quadrat-count CSR test)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mapbox_filter_spark.operators.spatialstats import (clark_evans,
+                                                        quadrat_test)
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "i long, x long, y long")
+
+
+def test_clark_evans_square_corners(spark):
+    # 4 corners of a 10x10 square: every NN distance is exactly 10,
+    # bbox area 100, D_exp = 0.5*sqrt(100/4) = 2.5 -> R = 4.0
+    out = clark_evans(
+        _pts(spark, [(1, 0, 0), (2, 10, 0), (3, 0, 10), (4, 10, 10)]),
+        radius=64).collect()[0]
+    assert out.n_points == 4 and out.n_with_nn == 4
+    assert out.area == 100
+    assert out.sum_nn_micro == 4 * 10_000_000
+    assert out.r_index == pytest.approx(4.0)
+    assert out.z_score > 0  # dispersed
+
+
+def test_clark_evans_excludes_isolated_points(spark):
+    # 5th point beyond the search radius contributes to n_points/area
+    # but not to the NN mean (the documented bounded-search contract)
+    out = clark_evans(
+        _pts(spark, [(1, 0, 0), (2, 10, 0), (3, 0, 10), (4, 10, 10),
+                     (5, 1000, 1000)]),
+        radius=64).collect()[0]
+    assert out.n_points == 5
+    assert out.n_with_nn == 4
+    assert out.sum_nn_micro == 4 * 10_000_000
+
+
+def test_clark_evans_python_differential(spark):
+    # brute-force replay of the whole statistic on a hashed pattern
+    import math
+    rows = [(i, (i * 7919) % 97, (i * 104729) % 89)
+            for i in range(30)]
+    out = clark_evans(_pts(spark, rows), radius=200).collect()[0]
+    xs = [r[1] for r in rows]
+    ys = [r[2] for r in rows]
+    nn_sum = 0
+    for i, x, y in rows:
+        d2 = min((x - bx) ** 2 + (y - by) ** 2
+                 for j, bx, by in rows if j != i)
+        nn_sum += math.floor(math.sqrt(d2) * 1e6)
+    area = (max(xs) - min(xs)) * (max(ys) - min(ys))
+    assert out.area == area
+    assert out.sum_nn_micro == nn_sum
+    d_obs = nn_sum / (30 * 1e6)
+    d_exp = 0.5 * math.sqrt(area / 30)
+    assert out.r_index == pytest.approx(d_obs / d_exp)
+    se = math.sqrt((4 - math.pi) / (4 * math.pi)) * math.sqrt(area) / 30
+    assert out.z_score == pytest.approx((d_obs - d_exp) / se)
+
+
+def test_quadrat_vmr_exact_rational(spark):
+    # cell=10: cells {0:(3 pts), 1:(1 pt)}, bbox grid = 2x1 quadrats
+    # VMR = (Nq*sum_c2 - n^2) / (n*(Nq-1)) = (2*10-16)/4 = 1.0
+    out = quadrat_test(
+        _pts(spark, [(1, 1, 1), (2, 2, 1), (3, 3, 1), (4, 15, 1)]),
+        cell=10).collect()[0]
+    assert out.n_points == 4 and out.n_quadrats == 2
+    assert out.n_occupied == 2 and out.sum_c2 == 10
+    assert (out.vmr_num, out.vmr_den) == (4, 4)
+    assert out.vmr == pytest.approx(1.0)
+    assert out.chi2 == pytest.approx(1.0)
+
+
+def test_quadrat_counts_empty_quadrats(spark):
+    # all mass in two far cells -> interior EMPTY quadrats raise VMR
+    out = quadrat_test(
+        _pts(spark, [(1, 1, 1), (2, 2, 1), (3, 3, 1), (4, 35, 1)]),
+        cell=10).collect()[0]
+    assert out.n_quadrats == 4          # cells 0..3 on x, 1 on y
+    assert out.n_occupied == 2
+    # VMR = (4*10 - 16) / (4*3) = 2.0
+    assert out.vmr == pytest.approx(2.0)
+
+
+def test_quadrat_negative_coords_floor(spark):
+    # floor division must keep (-1,-1) in cell (-1,-1), not (0,0)
+    out = quadrat_test(
+        _pts(spark, [(1, -1, -1), (2, 1, 1)]), cell=10).collect()[0]
+    assert out.n_quadrats == 4          # 2x2 bbox grid across origin
+    assert out.n_occupied == 2
+
+
+def test_quadrat_single_exchange_plan(spark):
+    out = quadrat_test(_pts(spark, [(1, 1, 1), (2, 15, 1)]), cell=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "Join" in plan  # the single-row totals crossJoin only
+    assert plan.count("Exchange") <= 4
+
+
+def test_quadrat_rejects_bad_cell(spark):
+    with pytest.raises(ValueError):
+        quadrat_test(_pts(spark, [(1, 1, 1)]), cell=0)
+    with pytest.raises(ValueError):
+        clark_evans(_pts(spark, [(1, 1, 1)]), radius=0)
