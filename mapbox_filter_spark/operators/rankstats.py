@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["spearman_corr", "mann_whitney_u", "ks_2samp", "kendall_tau",
-           "kruskal_wallis", "pettitt_test", "friedman_test", "bh_fdr"]
+           "kruskal_wallis", "pettitt_test", "friedman_test", "bh_fdr",
+           "kendalls_w"]
 
 # 4n^4 < 2^63  =>  n <= 38,000 keeps every sum exact in int64
 _MAX_GROUP_ROWS = 38_000
@@ -654,3 +655,78 @@ def bh_fdr(df: DataFrame, group_cols: "list[str]", id_col: str,
         *group_cols, "id", "p_num", "k", "m",
         F.when(F.col("k") <= F.coalesce(kstar, F.lit(0)),
                F.lit(1)).otherwise(F.lit(0)).alias("rejected"))
+
+
+def kendalls_w(df: DataFrame, rater_col: str, item_col: str,
+               value_col: str) -> DataFrame:
+    """Kendall's coefficient of concordance W — do m independent
+    raters (sources, shards, model variants) rank the same n items
+    consistently? (Kendall & Babington Smith 1939.)  W=1 unanimous
+    ordering, W≈0 no agreement; the multi-rater generalization of
+    :func:`spearman_corr` (W relates to the mean pairwise Spearman ρ̄
+    by W = (ρ̄(m−1)+1)/m).
+
+    Input is the (rater, item, value) table; MISSING pairs read as
+    value 0 (the grid is completed via distinct-raters × distinct-items
+    before ranking, so every rater ranks every item).  Ties get
+    average ranks with the standard correction term ΣT = Σ(t³−t).
+
+    Exactness: average ranks are half-integers, so everything is
+    carried ×2 — ``avg2 = 2·rank_min + (ties−1)`` is an exact long,
+    per-item rank sums S2 = Σavg2 deviate from the exact mean m(n+1),
+    and with S4 = Σ(S2 − m(n+1))² the statistic is the exact rational
+
+        W = 3·S4 / (m²(n³−n) − m·ΣT)
+
+    — numerator/denominator longs plus the one pinned double.
+
+    Scale shape: grid completion is two tiny distinct aggregates +
+    one left join on the (rater,item) key; then one rank window per
+    RATER (the small axis) and one groupBy per ITEM — no pair joins,
+    no global sort.
+
+    Returns ``(m_raters, n_items, s4, tie_term, w_num, w_den, w)``.
+    """
+    v = F.col(value_col).cast("long")
+    base = df.select(F.col(rater_col).alias("_r"),
+                     F.col(item_col).alias("_i"), v.alias("_v"))
+    raters = base.select("_r").distinct()
+    items = base.select("_i").distinct()
+    grid = (raters.crossJoin(items)
+            .join(base, ["_r", "_i"], "left")
+            .select("_r", "_i",
+                    F.coalesce(F.col("_v"), F.lit(0)).alias("_v")))
+    wr = Window.partitionBy("_r").orderBy(F.col("_v").asc())
+    wt = Window.partitionBy("_r", "_v")
+    ranked = grid.select(
+        "_r", "_i", "_v",
+        (F.lit(2) * F.rank().over(wr).cast("long")
+         + F.count(F.lit(1)).over(wt).cast("long")
+         - F.lit(1)).alias("_avg2"))
+    mm = raters.agg(F.count(F.lit(1)).cast("long").alias("m_raters"))
+    nn = items.agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    s2 = ranked.groupBy("_i").agg(
+        F.sum("_avg2").cast("long").alias("_s2"))
+    s4 = (s2.crossJoin(mm).crossJoin(nn)
+          .select(((F.col("_s2")
+                    - F.col("m_raters") * (F.col("n_items") + 1))
+                   * (F.col("_s2")
+                      - F.col("m_raters") * (F.col("n_items") + 1)))
+                  .alias("_d2"))
+          .agg(F.sum("_d2").cast("long").alias("s4")))
+    ties = (grid.groupBy("_r", "_v")
+            .agg(F.count(F.lit(1)).cast("long").alias("_t"))
+            .agg(F.coalesce(
+                F.sum(F.col("_t") * F.col("_t") * F.col("_t")
+                      - F.col("_t")), F.lit(0))
+                .cast("long").alias("tie_term")))
+    j = mm.crossJoin(nn).crossJoin(s4).crossJoin(ties)
+    m = F.col("m_raters")
+    n = F.col("n_items")
+    w_den = (m * m * (n * n * n - n) - m * F.col("tie_term"))
+    w_num = F.lit(3) * F.col("s4")
+    return j.select(
+        "m_raters", "n_items", "s4", "tie_term",
+        w_num.alias("w_num"), w_den.alias("w_den"),
+        F.when(w_den > 0, w_num.cast("double") / w_den.cast("double"))
+        .alias("w"))

@@ -30,7 +30,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["group_rank_median", "robust_outliers", "benford_profile", "entropy_profile"]
+__all__ = ["group_rank_median", "robust_outliers", "benford_profile",
+           "entropy_profile", "cohen_kappa"]
 
 
 def group_rank_median(df: DataFrame, group_cols: Sequence[str],
@@ -1560,3 +1561,52 @@ def grubbs_test(df: DataFrame, group_cols: Sequence[str],
     return best.select(
         *g, n.cast("long").alias("n"),
         F.col("_m._x").alias("x_out"), gstat.alias("g_stat"))
+
+
+def cohen_kappa(df: DataFrame, true_col: str,
+                pred_col: str) -> DataFrame:
+    """Cohen's κ — chance-corrected agreement between two labelers
+    (Cohen 1960): κ = (p_o − p_e)/(1 − p_e) with p_o the observed
+    agreement and p_e the marginal-product chance agreement.  The
+    one-number upgrade of a confusion matrix (lang_confusion): raw
+    accuracy flatters a skewed label mix; κ=0 means "no better than
+    guessing the marginals", κ=1 perfect.
+
+    Exact rational form (the engine-wide integer discipline): with
+    N = Σn, A = Σ diag, C = Σ_label row(l)·col(l),
+
+        κ = (N·A − C) / (N² − C)
+
+    — every term an exact long, emitted as numerator/denominator plus
+    the one pinned double.
+
+    Scale shape: one groupBy on the label pair, two tiny marginal
+    aggregates full-outer-joined on the label (≤ |labels| rows), one
+    single-row reduce — no row-level pair work.
+
+    Returns ``(n_total, n_agree, chance_num, kappa_num, kappa_den,
+    kappa)``.
+    """
+    conf = (df.groupBy(F.col(true_col).alias("_a"),
+                       F.col(pred_col).alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_n")))
+    tot = conf.agg(
+        F.sum("_n").cast("long").alias("n_total"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_n"))
+              .otherwise(F.lit(0))).cast("long").alias("n_agree"))
+    rows = conf.groupBy(F.col("_a").alias("_l")).agg(
+        F.sum("_n").cast("long").alias("_r"))
+    cols = conf.groupBy(F.col("_b").alias("_l")).agg(
+        F.sum("_n").cast("long").alias("_c"))
+    chance = (rows.join(cols, "_l", "full_outer")
+              .agg(F.sum(F.coalesce(F.col("_r"), F.lit(0))
+                         * F.coalesce(F.col("_c"), F.lit(0)))
+                   .cast("long").alias("chance_num")))
+    j = tot.crossJoin(chance)
+    num = (F.col("n_total") * F.col("n_agree") - F.col("chance_num"))
+    den = (F.col("n_total") * F.col("n_total") - F.col("chance_num"))
+    return j.select(
+        "n_total", "n_agree", "chance_num",
+        num.alias("kappa_num"), den.alias("kappa_den"),
+        F.when(den > 0, num.cast("double") / den.cast("double"))
+        .alias("kappa"))

@@ -2363,14 +2363,15 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n")))
 
 
-def sql_lang_confusion() -> str:
+def _sql_lang_pred() -> str:
+    """scored+pred CTE text: corpus label + lang_id prediction per doc
+    (shared by the lang_confusion and cohen_kappa oracles)."""
     scores = ",\n         ".join(
         f"LEN(list_filter({_WORDS_SQL}, x -> list_contains({arr}, x)))"
         f" AS s_{l}"
         for l, arr in _STOP_SQL.items()
     )
-    return f"""
-WITH scored AS (
+    return f"""scored AS (
   SELECT lang,
          {scores}
   FROM documents
@@ -2382,7 +2383,12 @@ pred AS (
             WHEN s_de = GREATEST(s_de, s_fr, s_es) THEN 'de'
             WHEN s_fr = GREATEST(s_fr, s_es) THEN 'fr'
             ELSE 'es' END AS lang_pred
-  FROM scored)
+  FROM scored)"""
+
+
+def sql_lang_confusion() -> str:
+    return f"""
+WITH {_sql_lang_pred()}
 SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
 FROM pred GROUP BY 1, 2"""
 
@@ -2525,3 +2531,101 @@ FROM sel"""
 
 
 EXT_QUERIES["span_schedule"] = (q_span_schedule, sql_span_schedule)
+
+
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between the corpus lang label and the n-gram
+    heuristic's prediction (operators/stats.py cohen_kappa) — the
+    chance-corrected one-number summary of lang_confusion, as the
+    exact rational (N·A − Σrow·col) / (N² − Σrow·col)."""
+    from .operators.stats import cohen_kappa
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labeled = docs.select(
+        "lang", text.lang_id(F.col("text")).alias("lang_pred"))
+    return cohen_kappa(labeled, "lang", "lang_pred")
+
+
+def sql_cohen_kappa() -> str:
+    return f"""WITH {_sql_lang_pred()},
+conf AS (SELECT lang AS a, lang_pred AS b, COUNT(*) AS n
+         FROM pred GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+               CAST(SUM(CASE WHEN a = b THEN n ELSE 0 END) AS BIGINT)
+                 AS n_agree
+        FROM conf),
+rmarg AS (SELECT a AS l, SUM(n) AS r FROM conf GROUP BY 1),
+cmarg AS (SELECT b AS l, SUM(n) AS c FROM conf GROUP BY 1),
+ch AS (SELECT CAST(SUM(COALESCE(r, 0) * COALESCE(c, 0)) AS BIGINT)
+         AS chance_num
+       FROM rmarg FULL JOIN cmarg USING (l))
+SELECT n_total, n_agree, chance_num,
+       CAST(n_total * n_agree - chance_num AS BIGINT) AS kappa_num,
+       CAST(n_total * n_total - chance_num AS BIGINT) AS kappa_den,
+       CASE WHEN n_total * n_total - chance_num > 0 THEN
+         CAST(n_total * n_agree - chance_num AS DOUBLE)
+         / CAST(n_total * n_total - chance_num AS DOUBLE)
+       END AS kappa
+FROM tot, ch"""
+
+
+EXT_QUERIES["cohen_kappa"] = (q_cohen_kappa, sql_cohen_kappa)
+
+
+def q_kendalls_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W concordance across sources ranking languages by
+    document count (operators/rankstats.py kendalls_w): do the 20
+    corpus shards agree on the language ordering?  Average ranks
+    carried ×2, ties corrected by ΣT = Σ(t³−t) — the whole statistic
+    an exact integer rational."""
+    from .operators.rankstats import kendalls_w
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cnt = (docs.groupBy("source", "lang")
+           .agg(F.count(F.lit(1)).alias("n_docs")))
+    return kendalls_w(cnt, "source", "lang", "n_docs")
+
+
+def sql_kendalls_w() -> str:
+    return """WITH cnt AS (
+  SELECT source, lang, COUNT(*) AS v FROM documents GROUP BY 1, 2),
+raters AS (SELECT DISTINCT source FROM documents),
+items AS (SELECT DISTINCT lang FROM documents),
+grid AS (
+  SELECT r.source, i.lang, COALESCE(c.v, 0) AS v
+  FROM raters r CROSS JOIN items i
+  LEFT JOIN cnt c ON c.source = r.source AND c.lang = i.lang),
+rk AS (
+  SELECT source, lang, v,
+         RANK() OVER (PARTITION BY source ORDER BY v ASC) AS rmin,
+         COUNT(*) OVER (PARTITION BY source, v) AS t
+  FROM grid),
+s2 AS (SELECT lang, CAST(SUM(2 * rmin + (t - 1)) AS BIGINT) AS s2
+       FROM rk GROUP BY 1),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_raters FROM raters),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM items),
+s4 AS (SELECT CAST(SUM((s2 - m_raters * (n_items + 1))
+                       * (s2 - m_raters * (n_items + 1))) AS BIGINT)
+         AS s4
+       FROM s2, mm, nn),
+tie AS (SELECT CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT)
+          AS tie_term
+        FROM (SELECT source, v, COUNT(*) AS t
+              FROM grid GROUP BY 1, 2))
+SELECT m_raters, n_items, s4, tie_term,
+       CAST(3 * s4 AS BIGINT) AS w_num,
+       CAST(m_raters * m_raters
+            * (n_items * n_items * n_items - n_items)
+            - m_raters * tie_term AS BIGINT) AS w_den,
+       CASE WHEN m_raters * m_raters
+                 * (n_items * n_items * n_items - n_items)
+                 - m_raters * tie_term > 0 THEN
+         CAST(3 * s4 AS DOUBLE)
+         / CAST(m_raters * m_raters
+                * (n_items * n_items * n_items - n_items)
+                - m_raters * tie_term AS DOUBLE)
+       END AS w
+FROM mm, nn, s4, tie"""
+
+
+EXT_QUERIES["kendalls_w"] = (q_kendalls_w, sql_kendalls_w)

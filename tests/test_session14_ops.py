@@ -106,3 +106,95 @@ def test_quadrat_rejects_bad_cell(spark):
         quadrat_test(_pts(spark, [(1, 1, 1)]), cell=0)
     with pytest.raises(ValueError):
         clark_evans(_pts(spark, [(1, 1, 1)]), radius=0)
+
+
+# ---- agreement statistics: Cohen's kappa, Kendall's W ----
+
+from mapbox_filter_spark.operators.stats import cohen_kappa
+from mapbox_filter_spark.operators.rankstats import kendalls_w
+
+
+def test_cohen_kappa_textbook(spark):
+    # classic 2x2: 35/50 agree, marginal chance 1250/2500 -> k = 0.4
+    rows = ([("y", "y")] * 20 + [("n", "n")] * 15
+            + [("y", "n")] * 5 + [("n", "y")] * 10)
+    out = cohen_kappa(
+        spark.createDataFrame(rows, "t string, p string"),
+        "t", "p").collect()[0]
+    assert out.n_total == 50 and out.n_agree == 35
+    assert out.chance_num == 25 * 30 + 25 * 20
+    assert (out.kappa_num, out.kappa_den) == (500, 1250)
+    assert out.kappa == pytest.approx(0.4)
+
+
+def test_cohen_kappa_disjoint_labels(spark):
+    # predictions never overlap truth: agreement 0, chance 0 -> k=0
+    rows = [("a", "b")] * 4
+    out = cohen_kappa(
+        spark.createDataFrame(rows, "t string, p string"),
+        "t", "p").collect()[0]
+    assert out.n_agree == 0 and out.chance_num == 0
+    assert out.kappa == pytest.approx(0.0)
+
+
+def _rt(spark, rows):
+    return spark.createDataFrame(rows, "r string, i string, v long")
+
+
+def test_kendalls_w_unanimous(spark):
+    rows = [(r, i, v) for r in "abc"
+            for i, v in [("x", 1), ("y", 2), ("z", 3)]]
+    out = kendalls_w(_rt(spark, rows), "r", "i", "v").collect()[0]
+    assert (out.m_raters, out.n_items) == (3, 3)
+    assert out.s4 == 72 and out.tie_term == 0
+    assert out.w == pytest.approx(1.0)
+
+
+def test_kendalls_w_reversed_pair(spark):
+    # two raters with exactly opposite orderings -> W = 0
+    rows = [("a", "x", 1), ("a", "y", 2), ("a", "z", 3),
+            ("b", "x", 3), ("b", "y", 2), ("b", "z", 1)]
+    out = kendalls_w(_rt(spark, rows), "r", "i", "v").collect()[0]
+    assert out.s4 == 0
+    assert out.w == pytest.approx(0.0)
+
+
+def test_kendalls_w_tie_correction_and_grid_fill(spark):
+    # rater b ties everything (t=3 -> T=24); rater a misses item z
+    # (grid completion reads v=0, ranking z lowest for a)
+    rows = [("a", "x", 5), ("a", "y", 9),
+            ("b", "x", 2), ("b", "y", 2), ("b", "z", 2)]
+    out = kendalls_w(_rt(spark, rows), "r", "i", "v").collect()[0]
+    assert out.m_raters == 2 and out.n_items == 3
+    assert out.tie_term == 24
+    # w_den = 4*24 - 2*24 = 48; rater a ranks z=1,x=2,y=3 (avg2 2,4,6)
+    # rater b all avg2 = 2*1+2 = 4; S2 = {z:6, x:8, y:10}, mean 8
+    # S4 = 4 + 0 + 4 = 8 -> W = 24/48 = 0.5
+    assert (out.s4, out.w_num, out.w_den) == (8, 24, 48)
+    assert out.w == pytest.approx(0.5)
+
+
+def test_kendalls_w_python_differential(spark):
+    rows = [(f"r{r}", f"i{i}", (r * 7919 + i * 104729) % 13)
+            for r in range(5) for i in range(7)]
+    out = kendalls_w(_rt(spark, rows), "r", "i", "v").collect()[0]
+    # brute replay with average ranks
+    m, n = 5, 7
+    byr = {}
+    for r, i, v in rows:
+        byr.setdefault(r, []).append((i, v))
+    s2 = {}
+    tie = 0
+    for r, iv in byr.items():
+        vals = sorted(v for _, v in iv)
+        from collections import Counter
+        cnt = Counter(vals)
+        tie += sum(t ** 3 - t for t in cnt.values())
+        for i, v in iv:
+            rmin = 1 + sum(1 for w in vals if w < v)
+            t = cnt[v]
+            s2[i] = s2.get(i, 0) + 2 * rmin + (t - 1)
+    s4 = sum((x - m * (n + 1)) ** 2 for x in s2.values())
+    assert out.s4 == s4 and out.tie_term == tie
+    w = 3 * s4 / (m * m * (n ** 3 - n) - m * tie)
+    assert out.w == pytest.approx(w)
