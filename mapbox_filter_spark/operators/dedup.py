@@ -491,3 +491,100 @@ def dedup_spans(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+    max_block: int = 4096,
+) -> DataFrame:
+    """Asymmetric n-gram containment C(A→B) = |A∩B| / |A| within
+    first-token blocks — the QUOTE-INCLUSION detector Jaccard misses:
+    a short document fully embedded in a long one has tiny Jaccard
+    (∩/∪ is diluted by the long doc's grams) but containment 1.0
+    (Broder 1997's w-shingling containment).  The curation use is
+    finding excerpt/quotation/boilerplate-subset relations that
+    :func:`dedup_ngram_jaccard` scores as dissimilar.
+
+    Directed: both (a→b) and (b→a) rows can emit — containment is
+    not symmetric; ``inter``/``size_a``/``size_b`` are exact ints and
+    the score is the one division.  Same blocking + ``max_block``
+    drop-loudly scale guard as the Jaccard verifier (audit with
+    :func:`oversized_ngram_blocks`); LSH remains the scale path for
+    candidate generation.
+    """
+    base = _ngram_blocked(df, text_col, id_col, shingle_n)
+    oversized = (
+        base.groupBy("blk").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > max_block).select("blk")
+    )
+    base = base.join(F.broadcast(oversized), "blk", "left_anti")
+    a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "blk")
+    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "blk")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    size_a = F.size(F.col("sh_a"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b",
+                inter.cast("long").alias("inter"),
+                size_a.cast("long").alias("size_a"),
+                F.size(F.col("sh_b")).cast("long").alias("size_b"),
+                F.when(size_a > 0, inter / size_a)
+                .otherwise(F.lit(0.0)).alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-source n-gram overlap matrix — how much distinct shingle
+    mass every pair of corpus sources shares (the contamination /
+    provenance triage view: a crawl shard that shares half its grams
+    with a benchmark shard is a leak suspect; near-identical shards
+    are mirror candidates for :func:`dedup_exact`).
+
+    Exact: per-source DISTINCT shingle sets never materialize as
+    arrays — one distinct on (source, gram), then a self-equi-join on
+    the GRAM key counts shared grams per source pair; sizes join in
+    from a per-source count.  ``shared``/``n_a``/``n_b`` exact longs,
+    Jaccard the one division.
+
+    Scale shape: postings per gram are bounded by the number of
+    SOURCES (tens), so the gram-key join fans out ≤ |sources|² per
+    gram — no quadratic-in-rows hazard (contrast doc-level pair
+    joins, which block and cap); two map-side-combinable distincts +
+    one equi-join.  Returns ``(src_a, src_b, shared, n_a, n_b,
+    jaccard)`` with src_a < src_b.
+    """
+    grams = (df.select(
+        F.col(group_col).alias("src"),
+        F.explode(word_shingles(F.col(text_col), shingle_n))
+        .alias("g")).distinct())
+    sizes = grams.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"))
+    a = grams.select(F.col("src").alias("src_a"), "g")
+    b = grams.select(F.col("src").alias("src_b"), "g")
+    shared = (a.join(b, "g")
+              .filter(F.col("src_a") < F.col("src_b"))
+              .groupBy("src_a", "src_b")
+              .agg(F.count(F.lit(1)).cast("long").alias("shared")))
+    sa = sizes.select(F.col("src").alias("src_a"),
+                      F.col("n_grams").alias("n_a"))
+    sb = sizes.select(F.col("src").alias("src_b"),
+                      F.col("n_grams").alias("n_b"))
+    out = shared.join(sa, "src_a").join(sb, "src_b")
+    union = F.col("n_a") + F.col("n_b") - F.col("shared")
+    return out.select(
+        "src_a", "src_b", "shared", "n_a", "n_b",
+        F.when(union > 0,
+               F.col("shared").cast("double") / union.cast("double"))
+        .otherwise(F.lit(0.0)).alias("jaccard"))

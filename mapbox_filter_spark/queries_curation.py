@@ -1661,3 +1661,101 @@ FROM flagged"""
 
 
 CURATION_QUERIES["bh_fdr"] = (q_bh_fdr, sql_bh_fdr)
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment pairs on the 300-doc verifier slice
+    (operators/dedup.py containment_pairs): |A∩B|/|A| finds
+    quote-inclusion relations Jaccard dilutes — exact integer
+    inter/sizes, one division, same first-token blocking + loud
+    max_block cap as the Jaccard verifier."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300)
+    pairs = dedup.containment_pairs(docs, shingle_n=2, threshold=0.2,
+                                    max_block=64)
+    return pairs.select("id_a", "id_b", "inter", "size_a", "size_b",
+                        F.round("containment", 6).alias("containment"))
+
+
+def sql_containment_pairs() -> str:
+    return """
+WITH lim AS (SELECT * FROM documents ORDER BY doc_id LIMIT 300),
+base AS (
+  SELECT doc_id AS id,
+         list_filter(REGEXP_SPLIT_TO_ARRAY(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' '), x -> x <> '') AS words
+  FROM lim
+),
+sh0 AS (
+  SELECT id, words[1] AS blk,
+         list_distinct([words[i] || ' ' || words[i+1]
+                        FOR i IN RANGE(1, GREATEST(LEN(words) - 1, 1) + 1)]) AS shingles
+  FROM base
+),
+sh AS (
+  SELECT sh0.* FROM sh0
+  JOIN (SELECT blk FROM sh0 GROUP BY blk
+        HAVING COUNT(*) <= 64) ok USING (blk)
+)
+SELECT id_a, id_b, inter, size_a, size_b,
+       ROUND(containment, 6) AS containment
+FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(LEN(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+           AS inter,
+         CAST(LEN(a.shingles) AS BIGINT) AS size_a,
+         CAST(LEN(b.shingles) AS BIGINT) AS size_b,
+         CASE WHEN LEN(a.shingles) > 0 THEN
+           CAST(LEN(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / LEN(a.shingles)
+         ELSE 0.0 END AS containment
+  FROM sh a JOIN sh b ON a.blk = b.blk AND a.id <> b.id
+) WHERE containment >= 0.2"""
+
+
+CURATION_QUERIES["containment_pairs"] = (q_containment_pairs,
+                                         sql_containment_pairs)
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source 3-gram overlap matrix
+    (operators/dedup.py source_overlap): shared distinct-shingle
+    counts per source pair via one gram-key equi-join — postings per
+    gram bounded by the source count, so no quadratic hazard; the
+    contamination/mirror triage view over corpus shards."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.source_overlap(docs, shingle_n=3)
+    return out.select("src_a", "src_b", "shared", "n_a", "n_b",
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
+def sql_source_overlap() -> str:
+    return """
+WITH base AS (
+  SELECT source,
+         REGEXP_SPLIT_TO_ARRAY(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents),
+sh AS (
+  SELECT source,
+         list_distinct([array_to_string(words[i+1:i+3], ' ')
+                        FOR i IN RANGE(0, GREATEST(LEN(words) - 3, 0) + 1)])
+           AS shingles
+  FROM base),
+g AS (SELECT DISTINCT src, g
+      FROM (SELECT source AS src, unnest(shingles) AS g FROM sh)),
+sizes AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1),
+shared AS (
+  SELECT a.src AS src_a, b.src AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS shared
+  FROM g a JOIN g b ON a.g = b.g AND a.src < b.src
+  GROUP BY 1, 2)
+SELECT src_a, src_b, shared, sa.n AS n_a, sb.n AS n_b,
+       ROUND(CASE WHEN sa.n + sb.n - shared > 0 THEN
+               CAST(shared AS DOUBLE)
+               / CAST(sa.n + sb.n - shared AS DOUBLE)
+             ELSE 0.0 END, 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.src = src_a
+JOIN sizes sb ON sb.src = src_b"""
+
+
+CURATION_QUERIES["source_overlap"] = (q_source_overlap,
+                                      sql_source_overlap)

@@ -198,3 +198,67 @@ def test_kendalls_w_python_differential(spark):
     assert out.s4 == s4 and out.tie_term == tie
     w = 3 * s4 / (m * m * (n ** 3 - n) - m * tie)
     assert out.w == pytest.approx(w)
+
+
+# ---- curation: containment pairs, cross-source overlap ----
+
+from mapbox_filter_spark.operators.dedup import (containment_pairs,
+                                                 source_overlap)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_containment_detects_quote_inclusion(spark):
+    # doc 2 is a verbatim excerpt of doc 1: containment(2->1) = 1.0
+    # while Jaccard is diluted far below any dedup threshold
+    long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    short = "alpha beta gamma"
+    out = {(r.id_a, r.id_b): r for r in containment_pairs(
+        _docs(spark, [(1, long), (2, short)]),
+        shingle_n=2, threshold=0.0).collect()}
+    fwd = out[(2, 1)]
+    assert fwd.containment == pytest.approx(1.0)
+    assert fwd.inter == 2 and fwd.size_a == 2 and fwd.size_b == 9
+    back = out[(1, 2)]
+    assert back.containment == pytest.approx(2 / 9)
+
+
+def test_containment_threshold_and_blocking(spark):
+    # different first tokens -> different blocks -> no pair at all
+    out = containment_pairs(
+        _docs(spark, [(1, "alpha beta gamma"), (2, "beta gamma")]),
+        shingle_n=2, threshold=0.0).collect()
+    assert out == []
+
+
+def test_containment_max_block_drops_loudly(spark):
+    rows = [(i, "the same start text") for i in range(5)]
+    out = containment_pairs(_docs(spark, rows), shingle_n=2,
+                            threshold=0.0, max_block=3).collect()
+    assert out == []   # block of 5 > cap 3 -> dropped, not truncated
+
+
+def test_source_overlap_hand_case(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d", "s1"), (2, "b c d e", "s2"),
+         (3, "x y z w", "s3")],
+        "doc_id long, text string, source string")
+    out = {(r.src_a, r.src_b): r
+           for r in source_overlap(df, shingle_n=2).collect()}
+    # s1 grams {ab,bc,cd}, s2 {bc,cd,de} -> shared 2, union 4
+    r = out[("s1", "s2")]
+    assert (r.shared, r.n_a, r.n_b) == (2, 3, 3)
+    assert r.jaccard == pytest.approx(0.5)
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_source_overlap_distinct_within_source(spark):
+    # duplicate docs inside one source must not double-count grams
+    df = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a b c", "s1"), (3, "a b c", "s2")],
+        "doc_id long, text string, source string")
+    r = source_overlap(df, shingle_n=2).collect()[0]
+    assert (r.shared, r.n_a, r.n_b) == (2, 2, 2)
+    assert r.jaccard == pytest.approx(1.0)
