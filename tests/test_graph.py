@@ -108,13 +108,17 @@ def test_cc_empty_edges(spark):
 
 
 def test_cc_no_collect_set_in_plan(spark):
-    """The giant-cluster guard: rounds must be min-agg + join, never a
-    materialized neighbor array."""
+    """The giant-cluster guard: CC rounds must be min-agg + join, never
+    a materialized neighbor array.  Scoped to the CC machinery — other
+    graph operators (adamic_adar) legitimately use a BOUNDED per-pair
+    collect_list as the pinned-order float-sum fold."""
     import inspect
 
     from mapbox_filter_spark.operators import graph
 
-    src = inspect.getsource(graph)
+    src = "".join(inspect.getsource(f) for f in (
+        graph._large_star, graph._small_star,
+        graph.connected_components, graph.dedup_clusters))
     assert "F.collect_set(" not in src and "F.collect_list(" not in src
 
 
