@@ -55,7 +55,8 @@ from ..geo.tilemath import floor_div as _floor_div
 from .graph import connected_components
 
 __all__ = ["dbscan", "geofence_flag", "grid_knn_join", "kmeans_integer",
-           "grid_neighbor_pairs", "grid_radius_join"]
+           "grid_neighbor_pairs", "grid_radius_join",
+           "centroid_silhouette"]
 
 
 def _ring_offsets():
@@ -799,3 +800,68 @@ def voronoi_assign(pts: DataFrame, seeds: DataFrame, *,
                     .cast("long").alias("_num"))
             .withColumn("d2", (F.col("_num") / k).cast("long"))
             .drop("_num"))
+
+
+def centroid_silhouette(df: DataFrame, x_col: str, y_col: str,
+                        cents: "list[tuple[int, int, int]]",
+                        scale: int = 1_000_000) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster — the
+    cluster-quality score for a :func:`kmeans_integer` fit without the
+    all-pairs cost of the classic silhouette (Hruschka et al. 2004):
+    per point, a = dist to OWN centroid, b = dist to the nearest OTHER
+    centroid, s = (b − a)/max(a, b) ∈ [−1, 1]; report per-cluster
+    means (s ≈ 1 compact & separated, s < 0 likely mis-assigned).
+
+    ``cents`` is the literal centroid list ``[(cent_id, cx, cy)…]``
+    (k × 2 longs — the same driver-side broadcast-literal pattern as
+    the k-means assignment itself), so scoring is ZERO-shuffle per
+    point: one literal least-chain for the assignment fold
+    (min d²·k + cid), one null-skipping least for b, then ONE
+    map-side-combinable groupBy of k groups.
+
+    Exactness: distances are µ-quantized (floor(√d²·``scale``), the
+    clark_evans discipline), s is the exact floor-division
+    ``(b−a)·scale div max(a,b)`` (pmod floor form — correct for the
+    negative numerator), so ``sum_s_scaled`` is an exact long;
+    ``mean_s`` is the one pinned double.
+
+    Returns ``(cent_id, n_members, sum_s_scaled, mean_s)``.
+    """
+    k = len(cents)
+    if k < 2:
+        raise ValueError("need >= 2 centroids for silhouette")
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+
+    def d2(cx, cy):
+        return ((x - F.lit(cx)) * (x - F.lit(cx))
+                + (y - F.lit(cy)) * (y - F.lit(cy)))
+
+    keys = [d2(cx, cy) * F.lit(k) + F.lit(cid) for cid, cx, cy in cents]
+    mk = F.least(*keys)
+    cid = F.pmod(mk, F.lit(k)).cast("int")
+    d2_own = ((mk - F.pmod(mk, F.lit(k))) / F.lit(k)).cast("long")
+    pts = df.select(cid.alias("_cid"), d2_own.alias("_d2o"),
+                    *[d2(cx, cy).alias(f"_d2_{cid_}")
+                      for cid_, cx, cy in cents])
+    others = F.least(*[
+        F.when(F.col("_cid") != F.lit(cid_), F.col(f"_d2_{cid_}"))
+        for cid_, _, _ in cents])
+    micro = lambda c: F.floor(  # noqa: E731
+        F.sqrt(c.cast("double")) * F.lit(float(scale))).cast("long")
+    ab = pts.select("_cid", micro(F.col("_d2o")).alias("_a"),
+                    micro(others).alias("_b"))
+    t = (F.col("_b") - F.col("_a")) * F.lit(scale)
+    den = F.greatest(F.col("_a"), F.col("_b"))
+    s = F.when(den > 0,
+               ((t - F.pmod(t, den)) / den).cast("long")) \
+        .otherwise(F.lit(0))
+    return (ab.select("_cid", s.alias("_s"))
+            .groupBy(F.col("_cid").alias("cent_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+                 F.sum("_s").cast("long").alias("sum_s_scaled"))
+            .withColumn(
+                "mean_s",
+                F.col("sum_s_scaled").cast("double")
+                / (F.col("n_members").cast("double")
+                   * F.lit(float(scale)))))

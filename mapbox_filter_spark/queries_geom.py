@@ -1864,7 +1864,10 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                           salt=_KM_SALT)
 
 
-def sql_kmeans_cells() -> str:
+def _sql_kmeans_ctes() -> "tuple[list[str], str, str]":
+    """(ctes, final_centroid_table, assignment_key_expr) for the
+    unrolled Lloyd replay — shared by the kmeans_cells and
+    silhouette_score oracles."""
     k, T = _KM_K, _KM_ITERS
     h = ("CAST(('0x' || substr(md5(concat_ws(chr(31), '" + _KM_SALT
          + "', CAST(x AS VARCHAR), CAST(y AS VARCHAR))), 1, 15)) "
@@ -1891,13 +1894,19 @@ c{i + 1} AS MATERIALIZED (
   FROM c{i} c LEFT JOIN (
     SELECT cid, SUM(x * w) AS sx, SUM(y * w) AS sy, SUM(w) AS n
     FROM a{i} GROUP BY cid) s ON s.cid = c.cent_id)""")
+    return ctes, f"c{T}", key
+
+
+def sql_kmeans_cells() -> str:
+    k, T = _KM_K, _KM_ITERS
+    ctes, cfin, key = _sql_kmeans_ctes()
     ctes.append(f"""fin AS (
   SELECT p.w, CAST(MIN({key}) % {k} AS INTEGER) AS cid
-  FROM pts p CROSS JOIN c{T} c GROUP BY p.x, p.y, p.w)""")
+  FROM pts p CROSS JOIN {cfin} c GROUP BY p.x, p.y, p.w)""")
     return ("WITH " + ",\n".join(ctes) + f"""
 SELECT c.cent_id, c.cx, c.cy, CAST(COALESCE(m.n, 0) AS BIGINT)
          AS n_members
-FROM c{T} c LEFT JOIN (SELECT cid, SUM(w) AS n FROM fin GROUP BY cid) m
+FROM {cfin} c LEFT JOIN (SELECT cid, SUM(w) AS n FROM fin GROUP BY cid) m
   ON m.cid = c.cent_id""")
 
 
@@ -3875,3 +3884,59 @@ FROM sums, ext"""
 
 
 GEOM_QUERIES["quadrat_test"] = (q_quadrat_test, sql_quadrat_test)
+
+
+def q_silhouette_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette for the kmeans_cells fit
+    (operators/cluster.py centroid_silhouette): µ-quantized distances
+    to own vs nearest-other centroid, exact floor-div score sums —
+    the fit-quality companion of the kmeans_cells gate, zero-shuffle
+    scoring via the same literal centroid chain."""
+    from .operators.cluster import centroid_silhouette, kmeans_integer
+    from .operators.trajectory import random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    cents = [(r["cent_id"], r["cx"], r["cy"])
+             for r in kmeans_integer(pos, "x", "y", k=_KM_K,
+                                     iters=_KM_ITERS,
+                                     salt=_KM_SALT).collect()]
+    return centroid_silhouette(pos, "x", "y", sorted(cents))
+
+
+def sql_silhouette_score() -> str:
+    k = _KM_K
+    ctes, cfin, key = _sql_kmeans_ctes()
+    ctes.append(f"""asg AS (
+  SELECT p.x, p.y, p.w, MIN({key}) AS mk
+  FROM pts p CROSS JOIN {cfin} c GROUP BY p.x, p.y, p.w),
+ab AS (
+  SELECT a.x, a.y, a.w, CAST(a.mk % {k} AS INTEGER) AS cid,
+         CAST(floor(sqrt(CAST((a.mk - a.mk % {k}) // {k} AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS am,
+         CAST(floor(sqrt(CAST(MIN((a.x - c.cx)*(a.x - c.cx)
+                               + (a.y - c.cy)*(a.y - c.cy)) AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS bm
+  FROM asg a CROSS JOIN {cfin} c
+  WHERE c.cent_id <> CAST(a.mk % {k} AS INTEGER)
+  GROUP BY a.x, a.y, a.w, a.mk),
+sil AS (
+  SELECT cid, w,
+         CASE WHEN GREATEST(am, bm) > 0 THEN
+           ((bm - am) * 1000000
+            - ((((bm - am) * 1000000) % GREATEST(am, bm))
+               + GREATEST(am, bm)) % GREATEST(am, bm))
+           // GREATEST(am, bm)
+         ELSE 0 END AS s
+  FROM ab)""")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT cid AS cent_id,
+       CAST(SUM(w) AS BIGINT) AS n_members,
+       CAST(SUM(s * w) AS BIGINT) AS sum_s_scaled,
+       CAST(SUM(s * w) AS DOUBLE)
+         / (CAST(SUM(w) AS DOUBLE) * 1000000.0) AS mean_s
+FROM sil GROUP BY cid""")
+
+
+GEOM_QUERIES["silhouette_score"] = (q_silhouette_score,
+                                    sql_silhouette_score)

@@ -262,3 +262,71 @@ def test_source_overlap_distinct_within_source(spark):
     r = source_overlap(df, shingle_n=2).collect()[0]
     assert (r.shared, r.n_a, r.n_b) == (2, 2, 2)
     assert r.jaccard == pytest.approx(1.0)
+
+
+# ---- cluster quality: simplified centroid silhouette ----
+
+from mapbox_filter_spark.operators.cluster import centroid_silhouette
+
+
+def test_silhouette_compact_separated(spark):
+    # two tight blobs at the centroids -> every point has a = 0, s = 1
+    pts = spark.createDataFrame(
+        [(0, 0), (0, 1), (100, 100), (100, 101)], "x long, y long")
+    out = {r.cent_id: r for r in centroid_silhouette(
+        pts, "x", "y", [(0, 0, 0), (1, 100, 100)]).collect()}
+    for cid in (0, 1):
+        assert out[cid].n_members == 2
+        # one on-centroid point (a=0 -> s=1) + one at dist 1
+        assert out[cid].mean_s > 0.9
+
+
+def test_silhouette_negative_for_misassigned(spark):
+    # a point sitting ON centroid 1 but forced into cluster 0's side
+    # of the argmin fold can't happen; instead test a point midway but
+    # nearer to its own: s in (0,1); and symmetric point -> same s
+    pts = spark.createDataFrame([(4, 0)], "x long, y long")
+    r = centroid_silhouette(pts, "x", "y",
+                            [(0, 0, 0), (1, 10, 0)]).collect()[0]
+    # a=4, b=6 -> s = (6-4)/6 = 1/3
+    assert r.cent_id == 0
+    assert r.mean_s == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_silhouette_python_differential(spark):
+    import math
+    rows = [((i * 7919) % 50, (i * 104729) % 40) for i in range(60)]
+    cents = [(0, 5, 5), (1, 40, 30), (2, 25, 10)]
+    out = {r.cent_id: r for r in centroid_silhouette(
+        spark.createDataFrame(rows, "x long, y long"),
+        "x", "y", cents).collect()}
+    agg = {}
+    for x, y in rows:
+        ds = [((x - cx) ** 2 + (y - cy) ** 2, cid)
+              for cid, cx, cy in cents]
+        keyed = sorted(d2 * 3 + cid for d2, cid in ds)
+        cid = keyed[0] % 3
+        d2o = (keyed[0] - cid) // 3
+        d2b = min(d2 for d2, c in ds if c != cid)
+        a = math.floor(math.sqrt(d2o) * 1e6)
+        b = math.floor(math.sqrt(d2b) * 1e6)
+        s = ((b - a) * 1_000_000) // max(a, b) if max(a, b) > 0 else 0
+        n, t = agg.get(cid, (0, 0))
+        agg[cid] = (n + 1, t + s)
+    for cid, (n, t) in agg.items():
+        assert out[cid].n_members == n
+        assert out[cid].sum_s_scaled == t
+
+
+def test_silhouette_rejects_single_centroid(spark):
+    pts = spark.createDataFrame([(0, 0)], "x long, y long")
+    with pytest.raises(ValueError):
+        centroid_silhouette(pts, "x", "y", [(0, 0, 0)])
+
+
+def test_silhouette_zero_shuffle_plan(spark):
+    pts = spark.createDataFrame([(0, 0), (9, 9)], "x long, y long")
+    out = centroid_silhouette(pts, "x", "y", [(0, 0, 0), (1, 9, 9)])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Join" not in plan
+    assert plan.count("Exchange") <= 2   # the single k-group groupBy
