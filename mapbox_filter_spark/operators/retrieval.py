@@ -47,6 +47,7 @@ __all__ = [
     "write_term_index",
     "write_trigram_index",
     "read_term_index",
+    "rbo_curve",
 ]
 
 _STATS = "_stats"  # sidecar subdir of the term index
@@ -490,3 +491,60 @@ def prefix_topk(docs: DataFrame, text_col: str, *,
     return (pref.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= int(k))
             .select("prefix", "rank", "token", "n"))
+
+
+def rbo_curve(list_a: DataFrame, list_b: DataFrame, *, depth: int,
+              p: float = 0.9, id_col: str = "doc_id",
+              rank_col: str = "rank") -> DataFrame:
+    """Rank-biased overlap between two rankings, reported as the full
+    per-depth curve (Webber, Moffat & Zobel 2010): at each depth d,
+    agreement A_d = |prefix_d(A) ∩ prefix_d(B)| / d, and
+    RBO@d = (1−p)·Σ_{i≤d} p^{i−1}·A_i — the top-weighted similarity of
+    two searchers (e.g. the BM25 lexical list vs the dense int-dot
+    list that rrf_fuse merges: RBO says HOW MUCH they agree before
+    fusion, rank-weighted so top disagreements dominate).
+
+    Exactness: the overlap counts X_d are exact longs (a common doc
+    enters every depth ≥ max(rank_a, rank_b) via one bounded sequence
+    explode — no per-depth rescans); the geometric weights p^{i−1} are
+    PRECOMPUTED python doubles inlined as literals (both engines parse
+    the same decimal literal — no cross-engine pow()), and the
+    cumulative sum runs in depth order over one ≤``depth``-row window
+    partition — a pinned-order fold.
+
+    Scale shape: one inner join of two k-row lists + one explode(≤k)
+    + one groupBy(d) — the inputs are top-k lists, so this is
+    driver-trivial by construction at any corpus size.
+
+    Returns ``(d, x_d, rbo_at_d)`` for d = 1..``depth``.
+    """
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    if not (0.0 < p < 1.0):
+        raise ValueError("p must be in (0, 1)")
+    a = list_a.select(F.col(id_col).alias("_id"),
+                      F.col(rank_col).cast("long").alias("_ra"))
+    b = list_b.select(F.col(id_col).alias("_id"),
+                      F.col(rank_col).cast("long").alias("_rb"))
+    m = (a.join(b, "_id")
+         .select(F.greatest("_ra", "_rb").alias("_m"))
+         .filter(F.col("_m") <= depth))
+    counts = (m.select(F.explode(
+        F.sequence(F.col("_m"), F.lit(depth))).alias("d"))
+        .groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("x_d")))
+    spark = list_a.sparkSession
+    depths = spark.range(1, depth + 1).select(
+        F.col("id").cast("long").alias("d"))
+    full = (depths.join(counts, "d", "left")
+            .select("d", F.coalesce("x_d", F.lit(0)).alias("x_d")))
+    # per-depth term: x_d * p^(d-1) / d, weights inlined as literals
+    w = {d: p ** (d - 1) for d in range(1, depth + 1)}
+    term = F.col("x_d").cast("double") * F.element_at(
+        F.array(*[F.lit(w[d]) for d in range(1, depth + 1)]),
+        F.col("d").cast("int")) / F.col("d").cast("double")
+    win = (Window.orderBy("d")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (full.withColumn("_t", term)
+            .withColumn("rbo_at_d",
+                        F.lit(1.0 - p) * F.sum("_t").over(win))
+            .select("d", "x_d", "rbo_at_d"))

@@ -539,3 +539,83 @@ FROM per_q"""
 
 
 RETRIEVAL_QUERIES["map_mrr"] = (q_map_mrr, sql_map_mrr)
+
+
+_RBO_DEPTH = 20
+_RBO_P = 0.9
+
+
+def q_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBO curve between the BM25 lexical top-20 and the dense
+    int-dot top-20 (operators/retrieval.py rbo_curve): exact overlap
+    counts per depth, python-literal geometric weights (no
+    cross-engine pow), pinned-order cumulative fold — how much the
+    two searchers rrf_fusion merges already agree, rank-weighted."""
+    from .operators.retrieval import rbo_curve
+    from .operators.similarity import int_dot_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lex = bm25_topk(docs, list(_QUERY), k=_RBO_DEPTH, k1=_K1, b=_B) \
+        .select("doc_id", "rank")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dense = int_dot_topk(
+        emb.filter(F.col("vec_id") == _RRF_QVEC), emb, _RBO_DEPTH,
+        scale=_RRF_SCALE_V, query_id="vec_id", corpus_id="vec_id",
+    ).select(F.col("c_id").alias("doc_id"), "rank")
+    return rbo_curve(lex, dense, depth=_RBO_DEPTH, p=_RBO_P)
+
+
+def sql_rbo_overlap() -> str:
+    s = float(_RRF_SCALE_V)
+    k = _RBO_DEPTH
+    wcase = " ".join(
+        f"WHEN {d} THEN {_RBO_P ** (d - 1)!r}" for d in range(1, k + 1))
+    one_minus_p = 1.0 - _RBO_P
+    return f"""
+WITH {_sql_bm25_scored()},
+lex AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
+    FROM scored) WHERE rank <= {k}),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = {_RRF_QVEC}),
+dots AS (
+  SELECT e.vec_id AS doc_id,
+         CAST((SELECT SUM(
+              CAST(FLOOR(CAST(q.v[i.i] AS DOUBLE) * {s!r} + 0.5)
+                   AS BIGINT)
+            * CAST(FLOOR(CAST(e.embedding[i.i] AS DOUBLE) * {s!r} + 0.5)
+                   AS BIGINT))
+          FROM (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) i)
+          AS BIGINT) AS dot
+  FROM embeddings e, qv q),
+dense AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY dot DESC, doc_id) AS rank
+    FROM dots) WHERE rank <= {k}),
+m AS (
+  SELECT GREATEST(l.rank, d.rank) AS m
+  FROM lex l JOIN dense d USING (doc_id)
+  WHERE GREATEST(l.rank, d.rank) <= {k}),
+cnt AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS x_d
+  FROM (SELECT unnest(generate_series(m, {k})) AS d FROM m)
+  GROUP BY 1),
+alld AS (
+  SELECT r.d, COALESCE(c.x_d, 0) AS x_d
+  FROM (SELECT unnest(generate_series(1, {k})) AS d) r
+  LEFT JOIN cnt c USING (d)),
+terms AS (
+  SELECT CAST(d AS BIGINT) AS d, CAST(x_d AS BIGINT) AS x_d,
+         (CAST(x_d AS DOUBLE) * (CASE d {wcase} END))
+           / CAST(d AS DOUBLE) AS t
+  FROM alld)
+SELECT d, x_d,
+       {one_minus_p!r} * SUM(t) OVER (ORDER BY d
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS rbo_at_d
+FROM terms"""
+
+
+RETRIEVAL_QUERIES["rbo_overlap"] = (q_rbo_overlap, sql_rbo_overlap)

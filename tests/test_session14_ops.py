@@ -330,3 +330,53 @@ def test_silhouette_zero_shuffle_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "Join" not in plan
     assert plan.count("Exchange") <= 2   # the single k-group groupBy
+
+
+# ---- retrieval: rank-biased overlap curve ----
+
+from mapbox_filter_spark.operators.retrieval import rbo_curve
+
+
+def _rl(spark, ids):
+    return spark.createDataFrame(
+        [(i, r + 1) for r, i in enumerate(ids)], "doc_id long, rank long")
+
+
+def test_rbo_identical_lists_is_one(spark):
+    out = rbo_curve(_rl(spark, [1, 2, 3, 4]), _rl(spark, [1, 2, 3, 4]),
+                    depth=4).collect()
+    by_d = {r.d: r for r in out}
+    assert [by_d[d].x_d for d in range(1, 5)] == [1, 2, 3, 4]
+    # identical lists: A_d = 1 at every depth, so RBO@d = (1-p)sum p^i
+    p = 0.9
+    for d in range(1, 5):
+        expect = (1 - p) * sum(p ** (i - 1) for i in range(1, d + 1))
+        assert by_d[d].rbo_at_d == pytest.approx(expect)
+
+
+def test_rbo_disjoint_lists_is_zero(spark):
+    out = rbo_curve(_rl(spark, [1, 2]), _rl(spark, [3, 4]),
+                    depth=2).collect()
+    assert all(r.x_d == 0 and r.rbo_at_d == pytest.approx(0.0)
+               for r in out)
+
+
+def test_rbo_python_differential(spark):
+    a = [5, 1, 9, 3, 7, 2]
+    b = [1, 5, 2, 8, 3, 6]
+    depth, p = 6, 0.9
+    out = {r.d: r for r in
+           rbo_curve(_rl(spark, a), _rl(spark, b), depth=depth).collect()}
+    acc = 0.0
+    for d in range(1, depth + 1):
+        x = len(set(a[:d]) & set(b[:d]))
+        acc += x * p ** (d - 1) / d
+        assert out[d].x_d == x
+        assert out[d].rbo_at_d == pytest.approx((1 - p) * acc)
+
+
+def test_rbo_rejects_bad_params(spark):
+    with pytest.raises(ValueError):
+        rbo_curve(_rl(spark, [1]), _rl(spark, [1]), depth=0)
+    with pytest.raises(ValueError):
+        rbo_curve(_rl(spark, [1]), _rl(spark, [1]), depth=3, p=1.0)
