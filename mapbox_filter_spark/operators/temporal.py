@@ -45,6 +45,8 @@ __all__ = [
     "histogram_rollup",
     "distinct_rollup",
     "funnel",
+    "c_chart",
+    "hurst_rs",
 ]
 
 _US = 1_000_000  # microseconds per second
@@ -1463,3 +1465,139 @@ def ltob_downsample(df: DataFrame, keys: "list[str]", *,
                     F.col("_bkt").alias("bucket"),
                     F.col("_a2").alias("area2"),
                     F.col("_ep").alias("endpoint")))
+
+
+def c_chart(df: DataFrame, group_cols: "list[str]", period_col: str,
+            *, sigma_mult: int = 3) -> DataFrame:
+    """Shewhart c-chart — statistical process control over event
+    counts per period: center line c̄ = total/periods, control limits
+    c̄ ± k·√c̄ (Poisson σ), flagging periods whose count leaves the
+    band (the SPC alarm a pipeline health monitor raises on a feed
+    that suddenly floods or dries up).
+
+    The period grid is COMPLETED per group (distinct periods ×
+    distinct groups, absent cells count 0) — a silent week is exactly
+    the anomaly a c-chart exists to flag.
+
+    Exactness: the out-of-control decision is the pure int64
+    cross-multiplication
+
+        (W·c − S)² > k²·S·W
+
+    (W periods, S total, c the period count) — no float threshold;
+    c̄/UCL/LCL are the one pinned double chain for display.
+
+    Scale shape: one map-side-combinable count groupBy, one tiny
+    period×group completion join, one per-group totals join — all
+    keyed on the group.
+
+    Returns ``(*group_cols, <period_col>, c, w_periods, c_total,
+    ooc, cbar, ucl, lcl)``.
+    """
+    cnt = (df.groupBy(*group_cols, F.col(period_col).alias("period"))
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    groups = df.select(*group_cols).distinct()
+    periods = df.select(F.col(period_col).alias("period")).distinct()
+    grid = (groups.crossJoin(periods)
+            .join(cnt, [*group_cols, "period"], "left")
+            .select(*group_cols, "period",
+                    F.coalesce(F.col("c"), F.lit(0)).alias("c")))
+    tot = grid.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("w_periods"),
+        F.sum("c").cast("long").alias("c_total"))
+    j = grid.join(tot, list(group_cols))
+    dev = (F.col("w_periods") * F.col("c") - F.col("c_total"))
+    ooc = (dev * dev
+           > F.lit(sigma_mult * sigma_mult)
+           * F.col("c_total") * F.col("w_periods"))
+    cbar = F.col("c_total").cast("double") / F.col("w_periods").cast("double")
+    half = F.lit(float(sigma_mult)) * F.sqrt(cbar)
+    return j.select(
+        *group_cols, F.col("period").alias(period_col),
+        "c", "w_periods", "c_total",
+        ooc.cast("int").alias("ooc"),
+        cbar.alias("cbar"),
+        (cbar + half).alias("ucl"),
+        F.greatest(cbar - half, F.lit(0.0)).alias("lcl"))
+
+
+def hurst_rs(df: DataFrame, series_cols: "list[str]",
+             order_cols: "list[str]", value_col: str, *,
+             windows: "tuple[int, ...]" = (4, 8, 16, 32),
+             scale: int = 1_000_000) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis (Hurst 1951;
+    Mandelbrot & Wallis 1969): chop each series into full windows of
+    size w, compute R/S per window (R = range of cumulative
+    mean-deviations, S = population std), average per w, and fit
+    ln(R/S) ~ H·ln(w) — H ≈ 0.5 random walk, > 0.5 persistent/trending,
+    < 0.5 mean-reverting (the long-memory diagnostic for event-rate /
+    value series; the spectral sibling of haar_energy).
+
+    Exactness: with integer values, chunk sums s, ss and within-chunk
+    prefixes are exact longs, the cumulative deviation scaled by w —
+    ``w·prefix_j − j·s`` — is an exact long, and both R and S share
+    cancelling denominators:  R/S = range(w·dev) / √(w·ss − s²).  One
+    √ + one ÷ + one × + floor µ-quantizes each window's R/S
+    bit-identically cross-engine; per-w sums are exact longs.
+    Zero-variance windows are DROPPED (R/S undefined), partial tail
+    windows too (n < w) — both pinned contracts.
+
+    The H estimate is the :func:`~.stats.loglog_fit` slope over the
+    per-w integer means (floor-div), repeated on every output row.
+
+    Scale shape: one per-series sort window (the irreducible series
+    order), a bounded ×|windows| explode, per-(series,w,chunk)
+    windows on the SAME partitioning, one groupBy per chunk and one
+    per w.  No joins beyond the single-row fit broadcast.
+
+    Returns ``(w, n_chunks, sum_rs_micro, rs_mean_micro, hurst, r2)``.
+    """
+    from .stats import loglog_fit
+
+    if any(w < 2 for w in windows):
+        raise ValueError("window sizes must be >= 2")
+    x = F.col(value_col).cast("long")
+    ws = Window.partitionBy(*series_cols).orderBy(*order_cols)
+    base = df.select(
+        *series_cols, *order_cols, x.alias("_x"),
+        (F.row_number().over(ws) - 1).cast("long").alias("_rn"))
+    base = base.select(
+        "*", F.explode(F.array(*[F.lit(int(w)) for w in windows]))
+        .alias("_w"))
+    chunk = ((F.col("_rn") - F.pmod(F.col("_rn"), F.col("_w")))
+             / F.col("_w")).cast("long")
+    j = (F.pmod(F.col("_rn"), F.col("_w")) + 1).cast("long")
+    wc = base.withColumn("_chunk", chunk).withColumn("_j", j)
+    part = Window.partitionBy(*series_cols, "_w", "_chunk")
+    word = part.orderBy(*order_cols)
+    wc = wc.select(
+        "_w", "_chunk", *series_cols, "_j", "_x",
+        F.sum("_x").over(word).alias("_pref"),
+        F.sum("_x").over(part).alias("_s"),
+        F.sum(F.col("_x") * F.col("_x")).over(part).alias("_ss"),
+        F.count(F.lit(1)).over(part).alias("_n"))
+    dev = F.col("_w") * F.col("_pref") - F.col("_j") * F.col("_s")
+    per_chunk = (wc.filter(F.col("_n") == F.col("_w"))
+                 .groupBy(*series_cols, "_w", "_chunk")
+                 .agg((F.max(dev) - F.min(dev)).alias("_rng"),
+                      F.first(F.col("_w") * F.col("_ss")
+                              - F.col("_s") * F.col("_s")).alias("_vnum")))
+    rs_micro = F.floor(
+        F.col("_rng").cast("double")
+        / F.sqrt(F.col("_vnum").cast("double"))
+        * F.lit(float(scale))).cast("long")
+    per_w = (per_chunk.filter(F.col("_vnum") > 0)
+             .select(F.col("_w").alias("w"), rs_micro.alias("_rs"))
+             .groupBy("w")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                  F.sum("_rs").cast("long").alias("sum_rs_micro")))
+    mean_i = ((F.col("sum_rs_micro")
+               - F.pmod(F.col("sum_rs_micro"), F.col("n_chunks")))
+              / F.col("n_chunks")).cast("long")
+    per_w = per_w.withColumn("rs_mean_micro", mean_i)
+    fit = loglog_fit(per_w.filter(F.col("rs_mean_micro") >= 1),
+                     "w", "rs_mean_micro")
+    return (per_w.crossJoin(
+        fit.select(F.col("slope").alias("hurst"), "r2"))
+        .select("w", "n_chunks", "sum_rs_micro", "rs_mean_micro",
+                "hurst", "r2"))

@@ -1742,3 +1742,128 @@ FROM r WHERE endpoint OR rn = 1"""
 
 TEMPORAL_QUERIES["ltob_downsample"] = (q_ltob_downsample,
                                        sql_ltob_downsample)
+
+
+_WEEK_US = 604_800_000_000
+
+
+def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart c-chart of weekly event counts per event type
+    (operators/temporal.py c_chart): completed period grid, pure
+    int64 cross-multiplied out-of-control decision
+    (W·c − S)² > 9·S·W, pinned-double center line / limits — the SPC
+    alarm over the feed's arrival rate."""
+    from .geo.tilemath import floor_div
+    from .operators.temporal import c_chart
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    keyed = ev.select(
+        "event_type",
+        floor_div(F.unix_micros(F.col("ts").cast("timestamp")),
+                  _WEEK_US).alias("wk"))
+    return c_chart(keyed, ["event_type"], "wk")
+
+
+def sql_control_chart() -> str:
+    return f"""WITH cnt AS (
+  SELECT event_type, epoch_us(ts) // {_WEEK_US} AS period,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+groups AS (SELECT DISTINCT event_type FROM events),
+periods AS (SELECT DISTINCT epoch_us(ts) // {_WEEK_US} AS period
+            FROM events),
+grid AS (
+  SELECT g.event_type, p.period, COALESCE(c.c, 0) AS c
+  FROM groups g CROSS JOIN periods p
+  LEFT JOIN cnt c ON c.event_type = g.event_type
+                 AND c.period = p.period),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS w_periods,
+         CAST(SUM(c) AS BIGINT) AS c_total
+  FROM grid GROUP BY 1)
+SELECT g.event_type, g.period AS wk, g.c, t.w_periods, t.c_total,
+       CASE WHEN (t.w_periods * g.c - t.c_total)
+                 * (t.w_periods * g.c - t.c_total)
+                 > 9 * t.c_total * t.w_periods
+            THEN 1 ELSE 0 END AS ooc,
+       CAST(t.c_total AS DOUBLE) / CAST(t.w_periods AS DOUBLE) AS cbar,
+       CAST(t.c_total AS DOUBLE) / CAST(t.w_periods AS DOUBLE)
+         + 3.0 * sqrt(CAST(t.c_total AS DOUBLE)
+                      / CAST(t.w_periods AS DOUBLE)) AS ucl,
+       GREATEST(CAST(t.c_total AS DOUBLE) / CAST(t.w_periods AS DOUBLE)
+                - 3.0 * sqrt(CAST(t.c_total AS DOUBLE)
+                             / CAST(t.w_periods AS DOUBLE)),
+                0.0) AS lcl
+FROM grid g JOIN tot t USING (event_type)"""
+
+
+TEMPORAL_QUERIES["control_chart"] = (q_control_chart,
+                                     sql_control_chart)
+
+
+_HURST_WINDOWS = (4, 8, 16, 32)
+
+
+def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent by rescaled range over per-user event-value
+    series (operators/temporal.py hurst_rs): exact-long cumulative
+    deviations with cancelling denominators, one µ-quantized √-chain
+    per window, loglog_fit slope — long-memory vs mean-reversion of
+    the value stream."""
+    from .operators.temporal import hurst_rs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", _cents().alias("cents"))
+    return hurst_rs(ev, ["user_id"], ["ts", "event_id"], "cents",
+                    windows=_HURST_WINDOWS)
+
+
+def sql_hurst_rs() -> str:
+    from .queries_curation import _CENTS_SQL, sql_lnln_fit_tail
+
+    wvals = ", ".join(f"({w})" for w in _HURST_WINDOWS)
+    return f"""WITH base AS (
+  SELECT user_id, ts, event_id, {_CENTS_SQL} AS x,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS rn
+  FROM events),
+expl AS (
+  SELECT b.*, wv.w FROM base b
+  CROSS JOIN (VALUES {wvals}) AS wv(w)),
+wc AS (
+  SELECT user_id, w, rn // w AS chunk, rn % w + 1 AS j, x,
+         SUM(x) OVER (PARTITION BY user_id, w, rn // w
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS pref,
+         SUM(x) OVER (PARTITION BY user_id, w, rn // w) AS s,
+         SUM(x * x) OVER (PARTITION BY user_id, w, rn // w) AS ss,
+         COUNT(*) OVER (PARTITION BY user_id, w, rn // w) AS n
+  FROM expl),
+per_chunk AS (
+  SELECT user_id, w, chunk,
+         MAX(w * pref - j * s) - MIN(w * pref - j * s) AS rng,
+         MAX(w * ss - s * s) AS vnum
+  FROM wc WHERE n = w GROUP BY 1, 2, 3),
+per_w AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         CAST(SUM(CAST(FLOOR(CAST(rng AS DOUBLE)
+                             / sqrt(CAST(vnum AS DOUBLE))
+                             * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS sum_rs_micro
+  FROM per_chunk WHERE vnum > 0 GROUP BY 1),
+pw2 AS (
+  SELECT CAST(w AS BIGINT) AS w, n_chunks, sum_rs_micro,
+         (sum_rs_micro - sum_rs_micro % n_chunks) // n_chunks
+           AS rs_mean_micro
+  FROM per_w),
+lnpts AS (SELECT w AS x, rs_mean_micro AS y FROM pw2
+          WHERE rs_mean_micro >= 1),
+fit AS (WITH {sql_lnln_fit_tail('lnpts')})
+SELECT pw2.w, pw2.n_chunks, pw2.sum_rs_micro,
+       CAST(pw2.rs_mean_micro AS BIGINT) AS rs_mean_micro,
+       fit.slope AS hurst, fit.r2
+FROM pw2 CROSS JOIN fit"""
+
+
+TEMPORAL_QUERIES["hurst_rs"] = (q_hurst_rs, sql_hurst_rs)

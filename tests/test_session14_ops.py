@@ -380,3 +380,92 @@ def test_rbo_rejects_bad_params(spark):
         rbo_curve(_rl(spark, [1]), _rl(spark, [1]), depth=0)
     with pytest.raises(ValueError):
         rbo_curve(_rl(spark, [1]), _rl(spark, [1]), depth=3, p=1.0)
+
+
+# ---- SPC + long-memory: c-chart, Hurst R/S ----
+
+from mapbox_filter_spark.operators.temporal import c_chart, hurst_rs
+
+
+def test_c_chart_flags_spike_and_silence(spark):
+    # 10 steady weeks of 9 + one 100-count spike; the completed grid
+    # adds week 11 as a silent 0 for group g
+    rows = ([("g", wk) for wk in range(10) for _ in range(9)]
+            + [("g", 10)] * 100 + [("h", 11)])
+    df = spark.createDataFrame(rows, "g string, wk long")
+    out = {(r.g, r.wk): r for r in
+           c_chart(df, ["g"], "wk").collect()}
+    assert out[("g", 10)].ooc == 1          # the spike
+    assert out[("g", 0)].ooc == 0           # steady weeks in band
+    assert ("g", 11) in out                 # grid completion
+    assert out[("g", 11)].c == 0
+    # exact decision replay: W=12, S=190, c=0 -> (0-190)^2 vs 9*190*12
+    r = out[("g", 11)]
+    assert (r.w_periods, r.c_total) == (12, 190)
+    assert r.ooc == (1 if (12 * 0 - 190) ** 2 > 9 * 190 * 12 else 0)
+
+
+def test_c_chart_limits_pinned(spark):
+    df = spark.createDataFrame(
+        [("g", w) for w in range(4) for _ in range(4)],
+        "g string, wk long")
+    r = c_chart(df, ["g"], "wk").collect()[0]
+    import math
+    assert r.cbar == pytest.approx(4.0)
+    assert r.ucl == pytest.approx(4.0 + 3 * math.sqrt(4.0))
+    assert r.lcl == pytest.approx(0.0)      # clamped at zero
+    assert r.ooc == 0
+
+
+def test_hurst_random_walk_increments(spark):
+    # iid-ish hashed increments: H should land in a wide band around
+    # 0.5 (this is a smoke on direction, the oracle pins the values)
+    rows = [(1, i, (i * 7919) % 97) for i in range(512)]
+    df = spark.createDataFrame(rows, "u long, t long, x long")
+    out = hurst_rs(df, ["u"], ["t"], "x",
+                   windows=(4, 8, 16, 32)).collect()
+    assert len(out) == 4
+    h = out[0].hurst
+    assert 0.05 < h < 0.95
+    assert all(r.hurst == h for r in out)
+
+
+def test_hurst_python_differential(spark):
+    import math
+    vals = [((i * 104729) % 53) for i in range(96)]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "u long, t long, x long")
+    out = {r.w: r for r in hurst_rs(df, ["u"], ["t"], "x",
+                                    windows=(4, 8)).collect()}
+    for w in (4, 8):
+        total, cnt = 0, 0
+        for c0 in range(0, 96 - w + 1, w):
+            chunk = vals[c0:c0 + w]
+            s, ss = sum(chunk), sum(v * v for v in chunk)
+            vnum = w * ss - s * s
+            if vnum <= 0:
+                continue
+            pref, devs = 0, []
+            for j, v in enumerate(chunk, 1):
+                pref += v
+                devs.append(w * pref - j * s)
+            rng = max(devs) - min(devs)
+            total += math.floor(rng / math.sqrt(vnum) * 1e6)
+            cnt += 1
+        assert out[w].n_chunks == cnt
+        assert out[w].sum_rs_micro == total
+
+
+def test_hurst_drops_flat_and_partial_chunks(spark):
+    # 6 rows at w=4: one full constant chunk (dropped: zero variance)
+    # and a 2-row tail (dropped: partial) -> no w=4 output row at all
+    df = spark.createDataFrame(
+        [(1, i, 7) for i in range(6)], "u long, t long, x long")
+    out = hurst_rs(df, ["u"], ["t"], "x", windows=(4,)).collect()
+    assert out == []
+
+
+def test_hurst_rejects_tiny_window(spark):
+    df = spark.createDataFrame([(1, 1, 1)], "u long, t long, x long")
+    with pytest.raises(ValueError):
+        hurst_rs(df, ["u"], ["t"], "x", windows=(1,))
