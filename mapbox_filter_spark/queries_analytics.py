@@ -1876,3 +1876,67 @@ WHERE f2.i = f2.k"""
 
 ANALYTICS_QUERIES["isotonic_calibration"] = (q_isotonic_calibration,
                                              sql_isotonic_calibration)
+
+
+_SLOPE1_K = 3
+_SLOPE1_MIN_C = 2
+_SLOPE1_SCALE = 1_000_000
+_SLOPE1_UMOD = 50           # predict for every 50th customer
+
+
+def q_slope_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Slope-One recommendations (operators/cooccur.py
+    slope_one_topk): customer×part ratings from max order quantity,
+    telescoped exact-rational predictions (pred_num/pred_den longs, no
+    per-pair division), top-3 unseen parts per sampled customer."""
+    from .operators.cooccur import slope_one_topk
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rat = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+           .groupBy(F.col("o_custkey").alias("cust"),
+                    F.col("l_partkey").alias("part"))
+           .agg(F.max("l_quantity").cast("long").alias("r")))
+    return slope_one_topk(
+        rat, "cust", "part", "r", k=_SLOPE1_K,
+        min_support=_SLOPE1_MIN_C, scale=_SLOPE1_SCALE,
+        predict_filter=F.pmod(F.col("cust"), F.lit(_SLOPE1_UMOD)) == 0)
+
+
+def sql_slope_one() -> str:
+    return f"""WITH rat AS (
+  SELECT o.o_custkey AS u, l.l_partkey AS i,
+         CAST(MAX(l.l_quantity) AS BIGINT) AS r
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+devs AS (
+  SELECT a.i AS j, b.i AS i, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(a.r - b.r) AS BIGINT) AS sum_diff
+  FROM rat a JOIN rat b ON a.u = b.u AND a.i <> b.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_SLOPE1_MIN_C}),
+probe AS (SELECT * FROM rat WHERE u % {_SLOPE1_UMOD} = 0),
+cand AS (
+  SELECT p.u AS usr, d.j AS item,
+         CAST(SUM(d.sum_diff + p.r * d.c) AS BIGINT) AS pred_num,
+         CAST(SUM(d.c) AS BIGINT) AS pred_den
+  FROM probe p JOIN devs d ON d.i = p.i
+  GROUP BY 1, 2),
+unseen AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN probe p ON p.u = c.usr AND p.i = c.item
+  WHERE p.u IS NULL),
+scored AS (
+  SELECT usr, item, pred_num, pred_den,
+         (pred_num * {_SLOPE1_SCALE}
+          - (((pred_num * {_SLOPE1_SCALE}) % pred_den) + pred_den)
+            % pred_den) // pred_den AS score_q
+  FROM unseen)
+SELECT usr AS "user", rank, item, pred_num, pred_den, score_q FROM (
+  SELECT usr, item, pred_num, pred_den, score_q,
+         CAST(ROW_NUMBER() OVER (PARTITION BY usr
+                                 ORDER BY score_q DESC, item)
+              AS INT) AS rank
+  FROM scored) WHERE rank <= {_SLOPE1_K}"""
+
+
+ANALYTICS_QUERIES["slope_one"] = (q_slope_one, sql_slope_one)

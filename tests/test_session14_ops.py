@@ -469,3 +469,98 @@ def test_hurst_rejects_tiny_window(spark):
     df = spark.createDataFrame([(1, 1, 1)], "u long, t long, x long")
     with pytest.raises(ValueError):
         hurst_rs(df, ["u"], ["t"], "x", windows=(1,))
+
+
+# ---- recommender: weighted Slope-One ----
+
+from mapbox_filter_spark.operators.cooccur import slope_one_topk
+
+
+def _ratings(spark, rows):
+    return spark.createDataFrame(rows, "u long, i string, r long")
+
+
+def test_slope_one_textbook(spark):
+    # Lemire & Maclachlan's running example:
+    # userA: itemI=1, itemJ=1.5 ; userB: itemI=2 -> P(B,J) = 2.5
+    # (×2-scaled ratings keep everything integer: 2, 3, 4 -> pred 5)
+    rows = [(1, "I", 2), (1, "J", 3), (2, "I", 4)]
+    out = slope_one_topk(_ratings(spark, rows), "u", "i", "r",
+                         k=3, min_support=1).collect()
+    pb = [r for r in out if r.user == 2 and r.item == "J"]
+    assert len(pb) == 1
+    # dev(J,I): c=1, sum_diff = 3-2 = 1; P = (1 + 4*1)/1 = 5
+    assert (pb[0].pred_num, pb[0].pred_den) == (5, 1)
+
+
+def test_slope_one_weighted_multi_source(spark):
+    # item K predicted from both I (2 co-raters) and J (1 co-rater):
+    # weighted form sums numerators over sources
+    rows = [(1, "I", 2), (1, "K", 4),
+            (2, "I", 4), (2, "K", 4),
+            (3, "J", 6), (3, "K", 10),
+            (9, "I", 6), (9, "J", 4)]
+    out = {r.item: r for r in slope_one_topk(
+        _ratings(spark, rows), "u", "i", "r", k=5, min_support=1,
+        predict_filter=F.col("u") == 9).collect()}
+    k = out["K"]
+    # dev(K,I): c=2, sum=(4-2)+(4-4)=2 ; dev(K,J): c=1, sum=10-6=4
+    # P(9,K) = [(2 + 6*2) + (4 + 4*1)] / (2+1) = 22/3
+    assert (k.pred_num, k.pred_den) == (22, 3)
+    assert k.score_q == 22 * 1_000_000 // 3
+
+
+def test_slope_one_excludes_rated_and_ranks(spark):
+    rows = [(1, "A", 5), (1, "B", 1),
+            (2, "A", 5), (2, "B", 1), (2, "C", 3),
+            (7, "A", 5)]
+    out = slope_one_topk(_ratings(spark, rows), "u", "i", "r",
+                         k=5, min_support=1,
+                         predict_filter=F.col("u") == 7).collect()
+    items = {r.item for r in out}
+    assert "A" not in items          # already rated
+    assert items == {"B", "C"}
+    by = {r.item: r for r in out}
+    # B predicted low (dev B-A = -4), C mid (dev C-A = -2)
+    assert by["C"].score_q > by["B"].score_q
+    assert by["C"].rank == 1 and by["B"].rank == 2
+
+
+def test_slope_one_min_support_prunes(spark):
+    rows = [(1, "A", 5), (1, "B", 1), (2, "A", 5)]
+    out = slope_one_topk(_ratings(spark, rows), "u", "i", "r",
+                         k=5, min_support=2,
+                         predict_filter=F.col("u") == 2).collect()
+    assert out == []     # the single co-rating is below support
+
+
+def test_slope_one_python_differential(spark):
+    rows = [((i * 7) % 5, f"it{(i * 11) % 7}", 1 + (i * 13) % 9)
+            for i in range(40)]
+    # dedupe to one rating per (u, i): keep max
+    best = {}
+    for u, i, r in rows:
+        best[(u, i)] = max(best.get((u, i), 0), r)
+    flat = [(u, i, r) for (u, i), r in best.items()]
+    out = slope_one_topk(_ratings(spark, flat), "u", "i", "r",
+                         k=100, min_support=2).collect()
+    byu = {}
+    for u, i, r in flat:
+        byu.setdefault(u, {})[i] = r
+    from collections import defaultdict
+    c = defaultdict(int)
+    sd = defaultdict(int)
+    for u, ri in byu.items():
+        for j in ri:
+            for i in ri:
+                if i != j:
+                    c[(j, i)] += 1
+                    sd[(j, i)] += ri[j] - ri[i]
+    expect = {}
+    for u, ri in byu.items():
+        for (j, i), cc in c.items():
+            if cc >= 2 and i in ri and j not in ri:
+                n, d = expect.get((u, j), (0, 0))
+                expect[(u, j)] = (n + sd[(j, i)] + ri[i] * cc, d + cc)
+    got = {(r.user, r.item): (r.pred_num, r.pred_den) for r in out}
+    assert got == expect
