@@ -475,3 +475,66 @@ def span_schedule(docs: DataFrame, id_col: str = "doc_id",
                     (F.col("_r") + 1).cast("int").alias("rank"),
                     F.col("_c.s").alias("start"),
                     F.col("_c.e").alias("end")))
+
+
+def geo_span_path(docs: DataFrame, spans_col: str = "spans",
+                  id_col: str = "doc_id",
+                  scale: int = 1_000_000) -> DataFrame:
+    """Per-document geometry of the GEO SPANS: order a document's
+    geo-referenced spans by offset (the span-sequence invariant) and
+    report the path they trace — step-summed length, first→last net
+    displacement, and bbox area — the trajectory profile of an
+    interleaved document (a travelogue whose geo spans wander vs a
+    listing whose spans pin one place).
+
+    Geo spans carry ``"lon,lat"`` integer payloads in ``text`` (the
+    interleaved corpus convention, same parse as span_hex_cells).
+    Exactness: per-step and net lengths are µ-quantized
+    (floor(√d²·scale), the clark_evans discipline) so the per-doc sums
+    are exact longs; bbox area is pure integer.  Docs with a single
+    geo span report zeros; docs with NO geo span don't appear.
+
+    Scale shape: one explode + one doc-keyed window (the irreducible
+    span order) + one groupBy(doc) — no joins.
+
+    Returns ``(doc_id, n_geo, path_len_micro, net_disp_micro,
+    bbox_area)``.
+    """
+    s = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(spans_col).alias("_s"))
+    g = (s.filter(F.col("_s.kind") == "geo")
+         .select("_id", F.col("_s.offset").alias("_o"),
+                 F.split(F.col("_s.text"), ",").getItem(0)
+                 .cast("long").alias("_lon"),
+                 F.split(F.col("_s.text"), ",").getItem(1)
+                 .cast("long").alias("_lat")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("_id").orderBy("_o")
+    dx = F.col("_lon") - F.lag("_lon").over(w)
+    dy = F.col("_lat") - F.lag("_lat").over(w)
+    d2 = dx * dx + dy * dy
+    step = F.when(d2.isNotNull(),
+                  F.floor(F.sqrt(d2.cast("double"))
+                          * F.lit(float(scale))).cast("long"))
+    agg = (g.select("_id", "_o", "_lon", "_lat", step.alias("_step"))
+           .groupBy(F.col("_id").alias(id_col))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_geo"),
+                F.coalesce(F.sum("_step"), F.lit(0)).cast("long")
+                .alias("path_len_micro"),
+                F.min_by("_lon", "_o").alias("_lon0"),
+                F.min_by("_lat", "_o").alias("_lat0"),
+                F.max_by("_lon", "_o").alias("_lon1"),
+                F.max_by("_lat", "_o").alias("_lat1"),
+                ((F.max("_lon") - F.min("_lon"))
+                 * (F.max("_lat") - F.min("_lat"))).cast("long")
+                .alias("bbox_area")))
+    ndx = F.col("_lon1") - F.col("_lon0")
+    ndy = F.col("_lat1") - F.col("_lat0")
+    nd2 = ndx * ndx + ndy * ndy
+    return agg.select(
+        id_col, "n_geo", "path_len_micro",
+        F.floor(F.sqrt(nd2.cast("double"))
+                * F.lit(float(scale))).cast("long")
+        .alias("net_disp_micro"),
+        "bbox_area")

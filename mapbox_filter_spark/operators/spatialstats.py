@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 __all__ = ["morans_i", "getis_ord_gi", "local_moran",
            "mann_kendall_cells", "knox_pairs", "ripley_k", "gearys_c",
            "join_count_stats", "sd_ellipse", "clark_evans",
-           "quadrat_test"]
+           "quadrat_test", "rayleigh_test"]
 
 _QUEEN = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
           if not (dx == 0 and dy == 0)]
@@ -914,3 +914,44 @@ def quadrat_test(pts: DataFrame, cell: int, *,
                (F.col("n_quadrats") - 1).cast("double")
                * num.cast("double") / den.cast("double"))
         .alias("chi2"))
+
+
+def rayleigh_test(steps: DataFrame, dx_col: str = "dx",
+                  dy_col: str = "dy",
+                  scale: int = 1_000_000) -> DataFrame:
+    """Rayleigh test of directional uniformity over movement steps
+    (Mardia & Jupp, Directional Statistics): mean resultant length
+    R̄ = |Σ(cosθ, sinθ)|/n and z = n·R̄² — z large ⟹ headings share a
+    preferred direction (the circular-statistics upgrade of
+    heading_octants' 8-bin histogram: a continuous test, no binning).
+
+    cosθ/sinθ never call atan2: they are dx/√d² and dy/√d², each
+    µ-quantized per row (floor(·scale) — one correctly-rounded √, ÷,
+    ×, floor: bit-stable cross-engine), so the component sums are
+    exact longs; R̄ and z are the one pinned double chain (component
+    squares run as doubles — their int64 squares would overflow past
+    ~3 M steps).  Zero-length steps are dropped (no direction).
+
+    One scan, one single-row aggregate — no joins, no windows.
+
+    Returns ``(n_steps, sum_cos_micro, sum_sin_micro, rbar, z)``.
+    """
+    dx = F.col(dx_col).cast("long")
+    dy = F.col(dy_col).cast("long")
+    d2 = dx * dx + dy * dy
+    base = steps.select(dx.alias("_dx"), dy.alias("_dy"),
+                        d2.alias("_d2")).filter(F.col("_d2") > 0)
+    q = lambda num: F.floor(  # noqa: E731
+        num.cast("double") / F.sqrt(F.col("_d2").cast("double"))
+        * F.lit(float(scale))).cast("long")
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_steps"),
+        F.sum(q(F.col("_dx"))).cast("long").alias("sum_cos_micro"),
+        F.sum(q(F.col("_dy"))).cast("long").alias("sum_sin_micro"))
+    sc = F.col("sum_cos_micro").cast("double")
+    ss = F.col("sum_sin_micro").cast("double")
+    n = F.col("n_steps").cast("double")
+    rbar = F.sqrt(sc * sc + ss * ss) / (n * F.lit(float(scale)))
+    return (agg.withColumn("rbar", F.when(F.col("n_steps") > 0, rbar))
+            .withColumn("z", F.when(F.col("n_steps") > 0,
+                                    n * F.col("rbar") * F.col("rbar"))))

@@ -2629,3 +2629,47 @@ FROM mm, nn, s4, tie"""
 
 
 EXT_QUERIES["kendalls_w"] = (q_kendalls_w, sql_kendalls_w)
+
+
+def q_span_geo_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document path geometry of the geo spans
+    (operators/media.py geo_span_path): ordered by span offset,
+    µ-quantized step/net lengths summed as exact longs, integer bbox
+    — the trajectory profile of an interleaved document."""
+    from .operators.media import geo_span_path
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return geo_span_path(interleaved_spans(docs))
+
+
+def sql_span_geo_path() -> str:
+    return f"""WITH {span_fields_sql()},
+g AS (SELECT doc_id, i,
+             CAST(split_part(text, ',', 1) AS BIGINT) AS lon,
+             CAST(split_part(text, ',', 2) AS BIGINT) AS lat
+      FROM fields WHERE kind = 'geo'),
+st AS (SELECT doc_id, i, lon, lat,
+              lon - LAG(lon) OVER w AS dx,
+              lat - LAG(lat) OVER w AS dy
+       FROM g WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+agg AS (SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_geo,
+         CAST(COALESCE(SUM(CAST(FLOOR(sqrt(CAST(dx*dx + dy*dy
+                                              AS DOUBLE))
+                                      * 1000000.0) AS BIGINT)), 0)
+              AS BIGINT) AS path_len_micro,
+         min_by(lon, i) AS lon0, min_by(lat, i) AS lat0,
+         max_by(lon, i) AS lon1, max_by(lat, i) AS lat1,
+         CAST((MAX(lon) - MIN(lon)) * (MAX(lat) - MIN(lat)) AS BIGINT)
+           AS bbox_area
+        FROM st GROUP BY 1)
+SELECT doc_id, n_geo, path_len_micro,
+       CAST(FLOOR(sqrt(CAST((lon1 - lon0) * (lon1 - lon0)
+                            + (lat1 - lat0) * (lat1 - lat0)
+                            AS DOUBLE)) * 1000000.0) AS BIGINT)
+         AS net_disp_micro,
+       bbox_area
+FROM agg"""
+
+
+EXT_QUERIES["span_geo_path"] = (q_span_geo_path, sql_span_geo_path)

@@ -3940,3 +3940,55 @@ FROM sil GROUP BY cid""")
 
 GEOM_QUERIES["silhouette_score"] = (q_silhouette_score,
                                     sql_silhouette_score)
+
+
+def q_rayleigh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rayleigh directional-uniformity test over the walk's step
+    headings (operators/spatialstats.py rayleigh_test): per-step
+    cos/sin as µ-quantized dx/√d², exact component sums, pinned R̄ and
+    z = n·R̄² — the continuous upgrade of heading_octants."""
+    from .operators.spatialstats import rayleigh_test
+    from .operators.trajectory import random_walk_positions
+
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = pos.select(
+        (F.col("x") - F.lag("x").over(w)).alias("dx"),
+        (F.col("y") - F.lag("y").over(w)).alias("dy")).dropna()
+    return rayleigh_test(steps)
+
+
+def sql_rayleigh_test() -> str:
+    return f"""WITH {_sql_walk_pos()},
+st AS (SELECT x - LAG(x) OVER w AS dx, y - LAG(y) OVER w AS dy
+       FROM pos
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+base AS (SELECT dx, dy, dx*dx + dy*dy AS d2 FROM st
+         WHERE dx IS NOT NULL AND dx*dx + dy*dy > 0),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_steps,
+         CAST(SUM(CAST(FLOOR(CAST(dx AS DOUBLE)
+                             / sqrt(CAST(d2 AS DOUBLE))
+                             * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS sum_cos_micro,
+         CAST(SUM(CAST(FLOOR(CAST(dy AS DOUBLE)
+                             / sqrt(CAST(d2 AS DOUBLE))
+                             * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS sum_sin_micro
+        FROM base)
+SELECT n_steps, sum_cos_micro, sum_sin_micro, rbar,
+       CASE WHEN n_steps > 0
+            THEN CAST(n_steps AS DOUBLE) * rbar * rbar END AS z
+FROM (SELECT *,
+        CASE WHEN n_steps > 0 THEN
+          sqrt(CAST(sum_cos_micro AS DOUBLE)
+               * CAST(sum_cos_micro AS DOUBLE)
+               + CAST(sum_sin_micro AS DOUBLE)
+               * CAST(sum_sin_micro AS DOUBLE))
+          / (CAST(n_steps AS DOUBLE) * 1000000.0) END AS rbar
+      FROM agg)"""
+
+
+GEOM_QUERIES["rayleigh_test"] = (q_rayleigh_test, sql_rayleigh_test)

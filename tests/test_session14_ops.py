@@ -564,3 +564,79 @@ def test_slope_one_python_differential(spark):
                 expect[(u, j)] = (n + sd[(j, i)] + ri[i] * cc, d + cc)
     got = {(r.user, r.item): (r.pred_num, r.pred_den) for r in out}
     assert got == expect
+
+
+# ---- interleaved-geo: span path geometry, Rayleigh heading test ----
+
+from mapbox_filter_spark.operators.media import geo_span_path
+from mapbox_filter_spark.operators.spatialstats import rayleigh_test
+
+
+def _span_docs(spark, rows):
+    # rows: list of (doc_id, [(kind, text, offset), ...])
+    data = [(d, [{"kind": k, "text": t, "media_ref": None,
+                  "offset": o} for k, t, o in sp]) for d, sp in rows]
+    schema = ("doc_id long, spans array<struct<kind string, text string,"
+              " media_ref string, offset int>>")
+    return spark.createDataFrame(data, schema)
+
+
+def test_geo_span_path_hand_case(spark):
+    # 3-4-5 right turn: steps 3 and 4, net displacement 5
+    df = _span_docs(spark, [
+        (1, [("geo", "0,0", 0), ("text", "hi", 1),
+             ("geo", "3,0", 2), ("geo", "3,4", 3)]),
+        (2, [("geo", "7,7", 0)]),
+        (3, [("text", "no geo here", 0)]),
+    ])
+    out = {r.doc_id: r for r in geo_span_path(df).collect()}
+    r1 = out[1]
+    assert r1.n_geo == 3
+    assert r1.path_len_micro == 3_000_000 + 4_000_000
+    assert r1.net_disp_micro == 5_000_000
+    assert r1.bbox_area == 3 * 4
+    r2 = out[2]
+    assert (r2.n_geo, r2.path_len_micro, r2.net_disp_micro,
+            r2.bbox_area) == (1, 0, 0, 0)
+    assert 3 not in out           # no geo span -> no row
+
+
+def test_geo_span_path_orders_by_offset(spark):
+    # same points, scrambled offsets: path follows OFFSET order
+    df = _span_docs(spark, [
+        (1, [("geo", "10,0", 2), ("geo", "0,0", 0), ("geo", "5,0", 1)]),
+    ])
+    r = geo_span_path(df).collect()[0]
+    assert r.path_len_micro == 10_000_000      # 0->5->10
+    assert r.net_disp_micro == 10_000_000
+
+
+def test_rayleigh_uniform_vs_directed(spark):
+    # four cardinal steps cancel -> rbar 0; four identical steps -> 1
+    un = spark.createDataFrame(
+        [(1, 0), (-1, 0), (0, 1), (0, -1)], "dx long, dy long")
+    r = rayleigh_test(un).collect()[0]
+    assert r.n_steps == 4
+    assert r.rbar == pytest.approx(0.0, abs=1e-6)
+    di = spark.createDataFrame([(3, 4)] * 4, "dx long, dy long")
+    r2 = rayleigh_test(di).collect()[0]
+    assert r2.rbar == pytest.approx(1.0, abs=1e-5)
+    assert r2.z == pytest.approx(4.0, abs=1e-4)
+
+
+def test_rayleigh_drops_zero_steps_and_python_differential(spark):
+    import math
+    steps = [((i * 7919) % 11 - 5, (i * 104729) % 9 - 4)
+             for i in range(50)]
+    df = spark.createDataFrame(steps + [(0, 0)], "dx long, dy long")
+    r = rayleigh_test(df).collect()[0]
+    live = [(dx, dy) for dx, dy in steps if dx * dx + dy * dy > 0]
+    sc = sum(math.floor(dx / math.sqrt(dx * dx + dy * dy) * 1e6)
+             for dx, dy in live)
+    ss = sum(math.floor(dy / math.sqrt(dx * dx + dy * dy) * 1e6)
+             for dx, dy in live)
+    assert r.n_steps == len(live)
+    assert (r.sum_cos_micro, r.sum_sin_micro) == (sc, ss)
+    rbar = math.sqrt(sc * sc + ss * ss) / (len(live) * 1e6)
+    assert r.rbar == pytest.approx(rbar)
+    assert r.z == pytest.approx(len(live) * rbar * rbar)
