@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["group_rank_median", "robust_outliers", "benford_profile",
-           "entropy_profile", "cohen_kappa"]
+           "entropy_profile", "cohen_kappa", "cronbach_alpha"]
 
 
 def group_rank_median(df: DataFrame, group_cols: Sequence[str],
@@ -1610,3 +1610,54 @@ def cohen_kappa(df: DataFrame, true_col: str,
         num.alias("kappa_num"), den.alias("kappa_den"),
         F.when(den > 0, num.cast("double") / den.cast("double"))
         .alias("kappa"))
+
+
+def cronbach_alpha(df: DataFrame, item_cols: "list[str]") -> DataFrame:
+    """Cronbach's α — internal-consistency reliability of k integer
+    item scores measured on the same subjects (Cronbach 1951):
+    α = k/(k−1) · (1 − Σᵢ var(itemᵢ) / var(total)) — do the k
+    sub-scores (quality heuristics, rater channels) measure one
+    underlying trait (α → 1) or unrelated things (α ≤ 0)?
+
+    Exact rational: population variances share the n² denominator, so
+
+        α = k·(D − N) / ((k−1)·D),   N = Σᵢ (n·Σxᵢ² − Sᵢ²),
+                                     D = n·Σt² − T²   (t = Σᵢ xᵢ)
+
+    — every moment an exact long (one scan, no per-subject division),
+    emitted as numerator/denominator plus the pinned double.
+
+    Returns ``(n_subjects, k_items, var_items_num, var_total_num,
+    alpha_num, alpha_den, alpha)``.
+    """
+    k = len(item_cols)
+    if k < 2:
+        raise ValueError("need >= 2 item columns")
+    xs = [F.col(c).cast("long") for c in item_cols]
+    t = xs[0]
+    for x in xs[1:]:
+        t = t + x
+    aggs = [F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(t).cast("long").alias("st"),
+            F.sum(t * t).cast("long").alias("stt")]
+    for i, x in enumerate(xs):
+        aggs += [F.sum(x).cast("long").alias(f"s{i}"),
+                 F.sum(x * x).cast("long").alias(f"ss{i}")]
+    a = df.agg(*aggs)
+    n = F.col("n")
+    num = None
+    for i in range(k):
+        term = n * F.col(f"ss{i}") - F.col(f"s{i}") * F.col(f"s{i}")
+        num = term if num is None else num + term
+    den = n * F.col("stt") - F.col("st") * F.col("st")
+    a = a.select(
+        n.alias("n_subjects"), F.lit(k).cast("long").alias("k_items"),
+        num.alias("var_items_num"), den.alias("var_total_num"))
+    alpha_num = F.lit(k) * (F.col("var_total_num")
+                            - F.col("var_items_num"))
+    alpha_den = F.lit(k - 1) * F.col("var_total_num")
+    return a.select(
+        "n_subjects", "k_items", "var_items_num", "var_total_num",
+        alpha_num.alias("alpha_num"), alpha_den.alias("alpha_den"),
+        F.when(alpha_den > 0, alpha_num.cast("double")
+               / alpha_den.cast("double")).alias("alpha"))

@@ -1759,3 +1759,105 @@ JOIN sizes sb ON sb.src = src_b"""
 
 CURATION_QUERIES["source_overlap"] = (q_source_overlap,
                                       sql_source_overlap)
+
+
+def q_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein distance between the purchase and error value
+    distributions (operators/rankstats.py wasserstein_1d): exact
+    cross-multiplied mass terms on the merged cents grid — the
+    integral drift measure beside ks_test's supremum."""
+    from .operators.rankstats import wasserstein_1d
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", _cents().alias("cents"))
+    return wasserstein_1d(ev, "event_type", "cents",
+                          "purchase", "error")
+
+
+def sql_wasserstein_1d() -> str:
+    return f"""WITH base AS (
+  SELECT {_CENTS_SQL} AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS b
+  FROM events WHERE event_type IN ('purchase', 'error')),
+per_v AS (SELECT v, CAST(SUM(a) AS BIGINT) AS ca,
+                 CAST(SUM(b) AS BIGINT) AS cb
+          FROM base GROUP BY 1),
+cum AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cuma,
+         SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cumb,
+         LEAD(v) OVER (ORDER BY v) - v AS gap
+  FROM per_v),
+tot AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+               CAST(SUM(b) AS BIGINT) AS n_b FROM base)
+SELECT n_a, n_b,
+       CAST(COALESCE(SUM(ABS(cuma * n_b - cumb * n_a) * gap), 0)
+            AS BIGINT) AS w1_num,
+       CAST(n_a * n_b AS BIGINT) AS w1_den,
+       CASE WHEN n_a * n_b > 0 THEN
+         CAST(COALESCE(SUM(ABS(cuma * n_b - cumb * n_a) * gap), 0)
+              AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)
+       END AS w1
+FROM cum CROSS JOIN tot
+WHERE gap IS NOT NULL
+GROUP BY n_a, n_b"""
+
+
+CURATION_QUERIES["wasserstein_1d"] = (q_wasserstein_1d,
+                                      sql_wasserstein_1d)
+
+
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's α over three integer document-quality items — char
+    count, space-token count, 'e' count (operators/stats.py
+    cronbach_alpha): do the heuristics measure one underlying
+    "document size" trait?  Exact shared-denominator moment rational
+    plus the pinned double."""
+    from .operators.stats import cronbach_alpha
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    items = docs.select(
+        F.length("text").cast("long").alias("i1"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("i2"),
+        (F.length("text")
+         - F.length(F.regexp_replace(F.col("text"), "e", "")))
+        .cast("long").alias("i3"))
+    return cronbach_alpha(items, ["i1", "i2", "i3"])
+
+
+def sql_cronbach_alpha() -> str:
+    return """WITH items AS (
+  SELECT CAST(LEN(text) AS BIGINT) AS i1,
+         CAST(LEN(str_split(text, ' ')) AS BIGINT) AS i2,
+         CAST(LEN(text) - LEN(REPLACE(text, 'e', '')) AS BIGINT) AS i3
+  FROM documents),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(i1) AS BIGINT) AS s1, CAST(SUM(i1*i1) AS BIGINT) AS ss1,
+         CAST(SUM(i2) AS BIGINT) AS s2, CAST(SUM(i2*i2) AS BIGINT) AS ss2,
+         CAST(SUM(i3) AS BIGINT) AS s3, CAST(SUM(i3*i3) AS BIGINT) AS ss3,
+         CAST(SUM(i1+i2+i3) AS BIGINT) AS st,
+         CAST(SUM((i1+i2+i3)*(i1+i2+i3)) AS BIGINT) AS stt
+  FROM items)
+SELECT n AS n_subjects, CAST(3 AS BIGINT) AS k_items,
+       CAST((n*ss1 - s1*s1) + (n*ss2 - s2*s2) + (n*ss3 - s3*s3)
+            AS BIGINT) AS var_items_num,
+       CAST(n*stt - st*st AS BIGINT) AS var_total_num,
+       CAST(3 * ((n*stt - st*st)
+                 - ((n*ss1 - s1*s1) + (n*ss2 - s2*s2)
+                    + (n*ss3 - s3*s3))) AS BIGINT) AS alpha_num,
+       CAST(2 * (n*stt - st*st) AS BIGINT) AS alpha_den,
+       CASE WHEN 2 * (n*stt - st*st) > 0 THEN
+         CAST(3 * ((n*stt - st*st)
+                   - ((n*ss1 - s1*s1) + (n*ss2 - s2*s2)
+                      + (n*ss3 - s3*s3))) AS DOUBLE)
+         / CAST(2 * (n*stt - st*st) AS DOUBLE)
+       END AS alpha
+FROM m"""
+
+
+CURATION_QUERIES["cronbach_alpha"] = (q_cronbach_alpha,
+                                      sql_cronbach_alpha)

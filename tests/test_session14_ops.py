@@ -640,3 +640,81 @@ def test_rayleigh_drops_zero_steps_and_python_differential(spark):
     rbar = math.sqrt(sc * sc + ss * ss) / (len(live) * 1e6)
     assert r.rbar == pytest.approx(rbar)
     assert r.z == pytest.approx(len(live) * rbar * rbar)
+
+
+# ---- distribution distance + reliability: W1, Cronbach's alpha ----
+
+from mapbox_filter_spark.operators.rankstats import wasserstein_1d
+from mapbox_filter_spark.operators.stats import cronbach_alpha
+
+
+def _gv(spark, rows):
+    return spark.createDataFrame(rows, "g string, v long")
+
+
+def test_wasserstein_identical_is_zero(spark):
+    rows = [("a", x) for x in (1, 5, 9)] + [("b", x) for x in (1, 5, 9)]
+    r = wasserstein_1d(_gv(spark, rows), "g", "v", "a", "b").collect()[0]
+    assert r.w1_num == 0 and r.w1 == pytest.approx(0.0)
+
+
+def test_wasserstein_point_masses(spark):
+    # delta at 0 vs delta at 7 -> W1 = 7
+    rows = [("a", 0)] * 3 + [("b", 7)] * 3
+    r = wasserstein_1d(_gv(spark, rows), "g", "v", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert r.w1 == pytest.approx(7.0)
+
+
+def test_wasserstein_scipy_free_differential(spark):
+    a = [1, 1, 4, 6, 6, 9]
+    b = [2, 3, 3, 7, 8]
+    rows = [("a", x) for x in a] + [("b", x) for x in b]
+    r = wasserstein_1d(_gv(spark, rows), "g", "v", "a", "b").collect()[0]
+    # brute: integrate |F_A - F_B| over the merged grid
+    grid = sorted(set(a) | set(b))
+    total = 0
+    for v, nxt in zip(grid, grid[1:]):
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        total += abs(ca * len(b) - cb * len(a)) * (nxt - v)
+    assert r.w1_num == total
+    assert r.w1_den == len(a) * len(b)
+    assert r.w1 == pytest.approx(total / (len(a) * len(b)))
+
+
+def test_wasserstein_ignores_other_groups(spark):
+    rows = [("a", 0), ("b", 4), ("zzz", 10**9)]
+    r = wasserstein_1d(_gv(spark, rows), "g", "v", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (1, 1)
+    assert r.w1 == pytest.approx(4.0)
+
+
+def test_cronbach_perfectly_parallel_items(spark):
+    # i2 = i1 + 3: equal variance, perfectly correlated -> alpha = 1
+    # (a 2x-scaled item would NOT give 1: alpha is not scale-free)
+    df = spark.createDataFrame(
+        [(x, x + 3) for x in (1, 4, 9, 2, 7)], "i1 long, i2 long")
+    r = cronbach_alpha(df, ["i1", "i2"]).collect()[0]
+    assert r.alpha == pytest.approx(1.0)
+
+
+def test_cronbach_python_differential(spark):
+    import statistics
+    rows = [((i * 7) % 5, (i * 11) % 7, (i * 13) % 4) for i in range(12)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    r = cronbach_alpha(df, ["a", "b", "c"]).collect()[0]
+    n = len(rows)
+    cols = list(zip(*rows))
+    tot = [sum(t) for t in rows]
+    pvar = lambda xs: (n * sum(x * x for x in xs) - sum(xs) ** 2)
+    num = sum(pvar(c) for c in cols)
+    den = pvar(tot)
+    assert (r.var_items_num, r.var_total_num) == (num, den)
+    assert r.alpha == pytest.approx(3 / 2 * (1 - num / den))
+
+
+def test_cronbach_rejects_single_item(spark):
+    df = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(ValueError):
+        cronbach_alpha(df, ["a"])
