@@ -56,7 +56,7 @@ from .graph import connected_components
 
 __all__ = ["dbscan", "geofence_flag", "grid_knn_join", "kmeans_integer",
            "grid_neighbor_pairs", "grid_radius_join",
-           "centroid_silhouette"]
+           "centroid_silhouette", "huff_shares"]
 
 
 def _ring_offsets():
@@ -865,3 +865,70 @@ def centroid_silhouette(df: DataFrame, x_col: str, y_col: str,
                 F.col("sum_s_scaled").cast("double")
                 / (F.col("n_members").cast("double")
                    * F.lit(float(scale)))))
+
+
+def huff_shares(consumers: DataFrame, stores: DataFrame, *,
+                consumer_id: str = "consumer_id",
+                store_id: str = "store_id", attract_col: str = "attract",
+                x: str = "x", y: str = "y", beta2: int = 1,
+                scale: int = 1_000_000_000,
+                max_stores: int = 1024) -> DataFrame:
+    """Huff gravity model of market capture (Huff 1964): consumer i
+    patronizes store j with probability
+    P_ij = A_j/d_ij^(2β) / Σ_k A_k/d_ik^(2β) — the trade-area /
+    catchment allocator behind store-siting and demand attribution.
+
+    QUANTIZED-EXACT contract (the engine-wide alternative to float
+    shares): each utility is the floor-div integer
+    ``t_ij = A_j·scale div (d²_ij)^β2``, and the share is the exact
+    rational ``t_ij / Σ_k t_ik`` — numerator/denominator longs, so
+    the gate value-hashes; the quantization error is ≤ 1/scale per
+    term (documented, same discipline as loglog_fit's µ-nats).
+    Consumers co-located with a store (d² = 0) give that store the
+    whole budget (t = A·scale, others still counted) — pinned by the
+    ``d² ≥ 1`` clamp.
+
+    Scale shape: the store table must be SMALL (≤ ``max_stores``,
+    validated loudly) — it broadcasts, and each consumer row fans out
+    ×|stores| in one map-side join; one groupBy(consumer) for the
+    denominator.  For store fleets past the bound, pre-prune by cell
+    (grid_knn_join) — utilities beyond a few cells are noise.
+
+    Returns ``(consumer_id, store_id, d2, t, share_den, share)``.
+    """
+    if beta2 < 1:
+        raise ValueError("beta2 must be >= 1")
+    n_stores = stores.count()
+    if n_stores > max_stores:
+        raise ValueError(
+            f"{n_stores} stores exceeds the broadcast bound "
+            f"{max_stores}; pre-prune by cell (grid_knn_join) first")
+    c = consumers.select(F.col(consumer_id).alias("cid"),
+                         F.col(x).cast("long").alias("cx"),
+                         F.col(y).cast("long").alias("cy"))
+    s = stores.select(F.col(store_id).alias("sid"),
+                      F.col(attract_col).cast("long").alias("a"),
+                      F.col(x).cast("long").alias("sx"),
+                      F.col(y).cast("long").alias("sy"))
+    d2 = ((F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx"))
+          + (F.col("cy") - F.col("sy")) * (F.col("cy") - F.col("sy")))
+    pairs = c.crossJoin(F.broadcast(s)).withColumn(
+        "d2", F.greatest(d2, F.lit(1)))
+    dpow = F.col("d2")
+    for _ in range(beta2 - 1):
+        dpow = dpow * F.col("d2")
+    num = F.col("a") * F.lit(scale)
+    t = ((num - F.pmod(num, dpow)) / dpow).cast("long")
+    from pyspark.sql import Window
+
+    pairs = pairs.withColumn("t", t)
+    den = Window.partitionBy("cid")
+    return (pairs
+            .withColumn("share_den", F.sum("t").over(den))
+            .select(F.col("cid").alias(consumer_id),
+                    F.col("sid").alias(store_id), "d2", "t",
+                    "share_den",
+                    F.when(F.col("share_den") > 0,
+                           F.col("t").cast("double")
+                           / F.col("share_den").cast("double"))
+                    .alias("share")))

@@ -31,7 +31,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["group_rank_median", "robust_outliers", "benford_profile",
-           "entropy_profile", "cohen_kappa", "cronbach_alpha"]
+           "entropy_profile", "cohen_kappa", "cronbach_alpha",
+           "theil_index"]
 
 
 def group_rank_median(df: DataFrame, group_cols: Sequence[str],
@@ -1661,3 +1662,39 @@ def cronbach_alpha(df: DataFrame, item_cols: "list[str]") -> DataFrame:
         alpha_num.alias("alpha_num"), alpha_den.alias("alpha_den"),
         F.when(alpha_den > 0, alpha_num.cast("double")
                / alpha_den.cast("double")).alias("alpha"))
+
+
+def theil_index(df: DataFrame, group_cols: "Sequence[str]",
+                value_col: str) -> DataFrame:
+    """Theil T inequality index per group (Theil 1967):
+    T = (1/n)·Σ (xᵢ/µ)·ln(xᵢ/µ) — 0 at perfect equality, ln(n) at
+    total concentration; the DECOMPOSABLE complement of gini_profile
+    (T splits additively into between/within, Gini does not).
+
+    Identity used: T = Σ xᵢ·ln(xᵢ) / S − ln(S/n)  (S = Σx, µ = S/n).
+    Per-row ln is µ-nat-quantized (``floor(ln(x)·10⁶ + 0.5)``, the
+    loglog_fit discipline) so Σ x·q is an EXACT long — order-free
+    across any reduction tree; the final two terms are the one pinned
+    double chain.  Non-positive values raise loudly in-plan (ln
+    undefined — filter or shift upstream).
+
+    One scan, one groupBy.  Returns
+    ``(*group_cols, n, s, sum_x_qln, theil)``.
+    """
+    sc = float(LNLN_SCALE)
+    x = F.col(value_col).cast("long")
+    checked = F.when(x > 0, x).otherwise(
+        F.raise_error(F.concat(
+            F.lit("theil_index: non-positive value "),
+            x.cast("string"))))
+    q = F.floor(F.log(checked.cast("double")) * F.lit(sc)
+                + F.lit(0.5)).cast("long")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("s"),
+        F.sum(x * q).cast("long").alias("sum_x_qln"))
+    t = (F.col("sum_x_qln").cast("double")
+         / (F.col("s").cast("double") * F.lit(sc))
+         - F.log(F.col("s").cast("double") / F.col("n").cast("double")))
+    return agg.withColumn(
+        "theil", F.when(F.col("s") > 0, t))

@@ -1861,3 +1861,37 @@ FROM m"""
 
 CURATION_QUERIES["cronbach_alpha"] = (q_cronbach_alpha,
                                       sql_cronbach_alpha)
+
+
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of document lengths per source
+    (operators/stats.py theil_index): µ-nat-quantized x·ln(x) sums
+    exact, one pinned tail — the decomposable complement of
+    gini_profile."""
+    from .operators.stats import theil_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return theil_index(docs.select("source", "n_chars"),
+                       ["source"], "n_chars")
+
+
+def sql_theil_index() -> str:
+    return """WITH q AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         CAST(FLOOR(ln(CAST(n_chars AS DOUBLE)) * 1000000.0 + 0.5)
+              AS BIGINT) AS qln
+  FROM documents),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(x * qln) AS BIGINT) AS sum_x_qln
+  FROM q GROUP BY 1)
+SELECT source, n, s, sum_x_qln,
+       CASE WHEN s > 0 THEN
+         CAST(sum_x_qln AS DOUBLE) / (CAST(s AS DOUBLE) * 1000000.0)
+         - ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       END AS theil
+FROM agg"""
+
+
+CURATION_QUERIES["theil_index"] = (q_theil_index, sql_theil_index)

@@ -3992,3 +3992,63 @@ FROM (SELECT *,
 
 
 GEOM_QUERIES["rayleigh_test"] = (q_rayleigh_test, sql_rayleigh_test)
+
+
+_HUFF_SCALE = 1_000_000_000
+_HUFF_CMOD = 10             # every 10th customer as a consumer
+
+
+def q_huff_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huff gravity market shares (operators/cluster.py huff_shares):
+    hashed store/consumer positions, quantized-exact utilities
+    A·scale div d², share as the exact rational t/Σt — the trade-area
+    allocator over the supplier fleet."""
+    from .operators.cluster import huff_shares
+
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("store_id"),
+        (F.pmod(F.col("s_suppkey"), F.lit(5)) + 1).alias("attract"),
+        F.pmod(F.col("s_suppkey") * 7919, F.lit(360000)).alias("x"),
+        F.pmod(F.col("s_suppkey") * 104729, F.lit(170000)).alias("y"))
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .filter(F.pmod(F.col("c_custkey"), F.lit(_HUFF_CMOD)) == 0)
+            .select(
+                F.col("c_custkey").alias("consumer_id"),
+                F.pmod(F.col("c_custkey") * 7919, F.lit(360000))
+                .alias("x"),
+                F.pmod(F.col("c_custkey") * 104729, F.lit(170000))
+                .alias("y")))
+    return huff_shares(cust, sup, scale=_HUFF_SCALE)
+
+
+def sql_huff_shares() -> str:
+    return f"""WITH s AS (
+  SELECT s_suppkey AS sid, s_suppkey % 5 + 1 AS a,
+         (s_suppkey * 7919) % 360000 AS sx,
+         (s_suppkey * 104729) % 170000 AS sy
+  FROM supplier),
+c AS (
+  SELECT c_custkey AS cid,
+         (c_custkey * 7919) % 360000 AS cx,
+         (c_custkey * 104729) % 170000 AS cy
+  FROM customer WHERE c_custkey % {_HUFF_CMOD} = 0),
+pairs AS (
+  SELECT c.cid, s.sid, s.a,
+         GREATEST((c.cx - s.sx)*(c.cx - s.sx)
+                  + (c.cy - s.sy)*(c.cy - s.sy), 1) AS d2
+  FROM c CROSS JOIN s),
+ut AS (
+  SELECT cid, sid, d2,
+         CAST((a * {_HUFF_SCALE}) // d2 AS BIGINT) AS t
+  FROM pairs),
+den AS (SELECT cid, CAST(SUM(t) AS BIGINT) AS share_den
+        FROM ut GROUP BY 1)
+SELECT u.cid AS consumer_id, u.sid AS store_id,
+       CAST(u.d2 AS BIGINT) AS d2, u.t, d.share_den,
+       CASE WHEN d.share_den > 0 THEN
+         CAST(u.t AS DOUBLE) / CAST(d.share_den AS DOUBLE)
+       END AS share
+FROM ut u JOIN den d USING (cid)"""
+
+
+GEOM_QUERIES["huff_shares"] = (q_huff_shares, sql_huff_shares)

@@ -718,3 +718,74 @@ def test_cronbach_rejects_single_item(spark):
     df = spark.createDataFrame([(1,)], "a long")
     with pytest.raises(ValueError):
         cronbach_alpha(df, ["a"])
+
+
+# ---- market allocation + inequality: Huff shares, Theil index ----
+
+from mapbox_filter_spark.operators.cluster import huff_shares
+from mapbox_filter_spark.operators.stats import theil_index
+
+
+def test_huff_shares_textbook(spark):
+    # one consumer at origin; store A (attract 2) at d2=4, store B
+    # (attract 1) at d2=1: utilities 2s/4 vs 1s/1 -> shares 1/3, 2/3
+    cons = spark.createDataFrame([(1, 0, 0)],
+                                 "consumer_id long, x long, y long")
+    st = spark.createDataFrame(
+        [(10, 2, 2, 0), (20, 1, 0, 1)],
+        "store_id long, attract long, x long, y long")
+    out = {r.store_id: r for r in
+           huff_shares(cons, st, scale=1000).collect()}
+    assert out[10].t == 2 * 1000 // 4 and out[20].t == 1000
+    assert out[10].share == pytest.approx(1 / 3)
+    assert out[20].share == pytest.approx(2 / 3)
+    assert out[10].share_den == 1500
+
+
+def test_huff_colocated_consumer_d2_clamp(spark):
+    # consumer on top of store: d2 clamps to 1, store takes ~all
+    cons = spark.createDataFrame([(1, 5, 5)],
+                                 "consumer_id long, x long, y long")
+    st = spark.createDataFrame(
+        [(10, 1, 5, 5), (20, 1, 105, 5)],
+        "store_id long, attract long, x long, y long")
+    out = {r.store_id: r for r in
+           huff_shares(cons, st, scale=10**9).collect()}
+    assert out[10].d2 == 1
+    assert out[10].share > 0.999
+
+
+def test_huff_store_bound_raises(spark):
+    cons = spark.createDataFrame([(1, 0, 0)],
+                                 "consumer_id long, x long, y long")
+    st = spark.createDataFrame(
+        [(i, 1, i, 0) for i in range(5)],
+        "store_id long, attract long, x long, y long")
+    with pytest.raises(ValueError):
+        huff_shares(cons, st, max_stores=3)
+
+
+def test_theil_equal_values_zero(spark):
+    df = spark.createDataFrame([("g", 7)] * 5, "g string, x long")
+    r = theil_index(df, ["g"], "x").collect()[0]
+    assert r.theil == pytest.approx(0.0, abs=1e-5)
+
+
+def test_theil_python_differential_and_concentration(spark):
+    import math
+    vals = [1, 1, 1, 1, 96]       # concentrated
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "g string, x long")
+    r = theil_index(df, ["g"], "x").collect()[0]
+    s = sum(vals)
+    qs = sum(v * math.floor(math.log(v) * 1e6 + 0.5) for v in vals)
+    assert (r.n, r.s, r.sum_x_qln) == (5, s, qs)
+    expect = qs / (s * 1e6) - math.log(s / 5)
+    assert r.theil == pytest.approx(expect)
+    assert r.theil > 1.0          # strong concentration
+
+
+def test_theil_rejects_nonpositive(spark):
+    df = spark.createDataFrame([("g", 0)], "g string, x long")
+    with pytest.raises(Exception):
+        theil_index(df, ["g"], "x").collect()
