@@ -152,3 +152,50 @@ def map_mrr_at_k(ranking: DataFrame, k: int, *,
                  / (nq * L).cast("double"))
     return tot.select("n_q", "sum_ap_l", "sum_rr_l",
                       mp.alias("map_at_k"), mrr.alias("mrr_at_k"))
+
+
+def pr_curve(df: DataFrame, group_cols: Sequence[str], score_col: str,
+             label_col: str) -> DataFrame:
+    """Precision-recall curve per group: one row per DISTINCT score
+    threshold t (descending), with the confusion counts of the
+    classifier "predict positive iff score >= t" — the
+    threshold-sweep companion of ``auc_score`` (AUC summarizes the
+    ranking; the curve says where to cut it).
+
+    Exactness: the data collapses to one row per (group, score) with
+    exact positive/negative counts; tp/fp are RANGE-frame cumulative
+    sums ordered by score DESC (ties share one threshold row — the
+    default RANGE frame includes all peers, identical in both
+    engines); precision, recall and F1 are each ONE pinned division
+    over exact longs (F1 = 2·tp / (2·tp + fp + fn) — a single exact
+    rational, not a harmonic-mean float chain).
+
+    Scale shape: one map-side-combinable groupBy to the (group,
+    score) aggregate, then windows over that SMALL table — cost is
+    O(distinct scores), not O(rows).  Bucket the score upstream if
+    its cardinality approaches the row count.
+
+    Returns ``(group..., threshold, tp, fp, fn, precision, recall,
+    f1)``.  ``label_col`` must be 0/1; scores integer.
+    """
+    g = list(group_cols)
+    lab = F.col(label_col).cast("long")
+    pts = df.groupBy(*g, F.col(score_col).cast("long")
+                     .alias("threshold")).agg(
+        F.sum(lab).alias("_p"),
+        (F.count(F.lit(1)) - F.sum(lab)).alias("_n"))
+    w = Window.partitionBy(*g).orderBy(F.col("threshold").desc())
+    wg = Window.partitionBy(*g)
+    cur = (pts.withColumn("tp", F.sum("_p").over(w))
+           .withColumn("fp", F.sum("_n").over(w))
+           .withColumn("_pos", F.sum("_p").over(wg)))
+    tp, fp = F.col("tp"), F.col("fp")
+    fn = F.col("_pos") - tp
+    return cur.select(
+        *g, "threshold", "tp", "fp", fn.alias("fn"),
+        F.when(tp + fp > 0, tp.cast("double")
+               / (tp + fp).cast("double")).alias("precision"),
+        F.when(F.col("_pos") > 0, tp.cast("double")
+               / F.col("_pos").cast("double")).alias("recall"),
+        F.when(2 * tp + fp + fn > 0, (2 * tp).cast("double")
+               / (2 * tp + fp + fn).cast("double")).alias("f1"))

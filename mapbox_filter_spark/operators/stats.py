@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["group_rank_median", "robust_outliers", "benford_profile",
            "entropy_profile", "cohen_kappa", "cronbach_alpha",
-           "theil_index"]
+           "theil_index", "cramers_v", "odds_ratio"]
 
 
 def group_rank_median(df: DataFrame, group_cols: Sequence[str],
@@ -363,10 +363,12 @@ def chi_square_independence(df: DataFrame, a_col: str,
     predict language?).
 
     Exactness: cell counts O, row totals r, column totals c and the
-    grand total n are exact longs, and each cell's contribution is the
-    algebraically identical exact-numerator form
+    grand total n are exact longs over the COMPLETED grid (distinct-a
+    × distinct-b — unobserved cells count O = 0 and still contribute
+    r·c/n; dropping them understates chi2), and each cell's
+    contribution is the algebraically identical exact-numerator form
     ``(n·O − r·c)² / (n·r·c)`` — the deviation ``n·O − r·c`` is the
-    exact long (|dev| ≤ n²/4 ⇒ exact to n ≈ 6·10⁹ rows); its square
+    exact long (|dev| ≤ n² ⇒ exact to n ≈ 3·10⁹ rows); its square
     and the ``n·r·c`` denominator are evaluated as pinned IEEE double
     chains (both products overflow int64 far earlier — dev² at
     n ≈ 10⁵, n·r·c at n ≈ 2·10⁶), and the final sum is a PINNED-ORDER
@@ -382,9 +384,19 @@ def chi_square_independence(df: DataFrame, a_col: str,
     table is degenerate (dof = 0 — a constant column).
     """
     clean = df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
-    cells = clean.groupBy(
+    observed = clean.groupBy(
         F.col(a_col).alias("_a"), F.col(b_col).alias("_b")).agg(
         F.count(F.lit(1)).alias("_o"))
+    # COMPLETE the contingency grid: empty cells (O = 0) still
+    # contribute (r·c/n) to chi2 — dropping them understates the
+    # statistic (a perfect 2×2 association would read n/2, not n).
+    # distinct-a × distinct-b is the tiny cardinality-product table.
+    grid = (observed.select("_a").distinct()
+            .crossJoin(F.broadcast(observed.select("_b").distinct())))
+    cells = (grid.join(observed, ["_a", "_b"], "left")
+             .select("_a", "_b",
+                     F.coalesce(F.col("_o"), F.lit(0).cast("long"))
+                     .alias("_o")))
     w_a = Window.partitionBy("_a")
     w_b = Window.partitionBy("_b")
     w_all = Window.partitionBy()
@@ -393,7 +405,7 @@ def chi_square_independence(df: DataFrame, a_col: str,
         F.sum("_o").over(w_a).alias("_r"),
         F.sum("_o").over(w_b).alias("_c"),
         F.sum("_o").over(w_all).alias("_n"))
-    # dev stays exact int64 (|dev| ≤ n²/4 ⇒ n ≲ 6·10⁹); SQUARE in
+    # dev stays exact int64 (|dev| ≤ n² ⇒ n ≲ 3·10⁹); SQUARE in
     # double — dev² would overflow int64 past n ≈ 10⁵ on a strongly
     # associated table.  n·r·c likewise multiplies as doubles (the
     # int64 product dies at n ≈ 2·10⁶); both are pinned left-to-right
@@ -1698,3 +1710,72 @@ def theil_index(df: DataFrame, group_cols: "Sequence[str]",
          - F.log(F.col("s").cast("double") / F.col("n").cast("double")))
     return agg.withColumn(
         "theil", F.when(F.col("s") > 0, t))
+
+
+def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cramér's V effect size for the association between two
+    categorical columns: V = sqrt(χ² / (n·min(n_a−1, n_b−1))) — the
+    [0, 1]-normalized companion of ``chi_square_independence`` (χ²
+    grows with n; V answers "how strong", not "how surprising").
+
+    Exactness inherits the χ² contract (exact-numerator cells, pinned
+    (a, b)-sorted fold); V adds one more pinned double chain (divide +
+    sqrt).  Same scale shape: one groupBy to the contingency table,
+    windows on the tiny cell set.  Returns one row
+    ``(n, n_a, n_b, dof, chi2, v)`` — V is NULL when the table is
+    degenerate, 1 at perfect association.
+    """
+    base = chi_square_independence(df, a_col, b_col)
+    k = F.least(F.col("n_a") - 1, F.col("n_b") - 1)
+    v = F.when(
+        F.col("chi2").isNotNull() & (k > 0) & (F.col("n") > 0),
+        F.sqrt(F.col("chi2")
+               / (F.col("n").cast("double") * k.cast("double"))))
+    return base.withColumn("v", v)
+
+
+def odds_ratio(df: DataFrame, exposed_col: str,
+               outcome_col: str) -> DataFrame:
+    """2×2 epidemiological effect sizes for a binary exposure ×
+    binary outcome: odds ratio OR = a·d / (b·c), relative risk
+    RR = a·(c+d) / (c·(a+b)), and risk difference
+    RD = (a·(c+d) − c·(a+b)) / ((a+b)·(c+d)) — the cohort-study
+    summary trio (a = exposed∧outcome, b = exposed∧¬outcome,
+    c = unexposed∧outcome, d = unexposed∧¬outcome).
+
+    Exactness: the four cells are ONE exact map-side-combinable
+    aggregate; every ratio is a single division over exact int64
+    products (bound: cell products need n < 3·10⁹ — the auc_score
+    discipline; shard upstream past that).  ``ln_or_se`` =
+    sqrt(1/a + 1/b + 1/c + 1/d) is the one pinned left-to-right
+    double chain (Woolf's CI half-width is 1.96·ln_or_se on ln OR).
+    Ratios are NULL on empty margins/cells (no ±∞).
+
+    Returns one row ``(a, b, c, d, odds_ratio, rel_risk, risk_diff,
+    ln_or_se)``.  Both columns must be 0/1.
+    """
+    e = F.col(exposed_col).cast("long")
+    o = F.col(outcome_col).cast("long")
+    agg = df.agg(
+        F.sum(e * o).alias("a"),
+        F.sum(e * (1 - o)).alias("b"),
+        F.sum((1 - e) * o).alias("c"),
+        F.sum((1 - e) * (1 - o)).alias("d"))
+    a, b, c, d = (F.col(x) for x in "abcd")
+    orr = F.when(b * c > 0, (a * d).cast("double")
+                 / (b * c).cast("double"))
+    rr = F.when((c > 0) & (a + b > 0) & (c + d > 0),
+                (a * (c + d)).cast("double")
+                / (c * (a + b)).cast("double"))
+    rd = F.when((a + b > 0) & (c + d > 0),
+                (a * (c + d) - c * (a + b)).cast("double")
+                / ((a + b) * (c + d)).cast("double"))
+    se = F.when((a > 0) & (b > 0) & (c > 0) & (d > 0),
+                F.sqrt(F.lit(1.0) / a.cast("double")
+                       + F.lit(1.0) / b.cast("double")
+                       + F.lit(1.0) / c.cast("double")
+                       + F.lit(1.0) / d.cast("double")))
+    return agg.select(
+        "a", "b", "c", "d", orr.alias("odds_ratio"),
+        rr.alias("rel_risk"), rd.alias("risk_diff"),
+        se.alias("ln_or_se"))

@@ -1940,3 +1940,64 @@ SELECT usr AS "user", rank, item, pred_num, pred_den, score_q FROM (
 
 
 ANALYTICS_QUERIES["slope_one"] = (q_slope_one, sql_slope_one)
+
+
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-recall threshold sweep per weekday (operators/
+    metrics.py pr_curve): does event value predict the purchase
+    label, and where to cut?  Scores bucketed to whole currency units
+    (cents div 100) so the curve is O(distinct units); tp/fp/fn exact
+    longs, precision/recall/F1 one pinned division each."""
+    from .operators.metrics import pr_curve
+    from .queries_curation import _cents
+
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    day = us - F.pmod(us, F.lit(86_400_000_000))
+    cents = _cents()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.pmod(day / F.lit(86_400_000_000) + 4, F.lit(7))
+        .cast("long").alias("dow"),
+        ((cents - F.pmod(cents, F.lit(100))) / F.lit(100))
+        .cast("long").alias("unit"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"))
+    return pr_curve(ev.filter(F.col("unit").isNotNull()),
+                    ["dow"], "unit", "y")
+
+
+def sql_pr_curve() -> str:
+    from .queries_curation import _CENTS_SQL
+
+    return f"""
+WITH ev AS (
+  SELECT ((epoch_us(CAST(ts AS TIMESTAMP))
+           - epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000)
+          // 86400000000 + 4) % 7 AS dow,
+         ({_CENTS_SQL}) // 100 AS unit,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events),
+pts AS (
+  SELECT dow, unit AS threshold,
+         CAST(SUM(y) AS BIGINT) AS p,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS n
+  FROM ev WHERE unit IS NOT NULL GROUP BY 1, 2),
+cur AS (
+  SELECT dow, threshold,
+         CAST(SUM(p) OVER (PARTITION BY dow ORDER BY threshold DESC)
+              AS BIGINT) AS tp,
+         CAST(SUM(n) OVER (PARTITION BY dow ORDER BY threshold DESC)
+              AS BIGINT) AS fp,
+         CAST(SUM(p) OVER (PARTITION BY dow) AS BIGINT) AS pos
+  FROM pts)
+SELECT dow, threshold, tp, fp, pos - tp AS fn,
+       CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)
+            / CAST(tp + fp AS DOUBLE) END AS precision,
+       CASE WHEN pos > 0 THEN CAST(tp AS DOUBLE)
+            / CAST(pos AS DOUBLE) END AS recall,
+       CASE WHEN 2 * tp + fp + (pos - tp) > 0
+            THEN CAST(2 * tp AS DOUBLE)
+                 / CAST(2 * tp + fp + (pos - tp) AS DOUBLE)
+       END AS f1
+FROM cur"""
+
+
+ANALYTICS_QUERIES["pr_curve"] = (q_pr_curve, sql_pr_curve)

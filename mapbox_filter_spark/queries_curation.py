@@ -686,8 +686,15 @@ def sql_chi_square() -> str:
   SELECT event_type AS a,
          ((epoch_us(ts) // 86400000000 + 4) % 7) AS b
   FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
-cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
+obs AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
           FROM e GROUP BY 1, 2),
+-- complete the grid: empty cells contribute r*c/n to chi2
+cells AS (
+  SELECT g.a, g.b, COALESCE(obs.o, 0) AS o
+  FROM (SELECT da.a, db.b
+        FROM (SELECT DISTINCT a FROM obs) da
+        CROSS JOIN (SELECT DISTINCT b FROM obs) db) g
+  LEFT JOIN obs ON g.a = obs.a AND g.b = obs.b),
 t AS (
   SELECT a, b, o,
          CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS r,
@@ -1895,3 +1902,110 @@ FROM agg"""
 
 
 CURATION_QUERIES["theil_index"] = (q_theil_index, sql_theil_index)
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V, document source × language (operators/stats.py
+    cramers_v): the [0,1] effect size on top of the exact-numerator
+    χ² fold — is language mix associated with source?"""
+    from .operators.stats import cramers_v
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cramers_v(docs.select("source", "lang"), "source", "lang")
+
+
+def sql_cramers_v() -> str:
+    return """WITH e AS (
+  SELECT source AS a, lang AS b
+  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL),
+obs AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
+          FROM e GROUP BY 1, 2),
+-- complete the grid: empty cells contribute r*c/n to chi2
+cells AS (
+  SELECT g.a, g.b, COALESCE(obs.o, 0) AS o
+  FROM (SELECT da.a, db.b
+        FROM (SELECT DISTINCT a FROM obs) da
+        CROSS JOIN (SELECT DISTINCT b FROM obs) db) g
+  LEFT JOIN obs ON g.a = obs.a AND g.b = obs.b),
+t AS (
+  SELECT a, b, o,
+         CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS r,
+         CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS c,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM cells),
+terms AS (
+  SELECT a, b, n,
+         (CAST(n * o - r * c AS DOUBLE) * CAST(n * o - r * c AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+           AS trm
+  FROM t),
+agg AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b,
+         CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1)
+              AS BIGINT) AS dof,
+         CASE WHEN (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) > 0
+              THEN list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(trm ORDER BY a NULLS FIRST,
+                                       b NULLS FIRST)),
+                     (x, y) -> x + y)
+              END AS chi2
+  FROM terms)
+SELECT n, n_a, n_b, dof, chi2,
+       CASE WHEN chi2 IS NOT NULL
+                 AND LEAST(n_a - 1, n_b - 1) > 0 AND n > 0
+            THEN sqrt(chi2 / (CAST(n AS DOUBLE)
+                              * CAST(LEAST(n_a - 1, n_b - 1)
+                                     AS DOUBLE)))
+       END AS v
+FROM agg"""
+
+
+CURATION_QUERIES["cramers_v"] = (q_cramers_v, sql_cramers_v)
+
+
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 effect sizes over orders (operators/stats.py odds_ratio):
+    exposure = urgent/high priority, outcome = status 'F' — OR, RR,
+    risk difference as single divisions over exact int64 cells."""
+    from .operators.stats import odds_ratio
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+               F.lit(1)).otherwise(F.lit(0)).alias("exposed"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(1))
+        .otherwise(F.lit(0)).alias("outcome"))
+    return odds_ratio(orders, "exposed", "outcome")
+
+
+def sql_odds_ratio() -> str:
+    return """WITH f AS (
+  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS e,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS o
+  FROM orders),
+cells AS (
+  SELECT CAST(SUM(e * o) AS BIGINT) AS a,
+         CAST(SUM(e * (1 - o)) AS BIGINT) AS b,
+         CAST(SUM((1 - e) * o) AS BIGINT) AS c,
+         CAST(SUM((1 - e) * (1 - o)) AS BIGINT) AS d
+  FROM f)
+SELECT a, b, c, d,
+       CASE WHEN b * c > 0 THEN CAST(a * d AS DOUBLE)
+            / CAST(b * c AS DOUBLE) END AS odds_ratio,
+       CASE WHEN c > 0 AND a + b > 0 AND c + d > 0
+            THEN CAST(a * (c + d) AS DOUBLE)
+                 / CAST(c * (a + b) AS DOUBLE) END AS rel_risk,
+       CASE WHEN a + b > 0 AND c + d > 0
+            THEN CAST(a * (c + d) - c * (a + b) AS DOUBLE)
+                 / CAST((a + b) * (c + d) AS DOUBLE) END AS risk_diff,
+       CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0
+            THEN sqrt(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE)
+                      + 1.0 / CAST(c AS DOUBLE)
+                      + 1.0 / CAST(d AS DOUBLE)) END AS ln_or_se
+FROM cells"""
+
+
+CURATION_QUERIES["odds_ratio"] = (q_odds_ratio, sql_odds_ratio)

@@ -153,10 +153,12 @@ def _py_chi2(pairs):
     cb = Counter(b for _, b in pairs)
     n = len(pairs)
     acc = 0.0
-    for (a, b) in sorted(cells):          # pinned (a, b) order
-        o, r, c = cells[(a, b)], ra[a], cb[b]
-        dev = float(n * o - r * c)        # exact long -> double, then
-        acc += dev * dev / (float(n) * float(r) * float(c))  # IEEE chain
+    # COMPLETED grid, pinned (a, b) order: empty cells count O = 0
+    for a in sorted(ra):
+        for b in sorted(cb):
+            o, r, c = cells.get((a, b), 0), ra[a], cb[b]
+            dev = float(n * o - r * c)    # exact long -> double, then
+            acc += dev * dev / (float(n) * float(r) * float(c))  # IEEE
     dof = (len(ra) - 1) * (len(cb) - 1)
     return n, len(ra), len(cb), dof, (acc if dof > 0 else None)
 

@@ -1,0 +1,125 @@
+"""Session-15 operator blocks: PR curve, Cramér's V, 2×2 effect
+sizes — python brute differentials + edge pins."""
+
+import math
+
+import pytest
+
+from mapbox_filter_spark.operators.metrics import pr_curve
+from mapbox_filter_spark.operators.stats import cramers_v, odds_ratio
+
+
+# ---- pr_curve ----
+
+def test_pr_curve_hand_case(spark):
+    # scores desc: 9(+), 7(-), 7(+), 4(-)  -> thresholds 9,7,4
+    rows = [("g", 9, 1), ("g", 7, 0), ("g", 7, 1), ("g", 4, 0)]
+    df = spark.createDataFrame(rows, "g string, s long, y long")
+    out = {r.threshold: r for r in
+           pr_curve(df, ["g"], "s", "y").collect()}
+    assert set(out) == {9, 7, 4}
+    r9 = out[9]
+    assert (r9.tp, r9.fp, r9.fn) == (1, 0, 1)
+    assert r9.precision == 1.0 and r9.recall == 0.5
+    r7 = out[7]  # ties at 7 share one row: tp=2 fp=1
+    assert (r7.tp, r7.fp, r7.fn) == (2, 1, 0)
+    assert r7.precision == pytest.approx(2 / 3)
+    assert r7.recall == 1.0
+    assert r7.f1 == pytest.approx(4 / 5)
+    r4 = out[4]
+    assert (r4.tp, r4.fp, r4.fn) == (2, 2, 0)
+
+
+def test_pr_curve_python_differential(spark):
+    import random
+    rng = random.Random(7)
+    rows = [("g", rng.randrange(8), rng.randrange(2))
+            for _ in range(200)]
+    df = spark.createDataFrame(rows, "g string, s long, y long")
+    got = {r.threshold: r for r in
+           pr_curve(df, ["g"], "s", "y").collect()}
+    pos = sum(y for _, _, y in rows)
+    for t in {s for _, s, _ in rows}:
+        tp = sum(1 for _, s, y in rows if s >= t and y == 1)
+        fp = sum(1 for _, s, y in rows if s >= t and y == 0)
+        r = got[t]
+        assert (r.tp, r.fp, r.fn) == (tp, fp, pos - tp)
+        assert r.precision == pytest.approx(tp / (tp + fp))
+        assert r.recall == pytest.approx(tp / pos)
+        assert r.f1 == pytest.approx(2 * tp / (2 * tp + fp + pos - tp))
+
+
+def test_pr_curve_all_negative_group(spark):
+    df = spark.createDataFrame([("g", 3, 0), ("g", 1, 0)],
+                               "g string, s long, y long")
+    for r in pr_curve(df, ["g"], "s", "y").collect():
+        assert r.tp == 0 and r.recall is None and r.precision == 0.0
+
+
+# ---- cramers_v ----
+
+def test_cramers_v_perfect_association(spark):
+    rows = [("a", "x")] * 5 + [("b", "y")] * 5
+    df = spark.createDataFrame(rows, "u string, w string")
+    r = cramers_v(df, "u", "w").collect()[0]
+    assert r.v == pytest.approx(1.0)
+    assert r.chi2 == pytest.approx(r.n)  # 2x2 perfect: chi2 = n
+
+
+def test_cramers_v_independence_zero(spark):
+    rows = [(u, w) for u in "ab" for w in "xy" for _ in range(3)]
+    df = spark.createDataFrame(rows, "u string, w string")
+    r = cramers_v(df, "u", "w").collect()[0]
+    assert r.v == pytest.approx(0.0, abs=1e-12)
+
+
+def test_cramers_v_python_differential(spark):
+    import random
+    rng = random.Random(3)
+    rows = [(rng.choice("abc"), rng.choice("xyzw"))
+            for _ in range(300)]
+    df = spark.createDataFrame(rows, "u string, w string")
+    r = cramers_v(df, "u", "w").collect()[0]
+    from collections import Counter
+    o = Counter(rows)
+    ra = Counter(u for u, _ in rows)
+    cb = Counter(w for _, w in rows)
+    n = len(rows)
+    chi2 = 0.0
+    for (u, w) in sorted(o):
+        dev = float(n * o[(u, w)] - ra[u] * cb[w])
+        chi2 += dev * dev / (float(n) * float(ra[u]) * float(cb[w]))
+    assert r.chi2 == pytest.approx(chi2)
+    assert r.v == pytest.approx(math.sqrt(chi2 / (n * 2)))
+
+
+def test_cramers_v_degenerate_null(spark):
+    df = spark.createDataFrame([("a", "x"), ("a", "y")],
+                               "u string, w string")
+    r = cramers_v(df, "u", "w").collect()[0]
+    assert r.v is None and r.dof == 0
+
+
+# ---- odds_ratio ----
+
+def test_odds_ratio_textbook(spark):
+    # a=10 b=5 c=2 d=8: OR = 80/10 = 8; RR = (10/15)/(2/10) = 10/3
+    rows = ([(1, 1)] * 10 + [(1, 0)] * 5 + [(0, 1)] * 2
+            + [(0, 0)] * 8)
+    df = spark.createDataFrame(rows, "e long, o long")
+    r = odds_ratio(df, "e", "o").collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (10, 5, 2, 8)
+    assert r.odds_ratio == pytest.approx(8.0)
+    assert r.rel_risk == pytest.approx(10 / 3)
+    assert r.risk_diff == pytest.approx(10 / 15 - 2 / 10)
+    assert r.ln_or_se == pytest.approx(
+        math.sqrt(1 / 10 + 1 / 5 + 1 / 2 + 1 / 8))
+
+
+def test_odds_ratio_zero_cell_nulls(spark):
+    rows = [(1, 1)] * 3 + [(0, 0)] * 3  # b = c = 0
+    df = spark.createDataFrame(rows, "e long, o long")
+    r = odds_ratio(df, "e", "o").collect()[0]
+    assert r.odds_ratio is None and r.rel_risk is None
+    assert r.ln_or_se is None
+    assert r.risk_diff == pytest.approx(1.0)
