@@ -346,3 +346,48 @@ def isotonic_fit(df: DataFrame, group_col: str, x_col: str,
         (F.col("_r.sum_y").cast("double")
          / F.col("_r.n").cast("double")).alias("rate"),
         F.col("_r.fit").alias("fit"))
+
+
+def feature_hashing(docs: DataFrame, n_buckets: int = 1024, *,
+                    doc_col: str = "doc_id", text_col: str = "text",
+                    salt: str = "fh1") -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al., ICML'09): each
+    token hashes to one of ``n_buckets`` feature slots with a ±1 sign
+    from an independent hash bit, and the document's feature value is
+    the signed token-count sum — the fixed-width, vocabulary-free text
+    vectorizer (no dictionary build, no OOV, collisions unbiased by
+    the sign trick).
+
+    Determinism: the slot and sign derive from the splits-module md5
+    coordinate (``hash_u60``) — ``bucket = u mod k``, ``sign = 1 −
+    2·((u div k) mod 2)`` — so the feature matrix is bit-identical on
+    any cluster shape and recomputable by the SQL oracle.
+
+    Scale shape: tokens collapse to one row per DISTINCT (doc, token)
+    BEFORE hashing (one map-side-combinable groupBy), then a second
+    groupBy onto (doc, bucket) — both shuffles carry ids + counts
+    only; md5 runs once per distinct pair.  Output is the sparse COO
+    form ``(doc_id, bucket, feat, n_tokens)`` (absent buckets are
+    zero).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2: {n_buckets}")
+    from .splits import hash_u60
+    from .text import _words
+
+    tok = docs.select(F.col(doc_col),
+                      F.explode(_words(F.col(text_col))).alias("_w"))
+    cnt = tok.groupBy(doc_col, "_w").agg(
+        F.count(F.lit(1)).alias("_c"))
+    # u is 60 bits: the high-part division MUST stay integral (`div`)
+    # — a double divide loses bits past 2^53 and flips signs
+    with_u = cnt.withColumn("_u", hash_u60(["_w"], salt))
+    bucket = F.pmod(F.col("_u"), F.lit(n_buckets))
+    hi = F.expr(f"_u div {int(n_buckets)}")
+    sign = F.lit(1) - 2 * F.pmod(hi, F.lit(2))
+    hashed = with_u.select(doc_col, bucket.alias("bucket"),
+                           (sign * F.col("_c")).alias("_sc"),
+                           F.col("_c").alias("_c"))
+    return (hashed.groupBy(doc_col, "bucket")
+            .agg(F.sum("_sc").alias("feat"),
+                 F.sum("_c").alias("n_tokens")))

@@ -2009,3 +2009,38 @@ FROM cells"""
 
 
 CURATION_QUERIES["odds_ratio"] = (q_odds_ratio, sql_odds_ratio)
+
+
+_FH_BUCKETS = 64
+_FH_SALT = "fh1"
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick text features (operators/ml.py feature_hashing):
+    md5-u60 slot + sign per token over the shared word normalization,
+    sparse COO output — the vocabulary-free vectorizer."""
+    from .operators.ml import feature_hashing
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return feature_hashing(docs, _FH_BUCKETS, salt=_FH_SALT)
+
+
+def sql_feature_hashing() -> str:
+    return f"""WITH {_WORDS_SQL},
+tok AS (SELECT doc_id, unnest(words) AS w FROM base),
+cnt AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2),
+h AS (
+  SELECT doc_id, c,
+         CAST(('0x' || substr(md5(concat_ws(chr(31), '{_FH_SALT}', w)),
+                              1, 15)) AS BIGINT) AS u
+  FROM cnt)
+SELECT doc_id, u % {_FH_BUCKETS} AS bucket,
+       CAST(SUM((1 - 2 * ((u // {_FH_BUCKETS}) % 2)) * c) AS BIGINT)
+         AS feat,
+       CAST(SUM(c) AS BIGINT) AS n_tokens
+FROM h GROUP BY 1, 2"""
+
+
+CURATION_QUERIES["feature_hashing"] = (q_feature_hashing,
+                                       sql_feature_hashing)

@@ -4052,3 +4052,57 @@ FROM ut u JOIN den d USING (cid)"""
 
 
 GEOM_QUERIES["huff_shares"] = (q_huff_shares, sql_huff_shares)
+
+
+def q_olc_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plus-code (Open Location Code) assignment per feature
+    (geo/olc.py olc_encode): 11-char code from integer micro-degree
+    coordinates — pure floor-div/mod digit extraction, zero shuffle —
+    plus the 8-char neighborhood prefix for roll-ups."""
+    from .geo.olc import olc_encode
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fid = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
+    lat_e6 = (F.pmod(fid * 104729, F.lit(170000)) * 1000
+              - F.lit(85_000_000))
+    lng_e6 = (F.pmod(fid * 7919, F.lit(360000)) * 1000
+              - F.lit(180_000_000))
+    code = olc_encode(lat_e6, lng_e6, length=11)
+    return li.select(fid.alias("feature_id"), code.alias("olc"),
+                     F.substring(code, 1, 8).alias("olc8"))
+
+
+def _sql_olc_digit(val: str, p: int) -> str:
+    return (f"substr('23456789CFGHJMPQRVWX', "
+            f"CAST(({val} // {p}) % 20 + 1 AS INT), 1)")
+
+
+def sql_olc_encode() -> str:
+    pieces = []
+    for i in range(5):
+        p = 20 ** (4 - i)
+        pieces.append(_sql_olc_digit("latv", p))
+        pieces.append(_sql_olc_digit("lngv", p))
+    code = (" || ".join(pieces[:8]) + " || '+' || "
+            + " || ".join(pieces[8:10])
+            + " || substr('23456789CFGHJMPQRVWX', CAST("
+              "(((lat * 40000) // 1000000) % 5) * 4"
+              " + ((lng * 32000) // 1000000) % 4 + 1 AS INT), 1)")
+    return f"""WITH f AS (
+  SELECT (l_orderkey * 10 + l_linenumber) AS fid
+  FROM lineitem),
+pt AS (
+  SELECT fid,
+         ((fid * 104729) % 170000) * 1000 - 85000000 + 90000000 AS lat,
+         ((fid * 7919) % 360000) * 1000 - 180000000 + 180000000 AS lng
+  FROM f),
+v AS (
+  SELECT fid, lat, lng,
+         (lat * 8000) // 1000000 AS latv,
+         (lng * 8000) // 1000000 AS lngv
+  FROM pt),
+c AS (SELECT fid AS feature_id, {code} AS olc FROM v)
+SELECT feature_id, olc, substr(olc, 1, 8) AS olc8 FROM c"""
+
+
+GEOM_QUERIES["olc_encode"] = (q_olc_encode, sql_olc_encode)

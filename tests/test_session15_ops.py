@@ -123,3 +123,103 @@ def test_odds_ratio_zero_cell_nulls(spark):
     assert r.odds_ratio is None and r.rel_risk is None
     assert r.ln_or_se is None
     assert r.risk_diff == pytest.approx(1.0)
+
+
+# ---- olc_encode ----
+
+from pyspark.sql import functions as F
+
+from mapbox_filter_spark.geo.olc import OLC_ALPHABET, olc_encode
+
+
+def _py_olc(lat_e6, lng_e6, length=11):
+    """Independent replica straight from the public OLC spec."""
+    lat = lat_e6 + 90_000_000
+    lng = lng_e6 + 180_000_000
+    latv = lat * 8000 // 1_000_000
+    lngv = lng * 8000 // 1_000_000
+    digs = []
+    for i in range(5):
+        p = 20 ** (4 - i)
+        digs.append(OLC_ALPHABET[latv // p % 20])
+        digs.append(OLC_ALPHABET[lngv // p % 20])
+    code = "".join(digs[:8]) + "+" + "".join(digs[8:10])
+    if length == 11:
+        row = lat * 40000 // 1_000_000 % 5
+        col = lng * 32000 // 1_000_000 % 4
+        code += OLC_ALPHABET[row * 4 + col]
+    return code
+
+
+def test_olc_google_example(spark):
+    # the spec's worked example area: 20.37°N 2.78°E -> 7FG49Q...
+    df = spark.createDataFrame([(20_370_112, 2_782_235)],
+                               "lat long, lng long")
+    got = df.select(olc_encode(F.col("lat"), F.col("lng"),
+                               length=11).alias("c")).collect()[0].c
+    assert got.startswith("7FG49Q")
+    assert got[8] == "+" and len(got) == 12
+    assert got == _py_olc(20_370_112, 2_782_235)
+
+
+def test_olc_python_differential(spark):
+    import random
+    rng = random.Random(15)
+    pts = [(rng.randrange(-90_000_000, 90_000_000),
+            rng.randrange(-180_000_000, 180_000_000))
+           for _ in range(300)]
+    df = spark.createDataFrame(pts, "lat long, lng long")
+    got = df.select("lat", "lng",
+                    olc_encode(F.col("lat"), F.col("lng"),
+                               length=10).alias("c10"),
+                    olc_encode(F.col("lat"), F.col("lng"),
+                               length=11).alias("c11")).collect()
+    for r in got:
+        assert r.c10 == _py_olc(r.lat, r.lng, 10)
+        assert r.c11 == _py_olc(r.lat, r.lng, 11)
+        assert r.c11[:11] == r.c10      # truncation property
+
+
+def test_olc_bad_length():
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        olc_encode(F.lit(0), F.lit(0), length=9)
+
+
+# ---- feature_hashing ----
+
+from mapbox_filter_spark.operators.ml import feature_hashing
+
+
+def test_feature_hashing_python_differential(spark):
+    import hashlib
+    import re
+    from collections import Counter
+    docs = [(1, "The cat sat  on the MAT"), (2, "dog dog dog runs"),
+            (3, ""), (4, "x " * 50)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    k = 16
+    got = {(r.doc_id, r.bucket): (r.feat, r.n_tokens)
+           for r in feature_hashing(df, k, salt="t").collect()}
+    expect = {}
+    for did, text in docs:
+        words = [w for w in re.split(r"\s+", text.lower()) if w]
+        for w, c in Counter(words).items():
+            u = int(hashlib.md5(f"t\x1f{w}".encode()).hexdigest()[:15],
+                    16)
+            b = u % k
+            sc = (1 - 2 * (u // k % 2)) * c
+            f0, n0 = expect.get((did, b), (0, 0))
+            expect[(did, b)] = (f0 + sc, n0 + c)
+    assert got == expect
+    assert not any(d == 3 for d, _ in got)  # empty doc -> no rows
+
+
+def test_feature_hashing_bucket_range(spark):
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i*7} common") for i in range(50)],
+        "doc_id long, text string")
+    rows = feature_hashing(df, 8).collect()
+    assert all(0 <= r.bucket < 8 for r in rows)
+    with pytest.raises(ValueError):
+        feature_hashing(df, 1)
