@@ -391,3 +391,44 @@ def feature_hashing(docs: DataFrame, n_buckets: int = 1024, *,
     return (hashed.groupBy(doc_col, "bucket")
             .agg(F.sum("_sc").alias("feat"),
                  F.sum("_c").alias("n_tokens")))
+
+
+def median_impute(df: DataFrame, group_cols: Sequence[str],
+                  value_col: str, *, out_col: "str | None" = None,
+                  flag_col: "str | None" = None) -> DataFrame:
+    """Per-group median imputation — the standard missing-value fill
+    for model features: NULLs in ``value_col`` are replaced by their
+    group's EXACT lower median (the ⌈n/2⌉-th smallest non-null, the
+    rank_percentiles p50 convention — never an interpolated float),
+    with a 0/1 ``was_imputed`` flag so downstream models can learn
+    missingness.
+
+    Determinism: the lower median is an order statistic of the data —
+    no averaging, no float — so the filled column value-hashes; a
+    group with NO observed values keeps its NULLs (flag 0 — nothing
+    was imputed, surfaced rather than silently zero-filled).
+
+    Scale shape: the median needs one per-group sort of the NON-NULL
+    subset (row_number window — the one fact-sized exchange, same
+    class as rank_percentiles); the group→median table is
+    group-cardinality-sized and BROADCASTS back onto the fact scan,
+    so the fact table itself never exchanges for the fill.
+    """
+    g = list(group_cols)
+    out_col = out_col or f"{value_col}_filled"
+    flag_col = flag_col or "was_imputed"
+    v = F.col(value_col).cast("long")
+    nn = df.filter(v.isNotNull()).select(*g, v.alias("_v"))
+    w = Window.partitionBy(*g).orderBy(F.col("_v").asc())
+    wg = Window.partitionBy(*g)
+    meds = (nn.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(wg))
+            .filter(F.col("_rn") == F.expr("(_n * 50 + 99) div 100"))
+            .select(*g, F.col("_v").alias("_med")))
+    joined = df.join(F.broadcast(meds), g, "left")
+    return (joined
+            .withColumn(out_col, F.coalesce(v, F.col("_med")))
+            .withColumn(flag_col,
+                        (v.isNull() & F.col("_med").isNotNull())
+                        .cast("int"))
+            .drop("_med"))

@@ -1601,3 +1601,44 @@ def hurst_rs(df: DataFrame, series_cols: "list[str]",
         fit.select(F.col("slope").alias("hurst"), "r2"))
         .select("w", "n_chunks", "sum_rs_micro", "rs_mean_micro",
                 "hurst", "r2"))
+
+
+def ljung_box(df: DataFrame, key_cols: "list[str]", *,
+              order_cols: "tuple[str, ...]", value_col: str,
+              m: int = 8) -> DataFrame:
+    """Ljung-Box portmanteau statistic per key:
+    Q = n·(n+2)·Σ_{k=1..m} r_k²/(n−k) — the "is this series white
+    noise?" test over the first m autocorrelations (large Q ⇒ the
+    residual stream still carries structure; the model-diagnostics
+    companion of ``autocorr``, which reports the lags individually).
+
+    Builds on ``autocorr``'s exact construction (n-scaled integer
+    deviations, pinned-order quadratic folds); Q adds one more pinned
+    chain — the k-ladder folds in ascending-lag order over
+    ``r_k²/(n−k)`` doubles, then scales by n·(n+2) (exact long cast
+    once).  Q is NULL when any r_k is NULL (constant/too-short
+    series) or n ≤ m (a negative denominator is never evaluated).
+
+    Same single key exchange as autocorr; the ladder aggregate runs
+    on the m-row-per-key acf table.  Returns
+    ``(key..., n, m, q_stat)``.
+    """
+    if m < 1:
+        raise ValueError(f"m must be >= 1: {m}")
+    acf = autocorr(df, key_cols, order_cols=order_cols,
+                   value_col=value_col, lags=tuple(range(1, m + 1)))
+    term = (F.col("acf") * F.col("acf")
+            / (F.col("n") - F.col("lag")).cast("double"))
+    arr = F.sort_array(F.collect_list(F.struct(
+        F.col("lag"), term.alias("t"))))
+    per = acf.groupBy(*key_cols).agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.when(F.col("acf").isNull(), 1).otherwise(0))
+        .alias("_nulls"),
+        F.aggregate(arr, F.lit(0.0), lambda a, s: a + s["t"])
+        .alias("_ladder"))
+    q = F.when((F.col("_nulls") == 0) & (F.col("n") > F.col("m")),
+               (F.col("n") * (F.col("n") + 2)).cast("double")
+               * F.col("_ladder"))
+    return per.select(*key_cols, "n", "m", q.alias("q_stat"))

@@ -2001,3 +2001,43 @@ FROM cur"""
 
 
 ANALYTICS_QUERIES["pr_curve"] = (q_pr_curve, sql_pr_curve)
+
+
+def q_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type median imputation of a deterministically-holed cents
+    column (operators/ml.py median_impute): every 7th event's value is
+    masked, the fill is the group's exact lower median (order
+    statistic, never interpolated), with the was_imputed flag."""
+    from .operators.ml import median_impute
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type",
+        F.when(F.pmod(F.col("event_id"), F.lit(7)) != 0, _cents())
+        .alias("cents"))
+    return median_impute(ev, ["event_type"], "cents")
+
+
+def sql_median_impute() -> str:
+    return """WITH e AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 7 <> 0
+              THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+         END AS cents
+  FROM events),
+nn AS (
+  SELECT event_type, cents AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cents NULLS FIRST) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM e WHERE cents IS NOT NULL),
+med AS (SELECT event_type, v AS m
+        FROM nn WHERE rn = (n * 50 + 99) // 100)
+SELECT e.event_id, e.event_type, e.cents,
+       COALESCE(e.cents, med.m) AS cents_filled,
+       CAST(CASE WHEN e.cents IS NULL AND med.m IS NOT NULL
+                 THEN 1 ELSE 0 END AS INTEGER) AS was_imputed
+FROM e LEFT JOIN med USING (event_type)"""
+
+
+ANALYTICS_QUERIES["median_impute"] = (q_median_impute,
+                                      sql_median_impute)

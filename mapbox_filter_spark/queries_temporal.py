@@ -1867,3 +1867,74 @@ FROM pw2 CROSS JOIN fit"""
 
 
 TEMPORAL_QUERIES["hurst_rs"] = (q_hurst_rs, sql_hurst_rs)
+
+
+_LB_M = 6
+
+
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box white-noise test of event cents per type
+    (operators/temporal.py ljung_box): lag-1..6 acf ladder on the
+    exact deviation construction, Q = n(n+2)·Σ r_k²/(n−k) as one
+    ascending-lag pinned fold."""
+    from .operators.temporal import ljung_box
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull()) \
+        .select("event_type", "ts", "event_id",
+                _cents().alias("cents"))
+    return ljung_box(ev, ["event_type"], order_cols=("ts", "event_id"),
+                     value_col="cents", m=_LB_M)
+
+
+def sql_ljung_box() -> str:
+    lag_cols = ",\n         ".join(
+        f"lag(z, {L}) OVER w AS z{L}" for L in range(1, _LB_M + 1))
+
+    def lag_block(L):
+        return (f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(CAST(z AS DOUBLE) * CAST(z{L} AS DOUBLE) ORDER BY i)
+           FILTER (WHERE z{L} IS NOT NULL)), (p, q) -> p + q) AS num{L},
+         CAST(SUM(CASE WHEN z{L} IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS np{L}""")
+
+    blocks = ",\n         ".join(lag_block(L) for L in range(1, _LB_M + 1))
+    acf_cols = ", ".join(
+        f"CASE WHEN np{L} > 0 AND den > 0.0 THEN num{L} / den END AS r{L}"
+        for L in range(1, _LB_M + 1))
+    not_null = " AND ".join(
+        f"r{L} IS NOT NULL" for L in range(1, _LB_M + 1))
+    # left-associative chain == the engine's ((0+t1)+t2)+... fold
+    ladder = "0.0 + " + " + ".join(
+        f"r{L} * r{L} / CAST(n - {L} AS DOUBLE)"
+        for L in range(1, _LB_M + 1))
+    return f"""WITH e AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL),
+z AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER w AS i,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) * x
+           - CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS z
+  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+l AS (
+  SELECT event_type, i, z,
+         {lag_cols}
+  FROM z WINDOW w AS (PARTITION BY event_type ORDER BY i)),
+a AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(CAST(z AS DOUBLE) * CAST(z AS DOUBLE) ORDER BY i)),
+           (p, q) -> p + q) AS den,
+         {blocks}
+  FROM l GROUP BY event_type),
+r AS (SELECT event_type, n, {acf_cols} FROM a)
+SELECT event_type, n, CAST({_LB_M} AS BIGINT) AS m,
+       CASE WHEN {not_null} AND n > {_LB_M}
+            THEN CAST(n * (n + 2) AS DOUBLE) * ({ladder})
+       END AS q_stat
+FROM r"""
+
+
+TEMPORAL_QUERIES["ljung_box"] = (q_ljung_box, sql_ljung_box)

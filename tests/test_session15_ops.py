@@ -223,3 +223,102 @@ def test_feature_hashing_bucket_range(spark):
     assert all(0 <= r.bucket < 8 for r in rows)
     with pytest.raises(ValueError):
         feature_hashing(df, 1)
+
+
+# ---- ljung_box ----
+
+from mapbox_filter_spark.operators.temporal import ljung_box
+
+
+def _py_ljung_box(xs, m):
+    n = len(xs)
+    s = sum(xs)
+    z = [n * x - s for x in xs]
+    den = 0.0
+    for zz in z:
+        den += float(zz) * float(zz)
+    q = 0.0
+    for k in range(1, m + 1):
+        num = 0.0
+        for i in range(k, n):
+            num += float(z[i]) * float(z[i - k])
+        r = num / den
+        q += r * r / float(n - k)
+    return n * (n + 2) * q
+
+
+def test_ljung_box_python_differential(spark):
+    import random
+    rng = random.Random(9)
+    xs = [rng.randrange(100) for _ in range(60)]
+    rows = [("g", i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, i long, x long")
+    r = ljung_box(df, ["g"], order_cols=("i",), value_col="x",
+                  m=4).collect()[0]
+    assert (r.n, r.m) == (60, 4)
+    assert r.q_stat == pytest.approx(_py_ljung_box(xs, 4))
+
+
+def test_ljung_box_ar1_large_q(spark):
+    # strongly autocorrelated series -> Q far above white-noise range
+    xs = []
+    v = 0
+    for i in range(200):
+        v = v + (1 if (i * 2654435761) % 97 < 48 else -1)
+        xs.append(v + 1000)
+    df = spark.createDataFrame([("g", i, x) for i, x in enumerate(xs)],
+                               "g string, i long, x long")
+    r = ljung_box(df, ["g"], order_cols=("i",), value_col="x",
+                  m=5).collect()[0]
+    assert r.q_stat > 100.0
+
+
+def test_ljung_box_constant_series_null(spark):
+    df = spark.createDataFrame([("g", i, 5) for i in range(20)],
+                               "g string, i long, x long")
+    r = ljung_box(df, ["g"], order_cols=("i",), value_col="x",
+                  m=3).collect()[0]
+    assert r.q_stat is None
+
+
+def test_ljung_box_short_series_null(spark):
+    df = spark.createDataFrame([("g", i, i * 3 % 7) for i in range(4)],
+                               "g string, i long, x long")
+    r = ljung_box(df, ["g"], order_cols=("i",), value_col="x",
+                  m=5).collect()[0]
+    assert r.q_stat is None
+    with pytest.raises(ValueError):
+        ljung_box(df, ["g"], order_cols=("i",), value_col="x", m=0)
+
+
+# ---- median_impute ----
+
+from mapbox_filter_spark.operators.ml import median_impute
+
+
+def test_median_impute_fills_lower_median(spark):
+    rows = [("a", 1, 10), ("a", 2, 20), ("a", 3, 30), ("a", 4, 40),
+            ("a", 5, None), ("b", 6, 7), ("b", 7, None)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {r.id: r for r in
+           median_impute(df, ["g"], "v").collect()}
+    # lower median of {10,20,30,40} = 20 (rank (4*50+99)//100 = 2)
+    assert got[5].v_filled == 20 and got[5].was_imputed == 1
+    assert got[7].v_filled == 7 and got[7].was_imputed == 1
+    assert got[1].v_filled == 10 and got[1].was_imputed == 0
+
+
+def test_median_impute_all_null_group_keeps_null(spark):
+    rows = [("a", 1, None), ("a", 2, None), ("b", 3, 9)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {r.id: r for r in median_impute(df, ["g"], "v").collect()}
+    assert got[1].v_filled is None and got[1].was_imputed == 0
+    assert got[3].v_filled == 9
+
+
+def test_median_impute_broadcast_plan(spark):
+    rows = [("a", i, i if i % 3 else None) for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    out = median_impute(df, ["g"], "v")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
