@@ -1207,3 +1207,61 @@ def rich_club(edges: DataFrame, ks: "tuple[int, ...]" = (2, 3, 4, 6, 8),
         (F.lit(2.0) * F.col("n_edges").cast("double"))
         / (F.col("n_nodes") * (F.col("n_nodes") - 1)).cast("double"))
     return out.select("k", "n_nodes", "n_edges", phi.alias("phi"))
+
+
+def double_sweep_diameter(edges: DataFrame, *, rounds: int,
+                          src: str = "src",
+                          dst: str = "dst") -> DataFrame:
+    """Double-sweep BFS diameter lower bound (Magnien-Latapy-Habib,
+    JEA 2009): BFS from a deterministic seed (the minimum node id),
+    re-BFS from the farthest node found — the second eccentricity is
+    the classic cheap, usually-tight diameter lower bound (exact on
+    trees; within a few hops on small-world graphs).  Two BFS
+    traversals instead of the |V| an exact diameter needs.
+
+    FIXED-round semantics: both sweeps run exactly ``rounds``
+    frontier expansions (the landmark_distances contract), so the
+    operator mirrors as a 2×rounds CTE unroll and the result is
+    engine-exact even when the true eccentricity exceeds the budget
+    (both engines truncate identically; size ``rounds`` above the
+    expected diameter).  Ties break to the SMALLEST node id — a total
+    order, hash-stable.
+
+    The graph is symmetrized (diameter is an undirected notion).
+    Each sweep is the frontier-join BFS (work ≈ |E|·rounds, keyed on
+    node); the two argmax picks are one-row driver-side control
+    reads — the established centroid/probe pattern.
+
+    Returns one row ``(seed, ecc_seed, peripheral, diameter_lb,
+    far_node)``.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1: {rounds}")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")) \
+        .filter(F.col("_s") != F.col("_d"))
+    sym = (e.select("_s", "_d")
+           .unionByName(e.select(F.col("_d").alias("_s"),
+                                 F.col("_s").alias("_d")))
+           .distinct()
+           .select(F.col("_s").alias("src"), F.col("_d").alias("dst")))
+
+    def far(dist_df):
+        row = (dist_df.orderBy(F.col("dist").desc(),
+                               F.col("node").asc())
+               .select("node", "dist").first())
+        return row.node, row.dist
+
+    seed = sym.agg(F.min("src").alias("m")).first().m
+    lm1 = sym.sparkSession.createDataFrame([(seed,)], "lm long")
+    d1 = landmark_distances(sym, lm1, rounds=rounds)
+    peripheral, ecc_seed = far(d1)
+    lm2 = sym.sparkSession.createDataFrame([(peripheral,)], "lm long")
+    d2 = landmark_distances(sym, lm2, rounds=rounds)
+    agg = (d2.orderBy(F.col("dist").desc(), F.col("node").asc())
+           .limit(1)
+           .select(F.lit(seed).cast("long").alias("seed"),
+                   F.lit(ecc_seed).cast("long").alias("ecc_seed"),
+                   F.lit(peripheral).cast("long").alias("peripheral"),
+                   F.col("dist").alias("diameter_lb"),
+                   F.col("node").alias("far_node")))
+    return agg

@@ -1126,3 +1126,61 @@ FROM ks"""
 
 
 GRAPH_QUERIES["rich_club"] = (q_rich_club, sql_rich_club)
+
+
+_DS_ROUNDS = 8
+
+
+def q_graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound over the shared hashed link
+    graph (operators/graph.py double_sweep_diameter): BFS from the
+    min node id, re-BFS from the farthest node — fixed 8-round
+    sweeps, ties to the smallest id, mirrored as a 2×8 CTE unroll."""
+    from .operators.graph import double_sweep_diameter
+
+    return double_sweep_diameter(_link_edges(spark, sf_dir),
+                                 rounds=_DS_ROUNDS)
+
+
+def sql_graph_diameter() -> str:
+    ctes = [_sql_link_edges() + """,
+e2 AS (SELECT src AS s, dst AS d FROM edges WHERE src <> dst),
+sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+  SELECT s AS src, d AS dst FROM e2
+  UNION ALL SELECT d AS src, s AS dst FROM e2)),
+s0 AS (SELECT MIN(src) AS seed FROM sym),
+a0 AS (SELECT seed AS node, CAST(0 AS BIGINT) AS dist FROM s0)"""]
+    for i in range(1, _DS_ROUNDS + 1):
+        ctes.append(f"""a{i} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM a{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + 1 AS dist
+    FROM a{i - 1} d JOIN sym e ON e.src = d.node)
+  GROUP BY 1)""")
+    ctes.append(f"""p AS (
+  SELECT node AS peripheral, dist AS ecc_seed
+  FROM a{_DS_ROUNDS} ORDER BY dist DESC, node ASC LIMIT 1),
+b0 AS (SELECT peripheral AS node, CAST(0 AS BIGINT) AS dist FROM p)""")
+    for i in range(1, _DS_ROUNDS + 1):
+        ctes.append(f"""b{i} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM b{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + 1 AS dist
+    FROM b{i - 1} d JOIN sym e ON e.src = d.node)
+  GROUP BY 1)""")
+    ctes.append(f"""f AS (
+  SELECT node AS far_node, dist AS diameter_lb
+  FROM b{_DS_ROUNDS} ORDER BY dist DESC, node ASC LIMIT 1)""")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT CAST(s0.seed AS BIGINT) AS seed,
+       CAST(p.ecc_seed AS BIGINT) AS ecc_seed,
+       CAST(p.peripheral AS BIGINT) AS peripheral,
+       CAST(f.diameter_lb AS BIGINT) AS diameter_lb,
+       CAST(f.far_node AS BIGINT) AS far_node
+FROM s0, p, f""")
+
+
+GRAPH_QUERIES["graph_diameter"] = (q_graph_diameter,
+                                   sql_graph_diameter)

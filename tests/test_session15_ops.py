@@ -322,3 +322,62 @@ def test_median_impute_broadcast_plan(spark):
     out = median_impute(df, ["g"], "v")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# ---- double_sweep_diameter ----
+
+from mapbox_filter_spark.operators.graph import double_sweep_diameter
+
+
+def _py_bfs(adj, s):
+    from collections import deque
+    d = {s: 0}
+    q = deque([s])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in d:
+                d[v] = d[u] + 1
+                q.append(v)
+    return d
+
+
+def test_double_sweep_path_graph_exact(spark):
+    # path 0-1-2-3-4 with seed at an interior attachment: diameter 4
+    edges = [(2, 0), (0, 1), (1, 3), (3, 4)]
+    # relabel so min node (0) is interior: 0-1, 0-2, 1-3, 3-4
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = double_sweep_diameter(df, rounds=6).collect()[0]
+    assert r.seed == 0
+    assert r.diameter_lb == 4          # 2 .. 0 .. 1 .. 3 .. 4
+    assert {r.peripheral, r.far_node} == {2, 4}
+
+
+def test_double_sweep_brute_differential(spark):
+    import random
+    rng = random.Random(11)
+    n = 40
+    edges = {(i, (i + 1) % n) for i in range(n)}  # ring keeps it connected
+    edges |= {(rng.randrange(n), rng.randrange(n)) for _ in range(25)}
+    edges = [(a, b) for a, b in edges if a != b]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = double_sweep_diameter(df, rounds=n).collect()[0]
+    d0 = _py_bfs(adj, 0)
+    ecc0 = max(d0.values())
+    assert r.seed == 0 and r.ecc_seed == ecc0
+    per = min(u for u, d in d0.items() if d == ecc0)
+    assert r.peripheral == per
+    d1 = _py_bfs(adj, per)
+    assert r.diameter_lb == max(d1.values())
+    # lower bound sanity vs true diameter
+    true_diam = max(max(_py_bfs(adj, s).values()) for s in adj)
+    assert r.ecc_seed <= r.diameter_lb <= true_diam
+
+
+def test_double_sweep_rounds_guard():
+    with pytest.raises(ValueError):
+        double_sweep_diameter(None, rounds=0)
