@@ -435,3 +435,104 @@ def traj_edit_distance(pts: DataFrame, entity_col: str = "user_id",
                     F.length("sig_u").alias("len_u"),
                     F.length("sig_v").alias("len_v"),
                     F.levenshtein("sig_u", "sig_v").alias("dist")))
+
+
+_DTW_INF = 1 << 60
+
+
+def dtw_pairs(pts: DataFrame, entity_col: str = "user_id",
+              order_cols: "tuple[str, ...]" = ("ts", "event_id"),
+              x_col: str = "x", y_col: str = "y", *,
+              cell: int = 2048, max_moves: int = 12,
+              n_blocks: int = 100) -> DataFrame:
+    """Dynamic-time-warping distance between co-blocked trajectory
+    pairs — the COST-AWARE sequence aligner (EDR counts mismatched
+    symbols; DTW sums how FAR apart the aligned cells are, so two
+    parallel tracks one cell apart score small instead of maximal).
+    Cost(i, j) = |cxᵢ−cxⱼ| + |cyᵢ−cyⱼ| (Manhattan on grid cells),
+    classic DP recurrence D[i][j] = c + min(D[i][j−1], D[i−1][j],
+    D[i−1][j−1]).
+
+    ENTIRELY exact int64 — the DP runs as a nested in-row HOF fold
+    (outer fold over rows carrying the previous DP row as an array,
+    inner fold building the next row), so there is no float anywhere
+    and the gate value-hashes.  The relational mirror uses the
+    telescoped identity r_j = P_j + min_{k≤j}(m_k − P_{k−1})
+    (P = per-row cost prefix sum, m_k = min of the two
+    previous-row predecessors), which turns each DP row into one
+    running-min window — the oracle unrolls max_moves such stages.
+
+    Scale shape: same as traj_edit_distance — two entity-keyed
+    windows to capped cell signatures (consecutive repeats
+    collapsed), one equi-join on the block key over 1-row-per-entity
+    arrays; the DP is O(max_moves²) register work per pair inside
+    whole-stage codegen, never a shuffle.  Pairs are quadratic in the
+    block (the knob).  Returns ``(u, v, len_u, len_v, dtw)``, u < v.
+    """
+    from ..geo.tilemath import floor_div
+
+    if cell & (cell - 1) or cell <= 0:
+        raise ValueError(f"cell must be a power of two: {cell}")
+    if max_moves < 1:
+        raise ValueError(f"max_moves must be >= 1: {max_moves}")
+    w = Window.partitionBy(entity_col).orderBy(*order_cols)
+    cx = floor_div(F.col(x_col).cast("long"), cell)
+    cy = floor_div(F.col(y_col).cast("long"), cell)
+    c = pts.select(entity_col, *order_cols,
+                   cx.alias("cx"), cy.alias("cy"))
+    changed = ((F.lag("cx").over(w).isNull())
+               | (F.lag("cx").over(w) != F.col("cx"))
+               | (F.lag("cy").over(w) != F.col("cy")))
+    moves = (c.withColumn("_keep", changed).filter("_keep")
+             .withColumn("_rn", F.row_number().over(
+                 Window.partitionBy(entity_col).orderBy(*order_cols)))
+             .filter(F.col("_rn") <= max_moves))
+    sigs = (moves.groupBy(entity_col)
+            .agg(F.sort_array(F.collect_list(F.struct(
+                "_rn", "cx", "cy"))).alias("_m"))
+            .select(entity_col,
+                    F.transform("_m", lambda s: s["cx"]).alias("_xs"),
+                    F.transform("_m", lambda s: s["cy"]).alias("_ys"),
+                    F.pmod(F.col(entity_col), F.lit(n_blocks))
+                    .alias("blk")))
+    a = sigs.select("blk", F.col(entity_col).alias("u"),
+                    F.col("_xs").alias("ax"), F.col("_ys").alias("ay"))
+    b = sigs.select("blk", F.col(entity_col).alias("v"),
+                    F.col("_xs").alias("bx"), F.col("_ys").alias("by"))
+    pairs = a.join(b, "blk").filter(F.col("u") < F.col("v"))
+
+    ax, ay = F.col("ax"), F.col("ay")
+    bx, by = F.col("bx"), F.col("by")
+    inf = F.lit(_DTW_INF)
+
+    def cost(i, j):
+        return (F.abs(F.element_at(ax, i) - F.element_at(bx, j))
+                + F.abs(F.element_at(ay, i) - F.element_at(by, j)))
+
+    nb = F.size(bx)
+    empty = F.array().cast("array<long>")
+    # row 1: D[1][j] = prefix sum of cost(1, ·)
+    row1 = F.aggregate(
+        F.sequence(F.lit(1), nb), empty,
+        lambda acc, j: F.concat(acc, F.array(
+            F.when(j == 1, F.lit(0).cast("long"))
+            .otherwise(F.element_at(acc, j - 1)) + cost(F.lit(1), j))))
+    # rows 2..na: classic three-way min, previous row in the outer acc
+    # (sequence(2, 1) would run DESCENDING in Spark — guard na == 1)
+    outer_idx = F.when(F.size(ax) >= 2,
+                       F.sequence(F.lit(2), F.size(ax))) \
+        .otherwise(F.array().cast("array<int>"))
+    final = F.aggregate(
+        outer_idx, row1,
+        lambda prev, i: F.aggregate(
+            F.sequence(F.lit(1), nb), empty,
+            lambda acc, j: F.concat(acc, F.array(
+                cost(i, j) + F.least(
+                    F.when(j == 1, inf)
+                    .otherwise(F.element_at(acc, j - 1)),
+                    F.element_at(prev, j),
+                    F.when(j == 1, inf)
+                    .otherwise(F.element_at(prev, j - 1)))))))
+    return pairs.select(
+        "u", "v", F.size(ax).alias("len_u"), F.size(bx).alias("len_v"),
+        F.element_at(final, nb).alias("dtw"))

@@ -4106,3 +4106,91 @@ SELECT feature_id, olc, substr(olc, 1, 8) AS olc8 FROM c"""
 
 
 GEOM_QUERIES["olc_encode"] = (q_olc_encode, sql_olc_encode)
+
+
+_DTW_CELL = 2048
+_DTW_MAX = 12
+_DTW_BLOCKS = 20
+
+
+def q_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW trajectory similarity (operators/trajectory.py dtw_pairs):
+    Manhattan-cost dynamic time warping over capped cell signatures —
+    exact int64 end-to-end via the nested in-row DP fold; the oracle
+    unrolls the telescoped running-min window form of the same DP."""
+    from .operators.trajectory import dtw_pairs, random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    return dtw_pairs(pos, cell=_DTW_CELL, max_moves=_DTW_MAX,
+                     n_blocks=_DTW_BLOCKS)
+
+
+def sql_dtw_pairs() -> str:
+    c, mm, nb = _DTW_CELL, _DTW_MAX, _DTW_BLOCKS
+    inf = 1 << 60
+    ctes = [f"""{_sql_walk_pos()},
+cells AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(x / {c}.0) AS BIGINT) AS cx,
+         CAST(floor(y / {c}.0) AS BIGINT) AS cy
+  FROM pos),
+flagged AS (
+  SELECT *, CASE WHEN lag(cx) OVER w IS NULL
+                   OR lag(cx) OVER w <> cx
+                   OR lag(cy) OVER w <> cy THEN 1 ELSE 0 END AS keep
+  FROM cells
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+mv AS MATERIALIZED (
+  SELECT user_id, cx, cy,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM flagged WHERE keep = 1
+  QUALIFY rn <= {mm}),
+lens AS (SELECT user_id, CAST(MAX(rn) AS BIGINT) AS len
+         FROM mv GROUP BY 1),
+pairs AS MATERIALIZED (
+  SELECT a.user_id AS u, b.user_id AS v
+  FROM lens a JOIN lens b
+    ON a.user_id % {nb} = b.user_id % {nb}
+   AND a.user_id < b.user_id),
+costs AS MATERIALIZED (
+  SELECT p.u, p.v, ma.rn AS i, mb.rn AS j,
+         abs(ma.cx - mb.cx) + abs(ma.cy - mb.cy) AS cst
+  FROM pairs p
+  JOIN mv ma ON ma.user_id = p.u
+  JOIN mv mb ON mb.user_id = p.v),
+r1 AS MATERIALIZED (
+  SELECT u, v, j,
+         CAST(SUM(cst) OVER (PARTITION BY u, v ORDER BY j)
+              AS BIGINT) AS val
+  FROM costs WHERE i = 1)"""]
+    for i in range(2, mm + 1):
+        # telescoped DP row: r_j = P_j + min_k<=j (m_k - P_{k-1});
+        # m - P + cst == m_k - P_{k-1}
+        ctes.append(f"""r{i} AS MATERIALIZED (
+  SELECT u, v, j,
+         CAST(P + MIN(m - P + cst)
+              OVER (PARTITION BY u, v ORDER BY j) AS BIGINT) AS val
+  FROM (
+    SELECT cs.u, cs.v, cs.j, cs.cst,
+           SUM(cs.cst) OVER w AS P,
+           LEAST(r.val, COALESCE(lag(r.val) OVER w, {inf})) AS m
+    FROM costs cs JOIN r{i - 1} r
+      ON r.u = cs.u AND r.v = cs.v AND r.j = cs.j
+    WHERE cs.i = {i}
+    WINDOW w AS (PARTITION BY cs.u, cs.v ORDER BY cs.j)))""")
+    allr = "\nUNION ALL\n".join(
+        f"SELECT {i} AS i, u, v, j, val FROM r{i}"
+        for i in range(1, mm + 1))
+    ctes.append(f"allr AS ({allr})")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT p.u, p.v, la.len AS len_u, lb.len AS len_v, a.val AS dtw
+FROM pairs p
+JOIN lens la ON la.user_id = p.u
+JOIN lens lb ON lb.user_id = p.v
+JOIN allr a ON a.u = p.u AND a.v = p.v
+           AND a.i = la.len AND a.j = lb.len""")
+
+
+GEOM_QUERIES["dtw_pairs"] = (q_dtw_pairs, sql_dtw_pairs)

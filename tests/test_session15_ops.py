@@ -381,3 +381,85 @@ def test_double_sweep_brute_differential(spark):
 def test_double_sweep_rounds_guard():
     with pytest.raises(ValueError):
         double_sweep_diameter(None, rounds=0)
+
+
+# ---- dtw_pairs ----
+
+from mapbox_filter_spark.operators.trajectory import dtw_pairs
+
+
+def _py_dtw(a, b):
+    na, nb = len(a), len(b)
+    INF = float("inf")
+    D = [[INF] * (nb + 1) for _ in range(na + 1)]
+    D[0][0] = 0
+    for i in range(1, na + 1):
+        for j in range(1, nb + 1):
+            c = abs(a[i - 1][0] - b[j - 1][0]) \
+                + abs(a[i - 1][1] - b[j - 1][1])
+            D[i][j] = c + min(D[i][j - 1], D[i - 1][j],
+                              D[i - 1][j - 1])
+    return D[na][nb]
+
+
+def _collapse(seq, cell):
+    out = []
+    for x, y in seq:
+        c = (x // cell, y // cell)
+        if not out or out[-1] != c:
+            out.append(c)
+    return out
+
+
+def test_dtw_identical_tracks_zero(spark):
+    rows = [(u, i, i * 5000, i * 3000)
+            for u in (1, 2) for i in range(6)]
+    df = spark.createDataFrame(rows, "user_id long, i long, x long, y long")
+    r = dtw_pairs(df, order_cols=("i",), cell=1024,
+                  n_blocks=1).collect()[0]
+    assert (r.u, r.v) == (1, 2)
+    assert r.dtw == 0 and r.len_u == r.len_v
+
+
+def test_dtw_brute_differential(spark):
+    import random
+    rng = random.Random(21)
+    rows, tracks = [], {}
+    for u in range(8):
+        x = y = 0
+        seq = []
+        for i in range(rng.randrange(3, 15)):
+            x += rng.randrange(-3000, 3000)
+            y += rng.randrange(-3000, 3000)
+            rows.append((u, i, x, y))
+            seq.append((x, y))
+        tracks[u] = seq
+    df = spark.createDataFrame(rows, "user_id long, i long, x long, y long")
+    got = {(r.u, r.v): r
+           for r in dtw_pairs(df, order_cols=("i",), cell=1024,
+                              max_moves=12, n_blocks=1).collect()}
+    for u in range(8):
+        for v in range(u + 1, 8):
+            a = _collapse(tracks[u], 1024)[:12]
+            b = _collapse(tracks[v], 1024)[:12]
+            r = got[(u, v)]
+            assert (r.len_u, r.len_v) == (len(a), len(b))
+            assert r.dtw == _py_dtw(a, b), (u, v)
+
+
+def test_dtw_single_move_track(spark):
+    rows = [(1, 0, 100, 100), (2, 0, 5000, 5000), (2, 1, 9000, 9000)]
+    df = spark.createDataFrame(rows, "user_id long, i long, x long, y long")
+    r = dtw_pairs(df, order_cols=("i",), cell=1024,
+                  n_blocks=1).collect()[0]
+    a = _collapse([(100, 100)], 1024)
+    b = _collapse([(5000, 5000), (9000, 9000)], 1024)
+    assert r.dtw == _py_dtw(a, b)
+    assert r.len_u == 1
+
+
+def test_dtw_guards():
+    with pytest.raises(ValueError):
+        dtw_pairs(None, cell=1000)
+    with pytest.raises(ValueError):
+        dtw_pairs(None, cell=1024, max_moves=0)
