@@ -440,35 +440,15 @@ def traj_edit_distance(pts: DataFrame, entity_col: str = "user_id",
 _DTW_INF = 1 << 60
 
 
-def dtw_pairs(pts: DataFrame, entity_col: str = "user_id",
-              order_cols: "tuple[str, ...]" = ("ts", "event_id"),
-              x_col: str = "x", y_col: str = "y", *,
-              cell: int = 2048, max_moves: int = 12,
-              n_blocks: int = 100) -> DataFrame:
-    """Dynamic-time-warping distance between co-blocked trajectory
-    pairs — the COST-AWARE sequence aligner (EDR counts mismatched
-    symbols; DTW sums how FAR apart the aligned cells are, so two
-    parallel tracks one cell apart score small instead of maximal).
-    Cost(i, j) = |cxᵢ−cxⱼ| + |cyᵢ−cyⱼ| (Manhattan on grid cells),
-    classic DP recurrence D[i][j] = c + min(D[i][j−1], D[i−1][j],
-    D[i−1][j−1]).
-
-    ENTIRELY exact int64 — the DP runs as a nested in-row HOF fold
-    (outer fold over rows carrying the previous DP row as an array,
-    inner fold building the next row), so there is no float anywhere
-    and the gate value-hashes.  The relational mirror uses the
-    telescoped identity r_j = P_j + min_{k≤j}(m_k − P_{k−1})
-    (P = per-row cost prefix sum, m_k = min of the two
-    previous-row predecessors), which turns each DP row into one
-    running-min window — the oracle unrolls max_moves such stages.
-
-    Scale shape: same as traj_edit_distance — two entity-keyed
-    windows to capped cell signatures (consecutive repeats
-    collapsed), one equi-join on the block key over 1-row-per-entity
-    arrays; the DP is O(max_moves²) register work per pair inside
-    whole-stage codegen, never a shuffle.  Pairs are quadratic in the
-    block (the knob).  Returns ``(u, v, len_u, len_v, dtw)``, u < v.
-    """
+def _cell_signature_pairs(pts: DataFrame, entity_col: str,
+                          order_cols: "tuple[str, ...]", x_col: str,
+                          y_col: str, *, cell: int, max_moves: int,
+                          n_blocks: int) -> DataFrame:
+    """Shared alignment substrate for the DP trajectory metrics
+    (dtw_pairs / frechet_pairs): per entity, the capped
+    consecutive-repeat-collapsed grid-cell sequence as two long
+    arrays, block-joined into u < v candidate pairs
+    ``(u, v, ax, ay, bx, by)``."""
     from ..geo.tilemath import floor_div
 
     if cell & (cell - 1) or cell <= 0:
@@ -499,8 +479,42 @@ def dtw_pairs(pts: DataFrame, entity_col: str = "user_id",
                     F.col("_xs").alias("ax"), F.col("_ys").alias("ay"))
     b = sigs.select("blk", F.col(entity_col).alias("v"),
                     F.col("_xs").alias("bx"), F.col("_ys").alias("by"))
-    pairs = a.join(b, "blk").filter(F.col("u") < F.col("v"))
+    return a.join(b, "blk").filter(F.col("u") < F.col("v"))
 
+
+def dtw_pairs(pts: DataFrame, entity_col: str = "user_id",
+              order_cols: "tuple[str, ...]" = ("ts", "event_id"),
+              x_col: str = "x", y_col: str = "y", *,
+              cell: int = 2048, max_moves: int = 12,
+              n_blocks: int = 100) -> DataFrame:
+    """Dynamic-time-warping distance between co-blocked trajectory
+    pairs — the COST-AWARE sequence aligner (EDR counts mismatched
+    symbols; DTW sums how FAR apart the aligned cells are, so two
+    parallel tracks one cell apart score small instead of maximal).
+    Cost(i, j) = |cxᵢ−cxⱼ| + |cyᵢ−cyⱼ| (Manhattan on grid cells),
+    classic DP recurrence D[i][j] = c + min(D[i][j−1], D[i−1][j],
+    D[i−1][j−1]).
+
+    ENTIRELY exact int64 — the DP runs as a nested in-row HOF fold
+    (outer fold over rows carrying the previous DP row as an array,
+    inner fold building the next row), so there is no float anywhere
+    and the gate value-hashes.  The relational mirror uses the
+    telescoped identity r_j = P_j + min_{k≤j}(m_k − P_{k−1})
+    (P = per-row cost prefix sum, m_k = min of the two
+    previous-row predecessors), which turns each DP row into one
+    running-min window — the oracle unrolls max_moves such stages.
+
+    Scale shape: same as traj_edit_distance — two entity-keyed
+    windows to capped cell signatures (consecutive repeats
+    collapsed), one equi-join on the block key over 1-row-per-entity
+    arrays; the DP is O(max_moves²) register work per pair inside
+    whole-stage codegen, never a shuffle.  Pairs are quadratic in the
+    block (the knob).  Returns ``(u, v, len_u, len_v, dtw)``, u < v.
+    """
+    pairs = _cell_signature_pairs(pts, entity_col, order_cols, x_col,
+                                  y_col, cell=cell,
+                                  max_moves=max_moves,
+                                  n_blocks=n_blocks)
     ax, ay = F.col("ax"), F.col("ay")
     bx, by = F.col("bx"), F.col("by")
     inf = F.lit(_DTW_INF)
@@ -536,3 +550,68 @@ def dtw_pairs(pts: DataFrame, entity_col: str = "user_id",
     return pairs.select(
         "u", "v", F.size(ax).alias("len_u"), F.size(bx).alias("len_v"),
         F.element_at(final, nb).alias("dtw"))
+
+
+def frechet_pairs(pts: DataFrame, entity_col: str = "user_id",
+                  order_cols: "tuple[str, ...]" = ("ts", "event_id"),
+                  x_col: str = "x", y_col: str = "y", *,
+                  cell: int = 2048, max_moves: int = 12,
+                  n_blocks: int = 100) -> DataFrame:
+    """Discrete Fréchet distance between co-blocked trajectory pairs
+    (Eiter-Mannila 1994) — the BOTTLENECK sequence aligner: where DTW
+    sums aligned-step costs, Fréchet reports the single WORST step of
+    the best monotone alignment ("shortest leash").  Completes the
+    trio: hausdorff_pairs (order-blind), dtw_pairs (order-aware sum),
+    frechet_pairs (order-aware max).  Cost is grid-cell Manhattan,
+    recurrence F[i][j] = max(c, min(F[i][j−1], F[i−1][j],
+    F[i−1][j−1])).
+
+    ENTIRELY exact int64 via the same nested in-row HOF fold as
+    dtw_pairs.  The max-min recurrence does NOT telescope into one
+    running-min window (min and max don't collapse the way +/min do),
+    so the oracle instead unrolls the DP COLUMN-WISE — max_moves
+    stages of max_moves lateral-alias expressions — exactly the
+    computation, no window at all.
+
+    Same scale shape and knobs as dtw_pairs; shares its signature
+    substrate (``_cell_signature_pairs``).  Returns
+    ``(u, v, len_u, len_v, frechet)``, u < v.
+    """
+    pairs = _cell_signature_pairs(pts, entity_col, order_cols, x_col,
+                                  y_col, cell=cell,
+                                  max_moves=max_moves,
+                                  n_blocks=n_blocks)
+    ax, ay = F.col("ax"), F.col("ay")
+    bx, by = F.col("bx"), F.col("by")
+    inf = F.lit(_DTW_INF)
+
+    def cost(i, j):
+        return (F.abs(F.element_at(ax, i) - F.element_at(bx, j))
+                + F.abs(F.element_at(ay, i) - F.element_at(by, j)))
+
+    nb = F.size(bx)
+    empty = F.array().cast("array<long>")
+    # row 1: F[1][j] = max_{t<=j} c(1, t)
+    row1 = F.aggregate(
+        F.sequence(F.lit(1), nb), empty,
+        lambda acc, j: F.concat(acc, F.array(
+            F.when(j == 1, cost(F.lit(1), j))
+            .otherwise(F.greatest(cost(F.lit(1), j),
+                                  F.element_at(acc, j - 1))))))
+    outer_idx = F.when(F.size(ax) >= 2,
+                       F.sequence(F.lit(2), F.size(ax))) \
+        .otherwise(F.array().cast("array<int>"))
+    final = F.aggregate(
+        outer_idx, row1,
+        lambda prev, i: F.aggregate(
+            F.sequence(F.lit(1), nb), empty,
+            lambda acc, j: F.concat(acc, F.array(
+                F.greatest(cost(i, j), F.least(
+                    F.when(j == 1, inf)
+                    .otherwise(F.element_at(acc, j - 1)),
+                    F.element_at(prev, j),
+                    F.when(j == 1, inf)
+                    .otherwise(F.element_at(prev, j - 1))))))))
+    return pairs.select(
+        "u", "v", F.size(ax).alias("len_u"), F.size(bx).alias("len_v"),
+        F.element_at(final, nb).alias("frechet"))

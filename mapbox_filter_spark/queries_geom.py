@@ -4126,10 +4126,12 @@ def q_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      n_blocks=_DTW_BLOCKS)
 
 
-def sql_dtw_pairs() -> str:
-    c, mm, nb = _DTW_CELL, _DTW_MAX, _DTW_BLOCKS
-    inf = 1 << 60
-    ctes = [f"""{_sql_walk_pos()},
+def _sql_traj_pair_costs(c: int, mm: int, nb: int) -> str:
+    """Shared oracle prefix for the DP trajectory metrics: walk
+    positions -> capped collapsed cell moves -> blocked u < v pairs ->
+    the (pair, i, j, cost) table (mirror of
+    operators/trajectory.py _cell_signature_pairs)."""
+    return f"""{_sql_walk_pos()},
 cells AS (
   SELECT user_id, ts, event_id,
          CAST(floor(x / {c}.0) AS BIGINT) AS cx,
@@ -4159,7 +4161,13 @@ costs AS MATERIALIZED (
          abs(ma.cx - mb.cx) + abs(ma.cy - mb.cy) AS cst
   FROM pairs p
   JOIN mv ma ON ma.user_id = p.u
-  JOIN mv mb ON mb.user_id = p.v),
+  JOIN mv mb ON mb.user_id = p.v)"""
+
+
+def sql_dtw_pairs() -> str:
+    c, mm, nb = _DTW_CELL, _DTW_MAX, _DTW_BLOCKS
+    inf = 1 << 60
+    ctes = [_sql_traj_pair_costs(c, mm, nb) + """,
 r1 AS MATERIALIZED (
   SELECT u, v, j,
          CAST(SUM(cst) OVER (PARTITION BY u, v ORDER BY j)
@@ -4194,3 +4202,68 @@ JOIN allr a ON a.u = p.u AND a.v = p.v
 
 
 GEOM_QUERIES["dtw_pairs"] = (q_dtw_pairs, sql_dtw_pairs)
+
+
+def q_frechet_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Fréchet distance (operators/trajectory.py
+    frechet_pairs): the bottleneck alignment metric over the shared
+    cell-signature pairs — exact int64 max-min DP; the oracle unrolls
+    the DP column-wise (lateral aliases, no window)."""
+    from .operators.trajectory import frechet_pairs, \
+        random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    return frechet_pairs(pos, cell=_DTW_CELL, max_moves=_DTW_MAX,
+                         n_blocks=_DTW_BLOCKS)
+
+
+def sql_frechet_pairs() -> str:
+    c, mm, nb = _DTW_CELL, _DTW_MAX, _DTW_BLOCKS
+    inf = 1 << 60
+    ccols = ",\n         ".join(
+        f"MAX(CASE WHEN j = {j} THEN cst END) AS c{j}"
+        for j in range(1, mm + 1))
+    ctes = [_sql_traj_pair_costs(c, mm, nb) + f""",
+cw AS MATERIALIZED (
+  SELECT u, v, i,
+         {ccols}
+  FROM costs GROUP BY 1, 2, 3)"""]
+    # row 1: running max of c, via lateral aliases
+    row1 = ["c1 AS g1"]
+    for j in range(2, mm + 1):
+        row1.append(f"GREATEST(c{j}, g{j - 1}) AS g{j}")
+    ctes.append("f1 AS MATERIALIZED (\n  SELECT u, v, "
+                + ",\n         ".join(row1)
+                + "\n  FROM cw WHERE i = 1)")
+    for i in range(2, mm + 1):
+        # F_j = max(c_j, min(F_{j-1} same row, prev_j, prev_{j-1})).
+        # Lateral aliases must NOT be named g*: unqualified g{j-1}
+        # would bind to the joined previous-row table's column, not
+        # the same-row alias — compute as t*, re-alias outside.
+        exprs = [f"GREATEST(w.c1, p.g1) AS t1"]
+        for j in range(2, mm + 1):
+            exprs.append(
+                f"GREATEST(w.c{j}, LEAST(t{j - 1}, p.g{j}, "
+                f"p.g{j - 1})) AS t{j}")
+        body = ",\n           ".join(exprs)
+        outer = ", ".join(f"t{j} AS g{j}" for j in range(1, mm + 1))
+        ctes.append(f"""f{i} AS MATERIALIZED (
+  SELECT u, v, {outer} FROM (
+    SELECT w.u AS u, w.v AS v, {body}
+    FROM cw w JOIN f{i - 1} p ON p.u = w.u AND p.v = w.v
+    WHERE w.i = {i}))""")
+    pick = " ".join(f"WHEN {j} THEN g{j}" for j in range(1, mm + 1))
+    allf = "\nUNION ALL\n".join(
+        f"SELECT {i} AS i, * FROM f{i}" for i in range(1, mm + 1))
+    ctes.append(f"allf AS ({allf})")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT p.u, p.v, la.len AS len_u, lb.len AS len_v,
+       CAST(CASE lb.len {pick} END AS BIGINT) AS frechet
+FROM pairs p
+JOIN lens la ON la.user_id = p.u
+JOIN lens lb ON lb.user_id = p.v
+JOIN allf a ON a.u = p.u AND a.v = p.v AND a.i = la.len""")
+
+
+GEOM_QUERIES["frechet_pairs"] = (q_frechet_pairs, sql_frechet_pairs)

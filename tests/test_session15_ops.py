@@ -463,3 +463,61 @@ def test_dtw_guards():
         dtw_pairs(None, cell=1000)
     with pytest.raises(ValueError):
         dtw_pairs(None, cell=1024, max_moves=0)
+
+
+# ---- frechet_pairs ----
+
+from mapbox_filter_spark.operators.trajectory import frechet_pairs
+
+
+def _py_frechet(a, b):
+    na, nb = len(a), len(b)
+    INF = float("inf")
+    D = [[INF] * (nb + 1) for _ in range(na + 1)]
+    D[0][0] = 0
+    for i in range(1, na + 1):
+        for j in range(1, nb + 1):
+            c = abs(a[i - 1][0] - b[j - 1][0]) \
+                + abs(a[i - 1][1] - b[j - 1][1])
+            prev = min(D[i][j - 1], D[i - 1][j], D[i - 1][j - 1])
+            D[i][j] = max(c, prev)
+    return D[na][nb]
+
+
+def test_frechet_brute_differential(spark):
+    import random
+    rng = random.Random(33)
+    rows, tracks = [], {}
+    for u in range(8):
+        x = y = 0
+        seq = []
+        for i in range(rng.randrange(3, 15)):
+            x += rng.randrange(-3000, 3000)
+            y += rng.randrange(-3000, 3000)
+            rows.append((u, i, x, y))
+            seq.append((x, y))
+        tracks[u] = seq
+    df = spark.createDataFrame(rows, "user_id long, i long, x long, y long")
+    got = {(r.u, r.v): r
+           for r in frechet_pairs(df, order_cols=("i",), cell=1024,
+                                  max_moves=12, n_blocks=1).collect()}
+    for u in range(8):
+        for v in range(u + 1, 8):
+            a = _collapse(tracks[u], 1024)[:12]
+            b = _collapse(tracks[v], 1024)[:12]
+            r = got[(u, v)]
+            assert r.frechet == _py_frechet(a, b), (u, v)
+
+
+def test_frechet_leash_vs_dtw(spark):
+    # two parallel straight tracks one cell apart: frechet = 1 per
+    # step leash; dtw = n (sum over n aligned steps)
+    rows = ([(1, i, i * 2048, 0) for i in range(6)]
+            + [(2, i, i * 2048, 2048) for i in range(6)])
+    df = spark.createDataFrame(rows, "user_id long, i long, x long, y long")
+    fr = frechet_pairs(df, order_cols=("i",), cell=2048,
+                       n_blocks=1).collect()[0]
+    dt = dtw_pairs(df, order_cols=("i",), cell=2048,
+                   n_blocks=1).collect()[0]
+    assert fr.frechet == 1
+    assert dt.dtw == 6
