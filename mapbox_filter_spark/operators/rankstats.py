@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["spearman_corr", "mann_whitney_u", "ks_2samp", "kendall_tau",
            "kruskal_wallis", "pettitt_test", "friedman_test", "bh_fdr",
-           "kendalls_w", "wasserstein_1d"]
+           "kendalls_w", "wasserstein_1d", "cvm_2samp"]
 
 # 4n^4 < 2^63  =>  n <= 38,000 keeps every sum exact in int64
 _MAX_GROUP_ROWS = 38_000
@@ -784,3 +784,69 @@ def wasserstein_1d(df: DataFrame, group_col: str, value_col: str,
         "n_a", "n_b", "w1_num", den.alias("w1_den"),
         F.when(den > 0, F.col("w1_num").cast("double")
                / den.cast("double")).alias("w1"))
+
+
+_CVM_MAX_NM = 3_000_000_000  # |d| = |n2·C1 − n1·C2| ≤ n1·n2 must stay
+                             # int64-squarable: (3e9)² just fits 2^63
+
+
+def cvm_2samp(df: DataFrame, group_cols: "list[str]",
+              flag_col: str, value_col: str) -> DataFrame:
+    """Per-group two-sample Cramér-von Mises statistic — the
+    SQUARED-INTEGRAL distribution-shift screen, completing the trio
+    with ks_2samp (supremum) and wasserstein_1d (first-power
+    integral): T = N·ω² = Σ_k w_k·(F1−F2)²(x_k) scaled, sensitive to
+    accumulated small deviations a single-point KS sup misses.
+
+    Exactness: evaluated at the N combined observations (weight w_k =
+    multiplicity), cross-multiplied — d_k = n2·C1_k − n1·C2_k is an
+    exact long, d_k² stays int64 under the in-plan bound
+    n1·n2 ≤ 3·10⁹ (raise_error past it — the spearman/kendall
+    discipline), and S = Σ w_k·d_k² accumulates in DECIMAL(38)
+    (HUGEINT in the oracle).  ``cvm = T = (n1·n2/N²)·Σ(F1−F2)² = S / (n1·n2·N²)``
+    is one pinned double chain (Anderson 1962's ecdf form).
+
+    Same single-exchange shape as ks_2samp: one (group, value)
+    groupBy, cumulative + total windows, final groupBy — no pair
+    join.  Returns ``(group..., n1, n2, s_num, cvm)``; NULL when
+    either sample is empty.
+    """
+    clean = df.filter(F.col(flag_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+    per_v = clean.groupBy(*group_cols, value_col).agg(
+        F.sum(F.when(F.col(flag_col).cast("boolean"), 1).otherwise(0))
+        .alias("_c1"),
+        F.sum(F.when(~F.col(flag_col).cast("boolean"), 1).otherwise(0))
+        .alias("_c2"))
+    w_cum = (Window.partitionBy(*group_cols)
+             .orderBy(F.col(value_col))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_all = Window.partitionBy(*group_cols)
+    stepped = per_v.select(
+        *group_cols,
+        (F.col("_c1") + F.col("_c2")).alias("_w"),
+        F.sum("_c1").over(w_all).alias("_n1"),
+        F.sum("_c2").over(w_all).alias("_n2"),
+        F.sum("_c1").over(w_cum).alias("_cum1"),
+        F.sum("_c2").over(w_cum).alias("_cum2"))
+    d = F.col("_n2") * F.col("_cum1") - F.col("_n1") * F.col("_cum2")
+    pd_ = lambda c: c.cast("decimal(38,0)")
+    term = pd_(d * d) * pd_(F.col("_w"))
+    agg = stepped.groupBy(*group_cols).agg(
+        F.max("_n1").alias("n1"), F.max("_n2").alias("n2"),
+        F.sum(term).alias("_s"))
+    nm = F.col("n1") * F.col("n2")
+    n_tot = F.col("n1") + F.col("n2")
+    cvm = F.when(
+        nm > F.lit(_CVM_MAX_NM),
+        F.raise_error(F.concat(
+            F.lit("cvm_2samp: n1*n2 exceeds the exact-int64 bound "
+                  f"({_CVM_MAX_NM}): "), nm.cast("string")))
+        .cast("double")
+    ).when(
+        (F.col("n1") > 0) & (F.col("n2") > 0),
+        F.col("_s").cast("double")
+        / (nm.cast("double") * n_tot.cast("double")
+           * n_tot.cast("double")))
+    return agg.select(*group_cols, "n1", "n2",
+                      F.col("_s").alias("s_num"), cvm.alias("cvm"))

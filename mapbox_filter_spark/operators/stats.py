@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["group_rank_median", "robust_outliers", "benford_profile",
            "entropy_profile", "cohen_kappa", "cronbach_alpha",
-           "theil_index", "cramers_v", "odds_ratio"]
+           "theil_index", "cramers_v", "odds_ratio", "turning_points"]
 
 
 def group_rank_median(df: DataFrame, group_cols: Sequence[str],
@@ -1779,3 +1779,45 @@ def odds_ratio(df: DataFrame, exposed_col: str,
         "a", "b", "c", "d", orr.alias("odds_ratio"),
         rr.alias("rel_risk"), rd.alias("risk_diff"),
         se.alias("ln_or_se"))
+
+
+def turning_points(df: DataFrame, group_cols: "Sequence[str]", *,
+                   order_cols: "tuple[str, ...]", value_col: str
+                   ) -> DataFrame:
+    """Turning-point test of serial randomness per group: count the
+    STRICT interior local extrema of the ordered series (both
+    neighbors strictly smaller, or both strictly larger) and compare
+    to the i.i.d. expectation E[T] = 2(n−2)/3,
+    Var[T] = (16n−29)/90 — the cheap "is this stream random or
+    trending/oscillating?" screen (too few turns ⇒ trend, too many ⇒
+    alternation).
+
+    Exactness: T is an exact integer count of strict-inequality
+    events (tie-adjacent points are not extrema — the deterministic
+    convention, documented); the z-score is carried with the EXACT
+    integer numerator ``3·T − 2·(n−2)`` over the pinned chain
+    ``3·√((16n−29)/90)`` — one divide, one √.  NULL for n < 3 or
+    degenerate variance.
+
+    One key exchange (ordering window + groupBy share it).  Returns
+    ``(group..., n, t_count, z)``.
+    """
+    g = list(group_cols)
+    w = Window.partitionBy(*g).orderBy(*order_cols)
+    v = F.col(value_col).cast("long")
+    lagv = F.lag(v).over(w)
+    leadv = F.lead(v).over(w)
+    is_turn = (((lagv < v) & (leadv < v))
+               | ((lagv > v) & (leadv > v))).cast("int")
+    base = df.select(*g, is_turn.alias("_t"))
+    agg = base.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_t").alias("t_count"))
+    n = F.col("n")
+    # z = (T − 2(n−2)/3) / sqrt((16n−29)/90)
+    #   = (3T − 2(n−2)) / (3·sqrt((16n−29)/90)) — integer numerator
+    num = (3 * F.col("t_count") - 2 * (n - 2)).cast("double")
+    var90 = (16 * n - 29).cast("double")
+    z = F.when((n >= 3) & (16 * n - 29 > 0),
+               num / (F.lit(3.0) * F.sqrt(var90 / F.lit(90.0))))
+    return agg.select(*g, "n", "t_count", z.alias("z"))

@@ -2044,3 +2044,103 @@ FROM h GROUP BY 1, 2"""
 
 CURATION_QUERIES["feature_hashing"] = (q_feature_hashing,
                                        sql_feature_hashing)
+
+
+def q_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Cramér-von Mises statistic, weekend vs weekday
+    value distributions (operators/rankstats.py cvm_2samp): the
+    squared-integral companion of the ks_test sup and the
+    wasserstein_1d first-power integral — S = Σ w·(n2·C1 − n1·C2)²
+    exact in DECIMAL(38), one pinned normalization."""
+    from .geo.tilemath import floor_div
+    from .operators.rankstats import cvm_2samp
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.pmod(floor_div(
+            F.unix_micros(F.col("ts").cast("timestamp")),
+            86_400_000_000) + 4, F.lit(7)).isin(0, 6).alias("wknd"),
+        _cents().alias("cents"))
+    return cvm_2samp(ev, ["event_type"], "wknd", "cents")
+
+
+def sql_cvm_test() -> str:
+    return """WITH e AS (
+  SELECT event_type,
+         ((epoch_us(ts) // 86400000000 + 4) % 7) IN (0, 6) AS f,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+g AS (
+  SELECT event_type, cents,
+         CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN NOT f THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM e GROUP BY 1, 2),
+s AS (
+  SELECT event_type, c1 + c2 AS w,
+         CAST(SUM(c1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+         CAST(SUM(c2) OVER (PARTITION BY event_type) AS BIGINT) AS n2,
+         CAST(SUM(c1) OVER (PARTITION BY event_type
+                            ORDER BY cents NULLS FIRST
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+         CAST(SUM(c2) OVER (PARTITION BY event_type
+                            ORDER BY cents NULLS FIRST
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+  FROM g),
+agg AS (
+  SELECT event_type, MAX(n1) AS n1, MAX(n2) AS n2,
+         SUM(CAST((n2 * cum1 - n1 * cum2) * (n2 * cum1 - n1 * cum2)
+                  AS HUGEINT) * CAST(w AS HUGEINT)) AS s_num
+  FROM s GROUP BY event_type)
+SELECT event_type, n1, n2, CAST(s_num AS DECIMAL(38, 0)) AS s_num,
+       CASE WHEN n1 > 0 AND n2 > 0
+            THEN CAST(s_num AS DOUBLE)
+                 / (CAST(n1 * n2 AS DOUBLE)
+                    * CAST(n1 + n2 AS DOUBLE)
+                    * CAST(n1 + n2 AS DOUBLE))
+       END AS cvm
+FROM agg"""
+
+
+CURATION_QUERIES["cvm_test"] = (q_cvm_test, sql_cvm_test)
+
+
+def q_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-point randomness test of the event value stream per
+    type (operators/stats.py turning_points): exact strict-extrema
+    count vs the i.i.d. 2(n−2)/3 expectation, integer-numerator z."""
+    from .operators.stats import turning_points
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("value").isNotNull()) \
+        .select("event_type", "ts", "event_id",
+                _cents().alias("cents"))
+    return turning_points(ev, ["event_type"],
+                          order_cols=("ts", "event_id"),
+                          value_col="cents")
+
+
+def sql_turning_points() -> str:
+    return """WITH e AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         ts, event_id
+  FROM events WHERE value IS NOT NULL),
+t AS (
+  SELECT event_type,
+         CASE WHEN (lag(v) OVER w < v AND lead(v) OVER w < v)
+                OR (lag(v) OVER w > v AND lead(v) OVER w > v)
+              THEN 1 ELSE 0 END AS turn
+  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(turn) AS BIGINT) AS t_count
+  FROM t GROUP BY 1)
+SELECT event_type, n, t_count,
+       CASE WHEN n >= 3 AND 16 * n - 29 > 0
+            THEN CAST(3 * t_count - 2 * (n - 2) AS DOUBLE)
+                 / (3.0 * sqrt(CAST(16 * n - 29 AS DOUBLE) / 90.0))
+       END AS z
+FROM agg"""
+
+
+CURATION_QUERIES["turning_points"] = (q_turning_points,
+                                      sql_turning_points)

@@ -521,3 +521,81 @@ def test_frechet_leash_vs_dtw(spark):
                    n_blocks=1).collect()[0]
     assert fr.frechet == 1
     assert dt.dtw == 6
+
+
+# ---- cvm_2samp + turning_points ----
+
+from mapbox_filter_spark.operators.rankstats import cvm_2samp
+from mapbox_filter_spark.operators.stats import turning_points
+
+
+def test_cvm_python_differential(spark):
+    import random
+    rng = random.Random(5)
+    rows = [("g", rng.random() < 0.4, rng.randrange(20))
+            for _ in range(300)]
+    df = spark.createDataFrame(rows, "g string, f boolean, v long")
+    r = cvm_2samp(df, ["g"], "f", "v").collect()[0]
+    s1 = sorted(v for _, f, v in rows if f)
+    s2 = sorted(v for _, f, v in rows if not f)
+    n1, n2 = len(s1), len(s2)
+    vals = sorted(set(v for _, _, v in rows))
+    S = 0
+    for x in vals:
+        c1 = sum(1 for v in s1 if v <= x)
+        c2 = sum(1 for v in s2 if v <= x)
+        w = sum(1 for _, _, v in rows if v == x)
+        d = n2 * c1 - n1 * c2
+        S += w * d * d
+    assert (r.n1, r.n2) == (n1, n2)
+    assert int(r.s_num) == S
+    N = n1 + n2
+    assert r.cvm == pytest.approx(S / (n1 * n2 * N * N))
+
+
+def test_cvm_identical_samples_zero(spark):
+    rows = [("g", True, v) for v in range(10)] \
+        + [("g", False, v) for v in range(10)]
+    df = spark.createDataFrame(rows, "g string, f boolean, v long")
+    r = cvm_2samp(df, ["g"], "f", "v").collect()[0]
+    assert int(r.s_num) == 0 and r.cvm == 0.0
+
+
+def test_cvm_empty_sample_null(spark):
+    rows = [("g", True, v) for v in range(5)]
+    df = spark.createDataFrame(rows, "g string, f boolean, v long")
+    r = cvm_2samp(df, ["g"], "f", "v").collect()[0]
+    assert r.cvm is None
+
+
+def test_turning_points_hand_and_brute(spark):
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 5, 8]
+    df = spark.createDataFrame([("g", i, x) for i, x in enumerate(xs)],
+                               "g string, i long, x long")
+    r = turning_points(df, ["g"], order_cols=("i",),
+                       value_col="x").collect()[0]
+    t = sum(1 for i in range(1, len(xs) - 1)
+            if (xs[i - 1] < xs[i] > xs[i + 1])
+            or (xs[i - 1] > xs[i] < xs[i + 1]))
+    assert r.t_count == t
+    import math
+    n = len(xs)
+    assert r.z == pytest.approx(
+        (t - 2 * (n - 2) / 3) / math.sqrt((16 * n - 29) / 90))
+
+
+def test_turning_points_monotone_zero(spark):
+    df = spark.createDataFrame([("g", i, i * 2) for i in range(20)],
+                               "g string, i long, x long")
+    r = turning_points(df, ["g"], order_cols=("i",),
+                       value_col="x").collect()[0]
+    assert r.t_count == 0 and r.z < -3.0  # strong trend signal
+
+
+def test_turning_points_alternating_max(spark):
+    df = spark.createDataFrame(
+        [("g", i, i % 2) for i in range(20)],
+        "g string, i long, x long")
+    r = turning_points(df, ["g"], order_cols=("i",),
+                       value_col="x").collect()[0]
+    assert r.t_count == 18 and r.z > 3.0
