@@ -291,3 +291,50 @@ def d8_accumulation(cells: DataFrame, x_col: str, y_col: str,
     return (base.join(acc.withColumnRenamed("u", "n_upstream"),
                       [x_col, y_col])
             .select(x_col, y_col, "n_upstream", "is_sink"))
+
+
+def morphology_close(cells: DataFrame, x_col: str = "cx",
+                     y_col: str = "cy") -> DataFrame:
+    """Morphological CLOSING of an occupied-cell set with the 3×3
+    square structuring element: dilate (every cell gains its 8
+    neighbors) then erode (keep cells whose full 3×3 neighborhood is
+    covered) — fills one-cell pinholes and hairline gaps in a raster
+    mask (hotspot footprints, coverage grids) without growing the
+    outer boundary by more than the element radius.
+
+    Pure integer set algebra — two stages, each one ×9 explode of the
+    CURRENT mask plus one distinct/count equi-join on the cell key
+    (the region_dissolve adjacency shape); no floats anywhere.
+    Closing ⊇ original by construction.
+
+    Returns the closed mask ``(x, y, was_filled)`` — was_filled 1 on
+    the cells the closing added (the healed gaps), 0 on original
+    cells.
+    """
+    base = cells.select(F.col(x_col).cast("long").alias("x"),
+                        F.col(y_col).cast("long").alias("y")).distinct()
+    offs = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in _offsets(1, True)])).alias("o")
+    # dilation: union of 3x3 stamps
+    dil = (base.select("x", "y", offs)
+           .select((F.col("x") + F.col("o.dx")).alias("x"),
+                   (F.col("y") + F.col("o.dy")).alias("y"))
+           .distinct())
+    # erosion of the dilation: a cell survives iff all 9 stamps cover
+    # it — count the dilated neighbors it can see
+    probe = (dil.select("x", "y", offs)
+             .select((F.col("x") + F.col("o.dx")).alias("nx"),
+                     (F.col("y") + F.col("o.dy")).alias("ny"),
+                     "x", "y"))
+    cov = (probe.join(dil.select(F.col("x").alias("nx"),
+                                 F.col("y").alias("ny")),
+                      ["nx", "ny"])
+           .groupBy("x", "y").agg(F.count(F.lit(1)).alias("_n"))
+           .filter(F.col("_n") == 9)
+           .select("x", "y"))
+    return (cov.join(base.withColumn("_orig", F.lit(1)),
+                     ["x", "y"], "left")
+            .select("x", "y",
+                    F.when(F.col("_orig").isNull(), 1).otherwise(0)
+                    .alias("was_filled")))

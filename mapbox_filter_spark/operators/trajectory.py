@@ -615,3 +615,73 @@ def frechet_pairs(pts: DataFrame, entity_col: str = "user_id",
     return pairs.select(
         "u", "v", F.size(ax).alias("len_u"), F.size(bx).alias("len_v"),
         F.element_at(final, nb).alias("frechet"))
+
+
+def chaikin_smooth(pts: DataFrame, entity_col: str = "user_id",
+                   order_cols: "tuple[str, ...]" = ("ts", "event_id"),
+                   x_col: str = "x", y_col: str = "y", *,
+                   iters: int = 2) -> DataFrame:
+    """Chaikin corner-cutting polyline smoothing (Chaikin 1974): each
+    refinement replaces every segment (P, Q) with the quarter-points
+    ¼P+¾Q and ¾P+¼Q, keeping the endpoints — k rounds converge to the
+    quadratic B-spline through the control polygon.  The smoothing
+    dual of RDP simplification (geo/simplify.py removes vertices;
+    this inserts them).
+
+    EXACT-integer contract: instead of dividing by 4 per round, the
+    coordinates are carried SCALED — round k emits
+    ``3·x_i + x_{i+1}`` / ``x_i + 3·x_{i+1}`` in units of 4^−k (the
+    ``scale`` output column is 4^iters) — so every vertex is an exact
+    long and the gate value-hashes; consumers divide once at the
+    edge.  Coordinate bound: |x|·4^iters must fit int64 (µdeg walks
+    at iters ≤ 20 are fine).
+
+    Per round: one lead window + a 2-way posexplode + the endpoint
+    union + a renumber window — ALL partitioned by the entity key, so
+    Spark plans one exchange per round (rounds are a fixed small
+    constant; the oracle unrolls them).  Output rows ≈ 2^iters·n per
+    entity.  Returns ``(entity, rn, x, y, scale)``.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1: {iters}")
+    w0 = Window.partitionBy(entity_col).orderBy(*order_cols)
+    cur = pts.select(entity_col,
+                     F.row_number().over(w0).alias("rn"),
+                     F.col(x_col).cast("long").alias("x"),
+                     F.col(y_col).cast("long").alias("y"))
+    for _ in range(iters):
+        w = Window.partitionBy(entity_col).orderBy("rn")
+        wg = Window.partitionBy(entity_col)
+        staged = cur.select(
+            entity_col, "rn", "x", "y",
+            F.lead("x").over(w).alias("_nx"),
+            F.lead("y").over(w).alias("_ny"),
+            F.count(F.lit(1)).over(wg).alias("_n"))
+        mids = (staged.filter(F.col("_nx").isNotNull())
+                .select(entity_col, F.posexplode(F.array(
+                    F.struct((3 * F.col("x") + F.col("_nx")).alias("x"),
+                             (3 * F.col("y") + F.col("_ny")).alias("y"),
+                             (2 * F.col("rn")).alias("o")),
+                    F.struct((F.col("x") + 3 * F.col("_nx")).alias("x"),
+                             (F.col("y") + 3 * F.col("_ny")).alias("y"),
+                             (2 * F.col("rn") + 1).alias("o"))))
+                    .alias("_i", "_s"))
+                .select(entity_col, F.col("_s.x").alias("x"),
+                        F.col("_s.y").alias("y"),
+                        F.col("_s.o").alias("_o")))
+        first = (staged.filter(F.col("rn") == 1)
+                 .select(entity_col, (4 * F.col("x")).alias("x"),
+                         (4 * F.col("y")).alias("y"),
+                         F.lit(1).alias("_o")))
+        last = (staged.filter((F.col("rn") == F.col("_n"))
+                              & (F.col("_n") > 1))
+                .select(entity_col, (4 * F.col("x")).alias("x"),
+                        (4 * F.col("y")).alias("y"),
+                        (2 * F.col("rn")).alias("_o")))
+        uni = mids.unionByName(first).unionByName(last)
+        cur = uni.select(
+            entity_col,
+            F.row_number().over(
+                Window.partitionBy(entity_col).orderBy("_o"))
+            .alias("rn"), "x", "y")
+    return cur.withColumn("scale", F.lit(4 ** iters).cast("long"))

@@ -13,7 +13,7 @@ reproduces each value bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .geo.geom import (
@@ -4267,3 +4267,112 @@ JOIN allf a ON a.u = p.u AND a.v = p.v AND a.i = la.len""")
 
 
 GEOM_QUERIES["frechet_pairs"] = (q_frechet_pairs, sql_frechet_pairs)
+
+
+_CHAIKIN_CAP = 10
+_CHAIKIN_ITERS = 2
+
+
+def q_chaikin_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaikin corner-cutting over the first 10 walk positions per
+    user (operators/trajectory.py chaikin_smooth): two refinement
+    rounds carried in exact ×16-scaled integers — the smoothing dual
+    of rdp_simplify."""
+    from .operators.trajectory import chaikin_smooth, \
+        random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (pos.withColumn("_r0", F.row_number().over(w))
+              .filter(F.col("_r0") <= _CHAIKIN_CAP).drop("_r0"))
+    return chaikin_smooth(capped, iters=_CHAIKIN_ITERS)
+
+
+def sql_chaikin_smooth() -> str:
+    ctes = [f"""{_sql_walk_pos()},
+p0 AS MATERIALIZED (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         x, y
+  FROM pos
+  QUALIFY rn <= {_CHAIKIN_CAP})"""]
+    for k in range(1, _CHAIKIN_ITERS + 1):
+        ctes.append(f"""s{k} AS (
+  SELECT user_id, rn, x, y,
+         lead(x) OVER w AS nx, lead(y) OVER w AS ny,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM p{k - 1}
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+u{k} AS (
+  SELECT user_id, 3 * x + nx AS x, 3 * y + ny AS y, 2 * rn AS o
+  FROM s{k} WHERE nx IS NOT NULL
+  UNION ALL
+  SELECT user_id, x + 3 * nx, y + 3 * ny, 2 * rn + 1
+  FROM s{k} WHERE nx IS NOT NULL
+  UNION ALL
+  SELECT user_id, 4 * x, 4 * y, 1 FROM s{k} WHERE rn = 1
+  UNION ALL
+  SELECT user_id, 4 * x, 4 * y, 2 * rn
+  FROM s{k} WHERE rn = n AND n > 1),
+p{k} AS MATERIALIZED (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY o) AS rn,
+         x, y
+  FROM u{k})""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT user_id, CAST(rn AS BIGINT) AS rn,
+       CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       CAST({4 ** _CHAIKIN_ITERS} AS BIGINT) AS scale
+FROM p{_CHAIKIN_ITERS}""")
+
+
+GEOM_QUERIES["chaikin_smooth"] = (q_chaikin_smooth, sql_chaikin_smooth)
+
+
+_MORPH_CELL = 4096
+
+
+def q_morphology_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morphological closing of the occupied walk-cell mask
+    (operators/raster.py morphology_close): 3×3 dilate-then-erode —
+    pure integer set algebra, was_filled marks the healed gaps."""
+    from .geo.tilemath import floor_div
+    from .operators.raster import morphology_close
+    from .operators.trajectory import random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    cells = pos.select(
+        floor_div(F.col("x"), _MORPH_CELL).alias("cx"),
+        floor_div(F.col("y"), _MORPH_CELL).alias("cy"))
+    return morphology_close(cells)
+
+
+def sql_morphology_close() -> str:
+    c = _MORPH_CELL
+    offs = ", ".join(f"({dx}, {dy})"
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    return f"""WITH {_sql_walk_pos()},
+base AS MATERIALIZED (
+  SELECT DISTINCT CAST(floor(x / {c}.0) AS BIGINT) AS x,
+                  CAST(floor(y / {c}.0) AS BIGINT) AS y
+  FROM pos),
+offs(dx, dy) AS (VALUES {offs}),
+dil AS MATERIALIZED (
+  SELECT DISTINCT b.x + o.dx AS x, b.y + o.dy AS y
+  FROM base b CROSS JOIN offs o),
+cov AS (
+  SELECT d.x, d.y
+  FROM dil d CROSS JOIN offs o
+  JOIN dil n ON n.x = d.x + o.dx AND n.y = d.y + o.dy
+  GROUP BY 1, 2
+  HAVING COUNT(*) = 9)
+SELECT c.x, c.y,
+       CASE WHEN b.x IS NULL THEN 1 ELSE 0 END AS was_filled
+FROM cov c LEFT JOIN base b ON b.x = c.x AND b.y = c.y"""
+
+
+GEOM_QUERIES["morphology_close"] = (q_morphology_close,
+                                    sql_morphology_close)

@@ -599,3 +599,89 @@ def test_turning_points_alternating_max(spark):
     r = turning_points(df, ["g"], order_cols=("i",),
                        value_col="x").collect()[0]
     assert r.t_count == 18 and r.z > 3.0
+
+
+# ---- chaikin_smooth + morphology_close ----
+
+from mapbox_filter_spark.operators.trajectory import chaikin_smooth
+from mapbox_filter_spark.operators.raster import morphology_close
+
+
+def _py_chaikin(seq, iters):
+    cur = [(x, y) for x, y in seq]
+    for _ in range(iters):
+        if len(cur) == 1:
+            cur = [(4 * cur[0][0], 4 * cur[0][1])]
+            continue
+        out = [(4 * cur[0][0], 4 * cur[0][1])]
+        for (x0, y0), (x1, y1) in zip(cur, cur[1:]):
+            out.append((3 * x0 + x1, 3 * y0 + y1))
+            out.append((x0 + 3 * x1, y0 + 3 * y1))
+        out.append((4 * cur[-1][0], 4 * cur[-1][1]))
+        cur = out
+    return cur
+
+
+def test_chaikin_python_differential(spark):
+    import random
+    rng = random.Random(41)
+    rows, tracks = [], {}
+    for u in range(5):
+        seq = [(rng.randrange(-500, 500), rng.randrange(-500, 500))
+               for _ in range(rng.randrange(1, 8))]
+        tracks[u] = seq
+        rows += [(u, i, x, y) for i, (x, y) in enumerate(seq)]
+    df = spark.createDataFrame(rows, "user_id long, i long, x long, y long")
+    out = chaikin_smooth(df, order_cols=("i",), iters=2).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.user_id, {})[r.rn] = (r.x, r.y)
+        assert r.scale == 16
+    for u, seq in tracks.items():
+        expect = _py_chaikin(seq, 2)
+        pts = [got[u][i + 1] for i in range(len(got[u]))]
+        assert pts == expect, u
+
+
+def test_chaikin_preserves_endpoints_and_smooths(spark):
+    # right-angle corner gets cut: no output vertex AT the corner
+    seq = [(0, 0), (100, 0), (100, 100)]
+    df = spark.createDataFrame(
+        [(1, i, x, y) for i, (x, y) in enumerate(seq)],
+        "user_id long, i long, x long, y long")
+    out = sorted(chaikin_smooth(df, order_cols=("i",),
+                                iters=1).collect(),
+                 key=lambda r: r.rn)
+    assert (out[0].x, out[0].y) == (0, 0)
+    assert (out[-1].x, out[-1].y) == (400, 400)
+    assert (400, 0) not in [(r.x, r.y) for r in out]
+    with pytest.raises(ValueError):
+        chaikin_smooth(df, iters=0)
+
+
+def test_morphology_close_fills_pinhole(spark):
+    # 3x3 block with the center missing -> closing fills it
+    cells = [(x, y) for x in range(3) for y in range(3)
+             if (x, y) != (1, 1)]
+    df = spark.createDataFrame(cells, "cx long, cy long")
+    got = {(r.x, r.y): r.was_filled
+           for r in morphology_close(df).collect()}
+    assert got[(1, 1)] == 1           # pinhole healed
+    for c in cells:
+        assert got[c] == 0            # originals kept
+    # closing never REMOVES original cells
+    assert set(cells) <= set(got)
+
+
+def test_morphology_close_isolated_point_kept(spark):
+    df = spark.createDataFrame([(5, 5)], "cx long, cy long")
+    got = morphology_close(df).collect()
+    assert {(r.x, r.y) for r in got} == {(5, 5)}
+    assert got[0].was_filled == 0
+
+
+def test_morphology_close_no_bridge_across_gap(spark):
+    # two cells 3 apart: dilations overlap nowhere 9-covered between
+    df = spark.createDataFrame([(0, 0), (4, 0)], "cx long, cy long")
+    got = {(r.x, r.y) for r in morphology_close(df).collect()}
+    assert got == {(0, 0), (4, 0)}
