@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .tilemath import floor_div as _fdiv
+
 __all__ = ["OLC_ALPHABET", "olc_encode"]
 
 OLC_ALPHABET = "23456789CFGHJMPQRVWX"
@@ -35,12 +37,6 @@ def _digit_char(d: Column) -> Column:
     return F.element_at(
         F.array(*[F.lit(ch) for ch in OLC_ALPHABET]),
         (d + 1).cast("int"))
-
-
-def _fdiv(a: Column, b: int) -> Column:
-    # non-negative operands only — plain integer floor division,
-    # identical to DuckDB // and %
-    return ((a - F.pmod(a, F.lit(b))) / F.lit(b)).cast("long")
 
 
 def olc_encode(lat_e6: Column, lng_e6: Column, *,

@@ -1807,8 +1807,11 @@ def turning_points(df: DataFrame, group_cols: "Sequence[str]", *,
     v = F.col(value_col).cast("long")
     lagv = F.lag(v).over(w)
     leadv = F.lead(v).over(w)
-    is_turn = (((lagv < v) & (leadv < v))
-               | ((lagv > v) & (leadv > v))).cast("int")
+    # endpoint rows have NULL lag/lead: the condition is NULL there, so
+    # pin the 0 branch explicitly (CASE-WHEN semantics, matching the
+    # oracle) — otherwise a 1-2 row group sums all-NULL to NULL
+    is_turn = F.when(((lagv < v) & (leadv < v))
+                     | ((lagv > v) & (leadv > v)), 1).otherwise(0)
     base = df.select(*g, is_turn.alias("_t"))
     agg = base.groupBy(*g).agg(
         F.count(F.lit(1)).alias("n"),

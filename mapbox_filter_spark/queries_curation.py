@@ -665,6 +665,42 @@ SELECT event_type, n, c - d AS c_minus_d,
 FROM p"""
 
 
+# THE chi-square oracle chain (single definition — the _CENTS_SQL
+# rule): from an `e(a, b)` CTE, completes the contingency grid
+# (empty cells contribute r*c/n; dropping them understates chi2 —
+# the round-5 session-15 fix), exact-numerator terms, and the pinned
+# (a, b)-sorted fold.  Mirror of operators/stats.py
+# chi_square_independence; every chi-square-family oracle MUST build
+# on these fragments (tripwire-tested).
+_CHI2_CTES_SQL = """obs AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
+          FROM e GROUP BY 1, 2),
+-- complete the grid: empty cells contribute r*c/n to chi2
+cells AS (
+  SELECT g.a, g.b, COALESCE(obs.o, 0) AS o
+  FROM (SELECT da.a, db.b
+        FROM (SELECT DISTINCT a FROM obs) da
+        CROSS JOIN (SELECT DISTINCT b FROM obs) db) g
+  LEFT JOIN obs ON g.a = obs.a AND g.b = obs.b),
+t AS (
+  SELECT a, b, o,
+         CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS r,
+         CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS c,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM cells),
+terms AS (
+  SELECT a, b, n,
+         (CAST(n * o - r * c AS DOUBLE) * CAST(n * o - r * c AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
+           AS trm
+  FROM t)"""
+
+_CHI2_FOLD_SQL = """list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(trm ORDER BY a NULLS FIRST,
+                                       b NULLS FIRST)),
+                     (x, y) -> x + y)"""
+
+
 def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square test of independence, event type x weekday
     (operators/stats.py chi_square_independence): exact-numerator form
@@ -682,44 +718,18 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_chi_square() -> str:
-    return """WITH e AS (
+    return f"""WITH e AS (
   SELECT event_type AS a,
          ((epoch_us(ts) // 86400000000 + 4) % 7) AS b
   FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
-obs AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
-          FROM e GROUP BY 1, 2),
--- complete the grid: empty cells contribute r*c/n to chi2
-cells AS (
-  SELECT g.a, g.b, COALESCE(obs.o, 0) AS o
-  FROM (SELECT da.a, db.b
-        FROM (SELECT DISTINCT a FROM obs) da
-        CROSS JOIN (SELECT DISTINCT b FROM obs) db) g
-  LEFT JOIN obs ON g.a = obs.a AND g.b = obs.b),
-t AS (
-  SELECT a, b, o,
-         CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS r,
-         CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS c,
-         CAST(SUM(o) OVER () AS BIGINT) AS n
-  FROM cells),
-terms AS (
-  -- dev exact BIGINT; square and n*r*c as pinned DOUBLE chains (the
-  -- int64 products overflow at n ~ 1e5 / 2e6) — engine lockstep
-  SELECT a, b, n,
-         (CAST(n * o - r * c AS DOUBLE) * CAST(n * o - r * c AS DOUBLE))
-           / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
-           AS trm
-  FROM t)
+{_CHI2_CTES_SQL}
 SELECT CAST(MAX(n) AS BIGINT) AS n,
        CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
        CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b,
        CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1)
             AS BIGINT) AS dof,
        CASE WHEN (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) > 0
-            THEN list_reduce(
-                   list_prepend(CAST(0.0 AS DOUBLE),
-                                list(trm ORDER BY a NULLS FIRST,
-                                     b NULLS FIRST)),
-                   (x, y) -> x + y)
+            THEN {_CHI2_FOLD_SQL}
             END AS chi2
 FROM terms"""
 
@@ -1574,12 +1584,12 @@ def q_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_mood_median() -> str:
-    return """WITH e AS (
+    return f"""WITH src AS (
   SELECT event_type AS s,
          CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
   FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
 cnt AS (SELECT cents AS v, CAST(COUNT(*) AS BIGINT) AS c
-        FROM e GROUP BY 1),
+        FROM src GROUP BY 1),
 cum AS (
   SELECT v,
          CAST(SUM(c) OVER (ORDER BY v
@@ -1589,35 +1599,19 @@ cum AS (
   FROM cnt),
 med AS (SELECT MIN(v) AS median FROM cum
         WHERE cm * 2 >= n + (n % 2)),
-f AS (
-  SELECT e.s, CASE WHEN e.cents > med.median THEN 1 ELSE 0 END AS ab
-  FROM e CROSS JOIN med),
-cells AS (SELECT s, ab, CAST(COUNT(*) AS BIGINT) AS o
-          FROM f GROUP BY 1, 2),
-t AS (
-  SELECT s, ab, o,
-         CAST(SUM(o) OVER (PARTITION BY s) AS BIGINT) AS r,
-         CAST(SUM(o) OVER (PARTITION BY ab) AS BIGINT) AS c,
-         CAST(SUM(o) OVER () AS BIGINT) AS n
-  FROM cells),
-terms AS (
-  SELECT s, ab, n,
-         (CAST(n * o - r * c AS DOUBLE) * CAST(n * o - r * c AS DOUBLE))
-           / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
-           AS trm
-  FROM t),
+e AS (
+  SELECT src.s AS a,
+         CASE WHEN src.cents > med.median THEN 1 ELSE 0 END AS b
+  FROM src CROSS JOIN med),
+{_CHI2_CTES_SQL},
 chi AS (
   SELECT CAST(MAX(n) AS BIGINT) AS n,
-         CAST(COUNT(DISTINCT s) AS BIGINT) AS n_samples,
-         CAST((COUNT(DISTINCT s) - 1) * (COUNT(DISTINCT ab) - 1)
+         CAST(COUNT(DISTINCT a) AS BIGINT) AS n_samples,
+         CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1)
               AS BIGINT) AS dof,
-         CASE WHEN (COUNT(DISTINCT s) - 1)
-                   * (COUNT(DISTINCT ab) - 1) > 0
-              THEN list_reduce(
-                     list_prepend(CAST(0.0 AS DOUBLE),
-                                  list(trm ORDER BY s NULLS FIRST,
-                                       ab NULLS FIRST)),
-                     (x, y) -> x + y)
+         CASE WHEN (COUNT(DISTINCT a) - 1)
+                   * (COUNT(DISTINCT b) - 1) > 0
+              THEN {_CHI2_FOLD_SQL}
               END AS chi2
   FROM terms)
 SELECT med.median, chi.n, chi.n_samples, chi.dof, chi.chi2
@@ -1915,30 +1909,10 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_cramers_v() -> str:
-    return """WITH e AS (
+    return f"""WITH e AS (
   SELECT source AS a, lang AS b
   FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL),
-obs AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
-          FROM e GROUP BY 1, 2),
--- complete the grid: empty cells contribute r*c/n to chi2
-cells AS (
-  SELECT g.a, g.b, COALESCE(obs.o, 0) AS o
-  FROM (SELECT da.a, db.b
-        FROM (SELECT DISTINCT a FROM obs) da
-        CROSS JOIN (SELECT DISTINCT b FROM obs) db) g
-  LEFT JOIN obs ON g.a = obs.a AND g.b = obs.b),
-t AS (
-  SELECT a, b, o,
-         CAST(SUM(o) OVER (PARTITION BY a) AS BIGINT) AS r,
-         CAST(SUM(o) OVER (PARTITION BY b) AS BIGINT) AS c,
-         CAST(SUM(o) OVER () AS BIGINT) AS n
-  FROM cells),
-terms AS (
-  SELECT a, b, n,
-         (CAST(n * o - r * c AS DOUBLE) * CAST(n * o - r * c AS DOUBLE))
-           / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))
-           AS trm
-  FROM t),
+{_CHI2_CTES_SQL},
 agg AS (
   SELECT CAST(MAX(n) AS BIGINT) AS n,
          CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
@@ -1946,11 +1920,7 @@ agg AS (
          CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1)
               AS BIGINT) AS dof,
          CASE WHEN (COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) > 0
-              THEN list_reduce(
-                     list_prepend(CAST(0.0 AS DOUBLE),
-                                  list(trm ORDER BY a NULLS FIRST,
-                                       b NULLS FIRST)),
-                     (x, y) -> x + y)
+              THEN {_CHI2_FOLD_SQL}
               END AS chi2
   FROM terms)
 SELECT n, n_a, n_b, dof, chi2,

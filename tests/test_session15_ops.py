@@ -685,3 +685,25 @@ def test_morphology_close_no_bridge_across_gap(spark):
     df = spark.createDataFrame([(0, 0), (4, 0)], "cx long, cy long")
     got = {(r.x, r.y) for r in morphology_close(df).collect()}
     assert got == {(0, 0), (4, 0)}
+
+
+def test_turning_points_short_group_zero_not_null(spark):
+    # 2-row group: lag/lead NULL everywhere -> t_count must be 0
+    df = spark.createDataFrame([("g", 0, 5), ("g", 1, 3)],
+                               "g string, i long, x long")
+    r = turning_points(df, ["g"], order_cols=("i",),
+                       value_col="x").collect()[0]
+    assert r.t_count == 0 and r.z is None
+
+
+def test_chi2_oracle_fragment_tripwire():
+    """Every chi-square-family oracle must build on the ONE shared
+    grid-completing CTE chain (the _CENTS_SQL single-definition rule);
+    a hand-copied chain is how the mood_median oracle silently missed
+    the empty-cell fix."""
+    from mapbox_filter_spark import queries_curation as qc
+    frag = "COALESCE(obs.o, 0)"
+    assert frag in qc._CHI2_CTES_SQL
+    for name in ("chi_square", "cramers_v", "mood_median"):
+        sql = qc.CURATION_QUERIES[name][1]()
+        assert qc._CHI2_CTES_SQL in sql, name
