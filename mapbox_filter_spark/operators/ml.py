@@ -432,3 +432,32 @@ def median_impute(df: DataFrame, group_cols: Sequence[str],
                         (v.isNull() & F.col("_med").isNotNull())
                         .cast("int"))
             .drop("_med"))
+
+
+def quantile_bins(df: DataFrame, group_cols: Sequence[str],
+                  value_col: str, *, k: int = 4,
+                  out_col: str = "bin") -> DataFrame:
+    """Per-group equal-frequency (quantile) binning — the qcut
+    feature transform: row with min-rank r of n lands in bin
+    ``(r−1)·k div n + 1`` ∈ [1, k].  TIES SHARE A BIN (RANK, not
+    ROW_NUMBER — equal values must get equal features; the resulting
+    imbalance under heavy ties is the standard, documented qcut
+    behavior), so the assignment is a pure function of the value and
+    value-hashes on any engine.
+
+    One exchange: the rank window and nothing else (the fact table
+    keeps its rows).  Exact integer arithmetic throughout.  Returns
+    the input columns plus ``bin``.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    g = list(group_cols)
+    v = F.col(value_col)
+    w = Window.partitionBy(*g).orderBy(v.asc())
+    wg = Window.partitionBy(*g)
+    r = F.rank().over(w)
+    n = F.count(F.lit(1)).over(wg)
+    ranked = (df.filter(v.isNotNull())
+              .withColumn("_r", r).withColumn("_n", n))
+    bin_ = (F.expr(f"((_r - 1) * {int(k)}) div _n") + 1).cast("long")
+    return ranked.withColumn(out_col, bin_).drop("_r", "_n")

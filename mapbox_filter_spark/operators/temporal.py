@@ -1642,3 +1642,41 @@ def ljung_box(df: DataFrame, key_cols: "list[str]", *,
                (F.col("n") * (F.col("n") + 2)).cast("double")
                * F.col("_ladder"))
     return per.select(*key_cols, "n", "m", q.alias("q_stat"))
+
+
+def rolling_distinct(df: DataFrame, *, ts_col: str, entity_col: str,
+                     window_days: int = 7) -> DataFrame:
+    """Trailing-window distinct-entity count per observed day — the
+    WAU/MAU-style "active users over the last W days" series.  A
+    RANGE window cannot COUNT DISTINCT; the standard rewrite is the
+    bounded offset explode: each (entity, active-day) pair CONTRIBUTES
+    to the W target days it stays inside the trailing window, then
+    one distinct count per target day.
+
+    Exactness: days are exact epoch-day longs; the count is an exact
+    distinct.  Output days are restricted to OBSERVED days (semi-join
+    against the day set), so the series never extends past the data.
+
+    Scale shape: the fact table collapses to the (entity, day)
+    DISTINCT first (map-side combinable) — the ×W explode runs on the
+    collapsed table, not the events; then one (day) groupBy.  W is
+    the linear cost knob.  Returns ``(day, active)``.
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1: {window_days}")
+    day = ((F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.pmod(F.unix_micros(F.col(ts_col).cast("timestamp")),
+                     F.lit(86_400_000_000)))
+           / F.lit(86_400_000_000)).cast("long")
+    ud = (df.filter(F.col(ts_col).isNotNull()
+                    & F.col(entity_col).isNotNull())
+          .select(day.alias("_d"), F.col(entity_col).alias("_e"))
+          .distinct())
+    days = ud.select(F.col("_d").alias("day")).distinct()
+    tgt = ud.select(
+        F.explode(F.sequence(
+            F.col("_d"), F.col("_d") + F.lit(window_days - 1)))
+        .alias("day"), "_e")
+    return (tgt.join(days, "day", "left_semi")
+            .groupBy("day")
+            .agg(F.count_distinct(F.col("_e")).alias("active")))

@@ -2041,3 +2041,36 @@ FROM e LEFT JOIN med USING (event_type)"""
 
 ANALYTICS_QUERIES["median_impute"] = (q_median_impute,
                                       sql_median_impute)
+
+
+_QBIN_K = 4
+
+
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency value binning per event type (operators/ml.py
+    quantile_bins): qcut with min-rank tie sharing — bin =
+    (rank−1)·k div n + 1, pure integer, one rank window."""
+    from .operators.ml import quantile_bins
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", _cents().alias("cents"))
+    return quantile_bins(ev, ["event_type"], "cents", k=_QBIN_K)
+
+
+def sql_quantile_bins() -> str:
+    return f"""WITH e AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT event_id, event_type, cents,
+         RANK() OVER (PARTITION BY event_type ORDER BY cents) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM e)
+SELECT event_id, event_type, cents,
+       CAST((rk - 1) * {_QBIN_K} // n + 1 AS BIGINT) AS bin
+FROM r"""
+
+
+ANALYTICS_QUERIES["quantile_bins"] = (q_quantile_bins,
+                                      sql_quantile_bins)

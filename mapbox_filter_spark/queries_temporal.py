@@ -1938,3 +1938,38 @@ FROM r"""
 
 
 TEMPORAL_QUERIES["ljung_box"] = (q_ljung_box, sql_ljung_box)
+
+
+_RD_WINDOW = 7
+
+
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per observed day
+    (operators/temporal.py rolling_distinct): the WAU series via the
+    bounded offset explode over the (user, day)-distinct table —
+    COUNT DISTINCT a RANGE frame cannot express."""
+    from .operators.temporal import rolling_distinct
+
+    ev = _events(spark, sf_dir)
+    return rolling_distinct(ev, ts_col="ts", entity_col="user_id",
+                            window_days=_RD_WINDOW)
+
+
+def sql_rolling_distinct() -> str:
+    w = _RD_WINDOW
+    return f"""WITH ud AS (
+  SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+         user_id
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+days AS (SELECT DISTINCT d AS day FROM ud),
+tgt AS (
+  SELECT t.day, ud.user_id
+  FROM ud, LATERAL (SELECT unnest(range(ud.d, ud.d + {w})) AS day) t)
+SELECT CAST(tgt.day AS BIGINT) AS day,
+       CAST(COUNT(DISTINCT tgt.user_id) AS BIGINT) AS active
+FROM tgt JOIN days ON days.day = tgt.day
+GROUP BY 1"""
+
+
+TEMPORAL_QUERIES["rolling_distinct"] = (q_rolling_distinct,
+                                        sql_rolling_distinct)

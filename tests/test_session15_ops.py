@@ -707,3 +707,58 @@ def test_chi2_oracle_fragment_tripwire():
     for name in ("chi_square", "cramers_v", "mood_median"):
         sql = qc.CURATION_QUERIES[name][1]()
         assert qc._CHI2_CTES_SQL in sql, name
+
+
+# ---- rolling_distinct + quantile_bins ----
+
+from mapbox_filter_spark.operators.temporal import rolling_distinct
+from mapbox_filter_spark.operators.ml import quantile_bins
+
+
+def test_rolling_distinct_brute(spark):
+    import datetime
+    base = datetime.datetime(2026, 1, 1)
+    rows = []
+    acts = {}  # day -> set of users
+    import random
+    rng = random.Random(8)
+    for _ in range(200):
+        d = rng.randrange(15)
+        u = rng.randrange(12)
+        rows.append((base + datetime.timedelta(days=d, hours=3), u))
+        acts.setdefault(d, set()).add(u)
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    day0 = int(base.timestamp() * 1_000_000) // 86_400_000_000
+    got = {r.day - day0: r.active
+           for r in rolling_distinct(df, ts_col="ts",
+                                     entity_col="user_id",
+                                     window_days=7).collect()}
+    for d in acts:
+        expect = set()
+        for back in range(7):
+            expect |= acts.get(d - back, set())
+        assert got[d] == len(expect), d
+    assert set(got) == set(acts)      # observed days only
+    with pytest.raises(ValueError):
+        rolling_distinct(df, ts_col="ts", entity_col="user_id",
+                         window_days=0)
+
+
+def test_quantile_bins_balanced_and_ties(spark):
+    rows = [("g", i, v) for i, v in enumerate(range(100, 180))]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    out = quantile_bins(df, ["g"], "v", k=4).collect()
+    from collections import Counter
+    c = Counter(r.bin for r in out)
+    assert c == {1: 20, 2: 20, 3: 20, 4: 20}
+    # order preserved: higher value -> same or higher bin
+    by_v = sorted(out, key=lambda r: r.v)
+    assert all(a.bin <= b.bin for a, b in zip(by_v, by_v[1:]))
+    # ties share a bin
+    tied = [("g", i, 5) for i in range(10)] + [("g", 99, 9)]
+    df2 = spark.createDataFrame(tied, "g string, id long, v long")
+    got = quantile_bins(df2, ["g"], "v", k=4).collect()
+    assert {r.bin for r in got if r.v == 5} == {1}
+    assert [r.bin for r in got if r.v == 9] == [4]
+    with pytest.raises(ValueError):
+        quantile_bins(df2, ["g"], "v", k=1)
