@@ -685,3 +685,74 @@ def chaikin_smooth(pts: DataFrame, entity_col: str = "user_id",
                 Window.partitionBy(entity_col).orderBy("_o"))
             .alias("rn"), "x", "y")
     return cur.withColumn("scale", F.lit(4 ** iters).cast("long"))
+
+
+def lcss_pairs(pts: DataFrame, entity_col: str = "user_id",
+               order_cols: "tuple[str, ...]" = ("ts", "event_id"),
+               x_col: str = "x", y_col: str = "y", *,
+               cell: int = 2048, max_moves: int = 12,
+               n_blocks: int = 100, eps: int = 1) -> DataFrame:
+    """Longest-common-subsequence trajectory similarity (LCSS,
+    Vlachos-Kollios-Gunopulos ICDE'02) between co-blocked pairs: two
+    cells MATCH when both |Δcx| ≤ eps and |Δcy| ≤ eps, and the score
+    is the longest monotone chain of matches — the noise-ROBUST
+    aligner (an outlier spike costs DTW its full distance and caps
+    Fréchet; LCSS just skips it).  ``sim = L/min(len_u, len_v)``.
+
+    Recurrence L[i][j] = L[i−1][j−1]+1 on match else
+    max(L[i−1][j], L[i][j−1]) — exact integers via the same nested
+    in-row HOF fold as dtw_pairs/frechet_pairs; like Fréchet the
+    max recurrence does not telescope, so the oracle unrolls
+    COLUMN-WISE (lateral aliases).  Same substrate, knobs and scale
+    shape (``_cell_signature_pairs``).  Returns
+    ``(u, v, len_u, len_v, lcss, sim)``, u < v.
+    """
+    if eps < 0:
+        raise ValueError(f"eps must be >= 0: {eps}")
+    pairs = _cell_signature_pairs(pts, entity_col, order_cols, x_col,
+                                  y_col, cell=cell,
+                                  max_moves=max_moves,
+                                  n_blocks=n_blocks)
+    ax, ay = F.col("ax"), F.col("ay")
+    bx, by = F.col("bx"), F.col("by")
+
+    def match(i, j):
+        return ((F.abs(F.element_at(ax, i) - F.element_at(bx, j))
+                 <= eps)
+                & (F.abs(F.element_at(ay, i) - F.element_at(by, j))
+                   <= eps))
+
+    nb = F.size(bx)
+    empty = F.array().cast("array<long>")
+    zero = F.lit(0).cast("long")
+    # row 1: L[1][j] = 1 from the first match onward
+    row1 = F.aggregate(
+        F.sequence(F.lit(1), nb), empty,
+        lambda acc, j: F.concat(acc, F.array(
+            F.greatest(
+                F.when(match(F.lit(1), j), F.lit(1).cast("long"))
+                .otherwise(zero),
+                F.when(j == 1, zero)
+                .otherwise(F.element_at(acc, j - 1))))))
+    outer_idx = F.when(F.size(ax) >= 2,
+                       F.sequence(F.lit(2), F.size(ax))) \
+        .otherwise(F.array().cast("array<int>"))
+    final = F.aggregate(
+        outer_idx, row1,
+        lambda prev, i: F.aggregate(
+            F.sequence(F.lit(1), nb), empty,
+            lambda acc, j: F.concat(acc, F.array(
+                F.when(match(i, j),
+                       F.when(j == 1, zero)
+                       .otherwise(F.element_at(prev, j - 1)) + 1)
+                .otherwise(F.greatest(
+                    F.element_at(prev, j),
+                    F.when(j == 1, zero)
+                    .otherwise(F.element_at(acc, j - 1))))))))
+    lcss = F.element_at(final, nb)
+    den = F.least(F.size(ax), F.size(bx)).cast("long")
+    return pairs.select(
+        "u", "v", F.size(ax).alias("len_u"), F.size(bx).alias("len_v"),
+        lcss.alias("lcss"),
+        F.when(den > 0, lcss.cast("double") / den.cast("double"))
+        .alias("sim"))

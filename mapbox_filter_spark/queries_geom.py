@@ -4158,7 +4158,8 @@ pairs AS MATERIALIZED (
    AND a.user_id < b.user_id),
 costs AS MATERIALIZED (
   SELECT p.u, p.v, ma.rn AS i, mb.rn AS j,
-         abs(ma.cx - mb.cx) + abs(ma.cy - mb.cy) AS cst
+         abs(ma.cx - mb.cx) + abs(ma.cy - mb.cy) AS cst,
+         GREATEST(abs(ma.cx - mb.cx), abs(ma.cy - mb.cy)) AS cheb
   FROM pairs p
   JOIN mv ma ON ma.user_id = p.u
   JOIN mv mb ON mb.user_id = p.v)"""
@@ -4376,3 +4377,70 @@ FROM cov c LEFT JOIN base b ON b.x = c.x AND b.y = c.y"""
 
 GEOM_QUERIES["morphology_close"] = (q_morphology_close,
                                     sql_morphology_close)
+
+
+_LCSS_EPS = 1
+
+
+def q_lcss_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LCSS trajectory similarity (operators/trajectory.py
+    lcss_pairs): noise-robust longest match chain with Chebyshev-eps
+    matching over the shared cell-signature pairs — exact integers;
+    the oracle unrolls the max DP column-wise like frechet_pairs."""
+    from .operators.trajectory import lcss_pairs, \
+        random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    return lcss_pairs(pos, cell=_DTW_CELL, max_moves=_DTW_MAX,
+                      n_blocks=_DTW_BLOCKS, eps=_LCSS_EPS)
+
+
+def sql_lcss_pairs() -> str:
+    c, mm, nb, eps = _DTW_CELL, _DTW_MAX, _DTW_BLOCKS, _LCSS_EPS
+    mcols = ",\n         ".join(
+        f"MAX(CASE WHEN j = {j} THEN "
+        f"CASE WHEN cheb <= {eps} THEN 1 ELSE 0 END END) AS m{j}"
+        for j in range(1, mm + 1))
+    ctes = [_sql_traj_pair_costs(c, mm, nb) + f""",
+cw AS MATERIALIZED (
+  SELECT u, v, i,
+         {mcols}
+  FROM costs GROUP BY 1, 2, 3)"""]
+    row1 = ["CAST(m1 AS BIGINT) AS g1"]
+    for j in range(2, mm + 1):
+        row1.append(f"GREATEST(CAST(m{j} AS BIGINT), g{j - 1}) AS g{j}")
+    ctes.append("f1 AS MATERIALIZED (\n  SELECT u, v, "
+                + ",\n         ".join(row1)
+                + "\n  FROM cw WHERE i = 1)")
+    for i in range(2, mm + 1):
+        exprs = ["CASE WHEN w.m1 = 1 THEN 1 ELSE p.g1 END AS t1"]
+        for j in range(2, mm + 1):
+            exprs.append(
+                f"CASE WHEN w.m{j} = 1 THEN p.g{j - 1} + 1 "
+                f"ELSE GREATEST(p.g{j}, t{j - 1}) END AS t{j}")
+        body = ",\n           ".join(exprs)
+        outer = ", ".join(f"t{j} AS g{j}" for j in range(1, mm + 1))
+        ctes.append(f"""f{i} AS MATERIALIZED (
+  SELECT u, v, {outer} FROM (
+    SELECT w.u AS u, w.v AS v, {body}
+    FROM cw w JOIN f{i - 1} p ON p.u = w.u AND p.v = w.v
+    WHERE w.i = {i}))""")
+    pick = " ".join(f"WHEN {j} THEN g{j}" for j in range(1, mm + 1))
+    allf = "\nUNION ALL\n".join(
+        f"SELECT {i} AS i, * FROM f{i}" for i in range(1, mm + 1))
+    ctes.append(f"allf AS ({allf})")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT p.u, p.v, la.len AS len_u, lb.len AS len_v,
+       CAST(CASE lb.len {pick} END AS BIGINT) AS lcss,
+       CASE WHEN LEAST(la.len, lb.len) > 0
+            THEN CAST(CASE lb.len {pick} END AS DOUBLE)
+                 / CAST(LEAST(la.len, lb.len) AS DOUBLE)
+       END AS sim
+FROM pairs p
+JOIN lens la ON la.user_id = p.u
+JOIN lens lb ON lb.user_id = p.v
+JOIN allf a ON a.u = p.u AND a.v = p.v AND a.i = la.len""")
+
+
+GEOM_QUERIES["lcss_pairs"] = (q_lcss_pairs, sql_lcss_pairs)

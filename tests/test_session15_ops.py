@@ -762,3 +762,68 @@ def test_quantile_bins_balanced_and_ties(spark):
     assert [r.bin for r in got if r.v == 9] == [4]
     with pytest.raises(ValueError):
         quantile_bins(df2, ["g"], "v", k=1)
+
+
+# ---- lcss_pairs ----
+
+from mapbox_filter_spark.operators.trajectory import lcss_pairs
+
+
+def _py_lcss(a, b, eps):
+    na, nb = len(a), len(b)
+    L = [[0] * (nb + 1) for _ in range(na + 1)]
+    for i in range(1, na + 1):
+        for j in range(1, nb + 1):
+            if (abs(a[i - 1][0] - b[j - 1][0]) <= eps
+                    and abs(a[i - 1][1] - b[j - 1][1]) <= eps):
+                L[i][j] = L[i - 1][j - 1] + 1
+            else:
+                L[i][j] = max(L[i - 1][j], L[i][j - 1])
+    return L[na][nb]
+
+
+def test_lcss_brute_differential(spark):
+    import random
+    rng = random.Random(55)
+    rows, tracks = [], {}
+    for u in range(8):
+        x = y = 0
+        seq = []
+        for i in range(rng.randrange(3, 15)):
+            x += rng.randrange(-3000, 3000)
+            y += rng.randrange(-3000, 3000)
+            rows.append((u, i, x, y))
+            seq.append((x, y))
+        tracks[u] = seq
+    df = spark.createDataFrame(rows, "user_id long, i long, x long, y long")
+    got = {(r.u, r.v): r
+           for r in lcss_pairs(df, order_cols=("i",), cell=1024,
+                               max_moves=12, n_blocks=1,
+                               eps=1).collect()}
+    for u in range(8):
+        for v in range(u + 1, 8):
+            a = _collapse(tracks[u], 1024)[:12]
+            b = _collapse(tracks[v], 1024)[:12]
+            r = got[(u, v)]
+            assert r.lcss == _py_lcss(a, b, 1), (u, v)
+            assert r.sim == pytest.approx(
+                r.lcss / min(len(a), len(b)))
+
+
+def test_lcss_outlier_robust_vs_dtw(spark):
+    # identical tracks except one teleport spike in the middle:
+    # LCSS skips the spike (sim stays high), DTW pays its distance
+    base = [(i * 2048, 0) for i in range(8)]
+    spiky = list(base)
+    spiky[4] = (4 * 2048, 500 * 2048)
+    rows = ([(1, i, x, y) for i, (x, y) in enumerate(base)]
+            + [(2, i, x, y) for i, (x, y) in enumerate(spiky)])
+    df = spark.createDataFrame(rows, "user_id long, i long, x long, y long")
+    lc = lcss_pairs(df, order_cols=("i",), cell=2048, n_blocks=1,
+                    eps=0).collect()[0]
+    dt = dtw_pairs(df, order_cols=("i",), cell=2048,
+                   n_blocks=1).collect()[0]
+    assert lc.lcss == 7              # everything but the spike aligns
+    assert dt.dtw >= 500             # DTW pays the teleport
+    with pytest.raises(ValueError):
+        lcss_pairs(df, eps=-1)
