@@ -1824,3 +1824,66 @@ def turning_points(df: DataFrame, group_cols: "Sequence[str]", *,
     z = F.when((n >= 3) & (16 * n - 29 > 0),
                num / (F.lit(3.0) * F.sqrt(var90 / F.lit(90.0))))
     return agg.select(*g, "n", "t_count", z.alias("z"))
+
+
+def cohen_d(df: DataFrame, group_col: str, value_col: str,
+            group_a, group_b) -> DataFrame:
+    """Cohen's d standardized mean difference between two named
+    groups (pooled SD), with the Hedges small-sample correction
+    g = J·d, J = 1 − 3/(4·df − 1) — the effect size a t statistic
+    doesn't give you (t grows with n; d doesn't).
+
+    Same exact-moment construction as welch_t: n, S, Q per group in
+    one aggregate, (n−1)·s² = d_g/n_g from the exact int64
+    d_g = n·Q − S² (|S| guarded in-plan), then
+
+        d = (S_a/n_a − S_b/n_b)
+            / √((d_a/n_a + d_b/n_b)/(n_a + n_b − 2))
+
+    as one flat pinned chain.  NULL when df < 1 or both variances
+    are zero.  Output one row
+    ``(n_a, s_a, d_a, n_b, s_b, d_b, cohen_d, hedges_g)``.
+    """
+    x = F.col(value_col).cast("long")
+    g = F.col(group_col)
+    filt = df.filter(g.isin(group_a, group_b))
+    is_a = (g == group_a).cast("int")
+    is_b = (g == group_b).cast("int")
+    agg = filt.agg(
+        F.sum(is_a).cast("long").alias("n_a"),
+        F.sum(is_a * x).cast("long").alias("s_a"),
+        F.sum(is_a * x * x).cast("long").alias("q_a"),
+        F.sum(is_b).cast("long").alias("n_b"),
+        F.sum(is_b * x).cast("long").alias("s_b"),
+        F.sum(is_b * x * x).cast("long").alias("q_b"))
+
+    def guard(s):
+        return F.when(
+            F.abs(F.col(s)) > F.lit(_ANOVA_MAX_ABS_SUM),
+            F.raise_error(F.concat(
+                F.lit(f"cohen_d: |{s}| exceeds exact-int64 bound "
+                      f"({_ANOVA_MAX_ABS_SUM}); center values "
+                      "upstream: "), F.col(s).cast("string")))
+            .cast("long")).otherwise(F.col(s))
+
+    agg = agg.withColumn("s_a", guard("s_a")) \
+             .withColumn("s_b", guard("s_b"))
+    d_a = (F.col("n_a") * F.col("q_a")
+           - F.col("s_a") * F.col("s_a")).cast("long")
+    d_b = (F.col("n_b") * F.col("q_b")
+           - F.col("s_b") * F.col("s_b")).cast("long")
+    out = agg.select("n_a", "s_a", d_a.alias("d_a"),
+                     "n_b", "s_b", d_b.alias("d_b"))
+    dd = lambda c: F.col(c).cast("double")
+    df_ = dd("n_a") + dd("n_b") - 2.0
+    sp2 = (dd("d_a") / dd("n_a") + dd("d_b") / dd("n_b")) / df_
+    d = F.when(
+        (F.col("n_a") + F.col("n_b") > 2)
+        & ((F.col("d_a") > 0) | (F.col("d_b") > 0)),
+        ((dd("s_a") / dd("n_a")) - (dd("s_b") / dd("n_b")))
+        / F.sqrt(sp2))
+    j = F.lit(1.0) - 3.0 / (4.0 * df_ - 1.0)
+    out = out.withColumn("cohen_d", d)
+    return out.withColumn(
+        "hedges_g", F.when(F.col("cohen_d").isNotNull(),
+                           j * F.col("cohen_d")))

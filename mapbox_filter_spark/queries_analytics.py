@@ -2074,3 +2074,100 @@ FROM r"""
 
 ANALYTICS_QUERIES["quantile_bins"] = (q_quantile_bins,
                                       sql_quantile_bins)
+
+
+def q_cohen_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges g effect size, purchase vs click values
+    (operators/stats.py cohen_d): exact int64 moments, pooled-SD
+    flat pinned chain — the magnitude companion of the welch_t
+    gate."""
+    from .operators.stats import cohen_d
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", _cents("value").alias("cents"))
+    return cohen_d(ev, "event_type", "cents", "purchase", "click")
+
+
+def sql_cohen_d() -> str:
+    return """WITH e AS (
+  SELECT event_type AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN g = 'purchase' THEN x ELSE 0 END)
+              AS BIGINT) AS s_a,
+         CAST(SUM(CASE WHEN g = 'purchase' THEN x * x ELSE 0 END)
+              AS BIGINT) AS q_a,
+         CAST(SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN g = 'click' THEN x ELSE 0 END)
+              AS BIGINT) AS s_b,
+         CAST(SUM(CASE WHEN g = 'click' THEN x * x ELSE 0 END)
+              AS BIGINT) AS q_b
+  FROM e),
+m AS (
+  SELECT n_a, s_a, CAST(n_a * q_a - s_a * s_a AS BIGINT) AS d_a,
+         n_b, s_b, CAST(n_b * q_b - s_b * s_b AS BIGINT) AS d_b
+  FROM agg)
+SELECT n_a, s_a, d_a, n_b, s_b, d_b,
+       CASE WHEN n_a + n_b > 2 AND (d_a > 0 OR d_b > 0)
+            THEN (CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / sqrt((CAST(d_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                         + CAST(d_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                        / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                           - 2.0))
+       END AS cohen_d,
+       CASE WHEN n_a + n_b > 2 AND (d_a > 0 OR d_b > 0)
+            THEN (1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE)
+                                      + CAST(n_b AS DOUBLE) - 2.0)
+                               - 1.0))
+                 * ((CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                     - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                    / sqrt((CAST(d_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                            + CAST(d_b AS DOUBLE)
+                              / CAST(n_b AS DOUBLE))
+                           / (CAST(n_a AS DOUBLE)
+                              + CAST(n_b AS DOUBLE) - 2.0)))
+       END AS hedges_g
+FROM m"""
+
+
+ANALYTICS_QUERIES["cohen_d"] = (q_cohen_d, sql_cohen_d)
+
+
+_WS_TILES = 4
+
+
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-window API surface in one gate: percent_rank, cume_dist
+    and NTILE over a TOTAL order (cents, event_id — NTILE splits tie
+    runs by physical order, so the tiebreak must be pinned).  Direct
+    SQL-standard semantics in both engines."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("value").isNotNull()) \
+        .select("event_id", "event_type", _cents().alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    return ev.select(
+        "event_id", "event_type", "cents",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(_WS_TILES).over(w).cast("long").alias("tile"))
+
+
+def sql_window_suite() -> str:
+    return f"""SELECT event_id, event_type,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       CAST(ntile({_WS_TILES}) OVER w AS BIGINT) AS tile
+FROM events WHERE value IS NOT NULL
+WINDOW w AS (PARTITION BY event_type
+             ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT),
+                      event_id)"""
+
+
+ANALYTICS_QUERIES["window_suite"] = (q_window_suite,
+                                     sql_window_suite)

@@ -827,3 +827,29 @@ def test_lcss_outlier_robust_vs_dtw(spark):
     assert dt.dtw >= 500             # DTW pays the teleport
     with pytest.raises(ValueError):
         lcss_pairs(df, eps=-1)
+
+
+# ---- cohen_d ----
+
+from mapbox_filter_spark.operators.stats import cohen_d
+
+
+def test_cohen_d_textbook(spark):
+    import math
+    a = [2, 4, 6, 8]       # mean 5, ss 20
+    b = [1, 2, 3]          # mean 2, ss 2
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = cohen_d(df, "g", "v", "a", "b").collect()[0]
+    sp2 = (20 + 2) / (4 + 3 - 2)
+    expect = (5 - 2) / math.sqrt(sp2)
+    assert r.cohen_d == pytest.approx(expect)
+    j = 1 - 3 / (4 * 5 - 1)
+    assert r.hedges_g == pytest.approx(j * expect)
+    assert (r.n_a, r.s_a, r.d_a) == (4, 20, 4 * 120 - 400)
+
+
+def test_cohen_d_degenerate_null(spark):
+    df = spark.createDataFrame([("a", 5), ("b", 7)], "g string, v long")
+    r = cohen_d(df, "g", "v", "a", "b").collect()[0]
+    assert r.cohen_d is None and r.hedges_g is None
