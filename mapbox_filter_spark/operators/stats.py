@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["group_rank_median", "robust_outliers", "benford_profile",
            "entropy_profile", "cohen_kappa", "cronbach_alpha",
-           "theil_index", "cramers_v", "odds_ratio", "turning_points"]
+           "theil_index", "cramers_v", "odds_ratio", "turning_points",
+           "cohen_d", "icc_oneway"]
 
 
 def group_rank_median(df: DataFrame, group_cols: Sequence[str],
@@ -1887,3 +1888,66 @@ def cohen_d(df: DataFrame, group_col: str, value_col: str,
     return out.withColumn(
         "hedges_g", F.when(F.col("cohen_d").isNotNull(),
                            j * F.col("cohen_d")))
+
+
+def icc_oneway(df: DataFrame, group_col: str,
+               value_col: str) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1,1)
+    (Shrout-Fleiss 1979) — the reliability coefficient: what share of
+    measurement variance is BETWEEN subjects rather than within?
+    Unequal group sizes use the standard k0 = (N − Σn_g²/N)/(G−1)
+    average-size correction.
+
+        ICC = (MSB − MSW) / (MSB + (k0 − 1)·MSW)
+
+    Built on the anova_f exact construction: per-group exact int64
+    moments, T_g = S_g² div n_g (floor-div, cross-engine), quantized
+    SSB/SSW with the same in-plan |S| guards; Σn_g² is one more exact
+    long.  MSB/MSW/k0/ICC are ONE flat pinned double chain.  NULL
+    when G < 2, N ≤ G, or the denominator is 0.
+
+    One group aggregate + one single-row fold.  Returns
+    ``(n, k, ssb_q, ssw_q, sum_ng2, icc)``.
+    """
+    x = F.col(value_col).cast("long")
+    g = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(x).alias("s_g"),
+        F.sum(x * x).alias("q_g"))
+    guard = F.when(
+        F.abs(F.col("s_g")) > F.lit(_ANOVA_MAX_ABS_SUM),
+        F.raise_error(F.concat(
+            F.lit("icc_oneway: |group sum| exceeds exact-int64 bound "
+                  f"({_ANOVA_MAX_ABS_SUM}): s_g="),
+            F.col("s_g").cast("string"))).cast("long")
+    ).otherwise(F.expr("(s_g * s_g) div n_g").cast("long"))
+    tg = g.select("n_g", "s_g", "q_g", guard.alias("t_g"))
+    tot = tg.agg(F.sum("n_g").alias("n"),
+                 F.count(F.lit(1)).alias("k"),
+                 F.sum("s_g").alias("s"),
+                 F.sum("q_g").alias("q"),
+                 F.sum("t_g").alias("t"),
+                 F.sum(F.col("n_g") * F.col("n_g")).alias("sum_ng2"))
+    s_guarded = F.when(
+        F.abs(F.col("s")) > F.lit(_ANOVA_MAX_ABS_SUM),
+        F.raise_error(F.concat(
+            F.lit("icc_oneway: |grand sum| exceeds exact-int64 bound "
+                  f"({_ANOVA_MAX_ABS_SUM}); center values upstream: "
+                  "s="), F.col("s").cast("string"))).cast("long")
+    ).otherwise(F.col("s"))
+    tot = tot.withColumn("s", s_guarded)
+    ssb = F.greatest(
+        F.lit(0).cast("long"),
+        (F.col("t") - F.expr("(s * s) div n")).cast("long"))
+    ssw = (F.col("q") - F.col("t")).cast("long")
+    out = tot.select("n", "k", ssb.alias("ssb_q"), ssw.alias("ssw_q"),
+                     "sum_ng2")
+    dd = lambda c: F.col(c).cast("double")
+    msb = dd("ssb_q") / (dd("k") - 1.0)
+    msw = dd("ssw_q") / (dd("n") - dd("k"))
+    k0 = (dd("n") - dd("sum_ng2") / dd("n")) / (dd("k") - 1.0)
+    den = msb + (k0 - 1.0) * msw
+    return out.withColumn(
+        "icc", F.when((F.col("k") > 1) & (F.col("n") > F.col("k"))
+                      & (F.col("ssw_q") + F.col("ssb_q") > 0),
+                      (msb - msw) / den))

@@ -2171,3 +2171,61 @@ WINDOW w AS (PARTITION BY event_type
 
 ANALYTICS_QUERIES["window_suite"] = (q_window_suite,
                                      sql_window_suite)
+
+
+def q_icc_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ICC(1,1) of event values within users (operators/
+    stats.py icc_oneway): is value a stable per-user trait?  anova_f's
+    exact quantized moments + the unequal-size k0 correction, one
+    pinned chain."""
+    from .operators.stats import icc_oneway
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("value").isNotNull()) \
+        .select("user_id", _cents().alias("cents"))
+    return icc_oneway(ev, "user_id", "cents")
+
+
+def sql_icc_reliability() -> str:
+    return """WITH e AS (
+  SELECT user_id AS g, CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL),
+pg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(x) AS BIGINT) AS s_g,
+         CAST(SUM(x * x) AS BIGINT) AS q_g
+  FROM e GROUP BY 1),
+tg AS (SELECT n_g, s_g, q_g,
+              CAST((s_g * s_g) // n_g AS BIGINT) AS t_g
+       FROM pg),
+tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(s_g) AS BIGINT) AS s,
+         CAST(SUM(q_g) AS BIGINT) AS q,
+         CAST(SUM(t_g) AS BIGINT) AS t,
+         CAST(SUM(n_g * n_g) AS BIGINT) AS sum_ng2
+  FROM tg),
+m AS (
+  SELECT n, k,
+         GREATEST(CAST(0 AS BIGINT),
+                  CAST(t - (s * s) // n AS BIGINT)) AS ssb_q,
+         CAST(q - t AS BIGINT) AS ssw_q, sum_ng2
+  FROM tot)
+SELECT n, k, ssb_q, ssw_q, sum_ng2,
+       CASE WHEN k > 1 AND n > k AND ssw_q + ssb_q > 0
+            THEN (CAST(ssb_q AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)
+                  - CAST(ssw_q AS DOUBLE)
+                    / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                 / (CAST(ssb_q AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0)
+                    + ((CAST(n AS DOUBLE)
+                        - CAST(sum_ng2 AS DOUBLE) / CAST(n AS DOUBLE))
+                       / (CAST(k AS DOUBLE) - 1.0) - 1.0)
+                      * (CAST(ssw_q AS DOUBLE)
+                         / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))))
+       END AS icc
+FROM m"""
+
+
+ANALYTICS_QUERIES["icc_reliability"] = (q_icc_reliability,
+                                        sql_icc_reliability)

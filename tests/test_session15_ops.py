@@ -853,3 +853,52 @@ def test_cohen_d_degenerate_null(spark):
     df = spark.createDataFrame([("a", 5), ("b", 7)], "g string, v long")
     r = cohen_d(df, "g", "v", "a", "b").collect()[0]
     assert r.cohen_d is None and r.hedges_g is None
+
+
+# ---- icc_oneway ----
+
+from mapbox_filter_spark.operators.stats import icc_oneway
+
+
+def test_icc_python_differential(spark):
+    import random
+    rng = random.Random(77)
+    rows = []
+    for g in range(10):
+        trait = g * 50
+        for _ in range(rng.randrange(3, 9)):
+            rows.append((g, trait + rng.randrange(10)))
+    df = spark.createDataFrame(rows, "g long, v long")
+    r = icc_oneway(df, "g", "v").collect()[0]
+    from collections import defaultdict
+    by = defaultdict(list)
+    for g, v in rows:
+        by[g].append(v)
+    N = len(rows)
+    G = len(by)
+    S = sum(v for _, v in rows)
+    Q = sum(v * v for _, v in rows)
+    T = sum(sum(vs) ** 2 // len(vs) for vs in by.values())
+    ssb = max(0, T - S * S // N)
+    ssw = Q - T
+    ng2 = sum(len(vs) ** 2 for vs in by.values())
+    assert (r.n, r.k, r.ssb_q, r.ssw_q, r.sum_ng2) == (
+        N, G, ssb, ssw, ng2)
+    msb = ssb / (G - 1)
+    msw = ssw / (N - G)
+    k0 = (N - ng2 / N) / (G - 1)
+    assert r.icc == pytest.approx((msb - msw) / (msb + (k0 - 1) * msw))
+    assert r.icc > 0.9   # trait variance dominates by construction
+
+
+def test_icc_no_group_effect_near_zero(spark):
+    rows = [(g, v) for g in range(8) for v in range(10)]
+    df = spark.createDataFrame(rows, "g long, v long")
+    r = icc_oneway(df, "g", "v").collect()[0]
+    assert r.ssb_q == 0 and r.icc <= 0.0
+
+
+def test_icc_degenerate_null(spark):
+    df = spark.createDataFrame([(1, 5)], "g long, v long")
+    r = icc_oneway(df, "g", "v").collect()[0]
+    assert r.icc is None
