@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["spearman_corr", "mann_whitney_u", "ks_2samp", "kendall_tau",
            "kruskal_wallis", "pettitt_test", "friedman_test", "bh_fdr",
-           "kendalls_w", "wasserstein_1d", "cvm_2samp"]
+           "kendalls_w", "wasserstein_1d", "cvm_2samp", "cliffs_delta"]
 
 # 4n^4 < 2^63  =>  n <= 38,000 keeps every sum exact in int64
 _MAX_GROUP_ROWS = 38_000
@@ -850,3 +850,58 @@ def cvm_2samp(df: DataFrame, group_cols: "list[str]",
            * n_tot.cast("double")))
     return agg.select(*group_cols, "n1", "n2",
                       F.col("_s").alias("s_num"), cvm.alias("cvm"))
+
+
+def cliffs_delta(df: DataFrame, group_cols: "list[str]",
+                 flag_col: str, value_col: str) -> DataFrame:
+    """Per-group Cliff's delta between the rows where ``flag_col`` is
+    true (sample 1) and false (sample 2) — the ordinal effect size that
+    reads a Mann-Whitney shift on a bounded [-1, 1] scale, robust where
+    cohen_d's pooled-variance denominator is not.
+
+    Exactness: delta = (#(x1>x2) − #(x1<x2)) / (n1·n2) never counts
+    pairs — from the doubled tie-corrected pooled ranks (the
+    spearman_corr machinery), ``2U₁ = 2R₁ − n₁(n₁+1)`` counts
+    2·#gt + #ties and ``2U₂`` counts 2·#lt + #ties, so the tie terms
+    cancel in ``d2 = 2U₁ − 2U₂ = 2·(#gt − #lt)`` — an exact long from
+    ONE rank pass.  ``delta = d2 / (2·n1·n2)`` and the probability of
+    superiority ``ps = U₁/(n1·n2) = u2_1 / (2·n1·n2)`` are each one
+    pinned divide.
+
+    Same single-exchange shape and exactness bound as spearman_corr
+    (2R ≤ 2n² needs the pooled group under ``_MAX_GROUP_ROWS``,
+    enforced in-plan with raise_error, never a silent wrap).
+
+    Returns ``(group..., n1, n2, d2, delta, ps)``; delta/ps NULL when
+    either sample is empty (integer guard on both engines).
+    """
+    clean = df.filter(F.col(flag_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+    r2 = _rank2(group_cols, F.col(value_col))
+    flagged = clean.select(*group_cols,
+                           F.col(flag_col).cast("boolean").alias("_f"),
+                           r2.alias("_r2"))
+    agg = flagged.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("_f"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~F.col("_f"), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("_f"), F.col("_r2")).otherwise(0))
+        .alias("_r1x2"),
+        F.sum(F.when(~F.col("_f"), F.col("_r2")).otherwise(0))
+        .alias("_r2x2"))
+    u2_1 = F.col("_r1x2") - F.col("n1") * (F.col("n1") + 1)
+    u2_2 = F.col("_r2x2") - F.col("n2") * (F.col("n2") + 1)
+    staged = agg.withColumn("_u2_1", u2_1).withColumn(
+        "d2", u2_1 - u2_2)
+    n = F.col("n1") + F.col("n2")
+    den2 = (F.col("n1") * F.col("n2") * 2).cast("double")
+    guard = F.when(
+        n > _MAX_GROUP_ROWS,
+        F.raise_error(F.concat(
+            F.lit("cliffs_delta: group exceeds exact-int64 bound "
+                  f"({_MAX_GROUP_ROWS} rows): n="), n.cast("string")))
+        .cast("double"))
+    ok = (F.col("n1") > 0) & (F.col("n2") > 0)
+    delta = guard.when(ok, F.col("d2").cast("double") / den2)
+    ps = guard.when(ok, F.col("_u2_1").cast("double") / den2)
+    return staged.select(*group_cols, "n1", "n2", "d2",
+                         delta.alias("delta"), ps.alias("ps"))

@@ -2229,3 +2229,55 @@ FROM m"""
 
 ANALYTICS_QUERIES["icc_reliability"] = (q_icc_reliability,
                                         sql_icc_reliability)
+
+
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta + probability of superiority per event type, A/B
+    split by event-id parity (operators/rankstats.py cliffs_delta):
+    the bounded ordinal effect size an A/B readout wants beside
+    cohen_d's parametric one.  The tie terms cancel in d2 = 2U1 - 2U2,
+    so the statistic is one exact long from one pooled rank pass."""
+    from .operators.rankstats import cliffs_delta
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("value").isNotNull()) \
+        .select("event_type",
+                (F.pmod(F.col("event_id"), F.lit(2)) == 0).alias("grp_a"),
+                _cents("value").alias("cents"))
+    return cliffs_delta(ev, ["event_type"], "grp_a", "cents")
+
+
+def sql_cliffs_delta() -> str:
+    return """WITH e AS (
+  SELECT event_type, (event_id % 2 = 0) AS f,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT event_type, f,
+         RANK() OVER (PARTITION BY event_type
+                      ORDER BY cents NULLS FIRST) * 2
+           + COUNT(*) OVER (PARTITION BY event_type, cents) - 1 AS r2
+  FROM e),
+a AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN NOT f THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN f THEN r2 ELSE 0 END) AS BIGINT) AS r1x2,
+         CAST(SUM(CASE WHEN NOT f THEN r2 ELSE 0 END) AS BIGINT) AS r2x2
+  FROM r GROUP BY event_type),
+u AS (
+  SELECT event_type, n1, n2,
+         r1x2 - n1 * (n1 + 1) AS u2_1,
+         (r1x2 - n1 * (n1 + 1)) - (r2x2 - n2 * (n2 + 1)) AS d2
+  FROM a)
+SELECT event_type, n1, n2, d2,
+       CASE WHEN n1 > 0 AND n2 > 0
+            THEN CAST(d2 AS DOUBLE) / CAST(n1 * n2 * 2 AS DOUBLE)
+            END AS delta,
+       CASE WHEN n1 > 0 AND n2 > 0
+            THEN CAST(u2_1 AS DOUBLE) / CAST(n1 * n2 * 2 AS DOUBLE)
+            END AS ps
+FROM u"""
+
+
+ANALYTICS_QUERIES["cliffs_delta"] = (q_cliffs_delta, sql_cliffs_delta)
