@@ -4444,3 +4444,56 @@ JOIN allf a ON a.u = p.u AND a.v = p.v AND a.i = la.len""")
 
 
 GEOM_QUERIES["lcss_pairs"] = (q_lcss_pairs, sql_lcss_pairs)
+
+
+def q_maidenhead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maidenhead grid locator per feature (geo/maidenhead.py
+    maidenhead_encode): 8-char extended locator from integer
+    micro-degree coordinates — pure floor-div/mod character
+    extraction, zero shuffle — plus the 4-char square prefix for
+    roll-ups (the same truncation property the olc_encode gate pins
+    for plus codes)."""
+    from .geo.maidenhead import maidenhead_encode
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fid = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long")
+    lat_e6 = (F.pmod(fid * 130363, F.lit(170000)) * 1000
+              - F.lit(85_000_000))
+    lng_e6 = (F.pmod(fid * 9973, F.lit(360000)) * 1000
+              - F.lit(180_000_000))
+    code = maidenhead_encode(lat_e6, lng_e6, length=8)
+    return li.select(fid.alias("feature_id"), code.alias("mh8"),
+                     F.substring(code, 1, 4).alias("mh4"))
+
+
+def sql_maidenhead() -> str:
+    fields = "ABCDEFGHIJKLMNOPQR"
+    subs = "abcdefghijklmnopqrstuvwx"
+    code = (
+        f"substr('{fields}', CAST(lng // 20000000 + 1 AS INT), 1)"
+        f" || substr('{fields}', CAST(lat // 10000000 + 1 AS INT), 1)"
+        " || substr('0123456789',"
+        " CAST((lng % 20000000) // 2000000 + 1 AS INT), 1)"
+        " || substr('0123456789',"
+        " CAST((lat % 10000000) // 1000000 + 1 AS INT), 1)"
+        f" || substr('{subs}',"
+        " CAST(((lng % 2000000) * 12) // 1000000 + 1 AS INT), 1)"
+        f" || substr('{subs}',"
+        " CAST(((lat % 1000000) * 24) // 1000000 + 1 AS INT), 1)"
+        " || substr('0123456789',"
+        " CAST((((lng % 2000000) * 120) // 1000000) % 10 + 1 AS INT), 1)"
+        " || substr('0123456789',"
+        " CAST((((lat % 1000000) * 240) // 1000000) % 10 + 1 AS INT), 1)")
+    return f"""WITH f AS (
+  SELECT (l_orderkey * 10 + l_linenumber) AS fid
+  FROM lineitem),
+pt AS (
+  SELECT fid,
+         ((fid * 130363) % 170000) * 1000 - 85000000 + 90000000 AS lat,
+         ((fid * 9973) % 360000) * 1000 - 180000000 + 180000000 AS lng
+  FROM f),
+c AS (SELECT fid AS feature_id, {code} AS mh8 FROM pt)
+SELECT feature_id, mh8, substr(mh8, 1, 4) AS mh4 FROM c"""
+
+
+GEOM_QUERIES["maidenhead"] = (q_maidenhead, sql_maidenhead)

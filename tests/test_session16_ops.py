@@ -58,3 +58,76 @@ def test_cliffs_delta_null_rows_excluded(spark):
     r = cliffs_delta(df, ["g"], "f", "x").collect()[0]
     assert (r.n1, r.n2) == (1, 1)
     assert r.delta == 1.0
+
+
+# ---- maidenhead ----
+
+def _mh_py(lat_e6, lng_e6, length=8):
+    """Independent spec replica: float-free Maidenhead from microdeg."""
+    FIELDS = "ABCDEFGHIJKLMNOPQR"
+    SUBS = "abcdefghijklmnopqrstuvwx"
+    lng = lng_e6 + 180_000_000
+    lat = lat_e6 + 90_000_000
+    out = FIELDS[lng // 20_000_000] + FIELDS[lat // 10_000_000]
+    if length >= 4:
+        out += str((lng % 20_000_000) // 2_000_000)
+        out += str((lat % 10_000_000) // 1_000_000)
+    if length >= 6:
+        out += SUBS[(lng % 2_000_000) * 12 // 1_000_000]
+        out += SUBS[(lat % 1_000_000) * 24 // 1_000_000]
+    if length >= 8:
+        out += str((lng % 2_000_000) * 120 // 1_000_000 % 10)
+        out += str((lat % 1_000_000) * 240 // 1_000_000 % 10)
+    return out
+
+
+def test_maidenhead_known_locators(spark):
+    from pyspark.sql import functions as F
+    from mapbox_filter_spark.geo.maidenhead import maidenhead_encode
+    # Munich -> JN58td, ARRL HQ -> FN31pr (public ham-radio examples)
+    rows = [(48_146_660, 11_608_330, "JN58td"),
+            (41_714_775, -72_727_260, "FN31pr")]
+    df = spark.createDataFrame(rows, "lat long, lng long, want string")
+    got = df.select(
+        maidenhead_encode(F.col("lat"), F.col("lng"), length=6)
+        .alias("mh"), "want").collect()
+    for r in got:
+        assert r.mh == r.want
+
+
+def test_maidenhead_python_differential(spark):
+    import random
+    from pyspark.sql import functions as F
+    from mapbox_filter_spark.geo.maidenhead import maidenhead_encode
+    rng = random.Random(16)
+    rows = [(rng.randrange(-90_000_000, 90_000_000),
+             rng.randrange(-180_000_000, 180_000_000))
+            for _ in range(400)]
+    df = spark.createDataFrame(rows, "lat long, lng long")
+    for n in (2, 4, 6, 8):
+        got = df.select("lat", "lng",
+                        maidenhead_encode(F.col("lat"), F.col("lng"),
+                                          length=n).alias("mh")).collect()
+        for r in got:
+            assert r.mh == _mh_py(r.lat, r.lng, n), (r.lat, r.lng, n)
+
+
+def test_maidenhead_prefix_property(spark):
+    from pyspark.sql import functions as F
+    from mapbox_filter_spark.geo.maidenhead import maidenhead_encode
+    df = spark.createDataFrame([(12_345_678, -98_765_432)],
+                               "lat long, lng long")
+    r = df.select(
+        maidenhead_encode(F.col("lat"), F.col("lng"), length=8)
+        .alias("m8"),
+        maidenhead_encode(F.col("lat"), F.col("lng"), length=4)
+        .alias("m4")).collect()[0]
+    assert r.m8.startswith(r.m4)
+
+
+def test_maidenhead_bad_length():
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from mapbox_filter_spark.geo.maidenhead import maidenhead_encode
+    with _pytest.raises(ValueError):
+        maidenhead_encode(F.lit(0), F.lit(0), length=5)
