@@ -32,13 +32,13 @@ exact-integer scaled-deviation evaluation is this engine's.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["morans_i", "getis_ord_gi", "local_moran",
            "mann_kendall_cells", "knox_pairs", "ripley_k", "gearys_c",
            "join_count_stats", "sd_ellipse", "clark_evans",
-           "quadrat_test", "rayleigh_test"]
+           "quadrat_test", "rayleigh_test", "location_quotient"]
 
 _QUEEN = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
           if not (dx == 0 and dy == 0)]
@@ -955,3 +955,40 @@ def rayleigh_test(steps: DataFrame, dx_col: str = "dx",
     return (agg.withColumn("rbar", F.when(F.col("n_steps") > 0, rbar))
             .withColumn("z", F.when(F.col("n_steps") > 0,
                                     n * F.col("rbar") * F.col("rbar"))))
+
+
+def location_quotient(df: DataFrame, cell_cols: "list[str]",
+                      cat_col: str) -> DataFrame:
+    """Location quotient per (cell, category): the regional-analysis
+    concentration ratio LQ = (n_ck/n_c) / (N_k/N) — how over- or
+    under-represented category k is in cell c relative to its global
+    share (LQ > 1: local specialization; the classic economic-base
+    screen, here over any categorical attribute on a spatial grid).
+
+    Exactness: LQ = (n_ck·N) / (n_c·N_k) is held as exact long
+    numerator/denominator (counts ≤ N keep n_ck·N inside int64 to
+    N ≈ 3·10⁹) and emitted with ONE pinned divide.
+
+    Scale shape: the observation-level groupBy(cell, cat) does map-side
+    partial aggregation; cell totals ride a window partitioned by the
+    SAME cell key (AQE keeps one exchange), category totals and the
+    grand total are O(|categories|) broadcast joins — no second
+    shuffle of the big side.
+
+    Returns ``(cell..., cat, n_ck, n_c, n_k, n_tot, lq)``.
+    """
+    cell_cols = list(cell_cols)
+    cc = (df.groupBy(*cell_cols, cat_col)
+          .agg(F.count(F.lit(1)).alias("n_ck")))
+    w_cell = Window.partitionBy(*cell_cols)
+    cc = cc.withColumn("n_c", F.sum("n_ck").over(w_cell))
+    kt = cc.groupBy(cat_col).agg(F.sum("n_ck").alias("n_k"))
+    tot = kt.agg(F.sum("n_k").alias("n_tot"))
+    out = (cc.join(F.broadcast(kt), cat_col)
+           .crossJoin(F.broadcast(tot)))
+    lq = F.when(
+        (F.col("n_c") > 0) & (F.col("n_k") > 0),
+        (F.col("n_ck") * F.col("n_tot")).cast("double")
+        / (F.col("n_c") * F.col("n_k")).cast("double"))
+    return out.select(*cell_cols, cat_col, "n_ck", "n_c", "n_k",
+                      "n_tot", lq.alias("lq"))

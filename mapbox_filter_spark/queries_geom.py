@@ -4497,3 +4497,50 @@ SELECT feature_id, mh8, substr(mh8, 1, 4) AS mh4 FROM c"""
 
 
 GEOM_QUERIES["maidenhead"] = (q_maidenhead, sql_maidenhead)
+
+
+def q_location_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer location quotients on the 5-degree ESDA grid
+    (operators/spatialstats.py location_quotient): which grid cells
+    over-represent a layer relative to its global share — exact long
+    count rationals, one pinned divide; cell totals ride the same
+    exchange as the (cell, layer) groupBy, layer/grand totals are
+    broadcast."""
+    from .operators.spatialstats import location_quotient
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir).select(
+        F.floor(F.col("lon") / F.lit(_ESDA_STEP)).cast("long").alias("cx"),
+        F.floor(F.col("lat") / F.lit(_ESDA_STEP)).cast("long").alias("cy"),
+        "layer")
+    return location_quotient(feats, ["cx", "cy"], "layer")
+
+
+def sql_location_quotient() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+    return f"""WITH {FEATURES_ORACLE_SQL},
+obs AS (
+  SELECT CAST(floor(lon / {_ESDA_STEP!r}) AS BIGINT) AS cx,
+         CAST(floor(lat / {_ESDA_STEP!r}) AS BIGINT) AS cy,
+         layer
+  FROM features),
+cc AS (
+  SELECT cx, cy, layer, CAST(COUNT(*) AS BIGINT) AS n_ck
+  FROM obs GROUP BY 1, 2, 3),
+wc AS (
+  SELECT cx, cy, layer, n_ck,
+         CAST(SUM(n_ck) OVER (PARTITION BY cx, cy) AS BIGINT) AS n_c
+  FROM cc),
+kt AS (
+  SELECT layer, CAST(SUM(n_ck) AS BIGINT) AS n_k
+  FROM cc GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n_tot FROM kt)
+SELECT wc.cx, wc.cy, wc.layer, wc.n_ck, wc.n_c, kt.n_k, tot.n_tot,
+       CASE WHEN wc.n_c > 0 AND kt.n_k > 0
+            THEN CAST(wc.n_ck * tot.n_tot AS DOUBLE)
+                 / CAST(wc.n_c * kt.n_k AS DOUBLE) END AS lq
+FROM wc JOIN kt USING (layer) CROSS JOIN tot"""
+
+
+GEOM_QUERIES["location_quotient"] = (q_location_quotient,
+                                     sql_location_quotient)

@@ -131,3 +131,55 @@ def test_maidenhead_bad_length():
     from mapbox_filter_spark.geo.maidenhead import maidenhead_encode
     with _pytest.raises(ValueError):
         maidenhead_encode(F.lit(0), F.lit(0), length=5)
+
+
+# ---- location_quotient ----
+
+def test_location_quotient_hand_case(spark):
+    from mapbox_filter_spark.operators.spatialstats import \
+        location_quotient
+    # cell A: 3 of k1, 1 of k2; cell B: 1 of k1, 3 of k2
+    rows = ([("A", 0, "k1")] * 3 + [("A", 0, "k2")]
+            + [("B", 0, "k1")] + [("B", 0, "k2")] * 3)
+    df = spark.createDataFrame(rows, "cx string, cy long, k string")
+    out = {(r.cx, r.k): r for r in
+           location_quotient(df, ["cx", "cy"], "k").collect()}
+    # global shares are 50/50, so LQ = local share / 0.5
+    assert out[("A", "k1")].lq == pytest.approx(1.5)
+    assert out[("A", "k2")].lq == pytest.approx(0.5)
+    assert out[("B", "k1")].lq == pytest.approx(0.5)
+    r = out[("B", "k2")]
+    assert (r.n_ck, r.n_c, r.n_k, r.n_tot) == (3, 4, 4, 8)
+    assert r.lq == pytest.approx(1.5)
+
+
+def test_location_quotient_python_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.spatialstats import \
+        location_quotient
+    rng = random.Random(16)
+    rows = [(rng.randrange(4), 0, f"k{rng.randrange(3)}")
+            for _ in range(500)]
+    df = spark.createDataFrame(rows, "cx long, cy long, k string")
+    got = {(r.cx, r.k): r for r in
+           location_quotient(df, ["cx", "cy"], "k").collect()}
+    n_tot = len(rows)
+    for (cx, k), r in got.items():
+        n_ck = sum(1 for c, _, kk in rows if c == cx and kk == k)
+        n_c = sum(1 for c, _, _ in rows if c == cx)
+        n_k = sum(1 for _, _, kk in rows if kk == k)
+        assert (r.n_ck, r.n_c, r.n_k, r.n_tot) == (n_ck, n_c, n_k, n_tot)
+        assert r.lq == pytest.approx((n_ck * n_tot) / (n_c * n_k))
+    # every occupied (cell, cat) pair present, none fabricated
+    assert set(got) == {(c, k) for c, _, k in rows}
+
+
+def test_location_quotient_broadcast_plan(spark):
+    from mapbox_filter_spark.operators.spatialstats import \
+        location_quotient
+    df = spark.createDataFrame([(0, 0, "a"), (1, 0, "b")],
+                               "cx long, cy long, k string")
+    plan = location_quotient(df, ["cx", "cy"], "k") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
