@@ -638,3 +638,51 @@ def vocab_growth(docs: DataFrame, id_col: str, text_col: str, *,
             .select("decile", "n_docs",
                     F.coalesce(F.col("vocab"), F.lit(0)).cast("long")
                     .alias("vocab")))
+
+
+def lexical_diversity(docs: DataFrame, text_col: str) -> DataFrame:
+    """Corpus lexical-diversity profile from the token frequency
+    spectrum: Yule's characteristic K, Simpson's repeat-rate D, and the
+    hapax ratio — the length-robust repetitiveness screens a curation
+    pipeline reads next to zipf_slope / vocab_growth (a template-spam
+    corpus shows high K/D; a natural one sits near K ≈ 100-200).
+
+    Both statistics collapse onto ``s2 = Σ_w n_w²`` (the second moment
+    of the spectrum, since Σ_m m²·V_m = Σ_w n_w²):
+
+    - ``yule_k    = 10⁴ · (s2 − N) / N²``
+    - ``simpson_d = (s2 − N) / (N·(N−1))``  (repeat probability)
+    - ``hapax_ratio = V₁ / V``
+
+    Exactness: counts are exact longs; s2 is summed as DECIMAL(38,0)
+    because a 10¹²-token corpus puts a stopword's n_w² past int64 —
+    the decimal sum stays exact and each statistic is one pinned
+    decimal→double chain (loud ANSI overflow, never a silent wrap).
+
+    Scale shape: explode → groupBy(word) with map-side partial
+    aggregation → a single-row reduce.  No windows, no joins.
+
+    Returns ONE row ``(n_tokens, v_types, v1_hapax, s2, yule_k,
+    simpson_d, hapax_ratio)``.
+    """
+    toks = docs.select(F.explode(_words(F.col(text_col))).alias("w"))
+    cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    dec = F.col("n_w").cast("decimal(38,0)")
+    agg = cnt.agg(
+        F.sum("n_w").alias("n_tokens"),
+        F.count(F.lit(1)).alias("v_types"),
+        F.sum(F.when(F.col("n_w") == 1, 1).otherwise(0))
+        .alias("v1_hapax"),
+        F.sum(dec * dec).alias("s2"))
+    n = F.col("n_tokens")
+    excess = (F.col("s2") - n).cast("double")
+    yule = F.when(n > 0, F.lit(1e4) * excess
+                  / (n.cast("double") * n.cast("double")))
+    simpson = F.when(n > 1, excess
+                     / (n.cast("double") * (n - 1).cast("double")))
+    hapax = F.when(F.col("v_types") > 0,
+                   F.col("v1_hapax").cast("double")
+                   / F.col("v_types").cast("double"))
+    return agg.select("n_tokens", "v_types", "v1_hapax", "s2",
+                      yule.alias("yule_k"), simpson.alias("simpson_d"),
+                      hapax.alias("hapax_ratio"))

@@ -528,3 +528,50 @@ WHERE rn <= {_TR_TOPK}""")
 
 LM_QUERIES["textrank_keywords"] = (q_textrank_keywords,
                                    sql_textrank_keywords)
+
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K / Simpson's D / hapax ratio over the document corpus
+    (operators/text.py lexical_diversity): the frequency-spectrum
+    second moment as an exact DECIMAL(38,0) sum, each statistic one
+    pinned decimal-to-double chain — the repetitiveness screen beside
+    zipf_slope and vocab_growth."""
+    from .operators.text import lexical_diversity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("text")
+    return lexical_diversity(docs, "text")
+
+
+def sql_lexical_diversity() -> str:
+    return f"""WITH {_WORDS_SQL},
+cnt AS (
+  SELECT t.w AS w, CAST(COUNT(*) AS BIGINT) AS n_w
+  FROM base, LATERAL (SELECT unnest(words) AS w) t
+  GROUP BY 1),
+a AS (
+  SELECT CAST(SUM(n_w) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS v_types,
+         CAST(SUM(CASE WHEN n_w = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS v1_hapax,
+         CAST(SUM(CAST(n_w AS DECIMAL(38,0)) * n_w) AS DECIMAL(38,0))
+           AS s2
+  FROM cnt)
+SELECT n_tokens, v_types, v1_hapax, s2,
+       CASE WHEN n_tokens > 0
+            THEN 1e4 * CAST(s2 - n_tokens AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+            END AS yule_k,
+       CASE WHEN n_tokens > 1
+            THEN CAST(s2 - n_tokens AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE)
+                    * CAST(n_tokens - 1 AS DOUBLE))
+            END AS simpson_d,
+       CASE WHEN v_types > 0
+            THEN CAST(v1_hapax AS DOUBLE) / CAST(v_types AS DOUBLE)
+            END AS hapax_ratio
+FROM a"""
+
+
+LM_QUERIES["lexical_diversity"] = (q_lexical_diversity,
+                                   sql_lexical_diversity)

@@ -183,3 +183,43 @@ def test_location_quotient_broadcast_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---- lexical_diversity ----
+
+def test_lexical_diversity_hand_case(spark):
+    from mapbox_filter_spark.operators.text import lexical_diversity
+    # tokens: a a a b b c  -> N=6, V=3, s2=9+4+1=14, V1=1
+    df = spark.createDataFrame([("a a a b b c",)], "text string")
+    r = lexical_diversity(df, "text").collect()[0]
+    assert (r.n_tokens, r.v_types, r.v1_hapax, int(r.s2)) == (6, 3, 1, 14)
+    assert r.yule_k == pytest.approx(1e4 * (14 - 6) / 36)
+    assert r.simpson_d == pytest.approx((14 - 6) / (6 * 5))
+    assert r.hapax_ratio == pytest.approx(1 / 3)
+
+
+def test_lexical_diversity_python_differential(spark):
+    import random
+    from collections import Counter
+    from mapbox_filter_spark.operators.text import lexical_diversity
+    rng = random.Random(16)
+    docs = [" ".join(f"w{rng.randrange(40)}" for _ in range(rng.randrange(1, 30)))
+            for _ in range(60)]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    r = lexical_diversity(df, "text").collect()[0]
+    c = Counter(w for d in docs for w in d.split())
+    n = sum(c.values())
+    s2 = sum(v * v for v in c.values())
+    assert (r.n_tokens, r.v_types, int(r.s2)) == (n, len(c), s2)
+    assert r.v1_hapax == sum(1 for v in c.values() if v == 1)
+    assert r.yule_k == pytest.approx(1e4 * (s2 - n) / (n * n))
+    assert r.simpson_d == pytest.approx((s2 - n) / (n * (n - 1)))
+
+
+def test_lexical_diversity_degenerate(spark):
+    from mapbox_filter_spark.operators.text import lexical_diversity
+    # all-hapax corpus: simpson = 0, yule = 0
+    df = spark.createDataFrame([("x y z",)], "text string")
+    r = lexical_diversity(df, "text").collect()[0]
+    assert r.yule_k == 0.0 and r.simpson_d == 0.0
+    assert r.hapax_ratio == 1.0
