@@ -48,6 +48,8 @@ __all__ = [
     "write_trigram_index",
     "read_term_index",
     "rbo_curve",
+    "lm_dirichlet_topk",
+    "mmr_rerank",
 ]
 
 _STATS = "_stats"  # sidecar subdir of the term index
@@ -548,3 +550,143 @@ def rbo_curve(list_a: DataFrame, list_b: DataFrame, *, depth: int,
             .withColumn("rbo_at_d",
                         F.lit(1.0 - p) * F.sum("_t").over(win))
             .select("d", "x_d", "rbo_at_d"))
+
+
+def lm_dirichlet_topk(docs: DataFrame, query_terms: "list[str]", *,
+                      k: int, mu: float = 2000.0,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty, SIGIR'01) — the language-model ranking that sits beside
+    BM25 in every IR stack:
+
+        score(q, d) = Σ_{t∈q} ln( (tf_{t,d} + µ·p(t|C)) / (dl_d + µ) )
+
+    with collection model p(t|C) = cf_t / |C| (collection term
+    frequency over total corpus tokens).  Rewritten for sparse
+    evaluation — only MATCHING postings are touched:
+
+        score = Σ_{t∈q∩d} [ln(tf + µ·p_t) − ln(µ·p_t)]
+              + Σ_{t∈q} ln(µ·p_t)  −  |q|·ln(dl + µ)
+
+    The first sum runs over the query-filtered postings; the second is
+    a per-query constant; the third needs only the doc length.  Query
+    terms with zero collection frequency are DROPPED (their smoothed
+    probability is 0 — standard practice; raises if none survive).
+
+    Scale shape: identical to ``bm25_topk``'s corpus-scan path — one
+    tokenize+explode, postings filtered to the query terms BEFORE the
+    per-doc sum, the |q|-row cf table broadcast, one shuffle on the doc
+    key, TakeOrderedAndProject top-k.  With a ``write_term_index``
+    postings table the same formula probes bucket-pruned posting
+    lists; the collection stats live in the index sidecar.
+
+    Determinism: tf, dl, cf, |C| are exact longs; the double chain
+    (one division cf/|C|, one ln per term, one ln per doc) is written
+    identically in the SQL oracle, and ranking breaks ties by id.
+    Returns ``(id, score, rank)``, top ``k`` by (score desc, id asc).
+    """
+    if not query_terms:
+        raise ValueError("empty query")
+    if mu <= 0:
+        raise ValueError("mu must be > 0")
+    postings = doc_terms(docs, id_col=id_col, text_col=text_col)
+    # collection stats: one pass over the postings
+    total_tokens = postings.agg(F.sum("tf")).first()[0]
+    if not total_tokens:
+        raise ValueError("empty corpus")
+    q = postings.filter(F.col("term").isin(list(query_terms)))
+    cf_tbl = q.groupBy("term").agg(F.sum("tf").alias("cf"))
+    # µ·p_t per surviving term, plus the per-query constant Σ ln(µ·p_t)
+    mu_p = F.lit(float(mu)) * (F.col("cf").cast("double")
+                               / F.lit(float(int(total_tokens))))
+    cf_tbl = cf_tbl.withColumn("mu_p", mu_p)
+    rows = cf_tbl.select("term", "mu_p").collect()  # ≤ |q| rows
+    if not rows:
+        raise ValueError("no query term occurs in the corpus")
+    const = float(sum(math.log(r["mu_p"]) for r in rows))
+    n_q = len(rows)
+    per_term = (q.join(F.broadcast(cf_tbl.select("term", "mu_p")),
+                       "term")
+                .withColumn(
+                    "w",
+                    F.log(F.col("tf").cast("double") + F.col("mu_p"))
+                    - F.log(F.col("mu_p"))))
+    scores = (per_term.groupBy(id_col)
+              .agg(F.sum("w").alias("_s"), F.first("dl").alias("_dl"))
+              .select(
+                  F.col(id_col),
+                  (F.col("_s") + F.lit(const)
+                   - F.lit(float(n_q))
+                   * F.log(F.col("_dl").cast("double")
+                           + F.lit(float(mu)))).alias("score")))
+    return _rank_topk(scores, id_col, k)
+
+
+def mmr_rerank(candidates: DataFrame, sims: DataFrame, k: int, *,
+               lam_num: int = 7, lam_den: int = 10,
+               id_col: str = "c_id", rel_col: str = "dot") -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein, SIGIR'98) over a BOUNDED candidate window: greedily pick
+    the doc maximizing  λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)  against
+    the already-selected set S.  With integer relevance and similarity
+    scores (this repo's exact int-dot primitives) and rational
+    λ = lam_num/lam_den, the objective is carried ×lam_den as the exact
+    long  lam_num·rel − (lam_den−lam_num)·maxsim  — no float anywhere;
+    ties break by id ascending.  Round 1 has S = ∅, so its objective is
+    lam_num·rel.
+
+    ``candidates`` is (id, rel) — the top-N rerank window from a
+    first-stage ranker (int_dot_topk / bm25_topk / ann probes);
+    ``sims`` is (a_id, b_id, sim) covering every ordered candidate
+    pair.  MMR selection is inherently sequential, so the k rounds run
+    as k tiny Spark jobs over the localCheckpoint-ed N-row window —
+    the only driver traffic is the 1-row winner per round (same
+    bounded-control-table discipline as the k-means centroid loop).
+    N is the rerank window (production N ≤ 1000), NOT the corpus: the
+    corpus-scale work happened in the first stage.
+
+    Returns ``(rank, id, rel, mmr)`` with ``mmr`` the ×lam_den-scaled
+    objective at selection time.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not (0 < lam_num < lam_den):
+        raise ValueError("need 0 < lam_num < lam_den")
+    cand = (candidates.select(F.col(id_col).alias("_id"),
+                              F.col(rel_col).cast("long").alias("_rel"))
+            .localCheckpoint())
+    pair = (sims.select(F.col("a_id").alias("_a"),
+                        F.col("b_id").alias("_b"),
+                        F.col("sim").cast("long").alias("_sim"))
+            .localCheckpoint())
+    n = cand.count()
+    if k > n:
+        raise ValueError(f"k={k} exceeds candidate window n={n}")
+    selected: list = []
+    out = None
+    for r in range(1, k + 1):
+        if r == 1:
+            scored = cand.withColumn(
+                "_mmr", F.lit(int(lam_num)) * F.col("_rel"))
+        else:
+            ms = (pair.filter(F.col("_b").isin(selected))
+                  .groupBy("_a").agg(F.max("_sim").alias("_ms")))
+            scored = (cand.filter(~F.col("_id").isin(selected))
+                      .join(ms, cand["_id"] == ms["_a"])
+                      .withColumn(
+                          "_mmr",
+                          F.lit(int(lam_num)) * F.col("_rel")
+                          - F.lit(int(lam_den - lam_num))
+                          * F.col("_ms")))
+        win = (scored.orderBy(F.col("_mmr").desc(), F.col("_id"))
+               .limit(1)
+               .select(F.lit(r).alias("rank"), F.col("_id"),
+                       F.col("_rel"), F.col("_mmr"))
+               .localCheckpoint())  # pin the pick before mutating sel
+        wid = win.first()["_id"]
+        selected.append(wid)
+        out = win if out is None else out.union(win)
+    return out.select("rank", F.col("_id").alias(id_col),
+                      F.col("_rel").alias("rel"),
+                      F.col("_mmr").alias("mmr"))

@@ -619,3 +619,168 @@ FROM terms"""
 
 
 RETRIEVAL_QUERIES["rbo_overlap"] = (q_rbo_overlap, sql_rbo_overlap)
+
+
+_LM_MU = 2000.0
+_LM_K = 20
+
+
+def q_lm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood Dirichlet-smoothed LM retrieval
+    (operators/retrieval.py lm_dirichlet_topk): the standard ranking
+    beside bm25_topk — same tokenize/postings substrate, collection
+    model cf/|C|, sparse-evaluation rewrite so only matching postings
+    are scanned.  Scores rounded to 4 dp; ranking on the unrounded
+    score with doc_id tiebreak (the bm25 gate's contract)."""
+    from .operators.retrieval import lm_dirichlet_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top = lm_dirichlet_topk(docs, list(_QUERY), k=_LM_K, mu=_LM_MU)
+    return top.select("doc_id", F.round("score", 4).alias("score"),
+                      "rank")
+
+
+def sql_lm_dirichlet_topk() -> str:
+    terms = ", ".join(f"'{t}'" for t in _QUERY)
+    mu = float(_LM_MU)
+    return f"""
+WITH {_sql_bm25_scored()},
+coll AS (SELECT CAST(SUM(tf) AS BIGINT) AS t FROM tf),
+qcf AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf
+  WHERE term IN ({terms}) GROUP BY 1),
+qconst AS (
+  SELECT COUNT(*) AS nq,
+         SUM(ln({mu!r} * (CAST(cf AS DOUBLE) / (SELECT t FROM coll))))
+           AS c
+  FROM qcf),
+lm AS (
+  SELECT tf.doc_id,
+         SUM(ln(CAST(tf.tf AS DOUBLE)
+                + {mu!r} * (CAST(q.cf AS DOUBLE)
+                            / (SELECT t FROM coll)))
+             - ln({mu!r} * (CAST(q.cf AS DOUBLE)
+                            / (SELECT t FROM coll)))) AS s,
+         MAX(dl.dl) AS dl
+  FROM tf JOIN qcf q USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id),
+fin AS (
+  SELECT doc_id,
+         s + (SELECT c FROM qconst)
+           - (SELECT nq FROM qconst)
+             * ln(CAST(dl AS DOUBLE) + {mu!r}) AS score
+  FROM lm)
+SELECT doc_id, ROUND(score, 4) AS score, rank FROM (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM fin) WHERE rank <= {_LM_K}"""
+
+
+RETRIEVAL_QUERIES["lm_dirichlet_topk"] = (q_lm_dirichlet_topk,
+                                          sql_lm_dirichlet_topk)
+
+
+_MMR_N = 20     # first-stage rerank window
+_MMR_K = 5      # diversified picks
+_MMR_LN = 7     # lambda = 7/10
+_MMR_LD = 10
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification (operators/retrieval.py mmr_rerank) of the
+    dense int-dot top-20 for query embedding 0: greedy
+    lambda-rel-minus-maxsim selection carried entirely in exact longs
+    (x10-scaled objective 7*rel - 3*maxsim), candidate-pair
+    similarities from one bounded 20x20 integer-dot cross join."""
+    from .operators.retrieval import mmr_rerank
+    from .operators.similarity import int_dot_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cand = int_dot_topk(
+        emb.filter(F.col("vec_id") == _RRF_QVEC), emb, _MMR_N,
+        scale=_RRF_SCALE_V, query_id="vec_id", corpus_id="vec_id",
+    ).select("c_id", "dot")
+
+    def quant(col):
+        return F.transform(
+            col, lambda x: F.floor(
+                x.cast("double") * F.lit(float(_RRF_SCALE_V))
+                + F.lit(0.5)).cast("long"))
+
+    cv = (emb.join(F.broadcast(cand.select("c_id")),
+                   emb["vec_id"] == F.col("c_id"))
+          .select(F.col("c_id").alias("id"),
+                  quant(F.col("embedding")).alias("v")))
+    a = cv.select(F.col("id").alias("a_id"), F.col("v").alias("va"))
+    b = cv.select(F.col("id").alias("b_id"), F.col("v").alias("vb"))
+    sims = (a.crossJoin(F.broadcast(b))  # bounded N x N pair window
+            .filter(F.col("a_id") != F.col("b_id"))
+            .select("a_id", "b_id",
+                    F.aggregate(
+                        F.zip_with("va", "vb", lambda x, y: x * y),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x).alias("sim")))
+    return mmr_rerank(cand, sims, _MMR_K, lam_num=_MMR_LN,
+                      lam_den=_MMR_LD, id_col="c_id", rel_col="dot")
+
+
+def sql_mmr_rerank() -> str:
+    s = float(_RRF_SCALE_V)
+    ln, lm = _MMR_LN, _MMR_LD - _MMR_LN
+    rounds = []
+    for r in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT c_id FROM sel{i}" for i in range(1, r))
+        rounds.append(f"""sel{r} AS MATERIALIZED (
+  SELECT c_id, dot, mmr FROM (
+    SELECT c.c_id, c.dot, {ln} * c.dot - {lm} * ms.m AS mmr,
+           ROW_NUMBER() OVER (
+             ORDER BY {ln} * c.dot - {lm} * ms.m DESC, c.c_id) AS rn
+    FROM cand c
+    JOIN (SELECT a_id, MAX(sim) AS m FROM pairs
+          WHERE b_id IN ({prev}) GROUP BY a_id) ms
+      ON ms.a_id = c.c_id
+    WHERE c.c_id NOT IN ({prev}))
+  WHERE rn = 1)""")
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS rank, c_id, dot AS rel, mmr FROM sel{r}"
+        for r in range(1, _MMR_K + 1))
+    return f"""
+WITH qv AS (SELECT embedding AS v FROM embeddings
+            WHERE vec_id = {_RRF_QVEC}),
+dots AS (
+  SELECT e.vec_id AS doc_id,
+         CAST((SELECT SUM(
+              CAST(FLOOR(CAST(q.v[i.i] AS DOUBLE) * {s!r} + 0.5)
+                   AS BIGINT)
+            * CAST(FLOOR(CAST(e.embedding[i.i] AS DOUBLE) * {s!r} + 0.5)
+                   AS BIGINT))
+          FROM (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) i)
+          AS BIGINT) AS dot
+  FROM embeddings e, qv q),
+cand AS MATERIALIZED (
+  SELECT doc_id AS c_id, dot FROM (
+    SELECT doc_id, dot,
+           ROW_NUMBER() OVER (ORDER BY dot DESC, doc_id) AS rn
+    FROM dots) WHERE rn <= {_MMR_N}),
+cvec AS MATERIALIZED (
+  SELECT c.c_id, e.embedding AS v
+  FROM cand c JOIN embeddings e ON e.vec_id = c.c_id),
+pairs AS MATERIALIZED (
+  SELECT a.c_id AS a_id, b.c_id AS b_id,
+         CAST((SELECT SUM(
+              CAST(FLOOR(CAST(a.v[i.i] AS DOUBLE) * {s!r} + 0.5)
+                   AS BIGINT)
+            * CAST(FLOOR(CAST(b.v[i.i] AS DOUBLE) * {s!r} + 0.5)
+                   AS BIGINT))
+          FROM (SELECT unnest(range(1, len(a.v) + 1)) AS i) i)
+          AS BIGINT) AS sim
+  FROM cvec a, cvec b WHERE a.c_id <> b.c_id),
+sel1 AS MATERIALIZED (
+  SELECT c_id, dot, {ln} * dot AS mmr FROM cand
+  ORDER BY dot DESC, c_id LIMIT 1),
+{",".join(rounds)}
+{finals}"""
+
+
+RETRIEVAL_QUERIES["mmr_rerank"] = (q_mmr_rerank, sql_mmr_rerank)
