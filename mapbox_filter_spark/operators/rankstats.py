@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["spearman_corr", "mann_whitney_u", "ks_2samp", "kendall_tau",
            "kruskal_wallis", "pettitt_test", "friedman_test", "bh_fdr",
-           "kendalls_w", "wasserstein_1d", "cvm_2samp", "cliffs_delta"]
+           "kendalls_w", "wasserstein_1d", "cvm_2samp", "cliffs_delta",
+           "wilcoxon_signed_rank", "jonckheere_trend"]
 
 # 4n^4 < 2^63  =>  n <= 38,000 keeps every sum exact in int64
 _MAX_GROUP_ROWS = 38_000
@@ -905,3 +906,147 @@ def cliffs_delta(df: DataFrame, group_cols: "list[str]",
     ps = guard.when(ok, F.col("_u2_1").cast("double") / den2)
     return staged.select(*group_cols, "n1", "n2", "d2",
                          delta.alias("delta"), ps.alias("ps"))
+
+
+def wilcoxon_signed_rank(df: DataFrame, group_cols: "list[str]",
+                         a_col: str, b_col: str) -> DataFrame:
+    """Per-group Wilcoxon signed-rank test statistic for PAIRED
+    samples — the within-subject sibling of ``mann_whitney_u`` (one
+    row = one pair, e.g. a customer's spend before/after a change).
+
+    Method (Wilcoxon 1945, standard practice): d = a − b per pair,
+    zero differences DROPPED (counted in ``n_zero``), |d| ranked with
+    tie-corrected average ranks, W⁺ = Σ ranks of positive d.  With the
+    doubled-rank trick (``_rank2``: 2·avg_rank is an exact long) the
+    statistic ``w2p = 2·W⁺`` is exact; since W⁺ + W⁻ = n(n+1)/2, the
+    matched-pairs rank-biserial effect size
+
+        rbc = (W⁺ − W⁻) / (W⁺ + W⁻) = (2·w2p − n(n+1)) / (n(n+1))
+
+    is one pinned divide on exact longs.  The z-approximation's tie
+    sums are deliberately not computed (the mann_whitney_u rationale).
+
+    Same single-exchange shape as spearman_corr (rank window + groupBy
+    on the same key) and the same ``_MAX_GROUP_ROWS`` in-plan bound.
+
+    Returns ``(group..., n, n_zero, w2p, rbc)``.  Groups whose pairs
+    are ALL zero differences have no ranked rows and are absent from
+    the output (the SQL twin mirrors this).
+    """
+    clean = df.filter(F.col(a_col).isNotNull()
+                      & F.col(b_col).isNotNull())
+    d = (F.col(a_col).cast("long") - F.col(b_col).cast("long"))
+    based = clean.select(*group_cols, d.alias("_d"))
+    nz = based.filter(F.col("_d") != 0)
+    r2 = _rank2(group_cols, F.abs(F.col("_d")))
+    ranked = nz.select(*group_cols, F.col("_d"), r2.alias("_r2"))
+    zeros = (based.filter(F.col("_d") == 0)
+             .groupBy(*group_cols)
+             .agg(F.count(F.lit(1)).alias("n_zero")))
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_d") > 0, F.col("_r2")).otherwise(0))
+        .alias("w2p"))
+    guard = F.when(
+        F.col("n") > _MAX_GROUP_ROWS,
+        F.raise_error(F.concat(
+            F.lit("wilcoxon_signed_rank: group exceeds exact-int64 "
+                  f"bound ({_MAX_GROUP_ROWS} rows): n="),
+            F.col("n").cast("string"))).cast("double"))
+    nn1 = F.col("n") * (F.col("n") + 1)
+    rbc = guard.when(
+        F.col("n") > 0,
+        (F.lit(2) * F.col("w2p") - nn1).cast("double")
+        / nn1.cast("double"))
+    return (agg.join(zeros, group_cols, "left")
+            .select(*group_cols, "n",
+                    F.coalesce("n_zero", F.lit(0)).cast("long")
+                    .alias("n_zero"),
+                    "w2p", rbc.alias("rbc")))
+
+
+# Jonckheere runs a cell-pair nested-loop over the DISTINCT
+# (level, value) cells: ordinal-by-ordinal data has few cells by
+# nature; the cap keeps the broadcast self-join driver-trivial.
+_JT_MAX_CELLS = 20_000
+
+
+def jonckheere_trend(df: DataFrame, group_cols: "list[str]",
+                     level_col: str, value_col: str) -> DataFrame:
+    """Per-group Jonckheere–Terpstra trend statistic: are values
+    systematically LARGER at higher ordinal levels?  (The ordered-
+    alternative test Kruskal-Wallis can't see: KW asks "any
+    difference", JT asks "monotone trend across priority/severity/
+    bucket levels".)
+
+    J = Σ_{l₁<l₂} U(G_{l₁}, G_{l₂}) with ties counting ½.  Both
+    ``level_col`` and ``value_col`` are ordinal (integers), so the
+    group decomposes into DISTINCT (level, value) cells; on cell
+    counts n₁, n₂ the doubled statistic is exact:
+
+        j2 = 2J = Σ 2·n₁·n₂ [v₁<v₂] + n₁·n₂ [v₁=v₂]  over l₁<l₂
+
+    computed by one groupBy to cells + one broadcast cell self-join —
+    the quadratic lives in CELL space (capped at ``_JT_MAX_CELLS``,
+    checked before the join), never row space.  Against the exact
+    null ceiling ``jmax2 = 2·J_max = N² − Σ n_l²`` (N rows, level
+    sizes n_l) the normalized effect
+
+        effect = (2·j2 − jmax2) / jmax2   ∈ [−1, 1]
+
+    is one pinned divide (0 = no trend; ±1 = perfect separation in
+    level order).  Returns ``(group..., n, n_cells, j2, jmax2,
+    effect)``; effect NULL when jmax2 = 0 (a single level or all rows
+    one level).
+    """
+    clean = df.filter(F.col(level_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+    cells = (clean.groupBy(*group_cols,
+                           F.col(level_col).cast("long").alias("_l"),
+                           F.col(value_col).cast("long").alias("_v"))
+             .agg(F.count(F.lit(1)).alias("_c")))
+    cells = cells.localCheckpoint()  # reused 3x below
+    n_cells = cells.count()
+    if n_cells > _JT_MAX_CELLS:
+        raise ValueError(
+            f"jonckheere_trend: {n_cells} distinct (level, value) "
+            f"cells exceed the {_JT_MAX_CELLS} cell-join bound — "
+            "bucket value_col coarser (JT is an ordinal test)")
+    a = cells.select(*[F.col(g).alias(f"_ga_{g}") for g in group_cols],
+                     F.col("_l").alias("_l1"),
+                     F.col("_v").alias("_v1"),
+                     F.col("_c").alias("_c1"))
+    b = cells.select(*[F.col(g).alias(f"_gb_{g}") for g in group_cols],
+                     F.col("_l").alias("_l2"),
+                     F.col("_v").alias("_v2"),
+                     F.col("_c").alias("_c2"))
+    cond = F.lit(True)
+    for g in group_cols:
+        cond = cond & (F.col(f"_ga_{g}") == F.col(f"_gb_{g}"))
+    pairs = (a.join(F.broadcast(b),
+                    cond & (F.col("_l1") < F.col("_l2"))
+                    & (F.col("_v1") <= F.col("_v2"))))
+    j = (pairs.groupBy(*[F.col(f"_ga_{g}").alias(g)
+                         for g in group_cols])
+         .agg(F.sum(F.when(F.col("_v1") < F.col("_v2"),
+                           2 * F.col("_c1") * F.col("_c2"))
+                    .otherwise(F.col("_c1") * F.col("_c2")))
+              .alias("j2")))
+    lv = (cells.groupBy(*group_cols, "_l")
+          .agg(F.sum("_c").alias("_nl")))
+    tot = (lv.groupBy(*group_cols)
+           .agg(F.sum("_nl").alias("n"),
+                F.sum(F.col("_nl") * F.col("_nl")).alias("_snl2"))
+           .withColumn("jmax2", F.col("n") * F.col("n")
+                       - F.col("_snl2")))
+    nc = (cells.groupBy(*group_cols)
+          .agg(F.count(F.lit(1)).alias("n_cells")))
+    out = (tot.join(j, group_cols, "left").join(nc, group_cols)
+           .withColumn("j2", F.coalesce("j2", F.lit(0)).cast("long")))
+    effect = F.when(
+        F.col("jmax2") > 0,
+        (F.lit(2) * F.col("j2") - F.col("jmax2")).cast("double")
+        / F.col("jmax2").cast("double"))
+    return out.select(*group_cols, "n", "n_cells", "j2",
+                      F.col("jmax2").cast("long").alias("jmax2"),
+                      effect.alias("effect"))

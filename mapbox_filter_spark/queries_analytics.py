@@ -2281,3 +2281,123 @@ FROM u"""
 
 
 ANALYTICS_QUERIES["cliffs_delta"] = (q_cliffs_delta, sql_cliffs_delta)
+
+
+def q_wilcoxon_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired Wilcoxon signed-rank per market segment
+    (operators/rankstats.py wilcoxon_signed_rank): each customer's
+    1997 vs 1996 spend (exact cents) is one pair — did spend shift
+    within-customer, segment by segment?  Doubled tie-corrected ranks
+    keep w2p an exact long; rbc is the one pinned divide."""
+    from .operators.rankstats import wilcoxon_signed_rank
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    y = (o.filter(F.year("o_orderdate").isin(1996, 1997))
+         .groupBy(F.col("o_custkey").alias("ck"),
+                  F.year("o_orderdate").alias("yr"))
+         .agg(F.sum(_cents("o_totalprice")).alias("cents")))
+    a = y.filter(F.col("yr") == 1997).select("ck", F.col("cents")
+                                             .alias("a_c"))
+    b = y.filter(F.col("yr") == 1996).select("ck", F.col("cents")
+                                             .alias("b_c"))
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select(F.col("c_custkey").alias("ck"), "c_mktsegment")
+    pairs = a.join(b, "ck").join(F.broadcast(c), "ck")
+    return wilcoxon_signed_rank(pairs, ["c_mktsegment"], "a_c", "b_c")
+
+
+def sql_wilcoxon_pairs() -> str:
+    return f"""WITH y AS (
+  SELECT o_custkey AS ck, EXTRACT(YEAR FROM o_orderdate) AS yr,
+         CAST(SUM({_SQL_TOTAL_C}) AS BIGINT) AS cents
+  FROM orders
+  WHERE EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)
+  GROUP BY 1, 2),
+p AS (
+  SELECT a.ck, a.cents - b.cents AS d
+  FROM y a JOIN y b ON a.ck = b.ck AND a.yr = 1997 AND b.yr = 1996),
+d AS (
+  SELECT c.c_mktsegment, p.d
+  FROM p JOIN customer c ON c.c_custkey = p.ck),
+r AS (
+  SELECT c_mktsegment, d,
+         RANK() OVER (PARTITION BY c_mktsegment ORDER BY abs(d)) * 2
+           + COUNT(*) OVER (PARTITION BY c_mktsegment, abs(d)) - 1
+           AS r2
+  FROM d WHERE d <> 0),
+z AS (
+  SELECT c_mktsegment, COUNT(*) AS n_zero FROM d
+  WHERE d = 0 GROUP BY 1),
+a AS (
+  SELECT c_mktsegment, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END) AS BIGINT)
+           AS w2p
+  FROM r GROUP BY 1)
+SELECT a.c_mktsegment, a.n, COALESCE(z.n_zero, 0) AS n_zero, a.w2p,
+       CAST(2 * a.w2p - a.n * (a.n + 1) AS DOUBLE)
+         / CAST(a.n * (a.n + 1) AS DOUBLE) AS rbc
+FROM a LEFT JOIN z USING (c_mktsegment)"""
+
+
+ANALYTICS_QUERIES["wilcoxon_pairs"] = (q_wilcoxon_pairs,
+                                       sql_wilcoxon_pairs)
+
+
+_JT_BUCKET = 500_000  # $5,000 price buckets -> bounded ordinal cells
+
+
+def q_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered trend per order status
+    (operators/rankstats.py jonckheere_trend): do order totals trend
+    monotonically across the five priority levels?  Levels from the
+    priority digit, values bucketed to $5,000 cells (cents // 500000)
+    so the quadratic lives in cell space; j2/jmax2 exact longs."""
+    from .operators.rankstats import jonckheere_trend
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderstatus",
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("pri"),
+        F.floor(_cents("o_totalprice") / F.lit(_JT_BUCKET))
+        .cast("long").alias("bucket"))
+    return jonckheere_trend(o, ["o_orderstatus"], "pri", "bucket")
+
+
+def sql_jonckheere_trend() -> str:
+    return f"""WITH o AS (
+  SELECT o_orderstatus,
+         CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS l,
+         {_SQL_TOTAL_C} // {_JT_BUCKET} AS v
+  FROM orders),
+cells AS (
+  SELECT o_orderstatus, l, v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM o GROUP BY 1, 2, 3),
+pj AS (
+  SELECT a.o_orderstatus,
+         CAST(SUM(CASE WHEN a.v < b.v THEN 2 * a.c * b.c
+                       ELSE a.c * b.c END) AS BIGINT) AS j2
+  FROM cells a JOIN cells b
+    ON a.o_orderstatus = b.o_orderstatus
+   AND a.l < b.l AND a.v <= b.v
+  GROUP BY 1),
+lv AS (
+  SELECT o_orderstatus, l, CAST(SUM(c) AS BIGINT) AS nl
+  FROM cells GROUP BY 1, 2),
+tot AS (
+  SELECT o_orderstatus, CAST(SUM(nl) AS BIGINT) AS n,
+         CAST(SUM(nl) AS BIGINT) * CAST(SUM(nl) AS BIGINT)
+           - CAST(SUM(nl * nl) AS BIGINT) AS jmax2
+  FROM lv GROUP BY 1),
+nc AS (
+  SELECT o_orderstatus, COUNT(*) AS n_cells FROM cells GROUP BY 1)
+SELECT t.o_orderstatus, t.n, nc.n_cells,
+       COALESCE(pj.j2, 0) AS j2, t.jmax2,
+       CASE WHEN t.jmax2 > 0
+            THEN CAST(2 * COALESCE(pj.j2, 0) - t.jmax2 AS DOUBLE)
+                 / CAST(t.jmax2 AS DOUBLE) END AS effect
+FROM tot t
+JOIN nc USING (o_orderstatus)
+LEFT JOIN pj USING (o_orderstatus)"""
+
+
+ANALYTICS_QUERIES["jonckheere_trend"] = (q_jonckheere_trend,
+                                         sql_jonckheere_trend)

@@ -164,3 +164,141 @@ def test_mmr_errors(spark):
         mmr_rerank(cdf, sdf, 3)  # k > n
     with pytest.raises(ValueError):
         mmr_rerank(cdf, sdf, 2, lam_num=10, lam_den=10)
+
+
+# ---- wilcoxon_signed_rank ----
+
+def _wilcoxon_expected(pairs):
+    """pairs: list of (a, b). Returns (n, n_zero, w2p, rbc)."""
+    ds = [a - b for a, b in pairs]
+    nz = [d for d in ds if d != 0]
+    n, n_zero = len(nz), len(ds) - len(nz)
+    srt = sorted(range(n), key=lambda i: abs(nz[i]))
+    # average ranks on |d|, doubled
+    r2 = [0] * n
+    i = 0
+    while i < n:
+        j = i
+        while j < n and abs(nz[srt[j]]) == abs(nz[srt[i]]):
+            j += 1
+        for t in range(i, j):
+            r2[srt[t]] = (i + 1) + j  # 2*avg of ranks i+1..j
+        i = j
+    w2p = sum(r2[i] for i in range(n) if nz[i] > 0)
+    rbc = (2 * w2p - n * (n + 1)) / (n * (n + 1)) if n else None
+    return n, n_zero, w2p, rbc
+
+
+def test_wilcoxon_hand_case(spark):
+    from mapbox_filter_spark.operators.rankstats import \
+        wilcoxon_signed_rank
+    # diffs: +2, -1, +3, 0 -> |d| ranks: 1->1, 2->2, 3->3
+    # W+ = ranks of (+2, +3) = 2 + 3 = 5 -> w2p = 10
+    rows = [("g", 5, 3), ("g", 2, 3), ("g", 7, 4), ("g", 9, 9)]
+    df = spark.createDataFrame(rows, "g string, a long, b long")
+    r = wilcoxon_signed_rank(df, ["g"], "a", "b").collect()[0]
+    assert (r.n, r.n_zero, r.w2p) == (3, 1, 10)
+    assert r.rbc == pytest.approx(2 / 3)  # (2*w2p - n(n+1))/(n(n+1))
+    exp = _wilcoxon_expected([(5, 3), (2, 3), (7, 4), (9, 9)])
+    assert (r.n, r.n_zero, r.w2p, ) == exp[:3]
+    assert r.rbc == pytest.approx(exp[3])
+
+
+def test_wilcoxon_python_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.rankstats import \
+        wilcoxon_signed_rank
+    rng = random.Random(171)
+    rows = [("g1", rng.randrange(8), rng.randrange(8))
+            for _ in range(200)] + \
+           [("g2", rng.randrange(40), rng.randrange(40))
+            for _ in range(150)]
+    df = spark.createDataFrame(rows, "g string, a long, b long")
+    out = {r.g: r for r in
+           wilcoxon_signed_rank(df, ["g"], "a", "b").collect()}
+    for g in ("g1", "g2"):
+        exp = _wilcoxon_expected([(a, b) for gg, a, b in rows
+                                  if gg == g])
+        r = out[g]
+        assert (r.n, r.n_zero, r.w2p) == exp[:3]
+        assert r.rbc == pytest.approx(exp[3])
+
+
+def test_wilcoxon_all_zero_group_absent_nulls_dropped(spark):
+    from mapbox_filter_spark.operators.rankstats import \
+        wilcoxon_signed_rank
+    rows = [("z", 4, 4), ("z", 7, 7), ("k", 5, None), ("k", 6, 2)]
+    df = spark.createDataFrame(rows, "g string, a long, b long")
+    out = {r.g: r for r in
+           wilcoxon_signed_rank(df, ["g"], "a", "b").collect()}
+    assert "z" not in out          # all-zero group has no ranked rows
+    assert out["k"].n == 1 and out["k"].n_zero == 0  # null pair gone
+
+
+# ---- jonckheere_trend ----
+
+def _jt_expected(rows):
+    """rows: list of (level, value). Returns (n, j2, jmax2, effect)."""
+    n = len(rows)
+    j2 = 0
+    for l1, v1 in rows:
+        for l2, v2 in rows:
+            if l1 < l2:
+                if v1 < v2:
+                    j2 += 2
+                elif v1 == v2:
+                    j2 += 1
+    from collections import Counter
+    nl = Counter(l for l, _ in rows)
+    jmax2 = n * n - sum(c * c for c in nl.values())
+    eff = (2 * j2 - jmax2) / jmax2 if jmax2 else None
+    return n, j2, jmax2, eff
+
+
+def test_jonckheere_perfect_trend_and_reverse(spark):
+    from mapbox_filter_spark.operators.rankstats import \
+        jonckheere_trend
+    up = [("g", 1, 1), ("g", 1, 2), ("g", 2, 5), ("g", 2, 6),
+          ("g", 3, 9), ("g", 3, 10)]
+    df = spark.createDataFrame(up, "g string, l long, v long")
+    r = jonckheere_trend(df, ["g"], "l", "v").collect()[0]
+    assert r.effect == 1.0 and r.j2 == 2 * 12 and r.jmax2 == 24
+    down = [("g", l, -v) for g, l, v in up]
+    df2 = spark.createDataFrame(down, "g string, l long, v long")
+    r2 = jonckheere_trend(df2, ["g"], "l", "v").collect()[0]
+    assert r2.effect == -1.0 and r2.j2 == 0
+
+
+def test_jonckheere_python_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.rankstats import \
+        jonckheere_trend
+    rng = random.Random(172)
+    rows = [("g", rng.randrange(1, 5), rng.randrange(6) +
+             rng.randrange(1, 5)) for _ in range(400)]
+    df = spark.createDataFrame(rows, "g string, l long, v long")
+    r = jonckheere_trend(df, ["g"], "l", "v").collect()[0]
+    exp = _jt_expected([(l, v) for _, l, v in rows])
+    assert (r.n, r.j2, r.jmax2) == exp[:3]
+    assert r.effect == pytest.approx(exp[3])
+    assert r.n_cells == len({(l, v) for _, l, v in rows})
+
+
+def test_jonckheere_single_level_null_effect_and_cap(spark):
+    from mapbox_filter_spark.operators import rankstats
+    from mapbox_filter_spark.operators.rankstats import \
+        jonckheere_trend
+    one = spark.createDataFrame([("g", 2, 5), ("g", 2, 7)],
+                                "g string, l long, v long")
+    r = jonckheere_trend(one, ["g"], "l", "v").collect()[0]
+    assert r.effect is None and r.jmax2 == 0 and r.j2 == 0
+    big = spark.createDataFrame(
+        [("g", i % 7, i) for i in range(300)],
+        "g string, l long, v long")
+    old = rankstats._JT_MAX_CELLS
+    rankstats._JT_MAX_CELLS = 100
+    try:
+        with pytest.raises(ValueError, match="cell-join bound"):
+            jonckheere_trend(big, ["g"], "l", "v")
+    finally:
+        rankstats._JT_MAX_CELLS = old
