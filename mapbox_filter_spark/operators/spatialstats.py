@@ -38,7 +38,8 @@ from pyspark.sql import functions as F
 __all__ = ["morans_i", "getis_ord_gi", "local_moran",
            "mann_kendall_cells", "knox_pairs", "ripley_k", "gearys_c",
            "join_count_stats", "sd_ellipse", "clark_evans",
-           "quadrat_test", "rayleigh_test", "location_quotient"]
+           "quadrat_test", "rayleigh_test", "location_quotient",
+           "g_function", "dissimilarity_index"]
 
 _QUEEN = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
           if not (dx == 0 and dy == 0)]
@@ -992,3 +993,126 @@ def location_quotient(df: DataFrame, cell_cols: "list[str]",
         / (F.col("n_c") * F.col("n_k")).cast("double"))
     return out.select(*cell_cols, cat_col, "n_ck", "n_c", "n_k",
                       "n_tot", lq.alias("lq"))
+
+
+def g_function(pts: DataFrame, radii: "list[int]", *,
+               id_col: str = "i", x_col: str = "x",
+               y_col: str = "y") -> DataFrame:
+    """Diggle's G function (nearest-neighbour distance CDF) over a
+    radius ladder: Ĝ(r) = #{points whose NN distance ≤ r} / n — the
+    first-contact summary that pairs with ``ripley_k``'s second-moment
+    view and ``clark_evans``'s one-number index.  Clustered patterns
+    push Ĝ above the CSR curve G_csr(r) = 1 − exp(−λπr²) (λ = n/A on
+    the bounding-box frame); regular patterns sit below it.
+
+    Exactness: per-point NN d² comes from ONE eps-grid join bounded at
+    r_max (the clark_evans substrate); every ladder rung compares that
+    integer d² against the exact long r² — no √ anywhere in Ĝ, so
+    ``n_le`` and ``n_points`` value-hash; ``g_hat`` is one divide and
+    ``g_csr`` one pinned exp chain.  The r_max bound is EXACT for the
+    ladder (a point whose NN lies beyond r_max contributes to no rung).
+
+    Scale shape: one ×9-probe grid join + one min-per-point groupBy +
+    an in-row stack unpivot — the whole ladder costs one join, the
+    ripley_k discipline.
+
+    Returns one row per radius ``(r, n_le, n_points, area, g_hat,
+    g_csr)``.
+    """
+    rs = sorted(set(int(r) for r in radii))
+    if not rs or rs[0] <= 0:
+        raise ValueError("radii must be positive integers")
+    rmax = rs[-1]
+    from .cluster import grid_radius_join
+
+    p = (pts.select(F.col(id_col).alias("i"),
+                    F.col(x_col).cast("long").alias("x"),
+                    F.col(y_col).cast("long").alias("y"))
+         .localCheckpoint(eager=False))
+    c = p.select(F.col("i").alias("j"), "x", "y")
+    nn = (grid_radius_join(p, c, rmax, query_id="i",
+                           corpus_id="j", x="x", y="y")
+          .filter(F.col("i") != F.col("j"))
+          .groupBy("i").agg(F.min("d2").alias("nn_d2")))
+    cnt = nn.agg(*[
+        F.coalesce(F.sum(F.when(F.col("nn_d2") <= r * r, 1)
+                         .otherwise(0)), F.lit(0))
+        .cast("long").alias(f"_c{r}") for r in rs])
+    stats = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        ((F.max("x") - F.min("x"))
+         * (F.max("y") - F.min("y"))).cast("long").alias("area"))
+    stack = F.expr("stack({}, {})".format(
+        len(rs), ", ".join(f"bigint({r}), _c{r}" for r in rs))) \
+        .alias("r", "n_le")
+    lam = F.col("n_points").cast("double") / F.col("area").cast("double")
+    pi = F.lit(3.141592653589793)
+    g_csr = (F.lit(1.0)
+             - F.exp(-(lam * pi * (F.col("r") * F.col("r"))
+                       .cast("double"))))
+    return (stats.crossJoin(cnt)
+            .select("n_points", "area", stack)
+            .select("r", "n_le", "n_points", "area",
+                    F.when(F.col("n_points") > 0,
+                           F.col("n_le").cast("double")
+                           / F.col("n_points").cast("double"))
+                    .alias("g_hat"),
+                    F.when(F.col("area") > 0, g_csr).alias("g_csr")))
+
+
+def dissimilarity_index(df: DataFrame, cell_cols: "list[str]",
+                        flag_col: str) -> DataFrame:
+    """Duncan & Duncan (1955) dissimilarity index between two
+    populations over spatial cells: D = ½ Σ_i |a_i/A − b_i/B| — the
+    share of either population that would have to relocate for the
+    two distributions to match (0 = identical layout, 1 = total
+    segregation).  The evenness summary that ``location_quotient``
+    reads cell-by-cell, collapsed to one number.
+
+    Exactness: with per-cell counts a_i, b_i and totals A, B (all
+    exact longs from one groupBy),
+
+        D = Σ_i |a_i·B − b_i·A|  /  (2·A·B)
+
+    keeps the numerator ``d_num`` an exact long — value-hashable —
+    and D one pinned divide.  |a_i·B − b_i·A| ≤ 2·A·B needs A·B <
+    2⁶² : enforced in-plan with raise_error (A, B each < 2³¹ covers
+    any single-frame census this engine would run; shard bigger
+    populations by region first).
+
+    Scale shape: one map-side-combinable groupBy to cells + one
+    single-row fold — no joins, no windows.
+
+    Returns a single row ``(n_cells, n_a, n_b, d_num, d_index)``;
+    ``d_index`` NULL when either population is empty.
+    """
+    f = F.col(flag_col).cast("boolean")
+    cells = (df.filter(f.isNotNull())
+             .groupBy(*cell_cols)
+             .agg(F.sum(F.when(f, 1).otherwise(0)).alias("_a"),
+                  F.sum(F.when(~f, 1).otherwise(0)).alias("_b")))
+    tot = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("_a").cast("long").alias("n_a"),
+        F.sum("_b").cast("long").alias("n_b"))
+    num = (cells.crossJoin(F.broadcast(tot))
+           .select(
+               "n_cells", "n_a", "n_b",
+               F.abs(F.col("_a") * F.col("n_b")
+                     - F.col("_b") * F.col("n_a")).alias("_t"))
+           .groupBy("n_cells", "n_a", "n_b")
+           .agg(F.sum("_t").cast("long").alias("d_num")))
+    lim = F.lit(2_147_483_648)  # 2^31
+    guard = F.when(
+        (F.col("n_a") >= lim) | (F.col("n_b") >= lim),
+        F.raise_error(F.lit(
+            "dissimilarity_index: population exceeds the exact-int64 "
+            "bound (2^31 rows per class) — shard by region first"))
+        .cast("double"))
+    d = guard.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.col("d_num").cast("double")
+        / (F.lit(2.0) * F.col("n_a").cast("double")
+           * F.col("n_b").cast("double")))
+    return num.select("n_cells", "n_a", "n_b", "d_num",
+                      d.alias("d_index"))

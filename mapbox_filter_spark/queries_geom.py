@@ -4544,3 +4544,118 @@ FROM wc JOIN kt USING (layer) CROSS JOIN tot"""
 
 GEOM_QUERIES["location_quotient"] = (q_location_quotient,
                                      sql_location_quotient)
+
+
+_GF_RADII = [256, 512, 1024, 2048]     # NN-distance CDF ladder
+
+
+def q_g_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diggle G function over the clark_evans 500-point sample
+    (operators/spatialstats.py g_function): NN-distance CDF rungs as
+    exact integer d-squared-vs-r-squared counts from ONE r_max grid
+    join — first-contact clustering beside ripley_k's second moment;
+    g_csr is the one pinned exp chain."""
+    from .operators.spatialstats import g_function
+    from .operators.trajectory import random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = (random_walk_positions(ev, jump=_TRAJ_JUMP)
+           .filter(F.pmod(F.col("event_id"), F.lit(_CE_QMOD)) == 0)
+           .select(F.col("event_id").alias("i"), "x", "y"))
+    return g_function(pts, _GF_RADII)
+
+
+def sql_g_function() -> str:
+    rmax = max(_GF_RADII)
+    rungs = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS r" for r in _GF_RADII)
+    return f"""WITH {_sql_walk_pos()},
+p AS MATERIALIZED (SELECT event_id AS i, x, y FROM pos
+                   WHERE event_id % {_CE_QMOD} = 0),
+nn AS (SELECT a.i,
+              MIN((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) AS nn_d2
+       FROM p a JOIN p b ON a.i <> b.i
+        AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= {rmax * rmax}
+       GROUP BY a.i),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+               CAST((MAX(x)-MIN(x))*(MAX(y)-MIN(y)) AS BIGINT) AS area
+        FROM p),
+rung AS ({rungs}),
+cnt AS (
+  SELECT rung.r,
+         CAST(COALESCE(SUM(CASE WHEN nn.nn_d2 <= rung.r * rung.r
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_le
+  FROM rung LEFT JOIN nn ON TRUE GROUP BY rung.r)
+SELECT c.r, c.n_le, t.n_points, t.area,
+       CASE WHEN t.n_points > 0
+            THEN CAST(c.n_le AS DOUBLE) / CAST(t.n_points AS DOUBLE)
+            END AS g_hat,
+       CASE WHEN t.area > 0 THEN
+         1.0 - exp(-((CAST(t.n_points AS DOUBLE)
+                      / CAST(t.area AS DOUBLE))
+                     * 3.141592653589793
+                     * CAST(c.r * c.r AS DOUBLE)))
+       END AS g_csr
+FROM cnt c CROSS JOIN tot t"""
+
+
+GEOM_QUERIES["g_function"] = (q_g_function, sql_g_function)
+
+
+_DI_CELL = 8192            # dissimilarity census cell (micro-degrees)
+
+
+def q_dissimilarity_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duncan dissimilarity D between click and purchase events over
+    the walk grid (operators/spatialstats.py dissimilarity_index):
+    how unevenly the two event populations occupy space — exact long
+    numerator sum |a_i*B - b_i*A|, one pinned divide, one groupBy and
+    one single-row fold (no joins in row space)."""
+    from .operators.spatialstats import dissimilarity_index
+    from .operators.trajectory import random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    pts = (pos.join(ev.select("event_id", "event_type"), "event_id")
+           .filter(F.col("event_type").isin("click", "purchase"))
+           .select(
+               F.floor(F.col("x") / F.lit(float(_DI_CELL)))
+               .cast("long").alias("cx"),
+               F.floor(F.col("y") / F.lit(float(_DI_CELL)))
+               .cast("long").alias("cy"),
+               (F.col("event_type") == "click").alias("is_click")))
+    return dissimilarity_index(pts, ["cx", "cy"], "is_click")
+
+
+def sql_dissimilarity_index() -> str:
+    c = _DI_CELL
+    return f"""WITH {_sql_walk_pos()},
+pts AS (
+  SELECT CAST(floor(pos.x / {c}.0) AS BIGINT) AS cx,
+         CAST(floor(pos.y / {c}.0) AS BIGINT) AS cy,
+         (e.event_type = 'click') AS f
+  FROM pos JOIN events e USING (event_id)
+  WHERE e.event_type IN ('click', 'purchase')),
+cells AS (
+  SELECT cx, cy,
+         CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN NOT f THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM pts GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(SUM(a) AS BIGINT) AS n_a,
+         CAST(SUM(b) AS BIGINT) AS n_b
+  FROM cells)
+SELECT t.n_cells, t.n_a, t.n_b,
+       CAST(SUM(ABS(c2.a * t.n_b - c2.b * t.n_a)) AS BIGINT) AS d_num,
+       CASE WHEN t.n_a > 0 AND t.n_b > 0 THEN
+         CAST(SUM(ABS(c2.a * t.n_b - c2.b * t.n_a)) AS DOUBLE)
+           / (2.0 * CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE))
+       END AS d_index
+FROM cells c2 CROSS JOIN tot t
+GROUP BY t.n_cells, t.n_a, t.n_b"""
+
+
+GEOM_QUERIES["dissimilarity_index"] = (q_dissimilarity_index,
+                                       sql_dissimilarity_index)

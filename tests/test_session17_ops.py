@@ -302,3 +302,109 @@ def test_jonckheere_single_level_null_effect_and_cap(spark):
             jonckheere_trend(big, ["g"], "l", "v")
     finally:
         rankstats._JT_MAX_CELLS = old
+
+
+# ---- g_function ----
+
+def test_g_function_hand_case(spark):
+    import math as m
+    from mapbox_filter_spark.operators.spatialstats import g_function
+    # 4 points: NN distances 1, 1, 3, 3 (squared: 1, 1, 9, 9)
+    pts = spark.createDataFrame(
+        [(1, 0, 0), (2, 1, 0), (3, 10, 0), (4, 13, 0)],
+        "i long, x long, y long")
+    out = {r.r: r for r in g_function(pts, [1, 2, 3]).collect()}
+    assert [out[r].n_le for r in (1, 2, 3)] == [2, 2, 4]
+    assert out[1].g_hat == 0.5 and out[3].g_hat == 1.0
+    # theoretical CSR curve: bbox area 13*0 = 0 -> g_csr NULL
+    assert out[1].g_csr is None
+    pts2 = spark.createDataFrame(
+        [(1, 0, 0), (2, 1, 1), (3, 10, 4), (4, 13, 9)],
+        "i long, x long, y long")
+    r1 = {r.r: r for r in g_function(pts2, [5]).collect()}[5]
+    lam = 4 / (13 * 9)
+    assert r1.g_csr == pytest.approx(1 - m.exp(-lam * m.pi * 25))
+
+
+def test_g_function_python_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.spatialstats import g_function
+    rng = random.Random(173)
+    pts = [(i, rng.randrange(-50, 50), rng.randrange(-50, 50))
+           for i in range(120)]
+    df = spark.createDataFrame(pts, "i long, x long, y long")
+    radii = [3, 7, 15, 40]
+    out = {r.r: r.n_le for r in g_function(df, radii).collect()}
+    nn = {}
+    for i, x1, y1 in pts:
+        best = None
+        for j, x2, y2 in pts:
+            if i != j:
+                d2 = (x1 - x2) ** 2 + (y1 - y2) ** 2
+                best = d2 if best is None else min(best, d2)
+        nn[i] = best
+    for r in radii:
+        assert out[r] == sum(1 for d2 in nn.values() if d2 <= r * r)
+
+
+def test_g_function_monotone_and_errors(spark):
+    from mapbox_filter_spark.operators.spatialstats import g_function
+    df = spark.createDataFrame([(1, 0, 0), (2, 5, 5)],
+                               "i long, x long, y long")
+    rows = sorted(g_function(df, [2, 8, 16]).collect(),
+                  key=lambda r: r.r)
+    assert [r.n_le for r in rows] == sorted(r.n_le for r in rows)
+    with pytest.raises(ValueError):
+        g_function(df, [])
+    with pytest.raises(ValueError):
+        g_function(df, [0, 5])
+
+
+# ---- dissimilarity_index ----
+
+def _d_expected(rows):
+    """rows: (cell, flag). Returns (n_cells, n_a, n_b, d_num, d)."""
+    from collections import defaultdict
+    a, b = defaultdict(int), defaultdict(int)
+    for cell, f in rows:
+        (a if f else b)[cell] += 1
+    cells = set(a) | set(b)
+    na, nb = sum(a.values()), sum(b.values())
+    d_num = sum(abs(a[c] * nb - b[c] * na) for c in cells)
+    d = d_num / (2 * na * nb) if na and nb else None
+    return len(cells), na, nb, d_num, d
+
+
+def test_dissimilarity_extremes(spark):
+    from mapbox_filter_spark.operators.spatialstats import \
+        dissimilarity_index
+    # total segregation -> D = 1
+    rows = [(0, 0, True)] * 3 + [(5, 5, False)] * 4
+    df = spark.createDataFrame(
+        [(x, y, f) for x, y, f in rows], "cx long, cy long, f boolean")
+    r = dissimilarity_index(df, ["cx", "cy"], "f").collect()[0]
+    assert r.d_index == 1.0 and (r.n_a, r.n_b) == (3, 4)
+    # identical layout -> D = 0
+    rows2 = [(0, 0, True), (0, 0, False), (1, 1, True), (1, 1, False)]
+    df2 = spark.createDataFrame(rows2, "cx long, cy long, f boolean")
+    r2 = dissimilarity_index(df2, ["cx", "cy"], "f").collect()[0]
+    assert r2.d_index == 0.0 and r2.d_num == 0
+    # one empty population -> NULL
+    df3 = spark.createDataFrame([(0, 0, True)],
+                                "cx long, cy long, f boolean")
+    r3 = dissimilarity_index(df3, ["cx", "cy"], "f").collect()[0]
+    assert r3.d_index is None
+
+
+def test_dissimilarity_python_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.spatialstats import \
+        dissimilarity_index
+    rng = random.Random(174)
+    rows = [(rng.randrange(6), rng.random() < 0.4) for _ in range(500)]
+    df = spark.createDataFrame([(c, 0, f) for c, f in rows],
+                               "cx long, cy long, f boolean")
+    r = dissimilarity_index(df, ["cx", "cy"], "f").collect()[0]
+    exp = _d_expected(rows)
+    assert (r.n_cells, r.n_a, r.n_b, r.d_num) == exp[:4]
+    assert r.d_index == pytest.approx(exp[4])
