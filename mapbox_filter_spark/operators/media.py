@@ -538,3 +538,75 @@ def geo_span_path(docs: DataFrame, spans_col: str = "spans",
                 * F.lit(float(scale))).cast("long")
         .alias("net_disp_micro"),
         "bbox_area")
+
+
+def span_lcs(pairs: DataFrame, *, a_col: str = "sa", b_col: str = "sb",
+             id_cols: "tuple[str, ...]" = ("doc_id",),
+             max_len: int = 64) -> DataFrame:
+    """Longest-common-subsequence diff between two span-signature
+    sequences per row — the version-diff primitive for interleaved
+    documents: given the ordered span signatures of document version A
+    and version B, ``lcs`` counts the spans retained IN ORDER and
+
+        sim = 2·lcs / (len_a + len_b)
+
+    is the difflib-style similarity ratio (1 = identical sequence,
+    0 = nothing shared).  Where ``dedup_ngram_jaccard`` measures SET
+    overlap, this honors the BASELINE input_hint's span-sequence
+    invariant: a reordered document scores lower than a truncated one.
+
+    Recurrence L[i][j] = L[i−1][j−1]+1 on signature equality else
+    max(L[i−1][j], L[i][j−1]) — exact integers via the same nested
+    in-row HOF fold as lcss_pairs/dtw_pairs (trajectory.py), evaluated
+    entirely JVM-side per row: no shuffle, no Python.  Rows are
+    independent, so the operator scales linearly with the pair count;
+    the per-row cost is len_a·len_b, bounded in-plan by ``max_len``
+    per side (raise_error, never a silent truncation).
+
+    ``pairs`` carries ``id_cols`` plus two array<string> columns.
+    Returns ``(*id_cols, len_a, len_b, lcs, sim)``; empty sequences
+    yield lcs = 0 (and sim uses the 0-guarded denominator).
+    """
+    sa, sb = F.col(a_col), F.col(b_col)
+    na, nb = F.size(sa), F.size(sb)
+
+    def match(i, j):
+        return F.element_at(sa, i) == F.element_at(sb, j)
+
+    empty = F.array().cast("array<long>")
+    zero = F.lit(0).cast("long")
+    row1 = F.aggregate(
+        F.sequence(F.lit(1), nb), empty,
+        lambda acc, j: F.concat(acc, F.array(
+            F.greatest(
+                F.when(match(F.lit(1), j), F.lit(1).cast("long"))
+                .otherwise(zero),
+                F.when(j == 1, zero)
+                .otherwise(F.element_at(acc, j - 1))))))
+    outer_idx = F.when(na >= 2, F.sequence(F.lit(2), na)) \
+        .otherwise(F.array().cast("array<int>"))
+    final = F.aggregate(
+        outer_idx, row1,
+        lambda prev, i: F.aggregate(
+            F.sequence(F.lit(1), nb), empty,
+            lambda acc, j: F.concat(acc, F.array(
+                F.when(match(i, j),
+                       F.when(j == 1, zero)
+                       .otherwise(F.element_at(prev, j - 1)) + 1)
+                .otherwise(F.greatest(
+                    F.element_at(prev, j),
+                    F.when(j == 1, zero)
+                    .otherwise(F.element_at(acc, j - 1))))))))
+    guard = F.when(
+        (na > max_len) | (nb > max_len),
+        F.raise_error(F.concat(
+            F.lit(f"span_lcs: sequence exceeds max_len={max_len}: "),
+            F.greatest(na, nb).cast("string"))).cast("long"))
+    lcs = guard.when((na > 0) & (nb > 0), F.element_at(final, nb)) \
+        .otherwise(zero)
+    out = pairs.select(*id_cols, na.alias("len_a"), nb.alias("len_b"),
+                       lcs.alias("lcs"))
+    den = (F.col("len_a") + F.col("len_b"))
+    return out.withColumn(
+        "sim", F.when(den > 0, (F.lit(2) * F.col("lcs")).cast("double")
+                      / den.cast("double")))

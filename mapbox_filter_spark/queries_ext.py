@@ -2673,3 +2673,108 @@ FROM agg"""
 
 
 EXT_QUERIES["span_geo_path"] = (q_span_geo_path, sql_span_geo_path)
+
+
+def q_span_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-diff over interleaved span documents
+    (operators/media.py span_lcs): version B of every document drops
+    the spans whose local hash % 4 == 0 and edits those with
+    hash % 5 == 0, and the LCS similarity 2L/(la+lb) measures what
+    survived IN ORDER — the span-sequence invariant as a diff metric,
+    evaluated as one in-row HOF DP (no shuffle, no Python)."""
+    from .operators.media import span_lcs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = interleaved_spans(docs)
+
+    def h(s):
+        return (F.col("doc_id") * 31
+                + s["offset"].cast("long") * 7)
+
+    def raw_sig(s):
+        return F.concat_ws(
+            ":", s["kind"], F.coalesce(s["text"], F.lit("~")),
+            F.coalesce(s["media_ref"], F.lit("~")))
+
+    def b_sig(s):
+        return F.when(h(s) % 5 == 0,
+                      F.concat(F.lit("EDIT:"), h(s).cast("string"))) \
+            .otherwise(raw_sig(s))
+
+    prep = base.select(
+        "doc_id",
+        F.transform(F.col("spans"), raw_sig).alias("sa"),
+        F.transform(F.filter(F.col("spans"), lambda s: h(s) % 4 != 0),
+                    b_sig).alias("sb"))
+    return span_lcs(prep, max_len=8)
+
+
+def sql_span_diff() -> str:
+    mm = 6  # interleaved_spans caps n_spans at 6
+    sig = ("kind || ':' || COALESCE(text, '~') || ':' "
+           "|| COALESCE(media_ref, '~')")
+    mcols = ",\n         ".join(
+        f"COALESCE(MAX(CASE WHEN j = {j} THEN m END), 0) AS m{j}"
+        for j in range(1, mm + 1))
+    ctes = [f"""asig AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS i,
+         {sig} AS sig
+  FROM fields),
+bsig AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS j,
+         CASE WHEN (doc_id * 31 + i * 7) % 5 = 0
+              THEN 'EDIT:' || CAST(doc_id * 31 + i * 7 AS VARCHAR)
+              ELSE {sig} END AS sig
+  FROM fields WHERE (doc_id * 31 + i * 7) % 4 <> 0),
+la AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS len_a
+       FROM asig GROUP BY 1),
+lb AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS len_b
+       FROM bsig GROUP BY 1),
+m AS (
+  SELECT a.doc_id, a.i, b.j,
+         CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END AS m
+  FROM asig a JOIN bsig b USING (doc_id)),
+cw AS MATERIALIZED (
+  SELECT doc_id, i,
+         {mcols}
+  FROM m GROUP BY 1, 2)"""]
+    row1 = ["CAST(m1 AS BIGINT) AS g1"]
+    for j in range(2, mm + 1):
+        row1.append(f"GREATEST(CAST(m{j} AS BIGINT), g{j - 1}) AS g{j}")
+    ctes.append("f1 AS MATERIALIZED (\n  SELECT doc_id, "
+                + ",\n         ".join(row1)
+                + "\n  FROM cw WHERE i = 1)")
+    for i in range(2, mm + 1):
+        exprs = ["CASE WHEN w.m1 = 1 THEN 1 ELSE p.g1 END AS t1"]
+        for j in range(2, mm + 1):
+            exprs.append(
+                f"CASE WHEN w.m{j} = 1 THEN p.g{j - 1} + 1 "
+                f"ELSE GREATEST(p.g{j}, t{j - 1}) END AS t{j}")
+        body = ",\n           ".join(exprs)
+        outer = ", ".join(f"t{j} AS g{j}" for j in range(1, mm + 1))
+        ctes.append(f"""f{i} AS MATERIALIZED (
+  SELECT doc_id, {outer} FROM (
+    SELECT w.doc_id AS doc_id, {body}
+    FROM cw w JOIN f{i - 1} p ON p.doc_id = w.doc_id
+    WHERE w.i = {i}))""")
+    allf = "\nUNION ALL\n".join(
+        f"SELECT {i} AS i, * FROM f{i}" for i in range(1, mm + 1))
+    ctes.append(f"allf AS ({allf})")
+    pick = " ".join(f"WHEN {j} THEN f.g{j}" for j in range(1, mm + 1))
+    return (f"WITH {span_fields_sql()},\n" + ",\n".join(ctes) + f"""
+SELECT doc_id, len_a, len_b, lcs,
+       CASE WHEN len_a + len_b > 0
+            THEN CAST(2 * lcs AS DOUBLE)
+                 / CAST(len_a + len_b AS DOUBLE) END AS sim
+FROM (
+  SELECT la.doc_id, la.len_a, COALESCE(lb.len_b, 0) AS len_b,
+         CAST(COALESCE(CASE COALESCE(lb.len_b, 0) {pick} END, 0)
+              AS BIGINT) AS lcs
+  FROM la
+  LEFT JOIN lb USING (doc_id)
+  LEFT JOIN allf f ON f.doc_id = la.doc_id AND f.i = la.len_a)""")
+
+
+EXT_QUERIES["span_diff"] = (q_span_diff, sql_span_diff)

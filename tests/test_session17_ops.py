@@ -408,3 +408,78 @@ def test_dissimilarity_python_differential(spark):
     exp = _d_expected(rows)
     assert (r.n_cells, r.n_a, r.n_b, r.d_num) == exp[:4]
     assert r.d_index == pytest.approx(exp[4])
+
+
+# ---- span_lcs ----
+
+def _lcs_brute(a, b):
+    n, m = len(a), len(b)
+    L = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            L[i][j] = (L[i - 1][j - 1] + 1 if a[i - 1] == b[j - 1]
+                       else max(L[i - 1][j], L[i][j - 1]))
+    return L[n][m]
+
+
+def _run_lcs(spark, cases):
+    from mapbox_filter_spark.operators.media import span_lcs
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sa", T.ArrayType(T.StringType())),
+        T.StructField("sb", T.ArrayType(T.StringType()))])
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(cases)], schema)
+    return {r.doc_id: r for r in span_lcs(df).collect()}
+
+
+def test_span_lcs_hand_cases(spark):
+    out = _run_lcs(spark, [
+        (list("ABCBDAB"), list("BDCABA")),   # classic: LCS = 4 (BCBA)
+        (list("AGGTAB"), list("GXTXAYB")),   # classic: LCS = 4 (GTAB)
+        (list("ABC"), list("ABC")),          # identical
+        (list("ABC"), list("CBA")),          # reversal -> 1
+        (list("ABC"), []),                   # empty B
+        ([], []),                            # both empty
+    ])
+    assert out[0].lcs == 4 and out[1].lcs == 4
+    assert out[2].lcs == 3 and out[2].sim == 1.0
+    assert out[3].lcs == 1                   # order matters vs set overlap
+    assert out[4].lcs == 0 and out[4].sim == 0.0
+    assert out[5].lcs == 0 and out[5].sim is None
+
+
+def test_span_lcs_python_differential(spark):
+    import random
+    rng = random.Random(175)
+    cases = []
+    for _ in range(60):
+        la, lb = rng.randrange(0, 9), rng.randrange(0, 9)
+        a = [rng.choice("xyzw") for _ in range(la)]
+        b = [rng.choice("xyzw") for _ in range(lb)]
+        cases.append((a, b))
+    out = _run_lcs(spark, cases)
+    for i, (a, b) in enumerate(cases):
+        r = out[i]
+        assert (r.len_a, r.len_b, r.lcs) == (len(a), len(b),
+                                             _lcs_brute(a, b)), (a, b)
+        exp_sim = (2 * _lcs_brute(a, b) / (len(a) + len(b))
+                   if (a or b) else None)
+        if exp_sim is None:
+            assert r.sim is None
+        else:
+            assert r.sim == pytest.approx(exp_sim)
+
+
+def test_span_lcs_max_len_guard(spark):
+    from mapbox_filter_spark.operators.media import span_lcs
+    from pyspark.sql import types as T
+    import pyspark.errors
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sa", T.ArrayType(T.StringType())),
+        T.StructField("sb", T.ArrayType(T.StringType()))])
+    df = spark.createDataFrame([(1, ["a"] * 9, ["a"] * 2)], schema)
+    with pytest.raises(Exception, match="max_len"):
+        span_lcs(df, max_len=8).collect()
