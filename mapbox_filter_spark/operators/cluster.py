@@ -56,7 +56,7 @@ from .graph import connected_components
 
 __all__ = ["dbscan", "geofence_flag", "grid_knn_join", "kmeans_integer",
            "grid_neighbor_pairs", "grid_radius_join",
-           "centroid_silhouette", "huff_shares"]
+           "centroid_silhouette", "huff_shares", "proximity_graph"]
 
 
 def _ring_offsets():
@@ -932,3 +932,75 @@ def huff_shares(consumers: DataFrame, stores: DataFrame, *,
                            F.col("t").cast("double")
                            / F.col("share_den").cast("double"))
                     .alias("share")))
+
+
+def proximity_graph(pts: DataFrame, rmax: int, *,
+                    id_col: str = "i", x_col: str = "x",
+                    y_col: str = "y") -> DataFrame:
+    """Gabriel graph and relative-neighbourhood graph (RNG) edge flags
+    over every point pair within ``rmax`` — the classic
+    proximity-graph ladder (Gabriel & Sokal 1969; Toussaint, Pattern
+    Recognition 1980) between the Delaunay triangulation and the MST:
+
+        MST ⊆ RNG ⊆ Gabriel ⊆ Delaunay.
+
+    An edge (a, b) is *Gabriel* iff no third point lies strictly inside
+    the circle with diameter ab — by Thales, iff no witness w has
+    d²(a,w) + d²(w,b) < d²(a,b).  It is *RNG* iff no witness lies
+    strictly inside the lune — max(d²(a,w), d²(w,b)) < d²(a,b).  Both
+    predicates are pure integer comparisons on squared distances, so
+    the flags value-hash.  The Gabriel witness condition implies the
+    RNG one, hence ``is_rng ⇒ is_gabriel`` row-wise.  Coincident pairs
+    (d² = 0) admit no strict witness and stay connected in both graphs.
+
+    ``rmax`` bounds the edge set (pairs beyond rmax are not emitted —
+    the standard windowed construction; a witness for ANY candidate
+    pair satisfies d(a,w) < d(a,b) ≤ rmax, so the bound loses no
+    witness, only long edges).
+
+    Scale shape: TWO eps-grid radius joins (the dbscan candidate
+    discipline — query side ×9 on cell keys, ids+coords only) plus
+    three id equi-joins and one max-flag groupBy.  The witness stage is
+    |pairs| × cell-occupancy — the same quadratic hot-cell hazard
+    colocation_pairs documents: cap dense cells or shrink rmax before
+    running city-scale point dumps through it.
+
+    Returns ``(i, j, d2, is_gabriel, is_rng)`` with i < j.
+    """
+    p = (pts.select(F.col(id_col).cast("long").alias("i"),
+                    F.col(x_col).cast("long").alias("x"),
+                    F.col(y_col).cast("long").alias("y"))
+         .localCheckpoint(eager=False))
+    c = p.select(F.col("i").alias("j"), "x", "y")
+    pr = (grid_radius_join(p, c, rmax, query_id="i", corpus_id="j")
+          .filter(F.col("i") < F.col("j")))
+    pa = p.select("i", F.col("x").alias("ax"), F.col("y").alias("ay"))
+    pb = p.select(F.col("i").alias("j"), F.col("x").alias("bx"),
+                  F.col("y").alias("by"))
+    pairs = (pr.join(pa, "i").join(pb, "j")
+             .withColumn("pk", F.concat_ws("_", "i", "j"))
+             .localCheckpoint(eager=False))
+    q = pairs.select("pk", F.col("ax").alias("x"), F.col("ay").alias("y"))
+    wit = (grid_radius_join(q, p.select(F.col("i").alias("w"), "x", "y"),
+                            rmax, query_id="pk", corpus_id="w")
+           .withColumnRenamed("d2", "d2aw"))
+    wc = p.select(F.col("i").alias("w"), F.col("x").alias("wx"),
+                  F.col("y").alias("wy"))
+    d2bw = ((F.col("bx") - F.col("wx")) * (F.col("bx") - F.col("wx"))
+            + (F.col("by") - F.col("wy")) * (F.col("by") - F.col("wy")))
+    j = (wit.join(wc, "w")
+         .join(pairs.select("pk", "i", "j", "bx", "by",
+                            F.col("d2").alias("d2ab")), "pk")
+         .filter((F.col("w") != F.col("i")) & (F.col("w") != F.col("j")))
+         .withColumn("d2bw", d2bw))
+    flags = (j.groupBy("pk").agg(
+        F.max((F.col("d2aw") + F.col("d2bw")) < F.col("d2ab"))
+        .alias("_hg"),
+        F.max(F.greatest(F.col("d2aw"), F.col("d2bw")) < F.col("d2ab"))
+        .alias("_hr")))
+    return (pairs.join(flags, "pk", "left")
+            .select("i", "j", "d2",
+                    (~F.coalesce(F.col("_hg"), F.lit(False)))
+                    .alias("is_gabriel"),
+                    (~F.coalesce(F.col("_hr"), F.lit(False)))
+                    .alias("is_rng")))

@@ -338,3 +338,82 @@ def morphology_close(cells: DataFrame, x_col: str = "cx",
             .select("x", "y",
                     F.when(F.col("_orig").isNull(), 1).otherwise(0)
                     .alias("was_filled")))
+
+
+def line_rasterize(segs: DataFrame, cell: int, *,
+                   id_cols: "Sequence[str]" = ("seg_id",),
+                   x0: str = "x0", y0: str = "y0",
+                   x1: str = "x1", y1: str = "y1",
+                   max_cells: int = 4096) -> DataFrame:
+    """Supercover segment rasterization: EVERY grid cell whose closed
+    ``cell × cell`` square intersects the closed segment — the exact
+    vector→raster primitive behind line-feature tiling (which tiles
+    does this road cross?), corridor screening, and trajectory heatmap
+    densification (point rasterization undercounts fast movers; the
+    supercover never skips a crossed cell, unlike 4/8-connected
+    Bresenham).
+
+    Exactness — pure integer separating-axis test, no floats anywhere:
+    the candidate set is the segment's CLOSED cell-bbox — low side
+    ``floor_div(min−1, cell)`` so a segment lying exactly on a cell
+    boundary also reaches the touching row/column on the other side
+    (closed-interval overlap, not half-open binning) — which satisfies
+    the two box axes by construction, and a candidate survives iff the
+    four cell corners are NOT strictly on one side of the segment's
+    supporting line: sign of f(p) = Δx·(py−y0) − Δy·(px−x0).  Box axes
+    + segment normal are the complete 2-D SAT axis set for box vs
+    segment, so the test is exact for closed sets — boundary touches
+    (segment through a corner, along an edge) are IN.  Zero-length
+    segments degrade to the point's covering cell(s) (up to 4 on a
+    corner) because f ≡ 0.  Overflow-safe while |Δ|·(bbox extent +
+    2·cell) < 2⁶³ — micro-degree jumps are ~10 orders inside.
+
+    Scale shape: two bounded explodes (cell-bbox rows) and NOTHING
+    else — no join, no shuffle; the downstream per-cell count is one
+    map-side-combinable groupBy.  The explode factor is
+    O((len/cell + 2)²), guarded in-plan: a segment whose cell-bbox
+    exceeds ``max_cells`` raises rather than detonating a task
+    (split long segments upstream, the MVT clipping discipline).
+
+    Returns ``(*id_cols, cx, cy)`` — one row per (segment, covered
+    cell).
+    """
+    if cell < 1:
+        raise ValueError("cell must be a positive integer")
+    ids = list(id_cols)
+    s = segs.select(*ids,
+                    F.col(x0).cast("long").alias("_x0"),
+                    F.col(y0).cast("long").alias("_y0"),
+                    F.col(x1).cast("long").alias("_x1"),
+                    F.col(y1).cast("long").alias("_y1"))
+    cl = F.lit(cell).cast("long")
+    cxmin = _fdiv(F.least("_x0", "_x1") - 1, cl)
+    cxmax = _fdiv(F.greatest("_x0", "_x1"), cl)
+    cymin = _fdiv(F.least("_y0", "_y1") - 1, cl)
+    cymax = _fdiv(F.greatest("_y0", "_y1"), cl)
+    n_cand = (cxmax - cxmin + 1) * (cymax - cymin + 1)
+    guard = F.when(
+        n_cand > max_cells,
+        F.raise_error(F.lit(
+            "line_rasterize: segment cell-bbox exceeds max_cells "
+            f"({max_cells}) — split long segments upstream"))
+        .cast("long")).otherwise(cxmax)
+    s = (s.withColumn("_cxmin", cxmin).withColumn("_cxmax", guard)
+         .withColumn("_cymin", cymin).withColumn("_cymax", cymax)
+         .withColumn("cx", F.explode(F.sequence("_cxmin", "_cxmax")))
+         .withColumn("cy", F.explode(F.sequence("_cymin", "_cymax"))))
+    dx = F.col("_x1") - F.col("_x0")
+    dy = F.col("_y1") - F.col("_y0")
+
+    def _side(px, py):
+        f = dx * (py - F.col("_y0")) - dy * (px - F.col("_x0"))
+        return F.when(f > 0, 1).when(f < 0, -1).otherwise(0)
+
+    bx0 = F.col("cx") * cl
+    by0 = F.col("cy") * cl
+    corners = [_side(bx0, by0), _side(bx0 + cl, by0),
+               _side(bx0, by0 + cl), _side(bx0 + cl, by0 + cl)]
+    smin = F.least(*corners)
+    smax = F.greatest(*corners)
+    return (s.filter(~((smin > 0) | (smax < 0)))
+            .select(*ids, "cx", "cy"))

@@ -4659,3 +4659,111 @@ GROUP BY t.n_cells, t.n_a, t.n_b"""
 
 GEOM_QUERIES["dissimilarity_index"] = (q_dissimilarity_index,
                                        sql_dissimilarity_index)
+
+
+_PG_RMAX = 2048            # proximity-graph edge window (micro-degrees)
+
+
+def q_gabriel_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gabriel / relative-neighbourhood graph flags over the
+    clark_evans 500-point sample (operators/cluster.py
+    proximity_graph): every pair within rmax flagged by the exact
+    integer empty-circle (Thales) and empty-lune witness tests — two
+    eps-grid radius joins and one max-flag groupBy, MST ⊆ RNG ⊆
+    Gabriel by construction."""
+    from .operators.cluster import proximity_graph
+    from .operators.trajectory import random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = (random_walk_positions(ev, jump=_TRAJ_JUMP)
+           .filter(F.pmod(F.col("event_id"), F.lit(_CE_QMOD)) == 0)
+           .select(F.col("event_id").alias("i"), "x", "y"))
+    return proximity_graph(pts, _PG_RMAX)
+
+
+def sql_gabriel_graph() -> str:
+    r2 = _PG_RMAX * _PG_RMAX
+    return f"""WITH {_sql_walk_pos()},
+p AS MATERIALIZED (SELECT event_id AS i, x, y FROM pos
+                   WHERE event_id % {_CE_QMOD} = 0),
+pr AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, a.x AS ax, a.y AS ay,
+         b.x AS bx, b.y AS by,
+         (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) AS d2
+  FROM p a JOIN p b ON a.i < b.i
+   AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= {r2})
+SELECT pr.i, pr.j, pr.d2,
+  NOT EXISTS (SELECT 1 FROM p w WHERE w.i <> pr.i AND w.i <> pr.j
+    AND ((pr.ax-w.x)*(pr.ax-w.x)+(pr.ay-w.y)*(pr.ay-w.y))
+      + ((pr.bx-w.x)*(pr.bx-w.x)+(pr.by-w.y)*(pr.by-w.y))
+      < pr.d2) AS is_gabriel,
+  NOT EXISTS (SELECT 1 FROM p w WHERE w.i <> pr.i AND w.i <> pr.j
+    AND greatest(
+          (pr.ax-w.x)*(pr.ax-w.x)+(pr.ay-w.y)*(pr.ay-w.y),
+          (pr.bx-w.x)*(pr.bx-w.x)+(pr.by-w.y)*(pr.by-w.y))
+      < pr.d2) AS is_rng
+FROM pr"""
+
+
+GEOM_QUERIES["gabriel_graph"] = (q_gabriel_graph, sql_gabriel_graph)
+
+
+_LR_CELL = 256             # supercover raster cell (micro-degrees)
+_LR_SMOD = 5               # every 5th walk segment
+
+
+def q_line_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supercover trajectory raster (operators/raster.py
+    line_rasterize): every 5th walk segment exploded onto the grid
+    cells its closed segment crosses — pure integer separating-axis
+    test, two bounded explodes, zero joins — then one
+    map-side-combinable per-cell segment count."""
+    from .operators.raster import line_rasterize
+    from .operators.trajectory import random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (pos.select(
+        "event_id", F.col("x").alias("x1"), F.col("y").alias("y1"),
+        F.lag("x").over(w).alias("x0"), F.lag("y").over(w).alias("y0"))
+        .filter(F.col("x0").isNotNull()
+                & (F.pmod(F.col("event_id"), F.lit(_LR_SMOD)) == 0)))
+    cells = line_rasterize(seg, _LR_CELL, id_cols=("event_id",))
+    return (cells.groupBy("cx", "cy")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_segs")))
+
+
+def sql_line_rasterize() -> str:
+    c = _LR_CELL
+    return f"""WITH {_sql_walk_pos()},
+seg AS (
+  SELECT event_id, x AS x1, y AS y1,
+         lag(x) OVER w AS x0, lag(y) OVER w AS y0
+  FROM pos
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS MATERIALIZED (
+  SELECT event_id, x0, y0, x1, y1 FROM seg
+  WHERE x0 IS NOT NULL AND event_id % {_LR_SMOD} = 0),
+gx AS (SELECT *,
+  CAST(floor((least(x0, x1) - 1) / {c}.0) AS BIGINT) AS cxmin,
+  CAST(floor(greatest(x0, x1) / {c}.0) AS BIGINT) AS cxmax,
+  CAST(floor((least(y0, y1) - 1) / {c}.0) AS BIGINT) AS cymin,
+  CAST(floor(greatest(y0, y1) / {c}.0) AS BIGINT) AS cymax
+  FROM s),
+ex AS (SELECT *, unnest(generate_series(cxmin, cxmax)) AS cx FROM gx),
+ey AS (SELECT *, unnest(generate_series(cymin, cymax)) AS cy FROM ex),
+sd AS (SELECT cx, cy,
+  sign((x1-x0)*(cy*{c}-y0)     - (y1-y0)*(cx*{c}-x0))     AS s00,
+  sign((x1-x0)*(cy*{c}-y0)     - (y1-y0)*((cx+1)*{c}-x0)) AS s10,
+  sign((x1-x0)*((cy+1)*{c}-y0) - (y1-y0)*(cx*{c}-x0))     AS s01,
+  sign((x1-x0)*((cy+1)*{c}-y0) - (y1-y0)*((cx+1)*{c}-x0)) AS s11
+  FROM ey)
+SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n_segs
+FROM sd
+WHERE NOT (least(s00, s10, s01, s11) > 0
+           OR greatest(s00, s10, s01, s11) < 0)
+GROUP BY cx, cy"""
+
+
+GEOM_QUERIES["line_rasterize"] = (q_line_rasterize, sql_line_rasterize)
