@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 __all__ = ["spearman_corr", "mann_whitney_u", "ks_2samp", "kendall_tau",
            "kruskal_wallis", "pettitt_test", "friedman_test", "bh_fdr",
            "kendalls_w", "wasserstein_1d", "cvm_2samp", "cliffs_delta",
-           "wilcoxon_signed_rank", "jonckheere_trend"]
+           "wilcoxon_signed_rank", "jonckheere_trend", "somers_d"]
 
 # 4n^4 < 2^63  =>  n <= 38,000 keeps every sum exact in int64
 _MAX_GROUP_ROWS = 38_000
@@ -186,6 +186,48 @@ def ks_2samp(df: DataFrame, group_cols: "list[str]",
                       d_stat.alias("d_stat"))
 
 
+def _pair_concordance(df: DataFrame, group_cols: "list[str]",
+                      x_col: str, y_col: str, caller: str) -> DataFrame:
+    """Shared exact pair-concordance counts behind kendall_tau and
+    somers_d: ONE bounded per-group self pair join (i < j on a
+    ROW_NUMBER — the unordered-pair counts are label-invariant) →
+    ``(group..., n, _c, _d, _tx, _ty, _txy)`` — concordant,
+    discordant, x-tied, y-tied, tied-in-both pair counts, all exact
+    longs.  Group size is capped in-plan at
+    ``_KENDALL_MAX_GROUP_ROWS`` (raise_error, never a silent pair
+    explosion)."""
+    clean = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy(F.col(x_col), F.col(y_col))
+    r = clean.select(
+        *group_cols,
+        F.col(x_col).alias("_x"), F.col(y_col).alias("_y"),
+        F.row_number().over(w).alias("_i"),
+        F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+        .alias("_n"))
+    guard = F.when(
+        F.col("_n") > _KENDALL_MAX_GROUP_ROWS,
+        F.raise_error(F.concat(
+            F.lit(f"{caller}: group exceeds pair-join bound "
+                  f"({_KENDALL_MAX_GROUP_ROWS} rows): n="),
+            F.col("_n").cast("string"))).cast("long")
+    ).otherwise(F.col("_i"))
+    r = r.withColumn("_i", guard)
+    a, b = r.alias("a"), r.alias("b")
+    pairs = a.join(b, [F.col(f"a.{c}") == F.col(f"b.{c}")
+                       for c in group_cols] + [F.col("a._i") < F.col("b._i")])
+    sx = F.signum((F.col("a._x") - F.col("b._x")).cast("double"))
+    sy = F.signum((F.col("a._y") - F.col("b._y")).cast("double"))
+    return pairs.groupBy(*[F.col(f"a.{c}").alias(c)
+                           for c in group_cols]).agg(
+        F.max(F.col("a._n")).alias("n"),
+        F.sum(F.when(sx * sy > 0, 1).otherwise(0)).alias("_c"),
+        F.sum(F.when(sx * sy < 0, 1).otherwise(0)).alias("_d"),
+        F.sum(F.when(sx == 0, 1).otherwise(0)).alias("_tx"),
+        F.sum(F.when(sy == 0, 1).otherwise(0)).alias("_ty"),
+        F.sum(F.when((sx == 0) & (sy == 0), 1).otherwise(0))
+        .alias("_txy"))
+
+
 def kendall_tau(df: DataFrame, group_cols: "list[str]",
                 x_col: str, y_col: str) -> DataFrame:
     """Per-group Kendall tau-b over exact integer columns — the
@@ -211,33 +253,7 @@ def kendall_tau(df: DataFrame, group_cols: "list[str]",
     tie-corrected pair-count denominators (exact longs), tau NULL when
     either is zero (constant column).
     """
-    clean = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-    w = Window.partitionBy(*group_cols).orderBy(F.col(x_col), F.col(y_col))
-    r = clean.select(
-        *group_cols,
-        F.col(x_col).alias("_x"), F.col(y_col).alias("_y"),
-        F.row_number().over(w).alias("_i"),
-        F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
-        .alias("_n"))
-    guard = F.when(
-        F.col("_n") > _KENDALL_MAX_GROUP_ROWS,
-        F.raise_error(F.concat(
-            F.lit("kendall_tau: group exceeds pair-join bound "
-                  f"({_KENDALL_MAX_GROUP_ROWS} rows): n="),
-            F.col("_n").cast("string"))).cast("long")
-    ).otherwise(F.col("_i"))
-    r = r.withColumn("_i", guard)
-    a, b = r.alias("a"), r.alias("b")
-    pairs = a.join(b, [F.col(f"a.{c}") == F.col(f"b.{c}")
-                       for c in group_cols] + [F.col("a._i") < F.col("b._i")])
-    sx = F.signum((F.col("a._x") - F.col("b._x")).cast("double"))
-    sy = F.signum((F.col("a._y") - F.col("b._y")).cast("double"))
-    agg = pairs.groupBy(*[F.col(f"a.{c}").alias(c) for c in group_cols]).agg(
-        F.max(F.col("a._n")).alias("n"),
-        F.sum(F.when(sx * sy > 0, 1).otherwise(0)).alias("_c"),
-        F.sum(F.when(sx * sy < 0, 1).otherwise(0)).alias("_d"),
-        F.sum(F.when(sx == 0, 1).otherwise(0)).alias("_tx"),
-        F.sum(F.when(sy == 0, 1).otherwise(0)).alias("_ty"))
+    agg = _pair_concordance(df, group_cols, x_col, y_col, "kendall_tau")
     from ..geo.tilemath import floor_div
     n0 = floor_div(F.col("n") * (F.col("n") - 1), 2)
     d_x = (n0 - F.col("_tx"))
@@ -1050,3 +1066,57 @@ def jonckheere_trend(df: DataFrame, group_cols: "list[str]",
     return out.select(*group_cols, "n", "n_cells", "j2",
                       F.col("jmax2").cast("long").alias("jmax2"),
                       effect.alias("effect"))
+
+
+def somers_d(df: DataFrame, group_cols: "list[str]",
+             x_col: str, y_col: str) -> DataFrame:
+    """Per-group Somers' D (both directions) + Goodman-Kruskal gamma —
+    the asymmetric siblings of Kendall tau-b, the standard ordinal
+    association measures when one column is the predictor: D_yx is the
+    familiar concordance index rescaling (AUC = (D_yx+1)/2 for a
+    binary y), gamma drops every tied pair.
+
+    Exactness: the same exact pair counts as kendall_tau (shared
+    ``_pair_concordance`` substrate — ONE bounded per-group self pair
+    join): concordant C, discordant D, x-tied Tx, y-tied Ty, and
+    tied-in-both Txy, all longs.  With ``n0 = n(n−1)/2``:
+
+    - ``d_yx = (C−D) / (n0 − Tx)``  (pairs untied on the predictor x)
+    - ``d_xy = (C−D) / (n0 − Ty)``
+    - ``gamma = (C−D) / (C+D)``    (untied-on-both pairs; equals
+      ``n0 − Tx − Ty + Txy`` by inclusion-exclusion — both engines
+      compute it as C+D, the identity is pinned in tests)
+
+    Each statistic is ONE long→double division on exact integers
+    (bit-stable cross-engine), NULL when its denominator is zero.
+    Note ``tau_b² = d_yx · d_xy`` — pinned against kendall_tau in
+    tests as an independent cross-operator identity.
+
+    Scale shape: identical to kendall_tau — O(n²/group) pairs from one
+    sort-merge self join, in-plan ``_KENDALL_MAX_GROUP_ROWS`` cap
+    (raise_error, never a silent explosion); bigger groups want a
+    deterministic pre-sample (dataset_split) first.
+
+    Reference parity: no counterpart in mapbox-filter (pure style
+    evaluation, src/Mapbox/Expression.hs); this is engine surface for
+    the curation/analytics tier.
+
+    Returns ``(group..., n, c_minus_d, pairs_x, pairs_y, pairs_cd,
+    t_both, d_yx, d_xy, gamma)``.
+    """
+    agg = _pair_concordance(df, group_cols, x_col, y_col, "somers_d")
+    from ..geo.tilemath import floor_div
+    n0 = floor_div(F.col("n") * (F.col("n") - 1), 2)
+    num = (F.col("_c") - F.col("_d"))
+    px = (n0 - F.col("_tx"))
+    py = (n0 - F.col("_ty"))
+    pcd = (F.col("_c") + F.col("_d"))
+
+    def _ratio(den):
+        return F.when(den > 0, num.cast("double") / den.cast("double"))
+
+    return agg.select(*group_cols, "n", num.alias("c_minus_d"),
+                      px.alias("pairs_x"), py.alias("pairs_y"),
+                      pcd.alias("pairs_cd"), F.col("_txy").alias("t_both"),
+                      _ratio(px).alias("d_yx"), _ratio(py).alias("d_xy"),
+                      _ratio(pcd).alias("gamma"))

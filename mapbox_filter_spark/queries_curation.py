@@ -2114,3 +2114,68 @@ FROM agg"""
 
 CURATION_QUERIES["turning_points"] = (q_turning_points,
                                       sql_turning_points)
+
+
+def q_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Somers' D of time-of-day on event value per event type
+    (operators/rankstats.py somers_d): does the value cents PREDICT
+    the time of day — the asymmetric companion to the kendall_tau
+    gate, sharing its exact pair-concordance substrate and the same
+    deterministic 1/16 event-id pre-sample (exact pair counts are
+    O(n²/group); sample-then-rank is the operator's documented
+    guidance for big groups, in-cap through sf1.0)."""
+    from .operators.rankstats import somers_d
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.pmod(F.col("event_id"), F.lit(16)) == 0).select(
+        "event_type",
+        _cents().alias("cents"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         % (86_400 * 1_000_000)).alias("day_us"))
+    return somers_d(ev, ["event_type"], "cents", "day_us")
+
+
+def sql_somers_d() -> str:
+    return """WITH e AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+         epoch_us(ts) % 86400000000 AS y
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL AND event_id % 16 = 0),
+r AS (
+  SELECT event_type, x, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY x NULLS FIRST, y NULLS FIRST) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM e),
+p AS (
+  SELECT a.event_type AS event_type,
+         CAST(MAX(a.n) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN sign(a.x - b.x) * sign(a.y - b.y) > 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN sign(a.x - b.x) * sign(a.y - b.y) < 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+         CAST(SUM(CASE WHEN a.x = b.x AND a.y = b.y
+                       THEN 1 ELSE 0 END) AS BIGINT) AS txy
+  FROM r a JOIN r b ON a.event_type = b.event_type AND a.i < b.i
+  GROUP BY a.event_type)
+SELECT event_type, n, c - d AS c_minus_d,
+       (n * (n - 1)) // 2 - tx AS pairs_x,
+       (n * (n - 1)) // 2 - ty AS pairs_y,
+       c + d AS pairs_cd,
+       txy AS t_both,
+       CASE WHEN (n * (n - 1)) // 2 - tx > 0
+            THEN CAST(c - d AS DOUBLE)
+                 / CAST((n * (n - 1)) // 2 - tx AS DOUBLE) END AS d_yx,
+       CASE WHEN (n * (n - 1)) // 2 - ty > 0
+            THEN CAST(c - d AS DOUBLE)
+                 / CAST((n * (n - 1)) // 2 - ty AS DOUBLE) END AS d_xy,
+       CASE WHEN c + d > 0
+            THEN CAST(c - d AS DOUBLE)
+                 / CAST(c + d AS DOUBLE) END AS gamma
+FROM p"""
+
+
+CURATION_QUERIES["somers_d"] = (q_somers_d, sql_somers_d)

@@ -1,162 +1,114 @@
-"""Session-18 operator blocks: Gabriel/RNG proximity graphs +
-supercover line rasterization — python brute differentials + edge
-pins."""
+"""Session-18 operator blocks: Somers' D / Goodman-Kruskal gamma —
+python brute differentials, cross-operator identity pins, edge cases."""
+
+import math
 
 import pytest
 
-from mapbox_filter_spark.operators.cluster import proximity_graph
-from mapbox_filter_spark.operators.raster import line_rasterize
+from pyspark.sql import functions as F
+
+from mapbox_filter_spark.operators.rankstats import somers_d, kendall_tau
 
 
-# ---- proximity_graph ----
+# ---- somers_d ----
 
-def test_proximity_graph_hand_case(spark):
-    # Square + center: diagonals are NOT Gabriel (center inside the
-    # diameter circle); sides are Gabriel; sides are NOT RNG relative
-    # to... sides ARE RNG here (no point in any side's lune).
-    pts = spark.createDataFrame(
-        [(1, 0, 0), (2, 10, 0), (3, 10, 10), (4, 0, 10), (5, 5, 5)],
-        "i long, x long, y long")
-    out = {(r.i, r.j): r for r in proximity_graph(pts, 20).collect()}
-    # corner-corner diagonal (1,3): d2=200, center witness 5:
-    # d2(1,5)+d2(5,3) = 50+50 = 100 < 200 -> not Gabriel
-    assert out[(1, 3)].is_gabriel is False
-    assert out[(1, 3)].is_rng is False
-    # side (1,2): d2=100; center w: d2(1,5)=50, d2(5,2)=50; sum=100
-    # NOT < 100 -> Gabriel holds; max=50 < 100 -> RNG witness -> cut
-    assert out[(1, 2)].is_gabriel is True
-    assert out[(1, 2)].is_rng is False
-    # spoke (1,5): d2=50; witnesses 2/4: d2(1,2)=100 > 50 -> no
-    assert out[(1, 5)].is_gabriel is True
-    assert out[(1, 5)].is_rng is True
-    # RNG implies Gabriel everywhere
-    for r in out.values():
-        assert (not r.is_rng) or r.is_gabriel
+def _somers_expected(pairs):
+    """Literal O(n^2) python replay of the pair-concordance counts."""
+    n = len(pairs)
+    c = d = tx = ty = txy = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            sx = (pairs[i][0] > pairs[j][0]) - (pairs[i][0] < pairs[j][0])
+            sy = (pairs[i][1] > pairs[j][1]) - (pairs[i][1] < pairs[j][1])
+            if sx * sy > 0:
+                c += 1
+            elif sx * sy < 0:
+                d += 1
+            if sx == 0:
+                tx += 1
+            if sy == 0:
+                ty += 1
+            if sx == 0 and sy == 0:
+                txy += 1
+    n0 = n * (n - 1) // 2
+    px, py, pcd = n0 - tx, n0 - ty, c + d
+    return {"n": n, "c_minus_d": c - d,
+            "pairs_x": px, "pairs_y": py, "pairs_cd": pcd, "t_both": txy,
+            "d_yx": (c - d) / px if px > 0 else None,
+            "d_xy": (c - d) / py if py > 0 else None,
+            "gamma": (c - d) / pcd if pcd > 0 else None}
 
 
-def test_proximity_graph_python_differential(spark):
+def test_somers_hand_case(spark):
+    # x: 1 1 2 3, y: 1 2 2 3 — worked by hand:
+    # pairs (i<j on (x,y) order): C=4, D=0, Tx=1, Ty=1, Txy=0, n0=6
+    rows = [("g", 1, 1), ("g", 1, 2), ("g", 2, 2), ("g", 3, 3)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    r = somers_d(df, ["g"], "x", "y").collect()[0]
+    assert (r.n, r.c_minus_d, r.pairs_x, r.pairs_y,
+            r.pairs_cd, r.t_both) == (4, 4, 5, 5, 4, 0)
+    assert r.d_yx == pytest.approx(4 / 5)
+    assert r.d_xy == pytest.approx(4 / 5)
+    assert r.gamma == pytest.approx(1.0)
+
+
+def test_somers_python_differential(spark):
     import random
     rng = random.Random(181)
-    pts = [(i, rng.randrange(-40, 40), rng.randrange(-40, 40))
-           for i in range(80)]
-    rmax = 30
-    df = spark.createDataFrame(pts, "i long, x long, y long")
-    out = {(r.i, r.j): (r.d2, r.is_gabriel, r.is_rng)
-           for r in proximity_graph(df, rmax).collect()}
-    exp = {}
-    for i, x1, y1 in pts:
-        for j, x2, y2 in pts:
-            if i >= j:
-                continue
-            d2 = (x1 - x2) ** 2 + (y1 - y2) ** 2
-            if d2 > rmax * rmax:
-                continue
-            hg = hr = False
-            for w, xw, yw in pts:
-                if w in (i, j):
-                    continue
-                a = (x1 - xw) ** 2 + (y1 - yw) ** 2
-                b = (x2 - xw) ** 2 + (y2 - yw) ** 2
-                hg = hg or (a + b < d2)
-                hr = hr or (max(a, b) < d2)
-            exp[(i, j)] = (d2, not hg, not hr)
-    assert out == exp
+    rows = [("lo", rng.randrange(5), rng.randrange(5))
+            for _ in range(120)] + \
+           [("hi", rng.randrange(60), rng.randrange(60))
+            for _ in range(150)] + \
+           [("mono", i, i * 2) for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r.g: r for r in somers_d(df, ["g"], "x", "y").collect()}
+    for g in ("lo", "hi", "mono"):
+        exp = _somers_expected([(x, y) for gg, x, y in rows if gg == g])
+        r = out[g]
+        assert (r.n, r.c_minus_d, r.pairs_x, r.pairs_y, r.pairs_cd,
+                r.t_both) == (exp["n"], exp["c_minus_d"], exp["pairs_x"],
+                              exp["pairs_y"], exp["pairs_cd"],
+                              exp["t_both"])
+        for k in ("d_yx", "d_xy", "gamma"):
+            if exp[k] is None:
+                assert getattr(r, k) is None
+            else:
+                assert getattr(r, k) == pytest.approx(exp[k], abs=1e-12)
+    assert out["mono"].gamma == 1.0 and out["mono"].d_yx == 1.0
 
 
-def test_proximity_graph_coincident_and_errors(spark):
-    # coincident pair stays connected in both graphs
-    df = spark.createDataFrame([(1, 3, 3), (2, 3, 3), (3, 9, 9)],
-                               "i long, x long, y long")
-    out = {(r.i, r.j): r for r in proximity_graph(df, 10).collect()}
-    assert out[(1, 2)].is_gabriel and out[(1, 2)].is_rng
-    assert out[(1, 2)].d2 == 0
-    with pytest.raises(ValueError):
-        proximity_graph(df, 0)
-
-
-# ---- line_rasterize ----
-
-def _brute_cells(x0, y0, x1, y1, cell):
-    """Closed-square vs closed-segment intersection, brute SAT."""
-    import math
-    cells = set()
-    cxa = math.floor((min(x0, x1) - 1) / cell)
-    cxb = math.floor(max(x0, x1) / cell)
-    cya = math.floor((min(y0, y1) - 1) / cell)
-    cyb = math.floor(max(y0, y1) / cell)
-    dx, dy = x1 - x0, y1 - y0
-    for cx in range(cxa, cxb + 1):
-        for cy in range(cya, cyb + 1):
-            signs = []
-            for px, py in ((cx * cell, cy * cell),
-                           ((cx + 1) * cell, cy * cell),
-                           (cx * cell, (cy + 1) * cell),
-                           ((cx + 1) * cell, (cy + 1) * cell)):
-                f = dx * (py - y0) - dy * (px - x0)
-                signs.append(0 if f == 0 else (1 if f > 0 else -1))
-            if not (min(signs) > 0 or max(signs) < 0):
-                cells.add((cx, cy))
-    return cells
-
-
-def test_line_rasterize_hand_cases(spark):
-    # diagonal through cell corners: touches all 4 cells at the
-    # shared corner (closed-set semantics)
-    df = spark.createDataFrame([(1, -5, -5, 5, 5)],
-                               "seg_id long, x0 long, y0 long, "
-                               "x1 long, y1 long")
-    got = {(r.cx, r.cy)
-           for r in line_rasterize(df, 10).collect()}
-    # segment (-5,-5)->(5,5) crosses corner (0,0): all 4 incident
-    # cells are touched
-    assert got == {(-1, -1), (0, 0), (-1, 0), (0, -1)}
-    # axis-aligned segment along a cell edge: both adjacent rows, and
-    # the endpoint on x=0 touches column -1 (closed-square semantics)
-    df2 = spark.createDataFrame([(1, 0, 10, 25, 10)],
-                                "seg_id long, x0 long, y0 long, "
-                                "x1 long, y1 long")
-    got2 = {(r.cx, r.cy) for r in line_rasterize(df2, 10).collect()}
-    assert got2 == {(cx, cy) for cx in (-1, 0, 1, 2) for cy in (0, 1)}
-    # zero-length segment inside one cell
-    df3 = spark.createDataFrame([(1, 3, 4, 3, 4)],
-                                "seg_id long, x0 long, y0 long, "
-                                "x1 long, y1 long")
-    got3 = {(r.cx, r.cy) for r in line_rasterize(df3, 10).collect()}
-    assert got3 == {(0, 0)}
-
-
-def test_line_rasterize_python_differential(spark):
+def test_somers_kendall_identity(spark):
+    """tau_b^2 == d_yx * d_xy, and C+D == n0 - Tx - Ty + Txy
+    (inclusion-exclusion) — two independent cross-operator pins."""
     import random
     rng = random.Random(182)
-    segs = [(k, rng.randrange(-100, 100), rng.randrange(-100, 100),
-             rng.randrange(-100, 100), rng.randrange(-100, 100))
-            for k in range(60)]
-    df = spark.createDataFrame(
-        segs, "seg_id long, x0 long, y0 long, x1 long, y1 long")
-    out = {}
-    for r in line_rasterize(df, 16).collect():
-        out.setdefault(r.seg_id, set()).add((r.cx, r.cy))
-    for k, x0, y0, x1, y1 in segs:
-        assert out.get(k, set()) == _brute_cells(x0, y0, x1, y1, 16), k
+    rows = [("g", rng.randrange(8), rng.randrange(8)) for _ in range(160)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    s = somers_d(df, ["g"], "x", "y").collect()[0]
+    t = kendall_tau(df, ["g"], "x", "y").collect()[0]
+    assert t.tau ** 2 == pytest.approx(s.d_yx * s.d_xy, abs=1e-12)
+    n0 = s.n * (s.n - 1) // 2
+    assert s.pairs_cd == (s.pairs_x + s.pairs_y + s.t_both) - n0
 
 
-def test_line_rasterize_guard_and_errors(spark):
-    df = spark.createDataFrame([(1, 0, 0, 10_000, 10_000)],
-                               "seg_id long, x0 long, y0 long, "
-                               "x1 long, y1 long")
-    with pytest.raises(Exception, match="max_cells"):
-        line_rasterize(df, 10, max_cells=100).collect()
-    with pytest.raises(ValueError):
-        line_rasterize(df, 0)
-    # supercover never skips: consecutive cells along the walk are
-    # 8-connected (a closed segment cannot jump a cell boundary)
-    df2 = spark.createDataFrame([(1, -95, 17, 88, -64)],
-                                "seg_id long, x0 long, y0 long, "
-                                "x1 long, y1 long")
-    cells = {(r.cx, r.cy) for r in line_rasterize(df2, 12).collect()}
-    # every covered cell (except endpoints' cells) has a covered
-    # neighbor in the 3x3 ring
-    for cx, cy in cells:
-        assert any((cx + dx, cy + dy) in cells
-                   for dx in (-1, 0, 1) for dy in (-1, 0, 1)
-                   if (dx, dy) != (0, 0)) or len(cells) == 1
+def test_somers_constant_column_null_and_nulls_dropped(spark):
+    rows = [("k", 3, 1), ("k", 3, 2), ("k", 3, 3), ("k", None, 9)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    r = somers_d(df, ["g"], "x", "y").collect()[0]
+    # null row dropped; x constant -> pairs_x = 0 -> d_yx and gamma NULL
+    assert r.n == 3 and r.pairs_x == 0 and r.pairs_cd == 0
+    assert r.d_yx is None and r.gamma is None
+    assert r.d_xy == pytest.approx(0.0)  # C=D=0, pairs_y=3
+
+
+def test_somers_group_cap_raises(spark):
+    from mapbox_filter_spark.operators import rankstats as rs
+    old = rs._KENDALL_MAX_GROUP_ROWS
+    rs._KENDALL_MAX_GROUP_ROWS = 10
+    try:
+        rows = [("g", i, i) for i in range(11)]
+        df = spark.createDataFrame(rows, "g string, x long, y long")
+        with pytest.raises(Exception, match="somers_d: group exceeds"):
+            somers_d(df, ["g"], "x", "y").collect()
+    finally:
+        rs._KENDALL_MAX_GROUP_ROWS = old
