@@ -686,3 +686,69 @@ def lexical_diversity(docs: DataFrame, text_col: str) -> DataFrame:
     return agg.select("n_tokens", "v_types", "v1_hapax", "s2",
                       yule.alias("yule_k"), simpson.alias("simpson_d"),
                       hapax.alias("hapax_ratio"))
+
+
+def boilerplate_lines(docs: DataFrame, group_cols=(), *,
+                      min_docs: int, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      delim: str = "\n") -> DataFrame:
+    """Cross-document template-line removal — the CCNet/RefinedWeb
+    line-level dedup step: a line that appears in ``min_docs`` or more
+    DISTINCT documents of the same group (site, source, language) is
+    boilerplate (nav bars, cookie banners, license footers) and is
+    stripped; the per-document residue is what a curation pipeline
+    keeps.
+
+    Per document: ``n_lines``, ``n_boiler``, ``boiler_frac`` (ONE
+    long→double division), and ``cleaned_md5`` — the md5 of the kept
+    lines re-joined by ``delim`` in ORIGINAL order (md5('') when every
+    line is boilerplate), so the cleaned text itself is value-hashed
+    without shipping it.
+
+    Exactness: line identity is the exact string; the document count
+    per line is an exact COUNT(DISTINCT id); md5 is bit-identical
+    cross-engine.
+
+    Shape for scale: one posexplode (no per-doc state), ONE
+    map-side-combinable count-distinct shuffle keyed on
+    (group, line) — hot template lines are exactly the skewed keys,
+    absorbed by partial aggregation since the key IS the group-by
+    key — then one equi-join of line rows against the distinct-line
+    flag table (unique build keys; AQE handles probe-side skew) and
+    one per-document re-aggregation.  No collect, no Python.
+
+    Reference parity: no counterpart in mapbox-filter (pure style
+    evaluation, src/Mapbox/Expression.hs); engine surface for the
+    training-data tier (Wenzek et al. 2020 CCNet §3; Penedo et al.
+    2023 RefinedWeb §3.4 line-wise filtering).
+
+    Returns ``(id_col, *group_cols, n_lines, n_boiler, boiler_frac,
+    cleaned_md5)``; documents whose text splits to zero lines (empty
+    string splits to one empty line — kept) never vanish.
+    """
+    import re as _re
+    g = list(group_cols)
+    lines = docs.select(
+        F.col(id_col), *[F.col(c) for c in g],
+        F.posexplode(F.split(F.col(text_col), _re.escape(delim)))
+        .alias("_pos", "_line"))
+    flags = (lines.groupBy(*g, "_line")
+             .agg(F.count_distinct(F.col(id_col)).alias("_d"))
+             .select(*g, "_line",
+                     (F.col("_d") >= F.lit(int(min_docs))).alias("_boiler")))
+    j = lines.join(flags, [*g, "_line"])
+    kept = F.array_sort(F.collect_list(
+        F.when(~F.col("_boiler"),
+               F.struct(F.col("_pos").alias("p"),
+                        F.col("_line").alias("l")))))
+    return (j.groupBy(F.col(id_col), *[F.col(c) for c in g])
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.col("_boiler").cast("long")).alias("n_boiler"),
+                 kept.alias("_kept"))
+            .select(id_col, *g, "n_lines", "n_boiler",
+                    (F.col("n_boiler").cast("double")
+                     / F.col("n_lines").cast("double")).alias("boiler_frac"),
+                    F.md5(F.coalesce(
+                        F.array_join(F.transform(F.col("_kept"),
+                                                 lambda s: s["l"]), delim),
+                        F.lit(""))).alias("cleaned_md5")))

@@ -2778,3 +2778,62 @@ FROM (
 
 
 EXT_QUERIES["span_diff"] = (q_span_diff, sql_span_diff)
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document template-line removal per source
+    (operators/text.py boilerplate_lines — the CCNet/RefinedWeb
+    line-dedup step): documents are re-wrapped into 2-word lines
+    (the small shared vocabulary makes real cross-document repeats),
+    any line present in >= 3 distinct documents of the same source is
+    boilerplate, and each document reports its residue — exact
+    counts, one division, md5-hashed cleaned text."""
+    from .operators.text import boilerplate_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    w2 = F.col("_w")
+    nc2 = F.floor((F.size(w2) + 1) / F.lit(2)).cast("int")
+    chunks2 = F.transform(
+        F.sequence(F.lit(1), nc2),
+        lambda i: F.array_join(F.slice(w2, (i - 1) * 2 + 1, 2), " "))
+    prep = (docs.select("doc_id", "source", w.alias("_w"))
+            .filter(F.size(F.col("_w")) > 0)
+            .select("doc_id", "source",
+                    F.array_join(chunks2, "\n").alias("text")))
+    return boilerplate_lines(prep, ["source"], min_docs=3)
+
+
+def sql_boilerplate_lines() -> str:
+    return """WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+w AS (
+  SELECT doc_id, source,
+         unnest(l) AS word,
+         unnest(generate_series(1, len(l))) AS ord
+  FROM d WHERE len(l) > 0),
+ln AS (
+  SELECT doc_id, source, (ord - 1) // 2 AS pos,
+         string_agg(word, ' ' ORDER BY ord) AS line
+  FROM w GROUP BY 1, 2, 3),
+fl AS (
+  SELECT source, line,
+         (COUNT(DISTINCT doc_id) >= 3) AS boiler
+  FROM ln GROUP BY 1, 2)
+SELECT l.doc_id, l.source,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS boiler_frac,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                      FILTER (WHERE NOT boiler), '')) AS cleaned_md5
+FROM ln l JOIN fl USING (source, line)
+GROUP BY 1, 2"""
+
+
+EXT_QUERIES["boilerplate_lines"] = (q_boilerplate_lines,
+                                    sql_boilerplate_lines)

@@ -112,3 +112,73 @@ def test_somers_group_cap_raises(spark):
             somers_d(df, ["g"], "x", "y").collect()
     finally:
         rs._KENDALL_MAX_GROUP_ROWS = old
+
+
+# ---- boilerplate_lines ----
+
+def _boiler_expected(docs, min_docs, delim="\n"):
+    """Literal python replay: docs = [(id, grp, text)]."""
+    import hashlib
+    from collections import defaultdict
+    per_line = defaultdict(set)
+    for i, g, t in docs:
+        for ln in t.split(delim):
+            per_line[(g, ln)].add(i)
+    out = {}
+    for i, g, t in docs:
+        lines = t.split(delim)
+        flags = [len(per_line[(g, ln)]) >= min_docs for ln in lines]
+        kept = delim.join(ln for ln, f in zip(lines, flags) if not f)
+        out[i] = (len(lines), sum(flags), sum(flags) / len(lines),
+                  hashlib.md5(kept.encode()).hexdigest())
+    return out
+
+
+def test_boilerplate_hand_case(spark):
+    from mapbox_filter_spark.operators.text import boilerplate_lines
+    docs = [(1, "s", "FOOTER\nalpha\nbeta"),
+            (2, "s", "FOOTER\ngamma"),
+            (3, "s", "FOOTER\nFOOTER\ndelta"),   # dup in one doc: 1 distinct
+            (4, "t", "FOOTER\nepsilon")]         # other group: not boiler
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in
+           boilerplate_lines(df, ["source"], min_docs=3).collect()}
+    exp = _boiler_expected(docs, 3)
+    for i, (nl, nb, frac, md5) in exp.items():
+        r = out[i]
+        assert (r.n_lines, r.n_boiler) == (nl, nb), i
+        assert r.boiler_frac == pytest.approx(frac)
+        assert r.cleaned_md5 == md5, i
+    assert out[1].n_boiler == 1 and out[4].n_boiler == 0
+    assert out[3].n_boiler == 2  # both FOOTER copies stripped
+
+
+def test_boilerplate_all_boiler_md5_empty(spark):
+    import hashlib
+    from mapbox_filter_spark.operators.text import boilerplate_lines
+    docs = [(i, "s", "SAME") for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    r = boilerplate_lines(df, ["source"], min_docs=2).collect()[0]
+    assert r.n_lines == 1 and r.n_boiler == 1 and r.boiler_frac == 1.0
+    assert r.cleaned_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_boilerplate_python_differential_and_custom_delim(spark):
+    import random
+    from mapbox_filter_spark.operators.text import boilerplate_lines
+    rng = random.Random(183)
+    vocab = ["aa bb", "cc dd", "ee ff", "gg hh", "ii jj", "kk ll"]
+    docs = [(i, "g%d" % (i % 2),
+             "|".join(rng.choice(vocab)
+                      for _ in range(rng.randrange(1, 7))))
+            for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in
+           boilerplate_lines(df, ["source"], min_docs=5,
+                             delim="|").collect()}
+    exp = _boiler_expected(docs, 5, delim="|")
+    assert set(out) == set(exp)
+    for i, (nl, nb, frac, md5) in exp.items():
+        r = out[i]
+        assert (r.n_lines, r.n_boiler, r.cleaned_md5) == (nl, nb, md5), i
+        assert r.boiler_frac == pytest.approx(frac)
