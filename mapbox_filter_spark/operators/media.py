@@ -610,3 +610,68 @@ def span_lcs(pairs: DataFrame, *, a_col: str = "sa", b_col: str = "sb",
     return out.withColumn(
         "sim", F.when(den > 0, (F.lit(2) * F.col("lcs")).cast("double")
                       / den.cast("double")))
+
+
+def span_order_drift(pairs: DataFrame, *, a_col: str = "sa",
+                     b_col: str = "sb",
+                     id_cols: "tuple[str, ...]" = ("doc_id",),
+                     max_len: int = 64) -> DataFrame:
+    """Reordering metric between two span-signature sequences per row —
+    the ORDER twin of :func:`span_lcs`: where LCS measures what
+    survived in order, this counts the Kendall INVERSIONS between the
+    two sequences over their common signatures — how far version B
+    shuffled version A's span interleaving even when every span
+    survived.  ``drift = inversions / C(n_common, 2)`` is the
+    normalized Kendall distance: 0 = same relative order, 1 = exactly
+    reversed.
+
+    Semantics on duplicates: each side is reduced to FIRST occurrences
+    (a signature's position is its first index), so the pair set is
+    well-defined; ``len_a``/``len_b`` still report the RAW sequence
+    lengths.
+
+    Exactness: positions and inversion counts are exact integers from
+    in-row array folds (one O(n²) nested HOF per row, the same shape
+    as span_lcs/dtw); ``drift`` is ONE long→double division.
+
+    Shape for scale: rows are independent — no shuffle, no Python, no
+    state; per-row cost bounded in-plan by ``max_len`` (raise_error,
+    never silent truncation).
+
+    Reference parity: honors the BASELINE input_hint span-sequence
+    invariant (kind, text, media_ref, order) as a queryable metric; no
+    counterpart in mapbox-filter (src/Mapbox/Expression.hs is pure
+    style evaluation).
+
+    Returns ``(*id_cols, len_a, len_b, n_common, n_pairs, inversions,
+    drift)`` — drift NULL when fewer than 2 common signatures.
+    """
+    sa, sb = F.col(a_col), F.col(b_col)
+    na, nb = F.size(sa), F.size(sb)
+    ca = F.filter(F.array_distinct(sa),
+                  lambda s: F.array_position(sb, s) > 0)
+    pb = F.transform(ca, lambda s: F.array_position(sb, s))
+    n = F.size(ca)
+    idx = F.when(n >= 2, F.sequence(F.lit(2), n)) \
+        .otherwise(F.array().cast("array<int>"))
+    inv = F.aggregate(
+        idx, F.lit(0).cast("long"),
+        lambda acc, j: acc + F.size(
+            F.filter(F.slice(pb, 1, j - 1),
+                     lambda p: p > F.element_at(pb, j))).cast("long"))
+    guard = F.when(
+        (na > max_len) | (nb > max_len),
+        F.raise_error(F.concat(
+            F.lit(f"span_order_drift: sequence exceeds "
+                  f"max_len={max_len}: "),
+            F.greatest(na, nb).cast("string"))).cast("long"))
+    inv = guard.otherwise(inv)
+    n_pairs = (n.cast("long") * (n.cast("long") - 1) / 2).cast("long")
+    out = pairs.select(*id_cols, na.alias("len_a"), nb.alias("len_b"),
+                       n.cast("long").alias("n_common"),
+                       n_pairs.alias("n_pairs"),
+                       inv.alias("inversions"))
+    return out.withColumn(
+        "drift", F.when(F.col("n_pairs") > 0,
+                        F.col("inversions").cast("double")
+                        / F.col("n_pairs").cast("double")))

@@ -2837,3 +2837,90 @@ GROUP BY 1, 2"""
 
 EXT_QUERIES["boilerplate_lines"] = (q_boilerplate_lines,
                                     sql_boilerplate_lines)
+
+
+def q_span_order_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-interleaving drift between document versions
+    (operators/media.py span_order_drift): version B drops the spans
+    with local hash % 4 == 0 and re-sorts the survivors by a keyed
+    pseudo-random permutation; the normalized Kendall inversion count
+    over common signatures measures how far B shuffled A's span
+    order — the ORDER complement of the span_diff (LCS) gate, all
+    exact in-row integer folds."""
+    from .operators.media import span_order_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = interleaved_spans(docs)
+
+    def h(s):
+        return (F.col("doc_id") * 31
+                + s["offset"].cast("long") * 7)
+
+    def raw_sig(s):
+        return F.concat_ws(
+            ":", s["kind"], F.coalesce(s["text"], F.lit("~")),
+            F.coalesce(s["media_ref"], F.lit("~")))
+
+    fb = F.filter(F.col("spans"), lambda s: h(s) % 4 != 0)
+    sorted_b = F.array_sort(F.transform(fb, lambda s: F.struct(
+        F.pmod(h(s) * 7919, F.lit(10007)).alias("k"),
+        s["offset"].alias("o"),
+        raw_sig(s).alias("sig"))))
+    prep = base.select(
+        "doc_id",
+        F.transform(F.col("spans"), raw_sig).alias("sa"),
+        F.transform(sorted_b, lambda x: x["sig"]).alias("sb"))
+    return span_order_drift(prep, max_len=8)
+
+
+def sql_span_order_drift() -> str:
+    return f"""WITH {span_fields_sql()},
+sig AS (
+  SELECT doc_id, i,
+         kind || ':' || COALESCE(text, '~') || ':'
+              || COALESCE(media_ref, '~') AS sig,
+         (doc_id * 31 + i * 7) AS h
+  FROM fields),
+la AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len_a
+  FROM sig GROUP BY 1),
+bf AS (
+  SELECT doc_id, sig,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY (h * 7919) % 10007, i) AS rb
+  FROM sig WHERE h % 4 <> 0),
+lb AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len_b
+  FROM bf GROUP BY 1),
+a1 AS (SELECT doc_id, sig, MIN(i) AS pa FROM sig GROUP BY 1, 2),
+b1 AS (SELECT doc_id, sig, MIN(rb) AS pb FROM bf GROUP BY 1, 2),
+c AS (
+  SELECT a1.doc_id, a1.pa, b1.pb
+  FROM a1 JOIN b1 USING (doc_id, sig)),
+nstat AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM c GROUP BY 1),
+inv AS (
+  SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS inversions
+  FROM c x JOIN c y ON x.doc_id = y.doc_id
+                   AND x.pa < y.pa AND x.pb > y.pb
+  GROUP BY 1)
+SELECT la.doc_id, la.len_a,
+       COALESCE(lb.len_b, 0) AS len_b,
+       COALESCE(n.n_common, 0) AS n_common,
+       COALESCE(n.n_common, 0) * (COALESCE(n.n_common, 0) - 1) // 2
+         AS n_pairs,
+       COALESCE(inv.inversions, 0) AS inversions,
+       CASE WHEN COALESCE(n.n_common, 0) >= 2
+            THEN CAST(COALESCE(inv.inversions, 0) AS DOUBLE)
+                 / CAST(COALESCE(n.n_common, 0)
+                        * (COALESCE(n.n_common, 0) - 1) // 2 AS DOUBLE)
+       END AS drift
+FROM la
+LEFT JOIN lb USING (doc_id)
+LEFT JOIN nstat n USING (doc_id)
+LEFT JOIN inv USING (doc_id)"""
+
+
+EXT_QUERIES["span_order_drift"] = (q_span_order_drift,
+                                   sql_span_order_drift)

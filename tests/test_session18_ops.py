@@ -182,3 +182,83 @@ def test_boilerplate_python_differential_and_custom_delim(spark):
         r = out[i]
         assert (r.n_lines, r.n_boiler, r.cleaned_md5) == (nl, nb, md5), i
         assert r.boiler_frac == pytest.approx(frac)
+
+
+# ---- span_order_drift ----
+
+def _drift_expected(sa, sb):
+    """Literal python replay (first-occurrence semantics)."""
+    ca, seen = [], set()
+    for s in sa:
+        if s not in seen:
+            seen.add(s)
+            if s in sb:
+                ca.append(s)
+    pb = [sb.index(s) + 1 for s in ca]
+    n = len(ca)
+    inv = sum(1 for j in range(n) for i in range(j) if pb[i] > pb[j])
+    n0 = n * (n - 1) // 2
+    return (len(sa), len(sb), n, n0, inv,
+            inv / n0 if n0 > 0 else None)
+
+
+def test_drift_hand_cases(spark):
+    from mapbox_filter_spark.operators.media import span_order_drift
+    rows = [
+        (1, ["a", "b", "c", "d"], ["d", "c", "b", "a"]),   # reversed: 1.0
+        (2, ["a", "b", "c"], ["a", "b", "c"]),             # same: 0.0
+        (3, ["a", "b", "c"], ["a", "c", "b"]),             # one swap: 1/3
+        (4, ["a", "b"], ["x", "y"]),                       # nothing common
+        (5, ["a", "b", "a", "c"], ["c", "a", "b"]),        # dup in A
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, sa array<string>, sb array<string>")
+    out = {r.doc_id: r for r in span_order_drift(df).collect()}
+    for i, sa, sb in rows:
+        la, lb, n, n0, inv, drift = _drift_expected(sa, sb)
+        r = out[i]
+        assert (r.len_a, r.len_b, r.n_common, r.n_pairs,
+                r.inversions) == (la, lb, n, n0, inv), i
+        if drift is None:
+            assert r.drift is None
+        else:
+            assert r.drift == pytest.approx(drift), i
+    assert out[1].drift == 1.0 and out[2].drift == 0.0
+    assert out[4].drift is None and out[4].n_common == 0
+
+
+def test_drift_python_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.media import span_order_drift
+    rng = random.Random(184)
+    rows = []
+    for i in range(80):
+        n = rng.randrange(0, 9)
+        sa = [f"s{k}" for k in range(n)]
+        sb = sa[:]
+        rng.shuffle(sb)
+        sb = [s for s in sb if rng.random() > 0.2]
+        if rng.random() < 0.3 and sa:
+            sa = sa + [sa[0]]    # duplicate signature in A
+        rows.append((i, sa, sb))
+    df = spark.createDataFrame(
+        rows, "doc_id long, sa array<string>, sb array<string>")
+    out = {r.doc_id: r for r in span_order_drift(df, max_len=16).collect()}
+    for i, sa, sb in rows:
+        la, lb, n, n0, inv, drift = _drift_expected(sa, sb)
+        r = out[i]
+        assert (r.len_a, r.len_b, r.n_common, r.n_pairs,
+                r.inversions) == (la, lb, n, n0, inv), (i, sa, sb)
+        if drift is None:
+            assert r.drift is None
+        else:
+            assert r.drift == pytest.approx(drift), i
+
+
+def test_drift_max_len_cap(spark):
+    from mapbox_filter_spark.operators.media import span_order_drift
+    rows = [(1, [f"s{k}" for k in range(9)], ["s1"])]
+    df = spark.createDataFrame(
+        rows, "doc_id long, sa array<string>, sb array<string>")
+    with pytest.raises(Exception, match="span_order_drift"):
+        span_order_drift(df, max_len=8).collect()
