@@ -1951,3 +1951,84 @@ def icc_oneway(df: DataFrame, group_col: str,
         "icc", F.when((F.col("k") > 1) & (F.col("n") > F.col("k"))
                       & (F.col("ssw_q") + F.col("ssb_q") > 0),
                       (msb - msw) / den))
+
+
+_FLEISS_MAX_NM = 100_000
+
+
+def fleiss_kappa(df: DataFrame, group_cols: Sequence[str],
+                 item_col: str, cat_col: str) -> DataFrame:
+    """Fleiss' κ — chance-corrected agreement for a PANEL of raters
+    (Fleiss 1971), the multi-rater generalization of
+    :func:`cohen_kappa`: each item is rated by the same number m of
+    raters into nominal categories; κ compares the observed pairwise
+    agreement inside items to the agreement the pooled category mix
+    would produce by chance.
+
+    Exact rational form (engine-wide integer discipline): with N items,
+    m raters, n_ic the item×category counts, S_c = Σᵢ n_ic,
+
+        P_o = (Σ n_ic² − N·m) / (N·m·(m−1)),   P_e = Σ S_c² / (N·m)²
+        κ   = (P_o − P_e) / (1 − P_e)
+            = (A·D₂ − B·D₁) / (D₁·(D₂ − B))
+
+    with A = Σ n_ic² − Nm, D₁ = Nm(m−1), B = Σ S_c², D₂ = (Nm)² — every
+    term an exact long, ONE double division.  The equal-raters
+    precondition is enforced IN-PLAN (min ≠ max panel size →
+    raise_error), as is the ``N·m ≤ 100000`` bound that keeps
+    D₁·D₂ inside int64 (κ is a per-group statistic; bigger panels
+    want a finer group key).
+
+    Scale shape: one map-side-combinable groupBy to (group, item,
+    category) — the only ratings-sized shuffle — then two tiny
+    collapses (per-item, per-category) joined on the group key.  No
+    windows over raw ratings, no collect.
+
+    Returns one row per group: ``(*group_cols, n_items, n_raters,
+    n_cats, po_num, po_den, pe_num, pe_den, kappa)`` — κ NULL when
+    m = 1 or every rating lands in one category (P_e = 1).
+    ``group_cols`` must be non-empty (use a constant column for a
+    global κ).
+    """
+    g = list(group_cols)
+    cell = (df.groupBy(*g, F.col(item_col).alias("_i"),
+                       F.col(cat_col).alias("_c"))
+            .agg(F.count(F.lit(1)).alias("_n")))
+    item = (cell.groupBy(*g, "_i")
+            .agg(F.sum("_n").alias("_m"),
+                 F.sum(F.col("_n") * F.col("_n")).alias("_sq")))
+    gi = (item.groupBy(*g)
+          .agg(F.count(F.lit(1)).alias("n_items"),
+               F.min("_m").alias("_mn"), F.max("_m").alias("_mx"),
+               F.sum("_sq").alias("_ssq")))
+    cat = (cell.groupBy(*g, "_c").agg(F.sum("_n").alias("_s")))
+    gc = (cat.groupBy(*g)
+          .agg(F.count(F.lit(1)).alias("n_cats"),
+               F.sum(F.col("_s") * F.col("_s")).alias("_bsq")))
+    j = gi.join(gc, g)
+    m = F.when(
+        F.col("_mn") != F.col("_mx"),
+        F.raise_error(F.concat(
+            F.lit("fleiss_kappa: unequal raters per item: min="),
+            F.col("_mn").cast("string"), F.lit(" max="),
+            F.col("_mx").cast("string"))).cast("long")
+    ).otherwise(F.col("_mx"))
+    nm = F.when(
+        F.col("n_items") * m > _FLEISS_MAX_NM,
+        F.raise_error(F.concat(
+            F.lit(f"fleiss_kappa: N*m exceeds int64-safe bound "
+                  f"({_FLEISS_MAX_NM}): "),
+            (F.col("n_items") * m).cast("string"))).cast("long")
+    ).otherwise(F.col("n_items") * m)
+    a = (F.col("_ssq") - nm)
+    d1 = nm * (m - 1)
+    b = F.col("_bsq")
+    d2 = nm * nm
+    num = a * d2 - b * d1
+    den = d1 * (d2 - b)
+    return j.select(
+        *g, "n_items", m.alias("n_raters"), "n_cats",
+        a.alias("po_num"), d1.alias("po_den"),
+        b.alias("pe_num"), d2.alias("pe_den"),
+        F.when(den != 0, num.cast("double") / den.cast("double"))
+        .alias("kappa"))

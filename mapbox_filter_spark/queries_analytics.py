@@ -2401,3 +2401,78 @@ LEFT JOIN pj USING (o_orderstatus)"""
 
 ANALYTICS_QUERIES["jonckheere_trend"] = (q_jonckheere_trend,
                                          sql_jonckheere_trend)
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' κ multi-rater agreement (operators/stats.py
+    fleiss_kappa): events become a rating panel — item = event_id mod
+    211, the first 3 arrivals per item (by ts, event_id) are its 3
+    raters, category = value-cents mod 5, panel group = item mod 4 —
+    and κ asks whether "raters" of the same item agree beyond the
+    pooled category mix.  Every moment is an exact long; one double
+    division per group."""
+    from .operators.stats import fleiss_kappa
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select(F.pmod(F.col("event_id"), F.lit(211)).alias("_i"),
+                  F.pmod(_cents(), F.lit(5)).alias("_c"),
+                  "ts", "event_id"))
+    w = Window.partitionBy("_i").orderBy("ts", "event_id")
+    wc = Window.partitionBy("_i")
+    panel = (ev.withColumn("_rn", F.row_number().over(w))
+             .withColumn("_cnt", F.count(F.lit(1)).over(wc))
+             .filter((F.col("_rn") <= 3) & (F.col("_cnt") >= 3))
+             .select(F.pmod(F.col("_i"), F.lit(4)).alias("g"),
+                     "_i", "_c"))
+    return fleiss_kappa(panel, ["g"], "_i", "_c")
+
+
+def sql_fleiss_kappa() -> str:
+    return """WITH e AS (
+  SELECT event_id % 211 AS item,
+         ((CAST(floor(value * 100 + 0.5) AS BIGINT) % 5) + 5) % 5 AS cat,
+         ts, event_id
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+r AS (
+  SELECT item, cat,
+         ROW_NUMBER() OVER (PARTITION BY item
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY item) AS cnt
+  FROM e),
+k AS (SELECT item % 4 AS g, item, cat FROM r
+      WHERE rn <= 3 AND cnt >= 3),
+cell AS (
+  SELECT g, item, cat, CAST(COUNT(*) AS BIGINT) AS n
+  FROM k GROUP BY 1, 2, 3),
+it AS (
+  SELECT g, item, SUM(n) AS m, SUM(n * n) AS sq
+  FROM cell GROUP BY 1, 2),
+gi AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(MAX(m) AS BIGINT) AS m,
+         CAST(SUM(sq) AS BIGINT) AS ssq
+  FROM it GROUP BY 1),
+ct AS (
+  SELECT g, cat, SUM(n) AS s
+  FROM cell GROUP BY 1, 2),
+gc AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_cats,
+         CAST(SUM(s * s) AS BIGINT) AS bsq
+  FROM ct GROUP BY 1)
+SELECT g, n_items, m AS n_raters, n_cats,
+       ssq - n_items * m AS po_num,
+       n_items * m * (m - 1) AS po_den,
+       bsq AS pe_num,
+       n_items * m * n_items * m AS pe_den,
+       CASE WHEN n_items * m * (m - 1)
+                 * (n_items * m * n_items * m - bsq) <> 0
+            THEN CAST((ssq - n_items * m) * (n_items * m * n_items * m)
+                      - bsq * (n_items * m * (m - 1)) AS DOUBLE)
+                 / CAST((n_items * m * (m - 1))
+                        * (n_items * m * n_items * m - bsq) AS DOUBLE)
+       END AS kappa
+FROM gi JOIN gc USING (g)"""
+
+
+ANALYTICS_QUERIES["fleiss_kappa"] = (q_fleiss_kappa, sql_fleiss_kappa)

@@ -262,3 +262,80 @@ def test_drift_max_len_cap(spark):
         rows, "doc_id long, sa array<string>, sb array<string>")
     with pytest.raises(Exception, match="span_order_drift"):
         span_order_drift(df, max_len=8).collect()
+
+
+# ---- fleiss_kappa ----
+
+def _fleiss_expected(ratings):
+    """Literal replay: ratings = [(item, cat)], equal raters assumed."""
+    from collections import Counter, defaultdict
+    per_item = defaultdict(Counter)
+    for it, c in ratings:
+        per_item[it][c] += 1
+    ms = {len(list(per_item[i].elements())) for i in per_item}
+    assert len(ms) == 1
+    m = ms.pop()
+    n_items = len(per_item)
+    ssq = sum(v * v for c in per_item.values() for v in c.values())
+    sc = Counter()
+    for c in per_item.values():
+        sc.update(c)
+    a, d1 = ssq - n_items * m, n_items * m * (m - 1)
+    b, d2 = sum(v * v for v in sc.values()), (n_items * m) ** 2
+    den = d1 * (d2 - b)
+    kappa = (a * d2 - b * d1) / den if den != 0 else None
+    return (n_items, m, len(sc), a, d1, b, d2, kappa)
+
+
+def test_fleiss_hand_case(spark):
+    from mapbox_filter_spark.operators.stats import fleiss_kappa
+    # item1: both raters 'a'; item2: split 'a'/'b'
+    # P_o = 1/2, P_e = 10/16 -> kappa = -1/3
+    rows = [("g", 1, "a"), ("g", 1, "a"), ("g", 2, "a"), ("g", 2, "b")]
+    df = spark.createDataFrame(rows, "g string, item long, cat string")
+    r = fleiss_kappa(df, ["g"], "item", "cat").collect()[0]
+    assert (r.n_items, r.n_raters, r.n_cats) == (2, 2, 2)
+    assert (r.po_num, r.po_den, r.pe_num, r.pe_den) == (2, 4, 10, 16)
+    assert r.kappa == pytest.approx(-1 / 3)
+
+
+def test_fleiss_python_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.stats import fleiss_kappa
+    rng = random.Random(185)
+    rows = []
+    for g, (n_items, m, k) in (("p", (40, 4, 3)), ("q", (25, 6, 2))):
+        for it in range(n_items):
+            for _ in range(m):
+                rows.append((g, it, rng.randrange(k)))
+    df = spark.createDataFrame(rows, "g string, item long, cat long")
+    out = {r.g: r for r in
+           fleiss_kappa(df, ["g"], "item", "cat").collect()}
+    for g in ("p", "q"):
+        exp = _fleiss_expected([(i, c) for gg, i, c in rows if gg == g])
+        r = out[g]
+        assert (r.n_items, r.n_raters, r.n_cats, r.po_num, r.po_den,
+                r.pe_num, r.pe_den) == exp[:7]
+        assert r.kappa == pytest.approx(exp[7], abs=1e-12)
+
+
+def test_fleiss_perfect_and_degenerate(spark):
+    from mapbox_filter_spark.operators.stats import fleiss_kappa
+    # perfect agreement across 2 categories -> kappa = 1
+    rows = [("g", i, "a" if i % 2 else "b") for i in range(6)] * 3
+    df = spark.createDataFrame(rows, "g string, item long, cat string")
+    r = fleiss_kappa(df, ["g"], "item", "cat").collect()[0]
+    assert r.kappa == pytest.approx(1.0)
+    # single category everywhere -> P_e = 1 -> NULL
+    rows2 = [("g", i, "only") for i in range(4)] * 2
+    df2 = spark.createDataFrame(rows2, "g string, item long, cat string")
+    r2 = fleiss_kappa(df2, ["g"], "item", "cat").collect()[0]
+    assert r2.kappa is None and r2.pe_num == r2.pe_den
+
+
+def test_fleiss_unequal_raters_raises(spark):
+    from mapbox_filter_spark.operators.stats import fleiss_kappa
+    rows = [("g", 1, "a"), ("g", 1, "b"), ("g", 2, "a")]
+    df = spark.createDataFrame(rows, "g string, item long, cat string")
+    with pytest.raises(Exception, match="unequal raters"):
+        fleiss_kappa(df, ["g"], "item", "cat").collect()
