@@ -2032,3 +2032,78 @@ def fleiss_kappa(df: DataFrame, group_cols: Sequence[str],
         b.alias("pe_num"), d2.alias("pe_den"),
         F.when(den != 0, num.cast("double") / den.cast("double"))
         .alias("kappa"))
+
+
+_JSD_MAX_SIDE = 1 << 30
+
+
+def js_divergence(df: DataFrame, group_cols: Sequence[str],
+                  flag_col: str, cat_col: str) -> DataFrame:
+    """Jensen-Shannon divergence between the categorical distributions
+    of a group's two halves (``flag_col`` true vs false) — the bounded,
+    symmetric, zero-tolerant distribution-drift measure (Lin 1991):
+    0 = identical mixes, ln 2 = disjoint supports.  Complements
+    ``psi_drift`` (which blows up on empty cells) and ``entropy_profile``
+    (single-distribution); ``sqrt(jsd)`` — also returned — is a true
+    metric (Endres & Schindelin 2003).
+
+    Exactness: category counts a_c, b_c and totals A, B are exact longs
+    (ONE map-side-combinable shuffle); each log argument is a ratio of
+    exact int64 products, ``p_c/m_c = 2·a_c·B / (a_c·B + b_c·A)``, so
+    both engines take ln of the SAME IEEE double, and the two Σ terms
+    are PINNED-ORDER folds over the category list sorted by category
+    (the entropy_profile discipline).  ``A,B ≤ 2^30`` is enforced
+    in-plan to keep ``2·a_c·B`` inside int64 (raise_error — split by a
+    finer group key beyond that).
+
+    Returns ``(group..., n_a, n_b, n_cats, jsd, js_dist)`` in nats;
+    NULL when either half is empty.
+    """
+    g = list(group_cols)
+    clean = df.filter(F.col(flag_col).isNotNull()
+                      & F.col(cat_col).isNotNull())
+    cell = (clean.groupBy(*g, F.col(cat_col).alias("_c"))
+            .agg(F.sum(F.when(F.col(flag_col), 1).otherwise(0))
+                 .cast("long").alias("_a"),
+                 F.sum(F.when(~F.col(flag_col), 1).otherwise(0))
+                 .cast("long").alias("_b")))
+    arr = F.sort_array(F.collect_list(F.struct(
+        F.col("_c").alias("cat"), F.col("_a").alias("a"),
+        F.col("_b").alias("b"))))
+    per = cell.groupBy(*g).agg(
+        F.sum("_a").alias("n_a"), F.sum("_b").alias("n_b"),
+        F.count(F.lit(1)).alias("n_cats"), arr.alias("_arr"))
+    big = F.greatest(F.col("n_a"), F.col("n_b"))
+    aa = F.when(
+        big > _JSD_MAX_SIDE,
+        F.raise_error(F.concat(
+            F.lit("js_divergence: side exceeds int64-safe bound "
+                  f"({_JSD_MAX_SIDE}): "),
+            big.cast("string"))).cast("long")
+    ).otherwise(F.col("n_a"))
+    bb = F.col("n_b")
+
+    def fold(side):
+        def term(s):
+            a, b = s["a"], s["b"]
+            den = (a * bb + b * aa).cast("double")
+            if side == "a":
+                return F.when(
+                    a > 0, a.cast("double")
+                    * F.log((2 * a * bb).cast("double") / den)) \
+                    .otherwise(F.lit(0.0))
+            return F.when(
+                b > 0, b.cast("double")
+                * F.log((2 * b * aa).cast("double") / den)) \
+                .otherwise(F.lit(0.0))
+        return F.aggregate(F.col("_arr"), F.lit(0.0),
+                           lambda acc, s: acc + term(s))
+
+    jsd = F.when(
+        (aa > 0) & (bb > 0),
+        fold("a") / (2 * aa).cast("double")
+        + fold("b") / (2 * bb).cast("double"))
+    return per.select(
+        *g, "n_a", "n_b", "n_cats", jsd.alias("jsd"),
+        F.when(jsd.isNotNull(),
+               F.sqrt(F.greatest(jsd, F.lit(0.0)))).alias("js_dist"))

@@ -2179,3 +2179,72 @@ FROM p"""
 
 
 CURATION_QUERIES["somers_d"] = (q_somers_d, sql_somers_d)
+
+
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon drift between the language mixes of the two
+    doc-id-parity shards of every source (operators/stats.py
+    js_divergence): the bounded symmetric drift measure a curation
+    pipeline runs between two snapshots or shards — exact integer
+    count ratios inside every ln, pinned category-ordered folds."""
+    from .operators.stats import js_divergence
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("lang").isNotNull())
+            .select("source",
+                    (F.pmod(F.col("doc_id"), F.lit(2)) == 0).alias("flag"),
+                    "lang"))
+    return js_divergence(docs, ["source"], "flag", "lang")
+
+
+def sql_js_divergence() -> str:
+    return """WITH cell AS (
+  SELECT source, lang AS cat,
+         CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b
+  FROM documents WHERE lang IS NOT NULL
+  GROUP BY 1, 2),
+tot AS (
+  SELECT source, cat, a, b,
+         SUM(a) OVER (PARTITION BY source) AS ta,
+         SUM(b) OVER (PARTITION BY source) AS tb
+  FROM cell),
+terms AS (
+  SELECT source, cat, a, b, ta, tb,
+         CASE WHEN a > 0
+              THEN CAST(a AS DOUBLE)
+                   * ln(CAST(2 * a * tb AS DOUBLE)
+                        / CAST(a * tb + b * ta AS DOUBLE))
+              ELSE 0.0 END AS t1,
+         CASE WHEN b > 0
+              THEN CAST(b AS DOUBLE)
+                   * ln(CAST(2 * b * ta AS DOUBLE)
+                        / CAST(a * tb + b * ta AS DOUBLE))
+              ELSE 0.0 END AS t2
+  FROM tot),
+agg AS (
+  SELECT source,
+         CAST(MAX(ta) AS BIGINT) AS n_a,
+         CAST(MAX(tb) AS BIGINT) AS n_b,
+         CAST(COUNT(*) AS BIGINT) AS n_cats,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(t1 ORDER BY cat NULLS FIRST)),
+                     (acc, x) -> acc + x) AS s1,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(t2 ORDER BY cat NULLS FIRST)),
+                     (acc, x) -> acc + x) AS s2
+  FROM terms GROUP BY source)
+SELECT source, n_a, n_b, n_cats,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN s1 / CAST(2 * n_a AS DOUBLE)
+                 + s2 / CAST(2 * n_b AS DOUBLE) END AS jsd,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN sqrt(greatest(s1 / CAST(2 * n_a AS DOUBLE)
+                               + s2 / CAST(2 * n_b AS DOUBLE),
+                               CAST(0.0 AS DOUBLE))) END AS js_dist
+FROM agg"""
+
+
+CURATION_QUERIES["js_divergence"] = (q_js_divergence, sql_js_divergence)

@@ -339,3 +339,58 @@ def test_fleiss_unequal_raters_raises(spark):
     df = spark.createDataFrame(rows, "g string, item long, cat string")
     with pytest.raises(Exception, match="unequal raters"):
         fleiss_kappa(df, ["g"], "item", "cat").collect()
+
+
+# ---- js_divergence ----
+
+def _jsd_expected(rows):
+    """Literal replay: rows = [(flag, cat)]."""
+    from collections import Counter
+    a, b = Counter(), Counter()
+    for f, c in rows:
+        (a if f else b)[c] += 1
+    ta, tb = sum(a.values()), sum(b.values())
+    if ta == 0 or tb == 0:
+        return (ta, tb, None)
+    cats = sorted(set(a) | set(b))
+    s1 = sum(a[c] * math.log(2 * a[c] * tb / (a[c] * tb + b[c] * ta))
+             for c in cats if a[c] > 0)
+    s2 = sum(b[c] * math.log(2 * b[c] * ta / (a[c] * tb + b[c] * ta))
+             for c in cats if b[c] > 0)
+    return (ta, tb, s1 / (2 * ta) + s2 / (2 * tb))
+
+
+def test_jsd_hand_cases(spark):
+    from mapbox_filter_spark.operators.stats import js_divergence
+    rows = ([("same", True, "x")] * 5 + [("same", False, "x")] * 3
+            + [("same", True, "y")] * 5 + [("same", False, "y")] * 3
+            + [("disj", True, "p")] * 4 + [("disj", False, "q")] * 6
+            + [("one", True, "z")] * 3)
+    df = spark.createDataFrame(rows, "g string, flag boolean, cat string")
+    out = {r.g: r for r in
+           js_divergence(df, ["g"], "flag", "cat").collect()}
+    assert out["same"].jsd == pytest.approx(0.0, abs=1e-15)
+    assert out["same"].js_dist == pytest.approx(0.0, abs=1e-8)
+    assert out["disj"].jsd == pytest.approx(math.log(2))
+    assert out["disj"].js_dist == pytest.approx(math.sqrt(math.log(2)))
+    assert out["one"].jsd is None and out["one"].js_dist is None
+    assert (out["one"].n_a, out["one"].n_b) == (3, 0)
+
+
+def test_jsd_python_differential_and_bounds(spark):
+    import random
+    from mapbox_filter_spark.operators.stats import js_divergence
+    rng = random.Random(186)
+    rows = [("g%d" % (i % 3), rng.random() < 0.4,
+             "c%d" % rng.randrange(6)) for i in range(900)]
+    df = spark.createDataFrame(rows, "g string, flag boolean, cat string")
+    out = {r.g: r for r in
+           js_divergence(df, ["g"], "flag", "cat").collect()}
+    for g in ("g0", "g1", "g2"):
+        ta, tb, jsd = _jsd_expected([(f, c) for gg, f, c in rows
+                                     if gg == g])
+        r = out[g]
+        assert (r.n_a, r.n_b) == (ta, tb)
+        assert r.jsd == pytest.approx(jsd, abs=1e-12)
+        assert 0.0 <= r.jsd <= math.log(2) + 1e-12
+        assert r.js_dist == pytest.approx(math.sqrt(max(jsd, 0.0)))
