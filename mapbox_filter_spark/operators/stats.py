@@ -2107,3 +2107,62 @@ def js_divergence(df: DataFrame, group_cols: Sequence[str],
         *g, "n_a", "n_b", "n_cats", jsd.alias("jsd"),
         F.when(jsd.isNotNull(),
                F.sqrt(F.greatest(jsd, F.lit(0.0)))).alias("js_dist"))
+
+
+def rmst(subjects: DataFrame, group_cols: Sequence[str],
+         dur_col: str = "dur", event_col: str = "event", *,
+         tau: int, scale: int = 1_000_000_000) -> DataFrame:
+    """Restricted mean survival time — the area under the
+    :func:`kaplan_meier` curve up to the horizon ``tau`` (Royston &
+    Parmar 2013): "expected survival time within the first τ days",
+    the model-free effect size survival analyses report when hazards
+    aren't proportional and medians are undefined.
+
+    Exactness: the KM curve arrives as the exact integer log carry
+    (``log_surv_nano``), durations and τ are exact longs, so each
+    rectangle ``S(t_{k-1})·(min(t_k,τ) − min(t_{k-1},τ))`` is the
+    product of an engine-stable double and an exact integer gap; the
+    rectangles are summed in a PINNED ascending-duration fold (one
+    in-row aggregate over the collapsed per-group event-time list —
+    curve rows per group are calendar-bounded), then the tail
+    rectangle ``S(t_last)·(τ − min(t_last,τ))`` is added last.  A
+    curve that hits exact zero (NULL log carry) contributes zero
+    area from that time on.
+
+    Shape for scale: everything after kaplan_meier's single
+    subject-sized shuffle touches only the collapsed curve (rows =
+    distinct event durations per group).
+
+    Returns one row per group with at least one EVENT duration:
+    ``(*group_cols, n_times, tau, rmst)`` — all-censored groups have
+    no curve and drop out, mirroring kaplan_meier.
+    """
+    g = list(group_cols)
+    km = kaplan_meier(subjects, g, dur_col, event_col, scale)
+    tau_l = F.lit(int(tau)).cast("long")
+    arr = F.sort_array(F.collect_list(F.struct(
+        F.col("dur").alias("t"), F.col("log_surv_nano").alias("ls"))))
+    per = km.groupBy(*g).agg(F.count(F.lit(1)).alias("n_times"),
+                             arr.alias("_a"))
+    init = F.struct(F.lit(0).cast("long").alias("t"),
+                    F.lit(1.0).alias("s"),
+                    F.lit(0.0).alias("tot"))
+
+    def surv(ls):
+        return F.when(ls.isNull(), F.lit(0.0)) \
+            .otherwise(F.exp(ls.cast("double") / F.lit(float(scale))))
+
+    def merge(acc, x):
+        gap = (F.least(x["t"], tau_l) - F.least(acc["t"], tau_l))
+        return F.struct(
+            x["t"].alias("t"), surv(x["ls"]).alias("s"),
+            (acc["tot"] + acc["s"] * gap.cast("double")).alias("tot"))
+
+    def finish(acc):
+        return (acc["tot"]
+                + acc["s"] * (tau_l - F.least(acc["t"], tau_l))
+                .cast("double"))
+
+    val = F.aggregate(F.col("_a"), init, merge, finish)
+    return per.select(*g, "n_times", tau_l.alias("tau"),
+                      val.alias("rmst"))

@@ -1973,3 +1973,68 @@ GROUP BY 1"""
 
 TEMPORAL_QUERIES["rolling_distinct"] = (q_rolling_distinct,
                                         sql_rolling_distinct)
+
+
+_RMST_TAU = 365
+
+
+def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time within the first year per market
+    segment (operators/stats.py rmst): the area under the
+    kaplan_meier gate's curve up to τ=365 days — exact integer gaps ×
+    the exact-integer-log survival carry, summed in one pinned
+    ascending fold over the collapsed curve."""
+    from .operators.stats import rmst
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).cast("long")
+        .alias("day"))
+    per = o.groupBy("o_custkey").agg(F.min("day").alias("first_day"),
+                                     F.max("day").alias("last_day"))
+    hz = per.agg((F.max("last_day") - _KM_CENSOR_DAYS).alias("h"))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"))
+    subj = (per.crossJoin(hz)
+            .join(F.broadcast(cust),
+                  per["o_custkey"] == cust["c_custkey"])
+            .select("segment",
+                    (F.col("last_day") - F.col("first_day")).alias("dur"),
+                    F.when(F.col("last_day") <= F.col("h"), 1)
+                    .otherwise(0).alias("event")))
+    return rmst(subj, ["segment"], tau=_RMST_TAU)
+
+
+def sql_rmst() -> str:
+    return f"""WITH km AS ({sql_kaplan_meier()}),
+x AS (
+  SELECT segment, dur, log_surv_nano,
+         LAG(dur, 1, 0) OVER w AS pt,
+         LAG(log_surv_nano, 1, 0) OVER w AS pls,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY dur DESC) AS rdesc
+  FROM km WINDOW w AS (PARTITION BY segment ORDER BY dur)),
+c AS (
+  SELECT segment, dur,
+         CASE WHEN pls IS NULL THEN 0.0
+              ELSE exp(CAST(pls AS DOUBLE) / 1000000000.0) END
+         * CAST(least(dur, {_RMST_TAU}) - least(pt, {_RMST_TAU})
+                AS DOUBLE) AS contrib,
+         CASE WHEN rdesc = 1 THEN
+           CASE WHEN log_surv_nano IS NULL THEN 0.0
+                ELSE exp(CAST(log_surv_nano AS DOUBLE)
+                         / 1000000000.0) END
+           * CAST({_RMST_TAU} - least(dur, {_RMST_TAU}) AS DOUBLE)
+         END AS tail
+  FROM x)
+SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_times,
+       CAST({_RMST_TAU} AS BIGINT) AS tau,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list(contrib ORDER BY dur)),
+                   (a, x) -> a + x)
+         + MAX(tail) AS rmst
+FROM c GROUP BY segment"""
+
+
+TEMPORAL_QUERIES["rmst"] = (q_rmst, sql_rmst)

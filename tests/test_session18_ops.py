@@ -394,3 +394,79 @@ def test_jsd_python_differential_and_bounds(spark):
         assert r.jsd == pytest.approx(jsd, abs=1e-12)
         assert 0.0 <= r.jsd <= math.log(2) + 1e-12
         assert r.js_dist == pytest.approx(math.sqrt(max(jsd, 0.0)))
+
+
+# ---- rmst ----
+
+def _rmst_expected(subjects, tau, scale=1_000_000_000):
+    """Literal replay: KM with quantized log steps, then step-area."""
+    from collections import defaultdict
+    per = defaultdict(lambda: [0, 0])
+    for dur, ev in subjects:
+        per[dur][0 if ev else 1] += 1
+    times = sorted(per)
+    n_risk = sum(a + b for a, b in per.values())
+    log_nano, dead = 0, False
+    curve = []
+    for t in times:
+        d, c = per[t]
+        if d >= 1:
+            if n_risk <= d:
+                dead = True
+                curve.append((t, None))
+            elif not dead:
+                log_nano += math.floor(
+                    math.log((n_risk - d) / n_risk) * scale + 0.5)
+                curve.append((t, log_nano))
+            else:
+                curve.append((t, None))
+        n_risk -= d + c
+    if not curve:
+        return None
+    tot, pt, ps = 0.0, 0, 1.0
+    for t, ls in curve:
+        tot += ps * (min(t, tau) - min(pt, tau))
+        pt = t
+        ps = 0.0 if ls is None else math.exp(ls / scale)
+    tot += ps * (tau - min(pt, tau))
+    return (len(curve), tot)
+
+
+def test_rmst_hand_case(spark):
+    from mapbox_filter_spark.operators.stats import rmst
+    # events at t=2 (1 of 4) and t=5 (1 of 2); censor at 3 and 8
+    # S: 1 on [0,2), 0.75 on [2,5), 0.375 on [5,tau)
+    subj = [("g", 2, 1), ("g", 3, 0), ("g", 5, 1), ("g", 8, 0)]
+    df = spark.createDataFrame(subj, "g string, dur long, event long")
+    r = rmst(df, ["g"], tau=10).collect()[0]
+    exp_area = 1.0 * 2 + 0.75 * 3 + 0.375 * 5
+    assert r.n_times == 2 and r.tau == 10
+    assert r.rmst == pytest.approx(exp_area, rel=1e-8)
+    exp = _rmst_expected([(d, e) for _, d, e in subj], 10)
+    assert (r.n_times, r.rmst) == (exp[0], pytest.approx(exp[1]))
+
+
+def test_rmst_python_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.stats import rmst
+    rng = random.Random(187)
+    rows = [("g%d" % (i % 3), rng.randrange(1, 40),
+             1 if rng.random() < 0.7 else 0) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, dur long, event long")
+    out = {r.g: r for r in rmst(df, ["g"], tau=25).collect()}
+    for g in ("g0", "g1", "g2"):
+        exp = _rmst_expected([(d, e) for gg, d, e in rows if gg == g], 25)
+        r = out[g]
+        assert r.n_times == exp[0]
+        assert r.rmst == pytest.approx(exp[1], rel=1e-9)
+        assert 0.0 < r.rmst <= 25.0
+
+
+def test_rmst_edges(spark):
+    from mapbox_filter_spark.operators.stats import rmst
+    # all-censored group drops out; tau below first event clips to tau
+    rows = [("cens", 5, 0), ("cens", 7, 0), ("clip", 9, 1)]
+    df = spark.createDataFrame(rows, "g string, dur long, event long")
+    out = {r.g: r for r in rmst(df, ["g"], tau=4).collect()}
+    assert "cens" not in out
+    assert out["clip"].rmst == pytest.approx(4.0)  # S=1 until t=9>tau
