@@ -752,3 +752,72 @@ def boilerplate_lines(docs: DataFrame, group_cols=(), *,
                         F.array_join(F.transform(F.col("_kept"),
                                                  lambda s: s["l"]), delim),
                         F.lit(""))).alias("cleaned_md5")))
+
+
+def gazetteer_tag(docs: DataFrame, lexicon: DataFrame, *,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  term_col: str = "term", max_words: int = 3,
+                  longest_only: bool = False) -> DataFrame:
+    """Dictionary span tagging — match a gazetteer of (multi-word)
+    phrases against document text and return every occurrence with its
+    token position: the entity-linking primitive that grounds
+    geo-referenced spans (place names, landmark phrases) in interleaved
+    documents, and the generic lexicon tagger (profanity lists, product
+    catalogs, ICD codes).
+
+    Matching: text is lowercased and whitespace-tokenized (the
+    engine-wide ``\\s+`` discipline); every 1..``max_words``-gram is a
+    candidate, matched EXACTLY against ``lexicon.term_col``.  With
+    ``longest_only`` a match fully covered by a LONGER match in the
+    same document is dropped (classic maximal-munch gazetteer
+    semantics); equal-length overlaps all survive.
+
+    Shape for scale: grams are built IN-ROW (one flatten of
+    ``max_words`` position-window arrays — ≤ max_words rows per token,
+    no self-joins) and exploded once; the lexicon joins BROADCAST (a
+    gazetteer is a dimension table); ``longest_only`` is one left-anti
+    self-join keyed on the document id (sort-merge on the equi key,
+    the containment inequalities ride along) over the sparse match
+    set, never the token stream.  No Python anywhere.
+
+    Reference parity: no counterpart in mapbox-filter; engine surface
+    for the geospatial-text tier (the BASELINE north_star's
+    geo-referenced span grounding).
+
+    Returns ``(id_col, pos, n_words, term, *other lexicon columns)``
+    with ``pos`` the 0-based token index of the match start.
+    """
+    w = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                 lambda t: t != "")
+    empty = F.array().cast(
+        "array<struct<pos:int,n_words:int,gram:string>>")
+
+    def grams_for(n):
+        return F.when(F.size(w) >= n, F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.struct(
+                i.cast("int").alias("pos"),
+                F.lit(n).cast("int").alias("n_words"),
+                F.array_join(F.slice(w, i + 1, n), " ").alias("gram")))
+        ).otherwise(empty)
+
+    all_grams = F.flatten(F.array(*[grams_for(n)
+                                    for n in range(1, max_words + 1)]))
+    g = (docs.select(F.col(id_col), F.explode(all_grams).alias("_g"))
+         .select(id_col, F.col("_g.pos").alias("pos"),
+                 F.col("_g.n_words").alias("n_words"),
+                 F.col("_g.gram").alias("gram")))
+    lex = lexicon.withColumnRenamed(term_col, "_term")
+    tagged = (g.join(F.broadcast(lex),
+                     g["gram"] == F.col("_term"))
+              .drop("gram")
+              .withColumnRenamed("_term", "term"))
+    if longest_only:
+        a, b = tagged.alias("a"), tagged.alias("b")
+        cond = ((F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
+                & (F.col("b.n_words") > F.col("a.n_words"))
+                & (F.col("b.pos") <= F.col("a.pos"))
+                & (F.col("b.pos") + F.col("b.n_words")
+                   >= F.col("a.pos") + F.col("a.n_words")))
+        tagged = a.join(b, cond, "left_anti")
+    return tagged

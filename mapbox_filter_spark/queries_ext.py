@@ -2924,3 +2924,57 @@ LEFT JOIN inv USING (doc_id)"""
 
 EXT_QUERIES["span_order_drift"] = (q_span_order_drift,
                                    sql_span_order_drift)
+
+
+_GAZETTEER = [("table", 1), ("scan", 2), ("table scan", 3),
+              ("hash", 4), ("sort merge", 5), ("merge batch", 6)]
+
+
+def q_gazetteer_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer span tagging with maximal-munch semantics
+    (operators/text.py gazetteer_tag): a 6-phrase lexicon over the
+    document corpus — in-row gram windows, one broadcast lexicon
+    join, and the longest-match anti-join dropping 'table'/'scan'
+    hits covered by a 'table scan' match."""
+    from .operators.text import gazetteer_tag
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    lex = spark.createDataFrame(_GAZETTEER, "term string, ent long")
+    return gazetteer_tag(docs, lex, max_words=2, longest_only=True)
+
+
+def sql_gazetteer_tag() -> str:
+    vals = ", ".join(f"('{t}', {e})" for t, e in _GAZETTEER)
+    return f"""WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+w AS (
+  SELECT doc_id, unnest(l) AS word,
+         unnest(generate_series(1, len(l))) AS ord
+  FROM d WHERE len(l) > 0),
+g AS (
+  SELECT doc_id, CAST(ord - 1 AS INT) AS pos, 1 AS n_words,
+         word AS gram
+  FROM w
+  UNION ALL
+  SELECT a.doc_id, CAST(a.ord - 1 AS INT) AS pos, 2 AS n_words,
+         a.word || ' ' || b.word AS gram
+  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1),
+lex(term, ent) AS (VALUES {vals}),
+m AS (
+  SELECT g.doc_id, g.pos, g.n_words, lex.term,
+         CAST(lex.ent AS BIGINT) AS ent
+  FROM g JOIN lex ON g.gram = lex.term)
+SELECT doc_id, pos, CAST(n_words AS INT) AS n_words, term, ent
+FROM m
+WHERE NOT EXISTS (
+  SELECT 1 FROM m m2
+  WHERE m2.doc_id = m.doc_id AND m2.n_words > m.n_words
+    AND m2.pos <= m.pos
+    AND m2.pos + m2.n_words >= m.pos + m.n_words)"""
+
+
+EXT_QUERIES["gazetteer_tag"] = (q_gazetteer_tag, sql_gazetteer_tag)

@@ -470,3 +470,76 @@ def test_rmst_edges(spark):
     out = {r.g: r for r in rmst(df, ["g"], tau=4).collect()}
     assert "cens" not in out
     assert out["clip"].rmst == pytest.approx(4.0)  # S=1 until t=9>tau
+
+
+# ---- gazetteer_tag ----
+
+def _gaz_expected(docs, lex, max_words, longest_only):
+    out = []
+    for i, t in docs:
+        ws = [x for x in t.lower().split() if x]
+        ms = []
+        for n in range(1, max_words + 1):
+            for p in range(len(ws) - n + 1):
+                gram = " ".join(ws[p:p + n])
+                for term, ent in lex:
+                    if gram == term:
+                        ms.append((i, p, n, term, ent))
+        if longest_only:
+            ms = [m for m in ms
+                  if not any(b[2] > m[2] and b[1] <= m[1]
+                             and b[1] + b[2] >= m[1] + m[2]
+                             for b in ms if b[0] == m[0])]
+        out.extend(ms)
+    return sorted(out)
+
+
+_GAZ_LEX = [("new york", 1), ("york", 2), ("new", 3),
+            ("new york city", 4), ("paris", 5)]
+
+
+def test_gazetteer_hand_and_longest(spark):
+    from mapbox_filter_spark.operators.text import gazetteer_tag
+    docs = [(1, "I left New York City for paris"),
+            (2, "york new york"),
+            (3, "nothing here")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    lex = spark.createDataFrame(_GAZ_LEX, "term string, ent long")
+    for lo in (False, True):
+        got = sorted((r.doc_id, r.pos, r.n_words, r.term, r.ent)
+                     for r in gazetteer_tag(df, lex, max_words=3,
+                                            longest_only=lo).collect())
+        assert got == _gaz_expected(docs, _GAZ_LEX, 3, lo), lo
+    # longest-only: 'new york city' at pos 2 kills 'new york', 'new',
+    # 'york', 'city'-contained matches in doc 1
+    got = {(r.pos, r.term) for r in
+           gazetteer_tag(df, lex, max_words=3,
+                         longest_only=True).collect()
+           if r.doc_id == 1}
+    assert got == {(2, "new york city"), (6, "paris")}
+
+
+def test_gazetteer_python_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.text import gazetteer_tag
+    rng = random.Random(188)
+    vocab = ["new", "york", "city", "paris", "old", "the"]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(12)))
+            for i in range(50)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    lex = spark.createDataFrame(_GAZ_LEX, "term string, ent long")
+    for lo in (False, True):
+        got = sorted((r.doc_id, r.pos, r.n_words, r.term, r.ent)
+                     for r in gazetteer_tag(df, lex, max_words=3,
+                                            longest_only=lo).collect())
+        assert got == _gaz_expected(docs, _GAZ_LEX, 3, lo), lo
+
+
+def test_gazetteer_plan_broadcast_no_python(spark):
+    from mapbox_filter_spark.operators.text import gazetteer_tag
+    df = spark.createDataFrame([(1, "paris")], "doc_id long, text string")
+    lex = spark.createDataFrame(_GAZ_LEX, "term string, ent long")
+    plan = gazetteer_tag(df, lex)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
