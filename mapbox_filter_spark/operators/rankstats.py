@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 __all__ = ["spearman_corr", "mann_whitney_u", "ks_2samp", "kendall_tau",
            "kruskal_wallis", "pettitt_test", "friedman_test", "bh_fdr",
            "kendalls_w", "wasserstein_1d", "cvm_2samp", "cliffs_delta",
-           "wilcoxon_signed_rank", "jonckheere_trend", "somers_d"]
+           "wilcoxon_signed_rank", "jonckheere_trend", "somers_d",
+           "ansari_bradley"]
 
 # 4n^4 < 2^63  =>  n <= 38,000 keeps every sum exact in int64
 _MAX_GROUP_ROWS = 38_000
@@ -1120,3 +1121,72 @@ def somers_d(df: DataFrame, group_cols: "list[str]",
                       pcd.alias("pairs_cd"), F.col("_txy").alias("t_both"),
                       _ratio(px).alias("d_yx"), _ratio(py).alias("d_xy"),
                       _ratio(pcd).alias("gamma"))
+
+
+def ansari_bradley(df: DataFrame, group_cols: "list[str]",
+                   flag_col: str, value_col: str) -> DataFrame:
+    """Per-group Ansari-Bradley scale test — the rank test for EQUAL
+    DISPERSION between the flag-true and flag-false samples (Ansari &
+    Bradley 1960): where mann_whitney_u detects a location shift, AB
+    detects a spread difference around a common median.  Each pooled
+    observation scores ``min(rank, N+1−rank)`` (center-heavy), so a
+    LARGE sample-1 sum means sample 1 is MORE concentrated (less
+    dispersed).
+
+    Exactness: doubled tie-corrected midranks (the ``_rank2``
+    machinery) make the doubled score ``s2 = min(r2, 2(N+1) − r2)`` an
+    exact long; the statistic ``ab2 = Σ₁ s2`` and the tie-robust
+    finite-sampling moments come from exact pooled sums — with
+    S = Σ s2 and Q = Σ s2²,
+
+        z = (N·ab2 − n1·S) / sqrt(n1·n2·(N·Q − S²) / (N−1))
+
+    (the hypergeometric sampling variance of a sum of n1 scores drawn
+    without replacement — EXACT under ties, no parity-split textbook
+    formula needed).  One sqrt + one divide, pinned.  ``N ≤ 38000``
+    (the module cap) keeps N·Q and S² inside int64; beyond that,
+    pre-sample (dataset_split) — enforced in-plan via raise_error.
+
+    Same single-exchange shape as spearman/cliffs: one rank window
+    pass, one groupBy.
+
+    Returns ``(group..., n1, n2, ab2, s_sum2, z)`` — z NULL when a
+    sample is empty, N < 2, or every value ties (zero variance).
+    """
+    clean = df.filter(F.col(flag_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+    r2 = _rank2(group_cols, F.col(value_col))
+    wn = Window.partitionBy(*group_cols)
+    n = F.count(F.lit(1)).over(wn)
+    guard = F.when(
+        n > _MAX_GROUP_ROWS,
+        F.raise_error(F.concat(
+            F.lit(f"ansari_bradley: group exceeds exact-moment bound "
+                  f"({_MAX_GROUP_ROWS} rows): n="),
+            n.cast("string"))).cast("long")
+    ).otherwise(n.cast("long"))
+    s2 = F.least(r2, 2 * (guard + 1) - r2)
+    flagged = clean.select(*group_cols,
+                           F.col(flag_col).cast("boolean").alias("_f"),
+                           s2.alias("_s2"))
+    agg = flagged.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("_f"), 1).otherwise(0)).cast("long")
+        .alias("n1"),
+        F.sum(F.when(~F.col("_f"), 1).otherwise(0)).cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("_f"), F.col("_s2")).otherwise(F.lit(0)))
+        .cast("long").alias("ab2"),
+        F.sum("_s2").cast("long").alias("s_sum2"),
+        F.sum(F.col("_s2") * F.col("_s2")).cast("long").alias("_q4"))
+    nn = (F.col("n1") + F.col("n2"))
+    num = (nn * F.col("ab2") - F.col("n1") * F.col("s_sum2"))
+    # N·Q − S² stays exact int64 under the 38000 cap; the n1·n2 factor
+    # is applied in DOUBLE (n1·n2·(N·Q−S²) would overflow int64)
+    spread = (nn * F.col("_q4") - F.col("s_sum2") * F.col("s_sum2"))
+    z = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (nn >= 2) & (spread > 0),
+        num.cast("double")
+        / F.sqrt((F.col("n1") * F.col("n2")).cast("double")
+                 * spread.cast("double") / (nn - 1).cast("double")))
+    return agg.select(*group_cols, "n1", "n2", "ab2", "s_sum2",
+                      z.alias("z"))

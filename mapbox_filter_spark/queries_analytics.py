@@ -2476,3 +2476,60 @@ FROM gi JOIN gc USING (g)"""
 
 
 ANALYTICS_QUERIES["fleiss_kappa"] = (q_fleiss_kappa, sql_fleiss_kappa)
+
+
+def q_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley dispersion test per event type, A/B split by
+    event-id parity (operators/rankstats.py ansari_bradley): do the
+    two shards have the same SPREAD of values?  Doubled midrank
+    scores min(r2, 2(N+1)−r2), exact hypergeometric moments, one
+    pinned z — the scale complement of the cliffs_delta /
+    mann_whitney location gates on the same split."""
+    from .operators.rankstats import ansari_bradley
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("value").isNotNull()) \
+        .select("event_type",
+                (F.pmod(F.col("event_id"), F.lit(2)) == 0).alias("grp_a"),
+                _cents().alias("cents"))
+    return ansari_bradley(ev, ["event_type"], "grp_a", "cents")
+
+
+def sql_ansari_bradley() -> str:
+    return """WITH e AS (
+  SELECT event_type, (event_id % 2 = 0) AS f,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT event_type, f,
+         RANK() OVER (PARTITION BY event_type
+                      ORDER BY cents NULLS FIRST) * 2
+           + COUNT(*) OVER (PARTITION BY event_type, cents) - 1 AS r2,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM e),
+s AS (
+  SELECT event_type, f,
+         least(r2, 2 * (n + 1) - r2) AS s2
+  FROM r),
+a AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN NOT f THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN f THEN s2 ELSE 0 END) AS BIGINT) AS ab2,
+         CAST(SUM(s2) AS BIGINT) AS s_sum2,
+         CAST(SUM(s2 * s2) AS BIGINT) AS q4
+  FROM s GROUP BY event_type)
+SELECT event_type, n1, n2, ab2, s_sum2,
+       CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 >= 2
+             AND (n1 + n2) * q4 - s_sum2 * s_sum2 > 0
+            THEN CAST((n1 + n2) * ab2 - n1 * s_sum2 AS DOUBLE)
+                 / sqrt(CAST(n1 * n2 AS DOUBLE)
+                        * CAST((n1 + n2) * q4 - s_sum2 * s_sum2
+                               AS DOUBLE)
+                        / CAST(n1 + n2 - 1 AS DOUBLE))
+       END AS z
+FROM a"""
+
+
+ANALYTICS_QUERIES["ansari_bradley"] = (q_ansari_bradley,
+                                       sql_ansari_bradley)

@@ -543,3 +543,73 @@ def test_gazetteer_plan_broadcast_no_python(spark):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---- ansari_bradley ----
+
+def _ab_expected(pairs):
+    """Literal replay: pairs = [(flag, value)] -> (n1, n2, ab2,
+    s_sum2, z)."""
+    vals = sorted(v for _, v in pairs)
+    n = len(vals)
+
+    def r2(v):
+        below = sum(1 for x in vals if x < v)
+        ties = sum(1 for x in vals if x == v)
+        return (below + 1) * 2 + ties - 1
+
+    s2 = {id(p): min(r2(p[1]), 2 * (n + 1) - r2(p[1])) for p in pairs}
+    scores = [min(r2(v), 2 * (n + 1) - r2(v)) for _, v in pairs]
+    n1 = sum(1 for f, _ in pairs if f)
+    n2 = n - n1
+    ab2 = sum(s for (f, _), s in zip(pairs, scores) if f)
+    ssum = sum(scores)
+    q4 = sum(s * s for s in scores)
+    spread = n * q4 - ssum * ssum
+    z = None
+    if n1 > 0 and n2 > 0 and n >= 2 and spread > 0:
+        z = (n * ab2 - n1 * ssum) / math.sqrt(
+            n1 * n2 * spread / (n - 1))
+    return (n1, n2, ab2, ssum, z)
+
+
+def test_ansari_hand_and_direction(spark):
+    from mapbox_filter_spark.operators.rankstats import ansari_bradley
+    # sample1 tightly packed in the middle, sample2 spread wide:
+    # sample1 gets the big central scores -> z > 0
+    rows = [("g", True, v) for v in (10, 11, 12)] + \
+           [("g", False, v) for v in (0, 1, 20, 21)]
+    df = spark.createDataFrame(rows, "g string, f boolean, v long")
+    r = ansari_bradley(df, ["g"], "f", "v").collect()[0]
+    exp = _ab_expected([(f, v) for _, f, v in rows])
+    assert (r.n1, r.n2, r.ab2, r.s_sum2) == exp[:4]
+    assert r.z == pytest.approx(exp[4])
+    assert r.z > 0  # concentrated sample scores high
+
+
+def test_ansari_python_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.rankstats import ansari_bradley
+    rng = random.Random(189)
+    rows = [("t%d" % (i % 3), rng.random() < 0.5, rng.randrange(25))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "g string, f boolean, v long")
+    out = {r.g: r for r in
+           ansari_bradley(df, ["g"], "f", "v").collect()}
+    for g in ("t0", "t1", "t2"):
+        exp = _ab_expected([(f, v) for gg, f, v in rows if gg == g])
+        r = out[g]
+        assert (r.n1, r.n2, r.ab2, r.s_sum2) == exp[:4]
+        assert r.z == pytest.approx(exp[4], abs=1e-12)
+
+
+def test_ansari_degenerate_cases(spark):
+    from mapbox_filter_spark.operators.rankstats import ansari_bradley
+    rows = [("allsame", True, 5), ("allsame", True, 5),
+            ("allsame", False, 5),
+            ("oneside", True, 1), ("oneside", True, 2)]
+    df = spark.createDataFrame(rows, "g string, f boolean, v long")
+    out = {r.g: r for r in
+           ansari_bradley(df, ["g"], "f", "v").collect()}
+    assert out["allsame"].z is None   # zero score variance
+    assert out["oneside"].z is None and out["oneside"].n2 == 0
