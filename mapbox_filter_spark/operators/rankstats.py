@@ -36,7 +36,7 @@ __all__ = ["spearman_corr", "mann_whitney_u", "ks_2samp", "kendall_tau",
            "kruskal_wallis", "pettitt_test", "friedman_test", "bh_fdr",
            "kendalls_w", "wasserstein_1d", "cvm_2samp", "cliffs_delta",
            "wilcoxon_signed_rank", "jonckheere_trend", "somers_d",
-           "ansari_bradley"]
+           "ansari_bradley", "page_trend"]
 
 # 4n^4 < 2^63  =>  n <= 38,000 keeps every sum exact in int64
 _MAX_GROUP_ROWS = 38_000
@@ -1190,3 +1190,77 @@ def ansari_bradley(df: DataFrame, group_cols: "list[str]",
                  * spread.cast("double") / (nn - 1).cast("double")))
     return agg.select(*group_cols, "n1", "n2", "ab2", "s_sum2",
                       z.alias("z"))
+
+
+def page_trend(df: DataFrame, block_col: str, treat_col: str,
+               value_col: str) -> DataFrame:
+    """Page's L trend test — the ORDERED-alternative companion of
+    :func:`friedman_test` (Page 1963): with treatments in a
+    prespecified order (their natural ascending ``treat_col`` order
+    here — fix the hypothesis by encoding the order into the
+    labels), L weights each treatment's within-block rank sum by its
+    position, so a monotone treatment effect drives L up where
+    Friedman's omnibus Q only sees "different".
+
+    Exactness: complete blocks only (friedman's distinct-count
+    filter), doubled tie-corrected ranks r2, position weights
+    c_j = 1..k.  ``L2 = Σ c_j·R2_j`` is an exact long with
+    ``E[L2] = n·k(k+1)²/2`` (k(k+1) even → exact), and the exact
+    tie-corrected permutation variance telescopes to
+
+        Var[L2] = k(k+1)/12 · (Σ r2² − n·k(k+1)²)
+
+    — the SAME spread term as Friedman's denominator, so ties that
+    deflate Q deflate L's variance identically.  ``z = (L2 − E2) /
+    sqrt(k·(k+1)·D / 12)`` is one pinned sqrt+divide; D ≤ 0 (every
+    block fully tied) → z NULL.  Int64 bound: k(k+1)·D ≤ 4nk⁵ —
+    safe to n ≈ 10¹³ blocks at k ≤ 10 (ANSI overflow fails loudly,
+    never silently).
+
+    Scale shape: identical to friedman_test — one completeness
+    pre-pass, one per-block rank window, one k-row aggregate.
+
+    Reference: Page (1963, JASA "Ordered hypotheses for multiple
+    treatments"); exact permutation variance from the standard
+    two-multiset permutation-covariance identity — public formulas;
+    the doubled-rank evaluation is this engine's.
+
+    Returns ONE row ``(n_blocks, k, l2, e2, var_num, z)`` with
+    ``var_num = k(k+1)·D`` (z² = 12·(L2−E2)²/var_num for checking).
+    """
+    b, t = F.col(block_col), F.col(treat_col)
+    v = F.col(value_col).cast("long")
+    d = df.select(b.alias("_b"), t.alias("_t"), v.alias("_v"))
+    k_tot = d.select(F.countDistinct("_t").alias("_k"))
+    per_block = d.groupBy("_b").agg(
+        F.countDistinct("_t").alias("_kb"), F.count(F.lit(1)).alias("_c"))
+    complete = (per_block.crossJoin(F.broadcast(k_tot))
+                .filter((F.col("_kb") == F.col("_k"))
+                        & (F.col("_c") == F.col("_k")))
+                .select("_b"))
+    dd = d.join(complete, "_b")
+    dd = dd.withColumn("_r2", _rank2(["_b"], F.col("_v")))
+    per_treat = dd.groupBy("_t").agg(
+        F.sum("_r2").alias("_R2"),
+        F.sum(F.col("_r2") * F.col("_r2")).alias("_rsq"),
+        F.count(F.lit(1)).alias("_n"))
+    wc = Window.orderBy("_t")
+    per_treat = per_treat.withColumn(
+        "_cj", F.row_number().over(wc).cast("long"))
+    tot = per_treat.agg(
+        F.max("_n").alias("n_blocks"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("_cj") * F.col("_R2")).alias("l2"),
+        F.sum("_rsq").alias("_allrsq"))
+    from ..geo.tilemath import floor_div
+    k = F.col("k")
+    e2 = F.col("n_blocks") * floor_div(k * (k + 1), 2) * (k + 1)
+    dterm = (F.col("_allrsq")
+             - F.col("n_blocks") * k * (k + 1) * (k + 1))
+    var_num = (k * (k + 1) * dterm)
+    z = F.when(
+        (k >= 2) & (dterm > 0),
+        (F.col("l2") - e2).cast("double")
+        / F.sqrt(var_num.cast("double") / F.lit(12.0)))
+    return tot.select("n_blocks", "k", "l2", e2.alias("e2"),
+                      var_num.alias("var_num"), z.alias("z"))

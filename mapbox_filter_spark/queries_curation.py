@@ -2248,3 +2248,74 @@ FROM agg"""
 
 
 CURATION_QUERIES["js_divergence"] = (q_js_divergence, sql_js_divergence)
+
+
+def q_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L ordered trend over daily per-type revenue
+    (operators/rankstats.py page_trend): same blocks (UTC days) and
+    treatments (event types, alphabetical order as the prespecified
+    hypothesis) as the friedman_test gate — the directional sibling:
+    do the types' daily-revenue ranks climb in label order?  Exact
+    L2/E2 longs, the tie-corrected permutation variance sharing
+    Friedman's spread term, one pinned z."""
+    from .geo.tilemath import floor_div
+    from .operators.rankstats import page_trend
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        floor_div(F.unix_micros(F.col("ts").cast("timestamp")),
+                  86_400_000_000).alias("day"),
+        "event_type", _cents().alias("cents")).filter(
+        F.col("event_type").isNotNull() & F.col("cents").isNotNull())
+    daily = ev.groupBy("day", "event_type").agg(
+        F.sum("cents").alias("v"))
+    return page_trend(daily, "day", "event_type", "v")
+
+
+def sql_page_trend() -> str:
+    return f"""WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS b, event_type AS t,
+         CAST(SUM({_CENTS_SQL}) AS BIGINT) AS v
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2),
+k AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS kk FROM e),
+cb AS (
+  SELECT b FROM e CROSS JOIN k
+  GROUP BY b, kk
+  HAVING COUNT(DISTINCT t) = kk AND COUNT(*) = kk),
+r AS (
+  SELECT e.t,
+         RANK() OVER (PARTITION BY e.b ORDER BY e.v NULLS FIRST) * 2
+           + COUNT(*) OVER (PARTITION BY e.b, e.v) - 1 AS r2
+  FROM e JOIN cb ON e.b = cb.b),
+pt AS (
+  SELECT t, CAST(SUM(r2) AS BIGINT) AS R2,
+         CAST(SUM(r2 * r2) AS BIGINT) AS rsq,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM r GROUP BY 1),
+pc AS (
+  SELECT t, R2, rsq, n,
+         CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS cj
+  FROM pt),
+tot AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_blocks,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(cj * R2) AS BIGINT) AS l2,
+         CAST(SUM(rsq) AS BIGINT) AS allrsq
+  FROM pc)
+SELECT n_blocks, k, l2,
+       n_blocks * (k * (k + 1) // 2) * (k + 1) AS e2,
+       k * (k + 1) * (allrsq - n_blocks * k * (k + 1) * (k + 1))
+         AS var_num,
+       CASE WHEN k >= 2
+             AND allrsq - n_blocks * k * (k + 1) * (k + 1) > 0
+            THEN CAST(l2 - n_blocks * (k * (k + 1) // 2) * (k + 1)
+                      AS DOUBLE)
+                 / sqrt(CAST(k * (k + 1)
+                             * (allrsq - n_blocks * k * (k + 1)
+                                * (k + 1)) AS DOUBLE) / 12.0)
+       END AS z
+FROM tot"""
+
+
+CURATION_QUERIES["page_trend"] = (q_page_trend, sql_page_trend)

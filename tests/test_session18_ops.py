@@ -613,3 +613,77 @@ def test_ansari_degenerate_cases(spark):
            ansari_bradley(df, ["g"], "f", "v").collect()}
     assert out["allsame"].z is None   # zero score variance
     assert out["oneside"].z is None and out["oneside"].n2 == 0
+
+
+# ---- page_trend ----
+
+def _page_expected(rows):
+    """Literal replay: rows = [(block, treat, value)]."""
+    from collections import defaultdict
+    treats = sorted({t for _, t, _ in rows})
+    k = len(treats)
+    blocks = defaultdict(dict)
+    for b, t, v in rows:
+        blocks[b][t] = v
+    comp = {b: d for b, d in blocks.items()
+            if len(d) == k}
+    r2sum = {t: 0 for t in treats}
+    allrsq = 0
+    for b, d in comp.items():
+        vals = sorted(d.values())
+        for t in treats:
+            v = d[t]
+            below = sum(1 for x in vals if x < v)
+            ties = sum(1 for x in vals if x == v)
+            r2 = (below + 1) * 2 + ties - 1
+            r2sum[t] += r2
+            allrsq += r2 * r2
+    n = len(comp)
+    l2 = sum((j + 1) * r2sum[t] for j, t in enumerate(treats))
+    e2 = n * (k * (k + 1) // 2) * (k + 1)
+    dterm = allrsq - n * k * (k + 1) ** 2
+    var_num = k * (k + 1) * dterm
+    z = ((l2 - e2) / math.sqrt(var_num / 12.0)
+         if k >= 2 and dterm > 0 else None)
+    return (n, k, l2, e2, var_num, z)
+
+
+def test_page_perfect_trend_and_reverse(spark):
+    from mapbox_filter_spark.operators.rankstats import page_trend
+    rows = [(b, "t%d" % j, j * 10 + b) for b in range(6)
+            for j in range(4)]
+    df = spark.createDataFrame(rows, "b long, t string, v long")
+    r = page_trend(df, "b", "t", "v").collect()[0]
+    exp = _page_expected(rows)
+    assert (r.n_blocks, r.k, r.l2, r.e2, r.var_num) == exp[:5]
+    assert r.z == pytest.approx(exp[5])
+    assert r.z > 3  # perfect monotone trend, 6 blocks
+    rev = [(b, t, -v) for b, t, v in rows]
+    rz = page_trend(spark.createDataFrame(
+        rev, "b long, t string, v long"), "b", "t", "v").collect()[0]
+    assert rz.z == pytest.approx(-r.z)  # antisymmetric
+
+
+def test_page_python_differential_with_ties_and_incomplete(spark):
+    import random
+    from mapbox_filter_spark.operators.rankstats import page_trend
+    rng = random.Random(190)
+    rows = []
+    for b in range(25):
+        for j in range(5):
+            if b % 7 == 0 and j == 2:
+                continue  # incomplete block -> filtered out
+            rows.append((b, "c%d" % j, rng.randrange(6)))
+    df = spark.createDataFrame(rows, "b long, t string, v long")
+    r = page_trend(df, "b", "t", "v").collect()[0]
+    exp = _page_expected(rows)
+    assert (r.n_blocks, r.k, r.l2, r.e2, r.var_num) == exp[:5]
+    assert r.z == pytest.approx(exp[5], abs=1e-12)
+
+
+def test_page_all_tied_null(spark):
+    from mapbox_filter_spark.operators.rankstats import page_trend
+    rows = [(b, "t%d" % j, 7) for b in range(4) for j in range(3)]
+    df = spark.createDataFrame(rows, "b long, t string, v long")
+    r = page_trend(df, "b", "t", "v").collect()[0]
+    assert r.z is None and r.var_num == 0
