@@ -2166,3 +2166,47 @@ def rmst(subjects: DataFrame, group_cols: Sequence[str],
     val = F.aggregate(F.col("_a"), init, merge, finish)
     return per.select(*g, "n_times", tau_l.alias("tau"),
                       val.alias("rmst"))
+
+
+def wilson_ci(df: DataFrame, group_cols: Sequence[str],
+              success_col: str, *, z: float = 1.959963984540054
+              ) -> DataFrame:
+    """Wilson score confidence interval for a per-group binomial
+    proportion (Wilson 1927) — the interval a metrics pipeline should
+    quote instead of the Wald ±z√(p̂q̂/n) one, which collapses to
+    zero width at p̂ ∈ {0,1} and undercovers small n; Wilson stays
+    inside (0,1) and behaves at the boundary.
+
+    Exactness: n and successes s are exact longs; using the closed
+    form
+
+        lo, hi = (2s + z² ∓ z·√(z² + 4·s·(n−s)/n)) / (2·(n + z²))
+
+    the only inexact inputs are the pinned literal z and the ordered
+    double chain (4·s·(n−s) is an exact int64 to n ≈ 3·10⁹ — ANSI
+    overflow fails loudly past that), so both engines emit identical
+    doubles, clamped to [0, 1] (the closed form can overshoot by an
+    ulp at the boundary).  One groupBy, map-side combinable; NULL
+    rows excluded.
+
+    Returns ``(group..., n, successes, p_hat, lo, hi)``; empty groups
+    don't appear, n = 0 cannot arise.
+    """
+    g = list(group_cols)
+    clean = df.filter(F.col(success_col).isNotNull())
+    s = F.col(success_col).cast("boolean").cast("long")
+    agg = clean.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(s).cast("long").alias("successes"))
+    n, sc = F.col("n"), F.col("successes")
+    zz = F.lit(float(z))
+    z2 = zz * zz
+    root = zz * F.sqrt(z2 + (4 * sc * (n - sc)).cast("double")
+                       / n.cast("double"))
+    den = 2.0 * (n.cast("double") + z2)
+    base = (2 * sc).cast("double") + z2
+    return agg.select(
+        *g, "n", "successes",
+        (sc.cast("double") / n.cast("double")).alias("p_hat"),
+        F.greatest((base - root) / den, F.lit(0.0)).alias("lo"),
+        F.least((base + root) / den, F.lit(1.0)).alias("hi"))

@@ -2533,3 +2533,46 @@ FROM a"""
 
 ANALYTICS_QUERIES["ansari_bradley"] = (q_ansari_bradley,
                                        sql_ansari_bradley)
+
+
+def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% interval for the purchase rate per event-type bucket
+    (operators/stats.py wilson_ci): success = positive event value —
+    exact counts, the pinned z literal, and an ordered double chain
+    give bit-identical bounds cross-engine; the honest boundary-safe
+    companion to the two_proportion_z gate."""
+    from .operators.stats import wilson_ci
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("value").isNotNull()) \
+        .select("event_type", (F.col("value") > 0).alias("pos"))
+    return wilson_ci(ev, ["event_type"], "pos")
+
+
+def sql_wilson_ci() -> str:
+    z = 1.959963984540054
+    return f"""WITH a AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN value > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS successes
+  FROM events WHERE value IS NOT NULL
+  GROUP BY event_type)
+SELECT event_type, n, successes,
+       CAST(successes AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+       greatest((CAST(2 * successes AS DOUBLE) + {z!r} * {z!r}
+        - {z!r} * sqrt({z!r} * {z!r}
+                       + CAST(4 * successes * (n - successes)
+                              AS DOUBLE) / CAST(n AS DOUBLE)))
+         / (2.0 * (CAST(n AS DOUBLE) + {z!r} * {z!r})),
+         CAST(0.0 AS DOUBLE)) AS lo,
+       least((CAST(2 * successes AS DOUBLE) + {z!r} * {z!r}
+        + {z!r} * sqrt({z!r} * {z!r}
+                       + CAST(4 * successes * (n - successes)
+                              AS DOUBLE) / CAST(n AS DOUBLE)))
+         / (2.0 * (CAST(n AS DOUBLE) + {z!r} * {z!r})),
+         CAST(1.0 AS DOUBLE)) AS hi
+FROM a"""
+
+
+ANALYTICS_QUERIES["wilson_ci"] = (q_wilson_ci, sql_wilson_ci)

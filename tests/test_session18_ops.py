@@ -687,3 +687,31 @@ def test_page_all_tied_null(spark):
     df = spark.createDataFrame(rows, "b long, t string, v long")
     r = page_trend(df, "b", "t", "v").collect()[0]
     assert r.z is None and r.var_num == 0
+
+
+# ---- wilson_ci ----
+
+def _wilson_expected(n, s, z=1.959963984540054):
+    root = z * math.sqrt(z * z + 4 * s * (n - s) / n)
+    den = 2.0 * (n + z * z)
+    return (max((2 * s + z * z - root) / den, 0.0),
+            min((2 * s + z * z + root) / den, 1.0))
+
+
+def test_wilson_bounds_and_differential(spark):
+    from mapbox_filter_spark.operators.stats import wilson_ci
+    rows = ([("zero", False)] * 20 + [("one", True)] * 20
+            + [("mid", True)] * 7 + [("mid", False)] * 13)
+    df = spark.createDataFrame(rows, "g string, ok boolean")
+    out = {r.g: r for r in wilson_ci(df, ["g"], "ok").collect()}
+    # boundary: p=0 still has hi > 0; p=1 still has lo < 1 (Wald fails)
+    assert out["zero"].p_hat == 0.0 and out["zero"].lo == 0.0
+    assert 0.0 < out["zero"].hi < 0.2
+    assert out["one"].p_hat == 1.0 and out["one"].hi == 1.0
+    assert 0.8 < out["one"].lo < 1.0
+    for g, (n, s) in (("zero", (20, 0)), ("one", (20, 20)),
+                      ("mid", (20, 7))):
+        lo, hi = _wilson_expected(n, s)
+        assert out[g].lo == pytest.approx(lo, abs=1e-15)
+        assert out[g].hi == pytest.approx(hi, abs=1e-15)
+        assert out[g].lo <= out[g].p_hat <= out[g].hi
