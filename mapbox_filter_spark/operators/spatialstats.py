@@ -1116,3 +1116,72 @@ def dissimilarity_index(df: DataFrame, cell_cols: "list[str]",
            * F.col("n_b").cast("double")))
     return num.select("n_cells", "n_a", "n_b", "d_num",
                       d.alias("d_index"))
+
+
+def cross_k(pts: DataFrame, radii: "list[int]", *,
+            id_col: str = "i", x_col: str = "x", y_col: str = "y",
+            kind_col: str = "kind") -> DataFrame:
+    """Bivariate (cross) Ripley K between the two kinds present in
+    ``kind_col``: K̂_ab(r) = A·pairs_ab(r)/(n_a·n_b) with pairs_ab the
+    exact count of mixed-kind pairs at d² ≤ r² — "are B points
+    clustered AROUND A points beyond what independence predicts?"
+    (K above πr² = attraction, below = repulsion/segregation at scale
+    r).  The continuous-distance companion of the categorical
+    colocation_pairs / join_count_stats gates; input must carry
+    EXACTLY two kinds (more kinds: filter first — enforced by the
+    caller, mixed pairs are counted by kind inequality).
+
+    Exactness and shape: identical to :func:`ripley_k` — one ×9-probe
+    block join at r_max carries the WHOLE radius ladder (per-rung
+    conditional integer sums), kinds ride the join as extra columns,
+    counts/areas exact int64, ``k_hat`` one pinned double chain
+    cnt·A/(n_a·n_b).  Study area = pooled bounding box (the frame
+    every border correction starts from).
+
+    Reference: Lotwick & Silverman (1982, JRSS-B) for the bivariate
+    K; the one-join ladder is this engine's.
+
+    Returns one row per radius ``(r, pair_cnt, n_a, n_b, area,
+    k_hat)`` — n_a/n_b in ascending kind order.
+    """
+    rs = sorted(set(int(r) for r in radii))
+    if not rs or rs[0] <= 0:
+        raise ValueError("radii must be positive integers")
+    rmax = rs[-1]
+    pts = pts.select(F.col(id_col), F.col(x_col), F.col(y_col),
+                     F.col(kind_col)) \
+        .localCheckpoint(eager=False)
+    pairs = _blocked_pairs(pts, rmax, id_col, x_col, y_col,
+                           extra_cols=(kind_col,))
+    mixed = pairs.filter(F.col(f"l_{kind_col}") != F.col(f"r_{kind_col}"))
+    cnt = mixed.agg(*[
+        F.coalesce(F.sum(F.when(F.col("d2") <= r * r, 1).otherwise(0)),
+                   F.lit(0))
+        .cast("long").alias(f"_c{r}") for r in rs])
+    per_kind = pts.groupBy(kind_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"))
+    kstats = per_kind.agg(
+        F.count(F.lit(1)).alias("_nk"),
+        F.min_by("_n", F.col(kind_col)).alias("_na"),
+        F.max_by("_n", F.col(kind_col)).alias("_nb"))
+    n_a = F.when(
+        F.col("_nk") != 2,
+        F.raise_error(F.concat(
+            F.lit("cross_k: input must carry exactly 2 kinds, got "),
+            F.col("_nk").cast("string"))).cast("long")
+    ).otherwise(F.col("_na"))
+    kstats = kstats.select(n_a.alias("n_a"), F.col("_nb").alias("n_b"))
+    bbox = pts.agg(
+        ((F.max(x_col) - F.min(x_col))
+         * (F.max(y_col) - F.min(y_col))).cast("long").alias("area"))
+    stack = F.expr("stack({}, {})".format(
+        len(rs), ", ".join(f"bigint({r}), _c{r}" for r in rs))) \
+        .alias("r", "pair_cnt")
+    out = (kstats.crossJoin(bbox).crossJoin(cnt)
+           .select("n_a", "n_b", "area", stack))
+    k_hat = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.col("pair_cnt").cast("double") * F.col("area").cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double"))
+    return out.select("r", "pair_cnt", "n_a", "n_b", "area",
+                      k_hat.alias("k_hat"))

@@ -4767,3 +4767,53 @@ GROUP BY cx, cy"""
 
 
 GEOM_QUERIES["line_rasterize"] = (q_line_rasterize, sql_line_rasterize)
+
+
+def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Ripley cross-K over the deterministic walk
+    (operators/spatialstats.py cross_k): positions split into two
+    kinds by event-id parity; the ladder asks whether odd-kind points
+    cluster around even-kind points beyond independence — ONE r_max
+    block join carries all rungs, kinds ride as extra columns."""
+    from .operators.spatialstats import cross_k
+    from .operators.trajectory import random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP).select(
+        F.col("event_id").alias("i"), "x", "y",
+        F.pmod(F.col("event_id"), F.lit(2)).alias("kind"))
+    return cross_k(pos, _RIPLEY_RADII)
+
+
+def sql_cross_k() -> str:
+    rmax2 = _RIPLEY_RADII[-1] * _RIPLEY_RADII[-1]
+    sums = ",\n         ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN d2 <= {r * r} THEN 1 END), 0)"
+        f" AS BIGINT) AS c{r}" for r in _RIPLEY_RADII)
+    rungs = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS r, c{r} AS pair_cnt FROM c"
+        for r in _RIPLEY_RADII)
+    return f"""WITH {_sql_walk_pos()},
+p AS MATERIALIZED (
+  SELECT event_id AS i, x, y, event_id % 2 AS kind FROM pos),
+s AS (SELECT CAST(SUM(CASE WHEN kind = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN kind = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_b,
+             CAST((MAX(x) - MIN(x)) * (MAX(y) - MIN(y)) AS BIGINT)
+               AS area
+      FROM p),
+d AS (SELECT (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+      FROM p a JOIN p b ON a.i < b.i AND a.kind <> b.kind
+       AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {rmax2}),
+c AS MATERIALIZED (SELECT {sums} FROM d),
+l AS ({rungs})
+SELECT l.r, l.pair_cnt, s.n_a, s.n_b, s.area,
+       CASE WHEN s.n_a > 0 AND s.n_b > 0 THEN
+         CAST(l.pair_cnt AS DOUBLE) * CAST(s.area AS DOUBLE)
+           / CAST(s.n_a * s.n_b AS DOUBLE)
+       END AS k_hat
+FROM l, s"""
+
+
+GEOM_QUERIES["cross_k"] = (q_cross_k, sql_cross_k)

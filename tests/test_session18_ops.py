@@ -715,3 +715,62 @@ def test_wilson_bounds_and_differential(spark):
         assert out[g].lo == pytest.approx(lo, abs=1e-15)
         assert out[g].hi == pytest.approx(hi, abs=1e-15)
         assert out[g].lo <= out[g].p_hat <= out[g].hi
+
+
+# ---- cross_k ----
+
+def _crossk_expected(pts, radii):
+    """pts = [(id, x, y, kind)] with kinds {0,1}."""
+    n_a = sum(1 for p in pts if p[3] == 0)
+    n_b = len(pts) - n_a
+    xs = [p[1] for p in pts]
+    ys = [p[2] for p in pts]
+    area = (max(xs) - min(xs)) * (max(ys) - min(ys))
+    out = []
+    for r in sorted(radii):
+        cnt = sum(1 for i in range(len(pts)) for j in range(i + 1, len(pts))
+                  if pts[i][3] != pts[j][3]
+                  and (pts[i][1] - pts[j][1]) ** 2
+                  + (pts[i][2] - pts[j][2]) ** 2 <= r * r)
+        k = cnt * area / (n_a * n_b) if n_a and n_b else None
+        out.append((r, cnt, n_a, n_b, area, k))
+    return out
+
+
+def test_crossk_python_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.spatialstats import cross_k
+    rng = random.Random(191)
+    pts = [(i, rng.randrange(0, 200), rng.randrange(0, 200), i % 2)
+           for i in range(120)]
+    df = spark.createDataFrame(pts, "i long, x long, y long, kind long")
+    got = sorted((r.r, r.pair_cnt, r.n_a, r.n_b, r.area, r.k_hat)
+                 for r in cross_k(df, [10, 25, 60]).collect())
+    exp = _crossk_expected(pts, [10, 25, 60])
+    for (gr, gc, ga, gb, gar, gk), (er, ec, ea, eb, ear, ek) in \
+            zip(got, exp):
+        assert (gr, gc, ga, gb, gar) == (er, ec, ea, eb, ear)
+        assert gk == pytest.approx(ek)
+
+
+def test_crossk_attraction_vs_segregation(spark):
+    from mapbox_filter_spark.operators.spatialstats import cross_k
+    # attraction: B point right next to every A point
+    att = [(i, i * 100, 0, 0) for i in range(20)] + \
+          [(100 + i, i * 100 + 1, 0, 1) for i in range(20)]
+    # segregation: kinds in far-apart bands
+    seg = [(i, i * 10, 0, 0) for i in range(20)] + \
+          [(100 + i, i * 10, 10000, 1) for i in range(20)]
+    for pts, expect_pairs in ((att, 20), (seg, 0)):
+        df = spark.createDataFrame(
+            pts, "i long, x long, y long, kind long")
+        r5 = {r.r: r for r in cross_k(df, [5]).collect()}[5]
+        assert r5.pair_cnt == expect_pairs
+
+
+def test_crossk_requires_two_kinds(spark):
+    from mapbox_filter_spark.operators.spatialstats import cross_k
+    df = spark.createDataFrame([(1, 0, 0, 0), (2, 5, 5, 0)],
+                               "i long, x long, y long, kind long")
+    with pytest.raises(Exception, match="exactly 2 kinds"):
+        cross_k(df, [10]).collect()
