@@ -199,3 +199,75 @@ def pr_curve(df: DataFrame, group_cols: Sequence[str], score_col: str,
                / F.col("_pos").cast("double")).alias("recall"),
         F.when(2 * tp + fp + fn > 0, (2 * tp).cast("double")
                / (2 * tp + fp + fn).cast("double")).alias("f1"))
+
+
+def err_at_k(ranking: DataFrame, k: int, *, g_max: int,
+             query_id: str = "q_id", rank_col: str = "rank",
+             grade_col: str = "grade") -> DataFrame:
+    """ERR@k — Expected Reciprocal Rank over a GRADED per-query ranking
+    (Chapelle et al. 2009, CIKM): the cascade-model metric
+    ``Σ_r (1/r)·R_r·Π_{s<r}(1−R_s)`` with stop probability
+    ``R_r = (2^{g_r} − 1)/2^{g_max}`` — rewards putting the first
+    satisfying document early, discounts everything behind an already
+    satisfying one; the graded companion of :func:`map_mrr_at_k`.
+
+    EXACT integer evaluation: multiplying by ``L·D^k`` (L = lcm(1..k),
+    D = 2^{g_max}) turns every term into
+
+        term_r = (L/r) · num_r · Π_{s<r}(D − num_s) · D^{k−r}
+
+    with ``num_r = 2^{g_r} − 1`` — all int64 (each term ≤ L·D^k;
+    feasibility of ``k·L·D^{k+1} < 2^62`` is checked at build time, a
+    too-deep ladder raises immediately).  The prefix product rides an
+    ascending-rank IN-ROW fold over the collected top-k list (≤ k
+    structs per query), so ``err_s = Σ term_r`` is exact and
+    ``err = err_s/(L·D^k)`` is ONE pinned division.  Grades outside
+    [0, g_max] raise in-plan.
+
+    Shape: one groupBy on the query key, the fold in-row — no windows
+    over the corpus, no Python.  Ranks must be unique per query (a
+    top-k output); rows with rank > k are ignored.
+
+    Returns ``(query_id, err_s, err)``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if g_max < 1:
+        raise ValueError("g_max must be >= 1")
+    L = math.lcm(*range(1, k + 1))
+    D = 1 << g_max
+    if k * L * (D ** (k + 1)) >= (1 << 62):
+        raise ValueError(
+            f"err_at_k: k={k}, g_max={g_max} overflows the exact int64 "
+            f"chain (need k*lcm(1..k)*2^(g_max*(k+1)) < 2^62)")
+    warr = F.array(*[F.lit((L // r) * (D ** (k - r))).cast("long")
+                     for r in range(1, k + 1)])
+    arr = F.sort_array(F.collect_list(F.struct(
+        F.col(rank_col).cast("int").alias("r"),
+        F.col(grade_col).cast("int").alias("g"))))
+    per = (ranking.filter(F.col(rank_col) <= k)
+           .groupBy(query_id).agg(arr.alias("_a")))
+    init = F.struct(F.lit(1).cast("long").alias("prod"),
+                    F.lit(0).cast("long").alias("tot"))
+
+    numarr = F.array(*[F.lit((1 << g0) - 1).cast("long")
+                       for g0 in range(g_max + 1)])
+
+    def num_of(g):
+        return F.when(
+            (g >= 0) & (g <= g_max), F.element_at(numarr, g + 1)
+        ).otherwise(F.raise_error(F.concat(
+            F.lit(f"err_at_k: grade outside [0, {g_max}]: "),
+            g.cast("string"))).cast("long"))
+
+    def merge(acc, x):
+        num = num_of(x["g"])
+        term = F.element_at(warr, x["r"]) * num * acc["prod"]
+        return F.struct((acc["prod"] * (D - num)).alias("prod"),
+                        (acc["tot"] + term).alias("tot"))
+
+    err_s = F.aggregate(F.col("_a"), init, merge, lambda a: a["tot"])
+    scale = float(L * (D ** k))
+    return per.select(
+        query_id, err_s.alias("err_s"),
+        (err_s.cast("double") / F.lit(scale)).alias("err"))

@@ -784,3 +784,67 @@ sel1 AS MATERIALIZED (
 
 
 RETRIEVAL_QUERIES["mmr_rerank"] = (q_mmr_rerank, sql_mmr_rerank)
+
+
+_ERR_K, _ERR_GMAX, _ERR_QMOD = 8, 4, 37
+
+
+def q_err_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERR@8 cascade metric (operators/metrics.py err_at_k) over a
+    deterministic graded ranking: query = event_id mod 37, ranks by
+    arrival order, grade = value-cents mod 5 — the whole cascade
+    (stop probabilities, prefix products, reciprocal-rank weights)
+    is ONE exact scaled-integer fold per query."""
+    from pyspark.sql import Window
+    from .operators.metrics import err_at_k
+    from .queries_curation import _cents
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select(F.pmod(F.col("event_id"), F.lit(_ERR_QMOD))
+                  .alias("q_id"),
+                  F.pmod(_cents(), F.lit(5)).alias("grade"),
+                  "ts", "event_id"))
+    w = Window.partitionBy("q_id").orderBy("ts", "event_id")
+    ranking = ev.withColumn("rank", F.row_number().over(w)) \
+        .filter(F.col("rank") <= _ERR_K).select("q_id", "rank", "grade")
+    return err_at_k(ranking, _ERR_K, g_max=_ERR_GMAX)
+
+
+def sql_err_at_k() -> str:
+    import math as _m
+
+    k, gm, qm = _ERR_K, _ERR_GMAX, _ERR_QMOD
+    L = _m.lcm(*range(1, k + 1))
+    D = 1 << gm
+    w_case = " ".join(f"WHEN {r} THEN {(L // r) * (D ** (k - r))}"
+                      for r in range(1, k + 1))
+    return f"""WITH e AS (
+  SELECT event_id % {qm} AS q_id,
+         ((CAST(floor(value * 100 + 0.5) AS BIGINT) % 5) + 5) % 5 AS g,
+         ts, event_id
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+r AS (
+  SELECT q_id, g,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY ts, event_id) AS rank
+  FROM e),
+t AS (
+  SELECT q_id, rank, (CAST(1 AS BIGINT) << g) - 1 AS num
+  FROM r WHERE rank <= {k}),
+p AS (
+  SELECT q_id, rank, num,
+         CAST(COALESCE(product(CAST({D} - num AS DOUBLE)) OVER (
+                PARTITION BY q_id ORDER BY rank
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              1.0) AS BIGINT) AS pp
+  FROM t)
+SELECT q_id,
+       CAST(SUM((CASE rank {w_case} END) * num * pp) AS BIGINT)
+         AS err_s,
+       CAST(SUM((CASE rank {w_case} END) * num * pp) AS DOUBLE)
+         / CAST({L * (D ** k)} AS DOUBLE) AS err
+FROM p GROUP BY q_id"""
+
+
+RETRIEVAL_QUERIES["err_at_k"] = (q_err_at_k, sql_err_at_k)

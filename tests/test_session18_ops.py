@@ -774,3 +774,62 @@ def test_crossk_requires_two_kinds(spark):
                                "i long, x long, y long, kind long")
     with pytest.raises(Exception, match="exactly 2 kinds"):
         cross_k(df, [10]).collect()
+
+
+# ---- err_at_k ----
+
+def _err_expected(rows, k, g_max):
+    """Literal cascade replay: rows = [(q, rank, grade)]."""
+    from collections import defaultdict
+    per = defaultdict(list)
+    for q, r, g in rows:
+        if r <= k:
+            per[q].append((r, g))
+    out = {}
+    for q, lst in per.items():
+        err, stop = 0.0, 1.0
+        for r, g in sorted(lst):
+            rr = (2 ** g - 1) / 2 ** g_max
+            err += stop * rr / r
+            stop *= 1 - rr
+        out[q] = err
+    return out
+
+
+def test_err_hand_and_cascade_property(spark):
+    from mapbox_filter_spark.operators.metrics import err_at_k
+    # single perfectly-relevant doc at rank 1: ERR = 15/16
+    rows = [(1, 1, 4), (1, 2, 4),
+            (2, 1, 0), (2, 2, 4),   # relevant only at rank 2
+            (3, 1, 0), (3, 2, 0)]   # nothing relevant
+    df = spark.createDataFrame(rows, "q_id long, rank int, grade int")
+    out = {r.q_id: r for r in err_at_k(df, 4, g_max=4).collect()}
+    exp = _err_expected(rows, 4, 4)
+    for q in (1, 2, 3):
+        assert out[q].err == pytest.approx(exp[q], abs=1e-15), q
+    assert out[1].err > out[2].err > out[3].err == 0.0
+    assert out[1].err == pytest.approx(15 / 16 + (1 / 16) * (15 / 16) / 2)
+
+
+def test_err_python_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.metrics import err_at_k
+    rng = random.Random(192)
+    rows = [(q, r, rng.randrange(5))
+            for q in range(30) for r in range(1, rng.randrange(2, 9))]
+    df = spark.createDataFrame(rows, "q_id long, rank int, grade int")
+    out = {r.q_id: r for r in err_at_k(df, 8, g_max=4).collect()}
+    exp = _err_expected(rows, 8, 4)
+    assert set(out) == set(exp)
+    for q, e in exp.items():
+        assert out[q].err == pytest.approx(e, abs=1e-12), q
+        assert 0.0 <= out[q].err < 1.0
+
+
+def test_err_guards(spark):
+    from mapbox_filter_spark.operators.metrics import err_at_k
+    df = spark.createDataFrame([(1, 1, 9)], "q_id long, rank int, grade int")
+    with pytest.raises(Exception, match="grade outside"):
+        err_at_k(df, 4, g_max=4).collect()
+    with pytest.raises(ValueError, match="overflows"):
+        err_at_k(df, 16, g_max=6)
