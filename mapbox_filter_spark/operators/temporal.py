@@ -1680,3 +1680,73 @@ def rolling_distinct(df: DataFrame, *, ts_col: str, entity_col: str,
     return (tgt.join(days, "day", "left_semi")
             .groupBy("day")
             .agg(F.count_distinct(F.col("_e")).alias("active")))
+
+
+def pacf(df: DataFrame, key_cols: "list[str]", *,
+         order_cols: "tuple[str, ...]", value_col: str,
+         max_lag: int = 4) -> DataFrame:
+    """Partial autocorrelation ladder per key — the AR-order
+    diagnostic: pacf(k) is the correlation at lag k AFTER regressing
+    out lags 1..k−1, the Box-Jenkins tool that tells an AR(p) (pacf
+    cuts off after p) from an MA (pacf tails).  Computed from the
+    :func:`autocorr` ladder by the Durbin-Levinson recursion
+    (Durbin 1960):
+
+        φ_{k,k} = (r_k − Σ_j φ_{k−1,j}·r_{k−j}) /
+                  (1 − Σ_j φ_{k−1,j}·r_j),
+        φ_{k,j} = φ_{k−1,j} − φ_{k,k}·φ_{k−1,k−j}
+
+    Determinism: the acf values are autocorr's pinned-fold doubles,
+    and the recursion is UNROLLED into a fixed left-associated
+    expression chain (one ``withColumn`` level per order, linear
+    growth) — both engines execute the identical IEEE op sequence, so
+    every φ matches bit-for-bit.  A zero DL denominator (unit-root
+    edge) or a NULL acf (constant/short series) propagates NULL
+    through all higher orders — the honest answer, never a 0/0 NaN.
+    ``max_lag ≤ 6`` keeps the unrolled tree small under Catalyst's
+    project collapsing (ValueError past that — PACF ladders beyond 6
+    want a dedicated solver anyway).
+
+    Shape: everything beyond autocorr's single key exchange is a
+    K-column projection on the collapsed per-key row.
+
+    Returns one row per (key..., lag 1..max_lag):
+    ``(key..., lag, n, acf, pacf)``.
+    """
+    K = int(max_lag)
+    if not 1 <= K <= 6:
+        raise ValueError("pacf: max_lag must be in [1, 6]")
+    ac = autocorr(df, key_cols, order_cols=order_cols,
+                  value_col=value_col, lags=tuple(range(1, K + 1)))
+    piv = ac.groupBy(*key_cols).agg(
+        F.max("n").alias("n"),
+        *[F.max(F.when(F.col("lag") == L, F.col("acf")))
+          .alias(f"_r{L}") for L in range(1, K + 1)])
+
+    def r(L):
+        return F.col(f"_r{L}")
+
+    # level 1
+    piv = piv.withColumn("_p1_1", r(1))
+    for k in range(2, K + 1):
+        num = r(k)
+        den = F.lit(1.0)
+        for j in range(1, k):
+            num = num - F.col(f"_p{k - 1}_{j}") * r(k - j)
+            den = den - F.col(f"_p{k - 1}_{j}") * r(j)
+        piv = piv.withColumn(
+            f"_p{k}_{k}", F.when(den != 0.0, num / den))
+        for j in range(1, k):
+            piv = piv.withColumn(
+                f"_p{k}_{j}",
+                F.col(f"_p{k - 1}_{j}")
+                - F.col(f"_p{k}_{k}") * F.col(f"_p{k - 1}_{k - j}"))
+    rows = F.array(*[
+        F.struct(F.lit(L).cast("int").alias("lag"),
+                 r(L).alias("acf"),
+                 F.col(f"_p{L}_{L}").alias("pacf"))
+        for L in range(1, K + 1)])
+    return (piv.select(*key_cols, "n", F.explode(rows).alias("_s"))
+            .select(*key_cols, F.col("_s.lag").alias("lag"), "n",
+                    F.col("_s.acf").alias("acf"),
+                    F.col("_s.pacf").alias("pacf")))

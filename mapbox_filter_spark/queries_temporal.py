@@ -2038,3 +2038,93 @@ FROM c GROUP BY segment"""
 
 
 TEMPORAL_QUERIES["rmst"] = (q_rmst, sql_rmst)
+
+
+_PACF_K = 4
+
+
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation ladder (lags 1-4) of event cents per
+    type (operators/temporal.py pacf): Durbin-Levinson unrolled into
+    a fixed left-associated expression chain over the autocorr gate's
+    pinned-fold acf values — both engines run the identical IEEE op
+    sequence, so the whole AR-order diagnostic value-hashes."""
+    from .operators.temporal import pacf
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull()) \
+        .select("event_type", "ts", "event_id",
+                _cents().alias("cents"))
+    return pacf(ev, ["event_type"], order_cols=("ts", "event_id"),
+                value_col="cents", max_lag=_PACF_K)
+
+
+def sql_pacf() -> str:
+    K = _PACF_K
+
+    def lag_block(L):
+        return (f"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(CAST(z AS DOUBLE) * CAST(z{L} AS DOUBLE) ORDER BY i)
+           FILTER (WHERE z{L} IS NOT NULL)), (p, q) -> p + q) AS num{L},
+         CAST(SUM(CASE WHEN z{L} IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS np{L}""")
+
+    lag_sel = ",\n         ".join(
+        f"lag(z, {L}) OVER w AS z{L}" for L in range(1, K + 1))
+    lag_blocks = ",\n         ".join(
+        lag_block(L) for L in range(1, K + 1))
+    acf_cols = ",\n         ".join(
+        f"CASE WHEN np{L} > 0 AND den > 0.0 THEN num{L} / den END"
+        f" AS r{L}" for L in range(1, K + 1))
+    ctes = ["s1 AS (SELECT *, r1 AS p1_1 FROM piv)"]
+    prev = "s1"
+    for k in range(2, K + 1):
+        num = f"r{k}" + "".join(f" - p{k - 1}_{j} * r{k - j}"
+                                for j in range(1, k))
+        den = "1.0" + "".join(f" - p{k - 1}_{j} * r{j}"
+                              for j in range(1, k))
+        ctes.append(
+            f"s{k}a AS (SELECT *, CASE WHEN {den} <> 0.0"
+            f" THEN ({num}) / ({den}) END AS p{k}_{k} FROM {prev})")
+        prev = f"s{k}a"
+        if k < K:
+            upd = ", ".join(
+                f"p{k - 1}_{j} - p{k}_{k} * p{k - 1}_{k - j} AS p{k}_{j}"
+                for j in range(1, k))
+            ctes.append(f"s{k}b AS (SELECT *, {upd} FROM {prev})")
+            prev = f"s{k}b"
+    cte_block = ",\n".join(ctes)
+    rows = "\nUNION ALL\n".join(
+        f"SELECT event_type, CAST({L} AS INTEGER) AS lag, n,"
+        f" r{L} AS acf, p{L}_{L} AS pacf FROM {prev}"
+        for L in range(1, K + 1))
+    return f"""WITH e AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL),
+z AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER w AS i,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) * x
+           - CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS z
+  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+l AS (
+  SELECT event_type, i, z,
+         {lag_sel}
+  FROM z WINDOW w AS (PARTITION BY event_type ORDER BY i)),
+a AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(CAST(z AS DOUBLE) * CAST(z AS DOUBLE) ORDER BY i)),
+           (p, q) -> p + q) AS den,
+         {lag_blocks}
+  FROM l GROUP BY event_type),
+piv AS (
+  SELECT event_type, n,
+         {acf_cols}
+  FROM a),
+{cte_block}
+{rows}"""
+
+
+TEMPORAL_QUERIES["pacf"] = (q_pacf, sql_pacf)

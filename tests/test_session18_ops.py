@@ -833,3 +833,71 @@ def test_err_guards(spark):
         err_at_k(df, 4, g_max=4).collect()
     with pytest.raises(ValueError, match="overflows"):
         err_at_k(df, 16, g_max=6)
+
+
+# ---- pacf ----
+
+def _pacf_expected(vals, K):
+    """Literal replay: biased acf (full-series mean) then DL."""
+    n = len(vals)
+    z = [n * v - sum(vals) for v in vals]
+    den = sum(x * x for x in z)
+    r = {}
+    for L in range(1, K + 1):
+        num = sum(z[i] * z[i - L] for i in range(L, n))
+        r[L] = num / den if den > 0 and n > L else None
+    if any(r[L] is None for L in r):
+        return r, {L: None for L in r}
+    phi = {1: {1: r[1]}}
+    pac = {1: r[1]}
+    for k in range(2, K + 1):
+        num, d = r[k], 1.0
+        for j in range(1, k):
+            num -= phi[k - 1][j] * r[k - j]
+            d -= phi[k - 1][j] * r[j]
+        pkk = num / d if d != 0.0 else None
+        pac[k] = pkk
+        phi[k] = {j: phi[k - 1][j] - pkk * phi[k - 1][k - j]
+                  for j in range(1, k)}
+        phi[k][k] = pkk
+    return r, pac
+
+
+def test_pacf_python_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.temporal import pacf
+    rng = random.Random(193)
+    rows = []
+    series = {}
+    for g in ("a", "b"):
+        v, vals = 0, []
+        for i in range(200):
+            v = (2 * v) // 3 + rng.randrange(-10, 11)  # AR(1)-ish
+            vals.append(v)
+            rows.append((g, i, v))
+        series[g] = vals
+    df = spark.createDataFrame(rows, "g string, i long, v long")
+    out = {(r.g, r.lag): r for r in
+           pacf(df, ["g"], order_cols=("i",), value_col="v",
+                max_lag=4).collect()}
+    for g in ("a", "b"):
+        r_exp, pac_exp = _pacf_expected(series[g], 4)
+        for L in range(1, 5):
+            row = out[(g, L)]
+            assert row.acf == pytest.approx(r_exp[L], abs=1e-12)
+            assert row.pacf == pytest.approx(pac_exp[L], abs=1e-10)
+        # AR(1): pacf cuts off — lag-1 dominates lags 2..4
+        assert abs(out[(g, 1)].pacf) > 3 * abs(out[(g, 3)].pacf)
+
+
+def test_pacf_constant_series_null_and_bounds(spark):
+    from mapbox_filter_spark.operators.temporal import pacf
+    rows = [("c", i, 7) for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, i long, v long")
+    out = {r.lag: r for r in
+           pacf(df, ["g"], order_cols=("i",), value_col="v",
+                max_lag=3).collect()}
+    assert all(out[L].acf is None and out[L].pacf is None
+               for L in (1, 2, 3))
+    with pytest.raises(ValueError, match="max_lag"):
+        pacf(df, ["g"], order_cols=("i",), value_col="v", max_lag=9)
