@@ -1185,3 +1185,92 @@ def cross_k(pts: DataFrame, radii: "list[int]", *,
         / (F.col("n_a") * F.col("n_b")).cast("double"))
     return out.select("r", "pair_cnt", "n_a", "n_b", "area",
                       k_hat.alias("k_hat"))
+
+
+def lee_l(cells: DataFrame, x_col: str, y_col: str,
+          a_col: str, b_col: str, queen: bool = True) -> DataFrame:
+    """Lee's L — the BIVARIATE spatial association measure (Lee 2001,
+    J. Geographical Systems): "are the spatial PATTERNS of two fields
+    co-located?"  It integrates Pearson's r with a Moran-style spatial
+    smoother: with binary neighbor weights and deviations x̃, ỹ,
+
+        L = n/(Σᵢ kᵢ²) · Σᵢ (Σⱼ∈N(i) x̃ⱼ)(Σⱼ∈N(i) ỹⱼ)
+                        / (√Σx̃² · √Σỹ²)
+
+    — positive when the two fields' smoothed surfaces rise and fall
+    together, the bivariate companion of the univariate morans_i /
+    gearys_c gates on the same stencil.
+
+    Exactness and determinism: deviations are the n-scaled exact longs
+    z = n·v − S (the n² scale cancels between numerator and
+    denominator); per-cell neighbor sums Uᵢ = Σ zxⱼ, Vᵢ = Σ zyⱼ and
+    kᵢ are exact int64 from ONE stencil join; the three quadratic
+    sums Σ Uᵢ·Vᵢ, Σ zx², Σ zy² exceed int64 and are therefore
+    PINNED-ORDER folds of per-cell double products sorted by (x, y)
+    (the autocorr discipline), while Σ kᵢ² stays an exact long.  L is
+    one pinned double chain; NULL for a constant field.
+
+    Shape: one totals broadcast, one ×|stencil| probe join keyed on
+    the cell, one per-cell groupBy, one single-row reduce.  Duplicate
+    (x, y) rows are a caller bug — aggregate first.
+
+    Returns ONE row ``(n_cells, sum_k2, s_uv, s_xx, s_yy, lee_l)``.
+    """
+    offs = _QUEEN if queen else _ROOK
+    base = cells.select(F.col(x_col).alias("x"),
+                        F.col(y_col).alias("y"),
+                        F.col(a_col).cast("long").alias("_va"),
+                        F.col(b_col).cast("long").alias("_vb"))
+    totals = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_va").alias("_sa"), F.sum("_vb").alias("_sb"))
+    z = base.crossJoin(F.broadcast(totals)).select(
+        "x", "y", "_n",
+        (F.col("_n") * F.col("_va") - F.col("_sa")).alias("_zx"),
+        (F.col("_n") * F.col("_vb") - F.col("_sb")).alias("_zy"))
+    stencil = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in offs])
+    probes = (z.select("x", "y", F.explode(stencil).alias("o"))
+              .select("x", "y",
+                      (F.col("x") + F.col("o.dx")).alias("nx"),
+                      (F.col("y") + F.col("o.dy")).alias("ny")))
+    nbrs = z.select(F.col("x").alias("nx"), F.col("y").alias("ny"),
+                    F.col("_zx").alias("_nzx"),
+                    F.col("_zy").alias("_nzy"))
+    per_cell = (probes.join(nbrs, ["nx", "ny"])
+                .groupBy("x", "y")
+                .agg(F.count(F.lit(1)).alias("_k"),
+                     F.sum("_nzx").alias("_u"),
+                     F.sum("_nzy").alias("_w")))
+    uv_arr = F.sort_array(F.collect_list(F.struct(
+        F.col("x"), F.col("y"),
+        (F.col("_u").cast("double") * F.col("_w").cast("double"))
+        .alias("p"))))
+    cell_stats = per_cell.agg(
+        F.sum(F.col("_k") * F.col("_k")).alias("sum_k2"),
+        F.aggregate(uv_arr, F.lit(0.0),
+                    lambda a, s: a + s["p"]).alias("s_uv"))
+    sq = z.agg(
+        F.max("_n").alias("n_cells"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(
+                F.col("x"), F.col("y"),
+                (F.col("_zx").cast("double") * F.col("_zx")
+                 .cast("double")).alias("p")))),
+            F.lit(0.0), lambda a, s: a + s["p"]).alias("s_xx"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(
+                F.col("x"), F.col("y"),
+                (F.col("_zy").cast("double") * F.col("_zy")
+                 .cast("double")).alias("p")))),
+            F.lit(0.0), lambda a, s: a + s["p"]).alias("s_yy"))
+    out = sq.crossJoin(F.broadcast(cell_stats))
+    lee = F.when(
+        (F.col("s_xx") > 0.0) & (F.col("s_yy") > 0.0)
+        & (F.col("sum_k2") > 0),
+        F.col("n_cells").cast("double") * F.col("s_uv")
+        / (F.col("sum_k2").cast("double")
+           * F.sqrt(F.col("s_xx")) * F.sqrt(F.col("s_yy"))))
+    return out.select("n_cells", "sum_k2", "s_uv", "s_xx", "s_yy",
+                      lee.alias("lee_l"))

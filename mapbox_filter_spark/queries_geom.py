@@ -4817,3 +4817,76 @@ FROM l, s"""
 
 
 GEOM_QUERIES["cross_k"] = (q_cross_k, sql_cross_k)
+
+
+def q_lee_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee's L bivariate spatial association on the 5-degree ESDA grid
+    (operators/spatialstats.py lee_l): does the density surface of ALL
+    features co-locate with the surface of ranked features?  Exact
+    n-scaled deviations and neighbor sums; the three quadratic sums
+    ride pinned (cx, cy)-ordered folds — the bivariate companion of
+    the morans_i gate on the same stencil."""
+    from .operators.spatialstats import lee_l
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir)
+    cells = (feats.select(
+        F.floor(F.col("lon") / F.lit(_ESDA_STEP)).cast("long").alias("cx"),
+        F.floor(F.col("lat") / F.lit(_ESDA_STEP)).cast("long").alias("cy"),
+        F.col("p_rank"))
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("va"),
+             F.sum(F.when(F.col("p_rank").isNotNull(), 1).otherwise(0))
+             .alias("vb")))
+    return lee_l(cells, "cx", "cy", "va", "vb")
+
+
+def sql_lee_l() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    fold = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {lst}), "
+            "(a, x) -> a + x)")
+    uv = fold.format(
+        lst="list(CAST(u AS DOUBLE) * CAST(w AS DOUBLE) "
+            "ORDER BY cx, cy)")
+    xx = fold.format(
+        lst="list(CAST(zx AS DOUBLE) * CAST(zx AS DOUBLE) "
+            "ORDER BY cx, cy)")
+    yy = fold.format(
+        lst="list(CAST(zy AS DOUBLE) * CAST(zy AS DOUBLE) "
+            "ORDER BY cx, cy)")
+    return f"""WITH {FEATURES_ORACLE_SQL},
+cells AS (
+  SELECT CAST(floor(lon / {_ESDA_STEP!r}) AS BIGINT) AS cx,
+         CAST(floor(lat / {_ESDA_STEP!r}) AS BIGINT) AS cy,
+         CAST(COUNT(*) AS BIGINT) AS va,
+         CAST(SUM(CASE WHEN p_rank IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS vb
+  FROM features GROUP BY 1, 2),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(va) AS BIGINT) AS sa,
+               CAST(SUM(vb) AS BIGINT) AS sb FROM cells),
+z AS (SELECT cx, cy, n, n * va - sa AS zx, n * vb - sb AS zy
+      FROM cells, tot),
+{_SQL_ESDA_OFFS},
+nb AS (
+  SELECT a.cx, a.cy, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(b.zx) AS BIGINT) AS u,
+         CAST(SUM(b.zy) AS BIGINT) AS w
+  FROM z a CROSS JOIN offs o
+  JOIN z b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  GROUP BY 1, 2),
+cs AS (SELECT CAST(SUM(k * k) AS BIGINT) AS sum_k2, {uv} AS s_uv
+       FROM nb),
+sq AS (SELECT CAST(MAX(n) AS BIGINT) AS n_cells, {xx} AS s_xx,
+              {yy} AS s_yy
+       FROM z)
+SELECT n_cells, sum_k2, s_uv, s_xx, s_yy,
+       CASE WHEN s_xx > 0.0 AND s_yy > 0.0 AND sum_k2 > 0
+            THEN CAST(n_cells AS DOUBLE) * s_uv
+                 / (CAST(sum_k2 AS DOUBLE) * sqrt(s_xx) * sqrt(s_yy))
+       END AS lee_l
+FROM sq, cs"""
+
+
+GEOM_QUERIES["lee_l"] = (q_lee_l, sql_lee_l)

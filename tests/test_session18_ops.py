@@ -901,3 +901,70 @@ def test_pacf_constant_series_null_and_bounds(spark):
                for L in (1, 2, 3))
     with pytest.raises(ValueError, match="max_lag"):
         pacf(df, ["g"], order_cols=("i",), value_col="v", max_lag=9)
+
+
+# ---- lee_l ----
+
+def _lee_expected(cells, queen=True):
+    """cells = [(x, y, a, b)]."""
+    n = len(cells)
+    sa = sum(c[2] for c in cells)
+    sb = sum(c[3] for c in cells)
+    z = {(x, y): (n * a - sa, n * b - sb) for x, y, a, b in cells}
+    offs = ([(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+             if (dx, dy) != (0, 0)] if queen
+            else [(-1, 0), (1, 0), (0, -1), (0, 1)])
+    sum_k2, s_uv = 0, 0.0
+    for (x, y) in sorted(z):
+        nb = [(x + dx, y + dy) for dx, dy in offs
+              if (x + dx, y + dy) in z]
+        if not nb:
+            continue
+        k = len(nb)
+        u = sum(z[p][0] for p in nb)
+        w = sum(z[p][1] for p in nb)
+        sum_k2 += k * k
+        s_uv += float(u) * float(w)
+    s_xx = sum(float(z[p][0]) ** 2 for p in sorted(z))
+    s_yy = sum(float(z[p][1]) ** 2 for p in sorted(z))
+    lee = (n * s_uv / (sum_k2 * math.sqrt(s_xx) * math.sqrt(s_yy))
+           if s_xx > 0 and s_yy > 0 and sum_k2 > 0 else None)
+    return (n, sum_k2, s_uv, s_xx, s_yy, lee)
+
+
+def test_lee_python_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.spatialstats import lee_l
+    rng = random.Random(194)
+    cells = [(x, y, rng.randrange(20), rng.randrange(20))
+             for x in range(8) for y in range(8) if rng.random() < 0.7]
+    df = spark.createDataFrame(cells, "x long, y long, a long, b long")
+    r = lee_l(df, "x", "y", "a", "b").collect()[0]
+    exp = _lee_expected(cells)
+    assert (r.n_cells, r.sum_k2) == exp[:2]
+    assert r.s_uv == pytest.approx(exp[2], rel=1e-12)
+    assert r.s_xx == pytest.approx(exp[3]) and \
+        r.s_yy == pytest.approx(exp[4])
+    assert r.lee_l == pytest.approx(exp[5], rel=1e-10)
+
+
+def test_lee_identical_fields_positive_constant_null(spark):
+    from mapbox_filter_spark.operators.spatialstats import lee_l
+    # smooth identical fields -> strong positive L
+    cells = [(x, y, x * 3 + y, x * 3 + y) for x in range(6)
+             for y in range(6)]
+    df = spark.createDataFrame(cells, "x long, y long, a long, b long")
+    r = lee_l(df, "x", "y", "a", "b").collect()[0]
+    assert r.lee_l is not None and r.lee_l > 0.5
+    # anti-aligned fields -> same magnitude, negative
+    cells2 = [(x, y, a, -b) for x, y, a, b in cells]
+    r2 = lee_l(spark.createDataFrame(
+        cells2, "x long, y long, a long, b long"),
+        "x", "y", "a", "b").collect()[0]
+    assert r2.lee_l == pytest.approx(-r.lee_l)
+    # constant second field -> NULL
+    cells3 = [(x, y, a, 5) for x, y, a, b in cells]
+    r3 = lee_l(spark.createDataFrame(
+        cells3, "x long, y long, a long, b long"),
+        "x", "y", "a", "b").collect()[0]
+    assert r3.lee_l is None and r3.s_yy == 0.0
