@@ -957,3 +957,50 @@ def key_profile(df: DataFrame, cols, key_name: str | None = None
         (F.col("_nn_rows") - F.col("n_groups")).alias("dup_rows"),
         "max_group",
         (F.col("_nn_rows") == F.col("n_groups")).alias("is_key"))
+
+
+def markov_entropy_rate(transitions: DataFrame, stationary: DataFrame,
+                        *, scale: int) -> DataFrame:
+    """Entropy rate of a Markov chain — nats of fresh surprise per
+    step at stationarity: ``H = −Σᵢ πᵢ Σⱼ p_ij·ln p_ij`` (Shannon
+    1948 §7; Cover & Thomas ch. 4).  The sequence-predictability
+    number for event streams: H → 0 means the next state is nearly
+    determined (template sessions), H → ln|S| means uniform chaos —
+    the chain-level companion of the per-distribution
+    entropy_profile.
+
+    Inputs are the engine's own exact substrates:
+    ``markov_transitions`` counts (prev, cur, n, n_from) and
+    ``markov_stationary``'s scaled-int64 π (``pi_q``, quantized mass
+    — its Σ is reported so the quantization loss is visible).  Each
+    edge term ``(pi_q/scale)·(n/n_from)·ln(n/n_from)`` is built from
+    exact integer ratios (both engines take ln of the SAME double)
+    and the edge terms are summed in a PINNED (prev, cur)-ordered
+    fold.  States whose quantized mass hit zero contribute exactly
+    nothing (inner join).
+
+    Shape: the state space bounds everything — one broadcast-scale
+    join of |S|² edges against |S| masses, one in-row fold.
+
+    Returns ONE row ``(n_states, n_edges, pi_total_q, h_rate)``.
+    """
+    states = (transitions.select(F.col("prev").alias("s"))
+              .unionByName(transitions.select(F.col("cur").alias("s")))
+              .distinct())
+    ns = states.agg(F.count(F.lit(1)).alias("n_states"))
+    pit = stationary.agg(F.sum("pi_q").cast("long").alias("pi_total_q"))
+    j = transitions.join(
+        F.broadcast(stationary.withColumnRenamed("state", "prev")),
+        "prev")
+    p = F.col("n").cast("double") / F.col("n_from").cast("double")
+    t = ((F.col("pi_q").cast("double") / F.lit(float(scale)))
+         * p * F.log(p))
+    arr = F.sort_array(F.collect_list(F.struct(
+        F.col("prev"), F.col("cur"), t.alias("t"))))
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.aggregate(arr, F.lit(0.0),
+                    lambda a, s_: a + s_["t"]).alias("_sum"))
+    return (ns.crossJoin(pit).crossJoin(agg)
+            .select("n_states", "n_edges", "pi_total_q",
+                    (-F.col("_sum")).alias("h_rate")))

@@ -1273,7 +1273,10 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
                              scale=_MSTAT_SCALE)
 
 
-def sql_markov_stationary() -> str:
+def _sql_mstat_ctes() -> "list[str]":
+    """The shared stationary-π CTE chain (transitions + quantized
+    power iteration) behind the markov_stationary AND
+    markov_entropy_rate oracles — single definition."""
     s = _MSTAT_SCALE
     ctes = [f"""seq AS (
   SELECT user_id, event_type AS cur,
@@ -1304,7 +1307,11 @@ p0 AS MATERIALIZED (
     SELECT p.state, p.pi_q FROM p{i} p
     WHERE p.state NOT IN (SELECT DISTINCT state FROM e))
   GROUP BY 1)""")
-    return ("WITH " + ",\n".join(ctes)
+    return ctes
+
+
+def sql_markov_stationary() -> str:
+    return ("WITH " + ",\n".join(_sql_mstat_ctes())
             + f"\nSELECT state, CAST(pi_q AS BIGINT) AS pi_q"
               f" FROM p{_MSTAT_ITERS}")
 
@@ -2576,3 +2583,45 @@ FROM a"""
 
 
 ANALYTICS_QUERIES["wilson_ci"] = (q_wilson_ci, sql_wilson_ci)
+
+
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the event-type Markov chain
+    (operators/analytics.py markov_entropy_rate): the
+    markov_transitions counts weighted by the exact scaled-integer
+    stationary π — per-step unpredictability of user sessions in
+    nats, every ln argument an exact integer ratio, one pinned
+    (prev, cur)-ordered fold."""
+    from .operators.analytics import markov_entropy_rate, \
+        markov_stationary, markov_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id", "event_type")
+    tr = markov_transitions(ev, "user_id", "ts", "event_type",
+                            tiebreak_col="event_id")
+    pi = markov_stationary(tr, iters=_MSTAT_ITERS, scale=_MSTAT_SCALE)
+    return markov_entropy_rate(tr, pi, scale=_MSTAT_SCALE)
+
+
+def sql_markov_entropy_rate() -> str:
+    s = float(_MSTAT_SCALE)
+    ctes = _sql_mstat_ctes()
+    ctes.append(f"""er AS (
+  SELECT e.state, e.dst,
+         (CAST(p.pi_q AS DOUBLE) / {s!r})
+           * (CAST(e.n_ij AS DOUBLE) / CAST(e.n_i AS DOUBLE))
+           * ln(CAST(e.n_ij AS DOUBLE) / CAST(e.n_i AS DOUBLE)) AS t
+  FROM e JOIN p{_MSTAT_ITERS} p ON p.state = e.state)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM states) AS n_states,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM er) AS n_edges,
+       (SELECT CAST(SUM(pi_q) AS BIGINT) FROM p{_MSTAT_ITERS})
+         AS pi_total_q,
+       -(SELECT list_reduce(
+            list_prepend(CAST(0.0 AS DOUBLE),
+                         list(t ORDER BY state, dst)),
+            (a, x) -> a + x) FROM er) AS h_rate""")
+
+
+ANALYTICS_QUERIES["markov_entropy_rate"] = (q_markov_entropy_rate,
+                                            sql_markov_entropy_rate)

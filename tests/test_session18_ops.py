@@ -968,3 +968,47 @@ def test_lee_identical_fields_positive_constant_null(spark):
         cells3, "x long, y long, a long, b long"),
         "x", "y", "a", "b").collect()[0]
     assert r3.lee_l is None and r3.s_yy == 0.0
+
+
+# ---- markov_entropy_rate ----
+
+def test_entropy_rate_deterministic_and_uniform_chains(spark):
+    from mapbox_filter_spark.operators.analytics import (
+        markov_entropy_rate, markov_stationary, markov_transitions)
+    # deterministic cycle a->b->c->a : H = 0
+    det = [("u%d" % u, i, "abc"[i % 3]) for u in range(4)
+           for i in range(30)]
+    # uniform 2-state coin per step: H = ln 2
+    import random
+    rng = random.Random(195)
+    uni = [("u%d" % u, i, rng.choice("xy")) for u in range(8)
+           for i in range(400)]
+    for rows, target, tol in ((det, 0.0, 1e-9),
+                              (uni, math.log(2), 0.05)):
+        df = spark.createDataFrame(rows, "k string, ts long, s string")
+        tr = markov_transitions(df, "k", "ts", "s", tiebreak_col="ts")
+        pi = markov_stationary(tr, iters=10, scale=10**12)
+        r = markov_entropy_rate(tr, pi, scale=10**12).collect()[0]
+        assert r.h_rate == pytest.approx(target, abs=tol)
+        assert 0 < r.pi_total_q <= 10**12
+
+
+def test_entropy_rate_python_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.analytics import (
+        markov_entropy_rate, markov_stationary, markov_transitions)
+    rng = random.Random(196)
+    rows = [("u%d" % u, i, rng.choice("pqrs")) for u in range(6)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, ts long, s string")
+    tr = markov_transitions(df, "k", "ts", "s", tiebreak_col="ts")
+    pi = markov_stationary(tr, iters=10, scale=10**12)
+    r = markov_entropy_rate(tr, pi, scale=10**12).collect()[0]
+    trows = tr.collect()
+    pirows = {x.state: x.pi_q for x in pi.collect()}
+    exp = -sum((pirows[t.prev] / 10**12) * (t.n / t.n_from)
+               * math.log(t.n / t.n_from)
+               for t in trows if t.prev in pirows)
+    assert r.h_rate == pytest.approx(exp, abs=1e-12)
+    assert r.n_edges == sum(1 for t in trows if t.prev in pirows)
+    assert 0.0 <= r.h_rate <= math.log(r.n_states) + 1e-9
