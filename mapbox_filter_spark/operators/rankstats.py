@@ -36,7 +36,7 @@ __all__ = ["spearman_corr", "mann_whitney_u", "ks_2samp", "kendall_tau",
            "kruskal_wallis", "pettitt_test", "friedman_test", "bh_fdr",
            "kendalls_w", "wasserstein_1d", "cvm_2samp", "cliffs_delta",
            "wilcoxon_signed_rank", "jonckheere_trend", "somers_d",
-           "ansari_bradley", "page_trend"]
+           "ansari_bradley", "page_trend", "storey_qvalue"]
 
 # 4n^4 < 2^63  =>  n <= 38,000 keeps every sum exact in int64
 _MAX_GROUP_ROWS = 38_000
@@ -1264,3 +1264,60 @@ def page_trend(df: DataFrame, block_col: str, treat_col: str,
         / F.sqrt(var_num.cast("double") / F.lit(12.0)))
     return tot.select("n_blocks", "k", "l2", e2.alias("e2"),
                       var_num.alias("var_num"), z.alias("z"))
+
+
+def storey_qvalue(df: DataFrame, group_cols: "list[str]", id_col: str,
+                  p_num_col: str, p_den: int, *,
+                  lam_num: int = 1, lam_den: int = 2) -> DataFrame:
+    """Storey q-values per group — the adaptive FDR companion of
+    :func:`bh_fdr` (Storey 2002, JRSS-B): BH implicitly assumes every
+    hypothesis is null (π₀ = 1); Storey estimates the null fraction
+    from the flat tail of the p-value histogram,
+
+        π̂₀ = #{p > λ} / ((1−λ)·m)   (capped at 1, λ = 1/2 default)
+
+    and reports per-test q-values ``q_(i) = min_{k≥i} π̂₀·m·p_(k)/k``
+    — "reject everything with q ≤ α" controls FDR at α with more
+    power when real signals exist.
+
+    Exactness: p-values are exact rationals ``p_num/p_den`` (the
+    repo-wide discipline), λ an exact rational, so the tail count
+    comparison and π̂₀ = pi0_num/pi0_den (pi0_num = min(#tail·λden,
+    m·(λden−λnum)), pi0_den = m·(λden−λnum)) are pure int64.  Each
+    raw value ``π̂₀·m·p/k = (pi0_num·m·p_num)/(pi0_den·p_den·k)`` is
+    ONE pinned int64→double division, and the step-down coupling is
+    a windowed MIN over doubles — order-independent, engine-stable.
+    Int64 bound: pi0_num·m·p_num < 2^63 ⇒ m ≲ √(9·10¹⁸/(λden·p_den))
+    per group (ANSI overflow fails loudly).
+
+    Scale shape: same single group-keyed exchange as bh_fdr — rank
+    window, count window, tail-count window, suffix-min window, all
+    on the group key.
+
+    Returns ``(*group_cols, id, p_num, k, m, pi0_num, pi0_den, q)``
+    with ties broken deterministically by ``id_col``.
+    """
+    p = F.col(p_num_col).cast("long")
+    w = (Window.partitionBy(*group_cols)
+         .orderBy(p.asc(), F.col(id_col).asc()))
+    wg = Window.partitionBy(*group_cols)
+    tail = F.sum(F.when(p * lam_den > F.lit(lam_num) * F.lit(p_den), 1)
+                 .otherwise(0)).over(wg).cast("long")
+    ranked = df.select(
+        *group_cols, F.col(id_col).alias("id"), p.alias("p_num"),
+        F.row_number().over(w).cast("long").alias("k"),
+        F.count(F.lit(1)).over(wg).cast("long").alias("m"),
+        (tail * lam_den).alias("_t"))
+    pi0_den = (F.col("m") * (lam_den - lam_num))
+    pi0_num = F.least(F.col("_t"), pi0_den)
+    q_raw = ((pi0_num * F.col("m") * F.col("p_num")).cast("double")
+             / (pi0_den * F.lit(p_den) * F.col("k")).cast("double"))
+    ranked = ranked.select(
+        *group_cols, "id", "p_num", "k", "m",
+        pi0_num.alias("pi0_num"), pi0_den.alias("pi0_den"),
+        q_raw.alias("_qr"))
+    wmin = (Window.partitionBy(*group_cols).orderBy("k")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    return ranked.select(
+        *group_cols, "id", "p_num", "k", "m", "pi0_num", "pi0_den",
+        F.min("_qr").over(wmin).alias("q"))

@@ -2319,3 +2319,55 @@ FROM tot"""
 
 
 CURATION_QUERIES["page_trend"] = (q_page_trend, sql_page_trend)
+
+
+def q_storey_qvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storey q-values per document source (operators/rankstats.py
+    storey_qvalue) on the SAME planted-signal p-values as the bh_fdr
+    gate: π̂₀ from the flat tail above λ=1/2 as an exact rational,
+    one pinned division per test, suffix-min coupling — the adaptive
+    companion whose estimated null fraction the BH gate assumes to
+    be 1."""
+    from .operators.rankstats import storey_qvalue
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.pmod(F.col("doc_id") * 48271, F.lit(1_000_000))
+    sig = F.pmod(F.col("doc_id") * 31, F.lit(2_000))
+    tests = docs.select(
+        "source", "doc_id",
+        F.when(F.pmod(F.col("doc_id"), F.lit(7)) == 0, sig)
+        .otherwise(h).alias("p_micro"))
+    return storey_qvalue(tests, ["source"], "doc_id", "p_micro",
+                         1_000_000)
+
+
+def sql_storey_qvalue() -> str:
+    return """WITH tests AS (
+  SELECT source, doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN (doc_id * 31) % 2000
+              ELSE (doc_id * 48271) % 1000000 END AS p_num
+  FROM documents),
+ranked AS (
+  SELECT source, doc_id AS id, CAST(p_num AS BIGINT) AS p_num,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY p_num, doc_id) AS BIGINT)
+           AS k,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS m,
+         CAST(SUM(CASE WHEN p_num * 2 > 1000000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY source) AS BIGINT) * 2 AS t
+  FROM tests),
+pz AS (
+  SELECT source, id, p_num, k, m,
+         least(t, m) AS pi0_num, m AS pi0_den,
+         CAST(least(t, m) * m * p_num AS DOUBLE)
+           / CAST(m * CAST(1000000 AS BIGINT) * k AS DOUBLE) AS qr
+  FROM ranked)
+SELECT source, id, p_num, k, m, pi0_num, pi0_den,
+       MIN(qr) OVER (PARTITION BY source ORDER BY k
+                     ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS q
+FROM pz"""
+
+
+CURATION_QUERIES["storey_qvalue"] = (q_storey_qvalue,
+                                     sql_storey_qvalue)

@@ -1012,3 +1012,55 @@ def test_entropy_rate_python_differential(spark):
     assert r.h_rate == pytest.approx(exp, abs=1e-12)
     assert r.n_edges == sum(1 for t in trows if t.prev in pirows)
     assert 0.0 <= r.h_rate <= math.log(r.n_states) + 1e-9
+
+
+# ---- storey_qvalue ----
+
+def _storey_expected(tests, p_den, lam=(1, 2)):
+    """tests = [(id, p_num)] one group."""
+    ln, ld = lam
+    m = len(tests)
+    tail = sum(1 for _, p in tests if p * ld > ln * p_den)
+    pi0_num = min(tail * ld, m * (ld - ln))
+    pi0_den = m * (ld - ln)
+    order = sorted(tests, key=lambda t: (t[1], t[0]))
+    qr = [pi0_num * m * p / (pi0_den * p_den * (k + 1))
+          for k, (_, p) in enumerate(order)]
+    out = {}
+    run = float("inf")
+    for k in range(m - 1, -1, -1):
+        run = min(run, qr[k])
+        out[order[k][0]] = (k + 1, pi0_num, pi0_den, run)
+    return m, out
+
+
+def test_storey_python_differential_and_pi0(spark):
+    import random
+    from mapbox_filter_spark.operators.rankstats import storey_qvalue
+    rng = random.Random(197)
+    p_den = 1000
+    rows = [("g", i, rng.randrange(p_den) if i % 5 else
+             rng.randrange(20)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, id long, p long")
+    out = {r.id: r for r in
+           storey_qvalue(df, ["g"], "id", "p", p_den).collect()}
+    m, exp = _storey_expected([(i, p) for _, i, p in rows], p_den)
+    for i, (k, pn, pd, q) in exp.items():
+        r = out[i]
+        assert (r.k, r.pi0_num, r.pi0_den, r.m) == (k, pn, pd, m)
+        assert r.q == pytest.approx(q, abs=1e-15)
+    # adaptive power: pi0 < 1 (signals exist), so q <= BH adjusted p
+    r0 = next(iter(out.values()))
+    assert r0.pi0_num < r0.pi0_den
+    # q is monotone nondecreasing in k
+    byk = sorted(out.values(), key=lambda r: r.k)
+    assert all(a.q <= b.q + 1e-18 for a, b in zip(byk, byk[1:]))
+
+
+def test_storey_pi0_cap_at_one(spark):
+    from mapbox_filter_spark.operators.rankstats import storey_qvalue
+    # every p-value in the tail -> raw estimate 2m/m = 2, capped at 1
+    rows = [("g", i, 900 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, id long, p long")
+    r = storey_qvalue(df, ["g"], "id", "p", 1000).collect()[0]
+    assert r.pi0_num == r.pi0_den  # capped: pi0 == 1
