@@ -4890,3 +4890,70 @@ FROM sq, cs"""
 
 
 GEOM_QUERIES["lee_l"] = (q_lee_l, sql_lee_l)
+
+
+_FF_STEP = 4096            # probe-lattice pitch (micro-degrees)
+
+
+def q_f_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty-space F function over the clark_evans 500-point sample
+    (operators/spatialstats.py f_function): deterministic probe
+    lattice generated in-plan from the bbox, probe-NN CDF rungs as
+    exact d-squared counts from ONE r_max grid join — the
+    empty-space mirror of the g_function gate (clustering pulls F
+    BELOW its CSR curve while G rises above)."""
+    from .operators.spatialstats import f_function
+    from .operators.trajectory import random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = (random_walk_positions(ev, jump=_TRAJ_JUMP)
+           .filter(F.pmod(F.col("event_id"), F.lit(_CE_QMOD)) == 0)
+           .select(F.col("event_id").alias("i"), "x", "y"))
+    return f_function(pts, _GF_RADII, step=_FF_STEP)
+
+
+def sql_f_function() -> str:
+    rmax = max(_GF_RADII)
+    rungs = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS r" for r in _GF_RADII)
+    s = _FF_STEP
+    return f"""WITH {_sql_walk_pos()},
+p AS MATERIALIZED (SELECT event_id AS j, x, y FROM pos
+                   WHERE event_id % {_CE_QMOD} = 0),
+bb AS (SELECT MIN(x) AS x0, MAX(x) AS x1, MIN(y) AS y0, MAX(y) AS y1,
+              CAST(COUNT(*) AS BIGINT) AS n_points,
+              CAST((MAX(x)-MIN(x))*(MAX(y)-MIN(y)) AS BIGINT) AS area
+       FROM p),
+probes AS (
+  SELECT gx.px AS x, gy.py AS y
+  FROM bb,
+       unnest(generate_series(bb.x0, bb.x1, {s})) AS gx(px),
+       unnest(generate_series(bb.y0, bb.y1, {s})) AS gy(py)),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM probes),
+nn AS (SELECT pr.x, pr.y,
+              MIN((pr.x-p.x)*(pr.x-p.x)+(pr.y-p.y)*(pr.y-p.y)) AS nn_d2
+       FROM probes pr JOIN p
+         ON (pr.x-p.x)*(pr.x-p.x)+(pr.y-p.y)*(pr.y-p.y)
+            <= {rmax * rmax}
+       GROUP BY pr.x, pr.y),
+rung AS ({rungs}),
+cnt AS (
+  SELECT rung.r,
+         CAST(COALESCE(SUM(CASE WHEN nn.nn_d2 <= rung.r * rung.r
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_le
+  FROM rung LEFT JOIN nn ON TRUE GROUP BY rung.r)
+SELECT c.r, c.n_le, np.n_probes, b.n_points, b.area,
+       CASE WHEN np.n_probes > 0
+            THEN CAST(c.n_le AS DOUBLE) / CAST(np.n_probes AS DOUBLE)
+            END AS f_hat,
+       CASE WHEN b.area > 0 THEN
+         1.0 - exp(-((CAST(b.n_points AS DOUBLE)
+                      / CAST(b.area AS DOUBLE))
+                     * 3.141592653589793
+                     * CAST(c.r * c.r AS DOUBLE)))
+       END AS f_csr
+FROM cnt c CROSS JOIN np CROSS JOIN bb b"""
+
+
+GEOM_QUERIES["f_function"] = (q_f_function, sql_f_function)

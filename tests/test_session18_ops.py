@@ -1064,3 +1064,59 @@ def test_storey_pi0_cap_at_one(spark):
     df = spark.createDataFrame(rows, "g string, id long, p long")
     r = storey_qvalue(df, ["g"], "id", "p", 1000).collect()[0]
     assert r.pi0_num == r.pi0_den  # capped: pi0 == 1
+
+
+# ---- f_function ----
+
+def _ff_expected(pts, radii, step):
+    xs = [p[1] for p in pts]
+    ys = [p[2] for p in pts]
+    x0, x1, y0, y1 = min(xs), max(xs), min(ys), max(ys)
+    probes = [(px, py) for px in range(x0, x1 + 1, step)
+              for py in range(y0, y1 + 1, step)]
+    m = len(probes)
+    nnd = [min((px - x) ** 2 + (py - y) ** 2 for _, x, y in pts)
+           for px, py in probes]
+    area = (x1 - x0) * (y1 - y0)
+    return {r: (sum(1 for d in nnd if d <= r * r), m, len(pts), area)
+            for r in radii}
+
+
+def test_ff_python_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.spatialstats import f_function
+    rng = random.Random(198)
+    pts = [(i, rng.randrange(0, 500), rng.randrange(0, 500))
+           for i in range(60)]
+    df = spark.createDataFrame(pts, "i long, x long, y long")
+    got = {r.r: r for r in
+           f_function(df, [20, 60, 150], step=25).collect()}
+    exp = _ff_expected(pts, [20, 60, 150], 25)
+    for r, (n_le, m, n, area) in exp.items():
+        row = got[r]
+        assert (row.n_le, row.n_probes, row.n_points,
+                row.area) == (n_le, m, n, area), r
+        assert row.f_hat == pytest.approx(n_le / m)
+    # CDF is monotone and ends near 1 for a dense pattern
+    assert got[20].n_le <= got[60].n_le <= got[150].n_le
+
+
+def test_ff_clustered_below_csr(spark):
+    import random
+    from mapbox_filter_spark.operators.spatialstats import f_function
+    rng = random.Random(199)
+    # one tight cluster + far-away corners -> lots of empty space
+    pts = [(i, rng.randrange(0, 30), rng.randrange(0, 30))
+           for i in range(80)] + [(900, 1000, 1000), (901, 0, 1000),
+                                  (902, 1000, 0)]
+    df = spark.createDataFrame(pts, "i long, x long, y long")
+    r = {x.r: x for x in f_function(df, [50], step=50).collect()}[50]
+    assert r.f_hat < r.f_csr  # clustering -> F below CSR
+
+
+def test_ff_lattice_guard(spark):
+    from mapbox_filter_spark.operators.spatialstats import f_function
+    pts = [(1, 0, 0), (2, 100_000_000, 5)]
+    df = spark.createDataFrame(pts, "i long, x long, y long")
+    with pytest.raises(Exception, match="lattice axis"):
+        f_function(df, [10], step=10).collect()
