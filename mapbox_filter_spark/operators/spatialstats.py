@@ -1378,3 +1378,92 @@ def f_function(pts: DataFrame, radii: "list[int]", *, step: int,
                F.col("n_le").cast("double")
                / F.col("n_probes").cast("double")).alias("f_hat"),
         F.when(F.col("area") > 0, f_csr).alias("f_csr"))
+
+
+def hopkins_statistic(pts: DataFrame, *, step: int, rmax: int,
+                      sample_mod: int = 1, id_col: str = "i",
+                      x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Hopkins clustering-tendency statistic (Hopkins & Skellam 1954):
+    compare nearest-data-point distances seen from UNIFORM probe
+    locations (U) against those seen from the data points themselves
+    (W) — ``H = U/(U+W)`` sits near 1/2 for complete spatial
+    randomness, → 1 for clustered data (probes land in empty space),
+    → 0 for super-uniform/regular patterns.  The "should I even run a
+    clusterer?" pre-check for dbscan/kmeans_integer.
+
+    Determinism and exactness: probes are the f_function lattice of
+    pitch ``step`` (in-plan, no RNG, no collect); the data side uses
+    the deterministic ``id % sample_mod == 0`` subsample; both NN
+    searches are ONE r_max grid join each with exact integer d², and
+    distances are CENSORED at ``rmax²`` (a location with no neighbor
+    within r_max contributes exactly rmax² — documented deviation
+    from the unbounded textbook form, which a blocked join cannot
+    provide; pick rmax ≫ the typical spacing and the censoring is
+    idle).  U and W are exact int64 sums (bound: count·rmax² < 2⁶³ —
+    ANSI overflow fails loudly), and H is ONE pinned division.
+
+    Returns ONE row ``(n_points, n_sample, n_probes, u_sum, w_sum,
+    hopkins)``.
+    """
+    if step <= 0 or rmax <= 0 or sample_mod <= 0:
+        raise ValueError("step, rmax, sample_mod must be positive")
+    from ..geo.tilemath import floor_div
+    from .cluster import grid_radius_join
+
+    p = (pts.select(F.col(id_col).alias("j"),
+                    F.col(x_col).cast("long").alias("x"),
+                    F.col(y_col).cast("long").alias("y"))
+         .localCheckpoint(eager=False))
+    cap = F.lit(int(rmax) * int(rmax)).cast("long")
+
+    nx = floor_div(F.col("_x1") - F.col("_x0"), step) + 1
+    ny = floor_div(F.col("_y1") - F.col("_y0"), step) + 1
+    bbox = p.agg(F.min("x").alias("_x0"), F.max("x").alias("_x1"),
+                 F.min("y").alias("_y0"), F.max("y").alias("_y1"),
+                 F.count(F.lit(1)).cast("long").alias("n_points"))
+    guard = F.when(
+        (nx > _FFN_MAX_AXIS) | (ny > _FFN_MAX_AXIS),
+        F.raise_error(F.concat(
+            F.lit(f"hopkins_statistic: lattice axis exceeds "
+                  f"{_FFN_MAX_AXIS} cells (raise step): "),
+            F.greatest(nx, ny).cast("string"))).cast("long"))
+    bbox = bbox.select(
+        "_x0", "_y0", guard.otherwise(F.col("_x1")).alias("_x1"),
+        guard.otherwise(F.col("_y1")).alias("_y1"), "n_points",
+        guard.otherwise(nx * ny).alias("n_probes"))
+    probes = (bbox.select(
+        "_x0", "_y0", "_y1",
+        F.explode(F.sequence(F.col("_x0"), F.col("_x1"),
+                             F.lit(int(step)))).alias("px"))
+        .select("_x0", "_y0", "px",
+                F.explode(F.sequence(F.col("_y0"), F.col("_y1"),
+                                     F.lit(int(step)))).alias("py"))
+        .select((floor_div(F.col("px") - F.col("_x0"), step)
+                 * (_FFN_MAX_AXIS + 1)
+                 + floor_div(F.col("py") - F.col("_y0"), step))
+                .alias("q"),
+                F.col("px").alias("x"), F.col("py").alias("y")))
+    u_nn = (grid_radius_join(probes, p, rmax, query_id="q",
+                             corpus_id="j", x="x", y="y")
+            .groupBy("q").agg(F.min("d2").alias("nn_d2")))
+    u_row = (probes.join(u_nn, "q", "left")
+             .agg(F.sum(F.least(F.coalesce(F.col("nn_d2"), cap), cap))
+                  .cast("long").alias("u_sum")))
+    sample = p.filter(F.pmod(F.col("j"), F.lit(int(sample_mod))) == 0) \
+        .select(F.col("j").alias("q"), "x", "y")
+    w_nn = (grid_radius_join(sample, p, rmax, query_id="q",
+                             corpus_id="j", x="x", y="y")
+            .filter(F.col("q") != F.col("j"))
+            .groupBy("q").agg(F.min("d2").alias("nn_d2")))
+    w_row = (sample.join(w_nn, "q", "left")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_sample"),
+                  F.sum(F.least(F.coalesce(F.col("nn_d2"), cap), cap))
+                  .cast("long").alias("w_sum")))
+    out = (bbox.select("n_points", "n_probes")
+           .crossJoin(u_row).crossJoin(w_row))
+    h = F.when(
+        F.col("u_sum") + F.col("w_sum") > 0,
+        F.col("u_sum").cast("double")
+        / (F.col("u_sum") + F.col("w_sum")).cast("double"))
+    return out.select("n_points", "n_sample", "n_probes",
+                      "u_sum", "w_sum", h.alias("hopkins"))

@@ -4957,3 +4957,68 @@ FROM cnt c CROSS JOIN np CROSS JOIN bb b"""
 
 
 GEOM_QUERIES["f_function"] = (q_f_function, sql_f_function)
+
+
+_HOP_RMAX = 1 << 16
+
+
+def q_hopkins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopkins clustering tendency of the walk sample
+    (operators/spatialstats.py hopkins_statistic): probe-lattice NN
+    distances vs data-point NN distances, both censored at rmax² —
+    exact integer d² sums, ONE division; the should-I-cluster
+    pre-check beside clark_evans/g/f."""
+    from .operators.spatialstats import hopkins_statistic
+    from .operators.trajectory import random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = (random_walk_positions(ev, jump=_TRAJ_JUMP)
+           .filter(F.pmod(F.col("event_id"), F.lit(_CE_QMOD)) == 0)
+           .select(F.col("event_id").alias("i"), "x", "y"))
+    return hopkins_statistic(pts, step=_FF_STEP, rmax=_HOP_RMAX,
+                             sample_mod=3)
+
+
+def sql_hopkins() -> str:
+    r2 = _HOP_RMAX * _HOP_RMAX
+    s = _FF_STEP
+    return f"""WITH {_sql_walk_pos()},
+p AS MATERIALIZED (SELECT event_id AS j, x, y FROM pos
+                   WHERE event_id % {_CE_QMOD} = 0),
+bb AS (SELECT MIN(x) AS x0, MAX(x) AS x1, MIN(y) AS y0, MAX(y) AS y1,
+              CAST(COUNT(*) AS BIGINT) AS n_points
+       FROM p),
+probes AS MATERIALIZED (
+  SELECT gx.px AS x, gy.py AS y
+  FROM bb,
+       unnest(generate_series(bb.x0, bb.x1, {s})) AS gx(px),
+       unnest(generate_series(bb.y0, bb.y1, {s})) AS gy(py)),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM probes),
+un AS (SELECT pr.x, pr.y,
+              MIN((pr.x-p.x)*(pr.x-p.x)+(pr.y-p.y)*(pr.y-p.y)) AS d2
+       FROM probes pr JOIN p
+         ON (pr.x-p.x)*(pr.x-p.x)+(pr.y-p.y)*(pr.y-p.y) <= {r2}
+       GROUP BY pr.x, pr.y),
+uu AS (SELECT CAST(SUM(least(COALESCE(un.d2, {r2}), {r2}))
+               AS BIGINT) AS u_sum
+       FROM probes pr LEFT JOIN un USING (x, y)),
+samp AS MATERIALIZED (SELECT j, x, y FROM p WHERE j % 3 = 0),
+wn AS (SELECT a.j,
+              MIN((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) AS d2
+       FROM samp a JOIN p b
+         ON a.j <> b.j
+        AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= {r2}
+       GROUP BY a.j),
+ww AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+              CAST(SUM(least(COALESCE(wn.d2, {r2}), {r2}))
+               AS BIGINT) AS w_sum
+       FROM samp LEFT JOIN wn USING (j))
+SELECT bb.n_points, ww.n_sample, np.n_probes, uu.u_sum, ww.w_sum,
+       CASE WHEN uu.u_sum + ww.w_sum > 0
+            THEN CAST(uu.u_sum AS DOUBLE)
+                 / CAST(uu.u_sum + ww.w_sum AS DOUBLE)
+       END AS hopkins
+FROM bb CROSS JOIN np CROSS JOIN uu CROSS JOIN ww"""
+
+
+GEOM_QUERIES["hopkins"] = (q_hopkins, sql_hopkins)

@@ -1120,3 +1120,65 @@ def test_ff_lattice_guard(spark):
     df = spark.createDataFrame(pts, "i long, x long, y long")
     with pytest.raises(Exception, match="lattice axis"):
         f_function(df, [10], step=10).collect()
+
+
+# ---- hopkins_statistic ----
+
+def _hopkins_expected(pts, step, rmax, sample_mod):
+    cap = rmax * rmax
+    xs = [p[1] for p in pts]
+    ys = [p[2] for p in pts]
+    x0, x1, y0, y1 = min(xs), max(xs), min(ys), max(ys)
+    probes = [(px, py) for px in range(x0, x1 + 1, step)
+              for py in range(y0, y1 + 1, step)]
+
+    def nn(qx, qy, exclude=None):
+        best = cap
+        for i, x, y in pts:
+            if i == exclude:
+                continue
+            d = (qx - x) ** 2 + (qy - y) ** 2
+            if d < best:
+                best = d
+        return best
+
+    u = sum(nn(px, py) for px, py in probes)
+    samp = [p for p in pts if p[0] % sample_mod == 0]
+    w = sum(nn(x, y, exclude=i) for i, x, y in samp)
+    return (len(pts), len(samp), len(probes), u, w,
+            u / (u + w) if u + w else None)
+
+
+def test_hopkins_python_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.spatialstats import \
+        hopkins_statistic
+    rng = random.Random(200)
+    pts = [(i, rng.randrange(0, 400), rng.randrange(0, 400))
+           for i in range(70)]
+    df = spark.createDataFrame(pts, "i long, x long, y long")
+    r = hopkins_statistic(df, step=40, rmax=600,
+                          sample_mod=2).collect()[0]
+    exp = _hopkins_expected(pts, 40, 600, 2)
+    assert (r.n_points, r.n_sample, r.n_probes, r.u_sum,
+            r.w_sum) == exp[:5]
+    assert r.hopkins == pytest.approx(exp[5])
+
+
+def test_hopkins_clustered_vs_regular(spark):
+    from mapbox_filter_spark.operators.spatialstats import \
+        hopkins_statistic
+    import random
+    rng = random.Random(201)
+    # tight blob inside a big frame -> strongly clustered -> H near 1
+    blob = [(i, 500 + rng.randrange(10), 500 + rng.randrange(10))
+            for i in range(50)] + [(100, 0, 0), (101, 1000, 1000)]
+    hb = hopkins_statistic(
+        spark.createDataFrame(blob, "i long, x long, y long"),
+        step=100, rmax=1500, sample_mod=1).collect()[0].hopkins
+    # perfect grid -> regular -> H well below the clustered case
+    grid = [(i, (i % 10) * 100, (i // 10) * 100) for i in range(100)]
+    hg = hopkins_statistic(
+        spark.createDataFrame(grid, "i long, x long, y long"),
+        step=100, rmax=1500, sample_mod=1).collect()[0].hopkins
+    assert hb > 0.9 and hg < 0.5 and hb > hg
