@@ -1467,3 +1467,31 @@ def hopkins_statistic(pts: DataFrame, *, step: int, rmax: int,
         / (F.col("u_sum") + F.col("w_sum")).cast("double"))
     return out.select("n_points", "n_sample", "n_probes",
                       "u_sum", "w_sum", h.alias("hopkins"))
+
+
+def j_function(pts: DataFrame, radii: "list[int]", *, step: int,
+               id_col: str = "i", x_col: str = "x",
+               y_col: str = "y") -> DataFrame:
+    """The J function — van Lieshout & Baddeley's (1996) combined
+    point-pattern summary ``J(r) = (1 − G(r)) / (1 − F(r))``: J ≡ 1
+    under CSR WITHOUT needing the intensity or an edge correction
+    (the λπr² terms cancel), J < 1 = clustered, J > 1 = regular —
+    the single most interpretable curve of the G/F/K family.
+
+    Pure composition of this engine's :func:`g_function`
+    (event-to-event NN CDF) and :func:`f_function` (lattice
+    empty-space CDF) joined on the shared radius ladder: both inputs
+    are exact-count ratios, J is one more pinned division, NULL where
+    F̂(r) = 1 (no empty space left at that radius).
+
+    Returns one row per radius ``(r, g_hat, f_hat, j_hat)``.
+    """
+    g = g_function(pts, radii, id_col=id_col, x_col=x_col,
+                   y_col=y_col).select("r", "g_hat")
+    f = f_function(pts, radii, step=step, id_col=id_col, x_col=x_col,
+                   y_col=y_col).select("r", "f_hat")
+    j = g.join(f, "r")
+    jh = F.when(
+        F.col("f_hat") < 1.0,
+        (F.lit(1.0) - F.col("g_hat")) / (F.lit(1.0) - F.col("f_hat")))
+    return j.select("r", "g_hat", "f_hat", jh.alias("j_hat"))

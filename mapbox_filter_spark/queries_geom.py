@@ -5022,3 +5022,31 @@ FROM bb CROSS JOIN np CROSS JOIN uu CROSS JOIN ww"""
 
 
 GEOM_QUERIES["hopkins"] = (q_hopkins, sql_hopkins)
+
+
+def q_j_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J function over the walk sample (operators/spatialstats.py
+    j_function): (1−G)/(1−F) on the shared radius ladder — the
+    intensity-free CSR diagnostic composing the g_function and
+    f_function gates; J < 1 confirms the clustering both curves
+    show separately."""
+    from .operators.spatialstats import j_function
+    from .operators.trajectory import random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = (random_walk_positions(ev, jump=_TRAJ_JUMP)
+           .filter(F.pmod(F.col("event_id"), F.lit(_CE_QMOD)) == 0)
+           .select(F.col("event_id").alias("i"), "x", "y"))
+    return j_function(pts, _GF_RADII, step=_FF_STEP)
+
+
+def sql_j_function() -> str:
+    return f"""WITH g AS ({sql_g_function()}),
+f AS ({sql_f_function()})
+SELECT g.r, g.g_hat, f.f_hat,
+       CASE WHEN f.f_hat < 1.0
+            THEN (1.0 - g.g_hat) / (1.0 - f.f_hat) END AS j_hat
+FROM g JOIN f USING (r)"""
+
+
+GEOM_QUERIES["j_function"] = (q_j_function, sql_j_function)

@@ -1182,3 +1182,30 @@ def test_hopkins_clustered_vs_regular(spark):
         spark.createDataFrame(grid, "i long, x long, y long"),
         step=100, rmax=1500, sample_mod=1).collect()[0].hopkins
     assert hb > 0.9 and hg < 0.5 and hb > hg
+
+
+# ---- j_function ----
+
+def test_j_function_csr_near_one_clustered_below(spark):
+    import random
+    from mapbox_filter_spark.operators.spatialstats import j_function
+    rng = random.Random(202)
+    # near-CSR scatter
+    csr = [(i, rng.randrange(0, 1000), rng.randrange(0, 1000))
+           for i in range(150)]
+    jc = {r.r: r for r in j_function(
+        spark.createDataFrame(csr, "i long, x long, y long"),
+        [40, 80], step=50).collect()}
+    # strongly clustered blobs
+    blob = [(i, rng.randrange(0, 40) + 500 * (i % 2),
+             rng.randrange(0, 40) + 500 * (i % 2))
+            for i in range(150)]
+    jb = {r.r: r for r in j_function(
+        spark.createDataFrame(blob, "i long, x long, y long"),
+        [40, 80], step=50).collect()}
+    for r in (40, 80):
+        assert jb[r].j_hat is None or jb[r].j_hat < jc[r].j_hat
+        # identity check against its own components
+        if jc[r].j_hat is not None:
+            assert jc[r].j_hat == pytest.approx(
+                (1 - jc[r].g_hat) / (1 - jc[r].f_hat))
