@@ -271,3 +271,67 @@ def err_at_k(ranking: DataFrame, k: int, *, g_max: int,
     return per.select(
         query_id, err_s.alias("err_s"),
         (err_s.cast("double") / F.lit(scale)).alias("err"))
+
+
+def lift_table(df: DataFrame, group_cols: Sequence[str],
+               score_col: str, label_col: str, id_col: str, *,
+               n_buckets: int = 10) -> DataFrame:
+    """Decile lift / cumulative-gains table per group — the model-eval
+    readout a targeting or ranking model ships with: rows sorted by
+    score descending are cut into ``n_buckets`` equal slices, and each
+    slice reports how much richer in positives it is than the base
+    rate (``lift``) and what fraction of all positives the top slices
+    have captured (``cum_gain``).
+
+    Exactness: the bucket of row rn is ``(rn−1)·B div n + 1`` —
+    explicit integer arithmetic, not NTILE, so both engines cut
+    identically; ties in score break deterministically by ``id_col``.
+    Counts are exact longs; ``lift = (pos_b·N)/(n_b·P)`` and
+    ``cum_gain = cum_pos/P`` are single pinned divisions on exact
+    int64 products.
+
+    Scale shape: one rank window + one groupBy + two windows over the
+    ≤ B-row bucket table, all keyed on the group — a single exchange.
+
+    Returns one row per (group, bucket): ``(group..., bucket, n,
+    n_pos, cum_pos, base_pos, base_n, lift, cum_gain)`` — lift NULL
+    when the group has no positives.
+    """
+    from ..geo.tilemath import floor_div
+    g = list(group_cols)
+    B = int(n_buckets)
+    if B < 2:
+        raise ValueError("n_buckets must be >= 2")
+    clean = df.filter(F.col(score_col).isNotNull()
+                      & F.col(label_col).isNotNull())
+    w = (Window.partitionBy(*g)
+         .orderBy(F.col(score_col).desc(), F.col(id_col).asc()))
+    wg = Window.partitionBy(*g)
+    lab = F.col(label_col).cast("boolean").cast("long")
+    r = clean.select(
+        *g, lab.alias("_y"),
+        F.row_number().over(w).cast("long").alias("_rn"),
+        F.count(F.lit(1)).over(wg).cast("long").alias("_n"))
+    r = r.withColumn("bucket",
+                     floor_div((F.col("_rn") - 1) * B, F.col("_n")) + 1)
+    per = r.groupBy(*g, "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("n_pos"))
+    wb = (Window.partitionBy(*g).orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    per = per.select(
+        *g, "bucket", "n", "n_pos",
+        F.sum("n_pos").over(wb).cast("long").alias("cum_pos"),
+        F.sum("n_pos").over(wg).cast("long").alias("base_pos"),
+        F.sum("n").over(wg).cast("long").alias("base_n"))
+    lift = F.when(
+        F.col("base_pos") > 0,
+        (F.col("n_pos") * F.col("base_n")).cast("double")
+        / (F.col("n") * F.col("base_pos")).cast("double"))
+    gain = F.when(
+        F.col("base_pos") > 0,
+        F.col("cum_pos").cast("double")
+        / F.col("base_pos").cast("double"))
+    return per.select(*g, "bucket", "n", "n_pos", "cum_pos",
+                      "base_pos", "base_n", lift.alias("lift"),
+                      gain.alias("cum_gain"))

@@ -2625,3 +2625,66 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM states) AS n_states,
 
 ANALYTICS_QUERIES["markov_entropy_rate"] = (q_markov_entropy_rate,
                                             sql_markov_entropy_rate)
+
+
+def q_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / cumulative gains per user cohort
+    (operators/metrics.py lift_table): score = value cents, label =
+    purchase events — explicit integer decile cuts (not NTILE),
+    exact counts, one pinned division per statistic; the targeting
+    readout beside auc_score/pr_curve."""
+    from .operators.metrics import lift_table
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("value").isNotNull())
+          .select(F.pmod(F.col("user_id"), F.lit(4)).alias("cohort"),
+                  _cents().alias("score"),
+                  (F.col("event_type") == "purchase").alias("y"),
+                  "event_id"))
+    return lift_table(ev, ["cohort"], "score", "y", "event_id")
+
+
+def sql_lift_table() -> str:
+    return """WITH e AS (
+  SELECT ((user_id % 4) + 4) % 4 AS cohort,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         event_id
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT cohort, y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY cohort
+                                 ORDER BY score DESC, event_id)
+              AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY cohort) AS BIGINT) AS n
+  FROM e),
+b AS (
+  SELECT cohort, y, ((rn - 1) * 10) // n + 1 AS bucket FROM r),
+per AS (
+  SELECT cohort, bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM b GROUP BY 1, 2)
+SELECT cohort, bucket, n, n_pos,
+       CAST(SUM(n_pos) OVER (PARTITION BY cohort ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_pos,
+       CAST(SUM(n_pos) OVER (PARTITION BY cohort) AS BIGINT)
+         AS base_pos,
+       CAST(SUM(n) OVER (PARTITION BY cohort) AS BIGINT) AS base_n,
+       CASE WHEN SUM(n_pos) OVER (PARTITION BY cohort) > 0
+            THEN CAST(n_pos * SUM(n) OVER (PARTITION BY cohort)
+                      AS DOUBLE)
+                 / CAST(n * SUM(n_pos) OVER (PARTITION BY cohort)
+                        AS DOUBLE) END AS lift,
+       CASE WHEN SUM(n_pos) OVER (PARTITION BY cohort) > 0
+            THEN CAST(SUM(n_pos) OVER (PARTITION BY cohort
+                                       ORDER BY bucket
+                                       ROWS UNBOUNDED PRECEDING)
+                      AS DOUBLE)
+                 / CAST(SUM(n_pos) OVER (PARTITION BY cohort)
+                        AS DOUBLE) END AS cum_gain
+FROM per"""
+
+
+ANALYTICS_QUERIES["lift_table"] = (q_lift_table, sql_lift_table)

@@ -1209,3 +1209,60 @@ def test_j_function_csr_near_one_clustered_below(spark):
         if jc[r].j_hat is not None:
             assert jc[r].j_hat == pytest.approx(
                 (1 - jc[r].g_hat) / (1 - jc[r].f_hat))
+
+
+# ---- lift_table ----
+
+def _lift_expected(rows, B):
+    """rows = [(id, score, y)] single group."""
+    order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    n = len(order)
+    P = sum(y for _, _, y in order)
+    out = {}
+    from collections import defaultdict
+    per = defaultdict(lambda: [0, 0])
+    for rn, (_, _, y) in enumerate(order, 1):
+        b = (rn - 1) * B // n + 1
+        per[b][0] += 1
+        per[b][1] += y
+    cum = 0
+    for b in sorted(per):
+        nb, pb = per[b]
+        cum += pb
+        out[b] = (nb, pb, cum,
+                  (pb * n) / (nb * P) if P else None,
+                  cum / P if P else None)
+    return n, P, out
+
+
+def test_lift_python_differential_and_top_decile(spark):
+    import random
+    from mapbox_filter_spark.operators.metrics import lift_table
+    rng = random.Random(203)
+    # correlated score/label: top scores are twice as likely positive
+    rows = []
+    for i in range(500):
+        s = rng.randrange(1000)
+        y = 1 if rng.random() < (0.1 + 0.4 * s / 1000) else 0
+        rows.append(("g", i, s, y))
+    df = spark.createDataFrame(rows, "g string, id long, s long, y long")
+    out = {r.bucket: r for r in
+           lift_table(df, ["g"], "s", "y", "id").collect()}
+    n, P, exp = _lift_expected([(i, s, y) for _, i, s, y in rows], 10)
+    for b, (nb, pb, cum, lift, gain) in exp.items():
+        r = out[b]
+        assert (r.n, r.n_pos, r.cum_pos, r.base_pos,
+                r.base_n) == (nb, pb, cum, P, n)
+        assert r.lift == pytest.approx(lift)
+        assert r.cum_gain == pytest.approx(gain)
+    assert out[1].lift > 1.0 > out[10].lift  # correlation shows
+    assert out[10].cum_gain == pytest.approx(1.0)
+
+
+def test_lift_no_positives_null(spark):
+    from mapbox_filter_spark.operators.metrics import lift_table
+    rows = [("g", i, i, 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, id long, s long, y long")
+    out = lift_table(df, ["g"], "s", "y", "id").collect()
+    assert all(r.lift is None and r.cum_gain is None for r in out)
+    assert sum(r.n for r in out) == 40
