@@ -690,3 +690,59 @@ def mmr_rerank(candidates: DataFrame, sims: DataFrame, k: int, *,
     return out.select("rank", F.col("_id").alias(id_col),
                       F.col("_rel").alias("rel"),
                       F.col("_mmr").alias("mmr"))
+
+
+def best_passage(docs: DataFrame, query_terms: "list[str]", *,
+                 width: int, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Best-passage (snippet) extraction — for each document, the
+    ``width``-token window containing the MOST query-term hits
+    (leftmost on ties): the passage-retrieval / snippet primitive
+    under every search result page and RAG chunk selector (Callan
+    1994 passage retrieval).
+
+    Exactness: text is lowercased and ``\\s+``-tokenized (engine-wide
+    discipline); per-start hit counts are exact ints evaluated IN-ROW
+    (score(s) = hits in tokens[s..s+width−1]; windows truncate at the
+    document end exactly like a ROWS BETWEEN frame), and the argmax
+    is the array-min of (−score, start) structs — deterministic
+    leftmost-max, no shuffle, no Python.  The chosen snippet ships as
+    ``snippet_md5`` (md5 of the space-joined window) so the text
+    itself value-hashes.
+
+    Shape for scale: rows are independent; per-row cost
+    O(n_tokens·width).  The query set is a literal IN-list (compiled
+    into the plan, no join).
+
+    Returns ``(id_col, n_tokens, best_start, best_score,
+    snippet_md5)`` — ``best_start`` is 1-based; documents with zero
+    tokens are dropped.
+    """
+    if width < 1:
+        raise ValueError("width must be >= 1")
+    terms = sorted(set(t.lower() for t in query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda t: t != "")
+    base = docs.select(F.col(id_col), toks.alias("_t")) \
+        .filter(F.size("_t") > 0)
+    n = F.size(F.col("_t"))
+
+    def score(s):
+        return F.size(F.filter(
+            F.slice(F.col("_t"), s, width),
+            lambda t: t.isin(*terms)))
+
+    starts = F.sequence(F.lit(1), F.greatest(n - width + 1, F.lit(1)))
+    best = F.array_min(F.transform(
+        starts, lambda s: F.struct((-score(s)).alias("ns"),
+                                   s.alias("st"))))
+    out = base.select(
+        id_col, n.cast("long").alias("n_tokens"),
+        best["st"].cast("long").alias("best_start"),
+        (-best["ns"]).cast("long").alias("best_score"),
+        F.md5(F.array_join(
+            F.slice(F.col("_t"), best["st"], width), " "))
+        .alias("snippet_md5"))
+    return out

@@ -848,3 +848,65 @@ FROM p GROUP BY q_id"""
 
 
 RETRIEVAL_QUERIES["err_at_k"] = (q_err_at_k, sql_err_at_k)
+
+
+_BP_TERMS = ["spark", "table", "join"]
+_BP_WIDTH = 12
+
+
+def q_best_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-passage snippet extraction over the document corpus
+    (operators/retrieval.py best_passage): the 12-token window with
+    the most query-term hits, leftmost on ties — in-row window
+    scoring, exact counts, md5-hashed snippet."""
+    from .operators.retrieval import best_passage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    return best_passage(docs, _BP_TERMS, width=_BP_WIDTH)
+
+
+def sql_best_passage() -> str:
+    w = _BP_WIDTH
+    inlist = ", ".join(f"'{t}'" for t in sorted(_BP_TERMS))
+    return f"""WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+wds AS (
+  SELECT doc_id, unnest(l) AS word,
+         unnest(generate_series(1, len(l))) AS ord
+  FROM d WHERE len(l) > 0),
+h AS (
+  SELECT doc_id, word, ord,
+         CASE WHEN word IN ({inlist}) THEN 1 ELSE 0 END AS hit
+  FROM wds),
+sc AS (
+  SELECT doc_id, ord AS st,
+         SUM(hit) OVER (PARTITION BY doc_id ORDER BY ord
+                        ROWS BETWEEN CURRENT ROW
+                        AND {w - 1} FOLLOWING) AS score,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM h),
+el AS (
+  SELECT doc_id, st, score, n FROM sc
+  WHERE st <= greatest(n - {w} + 1, 1)),
+best AS (
+  SELECT doc_id, st, score, n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, st) AS rnk
+  FROM el)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS n_tokens,
+       CAST(b.st AS BIGINT) AS best_start,
+       CAST(b.score AS BIGINT) AS best_score,
+       md5(string_agg(wds.word, ' ' ORDER BY wds.ord)) AS snippet_md5
+FROM best b
+JOIN wds ON wds.doc_id = b.doc_id
+        AND wds.ord BETWEEN b.st AND b.st + {w} - 1
+WHERE b.rnk = 1
+GROUP BY b.doc_id, b.n, b.st, b.score"""
+
+
+RETRIEVAL_QUERIES["best_passage"] = (q_best_passage, sql_best_passage)

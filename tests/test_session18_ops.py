@@ -1266,3 +1266,58 @@ def test_lift_no_positives_null(spark):
     out = lift_table(df, ["g"], "s", "y", "id").collect()
     assert all(r.lift is None and r.cum_gain is None for r in out)
     assert sum(r.n for r in out) == 40
+
+
+# ---- best_passage ----
+
+def _bp_expected(docs, terms, w):
+    import hashlib
+    out = {}
+    ts = set(terms)
+    for i, text in docs:
+        toks = [t for t in text.lower().split() if t]
+        if not toks:
+            continue
+        n = len(toks)
+        best = None
+        for s in range(1, max(n - w + 1, 1) + 1):
+            sc = sum(1 for t in toks[s - 1:s - 1 + w] if t in ts)
+            if best is None or sc > best[1]:
+                best = (s, sc)
+        snip = " ".join(toks[best[0] - 1:best[0] - 1 + w])
+        out[i] = (n, best[0], best[1],
+                  hashlib.md5(snip.encode()).hexdigest())
+    return out
+
+
+def test_best_passage_hand_and_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.retrieval import best_passage
+    docs = [(1, "a b QUERY c d e QUERY QUERY f g"),
+            (2, "nothing here matches at all"),
+            (3, "query"), (4, "  ")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           best_passage(df, ["query"], width=3).collect()}
+    exp = _bp_expected(docs, ["query"], 3)
+    assert set(out) == set(exp)  # doc 4 (no tokens) dropped
+    for i, (n, st, sc, md5) in exp.items():
+        r = out[i]
+        assert (r.n_tokens, r.best_start, r.best_score,
+                r.snippet_md5) == (n, st, sc, md5), i
+    assert out[1].best_start == 6 and out[1].best_score == 2
+    assert out[2].best_score == 0 and out[2].best_start == 1
+
+    rng = random.Random(204)
+    vocab = ["query", "other", "spark", "join", "x", "y"]
+    rdocs = [(i, " ".join(rng.choice(vocab)
+                          for _ in range(rng.randrange(1, 40))))
+             for i in range(60)]
+    rdf = spark.createDataFrame(rdocs, "doc_id long, text string")
+    rout = {r.doc_id: r for r in
+            best_passage(rdf, ["query", "join"], width=8).collect()}
+    rexp = _bp_expected(rdocs, ["query", "join"], 8)
+    for i in rexp:
+        r = rout[i]
+        assert (r.n_tokens, r.best_start, r.best_score,
+                r.snippet_md5) == rexp[i], i
