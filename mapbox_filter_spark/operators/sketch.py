@@ -476,3 +476,92 @@ def ams_f2_estimate(regs: DataFrame, *, s: int = 16) -> DataFrame:
     return (ranked.filter(F.col("_rn") == (s + 1) // 2)
             .select(F.lit(s).cast("long").alias("s_seeds"),
                     F.col("_e").alias("f2_est")))
+
+
+# ---- Count-Min sketch ----
+
+_CM_P = (1 << 31) - 1          # Mersenne prime 2^31 − 1
+_CM_U30 = (1 << 30)
+
+
+def cm_coeffs(depth: int) -> "list[tuple[int, int]]":
+    """The fixed per-depth universal-hash coefficients (a_d, b_d) —
+    one deterministic formula, imported by BOTH the operator and the
+    oracle SQL builder so the bucket functions match literal-for-
+    literal."""
+    return [((1103515245 * d + 12345) % _CM_P or 1,
+             (2654435761 * d + 1013904223) % _CM_P)
+            for d in range(1, depth + 1)]
+
+
+def _cm_u30(item_col: str, salt: str) -> Column:
+    from .splits import hash_u60
+    return F.pmod(hash_u60([item_col], salt), F.lit(_CM_U30))
+
+
+def cm_sketch(df: DataFrame, item_col: str, *, width: int, depth: int,
+              weight_col: "str | None" = None,
+              salt: str = "cm-v1") -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) — the bounded
+    ``depth × width`` counter table whose point queries OVERESTIMATE
+    true counts by at most εN (ε = e/width) with probability
+    1 − e^−depth: the mergeable frequency summary for streams and
+    shard-local partials, complementing this module's exact-set
+    heavy_hitters (Misra-Gries) and kmv/hll distinct sketches.
+
+    Determinism: the item coordinate is the md5-u60 hash (splits.py
+    discipline — bit-identical in DuckDB), folded to 30 bits so the
+    per-depth universal hash ``((a_d·u + b_d) mod (2³¹−1)) mod width``
+    stays exact int64; coefficients come from :func:`cm_coeffs`, one
+    shared formula.  Counters are exact longs.
+
+    Scale shape: one in-row depth explode (×depth rows) + ONE
+    map-side-combinable groupBy on (d, bucket) — output is the fixed
+    depth·width grid regardless of input size, and two sketches merge
+    by unioning and re-summing the same groupBy (partial-aggregation
+    algebra; see read/merge rollup partials for the persistence
+    pattern).
+
+    Returns ``(d, bucket, cnt)`` — only touched cells appear (absent
+    cell ≡ 0).
+    """
+    if width < 2 or depth < 1:
+        raise ValueError("width must be >= 2, depth >= 1")
+    u = _cm_u30(item_col, salt)
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    cells = F.array(*[
+        F.struct(F.lit(d + 1).cast("int").alias("d"),
+                 F.pmod(F.pmod(F.lit(a) * u + F.lit(b), F.lit(_CM_P)),
+                        F.lit(int(width))).cast("long").alias("bucket"))
+        for d, (a, b) in enumerate(cm_coeffs(depth))])
+    return (df.filter(F.col(item_col).isNotNull())
+            .select(F.explode(cells).alias("_c"), w.alias("_w"))
+            .groupBy(F.col("_c.d").alias("d"),
+                     F.col("_c.bucket").alias("bucket"))
+            .agg(F.sum("_w").alias("cnt")))
+
+
+def cm_estimate(sketch: DataFrame, queries: DataFrame, item_col: str,
+                *, width: int, depth: int,
+                salt: str = "cm-v1") -> DataFrame:
+    """Point-query a :func:`cm_sketch`: est(item) = min over depths of
+    the addressed counter (0 for a never-touched cell) — the classic
+    one-sided estimate, ``true ≤ est ≤ true + εN`` w.h.p.  The sketch
+    side is depth·width rows — broadcast; queries never shuffle.
+    Returns ``(item, est)`` (one row per distinct query item)."""
+    u = _cm_u30("item", salt)
+    cells = F.array(*[
+        F.struct(F.lit(d + 1).cast("int").alias("d"),
+                 F.pmod(F.pmod(F.lit(a) * u + F.lit(b), F.lit(_CM_P)),
+                        F.lit(int(width))).cast("long").alias("bucket"))
+        for d, (a, b) in enumerate(cm_coeffs(depth))])
+    q = (queries.filter(F.col(item_col).isNotNull())
+         .select(F.col(item_col).alias("item")).distinct()
+         .select("item", F.explode(cells).alias("_c"))
+         .select("item", F.col("_c.d").alias("d"),
+                 F.col("_c.bucket").alias("bucket")))
+    j = q.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    return (j.groupBy("item")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+                 .alias("est")))

@@ -389,3 +389,91 @@ FROM r, ex WHERE rn = {(_AMS_S + 1) // 2}"""
 
 
 SKETCH_QUERIES["ams_f2"] = (q_ams_f2, sql_ams_f2)
+
+
+_CM_W, _CM_D = 64, 4
+_CM_SALT = "cm-gate-v1"
+_CM_PROBES = ["table", "spark", "join", "scan", "value",
+              "absent_token_a", "absent_token_b"]
+
+
+def q_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point queries over the document token stream
+    (operators/sketch.py cm_sketch/cm_estimate): a 4×64 exact-integer
+    counter grid via the md5-u30 universal hashes, probed for five
+    present tokens and two absent ones, each estimate joined to its
+    exact count — the one-sided ``true ≤ est`` guarantee is part of
+    the value-hashed result."""
+    from .operators.sketch import cm_estimate, cm_sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"),
+        lambda t: t != "")).alias("tok"))
+    sk = cm_sketch(toks, "tok", width=_CM_W, depth=_CM_D,
+                   salt=_CM_SALT)
+    probes = spark.createDataFrame([(p,) for p in _CM_PROBES],
+                                   "tok string")
+    est = cm_estimate(sk, probes, "tok", width=_CM_W, depth=_CM_D,
+                      salt=_CM_SALT)
+    true = (toks.join(F.broadcast(probes), "tok")
+            .groupBy(F.col("tok").alias("item"))
+            .agg(F.count(F.lit(1)).cast("long").alias("true_cnt")))
+    return (est.join(true, "item", "left")
+            .select("item", "est",
+                    F.coalesce("true_cnt", F.lit(0).cast("long"))
+                    .alias("true_cnt"),
+                    (F.col("est")
+                     - F.coalesce("true_cnt", F.lit(0).cast("long")))
+                    .alias("over")))
+
+
+def sql_cm_sketch() -> str:
+    from .operators.sketch import _CM_P, _CM_U30, cm_coeffs
+
+    probes = ", ".join(f"('{p}')" for p in _CM_PROBES)
+
+    def u30(expr):
+        return (f"(CAST('0x' || substr(md5('{_CM_SALT}' || chr(31) "
+                f"|| {expr}), 1, 15) AS BIGINT) % {_CM_U30})")
+
+    def bucket(expr, a, b):
+        return (f"(({a} * {u30(expr)} + {b}) % {_CM_P}) % {_CM_W}")
+
+    tok_cells = "\n  UNION ALL\n  ".join(
+        f"SELECT {d + 1} AS d, {bucket('tok', a, b)} AS bucket, tok"
+        f" FROM toks"
+        for d, (a, b) in enumerate(cm_coeffs(_CM_D)))
+    probe_cells = "\n  UNION ALL\n  ".join(
+        f"SELECT {d + 1} AS d, {bucket('item', a, b)} AS bucket, item"
+        f" FROM probes"
+        for d, (a, b) in enumerate(cm_coeffs(_CM_D)))
+    return f"""WITH d0 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+toks AS (SELECT unnest(l) AS tok FROM d0),
+cells AS (
+  {tok_cells}),
+sk AS (
+  SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY 1, 2),
+probes(item) AS (VALUES {probes}),
+pc AS (
+  {probe_cells}),
+est AS (
+  SELECT pc.item,
+         CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est
+  FROM pc LEFT JOIN sk USING (d, bucket)
+  GROUP BY pc.item),
+tru AS (
+  SELECT tok AS item, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM toks JOIN probes ON toks.tok = probes.item
+  GROUP BY 1)
+SELECT e.item, e.est, COALESCE(t.true_cnt, 0) AS true_cnt,
+       e.est - COALESCE(t.true_cnt, 0) AS over
+FROM est e LEFT JOIN tru t USING (item)"""
+
+
+SKETCH_QUERIES["cm_sketch"] = (q_cm_sketch, sql_cm_sketch)

@@ -1321,3 +1321,72 @@ def test_best_passage_hand_and_differential(spark):
         r = rout[i]
         assert (r.n_tokens, r.best_start, r.best_score,
                 r.snippet_md5) == rexp[i], i
+
+
+# ---- cm_sketch ----
+
+def test_cm_sketch_guarantee_and_merge(spark):
+    import random
+    from mapbox_filter_spark.operators.sketch import (cm_estimate,
+                                                      cm_sketch)
+    rng = random.Random(205)
+    vocab = ["w%d" % i for i in range(200)]
+    items = [("h",)] * 500 + [(rng.choice(vocab),) for _ in range(3000)]
+    df = spark.createDataFrame(items, "tok string")
+    sk = cm_sketch(df, "tok", width=128, depth=4)
+    probes = spark.createDataFrame(
+        [("h",), ("w0",), ("never_seen",)], "tok string")
+    est = {r.item: r.est for r in
+           cm_estimate(sk, probes, "tok", width=128, depth=4).collect()}
+    from collections import Counter
+    true = Counter(t for t, in items)
+    n = len(items)
+    for it in ("h", "w0", "never_seen"):
+        assert est[it] >= true[it]          # one-sided
+        assert est[it] <= true[it] + n      # trivially sane
+    assert est["h"] >= 500
+    # mergeability: sketch(A) + sketch(B) re-summed == sketch(A+B)
+    a, b = items[:1700], items[1700:]
+    ska = cm_sketch(spark.createDataFrame(a, "tok string"), "tok",
+                    width=128, depth=4)
+    skb = cm_sketch(spark.createDataFrame(b, "tok string"), "tok",
+                    width=128, depth=4)
+    merged = (ska.unionByName(skb).groupBy("d", "bucket")
+              .agg(F.sum("cnt").alias("cnt")))
+    full = {(r.d, r.bucket): r.cnt for r in sk.collect()}
+    got = {(r.d, r.bucket): r.cnt for r in merged.collect()}
+    assert got == full
+
+
+def test_cm_sketch_python_differential(spark):
+    from mapbox_filter_spark.operators.sketch import (
+        _CM_P, _CM_U30, cm_coeffs, cm_estimate, cm_sketch)
+    import hashlib
+    from collections import Counter, defaultdict
+    items = [("a",), ("b",), ("a",), ("c",), ("a",), ("b",)]
+    W, D = 16, 3
+    df = spark.createDataFrame(items, "tok string")
+    sk = {(r.d, r.bucket): r.cnt for r in
+          cm_sketch(df, "tok", width=W, depth=D).collect()}
+
+    def u30(tok):
+        h = hashlib.md5(("cm-v1\x1f" + tok).encode()).hexdigest()
+        return int(h[:15], 16) % _CM_U30
+
+    exp = defaultdict(int)
+    for tok, in items:
+        u = u30(tok)
+        for d, (a, b) in enumerate(cm_coeffs(D), 1):
+            exp[(d, (a * u + b) % _CM_P % W)] += 1
+    assert sk == dict(exp)
+    probes = spark.createDataFrame([("a",), ("z",)], "tok string")
+    sk_df = cm_sketch(df, "tok", width=W, depth=D)
+    est = {r.item: r.est for r in
+           cm_estimate(sk_df, probes, "tok", width=W,
+                       depth=D).collect()}
+    true = Counter(t for t, in items)
+    for it in ("a", "z"):
+        mins = min(exp.get(
+            (d, (a * u30(it) + b) % _CM_P % W), 0)
+            for d, (a, b) in enumerate(cm_coeffs(D), 1))
+        assert est[it] == mins >= true[it]
