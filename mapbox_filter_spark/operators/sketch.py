@@ -565,3 +565,60 @@ def cm_estimate(sketch: DataFrame, queries: DataFrame, item_col: str,
     return (j.groupBy("item")
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
                  .alias("est")))
+
+
+def bloom_build(df: DataFrame, item_col: str, *, m_bits: int,
+                k_hashes: int, salt: str = "bloom-v1") -> DataFrame:
+    """Bloom filter (Bloom 1970) as a relational SET-BIT table: each
+    item sets ``k_hashes`` positions in an ``m_bits`` space via the
+    same md5-u30 universal hashes as :func:`cm_sketch` (shared
+    :func:`cm_coeffs` — engine-mirrorable literal-for-literal).  The
+    filter is the DISTINCT set of touched positions (≤ min(m_bits,
+    k·n) rows) — NO false negatives ever, false-positive rate
+    ≈ (1 − e^{−kn/m})^k; two filters merge by union-distinct.
+
+    Why rows, not packed longs: a distinct-position table is
+    map-side-combinable, mergeable with one set union, broadcastable
+    at the usual m (20 bits ≈ 1M rows max), and keeps every engine
+    bit-exact without bit-twiddling UDFs.  Pack downstream if a
+    byte-dense form is needed.
+
+    Returns ``(bit,)`` — the set positions, exact longs.
+    """
+    if m_bits < 2 or k_hashes < 1:
+        raise ValueError("m_bits must be >= 2, k_hashes >= 1")
+    u = _cm_u30(item_col, salt)
+    bits = F.array(*[
+        F.pmod(F.pmod(F.lit(a) * u + F.lit(b), F.lit(_CM_P)),
+               F.lit(int(m_bits))).cast("long")
+        for a, b in cm_coeffs(k_hashes)])
+    return (df.filter(F.col(item_col).isNotNull())
+            .select(F.explode(bits).alias("bit")).distinct())
+
+
+def bloom_probe(bloom: DataFrame, queries: DataFrame, item_col: str,
+                *, m_bits: int, k_hashes: int,
+                salt: str = "bloom-v1") -> DataFrame:
+    """Membership-test query items against a :func:`bloom_build`
+    table: ``maybe_present`` is true iff ALL ``k_hashes`` addressed
+    bits are set (the classic conjunction — false positives possible,
+    false negatives impossible).  The filter side broadcasts; queries
+    never shuffle.  Returns ``(item, hits, maybe_present)`` with
+    ``hits`` the number of set bits found (k ⇒ maybe, < k ⇒
+    definitely absent)."""
+    u = _cm_u30("item", salt)
+    bits = F.array(*[
+        F.pmod(F.pmod(F.lit(a) * u + F.lit(b), F.lit(_CM_P)),
+               F.lit(int(m_bits))).cast("long")
+        for a, b in cm_coeffs(k_hashes)])
+    q = (queries.filter(F.col(item_col).isNotNull())
+         .select(F.col(item_col).alias("item")).distinct()
+         .select("item", F.explode(bits).alias("bit")))
+    j = q.join(F.broadcast(bloom.withColumn("_set", F.lit(1))),
+               "bit", "left")
+    return (q.select("item").distinct().join(
+        j.groupBy("item")
+        .agg(F.sum(F.coalesce(F.col("_set"), F.lit(0)))
+             .cast("long").alias("hits")), "item")
+        .select("item", "hits",
+                (F.col("hits") == k_hashes).alias("maybe_present")))

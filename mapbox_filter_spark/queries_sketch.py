@@ -477,3 +477,68 @@ FROM est e LEFT JOIN tru t USING (item)"""
 
 
 SKETCH_QUERIES["cm_sketch"] = (q_cm_sketch, sql_cm_sketch)
+
+
+_BL_M, _BL_K = 4096, 5
+_BL_SALT = "bloom-gate-v1"
+
+
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership over the document token vocabulary
+    (operators/sketch.py bloom_build/bloom_probe): a 4096-bit / 5-hash
+    filter as a distinct set-bit table, probed with the CM gate's
+    present+absent token list — no false negative can appear in the
+    value-hashed result by construction."""
+    from .operators.sketch import bloom_build, bloom_probe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"),
+        lambda t: t != "")).alias("tok"))
+    bl = bloom_build(toks, "tok", m_bits=_BL_M, k_hashes=_BL_K,
+                     salt=_BL_SALT)
+    probes = spark.createDataFrame([(p,) for p in _CM_PROBES],
+                                   "tok string")
+    return bloom_probe(bl, probes, "tok", m_bits=_BL_M,
+                       k_hashes=_BL_K, salt=_BL_SALT)
+
+
+def sql_bloom_filter() -> str:
+    from .operators.sketch import _CM_P, _CM_U30, cm_coeffs
+
+    probes = ", ".join(f"('{p}')" for p in _CM_PROBES)
+
+    def u30(expr):
+        return (f"(CAST('0x' || substr(md5('{_BL_SALT}' || chr(31) "
+                f"|| {expr}), 1, 15) AS BIGINT) % {_CM_U30})")
+
+    def bit(expr, a, b):
+        return (f"(({a} * {u30(expr)} + {b}) % {_CM_P}) % {_BL_M}")
+
+    tok_bits = "\n  UNION ALL\n  ".join(
+        f"SELECT {bit('tok', a, b)} AS bit FROM toks"
+        for a, b in cm_coeffs(_BL_K))
+    probe_bits = "\n  UNION ALL\n  ".join(
+        f"SELECT item, {bit('item', a, b)} AS bit FROM probes"
+        for a, b in cm_coeffs(_BL_K))
+    return f"""WITH d0 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+toks AS (SELECT unnest(l) AS tok FROM d0),
+bl AS (SELECT DISTINCT bit FROM (
+  {tok_bits})),
+probes(item) AS (VALUES {probes}),
+pb AS (
+  {probe_bits}),
+hits AS (
+  SELECT pb.item,
+         CAST(SUM(CASE WHEN bl.bit IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS hits
+  FROM pb LEFT JOIN bl USING (bit)
+  GROUP BY pb.item)
+SELECT item, hits, hits = {_BL_K} AS maybe_present FROM hits"""
+
+
+SKETCH_QUERIES["bloom_filter"] = (q_bloom_filter, sql_bloom_filter)

@@ -1390,3 +1390,37 @@ def test_cm_sketch_python_differential(spark):
             (d, (a * u30(it) + b) % _CM_P % W), 0)
             for d, (a, b) in enumerate(cm_coeffs(D), 1))
         assert est[it] == mins >= true[it]
+
+
+# ---- bloom filter ----
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    import random
+    from mapbox_filter_spark.operators.sketch import (bloom_build,
+                                                      bloom_probe)
+    rng = random.Random(206)
+    present = ["p%d" % i for i in range(300)]
+    items = [(w,) for w in present for _ in range(rng.randrange(1, 3))]
+    df = spark.createDataFrame(items, "tok string")
+    bl = bloom_build(df, "tok", m_bits=8192, k_hashes=5)
+    absent = ["q%d" % i for i in range(300)]
+    probes = spark.createDataFrame([(w,) for w in present + absent],
+                                   "tok string")
+    out = {r.item: r for r in
+           bloom_probe(bl, probes, "tok", m_bits=8192,
+                       k_hashes=5).collect()}
+    # NO false negatives, ever
+    assert all(out[w].maybe_present and out[w].hits == 5
+               for w in present)
+    # false-positive rate is low at this m/k/n
+    fp = sum(1 for w in absent if out[w].maybe_present)
+    assert fp < 30
+    # merge law: bloom(A) ∪ bloom(B) == bloom(A+B)
+    half = len(items) // 2
+    a = bloom_build(spark.createDataFrame(items[:half], "tok string"),
+                    "tok", m_bits=8192, k_hashes=5)
+    b = bloom_build(spark.createDataFrame(items[half:], "tok string"),
+                    "tok", m_bits=8192, k_hashes=5)
+    merged = sorted(r.bit for r in a.unionByName(b).distinct().collect())
+    full = sorted(r.bit for r in bl.collect())
+    assert merged == full
