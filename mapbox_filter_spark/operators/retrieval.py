@@ -746,3 +746,64 @@ def best_passage(docs: DataFrame, query_terms: "list[str]", *,
             F.slice(F.col("_t"), best["st"], width), " "))
         .alias("snippet_md5"))
     return out
+
+
+def lm_jm_topk(docs: DataFrame, query_terms: "list[str]", *,
+               k: int, lam: float = 0.4, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Query-likelihood retrieval with Jelinek-Mercer smoothing (Zhai
+    & Lafferty, SIGIR'01) — the linear-interpolation companion of
+    :func:`lm_dirichlet_topk` (better for verbose queries, where JM's
+    fixed mixing beats Dirichlet's length-adaptive prior):
+
+        score(q, d) = Σ_{t∈q} ln( λ·tf_{t,d}/dl_d + (1−λ)·p(t|C) )
+
+    Sparse rewrite — only matching postings are touched:
+
+        score = Σ_{t∈q∩d} [ln(λ·tf/dl + (1−λ)·p_t) − ln((1−λ)·p_t)]
+              + Σ_{t∈q} ln((1−λ)·p_t)
+
+    the second sum a per-query constant; unlike Dirichlet there is NO
+    separate per-doc length term (it lives inside each matched ln).
+    Query terms with zero collection frequency are dropped (standard
+    practice; raises if none survive); documents matching no term
+    score the constant and are excluded — same contract as Dirichlet.
+
+    Scale shape and determinism: identical to lm_dirichlet_topk — one
+    tokenize+explode, postings filtered to the query BEFORE the
+    per-doc sum, |q|-row broadcast, top-k by (score desc, id asc);
+    tf, dl, cf, |C| exact longs, the double chain written identically
+    in the oracle.  Returns ``(id, score, rank)``.
+    """
+    if not query_terms:
+        raise ValueError("empty query")
+    if not 0.0 < lam < 1.0:
+        raise ValueError("lam must be in (0, 1)")
+    postings = doc_terms(docs, id_col=id_col, text_col=text_col)
+    total_tokens = postings.agg(F.sum("tf")).first()[0]
+    if not total_tokens:
+        raise ValueError("empty corpus")
+    q = postings.filter(F.col("term").isin(list(query_terms)))
+    cf_tbl = q.groupBy("term").agg(F.sum("tf").alias("cf"))
+    om_p = (F.lit(1.0 - float(lam))
+            * (F.col("cf").cast("double")
+               / F.lit(float(int(total_tokens)))))
+    cf_tbl = cf_tbl.withColumn("om_p", om_p)
+    rows = cf_tbl.select("term", "om_p").collect()  # ≤ |q| rows
+    if not rows:
+        raise ValueError("no query term occurs in the corpus")
+    const = float(sum(math.log(r["om_p"]) for r in rows))
+    per_term = (q.join(F.broadcast(cf_tbl.select("term", "om_p")),
+                       "term")
+                .withColumn(
+                    "w",
+                    F.log(F.lit(float(lam))
+                          * (F.col("tf").cast("double")
+                             / F.col("dl").cast("double"))
+                          + F.col("om_p"))
+                    - F.log(F.col("om_p"))))
+    scores = (per_term.groupBy(id_col)
+              .agg(F.sum("w").alias("_s"))
+              .select(F.col(id_col),
+                      (F.col("_s") + F.lit(const)).alias("score")))
+    return _rank_topk(scores, id_col, k)

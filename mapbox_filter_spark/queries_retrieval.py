@@ -910,3 +910,54 @@ GROUP BY b.doc_id, b.n, b.st, b.score"""
 
 
 RETRIEVAL_QUERIES["best_passage"] = (q_best_passage, sql_best_passage)
+
+
+_JM_LAM = 0.4
+
+
+def q_lm_jm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer smoothed LM retrieval (operators/retrieval.py
+    lm_jm_topk): the linear-interpolation companion of the Dirichlet
+    gate on the same postings substrate and query; scores rounded to
+    4 dp, rank on the unrounded score with doc_id tiebreak."""
+    from .operators.retrieval import lm_jm_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top = lm_jm_topk(docs, list(_QUERY), k=_LM_K, lam=_JM_LAM)
+    return top.select("doc_id", F.round("score", 4).alias("score"),
+                      "rank")
+
+
+def sql_lm_jm_topk() -> str:
+    terms = ", ".join(f"'{t}'" for t in _QUERY)
+    lam = float(_JM_LAM)
+    om = 1.0 - lam
+    return f"""
+WITH {_sql_bm25_scored()},
+coll AS (SELECT CAST(SUM(tf) AS BIGINT) AS t FROM tf),
+qcf AS (
+  SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf
+  WHERE term IN ({terms}) GROUP BY 1),
+qconst AS (
+  SELECT SUM(ln({om!r} * (CAST(cf AS DOUBLE) / (SELECT t FROM coll))))
+           AS c
+  FROM qcf),
+lm AS (
+  SELECT tf.doc_id,
+         SUM(ln({lam!r} * (CAST(tf.tf AS DOUBLE)
+                           / CAST(dl.dl AS DOUBLE))
+                + {om!r} * (CAST(q.cf AS DOUBLE)
+                            / (SELECT t FROM coll)))
+             - ln({om!r} * (CAST(q.cf AS DOUBLE)
+                            / (SELECT t FROM coll)))) AS s
+  FROM tf JOIN qcf q USING (term) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id),
+fin AS (
+  SELECT doc_id, s + (SELECT c FROM qconst) AS score FROM lm)
+SELECT doc_id, ROUND(score, 4) AS score, rank FROM (
+  SELECT doc_id, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM fin) WHERE rank <= {_LM_K}"""
+
+
+RETRIEVAL_QUERIES["lm_jm_topk"] = (q_lm_jm_topk, sql_lm_jm_topk)

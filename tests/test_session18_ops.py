@@ -1424,3 +1424,47 @@ def test_bloom_no_false_negatives_and_merge(spark):
     merged = sorted(r.bit for r in a.unionByName(b).distinct().collect())
     full = sorted(r.bit for r in bl.collect())
     assert merged == full
+
+
+# ---- lm_jm_topk ----
+
+def _jm_expected(docs, terms, lam):
+    toks = {d: t.split() for d, t in docs}
+    dl = {d: len(ws) for d, ws in toks.items()}
+    total = sum(dl.values())
+    cf = {t: sum(ws.count(t) for ws in toks.values()) for t in terms}
+    cf = {t: c for t, c in cf.items() if c > 0}
+    scores = {}
+    for d, ws in toks.items():
+        if not any(t in ws for t in cf):
+            continue
+        s = 0.0
+        for t in cf:
+            s += math.log(lam * ws.count(t) / dl[d]
+                          + (1 - lam) * cf[t] / total)
+        scores[d] = s
+    return scores
+
+
+def test_lm_jm_hand_differential_and_errors(spark):
+    from mapbox_filter_spark.operators.retrieval import lm_jm_topk
+    docs = [(1, "spark table scan fast"),
+            (2, "table table scan"),
+            (3, "spark spark spark join"),
+            (4, "filter join scan table spark"),
+            (5, "nothing relevant here at all")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    terms, lam = ["spark", "table", "absent_term"], 0.4
+    out = lm_jm_topk(df, terms, k=10, lam=lam).collect()
+    exp = _jm_expected(docs, terms, lam)
+    got = {r.doc_id: r.score for r in out}
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d] == pytest.approx(exp[d], abs=1e-9)
+    ranked = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)] \
+        == [d for d, _ in ranked]
+    with pytest.raises(ValueError, match="lam"):
+        lm_jm_topk(df, terms, k=5, lam=1.5)
+    with pytest.raises(ValueError, match="no query term"):
+        lm_jm_topk(df, ["zzz_nowhere"], k=5)
