@@ -461,3 +461,43 @@ def quantile_bins(df: DataFrame, group_cols: Sequence[str],
               .withColumn("_r", r).withColumn("_n", n))
     bin_ = (F.expr(f"((_r - 1) * {int(k)}) div _n") + 1).cast("long")
     return ranked.withColumn(out_col, bin_).drop("_r", "_n")
+
+
+def ece(df: DataFrame, score_col: str, label_col: str, *,
+        n_bins: int = 10, scale: int = 1000) -> DataFrame:
+    """Expected / maximum calibration error — the one-number summary
+    of the :func:`calibration_bins` reliability diagram (Naeini et al.
+    2015 AAAI): ``ECE = Σ_b (n_b/N)·|acc_b − conf_b|``, the
+    n-weighted gap between what the model predicted and what
+    happened; MCE is the worst single bin.
+
+    Exactness: with integer scores in [0, scale) the weighted gap
+    telescopes to EXACT integers —
+
+        (n_b/N)·|pos_b/n_b − sum_b/(n_b·scale)|
+            = |pos_b·scale − sum_b| / (N·scale)
+
+    so ``ece_num = Σ_b |pos_b·scale − sum_b|`` is an exact int64 and
+    ECE is ONE pinned division; MCE takes the max over per-bin pinned
+    doubles (max is order-independent — no fold needed).
+
+    Scale shape: calibration_bins' single map-side-combinable groupBy
+    onto ≤ n_bins rows, then a one-row reduce.
+
+    Returns ONE row ``(n, n_bins_used, ece_num, ece, mce)``.
+    """
+    bins = calibration_bins(df, score_col, label_col, n_bins=n_bins,
+                            scale=scale)
+    gap = F.abs(F.col("pos") * scale - F.col("sum_score"))
+    agg = bins.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.sum(gap).cast("long").alias("ece_num"),
+        F.max(gap.cast("double")
+              / (F.col("n") * scale).cast("double")).alias("mce"))
+    return agg.select(
+        "n", "n_bins_used", "ece_num",
+        F.when(F.col("n") > 0,
+               F.col("ece_num").cast("double")
+               / (F.col("n") * scale).cast("double")).alias("ece"),
+        "mce")

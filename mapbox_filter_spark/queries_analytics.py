@@ -2688,3 +2688,44 @@ FROM per"""
 
 
 ANALYTICS_QUERIES["lift_table"] = (q_lift_table, sql_lift_table)
+
+
+def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected/maximum calibration error (operators/ml.py ece) over
+    the calibration_bins gate's substrate: the weighted reliability
+    gap telescopes to the exact integer Σ|pos·scale − sum_score|,
+    ECE one pinned division, MCE an order-independent max."""
+    from .geo.tilemath import floor_div
+    from .operators.ml import ece
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.least(F.lit(999),
+                floor_div(_cents(), F.lit(49))).alias("score_milli"))
+    return ece(ev, "score_milli", "y")
+
+
+def sql_ece() -> str:
+    return """WITH e AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         LEAST(999, CAST(floor(value * 100 + 0.5) AS BIGINT) // 49)
+           AS s
+  FROM events WHERE value IS NOT NULL),
+agg AS (
+  SELECT (s * 10) // 1000 AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(SUM(s) AS BIGINT) AS sum_score
+  FROM e GROUP BY 1)
+SELECT CAST(SUM(n) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+       CAST(SUM(abs(pos * 1000 - sum_score)) AS BIGINT) AS ece_num,
+       CASE WHEN SUM(n) > 0
+            THEN CAST(SUM(abs(pos * 1000 - sum_score)) AS DOUBLE)
+                 / CAST(SUM(n) * 1000 AS DOUBLE) END AS ece,
+       MAX(CAST(abs(pos * 1000 - sum_score) AS DOUBLE)
+           / CAST(n * 1000 AS DOUBLE)) AS mce
+FROM agg"""
+
+
+ANALYTICS_QUERIES["ece"] = (q_ece, sql_ece)

@@ -1468,3 +1468,45 @@ def test_lm_jm_hand_differential_and_errors(spark):
         lm_jm_topk(df, terms, k=5, lam=1.5)
     with pytest.raises(ValueError, match="no query term"):
         lm_jm_topk(df, ["zzz_nowhere"], k=5)
+
+
+# ---- ece ----
+
+def test_ece_perfect_vs_miscalibrated(spark):
+    import random
+    from mapbox_filter_spark.operators.ml import ece
+    rng = random.Random(207)
+    # perfectly calibrated: label ~ Bernoulli(score/1000)
+    cal = [(s, 1 if rng.random() < s / 1000 else 0)
+           for _ in range(4000) for s in (rng.randrange(1000),)]
+    # badly calibrated: always predicts 900, base rate ~10%
+    bad = [(900, 1 if rng.random() < 0.1 else 0) for _ in range(2000)]
+    rc = ece(spark.createDataFrame(cal, "s long, y long"),
+             "s", "y").collect()[0]
+    rb = ece(spark.createDataFrame(bad, "s long, y long"),
+             "s", "y").collect()[0]
+    assert rc.ece < 0.05 < rb.ece
+    assert rb.mce == pytest.approx(rb.ece)  # single occupied bin
+    assert 0.0 <= rc.ece <= rc.mce <= 1.0
+
+
+def test_ece_python_differential(spark):
+    import random
+    from collections import defaultdict
+    from mapbox_filter_spark.operators.ml import ece
+    rng = random.Random(208)
+    rows = [(rng.randrange(1000), rng.randrange(2)) for _ in range(800)]
+    r = ece(spark.createDataFrame(rows, "s long, y long"),
+            "s", "y").collect()[0]
+    bins = defaultdict(lambda: [0, 0, 0])
+    for s, y in rows:
+        b = s * 10 // 1000
+        bins[b][0] += 1
+        bins[b][1] += y
+        bins[b][2] += s
+    num = sum(abs(p * 1000 - ss) for _, p, ss in bins.values())
+    assert (r.n, r.n_bins_used, r.ece_num) == (800, len(bins), num)
+    assert r.ece == pytest.approx(num / (800 * 1000))
+    assert r.mce == pytest.approx(
+        max(abs(p * 1000 - ss) / (n * 1000)
+            for n, p, ss in bins.values()))
