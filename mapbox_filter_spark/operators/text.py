@@ -821,3 +821,58 @@ def gazetteer_tag(docs: DataFrame, lexicon: DataFrame, *,
                    >= F.col("a.pos") + F.col("a.n_words")))
         tagged = a.join(b, cond, "left_anti")
     return tagged
+
+
+# American Soundex letter codes; H/W get the marker '9' (they merge
+# same-code neighbours), vowels+Y get '0' (they separate them)
+_SOUNDEX_CODES = "01230129022455012623019202"
+
+
+def soundex_key(col: Column) -> Column:
+    """American Soundex phonetic key (NARA standard) as ONE explicit
+    Column chain — the record-linkage blocking key that puts Robert
+    and Rupert (R163), Ashcraft and Ashcroft (A261) in the same
+    bucket before an expensive fuzzy match.
+
+    Deliberately NOT ``F.soundex``: the JVM builtin has no DuckDB
+    counterpart, so the algorithm is spelled out (translate → drop
+    H/W markers → collapse runs → drop the first letter's own code →
+    drop separators → pad) identically in both engines, including the
+    two classic edge rules: same-code letters separated by H/W code
+    ONCE (Pfister → P236, PHP → P000), separated by a vowel code
+    TWICE (Tymczak → T522).
+
+    NULL/empty/non-alphabetic input → NULL.  Pure string functions —
+    codegen'd, no UDF, usable as a groupBy/join key at any scale.
+    """
+    s = F.regexp_replace(F.upper(col), "[^A-Z]", "")
+    t = F.translate(s, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", _SOUNDEX_CODES)
+    u = F.regexp_replace(t, "9", "")
+    v = F.regexp_replace(u, r"([0-9])\1+", "$1")
+    first_code = F.substring(t, 1, 1)
+    w = F.when(first_code.isin("1", "2", "3", "4", "5", "6"),
+               F.substring(v, 2, 1_000_000)).otherwise(v)
+    x = F.regexp_replace(w, "0", "")
+    return F.when(
+        F.length(s) > 0,
+        F.concat(F.substring(s, 1, 1),
+                 F.rpad(F.substring(x, 1, 3), 3, "0")))
+
+
+def soundex_blocks(df: DataFrame, name_col: str, *,
+                   min_block: int = 1) -> DataFrame:
+    """Phonetic blocking profile: distinct names grouped by
+    :func:`soundex_key` — the pre-join census a record-linkage
+    pipeline runs to size its candidate blocks (fellegi_weights /
+    fuzzy_match_blocked consume the keys).  One distinct + one
+    map-side-combinable groupBy.  Returns ``(skey, n_names, first_name,
+    last_name)`` for blocks of at least ``min_block`` distinct names.
+    """
+    d = (df.select(F.col(name_col).alias("_n")).distinct()
+         .select("_n", soundex_key(F.col("_n")).alias("skey"))
+         .filter(F.col("skey").isNotNull()))
+    return (d.groupBy("skey")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_names"),
+                 F.min("_n").alias("first_name"),
+                 F.max("_n").alias("last_name"))
+            .filter(F.col("n_names") >= int(min_block)))

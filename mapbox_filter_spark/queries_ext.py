@@ -2978,3 +2978,58 @@ WHERE NOT EXISTS (
 
 
 EXT_QUERIES["gazetteer_tag"] = (q_gazetteer_tag, sql_gazetteer_tag)
+
+
+def q_soundex_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking census over the document vocabulary
+    (operators/text.py soundex_key/soundex_blocks): the explicit
+    NARA-Soundex Column chain (translate → H/W merge → run collapse →
+    pad) groups phonetically equal words — blocks of ≥ 2 distinct
+    words, the record-linkage candidate map."""
+    from .operators.text import soundex_blocks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(F.explode(F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"),
+        lambda t: t != "")).alias("name"))
+    return soundex_blocks(words, "name", min_block=2)
+
+
+def sql_soundex_blocks() -> str:
+    codes = "01230129022455012623019202"
+    return f"""WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+w AS (SELECT DISTINCT unnest(l) AS name FROM d),
+k AS (
+  SELECT name, s, t,
+         regexp_replace(regexp_replace(t, '9', '', 'g'),
+                        '([0-9])\\1+', '\\1', 'g') AS v
+  FROM (
+    SELECT name, s,
+           translate(s, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                     '{codes}') AS t
+    FROM (SELECT name,
+                 regexp_replace(upper(name), '[^A-Z]', '', 'g') AS s
+          FROM w))),
+k2 AS (
+  SELECT name,
+         CASE WHEN length(s) > 0 THEN
+           substr(s, 1, 1) ||
+           rpad(substr(regexp_replace(
+                  CASE WHEN substr(t, 1, 1) IN
+                            ('1','2','3','4','5','6')
+                       THEN substr(v, 2)
+                       ELSE v END,
+                  '0', '', 'g'), 1, 3), 3, '0')
+         END AS skey
+  FROM k)
+SELECT skey, CAST(COUNT(*) AS BIGINT) AS n_names,
+       MIN(name) AS first_name, MAX(name) AS last_name
+FROM k2 WHERE skey IS NOT NULL
+GROUP BY skey HAVING COUNT(*) >= 2"""
+
+
+EXT_QUERIES["soundex_blocks"] = (q_soundex_blocks, sql_soundex_blocks)

@@ -1510,3 +1510,56 @@ def test_ece_python_differential(spark):
     assert r.mce == pytest.approx(
         max(abs(p * 1000 - ss) / (n * 1000)
             for n, p, ss in bins.values()))
+
+
+# ---- soundex ----
+
+def _soundex_py(name):
+    import re
+    s = re.sub("[^A-Z]", "", name.upper())
+    if not s:
+        return None
+    codes = "01230129022455012623019202"
+    t = "".join(codes[ord(c) - 65] for c in s)
+    u = t.replace("9", "")
+    v = re.sub(r"([0-9])\1+", r"\1", u)
+    w = v[1:] if t[0] in "123456" else v
+    x = w.replace("0", "")
+    return s[0] + (x[:3] + "000")[:3]
+
+
+def test_soundex_classic_vectors(spark):
+    from mapbox_filter_spark.operators.text import soundex_key
+    vecs = {"Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+            "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+            "Honeyman": "H555", "Hall": "H400", "Washington": "W252",
+            "Lee": "L000", "Gutierrez": "G362", "Jackson": "J250",
+            "PHP": "P000", "O'Brien": "O165", "": None, "123": None}
+    df = spark.createDataFrame([(k,) for k in vecs], "name string")
+    out = {r.name: r.k for r in
+           df.select("name", soundex_key(F.col("name")).alias("k"))
+           .collect()}
+    for name, want in vecs.items():
+        assert out[name] == want, name
+        assert _soundex_py(name) == want, ("replay", name)
+
+
+def test_soundex_python_differential_and_blocks(spark):
+    import random
+    from mapbox_filter_spark.operators.text import (soundex_blocks,
+                                                    soundex_key)
+    rng = random.Random(209)
+    names = ["".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                     for _ in range(rng.randrange(2, 10)))
+             for _ in range(300)]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    out = {r.name: r.k for r in
+           df.select("name", soundex_key(F.col("name")).alias("k"))
+           .collect()}
+    for n in names:
+        assert out[n] == _soundex_py(n), n
+    blocks = {r.skey: r for r in
+              soundex_blocks(df, "name").collect()}
+    from collections import Counter
+    exp = Counter(_soundex_py(n) for n in set(names))
+    assert {k: r.n_names for k, r in blocks.items()} == dict(exp)
