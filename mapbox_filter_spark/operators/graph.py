@@ -1265,3 +1265,36 @@ def double_sweep_diameter(edges: DataFrame, *, rounds: int,
                    F.col("dist").alias("diameter_lb"),
                    F.col("node").alias("far_node")))
     return agg
+
+
+def conductance(edges: DataFrame, labels: DataFrame, *,
+                src: str = "src", dst: str = "dst",
+                node_col: str = "node",
+                label_col: str = "label") -> DataFrame:
+    """Per-community conductance of a labeling — the cut-quality score
+    that complements :func:`modularity` (Kannan, Vempala & Vetta 2004):
+
+        φ(c) = cut(c) / min(vol(c), vol(V̄))
+             = (d_c − 2·e_c) / min(d_c, 2m − d_c)
+
+    φ → 0 means the community is nearly sealed off (few boundary
+    edges), φ → 1 means it leaks everywhere — the standard acceptance
+    test for label_propagation / connected-components output before
+    using communities as shards or dedup clusters.
+
+    Pure exact-integer derivation from modularity's per-community
+    sums (d_c, e_c, 2m all exact longs — same single labeling join),
+    one pinned division; φ NULL for a community that owns no edge
+    volume or swallows the whole graph (denominator 0).
+
+    Returns ``(label, n_nodes, e_intra, d_tot, m, cut, conductance)``.
+    """
+    base = modularity(edges, labels, src=src, dst=dst,
+                      node_col=node_col, label_col=label_col)
+    cut = (F.col("d_tot") - 2 * F.col("e_intra"))
+    denom = F.least(F.col("d_tot"), 2 * F.col("m") - F.col("d_tot"))
+    return base.select(
+        "label", "n_nodes", "e_intra", "d_tot", "m",
+        cut.alias("cut"),
+        F.when(denom > 0, cut.cast("double") / denom.cast("double"))
+        .alias("conductance"))

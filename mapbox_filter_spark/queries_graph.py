@@ -1184,3 +1184,55 @@ FROM s0, p, f""")
 
 GRAPH_QUERIES["graph_diameter"] = (q_graph_diameter,
                                    sql_graph_diameter)
+
+
+def q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance of the LPA communities
+    (operators/graph.py conductance): cut = d_c − 2e_c over
+    min(d_c, 2m − d_c), exact integers from the modularity join —
+    the seal-quality score for using communities as shards."""
+    from .operators.graph import conductance, label_propagation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    edges = _link_edges(spark, sf_dir)
+    labels = label_propagation(docs, edges, rounds=_LPA_ROUNDS,
+                               id_col="doc_id")
+    return conductance(edges, labels)
+
+
+def sql_conductance() -> str:
+    return "WITH " + _sql_lpa_ctes() + """,
+mm AS (SELECT COUNT(*) AS m FROM canon),
+intra AS (
+  SELECT lu.label, COUNT(*) AS e_intra
+  FROM canon
+  JOIN lab lu ON lu.node = canon.cu
+  JOIN lab lv ON lv.node = canon.cv
+  WHERE lu.label = lv.label
+  GROUP BY 1),
+deg AS (
+  SELECT lab.label, COUNT(*) AS d_tot
+  FROM sym JOIN lab ON lab.node = sym.u
+  GROUP BY 1),
+nn AS (SELECT label, COUNT(*) AS n_nodes FROM lab GROUP BY 1)
+SELECT nn.label, nn.n_nodes,
+       CAST(COALESCE(intra.e_intra, 0) AS BIGINT) AS e_intra,
+       CAST(COALESCE(deg.d_tot, 0) AS BIGINT) AS d_tot,
+       CAST(mm.m AS BIGINT) AS m,
+       CAST(COALESCE(deg.d_tot, 0)
+            - 2 * COALESCE(intra.e_intra, 0) AS BIGINT) AS cut,
+       CASE WHEN least(COALESCE(deg.d_tot, 0),
+                       2 * mm.m - COALESCE(deg.d_tot, 0)) > 0
+            THEN CAST(COALESCE(deg.d_tot, 0)
+                      - 2 * COALESCE(intra.e_intra, 0) AS DOUBLE)
+                 / CAST(least(COALESCE(deg.d_tot, 0),
+                              2 * mm.m - COALESCE(deg.d_tot, 0))
+                        AS DOUBLE) END AS conductance
+FROM nn
+LEFT JOIN deg USING (label)
+LEFT JOIN intra USING (label)
+CROSS JOIN mm"""
+
+
+GRAPH_QUERIES["conductance"] = (q_conductance, sql_conductance)

@@ -1563,3 +1563,30 @@ def test_soundex_python_differential_and_blocks(spark):
     from collections import Counter
     exp = Counter(_soundex_py(n) for n in set(names))
     assert {k: r.n_names for k, r in blocks.items()} == dict(exp)
+
+
+# ---- conductance ----
+
+def test_conductance_sealed_vs_leaky(spark):
+    from mapbox_filter_spark.operators.graph import conductance
+    # two triangles joined by ONE bridge edge: phi small per community
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    labels = [(n, "a" if n <= 3 else "b") for n in range(1, 7)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    l = spark.createDataFrame(labels, "node long, label string")
+    out = {r.label: r for r in conductance(e, l).collect()}
+    for c in ("a", "b"):
+        r = out[c]
+        assert (r.e_intra, r.cut, r.m) == (3, 1, 7)
+        assert r.d_tot == 7  # 3 intra edges * 2 + 1 bridge end
+        assert r.conductance == pytest.approx(1 / 7)
+    # star where the split cuts every edge: phi = 1 for the leaf side
+    edges2 = [(0, i) for i in range(1, 5)]
+    labels2 = [(0, "hub")] + [(i, "leaf") for i in range(1, 5)]
+    out2 = {r.label: r for r in conductance(
+        spark.createDataFrame(edges2, "src long, dst long"),
+        spark.createDataFrame(labels2, "node long, label string"))
+        .collect()}
+    assert out2["leaf"].e_intra == 0
+    assert out2["leaf"].conductance == pytest.approx(1.0)
+    assert out2["hub"].conductance == pytest.approx(1.0)
