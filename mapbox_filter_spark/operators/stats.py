@@ -2210,3 +2210,84 @@ def wilson_ci(df: DataFrame, group_cols: Sequence[str],
         (sc.cast("double") / n.cast("double")).alias("p_hat"),
         F.greatest((base - root) / den, F.lit(0.0)).alias("lo"),
         F.least((base + root) / den, F.lit(1.0)).alias("hi"))
+
+
+def cuminc(subjects: DataFrame, group_cols: Sequence[str],
+           dur_col: str = "dur", cause_col: str = "cause", *,
+           scale: int = 1_000_000_000) -> DataFrame:
+    """Competing-risks cumulative incidence (the Aalen-Johansen
+    estimator, two-state-per-cause form): with cause 0 = censored and
+    causes 1..K competing events,
+
+        CIF_k(t) = Σ_{event times s ≤ t}  S(s⁻) · d_{k,s} / n_s
+
+    — the probability of failing FROM CAUSE k by t, which 1−KM per
+    cause famously overestimates (the competing events are not
+    censoring).  Σ_k CIF_k(∞) + S(∞) = 1.
+
+    Exactness discipline (the kaplan_meier carry, extended): the
+    all-cause survival prefix S(s⁻) rides the exact integer log carry
+    (order-independent int64 window sum of quantized ln steps, NULL
+    after the curve hits exact zero — contributions after that are
+    zero); each increment ``S(s⁻)·d_k/n`` is an engine-stable double
+    QUANTIZED to ``floor(x·scale + 0.5)`` — an exact long — so the
+    running CIF is again an order-independent integer window sum
+    (error ≤ 1/scale per event time, deterministic, identical both
+    engines; a raw double running sum would depend on the engine's
+    windowed-aggregation association order).  ``cif = cif_q/scale``.
+
+    Shape: one subject-sized groupBy to (group, dur, cause) — the only
+    big shuffle — then windows on the collapsed (group, dur) and
+    (group, cause, dur) tables.
+
+    Returns one row per (group, cause ≥ 1, event time):
+    ``(*group_cols, cause, dur, n_risk, d_cause, cif_q, cif)``.
+    """
+    g = list(group_cols)
+    c = F.col(cause_col).cast("long")
+    cell = (subjects.groupBy(*g, F.col(dur_col).alias("dur"),
+                             c.alias("cause"))
+            .agg(F.count(F.lit(1)).cast("long").alias("_d")))
+    per_t = (cell.groupBy(*g, "dur")
+             .agg(F.sum("_d").alias("_n_at"),
+                  F.sum(F.when(F.col("cause") > 0, F.col("_d"))
+                        .otherwise(0)).alias("_d_all")))
+    wtot = Window.partitionBy(*g)
+    wprev = (Window.partitionBy(*g).orderBy("dur")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    n_risk = (F.sum("_n_at").over(wtot)
+              - F.coalesce(F.sum("_n_at").over(wprev),
+                           F.lit(0).cast("long")))
+    per_t = per_t.withColumn("n_risk", n_risk)
+    step = F.when(
+        (F.col("n_risk") > F.col("_d_all")) & (F.col("_d_all") > 0),
+        F.floor(F.log((F.col("n_risk") - F.col("_d_all"))
+                      .cast("double")
+                      / F.col("n_risk").cast("double"))
+                * F.lit(float(scale)) + F.lit(0.5))
+    ).otherwise(F.lit(0).cast("long"))
+    dead_before = F.coalesce(
+        F.max(F.when(F.col("n_risk") <= F.col("_d_all"), 1)
+              .otherwise(0)).over(wprev), F.lit(0))
+    log_prev = F.when(dead_before == 1, F.lit(None).cast("long")) \
+        .otherwise(F.coalesce(F.sum(step).over(wprev),
+                              F.lit(0).cast("long")))
+    per_t = per_t.withColumn("_log_prev", log_prev)
+    s_prev = F.when(F.col("_log_prev").isNull(), F.lit(0.0)) \
+        .otherwise(F.exp(F.col("_log_prev").cast("double")
+                         / F.lit(float(scale))))
+    inc_q = F.floor(
+        s_prev * (F.col("_d").cast("double")
+                  / F.col("n_risk").cast("double"))
+        * F.lit(float(scale)) + F.lit(0.5)).cast("long")
+    ev = (cell.filter(F.col("cause") > 0)
+          .join(per_t.select(*g, "dur", "n_risk", "_log_prev"),
+                [*g, "dur"])
+          .withColumn("_inc_q", inc_q))
+    wrunc = (Window.partitionBy(*g, "cause").orderBy("dur")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (ev.select(
+        *g, "cause", "dur", "n_risk", F.col("_d").alias("d_cause"),
+        F.sum("_inc_q").over(wrunc).alias("cif_q"))
+        .withColumn("cif", F.col("cif_q").cast("double")
+                    / F.lit(float(scale))))

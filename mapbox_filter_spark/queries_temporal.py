@@ -2128,3 +2128,114 @@ piv AS (
 
 
 TEMPORAL_QUERIES["pacf"] = (q_pacf, sql_pacf)
+
+
+def q_cuminc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Competing-risks cumulative incidence per market segment
+    (operators/stats.py cuminc): the kaplan_meier gate's subjects
+    split into two competing churn causes by customer-key parity —
+    the Aalen-Johansen CIF with the exact integer log carry for
+    S(t⁻) and integer-quantized increments, so every row
+    value-hashes."""
+    from .operators.stats import cuminc
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).cast("long")
+        .alias("day"))
+    per = o.groupBy("o_custkey").agg(F.min("day").alias("first_day"),
+                                     F.max("day").alias("last_day"))
+    hz = per.agg((F.max("last_day") - _KM_CENSOR_DAYS).alias("h"))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"))
+    subj = (per.crossJoin(hz)
+            .join(F.broadcast(cust),
+                  per["o_custkey"] == cust["c_custkey"])
+            .select("segment",
+                    (F.col("last_day") - F.col("first_day")).alias("dur"),
+                    F.when(F.col("last_day") <= F.col("h"),
+                           F.pmod(F.col("c_custkey"), F.lit(2)) + 1)
+                    .otherwise(0).alias("cause")))
+    return cuminc(subj, ["segment"])
+
+
+def sql_cuminc() -> str:
+    s = 1_000_000_000
+    return f"""WITH d AS (
+  SELECT o_custkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS day
+  FROM orders),
+per AS (SELECT o_custkey, MIN(day) AS f, MAX(day) AS l
+        FROM d GROUP BY 1),
+hz AS (SELECT MAX(l) - {_KM_CENSOR_DAYS} AS h FROM per),
+subj AS (
+  SELECT c.c_mktsegment AS segment, per.l - per.f AS dur,
+         CASE WHEN per.l <= hz.h THEN per.o_custkey % 2 + 1
+              ELSE 0 END AS cause
+  FROM per CROSS JOIN hz
+  JOIN customer c ON c.c_custkey = per.o_custkey),
+cell AS (
+  SELECT segment, dur, CAST(cause AS BIGINT) AS cause,
+         CAST(COUNT(*) AS BIGINT) AS d
+  FROM subj GROUP BY 1, 2, 3),
+pt AS (
+  SELECT segment, dur,
+         CAST(SUM(d) AS BIGINT) AS n_at,
+         CAST(SUM(CASE WHEN cause > 0 THEN d ELSE 0 END) AS BIGINT)
+           AS d_all
+  FROM cell GROUP BY 1, 2),
+r AS (
+  SELECT segment, dur, n_at, d_all,
+         CAST(SUM(n_at) OVER (PARTITION BY segment)
+              - COALESCE(SUM(n_at) OVER (
+                  PARTITION BY segment ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS n_risk
+  FROM pt),
+st AS (
+  SELECT segment, dur, n_risk, d_all,
+         CASE WHEN n_risk > d_all AND d_all > 0 THEN
+           CAST(floor(ln(CAST(n_risk - d_all AS DOUBLE)
+                         / CAST(n_risk AS DOUBLE))
+                      * {float(s)!r} + 0.5) AS BIGINT)
+         ELSE 0 END AS step,
+         COALESCE(MAX(CASE WHEN n_risk <= d_all THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY segment ORDER BY dur
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS dead_before
+  FROM r),
+lp AS (
+  SELECT segment, dur, n_risk,
+         CASE WHEN dead_before = 1 THEN NULL
+              ELSE COALESCE(SUM(step) OVER (
+                     PARTITION BY segment ORDER BY dur
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) END AS log_prev
+  FROM st),
+ev AS (
+  SELECT cell.segment, cell.cause, cell.dur, lp.n_risk,
+         cell.d AS d_cause,
+         CAST(floor(
+           (CASE WHEN lp.log_prev IS NULL THEN 0.0
+                 ELSE exp(CAST(lp.log_prev AS DOUBLE)
+                          / {float(s)!r}) END)
+           * (CAST(cell.d AS DOUBLE) / CAST(lp.n_risk AS DOUBLE))
+           * {float(s)!r} + 0.5) AS BIGINT) AS inc_q
+  FROM cell JOIN lp ON lp.segment = cell.segment
+                   AND lp.dur = cell.dur
+  WHERE cell.cause > 0)
+SELECT segment, cause, dur, n_risk, d_cause,
+       CAST(SUM(inc_q) OVER (PARTITION BY segment, cause
+                             ORDER BY dur
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cif_q,
+       CAST(SUM(inc_q) OVER (PARTITION BY segment, cause
+                             ORDER BY dur
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / {float(s)!r} AS cif
+FROM ev"""
+
+
+TEMPORAL_QUERIES["cuminc"] = (q_cuminc, sql_cuminc)

@@ -1590,3 +1590,61 @@ def test_conductance_sealed_vs_leaky(spark):
     assert out2["leaf"].e_intra == 0
     assert out2["leaf"].conductance == pytest.approx(1.0)
     assert out2["hub"].conductance == pytest.approx(1.0)
+
+
+# ---- cuminc ----
+
+def _cuminc_expected(subjects, scale=10**9):
+    """Literal replay: subjects = [(dur, cause)], cause 0 = censored."""
+    from collections import defaultdict
+    times = sorted({d for d, _ in subjects})
+    n_risk = len(subjects)
+    log_q, dead = 0, False
+    out = defaultdict(list)
+    for t in times:
+        at = [c for d, c in subjects if d == t]
+        d_all = sum(1 for c in at if c > 0)
+        s_prev = 0.0 if dead else math.exp(log_q / scale)
+        per_cause = defaultdict(int)
+        for c in at:
+            if c > 0:
+                per_cause[c] += 1
+        for c, dk in per_cause.items():
+            inc_q = math.floor(s_prev * (dk / n_risk) * scale + 0.5)
+            prev = out[c][-1][3] if out[c] else 0
+            out[c].append((t, n_risk, dk, prev + inc_q))
+        if d_all > 0:
+            if n_risk <= d_all:
+                dead = True
+            elif not dead:
+                log_q += math.floor(
+                    math.log((n_risk - d_all) / n_risk) * scale + 0.5)
+        n_risk -= len(at)
+    return out
+
+
+def test_cuminc_python_differential_and_sum_bound(spark):
+    import random
+    from mapbox_filter_spark.operators.stats import cuminc
+    rng = random.Random(210)
+    subs = [("g", rng.randrange(1, 30),
+             rng.choice([0, 1, 1, 2])) for _ in range(300)]
+    df = spark.createDataFrame(subs, "g string, dur long, cause long")
+    out = {(r.cause, r.dur): r for r in
+           cuminc(df, ["g"]).collect()}
+    exp = _cuminc_expected([(d, c) for _, d, c in subs])
+    got_keys = set(out)
+    exp_keys = {(c, t) for c, rows in exp.items() for t, _, _, _ in rows}
+    assert got_keys == exp_keys
+    for c, rows in exp.items():
+        for t, nr, dk, cif_q in rows:
+            r = out[(c, t)]
+            assert (r.n_risk, r.d_cause, r.cif_q) == (nr, dk, cif_q), \
+                (c, t)
+            assert r.cif == pytest.approx(cif_q / 10**9)
+    # final CIFs sum to < 1 (some censoring) and each is in (0, 1)
+    finals = {c: max(rows, key=lambda x: x[0])[3] / 10**9
+              for c, rows in exp.items()}
+    assert 0 < sum(finals.values()) <= 1.0 + 1e-6
+    # competing-risks property: CIF_k(inf) < 1 - KM would overestimate
+    assert all(0 < v < 1 for v in finals.values())
