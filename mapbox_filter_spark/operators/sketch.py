@@ -622,3 +622,50 @@ def bloom_probe(bloom: DataFrame, queries: DataFrame, item_col: str,
              .cast("long").alias("hits")), "item")
         .select("item", "hits",
                 (F.col("hits") == k_hashes).alias("maybe_present")))
+
+
+def species_richness(df: DataFrame, group_cols, key_cols,
+                     ) -> DataFrame:
+    """Abundance-based richness and unseen-mass estimators per group —
+    how many DISTINCT items exist beyond the ones observed, from the
+    frequency-of-frequencies profile alone:
+
+    - **Chao1** (Chao 1984): ``D + f1·(f1−1)/(2·(f2+1))`` — the
+      bias-corrected lower bound on true richness from singleton (f1)
+      and doubleton (f2) counts (the +1 form is defined at f2 = 0).
+    - **Good-Turing unseen mass** (Good 1953): ``P₀ = f1/N`` — the
+      probability the NEXT draw is a never-seen item, the number that
+      tells a crawler/vocabulary builder how far from saturation it
+      is.
+    - **Coverage** ``C = 1 − f1/N`` (Turing's estimator).
+
+    Where :func:`kmv_rows`/:func:`hll_registers` estimate D under
+    memory bounds, these estimate what was NOT collected — different
+    question, same table.
+
+    Exactness: D, N, f1, f2 are exact longs from two stacked
+    map-side-combinable groupBys on the same leading key (one
+    exchange); each estimator is ONE pinned division on exact int64
+    products.
+
+    Returns one row per group: ``(group..., n_tokens, d_distinct, f1,
+    f2, chao1, unseen_mass, coverage)``.
+    """
+    gc = list(group_cols)
+    per_key = (df.groupBy(*gc, *[F.col(c) for c in key_cols])
+               .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    prof = per_key.groupBy(*gc).agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("d_distinct"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0))
+        .cast("long").alias("f1"),
+        F.sum(F.when(F.col("_c") == 2, 1).otherwise(0))
+        .cast("long").alias("f2"))
+    chao1 = (F.col("d_distinct").cast("double")
+             + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+             / (2 * (F.col("f2") + 1)).cast("double"))
+    p0 = F.col("f1").cast("double") / F.col("n_tokens").cast("double")
+    return prof.select(
+        *gc, "n_tokens", "d_distinct", "f1", "f2",
+        chao1.alias("chao1"), p0.alias("unseen_mass"),
+        (F.lit(1.0) - p0).alias("coverage"))

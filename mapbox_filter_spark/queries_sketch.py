@@ -542,3 +542,49 @@ SELECT item, hits, hits = {_BL_K} AS maybe_present FROM hits"""
 
 
 SKETCH_QUERIES["bloom_filter"] = (q_bloom_filter, sql_bloom_filter)
+
+
+def q_species_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 richness + Good-Turing unseen mass of the token
+    distribution per source (operators/sketch.py species_richness):
+    frequency-of-frequencies from two stacked groupBys, each
+    estimator one pinned division — "how much vocabulary has this
+    source NOT shown us yet"."""
+    from .operators.sketch import species_richness
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select("source", F.explode(F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"),
+        lambda t: t != "")).alias("tok"))
+    return species_richness(toks, ["source"], ["tok"])
+
+
+def sql_species_richness() -> str:
+    return """WITH d AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+toks AS (SELECT source, unnest(l) AS tok FROM d),
+pk AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2),
+prof AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS d_distinct,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM pk GROUP BY 1)
+SELECT source, n_tokens, d_distinct, f1, f2,
+       CAST(d_distinct AS DOUBLE)
+         + CAST(f1 * (f1 - 1) AS DOUBLE)
+           / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1,
+       CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS unseen_mass,
+       1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         AS coverage
+FROM prof"""
+
+
+SKETCH_QUERIES["species_richness"] = (q_species_richness,
+                                      sql_species_richness)

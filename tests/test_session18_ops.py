@@ -1648,3 +1648,34 @@ def test_cuminc_python_differential_and_sum_bound(spark):
     assert 0 < sum(finals.values()) <= 1.0 + 1e-6
     # competing-risks property: CIF_k(inf) < 1 - KM would overestimate
     assert all(0 < v < 1 for v in finals.values())
+
+
+# ---- species_richness ----
+
+def test_species_richness_hand_and_differential(spark):
+    import random
+    from collections import Counter
+    from mapbox_filter_spark.operators.sketch import species_richness
+    # hand case: a a b c -> D=3, N=4, f1=2 (b,c), f2=1 (a)
+    rows = [("g", "a"), ("g", "a"), ("g", "b"), ("g", "c")]
+    df = spark.createDataFrame(rows, "g string, tok string")
+    r = species_richness(df, ["g"], ["tok"]).collect()[0]
+    assert (r.n_tokens, r.d_distinct, r.f1, r.f2) == (4, 3, 2, 1)
+    assert r.chao1 == pytest.approx(3 + 2 * 1 / (2 * 2))
+    assert r.unseen_mass == pytest.approx(0.5)
+    assert r.coverage == pytest.approx(0.5)
+
+    rng = random.Random(211)
+    toks = [("h", "w%d" % rng.randrange(300)) for _ in range(2000)]
+    rdf = spark.createDataFrame(toks, "g string, tok string")
+    rr = species_richness(rdf, ["g"], ["tok"]).collect()[0]
+    cnt = Counter(t for _, t in toks)
+    f1 = sum(1 for v in cnt.values() if v == 1)
+    f2 = sum(1 for v in cnt.values() if v == 2)
+    assert (rr.n_tokens, rr.d_distinct, rr.f1, rr.f2) == \
+        (2000, len(cnt), f1, f2)
+    assert rr.chao1 == pytest.approx(
+        len(cnt) + f1 * (f1 - 1) / (2 * (f2 + 1)))
+    # richness estimate at least the observed distinct count
+    assert rr.chao1 >= rr.d_distinct
+    assert 0.0 <= rr.unseen_mass <= 1.0
