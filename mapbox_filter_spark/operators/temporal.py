@@ -1750,3 +1750,73 @@ def pacf(df: DataFrame, key_cols: "list[str]", *,
             .select(*key_cols, F.col("_s.lag").alias("lag"), "n",
                     F.col("_s.acf").alias("acf"),
                     F.col("_s.pacf").alias("pacf")))
+
+
+def lsq_changepoint(df: DataFrame, key_cols: "list[str]", *,
+                    order_cols: "tuple[str, ...]", value_col: str
+                    ) -> DataFrame:
+    """Least-squares single changepoint per key — the parametric
+    companion of the rank-based ``pettitt_test``: the split k that
+    minimizes SSE_left + SSE_right (the first step of binary
+    segmentation / the AMOC model of Hinkley 1970), located EXACTLY.
+
+    Exactness: with integer values, prefix sums P_k and square sums
+    A_k are exact int64 running windows (integer window sums are
+    association-order-independent).  Each split's objective is the
+    exact rational
+
+        SSE(k) = [A_n·k·(n−k) − P_k²·(n−k) − (S−P_k)²·k] / (k·(n−k))
+
+    with the numerator evaluated in DECIMAL(38,0) (int128-exact;
+    DuckDB HUGEINT computes identical values — the ols2 discipline)
+    and the argmin taken on the DECIMAL(38,6) quotient: a FIXED
+    6-digit quantization, bit-identical cross-engine (decimal
+    division is exact-then-round, not IEEE), so the located
+    breakpoint value-hashes.  Splits whose true SSEs differ by less
+    than 1e-6 of a squared unit tie on the quantized score and then
+    break deterministically on the smaller k — quantize values
+    upstream so a meaningful gap exceeds that (cents do).
+
+    Shape: one key exchange (ordering window + running sums), one
+    min-struct aggregate; series materialize only as window state.
+
+    Returns one row per key: ``(key..., n, best_k, mean_left,
+    mean_right)`` — best_k the 1-based size of the left segment
+    (1 ≤ k < n); keys with n < 2 drop out.
+    """
+    g = list(key_cols)
+    order = [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(*g).orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.partitionBy(*g)
+    v = F.col(value_col).cast("long")
+    base = df.select(
+        *g,
+        F.row_number().over(w).alias("_k"),
+        F.sum(v).over(wrun).alias("_p"),
+        F.sum(v * v).over(wrun).alias("_a"),
+        F.sum(v).over(wtot).alias("_s"),
+        F.sum(v * v).over(wtot).alias("_at"),
+        F.count(F.lit(1)).over(wtot).alias("_n"))
+    cand = base.filter(F.col("_k") < F.col("_n"))
+    dec = "decimal(38,0)"
+    k = F.col("_k").cast(dec)
+    n = F.col("_n").cast(dec)
+    p = F.col("_p").cast(dec)
+    s = F.col("_s").cast(dec)
+    at = F.col("_at").cast(dec)
+    num = (at * k * (n - k) - p * p * (n - k)
+           - (s - p) * (s - p) * k)
+    score = (num / (k * (n - k))).cast("decimal(38,6)")
+    pick = F.min(F.struct(
+        score.alias("sc"), F.col("_k").alias("k"),
+        F.col("_p").alias("p"), F.col("_s").alias("s"),
+        F.col("_n").alias("n")))
+    per = cand.groupBy(*g).agg(pick.alias("_b"))
+    b = F.col("_b")
+    return per.select(
+        *g, b["n"].alias("n"), b["k"].cast("long").alias("best_k"),
+        (b["p"].cast("double") / b["k"].cast("double"))
+        .alias("mean_left"),
+        ((b["s"] - b["p"]).cast("double")
+         / (b["n"] - b["k"]).cast("double")).alias("mean_right"))

@@ -2239,3 +2239,62 @@ FROM ev"""
 
 
 TEMPORAL_QUERIES["cuminc"] = (q_cuminc, sql_cuminc)
+
+
+def q_lsq_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares single changepoint of the event-cents series per
+    type (operators/temporal.py lsq_changepoint): the parametric AMOC
+    split located by exact int128 prefix-sum arithmetic with a fixed
+    DECIMAL(38,6) argmin — beside the rank-based pettitt gate on the
+    same ordering."""
+    from .operators.temporal import lsq_changepoint
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull()) \
+        .select("event_type", "ts", "event_id",
+                _cents().alias("cents"))
+    return lsq_changepoint(ev, ["event_type"],
+                           order_cols=("ts", "event_id"),
+                           value_col="cents")
+
+
+def sql_lsq_changepoint() -> str:
+    return """WITH e AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER w AS k,
+         CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY ts,
+                           event_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS p,
+         CAST(SUM(v * v) OVER (PARTITION BY event_type ORDER BY ts,
+                               event_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS a,
+         CAST(SUM(v) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+         CAST(SUM(v * v) OVER (PARTITION BY event_type) AS BIGINT)
+           AS at,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+c AS (
+  SELECT event_type, k, p, s, n,
+         CAST((CAST(at AS HUGEINT) * k * (n - k)
+               - CAST(p AS HUGEINT) * p * (n - k)
+               - CAST(s - p AS HUGEINT) * (s - p) * k)
+              AS DECIMAL(38, 6))
+           / CAST(CAST(k AS HUGEINT) * (n - k) AS DECIMAL(38, 6))
+           AS sc
+  FROM r WHERE k < n),
+b AS (
+  SELECT event_type, k, p, s, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY sc, k) AS rn
+  FROM c)
+SELECT event_type, n, CAST(k AS BIGINT) AS best_k,
+       CAST(p AS DOUBLE) / CAST(k AS DOUBLE) AS mean_left,
+       CAST(s - p AS DOUBLE) / CAST(n - k AS DOUBLE) AS mean_right
+FROM b WHERE rn = 1"""
+
+
+TEMPORAL_QUERIES["lsq_changepoint"] = (q_lsq_changepoint,
+                                       sql_lsq_changepoint)

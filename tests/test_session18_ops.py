@@ -1679,3 +1679,57 @@ def test_species_richness_hand_and_differential(spark):
     # richness estimate at least the observed distinct count
     assert rr.chao1 >= rr.d_distinct
     assert 0.0 <= rr.unseen_mass <= 1.0
+
+
+# ---- lsq_changepoint ----
+
+def _lsq_expected(vals):
+    """Exact-rational argmin replay."""
+    from fractions import Fraction
+    n = len(vals)
+    S = sum(vals)
+    A = sum(v * v for v in vals)
+    best = None
+    p = 0
+    for k in range(1, n):
+        p += vals[k - 1]
+        num = A * k * (n - k) - p * p * (n - k) - (S - p) ** 2 * k
+        sc = Fraction(num, k * (n - k))
+        if best is None or sc < best[0]:
+            best = (sc, k, p)
+    _, k, p = best
+    return (n, k, p / k, (S - p) / (n - k))
+
+
+def test_lsq_changepoint_planted_and_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.temporal import lsq_changepoint
+    rng = random.Random(212)
+    rows, series = [], {}
+    # planted mean shift at position 40 of 100
+    sa = [rng.randrange(100, 120) for _ in range(40)] + \
+         [rng.randrange(300, 320) for _ in range(60)]
+    # no shift: pure noise
+    sb = [rng.randrange(0, 1000) for _ in range(80)]
+    for g, vals in (("shift", sa), ("noise", sb)):
+        series[g] = vals
+        rows += [(g, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, i long, v long")
+    out = {r.g: r for r in
+           lsq_changepoint(df, ["g"], order_cols=("i",),
+                           value_col="v").collect()}
+    assert out["shift"].best_k == 40
+    assert out["shift"].mean_left == pytest.approx(sum(sa[:40]) / 40)
+    for g in ("shift", "noise"):
+        n, k, ml, mr = _lsq_expected(series[g])
+        r = out[g]
+        assert (r.n, r.best_k) == (n, k), g
+        assert r.mean_left == pytest.approx(ml)
+        assert r.mean_right == pytest.approx(mr)
+
+
+def test_lsq_changepoint_short_series_dropped(spark):
+    from mapbox_filter_spark.operators.temporal import lsq_changepoint
+    df = spark.createDataFrame([("solo", 0, 5)], "g string, i long, v long")
+    assert lsq_changepoint(df, ["g"], order_cols=("i",),
+                           value_col="v").count() == 0
