@@ -5050,3 +5050,92 @@ FROM g JOIN f USING (r)"""
 
 
 GEOM_QUERIES["j_function"] = (q_j_function, sql_j_function)
+
+
+_SCAN_K = 25
+_SCAN_WINDOWS = (1, 2, 4)
+
+
+def q_scan_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kulldorff space-time scan over (z4 tile, day) cylinders
+    (operators/spatialstats.py scan_statistic): hashed-position
+    events on the od_flows substrate, window lengths 1/2/4 days,
+    top-25 cylinders by exact-integer-ratio Poisson LLR — the
+    outbreak detector above getis_ord's pure-space view."""
+    from .geo.tilemath import floor_div
+    from .operators.spatialstats import scan_statistic
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from .geo.tilemath import tile_cols
+    lon = (((F.col("event_id") * 7919) % 360000) / 1000.0 - 180.0)
+    lat = (((F.col("event_id") * 104729) % 170000) / 1000.0 - 85.0)
+    x, y = tile_cols(lon, lat, F.lit(_OD_Z))
+    pos = ev.select(
+        (x * 100000 + y).alias("cell"),
+        floor_div(F.unix_micros(F.col("ts").cast("timestamp")),
+                  86_400_000_000).alias("day"))
+    return scan_statistic(pos, "cell", "day",
+                          window_lens=_SCAN_WINDOWS, k=_SCAN_K)
+
+
+def sql_scan_statistic() -> str:
+    from .queries import _sql_tile_x, _sql_tile_y
+
+    z = _OD_Z
+    zone_sel = "\nUNION ALL\n".join(f"""
+  SELECT cell, t AS t0, {w} AS w,
+         CAST(SUM(cnt) OVER (PARTITION BY cell ORDER BY t
+                             RANGE BETWEEN CURRENT ROW
+                             AND {w - 1} FOLLOWING) AS BIGINT) AS n
+  FROM g""" for w in _SCAN_WINDOWS)
+    tw_sel = "\nUNION ALL\n".join(f"""
+  SELECT t, {w} AS w,
+         CAST(SUM(tot) OVER (ORDER BY t
+                             RANGE BETWEEN CURRENT ROW
+                             AND {w - 1} FOLLOWING) AS BIGINT) AS n_w
+  FROM pt""" for w in _SCAN_WINDOWS)
+    return f"""WITH pos AS (
+  SELECT ((event_id * 7919) % 360000) / 1000.0 - 180.0 AS lon,
+         ((event_id * 104729) % 170000) / 1000.0 - 85.0 AS lat,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events),
+p2 AS (
+  SELECT ({_sql_tile_x(z)}) * 100000 + ({_sql_tile_y(z)}) AS cell, day
+  FROM pos),
+g AS (
+  SELECT cell, day AS t, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM p2 GROUP BY 1, 2),
+pt AS (SELECT t, CAST(SUM(cnt) AS BIGINT) AS tot FROM g GROUP BY 1),
+nt AS (SELECT CAST(SUM(tot) AS BIGINT) AS n_tot FROM pt),
+nc AS (SELECT cell, CAST(SUM(cnt) AS BIGINT) AS n_c
+       FROM g GROUP BY 1),
+zones AS ({zone_sel}),
+tws AS ({tw_sel}),
+zz AS (
+  SELECT z.cell, z.t0, z.w, z.n, nc.n_c, t.n_w, nt.n_tot
+  FROM zones z
+  JOIN tws t ON t.t = z.t0 AND t.w = z.w
+  JOIN nc USING (cell) CROSS JOIN nt),
+sc AS (
+  SELECT cell, t0, w, n, n_c, n_w,
+         CASE WHEN n * n_tot > n_c * n_w THEN
+           CAST(n AS DOUBLE)
+             * ln(CAST(n * n_tot AS DOUBLE)
+                  / CAST(n_c * n_w AS DOUBLE))
+           + CASE WHEN n_tot > n THEN
+               CAST(n_tot - n AS DOUBLE)
+                 * ln(CAST(n_tot * (n_tot - n) AS DOUBLE)
+                      / CAST(n_tot * n_tot - n_c * n_w AS DOUBLE))
+             ELSE 0.0 END
+         ELSE 0.0 END AS llr
+  FROM zz)
+SELECT cell, t0, CAST(w AS INTEGER) AS w, n, n_c, n_w, llr,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY llr DESC, cell, t0, w)
+           AS rank
+  FROM sc)
+WHERE rank <= {_SCAN_K}"""
+
+
+GEOM_QUERIES["scan_statistic"] = (q_scan_statistic, sql_scan_statistic)

@@ -1733,3 +1733,53 @@ def test_lsq_changepoint_short_series_dropped(spark):
     df = spark.createDataFrame([("solo", 0, 5)], "g string, i long, v long")
     assert lsq_changepoint(df, ["g"], order_cols=("i",),
                            value_col="v").count() == 0
+
+
+# ---- scan_statistic ----
+
+def _scan_expected(events, windows, k):
+    from collections import Counter, defaultdict
+    g = Counter(events)
+    per_tick = Counter()
+    per_cell = Counter()
+    for (c, t), n in g.items():
+        per_tick[t] += n
+        per_cell[c] += n
+    N = sum(g.values())
+    zones = []
+    for (c, t0), _ in g.items():
+        for w in sorted(set(windows)):
+            n = sum(v for (cc, tt), v in g.items()
+                    if cc == c and t0 <= tt <= t0 + w - 1)
+            n_w = sum(v for tt, v in per_tick.items()
+                      if t0 <= tt <= t0 + w - 1)
+            n_c = per_cell[c]
+            llr = 0.0
+            if n * N > n_c * n_w:
+                llr = n * math.log(n * N / (n_c * n_w))
+                if N > n:
+                    llr += (N - n) * math.log(
+                        N * (N - n) / (N * N - n_c * n_w))
+            zones.append((llr, c, t0, w, n, n_c, n_w))
+    zones.sort(key=lambda z: (-z[0], z[1], z[2], z[3]))
+    return zones[:k]
+
+
+def test_scan_statistic_planted_outbreak_and_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.spatialstats import \
+        scan_statistic
+    rng = random.Random(213)
+    ev = [(rng.randrange(12), rng.randrange(20)) for _ in range(900)]
+    ev += [(5, t) for t in (8, 8, 8, 9, 9, 9, 9)] * 8  # outbreak
+    df = spark.createDataFrame(ev, "cell long, day long")
+    out = scan_statistic(df, "cell", "day", window_lens=(1, 2),
+                         k=10).collect()
+    exp = _scan_expected(ev, (1, 2), 10)
+    got = sorted(out, key=lambda r: r.rank)
+    # top zone is the planted outbreak cylinder
+    assert got[0].cell == 5 and got[0].t0 in (8, 9)
+    for r, (llr, c, t0, w, n, n_c, n_w) in zip(got, exp):
+        assert (r.cell, r.t0, r.w, r.n, r.n_c, r.n_w) == \
+            (c, t0, w, n, n_c, n_w), r.rank
+        assert r.llr == pytest.approx(llr, abs=1e-10)
