@@ -501,3 +501,66 @@ def ece(df: DataFrame, score_col: str, label_col: str, *,
                F.col("ece_num").cast("double")
                / (F.col("n") * scale).cast("double")).alias("ece"),
         "mce")
+
+
+def eb_shrink_rates(df: DataFrame, entity_col: str, label_col: str
+                    ) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-entity binomial rates — the
+    "smoothed CTR" estimator (beta-binomial, method of moments;
+    Robbins 1956 lineage): a 3-impression entity with 3 successes
+    should NOT outrank a 10,000-impression entity at 95% — each raw
+    rate x/n is pulled toward the population with strength α+β:
+
+        shrunk = (x + α) / (n + α + β),
+        α = m·(m(1−m)/v − 1),  β = (1−m)·(m(1−m)/v − 1)
+
+    with m, v the mean and variance of the per-entity raw rates.
+
+    Determinism: n and x are exact longs; each raw rate is ONE pinned
+    division; m and the Σr² moment are PINNED entity-ordered folds
+    (the entropy_profile discipline — a float groupBy sum is
+    order-nondeterministic), so α, β, and every shrunk value are
+    bit-stable cross-engine.  Degenerate moments (v ≤ 0 — all rates
+    equal — or v ≥ m(1−m), where MoM has no valid Beta) fall back to
+    ``shrunk = raw`` with NULL α/β — the honest no-prior answer.
+
+    Shape: one groupBy to per-entity (n, x), one single-row moment
+    reduce broadcast back — two exchanges, the first map-side
+    combinable.
+
+    Returns ``(entity, n, x, raw_rate, alpha, beta, shrunk)``.
+    """
+    per = (df.filter(F.col(label_col).isNotNull())
+           .groupBy(F.col(entity_col).alias("entity"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.col(label_col).cast("long")).cast("long")
+                .alias("x")))
+    r = F.col("x").cast("double") / F.col("n").cast("double")
+    per = per.withColumn("raw_rate", r)
+    arr = F.sort_array(F.collect_list(F.struct(
+        F.col("entity"), F.col("raw_rate").alias("rr"))))
+    mom = per.agg(
+        F.count(F.lit(1)).cast("long").alias("_g"),
+        F.aggregate(arr, F.lit(0.0),
+                    lambda a, s_: a + s_["rr"]).alias("_s1"),
+        F.aggregate(arr, F.lit(0.0),
+                    lambda a, s_: a + s_["rr"] * s_["rr"])
+        .alias("_s2"))
+    m = F.col("_s1") / F.col("_g").cast("double")
+    v = F.when(
+        F.col("_g") > 1,
+        (F.col("_s2") - F.col("_g").cast("double") * m * m)
+        / (F.col("_g") - 1).cast("double"))
+    strength = F.when(
+        v.isNotNull() & (v > 0.0) & (v < m * (1.0 - m)),
+        m * (1.0 - m) / v - 1.0)
+    mom = mom.select((m * strength).alias("alpha"),
+                     ((1.0 - m) * strength).alias("beta"))
+    j = per.crossJoin(F.broadcast(mom))
+    shrunk = F.when(
+        F.col("alpha").isNotNull(),
+        (F.col("x").cast("double") + F.col("alpha"))
+        / (F.col("n").cast("double") + F.col("alpha") + F.col("beta"))
+    ).otherwise(F.col("raw_rate"))
+    return j.select("entity", "n", "x", "raw_rate", "alpha", "beta",
+                    shrunk.alias("shrunk"))

@@ -2729,3 +2729,66 @@ FROM agg"""
 
 
 ANALYTICS_QUERIES["ece"] = (q_ece, sql_ece)
+
+
+def q_eb_shrink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes smoothed per-user purchase rates
+    (operators/ml.py eb_shrink_rates): beta-binomial method-of-moments
+    prior from the population of raw rates (pinned entity-ordered
+    moment folds), every shrunk rate one pinned chain — the smoothed
+    CTR every ranking pipeline wants instead of x/n."""
+    from .operators.ml import eb_shrink_rates
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.pmod(F.col("user_id"), F.lit(499)).alias("u"),
+        (F.col("event_type") == "purchase").alias("y"))
+    return eb_shrink_rates(ev, "u", "y")
+
+
+def sql_eb_shrink() -> str:
+    return """WITH per AS (
+  SELECT ((user_id % 499) + 499) % 499 AS entity,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY 1),
+pr AS (
+  SELECT entity, n, x,
+         CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate
+  FROM per),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS g,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(raw_rate ORDER BY entity)),
+                     (a, x) -> a + x) AS s1,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(raw_rate * raw_rate
+                                       ORDER BY entity)),
+                     (a, x) -> a + x) AS s2
+  FROM pr),
+ab AS (
+  SELECT
+    CASE WHEN g > 1
+          AND (s2 - g * (s1 / g) * (s1 / g)) / (g - 1) > 0.0
+          AND (s2 - g * (s1 / g) * (s1 / g)) / (g - 1)
+              < (s1 / g) * (1.0 - s1 / g)
+         THEN (s1 / g) * ((s1 / g) * (1.0 - s1 / g)
+                          / ((s2 - g * (s1 / g) * (s1 / g)) / (g - 1))
+                          - 1.0) END AS alpha,
+    CASE WHEN g > 1
+          AND (s2 - g * (s1 / g) * (s1 / g)) / (g - 1) > 0.0
+          AND (s2 - g * (s1 / g) * (s1 / g)) / (g - 1)
+              < (s1 / g) * (1.0 - s1 / g)
+         THEN (1.0 - s1 / g) * ((s1 / g) * (1.0 - s1 / g)
+                          / ((s2 - g * (s1 / g) * (s1 / g)) / (g - 1))
+                          - 1.0) END AS beta
+  FROM mom)
+SELECT pr.entity, pr.n, pr.x, pr.raw_rate, ab.alpha, ab.beta,
+       CASE WHEN ab.alpha IS NOT NULL
+            THEN (CAST(pr.x AS DOUBLE) + ab.alpha)
+                 / (CAST(pr.n AS DOUBLE) + ab.alpha + ab.beta)
+            ELSE pr.raw_rate END AS shrunk
+FROM pr CROSS JOIN ab"""
+
+
+ANALYTICS_QUERIES["eb_shrink"] = (q_eb_shrink, sql_eb_shrink)

@@ -1783,3 +1783,59 @@ def test_scan_statistic_planted_outbreak_and_differential(spark):
         assert (r.cell, r.t0, r.w, r.n, r.n_c, r.n_w) == \
             (c, t0, w, n, n_c, n_w), r.rank
         assert r.llr == pytest.approx(llr, abs=1e-10)
+
+
+# ---- eb_shrink_rates ----
+
+def test_eb_shrink_differential_and_pull(spark):
+    import random
+    from mapbox_filter_spark.operators.ml import eb_shrink_rates
+    rng = random.Random(214)
+    rows = []
+    true_p = {}
+    for e in range(120):
+        p = rng.uniform(0.05, 0.6)
+        true_p[e] = p
+        n = rng.choice([3, 5, 50, 400])
+        rows += [(e, 1 if rng.random() < p else 0) for _ in range(n)]
+    df = spark.createDataFrame(rows, "e long, y long")
+    out = {r.entity: r for r in eb_shrink_rates(df, "e", "y").collect()}
+    # python replay
+    from collections import defaultdict
+    agg = defaultdict(lambda: [0, 0])
+    for e, y in rows:
+        agg[e][0] += 1
+        agg[e][1] += y
+    rates = {e: x / n for e, (n, x) in agg.items()}
+    g = len(rates)
+    order = sorted(rates)
+    s1 = 0.0
+    for e in order:
+        s1 += rates[e]
+    s2 = 0.0
+    for e in order:
+        s2 += rates[e] * rates[e]
+    m = s1 / g
+    v = (s2 - g * m * m) / (g - 1)
+    strength = m * (1.0 - m) / v - 1.0
+    alpha, beta = m * strength, (1.0 - m) * strength
+    for e, (n, x) in agg.items():
+        r = out[e]
+        assert (r.n, r.x) == (n, x)
+        assert r.alpha == pytest.approx(alpha, abs=1e-12)
+        assert r.shrunk == pytest.approx(
+            (x + alpha) / (n + alpha + beta), abs=1e-12)
+        # shrinkage pulls toward the mean, harder for small n
+        if n <= 5:
+            assert abs(r.shrunk - m) <= abs(r.raw_rate - m) + 1e-12
+    # big-n entities keep nearly their raw rate
+    big = [e for e, (n, _) in agg.items() if n == 400]
+    assert all(abs(out[e].shrunk - out[e].raw_rate) < 0.02 for e in big)
+
+
+def test_eb_shrink_degenerate_identical_rates(spark):
+    from mapbox_filter_spark.operators.ml import eb_shrink_rates
+    rows = [(e, y) for e in range(5) for y in (1, 0)]  # all rates 0.5
+    df = spark.createDataFrame(rows, "e long, y long")
+    out = eb_shrink_rates(df, "e", "y").collect()
+    assert all(r.alpha is None and r.shrunk == r.raw_rate for r in out)
