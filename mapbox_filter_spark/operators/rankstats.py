@@ -36,7 +36,8 @@ __all__ = ["spearman_corr", "mann_whitney_u", "ks_2samp", "kendall_tau",
            "kruskal_wallis", "pettitt_test", "friedman_test", "bh_fdr",
            "kendalls_w", "wasserstein_1d", "cvm_2samp", "cliffs_delta",
            "wilcoxon_signed_rank", "jonckheere_trend", "somers_d",
-           "ansari_bradley", "page_trend", "storey_qvalue"]
+           "ansari_bradley", "page_trend", "storey_qvalue",
+           "seasonal_mann_kendall"]
 
 # 4n^4 < 2^63  =>  n <= 38,000 keeps every sum exact in int64
 _MAX_GROUP_ROWS = 38_000
@@ -1321,3 +1322,85 @@ def storey_qvalue(df: DataFrame, group_cols: "list[str]", id_col: str,
     return ranked.select(
         *group_cols, "id", "p_num", "k", "m", "pi0_num", "pi0_den",
         F.min("_qr").over(wmin).alias("q"))
+
+
+def seasonal_mann_kendall(df: DataFrame, group_cols: "list[str]", *,
+                          season_col: str, t_col: str,
+                          value_col: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch & Slack 1984) — the
+    monotone-trend detector for series with a seasonal cycle: the MK
+    statistic is computed WITHIN each season (weekday, month) across
+    periods, so a strong weekly/annual cycle cannot masquerade as or
+    mask a trend; the per-season S and tie-corrected variances then
+    ADD (independence across seasons, the Hirsch approximation):
+
+        S = Σ_seasons S_s,
+        Var = Σ_s [n_s(n_s−1)(2n_s+5) − Σ_ties t(t−1)(2t+5)] / 18,
+        z = (S − sign(S)) / √Var      (continuity-corrected)
+
+    Exactness: one row per (group, season, t) is REQUIRED and enforced
+    in-plan (duplicate keys raise — aggregate upstream); S is pure
+    integer sign pairs (two comparisons, no signum doubles), both
+    variance terms are exact int64 polynomials, and z is one pinned
+    ÷18-sqrt-divide chain.  Int64 bound: n_s³ per season —
+    calendar-bounded seasons (n_s = #periods) never approach it.
+
+    Scale shape: the pair join and every groupBy hash the (group,
+    season) key; pair volume is Σ n_s²/2 with n_s period-bounded —
+    linear in groups.
+
+    Returns one row per group: ``(group..., n_seasons, n_points,
+    s_stat, var18_num, z)`` (``var18_num`` = 18·Var, exact); z NULL
+    when the variance is zero (all tied / single period).
+    """
+    g = list(group_cols)
+    base = df.select(*g, F.col(season_col).alias("_se"),
+                     F.col(t_col).cast("long").alias("_t"),
+                     F.col(value_col).cast("long").alias("_v"))
+    dupw = Window.partitionBy(*g, "_se", "_t")
+    guard = F.when(
+        F.count(F.lit(1)).over(dupw) > 1,
+        F.raise_error(F.concat(
+            F.lit("seasonal_mann_kendall: duplicate (season, t) key"
+                  " — aggregate upstream: t="),
+            F.col("_t").cast("string"))).cast("long")
+    ).otherwise(F.col("_v"))
+    base = base.withColumn("_v", guard)
+    a, b = base.alias("a"), base.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in g] + \
+        [F.col("a._se") == F.col("b._se"),
+         F.col("a._t") < F.col("b._t")]
+    sg = (F.when(F.col("b._v") > F.col("a._v"), 1)
+          .when(F.col("b._v") < F.col("a._v"), -1).otherwise(0))
+    s_per = (a.join(b, cond)
+             .groupBy(*[F.col(f"a.{c}").alias(c) for c in g],
+                      F.col("a._se").alias("_se"))
+             .agg(F.sum(sg).cast("long").alias("_s")))
+    n_per = base.groupBy(*g, "_se").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"))
+    ties = (base.groupBy(*g, "_se", "_v")
+            .agg(F.count(F.lit(1)).cast("long").alias("_tc"))
+            .groupBy(*g, "_se")
+            .agg(F.sum(F.col("_tc") * (F.col("_tc") - 1)
+                       * (2 * F.col("_tc") + 5)).alias("_tt")))
+    per = (n_per.join(ties, [*g, "_se"])
+           .join(s_per, [*g, "_se"], "left")
+           .select(*g, "_se", "_n", "_tt",
+                   F.coalesce("_s", F.lit(0).cast("long"))
+                   .alias("_s"),
+                   (F.col("_n") * (F.col("_n") - 1)
+                    * (2 * F.col("_n") + 5) - F.col("_tt"))
+                   .alias("_vn")))
+    tot = per.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_seasons"),
+        F.sum("_n").cast("long").alias("n_points"),
+        F.sum("_s").cast("long").alias("s_stat"),
+        F.sum("_vn").cast("long").alias("var18_num"))
+    s = F.col("s_stat")
+    cc = F.when(s > 0, s - 1).when(s < 0, s + 1).otherwise(F.lit(0))
+    z = F.when(
+        F.col("var18_num") > 0,
+        cc.cast("double")
+        / F.sqrt(F.col("var18_num").cast("double") / F.lit(18.0)))
+    return tot.select(*g, "n_seasons", "n_points", "s_stat",
+                      "var18_num", z.alias("z"))

@@ -2371,3 +2371,85 @@ FROM pz"""
 
 CURATION_QUERIES["storey_qvalue"] = (q_storey_qvalue,
                                      sql_storey_qvalue)
+
+
+def q_seasonal_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend of daily revenue per event type
+    (operators/rankstats.py seasonal_mann_kendall): seasons are
+    weekdays, periods are ISO weeks — is revenue trending across
+    weeks once the strong weekly cycle is blocked out?  Exact
+    integer sign pairs and tie-corrected variance polynomials, one
+    pinned continuity-corrected z."""
+    from .geo.tilemath import floor_div
+    from .operators.rankstats import seasonal_mann_kendall
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        floor_div(F.unix_micros(F.col("ts").cast("timestamp")),
+                  86_400_000_000).alias("day"),
+        _cents().alias("cents")).filter(
+        F.col("event_type").isNotNull() & F.col("cents").isNotNull())
+    daily = (ev.groupBy("event_type", "day")
+             .agg(F.sum("cents").alias("v"))
+             .select("event_type",
+                     F.pmod(F.col("day") + 4, F.lit(7)).alias("dow"),
+                     floor_div(F.col("day") + 4, 7).alias("week"),
+                     "v"))
+    return seasonal_mann_kendall(daily, ["event_type"],
+                                 season_col="dow", t_col="week",
+                                 value_col="v")
+
+
+def sql_seasonal_mk() -> str:
+    return f"""WITH e AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         {_CENTS_SQL} AS cents
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+daily AS (
+  SELECT event_type, ((day + 4) % 7 + 7) % 7 AS dow,
+         (day + 4) // 7 AS week,
+         CAST(SUM(cents) AS BIGINT) AS v
+  FROM e GROUP BY 1, 2, 3),
+sp AS (
+  SELECT a.event_type, a.dow,
+         CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                       WHEN b.v < a.v THEN -1 ELSE 0 END)
+              AS BIGINT) AS s
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.dow = b.dow
+   AND a.week < b.week
+  GROUP BY 1, 2),
+np AS (
+  SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily GROUP BY 1, 2),
+tt AS (
+  SELECT event_type, dow,
+         CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS t3
+  FROM (SELECT event_type, dow, v, CAST(COUNT(*) AS BIGINT) AS tc
+        FROM daily GROUP BY 1, 2, 3)
+  GROUP BY 1, 2),
+per AS (
+  SELECT np.event_type, np.dow, np.n, tt.t3,
+         COALESCE(sp.s, 0) AS s,
+         np.n * (np.n - 1) * (2 * np.n + 5) - tt.t3 AS vn
+  FROM np JOIN tt USING (event_type, dow)
+  LEFT JOIN sp USING (event_type, dow)),
+tot AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_seasons,
+         CAST(SUM(n) AS BIGINT) AS n_points,
+         CAST(SUM(s) AS BIGINT) AS s_stat,
+         CAST(SUM(vn) AS BIGINT) AS var18_num
+  FROM per GROUP BY 1)
+SELECT event_type, n_seasons, n_points, s_stat, var18_num,
+       CASE WHEN var18_num > 0 THEN
+         CAST(CASE WHEN s_stat > 0 THEN s_stat - 1
+                   WHEN s_stat < 0 THEN s_stat + 1
+                   ELSE 0 END AS DOUBLE)
+         / sqrt(CAST(var18_num AS DOUBLE) / 18.0)
+       END AS z
+FROM tot"""
+
+
+CURATION_QUERIES["seasonal_mk"] = (q_seasonal_mk, sql_seasonal_mk)

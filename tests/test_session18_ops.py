@@ -1839,3 +1839,64 @@ def test_eb_shrink_degenerate_identical_rates(spark):
     df = spark.createDataFrame(rows, "e long, y long")
     out = eb_shrink_rates(df, "e", "y").collect()
     assert all(r.alpha is None and r.shrunk == r.raw_rate for r in out)
+
+
+# ---- seasonal_mann_kendall ----
+
+def _smk_expected(rows):
+    """rows = [(season, t, v)] single group."""
+    from collections import defaultdict, Counter
+    per = defaultdict(list)
+    for s_, t, v in rows:
+        per[s_].append((t, v))
+    S = var18 = n_pts = 0
+    for s_, pts_ in per.items():
+        pts_.sort()
+        n = len(pts_)
+        n_pts += n
+        S += sum((b[1] > a[1]) - (b[1] < a[1])
+                 for i, a in enumerate(pts_) for b in pts_[i + 1:])
+        ties = Counter(v for _, v in pts_)
+        t3 = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        var18 += n * (n - 1) * (2 * n + 5) - t3
+    cc = S - 1 if S > 0 else S + 1 if S < 0 else 0
+    z = cc / math.sqrt(var18 / 18.0) if var18 > 0 else None
+    return (len(per), n_pts, S, var18, z)
+
+
+def test_smk_planted_trend_and_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.rankstats import \
+        seasonal_mann_kendall
+    rng = random.Random(215)
+    # strong weekly cycle + linear upward trend across weeks
+    trend = [("up", d % 7, d // 7,
+              1000 * (d % 7) + 5 * (d // 7) + rng.randrange(3))
+             for d in range(84)]
+    flat = [("flat", d % 7, d // 7,
+             1000 * (d % 7) + rng.randrange(3)) for d in range(84)]
+    df = spark.createDataFrame(trend + flat,
+                               "g string, s long, t long, v long")
+    out = {r.g: r for r in seasonal_mann_kendall(
+        df, ["g"], season_col="s", t_col="t", value_col="v").collect()}
+    for g, rows in (("up", trend), ("flat", flat)):
+        ns, npts, S, v18, z = _smk_expected(
+            [(s_, t, v) for _, s_, t, v in rows])
+        r = out[g]
+        assert (r.n_seasons, r.n_points, r.s_stat,
+                r.var18_num) == (ns, npts, S, v18), g
+        if z is None:
+            assert r.z is None
+        else:
+            assert r.z == pytest.approx(z, abs=1e-12)
+    assert out["up"].z > 3 and abs(out["flat"].z) < 2
+
+
+def test_smk_duplicate_key_raises(spark):
+    from mapbox_filter_spark.operators.rankstats import \
+        seasonal_mann_kendall
+    rows = [("g", 1, 5, 10), ("g", 1, 5, 20)]
+    df = spark.createDataFrame(rows, "g string, s long, t long, v long")
+    with pytest.raises(Exception, match="duplicate"):
+        seasonal_mann_kendall(df, ["g"], season_col="s", t_col="t",
+                              value_col="v").collect()
