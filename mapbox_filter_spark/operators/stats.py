@@ -2291,3 +2291,59 @@ def cuminc(subjects: DataFrame, group_cols: Sequence[str],
         F.sum("_inc_q").over(wrunc).alias("cif_q"))
         .withColumn("cif", F.col("cif_q").cast("double")
                     / F.lit(float(scale))))
+
+
+def cochran_armitage(df: DataFrame, group_cols: Sequence[str],
+                     dose_col: str, success_col: str) -> DataFrame:
+    """Cochran-Armitage trend test per group — "does the SUCCESS RATE
+    rise with the ordered dose?" (Cochran 1954; Armitage 1955): the
+    binary-outcome sibling of jonckheere_trend, the standard
+    dose-response / severity-gradient test.  With integer scores c,
+    per-level trials n_c and successes r_c, N = Σn, R = Σr:
+
+        T = N·Σ c·r − R·Σ c·n          (exact — the ×N-scaled score
+                                        covariance)
+        z = T / √( R·(N−R) · D / N ),  D = N·Σ c²·n − (Σ c·n)²
+
+    Exactness: level sums are exact int64; T and D are evaluated in
+    DECIMAL(38,0) (int128-exact, DuckDB HUGEINT identical — the ols2
+    discipline) since N·Σc·r exceeds int64 at fleet scale; z is one
+    pinned decimal→double sqrt-divide chain.  NULL when R = 0, R = N,
+    or the dose is constant (D = 0).
+
+    Scale shape: one map-side-combinable groupBy to (group, dose) —
+    the only fact-sized shuffle — then a per-group reduce over the
+    handful of dose levels.
+
+    Returns one row per group: ``(group..., n_levels, n_total,
+    r_total, z)``.
+    """
+    g = list(group_cols)
+    c = F.col(dose_col).cast("long")
+    y = F.col(success_col).cast("boolean").cast("long")
+    clean = df.filter(c.isNotNull() & y.isNotNull())
+    lvl = clean.groupBy(*g, c.alias("_c")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(y).cast("long").alias("_r"))
+    per = lvl.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_levels"),
+        F.sum("_n").cast("long").alias("n_total"),
+        F.sum("_r").cast("long").alias("r_total"),
+        F.sum(F.col("_c") * F.col("_r")).cast("long").alias("_cr"),
+        F.sum(F.col("_c") * F.col("_n")).cast("long").alias("_cn"),
+        F.sum(F.col("_c") * F.col("_c") * F.col("_n")).cast("long")
+        .alias("_ccn"))
+    dec = "decimal(38,0)"
+    nn = F.col("n_total").cast(dec)
+    rr = F.col("r_total").cast(dec)
+    t = nn * F.col("_cr").cast(dec) - rr * F.col("_cn").cast(dec)
+    d = nn * F.col("_ccn").cast(dec) \
+        - F.col("_cn").cast(dec) * F.col("_cn").cast(dec)
+    z = F.when(
+        (F.col("r_total") > 0) & (F.col("r_total") < F.col("n_total"))
+        & (d > 0),
+        t.cast("double")
+        / F.sqrt((rr * (nn - rr)).cast("double") * d.cast("double")
+                 / nn.cast("double")))
+    return per.select(*g, "n_levels", "n_total", "r_total",
+                      z.alias("z"))

@@ -2792,3 +2792,60 @@ FROM pr CROSS JOIN ab"""
 
 
 ANALYTICS_QUERIES["eb_shrink"] = (q_eb_shrink, sql_eb_shrink)
+
+
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage dose-response trend per user cohort
+    (operators/stats.py cochran_armitage): dose = event-id mod 5
+    severity level, success = high-value event — does the success
+    rate climb with the level?  int128 score covariance, one pinned
+    decimal→double z."""
+    from .operators.stats import cochran_armitage
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("value").isNotNull())
+          .select(F.pmod(F.col("user_id"), F.lit(3)).alias("cohort"),
+                  (F.pmod(F.col("event_id"), F.lit(5)) + 1)
+                  .alias("dose"),
+                  (_cents() > 5000).alias("hi")))
+    return cochran_armitage(ev, ["cohort"], "dose", "hi")
+
+
+def sql_cochran_armitage() -> str:
+    return """WITH e AS (
+  SELECT ((user_id % 3) + 3) % 3 AS cohort,
+         event_id % 5 + 1 AS dose,
+         CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) > 5000
+              THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL),
+lvl AS (
+  SELECT cohort, dose,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS r
+  FROM e GROUP BY 1, 2),
+per AS (
+  SELECT cohort,
+         CAST(COUNT(*) AS BIGINT) AS n_levels,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(r) AS BIGINT) AS r_total,
+         CAST(SUM(dose * r) AS BIGINT) AS cr,
+         CAST(SUM(dose * n) AS BIGINT) AS cn,
+         CAST(SUM(dose * dose * n) AS BIGINT) AS ccn
+  FROM lvl GROUP BY 1)
+SELECT cohort, n_levels, n_total, r_total,
+       CASE WHEN r_total > 0 AND r_total < n_total
+             AND CAST(n_total AS HUGEINT) * ccn
+                 - CAST(cn AS HUGEINT) * cn > 0
+            THEN CAST(CAST(n_total AS HUGEINT) * cr
+                      - CAST(r_total AS HUGEINT) * cn AS DOUBLE)
+                 / sqrt(CAST(CAST(r_total AS HUGEINT)
+                             * (n_total - r_total) AS DOUBLE)
+                        * CAST(CAST(n_total AS HUGEINT) * ccn
+                               - CAST(cn AS HUGEINT) * cn AS DOUBLE)
+                        / CAST(n_total AS DOUBLE))
+       END AS z
+FROM per"""
+
+
+ANALYTICS_QUERIES["cochran_armitage"] = (q_cochran_armitage,
+                                         sql_cochran_armitage)

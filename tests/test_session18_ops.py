@@ -1900,3 +1900,57 @@ def test_smk_duplicate_key_raises(spark):
     with pytest.raises(Exception, match="duplicate"):
         seasonal_mann_kendall(df, ["g"], season_col="s", t_col="t",
                               value_col="v").collect()
+
+
+# ---- cochran_armitage ----
+
+def _ca_expected(rows):
+    """rows = [(dose, y)] single group."""
+    from collections import defaultdict
+    lv = defaultdict(lambda: [0, 0])
+    for c, y in rows:
+        lv[c][0] += 1
+        lv[c][1] += y
+    N = sum(n for n, _ in lv.values())
+    R = sum(r for _, r in lv.values())
+    cr = sum(c * r for c, (_, r) in lv.items())
+    cn = sum(c * n for c, (n, _) in lv.items())
+    ccn = sum(c * c * n for c, (n, _) in lv.items())
+    T = N * cr - R * cn
+    D = N * ccn - cn * cn
+    if R == 0 or R == N or D <= 0:
+        return (len(lv), N, R, None)
+    return (len(lv), N, R, T / math.sqrt(R * (N - R) * D / N))
+
+
+def test_ca_planted_trend_and_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.stats import cochran_armitage
+    rng = random.Random(216)
+    rows = []
+    for g, slope in (("trend", 0.15), ("flat", 0.0)):
+        for _ in range(1500):
+            dose = rng.randrange(1, 6)
+            p = 0.2 + slope * (dose - 1)
+            rows.append((g, dose, 1 if rng.random() < p else 0))
+    df = spark.createDataFrame(rows, "g string, dose long, y long")
+    out = {r.g: r for r in
+           cochran_armitage(df, ["g"], "dose", "y").collect()}
+    for g in ("trend", "flat"):
+        nl, N, R, z = _ca_expected([(d, y) for gg, d, y in rows
+                                    if gg == g])
+        r = out[g]
+        assert (r.n_levels, r.n_total, r.r_total) == (nl, N, R)
+        assert r.z == pytest.approx(z, abs=1e-12)
+    assert out["trend"].z > 5 and abs(out["flat"].z) < 2.5
+
+
+def test_ca_degenerate_null(spark):
+    from mapbox_filter_spark.operators.stats import cochran_armitage
+    rows = [("all1", d, 1) for d in (1, 2, 3)] + \
+           [("const", 2, y) for y in (0, 1, 0, 1)]
+    df = spark.createDataFrame(rows, "g string, dose long, y long")
+    out = {r.g: r for r in
+           cochran_armitage(df, ["g"], "dose", "y").collect()}
+    assert out["all1"].z is None     # R == N
+    assert out["const"].z is None    # constant dose -> D = 0
