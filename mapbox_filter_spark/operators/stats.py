@@ -2347,3 +2347,57 @@ def cochran_armitage(df: DataFrame, group_cols: Sequence[str],
                  / nn.cast("double")))
     return per.select(*g, "n_levels", "n_total", "r_total",
                       z.alias("z"))
+
+
+def weighted_kappa(df: DataFrame, true_col: str, pred_col: str, *,
+                   quadratic: bool = True) -> DataFrame:
+    """Weighted Cohen's κ for ORDINAL labels (Cohen 1968) — the
+    quadratic form is the "QWK" metric ordinal-regression benchmarks
+    report: disagreements are penalized by ``(i−j)²`` (or ``|i−j|``
+    linear), so predicting 4 for a 5 costs far less than predicting 1.
+
+    Exact rational form: with integer labels, observed confusion
+    counts O_ij, and marginals R_i, C_j,
+
+        κ_w = 1 − N·Σ w_ij·O_ij / Σ w_ij·R_i·C_j
+
+    — both sums exact int64 (w_ij = (i−j)² or |i−j|), evaluated from
+    ONE groupBy on the label pair plus a |labels|²-row marginal
+    cross; one pinned division.  κ_w NULL when the chance-weighted
+    denominator is zero (both raters constant).
+
+    Labels must be integer-valued (quantize upstream); int64 bound:
+    N·Σw·O ≤ N²·w_max — fine to N ≈ 3·10⁹/w_max.
+
+    Returns ONE row ``(n_total, w_obs, w_exp_num, kappa_w)`` with
+    ``w_exp_num = Σ w·R·C`` (the ×N-scaled chance term).
+    """
+    t = F.col(true_col).cast("long")
+    p = F.col(pred_col).cast("long")
+    clean = df.filter(t.isNotNull() & p.isNotNull())
+    conf = clean.groupBy(t.alias("_a"), p.alias("_b")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"))
+
+    def w(i, j):
+        d = i - j
+        return d * d if quadratic else F.abs(d)
+
+    obs = conf.agg(
+        F.sum("_n").cast("long").alias("n_total"),
+        F.sum(w(F.col("_a"), F.col("_b")) * F.col("_n"))
+        .cast("long").alias("w_obs"))
+    rows = conf.groupBy(F.col("_a").alias("_l")).agg(
+        F.sum("_n").cast("long").alias("_r"))
+    cols = conf.groupBy(F.col("_b").alias("_l2")).agg(
+        F.sum("_n").cast("long").alias("_c"))
+    exp_ = (rows.crossJoin(cols)
+            .agg(F.sum(w(F.col("_l"), F.col("_l2"))
+                       * F.col("_r") * F.col("_c"))
+                 .cast("long").alias("w_exp_num")))
+    j = obs.crossJoin(F.broadcast(exp_))
+    kappa = F.when(
+        F.col("w_exp_num") > 0,
+        F.lit(1.0) - (F.col("n_total") * F.col("w_obs")).cast("double")
+        / F.col("w_exp_num").cast("double"))
+    return j.select("n_total", "w_obs", "w_exp_num",
+                    kappa.alias("kappa_w"))

@@ -2849,3 +2849,62 @@ FROM per"""
 
 ANALYTICS_QUERIES["cochran_armitage"] = (q_cochran_armitage,
                                          sql_cochran_armitage)
+
+
+def q_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-weighted κ between two synthetic ordinal raters
+    (operators/stats.py weighted_kappa): rater A = cents quintile,
+    rater B = A perturbed by a deterministic ±1 hash wobble — the
+    QWK exact-integer ratio 1 − N·ΣwO/ΣwRC in one division."""
+    from .geo.tilemath import floor_div
+    from .operators.stats import weighted_kappa
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("value").isNotNull())
+          .select(F.least(F.lit(4), floor_div(_cents(), F.lit(2500)))
+                  .alias("a"),
+                  "event_id"))
+    wob = (F.pmod(F.col("event_id") * 2654435761, F.lit(7)) - 3)
+    b = F.greatest(F.lit(0), F.least(
+        F.lit(4), F.col("a") + F.when(wob >= 2, 1)
+        .when(wob <= -2, -1).otherwise(0)))
+    pairs = ev.select("a", b.alias("b"))
+    return weighted_kappa(pairs, "a", "b")
+
+
+def sql_weighted_kappa() -> str:
+    return """WITH e AS (
+  SELECT LEAST(4, CAST(floor(value * 100 + 0.5) AS BIGINT) // 2500)
+           AS a,
+         event_id
+  FROM events WHERE value IS NOT NULL),
+p AS (
+  SELECT a,
+         GREATEST(0, LEAST(4,
+           a + CASE WHEN (event_id * 2654435761) % 7 >= 5 THEN 1
+                    WHEN (event_id * 2654435761) % 7 <= 1 THEN -1
+                    ELSE 0 END)) AS b
+  FROM e),
+conf AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+obs AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM((a - b) * (a - b) * n) AS BIGINT) AS w_obs
+  FROM conf),
+r AS (SELECT a AS l, CAST(SUM(n) AS BIGINT) AS rr
+      FROM conf GROUP BY 1),
+c AS (SELECT b AS l2, CAST(SUM(n) AS BIGINT) AS cc
+      FROM conf GROUP BY 1),
+ex AS (
+  SELECT CAST(SUM((r.l - c.l2) * (r.l - c.l2) * r.rr * c.cc)
+              AS BIGINT) AS w_exp_num
+  FROM r CROSS JOIN c)
+SELECT obs.n_total, obs.w_obs, ex.w_exp_num,
+       CASE WHEN ex.w_exp_num > 0
+            THEN 1.0 - CAST(obs.n_total * obs.w_obs AS DOUBLE)
+                       / CAST(ex.w_exp_num AS DOUBLE) END AS kappa_w
+FROM obs CROSS JOIN ex"""
+
+
+ANALYTICS_QUERIES["weighted_kappa"] = (q_weighted_kappa,
+                                       sql_weighted_kappa)

@@ -1954,3 +1954,54 @@ def test_ca_degenerate_null(spark):
            cochran_armitage(df, ["g"], "dose", "y").collect()}
     assert out["all1"].z is None     # R == N
     assert out["const"].z is None    # constant dose -> D = 0
+
+
+# ---- weighted_kappa ----
+
+def _wk_expected(pairs, quadratic=True):
+    from collections import Counter
+    conf = Counter(pairs)
+    N = len(pairs)
+    w = (lambda i, j: (i - j) ** 2) if quadratic else \
+        (lambda i, j: abs(i - j))
+    w_obs = sum(w(a, b) * n for (a, b), n in conf.items())
+    R = Counter()
+    C = Counter()
+    for (a, b), n in conf.items():
+        R[a] += n
+        C[b] += n
+    w_exp = sum(w(i, j) * R[i] * C[j] for i in R for j in C)
+    k = 1.0 - N * w_obs / w_exp if w_exp > 0 else None
+    return (N, w_obs, w_exp, k)
+
+
+def test_weighted_kappa_identity_and_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.stats import weighted_kappa
+    # perfect agreement -> kappa 1
+    perf = [(i % 5, i % 5) for i in range(100)]
+    r = weighted_kappa(spark.createDataFrame(
+        perf, "a long, b long"), "a", "b").collect()[0]
+    assert r.kappa_w == pytest.approx(1.0) and r.w_obs == 0
+    rng = random.Random(217)
+    for quad in (True, False):
+        pairs = [(rng.randrange(5),
+                  max(0, min(4, rng.randrange(5) if rng.random() < .3
+                             else rng.randrange(5))))
+                 for _ in range(600)]
+        rr = weighted_kappa(
+            spark.createDataFrame(pairs, "a long, b long"),
+            "a", "b", quadratic=quad).collect()[0]
+        N, wo, we, k = _wk_expected(pairs, quad)
+        assert (rr.n_total, rr.w_obs, rr.w_exp_num) == (N, wo, we)
+        assert rr.kappa_w == pytest.approx(k, abs=1e-12)
+    # near-miss predictions beat far-miss under QWK
+    near = [(i % 5, min(4, i % 5 + (1 if i % 3 == 0 else 0)))
+            for i in range(300)]
+    far = [(i % 5, (i % 5 + 3) % 5 if i % 3 == 0 else i % 5)
+           for i in range(300)]
+    kn = weighted_kappa(spark.createDataFrame(
+        near, "a long, b long"), "a", "b").collect()[0].kappa_w
+    kf = weighted_kappa(spark.createDataFrame(
+        far, "a long, b long"), "a", "b").collect()[0].kappa_w
+    assert kn > kf
