@@ -2401,3 +2401,77 @@ def weighted_kappa(df: DataFrame, true_col: str, pred_col: str, *,
         / F.col("w_exp_num").cast("double"))
     return j.select("n_total", "w_obs", "w_exp_num",
                     kappa.alias("kappa_w"))
+
+
+def mantel_haenszel(df: DataFrame, group_cols: Sequence[str],
+                    stratum_col: str, exposed_col: str,
+                    outcome_col: str) -> DataFrame:
+    """Mantel-Haenszel stratified 2×2 analysis per group — the pooled
+    exposure-outcome association ADJUSTED for a confounder (Mantel &
+    Haenszel 1959): each stratum contributes its own 2×2 table
+    (a=E∧O, b=E∧¬O, c=¬E∧O, d=¬E∧¬O, N per stratum), and
+
+        OR_MH = Σᵢ aᵢdᵢ/Nᵢ / Σᵢ bᵢcᵢ/Nᵢ
+        χ²_CMH = (|Σ(aᵢ − r1ᵢc1ᵢ/Nᵢ)| − ½)² /
+                 Σ r1ᵢr2ᵢc1ᵢc2ᵢ/(Nᵢ²(Nᵢ−1))
+
+    — the Simpson's-paradox-proof replacement for the crude
+    ``odds_ratio`` on the collapsed table.
+
+    Determinism: cell counts are exact longs from ONE groupBy on
+    (group, stratum); each stratum term is a pinned double built from
+    exact int64 products (r1·c1 and r2·c2 stay int64 to Nᵢ ≈ 3·10⁹),
+    and the four Σs are PINNED stratum-ordered folds (the
+    entropy_profile discipline).  OR NULL when Σbc/N = 0; χ² NULL
+    when the variance sum is 0; single-subject strata (N=1)
+    contribute nothing to χ² (the (N−1) guard) — standard.
+
+    Returns one row per group: ``(group..., n_strata, n_total,
+    or_mh, chisq_cmh)``.
+    """
+    g = list(group_cols)
+    e = F.col(exposed_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    clean = df.filter(e.isNotNull() & o.isNotNull())
+    cell = clean.groupBy(*g, F.col(stratum_col).alias("_s")).agg(
+        F.sum(F.when(e & o, 1).otherwise(0)).cast("long").alias("_a"),
+        F.sum(F.when(e & ~o, 1).otherwise(0)).cast("long").alias("_b"),
+        F.sum(F.when(~e & o, 1).otherwise(0)).cast("long").alias("_c"),
+        F.sum(F.when(~e & ~o, 1).otherwise(0)).cast("long")
+        .alias("_d"))
+    a, b, c, d = (F.col(x) for x in ("_a", "_b", "_c", "_d"))
+    n = (a + b + c + d)
+    r1, r2 = a + b, c + d
+    c1, c2 = a + c, b + d
+    nd = n.cast("double")
+    t_ad = (a * d).cast("double") / nd
+    t_bc = (b * c).cast("double") / nd
+    t_ame = a.cast("double") - (r1 * c1).cast("double") / nd
+    t_v = F.when(
+        n > 1,
+        (r1 * c1).cast("double") * (r2 * c2).cast("double")
+        / (nd * nd * (n - 1).cast("double"))).otherwise(F.lit(0.0))
+    terms = cell.select(
+        *g, "_s", n.alias("_n"),
+        t_ad.alias("_tad"), t_bc.alias("_tbc"),
+        t_ame.alias("_tame"), t_v.alias("_tv"))
+
+    def fold(col):
+        arr = F.sort_array(F.collect_list(F.struct(
+            F.col("_s"), F.col(col).alias("t"))))
+        return F.aggregate(arr, F.lit(0.0),
+                           lambda acc, s_: acc + s_["t"])
+
+    agg = terms.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("_n").cast("long").alias("n_total"),
+        fold("_tad").alias("_sad"), fold("_tbc").alias("_sbc"),
+        fold("_tame").alias("_same"), fold("_tv").alias("_sv"))
+    or_mh = F.when(F.col("_sbc") > 0.0,
+                   F.col("_sad") / F.col("_sbc"))
+    dev = F.abs(F.col("_same")) - 0.5
+    chisq = F.when(F.col("_sv") > 0.0,
+                   F.greatest(dev, F.lit(0.0)) * F.greatest(dev, F.lit(0.0))
+                   / F.col("_sv"))
+    return agg.select(*g, "n_strata", "n_total",
+                      or_mh.alias("or_mh"), chisq.alias("chisq_cmh"))

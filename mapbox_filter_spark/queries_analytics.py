@@ -2908,3 +2908,101 @@ FROM obs CROSS JOIN ex"""
 
 ANALYTICS_QUERIES["weighted_kappa"] = (q_weighted_kappa,
                                        sql_weighted_kappa)
+
+
+def q_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel purchase↔error association stratified by user
+    cohort (operators/stats.py mantel_haenszel): per-stratum 2×2
+    exact cells, pinned stratum-ordered fold of the ad/N, bc/N,
+    a−E, V terms — the confounder-adjusted odds ratio beside the
+    crude odds_ratio gate."""
+    from .operators.stats import mantel_haenszel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1)
+              .otherwise(0)).alias("bought"),
+        F.max(F.when(F.col("event_type") == "error", 1)
+              .otherwise(0)).alias("errored"),
+        F.count(F.lit(1)).alias("n_ev"))
+    strat = per_user.select(
+        F.lit("all").alias("g"),
+        F.least(F.lit(4), F.log2(F.col("n_ev").cast("double"))
+                .cast("long")).alias("stratum"),
+        (F.col("bought") == 1).alias("exposed"),
+        (F.col("errored") == 1).alias("outcome"))
+    return mantel_haenszel(strat, ["g"], "stratum", "exposed",
+                           "outcome")
+
+
+def sql_mantel_haenszel() -> str:
+    return """WITH pu AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS bought,
+         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           AS errored,
+         COUNT(*) AS n_ev
+  FROM events GROUP BY 1),
+st AS (
+  SELECT 'all' AS g,
+         LEAST(4, CAST(log2(CAST(n_ev AS DOUBLE)) AS BIGINT))
+           AS stratum,
+         bought = 1 AS e, errored = 1 AS o
+  FROM pu),
+cell AS (
+  SELECT g, stratum,
+         CAST(SUM(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT)
+           AS a,
+         CAST(SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT)
+           AS b,
+         CAST(SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT)
+           AS c,
+         CAST(SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM st GROUP BY 1, 2),
+t AS (
+  SELECT g, stratum, a + b + c + d AS n,
+         CAST(a * d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE)
+           AS tad,
+         CAST(b * c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE)
+           AS tbc,
+         CAST(a AS DOUBLE)
+           - CAST((a + b) * (a + c) AS DOUBLE)
+             / CAST(a + b + c + d AS DOUBLE) AS tame,
+         CASE WHEN a + b + c + d > 1 THEN
+           CAST((a + b) * (a + c) AS DOUBLE)
+             * CAST((c + d) * (b + d) AS DOUBLE)
+             / (CAST(a + b + c + d AS DOUBLE)
+                * CAST(a + b + c + d AS DOUBLE)
+                * CAST(a + b + c + d - 1 AS DOUBLE))
+         ELSE 0.0 END AS tv
+  FROM cell),
+agg AS (
+  SELECT g,
+         CAST(COUNT(*) AS BIGINT) AS n_strata,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(tad ORDER BY stratum)),
+                     (x, y) -> x + y) AS sad,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(tbc ORDER BY stratum)),
+                     (x, y) -> x + y) AS sbc,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(tame ORDER BY stratum)),
+                     (x, y) -> x + y) AS same,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(tv ORDER BY stratum)),
+                     (x, y) -> x + y) AS sv
+  FROM t GROUP BY g)
+SELECT g, n_strata, n_total,
+       CASE WHEN sbc > 0.0 THEN sad / sbc END AS or_mh,
+       CASE WHEN sv > 0.0
+            THEN greatest(abs(same) - 0.5, CAST(0.0 AS DOUBLE))
+                 * greatest(abs(same) - 0.5, CAST(0.0 AS DOUBLE))
+                 / sv END AS chisq_cmh
+FROM agg"""
+
+
+ANALYTICS_QUERIES["mantel_haenszel"] = (q_mantel_haenszel,
+                                        sql_mantel_haenszel)

@@ -2005,3 +2005,67 @@ def test_weighted_kappa_identity_and_differential(spark):
     kf = weighted_kappa(spark.createDataFrame(
         far, "a long, b long"), "a", "b").collect()[0].kappa_w
     assert kn > kf
+
+
+# ---- mantel_haenszel ----
+
+def _mh_expected(rows):
+    """rows = [(stratum, exposed, outcome)]."""
+    from collections import defaultdict
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for s_, e, o in rows:
+        idx = 0 if (e and o) else 1 if e else 2 if o else 3
+        cells[s_][idx] += 1
+    sad = sbc = same = sv = 0.0
+    for s_ in sorted(cells):
+        a, b, c, d = cells[s_]
+        n = a + b + c + d
+        sad += a * d / n
+        sbc += b * c / n
+        same += a - (a + b) * (a + c) / n
+        if n > 1:
+            sv += ((a + b) * (a + c)) * ((c + d) * (b + d)) \
+                / (n * n * (n - 1))
+    or_mh = sad / sbc if sbc > 0 else None
+    chisq = (max(abs(same) - 0.5, 0.0) ** 2 / sv) if sv > 0 else None
+    return or_mh, chisq
+
+
+def test_mh_simpsons_paradox_and_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.stats import mantel_haenszel
+    # classic confounding: within each stratum exposure is HARMLESS
+    # (OR=1) but the crude pooled table shows association
+    rows = []
+    # stratum 0: high exposure, high outcome base rate
+    rows += [("s0", True, True)] * 80 + [("s0", True, False)] * 20 \
+        + [("s0", False, True)] * 8 + [("s0", False, False)] * 2
+    # stratum 1: low exposure, low outcome base rate
+    rows += [("s1", True, True)] * 2 + [("s1", True, False)] * 8 \
+        + [("s1", False, True)] * 20 + [("s1", False, False)] * 80
+    df = spark.createDataFrame(
+        [("g", s, e, o) for s, e, o in rows],
+        "g string, s string, e boolean, o boolean")
+    r = mantel_haenszel(df, ["g"], "s", "e", "o").collect()[0]
+    or_exp, chi_exp = _mh_expected(rows)
+    assert r.or_mh == pytest.approx(or_exp)
+    assert r.or_mh == pytest.approx(1.0)   # adjusted OR: no effect
+    assert r.chisq_cmh == pytest.approx(chi_exp)
+    assert r.chisq_cmh < 1.0               # and not significant
+    # crude OR on the collapsed table WOULD read an association
+    a = sum(1 for _, e, o in rows if e and o)
+    b = sum(1 for _, e, o in rows if e and not o)
+    c = sum(1 for _, e, o in rows if not e and o)
+    d = sum(1 for _, e, o in rows if not e and not o)
+    assert (a * d) / (b * c) > 2.0
+
+    rng = random.Random(218)
+    rnd = [("t%d" % rng.randrange(4), rng.random() < 0.5,
+            rng.random() < 0.3) for _ in range(800)]
+    rdf = spark.createDataFrame(
+        [("g", s, e, o) for s, e, o in rnd],
+        "g string, s string, e boolean, o boolean")
+    rr = mantel_haenszel(rdf, ["g"], "s", "e", "o").collect()[0]
+    or_e, chi_e = _mh_expected(rnd)
+    assert rr.or_mh == pytest.approx(or_e, abs=1e-12)
+    assert rr.chisq_cmh == pytest.approx(chi_e, abs=1e-12)
