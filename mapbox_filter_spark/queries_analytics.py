@@ -3006,3 +3006,71 @@ FROM agg"""
 
 ANALYTICS_QUERIES["mantel_haenszel"] = (q_mantel_haenszel,
                                         sql_mantel_haenszel)
+
+
+def q_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve (operators/metrics.py qini_curve): score =
+    value cents, treatment = user-id parity, response = purchase —
+    cumulative treated-vs-control incremental responders per decile,
+    exact integer cuts and counts, one pinned chain per statistic."""
+    from .operators.metrics import qini_curve
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("value").isNotNull())
+          .select(F.lit("all").alias("g"),
+                  _cents().alias("score"),
+                  (F.pmod(F.col("user_id"), F.lit(2)) == 0)
+                  .alias("treat"),
+                  (F.col("event_type") == "purchase").alias("y"),
+                  "event_id"))
+    return qini_curve(ev, ["g"], "score", "treat", "y", "event_id")
+
+
+def sql_qini_curve() -> str:
+    return """WITH e AS (
+  SELECT 'all' AS g,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS score,
+         (user_id % 2 = 0) AS t,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         event_id
+  FROM events WHERE value IS NOT NULL),
+r AS (
+  SELECT g, t, y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY g
+                                 ORDER BY score DESC, event_id)
+              AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM e),
+b AS (SELECT g, t, y, ((rn - 1) * 10) // n + 1 AS bucket FROM r),
+per AS (
+  SELECT g, bucket,
+         CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_c,
+         CAST(SUM(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS r_t,
+         CAST(SUM(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT)
+           AS r_c
+  FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT g, bucket, n_t, n_c, r_t, r_c,
+         CAST(SUM(n_t) OVER w AS BIGINT) AS cum_nt,
+         CAST(SUM(n_c) OVER w AS BIGINT) AS cum_nc,
+         CAST(SUM(r_t) OVER w AS BIGINT) AS cum_rt,
+         CAST(SUM(r_c) OVER w AS BIGINT) AS cum_rc
+  FROM per
+  WINDOW w AS (PARTITION BY g ORDER BY bucket
+               ROWS UNBOUNDED PRECEDING))
+SELECT g, bucket, n_t, n_c, r_t, r_c, cum_nt, cum_nc, cum_rt,
+       cum_rc,
+       CASE WHEN cum_nc > 0
+            THEN CAST(cum_rt AS DOUBLE)
+                 - CAST(cum_rc * cum_nt AS DOUBLE)
+                   / CAST(cum_nc AS DOUBLE) END AS qini,
+       CASE WHEN cum_nt > 0 AND cum_nc > 0
+            THEN CAST(cum_rt AS DOUBLE) / CAST(cum_nt AS DOUBLE)
+                 - CAST(cum_rc AS DOUBLE) / CAST(cum_nc AS DOUBLE)
+       END AS uplift
+FROM cum"""
+
+
+ANALYTICS_QUERIES["qini_curve"] = (q_qini_curve, sql_qini_curve)

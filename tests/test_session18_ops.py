@@ -2069,3 +2069,51 @@ def test_mh_simpsons_paradox_and_differential(spark):
     or_e, chi_e = _mh_expected(rnd)
     assert rr.or_mh == pytest.approx(or_e, abs=1e-12)
     assert rr.chisq_cmh == pytest.approx(chi_e, abs=1e-12)
+
+
+# ---- qini_curve ----
+
+def test_qini_planted_uplift_and_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.metrics import qini_curve
+    rng = random.Random(219)
+    rows = []
+    for i in range(3000):
+        score = rng.randrange(1000)
+        treat = rng.random() < 0.5
+        # true uplift concentrated in high scores
+        p = 0.1 + (0.25 * score / 1000 if treat else 0.0)
+        rows.append(("g", i, score, treat,
+                     1 if rng.random() < p else 0))
+    df = spark.createDataFrame(
+        rows, "g string, id long, score long, t boolean, y long")
+    out = {r.bucket: r for r in
+           qini_curve(df, ["g"], "score", "t", "y", "id").collect()}
+    # python replay
+    order = sorted(rows, key=lambda x: (-x[2], x[1]))
+    n = len(order)
+    from collections import defaultdict
+    per = defaultdict(lambda: [0, 0, 0, 0])
+    for rn, (_, _, _, t, y) in enumerate(order, 1):
+        bkt = (rn - 1) * 10 // n + 1
+        per[bkt][0] += t
+        per[bkt][1] += not t
+        per[bkt][2] += y if t else 0
+        per[bkt][3] += y if not t else 0
+    cnt, cnc, crt, crc = 0, 0, 0, 0
+    for bkt in sorted(per):
+        nt, nc, rt, rc = per[bkt]
+        cnt += nt
+        cnc += nc
+        crt += rt
+        crc += rc
+        r = out[bkt]
+        assert (r.n_t, r.n_c, r.r_t, r.r_c) == (nt, nc, rt, rc)
+        assert (r.cum_nt, r.cum_nc, r.cum_rt, r.cum_rc) == \
+            (cnt, cnc, crt, crc)
+        assert r.qini == pytest.approx(crt - crc * cnt / cnc)
+        assert r.uplift == pytest.approx(crt / cnt - crc / cnc)
+    # planted signal: early deciles show positive uplift, and the
+    # qini value grows fastest at the top of the ranking
+    assert out[1].uplift > 0.1
+    assert out[3].qini > 0.5 * out[10].qini > 0
