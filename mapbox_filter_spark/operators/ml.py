@@ -564,3 +564,77 @@ def eb_shrink_rates(df: DataFrame, entity_col: str, label_col: str
     ).otherwise(F.col("raw_rate"))
     return j.select("entity", "n", "x", "raw_rate", "alpha", "beta",
                     shrunk.alias("shrunk"))
+
+
+def brier_score(df: DataFrame, score_col: str, label_col: str, *,
+                n_bins: int = 10, scale: int = 1000) -> DataFrame:
+    """Brier score + Murphy decomposition — the proper scoring rule
+    for probabilistic classifiers (Brier 1950; Murphy 1973):
+
+        BS  = (1/N)·Σ (p_i − y_i)²
+        BS  = REL − RES + UNC            (for bin-valued forecasts)
+        REL = Σ_b n_b·(conf_b − acc_b)²/N   (calibration gap — ece's
+                                             squared cousin)
+        RES = Σ_b n_b·(acc_b − ȳ)²/N        (resolution: how much the
+                                             bins separate outcomes)
+        UNC = ȳ·(1−ȳ)
+
+    Exactness: with integer scores in [0, scale), the raw Brier sum
+    ``Σ (s_i − y_i·scale)²`` is ONE exact int64 aggregate and BS one
+    pinned division; REL and RES numerators are per-bin exact-integer
+    gaps ``(sum_b − pos_b·scale)²`` and ``(pos_b·N − n_b·P)²`` whose
+    rational bin terms (denominators n_b) are summed in PINNED
+    bin-ordered folds; UNC is one exact-product chain.  The Murphy
+    identity holds exactly when forecasts are constant within bins;
+    otherwise BS also carries the (reported-free) within-bin forecast
+    variance — the standard caveat.
+
+    Shape: one map-side-combinable groupBy onto ≤ n_bins rows + one
+    exact global aggregate.
+
+    Returns ONE row ``(n, brier_num, brier, rel, res, unc)``.
+    """
+    from ..geo.tilemath import floor_div
+
+    s = F.col(score_col).cast("long")
+    y = F.col(label_col).cast("long")
+    clean = df.filter(s.isNotNull() & y.isNotNull())
+    raw = clean.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((s - y * scale) * (s - y * scale)).cast("long")
+        .alias("brier_num"),
+        F.sum(y).cast("long").alias("_p"))
+    b = floor_div(s * n_bins, scale).alias("_bin")
+    bins = clean.groupBy(b).agg(
+        F.count(F.lit(1)).cast("long").alias("_nb"),
+        F.sum(y).cast("long").alias("_pos"),
+        F.sum(s).cast("long").alias("_sum"))
+    gap = (F.col("_sum") - F.col("_pos") * scale).cast("double")
+    rel_t = gap * gap / F.col("_nb").cast("double")
+    bins2 = bins.crossJoin(F.broadcast(raw.select("n", "_p")))
+    res_t = ((F.col("_pos") * F.col("n") - F.col("_nb") * F.col("_p"))
+             .cast("double")
+             * (F.col("_pos") * F.col("n") - F.col("_nb") * F.col("_p"))
+             .cast("double")) / F.col("_nb").cast("double")
+    terms = bins2.select("_bin", rel_t.alias("_rt"),
+                         res_t.alias("_st"))
+
+    def fold(col):
+        arr = F.sort_array(F.collect_list(F.struct(
+            F.col("_bin"), F.col(col).alias("t"))))
+        return F.aggregate(arr, F.lit(0.0),
+                           lambda acc, x: acc + x["t"])
+
+    folded = terms.agg(fold("_rt").alias("_rel_s"),
+                       fold("_st").alias("_res_s"))
+    out = raw.crossJoin(F.broadcast(folded))
+    nd = F.col("n").cast("double")
+    sc2 = float(scale * scale)
+    brier = F.col("brier_num").cast("double") / (nd * F.lit(sc2))
+    rel = F.col("_rel_s") / (nd * F.lit(sc2))
+    res = F.col("_res_s") / (nd * nd * nd)
+    unc = (F.col("_p").cast("double")
+           * (F.col("n") - F.col("_p")).cast("double")) / (nd * nd)
+    return out.select("n", "brier_num", brier.alias("brier"),
+                      rel.alias("rel"), res.alias("res"),
+                      unc.alias("unc"))

@@ -3074,3 +3074,67 @@ FROM cum"""
 
 
 ANALYTICS_QUERIES["qini_curve"] = (q_qini_curve, sql_qini_curve)
+
+
+def q_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + Murphy decomposition on the calibration_bins
+    substrate (operators/ml.py brier_score): the raw Brier sum is one
+    exact int64 aggregate; reliability/resolution ride pinned
+    bin-ordered folds of exact-integer gap terms."""
+    from .geo.tilemath import floor_div
+    from .operators.ml import brier_score
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        F.least(F.lit(999),
+                floor_div(_cents(), F.lit(49))).alias("score_milli"))
+    return brier_score(ev, "score_milli", "y")
+
+
+def sql_brier_score() -> str:
+    return """WITH e AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         LEAST(999, CAST(floor(value * 100 + 0.5) AS BIGINT) // 49)
+           AS s
+  FROM events WHERE value IS NOT NULL),
+raw AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM((s - y * 1000) * (s - y * 1000)) AS BIGINT)
+           AS brier_num,
+         CAST(SUM(y) AS BIGINT) AS p
+  FROM e),
+bins AS (
+  SELECT (s * 10) // 1000 AS bin,
+         CAST(COUNT(*) AS BIGINT) AS nb,
+         CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(SUM(s) AS BIGINT) AS sm
+  FROM e GROUP BY 1),
+t AS (
+  SELECT bin,
+         CAST(sm - pos * 1000 AS DOUBLE)
+           * CAST(sm - pos * 1000 AS DOUBLE)
+           / CAST(nb AS DOUBLE) AS rt,
+         CAST(pos * raw.n - nb * raw.p AS DOUBLE)
+           * CAST(pos * raw.n - nb * raw.p AS DOUBLE)
+           / CAST(nb AS DOUBLE) AS st
+  FROM bins CROSS JOIN raw),
+f AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(rt ORDER BY bin)),
+                     (a, x) -> a + x) AS rel_s,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(st ORDER BY bin)),
+                     (a, x) -> a + x) AS res_s
+  FROM t)
+SELECT raw.n, raw.brier_num,
+       CAST(raw.brier_num AS DOUBLE)
+         / (CAST(raw.n AS DOUBLE) * 1000000.0) AS brier,
+       f.rel_s / (CAST(raw.n AS DOUBLE) * 1000000.0) AS rel,
+       f.res_s / (CAST(raw.n AS DOUBLE) * CAST(raw.n AS DOUBLE)
+                  * CAST(raw.n AS DOUBLE)) AS res,
+       CAST(raw.p AS DOUBLE) * CAST(raw.n - raw.p AS DOUBLE)
+         / (CAST(raw.n AS DOUBLE) * CAST(raw.n AS DOUBLE)) AS unc
+FROM raw CROSS JOIN f"""
+
+
+ANALYTICS_QUERIES["brier_score"] = (q_brier_score, sql_brier_score)

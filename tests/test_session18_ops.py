@@ -2117,3 +2117,30 @@ def test_qini_planted_uplift_and_differential(spark):
     # qini value grows fastest at the top of the ranking
     assert out[1].uplift > 0.1
     assert out[3].qini > 0.5 * out[10].qini > 0
+
+
+# ---- brier_score ----
+
+def test_brier_murphy_identity_and_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.ml import brier_score
+    rng = random.Random(220)
+    # scores constant within each bin (bin centers) -> Murphy identity
+    # holds EXACTLY: brier == rel - res + unc
+    centers = [50 + 100 * b for b in range(10)]
+    rows = [(c, 1 if rng.random() < c / 1000 else 0)
+            for _ in range(500) for c in (rng.choice(centers),)]
+    df = spark.createDataFrame(rows, "s long, y long")
+    r = brier_score(df, "s", "y").collect()[0]
+    # python replay
+    n = len(rows)
+    bn = sum((s - y * 1000) ** 2 for s, y in rows)
+    assert (r.n, r.brier_num) == (n, bn)
+    assert r.brier == pytest.approx(bn / (n * 1e6))
+    assert r.brier == pytest.approx(r.rel - r.res + r.unc, abs=1e-12)
+    assert 0.0 <= r.brier <= 1.0 and r.unc <= 0.25 + 1e-12
+    # a perfectly sharp, perfect classifier scores 0
+    perf = [(999, 1)] * 20 + [(0, 0)] * 20
+    rp = brier_score(spark.createDataFrame(
+        perf, "s long, y long"), "s", "y").collect()[0]
+    assert rp.brier == pytest.approx(1e-6 * 20 / 40, abs=1e-9)
