@@ -2475,3 +2475,64 @@ def mantel_haenszel(df: DataFrame, group_cols: Sequence[str],
                    / F.col("_sv"))
     return agg.select(*g, "n_strata", "n_total",
                       or_mh.alias("or_mh"), chisq.alias("chisq_cmh"))
+
+
+def srm_check(df: DataFrame, group_cols: Sequence[str],
+              arm_col: str, expected: "dict[str, tuple[int, int]]"
+              ) -> DataFrame:
+    """Sample-ratio-mismatch check per experiment — the first
+    diagnostic every A/B platform runs (Fabijan et al. 2019): a
+    chi-square goodness-of-fit of observed arm counts against the
+    DESIGNED split (e.g. 50/50), because a mismatched ratio
+    invalidates the experiment before any metric is read.
+
+    ``expected`` maps arm → exact rational share (num, den).  With
+    observed o_a and N rows, each term telescopes to exact integers:
+
+        (o_a − N·num/den)²/(N·num/den)
+            = (o_a·den − N·num)² / (N·num·den)
+
+    — numerator an exact int64 (cast-then-squared in double beyond
+    ±3·10⁹), one pinned division per arm, and the χ² total is a
+    PINNED arm-ordered fold.  Arms observed but not in ``expected``
+    raise in-plan (a typo'd arm name must never silently pass);
+    expected arms with zero observations still contribute their full
+    term via the left join.
+
+    Returns one row per group: ``(group..., n, df_chi, chisq)`` with
+    ``df_chi`` = #arms − 1.
+    """
+    g = list(group_cols)
+    if not expected:
+        raise ValueError("expected must be non-empty")
+    arms = sorted(expected)
+    exp_rows = [(a, int(expected[a][0]), int(expected[a][1]))
+                for a in arms]
+    obs = (df.filter(F.col(arm_col).isNotNull())
+           .groupBy(*g, F.col(arm_col).alias("_arm"))
+           .agg(F.count(F.lit(1)).cast("long").alias("_o")))
+    known = F.col("_arm").isin(arms)
+    obs = obs.withColumn(
+        "_o",
+        F.when(~known, F.raise_error(F.concat(
+            F.lit("srm_check: unexpected arm: "),
+            F.col("_arm"))).cast("long")).otherwise(F.col("_o")))
+    tot = obs.groupBy(*g).agg(F.sum("_o").cast("long").alias("n"))
+    spark = df.sparkSession
+    exp_df = spark.createDataFrame(
+        exp_rows, "_arm string, _num long, _den long")
+    full = (tot.crossJoin(F.broadcast(exp_df))
+            .join(obs, [*g, "_arm"], "left")
+            .withColumn("_o", F.coalesce("_o", F.lit(0).cast("long"))))
+    dev = (F.col("_o") * F.col("_den")
+           - F.col("n") * F.col("_num")).cast("double")
+    term = dev * dev / (F.col("n") * F.col("_num")
+                        * F.col("_den")).cast("double")
+    arr = F.sort_array(F.collect_list(F.struct(
+        F.col("_arm"), term.alias("t"))))
+    agg = full.groupBy(*g).agg(
+        F.max("n").alias("n"),
+        (F.count(F.lit(1)) - 1).cast("long").alias("df_chi"),
+        F.aggregate(arr, F.lit(0.0),
+                    lambda a, s_: a + s_["t"]).alias("chisq"))
+    return agg.select(*g, "n", "df_chi", "chisq")

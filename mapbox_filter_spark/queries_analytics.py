@@ -3138,3 +3138,55 @@ FROM raw CROSS JOIN f"""
 
 
 ANALYTICS_QUERIES["brier_score"] = (q_brier_score, sql_brier_score)
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch χ² per event type (operators/stats.py
+    srm_check): the user-parity 'assignment' audited against the
+    designed 1:1 split — exact (o·den − N·num)² integer terms, one
+    pinned arm-ordered fold."""
+    from .operators.stats import srm_check
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, "arm_a")
+        .otherwise("arm_b").alias("arm"))
+    return srm_check(ev, ["event_type"], "arm",
+                     {"arm_a": (1, 2), "arm_b": (1, 2)})
+
+
+def sql_srm_check() -> str:
+    return """WITH e AS (
+  SELECT event_type,
+         CASE WHEN user_id % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END
+           AS arm
+  FROM events),
+obs AS (
+  SELECT event_type, arm, CAST(COUNT(*) AS BIGINT) AS o
+  FROM e GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, CAST(SUM(o) AS BIGINT) AS n
+  FROM obs GROUP BY 1),
+exp_arms(arm, num, den) AS (VALUES ('arm_a', 1, 2), ('arm_b', 1, 2)),
+full_t AS (
+  SELECT t.event_type, t.n, x.arm,
+         CAST(x.num AS BIGINT) AS num, CAST(x.den AS BIGINT) AS den,
+         COALESCE(obs.o, 0) AS o
+  FROM tot t CROSS JOIN exp_arms x
+  LEFT JOIN obs ON obs.event_type = t.event_type
+               AND obs.arm = x.arm),
+terms AS (
+  SELECT event_type, n, arm,
+         CAST(o * den - n * num AS DOUBLE)
+           * CAST(o * den - n * num AS DOUBLE)
+           / CAST(n * num * den AS DOUBLE) AS t
+  FROM full_t)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(COUNT(*) - 1 AS BIGINT) AS df_chi,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list(t ORDER BY arm)),
+                   (a, x) -> a + x) AS chisq
+FROM terms GROUP BY event_type"""
+
+
+ANALYTICS_QUERIES["srm_check"] = (q_srm_check, sql_srm_check)

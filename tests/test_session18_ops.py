@@ -2144,3 +2144,48 @@ def test_brier_murphy_identity_and_differential(spark):
     rp = brier_score(spark.createDataFrame(
         perf, "s long, y long"), "s", "y").collect()[0]
     assert rp.brier == pytest.approx(1e-6 * 20 / 40, abs=1e-9)
+
+
+# ---- srm_check ----
+
+def test_srm_detects_mismatch_and_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.stats import srm_check
+    rng = random.Random(221)
+    ok = [("ok", "a" if rng.random() < 0.5 else "b")
+          for _ in range(4000)]
+    bad = [("bad", "a" if rng.random() < 0.56 else "b")
+           for _ in range(4000)]
+    df = spark.createDataFrame(ok + bad, "g string, arm string")
+    out = {r.g: r for r in
+           srm_check(df, ["g"], "arm",
+                     {"a": (1, 2), "b": (1, 2)}).collect()}
+
+    def chi(rows):
+        n = len(rows)
+        oa = sum(1 for _, a in rows if a == "a")
+        return sum((o * 2 - n) ** 2 / (n * 2)
+                   for o in (oa, n - oa))
+
+    for g, rows in (("ok", ok), ("bad", bad)):
+        r = out[g]
+        assert r.n == 4000 and r.df_chi == 1
+        assert r.chisq == pytest.approx(chi(rows), abs=1e-10)
+    assert out["bad"].chisq > 10 > out["ok"].chisq
+
+
+def test_srm_missing_and_unexpected_arms(spark):
+    from mapbox_filter_spark.operators.stats import srm_check
+    # expected arm 'c' never observed -> contributes its full term
+    df = spark.createDataFrame([("g", "a")] * 30 + [("g", "b")] * 30,
+                               "g string, arm string")
+    r = srm_check(df, ["g"], "arm",
+                  {"a": (1, 3), "b": (1, 3), "c": (1, 3)}).collect()[0]
+    assert r.df_chi == 2
+    exp = sum((o * 3 - 60) ** 2 / (60 * 3) for o in (30, 30, 0))
+    assert r.chisq == pytest.approx(exp)
+    # an arm not in the design raises
+    df2 = spark.createDataFrame([("g", "a"), ("g", "zzz")],
+                                "g string, arm string")
+    with pytest.raises(Exception, match="unexpected arm"):
+        srm_check(df2, ["g"], "arm", {"a": (1, 1)}).collect()
