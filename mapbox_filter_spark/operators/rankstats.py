@@ -37,7 +37,7 @@ __all__ = ["spearman_corr", "mann_whitney_u", "ks_2samp", "kendall_tau",
            "kendalls_w", "wasserstein_1d", "cvm_2samp", "cliffs_delta",
            "wilcoxon_signed_rank", "jonckheere_trend", "somers_d",
            "ansari_bradley", "page_trend", "storey_qvalue",
-           "seasonal_mann_kendall"]
+           "seasonal_mann_kendall", "ad_2samp"]
 
 # 4n^4 < 2^63  =>  n <= 38,000 keeps every sum exact in int64
 _MAX_GROUP_ROWS = 38_000
@@ -1404,3 +1404,94 @@ def seasonal_mann_kendall(df: DataFrame, group_cols: "list[str]", *,
         / F.sqrt(F.col("var18_num").cast("double") / F.lit(18.0)))
     return tot.select(*g, "n_seasons", "n_points", "s_stat",
                       "var18_num", z.alias("z"))
+
+
+def ad_2samp(df: DataFrame, group_cols: "list[str]",
+             flag_col: str, value_col: str) -> DataFrame:
+    """Two-sample Anderson-Darling test per group — the
+    tail-sensitive "same distribution?" upgrade of :func:`ks_2samp`
+    (AD weights the CDF gap by 1/(F(1−F)), so divergence in the
+    tails — exactly where curation filters act — counts fully).
+    Scholz & Stephens (1987) k-sample form, k = 2, WITH the exact
+    tie adjustment (their eq. 7, midrank version):
+
+        A² = (N−1)/N · Σ_a (1/n_a) Σ_j l_j·(N·M̄_aj − n_a·B̄_j)²
+                                      / [N·(B̄_j(N−B̄_j) − N·l_j/4)]
+
+    over distinct pooled values j with tie mass l_j, midpoint
+    cumulatives B̄, M̄.  DOUBLING the cumulatives (B̄2 = 2B_{j−1}+l_j,
+    M̄2 likewise) clears every half and quarter: the per-term
+    numerator (N·M̄2 − n_a·B̄2) and denominator B̄2(2N−B̄2) − N·l_j
+    are EXACT int64 (numerator cast-then-squared in double — its
+    square exceeds int64), the j-sums are PINNED value-ordered folds,
+    and A² is one pinned chain.  E[A²] = k−1 = 1 under H0 (compare
+    against that; the normalizing σ_N is a published polynomial
+    callers can apply downstream).
+
+    Same single-exchange shape as the other rank tests: one
+    (group, value) collapse, running windows on the group key, one
+    fold.  Int64 bound: N·M̄2 ≤ 2N² ⇒ N ≤ 2·10⁹ (ANSI-loud).
+
+    Returns ``(group..., n1, n2, n_values, a2)`` — NULL when either
+    sample is empty or every value ties (denominator 0 rows are
+    skipped exactly when l_j = N).
+    """
+    clean = df.filter(F.col(flag_col).isNotNull()
+                      & F.col(value_col).isNotNull())
+    cell = (clean.groupBy(*group_cols,
+                          F.col(value_col).alias("_v"))
+            .agg(F.sum(F.when(F.col(flag_col).cast("boolean"), 1)
+                       .otherwise(0)).cast("long").alias("_l1"),
+                 F.sum(F.when(F.col(flag_col).cast("boolean"), 0)
+                       .otherwise(1)).cast("long").alias("_l2")))
+    wrun = (Window.partitionBy(*group_cols).orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    wtot = Window.partitionBy(*group_cols)
+    l = F.col("_l1") + F.col("_l2")
+    base = cell.select(
+        *group_cols, "_v", "_l1", "_l2", l.alias("_l"),
+        F.coalesce(F.sum(F.col("_l1") + F.col("_l2")).over(wrun),
+                   F.lit(0).cast("long")).alias("_bprev"),
+        F.coalesce(F.sum("_l1").over(wrun),
+                   F.lit(0).cast("long")).alias("_m1prev"),
+        F.coalesce(F.sum("_l2").over(wrun),
+                   F.lit(0).cast("long")).alias("_m2prev"),
+        F.sum("_l1").over(wtot).alias("_n1"),
+        F.sum("_l2").over(wtot).alias("_n2"))
+    nn = (F.col("_n1") + F.col("_n2"))
+    b2 = 2 * F.col("_bprev") + F.col("_l")
+    den2 = (b2 * (2 * nn - b2) - nn * F.col("_l"))
+
+    def term(mprev, lcol, na):
+        m2 = 2 * F.col(mprev) + F.col(lcol)
+        num = (nn * m2 - na * b2).cast("double")
+        return F.when(
+            den2 > 0,
+            F.col("_l").cast("double") * num * num
+            / (nn.cast("double") * den2.cast("double"))
+        ).otherwise(F.lit(0.0))
+
+    terms = base.select(
+        *group_cols, "_v", "_n1", "_n2",
+        term("_m1prev", "_l1", F.col("_n1")).alias("_t1"),
+        term("_m2prev", "_l2", F.col("_n2")).alias("_t2"))
+
+    def fold(col):
+        arr = F.sort_array(F.collect_list(F.struct(
+            F.col("_v"), F.col(col).alias("t"))))
+        return F.aggregate(arr, F.lit(0.0),
+                           lambda acc, s_: acc + s_["t"])
+
+    agg = terms.groupBy(*group_cols).agg(
+        F.max("_n1").alias("n1"), F.max("_n2").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+        fold("_t1").alias("_s1"), fold("_t2").alias("_s2"))
+    n1, n2 = F.col("n1"), F.col("n2")
+    ntot = n1 + n2
+    a2 = F.when(
+        (n1 > 0) & (n2 > 0) & (F.col("n_values") > 1),
+        (ntot - 1).cast("double") / ntot.cast("double")
+        * (F.col("_s1") / n1.cast("double")
+           + F.col("_s2") / n2.cast("double")))
+    return agg.select(*group_cols, "n1", "n2", "n_values",
+                      a2.alias("a2"))

@@ -3190,3 +3190,90 @@ FROM terms GROUP BY event_type"""
 
 
 ANALYTICS_QUERIES["srm_check"] = (q_srm_check, sql_srm_check)
+
+
+def q_ad_2samp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling per event type, A/B split by
+    event-id parity (operators/rankstats.py ad_2samp): the
+    tail-weighted distribution test beside ks_test/cvm_test on the
+    same split — doubled midpoint cumulatives keep every term an
+    exact integer ratio, pinned value-ordered folds."""
+    from .operators.rankstats import ad_2samp
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("value").isNotNull()) \
+        .select("event_type",
+                (F.pmod(F.col("event_id"), F.lit(2)) == 0).alias("grp_a"),
+                _cents().alias("cents"))
+    return ad_2samp(ev, ["event_type"], "grp_a", "cents")
+
+
+def sql_ad_2samp() -> str:
+    return """WITH e AS (
+  SELECT event_type, (event_id % 2 = 0) AS f,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+cell AS (
+  SELECT event_type, v,
+         CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS l1,
+         CAST(SUM(CASE WHEN NOT f THEN 1 ELSE 0 END) AS BIGINT) AS l2
+  FROM e GROUP BY 1, 2),
+base AS (
+  SELECT event_type, v, l1, l2, l1 + l2 AS l,
+         COALESCE(SUM(l1 + l2) OVER w, 0) AS bprev,
+         COALESCE(SUM(l1) OVER w, 0) AS m1prev,
+         COALESCE(SUM(l2) OVER w, 0) AS m2prev,
+         CAST(SUM(l1) OVER (PARTITION BY event_type) AS BIGINT) AS n1,
+         CAST(SUM(l2) OVER (PARTITION BY event_type) AS BIGINT) AS n2
+  FROM cell
+  WINDOW w AS (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+terms AS (
+  SELECT event_type, v, n1, n2,
+         CASE WHEN (2 * bprev + l) * (2 * (n1 + n2) - 2 * bprev - l)
+                   - (n1 + n2) * l > 0
+              THEN CAST(l AS DOUBLE)
+                   * CAST((n1 + n2) * (2 * m1prev + l1)
+                          - n1 * (2 * bprev + l) AS DOUBLE)
+                   * CAST((n1 + n2) * (2 * m1prev + l1)
+                          - n1 * (2 * bprev + l) AS DOUBLE)
+                   / (CAST(n1 + n2 AS DOUBLE)
+                      * CAST((2 * bprev + l)
+                             * (2 * (n1 + n2) - 2 * bprev - l)
+                             - (n1 + n2) * l AS DOUBLE))
+              ELSE 0.0 END AS t1,
+         CASE WHEN (2 * bprev + l) * (2 * (n1 + n2) - 2 * bprev - l)
+                   - (n1 + n2) * l > 0
+              THEN CAST(l AS DOUBLE)
+                   * CAST((n1 + n2) * (2 * m2prev + l2)
+                          - n2 * (2 * bprev + l) AS DOUBLE)
+                   * CAST((n1 + n2) * (2 * m2prev + l2)
+                          - n2 * (2 * bprev + l) AS DOUBLE)
+                   / (CAST(n1 + n2 AS DOUBLE)
+                      * CAST((2 * bprev + l)
+                             * (2 * (n1 + n2) - 2 * bprev - l)
+                             - (n1 + n2) * l AS DOUBLE))
+              ELSE 0.0 END AS t2
+  FROM base),
+agg AS (
+  SELECT event_type,
+         CAST(MAX(n1) AS BIGINT) AS n1,
+         CAST(MAX(n2) AS BIGINT) AS n2,
+         CAST(COUNT(*) AS BIGINT) AS n_values,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(t1 ORDER BY v)),
+                     (a, x) -> a + x) AS s1,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(t2 ORDER BY v)),
+                     (a, x) -> a + x) AS s2
+  FROM terms GROUP BY event_type)
+SELECT event_type, n1, n2, n_values,
+       CASE WHEN n1 > 0 AND n2 > 0 AND n_values > 1
+            THEN CAST(n1 + n2 - 1 AS DOUBLE)
+                 / CAST(n1 + n2 AS DOUBLE)
+                 * (s1 / CAST(n1 AS DOUBLE)
+                    + s2 / CAST(n2 AS DOUBLE)) END AS a2
+FROM agg"""
+
+
+ANALYTICS_QUERIES["ad_2samp"] = (q_ad_2samp, sql_ad_2samp)

@@ -2189,3 +2189,67 @@ def test_srm_missing_and_unexpected_arms(spark):
                                 "g string, arm string")
     with pytest.raises(Exception, match="unexpected arm"):
         srm_check(df2, ["g"], "arm", {"a": (1, 1)}).collect()
+
+
+# ---- ad_2samp ----
+
+def _ad_expected(rows):
+    """Literal Scholz-Stephens eq.7 (k=2, tie/midrank version)."""
+    from collections import Counter
+    s1 = sorted(v for f, v in rows if f)
+    s2 = sorted(v for f, v in rows if not f)
+    n1, n2 = len(s1), len(s2)
+    N = n1 + n2
+    if n1 == 0 or n2 == 0:
+        return (n1, n2, None)
+    vals = sorted(set(v for _, v in rows))
+    if len(vals) < 2:
+        return (n1, n2, None)
+    c1, c2 = Counter(s1), Counter(s2)
+    total = 0.0
+    Bprev = M1prev = M2prev = 0
+    for v in vals:
+        l1, l2 = c1[v], c2[v]
+        l = l1 + l2
+        Bbar = Bprev + l / 2
+        den = Bbar * (N - Bbar) - N * l / 4
+        if den > 0:
+            for (Mprev, la, na) in ((M1prev, l1, n1),
+                                    (M2prev, l2, n2)):
+                Mbar = Mprev + la / 2
+                total += (1 / na) * l * (N * Mbar - na * Bbar) ** 2 \
+                    / (N * den)
+        Bprev += l
+        M1prev += l1
+        M2prev += l2
+    return (n1, n2, (N - 1) / N * total)
+
+
+def test_ad_2samp_differential_and_sensitivity(spark):
+    import random
+    from mapbox_filter_spark.operators.rankstats import ad_2samp
+    rng = random.Random(222)
+    same = [("same", rng.random() < 0.5, rng.randrange(30))
+            for _ in range(400)]
+    shift = [("shift", f, rng.randrange(30) + (6 if f else 0))
+             for _ in range(400) for f in (rng.random() < 0.5,)]
+    df = spark.createDataFrame(same + shift,
+                               "g string, f boolean, v long")
+    out = {r.g: r for r in ad_2samp(df, ["g"], "f", "v").collect()}
+    for g, rows in (("same", same), ("shift", shift)):
+        n1, n2, a2 = _ad_expected([(f, v) for _, f, v in rows])
+        r = out[g]
+        assert (r.n1, r.n2) == (n1, n2)
+        assert r.a2 == pytest.approx(a2, abs=1e-10), g
+    # identical distributions hover near E[A2]=1; shifted blows up
+    assert out["same"].a2 < 4 < out["shift"].a2
+
+
+def test_ad_2samp_degenerate(spark):
+    from mapbox_filter_spark.operators.rankstats import ad_2samp
+    rows = [("const", True, 5), ("const", False, 5),
+            ("onesided", True, 1), ("onesided", True, 2)]
+    df = spark.createDataFrame(rows, "g string, f boolean, v long")
+    out = {r.g: r for r in ad_2samp(df, ["g"], "f", "v").collect()}
+    assert out["const"].a2 is None
+    assert out["onesided"].a2 is None
