@@ -5139,3 +5139,65 @@ WHERE rank <= {_SCAN_K}"""
 
 
 GEOM_QUERIES["scan_statistic"] = (q_scan_statistic, sql_scan_statistic)
+
+
+_VARIO_BINS = [512, 1024, 2048]
+
+
+def q_semivariogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical semivariogram of event cents over the walk sample
+    (operators/spatialstats.py semivariogram): one r_max block join
+    carries the whole distance-bin ladder, (Δv)² sums exact int64,
+    γ one division per bin — the kriging-grade spatial-structure
+    diagnostic beside morans_i."""
+    from .operators.spatialstats import semivariogram
+    from .operators.trajectory import random_walk_positions
+    from .queries_curation import _cents
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = (random_walk_positions(ev, jump=_TRAJ_JUMP)
+           .filter(F.pmod(F.col("event_id"), F.lit(_CE_QMOD)) == 0))
+    vals = (ev.filter(F.col("value").isNotNull())
+            .select(F.col("event_id").alias("i"),
+                    _cents().alias("v")))
+    pts = (pos.select(F.col("event_id").alias("i"), "x", "y")
+           .join(vals, "i"))
+    return semivariogram(pts, _VARIO_BINS)
+
+
+def sql_semivariogram() -> str:
+    edges = [0] + _VARIO_BINS
+    rmax2 = _VARIO_BINS[-1] ** 2
+    bin_case = " ".join(
+        f"WHEN d2 > {lo * lo} AND d2 <= {hi * hi} "
+        f"THEN CAST({lo} AS BIGINT)"
+        for lo, hi in zip(edges, edges[1:]))
+    hi_case = " ".join(
+        f"WHEN d2 > {lo * lo} AND d2 <= {hi * hi} "
+        f"THEN CAST({hi} AS BIGINT)"
+        for lo, hi in zip(edges, edges[1:]))
+    return f"""WITH {_sql_walk_pos()},
+p AS MATERIALIZED (
+  SELECT pos.event_id AS i, pos.x, pos.y,
+         CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS v
+  FROM pos JOIN events e ON e.event_id = pos.event_id
+  WHERE pos.event_id % {_CE_QMOD} = 0 AND e.value IS NOT NULL),
+d AS (
+  SELECT (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2,
+         (a.v - b.v) * (a.v - b.v) AS sq
+  FROM p a JOIN p b ON a.i < b.i
+   AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {rmax2}),
+t AS (
+  SELECT CASE {bin_case} END AS r_lo,
+         CASE {hi_case} END AS r_hi, sq
+  FROM d)
+SELECT r_lo, r_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(sq) AS BIGINT) AS sq_sum,
+       CAST(SUM(sq) AS DOUBLE) / CAST(2 * COUNT(*) AS DOUBLE)
+         AS gamma
+FROM t WHERE r_lo IS NOT NULL
+GROUP BY 1, 2"""
+
+
+GEOM_QUERIES["semivariogram"] = (q_semivariogram, sql_semivariogram)

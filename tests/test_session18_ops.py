@@ -2253,3 +2253,61 @@ def test_ad_2samp_degenerate(spark):
     out = {r.g: r for r in ad_2samp(df, ["g"], "f", "v").collect()}
     assert out["const"].a2 is None
     assert out["onesided"].a2 is None
+
+
+# ---- semivariogram ----
+
+def _vario_expected(pts, radii, by_octant=False):
+    from collections import defaultdict
+    edges = [0] + sorted(radii)
+    out = defaultdict(lambda: [0, 0])
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            (_, xi, yi, vi), (_, xj, yj, vj) = pts[i], pts[j]
+            d2 = (xi - xj) ** 2 + (yi - yj) ** 2
+            for lo, hi in zip(edges, edges[1:]):
+                if lo * lo < d2 <= hi * hi:
+                    key = (lo, hi)
+                    if by_octant:
+                        adx, ady = abs(xi - xj), abs(yi - yj)
+                        sme = (xi - xj) * (yi - yj) >= 0
+                        o = (0 if adx >= ady and sme else
+                             1 if adx < ady and sme else
+                             2 if adx < ady else 3)
+                        key = (lo, hi, o)
+                    out[key][0] += 1
+                    out[key][1] += (vi - vj) ** 2
+                    break
+    return {k: (n, ss, ss / (2 * n)) for k, (n, ss) in out.items()}
+
+
+def test_semivariogram_differential_and_structure(spark):
+    import random
+    from mapbox_filter_spark.operators.spatialstats import \
+        semivariogram
+    rng = random.Random(223)
+    # smooth field v = x + y + noise: gamma must RISE with distance
+    pts = [(i, rng.randrange(200), rng.randrange(200), 0)
+           for i in range(150)]
+    pts = [(i, x, y, x + y + rng.randrange(5)) for i, x, y, _ in pts]
+    df = spark.createDataFrame(pts, "i long, x long, y long, v long")
+    bins = [20, 50, 100]
+    got = {(r.r_lo, r.r_hi): r for r in
+           semivariogram(df, bins).collect()}
+    exp = _vario_expected(pts, bins)
+    assert set(got) == set(exp)
+    for k, (n, ss, gm) in exp.items():
+        r = got[k]
+        assert (r.n_pairs, r.sq_sum) == (n, ss), k
+        assert r.gamma == pytest.approx(gm)
+    gms = [got[(lo, hi)].gamma
+           for lo, hi in zip([0] + bins, bins)]
+    assert gms[0] < gms[1] < gms[2]  # structure: gamma rises
+
+    # octant mode matches the replay too
+    goto = {(r.r_lo, r.r_hi, r.octant): r for r in
+            semivariogram(df, [50], by_octant=True).collect()}
+    expo = _vario_expected(pts, [50], by_octant=True)
+    assert set(goto) == set(expo)
+    for k, (n, ss, gm) in expo.items():
+        assert (goto[k].n_pairs, goto[k].sq_sum) == (n, ss), k
