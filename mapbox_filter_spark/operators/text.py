@@ -876,3 +876,87 @@ def soundex_blocks(df: DataFrame, name_col: str, *,
                  F.min("_n").alias("first_name"),
                  F.max("_n").alias("last_name"))
             .filter(F.col("n_names") >= int(min_block)))
+
+
+def stylometric_deviation(docs: DataFrame, *, top_n: int = 30,
+                          freq_scale: int = 1_000_000,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Burrows-style stylometric profile per document (Burrows 2002
+    "Delta"): take the corpus's ``top_n`` most frequent words (the
+    function words that fingerprint style), z-score each document's
+    relative frequencies against the corpus, and report the mean |z|
+    — how far the document's style sits from the corpus norm.  The
+    authorship/template/outlier screen on the axis quality_score
+    doesn't measure (style, not quality), and the per-document half
+    of classic pairwise Delta (Delta(a,b) = mean|z_a − z_b| ≤
+    mean|z_a| + mean|z_b| by the triangle inequality — compute pairs
+    downstream on the returned profile if needed).
+
+    Determinism: relative frequencies are EXACT integers
+    ``freq_q = floor(tf·scale/dl)`` (one floor-div per cell); per-word
+    corpus mean/variance over documents use exact integer sums
+    (Σfreq_q, Σfreq_q² — int64 to ~10⁶ docs·scale²/…; fleet corpora
+    shard by group upstream); z and the final mean-|z| fold are
+    pinned chains (the fold is word-ordered in-row).  Documents
+    missing a top word contribute freq 0 — REQUIRED for the z-model,
+    handled via a dense doc×top-word grid join.
+
+    Shape: tokenize+explode once; top-n by one count (broadcast);
+    the dense grid is |docs|×top_n rows — the deliberate cost of the
+    method; one groupBy back to documents.
+
+    Returns ``(id, dl, n_words_scored, delta0)`` — delta0 the mean
+    absolute z over the top-n vocabulary.
+    """
+    if top_n < 2:
+        raise ValueError("top_n must be >= 2")
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(_words(F.col(text_col))).alias("_w"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long")
+                                  .alias("dl"))
+    top = (toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+           .orderBy(F.col("_c").desc(), F.col("_w").asc())
+           .limit(top_n).select("_w"))
+    tf = (toks.join(F.broadcast(top), "_w")
+          .groupBy(id_col, "_w")
+          .agg(F.count(F.lit(1)).cast("long").alias("_tf")))
+    from ..geo.tilemath import floor_div
+    grid = (dl.crossJoin(F.broadcast(top))
+            .join(tf, [id_col, "_w"], "left")
+            .select(id_col, "dl", "_w",
+                    floor_div(F.coalesce(F.col("_tf"),
+                                         F.lit(0).cast("long"))
+                              * freq_scale, F.col("dl"))
+                    .alias("_fq")))
+    stats = (grid.groupBy("_w")
+             .agg(F.count(F.lit(1)).cast("long").alias("_nd"),
+                  F.sum("_fq").cast("long").alias("_s1"),
+                  F.sum(F.col("_fq") * F.col("_fq")).cast("long")
+                  .alias("_s2")))
+    mu = F.col("_s1").cast("double") / F.col("_nd").cast("double")
+    var = F.when(
+        F.col("_nd") > 1,
+        (F.col("_s2").cast("double")
+         - F.col("_nd").cast("double") * mu * mu)
+        / (F.col("_nd") - 1).cast("double"))
+    stats = stats.select("_w", mu.alias("_mu"), var.alias("_var"))
+    z = F.when(
+        F.col("_var") > 0.0,
+        F.abs(F.col("_fq").cast("double") - F.col("_mu"))
+        / F.sqrt(F.col("_var")))
+    scored = (grid.join(F.broadcast(stats), "_w")
+              .select(id_col, "dl", "_w", z.alias("_z"))
+              .filter(F.col("_z").isNotNull()))
+    arr = F.sort_array(F.collect_list(F.struct(
+        F.col("_w"), F.col("_z").alias("z"))))
+    per = scored.groupBy(id_col, "dl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words_scored"),
+        F.aggregate(arr, F.lit(0.0),
+                    lambda a, s_: a + s_["z"]).alias("_zs"))
+    return per.select(
+        id_col, "dl", "n_words_scored",
+        F.when(F.col("n_words_scored") > 0,
+               F.col("_zs") / F.col("n_words_scored").cast("double"))
+        .alias("delta0"))

@@ -3033,3 +3033,73 @@ GROUP BY skey HAVING COUNT(*) >= 2"""
 
 
 EXT_QUERIES["soundex_blocks"] = (q_soundex_blocks, sql_soundex_blocks)
+
+
+_STYLO_TOPN = 20
+
+
+def q_stylometric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows-style stylometric deviation per document
+    (operators/text.py stylometric_deviation): z-scored relative
+    frequencies of the corpus top-20 words, exact floor-div
+    frequency quantization, word-ordered |z| fold — the style
+    outlier screen beside quality_score."""
+    from .operators.text import stylometric_deviation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    return stylometric_deviation(docs, top_n=_STYLO_TOPN)
+
+
+def sql_stylometric() -> str:
+    n = _STYLO_TOPN
+    return f"""WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS l
+  FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS w FROM d),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+       FROM toks GROUP BY 1),
+top AS (SELECT w FROM (
+  SELECT w, COUNT(*) AS c FROM toks GROUP BY 1
+  ORDER BY c DESC, w ASC LIMIT {n})),
+tf AS (
+  SELECT toks.doc_id, toks.w, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks JOIN top ON toks.w = top.w
+  GROUP BY 1, 2),
+grid AS (
+  SELECT dl.doc_id, dl.dl, top.w,
+         CAST(COALESCE(tf.tf, 0) * 1000000 // dl.dl AS BIGINT) AS fq
+  FROM dl CROSS JOIN top
+  LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.w = top.w),
+st AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS nd,
+         CAST(SUM(fq) AS BIGINT) AS s1,
+         CAST(SUM(fq * fq) AS BIGINT) AS s2
+  FROM grid GROUP BY 1),
+mv AS (
+  SELECT w,
+         CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE) AS mu,
+         CASE WHEN nd > 1 THEN
+           (CAST(s2 AS DOUBLE)
+            - CAST(nd AS DOUBLE)
+              * (CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE))
+              * (CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE)))
+           / CAST(nd - 1 AS DOUBLE) END AS var
+  FROM st),
+z AS (
+  SELECT grid.doc_id, grid.dl, grid.w,
+         abs(CAST(grid.fq AS DOUBLE) - mv.mu) / sqrt(mv.var) AS z
+  FROM grid JOIN mv ON mv.w = grid.w
+  WHERE mv.var > 0.0)
+SELECT doc_id, dl,
+       CAST(COUNT(*) AS BIGINT) AS n_words_scored,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list(z ORDER BY w)),
+                   (a, x) -> a + x) / CAST(COUNT(*) AS DOUBLE)
+         AS delta0
+FROM z GROUP BY 1, 2"""
+
+
+EXT_QUERIES["stylometric"] = (q_stylometric, sql_stylometric)

@@ -2311,3 +2311,47 @@ def test_semivariogram_differential_and_structure(spark):
     assert set(goto) == set(expo)
     for k, (n, ss, gm) in expo.items():
         assert (goto[k].n_pairs, goto[k].sq_sum) == (n, ss), k
+
+
+# ---- stylometric_deviation ----
+
+def test_stylometric_differential_and_outlier(spark):
+    import random
+    from collections import Counter
+    from mapbox_filter_spark.operators.text import \
+        stylometric_deviation
+    rng = random.Random(224)
+    vocab = ["the", "of", "and", "to", "in", "a", "is", "it"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(20, 60))))
+            for i in range(40)]
+    # a style outlier: hammers one function word
+    docs.append((99, " ".join(["the"] * 50)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           stylometric_deviation(df, top_n=5).collect()}
+
+    # python replay
+    toks = {i: t.lower().split() for i, t in docs}
+    corpus = Counter(w for ws in toks.values() for w in ws)
+    top = [w for w, _ in sorted(corpus.items(),
+                                key=lambda kv: (-kv[1], kv[0]))[:5]]
+    fq = {i: {w: (Counter(ws)[w] * 1_000_000) // len(ws)
+              for w in top} for i, ws in toks.items()}
+    nd = len(docs)
+    stats = {}
+    for w in top:
+        s1 = sum(fq[i][w] for i in fq)
+        s2 = sum(fq[i][w] ** 2 for i in fq)
+        mu = s1 / nd
+        var = (s2 - nd * mu * mu) / (nd - 1)
+        stats[w] = (mu, var)
+    for i in fq:
+        zs = [abs(fq[i][w] - stats[w][0]) / math.sqrt(stats[w][1])
+              for w in sorted(top) if stats[w][1] > 0]
+        r = out[i]
+        assert r.n_words_scored == len(zs)
+        assert r.delta0 == pytest.approx(sum(zs) / len(zs),
+                                         abs=1e-9), i
+    # the planted outlier has the largest deviation
+    assert out[99].delta0 == max(r.delta0 for r in out.values())
