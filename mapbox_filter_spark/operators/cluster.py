@@ -56,7 +56,8 @@ from .graph import connected_components
 
 __all__ = ["dbscan", "geofence_flag", "grid_knn_join", "kmeans_integer",
            "grid_neighbor_pairs", "grid_radius_join",
-           "centroid_silhouette", "huff_shares", "proximity_graph"]
+           "centroid_silhouette", "huff_shares", "proximity_graph",
+           "rand_index"]
 
 
 def _ring_offsets():
@@ -1004,3 +1005,66 @@ def proximity_graph(pts: DataFrame, rmax: int, *,
                     .alias("is_gabriel"),
                     (~F.coalesce(F.col("_hr"), F.lit(False)))
                     .alias("is_rng")))
+
+
+def rand_index(df: DataFrame, a_col: str, b_col: str, *,
+               id_col: str = "id") -> DataFrame:
+    """Rand index + Adjusted Rand Index between two labelings of the
+    same items (Rand 1971; Hubert & Arabie 1985) — the external
+    clustering-quality comparison: do dbscan and kmeans_integer agree?
+    did today's dedup_clusters drift from yesterday's?  RI counts
+    pair-level agreement; ARI rescales so random labelings score ~0
+    and identical ones 1.
+
+    Exact pair-count arithmetic — no pair join: from the contingency
+    cells n_ij and marginals a_i, b_j,
+
+        RI  = [C(n,2) + 2·Σ C(n_ij,2) − Σ C(a_i,2) − Σ C(b_j,2)]
+              / C(n,2)                      (an exact integer ratio)
+        ARI = (S − Pa·Pb/C) / ((Pa+Pb)/2 − Pa·Pb/C)
+
+    with S = Σ C(n_ij,2), Pa = Σ C(a_i,2), Pb = Σ C(b_j,2),
+    C = C(n,2) — every term an exact int64 (C(x,2) via the even
+    product x(x−1) halved by integer div), ARI one pinned double
+    chain.  Int64 bound: n ≤ 3·10⁹ (C(n,2) < 2⁶²; ANSI-loud).
+
+    Shape: one groupBy on the label pair + two marginal collapses —
+    the contingency table is |A|·|B| rows, never the item pairs.
+
+    Returns ONE row ``(n, s_pairs, pa_pairs, pb_pairs, rand, ari)``
+    — ARI NULL for the degenerate all-singletons-vs-all-singletons
+    case (denominator 0).
+    """
+    from ..geo.tilemath import floor_div
+    clean = df.filter(F.col(a_col).isNotNull()
+                      & F.col(b_col).isNotNull())
+    cell = clean.groupBy(F.col(a_col).alias("_a"),
+                         F.col(b_col).alias("_b")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"))
+
+    def comb2(c):
+        return floor_div(c * (c - 1), 2)
+
+    s = cell.agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.sum(comb2(F.col("_n"))).cast("long").alias("s_pairs"))
+    pa = (cell.groupBy("_a").agg(F.sum("_n").alias("_m"))
+          .agg(F.sum(comb2(F.col("_m"))).cast("long")
+               .alias("pa_pairs")))
+    pb = (cell.groupBy("_b").agg(F.sum("_n").alias("_m"))
+          .agg(F.sum(comb2(F.col("_m"))).cast("long")
+               .alias("pb_pairs")))
+    j = s.crossJoin(F.broadcast(pa)).crossJoin(F.broadcast(pb))
+    ctot = comb2(F.col("n"))
+    rand = F.when(
+        ctot > 0,
+        (ctot + 2 * F.col("s_pairs") - F.col("pa_pairs")
+         - F.col("pb_pairs")).cast("double") / ctot.cast("double"))
+    e = (F.col("pa_pairs").cast("double")
+         * F.col("pb_pairs").cast("double")) / ctot.cast("double")
+    den = ((F.col("pa_pairs") + F.col("pb_pairs")).cast("double")
+           / F.lit(2.0) - e)
+    ari = F.when((ctot > 0) & (den != 0.0),
+                 (F.col("s_pairs").cast("double") - e) / den)
+    return j.select("n", "s_pairs", "pa_pairs", "pb_pairs",
+                    rand.alias("rand"), ari.alias("ari"))

@@ -5201,3 +5201,87 @@ GROUP BY 1, 2"""
 
 
 GEOM_QUERIES["semivariogram"] = (q_semivariogram, sql_semivariogram)
+
+
+def q_rand_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rand/ARI agreement between two independent cell labelings of
+    the walk sample (operators/cluster.py rand_index): a coarse-grid
+    labeling vs a shifted-origin labeling of the same points — pure
+    contingency-cell pair arithmetic, no pair join; the external
+    clustering comparison beside centroid_silhouette's internal
+    score."""
+    from .geo.tilemath import floor_div
+    from .operators.cluster import rand_index
+    from .operators.trajectory import random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = (random_walk_positions(ev, jump=_TRAJ_JUMP)
+           .filter(F.pmod(F.col("event_id"), F.lit(_CE_QMOD)) == 0)
+           .select(F.col("event_id").alias("id"), "x", "y"))
+    lab = pts.select(
+        "id",
+        F.concat_ws(":", floor_div(F.col("x"), 4096),
+                    floor_div(F.col("y"), 4096)).alias("la"),
+        F.concat_ws(":", floor_div(F.col("x") + 2048, 4096),
+                    floor_div(F.col("y") + 2048, 4096)).alias("lb"))
+    return rand_index(lab, "la", "lb")
+
+
+def sql_rand_index() -> str:
+    return f"""WITH {_sql_walk_pos()},
+p AS MATERIALIZED (
+  SELECT event_id AS id, x, y FROM pos
+  WHERE event_id % {_CE_QMOD} = 0),
+lab AS (
+  SELECT id,
+         CAST(CASE WHEN x >= 0 THEN x // 4096
+                   ELSE -((-x + 4095) // 4096) END AS VARCHAR)
+           || ':' ||
+         CAST(CASE WHEN y >= 0 THEN y // 4096
+                   ELSE -((-y + 4095) // 4096) END AS VARCHAR) AS la,
+         CAST(CASE WHEN x + 2048 >= 0 THEN (x + 2048) // 4096
+                   ELSE -((-(x + 2048) + 4095) // 4096) END
+              AS VARCHAR)
+           || ':' ||
+         CAST(CASE WHEN y + 2048 >= 0 THEN (y + 2048) // 4096
+                   ELSE -((-(y + 2048) + 4095) // 4096) END
+              AS VARCHAR) AS lb
+  FROM p),
+cell AS (
+  SELECT la, lb, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lab GROUP BY 1, 2),
+s AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS s_pairs
+  FROM cell),
+pa AS (
+  SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS pa_pairs
+  FROM (SELECT la, CAST(SUM(n) AS BIGINT) AS m
+        FROM cell GROUP BY 1)),
+pb AS (
+  SELECT CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS pb_pairs
+  FROM (SELECT lb, CAST(SUM(n) AS BIGINT) AS m
+        FROM cell GROUP BY 1))
+SELECT s.n, s.s_pairs, pa.pa_pairs, pb.pb_pairs,
+       CASE WHEN s.n * (s.n - 1) // 2 > 0 THEN
+         CAST(s.n * (s.n - 1) // 2 + 2 * s.s_pairs
+              - pa.pa_pairs - pb.pb_pairs AS DOUBLE)
+         / CAST(s.n * (s.n - 1) // 2 AS DOUBLE) END AS rand,
+       CASE WHEN s.n * (s.n - 1) // 2 > 0
+             AND CAST(pa.pa_pairs + pb.pb_pairs AS DOUBLE) / 2.0
+                 - CAST(pa.pa_pairs AS DOUBLE)
+                   * CAST(pb.pb_pairs AS DOUBLE)
+                   / CAST(s.n * (s.n - 1) // 2 AS DOUBLE) <> 0.0
+            THEN (CAST(s.s_pairs AS DOUBLE)
+                  - CAST(pa.pa_pairs AS DOUBLE)
+                    * CAST(pb.pb_pairs AS DOUBLE)
+                    / CAST(s.n * (s.n - 1) // 2 AS DOUBLE))
+                 / (CAST(pa.pa_pairs + pb.pb_pairs AS DOUBLE) / 2.0
+                    - CAST(pa.pa_pairs AS DOUBLE)
+                      * CAST(pb.pb_pairs AS DOUBLE)
+                      / CAST(s.n * (s.n - 1) // 2 AS DOUBLE))
+       END AS ari
+FROM s CROSS JOIN pa CROSS JOIN pb"""
+
+
+GEOM_QUERIES["rand_index"] = (q_rand_index, sql_rand_index)

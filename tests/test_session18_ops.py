@@ -2355,3 +2355,50 @@ def test_stylometric_differential_and_outlier(spark):
                                          abs=1e-9), i
     # the planted outlier has the largest deviation
     assert out[99].delta0 == max(r.delta0 for r in out.values())
+
+
+# ---- rand_index ----
+
+def _ari_expected(pairs):
+    from collections import Counter
+    cells = Counter(pairs)
+    ra = Counter(a for a, _ in pairs)
+    rb = Counter(b for _, b in pairs)
+    n = len(pairs)
+
+    def c2(x):
+        return x * (x - 1) // 2
+
+    S = sum(c2(v) for v in cells.values())
+    Pa = sum(c2(v) for v in ra.values())
+    Pb = sum(c2(v) for v in rb.values())
+    C = c2(n)
+    rand = (C + 2 * S - Pa - Pb) / C
+    e = Pa * Pb / C
+    den = (Pa + Pb) / 2 - e
+    ari = (S - e) / den if den != 0 else None
+    return (n, S, Pa, Pb, rand, ari)
+
+
+def test_rand_index_identity_invariance_differential(spark):
+    import random
+    from mapbox_filter_spark.operators.cluster import rand_index
+    rng = random.Random(225)
+    labels = [(i, "c%d" % (i % 7), "k%d" % ((i % 7 + 3) % 7))
+              for i in range(200)]
+    # second labeling is a pure RENAME of the first -> RI = ARI = 1
+    df = spark.createDataFrame(labels, "id long, la string, lb string")
+    r = rand_index(df, "la", "lb").collect()[0]
+    assert r.rand == pytest.approx(1.0) and r.ari == pytest.approx(1.0)
+    # random independent labelings -> ARI near 0, replay matches
+    rnd = [(i, "a%d" % rng.randrange(6), "b%d" % rng.randrange(4))
+           for i in range(400)]
+    rdf = spark.createDataFrame(rnd, "id long, la string, lb string")
+    rr = rand_index(rdf, "la", "lb").collect()[0]
+    n, S, Pa, Pb, rand_, ari_ = _ari_expected(
+        [(a, b) for _, a, b in rnd])
+    assert (rr.n, rr.s_pairs, rr.pa_pairs, rr.pb_pairs) == \
+        (n, S, Pa, Pb)
+    assert rr.rand == pytest.approx(rand_)
+    assert rr.ari == pytest.approx(ari_, abs=1e-12)
+    assert abs(rr.ari) < 0.1
