@@ -417,3 +417,75 @@ def line_rasterize(segs: DataFrame, cell: int, *,
     smax = F.greatest(*corners)
     return (s.filter(~((smin > 0) | (smax < 0)))
             .select(*ids, "cx", "cy"))
+
+
+def slope_aspect(cells: DataFrame, x_col: str, y_col: str,
+                 v_col: str) -> DataFrame:
+    """Horn's slope/aspect over an integer elevation grid (Horn 1981 —
+    the DEM operator behind every hillshade, drainage and viewshed
+    pre-pass, and the gradient this module's D8 flow quantizes):
+
+        8·dz/dx = (c + 2f + i) − (a + 2d + g)
+        8·dz/dy = (g + 2h + i) − (a + 2b + c)
+
+    over the 3×3 window (a..i row-major).  ONLY cells with all 8
+    neighbors present get a gradient (edge cells report NULLs — the
+    honest boundary, never a half-window estimate).
+
+    Exactness: ``gx8``/``gy8`` (the ×8-scaled gradients) and
+    ``slope64_q = gx8² + gy8²`` (the ×64-scaled squared slope in
+    value-units² per cell-unit²) are exact int64; ``slope`` is one
+    pinned √-divide.  Aspect avoids atan2 entirely: ``aspect_oct``
+    is the downhill direction quantized to octants 0-7 (E, NE, N,
+    NW, W, SW, S, SE) by integer sign/|gx| vs |gy| comparisons —
+    bit-stable, and exactly the granularity D8 consumes; flat cells
+    (zero gradient) get NULL aspect.
+
+    Shape: one ×8 stencil explode + equi-join (the focal_stats
+    shape), one groupBy keyed on the cell.
+
+    Returns ``(x, y, v, gx8, gy8, slope64_q, slope, aspect_oct)``.
+    """
+    v = F.col(v_col).cast("long")
+    offs = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx, dy in _offsets(1, include_self=False)])).alias("o")
+    src = (cells.select(F.col(x_col).alias("_sx"),
+                        F.col(y_col).alias("_sy"), v.alias("_sv"))
+           .select("_sx", "_sy", "_sv", offs)
+           .select((F.col("_sx") + F.col("o.dx")).alias("_tx"),
+                   (F.col("_sy") + F.col("o.dy")).alias("_ty"),
+                   (-F.col("o.dx")).alias("_rdx"),
+                   (-F.col("o.dy")).alias("_rdy"), "_sv"))
+    tgt = cells.select(F.col(x_col), F.col(y_col), v.alias(v_col))
+    j = tgt.join(src, (tgt[x_col] == src["_tx"])
+                 & (tgt[y_col] == src["_ty"]))
+    wx = F.col("_rdx") * F.when(F.col("_rdy") == 0, 2).otherwise(1)
+    wy = F.col("_rdy") * F.when(F.col("_rdx") == 0, 2).otherwise(1)
+    agg = (j.groupBy(x_col, y_col, v_col)
+           .agg(F.count(F.lit(1)).alias("_k"),
+                F.sum(wx * F.col("_sv")).cast("long").alias("_gx8"),
+                F.sum(wy * F.col("_sv")).cast("long").alias("_gy8")))
+    full = agg.filter(F.col("_k") == 8)
+    gx, gy = F.col("_gx8"), F.col("_gy8")
+    s64 = (gx * gx + gy * gy)
+    slope = F.sqrt(s64.cast("double")) / F.lit(8.0)
+    # downhill = −gradient; octant by integer comparisons
+    dx, dy = -gx, -gy
+    adx, ady = F.abs(dx), F.abs(dy)
+    # octant table: E NE N NW W SW S SE = 0..7; diagonal band when
+    # the components are within 2x of each other (the D8 convention)
+    oct_ = (F.when(adx >= 2 * ady,
+                   F.when(dx > 0, 0).otherwise(4))
+            .when(ady >= 2 * adx,
+                  F.when(dy > 0, 2).otherwise(6))
+            .otherwise(
+                F.when((dx > 0) & (dy > 0), 1)
+                .when((dx < 0) & (dy > 0), 3)
+                .when((dx < 0) & (dy < 0), 5)
+                .otherwise(7)))
+    aspect = F.when(s64 > 0, oct_)
+    return full.select(
+        x_col, y_col, v_col, gx.alias("gx8"), gy.alias("gy8"),
+        s64.alias("slope64_q"), slope.alias("slope"),
+        aspect.alias("aspect_oct"))

@@ -5285,3 +5285,52 @@ FROM s CROSS JOIN pa CROSS JOIN pb"""
 
 
 GEOM_QUERIES["rand_index"] = (q_rand_index, sql_rand_index)
+
+
+def q_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn slope/aspect on the ESDA density surface
+    (operators/raster.py slope_aspect): ×8-scaled exact integer
+    gradients over complete 3×3 windows, slope one pinned √, aspect
+    as the integer D8 octant — the continuous-gradient companion of
+    the d8_flow gate."""
+    from .operators.raster import slope_aspect
+
+    return slope_aspect(_esda_cells(spark, sf_dir), "cx", "cy",
+                        "n_feat")
+
+
+def sql_slope_aspect() -> str:
+    offs8 = ", ".join(f"({dx},{dy})" for dx in (-1, 0, 1)
+                      for dy in (-1, 0, 1) if (dx, dy) != (0, 0))
+    return f"""WITH {_sql_esda_cells()},
+offs AS (SELECT * FROM (VALUES {offs8}) AS t(dx, dy)),
+nb AS (
+  SELECT a.cx + dx AS tx, a.cy + dy AS ty,
+         -dx AS rdx, -dy AS rdy, a.v AS sv
+  FROM cells a CROSS JOIN offs),
+agg AS (
+  SELECT c.cx, c.cy, c.v,
+         COUNT(*) AS k,
+         CAST(SUM(rdx * (CASE WHEN rdy = 0 THEN 2 ELSE 1 END)
+                  * nb.sv) AS BIGINT) AS gx8,
+         CAST(SUM(rdy * (CASE WHEN rdx = 0 THEN 2 ELSE 1 END)
+                  * nb.sv) AS BIGINT) AS gy8
+  FROM cells c JOIN nb ON nb.tx = c.cx AND nb.ty = c.cy
+  GROUP BY 1, 2, 3)
+SELECT cx, cy, CAST(v AS BIGINT) AS n_feat, gx8, gy8,
+       gx8 * gx8 + gy8 * gy8 AS slope64_q,
+       sqrt(CAST(gx8 * gx8 + gy8 * gy8 AS DOUBLE)) / 8.0 AS slope,
+       CASE WHEN gx8 * gx8 + gy8 * gy8 > 0 THEN
+         CASE WHEN abs(-gx8) >= 2 * abs(-gy8) THEN
+                CASE WHEN -gx8 > 0 THEN 0 ELSE 4 END
+              WHEN abs(-gy8) >= 2 * abs(-gx8) THEN
+                CASE WHEN -gy8 > 0 THEN 2 ELSE 6 END
+              WHEN -gx8 > 0 AND -gy8 > 0 THEN 1
+              WHEN -gx8 < 0 AND -gy8 > 0 THEN 3
+              WHEN -gx8 < 0 AND -gy8 < 0 THEN 5
+              ELSE 7 END
+       END AS aspect_oct
+FROM agg WHERE k = 8"""
+
+
+GEOM_QUERIES["slope_aspect"] = (q_slope_aspect, sql_slope_aspect)

@@ -2402,3 +2402,38 @@ def test_rand_index_identity_invariance_differential(spark):
     assert rr.rand == pytest.approx(rand_)
     assert rr.ari == pytest.approx(ari_, abs=1e-12)
     assert abs(rr.ari) < 0.1
+
+
+# ---- slope_aspect ----
+
+def test_slope_aspect_planes_and_differential(spark):
+    from mapbox_filter_spark.operators.raster import slope_aspect
+    # plane z = 3x: gradient east; downhill = WEST (octant 4)
+    plane = [(x, y, 3 * x) for x in range(5) for y in range(5)]
+    df = spark.createDataFrame(plane, "x long, y long, v long")
+    out = {(r.x, r.y): r for r in
+           slope_aspect(df, "x", "y", "v").collect()}
+    # only interior cells (3x3 complete) survive
+    assert set(out) == {(x, y) for x in range(1, 4)
+                        for y in range(1, 4)}
+    for r in out.values():
+        assert (r.gx8, r.gy8) == (24, 0)      # 8*dz/dx = 8*3
+        assert r.slope == pytest.approx(3.0)
+        assert r.aspect_oct == 4               # downhill west
+    # plane z = -2y: downhill NORTH (+y), octant 2
+    p2 = [(x, y, -2 * y) for x in range(5) for y in range(5)]
+    o2 = {(r.x, r.y): r for r in slope_aspect(
+        spark.createDataFrame(p2, "x long, y long, v long"),
+        "x", "y", "v").collect()}
+    for r in o2.values():
+        assert r.aspect_oct == 2 and r.slope == pytest.approx(2.0)
+    # flat plane: zero gradient, NULL aspect
+    p3 = [(x, y, 7) for x in range(4) for y in range(4)]
+    o3 = slope_aspect(spark.createDataFrame(
+        p3, "x long, y long, v long"), "x", "y", "v").collect()
+    assert all(r.slope == 0.0 and r.aspect_oct is None for r in o3)
+    # diagonal plane z = x + y: downhill SW (octant 5)
+    p4 = [(x, y, x + y) for x in range(5) for y in range(5)]
+    o4 = slope_aspect(spark.createDataFrame(
+        p4, "x long, y long, v long"), "x", "y", "v").collect()
+    assert all(r.aspect_oct == 5 for r in o4)
