@@ -830,3 +830,60 @@ def sq8_topk(
             .filter(F.col("rank") <= k)
             .select(F.col("q_id").alias(query_id), "rank",
                     F.col("c_id").alias(corpus_id), "dot"))
+
+
+def sign_projection(df: DataFrame, in_dim: int, out_dim: int, *,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    scale: int = 1000, salt: str = "jl-v1") -> DataFrame:
+    """Deterministic ±1 random projection (Achlioptas 2003's database-
+    friendly Johnson-Lindenstrauss transform): y = S·x with S a fixed
+    ``out_dim × in_dim`` sign matrix — the dimensionality reducer that
+    runs BEFORE the ANN index when raw vectors are too wide (JL:
+    pairwise distances survive within 1±ε at out_dim = O(ln n/ε²)).
+
+    Determinism and exactness: the sign matrix is generated in PYTHON
+    from md5(salt:k:j) parity and baked into the plan as literals —
+    the identical matrix in the DuckDB oracle; inputs are quantized
+    to exact integers (``floor(x·scale + 0.5)``), so every output
+    component ``y_k = Σ_j s_kj·x_j`` is an EXACT int64 sum evaluated
+    as an in-row fold (no shuffle, no Python at runtime).  Distances
+    in the projected space relate by ``E‖y‖² = out_dim·‖x‖²``ᵢₙ
+    expectation — callers divide by √out_dim when they need unit
+    scaling (kept integer here on purpose).
+
+    Shape: rows independent; per-row cost in_dim·out_dim
+    multiply-adds inside codegen.  Returns ``(id, proj)`` with
+    ``proj`` an ``array<long>`` of length out_dim.
+    """
+    if in_dim < 1 or out_dim < 1:
+        raise ValueError("dims must be positive")
+    signs = jl_sign_matrix(in_dim, out_dim, salt)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))
+                          + F.lit(0.5)).cast("long"))
+    guard = F.when(
+        F.size(F.col(vec_col)) != in_dim,
+        F.raise_error(F.concat(
+            F.lit(f"sign_projection: expected dim {in_dim}, got "),
+            F.size(F.col(vec_col)).cast("string")))
+        .cast("array<long>")).otherwise(q)
+    rows = []
+    for k in range(out_dim):
+        sarr = F.array(*[F.lit(s).cast("long") for s in signs[k]])
+        rows.append(F.aggregate(
+            F.zip_with(guard, sarr, lambda a, b: a * b),
+            F.lit(0).cast("long"), lambda acc, t: acc + t))
+    return df.select(F.col(id_col).alias("id"),
+                     F.array(*rows).alias("proj"))
+
+
+def jl_sign_matrix(in_dim: int, out_dim: int,
+                   salt: str = "jl-v1") -> "list[list[int]]":
+    """The exact sign matrix :func:`sign_projection` bakes into its
+    plan — exported so the oracle SQL builder consumes the SAME
+    literals."""
+    import hashlib
+    return [[1 if int(hashlib.md5(
+        f"{salt}:{k}:{j}".encode()).hexdigest(), 16) % 2 == 0 else -1
+        for j in range(in_dim)] for k in range(out_dim)]

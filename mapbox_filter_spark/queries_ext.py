@@ -3103,3 +3103,46 @@ FROM z GROUP BY 1, 2"""
 
 
 EXT_QUERIES["stylometric"] = (q_stylometric, sql_stylometric)
+
+
+_JL_IN, _JL_OUT, _JL_SCALE = 64, 16, 1000
+
+
+def q_sign_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 projection of the embeddings table
+    64 → 16 dims (operators/similarity.py sign_projection): the
+    python-baked sign matrix makes every projected component an
+    exact in-row int64 fold — the width reducer that runs before
+    LSH/IVF when vectors are too wide."""
+    from .operators.similarity import sign_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = sign_projection(emb, _JL_IN, _JL_OUT, scale=_JL_SCALE)
+    # surface as one row per (id, k, y) so the value-hash sees every
+    # component without array-ordering ambiguity
+    return out.select(
+        "id", F.posexplode("proj").alias("k", "y"))
+
+
+def sql_sign_projection() -> str:
+    from .operators.similarity import jl_sign_matrix
+
+    signs = jl_sign_matrix(_JL_IN, _JL_OUT)
+    s = float(_JL_SCALE)
+    comps = "\nUNION ALL\n".join(
+        f"""SELECT vec_id AS id, {k} AS k,
+       CAST((SELECT SUM(
+           CAST(FLOOR(CAST(embedding[j.j] AS DOUBLE) * {s!r} + 0.5)
+                AS BIGINT)
+           * (CASE WHEN list_contains({
+               [j + 1 for j in range(_JL_IN) if signs[k][j] == 1]
+               }, j.j) THEN 1 ELSE -1 END))
+         FROM (SELECT unnest(range(1, {_JL_IN + 1})) AS j) j)
+        AS BIGINT) AS y
+FROM embeddings"""
+        for k in range(_JL_OUT))
+    return comps
+
+
+EXT_QUERIES["sign_projection"] = (q_sign_projection,
+                                  sql_sign_projection)

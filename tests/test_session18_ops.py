@@ -2437,3 +2437,35 @@ def test_slope_aspect_planes_and_differential(spark):
     o4 = slope_aspect(spark.createDataFrame(
         p4, "x long, y long, v long"), "x", "y", "v").collect()
     assert all(r.aspect_oct == 5 for r in o4)
+
+
+# ---- sign_projection ----
+
+def test_sign_projection_exact_and_jl_property(spark):
+    import hashlib
+    import random
+    from mapbox_filter_spark.operators.similarity import (
+        jl_sign_matrix, sign_projection)
+    rng = random.Random(226)
+    D, K = 32, 8
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(D)])
+            for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r.id: r.proj for r in
+           sign_projection(df, D, K, scale=1000).collect()}
+    signs = jl_sign_matrix(D, K)
+    qv = {i: [math.floor(x * 1000 + 0.5) for x in v] for i, v in vecs}
+    for i, v in vecs:
+        exp = [sum(s * x for s, x in zip(signs[k], qv[i]))
+               for k in range(K)]
+        assert out[i] == exp, i
+    # JL: E||y||^2 = K * ||x||^2 — check the ratio concentrates
+    import statistics
+    ratios = [sum(c * c for c in out[i])
+              / (K * sum(x * x for x in qv[i])) for i, _ in vecs]
+    assert 0.5 < statistics.median(ratios) < 1.6
+    # wrong input dim raises
+    bad = spark.createDataFrame([(1, [0.0] * 10)],
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="expected dim"):
+        sign_projection(bad, D, K).collect()
