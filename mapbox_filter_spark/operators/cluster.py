@@ -57,7 +57,7 @@ from .graph import connected_components
 __all__ = ["dbscan", "geofence_flag", "grid_knn_join", "kmeans_integer",
            "grid_neighbor_pairs", "grid_radius_join",
            "centroid_silhouette", "huff_shares", "proximity_graph",
-           "rand_index"]
+           "rand_index", "nmi_clusterings"]
 
 
 def _ring_offsets():
@@ -1068,3 +1068,69 @@ def rand_index(df: DataFrame, a_col: str, b_col: str, *,
                  (F.col("s_pairs").cast("double") - e) / den)
     return j.select("n", "s_pairs", "pa_pairs", "pb_pairs",
                     rand.alias("rand"), ari.alias("ari"))
+
+
+def nmi_clusterings(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Normalized mutual information between two labelings of the same
+    items (Strehl & Ghosh 2002) — :func:`rand_index`'s
+    information-theoretic twin: NMI = I(A;B)/√(H(A)·H(B)) ∈ [0,1],
+    insensitive to label names and (unlike raw MI) comparable across
+    clusterings of different granularity.  Report BOTH ARI and NMI —
+    they disagree exactly when cluster size skew matters.
+
+    Unlike ``discrete_mi`` (pinned enumerated categories), labels here
+    are arbitrary values: cell and marginal counts are exact longs
+    from one label-pair groupBy, and the three Σ·ln chains ride
+    PINNED label-ordered in-row folds (cells by (a,b), marginals by
+    label) — every ln argument an exact integer ratio.
+
+    Shape: contingency-sized, never item-pair-sized — one groupBy +
+    two collapses.  Returns ONE row ``(n, mi_nats, h_a, h_b, nmi)``
+    — NMI NULL when either labeling is constant (H = 0).
+    """
+    from pyspark.sql import Window
+    clean = df.filter(F.col(a_col).isNotNull()
+                      & F.col(b_col).isNotNull())
+    cell = clean.groupBy(F.col(a_col).alias("_a"),
+                         F.col(b_col).alias("_b")).agg(
+        F.count(F.lit(1)).cast("long").alias("_k"))
+    wa = Window.partitionBy("_a")
+    wb = Window.partitionBy("_b")
+    wg = Window.partitionBy()
+    full = cell.select(
+        "_a", "_b", "_k",
+        F.sum("_k").over(wa).alias("_ra"),
+        F.sum("_k").over(wb).alias("_cb"),
+        F.sum("_k").over(wg).alias("_n"))
+    nd = F.col("_n").cast("double")
+    mi_t = ((F.col("_k").cast("double") / nd)
+            * F.log((F.col("_k") * F.col("_n")).cast("double")
+                    / (F.col("_ra") * F.col("_cb")).cast("double")))
+    mi_arr = F.sort_array(F.collect_list(F.struct(
+        F.col("_a"), F.col("_b"), mi_t.alias("t"))))
+    ha_t = ((F.col("_m").cast("double") / F.col("_n").cast("double"))
+            * F.log(F.col("_n").cast("double")
+                    / F.col("_m").cast("double")))
+    ma = (cell.groupBy("_a").agg(F.sum("_k").alias("_m"))
+          .crossJoin(F.broadcast(
+              cell.agg(F.sum("_k").alias("_n")))))
+    mb = (cell.groupBy("_b").agg(F.sum("_k").alias("_m"))
+          .crossJoin(F.broadcast(
+              cell.agg(F.sum("_k").alias("_n")))))
+    ha = ma.agg(F.aggregate(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("_a"), ha_t.alias("t")))),
+        F.lit(0.0), lambda acc, s_: acc + s_["t"]).alias("h_a"))
+    hb = mb.agg(F.aggregate(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("_b"), ha_t.alias("t")))),
+        F.lit(0.0), lambda acc, s_: acc + s_["t"]).alias("h_b"))
+    mi = full.agg(
+        F.max("_n").cast("long").alias("n"),
+        F.aggregate(mi_arr, F.lit(0.0),
+                    lambda acc, s_: acc + s_["t"]).alias("mi_nats"))
+    out = mi.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+    nmi = F.when(
+        (F.col("h_a") > 0.0) & (F.col("h_b") > 0.0),
+        F.col("mi_nats") / F.sqrt(F.col("h_a") * F.col("h_b")))
+    return out.select("n", "mi_nats", "h_a", "h_b", nmi.alias("nmi"))

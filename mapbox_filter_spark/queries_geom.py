@@ -5334,3 +5334,89 @@ FROM agg WHERE k = 8"""
 
 
 GEOM_QUERIES["slope_aspect"] = (q_slope_aspect, sql_slope_aspect)
+
+
+def q_nmi_clusterings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NMI between the rand_index gate's two cell labelings
+    (operators/cluster.py nmi_clusterings): pinned label-ordered
+    Σ·ln folds over exact contingency counts — the
+    information-theoretic half of the external clustering
+    comparison."""
+    from .geo.tilemath import floor_div
+    from .operators.cluster import nmi_clusterings
+    from .operators.trajectory import random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = (random_walk_positions(ev, jump=_TRAJ_JUMP)
+           .filter(F.pmod(F.col("event_id"), F.lit(_CE_QMOD)) == 0)
+           .select(F.col("event_id").alias("id"), "x", "y"))
+    lab = pts.select(
+        "id",
+        F.concat_ws(":", floor_div(F.col("x"), 4096),
+                    floor_div(F.col("y"), 4096)).alias("la"),
+        F.concat_ws(":", floor_div(F.col("x") + 2048, 4096),
+                    floor_div(F.col("y") + 2048, 4096)).alias("lb"))
+    return nmi_clusterings(lab, "la", "lb")
+
+
+def sql_nmi_clusterings() -> str:
+    fold = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {lst}), "
+            "(a, x) -> a + x)")
+    mi_l = fold.format(lst="list(t ORDER BY _a, _b)")
+    ha_l = fold.format(lst="list(t ORDER BY _a)")
+    hb_l = fold.format(lst="list(t ORDER BY _b)")
+    return f"""WITH {_sql_walk_pos()},
+p AS MATERIALIZED (
+  SELECT event_id AS id, x, y FROM pos
+  WHERE event_id % {_CE_QMOD} = 0),
+lab AS (
+  SELECT id,
+         CAST(CASE WHEN x >= 0 THEN x // 4096
+                   ELSE -((-x + 4095) // 4096) END AS VARCHAR)
+           || ':' ||
+         CAST(CASE WHEN y >= 0 THEN y // 4096
+                   ELSE -((-y + 4095) // 4096) END AS VARCHAR) AS _a,
+         CAST(CASE WHEN x + 2048 >= 0 THEN (x + 2048) // 4096
+                   ELSE -((-(x + 2048) + 4095) // 4096) END
+              AS VARCHAR)
+           || ':' ||
+         CAST(CASE WHEN y + 2048 >= 0 THEN (y + 2048) // 4096
+                   ELSE -((-(y + 2048) + 4095) // 4096) END
+              AS VARCHAR) AS _b
+  FROM p),
+cell AS (
+  SELECT _a, _b, CAST(COUNT(*) AS BIGINT) AS k
+  FROM lab GROUP BY 1, 2),
+nn AS (SELECT CAST(SUM(k) AS BIGINT) AS n FROM cell),
+mt AS (
+  SELECT c._a, c._b,
+         (CAST(c.k AS DOUBLE) / CAST(nn.n AS DOUBLE))
+         * ln(CAST(c.k * nn.n AS DOUBLE)
+              / CAST(ra.m * cb.m AS DOUBLE)) AS t
+  FROM cell c
+  JOIN (SELECT _a, CAST(SUM(k) AS BIGINT) AS m FROM cell GROUP BY 1)
+       ra ON ra._a = c._a
+  JOIN (SELECT _b, CAST(SUM(k) AS BIGINT) AS m FROM cell GROUP BY 1)
+       cb ON cb._b = c._b
+  CROSS JOIN nn),
+mi AS (SELECT {mi_l} AS mi_nats FROM mt),
+hat AS (
+  SELECT _a, (CAST(m AS DOUBLE) / CAST(nn.n AS DOUBLE))
+             * ln(CAST(nn.n AS DOUBLE) / CAST(m AS DOUBLE)) AS t
+  FROM (SELECT _a, CAST(SUM(k) AS BIGINT) AS m FROM cell GROUP BY 1)
+  CROSS JOIN nn),
+hbt AS (
+  SELECT _b, (CAST(m AS DOUBLE) / CAST(nn.n AS DOUBLE))
+             * ln(CAST(nn.n AS DOUBLE) / CAST(m AS DOUBLE)) AS t
+  FROM (SELECT _b, CAST(SUM(k) AS BIGINT) AS m FROM cell GROUP BY 1)
+  CROSS JOIN nn),
+ha AS (SELECT {ha_l} AS h_a FROM hat),
+hb AS (SELECT {hb_l} AS h_b FROM hbt)
+SELECT nn.n, mi.mi_nats, ha.h_a, hb.h_b,
+       CASE WHEN ha.h_a > 0.0 AND hb.h_b > 0.0
+            THEN mi.mi_nats / sqrt(ha.h_a * hb.h_b) END AS nmi
+FROM nn CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb"""
+
+
+GEOM_QUERIES["nmi_clusterings"] = (q_nmi_clusterings,
+                                   sql_nmi_clusterings)

@@ -2469,3 +2469,39 @@ def test_sign_projection_exact_and_jl_property(spark):
                                 "vec_id long, embedding array<double>")
     with pytest.raises(Exception, match="expected dim"):
         sign_projection(bad, D, K).collect()
+
+
+# ---- nmi_clusterings ----
+
+def test_nmi_identity_independence_differential(spark):
+    import random
+    from collections import Counter
+    from mapbox_filter_spark.operators.cluster import nmi_clusterings
+    rng = random.Random(227)
+    # renamed identical labelings -> NMI = 1
+    same = [(i, "c%d" % (i % 6), "x%d" % (i % 6)) for i in range(240)]
+    r = nmi_clusterings(spark.createDataFrame(
+        same, "id long, la string, lb string"), "la", "lb").collect()[0]
+    assert r.nmi == pytest.approx(1.0)
+    # independent labelings -> NMI near 0, replay exact
+    rnd = [(i, "a%d" % rng.randrange(5), "b%d" % rng.randrange(3))
+           for i in range(600)]
+    rr = nmi_clusterings(spark.createDataFrame(
+        rnd, "id long, la string, lb string"), "la", "lb").collect()[0]
+    cells = Counter((a, b) for _, a, b in rnd)
+    ra = Counter(a for _, a, _ in rnd)
+    cb = Counter(b for _, _, b in rnd)
+    n = len(rnd)
+    mi = sum((k / n) * math.log(k * n / (ra[a] * cb[b]))
+             for (a, b), k in cells.items())
+    ha = sum((m / n) * math.log(n / m) for m in ra.values())
+    hb = sum((m / n) * math.log(n / m) for m in cb.values())
+    assert rr.mi_nats == pytest.approx(mi, abs=1e-12)
+    assert rr.h_a == pytest.approx(ha) and rr.h_b == pytest.approx(hb)
+    assert rr.nmi == pytest.approx(mi / math.sqrt(ha * hb), abs=1e-12)
+    assert rr.nmi < 0.05
+    # constant labeling -> NULL
+    const = [(i, "only", "b%d" % (i % 3)) for i in range(30)]
+    rc = nmi_clusterings(spark.createDataFrame(
+        const, "id long, la string, lb string"), "la", "lb").collect()[0]
+    assert rc.nmi is None and rc.h_a == pytest.approx(0.0)
