@@ -567,9 +567,11 @@ def cm_estimate(sketch: DataFrame, queries: DataFrame, item_col: str,
                  .alias("est")))
 
 
-def bloom_build(df: DataFrame, item_col: str, *, m_bits: int,
+def bloom_bits_build(df: DataFrame, item_col: str, *, m_bits: int,
                 k_hashes: int, salt: str = "bloom-v1") -> DataFrame:
-    """Bloom filter (Bloom 1970) as a relational SET-BIT table: each
+    """Bloom filter (Bloom 1970) as a relational SET-BIT table (the
+    row-form sibling of this module's dense-array bloom_build/
+    bloom_prune join-pruning pair): each
     item sets ``k_hashes`` positions in an ``m_bits`` space via the
     same md5-u30 universal hashes as :func:`cm_sketch` (shared
     :func:`cm_coeffs` — engine-mirrorable literal-for-literal).  The
@@ -596,10 +598,10 @@ def bloom_build(df: DataFrame, item_col: str, *, m_bits: int,
             .select(F.explode(bits).alias("bit")).distinct())
 
 
-def bloom_probe(bloom: DataFrame, queries: DataFrame, item_col: str,
+def bloom_bits_probe(bloom: DataFrame, queries: DataFrame, item_col: str,
                 *, m_bits: int, k_hashes: int,
                 salt: str = "bloom-v1") -> DataFrame:
-    """Membership-test query items against a :func:`bloom_build`
+    """Membership-test query items against a :func:`bloom_bits_build`
     table: ``maybe_present`` is true iff ALL ``k_hashes`` addressed
     bits are set (the classic conjunction — false positives possible,
     false negatives impossible).  The filter side broadcasts; queries

@@ -485,21 +485,21 @@ _BL_SALT = "bloom-gate-v1"
 
 def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership over the document token vocabulary
-    (operators/sketch.py bloom_build/bloom_probe): a 4096-bit / 5-hash
+    (operators/sketch.py bloom_bits_build/bloom_bits_probe): a 4096-bit / 5-hash
     filter as a distinct set-bit table, probed with the CM gate's
     present+absent token list — no false negative can appear in the
     value-hashed result by construction."""
-    from .operators.sketch import bloom_build, bloom_probe
+    from .operators.sketch import bloom_bits_build, bloom_bits_probe
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = docs.select(F.explode(F.filter(
         F.split(F.lower(F.col("text")), r"\s+"),
         lambda t: t != "")).alias("tok"))
-    bl = bloom_build(toks, "tok", m_bits=_BL_M, k_hashes=_BL_K,
+    bl = bloom_bits_build(toks, "tok", m_bits=_BL_M, k_hashes=_BL_K,
                      salt=_BL_SALT)
     probes = spark.createDataFrame([(p,) for p in _CM_PROBES],
                                    "tok string")
-    return bloom_probe(bl, probes, "tok", m_bits=_BL_M,
+    return bloom_bits_probe(bl, probes, "tok", m_bits=_BL_M,
                        k_hashes=_BL_K, salt=_BL_SALT)
 
 

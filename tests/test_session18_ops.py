@@ -1396,18 +1396,18 @@ def test_cm_sketch_python_differential(spark):
 
 def test_bloom_no_false_negatives_and_merge(spark):
     import random
-    from mapbox_filter_spark.operators.sketch import (bloom_build,
-                                                      bloom_probe)
+    from mapbox_filter_spark.operators.sketch import (
+        bloom_bits_build, bloom_bits_probe)
     rng = random.Random(206)
     present = ["p%d" % i for i in range(300)]
     items = [(w,) for w in present for _ in range(rng.randrange(1, 3))]
     df = spark.createDataFrame(items, "tok string")
-    bl = bloom_build(df, "tok", m_bits=8192, k_hashes=5)
+    bl = bloom_bits_build(df, "tok", m_bits=8192, k_hashes=5)
     absent = ["q%d" % i for i in range(300)]
     probes = spark.createDataFrame([(w,) for w in present + absent],
                                    "tok string")
     out = {r.item: r for r in
-           bloom_probe(bl, probes, "tok", m_bits=8192,
+           bloom_bits_probe(bl, probes, "tok", m_bits=8192,
                        k_hashes=5).collect()}
     # NO false negatives, ever
     assert all(out[w].maybe_present and out[w].hits == 5
@@ -1417,10 +1417,12 @@ def test_bloom_no_false_negatives_and_merge(spark):
     assert fp < 30
     # merge law: bloom(A) ∪ bloom(B) == bloom(A+B)
     half = len(items) // 2
-    a = bloom_build(spark.createDataFrame(items[:half], "tok string"),
-                    "tok", m_bits=8192, k_hashes=5)
-    b = bloom_build(spark.createDataFrame(items[half:], "tok string"),
-                    "tok", m_bits=8192, k_hashes=5)
+    a = bloom_bits_build(
+        spark.createDataFrame(items[:half], "tok string"),
+        "tok", m_bits=8192, k_hashes=5)
+    b = bloom_bits_build(
+        spark.createDataFrame(items[half:], "tok string"),
+        "tok", m_bits=8192, k_hashes=5)
     merged = sorted(r.bit for r in a.unionByName(b).distinct().collect())
     full = sorted(r.bit for r in bl.collect())
     assert merged == full
