@@ -1650,3 +1650,73 @@ def semivariogram(pts: DataFrame, radii: "list[int]", *,
     gamma = (F.col("sq_sum").cast("double")
              / (2 * F.col("n_pairs")).cast("double"))
     return agg.withColumn("gamma", gamma)
+
+
+def idw_interpolate(queries: DataFrame, corpus: DataFrame,
+                    radius: int, *, query_id: str = "q",
+                    corpus_id: str = "j", x_col: str = "x",
+                    y_col: str = "y", value_col: str = "v"
+                    ) -> DataFrame:
+    """Inverse-distance-weighted interpolation (Shepard 1968, p = 2) —
+    the classic "value at an unsampled location" estimator behind
+    precipitation maps, sensor in-fill, and price surfaces:
+
+        ŷ(q) = Σ_j v_j/d²_qj / Σ_j 1/d²_qj     over d ≤ radius
+
+    with the standard exact-hit rule: if any sample COINCIDES with
+    the query (d² = 0), ŷ is the mean of the coincident samples
+    (an exact integer ratio) and no division by zero ever happens.
+
+    Determinism: candidate pairs come from ONE bounded grid join
+    (grid_radius_join — ×9 probe, exact integer d²); each weight
+    1/d² and weighted value v/d² is a pinned double from exact int64
+    inputs, and both Σs are PINNED corpus-id-ordered in-row folds
+    (the entropy_profile discipline); ŷ is one division.  Queries
+    with no sample inside ``radius`` drop out (no made-up value —
+    widen the radius deliberately).
+
+    Shape: one cell-keyed join + one per-query groupBy; per-query
+    candidate lists are radius-bounded.
+
+    Returns ``(q, n_samples, n_exact, y_hat)``.
+    """
+    from .cluster import grid_radius_join
+
+    qdf = queries.select(F.col(query_id).alias("q"),
+                         F.col(x_col).cast("long").alias("x"),
+                         F.col(y_col).cast("long").alias("y"))
+    c = corpus.select(F.col(corpus_id).alias("j"),
+                      F.col(x_col).cast("long").alias("x"),
+                      F.col(y_col).cast("long").alias("y"),
+                      F.col(value_col).cast("long").alias("v"))
+    j = grid_radius_join(qdf, c.select("j", "x", "y"), radius,
+                         query_id="q", corpus_id="j", x="x", y="y")
+    j = j.join(c.select("j", "v"), "j")
+    wnum = F.when(F.col("d2") > 0,
+                  F.col("v").cast("double")
+                  / F.col("d2").cast("double")).otherwise(F.lit(0.0))
+    wden = F.when(F.col("d2") > 0,
+                  F.lit(1.0) / F.col("d2").cast("double"))
+    wden = F.coalesce(wden, F.lit(0.0))
+    arr = F.sort_array(F.collect_list(F.struct(
+        F.col("j"),
+        wnum.alias("wn"), wden.alias("wd"),
+        (F.col("d2") == 0).cast("long").alias("ex"),
+        F.when(F.col("d2") == 0, F.col("v")).otherwise(F.lit(0))
+        .cast("long").alias("ev"))))
+    per = j.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        arr.alias("_a"))
+    s_wn = F.aggregate(F.col("_a"), F.lit(0.0),
+                       lambda a, s_: a + s_["wn"])
+    s_wd = F.aggregate(F.col("_a"), F.lit(0.0),
+                       lambda a, s_: a + s_["wd"])
+    s_ex = F.aggregate(F.col("_a"), F.lit(0).cast("long"),
+                       lambda a, s_: a + s_["ex"])
+    s_ev = F.aggregate(F.col("_a"), F.lit(0).cast("long"),
+                       lambda a, s_: a + s_["ev"])
+    y = F.when(s_ex > 0,
+               s_ev.cast("double") / s_ex.cast("double")) \
+        .otherwise(s_wn / s_wd)
+    return per.select("q", "n_samples", s_ex.alias("n_exact"),
+                      y.alias("y_hat"))

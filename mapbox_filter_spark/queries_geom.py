@@ -5420,3 +5420,75 @@ FROM nn CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb"""
 
 GEOM_QUERIES["nmi_clusterings"] = (q_nmi_clusterings,
                                    sql_nmi_clusterings)
+
+
+_SHEP_RADIUS = 1500        # candidate ball, micro-degrees
+_SHEP_QMOD = 10            # every 10th event -> query site
+
+
+def q_shepard_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shepard inverse-distance-squared interpolation of event cents
+    at off-sample walk sites (operators/spatialstats.py
+    idw_interpolate): the planar, radius-bounded sibling of the
+    geohash-ring ``idw_interpolate`` gate.  Corpus = the clark_evans
+    500-point sample (cents values); queries = every 10th event's
+    walk position, so half the queries COINCIDE with a corpus point
+    and exercise the exact-hit mean rule (an exact integer ratio)
+    while the rest take the 1/d² weighted path.  Candidates come from
+    ONE grid_radius_join (×9 probe, exact integer d²); both weight
+    sums are pinned corpus-id-ordered in-row folds, so y_hat is
+    bit-reproducible cross-engine."""
+    from .operators.spatialstats import idw_interpolate
+    from .operators.trajectory import random_walk_positions
+    from .queries_curation import _cents
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    vals = (ev.filter(F.col("value").isNotNull())
+            .select(F.col("event_id").alias("j"), _cents().alias("v")))
+    corpus = (pos.filter(F.pmod(F.col("event_id"), F.lit(_CE_QMOD)) == 0)
+              .select(F.col("event_id").alias("j"), "x", "y")
+              .join(vals, "j"))
+    queries = (pos.filter(F.pmod(F.col("event_id"),
+                                 F.lit(_SHEP_QMOD)) == 0)
+               .select(F.col("event_id").alias("q"), "x", "y"))
+    return idw_interpolate(queries, corpus, _SHEP_RADIUS)
+
+
+def sql_shepard_idw() -> str:
+    r2 = _SHEP_RADIUS * _SHEP_RADIUS
+    return f"""WITH {_sql_walk_pos()},
+samp AS MATERIALIZED (
+  SELECT pos.event_id AS j, pos.x, pos.y,
+         CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS v
+  FROM pos JOIN events e ON e.event_id = pos.event_id
+  WHERE pos.event_id % {_CE_QMOD} = 0 AND e.value IS NOT NULL),
+qry AS MATERIALIZED (
+  SELECT event_id AS q, x, y FROM pos WHERE event_id % {_SHEP_QMOD} = 0),
+pairs AS (
+  SELECT qry.q, samp.j, samp.v,
+         (qry.x-samp.x)*(qry.x-samp.x)
+           + (qry.y-samp.y)*(qry.y-samp.y) AS d2
+  FROM qry JOIN samp
+    ON (qry.x-samp.x)*(qry.x-samp.x)
+         + (qry.y-samp.y)*(qry.y-samp.y) <= {r2}),
+w AS (
+  SELECT q, j,
+         CASE WHEN d2 > 0 THEN CAST(v AS DOUBLE) / CAST(d2 AS DOUBLE)
+              ELSE 0.0 END AS wn,
+         CASE WHEN d2 > 0 THEN 1.0 / CAST(d2 AS DOUBLE)
+              ELSE 0.0 END AS wd,
+         CASE WHEN d2 = 0 THEN 1 ELSE 0 END AS ex,
+         CASE WHEN d2 = 0 THEN v ELSE 0 END AS ev
+  FROM pairs)
+SELECT q, CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(ex) AS BIGINT) AS n_exact,
+       CASE WHEN SUM(ex) > 0
+            THEN CAST(SUM(ev) AS DOUBLE) / CAST(SUM(ex) AS DOUBLE)
+            ELSE list_reduce(list(wn ORDER BY j), (a, b) -> a + b)
+                 / list_reduce(list(wd ORDER BY j), (a, b) -> a + b)
+       END AS y_hat
+FROM w GROUP BY q"""
+
+
+GEOM_QUERIES["shepard_idw"] = (q_shepard_idw, sql_shepard_idw)

@@ -1,0 +1,101 @@
+"""Session-19 operator blocks: unit differentials + edge pins.
+
+Each operator's oracle gate lives in tests/test_oracle.py via the
+queries()/oracle_sql() registry; these tests are the independent brute
+python replays and hand-pinned edge cases.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---- idw_interpolate (Shepard p=2, exact-hit rule) ----
+
+def _brute_idw(queries, corpus, radius):
+    """Python replay: j-ordered left fold of wn/wd doubles."""
+    r2 = radius * radius
+    out = {}
+    for q, qx, qy in queries:
+        cand = []
+        for j, cx, cy, v in corpus:
+            d2 = (qx - cx) ** 2 + (qy - cy) ** 2
+            if d2 <= r2:
+                cand.append((j, d2, v))
+        if not cand:
+            continue
+        cand.sort()
+        n_exact = sum(1 for _, d2, _ in cand if d2 == 0)
+        if n_exact:
+            ev = sum(v for _, d2, v in cand if d2 == 0)
+            y = float(ev) / float(n_exact)
+        else:
+            s_wn = 0.0
+            s_wd = 0.0
+            for _, d2, v in cand:
+                s_wn += float(v) / float(d2)
+                s_wd += 1.0 / float(d2)
+            y = s_wn / s_wd
+        out[q] = (len(cand), n_exact, y)
+    return out
+
+
+def test_idw_differential(spark):
+    from mapbox_filter_spark.operators.spatialstats import idw_interpolate
+
+    rng = random.Random(19)
+    corpus = [(j, rng.randrange(0, 400), rng.randrange(0, 400),
+               rng.randrange(-50, 500)) for j in range(120)]
+    queries = [(q, rng.randrange(0, 400), rng.randrange(0, 400))
+               for q in range(60)]
+    # force exact hits: queries 100.. sit on corpus points
+    for k in range(5):
+        j, cx, cy, _ = corpus[k * 7]
+        queries.append((100 + k, cx, cy))
+    qdf = spark.createDataFrame(queries, "q long, x long, y long")
+    cdf = spark.createDataFrame(corpus, "j long, x long, y long, v long")
+    got = {r["q"]: (r["n_samples"], r["n_exact"], r["y_hat"])
+           for r in idw_interpolate(qdf, cdf, 60).collect()}
+    want = _brute_idw(queries, corpus, 60)
+    assert set(got) == set(want)
+    for q in want:
+        assert got[q][0] == want[q][0], q
+        assert got[q][1] == want[q][1], q
+        assert got[q][2] == pytest.approx(want[q][2], abs=1e-12), q
+
+
+def test_idw_exact_hit_mean(spark):
+    from mapbox_filter_spark.operators.spatialstats import idw_interpolate
+
+    # two coincident samples AT the query + one nearby: exact rule wins,
+    # y_hat is the mean of the coincident values only
+    corpus = [(1, 10, 10, 100), (2, 10, 10, 301), (3, 12, 10, 999)]
+    queries = [(7, 10, 10)]
+    qdf = spark.createDataFrame(queries, "q long, x long, y long")
+    cdf = spark.createDataFrame(corpus, "j long, x long, y long, v long")
+    rows = idw_interpolate(qdf, cdf, 5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_samples"], r["n_exact"]) == (3, 2)
+    assert r["y_hat"] == pytest.approx((100 + 301) / 2.0)
+
+
+def test_idw_out_of_range_drops(spark):
+    from mapbox_filter_spark.operators.spatialstats import idw_interpolate
+
+    corpus = [(1, 0, 0, 5)]
+    queries = [(1, 0, 3), (2, 1000, 1000)]
+    qdf = spark.createDataFrame(queries, "q long, x long, y long")
+    cdf = spark.createDataFrame(corpus, "j long, x long, y long, v long")
+    rows = {r["q"]: r for r in idw_interpolate(qdf, cdf, 10).collect()}
+    assert set(rows) == {1}
+    assert rows[1]["y_hat"] == pytest.approx(5.0)
+
+
+def test_idw_gate_plan_no_python(spark):
+    from mapbox_filter_spark.queries_geom import q_shepard_idw
+
+    plan = q_shepard_idw(spark, "/root/testdata/sf0.001")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
