@@ -82,3 +82,65 @@ def convex_hull_cells(pts: DataFrame, cell: int,
 
     return src.groupBy("cx", "cy").applyInPandas(
         _hull, "cx long, cy long, x long, y long")
+
+
+def hull_metrics(pts: DataFrame, cell: int,
+                 x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Per-cell hull diameter — max pairwise d² with its witness pair —
+    plus point/boundary counts: ``(cx, cy, n_pts, n_boundary, diam2,
+    ax, ay, bx, by)``.
+
+    The diameter of a point set equals the diameter of its convex-hull
+    boundary (maximal pairs are extreme points; any point strictly
+    inside an edge or the hull is strictly closer by convexity of
+    |x−q| along segments), so the pair search runs over the SMALL
+    boundary set from :func:`convex_hull_cells` — O(h²) per cell, never
+    the raw-point quadratic.  The witness is the lexicographically
+    least ``(ax, ay, bx, by)`` among maximal pairs via ONE min-struct
+    fold with ``−d²`` leading, so ties resolve identically in any
+    engine; single-point cells report ``diam2 = 0`` with the point as
+    its own witness.  All arithmetic exact int64 (coords within a cell
+    differ by ≤ 3·cell after the ×9 hull ring — safe for cell ≤ 2³⁰).
+
+    Shape: the boundary set is already hash-partitioned by (cx, cy)
+    from the hull's groupBy, so the within-cell pair join and the
+    per-cell folds reuse that exchange; the raw points contribute one
+    count aggregation on the same key.
+    """
+    src = pts.select(
+        floor_div(F.col(x_col).cast("long"), cell).alias("cx"),
+        floor_div(F.col(y_col).cast("long"), cell).alias("cy"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"))
+    counts = src.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).alias("n_pts"))
+    hull = convex_hull_cells(pts, cell, x_col, y_col)
+    bcnt = hull.groupBy("cx", "cy").agg(
+        F.count(F.lit(1)).alias("n_boundary"),
+        F.min(F.struct("x", "y")).alias("_p0"))
+    a = hull.select("cx", "cy", F.col("x").alias("ax"),
+                    F.col("y").alias("ay"))
+    b = hull.select("cx", "cy", F.col("x").alias("bx"),
+                    F.col("y").alias("by"))
+    pair_lt = ((F.col("ax") < F.col("bx"))
+               | ((F.col("ax") == F.col("bx"))
+                  & (F.col("ay") < F.col("by"))))
+    d2 = ((F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+          + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by")))
+    best = (a.join(b, ["cx", "cy"]).filter(pair_lt)
+            .select("cx", "cy", d2.alias("d2"),
+                    "ax", "ay", "bx", "by")
+            .groupBy("cx", "cy")
+            .agg(F.min(F.struct(
+                (-F.col("d2")).alias("nd"), F.col("ax"), F.col("ay"),
+                F.col("bx"), F.col("by"))).alias("_w")))
+    return (counts.join(bcnt, ["cx", "cy"])
+            .join(best, ["cx", "cy"], "left")
+            .select(
+                "cx", "cy", "n_pts", "n_boundary",
+                F.coalesce(-F.col("_w.nd"), F.lit(0).cast("long"))
+                .alias("diam2"),
+                F.coalesce(F.col("_w.ax"), F.col("_p0.x")).alias("ax"),
+                F.coalesce(F.col("_w.ay"), F.col("_p0.y")).alias("ay"),
+                F.coalesce(F.col("_w.bx"), F.col("_p0.x")).alias("bx"),
+                F.coalesce(F.col("_w.by"), F.col("_p0.y")).alias("by")))

@@ -5492,3 +5492,76 @@ FROM w GROUP BY q"""
 
 
 GEOM_QUERIES["shepard_idw"] = (q_shepard_idw, sql_shepard_idw)
+
+
+def q_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell hull diameter with witness pair (geo/hull.py
+    hull_metrics) over the convex_hull_cells scatter: the engine
+    searches pairs on the SMALL hull-boundary set only; the oracle is
+    the independent brute max over ALL cell point pairs — a value-hash
+    match proves the extreme-point reduction loses no maximal pair,
+    witness included (min-lex tie rule)."""
+    from .geo.hull import hull_metrics
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir)
+    pts = (feats.filter(F.col("feature_id") % _HULL_QMOD == 0)
+           .select(F.pmod(F.col("feature_id") * 7919,
+                          F.lit(360000)).alias("x"),
+                   F.pmod(F.col("feature_id") * 104729,
+                          F.lit(170000)).alias("y"))
+           .distinct())
+    return hull_metrics(pts, _HULL_CELL)
+
+
+def sql_hull_diameter() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    c, q = _HULL_CELL, _HULL_QMOD
+    return f"""WITH {FEATURES_ORACLE_SQL},
+pts AS (
+  SELECT DISTINCT ((feature_id * 7919) % 360000) // {c} AS cx,
+         ((feature_id * 104729) % 170000) // {c} AS cy,
+         (feature_id * 7919) % 360000 AS x,
+         (feature_id * 104729) % 170000 AS y
+  FROM features WHERE feature_id % {q} = 0),
+cnt AS (
+  SELECT cx, cy, COUNT(*) AS n_pts, MIN(x) AS px, MIN(y) AS py
+  FROM pts GROUP BY 1, 2),
+bnd AS (
+  SELECT p.cx, p.cy, p.x, p.y
+  FROM pts p JOIN cnt t ON t.cx = p.cx AND t.cy = p.cy
+  WHERE t.n_pts = 1 OR EXISTS (
+    SELECT 1 FROM pts q
+    WHERE q.cx = p.cx AND q.cy = p.cy AND (q.x <> p.x OR q.y <> p.y)
+      AND NOT EXISTS (
+        SELECT 1 FROM pts r
+        WHERE r.cx = p.cx AND r.cy = p.cy
+          AND (q.x - p.x) * (r.y - p.y)
+              - (q.y - p.y) * (r.x - p.x) < 0))),
+bc AS (SELECT cx, cy, COUNT(*) AS n_boundary FROM bnd GROUP BY 1, 2),
+pairs AS (
+  SELECT a.cx, a.cy,
+         (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2,
+         a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM pts a JOIN pts b
+    ON a.cx = b.cx AND a.cy = b.cy
+   AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))),
+best AS (
+  SELECT cx, cy, d2, ax, ay, bx, by
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY cx, cy
+          ORDER BY d2 DESC, ax, ay, bx, by) AS rn
+        FROM pairs)
+  WHERE rn = 1)
+SELECT cnt.cx, cnt.cy, cnt.n_pts, bc.n_boundary,
+       COALESCE(best.d2, 0) AS diam2,
+       COALESCE(best.ax, cnt.px) AS ax,
+       COALESCE(best.ay, cnt.py) AS ay,
+       COALESCE(best.bx, cnt.px) AS bx,
+       COALESCE(best.by, cnt.py) AS by
+FROM cnt JOIN bc ON bc.cx = cnt.cx AND bc.cy = cnt.cy
+LEFT JOIN best ON best.cx = cnt.cx AND best.cy = cnt.cy"""
+
+
+GEOM_QUERIES["hull_diameter"] = (q_hull_diameter, sql_hull_diameter)

@@ -99,3 +99,63 @@ def test_idw_gate_plan_no_python(spark):
     plan = q_shepard_idw(spark, "/root/testdata/sf0.001")._jdf \
         .queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+# ---- hull_metrics (per-cell diameter + witness) ----
+
+def _brute_hull_metrics(points, cell):
+    from mapbox_filter_spark.geo.hull import hull_boundary_points
+
+    cells = {}
+    for x, y in set(points):
+        cells.setdefault((x // cell, y // cell), []).append((x, y))
+    out = {}
+    for key, ps in cells.items():
+        bnd = hull_boundary_points([p[0] for p in ps],
+                                   [p[1] for p in ps])
+        best = None
+        for i, a in enumerate(sorted(ps)):
+            for b in sorted(ps)[i + 1:]:
+                d2 = (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+                cand = (-d2, a[0], a[1], b[0], b[1])
+                if best is None or cand < best:
+                    best = cand
+        if best is None:
+            p = ps[0]
+            out[key] = (len(ps), len(bnd), 0, p[0], p[1], p[0], p[1])
+        else:
+            out[key] = (len(ps), len(bnd), -best[0], best[1], best[2],
+                        best[3], best[4])
+    return out
+
+
+def test_hull_metrics_differential(spark):
+    from mapbox_filter_spark.geo.hull import hull_metrics
+
+    rng = random.Random(42)
+    pts = [(rng.randrange(0, 300), rng.randrange(0, 300))
+           for _ in range(250)]
+    pts += [(1000, 1000)]                     # single-point cell
+    pts += [(2000 + 3 * k, 2000 + 4 * k) for k in range(6)]  # collinear
+    pdf = spark.createDataFrame(list(set(pts)), "x long, y long")
+    got = {(r["cx"], r["cy"]): (r["n_pts"], r["n_boundary"], r["diam2"],
+                                r["ax"], r["ay"], r["bx"], r["by"])
+           for r in hull_metrics(pdf, 100).collect()}
+    want = _brute_hull_metrics(pts, 100)
+    assert got == want
+
+
+def test_hull_metrics_single_and_collinear(spark):
+    from mapbox_filter_spark.geo.hull import hull_metrics
+
+    pdf = spark.createDataFrame(
+        [(5, 5), (50, 10), (60, 20), (70, 30)], "x long, y long")
+    rows = {(r["cx"], r["cy"]): r
+            for r in hull_metrics(pdf, 40).collect()}
+    lone = rows[(0, 0)]
+    assert (lone["n_pts"], lone["n_boundary"], lone["diam2"]) == (1, 1, 0)
+    assert (lone["ax"], lone["ay"], lone["bx"], lone["by"]) == (5, 5, 5, 5)
+    col = rows[(1, 0)]
+    assert (col["n_pts"], col["n_boundary"]) == (3, 3)
+    assert col["diam2"] == 20 * 20 + 20 * 20
+    assert (col["ax"], col["ay"], col["bx"], col["by"]) == (50, 10, 70, 30)
