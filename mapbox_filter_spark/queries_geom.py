@@ -5565,3 +5565,103 @@ LEFT JOIN best ON best.cx = cnt.cx AND best.cy = cnt.cy"""
 
 
 GEOM_QUERIES["hull_diameter"] = (q_hull_diameter, sql_hull_diameter)
+
+
+_CLIP_TILE = 512
+_CLIP_SCALE = 8
+
+
+def q_tile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tile clipping of the wiggly polylines (geo/clip.py
+    clip_segments_to_tiles): every segment cut into per-tile pieces by
+    integer Liang-Barsky — entry/exit parameters as (num, den)
+    fractions, cross-multiplied comparisons, half-up subpixel
+    quantization — so the clipped geometry value-hashes across
+    engines.  The spike vertices force real diagonal boundary
+    crossings with non-trivial rational clip points."""
+    from .geo.clip import clip_segments_to_tiles
+
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .filter(F.col("p_partkey") <= _RDP_LINES))
+    lines = part.select(F.col("p_partkey").alias("line_id"),
+                        _wiggly_verts().alias("verts"))
+    seg = F.transform(
+        F.sequence(F.lit(0), F.lit(_RDP_N - 2)),
+        lambda i: F.struct(
+            i.cast("long").alias("seg_i"),
+            F.element_at(F.col("verts"), (i + 1).cast("int"))["x"]
+            .alias("x0"),
+            F.element_at(F.col("verts"), (i + 1).cast("int"))["y"]
+            .alias("y0"),
+            F.element_at(F.col("verts"), (i + 2).cast("int"))["x"]
+            .alias("x1"),
+            F.element_at(F.col("verts"), (i + 2).cast("int"))["y"]
+            .alias("y1")))
+    segs = (lines.select("line_id", F.explode(seg).alias("s"))
+            .select("line_id", "s.*"))
+    return clip_segments_to_tiles(segs, _CLIP_TILE, _CLIP_SCALE)
+
+
+def sql_tile_clip() -> str:
+    t, sc = _CLIP_TILE, _CLIP_SCALE
+    return f"""WITH pts AS (
+  SELECT p_partkey AS line_id, CAST(t.i AS BIGINT) AS i,
+         CAST(t.i * 256 AS BIGINT) AS x,
+         CAST((p_partkey*37 + t.i*13) % 7
+              + CASE WHEN t.i = p_partkey % {_RDP_N} THEN 1000 ELSE 0 END
+              AS BIGINT) AS y
+  FROM part, LATERAL (SELECT unnest(range({_RDP_N})) AS i) t
+  WHERE p_partkey <= {_RDP_LINES}),
+segs AS (
+  SELECT line_id, i AS seg_i, x AS x0, y AS y0,
+         lead(x) OVER w AS x1, lead(y) OVER w AS y1
+  FROM pts WINDOW w AS (PARTITION BY line_id ORDER BY i)
+  QUALIFY lead(x) OVER w IS NOT NULL),
+cand AS (
+  SELECT s.*, s.x1 - s.x0 AS dx, s.y1 - s.y0 AS dy, t1.tx, t2.ty
+  FROM segs s,
+  LATERAL (SELECT unnest(range(least(x0, x1) // {t},
+                               greatest(x0, x1) // {t} + 1)) AS tx) t1,
+  LATERAL (SELECT unnest(range(least(y0, y1) // {t},
+                               greatest(y0, y1) // {t} + 1)) AS ty) t2),
+ax AS (
+  SELECT *,
+    CASE WHEN dx > 0 THEN tx*{t} - x0 WHEN dx < 0 THEN x0 - (tx+1)*{t}
+         WHEN x0 BETWEEN tx*{t} AND (tx+1)*{t} THEN 0 ELSE 1
+    END AS xen_a,
+    CASE WHEN dx > 0 THEN (tx+1)*{t} - x0 WHEN dx < 0 THEN x0 - tx*{t}
+         WHEN x0 BETWEEN tx*{t} AND (tx+1)*{t} THEN 1 ELSE 0
+    END AS xex_a,
+    CASE WHEN dx > 0 THEN dx WHEN dx < 0 THEN -dx ELSE 1 END AS xb,
+    CASE WHEN dy > 0 THEN ty*{t} - y0 WHEN dy < 0 THEN y0 - (ty+1)*{t}
+         WHEN y0 BETWEEN ty*{t} AND (ty+1)*{t} THEN 0 ELSE 1
+    END AS yen_a,
+    CASE WHEN dy > 0 THEN (ty+1)*{t} - y0 WHEN dy < 0 THEN y0 - ty*{t}
+         WHEN y0 BETWEEN ty*{t} AND (ty+1)*{t} THEN 1 ELSE 0
+    END AS yex_a,
+    CASE WHEN dy > 0 THEN dy WHEN dy < 0 THEN -dy ELSE 1 END AS yb
+  FROM cand),
+e AS (
+  SELECT *,
+    CASE WHEN xen_a*yb >= yen_a*xb THEN xen_a ELSE yen_a END AS e_a,
+    CASE WHEN xen_a*yb >= yen_a*xb THEN xb ELSE yb END AS e_b,
+    CASE WHEN xex_a*yb <= yex_a*xb THEN xex_a ELSE yex_a END AS g_a,
+    CASE WHEN xex_a*yb <= yex_a*xb THEN xb ELSE yb END AS g_b
+  FROM ax),
+tt AS (
+  SELECT *,
+    CASE WHEN e_a >= 0 THEN e_a ELSE 0 END AS t0a,
+    CASE WHEN e_a >= 0 THEN e_b ELSE 1 END AS t0b,
+    CASE WHEN g_a <= g_b THEN g_a ELSE 1 END AS t1a,
+    CASE WHEN g_a <= g_b THEN g_b ELSE 1 END AS t1b
+  FROM e)
+SELECT line_id, seg_i, tx, ty,
+       (2*{sc}*(x0*t0b + dx*t0a) + t0b) // (2*t0b) AS qx0,
+       (2*{sc}*(y0*t0b + dy*t0a) + t0b) // (2*t0b) AS qy0,
+       (2*{sc}*(x0*t1b + dx*t1a) + t1b) // (2*t1b) AS qx1,
+       (2*{sc}*(y0*t1b + dy*t1a) + t1b) // (2*t1b) AS qy1,
+       t0a > 0 AS cut_in, t1a < t1b AS cut_out
+FROM tt WHERE t0a*t1b < t1a*t0b"""
+
+
+GEOM_QUERIES["tile_clip"] = (q_tile_clip, sql_tile_clip)

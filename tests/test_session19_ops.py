@@ -159,3 +159,118 @@ def test_hull_metrics_single_and_collinear(spark):
     assert (col["n_pts"], col["n_boundary"]) == (3, 3)
     assert col["diam2"] == 20 * 20 + 20 * 20
     assert (col["ax"], col["ay"], col["bx"], col["by"]) == (50, 10, 70, 30)
+
+
+# ---- clip_segments_to_tiles (exact Liang-Barsky tile cut) ----
+
+def _brute_clip(segs, tile, scale, max_tiles=64):
+    from fractions import Fraction
+
+    out = set()
+    for line_id, seg_i, x0, y0, x1, y1 in segs:
+        assert min(x0, y0, x1, y1) >= 0
+        dx, dy = x1 - x0, y1 - y0
+        txl, txh = min(x0, x1) // tile, max(x0, x1) // tile
+        tyl, tyh = min(y0, y1) // tile, max(y0, y1) // tile
+        assert (txh - txl + 1) * (tyh - tyl + 1) <= max_tiles
+        for tx in range(txl, txh + 1):
+            for ty in range(tyl, tyh + 1):
+                lo_x, hi_x = tx * tile, (tx + 1) * tile
+                lo_y, hi_y = ty * tile, (ty + 1) * tile
+
+                def axis(p0, d, lo, hi):
+                    if d > 0:
+                        return (Fraction(lo - p0, d),
+                                Fraction(hi - p0, d))
+                    if d < 0:
+                        return (Fraction(hi - p0, d),
+                                Fraction(lo - p0, d))
+                    if lo <= p0 <= hi:
+                        return Fraction(0), Fraction(1)
+                    return Fraction(1), Fraction(0)
+
+                ex0, ex1 = axis(x0, dx, lo_x, hi_x)
+                ey0, ey1 = axis(y0, dy, lo_y, hi_y)
+                t0 = max(ex0, ey0, Fraction(0))
+                t1 = min(ex1, ey1, Fraction(1))
+                if not t0 < t1:
+                    continue
+
+                def quant(p0, d, t):
+                    v = Fraction(p0) + d * t
+                    num = 2 * scale * v.numerator + v.denominator
+                    return num // (2 * v.denominator)
+
+                out.add((line_id, seg_i, tx, ty,
+                         quant(x0, dx, t0), quant(y0, dy, t0),
+                         quant(x0, dx, t1), quant(y0, dy, t1),
+                         t0 > 0, t1 < 1))
+    return out
+
+
+def _clip_collect(spark, segs, tile, scale):
+    from mapbox_filter_spark.geo.clip import clip_segments_to_tiles
+
+    df = spark.createDataFrame(
+        segs, "line_id long, seg_i long, x0 long, y0 long, "
+              "x1 long, y1 long")
+    rows = clip_segments_to_tiles(df, tile, scale).collect()
+    return {tuple(r) for r in rows}
+
+
+def test_clip_differential(spark):
+    rng = random.Random(7)
+    segs = []
+    for k in range(80):
+        x0, y0 = rng.randrange(0, 3000), rng.randrange(0, 3000)
+        segs.append((1, k, x0, y0,
+                     max(0, x0 + rng.randrange(-900, 900)),
+                     max(0, y0 + rng.randrange(-900, 900))))
+    got = _clip_collect(spark, segs, 512, 8)
+    assert got == _brute_clip(segs, 512, 8)
+
+
+def test_clip_boundary_conventions(spark):
+    # endpoint exactly ON a shared boundary: only the source tile emits
+    segs = [(1, 0, 100, 10, 512, 10)]
+    got = _clip_collect(spark, segs, 512, 8)
+    assert got == {(1, 0, 0, 0, 800, 80, 4096, 80, False, False)}
+
+    # segment LYING on the boundary: floor-div bbox candidates put it
+    # in the HIGHER tile only — no duplication
+    segs = [(1, 1, 512, 100, 512, 400)]
+    got = _clip_collect(spark, segs, 512, 8)
+    assert {(r[2], r[3]) for r in got} == {(1, 0)}
+    assert got == _brute_clip(segs, 512, 8)
+
+    # crossing midway: clip point is an exact rational, cut flags set
+    segs = [(2, 0, 0, 0, 1024, 100)]
+    got = _clip_collect(spark, segs, 512, 8)
+    assert got == _brute_clip(segs, 512, 8)
+    by_tile = {(r[2], r[3]): r for r in got}
+    left, right = by_tile[(0, 0)], by_tile[(1, 0)]
+    assert left[8] is False and left[9] is True      # cut at exit
+    assert right[8] is True and right[9] is False    # cut at entry
+    assert left[6] == 512 * 8                        # qx1 on boundary
+    assert left[7] == 400                            # y=50 exactly ×8
+
+    # degenerate point segment on a corner → the floor-div tile only
+    segs = [(3, 0, 512, 512, 512, 512)]
+    got = _clip_collect(spark, segs, 512, 8)
+    assert {(r[2], r[3]) for r in got} == {(1, 1)}
+    assert got == _brute_clip(segs, 512, 8)
+
+
+def test_clip_guards(spark):
+    from mapbox_filter_spark.geo.clip import clip_segments_to_tiles
+
+    df = spark.createDataFrame([(1, 0, -5, 0, 10, 10)],
+                               "line_id long, seg_i long, x0 long, "
+                               "y0 long, x1 long, y1 long")
+    with pytest.raises(Exception, match="negative coordinate"):
+        clip_segments_to_tiles(df, 512).collect()
+    df2 = spark.createDataFrame([(1, 0, 0, 0, 100000, 100000)],
+                                "line_id long, seg_i long, x0 long, "
+                                "y0 long, x1 long, y1 long")
+    with pytest.raises(Exception, match="spans"):
+        clip_segments_to_tiles(df2, 64).collect()
