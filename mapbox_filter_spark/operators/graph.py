@@ -1298,3 +1298,74 @@ def conductance(edges: DataFrame, labels: DataFrame, *,
         cut.alias("cut"),
         F.when(denom > 0, cut.cast("double") / denom.cast("double"))
         .alias("conductance"))
+
+
+def maximal_independent_set(edges: DataFrame, *, src: str = "src",
+                            dst: str = "dst", salt: str = "mis",
+                            max_rounds: int = 200) -> DataFrame:
+    """Deterministic Luby maximal independent set (Luby 1986, the
+    textbook distributed MIS): each round every live node draws a
+    content-hashed priority ``(hash_u60(salt|round, node), node)`` —
+    unique by the node tiebreak — and joins the MIS iff it beats every
+    live neighbor; winners and their neighborhoods leave the graph.
+    The classic symmetry-breaking primitive behind distributed
+    coloring, scheduling, and landmark selection — and, here, the
+    deterministic replacement for "pick an arbitrary maximal set".
+
+    Determinism: priorities are pure md5 folds of (salt, round, node)
+    — no RNG, no partition dependence — so the member set AND the
+    round each member enters are engine-reproducible.  The per-round
+    winner test is one min-struct fold over neighbor priorities.
+
+    Scale shape: per round, one symmetric join of the (shrinking)
+    edge list against the live-priority table + one groupBy; removals
+    are anti-joins; every round localCheckpoints (the k_core
+    discipline).  Rounds are O(log n) with high probability under the
+    hash's uniformity — max_rounds raises loudly, never truncates.
+    Isolated live nodes win immediately (NULL neighbor fold), so
+    termination is guaranteed: the globally-minimal live priority
+    always enters.
+
+    Returns ``(node, round)`` — round is the 0-based entry round.
+    Nodes with no incident edge in ``edges`` are not seen; union them
+    in as round-0 members upstream if the node universe is wider.
+    """
+    from .splits import hash_u60
+
+    e = _canon(edges, src, dst).localCheckpoint()
+    live = _sym(e).select("u").distinct().localCheckpoint()
+    parts = []
+    for rnd in range(max_rounds):
+        if live.isEmpty():
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionAll(p)
+            return out
+        pr = live.select(
+            "u", hash_u60(["u"], salt=f"{salt}|r{rnd}").alias("p"))
+        nb = (_sym(e)
+              .join(pr.select(F.col("u").alias("v"),
+                              F.col("p").alias("pv")), "v")
+              .groupBy("u")
+              .agg(F.min(F.struct("pv", "v")).alias("_nb")))
+        win = (pr.join(nb, "u", "left")
+               .filter(F.col("_nb").isNull()
+                       | (F.struct("p", "u")
+                          < F.struct(F.col("_nb.pv").alias("p"),
+                                     F.col("_nb.v").alias("u"))))
+               .select("u").localCheckpoint())
+        parts.append(win.select(
+            F.col("u").alias("node"),
+            F.lit(rnd).cast("long").alias("round")))
+        gone = (win.unionAll(
+            _sym(e).join(win.select(F.col("u").alias("v")), "v")
+            .select("u"))
+            .distinct().localCheckpoint())
+        live = live.join(gone, "u", "left_anti").localCheckpoint()
+        e = (e.join(gone.withColumnRenamed("u", "src"), "src",
+                    "left_anti")
+             .join(gone.withColumnRenamed("u", "dst"), "dst",
+                   "left_anti")
+             .localCheckpoint())
+    raise RuntimeError(
+        f"maximal_independent_set: no fixpoint in {max_rounds} rounds")

@@ -1236,3 +1236,67 @@ CROSS JOIN mm"""
 
 
 GRAPH_QUERIES["conductance"] = (q_conductance, sql_conductance)
+
+
+_MIS_SALT = "mis-r5"
+_MIS_UNROLL = 6
+
+
+def q_mis_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Luby maximal independent set over the hashed link
+    graph (operators/graph.py maximal_independent_set): content-hashed
+    priorities with node tiebreak, winners beat every live neighbor,
+    neighborhoods retire per round.  The engine peels to the TRUE
+    fixpoint; the oracle unrolls 6 MATERIALIZED rounds and is
+    self-checking — a green value hash proves 6 was enough (3 needed
+    at sf0.01)."""
+    from .operators.graph import maximal_independent_set
+
+    edges = _link_edges(spark, sf_dir)
+    return maximal_independent_set(edges, salt=_MIS_SALT)
+
+
+def sql_mis_nodes() -> str:
+    def pr(rnd: str, u: str = "u") -> str:
+        return ("CAST(('0x' || substr(md5(concat_ws(chr(31), "
+                f"'{_MIS_SALT}|r{rnd}', CAST({u} AS VARCHAR))), 1, 15)) "
+                "AS BIGINT)")
+
+    parts = [_sql_link_edges() + """,
+e0 AS MATERIALIZED (
+  SELECT DISTINCT greatest(src, dst) AS src, least(src, dst) AS dst
+  FROM edges WHERE src <> dst),
+live0 AS MATERIALIZED (
+  SELECT src AS u FROM e0 UNION SELECT dst FROM e0)"""]
+    for k in range(_MIS_UNROLL):
+        parts.append(f""",
+p{k} AS MATERIALIZED (
+  SELECT u, {pr(str(k))} AS p FROM live{k}),
+sym{k} AS (
+  SELECT src AS u, dst AS v FROM e{k}
+  UNION ALL SELECT dst, src FROM e{k}),
+nb{k} AS MATERIALIZED (
+  SELECT u, pv, v FROM (
+    SELECT s.u, pp.p AS pv, s.v,
+           ROW_NUMBER() OVER (PARTITION BY s.u
+                              ORDER BY pp.p, s.v) AS rn
+    FROM sym{k} s JOIN p{k} pp ON pp.u = s.v) WHERE rn = 1),
+win{k} AS MATERIALIZED (
+  SELECT pr.u FROM p{k} pr LEFT JOIN nb{k} n ON n.u = pr.u
+  WHERE n.u IS NULL OR (pr.p, pr.u) < (n.pv, n.v)),
+gone{k} AS MATERIALIZED (
+  SELECT u FROM win{k}
+  UNION SELECT s.u FROM sym{k} s JOIN win{k} w ON w.u = s.v),
+live{k + 1} AS MATERIALIZED (
+  SELECT u FROM live{k} EXCEPT SELECT u FROM gone{k}),
+e{k + 1} AS MATERIALIZED (
+  SELECT src, dst FROM e{k}
+  WHERE src NOT IN (SELECT u FROM gone{k})
+    AND dst NOT IN (SELECT u FROM gone{k}))""")
+    sel = "\nUNION ALL ".join(
+        f"SELECT u AS node, CAST({k} AS BIGINT) AS round FROM win{k}"
+        for k in range(_MIS_UNROLL))
+    return "WITH " + "".join(parts) + "\n" + sel
+
+
+GRAPH_QUERIES["mis_nodes"] = (q_mis_nodes, sql_mis_nodes)

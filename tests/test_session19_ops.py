@@ -274,3 +274,74 @@ def test_clip_guards(spark):
                                 "y0 long, x1 long, y1 long")
     with pytest.raises(Exception, match="spans"):
         clip_segments_to_tiles(df2, 64).collect()
+
+
+# ---- maximal_independent_set (deterministic Luby) ----
+
+def _u60(salt, rnd, u):
+    import hashlib
+
+    s = f"{salt}|r{rnd}\x1f{u}"
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _brute_mis(edges, salt="mis"):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    live = set(adj)
+    out = {}
+    rnd = 0
+    while live:
+        pr = {u: (_u60(salt, rnd, u), u) for u in live}
+        win = {u for u in live
+               if all(pr[u] < pr[v] for v in adj[u] if v in live)}
+        assert win, "Luby must remove at least the global min"
+        for u in win:
+            out[u] = rnd
+        gone = set(win)
+        for u in win:
+            gone |= {v for v in adj[u] if v in live}
+        live -= gone
+        rnd += 1
+    return out
+
+
+def test_mis_differential(spark):
+    from mapbox_filter_spark.operators.graph import \
+        maximal_independent_set
+
+    rng = random.Random(5)
+    edges = list({(rng.randrange(0, 60), rng.randrange(0, 60))
+                  for _ in range(150)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["round"]
+           for r in maximal_independent_set(df).collect()}
+    want = _brute_mis(edges)
+    assert got == want
+    # independence + maximality against the adjacency
+    adj = set()
+    for a, b in edges:
+        if a != b:
+            adj |= {(a, b), (b, a)}
+    mis = set(got)
+    assert not any((a, b) in adj for a in mis for b in mis)
+    nodes = {a for e in adj for a in e}
+    for u in nodes - mis:
+        assert any((u, v) in adj for v in mis), f"{u} uncovered"
+
+
+def test_mis_path_and_star(spark):
+    from mapbox_filter_spark.operators.graph import \
+        maximal_independent_set
+
+    star = [(0, k) for k in range(1, 8)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    got = {r["node"]: r["round"]
+           for r in maximal_independent_set(df).collect()}
+    assert got == _brute_mis(star)
+    mis = set(got)
+    assert mis == set(range(1, 8)) or mis == {0}
