@@ -2536,3 +2536,88 @@ def srm_check(df: DataFrame, group_cols: Sequence[str],
         F.aggregate(arr, F.lit(0.0),
                     lambda a, s_: a + s_["t"]).alias("chisq"))
     return agg.select(*g, "n", "df_chi", "chisq")
+
+
+_KRIPP_LCM = 27720          # lcm(1..12): common denominator for m-1
+_KRIPP_MAX_M = 13           # so m-1 | _KRIPP_LCM always
+_KRIPP_MAX_N = 1_000_000    # keeps (n-1)*do_scaled and LCM*n² in int64
+
+
+def krippendorff_alpha(df: DataFrame, group_cols: Sequence[str],
+                       unit_col: str, cat_col: str) -> DataFrame:
+    """Krippendorff's α (nominal) — chance-corrected agreement that,
+    unlike :func:`fleiss_kappa`, tolerates MISSING ratings: units may
+    have any number of raters ≥ 2 (singletons drop out), the standard
+    reliability statistic for content-analysis panels with absences
+    (Krippendorff, Content Analysis, §12).
+
+    Exact rational form: with m_u ratings on unit u (m_uc per
+    category), n = Σ m_u over included units, n_c = Σ_u m_uc,
+
+        D_o ∝ Σ_u (m_u² − Σ_c m_uc²) / (m_u − 1)
+        D_e ∝ (n² − Σ_c n_c²) / (n − 1)
+        α   = 1 − D_o/D_e
+            = 1 − (n−1)·Σ_u d_u·(L/(m_u−1)) / (L·(n² − Σ n_c²))
+
+    carrying the per-unit rational ladder on the COMMON integer
+    denominator L = lcm(1..12) = 27720, so both numerator and
+    denominator are exact int64 and α is ONE double division.  The
+    price of exactness is an in-plan cap of ``m_u ≤ 13`` raters per
+    unit (raise_error — dedup or sub-sample raters upstream) and
+    ``n ≤ 10⁶`` ratings per group (α is a per-group statistic).
+
+    Scale shape: one map-side-combinable groupBy to (group, unit,
+    category) — the only ratings-sized shuffle — then a per-unit
+    collapse, a per-category collapse over included units, and a tiny
+    group-key join.  No windows, no collect.
+
+    Returns one row per group: ``(*group_cols, n_units, n_ratings,
+    n_cats, do_scaled, se_cat, alpha)`` — α NULL when every included
+    rating lands in one category (D_e = 0); groups with no unit of
+    ≥ 2 ratings vanish.  ``group_cols`` must be non-empty.
+    """
+    g = list(group_cols)
+    cell = (df.groupBy(*g, F.col(unit_col).alias("_u"),
+                       F.col(cat_col).alias("_c"))
+            .agg(F.count(F.lit(1)).alias("_n")))
+    unit = (cell.groupBy(*g, "_u")
+            .agg(F.sum("_n").alias("_m"),
+                 F.sum(F.col("_n") * F.col("_n")).alias("_sq")))
+    m = F.when(
+        F.col("_m") > _KRIPP_MAX_M,
+        F.raise_error(F.concat(
+            F.lit(f"krippendorff_alpha: > {_KRIPP_MAX_M} raters on a "
+                  "unit: "), F.col("_m").cast("string"))).cast("long")
+    ).otherwise(F.col("_m"))
+    from ..geo.tilemath import floor_div
+
+    unit = (unit.select(
+        *g, "_u", m.alias("_m"), "_sq")
+        .filter(F.col("_m") >= 2)
+        # L/(m−1) is exact by construction (m−1 ≤ 12 divides the lcm)
+        .withColumn("_w", (F.col("_m") * F.col("_m") - F.col("_sq"))
+                    * floor_div(F.lit(_KRIPP_LCM).cast("long"),
+                                F.col("_m") - 1)))
+    gu = (unit.groupBy(*g)
+          .agg(F.count(F.lit(1)).alias("n_units"),
+               F.sum("_m").alias("_nr"),
+               F.sum("_w").alias("do_scaled")))
+    n = F.when(
+        F.col("_nr") > _KRIPP_MAX_N,
+        F.raise_error(F.concat(
+            F.lit(f"krippendorff_alpha: > {_KRIPP_MAX_N} ratings in a "
+                  "group: "), F.col("_nr").cast("string"))).cast("long")
+    ).otherwise(F.col("_nr"))
+    inc = cell.join(unit.select(*g, "_u"), [*g, "_u"])
+    cat = (inc.groupBy(*g, "_c").agg(F.sum("_n").alias("_s")))
+    gc = (cat.groupBy(*g)
+          .agg(F.count(F.lit(1)).alias("n_cats"),
+               F.sum(F.col("_s") * F.col("_s")).alias("se_cat")))
+    j = gu.join(gc, g)
+    nn = n * n - F.col("se_cat")
+    alpha = F.when(
+        nn > 0,
+        F.lit(1.0) - ((n - 1) * F.col("do_scaled")).cast("double")
+        / (F.lit(_KRIPP_LCM).cast("long") * nn).cast("double"))
+    return j.select(*g, "n_units", n.alias("n_ratings"), "n_cats",
+                    "do_scaled", "se_cat", alpha.alias("alpha"))

@@ -3277,3 +3277,72 @@ FROM agg"""
 
 
 ANALYTICS_QUERIES["ad_2samp"] = (q_ad_2samp, sql_ad_2samp)
+
+
+_KRIPP_UMOD = 2039
+_KRIPP_CAP = 9
+
+
+def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's nominal α (operators/stats.py
+    krippendorff_alpha) — the missing-data sibling of fleiss_kappa:
+    events become a ragged rating panel (unit = event_id mod 2039,
+    first ≤ 9 arrivals rate it, category = value-cents mod 4, group =
+    unit mod 3), so units carry VARYING rater counts including
+    dropped singletons.  The per-unit 1/(m−1) rational ladder rides
+    the integer lcm(1..12) common denominator; α is one exact-ratio
+    double division per group."""
+    from .operators.stats import krippendorff_alpha
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select(F.pmod(F.col("event_id"), F.lit(_KRIPP_UMOD))
+                  .alias("_u"),
+                  F.pmod(_cents(), F.lit(4)).alias("_c"),
+                  "ts", "event_id"))
+    w = Window.partitionBy("_u").orderBy("ts", "event_id")
+    panel = (ev.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") <= _KRIPP_CAP)
+             .select(F.pmod(F.col("_u"), F.lit(3)).alias("g"),
+                     "_u", "_c"))
+    return krippendorff_alpha(panel, ["g"], "_u", "_c")
+
+
+def sql_krippendorff() -> str:
+    return f"""WITH e AS (
+  SELECT event_id % {_KRIPP_UMOD} AS u,
+         ((CAST(floor(value * 100 + 0.5) AS BIGINT) % 4) + 4) % 4 AS c,
+         ts, event_id
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+panel AS (
+  SELECT u % 3 AS g, u, c
+  FROM e
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY u ORDER BY ts, event_id)
+          <= {_KRIPP_CAP}),
+cell AS (
+  SELECT g, u, c, COUNT(*) AS n FROM panel GROUP BY 1, 2, 3),
+unitt AS (
+  SELECT g, u, SUM(n) AS m, SUM(n * n) AS sq
+  FROM cell GROUP BY 1, 2 HAVING SUM(n) >= 2),
+gu AS (
+  SELECT g, COUNT(*) AS n_units, SUM(m) AS n_ratings,
+         SUM((m * m - sq) * (27720 // (m - 1))) AS do_scaled
+  FROM unitt GROUP BY 1),
+cat AS (
+  SELECT c.g, c.c, SUM(c.n) AS s
+  FROM cell c JOIN unitt t ON t.g = c.g AND t.u = c.u
+  GROUP BY 1, 2),
+gc AS (
+  SELECT g, COUNT(*) AS n_cats, SUM(s * s) AS se_cat
+  FROM cat GROUP BY 1)
+SELECT gu.g, gu.n_units, gu.n_ratings, gc.n_cats,
+       gu.do_scaled, gc.se_cat,
+       CASE WHEN gu.n_ratings * gu.n_ratings - gc.se_cat > 0
+            THEN 1.0 - CAST((gu.n_ratings - 1) * gu.do_scaled AS DOUBLE)
+                 / CAST(27720 * (gu.n_ratings * gu.n_ratings
+                                 - gc.se_cat) AS DOUBLE)
+       END AS alpha
+FROM gu JOIN gc ON gc.g = gu.g"""
+
+
+ANALYTICS_QUERIES["krippendorff"] = (q_krippendorff, sql_krippendorff)

@@ -345,3 +345,89 @@ def test_mis_path_and_star(spark):
     assert got == _brute_mis(star)
     mis = set(got)
     assert mis == set(range(1, 8)) or mis == {0}
+
+
+# ---- krippendorff_alpha (nominal, varying raters) ----
+
+def _brute_kripp(rows):
+    """rows: (g, unit, cat) ratings; returns g -> alpha tuple."""
+    from collections import Counter, defaultdict
+
+    units = defaultdict(Counter)
+    for g, u, c in rows:
+        units[(g, u)][c] += 1
+    per_g = defaultdict(list)
+    for (g, u), cnt in units.items():
+        m = sum(cnt.values())
+        if m >= 2:
+            per_g[g].append(cnt)
+    out = {}
+    for g, cl in per_g.items():
+        n = sum(sum(c.values()) for c in cl)
+        do_scaled = 0
+        nc = Counter()
+        for cnt in cl:
+            m = sum(cnt.values())
+            d = m * m - sum(v * v for v in cnt.values())
+            do_scaled += d * (27720 // (m - 1))
+            nc.update(cnt)
+        se = sum(v * v for v in nc.values())
+        if n * n - se > 0:
+            alpha = 1.0 - float((n - 1) * do_scaled) \
+                / float(27720 * (n * n - se))
+        else:
+            alpha = None
+        out[g] = (len(cl), n, len(nc), do_scaled, se, alpha)
+    return out
+
+
+def test_krippendorff_differential(spark):
+    from mapbox_filter_spark.operators.stats import krippendorff_alpha
+
+    rng = random.Random(11)
+    rows = []
+    for g in range(3):
+        for u in range(40):
+            for _ in range(rng.randrange(1, 9)):   # includes singletons
+                rows.append((g, u, rng.randrange(0, 4)))
+    df = spark.createDataFrame(rows, "g long, u long, c long")
+    got = {r["g"]: (r["n_units"], r["n_ratings"], r["n_cats"],
+                    r["do_scaled"], r["se_cat"], r["alpha"])
+           for r in krippendorff_alpha(df, ["g"], "u", "c").collect()}
+    want = _brute_kripp(rows)
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][:5] == want[g][:5], g
+        assert got[g][5] == pytest.approx(want[g][5], abs=1e-12), g
+
+
+def test_krippendorff_edges(spark):
+    from mapbox_filter_spark.operators.stats import krippendorff_alpha
+
+    # perfect agreement in 2 categories -> alpha = 1
+    rows = [(0, u, u % 2) for u in range(6) for _ in range(3)]
+    r = krippendorff_alpha(
+        spark.createDataFrame(rows, "g long, u long, c long"),
+        ["g"], "u", "c").collect()[0]
+    assert r["alpha"] == pytest.approx(1.0)
+
+    # one category only -> D_e = 0 -> NULL
+    rows = [(0, u, 7) for u in range(4) for _ in range(2)]
+    r = krippendorff_alpha(
+        spark.createDataFrame(rows, "g long, u long, c long"),
+        ["g"], "u", "c").collect()[0]
+    assert r["alpha"] is None
+
+    # singleton units drop; a group with only singletons vanishes
+    rows = [(0, 1, 0), (0, 2, 1), (1, 1, 0), (1, 1, 1)]
+    out = krippendorff_alpha(
+        spark.createDataFrame(rows, "g long, u long, c long"),
+        ["g"], "u", "c").collect()
+    assert [r["g"] for r in out] == [1]
+
+    # > 13 raters on one unit raises in-plan
+    rows = [(0, 1, k % 2) for k in range(14)]
+    with pytest.raises(Exception, match="raters on a unit"):
+        krippendorff_alpha(
+            spark.createDataFrame(rows, "g long, u long, c long"),
+            ["g"], "u", "c").collect()
