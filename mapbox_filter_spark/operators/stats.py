@@ -2621,3 +2621,64 @@ def krippendorff_alpha(df: DataFrame, group_cols: Sequence[str],
         / (F.lit(_KRIPP_LCM).cast("long") * nn).cast("double"))
     return j.select(*g, "n_units", n.alias("n_ratings"), "n_cats",
                     "do_scaled", "se_cat", alpha.alias("alpha"))
+
+
+_HL_MAX_ROWS = 8000
+
+
+def hodges_lehmann(df: DataFrame, group_cols: Sequence[str],
+                   id_col: str, val_col: str,
+                   max_rows: int = _HL_MAX_ROWS) -> DataFrame:
+    """Hodges-Lehmann one-sample location estimator — the LOWER median
+    of the n(n+1)/2 Walsh averages (xᵢ+xⱼ)/2, i ≤ j (Hodges &
+    Lehmann 1963): the robust pseudo-median behind the Wilcoxon
+    signed-rank confidence interval, ~0.955 efficient at the normal
+    yet 29%-breakdown robust.
+
+    Exactness: Walsh SUMS xᵢ+xⱼ stay int64; the estimator is exact
+    rational SELECTION — the ⌈N/2⌉-th smallest sum by the total order
+    (sum, ridᵢ, ridⱼ) — never averaging (the theil_sen_slope
+    discipline), and ``hl`` is the single exact division num/2.
+    Row ranks come from the unique (value, id) order, so the pair
+    lattice is engine-reproducible under ties.
+
+    Scale shape: the O(n²) Walsh lattice is per GROUP — one
+    ``max_rows``-guarded (raise_error in-plan) self-join on the group
+    key plus two windows; groups are independent, so fleet-scale means
+    a finer group key or an upstream deterministic sub-sample, never a
+    silent cap.
+
+    Returns ``(*group_cols, n, n_pairs, hl_num, hl)``.
+    """
+    g = list(group_cols)
+    v = df.select(*g, F.col(id_col).cast("long").alias("_id"),
+                  F.col(val_col).cast("long").alias("_x"))
+    wcnt = Window.partitionBy(*g)
+    wrk = Window.partitionBy(*g).orderBy("_x", "_id")
+    nn = F.count(F.lit(1)).over(wcnt)
+    guard = F.when(
+        nn > max_rows,
+        F.raise_error(F.concat(
+            F.lit(f"hodges_lehmann: group exceeds {max_rows} rows: "),
+            nn.cast("string"))).cast("long")).otherwise(nn)
+    r = v.select(*g, "_x", guard.alias("_n"),
+                 F.row_number().over(wrk).cast("long").alias("_rid"))
+    a = r.select(*g, "_n", F.col("_x").alias("_xa"),
+                 F.col("_rid").alias("_ra"))
+    b = r.select(*g, F.col("_x").alias("_xb"),
+                 F.col("_rid").alias("_rb"))
+    pairs = (a.join(b, g).filter(F.col("_ra") <= F.col("_rb"))
+             .select(*g, "_n", (F.col("_xa") + F.col("_xb"))
+                     .alias("_s"), "_ra", "_rb"))
+    from ..geo.tilemath import floor_div
+
+    wsel = Window.partitionBy(*g).orderBy("_s", "_ra", "_rb")
+    npairs = floor_div(F.col("_n") * (F.col("_n") + 1), 2)
+    sel = (pairs
+           .withColumn("_rn", F.row_number().over(wsel).cast("long"))
+           .withColumn("_np", npairs)
+           .filter(F.col("_rn") == floor_div(F.col("_np") + 1, 2)))
+    return sel.select(*g, F.col("_n").alias("n"),
+                      F.col("_np").alias("n_pairs"),
+                      F.col("_s").alias("hl_num"),
+                      (F.col("_s") / 2).alias("hl"))

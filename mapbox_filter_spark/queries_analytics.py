@@ -3346,3 +3346,51 @@ FROM gu JOIN gc ON gc.g = gu.g"""
 
 
 ANALYTICS_QUERIES["krippendorff"] = (q_krippendorff, sql_krippendorff)
+
+
+_HL_QMOD = 128
+
+
+def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann pseudo-median of value cents per event type
+    (operators/stats.py hodges_lehmann): exact lower-median SELECTION
+    over the Walsh-sum lattice — the robust location beside
+    theil_sen_slope's robust trend.  1/128 deterministic pre-sample
+    keeps every group inside the in-plan pair cap through sf1.0."""
+    from .operators.stats import hodges_lehmann
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("value").isNotNull()
+                  & (F.pmod(F.col("event_id"), F.lit(_HL_QMOD)) == 0))
+          .select(F.col("event_type").alias("g"),
+                  F.col("event_id").alias("id"),
+                  _cents().alias("x")))
+    return hodges_lehmann(ev, ["g"], "id", "x")
+
+
+def sql_hodges_lehmann() -> str:
+    return f"""WITH e AS (
+  SELECT event_type AS g, event_id AS id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events
+  WHERE value IS NOT NULL AND event_id % {_HL_QMOD} = 0),
+r AS (
+  SELECT g, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, id)
+              AS BIGINT) AS rid,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM e),
+pairs AS (
+  SELECT a.g, a.n, a.x + b.x AS s, a.rid AS ra, b.rid AS rb
+  FROM r a JOIN r b ON b.g = a.g AND a.rid <= b.rid),
+sel AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY g
+                 ORDER BY s, ra, rb) AS BIGINT) AS rn
+  FROM pairs)
+SELECT g, n, n * (n + 1) // 2 AS n_pairs, s AS hl_num,
+       CAST(s AS DOUBLE) / 2 AS hl
+FROM sel WHERE rn = (n * (n + 1) // 2 + 1) // 2"""
+
+
+ANALYTICS_QUERIES["hodges_lehmann"] = (q_hodges_lehmann,
+                                       sql_hodges_lehmann)

@@ -431,3 +431,58 @@ def test_krippendorff_edges(spark):
         krippendorff_alpha(
             spark.createDataFrame(rows, "g long, u long, c long"),
             ["g"], "u", "c").collect()
+
+
+# ---- hodges_lehmann (lower-median Walsh average) ----
+
+def _brute_hl(vals):
+    n = len(vals)
+    vs = sorted(vals)
+    sums = sorted(vs[i] + vs[j] for i in range(n)
+                  for j in range(i, n))
+    np = n * (n + 1) // 2
+    s = sums[(np + 1) // 2 - 1]
+    return n, np, s, s / 2
+
+
+def test_hodges_lehmann_differential(spark):
+    from mapbox_filter_spark.operators.stats import hodges_lehmann
+
+    rng = random.Random(3)
+    rows = []
+    for g in range(4):
+        n = rng.randrange(1, 40)
+        for i in range(n):
+            rows.append((g, g * 1000 + i, rng.randrange(-500, 500)))
+    df = spark.createDataFrame(rows, "g long, id long, x long")
+    got = {r["g"]: (r["n"], r["n_pairs"], r["hl_num"], r["hl"])
+           for r in hodges_lehmann(df, ["g"], "id", "x").collect()}
+    by_g = {}
+    for g, _, x in rows:
+        by_g.setdefault(g, []).append(x)
+    for g, vals in by_g.items():
+        assert got[g] == _brute_hl(vals), g
+
+
+def test_hodges_lehmann_edges(spark):
+    from mapbox_filter_spark.operators.stats import hodges_lehmann
+
+    # single row: HL = the value itself
+    df = spark.createDataFrame([(0, 1, 7)], "g long, id long, x long")
+    r = hodges_lehmann(df, ["g"], "id", "x").collect()[0]
+    assert (r["n"], r["n_pairs"], r["hl_num"], r["hl"]) == (1, 1, 14, 7.0)
+
+    # heavy tie mass: selection is well-defined and matches brute
+    vals = [5] * 10 + [6] * 10 + [100]
+    df = spark.createDataFrame(
+        [(0, i, v) for i, v in enumerate(vals)],
+        "g long, id long, x long")
+    r = hodges_lehmann(df, ["g"], "id", "x").collect()[0]
+    assert (r["n"], r["n_pairs"], r["hl_num"], r["hl"]) == \
+        _brute_hl(vals)
+
+    # cap raises in-plan
+    df = spark.createDataFrame([(0, i, i) for i in range(30)],
+                               "g long, id long, x long")
+    with pytest.raises(Exception, match="exceeds"):
+        hodges_lehmann(df, ["g"], "id", "x", max_rows=20).collect()
