@@ -1820,3 +1820,78 @@ def lsq_changepoint(df: DataFrame, key_cols: "list[str]", *,
         .alias("mean_left"),
         ((b["s"] - b["p"]).cast("double")
          / (b["n"] - b["k"]).cast("double")).alias("mean_right"))
+
+
+def crosscorr(df: DataFrame, key_cols: "list[str]", *,
+              order_cols: "tuple[str, ...]", x_col: str, y_col: str,
+              lags: "tuple[int, ...]" = (-2, -1, 0, 1, 2)) -> DataFrame:
+    """Lead-lag cross-correlation between two aligned integer series —
+    does x co-move with y shifted k steps? (negative k: x leads y) —
+    the pre-whitening-free CCF behind transfer-function screening and
+    metric lead-lag dashboards; the bivariate sibling of
+    :func:`autocorr`, sharing its determinism construction.
+
+    ccf(k) = Σ zxᵗ·zyᵗ⁻ᵏ / √(Σ zx² · Σ zy²) with n-scaled exact-long
+    deviations (z = n·v − S; the n² scale cancels) and every quadratic
+    sum a PINNED index-ordered double fold.  The √ is one shared
+    IEEE chain on identical doubles.  One key exchange: ordering,
+    shift, and fold windows all hash on the key.
+
+    Returns one row per (key..., lag): ``(lag, n, n_pairs, ccf)`` —
+    ccf NULL when either series is constant or the overlap is empty.
+    """
+    order = [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    whole = Window.partitionBy(*key_cols)
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    base = df.select(
+        *key_cols,
+        F.row_number().over(w).alias("_i"),
+        (F.count(F.lit(1)).over(whole) * x
+         - F.sum(x).over(whole)).alias("_zx"),
+        (F.count(F.lit(1)).over(whole) * y
+         - F.sum(y).over(whole)).alias("_zy"))
+    wi = Window.partitionBy(*key_cols).orderBy("_i")
+
+    def shifted(L):
+        if L == 0:
+            return F.col("_zy")
+        if L > 0:
+            return F.lag("_zy", L).over(wi)
+        return F.lead("_zy", -L).over(wi)
+
+    lagged = base.select(
+        *key_cols, "_i", "_zx", "_zy",
+        *[shifted(L).alias(f"_s{L}") for L in lags])
+
+    def fold(col_a, col_b):
+        arr = F.sort_array(F.collect_list(F.when(
+            col_b.isNotNull(),
+            F.struct(F.col("_i"),
+                     (col_a.cast("double")
+                      * col_b.cast("double")).alias("p")))))
+        return F.aggregate(arr, F.lit(0.0), lambda a, s: a + s["p"])
+
+    aggs = [F.count(F.lit(1)).alias("n"),
+            fold(F.col("_zx"), F.col("_zx")).alias("_dx"),
+            fold(F.col("_zy"), F.col("_zy")).alias("_dy")]
+    for L in lags:
+        aggs.append(fold(F.col("_zx"), F.col(f"_s{L}"))
+                    .alias(f"_num{L}"))
+        aggs.append(F.sum(F.when(F.col(f"_s{L}").isNotNull(), 1)
+                          .otherwise(0)).alias(f"_np{L}"))
+    per = lagged.groupBy(*key_cols).agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(L).cast("int").alias("lag"),
+            F.col(f"_np{L}").alias("n_pairs"),
+            F.when((F.col(f"_np{L}") > 0) & (F.col("_dx") > 0.0)
+                   & (F.col("_dy") > 0.0),
+                   F.col(f"_num{L}")
+                   / F.sqrt(F.col("_dx") * F.col("_dy"))).alias("ccf"))
+        for L in lags])
+    return (per.select(*key_cols, "n", F.explode(rows).alias("_s"))
+            .select(*key_cols, F.col("_s.lag").alias("lag"), "n",
+                    F.col("_s.n_pairs").alias("n_pairs"),
+                    F.col("_s.ccf").alias("ccf")))

@@ -2298,3 +2298,82 @@ FROM b WHERE rn = 1"""
 
 TEMPORAL_QUERIES["lsq_changepoint"] = (q_lsq_changepoint,
                                        sql_lsq_changepoint)
+
+
+_CCF_LAGS = (-2, -1, 0, 1, 2)
+
+
+def q_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between value cents and props length
+    per event type (operators/temporal.py crosscorr): n-scaled exact
+    deviations, pinned index-ordered double folds, one shared √ chain
+    — the bivariate CCF beside autocorr/pacf."""
+    from .operators.temporal import crosscorr
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("value").isNotNull() & F.col("ts").isNotNull()
+                  & F.col("props").isNotNull())
+          .select("event_type", "ts", "event_id",
+                  _cents().alias("x"),
+                  F.length("props").cast("long").alias("y")))
+    return crosscorr(ev, ["event_type"], order_cols=("ts", "event_id"),
+                     x_col="x", y_col="y", lags=_CCF_LAGS)
+
+
+def sql_crosscorr() -> str:
+    def shift(L):
+        if L == 0:
+            return "zy"
+        if L > 0:
+            return f"lag(zy, {L}) OVER w"
+        return f"lead(zy, {-L}) OVER w"
+
+    def fold(a, b, flt=True):
+        f = f" FILTER (WHERE {b} IS NOT NULL)" if flt else ""
+        return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE) "
+                f"ORDER BY i){f}), (p, q) -> p + q)")
+
+    col = lambda L: str(L).replace("-", "m")
+    lag_cols = ",\n         ".join(
+        f"{shift(L)} AS s{col(L)}" for L in _CCF_LAGS)
+    aggs = ",\n         ".join(
+        f"{fold('zx', 's' + col(L))} AS num{col(L)},\n         "
+        f"CAST(SUM(CASE WHEN s{col(L)} IS NOT NULL THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS np{col(L)}" for L in _CCF_LAGS)
+    outs = "\nUNION ALL ".join(f"""
+SELECT event_type, CAST({L} AS INTEGER) AS lag, n,
+       np{col(L)} AS n_pairs,
+       CASE WHEN np{col(L)} > 0 AND dx > 0.0 AND dy > 0.0
+            THEN num{col(L)} / sqrt(dx * dy) END AS ccf
+FROM a""" for L in _CCF_LAGS)
+    return f"""WITH e AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+         CAST(length(props) AS BIGINT) AS y
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+    AND props IS NOT NULL),
+z AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER w AS i,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) * x
+           - CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS zx,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) * y
+           - CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS zy
+  FROM e WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+l AS (
+  SELECT event_type, i, zx, zy,
+         {lag_cols}
+  FROM z WINDOW w AS (PARTITION BY event_type ORDER BY i)),
+a AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {fold('zx', 'zx', flt=False)} AS dx,
+         {fold('zy', 'zy', flt=False)} AS dy,
+         {aggs}
+  FROM l GROUP BY event_type)
+{outs}"""
+
+
+TEMPORAL_QUERIES["crosscorr"] = (q_crosscorr, sql_crosscorr)

@@ -486,3 +486,64 @@ def test_hodges_lehmann_edges(spark):
                                "g long, id long, x long")
     with pytest.raises(Exception, match="exceeds"):
         hodges_lehmann(df, ["g"], "id", "x", max_rows=20).collect()
+
+
+# ---- crosscorr (lead-lag CCF) ----
+
+def _brute_ccf(xs, ys, lags):
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    zx = [n * v - sx for v in xs]
+    zy = [n * v - sy for v in ys]
+    dx = 0.0
+    dy = 0.0
+    for i in range(n):
+        dx += float(zx[i]) * float(zx[i])
+        dy += float(zy[i]) * float(zy[i])
+    out = {}
+    for L in lags:
+        num = 0.0
+        np_ = 0
+        for i in range(n):
+            j = i - L
+            if 0 <= j < n:
+                num += float(zx[i]) * float(zy[j])
+                np_ += 1
+        ccf = (num / (dx * dy) ** 0.5
+               if np_ > 0 and dx > 0.0 and dy > 0.0 else None)
+        out[L] = (n, np_, ccf)
+    return out
+
+
+def test_crosscorr_differential(spark):
+    from mapbox_filter_spark.operators.temporal import crosscorr
+
+    rng = random.Random(23)
+    xs = [rng.randrange(-50, 50) for _ in range(40)]
+    # y trails x by 2 with noise -> ccf peaks at lag +2
+    ys = [xs[max(0, i - 2)] * 3 + rng.randrange(-5, 5)
+          for i in range(40)]
+    rows = [(1, i, xs[i], ys[i]) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, t long, x long, y long")
+    lags = (-2, -1, 0, 1, 2)
+    got = {r["lag"]: (r["n"], r["n_pairs"], r["ccf"])
+           for r in crosscorr(df, ["k"], order_cols=("t",),
+                              x_col="x", y_col="y", lags=lags).collect()}
+    want = _brute_ccf(xs, ys, lags)
+    assert set(got) == set(want)
+    for L in lags:
+        assert got[L][:2] == want[L][:2]
+        assert got[L][2] == pytest.approx(want[L][2], rel=1e-12)
+    # y trails x by 2 ⇒ x LEADS y ⇒ the documented convention puts the
+    # peak at k = −2 (ccf pairs x_t with y_{t−k})
+    assert max(got, key=lambda L: got[L][2]) == -2
+
+
+def test_crosscorr_constant_series_null(spark):
+    from mapbox_filter_spark.operators.temporal import crosscorr
+
+    rows = [(1, i, 5, i) for i in range(10)]
+    df = spark.createDataFrame(rows, "k long, t long, x long, y long")
+    out = crosscorr(df, ["k"], order_cols=("t",), x_col="x",
+                    y_col="y", lags=(0, 1)).collect()
+    assert all(r["ccf"] is None for r in out)
