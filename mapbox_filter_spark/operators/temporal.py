@@ -1895,3 +1895,90 @@ def crosscorr(df: DataFrame, key_cols: "list[str]", *,
             .select(*key_cols, F.col("_s.lag").alias("lag"), "n",
                     F.col("_s.n_pairs").alias("n_pairs"),
                     F.col("_s.ccf").alias("ccf")))
+
+
+def ewma_chart(df: DataFrame, key_cols: "list[str]", *,
+               order_cols: "tuple[str, ...]", value_col: str,
+               lam_num: int = 1, lam_den: int = 4, limit_l: float = 3.0,
+               max_len: int = 4000) -> DataFrame:
+    """EWMA control chart (Roberts 1959; Lucas & Saccucci 1990) — the
+    small-shift process monitor: z_t = z_{t−1} + λ(x_t − z_{t−1}) with
+    time-varying limits μ ± L·σ·√(λ/(2−λ)·(1−(1−λ)^{2t})), flagging
+    points outside.  The SPC sibling of control_chart's c-chart, for
+    mean drift instead of count bursts.
+
+    Determinism without exactness claims the math can't make: λ must
+    be dyadic (lam_den a power of two, checked) so λ and (1−λ)² are
+    exact doubles; the z recursion and the variance-decay product
+    w_t = (1−λ)^{2t} are ONE left-associated in-row fold over the
+    time-ordered series — both engines execute the identical IEEE op
+    sequence, so every z_t, w_t, and limit is bit-reproducible.  μ and
+    σ come from exact integer moments (Σx² in DECIMAL(38) — int64
+    overflows around n·x² ≈ 10¹⁹) with one division and one √ chain.
+
+    Scale shape: one key exchange into per-key sorted arrays; the fold
+    is linear per series, but series live in-row — ``max_len`` raises
+    in-plan (charts monitor bounded windows; shard longer streams by
+    period upstream).
+
+    Returns one row per (key..., t): ``(t, n, z, w, ucl, lcl, ooc)``.
+    """
+    if lam_den <= 0 or (lam_den & (lam_den - 1)) != 0:
+        raise ValueError("lam_den must be a positive power of two")
+    if not 0 < lam_num < lam_den:
+        raise ValueError("need 0 < lam_num < lam_den")
+    lam = lam_num / lam_den
+    d1sq = (1.0 - lam) * (1.0 - lam)
+    c2 = lam / (2.0 - lam)
+
+    order = [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    v = F.col(value_col).cast("long")
+    base = df.select(*key_cols, F.row_number().over(w).alias("_i"),
+                     v.alias("_x"))
+    per = base.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_s"),
+        F.sum((F.col("_x") * F.col("_x"))
+              .cast("decimal(38,0)")).alias("_sq"),
+        F.array_sort(F.collect_list(
+            F.struct("_i", "_x"))).alias("_arr"))
+    n = F.when(
+        F.col("_n") > max_len,
+        F.raise_error(F.concat(
+            F.lit(f"ewma_chart: series exceeds {max_len} points: "),
+            F.col("_n").cast("string"))).cast("long")
+    ).otherwise(F.col("_n"))
+    mu = F.col("_s").cast("double") / n.cast("double")
+    var = ((n.cast("decimal(38,0)") * F.col("_sq")
+            - (F.col("_s").cast("decimal(38,0)")
+               * F.col("_s").cast("decimal(38,0)"))).cast("double")
+           / (n * n).cast("double"))
+    sigma = F.sqrt(var)
+    zero = F.struct(
+        mu.alias("z"), F.lit(1.0).alias("w"),
+        F.array().cast("array<struct<t: int, z: double, w: double>>")
+        .alias("out"))
+    step = lambda acc, e: F.struct(
+        (acc["z"] + F.lit(lam) * (e["_x"].cast("double") - acc["z"]))
+        .alias("z"),
+        (acc["w"] * F.lit(d1sq)).alias("w"),
+        F.concat(acc["out"], F.array(F.struct(
+            (F.size(acc["out"]) + 1).cast("int").alias("t"),
+            (acc["z"] + F.lit(lam)
+             * (e["_x"].cast("double") - acc["z"])).alias("z"),
+            (acc["w"] * F.lit(d1sq)).alias("w")))).alias("out"))
+    folded = per.select(
+        *key_cols, n.alias("n"), mu.alias("_mu"), sigma.alias("_sig"),
+        F.aggregate(F.col("_arr"), zero, step)["out"].alias("_out"))
+    half = F.lit(limit_l) * F.col("_sig") * F.sqrt(
+        F.lit(c2) * (F.lit(1.0) - F.col("_e.w")))
+    return (folded.select(*key_cols, "n", "_mu", "_sig",
+                          F.explode("_out").alias("_e"))
+            .select(*key_cols, F.col("_e.t").alias("t"), "n",
+                    F.col("_e.z").alias("z"), F.col("_e.w").alias("w"),
+                    (F.col("_mu") + half).alias("ucl"),
+                    (F.col("_mu") - half).alias("lcl"),
+                    ((F.col("_e.z") > F.col("_mu") + half)
+                     | (F.col("_e.z") < F.col("_mu") - half))
+                    .alias("ooc")))

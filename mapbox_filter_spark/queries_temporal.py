@@ -2377,3 +2377,74 @@ a AS (
 
 
 TEMPORAL_QUERIES["crosscorr"] = (q_crosscorr, sql_crosscorr)
+
+
+_EWMA_QMOD = 64
+_EWMA_LAM = 0.25
+_EWMA_D1SQ = (1.0 - _EWMA_LAM) * (1.0 - _EWMA_LAM)
+_EWMA_C2 = _EWMA_LAM / (2.0 - _EWMA_LAM)
+
+
+def q_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over value cents per event type
+    (operators/temporal.py ewma_chart): dyadic λ = 1/4, the z
+    recursion and (1−λ)^{2t} decay as ONE left-associated in-row fold
+    — the oracle replays the identical IEEE sequence per t through
+    prefix folds, so every z, limit, and out-of-control flag
+    value-hashes."""
+    from .operators.temporal import ewma_chart
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("value").isNotNull() & F.col("ts").isNotNull()
+                  & (F.pmod(F.col("event_id"), F.lit(_EWMA_QMOD)) == 0))
+          .select(F.col("event_type").alias("g"), "ts", "event_id",
+                  _cents().alias("x")))
+    return ewma_chart(ev, ["g"], order_cols=("ts", "event_id"),
+                      value_col="x")
+
+
+def sql_ewma_chart() -> str:
+    return f"""WITH e AS (
+  SELECT event_type AS g, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+    AND event_id % {_EWMA_QMOD} = 0),
+s AS (
+  SELECT g, ROW_NUMBER() OVER (PARTITION BY g
+                               ORDER BY ts, event_id) AS i, x
+  FROM e),
+st AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sm,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sq
+  FROM s GROUP BY g),
+m AS (
+  SELECT g, n, CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         sqrt(CAST(CAST(n AS HUGEINT) * sq
+                   - CAST(sm AS HUGEINT) * CAST(sm AS HUGEINT)
+                   AS DOUBLE)
+              / CAST(n * n AS DOUBLE)) AS sig
+  FROM st),
+zt AS (
+  SELECT a.g, a.i AS t,
+         list_reduce(
+           list_prepend(m.mu, list(CAST(b.x AS DOUBLE) ORDER BY b.i)),
+           (z, x) -> z + {_EWMA_LAM!r} * (x - z)) AS z,
+         list_reduce(
+           list_prepend(CAST(1.0 AS DOUBLE),
+                        list(CAST({_EWMA_D1SQ!r} AS DOUBLE)
+                             ORDER BY b.i)),
+           (p, q) -> p * q) AS w
+  FROM s a JOIN s b ON b.g = a.g AND b.i <= a.i
+  JOIN m ON m.g = a.g
+  GROUP BY a.g, a.i, m.mu)
+SELECT zt.g, CAST(zt.t AS INTEGER) AS t, m.n, zt.z, zt.w,
+       m.mu + (3.0 * m.sig) * sqrt({_EWMA_C2!r} * (1.0 - zt.w)) AS ucl,
+       m.mu - (3.0 * m.sig) * sqrt({_EWMA_C2!r} * (1.0 - zt.w)) AS lcl,
+       zt.z > m.mu + (3.0 * m.sig) * sqrt({_EWMA_C2!r} * (1.0 - zt.w))
+       OR zt.z < m.mu - (3.0 * m.sig) * sqrt({_EWMA_C2!r} * (1.0 - zt.w))
+         AS ooc
+FROM zt JOIN m ON m.g = zt.g"""
+
+
+TEMPORAL_QUERIES["ewma_chart"] = (q_ewma_chart, sql_ewma_chart)

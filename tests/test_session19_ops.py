@@ -547,3 +547,62 @@ def test_crosscorr_constant_series_null(spark):
     out = crosscorr(df, ["k"], order_cols=("t",), x_col="x",
                     y_col="y", lags=(0, 1)).collect()
     assert all(r["ccf"] is None for r in out)
+
+
+# ---- ewma_chart ----
+
+def _brute_ewma(xs, lam=0.25, L=3.0):
+    import math
+
+    n = len(xs)
+    s = sum(xs)
+    sq = sum(v * v for v in xs)
+    mu = float(s) / float(n)
+    var = float(n * sq - s * s) / float(n * n)
+    sigma = math.sqrt(var)
+    c2 = lam / (2.0 - lam)
+    d1sq = (1.0 - lam) * (1.0 - lam)
+    z, w = mu, 1.0
+    out = []
+    for t, x in enumerate(xs, 1):
+        z = z + lam * (float(x) - z)
+        w = w * d1sq
+        half = (L * sigma) * math.sqrt(c2 * (1.0 - w))
+        out.append((t, n, z, w, mu + half, mu - half,
+                    z > mu + half or z < mu - half))
+    return out
+
+
+def test_ewma_differential(spark):
+    from mapbox_filter_spark.operators.temporal import ewma_chart
+
+    rng = random.Random(9)
+    xs = [rng.randrange(90, 110) for _ in range(60)]
+    xs += [130] * 6                      # mean shift -> must flag
+    rows = [(1, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k long, t long, x long")
+    got = sorted(
+        (r["t"], r["n"], r["z"], r["w"], r["ucl"], r["lcl"], r["ooc"])
+        for r in ewma_chart(df, ["k"], order_cols=("t",),
+                            value_col="x").collect())
+    want = _brute_ewma(xs)
+    assert len(got) == len(want)
+    for g, wv in zip(got, want):
+        assert g[:2] == wv[:2]
+        for a, b in zip(g[2:6], wv[2:6]):
+            assert a == pytest.approx(b, rel=1e-12)
+        assert g[6] == wv[6]
+    assert any(r[6] for r in got), "shift must go out of control"
+
+
+def test_ewma_guards(spark):
+    from mapbox_filter_spark.operators.temporal import ewma_chart
+
+    df = spark.createDataFrame([(1, i, i) for i in range(10)],
+                               "k long, t long, x long")
+    with pytest.raises(ValueError, match="power of two"):
+        ewma_chart(df, ["k"], order_cols=("t",), value_col="x",
+                   lam_num=1, lam_den=3)
+    with pytest.raises(Exception, match="exceeds"):
+        ewma_chart(df, ["k"], order_cols=("t",), value_col="x",
+                   max_len=5).collect()
