@@ -1982,3 +1982,82 @@ def ewma_chart(df: DataFrame, key_cols: "list[str]", *,
                     ((F.col("_e.z") > F.col("_mu") + half)
                      | (F.col("_e.z") < F.col("_mu") - half))
                     .alias("ooc")))
+
+
+_SAX_BREAKS = (-0.6745, 0.0, 0.6745)   # N(0,1) quartile literals
+
+
+def sax_words(df: DataFrame, key_cols: "list[str]", *,
+              order_cols: "tuple[str, ...]", value_col: str,
+              w: int = 4, word_len: int = 4,
+              alphabet: str = "abcd",
+              breaks: "tuple[float, ...]" = _SAX_BREAKS) -> DataFrame:
+    """SAX motif vocabulary (Lin/Keogh/Lonardi 2003 Symbolic Aggregate
+    approXimation): each series is z-normalized, piecewise-aggregated
+    into ``w``-point segments, each segment mapped to an alphabet
+    symbol by N(0,1) breakpoints, and consecutive ``word_len`` symbols
+    form a word — the time-series "shingle" behind motif discovery and
+    series indexing.  Output is the per-key word frequency table.
+
+    Determinism without normalizing in floats: the segment statistic
+    is the EXACT long Σ(n·x − S) over the segment, and each breakpoint
+    comparison is against the pinned double chain (b·σ)·(n·w) — the
+    z-scale denominators cross-multiplied away, so both engines
+    compare the same two doubles.  Constant series (σ = 0) classify
+    every segment to the top symbol by the strict-< ladder, pinned.
+    Trailing partial words drop (only complete words are motifs).
+
+    One key exchange (ordering window + two collapses).  Returns
+    ``(*key_cols, word, n_words)``.
+    """
+    from ..geo.tilemath import floor_div
+
+    if len(alphabet) != len(breaks) + 1:
+        raise ValueError("need len(alphabet) == len(breaks) + 1")
+    if w < 1 or word_len < 1:
+        raise ValueError("w and word_len must be positive")
+    pts = w * word_len
+    order = [F.col(c).asc() for c in order_cols]
+    wo = Window.partitionBy(*key_cols).orderBy(*order)
+    whole = Window.partitionBy(*key_cols)
+    v = F.col(value_col).cast("long")
+    n = F.count(F.lit(1)).over(whole)
+    base = df.select(
+        *key_cols,
+        (F.row_number().over(wo) - 1).alias("_i"),
+        n.alias("_n"),
+        (n * v - F.sum(v).over(whole)).alias("_z"),
+        (n.cast("decimal(38,0)") * F.sum((v * v).cast("decimal(38,0)"))
+         .over(whole)
+         - (F.sum(v).over(whole).cast("decimal(38,0)")
+            * F.sum(v).over(whole).cast("decimal(38,0)")))
+        .alias("_vnum"))
+    base = base.filter(
+        floor_div(F.col("_i"), pts)
+        < floor_div(F.col("_n"), pts))        # complete words only
+    seg = (base.groupBy(*key_cols,
+                        floor_div(F.col("_i"), pts).alias("_w"),
+                        floor_div(F.pmod(F.col("_i"), pts), w)
+                        .alias("_s"))
+           .agg(F.sum("_z").alias("_sz"),
+                F.min("_n").alias("_n"),
+                F.min("_vnum").alias("_vnum")))
+    sig = F.sqrt(F.col("_vnum").cast("double")
+                 / (F.col("_n") * F.col("_n")).cast("double"))
+    sym = None
+    sd = F.col("_sz").cast("double")
+    for ch, b in zip(alphabet, breaks):
+        thr = (F.lit(b) * sig) * (F.col("_n") * w).cast("double")
+        cond = sd < thr
+        sym = F.when(cond, F.lit(ch)) if sym is None \
+            else sym.when(cond, F.lit(ch))
+    sym = sym.otherwise(F.lit(alphabet[-1]))
+    words = (seg.select(*key_cols, "_w", "_s", sym.alias("_c"))
+             .groupBy(*key_cols, "_w")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("_s", "_c"))),
+                     lambda s: s["_c"]), "").alias("word")))
+    return (words.groupBy(*key_cols, "word")
+            .agg(F.count(F.lit(1)).alias("n_words")))

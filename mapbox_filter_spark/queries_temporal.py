@@ -2448,3 +2448,60 @@ FROM zt JOIN m ON m.g = zt.g"""
 
 
 TEMPORAL_QUERIES["ewma_chart"] = (q_ewma_chart, sql_ewma_chart)
+
+
+def q_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX motif vocabulary of the value-cents stream per event type
+    (operators/temporal.py sax_words): exact Σ(n·x−S) segment sums
+    classified against (b·σ)·(n·w) pinned-chain breakpoints, complete
+    4×4 words only — the time-series shingle table behind motif
+    mining."""
+    from .operators.temporal import sax_words
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select(F.col("event_type").alias("g"), "ts", "event_id",
+                  _cents().alias("x")))
+    return sax_words(ev, ["g"], order_cols=("ts", "event_id"),
+                     value_col="x")
+
+
+def sql_sax_words() -> str:
+    b1, b2, b3 = -0.6745, 0.0, 0.6745
+    thr = "({b!r} * sig) * CAST(n * 4 AS DOUBLE)"
+    return f"""WITH e AS (
+  SELECT event_type AS g, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+s AS (
+  SELECT g, ROW_NUMBER() OVER w - 1 AS i, x,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n,
+         CAST(SUM(x) OVER (PARTITION BY g) AS BIGINT) AS sm,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+           OVER (PARTITION BY g) AS sq
+  FROM e WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)),
+z AS (
+  SELECT g, i, n, n * x - sm AS z,
+         sqrt(CAST(CAST(n AS HUGEINT) * sq
+                   - CAST(sm AS HUGEINT) * CAST(sm AS HUGEINT)
+                   AS DOUBLE) / CAST(n * n AS DOUBLE)) AS sig
+  FROM s WHERE i // 16 < n // 16),
+seg AS (
+  SELECT g, i // 16 AS wi, (i % 16) // 4 AS si, SUM(z) AS sz,
+         MIN(n) AS n, MIN(sig) AS sig
+  FROM z GROUP BY 1, 2, 3),
+symt AS (
+  SELECT g, wi, si,
+    CASE WHEN CAST(sz AS DOUBLE) < {thr.format(b=b1)} THEN 'a'
+         WHEN CAST(sz AS DOUBLE) < {thr.format(b=b2)} THEN 'b'
+         WHEN CAST(sz AS DOUBLE) < {thr.format(b=b3)} THEN 'c'
+         ELSE 'd' END AS c
+  FROM seg),
+wd AS (
+  SELECT g, wi, string_agg(c, '' ORDER BY si) AS word
+  FROM symt GROUP BY 1, 2)
+SELECT g, word, CAST(COUNT(*) AS BIGINT) AS n_words
+FROM wd GROUP BY 1, 2"""
+
+
+TEMPORAL_QUERIES["sax_words"] = (q_sax_words, sql_sax_words)

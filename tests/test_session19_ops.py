@@ -606,3 +606,68 @@ def test_ewma_guards(spark):
     with pytest.raises(Exception, match="exceeds"):
         ewma_chart(df, ["k"], order_cols=("t",), value_col="x",
                    max_len=5).collect()
+
+
+# ---- sax_words ----
+
+def _brute_sax(xs, w=4, word_len=4, alphabet="abcd",
+               breaks=(-0.6745, 0.0, 0.6745)):
+    import math
+    from collections import Counter
+
+    n = len(xs)
+    s = sum(xs)
+    sq = sum(v * v for v in xs)
+    z = [n * v - s for v in xs]
+    sig = math.sqrt(float(n * sq - s * s) / float(n * n))
+    pts = w * word_len
+    words = Counter()
+    for widx in range(n // pts):
+        word = ""
+        for seg in range(word_len):
+            lo = widx * pts + seg * w
+            sz = sum(z[lo:lo + w])
+            sym = alphabet[-1]
+            for ch, b in zip(alphabet, breaks):
+                if float(sz) < (b * sig) * float(n * w):
+                    sym = ch
+                    break
+            word += sym
+        words[word] += 1
+    return dict(words)
+
+
+def test_sax_differential(spark):
+    from mapbox_filter_spark.operators.temporal import sax_words
+
+    rng = random.Random(77)
+    xs = [rng.randrange(-100, 100) for _ in range(135)]  # 8 words + tail
+    rows = [(1, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k long, t long, x long")
+    got = {r["word"]: r["n_words"]
+           for r in sax_words(df, ["k"], order_cols=("t",),
+                              value_col="x").collect()}
+    assert got == _brute_sax(xs)
+    assert sum(got.values()) == 135 // 16
+
+
+def test_sax_constant_and_trend(spark):
+    from mapbox_filter_spark.operators.temporal import sax_words
+
+    # constant series -> every word is the top symbol
+    rows = [(1, i, 5) for i in range(32)]
+    df = spark.createDataFrame(rows, "k long, t long, x long")
+    got = {r["word"]: r["n_words"]
+           for r in sax_words(df, ["k"], order_cols=("t",),
+                              value_col="x").collect()}
+    assert got == {"dddd": 2}
+
+    # strong ramp -> first word starts low, last ends high
+    rows = [(1, i, i * 10) for i in range(32)]
+    df = spark.createDataFrame(rows, "k long, t long, x long")
+    got = {r["word"]: r["n_words"]
+           for r in sax_words(df, ["k"], order_cols=("t",),
+                              value_col="x").collect()}
+    assert got == _brute_sax([i * 10 for i in range(32)])
+    words = sorted(got)
+    assert words[0][0] == "a" and words[-1][-1] == "d"
