@@ -1369,3 +1369,68 @@ def maximal_independent_set(edges: DataFrame, *, src: str = "src",
              .localCheckpoint())
     raise RuntimeError(
         f"maximal_independent_set: no fixpoint in {max_rounds} rounds")
+
+
+def bom_explode(edges: DataFrame, *, parent: str = "parent",
+                child: str = "child", qty: str = "qty",
+                max_rounds: int = 5) -> DataFrame:
+    """Weighted transitive closure of a FOREST — the classic
+    bill-of-materials parts explosion: for every ancestor→descendant
+    pair, the total multiplicity is the PRODUCT of edge quantities
+    along the (unique) path, plus its depth.  The textbook recursive
+    query, done Spark-side by pointer doubling.
+
+    Shape: ``max_rounds`` doubling rounds (R ← distinct(R ∪ R∘R)),
+    so depth up to 2^max_rounds is covered in logarithmically many
+    self-joins — each round one equi-join on the closure's frontier
+    key and one distinct (duplicate derivations of the same pair
+    carry identical qty/depth because forest paths are unique), with
+    localCheckpoint cutting lineage (the connected-components
+    discipline).  A non-forest input (node with two parents) is a
+    data bug: detected in-plan and raised, because then qty would
+    depend on derivation order.
+
+    Exactness: qty products and depths are int64 — with edge
+    quantities ≤ q and depth ≤ d the product is ≤ q^d; size bounds
+    are the caller's contract (raise_error on product overflow is the
+    engine's ANSI default).  Completion is self-checking downstream:
+    if 2^max_rounds < true depth the closure misses pairs — compare
+    against the recursive oracle.
+
+    Returns ``(anc, descendant, total_qty, depth)``.
+    """
+    e = edges.select(F.col(parent).cast("long").alias("anc"),
+                     F.col(child).cast("long").alias("descendant"),
+                     F.col(qty).cast("long").alias("total_qty"),
+                     F.lit(1).cast("long").alias("depth"))
+    # forest check: a child with two parents makes qty path-dependent
+    dup = (e.groupBy("descendant")
+           .agg(F.count(F.lit(1)).alias("_p"))
+           .filter(F.col("_p") > 1))
+    # the guard rides total_qty — a detached column would be pruned
+    e = (e.join(dup.select("descendant", F.lit(1).alias("_dup")),
+                "descendant", "left")
+         .select("anc", "descendant",
+                 F.when(F.col("_dup").isNotNull(), F.raise_error(F.lit(
+                     "bom_explode: node with multiple parents — input "
+                     "is not a forest")).cast("long"))
+                 .otherwise(F.col("total_qty")).alias("total_qty"),
+                 "depth"))
+    r = e.localCheckpoint()
+    for _ in range(max_rounds):
+        a = r.select(F.col("anc").alias("_a"),
+                     F.col("descendant").alias("_m"),
+                     F.col("total_qty").alias("_q1"),
+                     F.col("depth").alias("_d1"))
+        b = r.select(F.col("anc").alias("_m"),
+                     F.col("descendant").alias("_d"),
+                     F.col("total_qty").alias("_q2"),
+                     F.col("depth").alias("_d2"))
+        comp = (a.join(b, "_m")
+                .select(F.col("_a").alias("anc"),
+                        F.col("_d").alias("descendant"),
+                        (F.col("_q1") * F.col("_q2"))
+                        .alias("total_qty"),
+                        (F.col("_d1") + F.col("_d2")).alias("depth")))
+        r = r.unionAll(comp).distinct().localCheckpoint()
+    return r

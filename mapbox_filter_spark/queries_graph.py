@@ -1300,3 +1300,39 @@ e{k + 1} AS MATERIALIZED (
 
 
 GRAPH_QUERIES["mis_nodes"] = (q_mis_nodes, sql_mis_nodes)
+
+
+def q_bom_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts explosion over a synthetic 8-ary part forest
+    (operators/graph.py bom_explode): parent = p//8, qty = p%5+1 —
+    pointer-doubling closure with multiplied quantities, verified
+    against DuckDB's genuinely independent WITH RECURSIVE evaluation
+    (not a blocking mirror)."""
+    from .operators.graph import bom_explode
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    edges = (part.filter(F.col("p_partkey") >= 8)
+             .select(F.floor(F.col("p_partkey") / 8).cast("long")
+                     .alias("parent"),
+                     F.col("p_partkey").alias("child"),
+                     (F.pmod(F.col("p_partkey"), F.lit(5)) + 1)
+                     .cast("long").alias("qty")))
+    return bom_explode(edges)
+
+
+def sql_bom_explode() -> str:
+    return """WITH RECURSIVE edges AS (
+  SELECT p_partkey // 8 AS parent, p_partkey AS child,
+         CAST(p_partkey % 5 + 1 AS BIGINT) AS qty
+  FROM part WHERE p_partkey >= 8),
+r AS (
+  SELECT parent AS anc, child AS descendant, qty AS total_qty,
+         CAST(1 AS BIGINT) AS depth
+  FROM edges
+  UNION ALL
+  SELECT r.anc, e.child, r.total_qty * e.qty, r.depth + 1
+  FROM r JOIN edges e ON e.parent = r.descendant)
+SELECT anc, descendant, total_qty, depth FROM r"""
+
+
+GRAPH_QUERIES["bom_explode"] = (q_bom_explode, sql_bom_explode)

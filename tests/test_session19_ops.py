@@ -671,3 +671,48 @@ def test_sax_constant_and_trend(spark):
     assert got == _brute_sax([i * 10 for i in range(32)])
     words = sorted(got)
     assert words[0][0] == "a" and words[-1][-1] == "d"
+
+
+# ---- bom_explode (weighted forest closure) ----
+
+def _brute_bom(edges):
+    parent = {c: (p, q) for p, c, q in edges}
+    out = {}
+    for c in parent:
+        q = 1
+        d = 0
+        u = c
+        while u in parent:
+            p, eq = parent[u]
+            q *= eq
+            d += 1
+            out[(p, c)] = (q, d)
+            u = p
+    return out
+
+
+def test_bom_differential(spark):
+    from mapbox_filter_spark.operators.graph import bom_explode
+
+    # 3-ary forest over 1..80, parent = n // 3, qty = n % 4 + 1
+    edges = [(n // 3, n, n % 4 + 1) for n in range(3, 81)]
+    df = spark.createDataFrame(edges, "parent long, child long, qty long")
+    got = {(r["anc"], r["descendant"]): (r["total_qty"], r["depth"])
+           for r in bom_explode(df).collect()}
+    assert got == _brute_bom(edges)
+
+
+def test_bom_deep_chain_and_forest_guard(spark):
+    from mapbox_filter_spark.operators.graph import bom_explode
+
+    chain = [(i, i + 1, 2) for i in range(20)]   # depth 20 < 2^5
+    df = spark.createDataFrame(chain, "parent long, child long, qty long")
+    got = {(r["anc"], r["descendant"]): (r["total_qty"], r["depth"])
+           for r in bom_explode(df).collect()}
+    assert got[(0, 20)] == (2 ** 20, 20)
+    assert len(got) == 20 * 21 // 2
+
+    bad = [(1, 3, 1), (2, 3, 1)]
+    df = spark.createDataFrame(bad, "parent long, child long, qty long")
+    with pytest.raises(Exception, match="not a forest"):
+        bom_explode(df).collect()
