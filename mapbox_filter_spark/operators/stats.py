@@ -2682,3 +2682,67 @@ def hodges_lehmann(df: DataFrame, group_cols: Sequence[str],
                       F.col("_np").alias("n_pairs"),
                       F.col("_s").alias("hl_num"),
                       (F.col("_s") / 2).alias("hl"))
+
+
+def bartlett_test(df: DataFrame, group_cols: Sequence[str],
+                  cell_col: str, val_col: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity across cells (Bartlett
+    1937) — the ANOVA precondition check beside brown_forsythe's
+    robust version: under normality,
+
+        χ² = [(N−k)·ln s_p² − Σ(nᵢ−1)·ln sᵢ²] / C
+        C  = 1 + (Σ 1/(nᵢ−1) − 1/(N−k)) / (3(k−1))
+
+    Determinism: every per-cell variance is the exact rational
+    (nᵢ·Σx² − Sᵢ²)/(nᵢ(nᵢ−1)) with the quadratic moment in
+    DECIMAL(38) (int64 dies near nᵢ·x² ≈ 10¹⁹ — the anova_f lesson),
+    ONE double division each; the three cross-cell sums (ln terms,
+    pooled SS, reciprocal ladder) are PINNED cell-ordered in-row
+    folds, and χ² is a fixed IEEE chain on the results.  Cells with
+    nᵢ < 2 drop (no within-variance); any constant cell (sᵢ² = 0)
+    makes χ² NULL (ln 0 undefined) — both pinned.
+
+    Scale: one map-side-combinable groupBy to cells, then a k-row
+    fold per group — no second pass over the data.
+
+    Returns one row per group: ``(*group_cols, k, n_total, sp2,
+    c_factor, chi2)``.
+    """
+    g = list(group_cols)
+    v = F.col(val_col).cast("long")
+    cell = (df.groupBy(*g, F.col(cell_col).alias("_c"))
+            .agg(F.count(F.lit(1)).alias("_n"),
+                 F.sum(v).alias("_s"),
+                 F.sum((v * v).cast("decimal(38,0)")).alias("_sq"))
+            .filter(F.col("_n") >= 2))
+    num = (F.col("_n").cast("decimal(38,0)") * F.col("_sq")
+           - F.col("_s").cast("decimal(38,0)")
+           * F.col("_s").cast("decimal(38,0)"))
+    cell = cell.select(*g, "_c", "_n", num.alias("_num"))
+    arr = F.sort_array(F.collect_list(F.struct(
+        "_c",
+        F.col("_n").alias("n"),
+        F.col("_num").cast("double").alias("numd"))))
+    per = (cell.groupBy(*g)
+           .agg(F.count(F.lit(1)).alias("k"),
+                F.sum("_n").alias("n_total"),
+                F.max((F.col("_num") == 0).cast("int")).alias("_has0"),
+                arr.alias("_a")))
+    lnsum = F.aggregate(
+        F.col("_a"), F.lit(0.0),
+        lambda a, s: a + (s["n"] - 1).cast("double")
+        * F.log(s["numd"] / (s["n"] * (s["n"] - 1)).cast("double")))
+    spnum = F.aggregate(
+        F.col("_a"), F.lit(0.0),
+        lambda a, s: a + s["numd"] / s["n"].cast("double"))
+    rsum = F.aggregate(
+        F.col("_a"), F.lit(0.0),
+        lambda a, s: a + F.lit(1.0) / (s["n"] - 1).cast("double"))
+    nk = (F.col("n_total") - F.col("k")).cast("double")
+    sp2 = spnum / nk
+    cfac = (F.lit(1.0) + (rsum - F.lit(1.0) / nk)
+            / (F.lit(3.0) * (F.col("k") - 1).cast("double")))
+    chi2 = F.when((F.col("k") >= 2) & (F.col("_has0") == 0),
+                  (nk * F.log(sp2) - lnsum) / cfac)
+    return per.select(*g, "k", "n_total", sp2.alias("sp2"),
+                      cfac.alias("c_factor"), chi2.alias("chi2"))

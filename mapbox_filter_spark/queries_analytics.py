@@ -3394,3 +3394,65 @@ FROM sel WHERE rn = (n * (n + 1) // 2 + 1) // 2"""
 
 ANALYTICS_QUERIES["hodges_lehmann"] = (q_hodges_lehmann,
                                        sql_hodges_lehmann)
+
+
+def q_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett variance-homogeneity χ² of value cents across user
+    cohorts (cell = user_id mod 7) per event type (operators/stats.py
+    bartlett_test): exact DECIMAL(38) cell variances, pinned
+    cell-ordered ln folds — the normal-theory sibling of
+    brown_forsythe."""
+    from .operators.stats import bartlett_test
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("value").isNotNull()
+                  & F.col("user_id").isNotNull())
+          .select(F.col("event_type").alias("g"),
+                  F.pmod(F.col("user_id"), F.lit(7)).alias("c"),
+                  _cents().alias("x")))
+    return bartlett_test(ev, ["g"], "c", "x")
+
+
+def sql_bartlett() -> str:
+    fold = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list({t} ORDER BY c)), (p, q) -> p + q)")
+    return f"""WITH e AS (
+  SELECT event_type AS g, ((user_id % 7) + 7) % 7 AS c,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+cell AS (
+  SELECT g, c, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sq
+  FROM e GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+cc AS (
+  SELECT g, c, n,
+         CAST(CAST(n AS HUGEINT) * sq
+              - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS DOUBLE)
+           AS numd,
+         CASE WHEN CAST(n AS HUGEINT) * sq
+                   - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) = 0
+              THEN 1 ELSE 0 END AS is0
+  FROM cell),
+a AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS k, SUM(n) AS n_total,
+         MAX(is0) AS has0,
+         {fold.format(t="CAST(n - 1 AS DOUBLE)"
+                        " * ln(numd / CAST(n * (n - 1) AS DOUBLE))")}
+           AS lnsum,
+         {fold.format(t="numd / CAST(n AS DOUBLE)")} AS spnum,
+         {fold.format(t="1.0 / CAST(n - 1 AS DOUBLE)")} AS rsum
+  FROM cc GROUP BY g),
+b AS (
+  SELECT g, k, n_total, has0, lnsum,
+         spnum / CAST(n_total - k AS DOUBLE) AS sp2,
+         1.0 + (rsum - 1.0 / CAST(n_total - k AS DOUBLE))
+             / (3.0 * CAST(k - 1 AS DOUBLE)) AS c_factor
+  FROM a)
+SELECT g, k, n_total, sp2, c_factor,
+       CASE WHEN k >= 2 AND has0 = 0
+            THEN (CAST(n_total - k AS DOUBLE) * ln(sp2) - lnsum)
+                 / c_factor END AS chi2
+FROM b"""
+
+
+ANALYTICS_QUERIES["bartlett"] = (q_bartlett, sql_bartlett)

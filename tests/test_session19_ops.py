@@ -716,3 +716,62 @@ def test_bom_deep_chain_and_forest_guard(spark):
     df = spark.createDataFrame(bad, "parent long, child long, qty long")
     with pytest.raises(Exception, match="not a forest"):
         bom_explode(df).collect()
+
+
+# ---- bartlett_test ----
+
+def _brute_bartlett(cells):
+    """cells: list of value-lists (one per cell, order = cell key)."""
+    import math
+
+    cells = [c for c in cells if len(c) >= 2]
+    k = len(cells)
+    n = sum(len(c) for c in cells)
+    lnsum = 0.0
+    spnum = 0.0
+    rsum = 0.0
+    has0 = False
+    for c in cells:
+        ni = len(c)
+        s = sum(c)
+        sq = sum(v * v for v in c)
+        num = ni * sq - s * s
+        if num == 0:
+            has0 = True
+        lnsum += float(ni - 1) * math.log(
+            float(num) / float(ni * (ni - 1)))
+        spnum += float(num) / float(ni)
+        rsum += 1.0 / float(ni - 1)
+    nk = float(n - k)
+    sp2 = spnum / nk
+    cfac = 1.0 + (rsum - 1.0 / nk) / (3.0 * float(k - 1))
+    chi2 = None if (k < 2 or has0) \
+        else (nk * math.log(sp2) - lnsum) / cfac
+    return k, n, sp2, cfac, chi2
+
+
+def test_bartlett_differential(spark):
+    from mapbox_filter_spark.operators.stats import bartlett_test
+
+    rng = random.Random(31)
+    cells = [[rng.randrange(-100, 100 + 40 * c) for _ in
+              range(rng.randrange(5, 25))] for c in range(6)]
+    cells.append([7])                       # singleton drops
+    rows = [(0, c, v) for c, vs in enumerate(cells) for v in vs]
+    df = spark.createDataFrame(rows, "g long, c long, x long")
+    r = bartlett_test(df, ["g"], "c", "x").collect()[0]
+    k, n, sp2, cfac, chi2 = _brute_bartlett(cells)
+    assert (r["k"], r["n_total"]) == (k, n)
+    assert r["sp2"] == pytest.approx(sp2, rel=1e-12)
+    assert r["c_factor"] == pytest.approx(cfac, rel=1e-12)
+    assert r["chi2"] == pytest.approx(chi2, rel=1e-10)
+
+
+def test_bartlett_constant_cell_null(spark):
+    from mapbox_filter_spark.operators.stats import bartlett_test
+
+    rows = ([(0, 0, v) for v in (1, 5, 9, 2)]
+            + [(0, 1, 4)] * 3)              # constant cell -> NULL
+    df = spark.createDataFrame(rows, "g long, c long, x long")
+    r = bartlett_test(df, ["g"], "c", "x").collect()[0]
+    assert r["k"] == 2 and r["chi2"] is None
