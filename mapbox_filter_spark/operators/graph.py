@@ -1434,3 +1434,49 @@ def bom_explode(edges: DataFrame, *, parent: str = "parent",
                         (F.col("_d1") + F.col("_d2")).alias("depth")))
         r = r.unionAll(comp).distinct().localCheckpoint()
     return r
+
+
+def wl_colors(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+              rounds: int = 2, salt: str = "wl") -> DataFrame:
+    """1-dimensional Weisfeiler-Lehman color refinement (the 1-WL /
+    naive-vertex-refinement test): color₀ = degree; each round a
+    node's color becomes a content hash of (own color, SORTED multiset
+    of neighbor colors).  The structural-role fingerprint behind graph
+    isomorphism screening, WL graph kernels, and GNN expressiveness
+    arguments — two graphs with different final color histograms are
+    certainly non-isomorphic (the converse fails: 1-WL cannot separate
+    regular graphs of equal degree, e.g. C₆ vs 2×C₃ — documented, and
+    pinned in tests).
+
+    Determinism: the multiset is a numerically-sorted join of 60-bit
+    md5 colors; the new color is the splits-module hash_u60 spelling
+    of (salt|round, own, joined) — reproducible in any engine,
+    collision probability ≈ n²/2⁶¹ per round.
+
+    Scale shape: per round one symmetric join of the edge list against
+    the (node, color) table + one groupBy — the standard iterated
+    sparse matrix-vector shape; ``rounds`` is a literal (1-WL
+    stabilizes within diameter rounds; 2 suffice for role features).
+
+    Returns ``(node, color)`` — the final-round color.
+    """
+    e = _canon(edges, src, dst)
+    sym = _sym(e).localCheckpoint()
+    col = (sym.groupBy("u")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    for k in range(rounds):
+        nb = (sym.join(col.select(F.col("u").alias("v"),
+                                  F.col("c").alias("cv")), "v")
+              .groupBy("u")
+              .agg(F.array_join(
+                  F.transform(
+                      F.array_sort(F.collect_list("cv")),
+                      lambda x: x.cast("string")), ",").alias("_nb")))
+        col = (col.join(nb, "u")
+               .select("u", F.conv(F.substring(F.md5(F.concat_ws(
+                   "\x1f", F.lit(f"{salt}{k}"),
+                   F.col("c").cast("string"), F.col("_nb"))), 1, 15),
+                   16, 10).cast("long").alias("c"))
+               .localCheckpoint())
+    return col.select(F.col("u").alias("node"),
+                      F.col("c").alias("color"))

@@ -1336,3 +1336,48 @@ SELECT anc, descendant, total_qty, depth FROM r"""
 
 
 GRAPH_QUERIES["bom_explode"] = (q_bom_explode, sql_bom_explode)
+
+
+_WL_ROUNDS = 2
+
+
+def q_wl_colors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-WL color refinement over the hashed link graph
+    (operators/graph.py wl_colors): degree seeds, two rounds of
+    sorted-multiset md5 refinement — the structural-role fingerprint
+    beside hits/pagerank, value-hashed per node."""
+    from .operators.graph import wl_colors
+
+    edges = _link_edges(spark, sf_dir)
+    return wl_colors(edges, rounds=_WL_ROUNDS)
+
+
+def sql_wl_colors() -> str:
+    def refine(k, prev):
+        return f""",
+nb{k} AS (
+  SELECT s.u,
+         string_agg(CAST(c.c AS VARCHAR), ',' ORDER BY c.c) AS nb
+  FROM sym s JOIN {prev} c ON c.u = s.v GROUP BY s.u),
+c{k + 1} AS MATERIALIZED (
+  SELECT p.u,
+         CAST(('0x' || substr(md5(concat_ws(chr(31), 'wl{k}',
+              CAST(p.c AS VARCHAR), nb{k}.nb)), 1, 15)) AS BIGINT) AS c
+  FROM {prev} p JOIN nb{k} ON nb{k}.u = p.u)"""
+
+    parts = [_sql_link_edges() + """,
+ec AS MATERIALIZED (
+  SELECT DISTINCT greatest(src, dst) AS src, least(src, dst) AS dst
+  FROM edges WHERE src <> dst),
+sym AS MATERIALIZED (
+  SELECT src AS u, dst AS v FROM ec
+  UNION ALL SELECT dst, src FROM ec),
+c0 AS MATERIALIZED (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS c FROM sym GROUP BY u)"""]
+    for k in range(_WL_ROUNDS):
+        parts.append(refine(k, f"c{k}"))
+    return ("WITH " + "".join(parts)
+            + f"\nSELECT u AS node, c AS color FROM c{_WL_ROUNDS}")
+
+
+GRAPH_QUERIES["wl_colors"] = (q_wl_colors, sql_wl_colors)

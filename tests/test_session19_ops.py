@@ -775,3 +775,62 @@ def test_bartlett_constant_cell_null(spark):
     df = spark.createDataFrame(rows, "g long, c long, x long")
     r = bartlett_test(df, ["g"], "c", "x").collect()[0]
     assert r["k"] == 2 and r["chi2"] is None
+
+
+# ---- wl_colors (1-WL refinement) ----
+
+def _brute_wl(edges, rounds=2, salt="wl"):
+    import hashlib
+
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    col = {u: len(vs) for u, vs in adj.items()}
+    for k in range(rounds):
+        nxt = {}
+        for u in adj:
+            nb = ",".join(str(c) for c in sorted(col[v]
+                                                 for v in adj[u]))
+            s = f"{salt}{k}\x1f{col[u]}\x1f{nb}"
+            nxt[u] = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        col = nxt
+    return col
+
+
+def test_wl_differential(spark):
+    from mapbox_filter_spark.operators.graph import wl_colors
+
+    rng = random.Random(13)
+    edges = list({(rng.randrange(0, 40), rng.randrange(0, 40))
+                  for _ in range(90)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["color"] for r in wl_colors(df).collect()}
+    assert got == _brute_wl(edges)
+
+
+def test_wl_regular_graph_limitation(spark):
+    from collections import Counter
+
+    from mapbox_filter_spark.operators.graph import wl_colors
+
+    # C6 vs 2xC3: 1-WL famously CANNOT separate equal-degree regular
+    # graphs — both histograms collapse to one color class of 6
+    c6 = [(i, (i + 1) % 6) for i in range(6)]
+    tri2 = [(10, 11), (11, 12), (12, 10), (20, 21), (21, 22), (22, 20)]
+    h6 = Counter(r["color"] for r in wl_colors(
+        spark.createDataFrame(c6, "src long, dst long")).collect())
+    h3 = Counter(r["color"] for r in wl_colors(
+        spark.createDataFrame(tri2, "src long, dst long")).collect())
+    assert h6 == h3 and len(h6) == 1
+
+    # path P4 vs star S3: same edge count, different histograms
+    p4 = [(0, 1), (1, 2), (2, 3)]
+    s3 = [(0, 1), (0, 2), (0, 3)]
+    hp = Counter(r["color"] for r in wl_colors(
+        spark.createDataFrame(p4, "src long, dst long")).collect())
+    hs = Counter(r["color"] for r in wl_colors(
+        spark.createDataFrame(s3, "src long, dst long")).collect())
+    assert hp != hs
