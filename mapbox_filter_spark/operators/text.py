@@ -960,3 +960,70 @@ def stylometric_deviation(docs: DataFrame, *, top_n: int = 30,
         F.when(F.col("n_words_scored") > 0,
                F.col("_zs") / F.col("n_words_scored").cast("double"))
         .alias("delta0"))
+
+
+def symspell_correct(queries: DataFrame, lexicon: DataFrame, *,
+                     qid_col: str = "qid", term_col: str = "term",
+                     freq_col: str = "freq",
+                     max_len: int = 24) -> DataFrame:
+    """SymSpell spelling correction at max edit distance 1 (Garbe's
+    symmetric-delete algorithm): both sides expand to their delete-1
+    neighborhoods, candidates meet on EQUAL variant strings — an
+    equi-join, never a quadratic distance scan — and the final
+    ``levenshtein ≤ 1`` verify discards the ED-2 pairs the delete
+    trick over-admits.  The OCR/typo normalizer for token-level
+    corpus cleanup.
+
+    Ranking: per query the single best suggestion by (distance asc,
+    frequency desc, term asc) — one min-struct fold, deterministic
+    under ties.  Queries with no in-range suggestion drop (inner-join
+    semantics; left-join downstream to keep them).
+
+    Scale shape: each side fans out ×(len+1) variants (bounded
+    in-plan: term length > ``max_len`` raises), one equi-join on the
+    variant key — the lexicon side is broadcast-able for real
+    dictionaries — then one distinct and one per-query fold.  All
+    string/integer ops, no Python.
+
+    Returns ``(qid, term, suggestion, dist, freq)``.
+    """
+    def variants(c: Column) -> Column:
+        n = F.length(c)
+        dels = F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(c.substr(F.lit(1), i - 1),
+                               c.substr(i + 1, n)))
+        return F.concat(F.array(c), dels)
+
+    def guarded(c: Column, side: str) -> Column:
+        return F.when(
+            F.length(c) > max_len,
+            F.raise_error(F.concat(
+                F.lit(f"symspell_correct: {side} term longer than "
+                      f"{max_len}: "), c)).cast("string")
+        ).otherwise(c)
+
+    q = (queries.select(F.col(qid_col).alias("qid"),
+                        guarded(F.col(term_col), "query").alias("q"))
+         .filter(F.length("q") >= 1)
+         .select("qid", "q",
+                 F.explode(variants(F.col("q"))).alias("_v")))
+    lx = (lexicon.select(guarded(F.col(term_col), "lexicon")
+                         .alias("suggestion"),
+                         F.col(freq_col).cast("long").alias("freq"))
+          .filter(F.length("suggestion") >= 1)
+          .select("suggestion", "freq",
+                  F.explode(variants(F.col("suggestion")))
+                  .alias("_v")))
+    cand = (q.join(lx, "_v")
+            .select("qid", "q", "suggestion", "freq").distinct()
+            .withColumn("dist", F.levenshtein("q", "suggestion"))
+            .filter(F.col("dist") <= 1))
+    best = (cand.groupBy("qid", "q")
+            .agg(F.min(F.struct(
+                F.col("dist"), (-F.col("freq")).alias("nf"),
+                F.col("suggestion"))).alias("_b")))
+    return best.select("qid", F.col("q").alias("term"),
+                       F.col("_b.suggestion").alias("suggestion"),
+                       F.col("_b.dist").alias("dist"),
+                       (-F.col("_b.nf")).alias("freq"))

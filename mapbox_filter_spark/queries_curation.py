@@ -2453,3 +2453,61 @@ FROM tot"""
 
 
 CURATION_QUERIES["seasonal_mk"] = (q_seasonal_mk, sql_seasonal_mk)
+
+
+def q_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell correction of deterministically corrupted vocabulary
+    (operators/text.py symspell_correct): lexicon = document term
+    frequencies; every term of length ≥ 4 loses its 2nd character and
+    must be recovered through the delete-1 variant equi-join +
+    levenshtein verify, ranked (dist, freq desc, term)."""
+    from .operators.text import symspell_correct
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = (docs.select(F.explode(F.split(
+        F.lower(F.col("text")), r"\s+")).alias("term"))
+        .filter(F.length("term") >= 1))
+    lex = words.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    qs = (lex.filter(F.length("term") >= 4)
+          .select(F.col("term").alias("qid"),
+                  F.concat(F.col("term").substr(F.lit(1), F.lit(1)),
+                           F.col("term").substr(
+                               F.lit(3), F.length("term")))
+                  .alias("term")))
+    return symspell_correct(qs, lex)
+
+
+def sql_symspell() -> str:
+    var = ("list_append(list_transform(range(1, length({c}) + 1), "
+           "i -> concat(substr({c}, 1, i - 1), "
+           "substr({c}, i + 1, length({c})))), {c})")
+    return f"""WITH w AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+  FROM documents),
+lex AS (
+  SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM w WHERE length(t) >= 1 GROUP BY t),
+qs AS (
+  SELECT term AS qid,
+         concat(substr(term, 1, 1), substr(term, 3)) AS q
+  FROM lex WHERE length(term) >= 4),
+qv AS (
+  SELECT qid, q, vt.v
+  FROM qs, LATERAL (SELECT unnest({var.format(c='q')}) AS v) vt),
+lv AS (
+  SELECT term AS suggestion, freq, vt.v
+  FROM lex, LATERAL (SELECT unnest({var.format(c='term')}) AS v) vt),
+cand AS (
+  SELECT DISTINCT qid, q, lv.suggestion, lv.freq
+  FROM qv JOIN lv USING (v)),
+ver AS (
+  SELECT qid, q, suggestion, freq,
+         CAST(levenshtein(q, suggestion) AS INTEGER) AS dist
+  FROM cand WHERE levenshtein(q, suggestion) <= 1)
+SELECT qid, q AS term, suggestion, dist, freq
+FROM ver
+QUALIFY ROW_NUMBER() OVER (PARTITION BY qid, q
+                           ORDER BY dist, freq DESC, suggestion) = 1"""
+
+
+CURATION_QUERIES["symspell"] = (q_symspell, sql_symspell)

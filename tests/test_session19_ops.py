@@ -834,3 +834,61 @@ def test_wl_regular_graph_limitation(spark):
     hs = Counter(r["color"] for r in wl_colors(
         spark.createDataFrame(s3, "src long, dst long")).collect())
     assert hp != hs
+
+
+# ---- symspell_correct ----
+
+def _lev(a, b):
+    n, m = len(a), len(b)
+    d = list(range(m + 1))
+    for i in range(1, n + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, m + 1):
+            prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                   prev + (a[i - 1] != b[j - 1]))
+    return d[m]
+
+
+def _brute_symspell(queries, lexicon):
+    out = {}
+    for qid, q in queries:
+        best = None
+        for t, f in lexicon:
+            # same candidate set as the delete trick + verify
+            if _lev(q, t) <= 1:
+                cand = (_lev(q, t), -f, t)
+                if best is None or cand < best:
+                    best = cand
+        if best is not None:
+            out[(qid, q)] = (best[2], best[0], -best[1])
+    return out
+
+
+def test_symspell_differential(spark):
+    from mapbox_filter_spark.operators.text import symspell_correct
+
+    lexicon = [("table", 50), ("cable", 40), ("tablet", 30),
+               ("stable", 20), ("tale", 35), ("able", 10),
+               ("word", 5), ("ward", 9)]
+    queries = [(1, "tble"), (2, "tabl"), (3, "cble"), (4, "wird"),
+               (5, "zzz"), (6, "table"), (7, "tables"), (8, "wrd")]
+    qdf = spark.createDataFrame(queries, "qid long, term string")
+    ldf = spark.createDataFrame(lexicon, "term string, freq long")
+    got = {(r["qid"], r["term"]): (r["suggestion"], r["dist"], r["freq"])
+           for r in symspell_correct(qdf, ldf).collect()}
+    assert got == _brute_symspell(queries, lexicon)
+    assert (1, "tble") in got and got[(1, "tble")][0] == "table"
+    assert (5, "zzz") not in got                      # out of range
+    assert got[(6, "table")] == ("table", 0, 50)      # exact hit wins
+    # tie on distance resolves by higher freq: "wird" -> ward(9) vs
+    # word(5) both dist 1
+    assert got[(4, "wird")] == ("ward", 1, 9)
+
+
+def test_symspell_guard(spark):
+    from mapbox_filter_spark.operators.text import symspell_correct
+
+    qdf = spark.createDataFrame([(1, "x" * 30)], "qid long, term string")
+    ldf = spark.createDataFrame([("ok", 1)], "term string, freq long")
+    with pytest.raises(Exception, match="longer than"):
+        symspell_correct(qdf, ldf).collect()
