@@ -2746,3 +2746,77 @@ def bartlett_test(df: DataFrame, group_cols: Sequence[str],
                   (nk * F.log(sp2) - lnsum) / cfac)
     return per.select(*g, "k", "n_total", sp2.alias("sp2"),
                       cfac.alias("c_factor"), chi2.alias("chi2"))
+
+
+_MAHA_CHI2_95 = 5.991464547107979   # chi²(2) 0.95 quantile literal
+
+
+def mahalanobis2d(df: DataFrame, group_cols: Sequence[str],
+                  id_col: str, x_col: str, y_col: str,
+                  thr: float = _MAHA_CHI2_95) -> DataFrame:
+    """Per-point squared Mahalanobis distance to the group's 2-D
+    mean under the group covariance — the correlation-aware outlier
+    score a per-axis z-test misses (a point can be 2σ on each axis
+    yet wildly off the correlation ridge): with n-scaled deviations
+    z = n·v − S and A = n·Σx²−Sx², B = n·Σxy−SxSy, C = n·Σy²−Sy²,
+
+        d² = (C·zx² − 2B·zx·zy + A·zy²) / (AC − B²)
+
+    — every term EXACT in DECIMAL(38) (zx² alone brushes int64;
+    C·zx² needs ~10³⁶), d² one double division, and the flag is the
+    single comparison d² > χ²₂(0.95) on that pinned double.  The
+    multivariate sibling of robust_outliers/grubbs.
+
+    Scale shape: one moments groupBy + one broadcast-able join of the
+    5-number moment row back onto the points — the feature_scale
+    shape; no windows, no second shuffle of the fact table.  The
+    DECIMAL(38) headroom demands BOTH in-plan bounds: n ≤ 16000 per
+    group and |coordinate| ≤ 10⁵ (C·zx² grows as n⁴·r⁴ ≈ 10³⁷ at
+    those rails) — shard by a finer group key or pre-scale upstream.
+
+    Returns ``(*group_cols, id, d2m, outlier)`` — NULL d²/flag for
+    degenerate groups (AC = B², e.g. n < 3 or collinear data).
+    """
+    g = list(group_cols)
+    lim = 100_000
+    xr = F.col(x_col).cast("long")
+    yr = F.col(y_col).cast("long")
+    rail = (F.abs(xr) > lim) | (F.abs(yr) > lim)
+    pts = df.select(
+        *g, F.col(id_col).alias("id"),
+        F.when(rail, F.raise_error(F.lit(
+            f"mahalanobis2d: |coordinate| exceeds {lim}"))
+            .cast("long")).otherwise(xr).alias("_x"),
+        yr.alias("_y"))
+    mom = (pts.groupBy(*g)
+           .agg(F.count(F.lit(1)).alias("_cnt"),
+                F.sum("_x").alias("_sx"), F.sum("_y").alias("_sy"),
+                F.sum((F.col("_x") * F.col("_x"))
+                      .cast("decimal(38,0)")).alias("_sxx"),
+                F.sum((F.col("_x") * F.col("_y"))
+                      .cast("decimal(38,0)")).alias("_sxy"),
+                F.sum((F.col("_y") * F.col("_y"))
+                      .cast("decimal(38,0)")).alias("_syy")))
+    n = F.when(
+        F.col("_cnt") > 16_000,
+        F.raise_error(F.concat(
+            F.lit("mahalanobis2d: group exceeds 16000 rows: "),
+            F.col("_cnt").cast("string"))).cast("long")
+    ).otherwise(F.col("_cnt"))
+    d38 = lambda c: c.cast("decimal(38,0)")
+    a = d38(n) * F.col("_sxx") - d38(F.col("_sx")) * d38(F.col("_sx"))
+    b = d38(n) * F.col("_sxy") - d38(F.col("_sx")) * d38(F.col("_sy"))
+    c = d38(n) * F.col("_syy") - d38(F.col("_sy")) * d38(F.col("_sy"))
+    mom = mom.select(*g, n.alias("_n"), "_sx", "_sy", a.alias("_a"),
+                     b.alias("_b"), c.alias("_c"),
+                     (a * c - b * b).alias("_det"))
+    j = pts.join(mom, g)
+    zx = d38(F.col("_n") * F.col("_x") - F.col("_sx"))
+    zy = d38(F.col("_n") * F.col("_y") - F.col("_sy"))
+    num = (F.col("_c") * (zx * zx)
+           - F.lit(2).cast("decimal(38,0)") * F.col("_b") * (zx * zy)
+           + F.col("_a") * (zy * zy))
+    d2 = F.when(F.col("_det") > 0,
+                num.cast("double") / F.col("_det").cast("double"))
+    return j.select(*g, "id", d2.alias("d2m"),
+                    (d2 > F.lit(thr)).alias("outlier"))

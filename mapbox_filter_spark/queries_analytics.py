@@ -3456,3 +3456,66 @@ FROM b"""
 
 
 ANALYTICS_QUERIES["bartlett"] = (q_bartlett, sql_bartlett)
+
+
+_MAHA_QMOD = 16
+
+
+def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared Mahalanobis distance of (value cents, props length)
+    per event type (operators/stats.py mahalanobis2d): exact
+    DECIMAL(38) covariance adjugate, one double division per point,
+    χ²₂(0.95) flag — the correlation-aware outlier score beside
+    robust_outliers."""
+    from .operators.stats import mahalanobis2d
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("value").isNotNull() & F.col("props").isNotNull()
+                  & (F.pmod(F.col("event_id"), F.lit(_MAHA_QMOD)) == 0))
+          .select(F.col("event_type").alias("g"),
+                  F.col("event_id").alias("id"),
+                  _cents().alias("x"),
+                  F.length("props").cast("long").alias("y")))
+    return mahalanobis2d(ev, ["g"], "id", "x", "y")
+
+
+def sql_mahalanobis() -> str:
+    thr = 5.991464547107979
+    return f"""WITH e AS (
+  SELECT event_type AS g, event_id AS id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+         CAST(length(props) AS BIGINT) AS y
+  FROM events
+  WHERE value IS NOT NULL AND props IS NOT NULL
+    AND event_id % {_MAHA_QMOD} = 0),
+m AS (
+  SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+  FROM e GROUP BY g),
+c AS (
+  SELECT g, n, sx, sy,
+         n * sxx - sx * sx AS a,
+         n * sxy - sx * sy AS b,
+         n * syy - sy * sy AS cc,
+         (n * sxx - sx * sx) * (n * syy - sy * sy)
+           - (n * sxy - sx * sy) * (n * sxy - sx * sy) AS det
+  FROM m)
+SELECT e.g, e.id,
+       CASE WHEN c.det > 0 THEN
+         CAST(c.cc * ((c.n * e.x - c.sx) * (c.n * e.x - c.sx))
+              - 2 * c.b * ((c.n * e.x - c.sx) * (c.n * e.y - c.sy))
+              + c.a * ((c.n * e.y - c.sy) * (c.n * e.y - c.sy))
+              AS DOUBLE) / CAST(c.det AS DOUBLE) END AS d2m,
+       CASE WHEN c.det > 0 THEN
+         CAST(c.cc * ((c.n * e.x - c.sx) * (c.n * e.x - c.sx))
+              - 2 * c.b * ((c.n * e.x - c.sx) * (c.n * e.y - c.sy))
+              + c.a * ((c.n * e.y - c.sy) * (c.n * e.y - c.sy))
+              AS DOUBLE) / CAST(c.det AS DOUBLE) > {thr!r} END
+         AS outlier
+FROM e JOIN c ON c.g = e.g"""
+
+
+ANALYTICS_QUERIES["mahalanobis"] = (q_mahalanobis, sql_mahalanobis)

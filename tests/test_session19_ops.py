@@ -892,3 +892,65 @@ def test_symspell_guard(spark):
     ldf = spark.createDataFrame([("ok", 1)], "term string, freq long")
     with pytest.raises(Exception, match="longer than"):
         symspell_correct(qdf, ldf).collect()
+
+
+# ---- mahalanobis2d ----
+
+def _brute_maha(pts, thr=5.991464547107979):
+    n = len(pts)
+    sx = sum(p[1] for p in pts)
+    sy = sum(p[2] for p in pts)
+    sxx = sum(p[1] * p[1] for p in pts)
+    sxy = sum(p[1] * p[2] for p in pts)
+    syy = sum(p[2] * p[2] for p in pts)
+    a = n * sxx - sx * sx
+    b = n * sxy - sx * sy
+    c = n * syy - sy * sy
+    det = a * c - b * b
+    out = {}
+    for pid, x, y in pts:
+        if det <= 0:
+            out[pid] = (None, None)
+            continue
+        zx, zy = n * x - sx, n * y - sy
+        num = c * zx * zx - 2 * b * zx * zy + a * zy * zy
+        d2 = float(num) / float(det)
+        out[pid] = (d2, d2 > thr)
+    return out
+
+
+def test_mahalanobis_differential(spark):
+    from mapbox_filter_spark.operators.stats import mahalanobis2d
+
+    rng = random.Random(55)
+    # correlated cloud + one on-axis-innocent / off-ridge outlier
+    pts = []
+    for i in range(200):
+        x = rng.randrange(-1000, 1000)
+        pts.append((i, x, x + rng.randrange(-100, 100)))
+    pts.append((900, 800, -800))      # 2σ on each axis, off the ridge
+    rows = [(0, *p) for p in pts]
+    df = spark.createDataFrame(rows, "g long, id long, x long, y long")
+    got = {r["id"]: (r["d2m"], r["outlier"])
+           for r in mahalanobis2d(df, ["g"], "id", "x", "y").collect()}
+    want = _brute_maha(pts)
+    assert set(got) == set(want)
+    for pid in want:
+        assert got[pid][0] == pytest.approx(want[pid][0], rel=1e-12)
+        assert got[pid][1] == want[pid][1]
+    assert got[900][1] is True
+
+
+def test_mahalanobis_degenerate_and_rails(spark):
+    from mapbox_filter_spark.operators.stats import mahalanobis2d
+
+    # collinear -> det = 0 -> NULLs
+    rows = [(0, i, i, 2 * i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g long, id long, x long, y long")
+    out = mahalanobis2d(df, ["g"], "id", "x", "y").collect()
+    assert all(r["d2m"] is None and r["outlier"] is None for r in out)
+
+    df = spark.createDataFrame([(0, 1, 200_001, 0), (0, 2, 5, 5)],
+                               "g long, id long, x long, y long")
+    with pytest.raises(Exception, match="exceeds 100000"):
+        mahalanobis2d(df, ["g"], "id", "x", "y").collect()
