@@ -137,3 +137,144 @@ def clip_segments_to_tiles(segs: DataFrame, tile: int, scale: int = 8,
                scale).alias("qy1"),
         (F.col("t0a") > 0).alias("cut_in"),
         (F.col("t1a") < F.col("t1b")).alias("cut_out"))
+
+
+def _ring_clip_stage(df: DataFrame, axis: str, cmp: str,
+                     bound: Column) -> DataFrame:
+    """One Sutherland-Hodgman half-plane pass over closed rings keyed
+    by (rid, tx, ty), vertices ordered by i.  Intersections are exact
+    rationals snapped half-up to the integer grid AT EMISSION (the
+    encoder's snap-on-clip behavior, pinned)."""
+    from pyspark.sql import Window
+
+    keys = ["rid", "tx", "ty"]
+    w = Window.partitionBy(*keys).orderBy("i")
+    wf = (Window.partitionBy(*keys)
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    px = F.coalesce(F.lag("x").over(w), F.last("x").over(wf))
+    py = F.coalesce(F.lag("y").over(w), F.last("y").over(wf))
+    cur = F.col("x") if axis == "x" else F.col("y")
+    prv = px if axis == "x" else py
+
+    def inside(v: Column) -> Column:
+        return v >= bound if cmp == "ge" else v <= bound
+
+    # crossing edge: along-axis delta is nonzero by the strict
+    # straddle; the off-axis intersection is one half-up floor-div
+    d = (F.col("x") - px) if axis == "x" else (F.col("y") - py)
+    off_c = F.col("y") if axis == "x" else F.col("x")
+    off_p = py if axis == "x" else px
+    num = off_p * d + (off_c - off_p) * (bound - (prv))
+    nden = F.when(d < 0, -d).otherwise(d)
+    nnum = F.when(d < 0, -num).otherwise(num)
+    ioff = floor_div(2 * nnum + nden, 2 * nden)
+    ix = bound if axis == "x" else ioff
+    iy = ioff if axis == "x" else bound
+
+    ipt = F.struct(F.lit(0).alias("sub"), ix.alias("x"), iy.alias("y"))
+    cpt = F.struct(F.lit(1).alias("sub"), F.col("x").alias("x"),
+                   F.col("y").alias("y"))
+    emit = (F.when(inside(cur) & inside(prv), F.array(cpt))
+            .when(inside(cur) & ~inside(prv), F.array(ipt, cpt))
+            .when(~inside(cur) & inside(prv), F.array(ipt))
+            .otherwise(F.array().cast(
+                "array<struct<sub: int, x: long, y: long>>")))
+    out = (df.select(*keys, "i", emit.alias("_e"))
+           .select(*keys, "i", F.explode("_e").alias("_p")))
+    w2 = Window.partitionBy(*keys).orderBy("i", "_p.sub")
+    return out.select(*keys,
+                      F.row_number().over(w2).cast("long").alias("i"),
+                      F.col("_p.x").alias("x"), F.col("_p.y").alias("y"))
+
+
+def clip_rings_to_tiles(rings: DataFrame, tile: int, scale: int = 8,
+                        *, max_tiles: int = 64) -> DataFrame:
+    """Sutherland-Hodgman clipping of polygon rings into every tile
+    they touch — the MVT polygon cut beside
+    :func:`clip_segments_to_tiles`: four half-plane passes (left,
+    right, bottom, top of the closed tile box), every intersection an
+    exact rational snapped half-up onto the ``scale``-subpixel grid at
+    emission, then consecutive-duplicate vertices collapse and rings
+    with < 3 surviving vertices vanish.
+
+    Conventions (pinned, tested): input is ``(ring_id, verts
+    array<struct<x, y>>)`` with non-negative integer coords
+    (raise_error otherwise), any orientation, not explicitly closed;
+    candidates are floor-div bbox tiles (``max_tiles`` in-plan cap);
+    a ring fully inside a tile passes through verbatim (×scale).
+
+    Scale shape: bounded bbox explode, then per (ring, tile) FOUR
+    window passes over vertex lists (each: one lag + one row_number
+    on the same key — Spark reuses the partitioning) — no Python, no
+    fold state, no driver loop.
+
+    Returns ``(ring_id, tx, ty, i, x, y)`` — scaled, ordered ring
+    vertices per tile.
+    """
+    from pyspark.sql import Window
+
+    if tile < 1 or scale < 1:
+        raise ValueError("tile and scale must be positive integers")
+
+    v = (rings.select(F.col("ring_id").alias("rid"),
+                      F.posexplode("verts").alias("i", "_v"))
+         .select("rid", "i",
+                 F.col("_v.x").cast("long").alias("_rx"),
+                 F.col("_v.y").cast("long").alias("_ry")))
+    neg = (F.col("_rx") < 0) | (F.col("_ry") < 0)
+    v = v.select(
+        "rid", "i",
+        F.when(neg, F.raise_error(F.lit(
+            "clip_rings_to_tiles: negative coordinate — shift "
+            "upstream"))).otherwise(F.col("_rx") * scale).alias("x"),
+        (F.col("_ry") * scale).alias("y"))
+
+    ts = tile * scale
+    bb = v.groupBy("rid").agg(
+        floor_div(F.min("x"), ts).alias("_txl"),
+        floor_div(F.max("x"), ts).alias("_txh"),
+        floor_div(F.min("y"), ts).alias("_tyl"),
+        floor_div(F.max("y"), ts).alias("_tyh"))
+    span = ((F.col("_txh") - F.col("_txl") + 1)
+            * (F.col("_tyh") - F.col("_tyl") + 1))
+    txl_g = (F.when(span > max_tiles, F.raise_error(F.lit(
+        f"clip_rings_to_tiles: ring bbox spans > {max_tiles} tiles"))
+        .cast("long")).otherwise(F.col("_txl")))
+    cand = (bb.withColumn("tx", F.explode(F.sequence(txl_g,
+                                                     F.col("_txh"))))
+            .withColumn("ty", F.explode(F.sequence(F.col("_tyl"),
+                                                   F.col("_tyh"))))
+            .select("rid", "tx", "ty"))
+    cur = v.join(cand, "rid")
+
+    cur = _ring_clip_stage(cur, "x", "ge", F.col("tx") * ts)
+    cur = _ring_clip_stage(cur, "x", "le", (F.col("tx") + 1) * ts)
+    cur = _ring_clip_stage(cur, "y", "ge", F.col("ty") * ts)
+    cur = _ring_clip_stage(cur, "y", "le", (F.col("ty") + 1) * ts)
+
+    # collapse consecutive duplicates (wraparound: first vs last)
+    keys = ["rid", "tx", "ty"]
+    w = Window.partitionBy(*keys).orderBy("i")
+    wf = (Window.partitionBy(*keys)
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    px = F.coalesce(F.lag("x").over(w), F.last("x").over(wf))
+    py = F.coalesce(F.lag("y").over(w), F.last("y").over(wf))
+    cnt = F.count(F.lit(1)).over(wf)
+    ded = (cur.withColumn("_keep",
+                          (cnt == 1) | (F.col("x") != px)
+                          | (F.col("y") != py))
+           .filter(F.col("_keep")))
+    w2 = Window.partitionBy(*keys).orderBy("i")
+    wf2 = (Window.partitionBy(*keys)
+           .rowsBetween(Window.unboundedPreceding,
+                        Window.unboundedFollowing))
+    out = (ded.select(*keys,
+                      F.row_number().over(w2).cast("long").alias("i"),
+                      "x", "y",
+                      F.count(F.lit(1)).over(wf2).alias("_n"))
+           .filter(F.col("_n") >= 3)
+           .select(F.col("rid").alias("ring_id"), "tx", "ty",
+                   "i", "x", "y"))
+    return out

@@ -5665,3 +5665,140 @@ FROM tt WHERE t0a*t1b < t1a*t0b"""
 
 
 GEOM_QUERIES["tile_clip"] = (q_tile_clip, sql_tile_clip)
+
+
+_RCLIP_TILE = 2048
+_RCLIP_SCALE = 8
+_RCLIP_PARTS = 300
+
+
+def q_ring_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sutherland-Hodgman polygon clipping of hashed diamonds into
+    tile boxes (geo/clip.py clip_rings_to_tiles): four half-plane
+    window passes, exact-rational intersections snapped half-up at
+    emission, consecutive-duplicate collapse — the MVT areas cut
+    beside tile_clip's segment cut; vertex ORDER is part of the
+    value hash."""
+    from .geo.clip import clip_rings_to_tiles
+
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .filter(F.col("p_partkey") <= _RCLIP_PARTS))
+    pk = F.col("p_partkey")
+    cx = F.pmod(pk * 7919, F.lit(360000))
+    cy = F.pmod(pk * 104729, F.lit(170000))
+    r = F.pmod(pk, F.lit(1500)) + 100
+    verts = F.array(
+        F.struct((cx + r).alias("x"), cy.alias("y")),
+        F.struct(cx.alias("x"), (cy + r).alias("y")),
+        F.struct(F.greatest(cx - r, F.lit(0)).alias("x"),
+                 cy.alias("y")),
+        F.struct(cx.alias("x"),
+                 F.greatest(cy - r, F.lit(0)).alias("y")))
+    rings = part.select(pk.alias("ring_id"), verts.alias("verts"))
+    return clip_rings_to_tiles(rings, _RCLIP_TILE, _RCLIP_SCALE)
+
+
+def _sql_ring_stage(src: str, dst: str, axis: str, cmp: str,
+                    bound: str) -> str:
+    op = ">=" if cmp == "ge" else "<="
+    if axis == "x":
+        d, off_c, off_p, prv = "(x - px)", "y", "py", "px"
+        ipt = f"{{'sub': 0, 'x': {bound}, 'y': ioff}}"
+    else:
+        d, off_c, off_p, prv = "(y - py)", "x", "px", "py"
+        ipt = f"{{'sub': 0, 'x': ioff, 'y': {bound}}}"
+    cur = "x" if axis == "x" else "y"
+    pc = "px" if axis == "x" else "py"
+    return f""",
+{dst}_a AS (
+  SELECT rid, tx, ty, i, x, y,
+         coalesce(lag(x) OVER w, last_value(x) OVER wf) AS px,
+         coalesce(lag(y) OVER w, last_value(y) OVER wf) AS py
+  FROM {src}
+  WINDOW w AS (PARTITION BY rid, tx, ty ORDER BY i),
+         wf AS (PARTITION BY rid, tx, ty ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING)),
+{dst}_b AS (
+  SELECT rid, tx, ty, i, x, y, px, py,
+         (2 * (CASE WHEN {d} < 0
+               THEN -({off_p} * {d} + ({off_c} - {off_p})
+                      * (({bound}) - {prv}))
+               ELSE {off_p} * {d} + ({off_c} - {off_p})
+                    * (({bound}) - {prv}) END)
+          + abs({d})) // (2 * greatest(abs({d}), 1)) AS ioff
+  FROM {dst}_a),
+{dst}_c AS (
+  SELECT rid, tx, ty, i, u.sub, u.x, u.y
+  FROM {dst}_b, LATERAL (SELECT unnest(
+    CASE WHEN {cur} {op} ({bound}) AND {pc} {op} ({bound})
+         THEN [{{'sub': 1, 'x': x, 'y': y}}]
+         WHEN {cur} {op} ({bound}) AND NOT ({pc} {op} ({bound}))
+         THEN [{ipt}, {{'sub': 1, 'x': x, 'y': y}}]
+         WHEN NOT ({cur} {op} ({bound})) AND {pc} {op} ({bound})
+         THEN [{ipt}]
+         ELSE []::STRUCT(sub INT, x BIGINT, y BIGINT)[] END)
+    AS u) t),
+{dst} AS (
+  SELECT rid, tx, ty,
+         ROW_NUMBER() OVER (PARTITION BY rid, tx, ty
+                            ORDER BY i, sub) AS i, x, y
+  FROM {dst}_c)"""
+
+
+def sql_ring_clip() -> str:
+    ts = _RCLIP_TILE * _RCLIP_SCALE
+    sc = _RCLIP_SCALE
+    stages = (
+        _sql_ring_stage("cand", "s1", "x", "ge", f"tx * {ts}")
+        + _sql_ring_stage("s1", "s2", "x", "le", f"(tx + 1) * {ts}")
+        + _sql_ring_stage("s2", "s3", "y", "ge", f"ty * {ts}")
+        + _sql_ring_stage("s3", "s4", "y", "le", f"(ty + 1) * {ts}"))
+    return f"""WITH geom AS (
+  SELECT p_partkey AS rid,
+         (p_partkey * 7919) % 360000 AS cx,
+         (p_partkey * 104729) % 170000 AS cy,
+         p_partkey % 1500 + 100 AS r
+  FROM part WHERE p_partkey <= {_RCLIP_PARTS}),
+v AS (
+  SELECT rid, t.i,
+         CAST(t.vx * {sc} AS BIGINT) AS x,
+         CAST(t.vy * {sc} AS BIGINT) AS y
+  FROM geom, LATERAL (
+    SELECT * FROM (VALUES
+      (0, cx + r, cy), (1, cx, cy + r),
+      (2, greatest(cx - r, 0), cy), (3, cx, greatest(cy - r, 0)))
+      AS q(i, vx, vy)) t),
+bb AS (
+  SELECT rid, MIN(x) // {ts} AS txl, MAX(x) // {ts} AS txh,
+         MIN(y) // {ts} AS tyl, MAX(y) // {ts} AS tyh
+  FROM v GROUP BY rid),
+cand AS (
+  SELECT v.rid, t1.tx, t2.ty, v.i, v.x, v.y
+  FROM v JOIN bb ON bb.rid = v.rid,
+  LATERAL (SELECT unnest(range(bb.txl, bb.txh + 1)) AS tx) t1,
+  LATERAL (SELECT unnest(range(bb.tyl, bb.tyh + 1)) AS ty) t2){stages},
+ded AS (
+  SELECT rid, tx, ty, i, x, y,
+         coalesce(lag(x) OVER w, last_value(x) OVER wf) AS px,
+         coalesce(lag(y) OVER w, last_value(y) OVER wf) AS py,
+         COUNT(*) OVER (PARTITION BY rid, tx, ty) AS cnt
+  FROM s4
+  WINDOW w AS (PARTITION BY rid, tx, ty ORDER BY i),
+         wf AS (PARTITION BY rid, tx, ty ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING)),
+kept AS (
+  SELECT rid, tx, ty, i, x, y FROM ded
+  WHERE cnt = 1 OR x <> px OR y <> py),
+fin AS (
+  SELECT rid, tx, ty,
+         ROW_NUMBER() OVER (PARTITION BY rid, tx, ty
+                            ORDER BY i) AS i, x, y,
+         COUNT(*) OVER (PARTITION BY rid, tx, ty) AS n
+  FROM kept)
+SELECT rid AS ring_id, tx, ty, CAST(i AS BIGINT) AS i, x, y
+FROM fin WHERE n >= 3"""
+
+
+GEOM_QUERIES["ring_clip"] = (q_ring_clip, sql_ring_clip)

@@ -954,3 +954,104 @@ def test_mahalanobis_degenerate_and_rails(spark):
                                "g long, id long, x long, y long")
     with pytest.raises(Exception, match="exceeds 100000"):
         mahalanobis2d(df, ["g"], "id", "x", "y").collect()
+
+
+# ---- clip_rings_to_tiles (Sutherland-Hodgman tile cut) ----
+
+def _sh_stage(ring, axis, cmp, bound):
+    if not ring:
+        return []
+    out = []
+    prev = ring[-1]
+    for cur in ring:
+        pc = cur[0] if axis == "x" else cur[1]
+        pp = prev[0] if axis == "x" else prev[1]
+        ic = pc >= bound if cmp == "ge" else pc <= bound
+        ip = pp >= bound if cmp == "ge" else pp <= bound
+        if ic != ip:
+            d = pc - pp
+            off_c = cur[1] if axis == "x" else cur[0]
+            off_p = prev[1] if axis == "x" else prev[0]
+            num = off_p * d + (off_c - off_p) * (bound - pp)
+            if d < 0:
+                num, d = -num, -d
+            ioff = (2 * num + d) // (2 * d)
+            ipt = (bound, ioff) if axis == "x" else (ioff, bound)
+            out.append(ipt)
+        if ic:
+            out.append(cur)
+        prev = cur
+    return out
+
+
+def _brute_ring_clip(rings, tile, scale):
+    out = {}
+    ts = tile * scale
+    for rid, verts in rings:
+        sv = [(x * scale, y * scale) for x, y in verts]
+        xs = [p[0] for p in sv]
+        ys = [p[1] for p in sv]
+        for tx in range(min(xs) // ts, max(xs) // ts + 1):
+            for ty in range(min(ys) // ts, max(ys) // ts + 1):
+                r = _sh_stage(sv, "x", "ge", tx * ts)
+                r = _sh_stage(r, "x", "le", (tx + 1) * ts)
+                r = _sh_stage(r, "y", "ge", ty * ts)
+                r = _sh_stage(r, "y", "le", (ty + 1) * ts)
+                if r:
+                    ded = [p for k, p in enumerate(r)
+                           if len(r) == 1 or p != r[k - 1]]
+                    if len(ded) >= 3:
+                        out[(rid, tx, ty)] = ded
+    return out
+
+
+def _ring_clip_collect(spark, rings, tile, scale):
+    rows = [(rid, [{"x": x, "y": y} for x, y in verts])
+            for rid, verts in rings]
+    df = spark.createDataFrame(
+        rows, "ring_id long, verts array<struct<x: long, y: long>>")
+    from mapbox_filter_spark.geo.clip import clip_rings_to_tiles
+
+    res = {}
+    for r in clip_rings_to_tiles(df, tile, scale).collect():
+        res.setdefault((r["ring_id"], r["tx"], r["ty"]), []).append(
+            (r["i"], r["x"], r["y"]))
+    return {k: [(x, y) for _, x, y in sorted(v)]
+            for k, v in res.items()}
+
+
+def test_ring_clip_differential(spark):
+    rng = random.Random(21)
+    rings = []
+    for rid in range(25):
+        cx, cy = rng.randrange(200, 1800), rng.randrange(200, 1800)
+        r = rng.randrange(50, 600)
+        rings.append((rid, [(cx + r, cy), (cx, cy + r),
+                            (max(0, cx - r), cy), (cx, max(0, cy - r))]))
+    got = _ring_clip_collect(spark, rings, 512, 8)
+    assert got == _brute_ring_clip(rings, 512, 8)
+
+
+def test_ring_clip_conventions(spark):
+    # fully inside: passes through verbatim (×scale)
+    rings = [(1, [(10, 10), (100, 10), (100, 100), (10, 100)])]
+    got = _ring_clip_collect(spark, rings, 512, 8)
+    assert got == {(1, 0, 0): [(80, 80), (800, 80),
+                               (800, 800), (80, 800)]}
+
+    # square straddling the x=512 boundary: two clipped halves
+    rings = [(2, [(400, 100), (600, 100), (600, 200), (400, 200)])]
+    got = _ring_clip_collect(spark, rings, 512, 8)
+    assert set(got) == {(2, 0, 0), (2, 1, 0)}
+    b = 512 * 8
+    assert got[(2, 0, 0)] == [(400 * 8, 100 * 8), (b, 100 * 8),
+                              (b, 200 * 8), (400 * 8, 200 * 8)]
+    assert got[(2, 1, 0)] == [(b, 100 * 8), (600 * 8, 100 * 8),
+                              (600 * 8, 200 * 8), (b, 200 * 8)]
+    assert got == _brute_ring_clip(rings, 512, 8)
+
+    # diagonal cut: rational intersection snapped half-up
+    rings = [(3, [(500, 0), (532, 64), (500, 64)])]
+    got = _ring_clip_collect(spark, rings, 512, 8)
+    assert got == _brute_ring_clip(rings, 512, 8)
+    assert set(got) == {(3, 0, 0), (3, 1, 0)}
