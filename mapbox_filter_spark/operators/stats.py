@@ -2820,3 +2820,43 @@ def mahalanobis2d(df: DataFrame, group_cols: Sequence[str],
                 num.cast("double") / F.col("_det").cast("double"))
     return j.select(*g, "id", d2.alias("d2m"),
                     (d2 > F.lit(thr)).alias("outlier"))
+
+
+def process_capability(df: DataFrame, group_cols: Sequence[str],
+                       val_col: str, *, lsl: int, usl: int) -> DataFrame:
+    """Process capability indices Cp / Cpk against spec limits — the
+    SPC acceptance summary beside the control charts: Cp compares the
+    spec width to the 6σ process spread, Cpk additionally penalizes
+    off-center processes (min distance from the mean to either limit
+    over 3σ).  Cpk ≥ 1.33 is the conventional "capable" bar.
+
+    μ and σ come from exact integer moments (Σx² in DECIMAL(38)), then
+    Cp = (USL−LSL)/(6σ) and Cpk = min(USL−μ, μ−LSL)/(3σ) are fixed
+    IEEE chains on those two doubles — NULL for constant groups
+    (σ = 0).  ``lsl``/``usl`` are integer spec limits in the value's
+    own units.
+
+    One map-side-combinable groupBy; returns ``(*group_cols, n, mu,
+    sigma, cp, cpk)``.
+    """
+    if usl <= lsl:
+        raise ValueError("need usl > lsl")
+    g = list(group_cols)
+    v = F.col(val_col).cast("long")
+    per = (df.groupBy(*g)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(v).alias("_s"),
+                F.sum((v * v).cast("decimal(38,0)")).alias("_sq")))
+    n = F.col("n")
+    mu = F.col("_s").cast("double") / n.cast("double")
+    var = ((n.cast("decimal(38,0)") * F.col("_sq")
+            - F.col("_s").cast("decimal(38,0)")
+            * F.col("_s").cast("decimal(38,0)")).cast("double")
+           / (n * n).cast("double"))
+    sig = F.sqrt(var)
+    cp = F.when(sig > 0.0, F.lit(float(usl - lsl)) / (F.lit(6.0) * sig))
+    cpk = F.when(sig > 0.0,
+                 F.least(F.lit(float(usl)) - mu, mu - F.lit(float(lsl)))
+                 / (F.lit(3.0) * sig))
+    return per.select(*g, "n", mu.alias("mu"), sig.alias("sigma"),
+                      cp.alias("cp"), cpk.alias("cpk"))

@@ -3519,3 +3519,50 @@ FROM e JOIN c ON c.g = e.g"""
 
 
 ANALYTICS_QUERIES["mahalanobis"] = (q_mahalanobis, sql_mahalanobis)
+
+
+_CPK_LSL = 0
+_CPK_USL = 40000
+
+
+def q_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cp/Cpk of value cents per event type against [0, 40000] cent
+    spec limits (operators/stats.py process_capability): exact
+    DECIMAL(38) moments, two pinned double chains — the SPC
+    acceptance summary beside control_chart/ewma_chart."""
+    from .operators.stats import process_capability
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("value").isNotNull())
+          .select(F.col("event_type").alias("g"), _cents().alias("x")))
+    return process_capability(ev, ["g"], "x",
+                              lsl=_CPK_LSL, usl=_CPK_USL)
+
+
+def sql_process_capability() -> str:
+    lsl, usl = _CPK_LSL, _CPK_USL
+    return f"""WITH e AS (
+  SELECT event_type AS g,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL),
+m AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS s,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sq
+  FROM e GROUP BY g),
+c AS (
+  SELECT g, n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         sqrt(CAST(CAST(n AS HUGEINT) * sq
+                   - CAST(s AS HUGEINT) * CAST(s AS HUGEINT) AS DOUBLE)
+              / CAST(n * n AS DOUBLE)) AS sigma
+  FROM m)
+SELECT g, n, mu, sigma,
+       CASE WHEN sigma > 0.0
+            THEN {float(usl - lsl)!r} / (6.0 * sigma) END AS cp,
+       CASE WHEN sigma > 0.0
+            THEN least({float(usl)!r} - mu, mu - {float(lsl)!r})
+                 / (3.0 * sigma) END AS cpk
+FROM c"""
+
+
+ANALYTICS_QUERIES["process_capability"] = (q_process_capability,
+                                           sql_process_capability)

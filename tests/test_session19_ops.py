@@ -1055,3 +1055,39 @@ def test_ring_clip_conventions(spark):
     got = _ring_clip_collect(spark, rings, 512, 8)
     assert got == _brute_ring_clip(rings, 512, 8)
     assert set(got) == {(3, 0, 0), (3, 1, 0)}
+
+
+# ---- process_capability ----
+
+def test_cpk_differential_and_edges(spark):
+    import math
+
+    from mapbox_filter_spark.operators.stats import process_capability
+
+    rng = random.Random(8)
+    vals = [rng.randrange(200, 800) for _ in range(300)]
+    df = spark.createDataFrame([(0, v) for v in vals], "g long, x long")
+    r = process_capability(df, ["g"], "x", lsl=0, usl=1000).collect()[0]
+    n = len(vals)
+    s = sum(vals)
+    sq = sum(v * v for v in vals)
+    mu = float(s) / n
+    sig = math.sqrt(float(n * sq - s * s) / float(n * n))
+    assert r["mu"] == pytest.approx(mu, rel=1e-12)
+    assert r["sigma"] == pytest.approx(sig, rel=1e-12)
+    assert r["cp"] == pytest.approx(1000.0 / (6.0 * sig), rel=1e-12)
+    assert r["cpk"] == pytest.approx(
+        min(1000.0 - mu, mu - 0.0) / (3.0 * sig), rel=1e-12)
+
+    # constant group -> NULLs; off-center process: cpk < cp
+    df = spark.createDataFrame([(0, 5)] * 4, "g long, x long")
+    r = process_capability(df, ["g"], "x", lsl=0, usl=10).collect()[0]
+    assert r["cp"] is None and r["cpk"] is None
+
+    df = spark.createDataFrame([(0, v) for v in (900, 910, 920, 930)],
+                               "g long, x long")
+    r = process_capability(df, ["g"], "x", lsl=0, usl=1000).collect()[0]
+    assert r["cpk"] < r["cp"]
+
+    with pytest.raises(ValueError):
+        process_capability(df, ["g"], "x", lsl=10, usl=10)
