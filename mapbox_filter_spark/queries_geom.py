@@ -5802,3 +5802,68 @@ FROM fin WHERE n >= 3"""
 
 
 GEOM_QUERIES["ring_clip"] = (q_ring_clip, sql_ring_clip)
+
+
+def q_tile_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile summed polygon coverage: the ring_clip diamonds'
+    clipped pieces reduced by the exact shoelace fold (geo/geom.py
+    shoelace_area2) and normalized by tile area — the raster-style
+    density summary the areas pyramid needs (overlapping rings sum;
+    union-area is a different operator, documented)."""
+    from .geo.clip import clip_rings_to_tiles
+    from .geo.geom import shoelace_area2
+
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .filter(F.col("p_partkey") <= _RCLIP_PARTS))
+    pk = F.col("p_partkey")
+    cx = F.pmod(pk * 7919, F.lit(360000))
+    cy = F.pmod(pk * 104729, F.lit(170000))
+    r = F.pmod(pk, F.lit(1500)) + 100
+    verts = F.array(
+        F.struct((cx + r).alias("x"), cy.alias("y")),
+        F.struct(cx.alias("x"), (cy + r).alias("y")),
+        F.struct(F.greatest(cx - r, F.lit(0)).alias("x"),
+                 cy.alias("y")),
+        F.struct(cx.alias("x"),
+                 F.greatest(cy - r, F.lit(0)).alias("y")))
+    rings = part.select(pk.alias("ring_id"), verts.alias("verts"))
+    clipped = clip_rings_to_tiles(rings, _RCLIP_TILE, _RCLIP_SCALE)
+    rv = (clipped.groupBy("ring_id", "tx", "ty")
+          .agg(F.transform(
+              F.array_sort(F.collect_list(
+                  F.struct("i", "x", "y"))),
+              lambda s: F.struct(s["x"].alias("x"),
+                                 s["y"].alias("y"))).alias("verts")))
+    a2 = F.abs(shoelace_area2(F.col("verts")))
+    ts = _RCLIP_TILE * _RCLIP_SCALE
+    return (rv.select("tx", "ty", a2.alias("_a2"))
+            .groupBy("tx", "ty")
+            .agg(F.count(F.lit(1)).alias("n_rings"),
+                 F.sum("_a2").alias("area2_sum"))
+            .withColumn("coverage",
+                        F.col("area2_sum").cast("double")
+                        / F.lit(float(2 * ts * ts))))
+
+
+def sql_tile_coverage() -> str:
+    base = sql_ring_clip()
+    # reuse the full ring_clip chain as a subquery
+    ts = _RCLIP_TILE * _RCLIP_SCALE
+    return f"""WITH clipped AS ({base}),
+t AS (
+  SELECT ring_id, tx, ty, i, x, y,
+         lead(x) OVER w AS nx, lead(y) OVER w AS ny,
+         first_value(x) OVER w AS fx, first_value(y) OVER w AS fy
+  FROM clipped
+  WINDOW w AS (PARTITION BY ring_id, tx, ty ORDER BY i)),
+a AS (
+  SELECT ring_id, tx, ty,
+         abs(SUM(x * coalesce(ny, fy) - coalesce(nx, fx) * y)) AS a2
+  FROM t GROUP BY 1, 2, 3)
+SELECT tx, ty, CAST(COUNT(*) AS BIGINT) AS n_rings,
+       CAST(SUM(a2) AS BIGINT) AS area2_sum,
+       CAST(SUM(a2) AS DOUBLE) / {float(2 * ts * ts)!r} AS coverage
+FROM a GROUP BY 1, 2"""
+
+
+GEOM_QUERIES["tile_coverage"] = (q_tile_coverage, sql_tile_coverage)
