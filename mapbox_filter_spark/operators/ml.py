@@ -638,3 +638,98 @@ def brier_score(df: DataFrame, score_col: str, label_col: str, *,
     return out.select("n", "brier_num", brier.alias("brier"),
                       rel.alias("rel"), res.alias("res"),
                       unc.alias("unc"))
+
+
+_PLATT_RIDGE = 1e-12
+_PLATT_ITERS = 6
+
+
+def platt_scaling(df: DataFrame, group_cols: "list[str]",
+                  score_col: str, label_col: str,
+                  iters: int = _PLATT_ITERS) -> DataFrame:
+    """Platt scaling (Platt 1999; Lin-Weng-Weng 2007 formulation) —
+    fit P(y=1|s) = 1/(1+exp(A·s+B)) to integer scores by ``iters``
+    fixed Newton steps with the regularized targets
+    t₊ = (N₊+1)/(N₊+2), t₋ = 1/(N₋+2): the parametric sibling of
+    isotonic_calibration (monotone-smooth instead of stepwise).
+
+    Determinism: no line search, a FIXED iteration count, and every
+    per-iteration sum (∇A, ∇B, three Hessian moments) is a PINNED
+    score-index-ordered in-row fold; the sigmoid uses the
+    branch-pinned stable form (z ≥ 0 vs z < 0), the 2×2 Newton solve
+    is a fixed IEEE chain with +1e-12 ridge on the diagonal — both
+    engines execute the identical op sequence, so A and B reproduce
+    to the ulp.  Perfectly-separable groups don't diverge (the
+    iteration count bounds the march); targets never reach 0/1 by
+    the +1/+2 regularization.
+
+    One key exchange into per-group sorted arrays; the fold is
+    O(n·iters) in-row — scores should be pre-scaled to keep |A·s+B|
+    moderate (cents → dollars upstream).
+
+    Returns ``(*group_cols, n, n_pos, a, b)``.
+    """
+    g = list(group_cols)
+    s = F.col(score_col).cast("long")
+    y = F.col(label_col).cast("int")
+    per = (df.select(*g, s.alias("_s"), y.alias("_y"))
+           .groupBy(*g)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("_y").cast("long").alias("n_pos"),
+                F.sort_array(F.collect_list(
+                    F.struct("_s", "_y"))).alias("_a")))
+    np_, nm = F.col("n_pos"), F.col("n") - F.col("n_pos")
+    tp = (np_ + 1).cast("double") / (np_ + 2).cast("double")
+    tm = F.lit(1.0) / (nm + 2).cast("double")
+    a0 = F.lit(0.0)
+    b0 = F.log((nm + 1).cast("double") / (np_ + 1).cast("double"))
+
+    def sigmoid(z):
+        e = F.exp(-F.abs(z))
+        return F.when(z >= 0, F.lit(1.0) / (F.lit(1.0) + e)) \
+            .otherwise(F.exp(z) / (F.lit(1.0) + F.exp(z)))
+
+    def fold(term):
+        return F.aggregate(F.col("_a"), F.lit(0.0),
+                           lambda acc, e: acc + term(e))
+
+    # each iteration materializes (tiny k-row table) — chaining the
+    # raw expressions would re-inline 5 folds per step into the next
+    # and blow the plan up 5^iters
+    cur = per.select(*g, "n", "n_pos", "_a",
+                     tp.alias("_tp"), tm.alias("_tm"),
+                     a0.alias("_pa"), b0.alias("_pb")).localCheckpoint()
+    for _ in range(iters):
+        def u_of(e):
+            return sigmoid(F.col("_pa") * e["_s"].cast("double")
+                           + F.col("_pb"))
+
+        def d_of(e):
+            t = F.when(e["_y"] == 1, F.col("_tp")).otherwise(
+                F.col("_tm"))
+            return u_of(e) - (F.lit(1.0) - t)
+
+        ga = fold(lambda e: d_of(e) * e["_s"].cast("double"))
+        gb = fold(lambda e: d_of(e))
+        haa = fold(lambda e: u_of(e) * (F.lit(1.0) - u_of(e))
+                   * e["_s"].cast("double")
+                   * e["_s"].cast("double")) + F.lit(_PLATT_RIDGE)
+        hab = fold(lambda e: u_of(e) * (F.lit(1.0) - u_of(e))
+                   * e["_s"].cast("double"))
+        hbb = fold(lambda e: u_of(e) * (F.lit(1.0) - u_of(e))) \
+            + F.lit(_PLATT_RIDGE)
+        det = (haa * hbb - hab * hab).alias("_det")
+        step = cur.select(
+            *g, "n", "n_pos", "_a", "_tp", "_tm", "_pa", "_pb",
+            ga.alias("_ga"), gb.alias("_gb"), haa.alias("_haa"),
+            hab.alias("_hab"), hbb.alias("_hbb"), det)
+        cur = step.select(
+            *g, "n", "n_pos", "_a", "_tp", "_tm",
+            (F.col("_pa") - (F.col("_hbb") * F.col("_ga")
+                             - F.col("_hab") * F.col("_gb"))
+             / F.col("_det")).alias("_pa"),
+            (F.col("_pb") - (F.col("_haa") * F.col("_gb")
+                             - F.col("_hab") * F.col("_ga"))
+             / F.col("_det")).alias("_pb")).localCheckpoint()
+    return cur.select(*g, "n", "n_pos", F.col("_pa").alias("a"),
+                      F.col("_pb").alias("b"))

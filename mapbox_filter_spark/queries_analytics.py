@@ -3566,3 +3566,87 @@ FROM c"""
 
 ANALYTICS_QUERIES["process_capability"] = (q_process_capability,
                                            sql_process_capability)
+
+
+_PLATT_ITERS_GATE = 6
+
+
+def q_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt calibration of a noisy monotone score→label relation per
+    event type (operators/ml.py platt_scaling): dollar-scaled cents
+    scores, hash-noise labels with score-dependent rates; six pinned
+    Newton steps reproduce A, B to the ulp cross-engine — the
+    parametric sibling of isotonic_calibration."""
+    from .operators.ml import platt_scaling
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("value").isNotNull())
+          .select(F.col("event_type").alias("g"), "event_id",
+                  (F.floor(_cents() / 100) - 250).cast("long")
+                  .alias("s")))
+    thr = F.least(F.greatest(F.lit(500) + F.col("s"), F.lit(1)),
+                  F.lit(999))
+    ev = ev.select("g", "s",
+                   (F.pmod(F.col("event_id") * 7919, F.lit(1000))
+                    < thr).cast("int").alias("y"))
+    return platt_scaling(ev, ["g"], "s", "y",
+                         iters=_PLATT_ITERS_GATE)
+
+
+def sql_platt_scaling() -> str:
+    sig = ("(CASE WHEN {z} >= 0.0 THEN 1.0 / (1.0 + exp(-abs({z}))) "
+           "ELSE exp({z}) / (1.0 + exp({z})) END)")
+
+    def fold(t):
+        return ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list({t} ORDER BY d.s, d.y)), (p, q) -> p + q)")
+
+    parts = ["""WITH d AS (
+  SELECT event_type AS g,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) // 100 - 250 AS s,
+         CASE WHEN (event_id * 7919) % 1000
+                   < least(greatest(500
+                       + (CAST(floor(value * 100 + 0.5) AS BIGINT)
+                          // 100 - 250), 1), 999)
+              THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL),
+it0 AS MATERIALIZED (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(y) + 1 AS DOUBLE) / CAST(SUM(y) + 2 AS DOUBLE)
+           AS tp,
+         1.0 / CAST(COUNT(*) - SUM(y) + 2 AS DOUBLE) AS tm,
+         CAST(0.0 AS DOUBLE) AS pa,
+         ln(CAST(COUNT(*) - SUM(y) + 1 AS DOUBLE)
+            / CAST(SUM(y) + 1 AS DOUBLE)) AS pb
+  FROM d GROUP BY g)"""]
+    for k in range(_PLATT_ITERS_GATE):
+        z = "(t.pa * CAST(d.s AS DOUBLE) + t.pb)"
+        u = sig.format(z=z)
+        dd = (f"({u} - (1.0 - CASE WHEN d.y = 1 THEN t.tp "
+              f"ELSE t.tm END))")
+        h = f"({u} * (1.0 - {u}))"
+        parts.append(f""",
+s{k} AS MATERIALIZED (
+  SELECT d.g,
+         {fold(f"{dd} * CAST(d.s AS DOUBLE)")} AS ga,
+         {fold(dd)} AS gb,
+         {fold(f"{h} * CAST(d.s AS DOUBLE) * CAST(d.s AS DOUBLE)")}
+           + 1e-12 AS haa,
+         {fold(f"{h} * CAST(d.s AS DOUBLE)")} AS hab,
+         {fold(h)} + 1e-12 AS hbb
+  FROM d JOIN it{k} t ON t.g = d.g GROUP BY d.g),
+it{k + 1} AS MATERIALIZED (
+  SELECT t.g, t.n, t.n_pos, t.tp, t.tm,
+         t.pa - (s.hbb * s.ga - s.hab * s.gb)
+              / (s.haa * s.hbb - s.hab * s.hab) AS pa,
+         t.pb - (s.haa * s.gb - s.hab * s.ga)
+              / (s.haa * s.hbb - s.hab * s.hab) AS pb
+  FROM it{k} t JOIN s{k} s ON s.g = t.g)""")
+    parts.append(f"""
+SELECT g, n, n_pos, pa AS a, pb AS b FROM it{_PLATT_ITERS_GATE}""")
+    return "".join(parts)
+
+
+ANALYTICS_QUERIES["platt_scaling"] = (q_platt_scaling,
+                                      sql_platt_scaling)

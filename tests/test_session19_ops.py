@@ -1124,3 +1124,75 @@ def test_ring_clip_area_conservation(spark):
         # error is bounded by ~perimeter, far under 0.1% here
         assert abs(total - orig) <= 8 * 4 * r * scale // 100 + 16, \
             (total, orig)
+
+
+# ---- platt_scaling ----
+
+def _brute_platt(data, iters=6, ridge=1e-12):
+    import math
+
+    def sigmoid(z):
+        e = math.exp(-abs(z))
+        return 1.0 / (1.0 + e) if z >= 0 \
+            else math.exp(z) / (1.0 + math.exp(z))
+
+    data = sorted(data)
+    n = len(data)
+    npos = sum(y for _, y in data)
+    nneg = n - npos
+    tp = float(npos + 1) / float(npos + 2)
+    tm = 1.0 / float(nneg + 2)
+    a, b = 0.0, math.log(float(nneg + 1) / float(npos + 1))
+    for _ in range(iters):
+        ga = gb = haa = hab = hbb = 0.0
+        for s, y in data:
+            u = sigmoid(a * float(s) + b)
+            t = tp if y == 1 else tm
+            d = u - (1.0 - t)
+            ga += d * float(s)
+            gb += d
+            haa += u * (1.0 - u) * float(s) * float(s)
+            hab += u * (1.0 - u) * float(s)
+            hbb += u * (1.0 - u)
+        haa += ridge
+        hbb += ridge
+        det = haa * hbb - hab * hab
+        a = a - (hbb * ga - hab * gb) / det
+        b = b - (haa * gb - hab * ga) / det
+    return n, npos, a, b
+
+
+def test_platt_differential(spark):
+    import math
+
+    from mapbox_filter_spark.operators.ml import platt_scaling
+
+    rng = random.Random(4)
+    data = []
+    for i in range(400):
+        s = rng.randrange(-40, 40)
+        pr = 1.0 / (1.0 + math.exp(-0.2 * s))
+        data.append((s, 1 if rng.random() < pr else 0))
+    rows = [(0, s, y) for s, y in data]
+    df = spark.createDataFrame(rows, "g long, s long, y int")
+    r = platt_scaling(df, ["g"], "s", "y").collect()[0]
+    n, npos, a, b = _brute_platt(data)
+    assert (r["n"], r["n_pos"]) == (n, npos)
+    assert r["a"] == pytest.approx(a, rel=1e-9)
+    assert r["b"] == pytest.approx(b, rel=1e-9)
+    # the fitted slope must recover the negative of the generator's
+    # logit scale (Platt's A multiplies inside 1/(1+exp(A s + B)))
+    assert r["a"] == pytest.approx(-0.2, abs=0.05)
+
+
+def test_platt_separable_bounded(spark):
+    from mapbox_filter_spark.operators.ml import platt_scaling
+
+    rows = [(0, s, 1 if s > 0 else 0)
+            for s in range(-20, 21) if s != 0]
+    df = spark.createDataFrame(rows, "g long, s long, y int")
+    r = platt_scaling(df, ["g"], "s", "y").collect()[0]
+    data = [(s, y) for _, s, y in rows]
+    n, npos, a, b = _brute_platt(data)
+    assert r["a"] == pytest.approx(a, rel=1e-9)
+    assert abs(r["a"]) < 100          # fixed iterations bound the march
