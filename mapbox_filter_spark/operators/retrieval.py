@@ -807,3 +807,71 @@ def lm_jm_topk(docs: DataFrame, query_terms: "list[str]", *,
               .select(F.col(id_col),
                       (F.col("_s") + F.lit(const)).alias("score")))
     return _rank_topk(scores, id_col, k)
+
+
+def min_cover_window(docs: DataFrame, terms: "list[str]", *,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     max_occ: int = 10_000) -> DataFrame:
+    """Minimal covering window — per document, the SHORTEST token
+    span containing ALL query terms (ties → leftmost), the classic
+    proximity-ranking signal behind "terms near each other" scoring
+    and snippet seeding (the multi-term sibling of best_passage's
+    fixed window).
+
+    Algorithm, in-row and exact: keep only query-term occurrences;
+    anchored at each occurrence position p, the best window starting
+    ≥ p ends at max over terms of the term's first occurrence ≥ p
+    (NULL if any term never reappears — that anchor is invalid); the
+    answer is the min (length, start) struct over anchors.  All
+    integer positions — value-hashes exactly.  Cost is O(occ²·|Q|)
+    per doc over QUERY-TERM occurrences only, in-plan capped by
+    ``max_occ`` (raise_error) — long docs want best_passage-style
+    chunking upstream.
+
+    One doc-keyed aggregation, no shuffle beyond it; the term filter
+    prunes the explode before any state builds.
+
+    Returns ``(doc_id, win_len, lo, hi)`` — docs missing any term
+    drop.
+    """
+    if not terms or len(set(terms)) != len(terms):
+        raise ValueError("terms must be non-empty and distinct")
+    toks = (docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+"))
+        .alias("pos", "w"))
+        .filter(F.col("w").isin(list(terms))))
+    arrs = [F.sort_array(F.collect_list(F.when(
+        F.col("w") == t, F.col("pos")))).alias(f"_a{i}")
+        for i, t in enumerate(terms)]
+    per = (toks.groupBy("doc_id")
+           .agg(F.sort_array(F.collect_list("pos")).alias("_an"),
+                F.count(F.lit(1)).alias("_occ"), *arrs))
+    guard = F.when(
+        F.col("_occ") > max_occ,
+        F.raise_error(F.concat(
+            F.lit(f"min_cover_window: > {max_occ} query-term "
+                  "occurrences in one doc: "),
+            F.col("_occ").cast("string"))).cast("long"))
+    nexts = lambda i, p: F.array_min(
+        F.filter(F.col(f"_a{i}"), lambda x: x >= p))
+    ends = lambda p: [nexts(i, p) for i in range(len(terms))]
+
+    def cand(p):
+        e = F.greatest(*ends(p)) if len(terms) > 1 else ends(p)[0]
+        invalid = ends(p)[0].isNull()
+        for i in range(1, len(terms)):
+            invalid = invalid | ends(p)[i].isNull()
+        return F.when(~invalid, F.struct(
+            (e - p + 1).alias("win_len"),
+            p.alias("lo"), e.alias("hi")))
+
+    best = F.array_min(F.filter(
+        F.transform(F.col("_an"), cand), lambda c: c.isNotNull()))
+    out = per.select("doc_id", F.coalesce(guard, F.lit(0)).alias("_g"),
+                     best.alias("_b")).filter(F.col("_b").isNotNull())
+    return out.select("doc_id",
+                      (F.col("_b.win_len") + F.col("_g") * 0)
+                      .alias("win_len"),
+                      F.col("_b.lo").alias("lo"),
+                      F.col("_b.hi").alias("hi"))

@@ -961,3 +961,47 @@ SELECT doc_id, ROUND(score, 4) AS score, rank FROM (
 
 
 RETRIEVAL_QUERIES["lm_jm_topk"] = (q_lm_jm_topk, sql_lm_jm_topk)
+
+
+_MCW_TERMS = ("table", "value", "row")
+
+
+def q_min_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal covering window for a 3-term query over documents
+    (operators/retrieval.py min_cover_window): anchored next-occurrence
+    scan in exact integer positions, leftmost-minimal tie rule — the
+    proximity signal beside bm25/phrase_search; oracle is the
+    INDEPENDENT relational anchor×term min/max, not a fold mirror."""
+    from .operators.retrieval import min_cover_window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return min_cover_window(docs, list(_MCW_TERMS))
+
+
+def sql_min_cover() -> str:
+    terms = ", ".join(f"'{t}'" for t in _MCW_TERMS)
+    k = len(_MCW_TERMS)
+    return f"""WITH toks AS (
+  SELECT doc_id, t.i - 1 AS pos, w[t.i] AS tok
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(text), '\\s+') AS w
+        FROM documents),
+       LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) t),
+occ AS (SELECT doc_id, pos, tok FROM toks
+        WHERE tok IN ({terms})),
+nxt AS (
+  SELECT a.doc_id, a.pos AS p, o.tok, MIN(o.pos) AS np
+  FROM occ a JOIN occ o ON o.doc_id = a.doc_id AND o.pos >= a.pos
+  GROUP BY 1, 2, 3),
+win AS (
+  SELECT doc_id, p, MAX(np) AS e
+  FROM nxt GROUP BY 1, 2 HAVING COUNT(*) = {k}),
+best AS (
+  SELECT doc_id, e - p + 1 AS win_len, p AS lo, e AS hi,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY e - p + 1, p) AS rn
+  FROM win)
+SELECT doc_id, win_len, lo, hi FROM best WHERE rn = 1"""
+
+
+RETRIEVAL_QUERIES["min_cover"] = (q_min_cover, sql_min_cover)

@@ -1196,3 +1196,66 @@ def test_platt_separable_bounded(spark):
     n, npos, a, b = _brute_platt(data)
     assert r["a"] == pytest.approx(a, rel=1e-9)
     assert abs(r["a"]) < 100          # fixed iterations bound the march
+
+
+# ---- min_cover_window ----
+
+def _brute_mcw(text, terms):
+    toks = text.lower().split()
+    occ = [(i, w) for i, w in enumerate(toks) if w in terms]
+    best = None
+    for p, _ in occ:
+        ends = []
+        ok = True
+        for t in terms:
+            nxt = [i for i, w in occ if w == t and i >= p]
+            if not nxt:
+                ok = False
+                break
+            ends.append(min(nxt))
+        if ok:
+            e = max(ends)
+            c = (e - p + 1, p, e)
+            if best is None or c < best:
+                best = c
+    return best
+
+
+def test_mcw_differential(spark):
+    rng = random.Random(6)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    terms = ["aa", "bb", "cc"]
+    rows = []
+    for d in range(40):
+        rows.append((d, " ".join(rng.choice(vocab)
+                                 for _ in range(rng.randrange(3, 60)))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from mapbox_filter_spark.operators.retrieval import min_cover_window
+
+    got = {r["doc_id"]: (r["win_len"], r["lo"], r["hi"])
+           for r in min_cover_window(df, terms).collect()}
+    for d, text in rows:
+        want = _brute_mcw(text, terms)
+        if want is None:
+            assert d not in got
+        else:
+            assert got[d] == want, (d, text)
+
+
+def test_mcw_pinned_cases(spark):
+    from mapbox_filter_spark.operators.retrieval import min_cover_window
+
+    rows = [
+        (1, "x aa y bb cc aa bb x"),     # best = [3,5] len 3 (bb cc aa? no: cc at 4)
+        (2, "aa bb cc"),                 # exact cover
+        (3, "aa bb aa bb"),              # missing cc -> drops
+        (4, "cc bb aa cc aa bb cc"),     # leftmost tie rule
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["win_len"], r["lo"], r["hi"])
+           for r in min_cover_window(df, ["aa", "bb", "cc"]).collect()}
+    assert 3 not in got
+    assert got[2] == (3, 0, 2)
+    for d, text in rows:
+        if d in got:
+            assert got[d] == _brute_mcw(text, ["aa", "bb", "cc"])
