@@ -15,6 +15,8 @@ OLS slope is a single bigint/bigint division.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1004,3 +1006,64 @@ def markov_entropy_rate(transitions: DataFrame, stationary: DataFrame,
     return (ns.crossJoin(pit).crossJoin(agg)
             .select("n_states", "n_edges", "pi_total_q",
                     (-F.col("_sum")).alias("h_rate")))
+
+
+def sprt_monitor(df: DataFrame, group_cols: "list[str]", *,
+                 order_cols: "tuple[str, ...]", outcome_col: str,
+                 p0: float, p1: float, alpha: float = 0.05,
+                 beta: float = 0.2) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test over a Bernoulli
+    stream — the always-valid A/B monitor that may stop EARLY: after
+    each observation the log-likelihood ratio
+
+        LLR_t = k_t·ln(p₁/p₀) + (t−k_t)·ln((1−p₁)/(1−p₀))
+
+    is checked against the Wald boundaries A = ln((1−β)/α) (accept
+    H₁) and B = ln(β/(1−α)) (accept H₀); the sequential sibling of
+    the fixed-horizon conversion_z / srm_check.
+
+    Determinism: the two ln coefficients and both boundaries are
+    PYTHON double literals baked into the plan (the rbo discipline);
+    LLR_t is each literal times an exact integer running count, one
+    add — identical IEEE ops per row in any engine.  The decision is
+    the FIRST boundary crossing in (order_cols) order, pinned by a
+    min-struct over crossing rows.
+
+    One key exchange (ordering window + final fold).  Returns one row
+    per group: ``(*group_cols, n_obs, n_pos, decision, t_cross,
+    llr_cross)`` — decision 'h1'/'h0' at the first crossing, or
+    'continue' (t_cross/llr_cross NULL) if the stream ends inside the
+    boundaries.
+    """
+    if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0 and p0 != p1):
+        raise ValueError("need distinct p0, p1 in (0, 1)")
+    c1 = math.log(p1 / p0)
+    c2 = math.log((1.0 - p1) / (1.0 - p0))
+    bound_a = math.log((1.0 - beta) / alpha)
+    bound_b = math.log(beta / (1.0 - alpha))
+
+    order = [F.col(c).asc() for c in order_cols]
+    w = (Window.partitionBy(*group_cols).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    y = F.col(outcome_col).cast("long")
+    base = df.select(
+        *group_cols, y.alias("_y"),
+        F.count(F.lit(1)).over(w).alias("_t"),
+        F.sum(y).over(w).alias("_k"))
+    llr = (F.lit(c1) * F.col("_k").cast("double")
+           + F.lit(c2) * (F.col("_t") - F.col("_k")).cast("double"))
+    crossed = base.select(
+        *group_cols, "_t", "_k", llr.alias("_llr"),
+        F.when(llr >= F.lit(bound_a), F.lit("h1"))
+        .when(llr <= F.lit(bound_b), F.lit("h0")).alias("_d"))
+    per = (crossed.groupBy(*group_cols)
+           .agg(F.count(F.lit(1)).alias("n_obs"),
+                F.max("_k").alias("n_pos"),
+                F.min(F.when(F.col("_d").isNotNull(), F.struct(
+                    F.col("_t"), F.col("_d"), F.col("_llr"))))
+                .alias("_c")))
+    return per.select(
+        *group_cols, "n_obs", "n_pos",
+        F.coalesce(F.col("_c._d"), F.lit("continue")).alias("decision"),
+        F.col("_c._t").alias("t_cross"),
+        F.col("_c._llr").alias("llr_cross"))

@@ -3650,3 +3650,73 @@ SELECT g, n, n_pos, pa AS a, pb AS b FROM it{_PLATT_ITERS_GATE}""")
 
 ANALYTICS_QUERIES["platt_scaling"] = (q_platt_scaling,
                                       sql_platt_scaling)
+
+
+_SPRT_P0, _SPRT_P1 = 0.2, 0.3
+_SPRT_ALPHA, _SPRT_BETA = 0.05, 0.2
+
+
+def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT over per-event-type Bernoulli streams
+    (operators/analytics.py sprt_monitor): hash outcomes whose rate
+    varies by type straddle H₀/H₁, so the gate exercises h1, h0 AND
+    continue endings; LLR is literal-coefficient × exact-count,
+    first crossing pinned by min-struct."""
+    from .operators.analytics import sprt_monitor
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("ts").isNotNull())
+          .select(F.col("event_type").alias("g"), "ts", "event_id",
+                  (F.pmod(F.col("event_id") * 31, F.lit(100))
+                   < F.lit(15) + 10 * F.pmod(F.length("event_type"),
+                                             F.lit(3)))
+                  .cast("int").alias("y")))
+    return sprt_monitor(ev, ["g"], order_cols=("ts", "event_id"),
+                        outcome_col="y", p0=_SPRT_P0, p1=_SPRT_P1,
+                        alpha=_SPRT_ALPHA, beta=_SPRT_BETA)
+
+
+def sql_sprt_monitor() -> str:
+    import math
+
+    c1 = math.log(_SPRT_P1 / _SPRT_P0)
+    c2 = math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0))
+    ba = math.log((1.0 - _SPRT_BETA) / _SPRT_ALPHA)
+    bb = math.log(_SPRT_BETA / (1.0 - _SPRT_ALPHA))
+    return f"""WITH e AS (
+  SELECT event_type AS g, ts, event_id,
+         CASE WHEN (event_id * 31) % 100
+                   < 15 + 10 * (length(event_type) % 3)
+              THEN 1 ELSE 0 END AS y
+  FROM events WHERE ts IS NOT NULL),
+r AS (
+  SELECT g, CAST(y AS BIGINT) AS y,
+         CAST(COUNT(*) OVER w AS BIGINT) AS t,
+         CAST(SUM(y) OVER w AS BIGINT) AS k
+  FROM e WINDOW w AS (PARTITION BY g ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)),
+l AS (
+  SELECT g, t, k,
+         {c1!r} * CAST(k AS DOUBLE)
+           + {c2!r} * CAST(t - k AS DOUBLE) AS llr
+  FROM r),
+d AS (
+  SELECT g, t, llr,
+         CASE WHEN llr >= {ba!r} THEN 'h1'
+              WHEN llr <= {bb!r} THEN 'h0' END AS dec
+  FROM l),
+agg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_obs, MAX(k) AS n_pos
+  FROM l GROUP BY g),
+first_cross AS (
+  SELECT g, t, dec, llr,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY t) AS rn
+  FROM d WHERE dec IS NOT NULL)
+SELECT a.g, a.n_obs, a.n_pos,
+       coalesce(f.dec, 'continue') AS decision,
+       f.t AS t_cross, f.llr AS llr_cross
+FROM agg a LEFT JOIN first_cross f ON f.g = a.g AND f.rn = 1"""
+
+
+ANALYTICS_QUERIES["sprt_monitor"] = (q_sprt_monitor, sql_sprt_monitor)

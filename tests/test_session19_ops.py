@@ -1259,3 +1259,64 @@ def test_mcw_pinned_cases(spark):
     for d, text in rows:
         if d in got:
             assert got[d] == _brute_mcw(text, ["aa", "bb", "cc"])
+
+
+# ---- sprt_monitor ----
+
+def _brute_sprt(outcomes, p0, p1, alpha=0.05, beta=0.2):
+    import math
+
+    c1 = math.log(p1 / p0)
+    c2 = math.log((1.0 - p1) / (1.0 - p0))
+    a = math.log((1.0 - beta) / alpha)
+    b = math.log(beta / (1.0 - alpha))
+    k = 0
+    cross = None
+    for t, y in enumerate(outcomes, 1):
+        k += y
+        llr = c1 * float(k) + c2 * float(t - k)
+        if cross is None:
+            if llr >= a:
+                cross = (t, "h1", llr)
+            elif llr <= b:
+                cross = (t, "h0", llr)
+    n = len(outcomes)
+    if cross is None:
+        return (n, k, "continue", None, None)
+    return (n, k, cross[1], cross[0], cross[2])
+
+
+def test_sprt_differential(spark):
+    from mapbox_filter_spark.operators.analytics import sprt_monitor
+
+    rng = random.Random(14)
+    cases = {0: 0.30, 1: 0.10, 2: 0.21}   # h1-ish, h0-ish, ambiguous
+    rows = []
+    series = {}
+    for g, p in cases.items():
+        ys = [1 if rng.random() < p else 0 for _ in range(300)]
+        series[g] = ys
+        rows += [(g, t, y) for t, y in enumerate(ys)]
+    df = spark.createDataFrame(rows, "g long, t long, y int")
+    got = {r["g"]: (r["n_obs"], r["n_pos"], r["decision"],
+                    r["t_cross"], r["llr_cross"])
+           for r in sprt_monitor(df, ["g"], order_cols=("t",),
+                                 outcome_col="y",
+                                 p0=0.2, p1=0.3).collect()}
+    for g, ys in series.items():
+        want = _brute_sprt(ys, 0.2, 0.3)
+        assert got[g][:4] == want[:4], g
+        if want[4] is None:
+            assert got[g][4] is None
+        else:
+            assert got[g][4] == pytest.approx(want[4], rel=1e-12)
+    assert got[0][2] == "h1" and got[1][2] == "h0"
+
+
+def test_sprt_validates_params(spark):
+    from mapbox_filter_spark.operators.analytics import sprt_monitor
+
+    df = spark.createDataFrame([(0, 1, 1)], "g long, t long, y int")
+    with pytest.raises(ValueError):
+        sprt_monitor(df, ["g"], order_cols=("t",), outcome_col="y",
+                     p0=0.2, p1=0.2)
