@@ -1,0 +1,61 @@
+"""Location-privacy operators: k-anonymity generalization.
+
+Reference parity: mapbox-filter has no privacy surface (filter/encode
+only); this extends the engine's curation family to the standard
+release-safety transforms a geo corpus needs before publication
+(Sweeney 2002 k-anonymity; geohash truncation is the usual spatial
+generalization hierarchy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["k_anonymity_generalize"]
+
+
+def k_anonymity_generalize(pts: DataFrame, k: int, precision: int, *,
+                           id_col: str = "id",
+                           gh_col: str = "gh") -> DataFrame:
+    """Per-point spatial k-anonymity via the geohash generalization
+    ladder: each point is published at the FINEST geohash prefix whose
+    occupancy (over this dataset) is ≥ k; points whose 1-character
+    cell still holds < k peers are fully suppressed (prec 0, NULL
+    cell) — never released under-k.  The spatial instance of
+    Sweeney's generalize-then-suppress.
+
+    Exactness: prefix truncation + integer counts only — the chosen
+    precision, cell, and occupancy value-hash exactly.
+
+    Scale shape: one ×precision prefix explode (tiny strings), ONE
+    map-side-combinable count per (prefix-length, cell), then a
+    broadcast-able join of the (small) over-k count table back onto
+    the prefixes and a per-point max-struct fold.  No windows, no
+    per-point loop; the hierarchy depth is the literal ``precision``.
+
+    Returns ``(id, prec, cell, cell_count)``.
+    """
+    if k < 1 or precision < 1:
+        raise ValueError("k and precision must be positive")
+    base = pts.select(F.col(id_col).alias("id"),
+                      F.col(gh_col).substr(1, precision).alias("_g"))
+    pref = base.select(
+        "id", F.explode(F.transform(
+            F.sequence(F.lit(1), F.lit(precision)),
+            lambda p: F.struct(
+                p.cast("int").alias("p"),
+                F.col("_g").substr(F.lit(1), p).alias("cell"))))
+        .alias("_e")).select("id", "_e.p", "_e.cell")
+    cnt = (pref.groupBy("p", "cell")
+           .agg(F.count(F.lit(1)).alias("cell_count"))
+           .filter(F.col("cell_count") >= k))
+    best = (pref.join(F.broadcast(cnt), ["p", "cell"])
+            .groupBy("id")
+            .agg(F.max(F.struct("p", "cell", "cell_count"))
+                 .alias("_b")))
+    return (base.join(best, "id", "left")
+            .select("id",
+                    F.coalesce(F.col("_b.p"), F.lit(0)).alias("prec"),
+                    F.col("_b.cell").alias("cell"),
+                    F.col("_b.cell_count").alias("cell_count")))

@@ -5867,3 +5867,54 @@ FROM a GROUP BY 1, 2"""
 
 
 GEOM_QUERIES["tile_coverage"] = (q_tile_coverage, sql_tile_coverage)
+
+
+_KANON_K = 10
+_KANON_PREC = 5
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial k-anonymity over the feature scatter
+    (operators/privacy.py k_anonymity_generalize): every feature
+    published at the finest geohash prefix holding ≥ 10 peers,
+    under-k singletons suppressed — generalize-then-suppress on the
+    geohash hierarchy, exact counts end to end."""
+    from .geo.geohash import geohash
+    from .operators.privacy import k_anonymity_generalize
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir).select(
+        F.col("feature_id").alias("id"),
+        geohash(F.col("lon"), F.col("lat"), _KANON_PREC).alias("gh"))
+    return k_anonymity_generalize(feats, _KANON_K, _KANON_PREC)
+
+
+def sql_k_anonymity() -> str:
+    from .geo.geohash import sql_geohash_select
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    src = (f"WITH {FEATURES_ORACLE_SQL} "
+           "SELECT feature_id, lon, lat FROM features")
+    inner = sql_geohash_select(src, ["feature_id"], "lon", "lat",
+                               precision=_KANON_PREC, out="gh")
+    return f"""WITH pts AS ({inner}),
+pref AS (
+  SELECT feature_id AS id, t.p, SUBSTR(gh, 1, t.p) AS cell
+  FROM pts, LATERAL (SELECT unnest(range(1, {_KANON_PREC} + 1))
+                     AS p) t),
+cnt AS (
+  SELECT p, cell, CAST(COUNT(*) AS BIGINT) AS cell_count
+  FROM pref GROUP BY 1, 2 HAVING COUNT(*) >= {_KANON_K}),
+best AS (
+  SELECT pr.id, pr.p, pr.cell, c.cell_count,
+         ROW_NUMBER() OVER (PARTITION BY pr.id
+                            ORDER BY pr.p DESC) AS rn
+  FROM pref pr JOIN cnt c ON c.p = pr.p AND c.cell = pr.cell)
+SELECT p.feature_id AS id,
+       CAST(coalesce(b.p, 0) AS INTEGER) AS prec,
+       b.cell, b.cell_count
+FROM pts p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+  ON b.id = p.feature_id"""
+
+
+GEOM_QUERIES["k_anonymity"] = (q_k_anonymity, sql_k_anonymity)

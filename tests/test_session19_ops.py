@@ -1320,3 +1320,41 @@ def test_sprt_validates_params(spark):
     with pytest.raises(ValueError):
         sprt_monitor(df, ["g"], order_cols=("t",), outcome_col="y",
                      p0=0.2, p1=0.2)
+
+
+# ---- k_anonymity_generalize ----
+
+def _brute_kanon(ghs, k, precision):
+    from collections import Counter
+
+    cnt = Counter()
+    for _, g in ghs:
+        for p in range(1, precision + 1):
+            cnt[(p, g[:p])] += 1
+    out = {}
+    for pid, g in ghs:
+        best = None
+        for p in range(1, precision + 1):
+            if cnt[(p, g[:p])] >= k:
+                best = (p, g[:p], cnt[(p, g[:p])])
+        out[pid] = best if best else (0, None, None)
+    return out
+
+
+def test_kanon_differential(spark):
+    from mapbox_filter_spark.operators.privacy import \
+        k_anonymity_generalize
+
+    rng = random.Random(2)
+    ghs = [(i, "".join(rng.choice("ab") for _ in range(4)))
+           for i in range(120)]
+    ghs.append((999, "zzzz"))           # unique everywhere -> suppress
+    df = spark.createDataFrame(ghs, "id long, gh string")
+    got = {r["id"]: (r["prec"], r["cell"], r["cell_count"])
+           for r in k_anonymity_generalize(df, 5, 4).collect()}
+    assert got == _brute_kanon(ghs, 5, 4)
+    assert got[999] == (0, None, None)
+    # monotone safety: every published cell holds >= k peers
+    for pid, (p, cell, c) in got.items():
+        if p > 0:
+            assert c >= 5
