@@ -273,3 +273,73 @@ def decayed_tile_scores(
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum("w").alias("score"))
             .select(F.lit(z).alias("z"), "x", "y", "n_events", "score"))
+
+
+def tile_knapsack(items: DataFrame, capacity: int, *,
+                  tile_cols: "tuple[str, ...]" = ("z", "x", "y"),
+                  id_col: str = "feature_id", weight_col: str = "w",
+                  value_col: str = "v",
+                  max_items: int = 2000) -> DataFrame:
+    """Per-tile feature-budget knapsack — the OPTIMAL score a tile can
+    carry under a byte/feature budget (0/1 knapsack over its
+    features), the exact counterpart of greedy per-tile dropping
+    (label_suppress): when an MVT tile must stay under a size cap,
+    this is the ceiling any dropping heuristic should be judged
+    against.
+
+    Exact integer DP: one in-row fold over the tile's items in id
+    order carrying the ``capacity+1`` value ladder — dp'[c] =
+    max(dp[c], dp[c−w]+v) — so ``best_value`` (and the whole final
+    ladder's hashability) is engine-exact.  Weights must be positive
+    ≤ capacity to participate (heavier items can never pack; they
+    are counted but excluded from the DP, pinned).
+
+    Scale shape: one tile-keyed aggregation; cost O(items·capacity)
+    per tile in-row, guarded by ``max_items`` (raise_error) and the
+    literal capacity — tiles needing more want coarser buckets or
+    the greedy path.  Value reconstruction (WHICH features) is
+    deliberately out of scope — run the greedy picker for the set,
+    this operator for the bound.
+
+    Returns ``(*tile_cols, n_items, w_total, best_value)``.
+    """
+    if capacity < 1 or capacity > 4096:
+        raise ValueError("capacity must be in [1, 4096]")
+    t = list(tile_cols)
+    base = items.select(
+        *t, F.col(id_col).alias("_id"),
+        F.col(weight_col).cast("long").alias("_w"),
+        F.col(value_col).cast("long").alias("_v"))
+    bad = (F.col("_w") <= 0)
+    base = base.select(
+        *t, "_id",
+        F.when(bad, F.raise_error(F.lit(
+            "tile_knapsack: non-positive weight")).cast("long"))
+        .otherwise(F.col("_w")).alias("_w"), "_v")
+    per = (base.groupBy(*t)
+           .agg(F.count(F.lit(1)).alias("n_items"),
+                F.sum("_w").alias("w_total"),
+                F.sort_array(F.collect_list(F.when(
+                    F.col("_w") <= capacity,
+                    F.struct("_id", "_w", "_v")))).alias("_a")))
+    guard = F.when(
+        F.col("n_items") > max_items,
+        F.raise_error(F.concat(
+            F.lit(f"tile_knapsack: > {max_items} items in one tile: "),
+            F.col("n_items").cast("string"))).cast("long"))
+    zero = F.array_repeat(F.lit(0).cast("long"), capacity + 1)
+    dp = F.aggregate(
+        F.col("_a"), zero,
+        lambda acc, e: F.transform(
+            F.sequence(F.lit(0), F.lit(capacity)),
+            lambda c: F.greatest(
+                F.element_at(acc, c + 1),
+                F.when(c >= e["_w"],
+                       F.element_at(
+                           acc, (c - e["_w"] + 1).cast("int"))
+                       + e["_v"])
+                .otherwise(F.element_at(acc, c + 1)))))
+    return per.select(
+        *t, F.coalesce(guard, F.col("n_items")).alias("n_items"),
+        "w_total",
+        F.element_at(dp, capacity + 1).alias("best_value"))

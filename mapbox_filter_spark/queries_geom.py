@@ -5918,3 +5918,62 @@ FROM pts p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
 
 
 GEOM_QUERIES["k_anonymity"] = (q_k_anonymity, sql_k_anonymity)
+
+
+_KNAP_Z = 8
+_KNAP_CAP = 64
+
+
+def q_tile_knapsack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile feature-budget knapsack at z=8
+    (operators/assemble.py tile_knapsack): hashed weights/scores,
+    capacity 64 — the exact DP ceiling every greedy tile-dropping
+    heuristic is judged against, value-hashed per tile."""
+    from .geo.tilemath import tile_cols
+    from .operators.assemble import tile_knapsack
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir)
+    tx, ty = tile_cols(F.col("lon"), F.col("lat"), F.lit(_KNAP_Z))
+    items = feats.select(
+        F.lit(_KNAP_Z).cast("long").alias("z"),
+        tx.alias("x"), ty.alias("y"),
+        "feature_id",
+        (F.pmod(F.col("feature_id"), F.lit(19)) + 1).alias("w"),
+        (F.pmod(F.col("feature_id"), F.lit(47)) + 1).alias("v"))
+    return tile_knapsack(items, _KNAP_CAP)
+
+
+def sql_tile_knapsack() -> str:
+    from .queries import _sql_tile_x, _sql_tile_y
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    cap = _KNAP_CAP
+    zero = "[" + ",".join("0" for _ in range(cap + 1)) + "]"
+    return f"""WITH {FEATURES_ORACLE_SQL},
+items AS (
+  SELECT CAST({_KNAP_Z} AS BIGINT) AS z,
+         {_sql_tile_x(_KNAP_Z)} AS x, {_sql_tile_y(_KNAP_Z)} AS y,
+         feature_id,
+         CAST(feature_id % 19 + 1 AS BIGINT) AS w,
+         CAST(feature_id % 47 + 1 AS BIGINT) AS v
+  FROM features),
+per AS (
+  SELECT z, x, y, CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(w) AS BIGINT) AS w_total,
+         list(CASE WHEN w <= {cap} THEN [w, v] END
+              ORDER BY feature_id) FILTER (WHERE w <= {cap}) AS a
+  FROM items GROUP BY 1, 2, 3)
+SELECT z, x, y, n_items, w_total,
+       coalesce(list_reduce(
+         list_prepend(CAST({zero} AS BIGINT[]), coalesce(a, [])),
+         (acc, it) -> list_transform(range(0, {cap + 1}),
+             c -> greatest(acc[c + 1],
+                  CASE WHEN c >= it[1]
+                       THEN acc[CAST(c - it[1] + 1 AS INTEGER)] + it[2]
+                       ELSE acc[c + 1] END)))[{cap + 1}],
+         0) AS best_value
+FROM per"""
+
+
+GEOM_QUERIES["tile_knapsack"] = (q_tile_knapsack, sql_tile_knapsack)

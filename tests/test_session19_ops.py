@@ -1358,3 +1358,58 @@ def test_kanon_differential(spark):
     for pid, (p, cell, c) in got.items():
         if p > 0:
             assert c >= 5
+
+
+# ---- tile_knapsack ----
+
+def _brute_knap(items, cap):
+    dp = [0] * (cap + 1)
+    for _, w, v in sorted(items):
+        if w > cap:
+            continue
+        ndp = dp[:]
+        for c in range(cap + 1):
+            if c >= w:
+                ndp[c] = max(dp[c], dp[c - w] + v)
+        dp = ndp
+    return dp[cap]
+
+
+def test_knapsack_differential(spark):
+    from mapbox_filter_spark.operators.assemble import tile_knapsack
+
+    rng = random.Random(17)
+    rows = []
+    tiles = {}
+    for tz in range(6):
+        its = [(i, rng.randrange(1, 20), rng.randrange(1, 50))
+               for i in range(rng.randrange(1, 30))]
+        tiles[tz] = its
+        rows += [(10, tz, 0, i, w, v) for i, w, v in its]
+    df = spark.createDataFrame(
+        rows, "z long, x long, y long, feature_id long, w long, v long")
+    got = {r["x"]: (r["n_items"], r["w_total"], r["best_value"])
+           for r in tile_knapsack(df, 48).collect()}
+    for tz, its in tiles.items():
+        assert got[tz] == (len(its), sum(w for _, w, _ in its),
+                           _brute_knap(its, 48)), tz
+
+
+def test_knapsack_edges(spark):
+    from mapbox_filter_spark.operators.assemble import tile_knapsack
+
+    # overweight item excluded but counted; optimal skips greedy trap
+    rows = [(0, 0, 0, 1, 100, 999),     # > capacity: never packs
+            (0, 0, 0, 2, 6, 10),        # greedy-by-density trap
+            (0, 0, 0, 3, 5, 8),
+            (0, 0, 0, 4, 5, 8)]
+    df = spark.createDataFrame(
+        rows, "z long, x long, y long, feature_id long, w long, v long")
+    r = tile_knapsack(df, 10).collect()[0]
+    assert (r["n_items"], r["w_total"], r["best_value"]) == (4, 116, 16)
+
+    df = spark.createDataFrame(
+        [(0, 0, 0, 1, 0, 5)],
+        "z long, x long, y long, feature_id long, w long, v long")
+    with pytest.raises(Exception, match="non-positive"):
+        tile_knapsack(df, 10).collect()
