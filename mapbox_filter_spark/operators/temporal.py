@@ -2061,3 +2061,72 @@ def sax_words(df: DataFrame, key_cols: "list[str]", *,
                      lambda s: s["_c"]), "").alias("word")))
     return (words.groupBy(*key_cols, "word")
             .agg(F.count(F.lit(1)).alias("n_words")))
+
+
+def transfer_entropy(series: DataFrame, key_cols: "list[str]", *,
+                     t_col: str = "t", x_col: str = "x",
+                     y_col: str = "y") -> DataFrame:
+    """Discrete transfer entropy (Schreiber 2000) between two aligned
+    binary streams, history length 1 — the DIRECTIONAL coupling
+    measure mutual information can't give: TE(X→Y) asks how much
+    knowing X_t improves the prediction of Y_{t+1} beyond Y_t alone,
+
+        TE = Σ c(y',y,x)/N · ln[ c(y',y,x)·c(y) / (c(y,x)·c(y',y)) ]
+
+    computed BOTH ways (and asymmetry is the finding).  The series
+    must be complete per key (every t present — gap-fill upstream;
+    missing rows would silently skip transitions).
+
+    Exactness: every count is an exact int64 over the lead-joined
+    transitions; each of the ≤ 8 cell terms is c·ln(int-product /
+    int-product) and the cell sum is a PINNED (y',y,x)-ordered fold;
+    TE is one division by N.  Zero cells drop (0·ln0 = 0 convention);
+    degenerate conditionals can't divide by zero (c3 > 0 ⇒ both
+    denominators > 0).
+
+    Shape: one ordering window per direction + one 8-cell groupBy —
+    the key exchange dominates; series length is unbounded (counts,
+    not per-t state).
+
+    Returns two rows per key: ``(*key_cols, direction, n_trans,
+    te_nats)`` with direction ∈ {'x->y', 'y->x'}.
+    """
+    g = list(key_cols)
+
+    def one_way(drv: str, tgt: str, label: str) -> DataFrame:
+        w = Window.partitionBy(*g).orderBy(t_col)
+        tr = (series.select(
+            *g, F.col(t_col).alias("_t"),
+            F.col(tgt).cast("long").alias("_y"),
+            F.col(drv).cast("long").alias("_x"),
+            F.lead(F.col(tgt).cast("long")).over(w).alias("_yp"))
+            .filter(F.col("_yp").isNotNull()))
+        c3 = (tr.groupBy(*g, "_yp", "_y", "_x")
+              .agg(F.count(F.lit(1)).alias("_c")))
+        wk = Window.partitionBy(*g)
+        wyx = Window.partitionBy(*g, "_y", "_x")
+        wyy = Window.partitionBy(*g, "_yp", "_y")
+        wy = Window.partitionBy(*g, "_y")
+        cell = c3.select(
+            *g, "_yp", "_y", "_x", "_c",
+            F.sum("_c").over(wk).alias("_n"),
+            F.sum("_c").over(wyx).alias("_cyx"),
+            F.sum("_c").over(wyy).alias("_cyy"),
+            F.sum("_c").over(wy).alias("_cy"))
+        term = (F.col("_c").cast("double")
+                * F.log((F.col("_c") * F.col("_cy")).cast("double")
+                        / (F.col("_cyx") * F.col("_cyy"))
+                        .cast("double")))
+        arr = F.sort_array(F.collect_list(F.struct(
+            "_yp", "_y", "_x", term.alias("_tm"))))
+        return (cell.groupBy(*g)
+                .agg(F.min("_n").alias("n_trans"), arr.alias("_a"))
+                .select(*g, F.lit(label).alias("direction"),
+                        "n_trans",
+                        (F.aggregate(F.col("_a"), F.lit(0.0),
+                                     lambda a, s: a + s["_tm"])
+                         / F.col("n_trans").cast("double"))
+                        .alias("te_nats")))
+
+    return one_way(x_col, y_col, "x->y").unionAll(
+        one_way(y_col, x_col, "y->x"))

@@ -2505,3 +2505,86 @@ FROM wd GROUP BY 1, 2"""
 
 
 TEMPORAL_QUERIES["sax_words"] = (q_sax_words, sql_sax_words)
+
+
+def q_transfer_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional coupling between hourly click and purchase
+    presence per user cohort (operators/temporal.py
+    transfer_entropy): complete gap-filled hour grid, exact 8-cell
+    transition counts, pinned cell-ordered c·ln folds — Schreiber TE
+    both ways."""
+    from .geo.tilemath import floor_div
+    from .operators.temporal import _us, transfer_entropy
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+          .select(F.pmod(F.col("user_id"), F.lit(4)).alias("g"),
+                  floor_div(_us(F.col("ts")), 3_600_000_000)
+                  .alias("h"),
+                  "event_type"))
+    flags = (ev.groupBy("g", "h")
+             .agg(F.max((F.col("event_type") == "click").cast("int"))
+                  .alias("x"),
+                  F.max((F.col("event_type") == "purchase").cast("int"))
+                  .alias("y")))
+    bounds = flags.groupBy("g").agg(F.min("h").alias("_lo"),
+                                    F.max("h").alias("_hi"))
+    grid = bounds.select(
+        "g", F.explode(F.sequence(F.col("_lo"), F.col("_hi")))
+        .alias("t"))
+    series = (grid.join(flags,
+                        (grid["g"] == flags["g"])
+                        & (grid["t"] == flags["h"]), "left")
+              .select(grid["g"], "t",
+                      F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+                      F.coalesce(F.col("y"), F.lit(0)).alias("y")))
+    return transfer_entropy(series, ["g"])
+
+
+def sql_transfer_entropy() -> str:
+    def direction(drv: str, tgt: str, label: str) -> str:
+        return f"""
+SELECT c.g, '{label}' AS direction, MIN(c.n) AS n_trans,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list(CAST(c.c AS DOUBLE)
+              * ln(CAST(c.c * c.cy AS DOUBLE)
+                   / CAST(c.cyx * c.cyy AS DOUBLE))
+              ORDER BY c.yp, c.yv, c.xv)),
+         (p, q) -> p + q) / CAST(MIN(c.n) AS DOUBLE) AS te_nats
+FROM (
+  SELECT g, yp, yv, xv, c,
+         CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n,
+         CAST(SUM(c) OVER (PARTITION BY g, yv, xv) AS BIGINT) AS cyx,
+         CAST(SUM(c) OVER (PARTITION BY g, yp, yv) AS BIGINT) AS cyy,
+         CAST(SUM(c) OVER (PARTITION BY g, yv) AS BIGINT) AS cy
+  FROM (
+    SELECT g, yp, yv, xv, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (
+      SELECT g, {tgt} AS yv, {drv} AS xv,
+             lead({tgt}) OVER (PARTITION BY g ORDER BY t) AS yp
+      FROM series)
+    WHERE yp IS NOT NULL GROUP BY 1, 2, 3, 4)) c
+GROUP BY c.g"""
+
+    return f"""WITH pres AS (
+  SELECT ((user_id % 4) + 4) % 4 AS g,
+         epoch_us(ts) // 3600000000 AS h, event_type
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+flags AS (
+  SELECT g, h,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM pres GROUP BY 1, 2),
+bounds AS (SELECT g, MIN(h) AS lo, MAX(h) AS hi FROM flags GROUP BY g),
+grid AS (
+  SELECT b.g, t.t
+  FROM bounds b, LATERAL (SELECT unnest(range(b.lo, b.hi + 1)) AS t) t),
+series AS (
+  SELECT grid.g, grid.t, coalesce(f.x, 0) AS x, coalesce(f.y, 0) AS y
+  FROM grid LEFT JOIN flags f ON f.g = grid.g AND f.h = grid.t)
+{direction('x', 'y', 'x->y')}
+UNION ALL{direction('y', 'x', 'y->x')}"""
+
+
+TEMPORAL_QUERIES["transfer_entropy"] = (q_transfer_entropy,
+                                        sql_transfer_entropy)

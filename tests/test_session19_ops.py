@@ -1413,3 +1413,64 @@ def test_knapsack_edges(spark):
         "z long, x long, y long, feature_id long, w long, v long")
     with pytest.raises(Exception, match="non-positive"):
         tile_knapsack(df, 10).collect()
+
+
+# ---- transfer_entropy ----
+
+def _brute_te(xs, ys):
+    import math
+    from collections import Counter
+
+    def one(drv, tgt):
+        c3 = Counter()
+        for t in range(len(tgt) - 1):
+            c3[(tgt[t + 1], tgt[t], drv[t])] += 1
+        n = sum(c3.values())
+        s = 0.0
+        for (yp, y, x) in sorted(c3):
+            c = c3[(yp, y, x)]
+            cyx = sum(v for k, v in c3.items()
+                      if k[1] == y and k[2] == x)
+            cyy = sum(v for k, v in c3.items()
+                      if k[0] == yp and k[1] == y)
+            cy = sum(v for k, v in c3.items() if k[1] == y)
+            s += float(c) * math.log(float(c * cy) / float(cyx * cyy))
+        return n, s / float(n)
+
+    return {"x->y": one(xs, ys), "y->x": one(ys, xs)}
+
+
+def test_te_differential_and_direction(spark):
+    rng = random.Random(3)
+    n = 600
+    xs = [rng.randrange(2) for _ in range(n)]
+    # y copies x with one step delay 85% of the time -> TE(x->y) >> TE(y->x)
+    ys = [0] + [xs[t - 1] if rng.random() < 0.85 else rng.randrange(2)
+                for t in range(1, n)]
+    rows = [(0, t, xs[t], ys[t]) for t in range(n)]
+    df = spark.createDataFrame(rows, "g long, t long, x int, y int")
+    from mapbox_filter_spark.operators.temporal import transfer_entropy
+
+    got = {r["direction"]: (r["n_trans"], r["te_nats"])
+           for r in transfer_entropy(df, ["g"]).collect()}
+    want = _brute_te(xs, ys)
+    for d in ("x->y", "y->x"):
+        assert got[d][0] == want[d][0]
+        assert got[d][1] == pytest.approx(want[d][1], rel=1e-12)
+    assert got["x->y"][1] > 5 * max(got["y->x"][1], 1e-6)
+
+
+def test_te_independent_near_zero(spark):
+    rng = random.Random(44)
+    n = 800
+    xs = [rng.randrange(2) for _ in range(n)]
+    ys = [rng.randrange(2) for _ in range(n)]
+    rows = [(0, t, xs[t], ys[t]) for t in range(n)]
+    df = spark.createDataFrame(rows, "g long, t long, x int, y int")
+    from mapbox_filter_spark.operators.temporal import transfer_entropy
+
+    got = {r["direction"]: r["te_nats"]
+           for r in transfer_entropy(df, ["g"]).collect()}
+    assert abs(got["x->y"]) < 0.01 and abs(got["y->x"]) < 0.01
+    assert got == {k: pytest.approx(v[1], rel=1e-12)
+                   for k, v in _brute_te(xs, ys).items()}
