@@ -59,3 +59,35 @@ def k_anonymity_generalize(pts: DataFrame, k: int, precision: int, *,
                     F.coalesce(F.col("_b.p"), F.lit(0)).alias("prec"),
                     F.col("_b.cell").alias("cell"),
                     F.col("_b.cell_count").alias("cell_count")))
+
+
+def l_diversity_audit(pts: DataFrame, k: int, precision: int, l: int, *,
+                      id_col: str = "id", gh_col: str = "gh",
+                      sensitive_col: str = "s") -> DataFrame:
+    """l-diversity audit of a k-anonymized release (Machanavajjhala
+    2007): k-anonymity alone leaks when every member of a published
+    cell shares the same sensitive value — this audits each PUBLISHED
+    cell (the output of :func:`k_anonymity_generalize` at the same k
+    and hierarchy) for at least ``l`` distinct sensitive values.
+
+    Exact counts + COUNT(DISTINCT) only — value-hashes exactly.  One
+    extra join of the sensitive attribute onto the generalization and
+    one distinct-aggregate per cell.
+
+    Returns ``(prec, cell, n, n_sensitive, diverse)`` — suppressed
+    points (prec 0) are audited as their own NULL-cell row, which is
+    trivially non-diverse and must stay suppressed.
+    """
+    if l < 1:
+        raise ValueError("l must be positive")
+    gen = k_anonymity_generalize(pts, k, precision,
+                                 id_col=id_col, gh_col=gh_col)
+    sens = pts.select(F.col(id_col).alias("id"),
+                      F.col(sensitive_col).alias("_s"))
+    j = gen.join(sens, "id")
+    return (j.groupBy("prec", "cell")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("_s").alias("n_sensitive"))
+            .withColumn("diverse",
+                        F.col("cell").isNotNull()
+                        & (F.col("n_sensitive") >= l)))

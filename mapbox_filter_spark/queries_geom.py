@@ -5977,3 +5977,41 @@ FROM per"""
 
 
 GEOM_QUERIES["tile_knapsack"] = (q_tile_knapsack, sql_tile_knapsack)
+
+
+_LDIV_L = 3
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit of the k_anonymity release
+    (operators/privacy.py l_diversity_audit): each published geohash
+    cell checked for ≥ 3 distinct sensitive categories — the leak
+    k-anonymity alone misses."""
+    from .geo.geohash import geohash
+    from .operators.privacy import l_diversity_audit
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir).select(
+        F.col("feature_id").alias("id"),
+        geohash(F.col("lon"), F.col("lat"), _KANON_PREC).alias("gh"),
+        F.pmod(F.col("feature_id"), F.lit(6)).alias("s"))
+    return l_diversity_audit(feats, _KANON_K, _KANON_PREC, _LDIV_L)
+
+
+def sql_l_diversity() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    base = sql_k_anonymity()
+    return f"""WITH gen AS ({base}),
+sens AS (
+  SELECT feature_id AS id, feature_id % 6 AS s
+  FROM (WITH {FEATURES_ORACLE_SQL} SELECT feature_id FROM features))
+SELECT g.prec, g.cell, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT s.s) AS BIGINT) AS n_sensitive,
+       g.cell IS NOT NULL AND COUNT(DISTINCT s.s) >= {_LDIV_L}
+         AS diverse
+FROM gen g JOIN sens s ON s.id = g.id
+GROUP BY 1, 2"""
+
+
+GEOM_QUERIES["l_diversity"] = (q_l_diversity, sql_l_diversity)

@@ -1474,3 +1474,21 @@ def test_te_independent_near_zero(spark):
     assert abs(got["x->y"]) < 0.01 and abs(got["y->x"]) < 0.01
     assert got == {k: pytest.approx(v[1], rel=1e-12)
                    for k, v in _brute_te(xs, ys).items()}
+
+
+# ---- l_diversity_audit ----
+
+def test_l_diversity_audit(spark):
+    from mapbox_filter_spark.operators.privacy import l_diversity_audit
+
+    # two dense cells: one diverse, one with a single sensitive value
+    rows = ([(i, "aaxx", i % 4) for i in range(12)]
+            + [(100 + i, "abyy", 7) for i in range(12)]
+            + [(999, "zzzz", 1)])          # suppressed singleton
+    df = spark.createDataFrame(rows, "id long, gh string, s long")
+    out = {(r["prec"], r["cell"]): (r["n"], r["n_sensitive"],
+                                    r["diverse"])
+           for r in l_diversity_audit(df, 5, 4, 3).collect()}
+    assert out[(4, "aaxx")] == (12, 4, True)
+    assert out[(4, "abyy")] == (12, 1, False)     # k-anon yet leaking
+    assert out[(0, None)][2] is False             # suppressed row
