@@ -1027,3 +1027,77 @@ def symspell_correct(queries: DataFrame, lexicon: DataFrame, *,
                        F.col("_b.suggestion").alias("suggestion"),
                        F.col("_b.dist").alias("dist"),
                        (-F.col("_b.nf")).alias("freq"))
+
+
+def rouge_n(pairs: DataFrame, n: int = 2, *, id_col: str = "doc_id",
+            cand_col: str = "cand", ref_col: str = "ref") -> DataFrame:
+    """ROUGE-N overlap between candidate and reference texts (Lin
+    2004) — the n-gram recall family behind summarization and
+    compression QA: clipped n-gram matches (each reference n-gram
+    credits at most its reference multiplicity) over reference /
+    candidate totals give recall / precision, F1 the harmonic mean.
+
+    Exactness: token n-grams by the engine-wide ``\\s+`` split, match
+    counts are Σ min(count_cand, count_ref) per distinct gram — pure
+    integers; the three ratios are single divisions.  Empty sides
+    yield NULL scores (no n-grams to match), pinned.
+
+    Shape: both sides explode to (id, gram, count) and meet in ONE
+    full-outer equi-join per id+gram — no quadratic pairing; gram
+    cardinality is the only fan-out.
+
+    Returns ``(doc_id, n_match, n_cand, n_ref, precision, recall,
+    f1)``.
+    """
+    if n < 1:
+        raise ValueError("n must be positive")
+
+    def grams(col: Column) -> Column:
+        w = F.filter(F.split(F.lower(col), r"\s+"),
+                     lambda t: F.length(t) > 0)
+        # sequence(1, 0) DESCENDS in Spark — short texts need the
+        # explicit empty branch
+        idx = F.when(F.size(w) >= n,
+                     F.sequence(F.lit(1), F.size(w) - (n - 1))) \
+            .otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+
+    def side(col: str, label: str) -> DataFrame:
+        return (pairs.select(F.col(id_col).alias("doc_id"),
+                             F.explode_outer(grams(F.col(col)))
+                             .alias("g"))
+                .groupBy("doc_id", "g")
+                .agg(F.count(F.lit(1)).alias(label))
+                .filter(F.col("g").isNotNull()))
+
+    c = side(cand_col, "nc")
+    r = side(ref_col, "nr")
+    j = c.join(r, ["doc_id", "g"], "full_outer")
+    per = (j.groupBy("doc_id")
+           .agg(F.sum(F.least(F.coalesce(F.col("nc"), F.lit(0)),
+                              F.coalesce(F.col("nr"), F.lit(0))))
+                .alias("n_match"),
+                F.sum(F.coalesce(F.col("nc"), F.lit(0)))
+                .alias("n_cand"),
+                F.sum(F.coalesce(F.col("nr"), F.lit(0)))
+                .alias("n_ref")))
+    ids = pairs.select(F.col(id_col).alias("doc_id")).distinct()
+    per = ids.join(per, "doc_id", "left").select(
+        "doc_id",
+        *[F.coalesce(F.col(cn), F.lit(0)).alias(cn)
+          for cn in ("n_match", "n_cand", "n_ref")])
+    prec = F.when(F.col("n_cand") > 0,
+                  F.col("n_match").cast("double")
+                  / F.col("n_cand").cast("double"))
+    rec = F.when(F.col("n_ref") > 0,
+                 F.col("n_match").cast("double")
+                 / F.col("n_ref").cast("double"))
+    # F1 = 2PR/(P+R) telescopes to 2m/(c+r) — exact, and 0 when no
+    # grams match (the 0/0 harmonic-mean convention)
+    f1 = F.when((F.col("n_cand") > 0) & (F.col("n_ref") > 0),
+                F.lit(2.0) * F.col("n_match").cast("double")
+                / (F.col("n_cand") + F.col("n_ref")).cast("double"))
+    return per.select("doc_id", "n_match", "n_cand", "n_ref",
+                      prec.alias("precision"), rec.alias("recall"),
+                      f1.alias("f1"))

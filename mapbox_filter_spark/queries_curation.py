@@ -2511,3 +2511,82 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY qid, q
 
 
 CURATION_QUERIES["symspell"] = (q_symspell, sql_symspell)
+
+
+def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 between each document and its every-7th-word-dropped
+    compression (operators/text.py rouge_n): clipped bigram matches,
+    exact integer counts, F1 telescoped to 2m/(c+r) — the
+    summarization-eval metric family beside map_mrr/ndcg."""
+    from .operators.text import rouge_n
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                     lambda t: F.length(t) > 0)
+    kept = F.filter(words, lambda w, i: F.pmod(i + 1, F.lit(7)) != 0)
+    pairs = docs.select("doc_id",
+                        F.array_join(kept, " ").alias("cand"),
+                        F.col("text").alias("ref"))
+    return rouge_n(pairs, 2)
+
+
+def sql_rouge_overlap() -> str:
+    return r"""WITH src AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     t -> len(t) > 0) AS wr
+  FROM documents),
+pair AS (
+  SELECT doc_id, wr,
+         list_transform(list_filter(range(1, len(wr) + 1),
+                                    i -> i % 7 != 0),
+                        i -> wr[i]) AS wc
+  FROM src),
+cg AS (
+  SELECT doc_id, t.g
+  FROM pair, LATERAL (SELECT unnest(
+    CASE WHEN len(wc) >= 2
+         THEN list_transform(range(1, len(wc)),
+                             i -> wc[i] || ' ' || wc[i + 1])
+         ELSE [] END) AS g) t),
+rg AS (
+  SELECT doc_id, t.g
+  FROM pair, LATERAL (SELECT unnest(
+    CASE WHEN len(wr) >= 2
+         THEN list_transform(range(1, len(wr)),
+                             i -> wr[i] || ' ' || wr[i + 1])
+         ELSE [] END) AS g) t),
+cc AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS nc
+       FROM cg GROUP BY 1, 2),
+rc AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS nr
+       FROM rg GROUP BY 1, 2),
+j AS (
+  SELECT coalesce(cc.doc_id, rc.doc_id) AS doc_id,
+         coalesce(cc.nc, 0) AS nc, coalesce(rc.nr, 0) AS nr
+  FROM cc FULL OUTER JOIN rc
+    ON rc.doc_id = cc.doc_id AND rc.g = cc.g),
+per AS (
+  SELECT doc_id, SUM(least(nc, nr)) AS n_match,
+         SUM(nc) AS n_cand, SUM(nr) AS n_ref
+  FROM j GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_match, 0) AS n_match,
+       coalesce(p.n_cand, 0) AS n_cand,
+       coalesce(p.n_ref, 0) AS n_ref,
+       CASE WHEN coalesce(p.n_cand, 0) > 0
+            THEN CAST(p.n_match AS DOUBLE) / CAST(p.n_cand AS DOUBLE)
+       END AS precision,
+       CASE WHEN coalesce(p.n_ref, 0) > 0
+            THEN CAST(p.n_match AS DOUBLE) / CAST(p.n_ref AS DOUBLE)
+       END AS recall,
+       CASE WHEN coalesce(p.n_cand, 0) > 0
+                 AND coalesce(p.n_ref, 0) > 0
+            THEN 2.0 * CAST(p.n_match AS DOUBLE)
+                 / CAST(p.n_cand + p.n_ref AS DOUBLE)
+       END AS f1
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per p ON p.doc_id = d.doc_id"""
+
+
+CURATION_QUERIES["rouge_overlap"] = (q_rouge_overlap,
+                                     sql_rouge_overlap)

@@ -1492,3 +1492,64 @@ def test_l_diversity_audit(spark):
     assert out[(4, "aaxx")] == (12, 4, True)
     assert out[(4, "abyy")] == (12, 1, False)     # k-anon yet leaking
     assert out[(0, None)][2] is False             # suppressed row
+
+
+# ---- rouge_n ----
+
+def _brute_rouge(cand, ref, n=2):
+    from collections import Counter
+
+    def grams(t):
+        w = [x for x in t.lower().split() if x]
+        return Counter(tuple(w[i:i + n])
+                       for i in range(len(w) - n + 1))
+
+    gc, gr = grams(cand), grams(ref)
+    m = sum(min(c, gr[g]) for g, c in gc.items())
+    nc, nr = sum(gc.values()), sum(gr.values())
+    p = m / nc if nc else None
+    r = m / nr if nr else None
+    f = 2.0 * m / (nc + nr) if nc and nr else None
+    return m, nc, nr, p, r, f
+
+
+def test_rouge_differential(spark):
+    from mapbox_filter_spark.operators.text import rouge_n
+
+    rng = random.Random(66)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = []
+    for d in range(30):
+        cand = " ".join(rng.choice(vocab)
+                        for _ in range(rng.randrange(0, 25)))
+        ref = " ".join(rng.choice(vocab)
+                       for _ in range(rng.randrange(0, 25)))
+        rows.append((d, cand, ref))
+    df = spark.createDataFrame(rows, "doc_id long, cand string, "
+                                     "ref string")
+    got = {r["doc_id"]: (r["n_match"], r["n_cand"], r["n_ref"],
+                         r["precision"], r["recall"], r["f1"])
+           for r in rouge_n(df, 2).collect()}
+    for d, cand, ref in rows:
+        m, nc, nr, p, rr, f = _brute_rouge(cand, ref)
+        assert got[d][:3] == (m, nc, nr), d
+        for a, b in zip(got[d][3:], (p, rr, f)):
+            if b is None:
+                assert a is None
+            else:
+                assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_rouge_identical_and_clipping(spark):
+    from mapbox_filter_spark.operators.text import rouge_n
+
+    rows = [(1, "a b c d", "a b c d"),          # perfect -> 1.0
+            (2, "a a a a", "a a"),              # clipping: 1 match
+            (3, "", "a b c")]                   # empty candidate
+    df = spark.createDataFrame(rows, "doc_id long, cand string, "
+                                     "ref string")
+    got = {r["doc_id"]: r for r in rouge_n(df, 2).collect()}
+    assert got[1]["f1"] == pytest.approx(1.0)
+    assert (got[2]["n_match"], got[2]["n_cand"], got[2]["n_ref"]) \
+        == (1, 3, 1)
+    assert got[3]["precision"] is None and got[3]["n_ref"] == 2
