@@ -733,3 +733,78 @@ def platt_scaling(df: DataFrame, group_cols: "list[str]",
              / F.col("_det")).alias("_pb")).localCheckpoint()
     return cur.select(*g, "n", "n_pos", F.col("_pa").alias("a"),
                       F.col("_pb").alias("b"))
+
+
+def conformal_interval(df: DataFrame, group_cols: "list[str]", *,
+                       id_col: str, val_col: str,
+                       alpha_num: int = 1, alpha_den: int = 10,
+                       salt: str = "conformal") -> DataFrame:
+    """Split conformal prediction interval (Vovk; Lei et al. 2018)
+    around a per-group median predictor: the calibration half's
+    ⌈(n+1)(1−α)⌉-th absolute residual becomes the HALF-WIDTH whose
+    marginal test coverage is ≥ 1−α by exchangeability — the
+    distribution-free uncertainty wrapper every point predictor needs.
+
+    Everything is exact: the cal/test split is the hash_u60 coordinate
+    (cluster-shape-independent, the splits-module contract), ŷ is the
+    calibration LOWER MEDIAN (exact selection), q̂ the exact-rank
+    residual SELECTION with the integer ceiling
+    ((den−num)(n+1)+den−1) div den, and coverage one division of exact
+    counts.  Rank overflow (k > n_cal, tiny groups at extreme 1−α) →
+    NULL q̂/coverage, pinned — never a silently clamped interval.
+
+    Shape: two rank windows on the calibration half + one broadcast
+    join of the 2-value (ŷ, q̂) row onto the test half.
+
+    Returns ``(*group_cols, n_cal, n_test, y_hat, q_hat, coverage)``.
+    """
+    from ..geo.tilemath import floor_div
+    from .splits import SCALE_U60, hash_u60
+
+    if not (0 < alpha_num < alpha_den):
+        raise ValueError("need 0 < alpha_num < alpha_den")
+    g = list(group_cols)
+    base = df.select(*g, F.col(id_col).alias("_id"),
+                     F.col(val_col).cast("long").alias("_y"),
+                     (hash_u60([id_col], salt=salt)
+                      < SCALE_U60 // 2).alias("_cal"))
+    cal = base.filter(F.col("_cal"))
+    test = base.filter(~F.col("_cal"))
+
+    wc = Window.partitionBy(*g)
+    wy = Window.partitionBy(*g).orderBy("_y", "_id")
+    yhat = (cal.select(*g, "_y",
+                       F.row_number().over(wy).alias("_rn"),
+                       F.count(F.lit(1)).over(wc).alias("_nc"))
+            .filter(F.col("_rn") == floor_div(F.col("_nc") + 1, 2))
+            .select(*g, F.col("_y").alias("y_hat"),
+                    F.col("_nc").alias("n_cal")))
+    res = (cal.join(yhat, g)
+           .select(*g, "n_cal", "y_hat",
+                   F.abs(F.col("_y") - F.col("y_hat")).alias("_r"),
+                   "_id"))
+    wr = Window.partitionBy(*g).orderBy("_r", "_id")
+    k = floor_div((alpha_den - alpha_num) * (F.col("n_cal") + 1)
+                  + alpha_den - 1, alpha_den)
+    qhat = (res.select(*g, "n_cal", "y_hat",
+                       F.row_number().over(wr).alias("_rn"),
+                       k.alias("_k"), "_r")
+            .filter(F.col("_rn") == F.col("_k"))
+            .select(*g, "n_cal", "y_hat", F.col("_r").alias("q_hat")))
+    head = (yhat.join(qhat.select(*g, "q_hat"), g, "left")
+            .select(*g, "n_cal", "y_hat", "q_hat"))
+    cov = (test.join(F.broadcast(head), g, "right")
+           .groupBy(*g)
+           .agg(F.min("n_cal").alias("n_cal"),
+                F.min("y_hat").alias("y_hat"),
+                F.min("q_hat").alias("q_hat"),
+                F.sum(F.when(F.col("_y").isNotNull(), 1).otherwise(0))
+                .alias("n_test"),
+                F.sum(F.when(
+                    F.abs(F.col("_y") - F.col("y_hat"))
+                    <= F.col("q_hat"), 1).otherwise(0)).alias("_in")))
+    coverage = F.when((F.col("n_test") > 0) & F.col("q_hat").isNotNull(),
+                      F.col("_in").cast("double")
+                      / F.col("n_test").cast("double"))
+    return cov.select(*g, "n_cal", "n_test", "y_hat", "q_hat",
+                      coverage.alias("coverage"))

@@ -3720,3 +3720,59 @@ FROM agg a LEFT JOIN first_cross f ON f.g = a.g AND f.rn = 1"""
 
 
 ANALYTICS_QUERIES["sprt_monitor"] = (q_sprt_monitor, sql_sprt_monitor)
+
+
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal 90% interval around the per-event-type median
+    of value cents (operators/ml.py conformal_interval): hash-split
+    halves, exact median and residual-rank selection, coverage one
+    exact division — the distribution-free uncertainty wrapper."""
+    from .operators.ml import conformal_interval
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("value").isNotNull())
+          .select(F.col("event_type").alias("g"),
+                  F.col("event_id").alias("id"),
+                  _cents().alias("y")))
+    return conformal_interval(ev, ["g"], id_col="id", val_col="y")
+
+
+def sql_conformal() -> str:
+    u = ("CAST(('0x' || substr(md5(concat_ws(chr(31), 'conformal', "
+         "CAST(id AS VARCHAR))), 1, 15)) AS BIGINT)")
+    half = (1 << 60) // 2
+    return f"""WITH e AS (
+  SELECT event_type AS g, event_id AS id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events WHERE value IS NOT NULL),
+s AS (SELECT g, id, y, {u} < {half} AS cal FROM e),
+calr AS (
+  SELECT g, id, y,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY y, id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS nc
+  FROM s WHERE cal),
+yh AS (SELECT g, y AS y_hat, nc AS n_cal FROM calr
+       WHERE rn = (nc + 1) // 2),
+res AS (
+  SELECT c.g, abs(c.y - y.y_hat) AS r, c.id, y.n_cal, y.y_hat,
+         ROW_NUMBER() OVER (PARTITION BY c.g
+                            ORDER BY abs(c.y - y.y_hat), c.id) AS rn
+  FROM s c JOIN yh y ON y.g = c.g WHERE c.cal),
+qh AS (
+  SELECT g, r AS q_hat FROM res
+  WHERE rn = (9 * (n_cal + 1) + 9) // 10),
+head AS (
+  SELECT y.g, y.n_cal, y.y_hat, q.q_hat
+  FROM yh y LEFT JOIN qh q ON q.g = y.g)
+SELECT h.g, h.n_cal,
+       CAST(COUNT(t.id) AS BIGINT) AS n_test, h.y_hat, h.q_hat,
+       CASE WHEN COUNT(t.id) > 0 AND h.q_hat IS NOT NULL
+            THEN CAST(SUM(CASE WHEN abs(t.y - h.y_hat) <= h.q_hat
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(t.id) AS DOUBLE) END AS coverage
+FROM head h LEFT JOIN (SELECT * FROM s WHERE NOT cal) t
+  ON t.g = h.g
+GROUP BY h.g, h.n_cal, h.y_hat, h.q_hat"""
+
+
+ANALYTICS_QUERIES["conformal"] = (q_conformal, sql_conformal)

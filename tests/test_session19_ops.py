@@ -1553,3 +1553,61 @@ def test_rouge_identical_and_clipping(spark):
     assert (got[2]["n_match"], got[2]["n_cand"], got[2]["n_ref"]) \
         == (1, 3, 1)
     assert got[3]["precision"] is None and got[3]["n_ref"] == 2
+
+
+# ---- conformal_interval ----
+
+def _brute_conformal(rows, salt="conformal", an=1, ad=10):
+    import hashlib
+    from collections import defaultdict
+
+    def u60(v):
+        s = f"{salt}\x1f{v}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    groups = defaultdict(lambda: ([], []))
+    for g, i, y in rows:
+        (groups[g][0] if u60(i) < (1 << 60) // 2
+         else groups[g][1]).append((i, y))
+    out = {}
+    for g, (cal, test) in groups.items():
+        if not cal:
+            continue
+        ys = sorted((y, i) for i, y in cal)
+        nc = len(cal)
+        yhat = ys[(nc + 1) // 2 - 1][0]
+        res = sorted((abs(y - yhat), i) for i, y in cal)
+        k = ((ad - an) * (nc + 1) + ad - 1) // ad
+        qhat = res[k - 1][0] if k <= nc else None
+        nt = len(test)
+        cov = None
+        if nt > 0 and qhat is not None:
+            cov = sum(1 for _, y in test
+                      if abs(y - yhat) <= qhat) / nt
+        out[g] = (nc, nt, yhat, qhat, cov)
+    return out
+
+
+def test_conformal_differential(spark):
+    from mapbox_filter_spark.operators.ml import conformal_interval
+
+    rng = random.Random(12)
+    rows = [(g, g * 10000 + i, rng.randrange(-200, 200) + 50 * g)
+            for g in range(3) for i in range(150)]
+    rows += [(9, 90001, 5), (9, 90002, 7)]     # tiny group: k overflow
+    df = spark.createDataFrame(rows, "g long, id long, y long")
+    got = {r["g"]: (r["n_cal"], r["n_test"], r["y_hat"], r["q_hat"],
+                    r["coverage"])
+           for r in conformal_interval(df, ["g"], id_col="id",
+                                       val_col="y").collect()}
+    want = _brute_conformal(rows)
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][:4] == want[g][:4], g
+        if want[g][4] is None:
+            assert got[g][4] is None
+        else:
+            assert got[g][4] == pytest.approx(want[g][4], rel=1e-12)
+    # marginal coverage near/above 1-alpha on the big groups
+    for g in range(3):
+        assert got[g][4] >= 0.8
