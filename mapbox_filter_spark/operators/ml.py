@@ -808,3 +808,61 @@ def conformal_interval(df: DataFrame, group_cols: "list[str]", *,
                       / F.col("n_test").cast("double"))
     return cov.select(*g, "n_cal", "n_test", "y_hat", "q_hat",
                       coverage.alias("coverage"))
+
+
+def stratified_ate(df: DataFrame, group_cols: "list[str]", *,
+                   treat_col: str, outcome_col: str, conf_col: str,
+                   k: int = 5) -> DataFrame:
+    """Stratified average treatment effect (Cochran 1968
+    subclassification): quantile-bin the confounder into ``k`` strata
+    (:func:`quantile_bins` — the standard "five subclasses remove
+    ~90% of bias" design), take the treated-minus-control mean
+    difference inside each stratum, and size-weight the differences —
+    the model-free observational-causal estimator beside
+    diff_in_diff/cuped_adjust.
+
+    Exactness: per-stratum sums/counts are exact int64; each stratum
+    difference is TWO pinned divisions, and the weighted combination
+    Σ (n_s/N_used)·Δ_s is a pinned stratum-ordered fold.  Strata
+    missing an arm DROP (no extrapolation) with the weights
+    renormalized over the used strata — n_dropped reports how much
+    support was lost, never silently.
+
+    Shape: one rank window (the binning) + one 2k-row aggregate.
+
+    Returns ``(*group_cols, n, n_used, k_strata, n_dropped, ate)``.
+    """
+    g = list(group_cols)
+    b = quantile_bins(
+        df.select(*g, F.col(treat_col).cast("int").alias("_t"),
+                  F.col(outcome_col).cast("long").alias("_y"),
+                  F.col(conf_col).cast("long").alias("_x")),
+        g, "_x", k=k, out_col="_s")
+    cell = (b.groupBy(*g, "_s")
+            .agg(F.sum(F.when(F.col("_t") == 1, 1).otherwise(0))
+                 .alias("_n1"),
+                 F.sum(F.when(F.col("_t") == 1, F.col("_y"))
+                       .otherwise(F.lit(0))).alias("_s1"),
+                 F.sum(F.when(F.col("_t") == 0, 1).otherwise(0))
+                 .alias("_n0"),
+                 F.sum(F.when(F.col("_t") == 0, F.col("_y"))
+                       .otherwise(F.lit(0))).alias("_s0")))
+    used = (F.col("_n1") > 0) & (F.col("_n0") > 0)
+    arr = F.sort_array(F.collect_list(F.when(used, F.struct(
+        "_s", (F.col("_n1") + F.col("_n0")).alias("ns"),
+        "_s1", "_n1", "_s0", "_n0"))))
+    per = (cell.groupBy(*g)
+           .agg(F.sum(F.col("_n1") + F.col("_n0")).alias("n"),
+                F.sum(F.when(used, F.col("_n1") + F.col("_n0"))
+                      .otherwise(F.lit(0))).alias("n_used"),
+                F.sum(F.when(used, 1).otherwise(0)).alias("k_strata"),
+                arr.alias("_a")))
+    ate = F.when(F.col("n_used") > 0, F.aggregate(
+        F.col("_a"), F.lit(0.0),
+        lambda a, s: a + s["ns"].cast("double")
+        / F.col("n_used").cast("double")
+        * (s["_s1"].cast("double") / s["_n1"].cast("double")
+           - s["_s0"].cast("double") / s["_n0"].cast("double"))))
+    return per.select(*g, "n", "n_used", "k_strata",
+                      (F.col("n") - F.col("n_used")).alias("n_dropped"),
+                      ate.alias("ate"))

@@ -3776,3 +3776,68 @@ GROUP BY h.g, h.n_cal, h.y_hat, h.q_hat"""
 
 
 ANALYTICS_QUERIES["conformal"] = (q_conformal, sql_conformal)
+
+
+def q_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran subclassification ATE of a hash treatment on value
+    cents within props-length quintiles, per event type
+    (operators/ml.py stratified_ate): exact stratum moments, pinned
+    stratum-ordered weighted fold, missing-arm strata dropped with
+    renormalized weights."""
+    from .operators.ml import stratified_ate
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("value").isNotNull()
+                  & F.col("props").isNotNull())
+          .select(F.col("event_type").alias("g"),
+                  F.pmod(F.col("event_id") * 13, F.lit(2)).cast("int")
+                  .alias("t"),
+                  _cents().alias("y"),
+                  F.length("props").cast("long").alias("x")))
+    return stratified_ate(ev, ["g"], treat_col="t", outcome_col="y",
+                          conf_col="x")
+
+
+def sql_stratified_ate() -> str:
+    return """WITH e AS (
+  SELECT event_type AS g,
+         CAST((event_id * 13) % 2 AS INTEGER) AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
+         CAST(length(props) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL AND props IS NOT NULL),
+b AS (
+  SELECT g, t, y,
+         ((RANK() OVER (PARTITION BY g ORDER BY x) - 1) * 5)
+           // (COUNT(*) OVER (PARTITION BY g)) + 1 AS s
+  FROM e),
+cell AS (
+  SELECT g, s,
+         CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS s0
+  FROM b GROUP BY 1, 2),
+agg AS (
+  SELECT g, SUM(n1 + n0) AS n,
+         SUM(CASE WHEN n1 > 0 AND n0 > 0 THEN n1 + n0 ELSE 0 END)
+           AS n_used,
+         CAST(SUM(CASE WHEN n1 > 0 AND n0 > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS k_strata,
+         list(CASE WHEN n1 > 0 AND n0 > 0
+                   THEN [CAST(n1 + n0 AS DOUBLE),
+                         CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                         - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)]
+              END ORDER BY s)
+           FILTER (WHERE n1 > 0 AND n0 > 0) AS terms
+  FROM cell GROUP BY g)
+SELECT g, n, n_used, k_strata, n - n_used AS n_dropped,
+       CASE WHEN n_used > 0 THEN
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(terms,
+             p -> p[1] / CAST(n_used AS DOUBLE) * p[2])),
+           (a, q) -> a + q) END AS ate
+FROM agg"""
+
+
+ANALYTICS_QUERIES["stratified_ate"] = (q_stratified_ate,
+                                       sql_stratified_ate)

@@ -1611,3 +1611,62 @@ def test_conformal_differential(spark):
     # marginal coverage near/above 1-alpha on the big groups
     for g in range(3):
         assert got[g][4] >= 0.8
+
+
+# ---- stratified_ate ----
+
+def _brute_sate(rows, k=5):
+    from collections import defaultdict
+
+    xs = sorted((x, 1) for _, _, _, x in rows)
+    vals = sorted(x for _, _, _, x in rows)
+    n = len(vals)
+    rankmap = {}
+    for i, v in enumerate(vals):
+        if v not in rankmap:
+            rankmap[v] = i + 1            # min-rank
+    strata = defaultdict(lambda: [0, 0, 0, 0])
+    for _, t, y, x in rows:
+        s = (rankmap[x] - 1) * k // n + 1
+        c = strata[s]
+        if t == 1:
+            c[0] += 1
+            c[1] += y
+        else:
+            c[2] += 1
+            c[3] += y
+    used = {s: c for s, c in strata.items() if c[0] > 0 and c[2] > 0}
+    n_used = sum(c[0] + c[2] for c in used.values())
+    ate = 0.0
+    for s in sorted(used):
+        n1, s1, n0, s0 = used[s]
+        ate += float(n1 + n0) / float(n_used) \
+            * (float(s1) / float(n1) - float(s0) / float(n0))
+    return (len(rows), n_used, len(used), len(rows) - n_used,
+            ate if n_used else None)
+
+
+def test_stratified_ate_recovers_effect(spark):
+    from mapbox_filter_spark.operators.ml import stratified_ate
+
+    rng = random.Random(20)
+    rows = []
+    for i in range(1500):
+        x = rng.randrange(0, 100)
+        # confounded: treatment more likely at high x; y rises with x
+        t = 1 if rng.randrange(100) < 20 + x // 2 else 0
+        y = 3 * x + (40 if t else 0) + rng.randrange(-10, 10)
+        rows.append((0, t, y, x))
+    df = spark.createDataFrame(rows, "g long, t int, y long, x long")
+    r = stratified_ate(df, ["g"], treat_col="t", outcome_col="y",
+                       conf_col="x").collect()[0]
+    want = _brute_sate([tuple(x) for x in rows])
+    assert (r["n"], r["n_used"], r["k_strata"], r["n_dropped"]) \
+        == want[:4]
+    assert r["ate"] == pytest.approx(want[4], rel=1e-12)
+    # stratification strips the confounding the naive diff keeps
+    n1 = sum(1 for _, t, _, _ in rows if t)
+    naive = (sum(y for _, t, y, _ in rows if t) / n1
+             - sum(y for _, t, y, _ in rows if not t)
+             / (len(rows) - n1))
+    assert abs(r["ate"] - 40) < 8 < abs(naive - 40)
