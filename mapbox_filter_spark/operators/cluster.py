@@ -1134,3 +1134,90 @@ def nmi_clusterings(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         (F.col("h_a") > 0.0) & (F.col("h_b") > 0.0),
         F.col("mi_nats") / F.sqrt(F.col("h_a") * F.col("h_b")))
     return out.select("n", "mi_nats", "h_a", "h_b", nmi.alias("nmi"))
+
+
+def ransac_line(pts: DataFrame, group_cols: "list[str]", *,
+                id_col: str = "id", x_col: str = "x", y_col: str = "y",
+                eps: int = 100, n_cand: int = 16,
+                salt: str = "ransac") -> DataFrame:
+    """Deterministic RANSAC line fit (Fischler-Bolles 1981, with the
+    random sampler replaced by content hashes): ``n_cand`` candidate
+    lines through hash-chosen point pairs, each scored by its exact
+    inlier count — a point is an inlier iff its perpendicular
+    distance is ≤ eps, tested CROSS-MULTIPLIED as cross² ≤ eps²·len²
+    in pure int64 — and the winner is (max inliers, min candidate
+    index).  The robust model-fit primitive beside theil_sen_slope
+    (which aggregates all pairs; RANSAC survives > 50% gross
+    outliers).
+
+    Determinism: pair choices are hash_u60-style md5 draws of
+    (salt, group, candidate, a|b) mod n over the (x, y, id)-ranked
+    point table — cluster-shape-independent; degenerate draws (same
+    rank or coincident coords) drop on BOTH engines.  Groups with no
+    valid candidate vanish.
+
+    Shape: one rank window, two rank joins to materialize ≤ n_cand
+    lines per group (a tiny, broadcast-able table), one lines×points
+    equi-join on the group key for scoring, one min-struct pick.
+
+    Returns ``(*group_cols, n, cand, x1, y1, x2, y2, n_inliers,
+    inlier_frac)``.
+    """
+    from pyspark.sql import Column, Window  # noqa: F401
+
+    if eps < 0 or n_cand < 1:
+        raise ValueError("need eps >= 0 and n_cand >= 1")
+    g = list(group_cols)
+    w = Window.partitionBy(*g).orderBy("_x", "_y", "_id")
+    wg = Window.partitionBy(*g)
+    p = (pts.select(*g, F.col(id_col).alias("_id"),
+                    F.col(x_col).cast("long").alias("_x"),
+                    F.col(y_col).cast("long").alias("_y"))
+         .select(*g, "_x", "_y",
+                 F.row_number().over(w).cast("long").alias("_rk"),
+                 F.count(F.lit(1)).over(wg).alias("_n")))
+
+    def draw(tag: str) -> Column:
+        parts = [F.lit(f"{salt}|{tag}")] + \
+            [F.col(c).cast("string") for c in g] + \
+            [F.col("_c").cast("string")]
+        u = F.conv(F.substring(F.md5(F.concat_ws("\x1f", *parts)),
+                               1, 15), 16, 10).cast("long")
+        return F.pmod(u, F.col("_n")) + 1
+
+    heads = (p.groupBy(*g).agg(F.max("_n").alias("_n"))
+             .select(*g, "_n",
+                     F.explode(F.sequence(
+                         F.lit(0), F.lit(n_cand - 1))).alias("_c"))
+             .select(*g, "_n", "_c", draw("a").alias("_ra"),
+                     draw("b").alias("_rb"))
+             .filter(F.col("_ra") != F.col("_rb")))
+    a = p.select(*g, F.col("_rk").alias("_ra"),
+                 F.col("_x").alias("x1"), F.col("_y").alias("y1"))
+    b = p.select(*g, F.col("_rk").alias("_rb"),
+                 F.col("_x").alias("x2"), F.col("_y").alias("y2"))
+    lines = (heads.join(a, [*g, "_ra"]).join(b, [*g, "_rb"])
+             .filter((F.col("x1") != F.col("x2"))
+                     | (F.col("y1") != F.col("y2")))
+             .select(*g, "_n", "_c", "x1", "y1", "x2", "y2"))
+    dx = F.col("x2") - F.col("x1")
+    dy = F.col("y2") - F.col("y1")
+    cross = ((F.col("_x") - F.col("x1")) * dy
+             - (F.col("_y") - F.col("y1")) * dx)
+    inlier = (cross * cross
+              <= F.lit(eps * eps) * (dx * dx + dy * dy))
+    scored = (F.broadcast(lines).join(p.select(*g, "_x", "_y"), g)
+              .groupBy(*g, "_n", "_c", "x1", "y1", "x2", "y2")
+              .agg(F.sum(inlier.cast("long")).alias("n_inliers")))
+    best = (scored.groupBy(*g)
+            .agg(F.min(F.struct(
+                (-F.col("n_inliers")).alias("ni"), F.col("_c"),
+                F.col("_n"), F.col("x1"), F.col("y1"),
+                F.col("x2"), F.col("y2"))).alias("_b")))
+    return best.select(
+        *g, F.col("_b._n").alias("n"), F.col("_b._c").alias("cand"),
+        F.col("_b.x1").alias("x1"), F.col("_b.y1").alias("y1"),
+        F.col("_b.x2").alias("x2"), F.col("_b.y2").alias("y2"),
+        (-F.col("_b.ni")).alias("n_inliers"),
+        ((-F.col("_b.ni")).cast("double")
+         / F.col("_b._n").cast("double")).alias("inlier_frac"))

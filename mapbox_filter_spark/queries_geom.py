@@ -6015,3 +6015,87 @@ GROUP BY 1, 2"""
 
 
 GEOM_QUERIES["l_diversity"] = (q_l_diversity, sql_l_diversity)
+
+
+_RANSAC_QMOD = 5
+_RANSAC_CAND = 16
+_RANSAC_EPS = 100
+
+
+def q_ransac_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RANSAC line recovery on a planted-slope scatter
+    with 25% gross outliers (operators/cluster.py ransac_line):
+    hash-drawn candidate pairs, exact cross-multiplied inlier tests,
+    (max inliers, min candidate) winner — the >50%-breakdown robust
+    fit beside theil_sen_slope."""
+    from .operators.cluster import ransac_line
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir)
+    fid = F.col("feature_id")
+    g = F.pmod(fid, F.lit(3))
+    x = F.pmod(fid * 7919, F.lit(2000))
+    outlier = F.pmod(fid * 31, F.lit(4)) == 0
+    y = (F.when(outlier, F.pmod(fid * 104729, F.lit(8000)) - 4000)
+         .otherwise((g + 1) * x + F.pmod(fid * 13, F.lit(60)) - 30))
+    pts = (feats.filter(F.pmod(fid, F.lit(_RANSAC_QMOD)) == 0)
+           .select(g.alias("g"), fid.alias("id"),
+                   x.alias("x"), y.alias("y")))
+    return ransac_line(pts, ["g"], eps=_RANSAC_EPS,
+                       n_cand=_RANSAC_CAND)
+
+
+def sql_ransac_line() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    def draw(tag: str) -> str:
+        return (f"CAST(('0x' || substr(md5(concat_ws(chr(31), "
+                f"'ransac|{tag}', CAST(g AS VARCHAR), "
+                f"CAST(c AS VARCHAR))), 1, 15)) AS BIGINT) % n + 1")
+
+    e2 = _RANSAC_EPS * _RANSAC_EPS
+    return f"""WITH {FEATURES_ORACLE_SQL},
+pts0 AS (
+  SELECT feature_id % 3 AS g, feature_id AS id,
+         (feature_id * 7919) % 2000 AS x,
+         CASE WHEN (feature_id * 31) % 4 = 0
+              THEN (feature_id * 104729) % 8000 - 4000
+              ELSE (feature_id % 3 + 1) * ((feature_id * 7919) % 2000)
+                   + (feature_id * 13) % 60 - 30 END AS y
+  FROM features WHERE feature_id % {_RANSAC_QMOD} = 0),
+p AS (
+  SELECT g, x, y,
+         CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, y, id)
+              AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY g) AS BIGINT) AS n
+  FROM pts0),
+heads AS (
+  SELECT gg.g, gg.n, t.c, {draw('a')} AS ra, {draw('b')} AS rb
+  FROM (SELECT g, MAX(n) AS n FROM p GROUP BY g) gg,
+  LATERAL (SELECT unnest(range({_RANSAC_CAND})) AS c) t),
+lines AS (
+  SELECT h.g, h.n, h.c, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM heads h
+  JOIN p a ON a.g = h.g AND a.rk = h.ra
+  JOIN p b ON b.g = h.g AND b.rk = h.rb
+  WHERE h.ra <> h.rb AND (a.x <> b.x OR a.y <> b.y)),
+scored AS (
+  SELECT l.g, l.n, l.c, l.x1, l.y1, l.x2, l.y2,
+         CAST(SUM(CASE WHEN
+           ((q.x - l.x1) * (l.y2 - l.y1)
+            - (q.y - l.y1) * (l.x2 - l.x1))
+           * ((q.x - l.x1) * (l.y2 - l.y1)
+              - (q.y - l.y1) * (l.x2 - l.x1))
+           <= {e2} * ((l.x2 - l.x1) * (l.x2 - l.x1)
+                      + (l.y2 - l.y1) * (l.y2 - l.y1))
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers
+  FROM lines l JOIN p q ON q.g = l.g
+  GROUP BY 1, 2, 3, 4, 5, 6, 7)
+SELECT g, n, c AS cand, x1, y1, x2, y2, n_inliers,
+       CAST(n_inliers AS DOUBLE) / CAST(n AS DOUBLE) AS inlier_frac
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+        ORDER BY n_inliers DESC, c) AS rn FROM scored)
+WHERE rn = 1"""
+
+
+GEOM_QUERIES["ransac_line"] = (q_ransac_line, sql_ransac_line)

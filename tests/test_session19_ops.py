@@ -1670,3 +1670,74 @@ def test_stratified_ate_recovers_effect(spark):
              - sum(y for _, t, y, _ in rows if not t)
              / (len(rows) - n1))
     assert abs(r["ate"] - 40) < 8 < abs(naive - 40)
+
+
+# ---- ransac_line ----
+
+def _brute_ransac(points, eps=100, n_cand=16, salt="ransac", gkey="0"):
+    import hashlib
+
+    pts = sorted((x, y, i) for i, x, y in points)
+    n = len(pts)
+
+    def draw(tag, c):
+        s = f"{salt}|{tag}\x1f{gkey}\x1f{c}"
+        u = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        return u % n + 1
+
+    best = None
+    for c in range(n_cand):
+        ra, rb = draw("a", c), draw("b", c)
+        if ra == rb:
+            continue
+        x1, y1, _ = pts[ra - 1]
+        x2, y2, _ = pts[rb - 1]
+        if (x1, y1) == (x2, y2):
+            continue
+        dx, dy = x2 - x1, y2 - y1
+        ni = sum(1 for x, y, _ in pts
+                 if ((x - x1) * dy - (y - y1) * dx) ** 2
+                 <= eps * eps * (dx * dx + dy * dy))
+        cand = (-ni, c, n, x1, y1, x2, y2)
+        if best is None or cand < best:
+            best = cand
+    if best is None:
+        return None
+    ni = -best[0]
+    return (n, best[1], best[3], best[4], best[5], best[6], ni,
+            ni / n)
+
+
+def test_ransac_differential_and_robustness(spark):
+    from mapbox_filter_spark.operators.cluster import ransac_line
+
+    rng = random.Random(28)
+    # 70% of points on y = 2x + 50 (±30), 30% gross outliers
+    points = []
+    for i in range(140):
+        x = rng.randrange(0, 2000)
+        points.append((i, x, 2 * x + 50 + rng.randrange(-30, 30)))
+    for i in range(140, 200):
+        points.append((i, rng.randrange(0, 2000),
+                       rng.randrange(-5000, 5000)))
+    rows = [(0, i, x, y) for i, x, y in points]
+    df = spark.createDataFrame(rows, "g long, id long, x long, y long")
+    r = ransac_line(df, ["g"]).collect()[0]
+    want = _brute_ransac(points)
+    got = (r["n"], r["cand"], r["x1"], r["y1"], r["x2"], r["y2"],
+           r["n_inliers"], r["inlier_frac"])
+    assert got[:7] == want[:7]
+    assert got[7] == pytest.approx(want[7], rel=1e-12)
+    # the winning line must be near the planted slope, immune to the
+    # 30% outlier mass
+    slope = (r["y2"] - r["y1"]) / (r["x2"] - r["x1"])
+    assert abs(slope - 2.0) < 0.2
+    assert r["inlier_frac"] > 0.5
+
+
+def test_ransac_degenerate_group_vanishes(spark):
+    from mapbox_filter_spark.operators.cluster import ransac_line
+
+    df = spark.createDataFrame([(0, 1, 5, 5), (0, 2, 5, 5)],
+                               "g long, id long, x long, y long")
+    assert ransac_line(df, ["g"]).collect() == []
