@@ -2130,3 +2130,72 @@ def transfer_entropy(series: DataFrame, key_cols: "list[str]", *,
 
     return one_way(x_col, y_col, "x->y").unionAll(
         one_way(y_col, x_col, "y->x"))
+
+
+def holt_forecast(df: DataFrame, key_cols: "list[str]", *,
+                  order_cols: "tuple[str, ...]", value_col: str,
+                  alpha_num: int = 1, alpha_den: int = 4,
+                  beta_num: int = 1, beta_den: int = 8,
+                  horizon: int = 3, max_len: int = 4000) -> DataFrame:
+    """Holt double exponential smoothing (Holt 1957) — level + linear
+    trend, the forecasting step past :func:`ewma_chart`'s monitoring:
+
+        ℓ_t = ℓ_{t−1} + b_{t−1} + α(x_t − ℓ_{t−1} − b_{t−1})
+        b_t = b_{t−1} + β(ℓ_t − ℓ_{t−1} − b_{t−1})
+        x̂_{n+h} = ℓ_n + h·b_n
+
+    Determinism: α and β must be dyadic (checked) so both are exact
+    doubles; the coupled recursion is ONE left-associated in-row fold
+    over the time-ordered series with the spelling above pinned —
+    both engines run the identical IEEE sequence.  Initialization is
+    the standard ℓ₁ = x₁, b₁ = x₂ − x₁ (series of length < 2 drop,
+    documented).
+
+    One key exchange; ``max_len`` raises in-plan.  Returns one row
+    per (key, h): ``(*key_cols, n, h, level, trend, forecast)`` for
+    h ∈ 1..horizon.
+    """
+    for num, den in ((alpha_num, alpha_den), (beta_num, beta_den)):
+        if den <= 0 or (den & (den - 1)) != 0 or not 0 < num < den:
+            raise ValueError("alpha/beta must be dyadic in (0, 1)")
+    al = alpha_num / alpha_den
+    be = beta_num / beta_den
+    order = [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    v = F.col(value_col).cast("long")
+    base = df.select(*key_cols, F.row_number().over(w).alias("_i"),
+                     v.alias("_x"))
+    per = (base.groupBy(*key_cols)
+           .agg(F.count(F.lit(1)).alias("_n"),
+                F.array_sort(F.collect_list(
+                    F.struct("_i", "_x"))).alias("_a")))
+    n = F.when(
+        F.col("_n") > max_len,
+        F.raise_error(F.concat(
+            F.lit(f"holt_forecast: series exceeds {max_len} points: "),
+            F.col("_n").cast("string"))).cast("long")
+    ).otherwise(F.col("_n"))
+    per = per.filter(F.col("_n") >= 2).select(
+        *key_cols, n.alias("n"), "_a")
+    x1 = F.element_at(F.col("_a"), 1)["_x"].cast("double")
+    x2 = F.element_at(F.col("_a"), 2)["_x"].cast("double")
+    zero = F.struct(x1.alias("l"), (x2 - x1).alias("b"))
+
+    def step(acc, e):
+        prior = acc["l"] + acc["b"]
+        lvl = prior + F.lit(al) * (e["_x"].cast("double") - prior)
+        return F.struct(
+            lvl.alias("l"),
+            (acc["b"] + F.lit(be) * (lvl - acc["l"] - acc["b"]))
+            .alias("b"))
+
+    fin = F.aggregate(F.slice(F.col("_a"), 2, F.size(F.col("_a"))),
+                      zero, step)
+    hs = F.explode(F.sequence(F.lit(1), F.lit(horizon)))
+    out = per.select(*key_cols, "n", fin["l"].alias("level"),
+                     fin["b"].alias("trend"), hs.alias("h"))
+    return out.select(*key_cols, "n", F.col("h").cast("int").alias("h"),
+                      "level", "trend",
+                      (F.col("level")
+                       + F.col("h").cast("double") * F.col("trend"))
+                      .alias("forecast"))

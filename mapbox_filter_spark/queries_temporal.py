@@ -2588,3 +2588,61 @@ UNION ALL{direction('y', 'x', 'y->x')}"""
 
 TEMPORAL_QUERIES["transfer_entropy"] = (q_transfer_entropy,
                                         sql_transfer_entropy)
+
+
+_HOLT_H = 3
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt level+trend forecast of daily cents volume per event type
+    (operators/temporal.py holt_forecast): dyadic α=1/4, β=1/8, the
+    coupled recursion one pinned in-row fold; 1..3-day-ahead
+    forecasts extend the fitted line."""
+    from .operators.temporal import _us, holt_forecast
+    from .geo.tilemath import floor_div
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select(F.col("event_type").alias("g"),
+                  floor_div(_us(F.col("ts")), 86_400_000_000)
+                  .alias("d"),
+                  _cents().alias("c")))
+    daily = ev.groupBy("g", "d").agg(F.sum("c").alias("x"))
+    return holt_forecast(daily, ["g"], order_cols=("d",),
+                         value_col="x", horizon=_HOLT_H)
+
+
+def sql_holt_forecast() -> str:
+    # state rides a 2-slot DOUBLE list [l, b]: DuckDB's list_reduce
+    # updates STRUCT accumulators field-by-field IN PLACE (a later
+    # field reads the earlier field's NEW value — caught by this
+    # gate); list accumulators copy
+    lvl = "(a[1] + a[2] + 0.25 * (x[1] - a[1] - a[2]))"
+    return f"""WITH e AS (
+  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS d,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+daily AS (
+  SELECT g, d, CAST(SUM(c) AS BIGINT) AS x
+  FROM e GROUP BY 1, 2),
+ser AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         list(CAST(x AS DOUBLE) ORDER BY d) AS xs
+  FROM daily GROUP BY g HAVING COUNT(*) >= 2),
+fit AS (
+  SELECT g, n,
+         list_reduce(
+           list_prepend([xs[1], xs[2] - xs[1]],
+             list_transform(list_slice(xs, 2, len(xs)),
+                            v -> [v, CAST(0.0 AS DOUBLE)])),
+           (a, x) -> [{lvl},
+                      a[2] + 0.125 * ({lvl} - a[1] - a[2])]) AS st
+  FROM ser)
+SELECT g, n, CAST(t.h AS INTEGER) AS h,
+       st[1] AS level, st[2] AS trend,
+       st[1] + CAST(t.h AS DOUBLE) * st[2] AS forecast
+FROM fit, LATERAL (SELECT unnest(range(1, {_HOLT_H} + 1)) AS h) t"""
+
+
+TEMPORAL_QUERIES["holt_forecast"] = (q_holt_forecast,
+                                     sql_holt_forecast)

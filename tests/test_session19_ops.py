@@ -1741,3 +1741,50 @@ def test_ransac_degenerate_group_vanishes(spark):
     df = spark.createDataFrame([(0, 1, 5, 5), (0, 2, 5, 5)],
                                "g long, id long, x long, y long")
     assert ransac_line(df, ["g"]).collect() == []
+
+
+# ---- holt_forecast ----
+
+def _brute_holt(xs, al=0.25, be=0.125, horizon=3):
+    if len(xs) < 2:
+        return None
+    l, b = float(xs[0]), float(xs[1]) - float(xs[0])
+    for x in xs[1:]:
+        prior = l + b
+        nl = prior + al * (float(x) - prior)
+        nb = b + be * (nl - l - b)
+        l, b = nl, nb
+    return {h: (len(xs), l, b, l + float(h) * b)
+            for h in range(1, horizon + 1)}
+
+
+def test_holt_differential(spark):
+    from mapbox_filter_spark.operators.temporal import holt_forecast
+
+    rng = random.Random(33)
+    xs = [100 + 5 * t + rng.randrange(-8, 8) for t in range(80)]
+    rows = [(1, t, x) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k long, t long, x long")
+    got = {r["h"]: (r["n"], r["level"], r["trend"], r["forecast"])
+           for r in holt_forecast(df, ["k"], order_cols=("t",),
+                                  value_col="x").collect()}
+    want = _brute_holt(xs)
+    assert set(got) == set(want)
+    for h in want:
+        assert got[h][0] == want[h][0]
+        for a, b in zip(got[h][1:], want[h][1:]):
+            assert a == pytest.approx(b, rel=1e-12)
+    # trend must track the planted slope, forecasts extend it
+    assert got[1][2] == pytest.approx(5.0, abs=1.5)
+    assert got[3][3] > got[1][3]
+
+
+def test_holt_guards(spark):
+    from mapbox_filter_spark.operators.temporal import holt_forecast
+
+    df = spark.createDataFrame([(1, 0, 5)], "k long, t long, x long")
+    assert holt_forecast(df, ["k"], order_cols=("t",),
+                         value_col="x").collect() == []
+    with pytest.raises(ValueError, match="dyadic"):
+        holt_forecast(df, ["k"], order_cols=("t",), value_col="x",
+                      alpha_num=1, alpha_den=3)
