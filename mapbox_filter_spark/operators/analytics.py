@@ -1067,3 +1067,108 @@ def sprt_monitor(df: DataFrame, group_cols: "list[str]", *,
         F.coalesce(F.col("_c._d"), F.lit("continue")).alias("decision"),
         F.col("_c._t").alias("t_cross"),
         F.col("_c._llr").alias("llr_cross"))
+
+
+def ucb_replay(df: DataFrame, group_cols: "list[str]", *,
+               order_cols: "tuple[str, ...]", arm_col: str,
+               reward_col: str, n_arms: int = 3,
+               max_len: int = 20_000) -> DataFrame:
+    """UCB1 off-policy replay (Li et al. WSDM'11 rejection replayer
+    over a logged stream; Auer et al. 2002 index): walk the log in
+    time order, let UCB1 pick an arm from the REPLAYED counts — play
+    unseen arms first (lowest index), else argmax of
+    s/n + √(2·ln t / n) — and only when the pick matches the logged
+    arm does the event count: the unbiased way to evaluate a bandit
+    policy on logged uniform data without deploying it.
+
+    Determinism: the whole replay is ONE in-row fold whose state is a
+    flat int64 list [t, n₀.., s₀..] — all exact; the index
+    comparisons are pinned double chains recomputed from those ints
+    each step, ties to the lowest arm.  ``n_arms`` is a literal (the
+    pick expression unrolls per arm).
+
+    One key exchange; ``max_len`` raises in-plan (replay is
+    sequential by nature — shard by key, not by time).
+
+    Returns ``(*group_cols, n_events, n_matched, reward_sum, ctr,
+    *per-arm pulls)`` with ctr = reward_sum/n_matched.
+    """
+    if n_arms < 2:
+        raise ValueError("need n_arms >= 2")
+    g = list(group_cols)
+    order = [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(*g).orderBy(*order)
+    base = df.select(
+        *g, F.row_number().over(w).alias("_i"),
+        F.col(arm_col).cast("long").alias("_a"),
+        F.col(reward_col).cast("long").alias("_r"))
+    bad = (F.col("_a") < 0) | (F.col("_a") >= n_arms)
+    base = base.select(
+        *g, "_i",
+        F.when(bad, F.raise_error(F.lit(
+            f"ucb_replay: arm outside [0, {n_arms})")).cast("long"))
+        .otherwise(F.col("_a")).alias("_a"), "_r")
+    per = (base.groupBy(*g)
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.array_sort(F.collect_list(
+                    F.struct("_i", "_a", "_r"))).alias("_s")))
+    guard = F.when(
+        F.col("n_events") > max_len,
+        F.raise_error(F.concat(
+            F.lit(f"ucb_replay: stream exceeds {max_len} events: "),
+            F.col("n_events").cast("string"))).cast("long"))
+    K = n_arms
+    zero = F.array(*([F.lit(0).cast("long")] * (1 + 2 * K)))
+
+    def pick(acc):
+        # first unplayed arm wins, lowest index
+        unplayed = None
+        for a in range(K):
+            cond = F.element_at(acc, a + 2) == 0
+            unplayed = F.when(cond, F.lit(a)) if unplayed is None \
+                else unplayed.when(cond, F.lit(a))
+        t = F.element_at(acc, 1).cast("double")
+
+        def idx(a):
+            n = F.element_at(acc, a + 2).cast("double")
+            s = F.element_at(acc, K + a + 2).cast("double")
+            return s / n + F.sqrt(F.lit(2.0) * F.log(t) / n)
+
+        best = F.lit(0)
+        bi = idx(0)
+        for a in range(1, K):
+            ia = idx(a)
+            better = ia > bi
+            best = F.when(better, F.lit(a)).otherwise(best)
+            bi = F.when(better, ia).otherwise(bi)
+        return unplayed.otherwise(best)
+
+    def step(acc, e):
+        p = pick(acc)
+        hit = p == e["_a"]
+        slots = [F.element_at(acc, 1)
+                 + F.when(hit, F.lit(1)).otherwise(F.lit(0))]
+        for a in range(K):
+            slots.append(F.element_at(acc, a + 2) + F.when(
+                hit & (e["_a"] == a), F.lit(1)).otherwise(F.lit(0)))
+        for a in range(K):
+            slots.append(F.element_at(acc, K + a + 2) + F.when(
+                hit & (e["_a"] == a), e["_r"]).otherwise(F.lit(0)))
+        return F.array(*slots)
+
+    fin = F.aggregate(F.col("_s"), zero, step)
+    out = per.select(
+        *g, F.coalesce(guard, F.col("n_events")).alias("n_events"),
+        fin.alias("_f"))
+    nm = F.element_at(F.col("_f"), 1)
+    rs = None
+    for a in range(K):
+        t = F.element_at(F.col("_f"), K + a + 2)
+        rs = t if rs is None else rs + t
+    return out.select(
+        *g, "n_events", nm.alias("n_matched"),
+        rs.alias("reward_sum"),
+        F.when(nm > 0, rs.cast("double") / nm.cast("double"))
+        .alias("ctr"),
+        *[F.element_at(F.col("_f"), a + 2).alias(f"pulls_{a}")
+          for a in range(K)])

@@ -3841,3 +3841,81 @@ FROM agg"""
 
 ANALYTICS_QUERIES["stratified_ate"] = (q_stratified_ate,
                                        sql_stratified_ate)
+
+
+_UCB_QMOD = 64
+
+
+def q_ucb_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 rejection replay over the logged event stream per user
+    cohort (operators/analytics.py ucb_replay): arms = event-type
+    length mod 3 with hash rewards at 20/45/70%, one exact int64
+    fold; the replayed policy must concentrate pulls on the best
+    arm."""
+    from .operators.analytics import ucb_replay
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+                  & (F.pmod(F.col("event_id"), F.lit(_UCB_QMOD)) == 0))
+          .select(F.pmod(F.col("user_id"), F.lit(2)).alias("g"),
+                  "ts", "event_id",
+                  F.pmod(F.length("event_type"), F.lit(3)).cast("int")
+                  .alias("a")))
+    ev = ev.select("g", "ts", "event_id", "a",
+                   (F.pmod(F.col("event_id") * 7, F.lit(100))
+                    < F.lit(20) + 25 * F.col("a")).cast("int")
+                   .alias("r"))
+    return ucb_replay(ev, ["g"], order_cols=("ts", "event_id"),
+                      arm_col="a", reward_col="r")
+
+
+def sql_ucb_replay() -> str:
+    def idx(arm: int) -> str:
+        n = f"CAST(a[{arm + 2}] AS DOUBLE)"
+        s = f"CAST(a[{arm + 5}] AS DOUBLE)"
+        return (f"({s} / {n} + sqrt(2.0 * ln(CAST(a[1] AS DOUBLE))"
+                f" / {n}))")
+
+    pick = (f"CASE WHEN a[2] = 0 THEN 0 WHEN a[3] = 0 THEN 1 "
+            f"WHEN a[4] = 0 THEN 2 "
+            f"ELSE CASE WHEN {idx(2)} > (CASE WHEN {idx(1)} > {idx(0)} "
+            f"THEN {idx(1)} ELSE {idx(0)} END) THEN 2 "
+            f"WHEN {idx(1)} > {idx(0)} THEN 1 ELSE 0 END END")
+    slots = [f"a[1] + CASE WHEN ({pick}) = x[1] THEN 1 ELSE 0 END"]
+    for arm in range(3):
+        slots.append(f"a[{arm + 2}] + CASE WHEN ({pick}) = x[1] "
+                     f"AND x[1] = {arm} THEN 1 ELSE 0 END")
+    for arm in range(3):
+        slots.append(f"a[{arm + 5}] + CASE WHEN ({pick}) = x[1] "
+                     f"AND x[1] = {arm} THEN x[2] ELSE 0 END")
+    fold = ",\n             ".join(slots)
+    return f"""WITH e AS (
+  SELECT ((user_id % 2) + 2) % 2 AS g, ts, event_id,
+         CAST(length(event_type) % 3 AS BIGINT) AS a,
+         CASE WHEN (event_id * 7) % 100
+                   < 20 + 25 * (length(event_type) % 3)
+              THEN 1 ELSE 0 END AS r
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND event_id % {_UCB_QMOD} = 0),
+ser AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_events,
+         list([a, CAST(r AS BIGINT)]
+              ORDER BY ts, event_id) AS xs
+  FROM e GROUP BY g),
+fin AS (
+  SELECT g, n_events,
+         list_reduce(
+           list_prepend(CAST([0,0,0,0,0,0,0] AS BIGINT[]), xs),
+           (a, x) -> [{fold}]) AS f
+  FROM ser)
+SELECT g, n_events, f[1] AS n_matched,
+       f[5] + f[6] + f[7] AS reward_sum,
+       CASE WHEN f[1] > 0
+            THEN CAST(f[5] + f[6] + f[7] AS DOUBLE)
+                 / CAST(f[1] AS DOUBLE) END AS ctr,
+       f[2] AS pulls_0, f[3] AS pulls_1, f[4] AS pulls_2
+FROM fin"""
+
+
+ANALYTICS_QUERIES["ucb_replay"] = (q_ucb_replay, sql_ucb_replay)

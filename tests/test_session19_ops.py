@@ -1788,3 +1788,65 @@ def test_holt_guards(spark):
     with pytest.raises(ValueError, match="dyadic"):
         holt_forecast(df, ["k"], order_cols=("t",), value_col="x",
                       alpha_num=1, alpha_den=3)
+
+
+# ---- ucb_replay ----
+
+def _brute_ucb(stream, k=3):
+    import math
+
+    t = 0
+    n = [0] * k
+    s = [0] * k
+    for a, r in stream:
+        unplayed = next((i for i in range(k) if n[i] == 0), None)
+        if unplayed is not None:
+            p = unplayed
+        else:
+            best, bi = 0, s[0] / n[0] + math.sqrt(
+                2.0 * math.log(float(t)) / n[0])
+            for i in range(1, k):
+                ia = s[i] / n[i] + math.sqrt(
+                    2.0 * math.log(float(t)) / n[i])
+                if ia > bi:
+                    best, bi = i, ia
+            p = best
+        if p == a:
+            t += 1
+            n[a] += 1
+            s[a] += r
+    rs = sum(s)
+    return (len(stream), t, rs, rs / t if t else None, tuple(n))
+
+
+def test_ucb_replay_differential(spark):
+    from mapbox_filter_spark.operators.analytics import ucb_replay
+
+    rng = random.Random(41)
+    rates = [0.2, 0.45, 0.7]
+    stream = [(a, 1 if rng.random() < rates[a] else 0)
+              for a in (rng.randrange(3) for _ in range(3000))]
+    rows = [(0, i, a, r) for i, (a, r) in enumerate(stream)]
+    df = spark.createDataFrame(rows, "g long, i long, a int, r int")
+    r = ucb_replay(df, ["g"], order_cols=("i",), arm_col="a",
+                   reward_col="r").collect()[0]
+    n_ev, nm, rs, ctr, pulls = _brute_ucb(stream)
+    assert (r["n_events"], r["n_matched"], r["reward_sum"]) \
+        == (n_ev, nm, rs)
+    assert r["ctr"] == pytest.approx(ctr, rel=1e-12)
+    assert (r["pulls_0"], r["pulls_1"], r["pulls_2"]) == pulls
+    # the replayed policy must concentrate on the best arm and beat
+    # the logging policy's uniform CTR
+    assert r["pulls_2"] > r["pulls_0"] and r["pulls_2"] > r["pulls_1"]
+    logged_ctr = sum(x for _, x in stream) / len(stream)
+    assert r["ctr"] > logged_ctr + 0.1
+
+
+def test_ucb_replay_guards(spark):
+    from mapbox_filter_spark.operators.analytics import ucb_replay
+
+    df = spark.createDataFrame([(0, 1, 7, 1)],
+                               "g long, i long, a int, r int")
+    with pytest.raises(Exception, match="arm outside"):
+        ucb_replay(df, ["g"], order_cols=("i",), arm_col="a",
+                   reward_col="r").collect()
