@@ -2199,3 +2199,62 @@ def holt_forecast(df: DataFrame, key_cols: "list[str]", *,
                       (F.col("level")
                        + F.col("h").cast("double") * F.col("trend"))
                       .alias("forecast"))
+
+
+def weighted_scheduling(df: DataFrame, key_cols: "list[str]", *,
+                        start_col: str, end_col: str, weight_col: str,
+                        max_len: int = 4000) -> DataFrame:
+    """Weighted interval scheduling — the OPTIMAL total weight of
+    pairwise non-overlapping intervals per key (the classic DP;
+    span_schedule's unweighted greedy picks MOST intervals, this
+    picks the heaviest compatible set — greedy is arbitrarily bad
+    under weights, pinned in tests).
+
+    Exact integer DP: intervals sorted by (end, start, weight); for
+    each interval i, p(i) = the latest interval ending ≤ start_i
+    (touching endpoints compatible), and dp[i] = max(dp[i−1],
+    w_i + dp[p(i)]) — ONE in-row fold carrying the dp ladder as an
+    int64 list with element_at random access; p(i) is resolved
+    INSIDE the fold by a backwards scan over the (sorted) ends
+    (O(n²) worst case in-row, ``max_len``-guarded).
+
+    One key exchange.  Returns ``(*key_cols, n, best_weight)``.
+    """
+    g = list(key_cols)
+    s = F.col(start_col).cast("long")
+    e = F.col(end_col).cast("long")
+    bad = e < s
+    base = df.select(
+        *g,
+        F.when(bad, F.raise_error(F.lit(
+            "weighted_scheduling: end < start")).cast("long"))
+        .otherwise(s).alias("_s"),
+        e.alias("_e"),
+        F.col(weight_col).cast("long").alias("_w"))
+    per = (base.groupBy(*g)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.array_sort(F.collect_list(
+                    F.struct("_e", "_s", "_w"))).alias("_a")))
+    guard = F.when(
+        F.col("n") > max_len,
+        F.raise_error(F.concat(
+            F.lit(f"weighted_scheduling: > {max_len} intervals: "),
+            F.col("n").cast("string"))).cast("long"))
+    arr = F.col("_a")
+    # dp list: dp[1] = 0 (empty prefix), dp[i+1] = best over first i
+    zero = F.array(F.lit(0).cast("long"))
+
+    def step(acc, iv):
+        k = F.size(acc)                       # intervals done so far
+        # p(i): count of sorted intervals with end <= start_i — ends
+        # are the sort key, so the prefix property holds
+        p = F.size(F.filter(F.slice(arr, 1, k - 1),
+                            lambda q: q["_e"] <= iv["_s"]))
+        take = iv["_w"] + F.element_at(acc, (p + 1).cast("int"))
+        skip = F.element_at(acc, k)
+        return F.concat(acc, F.array(F.greatest(take, skip)))
+
+    dp = F.aggregate(arr, zero, step)
+    return per.select(
+        *g, F.coalesce(guard, F.col("n")).alias("n"),
+        F.element_at(dp, -1).alias("best_weight"))

@@ -2646,3 +2646,56 @@ FROM fit, LATERAL (SELECT unnest(range(1, {_HOLT_H} + 1)) AS h) t"""
 
 TEMPORAL_QUERIES["holt_forecast"] = (q_holt_forecast,
                                      sql_holt_forecast)
+
+
+_WIS_QMOD = 64
+
+
+def q_weighted_scheduling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal weighted interval scheduling per event type over hashed
+    intervals (operators/temporal.py weighted_scheduling): exact
+    int64 DP ladder in ONE in-row fold — the weighted counterpart of
+    span_schedule's greedy count."""
+    from .operators.temporal import weighted_scheduling
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.pmod(F.col("event_id"), F.lit(_WIS_QMOD)) == 0)
+          .select(F.col("event_type").alias("g"),
+                  F.pmod(F.col("event_id") * 7919, F.lit(5000))
+                  .alias("s")))
+    ev = ev.select("g", "s",
+                   (F.col("s") + F.pmod(F.col("s") * 13, F.lit(300))
+                    + 1).alias("e"),
+                   (F.pmod(F.col("s") * 31, F.lit(97)) + 1).alias("w"))
+    return weighted_scheduling(ev, ["g"], start_col="s", end_col="e",
+                               weight_col="w")
+
+
+def sql_weighted_scheduling() -> str:
+    return f"""WITH e AS (
+  SELECT event_type AS g,
+         (event_id * 7919) % 5000 AS s
+  FROM events WHERE event_id % {_WIS_QMOD} = 0),
+iv AS (
+  SELECT g, s, s + (s * 13) % 300 + 1 AS e2,
+         (s * 31) % 97 + 1 AS w
+  FROM e),
+ser AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         list(CAST([e2, s, w] AS BIGINT[])
+              ORDER BY e2, s, w) AS arr
+  FROM iv GROUP BY g),
+fin AS (
+  SELECT g, n,
+         list_reduce(
+           list_prepend(CAST([0] AS BIGINT[]), arr),
+           (a, x) -> list_append(a, greatest(
+             a[len(a)],
+             x[3] + a[len(list_filter(list_slice(arr, 1, len(a) - 1),
+                                      q -> q[1] <= x[2])) + 1]))) AS dp
+  FROM ser)
+SELECT g, n, dp[len(dp)] AS best_weight FROM fin"""
+
+
+TEMPORAL_QUERIES["weighted_scheduling"] = (q_weighted_scheduling,
+                                           sql_weighted_scheduling)

@@ -1850,3 +1850,60 @@ def test_ucb_replay_guards(spark):
     with pytest.raises(Exception, match="arm outside"):
         ucb_replay(df, ["g"], order_cols=("i",), arm_col="a",
                    reward_col="r").collect()
+
+
+# ---- weighted_scheduling ----
+
+def _brute_wis(intervals):
+    ivs = sorted((e, s, w) for s, e, w in intervals)
+    n = len(ivs)
+    dp = [0] * (n + 1)
+    for i in range(1, n + 1):
+        e, s, w = ivs[i - 1]
+        p = sum(1 for j in range(i - 1) if ivs[j][0] <= s)
+        dp[i] = max(dp[i - 1], w + dp[p])
+    return dp[n]
+
+
+def test_wis_differential(spark):
+    from mapbox_filter_spark.operators.temporal import \
+        weighted_scheduling
+
+    rng = random.Random(36)
+    rows = []
+    groups = {}
+    for gk in range(4):
+        ivs = []
+        for _ in range(rng.randrange(1, 40)):
+            s = rng.randrange(0, 500)
+            ivs.append((s, s + rng.randrange(1, 80),
+                        rng.randrange(1, 50)))
+        groups[gk] = ivs
+        rows += [(gk, s, e, w) for s, e, w in ivs]
+    df = spark.createDataFrame(rows, "g long, s long, e long, w long")
+    got = {r["g"]: (r["n"], r["best_weight"])
+           for r in weighted_scheduling(
+               df, ["g"], start_col="s", end_col="e",
+               weight_col="w").collect()}
+    for gk, ivs in groups.items():
+        assert got[gk] == (len(ivs), _brute_wis(ivs)), gk
+
+
+def test_wis_beats_greedy_count(spark):
+    from mapbox_filter_spark.operators.temporal import \
+        weighted_scheduling
+
+    # two light compatible intervals vs one heavy overlapping both:
+    # count-greedy picks 2 (weight 2), the DP picks the heavy 100
+    rows = [(0, 0, 10, 1), (0, 10, 20, 1), (0, 5, 15, 100)]
+    df = spark.createDataFrame(rows, "g long, s long, e long, w long")
+    r = weighted_scheduling(df, ["g"], start_col="s", end_col="e",
+                            weight_col="w").collect()[0]
+    assert r["best_weight"] == 100
+
+    # touching endpoints are compatible
+    rows = [(0, 0, 10, 5), (0, 10, 20, 7)]
+    df = spark.createDataFrame(rows, "g long, s long, e long, w long")
+    r = weighted_scheduling(df, ["g"], start_col="s", end_col="e",
+                            weight_col="w").collect()[0]
+    assert r["best_weight"] == 12
