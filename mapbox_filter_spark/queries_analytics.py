@@ -3919,3 +3919,114 @@ FROM fin"""
 
 
 ANALYTICS_QUERIES["ucb_replay"] = (q_ucb_replay, sql_ucb_replay)
+
+
+_JENKS_CAP = 200
+_JENKS_K = 4
+
+
+def q_jenks_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jenks-Fisher natural breaks over a 200-value hash sample of
+    cents per event type (operators/ml.py jenks_breaks): exact
+    prefix-moment class costs, full O(k·n²) DP with pinned ties,
+    breaks as class maxima — the choropleth classer beside
+    quantile_bins."""
+    from .operators.ml import jenks_breaks
+    from pyspark.sql import Window
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("value").isNotNull())
+          .select(F.col("event_type").alias("g"), _cents().alias("x"))
+          .distinct())
+    w = Window.partitionBy("g").orderBy(
+        F.md5(F.concat_ws("\x1f", F.col("g"),
+                          F.col("x").cast("string"))), "x")
+    samp = (ev.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= _JENKS_CAP)
+            .select("g", "x"))
+    return jenks_breaks(samp, ["g"], "x", k=_JENKS_K)
+
+
+def sql_jenks_breaks() -> str:
+    # relational DP (join + window min per layer), NOT a fold mirror:
+    # DuckDB's nested-lambda folds mis-evaluate once the outer
+    # list_transform batch passes ~64 elements (caught by this gate
+    # at n=200; single-element probes were fine) — and a genuinely
+    # independent evaluation strategy is the stronger oracle anyway
+    k = _JENKS_K
+
+    def ssd(j: str, i: str) -> str:
+        return (f"(CAST(({i} - {j}) * (q[{i} + 1] - q[{j} + 1])"
+                f" - (p[{i} + 1] - p[{j} + 1])"
+                f" * (p[{i} + 1] - p[{j} + 1]) AS DOUBLE)"
+                f" / CAST({i} - {j} AS DOUBLE))")
+
+    layers = []
+    for c in range(2, k + 1):
+        layers.append(f""",
+cand{c} AS (
+  SELECT pq.g, ii.i, jj.j,
+         prev.cost + {ssd('jj.j', 'ii.i')} AS cost
+  FROM pq,
+       LATERAL (SELECT unnest(range({c}, pq.n + 1)) AS i) ii,
+       LATERAL (SELECT unnest(range({c - 1}, ii.i)) AS j) jj
+  JOIN l{c - 1} prev ON prev.g = pq.g AND prev.i = jj.j),
+l{c} AS (
+  SELECT g, i, cost, j FROM (
+    SELECT g, i, cost, j,
+           ROW_NUMBER() OVER (PARTITION BY g, i
+                              ORDER BY cost, j) AS rn
+    FROM cand{c}) WHERE rn = 1)""")
+    joins = []
+    jref = f"t{k}.j"
+    for c in range(k - 1, 1, -1):
+        joins.append(f"JOIN l{c} t{c} ON t{c}.g = pq.g "
+                     f"AND t{c}.i = {jref}")
+        jref = f"t{c}.j"
+    brks = []
+    jref = f"t{k}.j"
+    for c in range(k - 1, 0, -1):
+        brks.append(f"xs[CAST({jref} AS INTEGER)] AS break_{c}")
+        if c > 1:
+            jref = f"t{c}.j"
+    sel = ", ".join(reversed(brks))
+    return f"""WITH e AS (
+  SELECT DISTINCT event_type AS g,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL),
+samp AS (
+  SELECT g, x FROM (
+    SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g
+      ORDER BY md5(concat_ws(chr(31), g, CAST(x AS VARCHAR))), x)
+      AS rn
+    FROM e) WHERE rn <= {_JENKS_CAP}),
+ser AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         list(x ORDER BY x) AS xs
+  FROM samp GROUP BY g HAVING COUNT(*) >= {k}),
+pq AS (
+  SELECT g, n, xs,
+         list_transform(range(0, n + 1), i ->
+           CASE WHEN i = 0 THEN CAST(0 AS BIGINT)
+                ELSE list_reduce(list_slice(xs, 1, i),
+                                 (a, b) -> a + b) END) AS p,
+         list_transform(range(0, n + 1), i ->
+           CASE WHEN i = 0 THEN CAST(0 AS BIGINT)
+                ELSE list_reduce(
+                  list_transform(list_slice(xs, 1, i), v -> v * v),
+                  (a, b) -> a + b) END) AS q
+  FROM ser),
+l1 AS (
+  SELECT pq.g, ii.i, {ssd('0', 'ii.i')} AS cost,
+         CAST(0 AS BIGINT) AS j
+  FROM pq, LATERAL (SELECT unnest(range(1, pq.n + 1)) AS i) ii)
+{"".join(layers)}
+SELECT pq.g, pq.n, t{k}.cost AS total_cost,
+       {sel},
+       xs[1] AS x_min, xs[CAST(pq.n AS INTEGER)] AS x_max
+FROM pq
+JOIN l{k} t{k} ON t{k}.g = pq.g AND t{k}.i = pq.n
+{chr(10).join(joins)}"""
+
+
+ANALYTICS_QUERIES["jenks_breaks"] = (q_jenks_breaks, sql_jenks_breaks)

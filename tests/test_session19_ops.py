@@ -1907,3 +1907,80 @@ def test_wis_beats_greedy_count(spark):
     r = weighted_scheduling(df, ["g"], start_col="s", end_col="e",
                             weight_col="w").collect()[0]
     assert r["best_weight"] == 12
+
+
+# ---- jenks_breaks ----
+
+def _brute_jenks(xs, k=4):
+    xs = sorted(xs)
+    n = len(xs)
+    P = [0] * (n + 1)
+    Q = [0] * (n + 1)
+    for i, x in enumerate(xs, 1):
+        P[i] = P[i - 1] + x
+        Q[i] = Q[i - 1] + x * x
+
+    def ssd(j, i):
+        m = i - j
+        s = P[i] - P[j]
+        q = Q[i] - Q[j]
+        return float(m * q - s * s) / float(m)
+
+    prev = [(ssd(0, i), 0) for i in range(1, n + 1)]
+    layers = [prev]
+    for c in range(2, k + 1):
+        cur = []
+        for i in range(c, n + 1):
+            best = (layers[-1][(c - 1) - (c - 1)][0]
+                    + ssd(c - 1, i), c - 1)
+            for j in range(c, i):
+                cc = layers[-1][j - (c - 1)][0] + ssd(j, i)
+                if cc < best[0] or (cc == best[0] and j < best[1]):
+                    best = (cc, j)
+            cur.append(best)
+        layers.append(cur)
+    cost, j = layers[-1][n - k]
+    brks = []
+    jcur = j
+    for c in range(k - 1, 0, -1):
+        brks.append(xs[jcur - 1])
+        if c > 1:
+            jcur = layers[c - 1][jcur - c][1]
+    return cost, tuple(reversed(brks)), xs[0], xs[-1]
+
+
+def test_jenks_differential(spark):
+    from mapbox_filter_spark.operators.ml import jenks_breaks
+
+    rng = random.Random(51)
+    # three planted clusters + stragglers
+    xs = ([rng.randrange(0, 40) for _ in range(30)]
+          + [rng.randrange(480, 540) for _ in range(25)]
+          + [rng.randrange(900, 1000) for _ in range(20)]
+          + [250, 700])
+    df = spark.createDataFrame([(0, x) for x in xs], "g long, x long")
+    r = jenks_breaks(df, ["g"], "x", k=4).collect()[0]
+    cost, brks, lo, hi = _brute_jenks(xs, 4)
+    assert r["total_cost"] == pytest.approx(cost, rel=1e-12)
+    assert (r["break_1"], r["break_2"], r["break_3"]) == brks
+    assert (r["x_min"], r["x_max"]) == (lo, hi)
+    # breaks are CLASS MAXIMA: ordered, interior, and the planted
+    # cluster gaps carry no break STRADDLING a cluster (optimum may
+    # give stragglers their own class — that's correct behavior)
+    assert (r["x_min"] <= r["break_1"] <= r["break_2"]
+            <= r["break_3"] < r["x_max"])
+
+
+def test_jenks_small_and_guard(spark):
+    from mapbox_filter_spark.operators.ml import jenks_breaks
+
+    # n == k: every class a singleton, zero cost
+    df = spark.createDataFrame([(0, x) for x in (5, 10, 20, 40)],
+                               "g long, x long")
+    r = jenks_breaks(df, ["g"], "x", k=4).collect()[0]
+    assert r["total_cost"] == 0.0
+    assert (r["break_1"], r["break_2"], r["break_3"]) == (5, 10, 20)
+
+    # n < k drops
+    df = spark.createDataFrame([(0, 1), (0, 2)], "g long, x long")
+    assert jenks_breaks(df, ["g"], "x", k=4).collect() == []
