@@ -1172,3 +1172,52 @@ def ucb_replay(df: DataFrame, group_cols: "list[str]", *,
         .alias("ctr"),
         *[F.element_at(F.col("_f"), a + 2).alias(f"pulls_{a}")
           for a in range(K)])
+
+
+def concentration_profile(df: DataFrame, group_cols: "list[str]",
+                          firm_col: str) -> DataFrame:
+    """Market-concentration profile per group over firm event counts:
+    the antitrust/ecosystem-health panel —
+
+    - HHI = Σ cᵢ²/C² (the Herfindahl-Hirschman index, exact rational:
+      one division of Σcᵢ² by C²),
+    - CR4 = top-4 firm share (exact selection sum / C),
+    - top_share = largest firm / C,
+    - Atkinson(ε=1) = 1 − geomean(cᵢ)/mean(cᵢ) — the inequality-
+      averse view; geomean via a PINNED (count, firm)-ordered ln
+      fold, one exp, one division (counts ≥ 1, so ln is total).
+
+    One map-side-combinable count per (group, firm) + one k-row
+    collapse.  Returns ``(*group_cols, n_firms, total, hhi, cr4,
+    top_share, atkinson)``.
+    """
+    g = list(group_cols)
+    firm = (df.groupBy(*g, F.col(firm_col).alias("_f"))
+            .agg(F.count(F.lit(1)).alias("_c")))
+    arr = F.sort_array(F.collect_list(F.struct(
+        (-F.col("_c")).alias("nc"), F.col("_f").alias("f"))))
+    lnarr = F.sort_array(F.collect_list(F.struct(
+        F.col("_c").alias("c"), F.col("_f").alias("f"))))
+    per = (firm.groupBy(*g)
+           .agg(F.count(F.lit(1)).alias("n_firms"),
+                F.sum("_c").alias("total"),
+                F.sum(F.col("_c") * F.col("_c")).alias("_sq"),
+                arr.alias("_top"), lnarr.alias("_ln")))
+    c = F.col("total")
+    cr4 = F.aggregate(
+        F.slice(F.col("_top"), 1, 4), F.lit(0).cast("long"),
+        lambda a, s: a - s["nc"])
+    lnsum = F.aggregate(
+        F.col("_ln"), F.lit(0.0),
+        lambda a, s: a + F.log(s["c"].cast("double")))
+    atk = (F.lit(1.0)
+           - F.exp(lnsum / F.col("n_firms").cast("double"))
+           / (c.cast("double") / F.col("n_firms").cast("double")))
+    return per.select(
+        *g, "n_firms", "total",
+        (F.col("_sq").cast("double") / (c * c).cast("double"))
+        .alias("hhi"),
+        (cr4.cast("double") / c.cast("double")).alias("cr4"),
+        ((-F.element_at(F.col("_top"), 1)["nc"]).cast("double")
+         / c.cast("double")).alias("top_share"),
+        atk.alias("atkinson"))

@@ -4030,3 +4030,49 @@ JOIN l{k} t{k} ON t{k}.g = pq.g AND t{k}.i = pq.n
 
 
 ANALYTICS_QUERIES["jenks_breaks"] = (q_jenks_breaks, sql_jenks_breaks)
+
+
+def q_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HHI / CR4 / top-share / Atkinson(1) of user-cohort activity per
+    event type (operators/analytics.py concentration_profile): exact
+    count rationals, one pinned ln fold — the market-structure panel
+    beside gini/theil."""
+    from .operators.analytics import concentration_profile
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("user_id").isNotNull())
+          .select(F.col("event_type").alias("g"),
+                  F.pmod(F.col("user_id"), F.lit(50)).alias("f")))
+    return concentration_profile(ev, ["g"], "f")
+
+
+def sql_concentration() -> str:
+    return """WITH e AS (
+  SELECT event_type AS g, ((user_id % 50) + 50) % 50 AS f
+  FROM events WHERE user_id IS NOT NULL),
+firm AS (
+  SELECT g, f, CAST(COUNT(*) AS BIGINT) AS c
+  FROM e GROUP BY 1, 2),
+per AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_firms,
+         SUM(c) AS total, SUM(c * c) AS sq,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_slice(list(c ORDER BY -c, f), 1, 4)),
+           (a, q) -> a + q) AS cr4_sum,
+         list(c ORDER BY -c, f)[1] AS top_c,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(ln(CAST(c AS DOUBLE)) ORDER BY c, f)),
+           (a, q) -> a + q) AS lnsum
+  FROM firm GROUP BY g)
+SELECT g, n_firms, total,
+       CAST(sq AS DOUBLE) / CAST(total * total AS DOUBLE) AS hhi,
+       CAST(cr4_sum AS DOUBLE) / CAST(total AS DOUBLE) AS cr4,
+       CAST(top_c AS DOUBLE) / CAST(total AS DOUBLE) AS top_share,
+       1.0 - exp(lnsum / CAST(n_firms AS DOUBLE))
+           / (CAST(total AS DOUBLE) / CAST(n_firms AS DOUBLE))
+         AS atkinson
+FROM per"""
+
+
+ANALYTICS_QUERIES["concentration"] = (q_concentration,
+                                      sql_concentration)

@@ -1984,3 +1984,46 @@ def test_jenks_small_and_guard(spark):
     # n < k drops
     df = spark.createDataFrame([(0, 1), (0, 2)], "g long, x long")
     assert jenks_breaks(df, ["g"], "x", k=4).collect() == []
+
+
+# ---- concentration_profile ----
+
+def _brute_conc(counts):
+    import math
+
+    cs = sorted(counts.values(), reverse=True)
+    n = len(cs)
+    C = sum(cs)
+    hhi = sum(v * v for v in cs) / (C * C)
+    cr4 = sum(cs[:4]) / C
+    top = cs[0] / C
+    lnsum = 0.0
+    for c, f in sorted((c, f) for f, c in counts.items()):
+        lnsum += math.log(float(c))
+    atk = 1.0 - math.exp(lnsum / n) / (C / n)
+    return n, C, hhi, cr4, top, atk
+
+
+def test_concentration_differential(spark):
+    from mapbox_filter_spark.operators.analytics import \
+        concentration_profile
+
+    rng = random.Random(61)
+    counts = {f: rng.randrange(1, 200) for f in range(30)}
+    counts[99] = 2000                       # dominant firm
+    rows = [(0, f) for f, c in counts.items() for _ in range(c)]
+    df = spark.createDataFrame(rows, "g long, f long")
+    r = concentration_profile(df, ["g"], "f").collect()[0]
+    n, C, hhi, cr4, top, atk = _brute_conc(counts)
+    assert (r["n_firms"], r["total"]) == (n, C)
+    for a, b in ((r["hhi"], hhi), (r["cr4"], cr4),
+                 (r["top_share"], top), (r["atkinson"], atk)):
+        assert a == pytest.approx(b, rel=1e-12)
+    assert r["top_share"] > 0.3 and r["atkinson"] > 0.2
+
+    # perfectly equal market: HHI = 1/n, atkinson ~ 0
+    rows = [(0, f) for f in range(10) for _ in range(7)]
+    df = spark.createDataFrame(rows, "g long, f long")
+    r = concentration_profile(df, ["g"], "f").collect()[0]
+    assert r["hhi"] == pytest.approx(0.1)
+    assert r["atkinson"] == pytest.approx(0.0, abs=1e-12)
