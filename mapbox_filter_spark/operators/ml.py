@@ -989,3 +989,124 @@ def jenks_breaks(df: DataFrame, group_cols: "list[str]",
         *[b.alias(f"break_{i + 1}") for i, b in enumerate(brks)],
         F.element_at(xs, 1).alias("x_min"),
         F.element_at(xs, -1).alias("x_max"))
+
+
+def mdlp_split(df: DataFrame, group_cols: "list[str]", *,
+               val_col: str, label_col: str,
+               max_n: int = 100_000) -> DataFrame:
+    """MDLP supervised split (Fayyad & Irani 1993) — the root step of
+    entropy-based discretization: among all cut points of a numeric
+    feature, pick the one maximizing class-information gain, and
+    ACCEPT it only if the gain clears the minimum-description-length
+    bar
+
+        gain > (log₂(n−1) + log₂(3^k−2)
+                − [k·H(S) − k₁·H(S₁) − k₂·H(S₂)]) / n
+
+    — the principled "is this feature worth binning on" test behind
+    supervised binning and decision-stump pruning (decision_stump
+    maximizes Gini; this is the entropy/MDL sibling with a built-in
+    stop).
+
+    Determinism: every entropy is ln(n) − (Σ c·ln c)/n over EXACT
+    int64 class counts with the c·ln c terms as per-candidate scalar
+    chains (class count per side comes from integer cumsums — no
+    folds); the winner is (gain desc, cut asc) via one window; log₂
+    conversions use the 1/ln2 python literal.  Candidates are the
+    distinct values except the max (cut at v ⇒ left = x ≤ v).
+
+    Shape: one (group, value) aggregate + cumsum windows + one
+    rank window.  ``max_n`` guards the count path in-plan.
+
+    Returns ``(*group_cols, n, k_classes, split_value, gain_nats,
+    threshold_nats, accepted)`` — groups with one distinct value or
+    one class yield NULL split (nothing to cut), accepted false.
+    """
+    import math as _m
+
+    g = list(group_cols)
+    y = F.col(label_col).cast("int")
+    base = df.select(*g, F.col(val_col).cast("long").alias("_x"),
+                     F.when(y == 1, 1).otherwise(0).alias("_y"))
+    vals = (base.groupBy(*g, "_x")
+            .agg(F.count(F.lit(1)).alias("_c"),
+                 F.sum("_y").alias("_c1")))
+    w = Window.partitionBy(*g).orderBy("_x")
+    wg = Window.partitionBy(*g)
+    cum = vals.select(
+        *g, "_x",
+        F.sum("_c").over(w).alias("_nl"),
+        F.sum("_c1").over(w).alias("_nl1"),
+        F.sum("_c").over(wg).alias("_n"),
+        F.sum("_c1").over(wg).alias("_n1"),
+        F.max("_x").over(wg).alias("_xmax"))
+    n = F.when(
+        F.col("_n") > max_n,
+        F.raise_error(F.concat(
+            F.lit(f"mdlp_split: group exceeds {max_n} rows: "),
+            F.col("_n").cast("string"))).cast("long")
+    ).otherwise(F.col("_n"))
+
+    def clogc(c):
+        return F.when(c > 0, c.cast("double")
+                      * F.log(c.cast("double"))).otherwise(F.lit(0.0))
+
+    def ent(n_, c1):
+        # ln(n) − (c1·ln c1 + c0·ln c0)/n ; 0 for empty side
+        c0 = n_ - c1
+        return F.when(n_ > 0, F.log(n_.cast("double"))
+                      - (clogc(c1) + clogc(c0)) / n_.cast("double")) \
+            .otherwise(F.lit(0.0))
+
+    def kcls(n_, c1):
+        return (F.when(c1 > 0, 1).otherwise(0)
+                + F.when(n_ - c1 > 0, 1).otherwise(0))
+
+    nl, nl1 = F.col("_nl"), F.col("_nl1")
+    nr, nr1 = n - nl, F.col("_n1") - nl1
+    hs = ent(n, F.col("_n1"))
+    h1 = ent(nl, nl1)
+    h2 = ent(nr, nr1)
+    gain = hs - (nl.cast("double") / n.cast("double")) * h1 \
+        - (nr.cast("double") / n.cast("double")) * h2
+    k = kcls(n, F.col("_n1"))
+    k1 = kcls(nl, nl1)
+    k2 = kcls(nr, nr1)
+    ln2 = _m.log(2.0)
+    delta = (F.log((F.pow(F.lit(3.0), k.cast("double")) - 2.0))
+             / F.lit(ln2)
+             - (k.cast("double") * hs - k1.cast("double") * h1
+                - k2.cast("double") * h2) / F.lit(ln2))
+    thr = ((F.log((n - 1).cast("double")) / F.lit(ln2) + delta)
+           / n.cast("double")) * F.lit(ln2)   # back to nats
+    cand = (cum.filter(F.col("_x") < F.col("_xmax"))
+            .select(*g, F.col("_x").alias("split_value"),
+                    n.alias("n"), k.alias("k_classes"),
+                    gain.alias("gain_nats"),
+                    thr.alias("threshold_nats")))
+    wb = Window.partitionBy(*g).orderBy(
+        F.col("gain_nats").desc(), F.col("split_value").asc())
+    best = (cand.withColumn("_rn", F.row_number().over(wb))
+            .filter(F.col("_rn") == 1)
+            .select(*g, "n", "k_classes", "split_value", "gain_nats",
+                    "threshold_nats",
+                    (F.col("gain_nats") > F.col("threshold_nats"))
+                    .alias("accepted")))
+    allg = (cum.groupBy(*g)
+            .agg(F.max("_n").alias("_tn"), F.max("_n1").alias("_tn1")))
+    tn = F.when(
+        F.col("_tn") > max_n,
+        F.raise_error(F.concat(
+            F.lit(f"mdlp_split: group exceeds {max_n} rows: "),
+            F.col("_tn").cast("string"))).cast("long")
+    ).otherwise(F.col("_tn"))
+    allg = allg.select(*g, tn.alias("n"),
+                       kcls(F.col("_tn"), F.col("_tn1"))
+                       .alias("_kall"))
+    out = allg.join(best.drop("n"), g, "left")
+    return out.select(*g, "n",
+                      F.coalesce(F.col("k_classes"), F.col("_kall"))
+                      .alias("k_classes"),
+                      "split_value", "gain_nats", "threshold_nats",
+                      F.coalesce(F.col("accepted"), F.lit(False))
+                      .alias("accepted"))

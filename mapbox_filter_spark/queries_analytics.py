@@ -4076,3 +4076,91 @@ FROM per"""
 
 ANALYTICS_QUERIES["concentration"] = (q_concentration,
                                       sql_concentration)
+
+
+def q_mdlp_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDLP root split of dollar-scaled cents against the platt-gate
+    hash labels per event type (operators/ml.py mdlp_split): exact
+    class-count entropies, Fayyad-Irani acceptance bar — the
+    entropy/MDL sibling of decision_stump."""
+    from .operators.ml import mdlp_split
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("value").isNotNull())
+          .select(F.col("event_type").alias("g"), "event_id",
+                  (F.floor(_cents() / 100)).cast("long").alias("x")))
+    thr = F.least(F.greatest(F.lit(300) + F.col("x"), F.lit(1)),
+                  F.lit(999))
+    ev = ev.select("g", "x",
+                   (F.pmod(F.col("event_id") * 7919, F.lit(1000))
+                    < thr).cast("int").alias("y"))
+    return mdlp_split(ev, ["g"], val_col="x", label_col="y")
+
+
+def sql_mdlp_split() -> str:
+    import math
+
+    ln2 = math.log(2.0)
+    ent = ("(CASE WHEN {m} > 0 THEN ln(CAST({m} AS DOUBLE))"
+           " - ((CASE WHEN {c1} > 0 THEN CAST({c1} AS DOUBLE)"
+           " * ln(CAST({c1} AS DOUBLE)) ELSE 0.0 END)"
+           " + (CASE WHEN {m} - {c1} > 0 THEN CAST({m} - {c1} AS DOUBLE)"
+           " * ln(CAST({m} - {c1} AS DOUBLE)) ELSE 0.0 END))"
+           " / CAST({m} AS DOUBLE) ELSE 0.0 END)")
+    kc = ("((CASE WHEN {c1} > 0 THEN 1 ELSE 0 END)"
+          " + (CASE WHEN {m} - {c1} > 0 THEN 1 ELSE 0 END))")
+    hs = ent.format(m="n", c1="n1")
+    h1 = ent.format(m="nl", c1="nl1")
+    h2 = ent.format(m="(n - nl)", c1="(n1 - nl1)")
+    k = kc.format(m="n", c1="n1")
+    k1 = kc.format(m="nl", c1="nl1")
+    k2 = kc.format(m="(n - nl)", c1="(n1 - nl1)")
+    gain = (f"({hs} - CAST(nl AS DOUBLE) / CAST(n AS DOUBLE) * {h1}"
+            f" - CAST(n - nl AS DOUBLE) / CAST(n AS DOUBLE) * {h2})")
+    thr = (f"(((ln(CAST(n - 1 AS DOUBLE)) / {ln2!r}"
+           f" + (ln(pow(3.0, CAST({k} AS DOUBLE)) - 2.0) / {ln2!r}"
+           f" - (CAST({k} AS DOUBLE) * {hs}"
+           f" - CAST({k1} AS DOUBLE) * {h1}"
+           f" - CAST({k2} AS DOUBLE) * {h2}) / {ln2!r}))"
+           f" / CAST(n AS DOUBLE)) * {ln2!r})")
+    return f"""WITH e AS (
+  SELECT event_type AS g,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) // 100 AS x,
+         CASE WHEN (event_id * 7919) % 1000
+                   < least(greatest(300
+                       + CAST(floor(value * 100 + 0.5) AS BIGINT)
+                         // 100, 1), 999)
+              THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL),
+vals AS (
+  SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c,
+         CAST(SUM(y) AS BIGINT) AS c1
+  FROM e GROUP BY 1, 2),
+cum AS (
+  SELECT g, x,
+         SUM(c) OVER (PARTITION BY g ORDER BY x) AS nl,
+         SUM(c1) OVER (PARTITION BY g ORDER BY x) AS nl1,
+         SUM(c) OVER (PARTITION BY g) AS n,
+         SUM(c1) OVER (PARTITION BY g) AS n1,
+         MAX(x) OVER (PARTITION BY g) AS xmax
+  FROM vals),
+cand AS (
+  SELECT g, x AS split_value, n, {k} AS k_classes,
+         {gain} AS gain_nats, {thr} AS threshold_nats
+  FROM cum WHERE x < xmax),
+best AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+      ORDER BY gain_nats DESC, split_value) AS rn
+    FROM cand) WHERE rn = 1),
+allg AS (
+  SELECT g, MAX(n) AS n, MAX(n1) AS n1 FROM cum GROUP BY g)
+SELECT a.g, a.n,
+       coalesce(b.k_classes, {kc.format(m='a.n', c1='a.n1')})
+         AS k_classes,
+       b.split_value, b.gain_nats, b.threshold_nats,
+       coalesce(b.gain_nats > b.threshold_nats, FALSE) AS accepted
+FROM allg a LEFT JOIN best b ON b.g = a.g"""
+
+
+ANALYTICS_QUERIES["mdlp_split"] = (q_mdlp_split, sql_mdlp_split)

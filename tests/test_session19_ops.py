@@ -2027,3 +2027,91 @@ def test_concentration_differential(spark):
     r = concentration_profile(df, ["g"], "f").collect()[0]
     assert r["hhi"] == pytest.approx(0.1)
     assert r["atkinson"] == pytest.approx(0.0, abs=1e-12)
+
+
+# ---- mdlp_split ----
+
+def _brute_mdlp(pairs):
+    import math
+    from collections import Counter
+
+    n = len(pairs)
+    n1 = sum(y for _, y in pairs)
+    vals = Counter()
+    ones = Counter()
+    for x, y in pairs:
+        vals[x] += 1
+        ones[x] += y
+
+    def ent(m, c1):
+        if m == 0:
+            return 0.0
+        out = math.log(float(m))
+        for c in (c1, m - c1):
+            if c > 0:
+                out -= c * math.log(float(c)) / m
+        return out
+
+    def kc(m, c1):
+        return (1 if c1 > 0 else 0) + (1 if m - c1 > 0 else 0)
+
+    hs = ent(n, n1)
+    k = kc(n, n1)
+    best = None
+    xs = sorted(vals)
+    nl = nl1 = 0
+    ln2 = math.log(2.0)
+    for v in xs[:-1]:
+        nl += vals[v]
+        nl1 += ones[v]
+        nr, nr1 = n - nl, n1 - nl1
+        h1, h2 = ent(nl, nl1), ent(nr, nr1)
+        gain = hs - nl / n * h1 - nr / n * h2
+        delta = (math.log(3.0 ** k - 2.0) / ln2
+                 - (k * hs - kc(nl, nl1) * h1
+                    - kc(nr, nr1) * h2) / ln2)
+        thr = ((math.log(float(n - 1)) / ln2 + delta) / n) * ln2
+        cand = (-gain, v, thr)
+        if best is None or cand < best:
+            best = cand
+    if best is None:
+        return (n, k, None, None, None, False)
+    gain, v, thr = -best[0], best[1], best[2]
+    return (n, k, v, gain, thr, gain > thr)
+
+
+def test_mdlp_differential(spark):
+    from mapbox_filter_spark.operators.ml import mdlp_split
+
+    rng = random.Random(47)
+    # separable: y mostly 1 above 50
+    pairs = [(x, 1 if (x > 50) ^ (rng.random() < 0.1) else 0)
+             for x in (rng.randrange(0, 100) for _ in range(400))]
+    df = spark.createDataFrame([(0, x, y) for x, y in pairs],
+                               "g long, x long, y int")
+    r = mdlp_split(df, ["g"], val_col="x", label_col="y").collect()[0]
+    n, k, v, gain, thr, acc = _brute_mdlp(pairs)
+    assert (r["n"], r["k_classes"], r["split_value"]) == (n, k, v)
+    assert r["gain_nats"] == pytest.approx(gain, rel=1e-12)
+    assert r["threshold_nats"] == pytest.approx(thr, rel=1e-12)
+    assert r["accepted"] is True and 40 <= v <= 60
+
+    # pure noise must be REJECTED by the MDL bar
+    pairs = [(x, rng.randrange(2))
+             for x in (rng.randrange(0, 100) for _ in range(400))]
+    df = spark.createDataFrame([(0, x, y) for x, y in pairs],
+                               "g long, x long, y int")
+    r = mdlp_split(df, ["g"], val_col="x", label_col="y").collect()[0]
+    assert r["accepted"] is False
+    assert r["gain_nats"] == pytest.approx(_brute_mdlp(pairs)[3],
+                                           rel=1e-10)
+
+
+def test_mdlp_degenerate(spark):
+    from mapbox_filter_spark.operators.ml import mdlp_split
+
+    # single distinct value: no candidates
+    df = spark.createDataFrame([(0, 5, 1)] * 4, "g long, x long, y int")
+    r = mdlp_split(df, ["g"], val_col="x", label_col="y").collect()[0]
+    assert r["split_value"] is None and r["accepted"] is False
+    assert r["k_classes"] == 1
