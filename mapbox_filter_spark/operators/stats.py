@@ -2860,3 +2860,43 @@ def process_capability(df: DataFrame, group_cols: Sequence[str],
                  / (F.lit(3.0) * sig))
     return per.select(*g, "n", mu.alias("mu"), sig.alias("sigma"),
                       cp.alias("cp"), cpk.alias("cpk"))
+
+
+def spiegelhalter_z(df: DataFrame, group_cols: Sequence[str], *,
+                    p_millis_col: str, label_col: str) -> DataFrame:
+    """Spiegelhalter's calibration Z-test (Spiegelhalter 1986) — does
+    a probability forecast's Brier score differ from what a PERFECTLY
+    calibrated forecaster with the same probabilities would score?
+    The single-number sharpness-adjusted companion to the ece/
+    calibration_bins reliability diagrams:
+
+        Z = Σ(y−p)(1−2p) / √(Σ(1−2p)²·p·(1−p))
+
+    Probabilities arrive as INTEGER millis (p = m/1000, 0 < m <
+    1000 enforced in-plan — endpoint probs carry zero calibration
+    variance); both sums then scale to EXACT int64 —
+    (1000y−m)(1000−2m) and (1000−2m)²·m·(1000−m) — with the 10⁶
+    scale cancelling between numerator and √denominator, so Z is one
+    pinned division-of-√-chain on two exact integers.
+
+    One map-side-combinable groupBy.  Returns ``(*group_cols, n,
+    z_num, z_den, z)`` — z NULL when the denominator is 0 (empty
+    group can't happen; all-extreme m is excluded by the guard).
+    """
+    g = list(group_cols)
+    m = F.col(p_millis_col).cast("long")
+    y = F.col(label_col).cast("long")
+    bad = (m <= 0) | (m >= 1000)
+    mm = F.when(bad, F.raise_error(F.lit(
+        "spiegelhalter_z: p millis outside (0, 1000)")).cast("long")) \
+        .otherwise(m)
+    num = (1000 * y - mm) * (1000 - 2 * mm)
+    den = (1000 - 2 * mm) * (1000 - 2 * mm) * mm * (1000 - mm)
+    per = (df.groupBy(*g)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(num).alias("z_num"),
+                F.sum(den).alias("z_den")))
+    z = F.when(F.col("z_den") > 0,
+               F.col("z_num").cast("double")
+               / F.sqrt(F.col("z_den").cast("double")))
+    return per.select(*g, "n", "z_num", "z_den", z.alias("z"))

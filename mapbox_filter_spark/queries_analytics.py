@@ -4164,3 +4164,44 @@ FROM allg a LEFT JOIN best b ON b.g = a.g"""
 
 
 ANALYTICS_QUERIES["mdlp_split"] = (q_mdlp_split, sql_mdlp_split)
+
+
+def q_spiegelhalter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spiegelhalter calibration Z per event type over hash forecasts
+    (operators/stats.py spiegelhalter_z): integer-milli
+    probabilities, outcomes drawn at the forecast rate by an
+    independent hash — exact int64 sums, one √-chain; calibrated by
+    construction, so |Z| stays in the null band."""
+    from .operators.stats import spiegelhalter_z
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select(F.col("event_type").alias("g"),
+                  (F.pmod(F.col("event_id") * 37, F.lit(999)) + 1)
+                  .alias("m"), "event_id"))
+    ev = ev.select("g", "m",
+                   (F.pmod(F.col("event_id") * 7919, F.lit(1000))
+                    < F.col("m")).cast("int").alias("y"))
+    return spiegelhalter_z(ev, ["g"], p_millis_col="m", label_col="y")
+
+
+def sql_spiegelhalter() -> str:
+    return """WITH e AS (
+  SELECT event_type AS g,
+         (event_id * 37) % 999 + 1 AS m,
+         CASE WHEN (event_id * 7919) % 1000 < (event_id * 37) % 999 + 1
+              THEN 1 ELSE 0 END AS y
+  FROM events)
+SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM((1000 * y - m) * (1000 - 2 * m)) AS BIGINT) AS z_num,
+       CAST(SUM((1000 - 2 * m) * (1000 - 2 * m) * m * (1000 - m))
+            AS BIGINT) AS z_den,
+       CASE WHEN SUM((1000 - 2 * m) * (1000 - 2 * m) * m * (1000 - m))
+                 > 0
+            THEN CAST(SUM((1000 * y - m) * (1000 - 2 * m)) AS DOUBLE)
+                 / sqrt(CAST(SUM((1000 - 2 * m) * (1000 - 2 * m)
+                                 * m * (1000 - m)) AS DOUBLE)) END AS z
+FROM e GROUP BY g"""
+
+
+ANALYTICS_QUERIES["spiegelhalter"] = (q_spiegelhalter,
+                                      sql_spiegelhalter)

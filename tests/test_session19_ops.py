@@ -2115,3 +2115,42 @@ def test_mdlp_degenerate(spark):
     r = mdlp_split(df, ["g"], val_col="x", label_col="y").collect()[0]
     assert r["split_value"] is None and r["accepted"] is False
     assert r["k_classes"] == 1
+
+
+# ---- spiegelhalter_z ----
+
+def test_spiegelhalter_differential(spark):
+    import math
+
+    from mapbox_filter_spark.operators.stats import spiegelhalter_z
+
+    rng = random.Random(73)
+    rows = []
+    # group 0: perfectly calibrated; group 1: overconfident (true rate
+    # squeezed toward 0.5)
+    for gk, squeeze in ((0, 1.0), (1, 0.4)):
+        for i in range(3000):
+            m = rng.randrange(1, 1000)
+            true_p = 0.5 + (m / 1000 - 0.5) * squeeze
+            yv = 1 if rng.random() < true_p else 0
+            rows.append((gk, m, yv))
+    df = spark.createDataFrame(rows, "g long, m long, y int")
+    got = {r["g"]: (r["n"], r["z_num"], r["z_den"], r["z"])
+           for r in spiegelhalter_z(
+               df, ["g"], p_millis_col="m",
+               label_col="y").collect()}
+    for gk in (0, 1):
+        zn = sum((1000 * yv - m) * (1000 - 2 * m)
+                 for gg, m, yv in rows if gg == gk)
+        zd = sum((1000 - 2 * m) ** 2 * m * (1000 - m)
+                 for gg, m, yv in rows if gg == gk)
+        assert got[gk][:3] == (3000, zn, zd)
+        assert got[gk][3] == pytest.approx(zn / math.sqrt(zd),
+                                           rel=1e-12)
+    assert abs(got[0][3]) < 3.0       # calibrated within noise
+    assert abs(got[1][3]) > 5.0       # overconfidence detected
+
+    df = spark.createDataFrame([(0, 1000, 1)], "g long, m long, y int")
+    with pytest.raises(Exception, match="outside"):
+        spiegelhalter_z(df, ["g"], p_millis_col="m",
+                        label_col="y").collect()
