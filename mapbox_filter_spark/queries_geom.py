@@ -6099,3 +6099,64 @@ WHERE rn = 1"""
 
 
 GEOM_QUERIES["ransac_line"] = (q_ransac_line, sql_ransac_line)
+
+
+def q_tile_line_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile clipped polyline length — the road-km-per-tile
+    cartographic stat: tile_clip's exact subpixel pieces reduced by
+    the trajectory-family discipline (pinned (line, seg)-ordered left
+    fold of √(exact int d²)), plus piece/cut counts."""
+    from .geo.clip import clip_segments_to_tiles
+
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .filter(F.col("p_partkey") <= _RDP_LINES))
+    lines = part.select(F.col("p_partkey").alias("line_id"),
+                        _wiggly_verts().alias("verts"))
+    seg = F.transform(
+        F.sequence(F.lit(0), F.lit(_RDP_N - 2)),
+        lambda i: F.struct(
+            i.cast("long").alias("seg_i"),
+            F.element_at(F.col("verts"), (i + 1).cast("int"))["x"]
+            .alias("x0"),
+            F.element_at(F.col("verts"), (i + 1).cast("int"))["y"]
+            .alias("y0"),
+            F.element_at(F.col("verts"), (i + 2).cast("int"))["x"]
+            .alias("x1"),
+            F.element_at(F.col("verts"), (i + 2).cast("int"))["y"]
+            .alias("y1")))
+    segs = (lines.select("line_id", F.explode(seg).alias("s"))
+            .select("line_id", "s.*"))
+    clipped = clip_segments_to_tiles(segs, _CLIP_TILE, _CLIP_SCALE)
+    d2 = ((F.col("qx1") - F.col("qx0")) * (F.col("qx1") - F.col("qx0"))
+          + (F.col("qy1") - F.col("qy0"))
+          * (F.col("qy1") - F.col("qy0")))
+    arr = F.sort_array(F.collect_list(F.struct(
+        "line_id", "seg_i",
+        F.sqrt(d2.cast("double")).alias("s"))))
+    per = (clipped.groupBy("tx", "ty")
+           .agg(F.count(F.lit(1)).alias("n_pieces"),
+                F.sum((F.col("cut_in") | F.col("cut_out")).cast("int"))
+                .alias("n_cut"),
+                arr.alias("_a")))
+    return per.select(
+        "tx", "ty", "n_pieces", F.col("n_cut").cast("long").alias("n_cut"),
+        F.aggregate(F.col("_a"), F.lit(0.0),
+                    lambda a, s: a + s["s"]).alias("len_subpx"))
+
+
+def sql_tile_line_length() -> str:
+    base = sql_tile_clip()
+    return f"""WITH clipped AS ({base})
+SELECT tx, ty, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+       CAST(SUM(CASE WHEN cut_in OR cut_out THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cut,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list(sqrt(CAST((qx1 - qx0) * (qx1 - qx0)
+                        + (qy1 - qy0) * (qy1 - qy0) AS DOUBLE))
+              ORDER BY line_id, seg_i)),
+         (a, q) -> a + q) AS len_subpx
+FROM clipped GROUP BY 1, 2"""
+
+
+GEOM_QUERIES["tile_line_length"] = (q_tile_line_length,
+                                    sql_tile_line_length)
