@@ -2258,3 +2258,100 @@ def weighted_scheduling(df: DataFrame, key_cols: "list[str]", *,
     return per.select(
         *g, F.coalesce(guard, F.col("n")).alias("n"),
         F.element_at(dp, -1).alias("best_weight"))
+
+
+def holt_winters(df: DataFrame, key_cols: "list[str]", *,
+                 order_cols: "tuple[str, ...]", value_col: str,
+                 m: int = 7, alpha_num: int = 1, alpha_den: int = 4,
+                 beta_num: int = 1, beta_den: int = 8,
+                 gamma_num: int = 1, gamma_den: int = 4,
+                 horizon: int = 7, max_len: int = 4000) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) — level +
+    trend + period-``m`` seasonality, the full classical forecaster
+    past :func:`holt_forecast`:
+
+        ℓ_t = α(x_t − s_{t−m}) + (1−α)(ℓ_{t−1} + b_{t−1})
+        b_t = β(ℓ_t − ℓ_{t−1}) + (1−β)b_{t−1}
+        s_t = γ(x_t − ℓ_t) + (1−γ)s_{t−m}
+        x̂_{n+h} = ℓ_n + h·b_n + s_{n+h−m⌈h/m⌉}
+
+    Determinism: α, β, γ dyadic (checked); the state
+    [t, ℓ, b, s₁..s_m] rides ONE left-associated in-row fold as a
+    flat double list with the spellings above pinned — identical
+    IEEE sequences cross-engine.  Initialization is the classical
+    two-period seed: ℓ₀ = mean(x₁..x_m), b₀ = (mean(x_{m+1}..x_{2m})
+    − ℓ₀)/m, s_j = x_j − ℓ₀; the recursion consumes x_{m+1}..x_n.
+    Series shorter than 2m drop (documented).
+
+    One key exchange; ``max_len`` raises in-plan.  Returns one row
+    per (key, h): ``(*key_cols, n, h, level, trend, seasonal,
+    forecast)`` for h ∈ 1..horizon.
+    """
+    for num, den in ((alpha_num, alpha_den), (beta_num, beta_den),
+                     (gamma_num, gamma_den)):
+        if den <= 0 or (den & (den - 1)) != 0 or not 0 < num < den:
+            raise ValueError("alpha/beta/gamma must be dyadic in (0,1)")
+    if m < 2:
+        raise ValueError("m must be >= 2")
+    al = alpha_num / alpha_den
+    be = beta_num / beta_den
+    ga = gamma_num / gamma_den
+    order = [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    v = F.col(value_col).cast("long")
+    base = df.select(*key_cols, F.row_number().over(w).alias("_i"),
+                     v.alias("_x"))
+    per = (base.groupBy(*key_cols)
+           .agg(F.count(F.lit(1)).alias("_n"),
+                F.array_sort(F.collect_list(
+                    F.struct("_i", "_x"))).alias("_a")))
+    n = F.when(
+        F.col("_n") > max_len,
+        F.raise_error(F.concat(
+            F.lit(f"holt_winters: series exceeds {max_len} points: "),
+            F.col("_n").cast("string"))).cast("long")
+    ).otherwise(F.col("_n"))
+    per = per.filter(F.col("_n") >= 2 * m).select(
+        *key_cols, n.alias("n"), "_a")
+    xs = F.transform(F.col("_a"), lambda s: s["_x"].cast("double"))
+
+    def seg_mean(lo, cnt):
+        return (F.aggregate(F.slice(xs, lo, cnt), F.lit(0.0),
+                            lambda a, x: a + x) / F.lit(float(cnt)))
+
+    l0 = seg_mean(1, m)
+    b0 = (seg_mean(m + 1, m) - l0) / F.lit(float(m))
+    seed = F.transform(F.sequence(F.lit(0), F.lit(m - 1)),
+                       lambda j: F.element_at(xs, (j + 1).cast("int"))
+                       - l0)
+    zero = F.concat(F.array(F.lit(float(m)), l0, b0), seed)
+
+    def step(acc, x):
+        t = F.element_at(acc, 1)           # points consumed so far
+        sidx = F.pmod(t.cast("long"), m)   # 0-based slot of pos t+1
+        l_old = F.element_at(acc, 2)
+        b_old = F.element_at(acc, 3)
+        s_old = F.element_at(acc, (sidx + 4).cast("int"))
+        l_new = (F.lit(al) * (x - s_old)
+                 + F.lit(1.0 - al) * (l_old + b_old))
+        b_new = (F.lit(be) * (l_new - l_old)
+                 + F.lit(1.0 - be) * b_old)
+        s_new = F.lit(ga) * (x - l_new) + F.lit(1.0 - ga) * s_old
+        seas = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda j: F.when(j.cast("long") == sidx, s_new)
+            .otherwise(F.element_at(acc, (j + 4).cast("int"))))
+        return F.concat(F.array(t + 1.0, l_new, b_new), seas)
+
+    fin = F.aggregate(F.slice(xs, m + 1, F.size(xs)), zero, step)
+    hs = F.explode(F.sequence(F.lit(1), F.lit(horizon)))
+    out = per.select(*key_cols, "n", fin.alias("_f"), hs.alias("h"))
+    lev = F.element_at(F.col("_f"), 2)
+    trd = F.element_at(F.col("_f"), 3)
+    sidx = F.pmod(F.col("n") + F.col("h") - 1, m)
+    seas = F.element_at(F.col("_f"), (sidx + 4).cast("int"))
+    return out.select(*key_cols, "n", F.col("h").cast("int").alias("h"),
+                      lev.alias("level"), trd.alias("trend"),
+                      seas.alias("seasonal"),
+                      (lev + F.col("h").cast("double") * trd + seas)
+                      .alias("forecast"))

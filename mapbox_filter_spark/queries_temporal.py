@@ -2699,3 +2699,83 @@ SELECT g, n, dp[len(dp)] AS best_weight FROM fin"""
 
 TEMPORAL_QUERIES["weighted_scheduling"] = (q_weighted_scheduling,
                                            sql_weighted_scheduling)
+
+
+_HW_M = 7
+_HW_H = 7
+
+
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters over daily cents volume per event type
+    (operators/temporal.py holt_winters): weekly season m=7, dyadic
+    α=1/4 β=1/8 γ=1/4, the [t, ℓ, b, s₁..s₇] state one pinned in-row
+    fold; 1..7-day-ahead forecasts carry the fitted seasonal
+    pattern."""
+    from .geo.tilemath import floor_div
+    from .operators.temporal import _us, holt_winters
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+          .select(F.col("event_type").alias("g"),
+                  floor_div(_us(F.col("ts")), 86_400_000_000)
+                  .alias("d"),
+                  _cents().alias("c")))
+    daily = ev.groupBy("g", "d").agg(F.sum("c").alias("x"))
+    return holt_winters(daily, ["g"], order_cols=("d",),
+                        value_col="x", m=_HW_M, horizon=_HW_H)
+
+
+def sql_holt_winters() -> str:
+    m = _HW_M
+    al, be, ga = 0.25, 0.125, 0.25
+    l_new = (f"({al!r} * (x[1] - a[CAST(CAST(a[1] AS BIGINT) % {m} "
+             f"AS INTEGER) + 4]) + {1.0 - al!r} * (a[2] + a[3]))")
+    b_new = (f"({be!r} * ({l_new} - a[2]) + {1.0 - be!r} * a[3])")
+    s_new = (f"({ga!r} * (x[1] - {l_new}) + {1.0 - ga!r}"
+             f" * a[CAST(CAST(a[1] AS BIGINT) % {m} AS INTEGER) + 4])")
+    seas = (f"list_transform(range(0, {m}), j -> "
+            f"CASE WHEN j = CAST(a[1] AS BIGINT) % {m} THEN {s_new} "
+            f"ELSE a[CAST(j AS INTEGER) + 4] END)")
+    return f"""WITH e AS (
+  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS d,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+daily AS (
+  SELECT g, d, CAST(SUM(c) AS BIGINT) AS x FROM e GROUP BY 1, 2),
+ser AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         list(CAST(x AS DOUBLE) ORDER BY d) AS xs
+  FROM daily GROUP BY g HAVING COUNT(*) >= {2 * m}),
+seed AS (
+  SELECT g, n, xs,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_slice(xs, 1, {m})), (p, q) -> p + q)
+           / {float(m)!r} AS l0
+  FROM ser),
+seed2 AS (
+  SELECT g, n, xs, l0,
+         (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_slice(xs, {m + 1}, {2 * m})), (p, q) -> p + q)
+            / {float(m)!r} - l0) / {float(m)!r} AS b0
+  FROM seed),
+fit AS (
+  SELECT g, n,
+         list_reduce(
+           list_prepend(
+             list_concat([CAST({float(m)!r} AS DOUBLE), l0, b0],
+               list_transform(range(0, {m}),
+                 j -> xs[CAST(j AS INTEGER) + 1] - l0)),
+             list_transform(list_slice(xs, {m + 1}, CAST(n AS INTEGER)),
+                            v -> [v])),
+           (a, x) -> list_concat([a[1] + 1.0, {l_new}, {b_new}],
+                                 {seas})) AS st
+  FROM seed2)
+SELECT f.g, f.n, CAST(t.h AS INTEGER) AS h,
+       st[2] AS level, st[3] AS trend,
+       st[CAST((f.n + t.h - 1) % {m} AS INTEGER) + 4] AS seasonal,
+       st[2] + CAST(t.h AS DOUBLE) * st[3]
+         + st[CAST((f.n + t.h - 1) % {m} AS INTEGER) + 4] AS forecast
+FROM fit f, LATERAL (SELECT unnest(range(1, {_HW_H} + 1)) AS h) t"""
+
+
+TEMPORAL_QUERIES["holt_winters"] = (q_holt_winters, sql_holt_winters)

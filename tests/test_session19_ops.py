@@ -2154,3 +2154,63 @@ def test_spiegelhalter_differential(spark):
     with pytest.raises(Exception, match="outside"):
         spiegelhalter_z(df, ["g"], p_millis_col="m",
                         label_col="y").collect()
+
+
+# ---- holt_winters ----
+
+def _brute_hw(xs, m=7, al=0.25, be=0.125, ga=0.25, horizon=7):
+    if len(xs) < 2 * m:
+        return None
+    xs = [float(x) for x in xs]
+    l = sum(xs[:m]) / float(m)
+    b = (sum(xs[m:2 * m]) / float(m) - l) / float(m)
+    s = [xs[j] - l for j in range(m)]
+    t = m
+    for x in xs[m:]:
+        sidx = t % m
+        l_old, s_old = l, s[sidx]
+        l = al * (x - s_old) + (1.0 - al) * (l_old + b)
+        b = be * (l - l_old) + (1.0 - be) * b
+        s[sidx] = ga * (x - l) + (1.0 - ga) * s_old
+        t += 1
+    n = len(xs)
+    return {h: (l, b, s[(n + h - 1) % m],
+                l + float(h) * b + s[(n + h - 1) % m])
+            for h in range(1, horizon + 1)}
+
+
+def test_hw_differential(spark):
+    from mapbox_filter_spark.operators.temporal import holt_winters
+
+    rng = random.Random(64)
+    season = [0, 40, 80, 20, -30, -60, -50]
+    xs = [1000 + 3 * t + season[t % 7] + rng.randrange(-10, 10)
+          for t in range(70)]
+    rows = [(1, t, x) for t, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k long, t long, x long")
+    got = {r["h"]: (r["level"], r["trend"], r["seasonal"],
+                    r["forecast"])
+           for r in holt_winters(df, ["k"], order_cols=("t",),
+                                 value_col="x").collect()}
+    want = _brute_hw(xs)
+    assert set(got) == set(want)
+    for h in want:
+        for a, b in zip(got[h], want[h]):
+            assert a == pytest.approx(b, rel=1e-12), h
+    # the fitted seasonal pattern must track the planted one: peak
+    # day and trough day agree
+    fc = {h: got[h][3] for h in got}
+    peak = max(fc, key=fc.get)
+    trough = min(fc, key=fc.get)
+    n = len(xs)
+    assert season[(n + peak - 1) % 7] == max(season)
+    assert season[(n + trough - 1) % 7] == min(season)
+
+
+def test_hw_short_series_drop(spark):
+    from mapbox_filter_spark.operators.temporal import holt_winters
+
+    rows = [(1, t, t) for t in range(10)]
+    df = spark.createDataFrame(rows, "k long, t long, x long")
+    assert holt_winters(df, ["k"], order_cols=("t",),
+                        value_col="x").collect() == []
