@@ -6160,3 +6160,70 @@ FROM clipped GROUP BY 1, 2"""
 
 GEOM_QUERIES["tile_line_length"] = (q_tile_line_length,
                                     sql_tile_line_length)
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit of the k_anonymity release
+    (operators/privacy.py t_closeness_audit): per published cell the
+    exact cross-multiplied W₁ distance between its ordinal sensitive
+    distribution and the corpus — the skew leak l-diversity misses;
+    privacy triad complete."""
+    from .geo.geohash import geohash
+    from .operators.privacy import t_closeness_audit
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir).select(
+        F.col("feature_id").alias("id"),
+        geohash(F.col("lon"), F.col("lat"), _KANON_PREC).alias("gh"),
+        F.pmod(F.col("feature_id"), F.lit(6)).alias("s"))
+    return t_closeness_audit(feats, _KANON_K, _KANON_PREC)
+
+
+def sql_t_closeness() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    base = sql_k_anonymity()
+    return f"""WITH gen AS ({base}),
+sens AS (
+  SELECT feature_id AS id, feature_id % 6 AS s
+  FROM (WITH {FEATURES_ORACLE_SQL} SELECT feature_id FROM features)),
+j AS (
+  SELECT g.prec, g.cell, s.s
+  FROM gen g JOIN sens s ON s.id = g.id),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS big_n FROM j),
+kc AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS kcats FROM j),
+cellcat AS (
+  SELECT prec, cell, s, CAST(COUNT(*) AS BIGINT) AS c
+  FROM j GROUP BY 1, 2, 3),
+cells AS (
+  SELECT prec, cell, SUM(c) AS n FROM cellcat GROUP BY 1, 2),
+cats AS (SELECT DISTINCT s FROM j),
+grid AS (
+  SELECT ce.prec, ce.cell, ce.n, ca.s, coalesce(cc.c, 0) AS c
+  FROM cells ce CROSS JOIN cats ca
+  LEFT JOIN cellcat cc
+    ON cc.prec = ce.prec
+   AND (cc.cell = ce.cell OR (cc.cell IS NULL AND ce.cell IS NULL))
+   AND cc.s = ca.s),
+gfreq AS (
+  SELECT s, SUM(CAST(cnt AS BIGINT)) OVER (ORDER BY s) AS gc
+  FROM (SELECT s, COUNT(*) AS cnt FROM j GROUP BY s)),
+terms AS (
+  SELECT g.prec, g.cell, g.n,
+         SUM(g.c) OVER (PARTITION BY g.prec, g.cell
+                        ORDER BY g.s
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cc,
+         gl.gc
+  FROM grid g JOIN gfreq gl ON gl.s = g.s)
+SELECT t.prec, t.cell, t.n,
+       CAST(SUM(abs(t.cc * tot.big_n - t.gc * t.n)) AS DOUBLE)
+         / CAST(t.n * tot.big_n
+                * greatest(kc.kcats - 1, 1) AS DOUBLE) AS t_w1,
+       CAST(MAX(abs(t.cc * tot.big_n - t.gc * t.n)) AS DOUBLE)
+         / CAST(t.n * tot.big_n AS DOUBLE) AS worst_cat_gap
+FROM terms t, tot, kc
+GROUP BY t.prec, t.cell, t.n, tot.big_n, kc.kcats"""
+
+
+GEOM_QUERIES["t_closeness"] = (q_t_closeness, sql_t_closeness)

@@ -2214,3 +2214,64 @@ def test_hw_short_series_drop(spark):
     df = spark.createDataFrame(rows, "k long, t long, x long")
     assert holt_winters(df, ["k"], order_cols=("t",),
                         value_col="x").collect() == []
+
+
+# ---- t_closeness_audit ----
+
+def _brute_tclose(points, k, precision):
+    kan = _brute_kanon([(i, g) for i, g, _ in points], k, precision)
+    N = len(points)
+    cats = sorted({s for _, _, s in points})
+    K = len(cats)
+    from collections import Counter
+
+    gl = Counter(s for _, _, s in points)
+    cells = {}
+    for i, g, s in points:
+        p, cell, _ = kan[i]
+        cells.setdefault((p, cell), []).append(s)
+    out = {}
+    for key, ss in cells.items():
+        n = len(ss)
+        cc = Counter(ss)
+        sg = mg = 0
+        cum_c = cum_g = 0
+        for c in cats:
+            cum_c += cc.get(c, 0)
+            cum_g += gl[c]
+            gap = abs(cum_c * N - cum_g * n)
+            sg += gap
+            mg = max(mg, gap)
+        out[key] = (n, sg / (n * N * max(K - 1, 1)),
+                    mg / (n * N))
+    return out
+
+
+def test_tcloseness_differential(spark):
+    from mapbox_filter_spark.operators.privacy import t_closeness_audit
+
+    rng = random.Random(83)
+    # cell "aaaa": sensitive skewed to category 0; others mixed
+    points = []
+    for i in range(40):
+        points.append((i, "aaaa", 0 if rng.random() < 0.9 else 1))
+    for i in range(40, 120):
+        points.append((i, rng.choice(["bbbb", "cccc"]),
+                       rng.randrange(3)))
+    # two isolated points -> fully suppressed NULL cell; its category
+    # counts must survive the null-safe completion join
+    points.append((120, "zzzz", 0))
+    points.append((121, "yyyy", 2))
+    df = spark.createDataFrame(points, "id long, gh string, s long")
+    got = {(r["prec"], r["cell"]): (r["n"], r["t_w1"],
+                                    r["worst_cat_gap"])
+           for r in t_closeness_audit(df, 5, 4).collect()}
+    want = _brute_tclose(points, 5, 4)
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0], key
+        assert got[key][1] == pytest.approx(want[key][1], rel=1e-12)
+        assert got[key][2] == pytest.approx(want[key][2], rel=1e-12)
+    # the deliberately skewed cell is the farthest from the corpus
+    skew = got[(4, "aaaa")][1]
+    assert skew == max(v[1] for v in got.values())
