@@ -93,6 +93,60 @@ def l_diversity_audit(pts: DataFrame, k: int, precision: int, l: int, *,
                         & (F.col("n_sensitive") >= l)))
 
 
+def _dlap_thresholds(epsilon: float, z_max: int) -> list[int]:
+    """Quantized CDF thresholds of the discrete Laplace DL(e^{-ε})
+    on the clamped support [-z_max, z_max]: T_k = floor(F(k)·2⁶⁰)
+    for k in [-z_max, z_max-1].  Computed ONCE in Python and baked as
+    integer literals into both engines' plans, so the draw is an
+    exact-integer comparison ladder — no cross-engine exp/ln.
+    """
+    import math
+    a = math.exp(-epsilon)
+    ts = []
+    for k in range(-z_max, z_max):
+        if k < 0:
+            f = a ** (-k) / (1.0 + a)
+        else:
+            f = 1.0 - a ** (k + 1) / (1.0 + a)
+        ts.append(int(f * float(1 << 60)))
+    return ts
+
+
+def dp_histogram(df: DataFrame, key_cols: list[str], *,
+                 epsilon: float, salt: str, z_max: int = 16,
+                 out: str = "n_noisy") -> DataFrame:
+    """ε-differentially-private histogram release: per-cell exact
+    count + two-sided-geometric (discrete Laplace) noise, the discrete
+    mechanism of Ghosh-Roughgarden-Sundararajan 2009.  The draw is
+    DETERMINISTIC — a keyed-PRF instance of seeded-noise DP: u =
+    md5-u60(salt, cell key) inverted through the quantized DL CDF via
+    :func:`_dlap_thresholds`, so the release value-hashes exactly
+    across engines and replays stably under retries (the production
+    property a re-run pipeline needs: the same release, not a fresh
+    draw that would burn privacy budget).  Noise is clamped to
+    ±z_max (tail mass α^{z_max}/(1+α), documented utility bias);
+    negative noisy counts post-process to 0.
+
+    Scale shape: ONE map-side-combinable count per cell; the noise
+    ladder is 2·z_max literal integer comparisons in whole-stage
+    codegen — nothing leaves the JVM, no second shuffle.
+
+    Returns ``(*key_cols, out)`` — the true count never appears in
+    the output.
+    """
+    from .splits import hash_u60
+
+    if z_max < 1 or epsilon <= 0:
+        raise ValueError("epsilon > 0 and z_max >= 1 required")
+    cnt = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
+    u = hash_u60(list(key_cols), salt)
+    z = sum((F.when(u >= F.lit(t), 1).otherwise(0)
+             for t in _dlap_thresholds(epsilon, z_max)),
+            F.lit(-z_max))
+    return cnt.select(*key_cols,
+                      F.greatest(F.col("_n") + z, F.lit(0)).alias(out))
+
+
 def t_closeness_audit(pts: DataFrame, k: int, precision: int, *,
                       id_col: str = "id", gh_col: str = "gh",
                       sensitive_col: str = "s") -> DataFrame:

@@ -6227,3 +6227,52 @@ GROUP BY t.prec, t.cell, t.n, tot.big_n, kc.kcats"""
 
 
 GEOM_QUERIES["t_closeness"] = (q_t_closeness, sql_t_closeness)
+
+
+_DP_EPS = 0.5
+_DP_ZMAX = 16
+_DP_SALT = "dp-hist-v1"
+_DP_PREC = 4
+
+
+def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP histogram release of the feature scatter
+    (operators/privacy.py dp_histogram): per-geohash-cell counts +
+    deterministic discrete-Laplace noise (ε=0.5) drawn by inverting
+    the quantized DL CDF at the cell's md5-u60 coordinate — the
+    replay-stable seeded-noise release; exact-integer ladder, so the
+    whole release value-hashes."""
+    from .geo.geohash import geohash
+    from .operators.privacy import dp_histogram
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir).select(
+        geohash(F.col("lon"), F.col("lat"), _DP_PREC).alias("cell"))
+    return dp_histogram(feats, ["cell"], epsilon=_DP_EPS,
+                        salt=_DP_SALT, z_max=_DP_ZMAX)
+
+
+def sql_dp_histogram() -> str:
+    from .geo.geohash import sql_geohash_select
+    from .operators.privacy import _dlap_thresholds
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    src = (f"WITH {FEATURES_ORACLE_SQL} "
+           "SELECT feature_id, lon, lat FROM features")
+    inner = sql_geohash_select(src, ["feature_id"], "lon", "lat",
+                               precision=_DP_PREC, out="cell")
+    u = ("CAST(('0x' || substr(md5(concat_ws(chr(31), "
+         f"'{_DP_SALT}', cell)), 1, 15)) AS BIGINT)")
+    ladder = " + ".join(
+        f"(CASE WHEN u60 >= {t} THEN 1 ELSE 0 END)"
+        for t in _dlap_thresholds(_DP_EPS, _DP_ZMAX))
+    return f"""WITH pts AS ({inner}),
+cnt AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pts GROUP BY 1),
+uu AS (SELECT cell, n, {u} AS u60 FROM cnt)
+SELECT cell,
+       greatest(n + ({ladder}) - {_DP_ZMAX}, 0) AS n_noisy
+FROM uu"""
+
+
+GEOM_QUERIES["dp_histogram"] = (q_dp_histogram, sql_dp_histogram)
