@@ -6276,3 +6276,106 @@ FROM uu"""
 
 
 GEOM_QUERIES["dp_histogram"] = (q_dp_histogram, sql_dp_histogram)
+
+
+_TOUR_VEH = 40
+_TOUR_CAP = 24
+
+
+def q_route_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vehicle route sequencing (operators/routing.py nn_tour):
+    the feature scatter split into 40 vehicles, stops deterministically
+    capped at 24/vehicle (cap_per_group), then the greedy
+    nearest-neighbour tour solved inside each vehicle's row as an
+    exact-integer fold — visit order and µ-quantized tour length
+    value-hash end to end."""
+    from .operators.routing import nn_tour
+    from .operators.splits import cap_per_group
+    from .sources.features import features_from_lineitem
+
+    fid = F.col("feature_id")
+    # feature_id repeats across lineitem rows — a stop is visited once
+    stops = features_from_lineitem(spark, sf_dir).select(
+        F.pmod(fid, F.lit(_TOUR_VEH)).alias("vehicle"),
+        "feature_id",
+        F.pmod(fid * 7919, F.lit(360000)).alias("x"),
+        F.pmod(fid * 104729, F.lit(170000)).alias("y")).distinct()
+    capped = cap_per_group(stops, ["vehicle"], _TOUR_CAP,
+                           id_col="feature_id")
+    t = nn_tour(capped, ["vehicle"], id_col="feature_id",
+                max_stops=_TOUR_CAP)
+    return t.select("vehicle", "n_stops",
+                    F.array_join(F.col("tour"), ",").alias("tour"),
+                    "tour_len_micro")
+
+
+def sql_route_tour() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    # the oracle argmin encodes d2*64+index in one BIGINT: index < 64
+    # (cap) and d2 <= 2*360000^2 so the product is far inside int64
+    assert _TOUR_CAP < 64
+    return f"""WITH {FEATURES_ORACLE_SQL},
+stops0 AS (
+  SELECT DISTINCT feature_id % {_TOUR_VEH} AS vehicle, feature_id,
+         (feature_id * 7919) % 360000 AS x,
+         (feature_id * 104729) % 170000 AS y
+  FROM features),
+capd AS (
+  SELECT vehicle, feature_id, x, y FROM (
+    SELECT vehicle, feature_id, x, y,
+           ROW_NUMBER() OVER (PARTITION BY vehicle
+             ORDER BY md5(CAST(feature_id AS VARCHAR)), feature_id)
+             AS rk
+    FROM stops0) WHERE rk <= {_TOUR_CAP}),
+per AS (
+  SELECT vehicle, CAST(COUNT(*) AS BIGINT) AS n,
+         list({{'i': CAST(feature_id AS BIGINT),
+               'x': CAST(x AS BIGINT),
+               'y': CAST(y AS BIGINT)}} ORDER BY feature_id) AS pts
+  FROM capd GROUP BY 1),
+tours AS (
+  -- argmin encoded as list_min of d2*64+ii (ii < 64 asserted by the
+  -- cap): a nested list_reduce mis-vectorizes at volume in DuckDB,
+  -- the same bug the jenks_breaks oracle works around
+  SELECT vehicle, n, pts,
+    list_reduce(
+      list_prepend(CAST([0] AS BIGINT[]),
+                   CASE WHEN n > 1
+                        THEN list_transform(
+                               range(1, CAST(n AS INTEGER)),
+                               s -> CAST([s] AS BIGINT[]))
+                        ELSE [] END),
+      (acc, st) -> list_append(acc,
+        list_min(list_transform(
+            list_filter(range(0, CAST(n AS INTEGER)),
+                        ii -> NOT list_contains(acc, ii)),
+            ii -> (
+              (pts[CAST(acc[-1] + 1 AS INTEGER)].x - pts[ii + 1].x)
+              * (pts[CAST(acc[-1] + 1 AS INTEGER)].x - pts[ii + 1].x)
+              + (pts[CAST(acc[-1] + 1 AS INTEGER)].y - pts[ii + 1].y)
+              * (pts[CAST(acc[-1] + 1 AS INTEGER)].y - pts[ii + 1].y)
+            ) * 64 + ii)) % 64)
+    ) AS tidx
+  FROM per)
+SELECT vehicle, n AS n_stops,
+  list_aggregate(list_transform(tidx,
+      j -> CAST(pts[CAST(j + 1 AS INTEGER)].i AS VARCHAR)),
+      'string_agg', ',') AS tour,
+  CASE WHEN n > 1 THEN
+    (SELECT CAST(COALESCE(SUM(CAST(floor(sqrt(CAST(
+       (pts[CAST(tidx[k] + 1 AS INTEGER)].x
+        - pts[CAST(tidx[k+1] + 1 AS INTEGER)].x)
+     * (pts[CAST(tidx[k] + 1 AS INTEGER)].x
+        - pts[CAST(tidx[k+1] + 1 AS INTEGER)].x)
+     + (pts[CAST(tidx[k] + 1 AS INTEGER)].y
+        - pts[CAST(tidx[k+1] + 1 AS INTEGER)].y)
+     * (pts[CAST(tidx[k] + 1 AS INTEGER)].y
+        - pts[CAST(tidx[k+1] + 1 AS INTEGER)].y)
+       AS DOUBLE)) * 1000000.0) AS BIGINT)), 0) AS BIGINT)
+     FROM unnest(range(1, CAST(n AS INTEGER))) t(k))
+  ELSE 0 END AS tour_len_micro
+FROM tours"""
+
+
+GEOM_QUERIES["route_tour"] = (q_route_tour, sql_route_tour)

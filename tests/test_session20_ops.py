@@ -74,3 +74,73 @@ def test_dp_histogram_validation(spark):
         dp_histogram(df, ["cell"], epsilon=0.0, salt="s")
     with pytest.raises(ValueError):
         dp_histogram(df, ["cell"], epsilon=1.0, salt="s", z_max=0)
+
+
+# ---- nn_tour (greedy NN route sequencing) ----
+
+def _brute_nn_tour(stops):
+    """stops: list of (id, x, y) for ONE group."""
+    import math
+
+    pts = sorted(stops)
+    tour = [0]
+    while len(tour) < len(pts):
+        last = pts[tour[-1]]
+        best = None
+        for j in range(len(pts)):
+            if j in tour:
+                continue
+            d2 = (last[1] - pts[j][1]) ** 2 + (last[2] - pts[j][2]) ** 2
+            if best is None or d2 < best[0]:
+                best = (d2, j)
+        tour.append(best[1])
+    ids = [pts[j][0] for j in tour]
+    length = sum(
+        int(math.floor(math.sqrt((pts[a][1] - pts[b][1]) ** 2
+                                 + (pts[a][2] - pts[b][2]) ** 2) * 1e6))
+        for a, b in zip(tour, tour[1:]))
+    return ids, length
+
+
+def test_nn_tour_differential(spark):
+    from mapbox_filter_spark.operators.routing import nn_tour
+
+    rng = random.Random(29)
+    rows = []
+    groups = {}
+    for v in range(8):
+        n = rng.randrange(1, 15)
+        stops = [(i, rng.randrange(10 ** 6), rng.randrange(10 ** 6))
+                 for i in range(n)]
+        groups[v] = stops
+        rows += [(v, i, x, y) for i, x, y in stops]
+    df = spark.createDataFrame(rows, "v long, stop_id long, x long, y long")
+    got = {r["v"]: (list(r["tour"]), r["tour_len_micro"], r["n_stops"])
+           for r in nn_tour(df, ["v"]).collect()}
+    for v, stops in groups.items():
+        ids, length = _brute_nn_tour(stops)
+        assert got[v] == (ids, length, len(stops)), v
+
+
+def test_nn_tour_tie_breaks_to_lowest_id(spark):
+    from mapbox_filter_spark.operators.routing import nn_tour
+
+    # stops 5 and 9 equidistant from start 1 -> 5 visited first
+    rows = [(0, 1, 0, 0), (0, 9, 10, 0), (0, 5, -10, 0)]
+    df = spark.createDataFrame(rows, "v long, stop_id long, x long, y long")
+    r = nn_tour(df, ["v"]).collect()[0]
+    assert list(r["tour"]) == [1, 5, 9]
+    assert r["tour_len_micro"] == 10_000_000 + 20_000_000
+
+
+def test_nn_tour_max_stops_guard(spark):
+    from pyspark.errors import SparkRuntimeException
+
+    from mapbox_filter_spark.operators.routing import nn_tour
+
+    rows = [(0, i, i, 0) for i in range(5)]
+    df = spark.createDataFrame(rows, "v long, stop_id long, x long, y long")
+    with pytest.raises(SparkRuntimeException, match="max_stops"):
+        nn_tour(df, ["v"], max_stops=4).collect()
+    with pytest.raises(ValueError):
+        nn_tour(df, ["v"], max_stops=0)
