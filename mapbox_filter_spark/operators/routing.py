@@ -26,7 +26,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["nn_tour"]
+__all__ = ["nn_tour", "two_opt"]
 
 _MAXLONG = (1 << 63) - 1
 
@@ -104,18 +104,115 @@ def nn_tour(df: DataFrame, group_cols: Sequence[str], *,
     def at2(idx: Column) -> Column:
         return F.element_at(pts2, (idx + 1).cast("int"))
 
-    def qedge(a: Column, b: Column) -> Column:
-        return F.floor(
-            F.sqrt(_d2(a, b).cast("double")) * 1000000.0).cast("long")
-
     return mid.select(
         *group_cols, "n_stops",
         F.transform(tidx, lambda i: at2(i)["i"]).alias("tour"),
-        F.aggregate(
-            F.when(n2 > 1, F.sequence(F.lit(1), n2 - 1))
-            .otherwise(F.array().cast("array<int>")),
-            F.lit(0).cast("long"),
-            lambda acc, k: acc + qedge(
-                at2(F.element_at(tidx, k.cast("int"))),
-                at2(F.element_at(tidx, (k + 1).cast("int"))))
-        ).alias("tour_len_micro"))
+        _tour_len(pts2, tidx, n2).alias("tour_len_micro"))
+
+
+def _at(pts: Column, idx: Column) -> Column:
+    return F.element_at(pts, (idx + 1).cast("int"))
+
+
+def _qedge(a: Column, b: Column) -> Column:
+    return F.floor(
+        F.sqrt(_d2(a, b).cast("double")) * 1000000.0).cast("long")
+
+
+def _tour_len(pts: Column, tidx: Column, n: Column) -> Column:
+    return F.aggregate(
+        F.when(n > 1, F.sequence(F.lit(1), n - 1))
+        .otherwise(F.array().cast("array<int>")),
+        F.lit(0).cast("long"),
+        lambda acc, k: acc + _qedge(
+            _at(pts, F.element_at(tidx, k.cast("int"))),
+            _at(pts, F.element_at(tidx, (k + 1).cast("int")))))
+
+
+def two_opt(df: DataFrame, group_cols: Sequence[str], *,
+            id_col: str = "stop_id", x_col: str = "x", y_col: str = "y",
+            max_stops: int = 64, rounds: int = 6) -> DataFrame:
+    """Nearest-neighbour tour + fixed best-improvement 2-opt rounds
+    (Croes 1958): each round evaluates every segment reversal on the
+    open path, applies the single best strictly-improving one (exact
+    integer µ-quantized gain; ties break to the leftmost pair), and
+    stops changing once no reversal improves — all ``rounds`` rounds
+    run inside ONE in-row fold, so there is no per-iteration plan
+    growth (the platt_scaling expression-inlining lesson) and no
+    driver loop.
+
+    The (gain, pair) argmin is encoded as one int64 ``delta·n² + k``
+    (k = i·n + j): delta < 0 ⟺ encoded < 0, and pmod recovers k —
+    exactly mirrorable in DuckDB where ``%`` is truncating.
+
+    Returns ``(*group_cols, n_stops, tour, nn_len_micro,
+    tour_len_micro)``: construction vs improved length (improved ≤
+    construction by design).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be positive")
+    base = nn_tour(df, group_cols, id_col=id_col, x_col=x_col,
+                   y_col=y_col, max_stops=max_stops)
+    # re-derive pts alongside the base tour: nn_tour's public output
+    # drops the coordinate array, so rebuild the grouped frame once
+    pts_s = F.array_sort(F.collect_list(F.struct(
+        F.col(id_col).cast("long").alias("i"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"))))
+    g = (df.groupBy(*[F.col(c) for c in group_cols])
+         .agg(pts_s.alias("_pts")))
+    mid = base.join(g, list(group_cols))
+    pts = F.col("_pts")
+    n = F.size("_pts")
+    # tour (stop ids, sorted-unique per group) back to 0-based indices
+    ids_sorted = F.transform(pts, lambda p: p["i"])
+    tidx0 = F.transform(F.col("tour"),
+                        lambda s: F.array_position(ids_sorted, s) - 1)
+    m = n * n
+
+    def pt(tcur: Column, p: Column) -> Column:
+        return _at(pts, F.element_at(tcur, (p + 1).cast("int")))
+
+    def round_step(acc: Column) -> Column:
+        def delta(k: Column) -> Column:
+            i = ((k - F.pmod(k, n)) / n).cast("long")
+            j = F.pmod(k, n).cast("long")
+            head = (_qedge(pt(acc, i - 1), pt(acc, j))
+                    - _qedge(pt(acc, i - 1), pt(acc, i)))
+            tail = F.when(
+                j < n - 1,
+                _qedge(pt(acc, i), pt(acc, j + 1))
+                - _qedge(pt(acc, j), pt(acc, j + 1))).otherwise(F.lit(0))
+            return head + tail
+
+        pairs = F.filter(
+            F.sequence(F.lit(0), m - 1),
+            lambda k: (k >= n)  # i >= 1
+            & (((k - F.pmod(k, n)) / n).cast("long") < F.pmod(k, n)))
+        best = F.array_min(
+            F.transform(pairs, lambda k: delta(k) * m + k))
+        k_best = F.pmod(best, m)
+        i_b = ((k_best - F.pmod(k_best, n)) / n).cast("int")
+        j_b = F.pmod(k_best, n).cast("int")
+        rebuilt = F.concat(
+            F.slice(acc, 1, i_b),
+            F.reverse(F.slice(acc, i_b + 1, j_b - i_b + 1)),
+            F.when(j_b < n - 1,
+                   F.slice(acc, j_b + 2, (n - j_b - 1).cast("int")))
+            .otherwise(F.array().cast("array<long>")))
+        return F.when(best < 0, rebuilt).otherwise(acc)
+
+    improved = F.when(
+        n > 2,
+        F.aggregate(F.sequence(F.lit(1), F.lit(rounds)), tidx0,
+                    lambda acc, _: round_step(acc))).otherwise(tidx0)
+    mid2 = mid.select(*group_cols, "n_stops",
+                      F.col("tour_len_micro").alias("nn_len_micro"),
+                      pts.alias("_pts"), improved.alias("_tidx"))
+    pts2, tidx2 = F.col("_pts"), F.col("_tidx")
+    n2 = F.size("_pts")
+    return mid2.select(
+        *group_cols, "n_stops",
+        F.transform(tidx2, lambda i: _at(pts2, i)["i"]).alias("tour"),
+        "nn_len_micro",
+        _tour_len(pts2, tidx2, n2).alias("tour_len_micro"))

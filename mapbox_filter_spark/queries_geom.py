@@ -6309,14 +6309,14 @@ def q_route_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "tour_len_micro")
 
 
-def sql_route_tour() -> str:
-    from .sources.features import FEATURES_ORACLE_SQL
-
-    # the oracle argmin encodes d2*64+index in one BIGINT: index < 64
-    # (cap) and d2 <= 2*360000^2 so the product is far inside int64
+def _sql_tour_ctes() -> str:
+    """Shared oracle CTE chain: capped stop set -> pts list -> greedy
+    NN tour indices (tidx).  The argmin is encoded as list_min of
+    d2*64+ii (ii < 64 asserted by the cap): a nested list_reduce
+    mis-vectorizes at volume in DuckDB, the same bug the jenks_breaks
+    oracle works around."""
     assert _TOUR_CAP < 64
-    return f"""WITH {FEATURES_ORACLE_SQL},
-stops0 AS (
+    return f"""stops0 AS (
   SELECT DISTINCT feature_id % {_TOUR_VEH} AS vehicle, feature_id,
          (feature_id * 7919) % 360000 AS x,
          (feature_id * 104729) % 170000 AS y
@@ -6335,9 +6335,6 @@ per AS (
                'y': CAST(y AS BIGINT)}} ORDER BY feature_id) AS pts
   FROM capd GROUP BY 1),
 tours AS (
-  -- argmin encoded as list_min of d2*64+ii (ii < 64 asserted by the
-  -- cap): a nested list_reduce mis-vectorizes at volume in DuckDB,
-  -- the same bug the jenks_breaks oracle works around
   SELECT vehicle, n, pts,
     list_reduce(
       list_prepend(CAST([0] AS BIGINT[]),
@@ -6357,25 +6354,127 @@ tours AS (
               * (pts[CAST(acc[-1] + 1 AS INTEGER)].y - pts[ii + 1].y)
             ) * 64 + ii)) % 64)
     ) AS tidx
-  FROM per)
-SELECT vehicle, n AS n_stops,
-  list_aggregate(list_transform(tidx,
+  FROM per)"""
+
+
+def _sql_tour_str(t: str) -> str:
+    return (f"""list_aggregate(list_transform({t},
       j -> CAST(pts[CAST(j + 1 AS INTEGER)].i AS VARCHAR)),
-      'string_agg', ',') AS tour,
-  CASE WHEN n > 1 THEN
+      'string_agg', ',')""")
+
+
+def _sql_tour_len(t: str) -> str:
+    return f"""CASE WHEN n > 1 THEN
     (SELECT CAST(COALESCE(SUM(CAST(floor(sqrt(CAST(
-       (pts[CAST(tidx[k] + 1 AS INTEGER)].x
-        - pts[CAST(tidx[k+1] + 1 AS INTEGER)].x)
-     * (pts[CAST(tidx[k] + 1 AS INTEGER)].x
-        - pts[CAST(tidx[k+1] + 1 AS INTEGER)].x)
-     + (pts[CAST(tidx[k] + 1 AS INTEGER)].y
-        - pts[CAST(tidx[k+1] + 1 AS INTEGER)].y)
-     * (pts[CAST(tidx[k] + 1 AS INTEGER)].y
-        - pts[CAST(tidx[k+1] + 1 AS INTEGER)].y)
+       (pts[CAST({t}[k] + 1 AS INTEGER)].x
+        - pts[CAST({t}[k+1] + 1 AS INTEGER)].x)
+     * (pts[CAST({t}[k] + 1 AS INTEGER)].x
+        - pts[CAST({t}[k+1] + 1 AS INTEGER)].x)
+     + (pts[CAST({t}[k] + 1 AS INTEGER)].y
+        - pts[CAST({t}[k+1] + 1 AS INTEGER)].y)
+     * (pts[CAST({t}[k] + 1 AS INTEGER)].y
+        - pts[CAST({t}[k+1] + 1 AS INTEGER)].y)
        AS DOUBLE)) * 1000000.0) AS BIGINT)), 0) AS BIGINT)
      FROM unnest(range(1, CAST(n AS INTEGER))) t(k))
-  ELSE 0 END AS tour_len_micro
+  ELSE 0 END"""
+
+
+def sql_route_tour() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    return f"""WITH {FEATURES_ORACLE_SQL},
+{_sql_tour_ctes()}
+SELECT vehicle, n AS n_stops,
+  {_sql_tour_str('tidx')} AS tour,
+  {_sql_tour_len('tidx')} AS tour_len_micro
 FROM tours"""
 
 
 GEOM_QUERIES["route_tour"] = (q_route_tour, sql_route_tour)
+
+
+_TOUR_ROUNDS = 6
+
+
+def q_route_2opt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-opt route improvement (operators/routing.py two_opt): the
+    greedy NN tours refined by 6 best-improvement segment reversals
+    per vehicle, all inside one in-row fold — exact integer gains, so
+    visit order and both lengths (construction vs improved)
+    value-hash; improved ≤ construction by design."""
+    from .operators.routing import two_opt
+    from .operators.splits import cap_per_group
+    from .sources.features import features_from_lineitem
+
+    fid = F.col("feature_id")
+    stops = features_from_lineitem(spark, sf_dir).select(
+        F.pmod(fid, F.lit(_TOUR_VEH)).alias("vehicle"),
+        "feature_id",
+        F.pmod(fid * 7919, F.lit(360000)).alias("x"),
+        F.pmod(fid * 104729, F.lit(170000)).alias("y")).distinct()
+    capped = cap_per_group(stops, ["vehicle"], _TOUR_CAP,
+                           id_col="feature_id")
+    t = two_opt(capped, ["vehicle"], id_col="feature_id",
+                max_stops=_TOUR_CAP, rounds=_TOUR_ROUNDS)
+    return t.select("vehicle", "n_stops",
+                    F.array_join(F.col("tour"), ",").alias("tour"),
+                    "nn_len_micro", "tour_len_micro")
+
+
+def _sql_2opt_qd(pa: str, pb: str) -> str:
+    a = f"CAST(tidx[CAST(({pa}) + 1 AS INTEGER)] + 1 AS INTEGER)"
+    b = f"CAST(tidx[CAST(({pb}) + 1 AS INTEGER)] + 1 AS INTEGER)"
+    return (f"""CAST(floor(sqrt(CAST(
+      (pts[{a}].x - pts[{b}].x) * (pts[{a}].x - pts[{b}].x)
+      + (pts[{a}].y - pts[{b}].y) * (pts[{a}].y - pts[{b}].y)
+      AS DOUBLE)) * 1000000.0) AS BIGINT)""")
+
+
+def sql_route_2opt() -> str:
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    i, j = "(k // n)", "(k % n)"
+    delta = (f"{_sql_2opt_qd(i + ' - 1', j)} - "
+             f"{_sql_2opt_qd(i + ' - 1', i)} + "
+             f"CASE WHEN {j} < n - 1 THEN "
+             f"{_sql_2opt_qd(i, j + ' + 1')} - "
+             f"{_sql_2opt_qd(j, j + ' + 1')} ELSE 0 END")
+    rounds = []
+    for r in range(1, _TOUR_ROUNDS + 1):
+        rounds.append(f"""e{r} AS MATERIALIZED (
+  SELECT vehicle, n, pts, nn_len, tidx,
+    list_min(list_transform(
+      list_filter(range(0, CAST(n * n AS INTEGER)),
+                  k -> k // n >= 1 AND k // n < k % n),
+      k -> ({delta}) * (n * n) + k)) AS enc
+  FROM r{r - 1}),
+r{r} AS MATERIALIZED (
+  SELECT vehicle, n, pts, nn_len,
+    CASE WHEN enc IS NOT NULL AND enc < 0 THEN
+      list_concat(list_concat(
+        list_slice(tidx, 1, CAST(kb // n AS INTEGER)),
+        list_reverse(list_slice(tidx, CAST(kb // n AS INTEGER) + 1,
+                                CAST(kb % n AS INTEGER) + 1))),
+        CASE WHEN kb % n < n - 1
+             THEN list_slice(tidx, CAST(kb % n AS INTEGER) + 2,
+                             CAST(n AS INTEGER))
+             ELSE CAST([] AS BIGINT[]) END)
+    ELSE tidx END AS tidx
+  FROM (SELECT *, ((enc % (n * n)) + (n * n)) % (n * n) AS kb
+        FROM e{r}))""")
+    chain = ",\n".join(rounds)
+    return f"""WITH {FEATURES_ORACLE_SQL},
+{_sql_tour_ctes()},
+r0 AS MATERIALIZED (
+  SELECT vehicle, n, pts, tidx,
+         {_sql_tour_len('tidx')} AS nn_len
+  FROM tours),
+{chain}
+SELECT vehicle, n AS n_stops,
+  {_sql_tour_str('tidx')} AS tour,
+  nn_len AS nn_len_micro,
+  {_sql_tour_len('tidx')} AS tour_len_micro
+FROM r{_TOUR_ROUNDS}"""
+
+
+GEOM_QUERIES["route_2opt"] = (q_route_2opt, sql_route_2opt)

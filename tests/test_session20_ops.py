@@ -144,3 +144,89 @@ def test_nn_tour_max_stops_guard(spark):
         nn_tour(df, ["v"], max_stops=4).collect()
     with pytest.raises(ValueError):
         nn_tour(df, ["v"], max_stops=0)
+
+
+# ---- two_opt (best-improvement segment reversal) ----
+
+def _brute_2opt(stops, rounds):
+    import math
+
+    pts = sorted(stops)
+    n = len(pts)
+
+    def qd(a, b):
+        return int(math.floor(math.sqrt(
+            (pts[a][1] - pts[b][1]) ** 2
+            + (pts[a][2] - pts[b][2]) ** 2) * 1e6))
+
+    tour = [0]
+    while len(tour) < n:
+        last = tour[-1]
+        best = None
+        for j in range(n):
+            if j in tour:
+                continue
+            d2 = ((pts[last][1] - pts[j][1]) ** 2
+                  + (pts[last][2] - pts[j][2]) ** 2)
+            if best is None or d2 < best[0]:
+                best = (d2, j)
+        tour.append(best[1])
+    nn_len = sum(qd(a, b) for a, b in zip(tour, tour[1:]))
+    if n > 2:
+        for _ in range(rounds):
+            best = None
+            for i in range(1, n):
+                for j in range(i + 1, n):
+                    d = qd(tour[i - 1], tour[j]) - qd(tour[i - 1], tour[i])
+                    if j < n - 1:
+                        d += qd(tour[i], tour[j + 1]) - qd(tour[j],
+                                                          tour[j + 1])
+                    if best is None or d < best[0]:
+                        best = (d, i, j)
+            if best and best[0] < 0:
+                _, i, j = best
+                tour = tour[:i] + tour[i:j + 1][::-1] + tour[j + 1:]
+    ids = [pts[j][0] for j in tour]
+    length = sum(qd(a, b) for a, b in zip(tour, tour[1:]))
+    return ids, nn_len, length
+
+
+def test_two_opt_differential(spark):
+    from mapbox_filter_spark.operators.routing import two_opt
+
+    rng = random.Random(59)
+    rows = []
+    groups = {}
+    for v in range(10):
+        n = rng.randrange(1, 16)
+        stops = [(i, rng.randrange(10 ** 6), rng.randrange(10 ** 6))
+                 for i in range(n)]
+        groups[v] = stops
+        rows += [(v, i, x, y) for i, x, y in stops]
+    df = spark.createDataFrame(rows, "v long, stop_id long, x long, y long")
+    got = {r["v"]: (list(r["tour"]), r["nn_len_micro"],
+                    r["tour_len_micro"])
+           for r in two_opt(df, ["v"], rounds=6).collect()}
+    improved = 0
+    for v, stops in groups.items():
+        want = _brute_2opt(stops, 6)
+        assert got[v] == want, v
+        assert got[v][2] <= got[v][1]
+        improved += got[v][2] < got[v][1]
+    assert improved >= 1  # the NN construction is not already optimal
+
+
+def test_two_opt_uncrosses(spark):
+    from mapbox_filter_spark.operators.routing import two_opt
+
+    # NN from 0: 0 -> 1 (d=10) -> 2 (far) -> 3 creates a zigzag;
+    # one reversal yields the monotone path 0,1,2,3 ordered by x
+    rows = [(0, 0, 0, 0), (0, 1, 10, 0), (0, 2, 100, 0), (0, 3, 55, 1)]
+    df = spark.createDataFrame(rows, "v long, stop_id long, x long, y long")
+    r = two_opt(df, ["v"], rounds=4).collect()[0]
+    assert r["tour_len_micro"] <= r["nn_len_micro"]
+    # improved tour ends are 0 and 2 (the x-extremes)
+    assert {list(r["tour"])[0], list(r["tour"])[-1]} == {0, 2}
+    from mapbox_filter_spark.operators.routing import two_opt as _t
+    with pytest.raises(ValueError):
+        _t(df, ["v"], rounds=0)
