@@ -1480,3 +1480,86 @@ def wl_colors(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                .localCheckpoint())
     return col.select(F.col("u").alias("node"),
                       F.col("c").alias("color"))
+
+
+def louvain_move(edges: DataFrame, labels: DataFrame, *,
+                 src: str = "src", dst: str = "dst",
+                 node_col: str = "node",
+                 label_col: str = "label") -> DataFrame:
+    """One synchronized Louvain local-move round (Blondel et al. 2008
+    phase 1, the synchronous variant distributed implementations use):
+    every node evaluates — against the CURRENT partition, so all moves
+    are decided simultaneously — the modularity gain of relocating to
+    each neighbouring community B from its community A:
+
+        ΔQ·4m² ∝ gain_num(B) = 2m·(k_iB − k_iA) − k_i·(d_B − d_A + k_i)
+
+    with k_iB = edges from i into B, k_i = deg(i), d_C = Σ degrees in
+    C (including i's in A), m = undirected edge count — every term
+    exact int64 (bound: m·max_deg < 2⁶², far beyond any real graph's
+    2m < 10¹² at fleet scale).  The node moves to the argmax community
+    when its gain is strictly positive; ties break to the smallest
+    label.  Synchronous rounds may oscillate on bipartite-ish
+    structure (same caveat as synchronous LPA), so the operator is
+    defined as exactly one round — iterate with fresh labels to
+    converge.
+
+    Scale shape: degree + community aggregates, one (node,
+    neighbour-label) map-side-combinable count over the symmetric edge
+    list, equi-joins on node/label, one argmax groupBy — no windows
+    over fact-sized partitions, no driver loop.
+
+    Returns ``(node, old_label, new_label, moved, gain_num)`` —
+    gain_num is the best candidate's scaled gain (NULL when the node
+    has no neighbouring community to consider).
+    """
+    e = _canon(edges, src, dst)
+    sym = _sym(e)
+    lab = labels.select(F.col(node_col).alias("node"),
+                        F.col(label_col).alias("old_label"))
+    m_df = e.groupBy().agg(F.count(F.lit(1)).alias("_m"))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("_ki"))
+    sigt = (lab.join(deg, "node", "left")
+            .groupBy(F.col("old_label").alias("_lbl"))
+            .agg(F.sum(F.coalesce(F.col("_ki"), F.lit(0)))
+                 .alias("_dtot")))
+    kic = (sym.join(lab.select(F.col("node").alias("v"),
+                               F.col("old_label").alias("nbr_label")),
+                    "v")
+           .groupBy(F.col("u").alias("node"), "nbr_label")
+           .agg(F.count(F.lit(1)).alias("_kic")))
+    own = (kic.join(lab, "node")
+           .filter(F.col("nbr_label") == F.col("old_label"))
+           .select("node", F.col("_kic").alias("_kia")))
+    cand = (kic.join(lab, "node")
+            .filter(F.col("nbr_label") != F.col("old_label"))
+            .join(own, "node", "left")
+            .join(deg, "node")
+            .join(sigt.select(F.col("_lbl").alias("nbr_label"),
+                              F.col("_dtot").alias("_db")), "nbr_label")
+            .join(sigt.select(F.col("_lbl").alias("old_label"),
+                              F.col("_dtot").alias("_da")), "old_label")
+            .crossJoin(F.broadcast(m_df)))
+    gain = (2 * F.col("_m")
+            * (F.col("_kic") - F.coalesce(F.col("_kia"), F.lit(0)))
+            - F.col("_ki")
+            * (F.col("_db") - F.col("_da") + F.col("_ki")))
+    best = (cand.select("node", "old_label", "nbr_label",
+                        gain.alias("_g"))
+            .groupBy("node", "old_label")
+            .agg(F.max(F.struct(F.col("_g"),
+                                (-F.col("nbr_label")).alias("_neg")))
+                 .alias("_b")))
+    picked = best.select(
+        "node", "old_label",
+        F.col("_b._g").alias("gain_num"),
+        (-F.col("_b._neg")).alias("_cand_label"))
+    return (lab.join(picked.drop("old_label"), "node", "left")
+            .select(
+                "node", "old_label",
+                F.when(F.col("gain_num") > 0, F.col("_cand_label"))
+                .otherwise(F.col("old_label")).alias("new_label"),
+                F.coalesce(F.col("gain_num") > 0, F.lit(False))
+                .alias("moved"),
+                "gain_num"))

@@ -1381,3 +1381,69 @@ c0 AS MATERIALIZED (
 
 
 GRAPH_QUERIES["wl_colors"] = (q_wl_colors, sql_wl_colors)
+
+
+def q_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronized Louvain local-move round over the 4-round LPA
+    partition of the hashed link graph (operators/graph.py
+    louvain_move): per node the exact-int64 best-candidate modularity
+    gain 2m(k_iB−k_iA) − k_i(d_B−d_A+k_i) and the move decision —
+    the phase-1 refinement step composed on the modularity-gate
+    substrate."""
+    from .operators.graph import label_propagation, louvain_move
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    edges = _link_edges(spark, sf_dir)
+    labels = label_propagation(docs, edges, rounds=_LPA_ROUNDS,
+                               id_col="doc_id")
+    return (louvain_move(edges, labels)
+            .select(F.col("node").alias("doc_id"), "old_label",
+                    "new_label", "moved", "gain_num"))
+
+
+def sql_louvain_move() -> str:
+    return "WITH " + _sql_lpa_ctes() + """,
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM canon),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS ki
+        FROM sym GROUP BY 1),
+sigt AS (
+  SELECT lab.label AS lbl,
+         CAST(SUM(COALESCE(deg.ki, 0)) AS BIGINT) AS dtot
+  FROM lab LEFT JOIN deg USING (node) GROUP BY 1),
+kic AS (
+  SELECT s.u AS node, l.label AS nbr_label,
+         CAST(COUNT(*) AS BIGINT) AS kc
+  FROM sym s JOIN lab l ON l.node = s.v
+  GROUP BY 1, 2),
+own AS (
+  SELECT k.node, k.kc AS kia
+  FROM kic k JOIN lab ON lab.node = k.node
+  WHERE k.nbr_label = lab.label),
+cand AS (
+  SELECT k.node, lab.label AS old_label, k.nbr_label,
+         2 * mm.m * (k.kc - COALESCE(own.kia, 0))
+         - deg.ki * (db.dtot - da.dtot + deg.ki) AS g
+  FROM kic k
+  JOIN lab ON lab.node = k.node
+  LEFT JOIN own ON own.node = k.node
+  JOIN deg ON deg.node = k.node
+  JOIN sigt db ON db.lbl = k.nbr_label
+  JOIN sigt da ON da.lbl = lab.label
+  CROSS JOIN mm
+  WHERE k.nbr_label <> lab.label),
+best AS (
+  SELECT node, old_label, nbr_label, g FROM (
+    SELECT node, old_label, nbr_label, g,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY g DESC, nbr_label ASC) AS rn
+    FROM cand) WHERE rn = 1)
+SELECT lab.node AS doc_id, lab.label AS old_label,
+       CASE WHEN best.g > 0 THEN best.nbr_label
+            ELSE lab.label END AS new_label,
+       COALESCE(best.g > 0, FALSE) AS moved,
+       best.g AS gain_num
+FROM lab LEFT JOIN best ON best.node = lab.node"""
+
+
+GRAPH_QUERIES["louvain_move"] = (q_louvain_move, sql_louvain_move)

@@ -230,3 +230,93 @@ def test_two_opt_uncrosses(spark):
     from mapbox_filter_spark.operators.routing import two_opt as _t
     with pytest.raises(ValueError):
         _t(df, ["v"], rounds=0)
+
+
+# ---- louvain_move (synchronized modularity local move) ----
+
+def _brute_louvain_move(edges, labels):
+    """edges: undirected canonical pairs; labels: {node: label}."""
+    from collections import defaultdict
+
+    sym = defaultdict(set)
+    for u, v in edges:
+        sym[u].add(v)
+        sym[v].add(u)
+    m = len(edges)
+    deg = {n: len(vs) for n, vs in sym.items()}
+    dtot = defaultdict(int)
+    for n, lbl in labels.items():
+        dtot[lbl] += deg.get(n, 0)
+    out = {}
+    for i, a in labels.items():
+        kic = defaultdict(int)
+        for v in sym.get(i, ()):
+            kic[labels[v]] += 1
+        kia = kic.get(a, 0)
+        best = None
+        for b_lbl, kib in kic.items():
+            if b_lbl == a:
+                continue
+            g = (2 * m * (kib - kia)
+                 - deg[i] * (dtot[b_lbl] - dtot[a] + deg[i]))
+            key = (-g, b_lbl)
+            if best is None or key < best[0]:
+                best = (key, b_lbl, g)
+        if best is None:
+            out[i] = (a, a, False, None)
+        else:
+            _, b_lbl, g = best
+            out[i] = (a, b_lbl if g > 0 else a, g > 0, g)
+    return out
+
+
+def test_louvain_move_differential(spark):
+    from mapbox_filter_spark.operators.graph import louvain_move
+
+    rng = random.Random(97)
+    n = 40
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2)))
+                    for _ in range(90)})
+    # two planted communities with noise
+    labels = {i: (100 if i < n // 2 else 200) for i in range(n)}
+    for i in rng.sample(range(n), 6):
+        labels[i] = 300
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    ldf = spark.createDataFrame(list(labels.items()),
+                                "node long, label long")
+    got = {r["node"]: (r["old_label"], r["new_label"], r["moved"],
+                       r["gain_num"])
+           for r in louvain_move(edf, ldf).collect()}
+    want = _brute_louvain_move(edges, labels)
+    assert got == want
+
+
+def test_louvain_move_singleton_closed_form(spark):
+    from mapbox_filter_spark.operators.graph import louvain_move
+
+    # star: center 0 with leaves 1..4; singleton partition.
+    # leaf i -> center: gain = 2m - k_i*d_0 = 8 - 1*4 = 4 > 0 (moves);
+    # center -> any leaf: gain = 2m - 4*1 = 4 > 0, tie -> label 1.
+    edges = [(0, i) for i in range(1, 5)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    ldf = spark.createDataFrame([(i, i) for i in range(5)],
+                                "node long, label long")
+    got = {r["node"]: (r["new_label"], r["moved"], r["gain_num"])
+           for r in louvain_move(edf, ldf).collect()}
+    assert got[0] == (1, True, 4)
+    for leaf in range(1, 5):
+        assert got[leaf] == (0, True, 4)
+
+
+def test_louvain_move_isolated_node(spark):
+    from mapbox_filter_spark.operators.graph import louvain_move
+
+    edf = spark.createDataFrame([(0, 1)], "src long, dst long")
+    ldf = spark.createDataFrame([(0, 7), (1, 7), (9, 9)],
+                                "node long, label long")
+    got = {r["node"]: (r["new_label"], r["moved"], r["gain_num"])
+           for r in louvain_move(edf, ldf).collect()}
+    # 0 and 1 share a community: no candidate, no move
+    assert got[0] == (7, False, None)
+    assert got[1] == (7, False, None)
+    assert got[9] == (9, False, None)
