@@ -2355,3 +2355,70 @@ def holt_winters(df: DataFrame, key_cols: "list[str]", *,
                       seas.alias("seasonal"),
                       (lev + F.col("h").cast("double") * trd + seas)
                       .alias("forecast"))
+
+
+def series_motif(df: DataFrame, group_cols: "list[str]", *,
+                 t_col: str = "t", v_col: str = "v", w: int = 6,
+                 max_windows: int = 4096) -> DataFrame:
+    """Per-series motif pair (the matrix-profile global motif, Yeh et
+    al. ICDM 2016, in its exact raw-distance form): the two
+    NON-OVERLAPPING length-``w`` subsequences with minimal Euclidean
+    d² — exact integer, so the winner value-hashes; z-normalized
+    variants trade that exactness away and belong in a rerank stage.
+
+    ``t_col`` is an integer grid index (e.g. hour number); windows are
+    built by a lead chain over t-order and kept only when CONTIGUOUS
+    (lead(t, w−1) = t + w − 1), so calendar gaps drop candidates
+    instead of silently stitching across them.
+
+    Shape: one window pass (w−1 leads) + ONE within-group self-join of
+    the window table (quadratic in windows-per-group, the exact-motif
+    lower bound without FFT machinery) + one min-struct argmin.  The
+    in-plan ``max_windows`` guard bounds the join; ties break to the
+    earliest (t_a, t_b).
+
+    Returns ``(*group_cols, n_windows, t_a, t_b, d2)``.
+    """
+    from pyspark.sql import Window as W
+
+    if w < 2:
+        raise ValueError("w must be >= 2")
+    base = df.select(*group_cols,
+                     F.col(t_col).cast("long").alias("_t"),
+                     F.col(v_col).cast("long").alias("_v"))
+    ww = W.partitionBy(*group_cols).orderBy("_t")
+    cols = [F.lead("_v", k).over(ww).alias(f"_v{k}")
+            for k in range(1, w)]
+    wins = (base.select(*group_cols, "_t", "_v", *cols,
+                        F.lead("_t", w - 1).over(ww).alias("_tend"))
+            .filter(F.col("_tend") == F.col("_t") + (w - 1)))
+    nwin = (wins.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("_nw")))
+    guard = F.when(
+        F.col("_nw") > max_windows,
+        F.raise_error(F.format_string(
+            f"series_motif: group exceeds max_windows={max_windows} "
+            "(got %s)", F.col("_nw").cast("string")))
+    ).otherwise(F.col("_nw"))
+    a = wins.select(*group_cols, F.col("_t").alias("_ta"),
+                    *[F.col(f"_v{k}" if k else "_v").alias(f"_a{k}")
+                      for k in range(w)])
+    b = wins.select(*group_cols, F.col("_t").alias("_tb"),
+                    *[F.col(f"_v{k}" if k else "_v").alias(f"_b{k}")
+                      for k in range(w)])
+    d2 = None
+    for k in range(w):
+        term = ((F.col(f"_a{k}") - F.col(f"_b{k}"))
+                * (F.col(f"_a{k}") - F.col(f"_b{k}")))
+        d2 = term if d2 is None else d2 + term
+    pairs = (a.join(b, [*group_cols])
+             .filter(F.col("_tb") >= F.col("_ta") + w))
+    best = (pairs.groupBy(*group_cols)
+            .agg(F.min(F.struct(d2.alias("d"),
+                                F.col("_ta").alias("ta"),
+                                F.col("_tb").alias("tb"))).alias("_m")))
+    return (best.join(nwin, [*group_cols])
+            .select(*group_cols, guard.alias("n_windows"),
+                    F.col("_m.ta").alias("t_a"),
+                    F.col("_m.tb").alias("t_b"),
+                    F.col("_m.d").alias("d2")))

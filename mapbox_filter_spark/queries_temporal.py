@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .queries_curation import _cents
+from .queries_curation import _CENTS_SQL, _cents
 from .operators.temporal import (
     asof_join,
     distinct_rollup,
@@ -1698,7 +1698,7 @@ def q_ltob_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (area DESC, ts, event_id) argmax.  One shuffle feeds both
     windows."""
     from .operators.temporal import ltob_downsample
-    from .queries_curation import _cents
+    from .queries_curation import _CENTS_SQL, _cents
 
     ev = _events(spark, sf_dir).select(
         "user_id", "event_id",
@@ -2779,3 +2779,65 @@ FROM fit f, LATERAL (SELECT unnest(range(1, {_HW_H} + 1)) AS h) t"""
 
 
 TEMPORAL_QUERIES["holt_winters"] = (q_holt_winters, sql_holt_winters)
+
+
+_MOTIF_W = 6
+
+
+def q_ts_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global motif per event_type (operators/temporal.py
+    series_motif): the closest non-overlapping pair of 6-hour windows
+    of the hourly event-count series by raw integer d² — contiguity
+    enforced through the lead chain, earliest pair on ties."""
+    from .geo.tilemath import floor_div
+    from .operators.temporal import series_motif
+
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull()
+                                       & F.col("value").isNotNull())
+    # hourly cents sums, not counts: sparse hours make count windows
+    # collapse to identical all-ones vectors (a vacuous d2=0 motif)
+    hourly = (ev.select(
+        "event_type",
+        floor_div(F.unix_micros(F.col("ts").cast("timestamp")),
+                  3_600_000_000).alias("h"),
+        _cents().alias("cents"))
+        .groupBy("event_type", "h")
+        .agg(F.sum("cents").alias("v")))
+    return series_motif(hourly, ["event_type"], t_col="h", v_col="v",
+                        w=_MOTIF_W)
+
+
+def sql_ts_motif() -> str:
+    w = _MOTIF_W
+    leads = ",\n         ".join(
+        f"LEAD(v, {k}) OVER wh AS a{k}" for k in range(1, w))
+    d2 = " + ".join(f"(a.a{k} - b.a{k}) * (a.a{k} - b.a{k})"
+                    for k in range(w))
+    return f"""WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(SUM({_CENTS_SQL}) AS BIGINT) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2),
+wins AS (
+  SELECT event_type, h AS ta, v AS a0,
+         {leads},
+         LEAD(h, {w - 1}) OVER wh AS tend
+  FROM hourly WINDOW wh AS (PARTITION BY event_type ORDER BY h)),
+good AS (SELECT * FROM wins WHERE tend = ta + {w - 1}),
+nw AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_windows
+       FROM good GROUP BY 1),
+pairs AS (
+  SELECT a.event_type, {d2} AS d2, a.ta, b.ta AS tb
+  FROM good a JOIN good b
+    ON a.event_type = b.event_type AND b.ta >= a.ta + {w}),
+best AS (
+  SELECT event_type, d2, ta, tb FROM (
+    SELECT event_type, d2, ta, tb,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY d2, ta, tb) AS rn
+    FROM pairs) WHERE rn = 1)
+SELECT b.event_type, nw.n_windows, b.ta AS t_a, b.tb AS t_b, b.d2
+FROM best b JOIN nw USING (event_type)"""
+
+
+TEMPORAL_QUERIES["ts_motif"] = (q_ts_motif, sql_ts_motif)

@@ -320,3 +320,84 @@ def test_louvain_move_isolated_node(spark):
     assert got[0] == (7, False, None)
     assert got[1] == (7, False, None)
     assert got[9] == (9, False, None)
+
+
+# ---- series_motif (exact raw-distance global motif) ----
+
+def _brute_motif(series, w):
+    """series: [(t, v)] for ONE group, t integer grid."""
+    series = sorted(series)
+    tv = dict(series)
+    wins = []
+    for t, _ in series:
+        vals = [tv.get(t + k) for k in range(w)]
+        if all(v is not None for v in vals):
+            wins.append((t, vals))
+    best = None
+    for i, (ta, va) in enumerate(wins):
+        for tb, vb in wins:
+            if tb < ta + w:
+                continue
+            d2 = sum((x - y) ** 2 for x, y in zip(va, vb))
+            key = (d2, ta, tb)
+            if best is None or key < best:
+                best = key
+    return len(wins), best
+
+
+def test_series_motif_differential(spark):
+    from mapbox_filter_spark.operators.temporal import series_motif
+
+    rng = random.Random(13)
+    rows = []
+    groups = {}
+    for g in range(5):
+        n = rng.randrange(8, 40)
+        t = 0
+        series = []
+        for _ in range(n):
+            t += rng.choice([1, 1, 1, 1, 3])  # occasional gaps
+            series.append((t, rng.randrange(50)))
+        groups[g] = series
+        rows += [(g, t, v) for t, v in series]
+    df = spark.createDataFrame(rows, "g long, t long, v long")
+    got = {r["g"]: (r["n_windows"], (r["d2"], r["t_a"], r["t_b"]))
+           for r in series_motif(df, ["g"], w=4).collect()}
+    for g, series in groups.items():
+        nw, best = _brute_motif(series, 4)
+        if best is None:
+            assert g not in got
+        else:
+            assert got[g] == (nw, best), g
+
+
+def test_series_motif_planted_pair(spark):
+    from mapbox_filter_spark.operators.temporal import series_motif
+
+    # identical pattern planted at t=0 and t=20 within noise
+    pat = [5, 90, 5, 90]
+    rows = []
+    for t in range(30):
+        if t < 4:
+            v = pat[t]
+        elif 20 <= t < 24:
+            v = pat[t - 20]
+        else:
+            v = 40 + t
+        rows.append((0, t, v))
+    df = spark.createDataFrame(rows, "g long, t long, v long")
+    r = series_motif(df, ["g"], w=4).collect()[0]
+    assert (r["t_a"], r["t_b"], r["d2"]) == (0, 20, 0)
+
+
+def test_series_motif_guard_and_validation(spark):
+    from pyspark.errors import SparkRuntimeException
+
+    from mapbox_filter_spark.operators.temporal import series_motif
+
+    rows = [(0, t, t) for t in range(30)]
+    df = spark.createDataFrame(rows, "g long, t long, v long")
+    with pytest.raises(SparkRuntimeException, match="max_windows"):
+        series_motif(df, ["g"], w=3, max_windows=10).collect()
+    with pytest.raises(ValueError):
+        series_motif(df, ["g"], w=1)
