@@ -675,3 +675,82 @@ def span_order_drift(pairs: DataFrame, *, a_col: str = "sa",
         "drift", F.when(F.col("n_pairs") > 0,
                         F.col("inversions").cast("double")
                         / F.col("n_pairs").cast("double")))
+
+
+def media_byte_shingles(blob: Column, *, k_bytes: int = 8,
+                        stride: int = 4) -> Column:
+    """Overlapping ``k_bytes``-byte windows of a binary payload at
+    ``stride``-byte steps, as uppercase-hex strings — the byte-level
+    analogue of word shingles, feeding the same minhash machinery.
+    Blobs shorter than one window yield an empty array."""
+    hx = F.hex(blob)
+    last = F.floor((F.length(blob) - k_bytes) / F.lit(stride)) \
+        .cast("int")
+    idx = F.when(F.length(blob) >= k_bytes,
+                 F.sequence(F.lit(0), last)) \
+        .otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: hx.substr(i * (stride * 2) + 1,
+                                 F.lit(k_bytes * 2)))
+
+
+def media_near_dup(df: DataFrame, *, id_col: str = "id",
+                   blob_col: str = "blob", k: int = 16, bands: int = 8,
+                   k_bytes: int = 8, stride: int = 4,
+                   min_matches: int = 8, max_bucket: int = 64,
+                   hash_mode: str = "xxhash64") -> DataFrame:
+    """Near-duplicate detection over OPAQUE binary media payloads:
+    byte-shingle minhash + banded LSH + signature-agreement verify —
+    the modality-blind twin of dedup_minhash_lsh for blobs no codec
+    is available for (perceptual hashing needs decode; byte minhash
+    catches re-uploads, truncations, and container-level copies).
+
+    Shape: signatures in-row (one hex pass + k affine mixers over the
+    shingle hashes), ONE band-key self-join with the bucket cap
+    [2, max_bucket] (banded id-only buckets — the giant-bucket
+    audit discipline of the text dedup family), then one signature
+    join to verify candidates by exact match count ≥ ``min_matches``.
+    ``hash_mode='md5'`` makes every stage DuckDB-mirrorable.
+
+    Returns ``(id_a, id_b, matches)`` with id_a < id_b.
+    """
+    from .dedup import minhash_signature
+
+    if k % bands != 0:
+        raise ValueError("bands must divide k")
+    rpb = k // bands
+    sh = (df.select(F.col(id_col).alias("id"),
+                    F.array_distinct(media_byte_shingles(
+                        F.col(blob_col), k_bytes=k_bytes,
+                        stride=stride)).alias("_sh"))
+          .filter(F.size("_sh") > 0))
+    sig = sh.select("id", minhash_signature(
+        F.col("_sh"), k, hash_mode=hash_mode).alias("_sig"))
+    bidx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("b")
+    banded = (sig.select("id", "_sig", bidx)
+              .select("id", "_sig", "b",
+                      F.concat(F.col("b").cast("string"), F.lit(":"),
+                               F.array_join(F.slice(
+                                   F.col("_sig"),
+                                   F.col("b") * rpb + 1, rpb), ","))
+                      .alias("_key")))
+    sizes = (banded.groupBy("b", "_key")
+             .agg(F.count(F.lit(1)).alias("_n"))
+             .filter((F.col("_n") >= 2) & (F.col("_n") <= max_bucket)))
+    inb = banded.join(sizes.select("b", "_key"), ["b", "_key"])
+    cand = (inb.select("b", "_key", F.col("id").alias("id_a"))
+            .join(inb.select("b", "_key", F.col("id").alias("id_b")),
+                  ["b", "_key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    sa = sig.select(F.col("id").alias("id_a"),
+                    F.col("_sig").alias("_sa"))
+    sb = sig.select(F.col("id").alias("id_b"),
+                    F.col("_sig").alias("_sb"))
+    matches = F.aggregate(
+        F.zip_with(F.col("_sa"), F.col("_sb"),
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b", matches.alias("matches"))
+            .filter(F.col("matches") >= min_matches))

@@ -3146,3 +3146,76 @@ FROM embeddings"""
 
 EXT_QUERIES["sign_projection"] = (q_sign_projection,
                                   sql_sign_projection)
+
+
+_MND_LIM = 700
+_MND_GROUP = 7
+
+
+def q_media_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary near-dup over synthetic media payloads
+    (operators/media.py media_near_dup): 80-byte blobs built as a
+    shared 64-byte body per 7-doc cluster + a 16-byte per-doc tail,
+    byte-shingle minhash (k=16, md5 mode), banded buckets, signature
+    verify — the modality-blind dedup a multimodal corpus needs
+    before any codec is involved."""
+    from .geo.tilemath import floor_div
+    from .operators.media import media_near_dup
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id").filter(F.col("doc_id") < _MND_LIM))
+    blob = F.unhex(F.concat(
+        F.repeat(F.md5(F.concat(
+            F.lit("g"), floor_div(F.col("doc_id"),
+                                  _MND_GROUP).cast("string"))), 4),
+        F.md5(F.concat(F.lit("d"), F.col("doc_id").cast("string")))))
+    b = docs.select(F.col("doc_id").alias("id"), blob.alias("blob"))
+    return (media_near_dup(b, hash_mode="md5")
+            .select(F.col("id_a").alias("doc_a"),
+                    F.col("id_b").alias("doc_b"), "matches"))
+
+
+def sql_media_near_dup() -> str:
+    h = _sql_md5_60("'42:' || s")
+    mh = ", ".join(
+        "list_min(list_transform(shingles, s -> "
+        f"(({h} % {_MH_PRIME}) * {a} + {b}) % {_MH_PRIME}))"
+        for a, b in dedup.minhash_mixers(16))
+    n_sh = (80 - 8) // 4 + 1
+    return f"""
+WITH refs AS (SELECT doc_id AS id FROM documents
+              WHERE doc_id < {_MND_LIM}),
+bh AS (
+  SELECT id,
+         upper(repeat(md5('g' || CAST(id // {_MND_GROUP} AS VARCHAR)),
+                      4)
+               || md5('d' || CAST(id AS VARCHAR))) AS hx
+  FROM refs),
+sh AS (SELECT id, list_distinct(
+         [substr(hx, i*8 + 1, 16) FOR i IN RANGE(0, {n_sh})])
+         AS shingles FROM bh),
+sig AS (SELECT id, [{mh}] AS sig FROM sh),
+banded AS (
+  SELECT id, u.b AS b,
+         CAST(u.b AS VARCHAR) || ':'
+         || array_to_string(sig[u.b*2+1 : u.b*2+2], ',') AS bkey
+  FROM sig, UNNEST(range(0, 8)) u(b)),
+szs AS (SELECT b, bkey FROM banded GROUP BY 1, 2
+        HAVING COUNT(*) BETWEEN 2 AND 64),
+inb AS (SELECT banded.* FROM banded JOIN szs USING (b, bkey)),
+cand AS (
+  SELECT DISTINCT a.id AS doc_a, bb.id AS doc_b
+  FROM inb a JOIN inb bb
+    ON a.b = bb.b AND a.bkey = bb.bkey AND a.id < bb.id),
+m AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(list_sum(list_transform(range(1, 17),
+             j -> CASE WHEN sa.sig[j] = sb.sig[j]
+                       THEN 1 ELSE 0 END)) AS BIGINT) AS matches
+  FROM cand c
+  JOIN sig sa ON sa.id = c.doc_a
+  JOIN sig sb ON sb.id = c.doc_b)
+SELECT doc_a, doc_b, matches FROM m WHERE matches >= 8"""
+
+
+EXT_QUERIES["media_near_dup"] = (q_media_near_dup, sql_media_near_dup)

@@ -401,3 +401,49 @@ def test_series_motif_guard_and_validation(spark):
         series_motif(df, ["g"], w=3, max_windows=10).collect()
     with pytest.raises(ValueError):
         series_motif(df, ["g"], w=1)
+
+
+# ---- media_near_dup (byte-shingle minhash over binary payloads) ----
+
+def test_media_byte_shingles_edges(spark):
+    from mapbox_filter_spark.operators.media import media_byte_shingles
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(16))), (2, b"abc"), (3, b"")],
+        "id long, blob binary")
+    got = {r["id"]: r["s"] for r in df.select(
+        "id", media_byte_shingles(F.col("blob")).alias("s")).collect()}
+    # 16 bytes, k=8, stride=4 -> starts at 0, 4, 8 -> 3 windows
+    assert got[1] == ["0001020304050607", "0405060708090A0B",
+                      "08090A0B0C0D0E0F"]
+    assert got[2] == [] and got[3] == []
+
+
+def test_media_near_dup_planted_clusters(spark):
+    from mapbox_filter_spark.operators.media import media_near_dup
+
+    # 3 clusters of 4: identical 76-byte body per cluster + 4-byte
+    # per-doc tail (shingle Jaccard ~0.81 within, ~0 across)
+    rng = random.Random(7)
+    rows = []
+    for c in range(3):
+        body = bytes(rng.randrange(256) for _ in range(76))
+        for d in range(4):
+            tail = bytes(rng.randrange(256) for _ in range(4))
+            rows.append((c * 10 + d, body + tail))
+    df = spark.createDataFrame(rows, "id long, blob binary")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in media_near_dup(df, hash_mode="md5").collect()}
+    within = {(c * 10 + a, c * 10 + b)
+              for c in range(3) for a in range(4) for b in range(4)
+              if a < b}
+    # LSH recall is probabilistic but near-1 at J~0.81; cross-cluster
+    # pairs (J~0) must never appear, and the draw is deterministic
+    assert pairs <= within
+    assert len(pairs) >= int(0.8 * len(within))
+    rerun = {(r["id_a"], r["id_b"])
+             for r in media_near_dup(df, hash_mode="md5").collect()}
+    assert rerun == pairs
+
+    with pytest.raises(ValueError):
+        media_near_dup(df, k=16, bands=5)
