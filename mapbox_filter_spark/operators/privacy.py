@@ -214,3 +214,46 @@ def t_closeness_audit(pts: DataFrame, k: int, precision: int, *,
         (F.col("_sg").cast("double") / den).alias("t_w1"),
         (F.col("_mg").cast("double")
          / (F.col("n") * big_n).cast("double")).alias("worst_cat_gap"))
+
+
+def randomized_response(df: DataFrame, key_cols: list, *,
+                        bit_col: str, id_col: str, salt: str,
+                        p_num: int = 3, p_den: int = 4) -> DataFrame:
+    """Warner randomized response (Warner 1965, the local-DP
+    primitive): each respondent reports the TRUTH of its private bit
+    with probability p = p_num/p_den and the flipped bit otherwise;
+    the aggregator debiases the observed rate per group:
+
+        π̂ = (obs − n(1−p)) / (n(2p−1))
+           = (p_den·obs − (p_den−p_num)·n) / ((2p_num−p_den)·n)
+
+    — one exact-integer rational per group.  The coin is the
+    deterministic md5-u60 coordinate of (salt, id) against the integer
+    threshold floor(p·2⁶⁰): a keyed-PRF instance of seeded local DP,
+    replay-stable like dp_histogram (re-running the release must not
+    draw fresh coins).
+
+    Requires p > 1/2 (p_num·2 > p_den) so the debias denominator is
+    positive.  Scale shape: the flip is one comparison per row; the
+    rest is a single map-side-combinable groupBy.
+
+    Returns ``(*key_cols, n, n_yes, pi_hat)`` — only the flipped bits
+    ever aggregate; the true per-row bit never leaves the row scope.
+    """
+    from .splits import SCALE_U60, hash_u60
+
+    if 2 * p_num <= p_den or p_num > p_den:
+        raise ValueError("need 1/2 < p = p_num/p_den <= 1")
+    thr = (p_num * SCALE_U60) // p_den
+    truth = F.col(bit_col).cast("boolean")
+    keep = hash_u60([id_col], salt) < F.lit(thr)
+    reported = F.when(keep, truth).otherwise(~truth)
+    agg = (df.select(*key_cols, reported.alias("_r"))
+           .groupBy(*key_cols)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("_r").cast("long")).alias("n_yes")))
+    num = p_den * F.col("n_yes") - (p_den - p_num) * F.col("n")
+    den = (2 * p_num - p_den) * F.col("n")
+    return agg.select(*key_cols, "n", "n_yes",
+                      (num.cast("double") / den.cast("double"))
+                      .alias("pi_hat"))

@@ -6478,3 +6478,56 @@ FROM r{_TOUR_ROUNDS}"""
 
 
 GEOM_QUERIES["route_2opt"] = (q_route_2opt, sql_route_2opt)
+
+
+_RR_SALT = "rr-v1"
+_RR_PREC = 1
+
+
+def q_rr_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-DP sensitive-rate estimation per geohash cell
+    (operators/privacy.py randomized_response, Warner p=3/4): each
+    feature's private bit flips on its deterministic md5-u60 coin and
+    only flipped bits aggregate; the per-cell debiased rate is one
+    exact rational (4·yes − n)/(2n)."""
+    from .geo.geohash import geohash
+    from .operators.privacy import randomized_response
+    from .sources.features import features_from_lineitem
+
+    feats = features_from_lineitem(spark, sf_dir).select(
+        "feature_id",
+        geohash(F.col("lon"), F.col("lat"), _RR_PREC).alias("cell"),
+        (F.pmod(F.col("feature_id"), F.lit(6)) == 0).alias("s"))
+    return randomized_response(feats, ["cell"], bit_col="s",
+                               id_col="feature_id", salt=_RR_SALT)
+
+
+def sql_rr_estimate() -> str:
+    from .geo.geohash import sql_geohash_select
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    thr = (3 * (1 << 60)) // 4
+    src = (f"WITH {FEATURES_ORACLE_SQL} "
+           "SELECT feature_id, lon, lat FROM features")
+    inner = sql_geohash_select(src, ["feature_id"], "lon", "lat",
+                               precision=_RR_PREC, out="cell")
+    u = ("CAST(('0x' || substr(md5(concat_ws(chr(31), "
+         f"'{_RR_SALT}', CAST(feature_id AS VARCHAR))), 1, 15)) "
+         "AS BIGINT)")
+    return f"""WITH pts AS ({inner}),
+rr AS (
+  SELECT cell,
+         CASE WHEN {u} < {thr}
+              THEN feature_id % 6 = 0
+              ELSE NOT (feature_id % 6 = 0) END AS r
+  FROM pts),
+agg AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS n_yes
+  FROM rr GROUP BY 1)
+SELECT cell, n, n_yes,
+       CAST(4 * n_yes - n AS DOUBLE) / CAST(2 * n AS DOUBLE) AS pi_hat
+FROM agg"""
+
+
+GEOM_QUERIES["rr_estimate"] = (q_rr_estimate, sql_rr_estimate)

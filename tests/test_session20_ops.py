@@ -447,3 +447,41 @@ def test_media_near_dup_planted_clusters(spark):
 
     with pytest.raises(ValueError):
         media_near_dup(df, k=16, bands=5)
+
+
+# ---- randomized_response (Warner local DP) ----
+
+def test_rr_differential_and_accuracy(spark):
+    from mapbox_filter_spark.operators.privacy import randomized_response
+
+    # one big group with known true rate 1/5
+    rows = [(i, "g", i % 5 == 0) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, cell string, s boolean")
+    r = randomized_response(df, ["cell"], bit_col="s", id_col="id",
+                            salt="t").collect()[0]
+    assert r["n"] == 5000
+    # brute replay of the deterministic coins
+    yes = 0
+    thr = (3 * (1 << 60)) // 4
+    for i in range(5000):
+        u = int(hashlib.md5(("t\x1f" + str(i)).encode())
+                .hexdigest()[:15], 16)
+        truth = i % 5 == 0
+        yes += truth if u < thr else (not truth)
+    assert r["n_yes"] == yes
+    assert r["pi_hat"] == (4 * yes - 5000) / (2 * 5000)
+    # debiased estimate lands near the true 0.2 (binomial noise ~0.008)
+    assert abs(r["pi_hat"] - 0.2) < 0.03
+
+
+def test_rr_validation(spark):
+    from mapbox_filter_spark.operators.privacy import randomized_response
+
+    df = spark.createDataFrame([(1, "g", True)],
+                               "id long, cell string, s boolean")
+    with pytest.raises(ValueError):
+        randomized_response(df, ["cell"], bit_col="s", id_col="id",
+                            salt="t", p_num=1, p_den=2)
+    with pytest.raises(ValueError):
+        randomized_response(df, ["cell"], bit_col="s", id_col="id",
+                            salt="t", p_num=5, p_den=4)
