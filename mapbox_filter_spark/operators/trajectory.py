@@ -756,3 +756,56 @@ def lcss_pairs(pts: DataFrame, entity_col: str = "user_id",
         lcss.alias("lcss"),
         F.when(den > 0, lcss.cast("double") / den.cast("double"))
         .alias("sim"))
+
+
+def convoy_pairs(df: DataFrame, cell: int, bucket_s: int,
+                 min_run: int = 3,
+                 entity_col: str = "user_id",
+                 ts_col: str = "ts",
+                 x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Pairwise convoy detection (the 2-entity core of Jeung et al.
+    VLDB'08 convoy queries): entity pairs that travel TOGETHER — share
+    a space-time cell in at least ``min_run`` CONSECUTIVE time buckets.
+    The temporal-run twin of :func:`colocation_pairs`, which counts
+    distinct co-visits regardless of adjacency; a convoy requires the
+    contact to be sustained, which is what separates co-movement from
+    repeated chance encounters at a hub.
+
+    Shape: the distinct-visit pre-pass and space-time equi-join of
+    colocation_pairs (same quadratic hot-cell hazard, same
+    cap/salt guidance), co-visit buckets distinct'd per pair, then one
+    gaps-and-islands window per pair (island = tb − row_number) and a
+    max-run aggregate.  Exact integers end-to-end.
+
+    Returns ``(user_a, user_b, n_buckets, max_run)`` for pairs with
+    max_run ≥ min_run.
+    """
+    from pyspark.sql import Window as W
+
+    from ..geo.tilemath import floor_div
+
+    if cell <= 0 or bucket_s <= 0 or min_run < 1:
+        raise ValueError("cell, bucket_s, min_run must be positive")
+    visits = df.select(
+        F.col(entity_col),
+        floor_div(F.col(x_col), cell).alias("cx"),
+        floor_div(F.col(y_col), cell).alias("cy"),
+        floor_div(F.unix_micros(F.col(ts_col).cast("timestamp")),
+                  bucket_s * 1_000_000).alias("tb")).distinct()
+    a, b = visits.alias("a"), visits.alias("b")
+    cob = (a.join(b, (F.col("a.cx") == F.col("b.cx"))
+                  & (F.col("a.cy") == F.col("b.cy"))
+                  & (F.col("a.tb") == F.col("b.tb"))
+                  & (F.col(f"a.{entity_col}") < F.col(f"b.{entity_col}")))
+           .select(F.col(f"a.{entity_col}").alias("user_a"),
+                   F.col(f"b.{entity_col}").alias("user_b"),
+                   F.col("a.tb").alias("tb"))
+           .distinct())
+    w = W.partitionBy("user_a", "user_b").orderBy("tb")
+    isl = cob.withColumn("_isl", F.col("tb") - F.row_number().over(w))
+    runs = (isl.groupBy("user_a", "user_b", "_isl")
+            .agg(F.count(F.lit(1)).alias("_run")))
+    return (runs.groupBy("user_a", "user_b")
+            .agg(F.sum("_run").alias("n_buckets"),
+                 F.max("_run").alias("max_run"))
+            .filter(F.col("max_run") >= min_run))

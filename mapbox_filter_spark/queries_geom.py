@@ -6531,3 +6531,54 @@ FROM agg"""
 
 
 GEOM_QUERIES["rr_estimate"] = (q_rr_estimate, sql_rr_estimate)
+
+
+_CONVOY_MIN_RUN = 3
+
+
+def q_convoy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise convoy detection (operators/trajectory.py
+    convoy_pairs): walk entities sharing a (500-unit cell x day)
+    space-time cell on >= 3 CONSECUTIVE days — sustained co-movement,
+    not colocation_pairs' repeated chance encounters; gaps-and-islands
+    over the co-visit days, exact integers end-to-end."""
+    from .operators.trajectory import convoy_pairs, random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    return convoy_pairs(pos, cell=_COLOC_CELL,
+                        bucket_s=_COLOC_BUCKET_S,
+                        min_run=_CONVOY_MIN_RUN)
+
+
+def sql_convoy_pairs() -> str:
+    c = _COLOC_CELL
+    b_us = _COLOC_BUCKET_S * 1_000_000
+    return f"""WITH {_sql_walk_pos()},
+viz AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(x / {c}.0) AS BIGINT) AS cx,
+         CAST(floor(y / {c}.0) AS BIGINT) AS cy,
+         epoch_us(ts) // {b_us} AS tb
+  FROM pos),
+cob AS (
+  SELECT DISTINCT a.user_id AS user_a, b.user_id AS user_b, a.tb
+  FROM viz a JOIN viz b
+    ON a.cx = b.cx AND a.cy = b.cy AND a.tb = b.tb
+   AND a.user_id < b.user_id),
+isl AS (
+  SELECT user_a, user_b, tb,
+         tb - ROW_NUMBER() OVER (PARTITION BY user_a, user_b
+                                 ORDER BY tb) AS g
+  FROM cob),
+runs AS (
+  SELECT user_a, user_b, g, CAST(COUNT(*) AS BIGINT) AS run
+  FROM isl GROUP BY 1, 2, 3)
+SELECT user_a, user_b,
+       CAST(SUM(run) AS BIGINT) AS n_buckets,
+       CAST(MAX(run) AS BIGINT) AS max_run
+FROM runs GROUP BY 1, 2
+HAVING MAX(run) >= {_CONVOY_MIN_RUN}"""
+
+
+GEOM_QUERIES["convoy_pairs"] = (q_convoy_pairs, sql_convoy_pairs)

@@ -485,3 +485,59 @@ def test_rr_validation(spark):
     with pytest.raises(ValueError):
         randomized_response(df, ["cell"], bit_col="s", id_col="id",
                             salt="t", p_num=5, p_den=4)
+
+
+# ---- convoy_pairs (sustained co-movement) ----
+
+def test_convoy_pairs_hand_case(spark):
+    import datetime
+
+    from mapbox_filter_spark.operators.trajectory import convoy_pairs
+
+    def t(day):
+        return datetime.datetime(2026, 1, 1 + day)
+
+    rows = []
+    # users 1,2 share cell (0,0) on days 0,1,2 (run 3) and day 5
+    for d in [0, 1, 2, 5]:
+        rows.append((1, t(d), 10, 10))
+        rows.append((2, t(d), 20, 20))
+    # users 1,3 share cells on days 0 and 2 only (max run 1)
+    rows.append((3, t(0), 30, 30))
+    rows.append((3, t(2), 30, 30))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "x long, y long")
+    got = {(r["user_a"], r["user_b"]): (r["n_buckets"], r["max_run"])
+           for r in convoy_pairs(df, cell=100, bucket_s=86400,
+                                 min_run=3).collect()}
+    assert got == {(1, 2): (4, 3)}
+    # lower bar surfaces the broken contact too
+    got2 = {(r["user_a"], r["user_b"]): r["max_run"]
+            for r in convoy_pairs(df, cell=100, bucket_s=86400,
+                                  min_run=1).collect()}
+    assert got2 == {(1, 2): 3, (1, 3): 1, (2, 3): 1}
+    with pytest.raises(ValueError):
+        convoy_pairs(df, cell=0, bucket_s=1)
+
+
+def test_convoy_vs_colocation_distinction(spark):
+    """A pair meeting every OTHER day has many co-visits but never a
+    run: colocation_pairs reports it, convoy_pairs must not."""
+    import datetime
+
+    from mapbox_filter_spark.operators.trajectory import (
+        colocation_pairs, convoy_pairs)
+
+    rows = []
+    for d in [0, 2, 4, 6, 8]:
+        ts = datetime.datetime(2026, 1, 1 + d)
+        rows.append((1, ts, 5, 5))
+        rows.append((2, ts, 5, 5))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "x long, y long")
+    co = colocation_pairs(df, cell=100, bucket_s=86400,
+                          min_meetings=3).collect()
+    assert [(r["user_a"], r["user_b"], r["n_meet"])
+            for r in co] == [(1, 2, 5)]
+    assert convoy_pairs(df, cell=100, bucket_s=86400,
+                        min_run=2).collect() == []
