@@ -6582,3 +6582,64 @@ HAVING MAX(run) >= {_CONVOY_MIN_RUN}"""
 
 
 GEOM_QUERIES["convoy_pairs"] = (q_convoy_pairs, sql_convoy_pairs)
+
+
+_STR_CAP = 256
+
+
+def q_str_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STR R-tree bulk-load packing of the feature scatter
+    (operators/zonemap.py str_pack): x-strips then y-leaves by exact
+    NTILE with id tiebreak, 256 points per leaf — per-leaf occupancy
+    and MBRs value-hash; the page layout the bbox scan family prunes
+    against."""
+    from .operators.zonemap import str_pack
+    from .sources.features import features_from_lineitem
+
+    fid = F.col("feature_id")
+    pts = features_from_lineitem(spark, sf_dir).select(
+        "feature_id",
+        F.pmod(fid * 7919, F.lit(360000)).alias("x"),
+        F.pmod(fid * 104729, F.lit(170000)).alias("y"))
+    return str_pack(pts, id_col="feature_id", x_col="x", y_col="y",
+                    leaf_cap=_STR_CAP)
+
+
+def sql_str_pack() -> str:
+    import math
+
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    # the strip/leaf counts are control scalars derived from n; the
+    # oracle computes them inline from the same count
+    return f"""WITH {FEATURES_ORACLE_SQL},
+pts AS (
+  SELECT feature_id AS id,
+         (feature_id * 7919) % 360000 AS x,
+         (feature_id * 104729) % 170000 AS y
+  FROM features),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts),
+dims AS (
+  SELECT n,
+         CAST(ceil(sqrt(ceil(n / {_STR_CAP}.0))) AS BIGINT) AS s,
+         CAST(ceil(ceil(n / {_STR_CAP}.0)
+                   / ceil(sqrt(ceil(n / {_STR_CAP}.0)))) AS BIGINT)
+           AS per_strip
+  FROM nn),
+striped AS (
+  SELECT id, x, y,
+         NTILE((SELECT CAST(s AS INTEGER) FROM dims))
+           OVER (ORDER BY x, id) AS strip
+  FROM pts),
+leaved AS (
+  SELECT strip, x, y,
+         NTILE((SELECT CAST(per_strip AS INTEGER) FROM dims))
+           OVER (PARTITION BY strip ORDER BY y, id) AS leaf
+  FROM striped)
+SELECT strip, leaf, CAST(COUNT(*) AS BIGINT) AS n_pts,
+       MIN(x) AS xmin, MAX(x) AS xmax,
+       MIN(y) AS ymin, MAX(y) AS ymax
+FROM leaved GROUP BY 1, 2"""
+
+
+GEOM_QUERIES["str_pack"] = (q_str_pack, sql_str_pack)

@@ -541,3 +541,64 @@ def test_convoy_vs_colocation_distinction(spark):
             for r in co] == [(1, 2, 5)]
     assert convoy_pairs(df, cell=100, bucket_s=86400,
                         min_run=2).collect() == []
+
+
+# ---- str_pack (STR R-tree bulk-load) ----
+
+def _brute_str(pts, cap):
+    import math
+
+    n = len(pts)
+    p = math.ceil(n / cap)
+    s = math.ceil(math.sqrt(p))
+    per = math.ceil(p / s)
+
+    def ntile(items, k):
+        out = {}
+        n_i = len(items)
+        base, extra = divmod(n_i, k)
+        pos = 0
+        for b in range(1, k + 1):
+            size = base + (1 if b <= extra else 0)
+            for it in items[pos:pos + size]:
+                out[it] = b
+            pos += size
+        return out
+
+    order_x = sorted(pts, key=lambda t: (t[1], t[0]))
+    strip_of = ntile(order_x, s)
+    leaves = {}
+    from collections import defaultdict
+
+    strips = defaultdict(list)
+    for pt, b in strip_of.items():
+        strips[b].append(pt)
+    for b, items in strips.items():
+        items.sort(key=lambda t: (t[2], t[0]))
+        for pt, lf in ntile(items, per).items():
+            leaves.setdefault((b, lf), []).append(pt)
+    out = {}
+    for (b, lf), items in leaves.items():
+        xs = [x for _, x, _ in items]
+        ys = [y for _, _, y in items]
+        out[(b, lf)] = (len(items), min(xs), max(xs), min(ys), max(ys))
+    return out
+
+
+def test_str_pack_differential(spark):
+    from mapbox_filter_spark.operators.zonemap import str_pack
+
+    rng = random.Random(17)
+    pts = [(i, rng.randrange(1000), rng.randrange(1000))
+           for i in range(200)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {(r["strip"], r["leaf"]): (r["n_pts"], r["xmin"], r["xmax"],
+                                     r["ymin"], r["ymax"])
+           for r in str_pack(df, id_col="id", x_col="x", y_col="y",
+                             leaf_cap=16).collect()}
+    want = _brute_str(pts, 16)
+    assert got == want
+    # occupancy bounded by the cap at these dims
+    assert max(v[0] for v in got.values()) <= 16
+    with pytest.raises(ValueError):
+        str_pack(df, id_col="id", x_col="x", y_col="y", leaf_cap=0)
