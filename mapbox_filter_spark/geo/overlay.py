@@ -357,3 +357,106 @@ def areal_interpolate(rects: DataFrame, *, grid: int, value_col: str,
                 F.sum("_term").alias("est_scaled")))
     return out.withColumn(
         "est", F.col("est_scaled").cast("double") / F.lit(float(scale)))
+
+
+def snap_candidates_exact(
+    points: DataFrame,
+    segs: DataFrame,
+    radius: int,
+    cell: int,
+    *,
+    k: int = 3,
+    id_cols: "tuple[str, ...]" = ("point_id",),
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """Top-``k`` candidate segments per point, ENTIRELY in exact
+    integers — the multi-candidate front end of Viterbi map-matching
+    (snap_to_segments keeps only the winner and a pinned-double d²;
+    a sequence decoder needs the alternatives plus the matched
+    positions, and needs them integer so path costs value-hash).
+
+    Per (point, segment): emission ``e = floor(d²)`` (endpoint cases
+    exact, interior ``cross² // L²`` — non-negative, so truncation IS
+    floor in every engine) and the half-up-quantized projection
+    ``(qx, qy)`` via the non-negative numerator form
+    ``(2·(a·L² + tnum·(b−a)) + L²) // (2·L²)`` (projection coordinates
+    are non-negative whenever inputs are, keeping the truncating-vs-
+    floor division trap out of play).  In-range means ``e ≤ radius²``
+    — the quantized-emission radius test, pinned as the contract.
+
+    Same cell-join skeleton and coverage contract as
+    snap_to_segments; (point, segment) duplicates from shared cells
+    are dropped by a distinct before ranking, then candidates rank by
+    (e, seg_id) — ``j`` is the 0-based rank.
+
+    Returns ``(*id_cols, j, seg_id, e, qx, qy)``.
+    """
+    if radius <= 0 or radius > cell:
+        raise ValueError("need 0 < radius <= cell (ring-1 coverage)")
+    if k < 1:
+        raise ValueError("k must be positive")
+    from pyspark.sql import Window as W
+
+    s = segs.select(
+        F.col("seg_id").alias("sid"),
+        F.col("x1").cast("long").alias("sx1"),
+        F.col("y1").cast("long").alias("sy1"),
+        F.col("x2").cast("long").alias("sx2"),
+        F.col("y2").cast("long").alias("sy2"))
+    s = s.select(
+        "*",
+        F.explode(F.sequence(
+            _floor_div(F.least("sx1", "sx2"), cell),
+            _floor_div(F.greatest("sx1", "sx2"), cell))).alias("scx"))
+    s = s.select(
+        "*",
+        F.explode(F.sequence(
+            _floor_div(F.least("sy1", "sy2"), cell),
+            _floor_div(F.greatest("sy1", "sy2"), cell))).alias("scy"))
+    offs = F.array(*[
+        F.struct(F.lit(dx).cast("long").alias("dx"),
+                 F.lit(dy).cast("long").alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    p = (points.select(
+        *[F.col(c) for c in id_cols],
+        F.col(x).cast("long").alias("px"),
+        F.col(y).cast("long").alias("py"),
+        F.explode(offs).alias("_o"))
+        .select(*id_cols, "px", "py",
+                (_floor_div(F.col("px"), cell)
+                 + F.col("_o.dx")).alias("pcx"),
+                (_floor_div(F.col("py"), cell)
+                 + F.col("_o.dy")).alias("pcy")))
+    j = p.join(s, (p["pcx"] == s["scx"]) & (p["pcy"] == s["scy"]))
+    ax, ay = F.col("sx1"), F.col("sy1")
+    bx, by = F.col("sx2"), F.col("sy2")
+    px_, py_ = F.col("px"), F.col("py")
+    tnum = (px_ - ax) * (bx - ax) + (py_ - ay) * (by - ay)
+    l2 = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+    cross = (bx - ax) * (py_ - ay) - (by - ay) * (px_ - ax)
+    c2 = cross * cross
+    at_a = (l2 == 0) | (tnum <= 0)
+    at_b = (~at_a) & (tnum >= l2)
+    e = (F.when(at_a, (px_ - ax) * (px_ - ax)
+                + (py_ - ay) * (py_ - ay))
+         .when(at_b, (px_ - bx) * (px_ - bx)
+               + (py_ - by) * (py_ - by))
+         .otherwise(((c2 - F.pmod(c2, l2)) / l2).cast("long")))
+
+    def proj(a0: Column, d: Column) -> Column:
+        num = 2 * (a0 * l2 + tnum * d) + l2
+        return ((num - F.pmod(num, 2 * l2)) / (2 * l2)).cast("long")
+
+    qx = (F.when(at_a, ax).when(at_b, bx)
+          .otherwise(proj(ax, bx - ax)))
+    qy = (F.when(at_a, ay).when(at_b, by)
+          .otherwise(proj(ay, by - ay)))
+    cand = (j.select(*id_cols, F.col("sid").alias("seg_id"),
+                     e.alias("e"), qx.alias("qx"), qy.alias("qy"))
+            .filter(F.col("e") <= radius * radius)
+            .distinct())
+    w = W.partitionBy(*id_cols).orderBy("e", "seg_id")
+    return (cand.withColumn("j", F.row_number().over(w) - 1)
+            .filter(F.col("j") < k)
+            .select(*id_cols, "j", "seg_id", "e", "qx", "qy"))

@@ -809,3 +809,87 @@ def convoy_pairs(df: DataFrame, cell: int, bucket_s: int,
             .agg(F.sum("_run").alias("n_buckets"),
                  F.max("_run").alias("max_run"))
             .filter(F.col("max_run") >= min_run))
+
+
+def viterbi_match(pings: DataFrame, segs: DataFrame, radius: int,
+                  cell: int, *, steps: int, k: int = 3,
+                  traj_col: str = "traj", step_col: str = "step",
+                  x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Viterbi map-matching (Newson & Krumm 2009, the graph-free
+    variant): per trajectory the jointly most likely segment sequence,
+    minimizing Σ emission + Σ transition where emission is the exact
+    integer snapped d² (geo/overlay.py snap_candidates_exact) and
+    transition is the squared displacement between successive matched
+    (quantized-projection) positions — without a routable graph, the
+    displacement term is the standard stand-in for NK's
+    route-vs-great-circle gap.  Pointwise snapping (map_match) picks
+    each ping's nearest segment independently; the decoder instead
+    tolerates a locally-worse emission to avoid an implausible jump —
+    the classic noisy-GPS disambiguation.
+
+    Contract: every trajectory must present EXACTLY ``steps`` steps
+    (0..steps−1) each with ≥ 1 candidate within ``radius``;
+    trajectories failing that are dropped whole (off-road gaps need a
+    gap policy, which is a different operator).  All costs are int64;
+    cost ties break on the path STRING, so the winner value-hashes.
+
+    Shape: one candidate cell-join, then ``steps − 1`` relational DP
+    rounds — each ONE equi-join on traj + ONE (traj, cand) argmin
+    groupBy over ≤ k² pairs per trajectory, localCheckpoint every few
+    rounds (lineage discipline) — no driver data, no windows over
+    fact-sized partitions.
+
+    Returns ``(traj, total_cost, path)`` with path the comma-joined
+    seg_id sequence.
+    """
+    from ..geo.overlay import snap_candidates_exact
+
+    if steps < 2:
+        raise ValueError("steps must be >= 2")
+    pts = pings.select(F.col(traj_col).alias("_tj"),
+                       F.col(step_col).alias("_st"),
+                       F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+    cands = snap_candidates_exact(
+        pts, segs, radius, cell, k=k, id_cols=("_tj", "_st"))
+    complete = (cands.select("_tj", "_st").distinct()
+                .groupBy("_tj").agg(F.count(F.lit(1)).alias("_ns"))
+                .filter(F.col("_ns") == steps).select("_tj"))
+    cands = cands.join(complete, "_tj").localCheckpoint()
+    state = (cands.filter(F.col("_st") == 0)
+             .select("_tj", "j", F.col("e").alias("cost"),
+                     F.col("seg_id").cast("string").alias("path"),
+                     "qx", "qy"))
+    for r in range(1, steps):
+        cr = (cands.filter(F.col("_st") == r)
+              .select("_tj", F.col("j").alias("j2"),
+                      F.col("seg_id").alias("sid2"),
+                      F.col("e").alias("e2"),
+                      F.col("qx").alias("qx2"),
+                      F.col("qy").alias("qy2")))
+        trans = ((F.col("qx2") - F.col("qx"))
+                 * (F.col("qx2") - F.col("qx"))
+                 + (F.col("qy2") - F.col("qy"))
+                 * (F.col("qy2") - F.col("qy")))
+        stepped = (state.join(cr, "_tj")
+                   .select("_tj", "j2", "qx2", "qy2",
+                           (F.col("cost") + trans + F.col("e2"))
+                           .alias("_c"),
+                           F.concat(F.col("path"), F.lit(","),
+                                    F.col("sid2").cast("string"))
+                           .alias("_p")))
+        state = (stepped.groupBy("_tj", "j2", "qx2", "qy2")
+                 .agg(F.min(F.struct(F.col("_c"), F.col("_p")))
+                      .alias("_b"))
+                 .select("_tj", F.col("j2").alias("j"),
+                         F.col("_b._c").alias("cost"),
+                         F.col("_b._p").alias("path"),
+                         F.col("qx2").alias("qx"),
+                         F.col("qy2").alias("qy")))
+        if r % 4 == 0:
+            state = state.localCheckpoint()
+    return (state.groupBy("_tj")
+            .agg(F.min(F.struct(F.col("cost"), F.col("path")))
+                 .alias("_b"))
+            .select(F.col("_tj").alias("traj"),
+                    F.col("_b.cost").alias("total_cost"),
+                    F.col("_b.path").alias("path")))

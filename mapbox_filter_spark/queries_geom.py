@@ -6643,3 +6643,109 @@ FROM leaved GROUP BY 1, 2"""
 
 
 GEOM_QUERIES["str_pack"] = (q_str_pack, sql_str_pack)
+
+
+_VM_T = 12        # pings per trajectory
+_VM_K = 3         # candidates per ping
+_VM_PINGS = 720   # part rows consumed -> 60 trajectories
+
+
+def q_viterbi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi map-matching over the road-segment field
+    (operators/trajectory.py viterbi_match): 12-ping trajectories
+    jittered around per-trajectory anchors, top-3 exact-integer
+    candidates per ping, and the min-cost segment SEQUENCE
+    (emission d² + squared matched-position displacement) — the
+    sequence decoder that beats pointwise snapping on noisy GPS."""
+    from .geo.tilemath import floor_div
+    from .operators.trajectory import viterbi_match
+
+    pk = F.col("p_partkey")
+    v = floor_div(pk - 1, _VM_T)
+    # p_partkey = 0 exists: pk-1 = -1 splits engines on %/floor-div
+    pings = (spark.read.parquet(f"{sf_dir}/part.parquet")
+             .filter((pk >= 1) & (pk <= _VM_PINGS))
+             .select(
+                 v.alias("traj"),
+                 F.pmod(pk - 1, F.lit(_VM_T)).alias("step"),
+                 (2000 + F.pmod(v * 7919 + 1234, F.lit(58000))
+                  + F.pmod(pk * 31, F.lit(2001)) - 1000).alias("x"),
+                 (2000 + F.pmod(v * 104729 + 4321, F.lit(58000))
+                  + F.pmod(pk * 57, F.lit(2001)) - 1000).alias("y")))
+    return viterbi_match(pings, _segs_df(spark, sf_dir), _MM_RADIUS,
+                         _SEG_CELL, steps=_VM_T, k=_VM_K)
+
+
+def sql_viterbi_match() -> str:
+    r2 = _MM_RADIUS * _MM_RADIUS
+    l2 = "((s.x2-s.x1)*(s.x2-s.x1) + (s.y2-s.y1)*(s.y2-s.y1))"
+    tnum = "((p.x-s.x1)*(s.x2-s.x1) + (p.y-s.y1)*(s.y2-s.y1))"
+    cross = "((s.x2-s.x1)*(p.y-s.y1) - (s.y2-s.y1)*(p.x-s.x1))"
+    e = f"""CASE WHEN {l2} = 0 OR {tnum} <= 0
+         THEN (p.x-s.x1)*(p.x-s.x1) + (p.y-s.y1)*(p.y-s.y1)
+       WHEN {tnum} >= {l2}
+         THEN (p.x-s.x2)*(p.x-s.x2) + (p.y-s.y2)*(p.y-s.y2)
+       ELSE ({cross} * {cross}) // {l2} END"""
+    qx = f"""CASE WHEN {l2} = 0 OR {tnum} <= 0 THEN s.x1
+       WHEN {tnum} >= {l2} THEN s.x2
+       ELSE (2*(s.x1*{l2} + {tnum}*(s.x2-s.x1)) + {l2})
+            // (2*{l2}) END"""
+    qy = f"""CASE WHEN {l2} = 0 OR {tnum} <= 0 THEN s.y1
+       WHEN {tnum} >= {l2} THEN s.y2
+       ELSE (2*(s.y1*{l2} + {tnum}*(s.y2-s.y1)) + {l2})
+            // (2*{l2}) END"""
+    rounds = []
+    for r in range(1, _VM_T):
+        tr = ("(c.qx-p.qx)*(c.qx-p.qx) + (c.qy-p.qy)*(c.qy-p.qy)")
+        rounds.append(f"""v{r} AS MATERIALIZED (
+  SELECT traj, j, cost, path, qx, qy FROM (
+    SELECT p.traj, c.j,
+           p.cost + {tr} + c.e AS cost,
+           p.path || ',' || CAST(c.sid AS VARCHAR) AS path,
+           c.qx, c.qy,
+           ROW_NUMBER() OVER (PARTITION BY p.traj, c.j
+             ORDER BY p.cost + {tr} + c.e,
+                      p.path || ',' || CAST(c.sid AS VARCHAR)) AS rn
+    FROM v{r - 1} p JOIN cand c
+      ON c.traj = p.traj AND c.step = {r})
+  WHERE rn = 1)""")
+    chain = ",\n".join(rounds)
+    return f"""WITH {_SEGS_SQL},
+pings AS (
+  SELECT (p_partkey-1) // {_VM_T} AS traj,
+         (p_partkey-1) % {_VM_T} AS step,
+         2000 + (((p_partkey-1) // {_VM_T}) * 7919 + 1234) % 58000
+              + (p_partkey*31) % 2001 - 1000 AS x,
+         2000 + (((p_partkey-1) // {_VM_T}) * 104729 + 4321) % 58000
+              + (p_partkey*57) % 2001 - 1000 AS y
+  FROM part WHERE p_partkey BETWEEN 1 AND {_VM_PINGS}),
+cand0 AS (
+  -- brute theta join: the oracle proves the engine's cell-join
+  -- candidate set lost nothing
+  SELECT p.traj, p.step, s.sid,
+         {e} AS e, {qx} AS qx, {qy} AS qy
+  FROM pings p, segs0 s),
+cand AS MATERIALIZED (
+  SELECT traj, step,
+         ROW_NUMBER() OVER (PARTITION BY traj, step
+                            ORDER BY e, sid) - 1 AS j,
+         sid, e, qx, qy
+  FROM cand0 WHERE e <= {r2}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY traj, step
+                             ORDER BY e, sid) <= {_VM_K}),
+complete AS (
+  SELECT traj FROM (SELECT DISTINCT traj, step FROM cand)
+  GROUP BY traj HAVING COUNT(*) = {_VM_T}),
+v0 AS MATERIALIZED (
+  SELECT c.traj, c.j, c.e AS cost, CAST(c.sid AS VARCHAR) AS path,
+         c.qx, c.qy
+  FROM cand c JOIN complete USING (traj) WHERE c.step = 0),
+{chain}
+SELECT traj, cost AS total_cost, path FROM (
+  SELECT traj, cost, path,
+         ROW_NUMBER() OVER (PARTITION BY traj
+                            ORDER BY cost, path) AS rn
+  FROM v{_VM_T - 1}) WHERE rn = 1"""
+
+
+GEOM_QUERIES["viterbi_match"] = (q_viterbi_match, sql_viterbi_match)

@@ -602,3 +602,119 @@ def test_str_pack_differential(spark):
     assert max(v[0] for v in got.values()) <= 16
     with pytest.raises(ValueError):
         str_pack(df, id_col="id", x_col="x", y_col="y", leaf_cap=0)
+
+
+# ---- viterbi_match (NK sequence decoding) ----
+
+def _brute_cands(pings, segs, radius, k):
+    out = {}
+    for key, px, py in pings:
+        cc = []
+        for sid, ax, ay, bx, by in segs:
+            l2 = (bx - ax) ** 2 + (by - ay) ** 2
+            tnum = (px - ax) * (bx - ax) + (py - ay) * (by - ay)
+            if l2 == 0 or tnum <= 0:
+                e, qx, qy = (px - ax) ** 2 + (py - ay) ** 2, ax, ay
+            elif tnum >= l2:
+                e, qx, qy = (px - bx) ** 2 + (py - by) ** 2, bx, by
+            else:
+                cr = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+                e = (cr * cr) // l2
+                qx = (2 * (ax * l2 + tnum * (bx - ax)) + l2) // (2 * l2)
+                qy = (2 * (ay * l2 + tnum * (by - ay)) + l2) // (2 * l2)
+            if e <= radius * radius:
+                cc.append((e, sid, qx, qy))
+        cc.sort()
+        out[key] = [(j, sid, e, qx, qy)
+                    for j, (e, sid, qx, qy) in enumerate(cc[:k])]
+    return out
+
+
+def _brute_viterbi(pings_by_traj, segs, radius, k):
+    res = {}
+    for traj, seq in pings_by_traj.items():
+        cands = _brute_cands(
+            [((s,), x, y) for s, x, y in seq], segs, radius, k)
+        if any(not cands[(s,)] for s, _, _ in seq):
+            continue
+        state = {}
+        s0 = seq[0][0]
+        for j, sid, e, qx, qy in cands[(s0,)]:
+            state[j] = (e, str(sid), qx, qy)
+        for s, _, _ in seq[1:]:
+            new = {}
+            for j, sid, e, qx, qy in cands[(s,)]:
+                best = None
+                for pj, (pc, pp, pqx, pqy) in state.items():
+                    c = pc + (qx - pqx) ** 2 + (qy - pqy) ** 2 + e
+                    p = pp + "," + str(sid)
+                    if best is None or (c, p) < best:
+                        best = (c, p)
+                new[j] = (best[0], best[1], qx, qy)
+            state = new
+        res[traj] = min((c, p) for c, p, _, _ in state.values())
+    return res
+
+
+def test_viterbi_differential(spark):
+    from mapbox_filter_spark.operators.trajectory import viterbi_match
+
+    rng = random.Random(43)
+    segs = [(i, rng.randrange(0, 3000), rng.randrange(0, 3000),
+             rng.randrange(0, 3000), rng.randrange(0, 3000))
+            for i in range(1, 25)]
+    T = 5
+    pings_by_traj = {}
+    rows = []
+    for v in range(6):
+        seq = [(s, rng.randrange(0, 3000), rng.randrange(0, 3000))
+               for s in range(T)]
+        pings_by_traj[v] = seq
+        rows += [(v, s, x, y) for s, x, y in seq]
+    pdf = spark.createDataFrame(rows, "traj long, step long, "
+                                      "x long, y long")
+    sdf = spark.createDataFrame(segs, "seg_id long, x1 long, y1 long, "
+                                      "x2 long, y2 long")
+    got = {r["traj"]: (r["total_cost"], r["path"])
+           for r in viterbi_match(pdf, sdf, 1000, 1024, steps=T,
+                                  k=3).collect()}
+    want = _brute_viterbi(pings_by_traj, segs, 1000, 3)
+    assert got == want
+    with pytest.raises(ValueError):
+        viterbi_match(pdf, sdf, 1000, 1024, steps=1)
+
+
+def test_viterbi_beats_pointwise_snapping(spark):
+    """Two parallel roads, pings zigzagging between them: pointwise
+    snap alternates roads; the decoder pays a slightly worse emission
+    to stay on one road and avoid the jump cost."""
+    from mapbox_filter_spark.geo.overlay import snap_to_segments
+    from mapbox_filter_spark.operators.trajectory import viterbi_match
+
+    segs = [(1, 0, 0, 4000, 0), (2, 0, 100, 4000, 100)]
+    sdf = spark.createDataFrame(segs, "seg_id long, x1 long, y1 long, "
+                                      "x2 long, y2 long")
+    pings = [(0, s, 500 + 500 * s, 45 if s % 2 == 0 else 55)
+             for s in range(6)]
+    pdf = spark.createDataFrame(pings, "traj long, step long, "
+                                       "x long, y long")
+    r = viterbi_match(pdf, sdf, 500, 4096, steps=6, k=2).collect()[0]
+    assert r["path"] in ("1,1,1,1,1,1", "2,2,2,2,2,2")
+    snap = snap_to_segments(
+        pdf.select(F.col("step").alias("point_id"), "x", "y"),
+        sdf, 500, 4096)
+    picked = {r["point_id"]: r["seg_id"] for r in snap.collect()}
+    assert len(set(picked.values())) == 2  # pointwise flip-flops
+
+
+def test_viterbi_incomplete_trajectory_dropped(spark):
+    from mapbox_filter_spark.operators.trajectory import viterbi_match
+
+    segs = [(1, 0, 0, 1000, 0)]
+    sdf = spark.createDataFrame(segs, "seg_id long, x1 long, y1 long, "
+                                      "x2 long, y2 long")
+    # step 1 is 9000 away from the only road -> no candidate
+    pings = [(0, 0, 100, 10), (0, 1, 100, 9000), (0, 2, 300, 10)]
+    pdf = spark.createDataFrame(pings, "traj long, step long, "
+                                       "x long, y long")
+    assert viterbi_match(pdf, sdf, 500, 1024, steps=3).collect() == []
