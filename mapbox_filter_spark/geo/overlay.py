@@ -148,6 +148,49 @@ def segment_pairs_intersecting(
             .filter(F.col("kind").isNotNull()))
 
 
+def _seg_cells(segs: DataFrame, cell: int, *,
+               seg_id: str = "seg_id") -> DataFrame:
+    """Segments exploded to every grid cell their bbox covers —
+    shared skeleton of snap_to_segments / snap_candidates_exact."""
+    s = segs.select(
+        F.col(seg_id).alias("sid"),
+        F.col("x1").cast("long").alias("sx1"),
+        F.col("y1").cast("long").alias("sy1"),
+        F.col("x2").cast("long").alias("sx2"),
+        F.col("y2").cast("long").alias("sy2"))
+    s = s.select(
+        "*",
+        F.explode(F.sequence(
+            _floor_div(F.least("sx1", "sx2"), cell),
+            _floor_div(F.greatest("sx1", "sx2"), cell))).alias("scx"))
+    return s.select(
+        "*",
+        F.explode(F.sequence(
+            _floor_div(F.least("sy1", "sy2"), cell),
+            _floor_div(F.greatest("sy1", "sy2"), cell))).alias("scy"))
+
+
+def _point_ring(points: DataFrame, cell: int,
+                id_cols: "tuple[str, ...]", x: str,
+                y: str) -> DataFrame:
+    """Points exploded to their 3x3 cell ring (ring-1 coverage for
+    radius <= cell) — shared skeleton of the snap family."""
+    offs = F.array(*[
+        F.struct(F.lit(dx).cast("long").alias("dx"),
+                 F.lit(dy).cast("long").alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    return (points.select(
+        *[F.col(c) for c in id_cols],
+        F.col(x).cast("long").alias("px"),
+        F.col(y).cast("long").alias("py"),
+        F.explode(offs).alias("_o"))
+        .select(*id_cols, "px", "py",
+                (_floor_div(F.col("px"), cell)
+                 + F.col("_o.dx")).alias("pcx"),
+                (_floor_div(F.col("py"), cell)
+                 + F.col("_o.dy")).alias("pcy")))
+
+
 def snap_to_segments(
     points: DataFrame,
     segs: DataFrame,
@@ -191,36 +234,10 @@ def snap_to_segments(
             raise ValueError(
                 f"cell={cell} smaller than max segment extent {ext}")
 
-    s = segs.select(
-        F.col(seg_id).alias("sid"),
-        F.col("x1").cast("long").alias("sx1"),
-        F.col("y1").cast("long").alias("sy1"),
-        F.col("x2").cast("long").alias("sx2"),
-        F.col("y2").cast("long").alias("sy2"))
-    s = s.select(
-        "*",
-        F.explode(F.sequence(
-            _floor_div(F.least("sx1", "sx2"), cell),
-            _floor_div(F.greatest("sx1", "sx2"), cell))).alias("scx"))
-    s = s.select(
-        "*",
-        F.explode(F.sequence(
-            _floor_div(F.least("sy1", "sy2"), cell),
-            _floor_div(F.greatest("sy1", "sy2"), cell))).alias("scy"))
-
-    offs = F.array(*[
-        F.struct(F.lit(dx).cast("long").alias("dx"),
-                 F.lit(dy).cast("long").alias("dy"))
-        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
-    p = (points.select(
-        F.col(point_id).alias("pid"),
-        F.col(x).cast("long").alias("px"),
-        F.col(y).cast("long").alias("py"),
-        F.explode(offs).alias("_o"))
-        .select("pid", "px", "py",
-                (_floor_div(F.col("px"), cell) + F.col("_o.dx")).alias("pcx"),
-                (_floor_div(F.col("py"), cell) + F.col("_o.dy")).alias("pcy")))
-
+    s = _seg_cells(segs, cell, seg_id=seg_id)
+    p = _point_ring(points.select(F.col(point_id).alias("pid"),
+                                  F.col(x), F.col(y)),
+                    cell, ("pid",), x, y)
     j = p.join(s, (p["pcx"] == s["scx"]) & (p["pcy"] == s["scy"]))
     ax, ay = F.col("sx1"), F.col("sy1")
     bx, by = F.col("sx2"), F.col("sy2")
@@ -386,9 +403,13 @@ def snap_candidates_exact(
     — the quantized-emission radius test, pinned as the contract.
 
     Same cell-join skeleton and coverage contract as
-    snap_to_segments; (point, segment) duplicates from shared cells
-    are dropped by a distinct before ranking, then candidates rank by
-    (e, seg_id) — ``j`` is the 0-based rank.
+    snap_to_segments, WITHOUT its segment-extent guard — long
+    segments are legitimate here (they explode to every covered
+    cell, so coverage still holds; the cost is (extent/cell)² join
+    rows per long segment, the caller's trade).  (point, segment)
+    duplicates from shared cells are dropped by a distinct before
+    ranking, then candidates rank by (e, seg_id) — ``j`` is the
+    0-based rank.
 
     Returns ``(*id_cols, j, seg_id, e, qx, qy)``.
     """
@@ -398,36 +419,8 @@ def snap_candidates_exact(
         raise ValueError("k must be positive")
     from pyspark.sql import Window as W
 
-    s = segs.select(
-        F.col("seg_id").alias("sid"),
-        F.col("x1").cast("long").alias("sx1"),
-        F.col("y1").cast("long").alias("sy1"),
-        F.col("x2").cast("long").alias("sx2"),
-        F.col("y2").cast("long").alias("sy2"))
-    s = s.select(
-        "*",
-        F.explode(F.sequence(
-            _floor_div(F.least("sx1", "sx2"), cell),
-            _floor_div(F.greatest("sx1", "sx2"), cell))).alias("scx"))
-    s = s.select(
-        "*",
-        F.explode(F.sequence(
-            _floor_div(F.least("sy1", "sy2"), cell),
-            _floor_div(F.greatest("sy1", "sy2"), cell))).alias("scy"))
-    offs = F.array(*[
-        F.struct(F.lit(dx).cast("long").alias("dx"),
-                 F.lit(dy).cast("long").alias("dy"))
-        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
-    p = (points.select(
-        *[F.col(c) for c in id_cols],
-        F.col(x).cast("long").alias("px"),
-        F.col(y).cast("long").alias("py"),
-        F.explode(offs).alias("_o"))
-        .select(*id_cols, "px", "py",
-                (_floor_div(F.col("px"), cell)
-                 + F.col("_o.dx")).alias("pcx"),
-                (_floor_div(F.col("py"), cell)
-                 + F.col("_o.dy")).alias("pcy")))
+    s = _seg_cells(segs, cell)
+    p = _point_ring(points, cell, tuple(id_cols), x, y)
     j = p.join(s, (p["pcx"] == s["scx"]) & (p["pcy"] == s["scy"]))
     ax, ay = F.col("sx1"), F.col("sy1")
     bx, by = F.col("sx2"), F.col("sy2")

@@ -683,15 +683,19 @@ def media_byte_shingles(blob: Column, *, k_bytes: int = 8,
     ``stride``-byte steps, as uppercase-hex strings — the byte-level
     analogue of word shingles, feeding the same minhash machinery.
     Blobs shorter than one window yield an empty array."""
-    hx = F.hex(blob)
-    last = F.floor((F.length(blob) - k_bytes) / F.lit(stride)) \
-        .cast("int")
-    idx = F.when(F.length(blob) >= k_bytes,
-                 F.sequence(F.lit(0), last)) \
-        .otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx, lambda i: hx.substr(i * (stride * 2) + 1,
-                                 F.lit(k_bytes * 2)))
+    from .hof import bind_once
+
+    def build(hx: Column, nb: Column) -> Column:
+        # hx binds once: referenced from the per-window lambda, an
+        # unbound F.hex would re-hex the whole blob per window
+        last = F.floor((nb - k_bytes) / F.lit(stride)).cast("int")
+        idx = F.when(nb >= k_bytes, F.sequence(F.lit(0), last)) \
+            .otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: hx.substr(i * (stride * 2) + 1,
+                                     F.lit(k_bytes * 2)))
+
+    return bind_once({"hx": F.hex(blob), "nb": F.length(blob)}, build)
 
 
 def media_near_dup(df: DataFrame, *, id_col: str = "id",

@@ -193,7 +193,11 @@ def t_closeness_audit(pts: DataFrame, k: int, precision: int, *,
             .select("prec", "cell", "n", "_s",
                     F.coalesce(F.col("_c"), F.lit(0)).alias("_c")))
     glob = (j.groupBy("_s").agg(F.count(F.lit(1)).alias("_g")))
-    big_n = j.count()
+    # corpus size and category count stay IN-PLAN (one broadcast
+    # cross join of a global aggregate): driver-side counts would run
+    # the whole generalization pipeline once per scalar
+    tot = j.groupBy().agg(F.count(F.lit(1)).alias("_N"),
+                          F.countDistinct("_s").alias("_K"))
     wcum = (Window.partitionBy("prec", "cell").orderBy("_s")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     wgcum = (Window.orderBy("_s")
@@ -201,19 +205,21 @@ def t_closeness_audit(pts: DataFrame, k: int, precision: int, *,
                           Window.currentRow))
     gcum = glob.select("_s", F.sum("_g").over(wgcum).alias("_gc"))
     terms = (grid.join(F.broadcast(gcum), "_s")
-             .select("prec", "cell", "n", "_s",
+             .crossJoin(F.broadcast(tot))
+             .select("prec", "cell", "n", "_s", "_N", "_K",
                      F.sum("_c").over(wcum).alias("_cc"), "_gc"))
-    gap = F.abs(F.col("_cc") * F.lit(big_n)
+    gap = F.abs(F.col("_cc") * F.col("_N")
                 - F.col("_gc") * F.col("n"))
-    kcats = cats.count()
-    per = (terms.groupBy("prec", "cell", "n")
+    per = (terms.groupBy("prec", "cell", "n", "_N", "_K")
            .agg(F.sum(gap).alias("_sg"), F.max(gap).alias("_mg")))
-    den = (F.col("n") * big_n * max(kcats - 1, 1)).cast("double")
+    den = (F.col("n") * F.col("_N")
+           * F.greatest(F.col("_K") - 1, F.lit(1))).cast("double")
     return per.select(
         "prec", "cell", "n",
         (F.col("_sg").cast("double") / den).alias("t_w1"),
         (F.col("_mg").cast("double")
-         / (F.col("n") * big_n).cast("double")).alias("worst_cat_gap"))
+         / (F.col("n") * F.col("_N")).cast("double"))
+        .alias("worst_cat_gap"))
 
 
 def randomized_response(df: DataFrame, key_cols: list, *,

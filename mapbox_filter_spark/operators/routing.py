@@ -36,80 +36,6 @@ def _d2(a: Column, b: Column) -> Column:
             + (a["y"] - b["y"]) * (a["y"] - b["y"]))
 
 
-def nn_tour(df: DataFrame, group_cols: Sequence[str], *,
-            id_col: str = "stop_id", x_col: str = "x", y_col: str = "y",
-            max_stops: int = 64) -> DataFrame:
-    """Greedy nearest-neighbour tour per group: start at the lowest
-    stop id, repeatedly visit the closest unvisited stop (exact
-    integer d²; ties break to the earliest stop in id order).  The
-    standard O(n²) route-construction heuristic, run independently
-    inside every vehicle's row.
-
-    Stops beyond ``max_stops`` raise in-plan (ride the output column
-    so Catalyst cannot prune the guard); bound the input with
-    cap_per_group for an any-scale-safe gate.
-
-    Returns ``(*group_cols, n_stops, tour, tour_len_micro)`` where
-    ``tour`` is the stop-id visit order and ``tour_len_micro`` the
-    µ-quantized (floor(√d²·10⁶) per edge) integer tour length.
-    """
-    if max_stops < 1:
-        raise ValueError("max_stops must be positive")
-    pts_s = F.array_sort(F.collect_list(F.struct(
-        F.col(id_col).cast("long").alias("i"),
-        F.col(x_col).cast("long").alias("x"),
-        F.col(y_col).cast("long").alias("y"))))
-    g = df.groupBy(*[F.col(c) for c in group_cols]).agg(pts_s.alias("_pts"))
-    n = F.size("_pts")
-    # the guard rides n_stops (a kept output column) — a detached
-    # raise_error column would be pruned
-    n_guard = F.when(
-        n > max_stops,
-        F.raise_error(F.format_string(
-            f"nn_tour: group exceeds max_stops={max_stops} (got %s); "
-            "bound the input with cap_per_group", n.cast("string")))
-    ).otherwise(n)
-    pts = F.col("_pts")
-
-    def at(idx: Column) -> Column:
-        return F.element_at(pts, (idx + 1).cast("int"))
-
-    def best_next(acc: Column) -> Column:
-        last = at(F.element_at(acc, -1))
-        cand = F.filter(F.sequence(F.lit(0), n - 1),
-                        lambda i: ~F.array_contains(acc, i))
-        best = F.aggregate(
-            cand,
-            F.struct(F.lit(_MAXLONG).cast("long").alias("d"),
-                     F.lit(-1).cast("long").alias("i")),
-            lambda b, i: F.when(
-                _d2(last, at(i)) < b["d"],
-                F.struct(_d2(last, at(i)).alias("d"),
-                         i.cast("long").alias("i"))).otherwise(b))
-        return best["i"]
-
-    steps = F.when(n > 1, F.sequence(F.lit(1), n - 1)) \
-        .otherwise(F.array().cast("array<int>"))
-    tour_idx = F.aggregate(
-        steps,
-        F.array(F.lit(0).cast("long")),
-        lambda acc, _: F.concat(acc, F.array(best_next(acc))))
-    # materialize the tour indices ONCE; the length fold re-reads the
-    # column instead of re-running the O(n²) construction per step
-    mid = g.select(*group_cols, n_guard.alias("n_stops"),
-                   pts.alias("_pts"), tour_idx.alias("_tidx"))
-    pts2, tidx = F.col("_pts"), F.col("_tidx")
-    n2 = F.size("_pts")
-
-    def at2(idx: Column) -> Column:
-        return F.element_at(pts2, (idx + 1).cast("int"))
-
-    return mid.select(
-        *group_cols, "n_stops",
-        F.transform(tidx, lambda i: at2(i)["i"]).alias("tour"),
-        _tour_len(pts2, tidx, n2).alias("tour_len_micro"))
-
-
 def _at(pts: Column, idx: Column) -> Column:
     return F.element_at(pts, (idx + 1).cast("int"))
 
@@ -129,6 +55,84 @@ def _tour_len(pts: Column, tidx: Column, n: Column) -> Column:
             _at(pts, F.element_at(tidx, (k + 1).cast("int")))))
 
 
+def _tour_state(df: DataFrame, group_cols: Sequence[str], id_col: str,
+                x_col: str, y_col: str, max_stops: int) -> DataFrame:
+    """Shared grouped state: ``(*group_cols, n_stops, _pts, _tidx)``
+    — one collect per group, the NN construction fold, and the
+    in-plan max_stops guard riding n_stops.  nn_tour projects the
+    public columns; two_opt keeps folding on _pts/_tidx without a
+    second shuffle."""
+    if max_stops < 1:
+        raise ValueError("max_stops must be positive")
+    pts_s = F.array_sort(F.collect_list(F.struct(
+        F.col(id_col).cast("long").alias("i"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"))))
+    g = df.groupBy(*[F.col(c) for c in group_cols]).agg(pts_s.alias("_pts"))
+    n = F.size("_pts")
+    # the guard rides n_stops (a kept output column) — a detached
+    # raise_error column would be pruned
+    n_guard = F.when(
+        n > max_stops,
+        F.raise_error(F.format_string(
+            f"nn_tour: group exceeds max_stops={max_stops} (got %s); "
+            "bound the input with cap_per_group", n.cast("string")))
+    ).otherwise(n)
+    pts = F.col("_pts")
+
+    def best_next(acc: Column) -> Column:
+        last = _at(pts, F.element_at(acc, -1))
+        cand = F.filter(F.sequence(F.lit(0), n - 1),
+                        lambda i: ~F.array_contains(acc, i))
+        # struct-least merges in one d² evaluation per candidate:
+        # (d, i) lexicographic min = nearest, ties to lowest index
+        best = F.aggregate(
+            cand,
+            F.struct(F.lit(_MAXLONG).cast("long").alias("d"),
+                     F.lit(-1).cast("long").alias("i")),
+            lambda b, i: F.least(
+                b, F.struct(_d2(last, _at(pts, i)).alias("d"),
+                            i.cast("long").alias("i"))))
+        return best["i"]
+
+    steps = F.when(n > 1, F.sequence(F.lit(1), n - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    tour_idx = F.aggregate(
+        steps,
+        F.array(F.lit(0).cast("long")),
+        lambda acc, _: F.concat(acc, F.array(best_next(acc))))
+    # materialize the tour indices ONCE; downstream folds re-read the
+    # column instead of re-running the O(n²) construction per step
+    return g.select(*group_cols, n_guard.alias("n_stops"),
+                    pts.alias("_pts"), tour_idx.alias("_tidx"))
+
+
+def nn_tour(df: DataFrame, group_cols: Sequence[str], *,
+            id_col: str = "stop_id", x_col: str = "x", y_col: str = "y",
+            max_stops: int = 64) -> DataFrame:
+    """Greedy nearest-neighbour tour per group: start at the lowest
+    stop id, repeatedly visit the closest unvisited stop (exact
+    integer d²; ties break to the earliest stop in id order).  The
+    standard O(n²) route-construction heuristic, run independently
+    inside every vehicle's row.
+
+    Stops beyond ``max_stops`` raise in-plan (ride the output column
+    so Catalyst cannot prune the guard); bound the input with
+    cap_per_group for an any-scale-safe gate.
+
+    Returns ``(*group_cols, n_stops, tour, tour_len_micro)`` where
+    ``tour`` is the stop-id visit order and ``tour_len_micro`` the
+    µ-quantized (floor(√d²·10⁶) per edge) integer tour length.
+    """
+    mid = _tour_state(df, group_cols, id_col, x_col, y_col, max_stops)
+    pts, tidx = F.col("_pts"), F.col("_tidx")
+    n = F.size("_pts")
+    return mid.select(
+        *group_cols, "n_stops",
+        F.transform(tidx, lambda i: _at(pts, i)["i"]).alias("tour"),
+        _tour_len(pts, tidx, n).alias("tour_len_micro"))
+
+
 def two_opt(df: DataFrame, group_cols: Sequence[str], *,
             id_col: str = "stop_id", x_col: str = "x", y_col: str = "y",
             max_stops: int = 64, rounds: int = 6) -> DataFrame:
@@ -139,35 +143,27 @@ def two_opt(df: DataFrame, group_cols: Sequence[str], *,
     stops changing once no reversal improves — all ``rounds`` rounds
     run inside ONE in-row fold, so there is no per-iteration plan
     growth (the platt_scaling expression-inlining lesson) and no
-    driver loop.
+    driver loop.  Shares the construction shuffle with nn_tour via
+    the internal grouped state — one exchange total.
 
     The (gain, pair) argmin is encoded as one int64 ``delta·n² + k``
     (k = i·n + j): delta < 0 ⟺ encoded < 0, and pmod recovers k —
-    exactly mirrorable in DuckDB where ``%`` is truncating.
+    exactly mirrorable in DuckDB where ``%`` is truncating.  The
+    encoded argmin binds ONCE per round (hof.bind_once) — every
+    i_b/j_b/gate reference would otherwise re-run the O(n²) pair scan.
 
     Returns ``(*group_cols, n_stops, tour, nn_len_micro,
     tour_len_micro)``: construction vs improved length (improved ≤
     construction by design).
     """
+    from .hof import bind_once
+
     if rounds < 1:
         raise ValueError("rounds must be positive")
-    base = nn_tour(df, group_cols, id_col=id_col, x_col=x_col,
-                   y_col=y_col, max_stops=max_stops)
-    # re-derive pts alongside the base tour: nn_tour's public output
-    # drops the coordinate array, so rebuild the grouped frame once
-    pts_s = F.array_sort(F.collect_list(F.struct(
-        F.col(id_col).cast("long").alias("i"),
-        F.col(x_col).cast("long").alias("x"),
-        F.col(y_col).cast("long").alias("y"))))
-    g = (df.groupBy(*[F.col(c) for c in group_cols])
-         .agg(pts_s.alias("_pts")))
-    mid = base.join(g, list(group_cols))
+    mid = _tour_state(df, group_cols, id_col, x_col, y_col, max_stops)
     pts = F.col("_pts")
     n = F.size("_pts")
-    # tour (stop ids, sorted-unique per group) back to 0-based indices
-    ids_sorted = F.transform(pts, lambda p: p["i"])
-    tidx0 = F.transform(F.col("tour"),
-                        lambda s: F.array_position(ids_sorted, s) - 1)
+    tidx0 = F.col("_tidx")
     m = n * n
 
     def pt(tcur: Column, p: Column) -> Column:
@@ -189,25 +185,29 @@ def two_opt(df: DataFrame, group_cols: Sequence[str], *,
             F.sequence(F.lit(0), m - 1),
             lambda k: (k >= n)  # i >= 1
             & (((k - F.pmod(k, n)) / n).cast("long") < F.pmod(k, n)))
-        best = F.array_min(
+        best_expr = F.array_min(
             F.transform(pairs, lambda k: delta(k) * m + k))
-        k_best = F.pmod(best, m)
-        i_b = ((k_best - F.pmod(k_best, n)) / n).cast("int")
-        j_b = F.pmod(k_best, n).cast("int")
-        rebuilt = F.concat(
-            F.slice(acc, 1, i_b),
-            F.reverse(F.slice(acc, i_b + 1, j_b - i_b + 1)),
-            F.when(j_b < n - 1,
-                   F.slice(acc, j_b + 2, (n - j_b - 1).cast("int")))
-            .otherwise(F.array().cast("array<long>")))
-        return F.when(best < 0, rebuilt).otherwise(acc)
+
+        def build(best: Column) -> Column:
+            k_best = F.pmod(best, m)
+            i_b = ((k_best - F.pmod(k_best, n)) / n).cast("int")
+            j_b = F.pmod(k_best, n).cast("int")
+            rebuilt = F.concat(
+                F.slice(acc, 1, i_b),
+                F.reverse(F.slice(acc, i_b + 1, j_b - i_b + 1)),
+                F.when(j_b < n - 1,
+                       F.slice(acc, j_b + 2, (n - j_b - 1).cast("int")))
+                .otherwise(F.array().cast("array<long>")))
+            return F.when(best < 0, rebuilt).otherwise(acc)
+
+        return bind_once({"best": best_expr}, build)
 
     improved = F.when(
         n > 2,
         F.aggregate(F.sequence(F.lit(1), F.lit(rounds)), tidx0,
                     lambda acc, _: round_step(acc))).otherwise(tidx0)
     mid2 = mid.select(*group_cols, "n_stops",
-                      F.col("tour_len_micro").alias("nn_len_micro"),
+                      _tour_len(pts, tidx0, n).alias("nn_len_micro"),
                       pts.alias("_pts"), improved.alias("_tidx"))
     pts2, tidx2 = F.col("_pts"), F.col("_tidx")
     n2 = F.size("_pts")

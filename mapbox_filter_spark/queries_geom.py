@@ -6282,14 +6282,10 @@ _TOUR_VEH = 40
 _TOUR_CAP = 24
 
 
-def q_route_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vehicle route sequencing (operators/routing.py nn_tour):
-    the feature scatter split into 40 vehicles, stops deterministically
-    capped at 24/vehicle (cap_per_group), then the greedy
-    nearest-neighbour tour solved inside each vehicle's row as an
-    exact-integer fold — visit order and µ-quantized tour length
-    value-hash end to end."""
-    from .operators.routing import nn_tour
+def _tour_stops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared capped stop set for the route gates — ONE definition of
+    the vehicle split + hashed coordinates (the SQL twin is
+    _sql_tour_ctes' stops0/capd)."""
     from .operators.splits import cap_per_group
     from .sources.features import features_from_lineitem
 
@@ -6300,10 +6296,21 @@ def q_route_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feature_id",
         F.pmod(fid * 7919, F.lit(360000)).alias("x"),
         F.pmod(fid * 104729, F.lit(170000)).alias("y")).distinct()
-    capped = cap_per_group(stops, ["vehicle"], _TOUR_CAP,
-                           id_col="feature_id")
-    t = nn_tour(capped, ["vehicle"], id_col="feature_id",
-                max_stops=_TOUR_CAP)
+    return cap_per_group(stops, ["vehicle"], _TOUR_CAP,
+                         id_col="feature_id")
+
+
+def q_route_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vehicle route sequencing (operators/routing.py nn_tour):
+    the feature scatter split into 40 vehicles, stops deterministically
+    capped at 24/vehicle (cap_per_group), then the greedy
+    nearest-neighbour tour solved inside each vehicle's row as an
+    exact-integer fold — visit order and µ-quantized tour length
+    value-hash end to end."""
+    from .operators.routing import nn_tour
+
+    t = nn_tour(_tour_stops(spark, sf_dir), ["vehicle"],
+                id_col="feature_id", max_stops=_TOUR_CAP)
     return t.select("vehicle", "n_stops",
                     F.array_join(F.col("tour"), ",").alias("tour"),
                     "tour_len_micro")
@@ -6403,19 +6410,10 @@ def q_route_2opt(spark: SparkSession, sf_dir: str) -> DataFrame:
     visit order and both lengths (construction vs improved)
     value-hash; improved ≤ construction by design."""
     from .operators.routing import two_opt
-    from .operators.splits import cap_per_group
-    from .sources.features import features_from_lineitem
 
-    fid = F.col("feature_id")
-    stops = features_from_lineitem(spark, sf_dir).select(
-        F.pmod(fid, F.lit(_TOUR_VEH)).alias("vehicle"),
-        "feature_id",
-        F.pmod(fid * 7919, F.lit(360000)).alias("x"),
-        F.pmod(fid * 104729, F.lit(170000)).alias("y")).distinct()
-    capped = cap_per_group(stops, ["vehicle"], _TOUR_CAP,
-                           id_col="feature_id")
-    t = two_opt(capped, ["vehicle"], id_col="feature_id",
-                max_stops=_TOUR_CAP, rounds=_TOUR_ROUNDS)
+    t = two_opt(_tour_stops(spark, sf_dir), ["vehicle"],
+                id_col="feature_id", max_stops=_TOUR_CAP,
+                rounds=_TOUR_ROUNDS)
     return t.select("vehicle", "n_stops",
                     F.array_join(F.col("tour"), ",").alias("tour"),
                     "nn_len_micro", "tour_len_micro")

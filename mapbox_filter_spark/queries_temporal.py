@@ -1698,7 +1698,7 @@ def q_ltob_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (area DESC, ts, event_id) argmax.  One shuffle feeds both
     windows."""
     from .operators.temporal import ltob_downsample
-    from .queries_curation import _CENTS_SQL, _cents
+    from .queries_curation import _cents
 
     ev = _events(spark, sf_dir).select(
         "user_id", "event_id",
