@@ -4205,3 +4205,50 @@ FROM e GROUP BY g"""
 
 ANALYTICS_QUERIES["spiegelhalter"] = (q_spiegelhalter,
                                       sql_spiegelhalter)
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WOE/IV screen of the discount feature against returns
+    (operators/ml.py woe_iv): per discount-percent bin the µ-nat
+    quantized weight of evidence ln(g·B/(b·G)) and exact-numerator IV
+    contribution — the credit-scoring feature screen."""
+    from .operators.ml import woe_iv
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long").alias("disc_pts"),
+        (F.col("l_returnflag") == "R").alias("bad"))
+    return woe_iv(li, "disc_pts", "bad")
+
+
+def sql_woe_iv() -> str:
+    return """
+WITH r AS (
+  SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS bin,
+         l_returnflag = 'R' AS bad
+  FROM lineitem),
+per AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN bad THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_good,
+         CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bad
+  FROM r GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_good) AS BIGINT) AS g,
+               CAST(SUM(n_bad) AS BIGINT) AS b FROM per),
+w AS (
+  SELECT per.bin, per.n, per.n_good, per.n_bad, tot.g, tot.b,
+         CASE WHEN per.n_good > 0 AND per.n_bad > 0 THEN
+           CAST(floor(ln(CAST(per.n_good * tot.b AS DOUBLE)
+                         / CAST(per.n_bad * tot.g AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) END AS woe_micro
+  FROM per, tot)
+SELECT bin, n, n_good, n_bad, woe_micro,
+       CASE WHEN n_good > 0 AND n_bad > 0 THEN
+         (CAST(n_good * b - n_bad * g AS DOUBLE)
+          / CAST(g * b AS DOUBLE))
+         * (CAST(woe_micro AS DOUBLE) / 1000000.0) END AS iv_part
+FROM w"""
+
+
+ANALYTICS_QUERIES["woe_iv"] = (q_woe_iv, sql_woe_iv)

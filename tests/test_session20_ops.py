@@ -718,3 +718,42 @@ def test_viterbi_incomplete_trajectory_dropped(spark):
     pdf = spark.createDataFrame(pings, "traj long, step long, "
                                        "x long, y long")
     assert viterbi_match(pdf, sdf, 500, 1024, steps=3).collect() == []
+
+
+# ---- woe_iv (weight of evidence / information value) ----
+
+def test_woe_iv_differential(spark):
+    from mapbox_filter_spark.operators.ml import woe_iv
+
+    rng = random.Random(71)
+    rows = [(rng.randrange(5), rng.random() < 0.2 + 0.1 * (i % 3))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "bin long, bad boolean")
+    got = {r["bin"]: (r["n"], r["n_good"], r["n_bad"], r["woe_micro"],
+                      r["iv_part"])
+           for r in woe_iv(df, "bin", "bad").collect()}
+    from collections import Counter
+
+    cnt = Counter()
+    for b, bad in rows:
+        cnt[(b, bad)] += 1
+    G = sum(v for (b, bad), v in cnt.items() if not bad)
+    B = sum(v for (b, bad), v in cnt.items() if bad)
+    for b in set(b for b, _ in rows):
+        g, bb = cnt.get((b, False), 0), cnt.get((b, True), 0)
+        woe = int(math.floor(math.log((g * B) / (bb * G)) * 1e6 + 0.5))
+        iv = ((g * B - bb * G) / (G * B)) * (woe / 1e6)
+        assert got[b][0] == g + bb
+        assert got[b][3] == woe
+        assert got[b][4] == pytest.approx(iv, rel=1e-12)
+
+
+def test_woe_iv_degenerate_bin(spark):
+    from mapbox_filter_spark.operators.ml import woe_iv
+
+    rows = [(0, False)] * 10 + [(0, True)] * 5 + [(1, False)] * 8
+    df = spark.createDataFrame(rows, "bin long, bad boolean")
+    got = {r["bin"]: (r["woe_micro"], r["iv_part"])
+           for r in woe_iv(df, "bin", "bad").collect()}
+    assert got[1] == (None, None)  # no bads in bin 1 -> excluded
+    assert got[0][0] is not None
