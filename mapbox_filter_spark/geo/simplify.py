@@ -98,3 +98,99 @@ def simplify_rdp(verts: Column, eps: int) -> Column:
         return pd.Series(out)
 
     return _rdp(verts)
+
+
+def visvalingam(df, group_cols, *, order_col: str = "o",
+                x_col: str = "x", y_col: str = "y",
+                thresh2: int = 0, max_remove: int = 12,
+                max_pts: int = 24):
+    """Visvalingam-Whyatt polyline simplification (Visvalingam &
+    Whyatt 1993): repeatedly drop the interior vertex whose EFFECTIVE
+    triangle area (with its current neighbours — recomputed after
+    every removal, which is what distinguishes VW from a one-pass
+    filter) is smallest, while ``2·area < thresh2``, up to
+    ``max_remove`` removals.  The areal counterpart of RDP: RDP keeps
+    offset extremes (an Arrow kernel here), VW keeps area-significant
+    shape and is expressible as a pure Column fold — exact integer
+    area2 = |cross|, endpoints always kept, ties remove the earliest
+    vertex.
+
+    All removal rounds run inside ONE in-row fold (no plan growth);
+    the (area2, position) argmin is encoded as ``area2·max_pts + p``
+    and binds once per round (hof.bind_once).  ``max_pts`` is both
+    the in-plan length guard and the encode base.
+
+    Returns ``(*group_cols, n_in, n_kept, kept, removed_area2)``
+    where ``kept`` is the comma-joined surviving order values and
+    ``removed_area2`` the exact sum of removed effective areas.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.hof import bind_once
+
+    if max_pts < 3 or max_remove < 1 or thresh2 < 0:
+        raise ValueError("need max_pts >= 3, max_remove >= 1, "
+                         "thresh2 >= 0")
+    pts_s = F.array_sort(F.collect_list(F.struct(
+        F.col(order_col).cast("long").alias("o"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"))))
+    g = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        pts_s.alias("_pts"))
+    pts = F.col("_pts")
+    n = F.size("_pts")
+    n_guard = F.when(
+        n > max_pts,
+        F.raise_error(F.format_string(
+            f"visvalingam: group exceeds max_pts={max_pts} (got %s)",
+            n.cast("string")))).otherwise(n)
+
+    def at(k: Column, p: Column) -> Column:
+        return F.element_at(pts, (F.element_at(k, (p + 1).cast("int"))
+                                  + 1).cast("int"))
+
+    def area2(k: Column, p: Column) -> Column:
+        a, b, c = at(k, p - 1), at(k, p), at(k, p + 1)
+        return F.abs((b["x"] - a["x"]) * (c["y"] - a["y"])
+                     - (b["y"] - a["y"]) * (c["x"] - a["x"]))
+
+    def step(acc: Column) -> Column:
+        k, s = acc["k"], acc["s"]
+        m = F.size(k)
+        enc_expr = F.array_min(F.transform(
+            F.when(m > 2, F.sequence(F.lit(1), m - 2))
+            .otherwise(F.array().cast("array<int>")),
+            lambda p: area2(k, p) * max_pts + p))
+
+        def build(enc: Column) -> Column:
+            p = F.pmod(enc, F.lit(max_pts)).cast("int")
+            a2 = ((enc - F.pmod(enc, F.lit(max_pts)))
+                  / max_pts).cast("long")
+            removed = F.struct(
+                F.concat(F.slice(k, 1, p),
+                         F.slice(k, p + 2, (m - p - 1).cast("int")))
+                .alias("k"),
+                (s + a2).alias("s"))
+            return F.when(enc.isNotNull() & (a2 < thresh2), removed) \
+                .otherwise(acc)
+
+        return bind_once({"enc": enc_expr}, build)
+
+    init = F.struct(
+        F.sequence(F.lit(0).cast("long"), (n - 1).cast("long"))
+        .alias("k"),
+        F.lit(0).cast("long").alias("s"))
+    final = F.aggregate(F.sequence(F.lit(1), F.lit(max_remove)), init,
+                        lambda acc, _: step(acc))
+    mid = g.select(*group_cols, n_guard.alias("n_in"),
+                   pts.alias("_pts"), final.alias("_f"))
+    pts2 = F.col("_pts")
+    k2 = F.col("_f.k")
+    return mid.select(
+        *group_cols, "n_in",
+        F.size(k2).alias("n_kept"),
+        F.array_join(F.transform(
+            k2, lambda i: F.element_at(
+                pts2, (i + 1).cast("int"))["o"].cast("string")), ",")
+        .alias("kept"),
+        F.col("_f.s").alias("removed_area2"))

@@ -6747,3 +6747,92 @@ SELECT traj, cost AS total_cost, path FROM (
 
 
 GEOM_QUERIES["viterbi_match"] = (q_viterbi_match, sql_viterbi_match)
+
+
+_VW_THRESH2 = 200_000
+_VW_MAXPTS = 24
+_VW_ROUNDS = 12
+
+
+def q_vw_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visvalingam-Whyatt simplification of per-user walk polylines
+    (geo/simplify.py visvalingam): up to 12 smallest-effective-area
+    interior vertices removed below the area threshold, recomputed
+    after each removal — surviving vertex sequence and exact removed
+    area sum value-hash; both stopping rules (threshold and round
+    budget) bind at this threshold."""
+    from pyspark.sql import Window as W
+
+    from .geo.simplify import visvalingam
+    from .operators.trajectory import random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = (pos.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= _VW_MAXPTS)
+           .select("user_id", F.col("rn").alias("o"), "x", "y"))
+    return visvalingam(pts, ["user_id"], thresh2=_VW_THRESH2,
+                       max_remove=_VW_ROUNDS, max_pts=_VW_MAXPTS)
+
+
+def sql_vw_simplify() -> str:
+    K = _VW_MAXPTS
+    a2 = """abs(
+      (pts[CAST(k[p + 1] + 1 AS INTEGER)].x
+       - pts[CAST(k[p] + 1 AS INTEGER)].x)
+      * (pts[CAST(k[p + 2] + 1 AS INTEGER)].y
+         - pts[CAST(k[p] + 1 AS INTEGER)].y)
+      - (pts[CAST(k[p + 1] + 1 AS INTEGER)].y
+         - pts[CAST(k[p] + 1 AS INTEGER)].y)
+      * (pts[CAST(k[p + 2] + 1 AS INTEGER)].x
+         - pts[CAST(k[p] + 1 AS INTEGER)].x))"""
+    rounds = []
+    for r in range(1, _VW_ROUNDS + 1):
+        rounds.append(f"""e{r} AS MATERIALIZED (
+  SELECT user_id, pts, n_in, k, s,
+    CASE WHEN len(k) > 2 THEN
+      list_min(list_transform(range(1, CAST(len(k) - 1 AS INTEGER)),
+        p -> {a2} * {K} + p)) END AS enc
+  FROM v{r - 1}),
+v{r} AS MATERIALIZED (
+  SELECT user_id, pts, n_in,
+    CASE WHEN enc IS NOT NULL AND (enc - enc % {K}) // {K}
+              < {_VW_THRESH2}
+      THEN list_concat(
+             list_slice(k, 1, CAST(enc % {K} AS INTEGER)),
+             list_slice(k, CAST(enc % {K} AS INTEGER) + 2, len(k)))
+      ELSE k END AS k,
+    CASE WHEN enc IS NOT NULL AND (enc - enc % {K}) // {K}
+              < {_VW_THRESH2}
+      THEN s + (enc - enc % {K}) // {K} ELSE s END AS s
+  FROM e{r})""")
+    chain = ",\n".join(rounds)
+    return f"""WITH {_sql_walk_pos()},
+lim AS (
+  SELECT user_id, rn AS o, x, y FROM (
+    SELECT user_id, x, y,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM pos) WHERE rn <= {K}),
+per AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_in,
+         list({{'o': CAST(o AS BIGINT), 'x': CAST(x AS BIGINT),
+               'y': CAST(y AS BIGINT)}} ORDER BY o) AS pts
+  FROM lim GROUP BY 1),
+v0 AS MATERIALIZED (
+  SELECT user_id, pts, n_in,
+         list_transform(range(0, CAST(n_in AS INTEGER)),
+                        i -> CAST(i AS BIGINT)) AS k,
+         CAST(0 AS BIGINT) AS s
+  FROM per),
+{chain}
+SELECT user_id, n_in, CAST(len(k) AS BIGINT) AS n_kept,
+  list_aggregate(list_transform(k,
+      i -> CAST(pts[CAST(i + 1 AS INTEGER)].o AS VARCHAR)),
+      'string_agg', ',') AS kept,
+  s AS removed_area2
+FROM v{_VW_ROUNDS}"""
+
+
+GEOM_QUERIES["vw_simplify"] = (q_vw_simplify, sql_vw_simplify)

@@ -757,3 +757,68 @@ def test_woe_iv_degenerate_bin(spark):
            for r in woe_iv(df, "bin", "bad").collect()}
     assert got[1] == (None, None)  # no bads in bin 1 -> excluded
     assert got[0][0] is not None
+
+
+# ---- visvalingam (VW polyline simplification) ----
+
+def _brute_vw(pts, thresh2, max_remove):
+    """pts: [(o, x, y)] sorted by o."""
+    k = list(range(len(pts)))
+    removed = 0
+    for _ in range(max_remove):
+        if len(k) <= 2:
+            break
+        best = None
+        for p in range(1, len(k) - 1):
+            a, b, c = pts[k[p - 1]], pts[k[p]], pts[k[p + 1]]
+            a2 = abs((b[1] - a[1]) * (c[2] - a[2])
+                     - (b[2] - a[2]) * (c[1] - a[1]))
+            if best is None or (a2, p) < best:
+                best = (a2, p)
+        if best[0] >= thresh2:
+            break
+        removed += best[0]
+        del k[best[1]]
+    kept = ",".join(str(pts[i][0]) for i in k)
+    return len(pts), len(k), kept, removed
+
+
+def test_visvalingam_differential(spark):
+    from mapbox_filter_spark.geo.simplify import visvalingam
+
+    rng = random.Random(23)
+    rows = []
+    groups = {}
+    for g in range(8):
+        n = rng.randrange(2, 20)
+        pts = [(o, rng.randrange(200), rng.randrange(200))
+               for o in range(n)]
+        groups[g] = pts
+        rows += [(g, o, x, y) for o, x, y in pts]
+    df = spark.createDataFrame(rows, "g long, o long, x long, y long")
+    got = {r["g"]: (r["n_in"], r["n_kept"], r["kept"],
+                    r["removed_area2"])
+           for r in visvalingam(df, ["g"], thresh2=3000,
+                                max_remove=6, max_pts=24).collect()}
+    for g, pts in groups.items():
+        assert got[g] == _brute_vw(pts, 3000, 6), g
+
+
+def test_visvalingam_collinear_first(spark):
+    from mapbox_filter_spark.geo.simplify import visvalingam
+
+    # vertex 1's near-flat kink (area2=10) goes first; vertex 3's
+    # big area survives the threshold
+    pts = [(0, 0, 0), (1, 10, 0), (2, 20, 1), (3, 30, 100),
+           (4, 40, 0)]
+    df = spark.createDataFrame([(0, o, x, y) for o, x, y in pts],
+                               "g long, o long, x long, y long")
+    r = visvalingam(df, ["g"], thresh2=100, max_remove=10,
+                    max_pts=8).collect()[0]
+    assert r["kept"] == "0,2,3,4" and r["removed_area2"] == 10
+    # threshold below the smallest effective area: nothing removed
+    r2 = visvalingam(df, ["g"], thresh2=1, max_remove=10,
+                     max_pts=8).collect()[0]
+    assert r2["kept"] == "0,1,2,3,4" and r2["removed_area2"] == 0
+    with pytest.raises(ValueError):
+        visvalingam(df, ["g"], thresh2=-1)
