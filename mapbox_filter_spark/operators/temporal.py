@@ -2422,3 +2422,115 @@ def series_motif(df: DataFrame, group_cols: "list[str]", *,
                     F.col("_m.ta").alias("t_a"),
                     F.col("_m.tb").alias("t_b"),
                     F.col("_m.d").alias("d2")))
+
+
+def kleinberg_bursts(df: DataFrame, group_cols: "list[str]", *,
+                     t_col: str = "t", steps: int, gamma_micro:
+                     int = 1_000_000, scale: int = 1_000_000
+                     ) -> DataFrame:
+    """Kleinberg 2-state burst detection (Kleinberg KDD'02): the
+    inter-event gap sequence is decoded against a base-rate state q0
+    (exponential rate λ = n/T) and a burst state q1 (rate 2λ); the
+    optimal state sequence minimizes
+
+        Σ (λ_i·x − ln λ_i)  +  γ·ln n · #(q0→q1 transitions)
+
+    — the standard automaton with s=2.  Exactness: emission costs are
+    µ-nat-quantized with the λ·x term EXACT ((n·x·2^i·scale) // T —
+    one integer floor-division) and the ln terms single pinned-double
+    lns of exact rationals; ties break on the state-path string, so
+    the decode value-hashes.
+
+    Contract: every group must present exactly ``steps + 1`` events
+    (t values 0..steps ordered); derive with a row_number cap
+    upstream.  Groups with zero total span (all gaps 0) are dropped —
+    λ is undefined.
+
+    Shape: one gap window pass + a per-group scalar aggregate
+    (broadcast back) + ``steps`` relational DP rounds over TWO states
+    — each one equi-join and a (group, state) argmin, localCheckpoint
+    every few rounds.
+
+    Returns ``(*group_cols, n_gaps, total_cost_micro, states,
+    n_burst)`` — ``states`` the 0/1 decode per gap, ``n_burst`` the
+    number of gaps spent in the burst state.
+    """
+    from pyspark.sql import Window as W
+
+    if steps < 1:
+        raise ValueError("steps must be >= 1")
+    w = W.partitionBy(*group_cols).orderBy("_t")
+    base = df.select(*group_cols, F.col(t_col).cast("long").alias("_t"))
+    gaps = (base.select(*group_cols, "_t",
+                        (F.lead("_t").over(w) - F.col("_t"))
+                        .alias("_gap"),
+                        (F.row_number().over(w) - 1).alias("_r"))
+            .filter(F.col("_gap").isNotNull()))
+    ok = (gaps.groupBy(*group_cols)
+          .agg(F.count(F.lit(1)).alias("_n"),
+               F.sum("_gap").alias("_tt"))
+          .filter((F.col("_n") == steps) & (F.col("_tt") > 0)))
+    lam_ln = [F.floor(F.log((F.lit(float(2 ** i)) * F.col("_n"))
+                            .cast("double")
+                            / F.col("_tt").cast("double"))
+                      * scale + F.lit(0.5)).cast("long")
+              for i in (0, 1)]
+    trans = F.floor(F.log(F.col("_n").cast("double"))
+                    * (gamma_micro / 1_000_000.0) * scale
+                    + F.lit(0.5)).cast("long")
+    # the scalar table derives FROM gaps: break the shared lineage
+    # before self-joining or attribute resolution turns ambiguous
+    sc = ok.select(*group_cols, "_n", "_tt",
+                   lam_ln[0].alias("_ln0"), lam_ln[1].alias("_ln1"),
+                   trans.alias("_tr")).localCheckpoint()
+    g = gaps.join(F.broadcast(sc), [*group_cols]).localCheckpoint()
+
+    def emit(state: int) -> Column:
+        lam_x = F.col("_n") * F.col("_gap") * (2 ** state) * scale
+        exact = ((lam_x - F.pmod(lam_x, F.col("_tt"))) / F.col("_tt")) \
+            .cast("long")
+        return exact - F.col(f"_ln{state}")
+
+    first = g.filter(F.col("_r") == 0)
+    state = None
+    for s in (0, 1):
+        part = first.select(
+            *group_cols, F.lit(s).alias("_s"),
+            # the automaton starts in q0: entering q1 on gap 0 pays γln n
+            (emit(s) + (F.col("_tr") if s == 1 else F.lit(0)))
+            .alias("cost"),
+            F.lit(str(s)).alias("path"))
+        state = part if state is None else state.unionByName(part)
+    for r in range(1, steps):
+        cr = g.filter(F.col("_r") == r)
+        nxt = None
+        for s in (0, 1):
+            cand = (state.join(cr, [*group_cols])
+                    .select(*group_cols,
+                            (F.col("cost") + emit(s)
+                             + F.when((F.col("_s") == 0) & (s == 1),
+                                      F.col("_tr")).otherwise(F.lit(0))
+                             ).alias("_c"),
+                            F.concat(F.col("path"), F.lit(str(s)))
+                            .alias("_p")))
+            best = (cand.groupBy(*group_cols)
+                    .agg(F.min(F.struct(F.col("_c"), F.col("_p")))
+                         .alias("_b"))
+                    .select(*group_cols, F.lit(s).alias("_s"),
+                            F.col("_b._c").alias("cost"),
+                            F.col("_b._p").alias("path")))
+            nxt = best if nxt is None else nxt.unionByName(best)
+        state = nxt
+        if r % 6 == 0:
+            state = state.localCheckpoint()
+    final = (state.groupBy(*group_cols)
+             .agg(F.min(F.struct(F.col("cost"), F.col("path")))
+                  .alias("_b")))
+    states = F.col("_b.path")
+    return final.select(
+        *group_cols, F.lit(steps).cast("long").alias("n_gaps"),
+        F.col("_b.cost").alias("total_cost_micro"),
+        states.alias("states"),
+        (F.length(states)
+         - F.length(F.replace(states, F.lit("1"), F.lit(""))))
+        .cast("long").alias("n_burst"))

@@ -2841,3 +2841,121 @@ FROM best b JOIN nw USING (event_type)"""
 
 
 TEMPORAL_QUERIES["ts_motif"] = (q_ts_motif, sql_ts_motif)
+
+
+_KB_STEPS = 24   # gaps per series (25 distinct-second events)
+_KB_BURST_LO = 9   # planted-burst gap window [lo, hi)
+_KB_BURST_HI = 17
+
+
+def q_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg 2-state burst decode per event type
+    (operators/temporal.py kleinberg_bursts): the first 25
+    distinct-second event times per type, gaps decoded against
+    base/burst exponential states with exact integer λ·x terms and
+    µ-nat ln chains — the burst-interval primitive behind trending
+    detection."""
+    from .geo.tilemath import floor_div
+    from .operators.temporal import kleinberg_bursts
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    secs = (ev.select(
+        "event_type",
+        floor_div(F.unix_micros(F.col("ts").cast("timestamp")),
+                  1_000_000).alias("sec")).distinct())
+    w = W.partitionBy("event_type").orderBy("sec")
+    lim = (secs.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= _KB_STEPS + 1))
+    # the synthetic stream is near-uniform (an all-quiet decode is
+    # correct but vacuous) — compress the middle gaps 20x into a
+    # deterministic planted burst, then re-cumulate
+    wg = W.partitionBy("event_type").orderBy("rn")
+    gap = F.lead("sec").over(w) - F.col("sec")
+    adj = F.when((F.col("rn") >= _KB_BURST_LO)
+                 & (F.col("rn") < _KB_BURST_HI),
+                 floor_div(gap, 20) + 1).otherwise(gap)
+    gaps = lim.select("event_type", "rn", adj.alias("adj"))         .filter(F.col("adj").isNotNull())
+    t2 = (gaps.select(
+        "event_type", "rn",
+        F.sum("adj").over(wg.rowsBetween(W.unboundedPreceding, 0))
+        .alias("t")))
+    zero = lim.filter(F.col("rn") == 1).select(
+        "event_type", F.lit(0).alias("rn"), F.lit(0).alias("t"))
+    series = zero.unionByName(t2.select("event_type", "rn", "t"))
+    return kleinberg_bursts(series.select("event_type", "t"),
+                            ["event_type"], t_col="t",
+                            steps=_KB_STEPS)
+
+
+def sql_burst_detect() -> str:
+    emit = ("((sc.n * gr.gap * (CASE WHEN st.s = 1 THEN 2 ELSE 1 END)"
+            " * 1000000)"
+            " - (sc.n * gr.gap * (CASE WHEN st.s = 1 THEN 2 ELSE 1 END)"
+            " * 1000000) % sc.t_tot) // sc.t_tot"
+            " - (CASE WHEN st.s = 0 THEN sc.ln0 ELSE sc.ln1 END)")
+    cost = (f"p.cost + {emit} + CASE WHEN p.s = 0 AND st.s = 1"
+            " THEN sc.tr ELSE 0 END")
+    rounds = []
+    for r in range(1, _KB_STEPS):
+        rounds.append(f"""s{r} AS MATERIALIZED (
+  SELECT g, s, cost, path FROM (
+    SELECT p.g, st.s, {cost} AS cost,
+           p.path || CAST(st.s AS VARCHAR) AS path,
+           ROW_NUMBER() OVER (PARTITION BY p.g, st.s
+             ORDER BY {cost},
+                      p.path || CAST(st.s AS VARCHAR)) AS rn
+    FROM s{r - 1} p
+    JOIN gaps gr ON gr.g = p.g AND gr.r = {r}
+    JOIN sc ON sc.g = p.g
+    CROSS JOIN (VALUES (0), (1)) st(s)) WHERE rn = 1)""")
+    chain = ",\n".join(rounds)
+    e0 = emit.replace("gr.gap", "g0.gap")
+    return f"""WITH secs AS (
+  SELECT DISTINCT event_type AS g, epoch_us(ts) // 1000000 AS sec
+  FROM events WHERE ts IS NOT NULL),
+lim AS (
+  SELECT g, sec,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY sec) AS rn
+  FROM secs
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY sec)
+          <= {_KB_STEPS + 1}),
+gaps AS (
+  SELECT g, rn - 1 AS r,
+         CASE WHEN rn >= {_KB_BURST_LO} AND rn < {_KB_BURST_HI}
+              THEN (LEAD(sec) OVER wl - sec) // 20 + 1
+              ELSE LEAD(sec) OVER wl - sec END AS gap
+  FROM lim WINDOW wl AS (PARTITION BY g ORDER BY rn)
+  QUALIFY gap IS NOT NULL),
+sc AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(gap) AS BIGINT) AS t_tot,
+         CAST(floor(ln((1.0 * COUNT(*))
+                       / CAST(SUM(gap) AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS ln0,
+         CAST(floor(ln((2.0 * COUNT(*))
+                       / CAST(SUM(gap) AS DOUBLE))
+                    * 1000000 + 0.5) AS BIGINT) AS ln1,
+         CAST(floor(ln(CAST(COUNT(*) AS DOUBLE)) * 1.0 * 1000000.0
+                    + 0.5) AS BIGINT) AS tr
+  FROM gaps GROUP BY 1
+  HAVING COUNT(*) = {_KB_STEPS} AND SUM(gap) > 0),
+s0 AS MATERIALIZED (
+  SELECT g0.g, st.s,
+         {e0} + CASE WHEN st.s = 1 THEN sc.tr ELSE 0 END AS cost,
+         CAST(st.s AS VARCHAR) AS path
+  FROM (SELECT * FROM gaps WHERE r = 0) g0
+  JOIN sc ON sc.g = g0.g
+  CROSS JOIN (VALUES (0), (1)) st(s)),
+{chain}
+SELECT g AS event_type, CAST({_KB_STEPS} AS BIGINT) AS n_gaps,
+       cost AS total_cost_micro, path AS states,
+       CAST(len(path) - len(replace(path, '1', '')) AS BIGINT)
+         AS n_burst
+FROM (
+  SELECT g, cost, path,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY cost, path) AS rn
+  FROM s{_KB_STEPS - 1}) WHERE rn = 1"""
+
+
+TEMPORAL_QUERIES["burst_detect"] = (q_burst_detect, sql_burst_detect)

@@ -822,3 +822,71 @@ def test_visvalingam_collinear_first(spark):
     assert r2["kept"] == "0,1,2,3,4" and r2["removed_area2"] == 0
     with pytest.raises(ValueError):
         visvalingam(df, ["g"], thresh2=-1)
+
+
+# ---- kleinberg_bursts (2-state burst decode) ----
+
+def _brute_kleinberg(ts, scale=1_000_000):
+    gaps = [b - a for a, b in zip(ts, ts[1:])]
+    n, T = len(gaps), sum(gaps)
+    ln = [int(math.floor(math.log((2.0 ** i * n) / T) * scale + 0.5))
+          for i in (0, 1)]
+    tr = int(math.floor(math.log(float(n)) * 1.0 * scale + 0.5))
+
+    def emit(s, x):
+        return (n * x * (2 ** s) * scale) // T - ln[s]
+
+    state = {s: (emit(s, gaps[0]) + (tr if s == 1 else 0), str(s))
+             for s in (0, 1)}
+    for x in gaps[1:]:
+        new = {}
+        for s in (0, 1):
+            best = None
+            for ps, (pc, pp) in state.items():
+                c = pc + emit(s, x) + (tr if (ps == 0 and s == 1)
+                                       else 0)
+                p = pp + str(s)
+                if best is None or (c, p) < best:
+                    best = (c, p)
+            new[s] = best
+        state = new
+    cost, path = min(state.values())
+    return cost, path, path.count("1")
+
+
+def test_kleinberg_differential(spark):
+    from mapbox_filter_spark.operators.temporal import kleinberg_bursts
+
+    rng = random.Random(31)
+    rows = []
+    series = {}
+    for g in range(4):
+        t, ts = 0, [0]
+        for i in range(14):
+            # planted burst: 6 very short gaps (gain ~0.65 nat each,
+            # comfortably past the gamma*ln(n) entry cost)
+            t += rng.randrange(1, 6) if 3 <= i < 9 \
+                else rng.randrange(100, 300)
+            ts.append(t)
+        series[g] = ts
+        rows += [(g, x) for x in ts]
+    df = spark.createDataFrame(rows, "g long, t long")
+    got = {r["g"]: (r["total_cost_micro"], r["states"], r["n_burst"])
+           for r in kleinberg_bursts(df, ["g"], t_col="t",
+                                     steps=14).collect()}
+    for g, ts in series.items():
+        assert got[g] == _brute_kleinberg(ts), g
+        # the planted burst region decodes as state 1
+        assert "111" in got[g][1]
+
+
+def test_kleinberg_contract(spark):
+    from mapbox_filter_spark.operators.temporal import kleinberg_bursts
+
+    # wrong series length -> dropped; zero span -> dropped
+    rows = [(0, t) for t in (0, 5, 9)] + [(1, 0), (1, 0), (1, 0)]
+    df = spark.createDataFrame(rows, "g long, t long")
+    out = kleinberg_bursts(df, ["g"], t_col="t", steps=2).collect()
+    assert [r["g"] for r in out] == [0]
+    with pytest.raises(ValueError):
+        kleinberg_bursts(df, ["g"], t_col="t", steps=0)
