@@ -6836,3 +6836,136 @@ FROM v{_VW_ROUNDS}"""
 
 
 GEOM_QUERIES["vw_simplify"] = (q_vw_simplify, sql_vw_simplify)
+
+
+_KRIG_RADIUS = 2000
+_KRIG_NQ = 64
+
+
+def q_kriging_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary kriging of the feature scatter's hashed field at 64
+    probe points (operators/kriging.py kriging_ok): 3-NN stencil from
+    the cell join, linear-variogram bordered system solved by exact
+    int64 Cramer determinants, prediction as the pinned λ·z fold —
+    the geostat interpolator beside shepard_idw."""
+    from .operators.kriging import kriging_ok
+    from .sources.features import features_from_lineitem
+
+    fid = F.col("feature_id")
+    corpus = features_from_lineitem(spark, sf_dir).select(
+        "feature_id",
+        F.pmod(fid * 7919, F.lit(360000)).alias("x"),
+        F.pmod(fid * 104729, F.lit(170000)).alias("y"),
+        F.pmod(fid, F.lit(1000)).alias("z")).distinct()
+    pk = F.col("p_partkey")
+    queries = (spark.read.parquet(f"{sf_dir}/part.parquet")
+               .filter((pk >= 1) & (pk <= _KRIG_NQ))
+               .select(pk.alias("query_id"),
+                       F.pmod(pk * 6151, F.lit(360000)).alias("x"),
+                       F.pmod(pk * 9433, F.lit(170000)).alias("y")))
+    return kriging_ok(queries, corpus, _KRIG_RADIUS,
+                      query_id="query_id", corpus_id="feature_id")
+
+
+def _sql_det4(m) -> str:
+    from .operators.kriging import det4_terms
+    parts = []
+    for sign, entries in det4_terms(m):
+        term = " * ".join(f"({e})" for e in entries) if entries else "1"
+        parts.append(("+ " if sign > 0 else "- ") + term)
+    out = " ".join(parts)
+    return "(" + (out[2:] if out.startswith("+ ") else out) + ")"
+
+
+def sql_kriging_ok() -> str:
+    from .operators.kriging import ONE
+    from .sources.features import FEATURES_ORACLE_SQL
+
+    def at(i, j):
+        if i == 3 and j == 3:
+            return None
+        if i == 3 or j == 3:
+            return ONE
+        if i == j:
+            return None
+        return f"g{min(i, j) + 1}{max(i, j) + 1}"
+
+    A = [[at(i, j) for j in range(4)] for i in range(4)]
+    det = _sql_det4(A)
+    dets = []
+    for col in range(3):
+        b = ["gq1", "gq2", "gq3", ONE]
+        Ai = [[b[i] if j == col else A[i][j] for j in range(4)]
+              for i in range(4)]
+        dets.append(_sql_det4(Ai))
+    gd = ("CAST(floor(sqrt(CAST((x{a}-x{b})*(x{a}-x{b})"
+          "+(y{a}-y{b})*(y{a}-y{b}) AS DOUBLE))) AS BIGINT)")
+    return f"""WITH {FEATURES_ORACLE_SQL},
+corpus AS (
+  SELECT DISTINCT feature_id AS cid,
+         (feature_id * 7919) % 360000 AS x,
+         (feature_id * 104729) % 170000 AS y,
+         feature_id % 1000 AS z
+  FROM features),
+qs AS (
+  SELECT p_partkey AS qid,
+         (p_partkey * 6151) % 360000 AS qx,
+         (p_partkey * 9433) % 170000 AS qy
+  FROM part WHERE p_partkey BETWEEN 1 AND {_KRIG_NQ}),
+nn AS (
+  -- brute theta join: proves the engine's cell candidates complete
+  SELECT qid, cid, x, y, z, d2, rnk FROM (
+    SELECT q.qid, c.cid, c.x, c.y, c.z,
+           (q.qx-c.x)*(q.qx-c.x)+(q.qy-c.y)*(q.qy-c.y) AS d2,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY (q.qx-c.x)*(q.qx-c.x)+(q.qy-c.y)*(q.qy-c.y),
+                      c.cid) AS rnk
+    FROM qs q JOIN corpus c
+      ON (q.qx-c.x)*(q.qx-c.x)+(q.qy-c.y)*(q.qy-c.y)
+         <= {_KRIG_RADIUS * _KRIG_RADIUS})
+  WHERE rnk <= 3),
+wide AS (
+  SELECT qid,
+         MAX(CASE WHEN rnk=1 THEN x END) AS x1,
+         MAX(CASE WHEN rnk=1 THEN y END) AS y1,
+         MAX(CASE WHEN rnk=1 THEN z END) AS z1,
+         MAX(CASE WHEN rnk=1 THEN d2 END) AS d2_1,
+         MAX(CASE WHEN rnk=2 THEN x END) AS x2,
+         MAX(CASE WHEN rnk=2 THEN y END) AS y2,
+         MAX(CASE WHEN rnk=2 THEN z END) AS z2,
+         MAX(CASE WHEN rnk=2 THEN d2 END) AS d2_2,
+         MAX(CASE WHEN rnk=3 THEN x END) AS x3,
+         MAX(CASE WHEN rnk=3 THEN y END) AS y3,
+         MAX(CASE WHEN rnk=3 THEN z END) AS z3,
+         MAX(CASE WHEN rnk=3 THEN d2 END) AS d2_3
+  FROM nn GROUP BY 1
+  HAVING COUNT(*) = 3),
+gs AS (
+  SELECT qid, z1, z2, z3, d2_1,
+         {gd.format(a=1, b=2)} AS g12,
+         {gd.format(a=1, b=3)} AS g13,
+         {gd.format(a=2, b=3)} AS g23,
+         CAST(floor(sqrt(CAST(d2_1 AS DOUBLE))) AS BIGINT) AS gq1,
+         CAST(floor(sqrt(CAST(d2_2 AS DOUBLE))) AS BIGINT) AS gq2,
+         CAST(floor(sqrt(CAST(d2_3 AS DOUBLE))) AS BIGINT) AS gq3
+  FROM wide),
+solved AS (
+  SELECT qid, z1, z2, z3, d2_1,
+         {det} AS det,
+         {dets[0]} AS det1, {dets[1]} AS det2, {dets[2]} AS det3
+  FROM gs)
+SELECT qid AS query_id,
+       CASE WHEN d2_1 = 0 THEN NULL ELSE det END AS det,
+       CASE WHEN d2_1 = 0 THEN CAST(z1 AS DOUBLE)
+            WHEN det <> 0 THEN
+              ((CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE))
+                 * CAST(z1 AS DOUBLE)
+               + (CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE))
+                 * CAST(z2 AS DOUBLE))
+              + (CAST(det3 AS DOUBLE) / CAST(det AS DOUBLE))
+                * CAST(z3 AS DOUBLE)
+       END AS pred
+FROM solved"""
+
+
+GEOM_QUERIES["kriging_ok"] = (q_kriging_ok, sql_kriging_ok)

@@ -890,3 +890,106 @@ def test_kleinberg_contract(spark):
     assert [r["g"] for r in out] == [0]
     with pytest.raises(ValueError):
         kleinberg_bursts(df, ["g"], t_col="t", steps=0)
+
+
+# ---- kriging_ok (ordinary kriging, 3-NN linear variogram) ----
+
+def _brute_krig(qpt, corpus, radius):
+    import math
+
+    qx, qy = qpt
+    cand = sorted(
+        ((qx - x) ** 2 + (qy - y) ** 2, cid, x, y, z)
+        for cid, x, y, z in corpus
+        if (qx - x) ** 2 + (qy - y) ** 2 <= radius * radius)[:3]
+    if len(cand) < 3:
+        return None
+    if cand[0][0] == 0:
+        return (None, float(cand[0][4]))
+    g = lambda ax, ay, bx, by: int(math.floor(  # noqa: E731
+        math.sqrt((ax - bx) ** 2 + (ay - by) ** 2)))
+    d2s = [c[0] for c in cand]
+    xs = [(c[2], c[3]) for c in cand]
+    zs = [c[4] for c in cand]
+    g12 = g(*xs[0], *xs[1])
+    g13 = g(*xs[0], *xs[2])
+    g23 = g(*xs[1], *xs[2])
+    gq = [int(math.floor(math.sqrt(d))) for d in d2s]
+    A = [[0, g12, g13, 1], [g12, 0, g23, 1], [g13, g23, 0, 1],
+         [1, 1, 1, 0]]
+    b = [gq[0], gq[1], gq[2], 1]
+
+    def det4(M):
+        from itertools import permutations
+
+        def sign(p):
+            s, seen = 1, set()
+            for i in range(4):
+                if i in seen:
+                    continue
+                j, ln = i, 0
+                while j not in seen:
+                    seen.add(j)
+                    j = p[j]
+                    ln += 1
+                if ln % 2 == 0:
+                    s = -s
+            return s
+
+        return sum(sign(p) * M[0][p[0]] * M[1][p[1]] * M[2][p[2]]
+                   * M[3][p[3]] for p in permutations(range(4)))
+
+    det = det4(A)
+    if det == 0:
+        return (det, None)
+    lam = []
+    for col in range(3):
+        Ai = [[b[i] if j == col else A[i][j] for j in range(4)]
+              for i in range(4)]
+        lam.append(det4(Ai) / det)
+    pred = (lam[0] * zs[0] + lam[1] * zs[1]) + lam[2] * zs[2]
+    return (det, pred)
+
+
+def test_kriging_differential(spark):
+    from mapbox_filter_spark.operators.kriging import kriging_ok
+
+    rng = random.Random(19)
+    corpus = [(i, rng.randrange(2000), rng.randrange(2000),
+               rng.randrange(100)) for i in range(120)]
+    qs = [(i, rng.randrange(2000), rng.randrange(2000))
+          for i in range(12)]
+    cdf = spark.createDataFrame(corpus,
+                                "point_id long, x long, y long, z long")
+    qdf = spark.createDataFrame(qs, "query_id long, x long, y long")
+    got = {r["query_id"]: (r["det"], r["pred"])
+           for r in kriging_ok(qdf, cdf, 600).collect()}
+    for qi, qx, qy in qs:
+        want = _brute_krig((qx, qy), corpus, 600)
+        if want is None:
+            assert qi not in got
+            continue
+        assert got[qi][0] == want[0], qi
+        if want[1] is None:
+            assert got[qi][1] is None
+        else:
+            assert got[qi][1] == pytest.approx(want[1], rel=1e-12)
+
+
+def test_kriging_properties(spark):
+    from mapbox_filter_spark.operators.kriging import kriging_ok
+
+    # constant field reproduced (weights sum to 1); exact hit returns
+    # the sample; coincident neighbours -> singular -> NULL pred
+    corpus = [(1, 0, 0, 7), (2, 100, 0, 7), (3, 0, 100, 7),
+              (4, 500, 500, 9), (5, 600, 500, 3), (6, 500, 600, 4),
+              (10, 900, 900, 1), (11, 900, 900, 2), (12, 900, 900, 3)]
+    qs = [(0, 40, 40), (1, 500, 500), (2, 901, 900)]
+    cdf = spark.createDataFrame(corpus,
+                                "point_id long, x long, y long, z long")
+    qdf = spark.createDataFrame(qs, "query_id long, x long, y long")
+    got = {r["query_id"]: (r["det"], r["pred"])
+           for r in kriging_ok(qdf, cdf, 400).collect()}
+    assert got[0][1] == pytest.approx(7.0, abs=1e-9)   # constant field
+    assert got[1] == (None, 9.0)                        # exact hit
+    assert got[2][0] == 0 and got[2][1] is None         # singular
