@@ -2900,3 +2900,53 @@ def spiegelhalter_z(df: DataFrame, group_cols: Sequence[str], *,
                F.col("z_num").cast("double")
                / F.sqrt(F.col("z_den").cast("double")))
     return per.select(*g, "n", "z_num", "z_den", z.alias("z"))
+
+
+def quantile_normalize(df: DataFrame, group_cols: "list[str]",
+                       value_col: str, id_col: str, *,
+                       out: str = "v_norm") -> DataFrame:
+    """Quantile normalization (Bolstad et al. 2003 — the microarray /
+    feature-prep transform): every group's distribution is mapped onto
+    the POOLED distribution, so groups become exactly comparable in
+    shape.  Each row's within-group rank r (ties broken by ``id_col``
+    so the rank — and therefore the output — is engine-deterministic;
+    n_g rows) maps to the pooled order statistic at position
+    ⌈r·N/n_g⌉ — integer target positions against the pooled sort, no
+    interpolation, so the result value-hashes exactly.  The pooled
+    side needs no tiebreak: tied pooled values are interchangeable.
+    Exactness bound: the position arithmetic divides r·N by n_g in a
+    double after exact remainder removal — exact while r·N < 2⁵³
+    (N < ~9·10⁷; beyond that, rewrite the division DECIMAL(38), the
+    loglog_fit discipline).
+
+    Shape: one within-group rank window + one global rank window over
+    the pooled values (the exact-order cost; at fleet scale the global
+    rank becomes a range-partitioned sort — the same trade documented
+    for str_pack/rank_percentiles) + one join of the (position →
+    pooled value) table.
+
+    Returns ``(*group_cols, id, v, out)``.
+    """
+    from pyspark.sql import Window as W
+
+    v = F.col(value_col).cast("long")
+    base = df.select(*group_cols, F.col(id_col).alias("id"),
+                     v.alias("_v"))
+    ng = (base.groupBy(*group_cols)
+          .agg(F.count(F.lit(1)).alias("_ng")))
+    tot = base.groupBy().agg(F.count(F.lit(1)).alias("_N"))
+    ranked = (base.withColumn(
+        "_r", F.row_number().over(
+            W.partitionBy(*group_cols).orderBy("_v", "id")))
+        .join(ng, [*group_cols]).crossJoin(F.broadcast(tot)))
+    # target pooled position ceil(r*N/ng) in 1..N, exact integers
+    num = F.col("_r") * F.col("_N")
+    pos = ((num + F.col("_ng") - 1)
+           - F.pmod(num + F.col("_ng") - 1, F.col("_ng"))) / F.col("_ng")
+    pooled = (base.select(F.col("_v").alias("_pv"))
+              .withColumn("_p", F.row_number().over(
+                  W.orderBy("_pv"))))
+    return (ranked.withColumn("_pos", pos.cast("long"))
+            .join(pooled, F.col("_pos") == F.col("_p"))
+            .select(*group_cols, "id", F.col("_v").alias("v"),
+                    F.col("_pv").alias(out)))

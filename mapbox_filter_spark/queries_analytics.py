@@ -4252,3 +4252,55 @@ FROM w"""
 
 
 ANALYTICS_QUERIES["woe_iv"] = (q_woe_iv, sql_woe_iv)
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-return-flag price distributions
+    (operators/stats.py quantile_normalize): each flag's cents mapped
+    onto the pooled order statistics at ceil(r·N/n_g) — exact integer
+    positions, id-tiebroken ranks, fully value-hashed."""
+    from .operators.stats import quantile_normalize
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag",
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long").alias("cents"))
+    # rid repeats in the reduced schema: make the tiebreak unique
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("l_returnflag", "rid").orderBy("cents")
+    li = li.withColumn(
+        "uid", F.col("rid") * 10 + F.row_number().over(w))
+    return quantile_normalize(li, ["l_returnflag"], "cents", "uid")
+
+
+def sql_quantile_normalize() -> str:
+    return """
+WITH base0 AS (
+  SELECT l_returnflag AS g,
+         l_orderkey * 10 + l_linenumber AS rid,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+  FROM lineitem),
+base AS (
+  SELECT g, rid * 10 + ROW_NUMBER() OVER (PARTITION BY g, rid
+                                          ORDER BY v) AS id, v
+  FROM base0),
+ng AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g FROM base GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+ranked AS (
+  SELECT b.g, b.id, b.v,
+         ROW_NUMBER() OVER (PARTITION BY b.g ORDER BY b.v, b.id) AS r,
+         ng.n_g, tot.n
+  FROM base b JOIN ng USING (g) CROSS JOIN tot),
+pooled AS (
+  SELECT v AS pv, ROW_NUMBER() OVER (ORDER BY v) AS p FROM base)
+SELECT ranked.g AS l_returnflag, ranked.id, ranked.v,
+       pooled.pv AS v_norm
+FROM ranked JOIN pooled
+  ON pooled.p = (ranked.r * ranked.n + ranked.n_g - 1)
+              // ranked.n_g"""
+
+
+ANALYTICS_QUERIES["quantile_normalize"] = (q_quantile_normalize,
+                                           sql_quantile_normalize)

@@ -993,3 +993,48 @@ def test_kriging_properties(spark):
     assert got[0][1] == pytest.approx(7.0, abs=1e-9)   # constant field
     assert got[1] == (None, 9.0)                        # exact hit
     assert got[2][0] == 0 and got[2][1] is None         # singular
+
+
+# ---- quantile_normalize (Bolstad pooled-quantile mapping) ----
+
+def test_quantile_normalize_differential(spark):
+    from mapbox_filter_spark.operators.stats import quantile_normalize
+
+    rng = random.Random(37)
+    rows = []
+    for g in ("a", "b", "c"):
+        for i in range(rng.randrange(20, 40)):
+            rows.append((g, len(rows), rng.randrange(1000)))
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    got = {(r["g"], r["id"]): r["v_norm"]
+           for r in quantile_normalize(df, ["g"], "v", "id").collect()}
+    pooled = sorted(v for _, _, v in rows)
+    N = len(pooled)
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for g, i, v in rows:
+        by_g[g].append((v, i))
+    for g, items in by_g.items():
+        items.sort()
+        ng = len(items)
+        for r, (v, i) in enumerate(items, start=1):
+            pos = -((-r * N) // ng)  # ceil
+            assert got[(g, i)] == pooled[pos - 1], (g, i)
+
+
+def test_quantile_normalize_aligns_groups(spark):
+    from mapbox_filter_spark.operators.stats import quantile_normalize
+
+    # equal-size groups with very different scales end up with the
+    # IDENTICAL normalized multiset (the defining property)
+    rows = [("lo", i, i) for i in range(50)] + \
+           [("hi", 100 + i, 1000 + 7 * i) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    out = quantile_normalize(df, ["g"], "v", "id").collect()
+    from collections import defaultdict
+
+    norm = defaultdict(list)
+    for r in out:
+        norm[r["g"]].append(r["v_norm"])
+    assert sorted(norm["lo"]) == sorted(norm["hi"])
