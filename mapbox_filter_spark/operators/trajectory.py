@@ -893,3 +893,66 @@ def viterbi_match(pings: DataFrame, segs: DataFrame, radius: int,
             .select(F.col("_tj").alias("traj"),
                     F.col("_b.cost").alias("total_cost"),
                     F.col("_b.path").alias("path")))
+
+
+def home_work_infer(df: DataFrame, cell: int, *,
+                    entity_col: str = "user_id", ts_col: str = "ts",
+                    x_col: str = "x", y_col: str = "y",
+                    night: "tuple[int, int]" = (22, 6),
+                    day: "tuple[int, int]" = (9, 17)) -> DataFrame:
+    """Home/work anchor inference (the standard CDR/mobility-mining
+    heuristic, e.g. Phithakkitnukoon 2012): a user's HOME is the modal
+    grid cell of their night-hour pings (wrap-around window
+    [night_lo, 24) ∪ [0, night_hi)), WORK the modal cell of the
+    day-hour window [day_lo, day_hi).  Ties break to the
+    lexicographically smallest (cx, cy) — deterministic, and the share
+    columns expose how dominant each anchor is as an exact rational
+    numerator/denominator pair plus one pinned division.
+
+    Shape: one filtered (entity, cell) count per period +
+    one argmax groupBy each — map-side-combinable throughout; entities
+    missing a period are left-join-NULL, not dropped.
+
+    Returns ``(entity, home_cx, home_cy, home_n, home_total,
+    home_share, work_cx, work_cy, work_n, work_total, work_share)``.
+    """
+    from ..geo.tilemath import floor_div
+
+    if cell <= 0:
+        raise ValueError("cell must be positive")
+    hour = F.pmod(floor_div(
+        F.unix_micros(F.col(ts_col).cast("timestamp")),
+        3_600_000_000), F.lit(24))
+    base = df.select(
+        F.col(entity_col).alias("entity"),
+        hour.alias("_h"),
+        floor_div(F.col(x_col), cell).alias("_cx"),
+        floor_div(F.col(y_col), cell).alias("_cy"))
+
+    def window_mask(lo: int, hi: int):
+        if lo <= hi:
+            return (F.col("_h") >= lo) & (F.col("_h") < hi)
+        return (F.col("_h") >= lo) | (F.col("_h") < hi)
+
+    def anchor(mask, tag: str) -> DataFrame:
+        per = (base.filter(mask)
+               .groupBy("entity", "_cx", "_cy")
+               .agg(F.count(F.lit(1)).alias("_n")))
+        tot = per.groupBy("entity").agg(F.sum("_n").alias("_tot"))
+        best = (per.groupBy("entity")
+                .agg(F.max(F.struct(
+                    F.col("_n"), (-F.col("_cx")).alias("_nx"),
+                    (-F.col("_cy")).alias("_ny"))).alias("_b")))
+        return (best.join(tot, "entity").select(
+            "entity",
+            (-F.col("_b._nx")).alias(f"{tag}_cx"),
+            (-F.col("_b._ny")).alias(f"{tag}_cy"),
+            F.col("_b._n").alias(f"{tag}_n"),
+            F.col("_tot").alias(f"{tag}_total"),
+            (F.col("_b._n").cast("double")
+             / F.col("_tot").cast("double")).alias(f"{tag}_share")))
+
+    ents = base.select("entity").distinct()
+    return (ents
+            .join(anchor(window_mask(*night), "home"), "entity", "left")
+            .join(anchor(window_mask(*day), "work"), "entity", "left"))

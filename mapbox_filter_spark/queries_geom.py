@@ -6969,3 +6969,63 @@ FROM solved"""
 
 
 GEOM_QUERIES["kriging_ok"] = (q_kriging_ok, sql_kriging_ok)
+
+
+_HW_CELL = 2000
+
+
+def q_home_work(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Home/work anchor inference over the deterministic walk
+    (operators/trajectory.py home_work_infer): per user the modal
+    night-window and day-window 2000-unit cells with exact dominance
+    shares — the mobility-mining anchor primitive."""
+    from .operators.trajectory import home_work_infer, \
+        random_walk_positions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pos = random_walk_positions(ev, jump=_TRAJ_JUMP)
+    return home_work_infer(pos, _HW_CELL)
+
+
+def sql_home_work() -> str:
+    c = _HW_CELL
+
+    def anchor(cond: str, tag: str) -> str:
+        return f"""{tag}_per AS (
+  SELECT user_id AS entity,
+         CAST(floor(x / {c}.0) AS BIGINT) AS cx,
+         CAST(floor(y / {c}.0) AS BIGINT) AS cy,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM hb WHERE {cond} GROUP BY 1, 2, 3),
+{tag}_tot AS (
+  SELECT entity, CAST(SUM(n) AS BIGINT) AS tot
+  FROM {tag}_per GROUP BY 1),
+{tag}_best AS (
+  SELECT entity, cx, cy, n FROM (
+    SELECT entity, cx, cy, n,
+           ROW_NUMBER() OVER (PARTITION BY entity
+                              ORDER BY n DESC, cx, cy) AS rn
+    FROM {tag}_per) WHERE rn = 1)"""
+
+    return f"""WITH {_sql_walk_pos()},
+hb AS (
+  SELECT user_id, x, y,
+         (epoch_us(ts) // 3600000000) % 24 AS h
+  FROM pos),
+{anchor("h >= 22 OR h < 6", "home")},
+{anchor("h >= 9 AND h < 17", "work")}
+SELECT e.entity,
+       hb2.cx AS home_cx, hb2.cy AS home_cy, hb2.n AS home_n,
+       ht.tot AS home_total,
+       CAST(hb2.n AS DOUBLE) / CAST(ht.tot AS DOUBLE) AS home_share,
+       wb.cx AS work_cx, wb.cy AS work_cy, wb.n AS work_n,
+       wt.tot AS work_total,
+       CAST(wb.n AS DOUBLE) / CAST(wt.tot AS DOUBLE) AS work_share
+FROM (SELECT DISTINCT user_id AS entity FROM hb) e
+LEFT JOIN home_best hb2 ON hb2.entity = e.entity
+LEFT JOIN home_tot ht ON ht.entity = e.entity
+LEFT JOIN work_best wb ON wb.entity = e.entity
+LEFT JOIN work_tot wt ON wt.entity = e.entity"""
+
+
+GEOM_QUERIES["home_work"] = (q_home_work, sql_home_work)

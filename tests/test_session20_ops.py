@@ -1038,3 +1038,51 @@ def test_quantile_normalize_aligns_groups(spark):
     for r in out:
         norm[r["g"]].append(r["v_norm"])
     assert sorted(norm["lo"]) == sorted(norm["hi"])
+
+
+# ---- home_work_infer (mobility anchors) ----
+
+def test_home_work_hand_case(spark):
+    import datetime
+
+    from mapbox_filter_spark.operators.trajectory import home_work_infer
+
+    rows = []
+    # user 1: nights mostly in cell (0,0), days in cell (5,5)
+    for d in range(4):
+        rows.append((1, datetime.datetime(2026, 1, 1 + d, 23), 10, 10))
+        rows.append((1, datetime.datetime(2026, 1, 1 + d, 2), 20, 20))
+        rows.append((1, datetime.datetime(2026, 1, 1 + d, 10),
+                     510, 510))
+    rows.append((1, datetime.datetime(2026, 1, 5, 23), 310, 310))
+    # user 2: day pings only -> home columns NULL
+    rows.append((2, datetime.datetime(2026, 1, 1, 12), 100, 100))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "x long, y long")
+    got = {r["entity"]: r
+           for r in home_work_infer(df, 100).collect()}
+    r1 = got[1]
+    assert (r1["home_cx"], r1["home_cy"]) == (0, 0)
+    assert r1["home_n"] == 8 and r1["home_total"] == 9
+    assert r1["home_share"] == 8 / 9
+    assert (r1["work_cx"], r1["work_cy"]) == (5, 5)
+    assert r1["work_n"] == 4 and r1["work_total"] == 4
+    r2 = got[2]
+    assert r2["home_cx"] is None and r2["home_share"] is None
+    assert (r2["work_cx"], r2["work_cy"]) == (1, 1)
+    with pytest.raises(ValueError):
+        home_work_infer(df, 0)
+
+
+def test_home_work_tie_breaks_lex(spark):
+    import datetime
+
+    from mapbox_filter_spark.operators.trajectory import home_work_infer
+
+    # two night cells with equal counts -> smallest (cx, cy) wins
+    rows = [(1, datetime.datetime(2026, 1, 1, 23), 900, 900),
+            (1, datetime.datetime(2026, 1, 2, 23), 100, 100)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "x long, y long")
+    r = home_work_infer(df, 100).collect()[0]
+    assert (r["home_cx"], r["home_cy"]) == (1, 1)
