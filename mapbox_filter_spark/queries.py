@@ -489,6 +489,14 @@ _DRIVER_PRIORITY = [
     # new round-5 families first among the overflow (driver rows if the
     # sample grows past 50), then the r4 driver-green second
     # representatives
+    "viterbi_match",        # Viterbi map-matching (s20)
+    "route_2opt",           # routing family (s20)
+    "kriging_ok",           # geostat interpolation (s20)
+    "dp_histogram",         # privacy/DP release (s20)
+    "burst_detect",         # Kleinberg bursts (s20)
+    "media_near_dup",       # binary near-dup (s20)
+    "str_pack",             # spatial page layout (s20)
+    "convoy_pairs",         # co-movement (s20)
     "failure_negation", "phrase_search", "st_asof_join",
     "dedup_keep_best", "zonal_stats", "triangle_count",
     "colocation_pairs", "hilbert_order", "kmeans_cells", "cooccur_pmi",
