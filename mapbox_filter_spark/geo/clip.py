@@ -278,3 +278,50 @@ def clip_rings_to_tiles(rings: DataFrame, tile: int, scale: int = 8,
            .select(F.col("rid").alias("ring_id"), "tx", "ty",
                    "i", "x", "y"))
     return out
+
+
+def clip_seam_audit(clipped: DataFrame) -> DataFrame:
+    """Seam-consistency audit of a clip_segments_to_tiles output — the
+    tile-pipeline integrity invariant: every boundary EXIT point of a
+    segment must reappear as the ENTRY point of the same segment in
+    the adjacent tile, bit-identically.  This holds because both sides
+    quantize x0 + dx·t at the SAME rational boundary parameter (the
+    snap-on-clip discipline); a renderer stitching tiles sees cracks
+    exactly when this audit fails, so it is the regression tripwire
+    for any change to the clip arithmetic.
+
+    Shape: two filters over the clipped pieces + two left-semi joins
+    on (line, segment, quantized point) + one per-line aggregate —
+    nothing rescans the source geometry.
+
+    Returns ``(line_id, n_pieces, n_out, n_in, n_out_matched,
+    n_in_matched, seam_ok)``.
+    """
+    outs = (clipped.filter(F.col("cut_out"))
+            .select("line_id", "seg_i",
+                    F.col("qx1").alias("px"), F.col("qy1").alias("py")))
+    ins = (clipped.filter(F.col("cut_in"))
+           .select("line_id", "seg_i",
+                   F.col("qx0").alias("px"), F.col("qy0").alias("py")))
+    key = ["line_id", "seg_i", "px", "py"]
+    out_m = (outs.join(ins.distinct(), key, "left_semi")
+             .groupBy("line_id")
+             .agg(F.count(F.lit(1)).alias("n_out_matched")))
+    in_m = (ins.join(outs.distinct(), key, "left_semi")
+            .groupBy("line_id")
+            .agg(F.count(F.lit(1)).alias("n_in_matched")))
+    per = (clipped.groupBy("line_id")
+           .agg(F.count(F.lit(1)).alias("n_pieces"),
+                F.sum(F.col("cut_out").cast("long")).alias("n_out"),
+                F.sum(F.col("cut_in").cast("long")).alias("n_in")))
+    return (per.join(out_m, "line_id", "left")
+            .join(in_m, "line_id", "left")
+            .select("line_id", "n_pieces", "n_out", "n_in",
+                    F.coalesce("n_out_matched", F.lit(0))
+                    .alias("n_out_matched"),
+                    F.coalesce("n_in_matched", F.lit(0))
+                    .alias("n_in_matched"),
+                    ((F.coalesce("n_out_matched", F.lit(0))
+                      == F.col("n_out"))
+                     & (F.coalesce("n_in_matched", F.lit(0))
+                        == F.col("n_in"))).alias("seam_ok")))

@@ -7029,3 +7029,77 @@ LEFT JOIN work_tot wt ON wt.entity = e.entity"""
 
 
 GEOM_QUERIES["home_work"] = (q_home_work, sql_home_work)
+
+
+def q_clip_seam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seam-consistency audit of the tile_clip pieces (geo/clip.py
+    clip_seam_audit): every boundary exit point reappears bit-identical
+    as the adjacent tile's entry — the no-cracks invariant of the
+    clip arithmetic, per line; seam_ok must read true everywhere."""
+    from .geo.clip import clip_seam_audit, clip_segments_to_tiles
+
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .filter(F.col("p_partkey") <= _RDP_LINES))
+    lines = part.select(F.col("p_partkey").alias("line_id"),
+                        _wiggly_verts().alias("verts"))
+    seg = F.transform(
+        F.sequence(F.lit(0), F.lit(_RDP_N - 2)),
+        lambda i: F.struct(
+            i.cast("long").alias("seg_i"),
+            F.element_at(F.col("verts"), (i + 1).cast("int"))["x"]
+            .alias("x0"),
+            F.element_at(F.col("verts"), (i + 1).cast("int"))["y"]
+            .alias("y0"),
+            F.element_at(F.col("verts"), (i + 2).cast("int"))["x"]
+            .alias("x1"),
+            F.element_at(F.col("verts"), (i + 2).cast("int"))["y"]
+            .alias("y1")))
+    segs = (lines.select("line_id", F.explode(seg).alias("s"))
+            .select("line_id", "s.*"))
+    # materialize once: the audit reads the pieces four ways, and
+    # re-expanding the clip arithmetic per consumer also overruns the
+    # codegen method limit
+    clipped = clip_segments_to_tiles(segs, _CLIP_TILE,
+                                     _CLIP_SCALE).localCheckpoint()
+    return clip_seam_audit(clipped)
+
+
+def sql_clip_seam() -> str:
+    base = sql_tile_clip()
+    return f"""WITH clipped AS ({base}),
+outs AS (SELECT line_id, seg_i, qx1 AS px, qy1 AS py
+         FROM clipped WHERE cut_out),
+ins AS (SELECT line_id, seg_i, qx0 AS px, qy0 AS py
+        FROM clipped WHERE cut_in),
+om AS (
+  SELECT o.line_id, CAST(COUNT(*) AS BIGINT) AS n_out_matched
+  FROM outs o
+  WHERE EXISTS (SELECT 1 FROM ins i
+                WHERE i.line_id = o.line_id AND i.seg_i = o.seg_i
+                  AND i.px = o.px AND i.py = o.py)
+  GROUP BY 1),
+im AS (
+  SELECT i.line_id, CAST(COUNT(*) AS BIGINT) AS n_in_matched
+  FROM ins i
+  WHERE EXISTS (SELECT 1 FROM outs o
+                WHERE o.line_id = i.line_id AND o.seg_i = i.seg_i
+                  AND o.px = i.px AND o.py = i.py)
+  GROUP BY 1),
+per AS (
+  SELECT line_id, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+         CAST(SUM(CASE WHEN cut_out THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_out,
+         CAST(SUM(CASE WHEN cut_in THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_in
+  FROM clipped GROUP BY 1)
+SELECT per.line_id, per.n_pieces, per.n_out, per.n_in,
+       COALESCE(om.n_out_matched, 0) AS n_out_matched,
+       COALESCE(im.n_in_matched, 0) AS n_in_matched,
+       COALESCE(om.n_out_matched, 0) = per.n_out
+       AND COALESCE(im.n_in_matched, 0) = per.n_in AS seam_ok
+FROM per
+LEFT JOIN om USING (line_id)
+LEFT JOIN im USING (line_id)"""
+
+
+GEOM_QUERIES["clip_seam"] = (q_clip_seam, sql_clip_seam)

@@ -1086,3 +1086,31 @@ def test_home_work_tie_breaks_lex(spark):
                                      "x long, y long")
     r = home_work_infer(df, 100).collect()[0]
     assert (r["home_cx"], r["home_cy"]) == (1, 1)
+
+
+# ---- clip_seam_audit (tile-crack tripwire) ----
+
+def test_clip_seam_detects_cracks(spark):
+    from mapbox_filter_spark.geo.clip import (clip_seam_audit,
+                                              clip_segments_to_tiles)
+
+    segs = spark.createDataFrame(
+        [(1, 0, 50, 50, 350, 70),    # crosses x=100,200,300 (tile 100)
+         (2, 0, 10, 10, 20, 20)],    # interior, no cuts
+        "line_id long, seg_i long, x0 long, y0 long, x1 long, y1 long")
+    clipped = clip_segments_to_tiles(segs, 100, 8)
+    got = {r["line_id"]: r for r in clip_seam_audit(clipped).collect()}
+    assert got[1]["seam_ok"] and got[1]["n_out"] == 3 \
+        and got[1]["n_out_matched"] == 3
+    assert got[2]["seam_ok"] and got[2]["n_out"] == 0
+
+    # corrupt one entry point by a subpixel -> the crack is flagged
+    from pyspark.sql import functions as F
+
+    broken = clipped.withColumn(
+        "qx0", F.when(F.col("cut_in") & (F.col("tx") == 2),
+                      F.col("qx0") + 1).otherwise(F.col("qx0")))
+    got2 = {r["line_id"]: r
+            for r in clip_seam_audit(broken).collect()}
+    assert not got2[1]["seam_ok"]
+    assert got2[2]["seam_ok"]
