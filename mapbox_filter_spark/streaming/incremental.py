@@ -492,3 +492,72 @@ def hll_register_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dp_release_stream(
+    spark: SparkSession,
+    in_dir: str,
+    store_dir: str,
+    release_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: T.StructType,
+    key: str,
+    epsilon: float,
+    salt: str,
+    z_max: int = 16,
+    max_files: int = 4,
+):
+    """Streaming ε-DP histogram release — the streaming face of
+    operators/privacy.py dp_histogram.  Per micro-batch: the batch's
+    per-cell counts land in ``store_dir/epoch=N`` via PER-EPOCH
+    partition OVERWRITE (a replayed epoch overwrites itself — counts
+    never double under foreachBatch's at-least-once), then the release
+    is recomputed from the SUMMED store and OVERWRITTEN whole.
+
+    The privacy property that makes streaming release sane at all is
+    dp_histogram's keyed-PRF noise: every epoch's re-release draws the
+    SAME noise per cell (md5-u60 of the cell, not of the epoch), so
+    publishing after every batch consumes ONE release's budget, not
+    one per epoch — a fresh-noise release loop would be an ε-per-epoch
+    privacy leak AND a nondeterministic artifact.
+
+    Returns the StreamingQuery (caller awaits/stops)."""
+    from ..operators.privacy import _dlap_thresholds
+
+    def process(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        cnt = (batch.groupBy(F.col(key).alias("cell"))
+               .agg(F.count(F.lit(1)).alias("n"))
+               .withColumn("epoch", F.lit(epoch)))
+        (cnt.coalesce(1).write.mode("overwrite")
+         .partitionBy("epoch")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(store_dir))
+        total = (spark.read.parquet(store_dir)
+                 .groupBy("cell").agg(F.sum("n").alias("_n")))
+        from ..operators.splits import hash_u60
+
+        u = hash_u60(["cell"], salt)
+        z = sum((F.when(u >= F.lit(t), 1).otherwise(0)
+                 for t in _dlap_thresholds(epsilon, z_max)),
+                F.lit(-z_max))
+        rel = total.select(
+            "cell", F.greatest(F.col("_n") + z, F.lit(0))
+            .alias("n_noisy"))
+        rows = rel.collect()  # release is cell-cardinality-bounded
+        (spark.createDataFrame(rows, rel.schema)
+         .coalesce(1).write.mode("overwrite").parquet(release_dir))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(in_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -340,3 +340,54 @@ def test_hex_heatmap_stream_matches_batch(spark, tmp_path):
         sorted(map(tuple, want.collect()))
     # the merge path was real: more partial rows than final cells
     assert spark.read.parquet(store).count() > want.count()
+
+
+def test_streaming_dp_release_batch_parity(spark, tmp_path):
+    """Streaming face of dp_histogram: the post-stream release equals
+    the batch release over the union of all files (keyed-PRF noise is
+    epoch-independent), and re-running the release loop leaves it
+    byte-stable."""
+    from mapbox_filter_spark.operators.privacy import dp_histogram
+    from mapbox_filter_spark.streaming.incremental import (
+        dp_release_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    schema = "cell string, v long"
+    rows1 = [(f"c{i % 7}", i) for i in range(200)]
+    rows2 = [(f"c{i % 5}", i) for i in range(150)]
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.parquet(f"{in_dir}/f1")
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.parquet(f"{in_dir}/f2")
+
+    store = str(tmp_path / "store")
+    release = str(tmp_path / "release")
+    q = dp_release_stream(
+        spark, f"{in_dir}/f*", store, release,
+        str(tmp_path / "ck"),
+        schema=spark.createDataFrame([], schema).schema,
+        key="cell", epsilon=0.5, salt="sdp", max_files=1)
+    q.awaitTermination(120)
+
+    got = {r["cell"]: r["n_noisy"]
+           for r in spark.read.parquet(release).collect()}
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    want = {r["cell"]: r["n_noisy"]
+            for r in dp_histogram(batch, ["cell"], epsilon=0.5,
+                                  salt="sdp").collect()}
+    assert got == want
+
+    # re-ingesting the whole input into a FRESH store + checkpoint
+    # (different epoch slicing: 2 files per batch) re-derives the
+    # identical release — the noise is keyed by cell, never by epoch
+    q2 = dp_release_stream(
+        spark, f"{in_dir}/f*", str(tmp_path / "store2"), release,
+        str(tmp_path / "ck2"),
+        schema=spark.createDataFrame([], schema).schema,
+        key="cell", epsilon=0.5, salt="sdp", max_files=2)
+    q2.awaitTermination(120)
+    again = {r["cell"]: r["n_noisy"]
+             for r in spark.read.parquet(release).collect()}
+    assert again == want
