@@ -325,3 +325,84 @@ def clip_seam_audit(clipped: DataFrame) -> DataFrame:
                       == F.col("n_out"))
                      & (F.coalesce("n_in_matched", F.lit(0))
                         == F.col("n_in"))).alias("seam_ok")))
+
+
+def ring_union_cover(clipped: DataFrame, tile: int, scale: int, *,
+                     grid: int = 32) -> DataFrame:
+    """Per-tile polygon UNION coverage by deterministic lattice
+    sampling — the operator tile_coverage explicitly defers to
+    (its shoelace sum double-counts overlaps; exact polygon union is
+    a full overlay arrangement, which no tile renderer actually
+    computes): classify a grid×grid lattice of sample points per tile
+    against every clipped ring by integer ray casting, then
+    distinct-count covered cells across rings.
+
+    Exactness/determinism: the test runs in a DOUBLED integer frame —
+    vertex coordinates ×2 (even), sample points at cell centers
+    shifted to ODD doubled coordinates — so a sample never shares a
+    horizontal line with any vertex (the classic ray-cast degeneracy)
+    and every crossing comparison is a strict cross-multiplied int64
+    inequality: identical in any engine, so the union counts
+    value-hash.  ``grid`` must divide ``tile·scale``.
+
+    Shape: the parity fold runs in-row per (ring, tile) over the
+    grid² lattice (bounded literal work); covered cells explode and
+    one distinct + groupBy per tile closes the union — rings never
+    join rings.
+
+    Returns ``(tx, ty, n_rings, cells_union, cells_sum, union_frac)``
+    with cells_sum the overlap-counting total (Σ per-ring cover — the
+    tile_coverage analogue) for contrast with the union.
+    """
+    ts = tile * scale
+    if grid < 1 or ts % grid != 0:
+        raise ValueError("grid must divide tile*scale")
+    sub2 = 2 * (ts // grid)        # doubled subcell size (even)
+    half = sub2 // 2 - 1           # odd offset: sub2/2 is even+? ensure odd below
+    if half % 2 == 0:
+        half += 1                  # odd doubled offset inside the cell
+    rv = (clipped.groupBy("ring_id", "tx", "ty")
+          .agg(F.transform(
+              F.array_sort(F.collect_list(F.struct("i", "x", "y"))),
+              lambda s: F.struct((2 * s["x"]).alias("x2"),
+                                 (2 * s["y"]).alias("y2")))
+              .alias("_v")))
+    v = F.col("_v")
+    n = F.size("_v")
+
+    def vert(j: Column) -> Column:
+        return F.element_at(v, (F.pmod(j, n) + 1).cast("int"))
+
+    ox2 = 2 * F.col("tx") * ts
+    oy2 = 2 * F.col("ty") * ts
+
+    def inside(c: Column) -> Column:
+        px2 = ox2 + F.pmod(c, F.lit(grid)) * sub2 + half
+        py2 = (oy2 + ((c - F.pmod(c, F.lit(grid))) / grid)
+               .cast("long") * sub2 + half)
+
+        def crossing(acc: Column, j: Column) -> Column:
+            a, b = vert(j), vert(j + 1)
+            dy = b["y2"] - a["y2"]
+            cond = (a["y2"] > py2) != (b["y2"] > py2)
+            expr = ((px2 - a["x2"]) * dy
+                    - (b["x2"] - a["x2"]) * (py2 - a["y2"]))
+            hit = cond & F.when(dy > 0, expr < 0).otherwise(expr > 0)
+            return acc + hit.cast("int")
+
+        return F.pmod(
+            F.aggregate(F.sequence(F.lit(0), n - 1),
+                        F.lit(0), crossing), 2) == 1
+
+    covered = F.filter(
+        F.sequence(F.lit(0), F.lit(grid * grid - 1)),
+        lambda c: inside(c))
+    cells = (rv.select("ring_id", "tx", "ty",
+                       F.explode(covered).alias("cell")))
+    return (cells.groupBy("tx", "ty")
+            .agg(F.countDistinct("ring_id").alias("n_rings"),
+                 F.countDistinct("cell").alias("cells_union"),
+                 F.count(F.lit(1)).alias("cells_sum"))
+            .withColumn("union_frac",
+                        F.col("cells_union").cast("double")
+                        / F.lit(float(grid * grid))))

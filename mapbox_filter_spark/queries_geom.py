@@ -5746,7 +5746,7 @@ def _sql_ring_stage(src: str, dst: str, axis: str, cmp: str,
   FROM {dst}_c)"""
 
 
-def sql_ring_clip() -> str:
+def sql_ring_clip(geom_sql: "str | None" = None) -> str:
     ts = _RCLIP_TILE * _RCLIP_SCALE
     sc = _RCLIP_SCALE
     stages = (
@@ -5754,12 +5754,14 @@ def sql_ring_clip() -> str:
         + _sql_ring_stage("s1", "s2", "x", "le", f"(tx + 1) * {ts}")
         + _sql_ring_stage("s2", "s3", "y", "ge", f"ty * {ts}")
         + _sql_ring_stage("s3", "s4", "y", "le", f"(ty + 1) * {ts}"))
-    return f"""WITH geom AS (
+    if geom_sql is None:
+        geom_sql = f"""
   SELECT p_partkey AS rid,
          (p_partkey * 7919) % 360000 AS cx,
          (p_partkey * 104729) % 170000 AS cy,
          p_partkey % 1500 + 100 AS r
-  FROM part WHERE p_partkey <= {_RCLIP_PARTS}),
+  FROM part WHERE p_partkey <= {_RCLIP_PARTS}"""
+    return f"""WITH geom AS ({geom_sql}),
 v AS (
   SELECT rid, t.i,
          CAST(t.vx * {sc} AS BIGINT) AS x,
@@ -7103,3 +7105,114 @@ LEFT JOIN im USING (line_id)"""
 
 
 GEOM_QUERIES["clip_seam"] = (q_clip_seam, sql_clip_seam)
+
+
+_UC_GRID = 32
+
+
+def q_union_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile polygon UNION coverage of the ring_clip diamonds
+    (geo/clip.py ring_union_cover): 32x32 lattice ray-cast in the
+    doubled integer frame, distinct covered cells across rings — the
+    overlap-deduplicated complement of tile_coverage's shoelace sum;
+    union ≤ sum visible in every tile."""
+    from .geo.clip import clip_rings_to_tiles, ring_union_cover
+
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .filter(F.col("p_partkey") <= _RCLIP_PARTS))
+    pk = F.col("p_partkey")
+    # DENSE field: the tile_coverage scatter never overlaps (and the
+    # big multipliers form a good lattice — min diamond gap 1860 even
+    # on a 40000-domain), which made union == sum everywhere; small
+    # multipliers over 20000x15000 give 85 overlapping pairs
+    cx = F.pmod(pk * 373, F.lit(20000))
+    cy = F.pmod(pk * 911, F.lit(15000))
+    r = F.pmod(pk, F.lit(1500)) + 100
+    verts = F.array(
+        F.struct((cx + r).alias("x"), cy.alias("y")),
+        F.struct(cx.alias("x"), (cy + r).alias("y")),
+        F.struct(F.greatest(cx - r, F.lit(0)).alias("x"),
+                 cy.alias("y")),
+        F.struct(cx.alias("x"),
+                 F.greatest(cy - r, F.lit(0)).alias("y")))
+    rings = part.select(pk.alias("ring_id"), verts.alias("verts"))
+    clipped = clip_rings_to_tiles(rings, _RCLIP_TILE, _RCLIP_SCALE)
+    return ring_union_cover(clipped, _RCLIP_TILE, _RCLIP_SCALE,
+                            grid=_UC_GRID)
+
+
+def sql_union_cover() -> str:
+    base = sql_ring_clip(geom_sql=f"""
+  SELECT p_partkey AS rid,
+         (p_partkey * 373) % 20000 AS cx,
+         (p_partkey * 911) % 15000 AS cy,
+         p_partkey % 1500 + 100 AS r
+  FROM part WHERE p_partkey <= {_RCLIP_PARTS}""")
+    ts = _RCLIP_TILE * _RCLIP_SCALE
+    g = _UC_GRID
+    sub2 = 2 * (ts // g)
+    half = sub2 // 2 - 1
+    if half % 2 == 0:
+        half += 1
+    return f"""WITH clipped AS ({base}),
+nv AS (SELECT ring_id, tx, ty, CAST(COUNT(*) AS BIGINT) AS n
+       FROM clipped GROUP BY 1, 2, 3),
+edges AS (
+  SELECT c.ring_id, c.tx, c.ty,
+         2 * c.x AS ax2, 2 * c.y AS ay2,
+         2 * COALESCE(LEAD(c.x) OVER w, FIRST_VALUE(c.x) OVER w)
+           AS bx2,
+         2 * COALESCE(LEAD(c.y) OVER w, FIRST_VALUE(c.y) OVER w)
+           AS by2
+  FROM clipped c
+  WINDOW w AS (PARTITION BY c.ring_id, c.tx, c.ty ORDER BY c.i)),
+hits AS (
+  SELECT e.ring_id, e.tx, e.ty, t.c,
+         CAST(SUM(CASE WHEN
+             (e.ay2 > 2 * e.ty * {ts} + (t.c // {g}) * {sub2} + {half})
+             <> (e.by2 > 2 * e.ty * {ts} + (t.c // {g}) * {sub2}
+                 + {half})
+             AND CASE WHEN e.by2 - e.ay2 > 0 THEN
+               (2 * e.tx * {ts} + (t.c % {g}) * {sub2} + {half}
+                - e.ax2) * (e.by2 - e.ay2)
+               - (e.bx2 - e.ax2)
+                 * (2 * e.ty * {ts} + (t.c // {g}) * {sub2} + {half}
+                    - e.ay2) < 0
+             ELSE
+               (2 * e.tx * {ts} + (t.c % {g}) * {sub2} + {half}
+                - e.ax2) * (e.by2 - e.ay2)
+               - (e.bx2 - e.ax2)
+                 * (2 * e.ty * {ts} + (t.c // {g}) * {sub2} + {half}
+                    - e.ay2) > 0
+             END
+           THEN 1 ELSE 0 END) AS BIGINT) AS crossings
+  FROM edges e, UNNEST(range({g * g})) t(c)
+  GROUP BY 1, 2, 3, 4
+  HAVING SUM(CASE WHEN
+             (e.ay2 > 2 * e.ty * {ts} + (t.c // {g}) * {sub2} + {half})
+             <> (e.by2 > 2 * e.ty * {ts} + (t.c // {g}) * {sub2}
+                 + {half})
+             AND CASE WHEN e.by2 - e.ay2 > 0 THEN
+               (2 * e.tx * {ts} + (t.c % {g}) * {sub2} + {half}
+                - e.ax2) * (e.by2 - e.ay2)
+               - (e.bx2 - e.ax2)
+                 * (2 * e.ty * {ts} + (t.c // {g}) * {sub2} + {half}
+                    - e.ay2) < 0
+             ELSE
+               (2 * e.tx * {ts} + (t.c % {g}) * {sub2} + {half}
+                - e.ax2) * (e.by2 - e.ay2)
+               - (e.bx2 - e.ax2)
+                 * (2 * e.ty * {ts} + (t.c // {g}) * {sub2} + {half}
+                    - e.ay2) > 0
+             END
+           THEN 1 ELSE 0 END) % 2 = 1)
+SELECT tx, ty,
+       CAST(COUNT(DISTINCT ring_id) AS BIGINT) AS n_rings,
+       CAST(COUNT(DISTINCT c) AS BIGINT) AS cells_union,
+       CAST(COUNT(*) AS BIGINT) AS cells_sum,
+       CAST(COUNT(DISTINCT c) AS DOUBLE) / {float(g * g)!r}
+         AS union_frac
+FROM hits GROUP BY 1, 2"""
+
+
+GEOM_QUERIES["union_cover"] = (q_union_cover, sql_union_cover)

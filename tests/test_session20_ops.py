@@ -1114,3 +1114,97 @@ def test_clip_seam_detects_cracks(spark):
             for r in clip_seam_audit(broken).collect()}
     assert not got2[1]["seam_ok"]
     assert got2[2]["seam_ok"]
+
+
+# ---- ring_union_cover (lattice union coverage) ----
+
+def test_union_cover_hand_case(spark):
+    from mapbox_filter_spark.geo.clip import (clip_rings_to_tiles,
+                                              ring_union_cover)
+
+    # two identical half-tile squares + one disjoint quarter square,
+    # tile=64, scale=1, grid=8 -> subcell 8
+    sq = [(0, 0), (32, 0), (32, 32), (0, 32)]
+    sq2 = [(40, 40), (56, 40), (56, 56), (40, 56)]
+
+    def ring(rid, pts):
+        return (rid, [{"x": x, "y": y} for x, y in pts])
+
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("ring_id", T.LongType()),
+        T.StructField("verts", T.ArrayType(T.StructType([
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType())])))])
+    df = spark.createDataFrame(
+        [ring(1, sq), ring(2, sq), ring(3, sq2)], schema)
+    clipped = clip_rings_to_tiles(df, 64, 1)
+    out = ring_union_cover(clipped, 64, 1, grid=8).collect()
+    r = {(x["tx"], x["ty"]): x for x in out}[(0, 0)]
+    # squares 1+2 cover a 4x4 subcell block each (16 cells), the
+    # disjoint square 2x2 = 4 cells; union 20, sum 36
+    assert r["n_rings"] == 3
+    assert r["cells_union"] == 20 and r["cells_sum"] == 36
+    assert r["union_frac"] == 20 / 64
+    with pytest.raises(ValueError):
+        ring_union_cover(clipped, 64, 1, grid=7)
+
+
+def test_union_cover_brute_parity(spark):
+    from mapbox_filter_spark.geo.clip import (clip_rings_to_tiles,
+                                              ring_union_cover)
+
+    rng = random.Random(53)
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("ring_id", T.LongType()),
+        T.StructField("verts", T.ArrayType(T.StructType([
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType())])))])
+    rows = []
+    rings = {}
+    for rid in range(6):
+        cx, cy = rng.randrange(20, 100), rng.randrange(20, 100)
+        r = rng.randrange(8, 30)
+        pts = [(cx + r, cy), (cx, cy + r), (max(cx - r, 0), cy),
+               (cx, max(cy - r, 0))]
+        rings[rid] = pts
+        rows.append((rid, [{"x": x, "y": y} for x, y in pts]))
+    df = spark.createDataFrame(rows, schema)
+    clipped = clip_rings_to_tiles(df, 64, 1)
+    got = {(r["tx"], r["ty"]): (r["cells_union"], r["cells_sum"])
+           for r in ring_union_cover(clipped, 64, 1, grid=8).collect()}
+
+    # brute: clip replays via the engine (the clip op has its own
+    # oracle); here we replay only the lattice classification
+    pieces = [(r["ring_id"], r["tx"], r["ty"], r["i"], r["x"], r["y"])
+              for r in clipped.collect()]
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for rid, tx, ty, i, x, y in pieces:
+        per[(rid, tx, ty)].append((i, x, y))
+    cover = defaultdict(set)
+    sums = defaultdict(int)
+    for (rid, tx, ty), vs in per.items():
+        vs.sort()
+        v2 = [(2 * x, 2 * y) for _, x, y in vs]
+        n = len(v2)
+        for c in range(64):
+            px2 = 2 * tx * 64 + (c % 8) * 16 + 7
+            py2 = 2 * ty * 64 + (c // 8) * 16 + 7
+            cr = 0
+            for j in range(n):
+                ax2, ay2 = v2[j]
+                bx2, by2 = v2[(j + 1) % n]
+                if (ay2 > py2) != (by2 > py2):
+                    e = (px2 - ax2) * (by2 - ay2) \
+                        - (bx2 - ax2) * (py2 - ay2)
+                    if (by2 - ay2 > 0 and e < 0) or \
+                       (by2 - ay2 < 0 and e > 0):
+                        cr += 1
+            if cr % 2 == 1:
+                cover[(tx, ty)].add(c)
+                sums[(tx, ty)] += 1
+    want = {k: (len(v), sums[k]) for k, v in cover.items()}
+    assert got == want
