@@ -327,6 +327,28 @@ def clip_seam_audit(clipped: DataFrame) -> DataFrame:
                         == F.col("n_in"))).alias("seam_ok")))
 
 
+def _ring_lattice(clipped: DataFrame, tile: int, scale: int,
+                  grid: int):
+    """Shared lattice-sampling state for the ring classification
+    operators: per-(ring, tile) DOUBLED vertex arrays (even
+    coordinates) plus the doubled subcell size and the odd in-cell
+    sample offset (samples never share a horizontal with a vertex)."""
+    ts = tile * scale
+    if grid < 1 or ts % grid != 0:
+        raise ValueError("grid must divide tile*scale")
+    sub2 = 2 * (ts // grid)        # doubled subcell size (even)
+    half = sub2 // 2 - 1
+    if half % 2 == 0:
+        half += 1                  # odd doubled offset inside the cell
+    rv = (clipped.groupBy("ring_id", "tx", "ty")
+          .agg(F.transform(
+              F.array_sort(F.collect_list(F.struct("i", "x", "y"))),
+              lambda s: F.struct((2 * s["x"]).alias("x2"),
+                                 (2 * s["y"]).alias("y2")))
+              .alias("_v")))
+    return rv, ts, sub2, half
+
+
 def ring_union_cover(clipped: DataFrame, tile: int, scale: int, *,
                      grid: int = 32) -> DataFrame:
     """Per-tile polygon UNION coverage by deterministic lattice
@@ -354,19 +376,7 @@ def ring_union_cover(clipped: DataFrame, tile: int, scale: int, *,
     with cells_sum the overlap-counting total (Σ per-ring cover — the
     tile_coverage analogue) for contrast with the union.
     """
-    ts = tile * scale
-    if grid < 1 or ts % grid != 0:
-        raise ValueError("grid must divide tile*scale")
-    sub2 = 2 * (ts // grid)        # doubled subcell size (even)
-    half = sub2 // 2 - 1           # odd offset: sub2/2 is even+? ensure odd below
-    if half % 2 == 0:
-        half += 1                  # odd doubled offset inside the cell
-    rv = (clipped.groupBy("ring_id", "tx", "ty")
-          .agg(F.transform(
-              F.array_sort(F.collect_list(F.struct("i", "x", "y"))),
-              lambda s: F.struct((2 * s["x"]).alias("x2"),
-                                 (2 * s["y"]).alias("y2")))
-              .alias("_v")))
+    rv, ts, sub2, half = _ring_lattice(clipped, tile, scale, grid)
     v = F.col("_v")
     n = F.size("_v")
 
@@ -406,3 +416,99 @@ def ring_union_cover(clipped: DataFrame, tile: int, scale: int, *,
             .withColumn("union_frac",
                         F.col("cells_union").cast("double")
                         / F.lit(float(grid * grid))))
+
+
+def ring_label_anchor(clipped: DataFrame, tile: int, scale: int, *,
+                      grid: int = 32) -> DataFrame:
+    """Label-anchor (pole-of-inaccessibility) placement for clipped
+    polygon pieces — the lattice form of mapbox/polylabel's quadtree
+    search: among the grid×grid in-polygon sample points of each
+    (ring, tile) piece, the one farthest from every edge (max-min
+    exact integer d² in the doubled frame), ties to the lowest cell
+    index.  polylabel refines adaptively to ε; this fixes the lattice
+    instead, which keeps the whole search a value-hashable integer
+    argmax — refine by raising ``grid``.
+
+    Shape: in-row per (ring, tile) — inside test (parity ray cast) +
+    min-d²-to-edge fold per surviving sample, argmax encoded as ONE
+    int64 (−d²·grid² + cell, the established encoding).  Pieces with
+    no interior sample (slivers thinner than the lattice) are absent.
+
+    Returns ``(ring_id, tx, ty, cell, ax2, ay2, clearance_d2)`` with
+    the anchor in DOUBLED coordinates (divide by 2 for subpixels) and
+    clearance_d2 = floor of the doubled-frame squared clearance.
+    """
+    rv, ts, sub2, half = _ring_lattice(clipped, tile, scale, grid)
+    v = F.col("_v")
+    n = F.size("_v")
+
+    def vert(j: Column) -> Column:
+        return F.element_at(v, (F.pmod(j, n) + 1).cast("int"))
+
+    ox2 = 2 * F.col("tx") * ts
+    oy2 = 2 * F.col("ty") * ts
+
+    def px(c: Column) -> Column:
+        return ox2 + F.pmod(c, F.lit(grid)) * sub2 + half
+
+    def py(c: Column) -> Column:
+        return (oy2 + ((c - F.pmod(c, F.lit(grid))) / grid)
+                .cast("long") * sub2 + half)
+
+    def inside(c: Column) -> Column:
+        px2, py2 = px(c), py(c)
+
+        def crossing(acc: Column, j: Column) -> Column:
+            a, b = vert(j), vert(j + 1)
+            dy = b["y2"] - a["y2"]
+            cond = (a["y2"] > py2) != (b["y2"] > py2)
+            expr = ((px2 - a["x2"]) * dy
+                    - (b["x2"] - a["x2"]) * (py2 - a["y2"]))
+            hit = cond & F.when(dy > 0, expr < 0).otherwise(expr > 0)
+            return acc + hit.cast("int")
+
+        return F.pmod(
+            F.aggregate(F.sequence(F.lit(0), n - 1),
+                        F.lit(0), crossing), 2) == 1
+
+    def min_d2(c: Column) -> Column:
+        px2, py2 = px(c), py(c)
+
+        def seg_d2(j: Column) -> Column:
+            a, b = vert(j), vert(j + 1)
+            ax, ay, bx, by = a["x2"], a["y2"], b["x2"], b["y2"]
+            tnum = (px2 - ax) * (bx - ax) + (py2 - ay) * (by - ay)
+            l2 = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+            cross = (bx - ax) * (py2 - ay) - (by - ay) * (px2 - ax)
+            c2 = cross * cross
+            return (F.when((l2 == 0) | (tnum <= 0),
+                           (px2 - ax) * (px2 - ax)
+                           + (py2 - ay) * (py2 - ay))
+                    .when(tnum >= l2,
+                          (px2 - bx) * (px2 - bx)
+                          + (py2 - by) * (py2 - by))
+                    .otherwise(((c2 - F.pmod(c2, l2)) / l2)
+                               .cast("long")))
+
+        return F.aggregate(
+            F.sequence(F.lit(0), n - 1),
+            F.lit((1 << 62)).cast("long"),
+            lambda acc, j: F.least(acc, seg_d2(j)))
+
+    enc = F.array_min(F.transform(
+        F.filter(F.sequence(F.lit(0), F.lit(grid * grid - 1)),
+                 lambda c: inside(c)),
+        lambda c: -min_d2(c) * (grid * grid) + c))
+    mid = (rv.select("ring_id", "tx", "ty", F.col("_v"),
+                     enc.alias("_e"))
+           .filter(F.col("_e").isNotNull()))
+    cell = F.pmod(F.col("_e"), F.lit(grid * grid))
+    d2 = (-(F.col("_e") - cell) / (grid * grid)).cast("long")
+    return mid.select(
+        "ring_id", "tx", "ty", cell.cast("long").alias("cell"),
+        (2 * F.col("tx") * ts + F.pmod(cell, F.lit(grid)) * sub2
+         + half).alias("ax2"),
+        (2 * F.col("ty") * ts
+         + ((cell - F.pmod(cell, F.lit(grid))) / grid).cast("long")
+         * sub2 + half).alias("ay2"),
+        d2.alias("clearance_d2"))

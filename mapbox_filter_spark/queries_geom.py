@@ -7110,21 +7110,25 @@ GEOM_QUERIES["clip_seam"] = (q_clip_seam, sql_clip_seam)
 _UC_GRID = 32
 
 
-def q_union_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-tile polygon UNION coverage of the ring_clip diamonds
-    (geo/clip.py ring_union_cover): 32x32 lattice ray-cast in the
-    doubled integer frame, distinct covered cells across rings — the
-    overlap-deduplicated complement of tile_coverage's shoelace sum;
-    union ≤ sum visible in every tile."""
-    from .geo.clip import clip_rings_to_tiles, ring_union_cover
+_DENSE_GEOM_SQL = f"""
+  SELECT p_partkey AS rid,
+         (p_partkey * 373) % 20000 AS cx,
+         (p_partkey * 911) % 15000 AS cy,
+         p_partkey % 1500 + 100 AS r
+  FROM part WHERE p_partkey <= {_RCLIP_PARTS}"""
+
+
+def _dense_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense overlapping diamond field -> clipped rings, shared by the
+    union/label gates (SQL twin: _DENSE_GEOM_SQL through
+    sql_ring_clip).  The tile_coverage scatter never overlaps — its
+    large hash multipliers form a good lattice with min diamond gap
+    1860 — so these gates use small multipliers over 20000x15000."""
+    from .geo.clip import clip_rings_to_tiles
 
     part = (spark.read.parquet(f"{sf_dir}/part.parquet")
             .filter(F.col("p_partkey") <= _RCLIP_PARTS))
     pk = F.col("p_partkey")
-    # DENSE field: the tile_coverage scatter never overlaps (and the
-    # big multipliers form a good lattice — min diamond gap 1860 even
-    # on a 40000-domain), which made union == sum everywhere; small
-    # multipliers over 20000x15000 give 85 overlapping pairs
     cx = F.pmod(pk * 373, F.lit(20000))
     cy = F.pmod(pk * 911, F.lit(15000))
     r = F.pmod(pk, F.lit(1500)) + 100
@@ -7136,18 +7140,23 @@ def q_union_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(cx.alias("x"),
                  F.greatest(cy - r, F.lit(0)).alias("y")))
     rings = part.select(pk.alias("ring_id"), verts.alias("verts"))
-    clipped = clip_rings_to_tiles(rings, _RCLIP_TILE, _RCLIP_SCALE)
-    return ring_union_cover(clipped, _RCLIP_TILE, _RCLIP_SCALE,
-                            grid=_UC_GRID)
+    return clip_rings_to_tiles(rings, _RCLIP_TILE, _RCLIP_SCALE)
+
+
+def q_union_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile polygon UNION coverage of the ring_clip diamonds
+    (geo/clip.py ring_union_cover): 32x32 lattice ray-cast in the
+    doubled integer frame, distinct covered cells across rings — the
+    overlap-deduplicated complement of tile_coverage's shoelace sum;
+    union ≤ sum visible in every tile."""
+    from .geo.clip import ring_union_cover
+
+    return ring_union_cover(_dense_clipped(spark, sf_dir),
+                            _RCLIP_TILE, _RCLIP_SCALE, grid=_UC_GRID)
 
 
 def sql_union_cover() -> str:
-    base = sql_ring_clip(geom_sql=f"""
-  SELECT p_partkey AS rid,
-         (p_partkey * 373) % 20000 AS cx,
-         (p_partkey * 911) % 15000 AS cy,
-         p_partkey % 1500 + 100 AS r
-  FROM part WHERE p_partkey <= {_RCLIP_PARTS}""")
+    base = sql_ring_clip(geom_sql=_DENSE_GEOM_SQL)
     ts = _RCLIP_TILE * _RCLIP_SCALE
     g = _UC_GRID
     sub2 = 2 * (ts // g)
@@ -7216,3 +7225,79 @@ FROM hits GROUP BY 1, 2"""
 
 
 GEOM_QUERIES["union_cover"] = (q_union_cover, sql_union_cover)
+
+
+def q_label_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pole-of-inaccessibility label anchors for the dense clipped
+    diamonds (geo/clip.py ring_label_anchor — the lattice form of
+    mapbox/polylabel): per (ring, tile) piece the in-polygon sample
+    farthest from every edge, exact integer max-min d² in the doubled
+    frame."""
+    from .geo.clip import ring_label_anchor
+
+    return ring_label_anchor(_dense_clipped(spark, sf_dir),
+                             _RCLIP_TILE, _RCLIP_SCALE, grid=_UC_GRID)
+
+
+def sql_label_anchor() -> str:
+    base = sql_ring_clip(geom_sql=_DENSE_GEOM_SQL)
+    ts = _RCLIP_TILE * _RCLIP_SCALE
+    g = _UC_GRID
+    sub2 = 2 * (ts // g)
+    half = sub2 // 2 - 1
+    if half % 2 == 0:
+        half += 1
+    px = f"(2 * e.tx * {ts} + (t.c % {g}) * {sub2} + {half})"
+    py = f"(2 * e.ty * {ts} + (t.c // {g}) * {sub2} + {half})"
+    crossing = f"""CASE WHEN
+        (e.ay2 > {py}) <> (e.by2 > {py})
+        AND CASE WHEN e.by2 - e.ay2 > 0 THEN
+          ({px} - e.ax2) * (e.by2 - e.ay2)
+          - (e.bx2 - e.ax2) * ({py} - e.ay2) < 0
+        ELSE
+          ({px} - e.ax2) * (e.by2 - e.ay2)
+          - (e.bx2 - e.ax2) * ({py} - e.ay2) > 0
+        END
+      THEN 1 ELSE 0 END"""
+    tnum = (f"(({px} - e.ax2) * (e.bx2 - e.ax2)"
+            f" + ({py} - e.ay2) * (e.by2 - e.ay2))")
+    l2 = ("((e.bx2 - e.ax2) * (e.bx2 - e.ax2)"
+          " + (e.by2 - e.ay2) * (e.by2 - e.ay2))")
+    cross = (f"((e.bx2 - e.ax2) * ({py} - e.ay2)"
+             f" - (e.by2 - e.ay2) * ({px} - e.ax2))")
+    segd2 = f"""CASE WHEN {l2} = 0 OR {tnum} <= 0
+        THEN ({px} - e.ax2) * ({px} - e.ax2)
+             + ({py} - e.ay2) * ({py} - e.ay2)
+      WHEN {tnum} >= {l2}
+        THEN ({px} - e.bx2) * ({px} - e.bx2)
+             + ({py} - e.by2) * ({py} - e.by2)
+      ELSE ({cross} * {cross}) // {l2} END"""
+    return f"""WITH clipped AS ({base}),
+edges AS (
+  SELECT c.ring_id, c.tx, c.ty,
+         2 * c.x AS ax2, 2 * c.y AS ay2,
+         2 * COALESCE(LEAD(c.x) OVER w, FIRST_VALUE(c.x) OVER w)
+           AS bx2,
+         2 * COALESCE(LEAD(c.y) OVER w, FIRST_VALUE(c.y) OVER w)
+           AS by2
+  FROM clipped c
+  WINDOW w AS (PARTITION BY c.ring_id, c.tx, c.ty ORDER BY c.i)),
+cand AS (
+  SELECT e.ring_id, e.tx, e.ty, t.c,
+         CAST(SUM({crossing}) AS BIGINT) AS crossings,
+         CAST(MIN({segd2}) AS BIGINT) AS mind2
+  FROM edges e, UNNEST(range({g * g})) t(c)
+  GROUP BY 1, 2, 3, 4
+  HAVING SUM({crossing}) % 2 = 1)
+SELECT ring_id, tx, ty, CAST(c AS BIGINT) AS cell,
+       2 * tx * {ts} + (c % {g}) * {sub2} + {half} AS ax2,
+       2 * ty * {ts} + (c // {g}) * {sub2} + {half} AS ay2,
+       mind2 AS clearance_d2
+FROM (
+  SELECT ring_id, tx, ty, c, mind2,
+         ROW_NUMBER() OVER (PARTITION BY ring_id, tx, ty
+                            ORDER BY mind2 DESC, c) AS rn
+  FROM cand) WHERE rn = 1"""
+
+
+GEOM_QUERIES["label_anchor"] = (q_label_anchor, sql_label_anchor)

@@ -1208,3 +1208,104 @@ def test_union_cover_brute_parity(spark):
                 sums[(tx, ty)] += 1
     want = {k: (len(v), sums[k]) for k, v in cover.items()}
     assert got == want
+
+
+# ---- ring_label_anchor (lattice polylabel) ----
+
+def test_label_anchor_square_center(spark):
+    import pyspark.sql.types as T
+
+    from mapbox_filter_spark.geo.clip import (clip_rings_to_tiles,
+                                              ring_label_anchor)
+
+    schema = T.StructType([
+        T.StructField("ring_id", T.LongType()),
+        T.StructField("verts", T.ArrayType(T.StructType([
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType())])))])
+    # full-tile square: the anchor is the sample nearest the center
+    sq = [{"x": 0, "y": 0}, {"x": 64, "y": 0}, {"x": 64, "y": 64},
+          {"x": 0, "y": 64}]
+    df = spark.createDataFrame([(1, sq)], schema)
+    clipped = clip_rings_to_tiles(df, 64, 1)
+    r = ring_label_anchor(clipped, 64, 1, grid=8).collect()[0]
+    # grid 8: samples at doubled 16k+7; edges at doubled 0/128.
+    # cell (3,3) sample 55 has clearance min(55, 73) = 55; cell (4,4)
+    # sample 71 has min(71, 57) = 57 > 55 -> (4,4) = cell 36 wins
+    assert r["cell"] == 36
+    assert r["ax2"] == 71 and r["ay2"] == 71
+    assert r["clearance_d2"] == 57 * 57
+
+
+def test_label_anchor_brute_parity(spark):
+    import pyspark.sql.types as T
+
+    from mapbox_filter_spark.geo.clip import (clip_rings_to_tiles,
+                                              ring_label_anchor)
+
+    rng = random.Random(61)
+    schema = T.StructType([
+        T.StructField("ring_id", T.LongType()),
+        T.StructField("verts", T.ArrayType(T.StructType([
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType())])))])
+    rows = []
+    for rid in range(5):
+        cx, cy = rng.randrange(20, 100), rng.randrange(20, 100)
+        rr = rng.randrange(10, 30)
+        rows.append((rid, [
+            {"x": cx + rr, "y": cy}, {"x": cx, "y": cy + rr},
+            {"x": max(cx - rr, 0), "y": cy},
+            {"x": cx, "y": max(cy - rr, 0)}]))
+    df = spark.createDataFrame(rows, schema)
+    clipped = clip_rings_to_tiles(df, 64, 1)
+    got = {(r["ring_id"], r["tx"], r["ty"]):
+           (r["cell"], r["clearance_d2"])
+           for r in ring_label_anchor(clipped, 64, 1, grid=8).collect()}
+
+    pieces = [(r["ring_id"], r["tx"], r["ty"], r["i"], r["x"], r["y"])
+              for r in clipped.collect()]
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for rid, tx, ty, i, x, y in pieces:
+        per[(rid, tx, ty)].append((i, x, y))
+    want = {}
+    for key, vs in per.items():
+        rid, tx, ty = key
+        vs.sort()
+        v2 = [(2 * x, 2 * y) for _, x, y in vs]
+        n = len(v2)
+        best = None
+        for c in range(64):
+            px2 = 2 * tx * 64 + (c % 8) * 16 + 7
+            py2 = 2 * ty * 64 + (c // 8) * 16 + 7
+            cr = 0
+            mind2 = 1 << 62
+            for j in range(n):
+                ax2, ay2 = v2[j]
+                bx2, by2 = v2[(j + 1) % n]
+                dy = by2 - ay2
+                if (ay2 > py2) != (by2 > py2):
+                    e = (px2 - ax2) * dy - (bx2 - ax2) * (py2 - ay2)
+                    if (dy > 0 and e < 0) or (dy < 0 and e > 0):
+                        cr += 1
+                tn = (px2 - ax2) * (bx2 - ax2) \
+                    + (py2 - ay2) * (by2 - ay2)
+                l2 = (bx2 - ax2) ** 2 + (by2 - ay2) ** 2
+                if l2 == 0 or tn <= 0:
+                    d2 = (px2 - ax2) ** 2 + (py2 - ay2) ** 2
+                elif tn >= l2:
+                    d2 = (px2 - bx2) ** 2 + (py2 - by2) ** 2
+                else:
+                    crx = (bx2 - ax2) * (py2 - ay2) \
+                        - (by2 - ay2) * (px2 - ax2)
+                    d2 = (crx * crx) // l2
+                mind2 = min(mind2, d2)
+            if cr % 2 == 1:
+                k = (-mind2, c)
+                if best is None or k < best:
+                    best = k
+        if best is not None:
+            want[key] = (best[1], -best[0])
+    assert got == want
