@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .tilemath import floor_div
+from .tilemath import floor_div, floor_div_big
 
 __all__ = ["clip_segments_to_tiles"]
 
@@ -349,6 +349,43 @@ def _ring_lattice(clipped: DataFrame, tile: int, scale: int,
     return rv, ts, sub2, half
 
 
+def _rc_vert(v: Column, n: Column, j: Column) -> Column:
+    return F.element_at(v, (F.pmod(j, n) + 1).cast("int"))
+
+
+def _sample_px(ts: int, sub2: int, half: int, grid: int,
+               c: Column) -> Column:
+    return (2 * F.col("tx") * ts
+            + F.pmod(c, F.lit(grid)) * sub2 + half)
+
+
+def _sample_py(ts: int, sub2: int, half: int, grid: int,
+               c: Column) -> Column:
+    return (2 * F.col("ty") * ts
+            + ((c - F.pmod(c, F.lit(grid))) / grid).cast("long")
+            * sub2 + half)
+
+
+def _parity_inside(v: Column, n: Column, px2: Column,
+                   py2: Column) -> Column:
+    """Crossing-parity point-in-ring test in the doubled frame —
+    shared by ring_union_cover and ring_label_anchor (one definition
+    of the strict-inequality crossing rule, the seam-audit
+    discipline applied to our own code)."""
+    def crossing(acc: Column, j: Column) -> Column:
+        a, b = _rc_vert(v, n, j), _rc_vert(v, n, j + 1)
+        dy = b["y2"] - a["y2"]
+        cond = (a["y2"] > py2) != (b["y2"] > py2)
+        expr = ((px2 - a["x2"]) * dy
+                - (b["x2"] - a["x2"]) * (py2 - a["y2"]))
+        hit = cond & F.when(dy > 0, expr < 0).otherwise(expr > 0)
+        return acc + hit.cast("int")
+
+    return F.pmod(
+        F.aggregate(F.sequence(F.lit(0), n - 1),
+                    F.lit(0), crossing), 2) == 1
+
+
 def ring_union_cover(clipped: DataFrame, tile: int, scale: int, *,
                      grid: int = 32) -> DataFrame:
     """Per-tile polygon UNION coverage by deterministic lattice
@@ -379,34 +416,11 @@ def ring_union_cover(clipped: DataFrame, tile: int, scale: int, *,
     rv, ts, sub2, half = _ring_lattice(clipped, tile, scale, grid)
     v = F.col("_v")
     n = F.size("_v")
-
-    def vert(j: Column) -> Column:
-        return F.element_at(v, (F.pmod(j, n) + 1).cast("int"))
-
-    ox2 = 2 * F.col("tx") * ts
-    oy2 = 2 * F.col("ty") * ts
-
-    def inside(c: Column) -> Column:
-        px2 = ox2 + F.pmod(c, F.lit(grid)) * sub2 + half
-        py2 = (oy2 + ((c - F.pmod(c, F.lit(grid))) / grid)
-               .cast("long") * sub2 + half)
-
-        def crossing(acc: Column, j: Column) -> Column:
-            a, b = vert(j), vert(j + 1)
-            dy = b["y2"] - a["y2"]
-            cond = (a["y2"] > py2) != (b["y2"] > py2)
-            expr = ((px2 - a["x2"]) * dy
-                    - (b["x2"] - a["x2"]) * (py2 - a["y2"]))
-            hit = cond & F.when(dy > 0, expr < 0).otherwise(expr > 0)
-            return acc + hit.cast("int")
-
-        return F.pmod(
-            F.aggregate(F.sequence(F.lit(0), n - 1),
-                        F.lit(0), crossing), 2) == 1
-
     covered = F.filter(
         F.sequence(F.lit(0), F.lit(grid * grid - 1)),
-        lambda c: inside(c))
+        lambda c: _parity_inside(v, n,
+                                 _sample_px(ts, sub2, half, grid, c),
+                                 _sample_py(ts, sub2, half, grid, c)))
     cells = (rv.select("ring_id", "tx", "ty",
                        F.explode(covered).alias("cell")))
     return (cells.groupBy("tx", "ty")
@@ -442,53 +456,31 @@ def ring_label_anchor(clipped: DataFrame, tile: int, scale: int, *,
     v = F.col("_v")
     n = F.size("_v")
 
-    def vert(j: Column) -> Column:
-        return F.element_at(v, (F.pmod(j, n) + 1).cast("int"))
-
-    ox2 = 2 * F.col("tx") * ts
-    oy2 = 2 * F.col("ty") * ts
-
     def px(c: Column) -> Column:
-        return ox2 + F.pmod(c, F.lit(grid)) * sub2 + half
+        return _sample_px(ts, sub2, half, grid, c)
 
     def py(c: Column) -> Column:
-        return (oy2 + ((c - F.pmod(c, F.lit(grid))) / grid)
-                .cast("long") * sub2 + half)
-
-    def inside(c: Column) -> Column:
-        px2, py2 = px(c), py(c)
-
-        def crossing(acc: Column, j: Column) -> Column:
-            a, b = vert(j), vert(j + 1)
-            dy = b["y2"] - a["y2"]
-            cond = (a["y2"] > py2) != (b["y2"] > py2)
-            expr = ((px2 - a["x2"]) * dy
-                    - (b["x2"] - a["x2"]) * (py2 - a["y2"]))
-            hit = cond & F.when(dy > 0, expr < 0).otherwise(expr > 0)
-            return acc + hit.cast("int")
-
-        return F.pmod(
-            F.aggregate(F.sequence(F.lit(0), n - 1),
-                        F.lit(0), crossing), 2) == 1
+        return _sample_py(ts, sub2, half, grid, c)
 
     def min_d2(c: Column) -> Column:
         px2, py2 = px(c), py(c)
 
         def seg_d2(j: Column) -> Column:
-            a, b = vert(j), vert(j + 1)
+            a, b = _rc_vert(v, n, j), _rc_vert(v, n, j + 1)
             ax, ay, bx, by = a["x2"], a["y2"], b["x2"], b["y2"]
             tnum = (px2 - ax) * (bx - ax) + (py2 - ay) * (by - ay)
             l2 = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
             cross = (bx - ax) * (py2 - ay) - (by - ay) * (px2 - ax)
             c2 = cross * cross
+            # c2 exceeds 2^53 in the doubled frame: exact
+            # decimal floor-div, never the double spelling
             return (F.when((l2 == 0) | (tnum <= 0),
                            (px2 - ax) * (px2 - ax)
                            + (py2 - ay) * (py2 - ay))
                     .when(tnum >= l2,
                           (px2 - bx) * (px2 - bx)
                           + (py2 - by) * (py2 - by))
-                    .otherwise(((c2 - F.pmod(c2, l2)) / l2)
-                               .cast("long")))
+                    .otherwise(floor_div_big(c2, l2)))
 
         return F.aggregate(
             F.sequence(F.lit(0), n - 1),
@@ -497,13 +489,14 @@ def ring_label_anchor(clipped: DataFrame, tile: int, scale: int, *,
 
     enc = F.array_min(F.transform(
         F.filter(F.sequence(F.lit(0), F.lit(grid * grid - 1)),
-                 lambda c: inside(c)),
+                 lambda c: _parity_inside(v, n, px(c), py(c))),
         lambda c: -min_d2(c) * (grid * grid) + c))
     mid = (rv.select("ring_id", "tx", "ty", F.col("_v"),
                      enc.alias("_e"))
            .filter(F.col("_e").isNotNull()))
     cell = F.pmod(F.col("_e"), F.lit(grid * grid))
-    d2 = (-(F.col("_e") - cell) / (grid * grid)).cast("long")
+    d2 = floor_div_big(-(F.col("_e") - cell),
+                       F.lit(grid * grid).cast("long"))
     return mid.select(
         "ring_id", "tx", "ty", cell.cast("long").alias("cell"),
         (2 * F.col("tx") * ts + F.pmod(cell, F.lit(grid)) * sub2

@@ -431,15 +431,17 @@ def snap_candidates_exact(
     c2 = cross * cross
     at_a = (l2 == 0) | (tnum <= 0)
     at_b = (~at_a) & (tnum >= l2)
+    from .tilemath import floor_div_big
+
     e = (F.when(at_a, (px_ - ax) * (px_ - ax)
                 + (py_ - ay) * (py_ - ay))
          .when(at_b, (px_ - bx) * (px_ - bx)
                + (py_ - by) * (py_ - by))
-         .otherwise(((c2 - F.pmod(c2, l2)) / l2).cast("long")))
+         .otherwise(floor_div_big(c2, l2)))
 
     def proj(a0: Column, d: Column) -> Column:
         num = 2 * (a0 * l2 + tnum * d) + l2
-        return ((num - F.pmod(num, 2 * l2)) / (2 * l2)).cast("long")
+        return floor_div_big(num, 2 * l2)
 
     qx = (F.when(at_a, ax).when(at_b, bx)
           .otherwise(proj(ax, bx - ax)))

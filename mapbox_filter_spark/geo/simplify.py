@@ -163,9 +163,11 @@ def visvalingam(df, group_cols, *, order_col: str = "o",
             lambda p: area2(k, p) * max_pts + p))
 
         def build(enc: Column) -> Column:
+            from ..geo.tilemath import floor_div_big
+
             p = F.pmod(enc, F.lit(max_pts)).cast("int")
-            a2 = ((enc - F.pmod(enc, F.lit(max_pts)))
-                  / max_pts).cast("long")
+            # exact decode at any coordinate scale (enc can pass 2^53)
+            a2 = floor_div_big(enc, F.lit(max_pts).cast("long"))
             removed = F.struct(
                 F.concat(F.slice(k, 1, p),
                          F.slice(k, p + 2, (m - p - 1).cast("int")))

@@ -51,6 +51,20 @@ def floor_div(c: Column, d: int) -> Column:
     (operators/cluster.py, geo/overlay.py)."""
     return ((c - F.pmod(c, F.lit(d))) / F.lit(d)).cast("long")
 
+
+def floor_div_big(num: Column, den: Column) -> Column:
+    """Exact floor division of NON-NEGATIVE int64 columns at ANY
+    magnitude: remainder removal + DECIMAL(38) division (exact for
+    the then-integral quotient), cast back to long.  The double-divide
+    spelling of :func:`floor_div` silently floors off by one past
+    2^53 numerators (verified: 177744319624659649 // 716411281 reads
+    248103740 instead of 248103741 — a cross-engine hash break against
+    DuckDB's integer ``//``); use THIS form whenever the numerator can
+    exceed 2^53 (cross² terms, encoded argmins over large coords).
+    """
+    return ((num - F.pmod(num, den)).cast("decimal(38,0)")
+            / den.cast("decimal(38,0)")).cast("long")
+
 def lon_to_tile_x(lon: ColOrName, z: ColOrName) -> Column:
     """Longitude -> tile column at zoom z (clamped into [0, 2^z - 1])."""
     n = _n_tiles(z)

@@ -2912,12 +2912,10 @@ def quantile_normalize(df: DataFrame, group_cols: "list[str]",
     so the rank — and therefore the output — is engine-deterministic;
     n_g rows) maps to the pooled order statistic at position
     ⌈r·N/n_g⌉ — integer target positions against the pooled sort, no
-    interpolation, so the result value-hashes exactly.  The pooled
-    side needs no tiebreak: tied pooled values are interchangeable.
-    Exactness bound: the position arithmetic divides r·N by n_g in a
-    double after exact remainder removal — exact while r·N < 2⁵³
-    (N < ~9·10⁷; beyond that, rewrite the division DECIMAL(38), the
-    loglog_fit discipline).
+    interpolation, so the result value-hashes exactly at any N (the
+    position arithmetic is the exact DECIMAL(38) floor-div).  The
+    pooled side needs no tiebreak: tied pooled values are
+    interchangeable.
 
     Shape: one within-group rank window + one global rank window over
     the pooled values (the exact-order cost; at fleet scale the global
@@ -2939,10 +2937,12 @@ def quantile_normalize(df: DataFrame, group_cols: "list[str]",
         "_r", F.row_number().over(
             W.partitionBy(*group_cols).orderBy("_v", "id")))
         .join(ng, [*group_cols]).crossJoin(F.broadcast(tot)))
-    # target pooled position ceil(r*N/ng) in 1..N, exact integers
+    # target pooled position ceil(r*N/ng) in 1..N — exact decimal
+    # floor-div (r*N can pass 2^53 at fleet N)
+    from ..geo.tilemath import floor_div_big
+
     num = F.col("_r") * F.col("_N")
-    pos = ((num + F.col("_ng") - 1)
-           - F.pmod(num + F.col("_ng") - 1, F.col("_ng"))) / F.col("_ng")
+    pos = floor_div_big(num + F.col("_ng") - 1, F.col("_ng"))
     pooled = (base.select(F.col("_v").alias("_pv"))
               .withColumn("_p", F.row_number().over(
                   W.orderBy("_pv"))))

@@ -2485,10 +2485,22 @@ def kleinberg_bursts(df: DataFrame, group_cols: "list[str]", *,
                    trans.alias("_tr")).localCheckpoint()
     g = gaps.join(F.broadcast(sc), [*group_cols]).localCheckpoint()
 
+    gap_bound = (1 << 62) // (steps * 2 * scale)
+
     def emit(state: int) -> Column:
-        lam_x = F.col("_n") * F.col("_gap") * (2 ** state) * scale
-        exact = ((lam_x - F.pmod(lam_x, F.col("_tt"))) / F.col("_tt")) \
-            .cast("long")
+        from ..geo.tilemath import floor_div_big
+
+        # in-plan guard: n*gap*2^s*scale must stay inside int64 (the
+        # woe_iv discipline — raise, never wrap); the floor is the
+        # exact decimal form, good past 2^53
+        gap = F.when(
+            F.col("_gap") > gap_bound,
+            F.raise_error(F.lit(
+                "kleinberg_bursts: gap exceeds the exact-int64 "
+                "emission bound; coarsen the time unit"))
+        ).otherwise(F.col("_gap"))
+        lam_x = F.col("_n") * gap * (2 ** state) * scale
+        exact = floor_div_big(lam_x, F.col("_tt"))
         return exact - F.col(f"_ln{state}")
 
     first = g.filter(F.col("_r") == 0)

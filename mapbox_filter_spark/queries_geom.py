@@ -7164,8 +7164,6 @@ def sql_union_cover() -> str:
     if half % 2 == 0:
         half += 1
     return f"""WITH clipped AS ({base}),
-nv AS (SELECT ring_id, tx, ty, CAST(COUNT(*) AS BIGINT) AS n
-       FROM clipped GROUP BY 1, 2, 3),
 edges AS (
   SELECT c.ring_id, c.tx, c.ty,
          2 * c.x AS ax2, 2 * c.y AS ay2,

@@ -525,6 +525,9 @@ def dp_release_stream(
     Returns the StreamingQuery (caller awaits/stops)."""
     from ..operators.privacy import _dlap_thresholds
 
+    if z_max < 1 or epsilon <= 0:
+        raise ValueError("epsilon > 0 and z_max >= 1 required")
+
     def process(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
             return

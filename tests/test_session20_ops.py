@@ -1309,3 +1309,21 @@ def test_label_anchor_brute_parity(spark):
         if best is not None:
             want[key] = (best[1], -best[0])
     assert got == want
+
+
+# ---- floor_div_big (exact decimal floor division) ----
+
+def test_floor_div_big_exactness(spark):
+    """The double-divide floor spelling is off by one past 2^53
+    numerators (the review repro); the decimal form must match
+    python // everywhere."""
+    from mapbox_filter_spark.geo.tilemath import floor_div_big
+
+    cases = [(177744319624659649, 716411281), (2 ** 62, 3),
+             (10 ** 18 + 7, 10 ** 9 + 3), (5, 2), (0, 7),
+             (2 ** 53 + 1, 1), ((1 << 62) - 1, (1 << 31) - 1)]
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = df.select(floor_div_big(F.col("a"), F.col("b"))
+                    .alias("q")).collect()
+    for (a, b), r in zip(cases, got):
+        assert r["q"] == a // b, (a, b)
