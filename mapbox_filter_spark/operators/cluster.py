@@ -841,7 +841,9 @@ def centroid_silhouette(df: DataFrame, x_col: str, y_col: str,
     keys = [d2(cx, cy) * F.lit(k) + F.lit(cid) for cid, cx, cy in cents]
     mk = F.least(*keys)
     cid = F.pmod(mk, F.lit(k)).cast("int")
-    d2_own = ((mk - F.pmod(mk, F.lit(k))) / F.lit(k)).cast("long")
+    from ..geo.tilemath import floor_div_big
+
+    d2_own = floor_div_big(mk, F.lit(k).cast("long"))
     pts = df.select(cid.alias("_cid"), d2_own.alias("_d2o"),
                     *[d2(cx, cy).alias(f"_d2_{cid_}")
                       for cid_, cx, cy in cents])
@@ -854,9 +856,11 @@ def centroid_silhouette(df: DataFrame, x_col: str, y_col: str,
                     micro(others).alias("_b"))
     t = (F.col("_b") - F.col("_a")) * F.lit(scale)
     den = F.greatest(F.col("_a"), F.col("_b"))
-    s = F.when(den > 0,
-               ((t - F.pmod(t, den)) / den).cast("long")) \
-        .otherwise(F.lit(0))
+    from ..geo.tilemath import floor_div_big as _fdb
+
+    # t = (b-a)*scale can pass 2^53 (micro-quantized distances x 1e6):
+    # the double-divide floor is off by one there — exact decimal form
+    s = F.when(den > 0, _fdb(t, den)).otherwise(F.lit(0))
     return (ab.select("_cid", s.alias("_s"))
             .groupBy(F.col("_cid").alias("cent_id"))
             .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
@@ -918,8 +922,10 @@ def huff_shares(consumers: DataFrame, stores: DataFrame, *,
     dpow = F.col("d2")
     for _ in range(beta2 - 1):
         dpow = dpow * F.col("d2")
+    from ..geo.tilemath import floor_div_big as _fdb2
+
     num = F.col("a") * F.lit(scale)
-    t = ((num - F.pmod(num, dpow)) / dpow).cast("long")
+    t = _fdb2(num, dpow)
     from pyspark.sql import Window
 
     pairs = pairs.withColumn("t", t)
