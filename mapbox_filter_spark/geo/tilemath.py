@@ -36,9 +36,14 @@ def _c(c: ColOrName) -> Column:
 
 
 def _n_tiles(z: ColOrName) -> Column:
-    # 2^z as long; pow is exact for z <= 28 (cell encoding bound).
-    # (shiftleft needs a literal shift amount, so it can't take the z column)
-    return F.pow(F.lit(2.0), _c(z).cast("double")).cast("long")
+    # 2^z as long — an integer shift, identical in value to the previous
+    # pow(2.0, z) cast (exact for z <= 28, the cell-encoding bound) but a
+    # single ALU op per row instead of a libm pow call when z is a column
+    # (multi-zoom pipelines; literal z constant-folds either way).  The
+    # python F.shiftleft wrapper only takes a literal shift amount; the SQL
+    # function takes a Column.
+    return F.call_function("shiftleft", F.lit(1).cast("long"),
+                           _c(z).cast("int"))
 
 
 

@@ -37,6 +37,28 @@ from pyspark.sql import functions as F
 from ..style.compile import FeatureCols, compile_typed, finalize_predicate
 from ..style.model import MapboxStyle, VectorLayer
 
+# Compiled-Column memo.  Building a style predicate is hundreds of py4j
+# Column constructions (~0.1-0.3 s per query on the r6 attribution — a
+# third of the measured wall at sf0.1); Columns are immutable unresolved
+# expression handles, so the SAME Column object can be reused across any
+# number of DataFrames/plans.  Results are unchanged by construction: the
+# memo returns the identical expression tree the builder would produce.
+# Keys carry id(style); values pin the style object so an id can never be
+# recycled while its entry lives.  Bounded (tests build many throwaway
+# styles).
+_COMPILE_MEMO: dict = {}
+
+
+def _memoized(style, key, build):
+    entry = _COMPILE_MEMO.get(key)
+    if entry is not None and entry[0] is style:
+        return entry[1]
+    val = build()
+    if len(_COMPILE_MEMO) > 512:
+        _COMPILE_MEMO.clear()
+    _COMPILE_MEMO[key] = (style, val)
+    return val
+
 
 def _zoom_gate(l: VectorLayer, z: Column) -> Column:
     gate = F.lit(True)
@@ -94,12 +116,18 @@ def keep_predicate(
     (Filters.hs:40-43)."""
     cols = cols or FeatureCols()
     zc = F.lit(int(z)) if isinstance(z, int) else z
-    lc = F.col(layer_col)
-    pred = F.lit(False)
-    for sl, layers in _by_source_layer(style).items():
-        present, comb = _combined_raw(layers, zc, cols)
-        pred = F.when(lc == sl, present & F.coalesce(comb, F.lit(False))).otherwise(pred)
-    return pred
+
+    def build() -> Column:
+        lc = F.col(layer_col)
+        pred = F.lit(False)
+        for sl, layers in _by_source_layer(style).items():
+            present, comb = _combined_raw(layers, zc, cols)
+            pred = F.when(lc == sl,
+                          present & F.coalesce(comb, F.lit(False))).otherwise(pred)
+        return pred
+
+    zk = int(z) if isinstance(z, int) else str(z)
+    return _memoized(style, ("kp", id(style), zk, layer_col, cols), build)
 
 
 def neg_predicate(
@@ -113,13 +141,19 @@ def neg_predicate(
     everything (default True)."""
     cols = cols or FeatureCols()
     zc = F.lit(int(z)) if isinstance(z, int) else z
-    lc = F.col(layer_col)
-    pred = F.lit(True)
-    for sl, layers in _by_source_layer(style).items():
-        present, comb = _combined_raw(layers, zc, cols)
-        layer_neg = F.when(present, F.coalesce(~comb, F.lit(False))).otherwise(True)
-        pred = F.when(lc == sl, layer_neg).otherwise(pred)
-    return pred
+
+    def build() -> Column:
+        lc = F.col(layer_col)
+        pred = F.lit(True)
+        for sl, layers in _by_source_layer(style).items():
+            present, comb = _combined_raw(layers, zc, cols)
+            layer_neg = F.when(present,
+                               F.coalesce(~comb, F.lit(False))).otherwise(True)
+            pred = F.when(lc == sl, layer_neg).otherwise(pred)
+        return pred
+
+    zk = int(z) if isinstance(z, int) else str(z)
+    return _memoized(style, ("np", id(style), zk, layer_col, cols), build)
 
 
 def filter_keep(df: DataFrame, style: MapboxStyle, z="z",
@@ -176,29 +210,34 @@ def prune_props(
     to one literal array — no per-row gate evaluation at all, a smaller
     expression tree per zoom in multi-zoom pipelines (asserted in
     test_plans.py::test_prune_props_literal_zoom_plan)."""
-    lc = F.col(layer_col)
-    empty = F.array().cast("array<string>")
-    keys_col = F.lit(None).cast("array<string>")
-    if isinstance(z, int):
-        for sl, layers in _by_source_layer(style).items():
-            ks = sorted({k for l in layers if l.meta
-                         and (l.min_zoom is None or z >= int(l.min_zoom))
-                         and (l.max_zoom is None or z <= int(l.max_zoom))
-                         for k in l.meta})
-            layer_keys = F.array(*[F.lit(k) for k in ks]) if ks else empty
-            keys_col = F.when(lc == sl, layer_keys).otherwise(keys_col)
-    else:
-        zc = F.col(z) if isinstance(z, str) else z
-        for sl, layers in _by_source_layer(style).items():
-            arrs = [
-                F.when(_zoom_gate(l, zc),
-                       F.array(*[F.lit(k) for k in sorted(l.meta)])
-                       if l.meta else empty).otherwise(empty)
-                for l in layers
-            ]
-            layer_keys = (F.array_distinct(F.flatten(F.array(*arrs)))
-                          if arrs else empty)
-            keys_col = F.when(lc == sl, layer_keys).otherwise(keys_col)
+    def build() -> Column:
+        lc = F.col(layer_col)
+        empty = F.array().cast("array<string>")
+        keys_col = F.lit(None).cast("array<string>")
+        if isinstance(z, int):
+            for sl, layers in _by_source_layer(style).items():
+                ks = sorted({k for l in layers if l.meta
+                             and (l.min_zoom is None or z >= int(l.min_zoom))
+                             and (l.max_zoom is None or z <= int(l.max_zoom))
+                             for k in l.meta})
+                layer_keys = F.array(*[F.lit(k) for k in ks]) if ks else empty
+                keys_col = F.when(lc == sl, layer_keys).otherwise(keys_col)
+        else:
+            zc = F.col(z) if isinstance(z, str) else z
+            for sl, layers in _by_source_layer(style).items():
+                arrs = [
+                    F.when(_zoom_gate(l, zc),
+                           F.array(*[F.lit(k) for k in sorted(l.meta)])
+                           if l.meta else empty).otherwise(empty)
+                    for l in layers
+                ]
+                layer_keys = (F.array_distinct(F.flatten(F.array(*arrs)))
+                              if arrs else empty)
+                keys_col = F.when(lc == sl, layer_keys).otherwise(keys_col)
+        return keys_col
+
+    zk = z if isinstance(z, (int, str)) else str(z)
+    keys_col = _memoized(style, ("pp", id(style), zk, layer_col), build)
     out = df.withColumn("__retained_keys", keys_col)
     out = out.withColumn(
         props_col,
@@ -222,13 +261,14 @@ def attach_filter_bodies(
     post-explode predicate reduces to gates over these boolean columns.
     """
     cols = cols or FeatureCols()
-    body_cols: dict[int, str] = {}
-    out = df
-    for i, l in enumerate(style.vector_layers):
-        name = f"__flt{i}"
-        out = out.withColumn(name, _layer_filter_col(l, cols))
-        body_cols[i] = name
-    return out, body_cols
+
+    def build() -> dict[str, Column]:
+        return {f"__flt{i}": _layer_filter_col(l, cols)
+                for i, l in enumerate(style.vector_layers)}
+
+    named = _memoized(style, ("afb", id(style), cols), build)
+    out = df.withColumns(named)
+    return out, {i: n for i, n in enumerate(named)}
 
 
 def keep_predicate_from_bodies(
@@ -239,26 +279,31 @@ def keep_predicate_from_bodies(
 ) -> Column:
     """Exact keep predicate (same fold as :func:`keep_predicate`) reading
     precomputed body columns instead of recompiling filters."""
-    lc = F.col(layer_col)
-    by_sl: dict[str, list[tuple[int, VectorLayer]]] = {}
-    for i, l in enumerate(style.vector_layers):
-        by_sl.setdefault(l.source_layer, []).append((i, l))
-    pred = F.lit(False)
-    for sl, layers in by_sl.items():
-        present = F.lit(False)
-        comb = F.lit(None).cast("boolean")
-        for i, l in layers:
-            f = F.col(body_cols[i])
-            gate = _zoom_gate(l, z)
-            folded = (
-                F.when(~present, f)
-                .when(F.coalesce(f, F.lit(False)), F.lit(True))
-                .otherwise(comb)
-            )
-            comb = F.when(gate, folded).otherwise(comb)
-            present = present | gate
-        pred = F.when(lc == sl, present & F.coalesce(comb, F.lit(False))).otherwise(pred)
-    return pred
+    def build() -> Column:
+        lc = F.col(layer_col)
+        by_sl: dict[str, list[tuple[int, VectorLayer]]] = {}
+        for i, l in enumerate(style.vector_layers):
+            by_sl.setdefault(l.source_layer, []).append((i, l))
+        pred = F.lit(False)
+        for sl, layers in by_sl.items():
+            present = F.lit(False)
+            comb = F.lit(None).cast("boolean")
+            for i, l in layers:
+                f = F.col(body_cols[i])
+                gate = _zoom_gate(l, z)
+                folded = (
+                    F.when(~present, f)
+                    .when(F.coalesce(f, F.lit(False)), F.lit(True))
+                    .otherwise(comb)
+                )
+                comb = F.when(gate, folded).otherwise(comb)
+                present = present | gate
+            pred = F.when(lc == sl,
+                          present & F.coalesce(comb, F.lit(False))).otherwise(pred)
+        return pred
+
+    return _memoized(style, ("kpb", id(style), tuple(sorted(body_cols.items())),
+                             str(z), layer_col), build)
 
 
 def prefilter_necessary(

@@ -270,7 +270,15 @@ def session_stats(sessions: DataFrame, key: list[str],
         (_us(F.max(ts)) - _us(F.min(ts))).alias("duration_us"),
     ]
     if value is not None:
-        aggs.append(F.round(F.sum(value), 2).alias("session_value"))
+        # Exact integer-cents sum (the time_rollup recipe): double summation
+        # is order-dependent, so ROUND(SUM(double), 2) can flip at a
+        # half-cent boundary depending on partial-agg merge order — the one
+        # red driver row of round 5.  Values are quantized to cents with the
+        # cross-engine HALF-UP quantizer floor(x*100 + 0.5) (contract:
+        # non-negative values, ≤ 2 meaningful decimals), summed exactly in
+        # int64, and divided once — deterministic under any partitioning.
+        cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
+        aggs.append((F.sum(cents) / 100.0).alias("session_value"))
     return sessions.groupBy(*key, "session_id").agg(*aggs)
 
 

@@ -1120,7 +1120,10 @@ def q_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(F.broadcast(na), c.c_nationkey == na.n_nationkey))
     return j.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("volume"))
+        # exact cents sum — l_extendedprice is 2-decimal, so the int64 sum
+        # is the true total and /100.0 the already-rounded value; the
+        # double-sum ROUND was merge-order dependent (sessionize class)
+        (F.sum(_price_c()) / 100.0).alias("volume"))
 
 
 def sql_join_chain() -> str:

@@ -89,7 +89,9 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       bucket_s=_WIN_S, how="left")
     return j.groupBy("win_id").agg(
         F.count("event_id").alias("n_clicks"),
-        F.coalesce(F.round(F.sum("value"), 2), F.lit(0.0))
+        # exact cents sum (see session_stats): deterministic under any
+        # partial-agg merge order, same rounded value as the oracle
+        F.coalesce(F.sum(_cents("value")) / 100.0, F.lit(0.0))
         .alias("click_value"),
     )
 

@@ -26,7 +26,29 @@ _BRUNNEL = ("tunnel", "bridge", "ford")
 _GEOMS = ("Point", "LineString", "Polygon")
 
 # bump when the derivation arithmetic changes — keys the parquet cache
-_FEATURES_VERSION = "v1"
+# (v2: cache written range-clustered on (layer, geom_kind) so pushed layer
+# predicates prune parquet row groups — see OPTIMIZATION_r06.md)
+_FEATURES_VERSION = "v2"
+
+# Per-(application, cache-path) memo of the RESOLVED base relation.  This
+# caches no data and no results — only the lazy DataFrame handle — so every
+# action still scans parquet; it exists because each `spark.read.parquet`
+# call re-lists the directory and re-infers the schema (a driver-side job),
+# which the r6 attribution measured at ~0.1 s per query build.  Keyed by
+# applicationId so a new session (or a rebuilt cache path, which changes the
+# fingerprint and hence the path) never sees a stale relation.
+_RELATION_MEMO: dict = {}
+
+
+def _read_cached_relation(spark: SparkSession, path: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, path)
+    df = _RELATION_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        if len(_RELATION_MEMO) > 64:  # bound growth across many sf_dirs
+            _RELATION_MEMO.clear()
+        _RELATION_MEMO[key] = df
+    return df
 
 
 def _source_fingerprint(sf_dir: str) -> str:
@@ -83,8 +105,16 @@ def features_from_lineitem(spark: SparkSession, sf_dir: str,
     if not os.path.exists(os.path.join(cache, "_SUCCESS")):
         tmp = f"{cache}.tmp.{os.getpid()}"
         try:
+            # Range-cluster on (layer, geom_kind, feature_id): 32 files for
+            # scan parallelism, each covering one (layer, geom_kind) slice,
+            # so the pushable `layer IN (...)` predicates the style σ emits
+            # (style_ops.filter_keep) skip whole row groups via parquet
+            # min/max stats instead of decoding every row (guide §6: sort
+            # order on write determines how well readers skip).  Content is
+            # unchanged — every gate is partitioning/order-independent.
             (_derive_features(spark, sf_dir)
-             .repartition(32)  # row-group parallelism for the re-read
+             .repartitionByRange(32, "layer", "geom_kind", "feature_id")
+             .sortWithinPartitions("layer", "geom_kind")
              .write.mode("overwrite").parquet(tmp))
             os.rename(tmp, cache)  # atomic publish; loser keeps winner's
         except OSError:
@@ -92,7 +122,7 @@ def features_from_lineitem(spark: SparkSession, sf_dir: str,
             shutil.rmtree(tmp, ignore_errors=True)
             if not os.path.exists(os.path.join(cache, "_SUCCESS")):
                 return _derive_features(spark, sf_dir)
-    return spark.read.parquet(cache)
+    return _read_cached_relation(spark, cache)
 
 
 def _derive_features(spark: SparkSession, sf_dir: str) -> DataFrame:
