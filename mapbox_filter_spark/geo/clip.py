@@ -66,9 +66,13 @@ def _axis_params(p0: Column, d: Column, lo: Column, hi: Column):
 def _quant(p0: Column, d: Column, a: Column, b: Column,
            scale: int) -> Column:
     """Half-up ``scale``-subpixel quantization of p0 + d·a/b (exact:
-    numerator and denominator are int64, coordinate ≥ 0, b > 0)."""
+    numerator and denominator are int64, coordinate ≥ 0, b > 0).
+
+    floor_div_big, not floor_div: the numerator scales as coordinate ×
+    axis-delta and can pass 2^53 for large world coordinates, where the
+    double-divide spelling silently floors off by one (ADVICE r5)."""
     num = 2 * scale * (p0 * b + d * a) + b
-    return floor_div(num, 2 * b)
+    return floor_div_big(num, 2 * b)
 
 
 def clip_segments_to_tiles(segs: DataFrame, tile: int, scale: int = 8,
@@ -168,7 +172,9 @@ def _ring_clip_stage(df: DataFrame, axis: str, cmp: str,
     num = off_p * d + (off_c - off_p) * (bound - (prv))
     nden = F.when(d < 0, -d).otherwise(d)
     nnum = F.when(d < 0, -num).otherwise(num)
-    ioff = floor_div(2 * nnum + nden, 2 * nden)
+    # floor_div_big: numerator is coordinate × delta scaled, which can
+    # pass 2^53 where the double-divide floor_div goes off by one
+    ioff = floor_div_big(2 * nnum + nden, 2 * nden)
     ix = bound if axis == "x" else ioff
     iy = ioff if axis == "x" else bound
 

@@ -34,6 +34,17 @@ def k_anonymity_generalize(pts: DataFrame, k: int, precision: int, *,
     the prefixes and a per-point max-struct fold.  No windows, no
     per-point loop; the hierarchy depth is the literal ``precision``.
 
+    PRIVACY CAVEAT (r6 note — the classic local-recoding/minimality
+    leak): occupancy is counted over ALL points in a cell, but peers
+    counted toward a cell may themselves publish at a FINER precision,
+    so the set actually RELEASED at a given (prec, cell) can be
+    smaller than k; an adversary who knows the rule can subtract dense
+    sub-cells and narrow the anonymity set below k.  For a strict
+    guarantee use global/top-down recoding (count only records that
+    would publish at exactly that level), or audit the released
+    cardinalities with :func:`l_diversity_audit` and suppress cells
+    whose released (not ladder) occupancy falls below k.
+
     Returns ``(id, prec, cell, cell_count)``.
     """
     if k < 1 or precision < 1:
@@ -133,6 +144,18 @@ def dp_histogram(df: DataFrame, key_cols: list[str], *,
 
     Returns ``(*key_cols, out)`` — the true count never appears in
     the output.
+
+    PRIVACY CAVEAT (r6 correction): rows are emitted only for cells
+    PRESENT in the input (groupBy over observed keys), so a cell's
+    presence in the release distinguishes true count ≥ 1 from 0 with
+    certainty — over a data-dependent key domain the mechanism is not
+    ε-DP as stated.  For a strict guarantee, complete a FIXED public
+    key domain with zero counts before calling (then every cell gets a
+    noisy row), or post-filter to noisy counts above a stability
+    threshold τ and document the weaker (ε, δ)-DP.  The engine keeps
+    the observed-domain shape because completing an open domain is a
+    caller decision (the public domain is not derivable from the data
+    without the same leak).
     """
     from .splits import hash_u60
 

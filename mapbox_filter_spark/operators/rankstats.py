@@ -48,6 +48,16 @@ _MAX_GROUP_ROWS = 38_000
 _KENDALL_MAX_GROUP_ROWS = 20_000
 
 
+
+def _pairs_n2(n):
+    """Exact n*(n-1)/2 for a non-negative long column at ANY magnitude:
+    n*(n-1) is always even, so split the halving onto the even factor and
+    stay in pure int64 ops — no double-based floor_div (inexact past 2^53,
+    ADVICE r5) and no premature n*(n-1) overflow (n can pass 2^31.5)."""
+    n = n.cast("long")
+    return F.when(F.pmod(n, F.lit(2)) == 0,
+                  F.shiftright(n, 1) * (n - 1))         .otherwise(n * F.shiftright(n - 1, 1))
+
 def _rank2(group_cols, v):
     w = Window.partitionBy(*group_cols).orderBy(v)
     ties = Window.partitionBy(*group_cols, v)
@@ -256,8 +266,7 @@ def kendall_tau(df: DataFrame, group_cols: "list[str]",
     either is zero (constant column).
     """
     agg = _pair_concordance(df, group_cols, x_col, y_col, "kendall_tau")
-    from ..geo.tilemath import floor_div
-    n0 = floor_div(F.col("n") * (F.col("n") - 1), 2)
+    n0 = _pairs_n2(F.col("n"))
     d_x = (n0 - F.col("_tx"))
     d_y = (n0 - F.col("_ty"))
     num = (F.col("_c") - F.col("_d"))
@@ -1107,8 +1116,7 @@ def somers_d(df: DataFrame, group_cols: "list[str]",
     t_both, d_yx, d_xy, gamma)``.
     """
     agg = _pair_concordance(df, group_cols, x_col, y_col, "somers_d")
-    from ..geo.tilemath import floor_div
-    n0 = floor_div(F.col("n") * (F.col("n") - 1), 2)
+    n0 = _pairs_n2(F.col("n"))
     num = (F.col("_c") - F.col("_d"))
     px = (n0 - F.col("_tx"))
     py = (n0 - F.col("_ty"))

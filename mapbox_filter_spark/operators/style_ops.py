@@ -60,6 +60,58 @@ def _memoized(style, key, build):
     return val
 
 
+def _literal_meta_keys(node) -> set:
+    """Literal ``get``/``has`` key names referenced anywhere in a typed
+    filter AST (the scrape that decides which attribute mirrors apply)."""
+    import dataclasses
+
+    from ..style import typecheck as T
+
+    out: set = set()
+
+    def walk(n):
+        if isinstance(n, (T.TReadMeta, T.TCheckMeta)) \
+                and isinstance(n.name, T.TStr):
+            out.add(n.name.value)
+        if dataclasses.is_dataclass(n) and not isinstance(n, type):
+            for f in dataclasses.fields(n):
+                walk(getattr(n, f.name))
+        elif isinstance(n, (tuple, list)):
+            for x in n:
+                walk(x)
+
+    walk(node)
+    return out
+
+
+def mirror_feature_cols(style: MapboxStyle, columns,
+                        prefix: str = "p_",
+                        base: Optional[FeatureCols] = None) -> FeatureCols:
+    """FeatureCols with attribute mirrors bound for every literal filter
+    key whose flat mirror column ``<prefix><key>`` exists in ``columns``.
+
+    The mirror contract (sources/features.py): ``p_<key>`` equals
+    ``props[<key>]`` and is non-null exactly when the key is present.  On
+    a schema honouring it, the compiled filter reads cheap flat string
+    columns instead of per-reference map scans — and a count/aggregate
+    that doesn't otherwise touch ``props`` skips decoding the map column
+    entirely.  Schemas that use ``p_*`` for unrelated data must not pass
+    their columns here (the engine only auto-binds in its own pipeline
+    over its own substrate schema)."""
+    import dataclasses
+
+    keys: set = set()
+    for l in style.vector_layers:
+        if l.filter_typed is not None:
+            keys |= _literal_meta_keys(l.filter_typed)
+    cols = set(columns)
+    pairs = tuple(sorted((k, prefix + k) for k in keys if prefix + k in cols))
+    base = base or FeatureCols()
+    if not pairs:
+        return base
+    return dataclasses.replace(base, attr_mirrors=pairs)
+
+
 def _zoom_gate(l: VectorLayer, z: Column) -> Column:
     gate = F.lit(True)
     if l.min_zoom is not None:

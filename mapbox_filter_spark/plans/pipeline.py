@@ -58,10 +58,17 @@ def run_filter_job_features(
     explode volume *= survivor rate.
     """
     from ..operators.style_ops import (
-        attach_filter_bodies, keep_predicate_from_bodies, prefilter_necessary,
+        attach_filter_bodies, keep_predicate_from_bodies, mirror_feature_cols,
+        prefilter_necessary,
     )
 
-    with_bodies, body_cols = attach_filter_bodies(features, style)
+    # Bind flat attribute mirrors (p_<key>) where the input schema carries
+    # them — the engine's own substrate convention.  The filter bodies then
+    # read dictionary-encoded string columns instead of scanning the props
+    # map per reference, and a downstream aggregate that never touches
+    # ``props`` (e.g. tile counts) skips the map column decode entirely.
+    cols = mirror_feature_cols(style, features.columns)
+    with_bodies, body_cols = attach_filter_bodies(features, style, cols)
     pruned_in = with_bodies.filter(prefilter_necessary(style, body_cols))
     assigned = assign_tiles(pruned_in, zooms)
     kept = assigned.filter(

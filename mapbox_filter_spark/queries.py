@@ -123,7 +123,12 @@ FROM features GROUP BY 1, 2, 3"""
 def q_style_filter_readme(spark: SparkSession, sf_dir: str) -> DataFrame:
     """README copy-down filter (README.md:50-67) compiled to a Column."""
     feats = features_from_lineitem(spark, sf_dir).withColumn("z", F.lit(10))
-    return filter_keep(feats, README_STYLE).select("feature_id")
+    # flat attribute mirrors (the columns the ORACLE itself reads): the
+    # compiled get()s cost a dictionary-encoded column read instead of a
+    # per-reference map scan — same values by the substrate contract
+    from .operators.style_ops import mirror_feature_cols
+    cols = mirror_feature_cols(README_STYLE, feats.columns)
+    return filter_keep(feats, README_STYLE, cols=cols).select("feature_id")
 
 
 def sql_style_filter_readme() -> str:
@@ -189,8 +194,11 @@ def q_zoom_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         attach_filter_bodies, keep_predicate_from_bodies, prefilter_necessary,
     )
 
+    from .operators.style_ops import mirror_feature_cols
+
     feats = features_from_lineitem(spark, sf_dir)
-    with_bodies, body_cols = attach_filter_bodies(feats, ZOOMGATE_STYLE)
+    cols = mirror_feature_cols(ZOOMGATE_STYLE, feats.columns)
+    with_bodies, body_cols = attach_filter_bodies(feats, ZOOMGATE_STYLE, cols)
     pre = with_bodies.filter(prefilter_necessary(ZOOMGATE_STYLE, body_cols))
     assigned = assign_tiles(pre, zooms=[4, 5, 6, 7, 8])
     kept = assigned.filter(
@@ -234,9 +242,13 @@ FROM tiles GROUP BY z, x"""
 
 def q_tile_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full σ -> π -> γ at z=6 with the README style: tile keys + counts."""
+    from .operators.style_ops import mirror_feature_cols
+
     feats = features_from_lineitem(spark, sf_dir)
     assigned = assign_tiles(feats, zooms=[6])
-    kept = prune_props(filter_keep(assigned, README_STYLE), README_STYLE)
+    cols = mirror_feature_cols(README_STYLE, feats.columns)
+    kept = prune_props(filter_keep(assigned, README_STYLE, cols=cols),
+                       README_STYLE)
     tiles = assemble_tiles(kept, feature_struct_cols=("feature_id", "doc_id",
                                                       "geom_kind", "props"),
                            include_spans=False)

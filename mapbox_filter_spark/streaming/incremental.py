@@ -515,12 +515,21 @@ def dp_release_stream(
     never double under foreachBatch's at-least-once), then the release
     is recomputed from the SUMMED store and OVERWRITTEN whole.
 
-    The privacy property that makes streaming release sane at all is
-    dp_histogram's keyed-PRF noise: every epoch's re-release draws the
-    SAME noise per cell (md5-u60 of the cell, not of the epoch), so
-    publishing after every batch consumes ONE release's budget, not
-    one per epoch — a fresh-noise release loop would be an ε-per-epoch
-    privacy leak AND a nondeterministic artifact.
+    Noise determinism: every epoch's re-release draws the SAME noise per
+    cell (md5-u60 of the cell, not of the epoch), so a re-released cell
+    never burns budget on a FRESH draw and replays are value-stable.
+
+    PRIVACY CAVEAT (continual observation — r6 correction of an
+    overbroad earlier claim): with a fixed per-cell draw z(cell), an
+    observer of SUCCESSIVE releases sees release_{t+1} − release_t =
+    exact inter-epoch delta (the noise cancels), so the sequence of
+    releases is ε-DP only with respect to the FINAL cumulative counts,
+    NOT per-epoch increments.  Treat intermediate releases as internal;
+    publish externally once (final epoch), or mix the epoch into the
+    PRF input and account ε per release / use a continual-observation
+    mechanism (e.g. a binary-tree counter) if per-epoch publication is
+    required.  It also inherits dp_histogram's observed-key-domain
+    caveat (see operators/privacy.py).
 
     Returns the StreamingQuery (caller awaits/stops)."""
     from ..operators.privacy import _dlap_thresholds

@@ -67,23 +67,44 @@ _NONFINITE_SPELLING = r"^\s*[+-]?(nan|inf|infinity)\s*$"
 def _str_to_num(s: Column) -> Column:
     """String -> double with reference parse semantics (see above).
 
-    The regex only ever matches strings of length >= 3 (shortest spelling
-    'nan'/'inf'; sign/whitespace only lengthen it), so a cheap length guard
-    short-circuits the RLIKE for the common short numeric strings — same
-    result, no regex engine on the hot path (r6 optimization)."""
+    Shape (r6 optimization): cast FIRST, regex only when the cast came out
+    NaN/±Inf.  The only inputs whose cast is non-finite are the rejected
+    spellings (nan/inf/infinity, any sign/whitespace/case — all matched by
+    the regex) and accepted overflow forms like '1e999' (not matched), so
+    gating the RLIKE on a non-finite cast result is exact — and the regex
+    engine never runs on ordinary numeric or non-numeric strings."""
+    v = s.try_cast("double")
+    nonfinite = F.isnan(v) | (F.abs(v) == F.lit(float("inf")))
     return F.when(
-        (F.length(s) >= 3) & F.lower(s).rlike(_NONFINITE_SPELLING),
-        _null("num")
-    ).otherwise(s.try_cast("double"))
+        nonfinite & F.lower(s).rlike(_NONFINITE_SPELLING), _null("num")
+    ).otherwise(v)
 
 
 @dataclass(frozen=True)
 class FeatureCols:
-    """Column bindings of the feature table the expression reads."""
+    """Column bindings of the feature table the expression reads.
+
+    ``attr_mirrors`` maps literal metadata keys to FLAT string columns that
+    mirror ``props[key]`` (non-null exactly when the key is present — the
+    engine's substrate convention, sources/features.py flat mirrors).  When
+    a ``get``/``has`` names a mirrored key literally, the compiler reads the
+    flat column instead of scanning the map: the parquet scan then decodes a
+    dictionary-encoded string column rather than the whole map, and each of
+    the (unshared) expression references costs a column read instead of a
+    key scan.  Semantics are identical BY CONTRACT — the caller asserts the
+    mirror faithfulness (tests/test_pipeline_equiv.py pins it for the
+    feature substrate); non-literal keys and unmapped keys use the map."""
 
     props: str = "props"          # map<string,string>
     geom_kind: str = "geom_kind"  # 'Point' | 'LineString' | 'Polygon'
     feature_id: str = "feature_id"
+    attr_mirrors: "tuple[tuple[str, str], ...]" = ()
+
+    def mirror_for(self, key: str) -> "str | None":
+        for k, col in self.attr_mirrors:
+            if k == key:
+                return col
+        return None
 
     @property
     def props_col(self) -> Column:
@@ -132,12 +153,21 @@ CVal = Union[CTyped, CAny]
 
 
 def _strict_bool(op: str, cols: list[Column]) -> Column:
-    """Null-strict conjunction/disjunction (see module docstring)."""
+    """Null-strict conjunction/disjunction (see module docstring).
+
+    Arithmetic form (r6): each arm is referenced exactly ONCE.  The previous
+    ``when(isnull(a)|isnull(b), NULL).otherwise(a & b)`` spelling embedded
+    every arm twice, and Catalyst has no expression sharing — for nested
+    all/any the compiled tree (and per-row work in FilterExec, which does no
+    subexpression elimination) doubled per level.  true→1 / false→0 / NULL→
+    NULL casts make integer addition exactly null-strict: the sum is NULL
+    iff any arm failed, and ``all = (sum == n)``, ``any = (sum >= 1)``."""
     if not cols:
         return F.lit(op == "all")  # and [] = True; or [] = False
-    any_null = functools.reduce(operator.or_, (c.isNull() for c in cols))
-    val = functools.reduce(operator.and_ if op == "all" else operator.or_, cols)
-    return F.when(any_null, _null("bool")).otherwise(val)
+    total = functools.reduce(operator.add, (c.cast("int") for c in cols))
+    if op == "all":
+        return total == F.lit(len(cols))
+    return total >= F.lit(1)
 
 
 def _infer_any_from_string(v: Column) -> CAny:
@@ -244,10 +274,18 @@ def compile_typed(e: T.TExp, cols: FeatureCols) -> CVal:
         return CAny(F.when(fid.isNull(), F.lit(None).cast("string"))
                     .otherwise(F.lit("num")), n=fid)
     if isinstance(e, T.TCheckMeta):
+        if isinstance(e.name, T.TStr):
+            m = cols.mirror_for(e.name.value)
+            if m is not None:  # mirror contract: non-null <=> key present
+                return CTyped("bool", F.col(m).isNotNull())
         name = c(e.name).col
         # map_contains_key(_, NULL) -> NULL: name failure propagates
         return CTyped("bool", F.map_contains_key(cols.props_col, name))
     if isinstance(e, T.TReadMeta):
+        if isinstance(e.name, T.TStr):
+            m = cols.mirror_for(e.name.value)
+            if m is not None:
+                return _infer_any_from_string(F.col(m))
         name = c(e.name).col
         return _infer_any_from_string(F.try_element_at(cols.props_col, name))
     if isinstance(e, T.TToAny):
