@@ -67,17 +67,14 @@ _NONFINITE_SPELLING = r"^\s*[+-]?(nan|inf|infinity)\s*$"
 def _str_to_num(s: Column) -> Column:
     """String -> double with reference parse semantics (see above).
 
-    Shape (r6 optimization): cast FIRST, regex only when the cast came out
-    NaN/±Inf.  The only inputs whose cast is non-finite are the rejected
-    spellings (nan/inf/infinity, any sign/whitespace/case — all matched by
-    the regex) and accepted overflow forms like '1e999' (not matched), so
-    gating the RLIKE on a non-finite cast result is exact — and the regex
-    engine never runs on ordinary numeric or non-numeric strings."""
-    v = s.try_cast("double")
-    nonfinite = F.isnan(v) | (F.abs(v) == F.lit(float("inf")))
+    Perf note (measured r6): keep the RLIKE-first shape.  A compiled regex
+    on short strings is ~free, while ``try_cast`` to double on non-numeric
+    strings is exception-driven in the JVM — a cast-first variant that
+    referenced the cast three times measured ~2x SLOWER on the flagship
+    filter (bisect in OPTIMIZATION_r06.md)."""
     return F.when(
-        nonfinite & F.lower(s).rlike(_NONFINITE_SPELLING), _null("num")
-    ).otherwise(v)
+        F.lower(s).rlike(_NONFINITE_SPELLING), _null("num")
+    ).otherwise(s.try_cast("double"))
 
 
 @dataclass(frozen=True)
