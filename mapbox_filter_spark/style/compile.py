@@ -67,14 +67,20 @@ _NONFINITE_SPELLING = r"^\s*[+-]?(nan|inf|infinity)\s*$"
 def _str_to_num(s: Column) -> Column:
     """String -> double with reference parse semantics (see above).
 
-    Perf note (measured r6): keep the RLIKE-first shape.  A compiled regex
-    on short strings is ~free, while ``try_cast`` to double on non-numeric
-    strings is exception-driven in the JVM — a cast-first variant that
-    referenced the cast three times measured ~2x SLOWER on the flagship
-    filter (bisect in OPTIMIZATION_r06.md)."""
-    return F.when(
-        F.lower(s).rlike(_NONFINITE_SPELLING), _null("num")
-    ).otherwise(s.try_cast("double"))
+    Perf shape (measured r6): a first-character gate short-circuits both
+    the regex and the cast for letter-initial strings.  Everything the
+    cast can parse starts with a char <= '9' (sign, dot, digit, or the
+    <= 0x20 whitespace try_cast trims; hex floats start with '0'), and
+    the nan/inf spellings the regex must reject are letter- or
+    sign/space-initial — letter-initial ones are rejected by the gate
+    itself (NULL = failure, same verdict), sign/space-initial ones still
+    reach the regex.  ``try_cast`` to double is exception-driven on
+    non-parsing strings, so skipping it for plain words halved the
+    flagship filter's CPU (A/B in OPTIMIZATION_r06.md); a cast-first
+    variant measured 2x SLOWER — keep this ordering."""
+    return F.when(F.substring(s, 1, 1) > "9", _null("num")).otherwise(
+        F.when(F.lower(s).rlike(_NONFINITE_SPELLING), _null("num"))
+        .otherwise(s.try_cast("double")))
 
 
 @dataclass(frozen=True)
@@ -128,22 +134,34 @@ class CTyped:
 
 class CAny:
     """Compiled Any value: tag in ('bool','num','str','numarray') or NULL
-    (failure); exactly one slot is non-NULL when tag is set."""
+    (failure); exactly one slot is non-NULL when tag is set.
 
-    __slots__ = ("tag", "b", "n", "s", "arr")
+    ``src`` (r6): when the Any was inferred from a plain string source
+    (map property / mirror column), the raw string column — consumers use
+    it for fused fast paths (failure test = src IS NULL; to-number without
+    re-deriving the whole tag chain).  Catalyst has no expression sharing,
+    so every avoided re-reference of the inferred tag is per-row work."""
+
+    __slots__ = ("tag", "b", "n", "s", "arr", "src")
 
     def __init__(self, tag: Column, b: Column | None = None,
                  n: Column | None = None, s: Column | None = None,
-                 arr: Column | None = None):
+                 arr: Column | None = None, src: Column | None = None):
         self.tag = tag
         self.b = b if b is not None else _null("bool")
         self.n = n if n is not None else _null("num")
         self.s = s if s is not None else _null("str")
         self.arr = arr if arr is not None else _null("numarray")
+        self.src = src
 
     def slot(self, typ: str) -> Column:
         return {"bool": self.b, "num": self.n, "str": self.s,
                 "numarray": self.arr}[typ]
+
+    def fail(self) -> Column:
+        """Failure test — equivalent to ``tag IS NULL`` but cheap for
+        string-sourced Anys (the tag is NULL exactly when the source is)."""
+        return self.src.isNull() if self.src is not None else self.tag.isNull()
 
 
 CVal = Union[CTyped, CAny]
@@ -169,7 +187,13 @@ def _strict_bool(op: str, cols: list[Column]) -> Column:
 
 def _infer_any_from_string(v: Column) -> CAny:
     """Content-based tag inference for map-sourced property values
-    (engine data model — see pyinterp module docstring)."""
+    (engine data model — see pyinterp module docstring).
+
+    Slots are derived straight from the source string rather than from the
+    tag column (r6): ``when(tag == 'str', v)`` re-embedded the whole tag
+    chain per slot reference, and Catalyst never shares subtrees.  The
+    direct forms are value-identical: a NULL source nulls every condition,
+    and the bool/num/str cases are mutually exclusive by construction."""
     is_bool = v.isin("true", "false")
     as_num = _str_to_num(v)
     tag = (
@@ -180,9 +204,10 @@ def _infer_any_from_string(v: Column) -> CAny:
     )
     return CAny(
         tag,
-        b=F.when(tag == "bool", v == "true"),
-        n=F.when(tag == "num", as_num),
-        s=F.when(tag == "str", v),
+        b=F.when(is_bool, v == "true"),
+        n=F.when(~is_bool, as_num),
+        s=F.when(~is_bool & as_num.isNull(), v),
+        src=v,
     )
 
 
@@ -212,7 +237,19 @@ def _any_eq(a: CAny, b: CAny) -> Column:
 
 def _any_to_num(a: CAny) -> Column:
     """to-number conversion of an Any value; NULL = conversion failure
-    (NOT evaluation failure — caller guards on a.tag.isNull())."""
+    (NOT evaluation failure — caller guards on ``a.fail()``).
+
+    String-sourced fast path (r6): bool spellings map to 1/0, everything
+    else is the shared string parse — a str-tagged value is by definition
+    non-numeric, so its parse yields NULL (= conversion failure), exactly
+    the generic chain's verdict, with one reference to the source."""
+    if a.src is not None:
+        v = a.src
+        return (
+            F.when(v == "true", F.lit(1.0))
+            .when(v == "false", F.lit(0.0))
+            .otherwise(_str_to_num(v))
+        )
     return (
         F.when(a.tag == "num", a.n)
         .when(a.tag == "bool", F.when(a.b, F.lit(1.0)).otherwise(F.lit(0.0)))
@@ -326,7 +363,7 @@ def _compile_match(e: T.TMatch, cols: FeatureCols) -> CVal:
     inp = compile_typed(e.input, cols)
     default = compile_typed(e.default, cols)
     outs = [(labels, compile_typed(o, cols)) for labels, o in e.pairs]
-    inp_fail = inp.tag.isNull() if isinstance(inp, CAny) else inp.col.isNull()
+    inp_fail = inp.fail() if isinstance(inp, CAny) else inp.col.isNull()
 
     if e.typ != "any":
         chain = None
@@ -388,7 +425,7 @@ def _compile_convert(e: T.TConvert, cols: FeatureCols) -> CVal:
         acc = _null("num")
         for a in reversed(compiled):
             if isinstance(a, CAny):
-                raw_null, conv = a.tag.isNull(), _any_to_num(a)
+                raw_null, conv = a.fail(), _any_to_num(a)
             elif a.typ == "num":
                 raw_null, conv = a.col.isNull(), a.col
             elif a.typ == "bool":
