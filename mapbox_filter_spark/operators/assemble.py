@@ -39,11 +39,32 @@ def assign_tiles(
     lon: str = "lon",
     lat: str = "lat",
 ) -> DataFrame:
-    """Add (z, x, y) per zoom level (explodes |zooms| rows per feature)."""
+    """Add (z, x, y) per zoom level (explodes |zooms| rows per feature).
+
+    Multi-zoom: the transcendental Mercator chain (ln/tan/cos) runs ONCE per
+    feature at max(zooms); coarser zooms derive by integer shift.  This is
+    exact, not approximate: x_z = clamp(floor(h * 2^z), 0, 2^z - 1) where
+    h is a double, and multiplying a double by a power of two only changes
+    the exponent (no rounding), so floor(h * 2^zmax) >> (zmax - z) ==
+    floor(h * 2^z) by the floored-division composition law, and the clamps
+    commute with the shift (2^zmax - 1 >> d == 2^z - 1; 0 >> d == 0).
+    Same values as per-zoom tile_cols for every input, including the
+    lat-clamp boundary (asserted by tests/test_tilemath.py).
+    """
+    zmax = max(int(z) for z in zooms)
+    xm, ym = tile_cols(F.col(lon), F.col(lat), F.lit(zmax))
     zs = F.explode(F.array(*[F.lit(int(z)) for z in zooms])).alias("z")
-    df = features.select("*", zs)
-    x, y = tile_cols(F.col(lon), F.col(lat), F.col("z"))
-    return df.withColumn("x", x).withColumn("y", y)
+    if len(zooms) == 1:
+        # single zoom: no fan-out arithmetic needed; literal z constant-folds
+        return (features.select("*", zs)
+                .withColumn("x", xm).withColumn("y", ym))
+    df = (features.withColumn("_xm", xm).withColumn("_ym", ym)
+          .select("*", zs))
+    d = (F.lit(zmax) - F.col("z")).cast("int")
+    x = F.call_function("shiftright", F.col("_xm"), d)
+    y = F.call_function("shiftright", F.col("_ym"), d)
+    return (df.withColumn("x", x).withColumn("y", y)
+            .drop("_xm", "_ym"))
 
 
 def assemble_tiles(

@@ -65,3 +65,24 @@ def test_tile_assign_invariants(spark, coords):
                 (r["z"] - 1, r["x"] // 2, r["y"] // 2), r
         # TMS flip involution
         assert (n - 1) - r["tms"] == r["y"], r
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(_lon, _lat), min_size=1, max_size=40))
+def test_assign_tiles_multizoom_equals_per_zoom(spark, coords):
+    """assign_tiles derives coarse zooms from the max-zoom tile by integer
+    shift (one transcendental chain per feature, r6 optimization); the
+    result must be bit-identical to direct per-zoom tile_cols, clamp
+    boundaries included."""
+    from mapbox_filter_spark.operators.assemble import assign_tiles
+
+    zooms = [3, 5, 8, 11]
+    df = spark.createDataFrame(coords, "lon double, lat double")
+    got = {
+        (r["lon"], r["lat"], r["z"]): (r["x"], r["y"])
+        for r in assign_tiles(df, zooms).collect()
+    }
+    assert len(got) == len(set(coords)) * len(zooms)
+    for lon, lat in coords:
+        for z in zooms:
+            assert got[(lon, lat, z)] == _py_tile(lon, lat, z), (lon, lat, z)
