@@ -108,6 +108,46 @@ def noop(cores: int, sf_dir: str, rounds: int = 3) -> None:
     spark.stop()
 
 
+def sweep(cores: int, sf_dir: str, out_path: "str | None" = None) -> None:
+    """Time EVERY registered gate once (noop sink, full-column computation)
+    with per-gate executor run/cpu deltas — the round-6 whole-surface
+    checklist measurement.  Ranking is the point: the slowest gates get the
+    per-operator optimization attention; absolute numbers carry fixed
+    per-query overhead (~0.1-0.3 s driver-side build at sf0.01)."""
+    from mapbox_filter_spark import queries as q
+
+    spark = _session(cores)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    reg = q.queries()
+    out: dict = {}
+    for name, fn in reg.items():
+        spark.sparkContext.setJobDescription(f"sweep:{name}")
+        try:
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            r0, c0 = _stage_totals(spark)
+            df.write.format("noop").mode("overwrite").save()
+            t2 = time.perf_counter()
+            r1, c1 = _stage_totals(spark)
+            out[name] = {"build": round(t1 - t0, 3),
+                         "exec": round(t2 - t1, 3),
+                         "run": round(r1 - r0, 3),
+                         "cpu": round(c1 - c0, 3)}
+        except Exception as e:  # noqa: BLE001 — sweep must finish
+            out[name] = {"error": str(e)[:160]}
+        print(name, out[name], flush=True)
+    ranked = sorted((v.get("exec", 0.0), k) for k, v in out.items())[::-1]
+    print(json.dumps({"slowest": ranked[:25],
+                      "total_exec": round(sum(v.get("exec", 0.0)
+                                              for v in out.values()), 1),
+                      "n": len(out)}))
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=1)
+    spark.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -116,6 +156,8 @@ def main() -> None:
         attribute(cores, sf_dir)
     elif mode == "noop":
         noop(cores, sf_dir)
+    elif mode == "sweep":
+        sweep(cores, sf_dir, sys.argv[2] if len(sys.argv) > 2 else None)
     else:
         raise SystemExit(f"unknown mode {mode}")
 

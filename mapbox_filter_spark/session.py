@@ -61,6 +61,17 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # ObjectHashAggregate (collect_list/collect_set aggs: tile assembly,
+        # hash_diff, dedup buckets) falls back to SORT-based aggregation
+        # after only 128 distinct keys per task by default — i.e. every
+        # tile-keyed assembly (<= 4^z keys/task) was sorting its whole input
+        # per task.  64Ki keys keeps those aggs in the hash regime at any
+        # scale where per-partition group counts are bounded by the shuffle
+        # partition sizing (guide: partitions in the 100MB-1GB range); the
+        # sort fallback still guards the genuinely-unbounded case.
+        # Measured on hash_diff sf0.1: ~0.87s -> ~0.69s median.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+                os.environ.get("SPARK_GRAFT_OBJ_AGG_FALLBACK", "65536"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
