@@ -308,9 +308,13 @@ def q_hash_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                      payload_prev.alias("pp"))
         .groupBy("z", "x", "y")
         .agg(
-            F.md5(F.array_join(F.array_sort(F.collect_list("pc")), "|"))
+            # sort_array, not array_sort: identical order for these
+            # never-null ASCII payloads (byte-wise comparator on both
+            # engines) but the native comparator path instead of the
+            # default-lambda comparison (~10% on this agg, A/B r6)
+            F.md5(F.array_join(F.sort_array(F.collect_list("pc")), "|"))
             .alias("h"),
-            F.md5(F.array_join(F.array_sort(F.collect_list("pp")), "|"))
+            F.md5(F.array_join(F.sort_array(F.collect_list("pp")), "|"))
             .alias("h_prev"),
         )
     )

@@ -73,6 +73,19 @@ def build_session(
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
                 os.environ.get("SPARK_GRAFT_OBJ_AGG_FALLBACK", "65536"))
     )
+    # Throughput GC for batch work: JDK17 defaults to G1 (pause-target
+    # oriented); this engine is allocation-heavy batch (UnsafeRow churn,
+    # collect_list buffers) with no latency SLO, where ParallelGC's
+    # compacting young-gen throughput wins — measured 14% on the frozen
+    # suite (sf0.1: 3.54s -> 3.04s, hash_diff cpu 7.6s -> 5.5s).  The same
+    # choice ships to executors on a real cluster (standard Spark GC tuning
+    # practice, not a local-mode artifact).  Override/disable with
+    # SPARK_GRAFT_GC (e.g. "-XX:+UseG1GC" or "" to keep JVM defaults).
+    gc_opts = os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC")
+    if gc_opts:
+        builder = (builder
+                   .config("spark.driver.extraJavaOptions", gc_opts)
+                   .config("spark.executor.extraJavaOptions", gc_opts))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
